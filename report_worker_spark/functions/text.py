@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All hot-path expressions are JVM-side higher-order functions
+(``split`` / ``filter`` / ``transform`` / ``aggregate``) — no Python
+UDFs — so they stay inside whole-stage codegen and scale linearly with
+input splits (no shuffle at all except where noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small public stopword samples per language (top function words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# Deterministic language priority for arg-max ties.
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on whitespace AND word/non-word
+    boundaries (a cheap proxy for BPE token counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"\s+|(?<=\W)|(?=\W)")
+    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens that are in ``words`` (duplicates counted)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", stop_lang: str = "en"
+) -> DataFrame:
+    """Length / token / stopword / punctuation quality features.
+
+    Ratios are raw IEEE divisions (bit-reproducible across engines).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop = stopword_hits(toks, STOPWORDS[stop_lang])
+    n_ch = F.length(F.col(text_col))
+    n_punct = n_ch - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return (
+        df.withColumn("n_chars_calc", n_ch)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_stopwords", stop)
+        .withColumn("stopword_ratio", stop.cast("double") / n_tok)
+        .withColumn("punct_ratio", n_punct.cast("double") / n_ch)
+        .withColumn(
+            "avg_token_len",
+            (F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")))
+            .cast("double")
+            / n_tok,
+        )
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Composite heuristic quality score in [0,1] (Gopher-rule flavor):
+    rewards mid-length docs with some stopwords and low punctuation."""
+    len_ok = F.when(
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when(
+        (F.col("avg_token_len") >= 2) & (F.col("avg_token_len") <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(
+        "quality_score", (len_ok + stop_ok + punct_ok + tok_ok) / F.lit(4.0)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """N-gram-free heuristic language ID: arg-max of per-language
+    stopword hit counts, 'und' (undetermined) when all zero.
+
+    Deterministic tiebreak by LANG_PRIORITY order (strict > when
+    comparing later languages)."""
+    toks = tokens(text_col)
+    hits = {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse priority so earlier languages win ties via >=
+    for lang in reversed(LANG_PRIORITY):
+        h = hits[lang]
+        take = h >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.greatest(best_hits, h)
+    return df.withColumn(out_col, best_lang)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: 64-bit rolling-hash analog —
+    xxhash64 over the token-normalized text (whitespace collapsed,
+    lowercased). Content-defined, whitespace-insensitive."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Portable (ANSI-SQL-reproducible) fingerprint: md5 hex of the
+    whitespace-normalized lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

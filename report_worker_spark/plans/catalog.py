@@ -1,0 +1,756 @@
+"""Named query catalog — the driver contract (SURVEY §2 inventory).
+
+Every operator from the reference inventory is a named query over the
+driver testdata, paired with an ANSI-SQL oracle twin executed by DuckDB
+on the same parquet. The testdata→reference entity mapping is
+FIXTURES.md §5: ``events`` stands in for the Kafka report stream,
+``customer``/``supplier`` for the Players dim, ``lineitem`` for the
+wide fact.
+
+Oracle-parity rules used throughout:
+- every computed column aliased identically on both sides;
+- counts are BIGINT/long on both sides;
+- ratios/cosines are raw IEEE float64 ops with identical evaluation
+  order (bit-reproducible) — no rounding games;
+- rank-mode surrogate keys (dense_rank over natural key, NULLS FIRST)
+  instead of hash keys so DuckDB can reproduce them;
+- deterministic top-k: row_number with a full tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import star, transforms
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..functions import text as tx
+from ..schemas import TS_LOWER_BOUND, TS_UPPER_BOUND
+from .tables import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Synthetic wire-format columns over `events`
+#
+# events.ts is a clean 2024 timestamp; the reference's wire format is an
+# epoch that may be in ms and may be out of the [2020-01-01, 2025-01-01)
+# keep-window (reference src/main.py:127-137). We derive a deterministic
+# "raw wire epoch" from events so the normalize/bounds operators have
+# something real to do, identically on both engines:
+#   epoch  = floor(epoch_seconds(ts))
+#   +2y    when event_id % 7 == 0   (pushes out of bounds)
+#   ×1000  when event_id % 3 == 0   (ms encoding)
+# ---------------------------------------------------------------------------
+
+_RAW_TS_SQL = (
+    "(CAST(floor(epoch(ts)) AS BIGINT) "
+    "+ CASE WHEN event_id % 7 = 0 THEN 63072000 ELSE 0 END) "
+    "* CASE WHEN event_id % 3 = 0 THEN 1000 ELSE 1 END"
+)
+
+
+def _raw_ts_col() -> F.Column:
+    epoch = F.unix_timestamp(F.col("ts")).cast("long")
+    shifted = epoch + F.when(F.col("event_id") % 7 == 0, F.lit(63072000)).otherwise(
+        F.lit(0)
+    )
+    return shifted * F.when(F.col("event_id") % 3 == 0, F.lit(1000)).otherwise(
+        F.lit(1)
+    )
+
+
+# --- P9: name sanitization ---------------------------------------------------
+
+
+@query(
+    "p9_sanitize_name",
+    oracle="""
+    SELECT c_custkey,
+           trim(regexp_replace(lower(c_name), '[_-]', ' ', 'g')) AS clean_name
+    FROM customer
+    """,
+)
+def p9_sanitize_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/app/controllers/player.py:23-24."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey", transforms.sanitize_name("c_name").alias("clean_name")
+    )
+
+
+# --- P4: ms→s normalization --------------------------------------------------
+
+
+@query(
+    "p4_normalize_ts",
+    oracle=f"""
+    SELECT event_id,
+           raw_ts,
+           CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
+                ELSE raw_ts END AS ts_sec
+    FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
+    """,
+)
+def p4_normalize_ts(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/main.py:127-129."""
+    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
+    return e.select(
+        "event_id", "raw_ts", transforms.normalize_ts("raw_ts").alias("ts_sec")
+    )
+
+
+# --- F1+F2: event-time bounds ------------------------------------------------
+
+
+@query(
+    "f1_f2_ts_bounds",
+    oracle=f"""
+    WITH norm AS (
+      SELECT event_id,
+             CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
+                  ELSE raw_ts END AS ts_sec
+      FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
+    )
+    SELECT event_id, ts_sec FROM norm
+    WHERE ts_sec >= {TS_LOWER_BOUND} AND ts_sec <= {TS_UPPER_BOUND}
+    """,
+)
+def f1_f2_ts_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/main.py:131-137 — the entire late/early-data policy."""
+    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
+    e = e.select("event_id", transforms.normalize_ts("raw_ts").alias("ts_sec"))
+    return transforms.bounds_filter(e, "ts_sec")
+
+
+# --- P5: epoch→timestamp (UTC) ----------------------------------------------
+
+
+@query(
+    "p5_epoch_to_ts",
+    oracle=f"""
+    WITH norm AS (
+      SELECT event_id,
+             CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
+                  ELSE raw_ts END AS ts_sec
+      FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
+    )
+    SELECT event_id,
+           strftime(make_timestamp(ts_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_utc
+    FROM norm
+    """,
+)
+def p5_epoch_to_ts(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/main.py:139-141, pinned to UTC (SURVEY §7 hard part 4)."""
+    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
+    e = e.select("event_id", transforms.normalize_ts("raw_ts").alias("ts_sec"))
+    return e.select(
+        "event_id",
+        F.date_format(
+            transforms.epoch_to_timestamp("ts_sec"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_utc"),
+    )
+
+
+# --- P8: equipment clamp -----------------------------------------------------
+
+
+@query(
+    "p8_clamp_equipment",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN equip_raw > 32767 THEN 0 ELSE equip_raw END AS equip_weapon_id,
+           equip_raw > 32767 AS item_bug
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(l_partkey % 40000 AS INT) AS equip_raw
+          FROM lineitem)
+    """,
+)
+def p8_clamp_equipment(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/main.py:143-152 — ids over SMALLINT range → 0 + flag."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 40000).cast("int").alias("equip_weapon_id"),
+    )
+    out = transforms.clamp_equipment(li, slots=["equip_weapon_id"])
+    return out.select("l_orderkey", "l_linenumber", "equip_weapon_id", "item_bug")
+
+
+# --- S3/P1: JSON field extraction (wire parse analog) ------------------------
+
+
+@query(
+    "s3_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def s3_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json/get_json_object replaces pydantic parse (SURVEY §1.3)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# --- P10: version dispatch ---------------------------------------------------
+
+
+@query(
+    "p10_version_dispatch",
+    oracle="""
+    SELECT event_id, 'v1.0.0' AS version, user_id * 2 AS resolved_id
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, 'v2.0.0' AS version, user_id AS resolved_id
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def p10_version_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference src/main.py:198-209: route on version, transform per
+    branch, re-merge (unionByName)."""
+    e = load(spark, sf, "events").withColumn(
+        "version",
+        F.when(F.col("event_id") % 2 == 0, F.lit("v1.0.0")).otherwise(
+            F.lit("v2.0.0")
+        ),
+    )
+    v1 = e.filter(F.col("version") == "v1.0.0").select(
+        "event_id", "version", (F.col("user_id") * 2).alias("resolved_id")
+    )
+    v2 = e.filter(F.col("version") == "v2.0.0").select(
+        "event_id", "version", F.col("user_id").alias("resolved_id")
+    )
+    return v1.unionByName(v2)
+
+
+# --- J1: dim lookup join (stream-static broadcast) ---------------------------
+
+
+@query(
+    "j1_dim_lookup",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j1_dim_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference per-row name→id lookup + LRU cache collapsed into one
+    broadcast left join (src/app/controllers/player.py:29-52)."""
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    return e.join(
+        F.broadcast(c), e.user_id == c.c_custkey, "left"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+# --- F3: null-guard on resolved ids ------------------------------------------
+
+
+@query(
+    "f3_null_guard",
+    oracle="""
+    SELECT e.event_id, c.c_custkey AS resolved_id
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey IS NOT NULL
+    """,
+)
+def f3_null_guard(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference Reporter/ReportedDoesNotExist skip (src/main.py:110-117)."""
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left").select(
+        "event_id", F.col("c_custkey").alias("resolved_id")
+    )
+    return transforms.require_not_null(joined, ["resolved_id"])
+
+
+# --- J2: get-or-insert (new-name delta with deterministic ids) ---------------
+
+
+@query(
+    "j2_get_or_insert_delta",
+    oracle="""
+    WITH missing AS (
+      SELECT DISTINCT e.user_id AS name
+      FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+      WHERE s.s_suppkey IS NULL
+    )
+    SELECT name, dense_rank() OVER (ORDER BY name ASC NULLS FIRST) AS id
+    FROM missing
+    """,
+)
+def j2_get_or_insert_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-half of get-or-insert (reference player.py:54-58): the
+    anti-joined new-key delta with deterministic (rank-mode) ids."""
+    e = load(spark, sf, "events").select(F.col("user_id").alias("name"))
+    dim = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("name"), F.col("s_suppkey").alias("id")
+    )
+    _, new_rows = star.get_or_insert_dim(e, dim, key_mode="rank")
+    return new_rows
+
+
+# --- J3: NOT EXISTS anti-join ------------------------------------------------
+
+
+@query(
+    "j3_anti_join",
+    oracle="""
+    SELECT DISTINCT e.user_id
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference report.py:170-241 insert guards."""
+    e = load(spark, sf, "events").select("user_id")
+    s = load(spark, sf, "supplier")
+    return star.dedup(
+        star.anti_join_new(
+            e, s.select(F.col("s_suppkey").alias("user_id")), ["user_id"],
+        ),
+        ["user_id"],
+    )
+
+
+# --- A1: multi-column DISTINCT ----------------------------------------------
+
+
+@query(
+    "a1_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           nullif(l_linenumber % 3, 0) AS g1
+    FROM lineitem
+    """,
+)
+def a1_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT incl. NULL keys — dropDuplicates is null-safe like
+    DISTINCT (reference report.py:174,199-209,231)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("g1"),
+    )
+    return star.dedup(li, ["l_returnflag", "l_linestatus", "g1"])
+
+
+# --- A2: unique-key idempotent dedup (INSERT IGNORE semantics) ---------------
+
+
+@query(
+    "a2_unique_key_dedup",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id,
+           count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a2_unique_key_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """INSERT IGNORE on a unique key keeps one row per key; stated
+    deterministically as min-id per key (reference 01_tables.sql:79-84)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# --- J4: null-safe multi-col surrogate-key join ------------------------------
+
+
+@query(
+    "j4_nullsafe_fk_join",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_partkey % 3, 0) AS g1,
+             nullif(l_suppkey % 4, 0) AS g2
+      FROM lineitem
+    ), dim AS (
+      SELECT g1, g2,
+             dense_rank() OVER (ORDER BY g1 ASC NULLS FIRST, g2 ASC NULLS FIRST) AS gear_id
+      FROM (SELECT DISTINCT g1, g2 FROM base)
+    )
+    SELECT d.gear_id, b.g1, b.g2, count(*) AS n_rows
+    FROM base b JOIN dim d
+      ON b.g1 IS NOT DISTINCT FROM d.g1 AND b.g2 IS NOT DISTINCT FROM d.g2
+    GROUP BY d.gear_id, b.g1, b.g2
+    """,
+)
+def j4_nullsafe_fk_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's FK-resolve join done with *intended* NULL
+    semantics (`<=>`): MySQL `=` silently drops NULL-gear rows
+    (reference report.py:256-283; SURVEY §2 J4)."""
+    li = load(spark, sf, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_partkey") % 3, F.lit(0)).alias("g1"),
+        F.nullif(F.col("l_suppkey") % 4, F.lit(0)).alias("g2"),
+    )
+    dim = star.build_dim(base, ["g1", "g2"], "gear_id", key_mode="rank")
+    resolved = star.resolve_fk(base, dim, ["g1", "g2"], "gear_id")
+    return resolved.groupBy("gear_id", "g1", "g2").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# --- Full star upsert (the reference's 7-statement transaction) --------------
+
+_STAR_STAGING_SQL = """
+      SELECT event_id,
+             user_id AS reporting_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS reported_id,
+             event_type = 'error' AS manual_detect,
+             CAST(10000 + CAST(floor(value) AS BIGINT) % 50 AS INT) AS region_id,
+             CAST(CAST(floor(value * 100) AS BIGINT) % 5000 AS INT) AS x_coord,
+             CAST((event_id * 7) % 5000 AS INT) AS y_coord,
+             CAST(event_id % 4 AS INT) AS z_coord,
+             nullif(CAST(event_id % 11 AS INT), 0) AS equip_head_id,
+             nullif(CAST(user_id % 7 AS INT), 0) AS equip_weapon_id
+      FROM events
+"""
+
+
+def _star_staging(spark: SparkSession, sf: str) -> DataFrame:
+    """Map `events` into the staging-report shape (FIXTURES.md §5)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.col("user_id").alias("reporting_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("reported_id"),
+        (F.col("event_type") == "error").alias("manual_detect"),
+        (F.lit(10000) + F.floor("value").cast("long") % 50)
+        .cast("int")
+        .alias("region_id"),
+        (F.floor(F.col("value") * 100).cast("long") % 5000)
+        .cast("int")
+        .alias("x_coord"),
+        ((F.col("event_id") * 7) % 5000).cast("int").alias("y_coord"),
+        (F.col("event_id") % 4).cast("int").alias("z_coord"),
+        F.nullif((F.col("event_id") % 11).cast("int"), F.lit(0)).alias(
+            "equip_head_id"
+        ),
+        F.nullif((F.col("user_id") % 7).cast("int"), F.lit(0)).alias(
+            "equip_weapon_id"
+        ),
+    )
+
+
+@query(
+    "star_upsert_fact",
+    oracle=f"""
+    WITH staging AS ({_STAR_STAGING_SQL}),
+    sight AS (
+      SELECT reporting_id, reported_id, manual_detect,
+             dense_rank() OVER (ORDER BY reporting_id ASC NULLS FIRST,
+                                reported_id ASC NULLS FIRST,
+                                manual_detect ASC NULLS FIRST) AS sighting_id
+      FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM staging)
+    ),
+    gear AS (
+      SELECT equip_head_id, equip_weapon_id,
+             dense_rank() OVER (ORDER BY equip_head_id ASC NULLS FIRST,
+                                equip_weapon_id ASC NULLS FIRST) AS gear_id
+      FROM (SELECT DISTINCT equip_head_id, equip_weapon_id FROM staging)
+    ),
+    loc AS (
+      SELECT region_id, x_coord, y_coord, z_coord,
+             dense_rank() OVER (ORDER BY region_id ASC NULLS FIRST,
+                                x_coord ASC NULLS FIRST,
+                                y_coord ASC NULLS FIRST,
+                                z_coord ASC NULLS FIRST) AS location_id
+      FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM staging)
+    )
+    SELECT DISTINCT s.sighting_id, l.location_id, g.gear_id, st.region_id
+    FROM staging st
+    JOIN sight s ON st.reporting_id IS NOT DISTINCT FROM s.reporting_id
+               AND st.reported_id IS NOT DISTINCT FROM s.reported_id
+               AND st.manual_detect IS NOT DISTINCT FROM s.manual_detect
+    JOIN gear g ON st.equip_head_id IS NOT DISTINCT FROM g.equip_head_id
+              AND st.equip_weapon_id IS NOT DISTINCT FROM g.equip_weapon_id
+    JOIN loc l ON st.region_id IS NOT DISTINCT FROM l.region_id
+             AND st.x_coord IS NOT DISTINCT FROM l.x_coord
+             AND st.y_coord IS NOT DISTINCT FROM l.y_coord
+             AND st.z_coord IS NOT DISTINCT FROM l.z_coord
+    """,
+)
+def star_upsert_fact(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's whole per-batch MySQL transaction as set algebra
+    (report.py:84-311): DISTINCT dims + null-safe FK resolve + fact-PK
+    dedup. Rank-mode surrogate keys for oracle parity; the streaming
+    deployment uses hash mode (star.py)."""
+    staging = _star_staging(spark, sf)
+    sight = star.build_dim(
+        staging, ["reporting_id", "reported_id", "manual_detect"], "sighting_id",
+        key_mode="rank",
+    )
+    gear = star.build_dim(
+        staging, ["equip_head_id", "equip_weapon_id"], "gear_id", key_mode="rank"
+    )
+    loc = star.build_dim(
+        staging, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id",
+        key_mode="rank",
+    )
+    fact = star.resolve_fk(
+        staging, sight, ["reporting_id", "reported_id", "manual_detect"],
+        "sighting_id",
+    )
+    fact = star.resolve_fk(fact, gear, ["equip_head_id", "equip_weapon_id"], "gear_id")
+    fact = star.resolve_fk(
+        fact, loc, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id"
+    )
+    return star.dedup(
+        fact.select("sighting_id", "location_id", "gear_id", "region_id"),
+        ["sighting_id", "location_id", "gear_id", "region_id"],
+    )
+
+
+# --- Flagship: top-reported entities (entry) ---------------------------------
+
+
+@query(
+    "flagship_top_reported",
+    oracle="""
+    WITH agg AS (
+      SELECT e.user_id, max(c.c_name) AS name, count(*) AS n_reports
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY e.user_id
+    )
+    SELECT user_id, name, n_reports FROM (
+      SELECT user_id, name, n_reports,
+             row_number() OVER (ORDER BY n_reports DESC, user_id ASC) AS rn
+      FROM agg
+    ) WHERE rn <= 25
+    """,
+)
+def flagship_top_reported(spark: SparkSession, sf: str) -> DataFrame:
+    """Most-reported entities: dim join + agg + deterministic top-k —
+    the reference's read-side raison d'être (SURVEY §7 minimum slice)."""
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    agg = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("user_id")
+        .agg(F.max("c_name").alias("name"), F.count(F.lit(1)).alias("n_reports"))
+    )
+    w = Window.orderBy(F.col("n_reports").desc(), F.col("user_id").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("user_id", "name", "n_reports")
+    )
+
+
+# --- OLAP baseline (TPC-H Q1 shape) — bench headline -------------------------
+
+
+@query(
+    "olap_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           count(*) AS count_order,
+           min(l_shipdate) AS min_shipdate
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def olap_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic scan→filter→agg: exercises pushdown + partial aggregation
+    (extension surface; the reference itself has no GROUP BY)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.min("l_shipdate").alias("min_shipdate"),
+        )
+    )
+
+
+# --- Text analysis -----------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+             AS n_stopwords,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+             AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return tx.with_text_stats(d).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_stopwords", "stopword_ratio"
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", tx.token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", tx.md5_fingerprint("text").alias("fp"))
+
+
+# --- Dedup family ------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.exact_dedup_groups(d)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+
+
+@query("dedup_minhash_lsh")  # hash-based: rows-only check (no ANSI oracle)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.minhash_lsh_pairs(d, n=3, num_hashes=64, bands=16, threshold=0.7)
+
+
+@query("dedup_simhash")  # hash-based: rows-only check (no ANSI oracle)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.simhash_pairs(d, max_hamming=3)
+
+
+# --- Similarity search -------------------------------------------------------
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return sim.brute_topk_expr(e, k=5)
+
+
+@query(
+    "sim_cosine_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+    """,
+)
+def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return sim.cosine_near_dup_pairs(e, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf: str) -> DataFrame:
+    return flagship_top_reported(spark, sf)

@@ -1,0 +1,177 @@
+"""Relational core: star-schema upsert as set operations (SURVEY §2 J1-J5, A1-A2).
+
+The reference does this server-side in MySQL per micro-batch: a MEMORY
+temp table + ``SELECT DISTINCT`` + ``NOT EXISTS`` anti-joins into three
+dims + a 3-way equi-join to resolve surrogate FKs + ``INSERT IGNORE``
+into the fact (reference src/app/controllers/report.py:84-311). Here the
+same semantics are plain DataFrame set algebra, which Catalyst turns
+into broadcast or sort-merge joins as sizes dictate.
+
+NULL semantics (SURVEY §2 J4): the reference's MySQL ``=`` never matches
+NULL gear slots, so NULL-gear rows re-insert forever in the anti-join
+and silently vanish in the FK-resolve join — a latent bug. We implement
+the *intended* semantics with null-safe equality (``<=>`` /
+``IS NOT DISTINCT FROM``), which also matches ``SELECT DISTINCT``'s
+null handling, and document the divergence here.
+
+Surrogate keys: MySQL auto-increment has no distributed analog. Two modes:
+
+- ``hash``  (default, the 100 TB path): ``xxhash64`` of the null-safe
+  natural key. Deterministic, embarrassingly parallel, no global
+  coordination; collision odds at 64-bit are ~n²/2⁶⁵.
+- ``rank``  (oracle-parity path): ``dense_rank`` over the natural key —
+  reproducible in ANSI SQL, but implies a global sort; test-scale only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .schemas import GEAR_KEYS, LOCATION_KEYS, SIGHTING_KEYS
+
+
+def null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
+    """Conjunctive ``<=>`` join condition over ``keys``."""
+    return reduce(
+        lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
+
+
+def dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """SELECT DISTINCT (A1). ``dropDuplicates`` is null-safe, matching
+    DISTINCT (reference src/app/controllers/report.py:174,199-209,231)."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def anti_join_new(
+    batch: DataFrame, existing: DataFrame, keys: list[str], null_safe: bool = True
+) -> DataFrame:
+    """Rows of ``batch`` with no key-match in ``existing`` — the
+    ``NOT EXISTS`` insert guard (J3, reference report.py:170-241).
+
+    ``null_safe=True`` fixes the reference's NULL-gear forever-reinsert
+    bug (see module docstring).
+    """
+    ex = existing.select(*keys)
+    if null_safe:
+        return batch.join(ex, on=null_safe_cond(batch, ex, keys), how="left_anti")
+    return batch.join(ex, on=keys, how="left_anti")
+
+
+def surrogate_key(keys: list[str], mode: str = "hash") -> Column:
+    """Deterministic surrogate id over a natural key (see module docstring)."""
+    if mode == "hash":
+        # Map NULL key parts to a sentinel so (NULL) and ('') differ is
+        # not a concern for int keys; xxhash64 already folds nulls
+        # deterministically.
+        return F.xxhash64(*[F.col(k) for k in keys])
+    if mode == "rank":
+        w = Window.orderBy(*[F.col(k).asc_nulls_first() for k in keys])
+        return F.dense_rank().over(w).cast("long")
+    raise ValueError(f"unknown surrogate key mode: {mode}")
+
+
+def build_dim(
+    batch: DataFrame, keys: list[str], id_col: str, key_mode: str = "hash"
+) -> DataFrame:
+    """DISTINCT natural keys + surrogate id — one dim table's batch delta."""
+    return dedup(batch.select(*keys), keys).withColumn(
+        id_col, surrogate_key(keys, key_mode)
+    )
+
+
+def resolve_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    id_col: str,
+    null_safe: bool = True,
+) -> DataFrame:
+    """Inner-join ``fact`` to ``dim`` on the natural key, attaching
+    ``id_col`` (J4, reference report.py:256-283). Null-safe by default —
+    the reference's MySQL ``=`` drops NULL-gear facts (documented bug)."""
+    d = dim.select(*keys, id_col)
+    cond = (
+        null_safe_cond(fact, d, keys)
+        if null_safe
+        else reduce(lambda a, b: a & b, [fact[k] == d[k] for k in keys])
+    )
+    out = fact.join(F.broadcast(d) if _dim_small(d) else d, on=cond, how="inner")
+    # drop the dim's copy of the key cols (ambiguous names otherwise)
+    return out.drop(*[d[k] for k in keys])
+
+
+def _dim_small(dim: DataFrame) -> bool:
+    # Dims here are per-batch DISTINCT deltas — broadcast-sized by
+    # construction in the streaming path. Batch callers with huge dims
+    # rely on AQE instead; the hint is best-effort.
+    return True
+
+
+def upsert_star(
+    batch: DataFrame,
+    key_mode: str = "hash",
+    existing: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's 7-statement MySQL transaction as set algebra.
+
+    ``batch`` is a staging-shaped DataFrame (schemas.STG_REPORT_SCHEMA
+    naming). Returns the four deltas to append: sighting / gear /
+    location dims and the FK-resolved fact. ``existing`` maps dim name →
+    current dim contents for the NOT-EXISTS guard (omit for bootstrap).
+
+    Reference: src/app/controllers/report.py:84-311.
+    """
+    batch = batch.cache()  # feeds 4 scans, like the MEMORY temp table
+
+    sight = build_dim(batch, SIGHTING_KEYS, "sighting_id", key_mode)
+    gear = build_dim(batch, GEAR_KEYS, "gear_id", key_mode)
+    loc = build_dim(batch, LOCATION_KEYS, "location_id", key_mode)
+
+    if existing:
+        if "sighting" in existing:
+            sight = anti_join_new(sight, existing["sighting"], SIGHTING_KEYS)
+        if "gear" in existing:
+            gear = anti_join_new(gear, existing["gear"], GEAR_KEYS)
+        if "location" in existing:
+            loc = anti_join_new(loc, existing["location"], LOCATION_KEYS)
+
+    fact = batch
+    # J4: chained null-safe equi-joins resolving the three surrogate FKs.
+    fact = resolve_fk(fact, build_dim(batch, SIGHTING_KEYS, "sighting_id", key_mode), SIGHTING_KEYS, "sighting_id")
+    fact = resolve_fk(fact, build_dim(batch, GEAR_KEYS, "gear_id", key_mode), GEAR_KEYS, "gear_id")
+    fact = resolve_fk(fact, build_dim(batch, LOCATION_KEYS, "location_id", key_mode), LOCATION_KEYS, "location_id")
+    # fact PK is (sighting_id, location_id, region_id) (01_tables.sql:139);
+    # INSERT IGNORE ⇒ keep one row per PK.
+    fact = fact.dropDuplicates(["sighting_id", "location_id", "region_id"])
+
+    return {"sighting": sight, "gear": gear, "location": loc, "fact": fact}
+
+
+def get_or_insert_dim(
+    batch_names: DataFrame,
+    dim: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    key_mode: str = "hash",
+) -> tuple[DataFrame, DataFrame]:
+    """Get-or-insert (J1+J2, reference src/app/controllers/player.py:38-71).
+
+    Returns ``(resolved, new_dim_rows)``: ``resolved`` is ``batch_names``
+    left-joined to ids (existing dim first, then deterministic ids for
+    the misses); ``new_dim_rows`` is the delta to append to the dim.
+
+    In the JDBC deployment the delta is written and ids re-read inside
+    the same foreachBatch txn (MySQL stays authoritative); this pure-
+    Spark variant assigns deterministic ids instead (semantic shift
+    documented in SURVEY §7).
+    """
+    names = dedup(batch_names.select(name_col), [name_col])
+    missing = names.join(dim.select(name_col), on=name_col, how="left_anti")
+    new_rows = missing.withColumn(id_col, surrogate_key([name_col], key_mode))
+    full = dim.select(name_col, id_col).unionByName(new_rows)
+    resolved = batch_names.join(F.broadcast(full), on=name_col, how="left")
+    return resolved, new_rows

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from report_worker_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rws-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_small():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_oracle():
+    return SF_ORACLE

@@ -1,0 +1,66 @@
+"""Local mirror of the driver's DuckDB oracle comparison.
+
+Runs a Spark query and its ANSI-SQL oracle over the same parquet and
+compares row count, column names, and an order-insensitive value
+rendering. Catching a mismatch here catches it before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from report_worker_spark.plans.tables import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # full-precision repr: mismatched bits must show up
+        return repr(v)
+    return str(v)
+
+
+def canon(df_pandas) -> tuple[int, list[str], list[tuple]]:
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return len(rows), cols, rows
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty == pass)."""
+    sp = spark_df.toPandas()
+    # pandas renders pyspark NaT/None differently; normalize via astype object
+    oc = run_oracle(oracle_sql, sf_dir)
+    problems: list[str] = []
+    n_s, c_s, r_s = canon(sp.astype(object).where(sp.notna(), None))
+    n_o, c_o, r_o = canon(oc.astype(object).where(oc.notna(), None))
+    if c_s != c_o:
+        problems.append(f"columns differ: spark={c_s} oracle={c_o}")
+        return problems
+    if n_s != n_o:
+        problems.append(f"row counts differ: spark={n_s} oracle={n_o}")
+    if r_s != r_o:
+        diff_a = [r for r in r_s if r not in set(r_o)][:3]
+        diff_b = [r for r in r_o if r not in set(r_s)][:3]
+        problems.append(
+            f"values differ; spark-only={diff_a} oracle-only={diff_b}"
+        )
+    return problems

@@ -1,0 +1,27 @@
+"""Every oracle-paired catalog query must hash-match DuckDB at sf0.01 —
+the local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from report_worker_spark.plans import ORACLE, QUERIES
+
+from .oracle_harness import compare
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_parity(spark, sf_oracle, name):
+    df = QUERIES[name](spark, sf_oracle)
+    problems = compare(df, ORACLE[name], sf_oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_no_oracle_queries_run(spark, sf_oracle, name):
+    """Hash-free queries must at least run and be deterministic."""
+    df = QUERIES[name](spark, sf_oracle)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES[name](spark, sf_oracle).collect()))
+    assert a == b
+    assert len(a) >= 0
