@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the no-op sink (full execution, no
+driver collect). Scale-sensitive picks: similarity uses the BLAS-matmul
+exact top-k (the expression cross-join is the oracle baseline, not the
+perf path) and jaccard caps hot-shingle fan-out via max_df.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+
+from report_worker_spark.functions import dedup as dd
+from report_worker_spark.functions import similarity as sim
+from report_worker_spark.plans import QUERIES
+from report_worker_spark.plans.tables import load
+from report_worker_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Catalog queries benched as-is.
+CATALOG_BENCH = [
+    "flagship_top_reported",
+    "olap_q1_pricing_summary",
+    "star_upsert_fact",
+    "a2_unique_key_dedup",
+    "j4_nullsafe_fk_join",
+    "f1_f2_ts_bounds",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+]
+
+
+def scale_variants(spark) -> dict[str, DataFrame]:
+    """Perf-path variants of ops whose oracle form is O(n²)-exact."""
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    return {
+        "dedup_ngram_jaccard_capped": dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.8, max_df=500
+        ),
+        "sim_topk_matmul": sim.brute_topk_matmul(emb, k=5),
+    }
+
+
+def materialize(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("rws-bench")
+    # Warm the JVM/IO path once so per-query numbers measure the plans.
+    load(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in CATALOG_BENCH:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, df in scale_variants(spark).items():
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
