@@ -754,3 +754,387 @@ def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf: str) -> DataFrame:
     return flagship_top_reported(spark, sf)
+
+
+# ===========================================================================
+# Coverage round 2: remaining §2 ops + analytics extensions
+# ===========================================================================
+
+# --- P1: struct flatten ------------------------------------------------------
+
+
+@query(
+    "p1_flatten_struct",
+    oracle="""
+    SELECT event_id, user_id AS uid, event_type AS etype
+    FROM events
+    """,
+)
+def p1_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a nested struct then flatten it back (reference
+    src/main.py:166-174 equipment.* promotion)."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
+        ).alias("nested"),
+    )
+    return transforms.flatten_struct(e, "nested")
+
+
+# --- P2/P3: projection + rename ---------------------------------------------
+
+
+@query(
+    "p2_p3_project_rename",
+    oracle="""
+    SELECT event_id AS report_id, user_id AS reporting_id,
+           value AS score, ts AS reported_at
+    FROM events
+    """,
+)
+def p2_p3_project_rename(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-subset projection + wire→staging re-keying (reference
+    report.py:52-82, 119-167)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        F.col("event_id").alias("report_id"),
+        F.col("user_id").alias("reporting_id"),
+        F.col("value").alias("score"),
+        F.col("ts").alias("reported_at"),
+    )
+
+
+# --- P6/P7: int→bool and bool/None→int defaults ------------------------------
+
+
+@query(
+    "p6_p7_bool_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(flag_int AS BOOLEAN) AS manual_detect,
+           coalesce(CAST(CAST(flag_int AS BOOLEAN) AS INT), 0) AS manual_detect_wire,
+           coalesce(CAST(null_flag AS INT), 0) AS null_flag_wire
+    FROM (SELECT event_id,
+                 CAST(event_id % 2 AS INT) AS flag_int,
+                 CAST(NULL AS BOOLEAN) AS null_flag
+          FROM events)
+    """,
+)
+def p6_p7_bool_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Wire 0/1 → boolean → back to int with None→0 (reference
+    src/main.py:162-164; views/report.py:188-204)."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 2).cast("int").alias("flag_int"),
+        F.lit(None).cast("boolean").alias("null_flag"),
+    )
+    e = transforms.int_to_bool(e.withColumnRenamed("flag_int", "manual_detect"),
+                               ["manual_detect"])
+    return e.select(
+        "event_id",
+        "manual_detect",
+        transforms.bool_to_int_default0("manual_detect").alias("manual_detect_wire"),
+        transforms.bool_to_int_default0("null_flag").alias("null_flag_wire"),
+    )
+
+
+# --- P11: timestamp → epoch ms re-encode -------------------------------------
+
+
+@query(
+    "p11_epoch_ms_reencode",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms
+    FROM events
+    """,
+)
+def p11_epoch_ms_reencode(spark: SparkSession, sf: str) -> DataFrame:
+    """DLQ re-encode path (reference views/report.py:188)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id", transforms.timestamp_to_epoch_ms("ts").alias("ts_ms")
+    )
+
+
+# --- S4: JSON serialization --------------------------------------------------
+
+
+@query(
+    "s4_json_serialize",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id,
+                               user_id := user_id,
+                               event_type := event_type)) AS payload
+    FROM events
+    """,
+)
+def s4_json_serialize(spark: SparkSession, sf: str) -> DataFrame:
+    """Kafka DLQ serialization (reference src/main.py:83,93). Null-field
+    emission pinned on both engines (Spark ignoreNullFields=false)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type"),
+            {"ignoreNullFields": "false"},
+        ).alias("payload"),
+    )
+
+
+# --- F4: conjunctive equality lookup -----------------------------------------
+
+
+@query(
+    "f4_equality_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id = 42 AND event_type = 'click'
+    """,
+)
+def f4_equality_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-lookup predicate shape (reference player.py:32,
+    report.py:29-35) — pushdown-friendly conjunctive equality."""
+    e = load(spark, sf, "events")
+    return e.filter(
+        (F.col("user_id") == 42) & (F.col("event_type") == "click")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --- J5: sighting-subset fan-out join ---------------------------------------
+
+
+@query(
+    "j5_fanout_join",
+    oracle="""
+    WITH sight AS (
+      SELECT DISTINCT user_id, event_type,
+             event_type = 'error' AS manual
+      FROM events
+    )
+    SELECT e.event_id, s.event_type AS sight_type, s.manual
+    FROM events e JOIN sight s ON e.user_id = s.user_id
+                              AND e.event_type = s.event_type
+    """,
+)
+def j5_fanout_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference fact-join uses a SUBSET of the sighting unique key
+    and can fan out (report.py:266-268 vs 01_tables.sql:102) —
+    reproduced deliberately; dropDuplicates downstream collapses it."""
+    e = load(spark, sf, "events")
+    sight = e.select(
+        "user_id", "event_type", (F.col("event_type") == "error").alias("manual")
+    ).dropDuplicates(["user_id", "event_type", "manual"])
+    return e.join(sight, on=["user_id", "event_type"]).select(
+        "event_id",
+        F.col("event_type").alias("sight_type"),
+        "manual",
+    )
+
+
+# --- A4: hit/miss counters (observe) ----------------------------------------
+
+
+@query(
+    "a4_lookup_hit_miss",
+    oracle="""
+    SELECT count(*) FILTER (WHERE c.c_custkey IS NOT NULL) AS hits,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS misses
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def a4_lookup_hit_miss(spark: SparkSession, sf: str) -> DataFrame:
+    """The LRU cache's hit/miss telemetry (reference _cache.py:13-23)
+    as one aggregate over the set-based lookup."""
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    j = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+    return j.agg(
+        F.count(F.when(F.col("c_custkey").isNotNull(), 1)).alias("hits"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("misses"),
+    )
+
+
+# --- Analytics extensions: windows / sessions / grouping sets ----------------
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT event_type, rn, event_id, value
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group — partitioned window, deterministic tiebreak."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Running aggregate per key. Summed in integer cents: windowed
+    float sums associate differently across engines (DuckDB segment
+    trees vs Spark running state), so only exact arithmetic is
+    oracle-comparable."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+@query(
+    "sessionize_gap30m",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_session)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+      FROM gaps
+    )
+    SELECT user_id, session_idx, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_gap30m(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum — the
+    batch analog of streaming session_window."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    # microsecond precision on both sides: second-truncated gaps would
+    # disagree with the oracle's full-precision interval comparison
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800000000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("new_session", new_sess).withColumn(
+        "session_idx", F.sum("new_session").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical totals (ROLLUP + GROUPING markers)."""
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot on a closed category set == conditional aggregation."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias(
+            "qty_o"
+        ),
+        F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+            "qty_f"
+        ),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS h_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS h_de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS h_es,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS h_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
+                WHEN h_de >= greatest(h_es, h_fr, h_zh, 1) THEN 'de'
+                WHEN h_es >= greatest(h_fr, h_zh, 1) THEN 'es'
+                WHEN h_fr >= greatest(h_zh, 1) THEN 'fr'
+                WHEN h_zh >= 1 THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit arg-max language ID with deterministic priority."""
+    d = load(spark, sf, "documents")
+    return tx.lang_id(d).select("doc_id", "lang_pred")
