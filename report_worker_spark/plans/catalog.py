@@ -1138,3 +1138,36 @@ def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-hit arg-max language ID with deterministic priority."""
     d = load(spark, sf, "documents")
     return tx.lang_id(d).select("doc_id", "lang_pred")
+
+
+# --- Multimodal & approximate-similarity (rows-only: not SQL-expressible) ----
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media columns → Arrow-batched feature extraction with the
+    deterministic fake codec (real codecs are env-stubbed; plumbing —
+    schema, batching, partitioning — is the real thing)."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents")
+    media = mm.synthetic_media(docs, "doc_id", "text")
+    return mm.extract_features(media, decoder=mm.fake_decoder)
+
+
+@query("multimodal_frame_plan")
+def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sample expansion plan (JVM-side sequence+explode)."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents")
+    media = mm.synthetic_media(docs, "doc_id", "text")
+    return mm.frame_sample_plan(media, every_ms=10_000)
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets + in-bucket exact
+    re-rank — the 100 TB path (equi-join on buckets, never n²)."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(e, k=5, n_planes=6, n_tables=6, seed=42, dim=64)
