@@ -67,10 +67,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in CATALOG_BENCH:
+        spark.catalog.clearCache()  # isolate queries from each other's persists
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
     for name, df in scale_variants(spark).items():
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)

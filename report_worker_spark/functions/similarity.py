@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import spread
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Sequential left-to-right float64 dot product — matches DuckDB's
@@ -105,7 +107,7 @@ def brute_topk_matmul(
             )
 
     schema = f"{id_col} long, rank int, neighbor_id long, cosine double"
-    return df.select(id_col, vec_col).mapInPandas(part, schema=schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(part, schema=schema)
 
 
 def lsh_topk(
@@ -126,6 +128,7 @@ def lsh_topk(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    df = spread(df)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 

@@ -36,6 +36,10 @@ _PERF_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Wide aggregates (64-state MinHash/SimHash signatures) must stay
+    # inside whole-stage codegen; the default 100-field cutoff silently
+    # drops them to the interpreted path (~2× slower, measured).
+    "spark.sql.codegen.maxFields": "400",
 }
 
 
