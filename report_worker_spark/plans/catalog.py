@@ -501,7 +501,9 @@ def star_upsert_fact(spark: SparkSession, sf: str) -> DataFrame:
     (report.py:84-311): DISTINCT dims + null-safe FK resolve + fact-PK
     dedup. Rank-mode surrogate keys for oracle parity; the streaming
     deployment uses hash mode (star.py)."""
-    staging = _star_staging(spark, sf)
+    # cache: the staging frame feeds three dim builds + the fact join —
+    # without it the events scan + JSON extraction runs four times
+    staging = _star_staging(spark, sf).cache()
     sight = star.build_dim(
         staging, ["reporting_id", "reported_id", "manual_detect"], "sighting_id",
         key_mode="rank",
@@ -550,10 +552,16 @@ def flagship_top_reported(spark: SparkSession, sf: str) -> DataFrame:
     the reference's read-side raison d'être (SURVEY §7 minimum slice)."""
     e = load(spark, sf, "events")
     c = load(spark, sf, "customer")
+    # Aggregate FIRST on the narrow key (pure-numeric buffer → hash
+    # aggregate with map-side partials), then broadcast-join the names:
+    # joining before aggregating puts max(string) in the agg buffer and
+    # demotes the whole stage to SortAggregate (seen in .explain), and
+    # shuffles wide rows instead of (key, count) pairs.
     agg = (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
-        .groupBy("user_id")
-        .agg(F.max("c_name").alias("name"), F.count(F.lit(1)).alias("n_reports"))
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_reports"))
+        .join(F.broadcast(c), F.col("user_id") == c.c_custkey)
+        .select("user_id", F.col("c_name").alias("name"), "n_reports")
     )
     w = Window.orderBy(F.col("n_reports").desc(), F.col("user_id").asc())
     return (
