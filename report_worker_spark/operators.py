@@ -1,0 +1,104 @@
+"""Composite relational operators Spark lacks natively.
+
+Each is a composition of built-in DataFrame ops (no UDFs), chosen for
+its shuffle shape at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` within the same ``on`` key.
+
+    Implementation: tag + union + one partitioned window with a
+    last-non-null carry-forward — ONE shuffle on (key), no range cross
+    join, no per-key Python. At 100 TB this is the sort-merge-friendly
+    formulation: both inputs shuffle once on the key and the window is
+    a single ordered pass per key.
+
+    Ties: a right row at exactly left_time matches; multiple right rows
+    at the same timestamp resolve to the last one in (time, side) order.
+    """
+    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_time).alias("_t"),
+            *[F.col(c) for c in right_payload],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    # align schemas for the union
+    for c in left.columns:
+        if c not in rt.columns and c != on:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in right_payload:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    cols = [on, "_t", "_side", *[c for c in left.columns if c != on], *right_payload]
+    u = lt.select(*cols).unionByName(rt.select(*cols))
+
+    # right rows sort before left rows at equal _t (side 0 < 1), so an
+    # exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[F.col(c) for c in cols],
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.col(f"_asof_{c}").alias(c) for c in right_payload],
+    )
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Value-in-range join via bucketization: explode each range into
+    the buckets it covers, equi-join on bucket, then re-check the
+    predicate. Turns a theta join (cross product + filter) into an
+    equi-join whose fan-out is range_width/bucket_width per range —
+    the standard trick when ranges are narrow relative to the domain.
+    """
+    b = F.floor(F.col(value_col) / bucket_width)
+    lt = left.withColumn("_b", b)
+    rr = ranges.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor((F.col(hi_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    joined = lt.join(rr, on="_b").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return joined.drop("_b")

@@ -1179,3 +1179,163 @@ def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     re-rank — the 100 TB path (equi-join on buckets, never n²)."""
     e = load(spark, sf, "embeddings")
     return sim.lsh_topk(e, k=5, n_planes=6, n_tables=6, seed=42, dim=64)
+
+
+# ===========================================================================
+# Coverage round 3: composite joins (as-of, range), set ops, big joins
+# ===========================================================================
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM events e ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark has no native one): latest order at or before
+    each event, per user — union + single partitioned window
+    carry-forward (operators.asof_join), one shuffle. Right side is
+    pre-deduped per (key, time) so the match is deterministic on both
+    engines (native ASOF tie-breaks are unspecified)."""
+    from ..operators import asof_join
+
+    e = load(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id"),
+        F.unix_micros(F.col("ts")).alias("_ts_us"),
+    )
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(
+        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
+        right_payload=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+@query(
+    "join_range_bucket",
+    oracle="""
+    WITH ranges AS (
+      SELECT n_nationkey AS range_id,
+             CAST(n_nationkey * 4 AS DOUBLE) AS lo,
+             CAST(n_nationkey * 4 + 3 AS DOUBLE) AS hi
+      FROM nation
+    )
+    SELECT e.event_id, r.range_id, e.value
+    FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+    """,
+)
+def join_range_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (theta) join via bucketization → equi-join + re-check
+    (operators.range_join_buckets): fan-out = range_width/bucket_width
+    instead of |left|×|ranges|."""
+    from ..operators import range_join_buckets
+
+    e = load(spark, sf, "events").select("event_id", "value")
+    r = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("range_id"),
+        (F.col("n_nationkey") * 4).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 4 + 3).cast("double").alias("hi"),
+    )
+    out = range_join_buckets(e, r, "value", "lo", "hi", bucket_width=4)
+    return out.select("event_id", "range_id", "value")
+
+
+@query(
+    "setop_users",
+    oracle="""
+    SELECT 'both' AS op, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT 'click_only' AS op, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def setop_users(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL set algebra."""
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    errors = e.filter(F.col("event_type") == "error").select("user_id")
+    both = clicks.intersect(errors).select(F.lit("both").alias("op"), "user_id")
+    # subtract == EXCEPT (distinct) — exceptAll's bag semantics would
+    # only remove one occurrence per matching key
+    only = clicks.subtract(errors).select(
+        F.lit("click_only").alias("op"), "user_id"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "join_bigbig_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bigbig_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-fact equi-join + aggregate: the shuffle-join representative
+    (both sides scale with the data; Catalyst/AQE picks SMJ or
+    broadcast by measured size). Integer-cents sum for oracle parity."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase in Spark)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # HLL sketch: engine-specific, rows-only check
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts; deterministic per engine, not across engines."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
