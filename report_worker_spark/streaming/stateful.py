@@ -1,0 +1,153 @@
+"""Stateful streaming operators (SURVEY §2 ST3 extension surface).
+
+The reference keeps NO streaming state (hard event-time bounds only);
+these are the extension operators a large-scale pipeline needs, built
+on Structured Streaming's native state store:
+
+- tumbling/sliding windowed aggregation with watermarking (late-data
+  policy upgraded from the reference's drop-all to bounded lateness);
+- session windows (native ``session_window``);
+- a custom per-key stateful operator via ``applyInPandasWithState``
+  (running per-user anomaly counter with emit-on-change semantics) —
+  the PySpark-available stateful escape hatch (JVM-only
+  ``flatMapGroupsWithState`` is not exposed to Python).
+
+All take/return DataFrames so they run identically on batch frames in
+tests (batch mode executes windowed aggs directly; the
+applyInPandasWithState path is stream-only by API and smoke-tested via
+a memory-sink stream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WINDOWED_COUNTS_SCHEMA = (
+    "window_start timestamp, window_end timestamp, event_type string, "
+    "n bigint, total_value double"
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation."""
+    e = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window)
+        if slide is None
+        else F.window(F.col(ts_col), window, slide)
+    )
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-based), watermarked."""
+    e = events.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ANOMALY_STATE_SCHEMA = "n_errors bigint, n_total bigint"
+ANOMALY_OUTPUT_SCHEMA = (
+    "user_id bigint, n_errors bigint, n_total bigint, error_ratio double"
+)
+
+
+def _anomaly_fn(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running error counter with emit-per-batch semantics."""
+    if state.exists:
+        n_err, n_tot = state.get
+    else:
+        n_err, n_tot = 0, 0
+    for pdf in batches:
+        n_err += int((pdf["event_type"] == "error").sum())
+        n_tot += len(pdf)
+    state.update((n_err, n_tot))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_errors": n_err,
+                "n_total": n_tot,
+                "error_ratio": (n_err / n_tot) if n_tot else 0.0,
+            }
+        ]
+    )
+
+
+def running_error_ratio(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user cumulative error ratio across
+    micro-batches via applyInPandasWithState (state survives batches
+    through the state store; Arrow-batched per group)."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class ProgressRecorder:
+    """ST8: the reference logs consumer throughput every 60 s
+    (reference src/_kafka.py:9,13); Structured Streaming emits the
+    same (and more) via StreamingQueryListener-style progress objects.
+    Minimal pull-based recorder for tests/deployments."""
+
+    def __init__(self) -> None:
+        self.snapshots: list[dict] = []
+
+    def record(self, query) -> dict | None:
+        p = query.lastProgress
+        if p:
+            snap = {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+                "durationMs": p.get("durationMs"),
+            }
+            self.snapshots.append(snap)
+            return snap
+        return None
