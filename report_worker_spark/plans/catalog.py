@@ -1339,3 +1339,94 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+
+
+# ===========================================================================
+# Coverage round 4: wire pipeline in the gate, quality score, salted agg
+# ===========================================================================
+
+
+@query("wire_pipeline_staging")  # seeded-rand generator: rows-only check
+def wire_pipeline_staging(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's ENTIRE ingest transform chain (parse → version
+    dispatch → v1 get-or-insert resolve → normalize → bounds → clamp →
+    flatten) over the seeded synthetic corpus — the streaming code path
+    run as a batch (identical function, SURVEY §3)."""
+    from ..sources import kafka as ksrc
+    from ..sources.synthetic import generate_report_json
+    from ..streaming.pipeline import wire_to_staging
+
+    raw = generate_report_json(spark, n=20_000, seed=42)
+    parsed = ksrc.parse_wire(raw)
+    msgs = ksrc.valid_messages(parsed)
+    players = load(spark, sf, "customer").select(
+        F.concat(F.lit("player"), (F.col("c_custkey") % 300)).alias("name"),
+        (F.col("c_custkey") % 300).alias("id"),
+    ).dropDuplicates(["name"])
+    return wire_to_staging(msgs, players)
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+               AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
+               AS stopword_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS DOUBLE) / length(text) AS punct_ratio,
+             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_token_len,
+           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12
+                   THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+    FROM stats
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-flavored composite quality score (length, stopword,
+    punctuation, token-shape gates)."""
+    d = load(spark, sf, "documents")
+    out = tx.quality_score(tx.with_text_stats(d))
+    return out.select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "avg_token_len", "quality_score",
+    )
+
+
+@query("text_bpe_token_count")  # Java-regex lookarounds: not RE2-portable
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-word-ish token counts (whitespace + word/non-word boundary
+    split). Rows-only: the lookaround split is Java-regex; DuckDB's RE2
+    has no lookbehind."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant aggregation: salt the key, partial-aggregate on
+    (key, salt), then final-aggregate on key. Result ≡ plain GROUP BY
+    (the oracle); the shape bounds any one reducer's load to ~1/16 of
+    the hottest key — the manual analog of AQE skew handling, usable
+    where AQE can't see the skew (e.g. pre-agg before a stateful op)."""
+    e = load(spark, sf, "events")
+    salted = e.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return partial.groupBy("user_id").agg(F.sum("_n").alias("n_events"))

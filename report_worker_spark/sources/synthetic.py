@@ -41,7 +41,9 @@ def generate_reports(
     """
     lo, hi = 838857600, 2145916800  # ~1996..2038
 
-    draws = spark.range(n).select(
+    # fixed numPartitions: rand(seed) streams are per-partition, so the
+    # corpus is identical regardless of the session's parallelism
+    draws = spark.range(0, n, 1, 16).select(
         F.col("id").alias("msg_id"),
         (F.rand(seed) < 0.5).alias("_is_v1"),
         (F.rand(seed + 1) < 0.5).alias("_meta_absent"),

@@ -1,0 +1,97 @@
+"""Plan-shape regression tests: the physical properties the 100 TB
+design depends on, asserted against .explain output so they can't
+silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from report_worker_spark.plans import QUERIES
+
+
+def plan_of(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    plan = plan_of(QUERIES["f4_equality_lookup"](spark, sf_oracle))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(user_id,42)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_column_pruning(spark, sf_oracle):
+    plan = plan_of(QUERIES["p9_sanitize_name"](spark, sf_oracle))
+    # only the two needed columns reach the scan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_oracle):
+    plan = plan_of(QUERIES["j1_dim_lookup"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_map_side_partials(spark, sf_oracle):
+    plan = plan_of(QUERIES["olap_q1_pricing_summary"](spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortAggregate" not in plan
+
+
+def test_flagship_stays_hash_aggregate(spark, sf_oracle):
+    plan = plan_of(QUERIES["flagship_top_reported"](spark, sf_oracle))
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wire_pipeline_no_python_udf(spark, sf_oracle):
+    """The hot path must be pure JVM: no BatchEvalPython / ArrowEvalPython
+    stages in the staging plan."""
+    plan = plan_of(QUERIES["wire_pipeline_staging"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucket both sides on the join key → SortMergeJoin with NO
+    Exchange: the co-located-join strategy for repeated fact-fact joins
+    at scale."""
+    li = spark.range(0, 10_000).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 7).alias("l_qty"),
+    )
+    o = spark.range(0, 5_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 3).alias("o_pri"),
+    )
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b")).saveAsTable("li_b")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "o_b")).saveAsTable("o_b")
+    )
+    a = spark.table("li_b")
+    b = spark.table("o_b")
+    # hint("merge"): these test tables are broadcast-sized, which would
+    # bypass bucketing entirely; at real scale both sides exceed the
+    # threshold and SMJ is what the planner picks unaided
+    joined = a.hint("merge").join(b, a.l_orderkey == b.o_orderkey)
+    plan = plan_of(joined, mode="simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucketing co-locates both sides
+    assert joined.count() == 5_000
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
