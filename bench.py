@@ -45,14 +45,38 @@ CATALOG_BENCH = [
 
 
 def scale_variants(spark) -> dict[str, DataFrame]:
-    """Perf-path variants of ops whose oracle form is O(n²)-exact."""
+    """Perf-path variants of ops whose oracle form is O(n²)-exact, plus
+    the end-to-end wire ingest (the reference's actual workload: its
+    design envelope is ~17 msg/s sustained, BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.sources import kafka as ksrc
+    from report_worker_spark.sources.synthetic import generate_report_json
+    from report_worker_spark.streaming.pipeline import wire_to_staging
+
     docs = load(spark, SF_DIR, "documents")
     emb = load(spark, SF_DIR, "embeddings")
+
+    raw = generate_report_json(spark, n=100_000, seed=42)
+    players = (
+        load(spark, SF_DIR, "customer")
+        .select(
+            F.concat(F.lit("player"), (F.col("c_custkey") % 300)).alias("name"),
+            (F.col("c_custkey") % 300).alias("id"),
+        )
+        .dropDuplicates(["name"])
+    )
+    wire = wire_to_staging(ksrc.valid_messages(ksrc.parse_wire(raw)), players)
+
     return {
         "dedup_ngram_jaccard_capped": dd.ngram_jaccard_pairs(
             docs, n=3, threshold=0.8, max_df=500
         ),
         "sim_topk_matmul": sim.brute_topk_matmul(emb, k=5),
+        "wire_pipeline_100k_msgs": wire,
+        "tfidf_top_terms": QUERIES["tfidf_top_terms"](spark, SF_DIR),
+        "join_asof": QUERIES["join_asof"](spark, SF_DIR),
+        "join_bigbig_revenue": QUERIES["join_bigbig_revenue"](spark, SF_DIR),
     }
 
 

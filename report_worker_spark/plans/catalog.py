@@ -1430,3 +1430,58 @@ def agg_salted_twophase(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n")
     )
     return partial.groupBy("user_id").agg(F.sum("_n").alias("n_events"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, g AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS g
+            FROM documents)
+      GROUP BY doc_id, g
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, rn AS rank, term, score
+    FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf×(N/df) — linear
+    idf instead of log: tf·N is exact integer arithmetic and /df one
+    IEEE division (bit-reproducible; ln() differs by ULPs across
+    libms). Shape: one explode + two hash aggs + broadcast df join."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )

@@ -166,3 +166,22 @@ def run_stream_to_star(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def epoch_partitioned_writer(base_path: str):
+    """Replay-safe parquet writer for StarUpsertSink: each epoch writes
+    its own ``epoch=N`` partition with overwrite, so a crashed-and-
+    replayed micro-batch replaces its partial output instead of
+    appending duplicates (ST1 — the parquet analog of the reference's
+    INSERT IGNORE idempotency backstop)."""
+
+    def write(name: str, df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{base_path}/{name}")
+        )
+
+    return write

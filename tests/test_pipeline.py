@@ -148,3 +148,24 @@ def test_sink_dlq_on_failure(spark, players):
     assert captured["rows"] > 0
     assert "sink down" in captured["exc"]
     assert sink.stats[-1]["status"] == "dlq"
+
+
+def test_epoch_writer_replay_idempotent(spark, players, tmp_path):
+    """A re-run of the same epoch (foreachBatch replay after crash)
+    must replace, not duplicate, that epoch's output."""
+    from report_worker_spark.streaming.pipeline import (
+        epoch_partitioned_writer,
+    )
+
+    msgs = generate_reports(spark, n=500, seed=11)
+    batch = wire_to_staging(msgs, players)
+    writer = epoch_partitioned_writer(str(tmp_path / "star"))
+    sink = StarUpsertSink(writer=writer)
+    sink(batch, epoch_id=7)
+    n1 = spark.read.parquet(str(tmp_path / "star/fact")).count()
+    sink(batch, epoch_id=7)  # replay
+    n2 = spark.read.parquet(str(tmp_path / "star/fact")).count()
+    assert n1 == n2
+    sink(batch, epoch_id=8)  # a new epoch appends its own partition
+    n3 = spark.read.parquet(str(tmp_path / "star/fact")).count()
+    assert n3 == 2 * n1
