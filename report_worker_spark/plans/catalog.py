@@ -1485,3 +1485,87 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+@query(
+    "j3_anti_join_reference_bug",
+    oracle="""
+    WITH batch AS (
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_partkey % 5, 0) AS g1
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    ), existing AS (
+      SELECT DISTINCT l_orderkey, nullif(l_partkey % 5, 0) AS g1
+      FROM lineitem WHERE l_orderkey % 20 = 0
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.g1
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM existing e
+                      WHERE e.l_orderkey = b.l_orderkey AND e.g1 = b.g1)
+    """,
+)
+def j3_anti_join_reference_bug(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's ACTUAL anti-join semantics (MySQL `=`, NOT the
+    intended ones): NULL keys never match, so NULL-gear rows re-insert
+    forever (reference report.py:170-241; SURVEY §2 J4 trap). Kept
+    bug-compatible behind null_safe=False and oracle-verified, so the
+    divergence between intended and actual is itself tested."""
+    li = load(spark, sf, "lineitem")
+    batch = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("g1"),
+    )
+    existing = (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            "l_orderkey", F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("g1")
+        )
+        .dropDuplicates(["l_orderkey", "g1"])
+    )
+    return star.anti_join_new(
+        batch, existing, ["l_orderkey", "g1"], null_safe=False
+    )
+
+
+@query(
+    "grouped_median_pandas",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+                AS BIGINT) AS median_cents,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom per-group operator via applyInPandas (grouped-map Arrow
+    path): exact discrete median per group in pandas. Demonstrates the
+    (b) escape hatch of SURVEY §7 — used only when built-ins can't
+    express the op; integer cents keep it oracle-comparable.
+
+    quantile_disc(0.5) = the value at ceil(n/2) in sorted order (lower
+    middle for even n), reproduced exactly in the kernel."""
+    import pandas as pd
+
+    e = load(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["cents"].sort_values().reset_index(drop=True)
+        n = len(s)
+        med = int(s.iloc[(n - 1) // 2]) if n else None
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "median_cents": med,
+                    "n": n,
+                }
+            ]
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        kernel, schema="event_type string, median_cents long, n long"
+    )

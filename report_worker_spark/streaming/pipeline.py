@@ -185,3 +185,25 @@ def epoch_partitioned_writer(base_path: str):
         )
 
     return write
+
+
+def date_partitioned_writer(base_path: str, ts_col: str = "timestamp"):
+    """Scale-path fact writer: partition by event date AND epoch with
+    dynamic overwrite — readers prune on ``dt`` (partition pruning is
+    the first-order win at 100 TB: a day's query touches a day's
+    files), replays overwrite only their own (dt, epoch) leaves."""
+
+    def write(name: str, df: DataFrame, epoch_id: int) -> None:
+        cols = ["epoch"]
+        if ts_col in df.columns:
+            df = df.withColumn("dt", F.to_date(F.col(ts_col)))
+            cols = ["dt", "epoch"]
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy(*cols)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{base_path}/{name}")
+        )
+
+    return write

@@ -169,3 +169,29 @@ def test_epoch_writer_replay_idempotent(spark, players, tmp_path):
     sink(batch, epoch_id=8)  # a new epoch appends its own partition
     n3 = spark.read.parquet(str(tmp_path / "star/fact")).count()
     assert n3 == 2 * n1
+
+
+def test_date_partitioned_fact_prunes(spark, players, tmp_path):
+    """Facts land under dt=YYYY-MM-DD partitions; a date-filtered read
+    scans only that partition (PartitionFilters in the plan)."""
+    from report_worker_spark.streaming.pipeline import (
+        date_partitioned_writer,
+    )
+
+    msgs = generate_reports(spark, n=2000, seed=13)
+    batch = wire_to_staging(msgs, players)
+    writer = date_partitioned_writer(str(tmp_path / "star"))
+    sink = StarUpsertSink(writer=writer)
+    sink(batch, epoch_id=0)
+
+    fact = spark.read.parquet(str(tmp_path / "star/fact"))
+    assert "dt" in fact.columns
+    one_day = fact.select("dt").distinct().limit(1).collect()[0].dt
+    q = fact.filter(F.col("dt") == F.lit(one_day))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert q.count() > 0
