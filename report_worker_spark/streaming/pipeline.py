@@ -207,3 +207,30 @@ def date_partitioned_writer(base_path: str, ts_col: str = "timestamp"):
         )
 
     return write
+
+
+def staging_to_wire(staging: DataFrame) -> DataFrame:
+    """Failed-batch re-encode (§3.3, reference views/report.py:170-208):
+    staging rows back into v2 wire messages — ms epoch, bool/None→int-0
+    defaults, nested equipment struct — ready for ``encode_dlq``/Kafka.
+    The reconstructed message re-enters the pipeline as v2 and lands on
+    the identical staging row (round-trip tested)."""
+    zero = lambda c: F.coalesce(F.col(c).cast("int"), F.lit(0))  # noqa: E731
+    return staging.select(
+        F.struct(F.lit("v2.0.0").alias("version")).alias("metadata"),
+        F.col("reporting_id").alias("reporter_id"),
+        F.col("reported_id"),
+        "region_id",
+        "x_coord",
+        "y_coord",
+        "z_coord",
+        transforms.timestamp_to_epoch_ms("timestamp").alias("ts"),
+        zero("manual_detect").alias("manual_detect"),
+        zero("on_members_world").alias("on_members_world"),
+        zero("on_pvp_world").alias("on_pvp_world"),
+        F.coalesce(F.col("world_number"), F.lit(0)).alias("world_number"),
+        F.struct(*[F.col(s).alias(s) for s in EQUIPMENT_SLOTS]).alias(
+            "equipment"
+        ),
+        F.coalesce(F.col("equip_ge_value"), F.lit(0)).alias("equip_ge_value"),
+    )

@@ -195,3 +195,26 @@ def test_date_partitioned_fact_prunes(spark, players, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(dt" in plan
     assert q.count() > 0
+
+
+def test_dlq_reencode_roundtrip(spark, players, staging):
+    """§3.3 failed-batch loop: staging → v2 wire re-encode → JSON →
+    parse → pipeline again ⇒ the SAME staging rows (the reference's
+    retry capability, minus its same-topic poison loop)."""
+    from report_worker_spark.streaming.pipeline import staging_to_wire
+
+    wire = staging_to_wire(staging)
+    as_json = wire.select(
+        F.to_json(F.struct(*[F.col(c) for c in wire.columns])).alias("value")
+    )
+    parsed = ksrc.parse_wire(as_json)
+    assert ksrc.invalid_messages(parsed).count() == 0
+    again = wire_to_staging(ksrc.valid_messages(parsed), players)
+
+    # item_bug is a transient warn flag: the re-encoded message carries
+    # already-clamped ids, so the retry pass (rightly) sees no bug
+    cols = [c for c in staging.columns if c != "item_bug"]
+    a = sorted(map(tuple, staging.select(*cols).collect()), key=repr)
+    b = sorted(map(tuple, again.select(*cols).collect()), key=repr)
+    assert a == b
+    assert again.filter(F.col("item_bug")).count() == 0
