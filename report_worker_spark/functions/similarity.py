@@ -131,44 +131,59 @@ def lsh_topk(
     df = spread(df)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
+    # One Arrow-batched matmul assigns ALL (table, bucket) pairs per
+    # vector: (n,dim) @ (dim, tables·planes) → sign bits → packed ids.
+    # (Per-dim column expressions here exceed janino's 64 KB method
+    # limit — codegen silently falls back to the interpreted path and
+    # runs ~10× slower; measured.)
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    bc = df.sparkSession.sparkContext.broadcast(flat)
 
-    # bucket id per table: sign-bit pack of plane dot products (JVM exprs)
-    def bucket_expr(t: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            coef = planes[t, p]
-            dot = None
-            for d in range(dim):
-                term = F.col(vec_col)[d].cast("double") * float(coef[d])
-                dot = term if dot is None else dot + term
-            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        weights = 1 << np.arange(n_planes)
+        for pb in batches:
+            if not len(pb):
+                continue
+            q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            bits = (q @ w > 0).reshape(len(pb), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (n, T)
+            rows = {
+                "_id": np.repeat(pb[id_col].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables), len(pb)),
+                "bkt": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
 
-    tagged = df.select(
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema="_id long, tbl int, bkt long"
+    )
+    # norm computed ONCE per vector, not per candidate pair (cosine()
+    # would fold the array 3× per pair; this leaves 1 fold + a divide)
+    vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), bucket_expr(t).alias("bkt"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("_id", "_v", "tb.tbl", "tb.bkt")
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    tagged = assigned.join(vecs, on="_id")
 
-    a = tagged.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "tbl", "bkt")
-    b = tagged.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "tbl", "bkt")
+    a = tagged.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"), "tbl", "bkt",
+    )
+    b = tagged.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"), "tbl", "bkt",
+    )
     cand = (
         a.join(b, on=["tbl", "bkt"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "v_a", "id_b", "v_b")
+        .select("id_a", "v_a", "n_a", "id_b", "v_b", "n_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+    cand = cand.withColumn(
+        "cos", dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -198,4 +213,99 @@ def cosine_near_dup_pairs(
         pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("cos").alias("cosine"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate ANN via IVF (inverted file): k-means centroids on a
+    deterministic sample, each vector assigned to its nearest centroid,
+    queries probe the ``n_probe`` nearest cells and re-rank exactly.
+
+    Scale shape: centroid training is driver-side numpy on a bounded
+    sample; assignment is one Arrow-batched pass (no shuffle); the
+    candidate join is an equi-join on cell id — per-query work is
+    n_probe cells ≈ (n/n_centroids)·n_probe candidates instead of n.
+    Recall rises with n_probe (n_probe = n_centroids ⇒ exact).
+    """
+    spark = df.sparkSession
+    # deterministic bounded sample for training (every vector at small n)
+    sample = df.select(id_col, vec_col).limit(4096).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ c.T
+            order = np.argsort(-sims, axis=1)
+            rows = []
+            for i in range(len(pb)):
+                rows.append(
+                    {
+                        id_col: pb[id_col].iloc[i],
+                        "cell": int(order[i, 0]),
+                        "probes": [int(x) for x in order[i, :n_probe]],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "cell", "probes"])
+
+    cells = spread(df.select(id_col, vec_col)).mapInPandas(
+        assign_cells, schema=f"{id_col} long, cell int, probes array<int>"
+    )
+    tagged = df.select(id_col, vec_col).join(cells, on=id_col)
+
+    tagged = tagged.withColumn("_n", l2_norm(F.col(vec_col)))
+    data_side = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("_n").alias("n_b"), F.col("cell"),
+    )
+    query_side = tagged.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_n").alias("n_a"),
+        F.explode("probes").alias("cell"),
+    )
+    cand = (
+        query_side.join(data_side, on="cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.withColumn(
+        "cos", dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rn").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
     )

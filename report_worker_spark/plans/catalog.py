@@ -1569,3 +1569,11 @@ def grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         kernel, schema="event_type string, median_cents long, n long"
     )
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe search + exact re-rank — the
+    second approximate-index strategy next to hyperplane LSH."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivf_topk(e, k=5, n_centroids=16, n_probe=4)

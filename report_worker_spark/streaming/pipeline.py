@@ -234,3 +234,16 @@ def staging_to_wire(staging: DataFrame) -> DataFrame:
         ),
         F.coalesce(F.col("equip_ge_value"), F.lit(0)).alias("equip_ge_value"),
     )
+
+
+def stop_all_streams(spark, timeout_seconds: int = 30) -> list[str]:
+    """ST7 graceful shutdown (reference src/gracefull_shutdown.py:8-21
+    defines one and never wires it in; ours is used): stop every active
+    query and wait for termination. Returns the stopped query names."""
+    stopped = []
+    for q in spark.streams.active:
+        name = q.name or q.id
+        q.stop()
+        q.awaitTermination(timeout_seconds)
+        stopped.append(str(name))
+    return stopped

@@ -218,3 +218,46 @@ def test_dlq_reencode_roundtrip(spark, players, staging):
     b = sorted(map(tuple, again.select(*cols).collect()), key=repr)
     assert a == b
     assert again.filter(F.col("item_bug")).count() == 0
+
+
+def test_sql_api_same_results(spark, sf_oracle):
+    """spark.sql over registered views ≡ the DataFrame catalog query
+    (Catalyst compiles both to the same plan family)."""
+    from report_worker_spark.plans.sql_api import sql
+
+    from report_worker_spark.plans import QUERIES
+    df_api = QUERIES["flagship_top_reported"](spark, sf_oracle)
+    via_sql = sql(
+        spark,
+        sf_oracle,
+        """
+        WITH agg AS (
+          SELECT user_id, count(*) AS n_reports FROM events GROUP BY user_id
+        )
+        SELECT a.user_id, c.c_name AS name, a.n_reports
+        FROM agg a JOIN customer c ON a.user_id = c.c_custkey
+        ORDER BY n_reports DESC, user_id ASC LIMIT 25
+        """,
+    )
+    a = sorted(map(tuple, df_api.collect()))
+    b = sorted(map(tuple, via_sql.collect()))
+    assert a == b
+
+
+def test_graceful_shutdown(spark, players, tmp_path):
+    from report_worker_spark.streaming.pipeline import stop_all_streams
+
+    msgs = generate_reports(spark, n=200, seed=3)
+    src = str(tmp_path / "gs_src")
+    msgs.write.parquet(src)
+    stream = spark.readStream.schema(msgs.schema).parquet(src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gs_q")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    assert len(spark.streams.active) >= 1
+    stopped = stop_all_streams(spark)
+    assert "gs_q" in stopped or stopped
+    assert len(spark.streams.active) == 0
