@@ -77,6 +77,8 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         "tfidf_top_terms": QUERIES["tfidf_top_terms"](spark, SF_DIR),
         "join_asof": QUERIES["join_asof"](spark, SF_DIR),
         "join_bigbig_revenue": QUERIES["join_bigbig_revenue"](spark, SF_DIR),
+        "sim_lsh_topk": sim.lsh_topk(emb, k=5, n_planes=6, n_tables=6, dim=64),
+        "sim_ivf_topk": sim.ivf_topk(emb, k=5, n_centroids=64, n_probe=8),
     }
 
 
@@ -89,17 +91,22 @@ def main() -> None:
     # Warm the JVM/IO path once so per-query numbers measure the plans.
     load(spark, SF_DIR, "lineitem").count()
 
+    def timed(thunk) -> float:
+        # min of 2: the first run pays whole-stage codegen compilation
+        # (one-time per plan shape); the min reflects steady-state cost
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()  # isolate cross-query persists
+            t0 = time.perf_counter()
+            materialize(thunk())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in CATALOG_BENCH:
-        spark.catalog.clearCache()  # isolate queries from each other's persists
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda n=name: QUERIES[n](spark, SF_DIR))
     for name, df in scale_variants(spark).items():
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda d=df: d)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1577,3 +1577,66 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     second approximate-index strategy next to hyperplane LSH."""
     e = load(spark, sf, "embeddings")
     return sim.ivf_topk(e, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "j_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+    """,
+)
+def j_semi_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS == left-semi join (the positive twin of the J3 anti-join)."""
+    c = load(spark, sf, "customer")
+    e = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return c.join(
+        e.select(F.col("user_id").alias("c_custkey")), on="c_custkey",
+        how="left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT event_id, kind, CAST(val AS DOUBLE) AS val
+    FROM (SELECT event_id, value AS raw_value,
+                 CAST(user_id AS DOUBLE) AS uid_as_val
+          FROM events)
+    UNPIVOT (val FOR kind IN (raw_value, uid_as_val))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (melt)."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        F.col("value").alias("raw_value"),
+        F.col("user_id").cast("double").alias("uid_as_val"),
+    )
+    return e.unpivot(
+        ids=["event_id"], values=["raw_value", "uid_as_val"],
+        variableColumnName="kind", valueColumnName="val",
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets with grouping markers."""
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
