@@ -95,3 +95,27 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_skewed_join_completes_with_aqe(spark):
+    """A pathologically skewed join (one key holds 50% of rows) must
+    complete correctly — AQE skew-join splits the hot partition; the
+    salted two-phase shape (agg_salted_twophase) is the manual
+    fallback for pre-agg cases AQE can't see."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    # force the shuffle path (broadcast would sidestep the skew)
+    out = left.hint("merge").join(right, on="k").groupBy("k").count()
+    rows = {r.k: r["count"] for r in out.collect()}
+    # hot key 7: every even id, plus odd ids with id % 1000 == 7
+    expect_hot = sum(1 for i in range(n) if (i % 2 == 0) or (i % 1000 == 7))
+    assert rows[7] == expect_hot
