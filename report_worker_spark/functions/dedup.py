@@ -312,3 +312,82 @@ def simhash_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- Connected components / canonicalization ---------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component) with
+    component = min id reachable. The canonical-document selection step
+    that turns pairwise similarity into dedup groups.
+
+    Large-star/small-star style label propagation: every node adopts
+    the minimum label in its neighborhood, iterated to fixpoint.
+    Deterministic; converges in O(diameter) rounds (near-dup clusters
+    are tiny, so 2-3 rounds in practice — the driver loop checks a
+    convergence count per round, each round is two shuffles).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        # localCheckpoint (not cache): iterative algorithms grow the
+        # logical plan exponentially — lineage must be CUT each round or
+        # analysis time alone blows up by ~iteration 15
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("component"))
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical row (min id) per near-dup component; rows in
+    no component survive untouched. The end-to-end fuzzy-dedup story:
+    candidate pairs (minhash/simhash/jaccard) → components → filter."""
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -6,6 +6,8 @@ its shuffle shape at scale.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,3 +104,72 @@ def range_join_buckets(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return joined.drop("_b")
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 without MERGE INTO (no Delta in
+    this environment): pure set algebra — version rows carry
+    (valid_from, valid_to, is_current); an update whose attributes
+    differ (null-safely) closes the open version and opens a new one.
+
+    Returns the full new history. One shuffle on ``key`` feeds every
+    branch; unchanged updates are dropped (idempotent re-apply).
+    """
+    open_rows = current.filter(F.col(is_current))
+    closed_rows = current.filter(~F.col(is_current))
+
+    u = updates.select(
+        F.col(key), *[F.col(a) for a in attrs], F.col(effective_col)
+    )
+    joined = u.alias("u").join(
+        open_rows.alias("c"), on=F.col(f"u.{key}") == F.col(f"c.{key}"), how="left"
+    )
+    attr_same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}")) for a in attrs],
+    )
+    is_new_key = F.col(f"c.{key}").isNull()
+    effective = (~is_new_key) & (~attr_same) | is_new_key
+
+    to_apply = joined.filter(effective).select(
+        F.col(f"u.{key}").alias(key),
+        *[F.col(f"u.{a}").alias(a) for a in attrs],
+        F.col(f"u.{effective_col}").alias(effective_col),
+    )
+
+    closing_keys = to_apply.select(key, effective_col)
+    closed_now = (
+        open_rows.alias("c")
+        .join(closing_keys.alias("k"), on=key, how="inner")
+        .select(
+            F.col(key),
+            *[F.col(f"c.{a}").alias(a) for a in attrs],
+            F.col(f"c.{valid_from}").alias(valid_from),
+            F.col(f"k.{effective_col}").alias(valid_to),
+            F.lit(False).alias(is_current),
+        )
+    )
+    still_open = open_rows.join(closing_keys.select(key), on=key, how="left_anti")
+    opened = to_apply.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(effective_col).alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    cols = [key, *attrs, valid_from, valid_to, is_current]
+    return (
+        closed_rows.select(*cols)
+        .unionByName(closed_now.select(*cols))
+        .unionByName(still_open.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -1640,3 +1640,107 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "scd2_dim_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT DISTINCT e.user_id AS k, 'FLAGGED' AS seg,
+             TIMESTAMP '2024-02-01 00:00:00' AS eff
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'error'
+    ), to_apply AS (
+      SELECT u.k, u.seg, u.eff
+      FROM upd u LEFT JOIN cur c ON u.k = c.k
+      WHERE c.k IS NULL OR NOT (u.seg IS NOT DISTINCT FROM c.seg)
+    )
+    SELECT c.k, c.seg, c.valid_from, a.eff AS valid_to, FALSE AS is_current
+    FROM cur c JOIN to_apply a ON c.k = a.k
+    UNION ALL
+    SELECT c.k, c.seg, c.valid_from, c.valid_to, c.is_current
+    FROM cur c WHERE NOT EXISTS (SELECT 1 FROM to_apply a WHERE a.k = c.k)
+    UNION ALL
+    SELECT k, seg, eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM to_apply
+    """,
+)
+def scd2_dim_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension versioning without MERGE INTO (operators.scd2_merge):
+    users with an 'error' event get a FLAGGED segment version; the open
+    customer version closes at the effective timestamp."""
+    from ..operators import scd2_merge
+
+    c = load(spark, sf, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    e = load(spark, sf, "events")
+    upd = (
+        e.filter(F.col("event_type") == "error")
+        .join(c, e.user_id == c.c_custkey)
+        .select(
+            F.col("user_id").alias("k"),
+            F.lit("FLAGGED").alias("seg"),
+            F.lit("2024-02-01 00:00:00").cast("timestamp").alias("eff"),
+        )
+        .dropDuplicates(["k"])
+    )
+    return scd2_merge(cur, upd, key="k", attrs=["seg"], effective_col="eff")
+
+
+@query("dedup_canonical_docs")  # component labels: iterative, rows-only
+def dedup_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END fuzzy dedup: jaccard candidate pairs → connected
+    components → keep one canonical doc per cluster."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return dd.dedup_canonical(d, pairs).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: user' || doc_id ||
+               '@example.com +1-555-000-' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+               '[A-Za-z0-9._%+e-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing for training data: email + phone redaction with
+    RE2-compatible patterns (portable to the oracle — no lookarounds).
+    Synthetic PII is appended deterministically so the op has real work."""
+    d = load(spark, sf, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com +1-555-000-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    email = r"[A-Za-z0-9._%+e-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+    return with_pii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )

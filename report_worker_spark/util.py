@@ -19,3 +19,44 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction for streaming output directories.
+
+    Micro-batch sinks produce one file per partition per epoch; at 60 s
+    triggers that is thousands of small files a day and read
+    amplification kills scan throughput. Rewrite the directory into
+    ~target-sized files (optionally sorted for better min/max pruning
+    — the poor man's Z-order). Returns the new file count.
+
+    Write-then-swap: the rewrite lands in a sibling directory and is
+    moved over only on success, so readers never see a half-compacted
+    table.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    size_b = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
