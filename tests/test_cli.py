@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from report_worker_spark.__main__ import main
+from report_worker_spark.sources.synthetic import generate_report_json
+
+
+def test_cli_ingest_batch_and_list(spark, tmp_path, capsys):
+    generate_report_json(spark, n=1000, seed=5).write.parquet(
+        str(tmp_path / "wire")
+    )
+    spark.range(300).select(
+        F.concat(F.lit("player"), F.col("id")).alias("name"),
+        F.col("id").alias("id"),
+    ).write.parquet(str(tmp_path / "players"))
+
+    rc = main(
+        [
+            "ingest",
+            "--input", str(tmp_path / "wire"),
+            "--out", str(tmp_path / "star"),
+            "--players", str(tmp_path / "players"),
+        ]
+    )
+    assert rc == 0
+    fact = spark.read.parquet(str(tmp_path / "star/fact"))
+    assert fact.count() > 0
+    assert "dt" in fact.columns
+
+    rc = main(["list-queries"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "flagship_top_reported\toracle" in out
+
+    assert main(["query", "nope_not_real"]) == 2
