@@ -33,10 +33,16 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         wire_to_staging,
     )
 
+    from .streaming.dimstore import ParquetDimStore
+    from .transforms import sanitize_name
+
     spark = _spark("rws-ingest")
-    players = None
-    if args.players:
-        players = spark.read.parquet(args.players).select("name", "id")
+    store = ParquetDimStore(spark, f"{args.out}/_dims/players")
+    if args.players and not store.exists():
+        # seed the persistent dim from the provided snapshot
+        spark.read.parquet(args.players).select("name", "id").write.mode(
+            "append"
+        ).parquet(store.path)
 
     writer = date_partitioned_writer(args.out)
     sink = StarUpsertSink(writer=writer)
@@ -47,7 +53,20 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         n_bad = bad.count()
         if n_bad:
             ksrc.encode_dlq(bad).write.mode("append").parquet(f"{args.out}/dlq")
-        staging = wire_to_staging(ksrc.valid_messages(parsed), players)
+        msgs = ksrc.valid_messages(parsed)
+        # persist first-seen reporter/reported names BEFORE resolving, so
+        # ids are stable across batches and restarts (reference
+        # get-or-insert semantics, MySQL replaced by the parquet store)
+        v1_names = (
+            msgs.filter(F.col("reporter").isNotNull())
+            .select(sanitize_name("reporter").alias("name"))
+            .unionByName(
+                msgs.filter(F.col("reported").isNotNull())
+                .select(sanitize_name("reported").alias("name"))
+            )
+        )
+        store.get_or_insert(v1_names)
+        staging = wire_to_staging(msgs, store.read())
         sink(staging, epoch_id)
         print(f"epoch={epoch_id} invalid={n_bad} status={sink.stats[-1]['status']}")
 

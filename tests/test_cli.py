@@ -34,3 +34,29 @@ def test_cli_ingest_batch_and_list(spark, tmp_path, capsys):
     assert "flagship_top_reported\toracle" in out
 
     assert main(["query", "nope_not_real"]) == 2
+
+
+def test_cli_ingest_ids_stable_across_runs(spark, tmp_path):
+    """Two separate ingest invocations over different batches must
+    resolve the same player name to the same id (dim store persists)."""
+    generate_report_json(spark, n=400, seed=21).write.parquet(
+        str(tmp_path / "w1")
+    )
+    generate_report_json(spark, n=400, seed=22).write.parquet(
+        str(tmp_path / "w2")
+    )
+    out = str(tmp_path / "star2")
+    assert main(["ingest", "--input", str(tmp_path / "w1"), "--out", out]) == 0
+    dim1 = {
+        r.name: r.id
+        for r in spark.read.parquet(f"{out}/_dims/players").collect()
+    }
+    assert main(["ingest", "--input", str(tmp_path / "w2"), "--out", out]) == 0
+    dim2 = {
+        r.name: r.id
+        for r in spark.read.parquet(f"{out}/_dims/players")
+        .dropDuplicates(["name"]).collect()
+    }
+    for name, i in dim1.items():
+        assert dim2[name] == i  # stable
+    assert len(dim2) >= len(dim1)
