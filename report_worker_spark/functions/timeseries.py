@@ -1,0 +1,81 @@
+"""Time-series operators: dense profiles (resample + gap-fill) and
+similarity search between series.
+
+Pattern from the streaming/time-series literature (e.g. distributed
+time-series similarity search): bucket each key's events onto a fixed
+time grid, gap-fill with zeros, then compare profiles pairwise on the
+grid. Distances are computed in integer cents so squared-euclidean is
+EXACT (oracle-comparable and overflow-safe: 30-day grids of < 2^31
+cent sums keep Σd² < 2^63).
+
+Scale shape: the profile is one groupBy; the pairwise stage is an
+equi-join on the grid index (never a cross join of raw events), and
+top-k is a partitioned window. For very large key counts, feed the
+profiles to ``similarity.lsh_topk``/``ivf_topk`` instead of the exact
+pairwise join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    start_date: str,
+    n_days: int,
+) -> DataFrame:
+    """(key, day, cents): integer day-bucket sums on a dense 0..n_days-1
+    grid, zero-filled — every key gets every day (gap-fill via grid
+    cross join + left join, both broadcast-sized)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit(start_date).cast("date"))
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"), cents.alias("c"))
+        .filter((F.col("day") >= 0) & (F.col("day") < n_days))
+        .groupBy("key", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    grid = keys.crossJoin(
+        df.sparkSession.range(n_days).select(F.col("id").cast("int").alias("day"))
+    )
+    return grid.join(daily, on=["key", "day"], how="left").select(
+        "key", "day", F.coalesce(F.col("c"), F.lit(0)).alias("cents")
+    )
+
+
+def topk_similar_series(
+    profiles: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """For each key, the k most similar other keys by squared euclidean
+    distance over the dense grid (ascending; tiebreak by neighbor key).
+
+    Equi-join on day → per-pair integer Σ(a-b)² — exact arithmetic,
+    deterministic ranking."""
+    a = profiles.select(
+        F.col("key").alias("key_a"), "day", F.col("cents").alias("ca")
+    )
+    b = profiles.select(
+        F.col("key").alias("key_b"), "day", F.col("cents").alias("cb")
+    )
+    d = F.col("ca") - F.col("cb")
+    pairs = (
+        a.join(b, on="day")
+        .filter(F.col("key_a") != F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(d * d).alias("dist2"))
+    )
+    w = Window.partitionBy("key_a").orderBy(
+        F.col("dist2").asc(), F.col("key_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("key_a").alias("key"), "rank", F.col("key_b").alias("neighbor_key"), "dist2")
+    )

@@ -1744,3 +1744,70 @@ def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@query(
+    "ts_daily_profile",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
+    daily AS (
+      SELECT user_id AS key,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    )
+    SELECT k.key, CAST(r.range AS INT) AS day, CAST(coalesce(d.c, 0) AS BIGINT) AS cents
+    FROM keys k CROSS JOIN range(0, 30) r
+    LEFT JOIN daily d ON d.key = k.key AND d.day = r.range
+    """,
+)
+def ts_daily_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense per-user daily activity profile (resample + zero gap-fill)
+    in integer cents — the time-series grid under similarity search."""
+    from ..functions.timeseries import daily_profile
+
+    e = load(spark, sf, "events")
+    return daily_profile(e, "user_id", "ts", "value", "2024-01-01", 30)
+
+
+@query(
+    "ts_topk_similar_users",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
+    daily AS (
+      SELECT user_id AS key,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT k.key, CAST(r.range AS INT) AS day, CAST(coalesce(d.c, 0) AS BIGINT) AS cents
+      FROM keys k CROSS JOIN range(0, 30) r
+      LEFT JOIN daily d ON d.key = k.key AND d.day = r.range
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b,
+             CAST(sum((a.cents - b.cents) * (a.cents - b.cents)) AS BIGINT) AS dist2
+      FROM dense a JOIN dense b ON a.day = b.day AND a.key <> b.key
+      GROUP BY a.key, b.key
+    )
+    SELECT key_a AS key, rn AS rank, key_b AS neighbor_key, dist2
+    FROM (SELECT key_a, key_b, dist2,
+                 row_number() OVER (PARTITION BY key_a
+                                    ORDER BY dist2 ASC, key_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def ts_topk_similar_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series similarity search: top-3 most similar users by exact
+    integer squared-euclidean distance between daily activity profiles."""
+    from ..functions.timeseries import daily_profile, topk_similar_series
+
+    e = load(spark, sf, "events")
+    prof = daily_profile(e, "user_id", "ts", "value", "2024-01-01", 30)
+    return topk_similar_series(prof, k=3)
