@@ -72,8 +72,11 @@ def cmd_ingest(args: argparse.Namespace) -> int:
 
     if args.stream:
         raw = (
-            spark.readStream.schema("msg_id long, value string")
-            .parquet(args.input)
+            spark.readStream.text(args.input).withColumnRenamed("value", "value")
+            if args.format == "jsonl"
+            else spark.readStream.schema("msg_id long, value string").parquet(
+                args.input
+            )
         )
         q = (
             raw.writeStream.foreachBatch(process)
@@ -83,9 +86,12 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         )
         q.awaitTermination()
     else:
-        raw = spark.read.parquet(args.input)
-        if "value" not in raw.columns:
-            raw = raw.select(F.to_json(F.struct(*raw.columns)).alias("value"))
+        if args.format == "jsonl":
+            raw = spark.read.text(args.input)  # one message per line
+        else:
+            raw = spark.read.parquet(args.input)
+            if "value" not in raw.columns:
+                raw = raw.select(F.to_json(F.struct(*raw.columns)).alias("value"))
         process(raw, 0)
     return 0
 
@@ -119,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--input", required=True)
     pi.add_argument("--out", required=True)
     pi.add_argument("--players", default=None)
+    pi.add_argument(
+        "--format", choices=["parquet", "jsonl"], default="parquet",
+        help="wire input: parquet with a JSON value column, or raw JSONL",
+    )
     pi.add_argument("--stream", action="store_true")
     pi.add_argument("--checkpoint", default=None)
     pi.add_argument("--trigger", type=int, default=60)

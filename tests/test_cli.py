@@ -60,3 +60,15 @@ def test_cli_ingest_ids_stable_across_runs(spark, tmp_path):
     for name, i in dim1.items():
         assert dim2[name] == i  # stable
     assert len(dim2) >= len(dim1)
+
+
+def test_cli_ingest_jsonl(spark, tmp_path):
+    msgs = generate_report_json(spark, n=300, seed=8)
+    msgs.select("value").write.text(str(tmp_path / "jl"))
+    out = str(tmp_path / "star_jl")
+    rc = main(
+        ["ingest", "--input", str(tmp_path / "jl"), "--out", out,
+         "--format", "jsonl"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/fact").count() > 0
