@@ -1811,3 +1811,71 @@ def ts_topk_similar_users(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     prof = daily_profile(e, "user_id", "ts", "value", "2024-01-01", 30)
     return topk_similar_series(prof, k=3)
+
+
+@query(
+    "star_region_rollup",
+    oracle=f"""
+    WITH staging AS ({_STAR_STAGING_SQL}),
+    sight AS (
+      SELECT reporting_id, reported_id, manual_detect,
+             dense_rank() OVER (ORDER BY reporting_id ASC NULLS FIRST,
+                                reported_id ASC NULLS FIRST,
+                                manual_detect ASC NULLS FIRST) AS sighting_id
+      FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM staging)
+    ),
+    loc AS (
+      SELECT region_id, x_coord, y_coord, z_coord,
+             dense_rank() OVER (ORDER BY region_id ASC NULLS FIRST,
+                                x_coord ASC NULLS FIRST,
+                                y_coord ASC NULLS FIRST,
+                                z_coord ASC NULLS FIRST) AS location_id
+      FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM staging)
+    ),
+    fact AS (
+      SELECT DISTINCT s.sighting_id, l.location_id, st.region_id, s.manual_detect
+      FROM staging st
+      JOIN sight s ON st.reporting_id IS NOT DISTINCT FROM s.reporting_id
+                 AND st.reported_id IS NOT DISTINCT FROM s.reported_id
+                 AND st.manual_detect IS NOT DISTINCT FROM s.manual_detect
+      JOIN loc l ON st.region_id IS NOT DISTINCT FROM l.region_id
+               AND st.x_coord IS NOT DISTINCT FROM l.x_coord
+               AND st.y_coord IS NOT DISTINCT FROM l.y_coord
+               AND st.z_coord IS NOT DISTINCT FROM l.z_coord
+    )
+    SELECT region_id,
+           count(*) AS n_facts,
+           count(DISTINCT sighting_id) AS n_sightings,
+           count(*) FILTER (WHERE manual_detect) AS n_manual
+    FROM fact GROUP BY region_id
+    """,
+)
+def star_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Read-side of the star: per-region activity rollup over the
+    upserted fact (dims resolved, PK-distinct) — the kind of analytical
+    question the reference's downstream consumers ask of the schema."""
+    staging = _star_staging(spark, sf).cache()
+    sight = star.build_dim(
+        staging, ["reporting_id", "reported_id", "manual_detect"], "sighting_id",
+        key_mode="rank",
+    )
+    loc = star.build_dim(
+        staging, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id",
+        key_mode="rank",
+    )
+    fact = star.resolve_fk(
+        staging, sight, ["reporting_id", "reported_id", "manual_detect"],
+        "sighting_id",
+    )
+    fact = star.resolve_fk(
+        fact, loc, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id"
+    )
+    fact = star.dedup(
+        fact.select("sighting_id", "location_id", "region_id", "manual_detect"),
+        ["sighting_id", "location_id", "region_id", "manual_detect"],
+    )
+    return fact.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("sighting_id").alias("n_sightings"),
+        F.count(F.when(F.col("manual_detect"), 1)).alias("n_manual"),
+    )

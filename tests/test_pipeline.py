@@ -261,3 +261,29 @@ def test_graceful_shutdown(spark, players, tmp_path):
     stopped = stop_all_streams(spark)
     assert "gs_q" in stopped or stopped
     assert len(spark.streams.active) == 0
+
+
+def test_forward_compatible_unknown_fields(spark, players):
+    """A future-version message with EXTRA fields must parse (unknown
+    JSON keys are ignored by from_json) — forward compatibility of the
+    versioned envelope without code changes."""
+    import json
+
+    base = {
+        "metadata": {"version": "v2.0.0"},
+        "reporter_id": 1, "reported_id": 2,
+        "region_id": 10100, "x_coord": 1, "y_coord": 2, "z_coord": 0,
+        "ts": 1704223737, "manual_detect": 1, "on_members_world": 0,
+        "on_pvp_world": 0, "world_number": 301,
+        "equipment": {"equip_head_id": 5},
+        "equip_ge_value": 0,
+        # future fields:
+        "new_field_v3": "surprise", "another": {"nested": [1, 2]},
+    }
+    raw = spark.createDataFrame([(json.dumps(base),)], ["value"])
+    parsed = ksrc.parse_wire(raw)
+    assert ksrc.invalid_messages(parsed).count() == 0
+    staging = wire_to_staging(ksrc.valid_messages(parsed), players)
+    rows = staging.collect()
+    assert len(rows) == 1
+    assert rows[0].reporting_id == 1 and rows[0].equip_head_id == 5
