@@ -1879,3 +1879,52 @@ def star_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("sighting_id").alias("n_sightings"),
         F.count(F.when(F.col("manual_detect"), 1)).alias("n_manual"),
     )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), counts AS (
+      SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM bg GROUP BY bigram
+    )
+    SELECT bigram, n, n_docs FROM (
+      SELECT bigram, n, n_docs,
+             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rn
+      FROM counts
+    ) WHERE rn <= 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide collocation extraction: top-50 word bigrams by
+    occurrence (with document frequency) — deterministic tiebreak."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = tx.tokens("text")
+    sz = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, sz - F.lit(1)), F.slice(toks, 2, sz - F.lit(1))
+    )
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(sz >= 2, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("bigram", "n", "n_docs")
+    )

@@ -287,3 +287,21 @@ def test_forward_compatible_unknown_fields(spark, players):
     rows = staging.collect()
     assert len(rows) == 1
     assert rows[0].reporting_id == 1 and rows[0].equip_head_id == 5
+
+
+def test_observed_metrics_on_wire_pipeline(spark, players):
+    """A4/ST8: per-batch counters via observe() — the declarative
+    replacement for the reference's cache hit/miss log lines."""
+    from pyspark.sql import Observation
+
+    msgs = generate_reports(spark, n=1000, seed=4)
+    obs = Observation("wire_metrics")
+    staging = wire_to_staging(msgs, players).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("item_bug").cast("long")).alias("clamped_rows"),
+    )
+    n = staging.count()
+    got = obs.get
+    assert got["rows_out"] == n
+    assert 0 <= got["clamped_rows"] <= n

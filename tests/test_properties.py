@@ -86,3 +86,65 @@ def test_bounds_filter_is_exact_subset(spark, xs):
     kept = sorted(r.ts for r in transforms.bounds_filter(df).collect())
     expect = sorted(x for x in xs if TS_LOWER_BOUND <= x <= TS_UPPER_BOUND)
     assert kept == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # reporting_id
+            st.integers(min_value=0, max_value=5),   # reported_id
+            st.booleans(),                           # manual_detect
+            st.integers(min_value=0, max_value=3),   # region_id
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # head
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # weapon
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_star_upsert_invariants(spark, rows):
+    """Laws of the star upsert on arbitrary batches (incl. NULL gear):
+    dims unique on natural key, every fact FK resolves, fact unique on
+    PK — regardless of duplication or NULL patterns in the input."""
+    from report_worker_spark import star
+
+    batch = spark.createDataFrame(
+        [
+            (
+                r[0], r[1], r[2], r[3],
+                r[3] * 10, r[3] * 11, r[3] % 2,
+                r[4], r[5],
+            )
+            for r in rows
+        ],
+        "reporting_id long, reported_id long, manual_detect boolean, "
+        "region_id int, x_coord int, y_coord int, z_coord int, "
+        "equip_head_id int, equip_weapon_id int",
+    )
+    from pyspark.sql import functions as F
+
+    for slot in [
+        "equip_amulet_id", "equip_torso_id", "equip_legs_id",
+        "equip_boots_id", "equip_cape_id", "equip_hands_id",
+        "equip_shield_id",
+    ]:
+        batch = batch.withColumn(slot, F.lit(None).cast("int"))
+
+    out = star.upsert_star(batch, key_mode="hash")
+    sight, gear, loc, fact = (
+        out["sighting"], out["gear"], out["location"], out["fact"]
+    )
+    # dims unique on natural key
+    assert sight.count() == sight.dropDuplicates(
+        ["reporting_id", "reported_id", "manual_detect"]
+    ).count()
+    assert gear.count() == gear.dropDuplicates(["equip_head_id", "equip_weapon_id"]).count()
+    # every fact FK resolves into its dim
+    assert fact.join(sight.select("sighting_id"), "sighting_id", "left_anti").count() == 0
+    assert fact.join(gear.select("gear_id"), "gear_id", "left_anti").count() == 0
+    assert fact.join(loc.select("location_id"), "location_id", "left_anti").count() == 0
+    # fact unique on PK
+    assert fact.count() == fact.dropDuplicates(
+        ["sighting_id", "location_id", "region_id"]
+    ).count()
