@@ -48,28 +48,37 @@ def transactional_multi_table_write(
     spark: SparkSession,
     url: str,
     writes: Iterable[tuple[str, DataFrame]],
-    user: str,
-    password: str,
+    user: str | None = None,
+    password: str | None = None,
     batch_size: int = 1000,
+    insert_verb: str = "INSERT IGNORE INTO",
 ) -> None:
     """Atomic multi-table append: one java.sql connection, autocommit
     off, all tables inserted, single commit; rollback on any failure
     (S6/ST1 — effectively-once together with DB unique keys and
     idempotent anti-joined inputs).
 
+    ``insert_verb`` is the dialect knob: MySQL's ``INSERT IGNORE INTO``
+    (the reference's idempotency backstop) by default; plain
+    ``INSERT INTO`` for engines without it (Derby/Postgres — pair with
+    unique keys + anti-joined inputs).
+
     Collects each delta to the driver — correct for micro-batch-scale
     deltas (reference envelope: ≤1k rows/txn); bulk loads should use
     ``append_table`` instead.
     """
     jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
-    conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         conn.setAutoCommit(False)
         for table, df in writes:
             cols = df.columns
             placeholders = ", ".join(["?"] * len(cols))
             sql = (
-                f"INSERT IGNORE INTO {table} ({', '.join(cols)}) "
+                f"{insert_verb} {table} ({', '.join(cols)}) "
                 f"VALUES ({placeholders})"
             )
             ps = conn.prepareStatement(sql)
