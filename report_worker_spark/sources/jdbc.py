@@ -102,3 +102,80 @@ def transactional_multi_table_write(
         raise
     finally:
         conn.close()
+
+
+class JdbcStarSink:
+    """The reference's deployment shape end-to-end (S5+S6+J3+ST1): per
+    micro-batch, read current dims from the database, anti-join the
+    batch's deltas (NOT EXISTS insert guard), and write all four tables
+    in ONE transaction — commit or rollback together, exactly like the
+    reference's 7-statement MySQL txn (reference report.py:295-311).
+
+    Use as ``writeStream.foreachBatch(JdbcStarSink(url, ...))``. The
+    database's unique keys remain the at-least-once backstop.
+    """
+
+    # the reference fact's columns (01_tables.sql:129-140)
+    DEFAULT_FACT_COLUMNS = [
+        "sighting_id",
+        "location_id",
+        "gear_id",
+        "region_id",
+    ]
+
+    def __init__(
+        self,
+        url: str,
+        key_mode: str = "hash",
+        insert_verb: str = "INSERT IGNORE INTO",
+        table_names: dict[str, str] | None = None,
+        fact_columns: list[str] | None = None,
+    ) -> None:
+        self.url = url
+        self.key_mode = key_mode
+        self.insert_verb = insert_verb
+        self.tables = table_names or {
+            "sighting": "report_sighting",
+            "gear": "report_gear",
+            "location": "report_location",
+            "fact": "report",
+        }
+        # the fact delta carries the full staging row + FK ids; project
+        # to the target table's declared columns before the insert
+        self.fact_columns = fact_columns or self.DEFAULT_FACT_COLUMNS
+        self.stats: list[dict] = []
+
+    def _current(self, spark: SparkSession, logical: str) -> DataFrame:
+        df = read_dim(spark, self.url, self.tables[logical])
+        return df.toDF(*[c.lower() for c in df.columns])
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from .. import star
+
+        spark = batch.sparkSession
+        existing = {
+            name: self._current(spark, name)
+            for name in ("sighting", "gear", "location")
+        }
+        deltas = star.upsert_star(
+            batch, key_mode=self.key_mode, existing=existing
+        )
+        # fact idempotency: anti-join against the fact PK already in the DB
+        fact_existing = self._current(spark, "fact")
+        fact = deltas["fact"].select(*self.fact_columns)
+        if fact_existing.columns:
+            fact = star.anti_join_new(
+                fact,
+                fact_existing,
+                ["sighting_id", "location_id", "region_id"],
+            )
+        writes = [
+            (self.tables["sighting"], deltas["sighting"]),
+            (self.tables["gear"], deltas["gear"]),
+            (self.tables["location"], deltas["location"]),
+            (self.tables["fact"], fact),
+        ]
+        transactional_multi_table_write(
+            spark, self.url, writes, insert_verb=self.insert_verb
+        )
+        self.stats.append({"epoch": epoch_id, "status": "ok"})

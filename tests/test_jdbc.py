@@ -77,3 +77,59 @@ def test_null_values_cross_the_boundary(spark, derby_url):
     got = got.toDF(*[c.lower() for c in got.columns])  # Derby uppercases
     back = {r.gid: r.head for r in got.collect()}
     assert back == {1: None, 2: 5}
+
+
+def test_jdbc_star_sink_stream_idempotent(spark, derby_url):
+    """Full reference deployment: staging batch → JdbcStarSink → Derby
+    star schema in one txn. Re-processing the same rows must insert
+    nothing new (DB-backed NOT EXISTS guards + fact-PK anti-join)."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.sources.jdbc import JdbcStarSink, read_dim
+    from report_worker_spark.sources.synthetic import generate_reports
+    from report_worker_spark.streaming.pipeline import wire_to_staging
+
+    for ddl in [
+        """CREATE TABLE report_sighting (
+             reporting_id BIGINT, reported_id BIGINT, manual_detect BOOLEAN,
+             sighting_id BIGINT)""",
+        """CREATE TABLE report_gear (
+             equip_head_id INT, equip_amulet_id INT, equip_torso_id INT,
+             equip_legs_id INT, equip_boots_id INT, equip_cape_id INT,
+             equip_hands_id INT, equip_weapon_id INT, equip_shield_id INT,
+             gear_id BIGINT)""",
+        """CREATE TABLE report_location (
+             region_id INT, x_coord INT, y_coord INT, z_coord INT,
+             location_id BIGINT)""",
+        """CREATE TABLE report (
+             sighting_id BIGINT, location_id BIGINT, gear_id BIGINT,
+             region_id INT)""",
+    ]:
+        _exec(spark, derby_url, ddl)
+
+    players = spark.range(300).select(
+        F.concat(F.lit("player"), F.col("id")).alias("name"),
+        F.col("id").alias("id"),
+    )
+    staging = wire_to_staging(
+        generate_reports(spark, n=800, seed=17), players
+    ).drop("timestamp", "on_members_world", "on_pvp_world", "world_number",
+           "equip_ge_value", "item_bug", "manual_detect")
+    staging = staging.withColumn("manual_detect", F.lit(True)) \
+        .withColumnRenamed("reporting_id", "reporting_id")
+    sink = JdbcStarSink(derby_url, insert_verb="INSERT INTO")
+
+    sink(staging, 0)
+    counts1 = {
+        t: read_dim(spark, derby_url, t).count()
+        for t in ["report_sighting", "report_gear", "report_location", "report"]
+    }
+    assert all(v > 0 for v in counts1.values())
+
+    sink(staging, 1)  # same batch again — everything anti-joined away
+    counts2 = {
+        t: read_dim(spark, derby_url, t).count()
+        for t in ["report_sighting", "report_gear", "report_location", "report"]
+    }
+    assert counts1 == counts2
+    assert [s["status"] for s in sink.stats] == ["ok", "ok"]
