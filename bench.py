@@ -79,7 +79,26 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         "join_bigbig_revenue": QUERIES["join_bigbig_revenue"](spark, SF_DIR),
         "sim_lsh_topk": sim.lsh_topk(emb, k=5, n_planes=6, n_tables=6, dim=64),
         "sim_ivf_topk": sim.ivf_topk(emb, k=5, n_centroids=64, n_probe=8),
+        # the production star-upsert path (hash surrogate keys, no
+        # global sort) — the rank-mode catalog query exists for oracle
+        # parity, this is what a deployment runs
+        "star_upsert_hash_mode": _star_hash(spark),
     }
+
+
+def _star_hash(spark) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from report_worker_spark import star
+    from report_worker_spark.plans.catalog import _star_staging
+    from report_worker_spark.schemas import EQUIPMENT_SLOTS
+
+    staging = _star_staging(spark, SF_DIR)
+    for slot in EQUIPMENT_SLOTS:
+        if slot not in staging.columns:
+            staging = staging.withColumn(slot, F.lit(None).cast("int"))
+    deltas = star.upsert_star(staging, key_mode="hash")
+    return deltas["fact"].select("sighting_id", "location_id", "region_id")
 
 
 def materialize(df: DataFrame) -> None:

@@ -173,5 +173,9 @@ def get_or_insert_dim(
     missing = names.join(dim.select(name_col), on=name_col, how="left_anti")
     new_rows = missing.withColumn(id_col, surrogate_key([name_col], key_mode))
     full = dim.select(name_col, id_col).unionByName(new_rows)
-    resolved = batch_names.join(F.broadcast(full), on=name_col, how="left")
+    # no broadcast hint: the dim side is unbounded (millions of players
+    # at scale) — AQE broadcasts it when it measures small and falls
+    # back to a shuffle join when it isn't; a forced broadcast here
+    # would OOM the driver on a large dim
+    resolved = batch_names.join(full, on=name_col, how="left")
     return resolved, new_rows
