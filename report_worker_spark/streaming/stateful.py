@@ -151,3 +151,19 @@ class ProgressRecorder:
             self.snapshots.append(snap)
             return snap
         return None
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming unique-key dedup (the streaming half of A2): keeps the
+    first row per key, with state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes, so memory is O(keys per watermark window) instead
+    of O(all keys ever) (the unbounded ``dropDuplicates`` alternative)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

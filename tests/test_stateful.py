@@ -120,3 +120,28 @@ def test_running_error_ratio_state_across_batches(spark, tmp_path):
     )
     assert diff == 0
     assert rec.snapshots and rec.snapshots[-1]["batchId"] is not None
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from report_worker_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    e = load(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "user_id", "event_type"
+    )
+    # duplicate every row → stream should emit each key once
+    e.unionAll(e).write.parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    out = stream_dedup(stream, ["user_id", "event_type"], watermark="90 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_out")
+    assert got.count() == got.dropDuplicates(["user_id", "event_type"]).count()
+    expect = e.select("user_id", "event_type").distinct().count()
+    assert got.count() == expect
