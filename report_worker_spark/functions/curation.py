@@ -1,0 +1,48 @@
+"""Training-data curation: deterministic sampling and dataset splits.
+
+``sample()``/``randomSplit()`` are seed-deterministic only for a FIXED
+partitioning — re-reading the same data with different parallelism
+reassigns rows. Content-hash bucketing is partitioning-independent,
+reproducible across engines and runs, and stable under appends: a
+document keeps its split forever, which is what train/test hygiene
+needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): integer value of the first
+    4 hex digits of md5(salt||key), mod buckets. Portable to any engine
+    with md5 (the ANSI-SQL twin uses the same digits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 4), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction_pct: int, salt: str = "s1"
+) -> DataFrame:
+    """Keep ~fraction_pct% of rows, stable across runs/partitionings."""
+    return df.filter(hash_bucket(id_col, salt) < fraction_pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a stable split label per row (train/val/test)."""
+    b = hash_bucket(id_col, salt)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

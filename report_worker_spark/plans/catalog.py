@@ -1928,3 +1928,45 @@ def text_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("bigram", "n", "n_docs")
     )
+
+
+@query(
+    "curation_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(concat('split1',
+                      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
+          FROM documents)
+    """,
+)
+def curation_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable train/val/test assignment by content-hash bucket —
+    partitioning-independent (sample()/randomSplit() are not) and
+    stable under appends: a doc keeps its split forever."""
+    from ..functions.curation import train_val_test_split
+
+    d = load(spark, sf, "documents")
+    return train_val_test_split(d, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "curation_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars,
+                 CAST(CAST(concat('0x', substr(md5(concat('s1',
+                      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
+          FROM documents)
+    WHERE b < 10
+    """,
+)
+def curation_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash."""
+    from ..functions.curation import deterministic_sample
+
+    d = load(spark, sf, "documents")
+    return deterministic_sample(d, "doc_id", 10).select("doc_id", "n_chars")
