@@ -237,8 +237,10 @@ def ivf_topk(
     Recall rises with n_probe (n_probe = n_centroids ⇒ exact).
     """
     spark = df.sparkSession
-    # deterministic bounded sample for training (every vector at small n)
-    sample = df.select(id_col, vec_col).limit(4096).toPandas()
+    # deterministic bounded sample for training: ordered take — a bare
+    # limit() is partition-order dependent and would make centroids (and
+    # every downstream assignment) vary across cluster layouts
+    sample = df.select(id_col, vec_col).orderBy(id_col).limit(4096).toPandas()
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
