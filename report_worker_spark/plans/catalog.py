@@ -1970,3 +1970,25 @@ def curation_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return deterministic_sample(d, "doc_id", 10).select("doc_id", "n_chars")
+
+
+@query("agg_hll_mergeable")  # DataSketches HLL: engine-specific, rows-only
+def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL, Spark 3.5+):
+    per-day sketches built once, then unioned per event_type — the
+    re-aggregation property exact distinct counts lack (a day's sketch
+    is computed once and rolls up into week/month/any grouping without
+    rescanning raw data; the pattern for streaming state and cubes)."""
+    e = load(spark, sf, "events")
+    daily = (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

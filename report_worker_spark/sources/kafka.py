@@ -13,7 +13,9 @@ retry loop (reference src/_kafka.py:5-15, src/main.py:79-97). Here:
 
 No broker exists in the test environment; these builders are
 config-only and are exercised through their transform payloads (the
-parse/serialize halves) with file/memory streams in tests.
+parse/serialize halves) with file/memory streams in tests. Deployment
+note: the Kafka connector jar (spark-sql-kafka-0-10 + kafka-clients)
+is not bundled with pyspark — ship it via ``spark.jars.packages``.
 """
 
 from __future__ import annotations

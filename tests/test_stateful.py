@@ -145,3 +145,23 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got.count() == got.dropDuplicates(["user_id", "event_type"]).count()
     expect = e.select("user_id", "event_type").distinct().count()
     assert got.count() == expect
+
+
+def test_hll_merge_matches_exact_within_error(spark):
+    """Per-day sketches unioned == one global sketch semantics; the
+    estimate lands within HLL error of the exact distinct count."""
+    from report_worker_spark.plans.catalog import agg_hll_mergeable
+
+    est = {
+        r.event_type: r.n_users_est
+        for r in agg_hll_mergeable(spark, "/root/testdata/sf0.01").collect()
+    }
+    e = load(spark, "/root/testdata/sf0.01", "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05  # lgK=12 → ~1.6% rsd
