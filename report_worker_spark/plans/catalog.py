@@ -1992,3 +1992,67 @@ def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "win_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT)
+             - lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             AS delta_cents
+    FROM events
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key change detection via lag (integer cents for parity)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id", "user_id", (cents - F.lag(cents).over(w)).alias("delta_cents")
+    )
+
+
+@query(
+    "win_ntile_quartiles",
+    oracle="""
+    SELECT event_id,
+           ntile(4) OVER (ORDER BY CAST(round(value * 100) AS BIGINT) ASC,
+                          event_id ASC) AS quartile
+    FROM events
+    """,
+)
+def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quartile bucketing with a fully deterministic order."""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.orderBy(cents.asc(), F.col("event_id").asc())
+    return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(round(value * 100) AS BIGINT) >
+          (SELECT avg(CAST(round(value * 100) AS BIGINT)) FROM events)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-subquery predicate (rows above the global mean) via
+    spark.sql — integer cents so the avg comparison is identical."""
+    e = load(spark, sf, "events")
+    e.createOrReplaceTempView("_events_ssq")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM _events_ssq
+        WHERE CAST(round(value * 100) AS BIGINT) >
+              (SELECT avg(CAST(round(value * 100) AS BIGINT)) FROM _events_ssq)
+        """
+    )
