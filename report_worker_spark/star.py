@@ -127,23 +127,31 @@ def upsert_star(
     """
     batch = batch.cache()  # feeds 4 scans, like the MEMORY temp table
 
-    sight = build_dim(batch, SIGHTING_KEYS, "sighting_id", key_mode)
-    gear = build_dim(batch, GEAR_KEYS, "gear_id", key_mode)
-    loc = build_dim(batch, LOCATION_KEYS, "location_id", key_mode)
+    # full per-batch dims: the fact must resolve against ALL the batch's
+    # keys (hash ids are deterministic, so they agree with any existing
+    # copies of the same natural key)
+    sight_full = build_dim(batch, SIGHTING_KEYS, "sighting_id", key_mode)
+    gear_full = build_dim(batch, GEAR_KEYS, "gear_id", key_mode)
+    loc_full = build_dim(batch, LOCATION_KEYS, "location_id", key_mode)
 
+    # deltas to append: NOT-EXISTS guard against the current dim state
+    sight, gear, loc = sight_full, gear_full, loc_full
     if existing:
         if "sighting" in existing:
-            sight = anti_join_new(sight, existing["sighting"], SIGHTING_KEYS)
+            sight = anti_join_new(sight_full, existing["sighting"], SIGHTING_KEYS)
         if "gear" in existing:
-            gear = anti_join_new(gear, existing["gear"], GEAR_KEYS)
+            gear = anti_join_new(gear_full, existing["gear"], GEAR_KEYS)
         if "location" in existing:
-            loc = anti_join_new(loc, existing["location"], LOCATION_KEYS)
+            loc = anti_join_new(loc_full, existing["location"], LOCATION_KEYS)
 
     fact = batch
-    # J4: chained null-safe equi-joins resolving the three surrogate FKs.
-    fact = resolve_fk(fact, build_dim(batch, SIGHTING_KEYS, "sighting_id", key_mode), SIGHTING_KEYS, "sighting_id")
-    fact = resolve_fk(fact, build_dim(batch, GEAR_KEYS, "gear_id", key_mode), GEAR_KEYS, "gear_id")
-    fact = resolve_fk(fact, build_dim(batch, LOCATION_KEYS, "location_id", key_mode), LOCATION_KEYS, "location_id")
+    # J4: chained null-safe equi-joins resolving the three surrogate FKs
+    # against the FULL dims (the anti-joined deltas would drop facts
+    # whose keys already exist; reusing the frames avoids rebuilding
+    # each distinct-aggregation a second time).
+    fact = resolve_fk(fact, sight_full, SIGHTING_KEYS, "sighting_id")
+    fact = resolve_fk(fact, gear_full, GEAR_KEYS, "gear_id")
+    fact = resolve_fk(fact, loc_full, LOCATION_KEYS, "location_id")
     # fact PK is (sighting_id, location_id, region_id) (01_tables.sql:139);
     # INSERT IGNORE ⇒ keep one row per PK.
     fact = fact.dropDuplicates(["sighting_id", "location_id", "region_id"])
