@@ -2056,3 +2056,77 @@ def scalar_subquery_above_avg(spark: SparkSession, sf: str) -> DataFrame:
               (SELECT avg(CAST(round(value * 100) AS BIGINT)) FROM _events_ssq)
         """
     )
+
+
+@query(
+    "curation_rebalance",
+    oracle="""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST(concat('0x', substr(md5(concat('mix1',
+                            CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+                            AS INT) ASC,
+                            doc_id ASC) AS rn
+          FROM documents)
+    WHERE rn <= 15
+    """,
+)
+def curation_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mix rebalancing: cap each source at N docs, chosen by a
+    stable hash order (not arrival order) — rerunning after appends
+    keeps earlier selections whenever their buckets still rank first."""
+    from ..functions.curation import hash_bucket
+
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", "mix1").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n, sum_cents, sumsq_cents,
+           CAST(sum_cents AS DOUBLE) / n AS mean_cents,
+           CAST(sumsq_cents AS DOUBLE) / n
+             - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n)
+             AS var_cents
+    FROM m
+    """,
+)
+def stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution moments with EXACT integer accumulation (Σx, Σx² in
+    cents) and identically-derived float mean/variance — the
+    cross-engine-safe way to do numeric profiling (native avg/stddev
+    accumulate floats in engine-specific orders)."""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = e.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_cents"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq_cents"),
+    )
+    mean = F.col("sum_cents").cast("double") / F.col("n")
+    return m.select(
+        "event_type", "n", "sum_cents", "sumsq_cents",
+        mean.alias("mean_cents"),
+        (F.col("sumsq_cents").cast("double") / F.col("n") - mean * mean).alias(
+            "var_cents"
+        ),
+    )
