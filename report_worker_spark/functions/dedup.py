@@ -391,3 +391,10 @@ def dedup_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+import sys as _sys
+
+from ..util import pickle_by_value as _pbv
+
+_pbv(_sys.modules[__name__])

@@ -165,3 +165,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+import sys as _sys
+
+from ..util import pickle_by_value as _pbv
+
+_pbv(_sys.modules[__name__])

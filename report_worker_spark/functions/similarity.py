@@ -311,3 +311,10 @@ def ivf_topk(
             F.col("cos").alias("cosine"),
         )
     )
+
+
+import sys as _sys
+
+from ..util import pickle_by_value as _pbv
+
+_pbv(_sys.modules[__name__])

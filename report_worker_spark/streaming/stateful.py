@@ -167,3 +167,10 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+import sys as _sys
+
+from ..util import pickle_by_value as _pbv
+
+_pbv(_sys.modules[__name__])

@@ -60,3 +60,22 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def pickle_by_value(module) -> None:
+    """Make a kernel-bearing module self-contained on executors.
+
+    Worker-side Python kernels (mapInPandas / applyInPandas closures)
+    that reference module-level helpers are serialized by REFERENCE by
+    default, which requires this package to be importable inside every
+    Python worker. The external driver may run from any cwd with the
+    repo only on the driver's sys.path — so register the module for
+    by-value serialization instead: the function code ships inside the
+    task closure and executors never import the package.
+    """
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(module)
+    except Exception:  # noqa: BLE001 — best-effort; by-reference still works in-repo
+        pass
