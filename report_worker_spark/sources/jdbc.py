@@ -259,37 +259,45 @@ class JdbcStarSink:
         self.fact_columns = fact_columns or self.DEFAULT_FACT_COLUMNS
         self.stats: list[dict] = []
 
-    def _current(self, spark: SparkSession, logical: str) -> DataFrame:
-        df = read_dim(spark, self.url, self.tables[logical])
-        return df.toDF(*[c.lower() for c in df.columns])
+    def _dim_match_keys(self, id_col: str, natural_keys: list[str]) -> list[str]:
+        # hash ids are a pure function of the natural key, so existence
+        # can be checked on the indexed surrogate id alone; rank ids are
+        # per-batch, so rank mode matches on the natural key instead
+        return [id_col] if self.key_mode == "hash" else natural_keys
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         from .. import star
+        from ..schemas import GEAR_KEYS, LOCATION_KEYS, SIGHTING_KEYS
 
         spark = batch.sparkSession
-        existing = {
-            name: self._current(spark, name)
-            for name in ("sighting", "gear", "location")
-        }
-        deltas = star.upsert_star(
-            batch, key_mode=self.key_mode, existing=existing
-        )
-        # fact idempotency: anti-join against the fact PK already in the DB
-        fact_existing = self._current(spark, "fact")
+        deltas = star.upsert_star(batch, key_mode=self.key_mode)
         fact = deltas["fact"].select(*self.fact_columns)
-        if fact_existing.columns:
-            fact = star.anti_join_new(
-                fact,
-                fact_existing,
-                ["sighting_id", "location_id", "region_id"],
-            )
-        writes = [
-            (self.tables["sighting"], deltas["sighting"]),
-            (self.tables["gear"], deltas["gear"]),
-            (self.tables["location"], deltas["location"]),
-            (self.tables["fact"], fact),
-        ]
-        transactional_multi_table_write(
-            spark, self.url, writes, insert_verb=self.insert_verb
+        inserted = staged_not_exists_txn(
+            spark,
+            self.url,
+            [
+                (
+                    self.tables["sighting"],
+                    deltas["sighting"],
+                    self._dim_match_keys("sighting_id", SIGHTING_KEYS),
+                ),
+                (
+                    self.tables["gear"],
+                    deltas["gear"],
+                    self._dim_match_keys("gear_id", GEAR_KEYS),
+                ),
+                (
+                    self.tables["location"],
+                    deltas["location"],
+                    self._dim_match_keys("location_id", LOCATION_KEYS),
+                ),
+                # fact PK (01_tables.sql:139); INSERT IGNORE's backstop
+                (
+                    self.tables["fact"],
+                    fact,
+                    ["sighting_id", "location_id", "region_id"],
+                ),
+            ],
+            insert_verb=self.insert_verb,
         )
-        self.stats.append({"epoch": epoch_id, "status": "ok"})
+        self.stats.append({"epoch": epoch_id, "status": "ok", "inserted": inserted})
