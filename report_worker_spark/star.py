@@ -89,32 +89,35 @@ def resolve_fk(
     keys: list[str],
     id_col: str,
     null_safe: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Inner-join ``fact`` to ``dim`` on the natural key, attaching
     ``id_col`` (J4, reference report.py:256-283). Null-safe by default —
-    the reference's MySQL ``=`` drops NULL-gear facts (documented bug)."""
+    the reference's MySQL ``=`` drops NULL-gear facts (documented bug).
+
+    ``broadcast``: ``True`` forces a broadcast hint (callers that KNOW
+    the dim is trigger-bounded, e.g. the streaming micro-batch path);
+    ``False`` never hints; ``None`` (default) leaves the choice to
+    Catalyst statistics + AQE, which broadcasts a dim that measures
+    small at runtime and shuffle-joins one that doesn't — an
+    unconditional hint here would OOM the driver on a large backfill.
+    """
     d = dim.select(*keys, id_col)
     cond = (
         null_safe_cond(fact, d, keys)
         if null_safe
         else reduce(lambda a, b: a & b, [fact[k] == d[k] for k in keys])
     )
-    out = fact.join(F.broadcast(d) if _dim_small(d) else d, on=cond, how="inner")
+    out = fact.join(F.broadcast(d) if broadcast else d, on=cond, how="inner")
     # drop the dim's copy of the key cols (ambiguous names otherwise)
     return out.drop(*[d[k] for k in keys])
-
-
-def _dim_small(dim: DataFrame) -> bool:
-    # Dims here are per-batch DISTINCT deltas — broadcast-sized by
-    # construction in the streaming path. Batch callers with huge dims
-    # rely on AQE instead; the hint is best-effort.
-    return True
 
 
 def upsert_star(
     batch: DataFrame,
     key_mode: str = "hash",
     existing: dict[str, DataFrame] | None = None,
+    broadcast_dims: bool | None = None,
 ) -> dict[str, DataFrame]:
     """The reference's 7-statement MySQL transaction as set algebra.
 
@@ -149,9 +152,15 @@ def upsert_star(
     # against the FULL dims (the anti-joined deltas would drop facts
     # whose keys already exist; reusing the frames avoids rebuilding
     # each distinct-aggregation a second time).
-    fact = resolve_fk(fact, sight_full, SIGHTING_KEYS, "sighting_id")
-    fact = resolve_fk(fact, gear_full, GEAR_KEYS, "gear_id")
-    fact = resolve_fk(fact, loc_full, LOCATION_KEYS, "location_id")
+    fact = resolve_fk(
+        fact, sight_full, SIGHTING_KEYS, "sighting_id", broadcast=broadcast_dims
+    )
+    fact = resolve_fk(
+        fact, gear_full, GEAR_KEYS, "gear_id", broadcast=broadcast_dims
+    )
+    fact = resolve_fk(
+        fact, loc_full, LOCATION_KEYS, "location_id", broadcast=broadcast_dims
+    )
     # fact PK is (sighting_id, location_id, region_id) (01_tables.sql:139);
     # INSERT IGNORE ⇒ keep one row per PK.
     fact = fact.dropDuplicates(["sighting_id", "location_id", "region_id"])

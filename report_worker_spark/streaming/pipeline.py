@@ -140,7 +140,14 @@ class StarUpsertSink:
                     name: self.current(name)
                     for name in ("sighting", "gear", "location")
                 }
-            deltas = star.upsert_star(batch, key_mode=self.key_mode, existing=existing)
+            # micro-batches are trigger-bounded (maxOffsetsPerTrigger),
+            # so the per-batch distinct dims are always broadcast-sized
+            deltas = star.upsert_star(
+                batch,
+                key_mode=self.key_mode,
+                existing=existing,
+                broadcast_dims=True,
+            )
             for name, df in deltas.items():
                 self.writer(name, df, epoch_id)
             self.stats.append({"epoch": epoch_id, "status": "ok"})
