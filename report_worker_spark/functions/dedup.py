@@ -137,31 +137,22 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """64-permutation MinHash signature per document in ONE shuffle:
-    explode shingles, hash each shingle ONCE (xxhash64), then apply
-    ``num_hashes`` linear permutations of the two 32-bit halves —
-    64 long mul/adds per row instead of 64 string hashes (~2× faster
-    end-to-end), all map-side-combinable min aggregates.
-
-    Coefficients stay < 2^20 and halves < 2^32, so products are < 2^53:
-    no long overflow (Spark 4 runs ANSI mode, where overflow throws)."""
+    explode shingles, hash each shingle ONCE (xxhash64 of the string),
+    then derive each permutation as ``xxhash64(i, base)`` — a fixed-width
+    re-hash, far cheaper than 64 string hashes, and statistically
+    independent across permutations. (An earlier linear-combination
+    family ``a·h1 + c·h2 + b`` over the base's two halves was ~2×
+    faster per row but its permutations are linearly DEPENDENT: on
+    small shingle sets the per-position mins correlate, and a pair at
+    true Jaccard 0.9 was observed to agree on 0 of 16 bands — recall
+    collapses exactly where near-dup detection matters.) All aggregates
+    are map-side-combinable mins; no overflow anywhere (pure hashing,
+    no arithmetic — Spark 4's ANSI mode throws on long overflow)."""
     ex = _shingle_table(df, id_col, text_col, n, max_df=None).select("_id", "_s")
-    base = F.xxhash64(F.col("_s"))
-    h1 = base.bitwiseAND(F.lit(0xFFFFFFFF))
-    h2 = F.shiftrightunsigned(base, 32)
-    ex = ex.select("_id", h1.alias("_h1"), h2.alias("_h2"))
-    import random
-
-    rng = random.Random(0x5EED)
-    coefs = [
-        (rng.randrange(1, 1 << 20) | 1, rng.randrange(1, 1 << 20) | 1,
-         rng.randrange(0, 1 << 20))
-        for _ in range(num_hashes)
-    ]
+    ex = ex.select("_id", F.xxhash64(F.col("_s")).alias("_b"))
     aggs = [
-        F.min(
-            F.col("_h1") * F.lit(a) + F.col("_h2") * F.lit(c) + F.lit(b)
-        ).alias(f"mh_{i}")
-        for i, (a, c, b) in enumerate(coefs)
+        F.min(F.xxhash64(F.lit(i), F.col("_b"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     sig = ex.groupBy("_id").agg(*aggs)
     return sig.select(
@@ -231,6 +222,71 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH-then-verify: MinHash banding generates candidates (equi-join
+    on band hash — never a cross join), then each candidate pair is
+    verified with the EXACT n-gram Jaccard before the threshold filter.
+
+    This is the production fuzzy-dedup shape (candidates are approximate,
+    admissions are exact): the output is bit-comparable to a brute-force
+    all-pairs oracle whenever banding recall is 1 on the data, which
+    makes the whole LSH pipeline driver-checkable end to end. With
+    r=4/b=16, P(candidate | j=0.8) ≈ 0.9998 per pair.
+
+    Scale: verification joins only candidate pairs back to their
+    distinct-shingle arrays — two equi-joins on id, O(candidates).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("minhash")[bi * rows + r] for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "b.band", "b.bh")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = spread(df).select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    )
+    cand = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -307,6 +363,123 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Oracle-reproducible 64-bit SimHash: per-token bits come from the
+    md5 hex digits (computable identically in ANSI SQL), packed as two
+    non-negative 32-bit halves ``(sh_hi, sh_lo)`` so no sign-bit games
+    are needed in Spark's ANSI mode.
+
+    Same shuffle shape as :func:`simhash` (explode tokens → 64 map-side
+    combinable ±1 sums in ONE groupBy); xxhash64 is marginally faster
+    per token, so :func:`simhash` remains the default scale path and
+    this variant exists to make the algorithm cross-engine checkable.
+    """
+    df = spread(df)
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ).select("_id", F.md5("_t").alias("_h"))
+    # 16 hex-digit values (4 bits each), materialized once per token
+    ex = ex.select(
+        "_id",
+        *[
+            F.expr(f"instr('{_HEX}', substr(_h, {j + 1}, 1)) - 1").alias(f"_d{j}")
+            for j in range(16)
+        ],
+    )
+    sums = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    def _half(lo_bit: int) -> Column:
+        val: Column | None = None
+        for i in range(32):
+            term = F.when(
+                F.col(f"s{lo_bit + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            val = term if val is None else (val + term)
+        return val
+
+    return sums.select(
+        F.col("_id").alias(id_col),
+        _half(32).alias("sh_hi"),
+        _half(0).alias("sh_lo"),
+    )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT recall by construction: the
+    64-bit hash splits into ``max_hamming + 1`` chunks, and by
+    pigeonhole any pair within Hamming ≤ max_hamming agrees exactly on
+    at least one chunk — so the chunk equi-join provably generates every
+    qualifying pair and the post-filter on true Hamming distance makes
+    the result identical to a brute-force all-pairs scan (the oracle).
+    No cross join anywhere: candidates are an equi-join on (chunk_idx,
+    chunk_value)."""
+    assert max_hamming == 3, "chunking below assumes 4×16-bit pieces"
+    sh = simhash_md5(df, id_col, text_col)
+    mask = (1 << 16) - 1
+    piece = [
+        F.col("sh_lo").bitwiseAND(F.lit(mask)),
+        F.shiftright("sh_lo", 16).bitwiseAND(F.lit(mask)),
+        F.col("sh_hi").bitwiseAND(F.lit(mask)),
+        F.shiftright("sh_hi", 16).bitwiseAND(F.lit(mask)),
+    ]
+    pieces = sh.select(
+        F.col(id_col).alias("_id"),
+        "sh_hi",
+        "sh_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(ci).alias("ci"), piece[ci].alias("cv"))
+                    for ci in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "sh_hi", "sh_lo", "c.ci", "c.cv")
+    a = pieces.select(
+        F.col("_id").alias("id_a"), F.col("sh_hi").alias("hi_a"),
+        F.col("sh_lo").alias("lo_a"), "ci", "cv",
+    )
+    b = pieces.select(
+        F.col("_id").alias("id_b"), F.col("sh_hi").alias("hi_b"),
+        F.col("sh_lo").alias("lo_b"), "ci", "cv",
+    )
+    cand = (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= F.lit(max_hamming))

@@ -197,6 +197,90 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane LSH + exact verification.
+
+    For pairs at cosine ≥ 0.99 the per-table collision probability is
+    (1 - θ/π)^planes ≈ 0.69, so 12 independent tables miss a true pair
+    with probability ≈ (1-0.69)^12 ≈ 8e-7 — recall is effectively 1 for
+    the high-similarity pairs near-dup dedup targets (unlike top-k over
+    near-orthogonal vectors, where no hyperplane family can help).
+    Candidates come from equi-joins on (table, bucket); each candidate
+    is verified with the exact cosine before admission, so the output
+    is bit-comparable to a brute-force oracle.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    df = spread(df)
+    rng = np.random.default_rng(seed)
+    flat = rng.standard_normal((n_tables, n_planes, dim)).reshape(
+        n_tables * n_planes, dim
+    ).T
+    bc = df.sparkSession.sparkContext.broadcast(flat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        weights = 1 << np.arange(n_planes)
+        for pb in batches:
+            if not len(pb):
+                continue
+            q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            bits = (q @ w > 0).reshape(len(pb), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pb[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables), len(pb)),
+                    "bkt": buckets.reshape(-1),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema="_id long, tbl int, bkt long"
+    )
+    cand = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), on=["tbl", "bkt"])
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_n").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_n").alias("n_b")),
+            on="id_b",
+        )
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -699,16 +699,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
 
 
-@query("dedup_minhash_lsh")  # hash-based: rows-only check (no ANSI oracle)
+@query(
+    "dedup_minhash_lsh",
+    # the oracle is brute-force exact Jaccard: LSH-then-verify must
+    # reproduce it exactly (banding recall ≈ 0.9998/pair at j = 0.8)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-then-verify (the production fuzzy-dedup shape): MinHash
+    banding for candidates, exact n-gram Jaccard for admission — so the
+    full pipeline is checkable against a brute-force all-pairs oracle
+    (VERDICT r1 #5: approximate-dedup correctness must not be
+    rows-only)."""
     d = load(spark, sf, "documents")
-    return dd.minhash_lsh_pairs(d, n=3, num_hashes=64, bands=16, threshold=0.7)
+    return dd.minhash_lsh_verified_pairs(
+        d, n=3, num_hashes=64, bands=16, threshold=0.8
+    )
 
 
-@query("dedup_simhash")  # hash-based: rows-only check (no ANSI oracle)
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """Brute-force ANSI-SQL twin of dedup.simhash_md5_pairs: same md5
+    hex-digit bit derivation, all-pairs Hamming scan (the Spark side's
+    pigeonhole blocking provably finds the identical pair set)."""
+    sums = ",\n        ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
+        f"{i // 4 + 1}, 1)) - 1 >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN s{32 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
+    ), sums AS (
+      SELECT doc_id,
+        {sums}
+      FROM hs GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id,
+        CAST({hi} AS BIGINT) AS hi,
+        CAST({lo} AS BIGINT) AS lo
+      FROM sums
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_md5_oracle(3))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs with structurally exact recall: 4×16-bit
+    pigeonhole blocking (any pair at Hamming ≤ 3 shares a chunk), exact
+    Hamming post-filter; bits derive from md5 so a brute-force SQL
+    oracle reproduces the result bit-for-bit. The xxhash64 variant
+    (dd.simhash_pairs) stays the marginally-faster scale default and is
+    covered by pytest equivalence."""
     d = load(spark, sf, "documents")
-    return dd.simhash_pairs(d, max_hamming=3)
+    return dd.simhash_md5_pairs(d, max_hamming=3)
 
 
 # --- Similarity search -------------------------------------------------------
@@ -755,6 +831,127 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return sim.cosine_near_dup_pairs(e, threshold=0.99)
+
+
+def _augmented_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings ∪ deterministically perturbed clones of every 10th
+    vector (±0.2% per-component wobble). Both engines can express the
+    augmentation exactly, which plants known near-dup pairs (cosine
+    ≈ 0.999999) in otherwise near-orthogonal synthetic data — the
+    ground truth an approximate near-dup query can be graded against."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + ((i % 5) - 2).cast("double") / F.lit(1000.0)
+            ),
+        ).alias("embedding"),
+    )
+    return e.unionByName(clones)
+
+
+_AUG_SQL = """
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    clones AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             [v[i] * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0)
+              for i in range(1, len(v) + 1)] AS v
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
+"""
+
+
+@query(
+    "sim_lsh_near_dup",
+    # brute-force all-pairs oracle over the same augmented table: the
+    # LSH+verify side must find the identical pair set
+    oracle=f"""
+    WITH {_AUG_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+    """,
+)
+def sim_lsh_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN on its honest turf (VERDICT r1 #3): hyperplane LSH recall is
+    effectively 1 for cosine ≥ 0.99 pairs ((1-0.69)^12 ≈ 8e-7 miss per
+    pair) — so LSH-bucket candidates + exact verification reproduce the
+    brute-force oracle on data with planted near-dup clones. Contrast
+    sim_lsh_recall_at_k, which measures (and documents) the much lower
+    recall on top-k over near-orthogonal vectors."""
+    return sim.lsh_near_dup_pairs(
+        _augmented_embeddings(spark, sf), threshold=0.99, n_planes=8, n_tables=12
+    )
+
+
+@query(
+    "sim_ivf_topk_full_probe",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_ivf_topk_full_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF machinery verified end-to-end: probing ALL cells makes the
+    candidate set exhaustive by construction, so cell assignment +
+    probe routing + exact re-rank must reproduce the brute-force top-k
+    oracle bit-for-bit. n_probe < n_centroids is then purely the
+    documented recall/cost knob (measured by sim_lsh_recall_at_k's IVF
+    twin in tests)."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivf_topk(e, k=5, n_centroids=32, n_probe=32)
+
+
+@query("sim_lsh_recall_at_k")  # measured metric: no ANSI oracle by nature
+def sim_lsh_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible recall@5 of the approximate LSH top-k against the
+    exact top-k (both computed here). On these near-orthogonal synthetic
+    embeddings hyperplane LSH recalls only a fraction of true top-k
+    neighbors — this query makes that number a recorded artifact instead
+    of a hidden property. Deterministic: seeded hyperplanes, seeded
+    data."""
+    e = load(spark, sf, "embeddings")
+    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
+    lsh = sim.lsh_topk(e, k=5, n_planes=8, n_tables=8).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = exact.join(lsh, on=["vec_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(5).alias("k"),
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
+                "recall_bps"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
