@@ -136,6 +136,33 @@ def _null_safe_eq(left: str, right: str, col: str) -> str:
     )
 
 
+def insert_sql(verb: str, table: str, cols: list[str]) -> str:
+    """The per-row prepared INSERT. With the MySQL dialect's default
+    ``INSERT IGNORE INTO`` this is byte-identical in shape to the
+    reference's idempotency backstop (reference
+    src/app/controllers/report.py:246, player.py:56)."""
+    return (
+        f"{verb} {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join(['?'] * len(cols))})"
+    )
+
+
+def not_exists_insert_sql(
+    verb: str, target: str, stage: str, cols: list[str], keys: list[str]
+) -> str:
+    """The server-side NOT-EXISTS insert-select (reference
+    report.py:170-241's anti-join INSERTs, staged instead of MEMORY
+    temp tables). Null-safe key matching spelled portably — MySQL's
+    ``=`` never matches NULL, which is the reference's NULL-gear
+    forever-reinsert bug; ``<=>`` is what it intended."""
+    match = " AND ".join(_null_safe_eq("t", "s", k) for k in keys)
+    return (
+        f"{verb} {target} ({', '.join(cols)}) "
+        f"SELECT {', '.join('s.' + c for c in cols)} FROM {stage} s "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {target} t WHERE {match})"
+    )
+
+
 def staged_not_exists_txn(
     spark: SparkSession,
     url: str,
@@ -184,10 +211,7 @@ def staged_not_exists_txn(
             st.execute(f"DELETE FROM {stage}")
             st.close()
             cols = df.columns
-            ps = conn.prepareStatement(
-                f"INSERT INTO {stage} ({', '.join(cols)}) "
-                f"VALUES ({', '.join(['?'] * len(cols))})"
-            )
+            ps = conn.prepareStatement(insert_sql("INSERT INTO", stage, cols))
             n = 0
             for row in df.toLocalIterator():
                 for i, c in enumerate(cols, start=1):
@@ -198,12 +222,9 @@ def staged_not_exists_txn(
                     ps.executeBatch()
             ps.executeBatch()
             ps.close()
-            match = " AND ".join(_null_safe_eq("t", "s", k) for k in keys)
             st = conn.createStatement()
             inserted[target] = st.executeUpdate(
-                f"{insert_verb} {target} ({', '.join(cols)}) "
-                f"SELECT {', '.join('s.' + c for c in cols)} FROM {stage} s "
-                f"WHERE NOT EXISTS (SELECT 1 FROM {target} t WHERE {match})"
+                not_exists_insert_sql(insert_verb, target, stage, cols, keys)
             )
             st.close()
         conn.commit()

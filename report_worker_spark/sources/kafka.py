@@ -31,6 +31,40 @@ DEFAULT_DLQ_TOPIC = "report-dlq"
 DEFAULT_GROUP = "report-worker"
 
 
+def source_options(
+    brokers: str,
+    topic: str = DEFAULT_TOPIC,
+    group_id: str = DEFAULT_GROUP,
+    max_offsets_per_trigger: int = 10_000,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The complete Kafka source option set, as a plain dict so the
+    wiring is contract-testable without a broker (none exists in this
+    environment). Mirrors the reference consumer: topic ``report``,
+    group ``report-worker`` (reference src/_kafka.py:5-15), plus the
+    backpressure (ST4) and availability knobs the reference gets from
+    bounded asyncio queues."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": "false",
+    }
+
+
+def sink_options(
+    brokers: str, topic: str = DEFAULT_DLQ_TOPIC, checkpoint: str | None = None
+) -> dict[str, str]:
+    """Kafka sink option set (S2/DLQ), contract-testable like
+    :func:`source_options`."""
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if checkpoint:
+        opts["checkpointLocation"] = checkpoint
+    return opts
+
+
 def read_report_stream(
     spark: SparkSession,
     brokers: str,
@@ -40,16 +74,12 @@ def read_report_stream(
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """Kafka → raw (key, value, partition, offset, timestamp) stream."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("kafka.group.id", group_id)
-        .option("startingOffsets", starting_offsets)
-        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in source_options(
+        brokers, topic, group_id, max_offsets_per_trigger, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -99,13 +129,9 @@ def to_kafka_sink(
 ):
     """writeStream half of the DLQ (S2): payload must already be a
     ``value`` string column (see ``encode_dlq``)."""
-    w = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-    )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
+    w = df.writeStream.format("kafka")
+    for k, v in sink_options(brokers, topic, checkpoint).items():
+        w = w.option(k, v)
     return w
 
 
