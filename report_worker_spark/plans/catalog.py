@@ -1686,22 +1686,28 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf×(N/df) — linear
     idf instead of log: tf·N is exact integer arithmetic and /df one
     IEEE division (bit-reproducible; ln() differs by ULPs across
-    libms). Shape: one explode + two hash aggs + broadcast df join."""
+    libms). Shape: one explode + two hash aggs + broadcast df join;
+    N stays in the plan as a broadcast 1-row aggregate (a driver-side
+    .count() would serialize an extra job before the real one)."""
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = d.select(
         "doc_id", F.explode(tx.tokens("text")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias(
-            "score"
-        ),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()

@@ -59,6 +59,13 @@ class ParquetDimStore:
         resolved, new_rows = star.get_or_insert_dim(
             batch_names, dim, self.name_col, self.id_col, key_mode="hash"
         )
-        if new_rows.limit(1).count() > 0:
-            new_rows.write.mode("append").parquet(self.path)
+        # persist before the emptiness probe: isEmpty() touches at most
+        # one partition and the append then reuses the cached delta —
+        # previously the anti-join ran twice (probe job + write job)
+        new_rows = new_rows.persist()
+        try:
+            if not new_rows.isEmpty():
+                new_rows.write.mode("append").parquet(self.path)
+        finally:
+            new_rows.unpersist()
         return resolved
