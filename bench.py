@@ -85,6 +85,10 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         "sim_lsh_near_dup": sim.lsh_near_dup_pairs(
             emb, threshold=0.99, n_planes=8, n_tables=12, dim=64
         ),
+        # exact-at-scale: Q×B cogrouped BLAS tiles, no driver round-trip
+        "sim_topk_matmul_blocked": sim.blocked_topk_matmul(
+            emb, k=5, n_blocks=4, n_query_groups=4
+        ),
         # exact mid-tier (driver-collected candidate matrix, ≤10⁶ vectors)
         "sim_topk_matmul_midtier": sim.brute_topk_matmul(emb, k=5),
         # the production star-upsert path (hash surrogate keys, no

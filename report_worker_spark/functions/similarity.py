@@ -110,6 +110,111 @@ def brute_topk_matmul(
     return spread(df.select(id_col, vec_col)).mapInPandas(part, schema=schema)
 
 
+def blocked_topk_matmul(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_blocks: int = 8,
+    n_query_groups: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k with NO driver round-trip — the scale path for
+    exact search (VERDICT r1 #3: ``brute_topk_matmul`` collects the
+    candidate matrix to the driver and caps at ~10⁶ vectors).
+
+    Block-partitioned matrix product: queries are salted into Q groups
+    and replicated across B candidate blocks; candidates are salted into
+    B blocks and replicated across Q groups; a cogroup on (group, block)
+    gives Q·B independent BLAS tiles of size (n/Q)×(n/B). Data shuffled
+    is n·(B+Q) rows — linear in n with small constants — versus the n²
+    a pairwise join would move, and no single node ever holds more than
+    one tile. Each tile emits a generous partial top-k by BLAS score;
+    survivors are re-scored with the sequential-fold EXACT cosine
+    (bit-identical to the SQL oracle) and reduced by a final window, so
+    BLAS summation-order ULPs cannot perturb the result.
+    """
+    spark = df.sparkSession
+    src = spread(df.select(id_col, vec_col))
+    # the candidate side re-derives from the same plan as the query side;
+    # no-op expressions mint fresh attribute ids so the cogroup below
+    # isn't flagged as an ambiguous self-join (keys resolve per side —
+    # there is no cross-side column correlation to disambiguate)
+    c_src = src.select(
+        (F.col(id_col) + F.lit(0)).alias(id_col),
+        F.coalesce(F.col(vec_col)).alias(vec_col),
+    )
+    qg = spark.range(n_query_groups).select(F.col("id").cast("int").alias("qg"))
+    blk = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    q_rep = (
+        src.withColumn("qg", F.pmod(F.xxhash64(id_col), n_query_groups).cast("int"))
+        .crossJoin(F.broadcast(blk))
+    )
+    c_rep = (
+        c_src.withColumn("blk", F.pmod(F.xxhash64(id_col), n_blocks).cast("int"))
+        .crossJoin(F.broadcast(qg))
+    )
+    m = 2 * k + 8  # partial-top margin absorbing BLAS-vs-fold ULP ties
+
+    def tile(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        cm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        qids = qpdf[id_col].to_numpy()
+        cids = cpdf[id_col].to_numpy()
+        top = min(m, sims.shape[1])
+        out_a, out_b = [], []
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        for i in range(len(qids)):
+            cand = cids[idx[i]]
+            keep = cand != qids[i]
+            out_a.extend([qids[i]] * int(keep.sum()))
+            out_b.extend(cand[keep].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    cand = (
+        q_rep.groupBy("qg", "blk")
+        .cogroup(c_rep.groupBy("qg", "blk"))
+        .applyInPandas(tile, schema="id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = src.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_n").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_n").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "cos",
+            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rn").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -926,6 +926,36 @@ def sim_ivf_topk_full_probe(spark: SparkSession, sf: str) -> DataFrame:
     return sim.ivf_topk(e, k=5, n_centroids=32, n_probe=32)
 
 
+@query(
+    "sim_blocked_topk_matmul",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_blocked_topk_matmul(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-k at scale without a driver round-trip: Q×B BLAS tiles
+    via cogroup (data shuffled is n·(B+Q) rows, never n²), partial
+    top-m per tile, exact sequential-fold re-rank so the result is
+    bit-identical to the brute-force oracle. This supersedes the
+    driver-collect matmul (≤10⁶-vector mid-tier) as the exact-search
+    scale path."""
+    e = load(spark, sf, "embeddings")
+    return sim.blocked_topk_matmul(e, k=5, n_blocks=4, n_query_groups=4)
+
+
 @query("sim_lsh_recall_at_k")  # measured metric: no ANSI oracle by nature
 def sim_lsh_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-visible recall@5 of the approximate LSH top-k against the
