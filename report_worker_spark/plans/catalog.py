@@ -2392,3 +2392,155 @@ def stats_moments(spark: SparkSession, sf: str) -> DataFrame:
             "var_cents"
         ),
     )
+
+
+# --- Benchmark decontamination (LLM-pipeline core op) ------------------------
+
+
+@query(
+    "curation_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7]
+                            for i in range(1, len(t) - 6)]) AS g
+      FROM toks WHERE len(t) >= 8
+    ), ex AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+    ), bench AS (
+      SELECT DISTINCT gram FROM ex WHERE doc_id % 17 = 0
+    )
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_bench_grams
+    FROM ex e JOIN bench b ON e.gram = b.gram
+    WHERE e.doc_id % 17 <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 8-token
+    gram with the held-out 'benchmark' slice (here: doc_id % 17 = 0 —
+    the standard n-gram-overlap decontamination used for LLM training
+    sets). Shape at 100 TB: the benchmark gram set is small and
+    broadcast; training grams stream through an equi-join — no shuffle
+    of the corpus, no cross join. Returns per-doc distinct contaminated
+    gram counts (docs with zero hits are clean and absent)."""
+    from ..functions.dedup import word_shingles
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(word_shingles("text", 8)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 17 == 0).select("gram").dropDuplicates()
+    )
+    train = grams.filter(F.col("doc_id") % 17 != 0)
+    return (
+        train.join(F.broadcast(bench), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    )
+
+
+# --- OLAP breadth: multi-join aggregates over the TPC-H-ish tables -----------
+
+
+@query(
+    "olap_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_c4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c4 DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def olap_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    fact-fact join → top-10 by aggregated revenue. Money math in exact
+    integer cents ×(100−disc_cents) so the sum is order-independent and
+    bit-identical cross-engine (float Σ(price·(1−disc)) is neither).
+    Plan shape at scale: filters push to scans, customer is the small
+    build side, orders⋈lineitem shuffles on orderkey once."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "olap_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_c4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue_c4 DESC, n_name ASC
+    """,
+)
+def olap_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table join where the
+    region/nation dims prune early and broadcast, the customer-nation =
+    supplier-nation predicate rides the supplier join, and only the
+    orders⋈lineitem step is a real shuffle. Integer-cents money math as
+    in Q3."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("n_name").asc())
+    )
