@@ -157,3 +157,28 @@ def test_resolve_fk_large_dim_not_forced_broadcast(spark, tmp_path):
         assert auto.count() == 2_000_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_olap_q3_filters_reach_scans(spark, sf_oracle):
+    plan = plan_of(QUERIES["olap_q3_shipping_priority"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    # selective predicates push into the parquet scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate," in plan
+    assert "GreaterThan(l_shipdate," in plan
+
+
+def test_olap_q5_no_cartesian_region_broadcast(spark, sf_oracle):
+    plan = plan_of(QUERIES["olap_q5_local_supplier_volume"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_oracle):
+    """The corpus side must stream through a broadcast join against the
+    (small) benchmark gram set — a shuffle of all training grams on the
+    gram key would be the 100 TB mistake."""
+    plan = plan_of(QUERIES["curation_decontaminate"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
