@@ -2544,3 +2544,204 @@ def olap_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue_c4"))
         .orderBy(F.col("revenue_c4").desc(), F.col("n_name").asc())
     )
+
+
+# --- Embedding maintenance, funnel, vocab, end-to-end curation ---------------
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM b)
+    SELECT vec_id, scale, u.idx, u.q
+    FROM (SELECT vec_id, scale,
+                 unnest([{'idx': i - 1,
+                          'q': CAST(floor(v[i] / scale + 0.5) AS INTEGER)}
+                         for i in range(1, len(v) + 1)]) AS u
+          FROM s)
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (scale = absmax/127) —
+    the storage/serving compression step of an embedding pipeline, all
+    JVM-side higher-order expressions. Long format (vec_id, idx, q) so
+    the cross-engine compare stays scalar-typed. floor(x/s + 0.5)
+    instead of round(): engines disagree on round-half ties, floor is
+    unambiguous."""
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = e.select(
+        "vec_id",
+        v.alias("v"),
+        (absmax / F.lit(127.0)).alias("scale"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+            )
+        ).alias("idx", "q"),
+    )
+    return q.select("vec_id", "scale", "idx", "q")
+
+
+@query(
+    "funnel_3step_1day",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 1 DAY
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 1 DAY
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+)
+def funnel_3step_1day(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click ≤1d → purchase ≤1d):
+    per-stage first-event times via joins back to the event stream —
+    each stage is one groupBy + one equi-join on user_id, so the whole
+    funnel co-partitions on the user key (a single shuffle family at
+    scale, no windows over the full stream)."""
+    e = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+    ), freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t
+    ), ranked AS (
+      SELECT t, n,
+             row_number() OVER (ORDER BY n DESC, t ASC) AS rnk,
+             CAST(sum(n) OVER (ORDER BY n DESC, t ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n,
+             CAST((SELECT sum(n) FROM freq) AS BIGINT) AS total_n
+      FROM freq
+    )
+    SELECT t AS token, n, rnk AS rank,
+           CAST(cum_n AS DOUBLE) / total_n AS cum_share
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf check for tokenizer/vocab planning: top-100 tokens with
+    cumulative corpus coverage. Counts and cumulative sums stay exact
+    BIGINT (window over ordered longs); only the final share is one
+    IEEE division — bit-reproducible cross-engine."""
+    d = load(spark, sf, "documents")
+    freq = (
+        d.select(F.explode(tx.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
+    total = freq.agg(F.sum("n").alias("total_n"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_n",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("token"),
+            "n",
+            "rank",
+            (F.col("cum_n").cast("double") / F.col("total_n")).alias("cum_share"),
+        )
+    )
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE n_chars >= 200
+        AND len(string_split_regex(trim(text), '\\s+')) >= 30
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id, max(n_chars) AS n_chars
+      FROM kept GROUP BY md5(text)
+    ), split AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_chars,
+                   CAST(CAST(concat('0x', substr(md5(concat('split1',
+                        CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT)
+                     AS b
+            FROM dedup)
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY split
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation story in one plan: quality gate (length +
+    token floor) → exact dedup (md5 groups, min-id canonical) → stable
+    content-hash split assignment → per-split accounting. Every stage is
+    a hash aggregate or a stateless projection — the whole pipeline is
+    two shuffles (dedup groupBy, final groupBy) regardless of corpus
+    size."""
+    from ..functions.curation import train_val_test_split
+
+    d = load(spark, sf, "documents")
+    kept = d.filter(
+        (F.col("n_chars") >= 200) & (F.size(tx.tokens("text")) >= 30)
+    )
+    dedup = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"), F.max("n_chars").alias("n_chars")
+    )
+    split = train_val_test_split(dedup, "doc_id").select(
+        "doc_id", "n_chars", "split"
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
