@@ -2745,3 +2745,78 @@ def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "agg_grouped_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(c, 0.5) AS p50,
+           quantile_cont(c, 0.9) AS p90,
+           quantile_cont(c, 0.99) AS p99
+    FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+    GROUP BY event_type
+    """,
+)
+def agg_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT grouped percentiles over integer cents: Spark percentile()
+    and DuckDB quantile_cont() share the linear-interpolation order
+    statistic, verified bit-identical. (approx_percentile is the
+    at-scale alternative; exact percentile shuffles each group's values
+    — fine for bounded group counts, and the oracle-checkable form.)"""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(c, 0.5D)").alias("p50"),
+            F.expr("percentile(c, 0.9D)").alias("p90"),
+            F.expr("percentile(c, 0.99D)").alias("p99"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(datediff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT)
+               AS week_n
+      FROM events e JOIN f1rst f ON e.user_id = f.user_id
+    )
+    SELECT cohort, week_n, CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort, week_n
+    """.replace("f1rst", "first"),
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, active
+    user counts per subsequent week. Both engines truncate to week
+    starts, so the week offset is an exact integer (day diff / 7).
+    Scale shape: one groupBy for cohorts (broadcastable), a distinct on
+    (user, week) — the event stream is touched twice, shuffled on
+    user_id both times."""
+    e = load(spark, sf, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        e.join(first, on="user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .dropDuplicates(["user_id", "cohort", "week_n"])
+    )
+    return act.groupBy("cohort", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
