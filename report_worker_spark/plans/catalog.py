@@ -2820,3 +2820,91 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return act.groupBy("cohort", "week_n").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payload handling: typed extraction from a JSON
+    string column (the events side-channel). get_json_object stays in
+    codegen; at scale prefer from_json to a struct once if many keys
+    are read (single parse instead of N)."""
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
+    )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style compaction: one surviving row per key, latest by
+    (ts, event_id) — the keep-latest half of upsert semantics (the
+    reference's INSERT IGNORE is keep-first; both ship). Single window
+    over the key partition, no join."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, date_trunc('week', day) AS week,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(sum_c) AS BIGINT) AS sum_c
+    FROM daily GROUP BY event_type, date_trunc('week', day)
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view maintenance shape: daily partial aggregates
+    merged upward into weekly rollups — counts and integer-cent sums
+    are re-aggregable (mergeable), so incremental refresh never touches
+    raw events twice. The same two-level plan is how a 100 TB pipeline
+    keeps hot rollups: partial aggs land per partition-day, merges read
+    only partials."""
+    e = load(spark, sf, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+    )
+    return (
+        daily.groupBy(
+            "event_type", F.date_trunc("week", F.col("day")).alias("week")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c"))
+    )
