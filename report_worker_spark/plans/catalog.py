@@ -2908,3 +2908,42 @@ def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c"))
     )
+
+
+def _zorder_oracle() -> str:
+    """CTE-chain twin of util.zorder_key_2d (nesting the spread inline
+    would duplicate the base expression 2^5 times)."""
+    steps = [  # decimal: DuckDB's parser has no 0x integer literals
+        (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    ctes = ["s0 AS (SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS xa,"
+            " CAST(event_id % 1024 AS BIGINT) AS xb FROM events)"]
+    for n, (sh, m) in enumerate(steps, start=1):
+        ctes.append(
+            f"s{n} AS (SELECT event_id, ((xa | (xa << {sh})) & {m}) AS xa,"
+            f" ((xb | (xb << {sh})) & {m}) AS xb FROM s{n - 1})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT event_id, (xa | (xb << 1)) AS zkey FROM s{len(steps)}"
+    )
+
+
+@query("zorder_cluster_key", oracle=_zorder_oracle())
+def zorder_cluster_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — sort/write
+    by zkey and BOTH columns stay locally dense per file/row-group, so
+    min/max pruning works for range predicates on either dimension
+    (what OPTIMIZE ZORDER does in lakehouse engines; here it pairs with
+    util.compact_parquet(sort_by=[zkey]))."""
+    from ..util import zorder_key_2d
+
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        zorder_key_2d(F.col("user_id") % 1024, F.col("event_id") % 1024).alias(
+            "zkey"
+        ),
+    )

@@ -79,3 +79,31 @@ def pickle_by_value(module) -> None:
         cloudpickle.register_pickle_by_value(module)
     except Exception:  # noqa: BLE001 — best-effort; by-reference still works in-repo
         pass
+
+
+def zorder_key_2d(a, b):
+    """64-bit Z-order (Morton) key interleaving two 31-bit non-negative
+    ints — the clustering key for 2-dimensional min/max pruning: sorting
+    a table by z(a, b) keeps BOTH columns' values locally dense in every
+    file/row-group, so range predicates on either dimension prune. Pure
+    bit arithmetic (magic-number bit spreading), identical in ANSI SQL.
+
+    Pair with ``compact_parquet(sort_by=[zkey])``: the poor man's
+    Z-order clustering (what Delta/Iceberg OPTIMIZE ZORDER does).
+    """
+    from pyspark.sql import Column, functions as F
+
+    def spread_bits(c) -> "Column":
+        x = (c if isinstance(c, Column) else F.col(c)).cast("long")
+        for sh, mask in [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]:
+            # Column.__or__ is logical OR — bitwiseOR is the bit op
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
