@@ -1962,10 +1962,46 @@ def scd2_dim_history(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_merge(cur, upd, key="k", attrs=["seg"], effective_col="eff")
 
 
-@query("dedup_canonical_docs")  # component labels: iterative, rows-only
+@query(
+    "dedup_canonical_docs",
+    # the iterative label-propagation result is reproducible in ANSI SQL
+    # with a recursive CTE: min reachable id == connected component
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), drop_ids AS (SELECT node AS doc_id FROM rec WHERE node <> comp)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
 def dedup_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END fuzzy dedup: jaccard candidate pairs → connected
-    components → keep one canonical doc per cluster."""
+    components (label propagation, localCheckpoint per round) → keep one
+    canonical (min-id) doc per cluster. The oracle reproduces the
+    fixpoint with a recursive CTE, so the distributed iteration is
+    hash-checked, not just row-counted."""
     d = load(spark, sf, "documents")
     pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
     return dd.dedup_canonical(d, pairs).select("doc_id", "source", "n_chars")
