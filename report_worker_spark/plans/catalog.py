@@ -2994,3 +2994,69 @@ def zorder_cluster_key(spark: SparkSession, sf: str) -> DataFrame:
             "zkey"
         ),
     )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             CAST(CAST(concat('0x', substr(md5(concat('strat1',
+                  CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
+      FROM documents)
+    WHERE (source = 'web' AND b < 5)
+       OR (source = 'books' AND b < 50)
+       OR (source NOT IN ('web', 'books') AND b < 20)
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling with per-source rates (down-weight crawl,
+    keep books) — deterministic content-hash buckets, NOT sampleBy():
+    Bernoulli sampling is partitioning-dependent, so a re-read with
+    different parallelism would change the sample. One projection + one
+    filter; no shuffle."""
+    from ..functions.curation import hash_bucket
+
+    d = load(spark, sf, "documents")
+    b = hash_bucket("doc_id", "strat1")
+    rate = (
+        F.when(F.col("source") == "web", F.lit(5))
+        .when(F.col("source") == "books", F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    return d.filter(b < rate).select("doc_id", "source")
+
+
+@query(
+    "stats_key_skew",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(max(n) AS BIGINT) AS max_n,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM f
+    )
+    SELECT n_keys, total, max_n,
+           CAST(max_n AS DOUBLE) * n_keys / total AS skew_factor
+    FROM t
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-planning diagnostic: hottest-key share vs uniform
+    (skew_factor = max·keys/total; 1.0 = perfectly uniform). The number
+    that decides between a plain shuffle, AQE skew-join, and manual
+    salting (agg_salted_twophase) before a 100 TB job runs."""
+    e = load(spark, sf, "events")
+    f = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+    )
+    return t.select(
+        "n_keys", "total", "max_n",
+        (F.col("max_n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+            "skew_factor"
+        ),
+    )

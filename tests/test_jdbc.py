@@ -243,3 +243,23 @@ def test_jdbc_star_sink_stream_idempotent(spark, derby_url):
     }
     assert counts1 == counts2
     assert [s["status"] for s in sink.stats] == ["ok", "ok"]
+
+
+def test_staged_txn_rolls_back_atomically(spark, derby_url):
+    """staged_not_exists_txn is ONE transaction: if any stage's target
+    is missing, earlier stages' insert-selects must roll back too."""
+    _exec(spark, derby_url, "CREATE TABLE tgt_a (k BIGINT)")
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(Exception):
+        j.staged_not_exists_txn(
+            spark, derby_url,
+            [("tgt_a", a, ["k"]), ("tgt_missing", a, ["k"])],
+            insert_verb="INSERT INTO",
+        )
+    assert _count(spark, derby_url, "tgt_a") == 0  # rolled back
+    # and a clean retry succeeds (staging tables are reusable scratch)
+    out = j.staged_not_exists_txn(
+        spark, derby_url, [("tgt_a", a, ["k"])], insert_verb="INSERT INTO"
+    )
+    assert out == {"tgt_a": 2}
+    assert _count(spark, derby_url, "tgt_a") == 2
