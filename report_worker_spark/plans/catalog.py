@@ -3060,3 +3060,45 @@ def stats_key_skew(spark: SparkSession, sf: str) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+@query(
+    "curation_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(tokens_before / 2048) AS BIGINT) AS pack_id,
+           tokens_before % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk): documents in
+    stable id order, each assigned the 2048-token pack where its first
+    token lands (the standard LLM pretraining packing approximation).
+    Exact integer running sums; the global ordered window is the
+    test-scale form — at 100 TB the same math runs per shard with
+    per-shard token offsets aggregated once (two-pass prefix sum)."""
+    d = load(spark, sf, "documents")
+    t = d.select("doc_id", tx.token_count("text").cast("long").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / 2048).alias("pack_id"),
+        (F.col("tokens_before") % 2048).alias("pack_offset"),
+    )
