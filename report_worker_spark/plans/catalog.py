@@ -3102,3 +3102,52 @@ def curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("tokens_before") / 2048).alias("pack_id"),
         (F.col("tokens_before") % 2048).alias("pack_offset"),
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           unnest(range(1, len(t) - 1)) AS r(i)
+    ), per AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n FROM grams
+      GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_grams,
+           CAST(max(n) AS BIGINT) AS max_gram,
+           CAST(max(n) AS DOUBLE) / sum(n) AS repetition_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Degenerate-repetition signal (the '3-gram repetition ratio'
+    quality filter for LLM corpora): share of a doc's 3-grams taken by
+    its single most repeated 3-gram. All-occurrence grams (not
+    distinct), exact integer counts, one IEEE division."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = tx.tokens("text")
+    sz = F.size(toks)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, sz - F.lit(2)) for i in range(3)]
+    )
+    grams = F.when(
+        sz >= 3,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
+    )
+    per = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.max("n").alias("max_gram"),
+        (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
+    )
