@@ -3151,3 +3151,61 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n").alias("max_gram"),
         (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
     )
+
+
+@query(
+    "ts_rolling_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS day_n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, day_n,
+           CAST(sum(c) OVER w AS BIGINT) AS sum_7d_cents,
+           CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(c) OVER w AS DOUBLE) / sum(n) OVER w AS avg_7d_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_n
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day per-user statistics: daily pre-aggregation (the
+    shuffle) then an integer RANGE frame over day numbers — the frame
+    sees calendar gaps, unlike ROWS. Sums stay exact BIGINT cents; the
+    average is one IEEE division. At scale the daily rollup is the
+    stored table (see agg_incremental_merge) and the window runs over
+    ~365 rows per user-year, not raw events."""
+    e = load(spark, sf, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("day_n"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "day_n")
+        .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_n")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day_n",
+        F.sum("c").over(w).alias("sum_7d_cents"),
+        F.sum("n").over(w).alias("n_7d"),
+        (F.sum("c").over(w).cast("double") / F.sum("n").over(w)).alias(
+            "avg_7d_cents"
+        ),
+    )
