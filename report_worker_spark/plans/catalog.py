@@ -3209,3 +3209,68 @@ def ts_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
             "avg_7d_cents"
         ),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS day_n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, d.day_n, d.c,
+           (CAST(d.c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt(CAST(m.ss AS DOUBLE) / m.n
+                    - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n))
+             AS z
+    FROM daily d JOIN m ON d.user_id = m.user_id
+    WHERE abs((CAST(d.c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt(CAST(m.ss AS DOUBLE) / m.n
+                    - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)))
+          > 2.0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user anomalous days (|z| > 2 vs the user's own daily
+    distribution). Moments accumulate as exact BIGINT (Σc, Σc²); mean,
+    variance, sqrt and the z itself are the identical float expression
+    on both engines, so even the flagged boundary cases agree
+    bit-for-bit. Shape: daily rollup → per-user moment agg (broadcast)
+    → flag — no window over raw events."""
+    e = load(spark, sf, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("day_n"),
+            F.round(F.col("value") * 100).cast("long").alias("c0"),
+        )
+        .groupBy("user_id", "day_n")
+        .agg(F.sum("c0").alias("c"))
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(m), on="user_id")
+        .select("user_id", "day_n", "c", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
