@@ -30,6 +30,45 @@ def deterministic_sample(
     return df.filter(hash_bucket(id_col, salt) < fraction_pct)
 
 
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking (the LLM-context splitter):
+    whitespace tokens, chunks of ``window`` tokens starting every
+    ``stride`` tokens, so consecutive chunks overlap by
+    ``window - stride``. Returns one row per chunk with its index,
+    1-based token start, token count, and an md5 content hash (the
+    dedup/join key for chunk-level pipelines).
+
+    Pure JVM expressions: split → sequence → explode → slice. Embarrassingly
+    parallel (no shuffle); chunk fan-out is bounded by doc length /
+    stride, so the op scales linearly with corpus size.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    t = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start"), window)
+    return t.select(
+        id_col,
+        F.expr(f"CAST((chunk_start - 1) DIV {stride} AS BIGINT)").alias(
+            "chunk_idx"
+        ),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -92,6 +92,47 @@ def quality_score(df: DataFrame) -> DataFrame:
     )
 
 
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021, public
+    rule set), each as an independent boolean plus the conjunction:
+
+    - ``flag_len``:     token count in [50, 100000]
+    - ``flag_avg_len``: mean token length in [3, 10]
+    - ``flag_alpha``:   >80% of tokens contain an ASCII letter
+    - ``flag_stop``:    ≥2 (lowercased) English stopword hits
+    - ``gopher_pass``:  all of the above
+
+    All JVM higher-order expressions (no shuffle, no Python). Ratios
+    are raw IEEE divisions so an ANSI twin reproduces boundary cases
+    bit-for-bit.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    no_ws = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    avg_len = no_ws.cast("double") / n_tok
+    alpha_ratio = alpha.cast("double") / n_tok
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stop_hits", stop.cast("long"))
+        .withColumn("flag_len", (n_tok >= 50) & (n_tok <= 100000))
+        .withColumn("flag_avg_len", (avg_len >= 3.0) & (avg_len <= 10.0))
+        .withColumn("flag_alpha", alpha_ratio > 0.8)
+        .withColumn("flag_stop", stop >= 2)
+        .withColumn(
+            "gopher_pass",
+            F.col("flag_len")
+            & F.col("flag_avg_len")
+            & F.col("flag_alpha")
+            & F.col("flag_stop"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """N-gram-free heuristic language ID: arg-max of per-language
     stopword hit counts, 'und' (undetermined) when all zero.

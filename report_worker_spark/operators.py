@@ -173,3 +173,43 @@ def scd2_merge(
         .unionByName(still_open.select(*cols))
         .unionByName(opened.select(*cols))
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy string matching via blocked edit distance: candidate pairs
+    come ONLY from an equi-join on a blocking key (never an all-pairs
+    cross join), then ``levenshtein`` — a JVM built-in — filters to
+    near-matches. Returns (id_a, id_b, name_a, name_b, dist) with
+    id_a < id_b.
+
+    Scale shape: one shuffle on the blocking key; per-block fan-out is
+    quadratic in BLOCK size only, so the blocking function (phonetic
+    key, char n-gram, sorted-token prefix, …) is the scaling knob —
+    the same pattern record-linkage systems use. Skewed blocks can be
+    salted upstream exactly like any hot join key.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.col(block_col).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.col(block_col).alias("_blk"),
+    )
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .drop("_blk")
+    )

@@ -3274,3 +3274,302 @@ def ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "day_n", "c", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.0)
     )
+
+
+@query(
+    "curation_chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((gs.start - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(gs.start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(t.t, gs.start, gs.start + 31)) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(list_slice(t.t, gs.start, gs.start + 31), ' '))
+             AS chunk_hash
+    FROM t, unnest(range(1, greatest(t.n, 1) + 1, 24)) AS gs(start)
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking for LLM context building: 32-token
+    chunks every 24 tokens (8-token overlap), one content-hash per
+    chunk. split → sequence → explode → slice, all JVM, no shuffle."""
+    from ..functions import curation as cu
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    return cu.chunk_with_overlap(d, window=32, stride=24)
+
+
+@query(
+    "text_gopher_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(no_ws AS DOUBLE) / len(t) AS avg_token_len,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(t) AS alpha_ratio,
+             CAST(len(list_filter(t, x -> list_contains(
+                  ['the','a','an','of','and','to','in','is','it','that'],
+                  lower(x)))) AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens, avg_token_len, alpha_ratio, stop_hits,
+           n_tokens >= 50 AND n_tokens <= 100000 AS flag_len,
+           avg_token_len >= 3.0 AND avg_token_len <= 10.0 AS flag_avg_len,
+           alpha_ratio > 0.8 AS flag_alpha,
+           stop_hits >= 2 AS flag_stop,
+           (n_tokens >= 50 AND n_tokens <= 100000)
+             AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
+             AND alpha_ratio > 0.8 AND stop_hits >= 2 AS gopher_pass
+    FROM f
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule-set quality filter (length, mean token length,
+    alpha-word ratio, stopword floor) with per-rule flags."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    return tx.gopher_flags(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio", "stop_hits",
+        "flag_len", "flag_avg_len", "flag_alpha", "flag_stop", "gopher_pass",
+    )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_name, c_custkey % 40 AS blk FROM customer)
+    SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+           x.c_name AS name_a, y.c_name AS name_b,
+           CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+    FROM a x JOIN a y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+    WHERE levenshtein(x.c_name, y.c_name) <= 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy self-match on customer names (edit distance ≤ 1
+    within a blocking key) — the record-linkage primitive behind fuzzy
+    dedup of entity names. Reference sanitizes names for exact-match
+    joins (src/app/controllers/player.py:23-24); this is the
+    approximate generalization."""
+    from ..operators import blocked_levenshtein_pairs
+
+    c = load(spark, sf, "customer").withColumn(
+        "blk", F.col("c_custkey") % 40
+    )
+    return blocked_levenshtein_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_col="blk", max_dist=1
+    ).select(
+        F.col("id_a"), F.col("id_b"),
+        F.col("name_a"), F.col("name_b"), F.col("dist"),
+    )
+
+
+@query(
+    "olap_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def olap_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: existential semi-join with an inequality on the
+    correlated row, then a tiny aggregate. Catalyst plans the EXISTS as
+    a left-semi hash join on l_orderkey (the inequality stays a join
+    residual) — one shuffle each side, no correlated per-row subquery
+    execution anywhere."""
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate")
+        > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.alias("o")
+        .join(l.alias("l"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "olap_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 120
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def olap_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): pre-aggregate the fact to
+    its join key FIRST (map-side-combinable sum + HAVING shrinks the
+    fact by ~orders-per-key before any join), then two dim joins that
+    AQE turns into broadcasts at these sizes. Quantities are integral
+    in the data — summed as BIGINT, so the HAVING boundary is exact."""
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "ts_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def ts_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event-transition counts (the Markov-chain input for
+    sequence modeling / funnel discovery): one window pass per user in
+    (ts, event_id) order, then a tiny (type × type) aggregate. The
+    shuffle is on user_id; the agg output is |types|² rows regardless
+    of input size."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ts_inter_arrival",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS DOUBLE) / count(gap_s) AS avg_gap_s
+    FROM o WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_inter_arrival(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event gap statistics per event type: per-user lag over
+    integer epoch seconds (exact BIGINT gaps), aggregated with exact
+    sums; the mean is the only float op. Window shuffle on user_id,
+    then a |types|-row aggregate."""
+    e = load(spark, sf, "events")
+    epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    )
+    return (
+        o.filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            (F.sum("gap_s").cast("double") / F.count("gap_s")).alias(
+                "avg_gap_s"
+            ),
+        )
+    )
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank, cume_dist,
+    rank) — both engines use the ANSI definitions, and percent_rank's
+    (rank-1)/(n-1) divides identical integers, so ties and boundaries
+    agree bit-for-bit."""
+    c = load(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of cube/rollup):
+    Catalyst expands the sets into one Expand + single hash aggregate —
+    one shuffle regardless of how many sets. Exact integer measures."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
