@@ -1,0 +1,160 @@
+"""Unit + plan-shape tests for the chunking / Gopher / fuzzy-match
+operators, cross-checked against independent pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from report_worker_spark.functions.curation import chunk_with_overlap
+from report_worker_spark.functions.text import gopher_flags
+from report_worker_spark.operators import blocked_levenshtein_pairs
+from tests.test_scale_plans import plan_of
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog " * 12,
+    "one two three",
+    "solo",
+    "  padded   with   runs\tof\nwhitespace  ",
+    "a " * 100,
+]
+
+
+def _py_chunks(text: str, window: int, stride: int):
+    toks = re.split(r"\s+", text.strip())
+    n = max(len(toks), 1)
+    out = []
+    for i, start in enumerate(range(1, n + 1, stride)):
+        chunk = toks[start - 1 : start - 1 + window]
+        h = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+        out.append((i, start, len(chunk), h))
+    return out
+
+
+def test_chunk_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_tokens, r.chunk_hash)
+        for r in chunk_with_overlap(df, window=8, stride=5).collect()
+    }
+    want = {
+        (i, *c) for i, t in enumerate(TEXTS) for c in _py_chunks(t, 8, 5)
+    }
+    assert got == want
+
+
+def test_chunk_covers_every_token(spark):
+    """Every token position lands in ≥1 chunk; consecutive chunks
+    overlap by window - stride."""
+    df = spark.createDataFrame([(0, TEXTS[0])], ["doc_id", "text"])
+    rows = sorted(
+        chunk_with_overlap(df, window=8, stride=5).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    n_tokens = len(TEXTS[0].split())
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
+    assert covered == set(range(1, n_tokens + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.chunk_start - a.chunk_start == 5
+
+
+def test_chunk_plan_has_no_shuffle(spark, sf_oracle):
+    df = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = plan_of(chunk_with_overlap(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    names = [
+        (1, "alice"), (2, "alicia"), (3, "alise"), (4, "bob"),
+        (5, "rob"), (6, "bobb"), (7, "carol"), (8, "carole"),
+    ]
+    df = spark.createDataFrame(names, ["id", "name"]).withColumn(
+        "blk", F.col("id") % 2
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_levenshtein_pairs(
+            df, "id", "name", "blk", max_dist=2
+        ).collect()
+    }
+    want = {
+        (ia, ib, _lev(na, nb))
+        for ia, na in names
+        for ib, nb in names
+        if ia < ib and ia % 2 == ib % 2 and _lev(na, nb) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_join_is_equi_join_on_block(spark, sf_oracle):
+    """Candidate generation must be a hash equi-join on the blocking
+    key — never a cartesian/broadcast-nested-loop over all pairs."""
+    c = spark.read.parquet(f"{sf_oracle}/customer.parquet").withColumn(
+        "blk", F.col("c_custkey") % 40
+    )
+    plan = plan_of(
+        blocked_levenshtein_pairs(c, "c_custkey", "c_name", "blk")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_flags_reference_doc(spark):
+    doc = "The cat and the dog sat in the yard . " * 10  # 100 tokens
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    r = gopher_flags(df).collect()[0]
+    assert r.n_tokens == 100
+    assert r.flag_len  # 50 <= 100 <= 100000
+    assert r.flag_stop  # 'the'/'and'/'in' hits
+    assert not r.flag_avg_len  # mean len (29*10/100 = 2.9) < 3
+    assert not r.gopher_pass
+
+
+def test_gopher_plan_stays_jvm(spark, sf_oracle):
+    df = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    assert "EvalPython" not in plan_of(gopher_flags(df))
+
+
+def test_q4_plans_as_semi_join(spark, sf_oracle):
+    from report_worker_spark.plans import QUERIES
+
+    plan = plan_of(QUERIES["olap_q4_order_priority"](spark, sf_oracle))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_preaggregates_before_joins(spark, sf_oracle):
+    from report_worker_spark.plans import QUERIES
+
+    plan = plan_of(QUERIES["olap_q18_large_orders"](spark, sf_oracle))
+    assert "SortAggregate" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final before joins
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_oracle):
+    from report_worker_spark.plans import QUERIES
+
+    plan = plan_of(QUERIES["agg_grouping_sets"](spark, sf_oracle))
+    assert plan.count("Expand") >= 1
+    assert "SortAggregate" not in plan
