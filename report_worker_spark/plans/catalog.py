@@ -3573,3 +3573,95 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+@query(
+    "stats_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS bin_min,
+           CAST(max(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY event_type, floor(value / 5.0)
+    """,
+)
+def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram per event type (the distribution profile
+    behind data-quality dashboards and drift checks): bin assignment is
+    a pure projection, so the whole histogram is ONE map-side-combinable
+    aggregate — output is |types| × |bins| rows regardless of input
+    size. min/max per bin are order-independent, so floats stay exact."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("bin", F.floor(F.col("value") / 5.0).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic
+    lexicographic tiebreak. Two-level shape: count aggregate first
+    (map-side combinable, the only pass over raw data), then the
+    argmax window runs over |users| × |types| pre-aggregated rows —
+    never over raw events."""
+    e = load(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+@query(
+    "curation_kfold",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('kfold1' || CAST(doc_id AS VARCHAR)),
+                1, 4) AS INTEGER) % 5 AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def curation_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) from the same
+    content-hash bucketing as train/val/test splits: partitioning-
+    independent, stable under appends, reproducible on any engine with
+    md5 — no shuffle, no RNG state."""
+    from ..functions.curation import hash_bucket
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        (hash_bucket("doc_id", salt="kfold1", buckets=5))
+        .cast("long")
+        .alias("fold"),
+    )
