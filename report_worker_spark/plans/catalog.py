@@ -3665,3 +3665,75 @@ def curation_kfold(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("fold"),
     )
+
+
+@query(
+    "drift_psi_bins",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(n_chars // 50 AS BIGINT) AS bin,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+      FROM documents GROUP BY n_chars // 50
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS nbins
+      FROM c
+    )
+    SELECT bin, n_a, n_b,
+           round(((n_a + 0.5) / (ta + 0.5 * nbins)
+                  - (n_b + 0.5) / (tb + 0.5 * nbins))
+             * ln(((n_a + 0.5) / (ta + 0.5 * nbins))
+                  / ((n_b + 0.5) / (tb + 0.5 * nbins))), 12) AS psi_contrib
+    FROM c, t
+    """,
+)
+def drift_psi_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between even- and odd-id documents
+    over 50-char length bins — the drift admission gate for new
+    training data. Per-bin contributions (exact counts + one float
+    expression each); total PSI is the caller's sum."""
+    from ..functions import drift
+
+    d = load(spark, sf, "documents")
+    return drift.psi_bins(
+        d,
+        bin_col=F.expr("CAST(n_chars DIV 50 AS BIGINT)"),
+        group_col=F.col("doc_id") % 2,
+    )
+
+
+@query(
+    "drift_ks_2sample",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS b
+      FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT CAST(sum(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cb
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c
+    )
+    SELECT CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))
+             AS ks_stat
+    FROM cum, t
+    """,
+)
+def drift_ks_2sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS statistic on document lengths (even- vs
+    odd-id docs): ECDF deltas over the distinct-value domain, max is
+    order-independent so the float is exact."""
+    from ..functions import drift
+
+    d = load(spark, sf, "documents")
+    return drift.ks_2sample(
+        d, value_col=F.col("n_chars").cast("long"), group_col=F.col("doc_id") % 2
+    )

@@ -158,3 +158,45 @@ def test_grouping_sets_single_expand(spark, sf_oracle):
     plan = plan_of(QUERIES["agg_grouping_sets"](spark, sf_oracle))
     assert plan.count("Expand") >= 1
     assert "SortAggregate" not in plan
+
+
+def test_ks_matches_python_reference(spark):
+    from report_worker_spark.functions.drift import ks_2sample
+
+    a = [1, 2, 2, 3, 7, 9]
+    b = [2, 3, 3, 8, 8, 10, 12]
+    df = spark.createDataFrame(
+        [(x, 0) for x in a] + [(x, 1) for x in b], ["x", "grp"]
+    )
+    r = ks_2sample(df, "x", "grp").collect()[0]
+
+    def ecdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+
+    want = max(abs(ecdf(a, v) - ecdf(b, v)) for v in sorted(set(a + b)))
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert abs(r.ks_stat - want) < 1e-15
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from report_worker_spark.functions.drift import ks_2sample
+
+    rows = [(v, g) for v in [1, 5, 5, 9] for g in (0, 1)]
+    df = spark.createDataFrame(rows, ["x", "grp"])
+    assert ks_2sample(df, "x", "grp").collect()[0].ks_stat == 0.0
+
+
+def test_psi_empty_bins_stay_finite(spark):
+    import math
+
+    from report_worker_spark.functions.drift import psi_bins
+
+    # group 0 only hits bin 1, group 1 only bin 2: maximal drift, but
+    # smoothing must keep every contribution finite
+    df = spark.createDataFrame(
+        [(1, 0)] * 10 + [(2, 1)] * 10, ["bin", "grp"]
+    )
+    rows = psi_bins(df, "bin", "grp").collect()
+    assert len(rows) == 2
+    assert all(math.isfinite(r.psi_contrib) for r in rows)
+    assert sum(r.psi_contrib for r in rows) > 1.0  # large drift signal
