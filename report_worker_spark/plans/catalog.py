@@ -3737,3 +3737,84 @@ def drift_ks_2sample(spark: SparkSession, sf: str) -> DataFrame:
     return drift.ks_2sample(
         d, value_col=F.col("n_chars").cast("long"), group_col=F.col("doc_id") % 2
     )
+
+
+@query(
+    "curation_mix_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
+    )
+    SELECT source, n_docs, n_chars_total,
+           round(pow(CAST(n_docs AS DOUBLE) / total, 0.7), 12) AS w_raw
+    FROM c, t
+    """,
+)
+def curation_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based data-mix weights (the multilingual/LLM
+    up-sampling rule w ∝ p^α, α=0.7): exact per-source counts, one
+    pow() per source. Raw (unnormalized) weights are emitted because
+    the normalizing sum is a float accumulation; pow is rounded to 12
+    decimals (transcendental, like ln in drift_psi_bins). Output is
+    |sources| rows from one combinable aggregate."""
+    d = load(spark, sf, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    t = c.agg(F.sum("n_docs").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.7), 12
+        ).alias("w_raw"),
+    )
+
+
+@query(
+    "curation_length_batches",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens // 16 AS BIGINT) AS len_bucket,
+             row_number() OVER (PARTITION BY n_tokens // 16
+                                ORDER BY doc_id) AS rn
+      FROM t
+    )
+    SELECT doc_id, n_tokens, len_bucket,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch_in_bucket
+    FROM b
+    """,
+)
+def curation_length_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch assignment (pad-efficient batching: docs
+    of similar token length train together, minimizing padding waste):
+    bucket by n_tokens DIV 16, then deterministic 8-doc batches within
+    each bucket by stable id order. The window runs per bucket — at
+    scale each bucket is an independent partition, and the id-ordered
+    row_number is the only coordination."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    b = t.withColumn(
+        "len_bucket", F.expr("CAST(n_tokens DIV 16 AS BIGINT)")
+    )
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    return b.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "n_tokens",
+        "len_bucket",
+        F.expr("CAST((rn - 1) DIV 8 AS BIGINT)").alias("batch_in_bucket"),
+    )
