@@ -44,6 +44,9 @@ CATALOG_BENCH = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "curation_chunk_overlap",
+    "text_gopher_quality",
+    "drift_ks_2sample",
 ]
 
 
@@ -128,6 +131,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()  # isolate cross-query persists
+            # ContextCleaner drops stale broadcasts/shuffles only on GC;
+            # 24 queries in one JVM otherwise accumulate until a mid-query
+            # GC storm skews whichever query it lands on.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             materialize(thunk())
             best = min(best, time.perf_counter() - t0)

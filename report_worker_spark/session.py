@@ -64,7 +64,9 @@ def get_spark(
     for k, v in {**_SEMANTIC_CONF, **_PERF_CONF}.items():
         b = b.config(k, v)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    # local[N] runs driver + all executor threads in ONE JVM; size the
+    # heap for that (a cluster deployment would override per-role).
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     b = b.config("spark.ui.enabled", "false")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
