@@ -165,3 +165,59 @@ def test_hll_merge_matches_exact_within_error(spark):
     }
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05  # lgK=12 → ~1.6% rsd
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """End-to-end drift monitor: windowed bin counts stream through
+    foreachBatch PSI scoring; the scored view must equal the same math
+    run in plain batch mode."""
+    from report_worker_spark.streaming.drift import (
+        psi_against_reference,
+        run_drift_monitor,
+        windowed_bin_counts,
+    )
+
+    batch, stream = _stream_events(spark, tmp_path)
+    bin_col = F.floor(F.col("value") / 50.0).cast("long")
+    reference = (
+        batch.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+
+    q = run_drift_monitor(
+        stream,
+        reference,
+        bin_col,
+        checkpoint=str(tmp_path / "ckpt"),
+        out_table="drift_t",
+        window="6 hours",
+        watermark="12 hours",
+    )
+    q.awaitTermination(120)
+
+    views = [
+        r.viewName
+        for r in spark.sql("SHOW VIEWS IN global_temp").collect()
+        if r.viewName.startswith("drift_t_epoch_")
+    ]
+    assert views, "monitor produced no scored epochs"
+    got = spark.table(f"global_temp.{views[-1]}")
+
+    want = psi_against_reference(
+        windowed_bin_counts(batch, bin_col, window="6 hours", watermark="12 hours"),
+        reference,
+    )
+    # availableNow + watermark: the final (unclosed) windows may be held
+    # back in append mode, so the streamed scores are a subset of the
+    # batch scores over the windows that DID close — compare on those.
+    got_rows = {tuple(map(str, r)) for r in got.collect()}
+    want_rows = {tuple(map(str, r)) for r in want.collect()}
+    assert got_rows, "no scored rows"
+    assert got_rows <= want_rows
+    # the self-comparison reference: closed full windows score ~0 drift
+    # only where distributions match; just assert values are finite
+    import math
+
+    assert all(
+        math.isfinite(r.psi_contrib) for r in got.collect()
+    )
