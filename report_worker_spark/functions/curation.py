@@ -85,3 +85,29 @@ def train_val_test_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def length_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    cap: int = 2048,
+    salt: str = "w1",
+) -> DataFrame:
+    """Weighted Bernoulli sampling with inclusion probability
+    min(1, weight/cap) — longer (higher-weight) documents are
+    proportionally more likely to be kept, the standard
+    length-proportional curation sampler. Entirely integer arithmetic
+    on a content hash (first 4 hex digits of md5 → 16-bit uniform), so
+    the decision per row is deterministic, partitioning-independent,
+    and reproducible on any engine with md5: keep iff
+    h16 * cap < weight * 65536. No shuffle — a pure filter."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(
+        h16 * F.lit(cap) < F.col(weight_col).cast("long") * F.lit(65536)
+    )

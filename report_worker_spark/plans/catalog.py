@@ -3818,3 +3818,380 @@ def curation_length_batches(spark: SparkSession, sf: str) -> DataFrame:
         "len_bucket",
         F.expr("CAST((rn - 1) DIV 8 AS BIGINT)").alias("batch_in_bucket"),
     )
+
+
+# --- OLAP breadth: TPC-H Q6/Q14/Q19/Q17/Q22 shapes ---------------------------
+#
+# Same integer-cents discipline as Q1/Q3/Q5: money enters the aggregate
+# as BIGINT cents (×cents for discount products → 1e-4-dollar units,
+# suffix _c4), so every sum is order-independent and bit-identical
+# cross-engine. Ratios divide two exact BIGINTs in double at the end.
+
+_REV_C4_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_c4() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+@query(
+    "olap_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def olap_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the purest
+    scan-dominated query — every predicate pushes to the parquet scan
+    (date/discount/quantity are all min-max-prunable), and the agg is a
+    single map-side-combinable partial. At 100 TB this is the query
+    where pushdown either happens or you read the whole fact; the plan
+    test asserts PushedFilters carries all three."""
+    li = load(spark, sf, "lineitem")
+    disc_rev = F.round(F.col("l_extendedprice") * 100).cast(
+        "long"
+    ) * F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(disc_rev).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "olap_q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL}
+                         ELSE 0 END) AS BIGINT) AS promo_c4,
+           CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_c4,
+           100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL}
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({_REV_C4_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def olap_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one selective month of the
+    fact joined to the part dim, conditional sum ratio. The dim is
+    broadcast (no fact shuffle at any scale); the ratio divides two
+    exact BIGINT cents-sums in double, so it is bit-reproducible."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev_c4()).otherwise(F.lit(0))
+    ).alias("promo_c4")
+    total = F.sum(_rev_c4()).alias("total_c4")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(promo, total)
+        .select(
+            "promo_c4",
+            "total_c4",
+            (
+                F.lit(100.0)
+                * F.col("promo_c4").cast("double")
+                / F.col("total_c4").cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "olap_q19_disjunctive_pushdown",
+    oracle=f"""
+    SELECT CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def olap_q19_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three conjunctive brackets OR-ed across both join sides. Catalyst
+    factors the single-side conjuncts out of the OR — the part scan
+    keeps only rows matching SOME bracket's (brand, size) and lineitem
+    only rows in SOME quantity range — then the residual OR rides the
+    broadcast hash join. The plan test asserts both scans carry pushed
+    Or filters rather than filtering after the join."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    br = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(br)
+        .agg(
+            F.sum(_rev_c4()).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "olap_q17_small_qty_orders",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_price_c,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pa.avg_qty
+    """,
+)
+def olap_q17_small_qty_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    AVG subquery decorrelates into a per-partkey pre-aggregate joined
+    back to the fact. Quantities are integral, so sum-as-BIGINT /
+    count is an exact double and the 0.2× threshold is deterministic.
+    At scale both sides shuffle once on l_partkey; the brand filter
+    broadcasts."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "total_price_c"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "olap_q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_bal_c
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_c
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > pos.avg_bal_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def olap_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich-but-dormant
+    customers — balance above the global positive-balance average
+    (scalar subquery → one-row broadcast) and no orders since the
+    cutoff (anti-join on a pre-filtered orders side; the filter pushes
+    to the scan). Balances compare in exact integer cents against a
+    double average of exact cent sums. The anti-join shuffles on
+    custkey; at 100× the scalar pre-agg is still one row."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(bal_c).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal_c"
+            )
+        )
+    )
+    return (
+        c.withColumn("bal_c", bal_c)
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") > F.col("avg_bal_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )
+
+
+@query(
+    "curation_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('w1',
+            CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) * 2048
+          < CAST(n_chars AS BIGINT) * 65536
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-proportional document sampling: keep with probability
+    min(1, n_chars/2048) decided by pure integer arithmetic on a
+    16-bit md5 hash — deterministic, partitioning-independent, and a
+    plain filter (no shuffle, pushes after the scan). The weighted
+    counterpart of `curation_sample`'s uniform bucketing."""
+    from ..functions.curation import length_weighted_sample
+
+    d = load(spark, sf, "documents")
+    return length_weighted_sample(d).select("doc_id", "n_chars")
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), tagged AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, session_idx,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+      FROM tagged GROUP BY user_id, session_idx
+    )
+    SELECT a.user_id AS user_a, a.session_idx AS sess_a,
+           b.user_id AS user_b, b.session_idx AS sess_b,
+           CAST(least(a.end_s, b.end_s)
+                - greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_s
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (concurrent-session detection): sessions
+    from the 30-min-gap sessionizer become [start_s, end_s] intervals;
+    pairs of intervals from DIFFERENT users that overlap in time are
+    reported with their overlap length.
+
+    The oracle states the O(n²) theta-join; this side runs the plan
+    that survives scale: each interval explodes into the hour buckets
+    it covers (fan-out = session length in hours, bounded), candidate
+    pairs come from an EQUI-join on the bucket, exact overlap filters
+    false positives, and the cross-bucket duplicates collapse with one
+    distinct. No nested-loop join anywhere."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800000000),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn("new_session", new_sess)
+        .withColumn("session_idx", F.sum("new_session").over(wsum))
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.floor(F.min(F.unix_micros("ts")) / 1_000_000)
+            .cast("long")
+            .alias("start_s"),
+            F.floor(F.max(F.unix_micros("ts")) / 1_000_000)
+            .cast("long")
+            .alias("end_s"),
+        )
+    )
+    bucketed = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr("start_s DIV 3600"), F.expr("end_s DIV 3600")
+            )
+        ),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_s") <= F.col("b.end_s"))
+            & (F.col("b.start_s") <= F.col("a.end_s")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_idx").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_idx").alias("sess_b"),
+            (
+                F.least(F.col("a.end_s"), F.col("b.end_s"))
+                - F.greatest(F.col("a.start_s"), F.col("b.start_s"))
+            ).alias("overlap_s"),
+        )
+        .distinct()
+    )
+    return pairs

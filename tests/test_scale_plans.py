@@ -182,3 +182,34 @@ def test_decontaminate_broadcasts_bench_grams(spark, sf_oracle):
     plan = plan_of(QUERIES["curation_decontaminate"](spark, sf_oracle))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_olap_q6_all_predicates_push_to_scan(spark, sf_oracle):
+    """Q6 is scan-dominated: date window, discount band, and quantity
+    cap must ALL reach the parquet reader as pushed filters."""
+    plan = plan_of(QUERIES["olap_q6_forecast_revenue"](spark, sf_oracle))
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_olap_q19_disjunction_pushes_per_side(spark, sf_oracle):
+    """Catalyst must factor single-side conjuncts out of the OR so each
+    scan is filtered before the join — Or(...) filters on both scans,
+    and the join itself is a broadcast, never a nested loop."""
+    plan = plan_of(QUERIES["olap_q19_disjunctive_pushdown"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan  # part-side OR
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan  # fact-side
+
+
+def test_interval_overlap_is_equi_join(spark, sf_oracle):
+    """The interval-overlap join must run as an equi-join on the hour
+    bucket (overlap predicates as residuals), never a nested loop over
+    all session pairs."""
+    plan = plan_of(QUERIES["join_interval_overlap"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
