@@ -47,6 +47,8 @@ CATALOG_BENCH = [
     "curation_chunk_overlap",
     "text_gopher_quality",
     "drift_ks_2sample",
+    "olap_q6_forecast_revenue",
+    "join_interval_overlap",
 ]
 
 

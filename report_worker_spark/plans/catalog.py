@@ -4195,3 +4195,132 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7]
+                            for i in range(1, len(t) - 6)]) AS g
+      FROM toks WHERE len(t) >= 8
+    ), ex AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+    ), firstd AS (
+      SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY gram
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM ex e JOIN firstd f ON e.gram = f.gram
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-order n-gram novelty (the curation signal behind 'is this
+    document new information or a remix'): per doc, the share of its
+    distinct 8-grams whose global first occurrence (min doc_id) is this
+    very doc. Inverted-index shape — one shuffle of (gram, doc_id)
+    pairs to find per-gram first owners, one equi-join back, one
+    per-doc agg. Novelty divides two exact BIGINTs in double."""
+    from ..functions.dedup import word_shingles
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    ex = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
+    )
+    firstd = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ex.join(firstd, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("novel_grams"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "cust_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(date_diff('day', max(o.o_orderdate),
+                            TIMESTAMP '2002-01-01') AS BIGINT) AS r_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    )
+    SELECT c_custkey, c_nationkey, r_days, freq, monetary_c,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY r_days ASC, c_custkey ASC)
+                AS BIGINT) AS r_q,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY freq DESC, c_custkey ASC)
+                AS BIGINT) AS f_q,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY monetary_c DESC, c_custkey ASC)
+                AS BIGINT) AS m_q
+    FROM m
+    """,
+)
+def cust_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles), the
+    classic customer-analytics operator. Metrics are exact integers
+    (days, counts, cents); quartiles are ntile(4) PER NATION with a
+    full custkey tiebreak — deterministic, and the windows parallelize
+    across nations instead of forcing one global sort partition (the
+    scale trap of ungrouped ntile)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    m = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("timestamp"),
+                F.max("o_orderdate"),
+            )
+            .cast("long")
+            .alias("r_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_c"
+            ),
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("r_days").asc(), F.col("c_custkey").asc()
+    )
+    wf = Window.partitionBy("c_nationkey").orderBy(
+        F.col("freq").desc(), F.col("c_custkey").asc()
+    )
+    wm = Window.partitionBy("c_nationkey").orderBy(
+        F.col("monetary_c").desc(), F.col("c_custkey").asc()
+    )
+    return m.select(
+        "c_custkey",
+        "c_nationkey",
+        "r_days",
+        "freq",
+        "monetary_c",
+        F.ntile(4).over(wr).cast("long").alias("r_q"),
+        F.ntile(4).over(wf).cast("long").alias("f_q"),
+        F.ntile(4).over(wm).cast("long").alias("m_q"),
+    )

@@ -174,3 +174,39 @@ import sys as _sys
 from ..util import pickle_by_value as _pbv
 
 _pbv(_sys.modules[__name__])
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a bounded event-time interval —
+    the Structured Streaming join that stays O(watermark) in state:
+    both sides are watermarked, and the time-range condition
+    (``l.ts <= r.ts <= l.ts + within``) lets the engine expire buffered
+    rows once the watermark passes, instead of holding each side
+    forever (an unbounded stream-stream join is the 100 TB
+    state-explosion trap). Works identically on batch frames (the
+    watermark is a no-op there), which is how the test equates the two.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("ts_left"),
+        F.col("l.event_id").alias("event_left"),
+        F.col(f"r.{ts_col}").alias("ts_right"),
+        F.col("r.event_id").alias("event_right"),
+    )

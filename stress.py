@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scale stress: run the heavy operator family at ~10x sf0.1 (~sf1).
+
+The driver testdata stops at sf0.1; this script synthesizes an sf~1
+workload by unioning the sf0.1 tables k times with key offsets and a
+per-replica text/vector perturbation (so dedup/ANN ops see real new
+content, not k identical copies), then times the operators whose scale
+behavior matters most. Run manually:
+
+    python stress.py            # k=10 (~sf1), prints one JSON line
+    STRESS_K=4 python stress.py
+
+Nothing here runs in the pytest gate — it is evidence, not CI: the
+point is that per-op wall time grows ~linearly in k while the plans
+stay the bucketed/equi-join shapes asserted in tests/test_scale_plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F
+
+from report_worker_spark.functions import dedup as dd
+from report_worker_spark.functions import similarity as sim
+from report_worker_spark.functions import text as tx
+from report_worker_spark.functions.curation import chunk_with_overlap
+from report_worker_spark.plans.tables import load
+from report_worker_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = int(os.environ.get("STRESS_K", "10"))
+
+
+def upscale_documents(spark, k: int) -> DataFrame:
+    """k replicas; each replica perturbs the text tail with a replica
+    token so exact/near-dup ops keep realistic (not degenerate) overlap:
+    replica 0 is pristine, others are near-dups of it."""
+    d = load(spark, SF_DIR, "documents")
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+    return d.crossJoin(F.broadcast(reps)).select(
+        (
+            F.col("doc_id") + F.col("rep").cast("long") * F.lit(1_000_000_000)
+        ).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("rep")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def upscale_embeddings(spark, k: int) -> DataFrame:
+    """k replicas with a tiny deterministic per-replica rotation of one
+    coordinate — keeps vectors near the originals (ANN-realistic)."""
+    e = load(spark, SF_DIR, "embeddings")
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+    nudge = ((F.col("rep") % 7).cast("float") * F.lit(0.001)).cast("float")
+    return e.crossJoin(F.broadcast(reps)).select(
+        (
+            F.col("vec_id") + F.col("rep").cast("long") * F.lit(1_000_000_000)
+        ).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(i == 0, (v + nudge).cast("float")).otherwise(v),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def main() -> None:
+    spark = get_spark("rws-stress")
+    docs = upscale_documents(spark, K)
+    emb = upscale_embeddings(spark, K)
+    n_docs = docs.count()
+    n_emb = emb.count()
+
+    def timed(df: DataFrame) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    timings = {
+        "dedup_exact": timed(dd.exact_dedup_groups(docs)),
+        "dedup_minhash_lsh": timed(
+            dd.minhash_lsh_verified_pairs(docs, threshold=0.8)
+        ),
+        "dedup_simhash": timed(dd.simhash_pairs(docs, max_hamming=3)),
+        "dedup_ngram_jaccard": timed(
+            dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=500 * K)
+        ),
+        "text_stats": timed(tx.with_text_stats(docs)),
+        "chunk_overlap": timed(chunk_with_overlap(docs)),
+        "sim_lsh_topk": timed(
+            sim.lsh_topk(emb, k=5, n_planes=6, n_tables=6, dim=64)
+        ),
+        "sim_ivf_topk": timed(sim.ivf_topk(emb, k=5, n_centroids=64, n_probe=8)),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_total",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": timings,
+                "k": K,
+                "n_docs": n_docs,
+                "n_embeddings": n_emb,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,41 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
     assert all(
         math.isfinite(r.psi_contrib) for r in got.collect()
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two real file streams (events split by id parity), watermarked
+    interval join — every pair the batch join produces must come out of
+    the streaming join under availableNow (inner join emits eagerly;
+    nothing is withheld once both inputs are exhausted)."""
+    from report_worker_spark.streaming.stateful import stream_interval_join
+
+    e = load(spark, "/root/testdata/sf0.001", "events").limit(4000)
+    src_a, src_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    a_batch = e.filter(F.col("event_id") % 2 == 0)
+    b_batch = e.filter(F.col("event_id") % 2 == 1)
+    a_batch.write.parquet(src_a)
+    b_batch.write.parquet(src_b)
+    sa = spark.readStream.schema(e.schema).parquet(src_a)
+    sb = spark.readStream.schema(e.schema).parquet(src_b)
+
+    q = (
+        stream_interval_join(sa, sb)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM ssj").collect())
+    )
+    expect = sorted(
+        map(
+            tuple,
+            stream_interval_join(a_batch, b_batch).collect(),
+        )
+    )
+    assert len(expect) > 0
+    assert got == expect
