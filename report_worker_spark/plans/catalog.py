@@ -4324,3 +4324,452 @@ def cust_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.ntile(4).over(wf).cast("long").alias("f_q"),
         F.ntile(4).over(wm).cast("long").alias("m_q"),
     )
+
+
+@query(
+    "olap_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def olap_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    named nations in both directions, by ship year. The two nation
+    lookups and supplier/customer dims broadcast; only the
+    lineitem-orders join shuffles (on orderkey), and the symmetric
+    nation disjunction is applied after the broadcast joins, where it
+    costs nothing. Revenue in exact c4 integers."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    both = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(both)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(_rev_c4()).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "olap_q9_nation_part_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, l_year
+    """,
+)
+def olap_q9_nation_part_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year), reshaped
+    for the reduced schema: the testdata has no partsupp/ps_supplycost,
+    so profit degrades to discounted revenue — the plan shape (LIKE
+    filter on part, star joins out to supplier nation, group by
+    nation x year) is the point. The part filter broadcasts AND prunes:
+    ~13% of parts survive, so the fact join drops rows before the agg
+    shuffle."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+    )
+
+
+@query(
+    "olap_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY c.c_custkey, c.c_name, nation, acctbal_c
+    ORDER BY revenue_c4 DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def olap_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a half-year window. The returnflag and
+    date filters push to the scans; customer/nation broadcast; the
+    global top-20 is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition top-20 then a 20-row driver
+    merge — no global sort shuffle, the only top-k plan that survives
+    100 TB). Exact-cents revenue with a custkey tiebreak makes the
+    selected SET deterministic."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "olap_q12_ship_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                  THEN 'lt30'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 60
+                  THEN 'lt60'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                  THEN 'lt90'
+                ELSE 'ge90' END AS delay_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY delay_bucket
+    """,
+)
+def olap_q12_ship_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority analysis), reshaped: the
+    testdata has no l_shipmode/commitdate/receiptdate, so the grouping
+    dimension becomes the order-to-ship delay bucket and the
+    high/low-priority conditional counts are kept verbatim. One
+    fact-fact join on orderkey (both sides pre-filtered), one 4-group
+    agg. Day arithmetic on UTC-midnight timestamps is exact."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(dd < 30, "lt30")
+        .when(dd < 60, "lt60")
+        .when(dd < 90, "lt90")
+        .otherwise("ge90")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "olap_q13_cust_order_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def olap_q13_cust_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    join so zero-order customers survive with c_count=0, with the
+    exclusion predicate INSIDE the join condition (moving it to WHERE
+    would silently drop the nulls — the classic outer-join bug the
+    reference's NOT-EXISTS family guards against). Two cascaded aggs;
+    the second input is one row per customer, so the distribution agg
+    is tiny."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    co = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "olap_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_revenue_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_c4 = (SELECT max(total_revenue_c4) FROM rev)
+    """,
+)
+def olap_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then the supplier(s) achieving the maximum — the tie-INCLUSIVE
+    formulation (all maximal suppliers, not an arbitrary one), which is
+    only deterministic because revenue is an exact c4 integer; a float
+    sum here could make the equality test partition-order-dependent.
+    The scalar max broadcasts as a one-row cross join."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_c4()).alias("total_revenue_c4")
+    )
+    mx = rev.agg(F.max("total_revenue_c4").alias("max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_c4") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+    )
+
+
+@query(
+    "olap_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def olap_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), reshaped: with no
+    partsupp the supplier-per-part-spec census runs over lineitem, and
+    the 'customer complaints' exclusion becomes negative-balance
+    suppliers. The excluded-supplier set is tiny -> broadcast ANTI
+    join before the distinct-count agg; count(DISTINCT) shuffles once
+    on the (brand, type, size) grid."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") != "Brand#45")
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "olap_q20_dominant_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM sq GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+         AND n.n_name = 'NATION_5'
+    WHERE EXISTS (
+      SELECT 1 FROM sq
+      JOIN pt ON pt.l_partkey = sq.l_partkey
+      JOIN part p ON p.p_partkey = sq.l_partkey AND p.p_name LIKE 'red %'
+      WHERE sq.l_suppkey = s.s_suppkey AND sq.supp_qty * 4 > pt.part_qty
+    )
+    """,
+)
+def olap_q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), reshaped: with no
+    partsupp availqty, a supplier 'dominates' a red part when it
+    shipped more than a quarter of that part's total 1997 quantity. Two
+    stacked integer aggs on the pre-filtered fact, a broadcast part
+    filter, then a LEFT SEMI join into the nation-filtered supplier
+    dim — the EXISTS decorrelates to a semi-join on suppkey, so
+    supplier rows never duplicate. All-quantity integer math keeps the
+    x2 > total comparison exact."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf, "part").filter(F.col("p_name").like("red %"))
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        sq.join(pt, sq.l_partkey == F.col("pt_partkey"))
+        .join(F.broadcast(p), sq.l_partkey == p.p_partkey)
+        .filter(F.col("supp_qty") * 4 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "olap_q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+           AND o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+         AND n.n_name = 'NATION_2'
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    """,
+)
+def olap_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), reshaped:
+    lateness is shipping >60 days after the order date (no
+    receipt/commit dates in the testdata). The EXISTS/NOT-EXISTS pair
+    decorrelates into ONE order-level aggregate — n_supps =
+    countDistinct(suppkey), n_late_supps = countDistinct(suppkey when
+    late) — joined back to the late rows: EXISTS(other supplier) is
+    n_supps >= 2, NOT EXISTS(other late supplier) is n_late_supps = 1
+    given this row is late. One extra agg replaces two correlated
+    fact self-joins; both formulations must and do agree (the oracle
+    keeps the EXISTS form)."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        load(spark, sf, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    stats = li.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        li.filter(F.col("late"))
+        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
