@@ -4773,3 +4773,211 @@ def olap_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "olap_q8_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN rev_c4
+                         ELSE 0 END) AS BIGINT) AS nation_rev_c4,
+           CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN rev_c4
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def olap_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_9's share of
+    supplier revenue into ASIA-region customers, by order year. The
+    conditional-sum-over-sum idiom computes the share in one agg pass
+    (no self-join); numerator and denominator are exact c4 integers, so
+    the final double division is a single bit-reproducible op. All five
+    dims broadcast; the one shuffle is lineitem-orders on orderkey."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_9", F.col("rev_c4")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_c4().alias("rev_c4"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(nat).alias("nation_rev_c4"),
+            F.sum("rev_c4").alias("total_rev_c4"),
+            (
+                F.sum(nat).cast("double") / F.sum("rev_c4").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(ts) AS first_ts
+      FROM events GROUP BY event_type, user_id
+    ), daily AS (
+      SELECT event_type, date_trunc('day', first_ts) AS day,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — the growth-curve query (cumulative
+    unique users per event type by day). A windowed count-distinct is
+    not directly computable at scale; the standard decomposition is
+    first-occurrence extraction (one agg on (type, user)), daily
+    new-user counts (second agg), then a plain running SUM window —
+    distinctness is resolved BEFORE the window, so state never exceeds
+    one row per (type, day). The window partitions by event_type and
+    parallelizes across types."""
+    e = load(spark, sf, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.date_trunc("day", F.col("first_ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+@query(
+    "text_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT source,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7]
+                            for i in range(1, len(t) - 6)]) AS g
+      FROM toks WHERE len(t) >= 8
+    ), sg AS (
+      SELECT DISTINCT source, unnest(g) AS gram FROM grams
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sg
+      GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: 8-gram Jaccard overlap
+    between every pair of corpus sources — the dataset-level view of
+    `curation_decontaminate` (which checks documents against a single
+    eval set). Inverted-index shape: distinct (source, gram) pairs
+    shuffle once; the pair join is per-gram with source<source
+    dedup, so a gram shared by k sources yields k(k-1)/2 counted
+    pairs, never a cross join of documents. Set sizes join back
+    broadcast (one row per source). Jaccard divides exact BIGINTs."""
+    from ..functions.dedup import word_shingles
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    sg = d.select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
+    ).distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("sa_src"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("sb_src"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("src_a") == F.col("sa_src"))
+        .join(F.broadcast(sb), F.col("src_b") == F.col("sb_src"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "grams_a",
+            "grams_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("grams_a") + F.col("grams_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
