@@ -226,10 +226,23 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets (n_tables
-    independent tables), exact cosine re-rank within each bucket union.
+    independent tables), BLAS partial top-m inside each bucket, exact
+    cosine re-rank of the surviving candidates.
 
-    At scale: bucket cardinality ~n/2^planes per table; the join is an
-    equi-join on (table, bucket) — shuffle bounded by bucket sizes.
+    At scale: bucket cardinality ~n/2^planes per table. The within-
+    bucket search runs as a grouped Arrow matmul that emits only the
+    top-(2k+8) candidate IDS per query per bucket — total candidate
+    volume is O(n·tables·k) id pairs, never the O(n²/2^planes · dim)
+    vector-laden pair join of the naive formulation (which went ~75×
+    superlinear between sf0.1 and the k=10 stress run: the shuffle
+    carried both full vectors through a pair dedup). Survivors are
+    re-scored with the sequential-fold EXACT cosine, so the final
+    ranking is bit-identical to the all-pairs variant (the BLAS margin
+    absorbs summation-order ULPs, same argument as
+    ``blocked_topk_matmul``). A pathologically hot bucket still does
+    its B² work in one task — n_planes must grow with log2(n) to keep
+    B bounded; the matmul chunks queries so task memory stays
+    O(chunk·B), not O(B²).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -263,31 +276,58 @@ def lsh_topk(
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign, schema="_id long, tbl int, bkt long"
     )
-    # norm computed ONCE per vector, not per candidate pair (cosine()
-    # would fold the array 3× per pair; this leaves 1 fold + a divide)
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    tagged = assigned.join(vecs, on="_id")
+    tagged = assigned.join(vecs.select("_id", "_v"), on="_id")
+    m = 2 * k + 8  # partial-top margin absorbing BLAS-vs-fold ULP ties
 
-    a = tagged.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-        F.col("_n").alias("n_a"), "tbl", "bkt",
-    )
-    b = tagged.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-        F.col("_n").alias("n_b"), "tbl", "bkt",
-    )
+    def bucket_topm(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        ids = pdf["_id"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        top = min(m + 1, len(ids))  # +1: the query itself is in the bucket
+        for s in range(0, len(ids), 1024):
+            sims = unit[s : s + 1024] @ unit.T
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            for i in range(sims.shape[0]):
+                cand = ids[idx[i]]
+                keep = cand != ids[s + i]
+                out_a.extend([ids[s + i]] * int(keep.sum()))
+                out_b.extend(cand[keep].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
     cand = (
-        a.join(b, on=["tbl", "bkt"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "v_a", "n_a", "id_b", "v_b", "n_b")
+        tagged.groupBy("tbl", "bkt")
+        .applyInPandas(bucket_topm, schema="id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand.withColumn(
-        "cos", dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    # attach vectors + norms AFTER dedup: only O(n·tables·k) id pairs
+    # ever carry vector payload; norm computed once per side, cosine is
+    # one fold + a divide (cosine() would fold the arrays 3× per pair)
+    cand = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_n").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_n").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "cos",
+            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
@@ -421,9 +461,16 @@ def ivf_topk(
 
     Scale shape: centroid training is driver-side numpy on a bounded
     sample; assignment is one Arrow-batched pass (no shuffle); the
-    candidate join is an equi-join on cell id — per-query work is
-    n_probe cells ≈ (n/n_centroids)·n_probe candidates instead of n.
-    Recall rises with n_probe (n_probe = n_centroids ⇒ exact).
+    within-cell search is a cogrouped Arrow matmul (queries probing the
+    cell × members of the cell) emitting only top-(2k+8) candidate IDS
+    per query per probed cell — O(n·n_probe·k) id pairs total, never
+    the O(n·n_probe·cell_size·dim) vector-laden pair join of the naive
+    formulation (measured ~75× superlinear between sf0.1 and the k=10
+    stress run). Survivors re-rank with the sequential-fold EXACT
+    cosine, so the result is bit-identical to the all-pairs variant.
+    Per-query work is n_probe cells ≈ (n/n_centroids)·n_probe
+    candidates instead of n. Recall rises with n_probe
+    (n_probe = n_centroids ⇒ exact).
     """
     spark = df.sparkSession
     # deterministic bounded sample for training: ordered take — a bare
@@ -470,24 +517,71 @@ def ivf_topk(
     )
     tagged = df.select(id_col, vec_col).join(cells, on=id_col)
 
-    tagged = tagged.withColumn("_n", l2_norm(F.col(vec_col)))
     data_side = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        F.col("_n").alias("n_b"), F.col("cell"),
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
     )
+    # fresh attribute ids (no-op exprs) so the cogroup below isn't
+    # flagged as an ambiguous self-join — same idiom as
+    # ``blocked_topk_matmul``
     query_side = tagged.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        F.col("_n").alias("n_a"),
+        (F.col(id_col) + F.lit(0)).alias("_id"),
+        F.coalesce(F.col(vec_col)).alias("_v"),
         F.explode("probes").alias("cell"),
     )
+    m = 2 * k + 8  # partial-top margin absorbing BLAS-vs-fold ULP ties
+
+    def tile(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        qm = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
+        cm = np.stack(cpdf["_v"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        cn = np.linalg.norm(cm, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        qm, cm = qm / qn, cm / cn
+        qids = qpdf["_id"].to_numpy()
+        cids = cpdf["_id"].to_numpy()
+        top = min(m + 1, len(cids))  # +1: own cell contains the query
+        out_a: list = []
+        out_b: list = []
+        for s in range(0, len(qids), 1024):
+            sims = qm[s : s + 1024] @ cm.T
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            for i in range(sims.shape[0]):
+                cand = cids[idx[i]]
+                keep = cand != qids[s + i]
+                out_a.extend([qids[s + i]] * int(keep.sum()))
+                out_b.extend(cand[keep].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    # each data vector lives in exactly ONE cell, so (id_a, id_b) pairs
+    # are already unique across tiles — no dedup shuffle needed
     cand = (
-        query_side.join(data_side, on="cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        query_side.groupBy("cell")
+        .cogroup(data_side.groupBy("cell"))
+        .applyInPandas(tile, schema="id_a long, id_b long")
     )
-    cand = cand.withColumn(
-        "cos", dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_n").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_n").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "cos",
+            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
