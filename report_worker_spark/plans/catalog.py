@@ -65,6 +65,16 @@ _RAW_TS_SQL = (
 )
 
 
+def _usec(c) -> F.Column:
+    """NTZ-safe epoch microseconds. The driver parquet may annotate
+    ``ts`` naive (TIMESTAMP_NTZ — pyarrow writes no tz), and Spark 4's
+    ``unix_micros`` is NTZ-strict. Session tz is pinned UTC, so the
+    NTZ→LTZ cast is exactly the wall-clock mapping DuckDB's ``epoch()``
+    applies to the same naive value."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def _raw_ts_col() -> F.Column:
     epoch = F.unix_timestamp(F.col("ts")).cast("long")
     shifted = epoch + F.when(F.col("event_id") % 7 == 0, F.lit(63072000)).otherwise(
@@ -1285,7 +1295,7 @@ def sessionize_gap30m(spark: SparkSession, sf: str) -> DataFrame:
     # disagree with the oracle's full-precision interval comparison
     new_sess = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800000000),
+        | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000),
         1,
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1465,7 +1475,7 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").select(
         "event_id",
         F.col("user_id"),
-        F.unix_micros(F.col("ts")).alias("_ts_us"),
+        _usec(F.col("ts")).alias("_ts_us"),
     )
     o = (
         load(spark, sf, "orders")
@@ -4147,7 +4157,7 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800000000),
+        | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000),
         1,
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4156,10 +4166,10 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("session_idx", F.sum("new_session").over(wsum))
         .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
         .agg(
-            F.floor(F.min(F.unix_micros("ts")) / 1_000_000)
+            F.floor(F.min(_usec("ts")) / 1_000_000)
             .cast("long")
             .alias("start_s"),
-            F.floor(F.max(F.unix_micros("ts")) / 1_000_000)
+            F.floor(F.max(_usec("ts")) / 1_000_000)
             .cast("long")
             .alias("end_s"),
         )
