@@ -166,6 +166,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose overlap coefficient
+    ``|A∩B| / min(|A|,|B|)`` ≥ threshold — the containment detector
+    for sub/superset near-dups (a quote, an excerpt, a page wrapped in
+    boilerplate) that Jaccard structurally misses: a 50-gram doc fully
+    contained in a 500-gram doc has J ≈ 0.1 but overlap = 1.0.
+
+    Candidates come from the same prefix-filter bound as
+    :func:`ngram_jaccard_pairs`, applied to the SMALLER set of each
+    pair: under a shared rarest-first total order, a pair with
+    ``|A∩B| ≥ t·min(sz)`` must collide within the first
+    ``sz_small − ceil(t·sz_small) + 1`` shingles of the smaller doc
+    (at most ``sz_small − t·sz_small`` of them can be missed by the
+    bigger doc). The smaller side therefore explodes only its prefix;
+    the bigger side indexes everything. Pair roles are decided by
+    (sz, id) rank so each unordered pair is generated exactly once —
+    no dedup shuffle. Verification is exact and JVM-side:
+    ``size(array_intersect)`` after a join back to the full shingle
+    arrays."""
+    ex = _shingle_table(df, id_col, text_col, n, max_df)
+    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, on="_s")
+    wrk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
+    need = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(wrk))
+        .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+        .filter(F.col("_rn") <= F.col("_cnt") - need + 1)
+        .select("_id", "_sz", "_s")
+    )
+    small = prefix.select(
+        F.col("_id").alias("id_s"), F.col("_sz").alias("sz_s"), F.col("_s")
+    )
+    big = ex.select(
+        F.col("_id").alias("id_b_"), F.col("_sz").alias("sz_b_"), F.col("_s")
+    )
+    smaller_first = (F.col("sz_s") < F.col("sz_b_")) | (
+        (F.col("sz_s") == F.col("sz_b_")) & (F.col("id_s") < F.col("id_b_"))
+    )
+    cand = (
+        small.join(big, on="_s")
+        .filter(smaller_first)
+        .select(
+            F.least("id_s", "id_b_").alias("id_a"),
+            F.greatest("id_s", "id_b_").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = ex.groupBy("_id").agg(
+        F.collect_list("_s").alias("_set"), F.max("_sz").alias("_setsz")
+    )
+    inter = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_set").alias("set_a"),
+                F.col("_setsz").alias("sz_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_set").alias("set_b"),
+                F.col("_setsz").alias("sz_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+    )
+    ov = F.col("n_common").cast("double") / F.least("sz_a", "sz_b").cast(
+        "double"
+    )
+    return (
+        inter.withColumn("overlap", ov)
+        .filter(F.col("overlap") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "overlap")
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

@@ -1,0 +1,155 @@
+"""Distributed graph operators over edge-list DataFrames.
+
+The reference has no graph engine; these are the graph-shaped steps a
+training-data pipeline runs on top of pairwise outputs this repo
+already produces (near-dup pairs → components in dedup.py, co-occurrence
+edges → triangles / PageRank here).
+
+Design for 100 TB:
+
+- Triangle counting uses the standard degree orientation (count each
+  triangle once from its lowest-degree vertex): wedge generation is an
+  equi-join on the wedge apex and wedge *closure* is an equi-join on
+  the (v, w) edge key — never an all-pairs join. Wedge fan-out is
+  bounded by Σ out_deg(u)², and orienting by degree provably minimizes
+  that bound (arboricity bound, O(m^{3/2}) worst case).
+- PageRank is the classic join-aggregate iteration: contributions
+  shuffle once per round on dst; out-degrees are computed once. A
+  fixed iteration count keeps the plan finite; callers that iterate to
+  convergence should localCheckpoint per round (see
+  dedup.connected_components for the pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Canonicalize an edge list: distinct undirected edges (src < dst),
+    self-loops dropped."""
+    lo = F.least(F.col(a), F.col(b))
+    hi = F.greatest(F.col(a), F.col(b))
+    return (
+        pairs.select(lo.alias("src"), hi.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from canonical undirected edges."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from the (deg, id)-smaller endpoint
+    to the larger; carries both endpoints' (deg, id) rank keys so
+    downstream joins can compare ranks without re-joining degrees."""
+    deg = degrees(edges)
+    e = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc")), on="src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst")), on="dst")
+    )
+    src_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("dsrc")).otherwise(F.col("ddst")).alias("du"),
+        F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles) for a canonical
+    undirected edge list.
+
+    Degree-oriented wedge counting: every triangle, under the total
+    order (deg, id), has exactly one vertex with two outgoing oriented
+    edges — generate wedges (v, w) from that apex (equi-join on u,
+    rank(v) < rank(w)), then close them against the oriented edge set
+    (equi-join on (v, w)). Each triangle is counted exactly once.
+    """
+    o = _oriented(edges)
+    lhs = o.select(
+        F.col("u").alias("_a"), F.col("v").alias("_v"),
+        F.col("dv").alias("_dv"),
+    )
+    rhs = o.select(
+        F.col("u").alias("_a"), F.col("v").alias("_w"),
+        F.col("dv").alias("_dw"),
+    )
+    rank_lt = (F.col("_dv") < F.col("_dw")) | (
+        (F.col("_dv") == F.col("_dw")) & (F.col("_v") < F.col("_w"))
+    )
+    wedges = lhs.join(rhs, on="_a").filter(rank_lt).select(
+        F.col("_v").alias("u"), F.col("_w").alias("v")
+    )
+    closed = wedges.join(o.select("u", "v"), on=["u", "v"], how="inner")
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nn = degrees(edges).agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nn.crossJoin(ne).crossJoin(tri)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    deterministic: bool = False,
+) -> DataFrame:
+    """PageRank over the undirected edge list (each edge walks both
+    ways), fixed iteration count, uniform 1/n start.
+
+    Returns (node, pr) with pr as raw float64. One shuffle per round
+    (contributions aggregate on dst); out-degrees computed once and
+    reused. No dangling-node term: an undirected graph has none.
+
+    ``deterministic=True`` replaces the order-dependent float ``SUM``
+    with a sorted left-to-right fold (collect → array_sort →
+    aggregate), making pr bit-reproducible across partitionings and
+    engines — the oracle-parity mode. The default SUM mode is the
+    scale mode: partial aggregation map-side, no per-node value lists.
+    """
+    d = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()  # scalar: node count bounds a per-round constant only
+    base = F.lit(1.0 - damping) / F.lit(float(n))
+    pr = deg.select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            d.join(pr, d.src == pr.node)
+            .join(deg, on="src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        if deterministic:
+            s = F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            s = F.sum("c")
+        pr = contrib.groupBy("node").agg(
+            (base + F.lit(damping) * s).alias("pr")
+        )
+    return pr
+
+
+import sys as _sys
+
+from ..util import pickle_by_value as _pbv
+
+_pbv(_sys.modules[__name__])

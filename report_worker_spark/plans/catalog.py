@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .. import star, transforms
 from ..functions import dedup as dd
+from ..functions import graph as gr
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..schemas import TS_LOWER_BOUND, TS_UPPER_BOUND
@@ -4989,5 +4990,433 @@ def text_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("grams_a") + F.col("grams_b") - F.col("n_common")
                 ).cast("double")
             ).alias("jaccard"),
+        )
+    )
+
+
+# ===========================================================================
+# Coverage round 3: graph analytics over co-occurrence edges, containment
+# dedup, reduced-schema TPC-H Q2/Q11, gaps-and-islands, incremental dedup,
+# IVF recall
+# ===========================================================================
+
+# Part co-occurrence graph: two parts are adjacent when some 1997 order
+# shipped both. ~1.7k nodes / ~2.5k edges at sf0.01 — sparse, with real
+# triangle structure. The Spark side builds it with one self-equi-join
+# on orderkey (never all-pairs across orders).
+
+_COOCCUR_EDGES_SQL = """
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _cooccur_edges(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, on="_o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL}
+    SELECT
+      (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT dst FROM edges))
+        AS n_nodes,
+      (SELECT count(*) FROM edges) AS n_edges,
+      (SELECT count(*) FROM edges e1
+         JOIN edges e2 ON e2.src = e1.dst
+         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-oriented wedge counting (graph.py) vs the oracle's naive
+    a<b<c triple join — different physical strategy, same count. The
+    orientation bounds wedge fan-out by the arboricity, which is what
+    survives a power-law degree distribution at 100 TB; the oracle's
+    e1⋈e2 join explodes on hot vertices."""
+    return gr.triangle_count(gr.undirected_edges(_cooccur_edges(spark, sf)))
+
+
+@query(
+    "graph_degree_topk",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    d AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src)
+    SELECT node, deg, rank FROM (
+      SELECT node, deg,
+             ROW_NUMBER() OVER (ORDER BY deg DESC, node ASC) AS rank
+      FROM deg)
+    WHERE rank <= 20
+    """,
+)
+def graph_degree_topk(spark: SparkSession, sf: str) -> DataFrame:
+    deg = gr.degrees(gr.undirected_edges(_cooccur_edges(spark, sf)))
+    w = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
+    return (
+        deg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("node", "deg", "rank")
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+    pr{i} AS (
+      SELECT d.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * list_reduce(
+                 list_sort(list(p.pr / deg.outdeg)), (x, y) -> x + y) AS pr
+      FROM d
+      JOIN pr{i - 1} p ON d.src = p.node
+      JOIN deg ON deg.node = d.src
+      CROSS JOIN nn
+      GROUP BY d.dst, nn.n
+    )"""
+        )
+    return f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    d AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM d GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT node, pr, rank FROM (
+      SELECT node, pr,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rank
+      FROM pr{iters})
+    WHERE rank <= 20
+    """
+
+
+@query("graph_pagerank_top20", oracle=_pagerank_oracle(3))
+def graph_pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """3-iteration PageRank, deterministic mode: per-node contributions
+    are folded smallest-first (array_sort + sequential aggregate), so
+    pr is bit-identical to the oracle's list_sort + list_reduce fold —
+    the float-discipline pattern this catalog uses everywhere. The
+    scale mode (deterministic=False) swaps the fold for a map-side
+    combinable SUM."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    pr = gr.pagerank(e, iterations=3, damping=0.85, deterministic=True)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )
+
+
+@query(
+    "olap_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), ranked AS (
+      SELECT p.p_partkey, p.p_name, e.l_suppkey AS s_suppkey, e.s_name,
+             e.unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY e.unit_cost ASC, e.l_suppkey ASC) AS rn
+      FROM eligible e JOIN part p ON p.p_partkey = e.l_partkey
+      WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def olap_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier) on the reduced schema: with
+    no partsupp, unit cost is min(l_extendedprice/l_quantity) observed
+    per (part, supplier). The correlated MIN subquery decorrelates into
+    a per-part window rank; region/nation/supplier/part dims all
+    broadcast, so the only shuffles are the cost aggregation and the
+    final per-part window. min() over doubles is order-independent —
+    bit-stable under any partitioning."""
+    li = load(spark, sf, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    sdim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    p = load(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cost.join(F.broadcast(sdim), cost.l_suppkey == sdim.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@query(
+    "olap_q11_important_parts",
+    oracle="""
+    WITH nsupp AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    ), pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+      FROM lineitem JOIN nsupp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    ), tot AS (SELECT CAST(SUM(part_qty) AS BIGINT) AS total_qty FROM pq)
+    SELECT l_partkey, part_qty FROM pq CROSS JOIN tot
+    WHERE part_qty * 1000 > total_qty
+    """,
+)
+def olap_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) on the reduced schema: parts
+    whose shipped-quantity share from two nations' suppliers exceeds
+    0.1% of that group's total. The HAVING-vs-global-scalar compare is
+    a broadcast of ONE row (the grand total re-aggregated from the
+    per-part partials — no second scan), and the share test is integer
+    cross-multiplication: exact, no float thresholds."""
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    nsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    li = load(spark, sf, "lineitem")
+    pq = (
+        li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("part_qty"))
+    )
+    tot = pq.agg(F.sum("part_qty").alias("total_qty"))
+    return (
+        pq.join(F.broadcast(tot))
+        .filter(F.col("part_qty") * 1000 > F.col("total_qty"))
+        .select("l_partkey", "part_qty")
+    )
+
+
+@query(
+    "gaps_islands_user_days",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), rn AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ), isl AS (
+      SELECT user_id, d, (d - DATE '1970-01-01') - rn AS grp FROM rn
+    )
+    SELECT user_id, CAST(min(d) AS VARCHAR) AS start_day,
+           CAST(max(d) AS VARCHAR) AS end_day,
+           count(*) AS n_days
+    FROM isl GROUP BY user_id, grp
+    """,
+)
+def gaps_islands_user_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user. The classic row_number-minus-day-index trick — a run of
+    consecutive days shares (day_index − rank), so islands fall out of
+    one window plus one aggregate. Both shuffles hash on user_id;
+    all-integer island keys."""
+    days = (
+        load(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return isl.groupBy("user_id", "grp").agg(
+        F.min("d").cast("string").alias("start_day"),
+        F.max("d").cast("string").alias("end_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select("user_id", "start_day", "end_day", "n_days")
+
+
+_NGRAM3_SQL = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_NGRAM3_SQL}
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)
+             AS overlap
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs — catches
+    excerpt/boilerplate-wrapped subsets that Jaccard misses. Prefix
+    filter on the smaller doc of each pair; exact array_intersect
+    verification (dedup.ngram_overlap_pairs)."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_overlap_pairs(d, n=3, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.col("n_common").cast("long").alias("n_common"), "overlap"
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_NGRAM3_SQL},
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    base  AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    exd AS (
+      SELECT b.doc_id, min(s.doc_id) AS exact_dup_of
+      FROM batch b JOIN base s ON md5(b.text) = md5(s.text)
+      GROUP BY b.doc_id
+    ),
+    near AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    nd AS (
+      SELECT doc_id, min(other) AS near_dup_of FROM (
+        SELECT id_a AS doc_id, id_b AS other FROM near
+        WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS other FROM near
+        WHERE id_b % 10 = 0 AND id_a % 10 <> 0
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(e.exact_dup_of, -1) AS exact_dup_of,
+           COALESCE(n.near_dup_of, -1) AS near_dup_of
+    FROM batch b
+    LEFT JOIN exd e ON e.doc_id = b.doc_id
+    LEFT JOIN nd n ON n.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup: every 10th doc is the 'new batch', the
+    rest the standing corpus. Each batch doc resolves its earliest
+    exact duplicate (md5 equi-join — only 16-byte digests shuffle, not
+    text) and its earliest 3-gram-Jaccard≥0.8 near-duplicate in the
+    corpus. At 100 TB the corpus side of both joins is the pre-built
+    index you keep between ingests; nothing here rescans the corpus
+    text."""
+    d = load(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    bh = batch.select("doc_id", F.md5("text").alias("_h"))
+    sh = base.select(F.col("doc_id").alias("_sid"), F.md5("text").alias("_h"))
+    exd = (
+        bh.join(sh, on="_h")
+        .groupBy("doc_id")
+        .agg(F.min("_sid").alias("exact_dup_of"))
+    )
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    c1 = pairs.filter(
+        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0)
+    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("other"))
+    c2 = pairs.filter(
+        (F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)
+    ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
+    nd = c1.unionAll(c2).groupBy("doc_id").agg(
+        F.min("other").alias("near_dup_of")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exd, on="doc_id", how="left")
+        .join(nd, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup_of", F.lit(-1)).alias("exact_dup_of"),
+            F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+        )
+    )
+
+
+@query("sim_ivf_recall_at_k")
+def sim_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible recall@5 of IVF (n_probe=4 of 32 cells) against
+    the exact top-k — the IVF twin of sim_lsh_recall_at_k, so the
+    probe-count/recall tradeoff is a recorded artifact. Deterministic:
+    seeded centroids on an ordered sample."""
+    e = load(spark, sf, "embeddings")
+    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
+    ivf = sim.ivf_topk(e, k=5, n_centroids=32, n_probe=4).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = exact.join(ivf, on=["vec_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(5).alias("k"),
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
+                "recall_bps"
+            ),
         )
     )

@@ -1,0 +1,86 @@
+"""Unit tests for the graph operators (functions/graph.py),
+cross-checked against hand-countable graphs and a pure-Python
+PageRank reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from report_worker_spark.functions import graph as gr
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_undirected_edges_canonicalizes(spark):
+    e = _edges(
+        spark,
+        [(2, 1), (1, 2), (3, 3), (1, 3), (3, 1)],
+    )
+    got = sorted(map(tuple, gr.undirected_edges(e).collect()))
+    assert got == [(1, 2), (1, 3)]  # dupes merged, self-loop dropped
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4: C(4,3) = 4 triangles, 6 edges
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = gr.triangle_count(gr.undirected_edges(_edges(spark, k4))).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # triangle + pendant vertex + disconnected edge: exactly 1 triangle
+    g = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
+    row = gr.triangle_count(gr.undirected_edges(_edges(spark, g))).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 5, 1)
+
+    # square (4-cycle): 0 triangles
+    sq = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    row = gr.triangle_count(gr.undirected_edges(_edges(spark, sq))).collect()[0]
+    assert row.n_triangles == 0
+
+
+def _py_pagerank(pairs, iters=3, d=0.85):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(sorted(pr[u] / len(adj[u]) for u in adj[v]))
+            nxt[v] = (1.0 - d) / n + d * s
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark):
+    # star graph + a path hanging off it: asymmetric degrees
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5), (5, 6)]
+    e = gr.undirected_edges(_edges(spark, pairs))
+    got = {
+        r.node: r.pr
+        for r in gr.pagerank(e, iterations=3, deterministic=True).collect()
+    }
+    want = _py_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # mass is conserved up to the damping leak (undirected: no dangling)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_modes_agree(spark):
+    """SUM mode (scale path) and the deterministic fold agree to float
+    tolerance — same semantics, different summation order."""
+    pairs = [(a, a + 1) for a in range(20)] + [(0, 10), (5, 15), (3, 18)]
+    e = gr.undirected_edges(_edges(spark, pairs))
+    fast = {r.node: r.pr for r in gr.pagerank(e, iterations=3).collect()}
+    det = {
+        r.node: r.pr
+        for r in gr.pagerank(e, iterations=3, deterministic=True).collect()
+    }
+    assert set(fast) == set(det)
+    for v in det:
+        assert abs(fast[v] - det[v]) < 1e-12
