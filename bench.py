@@ -128,19 +128,25 @@ def main() -> None:
     load(spark, SF_DIR, "lineitem").count()
 
     def timed(thunk) -> float:
-        # min of 2: the first run pays whole-stage codegen compilation
-        # (one-time per plan shape); the min reflects steady-state cost
-        best = float("inf")
-        for _ in range(2):
+        # One untimed warmup then min of 2: the first execution pays
+        # whole-stage codegen (janino) compilation AND the generated
+        # bytecode still runs interpreted until C2 JIT kicks in — the
+        # widest plans (wire ingest: ~40 cols × several join stages)
+        # measured 17s/8s/2.2s across runs 1/2/3, so min-of-2 without a
+        # warmup still reported a warming run. One-time-per-plan-shape
+        # costs amortize to zero on a long-lived cluster; steady state
+        # is the honest throughput number.
+        times = []
+        for _ in range(3):
             spark.catalog.clearCache()  # isolate cross-query persists
             # ContextCleaner drops stale broadcasts/shuffles only on GC;
-            # 24 queries in one JVM otherwise accumulate until a mid-query
-            # GC storm skews whichever query it lands on.
+            # 24+ queries in one JVM otherwise accumulate until a
+            # mid-query GC storm skews whichever query it lands on.
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             materialize(thunk())
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            times.append(time.perf_counter() - t0)
+        return round(min(times[1:]), 3)
 
     timings: dict[str, float] = {}
     for name in CATALOG_BENCH:
