@@ -49,6 +49,8 @@ CATALOG_BENCH = [
     "drift_ks_2sample",
     "olap_q6_forecast_revenue",
     "join_interval_overlap",
+    "graph_triangle_count",
+    "dedup_containment_pairs",
 ]
 
 
@@ -100,7 +102,18 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         # global sort) — the rank-mode catalog query exists for oracle
         # parity, this is what a deployment runs
         "star_upsert_hash_mode": _star_hash(spark),
+        # graph scale path: map-side-combinable SUM PageRank (the
+        # catalog twin runs the bit-reproducible fold mode for parity)
+        "graph_pagerank_sum": _pagerank_sum(spark),
     }
+
+
+def _pagerank_sum(spark) -> DataFrame:
+    from report_worker_spark.functions import graph as gr
+    from report_worker_spark.plans.catalog import _cooccur_edges
+
+    edges = gr.undirected_edges(_cooccur_edges(spark, SF_DIR))
+    return gr.pagerank(edges, iterations=3, deterministic=False)
 
 
 def _star_hash(spark) -> DataFrame:

@@ -5420,3 +5420,84 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ts_session_window_agg",
+    oracle="""
+    WITH o AS (
+      -- session_window is [ts, ts+gap): a gap of EXACTLY 30 min starts
+      -- a new session, hence >= on exact integer microseconds
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def ts_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``F.session_window`` (30 min gap) aggregation — the same
+    semantics the manual sessionize_gap30m builds from lag + running
+    sum, but expressed with Spark's built-in session window, which is
+    what the STREAMING path uses (state-store backed, watermark-aware).
+    This catalog twin proves the native operator against the classic
+    gaps-and-islands SQL formulation.
+
+    Output keys on (user, session min/max event time) — the window's
+    own [start, end) adds the gap padding, so we aggregate the event
+    timestamps instead: engine-neutral."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(_usec(F.min("ts")) / 1_000_000).cast("long").alias("start_s"),
+            F.floor(_usec(F.max("ts")) / 1_000_000).cast("long").alias("last_s"),
+        )
+        .select("user_id", "n_events", "start_s", "last_s")
+    )
+
+
+@query(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last/nth_value over an explicit full-partition frame — the
+    frame matters: the SQL-default RANGE..CURRENT ROW makes last_value
+    a running value, a classic silent-wrong-answer; both engines get
+    the explicit unbounded frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )

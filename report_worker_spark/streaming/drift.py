@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .stateful import ensure_event_time
+
 
 def windowed_bin_counts(
     events: DataFrame,
@@ -27,7 +29,7 @@ def windowed_bin_counts(
 ) -> DataFrame:
     """Watermarked per-window histogram: (window_start, bin, n).
     Works identically on batch frames (tests) and streams."""
-    e = events.withWatermark(ts_col, watermark)
+    e = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     return (
         e.groupBy(F.window(F.col(ts_col), window).alias("w"), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -33,6 +33,17 @@ WINDOWED_COUNTS_SCHEMA = (
 )
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks/event-time ops require TIMESTAMP (LTZ); parquet
+    written by pyarrow (no tz annotation) reads back TIMESTAMP_NTZ.
+    The session tz is pinned UTC, so the NTZ→LTZ cast is the identity
+    wall-clock mapping — applied only when needed so LTZ sources pass
+    through untouched."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "5 minutes",
@@ -41,7 +52,7 @@ def windowed_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Watermarked tumbling/sliding window aggregation."""
-    e = events.withWatermark(ts_col, watermark)
+    e = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     win = (
         F.window(F.col(ts_col), window)
         if slide is None
@@ -68,7 +79,7 @@ def session_windows(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Native session windows (gap-based), watermarked."""
-    e = events.withWatermark(ts_col, watermark)
+    e = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     return (
         e.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -164,8 +175,10 @@ def stream_dedup(
     ``dropDuplicatesWithinWatermark`` evicts key state once the
     watermark passes, so memory is O(keys per watermark window) instead
     of O(all keys ever) (the unbounded ``dropDuplicates`` alternative)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        keys
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
     )
 
 
@@ -193,8 +206,12 @@ def stream_interval_join(
     state-explosion trap). Works identically on batch frames (the
     watermark is a no-op there), which is how the test equates the two.
     """
-    lw = left.withWatermark(ts_col, watermark).alias("l")
-    rw = right.withWatermark(ts_col, watermark).alias("r")
+    lw = (
+        ensure_event_time(left, ts_col).withWatermark(ts_col, watermark).alias("l")
+    )
+    rw = (
+        ensure_event_time(right, ts_col).withWatermark(ts_col, watermark).alias("r")
+    )
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))

@@ -49,6 +49,30 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert len(expect) - len(got) <= 10  # only trailing windows withheld
 
 
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """Native session_window through a REAL stream (state-store merge
+    path) equals the same plan in batch mode, up to watermark-withheld
+    trailing sessions — the streaming twin of ts_session_window_agg."""
+    batch, stream = _stream_events(spark, tmp_path)
+
+    out = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_win").collect()
+    expect = session_windows(batch, gap="30 minutes", watermark="2 hours").collect()
+    assert len(got) > 0
+    exp_set = {tuple(r) for r in expect}
+    assert all(tuple(g) in exp_set for g in got)
+    # append mode withholds only sessions the final watermark keeps open
+    assert len(expect) - len(got) <= 20
+
+
 def test_session_windows_batch(spark):
     e = load(spark, "/root/testdata/sf0.001", "events")
     s = session_windows(e, gap="30 minutes")
