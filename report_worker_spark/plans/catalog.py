@@ -5501,3 +5501,35 @@ def win_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@query(
+    "topk_heavy_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS key
+      FROM documents
+    ), freq AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY key
+    )
+    SELECT key, n, rank FROM (
+      SELECT key, n,
+             row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+      FROM freq)
+    WHERE rank <= 20
+    """,
+)
+def topk_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-20 corpus tokens via the Misra–Gries sketch-pruned
+    two-pass path (functions/topk.py): per-partition capacity-m
+    summaries shuffle instead of every distinct token, then only the
+    merged candidates recount exactly. The oracle is the naive
+    full-shuffle top-k — the sketch path must be bit-identical on this
+    Zipfian distribution (the guarantee holds when the true 20th count
+    clears the N/(m+1)-per-truncation undercount bound)."""
+    from ..functions import topk as tk
+
+    d = load(spark, sf, "documents").select(
+        F.explode(tx.tokens("text")).alias("tok")
+    )
+    return tk.sketch_pruned_topk(d, "tok", k=20, m=512)

@@ -213,3 +213,45 @@ def test_interval_overlap_is_equi_join(spark, sf_oracle):
     plan = plan_of(QUERIES["join_interval_overlap"](spark, sf_oracle))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_fires_at_scale(spark, sf_oracle):
+    """Selectively-filtered big-big joins rely on Spark's runtime
+    Bloom-filter injection at cluster scale: the filtered (creation)
+    side builds a Bloom filter that prunes the probe side's shuffle
+    input before the exchange. The optimizer gates injection on size
+    thresholds calibrated for clusters — the probe side must exceed
+    applicationSideScanSizeThreshold (10 GB default), so sf0.1 never
+    triggers it. Re-point the thresholds at the test scale and assert
+    the rewrite actually fires (might_contain on the probe side), so
+    the 100 TB plan shape is pinned by a test instead of assumed.
+    Injection also requires a selective predicate on the creation side
+    and a shuffle join — an unfiltered side has nothing to prune with,
+    and a broadcast join already prunes at the hash join itself."""
+    from report_worker_spark.plans.tables import load
+
+    confs = {
+        # creation side must be SMALLER than this cap...
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1g",
+        # ...and the probe side LARGER than this floor
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_oracle, "lineitem")
+        o = load(spark, sf_oracle, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

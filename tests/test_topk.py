@@ -1,0 +1,66 @@
+"""Misra-Gries heavy hitters: undercount bound, merge validity, and
+sketch-pruned exact top-k vs naive full-shuffle counts — including the
+adversarial near-uniform case where the sketch guarantee degrades."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from report_worker_spark.functions.topk import (
+    mg_merged,
+    mg_partials,
+    sketch_pruned_topk,
+)
+
+
+def _df_from_keys(spark, keys, parts=8):
+    return spark.createDataFrame(
+        [(k,) for k in keys], ["key"]
+    ).repartition(parts)
+
+
+def test_mg_weights_are_underestimates_within_bound(spark):
+    # Zipf-ish: key i appears ~1000/i times
+    keys = [f"k{i}" for i in range(1, 60) for _ in range(1000 // i)]
+    true = Counter(keys)
+    n = len(keys)
+    m = 16
+    merged = {
+        r.key: r.weight
+        for r in mg_merged(mg_partials(_df_from_keys(spark, keys), "key", m=m), m=m).collect()
+    }
+    assert len(merged) <= m
+    # two truncation levels (8 partitions + final merge): bound 2*N/(m+1)
+    bound = 2 * n / (m + 1)
+    for k, w in merged.items():
+        assert w <= true[k], (k, w, true[k])
+        assert true[k] - w <= bound, (k, w, true[k], bound)
+    # every key whose count clears the bound must be present
+    for k, c in true.items():
+        if c > bound:
+            assert k in merged, (k, c, bound)
+
+
+def test_sketch_pruned_topk_exact_on_zipf(spark):
+    keys = [f"k{i}" for i in range(1, 200) for _ in range(2000 // i)]
+    df = _df_from_keys(spark, keys)
+    got = [
+        (r.key, r.n, r.rank)
+        for r in sketch_pruned_topk(df, "key", k=10, m=64).collect()
+    ]
+    true = Counter(keys)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(k, n, i + 1) for i, (k, n) in enumerate(want)]
+
+
+def test_sketch_pruned_topk_near_uniform_still_exact_with_big_m(spark):
+    """Near-uniform counts are the worst case for MG pruning; with
+    m >= distinct keys nothing truncates and the result is trivially
+    exact — the documented fallback regime."""
+    keys = [f"u{i}" for i in range(50) for _ in range(20)] + ["hot"] * 25
+    df = _df_from_keys(spark, keys)
+    got = sketch_pruned_topk(df, "key", k=3, m=128).collect()
+    assert got[0].key == "hot" and got[0].n == 25 and got[0].rank == 1
+    assert all(r.n == 20 for r in got[1:])
