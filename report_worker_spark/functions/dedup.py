@@ -87,7 +87,16 @@ def _shingle_table(
             .select("_s")
         )
         ex = ex.join(F.broadcast(hot), on="_s", how="left_anti")
-    return ex
+    # The index feeds 3-4 downstream branches (document frequencies,
+    # prefix ranking, exact verification sets); without a persist each
+    # branch re-tokenizes and re-explodes the corpus — measured ~1.5 s
+    # per pass at sf0.1, the dominant cost of the whole pair join. At
+    # 100 TB this is the "materialize the inverted index once" step
+    # (a production pipeline writes it out between stages);
+    # MEMORY_AND_DISK spills instead of OOMing on big corpora.
+    from pyspark import StorageLevel
+
+    return ex.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def ngram_jaccard_pairs(
