@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, functions as F
 
 from report_worker_spark.functions import dedup as dd
+from report_worker_spark.functions import graph as gr
 from report_worker_spark.functions import similarity as sim
 from report_worker_spark.functions import text as tx
+from report_worker_spark.functions import topk as tk
 from report_worker_spark.functions.curation import chunk_with_overlap
 from report_worker_spark.plans.tables import load
 from report_worker_spark.session import get_spark
@@ -74,6 +76,35 @@ def upscale_embeddings(spark, k: int) -> DataFrame:
     )
 
 
+def upscale_cooccur_edges(spark, k: int) -> DataFrame:
+    """k disjoint replicas of the 1997 part co-occurrence graph
+    (orderkey and partkey offset per replica): nodes, edges and
+    triangles all scale exactly ×k, so wall-time growth beyond ×k is
+    superlinearity in the operator, not the data."""
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    rep_li = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * F.lit(1_000_000_000)).alias("_o"),
+        (F.col("l_partkey") + F.col("rep") * F.lit(1_000_000_000)).alias("_p"),
+    )
+    a = rep_li.select("_o", F.col("_p").alias("src"))
+    b = rep_li.select("_o", F.col("_p").alias("dst"))
+    return (
+        a.join(b, on="_o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def main() -> None:
     spark = get_spark("rws-stress")
     docs = upscale_documents(spark, K)
@@ -103,7 +134,23 @@ def main() -> None:
             sim.lsh_topk(emb, k=5, n_planes=6, n_tables=6, dim=64)
         ),
         "sim_ivf_topk": timed(sim.ivf_topk(emb, k=5, n_centroids=64, n_probe=8)),
+        "dedup_containment": timed(
+            dd.ngram_overlap_pairs(docs, n=3, threshold=0.9, max_df=500 * K)
+        ),
+        "topk_heavy_tokens": timed(
+            tk.sketch_pruned_topk(
+                docs.select(F.explode(tx.tokens("text")).alias("tok")),
+                "tok",
+                k=20,
+                m=512,
+            )
+        ),
     }
+    edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
+    timings["graph_triangles"] = timed(gr.triangle_count(edges))
+    timings["graph_pagerank_sum"] = timed(
+        gr.pagerank(edges, iterations=3, deterministic=False)
+    )
     print(
         json.dumps(
             {
