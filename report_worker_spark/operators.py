@@ -19,19 +19,30 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` within the same ``on`` key.
+    """As-of join: for each left row, the matching right row within the
+    same ``on`` key —
+
+    - ``backward`` (default): latest right with ``right_time <= left_time``;
+    - ``forward``: earliest right with ``right_time >= left_time``;
+    - ``nearest``: whichever of the two is closer in |Δt| (ties →
+      backward, the pandas ``merge_asof`` convention).
 
     Implementation: tag + union + one partitioned window with a
-    last-non-null carry-forward — ONE shuffle on (key), no range cross
+    last/first-non-null carry — ONE shuffle on (key), no range cross
     join, no per-key Python. At 100 TB this is the sort-merge-friendly
-    formulation: both inputs shuffle once on the key and the window is
-    a single ordered pass per key.
+    formulation: both inputs shuffle once on the key and each window is
+    a single ordered pass per key (nearest runs two ordered passes over
+    the same exchange — Catalyst reuses the shuffle).
 
-    Ties: a right row at exactly left_time matches; multiple right rows
-    at the same timestamp resolve to the last one in (time, side) order.
+    Ties: a right row at exactly left_time matches in every direction;
+    multiple right rows at the same timestamp resolve to the last one
+    in (time, side) order (pre-dedup the right side per (key, time) for
+    a deterministic match).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
@@ -51,28 +62,59 @@ def asof_join(
     cols = [on, "_t", "_side", *[c for c in left.columns if c != on], *right_payload]
     u = lt.select(*cols).unionByName(rt.select(*cols))
 
-    # right rows sort before left rows at equal _t (side 0 < 1), so an
-    # exactly-simultaneous right row is visible to the left row.
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        *[F.col(c) for c in cols],
-        *[
+    carry = ["_t", *right_payload]
+    bcols, fcols = [], []
+    if direction in ("backward", "nearest"):
+        # right rows sort before left rows at equal _t (side 0 < 1), so
+        # an exactly-simultaneous right row is visible looking back.
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bcols = [
             F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in right_payload
-        ],
+            .over(wb)
+            .alias(f"_b_{c}")
+            for c in carry
+        ]
+    if direction in ("forward", "nearest"):
+        # left rows sort before right rows at equal _t (side desc), so
+        # an exactly-simultaneous right row is visible looking forward.
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fcols = [
+            F.first(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(wf)
+            .alias(f"_f_{c}")
+            for c in carry
+        ]
+    carried = u.select(*[F.col(c) for c in cols], *bcols, *fcols).filter(
+        F.col("_side") == 1
     )
-    out = carried.filter(F.col("_side") == 1).select(
+
+    if direction == "backward":
+        pick = {c: F.col(f"_b_{c}") for c in right_payload}
+    elif direction == "forward":
+        pick = {c: F.col(f"_f_{c}") for c in right_payload}
+    else:
+        back_dt = F.col("_t") - F.col("_b__t")
+        fwd_dt = F.col("_f__t") - F.col("_t")
+        use_back = F.col("_f__t").isNull() | (
+            F.col("_b__t").isNotNull() & (back_dt <= fwd_dt)
+        )
+        pick = {
+            c: F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+            for c in right_payload
+        }
+    return carried.select(
         F.col(on),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.col(f"_asof_{c}").alias(c) for c in right_payload],
+        *[pick[c].alias(c) for c in right_payload],
     )
-    return out
 
 
 def range_join_buckets(

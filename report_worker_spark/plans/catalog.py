@@ -5533,3 +5533,93 @@ def topk_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(tx.tokens("text")).alias("tok")
     )
     return tk.sketch_pruned_topk(d, "tok", k=20, m=512)
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM events e ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: earliest order at or after each event — the
+    union + single-window formulation of join_asof with the frame
+    flipped to (currentRow, unboundedFollowing)."""
+    from ..operators import asof_join
+
+    e = load(spark, sf, "events").select(
+        "event_id", F.col("user_id"), _usec(F.col("ts")).alias("_ts_us")
+    )
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(
+        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
+        right_payload=["o_orderkey"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS b_ok, o.o_orderdate AS b_t
+      FROM events e ASOF LEFT JOIN orders_d o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ), f AS (
+      SELECT e.event_id, o.o_orderkey AS f_ok, o.o_orderdate AS f_t
+      FROM events e ASOF LEFT JOIN orders_d o
+        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN f.f_t IS NULL
+                  OR (b.b_t IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.b_t)
+                          <= epoch_us(f.f_t) - epoch_us(b.ts))
+                THEN b.b_ok ELSE f.f_ok END AS o_orderkey
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of (ties -> backward, the pandas merge_asof
+    convention): both directional carries run over the SAME key
+    exchange (two ordered passes, one shuffle) and the closer match
+    wins on exact integer-microsecond deltas."""
+    from ..operators import asof_join
+
+    e = load(spark, sf, "events").select(
+        "event_id", F.col("user_id"), _usec(F.col("ts")).alias("_ts_us")
+    )
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(
+        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
+        right_payload=["o_orderkey"], direction="nearest",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
