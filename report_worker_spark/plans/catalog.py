@@ -5623,3 +5623,109 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         right_payload=["o_orderkey"], direction="nearest",
     )
     return out.select("event_id", "user_id", "o_orderkey")
+
+
+@query(
+    "curation_winsorize",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), bounds AS (
+      SELECT event_type,
+             quantile_cont(c, 0.05) AS lo,
+             quantile_cont(c, 0.95) AS hi
+      FROM cents GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.c,
+           least(greatest(CAST(e.c AS DOUBLE), b.lo), b.hi) AS c_winsorized,
+           (CAST(e.c AS DOUBLE) < b.lo OR CAST(e.c AS DOUBLE) > b.hi)
+             AS clipped
+    FROM cents e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def curation_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping at exact p05/p95) —
+    the feature-cleaning step before training-metadata aggregation. Two
+    shuffles: the exact grouped percentile (integer cents, the proven
+    bit-identical quantile_cont twin) and the clip itself is a
+    broadcast join of |groups| rows back onto the stream. The clipped
+    value stays DOUBLE: least/greatest SELECT one of two bit-identical
+    doubles, so parity is exact (a BIGINT re-cast would diverge —
+    Spark truncates, DuckDB rounds)."""
+    cents = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    bounds = cents.groupBy("event_type").agg(
+        F.percentile("c", F.lit(0.05)).alias("lo"),
+        F.percentile("c", F.lit(0.95)).alias("hi"),
+    )
+    cd = F.col("c").cast("double")
+    return (
+        cents.join(F.broadcast(bounds), on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "c",
+            F.least(F.greatest(cd, F.col("lo")), F.col("hi")).alias(
+                "c_winsorized"
+            ),
+            ((cd < F.col("lo")) | (cd > F.col("hi"))).alias("clipped"),
+        )
+    )
+
+
+@query(
+    "cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT event_id, user_id AS pk, ts,
+             CAST(round(value * 100) AS BIGINT) AS val_cents,
+             CASE WHEN event_id % 11 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+      FROM events
+    ), latest AS (
+      SELECT pk, ts, event_id, op, val_cents,
+             row_number() OVER (PARTITION BY pk
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT pk, val_cents, ts AS updated_ts, event_id AS last_event
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC log application (the Delta/Hudi merge semantics, engine-
+    free): an insert/update/delete op-log collapses to the current
+    snapshot — latest op per key wins (event-time order, id tiebreak),
+    and a terminal delete removes the key entirely. One window shuffle
+    on the key; at 100 TB the same plan applies a day's log partition
+    onto a snapshot via keep-latest over the union. The op column is
+    derived deterministically from the events table so both engines see
+    the identical log."""
+    log = load(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id").alias("pk"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("pk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "pk",
+            "val_cents",
+            F.col("ts").alias("updated_ts"),
+            F.col("event_id").alias("last_event"),
+        )
+    )
