@@ -5729,3 +5729,53 @@ def cdc_apply_log(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_id").alias("last_event"),
         )
     )
+
+
+@query(
+    "sim_lsh_topk_exhaustive",
+    # identical oracle to sim_cosine_topk: 0 hyperplanes = one bucket =
+    # exhaustive search through the LSH machinery
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_lsh_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
+    """The LSH top-k code path probed exhaustively (n_planes=0 → every
+    vector lands in one bucket): grouped-BLAS partial top-m + exact
+    sequential-fold re-rank must then be bit-identical to the brute
+    force oracle — the LSH twin of sim_ivf_topk_full_probe, upgrading
+    the LSH pipeline from rows-only to hash-verified (its approximate
+    configurations differ from this only by bucket assignment)."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(e, k=5, n_planes=0, n_tables=1, dim=64)
+
+
+@query("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA (functions/linalg.py): (n, Σv, Σvvᵀ) accumulate
+    per partition in one Arrow pass (one tiny row per task — no
+    shuffle), the d×d eigendecomposition runs on the driver, and the
+    centered projection onto the top-8 components is a broadcast
+    matmul. No SQL oracle — eigendecomposition is not SQL-expressible
+    and cross-partition float sums are not bit-portable across engines;
+    correctness is pinned by tests/test_linalg.py against numpy on the
+    collected data. Output: (vec_id, proj[8], pc1) with pc1 surfaced
+    for the driver's determinism check."""
+    from ..functions import linalg as la
+
+    e = load(spark, sf, "embeddings")
+    p = la.pca_project(e, dim=64, q=8)
+    return p.select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
