@@ -123,16 +123,25 @@ def pagerank(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = deg.count()  # scalar: node count bounds a per-round constant only
-    base = F.lit(1.0 - damping) / F.lit(float(n))
-    pr = deg.select(
-        F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    # node count rides along as a broadcast one-row crossJoin — the
+    # whole plan stays lazy (no eager .count() job at construction)
+    nn = deg.agg(F.count(F.lit(1)).alias("_n"))
+    n_col = F.col("_n").cast("double")
+    base = F.lit(1.0 - damping) / n_col
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / n_col).alias("pr"),
+        "_n",
     )
     for _ in range(iterations):
         contrib = (
             d.join(pr, d.src == pr.node)
             .join(deg, on="src")
-            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+                "_n",
+            )
         )
         if deterministic:
             s = F.aggregate(
@@ -142,10 +151,11 @@ def pagerank(
             )
         else:
             s = F.sum("c")
-        pr = contrib.groupBy("node").agg(
+        # _n is constant — grouping on it just keeps it in scope
+        pr = contrib.groupBy("node", "_n").agg(
             (base + F.lit(damping) * s).alias("pr")
         )
-    return pr
+    return pr.select("node", "pr")
 
 
 import sys as _sys
