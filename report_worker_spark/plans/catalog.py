@@ -5779,3 +5779,28 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     p = la.pca_project(e, dim=64, q=8)
     return p.select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured payloads:
+    parse_json ONCE into the binary variant encoding, then typed
+    try_variant_get extractions — the modern alternative to N
+    get_json_object re-parses when many keys are read, with open
+    schema (unknown keys -> NULL, not error). The oracle is plain
+    json_extract: variant is an encoding, not a semantics change."""
+    e = load(spark, sf, "events")
+    v = e.select("event_id", F.parse_json("props").alias("_v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("_v", "$.k", "long").alias("k"),
+        F.try_variant_get("_v", "$.missing", "long").alias("missing"),
+    )

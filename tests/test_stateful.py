@@ -73,6 +73,67 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     assert len(expect) - len(got) <= 20
 
 
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_builds(spark):
+    """transformWithStateInPandas: the plan must analyze (API wiring,
+    schemas) even where the protobuf runtime for execution is absent."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "CAST(value AS DOUBLE) AS value")
+    )
+    from report_worker_spark.streaming.stateful import running_value_stats
+
+    out = running_value_stats(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n", "sum_cents", "max_cents",
+    ]
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """Full TWS execution (RocksDB state store) — runs only where the
+    protobuf package exists; the build container lacks it."""
+    import pytest
+
+    if not _protobuf_ok():
+        pytest.skip("google.protobuf unavailable: TWS worker channel needs it")
+    from report_worker_spark.streaming.stateful import running_value_stats
+
+    batch, stream = _stream_events(spark, tmp_path, n=1000)
+    out = running_value_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n, r.sum_cents, r.max_cents)
+        for r in spark.sql("SELECT * FROM tws_stats").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s, r.m)
+        for r in batch.select(
+            "user_id", F.round(F.col("value") * 100).cast("long").alias("c")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"), F.max("c").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_session_windows_batch(spark):
     e = load(spark, "/root/testdata/sf0.001", "events")
     s = session_windows(e, gap="30 minutes")
