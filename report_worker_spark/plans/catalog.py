@@ -5804,3 +5804,125 @@ def json_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
         F.try_variant_get("_v", "$.k", "long").alias("k"),
         F.try_variant_get("_v", "$.missing", "long").alias("missing"),
     )
+
+
+@query(
+    "stats_entropy_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id
+    ), p AS (
+      SELECT c.user_id, c.event_type,
+             CAST(c.n AS DOUBLE) / t.tot AS prob
+      FROM c JOIN t USING (user_id)
+    )
+    SELECT user_id,
+           round(-list_reduce(list_sort(list(prob * ln(prob))), (x, y) -> x + y),
+                 12) AS entropy_nats
+    FROM p GROUP BY user_id
+    """,
+)
+def stats_entropy_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    label-diversity metric a curation pipeline uses to spot degenerate
+    sources. Float discipline: the sum folds smallest-first (array_sort
+    + sequential aggregate ≡
+    list_sort + list_reduce). ln() itself is the one op the platforms
+    round differently (java.lang.Math.log vs libm, each ≤1 ulp), so the
+    result rounds to 12 decimals on both sides — the same rationale as
+    drift.psi_contrib."""
+    e = load(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = c.join(t, on="user_id").select(
+        "user_id",
+        (F.col("n").cast("double") / F.col("tot")).alias("prob"),
+    )
+    term = F.col("prob") * F.log(F.col("prob"))
+    return (
+        p.select("user_id", term.alias("_t"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                -F.aggregate(
+                    F.array_sort(F.collect_list("_t")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                12,
+            ).alias("entropy_nats")
+        )
+    )
+
+
+@query(
+    "stats_chi2_type_dow",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ), m AS (
+      SELECT o.*,
+             CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+             CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
+             CAST(sum(obs) OVER () AS BIGINT) AS grand
+      FROM o
+    ), terms AS (
+      SELECT event_type, dow,
+             (CAST(obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * col_tot / grand)
+             * (CAST(obs AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * col_tot / grand)
+             / (CAST(row_tot AS DOUBLE) * col_tot / grand) AS term
+      FROM m
+    )
+    SELECT list_reduce(list_sort(list(term)), (x, y) -> x + y) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms
+    """,
+)
+def stats_chi2_type_dow(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence statistic for event_type × day-of-week —
+    the seasonality/independence check over a contingency table that
+    never leaves the cluster: exact integer margins via three window
+    sums over the |types|×7 cell table, one float term per cell
+    (identical expression tree both engines), smallest-first fold.
+    Day numbering differs (Spark Sunday=1, DuckDB Sunday=0 — the
+    oracle shifts by +1); the statistic is relabeling-invariant but the
+    labels align for anyone extending the output."""
+    e = load(spark, sf, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    m = o.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wg).alias("grand"),
+    )
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        m.select(term.alias("_t"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("_t")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
