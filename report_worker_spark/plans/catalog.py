@@ -5926,3 +5926,79 @@ def stats_chi2_type_dow(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
+
+
+@query(
+    "seq_top_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    ), paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) FILTER (rn <= 3)
+               AS path
+      FROM (SELECT user_id, sess, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, sess
+                                      ORDER BY ts, event_id) AS rn
+            FROM s)
+      GROUP BY user_id, sess
+    )
+    SELECT path, n, rank FROM (
+      SELECT path, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
+      FROM paths GROUP BY path)
+    WHERE rank <= 10
+    """,
+)
+def seq_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence mining lite: the 10 most common session-opening
+    event-type paths (first 3 events of each 30-min-gap session).
+    Sessionize → per-session ordered prefix (sort_array over
+    (ts, event_id, type) structs — array-local, no extra shuffle) →
+    count paths. The heavy lift stays in two keyed shuffles; the
+    prefix slice bounds per-session state at 3 regardless of session
+    length."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn("new_session", new_sess).withColumn(
+        "sess", F.sum("new_session").over(wsum)
+    )
+    paths = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                3,
+            ).alias("_p3")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("_p3"), lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("path", "n", "rank")
+    )
