@@ -6002,3 +6002,61 @@ def seq_top_paths(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("path", "n", "rank")
     )
+
+
+@query(
+    "ts_decayed_engagement",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             least(CAST(floor((DATE '2025-01-01' - CAST(ts AS DATE)) / 7)
+                        AS BIGINT), 62) AS age_weeks
+      FROM events
+    )
+    SELECT user_id,
+           list_reduce(
+             list_sort(list(cents / CAST(1 << age_weeks AS DOUBLE))),
+             (x, y) -> x + y) AS decayed_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+)
+def ts_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decayed engagement score: Σ value · 2^(−age_weeks) per
+    user — recency weighting for user/doc quality features. The decay
+    weight is a negative power of TWO (integer shift + one division),
+    which is EXACTLY representable in binary float on both engines —
+    no exp()/pow() transcendental, whose last-ulp rounding differs per
+    platform. Terms fold smallest-first, so the score is
+    bit-reproducible with no rounding fudge. Age capped at 62 weeks of
+    shift (beyond that the weight underflows the long shift, and the
+    contribution is below one ulp anyway)."""
+    e = load(spark, sf, "events")
+    age_weeks = F.least(
+        F.floor(
+            F.datediff(F.lit("2025-01-01").cast("date"), F.col("ts").cast("date"))
+            / 7
+        ).cast("long"),
+        F.lit(62),
+    )
+    w = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        age_weeks.alias("age_weeks"),
+    ).select(
+        "user_id",
+        # pyspark's F.shiftleft needs a literal bit count; the SQL form
+        # takes a column
+        F.expr(
+            "cents / CAST(shiftleft(1L, CAST(age_weeks AS INT)) AS DOUBLE)"
+        ).alias("_t"),
+    )
+    return w.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_t")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("decayed_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
