@@ -255,3 +255,28 @@ def test_runtime_bloom_filter_fires_at_scale(spark, sf_oracle):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_graph_ops_no_cartesian(spark, sf_oracle):
+    """Wedge generation and closure are equi-joins on the apex / edge
+    key — a cartesian anywhere would be the O(n²) formulation."""
+    # (one-row broadcast crossJoins — the n_nodes/n_edges scalars —
+    # legitimately plan as BroadcastNestedLoopJoin; only an unbounded
+    # CartesianProduct is the O(n²) failure shape)
+    for name in ("graph_triangle_count", "graph_pagerank_top20"):
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_containment_no_cartesian(spark, sf_oracle):
+    plan = plan_of(QUERIES["dedup_containment_pairs"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_topk_prunes_with_broadcast_semi(spark, sf_oracle):
+    """The exact recount pass must filter map-side through the
+    broadcast candidate set (left-semi) — a shuffle there would defeat
+    the whole O(candidates) point."""
+    plan = plan_of(QUERIES["topk_heavy_tokens"](spark, sf_oracle))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
