@@ -129,6 +129,115 @@ def pca_project(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 16,
+    iterations: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL dataset — the upgrade
+    path from ivf_topk's bounded-sample training when the corpus no
+    longer looks like any 4096-row sample.
+
+    Per iteration: one Arrow pass assigns every vector to its nearest
+    centroid and emits per-partition per-cell partials (cell, n, Σv) —
+    ≤ partitions·k tiny rows collected and combined on the driver in
+    sorted (pid, cell) order, then the k×d centroid matrix broadcasts
+    back. No shuffle in the whole loop; wall time is iterations ×
+    one-data-pass. Deterministic for a fixed partitioning.
+
+    Init: first k vectors in id-order — deterministic (k-means++ on a
+    driver sample is a drop-in upgrade; determinism matters more here).
+    """
+    first = (
+        df.select(vec_col)
+        .orderBy(F.monotonically_increasing_id())
+        .limit(k)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r[0], dtype=np.float64) for r in first])
+    if cent.shape[0] < k:
+        raise ValueError(f"need >= {k} rows, got {cent.shape[0]}")
+    spark = df.sparkSession
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def acc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            n = np.zeros(len(c), dtype=np.int64)
+            s = np.zeros_like(c)
+            pid = -1
+            for pb in batches:
+                if not len(pb):
+                    continue
+                m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                cells = d2.argmin(axis=1)
+                np.add.at(n, cells, 1)
+                np.add.at(s, cells, m)
+                pid = int(pb["_pid"].iloc[0])
+            for cell in np.nonzero(n)[0]:
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid],
+                        "cell": [int(cell)],
+                        "n": [int(n[cell])],
+                        "s": [s[cell].tolist()],
+                    }
+                )
+
+        parts = (
+            spread(df)
+            .select(F.col(vec_col), F.spark_partition_id().alias("_pid"))
+            .mapInPandas(acc, schema="pid int, cell int, n long, s array<double>")
+            .collect()
+        )
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros_like(cent)
+        for r in sorted(parts, key=lambda r: (r.pid, r.cell)):
+            tot_n[r.cell] += r.n
+            tot_s[r.cell] += np.asarray(r.s)
+        nz = tot_n > 0
+        cent = cent.copy()
+        cent[nz] = tot_s[nz] / tot_n[nz, None]  # empty cells keep position
+    return cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, dist2) — nearest-centroid assignment, one Arrow pass
+    against the broadcast centroid matrix."""
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pb[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "dist2": d2[np.arange(len(m)), cells],
+                }
+            )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(assign, schema="vec_id long, cell int, dist2 double")
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -6060,3 +6060,36 @@ def ts_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("decayed_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("emb_kmeans_cells")
+def emb_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed full-data Lloyd's k-means (functions/linalg.py):
+    per iteration one Arrow pass emits per-partition per-cell
+    (n, Σv) partials — ≤ partitions·k tiny rows to the driver, k×d
+    centroids broadcast back; no shuffle in the loop. This is the
+    IVF-training upgrade path when a bounded sample stops being
+    representative. Output: per-cell population + summed distance,
+    integer-exact population counts; rows-only (the iterative float
+    trajectory is not SQL-expressible), deterministic at a fixed
+    partitioning."""
+    from ..functions import linalg as la
+
+    e = load(spark, sf, "embeddings")
+    cent = la.kmeans_fit(e, dim=64, k=16, iterations=3)
+    a = la.kmeans_assign(e, cent)
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dist2")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("sum_dist2"),
+        )
+        .select("cell", "n_members", "sum_dist2")
+    )

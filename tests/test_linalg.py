@@ -53,3 +53,53 @@ def test_variance_concentrates(spark):
     _, _, var = pca_components(df, dim=64, q=64)
     assert np.all(var[:-1] >= var[1:] - 1e-12)  # sorted descending
     assert var[0] > 0
+
+def _py_lloyds(m, k, iters):
+    cent = m[:k].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        nxt = cent.copy()
+        for c in range(k):
+            sel = m[cells == c]
+            if len(sel):
+                nxt[c] = sel.mean(axis=0)
+        cent = nxt
+    return cent
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    from report_worker_spark.functions.linalg import kmeans_assign, kmeans_fit
+
+    df, ids, m = _local(spark)
+    # id-ordered init on both sides: sort the local matrix by vec_id
+    order = np.argsort(ids)
+    m_sorted = m[order]
+    got = kmeans_fit(df.orderBy("vec_id"), dim=64, k=8, iterations=3)
+    want = _py_lloyds(m_sorted, k=8, iters=3)
+    assert np.allclose(got, want, atol=1e-9)
+
+    assign = {
+        r.vec_id: r.cell for r in kmeans_assign(df, got).collect()
+    }
+    d2 = ((m_sorted[:, None, :] - want[None, :, :]) ** 2).sum(axis=2)
+    want_cells = d2.argmin(axis=1)
+    ids_sorted = ids[order]
+    mismatches = sum(
+        1 for i, vid in enumerate(ids_sorted) if assign[vid] != want_cells[i]
+    )
+    assert mismatches == 0
+
+
+def test_kmeans_objective_nonincreasing(spark):
+    from report_worker_spark.functions.linalg import kmeans_assign, kmeans_fit
+
+    df, _, m = _local(spark)
+    prev = None
+    for iters in (1, 3, 5):
+        cent = kmeans_fit(df, dim=64, k=8, iterations=iters)
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        obj = d2.min(axis=1).sum()
+        if prev is not None:
+            assert obj <= prev + 1e-9
+        prev = obj
