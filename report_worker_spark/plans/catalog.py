@@ -6093,3 +6093,112 @@ def emb_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("cell", "n_members", "sum_dist2")
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS tot_len
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE t IN ('join', 'filter', 'scan') GROUP BY doc_id, t
+    ), idf AS (
+      SELECT t, ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                   / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+      FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t)
+      CROSS JOIN stats s
+    ), contrib AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             / (tf.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl.dl
+                     / (CAST(s.tot_len AS DOUBLE) / s.n_docs))) AS c
+      FROM tf JOIN idf USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id,
+             round(list_reduce(list_sort(list(c)), (x, y) -> x + y), 12)
+               AS score,
+             row_number() OVER (
+               ORDER BY round(list_reduce(list_sort(list(c)), (x, y) -> x + y), 12) DESC,
+                        doc_id ASC) AS rank
+      FROM contrib GROUP BY doc_id)
+    WHERE rank <= 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term
+    query — the keyword-search ranking a corpus pipeline runs from an
+    inverted index, never a cross join: term filter → per-(doc, term)
+    tf → broadcast idf/avgdl scalars → per-doc sorted fold of ≤|q|
+    contributions. Exact integer tf/df/dl; each contribution is one
+    identical float expression tree; ln() ULP skew absorbed by the
+    12-decimal round (ranking happens on the rounded score with a
+    doc_id tiebreak, so order is engine-stable)."""
+    terms = ["join", "filter", "scan"]
+    toks = load(spark, sf, "documents").select(
+        "doc_id", F.explode(tx.tokens("text")).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "t",
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
+    contrib = (
+        tf.join(F.broadcast(idf), on="t")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (F.lit(1.2) + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl)
+                )
+            ).alias("c"),
+        )
+    )
+    score = F.round(
+        F.aggregate(
+            F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, x: a + x
+        ),
+        12,
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        contrib.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
