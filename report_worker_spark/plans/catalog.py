@@ -6202,3 +6202,71 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("doc_id", "score", "rank")
     )
+
+
+@query(
+    "curation_contrastive_triplets",
+    oracle=f"""
+    WITH {_NGRAM3_SQL},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    pos AS (
+      SELECT anchor, min(other) AS positive_id FROM (
+        SELECT id_a AS anchor, id_b AS other FROM pairs
+        UNION ALL
+        SELECT id_b AS anchor, id_a AS other FROM pairs
+      ) GROUP BY anchor
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT anchor AS anchor_id, positive_id,
+           CASE
+             WHEN cand <> anchor AND cand <> positive_id THEN cand
+             WHEN (cand + 1) % n_docs <> anchor
+                  AND (cand + 1) % n_docs <> positive_id
+               THEN (cand + 1) % n_docs
+             ELSE (cand + 2) % n_docs
+           END AS negative_id
+    FROM (SELECT p.*, n.n_docs,
+                 (p.anchor * 7919 + 13) % n.n_docs AS cand
+          FROM pos p CROSS JOIN n)
+    """,
+)
+def curation_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive
+    training: positives are verified 3-gram-Jaccard≥0.8 near-dups
+    (earliest partner — deterministic), negatives are a fixed affine
+    hash of the anchor id over the corpus ring, skipping forward past
+    collisions with the anchor/positive (three consecutive candidates
+    cannot all collide with two ids). The pair mining reuses the
+    prefix-filtered inverted index; the negative draw is O(1) per
+    anchor — no sampling shuffle, reproducible across runs and
+    engines."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    pos = (
+        pairs.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("other"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("other"))
+        )
+        .groupBy("anchor")
+        .agg(F.min("other").alias("positive_id"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    cand = (F.col("anchor") * 7919 + 13) % F.col("n_docs")
+    c1 = (cand + 1) % F.col("n_docs")
+    c2 = (cand + 2) % F.col("n_docs")
+    neg = (
+        F.when((cand != F.col("anchor")) & (cand != F.col("positive_id")), cand)
+        .when((c1 != F.col("anchor")) & (c1 != F.col("positive_id")), c1)
+        .otherwise(c2)
+    )
+    return (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            F.col("anchor").alias("anchor_id"),
+            "positive_id",
+            neg.alias("negative_id"),
+        )
+    )
