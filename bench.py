@@ -51,6 +51,8 @@ CATALOG_BENCH = [
     "join_interval_overlap",
     "graph_triangle_count",
     "dedup_containment_pairs",
+    "topk_heavy_tokens",
+    "text_bm25_topk",
 ]
 
 
