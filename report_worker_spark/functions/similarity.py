@@ -601,3 +601,97 @@ import sys as _sys
 from ..util import pickle_by_value as _pbv
 
 _pbv(_sys.modules[__name__])
+
+
+def crossset_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Cross-set exact top-k: for every query vector, its k nearest
+    corpus vectors by cosine — the SERVING shape (the self-join top-k
+    ops index one table; this looks a bounded query set up against a
+    corpus).
+
+    Scale shape: the query matrix broadcasts (the documented
+    broadcast-sized tier — batch lookups are thousands of queries, not
+    the corpus); the corpus makes ONE Arrow pass emitting each
+    partition's top-k candidate IDS per query (per-partition top-k is
+    lossless for global top-k), and only |Q|·k·partitions id pairs
+    shuffle into the exact sequential-fold re-rank — bit-identical to
+    the all-pairs formulation, no corpus shuffle, no driver round-trip
+    of the corpus."""
+    spark = queries.sparkSession
+    qpd = queries.select(id_col, vec_col).toPandas()
+    qmat = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm
+    qids = qpd[id_col].to_numpy()
+    bc = spark.sparkContext.broadcast((qids, qunit))
+
+    m_margin = 2 * k + 8  # BLAS-vs-fold ULP margin (same as lsh_topk)
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qu = bc.value
+        best_scores = None  # (|Q|, k) partial
+        best_ids = None
+        for pb in batches:
+            if not len(pb):
+                continue
+            m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = qu @ (m / norms).T  # (|Q|, batch)
+            cids = pb[id_col].to_numpy()
+            if best_scores is None:
+                best_scores = np.full((len(ids_q), 0), -2.0)
+                best_ids = np.full((len(ids_q), 0), -1, dtype=np.int64)
+            best_scores = np.concatenate([best_scores, cos], axis=1)
+            best_ids = np.concatenate(
+                [best_ids, np.broadcast_to(cids, (len(ids_q), len(cids)))], axis=1
+            )
+            if best_scores.shape[1] > 4 * m_margin:
+                idx = np.argpartition(-best_scores, m_margin, axis=1)[:, :m_margin]
+                best_scores = np.take_along_axis(best_scores, idx, axis=1)
+                best_ids = np.take_along_axis(best_ids, idx, axis=1)
+        if best_scores is None:
+            return
+        top = min(m_margin, best_scores.shape[1])
+        idx = np.argpartition(-best_scores, top - 1, axis=1)[:, :top]
+        sel = np.take_along_axis(best_ids, idx, axis=1)
+        yield pd.DataFrame(
+            {
+                "q_id": np.repeat(qids, top),
+                "c_id": sel.reshape(-1),
+            }
+        )
+
+    cand = (
+        spread(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(part_topk, schema="q_id long, c_id long")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), on="q_id")
+        .join(cv, on="c_id")
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("rn").alias("rank"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+    )

@@ -6270,3 +6270,38 @@ def curation_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
             neg.alias("negative_id"),
         )
     )
+
+
+@query(
+    "sim_crossset_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 10 = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 10 <> 0
+    ), pairs AS (
+      SELECT q.vec_id AS id_q, c.vec_id AS id_c,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q CROSS JOIN c
+    )
+    SELECT id_q AS vec_id, rn AS rank, id_c AS neighbor_id, cos AS cosine
+    FROM (SELECT id_q, id_c, cos,
+                 row_number() OVER (PARTITION BY id_q
+                                    ORDER BY cos DESC, id_c ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def sim_crossset_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-set retrieval (the serving shape): every 10th vector is
+    the query batch, the rest the corpus. The broadcast-queries +
+    one-corpus-pass + exact-re-rank path (similarity.crossset_topk)
+    must be bit-identical to the O(|Q|·|C|) oracle."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    c = e.filter(F.col("vec_id") % 10 != 0)
+    return sim.crossset_topk(q, c, k=3)
