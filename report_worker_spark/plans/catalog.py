@@ -6305,3 +6305,32 @@ def sim_crossset_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 10 == 0)
     c = e.filter(F.col("vec_id") % 10 != 0)
     return sim.crossset_topk(q, c, k=3)
+
+
+@query(
+    "curation_reservoir_k",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rk'),
+                                         doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def curation_reservoir_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k-per-group sampling (min(k, n) docs per source) — the
+    deterministic equivalent of a per-group reservoir: rank by a
+    content-independent md5 of the id (uniform, reproducible on any
+    partitioning/engine) and keep the first 20. One keyed window
+    shuffle; the rate-based samplers (curation_sample/stratified) can't
+    promise exact group sizes, this can."""
+    d = load(spark, sf, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rk")))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
