@@ -280,3 +280,31 @@ def test_sketch_topk_prunes_with_broadcast_semi(spark, sf_oracle):
     plan = plan_of(QUERIES["topk_heavy_tokens"](spark, sf_oracle))
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A date/nation-partitioned fact joined to a selectively-filtered
+    dim must scan only the matching partitions — Spark's dynamic
+    partition pruning injects the dim's build-side keys as a
+    PartitionFilter on the fact scan. At 100 TB this is the difference
+    between reading one partition and reading the table."""
+    fact = spark.range(0, 100_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("nation"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.partitionBy("nation").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 25).select(
+        F.col("id").alias("nation"),
+        F.concat(F.lit("N"), F.col("id")).alias("name"),
+    )
+    j = f.join(dim.filter(F.col("name") == "N7"), on="nation").agg(
+        F.sum("v").alias("s")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result only covers the surviving partition
+    assert j.collect()[0].s == sum(2 * i for i in range(100_000) if i % 25 == 7)
