@@ -6334,3 +6334,108 @@ def curation_reservoir_k(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "olap_nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS region, n.n_name AS nation,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT region, nation, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share
+    FROM rev
+    """,
+)
+def olap_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    one aggregation (integer cents, exact), one window sum over the
+    tiny rollup (|nations| rows — the window runs post-aggregation,
+    never over the fact), one exact double division."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey").alias("region"),
+        F.col("n_name").alias("nation"),
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("region", "nation")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM rec GROUP BY comp
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup-audit artifact
+    (how much of the corpus is 2-plexes vs big boilerplate families).
+    Connected components over the verified jaccard pairs, then two tiny
+    aggregations; singleton docs are (correctly) absent: a cluster
+    needs an edge."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comp = dd.connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
