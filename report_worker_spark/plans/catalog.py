@@ -6439,3 +6439,74 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+@query(
+    "stats_covar_corr",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(hour(ts) AS BIGINT)
+                      * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+             AS covar_pop,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS corr
+    FROM m
+    """,
+)
+def stats_covar_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Population covariance and Pearson correlation of (value cents,
+    hour-of-day) per event type — computed from EXACT integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) so the only float ops are the final
+    divisions/sqrts on identical integers. The built-in covar_pop/corr
+    use streaming merge formulas whose float accumulation order is
+    partition-dependent — fine numerically, but not bit-reproducible
+    across engines; the moment decomposition is, and it is exactly the
+    map-side-combinable shape a 100 TB aggregation wants (six longs per
+    group). Overflow bound: |cents| ≤ 10^5, n ≤ 10^12 rows/group fits
+    int64 for Σx²."""
+    e = load(spark, sf, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (num / (F.col("n").cast("double") * F.col("n"))).alias("covar_pop"),
+        (
+            num
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("corr"),
+    )
