@@ -6510,3 +6510,114 @@ def stats_covar_corr(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("corr"),
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH {_NGRAM3_SQL},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           CAST(count(dd.doc_id) AS DOUBLE) / count(*) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication audit per source — the first chart in any corpus
+    report: how much of each feed is near-duplicated (3-gram
+    Jaccard≥0.8, either side of a verified pair). Exact integer counts,
+    one final division."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(dup), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "olap_rolling_3mo_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+    )
+    SELECT nation, strftime(month, '%Y-%m') AS month, cents,
+           CAST(SUM(cents) OVER (PARTITION BY nation ORDER BY month
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cents_3mo
+    FROM m
+    """,
+)
+def olap_rolling_3mo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly revenue per nation with a 3-month moving total — the
+    rollup-then-window shape: the window runs over the |nations|×
+    |months| aggregate, never the fact; integer cents keep the moving
+    sum exact. (ROWS not RANGE: months are contiguous in this data;
+    ts_rolling_7d shows the calendar-aware RANGE variant.)"""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("nation", "month")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return m.select(
+        "nation",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "cents",
+        F.sum("cents").over(w).alias("cents_3mo"),
+    )
