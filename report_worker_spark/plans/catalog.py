@@ -6621,3 +6621,66 @@ def olap_rolling_3mo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         "cents",
         F.sum("cents").over(w).alias("cents_3mo"),
     )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), lagged AS (
+      SELECT n AS x, lead(n) OVER (ORDER BY d) AS y FROM daily
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM m
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality smoke test. Daily counts are exact integers, the
+    (x, next-x) pairing is one ordered window over |days| rows, and the
+    correlation comes from the same exact-integer-moment decomposition
+    as stats_covar_corr: float ops only at the very end, on identical
+    integers."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("n").alias("x"), F.lead("n").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "n",
+        (
+            num
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+                )
+            )
+        ).alias("autocorr_lag1"),
+    )
