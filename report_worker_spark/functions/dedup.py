@@ -94,9 +94,31 @@ def _shingle_table(
     # 100 TB this is the "materialize the inverted index once" step
     # (a production pipeline writes it out between stages);
     # MEMORY_AND_DISK spills instead of OOMing on big corpora.
+    # Every persist is registered so callers can release executor
+    # memory once the returned plan has been materialized — see
+    # release_shingle_caches().
     from pyspark import StorageLevel
 
-    return ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_INDEXES.append(ex)
+    return ex
+
+
+_PERSISTED_INDEXES: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every inverted index persisted by the pair-join family
+    since the last call. The persist inside _shingle_table is needed
+    while the returned plan executes (several branches share it);
+    afterwards it would pin executor memory/disk for the session
+    lifetime. Call this once the pair DataFrame has been materialized
+    (collected / written). Returns the number of indexes released."""
+    n = 0
+    while _PERSISTED_INDEXES:
+        _PERSISTED_INDEXES.pop().unpersist()
+        n += 1
+    return n
 
 
 def ngram_jaccard_pairs(

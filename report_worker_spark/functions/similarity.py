@@ -617,14 +617,30 @@ def crossset_topk(
 
     Scale shape: the query matrix broadcasts (the documented
     broadcast-sized tier — batch lookups are thousands of queries, not
-    the corpus); the corpus makes ONE Arrow pass emitting each
+    the corpus; like lsh_topk's driver samples this is a BOUNDED
+    driver-side collect, capped at ``max_queries`` rows and rejected
+    loudly above that — route bigger query sets through the self-join
+    ops instead); the corpus makes ONE Arrow pass emitting each
     partition's top-k candidate IDS per query (per-partition top-k is
     lossless for global top-k), and only |Q|·k·partitions id pairs
     shuffle into the exact sequential-fold re-rank — bit-identical to
     the all-pairs formulation, no corpus shuffle, no driver round-trip
-    of the corpus."""
+    of the corpus. The query matrix ships to executors ONLY via the
+    broadcast handle (the kernel closes over nothing else), so it is
+    serialized once, not once per task."""
+    max_queries = 100_000
     spark = queries.sparkSession
-    qpd = queries.select(id_col, vec_col).toPandas()
+    qpd = (
+        queries.select(id_col, vec_col).limit(max_queries + 1).toPandas()
+    )
+    if not len(qpd):
+        raise ValueError("crossset_topk: empty query set")
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"crossset_topk: query set exceeds the broadcast tier cap "
+            f"({max_queries} rows); use the self-join top-k operators "
+            "for corpus-sized query sets"
+        )
     qmat = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
     qnorm[qnorm == 0] = 1.0
@@ -664,7 +680,9 @@ def crossset_topk(
         sel = np.take_along_axis(best_ids, idx, axis=1)
         yield pd.DataFrame(
             {
-                "q_id": np.repeat(qids, top),
+                # ids_q comes from bc.value — closing over the driver
+                # locals would pickle the query matrix into every task
+                "q_id": np.repeat(ids_q, top),
                 "c_id": sel.reshape(-1),
             }
         )

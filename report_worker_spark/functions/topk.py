@@ -55,10 +55,12 @@ def _mg_truncate(counts: pd.Series, m: int) -> tuple[pd.Series, int]:
 def mg_partials(
     df: DataFrame, key_col: str, m: int = 1024
 ) -> DataFrame:
-    """Per-partition Misra–Gries summaries: ≤ m (key, weight) rows per
-    partition. ``weight`` is an UNDER-estimate of the partition-local
-    count; the global undercount after merging is ≤ N/(m+1) per
-    truncation level (two levels here: partition + merge)."""
+    """Per-partition Misra–Gries summaries: ≤ m (key, weight, cut=0)
+    rows per partition plus ONE sentinel row (key=NULL, weight=0,
+    cut=<partition truncation cutoff>). ``weight`` is an UNDER-estimate
+    of the partition-local count; summing the sentinel ``cut`` column
+    across partitions recovers the total partition-level undercount so
+    the merge can report a verifiable bound."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.Series | None = None
@@ -67,21 +69,41 @@ def mg_partials(
             acc = c if acc is None else acc.add(c, fill_value=0)
         if acc is None or not len(acc):
             return
-        kept, _ = _mg_truncate(acc.astype("int64"), m)
-        yield pd.DataFrame({"key": kept.index, "weight": kept.to_numpy()})
+        kept, cutoff = _mg_truncate(acc.astype("int64"), m)
+        yield pd.DataFrame(
+            {
+                "key": list(kept.index) + [None],
+                "weight": list(kept.to_numpy()) + [0],
+                "cut": [0] * len(kept) + [cutoff],
+            }
+        )
 
     return (
         spread(df)
         .select(F.col(key_col).cast("string").alias(key_col))
-        .mapInPandas(summarize, schema="key string, weight long")
+        .mapInPandas(summarize, schema="key string, weight long, cut long")
     )
 
 
 def mg_merged(partials: DataFrame, m: int = 1024) -> DataFrame:
     """Merge per-partition summaries: sum weights per key (map-side
     combinable — the ONLY shuffle, ≤ partitions·m input rows), then
-    re-truncate to capacity m. Returns (key, weight_lower_bound)."""
-    summed = partials.groupBy("key").agg(F.sum("weight").alias("weight"))
+    re-truncate to capacity m.
+
+    Returns (key, weight, bound): ``weight`` is a lower bound on the
+    key's true global count; ``bound`` (constant across rows) is the
+    accumulated undercount — Σ per-partition truncation cutoffs + the
+    merge-level cutoff. Invariants: true_count(key) − weight ≤ bound
+    for every returned key, and any key with true_count > bound is
+    guaranteed present."""
+    pcut = partials.agg(
+        F.coalesce(F.sum("cut"), F.lit(0)).alias("_pcut")
+    )
+    summed = (
+        partials.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("weight").alias("weight"))
+    )
     # final truncation happens on ≤ partitions·m rows — driver-safe by
     # construction, but expressed as a plan: rank and keep top-m, then
     # subtract the (m+1)-th weight like the pandas kernel does
@@ -89,18 +111,20 @@ def mg_merged(partials: DataFrame, m: int = 1024) -> DataFrame:
 
     w = Window.orderBy(F.col("weight").desc(), F.col("key").asc())
     ranked = summed.withColumn("_rn", F.row_number().over(w))
-    cutoff = (
-        ranked.filter(F.col("_rn") == m + 1)
-        .select(F.col("weight").alias("_cut"))
+    # guaranteed-one-row scalar aggregates (empty → 0), attached via an
+    # explicit broadcast cross join — no reliance on the condition-less
+    # join path
+    mcut = ranked.filter(F.col("_rn") == m + 1).agg(
+        F.coalesce(F.max("weight"), F.lit(0)).alias("_mcut")
     )
+    scalars = pcut.crossJoin(mcut)
     return (
         ranked.filter(F.col("_rn") <= m)
-        .join(F.broadcast(cutoff), how="left")
+        .crossJoin(F.broadcast(scalars))
         .select(
             "key",
-            (F.col("weight") - F.coalesce(F.col("_cut"), F.lit(0))).alias(
-                "weight"
-            ),
+            (F.col("weight") - F.col("_mcut")).alias("weight"),
+            (F.col("_pcut") + F.col("_mcut")).alias("bound"),
         )
         .filter(F.col("weight") > 0)
     )
@@ -110,20 +134,29 @@ def sketch_pruned_topk(
     df: DataFrame, key_col: str, k: int = 20, m: int = 1024
 ) -> DataFrame:
     """Exact top-k keys by count, via MG candidate pruning + exact
-    recount of candidates only. Output (key, n, rank) is bit-exact
-    (identical to the naive full-shuffle top-k) whenever the true k-th
-    count clears the sketch's undercount bound — Zipfian text/key
-    distributions clear it by orders of magnitude; see
-    tests/test_topk.py for the adversarial (uniform) case and the
-    bound check."""
-    cand = mg_merged(mg_partials(df, key_col, m=m), m=m).select("key")
-    exact = (
-        spread(df)
-        .select(F.col(key_col).cast("string").alias("key"))
-        .join(F.broadcast(cand), on="key", how="left_semi")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    recount of candidates only — with the sketch guarantee VERIFIED,
+    not assumed.
+
+    The merged summary (≤ m rows — bounded driver-side materialization,
+    same class as the IVF centroid sample) carries the accumulated
+    undercount ``bound``. If the k-th largest summary weight (a lower
+    bound on that key's true count) exceeds ``bound``, every key
+    outside the candidate set has true count ≤ bound < the k-th
+    candidate's count, so the candidate set provably contains the true
+    top-k and the pruned recount is bit-exact. Otherwise (near-uniform
+    keys, m too small) the guarantee cannot be certified and we fall
+    back to the naive full-shuffle groupBy-count — correct on any
+    distribution, just without the shuffle savings. See
+    tests/test_topk.py for the adversarial (uniform) case."""
+    summary = mg_merged(mg_partials(df, key_col, m=m), m=m).collect()
+    weights = sorted((r["weight"] for r in summary), reverse=True)
+    bound = summary[0]["bound"] if summary else 0
+    certified = len(weights) >= k and weights[k - 1] > bound
+    keyed = spread(df).select(F.col(key_col).cast("string").alias("key"))
+    if certified:
+        cand = [r["key"] for r in summary]
+        keyed = keyed.filter(F.col("key").isin(cand))
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("n").desc(), F.col("key").asc())

@@ -27,17 +27,21 @@ def test_mg_weights_are_underestimates_within_bound(spark):
     true = Counter(keys)
     n = len(keys)
     m = 16
-    merged = {
-        r.key: r.weight
-        for r in mg_merged(mg_partials(_df_from_keys(spark, keys), "key", m=m), m=m).collect()
-    }
+    rows = mg_merged(
+        mg_partials(_df_from_keys(spark, keys), "key", m=m), m=m
+    ).collect()
+    merged = {r.key: r.weight for r in rows}
     assert len(merged) <= m
-    # two truncation levels (8 partitions + final merge): bound 2*N/(m+1)
-    bound = 2 * n / (m + 1)
+    # the summary now reports its own accumulated undercount, tighter
+    # than the analytic 2*N/(m+1) worst case
+    reported = {r.bound for r in rows}
+    assert len(reported) == 1  # constant across rows
+    bound = reported.pop()
+    assert 0 <= bound <= 2 * n / (m + 1)
     for k, w in merged.items():
         assert w <= true[k], (k, w, true[k])
         assert true[k] - w <= bound, (k, w, true[k], bound)
-    # every key whose count clears the bound must be present
+    # every key whose count clears the reported bound must be present
     for k, c in true.items():
         if c > bound:
             assert k in merged, (k, c, bound)
@@ -64,3 +68,18 @@ def test_sketch_pruned_topk_near_uniform_still_exact_with_big_m(spark):
     got = sketch_pruned_topk(df, "key", k=3, m=128).collect()
     assert got[0].key == "hot" and got[0].n == 25 and got[0].rank == 1
     assert all(r.n == 20 for r in got[1:])
+
+
+def test_sketch_pruned_topk_near_uniform_small_m_falls_back_exact(spark):
+    """m far below the distinct-key count on near-uniform data: the
+    certification (k-th summary weight > bound) fails, the naive
+    full-shuffle path kicks in, and the answer is still bit-exact."""
+    keys = [f"u{i}" for i in range(400) for _ in range(10)] + ["hot"] * 15
+    df = _df_from_keys(spark, keys)
+    got = [
+        (r.key, r.n, r.rank)
+        for r in sketch_pruned_topk(df, "key", k=5, m=8).collect()
+    ]
+    true = Counter(keys)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(k, n, i + 1) for i, (k, n) in enumerate(want)]
