@@ -7,10 +7,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with the no-op sink (full execution, no
 driver collect). Scale-sensitive picks: the similarity headliners are
 the bucketed ANN paths (hyperplane LSH and IVF — per-bucket/per-cell
-equi-joins, no driver round-trip); the BLAS-matmul exact top-k is
-benched as the documented ≤10⁶-vector mid-tier (it broadcasts the
-candidate matrix via a driver collect and cannot scale past that);
-jaccard caps hot-shingle fan-out via max_df.
+equi-joins, no driver round-trip) plus the cogrouped blocked-BLAS
+exact path; no headline plan contains a driver collect (the
+≤10⁶-vector brute_topk_matmul mid-tier is a documented utility, not a
+headliner); jaccard caps hot-shingle fan-out via max_df.
 """
 
 from __future__ import annotations
@@ -94,12 +94,13 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         "sim_lsh_near_dup": sim.lsh_near_dup_pairs(
             emb, threshold=0.99, n_planes=8, n_tables=12, dim=64
         ),
-        # exact-at-scale: Q×B cogrouped BLAS tiles, no driver round-trip
+        # exact-at-scale: Q×B cogrouped BLAS tiles, no driver round-trip.
+        # (brute_topk_matmul, the driver-collected ≤10⁶-vector mid-tier,
+        # is deliberately NOT benched: the headline list contains no
+        # plan with a driver collect — it remains a documented utility.)
         "sim_topk_matmul_blocked": sim.blocked_topk_matmul(
             emb, k=5, n_blocks=4, n_query_groups=4
         ),
-        # exact mid-tier (driver-collected candidate matrix, ≤10⁶ vectors)
-        "sim_topk_matmul_midtier": sim.brute_topk_matmul(emb, k=5),
         # the production star-upsert path (hash surrogate keys, no
         # global sort) — the rank-mode catalog query exists for oracle
         # parity, this is what a deployment runs
