@@ -336,3 +336,75 @@ def test_streaming_to_jdbc_star_sink_e2e(spark, derby_url, tmp_path):
     )
     expect = star.upsert_star(staging_all)["fact"].count()
     assert n2 == expect
+
+
+# ---------------------------------------------------------------------------
+# MySQL-dialect statement contract. No MySQL server exists in the test
+# env, but the SQL-generating halves are pure functions — pin the exact
+# statement text the sink would send to MySQL (reference
+# src/app/controllers/report.py:246, player.py:56 use INSERT IGNORE as
+# the idempotency backstop), and prove on Derby that the ANSI fallback
+# verb produces identical row outcomes (the NOT-EXISTS guard, not the
+# verb, carries the dedup semantics).
+# ---------------------------------------------------------------------------
+
+
+def test_mysql_insert_statement_text_pinned():
+    assert (
+        j.insert_sql("INSERT IGNORE INTO", "sighting", ["sid", "rid", "ts"])
+        == "INSERT IGNORE INTO sighting (sid, rid, ts) VALUES (?, ?, ?)"
+    )
+    # ANSI fallback differs ONLY in the verb
+    assert (
+        j.insert_sql("INSERT INTO", "sighting", ["sid", "rid", "ts"])
+        == "INSERT INTO sighting (sid, rid, ts) VALUES (?, ?, ?)"
+    )
+
+
+def test_mysql_not_exists_statement_text_pinned():
+    sql = j.not_exists_insert_sql(
+        "INSERT IGNORE INTO", "gear", "stg_gear",
+        cols=["sid", "helm"], keys=["sid", "helm"],
+    )
+    assert sql == (
+        "INSERT IGNORE INTO gear (sid, helm) "
+        "SELECT s.sid, s.helm FROM stg_gear s "
+        "WHERE NOT EXISTS (SELECT 1 FROM gear t WHERE "
+        "(t.sid = s.sid OR (t.sid IS NULL AND s.sid IS NULL)) "
+        "AND (t.helm = s.helm OR (t.helm IS NULL AND s.helm IS NULL)))"
+    )
+
+
+def test_not_exists_match_is_null_safe_per_key():
+    """MySQL's plain `=` never matches NULL — the reference's NULL-gear
+    rows re-insert forever (its intended semantics was `<=>`). Every
+    key column must carry the portable null-safe disjunct."""
+    keys = ["a", "b", "c"]
+    sql = j.not_exists_insert_sql("INSERT IGNORE INTO", "t1", "s1", keys, keys)
+    for k in keys:
+        assert f"(t.{k} = s.{k} OR (t.{k} IS NULL AND s.{k} IS NULL))" in sql
+
+
+def test_ansi_fallback_verb_identical_outcomes_on_derby(spark, derby_url):
+    """Replaying the same delta (including a NULL in the match key)
+    through the ANSI-verb txn inserts zero new rows — the row outcomes
+    MySQL would get from INSERT IGNORE + NOT EXISTS, reproduced with
+    the portable verb. This is the null-gear case the reference gets
+    wrong (it re-inserts NULL-key rows on every batch)."""
+    _exec(spark, derby_url, "CREATE TABLE gear (sid BIGINT, helm INT)")
+    delta = spark.createDataFrame([(1, 10), (2, None)], "sid long, helm int")
+    first = j.staged_not_exists_txn(
+        spark, derby_url, [("gear", delta, ["sid", "helm"])],
+        insert_verb="INSERT INTO",
+    )
+    assert first == {"gear": 2}
+    replay = j.staged_not_exists_txn(
+        spark, derby_url, [("gear", delta, ["sid", "helm"])],
+        insert_verb="INSERT INTO",
+    )
+    assert replay == {"gear": 0}  # NULL-key row did NOT re-insert
+    back = j.read_dim(spark, derby_url, "gear")
+    rows = sorted(
+        (r[0], r[1]) for r in back.collect()
+    )
+    assert rows == [(1, 10), (2, None)]
