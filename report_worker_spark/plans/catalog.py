@@ -1386,30 +1386,81 @@ def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     return tx.lang_id(d).select("doc_id", "lang_pred")
 
 
-# --- Multimodal & approximate-similarity (rows-only: not SQL-expressible) ----
+# --- Multimodal: binary columns + Arrow kernels, oracle-paired --------------
+#
+# The synthetic media bytes are an md5-keystream expansion of ``text``
+# (functions/multimodal.py:53), so DuckDB can regenerate the SAME hex
+# stream (md5 ‖ md5(·||'2') ‖ md5(·||'3')) and recompute the byte stats
+# arithmetically from hex pairs — the Python kernel's outputs get a real
+# value-level oracle. Content hashes (sha1) and byte entropy stay
+# pytest-covered: DuckDB has no blob hashing, and entropy's float fold
+# order is kernel-defined.
+
+_MEDIA_HEX = "md5(text) || md5(text || '2') || md5(text || '3')"
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             {_MEDIA_HEX} AS content_hex
+      FROM documents
+    )
+    SELECT media_id, kind,
+           CAST(octet_length(unhex(content_hex)) AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, 49), i ->
+             (strpos('0123456789abcdef', substr(content_hex, 2*i-1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(content_hex, 2*i, 1)) - 1)
+           )) AS DOUBLE) / 48.0 AS byte_mean,
+           content_hex
+    FROM m
+    """,
+)
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary media columns → Arrow-batched feature extraction with the
-    deterministic fake codec (real codecs are env-stubbed; plumbing —
-    schema, batching, partitioning — is the real thing)."""
+    deterministic fake codec (real pixel codecs are env-stubbed;
+    plumbing — schema, batching, partitioning — is the real thing).
+    ``n_bytes``/``byte_mean`` come out of the Python kernel,
+    ``content_hex`` is the JVM-side byte round-trip; DuckDB recomputes
+    all three from the md5 keystream."""
     from ..functions import multimodal as mm
 
     docs = load(spark, sf, "documents")
     media = mm.synthetic_media(docs, "doc_id", "text")
-    return mm.extract_features(media, decoder=mm.fake_decoder)
+    feats = mm.extract_features(media, decoder=mm.fake_decoder)
+    return feats.join(
+        media.select("media_id", F.lower(F.hex("content")).alias("content_hex")),
+        on="media_id",
+    ).select("media_id", "kind", "n_bytes", "byte_mean", "content_hex")
 
 
-@query("multimodal_decode_headers")
+@query(
+    "multimodal_decode_headers",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(doc_id % 31 + 2 AS INT) AS width,
+           CAST(doc_id % 23 + 2 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(3 AS INT) AS channels,
+           true AS dims_ok
+    FROM documents
+    """,
+)
 def multimodal_decode_headers(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode (VERDICT r1 #7): spec-valid PNG bytes (zlib
     IDAT, CRC-checked layout) and header-complete JPEGs are generated
     per row, then dimensions/bit-depth/channels are parsed back from the
-    actual bytes — features change iff the bytes change. `dims_ok`
-    cross-checks the parsed header against the generator's intent, so a
-    decode regression flips rows visibly. Pixel-level codecs stay
-    env-stubbed; container parsing is genuinely real."""
+    actual bytes — features change iff the bytes change. The oracle
+    reconstructs the generator's intent independently, so a decode (or
+    encode) regression mismatches; `dims_ok` additionally cross-checks
+    parsed-vs-intended dims row by row inside Spark. Byte-level stats
+    (sha1, n_bytes over zlib output) are pytest-covered — DuckDB can't
+    express zlib. Pixel-level codecs stay env-stubbed; container
+    parsing is genuinely real."""
     from ..functions import multimodal as mm
 
     docs = load(spark, sf, "documents").select("doc_id")
@@ -1422,17 +1473,25 @@ def multimodal_decode_headers(spark: SparkSession, sf: str) -> DataFrame:
         "height",
         "bit_depth",
         "channels",
-        "n_bytes",
-        "content_sha1",
         ((F.col("width") == F.col("meta_w")) & (F.col("height") == F.col("meta_h"))).alias(
             "dims_ok"
         ),
     )
 
 
-@query("multimodal_frame_plan")
+@query(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, doc_id % 90000 + 999, 10000)) AS frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
 def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
-    """Video frame-sample expansion plan (JVM-side sequence+explode)."""
+    """Video frame-sample expansion plan (JVM-side sequence+explode);
+    the oracle regenerates the frame grid from the synthetic duration
+    formula (duration_ms = id % 90000 + 1000, one frame per 10 s)."""
     from ..functions import multimodal as mm
 
     docs = load(spark, sf, "documents")
@@ -6706,6 +6765,12 @@ _DRIVER_WINDOW = [
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
+    # r1-r3 carried these as rows-only (no_oracle); r4 adds md5-keystream
+    # / header-formula oracle twins — re-window them to convert the
+    # driver rows from rows-only to full hash-match
+    "multimodal_features",
+    "multimodal_decode_headers",
+    "multimodal_frame_plan",
     # the 21 remaining TPC-H shapes (q1 verified r1-r3) + OLAP extras
     "olap_q2_min_cost_supplier",
     "olap_q3_shipping_priority",
@@ -6741,14 +6806,11 @@ _DRIVER_WINDOW = [
     "dedup_containment_pairs",
     "dedup_incremental_batch",
     "dedup_cluster_size_histogram",
-    "dedup_keep_latest",
-    "dedup_rate_by_source",
     # join operators
     "join_asof_forward",
     "join_asof_nearest",
     "join_interval_overlap",
     "join_fuzzy_levenshtein",
-    "j_semi_exists",
     # ANN / similarity
     "sim_crossset_topk",
     "sim_lsh_topk_exhaustive",
