@@ -224,6 +224,7 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets (n_tables
     independent tables), BLAS partial top-m inside each bucket, exact
@@ -239,10 +240,21 @@ def lsh_topk(
     re-scored with the sequential-fold EXACT cosine, so the final
     ranking is bit-identical to the all-pairs variant (the BLAS margin
     absorbs summation-order ULPs, same argument as
-    ``blocked_topk_matmul``). A pathologically hot bucket still does
-    its B² work in one task — n_planes must grow with log2(n) to keep
-    B bounded; the matmul chunks queries so task memory stays
-    O(chunk·B), not O(B²).
+    ``blocked_topk_matmul``).
+
+    Hot-bucket guard: a pathological bucket (skewed data, n_planes too
+    small for n — e.g. many identical vectors, which NO number of
+    hyperplanes can separate) would otherwise do its whole B² in one
+    task. Buckets above ``bucket_cap`` rows are instead tiled: rows
+    split into nb = ceil(B/cap) id-hash blocks, every (query-block,
+    corpus-block) tile is its own Arrow group, and per-tile top-m
+    per query is lossless for the bucket-level top-m (same
+    per-partition-top-k argument as ``crossset_topk``). Per-task input
+    stays ≤ 2·ceil(B/nb) ≤ ~2·cap rows regardless of skew; the B²
+    compute still happens (it is inherent to the bucket's geometry)
+    but spread across nb² bounded tasks instead of one straggler.
+    ``bucket_cap=None`` disables the guard (bit-compat with the
+    pre-guard plan).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -305,11 +317,81 @@ def lsh_topk(
                 out_b.extend(cand[keep].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
 
-    cand = (
-        tagged.groupBy("tbl", "bkt")
-        .applyInPandas(bucket_topm, schema="id_a long, id_b long")
-        .dropDuplicates(["id_a", "id_b"])
+    def tile_topm(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (query-block, corpus-block) tile of a hot bucket: emit
+        each query row's top-m among the tile's corpus rows."""
+        q = pdf[pdf["_isq"] == 1]
+        c = pdf[pdf["_isq"] == 0]
+        if not len(q) or not len(c):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        cmat = np.stack(c["_v"].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cunit = cmat / cn
+        cids = c["_id"].to_numpy()
+        qmat = np.stack(q["_v"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qunit = qmat / qn
+        qids = q["_id"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        top = min(m + 1, len(cids))  # +1: self may sit in this tile
+        for s in range(0, len(qids), 1024):
+            sims = qunit[s : s + 1024] @ cunit.T
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            for i in range(sims.shape[0]):
+                cand_ids = cids[idx[i]]
+                keep = cand_ids != qids[s + i]
+                out_a.extend([qids[s + i]] * int(keep.sum()))
+                out_b.extend(cand_ids[keep].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    if bucket_cap is None:
+        grouped = tagged
+        hot = None
+    else:
+        sizes = assigned.groupBy("tbl", "bkt").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        # bucket-size table: one row per non-empty (table, bucket) —
+        # AQE picks broadcast when it fits (it is tiny relative to the
+        # corpus at any plane count worth running)
+        tagged_sz = tagged.join(sizes, on=["tbl", "bkt"])
+        grouped = tagged_sz.filter(F.col("_bsz") <= bucket_cap).drop("_bsz")
+        hot = (
+            tagged_sz.filter(F.col("_bsz") > bucket_cap)
+            .withColumn(
+                "_nb",
+                F.ceil(F.col("_bsz") / F.lit(bucket_cap)).cast("int"),
+            )
+            .drop("_bsz")
+        )
+
+    cand = grouped.groupBy("tbl", "bkt").applyInPandas(
+        bucket_topm, schema="id_a long, id_b long"
     )
+    if hot is not None:
+        blocks = F.sequence(F.lit(0), F.col("_nb") - 1)
+        qside = hot.select(
+            "tbl", "bkt", "_id", "_v",
+            F.pmod("_id", F.col("_nb")).alias("_qb"),
+            F.explode(blocks).alias("_cb"),
+            F.lit(1).alias("_isq"),
+        )
+        cside = hot.select(
+            "tbl", "bkt", "_id", "_v",
+            F.explode(blocks).alias("_qb"),
+            F.pmod("_id", F.col("_nb")).alias("_cb"),
+            F.lit(0).alias("_isq"),
+        )
+        hot_cand = (
+            qside.unionByName(cside)
+            .groupBy("tbl", "bkt", "_qb", "_cb")
+            .applyInPandas(tile_topm, schema="id_a long, id_b long")
+        )
+        cand = cand.unionByName(hot_cand)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     # attach vectors + norms AFTER dedup: only O(n·tables·k) id pairs
     # ever carry vector payload; norm computed once per side, cosine is
     # one fold + a divide (cosine() would fold the arrays 3× per pair)

@@ -1,0 +1,112 @@
+"""Hot-bucket guard for lsh_topk (VERDICT r3 #6): a degenerate bucket —
+near-identical vectors that no hyperplane count can separate — must not
+collapse into one B² straggler task. Buckets above ``bucket_cap`` split
+into id-hash block tiles; per-tile top-m is lossless for the bucket's
+top-m, so results stay identical to the unguarded plan."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from report_worker_spark.functions import similarity as sim
+
+N = 500
+DIM = 8
+CAP = 64
+K = 5
+
+
+@pytest.fixture(scope="module")
+def degenerate(spark):
+    """N near-identical vectors: one dominant direction plus an
+    id-proportional perturbation that breaks every cosine tie but is
+    far too small to flip any hyperplane sign — all rows land in the
+    SAME bucket of every table."""
+    base = np.full(DIM, 100.0)
+    rows = []
+    for i in range(N):
+        v = base.copy()
+        # big enough that cosine gaps (~1e-9) dwarf BLAS-vs-fold ULP
+        # noise, small enough that no hyperplane sign flips (min
+        # projection margin 5.3 vs max perturbation 3.3 for seed 42)
+        v[0] += 5e-3 * i
+        v[1] -= 3.5e-3 * i
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _brute_topk(rows: list, k: int) -> list:
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = []
+    for i, q in enumerate(ids):
+        # exact sequential-fold cosine, matching the plan's dot_fold
+        sims = []
+        for j, c in enumerate(ids):
+            if c == q:
+                continue
+            num = 0.0
+            for a, b in zip(mat[i], mat[j]):
+                num += a * b
+            den = math.sqrt(math.fsum(x * x for x in mat[i])) * math.sqrt(
+                math.fsum(x * x for x in mat[j])
+            )
+            sims.append((num / den, c))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(sims[:k], start=1):
+            out.append((q, rank, c))
+    return sorted(out)
+
+
+def test_degenerate_bucket_is_actually_hot(spark, degenerate):
+    """Premise check: every row shares one bucket per table, so the
+    unguarded plan would put all N rows in a single task."""
+    planes = np.random.default_rng(42).standard_normal((4, 6, DIM))
+    mat = np.array([r.embedding for r in degenerate.collect()])
+    for t in range(4):
+        bits = (mat @ planes[t].T > 0)
+        assert len({tuple(b) for b in bits}) == 1
+
+
+def test_hot_bucket_tiling_matches_unguarded_results(spark, degenerate):
+    capped = sim.lsh_topk(
+        degenerate, k=K, n_planes=6, n_tables=4, seed=42, dim=DIM,
+        bucket_cap=CAP,
+    )
+    uncapped = sim.lsh_topk(
+        degenerate, k=K, n_planes=6, n_tables=4, seed=42, dim=DIM,
+        bucket_cap=None,
+    )
+    got_c = sorted((r.vec_id, r.rank, r.neighbor_id) for r in capped.collect())
+    got_u = sorted((r.vec_id, r.rank, r.neighbor_id) for r in uncapped.collect())
+    assert got_c == got_u
+    # and both equal true exact top-k (perturbations → no cosine ties)
+    rows = [(r.vec_id, r.embedding) for r in degenerate.collect()]
+    assert got_c == _brute_topk(rows, K)
+
+
+def test_hot_path_appears_in_plan_with_bounded_tiles(spark, degenerate):
+    """Plan-level: the guarded query contains TWO grouped-Arrow stages
+    (cold buckets + hot tiles). Data-level: with N=500 ids 0..N-1 and
+    cap=64, nb=ceil(500/64)=8, so every tile group holds at most
+    2*ceil(N/nb) = 126 rows — bounded per-task input regardless of
+    bucket skew."""
+    capped = sim.lsh_topk(
+        degenerate, k=K, n_planes=6, n_tables=4, seed=42, dim=DIM,
+        bucket_cap=CAP,
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    nb = math.ceil(N / CAP)
+    per_block = math.ceil(N / nb)
+    assert 2 * per_block <= 2 * CAP  # the documented per-task bound
+    uncapped = sim.lsh_topk(
+        degenerate, k=K, n_planes=6, n_tables=4, seed=42, dim=DIM,
+        bucket_cap=None,
+    )
+    plan_u = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert plan_u.count("FlatMapGroupsInPandas") == 1
