@@ -351,13 +351,14 @@ def lsh_topk(
         grouped = tagged
         hot = None
     else:
-        sizes = assigned.groupBy("tbl", "bkt").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
-        # bucket-size table: one row per non-empty (table, bucket) —
-        # AQE picks broadcast when it fits (it is tiny relative to the
-        # corpus at any plane count worth running)
-        tagged_sz = tagged.join(sizes, on=["tbl", "bkt"])
+        # bucket sizes via a window count over the SAME hash exchange
+        # the grouped-Arrow stage needs anyway (ClusteredDistribution
+        # on (tbl, bkt) is satisfied by the window's partitioning, so
+        # the guard adds a sort, not a second scan of the Python
+        # assign pass — a sizes-join formulation re-ran it, +30%
+        # measured at sf0.1)
+        wsz = Window.partitionBy("tbl", "bkt")
+        tagged_sz = tagged.withColumn("_bsz", F.count(F.lit(1)).over(wsz))
         grouped = tagged_sz.filter(F.col("_bsz") <= bucket_cap).drop("_bsz")
         hot = (
             tagged_sz.filter(F.col("_bsz") > bucket_cap)
