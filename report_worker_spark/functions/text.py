@@ -8,7 +8,7 @@ input splits (no shuffle at all except where noted).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small public stopword samples per language (top function words).
@@ -166,3 +166,132 @@ def md5_fingerprint(col: Column | str) -> Column:
     whitespace-normalized lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+# --- Segment-level cleaning (CCNet-style paragraph ops) ---------------------
+#
+# The reference corpus-curation recipe for web text removes (a)
+# boilerplate lines that repeat across MANY documents (headers, nav
+# bars, cookie banners) and (b) lines repeated WITHIN a document
+# (templating loops). Documents here carry no newline structure, so the
+# segment unit is a fixed-width token window — the operators are the
+# same shapes: explode → frequency → anti-join → ordered reassembly.
+
+
+def segment_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+) -> DataFrame:
+    """(id, seg_idx, segment): fixed-width token segments, JVM-side
+    (split + transform + posexplode — no shuffle, no Python)."""
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(nseg - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop every segment that
+    occurs in more than ``max_doc_freq`` DISTINCT documents, keep the
+    rest in order. Returns (id, n_segments, n_removed, clean_text).
+
+    100 TB shape: the segment explode is map-local; the document-
+    frequency aggregate is the one corpus-wide shuffle (map-side
+    combinable count-distinct via the (segment, id) pre-distinct); the
+    boilerplate dictionary that survives the HAVING is tiny relative
+    to the corpus (boilerplate is by definition few distinct strings)
+    so the removal anti-join broadcasts. Reassembly groups by doc —
+    partition-pruned if the corpus is already bucketed by id."""
+    segs = segment_table(df, id_col, text_col, seg_tokens)
+    hot = (
+        segs.select("segment", id_col)
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("segment")
+    )
+    kept = segs.join(F.broadcast(hot), on="segment", how="left_anti")
+    totals = segs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s.segment,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_intradoc_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+) -> DataFrame:
+    """Within-document repetition removal: keep each distinct segment's
+    FIRST occurrence, preserving order. Returns (id, n_segments,
+    n_intra_dups, dedup_text). One shuffle (by id for the window +
+    reassembly — the window partitions by (id, segment) which the id
+    shuffle already co-locates)."""
+    segs = segment_table(df, id_col, text_col, seg_tokens)
+    w = Window.partitionBy(id_col, "segment").orderBy("seg_idx")
+    first = segs.withColumn("_rn", F.row_number().over(w))
+    kept = first.filter(F.col("_rn") == 1)
+    return (
+        segs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_segments"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_idx", "segment"))
+                        ),
+                        lambda s: s.segment,
+                    ),
+                    " ",
+                ).alias("dedup_text"),
+            ),
+            on=id_col,
+        )
+        .select(
+            id_col,
+            "n_segments",
+            (F.col("n_segments") - F.col("_kept")).cast("long").alias(
+                "n_intra_dups"
+            ),
+            "dedup_text",
+        )
+    )

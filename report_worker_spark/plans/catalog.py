@@ -6837,3 +6837,94 @@ def _rotate_window(priority: list[str]) -> None:
 
 
 _rotate_window(_DRIVER_WINDOW)
+
+
+# ===========================================================================
+# Coverage round 4: segment-level corpus cleaning (CCNet-style)
+# ===========================================================================
+
+
+@query(
+    "text_boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i*3+1):(i*3+3)], ' ') AS segment
+      FROM toks,
+           unnest(range(0, greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1)))
+             AS u(i)
+    ),
+    hot AS (
+      SELECT segment FROM (SELECT DISTINCT segment, doc_id FROM segs)
+      GROUP BY segment HAVING count(*) > 5
+    ),
+    kept AS (
+      SELECT s.* FROM segs s
+      WHERE s.segment NOT IN (SELECT segment FROM hot)
+    ),
+    tot AS (
+      SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segments,
+           t.n_segments - COALESCE(r.kept_n, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal: 3-token segments
+    occurring in >5 distinct docs are dropped, the rest reassembled in
+    order. The boilerplate dictionary broadcast + ordered rebuild is
+    the pattern the newline-structured web-corpus version uses
+    verbatim (segments would be lines)."""
+    d = load(spark, sf, "documents")
+    return tx.remove_boilerplate(
+        d, "doc_id", "text", seg_tokens=3, max_doc_freq=5
+    )
+
+
+@query(
+    "text_intradoc_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i*3+1):(i*3+3)], ' ') AS segment
+      FROM toks,
+           unnest(range(0, greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1)))
+             AS u(i)
+    ),
+    first_occ AS (
+      SELECT doc_id, seg_idx, segment,
+             row_number() OVER (PARTITION BY doc_id, segment
+                                ORDER BY seg_idx) AS rn
+      FROM segs
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) - k.kept_n AS n_intra_dups,
+           k.dedup_text
+    FROM segs s
+    JOIN (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(segment, ' ' ORDER BY seg_idx) AS dedup_text
+      FROM first_occ WHERE rn = 1 GROUP BY doc_id
+    ) k USING (doc_id)
+    GROUP BY s.doc_id, k.kept_n, k.dedup_text
+    """,
+)
+def text_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition removal (templating-loop cleanup):
+    keep each distinct 3-token segment's first occurrence in order."""
+    d = load(spark, sf, "documents")
+    return tx.dedup_intradoc_segments(d, "doc_id", "text", seg_tokens=3)
