@@ -53,6 +53,8 @@ CATALOG_BENCH = [
     "dedup_containment_pairs",
     "topk_heavy_tokens",
     "text_bm25_topk",
+    "text_boilerplate_removal",
+    "text_intradoc_dedup",
 ]
 
 

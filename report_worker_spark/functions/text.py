@@ -185,7 +185,11 @@ def segment_table(
     seg_tokens: int = 3,
 ) -> DataFrame:
     """(id, seg_idx, segment): fixed-width token segments, JVM-side
-    (split + transform + posexplode — no shuffle, no Python)."""
+    (split + transform + posexplode — no shuffle beyond the local
+    spread, no Python)."""
+    from ..util import spread
+
+    df = spread(df)
     toks = F.split(F.col(text_col), " ")
     nseg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
