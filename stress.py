@@ -145,6 +145,15 @@ def main() -> None:
                 m=512,
             )
         ),
+        # segment cleaning: df-shuffle + broadcast dictionary; the k×
+        # corpus multiplies segment volume linearly, boilerplate
+        # dictionary stays bounded by distinct segments over max_df
+        "text_boilerplate_removal": timed(
+            tx.remove_boilerplate(docs, seg_tokens=3, max_doc_freq=5 * K)
+        ),
+        "text_intradoc_dedup": timed(
+            tx.dedup_intradoc_segments(docs, seg_tokens=3)
+        ),
     }
     edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
     timings["graph_triangles"] = timed(gr.triangle_count(edges))
