@@ -6928,3 +6928,116 @@ def text_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     keep each distinct 3-token segment's first occurrence in order."""
     d = load(spark, sf, "documents")
     return tx.dedup_intradoc_segments(d, "doc_id", "text", seg_tokens=3)
+
+
+_COMPONENTS_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "curation_leakage_safe_split",
+    oracle=f"""
+    WITH {_COMPONENTS_CTE},
+    keyed AS (
+      SELECT d.doc_id, COALESCE(r.comp, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN rec r ON r.node = d.doc_id
+    )
+    SELECT doc_id, cluster_key,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_key,
+                 CAST(CAST(concat('0x', substr(md5(concat('split1',
+                      CAST(cluster_key AS VARCHAR))), 1, 4)) AS BIGINT)
+                      % 100 AS INT) AS b
+          FROM keyed)
+    """,
+)
+def curation_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test split WITHOUT near-dup leakage: hash the CLUSTER
+    representative (connected component of jaccard>=0.8 pairs), not the
+    doc id, so every member of a near-dup cluster lands on the same
+    side — the eval-contamination failure mode of naive per-doc splits.
+    One extra join over curation_split; the component labels come from
+    the same label-propagation used by dedup_canonical_docs."""
+    from ..functions.curation import train_val_test_split
+
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comps = dd.connected_components(pairs)
+    keyed = d.select("doc_id").join(
+        comps.select(F.col("node").alias("doc_id"), "component"),
+        on="doc_id",
+        how="left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_key"),
+    )
+    return train_val_test_split(keyed, "cluster_key").select(
+        "doc_id", "cluster_key", "split"
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH {_COMPONENTS_CTE},
+    keyed AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(r.comp, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN rec r ON r.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_key
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonicalization: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (longest doc, id tiebreak) instead
+    of the arbitrary min-id — what a curation pipeline actually wants
+    when near-dups differ in truncation/extraction quality."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comps = dd.connected_components(pairs)
+    keyed = d.join(
+        comps.select(F.col("node").alias("doc_id"), "component"),
+        on="doc_id",
+        how="left",
+    ).withColumn("cluster_key", F.coalesce("component", "doc_id"))
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
