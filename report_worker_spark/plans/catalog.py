@@ -6836,8 +6836,6 @@ def _rotate_window(priority: list[str]) -> None:
     QUERIES.update(head + tail)
 
 
-_rotate_window(_DRIVER_WINDOW)
-
 
 # ===========================================================================
 # Coverage round 4: segment-level corpus cleaning (CCNet-style)
@@ -7041,3 +7039,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# Applied last so the priority list may reference ANY registered query.
+_rotate_window(_DRIVER_WINDOW)
