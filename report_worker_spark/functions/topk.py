@@ -152,7 +152,13 @@ def sketch_pruned_topk(
     weights = sorted((r["weight"] for r in summary), reverse=True)
     bound = summary[0]["bound"] if summary else 0
     certified = len(weights) >= k and weights[k - 1] > bound
-    keyed = spread(df).select(F.col(key_col).cast("string").alias("key"))
+    # NULL keys are excluded on BOTH paths (value_counts drops them in
+    # the sketch, so the fallback must drop them too for path parity)
+    keyed = (
+        spread(df)
+        .select(F.col(key_col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
     if certified:
         cand = [r["key"] for r in summary]
         keyed = keyed.filter(F.col("key").isin(cand))

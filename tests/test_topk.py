@@ -83,3 +83,18 @@ def test_sketch_pruned_topk_near_uniform_small_m_falls_back_exact(spark):
     true = Counter(keys)
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == [(k, n, i + 1) for i, (k, n) in enumerate(want)]
+
+
+def test_null_keys_excluded_on_both_paths(spark):
+    """NULL keys never count: the sketch drops them (value_counts), so
+    the naive fallback must too — certified and fallback paths agree."""
+    keys = ["a"] * 30 + ["b"] * 20 + [None] * 50
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    # certified regime (tiny key space, big m)
+    got = [(r.key, r.n) for r in sketch_pruned_topk(df, "key", k=2, m=64).collect()]
+    assert got == [("a", 30), ("b", 20)]
+    # forced-fallback regime (m too small to certify on near-uniform)
+    many = [f"u{i}" for i in range(300) for _ in range(3)] + [None] * 500
+    df2 = spark.createDataFrame([(k,) for k in many], "key string")
+    got2 = sketch_pruned_topk(df2, "key", k=5, m=4).collect()
+    assert all(r.key is not None for r in got2)
