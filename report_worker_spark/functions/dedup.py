@@ -724,6 +724,147 @@ def dedup_canonical(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+# --- Exact-substring dedup (duplicated token spans) --------------------------
+
+
+def _window_hashes(toks: Column, k: int) -> Column:
+    """xxhash64 of every k-token window of ``toks`` (one element per
+    start position, 0-based). Hashing each window to 64 bits is the
+    scale path — the dup-window groupBy then shuffles (hash, count)
+    pairs instead of k-token strings (~8× less shuffle volume at k=8).
+    Expected false-dup collisions across W windows ≈ W²/2⁶⁵ —
+    negligible below ~10¹² windows; a 100 TB-paranoid deployment would
+    re-verify span text on the (tiny) marked subset."""
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    empty = F.array().cast("array<bigint>")
+    return F.when(sz >= F.lit(k), grams).otherwise(empty)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operator, re-expressed
+    relationally): find every token span of length ≥ k that occurs at
+    least ``min_count`` times anywhere in the corpus, and return the
+    MAXIMAL duplicated spans per document as
+    ``(doc_id, span_start, span_end, span_tokens)`` (token positions,
+    0-based inclusive).
+
+    The suffix-array formulation the paper uses is a single-machine
+    construction; the relational equivalent is exact for spans ≥ k and
+    fully distributed:
+
+    1. slide a k-token window over each doc, hash each window
+       (JVM-side ``transform``+``xxhash64`` — no Python, no explode
+       of the token array itself);
+    2. ``posexplode`` → (doc, pos, window_hash): one row per window;
+    3. a window is *duplicated* iff its hash occurs ≥ min_count times
+       globally — ONE map-side-combinable groupBy-count on 64-bit
+       keys (the only corpus-wide shuffle);
+    4. equi-join the duplicated hashes back (hash join, no theta);
+    5. merge overlapping/adjacent duplicated windows into maximal
+       spans with one doc-partitioned window pass (gaps-and-islands
+       over a running max: a window starting at ``pos`` extends the
+       current span iff ``pos ≤ prev_max_pos + k``).
+
+    Every duplicated substring of length L ≥ k is covered exactly by
+    the union of its L−k+1 duplicated windows, so maximal spans are
+    recovered exactly; substrings shorter than k are invisible (the
+    paper's threshold semantics, k=50 BPE tokens there — k=8 words
+    here to suit the test corpus).
+
+    Scale: shuffle₁ = (hash, count) partials; shuffle₂ = the equi-join
+    on duplicated hashes only (df(hash) ≥ min_count rows each — hot
+    boilerplate hashes fan out but only as (doc, pos) pairs, no
+    payload); shuffle₃ = (doc, pos) pairs window-partitioned by doc —
+    bounded by document length. No driver materialization anywhere."""
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        _window_hashes(tokens(text_col), k).alias("_wh"),
+    )
+    wins = base.select(
+        "_id", F.posexplode("_wh").alias("pos", "_h")
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    marked = wins.join(dup, on="_h").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + k), F.lit(1)
+    ).otherwise(F.lit(0))
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        marked.withColumn("_g", grp)
+        .groupBy("_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return spans
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token budget from :func:`duplicate_spans`:
+    ``(doc_id, n_tokens, dup_tokens, dup_ratio)`` for EVERY document
+    (zero-filled when nothing is duplicated) — the audit a curation
+    pipeline runs before deciding how aggressively to trim. Maximal
+    spans are disjoint by construction, so summing their lengths never
+    double-counts a token."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("_dup")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("_dup"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

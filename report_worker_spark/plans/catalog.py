@@ -7041,5 +7041,91 @@ def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Exact-substring dedup (Lee et al. 2022) — duplicated token spans
+# ===========================================================================
+
+_SUBSTR_WINS_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS win
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS i) g
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+    marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(max(pos) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    grps AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+      FROM grps GROUP BY doc_id, g
+    )
+"""
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated token spans (length ≥ 8 words, ≥ 2 global
+    occurrences) per document — the exact-substring dedup of Lee et
+    al. 2022, expressed as hash-window groupBy + equi-join +
+    gaps-and-islands (see functions/dedup.py:duplicate_spans for the
+    100 TB shuffle story). The oracle re-derives the same spans from
+    the window STRINGS (no hashing) — a hash collision would show up
+    as a span mismatch, so the parity row also certifies the 64-bit
+    hashes are collision-free on this corpus."""
+    d = load(spark, sf, "documents")
+    return dd.duplicate_spans(d, k=8, min_count=2)
+
+
+@query(
+    "dedup_substring_stats",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE},
+    per_doc AS (
+      SELECT doc_id, sum(span_tokens) AS dup FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(COALESCE(p.dup, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(p.dup, 0) AS DOUBLE)
+             / len(string_split_regex(trim(d.text), '\\s+')) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-token budget (every doc, zero-filled):
+    the audit that sizes how much a substring-level trim would remove.
+    Maximal spans are disjoint, so the sum never double-counts."""
+    d = load(spark, sf, "documents")
+    return dd.substring_dup_stats(d, k=8, min_count=2)
+
+
 # Applied last so the priority list may reference ANY registered query.
 _rotate_window(_DRIVER_WINDOW)
