@@ -7127,5 +7127,102 @@ def dedup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dd.substring_dup_stats(d, k=8, min_count=2)
 
 
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    trans AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+      FROM trans GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+    v AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ),
+    scored AS (
+      SELECT tr.doc_id,
+             ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vs)) AS lp
+      FROM trans tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(-list_reduce(list_sort(list(lp)), (x, y) -> x + y)
+                 / count(*), 9) AS cross_entropy_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained add-α word-
+    bigram LM — the relational twin of the KenLM-perplexity quality
+    filter CCNet-style pipelines run (low score = fluent/common text,
+    high = gibberish or boilerplate-stitched). Training IS the query:
+    bigram counts and context counts are two map-side-combinable
+    groupBys over one (w1, w2) explode; scoring is two equi-joins back
+    (w1 hot keys → AQE skew-split territory, no broadcast of the model
+    needed at any corpus size) plus one broadcast scalar (vocab size).
+    P(w2|w1) = (C(w1,w2)+0.5) / (C(w1)+0.5·V) with C(w1) the context
+    count (row sum of the bigram table), so the model is
+    self-consistent and every transition scores against mass that
+    sums to 1. Float discipline: the ln argument is bit-identical on
+    both engines (integer+0.5 arithmetic, one division); ln itself
+    differs ≤1 ulp (Math.log vs libm), so per-doc terms fold
+    smallest-first and the mean rounds to 9 decimals (tighter than
+    the entropy query's 12 because ~100 ln terms of magnitude ~10
+    accumulate more ulp drift than entropy's ≤2-nat sums)."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select("doc_id", tx.tokens("text").alias("_t"))
+    sz = F.size("_t")
+    zipped = F.arrays_zip(
+        F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
+    )
+    trans = (
+        toks.filter(sz >= 2)
+        .select("doc_id", F.explode(zipped).alias("_p"))
+        .select(
+            "doc_id",
+            F.col("_p.0").alias("w1"),
+            F.col("_p.1").alias("w2"),
+        )
+    )
+    c2 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    v = toks.select(F.explode("_t").alias("w")).agg(
+        F.count_distinct("w").alias("vs")
+    )
+    lp = F.log(
+        (F.col("n2") + F.lit(0.5))
+        / (F.col("n1") + F.lit(0.5) * F.col("vs"))
+    )
+    scored = (
+        trans.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            -F.aggregate(
+                F.array_sort(F.collect_list("_lp")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("cross_entropy_nats"),
+    )
+
+
 # Applied last so the priority list may reference ANY registered query.
 _rotate_window(_DRIVER_WINDOW)
