@@ -55,6 +55,8 @@ CATALOG_BENCH = [
     "text_bm25_topk",
     "text_boilerplate_removal",
     "text_intradoc_dedup",
+    "dedup_exact_substring",
+    "text_bigram_lm_score",
 ]
 
 

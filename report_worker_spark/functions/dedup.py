@@ -734,11 +734,25 @@ def _window_hashes(toks: Column, k: int) -> Column:
     pairs instead of k-token strings (~8× less shuffle volume at k=8).
     Expected false-dup collisions across W windows ≈ W²/2⁶⁵ —
     negligible below ~10¹² windows; a 100 TB-paranoid deployment would
-    re-verify span text on the (tiny) marked subset."""
+    re-verify span text on the (tiny) marked subset.
+
+    Same arrays_zip-of-k-shifted-slices shape as word_shingles: ``toks``
+    is referenced a constant k times per row. The index-sequence +
+    dynamic-slice lambda alternative re-evaluates ``toks`` (and its
+    upstream split) PER WINDOW — measured 6.3 s → 3.5 s at sf0.1 for
+    the full duplicate_spans pipeline when replaced with this form
+    (the remainder is the explode/groupBy/window stages, linear in
+    window count). Callers should pass a materialized array column,
+    not an inline split expression."""
     sz = F.size(toks)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, sz - F.lit(k - 1)) for i in range(k)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), sz - k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        zipped,
+        lambda s: F.xxhash64(
+            F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+        ),
     )
     empty = F.array().cast("array<bigint>")
     return F.when(sz >= F.lit(k), grams).otherwise(empty)
@@ -787,9 +801,10 @@ def duplicate_spans(
     boilerplate hashes fan out but only as (doc, pos) pairs, no
     payload); shuffle₃ = (doc, pos) pairs window-partitioned by doc —
     bounded by document length. No driver materialization anywhere."""
-    base = spread(df).select(
-        F.col(id_col).alias("_id"),
-        _window_hashes(tokens(text_col), k).alias("_wh"),
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+        .select("_id", _window_hashes(F.col("_t"), k).alias("_wh"))
     )
     wins = base.select(
         "_id", F.posexplode("_wh").alias("pos", "_h")

@@ -154,6 +154,9 @@ def main() -> None:
         "text_intradoc_dedup": timed(
             tx.dedup_intradoc_segments(docs, seg_tokens=3)
         ),
+        # exact-substring dedup: window volume scales ×k; the dup-hash
+        # groupBy and the gaps-and-islands window are both linear in it
+        "dedup_exact_substring": timed(dd.duplicate_spans(docs, k=8)),
     }
     edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
     timings["graph_triangles"] = timed(gr.triangle_count(edges))
