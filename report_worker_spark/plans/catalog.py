@@ -6819,9 +6819,14 @@ _DRIVER_WINDOW = [
     "cdc_apply_log",
     "scd2_dim_history",
     "drift_psi_bins",
+    "text_bm25_topk",
+    # round-4 additions, oracle-paired from birth — driver rows now
+    "dedup_exact_substring",
+    "text_bigram_lm_score",
+    # positions 51+: just past the 50-entry driver window; these head
+    # the round-5 rotation
     "drift_ks_2sample",
     "gaps_islands_user_days",
-    "text_bm25_topk",
 ]
 
 
