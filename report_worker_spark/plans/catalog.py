@@ -7229,5 +7229,123 @@ def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS feat FROM toks),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS feat
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    fb AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(feat), 1, 4)) AS BIGINT)
+                  % 256 AS BIGINT) AS b
+      FROM feats
+    ),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    cp AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n
+      FROM fb JOIN tgt USING (doc_id) GROUP BY b
+    ),
+    cq AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY b),
+    tp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb JOIN tgt USING (doc_id)),
+    tq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb),
+    scored AS (
+      SELECT fb.doc_id,
+             ln(((COALESCE(cp.n, 0) + 0.5) * (tq.n + 0.5 * 256)) /
+                ((cq.n + 0.5) * (tp.n + 0.5 * 256))) AS lp
+      FROM fb LEFT JOIN cp USING (b) JOIN cq USING (b), tp, tq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(list_reduce(list_sort(list(lp)), (x, y) -> x + y)
+                 / count(*), 9) AS dsir_logratio
+    FROM scored GROUP BY doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are —
+    mean log p_target(feat)/p_raw(feat) over the doc's unigrams +
+    bigrams, features hashed into 256 md5 buckets (md5 so the SQL twin
+    reproduces the bucketing bit-for-bit; a deployment would swap in
+    xxhash64). Target here = the English slice of the corpus.
+
+    Scale shape: the two feature distributions are map-side-combinable
+    groupBy-counts over one feature explode; the fitted model is 256
+    rows + two scalars — broadcast to score any corpus size in one
+    pass, no join by feature string anywhere. Float discipline: the
+    ln argument is one division of exactly-representable products
+    (counts ≤ 2⁵³ stay exact with the +0.5/+128 smoothing terms), ln
+    differs ≤1 ulp across engines, so terms fold smallest-first and
+    the mean rounds to 9 decimals (same rationale as
+    text_bigram_lm_score)."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select("doc_id", "lang", tx.tokens("text").alias("_t"))
+    sz = F.size("_t")
+    uni = toks.select("doc_id", F.explode("_t").alias("feat"))
+    big = (
+        toks.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("feat"),
+        )
+    )
+    feats = uni.unionByName(big)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 4), 16, 10)
+        .cast("long")
+        % 256
+    )
+    fb = feats.select("doc_id", bucket.alias("b"))
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    fb_t = fb.join(tgt, on="doc_id", how="left_semi")
+    cp = fb_t.groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    cq = fb.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
+    tp = fb_t.agg(F.count(F.lit(1)).alias("tp"))
+    tq = fb.agg(F.count(F.lit(1)).alias("tq"))
+    model = (
+        cq.join(cp, on="b", how="left")
+        .select("b", F.coalesce("np", F.lit(0)).alias("np"), "nq")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+    )
+    lp = F.log(
+        ((F.col("np") + F.lit(0.5)) * (F.col("tq") + F.lit(0.5) * 256))
+        / ((F.col("nq") + F.lit(0.5)) * (F.col("tp") + F.lit(0.5) * 256))
+    )
+    scored = fb.join(F.broadcast(model.select("b", lp.alias("_lp"))), on="b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_lp")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("dsir_logratio"),
+    )
+
+
 # Applied last so the priority list may reference ANY registered query.
 _rotate_window(_DRIVER_WINDOW)
