@@ -7279,25 +7279,34 @@ def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     reproduces the bucketing bit-for-bit; a deployment would swap in
     xxhash64). Target here = the English slice of the corpus.
 
-    Scale shape: the two feature distributions are map-side-combinable
-    groupBy-counts over one feature explode; the fitted model is 256
-    rows + two scalars — broadcast to score any corpus size in one
-    pass, no join by feature string anywhere. Float discipline: the
-    ln argument is one division of exactly-representable products
-    (counts ≤ 2⁵³ stay exact with the +0.5/+128 smoothing terms), ln
-    differs ≤1 ulp across engines, so terms fold smallest-first and
-    the mean rounds to 9 decimals (same rationale as
-    text_bigram_lm_score)."""
+    Scale shape: ONE pass over the feature explode fits the whole
+    model — the target membership is a flag carried on each feature
+    row (no semi-join against a target id list), so np/nq are a single
+    map-side-combinable groupBy and the tp/tq totals are whole-frame
+    window sums over the fitted 256-row model (never a second corpus
+    scan; the naive cp/cq/tp/tq-as-separate-aggregates formulation
+    re-reads the corpus 6×). Scoring broadcasts the 256-row model back
+    over the same explode — 2 corpus passes total, no join by feature
+    string anywhere. Float discipline: the ln argument is one division
+    of exactly-representable products (counts ≤ 2⁵³ stay exact with
+    the +0.5/+128 smoothing terms), ln differs ≤1 ulp across engines,
+    so terms fold smallest-first and the mean rounds to 9 decimals
+    (same rationale as text_bigram_lm_score)."""
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    toks = d.select("doc_id", "lang", tx.tokens("text").alias("_t"))
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("_tgt"),
+        tx.tokens("text").alias("_t"),
+    )
     sz = F.size("_t")
-    uni = toks.select("doc_id", F.explode("_t").alias("feat"))
+    uni = toks.select("doc_id", "_tgt", F.explode("_t").alias("feat"))
     big = (
         toks.filter(sz >= 2)
         .select(
             "doc_id",
+            "_tgt",
             F.explode(
                 F.arrays_zip(
                     F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
@@ -7306,6 +7315,7 @@ def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "_tgt",
             F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("feat"),
         )
     )
@@ -7315,18 +7325,16 @@ def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         % 256
     )
-    fb = feats.select("doc_id", bucket.alias("b"))
-    tgt = d.filter(F.col("lang") == "en").select("doc_id")
-    fb_t = fb.join(tgt, on="doc_id", how="left_semi")
-    cp = fb_t.groupBy("b").agg(F.count(F.lit(1)).alias("np"))
-    cq = fb.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
-    tp = fb_t.agg(F.count(F.lit(1)).alias("tp"))
-    tq = fb.agg(F.count(F.lit(1)).alias("tq"))
-    model = (
-        cq.join(cp, on="b", how="left")
-        .select("b", F.coalesce("np", F.lit(0)).alias("np"), "nq")
-        .crossJoin(F.broadcast(tp))
-        .crossJoin(F.broadcast(tq))
+    fb = feats.select("doc_id", "_tgt", bucket.alias("b"))
+    fitted = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("np"),
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    model = fitted.withColumn("tq", F.sum("nq").over(wall)).withColumn(
+        "tp", F.sum("np").over(wall)
     )
     lp = F.log(
         ((F.col("np") + F.lit(0.5)) * (F.col("tq") + F.lit(0.5) * 256))
