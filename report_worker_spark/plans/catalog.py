@@ -6756,8 +6756,11 @@ def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
 # sf). To convert "locally green" into driver-recorded rows across rounds,
 # we rotate a priority window each round: queries that have never had a
 # driver row go first, plus a few §2 anchors as cross-round canaries.
-# Rounds 1-3 cumulatively covered 55 unique queries; this window adds 47
-# never-checked ones (all oracle-paired).
+# Rounds 1-4 cumulatively covered 95 unique hash-green queries; this
+# round-5 window adds 47 never-driver-checked ones (all oracle-paired),
+# led by the two ops ADVICE_r4 flagged as deferred (dedup_substring_stats,
+# curation_dsir_weights) plus wire_pipeline_staging, newly oracle-ified
+# per VERDICT_r4 item 3.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -6765,68 +6768,69 @@ _DRIVER_WINDOW = [
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
-    # r1-r3 carried these as rows-only (no_oracle); r4 adds md5-keystream
-    # / header-formula oracle twins — re-window them to convert the
-    # driver rows from rows-only to full hash-match
-    "multimodal_features",
-    "multimodal_decode_headers",
-    "multimodal_frame_plan",
-    # the 21 remaining TPC-H shapes (q1 verified r1-r3) + OLAP extras
-    "olap_q2_min_cost_supplier",
-    "olap_q3_shipping_priority",
-    "olap_q4_order_priority",
-    "olap_q5_local_supplier_volume",
-    "olap_q6_forecast_revenue",
-    "olap_q7_volume_shipping",
-    "olap_q8_market_share",
-    "olap_q9_nation_part_profit",
-    "olap_q10_returned_items",
-    "olap_q11_important_parts",
-    "olap_q12_ship_delay_priority",
-    "olap_q13_cust_order_distribution",
-    "olap_q14_promo_revenue",
-    "olap_q15_top_supplier",
-    "olap_q16_supplier_cnt",
-    "olap_q17_small_qty_orders",
-    "olap_q18_large_orders",
-    "olap_q19_disjunctive_pushdown",
-    "olap_q20_dominant_suppliers",
-    "olap_q21_waiting_suppliers",
-    "olap_q22_dormant_customers",
-    "olap_nation_revenue_share",
-    "olap_rolling_3mo_revenue",
-    # graph family
-    "graph_triangle_count",
-    "graph_degree_topk",
-    "graph_pagerank_top20",
-    # sketch top-k
-    "topk_heavy_tokens",
-    # dedup family (beyond the r1-r3-verified minhash/simhash/ngram)
-    "dedup_canonical_docs",
-    "dedup_containment_pairs",
-    "dedup_incremental_batch",
-    "dedup_cluster_size_histogram",
-    # join operators
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_interval_overlap",
-    "join_fuzzy_levenshtein",
-    # ANN / similarity
-    "sim_crossset_topk",
-    "sim_lsh_topk_exhaustive",
-    # curation / CDC / drift / sessions / text
-    "curation_pipeline_e2e",
-    "cdc_apply_log",
-    "scd2_dim_history",
-    "drift_psi_bins",
-    "text_bm25_topk",
-    # round-4 additions, oracle-paired from birth — driver rows now
-    "dedup_exact_substring",
-    "text_bigram_lm_score",
-    # positions 51+: just past the 50-entry driver window; these head
-    # the round-5 rotation
+    # VERDICT_r4 item 3: the reference's core lifecycle, previously
+    # rows-only — now oracle-paired (deterministic wiregen corpus)
+    "wire_pipeline_staging",
+    # ADVICE_r4: the two round-4 ops that missed the r4 window, plus the
+    # declared r5 heads
+    "dedup_substring_stats",
+    "curation_dsir_weights",
+    "curation_leakage_safe_split",
+    "dedup_keep_best_quality",
     "drift_ks_2sample",
     "gaps_islands_user_days",
+    # remaining §2-adjacent anchors never driver-checked
+    "j3_anti_join_reference_bug",
+    "star_region_rollup",
+    # curation family (14 never-checked)
+    "curation_split",
+    "curation_sample",
+    "curation_rebalance",
+    "curation_decontaminate",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_chunk_overlap",
+    "curation_kfold",
+    "curation_mix_weights",
+    "curation_length_batches",
+    "curation_weighted_sample",
+    "curation_winsorize",
+    "curation_contrastive_triplets",
+    "curation_reservoir_k",
+    # text family (12 never-checked)
+    "text_quality",
+    "text_bpe_token_count",
+    "text_pii_redact",
+    "text_top_bigrams",
+    "text_vocab_coverage",
+    "text_repetition",
+    "text_gopher_quality",
+    "text_ngram_novelty",
+    "text_source_overlap",
+    "text_boilerplate_removal",
+    "text_intradoc_dedup",
+    "tfidf_top_terms",
+    # time-series family (9 never-checked)
+    "ts_daily_profile",
+    "ts_topk_similar_users",
+    "ts_rolling_7d",
+    "ts_anomaly_zscore",
+    "ts_transition_matrix",
+    "ts_inter_arrival",
+    "ts_session_window_agg",
+    "ts_decayed_engagement",
+    "ts_autocorr_lag1",
+    # stats family (first 3; filled/evicted by round-5 additions if any
+    # new oracle-paired ops land — new ops take driver rows from birth)
+    "stats_moments",
+    "stats_key_skew",
+    "stats_histogram",
+    # positions 51+: just past the 50-entry driver window; these head
+    # the round-6 rotation together with the remaining stats/agg/win
+    # families and the rows-only residue
+    "stats_entropy_per_user",
+    "stats_chi2_type_dow",
+    "stats_covar_corr",
 ]
 
 
