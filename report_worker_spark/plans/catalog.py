@@ -29,7 +29,7 @@ from ..functions import dedup as dd
 from ..functions import graph as gr
 from ..functions import similarity as sim
 from ..functions import text as tx
-from ..schemas import TS_LOWER_BOUND, TS_UPPER_BOUND
+from ..schemas import EQUIPMENT_SLOTS, TS_LOWER_BOUND, TS_UPPER_BOUND
 from .tables import load
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1672,24 +1672,124 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 # ===========================================================================
 
 
-@query("wire_pipeline_staging")  # seeded-rand generator: rows-only check
+def _wire_h(tag: str) -> str:
+    """DuckDB twin of sources.synthetic._h: uint32 md5-keystream draw."""
+    return (
+        "CAST(concat('0x', substr(md5('42:" + tag + ":' || "
+        "CAST(msg_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+
+
+_WIRE_SLOT_DRAWS = ",\n    ".join(
+    f"CASE WHEN {_wire_h('eqnull' + s)} % 10 < 3 THEN NULL "
+    f"ELSE CAST({_wire_h('eq' + s)} % 40001 AS INTEGER) END AS {s}"
+    for s in EQUIPMENT_SLOTS
+)
+_WIRE_SLOT_CLAMPS = ",\n  ".join(
+    f"CASE WHEN {s} > 32767 THEN 0 ELSE {s} END AS {s}" for s in EQUIPMENT_SLOTS
+)
+_WIRE_ITEM_BUG = " OR ".join(
+    f"COALESCE({s} > 32767, false)" for s in EQUIPMENT_SLOTS
+)
+
+_WIRE_ORACLE = f"""
+WITH draws AS (
+  SELECT msg_id,
+    ({_wire_h('v1')} % 2 = 0) AS is_v1,
+    {_wire_h('rep')} % 300 AS reporter_n,
+    {_wire_h('red')} % 300 AS reported_n,
+    838857600 + {_wire_h('ts')} % 1307059200 AS ts_s,
+    ({_wire_h('ms')} % 4 = 0) AS ts_in_ms,
+    CAST(10000 + {_wire_h('region')} % 501 AS INTEGER) AS region_id,
+    CAST({_wire_h('x')} % 5001 AS INTEGER) AS x_coord,
+    CAST({_wire_h('y')} % 5001 AS INTEGER) AS y_coord,
+    CAST({_wire_h('z')} % 4 AS INTEGER) AS z_coord,
+    CAST({_wire_h('md')} % 2 AS INTEGER) AS manual_detect,
+    CAST({_wire_h('mw')} % 2 AS INTEGER) AS on_members_world,
+    CAST({_wire_h('pw')} % 2 AS INTEGER) AS on_pvp_world,
+    CAST(300 + {_wire_h('wn')} % 201 AS INTEGER) AS world_number,
+    {_WIRE_SLOT_DRAWS}
+  FROM (SELECT CAST(r.range AS BIGINT) AS msg_id FROM range(0, 20000) r)
+),
+dim AS (
+  SELECT DISTINCT 'player' || CAST(c_custkey % 300 AS VARCHAR) AS name,
+         CAST(c_custkey % 300 AS BIGINT) AS id
+  FROM customer
+),
+keyed AS (
+  SELECT d.*, r1.id AS rep_id, r2.id AS red_id
+  FROM draws d
+  JOIN dim r1 ON r1.name = 'player' || CAST(d.reporter_n AS VARCHAR)
+  JOIN dim r2 ON r2.name = 'player' || CAST(d.reported_n AS VARCHAR)
+  WHERE d.is_v1
+  UNION ALL
+  SELECT d.*, CAST(d.reporter_n AS BIGINT), CAST(d.reported_n AS BIGINT)
+  FROM draws d WHERE NOT d.is_v1
+),
+norm AS (
+  SELECT *,
+    CASE WHEN raw_ts > 10000000000
+         THEN CAST(floor(raw_ts / 1000) AS BIGINT)
+         ELSE raw_ts END AS ts
+  FROM (SELECT k.*,
+               CASE WHEN ts_in_ms THEN ts_s * 1000 ELSE ts_s END AS raw_ts
+        FROM keyed k)
+)
+SELECT
+  red_id AS reported_id,
+  rep_id AS reporting_id,
+  region_id, x_coord, y_coord, z_coord,
+  strftime(make_timestamp(ts * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_utc,
+  CAST(manual_detect AS BOOLEAN) AS manual_detect,
+  on_members_world,
+  CAST(on_pvp_world AS BOOLEAN) AS on_pvp_world,
+  world_number,
+  {_WIRE_SLOT_CLAMPS},
+  CAST(0 AS BIGINT) AS equip_ge_value,
+  ({_WIRE_ITEM_BUG}) AS item_bug
+FROM norm
+WHERE ts BETWEEN 1577883600 AND 1735736400
+"""
+
+
+@query("wire_pipeline_staging", oracle=_WIRE_ORACLE)
 def wire_pipeline_staging(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's ENTIRE ingest transform chain (parse → version
     dispatch → v1 get-or-insert resolve → normalize → bounds → clamp →
-    flatten) over the seeded synthetic corpus — the streaming code path
-    run as a batch (identical function, SURVEY §3)."""
+    flatten) over a synthetic corpus — the streaming code path run as a
+    batch (identical function, SURVEY §3).
+
+    Oracle-ified in round 5 (VERDICT_r4 item 3): the corpus is the
+    md5-keystream wiregen (sources/synthetic.generate_reports_hashed),
+    deterministic in (seed, msg_id) alone — every draw is integer
+    modular arithmetic on a uint32 md5 prefix, so DuckDB reproduces the
+    corpus AND the full chain (dispatch, dim resolve, ms→s normalize
+    with the truncating cast, bounds, SMALLINT clamp + item_bug flag,
+    bool casts) bit-for-bit. The final timestamp is compared as a UTC
+    string on both sides (p5's proven pattern) to keep the hash
+    engine-portable."""
     from ..sources import kafka as ksrc
-    from ..sources.synthetic import generate_report_json
+    from ..sources.synthetic import generate_report_json_hashed
     from ..streaming.pipeline import wire_to_staging
 
-    raw = generate_report_json(spark, n=20_000, seed=42)
+    # localCheckpoint truncates lineage at the 20k-row JSON corpus
+    # (2 string cols, ~8 MB): the md5 draws are DETERMINISTIC, so
+    # without a barrier CollapseProject inlines the whole 32-draw
+    # generator into every downstream column reference and Catalyst's
+    # constraint propagation blows the driver heap. The rand() version
+    # never hit this only because non-deterministic projections don't
+    # collapse. Bounded by construction (n=20k).
+    raw = generate_report_json_hashed(spark, n=20_000, seed=42).localCheckpoint()
     parsed = ksrc.parse_wire(raw)
     msgs = ksrc.valid_messages(parsed)
     players = load(spark, sf, "customer").select(
         F.concat(F.lit("player"), (F.col("c_custkey") % 300)).alias("name"),
         (F.col("c_custkey") % 300).alias("id"),
     ).dropDuplicates(["name"])
-    return wire_to_staging(msgs, players)
+    out = wire_to_staging(msgs, players)
+    return out.withColumn(
+        "ts_utc", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss")
+    ).drop("timestamp")
 
 
 @query(
