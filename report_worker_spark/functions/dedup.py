@@ -767,11 +767,19 @@ def duplicate_spans(
 ) -> DataFrame:
     """Exact-substring dedup (the Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better" operator, re-expressed
-    relationally): find every token span of length ≥ k that occurs at
-    least ``min_count`` times anywhere in the corpus, and return the
-    MAXIMAL duplicated spans per document as
+    relationally): return, per document, the maximal contiguous token
+    runs covered by k-token windows that occur at least ``min_count``
+    times anywhere in the corpus, as
     ``(doc_id, span_start, span_end, span_tokens)`` (token positions,
     0-based inclusive).
+
+    These are COVERAGE spans (the removal semantics of Lee et al.):
+    every k-window inside a span is duplicated ≥ min_count times, so
+    every length-k substring of a span is guaranteed duplicated — but
+    the span's FULL text is not: two distinct duplicated substrings
+    that overlap or sit token-adjacent merge into one span whose
+    concatenation may occur only once in the corpus. Only substrings
+    of length ≥ k *within* a span carry the per-occurrence guarantee.
 
     The suffix-array formulation the paper uses is a single-machine
     construction; the relational equivalent is exact for spans ≥ k and
@@ -791,10 +799,11 @@ def duplicate_spans(
        current span iff ``pos ≤ prev_max_pos + k``).
 
     Every duplicated substring of length L ≥ k is covered exactly by
-    the union of its L−k+1 duplicated windows, so maximal spans are
-    recovered exactly; substrings shorter than k are invisible (the
-    paper's threshold semantics, k=50 BPE tokens there — k=8 words
-    here to suit the test corpus).
+    the union of its L−k+1 duplicated windows, so the coverage union is
+    recovered exactly (nothing duplicated of length ≥ k escapes a
+    span); substrings shorter than k are invisible (the paper's
+    threshold semantics, k=50 BPE tokens there — k=8 words here to
+    suit the test corpus).
 
     Scale: shuffle₁ = (hash, count) partials; shuffle₂ = the equi-join
     on duplicated hashes only (df(hash) ≥ min_count rows each — hot

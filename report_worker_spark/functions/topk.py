@@ -114,6 +114,14 @@ def mg_merged(partials: DataFrame, m: int = 1024) -> DataFrame:
     wall = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # INVARIANT (load-bearing ordering): the sentinel cutoff rows have
+    # key = NULL (summarize emits one per partition), and their _cut
+    # MUST be inside this whole-frame sum — so the _pcut window is
+    # computed BEFORE the isNotNull filter below, and Spark will not
+    # push a non-partition-column predicate through a Window. Do NOT
+    # reorder: filtering nulls first (or adding key to the window
+    # partition) silently drops the per-partition cutoffs from bound.
+    # test_topk.py::test_null_sentinel_cut_reaches_bound pins this.
     merged = merged.withColumn(
         "_pcut", F.coalesce(F.sum("_cut").over(wall), F.lit(0))
     )

@@ -110,3 +110,32 @@ def test_hot_path_appears_in_plan_with_bounded_tiles(spark, degenerate):
     )
     plan_u = uncapped._jdf.queryExecution().executedPlan().toString()
     assert plan_u.count("FlatMapGroupsInPandas") == 1
+
+
+# --- recall floors (VERDICT_r4 item 4) --------------------------------------
+#
+# The recall artifacts (sim_lsh_recall_at_k / sim_ivf_recall_at_k) emit a
+# MEASURED value; nothing previously asserted a minimum, so a silent
+# collapse (bad plane seed, bad centroid sample) would still ship "green".
+# Floors are tuned to the synthetic fixture: its embeddings are
+# near-orthogonal, where hyperplane LSH genuinely recalls ~0.12-0.14 and
+# IVF(n_probe=4/32) ~0.48-0.49 (both documented in the query docstrings).
+# The floors sit well below the measured values but far above a collapse
+# (a broken index scores near 0), so regressions fail loudly without
+# flaking on fixture noise.
+
+
+def test_lsh_recall_floor(spark, sf_oracle):
+    from report_worker_spark.plans import QUERIES
+
+    row = QUERIES["sim_lsh_recall_at_k"](spark, sf_oracle).collect()[0]
+    assert row["n_exact"] == 2500  # 500 query vecs x k=5
+    assert row["recall_bps"] >= 800, row  # measured ~1192 at sf0.01
+
+
+def test_ivf_recall_floor(spark, sf_oracle):
+    from report_worker_spark.plans import QUERIES
+
+    row = QUERIES["sim_ivf_recall_at_k"](spark, sf_oracle).collect()[0]
+    assert row["n_exact"] == 2500
+    assert row["recall_bps"] >= 3500, row  # measured ~4916 at sf0.01

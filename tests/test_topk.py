@@ -98,3 +98,24 @@ def test_null_keys_excluded_on_both_paths(spark):
     df2 = spark.createDataFrame([(k,) for k in many], "key string")
     got2 = sketch_pruned_topk(df2, "key", k=5, m=4).collect()
     assert all(r.key is not None for r in got2)
+
+
+def test_null_sentinel_cut_reaches_bound(spark):
+    """Pins the load-bearing ordering inside mg_merged: the NULL-key
+    sentinel rows (one per partition, carrying that partition's
+    truncation cutoff) must flow into the whole-frame _pcut sum BEFORE
+    the isNotNull filter. A refactor that filters nulls first (or
+    partitions the window by key) drops the cutoffs and this fails."""
+    partials = spark.createDataFrame(
+        [
+            ("a", 10, 0),
+            ("b", 7, 0),
+            (None, 0, 5),   # partition-1 sentinel: cutoff 5
+            (None, 0, 3),   # partition-2 sentinel: cutoff 3
+        ],
+        "key string, weight long, cut long",
+    )
+    rows = mg_merged(partials, m=16).collect()
+    assert {r.key for r in rows} == {"a", "b"}  # sentinels never emitted
+    bounds = {r.bound for r in rows}
+    assert bounds == {8}, bounds  # 5 + 3 from the null-key sentinels
