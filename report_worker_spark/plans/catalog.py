@@ -1499,6 +1499,111 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     return mm.frame_sample_plan(media, every_ms=10_000)
 
 
+# Pixel-level PNG decode is REAL (round 5): the synthetic PNG pixel
+# content is an md5 keystream (md5('id:0')||md5('id:1')||…), so after
+# the Spark side decodes ACTUAL bytes (chunk walk → zlib inflate →
+# per-row unfilter across all five PNG filter types), DuckDB
+# regenerates the expected sample stream arithmetically from hex pairs
+# and the integer channel sums must agree exactly. A decoder bug in any
+# filter path shifts the sums and mismatches.
+
+_PNG_KS_BYTE = (
+    "(strpos('0123456789abcdef', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, CAST(2*j+2 AS INT), 1)) - 1)"
+)
+
+
+@query(
+    "multimodal_png_pixel_stats",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    blocks AS (
+      SELECT media_id, w, h, w*h*3 AS n,
+             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
+      FROM img
+    ),
+    bytes AS (
+      SELECT media_id, w, h, n, b,
+             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, w, h, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < n
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pixel-level decode, driver-verified: generate spec-valid
+    PNGs (pixels = md5 keystream, rows filtered through None/Sub/Up/
+    Average/Paeth), decode the actual bytes back to samples, and emit
+    exact integer channel sums. JPEG rows (odd ids) are skipped by the
+    kernel — honest scope; JPEG entropy decode needs a codec library."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    return mm.png_pixel_stats(media)
+
+
+@query(
+    "multimodal_resize_pixels",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (
+      SELECT media_id, w, h, unnest(range(0, 192)) AS p
+      FROM img
+    ),
+    mapped AS (
+      SELECT media_id,
+             ((((p // 24) * h) // 8) * w + ((((p % 24) // 3) * w) // 8)) * 3
+               + (p % 3) AS gi
+      FROM grid
+    ),
+    bytes AS (
+      SELECT media_id, gi, gi // 16 AS b, CAST(gi % 16 AS BIGINT) AS j,
+             md5(CAST(media_id AS VARCHAR) || ':'
+                 || CAST(gi // 16 AS VARCHAR)) AS hx
+      FROM mapped
+    ),
+    vals AS (SELECT media_id, gi, {_PNG_KS_BYTE} AS v FROM bytes)
+    SELECT media_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end decode → nearest-neighbor resize → re-encode →
+    re-decode, driver-verified: the oracle computes, for every output
+    pixel of the 8×8 resize, the source keystream byte it must sample
+    (src = floor(dst·src_dim/8)) and the exact channel sums. Any error
+    in either codec direction or the resize mapping mismatches."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    return mm.png_pixel_stats(mm.resize_png(media, 8, 8))
+
+
 @query("sim_lsh_topk")
 def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH buckets + in-bucket exact

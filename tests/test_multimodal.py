@@ -127,3 +127,52 @@ def test_decoded_features_track_bytes(spark):
         mm.synthetic_image_media(spark.range(100, 101), "id")
     ).first()
     assert big.n_bytes > 50
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """encode_png cycles filters 0-4 by row; decoding must invert every
+    one of them and recover the exact keystream samples."""
+    from report_worker_spark.functions import multimodal as mm
+
+    for (w, h, seed) in [(17, 9, 4), (32, 24, 100), (2, 2, 7), (5, 6, 11)]:
+        ks = mm.keystream(str(seed), w * h * 3)
+        d = mm.decode_png_pixels(mm.png_bytes(w, h, seed))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == ks
+
+
+def test_png_pixel_decode_channel_variants_and_corrupt():
+    from report_worker_spark.functions import multimodal as mm
+    import pytest as _pytest
+
+    for c in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+        px = mm.keystream("z", 8 * 5 * c)
+        rt = mm.decode_png_pixels(mm.encode_png(px, 8, 5, c))
+        assert rt["pixels"] == px and rt["channels"] == c
+    with _pytest.raises(ValueError):
+        mm.decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    with _pytest.raises(ValueError):
+        mm.decode_png_pixels(b"JUNK")
+
+
+def test_resize_png_nearest_mapping(spark):
+    """Resized pixels must equal src[floor(y*h/oh)][floor(x*w/ow)] —
+    verified against a numpy reference on the decoded originals."""
+    import numpy as np
+
+    from report_worker_spark.functions import multimodal as mm
+
+    media = mm.synthetic_image_media(spark.range(0, 20), "id")
+    resized = {r["media_id"]: bytes(r["content"])
+               for r in mm.resize_png(media, 8, 8).collect()}
+    originals = {r["media_id"]: bytes(r["content"])
+                 for r in media.filter("media_id % 2 = 0").collect()}
+    assert set(resized) == set(originals)  # JPEG rows skipped
+    for mid, enc in resized.items():
+        d0 = mm.decode_png_pixels(originals[mid])
+        w, h = d0["width"], d0["height"]
+        src = np.frombuffer(d0["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        ys, xs = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        expect = src[ys][:, xs]
+        got = mm.decode_png_pixels(enc)
+        assert got["pixels"] == expect.tobytes()
