@@ -177,7 +177,15 @@ def materialize(df: DataFrame) -> None:
 
 
 def run_one(name: str) -> float:
-    """Fresh-session measurement of one query: warmup + min-of-2."""
+    """Fresh-session measurement of one query.
+
+    In a cold JVM the first two executions still pay janino compilation
+    and interpreted-bytecode time (measured: join_asof 3.4/1.4/0.93/
+    0.97/0.98 s across runs 1-5); steady state — the honest number for
+    a long-lived cluster — arrives by run 3. So: up to 5 runs, report
+    the min of runs 3+, with a 45 s cumulative cap so multi-second
+    queries stop at 3 runs-worth of evidence instead of padding the
+    wall clock."""
     from report_worker_spark.plans.tables import load
     from report_worker_spark.session import get_spark
 
@@ -186,13 +194,16 @@ def run_one(name: str) -> float:
     load(spark, SF_DIR, "lineitem").count()
     build = bench_builders()[name]
     times = []
-    for _ in range(3):
+    for i in range(5):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         materialize(build(spark))
         times.append(time.perf_counter() - t0)
-    return round(min(times[1:]), 3)
+        if i >= 2 and sum(times) > 45:
+            break
+    warm = times[2:] if len(times) > 3 else times[1:]
+    return round(min(warm), 3)
 
 
 def main() -> None:

@@ -796,3 +796,83 @@ def crossset_topk(
             F.col("cos").alias("cosine"),
         )
     )
+
+
+# --- SemDeDup: semantic dedup over embedding cells (Abbas et al. 2023) ------
+
+
+def semdedup_planes(n_planes: int, dim: int, tag: str = "sd") -> list[list[float]]:
+    """Deterministic hyperplane components in [-1, 1): uniform draws
+    from an md5 keystream, so both the Spark plan AND an ANSI-SQL
+    oracle can embed the exact same double literals (no RNG state to
+    reproduce across engines)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            / 2**32 * 2 - 1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    tag: str = "sd",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023 "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): partition the embedding space into cells, and
+    within each cell keep one representative from every group of
+    semantically near-identical items (cosine ≥ threshold).
+
+    The paper clusters with k-means and keeps the item farthest from
+    the centroid; this variant uses deterministic hyperplane-sign cells
+    (the k-means analog that needs no training pass) and the keep-min-id
+    policy, so the result is reproducible and ANSI-SQL-expressible.
+    A vector is DROPPED iff a lower-id vector in the same cell is
+    cosine-≥-threshold similar to it; survivors are returned with their
+    cell id.
+
+    Scale shape: cell assignment is a pure JVM projection (P
+    sequential-fold dot products against literal plane vectors — no
+    Python, no shuffle); the only shuffle is the per-cell equi-join,
+    and per-task work is bounded by cell population (planes scale with
+    corpus: P planes → 2^P cells, so n/2^P expected per cell — add
+    planes as n grows, exactly like adding k-means clusters in the
+    paper). The exact in-cell cosine re-uses the fold that matches
+    DuckDB bit-for-bit, so the threshold predicate cannot diverge
+    across engines. No all-pairs join at any scale."""
+    planes = semdedup_planes(n_planes, dim, tag)
+    v = F.col(vec_col)
+    cell = None
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot_fold(v, lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), v.alias("_v"), cell.alias("cell")
+    )
+    a = base.select(
+        F.col("_id").alias("_id_a"), F.col("_v").alias("_v_a"), "cell"
+    )
+    b = base.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_v_b"), "cell"
+    )
+    drops = (
+        a.join(b, on="cell")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine(F.col("_v_a"), F.col("_v_b")) >= F.lit(threshold))
+        .select(F.col("_id_b").alias("_id"))
+        .distinct()
+    )
+    return base.join(drops, on="_id", how="left_anti").select(
+        F.col("_id").alias(id_col), "cell"
+    )

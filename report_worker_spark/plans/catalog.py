@@ -7025,17 +7025,16 @@ _DRIVER_WINDOW = [
     "ts_session_window_agg",
     "ts_decayed_engagement",
     "ts_autocorr_lag1",
-    # stats family (first 3; filled/evicted by round-5 additions if any
-    # new oracle-paired ops land — new ops take driver rows from birth)
-    "stats_moments",
-    "stats_key_skew",
-    "stats_histogram",
+    # round-5 additions, oracle-paired from birth — driver rows now
+    "multimodal_png_pixel_stats",
+    "multimodal_resize_pixels",
+    "dedup_semantic_semdedup",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
     # families and the rows-only residue
-    "stats_entropy_per_user",
-    "stats_chi2_type_dow",
-    "stats_covar_corr",
+    "stats_moments",
+    "stats_key_skew",
+    "stats_histogram",
 ]
 
 
@@ -7562,6 +7561,54 @@ def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("dsir_logratio"),
     )
+
+
+# ===========================================================================
+# Coverage round 5: semantic dedup (SemDeDup)
+# ===========================================================================
+
+_SD_PLANES = sim.semdedup_planes(n_planes=4, dim=64, tag="sd")
+_SD_CELL_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p, plane in enumerate(_SD_PLANES)
+)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v, CAST({_SD_CELL_SQL} AS INT) AS cell FROM e
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    )
+    SELECT vec_id, cell FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space cells + in-cell
+    cosine near-identity, keep-min-id per ε-group. Cells come from six
+    md5-keystream hyperplanes whose double literals are embedded in
+    BOTH plans, and the in-cell cosine is the sequential fold that
+    matches list_dot_product bit-for-bit — so the survivor set is
+    engine-exact. Scale: cell assignment is a JVM projection; the only
+    shuffle is the per-cell equi-join (planes scale with corpus size
+    like k-means cluster count in the paper).
+
+    Fixture tuning: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so the paper's τ≈0.95 would drop nothing;
+    τ=0.4 with 16 cells exercises the drop path (12 of 500 dropped at
+    sf0.01). A production run keeps τ high."""
+    e = load(spark, sf, "embeddings")
+    return sim.semdedup(e, threshold=0.4, n_planes=4, dim=64)
 
 
 # Applied last so the priority list may reference ANY registered query.

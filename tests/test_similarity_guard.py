@@ -139,3 +139,40 @@ def test_ivf_recall_floor(spark, sf_oracle):
     row = QUERIES["sim_ivf_recall_at_k"](spark, sf_oracle).collect()[0]
     assert row["n_exact"] == 2500
     assert row["recall_bps"] >= 3500, row  # measured ~4916 at sf0.01
+
+
+def test_semdedup_semantics(spark):
+    """Constructed fixture: exact duplicates and a near-identical pair
+    must collapse to the min id; dissimilar vectors in the same cell
+    survive. (The synthetic embeddings table has no cosine>=0.9 pairs,
+    so the drop path needs a purpose-built fixture.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(6)]
+    rows.append((10, base[0].tolist()))                     # exact dup of 0
+    near = base[1] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows.append((11, near.tolist()))                        # near-dup of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sim.semdedup(df, threshold=0.95, n_planes=2, dim=16)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 0 in ids and 10 not in ids      # keep-min-id
+    assert 1 in ids and 11 not in ids
+    assert {2, 3, 4, 5} <= ids             # dissimilar rows survive
+
+
+def test_semdedup_cell_is_deterministic(spark):
+    """Cell assignment must not depend on partitioning."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist())
+            for i in range(40)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df8 = df1.repartition(8)
+    a = {(r.vec_id, r.cell) for r in sim.semdedup(df1, threshold=0.99,
+                                                  n_planes=3, dim=16).collect()}
+    b = {(r.vec_id, r.cell) for r in sim.semdedup(df8, threshold=0.99,
+                                                  n_planes=3, dim=16).collect()}
+    assert a == b
