@@ -157,6 +157,15 @@ def main() -> None:
         # exact-substring dedup: window volume scales ×k; the dup-hash
         # groupBy and the gaps-and-islands window are both linear in it
         "dedup_exact_substring": timed(dd.duplicate_spans(docs, k=8)),
+        # SemDeDup: cell assignment is a projection; per-cell join work
+        # is Σ cell², so at k× corpus with FIXED planes it grows ~k²/2^P
+        # per cell — the deployment knob is planes↑ with n (here +3
+        # planes ≈ 8× more cells keeps per-cell population flat)
+        "dedup_semantic_semdedup": timed(
+            sim.semdedup(
+                emb, id_col="vec_id", threshold=0.4, n_planes=7, dim=64
+            )
+        ),
     }
     edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
     timings["graph_triangles"] = timed(gr.triangle_count(edges))

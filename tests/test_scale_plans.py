@@ -392,3 +392,14 @@ def test_star_upsert_hot_reported_id_aqe_skew_split(spark):
     # SMJ partition
     assert "skew=true" in plan, plan[:2000]
     assert "SortMergeJoin" in plan
+
+
+def test_semdedup_is_cell_equijoin_no_python(spark, sf_oracle):
+    """SemDeDup's scale contract: cell assignment is a pure JVM
+    projection (no Python eval anywhere) and the candidate join is an
+    equi-join on the cell key — never a cartesian/broadcast-nested-loop
+    over the corpus."""
+    plan = plan_of(QUERIES["dedup_semantic_semdedup"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
