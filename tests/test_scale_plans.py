@@ -403,3 +403,46 @@ def test_semdedup_is_cell_equijoin_no_python(spark, sf_oracle):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_join_available(spark, sf_oracle):
+    """100 TB knob, pinned: a selective fact-fact join can inject a
+    runtime bloom filter on the probe side (row-level semi-join
+    pushdown ahead of the shuffle). Verifies the engine configuration
+    path works — at sf0.1+ on a cluster the default thresholds engage
+    it without the test's forced ones."""
+    from report_worker_spark.plans.tables import load
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_oracle, "lineitem")
+        o = load(spark, sf_oracle, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
