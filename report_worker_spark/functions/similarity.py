@@ -876,3 +876,212 @@ def semdedup(
     return base.join(drops, on="_id", how="left_anti").select(
         F.col("_id").alias(id_col), "cell"
     )
+
+
+# --- IVF-PQ: memory-compressed ANN (Jégou et al. 2011) ----------------------
+
+
+def _train_pq_codebooks(
+    mat: "np.ndarray", n_sub: int, n_codes: int, iters: int, rng
+) -> "np.ndarray":
+    """Per-subspace k-means codebooks over the (already unit-normalized)
+    training sample: returns (n_sub, n_codes, dsub)."""
+    n, dim = mat.shape
+    dsub = dim // n_sub
+    books = np.zeros((n_sub, n_codes, dsub))
+    for m in range(n_sub):
+        sub = mat[:, m * dsub : (m + 1) * dsub]
+        cent = sub[rng.choice(n, size=min(n_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m, : len(cent)] = cent
+    return books
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    candidates_per_cell: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): the memory tier below :func:`ivf_topk`. Vectors
+    are coarse-assigned to IVF cells AND compressed to ``n_sub``
+    sub-codes (one byte-ish code per subspace), so the in-cell
+    candidate scan runs on codes + a per-query lookup table
+    (asymmetric distance computation) instead of raw vectors —
+    n_sub adds per candidate, no BLAS, and ~(4·dim)/n_sub× less data
+    through the shuffle. Survivors re-rank with the EXACT sequential
+    fold on the raw vectors (equi-join by id), so emitted scores are
+    bit-reproducible; only the candidate CHOICE is approximate.
+
+    ``candidates_per_cell=None`` keeps every cell member as a candidate
+    (ADC then only orders work the re-rank redoes exactly) — with
+    ``n_probe = n_centroids`` that makes the result provably identical
+    to brute force, which is how the machinery earns a bit-match oracle
+    (same exhaustive-admission pattern as ``sim_lsh_topk_exhaustive``).
+
+    Training follows the IVF envelope: a bounded 4096-row ORDERED
+    sample fits coarse centroids and PQ codebooks driver-side (numpy,
+    deterministic seed); both broadcast. Encoding is one Arrow pass.
+    100 TB shape: codes table is ~n_sub bytes/vector (fits hot in
+    memory at billions of vectors); cell scan shuffles only
+    (id, codes); raw vectors are touched once at re-rank for
+    O(n·n_probe·k) survivors."""
+    spark = df.sparkSession
+    sample = df.select(id_col, vec_col).orderBy(id_col).limit(4096).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    books = _train_pq_codebooks(mat, n_sub, n_codes, kmeans_iters, rng)
+    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    dsub = dim // n_sub
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, bks = bc_cent.value, bc_books.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            order = np.argsort(-(qn @ c.T), axis=1)
+            codes = np.zeros((len(pb), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                sub = qn[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pb[id_col].to_numpy(),
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": [
+                        [int(x) for x in order[i, :n_probe]]
+                        for i in range(len(pb))
+                    ],
+                    "codes": [
+                        [int(x) for x in codes[i]] for i in range(len(pb))
+                    ],
+                }
+            )
+
+    enc = spread(df.select(id_col, vec_col)).mapInPandas(
+        encode,
+        schema=f"{id_col} long, cell int, probes array<int>, codes array<int>",
+    )
+
+    data_side = enc.select(
+        F.col(id_col).alias("_id"), "cell", F.col("codes").alias("_codes")
+    )
+    # queries carry their raw vector (to build the ADC lookup table) but
+    # candidates are scanned as CODES only
+    query_side = (
+        df.select(id_col, vec_col)
+        .join(enc.select(id_col, "probes"), on=id_col)
+        .select(
+            (F.col(id_col) + F.lit(0)).alias("_id"),
+            F.coalesce(F.col(vec_col)).alias("_v"),
+            F.explode("probes").alias("cell"),
+        )
+    )
+    m_keep = candidates_per_cell if candidates_per_cell else None
+
+    def tile(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        bks = bc_books.value
+        qm = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qm = qm / qn
+        codes = np.stack(cpdf["_codes"].to_numpy()).astype(np.int64)
+        cids = cpdf["_id"].to_numpy()
+        qids = qpdf["_id"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        # ADC: lut[m, c] = q_sub(m) · codeword(m, c); approx dot is a
+        # gather-sum over codes — no raw candidate vectors touched
+        for s in range(0, len(qids), 1024):
+            qb = qm[s : s + 1024]
+            lut = np.einsum("qmd,mcd->qmc",
+                            qb.reshape(len(qb), n_sub, dsub), bks)
+            approx = lut[
+                np.arange(len(qb))[:, None, None],
+                np.arange(n_sub)[None, :, None],
+                codes.T[None, :, :],
+            ].sum(axis=1)
+            for i in range(len(qb)):
+                row = approx[i]
+                if m_keep is not None and len(cids) > m_keep:
+                    idx = np.argpartition(-row, m_keep - 1)[:m_keep]
+                else:
+                    idx = np.arange(len(cids))
+                cand = cids[idx]
+                keep = cand != qids[s + i]
+                out_a.extend([qids[s + i]] * int(keep.sum()))
+                out_b.extend(cand[keep].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    cand = (
+        query_side.groupBy("cell")
+        .cogroup(data_side.groupBy("cell"))
+        .applyInPandas(tile, schema="id_a long, id_b long")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+                        F.col("_n").alias("n_a")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+                        F.col("_n").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "cos",
+            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rn").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+    )

@@ -7024,14 +7024,15 @@ _DRIVER_WINDOW = [
     "ts_inter_arrival",
     "ts_session_window_agg",
     "ts_decayed_engagement",
-    "ts_autocorr_lag1",
     # round-5 additions, oracle-paired from birth — driver rows now
     "multimodal_png_pixel_stats",
     "multimodal_resize_pixels",
     "dedup_semantic_semdedup",
+    "sim_ivfpq_topk_exhaustive",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
     # families and the rows-only residue
+    "ts_autocorr_lag1",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
@@ -7609,6 +7610,55 @@ def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     sf0.01). A production run keeps τ high."""
     e = load(spark, sf, "embeddings")
     return sim.semdedup(e, threshold=0.4, n_planes=4, dim=64)
+
+
+@query(
+    "sim_ivfpq_topk_exhaustive",
+    # identical oracle to sim_lsh_topk_exhaustive: full probe + uncapped
+    # ADC candidates = every vector is a candidate, and the exact-fold
+    # re-rank makes the output independent of the PQ approximation
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_ivfpq_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011) probed exhaustively: n_probe =
+    n_centroids and no ADC candidate cap means every vector survives to
+    the exact sequential-fold re-rank, so the full encode → cell scan →
+    ADC → re-rank machinery must be bit-identical to brute force — the
+    PQ member of the exhaustive-admission family (LSH and IVF twins
+    already driver-verified). Approximate configurations differ only in
+    which candidates the ADC code scan keeps."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivfpq_topk(e, k=5, n_centroids=8, n_probe=8)
+
+
+@query("sim_ivfpq_topk")  # approximate by nature: rows-only check
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ in its production configuration (4 of 32 cells probed,
+    per-cell ADC candidate cap): the memory tier — candidates are
+    scanned as n_sub-byte codes against a per-query lookup table, raw
+    vectors touched only for the O(k) survivors. Recall vs exact is
+    measured (≈0.49 on the near-orthogonal fixture, matching plain IVF
+    — the ADC approximation costs nothing here) and floor-pinned in
+    tests/test_similarity_guard.py."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivfpq_topk(
+        e, k=5, n_centroids=32, n_probe=4, candidates_per_cell=32
+    )
 
 
 # Applied last so the priority list may reference ANY registered query.

@@ -176,3 +176,25 @@ def test_semdedup_cell_is_deterministic(spark):
     b = {(r.vec_id, r.cell) for r in sim.semdedup(df8, threshold=0.99,
                                                   n_planes=3, dim=16).collect()}
     assert a == b
+
+
+def test_ivfpq_recall_floor(spark, sf_oracle):
+    """IVF-PQ production config must not silently collapse: candidate
+    choice runs on PQ codes (ADC), so a codebook regression would tank
+    recall while staying 'green' on row counts. Floor well below the
+    measured ~0.49, far above collapse."""
+    from report_worker_spark.plans import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.brute_topk_expr(
+            load(spark, sf_oracle, "embeddings"), k=5
+        ).collect()
+    }
+    pq = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["sim_ivfpq_topk"](spark, sf_oracle).collect()
+    }
+    assert len(exact) == 2500
+    assert len(pq & exact) / len(exact) >= 0.35
