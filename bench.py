@@ -63,6 +63,10 @@ CATALOG_BENCH = [
     "text_intradoc_dedup",
     "dedup_exact_substring",
     "text_bigram_lm_score",
+    # round-5 additions
+    "dedup_semantic_semdedup",
+    "sim_ivfpq_topk",
+    "multimodal_png_pixel_stats",
 ]
 
 
