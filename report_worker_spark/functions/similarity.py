@@ -215,6 +215,31 @@ def blocked_topk_matmul(
     )
 
 
+def md5_planes(
+    n_tables: int, n_planes: int, dim: int, tag: str
+) -> list[list[list[float]]]:
+    """Deterministic hyperplanes in [-1, 1) from an md5 keystream —
+    (n_tables, n_planes, dim) nested lists whose double literals an
+    ANSI-SQL oracle can embed verbatim (same device as
+    ``semdedup_planes``)."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{tag}:{t}:{p}:{d}".encode()).hexdigest()[:8],
+                    16,
+                )
+                / 2**32 * 2 - 1
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -225,6 +250,7 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     bucket_cap: int = 8192,
+    md5_plane_tag: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets (n_tables
     independent tables), BLAS partial top-m inside each bucket, exact
@@ -255,39 +281,70 @@ def lsh_topk(
     but spread across nb² bounded tasks instead of one straggler.
     ``bucket_cap=None`` disables the guard (bit-compat with the
     pre-guard plan).
+
+    ``md5_plane_tag`` switches the plane source from seeded Gaussian
+    to the md5 keystream AND the bucket assignment from the Arrow
+    matmul to JVM sequential-fold dot products — signs then match an
+    ANSI-SQL twin bit-for-bit (BLAS sums in a different order, so a
+    |dot| within summation ULP of zero could flip a bucket bit across
+    engines; the fold path removes that hazard structurally). Use for
+    oracle-paired configurations; the BLAS path remains the default
+    for large table×plane counts.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     df = spread(df)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    # One Arrow-batched matmul assigns ALL (table, bucket) pairs per
-    # vector: (n,dim) @ (dim, tables·planes) → sign bits → packed ids.
-    # (Per-dim column expressions here exceed janino's 64 KB method
-    # limit — codegen silently falls back to the interpreted path and
-    # runs ~10× slower; measured.)
-    flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
-    bc = df.sparkSession.sparkContext.broadcast(flat)
+    if md5_plane_tag is not None:
+        planes3 = md5_planes(n_tables, n_planes, dim, md5_plane_tag)
+        v = F.col(vec_col)
+        pairs = []
+        for t in range(n_tables):
+            bkt = None
+            for p in range(n_planes):
+                lit = F.array(*[F.lit(x) for x in planes3[t][p]])
+                bit = (
+                    F.when(dot_fold(v, lit) > 0, F.lit(1 << p))
+                    .otherwise(F.lit(0))
+                )
+                bkt = bit if bkt is None else bkt + bit
+            pairs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"), bkt.cast("long").alias("bkt")
+                )
+            )
+        assigned = df.select(
+            F.col(id_col).alias("_id"), F.explode(F.array(*pairs)).alias("_tb")
+        ).select("_id", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt"))
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        # One Arrow-batched matmul assigns ALL (table, bucket) pairs per
+        # vector: (n,dim) @ (dim, tables·planes) → sign bits → packed ids.
+        # (Per-dim column expressions here exceed janino's 64 KB method
+        # limit — codegen silently falls back to the interpreted path and
+        # runs ~10× slower; measured.)
+        flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+        bc = df.sparkSession.sparkContext.broadcast(flat)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = bc.value
-        weights = 1 << np.arange(n_planes)
-        for pb in batches:
-            if not len(pb):
-                continue
-            q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
-            bits = (q @ w > 0).reshape(len(pb), n_tables, n_planes)
-            buckets = (bits * weights).sum(axis=2)  # (n, T)
-            rows = {
-                "_id": np.repeat(pb[id_col].to_numpy(), n_tables),
-                "tbl": np.tile(np.arange(n_tables), len(pb)),
-                "bkt": buckets.reshape(-1),
-            }
-            yield pd.DataFrame(rows)
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w = bc.value
+            weights = 1 << np.arange(n_planes)
+            for pb in batches:
+                if not len(pb):
+                    continue
+                q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+                bits = (q @ w > 0).reshape(len(pb), n_tables, n_planes)
+                buckets = (bits * weights).sum(axis=2)  # (n, T)
+                rows = {
+                    "_id": np.repeat(pb[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables), len(pb)),
+                    "bkt": buckets.reshape(-1),
+                }
+                yield pd.DataFrame(rows)
 
-    assigned = df.select(id_col, vec_col).mapInPandas(
-        assign, schema="_id long, tbl int, bkt long"
-    )
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            assign, schema="_id long, tbl int, bkt long"
+        )
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

@@ -7023,15 +7023,16 @@ _DRIVER_WINDOW = [
     "ts_transition_matrix",
     "ts_inter_arrival",
     "ts_session_window_agg",
-    "ts_decayed_engagement",
     # round-5 additions, oracle-paired from birth — driver rows now
     "multimodal_png_pixel_stats",
     "multimodal_resize_pixels",
     "dedup_semantic_semdedup",
     "sim_ivfpq_topk_exhaustive",
+    "sim_lsh_topk_md5planes",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
     # families and the rows-only residue
+    "ts_decayed_engagement",
     "ts_autocorr_lag1",
     "stats_moments",
     "stats_key_skew",
@@ -7658,6 +7659,69 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return sim.ivfpq_topk(
         e, k=5, n_centroids=32, n_probe=4, candidates_per_cell=32
+    )
+
+
+_LSHQ_PLANES = sim.md5_planes(n_tables=4, n_planes=6, dim=64, tag="lshq")
+
+
+def _lshq_bucket_sql(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in _LSHQ_PLANES[t][p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+
+
+@query(
+    "sim_lsh_topk_md5planes",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             {_lshq_bucket_sql(0)} AS b0,
+             {_lshq_bucket_sql(1)} AS b1,
+             {_lshq_bucket_sql(2)} AS b2,
+             {_lshq_bucket_sql(3)} AS b3
+      FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id
+       AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM cand
+      JOIN b a ON a.vec_id = cand.id_a
+      JOIN b c ON c.vec_id = cand.id_b
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_lsh_topk_md5planes(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate LSH top-k, ORACLE-PAIRED in its approximate
+    configuration (not just the exhaustive 0-plane degenerate): planes
+    come from the md5 keystream and bucket signs from JVM sequential
+    folds, so DuckDB reproduces the bucketing bit-for-bit and the twin
+    computes the same union-of-tables candidate set + exact top-5.
+    This closes the 'approx-by-nature = rows-only' gap for LSH: the
+    approximation itself is now hash-verified, not merely measured.
+    The Gaussian-plane variant (sim_lsh_topk) stays the bench headliner
+    — BLAS bucket assignment is faster at production table×plane
+    counts; admission semantics are identical."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(
+        e, k=5, n_planes=6, n_tables=4, dim=64, md5_plane_tag="lshq"
     )
 
 
