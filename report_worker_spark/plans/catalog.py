@@ -967,19 +967,80 @@ def sim_blocked_topk_matmul(spark: SparkSession, sf: str) -> DataFrame:
     return sim.blocked_topk_matmul(e, k=5, n_blocks=4, n_query_groups=4)
 
 
-@query("sim_lsh_recall_at_k")  # measured metric: no ANSI oracle by nature
+_LSHR_PLANES = sim.md5_planes(n_tables=6, n_planes=6, dim=64, tag="lshr")
+
+
+def _lshr_bucket_sql(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in _LSHR_PLANES[t][p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+
+
+_LSHR_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         {", ".join(f"{_lshr_bucket_sql(t)} AS b{t}" for t in range(6))}
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cos DESC, id_b ASC) AS rn
+        FROM pairs)
+  WHERE rn <= 5
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.vec_id <> c.vec_id
+   AND ({" OR ".join(f"a.b{t} = c.b{t}" for t in range(6))})
+),
+lsh AS (
+  SELECT id_a, id_b
+  FROM (SELECT cand.id_a, cand.id_b,
+               row_number() OVER (PARTITION BY cand.id_a
+                                  ORDER BY p.cos DESC, cand.id_b ASC) AS rn
+        FROM cand JOIN pairs p ON p.id_a = cand.id_a AND p.id_b = cand.id_b)
+  WHERE rn <= 5
+)
+SELECT 5 AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b)) AS n_hits,
+       CAST(floor((SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b))
+                  * 10000.0 / (SELECT count(*) FROM exact))
+            AS BIGINT) AS recall_bps
+"""
+
+
+@query("sim_lsh_recall_at_k", oracle=_LSHR_ORACLE)
 def sim_lsh_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-visible recall@5 of the approximate LSH top-k against the
     exact top-k (both computed here). On these near-orthogonal synthetic
     embeddings hyperplane LSH recalls only a fraction of true top-k
     neighbors — this query makes that number a recorded artifact instead
-    of a hidden property. Deterministic: seeded hyperplanes, seeded
-    data."""
+    of a hidden property.
+
+    Oracle-paired since round 5: planes are md5-keystream (JVM-fold
+    bucket signs — see lsh_topk(md5_plane_tag=)), so DuckDB recomputes
+    BOTH the exact and the approximate top-k and the recall itself is
+    hash-verified, not merely measured. Floor-pinned in
+    tests/test_similarity_guard.py (measured 2452 bps at sf0.01)."""
     e = load(spark, sf, "embeddings")
     exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
-    lsh = sim.lsh_topk(e, k=5, n_planes=8, n_tables=8).select(
-        "vec_id", "neighbor_id"
-    )
+    lsh = sim.lsh_topk(
+        e, k=5, n_planes=6, n_tables=6, dim=64, md5_plane_tag="lshr"
+    ).select("vec_id", "neighbor_id")
     hits = exact.join(lsh, on=["vec_id", "neighbor_id"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -7022,16 +7083,19 @@ _DRIVER_WINDOW = [
     "ts_anomaly_zscore",
     "ts_transition_matrix",
     "ts_inter_arrival",
-    "ts_session_window_agg",
     # round-5 additions, oracle-paired from birth — driver rows now
     "multimodal_png_pixel_stats",
     "multimodal_resize_pixels",
     "dedup_semantic_semdedup",
     "sim_ivfpq_topk_exhaustive",
     "sim_lsh_topk_md5planes",
+    # historical rows-only row upgraded to a full hash row in r5 (md5
+    # planes make the recall itself SQL-computable)
+    "sim_lsh_recall_at_k",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
     # families and the rows-only residue
+    "ts_session_window_agg",
     "ts_decayed_engagement",
     "ts_autocorr_lag1",
     "stats_moments",

@@ -130,7 +130,8 @@ def test_lsh_recall_floor(spark, sf_oracle):
 
     row = QUERIES["sim_lsh_recall_at_k"](spark, sf_oracle).collect()[0]
     assert row["n_exact"] == 2500  # 500 query vecs x k=5
-    assert row["recall_bps"] >= 800, row  # measured ~1192 at sf0.01
+    # md5-plane 6x6 config (oracle-paired since r5): measured 2452 bps
+    assert row["recall_bps"] >= 1600, row
 
 
 def test_ivf_recall_floor(spark, sf_oracle):
