@@ -446,3 +446,13 @@ def test_runtime_bloom_filter_join_available(spark, sf_oracle):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ivfpq_no_cartesian_no_vector_shuffle(spark, sf_oracle):
+    """IVF-PQ scale contract: candidate generation is cogrouped by
+    cell (no cartesian/BNL join anywhere), and the exact re-rank joins
+    raw vectors by id AFTER the code-only scan."""
+    plan = plan_of(QUERIES["sim_ivfpq_topk"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
