@@ -299,3 +299,109 @@ def dedup_intradoc_segments(
             "dedup_text",
         )
     )
+
+
+# --- Content-defined chunking (LBFS/Venti rolling-boundary style) -----------
+
+
+def _md5_h32(col: Column) -> Column:
+    """uint32 from the first 8 md5 hex chars — the engine-portable hash
+    device (DuckDB: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/Venti rolling-boundary
+    scheme, re-expressed relationally): a token position p ends a chunk
+    iff the hash of the k-token window ending at p hits the boundary
+    condition h % modulus == 0 — so chunk boundaries are a function of
+    CONTENT, not offsets, and an insertion early in a document only
+    perturbs the chunks it touches (the property fixed-size chunking
+    lacks, and the reason storage/dedup pipelines use CDC). Expected
+    chunk length ≈ modulus tokens.
+
+    Returns (id, chunk_idx, chunk_start, n_tokens, chunk_hash) — the
+    hash is md5 of the space-joined chunk text, so identical content
+    slabs shared between documents chunk to identical hashes wherever
+    the boundaries re-synchronize (within k·modulus tokens of an edit,
+    in expectation).
+
+    Scale shape: the boundary flags are a JVM projection over the
+    token array (zip-of-k-shifted-slices, same device as
+    dedup._window_hashes); the cumulative chunk index is ONE
+    doc-partitioned window pass and the chunk assembly ONE
+    (doc, chunk) groupBy — both bounded by document length, with no
+    corpus-wide shuffle at all (cross-doc dedup of the resulting
+    chunk hashes is the caller's one groupBy). The md5 device keeps
+    every boundary decision reproducible in ANSI SQL."""
+    from ..util import spread
+
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_t")
+    )
+    sz = F.size(F.col("_t"))
+    # window ending at position e (0-based) exists for e >= k-1; its
+    # string is tokens[e-k+1 .. e]. Build per-END-position flags.
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_t"), i + 1, sz - F.lit(k - 1)) for i in range(k)]
+    )
+    win_str = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+    # flags[e] for e in 0..n-1: first k-1 positions can't end a window
+    flags = F.concat(
+        F.array_repeat(F.lit(0), k - 1),
+        F.transform(
+            win_str,
+            lambda w: F.when(_md5_h32(w) % modulus == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+    )
+    toks = base.select(
+        "_id",
+        F.posexplode(
+            F.arrays_zip(F.col("_t").alias("tok"), flags.alias("f"))
+        ).alias("pos", "z"),
+    ).select(
+        "_id", "pos", F.col("z.tok").alias("tok"), F.col("z.f").alias("f")
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum("f").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        toks.groupBy("_id", "chunk_idx")
+        .agg(
+            F.min("pos").alias("chunk_start"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "chunk_idx",
+            "chunk_start",
+            "n_tokens",
+            "chunk_hash",
+        )
+    )

@@ -7089,15 +7089,17 @@ _DRIVER_WINDOW = [
     "dedup_semantic_semdedup",
     "sim_ivfpq_topk_exhaustive",
     "sim_lsh_topk_md5planes",
+    "text_cdc_chunks",
     # historical rows-only row upgraded to a full hash row in r5 (md5
     # planes make the recall itself SQL-computable)
     "sim_lsh_recall_at_k",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
-    # families and the rows-only residue
+    # families, dedup_cdc_chunk_ratio, and the rows-only residue
     "ts_session_window_agg",
     "ts_decayed_engagement",
     "ts_autocorr_lag1",
+    "dedup_cdc_chunk_ratio",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
@@ -7786,6 +7788,89 @@ def sim_lsh_topk_md5planes(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return sim.lsh_topk(
         e, k=5, n_planes=6, n_tables=4, dim=64, md5_plane_tag="lshq"
+    )
+
+
+_CDC_CHUNK_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks
+),
+flg AS (
+  -- greatest() keeps the slice valid on the p<2 rows the outer CASE
+  -- discards (DuckDB evaluates vectorized branches eagerly; an invalid
+  -- slice made concat('0x', NULL)='0x' and the CAST threw)
+  SELECT doc_id, p, t[CAST(p+1 AS INT)] AS tok,
+         CASE WHEN p >= 2 AND
+              CAST(concat('0x', substr(md5(array_to_string(
+                     t[CAST(greatest(p-1, 1) AS INT):CAST(p+1 AS INT)], ' ')),
+                   1, 8)) AS BIGINT) % 16 = 0
+         THEN 1 ELSE 0 END AS f
+  FROM pos
+),
+cidx AS (
+  SELECT doc_id, p, tok,
+         CAST(COALESCE(sum(f) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_idx
+  FROM flg
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         CAST(min(p) AS INT) AS chunk_start,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
+  FROM cidx GROUP BY doc_id, chunk_idx
+)
+"""
+
+
+@query(
+    "text_cdc_chunks",
+    oracle=_CDC_CHUNK_SQL + "SELECT * FROM chunks",
+)
+def text_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (LBFS/Venti rolling boundary): token
+    position p ends a chunk iff the md5-derived hash of the k=3-token
+    window ending at p is ≡ 0 mod 16 — boundaries follow CONTENT, so an
+    edit perturbs only nearby chunks and identical slabs shared across
+    documents re-chunk identically once boundaries re-synchronize.
+    Fully oracle-paired: every boundary decision is the engine-portable
+    md5 device. See functions/text.cdc_chunks for the scale shape (JVM
+    flag projection + one doc-partitioned window + one groupBy; no
+    corpus-wide shuffle)."""
+    d = load(spark, sf, "documents")
+    return tx.cdc_chunks(d, k=3, modulus=16)
+
+
+@query(
+    "dedup_cdc_chunk_ratio",
+    oracle=_CDC_CHUNK_SQL + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS distinct_chunks,
+           CAST(count(*) - count(DISTINCT c.chunk_hash) AS BIGINT)
+             AS dup_chunks
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_cdc_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage-dedup audit over CDC chunks: per source feed, how many
+    chunk bodies are byte-identical to another chunk (the quantity a
+    content-addressed store would deduplicate). One corpus groupBy over
+    (source, chunk_hash) — the only cross-doc shuffle in the CDC
+    family."""
+    d = load(spark, sf, "documents")
+    chunks = tx.cdc_chunks(d, k=3, modulus=16)
+    joined = chunks.join(d.select("doc_id", "source"), on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk_hash").alias("distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("chunk_hash")).alias(
+            "dup_chunks"
+        ),
     )
 
 
