@@ -166,6 +166,16 @@ def main() -> None:
                 emb, id_col="vec_id", threshold=0.4, n_planes=7, dim=64
             )
         ),
+        # IVF-PQ: codes-only cell scan; cells scale with corpus like
+        # semdedup planes (64 centroids here vs 32 at sf0.1)
+        "sim_ivfpq_topk": timed(
+            sim.ivfpq_topk(
+                emb, k=5, n_centroids=64, n_probe=4, candidates_per_cell=32
+            )
+        ),
+        # CDC chunking: flag projection + doc-partitioned window +
+        # (doc, chunk) groupBy — all linear in token count
+        "text_cdc_chunks": timed(tx.cdc_chunks(docs, k=3, modulus=16)),
     }
     edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
     timings["graph_triangles"] = timed(gr.triangle_count(edges))
