@@ -889,6 +889,112 @@ def substring_dup_stats(
     )
 
 
+def substring_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Third step of the Lee et al. 2022 exact-substring pipeline:
+    emit the TRIMMED corpus. For every maximal duplicated span from
+    :func:`duplicate_spans`, keep the FIRST occurrence of each span
+    text (global order: ``(doc_id, span_start)`` over spans sharing
+    the same token content) and delete the token ranges of every later
+    occurrence, then reassemble each document's remaining tokens in
+    order. Returns one row per input document:
+    ``(doc_id, text, kept_tokens, removed_tokens)`` — ``text`` is the
+    trimmed document (may be empty when a doc is entirely duplicated
+    coverage that lost the keep-first race).
+
+    Plan (all JVM-side, no Python kernels):
+
+    1. spans ← :func:`duplicate_spans` (hash-window groupBy +
+       gaps-and-islands; see that docstring for the shuffle story);
+    2. re-attach each span's token slice and key it by
+       ``xxhash64(span text)`` — an equi-join on ``doc_id`` against
+       the tokenized corpus, slice/concat inside codegen;
+    3. keep-first resolution: ``row_number`` over
+       ``partitionBy(span_key) orderBy(doc_id, span_start)``; rows
+       with ``rn > 1`` become cut ranges (ONE shuffle on the 64-bit
+       span key, payload = (doc, start, end) triples only);
+    4. per-doc cut lists via ``collect_list`` (spans within a doc are
+       disjoint and few — bounded by doc length / k);
+    5. reassembly: ``filter(tokens, (tok, i) -> no cut covers i)`` +
+       ``concat_ws`` — a broadcast-free left join back to the corpus
+       keyed by doc id, per-token work linear in cuts-per-doc.
+
+    Scale: the only NEW corpus-wide shuffle beyond duplicate_spans is
+    the span-key window (span volume ≪ token volume) and the doc-keyed
+    join of cut lists back to the corpus (co-partitioned on the same
+    key a real deployment buckets by). Nothing touches the driver."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    toks_df = spread(df).select(
+        F.col(id_col).alias("_tid"), tokens(text_col).alias("_t")
+    )
+    keyed = (
+        spans.join(toks_df, spans[id_col] == toks_df["_tid"])
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "_t",
+                        F.col("span_start").cast("int") + F.lit(1),
+                        (
+                            F.col("span_end") - F.col("span_start")
+                        ).cast("int")
+                        + F.lit(1),
+                    ),
+                )
+            ).alias("_key"),
+        )
+    )
+    wk = Window.partitionBy("_key").orderBy(
+        F.col(id_col).asc(), F.col("span_start").asc()
+    )
+    cuts = (
+        keyed.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("_cut")
+        )
+        .withColumnRenamed(id_col, "_cid")
+    )
+    joined = toks_df.join(
+        cuts, toks_df["_tid"] == cuts["_cid"], "left"
+    ).select(
+        F.col("_tid").alias(id_col),
+        "_t",
+        F.coalesce(
+            "_cut", F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("_cut"),
+    )
+    kept = F.filter(
+        "_t",
+        lambda t, i: ~F.exists(
+            "_cut", lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias(
+            "removed_tokens"
+        ),
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -7090,16 +7090,18 @@ _DRIVER_WINDOW = [
     "sim_ivfpq_topk_exhaustive",
     "sim_lsh_topk_md5planes",
     "text_cdc_chunks",
-    # historical rows-only row upgraded to a full hash row in r5 (md5
-    # planes make the recall itself SQL-computable)
-    "sim_lsh_recall_at_k",
     # positions 51+: just past the 50-entry driver window; these head
     # the round-6 rotation together with the remaining stats/agg/win
-    # families, dedup_cdc_chunk_ratio, and the rows-only residue
+    # families and the rows-only residue.
+    # sim_lsh_recall_at_k: historical rows-only row, upgraded to a
+    # full hash row (md5 planes make the recall itself SQL-computable)
+    # — earns its driver hash row in the r6 rotation.
+    "sim_lsh_recall_at_k",
     "ts_session_window_agg",
     "ts_decayed_engagement",
     "ts_autocorr_lag1",
     "dedup_cdc_chunk_ratio",
+    "dedup_substring_trim",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
@@ -7406,6 +7408,66 @@ def dedup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
     Maximal spans are disjoint, so the sum never double-counts."""
     d = load(spark, sf, "documents")
     return dd.substring_dup_stats(d, k=8, min_count=2)
+
+
+@query(
+    "dedup_substring_trim",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE},
+    keyed AS (
+      SELECT s.doc_id, s.span_start, s.span_end,
+             array_to_string(
+               t.t[s.span_start+1:s.span_end+1], ' ') AS spantxt
+      FROM spans s JOIN toks t USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, span_start, span_end,
+             row_number() OVER (PARTITION BY spantxt
+                                ORDER BY doc_id, span_start) AS rn
+      FROM keyed
+    ),
+    cut AS (
+      SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1
+    ),
+    pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) g
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cut c
+        WHERE c.doc_id = p.doc_id
+          AND p.p BETWEEN c.span_start + 1 AND c.span_end + 1
+      )
+    ),
+    agged AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS trimmed,
+             CAST(count(*) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.trimmed, '') AS text,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                AS BIGINT) - COALESCE(a.kept_tokens, 0)
+             AS removed_tokens
+    FROM documents d LEFT JOIN agged a USING (doc_id)
+    """,
+)
+def dedup_substring_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Trimmed corpus: keep the first occurrence of every duplicated
+    span (keyed by span TEXT, ordered by (doc_id, span_start)), delete
+    the token ranges of later occurrences, reassemble. The third step
+    of the Lee et al. 2022 pipeline (see
+    functions/dedup.py:substring_trim for the shuffle story). The
+    oracle keys spans by their literal text while Spark keys by
+    xxhash64(text), so the parity row also certifies the span keys are
+    collision-free on this corpus."""
+    d = load(spark, sf, "documents")
+    return dd.substring_trim(d, k=8, min_count=2)
 
 
 @query(

@@ -13,6 +13,7 @@ from collections import Counter
 from report_worker_spark.functions.dedup import (
     duplicate_spans,
     substring_dup_stats,
+    substring_trim,
 )
 
 K = 4
@@ -120,3 +121,45 @@ def test_short_docs_excluded(spark):
     docs = ["one two three", "one two three", "one two three four"]
     got = duplicate_spans(_df(spark, docs), k=4).collect()
     assert got == []
+
+
+def test_trim_keeps_first_occurrence(spark):
+    got = {
+        r.doc_id: (r.text, r.kept_tokens, r.removed_tokens)
+        for r in substring_trim(_df(spark, DOCS), k=K).collect()
+    }
+    assert len(got) == len(DOCS)  # every doc survives as a row
+    # doc 0 is the FIRST occurrence of SHARED → untouched
+    assert got[0] == (DOCS[0], 12, 0)
+    # doc 1's copy of SHARED (positions 0-6) is cut
+    assert got[1] == ("completely different ending words", 4, 7)
+    # doc 2: first "aa bb cc dd" kept, second (positions 8-11) cut
+    assert got[2] == ("aa bb cc dd xx yy zz ww", 8, 4)
+    # untouched docs pass through verbatim
+    assert got[3] == (DOCS[3], 11, 0)
+    assert got[4] == (DOCS[4], 9, 0)
+
+
+def test_trim_fully_duplicated_doc_goes_empty(spark):
+    docs = ["a b c d", "a b c d", "x y z w q"]
+    got = {
+        r.doc_id: (r.text, r.kept_tokens, r.removed_tokens)
+        for r in substring_trim(_df(spark, docs), k=4).collect()
+    }
+    assert got[0] == ("a b c d", 4, 0)  # keep-first winner
+    assert got[1] == ("", 0, 4)  # loser fully trimmed, row retained
+    assert got[2] == ("x y z w q", 5, 0)
+
+
+def test_trim_removes_no_first_occurrences_corpus_wide(spark):
+    # after trimming, every duplicated span's text still occurs at
+    # least once in the corpus (the keep-first guarantee)
+    spans = duplicate_spans(_df(spark, DOCS), k=K).collect()
+    trimmed = {
+        r.doc_id: r.text
+        for r in substring_trim(_df(spark, DOCS), k=K).collect()
+    }
+    for s in spans:
+        toks = _toks(DOCS[s.doc_id])
+        span_txt = " ".join(toks[s.span_start : s.span_end + 1])
+        assert any(span_txt in t for t in trimmed.values()), span_txt
