@@ -67,6 +67,7 @@ CATALOG_BENCH = [
     "dedup_semantic_semdedup",
     "sim_ivfpq_topk",
     "multimodal_png_pixel_stats",
+    "dedup_substring_trim",
 ]
 
 

@@ -810,6 +810,33 @@ def duplicate_spans(
     boilerplate hashes fan out but only as (doc, pos) pairs, no
     payload); shuffle₃ = (doc, pos) pairs window-partitioned by doc —
     bounded by document length. No driver materialization anywhere."""
+    return _grouped_dup_windows(df, id_col, text_col, k, min_count).groupBy(
+        "_id", "_g"
+    ).agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias(
+            "span_tokens"
+        ),
+    )
+
+
+def _grouped_dup_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+) -> DataFrame:
+    """Shared core of the exact-substring family: one row per
+    duplicated k-window as ``(_id, pos, _h, _g)`` where ``_g`` is the
+    gaps-and-islands group id (windows in the same ``_g`` merge into
+    one maximal span). Carries the window hash ``_h`` so callers can
+    derive a span CONTENT key without re-joining the token arrays."""
     base = (
         spread(df)
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
@@ -824,7 +851,7 @@ def duplicate_spans(
         .filter(F.col("_n") >= min_count)
         .select("_h")
     )
-    marked = wins.join(dup, on="_h").select("_id", "pos")
+    marked = wins.join(dup, on="_h").select("_id", "pos", "_h")
     w = Window.partitionBy("_id").orderBy("pos")
     prev_max = F.max("pos").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -833,23 +860,7 @@ def duplicate_spans(
         prev_max.isNull() | (F.col("pos") > prev_max + k), F.lit(1)
     ).otherwise(F.lit(0))
     grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    spans = (
-        marked.withColumn("_g", grp)
-        .groupBy("_id", "_g")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "span_tokens"
-            ),
-        )
-    )
-    return spans
+    return marked.withColumn("_g", grp)
 
 
 def substring_dup_stats(
@@ -909,11 +920,16 @@ def substring_trim(
 
     Plan (all JVM-side, no Python kernels):
 
-    1. spans ← :func:`duplicate_spans` (hash-window groupBy +
-       gaps-and-islands; see that docstring for the shuffle story);
-    2. re-attach each span's token slice and key it by
-       ``xxhash64(span text)`` — an equi-join on ``doc_id`` against
-       the tokenized corpus, slice/concat inside codegen;
+    1. grouped duplicated windows ← the shared exact-substring core
+       (hash-window groupBy + gaps-and-islands; see
+       :func:`duplicate_spans` for the shuffle story), keeping each
+       window's 64-bit hash;
+    2. span CONTENT key = ``xxhash64`` of the span's window hashes in
+       position order (two spans have identical token content iff
+       their ordered k-window hash sequences match, modulo the same
+       64-bit collision assumption the span finder already makes) —
+       derived IN the span aggregation, so the corpus token arrays
+       are never re-joined;
     3. keep-first resolution: ``row_number`` over
        ``partitionBy(span_key) orderBy(doc_id, span_start)``; rows
        with ``rn > 1`` become cut ranges (ONE shuffle on the 64-bit
@@ -921,36 +937,35 @@ def substring_trim(
     4. per-doc cut lists via ``collect_list`` (spans within a doc are
        disjoint and few — bounded by doc length / k);
     5. reassembly: ``filter(tokens, (tok, i) -> no cut covers i)`` +
-       ``concat_ws`` — a broadcast-free left join back to the corpus
-       keyed by doc id, per-token work linear in cuts-per-doc.
+       ``concat_ws`` — a left join back to the corpus keyed by doc id
+       (cut lists are tiny → AQE broadcasts them; the corpus itself
+       is never shuffled), per-token work linear in cuts-per-doc.
 
-    Scale: the only NEW corpus-wide shuffle beyond duplicate_spans is
-    the span-key window (span volume ≪ token volume) and the doc-keyed
-    join of cut lists back to the corpus (co-partitioned on the same
-    key a real deployment buckets by). Nothing touches the driver."""
-    spans = duplicate_spans(df, id_col, text_col, k, min_count)
-    toks_df = spread(df).select(
-        F.col(id_col).alias("_tid"), tokens(text_col).alias("_t")
-    )
+    Scale: the only NEW corpus-wide work beyond duplicate_spans is
+    the span-key window (span volume ≪ token volume) and one more
+    corpus scan for reassembly. Nothing touches the driver."""
     keyed = (
-        spans.join(toks_df, spans[id_col] == toks_df["_tid"])
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
+        _grouped_dup_windows(df, id_col, text_col, k, min_count)
+        .groupBy("_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias(
+                "span_end"
+            ),
             F.xxhash64(
                 F.concat_ws(
-                    " ",
-                    F.slice(
-                        "_t",
-                        F.col("span_start").cast("int") + F.lit(1),
-                        (
-                            F.col("span_end") - F.col("span_start")
-                        ).cast("int")
-                        + F.lit(1),
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "_h"))
+                        ),
+                        lambda s: s["_h"].cast("string"),
                     ),
                 )
             ).alias("_key"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "span_start", "span_end", "_key"
         )
     )
     wk = Window.partitionBy("_key").orderBy(
@@ -969,6 +984,9 @@ def substring_trim(
             ).alias("_cut")
         )
         .withColumnRenamed(id_col, "_cid")
+    )
+    toks_df = spread(df).select(
+        F.col(id_col).alias("_tid"), tokens(text_col).alias("_t")
     )
     joined = toks_df.join(
         cuts, toks_df["_tid"] == cuts["_cid"], "left"

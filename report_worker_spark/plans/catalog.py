@@ -7090,12 +7090,16 @@ _DRIVER_WINDOW = [
     "sim_ivfpq_topk_exhaustive",
     "sim_lsh_topk_md5planes",
     "text_cdc_chunks",
-    # positions 51+: just past the 50-entry driver window; these head
-    # the round-6 rotation together with the remaining stats/agg/win
-    # families and the rows-only residue.
+    # ------------------------------------------------------------------
+    # positions 51+: just past the 50-entry driver window — the FULL
+    # round-6 rotation, pre-staged (VERDICT_r4 item 8). After the r5
+    # window lands, exactly 45 catalog queries have never had a driver
+    # row; with the 3 canaries re-pinned that is a 48-entry final
+    # window, closing cumulative driver coverage at 187/187 (the 7
+    # genuinely rows-only approx-ANN/float-eigh metrics get rows-only
+    # driver entries — listed last).
     # sim_lsh_recall_at_k: historical rows-only row, upgraded to a
-    # full hash row (md5 planes make the recall itself SQL-computable)
-    # — earns its driver hash row in the r6 rotation.
+    # full hash row (md5 planes make the recall itself SQL-computable).
     "sim_lsh_recall_at_k",
     "ts_session_window_agg",
     "ts_decayed_engagement",
@@ -7105,6 +7109,45 @@ _DRIVER_WINDOW = [
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
+    "stats_entropy_per_user",
+    "stats_chi2_type_dow",
+    "stats_covar_corr",
+    "agg_salted_twophase",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_grouped_percentiles",
+    "agg_mode_per_group",
+    "agg_incremental_merge",
+    "win_lag_delta",
+    "win_ntile_quartiles",
+    "win_percent_rank",
+    "win_cumulative_distinct",
+    "win_first_last_nth",
+    "grouped_median_pandas",
+    "j_semi_exists",
+    "reshape_unpivot",
+    "scalar_subquery_above_avg",
+    "emb_quantize_int8",
+    "funnel_3step_1day",
+    "cohort_retention",
+    "json_props_extract",
+    "json_variant_extract",
+    "dedup_keep_latest",
+    "dedup_rate_by_source",
+    "zorder_cluster_key",
+    "cust_rfm_segments",
+    "seq_top_paths",
+    # rows-only residue (approx-by-nature ANN rankings and float-eigh
+    # projections — no SQL oracle can be bit-stable; the driver
+    # records rows+schema and the recall/parity tests pin quality)
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_ivf_recall_at_k",
+    "emb_pca_project",
+    "emb_kmeans_cells",
+    "agg_approx_distinct",
+    "agg_hll_mergeable",
 ]
 
 

@@ -125,6 +125,17 @@ def main() -> None:
             dd.minhash_lsh_verified_pairs(docs, threshold=0.8)
         ),
         "dedup_simhash": timed(dd.simhash_pairs(docs, max_hamming=3)),
+        # composed curation deployment shape (the path
+        # curation_leakage_safe_split actually runs): LSH candidate
+        # pairs → exact-verify → connected components (label
+        # propagation, localCheckpoint per round) → canonical filter.
+        # Proves the propagation loop stays linear when fed LSH-scale
+        # pair volumes, not just the hand-sized pair fixtures.
+        "dedup_lsh_cc_canonical": timed(
+            dd.dedup_canonical(
+                docs, dd.minhash_lsh_verified_pairs(docs, threshold=0.8)
+            )
+        ),
         "dedup_ngram_jaccard": timed(
             dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=500 * K)
         ),
