@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import star, transforms
+from ..functions import bpe
 from ..functions import dedup as dd
 from ..functions import graph as gr
 from ..functions import similarity as sim
@@ -7106,6 +7107,8 @@ _DRIVER_WINDOW = [
     "ts_autocorr_lag1",
     "dedup_cdc_chunk_ratio",
     "dedup_substring_trim",
+    "text_bpe_train_merges",
+    "text_bpe_segment_counts",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
@@ -7511,6 +7514,124 @@ def dedup_substring_trim(spark: SparkSession, sf: str) -> DataFrame:
     collision-free on this corpus."""
     d = load(spark, sf, "documents")
     return dd.substring_trim(d, k=8, min_count=2)
+
+
+# ===========================================================================
+# BPE tokenizer training (Sennrich et al. 2016) — oracle-paired via an
+# UNROLLED SQL twin: each merge iteration is three generated CTEs (pair
+# counts → argmax → replace), so DuckDB replays the exact training loop
+# including the deterministic (count DESC, lhs, rhs) tie-break. The
+# wrapped-symbol representation (" l  o  w ") makes one engine-native
+# replace() apply a merge at every site with no overlap hazard — see
+# functions/bpe.py for the 100 TB story (one corpus pass, then
+# vocab-sized iterations).
+# ===========================================================================
+
+_BPE_N_MERGES = 10
+
+_BPE_BASE_CTE = """
+    w1 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS freq,
+             ' ' || array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> substring(w, i, 1)), '  ') || ' ' AS r
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w
+    )"""
+
+
+def _bpe_iter_ctes(n: int) -> str:
+    out = []
+    for i in range(1, n + 1):
+        # AS MATERIALIZED is load-bearing: without it DuckDB inlines
+        # every CTE reference, and since w{{i+1}} references w{{i}}
+        # twice (directly and via b{{i}}) the expansion is 2^n copies
+        # of the base scan — measured 55 s vs <2 s at sf0.01, n=10.
+        out.append(f"""
+    p{i} AS (
+      SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(r), '  ') AS s
+            FROM w{i} WHERE len(string_split(trim(r), '  ')) >= 2),
+           LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS j) g
+      GROUP BY a, b
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    m{i} AS (
+      SELECT {i} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,
+             cnt AS pair_count
+      FROM b{i}
+    ),
+    w{i + 1} AS MATERIALIZED (
+      SELECT freq,
+             replace(w.r, ' '||b.a||'  '||b.b||' ',
+                     ' '||b.a||b.b||' ') AS r
+      FROM w{i} w, b{i} b
+    )""")
+    return ",".join(out)
+
+
+def _bpe_merges_oracle(n: int) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n + 1)
+    )
+    return f"""
+    WITH {_BPE_BASE_CTE},{_bpe_iter_ctes(n)}
+    SELECT merge_rank, lhs, rhs, merged, pair_count
+    FROM ({union})
+    """
+
+
+def _bpe_segment_oracle(n: int) -> str:
+    # nested replace chain applying merges 1..n in rank order to one
+    # wrapped word (b1..bn are cross-joined single-row tables)
+    expr = (
+        "' ' || array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substring(w, i, 1)),"
+        " '  ') || ' '"
+    )
+    for i in range(1, n + 1):
+        expr = (
+            f"replace({expr}, ' '||b{i}.a||'  '||b{i}.b||' ',"
+            f" ' '||b{i}.a||b{i}.b||' ')"
+        )
+    tables = ", ".join(f"b{i}" for i in range(1, n + 1))
+    return f"""
+    WITH {_BPE_BASE_CTE},{_bpe_iter_ctes(n)}
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+             AS n_words,
+           CAST(list_sum(list_transform(
+             string_split_regex(trim(d.text), '\\s+'),
+             w -> len(string_split(trim({expr}), '  ')))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents d, {tables}
+    """
+
+
+@query("text_bpe_train_merges", oracle=_bpe_merges_oracle(_BPE_N_MERGES))
+def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 10 BPE merges learned from the documents corpus
+    (merge_rank, lhs, rhs, merged, pair_count). The oracle replays the
+    training loop unrolled in SQL, so every iteration's argmax and
+    every replace are hash-checked — a distributed tokenizer trainer
+    whose training TRACE is verified, not just its output counts."""
+    d = load(spark, sf, "documents")
+    return bpe.bpe_merges(d, n_merges=_BPE_N_MERGES)
+
+
+@query("text_bpe_segment_counts", oracle=_bpe_segment_oracle(_BPE_N_MERGES))
+def text_bpe_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the 10 learned merges to the corpus: per-doc whitespace
+    word count vs BPE token count (the compression the tokenizer buys
+    at this merge budget). Merges fold into one chained JVM replace
+    per word — a single corpus map, zero joins."""
+    d = load(spark, sf, "documents")
+    m = bpe.bpe_merges(d, n_merges=_BPE_N_MERGES)
+    return bpe.bpe_segment(d, m)
 
 
 @query(

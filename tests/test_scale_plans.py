@@ -456,3 +456,16 @@ def test_ivfpq_no_cartesian_no_vector_shuffle(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_substring_trim_no_python_no_cartesian(spark, sf_oracle):
+    """Exact-substring trim scale contract: the whole pipeline (span
+    finding, window-hash span keys, keep-first resolution, reassembly)
+    is pure JVM — no Python eval, no cartesian/BNL join. The span key
+    is derived in the span aggregation, so the corpus token arrays are
+    joined exactly once (the reassembly join) and never shuffled as a
+    span-key payload."""
+    plan = plan_of(QUERIES["dedup_substring_trim"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
