@@ -68,6 +68,7 @@ CATALOG_BENCH = [
     "sim_ivfpq_topk",
     "multimodal_png_pixel_stats",
     "dedup_substring_trim",
+    "text_bpe_train_merges",
 ]
 
 

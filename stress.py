@@ -119,6 +119,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 2)
 
+    def timed_build(build) -> float:
+        """Like timed(), but the BUILD runs inside the clock — needed
+        for operators that do eager work at plan-construction time
+        (connected_components localCheckpoints each propagation round
+        while the plan is being built, so timing only the final
+        materialization would skip the iterative core)."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
     timings = {
         "dedup_exact": timed(dd.exact_dedup_groups(docs)),
         "dedup_minhash_lsh": timed(
@@ -131,8 +143,8 @@ def main() -> None:
         # propagation, localCheckpoint per round) → canonical filter.
         # Proves the propagation loop stays linear when fed LSH-scale
         # pair volumes, not just the hand-sized pair fixtures.
-        "dedup_lsh_cc_canonical": timed(
-            dd.dedup_canonical(
+        "dedup_lsh_cc_canonical": timed_build(
+            lambda: dd.dedup_canonical(
                 docs, dd.minhash_lsh_verified_pairs(docs, threshold=0.8)
             )
         ),
