@@ -158,6 +158,48 @@ def pagerank(
     return pr.select("node", "pr")
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 8,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has degree ≥ k, as ``(node, core_deg)`` (core_deg = the
+    node's degree WITHIN the k-core). Standard peeling fixpoint:
+    repeatedly drop nodes with current degree < k and the edges that
+    touch them, until stable.
+
+    Each round is two shuffles on the surviving edge set (degree
+    groupBy + the keep semi-joins); the edge set only shrinks, so
+    round cost is monotonically non-increasing — the 100 TB shape of
+    every distributed k-core (Quick et al. 2012 style). The frontier
+    is ``localCheckpoint``'ed per round: the surviving set feeds three
+    consumers per round (degree count + two joins), so an uncut
+    lineage re-expands exponentially exactly as in
+    dedup.connected_components.
+
+    A FIXED ``max_iterations`` keeps the op deterministic and lets an
+    unrolled SQL twin replay it; peeling converges in ≤ diameter-ish
+    rounds on sparse graphs (callers/tests should assert one extra
+    round is a no-op — see tests/test_graph_kcore.py)."""
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        deg = degrees(cur)
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "src"), on="src")
+            .join(keep.withColumnRenamed("node", "dst"), on="dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+    return (
+        degrees(cur)
+        .filter(F.col("deg") >= k)
+        .select("node", F.col("deg").cast("long").alias("core_deg"))
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -5460,6 +5460,52 @@ def graph_pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int, iters: int) -> str:
+    # unrolled peeling fixpoint (same MATERIALIZED discipline as the
+    # BPE oracle: e{i} is referenced by dg{i+1} and e{i+1}, so inlined
+    # CTEs would re-evaluate exponentially)
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    dg{i} AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT src AS node FROM e{i - 1}
+            UNION ALL SELECT dst AS node FROM e{i - 1})
+      GROUP BY node
+    ),
+    kp{i} AS MATERIALIZED (SELECT node FROM dg{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM e{i - 1} e
+      JOIN kp{i} a ON e.src = a.node
+      JOIN kp{i} b ON e.dst = b.node
+    )""")
+    return f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+    {",".join(steps)},
+    dgf AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT src AS node FROM e{iters}
+            UNION ALL SELECT dst AS node FROM e{iters})
+      GROUP BY node
+    )
+    SELECT node, CAST(deg AS BIGINT) AS core_deg
+    FROM dgf WHERE deg >= {k}
+    """
+
+
+@query("graph_kcore_membership", oracle=_kcore_oracle(3, 16))
+def graph_kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the part co-occurrence graph (node, degree within the
+    core): peeling fixpoint, 16 fixed rounds (convergence within the
+    budget is pytest-asserted — an extra round is a no-op). The oracle
+    replays the peel unrolled, so every intermediate frontier is
+    hash-checked through the final membership."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    return gr.kcore(e, k=3, max_iterations=16)
+
+
 @query(
     "olap_q2_min_cost_supplier",
     oracle="""
@@ -7109,6 +7155,7 @@ _DRIVER_WINDOW = [
     "dedup_substring_trim",
     "text_bpe_train_merges",
     "text_bpe_segment_counts",
+    "graph_kcore_membership",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
