@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F
 
+from report_worker_spark.functions import bpe
 from report_worker_spark.functions import dedup as dd
 from report_worker_spark.functions import graph as gr
 from report_worker_spark.functions import similarity as sim
@@ -180,6 +181,15 @@ def main() -> None:
         # exact-substring dedup: window volume scales ×k; the dup-hash
         # groupBy and the gaps-and-islands window are both linear in it
         "dedup_exact_substring": timed(dd.duplicate_spans(docs, k=8)),
+        # trim adds the span-key window (span volume only) and one
+        # reassembly corpus scan on top of the span finder
+        "dedup_substring_trim": timed(dd.substring_trim(docs, k=8)),
+        # BPE training: ONE corpus pass for word freqs; the 10 merge
+        # rounds then run on the vocab table, whose size grows far
+        # sublinearly with corpus replication (near-constant here)
+        "text_bpe_train_merges": timed_build(
+            lambda: bpe.bpe_merges(docs, n_merges=10)
+        ),
         # SemDeDup: cell assignment is a projection; per-cell join work
         # is Σ cell², so at k× corpus with FIXED planes it grows ~k²/2^P
         # per cell — the deployment knob is planes↑ with n (here +3
@@ -204,6 +214,11 @@ def main() -> None:
     timings["graph_triangles"] = timed(gr.triangle_count(edges))
     timings["graph_pagerank_sum"] = timed(
         gr.pagerank(edges, iterations=3, deterministic=False)
+    )
+    # peeling: per-round cost tracks the SHRINKING edge set, so the
+    # k× edge volume only multiplies the first rounds
+    timings["graph_kcore"] = timed_build(
+        lambda: gr.kcore(edges, k=3, max_iterations=16)
     )
     print(
         json.dumps(
