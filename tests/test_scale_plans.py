@@ -469,3 +469,20 @@ def test_substring_trim_no_python_no_cartesian(spark, sf_oracle):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_training_no_python_no_cartesian(spark, sf_oracle):
+    """BPE training scale contract: the whole loop (word freqs, pair
+    counts, argmax, merge replace) is JVM expressions — no Python
+    eval; the only cross-table op is the broadcast 1-row crossJoin of
+    each round's winner (never a real cartesian over data)."""
+    plan = plan_of(QUERIES["text_bpe_train_merges"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_no_python_no_cartesian(spark, sf_oracle):
+    plan = plan_of(QUERIES["graph_kcore_membership"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
