@@ -1668,6 +1668,54 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     return mm.jpeg_pixel_stats(media)
 
 
+# WAV PCM decode is REAL and lossless, so decoded samples equal the
+# generator keystream exactly — same oracle treatment as PNG/JPEG.
+
+
+@query(
+    "multimodal_wav_sample_stats",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, nf, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < nf
+    )
+    SELECT media_id,
+           CAST(any_value(nf) AS INT) AS n_frames,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(max(v) AS INT) AS max_amp
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_wav_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode, driver-verified: encode mono 8-bit PCM WAVs
+    (samples = md5 keystream), walk the RIFF chunks back to raw
+    frames, emit exact integer amplitude stats. PCM is lossless, so
+    DuckDB regenerates the expected samples arithmetically — a chunk
+    walk, fmt-validation, or alignment bug shifts the sums."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    return mm.wav_sample_stats(media)
+
+
 @query(
     "multimodal_resize_pixels",
     oracle=f"""
@@ -7205,6 +7253,7 @@ _DRIVER_WINDOW = [
     "text_bpe_segment_counts",
     "graph_kcore_membership",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_wav_sample_stats",
     "stats_moments",
     "stats_key_skew",
     "stats_histogram",

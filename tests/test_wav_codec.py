@@ -1,0 +1,57 @@
+"""RIFF PCM WAV codec (functions/multimodal.py): lossless round trips
+for both sample widths, chunk word-alignment, and loud failures on
+compressed/truncated streams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from report_worker_spark.functions import multimodal as mm
+
+
+def test_8bit_roundtrip_exact():
+    samples = mm.keystream("a", 100)
+    d = mm.decode_wav_samples(mm.encode_wav(samples, 16000, 1, 8))
+    assert d["samples"] == samples
+    assert (d["n_frames"], d["sample_rate"], d["bits"], d["channels"]) == (
+        100, 16000, 8, 1,
+    )
+
+
+def test_16bit_stereo_roundtrip_exact():
+    rng = np.random.default_rng(5)
+    sm = rng.integers(-32768, 32768, size=240, dtype=np.int16)
+    d = mm.decode_wav_samples(mm.encode_wav(sm.tobytes(), 44100, 2, 16))
+    assert np.array_equal(np.frombuffer(d["samples"], "<i2"), sm)
+    assert (d["n_frames"], d["channels"], d["bits"]) == (120, 2, 16)
+
+
+def test_odd_length_chunk_alignment():
+    """A preceding odd-length chunk must be padded to a word boundary
+    (RIFF rule) — the walker has to skip the pad byte to find data."""
+    samples = mm.keystream("b", 33)
+    wav = bytearray(mm.encode_wav(samples, 8000, 1, 8))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = wav[:12] + extra + wav[12:]
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    d = mm.decode_wav_samples(bytes(patched))
+    assert d["samples"] == samples
+
+
+def test_compressed_format_rejected():
+    wav = bytearray(mm.encode_wav(mm.keystream("c", 16), 8000, 1, 8))
+    i = bytes(wav).find(b"fmt ") + 8
+    wav[i : i + 2] = struct.pack("<H", 85)  # MP3 format tag
+    with pytest.raises(ValueError, match="compressed"):
+        mm.decode_wav_samples(bytes(wav))
+
+
+def test_truncated_rejected():
+    wav = mm.encode_wav(mm.keystream("d", 64), 8000, 1, 8)
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(wav[:-5])
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav_samples(b"nope")
