@@ -55,3 +55,39 @@ def test_truncated_rejected():
         mm.decode_wav_samples(wav[:-5])
     with pytest.raises(ValueError, match="RIFF"):
         mm.decode_wav_samples(b"nope")
+
+
+# --- ISO-BMFF (MP4) box walker ---------------------------------------------
+
+
+def test_mp4_roundtrip():
+    b = mm.mp4_bytes(5000, 320, 240, 7)
+    assert mm.parse_mp4_header(b) == {
+        "format": "mp4", "duration_ms": 5000, "width": 320, "height": 240,
+    }
+
+
+def test_mp4_timescale_math():
+    """Duration must be converted through mvhd's declared timescale,
+    not assumed to be ms."""
+    import struct
+    b = bytearray(mm.mp4_bytes(8000, 64, 48, 1))
+    i = bytes(b).find(b"mvhd") + 4
+    # timescale 1000 -> 500 (duration field now counts half-seconds...
+    # i.e. the same stored duration must read as 2x the ms)
+    assert struct.unpack(">I", b[i + 12 : i + 16])[0] == 1000
+    b[i + 12 : i + 16] = struct.pack(">I", 500)
+    assert mm.parse_mp4_header(bytes(b))["duration_ms"] == 16000
+
+
+def test_mp4_failures_loud():
+    import pytest as _pytest
+    b = mm.mp4_bytes(1000, 16, 16, 2)
+    with _pytest.raises(ValueError):
+        mm.parse_mp4_header(b[:-4])
+    with _pytest.raises(ValueError):
+        mm.parse_mp4_header(b"\x00" * 20)
+    # moov removed -> loud
+    ftyp_len = int.from_bytes(b[:4], "big")
+    with _pytest.raises(ValueError, match="moov"):
+        mm.parse_mp4_header(b[:ftyp_len])
