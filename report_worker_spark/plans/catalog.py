@@ -7258,13 +7258,14 @@ _DRIVER_WINDOW = [
     "sim_lsh_topk_md5planes",
     "text_cdc_chunks",
     # ------------------------------------------------------------------
-    # positions 51+: just past the 50-entry driver window — the FULL
-    # round-6 rotation, pre-staged (VERDICT_r4 item 8). After the r5
-    # window lands, exactly 45 catalog queries have never had a driver
-    # row; with the 3 canaries re-pinned that is a 48-entry final
-    # window, closing cumulative driver coverage at 187/187 (the 7
-    # genuinely rows-only approx-ANN/float-eigh metrics get rows-only
-    # driver entries — listed last).
+    # positions 51+: just past the 50-entry driver window — the staged
+    # round-6 rotation (VERDICT_r4 item 8). After the r5 window lands,
+    # 45 pre-existing catalog queries have never had a driver row, plus
+    # the 7 ops added late in round 5 (substring trim, BPE ×2, k-core,
+    # JPEG/WAV/MP4) = 52; with the 3 canaries re-pinned, round 6 takes
+    # the first 50 and the ~5 spillover rows (ordered to be the weakest
+    # rows-only checks) close in round 7. Hash-paired entries lead;
+    # rows-only residue (approx-ANN rankings, float-eigh) trails.
     # sim_lsh_recall_at_k: historical rows-only row, upgraded to a
     # full hash row (md5 planes make the recall itself SQL-computable).
     "sim_lsh_recall_at_k",
