@@ -69,6 +69,7 @@ CATALOG_BENCH = [
     "multimodal_png_pixel_stats",
     "dedup_substring_trim",
     "text_bpe_train_merges",
+    "multimodal_jpeg_pixel_stats",
 ]
 
 
