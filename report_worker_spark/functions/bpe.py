@@ -142,7 +142,16 @@ def bpe_merges(
                 ).alias("r"),
             )
         )
-    return reduce(DataFrame.unionByName, out)
+    # Seed the union with an empty merges frame: if the very first
+    # iteration finds no adjacent pair (empty corpus, or every word a
+    # single symbol) ``out`` is empty and a bare reduce would raise
+    # TypeError instead of returning zero merges (ADVICE_r5).
+    empty = df.sparkSession.createDataFrame(
+        [],
+        "merge_rank INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count LONG",
+    )
+    return reduce(DataFrame.unionByName, out, empty)
 
 
 def bpe_segment(

@@ -924,10 +924,19 @@ def substring_trim(
        (hash-window groupBy + gaps-and-islands; see
        :func:`duplicate_spans` for the shuffle story), keeping each
        window's 64-bit hash;
-    2. span CONTENT key = ``xxhash64`` of the span's window hashes in
-       position order (two spans have identical token content iff
-       their ordered k-window hash sequences match, modulo the same
-       64-bit collision assumption the span finder already makes) —
+    2. span CONTENT key = ``xxhash64`` of the span's duplicated
+       windows as ``(pos − span_start):hash`` pairs in position order.
+       Relative offsets are load-bearing: the gaps-and-islands merge
+       admits windows up to ``k`` apart, so two spans can share the
+       same ordered HASH sequence with different window placement —
+       and therefore different text (e.g. k=4 over
+       ``['a b c b x', 'a b c b c b x']``, where hashing the sequence
+       alone collides the 5- and 7-token spans and trims unique
+       content). With placement included, two spans share a key iff
+       their duplicated-window coverage is token-identical (window
+       coverage inside a maximal span is contiguous, and each 64-bit
+       hash pins its k tokens under the same collision assumption the
+       span finder already makes), i.e. iff their span text matches —
        derived IN the span aggregation, so the corpus token arrays
        are never re-joined;
     3. keep-first resolution: ``row_number`` over
@@ -952,20 +961,29 @@ def substring_trim(
             (F.max("pos") + F.lit(k - 1)).cast("long").alias(
                 "span_end"
             ),
+            F.array_sort(F.collect_list(F.struct("pos", "_h"))).alias(
+                "_wins"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
             F.xxhash64(
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "_h"))
+                        "_wins",
+                        lambda s: F.concat_ws(
+                            ":",
+                            (s["pos"] - F.col("span_start")).cast(
+                                "string"
+                            ),
+                            s["_h"].cast("string"),
                         ),
-                        lambda s: s["_h"].cast("string"),
                     ),
                 )
             ).alias("_key"),
-        )
-        .select(
-            F.col("_id").alias(id_col), "span_start", "span_end", "_key"
         )
     )
     wk = Window.partitionBy("_key").orderBy(

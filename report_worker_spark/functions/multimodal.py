@@ -598,10 +598,15 @@ def encode_wav(
         sample_rate * block, block, bits,
     )
     data = samples
+    # RIFF chunks are word-aligned: an odd-length data chunk carries a
+    # zero pad byte (excluded from the chunk size field, included in
+    # the RIFF size) — the alignment rule the decoder's
+    # ``i += 8 + ln + (ln & 1)`` walk already assumes (ADVICE_r5).
+    pad = b"\x00" if len(data) & 1 else b""
     riff_body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

@@ -129,3 +129,17 @@ def test_segment_counts_match_python(spark):
                 syms = _merge_word(syms, a, b)
             n_bpe += len(syms)
         assert got[d] == (len(words), n_bpe), (d, text)
+
+
+def test_no_mergeable_pairs_returns_empty_merges(spark):
+    """ADVICE_r5 (low): single-symbol words (and empty corpora) yield
+    zero adjacent pairs on the FIRST iteration — bpe_merges must
+    return an empty merges frame, not raise from a seedless reduce."""
+    single = spark.createDataFrame([("a a b",)], ["text"])
+    got = bpe_merges(single, n_merges=3)
+    assert got.count() == 0
+    assert got.columns == [
+        "merge_rank", "lhs", "rhs", "merged", "pair_count"
+    ]
+    empty = spark.createDataFrame([], "text STRING")
+    assert bpe_merges(empty, n_merges=3).count() == 0

@@ -163,3 +163,19 @@ def test_trim_removes_no_first_occurrences_corpus_wide(spark):
         toks = _toks(DOCS[s.doc_id])
         span_txt = " ".join(toks[s.span_start : s.span_end + 1])
         assert any(span_txt in t for t in trimmed.values()), span_txt
+
+
+def test_trim_span_key_distinguishes_window_placement(spark):
+    # ADVICE_r5 (high): spans whose duplicated-window HASH sequences
+    # match but whose placement differs must not share a span key.
+    # With k=4, doc 1's 7-token span contains the same set of
+    # duplicated window hashes as doc 0's 5-token span (periodic
+    # token repetition), but the texts differ — doc 1's full text is
+    # unique in the corpus and must survive keep-first intact.
+    docs = ["a b c b x", "a b c b c b x"]
+    got = {
+        r.doc_id: (r.text, r.kept_tokens, r.removed_tokens)
+        for r in substring_trim(_df(spark, docs), k=4).collect()
+    }
+    assert got[0] == ("a b c b x", 5, 0)
+    assert got[1] == ("a b c b c b x", 7, 0)

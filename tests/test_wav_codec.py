@@ -91,3 +91,26 @@ def test_mp4_failures_loud():
     ftyp_len = int.from_bytes(b[:4], "big")
     with _pytest.raises(ValueError, match="moov"):
         mm.parse_mp4_header(b[:ftyp_len])
+
+
+def test_odd_data_chunk_emits_pad_byte():
+    """ADVICE_r5 (low): an odd-length data chunk must carry a zero pad
+    byte (excluded from the chunk size field, included in RIFF size)
+    so a strict word-aligned reader parses any following chunk."""
+    samples = mm.keystream("c", 33)  # odd 8-bit mono payload
+    wav = mm.encode_wav(samples, 8000, 1, 8)
+    assert len(wav) % 2 == 0
+    # RIFF size field spans the whole remainder including the pad
+    assert struct.unpack("<I", wav[4:8])[0] == len(wav) - 8
+    # data chunk: size field excludes the pad, trailing byte is zero
+    i = wav.index(b"data")
+    assert struct.unpack("<I", wav[i + 4 : i + 8])[0] == 33
+    assert wav[-1] == 0
+    # decode still returns the exact samples
+    assert mm.decode_wav_samples(wav)["samples"] == samples
+    # a chunk appended AFTER the padded data chunk must still be
+    # reachable by the word-aligned walk
+    trailer = b"LIST" + struct.pack("<I", 4) + b"info"
+    patched = bytearray(wav + trailer)
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    assert mm.decode_wav_samples(bytes(patched))["samples"] == samples
