@@ -240,6 +240,29 @@ def md5_planes(
     ]
 
 
+def md5_centroids(n_centroids: int, dim: int, tag: str) -> list[list[float]]:
+    """Deterministic UNIT-NORM centroids from an md5 keystream —
+    (n_centroids, dim) nested lists. Normalization happens here, once,
+    in float64, so the exact normalized doubles round-trip through
+    ``repr`` into an ANSI-SQL oracle literal and both engines score
+    cells against bit-identical centroid values (the IVF member of the
+    md5_planes / semdedup_planes device family)."""
+    import hashlib
+
+    out = []
+    for c in range(n_centroids):
+        raw = [
+            int(
+                hashlib.md5(f"{tag}:{c}:{d}".encode()).hexdigest()[:8], 16
+            )
+            / 2**32 * 2 - 1
+            for d in range(dim)
+        ]
+        nrm = float(np.linalg.norm(np.asarray(raw, dtype=np.float64)))
+        out.append([float(x) for x in np.asarray(raw, np.float64) / nrm])
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -594,10 +617,22 @@ def ivf_topk(
     n_probe: int = 4,
     kmeans_iters: int = 5,
     seed: int = 42,
+    md5_centroid_tag: str | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate ANN via IVF (inverted file): k-means centroids on a
     deterministic sample, each vector assigned to its nearest centroid,
     queries probe the ``n_probe`` nearest cells and re-rank exactly.
+
+    ``md5_centroid_tag`` switches the coarse quantizer from trained
+    k-means to fixed md5-keystream unit centroids (``md5_centroids``),
+    making cell assignment and probe routing reproducible from SQL
+    double literals: per-query cell ORDER under cosine equals the
+    order of raw dot(v, c_j) (unit centroids, per-query positive
+    norm), so a DuckDB oracle ranks cells by ``list_dot_product``
+    alone. Recall is worse than trained centroids (cells ignore the
+    data distribution) — this is the verification configuration, not
+    the production one.
 
     Scale shape: centroid training is driver-side numpy on a bounded
     sample; assignment is one Arrow-batched pass (no shuffle); the
@@ -613,23 +648,33 @@ def ivf_topk(
     (n_probe = n_centroids ⇒ exact).
     """
     spark = df.sparkSession
-    # deterministic bounded sample for training: ordered take — a bare
-    # limit() is partition-order dependent and would make centroids (and
-    # every downstream assignment) vary across cluster layouts
-    sample = df.select(id_col, vec_col).orderBy(id_col).limit(4096).toPandas()
-    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(len(cent)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cent[c] = m / n
+    if md5_centroid_tag is not None:
+        cent = np.asarray(
+            md5_centroids(n_centroids, dim, md5_centroid_tag), np.float64
+        )
+    else:
+        # deterministic bounded sample for training: ordered take — a
+        # bare limit() is partition-order dependent and would make
+        # centroids (and every downstream assignment) vary across
+        # cluster layouts
+        sample = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(4096).toPandas()
+        )
+        mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        cent = mat[
+            rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+        ]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(mat @ cent.T, axis=1)  # cosine, unit vectors
+            for c in range(len(cent)):
+                members = mat[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cent[c] = m / n
     bc = spark.sparkContext.broadcast(cent)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -640,7 +685,9 @@ def ivf_topk(
             q = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = qn @ c.T
-            order = np.argsort(-sims, axis=1)
+            # stable sort: exact-tie cells resolve to the lower index,
+            # matching the oracle's (sim DESC, cell ASC) window order
+            order = np.argsort(-sims, axis=1, kind="stable")
             rows = []
             for i in range(len(pb)):
                 rows.append(
@@ -883,6 +930,7 @@ def semdedup(
     n_planes: int = 6,
     dim: int = 64,
     tag: str = "sd",
+    cell_cap: int = 4096,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023 "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -906,7 +954,22 @@ def semdedup(
     planes as n grows, exactly like adding k-means clusters in the
     paper). The exact in-cell cosine re-uses the fold that matches
     DuckDB bit-for-bit, so the threshold predicate cannot diverge
-    across engines. No all-pairs join at any scale."""
+    across engines. No all-pairs join at any scale.
+
+    Hot-cell guard (VERDICT_r5 item 2): in-cell work is pairwise, so a
+    skewed embedding distribution — many near-identical vectors,
+    exactly what semantic dedup targets — would land one cell with B
+    members and make a single join task do B² comparisons. Cells above
+    ``cell_cap`` members are instead tiled, the same device as
+    ``lsh_topk(bucket_cap=)`` re-expressed as a pure JVM join: members
+    split into nb = ⌈B/cap⌉ blocks by ``pmod(id, nb)``; each side
+    explodes over the OTHER side's block index, and the equi-join key
+    becomes (cell, block_a, block_b), so every unordered pair is
+    covered exactly once while per-task volume is bounded by cap² —
+    total work unchanged (pairwise is inherent to the ε-graph), but no
+    task is ever quadratic in a hot cell's population. Cell sizes come
+    from a window count over the same hash exchange the join needs
+    anyway. ``cell_cap=None`` disables the guard (bit-compat plan)."""
     planes = semdedup_planes(n_planes, dim, tag)
     v = F.col(vec_col)
     cell = None
@@ -917,15 +980,49 @@ def semdedup(
     base = spread(df).select(
         F.col(id_col).alias("_id"), v.alias("_v"), cell.alias("cell")
     )
-    a = base.select(
-        F.col("_id").alias("_id_a"), F.col("_v").alias("_v_a"), "cell"
-    )
-    b = base.select(
-        F.col("_id").alias("_id_b"), F.col("_v").alias("_v_b"), "cell"
-    )
+
+    def _pairs(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
+        a = left.select(
+            *keys, F.col("_id").alias("_id_a"), F.col("_v").alias("_v_a")
+        )
+        # fresh attribute ids (no-op exprs) so the self-join isn't
+        # flagged ambiguous — same idiom as ivf_topk
+        b = right.select(
+            *keys,
+            (F.col("_id") + F.lit(0)).alias("_id_b"),
+            F.coalesce(F.col("_v")).alias("_v_b"),
+        )
+        return a.join(b, on=keys)
+
+    if cell_cap is None:
+        pairs = _pairs(base, base, ["cell"])
+    else:
+        wsz = Window.partitionBy("cell")
+        sized = base.withColumn("_csz", F.count(F.lit(1)).over(wsz))
+        cold = sized.filter(F.col("_csz") <= cell_cap).drop("_csz")
+        hot = (
+            sized.filter(F.col("_csz") > cell_cap)
+            .withColumn(
+                "_nb", F.ceil(F.col("_csz") / F.lit(cell_cap)).cast("int")
+            )
+            .drop("_csz")
+        )
+        blocks = F.sequence(F.lit(0), F.col("_nb") - 1)
+        ha = hot.select(
+            "cell", "_id", "_v",
+            F.pmod("_id", F.col("_nb")).cast("int").alias("_ba"),
+            F.explode(blocks).alias("_bb"),
+        )
+        hb = hot.select(
+            "cell", "_id", "_v",
+            F.explode(blocks).alias("_ba"),
+            F.pmod("_id", F.col("_nb")).cast("int").alias("_bb"),
+        )
+        pairs = _pairs(cold, cold, ["cell"]).unionByName(
+            _pairs(ha, hb, ["cell", "_ba", "_bb"]).drop("_ba", "_bb")
+        )
     drops = (
-        a.join(b, on="cell")
-        .filter(F.col("_id_a") < F.col("_id_b"))
+        pairs.filter(F.col("_id_a") < F.col("_id_b"))
         .filter(cosine(F.col("_v_a"), F.col("_v_b")) >= F.lit(threshold))
         .select(F.col("_id_b").alias("_id"))
         .distinct()

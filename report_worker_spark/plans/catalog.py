@@ -5888,17 +5888,82 @@ def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_recall_at_k")
+_IVFR_CENT = sim.md5_centroids(n_centroids=32, dim=64, tag="ivfr")
+
+_IVFR_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT vec_id, unnest(range(0, 32)) AS j,
+         unnest([{", ".join(
+             f"list_dot_product(v, [{', '.join(repr(x) for x in c)}])"
+             for c in _IVFR_CENT
+         )}]) AS s
+  FROM e
+),
+probes AS (
+  SELECT vec_id, j,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, j ASC) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, j AS cell FROM probes WHERE rn = 1),
+cand AS (
+  SELECT p.vec_id AS id_a, c.vec_id AS id_b
+  FROM probes p JOIN cells c ON c.cell = p.j AND c.vec_id <> p.vec_id
+  WHERE p.rn <= 4
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cos DESC, id_b ASC) AS rn
+        FROM pairs)
+  WHERE rn <= 5
+),
+ivf AS (
+  SELECT id_a, id_b
+  FROM (SELECT cand.id_a, cand.id_b,
+               row_number() OVER (PARTITION BY cand.id_a
+                                  ORDER BY p.cos DESC, cand.id_b ASC) AS rn
+        FROM cand JOIN pairs p
+          ON p.id_a = cand.id_a AND p.id_b = cand.id_b)
+  WHERE rn <= 5
+)
+SELECT 5 AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM exact JOIN ivf USING (id_a, id_b)) AS n_hits,
+       CAST(floor((SELECT count(*) FROM exact JOIN ivf USING (id_a, id_b))
+                  * 10000.0 / (SELECT count(*) FROM exact))
+            AS BIGINT) AS recall_bps
+"""
+
+
+@query("sim_ivf_recall_at_k", oracle=_IVFR_ORACLE)
 def sim_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-visible recall@5 of IVF (n_probe=4 of 32 cells) against
     the exact top-k — the IVF twin of sim_lsh_recall_at_k, so the
-    probe-count/recall tradeoff is a recorded artifact. Deterministic:
-    seeded centroids on an ordered sample."""
+    probe-count/recall tradeoff is a recorded artifact.
+
+    Oracle-paired since round 6 (VERDICT_r5 item 6): the coarse
+    quantizer is md5-keystream unit centroids (``md5_centroids``)
+    whose normalized double literals are embedded in the SQL twin, and
+    per-query cell ORDER under cosine equals raw dot(v, c_j) order
+    (unit centroids, positive per-query norm), so DuckDB replays cell
+    assignment, probe routing, AND both top-k's — the recall number
+    itself is hash-verified. Trained-k-means production recall stays
+    floor-pinned in tests/test_similarity_guard.py."""
     e = load(spark, sf, "embeddings")
     exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
-    ivf = sim.ivf_topk(e, k=5, n_centroids=32, n_probe=4).select(
-        "vec_id", "neighbor_id"
-    )
+    ivf = sim.ivf_topk(
+        e, k=5, n_centroids=32, n_probe=4, md5_centroid_tag="ivfr", dim=64
+    ).select("vec_id", "neighbor_id")
     hits = exact.join(ivf, on=["vec_id", "neighbor_id"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -7189,11 +7254,12 @@ def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
 # sf). To convert "locally green" into driver-recorded rows across rounds,
 # we rotate a priority window each round: queries that have never had a
 # driver row go first, plus a few §2 anchors as cross-round canaries.
-# Rounds 1-4 cumulatively covered 95 unique hash-green queries; this
-# round-5 window adds 47 never-driver-checked ones (all oracle-paired),
-# led by the two ops ADVICE_r4 flagged as deferred (dedup_substring_stats,
-# curation_dsir_weights) plus wire_pipeline_staging, newly oracle-ified
-# per VERDICT_r4 item 3.
+# Rounds 1-5 cumulatively covered 142 unique hash-green queries; this
+# round-6 window adds 47 never-driver-checked ones — 44 hash-paired
+# (incl. sim_ivf_recall_at_k, upgraded this round to an md5-centroid
+# SQL twin per VERDICT_r5 item 6) + the 3 approximate-by-nature ANN
+# production configs whose driver check is rows-only by design (their
+# recall floors are the verification of record).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -7201,73 +7267,14 @@ _DRIVER_WINDOW = [
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
-    # VERDICT_r4 item 3: the reference's core lifecycle, previously
-    # rows-only — now oracle-paired (deterministic wiregen corpus)
-    "wire_pipeline_staging",
-    # ADVICE_r4: the two round-4 ops that missed the r4 window, plus the
-    # declared r5 heads
-    "dedup_substring_stats",
-    "curation_dsir_weights",
-    "curation_leakage_safe_split",
-    "dedup_keep_best_quality",
-    "drift_ks_2sample",
-    "gaps_islands_user_days",
-    # remaining §2-adjacent anchors never driver-checked
-    "j3_anti_join_reference_bug",
-    "star_region_rollup",
-    # curation family (14 never-checked)
-    "curation_split",
-    "curation_sample",
-    "curation_rebalance",
-    "curation_decontaminate",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_chunk_overlap",
-    "curation_kfold",
-    "curation_mix_weights",
-    "curation_length_batches",
-    "curation_weighted_sample",
-    "curation_winsorize",
-    "curation_contrastive_triplets",
-    "curation_reservoir_k",
-    # text family (12 never-checked)
-    "text_quality",
-    "text_bpe_token_count",
-    "text_pii_redact",
-    "text_top_bigrams",
-    "text_vocab_coverage",
-    "text_repetition",
-    "text_gopher_quality",
-    "text_ngram_novelty",
-    "text_source_overlap",
-    "text_boilerplate_removal",
-    "text_intradoc_dedup",
-    "tfidf_top_terms",
-    # time-series family (9 never-checked)
-    "ts_daily_profile",
-    "ts_topk_similar_users",
-    "ts_rolling_7d",
-    "ts_anomaly_zscore",
-    "ts_transition_matrix",
-    "ts_inter_arrival",
-    # round-5 additions, oracle-paired from birth — driver rows now
-    "multimodal_png_pixel_stats",
-    "multimodal_resize_pixels",
-    "dedup_semantic_semdedup",
-    "sim_ivfpq_topk_exhaustive",
-    "sim_lsh_topk_md5planes",
-    "text_cdc_chunks",
     # ------------------------------------------------------------------
-    # positions 51+: just past the 50-entry driver window — the staged
-    # round-6 rotation (VERDICT_r4 item 8). After the r5 window lands,
-    # 45 pre-existing catalog queries have never had a driver row, plus
-    # the 7 ops added late in round 5 (substring trim, BPE ×2, k-core,
-    # JPEG/WAV/MP4) = 52; with the 3 canaries re-pinned, round 6 takes
-    # the first 50 and the ~5 spillover rows (ordered to be the weakest
-    # rows-only checks) close in round 7. Hash-paired entries lead;
-    # rows-only residue (approx-ANN rankings, float-eigh) trails.
-    # sim_lsh_recall_at_k: historical rows-only row, upgraded to a
-    # full hash row (md5 planes make the recall itself SQL-computable).
+    # round-6 window (VERDICT_r5 item 1): the staged rotation, executed.
+    # Every entry below through seq_top_paths is hash-paired and has
+    # never had a driver row; cumulative driver coverage after this
+    # round ≈ catalog−4 (the float-eigh / HLL rows-only residue spills
+    # to round 7). sim_lsh_recall_at_k: historical rows-only row,
+    # upgraded to a full hash row in r5 (md5 planes make the recall
+    # itself SQL-computable) — its driver row lands now.
     "sim_lsh_recall_at_k",
     "ts_session_window_agg",
     "ts_decayed_engagement",
@@ -7311,13 +7318,23 @@ _DRIVER_WINDOW = [
     "zorder_cluster_key",
     "cust_rfm_segments",
     "seq_top_paths",
-    # rows-only residue (approx-by-nature ANN rankings and float-eigh
-    # projections — no SQL oracle can be bit-stable; the driver
-    # records rows+schema and the recall/parity tests pin quality)
+    # sim_ivf_recall_at_k closes the hash-paired block: rows-only
+    # since r2, upgraded this round via md5-keystream centroids (same
+    # device that earned sim_lsh_recall_at_k its hash row in r5)
+    "sim_ivf_recall_at_k",
+    # approx-by-nature ANN production configs — driver check is
+    # rows+schema by design (rankings float-order dependent); the
+    # pinned recall floors in tests/test_similarity_guard.py are the
+    # verification of record
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_ivfpq_topk",
-    "sim_ivf_recall_at_k",
+    # ------------------------------------------------------------------
+    # positions 51+: the round-7 spillover — the last 4 never-driver-
+    # checked entries, all honestly rows-only (float-eigh projections
+    # and HLL sketch internals admit no bit-stable SQL twin; their
+    # determinism/parity tests are the verification of record). New
+    # r6 ops slot in ABOVE these so they rotate into the r7 window.
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

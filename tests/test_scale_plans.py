@@ -405,6 +405,26 @@ def test_semdedup_is_cell_equijoin_no_python(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_hot_cell_guard_stays_equijoin(spark):
+    """VERDICT_r5 item 2: the hot-cell tiling path must keep the scale
+    shape — the tiled pairs join on (cell, block_a, block_b) as a
+    plain equi-join (no cartesian, no Python), so a skewed cell splits
+    into cap²-bounded tasks instead of one quadratic task."""
+    from report_worker_spark.functions import similarity as sim
+
+    rows = [(i, [float(i % 7), 1.0, 0.5, -0.25]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(
+        sim.semdedup(df, threshold=0.9, n_planes=2, dim=4, cell_cap=8)
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both the cold per-cell join and the hot tiled join are present
+    # and the tiled one carries the block keys
+    assert "_ba" in plan and "_bb" in plan
+
+
 def test_runtime_bloom_filter_join_available(spark, sf_oracle):
     """100 TB knob, pinned: a selective fact-fact join can inject a
     runtime bloom filter on the probe side (row-level semi-join

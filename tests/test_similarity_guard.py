@@ -135,11 +135,26 @@ def test_lsh_recall_floor(spark, sf_oracle):
 
 
 def test_ivf_recall_floor(spark, sf_oracle):
+    """Floors for BOTH coarse-quantizer configurations: the catalog's
+    oracle-paired md5-centroid query (hash-verified since r6; measured
+    2896 bps — untrained cells ignore the data distribution) and the
+    trained-k-means production config (measured ~4916 bps), which left
+    the catalog when the query became SQL-replayable and is pinned
+    here as the verification of record."""
     from report_worker_spark.plans import QUERIES
+    from report_worker_spark.plans.tables import load
 
     row = QUERIES["sim_ivf_recall_at_k"](spark, sf_oracle).collect()[0]
     assert row["n_exact"] == 2500
-    assert row["recall_bps"] >= 3500, row  # measured ~4916 at sf0.01
+    assert row["recall_bps"] >= 2000, row  # md5 centroids: measured 2896
+
+    e = load(spark, sf_oracle, "embeddings")
+    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
+    ivf = sim.ivf_topk(e, k=5, n_centroids=32, n_probe=4).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = exact.join(ivf, on=["vec_id", "neighbor_id"]).count()
+    assert hits * 10000 // 2500 >= 3500, hits  # trained: measured ~4916
 
 
 def test_semdedup_semantics(spark):
@@ -161,6 +176,44 @@ def test_semdedup_semantics(spark):
     assert 0 in ids and 10 not in ids      # keep-min-id
     assert 1 in ids and 11 not in ids
     assert {2, 3, 4, 5} <= ids             # dissimilar rows survive
+
+
+def test_semdedup_hot_cell_tiling_equivalence(spark):
+    """VERDICT_r5 item 2: the degenerate distribution — every vector
+    in ONE cell, many near-identical (exactly what semantic dedup
+    targets). A tiny cell_cap forces the tiled path on all of them;
+    the survivor set must be identical to the uncapped plan, and the
+    keep-min-id clones must still collapse."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    anchor = np.abs(rng.standard_normal(16)).astype("float32")  # one octant
+    rows = []
+    for i in range(60):
+        # tiny positive-ish jitter keeps every vector on the anchor's
+        # side of all hyperplanes AND cosine-near the anchor
+        v = anchor + 0.001 * rng.standard_normal(16).astype("float32")
+        rows.append((i, v.tolist()))
+    # plus a handful of same-cell but dissimilar-enough survivors
+    for i in range(60, 66):
+        v = np.abs(rng.standard_normal(16)).astype("float32")
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.999, n_planes=2, dim=16, tag="hotcell")
+    capped = {
+        (r.vec_id, r.cell)
+        for r in sim.semdedup(df, cell_cap=7, **kw).collect()
+    }
+    uncapped = {
+        (r.vec_id, r.cell)
+        for r in sim.semdedup(df, cell_cap=None, **kw).collect()
+    }
+    assert capped == uncapped
+    kept_ids = {i for i, _ in capped}
+    assert 0 in kept_ids                      # cluster representative
+    assert not kept_ids & set(range(1, 60))   # all clones dropped
+    # pair coverage is exact, not per-block: clone 59 is dropped even
+    # though pmod(59, nb) puts it in a different block than 0
 
 
 def test_semdedup_cell_is_deterministic(spark):
