@@ -435,85 +435,138 @@ PIXEL_STATS_SCHEMA = (
 )
 
 
-def png_pixel_stats(media: DataFrame) -> DataFrame:
-    """Pixel-level features from REAL decode: per-image integer channel
-    sums (exact — no float fold discipline needed for the oracle) over
-    the fully unfiltered sample stream. Non-PNG rows are skipped (the
-    kernel emits nothing for them — schema-stable, honest scope).
-    Arrow-batched mapInPandas, no shuffle; parallelism = input splits."""
+def _quarantined_decode(
+    media: DataFrame,
+    sig_check: Callable[[bytes], bool],
+    decode_row: Callable[[bytes], dict],
+    payload_schema: str,
+) -> DataFrame:
+    """Shared poison-safe decode template (VERDICT_r5 item 3): per-item
+    decode inside try/except, emitting a union schema
+    ``(media_id, <payload…>, ok, err)``. Inside ``mapInPandas`` one
+    corrupt byte-string would otherwise fail the task → 4 retries →
+    kill the whole job; at 100 TB a quarantine path is mandatory.
+    Failed items carry null payload + ``ok=false`` + a truncated error
+    string, so callers route them DLQ-style (``.filter(~ok)`` → dead
+    letter sink, mirroring the wire path's retry_count pattern in
+    streaming/pipeline.py) instead of losing the batch. Rows whose
+    magic bytes don't match ``sig_check`` are skipped entirely —
+    wrong-kind, not poison. Still Arrow-batched, no shuffle, no
+    driver involvement."""
+    payload_cols = [
+        f.split()[0] for f in payload_schema.split(",")
+    ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        cols = ["media_id", "width", "height", "n_pixels",
-                "sum_r", "sum_g", "sum_b"]
+        cols = ["media_id", *payload_cols, "ok", "err"]
         for pb in batches:
             rows = []
             for _, r in pb.iterrows():
                 content = bytes(r["content"] or b"")
-                if content[:8] != PNG_SIG:
+                if not sig_check(content):
                     continue
-                d = decode_png_pixels(content)
-                px = np.frombuffer(d["pixels"], dtype=np.uint8)
-                c = d["channels"]
-                sums = [int(px[i::c].sum(dtype=np.int64)) for i in range(c)]
-                sums += [0] * (3 - len(sums))
-                rows.append(
-                    {
-                        "media_id": int(r["media_id"]),
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_pixels": d["width"] * d["height"],
-                        "sum_r": sums[0],
-                        "sum_g": sums[1],
-                        "sum_b": sums[2],
-                    }
-                )
+                mid = int(r["media_id"])
+                try:
+                    rows.append(
+                        {"media_id": mid, **decode_row(content),
+                         "ok": True, "err": None}
+                    )
+                except Exception as ex:  # poison input must not kill the task
+                    rows.append(
+                        {"media_id": mid,
+                         **{c: None for c in payload_cols},
+                         "ok": False,
+                         "err": f"{type(ex).__name__}: {ex}"[:256]}
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "content").mapInPandas(
-        kernel, schema=PIXEL_STATS_SCHEMA
+        kernel,
+        schema=f"media_id long, {payload_schema}, ok boolean, err string",
     )
 
 
-def resize_png(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def _ok_only(q: DataFrame, with_quarantine: bool) -> DataFrame:
+    """Default surface: decoded rows in the original stats schema.
+    ``with_quarantine=True`` returns the raw union frame instead so a
+    pipeline can write it ONCE and split ok/err without re-decoding."""
+    return q if with_quarantine else q.filter(F.col("ok")).drop("ok", "err")
+
+
+def _png_stats_row(content: bytes) -> dict:
+    import numpy as np
+
+    d = decode_png_pixels(content)
+    px = np.frombuffer(d["pixels"], dtype=np.uint8)
+    c = d["channels"]
+    sums = [int(px[i::c].sum(dtype=np.int64)) for i in range(c)]
+    sums += [0] * (3 - len(sums))
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_pixels": d["width"] * d["height"],
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+def png_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Pixel-level features from REAL decode: per-image integer channel
+    sums (exact — no float fold discipline needed for the oracle) over
+    the fully unfiltered sample stream. Non-PNG rows are skipped (the
+    kernel emits nothing for them — schema-stable, honest scope);
+    corrupt PNGs are quarantined per item (``_quarantined_decode``),
+    never raised out of the task. Arrow-batched mapInPandas, no
+    shuffle; parallelism = input splits."""
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            _png_stats_row,
+            "width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long",
+        ),
+        with_quarantine,
+    )
+
+
+def resize_png(
+    media: DataFrame, out_w: int, out_h: int,
+    with_quarantine: bool = False,
+) -> DataFrame:
     """REAL resize: decode pixels, nearest-neighbor sample to
     (out_w, out_h) with the floor mapping src = floor(dst*src_dim/out_dim),
     re-encode through the spec-valid PNG encoder. Output rows carry the
     resized binary — composable with png_pixel_stats for an end-to-end
     decode→transform→encode→decode verification. Non-PNG rows are
-    skipped."""
+    skipped; corrupt PNGs are quarantined per item."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def row(content: bytes) -> dict:
         import numpy as np
 
-        cols = ["media_id", "content", "width", "height"]
-        for pb in batches:
-            rows = []
-            for _, r in pb.iterrows():
-                content = bytes(r["content"] or b"")
-                if content[:8] != PNG_SIG:
-                    continue
-                d = decode_png_pixels(content)
-                w, h, c = d["width"], d["height"], d["channels"]
-                px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
-                ys = (np.arange(out_h) * h) // out_h
-                xs = (np.arange(out_w) * w) // out_w
-                resized = px[ys][:, xs]
-                rows.append(
-                    {
-                        "media_id": int(r["media_id"]),
-                        "content": encode_png(
-                            resized.tobytes(), out_w, out_h, c
-                        ),
-                        "width": out_w,
-                        "height": out_h,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
+        d = decode_png_pixels(content)
+        w, h, c = d["width"], d["height"], d["channels"]
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        resized = px[ys][:, xs]
+        return {
+            "content": encode_png(resized.tobytes(), out_w, out_h, c),
+            "width": out_w,
+            "height": out_h,
+        }
 
-    return media.select("media_id", "content").mapInPandas(
-        kernel, schema="media_id long, content binary, width int, height int"
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "content binary, width int, height int",
+        ),
+        with_quarantine,
     )
 
 
@@ -692,39 +745,35 @@ def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def wav_sample_stats(media: DataFrame) -> DataFrame:
+def wav_sample_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
     """Per-clip stats from REAL WAV decode: frame count, sample rate,
     exact integer sample sum, and peak amplitude. Non-WAV rows are
-    skipped — schema-stable, honest scope."""
+    skipped — schema-stable, honest scope; corrupt/compressed WAVs are
+    quarantined per item (``_quarantined_decode``)."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def row(content: bytes) -> dict:
         import numpy as np
 
-        cols = ["media_id", "n_frames", "sample_rate", "sum_amp", "max_amp"]
-        for pb in batches:
-            rows = []
-            for _, r in pb.iterrows():
-                content = bytes(r["content"] or b"")
-                if content[:4] != b"RIFF":
-                    continue
-                d = decode_wav_samples(content)
-                dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
-                sm = np.frombuffer(d["samples"], dtype=dt)
-                rows.append(
-                    {
-                        "media_id": int(r["media_id"]),
-                        "n_frames": d["n_frames"],
-                        "sample_rate": d["sample_rate"],
-                        "sum_amp": int(sm.astype(np.int64).sum()),
-                        "max_amp": int(sm.max()) if len(sm) else 0,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt)
+        return {
+            "n_frames": d["n_frames"],
+            "sample_rate": d["sample_rate"],
+            "sum_amp": int(sm.astype(np.int64).sum()),
+            "max_amp": int(sm.max()) if len(sm) else 0,
+        }
 
-    return media.select("media_id", "content").mapInPandas(
-        kernel,
-        schema="media_id long, n_frames int, sample_rate int, "
-        "sum_amp long, max_amp int",
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, sample_rate int, sum_amp long, max_amp int",
+        ),
+        with_quarantine,
     )
 
 
@@ -864,31 +913,28 @@ def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def mp4_header_stats(media: DataFrame) -> DataFrame:
-    """Duration/dims from the REAL box walk. Non-MP4 rows skipped."""
+def mp4_header_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Duration/dims from the REAL box walk. Non-MP4 rows skipped;
+    malformed boxes are quarantined per item."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "duration_ms", "width", "height"]
-        for pb in batches:
-            rows = []
-            for _, r in pb.iterrows():
-                content = bytes(r["content"] or b"")
-                if content[4:8] != b"ftyp":
-                    continue
-                d = parse_mp4_header(content)
-                rows.append(
-                    {
-                        "media_id": int(r["media_id"]),
-                        "duration_ms": d["duration_ms"],
-                        "width": d["width"],
-                        "height": d["height"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
+    def row(content: bytes) -> dict:
+        d = parse_mp4_header(content)
+        return {
+            "duration_ms": d["duration_ms"],
+            "width": d["width"],
+            "height": d["height"],
+        }
 
-    return media.select("media_id", "content").mapInPandas(
-        kernel,
-        schema="media_id long, duration_ms int, width int, height int",
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[4:8] == b"ftyp",
+            row,
+            "duration_ms int, width int, height int",
+        ),
+        with_quarantine,
     )
 
 
@@ -1342,41 +1388,36 @@ def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+def jpeg_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
     """Per-image stats from REAL JPEG entropy decode: dims, pixel
     count, exact integer sample sum (grayscale sum_y; for RGB the
     channel sums land in sum_y/sum_cb_r/sum_cr_b by index). Non-JPEG
-    rows are skipped — schema-stable, honest scope."""
+    rows are skipped — schema-stable, honest scope; corrupt or
+    unsupported-but-legal streams (progressive, subsampled) are
+    quarantined per item instead of failing the task."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def row(content: bytes) -> dict:
         import numpy as np
 
-        cols = ["media_id", "width", "height", "n_pixels", "sum_y"]
-        for pb in batches:
-            rows = []
-            for _, r in pb.iterrows():
-                content = bytes(r["content"] or b"")
-                if content[:2] != b"\xff\xd8":
-                    continue
-                d = decode_jpeg_pixels(content)
-                px = np.frombuffer(d["pixels"], dtype=np.uint8)
-                rows.append(
-                    {
-                        "media_id": int(r["media_id"]),
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_pixels": d["width"] * d["height"],
-                        "sum_y": int(
-                            px[:: d["channels"]].sum(dtype=np.int64)
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=cols)
+        d = decode_jpeg_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_pixels": d["width"] * d["height"],
+            "sum_y": int(px[:: d["channels"]].sum(dtype=np.int64)),
+        }
 
-    return media.select("media_id", "content").mapInPandas(
-        kernel,
-        schema="media_id long, width int, height int, "
-        "n_pixels long, sum_y long",
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:2] == b"\xff\xd8",
+            row,
+            "width int, height int, n_pixels long, sum_y long",
+        ),
+        with_quarantine,
     )
 
 

@@ -176,3 +176,64 @@ def test_resize_png_nearest_mapping(spark):
         expect = src[ys][:, xs]
         got = mm.decode_png_pixels(enc)
         assert got["pixels"] == expect.tobytes()
+
+
+def test_poison_media_quarantined_not_fatal(spark):
+    """VERDICT_r5 item 3: one corrupt blob inside a batch must not
+    fail the mapInPandas task. Corrupt items are quarantined with
+    (ok=false, err) while good items in the SAME batch decode; the
+    default surface drops quarantined rows and keeps its schema."""
+    png_ok = mm.png_bytes(4, 3, seed=1)
+    png_bad = mm.PNG_SIG + b"\x00\x01garbage-not-a-png" * 3
+    rows = [(1, png_ok), (2, png_bad), (3, b"not media at all")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    ok = mm.png_pixel_stats(media).collect()
+    assert [r.media_id for r in ok] == [1]
+    assert ok[0].n_pixels == 12
+
+    q = {r.media_id: r for r in
+         mm.png_pixel_stats(media, with_quarantine=True).collect()}
+    assert set(q) == {1, 2}            # non-PNG row 3 skipped, not poison
+    assert q[1].ok and q[1].err is None
+    assert not q[2].ok and q[2].err and q[2].width is None
+
+    rz = mm.resize_png(media, 2, 2).collect()
+    assert [r.media_id for r in rz] == [1]
+
+
+def test_poison_wav_mp4_jpeg_quarantined(spark):
+    wav_ok = mm.encode_wav(mm.keystream("q", 16), 8000, 1, 8)
+    wav_bad = b"RIFF" + b"\x00" * 10          # truncated
+    wav_compressed = bytearray(mm.encode_wav(mm.keystream("q", 16), 8000, 1, 8))
+    i = wav_compressed.index(b"fmt ") + 8
+    wav_compressed[i:i + 2] = (2).to_bytes(2, "little")  # non-PCM format
+    media = spark.createDataFrame(
+        [(1, wav_ok), (2, wav_bad), (3, bytes(wav_compressed))],
+        "media_id long, content binary",
+    )
+    got = mm.wav_sample_stats(media).collect()
+    assert [r.media_id for r in got] == [1]
+    q = {r.media_id: r.ok for r in
+         mm.wav_sample_stats(media, with_quarantine=True).collect()}
+    assert q == {1: True, 2: False, 3: False}
+
+    mp4_ok = mm.mp4_bytes(12, 1000, 320, 240)
+    mp4_bad = mp4_ok[:20]                     # truncated mid-box
+    m2 = spark.createDataFrame(
+        [(1, mp4_ok), (2, mp4_bad)], "media_id long, content binary"
+    )
+    assert [r.media_id for r in m2.transform(mm.mp4_header_stats).collect()] == [1]
+    qq = {r.media_id: r.ok for r in
+          mm.mp4_header_stats(m2, with_quarantine=True).collect()}
+    assert qq == {1: True, 2: False}
+
+    jpg_ok = mm.jpeg_const_bytes(16, 8, seed=5)
+    jpg_bad = b"\xff\xd8\xff\xe0" + b"\x00" * 8
+    m3 = spark.createDataFrame(
+        [(1, jpg_ok), (2, jpg_bad)], "media_id long, content binary"
+    )
+    assert [r.media_id for r in mm.jpeg_pixel_stats(m3).collect()] == [1]
+    q3 = {r.media_id: r.ok for r in
+          mm.jpeg_pixel_stats(m3, with_quarantine=True).collect()}
+    assert q3 == {1: True, 2: False}
