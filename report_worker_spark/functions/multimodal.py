@@ -28,12 +28,15 @@ Design (the 100 TB shape):
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..util import spread
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -384,7 +387,11 @@ def synthetic_image_media(df: DataFrame, id_col: str) -> DataFrame:
     Arrow-batched generation, no shuffle."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # spread BEFORE the Arrow gen: a one-split local source would
+    # serialize encode (and every downstream decode, which inherits
+    # this partitioning) onto a single core; at real scale inputs
+    # are already many splits and this is a no-op
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
@@ -722,7 +729,11 @@ def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     sample_rate 16000."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # spread BEFORE the Arrow gen: a one-split local source would
+    # serialize encode (and every downstream decode, which inherits
+    # this partitioning) onto a single core; at real scale inputs
+    # are already many splits and this is a no-op
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
@@ -885,7 +896,11 @@ def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
     (id % 640 + 16) × (id % 480 + 16)."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # spread BEFORE the Arrow gen: a one-split local source would
+    # serialize encode (and every downstream decode, which inherits
+    # this partitioning) onto a single core; at real scale inputs
+    # are already many splits and this is a no-op
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
@@ -1001,25 +1016,30 @@ _ZZ = _zigzag()
 
 
 class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing. Writes are bulk
+    (one shift/or per code, bytes spilled in a tight loop) rather than
+    per-bit — ~8× fewer Python ops on the encode hot path."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
-        while self.nbits:
-            self.write(1, 1)  # pad with 1-bits per spec
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
 
@@ -1134,51 +1154,95 @@ def encode_jpeg_baseline(
 
 
 class _BitReader:
+    """Byte-stuffing-aware MSB-first bit reader with a bulk
+    accumulator: bits are consumed in code-sized chunks and Huffman
+    decode peeks 16 bits for a table lookup instead of walking the
+    tree bit by bit (~10× fewer Python ops on the decode hot path).
+    Reading past the entropy data (a real marker, or end of buffer)
+    yields zero padding that only errors when actually CONSUMED —
+    peeking into the pad while finishing the last code is legal."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "pad")
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.pad = 0
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG scan data truncated at FF")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                elif 0xD0 <= nxt <= 0xD7:
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                if b != 0xFF:
+                    self.pos += 1
+                    self.acc = (self.acc << 8) | b
+                    self.nbits += 8
+                    continue
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:  # stuffed byte
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
                     raise ValueError("restart markers unsupported")
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} in scan"
-                    )
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+                # real marker (or dangling FF): end of entropy data
+            self.acc <<= 8
+            self.nbits += 8
+            self.pad += 8
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        if self.nbits < self.pad:
+            raise ValueError("JPEG scan data truncated")
         return v
 
+    bits = take
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG scan")
+
+def _huff_lut(codes: dict) -> tuple[list, list]:
+    """{symbol: (code, length)} → 16-bit-peek LUT ``(sym, length)``
+    lists of 65536 entries: every word whose leading bits spell a code
+    maps to that code's symbol. length 0 = invalid prefix. Plain lists
+    beat numpy here — decode does scalar indexing."""
+    syms = [0] * 65536
+    lens = [0] * 65536
+    for sym, (code, length) in codes.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        for w in range(lo, hi):
+            syms[w] = sym
+            lens[w] = length
+    return syms, lens
+
+
+def _huff_decode(reader: _BitReader, table: tuple) -> int:
+    syms, lens = table
+    w = reader.peek16()
+    length = lens[w]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG scan")
+    reader.take(length)
+    return syms[w]
+
+
+@_lru_cache(maxsize=64)
+def _huff_lut_cached(table_bytes: bytes) -> tuple[list, list]:
+    bits = list(table_bytes[:16])
+    return _huff_lut(_canonical_codes(bits, list(table_bytes[16:])))
 
 
 def _extend(v: int, size: int) -> int:
@@ -1224,13 +1288,14 @@ def decode_jpeg_pixels(content: bytes) -> dict:
             j = 0
             while j < len(body):
                 cls, tid = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(body[j + 17 : j + 17 + nv])
-                codes = _canonical_codes(bits, vals)
-                huff[(cls, tid)] = {
-                    (c, L): sym for sym, (c, L) in codes.items()
-                }
+                nv = sum(body[j + 1 : j + 17])
+                # LUT construction is memoized on the raw DHT bytes:
+                # a corpus encoded with shared tables (ours, and most
+                # real-world encoders') builds each 65536-entry table
+                # once per executor, not once per image
+                huff[(cls, tid)] = _huff_lut_cached(
+                    bytes(body[j + 1 : j + 17 + nv])
+                )
                 j += 17 + nv
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError(
@@ -1273,44 +1338,61 @@ def _decode_scan(frame, comp_tabs, qt, huff, scan) -> dict:
         raise ValueError("scan/frame component mismatch")
     m = _dct_matrix()
     w8, h8 = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    planes = [np.zeros((h8, w8), dtype=np.float64) for _ in range(nc)]
+    hb, wb = h8 // 8, w8 // 8
     reader = _BitReader(scan)
     prev_dc = [0] * nc
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            for ci in range(nc):
-                _, tdc, tac = comp_tabs[ci]
-                q = qt[comps[ci][1]]
-                dct = huff.get((0, tdc))
-                act = huff.get((1, tac))
-                if dct is None or act is None:
-                    raise ValueError("scan references missing DHT")
-                zz = [0] * 64
-                size = _huff_decode(reader, dct)
-                diff = _extend(reader.bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0x0F
-                    if k > 63:
-                        raise ValueError("AC index out of range")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                for idx in range(64):
-                    blk[_ZZ[idx]] = zz[idx] * q[idx]
-                pix = m.T @ blk.reshape(8, 8) @ m + 128.0
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pix
+    # entropy decode fills one (n_blocks, 64) NATURAL-order coefficient
+    # tensor per component; dequant and the IDCT then run BATCHED (one
+    # stacked 8×8 matmul pair per component) instead of two numpy calls
+    # per block — the per-block Python is just the Huffman/bit walk,
+    # which is inherently serial
+    coefs = [np.zeros((hb * wb, 64), dtype=np.float64) for _ in range(nc)]
+    tabs = []
+    for ci in range(nc):
+        _, tdc, tac = comp_tabs[ci]
+        dct, act = huff.get((0, tdc)), huff.get((1, tac))
+        if dct is None or act is None:
+            raise ValueError("scan references missing DHT")
+        tabs.append((dct, act))
+    # dequant vector permuted to natural order once per component
+    qnat = []
+    for ci in range(nc):
+        q = qt[comps[ci][1]]
+        v = np.zeros(64, dtype=np.float64)
+        for idx in range(64):
+            v[_ZZ[idx]] = q[idx]
+        qnat.append(v)
+    for b in range(hb * wb):
+        for ci in range(nc):
+            dct, act = tabs[ci]
+            row = coefs[ci][b]
+            size = _huff_decode(reader, dct)
+            diff = _extend(reader.bits(size), size) if size else 0
+            prev_dc[ci] += diff
+            row[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                if k > 63:
+                    raise ValueError("AC index out of range")
+                row[_ZZ[k]] = _extend(reader.bits(size), size)
+                k += 1
+    planes = []
+    for ci in range(nc):
+        blocks = (coefs[ci] * qnat[ci]).reshape(hb * wb, 8, 8)
+        pix = m.T @ blocks @ m + 128.0  # batched IDCT, same per-slice dgemm
+        planes.append(
+            pix.reshape(hb, wb, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h8, w8)
+        )
     planes = [
         np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.float64)
         for p in planes
@@ -1364,7 +1446,11 @@ def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     content — see jpeg_const_bytes), dims (id%4+1)*8 × (id%3+1)*8."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # spread BEFORE the Arrow gen: a one-split local source would
+    # serialize encode (and every downstream decode, which inherits
+    # this partitioning) onto a single core; at real scale inputs
+    # are already many splits and this is a no-op
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
