@@ -22,7 +22,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,6 +197,51 @@ def kcore(
         degrees(cur)
         .filter(F.col("deg") >= k)
         .select("node", F.col("deg").cast("long").alias("core_deg"))
+    )
+
+
+def common_neighbors(
+    edges: DataFrame, k: int = 20, min_common: int = 2
+) -> DataFrame:
+    """Link-prediction candidates (the common-neighbors score of
+    Liben-Nowell & Kleinberg 2003): for every NON-adjacent vertex pair
+    sharing at least ``min_common`` neighbors, the shared-neighbor
+    count; returns the global top-``k`` as
+    ``(rank, a, b, n_common)`` ordered (count DESC, a ASC, b ASC).
+
+    Scale shape: wedges are generated by one self-equi-join of the
+    adjacency list on the APEX key — fan-out Σ deg(n)², the same
+    budget degree-oriented triangle counting pays, and the same hub
+    remedies apply (cap or sample apex neighborhoods before the join).
+    Existing edges are removed with a key anti-join, the pair count is
+    one map-combinable groupBy, and the global top-k is orderBy+limit
+    (k rows to the driver-side sort, never the candidate set)."""
+    adj = edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
+        edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    )
+    left = adj.select("n", F.col("x").alias("a"))
+    # fresh attribute ids (no-op exprs) — self-join disambiguation
+    right = adj.select(
+        (F.col("n") + F.lit(0)).alias("n"), F.coalesce(F.col("x")).alias("b")
+    )
+    cand = (
+        left.join(right, on="n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            on=["a", "b"],
+            how="left_anti",
+        )
+    )
+    top = cand.orderBy(
+        F.col("n_common").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_common").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "a", "b", "n_common"
     )
 
 

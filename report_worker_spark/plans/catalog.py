@@ -7330,11 +7330,15 @@ _DRIVER_WINDOW = [
     "sim_ivf_topk",
     "sim_ivfpq_topk",
     # ------------------------------------------------------------------
-    # positions 51+: the round-7 spillover — the last 4 never-driver-
-    # checked entries, all honestly rows-only (float-eigh projections
-    # and HLL sketch internals admit no bit-stable SQL twin; their
-    # determinism/parity tests are the verification of record). New
-    # r6 ops slot in ABOVE these so they rotate into the r7 window.
+    # positions 51+: the round-7 staging. Hash-paired round-6 additions
+    # lead (they rotate into the r7 window first), then the last 4
+    # never-driver-checked entries, all honestly rows-only (float-eigh
+    # projections and HLL sketch internals admit no bit-stable SQL
+    # twin; their determinism/parity tests are the verification of
+    # record).
+    "mv_incremental_update",
+    "graph_common_neighbors",
+    "ts_cusum_changepoint",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",
@@ -8285,6 +8289,209 @@ def dedup_cdc_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("chunk_hash")).alias(
             "dup_chunks"
         ),
+    )
+
+
+# ===========================================================================
+# Coverage round 6: incremental-view maintenance, link prediction,
+# changepoint detection
+# ===========================================================================
+
+
+@query(
+    "mv_incremental_update",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM e WHERE event_id % 5 <> 0 GROUP BY user_id
+    ),
+    delta AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END)
+                  AS BIGINT) AS dn,
+             CAST(sum((CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END)
+                      * cents) AS BIGINT) AS ds
+      FROM e WHERE event_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT user_id,
+           COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n_events,
+           COALESCE(b.s, 0) + COALESCE(d.ds, 0) AS sum_cents
+    FROM base b FULL OUTER JOIN delta d USING (user_id)
+    WHERE COALESCE(b.n, 0) + COALESCE(d.dn, 0) > 0
+    """,
+)
+def mv_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance (the Flink retract-
+    stream / DBSP delta algebra): a per-user (count, sum) MV built
+    from yesterday's facts is brought current by merging ONLY the
+    day's signed delta log (insert = +1, retract = −1), never
+    rescanning the base facts. Groups whose maintained count reaches
+    zero leave the view. The op split is derived deterministically
+    from event_id so both engines see the identical base/log.
+
+    Scale: the base MV is read as pre-aggregated state (|users| rows,
+    not |facts|); the delta aggregation is one map-combinable groupBy
+    over the day partition; the merge is a key full-outer join between
+    two aggregate-sized sides. At 100 TB this is the difference
+    between touching a day and touching a decade."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = (
+        e.filter(F.col("event_id") % 5 != 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        )
+    )
+    sign = F.when(F.col("event_id") % 10 == 0, F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    delta = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * F.col("cents")).alias("ds"),
+        )
+    )
+    merged = base.join(delta, on="user_id", how="full").select(
+        "user_id",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_events"
+        ),
+        (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias(
+            "sum_cents"
+        ),
+    )
+    return merged.filter(F.col("n_events") > 0)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (
+      SELECT src AS n, dst AS x FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    cand AS (
+      SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
+      GROUP BY l.x, r.x
+      HAVING count(*) >= 2
+    ),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_common DESC, a, b) AS INT)
+             AS rank,
+           a, b, n_common
+    FROM nonadj
+    ORDER BY n_common DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: top-20 non-adjacent
+    part pairs by common-neighbor count (graph.py:common_neighbors —
+    apex-keyed wedge join, anti-join of existing edges, integer counts
+    so the ranking is engine-exact)."""
+    return gr.common_neighbors(
+        gr.undirected_edges(_cooccur_edges(spark, sf)), k=20, min_common=2
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    cum AS (
+      SELECT user_id, d, c,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+             CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nd
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    dev AS (
+      SELECT user_id, d, nd, tot,
+             abs(nd * s - i * tot) AS dv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(nd * s - i * tot) DESC, d ASC)
+               AS rn
+      FROM cum
+    )
+    SELECT user_id, CAST(nd AS BIGINT) AS n_days,
+           CAST(tot AS BIGINT) AS total_events,
+           CAST(dv AS BIGINT) AS cusum_peak_scaled,
+           strftime(d, '%Y-%m-%d') AS peak_day
+    FROM dev WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detection per user: the day where the
+    cumulative event count deviates most from the user's uniform-rate
+    line. The deviation is kept as the INTEGER n·S_i − i·total
+    (scaling |D_i| by n_days avoids any float division), so peak value
+    and argmax day are exact on both engines; ties break to the
+    earliest day. Two window passes over the per-user daily rollup —
+    the shuffle is the daily groupBy, everything after rides that
+    partitioning."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("user_id").orderBy("d")
+    wu = Window.partitionBy("user_id")
+    cum = daily.select(
+        "user_id",
+        "d",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+        F.sum("c").over(wu).alias("tot"),
+        F.count(F.lit(1)).over(wu).alias("nd"),
+    )
+    dev = cum.select(
+        "user_id",
+        "d",
+        "nd",
+        "tot",
+        F.abs(F.col("nd") * F.col("s") - F.col("i") * F.col("tot")).alias(
+            "dv"
+        ),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("dv").desc(), F.col("d").asc()
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("nd").alias("n_days"),
+            F.col("tot").alias("total_events"),
+            F.col("dv").alias("cusum_peak_scaled"),
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+        )
     )
 
 

@@ -84,3 +84,19 @@ def test_pagerank_modes_agree(spark):
     assert set(fast) == set(det)
     for v in det:
         assert abs(fast[v] - det[v]) < 1e-12
+
+
+def test_common_neighbors_hand_graph(spark):
+    """1-2, 1-3, 2-3 triangle plus 1-4 and 2-4: pair (3,4) shares
+    neighbors {1, 2} but is NOT an edge → the only candidate at
+    min_common=2. Adjacent pairs (e.g. (1,2), also sharing 2 common
+    neighbors) must be anti-joined away."""
+    e = gr.undirected_edges(
+        _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    )
+    got = [tuple(r) for r in gr.common_neighbors(e, k=10).collect()]
+    assert got == [(1, 3, 4, 2)]
+    # min_common=1 admits more pairs, still never adjacent ones
+    more = {(r.a, r.b) for r in gr.common_neighbors(e, k=10, min_common=1).collect()}
+    assert (3, 4) in more
+    assert not more & {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
