@@ -70,23 +70,36 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    with_df: bool = False,
 ) -> DataFrame:
     """(id, shingle) inverted index, with size per doc and an optional
-    document-frequency cap on hot shingles (scale guard)."""
+    document-frequency cap on hot shingles (scale guard).
+
+    ``with_df=True`` keeps each shingle's global document frequency as
+    a ``_df`` column. The prefix-filter callers need df for their
+    rarest-first ranking anyway, so computing it HERE means one
+    df pass serves both the hot-shingle cap and the ranking
+    (VERDICT_r5 item 4 — previously the cap ran its own groupBy and
+    the ranking re-counted the filtered index). Dropping capped
+    shingles removes whole (shingle) groups, never partial ones, so
+    pre-filter dfs equal post-filter dfs and reusing them is exact."""
     df = spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_sz", F.size("_sh"))
     ex = sh.select("_id", "_sz", F.explode("_sh").alias("_s"))
-    if max_df is not None:
-        hot = (
-            ex.groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_s")
-        )
-        ex = ex.join(F.broadcast(hot), on="_s", how="left_anti")
+    if max_df is not None or with_df:
+        dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(dfreq, on="_s")
+        if max_df is not None:
+            ex = ex.filter(F.col("_df") <= max_df)
+        if not with_df:
+            ex = ex.drop("_df")
     # The index feeds 3-4 downstream branches (document frequencies,
     # prefix ranking, exact verification sets); without a persist each
     # branch re-tokenizes and re-explodes the corpus — measured ~1.5 s
@@ -147,9 +160,8 @@ def ngram_jaccard_pairs(
     shrinks with the capped set while ``sz`` keeps the full
     denominator, which only lengthens prefixes — still exact w.r.t.
     the capped intersection)."""
-    ex = _shingle_table(df, id_col, text_col, n, max_df)
-    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(dfreq, on="_s")
+    ex = _shingle_table(df, id_col, text_col, n, max_df, with_df=True)
+    ranked = ex
     wrk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
     # ceil with an epsilon guard: t·sz computed in float64 can land an
     # ULP above an exact integer (0.8·10 → 8.000…002) and a raw ceil
@@ -223,9 +235,8 @@ def ngram_overlap_pairs(
     no dedup shuffle. Verification is exact and JVM-side:
     ``size(array_intersect)`` after a join back to the full shingle
     arrays."""
-    ex = _shingle_table(df, id_col, text_col, n, max_df)
-    dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(dfreq, on="_s")
+    ex = _shingle_table(df, id_col, text_col, n, max_df, with_df=True)
+    ranked = ex
     wrk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
     need = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
     prefix = (
