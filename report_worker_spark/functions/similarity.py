@@ -997,30 +997,47 @@ def semdedup(
     if cell_cap is None:
         pairs = _pairs(base, base, ["cell"])
     else:
-        wsz = Window.partitionBy("cell")
-        sized = base.withColumn("_csz", F.count(F.lit(1)).over(wsz))
-        cold = sized.filter(F.col("_csz") <= cell_cap).drop("_csz")
-        hot = (
-            sized.filter(F.col("_csz") > cell_cap)
-            .withColumn(
-                "_nb", F.ceil(F.col("_csz") / F.lit(cell_cap)).cast("int")
+        # adaptive guard: ONE tiny aggregate (≤2^P rows reduced to the
+        # hot subset) decides whether any cell exceeds the cap. The
+        # common case — no skew — collects nothing and keeps the plan
+        # identical to the unguarded one (measured: the always-on
+        # window-count formulation cost +2 s at sf0.1 with zero hot
+        # cells). The collect is bounded by the number of HOT cells,
+        # which skew makes few by definition — same bounded-driver
+        # envelope as the ≤4096-row centroid samples.
+        hot_cells = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") > cell_cap)
+            .collect()
+        )
+        if not hot_cells:
+            pairs = _pairs(base, base, ["cell"])
+        else:
+            spark = df.sparkSession
+            hot_map = spark.createDataFrame(
+                [
+                    (int(r["cell"]), int(-(-r["_csz"] // cell_cap)))
+                    for r in hot_cells
+                ],
+                "cell int, _nb int",
             )
-            .drop("_csz")
-        )
-        blocks = F.sequence(F.lit(0), F.col("_nb") - 1)
-        ha = hot.select(
-            "cell", "_id", "_v",
-            F.pmod("_id", F.col("_nb")).cast("int").alias("_ba"),
-            F.explode(blocks).alias("_bb"),
-        )
-        hb = hot.select(
-            "cell", "_id", "_v",
-            F.explode(blocks).alias("_ba"),
-            F.pmod("_id", F.col("_nb")).cast("int").alias("_bb"),
-        )
-        pairs = _pairs(cold, cold, ["cell"]).unionByName(
-            _pairs(ha, hb, ["cell", "_ba", "_bb"]).drop("_ba", "_bb")
-        )
+            cold = base.join(F.broadcast(hot_map), on="cell", how="left_anti")
+            hot = base.join(F.broadcast(hot_map), on="cell")
+            blocks = F.sequence(F.lit(0), F.col("_nb") - 1)
+            ha = hot.select(
+                "cell", "_id", "_v",
+                F.pmod("_id", F.col("_nb")).cast("int").alias("_ba"),
+                F.explode(blocks).alias("_bb"),
+            )
+            hb = hot.select(
+                "cell", "_id", "_v",
+                F.explode(blocks).alias("_ba"),
+                F.pmod("_id", F.col("_nb")).cast("int").alias("_bb"),
+            )
+            pairs = _pairs(cold, cold, ["cell"]).unionByName(
+                _pairs(ha, hb, ["cell", "_ba", "_bb"]).drop("_ba", "_bb")
+            )
     drops = (
         pairs.filter(F.col("_id_a") < F.col("_id_b"))
         .filter(cosine(F.col("_v_a"), F.col("_v_b")) >= F.lit(threshold))
