@@ -922,6 +922,21 @@ def semdedup_planes(n_planes: int, dim: int, tag: str = "sd") -> list[list[float
     ]
 
 
+_PERSISTED_CELLS: list[DataFrame] = []
+
+
+def release_semdedup_caches() -> int:
+    """Unpersist every cell-assignment frame persisted by semdedup's
+    hot-cell guard since the last call (mirrors
+    dedup.release_shingle_caches). Call once the survivor DataFrame
+    has been materialized."""
+    n = 0
+    while _PERSISTED_CELLS:
+        _PERSISTED_CELLS.pop().unpersist()
+        n += 1
+    return n
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1000,11 +1015,22 @@ def semdedup(
         # adaptive guard: ONE tiny aggregate (≤2^P rows reduced to the
         # hot subset) decides whether any cell exceeds the cap. The
         # common case — no skew — collects nothing and keeps the plan
-        # identical to the unguarded one (measured: the always-on
-        # window-count formulation cost +2 s at sf0.1 with zero hot
-        # cells). The collect is bounded by the number of HOT cells,
-        # which skew makes few by definition — same bounded-driver
-        # envelope as the ≤4096-row centroid samples.
+        # shape identical to the unguarded one (measured: the
+        # always-on window-count formulation cost +2 s at sf0.1 with
+        # zero hot cells). The collect is bounded by the number of HOT
+        # cells, which skew makes few by definition — same
+        # bounded-driver envelope as the ≤4096-row centroid samples.
+        # The sizing pass necessarily materializes the cell
+        # assignment, so persist it: every downstream branch (pair
+        # sides, survivor anti-join) then reads the cached (id, vec,
+        # cell) rows instead of re-evaluating the P fold-dot cell
+        # expressions per branch — the "materialize the index once"
+        # step, with the same registered-release discipline as the
+        # shingle indexes (release_semdedup_caches()).
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_CELLS.append(base)
         hot_cells = (
             base.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("_csz"))
