@@ -76,6 +76,7 @@ def _shingle_table(
     n: int,
     max_df: int | None,
     with_df: bool = False,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle) inverted index, with size per doc and an optional
     document-frequency cap on hot shingles (scale guard).
@@ -87,12 +88,24 @@ def _shingle_table(
     (VERDICT_r5 item 4 — previously the cap ran its own groupBy and
     the ranking re-counted the filtered index). Dropping capped
     shingles removes whole (shingle) groups, never partial ones, so
-    pre-filter dfs equal post-filter dfs and reusing them is exact."""
+    pre-filter dfs equal post-filter dfs and reusing them is exact.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    BEFORE any shuffle: every downstream stage (df groupBy, prefix
+    equi-join, verification collect_list/array_intersect) then moves
+    8-byte longs instead of ~25-byte n-gram strings — the standard
+    set-similarity-at-scale representation. Results are identical
+    modulo 64-bit collisions (the same assumption the exact-substring
+    family makes; oracle parity against the string-keyed SQL twin
+    certifies collision-freedom on the corpus), and the prefix filter
+    only needs a SHARED total order, which (df, hash) provides."""
     df = spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_sz", F.size("_sh"))
     ex = sh.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    if hashed:
+        ex = ex.select("_id", "_sz", F.xxhash64("_s").alias("_s"))
     if max_df is not None or with_df:
         dfreq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(dfreq, on="_s")
@@ -160,7 +173,9 @@ def ngram_jaccard_pairs(
     shrinks with the capped set while ``sz`` keeps the full
     denominator, which only lengthens prefixes — still exact w.r.t.
     the capped intersection)."""
-    ex = _shingle_table(df, id_col, text_col, n, max_df, with_df=True)
+    ex = _shingle_table(
+        df, id_col, text_col, n, max_df, with_df=True, hashed=True
+    )
     ranked = ex
     wrk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
     # ceil with an epsilon guard: t·sz computed in float64 can land an
@@ -235,7 +250,9 @@ def ngram_overlap_pairs(
     no dedup shuffle. Verification is exact and JVM-side:
     ``size(array_intersect)`` after a join back to the full shingle
     arrays."""
-    ex = _shingle_table(df, id_col, text_col, n, max_df, with_df=True)
+    ex = _shingle_table(
+        df, id_col, text_col, n, max_df, with_df=True, hashed=True
+    )
     ranked = ex
     wrk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
     need = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
