@@ -7339,6 +7339,8 @@ _DRIVER_WINDOW = [
     "mv_incremental_update",
     "graph_common_neighbors",
     "ts_cusum_changepoint",
+    "text_perplexity_buckets",
+    "curation_epoch_shuffle",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",
@@ -8492,6 +8494,135 @@ def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dv").alias("cusum_peak_scaled"),
             F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
         )
+    )
+
+
+_BIGRAM_CE_CTES = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    trans AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+      FROM trans GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+    v AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ),
+    scored AS (
+      SELECT tr.doc_id,
+             ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vs)) AS lp
+      FROM trans tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    ce AS (
+      SELECT doc_id,
+             round(-list_reduce(list_sort(list(lp)), (x, y) -> x + y)
+                   / count(*), 9) AS ce
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=_BIGRAM_CE_CTES
+    + """
+    SELECT c.doc_id, d.lang,
+           c.ce AS cross_entropy_nats,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY c.ce, c.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ce c JOIN documents d USING (doc_id)
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): per language,
+    split documents into head/middle/tail tertiles of their LM
+    cross-entropy — the standard quality gate that keeps 'head',
+    samples 'middle', and drops 'tail'. The LM is the corpus-trained
+    add-α bigram model of text_bigram_lm_score; the 9-decimal-rounded
+    entropy makes the ntile ordering (entropy, doc_id) engine-exact.
+    One extra per-language window over the per-doc score table —
+    |docs| rows, not corpus tokens."""
+    ce = text_bigram_lm_score(spark, sf).select(
+        "doc_id", F.col("cross_entropy_nats")
+    )
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cross_entropy_nats").asc(), F.col("doc_id").asc()
+    )
+    nt = F.ntile(3).over(w)
+    return ce.join(d, on="doc_id").select(
+        "doc_id",
+        "lang",
+        "cross_entropy_nats",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@query(
+    "curation_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS k
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) e
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, k,
+             CAST(ascii(substr(k, 1, 1)) % 8 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch, shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM sharded
+    """,
+)
+def curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every epoch gets an
+    independent pseudo-random document order, derived from content
+    (md5 of doc_id:epoch) so it is reproducible across runs, cluster
+    layouts, and engines — no RNG state, no global sort. Order lives
+    WITHIN shards (epoch, shard, pos): shards are the data-loader's
+    parallel read unit, so the only windows are per-(epoch, shard) —
+    a global row_number would serialize the corpus through one
+    partition at 100 TB, exactly the trap this shape avoids."""
+    d = load(spark, sf, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"))
+        ).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard", (F.ascii(F.substring("k", 1, 1)) % 8).cast("int")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return sharded.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
     )
 
 
