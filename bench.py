@@ -70,6 +70,12 @@ CATALOG_BENCH = [
     "dedup_substring_trim",
     "text_bpe_train_merges",
     "multimodal_jpeg_pixel_stats",
+    # round-6 additions
+    "mv_incremental_update",
+    "graph_common_neighbors",
+    "ts_cusum_changepoint",
+    "text_perplexity_buckets",
+    "curation_epoch_shuffle",
 ]
 
 
