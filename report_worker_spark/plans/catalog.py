@@ -7341,6 +7341,7 @@ _DRIVER_WINDOW = [
     "ts_cusum_changepoint",
     "text_perplexity_buckets",
     "curation_epoch_shuffle",
+    "audit_table_checksum",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",
@@ -8623,6 +8624,44 @@ def curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
         "doc_id",
+    )
+
+
+@query(
+    "audit_table_checksum",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+             ), 1, 8)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM rows_
+    """,
+)
+def audit_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive cross-engine table checksum — the migration
+    validation primitive: hash a canonical per-row rendering (md5,
+    first 8 hex digits as an integer) and SUM, so any engine/layout
+    that holds the same rows produces the same (n_rows, checksum)
+    regardless of partitioning or scan order. One map-combinable
+    aggregate; columns limited to exactly-renderable types (integers,
+    strings) because float/timestamp formatting is engine-specific —
+    a production harness canonicalizes those explicitly first."""
+    o = load(spark, sf, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+    return o.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_h").alias("checksum"),
     )
 
 
