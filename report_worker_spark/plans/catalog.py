@@ -7342,6 +7342,7 @@ _DRIVER_WINDOW = [
     "text_perplexity_buckets",
     "curation_epoch_shuffle",
     "audit_table_checksum",
+    "audit_snapshot_diff",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",
@@ -8662,6 +8663,80 @@ def audit_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(h.alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_h").alias("checksum"),
+    )
+
+
+@query(
+    "audit_snapshot_diff",
+    oracle="""
+    WITH old_ AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus) AS v
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_ AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                      ELSE o_orderstatus END) AS v
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.v <> n.v THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_ o FULL OUTER JOIN new_ n ON o.k = n.k
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM j GROUP BY change_type
+    """,
+)
+def audit_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation between two table versions (the
+    data-ops diff behind CDC validation and backfill audits): one key
+    full-outer join comparing per-row value hashes classifies every
+    key as added / removed / changed / unchanged, aggregated with key
+    ranges for triage. The two versions are derived deterministically
+    from orders so both engines diff identical snapshots. Scale: the
+    join shuffles only (key, 32-byte value hash) pairs — row payloads
+    never move — and the classification aggregate is map-combinable."""
+    o = load(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        ).alias("v_old"),
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"),
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+            )
+        ).alias("v_new"),
+    )
+    j = old.join(new, on="k", how="full").select(
+        "k",
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
     )
 
 
