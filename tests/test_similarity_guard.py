@@ -252,3 +252,22 @@ def test_ivfpq_recall_floor(spark, sf_oracle):
     }
     assert len(exact) == 2500
     assert len(pq & exact) / len(exact) >= 0.35
+
+
+def test_semdedup_cache_registry_releases(spark):
+    """The hot-cell guard persists the cell assignment; the registered
+    release must unpersist exactly the frames created since the last
+    call (mirrors dedup.release_shingle_caches)."""
+    import numpy as np
+
+    sim.release_semdedup_caches()  # drain anything earlier tests left
+    rng = np.random.default_rng(2)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sim.semdedup(df, threshold=0.99, n_planes=2, dim=8, cell_cap=4).count()
+    assert sim.release_semdedup_caches() == 1
+    assert sim.release_semdedup_caches() == 0
+    # cap=None takes the unguarded path: nothing persisted
+    sim.semdedup(df, threshold=0.99, n_planes=2, dim=8, cell_cap=None).count()
+    assert sim.release_semdedup_caches() == 0
