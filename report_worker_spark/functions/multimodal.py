@@ -424,11 +424,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 "channels"]
         for pb in batches:
             rows = []
-            for _, r in pb.iterrows():
-                feats = image_header_decoder(
-                    r["kind"], bytes(r["content"] or b""), {}
-                )
-                rows.append({"media_id": r["media_id"], "kind": r["kind"], **feats})
+            for mid, kind, content in zip(
+                pb["media_id"], pb["kind"], pb["content"]
+            ):
+                feats = image_header_decoder(kind, bytes(content or b""), {})
+                rows.append({"media_id": mid, "kind": kind, **feats})
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "kind", "content").mapInPandas(
@@ -468,11 +468,14 @@ def _quarantined_decode(
         cols = ["media_id", *payload_cols, "ok", "err"]
         for pb in batches:
             rows = []
-            for _, r in pb.iterrows():
-                content = bytes(r["content"] or b"")
+            # zip over the two columns directly: iterrows() builds a
+            # Series per row (~5× slower per item than the decode for
+            # small media)
+            for mid, content in zip(pb["media_id"], pb["content"]):
+                content = bytes(content or b"")
                 if not sig_check(content):
                     continue
-                mid = int(r["media_id"])
+                mid = int(mid)
                 try:
                     rows.append(
                         {"media_id": mid, **decode_row(content),
@@ -591,11 +594,11 @@ def extract_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
             rows = []
-            for _, r in pb.iterrows():
-                feats = decoder(r["kind"], bytes(r["content"] or b""), {})
-                rows.append(
-                    {"media_id": r["media_id"], "kind": r["kind"], **feats}
-                )
+            for mid, kind, content in zip(
+                pb["media_id"], pb["kind"], pb["content"]
+            ):
+                feats = decoder(kind, bytes(content or b""), {})
+                rows.append({"media_id": mid, "kind": kind, **feats})
             yield pd.DataFrame(
                 rows,
                 columns=[
