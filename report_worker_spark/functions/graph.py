@@ -245,6 +245,65 @@ def common_neighbors(
     )
 
 
+def adamic_adar(
+    edges: DataFrame, k: int = 20, min_common: int = 2
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): for every
+    non-adjacent pair, sum 1/ln(deg(z)) over shared neighbors z — a
+    rare shared neighbor is worth more than a hub. Returns the global
+    top-``k`` as ``(rank, a, b, n_common, aa_score)``.
+
+    Same wedge-join budget as :func:`common_neighbors` (Σ deg(n)² on
+    the apex key); the only additions are a degree equi-join to attach
+    the apex weight before the wedge fan-out and a sorted float fold
+    (array_sort + sequential aggregate) so the per-pair sum is
+    order-independent across engines. ln() is the one op platforms
+    round differently (≤1 ulp each), so the score rounds to 12
+    decimals — the entropy/PSI discipline. Apex degree ≥ 2 by
+    construction (it has two distinct neighbors), so ln(d) > 0."""
+    adj = edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
+        edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    wadj = adj.join(deg, on="n").select(
+        "n", "x", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w")
+    )
+    left = wadj.select("n", F.col("x").alias("a"), "w")
+    # fresh attribute ids (no-op exprs) — self-join disambiguation
+    right = wadj.select(
+        (F.col("n") + F.lit(0)).alias("n"), F.coalesce(F.col("x")).alias("b")
+    )
+    cand = (
+        left.join(right, on="n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("w")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                12,
+            ).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            on=["a", "b"],
+            how="left_anti",
+        )
+    )
+    top = cand.orderBy(
+        F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("aa_score").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "a", "b", "n_common", "aa_score"
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

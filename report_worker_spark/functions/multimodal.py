@@ -791,6 +791,44 @@ def wav_sample_stats(
     )
 
 
+def wav_signal_features(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Signal-level audio features from REAL WAV decode — the
+    VAD/energy-gate primitives an audio-curation pipeline filters on:
+    zero-crossing count (noisiness proxy) and exact integer energy
+    (loudness gate), both over the DC-centered samples (8-bit PCM is
+    unsigned, midpoint 128; 16-bit is already signed). A crossing is a
+    strict sign flip (product < 0) between consecutive samples —
+    samples ON the midline break a run without counting, so the count
+    is exact integer arithmetic on both engines. Same Arrow kernel
+    shape and per-item quarantine as :func:`wav_sample_stats`."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        c = sm - 128 if d["bits"] == 8 else sm
+        zc = int(((c[1:] * c[:-1]) < 0).sum()) if len(c) > 1 else 0
+        return {
+            "n_frames": d["n_frames"],
+            "zero_crossings": zc,
+            "energy": int((c * c).sum()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, zero_crossings long, energy long",
+        ),
+        with_quarantine,
+    )
+
+
 # --- Real ISO-BMFF (MP4) box structure --------------------------------------
 #
 # Video metadata stops being formula-only: a spec-valid minimal MP4

@@ -7243,6 +7243,234 @@ def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (
+      SELECT src AS n, dst AS x FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
+    ),
+    wadj AS (
+      SELECT adj.n, adj.x, 1.0 / ln(CAST(deg.d AS DOUBLE)) AS w
+      FROM adj JOIN deg USING (n)
+    ),
+    cand AS (
+      SELECT l.x AS a, r.x AS b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(list_reduce(list_sort(list(l.w)), (x, y) -> x + y), 12)
+               AS aa_score
+      FROM wadj l JOIN wadj r ON l.n = r.n AND l.x < r.x
+      GROUP BY l.x, r.x
+      HAVING count(*) >= 2
+    ),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY aa_score DESC, a, b) AS INT)
+             AS rank,
+           a, b, n_common, aa_score
+    FROM nonadj
+    ORDER BY aa_score DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: top-20
+    non-adjacent part pairs weighting rare shared neighbors above hubs
+    (graph.py:adamic_adar — degree join ahead of the apex wedge join,
+    sorted float fold, 12-decimal ln discipline)."""
+    return gr.adamic_adar(
+        gr.undirected_edges(_cooccur_edges(spark, sf)), k=20, min_common=2
+    )
+
+
+@query(
+    "multimodal_wav_zero_crossings",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, nf, b*16 + j AS gi, {_PNG_KS_BYTE} - 128 AS c
+      FROM bytes WHERE b*16 + j < nf
+    ),
+    lagged AS (
+      SELECT media_id, nf, c,
+             lag(c) OVER (PARTITION BY media_id ORDER BY gi) AS pc
+      FROM vals
+    )
+    SELECT media_id,
+           CAST(any_value(nf) AS INT) AS n_frames,
+           CAST(sum(CASE WHEN pc * c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(sum(c * c) AS BIGINT) AS energy
+    FROM lagged GROUP BY media_id
+    """,
+)
+def multimodal_wav_zero_crossings(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-curation signal features through the REAL PCM decode path:
+    per-clip zero-crossing count and exact integer energy of the
+    DC-centered samples (multimodal.py:wav_signal_features). PCM is
+    lossless, so DuckDB regenerates the sample keystream and replays
+    the strict sign-flip count with a lag window — a decoder alignment
+    bug shifts both features."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    return mm.wav_signal_features(media)
+
+
+@query(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / tot AS observed_share,
+           round(log10(1.0 + 1.0 / digit), 12) AS benford_expected
+    FROM c, t
+    """,
+)
+def stats_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / unit-mixing smell test for an ingested fact
+    column. The digit comes from the integer-cents string (double→int
+    cents is the engine-identical device used by mv_incremental), so
+    binning is exact; the expected share log10(1+1/d) is the only
+    float and rounds at 12 decimals. One 9-group map-combinable
+    aggregate + a scalar total — free at any scale."""
+    o = load(spark, sf, "orders")
+    c = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("observed_share"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 12).alias(
+            "benford_expected"
+        ),
+    )
+
+
+@query(
+    "olap_pareto_frontier",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bkt
+      FROM orders
+    ),
+    b AS (SELECT bkt, max(o_orderdate) AS bd FROM o GROUP BY bkt),
+    hi AS (
+      SELECT bkt,
+             max(bd) OVER (ORDER BY bkt DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS rm_hi
+      FROM b
+    ),
+    w AS (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, hi.rm_hi,
+             max(o.o_orderdate) OVER (
+               PARTITION BY o.bkt ORDER BY o.cents DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm_in
+      FROM o JOIN hi USING (bkt)
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM w
+    WHERE greatest(COALESCE(rm_hi, TIMESTAMP '1000-01-01'),
+                   COALESCE(rm_in, TIMESTAMP '1000-01-01')) <= o_orderdate
+    """,
+)
+def olap_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto frontier of orders on (total price ↑, order
+    date ↑): an order survives iff no other order strictly beats it on
+    BOTH dims. The naive skyline is an O(n²) self-join; this is the
+    two-level bucket decomposition that stays distributed:
+
+    - per-$1000-bucket max date (map-combinable groupBy, |buckets|
+      rows — dim-sized);
+    - strictly-higher-BUCKET running max over that tiny table (the
+      only single-partition window, |buckets| rows);
+    - strictly-higher-price-IN-bucket max via a per-bucket RANGE
+      window on exact integer cents (distributed across buckets —
+      TPC-H prices are ~uniform, no hot bucket);
+    - dominated ⇔ either bound exceeds the row's own date.
+
+    Window frames use RANGE … 1 PRECEDING on DESC cents, which both
+    engines read as "strictly greater value" (verified semantics);
+    prices compare as exact cents, so the frontier set is
+    engine-identical."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o = o.withColumn("bkt", F.expr("cents DIV 100000"))
+    b = o.groupBy("bkt").agg(F.max("o_orderdate").alias("bd"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hi = b.select("bkt", F.max("bd").over(wb).alias("rm_hi"))
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sentinel = F.lit("1000-01-01").cast("timestamp")
+    w = o.join(F.broadcast(hi), on="bkt").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.greatest(
+            F.coalesce(F.col("rm_hi"), sentinel),
+            F.coalesce(F.max("o_orderdate").over(wi), sentinel),
+        ).alias("_rm"),
+    )
+    return w.filter(F.col("_rm") <= F.col("o_orderdate")).drop("_rm")
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7343,6 +7571,10 @@ _DRIVER_WINDOW = [
     "curation_epoch_shuffle",
     "audit_table_checksum",
     "audit_snapshot_diff",
+    "graph_adamic_adar",
+    "multimodal_wav_zero_crossings",
+    "stats_benford_first_digit",
+    "olap_pareto_frontier",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -100,3 +100,33 @@ def test_common_neighbors_hand_graph(spark):
     more = {(r.a, r.b) for r in gr.common_neighbors(e, k=10, min_common=1).collect()}
     assert (3, 4) in more
     assert not more & {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Same 5-edge graph as the common-neighbors test: candidate (3,4)
+    shares apexes {1, 2} with deg(1)=3, deg(2)=3, so the score is
+    exactly 2/ln(3). Hub discount check at min_common=1: a pair whose
+    single shared neighbor is the degree-3 hub scores 1/ln(3), below a
+    pair sharing a degree-2 apex (1/ln(2))."""
+    import math
+
+    e = gr.undirected_edges(
+        _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    )
+    got = gr.adamic_adar(e, k=10).collect()
+    assert [(r.rank, r.a, r.b, r.n_common) for r in got] == [(1, 3, 4, 2)]
+    assert abs(got[0].aa_score - 2 / math.log(3)) < 1e-9
+
+    # path graph 5-6, 6-7 plus hub wedge: (5,7) via apex 6 (deg 2)
+    e2 = gr.undirected_edges(
+        _edges(spark, [(5, 6), (6, 7), (1, 5), (1, 7), (1, 2), (2, 3)])
+    )
+    more = {
+        (r.a, r.b): r.aa_score
+        for r in gr.adamic_adar(e2, k=10, min_common=1).collect()
+    }
+    # (5,7) shares BOTH apex 6 (deg 2) and hub 1 (deg 3)
+    assert abs(more[(5, 7)] - (1 / math.log(2) + 1 / math.log(3))) < 1e-9
+    # (2,5) shares only hub 1 → pure hub-discounted score
+    assert abs(more[(2, 5)] - 1 / math.log(3)) < 1e-9
+    assert more[(5, 7)] > more[(2, 5)]

@@ -237,3 +237,50 @@ def test_poison_wav_mp4_jpeg_quarantined(spark):
     q3 = {r.media_id: r.ok for r in
           mm.jpeg_pixel_stats(m3, with_quarantine=True).collect()}
     assert q3 == {1: True, 2: False}
+
+
+def test_wav_signal_features_numpy_reference(spark):
+    """Zero crossings and energy must equal the direct numpy
+    computation on the generator keystream (8-bit: centered at 128,
+    strict sign flip), and a midline sample must break a run without
+    counting as a crossing."""
+    import numpy as np
+
+    sm = np.frombuffer(mm.keystream("z", 64), dtype=np.uint8).astype(
+        np.int64
+    )
+    c = sm - 128
+    want_zc = int(((c[1:] * c[:-1]) < 0).sum())
+    want_en = int((c * c).sum())
+    media = spark.createDataFrame(
+        [(7, mm.encode_wav(bytes(sm.astype(np.uint8)), 16000, 1, 8))],
+        "media_id long, content binary",
+    )
+    got = mm.wav_signal_features(media).collect()
+    assert len(got) == 1
+    assert got[0].n_frames == 64
+    assert got[0].zero_crossings == want_zc
+    assert got[0].energy == want_en
+
+    # hand-built: +1, -1, 128(=0 centered), -1, +1 → crossings only at
+    # the strict flips (1↔-1); runs through the midline don't count
+    hand = bytes([129, 127, 128, 127, 129])
+    m2 = spark.createDataFrame(
+        [(1, mm.encode_wav(hand, 8000, 1, 8))],
+        "media_id long, content binary",
+    )
+    r = mm.wav_signal_features(m2).collect()[0]
+    assert r.zero_crossings == 2          # 129→127 and 127→129
+    assert r.energy == 4
+
+
+def test_wav_signal_features_quarantine(spark):
+    media = spark.createDataFrame(
+        [(1, mm.encode_wav(mm.keystream("q", 16), 8000, 1, 8)),
+         (2, b"RIFF" + b"\x00" * 10)],
+        "media_id long, content binary",
+    )
+    assert [r.media_id for r in mm.wav_signal_features(media).collect()] == [1]
+    q = {r.media_id: r.ok for r in
+         mm.wav_signal_features(media, with_quarantine=True).collect()}
+    assert q == {1: True, 2: False}

@@ -200,3 +200,44 @@ def test_psi_empty_bins_stay_finite(spark):
     assert len(rows) == 2
     assert all(math.isfinite(r.psi_contrib) for r in rows)
     assert sum(r.psi_contrib for r in rows) > 1.0  # large drift signal
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_small):
+    """The bucket-decomposed skyline must equal the O(n²) definition:
+    keep x iff no y has strictly higher cents AND strictly later
+    date."""
+    from report_worker_spark.plans.catalog import olap_pareto_frontier
+    from report_worker_spark.plans.tables import load
+
+    rows = [
+        (r.o_orderkey, round(r.o_totalprice * 100), r.o_orderdate)
+        for r in load(spark, sf_small, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ]
+    want = {
+        k
+        for k, c, d in rows
+        if not any(c2 > c and d2 > d for _, c2, d2 in rows)
+    }
+    got = {
+        r.o_orderkey
+        for r in olap_pareto_frontier(spark, sf_small).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(rows)
+
+
+def test_pareto_frontier_windows_stay_bucketed(spark, sf_small):
+    """The only unpartitioned window runs over the per-bucket rollup
+    (dim-sized); the per-row window must carry the bucket partition
+    key so the heavy pass stays distributed."""
+    from report_worker_spark.plans.catalog import olap_pareto_frontier
+
+    plan = plan_of(olap_pareto_frontier(spark, sf_small))
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan.lower())
+    assert specs, plan
+    partitioned = [s for s in specs if "bkt" in s]
+    assert partitioned, specs
