@@ -76,6 +76,8 @@ CATALOG_BENCH = [
     "ts_cusum_changepoint",
     "text_perplexity_buckets",
     "curation_epoch_shuffle",
+    "graph_adamic_adar",
+    "olap_pareto_frontier",
 ]
 
 

@@ -223,6 +223,9 @@ def main() -> None:
     timings["graph_kcore"] = timed_build(
         lambda: gr.kcore(edges, k=3, max_iterations=16)
     )
+    # same Σ deg² wedge budget as triangles, plus the degree join and
+    # the per-pair sorted fold — growth should track triangle growth
+    timings["graph_adamic_adar"] = timed(gr.adamic_adar(edges, k=20))
 
     # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
