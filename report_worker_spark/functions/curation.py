@@ -111,3 +111,62 @@ def length_weighted_sample(
     return df.filter(
         h16 * F.lit(cap) < F.col(weight_col).cast("long") * F.lit(65536)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    shards: int = 256,
+) -> DataFrame:
+    """Greedy token-budget cut: take documents in a deterministic
+    content-hash order until the running token total reaches
+    ``budget`` (the straddling doc is admitted — the cut is on the
+    tokens BEFORE it). This is how a run asks for "exactly ~10M tokens
+    of this source" reproducibly, independent of partitioning.
+
+    The global prefix sum is computed DISTRIBUTED, never as one
+    corpus-wide ordered window: the md5 order key's first two hex
+    chars shard the corpus into ``shards`` ranges (hex prefix order ==
+    numeric shard order, so per-shard order concatenates to the global
+    order); the running sum inside each shard rides a partitioned
+    window, per-shard totals roll up to a ``shards``-row offset table
+    (the only unpartitioned window), and offset + in-shard prefix is
+    the exact global prefix. One shuffle by shard + one dim-sized
+    broadcast — the scan-chunk decomposition, same device at any
+    scale.
+
+    Returns ``(id, weight, cum_tokens)`` for the kept prefix, where
+    ``cum_tokens`` is the inclusive global running total."""
+    from pyspark.sql import Window
+
+    r = F.md5(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        r.alias("_r"),
+    ).withColumn(
+        "_shard", F.conv(F.substring("_r", 1, 2), 16, 10).cast("long")
+    )
+    win_in = (
+        Window.partitionBy("_shard")
+        .orderBy("_r", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = d.groupBy("_shard").agg(F.sum(weight_col).alias("_tot"))
+    woff = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_shard",
+        F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
+    )
+    return (
+        d.join(F.broadcast(off), on="_shard")
+        .withColumn(
+            "cum_tokens", F.col("_off") + F.sum(weight_col).over(win_in)
+        )
+        .filter(F.col("cum_tokens") - F.col(weight_col) < F.lit(budget))
+        .select(id_col, weight_col, "cum_tokens")
+    )

@@ -7471,6 +7471,90 @@ def olap_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return w.filter(F.col("_rm") <= F.col("o_orderdate")).drop("_rm")
 
 
+@query(
+    "curation_token_budget_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS r
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY r, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 10000
+    """,
+)
+def curation_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sampling: the first ~10k tokens of the corpus in
+    deterministic md5 order (curation.py:token_budget_sample). The
+    oracle computes the global prefix sum as ONE ordered window — the
+    thing the Spark side must equal while never materializing a
+    corpus-wide single-partition sort (hex-prefix shards + in-shard
+    windows + a 256-row offset table). Hash-parity certifies the
+    distributed prefix-sum decomposition is exactly the sequential
+    semantics."""
+    from ..functions import curation as cu
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents")).select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    return cu.token_budget_sample(d, budget=10_000)
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY CAST(ts AS DATE), dayofweek(ts)
+    ),
+    seas AS (
+      SELECT dow, CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY dow
+    )
+    SELECT CAST(daily.d AS VARCHAR) AS d, daily.dow, daily.c,
+           CAST(seas.s AS DOUBLE) / seas.n AS dow_mean,
+           daily.c - CAST(seas.s AS DOUBLE) / seas.n AS residual
+    FROM daily JOIN seas USING (dow)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal decomposition of the daily event-count series into a
+    day-of-week component and a residual (the STL-lite every traffic
+    anomaly dashboard runs before flagging). Exact discipline: daily
+    counts and per-dow sums are integers; the seasonal mean is one
+    integer÷integer double and the residual one subtraction — both
+    engines evaluate the identical pair of float ops. Two
+    map-combinable groupBys and a 7-row broadcast join."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    seas = daily.groupBy("dow").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return daily.join(F.broadcast(seas), on="dow").select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "dow",
+        "c",
+        mean.alias("dow_mean"),
+        (F.col("c") - mean).alias("residual"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7575,6 +7659,8 @@ _DRIVER_WINDOW = [
     "multimodal_wav_zero_crossings",
     "stats_benford_first_digit",
     "olap_pareto_frontier",
+    "curation_token_budget_sample",
+    "ts_seasonal_decompose",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -241,3 +241,69 @@ def test_pareto_frontier_windows_stay_bucketed(spark, sf_small):
     assert specs, plan
     partitioned = [s for s in specs if "bkt" in s]
     assert partitioned, specs
+
+
+def test_token_budget_sample_matches_sequential(spark):
+    """The sharded prefix-sum must equal the sequential greedy cut,
+    independent of input partitioning, and must admit the straddling
+    doc (cut on tokens BEFORE it)."""
+    import hashlib
+
+    from report_worker_spark.functions.curation import token_budget_sample
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    budget = 3000
+    want, cum = {}, 0
+    for did, nt in order:
+        if cum < budget:
+            cum += nt
+            want[did] = cum
+        else:
+            break
+    for nparts in (1, 16):
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long"
+        ).repartition(nparts)
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in token_budget_sample(df, budget).collect()
+        }
+        assert got == want
+    # the last kept doc straddles the boundary
+    assert max(want.values()) >= budget
+    # degenerate budgets
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    assert token_budget_sample(df, 0).count() == 0
+    assert token_budget_sample(df, 10**9).count() == len(rows)
+
+
+def test_token_budget_sample_window_stays_sharded(spark):
+    """The per-row running sum must ride the _shard partition; only
+    the 256-row offset table may see an unpartitioned window."""
+    from report_worker_spark.functions.curation import token_budget_sample
+    from report_worker_spark.plans.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.lit(5).cast("long").alias("n_tokens")
+    )
+    plan = plan_of(token_budget_sample(d, 1000))
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\([^)]*\)", plan.lower())
+    assert any("_shard" in s for s in specs), specs
+
+
+def test_seasonal_decompose_residuals_sum_to_zero(spark, sf_oracle):
+    """Per-dow residuals must sum to ~0 — the decomposition identity."""
+    from report_worker_spark.plans.catalog import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, sf_oracle).collect()
+    by_dow = {}
+    for r in rows:
+        by_dow.setdefault(r.dow, []).append(r.residual)
+    assert set(by_dow) <= set(range(1, 8))
+    for dow, res in by_dow.items():
+        assert abs(sum(res)) < 1e-6, (dow, sum(res))
