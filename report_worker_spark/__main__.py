@@ -117,6 +117,20 @@ def cmd_list(_args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the optimized physical plan for a named query — the
+    surface for auditing pushdown/broadcast/codegen before a run."""
+    from .plans import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark = _spark("rws-explain")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="report_worker_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -142,6 +156,18 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("list-queries", help="list the query catalog")
     pl.set_defaults(fn=cmd_list)
+
+    pe = sub.add_parser(
+        "explain", help="print a named query's physical plan"
+    )
+    pe.add_argument("name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument(
+        "--mode",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+        default="formatted",
+    )
+    pe.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

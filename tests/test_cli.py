@@ -72,3 +72,17 @@ def test_cli_ingest_jsonl(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(f"{out}/fact").count() > 0
+
+
+def test_cli_explain(spark, capsys):
+    assert main(["explain", "nope_not_real"]) == 2
+    capsys.readouterr()
+    rc = main(
+        ["explain", "stats_benford_first_digit",
+         "--sf-dir", "/root/testdata/sf0.001", "--mode", "formatted"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    # the 1-column projection must reach the scan
+    assert "o_totalprice" in out

@@ -506,3 +506,28 @@ def test_kcore_no_python_no_cartesian(spark, sf_oracle):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_stays_equi_joined(spark, sf_oracle):
+    """The degree attach and the wedge fan-out are both equi-joins on
+    the apex key; the existing-edge removal stays an anti hash join —
+    no O(n²) shape anywhere."""
+    plan = plan_of(QUERIES["graph_adamic_adar"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_benford_scan_prunes_to_one_column(spark, sf_oracle):
+    """The digit audit projects one fact column; the scan must not
+    read the rest of orders."""
+    plan = plan_of(QUERIES["stats_benford_first_digit"](spark, sf_oracle))
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+
+
+def test_wav_zero_crossings_single_arrow_pass(spark, sf_oracle):
+    """Generate → decode is two chained Arrow kernels with no shuffle
+    between them; the only exchange feeds the final per-clip stats."""
+    plan = plan_of(QUERIES["multimodal_wav_zero_crossings"](spark, sf_oracle))
+    assert plan.count("Exchange") <= 2  # spread round-robin + nothing else
+    assert "CartesianProduct" not in plan
