@@ -148,3 +148,98 @@ def test_star_upsert_invariants(spark, rows):
     assert fact.count() == fact.dropDuplicates(
         ["sighting_id", "location_id", "region_id"]
     ).count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=5000),
+)
+def test_token_budget_sample_law(spark, rows, budget):
+    """Laws of the greedy budget cut, for any weights and budget:
+    kept set == the sequential md5-order prefix; cum_tokens equals the
+    sequential running sum; everything before the cut is kept."""
+    import hashlib
+
+    from report_worker_spark.functions.curation import token_budget_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_sample(df, budget).collect()
+    }
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    want, cum = {}, 0
+    for did, nt in order:
+        if cum < budget:
+            cum += nt
+            want[did] = cum
+        else:
+            break
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**4),   # cents
+            st.integers(min_value=0, max_value=2000),    # day ordinal
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_dominance_law(spark, pts):
+    """Bucketed skyline == O(n²) dominance filter for arbitrary
+    (value, date) clouds, including heavy ties on either dim."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+
+    base = datetime(2020, 1, 1)
+    rows = [
+        (i, c, base + timedelta(days=d)) for i, (c, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "id long, cents long, d timestamp")
+    # same decomposition as olap_pareto_frontier, on raw cents
+    o = df.withColumn("bkt", F.expr("cents DIV 1000"))
+    b = o.groupBy("bkt").agg(F.max("d").alias("bd"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hi = b.select("bkt", F.max("bd").over(wb).alias("rm_hi"))
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sentinel = F.lit("1000-01-01").cast("timestamp")
+    keep = (
+        o.join(F.broadcast(hi), on="bkt")
+        .withColumn(
+            "_rm",
+            F.greatest(
+                F.coalesce(F.col("rm_hi"), sentinel),
+                F.coalesce(F.max("d").over(wi), sentinel),
+            ),
+        )
+        .filter(F.col("_rm") <= F.col("d"))
+    )
+    got = {r.id for r in keep.collect()}
+    want = {
+        i
+        for i, c, d in rows
+        if not any(c2 > c and d2 > d for _, c2, d2 in rows)
+    }
+    assert got == want
