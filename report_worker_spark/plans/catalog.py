@@ -7555,6 +7555,132 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_fuzzy_clusters",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_name, c_custkey % 40 AS blk FROM customer),
+    pairs AS (
+      SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
+      FROM a x JOIN a y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+      WHERE levenshtein(x.c_name, y.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    )
+    SELECT c.c_custkey,
+           COALESCE(rec.comp, c.c_custkey) AS canonical_key,
+           rec.node IS NOT NULL AS in_cluster
+    FROM customer c LEFT JOIN rec ON rec.node = c.c_custkey
+    """,
+)
+def dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END fuzzy record linkage: blocked edit-distance pairs
+    (join_fuzzy_levenshtein's blocking) → connected components → a
+    canonical entity key for EVERY customer (min reachable id;
+    un-clustered rows map to themselves). This is the master-data
+    dedup a warehouse runs on entity names; the oracle replays the
+    component fixpoint with a recursive CTE so the distributed label
+    propagation is hash-checked end-to-end, like dedup_canonical_docs
+    but over the approximate string-match edge set."""
+    from ..operators import blocked_levenshtein_pairs
+
+    c = load(spark, sf, "customer").withColumn(
+        "blk", F.col("c_custkey") % 40
+    )
+    pairs = blocked_levenshtein_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_col="blk", max_dist=1
+    ).select("id_a", "id_b")
+    comps = dd.connected_components(pairs)
+    return c.join(
+        comps, c["c_custkey"] == comps["node"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("component", "c_custkey").alias("canonical_key"),
+        F.col("node").isNotNull().alias("in_cluster"),
+    )
+
+
+@query(
+    "stats_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+      SELECT c.c_custkey, c.c_nationkey, COALESCE(rev.cents, 0) AS cents
+      FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cents, c_custkey) AS BIGINT) AS i
+      FROM cust
+    ),
+    m AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(i * cents) AS BIGINT) AS siw
+      FROM ranked GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           CAST(2 * siw AS DOUBLE) / (n * s)
+             - CAST(n + 1 AS DOUBLE) / n AS gini
+    FROM m WHERE s > 0
+    """,
+)
+def stats_gini_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the
+    concentration audit a pipeline runs to spot sources where a few
+    keys carry all the volume (the skew early-warning for the salted
+    paths). Exact discipline: revenue in integer cents, the rank-sum
+    Σi·xᵢ in exact integers (tie order is irrelevant to the sum —
+    permuting equal values across ranks changes nothing), and the
+    final Gini exactly two float ops evaluated identically on both
+    engines. Rank rides a window PARTITIONED by nation — distributed
+    across groups, never a global sort."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    cust = c.join(rev, c["c_custkey"] == rev["o_custkey"], "left").select(
+        "c_custkey",
+        "c_nationkey",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wi).cast("long").alias("i"),
+    )
+    m = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("siw"),
+    )
+    return m.filter(F.col("s") > 0).select(
+        "c_nationkey",
+        "n",
+        (
+            (2 * F.col("siw")).cast("double") / (F.col("n") * F.col("s"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7663,6 +7789,8 @@ _DRIVER_WINDOW = [
     "olap_pareto_frontier",
     "curation_token_budget_sample",
     "ts_seasonal_decompose",
+    "dedup_fuzzy_clusters",
+    "stats_gini_by_nation",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

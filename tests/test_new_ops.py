@@ -307,3 +307,50 @@ def test_seasonal_decompose_residuals_sum_to_zero(spark, sf_oracle):
     assert set(by_dow) <= set(range(1, 8))
     for dow, res in by_dow.items():
         assert abs(sum(res)) < 1e-6, (dow, sum(res))
+
+
+def test_fuzzy_clusters_and_gini_invariants(spark, sf_small):
+    """Fuzzy clusters: every canonical_key is the min id of its
+    cluster, singletons map to themselves, and membership equals the
+    transitive closure of the pair set. Gini: bounded in [0, 1) and 0
+    for a degenerate equal-revenue group."""
+    from report_worker_spark.plans.catalog import (
+        dedup_fuzzy_clusters,
+        stats_gini_by_nation,
+    )
+
+    rows = dedup_fuzzy_clusters(spark, sf_small).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_key, []).append(r)
+    for canon, members in by_canon.items():
+        assert canon == min(m.c_custkey for m in members)
+        if len(members) == 1 and not members[0].in_cluster:
+            assert members[0].c_custkey == canon
+    assert any(r.in_cluster for r in rows)      # blocking finds some pairs
+    assert any(not r.in_cluster for r in rows)  # and not everything
+
+    g = stats_gini_by_nation(spark, sf_small).collect()
+    assert len(g) > 0
+    for r in g:
+        assert 0.0 <= r.gini < 1.0, r
+
+    # degenerate: equal revenue everywhere → gini exactly 0
+    from pyspark.sql import Window
+
+    cust = spark.createDataFrame(
+        [(i, 1, 100) for i in range(10)],
+        "c_custkey long, c_nationkey long, cents long",
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = cust.select(
+        "c_nationkey", "cents",
+        F.row_number().over(wi).cast("long").alias("i"),
+    )
+    m = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("siw"),
+    ).collect()[0]
+    gini = 2 * m.siw / (m.n * m.s) - (m.n + 1) / m.n
+    assert abs(gini) < 1e-12
