@@ -7681,6 +7681,54 @@ def stats_gini_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, n,
+             (CAST(CAST(('0x' || substr(md5('dp:' || source), 1, 8))
+                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 - 0.5
+               AS uu
+      FROM c
+    )
+    SELECT source, n,
+           round(CAST(n AS DOUBLE)
+                 + (-sign(uu) * ln(1.0 - 2.0 * abs(uu))), 12) AS noisy_n
+    FROM u
+    """,
+)
+def curation_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, b=1 —
+    the ε=1 / sensitivity-1 setting for per-group COUNT): the shape a
+    pipeline uses to publish per-source corpus stats without exposing
+    any single document's membership. The "randomness" is the
+    deterministic md5-uniform device (seeded per key, (u+0.5)/2³² −
+    0.5 ∈ (−0.5, 0.5), so the inverse-CDF ln never sees 0) — in
+    production the seed column would be a secret salt; here
+    determinism is what makes the mechanism hash-verifiable
+    cross-engine. ln rounds at 12 decimals (entropy discipline);
+    everything else is exact. One map-combinable groupBy."""
+    c = load(spark, sf, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = -F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    return c.select(
+        "source",
+        "n",
+        F.round(F.col("n").cast("double") + noise, 12).alias("noisy_n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7791,6 +7839,7 @@ _DRIVER_WINDOW = [
     "ts_seasonal_decompose",
     "dedup_fuzzy_clusters",
     "stats_gini_by_nation",
+    "curation_dp_noisy_counts",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -354,3 +354,20 @@ def test_fuzzy_clusters_and_gini_invariants(spark, sf_small):
     ).collect()[0]
     gini = 2 * m.siw / (m.n * m.s) - (m.n + 1) / m.n
     assert abs(gini) < 1e-12
+
+
+def test_dp_noisy_counts_mechanism(spark, sf_oracle):
+    """Laplace-mechanism sanity: noise is centered-ish, non-degenerate
+    across keys, deterministic, and the true count is never emitted
+    exactly (md5-uniform never lands exactly on the CDF median)."""
+    from report_worker_spark.plans.catalog import curation_dp_noisy_counts
+
+    rows = curation_dp_noisy_counts(spark, sf_oracle).collect()
+    assert len(rows) > 5
+    noises = [r.noisy_n - r.n for r in rows]
+    assert len({round(x, 9) for x in noises}) == len(noises)  # per-key seeds
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+    for x in noises:
+        assert 0 < abs(x) < 25          # b=1 inverse CDF of (0,0.5) range
+    again = curation_dp_noisy_counts(spark, sf_oracle).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
