@@ -7729,6 +7729,144 @@ def curation_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, lower(t[CAST(gs.pos AS INT)]) AS w,
+             CAST(gs.pos AS BIGINT) AS pos
+      FROM d, unnest(range(1, len(t) + 1)) AS gs(pos)
+    ),
+    flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN w IN ('the','a','an','of','and','to','in','is',
+                             'it','that') THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, w, pos, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM flagged
+    ),
+    members AS (SELECT doc_id, phrase_id, w, pos FROM seg WHERE stop = 0),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words
+      FROM members GROUP BY doc_id, phrase_id
+    ),
+    wstat AS (
+      SELECT m.w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.n_words) AS BIGINT) AS deg
+      FROM members m JOIN plen p USING (doc_id, phrase_id)
+      GROUP BY m.w
+    ),
+    scored AS (
+      SELECT m.doc_id, m.phrase_id,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             round(list_reduce(list_sort(
+               list(CAST(s.deg AS DOUBLE) / s.freq)), (x, y) -> x + y), 6)
+               AS score
+      FROM members m JOIN wstat s ON s.w = m.w
+      GROUP BY m.doc_id, m.phrase_id
+    ),
+    agg AS (
+      SELECT phrase, score, CAST(count(*) AS BIGINT) AS n_occur
+      FROM scored GROUP BY phrase, score
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS INT)
+             AS rank,
+           phrase, score, n_occur
+    FROM agg
+    ORDER BY score DESC, phrase
+    LIMIT 50
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): stopwords cut each
+    document into candidate phrases; every word scores deg/freq over
+    the phrase co-occurrence graph; a phrase scores the sum of its
+    member word scores. Top-50 corpus phrases.
+
+    Scale shape: segmentation is a doc-partitioned running sum (rides
+    the posexplode, no corpus-wide shuffle); word stats are one
+    map-combinable groupBy over phrase members; the phrase score is a
+    sorted float fold (deg/freq is one exact-int division per word,
+    but the SUM order must match the oracle) rounded at 6 decimals —
+    scores reach ~10³, and rounding at 12 would ask round() to operate
+    at 10¹⁵ where DuckDB's multiply-round-divide loses the last digit
+    vs Spark's exact decimal rounding (the entropy queries can afford
+    12 only because their magnitudes are ~1);
+    the global top-50 is orderBy+limit — only 50 rows ever sort on one
+    node. Word scores are corpus-global, so equal phrase TEXT implies
+    equal score and the (phrase, score) rollup is well-defined."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.lower("w").alias("w"),
+    )
+    stoplist = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+    flagged = toks.withColumn(
+        "stop", F.when(F.col("w").isin(stoplist), 1).otherwise(0)
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = flagged.withColumn(
+        "phrase_id", F.sum("stop").over(wseg)
+    ).filter(F.col("stop") == 0)
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    wstat = (
+        members.join(plen, on=["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+    )
+    scored = (
+        members.join(wstat, on="w")
+        .withColumn("wscore", F.col("deg").cast("double") / F.col("freq"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("wscore")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    agg = scored.groupBy("phrase", "score").agg(
+        F.count(F.lit(1)).alias("n_occur")
+    )
+    top = agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(50)
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "phrase", "score", "n_occur"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7840,6 +7978,7 @@ _DRIVER_WINDOW = [
     "dedup_fuzzy_clusters",
     "stats_gini_by_nation",
     "curation_dp_noisy_counts",
+    "text_rake_keywords",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

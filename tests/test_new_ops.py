@@ -371,3 +371,43 @@ def test_dp_noisy_counts_mechanism(spark, sf_oracle):
         assert 0 < abs(x) < 25          # b=1 inverse CDF of (0,0.5) range
     again = curation_dp_noisy_counts(spark, sf_oracle).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rake_matches_python_reference(spark, sf_small):
+    """Full RAKE recomputed in pure Python on the small corpus — word
+    deg/freq over stopword-cut phrases, summed smallest-first like the
+    engine fold."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import text_rake_keywords
+    from report_worker_spark.plans.tables import load
+
+    stop = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+    docs = load(spark, sf_small, "documents").select("text").collect()
+    phrases = []
+    for (text,) in docs:
+        cur = []
+        for w in text.strip().split():
+            w = w.lower()
+            if w in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, deg = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    scored = defaultdict(int)
+    for p in phrases:
+        s = round(sum(sorted(deg[w] / freq[w] for w in p)), 6)
+        scored[(" ".join(p), s)] += 1
+    want = sorted(scored.items(), key=lambda kv: (-kv[0][1], kv[0][0]))[:50]
+    got = text_rake_keywords(spark, sf_small).collect()
+    assert [(r.phrase, r.score, r.n_occur) for r in got] == [
+        (p, s, n) for (p, s), n in want
+    ]
