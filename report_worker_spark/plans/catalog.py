@@ -7867,6 +7867,107 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (
+      SELECT src AS n, dst AS x FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x
+    ),
+    cand AS (
+      SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
+      GROUP BY l.x, r.x
+      HAVING count(*) >= 2
+    ),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
+      )
+    ),
+    scored AS (
+      SELECT n.a, n.b, n.n_common,
+             da.d + db.d - n.n_common AS n_union
+      FROM nonadj n
+      JOIN deg da ON da.v = n.a
+      JOIN deg db ON db.v = n.b
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY n_common * 1000000 // n_union DESC, a, b) AS INT)
+             AS rank,
+           a, b, n_common, n_union,
+           CAST(n_common * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+    FROM scored
+    ORDER BY jaccard_ppm DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: |Γa∩Γb| / |Γa∪Γb| for
+    non-adjacent pairs, ranked ENTIRELY in integer arithmetic — the
+    similarity is kept as parts-per-million via integer division
+    (n_common·10⁶ div n_union), so unlike the Adamic-Adar ln fold
+    there is no float discipline at all; ranking ties break on (a, b).
+    Same apex wedge join as common_neighbors plus two dim-sized degree
+    joins."""
+    edges = gr.undirected_edges(_cooccur_edges(spark, sf))
+    adj = edges.select(
+        F.col("src").alias("n"), F.col("dst").alias("x")
+    ).unionAll(edges.select(F.col("dst").alias("n"), F.col("src").alias("x")))
+    deg = adj.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    left = adj.select("n", F.col("x").alias("a"))
+    right = adj.select(
+        (F.col("n") + F.lit(0)).alias("n"), F.coalesce(F.col("x")).alias("b")
+    )
+    cand = (
+        left.join(right, on="n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            on=["a", "b"],
+            how="left_anti",
+        )
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    scored = (
+        cand.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("da") + F.col("db") - F.col("n_common")).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("n_common * 1000000 DIV n_union").cast("long"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("jaccard_ppm").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "a",
+        "b",
+        "n_common",
+        "n_union",
+        "jaccard_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -7979,6 +8080,7 @@ _DRIVER_WINDOW = [
     "stats_gini_by_nation",
     "curation_dp_noisy_counts",
     "text_rake_keywords",
+    "graph_jaccard_neighbors",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

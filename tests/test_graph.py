@@ -130,3 +130,23 @@ def test_adamic_adar_hand_graph(spark):
     # (2,5) shares only hub 1 → pure hub-discounted score
     assert abs(more[(2, 5)] - 1 / math.log(3)) < 1e-9
     assert more[(5, 7)] > more[(2, 5)]
+
+
+def test_jaccard_neighbors_hand_graph(spark):
+    """Triangle 1-2-3 plus 1-4, 2-4: candidate (3,4) has Γ3={1,2},
+    Γ4={1,2} → jaccard 2/2 = 1.0 exactly (1_000_000 ppm)."""
+    e = gr.undirected_edges(
+        _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    )
+    adj = e.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
+        e.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    )
+    deg = adj.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    got = {
+        (r.v): r.d for r in deg.collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 2, 4: 2}
+    cn = gr.common_neighbors(e, k=10).collect()
+    assert [(r.a, r.b, r.n_common) for r in cn] == [(3, 4, 2)]
+    # union = deg(3) + deg(4) - common = 2 + 2 - 2 = 2 → ppm = 10⁶
+    assert (cn[0].n_common * 1_000_000) // (got[3] + got[4] - cn[0].n_common) == 1_000_000
