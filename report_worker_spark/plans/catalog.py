@@ -7968,6 +7968,94 @@ def graph_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH rows_ AS (
+      SELECT user_id, gs.h AS h,
+             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket
+      FROM events, unnest(range(0, 4)) AS gs(h)
+    ),
+    sketch AS (
+      SELECT h, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM rows_ GROUP BY h, bucket
+    ),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, true_cnt FROM truth
+      ORDER BY true_cnt DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_cnt, gs.h AS h,
+             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                                      || CAST(t.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket
+      FROM top t, unnest(range(0, 4)) AS gs(h)
+    )
+    SELECT p.user_id, p.true_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN sketch s ON s.h = p.h AND s.bucket = p.bucket
+    GROUP BY p.user_id, p.true_cnt
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built
+    END-TO-END in the engine: depth 4 × width 256, hash rows from the
+    md5 device, the sketch itself one map-combinable groupBy (so it
+    merges across partitions/batches for free — the property HLL gets
+    from engine internals, here held in plain rows), and the point
+    query min-over-rows for the 20 heaviest keys next to their true
+    counts. Everything is integer arithmetic on a deterministic hash,
+    so unlike `agg_approx_distinct` the APPROXIMATE structure is fully
+    hash-verifiable cross-engine; the CMS overestimate guarantee
+    (estimate ≥ truth) is pinned by test."""
+    e = load(spark, sf, "events").select("user_id")
+    hcols = [
+        F.struct(
+            F.lit(i).alias("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    rows = e.select(
+        "user_id", F.explode(F.array(*hcols)).alias("hb")
+    ).select("user_id", F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
+    sketch = rows.groupBy("h", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = truth.orderBy(
+        F.col("true_cnt").desc(), F.col("user_id").asc()
+    ).limit(20)
+    probes = top.select(
+        "user_id", "true_cnt", F.explode(F.array(*hcols)).alias("hb")
+    ).select("user_id", "true_cnt", F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), on=["h", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8081,6 +8169,7 @@ _DRIVER_WINDOW = [
     "curation_dp_noisy_counts",
     "text_rake_keywords",
     "graph_jaccard_neighbors",
+    "agg_countmin_sketch",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

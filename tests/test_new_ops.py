@@ -411,3 +411,17 @@ def test_rake_matches_python_reference(spark, sf_small):
     assert [(r.phrase, r.score, r.n_occur) for r in got] == [
         (p, s, n) for (p, s), n in want
     ]
+
+
+def test_countmin_overestimate_guarantee(spark, sf_oracle):
+    """CMS point estimates must never undercount (min over d rows each
+    ≥ the key's true contribution) and must be exact when no bucket
+    collision occurs across all four hash rows."""
+    from report_worker_spark.plans.catalog import agg_countmin_sketch
+
+    rows = agg_countmin_sketch(spark, sf_oracle).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_estimate >= r.true_cnt, r
+    # width 256 vs ~200 users at sf0.01: some row should be exact
+    assert any(r.cms_estimate == r.true_cnt for r in rows)
