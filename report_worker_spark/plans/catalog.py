@@ -8056,6 +8056,104 @@ def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "audit_bloom_membership",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    bloom AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM seen, unnest(range(0, 4)) AS gs(h)
+    ),
+    hits AS (
+      SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM (SELECT user_id,
+                   CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1024 AS bucket
+            FROM probes, unnest(range(0, 4)) AS gs(h)) p
+      JOIN bloom b ON b.bucket = p.bucket
+      GROUP BY p.user_id
+    )
+    SELECT p.user_id,
+           COALESCE(h.n_hit, 0) = 4 AS claimed,
+           s.user_id IS NOT NULL AS truly_seen
+    FROM probes p
+    LEFT JOIN hits h ON h.user_id = p.user_id
+    LEFT JOIN seen s ON s.user_id = p.user_id
+    """,
+)
+def audit_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 1024-bit / 4-hash Bloom
+    set over first-half users (the filter is just DISTINCT bucket
+    rows — a set small enough to broadcast, mergeable by UNION), probe
+    every second-half user, and emit claimed vs truth so the false-
+    positive rate is measurable. This is the pre-filter a 100 TB
+    pipeline ships to the scan side before an expensive membership
+    join (the runtime bloom-join pin in test_scale_plans is the
+    engine-internal version; this one is portable state you can
+    persist between runs). md5 device hashing keeps the approximate
+    structure itself hash-verifiable; no-false-negative is pinned by
+    test."""
+    e = load(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    seen = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    probes = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+
+    def buckets(df: DataFrame) -> DataFrame:
+        hcols = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1024
+            )
+            for i in range(4)
+        ]
+        return df.select(
+            "user_id", F.explode(F.array(*hcols)).alias("bucket")
+        )
+
+    bloom = buckets(seen).select("bucket").distinct()
+    hits = (
+        buckets(probes)
+        .join(F.broadcast(bloom), on="bucket")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        probes.join(hits, on="user_id", how="left")
+        .join(
+            seen.withColumn("_seen", F.lit(True)), on="user_id", how="left"
+        )
+        .select(
+            "user_id",
+            (F.coalesce("n_hit", F.lit(0)) == 4).alias("claimed"),
+            F.coalesce("_seen", F.lit(False)).alias("truly_seen"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8170,6 +8268,7 @@ _DRIVER_WINDOW = [
     "text_rake_keywords",
     "graph_jaccard_neighbors",
     "agg_countmin_sketch",
+    "audit_bloom_membership",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

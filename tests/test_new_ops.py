@@ -425,3 +425,20 @@ def test_countmin_overestimate_guarantee(spark, sf_oracle):
         assert r.cms_estimate >= r.true_cnt, r
     # width 256 vs ~200 users at sf0.01: some row should be exact
     assert any(r.cms_estimate == r.true_cnt for r in rows)
+
+
+def test_bloom_membership_no_false_negatives(spark, sf_oracle):
+    """A Bloom filter may overclaim, never underclaim: every truly-seen
+    probe user must be claimed; the false-positive rate at 1024 bits /
+    4 hashes must stay well under half of the true negatives."""
+    from report_worker_spark.plans.catalog import audit_bloom_membership
+
+    rows = audit_bloom_membership(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        if r.truly_seen:
+            assert r.claimed, r
+    negatives = [r for r in rows if not r.truly_seen]
+    if negatives:
+        fp = sum(1 for r in negatives if r.claimed)
+        assert fp <= len(negatives) / 2
