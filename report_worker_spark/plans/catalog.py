@@ -8243,12 +8243,15 @@ _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
     # positions 51+: the round-7 staging. Hash-paired round-6 additions
     # lead (they rotate into the r7 window first — the 7 early-round
-    # ops, then the 6 late-round ones: Adamic-Adar, WAV signal
+    # ops, then the 13 late-round ones: Adamic-Adar, WAV signal
     # features, Benford, Pareto frontier, token-budget sampling,
-    # seasonal decomposition), then the last 4 never-driver-checked
-    # entries, all honestly rows-only (float-eigh projections and HLL
-    # sketch internals admit no bit-stable SQL twin; their
-    # determinism/parity tests are the verification of record).
+    # seasonal decomposition, fuzzy record-linkage clusters, Gini
+    # concentration, DP noisy counts, RAKE keywords, neighborhood
+    # Jaccard, Count-Min sketch, Bloom membership), then the last 4
+    # never-driver-checked entries, all honestly rows-only (float-eigh
+    # projections and HLL sketch internals admit no bit-stable SQL
+    # twin; their determinism/parity tests are the verification of
+    # record).
     "mv_incremental_update",
     "graph_common_neighbors",
     "ts_cusum_changepoint",
