@@ -791,6 +791,52 @@ def wav_sample_stats(
     )
 
 
+def png_ahash(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Perceptual average-hash (aHash) from the REAL PNG decode — the
+    near-duplicate image fingerprint (Hamming distance between hashes ≈
+    visual distance): brightness-sum each pixel, nearest-neighbor
+    sample an 8×8 grid (the resize_png floor mapping), and set bit p
+    iff sample·64 > Σ samples — the strict integer form of
+    "above average", so the whole hash is exact integer arithmetic.
+    Emitted as two 32-bit halves (``ahash_hi``/``ahash_lo``) to stay
+    inside signed BIGINT on every engine. Same Arrow kernel shape and
+    per-item quarantine as png_pixel_stats."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+        c, w, h = d["channels"], d["width"], d["height"]
+        img = px.reshape(h, w, c)
+        g = img[:, :, :3].sum(axis=2) if c >= 3 else img[:, :, 0]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        s = g[np.ix_(ys, xs)].reshape(-1)  # row-major p = y*8 + x
+        total = int(s.sum())
+        bits = (s * 64) > total
+        lo = sum(int(bits[p]) << p for p in range(32))
+        hi = sum(int(bits[p]) << (p - 32) for p in range(32, 64))
+        return {
+            "width": w,
+            "height": h,
+            "ahash_hi": hi,
+            "ahash_lo": lo,
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "width int, height int, ahash_hi long, ahash_lo long",
+        ),
+        with_quarantine,
+    )
+
+
 def wav_signal_features(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:

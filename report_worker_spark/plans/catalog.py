@@ -8154,6 +8154,70 @@ def audit_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_ahash",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (
+      SELECT media_id, w, h, unnest(range(0, 192)) AS p
+      FROM img
+    ),
+    mapped AS (
+      SELECT media_id, w, h, CAST(p // 3 AS BIGINT) AS px,
+             ((((p // 24) * h) // 8) * w + ((((p % 24) // 3) * w) // 8)) * 3
+               + (p % 3) AS gi
+      FROM grid
+    ),
+    bytes AS (
+      SELECT media_id, w, h, px, CAST(gi % 16 AS BIGINT) AS j,
+             md5(CAST(media_id AS VARCHAR) || ':'
+                 || CAST(gi // 16 AS VARCHAR)) AS hx
+      FROM mapped
+    ),
+    g3 AS (
+      SELECT media_id, any_value(w) AS w, any_value(h) AS h, px,
+             CAST(sum({_PNG_KS_BYTE}) AS BIGINT) AS v
+      FROM bytes GROUP BY media_id, px
+    ),
+    tot AS (
+      SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM g3
+      GROUP BY media_id
+    ),
+    bits AS (
+      SELECT g3.media_id, g3.w, g3.h, g3.px,
+             CASE WHEN g3.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+      FROM g3 JOIN tot t ON t.media_id = g3.media_id
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(CASE WHEN px >= 32 THEN
+                 bit * (CAST(1 AS BIGINT) << CAST(px - 32 AS INT))
+                 ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN px < 32 THEN
+                 bit * (CAST(1 AS BIGINT) << CAST(px AS INT))
+                 ELSE 0 END) AS BIGINT) AS ahash_lo
+    FROM bits GROUP BY media_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual average-hash through the REAL decode path
+    (multimodal.py:png_ahash): the image near-dup fingerprint, exact
+    because "above average" is the integer comparison sample·64 >
+    total. The oracle recomputes, for each of the 64 grid cells, the
+    exact source keystream bytes the nearest-neighbor sample must
+    read (the resize_pixels mapping), the brightness sums, and both
+    hash halves — a decoder, mapping, or threshold bug flips bits."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    return mm.png_ahash(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8272,6 +8336,7 @@ _DRIVER_WINDOW = [
     "graph_jaccard_neighbors",
     "agg_countmin_sketch",
     "audit_bloom_membership",
+    "multimodal_image_ahash",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -284,3 +284,36 @@ def test_wav_signal_features_quarantine(spark):
     q = {r.media_id: r.ok for r in
          mm.wav_signal_features(media, with_quarantine=True).collect()}
     assert q == {1: True, 2: False}
+
+
+def test_png_ahash_perceptual_properties(spark):
+    """aHash laws: deterministic per image; a half-dark/half-bright
+    image hashes to exactly the bright half's bits; one slightly
+    perturbed pixel moves the hash by at most a few bits (the
+    near-dup property the fingerprint exists for)."""
+    import numpy as np
+
+    w = h = 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200                      # right half bright
+    base = mm.encode_png(bytes(img.reshape(-1)), w, h, 3)
+    near = img.copy()
+    near[3, 3, 0] = 40                       # tiny local change
+    pert = mm.encode_png(bytes(near.reshape(-1)), w, h, 3)
+    media = spark.createDataFrame(
+        [(1, base), (2, base), (3, pert)], "media_id long, content binary"
+    )
+    got = {r.media_id: r for r in mm.png_ahash(media).collect()}
+    a, b, c = got[1], got[2], got[3]
+    assert (a.ahash_hi, a.ahash_lo) == (b.ahash_hi, b.ahash_lo)
+    # right half of each 8-pixel row set → bits p where p%8 >= 4
+    expect_bits = {p for p in range(64) if p % 8 >= 4}
+    bits = {
+        p for p in range(64)
+        if ((a.ahash_hi >> (p - 32)) if p >= 32 else (a.ahash_lo >> p)) & 1
+    }
+    assert bits == expect_bits
+    ham = bin(
+        (a.ahash_hi ^ c.ahash_hi) << 32 | (a.ahash_lo ^ c.ahash_lo)
+    ).count("1")
+    assert ham <= 2
