@@ -8218,6 +8218,158 @@ def multimodal_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
     return mm.png_ahash(media)
 
 
+@query(
+    "curation_span_corruption",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, t[CAST(gs.pos AS INT)] AS w,
+             CAST(gs.pos AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(gs.pos AS VARCHAR) || ':mask'), 1, 8))
+                  AS BIGINT) % 100 < 15 AS masked
+      FROM d, unnest(range(1, len(t) + 1)) AS gs(pos)
+    ),
+    runs AS (
+      SELECT doc_id, w, pos,
+             pos - row_number() OVER (PARTITION BY doc_id, masked
+                                      ORDER BY pos) AS grp
+      FROM toks WHERE masked
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(pos) AS span_start,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY min(pos)) - 1 AS BIGINT) AS k
+      FROM runs GROUP BY doc_id, grp
+    ),
+    pieces AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN NOT t.masked THEN t.w
+                  WHEN t.pos = s.span_start
+                    THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '>'
+                  ELSE NULL END AS piece,
+             CASE WHEN t.masked THEN
+               CASE WHEN t.pos = s.span_start
+                 THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '> ' || t.w
+                 ELSE t.w END
+             ELSE NULL END AS tgt
+      FROM toks t
+      LEFT JOIN runs r ON r.doc_id = t.doc_id AND r.pos = t.pos
+      LEFT JOIN spans s ON s.doc_id = r.doc_id AND s.grp = r.grp
+    )
+    SELECT doc_id,
+           CAST(count(tgt) AS BIGINT) AS n_masked,
+           COALESCE(string_agg(piece, ' ' ORDER BY pos), '') AS corrupted,
+           COALESCE(string_agg(tgt, ' ' ORDER BY pos), '') AS target
+    FROM pieces GROUP BY doc_id
+    """,
+)
+def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): ~15% of token
+    positions mask deterministically (md5 device per (doc, pos));
+    consecutive masked runs collapse to one ``<extra_id_k>`` sentinel
+    in the corrupted input, and the target lists each sentinel with
+    its hidden tokens — the (input, target) pair a denoising LM
+    pretrains on.
+
+    Scale shape: one posexplode + three doc-partitioned windows (the
+    gaps-and-islands run grouping and the per-doc sentinel numbering
+    ride the same doc shuffle) + one groupBy reassembly via sorted
+    struct fold — identical to the boilerplate-removal reassembly; no
+    corpus-wide state anywhere."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w"
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                    F.lit(":mask"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = toks.withColumn("masked", (u32 % 100) < 15)
+    wrun = Window.partitionBy("doc_id", "masked").orderBy("pos")
+    runs = toks.filter("masked").withColumn(
+        "grp", F.col("pos") - F.row_number().over(wrun)
+    )
+    wk = Window.partitionBy("doc_id").orderBy("span_start")
+    spans = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("span_start"))
+        .withColumn("k", (F.row_number().over(wk) - 1).cast("long"))
+    )
+    pieces = (
+        toks.join(
+            runs.select("doc_id", "pos", "grp"), on=["doc_id", "pos"],
+            how="left",
+        )
+        .join(spans, on=["doc_id", "grp"], how="left")
+        .select(
+            "doc_id",
+            "pos",
+            F.when(~F.col("masked"), F.col("w"))
+            .when(
+                F.col("pos") == F.col("span_start"),
+                F.concat(
+                    F.lit("<extra_id_"),
+                    F.col("k").cast("string"),
+                    F.lit(">"),
+                ),
+            )
+            .alias("piece"),
+            F.when(
+                F.col("masked"),
+                F.when(
+                    F.col("pos") == F.col("span_start"),
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        F.col("k").cast("string"),
+                        F.lit("> "),
+                        F.col("w"),
+                    ),
+                ).otherwise(F.col("w")),
+            ).alias("tgt"),
+        )
+    )
+
+    def assemble(col: str) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col(col).alias("v")))
+                    ),
+                    lambda s: s["v"],
+                ),
+                lambda v: v.isNotNull(),
+            ),
+        )
+
+    return pieces.groupBy("doc_id").agg(
+        F.count("tgt").alias("n_masked"),
+        assemble("piece").alias("corrupted"),
+        assemble("tgt").alias("target"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8337,6 +8489,7 @@ _DRIVER_WINDOW = [
     "agg_countmin_sketch",
     "audit_bloom_membership",
     "multimodal_image_ahash",
+    "curation_span_corruption",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

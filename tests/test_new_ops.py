@@ -442,3 +442,38 @@ def test_bloom_membership_no_false_negatives(spark, sf_oracle):
     if negatives:
         fp = sum(1 for r in negatives if r.claimed)
         assert fp <= len(negatives) / 2
+
+
+def test_span_corruption_reconstructs(spark, sf_oracle):
+    """Denoising invariant: substituting each target span back into
+    its sentinel slot reconstructs the original token stream exactly,
+    for every document."""
+    import re
+
+    from report_worker_spark.plans.catalog import curation_span_corruption
+    from report_worker_spark.plans.tables import load
+
+    out = {
+        r.doc_id: r
+        for r in curation_span_corruption(spark, sf_oracle).collect()
+    }
+    docs = dict(
+        load(spark, sf_oracle, "documents").select("doc_id", "text").collect()
+    )
+    assert set(out) == set(docs)
+    n_with_masks = 0
+    for did, r in out.items():
+        spans = {}
+        # parse target: "<extra_id_0> tok tok <extra_id_1> tok ..."
+        if r.target:
+            n_with_masks += 1
+            chunks = re.split(r"<extra_id_(\d+)>", r.target)
+            it = iter(chunks[1:])
+            for k, toks_str in zip(it, it):
+                spans[int(k)] = toks_str.strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r.corrupted
+        )
+        assert rebuilt.split() == docs[did].strip().split(), did
+        assert r.n_masked == sum(len(v.split()) for v in spans.values())
+    assert n_with_masks > len(out) * 0.8   # ~15% rate masks most docs
