@@ -8370,6 +8370,104 @@ def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_ab_test_proportions",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 8)) AS BIGINT) % 2 AS variant,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY variant
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS p0,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                ELSE round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 12) END AS z_score
+    FROM w
+    """,
+)
+def stats_ab_test_proportions(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split (md5
+    device as the bucketing hash an experiment platform would use) —
+    the A/B readout every event pipeline serves. Per-user conversion
+    collapses first (one map-combinable groupBy — users, not events,
+    enter the test), arms pivot to one row, and the z statistic is a
+    handful of float ops on exact integers, rounded at 12 (sqrt ULP).
+    The null split should land |z| ≈ 0-2 — an excursion flags a broken
+    bucketing hash."""
+    e = load(spark, sf, "events")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_purch = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    n_view = F.sum(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    )
+    assign = e.groupBy("user_id").agg(
+        F.when(n_purch > n_view, 1).otherwise(0).cast("long").alias(
+            "converted"
+        ),
+    ).withColumn("variant", u32 % 2)
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p0 - p1) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    degenerate = (
+        (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1"))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("p0"), p1.alias("p1"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 12))
+        .alias("z_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8490,6 +8588,7 @@ _DRIVER_WINDOW = [
     "audit_bloom_membership",
     "multimodal_image_ahash",
     "curation_span_corruption",
+    "stats_ab_test_proportions",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -477,3 +477,18 @@ def test_span_corruption_reconstructs(spark, sf_oracle):
         assert rebuilt.split() == docs[did].strip().split(), did
         assert r.n_masked == sum(len(v.split()) for v in spans.values())
     assert n_with_masks > len(out) * 0.8   # ~15% rate masks most docs
+
+
+def test_ab_test_null_split_sane(spark, sf_oracle):
+    """The md5 bucketing is a NULL split (no real treatment), so the
+    z-score must exist (non-degenerate conversion mix) and sit inside
+    |z| < 4; arm sizes must be within a plausible 50/50 band."""
+    from report_worker_spark.plans.catalog import stats_ab_test_proportions
+
+    r = stats_ab_test_proportions(spark, sf_oracle).collect()[0]
+    assert r.n0 > 0 and r.n1 > 0
+    assert 0 < r.c0 + r.c1 < r.n0 + r.n1    # mixed conversions
+    assert r.z_score is not None
+    assert abs(r.z_score) < 4.0
+    total = r.n0 + r.n1
+    assert abs(r.n0 - total / 2) < total * 0.25
