@@ -8468,6 +8468,69 @@ def stats_ab_test_proportions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_burst_episodes",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM daily
+    ),
+    burst AS (
+      SELECT d, c FROM daily, m WHERE 20 * c * n > 21 * s
+    ),
+    isl AS (
+      SELECT d, c,
+             date_diff('day', DATE '2024-01-01', d)
+               - row_number() OVER (ORDER BY d) AS grp
+      FROM burst
+    )
+    SELECT CAST(min(d) AS VARCHAR) AS episode_start,
+           CAST(max(d) AS VARCHAR) AS episode_end,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(c) AS BIGINT) AS peak,
+           CAST(sum(c) AS BIGINT) AS total_events
+    FROM isl GROUP BY grp
+    """,
+)
+def ts_burst_episodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst detection on the daily event series: a day bursts when
+    its count exceeds 1.05× the global daily mean (the driver series
+    is near-uniform; a real deployment tunes the ratio) — kept as the
+    INTEGER cross-multiplication 20·c·n > 21·Σc, so the threshold never
+    touches a float — and consecutive burst days merge into episodes
+    via gaps-and-islands. The incident-window detector behind every
+    alerting dashboard. The only unpartitioned window orders the
+    (small, filtered) burst-day set — |days|-bounded like every daily
+    rollup here."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    burst = daily.crossJoin(F.broadcast(m)).filter(
+        20 * F.col("c") * F.col("n") > 21 * F.col("s")
+    )
+    wb = Window.orderBy("d")
+    isl = burst.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(wb),
+    )
+    return isl.groupBy("grp").agg(
+        F.min("d").cast("string").alias("episode_start"),
+        F.max("d").cast("string").alias("episode_end"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("c").alias("peak"),
+        F.sum("c").alias("total_events"),
+    ).drop("grp")
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8589,6 +8652,7 @@ _DRIVER_WINDOW = [
     "multimodal_image_ahash",
     "curation_span_corruption",
     "stats_ab_test_proportions",
+    "ts_burst_episodes",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -492,3 +492,29 @@ def test_ab_test_null_split_sane(spark, sf_oracle):
     assert abs(r.z_score) < 4.0
     total = r.n0 + r.n1
     assert abs(r.n0 - total / 2) < total * 0.25
+
+
+def test_burst_episodes_islands_law(spark, sf_oracle):
+    """Episodes must partition the burst-day set into maximal
+    consecutive runs: non-empty, non-overlapping, peak ≥ per-day
+    threshold, and adjacent episodes separated by ≥1 quiet day."""
+    from datetime import date, timedelta
+
+    from report_worker_spark.plans.catalog import ts_burst_episodes
+
+    rows = sorted(
+        ts_burst_episodes(spark, sf_oracle).collect(),
+        key=lambda r: r.episode_start,
+    )
+    assert rows
+    for r in rows:
+        start = date.fromisoformat(r.episode_start)
+        end = date.fromisoformat(r.episode_end)
+        assert (end - start).days + 1 == r.n_days
+        assert r.peak <= r.total_events
+    for a, b in zip(rows, rows[1:]):
+        gap = (
+            date.fromisoformat(b.episode_start)
+            - date.fromisoformat(a.episode_end)
+        ).days
+        assert gap >= 2  # at least one quiet day between episodes
