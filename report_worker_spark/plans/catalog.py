@@ -8531,6 +8531,65 @@ def ts_burst_episodes(spark: SparkSession, sf: str) -> DataFrame:
     ).drop("grp")
 
 
+@query(
+    "stats_exact_median_twopass",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+    FROM v
+    """,
+)
+def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT global median (lower median, k = (n−1)//2 zero-indexed)
+    of the fact's price column WITHOUT a global sort — the selection
+    device that survives 100 TB:
+
+    - pass 1: integer-cents histogram on $100 buckets (map-combinable
+      groupBy, dim-sized) + a cumulative walk over the sorted bucket
+      table (the only single-partition step, |buckets| rows) locates
+      the bucket containing the k-th value and how many values precede
+      it;
+    - pass 2: re-scan ONLY that bucket's rows (pushdown-friendly
+      range filter) and take the (k − preceding)-th smallest with
+      orderBy+limit — a sort over one bucket's population, never the
+      table.
+
+    The oracle does the naive ORDER BY … OFFSET k; hash parity proves
+    the decomposition selects the identical element."""
+    li = load(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    buckets = (
+        li.withColumn("bkt", F.expr("cents DIV 10000"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = buckets.select(
+        "bkt",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("before"),
+    )
+    n_total = li.count()
+    k = (n_total - 1) // 2  # zero-indexed lower median
+    target = cum.filter(
+        (F.col("before") <= k) & (k < F.col("before") + F.col("cnt"))
+    ).collect()[0]
+    in_bucket = li.filter(F.expr("cents DIV 10000") == target["bkt"])
+    median = (
+        in_bucket.orderBy("cents")
+        .limit(int(k - target["before"]) + 1)
+        .agg(F.max("cents").alias("median_cents"))
+    )
+    return median.select(
+        F.lit(n_total).cast("long").alias("n"), "median_cents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8653,6 +8712,7 @@ _DRIVER_WINDOW = [
     "curation_span_corruption",
     "stats_ab_test_proportions",
     "ts_burst_episodes",
+    "stats_exact_median_twopass",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -518,3 +518,20 @@ def test_burst_episodes_islands_law(spark, sf_oracle):
             - date.fromisoformat(a.episode_end)
         ).days
         assert gap >= 2  # at least one quiet day between episodes
+
+
+def test_exact_median_twopass_matches_sort(spark, sf_small):
+    """The two-pass selection must return exactly the (n-1)//2-th
+    element of the fully sorted column."""
+    from report_worker_spark.plans.catalog import stats_exact_median_twopass
+    from report_worker_spark.plans.tables import load
+
+    cents = sorted(
+        round(r.l_extendedprice * 100)
+        for r in load(spark, sf_small, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    r = stats_exact_median_twopass(spark, sf_small).collect()[0]
+    assert r.n == len(cents)
+    assert r.median_cents == cents[(len(cents) - 1) // 2]
