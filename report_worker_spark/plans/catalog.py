@@ -8275,11 +8275,15 @@ def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
     its hidden tokens — the (input, target) pair a denoising LM
     pretrains on.
 
-    Scale shape: one posexplode + three doc-partitioned windows (the
-    gaps-and-islands run grouping and the per-doc sentinel numbering
-    ride the same doc shuffle) + one groupBy reassembly via sorted
-    struct fold — identical to the boilerplate-removal reassembly; no
-    corpus-wide state anywhere."""
+    Scale shape: one posexplode, then EVERYTHING is windows keyed by
+    doc_id (run grouping, span starts, sentinel numbering — computed
+    join-free: the masked-only row_number is a conditional cumulative
+    sum over ALL tokens, the island key pos − that sum, the sentinel
+    index a dense_rank over islands), so Catalyst plans ONE corpus
+    shuffle on doc_id and sorts within it; the reassembly groupBy
+    rides the same partitioning. No self-joins — the first cut of
+    this operator joined toks×runs×spans and paid 4 corpus-token
+    shuffles for the same answer (plan-pinned in test_scale_plans)."""
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
@@ -8305,48 +8309,57 @@ def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
         10,
     ).cast("long")
     toks = toks.withColumn("masked", (u32 % 100) < 15)
-    wrun = Window.partitionBy("doc_id", "masked").orderBy("pos")
-    runs = toks.filter("masked").withColumn(
-        "grp", F.col("pos") - F.row_number().over(wrun)
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wk = Window.partitionBy("doc_id").orderBy("span_start")
-    spans = (
-        runs.groupBy("doc_id", "grp")
-        .agg(F.min("pos").alias("span_start"))
-        .withColumn("k", (F.row_number().over(wk) - 1).cast("long"))
+    # masked-only row_number as a conditional running count → island
+    # key, with NO filter/self-join (unmasked rows carry null grp)
+    toks = toks.withColumn(
+        "grp",
+        F.when(
+            F.col("masked"),
+            F.col("pos")
+            - F.sum(F.col("masked").cast("long")).over(wdoc),
+        ),
     )
-    pieces = (
-        toks.join(
-            runs.select("doc_id", "pos", "grp"), on=["doc_id", "pos"],
-            how="left",
+    wspan = Window.partitionBy("doc_id", "grp")
+    toks = toks.withColumn(
+        "span_start", F.when(F.col("masked"), F.min("pos").over(wspan))
+    )
+    # sentinel index: dense_rank of the island within the doc's masked
+    # rows (grp is monotone in pos, so rank order == span order)
+    wrank = Window.partitionBy("doc_id", "masked").orderBy("grp")
+    toks = toks.withColumn(
+        "k",
+        F.when(F.col("masked"), F.dense_rank().over(wrank) - 1).cast(
+            "long"
+        ),
+    )
+    pieces = toks.select(
+        "doc_id",
+        "pos",
+        F.when(~F.col("masked"), F.col("w"))
+        .when(
+            F.col("pos") == F.col("span_start"),
+            F.concat(
+                F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+            ),
         )
-        .join(spans, on=["doc_id", "grp"], how="left")
-        .select(
-            "doc_id",
-            "pos",
-            F.when(~F.col("masked"), F.col("w"))
-            .when(
+        .alias("piece"),
+        F.when(
+            F.col("masked"),
+            F.when(
                 F.col("pos") == F.col("span_start"),
                 F.concat(
                     F.lit("<extra_id_"),
                     F.col("k").cast("string"),
-                    F.lit(">"),
+                    F.lit("> "),
+                    F.col("w"),
                 ),
-            )
-            .alias("piece"),
-            F.when(
-                F.col("masked"),
-                F.when(
-                    F.col("pos") == F.col("span_start"),
-                    F.concat(
-                        F.lit("<extra_id_"),
-                        F.col("k").cast("string"),
-                        F.lit("> "),
-                        F.col("w"),
-                    ),
-                ).otherwise(F.col("w")),
-            ).alias("tgt"),
-        )
+            ).otherwise(F.col("w")),
+        ).alias("tgt"),
     )
 
     def assemble(col: str) -> F.Column:

@@ -531,3 +531,18 @@ def test_wav_zero_crossings_single_arrow_pass(spark, sf_oracle):
     plan = plan_of(QUERIES["multimodal_wav_zero_crossings"](spark, sf_oracle))
     assert plan.count("Exchange") <= 2  # spread round-robin + nothing else
     assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_single_doc_shuffle(spark, sf_oracle):
+    """The join-free formulation must plan exactly one hash shuffle
+    (doc_id) besides the spread round-robin — the first cut paid 4
+    corpus-token exchanges through toks×runs×spans self-joins."""
+    import re
+
+    plan = plan_of(
+        QUERIES["curation_span_corruption"](spark, sf_oracle), mode="simple"
+    )
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert kinds.count("hashpartitioning") == 1, kinds
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
