@@ -546,3 +546,35 @@ def test_span_corruption_single_doc_shuffle(spark, sf_oracle):
     assert kinds.count("hashpartitioning") == 1, kinds
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_late_round6_ops_plan_shapes(spark, sf_oracle):
+    """Shape pins for the late round-6 batch: no O(n²) joins anywhere;
+    the Gini rank window carries the nation partition key; CMS/Bloom
+    probe joins build broadcast sides."""
+    import re
+
+    for name in [
+        "text_rake_keywords",
+        "dedup_fuzzy_clusters",
+        "graph_jaccard_neighbors",
+        "curation_dp_noisy_counts",
+        "stats_ab_test_proportions",
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # burst's scalar-mean attach is a 1-row broadcast crossJoin (the
+    # BPE-argmax pattern): BNLJ against one row is O(n), not O(n²)
+    burst = plan_of(QUERIES["ts_burst_episodes"](spark, sf_oracle))
+    assert "CartesianProduct" not in burst
+
+    gini = plan_of(QUERIES["stats_gini_by_nation"](spark, sf_oracle))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", gini.lower())
+    assert any("c_nationkey" in s for s in specs), specs
+
+    for name in ["agg_countmin_sketch", "audit_bloom_membership"]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
