@@ -8603,6 +8603,98 @@ def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    top AS (
+      SELECT w, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
+               AS rnk
+      FROM wc ORDER BY freq DESC, w LIMIT 1000
+    ),
+    xy AS (
+      SELECT round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 12) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
+             list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
+             list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sxy,
+             list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sxx
+      FROM xy
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 vocabulary — the corpus
+    health check (natural text ≈ −1; a slope collapsing toward 0
+    flags template/boilerplate floods, steeper than −1.5 flags
+    degenerate repetition).
+
+    Scale shape: word counts are one map-combinable groupBy; only the
+    TOP-1000 rows (orderBy+limit — k rows, never the vocabulary) see
+    the rank window; the regression is four sorted float folds over
+    1000 terms with the ln inputs pre-rounded at 12 (so the folds sum
+    identical doubles on both engines) and the slope/intercept rounded
+    at 9."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    wc = (
+        d.select(F.explode(tx.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = wc.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(1000)
+    wr = Window.orderBy(F.col("freq").desc(), F.col("w"))
+    xy = top.select(
+        F.round(F.log(F.row_number().over(wr).cast("double")), 12).alias(
+            "x"
+        ),
+        F.round(F.log(F.col("freq").cast("double")), 12).alias("y"),
+    )
+
+    def fold(col: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n",
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation.
 #
@@ -8726,6 +8818,7 @@ _DRIVER_WINDOW = [
     "stats_ab_test_proportions",
     "ts_burst_episodes",
     "stats_exact_median_twopass",
+    "text_zipf_fit",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -535,3 +535,31 @@ def test_exact_median_twopass_matches_sort(spark, sf_small):
     r = stats_exact_median_twopass(spark, sf_small).collect()[0]
     assert r.n == len(cents)
     assert r.median_cents == cents[(len(cents) - 1) // 2]
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_oracle):
+    """Slope/intercept must match an independent numpy least-squares
+    on the same top-1000 rank-frequency points, and the fit must be
+    decreasing (Zipf-ish) on real token data."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import text_zipf_fit
+    from report_worker_spark.plans.tables import load
+
+    freq = Counter()
+    for (text,) in load(spark, sf_oracle, "documents").select("text").collect():
+        freq.update(w for w in text.strip().split() if w)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.array(
+        [round(math.log(i + 1), 12) for i in range(len(top))]
+    )
+    y = np.array([round(math.log(c), 12) for _, c in top])
+    slope, intercept = np.polyfit(x, y, 1)
+    r = text_zipf_fit(spark, sf_oracle).collect()[0]
+    assert r.n == len(top)
+    assert abs(r.zipf_slope - slope) < 1e-6
+    assert abs(r.zipf_intercept - intercept) < 1e-6
+    assert r.zipf_slope < 0
