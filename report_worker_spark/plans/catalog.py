@@ -8603,6 +8603,73 @@ def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int:
+    """The two-pass selection device behind stats_exact_median_twopass,
+    as a reusable scalar: the (n−1)//2-th smallest of an integer column
+    with a bucket histogram + one-bucket re-scan (driver work = one
+    bucket row + one scalar)."""
+    buckets = (
+        values.withColumn("_bkt", F.expr(f"{col} DIV {bucket_width}"))
+        .groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = buckets.select(
+        "_bkt",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).alias("_before"),
+    )
+    n = values.count()
+    k = (n - 1) // 2
+    t = cum.filter(
+        (F.col("_before") <= k) & (k < F.col("_before") + F.col("_cnt"))
+    ).collect()[0]
+    row = (
+        values.filter(F.expr(f"{col} DIV {bucket_width}") == t["_bkt"])
+        .orderBy(col)
+        .limit(int(k - t["_before"]) + 1)
+        .agg(F.max(col).alias("v"))
+        .collect()[0]
+    )
+    return int(row["v"])
+
+
+@query(
+    "stats_mad_robust",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    m AS (SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med FROM v)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           (SELECT med FROM m) AS median_cents,
+           CAST(quantile_disc(abs(cents - (SELECT med FROM m)), 0.5)
+                AS BIGINT) AS mad_cents
+    FROM v
+    """,
+)
+def stats_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation — the outlier-immune dispersion a
+    quality gate trusts where stddev saturates on one bad row: two
+    applications of the two-pass selection device (_select_kth), each
+    a histogram groupBy + a one-bucket re-scan, all integer cents.
+    No global sort at either step; driver traffic is two scalars."""
+    li = load(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    med = _select_kth(li, "cents", 10000)
+    dev = li.select(
+        F.abs(F.col("cents") - F.lit(med)).alias("cents")
+    )
+    mad = _select_kth(dev, "cents", 10000)
+    return li.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.lit(med).cast("long").alias("median_cents"),
+        F.lit(mad).cast("long").alias("mad_cents"),
+    )
+
+
 @query(
     "text_zipf_fit",
     oracle="""
@@ -8819,6 +8886,7 @@ _DRIVER_WINDOW = [
     "ts_burst_episodes",
     "stats_exact_median_twopass",
     "text_zipf_fit",
+    "stats_mad_robust",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -563,3 +563,22 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_oracle):
     assert abs(r.zipf_slope - slope) < 1e-6
     assert abs(r.zipf_intercept - intercept) < 1e-6
     assert r.zipf_slope < 0
+
+
+def test_mad_matches_python_reference(spark, sf_small):
+    """MAD must equal the sorted-list definition: median of absolute
+    deviations from the lower median."""
+    from report_worker_spark.plans.catalog import stats_mad_robust
+    from report_worker_spark.plans.tables import load
+
+    cents = sorted(
+        round(r.l_extendedprice * 100)
+        for r in load(spark, sf_small, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    med = cents[(len(cents) - 1) // 2]
+    devs = sorted(abs(c - med) for c in cents)
+    want_mad = devs[(len(devs) - 1) // 2]
+    r = stats_mad_robust(spark, sf_small).collect()[0]
+    assert (r.n, r.median_cents, r.mad_cents) == (len(cents), med, want_mad)
