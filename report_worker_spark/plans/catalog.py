@@ -8671,6 +8671,52 @@ def stats_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """The MANUAL skew-join remedy, executed and oracle-certified as a
+    pure rewrite: the fact side salts its join key (deterministic
+    l_linenumber % 8), the build side replicates 8× with every salt,
+    and the join runs on (key, salt) — so a pathological hot key's
+    rows spread across 8 reducers instead of one. AQE's skew split
+    (pinned in test_scale_plans) handles post-shuffle skew
+    adaptively; THIS is the pre-planned version a pipeline reaches for
+    when the hot key is known ahead of time (the agg twin is
+    agg_salted_twophase). The oracle is the PLAIN join — hash parity
+    proves salting changes the distribution, never the answer. The 8×
+    build replication is the price; use only on genuinely skewed
+    joins."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).withColumn("_salt", (F.col("l_linenumber") % 8).cast("int"))
+    o = (
+        load(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("_rep", F.col("_rep").cast("int"))
+    )
+    joined = li.hint("shuffle_hash").join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["_salt"] == o["_rep"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@query(
     "text_zipf_fit",
     oracle="""
     WITH wc AS (
@@ -8887,6 +8933,7 @@ _DRIVER_WINDOW = [
     "stats_exact_median_twopass",
     "text_zipf_fit",
     "stats_mad_robust",
+    "join_salted_skew",
     "emb_pca_project",
     "emb_kmeans_cells",
     "agg_approx_distinct",

@@ -578,3 +578,15 @@ def test_late_round6_ops_plan_shapes(spark, sf_oracle):
         plan = plan_of(QUERIES[name](spark, sf_oracle))
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_oracle):
+    """The salted join's exchange must hash on (l_orderkey, _salt) —
+    that's the whole remedy: a hot orderkey spreads over 8 reducers."""
+    import re
+
+    plan = plan_of(QUERIES["join_salted_skew"](spark, sf_oracle))
+    assert re.search(r"hashpartitioning\(l_orderkey[^)]*_salt", plan), plan[
+        :2000
+    ]
+    assert "CartesianProduct" not in plan
