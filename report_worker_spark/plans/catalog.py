@@ -2054,7 +2054,17 @@ def wire_pipeline_staging(spark: SparkSession, sf: str) -> DataFrame:
     with the truncating cast, bounds, SMALLINT clamp + item_bug flag,
     bool casts) bit-for-bit. The final timestamp is compared as a UTC
     string on both sides (p5's proven pattern) to keep the hash
-    engine-portable."""
+    engine-portable.
+
+    Oracle validity domain (found by the r6 all-sf parity sweep): the
+    SQL twin models the v1 resolve as a dim JOIN, which equals the
+    engine's get-or-INSERT only while the seeded dim covers the
+    generator's full 300-name space — true at every driver gate sf
+    (customer ≥ 300 rows, i.e. sf ≥ 0.002). Below that, inserted ids
+    are xxhash64 surrogates (deliberately not SQL-reproducible — the
+    same reason the hash-mode id paths elsewhere are rows-only), so
+    the twin diverges BY DESIGN rather than silently: at sf0.001 the
+    oracle under-counts (1388 vs 2187) instead of fabricating ids."""
     from ..sources import kafka as ksrc
     from ..sources.synthetic import generate_report_json_hashed
     from ..streaming.pipeline import wire_to_staging
