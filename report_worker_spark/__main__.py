@@ -119,7 +119,12 @@ def cmd_list(_args: argparse.Namespace) -> int:
 
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the optimized physical plan for a named query — the
-    surface for auditing pushdown/broadcast/codegen before a run."""
+    surface for auditing pushdown/broadcast/codegen before a run.
+
+    Caveat: driver-selection queries (stats_exact_median_twopass,
+    stats_mad_robust — anything built on _select_kth) execute their
+    selection jobs at DataFrame-construction time, so `explain` on
+    them runs those scans before printing the (final-pass) plan."""
     from .plans import QUERIES
 
     if args.name not in QUERIES:

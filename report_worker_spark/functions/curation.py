@@ -127,9 +127,11 @@ def token_budget_sample(
     of this source" reproducibly, independent of partitioning.
 
     The global prefix sum is computed DISTRIBUTED, never as one
-    corpus-wide ordered window: the md5 order key's first two hex
-    chars shard the corpus into ``shards`` ranges (hex prefix order ==
-    numeric shard order, so per-shard order concatenates to the global
+    corpus-wide ordered window: the md5 order key's first
+    log16(``shards``) hex chars shard the corpus into ``shards``
+    ranges (``shards`` must be a power of 16 so a hex prefix selects
+    them exactly; hex prefix order == numeric shard order, so
+    per-shard order concatenates to the global
     order); the running sum inside each shard rides a partitioned
     window, per-shard totals roll up to a ``shards``-row offset table
     (the only unpartitioned window), and offset + in-shard prefix is
@@ -141,13 +143,24 @@ def token_budget_sample(
     ``cum_tokens`` is the inclusive global running total."""
     from pyspark.sql import Window
 
+    prefix_len = 0
+    s = shards
+    while s > 1 and s % 16 == 0:
+        s //= 16
+        prefix_len += 1
+    if s != 1 or prefix_len == 0:
+        raise ValueError(
+            f"shards must be a positive power of 16, got {shards}"
+        )
+
     r = F.md5(F.col(id_col).cast("string"))
     d = df.select(
         F.col(id_col),
         F.col(weight_col).cast("long").alias(weight_col),
         r.alias("_r"),
     ).withColumn(
-        "_shard", F.conv(F.substring("_r", 1, 2), 16, 10).cast("long")
+        "_shard",
+        F.conv(F.substring("_r", 1, prefix_len), 16, 10).cast("long"),
     )
     win_in = (
         Window.partitionBy("_shard")

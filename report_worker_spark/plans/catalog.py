@@ -8572,40 +8572,47 @@ def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
     device that survives 100 TB:
 
     - pass 1: integer-cents histogram on $100 buckets (map-combinable
-      groupBy, dim-sized) + a cumulative walk over the sorted bucket
-      table (the only single-partition step, |buckets| rows) locates
-      the bucket containing the k-th value and how many values precede
-      it;
+      groupBy, dim-sized) collected to the driver (|buckets| rows,
+      bounded by the price domain / bucket width, NOT by n). n, k, and
+      the target bucket all derive from that one table — no separate
+      count() scan;
     - pass 2: re-scan ONLY that bucket's rows (pushdown-friendly
       range filter) and take the (k − preceding)-th smallest with
       orderBy+limit — a sort over one bucket's population, never the
       table.
 
-    The oracle does the naive ORDER BY … OFFSET k; hash parity proves
-    the decomposition selects the identical element."""
+    NOTE: like every driver-selection query (see _select_kth), this
+    executes Spark jobs at DataFrame-construction time — `explain`
+    on it runs the selection passes before printing a plan.
+
+    The oracle does the naive quantile; hash parity proves the
+    decomposition selects the identical element."""
     li = load(spark, sf, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    buckets = (
-        li.withColumn("bkt", F.expr("cents DIV 10000"))
+    hist = sorted(
+        (r["bkt"], r["cnt"])
+        for r in li.withColumn("bkt", F.expr("cents DIV 10000"))
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    cum = buckets.select(
-        "bkt",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("before"),
-    )
-    n_total = li.count()
+    n_total = sum(c for _, c in hist)
+    if n_total == 0:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("median_cents"),
+        )
     k = (n_total - 1) // 2  # zero-indexed lower median
-    target = cum.filter(
-        (F.col("before") <= k) & (k < F.col("before") + F.col("cnt"))
-    ).collect()[0]
-    in_bucket = li.filter(F.expr("cents DIV 10000") == target["bkt"])
+    before = 0
+    for bkt, cnt in hist:
+        if before + cnt > k:
+            break
+        before += cnt
+    in_bucket = li.filter(F.expr("cents DIV 10000") == bkt)
     median = (
         in_bucket.orderBy("cents")
-        .limit(int(k - target["before"]) + 1)
+        .limit(int(k - before) + 1)
         .agg(F.max("cents").alias("median_cents"))
     )
     return median.select(
@@ -8613,31 +8620,37 @@ def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int:
+def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int | None:
     """The two-pass selection device behind stats_exact_median_twopass,
     as a reusable scalar: the (n−1)//2-th smallest of an integer column
-    with a bucket histogram + one-bucket re-scan (driver work = one
-    bucket row + one scalar)."""
-    buckets = (
-        values.withColumn("_bkt", F.expr(f"{col} DIV {bucket_width}"))
+    with a bucket histogram + one-bucket re-scan. Driver work = the
+    bucket table (bounded by the value domain / bucket width, not n).
+    Two jobs total (histogram collect + one-bucket re-scan); n derives
+    from Σ cnt, so there is no separate count() scan. Returns None on
+    empty input. NOTE: executes Spark jobs when called — callers build
+    DataFrames eagerly (see cmd_explain)."""
+    hist = sorted(
+        (r["_bkt"], r["_cnt"])
+        for r in values.withColumn(
+            "_bkt", F.expr(f"{col} DIV {bucket_width}")
+        )
         .groupBy("_bkt")
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
     )
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    cum = buckets.select(
-        "_bkt",
-        "_cnt",
-        F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).alias("_before"),
-    )
-    n = values.count()
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return None
     k = (n - 1) // 2
-    t = cum.filter(
-        (F.col("_before") <= k) & (k < F.col("_before") + F.col("_cnt"))
-    ).collect()[0]
+    before = 0
+    for bkt, cnt in hist:
+        if before + cnt > k:
+            break
+        before += cnt
     row = (
-        values.filter(F.expr(f"{col} DIV {bucket_width}") == t["_bkt"])
+        values.filter(F.expr(f"{col} DIV {bucket_width}") == bkt)
         .orderBy(col)
-        .limit(int(k - t["_before"]) + 1)
+        .limit(int(k - before) + 1)
         .agg(F.max(col).alias("v"))
         .collect()[0]
     )
@@ -8669,6 +8682,12 @@ def stats_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     med = _select_kth(li, "cents", 10000)
+    if med is None:  # empty input: match the oracle's (0, NULL, NULL)
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("median_cents"),
+            F.lit(None).cast("long").alias("mad_cents"),
+        )
     dev = li.select(
         F.abs(F.col("cents") - F.lit(med)).alias("cents")
     )
@@ -8694,9 +8713,11 @@ def stats_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
 def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     """The MANUAL skew-join remedy, executed and oracle-certified as a
     pure rewrite: the fact side salts its join key (deterministic
-    l_linenumber % 8), the build side replicates 8× with every salt,
-    and the join runs on (key, salt) — so a pathological hot key's
-    rows spread across 8 reducers instead of one. AQE's skew split
+    pmod(xxhash64(l_orderkey, l_linenumber), 8) — hash-based so all 8
+    salt values are live whatever the linenumber distribution), the
+    build side replicates 8× with every salt, and the join runs on
+    (key, salt) — so a pathological hot key's rows spread across all
+    8 reducers instead of one. AQE's skew split
     (pinned in test_scale_plans) handles post-shuffle skew
     adaptively; THIS is the pre-planned version a pipeline reaches for
     when the hot key is known ahead of time (the agg twin is
@@ -8708,7 +8729,12 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    ).withColumn("_salt", (F.col("l_linenumber") % 8).cast("int"))
+    ).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast(
+            "int"
+        ),
+    )
     o = (
         load(spark, sf, "orders")
         .select("o_orderkey", "o_orderpriority")
@@ -8829,12 +8855,12 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 # sf). To convert "locally green" into driver-recorded rows across rounds,
 # we rotate a priority window each round: queries that have never had a
 # driver row go first, plus a few §2 anchors as cross-round canaries.
-# Rounds 1-5 cumulatively covered 142 unique hash-green queries; this
-# round-6 window adds 47 never-driver-checked ones — 44 hash-paired
-# (incl. sim_ivf_recall_at_k, upgraded this round to an md5-centroid
-# SQL twin per VERDICT_r5 item 6) + the 3 approximate-by-nature ANN
-# production configs whose driver check is rows-only by design (their
-# recall floors are the verification of record).
+# Rounds 1-6 cumulatively covered 190 unique queries (186 hash-green,
+# 4 honest rows-only); this round-7 window adds the final 31
+# never-driver-checked ones — 28 hash-paired + the 3 permanently
+# rows-only (float-eigh PCA/k-means, HLL) — closing cumulative driver
+# coverage to all 221 catalog queries, and refreshes the 16 stalest
+# §2 anchors (last driver-verified in round 1) in the spare slots.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -8843,79 +8869,10 @@ _DRIVER_WINDOW = [
     "star_upsert_fact",
     "a2_unique_key_dedup",
     # ------------------------------------------------------------------
-    # round-6 window (VERDICT_r5 item 1): the staged rotation, executed.
-    # Every entry below through seq_top_paths is hash-paired and has
-    # never had a driver row; cumulative driver coverage after this
-    # round ≈ catalog−4 (the float-eigh / HLL rows-only residue spills
-    # to round 7). sim_lsh_recall_at_k: historical rows-only row,
-    # upgraded to a full hash row in r5 (md5 planes make the recall
-    # itself SQL-computable) — its driver row lands now.
-    "sim_lsh_recall_at_k",
-    "ts_session_window_agg",
-    "ts_decayed_engagement",
-    "ts_autocorr_lag1",
-    "dedup_cdc_chunk_ratio",
-    "dedup_substring_trim",
-    "text_bpe_train_merges",
-    "text_bpe_segment_counts",
-    "graph_kcore_membership",
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_wav_sample_stats",
-    "multimodal_mp4_headers",
-    "stats_moments",
-    "stats_key_skew",
-    "stats_histogram",
-    "stats_entropy_per_user",
-    "stats_chi2_type_dow",
-    "stats_covar_corr",
-    "agg_salted_twophase",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_grouped_percentiles",
-    "agg_mode_per_group",
-    "agg_incremental_merge",
-    "win_lag_delta",
-    "win_ntile_quartiles",
-    "win_percent_rank",
-    "win_cumulative_distinct",
-    "win_first_last_nth",
-    "grouped_median_pandas",
-    "j_semi_exists",
-    "reshape_unpivot",
-    "scalar_subquery_above_avg",
-    "emb_quantize_int8",
-    "funnel_3step_1day",
-    "cohort_retention",
-    "json_props_extract",
-    "json_variant_extract",
-    "dedup_keep_latest",
-    "dedup_rate_by_source",
-    "zorder_cluster_key",
-    "cust_rfm_segments",
-    "seq_top_paths",
-    # sim_ivf_recall_at_k closes the hash-paired block: rows-only
-    # since r2, upgraded this round via md5-keystream centroids (same
-    # device that earned sim_lsh_recall_at_k its hash row in r5)
-    "sim_ivf_recall_at_k",
-    # approx-by-nature ANN production configs — driver check is
-    # rows+schema by design (rankings float-order dependent); the
-    # pinned recall floors in tests/test_similarity_guard.py are the
-    # verification of record
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    # ------------------------------------------------------------------
-    # positions 51+: the round-7 staging. Hash-paired round-6 additions
-    # lead (they rotate into the r7 window first — the 7 early-round
-    # ops, then the 13 late-round ones: Adamic-Adar, WAV signal
-    # features, Benford, Pareto frontier, token-budget sampling,
-    # seasonal decomposition, fuzzy record-linkage clusters, Gini
-    # concentration, DP noisy counts, RAKE keywords, neighborhood
-    # Jaccard, Count-Min sketch, Bloom membership), then the last 4
-    # never-driver-checked entries, all honestly rows-only (float-eigh
-    # projections and HLL sketch internals admit no bit-stable SQL
-    # twin; their determinism/parity tests are the verification of
-    # record).
+    # round-7 window (VERDICT_r6 item 1): the staged rotation, executed.
+    # The 28 hash-paired round-6 additions lead — each earns its first
+    # driver row here; all are local-parity green at sf0.01 and sf0.1
+    # (commit 3defdc6). Order matches the r6 staging comment verbatim.
     "mv_incremental_update",
     "graph_common_neighbors",
     "ts_cusum_changepoint",
@@ -8944,10 +8901,43 @@ _DRIVER_WINDOW = [
     "text_zipf_fit",
     "stats_mad_robust",
     "join_salted_skew",
+    # ------------------------------------------------------------------
+    # spare slots (VERDICT_r6 item 2): the stalest §2 anchors — all 16
+    # below were last driver-verified in round 1; rotating them back
+    # through keeps every §2 row ≤6 rounds old.
+    "p1_flatten_struct",
+    "p2_p3_project_rename",
+    "p4_normalize_ts",
+    "p5_epoch_to_ts",
+    "p6_p7_bool_roundtrip",
+    "p8_clamp_equipment",
+    "p9_sanitize_name",
+    "p10_version_dispatch",
+    "p11_epoch_ms_reencode",
+    "f1_f2_ts_bounds",
+    "f3_null_guard",
+    "s3_json_extract",
+    "j1_dim_lookup",
+    "j2_get_or_insert_delta",
+    "j3_anti_join",
+    "a1_distinct",
+    # ------------------------------------------------------------------
+    # tail: the 3 permanently rows-only entries earn their (honest,
+    # rows+schema) driver rows — float-eigh projections and HLL sketch
+    # internals admit no bit-stable SQL twin; their determinism/parity
+    # tests are the verification of record (COVERAGE.md tier table).
     "emb_pca_project",
     "emb_kmeans_cells",
-    "agg_approx_distinct",
     "agg_hll_mergeable",
+    # ------------------------------------------------------------------
+    # positions 51+: round-8 staging. The remaining stale-§2 r1 anchors
+    # rotate through next (s4_json_serialize, f4_equality_lookup,
+    # j5_fanout_join, a4_lookup_hit_miss), then any round-7 additions
+    # appended below (hash-paired before rows-only).
+    "s4_json_serialize",
+    "f4_equality_lookup",
+    "j5_fanout_join",
+    "a4_lookup_hit_miss",
 ]
 
 

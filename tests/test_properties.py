@@ -189,6 +189,29 @@ def test_token_budget_sample_law(spark, rows, budget):
     assert got == want
 
 
+def test_token_budget_sample_shard_invariance(spark):
+    """The kept prefix is a property of the global md5 order, so it
+    must be identical for any shard count; non-power-of-16 shard
+    counts (which a hex prefix cannot select exactly) are rejected."""
+    import pytest
+
+    from report_worker_spark.functions.curation import token_budget_sample
+
+    rows = [(i, (i * 37) % 400 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {}
+    for shards in (16, 256, 4096):
+        out[shards] = sorted(
+            tuple(r) for r in token_budget_sample(
+                df, 5000, shards=shards
+            ).collect()
+        )
+    assert out[16] == out[256] == out[4096]
+    assert out[256], "budget cut kept nothing"
+    with pytest.raises(ValueError, match="power of 16"):
+        token_budget_sample(df, 5000, shards=10)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
