@@ -78,6 +78,22 @@ CATALOG_BENCH = [
     "curation_epoch_shuffle",
     "graph_adamic_adar",
     "olap_pareto_frontier",
+    # late round-6 batch (VERDICT_r6 "What's wrong" #1: bench what you
+    # ship — the 14 ops added after the r6 bench run)
+    "join_salted_skew",
+    "stats_exact_median_twopass",
+    "stats_mad_robust",
+    "multimodal_image_ahash",
+    "dedup_fuzzy_clusters",
+    "curation_span_corruption",
+    "text_rake_keywords",
+    "text_zipf_fit",
+    "agg_countmin_sketch",
+    "audit_bloom_membership",
+    "audit_table_checksum",
+    "audit_snapshot_diff",
+    "stats_ab_test_proportions",
+    "ts_burst_episodes",
 ]
 
 

@@ -1599,3 +1599,33 @@ import sys as _sys
 from ..util import pickle_by_value as _pbv
 
 _pbv(_sys.modules[__name__])
+
+
+def poison_inject(
+    media: DataFrame, salt: str = "poison", threshold: int = 6554
+) -> DataFrame:
+    """Deterministically corrupt a keyed subset of a media table —
+    the fixture half of a quarantine-rate audit. A row is poisoned
+    iff its 16-bit md5 draw (first 4 hex chars of
+    md5(salt ‖ media_id)) falls under ``threshold`` (default ≈10%);
+    corruption truncates ``content`` to its first 12 bytes, which
+    keeps every container signature intact (PNG magic is 8 bytes,
+    RIFF 4, the ftyp tag sits at 4..8) but guarantees the body parse
+    raises — so poisoned == quarantined, exactly. Pure JVM column
+    expressions (md5 + substring-on-binary), no Python; the rule is
+    integer md5 arithmetic any engine can replay."""
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("media_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return media.withColumn(
+        "content",
+        F.when(
+            h16 < F.lit(threshold), F.expr("substring(content, 1, 12)")
+        ).otherwise(F.col("content")),
+    )

@@ -310,25 +310,47 @@ def test_seasonal_decompose_residuals_sum_to_zero(spark, sf_oracle):
 
 
 def test_fuzzy_clusters_and_gini_invariants(spark, sf_small):
-    """Fuzzy clusters: every canonical_key is the min id of its
-    cluster, singletons map to themselves, and membership equals the
-    transitive closure of the pair set. Gini: bounded in [0, 1) and 0
-    for a degenerate equal-revenue group."""
+    """Fuzzy linkage vs a brute-force Python reference: every batch
+    record links to the min-id master within Hamming distance 1 of
+    its corrupted name, and n_candidates equals the exhaustive
+    candidate count. Gini: bounded in [0, 1) and 0 for a degenerate
+    equal-revenue group."""
+    import hashlib
+
     from report_worker_spark.plans.catalog import (
         dedup_fuzzy_clusters,
         stats_gini_by_nation,
     )
+    from report_worker_spark.plans.tables import load
+
+    names = {
+        r.c_custkey: r.c_name
+        for r in load(spark, sf_small, "customer")
+        .select("c_custkey", "c_name")
+        .collect()
+    }
+
+    def corrupt(k: int, name: str) -> str:
+        h = int(hashlib.md5(f"typo{k}".encode()).hexdigest()[:4], 16)
+        pos = len(name) - (h % 9)  # 1-based
+        return name[: pos - 1] + chr(97 + (h // 16) % 26) + name[pos:]
+
+    def ham(a: str, b: str) -> int:
+        if len(a) != len(b):
+            return 99
+        return sum(x != y for x, y in zip(a, b))
 
     rows = dedup_fuzzy_clusters(spark, sf_small).collect()
-    by_canon = {}
+    assert len(rows) == len(names)
     for r in rows:
-        by_canon.setdefault(r.canonical_key, []).append(r)
-    for canon, members in by_canon.items():
-        assert canon == min(m.c_custkey for m in members)
-        if len(members) == 1 and not members[0].in_cluster:
-            assert members[0].c_custkey == canon
-    assert any(r.in_cluster for r in rows)      # blocking finds some pairs
-    assert any(not r.in_cluster for r in rows)  # and not everything
+        assert r.rec_id % 2 == 1  # one output row per batch record
+        k = (r.rec_id - 1) // 2
+        bname = corrupt(k, names[k])
+        cands = [2 * j for j, nm in names.items() if ham(bname, nm) <= 1]
+        assert r.in_cluster and cands  # the twin always matches
+        assert r.canonical_key == min(cands)
+        assert r.n_candidates == len(cands)
+    assert any(r.n_candidates > 1 for r in rows)  # real ambiguity exists
 
     g = stats_gini_by_nation(spark, sf_small).collect()
     assert len(g) > 0
@@ -582,3 +604,74 @@ def test_mad_matches_python_reference(spark, sf_small):
     want_mad = devs[(len(devs) - 1) // 2]
     r = stats_mad_robust(spark, sf_small).collect()[0]
     assert (r.n, r.median_cents, r.mad_cents) == (len(cents), med, want_mad)
+
+
+def test_masked_position_pairs_recall_law(spark):
+    """The per-position masked-key blocking must find EXACTLY the
+    brute-force Levenshtein<=1 pair set over fixed-length codes —
+    complete recall (the pigeonhole guarantee) and exact precision
+    (the verify pass)."""
+    from itertools import combinations
+
+    from report_worker_spark.operators import masked_position_pairs
+
+    codes = [f"{a}{b}{c}" for a in "ab" for b in "abc" for c in "abc"]
+    rows = [(i, s) for i, s in enumerate(codes)]
+    df = spark.createDataFrame(rows, "id long, code string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in masked_position_pairs(
+            df, id_col="id", name_col="code", max_dist=1
+        ).collect()
+    }
+
+    def lev1(x, y):  # equal length: Hamming
+        return sum(a != b for a, b in zip(x, y))
+
+    want = {
+        (i, j, lev1(codes[i], codes[j]))
+        for i, j in combinations(range(len(codes)), 2)
+        if lev1(codes[i], codes[j]) <= 1
+    }
+    assert got == want and want
+
+
+def test_poison_inject_quarantine_equivalence(spark):
+    """poisoned == quarantined, exactly: the injection rule's md5
+    pick is what the quarantined decode must flag — no survivor
+    decodes, no healthy item flagged — for all three media kinds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.functions import multimodal as mm
+
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    thresh = 20000  # ~30% poison rate on 120 items
+    for media in [
+        mm.synthetic_image_media(
+            ids.select((F.col("doc_id") * 2).alias("doc_id")), "doc_id"
+        ),
+        mm.synthetic_wav_media(ids, "doc_id"),
+        mm.synthetic_mp4_media(ids, "doc_id"),
+    ]:
+        kind = media.select("kind").first()["kind"]
+        dec = {
+            "image": mm.png_pixel_stats,
+            "audio": mm.wav_sample_stats,
+            "video": mm.mp4_header_stats,
+        }[kind]
+        q = dec(mm.poison_inject(media, threshold=thresh), True)
+        got = {
+            r.media_id for r in q.filter(~F.col("ok")).collect()
+        }
+        want = {
+            r.media_id
+            for r in media.select("media_id").collect()
+            if int(
+                hashlib.md5(f"poison{r.media_id}".encode()).hexdigest()[:4],
+                16,
+            )
+            < thresh
+        }
+        assert got == want and want, kind
