@@ -1136,6 +1136,37 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _encode_block(bw, blk, prev_dc: int, m, dc_codes, ac_codes) -> int:
+    """Forward-DCT + quant=1 + Huffman entropy-encode one 8×8 block
+    (level-shifted float input); returns the new DC predictor."""
+    import numpy as np
+
+    coef = m @ (blk - 128.0) @ m.T
+    q = np.rint(coef).astype(np.int64)  # quant table = 1
+    zz = [int(q.flat[_ZZ[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    size, extra = _mag_bits(diff)
+    bw.write(*dc_codes[size])
+    if size:
+        bw.write(extra, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size, extra = _mag_bits(zz[i])
+        bw.write(*ac_codes[(run << 4) | size])
+        bw.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        bw.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def encode_jpeg_baseline(
     pixels: bytes, width: int, height: int, channels: int = 1
 ) -> bytes:
@@ -1183,32 +1214,9 @@ def encode_jpeg_baseline(
         for bx in range(w8 // 8):
             for ci, comp in enumerate(comps):
                 blk = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = m @ (blk - 128.0) @ m.T
-                q = np.rint(coef).astype(np.int64)  # quant table = 1
-                zz = [int(q.flat[_ZZ[i]]) for i in range(64)]
-                diff = zz[0] - prev_dc[ci]
-                prev_dc[ci] = zz[0]
-                size, extra = _mag_bits(diff)
-                bw.write(*dc_codes[size])
-                if size:
-                    bw.write(extra, size)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zz[i]), default=0
+                prev_dc[ci] = _encode_block(
+                    bw, blk, prev_dc[ci], m, dc_codes, ac_codes
                 )
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    size, extra = _mag_bits(zz[i])
-                    bw.write(*ac_codes[(run << 4) | size])
-                    bw.write(extra, size)
-                    run = 0
-                if last_nz < 63:
-                    bw.write(*ac_codes[0x00])  # EOB
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1238,6 +1246,79 @@ def encode_jpeg_baseline(
     return (
         b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
     )
+
+
+def encode_jpeg_420(
+    y: bytes, cb: bytes, cr: bytes, width: int, height: int
+) -> bytes:
+    """Spec-valid baseline JPEG with 4:2:0 chroma subsampling — the
+    dominant real-world layout. Takes the YCbCr planes DIRECTLY
+    (``y`` at ``width``×``height``, ``cb``/``cr`` at half resolution
+    each), so block-constant keystream fixtures round-trip bit-exactly
+    (quant=1, DC-only) without any RGB→YCbCr rounding in the way.
+    Dims must be multiples of 16 (whole MCUs). Scan layout is the
+    interleaved MCU walk: 4 Y blocks then Cb then Cr per 16×16 MCU,
+    sampling factors 2x2/1x1/1x1, shared quant + Huffman tables."""
+    import struct
+
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("4:2:0 needs dims % 16 == 0 (whole MCUs)")
+    hw, hh = width // 2, height // 2
+    if len(y) != width * height or len(cb) != hw * hh or len(cr) != hw * hh:
+        raise ValueError("plane buffers do not match dims")
+    yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width)
+    cbp = np.frombuffer(cb, dtype=np.uint8).reshape(hh, hw)
+    crp = np.frombuffer(cr, dtype=np.uint8).reshape(hh, hw)
+    planes = [p.astype(np.float64) for p in (yp, cbp, crp)]
+
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(*_jpeg_bits_vals(_JPEG_DC_SYMS, 4))
+    ac_codes = _canonical_codes(*_jpeg_bits_vals(_JPEG_AC_SYMS, 8))
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for by in range(2):  # 4 Y blocks, raster within the MCU
+                for bx in range(2):
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    blk = planes[0][r0 : r0 + 8, c0 : c0 + 8]
+                    prev_dc[0] = _encode_block(
+                        bw, blk, prev_dc[0], m, dc_codes, ac_codes
+                    )
+            for ci in (1, 2):  # one half-res chroma block each
+                r0, c0 = my * 8, mx * 8
+                blk = planes[ci][r0 : r0 + 8, c0 : c0 + 8]
+                prev_dc[ci] = _encode_block(
+                    bw, blk, prev_dc[ci], m, dc_codes, ac_codes
+                )
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dc_bits, dc_vals = _jpeg_bits_vals(_JPEG_DC_SYMS, 4)
+    ac_bits, ac_vals = _jpeg_bits_vals(_JPEG_AC_SYMS, 8)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
+    )
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -1341,8 +1422,12 @@ def decode_jpeg_pixels(content: bytes) -> dict:
     stream declares: marker walk (DQT/DHT/SOF0/SOS), canonical Huffman
     reconstruction, byte-unstuffed bit reading, dequant, inverse
     zigzag, float64 IDCT, level shift, and YCbCr→RGB for 3-component
-    scans. Loud ValueError on progressive (SOF2), subsampling ≠ 1x1,
-    restart intervals, 12-bit precision, or corrupt streams."""
+    scans. Interleaved MCU layout with per-component sampling factors
+    up to 2x2 — 4:4:4, 4:2:2, 4:4:0, and the dominant 4:2:0 all
+    decode (chroma rises back to full resolution by pixel
+    replication, matching encode_jpeg_420's box layout). Loud
+    ValueError on progressive (SOF2), factors > 2, restart
+    intervals, 12-bit precision, or corrupt streams."""
     import struct
 
     import numpy as np
@@ -1395,9 +1480,20 @@ def decode_jpeg_pixels(content: bytes) -> dict:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, tq))
+                sh, sv = samp >> 4, samp & 0x0F
+                if nc == 1 and samp != 0x11:
+                    # sampling factors are meaningless on a single
+                    # component; a non-1x1 declaration is ambiguous
+                    raise ValueError(
+                        "subsampling unsupported for single-component"
+                        " frames"
+                    )
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(
+                        f"chroma subsampling {sh}x{sv} unsupported"
+                        " (factors must be 1 or 2)"
+                    )
+                comps.append((cid, sh, sv, tq))
             frame = (w, h, comps)
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0] != 0:
@@ -1424,8 +1520,14 @@ def _decode_scan(frame, comp_tabs, qt, huff, scan) -> dict:
     if len(comp_tabs) != nc:
         raise ValueError("scan/frame component mismatch")
     m = _dct_matrix()
-    w8, h8 = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    hb, wb = h8 // 8, w8 // 8
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    for _, sh, sv, _ in comps:
+        if hmax % sh or vmax % sv:
+            raise ValueError("non-dividing sampling factors unsupported")
+    # MCU grid: hmax*8 × vmax*8 pixels per MCU
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(scan)
     prev_dc = [0] * nc
     # entropy decode fills one (n_blocks, 64) NATURAL-order coefficient
@@ -1433,7 +1535,10 @@ def _decode_scan(frame, comp_tabs, qt, huff, scan) -> dict:
     # stacked 8×8 matmul pair per component) instead of two numpy calls
     # per block — the per-block Python is just the Huffman/bit walk,
     # which is inherently serial
-    coefs = [np.zeros((hb * wb, 64), dtype=np.float64) for _ in range(nc)]
+    cdims = [(mcuy * sv, mcux * sh) for _, sh, sv, _ in comps]
+    coefs = [
+        np.zeros((bh * bw, 64), dtype=np.float64) for bh, bw in cdims
+    ]
     tabs = []
     for ci in range(nc):
         _, tdc, tac = comp_tabs[ci]
@@ -1444,42 +1549,64 @@ def _decode_scan(frame, comp_tabs, qt, huff, scan) -> dict:
     # dequant vector permuted to natural order once per component
     qnat = []
     for ci in range(nc):
-        q = qt[comps[ci][1]]
+        q = qt[comps[ci][3]]
         v = np.zeros(64, dtype=np.float64)
         for idx in range(64):
             v[_ZZ[idx]] = q[idx]
         qnat.append(v)
-    for b in range(hb * wb):
-        for ci in range(nc):
-            dct, act = tabs[ci]
-            row = coefs[ci][b]
-            size = _huff_decode(reader, dct)
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev_dc[ci] += diff
-            row[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0x0F
-                if k > 63:
-                    raise ValueError("AC index out of range")
-                row[_ZZ[k]] = _extend(reader.bits(size), size)
-                k += 1
+
+    def read_block(row, ci):
+        dct, act = tabs[ci]
+        size = _huff_decode(reader, dct)
+        diff = _extend(reader.bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        row[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, act)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC index out of range")
+            row[_ZZ[k]] = _extend(reader.bits(size), size)
+            k += 1
+
+    # interleaved MCU walk (B.2.3): per MCU, each component
+    # contributes its sv×sh block grid in raster order; for the
+    # all-1x1 frame this degenerates to the plain block raster
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                _, sh, sv, _ = comps[ci]
+                bw_c = cdims[ci][1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        b = (my * sv + by) * bw_c + (mx * sh + bx)
+                        read_block(coefs[ci][b], ci)
     planes = []
     for ci in range(nc):
-        blocks = (coefs[ci] * qnat[ci]).reshape(hb * wb, 8, 8)
+        bh, bw_c = cdims[ci]
+        blocks = (coefs[ci] * qnat[ci]).reshape(bh * bw_c, 8, 8)
         pix = m.T @ blocks @ m + 128.0  # batched IDCT, same per-slice dgemm
-        planes.append(
-            pix.reshape(hb, wb, 8, 8)
+        plane = (
+            pix.reshape(bh, bw_c, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(h8, w8)
+            .reshape(bh * 8, bw_c * 8)
         )
+        _, sh, sv, _ = comps[ci]
+        if sh != hmax or sv != vmax:
+            # replication upsampling back to full resolution — the
+            # inverse of encode_jpeg_420's box downsample on
+            # block-constant fixtures, and the cheap standard choice
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(plane)
     planes = [
         np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.float64)
         for p in planes
@@ -1568,8 +1695,9 @@ def jpeg_pixel_stats(
     count, exact integer sample sum (grayscale sum_y; for RGB the
     channel sums land in sum_y/sum_cb_r/sum_cr_b by index). Non-JPEG
     rows are skipped — schema-stable, honest scope; corrupt or
-    unsupported-but-legal streams (progressive, subsampled) are
-    quarantined per item instead of failing the task."""
+    unsupported-but-legal streams (progressive, restart-interval) are
+    quarantined per item instead of failing the task. Subsampled
+    streams decode for real since round 7 (see encode_jpeg_420)."""
 
     def row(content: bytes) -> dict:
         import numpy as np
@@ -1599,6 +1727,109 @@ import sys as _sys
 from ..util import pickle_by_value as _pbv
 
 _pbv(_sys.modules[__name__])
+
+
+def jpeg420_bytes(width: int, height: int, seed: int) -> bytes:
+    """A real COLOR 4:2:0 JPEG that is constant within each 16×16 MCU
+    (Y/Cb/Cr triples = md5 keystream of ``seed``): quant=1 and
+    DC-only blocks make the encode→decode round trip bit-exact, so an
+    SQL oracle regenerates the decoded RGB arithmetically. Cb is
+    confined to 4..251: the reconstruction constant 1.772 hits an
+    exact float64 half-tie at cb−128 = ±125 (round-half-even vs SQL
+    round-half-away would then diverge); every other (constant, input)
+    pair in the formula's domain is tie-free (verified exhaustively).
+    Dims must be multiples of 16."""
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("4:2:0 fixture needs dims % 16 == 0")
+    mbx, mby = width // 16, height // 16
+    ks = keystream(f"{seed}:jpg420", mby * mbx * 3)
+    arr = (
+        np.frombuffer(ks, dtype=np.uint8)
+        .reshape(mby, mbx, 3)
+        .astype(np.int64)
+    )
+    y = arr[:, :, 0]
+    cb = 4 + arr[:, :, 1] % 248
+    cr = arr[:, :, 2]
+    yp = np.repeat(np.repeat(y, 16, 0), 16, 1).astype(np.uint8)
+    cbp = np.repeat(np.repeat(cb, 8, 0), 8, 1).astype(np.uint8)
+    crp = np.repeat(np.repeat(cr, 8, 0), 8, 1).astype(np.uint8)
+    return encode_jpeg_420(
+        yp.tobytes(), cbp.tobytes(), crp.tobytes(), width, height
+    )
+
+
+def synthetic_jpeg420_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of REAL 4:2:0 color JPEGs (MCU-constant keystream
+    content — see jpeg420_bytes), dims (id%3+1)*16 × (id%2+1)*16."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    # spread BEFORE the Arrow gen: a one-split local source would
+    # serialize encode (and every downstream decode, which inherits
+    # this partitioning) onto a single core; at real scale inputs
+    # are already many splits and this is a no-op
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for mid in pb["media_id"]:
+                mid = int(mid)
+                w, h = (mid % 3 + 1) * 16, (mid % 2 + 1) * 16
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "content": jpeg420_bytes(w, h, mid),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content"]
+            )
+
+    return src.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+
+
+def jpeg_rgb_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Per-image RGB channel sums from REAL color JPEG decode —
+    exercises the full 4:2:0 path: MCU-interleaved entropy decode,
+    chroma replication upsampling, YCbCr→RGB reconstruction.
+    Grayscale streams are quarantined (wrong shape for this kernel),
+    matching png_pixel_stats' schema so downstream audits can union
+    the two."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_jpeg_pixels(content)
+        if d["channels"] != 3:
+            raise ValueError("not a 3-component scan")
+        px = np.frombuffer(d["pixels"], dtype=np.uint8)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_pixels": d["width"] * d["height"],
+            "sum_r": int(px[0::3].sum(dtype=np.int64)),
+            "sum_g": int(px[1::3].sum(dtype=np.int64)),
+            "sum_b": int(px[2::3].sum(dtype=np.int64)),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:2] == b"\xff\xd8",
+            row,
+            "width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long",
+        ),
+        with_quarantine,
+    )
 
 
 def poison_inject(

@@ -9020,6 +9020,7 @@ _DRIVER_WINDOW = [
     "a4_lookup_hit_miss",
     # round-7 additions (hash-paired):
     "audit_media_quarantine_rate",
+    "multimodal_jpeg420_pixel_stats",
 ]
 
 
@@ -10491,6 +10492,67 @@ def audit_media_quarantine_rate(spark: SparkSession, sf: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+@query(
+    "multimodal_jpeg420_pixel_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             doc_id % 3 + 1 AS mbx, doc_id % 2 + 1 AS mby
+      FROM documents
+    ),
+    mcus AS (
+      SELECT media_id, mbx, mby, unnest(range(0, mbx * mby)) AS mi
+      FROM img
+    ),
+    ycc AS (
+      SELECT media_id, mbx, mby, mi,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi) // 16 AS VARCHAR)), CAST(2*((3*mi) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi) // 16 AS VARCHAR)), CAST(2*((3*mi) % 16) + 2 AS INT), 1)) - 1) AS DOUBLE) AS yv,
+             CAST(4 + ((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+1) // 16 AS VARCHAR)), CAST(2*((3*mi+1) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+1) // 16 AS VARCHAR)), CAST(2*((3*mi+1) % 16) + 2 AS INT), 1)) - 1)) % 248 AS DOUBLE) AS cbv,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+2) // 16 AS VARCHAR)), CAST(2*((3*mi+2) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+2) // 16 AS VARCHAR)), CAST(2*((3*mi+2) % 16) + 2 AS INT), 1)) - 1) AS DOUBLE) AS crv
+      FROM mcus
+    ),
+    px AS (
+      SELECT media_id, mbx, mby,
+             LEAST(GREATEST(round(yv + 1.402*(crv - 128.0), 0), 0), 255)
+               AS r,
+             LEAST(GREATEST(round(yv - 0.344136286*(cbv - 128.0)
+                                  - 0.714136286*(crv - 128.0), 0), 0), 255)
+               AS g,
+             LEAST(GREATEST(round(yv + 1.772*(cbv - 128.0), 0), 0), 255)
+               AS b
+      FROM ycc
+    )
+    SELECT media_id,
+           CAST(any_value(mbx) * 16 AS INT) AS width,
+           CAST(any_value(mby) * 16 AS INT) AS height,
+           CAST(any_value(mbx) * any_value(mby) * 256 AS BIGINT)
+             AS n_pixels,
+           CAST(sum(CAST(r AS BIGINT)) * 256 AS BIGINT) AS sum_r,
+           CAST(sum(CAST(g AS BIGINT)) * 256 AS BIGINT) AS sum_g,
+           CAST(sum(CAST(b AS BIGINT)) * 256 AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode, driver-verified
+    (VERDICT_r6 item 5 — 4:2:0 is the dominant real-world layout, so
+    decoding it makes the quarantine path the exception): MCU-constant
+    color JPEGs (YCbCr = md5 keystream, quant=1 DC-only → bit-exact
+    round trip), decoded through the full interleaved-MCU entropy
+    walk + chroma replication upsampling + YCbCr→RGB reconstruction,
+    emitting exact integer channel sums. The oracle regenerates the
+    keystream and replays the reconstruction arithmetic per MCU — the
+    fixture's Cb domain dodges the two exact float64 half-ties of the
+    1.772 constant so SQL round and numpy rint agree everywhere
+    (jpeg420_bytes docstring). Progressive streams still quarantine
+    (tests/test_jpeg_codec.py)."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_jpeg420_media(docs, "doc_id")
+    return mm.jpeg_rgb_pixel_stats(media)
 
 
 _rotate_window(_DRIVER_WINDOW)
