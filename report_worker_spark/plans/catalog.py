@@ -9811,16 +9811,18 @@ def sim_ivfpq_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("sim_ivfpq_topk")  # approximate by nature: rows-only check
 def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ in its production configuration (4 of 32 cells probed,
+    """IVF-PQ in its production configuration (8 of 32 cells probed,
     per-cell ADC candidate cap): the memory tier — candidates are
     scanned as n_sub-byte codes against a per-query lookup table, raw
     vectors touched only for the O(k) survivors. Recall vs exact is
-    measured (≈0.49 on the near-orthogonal fixture, matching plain IVF
-    — the ADC approximation costs nothing here) and floor-pinned in
-    tests/test_similarity_guard.py."""
+    measured (≈0.68 on the near-orthogonal fixture across seeds —
+    n_probe raised 4→8 in r7 per VERDICT_r6 item 6 at identical
+    wall-clock, the coarse probe being the whole loss: the ADC
+    approximation costs nothing here) and floor-pinned ≥0.45 over 3
+    seeds in tests/test_similarity_guard.py."""
     e = load(spark, sf, "embeddings")
     return sim.ivfpq_topk(
-        e, k=5, n_centroids=32, n_probe=4, candidates_per_cell=32
+        e, k=5, n_centroids=32, n_probe=8, candidates_per_cell=32
     )
 
 

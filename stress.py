@@ -109,6 +109,67 @@ def upscale_cooccur_edges(spark, k: int) -> DataFrame:
     )
 
 
+def run_composed_curation(spark, docs_k: DataFrame) -> None:
+    """The composed curation deployment pipeline (quality gate →
+    exact dedup → LSH near-dup canonical → substring trim → benchmark
+    decontamination → split → token packing → partitioned write),
+    extracted so both the stress harness and the pytest soak guard
+    (tests/test_soak.py) run the SAME composition."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="rws_curated_")
+    try:
+        q = (
+            tx.quality_score(tx.with_text_stats(docs_k))
+            .filter(F.col("quality_score") >= 0.5)
+            .select("doc_id", "text")
+        )
+        ex = dd.exact_dedup(q)
+        near = dd.dedup_canonical(
+            ex, dd.minhash_lsh_verified_pairs(ex, threshold=0.8)
+        )
+        trimmed = dd.substring_trim(near, k=8).filter(
+            F.col("kept_tokens") > 0
+        )
+        # benchmark decontamination: broadcast the (small) bench
+        # set's 8-gram inventory, anti-join training docs
+        bench = docs_k.filter(F.col("doc_id") % 1009 == 0).select(
+            F.explode(dd.word_shingles("text", 8)).alias("g")
+        ).distinct()
+        contaminated = (
+            trimmed.select(
+                "doc_id", F.explode(dd.word_shingles("text", 8)).alias("g")
+            )
+            .join(F.broadcast(bench), on="g")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = trimmed.join(contaminated, on="doc_id", how="left_anti")
+        split = train_val_test_split(clean, "doc_id")
+        # pack into ~2048-token sequences: content-hash bucket →
+        # in-bucket running token sum → bin id (one window per
+        # bucket, partitioning-independent)
+        from pyspark.sql import Window as W
+
+        b = F.pmod(F.xxhash64("doc_id"), F.lit(256)).alias("bucket")
+        toks = F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+        w = (
+            W.partitionBy("split", "bucket")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        packed = (
+            split.select("doc_id", "text", "split", b, toks)
+            .withColumn(
+                "seq_id", F.floor((F.sum("n_tok").over(w) - 1) / 2048)
+            )
+        )
+        packed.write.mode("overwrite").partitionBy("split").parquet(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("rws-stress")
     docs = upscale_documents(spark, K)
@@ -237,61 +298,6 @@ def main() -> None:
     # point here is that COMPOSITION stays ~linear too — no stage
     # feeds a superlinear blowup into the next).
     # ------------------------------------------------------------------
-    import shutil
-    import tempfile
-
-    def composed(docs_k: DataFrame) -> None:
-        out = tempfile.mkdtemp(prefix="rws_curated_")
-        try:
-            q = (
-                tx.quality_score(tx.with_text_stats(docs_k))
-                .filter(F.col("quality_score") >= 0.5)
-                .select("doc_id", "text")
-            )
-            ex = dd.exact_dedup(q)
-            near = dd.dedup_canonical(
-                ex, dd.minhash_lsh_verified_pairs(ex, threshold=0.8)
-            )
-            trimmed = dd.substring_trim(near, k=8).filter(
-                F.col("kept_tokens") > 0
-            )
-            # benchmark decontamination: broadcast the (small) bench
-            # set's 8-gram inventory, anti-join training docs
-            bench = docs_k.filter(F.col("doc_id") % 1009 == 0).select(
-                F.explode(dd.word_shingles("text", 8)).alias("g")
-            ).distinct()
-            contaminated = (
-                trimmed.select(
-                    "doc_id", F.explode(dd.word_shingles("text", 8)).alias("g")
-                )
-                .join(F.broadcast(bench), on="g")
-                .select("doc_id")
-                .distinct()
-            )
-            clean = trimmed.join(contaminated, on="doc_id", how="left_anti")
-            split = train_val_test_split(clean, "doc_id")
-            # pack into ~2048-token sequences: content-hash bucket →
-            # in-bucket running token sum → bin id (one window per
-            # bucket, partitioning-independent)
-            from pyspark.sql import Window as W
-
-            b = F.pmod(F.xxhash64("doc_id"), F.lit(256)).alias("bucket")
-            toks = F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
-            w = (
-                W.partitionBy("split", "bucket")
-                .orderBy("doc_id")
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
-            packed = (
-                split.select("doc_id", "text", "split", b, toks)
-                .withColumn(
-                    "seq_id", F.floor((F.sum("n_tok").over(w) - 1) / 2048)
-                )
-            )
-            packed.write.mode("overwrite").partitionBy("split").parquet(out)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
-
     def timed_run(fn) -> float:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
@@ -300,8 +306,12 @@ def main() -> None:
         return round(time.perf_counter() - t0, 2)
 
     half = upscale_documents(spark, max(1, K // 2))
-    timings["composed_curation_khalf"] = timed_run(lambda: composed(half))
-    timings["composed_curation_k"] = timed_run(lambda: composed(docs))
+    timings["composed_curation_khalf"] = timed_run(
+        lambda: run_composed_curation(spark, half)
+    )
+    timings["composed_curation_k"] = timed_run(
+        lambda: run_composed_curation(spark, docs)
+    )
     kh, kf = (
         timings["composed_curation_khalf"],
         timings["composed_curation_k"],

@@ -236,22 +236,30 @@ def test_ivfpq_recall_floor(spark, sf_oracle):
     """IVF-PQ production config must not silently collapse: candidate
     choice runs on PQ codes (ADC), so a codebook regression would tank
     recall while staying 'green' on row counts. Floor well below the
-    measured ~0.49, far above collapse."""
-    from report_worker_spark.plans import QUERIES
+    measured ~0.68 (n_probe=8, stable 0.68–0.70 across seeds), far
+    above collapse — and checked for three training seeds so a
+    lucky-initialization pass can't mask a regression."""
     from report_worker_spark.plans.tables import load
 
+    emb = load(spark, sf_oracle, "embeddings")
     exact = {
         (r.vec_id, r.neighbor_id)
-        for r in sim.brute_topk_expr(
-            load(spark, sf_oracle, "embeddings"), k=5
-        ).collect()
-    }
-    pq = {
-        (r.vec_id, r.neighbor_id)
-        for r in QUERIES["sim_ivfpq_topk"](spark, sf_oracle).collect()
+        for r in sim.brute_topk_expr(emb, k=5).collect()
     }
     assert len(exact) == 2500
-    assert len(pq & exact) / len(exact) >= 0.35
+    for seed in (41, 42, 43):
+        pq = {
+            (r.vec_id, r.neighbor_id)
+            for r in sim.ivfpq_topk(
+                emb,
+                k=5,
+                n_centroids=32,
+                n_probe=8,
+                candidates_per_cell=32,
+                seed=seed,
+            ).collect()
+        }
+        assert len(pq & exact) / len(exact) >= 0.45, seed
 
 
 def test_semdedup_cache_registry_releases(spark):
