@@ -94,6 +94,9 @@ CATALOG_BENCH = [
     "audit_snapshot_diff",
     "stats_ab_test_proportions",
     "ts_burst_episodes",
+    # round-7 additions
+    "audit_media_quarantine_rate",
+    "multimodal_jpeg420_pixel_stats",
 ]
 
 

@@ -8363,114 +8363,13 @@ def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
     consecutive masked runs collapse to one ``<extra_id_k>`` sentinel
     in the corrupted input, and the target lists each sentinel with
     its hidden tokens — the (input, target) pair a denoising LM
-    pretrains on.
-
-    Scale shape: one posexplode, then EVERYTHING is windows keyed by
-    doc_id (run grouping, span starts, sentinel numbering — computed
-    join-free: the masked-only row_number is a conditional cumulative
-    sum over ALL tokens, the island key pos − that sum, the sentinel
-    index a dense_rank over islands), so Catalyst plans ONE corpus
-    shuffle on doc_id and sorts within it; the reassembly groupBy
-    rides the same partitioning. No self-joins — the first cut of
-    this operator joined toks×runs×spans and paid 4 corpus-token
-    shuffles for the same answer (plan-pinned in test_scale_plans)."""
+    pretrains on. Implementation (and the one-corpus-shuffle scale
+    story) lives in functions/curation.span_corrupt, shared with the
+    stress battery."""
+    from ..functions.curation import span_corrupt
     from ..util import spread
 
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
-    ).select(
-        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w"
-    )
-    u32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("pos").cast("string"),
-                    F.lit(":mask"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    toks = toks.withColumn("masked", (u32 % 100) < 15)
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # masked-only row_number as a conditional running count → island
-    # key, with NO filter/self-join (unmasked rows carry null grp)
-    toks = toks.withColumn(
-        "grp",
-        F.when(
-            F.col("masked"),
-            F.col("pos")
-            - F.sum(F.col("masked").cast("long")).over(wdoc),
-        ),
-    )
-    wspan = Window.partitionBy("doc_id", "grp")
-    toks = toks.withColumn(
-        "span_start", F.when(F.col("masked"), F.min("pos").over(wspan))
-    )
-    # sentinel index: dense_rank of the island within the doc's masked
-    # rows (grp is monotone in pos, so rank order == span order)
-    wrank = Window.partitionBy("doc_id", "masked").orderBy("grp")
-    toks = toks.withColumn(
-        "k",
-        F.when(F.col("masked"), F.dense_rank().over(wrank) - 1).cast(
-            "long"
-        ),
-    )
-    pieces = toks.select(
-        "doc_id",
-        "pos",
-        F.when(~F.col("masked"), F.col("w"))
-        .when(
-            F.col("pos") == F.col("span_start"),
-            F.concat(
-                F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
-            ),
-        )
-        .alias("piece"),
-        F.when(
-            F.col("masked"),
-            F.when(
-                F.col("pos") == F.col("span_start"),
-                F.concat(
-                    F.lit("<extra_id_"),
-                    F.col("k").cast("string"),
-                    F.lit("> "),
-                    F.col("w"),
-                ),
-            ).otherwise(F.col("w")),
-        ).alias("tgt"),
-    )
-
-    def assemble(col: str) -> F.Column:
-        return F.concat_ws(
-            " ",
-            F.filter(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", F.col(col).alias("v")))
-                    ),
-                    lambda s: s["v"],
-                ),
-                lambda v: v.isNotNull(),
-            ),
-        )
-
-    return pieces.groupBy("doc_id").agg(
-        F.count("tgt").alias("n_masked"),
-        assemble("piece").alias("corrupted"),
-        assemble("tgt").alias("target"),
-    )
+    return span_corrupt(spread(load(spark, sf, "documents")))
 
 
 @query(
