@@ -590,3 +590,25 @@ def test_salted_join_shuffles_on_key_and_salt(spark, sf_oracle):
         :2000
     ]
     assert "CartesianProduct" not in plan
+
+
+def test_round7_ops_plan_shapes(spark, sf_oracle):
+    """Shape pins for the round-7 batch: the quarantine audit and the
+    4:2:0 decode stay pure Arrow kernels (no join at all before the
+    final union/agg); the masked-key linkage joins ONLY via the
+    (position, masked-string) equi-key — never a cartesian or
+    broadcast nested loop."""
+    for name in [
+        "audit_media_quarantine_rate",
+        "multimodal_jpeg420_pixel_stats",
+        "dedup_fuzzy_clusters",
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    fz = plan_of(QUERIES["dedup_fuzzy_clusters"](spark, sf_oracle))
+    assert "_mkey" in fz  # candidate join keyed on the masked string
+
+    jq = plan_of(QUERIES["multimodal_jpeg420_pixel_stats"](spark, sf_oracle))
+    assert "MapInPandas" in jq  # decode is an Arrow kernel, not a UDF row loop
