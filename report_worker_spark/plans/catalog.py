@@ -8920,6 +8920,7 @@ _DRIVER_WINDOW = [
     # round-7 additions (hash-paired):
     "audit_media_quarantine_rate",
     "multimodal_jpeg420_pixel_stats",
+    "agg_kmv_set_ops",
 ]
 
 
@@ -10454,6 +10455,138 @@ def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id")
     media = mm.synthetic_jpeg420_media(docs, "doc_id")
     return mm.jpeg_rgb_pixel_stats(media)
+
+
+# ===========================================================================
+# Coverage round 7 (late batch): KMV set-operation sketch, Bloom
+# semi-join reduction, Welch t-test, exponential-smoothing forecast,
+# hashed linear quality scorer, GIF decode.
+# ===========================================================================
+
+# 12 hex chars of md5 = 48-bit hash: < 2^53 so BIGINT→DOUBLE casts are
+# exact on both engines, and '0x'||substr CAST replays F.conv exactly.
+_KMV_SPACE = 281474976710656.0  # 2^48
+
+
+def _h48(col: F.Column) -> F.Column:
+    """48-bit md5 device hash of a string column (cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+@query(
+    "agg_kmv_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            1, 12)) AS BIGINT) AS h
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            1, 12)) AS BIGINT) AS h
+      FROM lineitem WHERE l_linestatus = 'O'
+    ),
+    u AS (SELECT h FROM a UNION SELECT h FROM b),
+    ska AS (SELECT h FROM a ORDER BY h LIMIT 128),
+    skb AS (SELECT h FROM b ORDER BY h LIMIT 128),
+    sku AS (SELECT h FROM u ORDER BY h LIMIT 128),
+    ea AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
+    eb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b),
+    eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union FROM u),
+    ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+           FROM a JOIN b USING (h)),
+    sa AS (SELECT CAST(count(*) AS BIGINT) AS ka, max(h) AS va FROM ska),
+    sb AS (SELECT CAST(count(*) AS BIGINT) AS kb, max(h) AS vb FROM skb),
+    su AS (SELECT CAST(count(*) AS BIGINT) AS ku, max(h) AS vu FROM sku),
+    bo AS (SELECT CAST(count(*) AS BIGINT) AS cnt_both
+           FROM sku JOIN a USING (h) JOIN b USING (h))
+    SELECT exact_a, exact_b, exact_union, exact_intersection,
+           CASE WHEN ka < 128 THEN CAST(ka AS DOUBLE)
+                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(va AS DOUBLE)
+           END AS est_a,
+           CASE WHEN kb < 128 THEN CAST(kb AS DOUBLE)
+                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vb AS DOUBLE)
+           END AS est_b,
+           CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vu AS DOUBLE)
+           END AS est_union,
+           CAST(cnt_both AS DOUBLE) / CAST(ku AS DOUBLE)
+             * (CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                     ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vu AS DOUBLE)
+                END) AS est_intersection
+    FROM ea, eb, eu, ei, sa, sb, su, bo
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch with SET OPERATIONS — the piece
+    the sketch family (HLL, Count-Min, Bloom) was missing: distinct
+    cardinality of two sets PLUS their union and intersection from
+    bounded state, the query a dedup planner asks before scheduling a
+    cross-corpus join ("how much overlap do these two crawls have?").
+    Each sketch is the k=128 smallest 48-bit md5 hashes of the set's
+    distinct keys; ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition partial top-k merged once,
+    the exact mergeable-partials shape a 100 TB KMV union uses (ship
+    the 128-row sketches, never the sets). Estimators: n<k → exact;
+    else (k-1)·2^48 / v_k; intersection via the inclusion ratio of
+    the union sketch (Beyer et al., SIGMOD'07). Everything below the
+    two final float divisions is integer md5 arithmetic, so DuckDB
+    replays the sketch bit-for-bit; accuracy (±1/√k) is pinned by
+    unit test, exact ground truth rides in the same row."""
+    li = load(spark, sf, "lineitem")
+    k = 128
+
+    def hashes(pred) -> DataFrame:
+        return (
+            li.filter(pred)
+            .select(_h48(F.col("l_orderkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a = hashes(F.col("l_returnflag") == "R")
+    b = hashes(F.col("l_linestatus") == "O")
+    u = a.union(b).distinct()
+    ska, skb, sku = (d.orderBy("h").limit(k) for d in (a, b, u))
+
+    ea = a.agg(F.count(F.lit(1)).alias("exact_a"))
+    eb = b.agg(F.count(F.lit(1)).alias("exact_b"))
+    eu = u.agg(F.count(F.lit(1)).alias("exact_union"))
+    ei = a.join(b, on="h").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    sa = ska.agg(F.count(F.lit(1)).alias("ka"), F.max("h").alias("va"))
+    sb = skb.agg(F.count(F.lit(1)).alias("kb"), F.max("h").alias("vb"))
+    su = sku.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("vu"))
+    bo = (
+        sku.join(a, on="h")
+        .join(b, on="h")
+        .agg(F.count(F.lit(1)).alias("cnt_both"))
+    )
+
+    def est(kc: str, vc: str) -> F.Column:
+        return F.when(
+            F.col(kc) < k, F.col(kc).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+            / F.col(vc).cast("double")
+        )
+
+    row = ea
+    for d in (eb, eu, ei, sa, sb, su, bo):
+        row = row.crossJoin(d)
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        est("ka", "va").alias("est_a"),
+        est("kb", "vb").alias("est_b"),
+        est("ku", "vu").alias("est_union"),
+        (
+            F.col("cnt_both").cast("double") / F.col("ku").cast("double")
+            * est("ku", "vu")
+        ).alias("est_intersection"),
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

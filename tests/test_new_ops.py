@@ -675,3 +675,21 @@ def test_poison_inject_quarantine_equivalence(spark):
             < thresh
         }
         assert got == want and want, kind
+
+
+def test_kmv_estimates_within_bound(spark, sf_oracle):
+    """KMV k=128 estimates land within 4/sqrt(k) (~35%) of the exact
+    counts carried in the same row, and the exact set algebra is
+    internally consistent (|A∪B| = |A| + |B| - |A∩B|)."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    r = QUERIES["agg_kmv_set_ops"](spark, sf_oracle).first()
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_intersection
+    bound = 4 / (128**0.5)
+    for est, exact in [
+        (r.est_a, r.exact_a),
+        (r.est_b, r.exact_b),
+        (r.est_union, r.exact_union),
+        (r.est_intersection, r.exact_intersection),
+    ]:
+        assert exact > 0 and abs(est - exact) / exact < bound, (est, exact)
