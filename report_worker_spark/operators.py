@@ -314,3 +314,85 @@ def masked_position_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    keys: DataFrame,
+    m_bits: int = 131072,
+    j: int = 3,
+) -> DataFrame:
+    """Bloom semi-join reduction: filter ``df`` to rows whose
+    ``key_col`` passes a Bloom filter built over ``keys`` (a
+    single-column DataFrame of join keys), before the real join.
+
+    Mirrors the reference's pre-join dim lookups (reference
+    src/star_schema.py join path) re-expressed as the scan-side
+    reduction a 100 TB shuffle join wants. The filter is built
+    DISTRIBUTED — explode j hash positions per key, distinct, groupBy
+    64-bit word, bit_or — then packed into ONE array<long> row and
+    broadcast, so membership is a pure column expression (element_at
+    + shift + mask): no explode and no extra shuffle on the probe
+    side. No false negatives by construction; false-positive rate
+    ~(1 - e^{-j·n/m})^j. Hash device = md5 prefixes, so an external
+    engine can replay the exact bitmap (see join_bloom_prefilter's
+    oracle strategy: plain-join hash parity certifies result
+    invariance).
+    """
+    n_words = m_bits // 64
+    kc = keys.columns[0]
+
+    def pos(col: F.Column, i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    key_bits = keys.select(
+        F.explode(F.array(*[pos(F.col(kc), i) for i in range(j)])).alias(
+            "pos"
+        )
+    ).distinct()
+    words = key_bits.groupBy(
+        (F.col("pos") / 64).cast("long").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))"
+        ).alias("bits")
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+            "m"
+        )
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("_bf")
+    )
+
+    probed = df.join(F.broadcast(bitmap))
+    member = F.lit(True)
+    for i in range(j):
+        p = (
+            f"(cast(conv(substring(md5(concat('{i}:', "
+            f"cast({key_col} as string))), 1, 8), 16, 10) as bigint)"
+            f" % {m_bits})"
+        )
+        member = member & F.expr(
+            # element_at is 1-indexed
+            f"(shiftright(element_at(_bf, cast({p} / 64 as int) + 1), "
+            f"cast({p} % 64 as int)) & 1) = 1"
+        )
+    return probed.filter(member).drop("_bf")

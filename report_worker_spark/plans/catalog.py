@@ -8921,6 +8921,7 @@ _DRIVER_WINDOW = [
     "audit_media_quarantine_rate",
     "multimodal_jpeg420_pixel_stats",
     "agg_kmv_set_ops",
+    "join_bloom_prefilter",
 ]
 
 
@@ -10586,6 +10587,60 @@ def agg_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cnt_both").cast("double") / F.col("ku").cast("double")
             * est("ku", "vu")
         ).alias("est_intersection"),
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom SEMI-JOIN REDUCTION, the third member of the manual
+    skew/shuffle-remedy family (salted agg, salted join, now bloom):
+    before shuffling the fact for a selective dim join, ship the dim
+    keys' Bloom filter to the scan side and drop non-members early.
+    Unlike audit_bloom_membership (the filter as inspectable rows),
+    this one packs the 2^17-bit / 3-hash filter into 2048 longs built
+    DISTRIBUTED (explode → distinct bit → groupBy word → bit_or),
+    assembled into one array row and broadcast — membership is then a
+    pure column expression (shift/mask on element_at), no explode and
+    no extra shuffle on the fact. The final join is pinned sort-merge
+    to model a dim too big to broadcast: the bloom cuts the fact's
+    shuffle volume to ~matching rows + ~0.03% false positives (fp
+    bound pinned by unit test). No false negatives by construction,
+    so the PLAIN-join oracle hash-certifies result invariance, same
+    device as join_salted_skew. Spark's runtime bloom pushdown
+    (test_scale_plans pin) is the engine-internal version; this is
+    the portable, persistable one."""
+    from ..operators import bloom_prefilter
+
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pref = bloom_prefilter(orders, "o_custkey", cust)
+    return (
+        pref.hint("merge")
+        .join(cust, pref["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
     )
 
 

@@ -693,3 +693,47 @@ def test_kmv_estimates_within_bound(spark, sf_oracle):
         (r.est_intersection, r.exact_intersection),
     ]:
         assert exact > 0 and abs(est - exact) / exact < bound, (est, exact)
+
+
+def test_bloom_prefilter_superset_and_fp_rate(spark, sf_oracle):
+    """No false negatives (every true-match row survives the
+    prefilter) and the false-positive rate among non-members stays
+    under 1% at the default 2^17-bit / 3-hash sizing."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.operators import bloom_prefilter
+    from report_worker_spark.plans.tables import load
+
+    cust = (
+        load(spark, sf_oracle, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pref = bloom_prefilter(orders, "o_custkey", cust)
+    true_keys = {r.c_custkey for r in cust.collect()}
+    total = orders.count()
+    n_true = orders.filter(F.col("o_custkey").isin(true_keys)).count()
+    survivors = pref.count()
+    n_true_surviving = pref.filter(
+        F.col("o_custkey").isin(true_keys)
+    ).count()
+    assert n_true_surviving == n_true  # no false negatives
+    fp = (survivors - n_true) / max(total - n_true, 1)
+    assert fp < 0.01, fp
+
+
+def test_bloom_prefilter_plan_shape(spark, sf_oracle):
+    """The bitmap attaches as a single-row broadcast (the only
+    nested-loop allowed) and the final join stays sort-merge on the
+    key — the prefilter must not add a shuffle of its own on the
+    probe side."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    from tests.test_scale_plans import plan_of
+
+    plan = plan_of(QUERIES["join_bloom_prefilter"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan
