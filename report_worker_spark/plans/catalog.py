@@ -8922,6 +8922,7 @@ _DRIVER_WINDOW = [
     "multimodal_jpeg420_pixel_stats",
     "agg_kmv_set_ops",
     "join_bloom_prefilter",
+    "stats_welch_ttest",
 ]
 
 
@@ -10641,6 +10642,108 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("cents").alias("revenue_cents"),
         )
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+                 CAST(sum(cents) AS BIGINT) AS s_a,
+                 CAST(sum(cents * cents) AS BIGINT) AS q_a
+          FROM v WHERE event_type = 'click'),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(cents) AS BIGINT) AS s_b,
+                 CAST(sum(cents * cents) AS BIGINT) AS q_b
+          FROM v WHERE event_type = 'purchase'),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             (CAST(q_a AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)
+                 * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) AS var_a,
+             (CAST(q_b AS DOUBLE)
+               - CAST(n_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)
+                 * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) AS var_b
+      FROM a, b
+    ),
+    w AS (
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             var_a / n_a + var_b / n_b AS se2
+      FROM m
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 12) AS mean_a, round(mean_b, 12) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2), 12) AS t_stat,
+           round(se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                 + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 12)
+             AS df_welch,
+           abs((mean_a - mean_b) / sqrt(se2)) > 1.96 AS significant_05
+    FROM w
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test for a DIFFERENCE OF MEANS —
+    the metric-experiment companion to stats_ab_test_proportions
+    (which tests rates): click vs purchase event values. Accumulation
+    is exact integer cents (Σx, Σx² as BIGINT — native stddev would
+    fold floats in engine order), then mean/variance/t/Welch-
+    Satterthwaite df derive through float expressions mirrored
+    token-for-token in the oracle, rounded at 12. One pass over the
+    filtered fact (two partial aggs), a two-row reduce — nothing here
+    grows with data size except the scan."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def side(t: str, sfx: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .select(cents.alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{sfx}"),
+                F.sum("c").alias(f"s_{sfx}"),
+                F.sum(F.col("c") * F.col("c")).alias(f"q_{sfx}"),
+            )
+        )
+
+    m = side("click", "a").crossJoin(side("purchase", "b"))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("q_a").cast("double")
+        - F.col("n_a").cast("double") * mean_a * mean_a
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b").cast("double")
+        - F.col("n_b").cast("double") * mean_b * mean_b
+    ) / (F.col("n_b") - 1)
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t_raw = (mean_a - mean_b) / F.sqrt(se2)
+    df_w = (
+        se2
+        * se2
+        / (
+            (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
+            / (F.col("n_a") - 1)
+            + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        )
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 12).alias("mean_a"),
+        F.round(mean_b, 12).alias("mean_b"),
+        F.round(t_raw, 12).alias("t_stat"),
+        F.round(df_w, 12).alias("df_welch"),
+        (F.abs(t_raw) > 1.96).alias("significant_05"),
     )
 
 

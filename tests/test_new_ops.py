@@ -737,3 +737,38 @@ def test_bloom_prefilter_plan_shape(spark, sf_oracle):
     plan = plan_of(QUERIES["join_bloom_prefilter"](spark, sf_oracle))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_welch_ttest_matches_numpy(spark, sf_small):
+    """t statistic and Welch-Satterthwaite df agree with an
+    independent numpy computation on the same cents."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events")
+    cents = {
+        t: np.array(
+            [
+                r.c
+                for r in e.filter(F.col("event_type") == t)
+                .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        for t in ("click", "purchase")
+    }
+    a, b = cents["click"], cents["purchase"]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_np = (a.mean() - b.mean()) / np.sqrt(se2)
+    df_np = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    r = QUERIES["stats_welch_ttest"](spark, sf_small).first()
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert abs(r.t_stat - t_np) < 1e-9
+    assert abs(r.df_welch - df_np) < 1e-6
