@@ -8923,6 +8923,7 @@ _DRIVER_WINDOW = [
     "agg_kmv_set_ops",
     "join_bloom_prefilter",
     "stats_welch_ttest",
+    "ts_exp_smoothing",
 ]
 
 
@@ -10744,6 +10745,110 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
         F.round(t_raw, 12).alias("t_stat"),
         F.round(df_w, 12).alias("df_welch"),
         (F.abs(t_raw) > 1.96).alias("significant_05"),
+    )
+
+
+@query(
+    "ts_exp_smoothing",
+    oracle="""
+    WITH RECURSIVE types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(r.range AS INT) AS day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM types t CROSS JOIN range(0, 30) r
+      LEFT JOIN daily d
+        ON d.event_type = t.event_type AND d.day = r.range
+    ),
+    rec AS (
+      SELECT event_type, day, n, CAST(n AS DOUBLE) AS s
+      FROM grid WHERE day = 0
+      UNION ALL
+      SELECT g.event_type, g.day, g.n,
+             (r.s + CAST(g.n AS DOUBLE)) / CAST(2 AS DOUBLE) AS s
+      FROM grid g JOIN rec r
+        ON g.event_type = r.event_type AND g.day = r.day + 1
+    )
+    SELECT event_type, day, n AS n_events, s AS smoothed FROM rec
+    """,
+)
+def ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential smoothing (simple ES, the one-parameter forecast a
+    capacity dashboard runs on daily volumes) with α = 1/2 — chosen so
+    every update (s + x) / 2 is an EXACT binary-fraction operation and
+    the sequential F.aggregate fold is bit-identical to the oracle's
+    recursive CTE, no rounding games. Per event_type: dense zero-filled
+    30-day grid (one groupBy + a tiny types×30 broadcast grid), then
+    ONE bounded collect_list per series folded in day order — state is
+    O(days) per group, never corpus-sized; the smoothed level of the
+    last day is the next-day forecast. The recursion is linear per
+    series (day k joins day k+1), so the oracle is safely bounded
+    (memory: reach-CTE quadratic blowup only hits component
+    enumeration, not chains)."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select("event_type", day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+        )
+        .join(daily, on=["event_type", "day"], how="left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    arr = grid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+              xs,
+              named_struct(
+                'arr',
+                cast(array() as array<struct<day:int,n:bigint,s:double>>),
+                's', cast(0 as double), 'first', true),
+              (acc, x) -> named_struct(
+                'arr', array_append(acc.arr, named_struct(
+                  'day', x.day, 'n', x.n,
+                  's', CASE WHEN acc.first THEN cast(x.n as double)
+                            ELSE (acc.s + cast(x.n as double))
+                                 / cast(2 as double) END)),
+                's', CASE WHEN acc.first THEN cast(x.n as double)
+                          ELSE (acc.s + cast(x.n as double))
+                               / cast(2 as double) END,
+                'first', false),
+              acc -> acc.arr)
+            """
+        ).alias("sm"),
+    )
+    return folded.select(
+        "event_type", F.explode("sm").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.s").alias("smoothed"),
     )
 
 

@@ -772,3 +772,24 @@ def test_welch_ttest_matches_numpy(spark, sf_small):
     assert r.n_a == len(a) and r.n_b == len(b)
     assert abs(r.t_stat - t_np) < 1e-9
     assert abs(r.df_welch - df_np) < 1e-6
+
+
+def test_exp_smoothing_matches_python_fold(spark, sf_small):
+    """The distributed fold is bit-identical to a plain python loop
+    over the same dense daily series (alpha = 1/2 updates are exact
+    binary fractions, so equality is ==, not approx)."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["ts_exp_smoothing"](spark, sf_small).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = (r.n_events, r.smoothed)
+    assert series and all(len(d) == 30 for d in series.values())
+    for days in series.values():
+        s = None
+        for d in range(30):
+            n, got = days[d]
+            s = float(n) if s is None else (s + float(n)) / 2.0
+            assert got == s, (d, got, s)
