@@ -8924,6 +8924,7 @@ _DRIVER_WINDOW = [
     "join_bloom_prefilter",
     "stats_welch_ttest",
     "ts_exp_smoothing",
+    "text_hashed_linear_score",
 ]
 
 
@@ -10849,6 +10850,88 @@ def ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.day").alias("day"),
         F.col("r.n").alias("n_events"),
         F.col("r.s").alias("smoothed"),
+    )
+
+
+@query(
+    "text_hashed_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 262144
+               AS bucket
+      FROM toks WHERE w <> ''
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2001 - 1000 AS wgt
+      FROM feat
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wgt) AS BIGINT) AS raw_score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, raw_score,
+           CAST(raw_score AS DOUBLE)
+             / (CAST(1000 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS norm_score,
+           CAST(raw_score AS DOUBLE)
+             / (CAST(1000 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 0
+             AS keep
+    FROM agg
+    """,
+)
+def text_hashed_linear_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature LINEAR CLASSIFIER INFERENCE — the fastText /
+    logistic-quality-filter serving shape (CCNet, DCLM quality
+    gates): token → 2^18 hash bucket → fixed weight, document score =
+    mean bucket weight, keep = sign. The weight table is IMPLICIT
+    (weight derived from the bucket id by md5 arithmetic — a stand-in
+    for broadcasting a trained coefficient vector), so inference is
+    explode → two md5 hashes → one groupBy per doc: no model join, no
+    UDF, whole-stage codegen end to end, and the exact shape scales
+    to 100 TB (a real trained model swaps the md5 weight expr for a
+    broadcast 2^18-entry map lookup). Integer accumulation throughout;
+    the single final division is mirrored in the oracle."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % 262144
+    )
+    wgt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    agg = toks.select("doc_id", wgt.alias("wgt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("wgt").alias("raw_score"),
+    )
+    norm = F.col("raw_score").cast("double") / (
+        F.lit(1000).cast("double") * F.col("n_tokens").cast("double")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "raw_score",
+        norm.alias("norm_score"),
+        (norm > 0).alias("keep"),
     )
 
 

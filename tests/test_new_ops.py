@@ -793,3 +793,45 @@ def test_exp_smoothing_matches_python_fold(spark, sf_small):
             n, got = days[d]
             s = float(n) if s is None else (s + float(n)) / 2.0
             assert got == s, (d, got, s)
+
+
+def test_hashed_linear_score_python_replica(spark, sf_small):
+    """Inference agrees with a hashlib replica of the bucket->weight
+    device on a sample of documents, and raw_score is the exact sum
+    of per-token weights (bag semantics: duplicates count)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    def score(text: str):
+        toks = [w for w in text.strip().split() if w]
+        raw = 0
+        for w in toks:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 262144
+            raw += int(
+                hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16
+            ) % 2001 - 1000
+        return len(toks), raw
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_small, "documents").limit(25).collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.raw_score, r.keep)
+        for r in QUERIES["text_hashed_linear_score"](spark, sf_small)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    checked = 0
+    for doc_id, text in docs.items():
+        n, raw = score(text)
+        if n == 0:
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == (n, raw, raw > 0), doc_id
+        checked += 1
+    assert checked > 10
