@@ -1860,3 +1860,314 @@ def poison_inject(
             h16 < F.lit(threshold), F.expr("substring(content, 1, 12)")
         ).otherwise(F.col("content")),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF89a codec — LZW compression, pure stdlib
+#
+# Same design as the PNG/JPEG/WAV/MP4 codecs above: the encoder exists
+# to make REAL container bytes from md5 keystream content (so a DuckDB
+# oracle can replay the expected pixels arithmetically), and the decoder
+# is a strict spec walk — header, logical screen descriptor, global
+# color table, extension skip, sub-block reassembly, full LZW entropy
+# decode with variable code width (5→12 bits) and dictionary reset —
+# that fails loudly on truncated or unsupported streams so the
+# quarantine path (_quarantined_decode) catches poison per item.
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF89a", b"GIF87a")
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, code
+    width grows when the NEXT code would not fit (encoder uses ``>``
+    where the decoder uses ``>=`` — the standard one-entry lag), and
+    the dictionary resets via an explicit CLEAR at 4096 codes."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prefix = b""
+    for s in indices:
+        cand = prefix + bytes([s])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = bytes([s])
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode, strict: raises on truncated streams,
+    out-of-range codes, or a pixel count that does not match the image
+    descriptor — truncation must quarantine, never return short."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    pos = 0
+    total = len(data) * 8
+    prev: bytes | None = None
+    while True:
+        if pos + width > total:
+            raise ValueError("truncated LZW stream (no EOI)")
+        bi = pos // 8
+        chunk = int.from_bytes(data[bi : bi + 3], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} ahead of dictionary")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW pixel count {len(out)} != descriptor {n_expected}"
+        )
+    return bytes(out)
+
+
+def encode_gif(
+    indices: bytes, width: int, height: int, palette: bytes
+) -> bytes:
+    """A real, spec-valid GIF89a: logical screen descriptor, global
+    color table, image descriptor, LZW-compressed index stream in
+    ≤255-byte sub-blocks, trailer."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dims")
+    n_colors = len(palette) // 3
+    mcs = max(2, (n_colors - 1).bit_length())
+    gct = palette + bytes(3 * ((1 << mcs) - n_colors))
+    packed = 0x80 | ((mcs - 1) << 4) | (mcs - 1)
+    head = (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([packed, 0, 0])
+        + gct
+    )
+    desc = (
+        b"\x2c"
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([mcs])
+    )
+    lzw = _lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    return head + desc + bytes(blocks) + b"\x00\x3b"
+
+
+def decode_gif_pixels(content: bytes) -> dict:
+    """REAL pixel-level GIF decode: signature, screen descriptor,
+    global color table, extension-block skip, sub-block reassembly,
+    LZW decode, strict trailer check. Raises on interlaced images,
+    local color tables, truncation, or trailing garbage — those
+    streams quarantine."""
+    if content[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated screen descriptor")
+    packed = content[10]
+    if not packed & 0x80:
+        raise ValueError("no global color table")
+    gct_n = 2 ** ((packed & 0x07) + 1)
+    pos = 13
+    palette = content[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        raise ValueError("truncated global color table")
+    pos += 3 * gct_n
+    frame = None
+    while True:
+        if pos >= len(content):
+            raise ValueError("missing trailer")
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated extension")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+        elif b == 0x2C:  # image descriptor
+            if pos + 11 > len(content):
+                raise ValueError("truncated image descriptor")
+            iw = int.from_bytes(content[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(content[pos + 7 : pos + 9], "little")
+            ipacked = content[pos + 9]
+            if ipacked & 0x80:
+                raise ValueError("local color table unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            mcs = content[pos + 10]
+            if not 2 <= mcs <= 8:
+                raise ValueError(f"bad LZW min code size {mcs}")
+            pos += 11
+            data = bytearray()
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated image data")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                if pos + ln > len(content):
+                    raise ValueError("truncated image sub-block")
+                data += content[pos : pos + ln]
+                pos += ln
+            if frame is not None:
+                raise ValueError("multi-frame GIF unsupported")
+            frame = {
+                "width": iw,
+                "height": ih,
+                "indices": _lzw_decode(bytes(data), mcs, iw * ih),
+            }
+        else:
+            raise ValueError(f"bad GIF block introducer 0x{b:02x}")
+    if frame is None:
+        raise ValueError("no image frame before trailer")
+    frame["palette"] = palette
+    return frame
+
+
+def gif_bytes(width: int, height: int, seed: int) -> bytes:
+    """A real 16-color GIF whose palette and index stream are md5
+    keystream — deterministic and SQL-replayable (pixel index = LOW
+    NIBBLE of keystream byte i, palette byte j = full keystream byte,
+    so the oracle needs one hex-digit lookup per pixel and two per
+    palette byte)."""
+    palette = keystream(f"{seed}:gifpal", 48)
+    idx = bytes(b % 16 for b in keystream(f"{seed}:gifpix", width * height))
+    return encode_gif(idx, width, height, palette)
+
+
+def synthetic_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of REAL encoded GIFs, dims derived from the id —
+    Arrow-batched generation, no shuffle (same shape as
+    synthetic_image_media)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for mid in pb["media_id"]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 11 + 4
+                rows.append(
+                    {"media_id": mid, "kind": "image",
+                     "content": gif_bytes(w, h, mid),
+                     "meta_w": w, "meta_h": h}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "content", "meta_w", "meta_h"],
+            )
+
+    return src.mapInPandas(
+        gen,
+        schema="media_id long, kind string, content binary, "
+        "meta_w int, meta_h int",
+    )
+
+
+def _gif_stats_row(content: bytes) -> dict:
+    import numpy as np
+
+    d = decode_gif_pixels(content)
+    idx = np.frombuffer(d["indices"], dtype=np.uint8)
+    pal = (
+        np.frombuffer(d["palette"], dtype=np.uint8)
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    counts = np.bincount(idx, minlength=pal.shape[0])
+    sums = counts @ pal
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_pixels": d["width"] * d["height"],
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+def gif_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Per-image integer channel sums from the REAL GIF decode (LZW +
+    palette lookup), quarantined per item — same contract as
+    png_pixel_stats."""
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:6] in GIF_SIGS,
+            _gif_stats_row,
+            "width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long",
+        ),
+        with_quarantine,
+    )

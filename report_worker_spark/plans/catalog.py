@@ -8925,6 +8925,7 @@ _DRIVER_WINDOW = [
     "stats_welch_ttest",
     "ts_exp_smoothing",
     "text_hashed_linear_score",
+    "multimodal_gif_pixel_stats",
 ]
 
 
@@ -10933,6 +10934,92 @@ def text_hashed_linear_score(spark: SparkSession, sf: str) -> DataFrame:
         norm.alias("norm_score"),
         (norm > 0).alias("keep"),
     )
+
+
+@query(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (strpos('0123456789abcdef',
+                substr(md5(CAST(media_id AS VARCHAR) || ':gifpix:' ||
+                           CAST(u.i // 16 AS VARCHAR)),
+                       CAST(2 * (u.i % 16) + 2 AS INT), 1)) - 1) AS idx
+      FROM img, unnest(range(0, w * h)) AS u(i)
+    ),
+    cnt AS (
+      SELECT media_id, idx, CAST(count(*) AS BIGINT) AS c
+      FROM px GROUP BY media_id, idx
+    ),
+    pal AS (
+      SELECT i.media_id, CAST(p.range AS INT) AS idx,
+             ((strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range) % 16) + 1 AS INT), 1)) - 1)
+               * 16
+              + (strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range) % 16) + 2 AS INT), 1)) - 1))
+               AS r,
+             ((strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range + 1) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range + 1) % 16) + 1 AS INT), 1)) - 1)
+               * 16
+              + (strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range + 1) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range + 1) % 16) + 2 AS INT), 1)) - 1))
+               AS g,
+             ((strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range + 2) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range + 2) % 16) + 1 AS INT), 1)) - 1)
+               * 16
+              + (strpos('0123456789abcdef',
+                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
+                            CAST((3 * p.range + 2) // 16 AS VARCHAR)),
+                        CAST(2 * ((3 * p.range + 2) % 16) + 2 AS INT), 1)) - 1))
+               AS b
+      FROM img i, range(0, 16) p
+    )
+    SELECT c.media_id,
+           CAST(any_value(i.w) AS INT) AS width,
+           CAST(any_value(i.h) AS INT) AS height,
+           CAST(any_value(i.w) * any_value(i.h) AS BIGINT) AS n_pixels,
+           CAST(sum(c.c * p.r) AS BIGINT) AS sum_r,
+           CAST(sum(c.c * p.g) AS BIGINT) AS sum_g,
+           CAST(sum(c.c * p.b) AS BIGINT) AS sum_b
+    FROM cnt c
+    JOIN pal p ON p.media_id = c.media_id AND p.idx = c.idx
+    JOIN img i ON i.media_id = c.media_id
+    GROUP BY c.media_id
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode, the fifth real codec (PNG, JPEG baseline,
+    JPEG 4:2:0, WAV, MP4 → now GIF89a/LZW): 16-color palette GIFs
+    whose palette and index stream are md5 keystream, decoded through
+    the full container walk — screen descriptor, global color table,
+    sub-block reassembly, variable-width LZW (the dictionary-reset
+    path is unit-tested on >4096-code images) — then palette-mapped
+    to exact integer channel sums. The oracle replays the keystream:
+    pixel index = low nibble of stream byte (one hex digit), palette
+    byte = full hex pair, channel sum = Σ count(idx)·palette[idx].
+    Interlaced/local-color-table/truncated streams quarantine
+    (tests/test_multimodal.py)."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_gif_media(docs, "doc_id")
+    return mm.gif_pixel_stats(media)
 
 
 _rotate_window(_DRIVER_WINDOW)

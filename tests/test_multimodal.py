@@ -317,3 +317,86 @@ def test_png_ahash_perceptual_properties(spark):
         (a.ahash_hi ^ c.ahash_hi) << 32 | (a.ahash_lo ^ c.ahash_lo)
     ).count("1")
     assert ham <= 2
+
+
+def test_gif_roundtrip_including_dict_reset():
+    """LZW round-trips bit-exactly for every palette size, including
+    an image large enough to grow the code width to 12 bits and force
+    a dictionary reset (>4096 codes)."""
+    import random
+
+    from report_worker_spark.functions.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+        gif_bytes,
+        keystream,
+    )
+
+    for seed in range(12):
+        w, h = seed % 13 + 4, seed % 11 + 4
+        d = decode_gif_pixels(gif_bytes(w, h, seed))
+        assert d["indices"] == bytes(
+            x % 16 for x in keystream(f"{seed}:gifpix", w * h)
+        )
+        assert d["palette"] == keystream(f"{seed}:gifpal", 48)
+    rng = random.Random(7)
+    big = bytes(rng.randrange(16) for _ in range(120 * 90))
+    assert (
+        decode_gif_pixels(encode_gif(big, 120, 90, keystream("p", 48)))[
+            "indices"
+        ]
+        == big
+    )
+    i256 = bytes(rng.randrange(256) for _ in range(60 * 50))
+    assert (
+        decode_gif_pixels(encode_gif(i256, 60, 50, keystream("q", 768)))[
+            "indices"
+        ]
+        == i256
+    )
+
+
+def test_gif_strictness_raises():
+    """Truncation at any point, interlace, and local color tables all
+    raise (and therefore quarantine) instead of returning short."""
+    import pytest
+
+    from report_worker_spark.functions.multimodal import (
+        decode_gif_pixels,
+        gif_bytes,
+    )
+
+    full = gif_bytes(10, 10, 3)
+    for cut in (5, 12, 20, len(full) // 2, len(full) - 1):
+        with pytest.raises(ValueError):
+            decode_gif_pixels(full[:cut])
+    # flip the interlace / local-color-table bits in the descriptor
+    desc_at = full.index(b"\x2c")
+    for bit in (0x40, 0x80):
+        mutated = bytearray(full)
+        mutated[desc_at + 9] |= bit
+        with pytest.raises(ValueError):
+            decode_gif_pixels(bytes(mutated))
+
+
+def test_gif_poison_quarantines_exactly(spark):
+    """poison_inject's 12-byte truncation undershoots the 13-byte GIF
+    screen descriptor, so poisoned == quarantined, same contract as
+    the other four codecs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.functions import multimodal as mm
+
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_gif_media(ids, "doc_id")
+    q = mm.gif_pixel_stats(mm.poison_inject(media, threshold=20000), True)
+    got = {r.media_id for r in q.filter(~F.col("ok")).collect()}
+    want = {
+        i
+        for i in range(120)
+        if int(hashlib.md5(f"poison{i}".encode()).hexdigest()[:4], 16)
+        < 20000
+    }
+    assert got == want and want
