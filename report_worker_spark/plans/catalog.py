@@ -8926,6 +8926,7 @@ _DRIVER_WINDOW = [
     "ts_exp_smoothing",
     "text_hashed_linear_score",
     "multimodal_gif_pixel_stats",
+    "stats_poisson_bootstrap_ci",
 ]
 
 
@@ -11020,6 +11021,118 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id")
     media = mm.synthetic_gif_media(docs, "doc_id")
     return mm.gif_pixel_stats(media)
+
+
+# Poisson(1) CDF thresholds on the 16-bit md5 space:
+# t_k = floor(CDF(k) * 65536); weight = first k with u < t_k, else 8.
+_POIS_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535]
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT CAST(b.range AS INT) AS b, cents,
+             CAST(('0x' || substr(md5('boot:' || CAST(b.range AS VARCHAR)
+                   || ':' || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               AS u
+      FROM v, range(0, 64) b
+    ),
+    w AS (SELECT b, cents, {_pois_case_sql("u")} AS w FROM rep),
+    rm AS (
+      SELECT b, CAST(sum(w * cents) AS BIGINT) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM w GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM rm
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM v
+    )
+    SELECT n_rows,
+           CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS point_mean,
+           (SELECT m FROM ranked WHERE rn = 2) AS ci_lo,
+           (SELECT m FROM ranked WHERE rn = 63) AS ci_hi,
+           CAST(64 AS BIGINT) AS n_replicas
+    FROM base
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for a mean — the
+    bootstrap that actually runs at 100 TB (Chamandy et al., Google
+    2012): instead of resampling n rows with replacement (a shuffle
+    per replica), every row draws an independent Poisson(1) weight
+    per replica, so all 64 replicas ride ONE pass over the fact and
+    one groupBy(replica). The weight device is an md5 16-bit draw cut
+    by precomputed integer CDF thresholds — deterministic, so replica
+    means are exact integer ratios and DuckDB replays the whole
+    resampling plan. CI = replica means ranked 2 and 63 of 64
+    (2.5%/97.5%, id tiebreak). Fanout is a flat 64× explode — bounded
+    and embarrassingly parallel, no driver participation."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = e.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rep = v.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).withColumn("b", F.col("b").cast("int"))
+    u = (
+        "cast(conv(substring(md5(concat('boot:', cast(b as string), ':', "
+        "cast(event_id as string))), 1, 4), 16, 10) as bigint)"
+    )
+    w = rep.withColumn("w", F.expr(_pois_case_sql(f"({u})")))
+    rm = w.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("swx"),
+        F.sum("w").alias("sw"),
+    )
+    means = rm.select(
+        "b", (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m")
+    )
+    ranked = means.select(
+        "m",
+        F.row_number()
+        .over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
+        .alias("rn"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == 63).select(F.col("m").alias("ci_hi"))
+    base = v.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("s")
+    )
+    return (
+        base.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            "n_rows",
+            (
+                F.col("s").cast("double") / F.col("n_rows").cast("double")
+            ).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(64).cast("long").alias("n_replicas"),
+        )
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

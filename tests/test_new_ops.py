@@ -835,3 +835,26 @@ def test_hashed_linear_score_python_replica(spark, sf_small):
         assert got[doc_id] == (n, raw, raw > 0), doc_id
         checked += 1
     assert checked > 10
+
+
+def test_poisson_bootstrap_ci_properties(spark, sf_oracle):
+    """The CI brackets the point mean, is a genuine interval, and has
+    plausible width (within 8 standard errors, nonzero)."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    r = QUERIES["stats_poisson_bootstrap_ci"](spark, sf_oracle).first()
+    assert r.n_replicas == 64
+    assert r.ci_lo < r.point_mean < r.ci_hi
+    e = load(spark, sf_oracle, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    stats = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.stddev("c").alias("sd")
+    ).first()
+    se = stats.sd / stats.n**0.5
+    assert 0 < r.ci_hi - r.ci_lo < 8 * se
