@@ -97,6 +97,13 @@ CATALOG_BENCH = [
     # round-7 additions
     "audit_media_quarantine_rate",
     "multimodal_jpeg420_pixel_stats",
+    "agg_kmv_set_ops",
+    "join_bloom_prefilter",
+    "stats_welch_ttest",
+    "ts_exp_smoothing",
+    "text_hashed_linear_score",
+    "multimodal_gif_pixel_stats",
+    "stats_poisson_bootstrap_ci",
 ]
 
 
