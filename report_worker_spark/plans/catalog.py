@@ -8927,6 +8927,7 @@ _DRIVER_WINDOW = [
     "text_hashed_linear_score",
     "multimodal_gif_pixel_stats",
     "stats_poisson_bootstrap_ci",
+    "agg_hdr_quantile_sketch",
 ]
 
 
@@ -11132,6 +11133,100 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
             "ci_hi",
             F.lit(64).cast("long").alias("n_replicas"),
         )
+    )
+
+
+@query(
+    "agg_hdr_quantile_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    bk AS (
+      SELECT CASE WHEN c < 16 THEN c
+                  ELSE (length(printf('%b', c)) - 1) * 16
+                       + ((c >> (length(printf('%b', c)) - 5)) & 15)
+             END AS id
+      FROM v
+    ),
+    hist AS (SELECT id, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY id),
+    cum AS (
+      SELECT id, cnt,
+             CAST(sum(cnt) OVER (ORDER BY id) AS BIGINT) AS cum
+      FROM hist
+    ),
+    lbv AS (
+      SELECT id, cum,
+             CASE WHEN id < 16 THEN id
+                  ELSE (16 + (id % 16)) << CAST(id // 16 - 4 AS INT)
+             END AS lb
+      FROM cum
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
+    SELECT n,
+           CAST((SELECT count(*) FROM hist) AS BIGINT) AS n_buckets,
+           (SELECT min(lb) FROM lbv
+            WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)) AS p50_est,
+           (SELECT min(lb) FROM lbv
+            WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)) AS p90_est,
+           (SELECT min(lb) FROM lbv
+            WHERE cum >= CAST(ceil(0.99 * n) AS BIGINT)) AS p99_est
+    FROM tot
+    """,
+)
+def agg_hdr_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """LOG-LINEAR QUANTILE SKETCH (the HdrHistogram / DDSketch
+    shape): bucket = (floor(log2 x) octave, next 4 mantissa bits), so
+    relative error ≤ 1/16 by construction, the bucket id is pure
+    integer bit arithmetic, and the sketch is just a groupBy(id)
+    count — mergeable across partitions/batches in plain rows exactly
+    like the Count-Min rows (`agg_countmin_sketch`), completing the
+    sketch family's quantile corner (vs `stats_exact_median_twopass`,
+    which buys exactness with a second pass). Quantile read-off =
+    cumulative walk over ≤~330 bucket rows (a bounded single-partition
+    window, like the CMS point-query tail); estimates are bucket lower
+    bounds, pinned within 1/16 relative error of the exact percentile
+    by unit test. floor(log2) is length(bin(x))-1 on both engines —
+    no float logs anywhere."""
+    li = load(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    bid = F.expr(
+        "CASE WHEN c < 16 THEN c"
+        " ELSE (length(bin(c)) - 1) * 16"
+        " + (shiftright(c, length(bin(c)) - 5) & 15) END"
+    )
+    hist = li.select(bid.alias("id")).groupBy("id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.select(
+        "id",
+        "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+        F.expr(
+            "CASE WHEN id < 16 THEN id"
+            " ELSE shiftleft(cast(16 + id % 16 as bigint),"
+            " cast(id div 16 - 4 as int)) END"
+        ).alias("lb"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    q = cum.crossJoin(F.broadcast(tot))
+
+    def est(p: float) -> F.Column:
+        tgt = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("cum") >= tgt, F.col("lb")))
+
+    return q.groupBy("n", "n_buckets").agg(
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
     )
 
 

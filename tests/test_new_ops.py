@@ -858,3 +858,35 @@ def test_poisson_bootstrap_ci_properties(spark, sf_oracle):
     ).first()
     se = stats.sd / stats.n**0.5
     assert 0 < r.ci_hi - r.ci_lo < 8 * se
+
+
+def test_hdr_sketch_error_bound(spark, sf_oracle):
+    """Each sketch percentile lands within 1/16 relative error below
+    the exact percentile (lower-bound estimates: est <= exact and
+    exact < est * 17/16 cannot both fail)."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    r = QUERIES["agg_hdr_quantile_sketch"](spark, sf_oracle).first()
+    exact = (
+        load(spark, sf_oracle, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+        .agg(
+            F.expr("percentile(c, 0.5)").alias("p50"),
+            F.expr("percentile(c, 0.9)").alias("p90"),
+            F.expr("percentile(c, 0.99)").alias("p99"),
+        )
+        .first()
+    )
+    for est, ex in [
+        (r.p50_est, exact.p50),
+        (r.p90_est, exact.p90),
+        (r.p99_est, exact.p99),
+    ]:
+        assert est <= ex * (1 + 1 / 16) and ex <= est * (1 + 1 / 16), (
+            est,
+            ex,
+        )
+    assert r.n_buckets < 400
