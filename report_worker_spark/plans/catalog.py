@@ -8928,6 +8928,7 @@ _DRIVER_WINDOW = [
     "multimodal_gif_pixel_stats",
     "stats_poisson_bootstrap_ci",
     "agg_hdr_quantile_sketch",
+    "sim_mmr_rerank",
 ]
 
 
@@ -11227,6 +11228,190 @@ def agg_hdr_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         est(0.5).alias("p50_est"),
         est(0.9).alias("p90_est"),
         est(0.99).alias("p99_est"),
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-step greedy MMR in SQL (generated: each step is the
+    same anti-join + max-redundancy + argmax block over the previous
+    pick set)."""
+    steps = []
+    picks = "s1"
+    for t in range(2, 6):
+        steps.append(f"""
+    r{t} AS (
+      SELECT c.query_id, c.vec_id, c.qsim, max(p.sim) AS red
+      FROM cand c
+      JOIN pairs p ON p.query_id = c.query_id AND p.id_a = c.vec_id
+      JOIN {picks} s ON s.query_id = p.query_id AND s.vec_id = p.id_b
+      LEFT JOIN {picks} dup
+        ON dup.query_id = c.query_id AND dup.vec_id = c.vec_id
+      WHERE dup.vec_id IS NULL
+      GROUP BY c.query_id, c.vec_id, c.qsim
+    ),
+    c{t} AS (
+      SELECT query_id, vec_id, qsim, red, CAST({t} AS INT) AS rank
+      FROM r{t}
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY qsim - red DESC, vec_id) = 1
+    ),
+    s{t} AS (SELECT * FROM {picks} UNION ALL SELECT * FROM c{t})""")
+        picks = f"s{t}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT vec_id AS query_id, qv AS query_vec
+            FROM q WHERE vec_id < 4),
+    scored AS (
+      SELECT r.query_id, e.vec_id,
+             CAST(list_dot_product(CAST(r.query_vec AS DOUBLE[]),
+                                   CAST(e.qv AS DOUBLE[])) AS BIGINT)
+               AS qsim,
+             e.qv
+      FROM qry r JOIN q e ON e.vec_id <> r.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, qsim, qv
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY qsim DESC, vec_id) <= 20
+    ),
+    pairs AS (
+      SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                   CAST(b.qv AS DOUBLE[])) AS BIGINT)
+               AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, qsim, CAST(0 AS BIGINT) AS red,
+             CAST(1 AS INT) AS rank
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY qsim DESC, vec_id) = 1
+    ),{",".join(steps)}
+    SELECT query_id, rank, vec_id, qsim, red AS redundancy FROM s5
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) — the diversified top-k a curation pipeline uses when plain
+    nearest-neighbor sampling returns 5 near-duplicates: greedily pick
+    argmax[ sim(q,c) − max_{s∈picked} sim(c,s) ] (λ = 1/2, which
+    reduces to the integer difference). Similarities are integer dot
+    products over int8-ish quantized vectors (round(x·256) — the
+    quantized-rerank serving shape, cf. emb_quantize_int8), so the
+    whole greedy trajectory is exact integer arithmetic and the
+    oracle replays it verbatim (DuckDB list_dot_product over
+    integer-valued doubles is exact). Shapes: top-20 candidate cut
+    per query via window, 20×20 pairwise equi-join per query, k=5
+    unrolled greedy steps — each an anti-join + max-reduction +
+    per-query argmax, all broadcast-sized; the corpus is touched
+    once, by the candidate scan."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    scored = q.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(idot.format(a="query_vec", b="qv")).alias("qsim"),
+        "qv",
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("id_a"), F.col("qv").alias("va")
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("id_b"), F.col("qv").alias("vb")
+    )
+    pairs = (
+        a.join(b, on="query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.expr(idot.format(a="va", b="vb")).alias("sim"),
+        )
+    )
+    base = cand.select("query_id", "vec_id", "qsim")
+    picks = (
+        base.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "qsim",
+            F.lit(0).cast("long").alias("red"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+    )
+    for t in range(2, 6):
+        rem = base.join(
+            picks.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_anti",
+        )
+        red = (
+            rem.join(pairs, on="query_id")
+            .filter(F.col("id_a") == F.col("vec_id"))
+            .join(
+                picks.select(
+                    "query_id", F.col("vec_id").alias("pick_id")
+                ),
+                on="query_id",
+            )
+            .filter(F.col("id_b") == F.col("pick_id"))
+            .groupBy("query_id", "vec_id", "qsim")
+            .agg(F.max("sim").alias("red"))
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            (F.col("qsim") - F.col("red")).desc(), F.col("vec_id").asc()
+        )
+        chosen = (
+            red.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "qsim",
+                "red",
+                F.lit(t).cast("int").alias("rank"),
+            )
+        )
+        picks = picks.unionByName(chosen)
+    return picks.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        "qsim",
+        F.col("red").alias("redundancy"),
     )
 
 

@@ -890,3 +890,53 @@ def test_hdr_sketch_error_bound(spark, sf_oracle):
             ex,
         )
     assert r.n_buckets < 400
+
+
+def test_mmr_rerank_matches_python_greedy(spark, sf_small):
+    """The full 5-step greedy trajectory equals an independent python
+    replica (quantize, integer dots, argmax with id tiebreak)."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_small, "embeddings").collect()
+    }
+    qz = {
+        i: np.sign(v * 256) * np.floor(np.abs(v * 256) + 0.5)
+        for i, v in emb.items()
+    }
+    qz = {i: v.astype(np.int64) for i, v in qz.items()}
+
+    def greedy(qid):
+        qsims = {
+            i: int(qz[qid] @ v) for i, v in qz.items() if i != qid
+        }
+        cand = sorted(qsims, key=lambda i: (-qsims[i], i))[:20]
+        picks, out = [], []
+        for rank in range(1, 6):
+            best = None
+            for c in cand:
+                if c in picks:
+                    continue
+                red = max(
+                    (int(qz[c] @ qz[s]) for s in picks), default=0
+                )
+                key = (-(qsims[c] - red), c)
+                if best is None or key < best[0]:
+                    best = (key, c, red)
+            _, c, red = best
+            picks.append(c)
+            out.append((rank, c, qsims[c], red))
+        return out
+
+    got = {}
+    for r in QUERIES["sim_mmr_rerank"](spark, sf_small).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, r.qsim, r.redundancy)
+        )
+    assert set(got) == {0, 1, 2, 3}
+    for qid, rows in got.items():
+        assert sorted(rows) == greedy(qid), qid
