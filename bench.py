@@ -104,6 +104,8 @@ CATALOG_BENCH = [
     "text_hashed_linear_score",
     "multimodal_gif_pixel_stats",
     "stats_poisson_bootstrap_ci",
+    "agg_hdr_quantile_sketch",
+    "sim_mmr_rerank",
 ]
 
 
