@@ -11343,6 +11343,14 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 20)
         .drop("rn")
+        # lazy localCheckpoint: the greedy unrolling below references
+        # this 80-row table ~16× (each step nests the previous pick
+        # set twice); without the barrier every reference re-runs the
+        # corpus scoring scan — measured 9.3 s → 1.5 s at sf0.1.
+        # eager=False so NO job runs at plan-construction time (the
+        # cmd_explain caveat stays confined to the driver-selection
+        # queries).
+        .localCheckpoint(eager=False)
     )
     a = cand.select(
         "query_id", F.col("vec_id").alias("id_a"), F.col("qv").alias("va")
@@ -11405,7 +11413,10 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(t).cast("int").alias("rank"),
             )
         )
-        picks = picks.unionByName(chosen)
+        # barrier per round: keeps the t-th plan referencing an
+        # O(rows-so-far) table instead of nesting the (t-1)-th plan
+        # twice (anti-join + redundancy join) — linear, not 2^k
+        picks = picks.unionByName(chosen).localCheckpoint(eager=False)
     return picks.select(
         "query_id",
         "rank",
