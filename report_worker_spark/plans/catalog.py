@@ -5540,7 +5540,8 @@ def graph_degree_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int) -> str:
+def _pagerank_oracle(iters: int, edges_sql: str | None = None) -> str:
+    edges_sql = edges_sql or _COOCCUR_EDGES_SQL
     steps = []
     for i in range(1, iters + 1):
         steps.append(
@@ -5558,7 +5559,7 @@ def _pagerank_oracle(iters: int) -> str:
     )"""
         )
     return f"""
-    WITH {_COOCCUR_EDGES_SQL},
+    WITH {edges_sql},
     d AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
     deg AS (SELECT src AS node, count(*) AS outdeg FROM d GROUP BY src),
     nn AS (SELECT count(*) AS n FROM deg),
@@ -8929,6 +8930,9 @@ _DRIVER_WINDOW = [
     "stats_poisson_bootstrap_ci",
     "agg_hdr_quantile_sketch",
     "sim_mmr_rerank",
+    "text_textrank_keywords",
+    "olap_basket_lift",
+    "ts_holt_trend",
 ]
 
 
@@ -11423,6 +11427,294 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "qsim",
         F.col("red").alias("redundancy"),
+    )
+
+
+_WORD_EDGES_SQL = """
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(t[i], t[i+1]) AS src,
+                      greatest(t[i], t[i+1]) AS dst
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+      WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]
+    )
+"""
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=_pagerank_oracle(3, edges_sql=_WORD_EDGES_SQL),
+)
+def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-centrality alternative to RAKE (`text_rake_keywords`):
+    corpus-wide word graph from ADJACENT-token co-occurrence (window
+    2, undirected, distinct), then the SAME deterministic 3-iteration
+    PageRank device as graph_pagerank_top20 (smallest-first sorted
+    folds → bit-identical to the oracle's list_sort + list_reduce),
+    top-20 words. One lead() window per doc builds the edges — no
+    self-join on the token table; graph size is vocabulary-bounded,
+    not corpus-bounded, so the PR iterations run on a small edge
+    set whatever the input size."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = toks.withColumn("wn", wn).filter(
+        F.col("wn").isNotNull()
+        & (F.col("w") != "")
+        & (F.col("wn") != "")
+        & (F.col("w") != F.col("wn"))
+    )
+    edges = pairs.select(
+        F.least("w", "wn").alias("src"), F.greatest("w", "wn").alias("dst")
+    ).distinct()
+    pr = gr.pagerank(
+        gr.undirected_edges(edges),
+        iterations=3,
+        damping=0.85,
+        deterministic=True,
+    )
+    w20 = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(w20).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )
+
+
+@query(
+    "olap_basket_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             FROM li),
+    sup AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_sup
+      FROM li GROUP BY l_partkey
+    ),
+    co AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    scored AS (
+      SELECT co.p_a, co.p_b, co.n_co, sa.n_sup AS n_a, sb.n_sup AS n_b,
+             CAST(co.n_co AS DOUBLE) * CAST(nord.n_orders AS DOUBLE)
+               / (CAST(sa.n_sup AS DOUBLE) * CAST(sb.n_sup AS DOUBLE))
+               AS lift
+      FROM co
+      JOIN sup sa ON sa.l_partkey = co.p_a
+      JOIN sup sb ON sb.l_partkey = co.p_b
+      CROSS JOIN nord
+    )
+    SELECT p_a, p_b, n_co, n_a, n_b, lift, rank FROM (
+      SELECT *, CAST(row_number() OVER
+               (ORDER BY n_co DESC, p_a, p_b) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def olap_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-purchase mining with LIFT — the co-occurrence
+    statistic the raw co-occur edge set (graph family's
+    _cooccur_edges) doesn't expose: for the 20 most co-ordered part
+    pairs, lift = P(a,b) / (P(a)·P(b)) as the single mirrored float
+    expression over exact integer supports. Pair generation is the
+    per-order self-join (fan-out bounded by lines-per-order ≤ 7, so
+    ≤ 21 pairs per order — linear in the fact, never quadratic in
+    parts); supports broadcast back onto the pair aggregate."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nord = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_sup"))
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b")
+    )
+    co = (
+        a.join(b, on="ok")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    scored = (
+        co.join(
+            F.broadcast(
+                sup.select(
+                    F.col("l_partkey").alias("p_a"),
+                    F.col("n_sup").alias("n_a"),
+                )
+            ),
+            on="p_a",
+        )
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("l_partkey").alias("p_b"),
+                    F.col("n_sup").alias("n_b"),
+                )
+            ),
+            on="p_b",
+        )
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "p_a",
+            "p_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_co").cast("double")
+                * F.col("n_orders").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("n_co").desc(), F.col("p_a").asc(), F.col("p_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("p_a", "p_b", "n_co", "n_a", "n_b", "lift", "rank")
+    )
+
+
+@query(
+    "ts_holt_trend",
+    oracle="""
+    WITH RECURSIVE types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(r.range AS INT) AS day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM types t CROSS JOIN range(0, 30) r
+      LEFT JOIN daily d
+        ON d.event_type = t.event_type AND d.day = r.range
+    ),
+    rec AS (
+      SELECT event_type, day, n, CAST(n AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM grid WHERE day = 0
+      UNION ALL
+      SELECT event_type, day, n, ln AS l,
+             ((ln - l_prev) + b_prev) / CAST(2 AS DOUBLE) AS b
+      FROM (
+        SELECT g.event_type, g.day, g.n, r.l AS l_prev, r.b AS b_prev,
+               (CAST(g.n AS DOUBLE) + r.l + r.b) / CAST(2 AS DOUBLE) AS ln
+        FROM grid g JOIN rec r
+          ON g.event_type = r.event_type AND g.day = r.day + 1
+      )
+    )
+    SELECT event_type, day, n AS n_events, l AS level, b AS trend,
+           l + CAST(7 AS DOUBLE) * b AS forecast_7d
+    FROM rec
+    """,
+)
+def ts_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's LINEAR-TREND smoothing — the trend-aware sibling of
+    ts_exp_smoothing (simple ES lags any ramp; Holt tracks it):
+    level l = (x + l' + b')/2, trend b = ((l − l') + b')/2, both with
+    α = β = 1/2 so every update is an exact binary-fraction op and
+    the fold is BIT-identical to the oracle's recursive CTE with no
+    rounding. Same dense 30-day grid and bounded per-series
+    collect_list fold; forecast_7d = l + 7b rides along per day, so
+    the last row is the capacity projection a dashboard plots."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select("event_type", day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+        )
+        .join(daily, on=["event_type", "day"], how="left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    arr = grid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    lnew = (
+        "(CASE WHEN acc.first THEN cast(x.n as double)"
+        " ELSE (cast(x.n as double) + acc.l + acc.b)"
+        " / cast(2 as double) END)"
+    )
+    bnew = (
+        "(CASE WHEN acc.first THEN cast(0 as double)"
+        f" ELSE (({lnew} - acc.l) + acc.b) / cast(2 as double) END)"
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+              xs,
+              named_struct(
+                'arr',
+                cast(array() as
+                  array<struct<day:int,n:bigint,l:double,b:double>>),
+                'l', cast(0 as double), 'b', cast(0 as double),
+                'first', true),
+              (acc, x) -> named_struct(
+                'arr', array_append(acc.arr, named_struct(
+                  'day', x.day, 'n', x.n, 'l', {lnew}, 'b', {bnew})),
+                'l', {lnew}, 'b', {bnew}, 'first', false),
+              acc -> acc.arr)
+            """
+        ).alias("sm"),
+    )
+    return folded.select(
+        "event_type", F.explode("sm").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.l").alias("level"),
+        F.col("r.b").alias("trend"),
+        (
+            F.col("r.l") + F.lit(7).cast("double") * F.col("r.b")
+        ).alias("forecast_7d"),
     )
 
 

