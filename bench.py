@@ -106,6 +106,9 @@ CATALOG_BENCH = [
     "stats_poisson_bootstrap_ci",
     "agg_hdr_quantile_sketch",
     "sim_mmr_rerank",
+    "text_textrank_keywords",
+    "olap_basket_lift",
+    "ts_holt_trend",
 ]
 
 
