@@ -109,6 +109,7 @@ CATALOG_BENCH = [
     "text_textrank_keywords",
     "olap_basket_lift",
     "ts_holt_trend",
+    "audit_data_contract",
 ]
 
 

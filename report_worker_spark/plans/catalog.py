@@ -8933,6 +8933,7 @@ _DRIVER_WINDOW = [
     "text_textrank_keywords",
     "olap_basket_lift",
     "ts_holt_trend",
+    "audit_data_contract",
 ]
 
 
@@ -11715,6 +11716,95 @@ def ts_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
         (
             F.col("r.l") + F.lit(7).cast("double") * F.col("r.b")
         ).alias("forecast_7d"),
+    )
+
+
+@query(
+    "audit_data_contract",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(count(*) FILTER (value > 100) AS BIGINT) AS v_le100,
+             CAST(count(*) FILTER (value < 0) AS BIGINT) AS v_neg,
+             CAST(count(*) FILTER (event_type NOT IN
+               ('click','view','purchase','signup','error')
+               OR event_type IS NULL) AS BIGINT) AS v_enum,
+             CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS v_null,
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purch,
+             CAST(count(*) FILTER (event_type = 'purchase' AND value < 1)
+               AS BIGINT) AS v_purch
+      FROM events
+    )
+    SELECT rule, n_checked, n_violations,
+           CAST(n_violations AS DOUBLE) / n_checked AS violation_rate
+    FROM (
+      SELECT 'value_le_100' AS rule, n_all AS n_checked,
+             v_le100 AS n_violations FROM s
+      UNION ALL SELECT 'value_nonnegative', n_all, v_neg FROM s
+      UNION ALL SELECT 'event_type_enum', n_all, v_enum FROM s
+      UNION ALL SELECT 'user_id_not_null', n_all, v_null FROM s
+      UNION ALL SELECT 'event_id_unique', n_all, v_dup FROM s
+      UNION ALL SELECT 'purchase_value_ge_1', n_purch, v_purch FROM s
+    )
+    """,
+)
+def audit_data_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-CONTRACT VALIDATION (the Great-Expectations /
+    dbt-test shape): a rule table — range, domain-enum, not-null,
+    uniqueness, and a scoped conditional rule — evaluated in ONE scan
+    via conditional aggregation, then unpivoted to (rule, n_checked,
+    n_violations, rate) rows a freshness dashboard ingests. This is
+    the audit a pipeline runs before promoting a batch; at 100 TB it
+    stays one map-combinable pass however many rules ride along
+    (adding a rule adds a column, not a scan)."""
+    e = load(spark, sf, "events")
+    cnt = F.count(F.lit(1))
+    s = e.agg(
+        cnt.alias("n_all"),
+        F.sum((F.col("value") > 100).cast("long")).alias("v_le100"),
+        F.sum((F.col("value") < 0).cast("long")).alias("v_neg"),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+                | F.col("event_type").isNull()
+            ).cast("long")
+        ).alias("v_enum"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("v_null"),
+        (cnt - F.countDistinct("event_id")).alias("v_dup"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purch"
+        ),
+        F.sum(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") < 1)
+            ).cast("long")
+        ).alias("v_purch"),
+    )
+    rules = s.select(
+        F.expr(
+            """
+            stack(6,
+              'value_le_100', n_all, v_le100,
+              'value_nonnegative', n_all, v_neg,
+              'event_type_enum', n_all, v_enum,
+              'user_id_not_null', n_all, v_null,
+              'event_id_unique', n_all, v_dup,
+              'purchase_value_ge_1', n_purch, v_purch)
+              AS (rule, n_checked, n_violations)
+            """
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (
+            F.col("n_violations").cast("double") / F.col("n_checked")
+        ).alias("violation_rate"),
     )
 
 

@@ -1023,3 +1023,29 @@ def test_holt_trend_matches_python_fold(spark, sf_small):
                 lv = ln
             assert (r.level, r.trend) == (lv, bt), d
             assert r.forecast_7d == lv + 7.0 * bt
+
+
+def test_data_contract_single_scan_and_values(spark, sf_small):
+    """All six rules ride one aggregate (plan shows a single scan of
+    events) and the counters match a python replica."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+    from tests.test_scale_plans import plan_of
+
+    df = QUERIES["audit_data_contract"](spark, sf_small)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Scan parquet") == 1
+    rows = {r.rule: r for r in df.collect()}
+    ev = load(spark, sf_small, "events").collect()
+    assert rows["value_le_100"].n_violations == sum(
+        1 for e in ev if e.value > 100
+    )
+    assert rows["value_nonnegative"].n_violations == 0
+    assert rows["event_id_unique"].n_violations == len(ev) - len(
+        {e.event_id for e in ev}
+    )
+    purch = [e for e in ev if e.event_type == "purchase"]
+    assert rows["purchase_value_ge_1"].n_checked == len(purch)
+    assert rows["purchase_value_ge_1"].n_violations == sum(
+        1 for e in purch if e.value < 1
+    )
