@@ -110,6 +110,7 @@ CATALOG_BENCH = [
     "olap_basket_lift",
     "ts_holt_trend",
     "audit_data_contract",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -8934,6 +8934,7 @@ _DRIVER_WINDOW = [
     "olap_basket_lift",
     "ts_holt_trend",
     "audit_data_contract",
+    "emb_matryoshka_recall",
 ]
 
 
@@ -11308,127 +11309,12 @@ def _mmr_oracle() -> str:
 def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
     1998) — the diversified top-k a curation pipeline uses when plain
-    nearest-neighbor sampling returns 5 near-duplicates: greedily pick
-    argmax[ sim(q,c) − max_{s∈picked} sim(c,s) ] (λ = 1/2, which
-    reduces to the integer difference). Similarities are integer dot
-    products over int8-ish quantized vectors (round(x·256) — the
-    quantized-rerank serving shape, cf. emb_quantize_int8), so the
-    whole greedy trajectory is exact integer arithmetic and the
-    oracle replays it verbatim (DuckDB list_dot_product over
-    integer-valued doubles is exact). Shapes: top-20 candidate cut
-    per query via window, 20×20 pairwise equi-join per query, k=5
-    unrolled greedy steps — each an anti-join + max-reduction +
-    per-query argmax, all broadcast-sized; the corpus is touched
-    once, by the candidate scan."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", qz.alias("qv"))
-    qry = q.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
-    )
-    idot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " cast(0 as bigint), (a, x) -> a + x)"
-    )
-    scored = q.join(
-        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.expr(idot.format(a="query_vec", b="qv")).alias("qsim"),
-        "qv",
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qsim").desc(), F.col("vec_id").asc()
-    )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-        # lazy localCheckpoint: the greedy unrolling below references
-        # this 80-row table ~16× (each step nests the previous pick
-        # set twice); without the barrier every reference re-runs the
-        # corpus scoring scan — measured 9.3 s → 1.5 s at sf0.1.
-        # eager=False so NO job runs at plan-construction time (the
-        # cmd_explain caveat stays confined to the driver-selection
-        # queries).
-        .localCheckpoint(eager=False)
-    )
-    a = cand.select(
-        "query_id", F.col("vec_id").alias("id_a"), F.col("qv").alias("va")
-    )
-    b = cand.select(
-        "query_id", F.col("vec_id").alias("id_b"), F.col("qv").alias("vb")
-    )
-    pairs = (
-        a.join(b, on="query_id")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "query_id",
-            "id_a",
-            "id_b",
-            F.expr(idot.format(a="va", b="vb")).alias("sim"),
-        )
-    )
-    base = cand.select("query_id", "vec_id", "qsim")
-    picks = (
-        base.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "vec_id",
-            "qsim",
-            F.lit(0).cast("long").alias("red"),
-            F.lit(1).cast("int").alias("rank"),
-        )
-    )
-    for t in range(2, 6):
-        rem = base.join(
-            picks.select("query_id", "vec_id"),
-            on=["query_id", "vec_id"],
-            how="left_anti",
-        )
-        red = (
-            rem.join(pairs, on="query_id")
-            .filter(F.col("id_a") == F.col("vec_id"))
-            .join(
-                picks.select(
-                    "query_id", F.col("vec_id").alias("pick_id")
-                ),
-                on="query_id",
-            )
-            .filter(F.col("id_b") == F.col("pick_id"))
-            .groupBy("query_id", "vec_id", "qsim")
-            .agg(F.max("sim").alias("red"))
-        )
-        wm = Window.partitionBy("query_id").orderBy(
-            (F.col("qsim") - F.col("red")).desc(), F.col("vec_id").asc()
-        )
-        chosen = (
-            red.withColumn("rn", F.row_number().over(wm))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                "qsim",
-                "red",
-                F.lit(t).cast("int").alias("rank"),
-            )
-        )
-        # barrier per round: keeps the t-th plan referencing an
-        # O(rows-so-far) table instead of nesting the (t-1)-th plan
-        # twice (anti-join + redundancy join) — linear, not 2^k
-        picks = picks.unionByName(chosen).localCheckpoint(eager=False)
-    return picks.select(
-        "query_id",
-        "rank",
-        "vec_id",
-        "qsim",
-        F.col("red").alias("redundancy"),
-    )
+    nearest-neighbor sampling returns 5 near-duplicates. Thin wrapper
+    over `similarity.mmr_rerank` (integer greedy trajectory over
+    round(x·256) quantized vectors — see its docstring for the shape
+    and checkpoint-barrier story); the generated unrolled-CTE oracle
+    replays every step verbatim."""
+    return sim.mmr_rerank(load(spark, sf, "embeddings"))
 
 
 _WORD_EDGES_SQL = """
@@ -11805,6 +11691,122 @@ def audit_data_contract(spark: SparkSession, sf: str) -> DataFrame:
         (
             F.col("n_violations").cast("double") / F.col("n_checked")
         ).alias("violation_rate"),
+    )
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT vec_id AS query_id, qv AS query_vec
+            FROM q WHERE vec_id < 8),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    scored AS (
+      SELECT dims.d, r.query_id, e.vec_id,
+             CAST(list_dot_product(
+               CAST(r.query_vec[1:dims.d] AS DOUBLE[]),
+               CAST(e.qv[1:dims.d] AS DOUBLE[])) AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.query_id
+      CROSS JOIN dims
+    ),
+    topk AS (
+      SELECT d, query_id, vec_id
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY d, query_id
+                ORDER BY s DESC, vec_id) <= 10
+    ),
+    hits AS (
+      SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
+      FROM topk t
+      JOIN topk f ON f.d = 64 AND f.query_id = t.query_id
+                 AND f.vec_id = t.vec_id
+      GROUP BY t.d
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qry)
+    SELECT CAST(dims.d AS INT) AS dim,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(nq.n_q * 10 AS BIGINT) AS n_possible,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (nq.n_q * 10)
+             AS recall_at_10
+    FROM dims CROSS JOIN nq
+    LEFT JOIN hits h ON h.d = dims.d
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION EVALUATION — the question a 100 TB
+    vector-store operator actually asks before cutting storage 8×:
+    how much recall@10 survives truncating embeddings to their first
+    d dims (MRL-style prefix truncation, d ∈ {8,16,32,64})? Exact
+    top-10 per (dim, query) via integer dot products over
+    round(x·256)-quantized prefixes (slice is free — no re-embedding),
+    compared against the full-dim baseline (d=64 recall ≡ 1.0 by
+    construction — the built-in sanity row). One corpus scan serves
+    all four dims (the dim axis is an explode over the same scored
+    pair), and everything downstream of the top-10 window is
+    query-count-sized. Integer arithmetic end to end; DuckDB replays
+    the sliced dots exactly."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
+    scored = (
+        q.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(slice(query_vec, 1, d),"
+                " slice(qv, 1, d), (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("d", "query_id", "vec_id")
+        .localCheckpoint(eager=False)  # referenced twice below
+    )
+    full = topk.filter(F.col("d") == 64).select(
+        "query_id", F.col("vec_id").alias("f_id")
+    )
+    hits = (
+        topk.join(F.broadcast(full), on="query_id")
+        .filter(F.col("vec_id") == F.col("f_id"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nq = qry.agg(F.count(F.lit(1)).alias("n_q"))
+    # total over the dims grid: a dim with zero hits (or a zero-hit
+    # query) must still report, with the full n_queries*10 denominator
+    return (
+        dims.crossJoin(F.broadcast(nq))
+        .join(hits, on="d", how="left")
+        .select(
+            F.col("d").cast("int").alias("dim"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.col("n_q") * 10).cast("long").alias("n_possible"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / (F.col("n_q") * 10)
+            ).alias("recall_at_10"),
+        )
     )
 
 

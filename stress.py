@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from report_worker_spark.functions import bpe
 from report_worker_spark.functions import dedup as dd
@@ -317,6 +317,57 @@ def main() -> None:
     # span corruption: one corpus shuffle on doc_id (windows + the
     # reassembly groupBy ride the same partitioning)
     timings["curation_span_corruption"] = timed(span_corrupt(docs))
+
+    # ------------------------------------------------------------------
+    # Round-7 late batch: the new ops whose scale story earns a K row.
+    # ------------------------------------------------------------------
+    # GIF decode: per-item LZW + palette Arrow kernel, embarrassingly
+    # parallel like the PNG/JPEG decodes
+    timings["multimodal_gif_pixel_stats"] = timed(
+        mm.gif_pixel_stats(
+            mm.synthetic_gif_media(
+                docs.select((F.col("doc_id") * 2 + 1).alias("doc_id")),
+                "doc_id",
+            )
+        )
+    )
+    # TextRank: edge build is linear in tokens (one lead window per
+    # doc); the PR iterations run on the vocabulary-bounded word
+    # graph, so K× corpus should leave them near-constant (scale-mode
+    # summed PR, not the deterministic fold)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    word_edges = (
+        toks.withColumn("wn", wn)
+        .filter(
+            F.col("wn").isNotNull()
+            & (F.col("w") != "")
+            & (F.col("wn") != "")
+            & (F.col("w") != F.col("wn"))
+        )
+        .select(
+            F.least("w", "wn").alias("src"),
+            F.greatest("w", "wn").alias("dst"),
+        )
+        .distinct()
+    )
+    timings["text_textrank_pr"] = timed(
+        gr.pagerank(
+            gr.undirected_edges(word_edges), iterations=3,
+            deterministic=False,
+        )
+    )
+    # MMR rerank: candidate scoring is ONE linear corpus pass
+    # (broadcast queries); everything after the top-20 cut is
+    # constant-size, so growth should track the scan alone
+    timings["sim_mmr_rerank"] = timed_build(
+        lambda: sim.mmr_rerank(emb)
+    )
 
     # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end

@@ -1049,3 +1049,45 @@ def test_data_contract_single_scan_and_values(spark, sf_small):
     assert rows["purchase_value_ge_1"].n_violations == sum(
         1 for e in purch if e.value < 1
     )
+
+
+def test_matryoshka_recall_matches_numpy(spark, sf_small):
+    """Recall per truncation dim matches a numpy replica of the
+    quantized-prefix top-10, and the full-dim row is exactly 1.0."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) * 256
+        for r in load(spark, sf_small, "embeddings").collect()
+    }
+    qz = {
+        i: (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        for i, v in vecs.items()
+    }
+
+    def topk(qid, d):
+        s = {
+            i: int(qz[qid][:d] @ v[:d])
+            for i, v in qz.items()
+            if i != qid
+        }
+        return set(sorted(s, key=lambda i: (-s[i], i))[:10])
+
+    want = {}
+    for d in (8, 16, 32, 64):
+        hits = sum(
+            len(topk(q, d) & topk(q, 64)) for q in range(8)
+        )
+        want[d] = (hits, 80)
+    got = {
+        r.dim: (r.n_hits, r.n_possible, r.recall_at_10)
+        for r in QUERIES["emb_matryoshka_recall"](spark, sf_small).collect()
+    }
+    assert set(got) == {8, 16, 32, 64}
+    for d, (hits, poss) in want.items():
+        assert got[d][:2] == (hits, poss), d
+        assert got[d][2] == hits / poss
+    assert got[64][2] == 1.0

@@ -612,3 +612,28 @@ def test_round7_ops_plan_shapes(spark, sf_oracle):
 
     jq = plan_of(QUERIES["multimodal_jpeg420_pixel_stats"](spark, sf_oracle))
     assert "MapInPandas" in jq  # decode is an Arrow kernel, not a UDF row loop
+
+
+def test_round7_late_batch_plan_shapes(spark, sf_oracle):
+    """Shape pins for the late round-7 batch: the KMV sketches build
+    via distributed TakeOrdered partials (never a global sort), the
+    hashed linear scorer is join-free (explode + one aggregate), the
+    GIF decode is an Arrow kernel, and the graph/basket queries join
+    only on equi-keys."""
+    kmv = plan_of(QUERIES["agg_kmv_set_ops"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in kmv
+    assert "Sort " not in kmv.split("TakeOrderedAndProject")[0]
+
+    hls = plan_of(QUERIES["text_hashed_linear_score"](spark, sf_oracle))
+    assert "Join" not in hls
+    assert "Generate" in hls  # the token explode
+
+    gif = plan_of(QUERIES["multimodal_gif_pixel_stats"](spark, sf_oracle))
+    assert "MapInPandas" in gif
+
+    for name in ["text_textrank_keywords", "olap_basket_lift"]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+
+    hdr = plan_of(QUERIES["agg_hdr_quantile_sketch"](spark, sf_oracle))
+    assert "CartesianProduct" not in hdr
