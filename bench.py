@@ -111,6 +111,8 @@ CATALOG_BENCH = [
     "ts_holt_trend",
     "audit_data_contract",
     "emb_matryoshka_recall",
+    "sim_label_ndcg",
+    "ts_theil_sen_trend",
 ]
 
 

@@ -8935,6 +8935,8 @@ _DRIVER_WINDOW = [
     "ts_holt_trend",
     "audit_data_contract",
     "emb_matryoshka_recall",
+    "sim_label_ndcg",
+    "ts_theil_sen_trend",
 ]
 
 
@@ -11807,6 +11809,219 @@ def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
                 / (F.col("n_q") * 10)
             ).alias("recall_at_10"),
         )
+    )
+
+
+@query(
+    "sim_label_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT vec_id AS query_id, label AS q_label, qv AS query_vec
+            FROM q WHERE vec_id < 8),
+    scored AS (
+      SELECT r.query_id, r.q_label, e.vec_id, e.label,
+             CAST(list_dot_product(CAST(r.query_vec AS DOUBLE[]),
+                                   CAST(e.qv AS DOUBLE[])) AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.query_id
+    ),
+    ranked AS (
+      SELECT query_id, q_label, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, vec_id) AS rn
+      FROM scored
+    ),
+    contrib AS (
+      SELECT query_id, q_label,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END
+               * (CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END) AS c
+      FROM ranked WHERE rn <= 10
+    ),
+    dcg AS (
+      SELECT query_id, q_label,
+             list_reduce(list_sort(list(c)), (a, b) -> a + b) AS dcg
+      FROM contrib GROUP BY query_id, q_label
+    ),
+    rel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM scored WHERE label = q_label GROUP BY query_id
+    )
+    SELECT d.query_id, d.q_label AS label,
+           CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel, d.dcg,
+           d.dcg / (CASE least(coalesce(r.n_rel, 0), 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END)
+             AS ndcg_at_10
+    FROM dcg d LEFT JOIN rel r ON r.query_id = d.query_id
+    """,
+)
+def sim_label_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 RETRIEVAL EVALUATION — the quality score a vector-store
+    rollout gates on (pairs with emb_matryoshka_recall: that one asks
+    "is truncation safe", this one "is the ranking any good"):
+    top-10 by exact quantized integer dot per query, binary relevance
+    = label match, DCG with the standard 1/log2(r+1) gains baked in
+    as full-precision double literals (both engines parse the same
+    repr → the same float64), IDCG from the capped relevant count via
+    a literal cumulative-gain CASE. The only float folds are
+    value-sorted (array_sort + sequential add ≡ list_sort +
+    list_reduce), so NDCG is bit-identical cross-engine. One corpus
+    scan, query-count-sized everything after the top-10 window."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("query_vec"),
+    )
+    scored = q.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    contrib = ranked.filter(F.col("rn") <= 10).select(
+        "query_id",
+        "q_label",
+        (
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .cast("double")
+            * F.expr("CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END")
+        ).alias("c"),
+    )
+    dcg = contrib.groupBy("query_id", "q_label").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(c)),"
+            " cast(0 as double), (a, b) -> a + b)"
+        ).alias("dcg")
+    )
+    rel = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_raw"))
+    )
+    out = dcg.join(rel, on="query_id", how="left").withColumn(
+        "n_rel", F.coalesce("n_rel_raw", F.lit(0)).cast("long")
+    )
+    idcg = F.expr("CASE least(n_rel, 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END")
+    return out.select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "n_rel",
+        "dcg",
+        (F.col("dcg") / idcg).alias("ndcg_at_10"),
+    )
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(b.n - a.n AS BIGINT) AS num,
+             CAST(b.day - a.day AS BIGINT) AS den
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ranked AS (
+      SELECT num, den,
+             row_number() OVER (ORDER BY
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den)
+               AS rn,
+             count(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           num AS slope_num, den AS slope_den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_per_day
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """THEIL–SEN robust trend — the slope estimator that shrugs off
+    the outlier days that wreck OLS (breakdown point ~29%): the
+    median of all pairwise slopes (n_j − n_i)/(day_j − day_i) over
+    the daily event series. Slopes stay exact integer RATIONALS until
+    the final mirrored division; the median pick orders by (value,
+    num, den) so ties between equal rationals resolve identically on
+    both engines. Pair count is days², but the series is the
+    AGGREGATED daily table — 30 rows here, 365 at a year — so the
+    quadratic lives on dimension-sized data, never the fact; the fact
+    contributes one groupBy(day)."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            (F.col("nb") - F.col("na")).cast("long").alias("num"),
+            (F.col("db") - F.col("da")).cast("long").alias("den"),
+        )
+    )
+    wv = Window.orderBy(
+        F.col("num").cast("double") / F.col("den").cast("double"),
+        F.col("num").asc(),
+        F.col("den").asc(),
+    )
+    ranked = pairs.select(
+        "num",
+        "den",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
+    )
+    return med.crossJoin(F.broadcast(nd)).select(
+        F.col("n_days").cast("long"),
+        F.col("n_pairs").cast("long"),
+        F.col("num").alias("slope_num"),
+        F.col("den").alias("slope_den"),
+        (
+            F.col("num").cast("double") / F.col("den").cast("double")
+        ).alias("slope_per_day"),
     )
 
 

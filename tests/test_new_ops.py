@@ -1091,3 +1091,82 @@ def test_matryoshka_recall_matches_numpy(spark, sf_small):
         assert got[d][:2] == (hits, poss), d
         assert got[d][2] == hits / poss
     assert got[64][2] == 1.0
+
+
+def test_ndcg_matches_numpy(spark, sf_small):
+    """NDCG@10 agrees with an independent numpy/python computation of
+    the quantized ranking and log2 gains."""
+    import math
+
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    qz, lab = {}, {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64) * 256
+        qz[r.vec_id] = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+            np.int64
+        )
+        lab[r.vec_id] = r.label
+    got = {
+        r.query_id: r
+        for r in QUERIES["sim_label_ndcg"](spark, sf_small).collect()
+    }
+    assert set(got) == set(range(8))
+    for qid in range(8):
+        s = {i: int(qz[qid] @ v) for i, v in qz.items() if i != qid}
+        top = sorted(s, key=lambda i: (-s[i], i))[:10]
+        dcg = sum(
+            sorted(
+                (1.0 if lab[i] == lab[qid] else 0.0) / math.log2(r + 2)
+                for r, i in enumerate(top)
+            )
+        )
+        n_rel = sum(
+            1 for i in s if lab[i] == lab[qid]
+        )
+        idcg = sum(
+            1 / math.log2(r + 2) for r in range(min(10, n_rel))
+        )
+        r = got[qid]
+        assert r.label == lab[qid] and r.n_rel == n_rel
+        assert abs(r.dcg - dcg) < 1e-12
+        assert abs(r.ndcg_at_10 - (dcg / idcg if idcg else 0.0)) < 1e-12
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_theil_sen_matches_python(spark, sf_small):
+    """The median pairwise slope equals a python replica with the
+    same (value, num, den) ordering, and it is outlier-robust by
+    construction (within the slope range)."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    r = QUERIES["ts_theil_sen_trend"](spark, sf_small).first()
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = sorted(
+        (x.day, x.n)
+        for x in e.select(day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    slopes = []
+    for i, (da, na) in enumerate(daily):
+        for db, nb in daily[i + 1 :]:
+            slopes.append((float(nb - na) / (db - da), nb - na, db - da))
+    slopes.sort()
+    assert r.n_pairs == len(slopes)
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert (r.slope_num, r.slope_den) == (med[1], med[2])
+    assert r.slope_per_day == med[0]
