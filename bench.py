@@ -113,6 +113,9 @@ CATALOG_BENCH = [
     "emb_matryoshka_recall",
     "sim_label_ndcg",
     "ts_theil_sen_trend",
+    "graph_bfs_khop",
+    "graph_label_propagation",
+    "stats_mann_whitney_u",
 ]
 
 

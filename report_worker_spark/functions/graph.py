@@ -304,6 +304,78 @@ def adamic_adar(
     )
 
 
+def bfs_khop(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    truncated at ``max_hops``. ``seeds`` is a one-column (node)
+    DataFrame; returns ``(node, dist)`` for every node reached within
+    the budget (seeds at dist 0).
+
+    Frontier-expansion shape — the 100 TB form of distributed BFS
+    (Pregel without the framework): each round is ONE equi-join of the
+    current frontier against the adjacency list plus one anti-join
+    against the visited set, so round cost is O(frontier out-edges),
+    never O(graph). The frontier is ``localCheckpoint(eager=False)``'ed
+    per round: ``visited`` feeds two consumers next round (anti-join +
+    final union), so an uncut lineage doubles per hop. A fixed hop
+    budget keeps the op deterministic and lets an unrolled SQL twin
+    replay it round by round."""
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("node", "src"), on="src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous min-label propagation: every node starts labelled
+    with its own id; each round every node takes the minimum of its own
+    label and its neighbors' labels. After a FIXED number of rounds the
+    labels partition the graph into proto-communities (and converge to
+    connected components as rounds → diameter).
+
+    Same frontier economics as :func:`bfs_khop`: one groupBy(node) per
+    round over self ∪ neighbor label candidates — partial aggregation
+    (min) combines map-side, so the shuffle carries one row per
+    (node, distinct label) not per edge. Synchronous + min makes the
+    result order-independent, hence bit-stable across partitionings and
+    replayable by an unrolled SQL twin. Per-round lazy localCheckpoint
+    keeps the iterated plan linear."""
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        neigh = adj.join(
+            lab.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        lab = (
+            lab.unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return lab.select("node", "lbl")
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

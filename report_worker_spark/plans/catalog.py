@@ -8937,6 +8937,9 @@ _DRIVER_WINDOW = [
     "emb_matryoshka_recall",
     "sim_label_ndcg",
     "ts_theil_sen_trend",
+    "graph_bfs_khop",
+    "graph_label_propagation",
+    "stats_mann_whitney_u",
 ]
 
 
@@ -12022,6 +12025,194 @@ def ts_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
         (
             F.col("num").cast("double") / F.col("den").cast("double")
         ).alias("slope_per_day"),
+    )
+
+
+# ===========================================================================
+# Coverage round 7 (late batch 2): graph traversal + nonparametric stats
+# ===========================================================================
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    """Unrolled k-round BFS twin: d{h} = the distinct neighbors of
+    d{h-1} not yet in any earlier layer. Each layer is a plain
+    equi-join + NOT IN — the SQL mirror of the frontier expansion."""
+    parts = [
+        f"WITH {_COOCCUR_EDGES_SQL},",
+        "adj AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION ALL SELECT dst, src FROM edges),",
+        "d0 AS (SELECT DISTINCT a AS node FROM adj WHERE a % 97 = 0),",
+        "v0 AS (SELECT node FROM d0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f", d{h} AS (SELECT DISTINCT b AS node FROM adj"
+            f" JOIN d{h - 1} s ON adj.a = s.node"
+            f" WHERE b NOT IN (SELECT node FROM v{h - 1}))"
+        )
+        parts.append(
+            f", v{h} AS (SELECT node FROM v{h - 1}"
+            f" UNION ALL SELECT node FROM d{h})"
+        )
+    layers = " UNION ALL ".join(
+        f"SELECT node, CAST({h} AS INT) AS dist FROM d{h}"
+        for h in range(max_hops + 1)
+    )
+    return "\n".join(parts) + "\n" + layers
+
+
+@query("graph_bfs_khop", oracle=_bfs_oracle(4))
+def graph_bfs_khop(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the part co-occurrence graph: minimum hop
+    distance from the seed set (partkeys ≡ 0 mod 97) within 4 hops.
+    The reference has no graph traversal; this is the training-data
+    lineage/reachability primitive (e.g. crawl-frontier expansion,
+    contamination reach) in Pregel frontier form — per round one
+    frontier⋈adjacency equi-join plus one visited anti-join, cost
+    proportional to the frontier's out-edges, not the graph. The
+    oracle replays the same rounds as unrolled SQL layers."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    nodes = gr.degrees(e).select("node")
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return gr.bfs_khop(e, seeds, max_hops=4)
+
+
+def _labelprop_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH {_COOCCUR_EDGES_SQL},",
+        "adj AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION ALL SELECT dst, src FROM edges),",
+        "nodes AS (SELECT DISTINCT a AS node FROM adj),",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", l{r} AS (SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM l{r - 1}"
+            f" UNION ALL SELECT adj.a AS node, p.lbl FROM adj"
+            f" JOIN l{r - 1} p ON adj.b = p.node) GROUP BY node)"
+        )
+    return "\n".join(parts) + f"\nSELECT node, lbl FROM l{rounds}"
+
+
+@query("graph_label_propagation", oracle=_labelprop_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous min-label propagation (3 rounds) over the part
+    co-occurrence graph — the deterministic proto-community detector
+    (Raghavan et al. 2007, min-tiebreak variant): each round every
+    node adopts min(own, neighbors) label. Min is order-independent,
+    so the result is bit-stable across partitionings — unlike
+    classic argmax-frequency LPA whose tie-breaks are run-dependent.
+    Per round ONE groupBy(node) with map-side-combining MIN; the
+    oracle replays the rounds as unrolled SQL."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    return gr.label_propagation(e, rounds=3)
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH ab AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byval AS (
+      SELECT value, count(*) AS cnt, sum(ia) AS cnt_a
+      FROM ab GROUP BY value
+    ),
+    ranked AS (
+      SELECT cnt, cnt_a,
+             coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM byval
+    ),
+    agg AS (
+      SELECT sum(cnt_a * (2 * cum_less + cnt + 1)) AS r2a,
+             sum(cnt_a) AS na, sum(cnt - cnt_a) AS nb,
+             sum(cnt * cnt * cnt - cnt) AS tie_t
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u_a_x2,
+           CAST(tie_t AS BIGINT) AS tie_term,
+           round(
+             (CAST(r2a - na * (na + 1) AS DOUBLE) / 2E0
+               - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2E0)
+             / sqrt(
+                 CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12E0
+                 * (CAST(na + nb + 1 AS DOUBLE)
+                    - CAST(tie_t AS DOUBLE)
+                      / (CAST(na + nb AS DOUBLE)
+                         * CAST(na + nb - 1 AS DOUBLE)))),
+             12) AS z_score
+    FROM agg
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """MANN–WHITNEY U rank-sum test (tie-corrected, no continuity
+    correction): does `value` differ in distribution between clicks
+    and views? The nonparametric sibling of stats_welch_ttest — the
+    A/B test you reach for when the metric is heavy-tailed. Average
+    ranks are kept EXACT as doubled integers (2·rank = 2·cum_less +
+    t + 1), so U×2, the tie term Σ(t³−t), and every aggregate are
+    integer-exact; only the final z touches floats, with the tie-
+    corrected variance and round(12) on both engines. One groupBy
+    (distinct values) + one window cumsum — rank computation never
+    shuffles the raw fact twice."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    byval = (
+        e.select(
+            "value",
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("ia").alias("cnt_a")
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = byval.select(
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum("cnt_a").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("nb"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_t"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d = lambda c: c.cast("double")  # noqa: E731
+    u2 = F.col("r2a") - na * (na + 1)
+    var = (
+        d(na) * d(nb) / F.lit(12.0)
+        * (
+            d(na + nb + 1)
+            - d(F.col("tie_t")) / (d(na + nb) * d(na + nb - 1))
+        )
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u2.cast("long").alias("u_a_x2"),
+        F.col("tie_t").cast("long").alias("tie_term"),
+        F.round(
+            (d(u2) / F.lit(2.0) - d(na) * d(nb) / F.lit(2.0))
+            / F.sqrt(var),
+            12,
+        ).alias("z_score"),
     )
 
 

@@ -1170,3 +1170,109 @@ def test_theil_sen_matches_python(spark, sf_small):
     med = slopes[(len(slopes) + 1) // 2 - 1]
     assert (r.slope_num, r.slope_den) == (med[1], med[2])
     assert r.slope_per_day == med[0]
+
+
+def test_bfs_khop_matches_python_bfs(spark):
+    """Frontier-join BFS equals a textbook queue BFS on a hand graph
+    with two components and an unreachable tail beyond the budget."""
+    from collections import deque
+
+    from report_worker_spark.functions import graph as gr
+
+    raw = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain
+        (2, 8), (8, 9),                                   # branch
+        (20, 21), (21, 22),                               # far component
+    ]
+    edges = gr.undirected_edges(
+        spark.createDataFrame(raw, ["src", "dst"])
+    )
+    seeds = spark.createDataFrame([(1,), (20,)], ["node"])
+    got = {
+        r.node: r.dist
+        for r in gr.bfs_khop(edges, seeds, max_hops=3).collect()
+    }
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {1: 0, 20: 0}, deque([1, 20])
+    while q:
+        u = q.popleft()
+        if want[u] == 3:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+    assert 4 in got and 5 not in got  # budget truncation is real
+
+
+def test_label_propagation_matches_python_sync(spark):
+    """3-round min-label propagation equals a synchronous python
+    replay; with rounds >= diameter it equals connected components."""
+    from report_worker_spark.functions import graph as gr
+
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (5, 6)]
+    edges = gr.undirected_edges(
+        spark.createDataFrame(raw, ["src", "dst"])
+    )
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        lbl = {
+            n: min([lbl[n]] + [lbl[v] for v in adj[n]]) for n in adj
+        }
+    got = {
+        r.node: r.lbl
+        for r in gr.label_propagation(edges, rounds=3).collect()
+    }
+    assert got == lbl
+    got_cc = {
+        r.node: r.lbl
+        for r in gr.label_propagation(edges, rounds=4).collect()
+    }
+    assert set(got_cc.values()) == {1, 10, 5}  # component minima
+
+
+def test_mann_whitney_matches_python_ranks(spark, sf_small):
+    """U and the tie-corrected z agree with an independent pure-python
+    average-rank computation over the same values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    rows = [
+        (r.value, r.event_type == "click")
+        for r in e.select("value", "event_type").collect()
+    ]
+    vals = sorted(v for v, _ in rows)
+    # average rank per value, exact via doubled integers
+    from collections import Counter
+
+    cnt = Counter(vals)
+    cum, rank2 = 0, {}
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n_a = sum(1 for _, ia in rows if ia)
+    n_b = len(rows) - n_a
+    r2a = sum(rank2[v] for v, ia in rows if ia)
+    u2 = r2a - n_a * (n_a + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    n = n_a + n_b
+    var = (n_a * n_b / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+    z = (u2 / 2.0 - n_a * n_b / 2.0) / math.sqrt(var)
+    r = QUERIES["stats_mann_whitney_u"](spark, sf_small).first()
+    assert (r.n_a, r.n_b, r.u_a_x2, r.tie_term) == (n_a, n_b, u2, tie)
+    assert abs(r.z_score - z) < 1e-9
