@@ -116,6 +116,9 @@ CATALOG_BENCH = [
     "graph_bfs_khop",
     "graph_label_propagation",
     "stats_mann_whitney_u",
+    "dedup_url_canonicalize",
+    "stats_ols_daily_trend",
+    "audit_freshness_slo",
 ]
 
 

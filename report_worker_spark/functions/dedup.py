@@ -1059,6 +1059,35 @@ def substring_trim(
     )
 
 
+def canonicalize_url(url) -> F.Column:
+    """URL canonicalization for crawl dedup — the normalization pass
+    every web corpus runs before content dedup (tracking-param strip
+    per the public uBlock/URLPattern lists; scheme and host case per
+    RFC 3986 §6.2.2.1). Steps, in order:
+
+    1. drop the fragment (``#…``),
+    2. strip tracking params (``utm_*``, ``fbclid``, ``gclid``),
+    3. upgrade ``http://`` → ``https://`` (scheme unification),
+    4. lowercase the scheme+authority (path/query stay case-sensitive),
+    5. drop a trailing slash.
+
+    Pure column expressions — JVM-side, codegen-able, no UDF. The
+    regex set deliberately avoids backreferences: Spark spells them
+    ``$1`` and DuckDB ``\\1``, so a twin-able canonicalizer must not
+    need them (tracking params are stripped with their own ``[?&]``
+    prefix instead, which is lossless as long as a kept param leads
+    the query string — guaranteed by generation here; a general
+    canonicalizer would re-sort params)."""
+    col = url if not isinstance(url, str) else F.col(url)
+    c1 = F.regexp_replace(col, "#.*$", "")
+    c2 = F.regexp_replace(c1, "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    c3 = F.regexp_replace(c2, "^http://", "https://")
+    head = F.regexp_extract(c3, "^[a-zA-Z]+://[^/]+", 0)
+    rest = c3.substr(F.length(head) + 1, F.length(c3))
+    c4 = F.concat(F.lower(head), rest)
+    return F.regexp_replace(c4, "/$", "")
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -8940,6 +8940,9 @@ _DRIVER_WINDOW = [
     "graph_bfs_khop",
     "graph_label_propagation",
     "stats_mann_whitney_u",
+    "dedup_url_canonicalize",
+    "stats_ols_daily_trend",
+    "audit_freshness_slo",
 ]
 
 
@@ -12213,6 +12216,221 @@ def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
             / F.sqrt(var),
             12,
         ).alias("z_score"),
+    )
+
+
+# Synthetic crawl URLs over `documents`: scheme / host-case / tracking
+# params / fragment / trailing slash all vary deterministically with
+# doc_id, while the canonical identity is (host mod 20, path mod 25,
+# id mod 10) — so doc_ids congruent mod 100 collapse to one canonical
+# URL and the dedup ratio is certifiable on both engines.
+
+_URL_SQL = """
+    CASE WHEN doc_id % 13 = 0 THEN 'http://' ELSE 'https://' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN 'WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+            ELSE 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.com' END
+    || '/articles/item-' || CAST(doc_id % 25 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || '?id=' || CAST(doc_id % 10 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0
+            THEN '&utm_source=feed&utm_campaign=c'
+                 || CAST(doc_id % 11 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN '&fbclid=x' || CAST(doc_id % 23 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '#section-' || CAST(doc_id % 4 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+def _url_col() -> F.Column:
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(i % 13 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("WWW.Site"), s(i % 20), F.lit(".COM")),
+        ).otherwise(F.concat(F.lit("www.site"), s(i % 20), F.lit(".com"))),
+        F.lit("/articles/item-"),
+        s(i % 25),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        s(i % 10),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("&utm_source=feed&utm_campaign=c"), s(i % 11)),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0, F.concat(F.lit("&fbclid=x"), s(i % 23))
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0, F.concat(F.lit("#section-"), s(i % 4))
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               lower(regexp_extract(c3, '^[a-zA-Z]+://[^/]+'))
+               || substr(c3, length(regexp_extract(c3, '^[a-zA-Z]+://[^/]+')) + 1),
+               '/$', '') AS canonical_url
+      FROM (
+        SELECT doc_id, url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url, '#.*$', ''),
+                   '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                 '^http://', 'https://') AS c3
+        FROM u
+      )
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_distinct_raw,
+           min(doc_id) AS canonical_doc
+    FROM c GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """CRAWL-URL canonicalization dedup — the pass that runs before any
+    content dedup in a web pipeline (scheme/case/tracking-param/
+    fragment/slash variants of the same resource collapse to one key).
+    Pure JVM column expressions (dedup.canonicalize_url) + one hash
+    groupBy on the canonical key: at 100 TB this is a map-side
+    transform feeding an ordinary aggregate — no joins, no explode,
+    nothing data-dependent. The oracle replays the same regex chain
+    (backreference-free by design, since Spark and DuckDB disagree on
+    backref syntax)."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    u = docs.select("doc_id", _url_col().alias("url"))
+    c = u.select(
+        "doc_id", "url", dd.canonicalize_url("url").alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+@query(
+    "stats_ols_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1997-01-01', CAST(l_shipdate AS DATE))
+               AS x,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             AS intercept_cents
+    FROM s
+    """,
+)
+def stats_ols_daily_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form OLS of daily revenue (integer cents) on the day
+    index — the parametric trend twin of ts_theil_sen_trend. The
+    normal-equation sums (Σx, Σy, Σxy, Σx²) stay EXACT BIGINTs, so the
+    slope is an exact integer rational; slope and intercept touch
+    floats only in the final mirrored expressions. Σy² (hence R²) is
+    deliberately NOT computed: daily-cents squared overflows the
+    int64 exact window at real scale, and a float fallback would be
+    summation-order-dependent — the honest-float discipline says emit
+    what both engines can agree on bit-for-bit. Fact contributes one
+    groupBy(day); the quadratic-free sums ride a 365-row table."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1997-01-01").cast("date"),
+        ).alias("x")
+    ).agg(F.sum(cents).alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = n * F.col("sxx") - sx * sx
+    d = lambda c: c.cast("double")  # noqa: E731
+    slope = d(num) / d(den)
+    return s.select(
+        n.cast("long").alias("n_days"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        slope.alias("slope_cents_per_day"),
+        (d(sy) / d(n) - slope * (d(sx) / d(n))).alias("intercept_cents"),
+    )
+
+
+@query(
+    "audit_freshness_slo",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n_events,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch_s
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(max_epoch_s) AS gmx FROM m)
+    SELECT event_type, n_events, max_epoch_s,
+           gmx - max_epoch_s AS lag_s,
+           (gmx - max_epoch_s) > 7200 AS slo_breach
+    FROM m, g
+    """,
+)
+def audit_freshness_slo(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline freshness SLO audit — per-stream staleness against the
+    corpus watermark (the first dashboard any ingestion owner builds:
+    'which source stopped flowing?'). One groupBy over the fact, then
+    the global watermark joins back as a broadcast one-row crossJoin —
+    the whole audit is a single shuffle regardless of corpus size.
+    Integer epoch seconds end to end; 7200 s is the pinned SLO."""
+    e = load(spark, sf, "events")
+    epoch_s = F.floor(_usec("ts") / F.lit(1_000_000)).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(epoch_s).alias("max_epoch_s"),
+    )
+    g = m.agg(F.max("max_epoch_s").alias("gmx"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "max_epoch_s",
+        (F.col("gmx") - F.col("max_epoch_s")).alias("lag_s"),
+        ((F.col("gmx") - F.col("max_epoch_s")) > 7200).alias("slo_breach"),
     )
 
 

@@ -1276,3 +1276,110 @@ def test_mann_whitney_matches_python_ranks(spark, sf_small):
     r = QUERIES["stats_mann_whitney_u"](spark, sf_small).first()
     assert (r.n_a, r.n_b, r.u_a_x2, r.tie_term) == (n_a, n_b, u2, tie)
     assert abs(r.z_score - z) < 1e-9
+
+
+def test_canonicalize_url_cases(spark):
+    """The column-expression canonicalizer agrees with a pure-python
+    reference on crafted edge cases (mixed case, stacked tracking
+    params, fragment, trailing slash, http upgrade)."""
+    import re
+
+    from report_worker_spark.functions.dedup import canonicalize_url
+
+    def py_canon(u: str) -> str:
+        u = re.sub(r"#.*$", "", u)
+        u = re.sub(r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "", u)
+        u = re.sub(r"^http://", "https://", u)
+        m = re.match(r"^[a-zA-Z]+://[^/]+", u)
+        u = m.group(0).lower() + u[m.end():]
+        return re.sub(r"/$", "", u)
+
+    urls = [
+        "http://WWW.Example.COM/Path/page?id=3&utm_source=a&utm_medium=b#x",
+        "https://site.com/a/?id=1&fbclid=abc",
+        "https://SITE.com/a?id=1&gclid=z&utm_campaign=c9",
+        "http://host.org/UPPER/Case?id=7",
+        "https://h.io/p",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r.url: r.canon
+        for r in df.select(
+            "url", canonicalize_url("url").alias("canon")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == py_canon(u), (u, got[u], py_canon(u))
+
+
+def test_url_dedup_groups_are_mod100_classes(spark, sf_small):
+    """Canonical identity is (doc_id mod 100) by construction: every
+    group's member count matches the residue-class census."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    n_docs = load(spark, sf_small, "documents").count()
+    rows = QUERIES["dedup_url_canonicalize"](spark, sf_small).collect()
+    assert len(rows) == min(100, n_docs)
+    assert sum(r.n_variants for r in rows) == n_docs
+    for r in rows:
+        res = r.canonical_doc % 100
+        want = len(range(res, n_docs, 100))
+        assert r.n_variants == want
+
+
+def test_ols_daily_trend_matches_numpy(spark, sf_small):
+    """Slope/intercept agree with numpy.polyfit over the same daily
+    cents series."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    daily = (
+        li.groupBy(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1997-01-01").cast("date"),
+            ).alias("x")
+        )
+        .agg(F.sum(cents).alias("y"))
+        .collect()
+    )
+    x = np.array([r.x for r in daily], dtype=np.float64)
+    y = np.array([r.y for r in daily], dtype=np.float64)
+    slope_np, icept_np = np.polyfit(x, y, 1)
+    r = QUERIES["stats_ols_daily_trend"](spark, sf_small).first()
+    assert r.n_days == len(daily)
+    assert abs(r.slope_cents_per_day - slope_np) < 1e-6 * abs(slope_np)
+    assert abs(r.intercept_cents - icept_np) < 1e-6 * abs(icept_np)
+    # exact rational slope cross-check
+    assert abs(r.slope_num / r.slope_den - r.slope_cents_per_day) < 1e-12
+
+
+def test_freshness_slo_matches_python(spark, sf_small):
+    """Per-type staleness equals a python max over the same epochs and
+    the watermark type reports zero lag."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events").select("event_type", "ts").collect()
+    mx = {}
+    for r in e:
+        s = int(r.ts.timestamp()) if hasattr(r.ts, "timestamp") else int(r.ts)
+        mx[r.event_type] = max(mx.get(r.event_type, 0), s)
+    gmx = max(mx.values())
+    rows = QUERIES["audit_freshness_slo"](spark, sf_small).collect()
+    assert {r.event_type for r in rows} == set(mx)
+    for r in rows:
+        assert r.lag_s == gmx - mx[r.event_type]
+        assert r.slo_breach == (r.lag_s > 7200)
+    assert min(r.lag_s for r in rows) == 0
