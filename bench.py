@@ -119,6 +119,9 @@ CATALOG_BENCH = [
     "dedup_url_canonicalize",
     "stats_ols_daily_trend",
     "audit_freshness_slo",
+    "text_kl_source_divergence",
+    "olap_attribution_last_touch",
+    "emb_random_projection",
 ]
 
 

@@ -8943,6 +8943,9 @@ _DRIVER_WINDOW = [
     "dedup_url_canonicalize",
     "stats_ols_daily_trend",
     "audit_freshness_slo",
+    "text_kl_source_divergence",
+    "olap_attribution_last_touch",
+    "emb_random_projection",
 ]
 
 
@@ -12431,6 +12434,195 @@ def audit_freshness_slo(spark: SparkSession, sf: str) -> DataFrame:
         "max_epoch_s",
         (F.col("gmx") - F.col("max_epoch_s")).alias("lag_s"),
         ((F.col("gmx") - F.col("max_epoch_s")) > 7200).alias("slo_breach"),
+    )
+
+
+@query(
+    "text_kl_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, g AS term
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS g
+            FROM documents)
+    ),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY source, term),
+    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
+           FROM c GROUP BY source),
+    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
+           FROM c GROUP BY term),
+    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    contrib AS (
+      SELECT c.source,
+             (CAST(c.n AS DOUBLE) / ts.tot_s)
+               * ln(CAST(c.n * nt.tot AS DOUBLE)
+                    / CAST(ts.tot_s * cw.n_w AS DOUBLE)) AS t
+      FROM c
+      JOIN ts USING (source)
+      JOIN cw USING (term)
+      CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(list_reduce(list_sort(list(t)), (x, y) -> x + y), 12)
+             AS kl_nats
+    FROM contrib GROUP BY source
+    """,
+)
+def text_kl_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions — the
+    domain-shift detector a data-mixing pipeline runs per source
+    (high KL = niche vocabulary; near-zero = indistinguishable from
+    the mix). Each term's contribution is p·ln(p/q) with the ratio as
+    ONE division of exact integer products (n·tot)/(tot_s·n_w), then
+    the per-source sum folds smallest-first and rounds to 12 (the
+    entropy/PSI ln discipline). Shape: one explode + three hash aggs
+    + a vocab-keyed join — every aggregate map-side combines; nothing
+    is quadratic in corpus size."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
+    nt = c.agg(F.sum("n").alias("tot"))
+    contrib = (
+        c.join(ts_, on="source")
+        .join(cw, on="term")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            (
+                (F.col("n").cast("double") / F.col("tot_s"))
+                * F.log(
+                    (F.col("n") * F.col("tot")).cast("double")
+                    / (F.col("tot_s") * F.col("n_w")).cast("double")
+                )
+            ).alias("t"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("t")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            12,
+        ).alias("kl_nats"),
+    )
+
+
+@query(
+    "olap_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+    """,
+)
+def olap_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH revenue attribution — credit each purchase to the
+    most recent preceding non-purchase event in the user's stream
+    (the default model of every marketing-analytics stack). One
+    window pass per user (ordered by ts with event_id tiebreak — a
+    total order, so the 'last touch' is well-defined on both
+    engines), then a hash aggregate on the touch channel. Integer
+    cents; purchases with no prior touch credit 'direct'. At 100 TB
+    this is the sessionization shape: partition-by-user windows
+    shuffle once on user_id, never globally."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        touch.alias("touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
+
+
+# Signed Johnson–Lindenstrauss projection: the ±1 matrix is derived
+# from md5(d:j) first-hex-digit parity — a string-membership test both
+# engines evaluate identically (no base conversion, no decimal
+# literals). Fold order over d is the canonical left-to-right dim walk
+# (F.aggregate ≡ list_dot_product, the repo's verified equivalence).
+
+_JL_SIGNS_SPARK = (
+    "transform(sequence(0, 63), d -> CASE WHEN substr(md5(concat("
+    "cast(d AS string), ':', cast(j AS string))), 1, 1) IN "
+    "('0','2','4','6','8','a','c','e') THEN CAST(1 AS DOUBLE) "
+    "ELSE CAST(-1 AS DOUBLE) END)"
+)
+
+_JL_SIGNS_DUCK = (
+    "list_transform(range(0, 64), d -> CASE WHEN substr(md5("
+    "d || ':' || j), 1, 1) IN "
+    "('0','2','4','6','8','a','c','e') THEN CAST(1 AS DOUBLE) "
+    "ELSE CAST(-1 AS DOUBLE) END)"
+)
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(0, 16)) AS j),
+    proj AS (
+      SELECT e.vec_id, d.j,
+             list_dot_product(e.embedding, {_JL_SIGNS_DUCK}) AS proj
+      FROM embeddings e CROSS JOIN dims d
+    )
+    SELECT vec_id, CAST(j AS INT) AS j, proj FROM proj
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed JOHNSON–LINDENSTRAUSS random projection 64→16 dims — the
+    dimensionality-reduction front end for sketched similarity (norms
+    preserved within 1±ε; Achlioptas 2003 shows ±1 entries suffice).
+    The projection matrix never materializes anywhere: each ±1 entry
+    is md5(d:j) parity computed INSIDE the engine, so at 100 TB the
+    operator is a pure map — one corpus scan, zero joins, zero
+    broadcast state, and any executor can recompute any matrix entry.
+    Dots are the verified left-to-right dim fold (bit-identical to
+    DuckDB's list_dot_product); float32→float64 widening is exact."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    dims = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    signs = F.expr(_JL_SIGNS_SPARK)
+    return (
+        emb.crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "j",
+            sim.dot_fold(F.col("embedding"), signs).alias("proj"),
+        )
     )
 
 

@@ -1383,3 +1383,123 @@ def test_freshness_slo_matches_python(spark, sf_small):
         assert r.lag_s == gmx - mx[r.event_type]
         assert r.slo_breach == (r.lag_s > 7200)
     assert min(r.lag_s for r in rows) == 0
+
+
+def test_kl_source_divergence_matches_python(spark, sf_small):
+    """Per-source KL agrees with a collections.Counter replica
+    (smallest-first fold, 12-decimal round) and is non-negative."""
+    import math
+    import re
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per_src, corpus = {}, Counter()
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip())
+        per_src.setdefault(r.source, Counter()).update(toks)
+        corpus.update(toks)
+    tot = sum(corpus.values())
+    want = {}
+    for s, cnt in per_src.items():
+        tot_s = sum(cnt.values())
+        terms = sorted(
+            (n / tot_s) * math.log((n * tot) / (tot_s * corpus[w]))
+            for w, n in cnt.items()
+        )
+        acc = 0.0
+        for t in terms:
+            acc += t
+        want[s] = (len(cnt), round(acc, 12))
+    got = {
+        r.source: (r.n_terms, r.kl_nats)
+        for r in QUERIES["text_kl_source_divergence"](spark, sf_small).collect()
+    }
+    assert got == want
+    assert all(k >= 0 for _, k in got.values())
+
+
+def test_attribution_matches_python(spark, sf_small):
+    """Last-touch credit assignment equals a python sweep over each
+    user's (ts, event_id)-ordered stream."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = (
+        load(spark, sf_small, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    want = defaultdict(lambda: [0, 0])
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        touch = None
+        for r in rows:
+            if r.event_type == "purchase":
+                key = touch if touch is not None else "direct"
+                want[key][0] += 1
+                want[key][1] += round(r.value * 100)
+            else:
+                touch = r.event_type
+    got = {
+        r.touch_type: [r.n_conversions, r.attributed_cents]
+        for r in QUERIES["olap_attribution_last_touch"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def test_random_projection_matches_numpy(spark, sf_small):
+    """The in-engine md5-parity sign matrix and dim-ordered fold equal
+    a hashlib+numpy replica bit-for-bit, and projected norms stay
+    within the JL distortion envelope on average."""
+    import hashlib
+
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_small, "embeddings").limit(50).collect()
+    }
+    signs = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{d}:{j}".encode()).hexdigest()[0]
+                in "02468ace"
+                else -1.0
+                for d in range(64)
+            ]
+            for j in range(16)
+        ]
+    )
+    rows = QUERIES["emb_random_projection"](spark, sf_small).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.vec_id, {})[r.j] = r.proj
+    assert all(len(v) == 16 for v in got.values())
+    for vid, v in emb.items():
+        for j in range(16):
+            # replicate the left-to-right fold exactly
+            acc = 0.0
+            for d in range(64):
+                acc += float(np.float64(np.float32(v[d]))) * signs[j][d]
+            assert got[vid][j] == acc, (vid, j)
+    # JL norm preservation (scaled by 1/sqrt(16)), averaged over vecs
+    ratios = []
+    for vid, v in emb.items():
+        p = np.array([got[vid][j] for j in range(16)])
+        if np.linalg.norm(v) > 0:
+            ratios.append((np.linalg.norm(p) / 4.0) / np.linalg.norm(v))
+    assert 0.8 < float(np.mean(ratios)) < 1.2
