@@ -122,6 +122,8 @@ CATALOG_BENCH = [
     "text_kl_source_divergence",
     "olap_attribution_last_touch",
     "emb_random_projection",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_rms_windows",
 ]
 
 

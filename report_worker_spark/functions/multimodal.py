@@ -2171,3 +2171,208 @@ def gif_pixel_stats(
         ),
         with_quarantine,
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, 24bpp uncompressed) — the simplest real raster
+# container: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows,
+# each row padded to a 4-byte boundary. No compression stage, so the
+# decode is pure layout inversion — which makes it the cheapest REAL
+# codec to keep oracle-paired (keystream pixels replay arithmetically).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Spec-valid 24-bit uncompressed BMP from an RGB8 top-down pixel
+    buffer: rows are stored bottom-up in BGR channel order with 4-byte
+    row padding (the DIB layout every viewer expects)."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dims")
+    stride = width * 3
+    pad = (-stride) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = pixels[y * stride : (y + 1) * stride]
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return hdr + info + body
+
+
+def decode_bmp_pixels(content: bytes) -> dict:
+    """REAL BMP decode, strict: validates the BM signature, header
+    sizes, 24bpp uncompressed format, and exact body length; inverts
+    the bottom-up BGR padded layout back to a top-down RGB buffer.
+    Anything else (compressed, paletted, truncated) raises — poison
+    rides the quarantine path, not a silent partial decode."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    _, _fsz, _, _, off = struct.unpack("<2sIHHI", content[:14])
+    (
+        hsz, width, height, planes, bpp, comp, _img_sz,
+        _xppm, _yppm, _used, _imp,
+    ) = struct.unpack("<IiiHHIIiiII", content[14:54])
+    if hsz != 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP format (bpp={bpp}, comp={comp})")
+    if width <= 0 or height <= 0:
+        raise ValueError("top-down/degenerate BMP unsupported")
+    stride = width * 3
+    pad = (-stride) % 4
+    need = (stride + pad) * height
+    body = content[off : off + need]
+    if len(body) != need:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = (height - 1 - y) * (stride + pad)
+        row = body[src : src + stride]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes(
+                (r, g, b)
+            )
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": bytes(out),
+    }
+
+
+def bmp_bytes(width: int, height: int, seed: int) -> bytes:
+    """Real 24bpp BMP whose RGB pixel content is the md5 keystream of
+    ``seed`` — SQL-regenerable like the PNG/JPEG/GIF generators."""
+    return encode_bmp(
+        keystream(f"{seed}:bmp", width * height * 3), width, height
+    )
+
+
+def synthetic_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of REAL BMPs: w = id % 29 + 2, h = id % 19 + 2."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for mid in pb["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "content": bmp_bytes(mid % 29 + 2, mid % 19 + 2, mid),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content"]
+            )
+
+    return src.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+
+
+def _bmp_stats_row(content: bytes) -> dict:
+    import numpy as np
+
+    d = decode_bmp_pixels(content)
+    px = np.frombuffer(d["pixels"], dtype=np.uint8)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_pixels": d["width"] * d["height"],
+        "sum_r": int(px[0::3].sum(dtype=np.int64)),
+        "sum_g": int(px[1::3].sum(dtype=np.int64)),
+        "sum_b": int(px[2::3].sum(dtype=np.int64)),
+    }
+
+
+def bmp_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Per-image integer channel sums from the REAL BMP decode
+    (bottom-up BGR padded-row inversion), quarantined per item — same
+    contract as png_pixel_stats."""
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:2] == b"BM",
+            _bmp_stats_row,
+            "width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long",
+        ),
+        with_quarantine,
+    )
+
+
+def wav_rms_windows(
+    media: DataFrame, window: int = 64, with_quarantine: bool = False
+) -> DataFrame:
+    """Windowed energy over the REAL WAV decode: fixed-size frame
+    windows, each emitting exact integer Σamp and Σamp² (the RMS /
+    loudness-contour building blocks — callers derive rms =
+    sqrt(sum_sq/n) without any float leaving the engine). One output
+    row per (clip, window); vectorized per clip with numpy cumsums,
+    Arrow-batched, no shuffle. Non-WAV rows are skipped; corrupt
+    clips are quarantined per item."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        n = len(sm)
+        nw = (n + window - 1) // window
+        sums, sqs, ns = [], [], []
+        for w in range(nw):
+            seg = sm[w * window : (w + 1) * window]
+            sums.append(int(seg.sum()))
+            sqs.append(int((seg * seg).sum()))
+            ns.append(int(len(seg)))
+        return {
+            "n_windows": nw,
+            "win_id": list(range(nw)),
+            "n_in_win": ns,
+            "sum_amp": sums,
+            "sum_sq": sqs,
+        }
+
+    q = _quarantined_decode(
+        media,
+        lambda c: c[:4] == b"RIFF",
+        row,
+        "n_windows int, win_id array<int>, n_in_win array<int>, "
+        "sum_amp array<long>, sum_sq array<long>",
+    )
+    flat = _ok_only(q, with_quarantine)
+    if with_quarantine:
+        return flat
+    z = F.arrays_zip("win_id", "n_in_win", "sum_amp", "sum_sq")
+    return flat.select(
+        "media_id", F.explode(z).alias("w")
+    ).select(
+        "media_id",
+        F.col("w.win_id").alias("win_id"),
+        F.col("w.n_in_win").alias("n_in_win"),
+        F.col("w.sum_amp").alias("sum_amp"),
+        F.col("w.sum_sq").alias("sum_sq"),
+    )

@@ -8946,6 +8946,8 @@ _DRIVER_WINDOW = [
     "text_kl_source_divergence",
     "olap_attribution_last_touch",
     "emb_random_projection",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_rms_windows",
 ]
 
 
@@ -12624,6 +12626,100 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             sim.dot_fold(F.col("embedding"), signs).alias("proj"),
         )
     )
+
+
+@query(
+    "multimodal_bmp_pixel_stats",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 29 + 2 AS w, doc_id % 19 + 2 AS h
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, w, h, w*h*3 AS n,
+             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
+      FROM img
+    ),
+    bytes AS (
+      SELECT media_id, w, h, n, b,
+             md5(CAST(media_id AS VARCHAR) || ':bmp:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, w, h, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < n
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BMP decode, driver-verified: encode 24bpp bottom-up BGR
+    padded-row DIBs (pixels = md5 keystream), decode the actual bytes
+    back to a top-down RGB buffer, emit exact integer channel sums.
+    Any bug in the row flip, BGR swap, or 4-byte padding walk shifts
+    the sums and mismatches. Fifth real raster/audio codec alongside
+    PNG/JPEG/GIF/WAV — same quarantine contract, same Arrow
+    mapInPandas one-pass shape."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_bmp_media(docs, "doc_id")
+    return mm.bmp_pixel_stats(media)
+
+
+@query(
+    "multimodal_wav_rms_windows",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < nf
+    )
+    SELECT media_id,
+           CAST(gi // 64 AS INT) AS win_id,
+           CAST(count(*) AS INT) AS n_in_win,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM vals GROUP BY media_id, gi // 64
+    """,
+)
+def multimodal_wav_rms_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed audio energy over the REAL WAV decode: 64-frame
+    windows, each with exact integer Σamp and Σamp² — the loudness
+    contour / silence detector of an audio curation pass (rms =
+    sqrt(sum_sq/n) derivable downstream without floats crossing the
+    engine boundary). The window cut happens INSIDE the per-clip
+    Arrow kernel (numpy slicing), so the operator stays one scan with
+    no shuffle; the explode only unpacks the per-clip window arrays."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    return mm.wav_rms_windows(media, window=64)
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -400,3 +400,68 @@ def test_gif_poison_quarantines_exactly(spark):
         < 20000
     }
     assert got == want and want
+
+
+def test_bmp_roundtrip_and_strictness():
+    """Encode→decode is the identity on the RGB buffer across padded
+    (w*3 % 4 != 0) and unpadded widths; non-24bpp/compressed/truncated
+    streams raise instead of partially decoding."""
+    import struct
+
+    import pytest
+
+    for w, h, seed in [(2, 2, 0), (4, 3, 9), (5, 3, 7), (29, 19, 123)]:
+        px = mm.keystream(f"{seed}:bmp", w * h * 3)
+        enc = mm.encode_bmp(px, w, h)
+        d = mm.decode_bmp_pixels(enc)
+        assert (d["width"], d["height"], d["pixels"]) == (w, h, px)
+    enc = mm.encode_bmp(mm.keystream("0:bmp", 4 * 2 * 3), 4, 2)
+    with pytest.raises(ValueError):
+        mm.decode_bmp_pixels(enc[:-1])          # truncated body
+    with pytest.raises(ValueError):
+        mm.decode_bmp_pixels(enc[:40])          # truncated header
+    bad_bpp = enc[:28] + struct.pack("<H", 8) + enc[30:]
+    with pytest.raises(ValueError):
+        mm.decode_bmp_pixels(bad_bpp)           # paletted
+    bad_comp = enc[:30] + struct.pack("<I", 1) + enc[34:]
+    with pytest.raises(ValueError):
+        mm.decode_bmp_pixels(bad_comp)          # RLE-compressed
+
+
+def test_bmp_poison_quarantines_exactly(spark):
+    """Corrupt BMPs quarantine per item; non-BMP rows are skipped."""
+    ok = mm.bmp_bytes(4, 3, 1)
+    rows = [(1, ok), (2, b"BM" + b"\x00" * 80), (3, b"not media")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    good = mm.bmp_pixel_stats(media).collect()
+    assert [r.media_id for r in good] == [1]
+    assert good[0].n_pixels == 12
+    q = {r.media_id: r for r in
+         mm.bmp_pixel_stats(media, with_quarantine=True).collect()}
+    assert set(q) == {1, 2}
+    assert q[1].ok and not q[2].ok and q[2].err
+
+
+def test_wav_rms_windows_numpy_reference(spark):
+    """Window sums equal a numpy replica and concatenate back to the
+    clip totals; ragged final window carries the remainder count."""
+    import numpy as np
+
+    rows = [(7, mm.wav_bytes(100, 16000, 7)), (8, mm.wav_bytes(64, 16000, 8))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {}
+    for r in mm.wav_rms_windows(media, window=64).collect():
+        got.setdefault(r.media_id, {})[r.win_id] = (
+            r.n_in_win, r.sum_amp, r.sum_sq
+        )
+    for mid, nf in [(7, 100), (8, 64)]:
+        sm = np.frombuffer(
+            mm.keystream(f"{mid}:wav", nf), dtype=np.uint8
+        ).astype(np.int64)
+        nw = (nf + 63) // 64
+        assert set(got[mid]) == set(range(nw))
+        for w in range(nw):
+            seg = sm[w * 64 : (w + 1) * 64]
+            assert got[mid][w] == (
+                len(seg), int(seg.sum()), int((seg * seg).sum())
+            )
