@@ -12616,14 +12616,18 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     Dots are the verified left-to-right dim fold (bit-identical to
     DuckDB's list_dot_product); float32→float64 widening is exact."""
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    dims = spark.range(16).select(F.col("id").cast("int").alias("j"))
-    signs = F.expr(_JL_SIGNS_SPARK)
+    # the ±1 matrix depends only on (d, j): evaluate the 1024 md5s ONCE
+    # on the broadcast 16-row dims table, not once per embedding row
+    dims = spark.range(16).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(_JL_SIGNS_SPARK).alias("signs"),
+    )
     return (
         emb.crossJoin(F.broadcast(dims))
         .select(
             "vec_id",
             "j",
-            sim.dot_fold(F.col("embedding"), signs).alias("proj"),
+            sim.dot_fold(F.col("embedding"), F.col("signs")).alias("proj"),
         )
     )
 
