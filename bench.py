@@ -124,6 +124,9 @@ CATALOG_BENCH = [
     "emb_random_projection",
     "multimodal_bmp_pixel_stats",
     "multimodal_wav_rms_windows",
+    "ts_backtest_naive_models",
+    "graph_degree_assortativity",
+    "ts_sax_quartile_symbols",
 ]
 
 

@@ -8948,6 +8948,9 @@ _DRIVER_WINDOW = [
     "emb_random_projection",
     "multimodal_bmp_pixel_stats",
     "multimodal_wav_rms_windows",
+    "ts_backtest_naive_models",
+    "graph_degree_assortativity",
+    "ts_sax_quartile_symbols",
 ]
 
 
@@ -12724,6 +12727,238 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id")
     media = mm.synthetic_wav_media(docs, "doc_id")
     return mm.wav_rms_windows(media, window=64)
+
+
+# Shared dense-grid SQL for the daily backtest/symbolization twins —
+# the zero-filled types×30 grid from ts_exp_smoothing, reused verbatim.
+
+_DAILY_GRID_SQL = """
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(r.range AS INT) AS day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM types t CROSS JOIN range(0, 30) r
+      LEFT JOIN daily d
+        ON d.event_type = t.event_type AND d.day = r.range
+    )
+"""
+
+
+def _daily_grid(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select("event_type", day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = daily.select("event_type").distinct()
+    return (
+        types.crossJoin(
+            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+        )
+        .join(daily, on=["event_type", "day"], how="left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "ts_backtest_naive_models",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    lagged AS (
+      SELECT event_type, day, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+      FROM grid
+    )
+    SELECT event_type, 'naive_1' AS model,
+           CAST(count(f1) AS BIGINT) AS n_eval,
+           CAST(sum(abs(n - f1)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(n - f1)) AS DOUBLE) / count(f1) AS mae
+    FROM lagged WHERE f1 IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'seasonal_7' AS model,
+           CAST(count(f7) AS BIGINT) AS n_eval,
+           CAST(sum(abs(n - f7)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(n - f7)) AS DOUBLE) / count(f7) AS mae
+    FROM lagged WHERE f7 IS NOT NULL GROUP BY event_type
+    """,
+)
+def ts_backtest_naive_models(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the two baseline forecasters every
+    real model must beat (naive-1 'tomorrow = today' and seasonal-7
+    'next Monday = last Monday'): per stream, the mean absolute error
+    of each over the dense 30-day grid. One window pass computes both
+    lags; errors stay exact integers, MAE is one mirrored division.
+    This is the guardrail query of a forecasting pipeline — if the
+    fancy model's MAE isn't under these two numbers it ships nothing.
+    Window partitions by stream — shuffles once, never globally."""
+    grid = _daily_grid(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = grid.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("f1"),
+        F.lag("n", 7).over(w).alias("f7"),
+    )
+
+    def model(col: str, name: str) -> DataFrame:
+        v = lagged.filter(F.col(col).isNotNull())
+        err = F.abs(F.col("n") - F.col(col))
+        return v.groupBy("event_type").agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(err).alias("sum_abs_err"),
+            (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
+        ).select(
+            "event_type", "model", "n_eval", "sum_abs_err", "mae"
+        )
+
+    return model("f1", "naive_1").unionAll(model("f7", "seasonal_7"))
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON e.src = da.node
+                   JOIN deg db ON e.dst = db.node
+      UNION ALL
+      SELECT db.d, da.d
+      FROM edges e JOIN deg da ON e.src = da.node
+                   JOIN deg db ON e.dst = db.node
+    ),
+    s AS (
+      SELECT count(*) AS m2, sum(x) AS sx, sum(x*x) AS sxx,
+             sum(x*y) AS sxy
+      FROM ends
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                 / CAST(m2 * sxx - sx * sx AS DOUBLE), 12)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
+    correlation of degrees across edge endpoints — positive means hubs
+    attach to hubs (social nets), negative means hub-and-spoke
+    (technological nets). Both orientations of every edge enter, so
+    the x/y marginals coincide and r reduces to (MΣxy−(Σx)²)/
+    (MΣx²−(Σx)²) in EXACT integers; one float division + round 12 at
+    the end. Shape: two broadcast-able degree joins + one map-side-
+    combining aggregate — the graph-level summary costs one pass over
+    the edge list."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    deg = gr.degrees(e).select("node", F.col("deg").cast("long").alias("d"))
+    j = (
+        e.join(deg.withColumnRenamed("node", "src"), on="src")
+        .withColumnRenamed("d", "dx")
+        .join(deg.withColumnRenamed("node", "dst"), on="dst")
+        .withColumnRenamed("d", "dy")
+    )
+    ends = j.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        j.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m2, sx = F.col("m2"), F.col("sx")
+    return s.select(
+        (m2 / 2).cast("long").alias("n_edges"),
+        F.round(
+            (m2 * F.col("sxy") - sx * sx).cast("double")
+            / (m2 * F.col("sxx") - sx * sx).cast("double"),
+            12,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "ts_sax_quartile_symbols",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    q AS (
+      SELECT event_type, day,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY n, day)
+               AS bucket
+      FROM grid
+    ),
+    sym AS (
+      SELECT event_type, day,
+             CASE bucket WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                         WHEN 3 THEN 'c' ELSE 'd' END AS s
+      FROM q
+    )
+    SELECT event_type,
+           string_agg(s, '' ORDER BY day) AS sax_word,
+           CAST(sum(CASE WHEN s = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_peak_days
+    FROM sym GROUP BY event_type
+    """,
+)
+def ts_sax_quartile_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX-style SYMBOLIC series (Lin et al. 2003, with empirical
+    quartile breakpoints instead of Gaussian ones — rank-based, hence
+    integer-exact and twin-able where z-score breakpoints would hit
+    float ties): each stream's 30-day volume curve becomes a 30-char
+    a–d word, the form regex/motif mining and cheap whole-series
+    comparison run on. ntile over a (n, day) TOTAL order makes bucket
+    assignment deterministic on both engines. Per-stream windows +
+    one groupBy; the word is bounded by the grid length, never the
+    corpus."""
+    grid = _daily_grid(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    sym = grid.select(
+        "event_type",
+        "day",
+        F.when(F.ntile(4).over(w) == 1, "a")
+        .when(F.ntile(4).over(w) == 2, "b")
+        .when(F.ntile(4).over(w) == 3, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "s"))),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("sax_word"),
+        F.sum(F.when(F.col("s") == "d", 1).otherwise(0))
+        .cast("long")
+        .alias("n_peak_days"),
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -1503,3 +1503,71 @@ def test_random_projection_matches_numpy(spark, sf_small):
         if np.linalg.norm(v) > 0:
             ratios.append((np.linalg.norm(p) / 4.0) / np.linalg.norm(v))
     assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
+def test_backtest_naive_matches_python(spark, sf_small):
+    """Both baseline MAEs equal a python replay over the dense grid."""
+    from report_worker_spark.plans.catalog import QUERIES, _daily_grid
+
+    grid = {}
+    for r in _daily_grid(spark, sf_small).collect():
+        grid.setdefault(r.event_type, {})[r.day] = r.n
+    want = {}
+    for t, days in grid.items():
+        for k, name in [(1, "naive_1"), (7, "seasonal_7")]:
+            errs = [
+                abs(days[d] - days[d - k]) for d in range(k, 30)
+            ]
+            want[(t, name)] = (len(errs), sum(errs), sum(errs) / len(errs))
+    got = {
+        (r.event_type, r.model): (r.n_eval, r.sum_abs_err, r.mae)
+        for r in QUERIES["ts_backtest_naive_models"](spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_assortativity_matches_numpy(spark, sf_small):
+    """r equals numpy's corrcoef over the doubled endpoint-degree
+    pairs and lies in [-1, 1]."""
+    import numpy as np
+
+    from report_worker_spark.functions import graph as gr
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+
+    e = gr.undirected_edges(_cooccur_edges(spark, sf_small))
+    deg = {r.node: r.deg for r in gr.degrees(e).collect()}
+    xs, ys = [], []
+    for r in e.collect():
+        xs += [deg[r.src], deg[r.dst]]
+        ys += [deg[r.dst], deg[r.src]]
+    want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    r = QUERIES["graph_degree_assortativity"](spark, sf_small).first()
+    assert r.n_edges == e.count()
+    assert -1.0 <= r.assortativity <= 1.0
+    assert abs(r.assortativity - want) < 1e-9
+
+
+def test_sax_symbols_quartile_census(spark, sf_small):
+    """Every word is 30 chars; per-stream symbol counts follow the
+    ntile split (8,8,7,7) and symbols are ordered by value rank."""
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES, _daily_grid
+
+    grid = {}
+    for r in _daily_grid(spark, sf_small).collect():
+        grid.setdefault(r.event_type, {})[r.day] = r.n
+    rows = QUERIES["ts_sax_quartile_symbols"](spark, sf_small).collect()
+    assert {r.event_type for r in rows} == set(grid)
+    for r in rows:
+        assert len(r.sax_word) == 30
+        assert Counter(r.sax_word) == Counter(
+            {"a": 8, "b": 8, "c": 7, "d": 7}
+        )
+        assert r.n_peak_days == 7
+        # the 'd' days must be the 7 highest-(n, day) days
+        days = grid[r.event_type]
+        order = sorted(range(30), key=lambda d: (days[d], d))
+        want_d = set(order[-7:])
+        got_d = {d for d, ch in enumerate(r.sax_word) if ch == "d"}
+        assert got_d == want_d
