@@ -127,6 +127,9 @@ CATALOG_BENCH = [
     "ts_backtest_naive_models",
     "graph_degree_assortativity",
     "ts_sax_quartile_symbols",
+    "stats_quantile_normalize",
+    "emb_nearest_centroid_accuracy",
+    "curation_shard_manifest",
 ]
 
 

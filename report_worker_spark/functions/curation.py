@@ -300,3 +300,78 @@ def span_corrupt(d: DataFrame, mask_pct: int = 15) -> DataFrame:
         assemble("piece").alias("corrupted"),
         assemble("tgt").alias("target"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    shards: int = 256,
+) -> DataFrame:
+    """Output-shard assignment + manifest for a packed training run:
+    documents line up in the deterministic md5 content-hash order
+    (same device as :func:`token_budget_sample`), and each one lands
+    in output shard ``(cum_before_doc) DIV shard_tokens`` — so every
+    shard holds ~``shard_tokens`` tokens, boundaries never split a
+    document, and the assignment is reproducible on any engine and
+    any partitioning. Returns one manifest row per output shard:
+    ``(out_shard, n_docs, n_tokens, first_id, last_id)`` with
+    first/last in hash order (what a writer needs to fence resumable
+    shard uploads).
+
+    The global prefix sum is the sharded two-phase decomposition
+    (per-range windows + a bounded offset table) — no corpus-wide
+    ordered window anywhere."""
+    from pyspark.sql import Window
+
+    prefix_len = 0
+    s = shards
+    while s > 1 and s % 16 == 0:
+        s //= 16
+        prefix_len += 1
+    if s != 1 or prefix_len == 0:
+        raise ValueError(
+            f"shards must be a positive power of 16, got {shards}"
+        )
+    r = F.md5(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        r.alias("_r"),
+    ).withColumn(
+        "_shard",
+        F.conv(F.substring("_r", 1, prefix_len), 16, 10).cast("long"),
+    )
+    win_in = (
+        Window.partitionBy("_shard")
+        .orderBy("_r", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = d.groupBy("_shard").agg(F.sum(weight_col).alias("_tot"))
+    woff = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_shard",
+        F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
+    )
+    cum = (
+        d.join(F.broadcast(off), on="_shard")
+        .withColumn(
+            "_cum", F.col("_off") + F.sum(weight_col).over(win_in)
+        )
+        .withColumn(
+            "out_shard",
+            F.floor(
+                (F.col("_cum") - F.col(weight_col))
+                / F.lit(shard_tokens)
+            ).cast("long"),
+        )
+    )
+    return cum.groupBy("out_shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("n_tokens"),
+        F.min_by(id_col, F.col("_r")).alias("first_id"),
+        F.max_by(id_col, F.col("_r")).alias("last_id"),
+    )

@@ -8951,6 +8951,9 @@ _DRIVER_WINDOW = [
     "ts_backtest_naive_models",
     "graph_degree_assortativity",
     "ts_sax_quartile_symbols",
+    "stats_quantile_normalize",
+    "emb_nearest_centroid_accuracy",
+    "curation_shard_manifest",
 ]
 
 
@@ -12958,6 +12961,237 @@ def ts_sax_quartile_symbols(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("s") == "d", 1).otherwise(0))
         .cast("long")
         .alias("n_peak_days"),
+    )
+
+
+@query(
+    "stats_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS prank,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r_s,
+             count(*) OVER (PARTITION BY source) AS n_s,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT a.doc_id, a.source, a.n_chars,
+           b.n_chars AS norm_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 (r_s * n + n_s - 1) // n_s AS idx
+          FROM d) a
+    JOIN (SELECT prank, n_chars FROM d) b ON b.prank = a.idx
+    """,
+)
+def stats_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (the batch-effect
+    correction of bioinformatics, applied to doc-length distributions):
+    each document's length maps to the POOLED value at the same rank
+    fraction, so after the pass every source has an identical length
+    distribution. The pooled rank is EXACT and computed WITHOUT a
+    global sort: values range-shard on n_chars DIV 64 (shard order ==
+    value order by construction), ranks ride per-shard windows, and a
+    bounded shard-count offset table (the only unpartitioned window)
+    lifts them to global ranks — the same scan-chunk decomposition as
+    curation.token_budget_sample. Everything is integer; the oracle
+    replays with a plain global row_number. Target index is
+    ceil(r_s·N/n_s) via integer DIV on both engines (memory: Spark /
+    is double division — F.floor/DIV mirrors DuckDB //)."""
+    docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    shard = (F.col("n_chars") / 64).cast("long").alias("_shard")
+    d = docs.select("doc_id", "source", "n_chars", shard)
+    win_in = Window.partitionBy("_shard").orderBy("n_chars", "doc_id")
+    cnt = d.groupBy("_shard").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cnt.select(
+        "_shard",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    ranked = (
+        d.join(F.broadcast(off), on="_shard")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("_off") + F.row_number().over(win_in)).alias("prank"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_s = Window.partitionBy("source")
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    src_ranked = (
+        ranked.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(ws).alias("r_s"),
+            F.count(F.lit(1)).over(n_s).alias("n_s"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor(
+                (F.col("r_s") * F.col("n") + F.col("n_s") - 1)
+                / F.col("n_s")
+            ).alias("idx"),
+        )
+    )
+    pooled = ranked.select("prank", F.col("n_chars").alias("norm_chars"))
+    return src_ranked.join(
+        pooled, src_ranked.idx == pooled.prank
+    ).select("doc_id", "source", "n_chars", "norm_chars")
+
+
+@query(
+    "emb_nearest_centroid_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(r.range AS INT) AS d,
+             qv[r.range + 1] AS v
+      FROM q CROSS JOIN range(0, 64) r
+    ),
+    cent AS (
+      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+      FROM ex GROUP BY label, d
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
+      FROM ex e JOIN cent c ON e.d = c.d
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, clabel) = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS accuracy
+    FROM pred GROUP BY label
+    """,
+)
+def emb_nearest_centroid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST-CENTROID probe — the cheapest embedding-quality eval
+    that needs no trained head (Rocchio classification): per label,
+    the mean quantized vector; each vector is assigned the label of
+    its highest-scoring centroid (dot/n_l — exact integer dot, ONE
+    mirrored division since every term is < 2^53) and per-label
+    accuracy comes out. Spark side keeps centroids as a 10-row
+    BROADCAST array table and scores with the in-array integer fold —
+    one corpus scan, no N×N anything; the oracle replays via an
+    explode-join, a different physical strategy with the same
+    numbers. Training set = full corpus (standard resubstitution
+    nearest-centroid; documented, mirrored)."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("d", "v")
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "d")
+        .agg(
+            F.sum("v").alias("csum"),
+            F.countDistinct("vec_id").alias("n_l"),
+        )
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "csum"))),
+            lambda x: x["csum"],
+        ).alias("cvec"),
+        F.max("n_l").alias("n_l"),
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).cast("double")
+            / F.col("n_l")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred_label"))
+    )
+    hit = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@query(
+    "curation_shard_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS r
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, r,
+             sum(n_chars) OVER (ORDER BY r, doc_id) AS cum
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, n_chars, r,
+             (cum - n_chars) // 50000 AS out_shard
+      FROM c
+    )
+    SELECT CAST(out_shard AS BIGINT) AS out_shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+           arg_min(doc_id, r) AS first_id,
+           arg_max(doc_id, r) AS last_id
+    FROM s GROUP BY out_shard
+    """,
+)
+def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic OUTPUT-SHARD manifest for a packed training run:
+    docs line up in md5 hash order, shard k owns token positions
+    [k·50000, (k+1)·50000) by each doc's starting offset — boundaries
+    never split a doc, every engine and partitioning reproduces the
+    same layout, and the per-shard (n_docs, n_tokens, first, last)
+    rows are what a resumable writer fences uploads with. The global
+    prefix sum is the sharded two-phase device (per-range windows +
+    bounded offset table) from curation.token_budget_sample — no
+    corpus-wide ordered window; the oracle replays with one (its
+    scale, not ours)."""
+    from ..functions import curation as cu
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return cu.shard_manifest(
+        docs, 50_000, id_col="doc_id", weight_col="n_chars"
     )
 
 

@@ -1571,3 +1571,124 @@ def test_sax_symbols_quartile_census(spark, sf_small):
         want_d = set(order[-7:])
         got_d = {d for d, ch in enumerate(r.sax_word) if ch == "d"}
         assert got_d == want_d
+
+
+def test_quantile_normalize_equalizes_distributions(spark, sf_small):
+    """After the pass, every source's normalized multiset equals the
+    pooled quantile picks of a python replica, and each source's
+    normalized distribution is (near-)identical across sources."""
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = [
+        (r.doc_id, r.source, r.n_chars)
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ]
+    pooled = sorted((c, i) for i, _, c in docs)
+    n = len(pooled)
+    by_src = {}
+    for i, s, c in docs:
+        by_src.setdefault(s, []).append((c, i))
+    want = {}
+    for s, rows in by_src.items():
+        rows.sort()
+        n_s = len(rows)
+        for r_s, (c, i) in enumerate(rows, 1):
+            idx = -(-r_s * n // n_s)  # ceil
+            want[i] = pooled[idx - 1][0]
+    got = {
+        r.doc_id: r.norm_chars
+        for r in QUERIES["stats_quantile_normalize"](spark, sf_small).collect()
+    }
+    assert got == want
+    # distributions match across sources (same size here ⇒ identical)
+    per_src = {}
+    for i, s, _ in docs:
+        per_src.setdefault(s, Counter())[got[i]] += 1
+    ref = next(iter(per_src.values()))
+    assert all(d == ref for d in per_src.values())
+
+
+def test_nearest_centroid_matches_numpy(spark, sf_small):
+    """Per-label accuracy equals a numpy nearest-centroid replica on
+    the same quantized vectors."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    qv = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 256)
+        for r in rows
+    }
+    lab = {r.vec_id: r.label for r in rows}
+    labels = sorted(set(lab.values()))
+    cents = {
+        l: (
+            np.sum([qv[i] for i in qv if lab[i] == l], axis=0),
+            sum(1 for i in qv if lab[i] == l),
+        )
+        for l in labels
+    }
+    correct = {l: 0 for l in labels}
+    for i, v in qv.items():
+        best = max(
+            labels,
+            key=lambda l: (float(v @ cents[l][0]) / cents[l][1], -l),
+        )
+        if best == lab[i]:
+            correct[lab[i]] += 1
+    got = {
+        r.label: (r.n_vecs, r.n_correct)
+        for r in QUERIES["emb_nearest_centroid_accuracy"](
+            spark, sf_small
+        ).collect()
+    }
+    n_per = {l: sum(1 for i in qv if lab[i] == l) for l in labels}
+    assert got == {l: (n_per[l], correct[l]) for l in labels}
+    # the fixture clusters are weak under a raw-dot probe, but the
+    # signal must still clear the 10% chance floor by a wide margin
+    assert sum(correct.values()) / len(qv) > 0.25
+
+
+def test_shard_manifest_invariants(spark, sf_small):
+    """Shards partition the corpus exactly: doc counts and token
+    totals add back to the corpus, shards are dense 0..K, every
+    full shard ends within one doc of the 50k boundary, and the
+    assignment matches a python replay of the hash order."""
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    order = sorted(docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+    cum, want = 0, {}
+    for i, w in order:
+        want[i] = cum // 50_000
+        cum += w
+    rows = QUERIES["curation_shard_manifest"](spark, sf_small).collect()
+    shards = sorted(r.out_shard for r in rows)
+    assert shards == list(range(len(rows)))
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.n_tokens for r in rows) == sum(w for _, w in docs)
+    by_shard = {}
+    for i, s in want.items():
+        by_shard.setdefault(s, []).append(i)
+    got = {r.out_shard: r for r in rows}
+    for s, ids in by_shard.items():
+        assert got[s].n_docs == len(ids)
+        first = min(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        last = max(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        assert (got[s].first_id, got[s].last_id) == (first, last)
