@@ -130,6 +130,9 @@ CATALOG_BENCH = [
     "stats_quantile_normalize",
     "emb_nearest_centroid_accuracy",
     "curation_shard_manifest",
+    "stats_spearman_corr",
+    "audit_column_profile",
+    "s3_json_malformed_rate",
 ]
 
 

@@ -8954,6 +8954,9 @@ _DRIVER_WINDOW = [
     "stats_quantile_normalize",
     "emb_nearest_centroid_accuracy",
     "curation_shard_manifest",
+    "stats_spearman_corr",
+    "audit_column_profile",
+    "s3_json_malformed_rate",
 ]
 
 
@@ -13192,6 +13195,256 @@ def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "n_chars")
     return cu.shard_manifest(
         docs, 50_000, id_col="doc_id", weight_col="n_chars"
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT) AS c
+      FROM lineitem
+    ),
+    qv AS (
+      SELECT q, count(*) AS cnt,
+             coalesce(sum(count(*)) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM rows_ GROUP BY q
+    ),
+    cv AS (
+      SELECT c, count(*) AS cnt,
+             coalesce(sum(count(*)) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM rows_ GROUP BY c
+    ),
+    rr AS (
+      SELECT 2 * qv.cum + qv.cnt + 1 AS x,
+             2 * cv.cum + cv.cnt + 1 AS y
+      FROM rows_ JOIN qv USING (q) JOIN cv USING (c)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM rr
+    )
+    SELECT n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             12) AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """SPEARMAN rank correlation of gross line price vs net revenue —
+    the monotone-association sibling of stats_covar_corr, robust to
+    the heavy price tail (the discount injects rank noise, so ρ < 1
+    and the tie machinery is exercised on both variables).
+    Tie-averaged ranks stay EXACT as doubled integers
+    (2r = 2·cum_less + t + 1, the Mann-Whitney device) so every sum
+    (Σx, Σx², Σxy over 2r ≤ 2n) is an exact BIGINT; the
+    Pearson-on-ranks formula then runs in double on deterministic
+    int64→double conversions (IEEE round-to-nearest, identical on
+    both engines) and rounds to 12. The rank tables are
+    DISTINCT-VALUE-sized, not corpus-sized — at 100 TB the cents
+    tables would range-shard like stats_quantile_normalize; here
+    both windows ride bounded value tables."""
+    li = load(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("q"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("c"),
+    )
+
+    def ranks(col: str):
+        byv = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return byv.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r_{col}"),
+        )
+
+    rr = (
+        li.join(ranks("q"), on="q")
+        .join(ranks("c"), on="c")
+        .select(F.col("r_q").alias("x"), F.col("r_c").alias("y"))
+    )
+    s = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 12).alias("spearman_rho"),
+    )
+
+
+@query(
+    "audit_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+             CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+             CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS nd_price,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS VARCHAR) AS mn_price,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS VARCHAR) AS mx_price,
+             CAST(count(o_orderpriority) AS BIGINT) AS nn_prio,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+             CAST(min(o_orderpriority) AS VARCHAR) AS mn_prio,
+             CAST(max(o_orderpriority) AS VARCHAR) AS mx_prio,
+             CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(min(o_orderdate) AS DATE)) AS VARCHAR) AS mn_date,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(max(o_orderdate) AS DATE)) AS VARCHAR) AS mx_date
+      FROM orders
+    )
+    SELECT col, n, n_nonnull, n_distinct, min_repr, max_repr FROM (
+      SELECT 'o_custkey' AS col, n, nn_cust AS n_nonnull,
+             nd_cust AS n_distinct, mn_cust AS min_repr,
+             mx_cust AS max_repr FROM s
+      UNION ALL
+      SELECT 'o_totalprice_cents', n, nn_price, nd_price, mn_price,
+             mx_price FROM s
+      UNION ALL
+      SELECT 'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio
+      FROM s
+      UNION ALL
+      SELECT 'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date
+      FROM s
+    )
+    """,
+)
+def audit_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-SCAN column profiling (the dbt-docs / Deequ profile pass):
+    per column — row count, non-null count, exact distinct count, and
+    min/max — unpivoted to a (col, stats…) table. All stats compute
+    in a single aggregate over one scan (Spark plans the multi-
+    distinct via Expand — still one pass of the fact); adding a
+    column adds expressions, not passes. Cross-engine repr
+    discipline: doubles profile as integer CENTS and dates as day
+    offsets, because float→string and date→string formatting differ
+    between engines while BIGINT→string never does."""
+    o = load(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct(cents).alias("nd_price"),
+        F.min(cents).cast("string").alias("mn_price"),
+        F.max(cents).cast("string").alias("mx_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("mn_prio"),
+        F.max("o_orderpriority").cast("string").alias("mx_prio"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min(day).cast("string").alias("mn_date"),
+        F.max(day).cast("string").alias("mx_date"),
+    )
+    return s.select(
+        F.expr(
+            """
+            stack(4,
+              'o_custkey', n, nn_cust, nd_cust, mn_cust, mx_cust,
+              'o_totalprice_cents', n, nn_price, nd_price, mn_price,
+                mx_price,
+              'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio,
+              'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date)
+            AS (col, n, n_nonnull, n_distinct, min_repr, max_repr)
+            """
+        )
+    )
+
+
+@query(
+    "s3_json_malformed_rate",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, length(props) - 2)
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_malformed,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+             AS DOUBLE) / count(*) AS malformed_rate
+    FROM w GROUP BY event_type
+    """,
+)
+def s3_json_malformed_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Wire-format QUARANTINE-RATE audit for the JSON deserialize path
+    (S3's DLQ telemetry twin): deterministically truncate 1-in-7
+    payloads to simulate the torn messages a real topic carries, then
+    count per stream how many fail JSON validation
+    (``try_parse_json IS NULL`` ≡ DuckDB ``json_valid``). This is the
+    dashboard number the reference's poison-message loop never had —
+    rate > 0 pages before the consumer stalls. Pure column
+    expressions + one aggregate; at scale the validity flag rides the
+    ingest scan for free."""
+    e = load(spark, sf, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substr(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    bad = F.when(
+        F.expr("try_parse_json(payload) IS NULL"), 1
+    ).otherwise(0)
+    return (
+        e.select("event_type", payload.alias("payload"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum(bad).cast("long").alias("n_malformed"),
+            (F.sum(bad).cast("double") / F.count(F.lit(1))).alias(
+                "malformed_rate"
+            ),
+        )
     )
 
 

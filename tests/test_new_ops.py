@@ -1692,3 +1692,89 @@ def test_shard_manifest_invariants(spark, sf_small):
         first = min(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
         last = max(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
         assert (got[s].first_id, got[s].last_id) == (first, last)
+
+
+def test_spearman_matches_scipy_style_python(spark, sf_small):
+    """rho equals an independent tie-averaged-rank Pearson replica."""
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = [
+        (
+            round(r.l_extendedprice * 100),
+            round(r.l_extendedprice * (1 - r.l_discount) * 100),
+        )
+        for r in load(spark, sf_small, "lineitem")
+        .select("l_extendedprice", "l_discount")
+        .collect()
+    ]
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        cum, r = 0, {}
+        for v in sorted(cnt):
+            r[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        return [r[v] for v in vals]
+
+    xs = avg_ranks([q for q, _ in rows])
+    ys = avg_ranks([c for _, c in rows])
+    n = len(rows)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = math.sqrt(sum((x - mx) ** 2 for x in xs)) * math.sqrt(
+        sum((y - my) ** 2 for y in ys)
+    )
+    want = num / den
+    r = QUERIES["stats_spearman_corr"](spark, sf_small).first()
+    assert r.n == n
+    assert abs(r.spearman_rho - want) < 1e-9
+    assert 0.9 < r.spearman_rho < 1.0  # rank-linked, discount-noised
+
+
+def test_column_profile_single_scan_and_values(spark, sf_small, sf_oracle):
+    """The profile executes ONE scan of orders (no re-read per
+    column) and the stats match direct queries."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+    from tests.test_scale_plans import plan_of
+
+    plan = plan_of(QUERIES["audit_column_profile"](spark, sf_oracle), mode="simple")
+    assert plan.count("Scan parquet") == 1
+
+    o = load(spark, sf_small, "orders")
+    got = {
+        r.col: r
+        for r in QUERIES["audit_column_profile"](spark, sf_small).collect()
+    }
+    n = o.count()
+    assert all(r.n == n for r in got.values())
+    assert got["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
+    assert int(got["o_custkey"].min_repr) == o.agg(F.min("o_custkey")).first()[0]
+    assert got["o_orderpriority"].n_distinct == 5
+
+
+def test_json_malformed_rate_exact_census(spark, sf_small):
+    """Exactly the event_id % 7 == 0 rows are flagged (original props
+    are valid JSON; truncation always breaks it)."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    want = {}
+    for r in ev:
+        a, b = want.get(r.event_type, (0, 0))
+        want[r.event_type] = (a + 1, b + (1 if r.event_id % 7 == 0 else 0))
+    got = {
+        r.event_type: (r.n_msgs, r.n_malformed)
+        for r in QUERIES["s3_json_malformed_rate"](spark, sf_small).collect()
+    }
+    assert got == want
+    assert sum(b for _, b in got.values()) > 0
