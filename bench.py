@@ -133,6 +133,9 @@ CATALOG_BENCH = [
     "stats_spearman_corr",
     "audit_column_profile",
     "s3_json_malformed_rate",
+    "graph_personalized_pagerank",
+    "join_ip_prefix_lpm",
+    "stats_cramers_v",
 ]
 
 

@@ -376,6 +376,88 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return lab.select("node", "lbl")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    deterministic: bool = False,
+) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart to the seed
+    set): teleportation mass (1−d) returns to the seeds instead of
+    spreading uniformly, so scores measure proximity-weighted
+    relevance TO the seeds — the recommendation / local-community
+    primitive (Jeh & Widom 2003). Start = 1/|S| on seeds; per round
+    r(v) = 1_S(v)·(1−d)/|S| + d·Σ_{u→v} r(u)/deg(u) over ALL nodes
+    (missing contributions coalesce to 0, so unreached nodes carry
+    exact 0.0 and stay comparable across engines).
+
+    Same per-round economics as :func:`pagerank` — one shuffle on the
+    contribution aggregate; ``deterministic=True`` folds each node's
+    contributions smallest-first for bit-reproducibility (the oracle
+    mode), default SUM is the map-side-combinable scale mode."""
+    d = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).join(
+        nodes, on="node"
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("_ns"))
+    base_tbl = nodes.join(
+        s.select("node", F.lit(1).alias("_is_seed")), on="node", how="left"
+    ).crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(
+            F.col("_is_seed").isNotNull(),
+            F.lit(1.0 - damping) / F.col("_ns").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("base"),
+        F.when(
+            F.col("_is_seed").isNotNull(),
+            F.lit(1.0) / F.col("_ns").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p0"),
+    )
+    pr = base_tbl.select("node", F.col("p0").alias("pr")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iterations):
+        contrib = (
+            d.join(pr, d.src == pr.node)
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        if deterministic:
+            fold = F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            fold = F.sum("c")
+        agg = contrib.groupBy("node").agg(fold.alias("_s"))
+        pr = (
+            base_tbl.select("node", "base")
+            .join(agg, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

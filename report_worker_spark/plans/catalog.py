@@ -8957,6 +8957,9 @@ _DRIVER_WINDOW = [
     "stats_spearman_corr",
     "audit_column_profile",
     "s3_json_malformed_rate",
+    "graph_personalized_pagerank",
+    "join_ip_prefix_lpm",
+    "stats_cramers_v",
 ]
 
 
@@ -13445,6 +13448,252 @@ def s3_json_malformed_rate(spark: SparkSession, sf: str) -> DataFrame:
                 "malformed_rate"
             ),
         )
+    )
+
+
+def _ppr_oracle(iters: int) -> str:
+    """Unrolled personalized-PageRank twin: teleport mass returns to
+    the seed set; contributions fold smallest-first; missing
+    contributions coalesce to 0 so unreached nodes carry exact 0.0."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+    c{i} AS (
+      SELECT d.dst AS node,
+             list_reduce(list_sort(list(p.pr / deg.outdeg)),
+                         (x, y) -> x + y) AS s
+      FROM d
+      JOIN r{i - 1} p ON d.src = p.node
+      JOIN deg ON deg.node = d.src
+      GROUP BY d.dst
+    ),
+    r{i} AS (
+      SELECT b.node,
+             b.base + CAST(0.85 AS DOUBLE) * coalesce(c{i}.s,
+               CAST(0 AS DOUBLE)) AS pr
+      FROM b LEFT JOIN c{i} ON c{i}.node = b.node
+    )"""
+        )
+    return f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    d AS (SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM d GROUP BY src),
+    seeds AS (SELECT DISTINCT src AS node FROM d WHERE src % 97 = 0),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    b AS (
+      SELECT deg.node,
+             CASE WHEN seeds.node IS NOT NULL
+                  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns.n
+                  ELSE CAST(0 AS DOUBLE) END AS base,
+             CASE WHEN seeds.node IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / ns.n
+                  ELSE CAST(0 AS DOUBLE) END AS p0
+      FROM deg LEFT JOIN seeds ON seeds.node = deg.node CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, p0 AS pr FROM b),
+    {",".join(steps)}
+    SELECT node, pr, rank FROM (
+      SELECT node, pr,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rank
+      FROM r{iters})
+    WHERE rank <= 20
+    """
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle(3))
+def graph_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSONALIZED PageRank top-20 from the mod-97 seed set — random
+    walk with restart, the 'related items' / local-community
+    primitive the global PageRank can't answer (its scores are
+    query-independent). Deterministic fold mode for the oracle; the
+    scale mode swaps in map-side-combinable SUM. Per round one
+    contribution shuffle + a left join back to the node table (so
+    unreached nodes carry exact 0.0 on both engines)."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    seeds = gr.degrees(e).select("node").filter(F.col("node") % 97 == 0)
+    pr = gr.personalized_pagerank(
+        e, seeds, iterations=3, damping=0.85, deterministic=True
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )
+
+
+@query(
+    "join_ip_prefix_lpm",
+    oracle="""
+    WITH ips AS (
+      SELECT DISTINCT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip32
+      FROM events
+    ),
+    routes AS (
+      SELECT (n_nationkey * 10) % 256 AS pfx, 8 AS plen,
+             n_name AS route FROM nation
+      UNION ALL
+      SELECT ((n_nationkey * 10) % 256) * 256 + n_nationkey, 16,
+             n_name || '-metro' FROM nation
+    ),
+    cand AS (
+      SELECT i.user_id, i.ip32, r.plen, r.route
+      FROM ips i JOIN routes r
+        ON r.plen = 8 AND (i.ip32 >> 24) = r.pfx
+      UNION ALL
+      SELECT i.user_id, i.ip32, r.plen, r.route
+      FROM ips i JOIN routes r
+        ON r.plen = 16 AND (i.ip32 >> 16) = r.pfx
+    )
+    SELECT user_id, ip32, CAST(plen AS INT) AS prefix_len, route
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY plen DESC, route) = 1
+    """,
+)
+def join_ip_prefix_lpm(spark: SparkSession, sf: str) -> DataFrame:
+    """LONGEST-PREFIX-MATCH join — the IP-to-CIDR routing/geo lookup
+    vanilla SQL can only express as a BETWEEN range join (which plans
+    as a nested loop and dies at scale). The scalable form: expand
+    each address into its ALLOWED prefix lengths (one shifted key per
+    length — here /8 and /16, nested so LPM genuinely disambiguates),
+    EQUI-join each against the broadcast route table, keep the
+    longest match per key via one window. At 100 TB this is
+    len(plens) broadcast hash joins over one scan — no range
+    predicate anywhere. Addresses derive from user_id by a Knuth
+    multiplicative hash both engines replay."""
+    ips = (
+        load(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 2654435761) % 4294967296).alias("ip32"),
+        )
+    )
+    n = load(spark, sf, "nation")
+    routes8 = n.select(
+        ((F.col("n_nationkey") * 10) % 256).alias("pfx"),
+        F.lit(8).alias("plen"),
+        F.col("n_name").alias("route"),
+    )
+    routes16 = n.select(
+        (((F.col("n_nationkey") * 10) % 256) * 256 + F.col("n_nationkey")).alias(
+            "pfx"
+        ),
+        F.lit(16).alias("plen"),
+        F.concat(F.col("n_name"), F.lit("-metro")).alias("route"),
+    )
+    c8 = ips.join(
+        F.broadcast(routes8),
+        F.shiftright("ip32", 24) == F.col("pfx"),
+    ).select("user_id", "ip32", "plen", "route")
+    c16 = ips.join(
+        F.broadcast(routes16),
+        F.shiftright("ip32", 16) == F.col("pfx"),
+    ).select("user_id", "ip32", "plen", "route")
+    cand = c8.unionAll(c16)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("plen").desc(), F.col("route").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ip32",
+            F.col("plen").cast("int").alias("prefix_len"),
+            "route",
+        )
+    )
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ), m AS (
+      SELECT o.*,
+             CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_tot,
+             CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
+             CAST(sum(obs) OVER () AS BIGINT) AS grand
+      FROM o
+    ), terms AS (
+      SELECT (CAST(obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * col_tot / grand)
+             * (CAST(obs AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * col_tot / grand)
+             / (CAST(row_tot AS DOUBLE) * col_tot / grand) AS term,
+             grand
+      FROM m
+    ), dims AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             CAST(count(DISTINCT dayofweek(ts)) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+    )
+    SELECT dims.r AS n_rows, dims.c AS n_cols, dims.n AS n_obs,
+           sqrt(list_reduce(list_sort(list(term)), (x, y) -> x + y)
+                / (dims.n * least(dims.r - 1, dims.c - 1)))
+             AS cramers_v
+    FROM terms CROSS JOIN dims
+    GROUP BY dims.r, dims.c, dims.n
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """CRAMÉR'S V — the [0,1] effect size the chi² statistic lacks
+    (chi² grows with n, V answers 'how strong is the association?'):
+    V = √(χ²/(n·min(r−1,c−1))) over the event_type × day-of-week
+    contingency table. Reuses the chi² float discipline verbatim
+    (integer margins via window sums on the cell table, one mirrored
+    term per cell, smallest-first fold); the dims ride a one-row
+    broadcast. Same single-shuffle shape as stats_chi2_type_dow."""
+    e = load(spark, sf, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    m = o.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wg).alias("grand"),
+    )
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    dims = e.agg(
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct(F.dayofweek("ts")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = m.select(term.alias("_t")).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_t")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2")
+    )
+    return chi2.crossJoin(F.broadcast(dims)).select(
+        F.col("r").cast("long").alias("n_rows"),
+        F.col("c").cast("long").alias("n_cols"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+        ).alias("cramers_v"),
     )
 
 

@@ -1778,3 +1778,110 @@ def test_json_malformed_rate_exact_census(spark, sf_small):
     }
     assert got == want
     assert sum(b for _, b in got.values()) > 0
+
+
+def test_personalized_pagerank_matches_python(spark):
+    """PPR on a hand graph equals a python replay with the same
+    smallest-first folds; mass concentrates near the seed."""
+    from report_worker_spark.functions import graph as gr
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (10, 11)]
+    edges = gr.undirected_edges(spark.createDataFrame(raw, ["src", "dst"]))
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.pr
+        for r in gr.personalized_pagerank(
+            edges, seeds, iterations=3, deterministic=True
+        ).collect()
+    }
+    adj, deg = {}, {}
+    for a, b in raw:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    pr = {n: (1.0 if n == 1 else 0.0) for n in adj}
+    for _ in range(3):
+        contrib = {}
+        for u in adj:
+            for v in adj[u]:
+                contrib.setdefault(v, []).append(pr[u] / deg[u])
+        nxt = {}
+        for n in adj:
+            s = 0.0
+            for c in sorted(contrib.get(n, [])):
+                s += c
+            nxt[n] = ((1.0 - 0.85) if n == 1 else 0.0) + 0.85 * s
+        pr = nxt
+    assert got == pr
+    assert got[10] == 0.0 and got[11] == 0.0  # disconnected from seed
+    assert got[2] > got[5]  # proximity ordering
+
+
+def test_ip_lpm_prefers_longest_and_matches_python(spark, sf_small):
+    """Every match equals a python LPM replay; /16 wins over /8
+    whenever both match."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    nations = [
+        (r.n_nationkey, r.n_name)
+        for r in load(spark, sf_small, "nation").collect()
+    ]
+    routes = {}
+    for k, name in nations:
+        routes.setdefault((8, (k * 10) % 256), []).append(name)
+        routes.setdefault((16, ((k * 10) % 256) * 256 + k), []).append(
+            name + "-metro"
+        )
+    users = {
+        r.user_id
+        for r in load(spark, sf_small, "events").select("user_id").collect()
+    }
+    want = {}
+    for u in users:
+        ip = (u * 2654435761) % 4294967296
+        for plen, shift in [(16, 16), (8, 24)]:
+            rs = routes.get((plen, ip >> shift))
+            if rs:
+                want[u] = (ip, plen, sorted(rs)[0])
+                break
+    rows = QUERIES["join_ip_prefix_lpm"](spark, sf_small).collect()
+    got = {r.user_id: (r.ip32, r.prefix_len, r.route) for r in rows}
+    assert got == want
+    assert any(p == 16 for _, p, _ in got.values())
+    assert any(p == 8 for _, p, _ in got.values())
+
+
+def test_cramers_v_matches_python(spark, sf_small):
+    """V equals an independent contingency-table computation and sits
+    in [0, 1]."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = (
+        load(spark, sf_small, "events")
+        .select("event_type", F.dayofweek("ts").alias("dow"))
+        .collect()
+    )
+    cells = Counter((r.event_type, r.dow) for r in rows)
+    rt = Counter(r.event_type for r in rows)
+    ct = Counter(r.dow for r in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for t, d in sorted(
+        cells,
+        key=lambda k: (cells[k] - rt[k[0]] * ct[k[1]] / n) ** 2
+        / (rt[k[0]] * ct[k[1]] / n),
+    ):
+        e = rt[t] * ct[d] / n
+        chi2 += (cells[(t, d)] - e) ** 2 / e
+    want = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    r = QUERIES["stats_cramers_v"](spark, sf_small).first()
+    assert (r.n_rows, r.n_cols, r.n_obs) == (len(rt), len(ct), n)
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert abs(r.cramers_v - want) < 1e-9
