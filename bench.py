@@ -133,7 +133,6 @@ CATALOG_BENCH = [
     "stats_spearman_corr",
     "audit_column_profile",
     "s3_json_malformed_rate",
-    "graph_personalized_pagerank",
     "join_ip_prefix_lpm",
     "stats_cramers_v",
 ]
@@ -199,6 +198,22 @@ def _pagerank_sum(spark: SparkSession) -> DataFrame:
     return gr.pagerank(edges, iterations=3, deterministic=False)
 
 
+def _ppr_sum(spark: SparkSession) -> DataFrame:
+    """Personalized-PageRank scale path: map-side-combinable SUM mode
+    (the catalog twin runs the bit-reproducible fold mode for
+    parity) — same precedent as graph_pagerank_sum."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.functions import graph as gr
+    from report_worker_spark.plans.catalog import _cooccur_edges
+
+    edges = gr.undirected_edges(_cooccur_edges(spark, SF_DIR))
+    seeds = gr.degrees(edges).select("node").filter(F.col("node") % 97 == 0)
+    return gr.personalized_pagerank(
+        edges, seeds, iterations=3, deterministic=False
+    )
+
+
 def _star_hash(spark: SparkSession) -> DataFrame:
     """The production star-upsert path (hash surrogate keys, no global
     sort) — the rank-mode catalog query exists for oracle parity, this
@@ -240,6 +255,7 @@ def bench_builders() -> dict[str, Callable[[SparkSession], DataFrame]]:
             ),
             "star_upsert_hash_mode": _star_hash,
             "graph_pagerank_sum": _pagerank_sum,
+            "graph_ppr_sum": _ppr_sum,
         }
     )
     return builders

@@ -422,9 +422,12 @@ def personalized_pagerank(
         .otherwise(F.lit(0.0))
         .alias("p0"),
     )
-    pr = base_tbl.select("node", F.col("p0").alias("pr")).localCheckpoint(
-        eager=False
-    )
+    # base_tbl is consumed every round (and seeds/deg feed it through
+    # joins) — one lazy checkpoint cuts that re-expansion; pr itself
+    # has a LINEAR lineage (each round consumes it exactly once), so
+    # per-round checkpoints would only add materialization cost
+    base_tbl = base_tbl.localCheckpoint(eager=False)
+    pr = base_tbl.select("node", F.col("p0").alias("pr"))
     for _ in range(iterations):
         contrib = (
             d.join(pr, d.src == pr.node)
@@ -453,7 +456,6 @@ def personalized_pagerank(
                     + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
     return pr
 
