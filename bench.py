@@ -135,6 +135,9 @@ CATALOG_BENCH = [
     "s3_json_malformed_rate",
     "join_ip_prefix_lpm",
     "stats_cramers_v",
+    "stats_kendall_tau_daily",
+    "curation_temperature_weights",
+    "multimodal_wav_silence_runs",
 ]
 
 

@@ -2376,3 +2376,59 @@ def wav_rms_windows(
         F.col("w.sum_amp").alias("sum_amp"),
         F.col("w.sum_sq").alias("sum_sq"),
     )
+
+
+def wav_silence_runs(
+    media: DataFrame,
+    threshold: int = 48,
+    min_run: int = 8,
+    with_quarantine: bool = False,
+) -> DataFrame:
+    """Voice-activity-style silence segmentation over the REAL WAV
+    decode: frames whose amplitude is within ``threshold`` of the
+    midpoint are quiet; maximal quiet runs of ≥ ``min_run`` frames
+    count as silence segments. Per clip: total quiet frames, segment
+    count, longest run — the trim/split statistics an audio curation
+    pass gates on. Run lengths come from one vectorized numpy
+    boundary scan inside the Arrow kernel; no shuffle, no python
+    per-frame loop. Non-WAV rows are skipped; corrupt clips
+    quarantine per item."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        mid = 128 if d["bits"] == 8 else 0
+        quiet = np.abs(sm - mid) < threshold
+        if not quiet.any():
+            return {
+                "n_frames": d["n_frames"],
+                "quiet_frames": 0,
+                "n_silence_segments": 0,
+                "longest_run": 0,
+            }
+        # run-length encode: boundaries where the quiet flag changes
+        b = np.flatnonzero(np.diff(quiet.astype(np.int8)) != 0) + 1
+        edges = np.concatenate(([0], b, [len(quiet)]))
+        lens = np.diff(edges)
+        flags = quiet[edges[:-1]]
+        runs = lens[flags]
+        return {
+            "n_frames": d["n_frames"],
+            "quiet_frames": int(runs.sum()),
+            "n_silence_segments": int((runs >= min_run).sum()),
+            "longest_run": int(runs.max()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, quiet_frames long, "
+            "n_silence_segments long, longest_run long",
+        ),
+        with_quarantine,
+    )

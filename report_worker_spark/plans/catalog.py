@@ -8960,6 +8960,9 @@ _DRIVER_WINDOW = [
     "graph_personalized_pagerank",
     "join_ip_prefix_lpm",
     "stats_cramers_v",
+    "stats_kendall_tau_daily",
+    "curation_temperature_weights",
+    "multimodal_wav_silence_runs",
 ]
 
 
@@ -13695,6 +13698,208 @@ def stats_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "stats_kendall_tau_daily",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.n > a.n THEN 1 ELSE 0 END AS conc,
+             CASE WHEN b.n < a.n THEN 1 ELSE 0 END AS disc
+      FROM grid a JOIN grid b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    cd AS (
+      SELECT event_type, CAST(sum(conc) AS BIGINT) AS c,
+             CAST(sum(disc) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM pairs GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) / 2) AS BIGINT) AS tn
+      FROM (SELECT event_type, n, count(*) AS t
+            FROM grid GROUP BY event_type, n)
+      GROUP BY event_type
+    )
+    SELECT cd.event_type, c AS n_concordant, d AS n_discordant,
+           tn AS tie_pairs,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - tn AS DOUBLE) * CAST(n0 AS DOUBLE)),
+                 12) AS kendall_tau_b
+    FROM cd JOIN ties ON cd.event_type = ties.event_type
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """KENDALL τ-b monotone-trend test per stream — the third rank
+    statistic beside Spearman (pairwise concordance is what Mann-
+    Kendall trend detection runs on). Day ties are impossible on the
+    dense grid, so τ-b = (C−D)/√((n₀−t_n)·n₀) with the count tie
+    term t_n = Σt(t−1)/2; every count is an exact BIGINT, one
+    mirrored float expression + round 12 at the end. The quadratic
+    pair join lives on the 30-row-per-stream DAILY table (435 pairs),
+    never the fact — the Theil-Sen scale argument verbatim."""
+    grid = _daily_grid(spark, sf)
+    a = grid.select(
+        "event_type", F.col("day").alias("da"), F.col("n").alias("na")
+    )
+    b = grid.select(
+        "event_type", F.col("day").alias("db"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, on="event_type").filter(F.col("da") < F.col("db"))
+    cd = pairs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("nb") > F.col("na"), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(F.col("nb") < F.col("na"), 1).otherwise(0)
+        ).alias("d"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    ties = (
+        grid.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("long")
+            .alias("tn")
+        )
+    )
+    j = cd.join(ties, on="event_type")
+    return j.select(
+        "event_type",
+        F.col("c").cast("long").alias("n_concordant"),
+        F.col("d").cast("long").alias("n_discordant"),
+        F.col("tn").alias("tie_pairs"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tn")).cast("double")
+                * F.col("n0").cast("double")
+            ),
+            12,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@query(
+    "curation_temperature_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) AS wt
+      FROM s
+    ),
+    z AS (
+      SELECT list_reduce(list_sort(list(wt)), (x, y) -> x + y) AS tot,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM w
+    )
+    SELECT w.source, w.n_docs,
+           round(w.wt / z.tot, 12) AS sample_prob,
+           round(w.wt / z.tot * z.n_total, 12) AS expected_docs
+    FROM w CROSS JOIN z
+    """,
+)
+def curation_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture weights at T = 2 (the mT5/Pile
+    upsampling rule p_s ∝ n_s^(1/T)): small sources gain share,
+    giants lose it, and the exponent 1/2 is exactly sqrt — an IEEE
+    correctly-rounded op, so no pow() cross-engine drift. The
+    normalizer folds smallest-first over the 20-row source table and
+    both outputs round to 12 (the ln/sqrt discipline). One groupBy
+    over the corpus; everything after is dim-sized."""
+    d = load(spark, sf, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = s.select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("wt"),
+    )
+    z = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("wt")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tot"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("wt") / F.col("tot"), 12).alias("sample_prob"),
+        F.round(
+            F.col("wt") / F.col("tot") * F.col("n_total"), 12
+        ).alias("expected_docs"),
+    )
+
+
+@query(
+    "multimodal_wav_silence_runs",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < nf
+    ),
+    quiet AS (
+      SELECT media_id, gi,
+             gi - row_number() OVER (PARTITION BY media_id
+                                     ORDER BY gi) AS island
+      FROM vals WHERE abs(v - 128) < 48
+    ),
+    runs AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM quiet GROUP BY media_id, island
+    )
+    SELECT c.media_id,
+           CAST(c.nf AS INT) AS n_frames,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS quiet_frames,
+           CAST(coalesce(sum(CASE WHEN r.run_len >= 8 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_silence_segments,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_run
+    FROM clip c LEFT JOIN runs r ON r.media_id = c.media_id
+    GROUP BY c.media_id, c.nf
+    """,
+)
+def multimodal_wav_silence_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """SILENCE SEGMENTATION over the REAL WAV decode — the
+    voice-activity / trim pass of an audio curation pipeline: frames
+    within ±48 of the 8-bit midpoint are quiet; maximal quiet runs of
+    ≥ 8 frames count as silence segments; per clip emit quiet-frame
+    total, segment count, and longest run. The run-length scan
+    happens INSIDE the per-clip numpy kernel (one corpus pass, no
+    shuffle); the oracle rebuilds the same runs with the SQL
+    gaps-and-islands device over the regenerated keystream — a
+    codec bug, an off-by-one in the run boundaries, or a threshold
+    slip all mismatch."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    return mm.wav_silence_runs(media, threshold=48, min_run=8)
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -1885,3 +1885,110 @@ def test_cramers_v_matches_python(spark, sf_small):
     assert (r.n_rows, r.n_cols, r.n_obs) == (len(rt), len(ct), n)
     assert 0.0 <= r.cramers_v <= 1.0
     assert abs(r.cramers_v - want) < 1e-9
+
+
+def test_kendall_tau_matches_python(spark, sf_small):
+    """τ-b equals a brute-force pair count on the same grid."""
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES, _daily_grid
+
+    grid = {}
+    for r in _daily_grid(spark, sf_small).collect():
+        grid.setdefault(r.event_type, {})[r.day] = r.n
+    want = {}
+    for t, days in grid.items():
+        c = d = 0
+        for i in range(30):
+            for j in range(i + 1, 30):
+                if days[j] > days[i]:
+                    c += 1
+                elif days[j] < days[i]:
+                    d += 1
+        n0 = 30 * 29 // 2
+        from collections import Counter
+
+        tn = sum(
+            v * (v - 1) // 2 for v in Counter(days.values()).values()
+        )
+        tau = (c - d) / math.sqrt((n0 - tn) * n0)
+        want[t] = (c, d, tn, round(tau, 12))
+    got = {
+        r.event_type: (
+            r.n_concordant, r.n_discordant, r.tie_pairs, r.kendall_tau_b
+        )
+        for r in QUERIES["stats_kendall_tau_daily"](spark, sf_small).collect()
+    }
+    assert got == want
+    assert all(-1 <= t <= 1 for *_, t in got.values())
+
+
+def test_temperature_weights_properties(spark, sf_small):
+    """Probabilities sum to ~1, equal-sized sources get equal shares,
+    and the T=2 rule flattens relative to proportional sampling."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["curation_temperature_weights"](spark, sf_small).collect()
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-9
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        prop = r.n_docs / n_total
+        # sqrt scaling pulls every share toward the uniform 1/len
+        if prop > 1 / len(rows):
+            assert r.sample_prob <= prop + 1e-12
+        else:
+            assert r.sample_prob >= prop - 1e-12
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n_docs, set()).add(r.sample_prob)
+    assert all(len(v) == 1 for v in by_n.values())
+
+
+def test_wav_silence_runs_numpy_reference(spark):
+    """Segment statistics equal a pure-python run-length replay,
+    including an all-loud clip and a boundary-run clip."""
+    import numpy as np
+
+    from report_worker_spark.functions import multimodal as mm
+
+    crafted = np.array(
+        [128] * 10 + [250] * 3 + [120] * 7 + [0] * 5 + [130] * 9,
+        dtype=np.uint8,
+    )
+    rows = [
+        (1, mm.wav_bytes(100, 16000, 1)),
+        (2, mm.encode_wav(bytes([255, 0] * 20), 16000, 1, 8)),
+        (3, mm.encode_wav(crafted.tobytes(), 16000, 1, 8)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (
+            r.n_frames, r.quiet_frames, r.n_silence_segments, r.longest_run
+        )
+        for r in mm.wav_silence_runs(media, threshold=48, min_run=8).collect()
+    }
+
+    def replay(samples):
+        quiet = [abs(int(s) - 128) < 48 for s in samples]
+        runs, cur = [], 0
+        for q in quiet:
+            if q:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        return (
+            len(samples),
+            sum(runs),
+            sum(1 for r in runs if r >= 8),
+            max(runs) if runs else 0,
+        )
+
+    sm1 = mm.keystream("1:wav", 100)
+    assert got[1] == replay(sm1)
+    assert got[2] == replay(bytes([255, 0] * 20))
+    assert got[3] == replay(crafted)
+    assert got[2][2] == 0  # alternating loud/quiet: no run reaches 8
+    assert got[3] == (34, 26, 2, 10)
