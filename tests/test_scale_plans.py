@@ -688,3 +688,51 @@ def test_session_batch2_plan_shapes(spark, sf_oracle):
         plan = plan_of(QUERIES[name](spark, sf_oracle))
         assert "MapInPandas" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_session_batch3_plan_shapes(spark, sf_oracle):
+    """Shape pins for the backtest/rank-stats/probe/routing batch: no
+    cartesian or nested-loop joins anywhere except documented one-row
+    broadcasts; the LPM join must be broadcast HASH joins on the
+    shifted equi-keys; the JSON-validity audit and temperature
+    weights stay join-free until their dim-sized tail; the silence
+    and BMP kernels are Arrow mapInPandas."""
+    plan = plan_of(
+        QUERIES["graph_degree_assortativity"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    lpm = plan_of(QUERIES["join_ip_prefix_lpm"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in lpm
+    assert "BroadcastNestedLoopJoin" not in lpm
+    assert "BroadcastHashJoin" in lpm  # route table broadcast equi-joins
+
+    # bounded broadcasts only: the dense 30-row day grid and one-row
+    # totals (the tfidf idiom) are the ONLY nested-loop inputs — each
+    # appears at most thrice (grid self-join + tie census)
+    for name in [
+        "ts_backtest_naive_models",
+        "ts_sax_quartile_symbols",
+        "stats_quantile_normalize",
+        "graph_personalized_pagerank",
+        "stats_kendall_tau_daily",
+        "emb_nearest_centroid_accuracy",
+        "stats_cramers_v",
+        "curation_temperature_weights",
+        "curation_shard_manifest",
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_oracle), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 3, name
+
+    mal = plan_of(QUERIES["s3_json_malformed_rate"](spark, sf_oracle), "simple")
+    assert "Join" not in mal
+    assert "EvalPython" not in mal
+
+    sil = plan_of(QUERIES["multimodal_wav_silence_runs"](spark, sf_oracle))
+    assert "MapInPandas" in sil
+
+    sp = plan_of(QUERIES["stats_spearman_corr"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in sp
+    assert "EvalPython" not in sp
