@@ -370,6 +370,83 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # Round-7 session-2 batch: traversal, restart walks, the exact-rank
+    # device, the sharded prefix sum, and the silence kernel.
+    # ------------------------------------------------------------------
+    # BFS: per-hop cost tracks the frontier's out-edges; K disjoint
+    # replicas seed independently (seeds scale ×K), so total work ~K
+    seeds = gr.degrees(edges).select("node").filter(
+        F.col("node") % 97 == 0
+    )
+    timings["graph_bfs_khop"] = timed_build(
+        lambda: gr.bfs_khop(edges, seeds, max_hops=4)
+    )
+    # min-label propagation: one map-side-combining groupBy per round
+    # over self ∪ neighbor candidates — linear in edges per round
+    timings["graph_label_propagation"] = timed_build(
+        lambda: gr.label_propagation(edges, rounds=3)
+    )
+    # PPR (sum mode): pagerank economics + one left join per round
+    timings["graph_ppr_sum"] = timed_build(
+        lambda: gr.personalized_pagerank(
+            edges, seeds, iterations=3, deterministic=False
+        )
+    )
+    # exact-rank quantile normalization: range-sharded global ranks
+    # (per-shard windows + bounded offset table) — the no-global-sort
+    # device under K× doc volume
+    def _qnorm(d: DataFrame) -> DataFrame:
+        sh = (F.col("n_chars") / 64).cast("long").alias("_shard")
+        dd_ = d.select("doc_id", "source", "n_chars", sh)
+        win_in = Window.partitionBy("_shard").orderBy("n_chars", "doc_id")
+        cnt = dd_.groupBy("_shard").agg(F.count(F.lit(1)).alias("_cnt"))
+        woff = Window.orderBy("_shard").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = cnt.select(
+            "_shard",
+            F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        )
+        ranked = dd_.join(F.broadcast(off), on="_shard").select(
+            "doc_id", "source", "n_chars",
+            (F.col("_off") + F.row_number().over(win_in)).alias("prank"),
+        )
+        ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        n_tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+        src = ranked.select(
+            "doc_id", "source", "n_chars",
+            F.row_number().over(ws).alias("r_s"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+        ).crossJoin(F.broadcast(n_tot)).select(
+            "doc_id", "source", "n_chars",
+            F.floor(
+                (F.col("r_s") * F.col("n") + F.col("n_s") - 1) / F.col("n_s")
+            ).alias("idx"),
+        )
+        pooled = ranked.select("prank", F.col("n_chars").alias("norm"))
+        return src.join(pooled, src.idx == pooled.prank)
+
+    timings["stats_quantile_normalize"] = timed(
+        _qnorm(docs.withColumn("n_chars", F.length("text")))
+    )
+    # shard manifest: the sharded two-phase prefix sum at K× docs
+    from report_worker_spark.functions.curation import shard_manifest
+
+    timings["curation_shard_manifest"] = timed(
+        shard_manifest(
+            docs.withColumn("n_chars", F.length("text")),
+            50_000, id_col="doc_id", weight_col="n_chars",
+        )
+    )
+    # silence runs: per-clip vectorized run-length Arrow kernel —
+    # embarrassingly parallel like the other media decodes
+    timings["multimodal_wav_silence_runs"] = timed(
+        mm.wav_silence_runs(
+            mm.synthetic_wav_media(docs.select("doc_id"), "doc_id")
+        )
+    )
+
+    # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
     # LSH near-dup components → substring trim → benchmark
