@@ -138,6 +138,9 @@ CATALOG_BENCH = [
     "stats_kendall_tau_daily",
     "curation_temperature_weights",
     "multimodal_wav_silence_runs",
+    "ts_autocorr_multi_lag",
+    "audit_pk_fk_orphans",
+    "graph_clustering_global",
 ]
 
 

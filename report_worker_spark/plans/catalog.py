@@ -8963,6 +8963,9 @@ _DRIVER_WINDOW = [
     "stats_kendall_tau_daily",
     "curation_temperature_weights",
     "multimodal_wav_silence_runs",
+    "ts_autocorr_multi_lag",
+    "audit_pk_fk_orphans",
+    "graph_clustering_global",
 ]
 
 
@@ -13900,6 +13903,232 @@ def multimodal_wav_silence_runs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id")
     media = mm.synthetic_wav_media(docs, "doc_id")
     return mm.wav_silence_runs(media, threshold=48, min_run=8)
+
+
+@query(
+    "ts_autocorr_multi_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + l.lag
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM m
+    """,
+)
+def ts_autocorr_multi_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """The AUTOCORRELATION FUNCTION at lags 1–7 — the correlogram
+    that separates day-over-day momentum from weekly seasonality
+    (lag-7 spiking above its neighbors is the weekly signature; the
+    single-lag twin ts_autocorr_lag1 can't see that). Pairing is a
+    dim-table self-join on the day INDEX against a broadcast 7-row
+    lag table; per-lag moments are exact integers, floats only in
+    the final mirrored expression. Fact contributes one groupBy(day);
+    everything after is |days|·7-sized."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = e.groupBy(day.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (
+            num
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).alias("acf"),
+    )
+
+
+@query(
+    "audit_pk_fk_orphans",
+    oracle="""
+    SELECT relation, n_child, n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
+    FROM (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer->nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    )
+    """,
+)
+def audit_pk_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit — orphan counts for every FK edge
+    of the star (the dbt `relationships` test, run as one report):
+    children whose parent key resolves to nothing. Each edge is one
+    LEFT ANTI join aggregated to a count — hash joins all the way
+    (the parent side broadcast when dim-sized), so the audit costs
+    one scan per edge and zero at the parent beyond the join build.
+    A rate > 0 on lineitem→orders is the 'partial ingest' page."""
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame,
+             pk: str) -> DataFrame:
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            child.join(
+                parent.select(F.col(pk).alias(ck)).distinct(),
+                on=ck,
+                how="left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double") / F.col("n_child")
+                ).alias("orphan_rate"),
+            )
+        )
+
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(
+            edge(
+                "orders->customer",
+                o.select("o_custkey"),
+                "o_custkey",
+                c,
+                "c_custkey",
+            )
+        )
+        .unionAll(
+            edge(
+                "customer->nation",
+                c.select("c_nationkey"),
+                "c_nationkey",
+                n,
+                "n_nationkey",
+            )
+        )
+    )
+
+
+@query(
+    "graph_clustering_global",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           tri.n_triangles, agg.n_wedges,
+           CAST(3 * tri.n_triangles AS DOUBLE) / agg.n_wedges
+             AS transitivity
+    FROM agg CROSS JOIN tri
+    """,
+)
+def graph_clustering_global(spark: SparkSession, sf: str) -> DataFrame:
+    """GLOBAL CLUSTERING COEFFICIENT (transitivity = 3·triangles /
+    wedges) — the one-number 'is this graph clique-ish or tree-ish'
+    summary (Watts-Strogatz). Triangles come from the degree-oriented
+    wedge counter (arboricity-bounded fan-out — the count that
+    survives power-law degrees); wedges are a pure degree aggregate
+    Σd(d−1)/2. Everything integer until one mirrored division. The
+    oracle counts triangles with the naive a<b<c triple join —
+    different physical strategy, same numbers."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    tri = gr.triangle_count(e).select("n_nodes", "n_edges", "n_triangles")
+    deg = gr.degrees(e)
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        (
+            (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")
+        ).alias("transitivity"),
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

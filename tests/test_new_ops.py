@@ -1992,3 +1992,122 @@ def test_wav_silence_runs_numpy_reference(spark):
     assert got[3] == replay(crafted)
     assert got[2][2] == 0  # alternating loud/quiet: no run reaches 8
     assert got[3] == (34, 26, 2, 10)
+
+
+def test_acf_multi_lag_matches_python(spark, sf_small):
+    """Per-lag Pearson on (x, x+L) pairs equals a python replica;
+    lag 1 agrees with the single-lag query."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events")
+    daily = {
+        r.d: r.n
+        for r in e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {}
+    for lag in range(1, 8):
+        pairs = [
+            (daily[d], daily[d + lag])
+            for d in daily
+            if d + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        want[lag] = (
+            n,
+            (n * sxy - sx * sy)
+            / (
+                math.sqrt(n * sxx - sx * sx)
+                * math.sqrt(n * syy - sy * sy)
+            ),
+        )
+    got = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in QUERIES["ts_autocorr_multi_lag"](spark, sf_small).collect()
+    }
+    assert set(got) == set(range(1, 8))
+    for lag in got:
+        assert got[lag][0] == want[lag][0]
+        assert abs(got[lag][1] - want[lag][1]) < 1e-12
+    l1 = QUERIES["ts_autocorr_lag1"](spark, sf_small).first()
+    assert abs(got[1][1] - l1.autocorr_lag1) < 1e-12
+
+
+def test_pk_fk_orphans_clean_star(spark, sf_small):
+    """The driver star is referentially intact: all three edges report
+    zero orphans with the right child counts."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = {
+        r.relation: r
+        for r in QUERIES["audit_pk_fk_orphans"](spark, sf_small).collect()
+    }
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer", "customer->nation"
+    }
+    assert rows["lineitem->orders"].n_child == load(
+        spark, sf_small, "lineitem"
+    ).count()
+    for r in rows.values():
+        assert r.n_orphans == 0 and r.orphan_rate == 0.0
+
+
+def test_pk_fk_orphans_detects_breakage(spark, sf_small):
+    """The same anti-join device flags orphans when the parent set is
+    truncated (simulated partial ingest)."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select("l_orderkey")
+    o = load(spark, sf_small, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    orphans = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        on="l_orderkey",
+        how="left_anti",
+    ).count()
+    odd = li.filter(F.col("l_orderkey") % 2 == 1).count()
+    assert orphans == odd > 0
+
+
+def test_clustering_global_matches_networkx_free(spark, sf_small):
+    """Transitivity equals 3·triangles/wedges from a python adjacency
+    replay and lies in [0, 1]."""
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+    from report_worker_spark.functions import graph as gr
+
+    e = gr.undirected_edges(_cooccur_edges(spark, sf_small)).collect()
+    adj = {}
+    for r in e:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    tri = sum(
+        1
+        for a in adj
+        for b in adj[a]
+        for c in adj[b]
+        if a < b < c and c in adj[a]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    r = QUERIES["graph_clustering_global"](spark, sf_small).first()
+    assert (r.n_nodes, r.n_edges) == (len(adj), len(e))
+    assert (r.n_triangles, r.n_wedges) == (tri, wedges)
+    assert abs(r.transitivity - 3 * tri / wedges) < 1e-12
+    assert 0.0 <= r.transitivity <= 1.0
