@@ -141,6 +141,9 @@ CATALOG_BENCH = [
     "ts_autocorr_multi_lag",
     "audit_pk_fk_orphans",
     "graph_clustering_global",
+    "multimodal_image_dhash",
+    "stats_anova_oneway",
+    "emb_knn_label_accuracy",
 ]
 
 

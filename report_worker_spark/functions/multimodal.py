@@ -2432,3 +2432,49 @@ def wav_silence_runs(
         ),
         with_quarantine,
     )
+
+
+def png_dhash(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) from the REAL PNG decode —
+    the gradient-based sibling of :func:`png_ahash` (robust to global
+    brightness/contrast shifts, which move every aHash bit but leave
+    horizontal gradients intact): brightness-sum each pixel,
+    nearest-neighbor sample a 9×8 grid, and set bit y·8+x iff the
+    right neighbor is strictly brighter. Pure integer comparisons —
+    no average, no threshold — so the hash is exact. Emitted as two
+    32-bit halves; same Arrow kernel shape and per-item quarantine
+    as png_pixel_stats."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+        c, w, h = d["channels"], d["width"], d["height"]
+        img = px.reshape(h, w, c)
+        g = img[:, :, :3].sum(axis=2) if c >= 3 else img[:, :, 0]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        s = g[np.ix_(ys, xs)]  # shape (8, 9)
+        bits = s[:, 1:] > s[:, :-1]  # (8, 8): right neighbor brighter
+        flat = bits.reshape(-1)  # p = y*8 + x
+        lo = sum(int(flat[p]) << p for p in range(32))
+        hi = sum(int(flat[p]) << (p - 32) for p in range(32, 64))
+        return {
+            "width": w,
+            "height": h,
+            "dhash_hi": hi,
+            "dhash_lo": lo,
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "width int, height int, dhash_hi long, dhash_lo long",
+        ),
+        with_quarantine,
+    )

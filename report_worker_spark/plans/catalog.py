@@ -8966,6 +8966,9 @@ _DRIVER_WINDOW = [
     "ts_autocorr_multi_lag",
     "audit_pk_fk_orphans",
     "graph_clustering_global",
+    "multimodal_image_dhash",
+    "stats_anova_oneway",
+    "emb_knn_label_accuracy",
 ]
 
 
@@ -14128,6 +14131,274 @@ def graph_clustering_global(spark: SparkSession, sf: str) -> DataFrame:
         (
             (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")
         ).alias("transitivity"),
+    )
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (
+      SELECT media_id, w, h, unnest(range(0, 216)) AS p
+      FROM img
+    ),
+    mapped AS (
+      SELECT media_id, w, h, CAST(p // 3 AS BIGINT) AS s,
+             (((((p // 3) // 9) * h) // 8) * w
+               + ((((p // 3) % 9) * w) // 9)) * 3 + (p % 3) AS gi
+      FROM grid
+    ),
+    bytes AS (
+      SELECT media_id, w, h, s, CAST(gi % 16 AS BIGINT) AS j,
+             md5(CAST(media_id AS VARCHAR) || ':'
+                 || CAST(gi // 16 AS VARCHAR)) AS hx
+      FROM mapped
+    ),
+    g3 AS (
+      SELECT media_id, any_value(w) AS w, any_value(h) AS h, s,
+             CAST(s % 9 AS BIGINT) AS x, CAST(s // 9 AS BIGINT) AS y,
+             CAST(sum({_PNG_KS_BYTE}) AS BIGINT) AS v
+      FROM bytes GROUP BY media_id, s
+    ),
+    bits AS (
+      SELECT a.media_id, a.w, a.h, a.y * 8 + a.x AS pb,
+             CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM g3 a JOIN g3 n
+        ON n.media_id = a.media_id AND n.y = a.y AND n.x = a.x + 1
+      WHERE a.x < 8
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(CASE WHEN pb >= 32 THEN
+                 bit * (CAST(1 AS BIGINT) << CAST(pb - 32 AS INT))
+                 ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(sum(CASE WHEN pb < 32 THEN
+                 bit * (CAST(1 AS BIGINT) << CAST(pb AS INT))
+                 ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY media_id
+    """,
+)
+def multimodal_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual DIFFERENCE-hash through the REAL decode path
+    (multimodal.py:png_dhash) — the gradient fingerprint that
+    survives global brightness shifts where aHash flips wholesale.
+    9×8 nearest-neighbor brightness grid, bit = right neighbor
+    strictly brighter: pure integer comparisons, no threshold. The
+    oracle recomputes every sampled keystream byte via the resize
+    floor mapping and replays the neighbor comparisons — a decoder,
+    mapping, or bit-order bug flips bits."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    return mm.png_dhash(media)
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx_all,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST(g.sx AS DOUBLE) * g.sx / g.n_g AS bterm,
+             CAST(g.sxx AS DOUBLE)
+               - CAST(g.sx AS DOUBLE) * g.sx / g.n_g AS wterm
+      FROM g
+    ),
+    ss AS (
+      SELECT
+        list_reduce(list_sort(list(bterm)), (x, y) -> x + y) AS sum_b,
+        list_reduce(list_sort(list(wterm)), (x, y) -> x + y) AS ssw
+      FROM terms
+    )
+    SELECT tot.k AS n_groups, tot.n AS n_obs,
+           round(ss.sum_b
+                 - CAST(tot.sx_all AS DOUBLE) * tot.sx_all / tot.n,
+                 6) AS ss_between,
+           round(ss.ssw, 6) AS ss_within,
+           round(
+             ((ss.sum_b
+               - CAST(tot.sx_all AS DOUBLE) * tot.sx_all / tot.n)
+              / (tot.k - 1))
+             / (ss.ssw / (tot.n - tot.k)), 12) AS f_stat
+    FROM ss CROSS JOIN tot
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-WAY ANOVA F statistic for value-cents across event types —
+    the k-group generalization that completes the classical-test
+    family (Welch t, z, U, χ², KS live elsewhere in this catalog).
+    Per-group Σx/Σx²/n are exact BIGINTs on integer cents; the
+    between/within decomposition runs in double with the per-group
+    terms folded smallest-first (each term has ONE division —
+    mirrored), and SS outputs round to 6 (absolute cents² scale)
+    with F to 12. One groupBy over the fact; everything after is
+    k-sized."""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("sx").alias("sx_all"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    terms = g.select(
+        (F.col("sx").cast("double") * F.col("sx") / F.col("n_g")).alias(
+            "bterm"
+        ),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n_g")
+        ).alias("wterm"),
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    ss = terms.agg(
+        fold("bterm").alias("sum_b"), fold("wterm").alias("ssw")
+    )
+    j = ss.crossJoin(F.broadcast(tot))
+    ssb = (
+        F.col("sum_b")
+        - F.col("sx_all").cast("double") * F.col("sx_all") / F.col("n")
+    )
+    return j.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            12,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "emb_knn_label_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT * FROM q WHERE vec_id % 16 = 0),
+    scored AS (
+      SELECT r.vec_id AS query_id, r.label AS true_label,
+             e.vec_id, e.label,
+             CAST(list_dot_product(
+               CAST(r.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[]))
+               AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.vec_id
+    ),
+    topk AS (
+      SELECT query_id, true_label, label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, vec_id) <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(count(*) AS BIGINT) AS v
+      FROM topk GROUP BY query_id, true_label, label
+    ),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label
+      FROM votes
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY v DESC, label) = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def emb_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN LABEL PROBE (k=5, majority vote, smallest-label
+    tiebreak) — the second standard no-training embedding eval
+    beside emb_nearest_centroid_accuracy; together they bracket the
+    linear-probe number. Exact top-5 by integer dot over quantized
+    vectors on a 1-in-16 query sample (the eval shape — at 100 TB
+    this is exactly sim_crossset_topk's broadcast-queries one-pass
+    corpus scan, then everything downstream is query-count-sized).
+    Deterministic end to end: integer dots, full tiebreaks, integer
+    votes."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("query_vec"),
+    )
+    scored = q.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "true_label", "label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "true_label", F.col("label").alias("pred_label")
+        )
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
 
 

@@ -2111,3 +2111,112 @@ def test_clustering_global_matches_networkx_free(spark, sf_small):
     assert (r.n_triangles, r.n_wedges) == (tri, wedges)
     assert abs(r.transitivity - 3 * tri / wedges) < 1e-12
     assert 0.0 <= r.transitivity <= 1.0
+
+
+def test_dhash_gradient_invariance_and_replica(spark):
+    """dHash equals a numpy replica on keystream PNGs, and a uniform
+    brightness shift leaves it unchanged (the property aHash lacks)."""
+    import numpy as np
+
+    from report_worker_spark.functions import multimodal as mm
+
+    def replay(pixels, w, h):
+        g = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(h, w, 3)
+            .sum(axis=2)
+        )
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        s = g[np.ix_(ys, xs)]
+        bits = (s[:, 1:] > s[:, :-1]).reshape(-1)
+        lo = sum(int(bits[p]) << p for p in range(32))
+        hi = sum(int(bits[p]) << (p - 32) for p in range(32, 64))
+        return hi, lo
+
+    w, h = 20, 14
+    px = mm.keystream("7", w * h * 3)
+    shifted = bytes(min(255, b + 10) if b < 200 else b for b in px)
+    media = spark.createDataFrame(
+        [
+            (1, mm.encode_png(px, w, h)),
+            (2, mm.encode_png(shifted, w, h)),
+        ],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: (r.dhash_hi, r.dhash_lo)
+        for r in mm.png_dhash(media).collect()
+    }
+    assert got[1] == replay(px, w, h)
+    assert got[2] == replay(shifted, w, h)
+    # a +c shift on all bytes below saturation preserves strict order
+    flat = np.frombuffer(px, dtype=np.uint8)
+    if flat.max() < 200:  # no saturation in this keystream block
+        assert got[1] == got[2]
+
+
+def test_anova_matches_numpy(spark, sf_small):
+    """F statistic equals numpy's between/within decomposition."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    e = load(spark, sf_small, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    ).collect()
+    groups = {}
+    for r in e:
+        groups.setdefault(r.event_type, []).append(r.c)
+    arrs = [np.array(v, dtype=np.float64) for v in groups.values()]
+    allv = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - allv.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    k, n = len(arrs), len(allv)
+    f_np = (ssb / (k - 1)) / (ssw / (n - k))
+    r = QUERIES["stats_anova_oneway"](spark, sf_small).first()
+    assert (r.n_groups, r.n_obs) == (k, n)
+    assert abs(r.ss_between - ssb) < 1e-3 * max(1.0, abs(ssb))
+    assert abs(r.ss_within - ssw) < 1e-3 * max(1.0, abs(ssw))
+    assert abs(r.f_stat - f_np) < 1e-6 * max(1.0, abs(f_np))
+
+
+def test_knn_probe_matches_numpy(spark, sf_small):
+    """Per-label k-NN accuracy equals a numpy brute-force replica
+    with the same tiebreaks."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    qv = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 256)
+        for r in rows
+    }
+    lab = {r.vec_id: r.label for r in rows}
+    want_n, want_c = {}, {}
+    for q in qv:
+        if q % 16 != 0:
+            continue
+        scored = sorted(
+            ((-(qv[q] @ qv[e]), e) for e in qv if e != q),
+        )[:5]
+        votes = {}
+        for _, e in scored:
+            votes[lab[e]] = votes.get(lab[e], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        want_n[lab[q]] = want_n.get(lab[q], 0) + 1
+        if pred == lab[q]:
+            want_c[lab[q]] = want_c.get(lab[q], 0) + 1
+    got = {
+        r.label: (r.n_queries, r.n_correct)
+        for r in QUERIES["emb_knn_label_accuracy"](spark, sf_small).collect()
+    }
+    assert got == {
+        l: (want_n[l], want_c.get(l, 0)) for l in want_n
+    }
