@@ -144,6 +144,9 @@ CATALOG_BENCH = [
     "multimodal_image_dhash",
     "stats_anova_oneway",
     "emb_knn_label_accuracy",
+    "olap_abc_classification",
+    "s4_fixed_width_roundtrip",
+    "ts_weighted_moving_avg",
 ]
 
 

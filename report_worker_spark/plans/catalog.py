@@ -8969,6 +8969,9 @@ _DRIVER_WINDOW = [
     "multimodal_image_dhash",
     "stats_anova_oneway",
     "emb_knn_label_accuracy",
+    "olap_abc_classification",
+    "s4_fixed_width_roundtrip",
+    "ts_weighted_moving_avg",
 ]
 
 
@@ -14399,6 +14402,193 @@ def emb_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum(hit).cast("long").alias("n_correct"),
         (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@query(
+    "olap_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             sum(rev) OVER () AS tot
+      FROM p
+    ),
+    cls AS (
+      SELECT l_partkey, rev,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) AS DOUBLE)
+             / (SELECT CAST(sum(rev) AS DOUBLE) FROM p) AS revenue_share
+    FROM cls GROUP BY abc
+    """,
+)
+def olap_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / PARETO INVENTORY CLASSIFICATION — the 80/15/5 revenue
+    segmentation every supply-chain dashboard opens with: parts
+    ranked by revenue, class A while cumulative share ≤ 80%, B to
+    95%, C after. The thresholds are INTEGER cross-multiplications
+    (cum·5 ≤ tot·4) so class boundaries can't float-drift. The
+    ranked window runs on the PART-LEVEL aggregate (dim-sized — the
+    fact contributes one groupBy); at 100 TB the part dim would
+    range-shard like stats_quantile_normalize, documented trade."""
+    li = load(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    p = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev"))
+    wc = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = p.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+    )
+    cls = c.select(
+        "rev",
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot",
+    )
+    return cls.groupBy("abc", "tot").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("revenue_cents"),
+    ).select(
+        "abc",
+        "n_parts",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double")
+            / F.col("tot").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "s4_fixed_width_roundtrip",
+    oracle="""
+    WITH w AS (
+      SELECT event_id,
+             lpad(upper(to_hex(user_id)), 16, '0')
+             || lpad(upper(to_hex(CAST(floor(epoch(ts)) AS BIGINT))),
+                     16, '0')
+             || lpad(upper(to_hex(CAST(round(value * 100) AS BIGINT))),
+                     16, '0') AS wire_hex,
+             user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, wire_hex,
+           (CAST('0x' || substr(wire_hex, 1, 16) AS BIGINT) = user_id
+            AND CAST('0x' || substr(wire_hex, 17, 16) AS BIGINT) = epoch_s
+            AND CAST('0x' || substr(wire_hex, 33, 16) AS BIGINT) = cents)
+             AS roundtrip_ok
+    FROM w
+    """,
+)
+def s4_fixed_width_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """FIXED-WIDTH BINARY wire format (S4's sibling for the
+    non-JSON legacy feeds every ingest eventually meets): each event
+    packs into three big-endian u64 hex fields (id, epoch, cents),
+    then the SAME query decodes the frame back and asserts field
+    equality — an encode/decode asymmetry shows up as
+    roundtrip_ok=false rows on either engine. Pure JVM hex/conv
+    column expressions, zero UDFs; at scale this is a free ride on
+    the ingest scan. (Spark `hex`/`conv(16,10)` ≡ DuckDB
+    `to_hex` / '0x'-cast — the established keystream idiom.)"""
+    e = load(spark, sf, "events")
+    epoch_s = F.floor(_usec("ts") / F.lit(1_000_000)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    fld = lambda c: F.lpad(F.hex(c), 16, "0")  # noqa: E731
+    w = e.select(
+        "event_id",
+        F.concat(
+            fld(F.col("user_id")), fld(epoch_s), fld(cents)
+        ).alias("wire_hex"),
+        F.col("user_id").alias("uid"),
+        epoch_s.alias("es"),
+        cents.alias("cc"),
+    )
+    dec = lambda pos: F.conv(  # noqa: E731
+        F.substring("wire_hex", pos, 16), 16, 10
+    ).cast("long")
+    return w.select(
+        "event_id",
+        "wire_hex",
+        (
+            (dec(1) == F.col("uid"))
+            & (dec(17) == F.col("es"))
+            & (dec(33) == F.col("cc"))
+        ).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "ts_weighted_moving_avg",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL}
+    SELECT g.event_type, g.day, g.n,
+           CAST(sum(h.n * (7 - (g.day - h.day))) AS BIGINT) AS wsum,
+           CAST(sum(7 - (g.day - h.day)) AS BIGINT) AS wtot,
+           CAST(sum(h.n * (7 - (g.day - h.day))) AS DOUBLE)
+             / sum(7 - (g.day - h.day)) AS wma7
+    FROM grid g JOIN grid h
+      ON h.event_type = g.event_type
+     AND h.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.event_type, g.day, g.n
+    """,
+)
+def ts_weighted_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Linearly-WEIGHTED 7-day moving average (WMA — the lag-reduced
+    smoother chartists use where the plain MA trails turns): weight
+    7 for today down to 1 for six days back, truncated at the series
+    start (early days average over the shorter prefix, weights
+    renormalized — wtot rides along as the exact integer
+    denominator). Implemented as a windowed integer dot product via
+    the bounded 7-row frame; numerator and denominator stay exact
+    BIGINTs, ONE mirrored division at the end. Per-stream windows on
+    the dense grid — one shuffle on event_type."""
+    grid = _daily_grid(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    # weight for a row k days back is 7-k; with rowsBetween the
+    # offset isn't addressable directly, so express the dot product
+    # as Σ n·(7-(day_cur-day_row)) via two running sums over the
+    # SAME frame: Σ n·(7-day_cur+day_row) =
+    # (7-day_cur)·Σn + Σ(n·day_row)
+    sn = F.sum("n").over(w)
+    snd = F.sum(F.col("n") * F.col("day")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    sd = F.sum("day").over(w)
+    wsum = (F.lit(7) - F.col("day")) * sn + snd
+    wtot = (F.lit(7) - F.col("day")) * cnt + sd
+    return grid.select(
+        "event_type",
+        "day",
+        "n",
+        wsum.cast("long").alias("wsum"),
+        wtot.cast("long").alias("wtot"),
+        (wsum.cast("double") / wtot.cast("double")).alias("wma7"),
     )
 
 

