@@ -147,6 +147,9 @@ CATALOG_BENCH = [
     "olap_abc_classification",
     "s4_fixed_width_roundtrip",
     "ts_weighted_moving_avg",
+    "olap_new_vs_returning",
+    "curation_class_balance_downsample",
+    "olap_lorenz_deciles",
 ]
 
 

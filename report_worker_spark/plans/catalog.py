@@ -8912,8 +8912,16 @@ _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
     # positions 51+: round-8 staging. The remaining stale-§2 r1 anchors
     # rotate through next (s4_json_serialize, f4_equality_lookup,
-    # j5_fanout_join, a4_lookup_hit_miss), then any round-7 additions
-    # appended below (hash-paired before rows-only).
+    # j5_fanout_join, a4_lookup_hit_miss), then the round-7 additions
+    # in commit order: the 18 from the first r7 session (quarantine
+    # audit … theil-sen) followed by the second session's batches
+    # (traversal/label-prop/rank-stats, URL/OLS/freshness, KL/
+    # attribution/JL, BMP/WAV-RMS, backtest/assortativity/SAX,
+    # quantile-norm/centroid/manifest, spearman/profile/json-rate,
+    # PPR/LPM/Cramér, kendall/temperature/silence, ACF/orphans/
+    # clustering, dhash/ANOVA/kNN, ABC/fixed-width/WMA,
+    # new-vs-returning/class-balance/Lorenz). All hash-paired; append
+    # new queries at the end, hash-paired before rows-only.
     "s4_json_serialize",
     "f4_equality_lookup",
     "j5_fanout_join",
@@ -8972,6 +8980,9 @@ _DRIVER_WINDOW = [
     "olap_abc_classification",
     "s4_fixed_width_roundtrip",
     "ts_weighted_moving_avg",
+    "olap_new_vs_returning",
+    "curation_class_balance_downsample",
+    "olap_lorenz_deciles",
 ]
 
 
@@ -14589,6 +14600,168 @@ def ts_weighted_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
         wsum.cast("long").alias("wsum"),
         wtot.cast("long").alias("wtot"),
         (wsum.cast("double") / wtot.cast("double")).alias("wma7"),
+    )
+
+
+@query(
+    "olap_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CAST(e.ts AS DATE) AS day,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                  THEN e.user_id END AS new_user,
+             e.user_id
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT date_diff('day', DATE '2024-01-01', day) AS day,
+           CAST(count(DISTINCT new_user) AS BIGINT) AS new_users,
+           CAST(count(DISTINCT user_id)
+                - count(DISTINCT new_user) AS BIGINT) AS returning_users
+    FROM tagged GROUP BY day
+    """,
+)
+def olap_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """NEW vs RETURNING daily active users — the first split of every
+    product-analytics dashboard: a user is 'new' on the calendar day
+    of their first-ever event and 'returning' on any later active
+    day. One groupBy(user) for first-touch dates (broadcast-able —
+    user dim), one join back, one distinct-count aggregate per day.
+    No window over the fact; the first-touch table is the only
+    state, which is exactly the incremental shape (yesterday's
+    first-touch table + today's partition) a daily job wants."""
+    e = load(spark, sf, "events")
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    tagged = e.join(firsts, on="user_id").select(
+        F.datediff(day, F.lit("2024-01-01").cast("date")).alias("day"),
+        F.when(day == F.col("first_day"), F.col("user_id")).alias(
+            "new_user"
+        ),
+        "user_id",
+    )
+    return tagged.groupBy("day").agg(
+        F.countDistinct("new_user").alias("new_users"),
+        (
+            F.countDistinct("user_id") - F.countDistinct("new_user")
+        ).alias("returning_users"),
+    )
+
+
+@query(
+    "curation_class_balance_downsample",
+    oracle="""
+    WITH tgt AS (
+      SELECT min(cnt) AS target FROM (
+        SELECT count(*) AS cnt FROM embeddings GROUP BY label
+      )
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+    FROM ranked CROSS JOIN tgt
+    WHERE rn <= tgt.target
+    GROUP BY label
+    """,
+)
+def curation_class_balance_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """CLASS-BALANCED DOWNSAMPLING — cap every label at the minority
+    class size, keeping each label's first-k in deterministic md5
+    hash order (so the kept set is reproducible across engines,
+    partitionings, and reruns — the content-hash sampling discipline
+    of curation_sample). Per-label windows shuffle once on label;
+    the target is a one-row broadcast. Emits the per-label census +
+    an id-sum checksum so the driver hash pins WHICH rows were kept,
+    not just how many."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "label")
+    tgt = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("target"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = emb.select(
+        "vec_id", "label", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tgt))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("kept_id_sum"),
+        )
+    )
+
+
+@query(
+    "olap_lorenz_deciles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER () AS n,
+             sum(cents) OVER (ORDER BY cents, o_orderkey) AS cum,
+             sum(cents) OVER () AS tot
+      FROM c
+    )
+    SELECT CAST((rn * 10 - 1) // n + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           CAST(max(cum) AS DOUBLE) / max(tot) AS cum_share
+    FROM ranked GROUP BY (rn * 10 - 1) // n + 1
+    """,
+)
+def olap_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """LORENZ CURVE at decile resolution — the concentration chart
+    behind stats_gini_by_nation's single number: orders sorted by
+    value, cumulative revenue share at each population decile
+    ('the bottom 50% of orders carry 18% of revenue'). Decile
+    assignment is the INTEGER expression (rn·10−1) DIV n + 1 —
+    deterministic, no percent_rank floats at bucket edges. The
+    ranked window runs on order-level cents (at 100 TB this would
+    range-shard like stats_quantile_normalize; documented). Fact
+    passes once."""
+    o = load(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(cents.alias("cents"), "o_orderkey")
+    wr = Window.orderBy("cents", "o_orderkey")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = c.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    decile = (
+        F.floor((F.col("rn") * 10 - 1) / F.col("n")) + 1
+    ).cast("long")
+    return ranked.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("cum").alias("cum_cents"),
+        (
+            F.max("cum").cast("double") / F.max("tot").cast("double")
+        ).alias("cum_share"),
     )
 
 

@@ -2279,3 +2279,86 @@ def test_wma_matches_python(spark, sf_small):
             wt = sum(7 - (d - h) for h in range(lo, d + 1))
             assert got[(t, d)] == (ws, wt, ws / wt)
     assert got and all(v[1] == 28 for (t, d), v in got.items() if d >= 6)
+
+
+def test_new_vs_returning_matches_python(spark, sf_small):
+    """Daily new/returning splits equal a python first-touch replay;
+    totals reconcile with distinct DAU."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("user_id", "ts").collect()
+    first = {}
+    active = defaultdict(set)
+    base = None
+    for r in ev:
+        d = r.ts.date()
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+        active[d].add(r.user_id)
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    want = {
+        (d - epoch).days: (
+            sum(1 for u in users if first[u] == d),
+            sum(1 for u in users if first[u] != d),
+        )
+        for d, users in active.items()
+    }
+    got = {
+        r.day: (r.new_users, r.returning_users)
+        for r in QUERIES["olap_new_vs_returning"](spark, sf_small).collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(first)  # each user new once
+
+
+def test_class_balance_downsample_exact_keep_set(spark, sf_small):
+    """Every label keeps exactly the minority-class count, and the
+    kept ids are the md5-order prefix per label."""
+    import hashlib
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").select("vec_id", "label").collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(r.vec_id)
+    target = min(len(v) for v in by_label.values())
+    got = {
+        r.label: (r.n_kept, r.kept_id_sum)
+        for r in QUERIES["curation_class_balance_downsample"](
+            spark, sf_small
+        ).collect()
+    }
+    for l, ids in by_label.items():
+        keep = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:target]
+        assert got[l] == (target, sum(keep))
+
+
+def test_lorenz_deciles_monotone_and_bounded(spark, sf_small):
+    """Shares are monotone, end at 1.0, stay under the diagonal
+    (value concentration), and decile populations are balanced."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = sorted(
+        QUERIES["olap_lorenz_deciles"](spark, sf_small).collect(),
+        key=lambda r: r.decile,
+    )
+    n = load(spark, sf_small, "orders").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_orders for r in rows) == n
+    assert max(r.n_orders for r in rows) - min(r.n_orders for r in rows) <= 1
+    shares = [r.cum_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    # Lorenz curve sits under the equality diagonal strictly inside
+    for i, s in enumerate(shares[:-1], 1):
+        assert s < i / 10
