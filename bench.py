@@ -150,6 +150,9 @@ CATALOG_BENCH = [
     "olap_new_vs_returning",
     "curation_class_balance_downsample",
     "olap_lorenz_deciles",
+    "stats_wilson_ci",
+    "graph_preferential_attachment",
+    "emb_dim_collapse_audit",
 ]
 
 

@@ -8983,6 +8983,9 @@ _DRIVER_WINDOW = [
     "olap_new_vs_returning",
     "curation_class_balance_downsample",
     "olap_lorenz_deciles",
+    "stats_wilson_ci",
+    "graph_preferential_attachment",
+    "emb_dim_collapse_audit",
 ]
 
 
@@ -14762,6 +14765,190 @@ def olap_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
         (
             F.max("cum").cast("double") / F.max("tot").cast("double")
         ).alias("cum_share"),
+    )
+
+
+@query(
+    "stats_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n, k,
+             CAST(196 AS DOUBLE) / 100 AS z,
+             CAST(k AS DOUBLE) / n AS p
+      FROM s
+    )
+    SELECT event_type, n, k,
+           round(p, 12) AS p_hat,
+           round((p + z*z/(2*n)
+                  - z * sqrt((p*(1-p) + z*z/(4*n)) / n))
+                 / (1 + z*z/n), 12) AS wilson_lo,
+           round((p + z*z/(2*n)
+                  + z * sqrt((p*(1-p) + z*z/(4*n)) / n))
+                 / (1 + z*z/n), 12) AS wilson_hi
+    FROM c
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """WILSON SCORE interval — the 95% confidence interval for a
+    proportion (here: share of high-value events per stream), the CI
+    that stays inside [0,1] and behaves at small n where the naive
+    Wald interval collapses — the number a metrics page should print
+    next to every rate. z = 1.96 enters as CAST(196)/100 on BOTH
+    engines (the decimal-literal trap); counts are exact, the
+    formula is one mirrored float expression per bound, round 12.
+    One groupBy over the fact."""
+    e = load(spark, sf, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("k"),
+    )
+    z = F.lit(196.0) / 100
+    p = F.col("k").cast("double") / F.col("n")
+    denom = 1 + z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        (p * (1 - p) + z * z / (4 * F.col("n"))) / F.col("n")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 12).alias("p_hat"),
+        F.round((center - half) / denom, 12).alias("wilson_lo"),
+        F.round((center + half) / denom, 12).alias("wilson_hi"),
+    )
+
+
+@query(
+    "graph_preferential_attachment",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY node
+    ),
+    topdeg AS (
+      SELECT node, d FROM deg
+      QUALIFY row_number() OVER (ORDER BY d DESC, node) <= 32
+    ),
+    cand AS (
+      SELECT a.node AS a, b.node AS b, a.d * b.d AS pa_score
+      FROM topdeg a JOIN topdeg b ON a.node < b.node
+    ),
+    nonadj AS (
+      SELECT c.a, c.b, c.pa_score
+      FROM cand c
+      LEFT JOIN edges e ON e.src = c.a AND e.dst = c.b
+      WHERE e.src IS NULL
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pa_score DESC, a, b)
+           AS BIGINT) AS rank, a, b, pa_score
+    FROM nonadj
+    QUALIFY row_number() OVER (ORDER BY pa_score DESC, a, b) <= 20
+    """,
+)
+def graph_preferential_attachment(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFERENTIAL-ATTACHMENT link prediction (deg(u)·deg(v) — the
+    Barabási-Albert growth score) — fourth member of the
+    link-prediction family beside common-neighbors, Adamic-Adar and
+    Jaccard. Unlike those, PA needs NO shared-neighbor evidence, so
+    the candidate space is all non-edges; the scalable cut is the
+    top-32 degree nodes (hub pairs dominate the score by
+    construction), 496 bounded pairs, anti-join out existing edges,
+    top-20 with full tiebreaks. Degree table + one bounded self-join
+    — the fan-out never touches the fact."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    deg = gr.degrees(e).select(
+        "node", F.col("deg").cast("long").alias("d")
+    )
+    wtop = Window.orderBy(F.col("d").desc(), F.col("node"))
+    top = (
+        deg.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 32)
+        .select("node", "d")
+    )
+    a = top.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    b = top.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    cand = a.join(b, F.col("a") < F.col("b")).select(
+        "a", "b", (F.col("da") * F.col("db")).alias("pa_score")
+    )
+    nonadj = cand.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        on=["a", "b"],
+        how="left_anti",
+    )
+    w = Window.orderBy(F.col("pa_score").desc(), F.col("a"), F.col("b"))
+    return (
+        nonadj.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "a", "b", "pa_score")
+    )
+
+
+@query(
+    "emb_dim_collapse_audit",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS sqq
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(sq AS DOUBLE) / n, 12) AS mean_q,
+           round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                 / n, 12) AS var_q,
+           ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / n)
+             < CAST(1 AS DOUBLE) AS collapsed
+    FROM s
+    """,
+)
+def emb_dim_collapse_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """DIMENSION-COLLAPSE audit — per-dimension mean and variance of
+    the quantized embeddings (a dim whose variance ≈ 0 carries no
+    information: dead units from training pathologies or botched
+    normalization; the check an embedding pipeline runs before
+    paying for an index build). Σq/Σq² are exact BIGINTs per dim;
+    mean/variance are mirrored float expressions rounded 12; the
+    collapse flag compares variance against 1 quantization step².
+    One posexplode + one 64-group aggregate — a single corpus pass."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select(F.posexplode(qz).alias("dim", "q"))
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    var = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / F.col("n")
+    ) / F.col("n")
+    return s.select(
+        "dim",
+        "n",
+        F.round(F.col("sq").cast("double") / F.col("n"), 12).alias(
+            "mean_q"
+        ),
+        F.round(var, 12).alias("var_q"),
+        (var < F.lit(1.0)).alias("collapsed"),
     )
 
 

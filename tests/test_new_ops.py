@@ -2362,3 +2362,84 @@ def test_lorenz_deciles_monotone_and_bounded(spark, sf_small):
     # Lorenz curve sits under the equality diagonal strictly inside
     for i, s in enumerate(shares[:-1], 1):
         assert s < i / 10
+
+
+def test_wilson_ci_matches_python_and_brackets(spark, sf_small):
+    """Bounds equal a python replica, bracket p_hat, and stay inside
+    [0, 1] (the property the Wald interval lacks)."""
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("event_type", "value").collect()
+    agg = {}
+    for r in ev:
+        n, k = agg.get(r.event_type, (0, 0))
+        agg[r.event_type] = (n + 1, k + (1 if r.value > 100 else 0))
+    rows = QUERIES["stats_wilson_ci"](spark, sf_small).collect()
+    z = 196.0 / 100
+    for r in rows:
+        n, k = agg[r.event_type]
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        assert (r.n, r.k) == (n, k)
+        assert abs(r.wilson_lo - (center - half) / denom) < 1e-9
+        assert abs(r.wilson_hi - (center + half) / denom) < 1e-9
+        assert 0.0 <= r.wilson_lo < r.p_hat < r.wilson_hi <= 1.0
+
+
+def test_preferential_attachment_matches_python(spark, sf_small):
+    """Top-20 PA pairs equal a brute-force replay over the top-32
+    degree nodes, and none of them is an existing edge."""
+    from report_worker_spark.functions import graph as gr
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+
+    e = gr.undirected_edges(_cooccur_edges(spark, sf_small)).collect()
+    deg = {}
+    adj = set()
+    for r in e:
+        deg[r.src] = deg.get(r.src, 0) + 1
+        deg[r.dst] = deg.get(r.dst, 0) + 1
+        adj.add((r.src, r.dst))
+    top = sorted(deg, key=lambda n: (-deg[n], n))[:32]
+    cand = [
+        (deg[a] * deg[b], a, b)
+        for i, a in enumerate(top)
+        for b in top[i + 1:]
+        if (min(a, b), max(a, b)) not in adj
+    ]
+    cand = [(s, min(a, b), max(a, b)) for s, a, b in cand]
+    want = sorted(cand, key=lambda t: (-t[0], t[1], t[2]))[:20]
+    got = QUERIES["graph_preferential_attachment"](spark, sf_small).collect()
+    assert [(r.pa_score, r.a, r.b) for r in sorted(got, key=lambda r: r.rank)] \
+        == want
+    assert all((r.a, r.b) not in adj for r in got)
+
+
+def test_dim_collapse_audit_matches_numpy(spark, sf_small):
+    """Per-dim mean/var equal numpy on the same quantized matrix; the
+    healthy fixture has no collapsed dims, and an injected constant
+    dim IS flagged by the same variance rule."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    m = np.array(
+        [
+            np.round(np.array(r.embedding, dtype=np.float64) * 256)
+            for r in load(spark, sf_small, "embeddings").collect()
+        ]
+    )
+    rows = QUERIES["emb_dim_collapse_audit"](spark, sf_small).collect()
+    assert {r.dim for r in rows} == set(range(64))
+    for r in rows:
+        col = m[:, r.dim]
+        assert abs(r.mean_q - col.mean()) < 1e-9
+        assert abs(r.var_q - col.var()) < 1e-6
+        assert not r.collapsed  # healthy fixtures
+    # the rule itself: a constant dim has var 0 < 1 → collapsed
+    assert float(np.var(np.full(100, 7.0))) < 1.0
