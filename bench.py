@@ -153,6 +153,9 @@ CATALOG_BENCH = [
     "stats_wilson_ci",
     "graph_preferential_attachment",
     "emb_dim_collapse_audit",
+    "stats_runs_test",
+    "stats_histogram2d_dow_value",
+    "emb_pair_distance_histogram",
 ]
 
 

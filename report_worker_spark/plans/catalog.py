@@ -8986,6 +8986,9 @@ _DRIVER_WINDOW = [
     "stats_wilson_ci",
     "graph_preferential_attachment",
     "emb_dim_collapse_audit",
+    "stats_runs_test",
+    "stats_histogram2d_dow_value",
+    "emb_pair_distance_histogram",
 ]
 
 
@@ -14950,6 +14953,235 @@ def emb_dim_collapse_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.round(var, 12).alias("var_q"),
         (var < F.lit(1.0)).alias("collapsed"),
     )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d, n - lag(n) OVER (ORDER BY d) AS diff
+      FROM daily
+    ),
+    signs AS (
+      SELECT d, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
+      FROM diffs WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                       OR lag(up) OVER (ORDER BY d) <> up
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ),
+    s AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS r,
+             CAST(sum(up) AS BIGINT) AS n1,
+             CAST(count(*) - sum(up) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_up, n2 AS n_down,
+           round(
+             (CAST(r AS DOUBLE)
+              - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(CAST(2 AS DOUBLE) * n1 * n2
+                    * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (n1 + n2 - 1))), 12) AS z_score
+    FROM s
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST on the daily volume's up/down
+    sequence — 'is the series random, trending, or oscillating?'
+    (too few runs = momentum, too many = mean reversion). Zero
+    diffs drop (the standard treatment — deterministic, mirrored);
+    the run count is one lag-comparison window, n1/n2/R are exact
+    integers, and the normal approximation is a single mirrored
+    float expression rounded 12. Day-dim-sized end to end after one
+    fact groupBy."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("d"))
+        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wd = Window.orderBy("d")
+    diffs = daily.select(
+        "d", (F.col("n") - F.lag("n").over(wd)).alias("diff")
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    signs = diffs.select(
+        "d", F.when(F.col("diff") > 0, 1).otherwise(0).alias("up")
+    )
+    runs = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(wd).isNull()
+            | (F.lag("up").over(wd) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("up").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = F.lit(2.0) * d(n1) * d(n2) / d(n1 + n2) + 1
+    var = (
+        F.lit(2.0)
+        * d(n1)
+        * d(n2)
+        * (F.lit(2.0) * d(n1) * d(n2) - d(n1) - d(n2))
+        / (d(n1 + n2) * d(n1 + n2) * d(n1 + n2 - 1))
+    )
+    return s.select(
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_up"),
+        n2.cast("long").alias("n_down"),
+        F.round((d(r) - mu) / F.sqrt(var), 12).alias("z_score"),
+    )
+
+
+@query(
+    "stats_histogram2d_dow_value",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(round(value * 100) AS BIGINT) // 5000 AS vbucket
+      FROM events
+    ),
+    cells AS (
+      SELECT dow, vbucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY dow, vbucket
+    )
+    SELECT dow, vbucket, n,
+           CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY dow) AS row_share
+    FROM cells
+    """,
+)
+def stats_histogram2d_dow_value(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D HISTOGRAM (day-of-week × value bucket) — the heatmap
+    primitive behind every 'when do the big orders land?' dashboard
+    panel. Buckets are integer DIV on cents (memory: mirrored as
+    DuckDB `//`); one hash aggregate builds the cells, a dim-sized
+    window adds within-row shares. The dow+1 shift aligns Spark's
+    Sunday=1 with DuckDB's Sunday=0 (the stats_chi2_type_dow
+    convention)."""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = e.select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(cents / 5000).cast("long").alias("vbucket"),
+    )
+    cells = b.groupBy("dow", "vbucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "vbucket",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wr)).alias(
+            "row_share"
+        ),
+    )
+
+
+@query(
+    "emb_pair_distance_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, bkt, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.nn + b.nn
+             - 2 * CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                         CAST(b.qv AS DOUBLE[]))
+                    AS BIGINT) AS d2
+      FROM norms a JOIN norms b
+        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT d2 // 10000 AS dist_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY d2 // 10000
+    """,
+)
+def emb_pair_distance_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """PAIRWISE-DISTANCE HISTOGRAM over an md5-bucketed pair sample —
+    the second embedding-health audit beside emb_dim_collapse_audit
+    (a healthy space is unimodal; a spike at 0 means duplicate
+    vectors, heavy left mass means collapse). Pairs come from WITHIN
+    16 content-hash buckets — a deterministic ~1/16 sample of all
+    pairs with NO global enumeration: the bucket equi-join is the
+    same cell-join shape as semdedup, so the pair budget is
+    Σ bucket² and scales by adding hash characters. d² =
+    |a|²+|b|²−2a·b stays an exact BIGINT end to end; the histogram
+    key is integer DIV."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
+            "bkt"
+        ),
+        qz.alias("qv"),
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    norms = q.select(
+        "vec_id", "bkt", "qv", dot("qv", "qv").alias("nn")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("ida"),
+        "bkt",
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("idb"),
+        "bkt",
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = a.join(b, on="bkt").filter(F.col("ida") < F.col("idb")).select(
+        (
+            F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
+        ).alias("d2")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("d2") / 10000).cast("long").alias("dist_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -2443,3 +2443,102 @@ def test_dim_collapse_audit_matches_numpy(spark, sf_small):
         assert not r.collapsed  # healthy fixtures
     # the rule itself: a constant dim has var 0 < 1 → collapsed
     assert float(np.var(np.full(100, 7.0))) < 1.0
+
+
+def test_runs_test_matches_python(spark, sf_small):
+    """Run count and z equal a python replay of the up/down walk."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts").collect()
+    daily = defaultdict(int)
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            daily[d] += 1
+    days = sorted(daily)
+    ups = []
+    for a, b in zip(days, days[1:]):
+        diff = daily[b] - daily[a]
+        if diff != 0:
+            ups.append(diff > 0)
+    r_ = 1 + sum(1 for x, y in zip(ups, ups[1:]) if x != y)
+    n1, n2 = sum(ups), len(ups) - sum(ups)
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (float(n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    row = QUERIES["stats_runs_test"](spark, sf_small).first()
+    assert (row.n_runs, row.n_up, row.n_down) == (r_, n1, n2)
+    assert abs(row.z_score - (r_ - mu) / math.sqrt(var)) < 1e-9
+
+
+def test_histogram2d_census(spark, sf_small):
+    """Cells reconcile with a python census; row shares sum to 1 per
+    dow."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = (
+        load(spark, sf_small, "events")
+        .select(F.dayofweek("ts").alias("dow"), "value")
+        .collect()
+    )
+    want = Counter((r.dow, round(r.value * 100) // 5000) for r in ev)
+    rows = QUERIES["stats_histogram2d_dow_value"](spark, sf_small).collect()
+    got = {(r.dow, r.vbucket): r.n for r in rows}
+    assert got == dict(want)
+    per_dow = defaultdict(float)
+    for r in rows:
+        per_dow[r.dow] += r.row_share
+    assert all(abs(v - 1.0) < 1e-9 for v in per_dow.values())
+
+
+def test_pair_distance_histogram_matches_numpy(spark, sf_small):
+    """Bucket counts equal a numpy replay of the md5-bucketed pair
+    sample, and total pairs match the bucket-size arithmetic."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    qv = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 256)
+        for r in rows
+    }
+    buckets = defaultdict(list)
+    for i in qv:
+        buckets[hashlib.md5(str(i).encode()).hexdigest()[0]].append(i)
+    want = Counter()
+    n_pairs = 0
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = qv[ids[x]], qv[ids[y]]
+                d2 = int(a @ a) + int(b @ b) - 2 * int(a @ b)
+                want[d2 // 10000] += 1
+                n_pairs += 1
+    got = {
+        r.dist_bucket: r.n_pairs
+        for r in QUERIES["emb_pair_distance_histogram"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == n_pairs
