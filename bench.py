@@ -156,6 +156,9 @@ CATALOG_BENCH = [
     "stats_runs_test",
     "stats_histogram2d_dow_value",
     "emb_pair_distance_histogram",
+    "text_bigram_entropy_rate",
+    "olap_seasonality_index",
+    "stats_iqr_outlier_census",
 ]
 
 

@@ -8989,6 +8989,9 @@ _DRIVER_WINDOW = [
     "stats_runs_test",
     "stats_histogram2d_dow_value",
     "emb_pair_distance_histogram",
+    "text_bigram_entropy_rate",
+    "olap_seasonality_index",
+    "stats_iqr_outlier_census",
 ]
 
 
@@ -15182,6 +15185,232 @@ def emb_pair_distance_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("d2") / 10000).cast("long").alias("dist_bucket")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "text_bigram_entropy_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, g AS w, pos
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS g,
+                   generate_subscripts(
+                     string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents)
+    ),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+            FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+           FROM c12 GROUP BY w1),
+    nt AS (SELECT CAST(sum(n12) AS BIGINT) AS n FROM c12),
+    terms AS (
+      SELECT (CAST(c12.n12 AS DOUBLE) / nt.n)
+               * ln(CAST(c1.n1 AS DOUBLE) / c12.n12) AS t
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN nt
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c12) AS n_bigrams,
+           (SELECT n FROM nt) AS n_tokens,
+           round(list_reduce(list_sort(list(t)), (x, y) -> x + y), 12)
+             AS cond_entropy_nats
+    FROM terms
+    """,
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """BIGRAM CONDITIONAL ENTROPY H(w₂|w₁) — the corpus
+    predictability number (low = templated/boilerplate-heavy text,
+    high = diverse prose; the information-theoretic cousin of
+    text_repetition). H = Σ p(w₁w₂)·ln(n₁/n₁₂) with the ratio ONE
+    division of exact integers; the global sum folds smallest-first
+    and rounds to 12 (the entropy discipline). Shape: one lead
+    window per doc for bigrams, two hash aggregates, a vocab-keyed
+    join — nothing quadratic."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
+    )
+    wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    big = toks.select("w", wn.alias("w2")).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy(
+        F.col("w").alias("w1"), "w2"
+    ).agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    nt = c12.agg(F.sum("n12").alias("n"))
+    terms = (
+        c12.join(c1, on="w1")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            (
+                (F.col("n12").cast("double") / F.col("n"))
+                * F.log(F.col("n1").cast("double") / F.col("n12"))
+            ).alias("t"),
+            F.col("n"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.max("n").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("t")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            12,
+        ).alias("cond_entropy_nats"),
+    )
+
+
+@query(
+    "olap_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(l_shipdate) AS BIGINT) AS mon,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY month(l_shipdate)
+    ),
+    t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM m)
+    SELECT m.mon, m.rev AS revenue_cents,
+           CAST(m.rev AS DOUBLE) * 12 / t.tot AS seasonality_index
+    FROM m CROSS JOIN t
+    """,
+)
+def olap_seasonality_index(spark: SparkSession, sf: str) -> DataFrame:
+    """MONTHLY SEASONALITY INDEX — each month's revenue against the
+    uniform 1/12 share (index 1.1 = 'this month runs 10% hot'), the
+    retail planner's first seasonal decomposition. Integer cents,
+    one groupBy(month) over the filtered fact, one-row broadcast
+    total, index = rev·12/tot in ONE mirrored float expression. The
+    shipdate bounds push down to the parquet scan."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy(
+        F.month("l_shipdate").cast("long").alias("mon")
+    ).agg(F.sum(cents).alias("rev"))
+    t = m.agg(F.sum("rev").alias("tot"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "mon",
+        F.col("rev").alias("revenue_cents"),
+        (
+            F.col("rev").cast("double") * 12 / F.col("tot").cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+@query(
+    "stats_iqr_outlier_census",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    byval AS (
+      SELECT event_type, cents, count(*) AS cnt,
+             coalesce(sum(count(*)) OVER (PARTITION BY event_type
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less,
+             sum(count(*)) OVER (PARTITION BY event_type) AS n
+      FROM c GROUP BY event_type, cents
+    ),
+    q AS (
+      SELECT event_type,
+             max(CASE WHEN cum_less < (n + 3) // 4
+                       AND (n + 3) // 4 <= cum_less + cnt
+                      THEN cents END) AS q1,
+             max(CASE WHEN cum_less < (3 * n + 3) // 4
+                       AND (3 * n + 3) // 4 <= cum_less + cnt
+                      THEN cents END) AS q3,
+             max(n) AS n
+      FROM byval GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(max(q.n) AS BIGINT) AS n,
+           CAST(max(q.q1) AS BIGINT) AS q1_cents,
+           CAST(max(q.q3) AS BIGINT) AS q3_cents,
+           CAST(sum(CASE WHEN 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                           OR 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN q ON q.event_type = c.event_type
+    GROUP BY c.event_type
+    """,
+)
+def stats_iqr_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
+    """TUKEY-FENCE OUTLIER CENSUS per stream — the boxplot rule
+    (outside Q1−1.5·IQR / Q3+1.5·IQR) counted exactly: quartiles are
+    the values at ranks ⌈n/4⌉ and ⌈3n/4⌉ picked off the per-group
+    DISTINCT-VALUE cumulative table (no percentile_approx, no
+    interpolation — rank selection, the exact-median discipline),
+    and the fences are INTEGER cross-multiplications (2c > 2q3 +
+    3·IQR ⟺ c > q3 + 1.5·IQR) so no float ever decides membership.
+    One value-table window + one fact pass with a broadcast-able
+    5-row quartile join."""
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = e.select("event_type", cents.alias("cents"))
+    byval = c.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = byval.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    r1 = F.floor((F.col("n") + 3) / 4)
+    r3 = F.floor((3 * F.col("n") + 3) / 4)
+    q = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                (F.col("cum_less") < r1)
+                & (r1 <= F.col("cum_less") + F.col("cnt")),
+                F.col("cents"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                (F.col("cum_less") < r3)
+                & (r3 <= F.col("cum_less") + F.col("cnt")),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    out = (2 * F.col("cents") > 2 * F.col("q3") + iqr3) | (
+        2 * F.col("cents") < 2 * F.col("q1") - iqr3
+    )
+    return (
+        c.join(F.broadcast(q), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("q1").cast("long").alias("q1_cents"),
+            F.max("q3").cast("long").alias("q3_cents"),
+            F.sum(F.when(out, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

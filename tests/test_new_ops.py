@@ -2542,3 +2542,89 @@ def test_pair_distance_histogram_matches_numpy(spark, sf_small):
     }
     assert got == dict(want)
     assert sum(got.values()) == n_pairs
+
+
+def test_bigram_entropy_rate_matches_python(spark, sf_small):
+    """H(w2|w1) equals a Counter replica with the same fold and is
+    bounded by ln(vocab)."""
+    import math
+    import re
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("text").collect()
+    c12, c1 = Counter(), Counter()
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip())
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    n = sum(c12.values())
+    terms = sorted(
+        (v / n) * math.log(c1[w1] / v) for (w1, _), v in c12.items()
+    )
+    acc = 0.0
+    for t in terms:
+        acc += t
+    row = QUERIES["text_bigram_entropy_rate"](spark, sf_small).first()
+    assert (row.n_bigrams, row.n_tokens) == (len(c12), n)
+    assert row.cond_entropy_nats == round(acc, 12)
+    assert 0 < row.cond_entropy_nats < math.log(len(c1) + 1)
+
+
+def test_seasonality_index_averages_to_one(spark, sf_small):
+    """Indices average to 1 weighted by month presence and revenue
+    reconciles with the filtered fact."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = QUERIES["olap_seasonality_index"](spark, sf_small).collect()
+    assert {r.mon for r in rows} <= set(range(1, 13))
+    tot = sum(r.revenue_cents for r in rows)
+    li = load(spark, sf_small, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    want = li.select(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).first()[0]
+    assert tot == want
+    for r in rows:
+        assert abs(r.seasonality_index - r.revenue_cents * 12 / tot) < 1e-12
+
+
+def test_iqr_outlier_census_matches_numpy_ranks(spark, sf_small):
+    """Quartiles are the exact rank-⌈n/4⌉/⌈3n/4⌉ order statistics and
+    the census equals a python fence replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(round(r.value * 100))
+    got = {
+        r.event_type: r
+        for r in QUERIES["stats_iqr_outlier_census"](spark, sf_small).collect()
+    }
+    for t, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[-(-n // 4) - 1]
+        q3 = vals[-(-(3 * n) // 4) - 1]
+        iqr = q3 - q1
+        outs = sum(
+            1
+            for c in vals
+            if 2 * c > 2 * q3 + 3 * iqr or 2 * c < 2 * q1 - 3 * iqr
+        )
+        r = got[t]
+        assert (r.n, r.q1_cents, r.q3_cents, r.n_outliers) == (
+            n, q1, q3, outs
+        )
