@@ -159,6 +159,8 @@ CATALOG_BENCH = [
     "text_bigram_entropy_rate",
     "olap_seasonality_index",
     "stats_iqr_outlier_census",
+    "audit_langid_confusion",
+    "olap_reactivated_users",
 ]
 
 

@@ -8992,6 +8992,8 @@ _DRIVER_WINDOW = [
     "text_bigram_entropy_rate",
     "olap_seasonality_index",
     "stats_iqr_outlier_census",
+    "audit_langid_confusion",
+    "olap_reactivated_users",
 ]
 
 
@@ -15410,6 +15412,110 @@ def stats_iqr_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
+    )
+
+
+@query(
+    "audit_langid_confusion",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS h_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS h_de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS h_es,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS h_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
+                  WHEN h_de >= greatest(h_es, h_fr, h_zh, 1) THEN 'de'
+                  WHEN h_es >= greatest(h_fr, h_zh, 1) THEN 'es'
+                  WHEN h_fr >= greatest(h_zh, 1) THEN 'fr'
+                  WHEN h_zh >= 1 THEN 'zh'
+                  ELSE 'und' END AS lang_pred
+      FROM hits
+    )
+    SELECT lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang) AS row_share
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def audit_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """LANG-ID CONFUSION MATRIX — the classifier audit that turns
+    text_langid from a prediction into a measured instrument:
+    declared label × predicted label counts with within-row shares
+    (the diagonal is per-language recall; off-diagonal mass says
+    which languages the stopword heuristic confuses — the go/no-go
+    before gating a corpus on it). One aggregate over the langid
+    projection + a language-dim-sized share window."""
+    d = load(spark, sf, "documents")
+    pred = tx.lang_id(d).select("lang", "lang_pred")
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wr = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wr)
+        ).alias("row_share"),
+    )
+
+
+@query(
+    "olap_reactivated_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, day,
+             day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS gap
+      FROM active
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reactivated_users
+    FROM gaps GROUP BY day
+    """,
+)
+def olap_reactivated_users(spark: SparkSession, sf: str) -> DataFrame:
+    """REACTIVATED USERS per day — the third panel of the growth
+    dashboard after new/returning (olap_new_vs_returning): a user
+    reactivates on an active day that follows a gap of more than 7
+    inactive days (the resurrection metric churn models calibrate
+    on). One distinct-active-days projection, one lag window per
+    user, one aggregate — shuffles once on user_id then once on
+    day."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    active = e.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = active.select(
+        "day", (F.col("day") - F.lag("day").over(w)).alias("gap")
+    )
+    return gaps.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(F.when(F.col("gap") > 7, 1).otherwise(0))
+        .cast("long")
+        .alias("reactivated_users"),
     )
 
 

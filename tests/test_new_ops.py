@@ -2628,3 +2628,54 @@ def test_iqr_outlier_census_matches_numpy_ranks(spark, sf_small):
         assert (r.n, r.q1_cents, r.q3_cents, r.n_outliers) == (
             n, q1, q3, outs
         )
+
+
+def test_langid_confusion_census(spark, sf_small):
+    """Cells reconcile with the row-level langid output; row shares
+    sum to 1 per declared language."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.functions import text as tx
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    d = load(spark, sf_small, "documents")
+    pred = tx.lang_id(d).select("lang", "lang_pred").collect()
+    want = Counter((r.lang, r.lang_pred) for r in pred)
+    rows = QUERIES["audit_langid_confusion"](spark, sf_small).collect()
+    got = {(r.lang, r.lang_pred): r.n_docs for r in rows}
+    assert got == dict(want)
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang] += r.row_share
+    assert all(abs(v - 1.0) < 1e-9 for v in shares.values())
+
+
+def test_reactivated_users_matches_python(spark, sf_small):
+    """Daily reactivation counts equal a python gap replay, and
+    first-ever active days never count as reactivation."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add((r.ts.date() - epoch).days)
+    want = defaultdict(lambda: [0, 0])
+    for u, ds in days.items():
+        prev = None
+        for d in sorted(ds):
+            want[d][0] += 1
+            if prev is not None and d - prev > 7:
+                want[d][1] += 1
+            prev = d
+    got = {
+        r.day: [r.active_users, r.reactivated_users]
+        for r in QUERIES["olap_reactivated_users"](spark, sf_small).collect()
+    }
+    assert got == dict(want)
