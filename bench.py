@@ -161,6 +161,9 @@ CATALOG_BENCH = [
     "stats_iqr_outlier_census",
     "audit_langid_confusion",
     "olap_reactivated_users",
+    "graph_hits_scores",
+    "olap_survival_kaplan_meier",
+    "stats_kruskal_wallis",
 ]
 
 

@@ -460,6 +460,55 @@ def personalized_pagerank(
     return pr
 
 
+def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list, UNNORMALIZED with an all-ones start — which makes every
+    iterate an exact integer: h⁰=1, aᵏ(v)=Σ_{u→v} hᵏ⁻¹(u),
+    hᵏ(u)=Σ_{u→v} aᵏ(v) are alternating neighbor-path counts, so the
+    whole fixpoint is BIGINT arithmetic (no float fold discipline
+    needed — normalization only rescales, the ranking is identical).
+    Callers normalize by the max at the end if they want scores.
+
+    Returns (node, hub, auth) with exact BIGINT scores; nodes that
+    only appear on one side carry 0 on the other role.
+
+    100 TB shape: each half-round is one equi-join of the edge list
+    against the current score vector plus a map-side-combinable
+    integer SUM on the other endpoint — the same per-round economics
+    as :func:`pagerank`, and integer partials never lose associativity.
+    Values grow like (σ₁)²ᵏ, so keep ``rounds`` small (2-3) or switch
+    to floats past ~4 rounds on dense graphs."""
+    d = edges.select("src", "dst").distinct()
+    d = d.localCheckpoint(eager=False)  # consumed twice per round
+    srcs = d.select(F.col("src").alias("node")).distinct()
+    dsts = d.select(F.col("dst").alias("node")).distinct()
+    h = srcs.select("node", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a = (
+            d.join(h, d.src == h.node)
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("n").alias("node"), "a")
+        )
+        h = (
+            d.join(a, d.dst == a.node)
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("n").alias("node"), "h")
+        )
+    nodes = srcs.unionAll(dsts).distinct()
+    return (
+        nodes.join(h, on="node", how="left")
+        .join(a, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -8994,6 +8994,9 @@ _DRIVER_WINDOW = [
     "stats_iqr_outlier_census",
     "audit_langid_confusion",
     "olap_reactivated_users",
+    "graph_hits_scores",
+    "olap_survival_kaplan_meier",
+    "stats_kruskal_wallis",
 ]
 
 
@@ -15516,6 +15519,296 @@ def olap_reactivated_users(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("gap") > 7, 1).otherwise(0))
         .cast("long")
         .alias("reactivated_users"),
+    )
+
+
+# Directed purchase graph for HITS: customer --buys-from--> supplier,
+# one distinct edge per (custkey, suppkey) pair in the 1997 order year.
+_BUY_EDGES_SQL = """
+    e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+"""
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH {_BUY_EDGES_SQL},
+    h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM e),
+    a1 AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h0.h) AS a
+      FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst
+    ),
+    h1 AS MATERIALIZED (
+      SELECT e.src AS node, sum(a1.a) AS h
+      FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+    ),
+    a2 AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h1.h) AS a
+      FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+    ),
+    h2 AS MATERIALIZED (
+      SELECT e.src AS node, sum(a2.a) AS h
+      FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    SELECT n.node,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+    FROM nodes n
+    LEFT JOIN h2 ON n.node = h2.node
+    LEFT JOIN a2 ON n.node = a2.node
+    """,
+)
+def graph_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities on the directed customer→supplier
+    purchase graph (1997 orders): hub customers buy from many
+    well-sourced suppliers, authority suppliers are bought from by
+    many well-connected customers. Unnormalized with an all-ones
+    start, so both score vectors stay EXACT BIGINT path counts
+    (functions/graph.py:hits) — no float fold discipline anywhere.
+    Two rounds, each half-round one equi-join + integer map-side
+    combinable SUM; the oracle replays the alternation unrolled."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return gr.hits(edges, rounds=2)
+
+
+@query(
+    "olap_survival_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_us(ts - TIMESTAMP '2024-01-01') // 1000000) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts - TIMESTAMP '2024-01-01') // 1000000
+                 END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                       AND (tp - t0) // 3600 <= 72
+                  THEN (tp - t0) // 3600 ELSE 72 END AS t,
+             CASE WHEN tp IS NOT NULL
+                       AND (tp - t0) // 3600 <= 72
+                  THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    per_t AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS converted,
+             CAST(sum(1 - ev) AS BIGINT) AS censored
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, converted, censored,
+             sum(converted + censored) OVER (
+               ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS n_at_risk
+      FROM per_t
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, converted, censored,
+           round(exp(sum(
+             CASE WHEN converted < n_at_risk
+                  THEN ln(1.0 - CAST(converted AS DOUBLE) / n_at_risk)
+                  ELSE CAST('-infinity' AS DOUBLE) END
+           ) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 12) AS survival
+    FROM risk
+    """,
+)
+def olap_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """KAPLAN-MEIER time-to-conversion curve: hours from a user's
+    first event to their first PURCHASE, right-censored at the 72-hour
+    observation horizon (the administrative-censoring design growth
+    teams use for fixed-window conversion). S(t) = Pi_{ti<=t}
+    (1 - di/ni); di (conversions at hour ti) and ni (at-risk, a
+    reverse cumulative window) stay EXACT integers - hour buckets are
+    epoch-microsecond BIGINT floor-divisions, never engine date_diff
+    semantics. Only the final product touches floats, as exp of an
+    ORDERED cumulative sum of ln terms (identical sequential order on
+    both engines, round 12); d = n at the tail maps to exact 0. One
+    groupBy per user + one per hour + two windows - the fact shuffles
+    once."""
+    e = load(spark, sf, "events")
+    mu = (
+        F.col("ts") - F.lit("2024-01-01").cast("timestamp_ntz")
+    ).cast("long")  # whole seconds since the corpus epoch, tz-free
+    u = e.groupBy("user_id").agg(
+        F.min(mu).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", mu)
+        ).alias("tp"),
+    )
+    hours = F.expr("(tp - t0) DIV 3600")
+    conv = F.col("tp").isNotNull() & (hours <= 72)
+    subj = u.select(
+        F.when(conv, hours).otherwise(F.lit(72)).alias("t"),
+        F.when(conv, 1).otherwise(0).alias("ev"),
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("converted"),
+        F.sum(1 - F.col("ev")).cast("long").alias("censored"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("converted") + F.col("censored")).over(w_rev),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("converted") < F.col("n_at_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("converted").cast("double") / F.col("n_at_risk")
+        ),
+    ).otherwise(F.lit(float("-inf")))
+    return risk.select(
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        "converted",
+        "censored",
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 12).alias("survival"),
+    )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH byval AS (
+      SELECT value, event_type, count(*) AS cnt
+      FROM events GROUP BY value, event_type
+    ),
+    tot AS (
+      SELECT value, sum(cnt) AS t FROM byval GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, t,
+             coalesce(sum(t) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_less
+      FROM tot
+    ),
+    per_g AS (
+      SELECT b.event_type,
+             CAST(sum(b.cnt) AS BIGINT) AS n_g,
+             CAST(sum(b.cnt * (2 * r.cum_less + r.t + 1)) AS BIGINT)
+               AS rank_sum_x2
+      FROM byval b JOIN ranked r ON b.value = r.value
+      GROUP BY b.event_type
+    ),
+    gstats AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             list_reduce(
+               list_sort(list(
+                 CAST(rank_sum_x2 AS DOUBLE) * CAST(rank_sum_x2 AS DOUBLE)
+                 / (4.0 * n_g)
+               )),
+               (x, y) -> x + y
+             ) AS sum_r2_over_n,
+             (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM tot) AS tie_t
+      FROM per_g
+    )
+    SELECT p.event_type, p.n_g, p.rank_sum_x2,
+           round(12.0 / (CAST(g.n AS DOUBLE) * (g.n + 1))
+                 * g.sum_r2_over_n - 3.0 * (g.n + 1), 12) AS h_stat,
+           round((12.0 / (CAST(g.n AS DOUBLE) * (g.n + 1))
+                  * g.sum_r2_over_n - 3.0 * (g.n + 1))
+                 / (1.0 - CAST(g.tie_t AS DOUBLE)
+                          / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n)),
+                 12) AS h_tie_corrected
+    FROM per_g p CROSS JOIN gstats g
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """KRUSKAL–WALLIS H test: does `value` differ in distribution
+    across the 5 event types? The k-group extension of
+    stats_mann_whitney_u, built on the same doubled-rank device
+    (2·rank = 2·cum_less + t + 1 keeps average ranks integer-exact
+    under ties). Per-group doubled rank sums R2_g and the tie term
+    Σ(t³−t) are BIGINT; H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) folds the
+    5 per-group float terms smallest-first (array_sort + aggregate ↔
+    list_sort + list_reduce), tie-corrected by 1 − Σ(t³−t)/(N³−N),
+    round 12. One distinct-value groupBy + one window cumsum — the
+    raw fact shuffles once."""
+    e = load(spark, sf, "events")
+    byval = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = byval.groupBy("value").agg(F.sum("cnt").alias("t"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = tot.select(
+        "value",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_less"),
+    )
+    per_g = (
+        byval.join(ranked, on="value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt")
+                * (2 * F.col("cum_less") + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("rank_sum_x2"),
+        )
+    )
+    tie = tot.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_t")
+    )
+    glob = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.col("rank_sum_x2").cast("double")
+                    * F.col("rank_sum_x2").cast("double")
+                    / (F.lit(4.0) * F.col("n_g"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_r2_over_n"),
+    ).crossJoin(F.broadcast(tie))
+    n_d = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (n_d * (F.col("n") + 1)) * F.col("sum_r2_over_n")
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_t").cast("double") / (
+        n_d * F.col("n") * F.col("n") - F.col("n")
+    )
+    return per_g.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_g",
+        "rank_sum_x2",
+        F.round(h, 12).alias("h_stat"),
+        F.round(h / corr, 12).alias("h_tie_corrected"),
     )
 
 

@@ -2679,3 +2679,126 @@ def test_reactivated_users_matches_python(spark, sf_small):
         for r in QUERIES["olap_reactivated_users"](spark, sf_small).collect()
     }
     assert got == dict(want)
+
+
+def test_hits_matches_python_power_iteration(spark, sf_small):
+    """Integer HITS equals a python adjacency replay of two
+    unnormalized rounds, and hub/auth are exact path counts."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = (
+        load(spark, sf_small, "orders")
+        .filter("o_orderdate >= timestamp'1997-01-01'")
+        .filter("o_orderdate < timestamp'1998-01-01'")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust = {r.o_orderkey: r.o_custkey for r in o}
+    edges = {
+        (cust[r.l_orderkey], r.l_suppkey)
+        for r in li
+        if r.l_orderkey in cust
+    }
+    h = defaultdict(int, {s: 1 for s, _ in edges})
+    a = defaultdict(int)
+    for _ in range(2):
+        a = defaultdict(int)
+        for s, d in edges:
+            a[d] += h[s]
+        h = defaultdict(int)
+        for s, d in edges:
+            h[s] += a[d]
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in QUERIES["graph_hits_scores"](spark, sf_small).collect()
+    }
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == (h.get(n, 0), a.get(n, 0))
+
+
+def test_kaplan_meier_matches_python(spark, sf_small):
+    """Conversion survival equals a python KM replay; S is monotone
+    non-increasing from 1 and at-risk counts telescope."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    t0, tp = {}, {}
+    for r in ev:
+        import datetime
+
+        epoch = datetime.datetime(2024, 1, 1)
+        mu = (r.ts - epoch) // datetime.timedelta(seconds=1)
+        t0[r.user_id] = min(t0.get(r.user_id, mu), mu)
+        if r.event_type == "purchase":
+            tp[r.user_id] = min(tp.get(r.user_id, mu), mu)
+    per_t = defaultdict(lambda: [0, 0])
+    for u in t0:
+        h = (tp[u] - t0[u]) // 3600 if u in tp else None
+        if h is not None and h <= 72:
+            per_t[h][0] += 1
+        else:
+            per_t[72][1] += 1
+    rows = QUERIES["olap_survival_kaplan_meier"](spark, sf_small).collect()
+    rows.sort(key=lambda r: r.t)
+    assert {r.t for r in rows} == set(per_t)
+    n_rem = sum(d + c for d, c in per_t.values())
+    s, prev_s = 1.0, 1.0
+    for r in rows:
+        d, c = per_t[r.t]
+        assert (r.converted, r.censored, r.n_at_risk) == (d, c, n_rem)
+        s *= 1.0 - d / n_rem
+        assert abs(r.survival - s) < 1e-9
+        assert r.survival <= prev_s + 1e-12
+        prev_s = r.survival
+        n_rem -= d + c
+    assert n_rem == 0
+
+
+def test_kruskal_wallis_matches_python_ranks(spark, sf_small):
+    """H equals a python average-rank replay (tie-corrected too)."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect()
+    allv = sorted(r.value for r in ev)
+    # average rank per distinct value (1-based)
+    first = {}
+    for i, v in enumerate(allv):
+        first.setdefault(v, i + 1)
+    cnt = Counter(allv)
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    rsum, ng = defaultdict(float), Counter()
+    for r in ev:
+        rsum[r.event_type] += avg_rank[r.value]
+        ng[r.event_type] += 1
+    n = len(allv)
+    h = 12.0 / (n * (n + 1)) * sum(
+        rs * rs / ng[g] for g, rs in rsum.items()
+    ) - 3.0 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    hc = h / (1.0 - tie / (n**3 - n))
+    rows = QUERIES["stats_kruskal_wallis"](spark, sf_small).collect()
+    assert {r.event_type for r in rows} == set(ng)
+    for r in rows:
+        assert r.n_g == ng[r.event_type]
+        assert abs(r.rank_sum_x2 - 2 * rsum[r.event_type]) < 1e-6
+        assert abs(r.h_stat - h) < 1e-8
+        assert abs(r.h_tie_corrected - hc) < 1e-8
