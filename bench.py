@@ -164,6 +164,9 @@ CATALOG_BENCH = [
     "graph_hits_scores",
     "olap_survival_kaplan_meier",
     "stats_kruskal_wallis",
+    "emb_binary_hamming_topk",
+    "text_pmi_cooccurrence",
+    "ts_bollinger_bands",
 ]
 
 

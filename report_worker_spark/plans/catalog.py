@@ -8997,6 +8997,9 @@ _DRIVER_WINDOW = [
     "graph_hits_scores",
     "olap_survival_kaplan_meier",
     "stats_kruskal_wallis",
+    "emb_binary_hamming_topk",
+    "text_pmi_cooccurrence",
+    "ts_bollinger_bands",
 ]
 
 
@@ -15638,8 +15641,9 @@ def olap_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     teams use for fixed-window conversion). S(t) = Pi_{ti<=t}
     (1 - di/ni); di (conversions at hour ti) and ni (at-risk, a
     reverse cumulative window) stay EXACT integers - hour buckets are
-    epoch-microsecond BIGINT floor-divisions, never engine date_diff
-    semantics. Only the final product touches floats, as exp of an
+    BIGINT floor-divisions of whole seconds since the corpus epoch
+    (tz-free interval arithmetic, never engine date_diff boundary
+    semantics). Only the final product touches floats, as exp of an
     ORDERED cumulative sum of ln terms (identical sequential order on
     both engines, round 12); d = n at the tail maps to exact 0. One
     groupBy per user + one per hour + two windows - the fact shuffles
@@ -15809,6 +15813,261 @@ def stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
         "rank_sum_x2",
         F.round(h, 12).alias("h_stat"),
         F.round(h / corr, 12).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "emb_binary_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                                 THEN (1::BIGINT << i) ELSE 0 END
+                            for i in range(0, 32)]) AS BIGINT) AS lo,
+             CAST(list_sum([CASE WHEN embedding[i + 33] > 0
+                                 THEN (1::BIGINT << i) ELSE 0 END
+                            for i in range(0, 32)]) AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo))
+                  + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BINARY-CODE ANN: sign-binarize each 64-dim embedding into two
+    32-bit halves packed in BIGINTs (bit i = dim i > 0), then top-5
+    neighbors per query (vec_id % 25) by HAMMING distance — XOR +
+    popcount, the compressed-domain similarity used when float
+    vectors are too wide to scan (Charikar hyperplane LSH with the
+    coordinate planes). Codes are 8 bytes/vector, so the candidate
+    scan reads 32× less than float32; everything is integer-exact,
+    no float discipline at all. Queries broadcast against the corpus
+    (one pass, same shape as sim_crossset_topk); at 100 TB the codes
+    would be bucketed by multi-index substrings instead of scanned."""
+    from ..util import spread
+
+    emb = spread(load(spark, sf, "embeddings"))
+
+    def half(off: int):
+        return F.expr(
+            f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc"
+            f" + IF(element_at(embedding, i + {off}) > 0,"
+            f" shiftleft(1L, i), 0L))"
+        )
+
+    codes = emb.select(
+        "vec_id", half(1).alias("lo"), half(33).alias("hi")
+    )
+    codes = codes.localCheckpoint(eager=False)  # consumed twice
+    q = codes.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = F.broadcast(q).crossJoin(codes).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    ham = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, df FROM (
+        SELECT w, count(*) AS df,
+               row_number() OVER (ORDER BY count(*) DESC, w ASC) AS r
+        FROM toks GROUP BY w
+      ) WHERE r <= 100
+    ),
+    ft AS (
+      SELECT t.doc_id, t.w, v.df FROM toks t JOIN vocab v USING (w)
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+             count(*) AS c12
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2, 3, 4
+    ),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT w1, w2,
+           CAST(c12 AS BIGINT) AS c12,
+           CAST(df1 AS BIGINT) AS df1,
+           CAST(df2 AS BIGINT) AS df2,
+           round(ln(CAST(c12 * nd AS DOUBLE)
+                    / (CAST(df1 AS DOUBLE) * df2)), 12) AS pmi
+    FROM pairs CROSS JOIN n WHERE c12 >= 5
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """POINTWISE MUTUAL INFORMATION of word pairs at document level —
+    the collocation/topic-association signal (Church & Hanks 1990):
+    pmi(w1,w2) = ln(N·c12 / (df1·df2)) over documents as contexts.
+    The pair fan-out is BOUNDED BY THE VOCABULARY, not the corpus:
+    tokens first filter through the top-100-df vocab (broadcast), so
+    the per-doc self-join touches ≤100 tokens/doc regardless of
+    document length — the max_df/top-k capping discipline the dedup
+    family uses. Support floor c12 ≥ 5; the PMI ratio is one integer
+    quotient inside a single ln, round 12."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("w")
+    ).distinct()
+    wv = Window.orderBy(F.col("df").desc(), F.col("w").asc())
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 100)
+        .drop("r")
+    )
+    ft = toks.join(F.broadcast(vocab), on="w")
+    a = ft.select(
+        "doc_id", F.col("w").alias("w1"), F.col("df").alias("df1")
+    )
+    b = ft.select(
+        "doc_id", F.col("w").alias("w2"), F.col("df").alias("df2")
+    )
+    pairs = (
+        a.join(b, on="doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("df1").cast("long").alias("df1"),
+        F.col("df2").cast("long").alias("df2"),
+        F.round(
+            F.log(
+                (F.col("c12") * F.col("nd")).cast("double")
+                / (F.col("df1").cast("double") * F.col("df2"))
+            ),
+            12,
+        ).alias("pmi"),
+    )
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, cents,
+             sum(cents) OVER w AS s,
+             sum(cents * cents) OVER w AS ss,
+             count(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cents,
+           round(CAST(s AS DOUBLE) / 7, 6) AS mid,
+           round(CAST(s AS DOUBLE) / 7
+                 + 2 * sqrt(CAST(7 * ss - s * s AS DOUBLE) / 49),
+                 6) AS upper,
+           round(CAST(s AS DOUBLE) / 7
+                 - 2 * sqrt(CAST(7 * ss - s * s AS DOUBLE) / 49),
+                 6) AS lower,
+           CAST(CASE WHEN 7 * cents - s > 0
+                      AND (7 * cents - s) * (7 * cents - s)
+                          > 4 * (7 * ss - s * s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_above,
+           CAST(CASE WHEN 7 * cents - s < 0
+                      AND (7 * cents - s) * (7 * cents - s)
+                          > 4 * (7 * ss - s * s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_below
+    FROM win WHERE nw = 7
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """BOLLINGER BANDS on daily revenue: 7-day rolling mean ± 2σ with
+    EXACT integer breakout flags — (7x−S)² > 4(7·SS−S²) is the
+    band-cross test cross-multiplied into BIGINT cents, so the flag
+    never depends on float rounding; mid/upper/lower are display
+    floats derived from the same integer sums (round 6 — at cents
+    magnitude the 12th decimal is past double spacing, so engines
+    can't agree there and shouldn't be asked to). Rows with
+    a full 7-day window only. One day-grain aggregate + one ordered
+    window; at larger SF the Σx² cents ladder should move to DECIMAL
+    before ~sf10 (2⁶³ headroom documented in stats_moments)."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = e.select(day.alias("day"), cents.alias("c")).groupBy(
+        "day"
+    ).agg(F.sum("c").alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == 7)
+    s_d = F.col("s").cast("double")
+    # 7·SS − S² stays an EXACT BIGINT; one int→double conversion
+    # (deterministic IEEE) feeds the only float ladder
+    disc = (7 * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    sigma = F.sqrt(disc / F.lit(49.0))
+    dev = 7 * F.col("cents") - F.col("s")
+    brk = dev * dev > 4 * (7 * F.col("ss") - F.col("s") * F.col("s"))
+    return win.select(
+        "day",
+        "cents",
+        F.round(s_d / 7, 6).alias("mid"),
+        F.round(s_d / 7 + 2 * sigma, 6).alias("upper"),
+        F.round(s_d / 7 - 2 * sigma, 6).alias("lower"),
+        F.when((dev > 0) & brk, 1).otherwise(0).cast("long").alias(
+            "breakout_above"
+        ),
+        F.when((dev < 0) & brk, 1).otherwise(0).cast("long").alias(
+            "breakout_below"
+        ),
     )
 
 

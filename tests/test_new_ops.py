@@ -2802,3 +2802,109 @@ def test_kruskal_wallis_matches_python_ranks(spark, sf_small):
         assert abs(r.rank_sum_x2 - 2 * rsum[r.event_type]) < 1e-6
         assert abs(r.h_stat - h) < 1e-8
         assert abs(r.h_tie_corrected - hc) < 1e-8
+
+
+def test_binary_hamming_topk_matches_python(spark, sf_small):
+    """Sign codes and top-5 Hamming neighbors equal a python replay."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    code = {
+        r.vec_id: sum(1 << i for i, x in enumerate(r.embedding) if x > 0)
+        for r in emb
+    }
+    want = {}
+    for q in [v for v in code if v % 25 == 0]:
+        cand = sorted(
+            (bin(code[q] ^ code[c]).count("1"), c)
+            for c in code
+            if c != q
+        )[:5]
+        want[q] = [(c, h, i + 1) for i, (h, c) in enumerate(cand)]
+    rows = QUERIES["emb_binary_hamming_topk"](spark, sf_small).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.hamming, r.rank)
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == want
+
+
+def test_pmi_cooccurrence_matches_python(spark, sf_small):
+    """PMI pairs equal a Counter replay over top-100-df vocab."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    docsets = {r.doc_id: set(r.text.strip().split()) for r in docs}
+    df = Counter(w for s in docsets.values() for w in s)
+    vocab = set(
+        w
+        for w, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    c12 = Counter()
+    for s in docsets.values():
+        for w1, w2 in combinations(sorted(s & vocab), 2):
+            c12[(w1, w2)] += 1
+    n = len(docsets)
+    want = {
+        p: (c, df[p[0]], df[p[1]], round(math.log(c * n / (df[p[0]] * df[p[1]])), 12))
+        for p, c in c12.items()
+        if c >= 5
+    }
+    rows = QUERIES["text_pmi_cooccurrence"](spark, sf_small).collect()
+    got = {(r.w1, r.w2): (r.c12, r.df1, r.df2, r.pmi) for r in rows}
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][:3] == want[p][:3]
+        assert abs(got[p][3] - want[p][3]) < 1e-9
+
+
+def test_bollinger_bands_matches_python(spark, sf_small):
+    """Bands and integer breakout flags equal an exact-cents replay."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        # mirror round-half-even of F.round on *.5 cents
+        daily[(r.ts.date() - epoch).days] += round(r.value * 100)
+    days = sorted(daily)
+    rows = {
+        r.day: r
+        for r in QUERIES["ts_bollinger_bands"](spark, sf_small).collect()
+    }
+    assert set(rows) == set(days[6:])
+    for idx in range(6, len(days)):
+        win = [daily[d] for d in days[idx - 6 : idx + 1]]
+        x, s, ss = daily[days[idx]], sum(win), sum(v * v for v in win)
+        r = rows[days[idx]]
+        assert r.cents == x
+        sigma = math.sqrt((7 * ss - s * s) / 49)
+        assert abs(r.mid - s / 7) < 1e-6
+        assert abs(r.upper - (s / 7 + 2 * sigma)) < 1e-6
+        assert abs(r.lower - (s / 7 - 2 * sigma)) < 1e-6
+        above = 7 * x - s > 0 and (7 * x - s) ** 2 > 4 * (7 * ss - s * s)
+        below = 7 * x - s < 0 and (7 * x - s) ** 2 > 4 * (7 * ss - s * s)
+        assert (r.breakout_above, r.breakout_below) == (
+            int(above),
+            int(below),
+        )
