@@ -167,6 +167,9 @@ CATALOG_BENCH = [
     "emb_binary_hamming_topk",
     "text_pmi_cooccurrence",
     "ts_bollinger_bands",
+    "ts_dtw_pairs",
+    "stats_jarque_bera",
+    "graph_butterfly_support",
 ]
 
 

@@ -9000,6 +9000,9 @@ _DRIVER_WINDOW = [
     "emb_binary_hamming_topk",
     "text_pmi_cooccurrence",
     "ts_bollinger_bands",
+    "ts_dtw_pairs",
+    "stats_jarque_bera",
+    "graph_butterfly_support",
 ]
 
 
@@ -15537,6 +15540,25 @@ _BUY_EDGES_SQL = """
 """
 
 
+def _buy_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct customer→supplier purchase edges, 1997 order year —
+    the directed bipartite graph shared by HITS and butterfly
+    counting (the Spark twin of _BUY_EDGES_SQL)."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "graph_hits_scores",
     oracle=f"""
@@ -15576,20 +15598,7 @@ def graph_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     (functions/graph.py:hits) — no float fold discipline anywhere.
     Two rounds, each half-round one equi-join + integer map-side
     combinable SUM; the oracle replays the alternation unrolled."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf, "lineitem")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            F.col("l_suppkey").alias("dst"),
-        )
-        .distinct()
-    )
-    return gr.hits(edges, rounds=2)
+    return gr.hits(_buy_edges(spark, sf), rounds=2)
 
 
 @query(
@@ -16068,6 +16077,269 @@ def ts_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
         F.when((dev < 0) & brk, 1).otherwise(0).cast("long").alias(
             "breakout_below"
         ),
+    )
+
+
+def _dtw_oracle() -> str:
+    # DTW by anti-diagonals, unrolled: cells on diagonal d = i + j
+    # depend on diagonals d-1 (left/up) and d-2 (diagonal step), so
+    # each dg{d} is one filtered scan of the MATERIALIZED cost table
+    # plus three small equi-joins — the same unrolled-fixpoint oracle
+    # discipline as _kcore_oracle/_pagerank_oracle.
+    big = 1 << 60
+    steps = []
+    for d in range(1, 59):
+        dd_join = (
+            f"""
+      LEFT JOIN dg{d - 2} dd ON dd.ta = c.ta AND dd.tb = c.tb
+        AND dd.i = c.i - 1 AND dd.j = c.j - 1"""
+            if d >= 2
+            else ""
+        )
+        dd_term = f"coalesce(dd.val, {big})" if d >= 2 else str(big)
+        steps.append(f"""
+    dg{d} AS MATERIALIZED (
+      SELECT c.ta, c.tb, c.i, c.j,
+             c.cost + least(coalesce(h.val, {big}),
+                            coalesce(v.val, {big}),
+                            {dd_term}) AS val
+      FROM costs c
+      LEFT JOIN dg{d - 1} h ON h.ta = c.ta AND h.tb = c.tb
+        AND h.i = c.i - 1 AND h.j = c.j
+      LEFT JOIN dg{d - 1} v ON v.ta = c.ta AND v.tb = c.tb
+        AND v.i = c.i AND v.j = c.j - 1{dd_join}
+      WHERE c.i + c.j = {d}
+    )""")
+    return f"""
+    WITH {_DAILY_GRID_SQL},
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    costs AS MATERIALIZED (
+      SELECT p.ta, p.tb, ga.day AS i, gb.day AS j,
+             abs(ga.n - gb.n) AS cost
+      FROM pairs p
+      JOIN grid ga ON ga.event_type = p.ta
+      JOIN grid gb ON gb.event_type = p.tb
+    ),
+    dg0 AS (SELECT ta, tb, i, j, cost AS val
+            FROM costs WHERE i = 0 AND j = 0),
+    {",".join(steps)}
+    SELECT ta AS type_a, tb AS type_b, CAST(val AS BIGINT) AS dtw
+    FROM dg58 WHERE i = 29 AND j = 29
+    """
+
+
+@query("ts_dtw_pairs", oracle=_dtw_oracle())
+def ts_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between the 5 event types' daily
+    activity profiles (all 10 pairs) — the elastic-alignment series
+    similarity clustering/retrieval uses when shapes shift in phase.
+    Counts are integers, cost |a−b| is integer, so the whole DP and
+    the final distance are EXACT BIGINTs. Spark-first custom-operator
+    shape: DataFrame ops build the dense 30-day grids and pair table;
+    the O(L²) per-pair DP — inexpressible as relational algebra —
+    runs inside ONE Arrow-batched grouped kernel (applyInPandas),
+    pairs partitioned across executors, O(L) rows in, one row out.
+    At 100 TB (billions of pairs / longer series) the same plan holds
+    with a Sakoe-Chiba band bounding the kernel. The oracle replays
+    the DP unrolled along anti-diagonals (58 staged CTEs)."""
+    import numpy as np
+    import pandas as pd
+
+    grid = _daily_grid(spark, sf)
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("series")
+    )
+    series = series.localCheckpoint(eager=False)  # consumed twice
+    a = series.select(
+        F.col("event_type").alias("type_a"), F.col("series").alias("sa")
+    )
+    b = series.select(
+        F.col("event_type").alias("type_b"), F.col("series").alias("sb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            va = np.asarray(row["sa"], dtype=np.int64)
+            vb = np.asarray(row["sb"], dtype=np.int64)
+            cost = np.abs(va[:, None] - vb[None, :])
+            dp = np.zeros_like(cost)
+            dp[0, 0] = cost[0, 0]
+            dp[0, 1:] = np.cumsum(cost[0, 1:]) + cost[0, 0]
+            dp[1:, 0] = np.cumsum(cost[1:, 0]) + cost[0, 0]
+            for i in range(1, len(va)):
+                for j in range(1, len(vb)):
+                    dp[i, j] = cost[i, j] + min(
+                        dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                    )
+            out.append(
+                {
+                    "type_a": row["type_a"],
+                    "type_b": row["type_b"],
+                    "dtw": int(dp[-1, -1]),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return pairs.groupBy("type_a", "type_b").applyInPandas(
+        kernel, schema="type_a string, type_b string, dtw long"
+    )
+
+
+@query(
+    "stats_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(u) AS s1, sum(u * u) AS s2,
+             sum(u * u * u) AS s3, sum(u * u * u * u) AS s4
+      FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS u
+            FROM events)
+      GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    )
+    SELECT event_type, n,
+           round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / pow(r2 - mu * mu, 1.5), 12) AS skewness,
+           round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu)
+                 / pow(r2 - mu * mu, 2.0), 12) AS kurtosis,
+           round(n / 6.0 * (
+             pow((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / pow(r2 - mu * mu, 1.5), 2.0)
+             + pow((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                    - 3 * mu * mu * mu * mu)
+                   / pow(r2 - mu * mu, 2.0) - 3, 2.0) / 4), 12) AS jb_stat
+    FROM c
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
+    """JARQUE-BERA normality test per event type: JB = n/6·(g₁² +
+    (g₂−3)²/4) from sample skewness g₁ and kurtosis g₂. The four
+    power sums Σu..Σu⁴ accumulate EXACTLY in BIGINT over integer
+    units u = round(value) (u ≤ ~600 keeps Σu⁴ under 2⁶³ through
+    ~sf10 — the moments ladder discipline of stats_moments); the
+    central-moment formulas are then identical double expressions on
+    both engines, round 12. One map-combinable groupBy, no second
+    pass — the two-pass 'subtract the mean first' variant is only
+    needed when the raw magnitudes dwarf the spread, which cents-
+    scale metrics don't."""
+    e = load(spark, sf, "events")
+    u = F.round(F.col("value")).cast("long")
+    m = e.select("event_type", u.alias("u")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+        F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
+        F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias(
+            "s4"
+        ),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / F.pow(
+        r2 - mu * mu, F.lit(1.5)
+    )
+    kurt = (
+        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    ) / F.pow(r2 - mu * mu, F.lit(2.0))
+    jb = n / F.lit(6.0) * (
+        F.pow(skew, F.lit(2.0))
+        + F.pow(kurt - 3, F.lit(2.0)) / F.lit(4)
+    )
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(skew, 12).alias("skewness"),
+        F.round(kurt, 12).alias("kurtosis"),
+        F.round(jb, 12).alias("jb_stat"),
+    )
+
+
+@query(
+    "graph_butterfly_support",
+    oracle=f"""
+    WITH {_BUY_EDGES_SQL},
+    wedges AS (
+      SELECT a.dst AS s1, b.dst AS s2, count(*) AS support
+      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT CAST(coalesce(sum(support * (support - 1) / 2), 0)
+                  AS BIGINT) AS butterflies
+      FROM wedges WHERE support >= 2
+    )
+    SELECT s1, s2, CAST(support AS BIGINT) AS support,
+           CAST(rank AS BIGINT) AS rank, t.butterflies
+    FROM (
+      SELECT s1, s2, support,
+             row_number() OVER (
+               ORDER BY support DESC, s1 ASC, s2 ASC) AS rank
+      FROM wedges
+    ) CROSS JOIN total t
+    WHERE rank <= 20
+    """,
+)
+def graph_butterfly_support(spark: SparkSession, sf: str) -> DataFrame:
+    """BUTTERFLY (2×2 biclique) structure of the bipartite purchase
+    graph: top-20 supplier pairs by co-purchase support plus the
+    global butterfly count Σ C(support, 2) — the bipartite analogue
+    of triangle counting (Wang et al., 'Butterfly Counting in
+    Bipartite Networks'). Wedges pivot on the CUSTOMER side, whose
+    Σdeg² is ~8× smaller than the supplier side here (the same
+    degree-orientation economics as graph_triangle_count): one
+    self-equi-join on src + one integer groupBy. Exact integers end
+    to end."""
+    e = _buy_edges(spark, sf)
+    a = e.select("src", F.col("dst").alias("s1"))
+    b = e.select("src", F.col("dst").alias("s2"))
+    wedges = (
+        a.join(b, on="src")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    wedges = wedges.localCheckpoint(eager=False)  # consumed twice
+    total = wedges.filter(F.col("support") >= 2).agg(
+        F.coalesce(
+            F.sum(F.col("support") * (F.col("support") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("butterflies")
+    )
+    w = Window.orderBy(
+        F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        wedges.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "s1",
+            "s2",
+            F.col("support").cast("long").alias("support"),
+            "rank",
+            "butterflies",
+        )
     )
 
 

@@ -2908,3 +2908,124 @@ def test_bollinger_bands_matches_python(spark, sf_small):
             int(above),
             int(below),
         )
+
+
+def test_dtw_matches_python_dp(spark, sf_small):
+    """Arrow-kernel DTW equals a pure-python DP over the same dense
+    grids, and self-DTW lower-bounds hold (dtw >= |sum_a - sum_b|)."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grids = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grids[r.event_type][d] += 1
+
+    def dtw(a, b):
+        big = float("inf")
+        dp = [[big] * len(b) for _ in a]
+        for i in range(len(a)):
+            for j in range(len(b)):
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                else:
+                    best = min(
+                        dp[i - 1][j] if i else big,
+                        dp[i][j - 1] if j else big,
+                        dp[i - 1][j - 1] if i and j else big,
+                    )
+                    dp[i][j] = c + best
+        return dp[-1][-1]
+
+    rows = QUERIES["ts_dtw_pairs"](spark, sf_small).collect()
+    types = sorted(grids)
+    assert {(r.type_a, r.type_b) for r in rows} == {
+        (a, b) for a in types for b in types if a < b
+    }
+    for r in rows:
+        want = dtw(grids[r.type_a], grids[r.type_b])
+        assert r.dtw == want
+        assert r.dtw >= abs(sum(grids[r.type_a]) - sum(grids[r.type_b]))
+
+
+def test_jarque_bera_matches_numpy(spark, sf_small):
+    """JB, skewness, kurtosis equal a numpy replay on integer units."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect()
+    import math
+
+    groups = {}
+    for r in ev:
+        # HALF_UP like F.round / DuckDB round, not numpy's half-even
+        groups.setdefault(r.event_type, []).append(
+            int(math.floor(r.value + 0.5))
+        )
+    rows = {r.event_type: r for r in
+            QUERIES["stats_jarque_bera"](spark, sf_small).collect()}
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        x = np.asarray(vals, dtype=np.float64)
+        n = len(x)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        skew, kurt = m3 / m2**1.5, m4 / m2**2
+        jb = n / 6 * (skew**2 + (kurt - 3) ** 2 / 4)
+        r = rows[g]
+        assert r.n == n
+        assert abs(r.skewness - skew) < 1e-7
+        assert abs(r.kurtosis - kurt) < 1e-7
+        assert abs(r.jb_stat - jb) < 1e-5
+
+
+def test_butterfly_support_matches_python(spark, sf_small):
+    """Top-20 supplier pairs and the global butterfly count equal an
+    itertools replay of the bipartite wedge census."""
+    from collections import Counter
+    from itertools import combinations
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = (
+        load(spark, sf_small, "orders")
+        .filter("o_orderdate >= timestamp'1997-01-01'")
+        .filter("o_orderdate < timestamp'1998-01-01'")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust = {r.o_orderkey: r.o_custkey for r in o}
+    adj = {}
+    for r in li:
+        if r.l_orderkey in cust:
+            adj.setdefault(cust[r.l_orderkey], set()).add(r.l_suppkey)
+    sup = Counter()
+    for ss in adj.values():
+        for s1, s2 in combinations(sorted(ss), 2):
+            sup[(s1, s2)] += 1
+    butterflies = sum(c * (c - 1) // 2 for c in sup.values())
+    want = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = sorted(
+        QUERIES["graph_butterfly_support"](spark, sf_small).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [( (r.s1, r.s2), r.support) for r in rows] == want
+    assert all(r.butterflies == butterflies for r in rows)
