@@ -736,3 +736,59 @@ def test_session_batch3_plan_shapes(spark, sf_oracle):
     sp = plan_of(QUERIES["stats_spearman_corr"](spark, sf_oracle), "simple")
     assert "CartesianProduct" not in sp
     assert "EvalPython" not in sp
+
+
+def test_session_batch4_plan_shapes(spark, sf_oracle):
+    """Shape pins for the HITS/KM/KW + hamming/PMI/bollinger +
+    DTW/JB/butterfly batch: integer iterations stay equi-join +
+    partial-agg shaped; the only nested-loop inputs are documented
+    small broadcasts (queries table, 5-row series, one-row totals);
+    the DTW kernel is grouped Arrow; day-grain stats are join-free."""
+    hits = plan_of(QUERIES["graph_hits_scores"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in hits
+    assert "BroadcastNestedLoopJoin" not in hits
+    assert hits.count("HashAggregate") >= 2  # partial integer sums
+
+    km = plan_of(
+        QUERIES["olap_survival_kaplan_meier"](spark, sf_oracle), "simple"
+    )
+    assert "Join" not in km
+    assert "EvalPython" not in km
+
+    kw = plan_of(QUERIES["stats_kruskal_wallis"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in kw
+    # one-row tie/global broadcasts are the only nested loops
+    assert kw.count("BroadcastNestedLoopJoin") <= 3
+
+    ham = plan_of(
+        QUERIES["emb_binary_hamming_topk"](spark, sf_oracle), "simple"
+    )
+    # the query side is broadcast BY DESIGN (code table scan is the
+    # only corpus pass); no python in the scoring path
+    assert "EvalPython" not in ham
+    assert "SortMergeJoin" not in ham
+
+    pmi = plan_of(
+        QUERIES["text_pmi_cooccurrence"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in pmi
+    assert "BroadcastHashJoin" in pmi  # vocab filter broadcasts
+    assert pmi.count("BroadcastNestedLoopJoin") <= 1  # one-row N
+
+    boll = plan_of(QUERIES["ts_bollinger_bands"](spark, sf_oracle), "simple")
+    assert "Join" not in boll
+    assert boll.count("HashAggregate") >= 2
+
+    dtw = plan_of(QUERIES["ts_dtw_pairs"](spark, sf_oracle), "simple")
+    assert "FlatMapGroupsInPandas" in dtw  # the Arrow DP kernel
+    assert "CartesianProduct" not in dtw
+
+    jb = plan_of(QUERIES["stats_jarque_bera"](spark, sf_oracle), "simple")
+    assert "Join" not in jb
+    assert jb.count("HashAggregate") >= 2
+
+    bf = plan_of(
+        QUERIES["graph_butterfly_support"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in bf
+    assert bf.count("BroadcastNestedLoopJoin") <= 1  # one-row total
