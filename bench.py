@@ -170,6 +170,9 @@ CATALOG_BENCH = [
     "ts_dtw_pairs",
     "stats_jarque_bera",
     "graph_butterfly_support",
+    "stats_permutation_test",
+    "emb_knn_outlier_census",
+    "ts_peak_detection",
 ]
 
 

@@ -9003,6 +9003,9 @@ _DRIVER_WINDOW = [
     "ts_dtw_pairs",
     "stats_jarque_bera",
     "graph_butterfly_support",
+    "stats_permutation_test",
+    "emb_knn_outlier_census",
+    "ts_peak_detection",
 ]
 
 
@@ -16340,6 +16343,271 @@ def graph_butterfly_support(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
             "butterflies",
         )
+    )
+
+
+@query(
+    "stats_permutation_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT sum(ia) AS na, sum(1 - ia) AS nb,
+             sum(CASE WHEN ia = 1 THEN c END) AS sa,
+             sum(CASE WHEN ia = 0 THEN c END) AS sb
+      FROM base
+    ),
+    reps AS (
+      SELECT k.range AS k,
+             sum(CASE WHEN substr(md5(b.event_id || ':' || k.range),
+                             1, 1) IN ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE 0 END) AS nra,
+             sum(CASE WHEN substr(md5(b.event_id || ':' || k.range),
+                             1, 1) IN ('0','1','2','3','4','5','6','7')
+                      THEN b.c END) AS sra,
+             count(*) AS n, sum(b.c) AS st
+      FROM base b CROSS JOIN range(1, 65) k
+      GROUP BY k.range
+    ),
+    scored AS (
+      SELECT r.k,
+             CAST(r.nra AS BIGINT) AS n_a_k,
+             round(CAST(r.sra AS DOUBLE) / r.nra
+                   - CAST(r.st - r.sra AS DOUBLE) / (r.n - r.nra),
+                   6) AS diff_k,
+             CAST(CASE WHEN abs(CAST(r.sra AS DOUBLE) / r.nra
+                                - CAST(r.st - r.sra AS DOUBLE)
+                                  / (r.n - r.nra))
+                            >= abs(CAST(o.sa AS DOUBLE) / o.na
+                                   - CAST(o.sb AS DOUBLE) / o.nb)
+                       THEN 1 ELSE 0 END AS BIGINT) AS extreme,
+             round(CAST(o.sa AS DOUBLE) / o.na
+                   - CAST(o.sb AS DOUBLE) / o.nb, 6) AS obs_diff
+      FROM reps r CROSS JOIN obs o
+    )
+    SELECT k, n_a_k, diff_k, extreme, obs_diff,
+           round((1.0 + (SELECT sum(extreme) FROM scored)) / 65.0, 12)
+             AS p_value
+    FROM scored
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
+    """RANDOMIZATION TEST for the click-vs-view mean-cents difference:
+    64 deterministic label reassignments (row → group A iff
+    md5(event_id:k) starts 0-7, the repo's keystream device), p =
+    (1 + #extreme)/(K+1). Every replica mean comes from EXACT BIGINT
+    cent sums; the extreme comparison is between identically-derived
+    doubles, so the flag is engine-stable. Scale shape: the K
+    replicas are ONE explode + map-combinable groupBy(k) — 64 partial
+    cells per input split, no per-replica pass over the fact, the
+    same economics as curation_dp_noisy_counts. Output is the full
+    64-row replica table (diff, extreme flag) plus the shared
+    observed diff and p-value."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = e.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "ia"
+        ),
+    )
+    obs = base.agg(
+        F.sum("ia").alias("na"),
+        F.sum(1 - F.col("ia")).alias("nb"),
+        F.sum(F.when(F.col("ia") == 1, F.col("c"))).alias("sa"),
+        F.sum(F.when(F.col("ia") == 0, F.col("c"))).alias("sb"),
+    )
+    rep = base.select(
+        "event_id",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("k"),
+    )
+    flag = F.substring(
+        F.md5(F.concat_ws(":", F.col("event_id"), F.col("k"))), 1, 1
+    ).isin(*"01234567")
+    reps = rep.groupBy("k").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).alias("nra"),
+        F.sum(F.when(flag, F.col("c"))).alias("sra"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("st"),
+    )
+    diff_k = F.col("sra").cast("double") / F.col("nra") - (
+        F.col("st") - F.col("sra")
+    ).cast("double") / (F.col("n") - F.col("nra"))
+    obs_diff = F.col("sa").cast("double") / F.col("na") - F.col(
+        "sb"
+    ).cast("double") / F.col("nb")
+    scored = reps.crossJoin(F.broadcast(obs)).select(
+        "k",
+        F.col("nra").cast("long").alias("n_a_k"),
+        F.round(diff_k, 6).alias("diff_k"),
+        (F.abs(diff_k) >= F.abs(obs_diff))
+        .cast("long")
+        .alias("extreme"),
+        F.round(obs_diff, 6).alias("obs_diff"),
+    )
+    scored = scored.localCheckpoint(eager=False)  # consumed twice
+    tot = scored.agg(
+        F.round((1 + F.sum("extreme")) / F.lit(65.0), 12).alias(
+            "p_value"
+        )
+    )
+    return scored.crossJoin(F.broadcast(tot))
+
+
+@query(
+    "emb_knn_outlier_census",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, qv,
+             CAST(list_sum([x * x for x in qv]) AS BIGINT) AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             a.nn + b.nn
+             - 2 * CAST(list_sum(
+                 [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
+               AS BIGINT) AS d2
+      FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 5 = 0
+    ),
+    top5 AS (
+      SELECT qid, sum(d2) AS sum_d2_top5
+      FROM (
+        SELECT qid, d2,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= 5 GROUP BY qid
+    )
+    SELECT qid AS vec_id, CAST(sum_d2_top5 AS BIGINT) AS sum_d2_top5,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, sum_d2_top5,
+             row_number() OVER (
+               ORDER BY sum_d2_top5 DESC, qid ASC) AS rank
+      FROM top5
+    ) WHERE rank <= 30
+    """,
+)
+def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN-DISTANCE OUTLIER census (Ramaswamy et al. 2000): the 30
+    most isolated vectors of a deterministic 1/5 sample, scored by
+    the SUM of squared distances to their 5 nearest neighbors over
+    the FULL corpus — the contamination audit run before trusting an
+    embedding space. The ×256 quantization grid keeps every d² =
+    |a|²+|b|²−2a·b an EXACT BIGINT (the emb_pair_distance_histogram
+    device), so ranking never touches floats. The sampled query side
+    broadcasts against one corpus scan; at 100 TB the same scoring
+    runs per IVF cell with a boundary re-check instead of brute
+    force."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    norms = emb.select("vec_id", qz.alias("qv")).select(
+        "vec_id", "qv", dot("qv", "qv").alias("nn")
+    )
+    norms = norms.localCheckpoint(eager=False)  # consumed twice
+    q = norms.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    pairs = F.broadcast(q).crossJoin(norms).filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    d2 = F.col("na") + F.col("nn") - 2 * dot("qa", "qv")
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    top5 = (
+        pairs.select(
+            "qid", F.col("vec_id").alias("nid"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .groupBy("qid")
+        .agg(F.sum("d2").alias("sum_d2_top5"))
+    )
+    wr = Window.orderBy(
+        F.col("sum_d2_top5").desc(), F.col("qid").asc()
+    )
+    return (
+        top5.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("sum_d2_top5").cast("long").alias("sum_d2_top5"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    nb AS (
+      SELECT event_type, day, n,
+             greatest(
+               lag(n, 1) OVER w, lag(n, 2) OVER w, lag(n, 3) OVER w,
+               lead(n, 1) OVER w, lead(n, 2) OVER w, lead(n, 3) OVER w
+             ) AS shoulder_max
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, n, CAST(shoulder_max AS BIGINT)
+             AS shoulder_max,
+           CAST(n - shoulder_max AS BIGINT) AS rise
+    FROM nb
+    WHERE day BETWEEN 3 AND 26 AND n > shoulder_max
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """PEAK DETECTION on the per-type daily grids: a day is a peak
+    iff it strictly exceeds every neighbor within ±3 days (the
+    scipy.signal find_peaks(distance=3) semantics); rise = height
+    above the tallest shoulder. Dense-grid lag/lead windows keep
+    everything integer — no floats anywhere. One window per type
+    partition over the 30-day grid; the grid itself is one
+    map-combinable day-grain aggregate of the fact."""
+    grid = _daily_grid(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    shoulder = F.greatest(
+        *[F.lag("n", i).over(w) for i in (1, 2, 3)],
+        *[F.lead("n", i).over(w) for i in (1, 2, 3)],
+    )
+    nb = grid.select(
+        "event_type", "day", "n", shoulder.alias("shoulder_max")
+    )
+    return nb.filter(
+        (F.col("day") >= 3)
+        & (F.col("day") <= 26)
+        & (F.col("n") > F.col("shoulder_max"))
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        F.col("shoulder_max").cast("long").alias("shoulder_max"),
+        (F.col("n") - F.col("shoulder_max")).cast("long").alias("rise"),
     )
 
 

@@ -3029,3 +3029,113 @@ def test_butterfly_support_matches_python(spark, sf_small):
     )
     assert [( (r.s1, r.s2), r.support) for r in rows] == want
     assert all(r.butterflies == butterflies for r in rows)
+
+
+def test_permutation_test_matches_python(spark, sf_small):
+    """Replica diffs, extreme flags, and p equal an md5 replay."""
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").filter(
+        "event_type IN ('click', 'view')"
+    ).select("event_id", "event_type", "value").collect()
+    import math
+
+    rows_in = [
+        (r.event_id, int(math.floor(r.value * 100 + 0.5)),
+         r.event_type == "click")
+        for r in ev
+    ]
+    sa = sum(c for _, c, a in rows_in if a)
+    sb = sum(c for _, c, a in rows_in if not a)
+    na = sum(1 for *_, a in rows_in if a)
+    nb = len(rows_in) - na
+    obs = sa / na - sb / nb
+    want = {}
+    extremes = 0
+    for k in range(1, 65):
+        sra = nra = 0
+        for eid, c, _ in rows_in:
+            h = hashlib.md5(f"{eid}:{k}".encode()).hexdigest()[0]
+            if h in "01234567":
+                sra += c
+                nra += 1
+        dk = sra / nra - (sa + sb - sra) / (len(rows_in) - nra)
+        ext = int(abs(dk) >= abs(obs))
+        extremes += ext
+        want[k] = (nra, round(dk, 6), ext)
+    p = round((1 + extremes) / 65.0, 12)
+    rows = QUERIES["stats_permutation_test"](spark, sf_small).collect()
+    assert len(rows) == 64
+    for r in rows:
+        nra, dk, ext = want[r.k]
+        assert r.n_a_k == nra
+        assert abs(r.diff_k - dk) < 1e-6
+        assert r.extreme == ext
+        assert abs(r.obs_diff - round(obs, 6)) < 1e-6
+        assert abs(r.p_value - p) < 1e-12
+
+
+def test_knn_outlier_census_matches_numpy(spark, sf_small):
+    """Top-30 isolation ranking equals a numpy exact replay on the
+    quantized grid."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    qv = np.array(
+        [[round(float(x) * 256) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    want = []
+    for qi in np.where(ids % 5 == 0)[0]:
+        d2 = ((qv - qv[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(d2[j]), int(ids[j]))
+            for j in range(len(ids))
+            if j != qi
+        )[:5]
+        want.append((int(ids[qi]), sum(d for d, _ in order)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    want = want[:30]
+    rows = sorted(
+        QUERIES["emb_knn_outlier_census"](spark, sf_small).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.vec_id, r.sum_d2_top5) for r in rows] == want
+
+
+def test_peak_detection_matches_python(spark, sf_small):
+    """Peaks equal a python shoulder scan of the dense grids."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grids = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grids[r.event_type][d] += 1
+    want = set()
+    for t, g in grids.items():
+        for d in range(3, 27):
+            sh = max(g[d - 3 : d] + g[d + 1 : d + 4])
+            if g[d] > sh:
+                want.add((t, d, g[d], sh, g[d] - sh))
+    got = {
+        (r.event_type, r.day, r.n, r.shoulder_max, r.rise)
+        for r in QUERIES["ts_peak_detection"](spark, sf_small).collect()
+    }
+    assert got == want
