@@ -173,6 +173,9 @@ CATALOG_BENCH = [
     "stats_permutation_test",
     "emb_knn_outlier_census",
     "ts_peak_detection",
+    "stats_levene_brownforsythe",
+    "olap_wow_growth_decomposition",
+    "multimodal_image_entropy",
 ]
 
 

@@ -791,6 +791,38 @@ def wav_sample_stats(
     )
 
 
+def png_r_histogram(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Per-image 256-bin histogram of the R channel from the REAL PNG
+    decode — the input for entropy/contrast/exposure audits. One
+    array<long> row per image (bin counts are exact integers), so the
+    float-free decode stays Arrow-batched and downstream entropy math
+    can run JVM-side on the histogram instead of per-pixel rows.
+    Non-PNG rows are skipped; corrupt PNGs quarantine per item."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8)[:: d["channels"]]
+        hist = np.bincount(px, minlength=256)
+        return {
+            "n_pixels": d["width"] * d["height"],
+            "hist": [int(x) for x in hist],
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "n_pixels long, hist array<long>",
+        ),
+        with_quarantine,
+    )
+
+
 def png_ahash(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:

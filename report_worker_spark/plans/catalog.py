@@ -9006,6 +9006,9 @@ _DRIVER_WINDOW = [
     "stats_permutation_test",
     "emb_knn_outlier_census",
     "ts_peak_detection",
+    "stats_levene_brownforsythe",
+    "olap_wow_growth_decomposition",
+    "multimodal_image_entropy",
 ]
 
 
@@ -16608,6 +16611,290 @@ def ts_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.col("shoulder_max").cast("long").alias("shoulder_max"),
         (F.col("n") - F.col("shoulder_max")).cast("long").alias("rise"),
+    )
+
+
+@query(
+    "stats_levene_brownforsythe",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, c, count(*) AS cnt,
+             sum(count(*)) OVER (
+               PARTITION BY event_type ORDER BY c
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(count(*)) OVER (PARTITION BY event_type) AS n
+      FROM cents GROUP BY event_type, c
+    ),
+    med AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+      FROM cum GROUP BY event_type
+    ),
+    z AS (
+      SELECT x.event_type, abs(x.c - m.med) AS z, m.med
+      FROM cents x JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(any_value(med) AS BIGINT) AS median_cents,
+             sum(z) AS zs, sum(z * z) AS zs2
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(zs) AS DOUBLE) / sum(n_g) AS zbar
+      FROM g
+    ),
+    parts AS (
+      SELECT
+        list_reduce(list_sort(list(
+          n_g * (CAST(zs AS DOUBLE) / n_g - t.zbar)
+              * (CAST(zs AS DOUBLE) / n_g - t.zbar))),
+          (x, y) -> x + y) AS num,
+        list_reduce(list_sort(list(
+          CAST(zs2 AS DOUBLE)
+          - CAST(zs AS DOUBLE) * zs / n_g)),
+          (x, y) -> x + y) AS den,
+        any_value(t.n) AS n, any_value(t.k) AS k
+      FROM g CROSS JOIN tot t
+    )
+    SELECT g.event_type, g.n_g, g.median_cents,
+           round(CAST(g.zs AS DOUBLE) / g.n_g, 6) AS mean_absdev_cents,
+           round((p.num / (p.k - 1)) / (p.den / (p.n - p.k)), 12)
+             AS f_stat
+    FROM g CROSS JOIN parts p
+    """,
+)
+def stats_levene_brownforsythe(spark: SparkSession, sf: str) -> DataFrame:
+    """BROWN-FORSYTHE test for equal spread across event types (the
+    robust Levene variant: ANOVA on z = |x − group MEDIAN|, the
+    variance-homogeneity gate run before trusting a pooled ANOVA).
+    Group medians are EXACT discrete order statistics off the
+    per-group distinct-value cumulative table (the stats_iqr device,
+    never percentile_approx); z, Σz, Σz² stay BIGINT cents; the 5
+    per-group numerator/denominator terms fold smallest-first; F
+    rounds at 12. Two fact passes (median, then deviations) with one
+    broadcast median join — the unavoidable two-pass shape of
+    median-centered statistics."""
+    e = load(spark, sf, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    cents = cents.localCheckpoint(eager=False)  # consumed twice
+    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "event_type",
+        "c",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("c")
+            )
+        ).alias("med")
+    )
+    z = cents.join(F.broadcast(med), on="event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("z"), "med"
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.first("med").alias("median_cents"),
+        F.sum("z").alias("zs"),
+        F.sum(F.col("z") * F.col("z")).alias("zs2"),
+    )
+    g = g.localCheckpoint(eager=False)  # consumed thrice
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("zs").cast("double") / F.sum("n_g")).alias("zbar"),
+    )
+    zj = F.col("zs").cast("double") / F.col("n_g")
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.col("n_g") * (zj - F.col("zbar")) * (zj - F.col("zbar"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("num"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.col("zs2").cast("double")
+                    - F.col("zs").cast("double") * F.col("zs") / F.col("n_g")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("den"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+    )
+    f_stat = (F.col("num") / (F.col("k") - 1)) / (
+        F.col("den") / (F.col("n") - F.col("k"))
+    )
+    return g.crossJoin(F.broadcast(parts)).select(
+        "event_type",
+        F.col("n_g").cast("long").alias("n_g"),
+        F.col("median_cents").cast("long").alias("median_cents"),
+        F.round(F.col("zs").cast("double") / F.col("n_g"), 6).alias(
+            "mean_absdev_cents"
+        ),
+        F.round(f_stat, 12).alias("f_stat"),
+    )
+
+
+@query(
+    "olap_wow_growth_decomposition",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+               AS week,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lag1 AS (
+      SELECT event_type, week, cents,
+             lag(cents) OVER (
+               PARTITION BY event_type ORDER BY week) AS prev_cents
+      FROM weekly
+    ),
+    lagged AS (
+      SELECT *, sum(prev_cents) OVER (PARTITION BY week) AS prev_total
+      FROM lag1
+    )
+    SELECT event_type, week, cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           round((cents - prev_cents) * 100.0
+                 / nullif(prev_cents, 0), 6) AS wow_pct,
+           round((cents - prev_cents) * 100.0
+                 / nullif(prev_total, 0), 6) AS contribution_pct
+    FROM lagged WHERE prev_cents IS NOT NULL
+    """,
+)
+def olap_wow_growth_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """WEEK-OVER-WEEK growth with CONTRIBUTION decomposition: each
+    event type's WoW percentage plus its contribution to the total
+    week's growth (Δtype / prev_week_total — the additive
+    decomposition growth reviews use to attribute a topline move to
+    segments; contributions sum to the topline WoW). Week 4 is the
+    partial 2-day tail of the 30-day window, reported as-is. Integer
+    cents throughout; two stacked windows (lag per type, then a
+    week-partition total over the lags) — one day-grain aggregate of
+    the fact, no joins."""
+    e = load(spark, sf, "events")
+    week = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("int")
+    cents = F.round(F.col("value") * 100).cast("long")
+    weekly = e.select(
+        "event_type", week.alias("week"), cents.alias("c")
+    ).groupBy("event_type", "week").agg(F.sum("c").alias("cents"))
+    wl = Window.partitionBy("event_type").orderBy("week")
+    ww = Window.partitionBy("week")
+    lagged = weekly.select(
+        "event_type",
+        "week",
+        "cents",
+        F.lag("cents").over(wl).alias("prev_cents"),
+    ).withColumn("prev_total", F.sum("prev_cents").over(ww))
+    d = F.col("cents") - F.col("prev_cents")
+    return lagged.filter(F.col("prev_cents").isNotNull()).select(
+        "event_type",
+        "week",
+        "cents",
+        "prev_cents",
+        F.round(
+            d * 100.0 / F.nullif(F.col("prev_cents"), F.lit(0)), 6
+        ).alias("wow_pct"),
+        F.round(
+            d * 100.0 / F.nullif(F.col("prev_total"), F.lit(0)), 6
+        ).alias("contribution_pct"),
+    )
+
+
+@query(
+    "multimodal_image_entropy",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    blocks AS (
+      SELECT media_id, w, h, w*h*3 AS n,
+             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
+      FROM img
+    ),
+    bytes AS (
+      SELECT media_id, w, h, n, b,
+             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, b*16 + j AS gi, {{ks}} AS v
+      FROM bytes WHERE b*16 + j < n
+    ),
+    hist AS (
+      SELECT media_id, v, count(*) AS c
+      FROM vals WHERE gi % 3 = 0 GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CAST(sum(c) AS BIGINT) AS n_pixels,
+           CAST(count(*) AS BIGINT) AS distinct_values,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - list_reduce(list_sort(list(c * ln(CAST(c AS DOUBLE)))),
+                               (x, y) -> x + y) / sum(c),
+                 12) AS entropy
+    FROM hist GROUP BY media_id
+    """.replace("{ks}", _PNG_KS_BYTE),
+)
+def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """SHANNON ENTROPY of each image's R-channel byte distribution —
+    the exposure/information audit (a flat histogram approaches
+    ln 256 ≈ 5.545 nats; near-0 means blank or collapsed frames)
+    riding the REAL PNG decode. The kernel ships ONE 256-bin integer
+    histogram row per image (multimodal.py:png_r_histogram), so
+    entropy math stays JVM-side: H = ln(n) − Σc·ln(c)/n with the
+    ≤256 terms folded smallest-first, round 12. Decode is
+    Arrow-batched with per-item quarantine; no shuffle before the
+    final (tiny) projection."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    h = mm.png_r_histogram(media)
+    nz = F.expr("filter(hist, c -> c > 0)")
+    term_sum = F.expr(
+        "aggregate(array_sort(transform(filter(hist, c -> c > 0),"
+        " c -> c * ln(c))), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    n_d = F.col("n_pixels").cast("double")
+    return h.select(
+        "media_id",
+        "n_pixels",
+        F.size(nz).cast("long").alias("distinct_values"),
+        F.round(F.log(n_d) - term_sum / n_d, 12).alias("entropy"),
     )
 
 

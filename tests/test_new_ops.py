@@ -3139,3 +3139,112 @@ def test_peak_detection_matches_python(spark, sf_small):
         for r in QUERIES["ts_peak_detection"](spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_levene_brownforsythe_matches_python(spark, sf_small):
+    """Medians, mean |dev|, and F equal a python replay of the
+    Brown-Forsythe recipe (median-centered Levene)."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(int(math.floor(r.value * 100 + 0.5)))
+    meds, zs = {}, defaultdict(list)
+    for g, vals in groups.items():
+        sv = sorted(vals)
+        meds[g] = sv[(len(sv) + 1) // 2 - 1]
+        zs[g] = [abs(v - meds[g]) for v in vals]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    num = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values())
+    den = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in zs.values()
+    )
+    f = (num / (k - 1)) / (den / (n - k))
+    rows = {r.event_type: r for r in
+            QUERIES["stats_levene_brownforsythe"](spark, sf_small).collect()}
+    assert set(rows) == set(groups)
+    for g, r in rows.items():
+        assert r.n_g == len(groups[g])
+        assert r.median_cents == meds[g]
+        assert abs(r.mean_absdev_cents - sum(zs[g]) / len(zs[g])) < 1e-6
+        assert abs(r.f_stat - f) < 1e-8
+
+
+def test_wow_growth_contributions_sum_to_topline(spark, sf_small):
+    """Per-type contributions add up to the total WoW percentage, and
+    WoW percentages match a python cents replay."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    weekly = defaultdict(int)
+    for r in ev:
+        w = (r.ts.date() - epoch).days // 7
+        weekly[(r.event_type, w)] += int(math.floor(r.value * 100 + 0.5))
+    rows = QUERIES["olap_wow_growth_decomposition"](
+        spark, sf_small
+    ).collect()
+    by_week = defaultdict(list)
+    for r in rows:
+        assert r.cents == weekly[(r.event_type, r.week)]
+        assert r.prev_cents == weekly[(r.event_type, r.week - 1)]
+        want = (r.cents - r.prev_cents) * 100.0 / r.prev_cents
+        assert abs(r.wow_pct - round(want, 6)) < 1e-9
+        by_week[r.week].append(r)
+    for w, rs in by_week.items():
+        prev_total = sum(r.prev_cents for r in rs)
+        cur_total = sum(r.cents for r in rs)
+        topline = (cur_total - prev_total) * 100.0 / prev_total
+        assert abs(sum(r.contribution_pct for r in rs) - topline) < 1e-4
+
+
+def test_image_entropy_matches_python(spark, sf_small):
+    """Entropy equals a Counter replay over the decoded R channel,
+    and is bounded by ln(distinct_values)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from report_worker_spark.functions import multimodal as mm
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id").limit(40)
+    media = mm.synthetic_image_media(docs, "doc_id").collect()
+    want = {}
+    for r in media:
+        content = bytes(r.content)
+        if content[:8] != mm.PNG_SIG:
+            continue
+        d = mm.decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8)[:: d["channels"]]
+        c = Counter(px.tolist())
+        n = len(px)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        want[r.media_id] = (n, len(c), h)
+    rows = QUERIES["multimodal_image_entropy"](spark, sf_small).collect()
+    got = {r.media_id: r for r in rows}
+    assert set(want).issubset(set(got))
+    for mid, (n, dv, h) in want.items():
+        r = got[mid]
+        assert (r.n_pixels, r.distinct_values) == (n, dv)
+        assert abs(r.entropy - h) < 1e-9
+        assert r.entropy <= math.log(max(dv, 1)) + 1e-9
