@@ -176,6 +176,9 @@ CATALOG_BENCH = [
     "stats_levene_brownforsythe",
     "olap_wow_growth_decomposition",
     "multimodal_image_entropy",
+    "graph_closeness_topk",
+    "stats_trimmed_mean",
+    "join_scd2_pointintime",
 ]
 
 

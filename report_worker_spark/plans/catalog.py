@@ -9009,6 +9009,9 @@ _DRIVER_WINDOW = [
     "stats_levene_brownforsythe",
     "olap_wow_growth_decomposition",
     "multimodal_image_entropy",
+    "graph_closeness_topk",
+    "stats_trimmed_mean",
+    "join_scd2_pointintime",
 ]
 
 
@@ -16895,6 +16898,293 @@ def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
         "n_pixels",
         F.size(nz).cast("long").alias("distinct_values"),
         F.round(F.log(n_d) - term_sum / n_d, 12).alias("entropy"),
+    )
+
+
+def _harmonic_oracle(hops: int) -> str:
+    # per-seed BFS unrolled: each round joins the (seed, node) frontier
+    # to the adjacency list and anti-joins the visited set — the
+    # bfs_khop discipline with a seed tag carried through
+    steps = []
+    for h in range(1, hops + 1):
+        steps.append(f"""
+    f{h} AS MATERIALIZED (
+      SELECT DISTINCT v.seed, d.dst AS node
+      FROM f{h - 1} v JOIN d ON d.src = v.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis{h - 1} x
+                        WHERE x.seed = v.seed AND x.node = d.dst)
+    ),
+    vis{h} AS MATERIALIZED (
+      SELECT seed, node, dist FROM vis{h - 1}
+      UNION ALL SELECT seed, node, {h} FROM f{h}
+    )""")
+    return f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    d AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src),
+    seeds AS (
+      SELECT node AS seed FROM (
+        SELECT node, row_number() OVER (
+                 ORDER BY deg DESC, node ASC) AS r
+        FROM deg
+      ) WHERE r <= 8
+    ),
+    f0 AS (SELECT seed, seed AS node FROM seeds),
+    vis0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+    {",".join(steps)}
+    SELECT seed AS node,
+           CAST(count(*) - 1 AS BIGINT) AS reached,
+           round(list_reduce(
+             list_sort(list(CASE WHEN dist > 0
+                                 THEN 1.0 / dist ELSE 0.0 END)),
+             (x, y) -> x + y), 12) AS harmonic
+    FROM vis{hops} GROUP BY seed
+    """
+
+
+@query("graph_closeness_topk", oracle=_harmonic_oracle(4))
+def graph_closeness_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """HARMONIC CLOSENESS centrality (Σ 1/d over reached nodes —
+    well-defined on disconnected graphs, unlike classic closeness)
+    for the 8 highest-degree vertices of the part co-occurrence
+    graph, truncated at 4 hops. Per-seed BFS rides the bfs_khop
+    frontier discipline with a seed tag: each round is ONE equi-join
+    of the (seed, node) frontier against the adjacency list + one
+    anti-join against the visited set, frontiers localCheckpoint'ed.
+    Distances are integers; the ≤ O(V) reciprocal terms fold
+    smallest-first per seed, round 12."""
+    d = gr.undirected_edges(_cooccur_edges(spark, sf))
+    adj = d.select("src", "dst").unionAll(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # consumed every round
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wr = Window.orderBy(F.col("deg").desc(), F.col("src").asc())
+    seeds = (
+        deg.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 8)
+        .select(F.col("src").alias("seed"))
+    )
+    visited = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("seed", "node")
+    for h in range(1, 5):
+        nxt = (
+            adj.join(
+                frontier.withColumnRenamed("node", "src"), on="src"
+            )
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                visited.select("seed", "node"),
+                on=["seed", "node"],
+                how="left_anti",
+            )
+            .select("seed", "node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("seed", "node")
+    recip = F.when(
+        F.col("dist") > 0, F.lit(1.0) / F.col("dist")
+    ).otherwise(F.lit(0.0))
+    return visited.groupBy(F.col("seed").alias("node")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("reached"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(recip)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            12,
+        ).alias("harmonic"),
+    )
+
+
+@query(
+    "stats_trimmed_mean",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, c, count(*) AS cnt,
+             sum(count(*)) OVER (
+               PARTITION BY event_type ORDER BY c
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(count(*)) OVER (PARTITION BY event_type) AS n
+      FROM cents GROUP BY event_type, c
+    ),
+    kept AS (
+      SELECT event_type, n, n // 10 AS k,
+             greatest(0, least(cum, n - n // 10)
+                         - greatest(cum - cnt, n // 10)) AS keep_cnt,
+             c
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n,
+           CAST(any_value(k) AS BIGINT) AS k_trimmed,
+           CAST(sum(keep_cnt * c) AS BIGINT) AS trimmed_sum_cents,
+           round(CAST(sum(keep_cnt * c) AS DOUBLE)
+                 / (any_value(n) - 2 * any_value(k)), 6)
+             AS trimmed_mean_cents
+    FROM kept GROUP BY event_type
+    """,
+)
+def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10% TRIMMED MEAN per event type — the robust location estimate
+    between mean and median — computed EXACTLY from the per-group
+    distinct-value cumulative table: each value's kept multiplicity
+    is the integer interval overlap of its rank span [cum−cnt+1, cum]
+    with [k+1, n−k] (k = ⌊n/10⌋), so the trimmed sum is one BIGINT
+    aggregate — no sort of the raw fact, no percentile_approx, same
+    one-window shape as stats_iqr_outlier_census. The mean divides
+    two exact integers, round 6."""
+    e = load(spark, sf, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    k = F.expr("n DIV 10")
+    keep = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("cnt"), k),
+    )
+    kept = cum.select(
+        "event_type", "n", k.alias("k"), keep.alias("keep_cnt"), "c"
+    )
+    return kept.groupBy("event_type").agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("k").cast("long").alias("k_trimmed"),
+        F.sum(F.col("keep_cnt") * F.col("c"))
+        .cast("long")
+        .alias("trimmed_sum_cents"),
+        F.round(
+            F.sum(F.col("keep_cnt") * F.col("c")).cast("double")
+            / (F.first("n") - 2 * F.first("k")),
+            6,
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH flagged AS (
+      SELECT DISTINCT e.user_id AS k
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'error'
+        AND e.ts < TIMESTAMP '2024-01-15'
+    ),
+    dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CASE WHEN f.k IS NOT NULL
+                  THEN TIMESTAMP '2024-01-15'
+                  ELSE TIMESTAMP '2099-01-01' END AS valid_to
+      FROM customer LEFT JOIN flagged f ON c_custkey = f.k
+      UNION ALL
+      SELECT k, 'FLAGGED', TIMESTAMP '2024-01-15',
+             TIMESTAMP '2099-01-01'
+      FROM flagged
+    ),
+    fact AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.seg,
+           date_diff('day', DATE '2024-01-01', CAST(f.ts AS DATE)) // 7
+             AS week,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(sum(f.cents) AS BIGINT) AS cents
+    FROM fact f
+    JOIN dim d ON f.user_id = d.k
+      AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    GROUP BY 1, 2
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
+    """POINT-IN-TIME (as-of validity) join against an SCD2 dimension —
+    the warehouse resolution step after scd2_dim_history writes
+    versions: every purchase resolves to the segment version VALID AT
+    ITS EVENT TIME (users with a pre-Jan-15 error event flip to a
+    FLAGGED version effective Jan 15), then revenue rolls up by
+    resolved segment × week. The join is an EQUI-join on the surrogate
+    key with the validity range as a post-join filter — version
+    fan-out per key is ≤2, so there is no interval cross-join and the
+    plan survives any key cardinality; at 100 TB the dim side
+    broadcasts (or buckets with the fact on k). Integer cents."""
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    eff = F.lit("2024-01-15").cast("timestamp")
+    far = F.lit("2099-01-01").cast("timestamp")
+    flagged = (
+        e.filter(
+            (F.col("event_type") == "error") & (F.col("ts") < eff)
+        )
+        .join(c, e.user_id == c.c_custkey)
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    flagged = flagged.localCheckpoint(eager=False)  # consumed twice
+    base = c.join(
+        flagged.withColumn("_f", F.lit(1)),
+        c.c_custkey == flagged.k,
+        "left",
+    ).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("_f").isNotNull(), eff).otherwise(far).alias(
+            "valid_to"
+        ),
+    )
+    flip = flagged.select(
+        "k",
+        F.lit("FLAGGED").alias("seg"),
+        eff.alias("valid_from"),
+        far.alias("valid_to"),
+    )
+    dim = base.unionAll(flip)
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    week = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("long")
+    joined = fact.join(
+        F.broadcast(dim),
+        (fact.user_id == dim.k)
+        & (fact.ts >= dim.valid_from)
+        & (fact.ts < dim.valid_to),
+    )
+    return joined.groupBy("seg", week.alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("purchases"),
+        F.sum("cents").cast("long").alias("cents"),
     )
 
 

@@ -3248,3 +3248,110 @@ def test_image_entropy_matches_python(spark, sf_small):
         assert (r.n_pixels, r.distinct_values) == (n, dv)
         assert abs(r.entropy - h) < 1e-9
         assert r.entropy <= math.log(max(dv, 1)) + 1e-9
+
+
+def test_harmonic_closeness_matches_python_bfs(spark, sf_small):
+    """Per-seed truncated harmonic centrality equals a python BFS."""
+    from collections import defaultdict, deque
+
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+
+    e = _cooccur_edges(spark, sf_small).collect()
+    adj = defaultdict(set)
+    for r in e:
+        adj[r.src].add(r.dst)
+        adj[r.dst].add(r.src)
+    deg = {n: len(v) for n, v in adj.items()}
+    # undirected deg from the doubled edge list = len(neighbors)
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:8]
+    rows = {r.node: r for r in
+            QUERIES["graph_closeness_topk"](spark, sf_small).collect()}
+    assert set(rows) == set(seeds)
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == 4:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        h = sum(1.0 / d for d in dist.values() if d > 0)
+        r = rows[s]
+        assert r.reached == len(dist) - 1
+        assert abs(r.harmonic - h) < 1e-9
+
+
+def test_trimmed_mean_matches_python_sort(spark, sf_small):
+    """Exact 10% trim equals sorting and slicing in python."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(int(math.floor(r.value * 100 + 0.5)))
+    rows = {r.event_type: r for r in
+            QUERIES["stats_trimmed_mean"](spark, sf_small).collect()}
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        sv = sorted(vals)
+        k = len(sv) // 10
+        mid = sv[k : len(sv) - k]
+        r = rows[g]
+        assert (r.n, r.k_trimmed) == (len(sv), k)
+        assert r.trimmed_sum_cents == sum(mid)
+        assert abs(r.trimmed_mean_cents - sum(mid) / len(mid)) < 1e-6
+
+
+def test_scd2_pointintime_resolution(spark, sf_small):
+    """Every purchase lands in exactly one version; pre-flip error
+    users split their revenue at Jan 15; totals reconcile."""
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    eff = datetime.datetime(2024, 1, 15)
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_small, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).collect()
+    }
+    flagged = {
+        r.user_id
+        for r in ev
+        if r.event_type == "error" and r.ts < eff and r.user_id in cust
+    }
+    want = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r.event_type != "purchase" or r.user_id not in cust:
+            continue
+        seg = (
+            "FLAGGED"
+            if r.user_id in flagged and r.ts >= eff
+            else cust[r.user_id]
+        )
+        week = (r.ts.date() - epoch).days // 7
+        cell = want[(seg, week)]
+        cell[0] += 1
+        cell[1] += int(math.floor(r.value * 100 + 0.5))
+    got = {
+        (r.seg, r.week): [r.purchases, r.cents]
+        for r in QUERIES["join_scd2_pointintime"](spark, sf_small).collect()
+    }
+    assert got == dict(want)
