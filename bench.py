@@ -179,6 +179,9 @@ CATALOG_BENCH = [
     "graph_closeness_topk",
     "stats_trimmed_mean",
     "join_scd2_pointintime",
+    "ts_binary_segmentation",
+    "text_burrows_delta",
+    "emb_hard_negative_mining",
 ]
 
 

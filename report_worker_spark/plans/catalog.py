@@ -9012,6 +9012,9 @@ _DRIVER_WINDOW = [
     "graph_closeness_topk",
     "stats_trimmed_mean",
     "join_scd2_pointintime",
+    "ts_binary_segmentation",
+    "text_burrows_delta",
+    "emb_hard_negative_mining",
 ]
 
 
@@ -17185,6 +17188,352 @@ def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("seg", week.alias("week")).agg(
         F.count(F.lit(1)).cast("long").alias("purchases"),
         F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@query(
+    "ts_binary_segmentation",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(r.range AS INT) AS day,
+             CAST(coalesce(d.c, 0) AS BIGINT) AS c
+      FROM types t CROSS JOIN range(0, 30) r
+      LEFT JOIN daily d
+        ON d.event_type = t.event_type AND d.day = r.range
+    ),
+    pre AS (
+      SELECT event_type, day, c,
+             sum(c) OVER w AS sl, sum(c * c) OVER w AS ssl,
+             sum(c) OVER p AS st, sum(c * c) OVER p AS sst
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING),
+             p AS (PARTITION BY event_type)
+    ),
+    cand AS (
+      SELECT event_type, day + 1 AS s,
+             (ssl - CAST(sl AS DOUBLE) * sl / (day + 1))
+             + ((sst - ssl)
+                - CAST(st - sl AS DOUBLE) * (st - sl) / (29 - day))
+               AS sse_split,
+             sst - CAST(st AS DOUBLE) * st / 30 AS sse_total,
+             CAST(sl AS DOUBLE) / (day + 1) AS left_mean,
+             CAST(st - sl AS DOUBLE) / (29 - day) AS right_mean
+      FROM pre WHERE day BETWEEN 0 AND 28
+    )
+    SELECT event_type, CAST(s AS BIGINT) AS best_split_day,
+           round(left_mean, 4) AS left_mean_cents,
+           round(right_mean, 4) AS right_mean_cents,
+           round((1.0 - sse_split / sse_total) * 100, 9)
+             AS var_reduction_pct
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY sse_split ASC, s ASC) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def ts_binary_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """CHANGEPOINT by binary segmentation (first split of the CART /
+    PELT family): per event type, the day s splitting the 30-day
+    cents series into two segments with MINIMUM pooled SSE, reported
+    with segment means and the variance-reduction share. Both SSE
+    terms derive from EXACT BIGINT prefix sums (Σc, Σc² cumulative
+    windows) through identical double formulas, so the argmin and
+    tie-break (smallest s) are engine-stable; only ratio/mean outputs
+    round (means at 4 — cents magnitude; reduction share at 9). One
+    day-grain aggregate + one cumulative window + a 29-candidate
+    argmin — the fact shuffles once, candidates never leave the
+    day-grain table."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.select("event_type", day.alias("day"), cents.alias("c"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
+        )
+        .join(daily, on=["event_type", "day"], how="left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    pre = grid.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wcum).alias("sl"),
+        F.sum(F.col("c") * F.col("c")).over(wcum).alias("ssl"),
+        F.sum("c").over(wall).alias("st"),
+        F.sum(F.col("c") * F.col("c")).over(wall).alias("sst"),
+    ).filter(F.col("day") <= 28)
+    nl = (F.col("day") + 1).cast("double")
+    nr = (F.lit(29) - F.col("day")).cast("double")
+    sl_d = F.col("sl").cast("double")
+    sr_d = (F.col("st") - F.col("sl")).cast("double")
+    sse_split = (
+        F.col("ssl") - sl_d * F.col("sl") / nl
+    ) + ((F.col("sst") - F.col("ssl")) - sr_d * (F.col("st") - F.col("sl")) / nr)
+    sse_total = F.col("sst") - F.col("st").cast("double") * F.col("st") / 30
+    cand = pre.select(
+        "event_type",
+        (F.col("day") + 1).cast("long").alias("s"),
+        sse_split.alias("sse_split"),
+        sse_total.alias("sse_total"),
+        (sl_d / nl).alias("left_mean"),
+        (sr_d / nr).alias("right_mean"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("sse_split").asc(), F.col("s").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("s").alias("best_split_day"),
+            F.round("left_mean", 4).alias("left_mean_cents"),
+            F.round("right_mean", 4).alias("right_mean_cents"),
+            F.round(
+                (F.lit(1.0) - F.col("sse_split") / F.col("sse_total"))
+                * 100,
+                9,
+            ).alias("var_reduction_pct"),
+        )
+    )
+
+
+@query(
+    "text_burrows_delta",
+    oracle="""
+    WITH toks AS (
+      SELECT d.source,
+             unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+      FROM documents d
+    ),
+    cnt AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    stot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS tok FROM cnt GROUP BY 1
+    ),
+    top AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (
+                 ORDER BY sum(c) DESC, w ASC) AS r
+        FROM cnt GROUP BY w
+      ) WHERE r <= 30
+    ),
+    dense AS (
+      SELECT s.source, t.w,
+             1000.0 * coalesce(c.c, 0) / s.tok AS f
+      FROM stot s CROSS JOIN top t
+      LEFT JOIN cnt c ON c.source = s.source AND c.w = t.w
+    ),
+    mu AS (
+      SELECT w,
+             list_reduce(list_sort(list(f)), (x, y) -> x + y)
+               / count(*) AS mu
+      FROM dense GROUP BY w
+    ),
+    sig AS (
+      SELECT d.w,
+             sqrt(list_reduce(
+               list_sort(list((d.f - m.mu) * (d.f - m.mu))),
+               (x, y) -> x + y) / count(*)) AS sig
+      FROM dense d JOIN mu m ON d.w = m.w GROUP BY d.w
+    ),
+    z AS (
+      SELECT d.source, d.w, (d.f - m.mu) / s.sig AS z
+      FROM dense d
+      JOIN mu m ON d.w = m.w
+      JOIN sig s ON d.w = s.w
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(list_reduce(list_sort(list(abs(a.z - b.z))),
+                             (x, y) -> x + y) / 30, 9) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """BURROWS' DELTA stylometric distance between every pair of the
+    20 sources (Burrows 2002): z-score each source's per-mille rate
+    of the 30 highest-frequency words against the across-source
+    mean/σ, then delta = mean |z₁ − z₂| — the authorship/provenance
+    fingerprint. Counts stay BIGINT; every float reduction (μ per
+    word, σ per word, the 30-term pair sum) folds smallest-first,
+    round 9. The pair join is keyed on the 30-word vocab, so the
+    fan-out is sources²·30 — vocabulary-bounded like
+    text_pmi_cooccurrence, independent of corpus size."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select("source", F.explode(tx.tokens("text")).alias("w"))
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # feeds totals, top, dense
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("tok"))
+    wv = Window.orderBy(F.col("tc").desc(), F.col("w").asc())
+    top = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 30)
+        .select("w")
+    )
+    dense = (
+        stot.crossJoin(F.broadcast(top))
+        .join(cnt, on=["source", "w"], how="left")
+        .select(
+            "source",
+            "w",
+            (
+                F.lit(1000.0) * F.coalesce(F.col("c"), F.lit(0))
+                / F.col("tok")
+            ).alias("f"),
+        )
+    )
+    dense = dense.localCheckpoint(eager=False)  # consumed thrice
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(col)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mu = dense.groupBy("w").agg(
+        (fold(F.col("f")) / F.count(F.lit(1))).alias("mu")
+    )
+    sig = (
+        dense.join(F.broadcast(mu), on="w")
+        .groupBy("w")
+        .agg(
+            F.sqrt(
+                fold(
+                    (F.col("f") - F.col("mu"))
+                    * (F.col("f") - F.col("mu"))
+                )
+                / F.count(F.lit(1))
+            ).alias("sig")
+        )
+    )
+    z = (
+        dense.join(F.broadcast(mu), on="w")
+        .join(F.broadcast(sig), on="w")
+        .select(
+            "source",
+            "w",
+            ((F.col("f") - F.col("mu")) / F.col("sig")).alias("z"),
+        )
+    )
+    z = z.localCheckpoint(eager=False)  # both sides of the pair join
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, on="w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                fold(F.abs(F.col("za") - F.col("zb"))) / 30, 9
+            ).alias("delta")
+        )
+    )
+
+
+@query(
+    "emb_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(
+               [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
+             AS BIGINT) AS dot
+      FROM q a JOIN q b
+        ON a.vec_id % 25 = 0 AND a.label <> b.label
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def emb_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each anchor
+    (vec_id % 25), the 5 most-similar vectors with a DIFFERENT label
+    — the negatives that actually teach the margin (Schroff et al.
+    2015, FaceNet). Similarity is the raw dot product on the ×256
+    quantization grid, EXACT BIGINT end to end (the
+    emb_knn_outlier_census device), so ranking is engine-stable.
+    Anchors broadcast against one corpus scan with the label
+    inequality as a join predicate; at 100 TB the anchor side shards
+    and each shard still makes one pass."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, qv, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    base = emb.select("vec_id", "label", qz.alias("qv"))
+    base = base.localCheckpoint(eager=False)  # consumed twice
+    q = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qa"),
+    )
+    pairs = F.broadcast(q).crossJoin(base).filter(
+        F.col("qlabel") != F.col("label")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= 5)
     )
 
 

@@ -3355,3 +3355,126 @@ def test_scd2_pointintime_resolution(spark, sf_small):
         for r in QUERIES["join_scd2_pointintime"](spark, sf_small).collect()
     }
     assert got == dict(want)
+
+
+def test_binary_segmentation_matches_python(spark, sf_small):
+    """Best split day and variance reduction equal an exhaustive
+    python scan of all 29 candidate splits."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    grids = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grids[r.event_type][d] += int(math.floor(r.value * 100 + 0.5))
+
+    def sse(xs):
+        n = len(xs)
+        return sum(x * x for x in xs) - sum(xs) ** 2 / n
+
+    rows = {r.event_type: r for r in
+            QUERIES["ts_binary_segmentation"](spark, sf_small).collect()}
+    assert set(rows) == set(grids)
+    for t, g in grids.items():
+        best = min(
+            (sse(g[:s]) + sse(g[s:]), s) for s in range(1, 30)
+        )
+        r = rows[t]
+        assert r.best_split_day == best[1]
+        s = best[1]
+        assert abs(r.left_mean_cents - sum(g[:s]) / s) < 1e-4
+        assert abs(r.right_mean_cents - sum(g[s:]) / (30 - s)) < 1e-4
+        want_red = (1 - best[0] / sse(g)) * 100
+        assert abs(r.var_reduction_pct - want_red) < 1e-6
+
+
+def test_burrows_delta_matches_python(spark, sf_small):
+    """Delta distances equal a python z-score replay; delta is a
+    symmetric premetric (>= 0, zero only for identical profiles)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "source", "text"
+    ).collect()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        cnt[r.source].update(r.text.strip().split())
+    total = Counter()
+    for c in cnt.values():
+        total.update(c)
+    top = [w for w, _ in
+           sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:30]]
+    sources = sorted(cnt)
+    f = {
+        (s, w): 1000.0 * cnt[s][w] / sum(cnt[s].values())
+        for s in sources
+        for w in top
+    }
+    z = {}
+    for w in top:
+        vals = [f[(s, w)] for s in sources]
+        mu = sum(vals) / len(vals)
+        sig = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+        for s in sources:
+            z[(s, w)] = (f[(s, w)] - mu) / sig
+    rows = QUERIES["text_burrows_delta"](spark, sf_small).collect()
+    assert len(rows) == len(sources) * (len(sources) - 1) // 2
+    for r in rows:
+        want = sum(
+            abs(z[(r.source_a, w)] - z[(r.source_b, w)]) for w in top
+        ) / 30
+        assert abs(r.delta - want) < 1e-7
+        assert r.delta > 0
+
+
+def test_hard_negative_mining_matches_numpy(spark, sf_small):
+    """Top-5 different-label dot products equal a numpy replay, and
+    no neighbor shares the anchor's label."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    labels = {r.vec_id: r.label for r in emb}
+    qv = np.array(
+        [[round(float(x) * 256) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    want = {}
+    for qi in np.where(ids % 25 == 0)[0]:
+        dots = qv @ qv[qi]
+        cand = sorted(
+            (-int(dots[j]), int(ids[j]))
+            for j in range(len(ids))
+            if labels[int(ids[j])] != labels[int(ids[qi])]
+        )[:5]
+        want[int(ids[qi])] = [
+            (c, -d, i + 1) for i, (d, c) in enumerate(cand)
+        ]
+    got = {}
+    for r in QUERIES["emb_hard_negative_mining"](spark, sf_small).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.dot, r.rank)
+        )
+        assert labels[r.neighbor_id] != labels[r.query_id]
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == want
