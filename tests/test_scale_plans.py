@@ -792,3 +792,62 @@ def test_session_batch4_plan_shapes(spark, sf_oracle):
     )
     assert "CartesianProduct" not in bf
     assert bf.count("BroadcastNestedLoopJoin") <= 1  # one-row total
+
+
+def test_session_batch5_plan_shapes(spark, sf_oracle):
+    """Shape pins for the Levene/WoW/entropy + closeness/trim/SCD2 +
+    segmentation/delta/negatives batch: median and vocab joins stay
+    broadcast HASH joins; day-grain stats stay join-free except the
+    documented dense-grid cross; decode kernels are Arrow
+    mapInPandas; pair fan-outs are keyed joins, never cartesian."""
+    lev = plan_of(
+        QUERIES["stats_levene_brownforsythe"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in lev
+    # the 5-row median broadcast join sits behind the localCheckpoint
+    # lineage cut, so the visible plan is the per-group tail only
+    assert "EvalPython" not in lev
+
+    wow = plan_of(
+        QUERIES["olap_wow_growth_decomposition"](spark, sf_oracle), "simple"
+    )
+    assert "Join" not in wow
+    assert "EvalPython" not in wow
+
+    ent = plan_of(
+        QUERIES["multimodal_image_entropy"](spark, sf_oracle), "simple"
+    )
+    assert "MapInPandas" in ent  # decode kernel
+    assert "Join" not in ent  # entropy math is JVM-side, no shuffle join
+
+    clo = plan_of(QUERIES["graph_closeness_topk"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in clo
+
+    trim = plan_of(QUERIES["stats_trimmed_mean"](spark, sf_oracle), "simple")
+    assert "Join" not in trim
+    assert "EvalPython" not in trim
+
+    scd = plan_of(
+        QUERIES["join_scd2_pointintime"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in scd
+    # the versioned dim broadcasts; range predicate rides the hash join
+    assert "BroadcastHashJoin" in scd
+
+    seg = plan_of(
+        QUERIES["ts_binary_segmentation"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in seg
+    # dense 30-day grid cross on a 5-row types table is the only BNLJ
+    assert seg.count("BroadcastNestedLoopJoin") <= 1
+
+    bd = plan_of(QUERIES["text_burrows_delta"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in bd
+    # top-30 vocab cross on the 20-row source table is the only BNLJ
+    assert bd.count("BroadcastNestedLoopJoin") <= 1
+
+    neg = plan_of(
+        QUERIES["emb_hard_negative_mining"](spark, sf_oracle), "simple"
+    )
+    assert "EvalPython" not in neg
+    assert "SortMergeJoin" not in neg  # anchors broadcast
