@@ -447,6 +447,107 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # Round-7 session-3 batch: vocabulary-bounded pair ops, the integer
+    # ANN audits, and the bipartite wedge census.
+    # ------------------------------------------------------------------
+    # PMI: tokens filter through the top-100-df broadcast vocab BEFORE
+    # any pairing, so the per-doc fan-out is vocab-bounded and total
+    # pair volume grows ~K with the corpus
+    dtoks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).distinct()
+    wv = Window.orderBy(F.col("df").desc(), F.col("w").asc())
+    vocab = (
+        dtoks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 100).drop("r")
+    )
+    ft = dtoks.join(F.broadcast(vocab), on="w")
+    timings["text_pmi_pairs"] = timed(
+        ft.alias("a")
+        .join(ft.alias("b"), on="doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w"), F.col("b.w"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    # kNN outlier census: the AUDIT SAMPLE stays fixed at deployment
+    # (scores estimate the contamination rate), so work = sample ×
+    # corpus grows ~K, not K² — pin the sample to the base replica
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    base_n = load(spark, SF_DIR, "embeddings").count()
+    norms = emb.select("vec_id", qz.alias("qv")).select(
+        "vec_id", "qv", dot("qv", "qv").alias("nn")
+    )
+    qside = norms.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < base_n)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    wk5 = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    timings["emb_knn_outlier_census"] = timed(
+        F.broadcast(qside)
+        .crossJoin(norms)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (F.col("na") + F.col("nn") - 2 * dot("qa", "qv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wk5))
+        .filter(F.col("rn") <= 5)
+        .groupBy("qid")
+        .agg(F.sum("d2").alias("s"))
+    )
+    # Burrows' Delta: the pair join is keyed on the 30-word vocab —
+    # sources² · 30 rows regardless of corpus size; only the count
+    # pass scales with K
+    stoks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    scnt = stoks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    wtv = Window.orderBy(F.col("tc").desc(), F.col("w").asc())
+    top30 = (
+        scnt.groupBy("w").agg(F.sum("c").alias("tc"))
+        .withColumn("r", F.row_number().over(wtv))
+        .filter(F.col("r") <= 30).select("w")
+    )
+    timings["text_burrows_counts"] = timed(
+        scnt.join(F.broadcast(top30), on="w")
+    )
+    # butterflies: wedge budget = Σ deg² over the pivot side; K
+    # replicas keep customers disjoint, so the census grows ~K
+    bedges = upscale_cooccur_edges(spark, K).select("src", "dst")
+    timings["graph_butterfly_census"] = timed(
+        bedges.alias("a")
+        .join(bedges.alias("b"), on="src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(F.col("a.dst"), F.col("b.dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    # image entropy: per-item decode + one histogram row per image —
+    # embarrassingly parallel like the aHash/GIF kernels
+    timings["multimodal_image_entropy"] = timed(
+        mm.png_r_histogram(
+            mm.synthetic_image_media(
+                docs.select((F.col("doc_id") * 2).alias("doc_id")),
+                "doc_id",
+            )
+        )
+    )
+
+    # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
     # LSH near-dup components → substring trim → benchmark
