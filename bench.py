@@ -182,6 +182,9 @@ CATALOG_BENCH = [
     "ts_binary_segmentation",
     "text_burrows_delta",
     "emb_hard_negative_mining",
+    "stats_ks_uniformity",
+    "ts_seasonal_strength",
+    "stats_mde_power",
 ]
 
 

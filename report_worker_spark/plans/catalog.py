@@ -9015,6 +9015,9 @@ _DRIVER_WINDOW = [
     "ts_binary_segmentation",
     "text_burrows_delta",
     "emb_hard_negative_mining",
+    "stats_ks_uniformity",
+    "ts_seasonal_strength",
+    "stats_mde_power",
 ]
 
 
@@ -17534,6 +17537,281 @@ def emb_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "stats_ks_uniformity",
+    oracle="""
+    WITH sec AS (
+      SELECT event_type,
+             epoch_us(ts - CAST(CAST(ts AS DATE) AS TIMESTAMP))
+               // 1000000 AS s
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, s, count(*) AS cnt,
+             sum(count(*)) OVER (
+               PARTITION BY event_type ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(count(*)) OVER (PARTITION BY event_type) AS n
+      FROM sec GROUP BY event_type, s
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+           round(max(CAST(cum AS DOUBLE) / n
+                     - CAST(s AS DOUBLE) / 86400), 12) AS d_plus,
+           round(max(CAST(s AS DOUBLE) / 86400
+                     - CAST(cum - cnt AS DOUBLE) / n), 12) AS d_minus,
+           round(sqrt(CAST(any_value(n) AS DOUBLE))
+                 * greatest(
+                     max(CAST(cum AS DOUBLE) / n
+                         - CAST(s AS DOUBLE) / 86400),
+                     max(CAST(s AS DOUBLE) / 86400
+                         - CAST(cum - cnt AS DOUBLE) / n)),
+                 12) AS sqrt_n_d
+    FROM cum GROUP BY event_type
+    """,
+)
+def stats_ks_uniformity(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-SAMPLE KOLMOGOROV-SMIRNOV test of time-of-day uniformity
+    per event type: D⁺/D⁻ between the empirical CDF of second-of-day
+    and the uniform CDF t/86400 — the diurnal-pattern detector (√n·D
+    ≳ 1.63 rejects at α=0.01). Tie-correct via the distinct-value
+    cumulative table: each distinct second contributes cum/n − t/T
+    and t/T − (cum−cnt)/n, every operand an exact integer before ONE
+    identical double expression, so the max is engine-stable. Seconds
+    come from tz-free interval arithmetic (the KM device). One
+    distinct-value groupBy + one window — the fact shuffles once."""
+    e = load(spark, sf, "events")
+    sec = F.expr(
+        "CAST(ts - CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS LONG)"
+    )
+    cum = (
+        e.select("event_type", sec.alias("s"))
+        .groupBy("event_type", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    t = cum.select(
+        "event_type",
+        "s",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    dp = F.col("cum").cast("double") / F.col("n") - F.col("s").cast(
+        "double"
+    ) / F.lit(86400)
+    dm = F.col("s").cast("double") / F.lit(86400) - (
+        F.col("cum") - F.col("cnt")
+    ).cast("double") / F.col("n")
+    return t.groupBy("event_type").agg(
+        F.first("n").cast("long").alias("n"),
+        F.round(F.max(dp), 12).alias("d_plus"),
+        F.round(F.max(dm), 12).alias("d_minus"),
+        F.round(
+            F.sqrt(F.first("n").cast("double"))
+            * F.greatest(F.max(dp), F.max(dm)),
+            12,
+        ).alias("sqrt_n_d"),
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, c,
+             sum(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS n7
+      FROM daily
+    ),
+    dt AS (
+      SELECT d, d % 7 AS dow, c,
+             CAST(s7 AS DOUBLE) / 7 AS trend,
+             c - CAST(s7 AS DOUBLE) / 7 AS detr
+      FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_sort(list(detr)), (x, y) -> x + y)
+               / count(*) AS s_dow
+      FROM dt GROUP BY dow
+    ),
+    rem AS (
+      SELECT dt.d, dt.dow, dt.c, dt.trend, dt.detr, s.s_dow,
+             dt.detr - s.s_dow AS r
+      FROM dt JOIN seas s ON dt.dow = s.dow
+    ),
+    mom AS (
+      SELECT
+        count(*) AS n,
+        list_reduce(list_sort(list(r)), (x, y) -> x + y) AS sr,
+        list_reduce(list_sort(list(r * r)), (x, y) -> x + y) AS srr,
+        list_reduce(list_sort(list(trend + r)), (x, y) -> x + y) AS st,
+        list_reduce(list_sort(list((trend + r) * (trend + r))),
+                    (x, y) -> x + y) AS stt,
+        list_reduce(list_sort(list(s_dow + r)), (x, y) -> x + y) AS ss,
+        list_reduce(list_sort(list((s_dow + r) * (s_dow + r))),
+                    (x, y) -> x + y) AS sss
+      FROM rem
+    )
+    SELECT s.dow, round(s.s_dow, 9) AS s_dow,
+           CAST(m.n AS BIGINT) AS n_days,
+           round(greatest(0.0, 1.0 - (m.srr / m.n - (m.sr / m.n) * (m.sr / m.n))
+                 / (m.stt / m.n - (m.st / m.n) * (m.st / m.n))), 12)
+             AS f_trend,
+           round(greatest(0.0, 1.0 - (m.srr / m.n - (m.sr / m.n) * (m.sr / m.n))
+                 / (m.sss / m.n - (m.ss / m.n) * (m.ss / m.n))), 12)
+             AS f_seasonal
+    FROM seas s CROSS JOIN mom m
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """TREND and SEASONAL STRENGTH (Hyndman FPP: Fₜ = max(0, 1 −
+    Var(R)/Var(T+R)), Fₛ = max(0, 1 − Var(R)/Var(S+R))) from a full
+    classical decomposition of the daily count series: T = centered
+    7-day moving average (exact BIGINT window sum / 7), S = day-of-
+    week means of the detrended series, R the remainder. Every float
+    reduction — the 7 per-dow means, all four moment sums — folds
+    smallest-first, round 12 on the strengths. Output is the 7-row
+    seasonal profile with the shared strengths. One day-grain
+    aggregate + one centered window + a 7-row broadcast join."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = e.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    dt = tr.select(
+        "d",
+        (F.col("d") % 7).alias("dow"),
+        "c",
+        (F.col("s7").cast("double") / 7).alias("trend"),
+        (F.col("c") - F.col("s7").cast("double") / 7).alias("detr"),
+    )
+    dt = dt.localCheckpoint(eager=False)  # consumed twice
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(col)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    seas = dt.groupBy("dow").agg(
+        (fold(F.col("detr")) / F.count(F.lit(1))).alias("s_dow")
+    )
+    seas = seas.localCheckpoint(eager=False)  # consumed twice
+    rem = dt.join(F.broadcast(seas), on="dow").select(
+        "dow",
+        "trend",
+        "s_dow",
+        (F.col("detr") - F.col("s_dow")).alias("r"),
+    )
+    tpr = F.col("trend") + F.col("r")
+    spr = F.col("s_dow") + F.col("r")
+    mom = rem.agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(F.col("r")).alias("sr"),
+        fold(F.col("r") * F.col("r")).alias("srr"),
+        fold(tpr).alias("st"),
+        fold(tpr * tpr).alias("stt"),
+        fold(spr).alias("ss"),
+        fold(spr * spr).alias("sss"),
+    )
+    n = F.col("n").cast("double")
+    var_r = F.col("srr") / n - (F.col("sr") / n) * (F.col("sr") / n)
+    var_t = F.col("stt") / n - (F.col("st") / n) * (F.col("st") / n)
+    var_s = F.col("sss") / n - (F.col("ss") / n) * (F.col("ss") / n)
+    return seas.crossJoin(F.broadcast(mom)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.round("s_dow", 9).alias("s_dow"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_t), 12
+        ).alias("f_trend"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_s), 12
+        ).alias("f_seasonal"),
+    )
+
+
+@query(
+    "stats_mde_power",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(c) AS s1, sum(c * c) AS s2
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_cents,
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)), 6) AS sigma_cents,
+           round(CAST(2.8016 AS DOUBLE)
+                 * sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n))
+                 * sqrt(CAST(2 AS DOUBLE) / (n // 2)), 6) AS mde_cents,
+           round(CAST(2.8016 AS DOUBLE)
+                 * sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n))
+                 * sqrt(CAST(2 AS DOUBLE) / (n // 2))
+                 / (CAST(s1 AS DOUBLE) / n) * 100, 6) AS mde_rel_pct
+    FROM m
+    """,
+)
+def stats_mde_power(spark: SparkSession, sf: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT calculator per event type — the
+    experiment-sizing table product teams consult before launching an
+    A/B test: mde = (z_{α/2} + z_β)·σ·√(2/m) at α=0.05, power=0.80
+    (z constants pinned as literals: 1.96, 0.8416), arms m = n∕2 of
+    the observed volume. σ comes from EXACT BIGINT cent sums through
+    the stats_moments formula; absolute and relative MDE round at 6.
+    One map-combinable groupBy — nothing else."""
+    e = load(spark, sf, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    m = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    sigma = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+    mde = (
+        F.lit(2.8016)  # 1.96 + 0.8416 pinned as one literal
+        * sigma
+        * F.sqrt(F.lit(2.0) / F.expr("n DIV 2"))
+    )
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_cents"),
+        F.round(sigma, 6).alias("sigma_cents"),
+        F.round(mde, 6).alias("mde_cents"),
+        F.round(mde / mean * 100, 6).alias("mde_rel_pct"),
     )
 
 

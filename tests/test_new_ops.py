@@ -3478,3 +3478,114 @@ def test_hard_negative_mining_matches_numpy(spark, sf_small):
     for q in got:
         got[q].sort(key=lambda t: t[2])
     assert got == want
+
+
+def test_ks_uniformity_matches_python(spark, sf_small):
+    """D+/D- equal a sorted-ECDF python replay with ties."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "ts", "event_type"
+    ).collect()
+    secs = defaultdict(list)
+    for r in ev:
+        t = r.ts
+        secs[r.event_type].append(
+            t.hour * 3600 + t.minute * 60 + t.second
+        )
+    rows = {r.event_type: r for r in
+            QUERIES["stats_ks_uniformity"](spark, sf_small).collect()}
+    assert set(rows) == set(secs)
+    for g, vals in secs.items():
+        n = len(vals)
+        cnt = Counter(vals)
+        cum = 0
+        dplus = dminus = -1.0
+        for v in sorted(cnt):
+            prev = cum
+            cum += cnt[v]
+            dplus = max(dplus, cum / n - v / 86400)
+            dminus = max(dminus, v / 86400 - prev / n)
+        r = rows[g]
+        assert r.n == n
+        assert abs(r.d_plus - dplus) < 1e-9
+        assert abs(r.d_minus - dminus) < 1e-9
+        assert abs(r.sqrt_n_d - n**0.5 * max(dplus, dminus)) < 1e-8
+
+
+def test_seasonal_strength_matches_python(spark, sf_small):
+    """F_trend / F_seasonal equal a python classical decomposition,
+    and both strengths live in [0, 1]."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.ts.date() - epoch).days] += 1
+    days = sorted(daily)
+    c = [daily[d] for d in days]
+    trend = {}
+    for i, d in enumerate(days):
+        if 3 <= i <= len(days) - 4:
+            trend[d] = sum(c[i - 3 : i + 4]) / 7
+    detr = {d: daily[d] - trend[d] for d in trend}
+    sdow = defaultdict(list)
+    for d in detr:
+        sdow[d % 7].append(detr[d])
+    s = {k: sum(v) / len(v) for k, v in sdow.items()}
+    r = [detr[d] - s[d % 7] for d in sorted(detr)]
+    tpr = [trend[d] + detr[d] - s[d % 7] for d in sorted(detr)]
+    spr = [s[d % 7] + detr[d] - s[d % 7] for d in sorted(detr)]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum(x * x for x in xs) / len(xs) - m * m
+
+    ft = max(0.0, 1 - var(r) / var(tpr))
+    fs = max(0.0, 1 - var(r) / var(spr))
+    rows = QUERIES["ts_seasonal_strength"](spark, sf_small).collect()
+    assert len(rows) == 7
+    for row in rows:
+        assert abs(row.s_dow - s[row.dow]) < 1e-6
+        assert abs(row.f_trend - ft) < 1e-8
+        assert abs(row.f_seasonal - fs) < 1e-8
+        assert 0.0 <= row.f_trend <= 1.0
+        assert 0.0 <= row.f_seasonal <= 1.0
+
+
+def test_mde_power_matches_python(spark, sf_small):
+    """MDE table equals the (z_a + z_b) sigma sqrt(2/m) formula."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(int(math.floor(r.value * 100 + 0.5)))
+    rows = {r.event_type: r for r in
+            QUERIES["stats_mde_power"](spark, sf_small).collect()}
+    for g, vals in groups.items():
+        n = len(vals)
+        mean = sum(vals) / n
+        sig = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+        mde = 2.8016 * sig * math.sqrt(2 / (n // 2))
+        r = rows[g]
+        assert r.n == n
+        assert abs(r.mean_cents - mean) < 1e-6
+        assert abs(r.sigma_cents - sig) < 1e-5
+        assert abs(r.mde_cents - mde) < 1e-5
+        assert abs(r.mde_rel_pct - mde / mean * 100) < 1e-5
