@@ -185,6 +185,9 @@ CATALOG_BENCH = [
     "stats_ks_uniformity",
     "ts_seasonal_strength",
     "stats_mde_power",
+    "curation_coreset_kcenter",
+    "ts_overdispersion_index",
+    "text_word_burstiness",
 ]
 
 

@@ -9018,6 +9018,9 @@ _DRIVER_WINDOW = [
     "stats_ks_uniformity",
     "ts_seasonal_strength",
     "stats_mde_power",
+    "curation_coreset_kcenter",
+    "ts_overdispersion_index",
+    "text_word_burstiness",
 ]
 
 
@@ -17812,6 +17815,313 @@ def stats_mde_power(spark: SparkSession, sf: str) -> DataFrame:
         F.round(sigma, 6).alias("sigma_cents"),
         F.round(mde, 6).alias("mde_cents"),
         F.round(mde / mean * 100, 6).alias("mde_rel_pct"),
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    # farthest-first traversal unrolled: step i picks the argmax of the
+    # running min-d² table (ORDER BY d DESC, vec_id ASC LIMIT 1 — the
+    # deterministic tie-break), then folds it into the distance table
+    steps = []
+    for i in range(1, k):
+        steps.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.d AS picked_d2
+      FROM d{i - 1} d ORDER BY d.d DESC, d.vec_id ASC LIMIT 1
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.d, q.nn + cq.nn
+                   - 2 * CAST(list_sum([q.qv[j + 1] * cq.qv[j + 1]
+                                        for j in range(0, 64)])
+                         AS BIGINT)) AS d
+      FROM d{i - 1} d
+      JOIN codes q ON q.vec_id = d.vec_id
+      CROSS JOIN (SELECT c.vec_id, co.qv, co.nn
+                  FROM c{i} c JOIN codes co ON co.vec_id = c.vec_id) cq
+    )""")
+    picks = " UNION ALL ".join(
+        [
+            "SELECT 1 AS sel_order, (SELECT min(vec_id) FROM codes)"
+            " AS vec_id, CAST(0 AS BIGINT) AS d2_when_picked"
+        ]
+        + [
+            f"SELECT {i + 1}, vec_id, picked_d2 FROM c{i}"
+            for i in range(1, k)
+        ]
+    )
+    return f"""
+    WITH codes AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv,
+             CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            for x in embedding]) AS BIGINT) AS nn
+      FROM embeddings
+    ),
+    c0 AS (SELECT min(vec_id) AS vec_id FROM codes),
+    d0 AS MATERIALIZED (
+      SELECT q.vec_id,
+             q.nn + cq.nn
+             - 2 * CAST(list_sum([q.qv[j + 1] * cq.qv[j + 1]
+                                  for j in range(0, 64)]) AS BIGINT) AS d
+      FROM codes q
+      CROSS JOIN (SELECT co.qv, co.nn FROM c0 c
+                  JOIN codes co ON co.vec_id = c.vec_id) cq
+    ),
+    {",".join(steps)}
+    SELECT CAST(sel_order AS BIGINT) AS sel_order, vec_id,
+           d2_when_picked
+    FROM ({picks})
+    """
+
+
+@query("curation_coreset_kcenter", oracle=_kcenter_oracle(8))
+def curation_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """CORESET selection by k-CENTER farthest-first traversal (Gonzalez
+    1985, the 2-approximation): start at the smallest vec_id, then 7×
+    pick the point FARTHEST from the chosen set — the diversity-
+    maximizing subset used to seed curriculum/dedup-aware sampling.
+    d² on the ×256 integer grid keeps every distance and argmax
+    EXACT; ties break to the smaller id. Each round is one broadcast
+    of the single new center + one linear min-fold over the corpus
+    (running min-d² table, localCheckpoint per round) and one
+    TakeOrdered(1) — no driver collect of vectors, no all-pairs; at
+    100 TB rounds stay one scan each, k bounds the loop."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    codes = emb.select("vec_id", qz.alias("qv")).select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "aggregate(zip_with(qv, qv, (p, r) -> p * r),"
+            " cast(0 as bigint), (a, p) -> a + p)"
+        ).alias("nn"),
+    )
+    codes = codes.localCheckpoint(eager=False)  # consumed every round
+    first = codes.orderBy(F.col("vec_id").asc()).limit(1)
+    d2_new = (
+        F.col("nn")
+        + F.col("cnn")
+        - 2
+        * F.expr(
+            "aggregate(zip_with(qv, cqv, (p, r) -> p * r),"
+            " cast(0 as bigint), (a, p) -> a + p)"
+        )
+    )
+    dists = codes.crossJoin(
+        F.broadcast(
+            first.select(
+                F.col("qv").alias("cqv"), F.col("nn").alias("cnn")
+            )
+        )
+    ).select("vec_id", "qv", "nn", d2_new.alias("d"))
+    dists = dists.localCheckpoint(eager=False)
+    picks = [
+        first.select(
+            F.lit(1).cast("long").alias("sel_order"),
+            "vec_id",
+            F.lit(0).cast("long").alias("d2_when_picked"),
+        )
+    ]
+    for i in range(2, 9):
+        top = dists.orderBy(
+            F.col("d").desc(), F.col("vec_id").asc()
+        ).limit(1)
+        top = top.localCheckpoint(eager=False)  # pick + dist update
+        picks.append(
+            top.select(
+                F.lit(i).cast("long").alias("sel_order"),
+                "vec_id",
+                F.col("d").alias("d2_when_picked"),
+            )
+        )
+        dists = dists.crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("qv").alias("cqv"), F.col("nn").alias("cnn")
+                )
+            )
+        ).select(
+            "vec_id",
+            "qv",
+            "nn",
+            F.least(F.col("d"), d2_new).alias("d"),
+        )
+        dists = dists.localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "ts_overdispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(c) AS s1, sum(c * c) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, CAST(s1 AS BIGINT) AS total,
+           round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) / n_days
+                  - (CAST(s1 AS DOUBLE) / n_days)
+                    * (CAST(s1 AS DOUBLE) / n_days))
+                 / (CAST(s1 AS DOUBLE) / n_days), 9)
+             AS dispersion_index,
+           round((n_days - 1)
+                 * (CAST(s2 AS DOUBLE) / n_days
+                    - (CAST(s1 AS DOUBLE) / n_days)
+                      * (CAST(s1 AS DOUBLE) / n_days))
+                 / (CAST(s1 AS DOUBLE) / n_days), 9) AS chi2_stat
+    FROM g
+    """,
+)
+def ts_overdispersion_index(spark: SparkSession, sf: str) -> DataFrame:
+    """POISSON OVERDISPERSION of daily arrivals per event type: the
+    variance-to-mean dispersion index (1 under Poisson, >1 = bursty)
+    plus the (n−1)·D chi² dispersion statistic (df = n−1) — the test
+    run before trusting a Poisson traffic model. Daily counts and
+    both power sums are EXACT BIGINTs; mean/variance/D are the one
+    identical double formula, rounds 6/9. One day-grain aggregate +
+    one per-type aggregate, both map-combinable."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select("event_type", day.alias("d"))
+        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
+    return g.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("total"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 9).alias("dispersion_index"),
+        F.round((F.col("n_days") - 1) * var / mean, 9).alias(
+            "chi2_stat"
+        ),
+    )
+
+
+@query(
+    "text_word_burstiness",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id % 30 AS day,
+             unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+      FROM documents d
+    ),
+    cnt AS (
+      SELECT w, day, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, total FROM (
+        SELECT w, CAST(sum(c) AS BIGINT) AS total,
+               row_number() OVER (ORDER BY sum(c) DESC, w ASC) AS r
+        FROM cnt GROUP BY w
+      ) WHERE r <= 20
+    ),
+    g AS (
+      SELECT t.w, t.total,
+             sum(c.c * c.c) AS s2,
+             min(CASE WHEN c.c = pk.peak THEN c.day END) AS peak_day,
+             any_value(pk.peak) AS peak
+      FROM top t
+      JOIN cnt c ON c.w = t.w
+      JOIN (SELECT w, max(c) AS peak FROM cnt GROUP BY w) pk
+        ON pk.w = t.w
+      GROUP BY t.w, t.total
+    )
+    SELECT w, total,
+           CAST(peak AS BIGINT) AS peak_count,
+           CAST(peak_day AS BIGINT) AS peak_day,
+           round((CAST(s2 AS DOUBLE) / 30
+                  - (CAST(total AS DOUBLE) / 30)
+                    * (CAST(total AS DOUBLE) / 30))
+                 / (CAST(total AS DOUBLE) / 30), 9) AS fano_factor,
+           round(CAST(peak AS DOUBLE) / total * 100, 6) AS peak_share_pct
+    FROM g
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """WORD BURSTINESS for the 20 highest-frequency words: Fano factor
+    (var/mean of per-day counts over the 30-bucket grid — 1 ≈
+    Poissonian usage, ≫1 = bursty topic words) plus the peak bucket
+    and its share; doc_id % 30 stands in for the publication day the
+    corpus lacks. Counts and Σc² are EXACT BIGINTs — absent
+    (word, day) cells contribute 0 to both sums, so the sparse count
+    table IS the dense one for var/mean and no grid join is needed.
+    Vocabulary-bounded: the top-20 broadcast filter caps everything
+    downstream."""
+    from ..util import spread
+
+    d = spread(load(spark, sf, "documents"))
+    toks = d.select(
+        (F.col("doc_id") % 30).alias("day"),
+        F.explode(tx.tokens("text")).alias("w"),
+    )
+    cnt = toks.groupBy("w", "day").agg(F.count(F.lit(1)).alias("c"))
+    cnt = cnt.localCheckpoint(eager=False)  # top + stats consumers
+    wv = Window.orderBy(F.col("total").desc(), F.col("w").asc())
+    top = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("total"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 20)
+        .drop("r")
+    )
+    pk = cnt.groupBy("w").agg(F.max("c").alias("peak"))
+    g = (
+        cnt.join(F.broadcast(top), on="w")
+        .join(F.broadcast(pk), on="w")
+        .groupBy("w", "total")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.min(
+                F.when(F.col("c") == F.col("peak"), F.col("day"))
+            ).alias("peak_day"),
+            F.first("peak").alias("peak"),
+        )
+    )
+    mean = F.col("total").cast("double") / 30
+    return g.select(
+        "w",
+        F.col("total").cast("long").alias("total"),
+        F.col("peak").cast("long").alias("peak_count"),
+        F.col("peak_day").cast("long").alias("peak_day"),
+        F.round(
+            (F.col("s2").cast("double") / 30 - mean * mean) / mean, 9
+        ).alias("fano_factor"),
+        F.round(
+            F.col("peak").cast("double") / F.col("total") * 100, 6
+        ).alias("peak_share_pct"),
     )
 
 

@@ -3589,3 +3589,104 @@ def test_mde_power_matches_python(spark, sf_small):
         assert abs(r.sigma_cents - sig) < 1e-5
         assert abs(r.mde_cents - mde) < 1e-5
         assert abs(r.mde_rel_pct - mde / mean * 100) < 1e-5
+
+
+def test_kcenter_matches_python_greedy(spark, sf_small):
+    """Selection order, picks, and radii equal a numpy farthest-first
+    replay; picked distances are non-increasing (k-center property)."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    qv = np.array(
+        [[round(float(x) * 256) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    first = int(np.argmin(ids))
+    chosen = [first]
+    d = ((qv - qv[first]) ** 2).sum(axis=1)
+    want = [(1, int(ids[first]), 0)]
+    for step in range(2, 9):
+        # argmax with min-id tie-break
+        best = max(zip(d, -ids), key=lambda t: (t[0], t[1]))
+        idx = int(np.where((ids == -best[1]) & (d == best[0]))[0][0])
+        want.append((step, int(ids[idx]), int(d[idx])))
+        d = np.minimum(d, ((qv - qv[idx]) ** 2).sum(axis=1))
+    rows = sorted(
+        QUERIES["curation_coreset_kcenter"](spark, sf_small).collect(),
+        key=lambda r: r.sel_order,
+    )
+    got = [(r.sel_order, r.vec_id, r.d2_when_picked) for r in rows]
+    assert got == want
+    picked = [r.d2_when_picked for r in rows[1:]]
+    assert picked == sorted(picked, reverse=True)
+
+
+def test_overdispersion_matches_python(spark, sf_small):
+    """Dispersion index equals var/mean of the daily count series."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            daily[r.event_type][d] += 1
+    rows = {r.event_type: r for r in
+            QUERIES["ts_overdispersion_index"](spark, sf_small).collect()}
+    assert set(rows) == set(daily)
+    for t, byday in daily.items():
+        c = list(byday.values())
+        n = len(c)
+        m = sum(c) / n
+        v = sum(x * x for x in c) / n - m * m
+        r = rows[t]
+        assert (r.n_days, r.total) == (n, sum(c))
+        assert abs(r.dispersion_index - v / m) < 1e-9
+        assert abs(r.chi2_stat - (n - 1) * v / m) < 1e-6
+
+
+def test_word_burstiness_matches_python(spark, sf_small):
+    """Fano factors and peaks equal a Counter replay on the
+    doc_id%30 buckets (absent cells count as zeros)."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    cnt = defaultdict(Counter)
+    total = Counter()
+    for r in docs:
+        for w in r.text.strip().split():
+            cnt[w][r.doc_id % 30] += 1
+            total[w] += 1
+    top = [w for w, _ in
+           sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    rows = {r.w: r for r in
+            QUERIES["text_word_burstiness"](spark, sf_small).collect()}
+    assert set(rows) == set(top)
+    for w in top:
+        days = cnt[w]
+        tot = total[w]
+        m = tot / 30
+        v = sum(c * c for c in days.values()) / 30 - m * m
+        peak = max(days.values())
+        peak_day = min(d for d, c in days.items() if c == peak)
+        r = rows[w]
+        assert (r.total, r.peak_count, r.peak_day) == (tot, peak, peak_day)
+        assert abs(r.fano_factor - v / m) < 1e-9
+        assert abs(r.peak_share_pct - peak / tot * 100) < 1e-6
