@@ -509,6 +509,109 @@ def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
     )
 
 
+def boruvka_rounds(
+    edges: DataFrame, rounds: int = 3, relabel_steps: int = 10
+) -> DataFrame:
+    """FIXED-BUDGET BORŮVKA for the maximum-weight spanning forest:
+    each round every component picks its best incident cross-edge
+    (highest ``support``, ties to the smaller (src, dst) — a strict
+    total order, so the choice is unique), the picks join the forest,
+    and components merge by ``relabel_steps`` rounds of min-label
+    propagation over the forest built so far.
+
+    Budgets are FIXED so an unrolled SQL twin can replay every
+    intermediate state: with enough steps this is exactly Borůvka
+    (components halve per round, so ``rounds``=⌈log₂V⌉ completes the
+    forest); with truncated budgets the result is still deterministic
+    — both engines run the identical truncation. Callers/tests assert
+    convergence sufficiency separately (acyclic picks, extra
+    propagation step is a no-op).
+
+    100 TB shape: a round is one edge↔component double equi-join, one
+    per-component window argmax (map-side combinable after the window
+    shuffle on the component key), and node-sized relabel joins —
+    never an all-pairs step; every loop-carried table is
+    ``localCheckpoint``'ed so lineage stays linear.
+
+    Returns (round, src, dst, support) — the edges picked per round.
+    """
+    ew = edges.select("src", "dst", "support").localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .unionAll(ew.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select("node", F.col("node").alias("comp"))
+    comp = comp.localCheckpoint(eager=False)
+    forest = None
+    picks = []
+    wsel = Window.partitionBy("c").orderBy(
+        F.col("support").desc(), F.col("src").asc(), F.col("dst").asc()
+    )
+    for r in range(1, rounds + 1):
+        ca = comp.select(
+            F.col("node").alias("src"), F.col("comp").alias("ca")
+        )
+        cb = comp.select(
+            F.col("node").alias("dst"), F.col("comp").alias("cb")
+        )
+        cross = (
+            ew.join(ca, on="src")
+            .join(cb, on="dst")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        side = cross.select(
+            F.col("ca").alias("c"), "src", "dst", "support"
+        ).unionAll(
+            cross.select(
+                F.col("cb").alias("c"), "src", "dst", "support"
+            )
+        )
+        pick = (
+            side.withColumn("rn", F.row_number().over(wsel))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "support")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick.withColumn("round", F.lit(r).cast("long")))
+        forest = (
+            pick
+            if forest is None
+            else forest.unionAll(pick).distinct()
+        )
+        forest = forest.localCheckpoint(eager=False)
+        fadj = forest.select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        ).unionAll(
+            forest.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr")
+            )
+        )
+        for _ in range(relabel_steps):
+            m = (
+                fadj.join(
+                    comp.withColumnRenamed("node", "nbr"), on="nbr"
+                )
+                .groupBy("node")
+                .agg(F.min("comp").alias("mn"))
+            )
+            comp = comp.join(m, on="node", how="left").select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("mn"), F.col("comp")),
+                ).alias("comp"),
+            )
+            comp = comp.localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select("round", "src", "dst", "support")
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

@@ -791,6 +791,39 @@ def wav_sample_stats(
     )
 
 
+def wav_crest_inputs(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Crest-factor inputs from REAL WAV decode: per-clip frame count,
+    peak |amplitude| and exact integer energy over the DC-centered
+    samples — all integers, so the peak/RMS ratio math can stay
+    JVM-side and engine-stable. Same Arrow kernel shape and per-item
+    quarantine as :func:`wav_signal_features`."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        c = sm - 128 if d["bits"] == 8 else sm
+        return {
+            "n_frames": d["n_frames"],
+            "peak_abs": int(np.abs(c).max()) if len(c) else 0,
+            "energy": int((c * c).sum()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, peak_abs long, energy long",
+        ),
+        with_quarantine,
+    )
+
+
 def png_r_histogram(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:
