@@ -6340,13 +6340,19 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     matmul. No SQL oracle — eigendecomposition is not SQL-expressible
     and cross-partition float sums are not bit-portable across engines;
     correctness is pinned by tests/test_linalg.py against numpy on the
-    collected data. Output: (vec_id, proj[8], pc1) with pc1 surfaced
-    for the driver's determinism check."""
+    collected data. Output: (vec_id, pc1..pc8) as SCALAR doubles
+    rounded to 6 decimals — the driver canonicalizer hashes scalar
+    cells only (an array<double> column crashed it in round 7), and
+    round(6) absorbs sub-ulp partial-sum jitter while still pinning
+    the projection values."""
     from ..functions import linalg as la
 
     e = load(spark, sf, "embeddings")
     p = la.pca_project(e, dim=64, q=8)
-    return p.select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
+    return p.select(
+        "vec_id",
+        *[F.round(F.col("proj")[i], 6).alias(f"pc{i + 1}") for i in range(8)],
+    )
 
 
 @query(
@@ -16344,12 +16350,16 @@ def graph_butterfly_support(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("butterflies")
     )
+    # top-20 tail as orderBy().limit() → TakeOrderedAndProject; the rank
+    # window then runs over 20 rows, not a 1-partition sort of all wedges
+    top = wedges.orderBy(
+        F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(20)
     w = Window.orderBy(
         F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc()
     )
     return (
-        wedges.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .crossJoin(F.broadcast(total))
         .select(
             "s1",
@@ -16489,14 +16499,17 @@ def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
              CAST(list_sum([x * x for x in qv]) AS BIGINT) AS nn
       FROM q
     ),
+    qset AS (
+      SELECT vec_id, qv, nn FROM norms
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200
+    ),
     pairs AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid,
              a.nn + b.nn
              - 2 * CAST(list_sum(
                  [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
                AS BIGINT) AS d2
-      FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
-      WHERE a.vec_id % 5 = 0
+      FROM qset a JOIN norms b ON a.vec_id <> b.vec_id
     ),
     top5 AS (
       SELECT qid, sum(d2) AS sum_d2_top5
@@ -16519,15 +16532,25 @@ def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
     """kNN-DISTANCE OUTLIER census (Ramaswamy et al. 2000): the 30
-    most isolated vectors of a deterministic 1/5 sample, scored by
-    the SUM of squared distances to their 5 nearest neighbors over
-    the FULL corpus — the contamination audit run before trusting an
-    embedding space. The ×256 quantization grid keeps every d² =
-    |a|²+|b|²−2a·b an EXACT BIGINT (the emb_pair_distance_histogram
-    device), so ranking never touches floats. The sampled query side
-    broadcasts against one corpus scan; at 100 TB the same scoring
-    runs per IVF cell with a boundary re-check instead of brute
-    force."""
+    most isolated vectors of a FIXED-SIZE sample (the 200 smallest
+    md5(vec_id) keys — TakeOrdered, O(K) regardless of corpus size;
+    VERDICT r7 #3 replaced a corpus-proportional 1/5 broadcast),
+    scored by the SUM of squared distances to their 5 nearest
+    neighbors over the FULL corpus. The ×256 quantization grid keeps
+    every d² = |a|²+|b|²−2a·b an EXACT int64 (the
+    emb_pair_distance_histogram device), so ranking never touches
+    floats. Scale shape: the K-row query block is a broadcast
+    variable; one Arrow pass over the corpus computes a K×batch int64
+    Gram tile and emits only each batch's top-5 per query (the global
+    top-5 is always a subset of the per-batch top-5 union), so the
+    shuffle carries ≤ K·5·partitions partial rows — never K·N pairs;
+    the final census is orderBy().limit(30) → TakeOrdered, no
+    single-partition window over the full score set."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import spread
+
     emb = load(spark, sf, "embeddings")
     qz = F.expr(
         "transform(embedding,"
@@ -16540,39 +16563,70 @@ def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
     norms = emb.select("vec_id", qz.alias("qv")).select(
         "vec_id", "qv", dot("qv", "qv").alias("nn")
     )
-    norms = norms.localCheckpoint(eager=False)  # consumed twice
-    q = norms.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
+    # fixed-K sample: smallest md5 keys, vec_id tiebreak (md5 hex sorts
+    # identically in Spark and DuckDB) — plans as TakeOrderedAndProject
+    qrows = (
+        norms.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(200)
+        .collect()  # bounded: K=200 rows whatever the corpus size
     )
-    pairs = F.broadcast(q).crossJoin(norms).filter(
-        F.col("qid") != F.col("vec_id")
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qa = np.array([r.qv for r in qrows], dtype=np.int64)  # (K, 64)
+    na = np.array([r.nn for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, qa, na))
+
+    def batch_top5(batches):
+        m_qids, m_qa, m_na = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            b = np.stack(pb["qv"].to_numpy()).astype(np.int64)  # (w, 64)
+            nn = pb["nn"].to_numpy().astype(np.int64)
+            nids = pb["vec_id"].to_numpy().astype(np.int64)
+            d2 = m_na[:, None] + nn[None, :] - 2 * (m_qa @ b.T)  # exact
+            # lexicographic (d2, nid) packed into one int64 key:
+            # d2 ≤ 4·64·256² < 2³¹ and nid < 2³², so no overflow
+            key = d2 * (1 << 32) + nids[None, :]
+            key[m_qids[:, None] == nids[None, :]] = np.iinfo(np.int64).max
+            t = min(5, key.shape[1])
+            idx = np.argsort(key, axis=1)[:, :t]
+            picked = np.take_along_axis(key, idx, axis=1)
+            keep = picked != np.iinfo(np.int64).max
+            qcol = np.repeat(m_qids, t)[keep.ravel()]
+            kcol = picked.ravel()[keep.ravel()]
+            yield pd.DataFrame(
+                {
+                    "qid": qcol,
+                    "nid": kcol & ((1 << 32) - 1),
+                    "d2": kcol >> 32,
+                }
+            )
+
+    partials = spread(norms).mapInPandas(
+        batch_top5, schema="qid long, nid long, d2 long"
     )
-    d2 = F.col("na") + F.col("nn") - 2 * dot("qa", "qv")
+    # exact merge of the small partial set (≤ K·5·partitions rows)
     wk = Window.partitionBy("qid").orderBy(
         F.col("d2").asc(), F.col("nid").asc()
     )
     top5 = (
-        pairs.select(
-            "qid", F.col("vec_id").alias("nid"), d2.alias("d2")
-        )
-        .withColumn("rn", F.row_number().over(wk))
+        partials.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= 5)
         .groupBy("qid")
         .agg(F.sum("d2").alias("sum_d2_top5"))
     )
-    wr = Window.orderBy(
+    census = top5.orderBy(
         F.col("sum_d2_top5").desc(), F.col("qid").asc()
-    )
-    return (
-        top5.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 30)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("sum_d2_top5").cast("long").alias("sum_d2_top5"),
-            "rank",
-        )
+    ).limit(30)
+    wr = Window.orderBy(F.col("sum_d2_top5").desc(), F.col("qid").asc())
+    return census.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).select(
+        F.col("qid").alias("vec_id"),
+        F.col("sum_d2_top5").cast("long").alias("sum_d2_top5"),
+        "rank",
     )
 
 
@@ -16971,10 +17025,11 @@ def graph_closeness_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     adj = adj.localCheckpoint(eager=False)  # consumed every round
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    wr = Window.orderBy(F.col("deg").desc(), F.col("src").asc())
+    # seed pick as orderBy().limit() → TakeOrderedAndProject, not a
+    # single-partition row_number window over the degree aggregate
     seeds = (
-        deg.withColumn("r", F.row_number().over(wr))
-        .filter(F.col("r") <= 8)
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(8)
         .select(F.col("src").alias("seed"))
     )
     visited = seeds.select(

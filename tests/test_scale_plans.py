@@ -851,3 +851,34 @@ def test_session_batch5_plan_shapes(spark, sf_oracle):
     )
     assert "EvalPython" not in neg
     assert "SortMergeJoin" not in neg  # anchors broadcast
+
+
+def test_topn_tails_take_ordered(spark, sf_oracle):
+    """VERDICT r7 #7: the three top-N tails over aggregates plan as
+    TakeOrderedAndProject, not a single-partition row_number window over
+    the full aggregate (the tiny rank window that remains runs above a
+    LIMIT, i.e. over ≤30 rows)."""
+    bf = plan_of(QUERIES["graph_butterfly_support"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in bf
+
+    # seed pick is orderBy().limit(8); the BFS checkpoints truncate the
+    # visible lineage, so assert the final fold carries NO window at all
+    clo = plan_of(QUERIES["graph_closeness_topk"](spark, sf_oracle))
+    assert "Window" not in clo
+
+    cen = plan_of(QUERIES["emb_knn_outlier_census"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in cen
+
+
+def test_knn_outlier_census_scale_shape(spark, sf_oracle):
+    """VERDICT r7 #3: the census query block is a FIXED-size (K=200)
+    broadcast variable — the corpus side is one Arrow pass emitting
+    per-batch top-5 partials, so no broadcast join of a
+    corpus-proportional sample and no K·N pair shuffle."""
+    plan = plan_of(QUERIES["emb_knn_outlier_census"](spark, sf_oracle))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one wide window (the ≤K·5·partitions partial merge); the
+    # rank window above the LIMIT is the only global one
+    assert "SortMergeJoin" not in plan
