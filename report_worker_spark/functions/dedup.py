@@ -1066,26 +1066,39 @@ def canonicalize_url(url) -> F.Column:
     RFC 3986 §6.2.2.1). Steps, in order:
 
     1. drop the fragment (``#…``),
-    2. strip tracking params (``utm_*``, ``fbclid``, ``gclid``),
-    3. upgrade ``http://`` → ``https://`` (scheme unification),
-    4. lowercase the scheme+authority (path/query stay case-sensitive),
-    5. drop a trailing slash.
+    2. lowercase the scheme+authority (path/query stay case-sensitive;
+       FIRST, so the scheme upgrade below also unifies ``HTTP://``),
+    3. strip tracking params (``utm_*``, ``fbclid``, ``gclid``),
+    4. upgrade ``http://`` → ``https://`` (scheme unification),
+    5. re-anchor a query left leading with ``&`` (a stripped param
+       took the ``?`` with it) back to ``?``,
+    6. drop a trailing slash.
 
     Pure column expressions — JVM-side, codegen-able, no UDF. The
     regex set deliberately avoids backreferences: Spark spells them
     ``$1`` and DuckDB ``\\1``, so a twin-able canonicalizer must not
-    need them (tracking params are stripped with their own ``[?&]``
-    prefix instead, which is lossless as long as a kept param leads
-    the query string — guaranteed by generation here; a general
-    canonicalizer would re-sort params)."""
+    need them — tracking params are stripped with their own ``[?&]``
+    prefix and step 5 restores the ``?`` when the stripped param led
+    the query string (ADVICE r7; a general canonicalizer would also
+    re-sort params)."""
     col = url if not isinstance(url, str) else F.col(url)
     c1 = F.regexp_replace(col, "#.*$", "")
-    c2 = F.regexp_replace(c1, "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
-    c3 = F.regexp_replace(c2, "^http://", "https://")
-    head = F.regexp_extract(c3, "^[a-zA-Z]+://[^/]+", 0)
-    rest = c3.substr(F.length(head) + 1, F.length(c3))
-    c4 = F.concat(F.lower(head), rest)
-    return F.regexp_replace(c4, "/$", "")
+    head = F.regexp_extract(c1, "^[a-zA-Z]+://[^/]+", 0)
+    c2 = F.concat(
+        F.lower(head), c1.substr(F.length(head) + 1, F.length(c1))
+    )
+    c3 = F.regexp_replace(c2, "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    c4 = F.regexp_replace(c3, "^http://", "https://")
+    before = F.substring_index(c4, "&", 1)
+    c5 = F.when(
+        c4.contains("&") & ~c4.contains("?"),
+        F.concat(
+            before,
+            F.lit("?"),
+            c4.substr(F.length(before) + 2, F.length(c4)),
+        ),
+    ).otherwise(c4)
+    return F.regexp_replace(c5, "/$", "")
 
 
 import sys as _sys

@@ -478,6 +478,8 @@ def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
     as :func:`pagerank`, and integer partials never lose associativity.
     Values grow like (σ₁)²ᵏ, so keep ``rounds`` small (2-3) or switch
     to floats past ~4 rounds on dense graphs."""
+    if rounds < 1:
+        raise ValueError(f"hits() needs rounds >= 1 (got {rounds})")
     d = edges.select("src", "dst").distinct()
     d = d.localCheckpoint(eager=False)  # consumed twice per round
     srcs = d.select(F.col("src").alias("node")).distinct()

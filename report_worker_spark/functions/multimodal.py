@@ -1986,6 +1986,15 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         prefix = bytes([s])
     if prefix:
         emit(table[prefix])
+    # the decoder adds one more (phantom) entry after the final data
+    # code and widens on next_code >= 2^width BEFORE reading EOI; the
+    # encoder adds nothing after the flush emit, but its next_code
+    # already counts one ahead of the decoder's pre-phantom state (the
+    # `>` vs `>=` lag), so the decoder's post-phantom count equals
+    # next_code as-is — widen on >= or EOI is written one bit narrower
+    # than it is read (repro: indices [3,2,2,3,3,0,1,0,0,3,1], mcs=2)
+    if prefix and next_code >= (1 << width) and width < 12:
+        width += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)

@@ -281,6 +281,13 @@ def masked_position_pairs(
     length-bucket block that degenerates to all-pairs. The same
     pigeonhole device as dedup_simhash, at character granularity.
     """
+    if max_dist > 1:
+        raise ValueError(
+            "masked_position_pairs blocking is complete only for "
+            f"distance <= 1 (got max_dist={max_dist}); pairs at "
+            "distance 2+ would silently be missed — use an LSH or "
+            "q-gram blocker for wider radii"
+        )
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),

@@ -12361,21 +12361,36 @@ def _url_col() -> F.Column:
     "dedup_url_canonicalize",
     oracle=f"""
     WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-    c AS (
+    s1 AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c1 FROM u
+    ),
+    s2 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(c1, '^[a-zA-Z]+://[^/]+'))
+               || substr(c1,
+                    length(regexp_extract(c1, '^[a-zA-Z]+://[^/]+')) + 1)
+               AS c2
+      FROM s1
+    ),
+    s3 AS (
       SELECT doc_id, url,
              regexp_replace(
-               lower(regexp_extract(c3, '^[a-zA-Z]+://[^/]+'))
-               || substr(c3, length(regexp_extract(c3, '^[a-zA-Z]+://[^/]+')) + 1),
-               '/$', '') AS canonical_url
-      FROM (
-        SELECT doc_id, url,
                regexp_replace(
-                 regexp_replace(
-                   regexp_replace(url, '#.*$', ''),
-                   '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-                 '^http://', 'https://') AS c3
-        FROM u
-      )
+                 c2, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+               '^http://', 'https://') AS c4
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id, url,
+             CASE WHEN contains(c4, '&') AND NOT contains(c4, '?')
+                  THEN split_part(c4, '&', 1) || '?'
+                       || substr(c4, length(split_part(c4, '&', 1)) + 2)
+                  ELSE c4 END AS c5
+      FROM s3
+    ),
+    c AS (
+      SELECT doc_id, url, regexp_replace(c5, '/$', '') AS canonical_url
+      FROM s4
     )
     SELECT canonical_url,
            count(*) AS n_variants,

@@ -356,6 +356,28 @@ def test_gif_roundtrip_including_dict_reset():
     )
 
 
+def test_lzw_eoi_width_at_table_growth_boundary():
+    """ADVICE r7: when the decoder's phantom entry after the final data
+    code lands exactly on 2^width, it widens before reading EOI — the
+    encoder must widen before writing it too, or a valid stream raises
+    'truncated LZW stream (no EOI)' when EOI sits at the buffer end.
+    The minimal repro plus an exhaustive sweep of short mcs=2 streams
+    (which cross the 8→16-entry boundary in every alignment)."""
+    from itertools import product
+
+    from report_worker_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    repro = bytes([3, 2, 2, 3, 3, 0, 1, 0, 0, 3, 1])
+    assert _lzw_decode(_lzw_encode(repro, 2), 2, len(repro)) == repro
+    for n in range(1, 7):
+        for tup in product(range(4), repeat=n):
+            b = bytes(tup)
+            assert _lzw_decode(_lzw_encode(b, 2), 2, n) == b
+
+
 def test_gif_strictness_raises():
     """Truncation at any point, interlace, and local color tables all
     raise (and therefore quarantine) instead of returning short."""

@@ -1288,10 +1288,12 @@ def test_canonicalize_url_cases(spark):
 
     def py_canon(u: str) -> str:
         u = re.sub(r"#.*$", "", u)
-        u = re.sub(r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "", u)
-        u = re.sub(r"^http://", "https://", u)
         m = re.match(r"^[a-zA-Z]+://[^/]+", u)
         u = m.group(0).lower() + u[m.end():]
+        u = re.sub(r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "", u)
+        u = re.sub(r"^http://", "https://", u)
+        if "&" in u and "?" not in u:
+            u = u.replace("&", "?", 1)
         return re.sub(r"/$", "", u)
 
     urls = [
@@ -1300,7 +1302,15 @@ def test_canonicalize_url_cases(spark):
         "https://SITE.com/a?id=1&gclid=z&utm_campaign=c9",
         "http://host.org/UPPER/Case?id=7",
         "https://h.io/p",
+        # ADVICE r7: uppercase scheme must still scheme-unify …
+        "HTTP://HOST.COM/Path?id=1",
+        # … and a stripped LEADING tracking param must not leave the
+        # kept params glued to the path with '&'
+        "https://site.com/p?utm_source=a&id=1",
+        "http://S.io/q?utm_a=1&utm_b=2&id=3&z=4",
+        "HTTPS://UP.example.net/x/",
     ]
+    assert py_canon("HTTP://H.co/p?utm_a=1&id=2") == "https://h.co/p?id=2"
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = {
         r.url: r.canon
@@ -3698,3 +3708,27 @@ def test_word_burstiness_matches_python(spark, sf_small):
         assert (r.total, r.peak_count, r.peak_day) == (tot, peak, peak_day)
         assert abs(r.fano_factor - v / m) < 1e-9
         assert abs(r.peak_share_pct - peak / tot * 100) < 1e-6
+
+
+def test_masked_position_pairs_rejects_wide_radius(spark):
+    """ADVICE r7: blocking is complete only at distance 1 — max_dist=2
+    must raise instead of silently missing distance-2 pairs."""
+    import pytest as _pytest
+
+    from report_worker_spark.operators import masked_position_pairs
+
+    df = spark.createDataFrame([(1, "abc")], ["id", "name"])
+    with _pytest.raises(ValueError, match="distance <= 1"):
+        masked_position_pairs(df, "id", "name", max_dist=2)
+
+
+def test_hits_rejects_nonpositive_rounds(spark):
+    """ADVICE r7: rounds=0 raised an opaque AttributeError mid-plan;
+    it must fail fast with a clear message."""
+    import pytest as _pytest
+
+    from report_worker_spark.functions.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        hits(e, rounds=0)
