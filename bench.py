@@ -308,6 +308,12 @@ def bench_builders() -> dict[str, Callable[[SparkSession], DataFrame]]:
             ),
             "star_upsert_hash_mode": _star_hash,
             "graph_pagerank_sum": _pagerank_sum,
+            # graph_ppr_sum is the bench proxy for the catalog's
+            # graph_personalized_pagerank (VERDICT_r7 item 6): both run
+            # graph.personalized_pagerank's seeded power-iteration core
+            # (this row in map-combinable SUM mode, the catalog twin in
+            # deterministic fold mode for oracle parity); the catalog
+            # query only adds the top-20 tail, so this row prices it
             "graph_ppr_sum": _ppr_sum,
         }
     )

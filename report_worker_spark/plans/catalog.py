@@ -8850,89 +8850,22 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # canaries — §2 anchors re-verified every round
+    # canaries — §2 anchors re-verified every round (8-for-8 target)
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
     # ------------------------------------------------------------------
-    # round-7 window (VERDICT_r6 item 1): the staged rotation, executed.
-    # The 28 hash-paired round-6 additions lead — each earns its first
-    # driver row here; all are local-parity green at sf0.01 and sf0.1
-    # (commit 3defdc6). Order matches the r6 staging comment verbatim.
-    "mv_incremental_update",
-    "graph_common_neighbors",
-    "ts_cusum_changepoint",
-    "text_perplexity_buckets",
-    "curation_epoch_shuffle",
-    "audit_table_checksum",
-    "audit_snapshot_diff",
-    "graph_adamic_adar",
-    "multimodal_wav_zero_crossings",
-    "stats_benford_first_digit",
-    "olap_pareto_frontier",
-    "curation_token_budget_sample",
-    "ts_seasonal_decompose",
-    "dedup_fuzzy_clusters",
-    "stats_gini_by_nation",
-    "curation_dp_noisy_counts",
-    "text_rake_keywords",
-    "graph_jaccard_neighbors",
-    "agg_countmin_sketch",
-    "audit_bloom_membership",
-    "multimodal_image_ahash",
-    "curation_span_corruption",
-    "stats_ab_test_proportions",
-    "ts_burst_episodes",
-    "stats_exact_median_twopass",
-    "text_zipf_fit",
-    "stats_mad_robust",
-    "join_salted_skew",
-    # ------------------------------------------------------------------
-    # spare slots (VERDICT_r6 item 2): the stalest §2 anchors — all 16
-    # below were last driver-verified in round 1; rotating them back
-    # through keeps every §2 row ≤6 rounds old.
-    "p1_flatten_struct",
-    "p2_p3_project_rename",
-    "p4_normalize_ts",
-    "p5_epoch_to_ts",
-    "p6_p7_bool_roundtrip",
-    "p8_clamp_equipment",
-    "p9_sanitize_name",
-    "p10_version_dispatch",
-    "p11_epoch_ms_reencode",
-    "f1_f2_ts_bounds",
-    "f3_null_guard",
-    "s3_json_extract",
-    "j1_dim_lookup",
-    "j2_get_or_insert_delta",
-    "j3_anti_join",
-    "a1_distinct",
-    # ------------------------------------------------------------------
-    # tail: the 3 permanently rows-only entries earn their (honest,
-    # rows+schema) driver rows — float-eigh projections and HLL sketch
-    # internals admit no bit-stable SQL twin; their determinism/parity
-    # tests are the verification of record (COVERAGE.md tier table).
-    "emb_pca_project",
-    "emb_kmeans_cells",
-    "agg_hll_mergeable",
-    # ------------------------------------------------------------------
-    # positions 51+: round-8 staging. The remaining stale-§2 r1 anchors
-    # rotate through next (s4_json_serialize, f4_equality_lookup,
-    # j5_fanout_join, a4_lookup_hit_miss), then the round-7 additions
-    # in commit order: the 18 from the first r7 session (quarantine
-    # audit … theil-sen) followed by the second session's batches
-    # (traversal/label-prop/rank-stats, URL/OLS/freshness, KL/
-    # attribution/JL, BMP/WAV-RMS, backtest/assortativity/SAX,
-    # quantile-norm/centroid/manifest, spearman/profile/json-rate,
-    # PPR/LPM/Cramér, kendall/temperature/silence, ACF/orphans/
-    # clustering, dhash/ANOVA/kNN, ABC/fixed-width/WMA,
-    # new-vs-returning/class-balance/Lorenz). All hash-paired; append
-    # new queries at the end, hash-paired before rows-only.
+    # round-8 window (VERDICT_r7 item 2): the staged rotation, executed
+    # in the exact order the r7 staging comment recorded. First the
+    # last four stale-§2 r1 anchors (every §2 row is now <= 5 rounds
+    # old), then 42 round-7 additions in commit order — each earns its
+    # first driver hash row here; all are local-parity green at sf0.01
+    # (test_oracle_parity) and sf0.001 (test_smoke_all_queries).
     "s4_json_serialize",
     "f4_equality_lookup",
     "j5_fanout_join",
     "a4_lookup_hit_miss",
-    # round-7 additions (hash-paired):
+    # round-7 additions (hash-paired), first 42:
     "audit_media_quarantine_rate",
     "multimodal_jpeg420_pixel_stats",
     "agg_kmv_set_ops",
@@ -8975,6 +8908,17 @@ _DRIVER_WINDOW = [
     "join_ip_prefix_lpm",
     "stats_cramers_v",
     "stats_kendall_tau_daily",
+    # ------------------------------------------------------------------
+    # tail (VERDICT_r7 item 1): emb_pca_project re-earns its honest
+    # rows-only row — the round-7 TypeError came from the raw
+    # array<double> proj column, now replaced by scalar pc1..pc8
+    "emb_pca_project",
+    # ------------------------------------------------------------------
+    # positions 51+: round-9 staging — the remaining 52 round-7
+    # additions in commit order (all hash-paired and local-parity
+    # green), then the two permanently rows-only sketch twins rotate
+    # back through for fresh honest rows. NEW round-8 queries append
+    # at the very end, hash-paired before rows-only.
     "curation_temperature_weights",
     "multimodal_wav_silence_runs",
     "ts_autocorr_multi_lag",
@@ -9027,6 +8971,8 @@ _DRIVER_WINDOW = [
     "curation_coreset_kcenter",
     "ts_overdispersion_index",
     "text_word_burstiness",
+    "emb_kmeans_cells",
+    "agg_hll_mergeable",
 ]
 
 
