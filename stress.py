@@ -471,44 +471,12 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= 5)
     )
-    # kNN outlier census: the AUDIT SAMPLE stays fixed at deployment
-    # (scores estimate the contamination rate), so work = sample ×
-    # corpus grows ~K, not K² — pin the sample to the base replica
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    base_n = load(spark, SF_DIR, "embeddings").count()
-    norms = emb.select("vec_id", qz.alias("qv")).select(
-        "vec_id", "qv", dot("qv", "qv").alias("nn")
-    )
-    qside = norms.filter(
-        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < base_n)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    wk5 = Window.partitionBy("qid").orderBy(
-        F.col("d2").asc(), F.col("nid").asc()
-    )
-    timings["emb_knn_outlier_census"] = timed(
-        F.broadcast(qside)
-        .crossJoin(norms)
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            (F.col("na") + F.col("nn") - 2 * dot("qa", "qv")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(wk5))
-        .filter(F.col("rn") <= 5)
-        .groupBy("qid")
-        .agg(F.sum("d2").alias("s"))
+    # kNN outlier census: the shipped operator (similarity.
+    # knn_outlier_census, post-VERDICT-r7-#3) — fixed 200-id audit
+    # sample (TakeOrdered), one Arrow pass emitting per-batch top-5
+    # partials, so work = sample × corpus grows ~K, never K²
+    timings["emb_knn_outlier_census"] = timed_build(
+        lambda: sim.knn_outlier_census(emb, k=5, sample_k=200, top=30)
     )
     # Burrows' Delta: the pair join is keyed on the 30-word vocab —
     # sources² · 30 rows regardless of corpus size; only the count
