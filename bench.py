@@ -188,6 +188,9 @@ CATALOG_BENCH = [
     "curation_coreset_kcenter",
     "ts_overdispersion_index",
     "text_word_burstiness",
+    "stats_cohens_d",
+    "stats_grubbs_max",
+    "text_hapax_ratio",
 ]
 
 

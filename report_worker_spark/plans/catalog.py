@@ -8973,6 +8973,10 @@ _DRIVER_WINDOW = [
     "text_word_burstiness",
     "emb_kmeans_cells",
     "agg_hll_mergeable",
+    # round-8 additions (hash-paired):
+    "stats_cohens_d",
+    "stats_grubbs_max",
+    "text_hapax_ratio",
 ]
 
 
@@ -16493,100 +16497,22 @@ def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
     """kNN-DISTANCE OUTLIER census (Ramaswamy et al. 2000): the 30
-    most isolated vectors of a FIXED-SIZE sample (the 200 smallest
-    md5(vec_id) keys — TakeOrdered, O(K) regardless of corpus size;
-    VERDICT r7 #3 replaced a corpus-proportional 1/5 broadcast),
-    scored by the SUM of squared distances to their 5 nearest
-    neighbors over the FULL corpus. The ×256 quantization grid keeps
-    every d² = |a|²+|b|²−2a·b an EXACT int64 (the
-    emb_pair_distance_histogram device), so ranking never touches
-    floats. Scale shape: the K-row query block is a broadcast
-    variable; one Arrow pass over the corpus computes a K×batch int64
-    Gram tile and emits only each batch's top-5 per query (the global
-    top-5 is always a subset of the per-batch top-5 union), so the
-    shuffle carries ≤ K·5·partitions partial rows — never K·N pairs;
-    the final census is orderBy().limit(30) → TakeOrdered, no
-    single-partition window over the full score set."""
-    import numpy as np
-    import pandas as pd
-
-    from ..util import spread
-
+    most isolated vectors of a FIXED-SIZE audit sample (the 200
+    smallest md5(vec_id) keys — TakeOrdered, O(K) regardless of
+    corpus size; VERDICT r7 #3 replaced a corpus-proportional 1/5
+    broadcast), scored by the SUM of squared distances to their 5
+    nearest neighbors over the FULL corpus. Delegates to
+    similarity.knn_outlier_census: ×256 integer quantization keeps
+    every d² an exact int64, one Arrow pass emits per-batch top-5
+    partials (global top-5 ⊆ per-batch union), the shuffle carries
+    ≤ K·5·partitions rows — never K·N pairs — and the census tail is
+    orderBy().limit(30) → TakeOrdered."""
     emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    norms = emb.select("vec_id", qz.alias("qv")).select(
-        "vec_id", "qv", dot("qv", "qv").alias("nn")
-    )
-    # fixed-K sample: smallest md5 keys, vec_id tiebreak (md5 hex sorts
-    # identically in Spark and DuckDB) — plans as TakeOrderedAndProject
-    qrows = (
-        norms.orderBy(
-            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
-        )
-        .limit(200)
-        .collect()  # bounded: K=200 rows whatever the corpus size
-    )
-    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    qa = np.array([r.qv for r in qrows], dtype=np.int64)  # (K, 64)
-    na = np.array([r.nn for r in qrows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((qids, qa, na))
-
-    def batch_top5(batches):
-        m_qids, m_qa, m_na = bc.value
-        for pb in batches:
-            if not len(pb):
-                continue
-            b = np.stack(pb["qv"].to_numpy()).astype(np.int64)  # (w, 64)
-            nn = pb["nn"].to_numpy().astype(np.int64)
-            nids = pb["vec_id"].to_numpy().astype(np.int64)
-            d2 = m_na[:, None] + nn[None, :] - 2 * (m_qa @ b.T)  # exact
-            # lexicographic (d2, nid) packed into one int64 key:
-            # d2 ≤ 4·64·256² < 2³¹ and nid < 2³², so no overflow
-            key = d2 * (1 << 32) + nids[None, :]
-            key[m_qids[:, None] == nids[None, :]] = np.iinfo(np.int64).max
-            t = min(5, key.shape[1])
-            idx = np.argsort(key, axis=1)[:, :t]
-            picked = np.take_along_axis(key, idx, axis=1)
-            keep = picked != np.iinfo(np.int64).max
-            qcol = np.repeat(m_qids, t)[keep.ravel()]
-            kcol = picked.ravel()[keep.ravel()]
-            yield pd.DataFrame(
-                {
-                    "qid": qcol,
-                    "nid": kcol & ((1 << 32) - 1),
-                    "d2": kcol >> 32,
-                }
-            )
-
-    partials = spread(norms).mapInPandas(
-        batch_top5, schema="qid long, nid long, d2 long"
-    )
-    # exact merge of the small partial set (≤ K·5·partitions rows)
-    wk = Window.partitionBy("qid").orderBy(
-        F.col("d2").asc(), F.col("nid").asc()
-    )
-    top5 = (
-        partials.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 5)
-        .groupBy("qid")
-        .agg(F.sum("d2").alias("sum_d2_top5"))
-    )
-    census = top5.orderBy(
-        F.col("sum_d2_top5").desc(), F.col("qid").asc()
-    ).limit(30)
-    wr = Window.orderBy(F.col("sum_d2_top5").desc(), F.col("qid").asc())
-    return census.withColumn(
-        "rank", F.row_number().over(wr).cast("long")
+    return sim.knn_outlier_census(
+        emb, k=5, sample_k=200, top=30, quant=256
     ).select(
-        F.col("qid").alias("vec_id"),
-        F.col("sum_d2_top5").cast("long").alias("sum_d2_top5"),
+        "vec_id",
+        F.col("sum_d2_topk").alias("sum_d2_top5"),
         "rank",
     )
 
@@ -18138,6 +18064,254 @@ def text_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.col("peak").cast("double") / F.col("total") * 100, 6
         ).alias("peak_share_pct"),
+    )
+
+
+# ===========================================================================
+# Coverage round 8: effect sizes, outlier tests, vocabulary health
+# ===========================================================================
+
+
+@query(
+    "stats_cohens_d",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'signup')
+    ),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+                 CAST(sum(cents) AS BIGINT) AS s_a,
+                 CAST(sum(cents * cents) AS BIGINT) AS q_a
+          FROM v WHERE event_type = 'view'),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(cents) AS BIGINT) AS s_b,
+                 CAST(sum(cents * cents) AS BIGINT) AS q_b
+          FROM v WHERE event_type = 'signup'),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             (CAST(q_a AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)
+                 * (CAST(s_a AS DOUBLE) / n_a)) AS ss_a,
+             (CAST(q_b AS DOUBLE)
+               - CAST(n_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)
+                 * (CAST(s_b AS DOUBLE) / n_b)) AS ss_b
+      FROM a, b
+    ),
+    d AS (
+      SELECT n_a, n_b, mean_a, mean_b,
+             (mean_a - mean_b)
+               / sqrt((ss_a + ss_b) / (n_a + n_b - 2)) AS cohens_d
+      FROM m
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 12) AS mean_a, round(mean_b, 12) AS mean_b,
+           round(cohens_d, 12) AS cohens_d,
+           round(cohens_d
+                 * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 12) AS hedges_g,
+           abs(cohens_d) >= 0.2 AS at_least_small
+    FROM d
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
+    """COHEN'S d pooled-SD effect size (with the Hedges' g small-
+    sample correction) for view vs signup event values — the
+    magnitude companion to stats_welch_ttest's significance (a
+    p-value says "not noise"; d says "big enough to matter", the
+    number an experiment review actually reads). Same float
+    discipline: exact BIGINT Σx/Σx² partials per group, then the
+    mean/pooled-variance/d/g chain in doubles mirrored token-for-
+    token, round 12. Two map-combinable partial aggs + a 1×1 cross —
+    only the scan scales."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "signup")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def side(t: str, sfx: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .select(cents.alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{sfx}"),
+                F.sum("c").alias(f"s_{sfx}"),
+                F.sum(F.col("c") * F.col("c")).alias(f"q_{sfx}"),
+            )
+        )
+
+    m = side("view", "a").crossJoin(side("signup", "b"))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    ss_a = (
+        F.col("q_a").cast("double")
+        - F.col("n_a").cast("double") * mean_a * mean_a
+    )
+    ss_b = (
+        F.col("q_b").cast("double")
+        - F.col("n_b").cast("double") * mean_b * mean_b
+    )
+    d = (mean_a - mean_b) / F.sqrt(
+        (ss_a + ss_b) / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 12).alias("mean_a"),
+        F.round(mean_b, 12).alias("mean_b"),
+        F.round(d, 12).alias("cohens_d"),
+        F.round(
+            d * (1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)), 12
+        ).alias("hedges_g"),
+        (F.abs(d) >= 0.2).alias("at_least_small"),
+    )
+
+
+@query(
+    "stats_grubbs_max",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id,
+             abs(m.n * v.c - m.s) AS nd,
+             m.n, m.s, m.q
+      FROM v JOIN m USING (event_type)
+    ),
+    mx AS (
+      SELECT event_type, n, s, q,
+             CAST(max(nd) AS BIGINT) AS max_nd,
+             CAST(min(CASE WHEN nd = mxnd THEN event_id END) AS BIGINT)
+               AS argmax_event
+      FROM (SELECT *, max(nd) OVER (PARTITION BY event_type) AS mxnd
+            FROM dev)
+      GROUP BY event_type, n, s, q
+    )
+    SELECT event_type, n,
+           round(CAST(max_nd AS DOUBLE) / n
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+                           * (CAST(s AS DOUBLE) / n)) / (n - 1)),
+                 12) AS g_stat,
+           argmax_event
+    FROM mx
+    """,
+)
+def stats_grubbs_max(spark: SparkSession, sf: str) -> DataFrame:
+    """GRUBBS' maximum-deviation statistic per event type: G =
+    max|x−x̄| / s, the classic single-outlier screen run before any
+    mean-based metric is trusted. Exactness device: max|x−x̄| =
+    max|n·x − Σx| / n, so the argmax and the numerator are EXACT
+    BIGINT (ties broken by min event_id) — only the final divide by
+    n·s happens in mirrored doubles, round 12. Two passes over the
+    fact (moment agg, then deviation max via a type-keyed window on
+    the second scan) — both map-combinable shapes."""
+    e = load(spark, sf, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dev = v.join(F.broadcast(m), on="event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("n") * F.col("c") - F.col("s")).alias("nd"),
+        "n",
+        "s",
+        "q",
+    )
+    mx = dev.groupBy("event_type", "n", "s", "q").agg(
+        F.max("nd").alias("max_nd"),
+        F.min_by(
+            F.struct(F.col("event_id")), F.struct(-F.col("nd"), F.col("event_id"))
+        ).getField("event_id").alias("argmax_event"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("n").cast("double") * mean * mean
+        )
+        / (F.col("n") - 1)
+    )
+    return mx.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("max_nd").cast("double") / F.col("n") / sd, 12
+        ).alias("g_stat"),
+        F.col("argmax_event").cast("long").alias("argmax_event"),
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 12) AS hapax_vocab_ratio,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(c), 12) AS hapax_token_share
+    FROM wc GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """HAPAX-LEGOMENA census per source: vocabulary size, token
+    count, words occurring exactly once, and the two classic
+    vocabulary-health ratios (hapax/vocab tracks productive
+    vocabulary; hapax/tokens spikes on OCR noise and mojibake — a
+    cheap corpus-quality tripwire next to text_zipf_fit). One
+    explode + two stacked map-combinable groupBys; ratios are
+    integer-over-integer in mirrored doubles, round 12."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    one = F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))
+    g = wc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("tokens"),
+        F.sum(one).alias("hapax"),
+    )
+    return g.select(
+        "source",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("vocab"), 12
+        ).alias("hapax_vocab_ratio"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("tokens"), 12
+        ).alias("hapax_token_share"),
     )
 
 

@@ -3732,3 +3732,78 @@ def test_hits_rejects_nonpositive_rounds(spark):
     e = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with _pytest.raises(ValueError, match="rounds >= 1"):
         hits(e, rounds=0)
+
+
+def test_cohens_d_matches_python(spark, sf_small):
+    """Effect size equals a direct python replay on collected cents."""
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("event_type", "value").collect()
+    a = [round(r.value * 100) for r in ev if r.event_type == "view"]
+    b = [round(r.value * 100) for r in ev if r.event_type == "signup"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    ssa = sum(x * x for x in a) - na * ma * ma
+    ssb = sum(x * x for x in b) - nb * mb * mb
+    d = (ma - mb) / math.sqrt((ssa + ssb) / (na + nb - 2))
+    row = QUERIES["stats_cohens_d"](spark, sf_small).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.cohens_d - d) < 1e-9
+    assert abs(row.hedges_g - d * (1 - 3.0 / (4 * (na + nb) - 9))) < 1e-9
+
+
+def test_grubbs_max_matches_python(spark, sf_small):
+    """G statistic and argmax event id equal a python replay."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append((r.event_id, round(r.value * 100)))
+    want = {}
+    for t, xs in groups.items():
+        n = len(xs)
+        s = sum(c for _, c in xs)
+        q = sum(c * c for _, c in xs)
+        mean = s / n
+        sd = math.sqrt((q - n * mean * mean) / (n - 1))
+        best = min((-abs(n * c - s), eid) for eid, c in xs)
+        want[t] = (n, (-best[0]) / n / sd, best[1])
+    got = {
+        r.event_type: (r.n, r.g_stat, r.argmax_event)
+        for r in QUERIES["stats_grubbs_max"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert abs(got[t][1] - want[t][1]) < 1e-9
+        assert got[t][2] == want[t][2], t
+
+
+def test_hapax_ratio_matches_counter(spark, sf_small):
+    """Vocab/hapax censuses equal a Counter replay per source."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per_src = defaultdict(Counter)
+    for r in docs:
+        per_src[r.source].update(r.text.strip().split())
+    got = {
+        r.source: (r.vocab, r.tokens, r.hapax)
+        for r in QUERIES["text_hapax_ratio"](spark, sf_small).collect()
+    }
+    for src, cnt in per_src.items():
+        hap = sum(1 for c in cnt.values() if c == 1)
+        assert got[src] == (len(cnt), sum(cnt.values()), hap), src
