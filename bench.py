@@ -191,6 +191,9 @@ CATALOG_BENCH = [
     "stats_cohens_d",
     "stats_grubbs_max",
     "text_hapax_ratio",
+    "ts_lead_lag_xcorr",
+    "ts_hurst_rs",
+    "olap_median_order_gap",
 ]
 
 

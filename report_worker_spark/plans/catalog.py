@@ -8977,6 +8977,9 @@ _DRIVER_WINDOW = [
     "stats_cohens_d",
     "stats_grubbs_max",
     "text_hapax_ratio",
+    "ts_lead_lag_xcorr",
+    "ts_hurst_rs",
+    "olap_median_order_gap",
 ]
 
 
@@ -18312,6 +18315,308 @@ def text_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.col("hapax").cast("double") / F.col("tokens"), 12
         ).alias("hapax_token_share"),
+    )
+
+
+@query(
+    "ts_lead_lag_xcorr",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    x AS (SELECT day, n FROM grid WHERE event_type = 'click'),
+    y AS (SELECT day, n FROM grid WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+    pairs AS (
+      SELECT l.lag, x.n AS xn, y.n AS yn
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.day = x.day + l.lag
+    ),
+    agg AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(xn) AS BIGINT) AS sx,
+             CAST(sum(yn) AS BIGINT) AS sy,
+             CAST(sum(xn * yn) AS BIGINT) AS sxy,
+             CAST(sum(xn * xn) AS BIGINT) AS sxx,
+             CAST(sum(yn * yn) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_days * syy - sy * sy AS DOUBLE)),
+                 12) AS xcorr
+    FROM agg
+    """,
+)
+def ts_lead_lag_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAD-LAG CROSS-CORRELATION between the click and purchase
+    daily series at lags −7..+7 — the "does x lead y, and by how
+    many days?" question behind attribution and campaign-echo
+    analysis. Dense-grid device: both series are zero-filled 30-day
+    grids, the 15-row lag table broadcasts, and the shifted
+    alignment is an equi-join on day+lag; per-lag Σx/Σy/Σxy/Σx²/Σy²
+    are EXACT BIGINT (counts), so the correlation numerator is
+    integer and only the final normalize runs in mirrored doubles,
+    round 12. At scale the grid is tiny (types × days) — the cost is
+    the one daily aggregation every ts_* query shares."""
+    g = _daily_grid(spark, sf)
+    x = g.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("xd"), F.col("n").alias("xn")
+    )
+    y = g.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yd"), F.col("n").alias("yn")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("xn").alias("sx"),
+        F.sum("yn").alias("sy"),
+        F.sum(F.col("xn") * F.col("yn")).alias("sxy"),
+        F.sum(F.col("xn") * F.col("xn")).alias("sxx"),
+        F.sum(F.col("yn") * F.col("yn")).alias("syy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).cast("double")
+    )
+    return agg.select(
+        "lag",
+        "n_days",
+        num.cast("long").alias("cov_num"),
+        F.round(num.cast("double") / den, 12).alias("xcorr"),
+    )
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    x AS (SELECT day, n FROM grid WHERE event_type = 'click'),
+    ws AS (SELECT CAST(unnest([5, 10, 15]) AS BIGINT) AS w),
+    chunked AS (
+      SELECT w.w, x.day // w.w AS chunk, x.day % w.w + 1 AS k, x.n
+      FROM ws w JOIN x ON TRUE
+    ),
+    cum AS (
+      SELECT w, chunk, k, n,
+             CAST(sum(n) OVER (PARTITION BY w, chunk ORDER BY k) AS BIGINT)
+               AS cum_k,
+             CAST(sum(n) OVER (PARTITION BY w, chunk) AS BIGINT) AS s,
+             CAST(sum(n * n) OVER (PARTITION BY w, chunk) AS BIGINT) AS q
+      FROM chunked
+    ),
+    perchunk AS (
+      SELECT w, chunk,
+             CAST(max(w * cum_k - k * s) - min(w * cum_k - k * s)
+               AS BIGINT) AS rw,
+             CAST(min(w * q - s * s) AS BIGINT) AS disc
+      FROM cum GROUP BY w, chunk
+    ),
+    rs AS (
+      SELECT w, chunk,
+             CAST(rw AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)) AS rs_val
+      FROM perchunk WHERE disc > 0
+    ),
+    perw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_chunks,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(rs_val))), (a, v) -> a + v)
+               / count(*) AS rs_mean
+      FROM rs GROUP BY w
+    ),
+    pts AS (SELECT w, n_chunks, rs_mean, ln(CAST(w AS DOUBLE)) AS lx,
+                   ln(rs_mean) AS ly
+            FROM perw),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n3,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx))), (a, v) -> a + v) AS slx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(ly))), (a, v) -> a + v) AS sly,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx * ly))), (a, v) -> a + v) AS slxy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx * lx))), (a, v) -> a + v) AS slxx
+      FROM pts
+    )
+    SELECT p.w, p.n_chunks, round(p.rs_mean, 12) AS rs_mean,
+           round((f.n3 * f.slxy - f.slx * f.sly)
+                 / (f.n3 * f.slxx - f.slx * f.slx), 12) AS hurst
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
+    """HURST EXPONENT by rescaled-range (R/S) analysis of the click
+    daily series — long-range-dependence detection (H≈0.5 random
+    walk, H>0.5 persistent/trending, H<0.5 mean-reverting), the
+    classic self-similarity audit for traffic series. Exactness
+    device: within each size-w chunk the cumulative deviation scaled
+    by w is integer (w·Z_k = w·cum_k − k·S), so R·w and the variance
+    discriminant w·q − s² are EXACT BIGINT and R/S =
+    Rw/sqrt(wq−s²) touches floats only at the final divide. Chunk
+    means and the ln-ln OLS slope use the sorted-fold discipline
+    (array_sort + sequential aggregate ≡ DuckDB list_reduce ∘
+    list_sort) so cross-engine float sums are bit-identical. One
+    windowed pass per (w, chunk) over the tiny grid."""
+    g = _daily_grid(spark, sf)
+    x = g.filter(F.col("event_type") == "click").select("day", "n")
+    ws = spark.range(3).select(
+        (F.col("id") * 5 + 5).alias("w")
+    ).filter(F.col("w") != 0)  # 5, 10, 15
+    ch = x.crossJoin(F.broadcast(ws)).select(
+        "w",
+        (F.col("day") / F.col("w")).cast("long").alias("chunk"),
+        (F.col("day") % F.col("w") + 1).alias("k"),
+        "n",
+    )
+    wcum = (
+        Window.partitionBy("w", "chunk")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("w", "chunk")
+    cum = ch.select(
+        "w",
+        "chunk",
+        "k",
+        "n",
+        F.sum("n").over(wcum).alias("cum_k"),
+        F.sum("n").over(wall).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(wall).alias("q"),
+    )
+    z = F.col("w") * F.col("cum_k") - F.col("k") * F.col("s")
+    perchunk = cum.groupBy("w", "chunk").agg(
+        (F.max(z) - F.min(z)).alias("rw"),
+        F.min(F.col("w") * F.col("q") - F.col("s") * F.col("s")).alias(
+            "disc"
+        ),
+    )
+    rs = perchunk.filter(F.col("disc") > 0).select(
+        "w",
+        (
+            F.col("rw").cast("double") / F.sqrt(F.col("disc").cast("double"))
+        ).alias("rs_val"),
+    )
+
+    def fold_mean(c: str) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(c)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    perw = rs.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (fold_mean("rs_val") / F.count(F.lit(1))).alias("rs_mean"),
+    )
+    pts = perw.select(
+        "w",
+        "n_chunks",
+        "rs_mean",
+        F.log(F.col("w").cast("double")).alias("lx"),
+        F.log("rs_mean").alias("ly"),
+    )
+    fit = pts.select(
+        "lx", "ly", (F.col("lx") * F.col("ly")).alias("lxy"),
+        (F.col("lx") * F.col("lx")).alias("lxx"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n3"),
+        fold_mean("lx").alias("slx"),
+        fold_mean("ly").alias("sly"),
+        fold_mean("lxy").alias("slxy"),
+        fold_mean("lxx").alias("slxx"),
+    )
+    hurst = (
+        F.col("n3") * F.col("slxy") - F.col("slx") * F.col("sly")
+    ) / (F.col("n3") * F.col("slxx") - F.col("slx") * F.col("slx"))
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_chunks",
+            F.round("rs_mean", 12).alias("rs_mean"),
+            F.round(hurst, 12).alias("hurst"),
+        )
+    )
+
+
+@query(
+    "olap_median_order_gap",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap
+      FROM seq WHERE prev_d IS NOT NULL
+    ),
+    arr AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+             list_sort(list(gap)) AS a
+      FROM gaps GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_gaps,
+           CAST(a[CAST((n_gaps + 1) // 2 AS INT)]
+                + a[CAST(n_gaps // 2 + 1 AS INT)] AS BIGINT)
+             AS med2_gap_days,
+           CAST(a[1] AS BIGINT) AS min_gap,
+           CAST(a[CAST(n_gaps AS INT)] AS BIGINT) AS max_gap
+    FROM arr
+    """,
+)
+def olap_median_order_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT MEDIAN INTER-ORDER GAP per customer — the re-purchase
+    cadence metric behind churn models. Gaps come from one lag
+    window per customer (date order, orderkey tiebreak); the median
+    is reported as med2 = lower-middle + upper-middle of the sorted
+    gap array, an EXACT BIGINT that sidesteps engine-specific
+    interpolation (med2/2 is the usual median). Per-customer arrays
+    are order-count-bounded (tiny), so collect_list here is a
+    grouped small-array device, not a corpus collect; the whole op
+    is one window + one groupBy."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(wseq))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("d", "prev_d").cast("long").alias("gap"),
+        )
+    )
+    arr = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.array_sort(F.collect_list("gap")).alias("a"),
+    )
+    lo = F.element_at("a", ((F.col("n_gaps") + 1) / 2).cast("int"))
+    hi = F.element_at("a", (F.col("n_gaps") / 2 + 1).cast("int"))
+    return arr.select(
+        "o_custkey",
+        "n_gaps",
+        (lo + hi).cast("long").alias("med2_gap_days"),
+        F.element_at("a", 1).cast("long").alias("min_gap"),
+        F.element_at("a", F.col("n_gaps").cast("int"))
+        .cast("long")
+        .alias("max_gap"),
     )
 
 

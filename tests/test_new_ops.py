@@ -3807,3 +3807,120 @@ def test_hapax_ratio_matches_counter(spark, sf_small):
     for src, cnt in per_src.items():
         hap = sum(1 for c in cnt.values() if c == 1)
         assert got[src] == (len(cnt), sum(cnt.values()), hap), src
+
+
+def test_lead_lag_xcorr_matches_python(spark, sf_small):
+    """Per-lag correlation equals a numpy replay on the dense grids."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    x, y = [0] * 30, [0] * 30
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            if r.event_type == "click":
+                x[d] += 1
+            elif r.event_type == "purchase":
+                y[d] += 1
+    got = {
+        r.lag: (r.n_days, r.cov_num, r.xcorr)
+        for r in QUERIES["ts_lead_lag_xcorr"](spark, sf_small).collect()
+    }
+    for lag in range(-7, 8):
+        pairs = [
+            (x[d], y[d + lag]) for d in range(30) if 0 <= d + lag <= 29
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        num = n * sxy - sx * sy
+        corr = num / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        assert got[lag][0] == n and got[lag][1] == num
+        assert abs(got[lag][2] - corr) < 1e-9, lag
+
+
+def test_hurst_rs_matches_python(spark, sf_small):
+    """R/S means and the ln-ln slope equal a python replay."""
+    import datetime
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    x = [0] * 30
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29 and r.event_type == "click":
+            x[d] += 1
+    pts = []
+    for w in (5, 10, 15):
+        vals = []
+        for c in range(30 // w):
+            chunk = x[c * w : (c + 1) * w]
+            s, q = sum(chunk), sum(v * v for v in chunk)
+            disc = w * q - s * s
+            if disc <= 0:
+                continue
+            cums = []
+            acc = 0
+            for k, v in enumerate(chunk, start=1):
+                acc += v
+                cums.append(w * acc - k * s)
+            vals.append((max(cums) - min(cums)) / math.sqrt(disc))
+        rs_mean = sum(sorted(vals)) / len(vals)
+        pts.append((w, len(vals), rs_mean))
+    lx = [math.log(w) for w, _, _ in pts]
+    ly = [math.log(m) for _, _, m in pts]
+    n = len(pts)
+    slope = (n * sum(a * b for a, b in zip(lx, ly)) - sum(lx) * sum(ly)) / (
+        n * sum(a * a for a in lx) - sum(lx) ** 2
+    )
+    got = {
+        r.w: (r.n_chunks, r.rs_mean, r.hurst)
+        for r in QUERIES["ts_hurst_rs"](spark, sf_small).collect()
+    }
+    for w, nc, m in pts:
+        assert got[w][0] == nc
+        assert abs(got[w][1] - m) < 1e-9
+        assert abs(got[w][2] - slope) < 1e-6
+
+
+def test_median_order_gap_matches_python(spark, sf_small):
+    """med2/min/max gaps equal a python replay per customer."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.o_custkey].append((r.o_orderdate.date(), r.o_orderkey))
+    got = {
+        r.o_custkey: (r.n_gaps, r.med2_gap_days, r.min_gap, r.max_gap)
+        for r in QUERIES["olap_median_order_gap"](spark, sf_small).collect()
+    }
+    for ck, lst in per.items():
+        lst.sort()
+        gaps = sorted(
+            (b[0] - a[0]).days for a, b in zip(lst, lst[1:])
+        )
+        if not gaps:
+            assert ck not in got
+            continue
+        n = len(gaps)
+        med2 = gaps[(n - 1) // 2] + gaps[n // 2]
+        assert got[ck] == (n, med2, gaps[0], gaps[-1]), ck
