@@ -194,6 +194,9 @@ CATALOG_BENCH = [
     "ts_lead_lag_xcorr",
     "ts_hurst_rs",
     "olap_median_order_gap",
+    "graph_k_truss",
+    "graph_rich_club",
+    "emb_centroid_shift_drift",
 ]
 
 

@@ -8980,6 +8980,9 @@ _DRIVER_WINDOW = [
     "ts_lead_lag_xcorr",
     "ts_hurst_rs",
     "olap_median_order_gap",
+    "graph_k_truss",
+    "graph_rich_club",
+    "emb_centroid_shift_drift",
 ]
 
 
@@ -18617,6 +18620,278 @@ def olap_median_order_gap(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("a", F.col("n_gaps").cast("int"))
         .cast("long")
         .alias("max_gap"),
+    )
+
+
+@query(
+    "graph_k_truss",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj1 AS (
+      SELECT src AS s, dst AS t FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    sup1 AS (
+      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+      FROM edges e
+      JOIN adj1 a ON a.s = e.src
+      JOIN adj1 b ON b.s = e.dst AND b.t = a.t
+      GROUP BY e.src, e.dst
+    ),
+    e1 AS (SELECT src, dst FROM sup1 WHERE sup >= 2),
+    adj2 AS (
+      SELECT src AS s, dst AS t FROM e1
+      UNION ALL SELECT dst, src FROM e1
+    ),
+    sup2 AS (
+      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+      FROM e1 e
+      JOIN adj2 a ON a.s = e.src
+      JOIN adj2 b ON b.s = e.dst AND b.t = a.t
+      GROUP BY e.src, e.dst
+    ),
+    e2 AS (SELECT src, dst FROM sup2 WHERE sup >= 2),
+    adj3 AS (
+      SELECT src AS s, dst AS t FROM e2
+      UNION ALL SELECT dst, src FROM e2
+    ),
+    sup3 AS (
+      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+      FROM e2 e
+      JOIN adj3 a ON a.s = e.src
+      JOIN adj3 b ON b.s = e.dst AND b.t = a.t
+      GROUP BY e.src, e.dst
+    ),
+    e3 AS (SELECT src, dst FROM sup3 WHERE sup >= 2)
+    SELECT sup, CAST(count(*) AS BIGINT) AS n_edges
+    FROM sup3 WHERE sup >= 2 GROUP BY sup
+    """,
+)
+def graph_k_truss(spark: SparkSession, sf: str) -> DataFrame:
+    """4-TRUSS PEELING census on the part co-occurrence graph: 3
+    rounds of "recompute per-edge triangle support, drop edges in
+    < k−2 = 2 triangles", then a histogram of the surviving support
+    values — the cohesive-subgraph screen that is stricter than
+    k-core (truss edges sit in many triangles, cores only need
+    degree). Support per round is TWO node-keyed equi-joins of the
+    edge list against the adjacency list + one groupBy (wedge budget
+    Σ deg², the triangle-count economics — no all-pairs); each round
+    localCheckpoints so the unrolled plan stays linear. Fixed round
+    count (fixpoint not asserted; round-3 support is reported), the
+    same discipline as the unrolled BFS/label-prop oracles."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)
+    sup = None
+    for _ in range(3):
+        adj = e.select(
+            F.col("src").alias("s"), F.col("dst").alias("t")
+        ).unionAll(
+            e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
+        )
+        a = adj.select(F.col("s").alias("src"), F.col("t").alias("w"))
+        b = adj.select(F.col("s").alias("dst"), F.col("t").alias("w"))
+        sup = (
+            e.join(a, on="src")
+            .join(b, on=["dst", "w"])
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        e = (
+            sup.filter(F.col("sup") >= 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sup.filter(F.col("sup") >= 2)
+        .groupBy("sup")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.col("sup").cast("long").alias("sup"), "n_edges")
+    )
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (
+      SELECT src AS s, dst AS t FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY s),
+    ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
+    nk AS (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS n_k
+      FROM ks k JOIN deg d ON d.deg > k.k GROUP BY k.k
+    ),
+    ek AS (
+      SELECT k.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM ks k
+      JOIN edges e ON TRUE
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+      WHERE ds.deg > k.k AND dd.deg > k.k
+      GROUP BY k.k
+    )
+    SELECT n.k, n.n_k, coalesce(e.e_k, 0) AS e_k,
+           round(CAST(2 * coalesce(e.e_k, 0) AS DOUBLE)
+                 / (n.n_k * (n.n_k - 1)), 12) AS phi
+    FROM nk n LEFT JOIN ek e ON e.k = n.k
+    WHERE n.n_k >= 2
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT φ(k) = 2·E_k / (N_k(N_k−1)) for degree
+    thresholds k ∈ {2,4,8,16,32} — do high-degree parts
+    preferentially co-occur with each other? (The hub-interconnect
+    audit behind assortativity.) One degree pass; the threshold
+    table (5 rows) broadcasts against nodes and against the
+    degree-annotated edge list, so everything is counts — φ is the
+    only float, round 12. Thresholds with fewer than 2 qualifying
+    nodes are dropped (φ undefined)."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)  # consumed twice
+    deg = gr.degrees(e)
+    ks = spark.range(5).select(
+        F.expr("cast(shiftleft(2, cast(id as int)) as bigint)").alias("k")
+    )  # 2, 4, 8, 16, 32
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sd"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dg"))
+    ek = (
+        e.join(ds, on="src")
+        .join(dd, on="dst")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("sd") > F.col("k")) & (F.col("dg") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    out = nk.join(ek, on="k", how="left").filter(F.col("n_k") >= 2)
+    ekc = F.coalesce(F.col("e_k"), F.lit(0))
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        "n_k",
+        ekc.cast("long").alias("e_k"),
+        F.round(
+            (2 * ekc).cast("double")
+            / (F.col("n_k") * (F.col("n_k") - 1)),
+            12,
+        ).alias("phi"),
+    )
+
+
+@query(
+    "emb_centroid_shift_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    halves AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT)
+               AS s0,
+             CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS s1
+      FROM ex GROUP BY label, dim
+    ),
+    d AS (
+      SELECT label, dim, n0, n1,
+             n1 * s0 - n0 * s1 AS dv,
+             abs(n1 * s0 - n0 * s1) AS adv
+      FROM halves
+    ),
+    mx AS (
+      SELECT label,
+             CAST(min(CASE WHEN adv = mxa THEN dim END) AS BIGINT)
+               AS max_dim
+      FROM (SELECT *, max(adv) OVER (PARTITION BY label) AS mxa FROM d)
+      GROUP BY label
+    ),
+    agg AS (
+      SELECT label, min(n0) AS n0, min(n1) AS n1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)))),
+               (a, v) -> a + v) AS ssd
+      FROM d GROUP BY label
+    )
+    SELECT a.label, CAST(a.n0 AS BIGINT) AS n0,
+           CAST(a.n1 AS BIGINT) AS n1,
+           round(sqrt(a.ssd) / (a.n0 * a.n1), 12) AS drift_l2,
+           m.max_dim
+    FROM agg a JOIN mx m USING (label)
+    """,
+)
+def emb_centroid_shift_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-DRIFT audit: per label, the L2 distance between the
+    centroid of even vec_ids and the centroid of odd vec_ids (the
+    deterministic stand-in for "last batch vs this batch" — the
+    check that catches a silently retrained or re-normalized encoder
+    before it poisons an index). Exactness: on the ×256 grid the
+    per-dim cross-multiplied difference d = n1·Σ₀ − n0·Σ₁ is an
+    EXACT BIGINT (no rational means), so the argmax drift dimension
+    is exact; Σd² folds smallest-first in doubles (d < 2⁵³ squares
+    exactly) and only the final sqrt-divide is float, round 12. One
+    posexplode pass + a 64-row-per-label reduce."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(qz).alias("dim", "q"),
+    )
+    halves = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias(
+            "s1"
+        ),
+    )
+    dv = F.col("n1") * F.col("s0") - F.col("n0") * F.col("s1")
+    d = halves.select(
+        "label", "dim", "n0", "n1", dv.alias("dv"), F.abs(dv).alias("adv")
+    )
+    agg = d.groupBy("label").agg(
+        F.min("n0").alias("n0"),
+        F.min("n1").alias("n1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.col("dv").cast("double") * F.col("dv").cast("double")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("ssd"),
+        F.min_by(
+            F.struct(F.col("dim")), F.struct(-F.col("adv"), F.col("dim"))
+        ).getField("dim").cast("long").alias("max_dim"),
+    )
+    return agg.select(
+        "label",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(
+            F.sqrt("ssd") / (F.col("n0") * F.col("n1")), 12
+        ).alias("drift_l2"),
+        "max_dim",
     )
 
 

@@ -3924,3 +3924,114 @@ def test_median_order_gap_matches_python(spark, sf_small):
         n = len(gaps)
         med2 = gaps[(n - 1) // 2] + gaps[n // 2]
         assert got[ck] == (n, med2, gaps[0], gaps[-1]), ck
+
+
+def _py_cooccur_edges(spark, sf):
+    import datetime
+
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    ).collect()
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        if lo <= r.l_shipdate < hi:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    return edges
+
+
+def test_k_truss_matches_python(spark, sf_small):
+    """3-round 4-truss peel census equals a python replay."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    sup = {}
+    for _ in range(3):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in edges
+        }
+        edges = {e for e, s in sup.items() if s >= 2}
+    want = Counter(s for s in sup.values() if s >= 2)
+    got = {
+        r.sup: r.n_edges
+        for r in QUERIES["graph_k_truss"](spark, sf_small).collect()
+    }
+    assert got == dict(want)
+
+
+def test_rich_club_matches_python(spark, sf_small):
+    """phi(k) equals a python replay for every threshold."""
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        r.k: (r.n_k, r.e_k, r.phi)
+        for r in QUERIES["graph_rich_club"](spark, sf_small).collect()
+    }
+    for k in (2, 4, 8, 16, 32):
+        rich = {n for n, d in deg.items() if d > k}
+        if len(rich) < 2:
+            assert k not in got
+            continue
+        ek = sum(1 for a, b in edges if a in rich and b in rich)
+        nk = len(rich)
+        assert got[k][0] == nk and got[k][1] == ek
+        assert abs(got[k][2] - 2 * ek / (nk * (nk - 1))) < 1e-9
+
+
+def test_centroid_shift_matches_numpy(spark, sf_small):
+    """Per-label drift and argmax dim equal a numpy replay."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    labels = sorted({r.label for r in rows})
+    got = {
+        r.label: (r.n0, r.n1, r.drift_l2, r.max_dim)
+        for r in QUERIES["emb_centroid_shift_drift"](spark, sf_small).collect()
+    }
+    for lab in labels:
+        h0 = np.array(
+            [[round(float(x) * 256) for x in r.embedding]
+             for r in rows if r.label == lab and r.vec_id % 2 == 0],
+            dtype=np.int64,
+        )
+        h1 = np.array(
+            [[round(float(x) * 256) for x in r.embedding]
+             for r in rows if r.label == lab and r.vec_id % 2 == 1],
+            dtype=np.int64,
+        )
+        n0, n1 = len(h0), len(h1)
+        d = n1 * h0.sum(axis=0) - n0 * h1.sum(axis=0)
+        drift = np.sqrt(np.sum(np.sort(d.astype(np.float64) ** 2))) / (
+            n0 * n1
+        )
+        mx = int(np.min(np.where(np.abs(d) == np.abs(d).max())))
+        assert got[lab][0] == n0 and got[lab][1] == n1
+        assert abs(got[lab][2] - drift) < 1e-9
+        assert got[lab][3] == mx, lab
