@@ -197,6 +197,9 @@ CATALOG_BENCH = [
     "graph_k_truss",
     "graph_rich_club",
     "emb_centroid_shift_drift",
+    "sim_range_search_radius",
+    "emb_triplet_violation_rate",
+    "emb_silhouette_sample",
 ]
 
 

@@ -8983,6 +8983,9 @@ _DRIVER_WINDOW = [
     "graph_k_truss",
     "graph_rich_club",
     "emb_centroid_shift_drift",
+    "sim_range_search_radius",
+    "emb_triplet_violation_rate",
+    "emb_silhouette_sample",
 ]
 
 
@@ -18892,6 +18895,290 @@ def emb_centroid_shift_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.sqrt("ssd") / (F.col("n0") * F.col("n1")), 12
         ).alias("drift_l2"),
         "max_dim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 embedding audits sharing one device: a FIXED 100-id md5 sample
+# broadcast against one corpus scan, with every pair distance an exact
+# int64 on the ×256 grid (the knn-census discipline) — range search,
+# triplet-margin violations, and a silhouette audit all reduce to
+# map-combinable integer MIN/SUM/COUNT aggregates over that pair stream.
+# ---------------------------------------------------------------------------
+
+
+def _sample_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(qid, qlab, nid, nlab, d2): the 100 smallest-md5(vec_id) sample
+    vectors against the full corpus, d2 exact int64. The sample side is
+    TakeOrdered + broadcast (O(100) whatever the corpus); the pair
+    stream never shuffles — each downstream op aggregates it map-side."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    base = emb.select("vec_id", "label", qz.alias("qv"))
+    sample = (
+        base.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(100)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlab"),
+            F.col("qv").alias("qa"),
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qa, qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    return (
+        base.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlab"),
+            d2.alias("d2"),
+        )
+    )
+
+
+@query(
+    "sim_range_search_radius",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid AS vec_id,
+           CAST(sum(CASE WHEN d2 <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r100k,
+           CAST(sum(CASE WHEN d2 <= 120000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r120k,
+           CAST(sum(CASE WHEN d2 <= 140000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r140k,
+           CAST(min(d2) AS BIGINT) AS min_d2
+    FROM pairs GROUP BY qid
+    """,
+)
+def sim_range_search_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE SEARCH (the fixed-radius dual of top-k ANN): for each of
+    the 100 sampled query vectors, how many corpus neighbors sit
+    within d² ≤ {100k, 120k, 140k} on the ×256 grid, plus the exact
+    nearest distance — the density probe behind dedup-radius tuning
+    (pick the radius where counts explode) and epsilon-ball
+    retrieval. Pure conditional COUNTs and a MIN over the exact
+    integer pair stream — fully map-combinable, no window, no
+    Python. At 100 TB the same counts run per IVF cell with a
+    radius-intersection check instead of brute force."""
+    pairs = _sample_pairs(spark, sf)
+    return pairs.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.sum(F.when(F.col("d2") <= 100_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r100k"),
+        F.sum(F.when(F.col("d2") <= 120_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r120k"),
+        F.sum(F.when(F.col("d2") <= 140_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r140k"),
+        F.min("d2").cast("long").alias("min_d2"),
+    )
+
+
+@query(
+    "emb_triplet_violation_rate",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    per AS (
+      SELECT qid, qlab,
+             min(CASE WHEN nlab = qlab THEN d2 END) AS dpos,
+             min(CASE WHEN nlab <> qlab THEN d2 END) AS dneg
+      FROM pairs GROUP BY qid, qlab
+    )
+    SELECT qlab AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           round(CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 12) AS violation_rate
+    FROM per WHERE dpos IS NOT NULL AND dneg IS NOT NULL
+    GROUP BY qlab
+    """,
+)
+def emb_triplet_violation_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """TRIPLET-MARGIN violation rate: for each sampled anchor, is its
+    nearest same-label vector FARTHER than its nearest other-label
+    vector (margin 0)? The metric-learning health check — a high
+    rate means the space does not separate the labels it claims to
+    encode (cf. the ~36% nearest-centroid accuracy this corpus is
+    known to have). dpos/dneg are exact integer MINs over the pair
+    stream (map-combinable); the violation flag is an integer
+    comparison; only the per-label rate is float, round 12."""
+    pairs = _sample_pairs(spark, sf)
+    per = pairs.groupBy("qid", "qlab").agg(
+        F.min(F.when(F.col("nlab") == F.col("qlab"), F.col("d2"))).alias(
+            "dpos"
+        ),
+        F.min(F.when(F.col("nlab") != F.col("qlab"), F.col("d2"))).alias(
+            "dneg"
+        ),
+    )
+    viol = F.when(F.col("dpos") >= F.col("dneg"), 1).otherwise(0)
+    return (
+        per.filter(
+            F.col("dpos").isNotNull() & F.col("dneg").isNotNull()
+        )
+        .groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(viol).cast("long").alias("n_violations"),
+            F.round(
+                F.sum(viol).cast("double") / F.count(F.lit(1)), 12
+            ).alias("violation_rate"),
+        )
+    )
+
+
+@query(
+    "emb_silhouette_sample",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    bylab AS (
+      SELECT qid, qlab, nlab,
+             CAST(sum(d2) AS BIGINT) AS sd2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY qid, qlab, nlab
+    ),
+    scored AS (
+      SELECT qid, qlab, nlab, sd2, n,
+             CAST(sd2 AS DOUBLE) / n AS mean_d2
+      FROM bylab
+    ),
+    a AS (SELECT qid, qlab, sd2, n, mean_d2 AS a2
+          FROM scored WHERE nlab = qlab),
+    b AS (
+      SELECT qid, nlab AS nn_label, sd2, n, mean_d2 AS b2
+      FROM (SELECT qid, nlab, sd2, n, mean_d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY mean_d2 ASC, nlab ASC)
+                     AS rn
+            FROM scored WHERE nlab <> qlab)
+      WHERE rn = 1
+    )
+    SELECT a.qid AS vec_id, a.qlab AS label,
+           CAST(a.sd2 * 1000 // a.n AS BIGINT) AS a2_milli,
+           CAST(b.sd2 * 1000 // b.n AS BIGINT) AS b2_milli,
+           b.nn_label,
+           round((b.b2 - a.a2) / greatest(a.a2, b.b2), 12)
+             AS silhouette
+    FROM a JOIN b USING (qid)
+    """,
+)
+def emb_silhouette_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SILHOUETTE audit (on squared distances — the d²-silhouette
+    variant, which keeps every accumulation an exact integer) for
+    the 100-anchor sample: a = mean d² to the anchor's own label,
+    b = the smallest mean d² to any other label, s = (b−a)/max(a,b).
+    Per-(anchor, label) Σd²/counts are exact BIGINT map-combinable
+    aggregates; means divide once in IEEE doubles (bit-identical
+    across engines) for the comparison and the score, while the
+    REPORTED means are exact scaled integers (Σd²·1000 DIV n — a
+    high-precision round of a 10⁵-magnitude double is engine-
+    specific, so the output never does that); the nearest cluster
+    resolves by (mean, label) rank and s (O(1) magnitude) rounds at
+    12. One pair-stream pass + a 10-row-per-anchor reduce."""
+    pairs = _sample_pairs(spark, sf)
+    bylab = pairs.groupBy("qid", "qlab", "nlab").agg(
+        F.sum("d2").alias("sd2"), F.count(F.lit(1)).alias("n")
+    )
+    scored = bylab.select(
+        "qid",
+        "qlab",
+        "nlab",
+        "sd2",
+        "n",
+        (F.col("sd2").cast("double") / F.col("n")).alias("mean_d2"),
+    )
+    a = scored.filter(F.col("nlab") == F.col("qlab")).select(
+        "qid",
+        "qlab",
+        F.col("mean_d2").alias("a2"),
+        F.expr("(sd2 * 1000) div n").alias("a2_milli"),
+    )
+    wb = Window.partitionBy("qid").orderBy(
+        F.col("mean_d2").asc(), F.col("nlab").asc()
+    )
+    b = (
+        scored.filter(F.col("nlab") != F.col("qlab"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("nlab").alias("nn_label"),
+            F.col("mean_d2").alias("b2"),
+            F.expr("(sd2 * 1000) div n").alias("b2_milli"),
+        )
+    )
+    return a.join(b, on="qid").select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlab").alias("label"),
+        F.col("a2_milli").cast("long").alias("a2_milli"),
+        F.col("b2_milli").cast("long").alias("b2_milli"),
+        "nn_label",
+        F.round(
+            (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"), 12
+        ).alias("silhouette"),
     )
 
 

@@ -4035,3 +4035,124 @@ def test_centroid_shift_matches_numpy(spark, sf_small):
         assert got[lab][0] == n0 and got[lab][1] == n1
         assert abs(got[lab][2] - drift) < 1e-9
         assert got[lab][3] == mx, lab
+
+
+def _emb_sample_pairs_py(spark, sf, k=100):
+    """Python replay of catalog._sample_pairs."""
+    import hashlib
+
+    import numpy as np
+
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf, "embeddings").collect()
+    ids = [r.vec_id for r in rows]
+    labs = {r.vec_id: r.label for r in rows}
+    qv = {
+        r.vec_id: np.array(
+            [round(float(x) * 256) for x in r.embedding], dtype=np.int64
+        )
+        for r in rows
+    }
+    sample = [
+        i
+        for _, i in sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), int(i)) for i in ids
+        )[:k]
+    ]
+    pairs = []
+    for q in sample:
+        for n in ids:
+            if n == q:
+                continue
+            d2 = int(((qv[q] - qv[n]) ** 2).sum())
+            pairs.append((q, labs[q], n, labs[n], d2))
+    return pairs
+
+
+def test_range_search_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    pairs = _emb_sample_pairs_py(spark, sf_small)
+    want = defaultdict(lambda: [0, 0, 0, None])
+    for q, _, _, _, d2 in pairs:
+        w = want[q]
+        w[0] += d2 <= 100_000
+        w[1] += d2 <= 120_000
+        w[2] += d2 <= 140_000
+        w[3] = d2 if w[3] is None else min(w[3], d2)
+    got = {
+        r.vec_id: [r.n_r100k, r.n_r120k, r.n_r140k, r.min_d2]
+        for r in QUERIES["sim_range_search_radius"](spark, sf_small).collect()
+    }
+    assert got == {q: list(v) for q, v in want.items()}
+
+
+def test_triplet_violation_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    pairs = _emb_sample_pairs_py(spark, sf_small)
+    per = defaultdict(lambda: [None, None])
+    anchor_lab = {}
+    for q, ql, _, nl, d2 in pairs:
+        anchor_lab[q] = ql
+        slot = per[q]
+        if nl == ql:
+            slot[0] = d2 if slot[0] is None else min(slot[0], d2)
+        else:
+            slot[1] = d2 if slot[1] is None else min(slot[1], d2)
+    by_lab = defaultdict(lambda: [0, 0])
+    for q, (dp, dn) in per.items():
+        if dp is None or dn is None:
+            continue
+        by_lab[anchor_lab[q]][0] += 1
+        by_lab[anchor_lab[q]][1] += dp >= dn
+    got = {
+        r.label: (r.n_anchors, r.n_violations, r.violation_rate)
+        for r in QUERIES["emb_triplet_violation_rate"](spark, sf_small).collect()
+    }
+    assert set(got) == set(by_lab)
+    for lab, (n, v) in by_lab.items():
+        assert got[lab][0] == n and got[lab][1] == v
+        assert abs(got[lab][2] - v / n) < 1e-9
+
+
+def test_silhouette_sample_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    pairs = _emb_sample_pairs_py(spark, sf_small)
+    acc = defaultdict(lambda: [0, 0])
+    anchor_lab = {}
+    for q, ql, _, nl, d2 in pairs:
+        anchor_lab[q] = ql
+        acc[(q, nl)][0] += d2
+        acc[(q, nl)][1] += 1
+    got = {
+        r.vec_id: (r.label, r.a2_milli, r.b2_milli, r.nn_label, r.silhouette)
+        for r in QUERIES["emb_silhouette_sample"](spark, sf_small).collect()
+    }
+    for q, ql in anchor_lab.items():
+        if (q, ql) not in acc:
+            assert q not in got
+            continue
+        sa, na = acc[(q, ql)]
+        a2 = sa / na
+        best = min(
+            (acc[(qq, nl)][0] / acc[(qq, nl)][1], nl)
+            for (qq, nl) in acc
+            if qq == q and nl != ql
+        )
+        b2, nn = best
+        sb, nb = acc[(q, nn)]
+        s = (b2 - a2) / max(a2, b2)
+        assert got[q][0] == ql
+        assert got[q][1] == sa * 1000 // na
+        assert got[q][2] == sb * 1000 // nb
+        assert got[q][3] == nn
+        assert abs(got[q][4] - s) < 1e-9
