@@ -200,6 +200,10 @@ CATALOG_BENCH = [
     "sim_range_search_radius",
     "emb_triplet_violation_rate",
     "emb_silhouette_sample",
+    "multimodal_wav_clipping_rate",
+    "multimodal_image_colorfulness",
+    "curation_stratified_quota",
+    "text_js_divergence_sources",
 ]
 
 

@@ -2552,3 +2552,100 @@ def png_dhash(
         ),
         with_quarantine,
     )
+
+
+def png_colorfulness_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Opponent-channel moment sums from the REAL PNG decode — the
+    integer half of the Hasler–Süsstrunk colorfulness metric. Per
+    image: exact int64 Σ(r−g), Σ(r−g)², Σ(r+g−2b), Σ(r+g−2b)² (the
+    yb axis scaled ×2 to stay integer). The float metric itself is
+    assembled by the caller from these sums, so nothing
+    order-dependent crosses the Arrow boundary. Same quarantine/skip
+    discipline as :func:`png_pixel_stats`."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+        c = d["channels"]
+        if c < 3:
+            r = g = b = px[0::c]
+        else:
+            r, g, b = px[0::c], px[1::c], px[2::c]
+        rg = r - g
+        yb2 = r + g - 2 * b
+        return {
+            "n_pixels": d["width"] * d["height"],
+            "sum_rg": int(rg.sum()),
+            "sum_rg2": int((rg * rg).sum()),
+            "sum_yb2x": int(yb2.sum()),
+            "sum_yb2x_sq": int((yb2 * yb2).sum()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "n_pixels long, sum_rg long, sum_rg2 long, "
+            "sum_yb2x long, sum_yb2x_sq long",
+        ),
+        with_quarantine,
+    )
+
+
+def wav_clipping_stats(
+    media: DataFrame,
+    margin: int = 3,
+    with_quarantine: bool = False,
+) -> DataFrame:
+    """CLIPPING detection over the REAL WAV decode — the
+    full-scale-saturation audit an audio ingest runs before trusting
+    amplitude features: frames within ``margin`` of either rail
+    (8-bit: ≤ margin−1 or ≥ 256−margin) count as clipped; maximal
+    clipped runs come from the same vectorized run-length scan as
+    :func:`wav_silence_runs`. Per clip: n_frames, clipped_frames,
+    longest clipped run, and the exact peak deviation from midpoint.
+    All integers — the rate is reported by the caller as ppm via
+    integer division."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        if d["bits"] == 8:
+            clipped = (sm <= margin - 1) | (sm >= 256 - margin)
+            peak = int(np.abs(sm - 128).max()) if len(sm) else 0
+        else:
+            full = 1 << 15
+            clipped = (sm <= -full + margin) | (sm >= full - 1 - margin)
+            peak = int(np.abs(sm).max()) if len(sm) else 0
+        longest = 0
+        if clipped.any():
+            b = np.flatnonzero(np.diff(clipped.astype(np.int8)) != 0) + 1
+            edges = np.concatenate(([0], b, [len(clipped)]))
+            lens = np.diff(edges)
+            flags = clipped[edges[:-1]]
+            longest = int(lens[flags].max())
+        return {
+            "n_frames": d["n_frames"],
+            "clipped_frames": int(clipped.sum()),
+            "longest_clip_run": longest,
+            "peak_dev": peak,
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, clipped_frames long, "
+            "longest_clip_run long, peak_dev long",
+        ),
+        with_quarantine,
+    )

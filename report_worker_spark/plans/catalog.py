@@ -8986,6 +8986,10 @@ _DRIVER_WINDOW = [
     "sim_range_search_radius",
     "emb_triplet_violation_rate",
     "emb_silhouette_sample",
+    "multimodal_wav_clipping_rate",
+    "multimodal_image_colorfulness",
+    "curation_stratified_quota",
+    "text_js_divergence_sources",
 ]
 
 
@@ -19179,6 +19183,398 @@ def emb_silhouette_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"), 12
         ).alias("silhouette"),
+    )
+
+
+@query(
+    "multimodal_wav_clipping_rate",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, nf, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < nf
+    ),
+    clipped AS (
+      SELECT media_id, gi,
+             gi - row_number() OVER (PARTITION BY media_id
+                                     ORDER BY gi) AS island
+      FROM vals WHERE v <= 2 OR v >= 253
+    ),
+    runs AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM clipped GROUP BY media_id, island
+    ),
+    peaks AS (
+      SELECT media_id, CAST(max(abs(v - 128)) AS BIGINT) AS peak_dev
+      FROM vals GROUP BY media_id
+    )
+    SELECT c.media_id, CAST(c.nf AS INT) AS n_frames,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS clipped_frames,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT)
+             AS longest_clip_run,
+           CAST(any_value(p.peak_dev) AS BIGINT) AS peak_dev,
+           CAST(coalesce(sum(r.run_len), 0) * 1000000 // c.nf AS BIGINT)
+             AS clip_ppm
+    FROM clip c
+    JOIN peaks p ON p.media_id = c.media_id
+    LEFT JOIN runs r ON r.media_id = c.media_id
+    GROUP BY c.media_id, c.nf
+    """,
+)
+def multimodal_wav_clipping_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """CLIPPING-RATE audit over the REAL WAV decode (margin 3: 8-bit
+    frames at ≤2 or ≥253 count as rail-pinned) — the saturation
+    check an audio ingest gates on before amplitude features mean
+    anything. Per clip: clipped frames, longest clipped run, exact
+    peak deviation, and the rate as ppm by INTEGER division (no
+    float crosses the engine boundary). Run lengths come from the
+    same vectorized boundary scan as the silence kernel; the oracle
+    replays the keystream with the gaps-and-islands device."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    st = mm.wav_clipping_stats(media, margin=3)
+    return st.select(
+        "media_id",
+        "n_frames",
+        "clipped_frames",
+        "longest_clip_run",
+        "peak_dev",
+        F.expr("clipped_frames * 1000000 div n_frames").alias(
+            "clip_ppm"
+        ),
+    )
+
+
+@query(
+    "multimodal_image_colorfulness",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    blocks AS (
+      SELECT media_id, w, h, w*h*3 AS n,
+             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
+      FROM img
+    ),
+    bytes AS (
+      SELECT media_id, w, h, n, b,
+             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < n
+    ),
+    px AS (
+      SELECT media_id, gi // 3 AS pi,
+             CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS r,
+             CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS g,
+             CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS bl
+      FROM vals GROUP BY media_id, gi // 3
+    ),
+    sums AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_pixels,
+             CAST(sum(r - g) AS BIGINT) AS sum_rg,
+             CAST(sum((r - g) * (r - g)) AS BIGINT) AS sum_rg2,
+             CAST(sum(r + g - 2*bl) AS BIGINT) AS sum_yb2x,
+             CAST(sum((r + g - 2*bl) * (r + g - 2*bl)) AS BIGINT)
+               AS sum_yb2x_sq
+      FROM px GROUP BY media_id
+    )
+    SELECT media_id, n_pixels, sum_rg, sum_rg2, sum_yb2x, sum_yb2x_sq,
+           round(sqrt(
+               (CAST(sum_rg2 AS DOUBLE) / n_pixels
+                - (CAST(sum_rg AS DOUBLE) / n_pixels)
+                  * (CAST(sum_rg AS DOUBLE) / n_pixels))
+               + (CAST(sum_yb2x_sq AS DOUBLE) / n_pixels
+                  - (CAST(sum_yb2x AS DOUBLE) / n_pixels)
+                    * (CAST(sum_yb2x AS DOUBLE) / n_pixels)) / 4)
+             + 0.3 * sqrt(
+               (CAST(sum_rg AS DOUBLE) / n_pixels)
+                 * (CAST(sum_rg AS DOUBLE) / n_pixels)
+               + (CAST(sum_yb2x AS DOUBLE) / (2 * n_pixels))
+                 * (CAST(sum_yb2x AS DOUBLE) / (2 * n_pixels))),
+             6) AS colorfulness
+    FROM sums
+    """,
+)
+def multimodal_image_colorfulness(spark: SparkSession, sf: str) -> DataFrame:
+    """HASLER–SÜSSTRUNK COLORFULNESS from the REAL PNG decode — the
+    "is this a screenshot / scanned text / natural photo" heuristic
+    image curation stacks rank by. The Arrow kernel emits only EXACT
+    int64 opponent-channel moments (Σ(r−g), Σ(r−g)², Σ(r+g−2b),
+    Σ(r+g−2b)² — the yb axis ×2 to stay integer); the float metric
+    C = sqrt(σ²_rg+σ²_yb) + 0.3·sqrt(μ²_rg+μ²_yb) assembles
+    JVM-side from those sums in a mirrored expression, round 6 (a
+    ~10²-magnitude value keeps a wide engine-round safety margin).
+    One decode pass, no shuffle."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    st = mm.png_colorfulness_stats(media)
+    np_ = F.col("n_pixels").cast("double")
+    mrg = F.col("sum_rg").cast("double") / np_
+    myb2 = F.col("sum_yb2x").cast("double") / np_
+    var_rg = F.col("sum_rg2").cast("double") / np_ - mrg * mrg
+    var_yb = (
+        F.col("sum_yb2x_sq").cast("double") / np_ - myb2 * myb2
+    ) / 4
+    mu_yb = F.col("sum_yb2x").cast("double") / (2 * np_)
+    return st.select(
+        "media_id",
+        "n_pixels",
+        "sum_rg",
+        "sum_rg2",
+        "sum_yb2x",
+        "sum_yb2x_sq",
+        F.round(
+            F.sqrt(var_rg + var_yb)
+            + 0.3 * F.sqrt(mrg * mrg + mu_yb * mu_yb),
+            6,
+        ).alias("colorfulness"),
+    )
+
+
+@query(
+    "curation_stratified_quota",
+    oracle="""
+    WITH strata AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_stratum
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_stratum) AS BIGINT) AS n FROM strata),
+    alloc AS (
+      SELECT s.source, s.lang, s.n_stratum,
+             CAST(500 * s.n_stratum // t.n AS BIGINT) AS base_q,
+             CAST(500 * s.n_stratum % t.n AS BIGINT) AS rem
+      FROM strata s CROSS JOIN tot t
+    ),
+    leftover AS (
+      SELECT CAST(500 - sum(base_q) AS BIGINT) AS l FROM alloc
+    ),
+    ranked AS (
+      SELECT a.*,
+             row_number() OVER (ORDER BY a.rem DESC, a.source, a.lang)
+               AS rk,
+             l.l
+      FROM alloc a CROSS JOIN leftover l
+    ),
+    quota AS (
+      SELECT source, lang, n_stratum,
+             CAST(base_q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+      FROM ranked
+    ),
+    kept AS (
+      SELECT d.source, d.lang, d.doc_id
+      FROM (SELECT source, lang, doc_id,
+                   row_number() OVER (
+                     PARTITION BY source, lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents) d
+      JOIN quota q ON q.source = d.source AND q.lang = d.lang
+      WHERE d.rn <= q.quota
+    )
+    SELECT q.source, q.lang, q.n_stratum, q.quota,
+           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM quota q
+    LEFT JOIN kept k ON k.source = q.source AND k.lang = q.lang
+    GROUP BY q.source, q.lang, q.n_stratum, q.quota
+    """,
+)
+def curation_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """PROPORTIONAL STRATIFIED SAMPLING with exact largest-remainder
+    (Hamilton) allocation: a 500-doc budget split across
+    (source, lang) strata so that Σquota = 500 EXACTLY — base
+    quota = ⌊B·n_s/N⌋ (integer division), the ⌈⌉ leftovers go to the
+    largest remainders (source/lang tiebreak). Each stratum then
+    keeps its first-quota docs in md5 hash order (the content-hash
+    determinism discipline), pinned by an id-sum checksum so the
+    driver hash fixes WHICH rows were kept. Everything is integer
+    arithmetic; the strata table is tiny (sources × langs), so its
+    ranking window is O(strata), and the per-stratum keep is one
+    window keyed on the stratum."""
+    d = load(spark, sf, "documents").select("doc_id", "source", "lang")
+    strata = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    tot = strata.agg(F.sum("n_stratum").alias("n"))
+    alloc = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_stratum",
+        F.expr("500 * n_stratum div n").alias("base_q"),
+        (F.lit(500) * F.col("n_stratum") % F.col("n")).alias("rem"),
+    )
+    leftover = alloc.agg((500 - F.sum("base_q")).alias("l"))
+    wrk = Window.orderBy(F.col("rem").desc(), "source", "lang")
+    quota = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wrk))  # O(strata) rows
+        .select(
+            "source",
+            "lang",
+            "n_stratum",
+            (
+                F.col("base_q")
+                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    wk = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    kept = (
+        d.withColumn("rn", F.row_number().over(wk))
+        .join(quota, on=["source", "lang"])
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source", "lang")
+        .agg(F.sum("doc_id").alias("kept_id_sum"))
+    )
+    return (
+        quota.join(kept, on=["source", "lang"], how="left")
+        .select(
+            "source",
+            "lang",
+            "n_stratum",
+            "quota",
+            F.coalesce("kept_id_sum", F.lit(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY source, term),
+    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
+           FROM c GROUP BY source),
+    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
+           FROM c GROUP BY term),
+    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    contrib AS (
+      SELECT c.source,
+             (CAST(c.n AS DOUBLE) / ts.tot_s)
+               * ln(CAST(2 * c.n * nt.tot AS DOUBLE)
+                    / CAST(c.n * nt.tot + cw.n_w * ts.tot_s AS DOUBLE))
+               AS tp,
+             (CAST(cw.n_w AS DOUBLE) / nt.tot)
+               * ln(CAST(2 * cw.n_w * ts.tot_s AS DOUBLE)
+                    / CAST(c.n * nt.tot + cw.n_w * ts.tot_s AS DOUBLE))
+               AS tq,
+             CAST(cw.n_w AS DOUBLE) / nt.tot AS qmass
+      FROM c
+      JOIN ts USING (source)
+      JOIN cw USING (term)
+      CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(tp))), (x, y) -> x + y)
+                 + 0.5 * (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_sort(list(tq))), (x, y) -> x + y)
+                   + ln(2) * (1 - list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                         list_sort(list(qmass))), (x, y) -> x + y))),
+                 12) AS js_nats
+    FROM contrib GROUP BY source
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """JENSEN–SHANNON divergence between each source's unigram
+    distribution and the corpus mix — the SYMMETRIC, bounded
+    (≤ ln 2) sibling of text_kl_source_divergence, preferred for
+    data-mixing dashboards because it never blows up on
+    source-exclusive words. Sparse-join device: only terms PRESENT
+    in the source are joined; the corpus-side tail over absent terms
+    collapses to ln2·(1 − Σ_present q) exactly, so no dense
+    source×vocab product exists. Each ln ratio is ONE division of
+    exact integer products; the three per-source sums fold
+    smallest-first (sorted-fold ≡ DuckDB list_reduce∘list_sort),
+    round 12."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
+    nt = c.agg(F.sum("n").alias("tot"))
+    den = (
+        F.col("n") * F.col("tot") + F.col("n_w") * F.col("tot_s")
+    ).cast("double")
+    contrib = (
+        c.join(ts_, on="source")
+        .join(cw, on="term")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            (
+                (F.col("n").cast("double") / F.col("tot_s"))
+                * F.log(
+                    (2 * F.col("n") * F.col("tot")).cast("double") / den
+                )
+            ).alias("tp"),
+            (
+                (F.col("n_w").cast("double") / F.col("tot"))
+                * F.log(
+                    (2 * F.col("n_w") * F.col("tot_s")).cast("double")
+                    / den
+                )
+            ).alias("tq"),
+            (F.col("n_w").cast("double") / F.col("tot")).alias("qmass"),
+        )
+    )
+
+    def fold(col: str) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    import math
+
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            0.5 * fold("tp")
+            + 0.5
+            * (fold("tq") + math.log(2) * (1 - fold("qmass"))),
+            12,
+        ).alias("js_nats"),
     )
 
 

@@ -4156,3 +4156,141 @@ def test_silhouette_sample_matches_python(spark, sf_small):
         assert got[q][2] == sb * 1000 // nb
         assert got[q][3] == nn
         assert abs(got[q][4] - s) < 1e-9
+
+
+def test_wav_clipping_matches_python(spark, sf_small):
+    """Clipping census equals a python keystream replay."""
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_small, "documents").select("doc_id").collect()]
+    got = {
+        r.media_id: (r.n_frames, r.clipped_frames, r.longest_clip_run,
+                     r.peak_dev, r.clip_ppm)
+        for r in QUERIES["multimodal_wav_clipping_rate"](spark, sf_small).collect()
+    }
+    for mid in ids:
+        nf = mid % 96 + 32
+        ks = b"".join(
+            hashlib.md5(f"{mid}:wav:{b}".encode()).digest()
+            for b in range((nf + 15) // 16)
+        )[:nf]
+        clipped = [v <= 2 or v >= 253 for v in ks]
+        total = sum(clipped)
+        longest = run = 0
+        for f in clipped:
+            run = run + 1 if f else 0
+            longest = max(longest, run)
+        peak = max(abs(v - 128) for v in ks)
+        assert got[mid] == (nf, total, longest, peak,
+                            total * 1_000_000 // nf), mid
+
+
+def test_colorfulness_matches_python(spark, sf_small):
+    """Opponent-channel sums and the metric equal a keystream replay."""
+    import hashlib
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_small, "documents").select("doc_id").collect()
+           if r.doc_id % 2 == 0]
+    got = {
+        r.media_id: r
+        for r in QUERIES["multimodal_image_colorfulness"](spark, sf_small).collect()
+    }
+    for mid in ids[:40]:
+        w, h = mid % 31 + 2, mid % 23 + 2
+        n = w * h * 3
+        ks = b"".join(
+            hashlib.md5(f"{mid}:{b}".encode()).digest()
+            for b in range((n + 15) // 16)
+        )[:n]
+        rg = [ks[i] - ks[i + 1] for i in range(0, n, 3)]
+        yb = [ks[i] + ks[i + 1] - 2 * ks[i + 2] for i in range(0, n, 3)]
+        r = got[mid]
+        np_ = w * h
+        assert (r.n_pixels, r.sum_rg, r.sum_yb2x) == (np_, sum(rg), sum(yb))
+        assert r.sum_rg2 == sum(v * v for v in rg)
+        assert r.sum_yb2x_sq == sum(v * v for v in yb)
+        var_rg = r.sum_rg2 / np_ - (r.sum_rg / np_) ** 2
+        var_yb = (r.sum_yb2x_sq / np_ - (r.sum_yb2x / np_) ** 2) / 4
+        c = math.sqrt(var_rg + var_yb) + 0.3 * math.sqrt(
+            (r.sum_rg / np_) ** 2 + (r.sum_yb2x / (2 * np_)) ** 2
+        )
+        assert abs(r.colorfulness - c) < 1e-5, mid
+
+
+def test_stratified_quota_exact_allocation(spark, sf_small):
+    """Quotas sum to exactly 500, follow largest-remainder, and the
+    kept checksum matches a python replay of the md5 keep order."""
+    import hashlib
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    strata = defaultdict(list)
+    for r in docs:
+        strata[(r.source, r.lang)].append(r.doc_id)
+    N = len(docs)
+    alloc = {
+        k: (500 * len(v) // N, 500 * len(v) % N) for k, v in strata.items()
+    }
+    leftover = 500 - sum(b for b, _ in alloc.values())
+    order = sorted(alloc, key=lambda k: (-alloc[k][1], k[0], k[1]))
+    quota = {
+        k: alloc[k][0] + (1 if i < leftover else 0)
+        for i, k in enumerate(order)
+    }
+    got = {
+        (r.source, r.lang): (r.n_stratum, r.quota, r.kept_id_sum)
+        for r in QUERIES["curation_stratified_quota"](spark, sf_small).collect()
+    }
+    assert sum(q for _, q, _ in got.values()) == 500
+    for k, ids in strata.items():
+        keep = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[: quota[k]]
+        assert got[k] == (len(ids), quota[k], sum(keep)), k
+
+
+def test_js_divergence_matches_python(spark, sf_small):
+    """JS divergence equals a python replay and sits in [0, ln 2]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per = defaultdict(Counter)
+    corpus = Counter()
+    for r in docs:
+        ws = r.text.strip().split()
+        per[r.source].update(ws)
+        corpus.update(ws)
+    N = sum(corpus.values())
+    got = {
+        r.source: (r.n_terms, r.js_nats)
+        for r in QUERIES["text_js_divergence_sources"](spark, sf_small).collect()
+    }
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        js = 0.0
+        for w, c in cnt.items():
+            p, q = c / ns, corpus[w] / N
+            m = (p + q) / 2
+            js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        js += 0.5 * math.log(2) * (
+            1 - sum(corpus[w] for w in cnt) / N
+        )
+        assert got[src][0] == len(cnt)
+        assert abs(got[src][1] - js) < 1e-9, src
+        assert -1e-12 <= got[src][1] <= math.log(2) + 1e-12
