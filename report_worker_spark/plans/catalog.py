@@ -19174,7 +19174,9 @@ def emb_silhouette_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("(sd2 * 1000) div n").alias("b2_milli"),
         )
     )
-    return a.join(b, on="qid").select(
+    # both sides are O(sample)=100-row aggregates; broadcast b so the
+    # final stitch never sort-merges
+    return a.join(F.broadcast(b), on="qid").select(
         F.col("qid").alias("vec_id"),
         F.col("qlab").alias("label"),
         F.col("a2_milli").cast("long").alias("a2_milli"),

@@ -882,3 +882,58 @@ def test_knn_outlier_census_scale_shape(spark, sf_oracle):
     # exactly one wide window (the ≤K·5·partitions partial merge); the
     # rank window above the LIMIT is the only global one
     assert "SortMergeJoin" not in plan
+
+
+def test_round8_ops_plan_shapes(spark, sf_oracle):
+    """Plan pins for the round-8 batch: the shapes the 100 TB story
+    depends on, asserted so they can't silently regress."""
+    # effect size / outlier tests: pure aggregates, no joins beyond the
+    # broadcast moment table, everything map-side combinable
+    d = plan_of(QUERIES["stats_cohens_d"](spark, sf_oracle), "simple")
+    assert "SortMergeJoin" not in d and "EvalPython" not in d
+    g = plan_of(QUERIES["stats_grubbs_max"](spark, sf_oracle), "simple")
+    assert "BroadcastHashJoin" in g  # moment table broadcasts
+    assert "SortMergeJoin" not in g
+
+    # lead-lag: 15-row lag table broadcasts; the alignment is a hash
+    # join on day+lag, never a cartesian over the grids
+    x = plan_of(QUERIES["ts_lead_lag_xcorr"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in x
+    # tiny broadcast crosses only: the 15-row lag table plus the
+    # types×30 dense-grid fill on each of the two series
+    assert x.count("BroadcastNestedLoopJoin") <= 3
+
+    # k-truss: adjacency equi-joins only (wedge budget), no cartesian
+    kt = plan_of(QUERIES["graph_k_truss"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in kt
+    assert "EvalPython" not in kt
+
+    # rich club: threshold table broadcast, degree joins broadcast-able
+    rc = plan_of(QUERIES["graph_rich_club"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in rc
+
+    # embedding sample audits: the 100-row sample must BROADCAST
+    # against the corpus scan (bounded broadcast), no shuffle join
+    for q in (
+        "sim_range_search_radius",
+        "emb_triplet_violation_rate",
+        "emb_silhouette_sample",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "SortMergeJoin" not in p, q
+        assert "EvalPython" not in p, q  # d2 folds are JVM expressions
+
+    # multimodal: one Arrow decode pass, no shuffle before the stats
+    cf = plan_of(
+        QUERIES["multimodal_image_colorfulness"](spark, sf_oracle),
+        "simple",
+    )
+    assert "MapInPandas" in cf
+    assert "Join" not in cf
+
+    # JS divergence: sparse joins only — no dense source×vocab product
+    js = plan_of(
+        QUERIES["text_js_divergence_sources"](spark, sf_oracle), "simple"
+    )
+    assert "CartesianProduct" not in js
+    assert js.count("BroadcastNestedLoopJoin") <= 1  # 1-row total only
