@@ -204,6 +204,9 @@ CATALOG_BENCH = [
     "multimodal_image_colorfulness",
     "curation_stratified_quota",
     "text_js_divergence_sources",
+    "graph_modularity_labelprop",
+    "graph_local_bridges",
+    "stats_friedman_test",
 ]
 
 

@@ -8990,6 +8990,9 @@ _DRIVER_WINDOW = [
     "multimodal_image_colorfulness",
     "curation_stratified_quota",
     "text_js_divergence_sources",
+    "graph_modularity_labelprop",
+    "graph_local_bridges",
+    "stats_friedman_test",
 ]
 
 
@@ -19577,6 +19580,268 @@ def text_js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
             * (fold("tq") + math.log(2) * (1 - fold("qmass"))),
             12,
         ).alias("js_nats"),
+    )
+
+
+@query(
+    "graph_modularity_labelprop",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+adj AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM adj),
+l0 AS (SELECT node, node AS lbl FROM nodes)
+, l1 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l0 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l0 p ON adj.b = p.node) GROUP BY node)
+, l2 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l1 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l1 p ON adj.b = p.node) GROUP BY node)
+, l3 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l2 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l2 p ON adj.b = p.node) GROUP BY node),
+    comm AS (SELECT node, lbl FROM l3),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS ie
+      FROM edges e
+      JOIN comm a ON a.node = e.src
+      JOIN comm b ON b.node = e.dst
+      WHERE a.lbl = b.lbl
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY a),
+    dc AS (
+      SELECT c.lbl, CAST(sum(d.d) AS BIGINT) AS dsum
+      FROM comm c JOIN deg d USING (node) GROUP BY c.lbl
+    ),
+    summ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(dsum * dsum) AS BIGINT) AS sum_d2
+      FROM dc
+    )
+    SELECT s.n_communities, m.m AS n_edges, i.ie AS intra_edges,
+           s.sum_d2,
+           round(CAST(i.ie AS DOUBLE) / m.m
+                 - CAST(s.sum_d2 AS DOUBLE) / (4 * m.m * m.m), 12)
+             AS modularity
+    FROM summ s CROSS JOIN mm m CROSS JOIN intra i
+    """,
+)
+def graph_modularity_labelprop(spark: SparkSession, sf: str) -> DataFrame:
+    """NEWMAN MODULARITY of the min-label-propagation communities
+    (3 rounds, the graph_label_propagation partition): Q = Σ_c
+    [e_c/m − (d_c/2m)²] — the "did the community detector find real
+    structure?" score (Q≈0: random; Q>0.3: strong). Every input is
+    an exact integer (intra-edge count via two label joins, Σd_c²
+    from one degree aggregate), so Q is two divisions of exact
+    integers in a mirrored double expression, round 12. Cost on top
+    of propagation: two node-keyed joins + two aggregates."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)  # edges consumed 3×
+    comm = gr.label_propagation(e, rounds=3)
+    comm = comm.localCheckpoint(eager=False)  # consumed 3×
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    ca = comm.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    cb = comm.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        e.join(ca, on="src")
+        .join(cb, on="dst")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).alias("ie"))
+    )
+    deg = gr.degrees(e)
+    dc = comm.join(deg, on="node").groupBy("lbl").agg(
+        F.sum("deg").alias("dsum")
+    )
+    summ = dc.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("dsum") * F.col("dsum")).alias("sum_d2"),
+    )
+    out = (
+        summ.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(intra))
+    )
+    return out.select(
+        "n_communities",
+        F.col("m").alias("n_edges"),
+        F.col("ie").alias("intra_edges"),
+        "sum_d2",
+        F.round(
+            F.col("ie").cast("double") / F.col("m")
+            - F.col("sum_d2").cast("double")
+            / (4 * F.col("m") * F.col("m")),
+            12,
+        ).alias("modularity"),
+    )
+
+
+@query(
+    "graph_local_bridges",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS s, dst AS t FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY s),
+    supported AS (
+      SELECT DISTINCT e.src, e.dst
+      FROM edges e
+      JOIN adj a ON a.s = e.src
+      JOIN adj b ON b.s = e.dst AND b.t = a.t
+    ),
+    bridges AS (
+      SELECT e.src, e.dst
+      FROM edges e
+      LEFT JOIN supported s ON s.src = e.src AND s.dst = e.dst
+      WHERE s.src IS NULL
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM bridges) AS n_bridges
+    ),
+    top AS (
+      SELECT b.src, b.dst, ds.d * dd.d AS deg_product,
+             row_number() OVER (ORDER BY ds.d * dd.d DESC, b.src, b.dst)
+               AS rank
+      FROM bridges b
+      JOIN deg ds ON ds.node = b.src
+      JOIN deg dd ON dd.node = b.dst
+    )
+    SELECT t.rank, t.src, t.dst, CAST(t.deg_product AS BIGINT)
+             AS deg_product,
+           c.n_edges, c.n_bridges,
+           round(CAST(c.n_bridges AS DOUBLE) / c.n_edges, 12)
+             AS bridge_share
+    FROM top t CROSS JOIN counts c
+    WHERE t.rank <= 20
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCAL BRIDGES (Easley–Kleinberg): edges whose endpoints share
+    NO common neighbor — the weak-tie shortcuts whose removal
+    lengthens paths, and exactly the span>2 edges a triangle-based
+    spam filter cannot vouch for. Computed as an anti-join of the
+    edge list against the wedge-closure support set (the k-truss
+    round-1 machinery); the top-20 by endpoint degree product ranks
+    the highest-traffic shortcuts (TakeOrdered tail). Counts are
+    exact; only the bridge share is float, round 12."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)  # consumed 4×
+    adj = e.select(F.col("src").alias("s"), F.col("dst").alias("t")).unionAll(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
+    )
+    adj = adj.localCheckpoint(eager=False)
+    a = adj.select(F.col("s").alias("src"), F.col("t").alias("w"))
+    b = adj.select(F.col("s").alias("dst"), F.col("t").alias("w"))
+    supported = (
+        e.join(a, on="src").join(b, on=["dst", "w"]).select("src", "dst")
+        .distinct()
+    )
+    bridges = e.join(supported, on=["src", "dst"], how="left_anti")
+    bridges = bridges.localCheckpoint(eager=False)  # consumed twice
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("s").alias("src"), F.col("d").alias("sd"))
+    dd = deg.select(F.col("s").alias("dst"), F.col("d").alias("dg"))
+    counts = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            F.broadcast(bridges.agg(F.count(F.lit(1)).alias("n_bridges")))
+        )
+    )
+    scored = (
+        bridges.join(ds, on="src")
+        .join(dd, on="dst")
+        .select("src", "dst", (F.col("sd") * F.col("dg")).alias("deg_product"))
+    )
+    top = scored.orderBy(
+        F.col("deg_product").desc(), "src", "dst"
+    ).limit(20)
+    wr = Window.orderBy(F.col("deg_product").desc(), "src", "dst")
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "rank",
+            "src",
+            "dst",
+            F.col("deg_product").cast("long").alias("deg_product"),
+            "n_edges",
+            "n_bridges",
+            F.round(
+                F.col("n_bridges").cast("double") / F.col("n_edges"), 12
+            ).alias("bridge_share"),
+        )
+    )
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    byval AS (
+      SELECT day, n, CAST(count(*) AS BIGINT) AS cnt
+      FROM grid GROUP BY day, n
+    ),
+    ranked AS (
+      SELECT day, n, cnt,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY day ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cless
+      FROM byval
+    ),
+    r2 AS (
+      SELECT g.event_type, 2 * r.cless + r.cnt + 1 AS tr
+      FROM grid g JOIN ranked r ON r.day = g.day AND r.n = g.n
+    ),
+    sums AS (
+      SELECT event_type, CAST(sum(tr) AS BIGINT) AS r2_sum
+      FROM r2 GROUP BY event_type
+    ),
+    meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(r2_sum * r2_sum) AS BIGINT) AS ss
+      FROM sums
+    )
+    SELECT s.event_type, s.r2_sum, m.k,
+           CAST(30 AS BIGINT) AS n_blocks,
+           round(3.0 * m.ss / (30 * m.k * (m.k + 1))
+                 - 3.0 * 30 * (m.k + 1), 12) AS chi2_f
+    FROM sums s CROSS JOIN meta m
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
+    """FRIEDMAN rank test across event types blocked by day (30-day
+    dense grid): do the types keep the same daily ordering, or does
+    at least one systematically out-rank? The repeated-measures
+    nonparametric ANOVA. Doubled-rank device (2r = 2·cum_less + t +
+    1, the Mann-Whitney/Spearman discipline) keeps average ranks
+    under ties EXACT integers; Σ(2R_j)² is BIGINT and the χ²_F
+    statistic (uncorrected for ties) is one mirrored double
+    expression, round 12. Per-block ranks come from a (day)-keyed
+    window over the tiny grid — no global sort."""
+    g = _daily_grid(spark, sf)
+    byval = g.groupBy("day", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = byval.withColumn(
+        "cless", F.coalesce(F.sum("cnt").over(wday), F.lit(0))
+    )
+    r2 = g.join(ranked, on=["day", "n"]).select(
+        "event_type",
+        (2 * F.col("cless") + F.col("cnt") + 1).alias("tr"),
+    )
+    sums = r2.groupBy("event_type").agg(F.sum("tr").alias("r2_sum"))
+    meta = sums.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).alias("ss"),
+    )
+    return sums.crossJoin(F.broadcast(meta)).select(
+        "event_type",
+        "r2_sum",
+        "k",
+        F.lit(30).cast("long").alias("n_blocks"),
+        F.round(
+            3.0 * F.col("ss") / (30 * F.col("k") * (F.col("k") + 1))
+            - 3.0 * 30 * (F.col("k") + 1),
+            12,
+        ).alias("chi2_f"),
     )
 
 

@@ -4294,3 +4294,95 @@ def test_js_divergence_matches_python(spark, sf_small):
         assert got[src][0] == len(cnt)
         assert abs(got[src][1] - js) < 1e-9, src
         assert -1e-12 <= got[src][1] <= math.log(2) + 1e-12
+
+
+def test_modularity_matches_python(spark, sf_small):
+    """Q equals a python replay of 3-round min-label propagation."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        lbl = {
+            n: min([lbl[n]] + [lbl[x] for x in adj[n]]) for n in adj
+        }
+    m = len(edges)
+    intra = sum(1 for a, b in edges if lbl[a] == lbl[b])
+    dsum = defaultdict(int)
+    for n in adj:
+        dsum[lbl[n]] += len(adj[n])
+    sum_d2 = sum(v * v for v in dsum.values())
+    q = intra / m - sum_d2 / (4 * m * m)
+    row = QUERIES["graph_modularity_labelprop"](spark, sf_small).collect()[0]
+    assert (row.n_communities, row.n_edges, row.intra_edges, row.sum_d2) == (
+        len(dsum), m, intra, sum_d2
+    )
+    assert abs(row.modularity - q) < 1e-9
+
+
+def test_local_bridges_matches_python(spark, sf_small):
+    """Bridge census and top-20 equal a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    bridges = [(a, b) for a, b in edges if not (adj[a] & adj[b])]
+    want_top = sorted(
+        ((len(adj[a]) * len(adj[b]), a, b) for a, b in bridges),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    rows = sorted(
+        QUERIES["graph_local_bridges"](spark, sf_small).collect(),
+        key=lambda r: r.rank,
+    )
+    assert all(
+        (r.n_edges, r.n_bridges) == (len(edges), len(bridges)) for r in rows
+    )
+    assert [(r.deg_product, r.src, r.dst) for r in rows] == want_top
+
+
+def test_friedman_matches_scipy_shape(spark, sf_small):
+    """Doubled-rank sums and the statistic equal a python replay."""
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    types = sorted({r.event_type for r in ev})
+    grid = defaultdict(lambda: {t: 0 for t in types})
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grid[d][r.event_type] += 1
+    r2 = {t: 0 for t in types}
+    for d in range(30):
+        vals = grid[d]
+        for t in types:
+            less = sum(1 for u in types if vals[u] < vals[t])
+            tie = sum(1 for u in types if vals[u] == vals[t])
+            r2[t] += 2 * less + tie + 1
+    k = len(types)
+    ss = sum(v * v for v in r2.values())
+    chi2 = 3.0 * ss / (30 * k * (k + 1)) - 3.0 * 30 * (k + 1)
+    got = {
+        r.event_type: (r.r2_sum, r.k, r.chi2_f)
+        for r in QUERIES["stats_friedman_test"](spark, sf_small).collect()
+    }
+    for t in types:
+        assert got[t][0] == r2[t]
+        assert got[t][1] == k
+        assert abs(got[t][2] - chi2) < 1e-9
