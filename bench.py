@@ -207,6 +207,9 @@ CATALOG_BENCH = [
     "graph_modularity_labelprop",
     "graph_local_bridges",
     "stats_friedman_test",
+    "join_nearest_event",
+    "stats_capture_recapture",
+    "olap_brand_weekend_lift",
 ]
 
 

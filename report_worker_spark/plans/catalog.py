@@ -8993,6 +8993,9 @@ _DRIVER_WINDOW = [
     "graph_modularity_labelprop",
     "graph_local_bridges",
     "stats_friedman_test",
+    "join_nearest_event",
+    "stats_capture_recapture",
+    "olap_brand_weekend_lift",
 ]
 
 
@@ -19842,6 +19845,287 @@ def stats_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
             - 3.0 * 30 * (F.col("k") + 1),
             12,
         ).alias("chi2_f"),
+    )
+
+
+@query(
+    "join_nearest_event",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS knd
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id, knd,
+             last_value(CASE WHEN knd = 0 THEN ts END IGNORE NULLS)
+               OVER w_back AS prev_ts,
+             last_value(CASE WHEN knd = 0 THEN event_id END IGNORE NULLS)
+               OVER w_back AS prev_id,
+             first_value(CASE WHEN knd = 0 THEN ts END IGNORE NULLS)
+               OVER w_fwd AS next_ts,
+             first_value(CASE WHEN knd = 0 THEN event_id END IGNORE NULLS)
+               OVER w_fwd AS next_id
+      FROM tagged
+      WINDOW
+        w_back AS (PARTITION BY user_id ORDER BY ts, knd, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY user_id ORDER BY ts, knd, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    chosen AS (
+      SELECT user_id, event_id, ts,
+             CASE
+               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+               WHEN next_ts IS NULL THEN prev_id
+               WHEN prev_ts IS NULL THEN next_id
+               WHEN date_diff('microsecond', prev_ts, ts)
+                    <= date_diff('microsecond', ts, next_ts) THEN prev_id
+               ELSE next_id
+             END AS click_id,
+             CASE
+               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+               WHEN next_ts IS NULL
+                 THEN date_diff('microsecond', prev_ts, ts)
+               WHEN prev_ts IS NULL
+                 THEN date_diff('microsecond', ts, next_ts)
+               WHEN date_diff('microsecond', prev_ts, ts)
+                    <= date_diff('microsecond', ts, next_ts)
+                 THEN date_diff('microsecond', prev_ts, ts)
+               ELSE date_diff('microsecond', ts, next_ts)
+             END AS delta_us
+      FROM seq WHERE knd = 1
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(delta_us AS BIGINT) AS delta_us,
+           CAST(delta_us // 1000000 AS BIGINT) AS delta_s
+    FROM chosen
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf: str) -> DataFrame:
+    """BIDIRECTIONAL NEAREST (as-of either direction) join: each
+    purchase matched to the user's temporally CLOSEST click —
+    backward ties beat forward (the attribution convention), clicks
+    at the same timestamp sort before purchases so a same-second
+    click is a 0-delta backward match. Implemented WITHOUT a range
+    join: one union-tag sort per user (two frames over the same
+    window — running last non-null backward, first non-null
+    forward), so the cost is the sessionization shape — one shuffle
+    on user_id, no self-join, no inequality join. Deltas are exact
+    integer seconds."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias(
+            "knd"
+        ),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "knd", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "knd", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("knd") == 0, F.col("ts"))
+    click_id = F.when(F.col("knd") == 0, F.col("event_id"))
+    seq = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "knd",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+    ).filter(F.col("knd") == 1)
+    back = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    fwd = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    chosen_id = (
+        F.when(
+            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("next_ts").isNull(), F.col("prev_id"))
+        .when(F.col("prev_ts").isNull(), F.col("next_id"))
+        .when(back <= fwd, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    chosen_d = (
+        F.when(
+            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("next_ts").isNull(), back)
+        .when(F.col("prev_ts").isNull(), fwd)
+        .when(back <= fwd, back)
+        .otherwise(fwd)
+    )
+    return seq.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        chosen_id.cast("long").alias("click_id"),
+        chosen_d.cast("long").alias("delta_us"),
+    ).withColumn("delta_s", F.expr("delta_us div 1000000"))
+
+
+@query(
+    "stats_capture_recapture",
+    oracle="""
+    WITH marked AS (
+      SELECT md5(text) AS h,
+             max(CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 1) IN ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN substr(md5('s2:' || CAST(doc_id AS VARCHAR)),
+                                   1, 1) IN ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE 0 END) AS in2
+      FROM documents GROUP BY md5(text)
+    ),
+    c AS (
+      SELECT CAST(sum(in1) AS BIGINT) AS n1,
+             CAST(sum(in2) AS BIGINT) AS n2,
+             CAST(sum(in1 * in2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS true_distinct
+      FROM marked
+    )
+    SELECT n1, n2, m, true_distinct,
+           round(CAST(n1 AS DOUBLE) * n2 / m, 12) AS lincoln_petersen,
+           round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 12)
+             AS chapman,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1)
+                 / true_distinct - 1, 12) AS chapman_rel_err
+    FROM c
+    """,
+)
+def stats_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """CAPTURE–RECAPTURE (Lincoln–Petersen + Chapman) estimate of the
+    corpus's DISTINCT-TEXT count from two ~50% md5-marked samples —
+    the "how big is the dedup problem really?" estimator run when
+    counting every duplicate is too expensive: catch n1 distinct
+    texts in sample 1, n2 in sample 2, m in both → N̂ ≈ n1·n2/m.
+    Identity = md5(text) (content, not id); sample membership =
+    one hex digit of a salted id hash (≡ top bit, engine-portable).
+    One content-hash groupBy + a one-row reduce; estimates are
+    mirrored doubles over exact counts, with the relative error vs
+    the true distinct count reported for the audit."""
+    d = load(spark, sf, "documents")
+    in1 = F.substring(
+        F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin(*"01234567")
+    in2 = F.substring(
+        F.md5(F.concat(F.lit("s2:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin(*"01234567")
+    marked = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.max(in1.cast("int")).alias("in1"),
+        F.max(in2.cast("int")).alias("in2"),
+    )
+    c = marked.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("true_distinct"),
+    )
+    lp = F.col("n1").cast("double") * F.col("n2") / F.col("m")
+    ch = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        / (F.col("m") + 1)
+        - 1
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "true_distinct",
+        F.round(lp, 12).alias("lincoln_petersen"),
+        F.round(ch, 12).alias("chapman"),
+        F.round(ch / F.col("true_distinct") - 1, 12).alias(
+            "chapman_rel_err"
+        ),
+    )
+
+
+@query(
+    "olap_brand_weekend_lift",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand,
+             CASE WHEN dayofweek(CAST(l.l_shipdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS wknd,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN wknd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wknd,
+             CAST(sum(CASE WHEN wknd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wkdy,
+             CAST(sum(CASE WHEN wknd = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS cents_wknd,
+             CAST(sum(CASE WHEN wknd = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS cents_wkdy
+      FROM li GROUP BY p_brand
+    )
+    SELECT p_brand, n_wknd, n_wkdy, cents_wknd, cents_wkdy,
+           round((CAST(cents_wknd AS DOUBLE) / 2)
+                 / (CAST(cents_wkdy AS DOUBLE) / 5), 12)
+             AS daily_rate_lift
+    FROM g
+    WHERE n_wknd > 0 AND n_wkdy > 0
+    """,
+)
+def olap_brand_weekend_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """WEEKEND-vs-WEEKDAY revenue lift per brand: daily-rate ratio
+    (weekend cents / 2 days) over (weekday cents / 5 days) — the
+    day-mix normalization that raw weekend shares get wrong. Brand
+    dim broadcasts into the fact scan; everything is exact integer
+    cents until the single lift division, round 12. Day-of-week
+    convention pinned on BOTH engines (Spark dayofweek: 1=Sun..7;
+    DuckDB: 0=Sun..6) — the classic cross-engine off-by-one."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    dow = F.dayofweek(F.col("l_shipdate").cast("date"))  # 1=Sun..7=Sat
+    wknd = F.when(dow.isin(1, 7), 1).otherwise(0)
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", wknd.alias("wknd"), "cents")
+        .groupBy("p_brand")
+        .agg(
+            F.sum("wknd").cast("long").alias("n_wknd"),
+            F.sum(1 - F.col("wknd")).cast("long").alias("n_wkdy"),
+            F.sum(F.when(F.col("wknd") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("cents_wknd"),
+            F.sum(F.when(F.col("wknd") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("cents_wkdy"),
+        )
+    )
+    return g.filter((F.col("n_wknd") > 0) & (F.col("n_wkdy") > 0)).select(
+        "p_brand",
+        "n_wknd",
+        "n_wkdy",
+        "cents_wknd",
+        "cents_wkdy",
+        F.round(
+            (F.col("cents_wknd").cast("double") / 2)
+            / (F.col("cents_wkdy").cast("double") / 5),
+            12,
+        ).alias("daily_rate_lift"),
     )
 
 

@@ -4386,3 +4386,120 @@ def test_friedman_matches_scipy_shape(spark, sf_small):
         assert got[t][0] == r2[t]
         assert got[t][1] == k
         assert abs(got[t][2] - chi2) < 1e-9
+
+
+def test_nearest_event_matches_python(spark, sf_small):
+    """Bidirectional nearest-click match equals a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").filter(
+        "event_type in ('click', 'purchase')"
+    ).collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append(
+            (r.ts, 0 if r.event_type == "click" else 1, r.event_id)
+        )
+    got = {
+        r.purchase_id: (r.click_id, r.delta_us, r.delta_s)
+        for r in QUERIES["join_nearest_event"](spark, sf_small).collect()
+    }
+    n_checked = 0
+    for uid, rows in per.items():
+        rows.sort()
+        for i, (ts, knd, eid) in enumerate(rows):
+            if knd != 1:
+                continue
+            prev = next_ = None
+            for j in range(i, -1, -1):
+                if rows[j][1] == 0:
+                    prev = rows[j]
+                    break
+            for j in range(i, len(rows)):
+                if rows[j][1] == 0:
+                    next_ = rows[j]
+                    break
+            us = lambda a, b: round((b - a).total_seconds() * 1e6)
+            if prev is None and next_ is None:
+                want = (None, None, None)
+            elif next_ is None:
+                want = (prev[2], us(prev[0], ts), us(prev[0], ts) // 10**6)
+            elif prev is None:
+                want = (next_[2], us(ts, next_[0]), us(ts, next_[0]) // 10**6)
+            elif us(prev[0], ts) <= us(ts, next_[0]):
+                want = (prev[2], us(prev[0], ts), us(prev[0], ts) // 10**6)
+            else:
+                want = (next_[2], us(ts, next_[0]), us(ts, next_[0]) // 10**6)
+            assert got[eid] == want, (uid, eid, got[eid], want)
+            n_checked += 1
+    assert n_checked > 50
+
+
+def test_capture_recapture_matches_python(spark, sf_small):
+    """Sample counts and estimators equal a python replay."""
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    by_text = {}
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        i1 = hashlib.md5(f"s1:{r.doc_id}".encode()).hexdigest()[0] in "01234567"
+        i2 = hashlib.md5(f"s2:{r.doc_id}".encode()).hexdigest()[0] in "01234567"
+        a, b = by_text.get(h, (0, 0))
+        by_text[h] = (max(a, i1), max(b, i2))
+    n1 = sum(a for a, _ in by_text.values())
+    n2 = sum(b for _, b in by_text.values())
+    m = sum(a * b for a, b in by_text.values())
+    row = QUERIES["stats_capture_recapture"](spark, sf_small).collect()[0]
+    assert (row.n1, row.n2, row.m, row.true_distinct) == (
+        n1, n2, m, len(by_text)
+    )
+    assert abs(row.lincoln_petersen - n1 * n2 / m) < 1e-9
+    ch = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(row.chapman - ch) < 1e-9
+    assert abs(row.chapman_rel_err - (ch / len(by_text) - 1)) < 1e-9
+
+
+def test_brand_weekend_lift_matches_python(spark, sf_small):
+    """Per-brand weekend lift equals a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    ).collect()
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_small, "part").select("p_partkey", "p_brand").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        brand = parts[r.l_partkey]
+        wknd = r.l_shipdate.weekday() >= 5  # Mon=0..Sun=6
+        cents = round(r.l_extendedprice * 100)
+        a = agg[brand]
+        if wknd:
+            a[0] += 1
+            a[2] += cents
+        else:
+            a[1] += 1
+            a[3] += cents
+    got = {
+        r.p_brand: (r.n_wknd, r.n_wkdy, r.cents_wknd, r.cents_wkdy,
+                    r.daily_rate_lift)
+        for r in QUERIES["olap_brand_weekend_lift"](spark, sf_small).collect()
+    }
+    for brand, (nw, nd, cw, cd) in agg.items():
+        if nw == 0 or nd == 0:
+            assert brand not in got
+            continue
+        assert got[brand][:4] == (nw, nd, cw, cd)
+        assert abs(got[brand][4] - (cw / 2) / (cd / 5)) < 1e-9
