@@ -210,6 +210,9 @@ CATALOG_BENCH = [
     "join_nearest_event",
     "stats_capture_recapture",
     "olap_brand_weekend_lift",
+    "stats_cohens_kappa",
+    "text_simpson_diversity",
+    "stats_hill_tail_estimator",
 ]
 
 

@@ -8996,6 +8996,9 @@ _DRIVER_WINDOW = [
     "join_nearest_event",
     "stats_capture_recapture",
     "olap_brand_weekend_lift",
+    "stats_cohens_kappa",
+    "text_simpson_diversity",
+    "stats_hill_tail_estimator",
 ]
 
 
@@ -20126,6 +20129,214 @@ def olap_brand_weekend_lift(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("cents_wkdy").cast("double") / 5),
             12,
         ).alias("daily_rate_lift"),
+    )
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    t -> t IN ('the','a','an','of','and','to','in','is',
+                               'it','that'))) >= 3
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS n11,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+             CAST(sum(ra) AS BIGINT) AS a1,
+             CAST(sum(rb) AS BIGINT) AS b1
+      FROM flags
+    )
+    SELECT n, n11, n00, a1, b1,
+           CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+             AS BIGINT) AS kappa_num,
+           CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS BIGINT)
+             AS kappa_den,
+           round(CAST(n * (n11 + n00)
+                      - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                 / (n * n - (a1 * b1 + (n - a1) * (n - b1))), 12)
+             AS kappa
+    FROM c
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """COHEN'S KAPPA agreement between two real quality raters — the
+    length gate (n_chars ≥ 250) and the English-stopword gate (≥ 3
+    function-word hits) — the "do my quality signals measure the
+    same thing?" audit a filter-stack review runs before composing
+    gates. Cross-multiplied exactness: κ = (N·agree − chance) /
+    (N² − chance) where chance = a₁b₁ + a₀b₀, so BOTH numerator and
+    denominator are exact BIGINTs; the float κ is one division,
+    round 12. One scan, one map-combinable aggregate."""
+    from ..functions.text import STOPWORDS, stopword_hits, tokens
+
+    d = load(spark, sf, "documents")
+    ra = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
+    rb = F.when(
+        stopword_hits(tokens("text"), STOPWORDS["en"]) >= 3, 1
+    ).otherwise(0)
+    c = d.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("n11"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("n00"),
+        F.sum("ra").alias("a1"),
+        F.sum("rb").alias("b1"),
+    )
+    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - chance
+    den = F.col("n") * F.col("n") - chance
+    return c.select(
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        F.round(num.cast("double") / den, 12).alias("kappa"),
+    )
+
+
+@query(
+    "text_simpson_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, w
+    ),
+    g AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS coincide
+      FROM wc GROUP BY source
+    )
+    SELECT source, tokens, vocab, coincide,
+           round(1 - CAST(coincide AS DOUBLE)
+                     / (tokens * (tokens - 1)), 12)
+             AS simpson_diversity
+    FROM g
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """SIMPSON DIVERSITY per source: 1 − Σn_w(n_w−1)/(N(N−1)) — the
+    probability two random tokens differ, the repetition-robust
+    companion to Shannon entropy (entropy rewards long tails;
+    Simpson punishes a single dominant token — template spam shows
+    up here first). The coincidence count Σn(n−1) is an EXACT
+    BIGINT, so the index is one division, round 12. One explode +
+    two stacked map-combinable groupBys (the hapax shape)."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    g = wc.groupBy("source").agg(
+        F.sum("n").alias("tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coincide"),
+    )
+    return g.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("coincide").cast("long").alias("coincide"),
+        F.round(
+            1
+            - F.col("coincide").cast("double")
+            / (F.col("tokens") * (F.col("tokens") - 1)),
+            12,
+        ).alias("simpson_diversity"),
+    )
+
+
+@query(
+    "stats_hill_tail_estimator",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM toks GROUP BY w),
+    top AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rn
+      FROM wc ORDER BY f DESC, w ASC LIMIT 21
+    ),
+    thr AS (SELECT f AS f_thr FROM top WHERE rn = 21),
+    logs AS (
+      SELECT ln(CAST(t.f AS DOUBLE) / c.f_thr) AS lr
+      FROM top t CROSS JOIN thr c WHERE t.rn <= 20
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           (SELECT CAST(f_thr AS BIGINT) FROM thr) AS f_threshold,
+           round(20.0 / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(lr))), (a, v) -> a + v), 12)
+             AS hill_alpha
+    FROM logs
+    """,
+)
+def stats_hill_tail_estimator(spark: SparkSession, sf: str) -> DataFrame:
+    """HILL ESTIMATOR of the word-frequency power-law tail index:
+    α̂ = k / Σᵢ ln(f₍ᵢ₎/f₍ₖ₊₁₎) over the top-k=20 order statistics
+    (the synthetic corpus draws from a ~31-word pool, so k
+    scales to the tail that exists) —
+    the principled tail-heaviness measure next to text_zipf_fit's
+    rank-regression slope (Hill uses only the tail it claims to
+    model; the regression is biased by the body). The top-101 pick
+    is orderBy().limit() → TakeOrdered; each ratio is one division
+    of exact integer frequencies; the 100 ln terms fold
+    smallest-first (sorted-fold discipline), round 12."""
+    d = load(spark, sf, "documents")
+    toks = d.select(F.explode(tx.tokens("text")).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    top = (
+        wc.orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(21)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    top = top.localCheckpoint(eager=False)  # consumed twice (21 rows)
+    thr = top.filter(F.col("rn") == 21).select(
+        F.col("f").alias("f_thr")
+    )
+    logs = (
+        top.filter(F.col("rn") <= 20)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.log(F.col("f").cast("double") / F.col("f_thr")).alias("lr"),
+            "f_thr",
+        )
+    )
+    return logs.groupBy("f_thr").agg(
+        F.lit(20).cast("long").alias("k"),
+        F.round(
+            20.0
+            / F.aggregate(
+                F.array_sort(F.collect_list("lr")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            12,
+        ).alias("hill_alpha"),
+    ).select(
+        "k",
+        F.col("f_thr").cast("long").alias("f_threshold"),
+        "hill_alpha",
     )
 
 

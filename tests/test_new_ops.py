@@ -4503,3 +4503,71 @@ def test_brand_weekend_lift_matches_python(spark, sf_small):
             continue
         assert got[brand][:4] == (nw, nd, cw, cd)
         assert abs(got[brand][4] - (cw / 2) / (cd / 5)) < 1e-9
+
+
+def test_cohens_kappa_matches_python(spark, sf_small):
+    """Kappa and the contingency counts equal a python replay."""
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    STOPS = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+    docs = load(spark, sf_small, "documents").select(
+        "text", "n_chars"
+    ).collect()
+    n = len(docs)
+    n11 = n00 = a1 = b1 = 0
+    for r in docs:
+        ra = r.n_chars >= 250
+        rb = sum(1 for t in r.text.strip().split() if t in STOPS) >= 3
+        n11 += ra and rb
+        n00 += (not ra) and (not rb)
+        a1 += ra
+        b1 += rb
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    num, den = n * (n11 + n00) - chance, n * n - chance
+    row = QUERIES["stats_cohens_kappa"](spark, sf_small).collect()[0]
+    assert (row.n, row.n11, row.n00, row.a1, row.b1) == (n, n11, n00, a1, b1)
+    assert (row.kappa_num, row.kappa_den) == (num, den)
+    assert abs(row.kappa - num / den) < 1e-12
+
+
+def test_simpson_diversity_matches_python(spark, sf_small):
+    """Coincidence counts and the index equal a Counter replay."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per = defaultdict(Counter)
+    for r in docs:
+        per[r.source].update(r.text.strip().split())
+    got = {
+        r.source: (r.tokens, r.vocab, r.coincide, r.simpson_diversity)
+        for r in QUERIES["text_simpson_diversity"](spark, sf_small).collect()
+    }
+    for src, cnt in per.items():
+        N = sum(cnt.values())
+        co = sum(c * (c - 1) for c in cnt.values())
+        assert got[src][:3] == (N, len(cnt), co)
+        assert abs(got[src][3] - (1 - co / (N * (N - 1)))) < 1e-12
+
+
+def test_hill_estimator_matches_python(spark, sf_small):
+    """Hill alpha equals a python replay over the top-20 tail."""
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(r.text.strip().split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    thr = ranked[20][1]
+    ssum = sum(sorted(math.log(f / thr) for _, f in ranked[:20]))
+    row = QUERIES["stats_hill_tail_estimator"](spark, sf_small).collect()[0]
+    assert (row.k, row.f_threshold) == (20, thr)
+    assert abs(row.hill_alpha - 20.0 / ssum) < 1e-9
