@@ -213,6 +213,9 @@ CATALOG_BENCH = [
     "stats_cohens_kappa",
     "text_simpson_diversity",
     "stats_hill_tail_estimator",
+    "olap_ship_delay_by_priority",
+    "stats_odds_ratio_ci",
+    "dedup_yield_curve",
 ]
 
 

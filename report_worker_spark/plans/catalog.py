@@ -8999,6 +8999,9 @@ _DRIVER_WINDOW = [
     "stats_cohens_kappa",
     "text_simpson_diversity",
     "stats_hill_tail_estimator",
+    "olap_ship_delay_by_priority",
+    "stats_odds_ratio_ci",
+    "dedup_yield_curve",
 ]
 
 
@@ -20337,6 +20340,259 @@ def stats_hill_tail_estimator(spark: SparkSession, sf: str) -> DataFrame:
         "k",
         F.col("f_thr").cast("long").alias("f_threshold"),
         "hill_alpha",
+    )
+
+
+@query(
+    "olap_ship_delay_by_priority",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
+               AS delay
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    byval AS (
+      SELECT o_orderpriority, delay, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY o_orderpriority, delay
+    ),
+    ranked AS (
+      SELECT o_orderpriority, delay, cnt,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY o_orderpriority ORDER BY delay
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cless,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM byval
+    )
+    SELECT o_orderpriority,
+           CAST(min(n) AS BIGINT) AS n_lines,
+           CAST(min(delay) AS BIGINT) AS min_delay,
+           CAST(max(delay) AS BIGINT) AS max_delay,
+           CAST(min(CASE WHEN cless < (n + 1) // 2
+                          AND cless + cnt >= (n + 1) // 2
+                         THEN delay END)
+                + min(CASE WHEN cless < n // 2 + 1
+                            AND cless + cnt >= n // 2 + 1
+                           THEN delay END) AS BIGINT) AS med2_delay,
+           CAST(min(CASE WHEN cless < (n * 9 + 9) // 10
+                          AND cless + cnt >= (n * 9 + 9) // 10
+                         THEN delay END) AS BIGINT) AS p90_delay
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def olap_ship_delay_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER-TO-SHIP DELAY profile per order priority — the SLA
+    question ("does URGENT actually ship faster?") over the
+    BIG-BIG join shape: lineitem ⋈ orders on orderkey (both fact-
+    sized — the shuffle-join economics the TPC-H suite prices), then
+    an exact value-distribution profile per priority using the
+    count-table rank device: med2 (lower+upper middle, no
+    interpolation) and the ceil-rank p90 come from cumulative counts
+    over the (priority, delay) count table — never a per-row global
+    sort. All integers end-to-end."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("delay"),
+    )
+    byval = d.groupBy("o_orderpriority", "delay").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = byval.select(
+        "o_orderpriority",
+        "delay",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo_r = ((F.col("n") + 1) / 2).cast("long")
+    hi_r = (F.col("n") / 2 + 1).cast("long")
+    p90_r = ((F.col("n") * 9 + 9) / 10).cast("long")
+    pick = lambda r: F.min(  # noqa: E731
+        F.when(
+            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
+            F.col("delay"),
+        )
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.min("n").cast("long").alias("n_lines"),
+        F.min("delay").cast("long").alias("min_delay"),
+        F.max("delay").cast("long").alias("max_delay"),
+        (pick(lo_r) + pick(hi_r)).cast("long").alias("med2_delay"),
+        pick(p90_r).cast("long").alias("p90_delay"),
+    )
+
+
+@query(
+    "stats_odds_ratio_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS bought
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    c AS (
+      SELECT CAST(sum(clicked * bought) AS BIGINT) AS a,
+             CAST(sum(clicked * (1 - bought)) AS BIGINT) AS b,
+             CAST(sum((1 - clicked) * bought) AS BIGINT) AS c,
+             CAST(sum((1 - clicked) * (1 - bought)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           round(CAST(a * d AS DOUBLE) / (b * c), 12) AS odds_ratio,
+           round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
+                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 12)
+             AS ci_low,
+           round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
+                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 12)
+             AS ci_high,
+           ln(CAST(a * d AS DOUBLE) / (b * c))
+             - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d) > 0
+             AS significant_05
+    FROM c
+    """,
+)
+def stats_odds_ratio_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """ODDS RATIO with the Woolf 95% CI for "on days a user clicked,
+    did they also purchase?" — the user-day 2×2 contingency analysis
+    behind every conversion-funnel claim (the ratio version of
+    stats_ab_test_proportions' difference test; user-day, not user,
+    because this corpus's 15 heavy users all do everything
+    eventually — the finer unit is where the variation lives). One
+    user-day collapse (two MAX flags), one 4-cell exact-count
+    reduce; OR = ad/bc is a single division of exact BIGINTs and the
+    CI is the mirrored ln±1.96·sqrt(Σ1/cell) expression, round
+    12."""
+    e = load(spark, sf, "events")
+    u = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicked"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    c = u.agg(
+        F.sum(F.col("clicked") * F.col("bought")).alias("a"),
+        F.sum(F.col("clicked") * (1 - F.col("bought"))).alias("b"),
+        F.sum((1 - F.col("clicked")) * F.col("bought")).alias("c"),
+        F.sum((1 - F.col("clicked")) * (1 - F.col("bought"))).alias("d"),
+    )
+    or_ = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    )
+    se = F.sqrt(
+        1.0 / F.col("a")
+        + 1.0 / F.col("b")
+        + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    return c.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(or_, 12).alias("odds_ratio"),
+        F.round(F.exp(F.log(or_) - 1.96 * se), 12).alias("ci_low"),
+        F.round(F.exp(F.log(or_) + 1.96 * se), 12).alias("ci_high"),
+        (F.log(or_) - 1.96 * se > 0).alias("significant_05"),
+    )
+
+
+@query(
+    "dedup_yield_curve",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    firsts AS (
+      SELECT h, CAST(min(rn) AS BIGINT) AS first_rn,
+             CAST(min(n) AS BIGINT) AS n
+      FROM pos GROUP BY h
+    ),
+    deciles AS (
+      SELECT CAST((first_rn - 1) * 10 // n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS new_distinct
+      FROM firsts GROUP BY 1
+    ),
+    docs_per AS (
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS docs
+      FROM pos GROUP BY 1
+    )
+    SELECT d.decile, p.docs, coalesce(d2.new_distinct, 0) AS new_distinct,
+           round(CAST(coalesce(d2.new_distinct, 0) AS DOUBLE) / p.docs,
+                 12) AS novelty_rate
+    FROM (SELECT DISTINCT decile FROM docs_per) d
+    JOIN docs_per p USING (decile)
+    LEFT JOIN deciles d2 USING (decile)
+    """,
+)
+def dedup_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP YIELD CURVE: process docs in deterministic md5 order and
+    report, per decile of the stream, how many NEW distinct texts
+    appear — the marginal-novelty curve that answers "is collecting
+    more of this source still buying new data?" (flat tail = stop
+    paying). Device: one global md5 rank (at 100 TB this becomes the
+    value-range sharded rank of stats_quantile_normalize — no
+    semantic change), a content-hash groupBy for each text's FIRST
+    position, and two decile histograms. Counts exact; only the
+    novelty rate divides, round 12."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    wpos = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    pos = d.select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.row_number().over(wpos).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    firsts = pos.groupBy("h").agg(
+        F.min("rn").alias("first_rn"), F.min("n").alias("n")
+    )
+    deciles = firsts.groupBy(
+        F.expr("(first_rn - 1) * 10 div n").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_distinct"))
+    docs_per = pos.groupBy(
+        F.expr("(rn - 1) * 10 div n").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        docs_per.join(deciles, on="decile", how="left")
+        .select(
+            "decile",
+            "docs",
+            F.coalesce("new_distinct", F.lit(0))
+            .cast("long")
+            .alias("new_distinct"),
+            F.round(
+                F.coalesce("new_distinct", F.lit(0)).cast("double")
+                / F.col("docs"),
+                12,
+            ).alias("novelty_rate"),
+        )
     )
 
 

@@ -4571,3 +4571,99 @@ def test_hill_estimator_matches_python(spark, sf_small):
     row = QUERIES["stats_hill_tail_estimator"](spark, sf_small).collect()[0]
     assert (row.k, row.f_threshold) == (20, thr)
     assert abs(row.hill_alpha - 20.0 / ssum) < 1e-9
+
+
+def test_ship_delay_profile_matches_python(spark, sf_small):
+    """Exact med2/p90 delay profile equals a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    orders = {
+        r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority)
+        for r in load(spark, sf_small, "orders").collect()
+    }
+    per = defaultdict(list)
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        od, prio = orders[r.l_orderkey]
+        per[prio].append((r.l_shipdate.date() - od).days)
+    got = {
+        r.o_orderpriority: (r.n_lines, r.min_delay, r.max_delay,
+                            r.med2_delay, r.p90_delay)
+        for r in QUERIES["olap_ship_delay_by_priority"](spark, sf_small).collect()
+    }
+    for prio, ds in per.items():
+        ds.sort()
+        n = len(ds)
+        med2 = ds[(n - 1) // 2] + ds[n // 2]
+        p90 = ds[(n * 9 + 9) // 10 - 1]  # ceil-rank
+        assert got[prio] == (n, ds[0], ds[-1], med2, p90), prio
+
+
+def test_odds_ratio_matches_python(spark, sf_small):
+    """2x2 cells and Woolf CI equal a python replay at user-day grain."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    flags = defaultdict(lambda: [0, 0])
+    for r in ev:
+        k = (r.user_id, r.ts.date())
+        slot = flags[k]  # every user-day is a trial, whatever its events
+        if r.event_type == "click":
+            slot[0] = 1
+        elif r.event_type == "purchase":
+            slot[1] = 1
+    a = sum(1 for c, b in flags.values() if c and b)
+    b = sum(1 for c, bo in flags.values() if c and not bo)
+    c = sum(1 for cl, bo in flags.values() if not cl and bo)
+    d = sum(1 for cl, bo in flags.values() if not cl and not bo)
+    row = QUERIES["stats_odds_ratio_ci"](spark, sf_small).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert abs(row.odds_ratio - orr) < 1e-9
+    assert abs(row.ci_low - math.exp(math.log(orr) - 1.96 * se)) < 1e-9
+    assert abs(row.ci_high - math.exp(math.log(orr) + 1.96 * se)) < 1e-9
+
+
+def test_yield_curve_matches_python(spark, sf_small):
+    """Per-decile novelty counts equal a python replay in md5 order."""
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    ordered = sorted(
+        docs, key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+                             r.doc_id)
+    )
+    n = len(ordered)
+    seen = set()
+    docs_per, new_per = [0] * 10, [0] * 10
+    for i, r in enumerate(ordered):
+        dec = i * 10 // n
+        docs_per[dec] += 1
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        if h not in seen:
+            seen.add(h)
+            new_per[dec] += 1
+    got = {
+        r.decile: (r.docs, r.new_distinct, r.novelty_rate)
+        for r in QUERIES["dedup_yield_curve"](spark, sf_small).collect()
+    }
+    for dec in range(10):
+        if docs_per[dec] == 0:
+            continue
+        assert got[dec][0] == docs_per[dec]
+        assert got[dec][1] == new_per[dec], dec
+        assert abs(got[dec][2] - new_per[dec] / docs_per[dec]) < 1e-12
