@@ -216,6 +216,10 @@ CATALOG_BENCH = [
     "olap_ship_delay_by_priority",
     "stats_odds_ratio_ci",
     "dedup_yield_curve",
+    "emb_norm_profile",
+    "curation_dup_rate_by_source",
+    "ts_missing_data_audit",
+    "agg_linear_counting",
 ]
 
 

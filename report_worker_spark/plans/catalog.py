@@ -9002,6 +9002,10 @@ _DRIVER_WINDOW = [
     "olap_ship_delay_by_priority",
     "stats_odds_ratio_ci",
     "dedup_yield_curve",
+    "emb_norm_profile",
+    "curation_dup_rate_by_source",
+    "ts_missing_data_audit",
+    "agg_linear_counting",
 ]
 
 
@@ -20593,6 +20597,279 @@ def dedup_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
                 12,
             ).alias("novelty_rate"),
         )
+    )
+
+
+@query(
+    "emb_norm_profile",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            for x in embedding]) AS BIGINT) AS nn
+      FROM embeddings
+    ),
+    byval AS (
+      SELECT label, nn, CAST(count(*) AS BIGINT) AS cnt
+      FROM q GROUP BY label, nn
+    ),
+    ranked AS (
+      SELECT label, nn, cnt,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY label ORDER BY nn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cless,
+             sum(cnt) OVER (PARTITION BY label) AS n
+      FROM byval
+    )
+    SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
+           CAST(min(nn) AS BIGINT) AS min_nn,
+           CAST(max(nn) AS BIGINT) AS max_nn,
+           CAST(min(CASE WHEN cless < (n + 1) // 2
+                          AND cless + cnt >= (n + 1) // 2 THEN nn END)
+                + min(CASE WHEN cless < n // 2 + 1
+                            AND cless + cnt >= n // 2 + 1 THEN nn END)
+             AS BIGINT) AS med2_nn,
+           CAST(min(CASE WHEN cless < (n + 3) // 4
+                          AND cless + cnt >= (n + 3) // 4 THEN nn END)
+             AS BIGINT) AS q1_nn,
+           CAST(min(CASE WHEN cless < (n * 3 + 3) // 4
+                          AND cless + cnt >= (n * 3 + 3) // 4 THEN nn END)
+             AS BIGINT) AS q3_nn
+    FROM ranked GROUP BY label
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """SQUARED-NORM DISTRIBUTION per label on the ×256 integer grid —
+    the normalization audit run before any cosine/IP index build
+    (un-normalized stragglers and near-zero vectors both poison dot-
+    product ANN; a label whose norm IQR is wide was embedded
+    differently). Exact integer norms feed the count-table rank
+    device (cumulative counts over (label, nn) — never a per-row
+    sort): min/q1/med2/q3/max all EXACT, med2 = lower+upper middle
+    with no interpolation. One zip-fold scan + two windows over the
+    count table."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("label", qz.alias("qv")).select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, p) -> a + p)"
+        ).alias("nn"),
+    )
+    byval = q.groupBy("label", "nn").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = (
+        Window.partitionBy("label")
+        .orderBy("nn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("label")
+    ranked = byval.select(
+        "label",
+        "nn",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pick = lambda r: F.min(  # noqa: E731
+        F.when(
+            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
+            F.col("nn"),
+        )
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2 + 1).cast("long")
+    q1 = ((F.col("n") + 3) / 4).cast("long")
+    q3 = ((F.col("n") * 3 + 3) / 4).cast("long")
+    return ranked.groupBy("label").agg(
+        F.min("n").cast("long").alias("n_vecs"),
+        F.min("nn").cast("long").alias("min_nn"),
+        F.max("nn").cast("long").alias("max_nn"),
+        (pick(lo) + pick(hi)).cast("long").alias("med2_nn"),
+        pick(q1).cast("long").alias("q1_nn"),
+        pick(q3).cast("long").alias("q3_nn"),
+    )
+
+
+@query(
+    "curation_dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS th FROM documents
+    ),
+    per AS (
+      SELECT source, th, CAST(count(*) AS BIGINT) AS n
+      FROM h GROUP BY source, th
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
+           round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 12)
+             AS dup_share
+    FROM per GROUP BY source
+    """,
+)
+def curation_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-DUPLICATE RATE per source — the per-provider scorecard a
+    data-acquisition review reads before renewing a crawl contract
+    (a source shipping 40% redundant bytes is priced accordingly).
+    Content identity = md5(text); redundancy = docs − distinct
+    within the source. One content-hash groupBy + one source
+    rollup — both map-combinable; the share is one division, round
+    12. The within-source variant of dedup_exact's corpus census."""
+    d = load(spark, sf, "documents")
+    per = d.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("th")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_redundant"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"),
+            12,
+        ).alias("dup_share"),
+    )
+
+
+@query(
+    "ts_missing_data_audit",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    zero AS (
+      SELECT event_type, day,
+             day - row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS island
+      FROM grid WHERE n = 0
+    ),
+    runs AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+      FROM zero GROUP BY event_type, island
+    )
+    SELECT t.event_type,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS zero_days,
+           CAST(coalesce(count(r.run_len), 0) AS BIGINT) AS n_gaps,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_gap,
+           round(CAST(coalesce(sum(r.run_len), 0) AS DOUBLE) / 30, 12)
+             AS missing_share
+    FROM types t LEFT JOIN runs r ON r.event_type = t.event_type
+    GROUP BY t.event_type
+    """,
+)
+def ts_missing_data_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """MISSING-DATA audit on the per-type daily grids: zero-event
+    days, maximal zero runs (gaps-and-islands on the DENSE grid —
+    absence is only visible after zero-filling), and the longest
+    outage — the ingestion-health check every ts_* metric should be
+    gated on (a 'seasonality' with a 5-day hole is an outage, not a
+    pattern). Integers end to end; share divides by the fixed
+    30-day horizon."""
+    g = _daily_grid(spark, sf)
+    types = g.select("event_type").distinct()
+    wz = Window.partitionBy("event_type").orderBy("day")
+    zero = g.filter(F.col("n") == 0).select(
+        "event_type",
+        (F.col("day") - F.row_number().over(wz)).alias("island"),
+    )
+    runs = zero.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("run_len").alias("zero_days"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("run_len").alias("longest_gap"),
+    )
+    return (
+        types.join(agg, on="event_type", how="left")
+        .select(
+            "event_type",
+            F.coalesce("zero_days", F.lit(0)).cast("long").alias(
+                "zero_days"
+            ),
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.coalesce("longest_gap", F.lit(0)).cast("long").alias(
+                "longest_gap"
+            ),
+            F.round(
+                F.coalesce("zero_days", F.lit(0)).cast("double") / 30, 12
+            ).alias("missing_share"),
+        )
+    )
+
+
+@query(
+    "agg_linear_counting",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT
+             CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                  * 256
+                  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                    * 16
+                  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
+               AS BIGINT) AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS occupied,
+             CAST(4096 AS BIGINT) AS m
+      FROM b
+    ),
+    t AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
+            AS true_distinct FROM documents)
+    SELECT c.occupied, c.m, t.true_distinct,
+           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied)), 12)
+             AS lc_estimate,
+           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied))
+                 / t.true_distinct - 1, 12) AS rel_err
+    FROM c CROSS JOIN t
+    """,
+)
+def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
+    """LINEAR COUNTING distinct estimate (Whang et al. 1990): hash
+    each text into m=4096 buckets, count occupied buckets z, and
+    estimate n̂ = m·ln(m/(m−z)) — the small-cardinality sketch that
+    beats HLL below ~m distinct values, and the HASH-VERIFIABLE
+    member of the sketch family (occupancy is deterministic, so
+    unlike agg_hll_mergeable this one carries a full value oracle).
+    Bucket = first 3 md5 hex digits (engine-portable integer
+    arithmetic); the occupancy census is one DISTINCT + COUNT —
+    map-combinable; the estimator and its relative error vs the
+    exact distinct count are mirrored doubles, round 12."""
+    d = load(spark, sf, "documents")
+    hx = F.md5(F.col("text").cast("binary"))
+
+    def digit(i: int) -> F.Column:
+        return F.expr(
+            "instr('0123456789abcdef',"
+            f" substr(md5(cast(text as binary)), {i}, 1)) - 1"
+        )
+
+    bucket = (digit(1) * 256 + digit(2) * 16 + digit(3)).cast("long")
+    occ = d.select(bucket.alias("bucket")).distinct().agg(
+        F.count(F.lit(1)).alias("occupied")
+    )
+    tr = d.agg(F.countDistinct(hx).alias("true_distinct"))
+    c = occ.crossJoin(F.broadcast(tr)).select(
+        "occupied",
+        F.lit(4096).cast("long").alias("m"),
+        "true_distinct",
+    )
+    est = F.col("m") * F.log(
+        F.col("m").cast("double") / (F.col("m") - F.col("occupied"))
+    )
+    return c.select(
+        "occupied",
+        "m",
+        "true_distinct",
+        F.round(est, 12).alias("lc_estimate"),
+        F.round(est / F.col("true_distinct") - 1, 12).alias("rel_err"),
     )
 
 

@@ -4667,3 +4667,106 @@ def test_yield_curve_matches_python(spark, sf_small):
         assert got[dec][0] == docs_per[dec]
         assert got[dec][1] == new_per[dec], dec
         assert abs(got[dec][2] - new_per[dec] / docs_per[dec]) < 1e-12
+
+
+def test_norm_profile_matches_python(spark, sf_small):
+    """Per-label norm quantiles equal a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    per = defaultdict(list)
+    for r in rows:
+        q = [round(float(x) * 256) for x in r.embedding]
+        per[r.label].append(sum(v * v for v in q))
+    got = {
+        r.label: (r.n_vecs, r.min_nn, r.max_nn, r.med2_nn, r.q1_nn, r.q3_nn)
+        for r in QUERIES["emb_norm_profile"](spark, sf_small).collect()
+    }
+    for lab, ns in per.items():
+        ns.sort()
+        n = len(ns)
+        med2 = ns[(n - 1) // 2] + ns[n // 2]
+        q1 = ns[(n + 3) // 4 - 1]
+        q3 = ns[(n * 3 + 3) // 4 - 1]
+        assert got[lab] == (n, ns[0], ns[-1], med2, q1, q3), lab
+
+
+def test_dup_rate_by_source_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per = defaultdict(set)
+    cnt = defaultdict(int)
+    for r in docs:
+        per[r.source].add(r.text)
+        cnt[r.source] += 1
+    got = {
+        r.source: (r.n_docs, r.n_distinct, r.n_redundant, r.dup_share)
+        for r in QUERIES["curation_dup_rate_by_source"](spark, sf_small).collect()
+    }
+    for src in per:
+        nd, ndist = cnt[src], len(per[src])
+        assert got[src][:3] == (nd, ndist, nd - ndist)
+        assert abs(got[src][3] - (nd - ndist) / nd) < 1e-12
+
+
+def test_missing_data_audit_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grid = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grid[r.event_type][d] += 1
+    got = {
+        r.event_type: (r.zero_days, r.n_gaps, r.longest_gap, r.missing_share)
+        for r in QUERIES["ts_missing_data_audit"](spark, sf_small).collect()
+    }
+    for t, xs in grid.items():
+        runs, cur = [], 0
+        for v in xs:
+            if v == 0:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        zd = sum(runs)
+        assert got[t] == (zd, len(runs), max(runs) if runs else 0,
+                          round(zd / 30, 12) if zd else 0.0), t
+
+
+def test_linear_counting_matches_python(spark, sf_small):
+    import hashlib
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("text").collect()
+    buckets = set()
+    texts = set()
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        texts.add(h)
+        buckets.add(int(h[:3], 16))
+    row = QUERIES["agg_linear_counting"](spark, sf_small).collect()[0]
+    assert (row.occupied, row.m, row.true_distinct) == (
+        len(buckets), 4096, len(texts)
+    )
+    est = 4096 * math.log(4096 / (4096 - len(buckets)))
+    assert abs(row.lc_estimate - est) < 1e-6
+    assert abs(row.rel_err - (est / len(texts) - 1)) < 1e-6
