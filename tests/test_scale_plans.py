@@ -937,3 +937,46 @@ def test_round8_ops_plan_shapes(spark, sf_oracle):
     )
     assert "CartesianProduct" not in js
     assert js.count("BroadcastNestedLoopJoin") <= 1  # 1-row total only
+
+
+def test_round8_late_batch_plan_shapes(spark, sf_oracle):
+    """Plan pins for the later round-8 batches (F-J)."""
+    # modularity: label joins are equi-joins; no cartesian anywhere
+    mq = plan_of(QUERIES["graph_modularity_labelprop"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in mq
+    # the two one-row stitches (m, intra) are the only BNLJs
+    assert mq.count("BroadcastNestedLoopJoin") <= 2
+
+    br = plan_of(QUERIES["graph_local_bridges"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in br
+    assert "TakeOrderedAndProject" in br  # top-20 tail
+
+    # big-big join: delay profile shuffles on orderkey, no broadcast of
+    # a fact side; the count-table windows never sort per-row data
+    sd = plan_of(QUERIES["olap_ship_delay_by_priority"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in sd
+    assert "EvalPython" not in sd
+
+    # yield curve: one global rank over (hash, id) pairs + hash aggs
+    yc = plan_of(QUERIES["dedup_yield_curve"](spark, sf_oracle), "simple")
+    assert "EvalPython" not in yc
+    assert "CartesianProduct" not in yc
+
+    # user-day collapse: two stacked hash aggregates, no join at all
+    orr = plan_of(QUERIES["stats_odds_ratio_ci"](spark, sf_oracle), "simple")
+    assert "Join" not in orr.replace("BroadcastNestedLoopJoin", "BNL")
+    assert orr.count("BroadcastNestedLoopJoin") == 0  # no stitch at all
+
+    # norm profile / dup rate / outage audit / linear counting:
+    # map-combinable aggregates, nothing quadratic
+    for q in (
+        "emb_norm_profile",
+        "curation_dup_rate_by_source",
+        "agg_linear_counting",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "CartesianProduct" not in p, q
+        assert "EvalPython" not in p, q
+        assert "SortMergeJoin" not in p, q
