@@ -220,6 +220,9 @@ CATALOG_BENCH = [
     "curation_dup_rate_by_source",
     "ts_missing_data_audit",
     "agg_linear_counting",
+    "stats_sprt_ab_monitor",
+    "curation_mixing_anneal",
+    "olap_customer_hhi",
 ]
 
 

@@ -9006,6 +9006,9 @@ _DRIVER_WINDOW = [
     "curation_dup_rate_by_source",
     "ts_missing_data_audit",
     "agg_linear_counting",
+    "stats_sprt_ab_monitor",
+    "curation_mixing_anneal",
+    "olap_customer_hhi",
 ]
 
 
@@ -20870,6 +20873,217 @@ def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
         "true_distinct",
         F.round(est, 12).alias("lc_estimate"),
         F.round(est / F.col("true_distinct") - 1, 12).alias("rel_err"),
+    )
+
+
+@query(
+    "stats_sprt_ab_monitor",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k,
+             CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    llr AS (
+      SELECT day, k, n,
+             sum(k * ln(0.35 / 0.30)
+                 + (n - k) * ln(0.65 / 0.70)) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_llr
+      FROM daily
+    )
+    SELECT day, k, n, round(cum_llr, 12) AS cum_llr,
+           CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
+                WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def stats_sprt_ab_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """WALD SPRT sequential monitor: the cumulative log-likelihood
+    ratio of the daily purchase share among click∪purchase events,
+    testing H₀: p=0.30 vs H₁: p=0.35 with α=β=0.05 boundaries
+    ±ln 19 — the "can we stop the experiment early?" dashboard that
+    a fixed-horizon test (stats_ab_test_proportions) cannot answer
+    without peeking penalties. Daily (k, n) are exact integer
+    counts; each day adds k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) — constants'
+    logs — and the cumulative sum runs in DAY ORDER (a sequential
+    window fold, identical on both engines), round 12."""
+    import math
+
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("day"), "event_type")
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("purchase", "click"), 1
+                ).otherwise(0)
+            ).alias("n"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 30-row aggregate — the tiny-window exception
+    term = F.col("k") * F.log(F.lit(0.35) / F.lit(0.30)) + (
+        F.col("n") - F.col("k")
+    ) * F.log(F.lit(0.65) / F.lit(0.70))
+    llr = daily.withColumn("cum_llr", F.sum(term).over(wcum))
+    bound = math.log(19.0)
+    return llr.select(
+        "day",
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round("cum_llr", 12).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= bound, "accept_h1")
+        .when(F.col("cum_llr") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+@query(
+    "curation_mixing_anneal",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    epochs AS (SELECT CAST(range AS BIGINT) AS epoch FROM range(0, 5)),
+    p AS (
+      SELECT e.epoch, s.source, s.n_docs,
+             pow(CAST(s.n_docs AS DOUBLE), 1.0 - 0.125 * e.epoch) AS w
+      FROM s CROSS JOIN epochs e
+    ),
+    z AS (
+      SELECT epoch,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(w))), (a, v) -> a + v) AS zsum
+      FROM p GROUP BY epoch
+    )
+    SELECT p.epoch, p.source, p.n_docs,
+           round(p.w / z.zsum, 12) AS mix_weight
+    FROM p JOIN z USING (epoch)
+    """,
+)
+def curation_mixing_anneal(spark: SparkSession, sf: str) -> DataFrame:
+    """ANNEALED DATA-MIXING schedule: per training epoch e∈0..4 the
+    per-source sampling weight w_s ∝ n_s^α(e) with α annealing
+    1 → 0.5 — the standard "start proportional, end square-root
+    rebalanced" curriculum that keeps big sources from drowning the
+    mix late in training. Counts are exact; the pow/normalize chain
+    is mirrored doubles with the per-epoch normalizer folded
+    smallest-first (sorted-fold), round 12. The source table is tiny
+    — the one corpus-sized cost is the count scan."""
+    d = load(spark, sf, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    epochs = spark.range(5).select(F.col("id").alias("epoch"))
+    p = src.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "source",
+        "n_docs",
+        F.pow(
+            F.col("n_docs").cast("double"),
+            1.0 - 0.125 * F.col("epoch"),
+        ).alias("w"),
+    )
+    z = p.groupBy("epoch").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("zsum")
+    )
+    return p.join(F.broadcast(z), on="epoch").select(
+        "epoch",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("w") / F.col("zsum"), 12).alias("mix_weight"),
+    )
+
+
+@query(
+    "olap_customer_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS dollars
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(dollars) AS BIGINT) AS total_dollars,
+             CAST(sum(dollars * dollars) AS BIGINT) AS sum_sq
+      FROM rev GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_customers, total_dollars,
+           round(CAST(sum_sq AS DOUBLE)
+                 / (CAST(total_dollars AS DOUBLE)
+                    * CAST(total_dollars AS DOUBLE)), 12) AS hhi,
+           round((CAST(sum_sq AS DOUBLE)
+                  / (CAST(total_dollars AS DOUBLE)
+                     * CAST(total_dollars AS DOUBLE))
+                  - 1.0 / n_customers)
+                 / (1 - 1.0 / n_customers), 12) AS hhi_normalized
+    FROM g WHERE n_customers > 1
+    """,
+)
+def olap_customer_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration of order revenue across
+    customers, per nation: HHI = Σ shareᵢ² = Σdᵢ²/(Σdᵢ)² — the
+    antitrust-style "is this market a few whales?" number that
+    complements the Gini/Lorenz family (HHI weights the head, Gini
+    the whole curve). Whole-dollar revenue keeps Σd² inside int64
+    at any realistic scale (cents² would overflow); both HHI and
+    its 1/n-floor-normalized variant are mirrored doubles over
+    exact integers, round 12. Customer dim broadcasts; two stacked
+    map-combinable aggregates."""
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice").cast("long")).alias("dollars")
+        )
+    )
+    g = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("dollars").alias("total_dollars"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("sum_sq"),
+    )
+    hhi = F.col("sum_sq").cast("double") / (
+        F.col("total_dollars").cast("double")
+        * F.col("total_dollars").cast("double")
+    )
+    return g.filter(F.col("n_customers") > 1).select(
+        "c_nationkey",
+        "n_customers",
+        F.col("total_dollars").cast("long").alias("total_dollars"),
+        F.round(hhi, 12).alias("hhi"),
+        F.round(
+            (hhi - 1.0 / F.col("n_customers"))
+            / (1 - 1.0 / F.col("n_customers")),
+            12,
+        ).alias("hhi_normalized"),
     )
 
 

@@ -4770,3 +4770,106 @@ def test_linear_counting_matches_python(spark, sf_small):
     est = 4096 * math.log(4096 / (4096 - len(buckets)))
     assert abs(row.lc_estimate - est) < 1e-6
     assert abs(row.rel_err - (est / len(texts) - 1)) < 1e-6
+
+
+def test_sprt_monitor_matches_python(spark, sf_small):
+    """Cumulative LLR trajectory equals a python replay in day order."""
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            if r.event_type == "purchase":
+                daily[d][0] += 1
+                daily[d][1] += 1
+            elif r.event_type == "click":
+                daily[d][1] += 1
+    got = {
+        r.day: (r.k, r.n, r.cum_llr, r.decision)
+        for r in QUERIES["stats_sprt_ab_monitor"](spark, sf_small).collect()
+    }
+    cum = 0.0
+    bound = math.log(19.0)
+    for d in sorted(daily):
+        k, n = daily[d]
+        cum += k * math.log(0.35 / 0.30) + (n - k) * math.log(0.65 / 0.70)
+        want_dec = (
+            "accept_h1" if cum >= bound
+            else "accept_h0" if cum <= -bound
+            else "continue"
+        )
+        assert got[d][0] == k and got[d][1] == n
+        assert abs(got[d][2] - cum) < 1e-9
+        assert got[d][3] == want_dec, d
+
+
+def test_mixing_anneal_matches_python(spark, sf_small):
+    """Annealed weights equal a python replay and sum to 1 per epoch."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    counts = Counter(
+        r.source
+        for r in load(spark, sf_small, "documents").select("source").collect()
+    )
+    got = defaultdict(dict)
+    for r in QUERIES["curation_mixing_anneal"](spark, sf_small).collect():
+        got[r.epoch][r.source] = (r.n_docs, r.mix_weight)
+    for e in range(5):
+        alpha = 1.0 - 0.125 * e
+        ws = {s: n ** alpha for s, n in counts.items()}
+        z = sum(sorted(ws.values()))
+        tot = 0.0
+        for s, n in counts.items():
+            assert got[e][s][0] == n
+            assert abs(got[e][s][1] - ws[s] / z) < 1e-9
+            tot += got[e][s][1]
+        assert abs(tot - 1.0) < 1e-6
+
+
+def test_customer_hhi_matches_python(spark, sf_small):
+    """Per-nation HHI equals a python replay."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in load(spark, sf_small, "customer").collect()
+    }
+    import math
+
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in load(spark, sf_small, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        # engines round HALF_UP; python round() is banker's
+        rev[nat[r.o_custkey]][r.o_custkey] += math.floor(
+            r.o_totalprice + 0.5
+        )
+    got = {
+        r.c_nationkey: (r.n_customers, r.total_dollars, r.hhi,
+                        r.hhi_normalized)
+        for r in QUERIES["olap_customer_hhi"](spark, sf_small).collect()
+    }
+    for nk, cust in rev.items():
+        n = len(cust)
+        if n <= 1:
+            assert nk not in got
+            continue
+        tot = sum(cust.values())
+        hhi = sum(v * v for v in cust.values()) / (tot * tot)
+        assert got[nk][0] == n and got[nk][1] == tot
+        assert abs(got[nk][2] - hhi) < 1e-12
+        assert abs(got[nk][3] - (hhi - 1 / n) / (1 - 1 / n)) < 1e-9
