@@ -223,6 +223,9 @@ CATALOG_BENCH = [
     "stats_sprt_ab_monitor",
     "curation_mixing_anneal",
     "olap_customer_hhi",
+    "olap_return_rate_by_brand",
+    "text_log_odds_terms",
+    "stats_negbin_fit",
 ]
 
 

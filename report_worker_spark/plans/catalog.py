@@ -9009,6 +9009,9 @@ _DRIVER_WINDOW = [
     "stats_sprt_ab_monitor",
     "curation_mixing_anneal",
     "olap_customer_hhi",
+    "olap_return_rate_by_brand",
+    "text_log_odds_terms",
+    "stats_negbin_fit",
 ]
 
 
@@ -21084,6 +21087,238 @@ def olap_customer_hhi(spark: SparkSession, sf: str) -> DataFrame:
             / (1 - 1.0 / F.col("n_customers")),
             12,
         ).alias("hhi_normalized"),
+    )
+
+
+@query(
+    "olap_return_rate_by_brand",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(ret) AS BIGINT) AS n_returns
+      FROM li GROUP BY p_brand
+    ),
+    w AS (
+      SELECT p_brand, n_lines, n_returns,
+             CAST(n_returns AS DOUBLE) / n_lines AS p,
+             1.96 * 1.96 AS z2
+      FROM g
+    )
+    SELECT p_brand, n_lines, n_returns,
+           round(p, 12) AS return_rate,
+           round((p + z2 / (2 * n_lines)
+                  - 1.96 * sqrt(p * (1 - p) / n_lines
+                                + z2 / (4.0 * n_lines * n_lines)))
+                 / (1 + z2 / n_lines), 12) AS wilson_low,
+           round((p + z2 / (2 * n_lines)
+                  + 1.96 * sqrt(p * (1 - p) / n_lines
+                                + z2 / (4.0 * n_lines * n_lines)))
+                 / (1 + z2 / n_lines), 12) AS wilson_high
+    FROM w
+    """,
+)
+def olap_return_rate_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """RETURN RATE per brand with the Wilson 95% interval — the
+    supplier-quality scorecard that never ranks a 3-line brand above
+    a 3000-line one on a lucky streak (the Wilson lower bound is the
+    honest sort key; a raw rate is not). Counts are exact; the
+    rate and interval are the mirrored Wilson expression over them,
+    round 12. Brand dim broadcasts into the fact scan; one
+    map-combinable aggregate."""
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_returnflag")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returns"),
+        )
+    )
+    pr = F.col("n_returns").cast("double") / F.col("n_lines")
+    z2 = 1.96 * 1.96
+    n = F.col("n_lines")
+    half = 1.96 * F.sqrt(
+        pr * (1 - pr) / n + z2 / (4.0 * n * n)
+    )
+    return g.select(
+        "p_brand",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_returns").cast("long").alias("n_returns"),
+        F.round(pr, 12).alias("return_rate"),
+        F.round((pr + z2 / (2 * n) - half) / (1 + z2 / n), 12).alias(
+            "wilson_low"
+        ),
+        F.round((pr + z2 / (2 * n) + half) / (1 + z2 / n), 12).alias(
+            "wilson_high"
+        ),
+    )
+
+
+@query(
+    "text_log_odds_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY source, term),
+    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
+           FROM c GROUP BY source),
+    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
+           FROM c GROUP BY term),
+    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(DISTINCT term) AS BIGINT) AS vocab
+           FROM c),
+    scored AS (
+      SELECT c.source, c.term, c.n,
+             ln(CAST(2 * c.n + 1 AS DOUBLE)
+                / (2 * (ts.tot_s - c.n) + nt.vocab))
+             - ln(CAST(2 * (cw.n_w - c.n) + 1 AS DOUBLE)
+                  / (2 * (nt.tot - ts.tot_s - (cw.n_w - c.n))
+                     + nt.vocab)) AS log_odds
+      FROM c
+      JOIN ts USING (source)
+      JOIN cw USING (term)
+      CROSS JOIN nt
+    )
+    SELECT source, rnk, term, n, round(log_odds, 12) AS log_odds
+    FROM (
+      SELECT source, term, n, log_odds,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY log_odds DESC, term ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def text_log_odds_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """SIGNATURE TERMS per source by smoothed LOG-ODDS (the Monroe
+    et al. "fightin' words" device with a flat +½ prior): which
+    words does this source use disproportionately vs the REST of
+    the corpus? — the per-provider fingerprint a mixing dashboard
+    shows next to KL/JS scalars. Each score is
+    ln((2n+1)/(2(rest_in)+V)) − ln((2n_out+1)/(2(rest_out)+V)) with
+    every argument an exact integer (halves cleared by doubling),
+    so the only float step is two ln calls and a subtract, round 12.
+    Top-3 per source via a source-keyed rank window (groups are
+    sources — the window is distributed on them)."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
+    nt = c.agg(
+        F.sum("n").alias("tot"),
+        F.countDistinct("term").alias("vocab"),
+    )
+    n_out = F.col("n_w") - F.col("n")
+    scored = (
+        c.join(ts_, on="source")
+        .join(cw, on="term")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "term",
+            "n",
+            (
+                F.log(
+                    (2 * F.col("n") + 1).cast("double")
+                    / (2 * (F.col("tot_s") - F.col("n")) + F.col("vocab"))
+                )
+                - F.log(
+                    (2 * n_out + 1).cast("double")
+                    / (
+                        2
+                        * (
+                            F.col("tot")
+                            - F.col("tot_s")
+                            - n_out
+                        )
+                        + F.col("vocab")
+                    )
+                )
+            ).alias("log_odds"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "rnk", "term", "n",
+                F.round("log_odds", 12).alias("log_odds"))
+    )
+
+
+@query(
+    "stats_negbin_fit",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS q
+      FROM grid GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n_days, s, q,
+             CAST(s AS DOUBLE) / n_days AS mean,
+             (CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1) AS var
+      FROM m
+    )
+    SELECT event_type, n_days,
+           round(mean, 12) AS mean,
+           round(var, 12) AS variance,
+           CASE WHEN var > mean
+                THEN round(mean * mean / (var - mean), 12) END AS nb_r,
+           CASE WHEN var > mean
+                THEN round(mean / var, 12) END AS nb_p,
+           var > mean AS overdispersed
+    FROM f
+    """,
+)
+def stats_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL method-of-moments fit per event type on the
+    dense daily grids: r = m²/(v−m), p = m/v — the parametric
+    companion to ts_overdispersion_index (the index says "not
+    Poisson"; the NB fit says what to use instead — the dispersion
+    parameter every anomaly threshold and forecast interval needs).
+    Exact BIGINT Σn/Σn² per type; mean/var/r/p mirrored doubles,
+    round 12; types with v ≤ m honestly report NULL (NB undefined)
+    instead of a garbage negative r."""
+    g = _daily_grid(spark, sf)
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(mean, 12).alias("mean"),
+        F.round(var, 12).alias("variance"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 12)).alias(
+            "nb_r"
+        ),
+        F.when(var > mean, F.round(mean / var, 12)).alias("nb_p"),
+        (var > mean).alias("overdispersed"),
     )
 
 

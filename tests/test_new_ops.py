@@ -4873,3 +4873,106 @@ def test_customer_hhi_matches_python(spark, sf_small):
         assert got[nk][0] == n and got[nk][1] == tot
         assert abs(got[nk][2] - hhi) < 1e-12
         assert abs(got[nk][3] - (hhi - 1 / n) / (1 - 1 / n)) < 1e-9
+
+
+def test_return_rate_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_small, "part").select("p_partkey", "p_brand").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    ).collect():
+        a = agg[parts[r.l_partkey]]
+        a[0] += 1
+        a[1] += r.l_returnflag == "R"
+    got = {
+        r.p_brand: (r.n_lines, r.n_returns, r.return_rate,
+                    r.wilson_low, r.wilson_high)
+        for r in QUERIES["olap_return_rate_by_brand"](spark, sf_small).collect()
+    }
+    z2 = 1.96 * 1.96
+    for brand, (n, k) in agg.items():
+        p = k / n
+        half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        lo = (p + z2 / (2 * n) - half) / (1 + z2 / n)
+        hi = (p + z2 / (2 * n) + half) / (1 + z2 / n)
+        assert got[brand][:2] == (n, k)
+        assert abs(got[brand][2] - p) < 1e-12
+        assert abs(got[brand][3] - lo) < 1e-9
+        assert abs(got[brand][4] - hi) < 1e-9
+
+
+def test_log_odds_terms_matches_python(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    per = defaultdict(Counter)
+    corpus = Counter()
+    for r in docs:
+        ws = r.text.strip().split()
+        per[r.source].update(ws)
+        corpus.update(ws)
+    N = sum(corpus.values())
+    V = len(corpus)
+    got = defaultdict(dict)
+    for r in QUERIES["text_log_odds_terms"](spark, sf_small).collect():
+        got[r.source][r.rnk] = (r.term, r.n, r.log_odds)
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        scored = []
+        for w, n in cnt.items():
+            n_out = corpus[w] - n
+            lo = math.log((2 * n + 1) / (2 * (ns - n) + V)) - math.log(
+                (2 * n_out + 1) / (2 * (N - ns - n_out) + V)
+            )
+            scored.append((lo, w, n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rnk in (1, 2, 3):
+            lo, w, n = scored[rnk - 1]
+            term, gn, glo = got[src][rnk]
+            assert (term, gn) == (w, n), (src, rnk)
+            assert abs(glo - lo) < 1e-9
+
+
+def test_negbin_fit_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grid = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grid[r.event_type][d] += 1
+    got = {
+        r.event_type: (r.mean, r.variance, r.nb_r, r.nb_p, r.overdispersed)
+        for r in QUERIES["stats_negbin_fit"](spark, sf_small).collect()
+    }
+    for t, xs in grid.items():
+        n = 30
+        m = sum(xs) / n
+        v = (sum(x * x for x in xs) - n * m * m) / (n - 1)
+        assert abs(got[t][0] - m) < 1e-9
+        assert abs(got[t][1] - v) < 1e-6
+        if v > m:
+            assert abs(got[t][2] - m * m / (v - m)) < 1e-6
+            assert abs(got[t][3] - m / v) < 1e-9
+            assert got[t][4] is True
+        else:
+            assert got[t][2] is None and got[t][3] is None
