@@ -226,6 +226,9 @@ CATALOG_BENCH = [
     "olap_return_rate_by_brand",
     "text_log_odds_terms",
     "stats_negbin_fit",
+    "emb_intrinsic_dim_twonn",
+    "stats_markov_transitions",
+    "graph_degree_ccdf",
 ]
 
 

@@ -9012,6 +9012,9 @@ _DRIVER_WINDOW = [
     "olap_return_rate_by_brand",
     "text_log_odds_terms",
     "stats_negbin_fit",
+    "emb_intrinsic_dim_twonn",
+    "stats_markov_transitions",
+    "graph_degree_ccdf",
 ]
 
 
@@ -21319,6 +21322,208 @@ def stats_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.when(var > mean, F.round(mean / var, 12)).alias("nb_p"),
         (var > mean).alias("overdispersed"),
+    )
+
+
+@query(
+    "emb_intrinsic_dim_twonn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    d1 AS (
+      SELECT qid, CAST(min(d2) AS BIGINT) AS r1
+      FROM pairs GROUP BY qid
+    ),
+    d2nd AS (
+      SELECT p.qid, CAST(min(p.d2) AS BIGINT) AS r2
+      FROM pairs p JOIN d1 ON d1.qid = p.qid
+      WHERE p.d2 > d1.r1
+      GROUP BY p.qid
+    ),
+    terms AS (
+      SELECT d1.qid,
+             0.5 * ln(CAST(d2nd.r2 AS DOUBLE) / d1.r1) AS mu
+      FROM d1 JOIN d2nd ON d2nd.qid = d1.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           round(count(*) / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(mu))), (a, v) -> a + v), 12)
+             AS intrinsic_dim
+    FROM terms
+    """,
+)
+def emb_intrinsic_dim_twonn(spark: SparkSession, sf: str) -> DataFrame:
+    """TwoNN INTRINSIC DIMENSION (Facco et al. 2017): d̂ = n / Σ ln(
+    r₂/r₁) over the first/second-neighbor distance ratios of the
+    100-anchor sample — the "how many dimensions does this manifold
+    REALLY use?" estimate that tells you whether 64-d embeddings are
+    index-able at 8 (cf. emb_matryoshka_recall / emb_dim_collapse,
+    which ask narrower versions). Squared distances cancel into the
+    ratio (ln√(d₂²/d₁²) = ½ln(d₂²/d₁²)), so every ln argument is a
+    ratio of EXACT int64s; r₂ is the smallest distance strictly
+    above r₁ (value-level, tie-safe); terms fold smallest-first,
+    round 12. Two map-combinable MIN passes over the broadcast-
+    sample pair stream."""
+    pairs = _sample_pairs(spark, sf)
+    pairs = pairs.localCheckpoint(eager=False)  # consumed twice
+    d1 = pairs.groupBy("qid").agg(F.min("d2").alias("r1"))
+    d2nd = (
+        pairs.join(F.broadcast(d1), on="qid")
+        .filter(F.col("d2") > F.col("r1"))
+        .groupBy("qid")
+        .agg(F.min("d2").alias("r2"))
+    )
+    terms = d1.join(F.broadcast(d2nd), on="qid").select(
+        (
+            0.5
+            * F.log(F.col("r2").cast("double") / F.col("r1"))
+        ).alias("mu")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.round(
+            F.count(F.lit(1))
+            / F.aggregate(
+                F.array_sort(F.collect_list("mu")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            12,
+        ).alias("intrinsic_dim"),
+    ).select(
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        "intrinsic_dim",
+    )
+
+
+@query(
+    "stats_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n, t.row_total,
+           round(CAST(c.n AS DOUBLE) / t.row_total, 12) AS p
+    FROM c JOIN tot t USING (from_type)
+    """,
+)
+def stats_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """FIRST-ORDER MARKOV transition matrix over each user's event
+    stream (ts order, event_id tiebreak): P(next=j | current=i) —
+    the behavioral fingerprint behind session simulators, anomaly
+    detectors ("error→error loops"), and next-action models. One
+    lag window per user (the sessionization shuffle), one pair
+    count, one row-normalize; counts exact, probabilities one
+    division, round 12. The 5×5 output is tiny however large the
+    stream."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(tot), on="from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.round(
+            F.col("n").cast("double") / F.col("row_total"), 12
+        ).alias("p"),
+    )
+
+
+@query(
+    "graph_degree_ccdf",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS s FROM edges UNION ALL SELECT dst FROM edges),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY s),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    buckets AS (
+      SELECT CAST(floor(ln(CAST(d AS DOUBLE)) / ln(2.0)) AS BIGINT)
+               AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_in_bucket
+      FROM deg GROUP BY 1
+    ),
+    cum AS (
+      SELECT log2_bucket, n_in_bucket,
+             sum(n_in_bucket) OVER (
+               ORDER BY log2_bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_least
+      FROM buckets
+    )
+    SELECT c.log2_bucket, c.n_in_bucket,
+           CAST(c.n_at_least AS BIGINT) AS n_at_least,
+           round(CAST(c.n_at_least AS DOUBLE) / t.n_nodes, 12) AS ccdf
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def graph_degree_ccdf(spark: SparkSession, sf: str) -> DataFrame:
+    """LOG-BINNED DEGREE CCDF of the co-occurrence graph: per
+    power-of-two degree bucket, how many nodes sit AT OR ABOVE it —
+    the straight-line-on-log-log plot that diagnoses a power-law
+    tail (and therefore whether skew remedies like salting are
+    needed at all; pairs with stats_hill_tail_estimator, which fits
+    the word-frequency tail the same way). Bucket = ⌊log₂ d⌋; the
+    descending cumulative runs over the ≤~40-bucket table (tiny
+    window by construction); counts exact, CCDF one division,
+    round 12."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    deg = gr.degrees(e)
+    tot = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    buckets = deg.groupBy(
+        F.floor(F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0)))
+        .cast("long")
+        .alias("log2_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    wcum = Window.orderBy(F.col("log2_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # ≤ ~40 buckets — the tiny-window exception
+    cum = buckets.withColumn(
+        "n_at_least", F.sum("n_in_bucket").over(wcum)
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "log2_bucket",
+        "n_in_bucket",
+        F.col("n_at_least").cast("long").alias("n_at_least"),
+        F.round(
+            F.col("n_at_least").cast("double") / F.col("n_nodes"), 12
+        ).alias("ccdf"),
     )
 
 

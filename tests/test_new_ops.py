@@ -4976,3 +4976,84 @@ def test_negbin_fit_matches_python(spark, sf_small):
             assert got[t][4] is True
         else:
             assert got[t][2] is None and got[t][3] is None
+
+
+def test_twonn_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    pairs = _emb_sample_pairs_py(spark, sf_small)
+    from collections import defaultdict
+
+    dists = defaultdict(list)
+    for q, _, _, _, d2 in pairs:
+        dists[q].append(d2)
+    mus = []
+    for q, ds in dists.items():
+        ds.sort()
+        r1 = ds[0]
+        r2 = next((d for d in ds if d > r1), None)
+        if r2 is None:
+            continue
+        mus.append(0.5 * math.log(r2 / r1))
+    want = len(mus) / sum(sorted(mus))
+    row = QUERIES["emb_intrinsic_dim_twonn"](spark, sf_small).collect()[0]
+    assert row.n_anchors == len(mus)
+    assert abs(row.intrinsic_dim - want) < 1e-9
+
+
+def test_markov_transitions_match_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts = defaultdict(int)
+    for rows in per.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            counts[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _), n in counts.items():
+        row_tot[a] += n
+    got = {
+        (r.from_type, r.to_type): (r.n, r.row_total, r.p)
+        for r in QUERIES["stats_markov_transitions"](spark, sf_small).collect()
+    }
+    assert set(got) == set(counts)
+    for k, n in counts.items():
+        assert got[k][0] == n
+        assert got[k][1] == row_tot[k[0]]
+        assert abs(got[k][2] - n / row_tot[k[0]]) < 1e-12
+
+
+def test_degree_ccdf_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    buckets = Counter(int(math.floor(math.log2(d))) for d in deg.values())
+    got = {
+        r.log2_bucket: (r.n_in_bucket, r.n_at_least, r.ccdf)
+        for r in QUERIES["graph_degree_ccdf"](spark, sf_small).collect()
+    }
+    n_nodes = len(deg)
+    running = 0
+    for b in sorted(buckets, reverse=True):
+        running += buckets[b]
+        assert got[b][0] == buckets[b]
+        assert got[b][1] == running
+        assert abs(got[b][2] - running / n_nodes) < 1e-12
