@@ -980,3 +980,40 @@ def test_round8_late_batch_plan_shapes(spark, sf_oracle):
         assert "CartesianProduct" not in p, q
         assert "EvalPython" not in p, q
         assert "SortMergeJoin" not in p, q
+
+
+def test_round8_final_batch_plan_shapes(spark, sf_oracle):
+    """Plan pins for the last round-8 batches (K-M)."""
+    # SPRT / negbin: dense-grid aggregates; the only BNLJs are the
+    # tiny grid fills
+    sp = plan_of(QUERIES["stats_sprt_ab_monitor"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in sp and "EvalPython" not in sp
+
+    # HHI / return rate: dim broadcasts into the fact scan
+    for q in ("olap_customer_hhi", "olap_return_rate_by_brand"):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+    # log-odds: sparse term joins only, 1-row totals the only BNLJ
+    lo = plan_of(QUERIES["text_log_odds_terms"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in lo
+    assert lo.count("BroadcastNestedLoopJoin") <= 1
+
+    # TwoNN: sample broadcast + two MIN passes, no shuffle join
+    nn = plan_of(QUERIES["emb_intrinsic_dim_twonn"](spark, sf_oracle),
+                 "simple")
+    assert "SortMergeJoin" not in nn
+    assert "EvalPython" not in nn
+
+    # Markov: one user window + hash aggs + broadcast row-normalize
+    mk = plan_of(QUERIES["stats_markov_transitions"](spark, sf_oracle),
+                 "simple")
+    assert "SortMergeJoin" not in mk
+    assert "CartesianProduct" not in mk
+
+    # CCDF: bucket table window only (≤~40 rows by construction)
+    cc = plan_of(QUERIES["graph_degree_ccdf"](spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in cc
