@@ -229,6 +229,9 @@ CATALOG_BENCH = [
     "emb_intrinsic_dim_twonn",
     "stats_markov_transitions",
     "graph_degree_ccdf",
+    "curation_pii_scrub_census",
+    "curation_funnel_report",
+    "olap_order_linecount_profile",
 ]
 
 

@@ -9015,6 +9015,9 @@ _DRIVER_WINDOW = [
     "emb_intrinsic_dim_twonn",
     "stats_markov_transitions",
     "graph_degree_ccdf",
+    "curation_pii_scrub_census",
+    "curation_funnel_report",
+    "olap_order_linecount_profile",
 ]
 
 
@@ -21524,6 +21527,248 @@ def graph_degree_ccdf(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.col("n_at_least").cast("double") / F.col("n_nodes"), 12
         ).alias("ccdf"),
+    )
+
+
+@query(
+    "curation_pii_scrub_census",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now'
+               WHEN doc_id % 11 = 0 THEN
+                 text || ' call 555-' || CAST(1000 + doc_id % 9000
+                                              AS VARCHAR) || ' today'
+               ELSE text
+             END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS n_emails,
+             len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones
+      FROM seeded
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(sum(CASE WHEN contains(clean, '@') THEN 1 ELSE 0 END)
+             AS BIGINT) AS residual_at_signs,
+           CAST(sum(len(md5(clean))) AS BIGINT) AS clean_md5_len_sum
+    FROM scrubbed GROUP BY source
+    """,
+)
+def curation_pii_scrub_census(spark: SparkSession, sf: str) -> DataFrame:
+    """PII SCRUB + census — the redaction pass every training-data
+    pipeline legally needs: emails and (seeded) phone patterns are
+    replaced by tags, and the per-source report counts documents
+    touched, redactions by kind, and RESIDUALS (any '@' left after
+    scrubbing is a pattern-escape bug — must be 0). The fixture
+    injects deterministic PII (doc_id-derived addresses on id%7,
+    phone stubs on id%11) so both engines see identical positives;
+    the md5-length checksum of the scrubbed text pins that the
+    replacement text itself matches byte-for-byte. Pure JVM regex
+    column expressions (backreference-free by the cross-engine
+    rule), one scan, one aggregate."""
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_re = "555-[0-9]{4}"
+    scrubbed = seeded.select(
+        "source",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("clean"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{email_re}', 0)")
+        ).alias("n_emails"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{phone_re}', 0)")
+        ).alias("n_phones"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_phones").cast("long").alias("phones_redacted"),
+        F.sum(
+            F.when(F.col("clean").contains("@"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("residual_at_signs"),
+        F.sum(F.length(F.md5(F.col("clean").cast("binary"))))
+        .cast("long")
+        .alias("clean_md5_len_sum"),
+    )
+
+
+@query(
+    "curation_funnel_report",
+    oracle="""
+    WITH s0 AS (SELECT doc_id, text, n_chars FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE n_chars >= 100),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('the','a','an','of','and','to','in','is',
+                           'it','that'))) >= 1
+    ),
+    s3 AS (
+      SELECT min(doc_id) AS doc_id
+      FROM s2 GROUP BY md5(text)
+    ),
+    counts AS (
+      SELECT 0 AS stage, 'raw' AS name,
+             (SELECT CAST(count(*) AS BIGINT) FROM s0) AS docs
+      UNION ALL
+      SELECT 1, 'length_gate',
+             (SELECT CAST(count(*) AS BIGINT) FROM s1)
+      UNION ALL
+      SELECT 2, 'stopword_gate',
+             (SELECT CAST(count(*) AS BIGINT) FROM s2)
+      UNION ALL
+      SELECT 3, 'exact_dedup',
+             (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, name, docs,
+           CAST(docs - lead(docs) OVER (ORDER BY stage) AS BIGINT)
+             AS removed_next,
+           round(CAST(docs AS DOUBLE)
+                 / first_value(docs) OVER (ORDER BY stage), 12)
+             AS survival_rate
+    FROM counts
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf: str) -> DataFrame:
+    """CURATION FUNNEL report — the one-page artifact a data run
+    ships: raw → length gate (n_chars ≥ 100) → stopword gate (≥ 1
+    English function word) → exact dedup (min-id canonical), with
+    per-stage survivors, removals, and survival rate. Each stage is
+    the REAL operator the catalog exposes individually (quality
+    gates, content-hash dedup); this query composes them and pins
+    the composition end-to-end. All counts exact; the 4-row funnel
+    window is constant-sized."""
+    from ..functions.text import STOPWORDS, stopword_hits, tokens
+
+    d = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    d = d.localCheckpoint(eager=False)  # 3 stage counts share the scan
+    s1 = d.filter(F.col("n_chars") >= 100)
+    s2 = s1.filter(stopword_hits(tokens("text"), STOPWORDS["en"]) >= 1)
+    s3 = s2.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    rows = [
+        (0, "raw", d),
+        (1, "length_gate", s1),
+        (2, "stopword_gate", s2),
+        (3, "exact_dedup", s3),
+    ]
+    counts = None
+    for stage, name, df in rows:
+        c = df.agg(F.count(F.lit(1)).alias("docs")).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col("docs").cast("long").alias("docs"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    wlead = Window.orderBy("stage")  # 4 rows — constant-sized window
+    return counts.select(
+        "stage",
+        "name",
+        "docs",
+        (F.col("docs") - F.lead("docs").over(wlead))
+        .cast("long")
+        .alias("removed_next"),
+        F.round(
+            F.col("docs").cast("double")
+            / F.first("docs").over(
+                wlead.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            12,
+        ).alias("survival_rate"),
+    )
+
+
+@query(
+    "olap_order_linecount_profile",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(count(*)) OVER (ORDER BY n_lines
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_orders,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (), 12) AS share
+    FROM per GROUP BY n_lines
+    """,
+)
+def olap_order_linecount_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER-SIZE histogram: the distribution of line counts per
+    order with cumulative counts and shares — the fan-out profile
+    that sizes every orderkey-keyed shuffle (a J5-style fan-out
+    join's cost is exactly this histogram's tail). One groupBy on
+    the fact + one histogram aggregate; the cumulative window runs
+    over the ≤7-row histogram (TPC-H orders carry 1-7 lines)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    hist = per.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    wcum = Window.orderBy("n_lines").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # histogram-sized window (≤7 rows)
+    wall = Window.partitionBy()
+    return hist.select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_orders",
+        F.sum("n_orders").over(wcum).cast("long").alias("cum_orders"),
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(wall),
+            12,
+        ).alias("share"),
     )
 
 

@@ -5057,3 +5057,98 @@ def test_degree_ccdf_matches_python(spark, sf_small):
         assert got[b][0] == buckets[b]
         assert got[b][1] == running
         assert abs(got[b][2] - running / n_nodes) < 1e-12
+
+
+def test_pii_scrub_matches_python(spark, sf_small):
+    """Redaction counts and residuals equal a python regex replay."""
+    import re
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    email = re.compile(r"[A-Za-z0-9._]+@[A-Za-z0-9.]+")
+    phone = re.compile(r"555-[0-9]{4}")
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        t = r.text
+        if r.doc_id % 7 == 0:
+            t += f" contact user{r.doc_id}@example.com now"
+        elif r.doc_id % 11 == 0:
+            t += f" call 555-{1000 + r.doc_id % 9000} today"
+        ne = len(email.findall(t))
+        np_ = len(phone.findall(t))
+        clean = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += (ne + np_) > 0
+        a[2] += ne
+        a[3] += np_
+        a[4] += "@" in clean
+    got = {
+        r.source: (r.n_docs, r.docs_with_pii, r.emails_redacted,
+                   r.phones_redacted, r.residual_at_signs)
+        for r in QUERIES["curation_pii_scrub_census"](spark, sf_small).collect()
+    }
+    for src, a in agg.items():
+        assert got[src] == tuple(a), src
+        assert got[src][4] == 0  # scrub leaves no residual
+
+
+def test_funnel_report_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    STOPS = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    s0 = len(docs)
+    s1 = [r for r in docs if r.n_chars >= 100]
+    s2 = [
+        r for r in s1
+        if sum(1 for t in r.text.strip().split() if t in STOPS) >= 1
+    ]
+    s3 = len({r.text for r in s2})
+    want = [s0, len(s1), len(s2), s3]
+    rows = sorted(
+        QUERIES["curation_funnel_report"](spark, sf_small).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.docs for r in rows] == want
+    assert [r.name for r in rows] == [
+        "raw", "length_gate", "stopword_gate", "exact_dedup"
+    ]
+    for i, r in enumerate(rows):
+        if i < 3:
+            assert r.removed_next == want[i] - want[i + 1]
+        else:
+            assert r.removed_next is None
+        assert abs(r.survival_rate - want[i] / want[0]) < 1e-12
+
+
+def test_linecount_profile_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = Counter(
+        r.l_orderkey
+        for r in load(spark, sf_small, "lineitem").select("l_orderkey").collect()
+    )
+    hist = Counter(per.values())
+    total = sum(hist.values())
+    got = {
+        r.n_lines: (r.n_orders, r.cum_orders, r.share)
+        for r in QUERIES["olap_order_linecount_profile"](spark, sf_small).collect()
+    }
+    cum = 0
+    for nl in sorted(hist):
+        cum += hist[nl]
+        assert got[nl][0] == hist[nl]
+        assert got[nl][1] == cum
+        assert abs(got[nl][2] - hist[nl] / total) < 1e-12
