@@ -232,6 +232,9 @@ CATALOG_BENCH = [
     "curation_pii_scrub_census",
     "curation_funnel_report",
     "olap_order_linecount_profile",
+    "ts_diff_in_diff",
+    "text_oov_rate",
+    "stats_mcnemar_test",
 ]
 
 

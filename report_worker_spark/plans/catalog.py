@@ -9018,6 +9018,9 @@ _DRIVER_WINDOW = [
     "curation_pii_scrub_census",
     "curation_funnel_report",
     "olap_order_linecount_profile",
+    "ts_diff_in_diff",
+    "text_oov_rate",
+    "stats_mcnemar_test",
 ]
 
 
@@ -21769,6 +21772,211 @@ def olap_order_linecount_profile(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum("n_orders").over(wall),
             12,
         ).alias("share"),
+    )
+
+
+@query(
+    "ts_diff_in_diff",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    cells AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN day >= 15 THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s
+      FROM grid WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        min(CASE WHEN treated = 1 AND post = 0
+                 THEN CAST(s AS DOUBLE) / n_days END) AS t_pre,
+        min(CASE WHEN treated = 1 AND post = 1
+                 THEN CAST(s AS DOUBLE) / n_days END) AS t_post,
+        min(CASE WHEN treated = 0 AND post = 0
+                 THEN CAST(s AS DOUBLE) / n_days END) AS c_pre,
+        min(CASE WHEN treated = 0 AND post = 1
+                 THEN CAST(s AS DOUBLE) / n_days END) AS c_post
+      FROM cells
+    )
+    SELECT round(t_pre, 12) AS treated_pre_mean,
+           round(t_post, 12) AS treated_post_mean,
+           round(c_pre, 12) AS control_pre_mean,
+           round(c_post, 12) AS control_post_mean,
+           round((t_post - t_pre) - (c_post - c_pre), 12) AS did_estimate,
+           round((t_post - t_pre), 12) AS naive_estimate
+    FROM m
+    """,
+)
+def ts_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES on the daily grids: clicks as the
+    "treated" series, views as the control, intervention pinned at
+    day 15 — DiD = (T̄post − T̄pre) − (C̄post − C̄pre), the causal
+    estimate that survives a level shift both series share (reported
+    next to the naive before/after delta it corrects). The four
+    cell means are exact-integer sums over the dense grid divided
+    once in IEEE doubles; the estimate is their mirrored
+    combination, round 12. One grid aggregate — constant output."""
+    g = _daily_grid(spark, sf)
+    cells = (
+        g.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("treated"),
+            F.when(F.col("day") >= 15, 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("s"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    pick = lambda t, p: F.min(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), mean)
+    )
+    m = cells.agg(
+        pick(1, 0).alias("t_pre"),
+        pick(1, 1).alias("t_post"),
+        pick(0, 0).alias("c_pre"),
+        pick(0, 1).alias("c_post"),
+    )
+    return m.select(
+        F.round("t_pre", 12).alias("treated_pre_mean"),
+        F.round("t_post", 12).alias("treated_post_mean"),
+        F.round("c_pre", 12).alias("control_pre_mean"),
+        F.round("c_post", 12).alias("control_post_mean"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            12,
+        ).alias("did_estimate"),
+        F.round(F.col("t_post") - F.col("t_pre"), 12).alias(
+            "naive_estimate"
+        ),
+    )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM tok GROUP BY w),
+    vocab AS (
+      SELECT w FROM cw ORDER BY f DESC, w ASC LIMIT 20
+    ),
+    marked AS (
+      SELECT t.source, t.w,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON v.w = t.w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS tokens,
+           CAST(sum(oov) AS BIGINT) AS oov_tokens,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 12) AS oov_rate
+    FROM marked GROUP BY source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per source against the corpus's top-20
+    token vocabulary — the tokenizer-budget question ("how much of
+    each source does a K-entry vocab actually cover?") that decides
+    vocab size before a BPE train (bpe.py) is even run. Vocabulary =
+    TakeOrdered top-20 by frequency (broadcast); OOV marking is one
+    broadcast left join over the token stream; counts exact, rate
+    one division, round 12."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(tx.tokens("text")).alias("w"))
+    tok = tok.localCheckpoint(eager=False)  # counted + marked
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    vocab = (
+        cw.orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(20)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), on="w", how="left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("oov_rate"),
+    )
+
+
+@query(
+    "stats_mcnemar_test",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    t -> t IN ('the','a','an','of','and','to','in','is',
+                               'it','that'))) >= 3
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS c
+      FROM flags
+    )
+    SELECT b, c,
+           CAST((b - c) * (b - c) AS BIGINT) AS chi2_num,
+           CAST(b + c AS BIGINT) AS chi2_den,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 12)
+             AS mcnemar_chi2,
+           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c), 12) AS mcnemar_chi2_cc,
+           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841
+             AS significant_05
+    FROM c
+    """,
+)
+def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
+    """McNEMAR'S paired test on the two quality raters of
+    stats_cohens_kappa (length gate vs stopword gate): does one gate
+    systematically fire where the other doesn't? Only the DISCORDANT
+    cells matter — χ² = (b−c)²/(b+c) (plus the continuity-corrected
+    variant) — which is why this pairs with kappa: kappa says "how
+    much agreement", McNemar says "is the DISagreement biased one
+    way". Numerator and denominator are exact BIGINTs; the two χ²
+    forms are mirrored doubles, round 12; significance compares
+    against the χ²₁ 95% critical value 3.841."""
+    from ..functions.text import STOPWORDS, stopword_hits, tokens
+
+    d = load(spark, sf, "documents")
+    ra = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
+    rb = F.when(
+        stopword_hits(tokens("text"), STOPWORDS["en"]) >= 3, 1
+    ).otherwise(0)
+    c = d.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("c"),
+    )
+    diff2 = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+    chi2 = diff2.cast("double") / (F.col("b") + F.col("c"))
+    cc = (F.abs(F.col("b") - F.col("c")) - 1)
+    return c.select(
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        diff2.cast("long").alias("chi2_num"),
+        (F.col("b") + F.col("c")).cast("long").alias("chi2_den"),
+        F.round(chi2, 12).alias("mcnemar_chi2"),
+        F.round(
+            (cc * cc).cast("double") / (F.col("b") + F.col("c")), 12
+        ).alias("mcnemar_chi2_cc"),
+        (chi2 > 3.841).alias("significant_05"),
     )
 
 

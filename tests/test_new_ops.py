@@ -5152,3 +5152,75 @@ def test_linecount_profile_matches_python(spark, sf_small):
         assert got[nl][0] == hist[nl]
         assert got[nl][1] == cum
         assert abs(got[nl][2] - hist[nl] / total) < 1e-12
+
+
+def test_diff_in_diff_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grid = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grid[r.event_type][d] += 1
+    t, c = grid["click"], grid["view"]
+    t_pre, t_post = sum(t[:15]) / 15, sum(t[15:]) / 15
+    c_pre, c_post = sum(c[:15]) / 15, sum(c[15:]) / 15
+    row = QUERIES["ts_diff_in_diff"](spark, sf_small).collect()[0]
+    assert abs(row.treated_pre_mean - t_pre) < 1e-9
+    assert abs(row.treated_post_mean - t_post) < 1e-9
+    assert abs(row.control_pre_mean - c_pre) < 1e-9
+    assert abs(row.control_post_mean - c_post) < 1e-9
+    assert abs(row.did_estimate - ((t_post - t_pre) - (c_post - c_pre))) < 1e-9
+    assert abs(row.naive_estimate - (t_post - t_pre)) < 1e-9
+
+
+def test_oov_rate_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    corpus = Counter()
+    per = defaultdict(list)
+    for r in docs:
+        ws = r.text.strip().split()
+        corpus.update(ws)
+        per[r.source].extend(ws)
+    vocab = {
+        w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    got = {
+        r.source: (r.tokens, r.oov_tokens, r.oov_rate)
+        for r in QUERIES["text_oov_rate"](spark, sf_small).collect()
+    }
+    for src, ws in per.items():
+        oov = sum(1 for w in ws if w not in vocab)
+        assert got[src][0] == len(ws)
+        assert got[src][1] == oov, src
+        assert abs(got[src][2] - oov / len(ws)) < 1e-12
+
+
+def test_mcnemar_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    STOPS = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+    docs = load(spark, sf_small, "documents").select("text", "n_chars").collect()
+    b = c = 0
+    for r in docs:
+        ra = r.n_chars >= 250
+        rb = sum(1 for t in r.text.strip().split() if t in STOPS) >= 3
+        b += ra and not rb
+        c += rb and not ra
+    row = QUERIES["stats_mcnemar_test"](spark, sf_small).collect()[0]
+    assert (row.b, row.c) == (b, c)
+    assert row.chi2_num == (b - c) ** 2 and row.chi2_den == b + c
+    assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-9
+    assert abs(row.mcnemar_chi2_cc - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-9
