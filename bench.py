@@ -235,6 +235,9 @@ CATALOG_BENCH = [
     "ts_diff_in_diff",
     "text_oov_rate",
     "stats_mcnemar_test",
+    "olap_cohort_ltv_curve",
+    "graph_ego_density_top",
+    "dedup_shingle_df_profile",
 ]
 
 

@@ -9021,6 +9021,9 @@ _DRIVER_WINDOW = [
     "ts_diff_in_diff",
     "text_oov_rate",
     "stats_mcnemar_test",
+    "olap_cohort_ltv_curve",
+    "graph_ego_density_top",
+    "dedup_shingle_df_profile",
 ]
 
 
@@ -21977,6 +21980,262 @@ def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
             (cc * cc).cast("double") / (F.col("b") + F.col("c")), 12
         ).alias("mcnemar_chi2_cc"),
         (chi2 > 3.841).alias("significant_05"),
+    )
+
+
+@query(
+    "olap_cohort_ltv_curve",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    purch AS (
+      SELECT f.cohort,
+             CAST(datediff('week', f.cohort, date_trunc('week', e.ts))
+               AS BIGINT) AS week_n,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    size_ AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY cohort
+    ),
+    weekly AS (
+      SELECT cohort, week_n,
+             CAST(sum(cents) AS BIGINT) AS week_cents
+      FROM purch GROUP BY cohort, week_n
+    )
+    SELECT w.cohort, w.week_n, s.cohort_users, w.week_cents,
+           CAST(sum(w.week_cents) OVER (
+             PARTITION BY w.cohort ORDER BY w.week_n
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_cents,
+           round(CAST(sum(w.week_cents) OVER (
+                   PARTITION BY w.cohort ORDER BY w.week_n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / (100.0 * s.cohort_users), 12)
+             AS ltv_per_user
+    FROM weekly w JOIN size_ s USING (cohort)
+    """,
+)
+def olap_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT LTV CURVE — cumulative purchase revenue per first-seen-
+    week cohort, by weeks-since-acquisition, normalized per cohort
+    user: the payback-period chart next to cohort_retention's
+    activity matrix (retention says users came back; LTV says what
+    that was worth). Integer cents throughout; the cumulative window
+    is per-cohort over ≤ a-handful-of-weeks rows; cohort sizes
+    broadcast. Same two-touch shuffle shape as cohort_retention."""
+    e = load(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    first = first.localCheckpoint(eager=False)  # consumed twice
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, on="user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    size_ = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    weekly = purch.groupBy("cohort", "week_n").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.join(F.broadcast(size_), on="cohort")
+        .select(
+            "cohort",
+            "week_n",
+            "cohort_users",
+            F.col("week_cents").cast("long").alias("week_cents"),
+            F.sum("week_cents").over(wcum).cast("long").alias("cum_cents"),
+            F.round(
+                F.sum("week_cents").over(wcum).cast("double")
+                / (100.0 * F.col("cohort_users")),
+                12,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "graph_ego_density_top",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS s, dst AS t FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY s),
+    hubs AS (
+      SELECT node, d FROM deg ORDER BY d DESC, node ASC LIMIT 5
+    ),
+    ego AS (
+      SELECT h.node AS hub, h.d, a.t AS nbr
+      FROM hubs h JOIN adj a ON a.s = h.node
+    ),
+    closed AS (
+      SELECT e1.hub, CAST(count(*) AS BIGINT) AS intra2
+      FROM ego e1
+      JOIN ego e2 ON e2.hub = e1.hub
+      JOIN adj a ON a.s = e1.nbr AND a.t = e2.nbr
+      GROUP BY e1.hub
+    )
+    SELECT h.node AS hub, h.d AS degree,
+           CAST(coalesce(c.intra2, 0) // 2 AS BIGINT) AS intra_edges,
+           round(CAST(coalesce(c.intra2, 0) AS DOUBLE)
+                 / (h.d * (h.d - 1)), 12) AS ego_density
+    FROM hubs h LEFT JOIN closed c ON c.hub = h.node
+    """,
+)
+def graph_ego_density_top(spark: SparkSession, sf: str) -> DataFrame:
+    """EGO-NETWORK DENSITY of the 5 highest-degree hubs: what share
+    of the possible edges AMONG a hub's neighbors exist — the local
+    clustering coefficient of exactly the vertices where
+    graph_clustering_global's average hides the story (dense ego =
+    tight community around the hub; sparse = a pure broker). Hubs
+    pick by TakeOrdered; intra-neighborhood edges count by closing
+    neighbor pairs against the adjacency (each edge seen twice —
+    exact halving); density = intra2 / d(d−1), round 12. Wedge
+    budget is Σ_hub d² over FIVE hubs — bounded."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)
+    adj = e.select(F.col("src").alias("s"), F.col("dst").alias("t")).unionAll(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # consumed 3x
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    hubs = (
+        deg.orderBy(F.col("d").desc(), F.col("s").asc())
+        .limit(5)
+        .select(F.col("s").alias("hub"), "d")
+    )
+    ego = hubs.join(
+        adj.select(F.col("s").alias("hub"), F.col("t").alias("nbr")),
+        on="hub",
+    )
+    e1 = ego.select("hub", F.col("nbr").alias("n1"))
+    e2 = ego.select("hub", F.col("nbr").alias("n2"))
+    closed = (
+        e1.join(e2, on="hub")
+        .join(
+            adj.select(F.col("s").alias("n1"), F.col("t").alias("n2")),
+            on=["n1", "n2"],
+        )
+        .groupBy("hub")
+        .agg(F.count(F.lit(1)).alias("intra2"))
+    )
+    return (
+        hubs.join(closed, on="hub", how="left")
+        .select(
+            "hub",
+            F.col("d").cast("long").alias("degree"),
+            F.expr("coalesce(intra2, 0) div 2").alias("intra_edges"),
+            F.round(
+                F.coalesce("intra2", F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                12,
+            ).alias("ego_density"),
+        )
+    )
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+               AS shingle
+      FROM toks
+    ),
+    df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM sh GROUP BY shingle
+    ),
+    buckets AS (
+      SELECT CAST(floor(ln(CAST(doc_freq AS DOUBLE)) / ln(2.0)) AS BIGINT)
+               AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(doc_freq) AS BIGINT) AS postings
+      FROM df GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(postings) AS BIGINT) AS total_postings
+            FROM buckets)
+    SELECT b.log2_bucket, b.n_shingles, b.postings,
+           round(CAST(b.postings AS DOUBLE) / t.total_postings, 12)
+             AS postings_share
+    FROM buckets b CROSS JOIN tot t
+    """,
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """SHINGLE DOCUMENT-FREQUENCY profile: 3-word shingles bucketed
+    by ⌊log₂ df⌋, with per-bucket shingle counts and posting mass —
+    the measurement that JUSTIFIES the max_df cap in the prefix-
+    filtered Jaccard join (dedup_ngram_jaccard_capped): the top
+    bucket's postings share is exactly the inverted-index mass a
+    hot-shingle cap deletes, and the n-gram join's worst case is
+    Σ df² over this histogram. One distinct-(doc,shingle) groupBy +
+    the log-bucket census; counts exact, share one division,
+    round 12."""
+    d = load(spark, sf, "documents")
+    ws = tx.tokens("text")
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                )
+            ).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    buckets = df.groupBy(
+        F.floor(
+            F.log(F.col("doc_freq").cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("doc_freq").alias("postings"),
+    )
+    tot = buckets.agg(F.sum("postings").alias("total_postings"))
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "log2_bucket",
+        "n_shingles",
+        F.col("postings").cast("long").alias("postings"),
+        F.round(
+            F.col("postings").cast("double") / F.col("total_postings"),
+            12,
+        ).alias("postings_share"),
     )
 
 

@@ -5224,3 +5224,107 @@ def test_mcnemar_matches_python(spark, sf_small):
     assert row.chi2_num == (b - c) ** 2 and row.chi2_den == b + c
     assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-9
     assert abs(row.mcnemar_chi2_cc - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-9
+
+
+def test_cohort_ltv_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+
+    def week_start(d):
+        return d - datetime.timedelta(days=d.weekday())
+
+    first = {}
+    for r in ev:
+        d = week_start(r.ts.date())
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    sizes = defaultdict(int)
+    for u, c in first.items():
+        sizes[c] += 1
+    weekly = defaultdict(int)
+    import math
+
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        c = first[r.user_id]
+        wn = (week_start(r.ts.date()) - c).days // 7
+        weekly[(c, wn)] += math.floor(r.value * 100 + 0.5)
+    got = {
+        (r.cohort.date(), r.week_n): (r.cohort_users, r.week_cents,
+                                      r.cum_cents, r.ltv_per_user)
+        for r in QUERIES["olap_cohort_ltv_curve"](spark, sf_small).collect()
+    }
+    cum = defaultdict(int)
+    for (c, wn) in sorted(weekly):
+        cum[c] += weekly[(c, wn)]
+        assert got[(c, wn)][0] == sizes[c]
+        assert got[(c, wn)][1] == weekly[(c, wn)], (c, wn)
+        assert got[(c, wn)][2] == cum[c]
+        assert abs(got[(c, wn)][3] - cum[c] / (100 * sizes[c])) < 1e-9
+
+
+def test_ego_density_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    hubs = sorted(adj, key=lambda n: (-len(adj[n]), n))[:5]
+    got = {
+        r.hub: (r.degree, r.intra_edges, r.ego_density)
+        for r in QUERIES["graph_ego_density_top"](spark, sf_small).collect()
+    }
+    for h in hubs:
+        nbrs = adj[h]
+        intra = sum(
+            1 for a, b in edges if a in nbrs and b in nbrs
+        )
+        d = len(nbrs)
+        assert got[h][0] == d
+        assert got[h][1] == intra, h
+        assert abs(got[h][2] - 2 * intra / (d * (d - 1))) < 1e-9
+
+
+def test_shingle_df_profile_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("text").collect()
+    df = Counter()
+    for r in docs:
+        ws = r.text.strip().split()
+        sh = {
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        }
+        df.update(sh)
+    buckets = Counter()
+    postings = Counter()
+    for s, f in df.items():
+        b = int(math.floor(math.log2(f)))
+        buckets[b] += 1
+        postings[b] += f
+    total = sum(postings.values())
+    got = {
+        r.log2_bucket: (r.n_shingles, r.postings, r.postings_share)
+        for r in QUERIES["dedup_shingle_df_profile"](spark, sf_small).collect()
+    }
+    assert set(got) == set(buckets)
+    for b in buckets:
+        assert got[b][0] == buckets[b]
+        assert got[b][1] == postings[b]
+        assert abs(got[b][2] - postings[b] / total) < 1e-12
