@@ -1017,3 +1017,40 @@ def test_round8_final_batch_plan_shapes(spark, sf_oracle):
     # CCDF: bucket table window only (≤~40 rows by construction)
     cc = plan_of(QUERIES["graph_degree_ccdf"](spark, sf_oracle), "simple")
     assert "CartesianProduct" not in cc
+
+
+def test_round8_np_batch_plan_shapes(spark, sf_oracle):
+    """Plan pins for batches N-P."""
+    # PII scrub: pure JVM regex expressions — no Python in the plan
+    pii = plan_of(QUERIES["curation_pii_scrub_census"](spark, sf_oracle),
+                  "simple")
+    assert "EvalPython" not in pii
+    assert "Join" not in pii
+
+    # funnel: stage counts reuse one checkpointed scan, stitch windows
+    # run over the constant 4-row funnel
+    fu = plan_of(QUERIES["curation_funnel_report"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in fu
+
+    # LTV: cohort sizes broadcast; no shuffle join of two fact passes
+    ltv = plan_of(QUERIES["olap_cohort_ltv_curve"](spark, sf_oracle),
+                  "simple")
+    assert "CartesianProduct" not in ltv
+    assert "EvalPython" not in ltv
+
+    # ego density: 5-hub TakeOrdered feeds equi-joins only
+    eg = plan_of(QUERIES["graph_ego_density_top"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in eg
+
+    # shingle DF: explode + two hash aggregates, 1-row total stitch only
+    sh = plan_of(QUERIES["dedup_shingle_df_profile"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in sh
+    assert sh.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in sh
+
+    # OOV: vocabulary TakeOrdered + broadcast left join on the stream
+    ov = plan_of(QUERIES["text_oov_rate"](spark, sf_oracle), "simple")
+    assert "SortMergeJoin" not in ov
