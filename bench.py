@@ -238,6 +238,9 @@ CATALOG_BENCH = [
     "olap_cohort_ltv_curve",
     "graph_ego_density_top",
     "dedup_shingle_df_profile",
+    "stats_gumbel_block_maxima",
+    "stats_theil_index",
+    "ts_haar_energy",
 ]
 
 

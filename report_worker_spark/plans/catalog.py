@@ -9024,6 +9024,9 @@ _DRIVER_WINDOW = [
     "olap_cohort_ltv_curve",
     "graph_ego_density_top",
     "dedup_shingle_df_profile",
+    "stats_gumbel_block_maxima",
+    "stats_theil_index",
+    "ts_haar_energy",
 ]
 
 
@@ -22237,6 +22240,327 @@ def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
             12,
         ).alias("postings_share"),
     )
+
+
+@query(
+    "stats_gumbel_block_maxima",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             date_part('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type = 'click'
+        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT day, CAST(max(n) AS BIGINT) AS block_max
+      FROM hourly GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(block_max) AS BIGINT) AS s,
+             CAST(sum(block_max * block_max) AS BIGINT) AS q,
+             CAST(max(block_max) AS BIGINT) AS overall_max
+      FROM mx
+    )
+    SELECT n_blocks, overall_max,
+           round(CAST(s AS DOUBLE) / n_blocks, 12) AS mean_max,
+           round(sqrt((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s / n_blocks)
+                      / (n_blocks - 1)) * sqrt(6.0) / pi(), 12)
+             AS gumbel_beta,
+           round(CAST(s AS DOUBLE) / n_blocks
+                 - 0.5772156649015329
+                   * (sqrt((CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s / n_blocks)
+                           / (n_blocks - 1)) * sqrt(6.0) / pi()), 12)
+             AS gumbel_mu
+    FROM m
+    """,
+)
+def stats_gumbel_block_maxima(spark: SparkSession, sf: str) -> DataFrame:
+    """GUMBEL (EV-I) fit to the DAILY MAXIMA of hourly click counts by
+    method of moments — β = s·√6/π, μ = x̄ − γβ — the extreme-value
+    threshold behind "what hourly burst should the autoscaler expect
+    once a month?" (Tukey/IQR fences describe the body; EVT
+    describes the record). Block maxima come from one (day, hour)
+    aggregate + a per-day MAX — exact integers; the two-parameter
+    fit is a mirrored double expression, round 12 (π and the
+    Euler-Mascheroni constant are literals on both engines)."""
+    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    hourly = (
+        e.select(day.alias("day"), F.hour("ts").alias("hr"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = hourly.groupBy("day").agg(F.max("n").alias("block_max"))
+    m = mx.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("block_max").alias("s"),
+        F.sum(F.col("block_max") * F.col("block_max")).alias("q"),
+        F.max("block_max").alias("overall_max"),
+    )
+    import math
+
+    mean = F.col("s").cast("double") / F.col("n_blocks")
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_blocks")
+        )
+        / (F.col("n_blocks") - 1)
+    )
+    beta = sd * math.sqrt(6.0) / math.pi
+    return m.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("overall_max").cast("long").alias("overall_max"),
+        F.round(mean, 12).alias("mean_max"),
+        F.round(beta, 12).alias("gumbel_beta"),
+        F.round(mean - 0.5772156649015329 * beta, 12).alias("gumbel_mu"),
+    )
+
+
+@query(
+    "stats_theil_index",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS x
+      FROM rev GROUP BY c_nationkey
+    ),
+    terms AS (
+      SELECT r.c_nationkey,
+             (CAST(r.d AS DOUBLE) / t.x)
+               * ln(CAST(r.d * t.n AS DOUBLE) / t.x) AS term
+      FROM rev r JOIN tot t USING (c_nationkey)
+      WHERE r.d > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(term))), (a, v) -> a + v), 12)
+             AS theil_t
+    FROM terms GROUP BY c_nationkey
+    """,
+)
+def stats_theil_index(spark: SparkSession, sf: str) -> DataFrame:
+    """THEIL T inequality index of customer revenue per nation:
+    T = Σ (xᵢ/X)·ln(xᵢ·n/X) — the entropy-family inequality measure
+    that DECOMPOSES (within-group + between-group terms add up),
+    which Gini cannot do; the third lens beside olap_customer_hhi
+    (head-weighted) and the Gini family (curve-weighted). Each ln
+    argument is one division of exact integer products; per-nation
+    terms fold smallest-first (sorted-fold discipline), round 12."""
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("d"))
+    )
+    tot = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d").alias("x")
+    )
+    terms = (
+        rev.join(F.broadcast(tot), on="c_nationkey")
+        .filter(F.col("d") > 0)
+        .select(
+            "c_nationkey",
+            (
+                (F.col("d").cast("double") / F.col("x"))
+                * F.log((F.col("d") * F.col("n")).cast("double") / F.col("x"))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            12,
+        ).alias("theil_t"),
+    )
+
+
+@query(
+    "ts_haar_energy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type = 'click'
+        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    lv0 AS (
+      SELECT CAST(r.range AS BIGINT) AS idx,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS v
+      FROM range(0, 32) r LEFT JOIN daily d ON d.day = r.range
+    ),
+    lv1 AS (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS d
+      FROM lv0 GROUP BY idx // 2
+    ),
+    en1 AS (
+      SELECT CAST(1 AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM lv1
+    ),
+    lv2 AS (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS d
+      FROM lv1 GROUP BY idx // 2
+    ),
+    en2 AS (
+      SELECT CAST(2 AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM lv2
+    ),
+    lv3 AS (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS d
+      FROM lv2 GROUP BY idx // 2
+    ),
+    en3 AS (
+      SELECT CAST(3 AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM lv3
+    ),
+    lv4 AS (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS d
+      FROM lv3 GROUP BY idx // 2
+    ),
+    en4 AS (
+      SELECT CAST(4 AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM lv4
+    ),
+    lv5 AS (
+      SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS v,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
+                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS d
+      FROM lv4 GROUP BY idx // 2
+    ),
+    en5 AS (
+      SELECT CAST(5 AS BIGINT) AS level,
+             CAST(sum(d * d) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_coeffs
+      FROM lv5
+    )
+    SELECT * FROM en1
+    UNION ALL SELECT * FROM en2
+    UNION ALL SELECT * FROM en3
+    UNION ALL SELECT * FROM en4
+    UNION ALL SELECT * FROM en5
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """HAAR WAVELET energy spectrum of the click daily series
+    (zero-padded 30→32): per level ℓ the sum of squared unnormalized
+    detail coefficients (pairwise differences) — level 1 captures
+    day-to-day jitter, level 3 ≈ weekly structure, level 5 the
+    month-halves trend; the multi-resolution alternative to
+    seasonal-strength/ACF that needs NO trigonometry, so the whole
+    transform is EXACT int64 (sums/differences/squares of counts).
+    Five groupBy(idx DIV 2) rounds over a ≤32-row frame; the oracle
+    unrolls the same five levels as CTEs."""
+    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        spark.range(0, 32)
+        .select(F.col("id").alias("idx"))
+        .join(daily.withColumnRenamed("day", "idx"), on="idx", how="left")
+        .select("idx", F.coalesce("n", F.lit(0)).alias("v"))
+    )
+    lvl = grid
+    outs = []
+    for level in range(1, 6):
+        nxt = lvl.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            (
+                F.sum(F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(0))
+                + F.sum(
+                    F.when(F.col("idx") % 2 == 1, F.col("v")).otherwise(0)
+                )
+            ).alias("v"),
+            (
+                F.sum(F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(0))
+                - F.sum(
+                    F.when(F.col("idx") % 2 == 1, F.col("v")).otherwise(0)
+                )
+            ).alias("d"),
+        )
+        nxt = nxt.localCheckpoint(eager=False)  # consumed twice
+        outs.append(
+            nxt.agg(
+                F.lit(level).cast("long").alias("level"),
+                F.sum(F.col("d") * F.col("d"))
+                .cast("long")
+                .alias("energy"),
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            ).select("level", "energy", "n_coeffs")
+        )
+        lvl = nxt.select("idx", "v")
+    res = outs[0]
+    for o_ in outs[1:]:
+        res = res.unionByName(o_)
+    return res
 
 
 _rotate_window(_DRIVER_WINDOW)

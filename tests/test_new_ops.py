@@ -5328,3 +5328,92 @@ def test_shingle_df_profile_matches_python(spark, sf_small):
         assert got[b][0] == buckets[b]
         assert got[b][1] == postings[b]
         assert abs(got[b][2] - postings[b] / total) < 1e-12
+
+
+def test_gumbel_fit_matches_python(spark, sf_small):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    hourly = defaultdict(int)
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            hourly[(d, r.ts.hour)] += 1
+    mx = defaultdict(int)
+    for (d, _), n in hourly.items():
+        mx[d] = max(mx[d], n)
+    vals = list(mx.values())
+    n = len(vals)
+    m = sum(vals) / n
+    sd = math.sqrt((sum(v * v for v in vals) - n * m * m) / (n - 1))
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    row = QUERIES["stats_gumbel_block_maxima"](spark, sf_small).collect()[0]
+    assert (row.n_blocks, row.overall_max) == (n, max(vals))
+    assert abs(row.mean_max - m) < 1e-9
+    assert abs(row.gumbel_beta - beta) < 1e-9
+    assert abs(row.gumbel_mu - mu) < 1e-9
+
+
+def test_theil_index_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in load(spark, sf_small, "customer").collect()
+    }
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in load(spark, sf_small, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        rev[nat[r.o_custkey]][r.o_custkey] += math.floor(
+            r.o_totalprice + 0.5
+        )
+    got = {
+        r.c_nationkey: (r.n_customers, r.theil_t)
+        for r in QUERIES["stats_theil_index"](spark, sf_small).collect()
+    }
+    for nk, cust in rev.items():
+        xs = [v for v in cust.values() if v > 0]
+        n, X = len(xs), sum(xs)
+        t = sum(sorted((x / X) * math.log(x * n / X) for x in xs))
+        assert got[nk][0] == n
+        assert abs(got[nk][1] - t) < 1e-9, nk
+
+
+def test_haar_energy_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    xs = [0] * 32
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29 and r.event_type == "click":
+            xs[d] += 1
+    got = {
+        r.level: (r.energy, r.n_coeffs)
+        for r in QUERIES["ts_haar_energy"](spark, sf_small).collect()
+    }
+    cur = xs
+    for level in range(1, 6):
+        sums = [cur[2 * i] + cur[2 * i + 1] for i in range(len(cur) // 2)]
+        diffs = [cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)]
+        assert got[level] == (sum(d * d for d in diffs), len(diffs)), level
+        cur = sums
