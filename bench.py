@@ -241,6 +241,8 @@ CATALOG_BENCH = [
     "stats_gumbel_block_maxima",
     "stats_theil_index",
     "ts_haar_energy",
+    "emb_davies_bouldin_sq",
+    "stats_record_days",
 ]
 
 

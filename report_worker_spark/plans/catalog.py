@@ -9027,6 +9027,8 @@ _DRIVER_WINDOW = [
     "stats_gumbel_block_maxima",
     "stats_theil_index",
     "ts_haar_energy",
+    "emb_davies_bouldin_sq",
+    "stats_record_days",
 ]
 
 
@@ -22561,6 +22563,248 @@ def ts_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
     for o_ in outs[1:]:
         res = res.unionByName(o_)
     return res
+
+
+@query(
+    "emb_davies_bouldin_sq",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    perdim AS (
+      SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd,
+             CAST(sum(q * q) AS BIGINT) AS qd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    perlab AS (
+      SELECT label, min(n) AS n,
+             CAST(sum(qd) AS BIGINT) AS qtot,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
+               list((CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)))),
+               (a, v) -> a + v) AS mu2
+      FROM perdim GROUP BY label
+    ),
+    scatter AS (
+      SELECT label, n,
+             CAST(qtot AS DOUBLE) / n - mu2 AS s2
+      FROM perlab
+    ),
+    cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
+               list((CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE)
+                     * CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE))
+                    / (CAST(a2.n AS DOUBLE) * a2.n * b2.n * b2.n)))),
+               (x, y) -> x + y) AS d2
+      FROM perlab a JOIN perlab b ON a.label < b.label
+      JOIN perdim a2 ON a2.label = a.label
+      JOIN perdim b2 ON b2.label = b.label AND b2.dim = a2.dim
+      GROUP BY a.label, b.label
+    ),
+    ratios AS (
+      SELECT la AS label, lb AS other,
+             (sa.s2 + sb.s2) / c.d2 AS ratio
+      FROM cd c
+      JOIN scatter sa ON sa.label = c.la
+      JOIN scatter sb ON sb.label = c.lb
+      UNION ALL
+      SELECT lb, la, (sa.s2 + sb.s2) / c.d2
+      FROM cd c
+      JOIN scatter sa ON sa.label = c.la
+      JOIN scatter sb ON sb.label = c.lb
+    ),
+    perlabel AS (
+      SELECT label, max(ratio) AS r_i,
+             CAST(min(CASE WHEN ratio = mr THEN other END) AS BIGINT)
+               AS worst_neighbor
+      FROM (SELECT *, max(ratio) OVER (PARTITION BY label) AS mr
+            FROM ratios)
+      GROUP BY label
+    )
+    SELECT label, worst_neighbor, round(r_i, 12) AS db_ratio
+    FROM perlabel
+    """,
+)
+def emb_davies_bouldin_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """DAVIES–BOULDIN cluster-separation audit (squared-distance
+    variant — every quantity derives from EXACT integer sums):
+    per label the worst (s²ᵢ+s²ⱼ)/d²ᵢⱼ ratio against any other
+    label, where s²ᵢ = mean squared distance to the label centroid
+    (= Σ‖x‖²/n − ‖μ‖²) and d²ᵢⱼ uses the cross-multiplied
+    centroid-difference device of emb_centroid_shift_drift — so the
+    only floats are deterministic IEEE divisions of exact integers,
+    folded smallest-first. High ratio = the label's nearest
+    confusable cluster (reported) — the "which classes will kNN
+    mix up?" table that explains the ~36% nearest-centroid accuracy
+    this corpus is known for. One posexplode aggregate + 10×10
+    label-pair algebra on a 640-row table."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select("label", F.posexplode(qz).alias("dim", "q"))
+    perdim = ex.groupBy("label", "dim").agg(
+        F.sum("q").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("qd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    perdim = perdim.localCheckpoint(eager=False)  # consumed 3×
+    mu_term = (F.col("sd").cast("double") / F.col("n")) * (
+        F.col("sd").cast("double") / F.col("n")
+    )
+    perlab = perdim.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.sum("qd").alias("qtot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(mu_term)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("mu2"),
+    )
+    scatter = perlab.select(
+        "label",
+        "n",
+        (F.col("qtot").cast("double") / F.col("n") - F.col("mu2")).alias(
+            "s2"
+        ),
+    )
+    scatter = scatter.localCheckpoint(eager=False)  # consumed twice
+    a2 = perdim.select(
+        F.col("label").alias("la"),
+        "dim",
+        F.col("sd").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b2 = perdim.select(
+        F.col("label").alias("lb"),
+        "dim",
+        F.col("sd").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    diff = (F.col("nb") * F.col("sa") - F.col("na") * F.col("sb")).cast(
+        "double"
+    )
+    cd = (
+        a2.join(b2, on="dim")
+        .filter(F.col("la") < F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            (
+                diff
+                * diff
+                / (
+                    F.col("na").cast("double")
+                    * F.col("na")
+                    * F.col("nb")
+                    * F.col("nb")
+                )
+            ).alias("t"),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("t")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d2")
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la"), F.col("s2").alias("s2a"))
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s2").alias("s2b"))
+    paired = cd.join(F.broadcast(sa), on="la").join(
+        F.broadcast(sb), on="lb"
+    )
+    ratios = paired.select(
+        F.col("la").alias("label"),
+        F.col("lb").alias("other"),
+        ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
+    ).unionByName(
+        paired.select(
+            F.col("lb").alias("label"),
+            F.col("la").alias("other"),
+            ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
+        )
+    )
+    perlabel = ratios.groupBy("label").agg(
+        F.max("ratio").alias("r_i"),
+        F.min_by(
+            F.struct(F.col("other")),
+            F.struct(-F.col("ratio"), F.col("other")),
+        )
+        .getField("other")
+        .cast("long")
+        .alias("worst_neighbor"),
+    )
+    return perlabel.select(
+        "label", "worst_neighbor", F.round("r_i", 12).alias("db_ratio")
+    )
+
+
+@query(
+    "stats_record_days",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    rec AS (
+      SELECT event_type, day, n,
+             CASE WHEN day = 0 OR n > max(n) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_record
+      FROM grid
+    ),
+    h AS (
+      SELECT CAST(3.9949871309203906 AS DOUBLE) AS harmonic  -- H_30, pinned literal
+    )
+    SELECT event_type,
+           CAST(sum(is_record) AS BIGINT) AS n_records,
+           round(h.harmonic, 12) AS expected_records,
+           round(CAST(sum(is_record) AS DOUBLE) / h.harmonic, 12)
+             AS record_excess
+    FROM rec CROSS JOIN h
+    GROUP BY event_type, h.harmonic
+    """,
+)
+def stats_record_days(spark: SparkSession, sf: str) -> DataFrame:
+    """RECORD-DAY census: how many days set a new all-time daily-count
+    high per event type, vs the H₃₀ ≈ 3.99 records an EXCHANGEABLE
+    (trend-free) series would produce — the distribution-free trend
+    detector from record theory (excess ≫ 1 = growth; ≪ 1 = decay
+    or early spike). Records come from one running-max window per
+    type on the dense grid; the harmonic expectation H_30 is a
+    PINNED double literal identical in both programs (an aggregate
+    over range() would depend on engine fold order). Counts exact;
+    two rounded floats."""
+    g = _daily_grid(spark, sf)
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = g.select(
+        "event_type",
+        F.when(
+            (F.col("day") == 0)
+            | (F.col("n") > F.max("n").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    # H_30 as the same ascending fold the oracle runs
+    harmonic = float(sum(1.0 / (i + 1) for i in range(30)))
+    return rec.groupBy("event_type").agg(
+        F.sum("is_record").cast("long").alias("n_records"),
+        F.round(F.lit(harmonic), 12).alias("expected_records"),
+        F.round(
+            F.sum("is_record").cast("double") / F.lit(harmonic), 12
+        ).alias("record_excess"),
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

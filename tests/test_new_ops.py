@@ -5417,3 +5417,76 @@ def test_haar_energy_matches_python(spark, sf_small):
         diffs = [cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)]
         assert got[level] == (sum(d * d for d in diffs), len(diffs)), level
         cur = sums
+
+
+def test_davies_bouldin_matches_numpy(spark, sf_small):
+    """Per-label worst DB ratio and confusable neighbor equal numpy."""
+    import numpy as np
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    labels = sorted({r.label for r in rows})
+    mats = {
+        lab: np.array(
+            [[round(float(x) * 256) for x in r.embedding]
+             for r in rows if r.label == lab],
+            dtype=np.int64,
+        )
+        for lab in labels
+    }
+    s2 = {}
+    mu = {}
+    for lab, m in mats.items():
+        n = len(m)
+        mu[lab] = m.sum(axis=0) / n
+        s2[lab] = (m.astype(float) ** 2).sum() / n - sum(
+            sorted(mu[lab] ** 2)
+        )
+    got = {
+        r.label: (r.worst_neighbor, r.db_ratio)
+        for r in QUERIES["emb_davies_bouldin_sq"](spark, sf_small).collect()
+    }
+    for lab in labels:
+        best = None
+        for other in labels:
+            if other == lab:
+                continue
+            d2 = float(((mu[lab] - mu[other]) ** 2).sum())
+            ratio = (s2[lab] + s2[other]) / d2
+            key = (-ratio, other)
+            if best is None or key < best[0]:
+                best = (key, other, ratio)
+        assert got[lab][0] == best[1], lab
+        assert abs(got[lab][1] - best[2]) < 1e-6, lab
+
+
+def test_record_days_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    grid = defaultdict(lambda: [0] * 30)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            grid[r.event_type][d] += 1
+    got = {
+        r.event_type: (r.n_records, r.record_excess)
+        for r in QUERIES["stats_record_days"](spark, sf_small).collect()
+    }
+    h30 = sum(1.0 / k for k in range(1, 31))
+    for t, xs in grid.items():
+        records = 0
+        best = None
+        for v in xs:
+            if best is None or v > best:
+                records += 1
+                best = max(v, best or v)
+        assert got[t][0] == records, t
+        assert abs(got[t][1] - records / h30) < 1e-9
