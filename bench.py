@@ -243,6 +243,8 @@ CATALOG_BENCH = [
     "ts_haar_energy",
     "emb_davies_bouldin_sq",
     "stats_record_days",
+    "olap_price_qty_elasticity",
+    "s4_csv_roundtrip",
 ]
 
 

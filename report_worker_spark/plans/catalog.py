@@ -9029,6 +9029,8 @@ _DRIVER_WINDOW = [
     "ts_haar_energy",
     "emb_davies_bouldin_sq",
     "stats_record_days",
+    "olap_price_qty_elasticity",
+    "s4_csv_roundtrip",
 ]
 
 
@@ -22804,6 +22806,145 @@ def stats_record_days(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.sum("is_record").cast("double") / F.lit(harmonic), 12
         ).alias("record_excess"),
+    )
+
+
+@query(
+    "olap_price_qty_elasticity",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pts AS (
+      SELECT ln(CAST(cents AS DOUBLE) / qty) AS lx,
+             ln(CAST(qty AS DOUBLE) / n) AS ly
+      FROM per WHERE qty > 0 AND cents > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx))), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(ly))), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx * ly))), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(lx * lx))), (a, v) -> a + v) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12)
+             AS elasticity,
+           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * (sx / n), 12) AS intercept
+    FROM m
+    """,
+)
+def olap_price_qty_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """LOG-LOG PRICE ELASTICITY across parts: OLS of ln(avg quantity
+    per line) on ln(avg unit price), one point per part — the "does
+    demand fall when price rises?" cross-sectional read (the slope
+    IS the elasticity in a log-log model). Per-part sums are exact
+    BIGINTs; each ln argument is ONE division of exact integers;
+    the four OLS moments fold smallest-first (the Hurst/ts_ols
+    discipline) and the slope/intercept are mirrored doubles,
+    round 12. One fact groupBy + a one-row reduce."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("cents"),
+        F.sum("qty").alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pts = per.filter((F.col("qty") > 0) & (F.col("cents") > 0)).select(
+        F.log(F.col("cents").cast("double") / F.col("qty")).alias("lx"),
+        F.log(F.col("qty").cast("double") / F.col("n")).alias("ly"),
+    )
+
+    def fold(c):
+        return F.aggregate(
+            F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, v: a + v
+        )
+
+    m = pts.select(
+        "lx", "ly", (F.col("lx") * F.col("ly")).alias("lxy"),
+        (F.col("lx") * F.col("lx")).alias("lxx"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold("lx").alias("sx"),
+        fold("ly").alias("sy"),
+        fold("lxy").alias("sxy"),
+        fold("lxx").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.round(slope, 12).alias("elasticity"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")),
+            12,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "s4_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name_rt,
+           c_mktsegment AS seg_rt,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_rt,
+           TRUE AS roundtrip_ok
+    FROM customer
+    """,
+)
+def s4_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV SERIALIZE → PARSE roundtrip on the customer dim — the S4
+    serialization contract for the second wire format (fixed-width
+    and JSON have their own roundtrip queries): to_csv writes each
+    row with quoting enabled, from_csv parses it back against the
+    declared schema, and the query RETURNS THE PARSED FIELDS — the
+    oracle recomputes them from the base table, so any quoting,
+    escaping, or type-coercion asymmetry between the two paths
+    mismatches (names contain '#' and commas would be quoted; the
+    balance rides through as a string-ified double re-cast to exact
+    cents). Pure JVM expressions; one scan."""
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    csv = c.select(
+        "c_custkey",
+        F.to_csv(
+            F.struct("c_name", "c_mktsegment", "c_acctbal")
+        ).alias("line"),
+    )
+    schema = "c_name string, c_mktsegment string, c_acctbal double"
+    parsed = csv.select(
+        "c_custkey",
+        F.from_csv("line", schema).alias("p"),
+        "line",
+    )
+    return parsed.select(
+        "c_custkey",
+        F.col("p.c_name").alias("name_rt"),
+        F.col("p.c_mktsegment").alias("seg_rt"),
+        F.round(F.col("p.c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents_rt"),
+        (
+            F.col("p.c_name").isNotNull()
+            & F.col("p.c_mktsegment").isNotNull()
+        ).alias("roundtrip_ok"),
     )
 
 

@@ -5490,3 +5490,54 @@ def test_record_days_matches_python(spark, sf_small):
                 best = max(v, best or v)
         assert got[t][0] == records, t
         assert abs(got[t][1] - records / h30) < 1e-9
+
+
+def test_price_elasticity_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    ).collect():
+        a = per[r.l_partkey]
+        a[0] += math.floor(r.l_extendedprice * 100 + 0.5)
+        a[1] += int(r.l_quantity)
+        a[2] += 1
+    pts = [
+        (math.log(c / q), math.log(q / n))
+        for c, q, n in per.values()
+        if q > 0 and c > 0
+    ]
+    n = len(pts)
+    sx = sum(sorted(x for x, _ in pts))
+    sy = sum(sorted(y for _, y in pts))
+    sxy = sum(sorted(x * y for x, y in pts))
+    sxx = sum(sorted(x * x for x, _ in pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = QUERIES["olap_price_qty_elasticity"](spark, sf_small).collect()[0]
+    assert row.n_parts == n
+    assert abs(row.elasticity - slope) < 1e-9
+    assert abs(row.intercept - (sy / n - slope * sx / n)) < 1e-9
+
+
+def test_csv_roundtrip_identity(spark, sf_small):
+    """Serialize->parse returns every field byte-identically."""
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    base = {
+        r.c_custkey: (r.c_name, r.c_mktsegment,
+                      math.floor(r.c_acctbal * 100 + 0.5))
+        for r in load(spark, sf_small, "customer").collect()
+    }
+    rows = QUERIES["s4_csv_roundtrip"](spark, sf_small).collect()
+    assert len(rows) == len(base)
+    for r in rows:
+        assert r.roundtrip_ok
+        assert (r.name_rt, r.seg_rt, r.bal_cents_rt) == base[r.c_custkey]
