@@ -1054,3 +1054,35 @@ def test_round8_np_batch_plan_shapes(spark, sf_oracle):
     # OOV: vocabulary TakeOrdered + broadcast left join on the stream
     ov = plan_of(QUERIES["text_oov_rate"](spark, sf_oracle), "simple")
     assert "SortMergeJoin" not in ov
+
+
+def test_round8_qrs_batch_plan_shapes(spark, sf_oracle):
+    """Plan pins for the closing round-8 batches (Q-S)."""
+    # Gumbel / record days / Haar: grid aggregates, no Python
+    for q in ("stats_gumbel_block_maxima", "stats_record_days"):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "EvalPython" not in p, q
+        assert "CartesianProduct" not in p, q
+
+    # Theil: dim broadcast + sparse term join, sorted-fold aggregate
+    th = plan_of(QUERIES["stats_theil_index"](spark, sf_oracle), "simple")
+    assert "BroadcastHashJoin" in th
+    assert "SortMergeJoin" not in th
+
+    # Davies-Bouldin: label-pair algebra over the 640-row per-dim
+    # aggregate — equi-join on dim, scatter broadcast, no cartesian
+    db = plan_of(QUERIES["emb_davies_bouldin_sq"](spark, sf_oracle),
+                 "simple")
+    assert "CartesianProduct" not in db
+    assert "EvalPython" not in db
+
+    # elasticity: one fact groupBy + a one-row reduce, no joins
+    el = plan_of(QUERIES["olap_price_qty_elasticity"](spark, sf_oracle),
+                 "simple")
+    assert "Join" not in el
+    assert "EvalPython" not in el
+
+    # CSV roundtrip: pure expressions in one projection — no shuffle
+    cs = plan_of(QUERIES["s4_csv_roundtrip"](spark, sf_oracle), "simple")
+    assert "Exchange" not in cs
+    assert "EvalPython" not in cs
