@@ -20849,7 +20849,7 @@ def ts_missing_data_audit(spark: SparkSession, sf: str) -> DataFrame:
     t AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
             AS true_distinct FROM documents)
     SELECT c.occupied, c.m, t.true_distinct,
-           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied)), 12)
+           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied)), 6)
              AS lc_estimate,
            round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied))
                  / t.true_distinct - 1, 12) AS rel_err
@@ -20865,8 +20865,9 @@ def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
     unlike agg_hll_mergeable this one carries a full value oracle).
     Bucket = first 3 md5 hex digits (engine-portable integer
     arithmetic); the occupancy census is one DISTINCT + COUNT —
-    map-combinable; the estimator and its relative error vs the
-    exact distinct count are mirrored doubles, round 12."""
+    map-combinable; the estimator (10³-magnitude — round 6, inside the
+    engine-round safety envelope) and its relative error vs the
+    exact distinct count are mirrored doubles."""
     d = load(spark, sf, "documents")
     hx = F.md5(F.col("text").cast("binary"))
 
@@ -20893,7 +20894,7 @@ def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
         "occupied",
         "m",
         "true_distinct",
-        F.round(est, 12).alias("lc_estimate"),
+        F.round(est, 6).alias("lc_estimate"),
         F.round(est / F.col("true_distinct") - 1, 12).alias("rel_err"),
     )
 
@@ -20921,7 +20922,7 @@ def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
                AS cum_llr
       FROM daily
     )
-    SELECT day, k, n, round(cum_llr, 12) AS cum_llr,
+    SELECT day, k, n, round(cum_llr, 6) AS cum_llr,
            CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
                 WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
                 ELSE 'continue' END AS decision
@@ -20937,7 +20938,9 @@ def stats_sprt_ab_monitor(spark: SparkSession, sf: str) -> DataFrame:
     without peeking penalties. Daily (k, n) are exact integer
     counts; each day adds k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) — constants'
     logs — and the cumulative sum runs in DAY ORDER (a sequential
-    window fold, identical on both engines), round 12."""
+    window fold, identical on both engines), round 6 (the LLR grows
+    with volume — high-precision rounds of large doubles are
+    engine-specific)."""
     import math
 
     e = load(spark, sf, "events")
@@ -20971,7 +20974,7 @@ def stats_sprt_ab_monitor(spark: SparkSession, sf: str) -> DataFrame:
         "day",
         F.col("k").cast("long").alias("k"),
         F.col("n").cast("long").alias("n"),
-        F.round("cum_llr", 12).alias("cum_llr"),
+        F.round("cum_llr", 6).alias("cum_llr"),
         F.when(F.col("cum_llr") >= bound, "accept_h1")
         .when(F.col("cum_llr") <= -bound, "accept_h0")
         .otherwise("continue")
@@ -21813,8 +21816,9 @@ def olap_order_linecount_profile(spark: SparkSession, sf: str) -> DataFrame:
            round(t_post, 12) AS treated_post_mean,
            round(c_pre, 12) AS control_pre_mean,
            round(c_post, 12) AS control_post_mean,
-           round((t_post - t_pre) - (c_post - c_pre), 12) AS did_estimate,
-           round((t_post - t_pre), 12) AS naive_estimate
+           round((t_post - t_pre) - (c_post - c_pre), 12) + 0.0
+             AS did_estimate,
+           round((t_post - t_pre), 12) + 0.0 AS naive_estimate
     FROM m
     """,
 )
@@ -21856,12 +21860,15 @@ def ts_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.round("t_post", 12).alias("treated_post_mean"),
         F.round("c_pre", 12).alias("control_pre_mean"),
         F.round("c_post", 12).alias("control_post_mean"),
-        F.round(
-            (F.col("t_post") - F.col("t_pre"))
-            - (F.col("c_post") - F.col("c_pre")),
-            12,
+        (
+            F.round(
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")),
+                12,
+            )
+            + 0.0  # +0.0 collapses IEEE −0.0 (engines disagree)
         ).alias("did_estimate"),
-        F.round(F.col("t_post") - F.col("t_pre"), 12).alias(
+        (F.round(F.col("t_post") - F.col("t_pre"), 12) + 0.0).alias(
             "naive_estimate"
         ),
     )

@@ -4807,7 +4807,7 @@ def test_sprt_monitor_matches_python(spark, sf_small):
             else "continue"
         )
         assert got[d][0] == k and got[d][1] == n
-        assert abs(got[d][2] - cum) < 1e-9
+        assert abs(got[d][2] - cum) < 1e-6  # cum_llr rounds at 6
         assert got[d][3] == want_dec, d
 
 
