@@ -245,6 +245,8 @@ CATALOG_BENCH = [
     "stats_record_days",
     "olap_price_qty_elasticity",
     "s4_csv_roundtrip",
+    "stats_ljung_box",
+    "emb_hubness_audit",
 ]
 
 

@@ -9031,6 +9031,8 @@ _DRIVER_WINDOW = [
     "stats_record_days",
     "olap_price_qty_elasticity",
     "s4_csv_roundtrip",
+    "stats_ljung_box",
+    "emb_hubness_audit",
 ]
 
 
@@ -22952,6 +22954,199 @@ def s4_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.col("p.c_name").isNotNull()
             & F.col("p.c_mktsegment").isNotNull()
         ).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "stats_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events
+      WHERE event_type = 'click'
+        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    lags AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 8)),
+    ck AS (
+      SELECT l.k,
+             CAST(sum((b.n * a.x - b.s) * (b.n * c.x - b.s)) AS BIGINT)
+               AS chat
+      FROM lags l
+      CROSS JOIN base b
+      JOIN daily a ON TRUE
+      JOIN daily c ON c.day = a.day + l.k
+      GROUP BY l.k
+    ),
+    c0 AS (
+      SELECT CAST(sum((b.n * d.x - b.s) * (b.n * d.x - b.s)) AS BIGINT)
+               AS c0
+      FROM daily d CROSS JOIN base b
+    ),
+    terms AS (
+      SELECT ck.k,
+             (CAST(ck.chat AS DOUBLE) / c0.c0)
+               * (CAST(ck.chat AS DOUBLE) / c0.c0)
+               / (b.n - ck.k) AS t,
+             b.n
+      FROM ck CROSS JOIN c0 CROSS JOIN base b
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_days,
+           CAST(7 AS BIGINT) AS n_lags,
+           round(min(n) * (min(n) + 2)
+                 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_sort(list(t))), (a, v) -> a + v), 12)
+             AS ljung_box_q,
+           min(n) * (min(n) + 2)
+             * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_sort(list(t))), (a, v) -> a + v) > 14.067
+             AS reject_white_noise_05
+    FROM terms
+    """,
+)
+def stats_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """LJUNG–BOX portmanteau test on the click daily series: Q =
+    n(n+2)·Σₖ r²ₖ/(n−k) over lags 1..7 — "is there ANY
+    autocorrelation structure at all?", the single gate to run
+    before trusting white-noise assumptions (and the honest
+    pre-check for ts_autocorr_multi_lag's per-lag reads). Exactness
+    device: the n²-scaled autocovariance ĉₖ = Σ(n·xₜ−S)(n·xₜ₊ₖ−S)
+    is an EXACT BIGINT (the n² factors cancel in rₖ = ĉₖ/ĉ₀), so
+    each r²ₖ is a ratio of exact integers; the 7 terms fold
+    smallest-first, round 12; the 5% χ²₇ critical value 14.067 is a
+    pinned literal."""
+    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    daily = daily.localCheckpoint(eager=False)  # consumed 3×
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    c = daily.select(F.col("day").alias("dc"), F.col("x").alias("xc"))
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    ck = (
+        a.crossJoin(F.broadcast(lags))
+        .join(c, F.col("dc") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(base))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xc") - F.col("s"))
+            ).alias("chat")
+        )
+    )
+    c0 = (
+        daily.crossJoin(F.broadcast(base))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).alias("c0")
+        )
+    )
+    terms = (
+        ck.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "n",
+            (
+                (F.col("chat").cast("double") / F.col("c0"))
+                * (F.col("chat").cast("double") / F.col("c0"))
+                / (F.col("n") - F.col("k"))
+            ).alias("t"),
+        )
+    )
+    q = F.min("n") * (F.min("n") + 2) * F.aggregate(
+        F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a_, v: a_ + v
+    )
+    return terms.agg(
+        F.min("n").cast("long").alias("n_days"),
+        F.lit(7).cast("long").alias("n_lags"),
+        F.round(q, 12).alias("ljung_box_q"),
+        (q > 14.067).alias("reject_white_noise_05"),
+    )
+
+
+@query(
+    "emb_hubness_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+      SELECT qid, nid
+      FROM (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2 ASC, nid ASC) AS rn
+            FROM pairs)
+      WHERE rn <= 5
+    ),
+    occ AS (
+      SELECT nid, CAST(count(*) AS BIGINT) AS k_occurrence
+      FROM top5 GROUP BY nid
+    )
+    SELECT k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(nid) AS BIGINT) AS example_id
+    FROM occ GROUP BY k_occurrence
+    """,
+)
+def emb_hubness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """HUBNESS audit (Radovanović et al. 2010): the k-occurrence
+    distribution — how many times each corpus point appears in the
+    sampled queries' exact top-5 lists — THE high-dimensional ANN
+    pathology check (hubs soak up neighbor lists and poison kNN
+    labels and recall; its skew grows with intrinsic dimension, cf.
+    emb_intrinsic_dim_twonn). Pair distances are exact int64 on the
+    ×256 grid; per-query top-5 ranks over the fixed-100-anchor
+    broadcast-sample pair stream (the silhouette-family shape:
+    window keyed on the bounded anchor set); the output is the
+    occurrence histogram with an example id per bucket."""
+    pairs = _sample_pairs(spark, sf)
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    top5 = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid")
+    )
+    occ = top5.groupBy("nid").agg(
+        F.count(F.lit(1)).alias("k_occurrence")
+    )
+    return occ.groupBy("k_occurrence").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("nid").cast("long").alias("example_id"),
     )
 
 

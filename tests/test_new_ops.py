@@ -5541,3 +5541,63 @@ def test_csv_roundtrip_identity(spark, sf_small):
     for r in rows:
         assert r.roundtrip_ok
         assert (r.name_rt, r.seg_rt, r.bal_cents_rt) == base[r.c_custkey]
+
+
+def test_ljung_box_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29 and r.event_type == "click":
+            cnt[d] += 1
+    days = sorted(cnt)
+    xs = {d: cnt[d] for d in days}
+    n = len(days)
+    s = sum(xs.values())
+    c0 = sum((n * xs[d] - s) ** 2 for d in days)
+    terms = []
+    for k in range(1, 8):
+        chat = sum(
+            (n * xs[d] - s) * (n * xs[d + k] - s)
+            for d in days
+            if d + k in xs
+        )
+        terms.append((chat / c0) ** 2 / (n - k))
+    q = n * (n + 2) * sum(sorted(terms))
+    row = QUERIES["stats_ljung_box"](spark, sf_small).collect()[0]
+    assert row.n_days == n and row.n_lags == 7
+    assert abs(row.ljung_box_q - q) < 1e-9
+    assert row.reject_white_noise_05 == (q > 14.067)
+
+
+def test_hubness_audit_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    pairs = _emb_sample_pairs_py(spark, sf_small)
+    per = defaultdict(list)
+    for q, _, nid, _, d2 in pairs:
+        per[q].append((d2, nid))
+    occ = Counter()
+    for q, lst in per.items():
+        lst.sort()
+        for _, nid in lst[:5]:
+            occ[nid] += 1
+    hist = defaultdict(lambda: [0, None])
+    for nid, k in occ.items():
+        h = hist[k]
+        h[0] += 1
+        h[1] = nid if h[1] is None else min(h[1], nid)
+    got = {
+        r.k_occurrence: (r.n_points, r.example_id)
+        for r in QUERIES["emb_hubness_audit"](spark, sf_small).collect()
+    }
+    assert got == {k: tuple(v) for k, v in hist.items()}
