@@ -247,6 +247,8 @@ CATALOG_BENCH = [
     "s4_csv_roundtrip",
     "stats_ljung_box",
     "emb_hubness_audit",
+    "olap_time_to_first_purchase",
+    "stats_birthday_collision_check",
 ]
 
 

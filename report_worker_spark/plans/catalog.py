@@ -9033,6 +9033,8 @@ _DRIVER_WINDOW = [
     "s4_csv_roundtrip",
     "stats_ljung_box",
     "emb_hubness_audit",
+    "olap_time_to_first_purchase",
+    "stats_birthday_collision_check",
 ]
 
 
@@ -23147,6 +23149,192 @@ def emb_hubness_audit(spark: SparkSession, sf: str) -> DataFrame:
     return occ.groupBy("k_occurrence").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("nid").cast("long").alias("example_id"),
+    )
+
+
+@query(
+    "olap_time_to_first_purchase",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS DATE)) AS DATE) AS first_seen,
+             CAST(min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ts AS DATE) END) AS DATE)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(date_diff('day', first_seen, first_purchase) AS BIGINT)
+               AS days_to_purchase
+      FROM per WHERE first_purchase IS NOT NULL
+    ),
+    byval AS (
+      SELECT days_to_purchase, CAST(count(*) AS BIGINT) AS cnt
+      FROM gaps GROUP BY days_to_purchase
+    ),
+    ranked AS (
+      SELECT days_to_purchase, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY days_to_purchase
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cless,
+             sum(cnt) OVER () AS n
+      FROM byval
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_converting_users,
+           CAST((SELECT count(*) FROM per) AS BIGINT) AS n_users,
+           CAST(min(days_to_purchase) AS BIGINT) AS min_days,
+           CAST(max(days_to_purchase) AS BIGINT) AS max_days,
+           CAST(min(CASE WHEN cless < (n + 1) // 2
+                          AND cless + cnt >= (n + 1) // 2
+                         THEN days_to_purchase END)
+                + min(CASE WHEN cless < n // 2 + 1
+                            AND cless + cnt >= n // 2 + 1
+                           THEN days_to_purchase END) AS BIGINT)
+             AS med2_days
+    FROM ranked
+    """,
+)
+def olap_time_to_first_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-TO-FIRST-PURCHASE: days from a user's first event of any
+    kind to their first purchase — the activation-latency metric
+    between the funnel (did they convert?) and the LTV curve (what
+    was it worth?). One user-level min-aggregate (two conditional
+    MINs — no window, no join), then the exact med2 via the
+    count-table rank device over the tiny gap histogram. All
+    integer days."""
+    e = load(spark, sf, "events")
+    per = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_seen"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("first_purchase"),
+    )
+    per = per.localCheckpoint(eager=False)  # consumed twice
+    gaps = per.filter(F.col("first_purchase").isNotNull()).select(
+        F.datediff("first_purchase", "first_seen")
+        .cast("long")
+        .alias("days_to_purchase")
+    )
+    byval = gaps.groupBy("days_to_purchase").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.orderBy("days_to_purchase").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # gap-histogram-sized window (≤ ~30 rows)
+    wall = Window.partitionBy()
+    ranked = byval.select(
+        "days_to_purchase",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2 + 1).cast("long")
+    pick = lambda r: F.min(  # noqa: E731
+        F.when(
+            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
+            F.col("days_to_purchase"),
+        )
+    )
+    n_users = per.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        ranked.agg(
+            F.min("n").cast("long").alias("n_converting_users"),
+            F.min("days_to_purchase").cast("long").alias("min_days"),
+            F.max("days_to_purchase").cast("long").alias("max_days"),
+            (pick(lo) + pick(hi)).cast("long").alias("med2_days"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "n_converting_users",
+            F.col("n_users").cast("long").alias("n_users"),
+            "min_days",
+            "max_days",
+            "med2_days",
+        )
+    )
+
+
+@query(
+    "stats_birthday_collision_check",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  * 16
+                  + (strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS BIGINT) AS bucket
+      FROM documents
+    ),
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY bucket
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_items,
+             CAST(count(*) AS BIGINT) AS occupied,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS pairs2,
+             CAST(max(n) AS BIGINT) AS max_bucket
+      FROM per
+    )
+    SELECT n_items, occupied, max_bucket,
+           CAST(pairs2 // 2 AS BIGINT) AS observed_pairs,
+           round(CAST(n_items AS DOUBLE) * (n_items - 1) / (2 * 256),
+                 6) AS expected_pairs,
+           round(CAST(pairs2 AS DOUBLE) * 256
+                 / (CAST(n_items AS DOUBLE) * (n_items - 1)), 12)
+             AS collision_ratio
+    FROM m
+    """,
+)
+def stats_birthday_collision_check(spark: SparkSession, sf: str) -> DataFrame:
+    """BIRTHDAY-BOUND hash-quality check: pairs of doc_ids landing in
+    the same 8-bit md5 bucket, observed vs the n(n−1)/2m expectation
+    — the partitioning-health probe behind every hash-keyed shuffle
+    and salting decision in this repo (a ratio ≫ 1 means the hash or
+    the key distribution is broken and hot partitions follow).
+    Collision pairs Σn(n−1)/2 and the max-bucket load are exact
+    integers; the expectation (10³-magnitude) rounds at 6 and the
+    O(1) ratio at 12. One bucket groupBy + a one-row reduce."""
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def digit(i: int) -> F.Column:
+        return F.expr(
+            "instr('0123456789abcdef',"
+            f" substr(md5(cast(doc_id as string)), {i}, 1)) - 1"
+        )
+
+    per = d.groupBy(
+        (digit(1) * 16 + digit(2)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = per.agg(
+        F.sum("n").alias("n_items"),
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs2"),
+        F.max("n").alias("max_bucket"),
+    )
+    return m.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("occupied").cast("long").alias("occupied"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.expr("pairs2 div 2").alias("observed_pairs"),
+        F.round(
+            F.col("n_items").cast("double")
+            * (F.col("n_items") - 1)
+            / (2 * 256),
+            6,
+        ).alias("expected_pairs"),
+        F.round(
+            F.col("pairs2").cast("double")
+            * 256
+            / (F.col("n_items").cast("double") * (F.col("n_items") - 1)),
+            12,
+        ).alias("collision_ratio"),
     )
 
 

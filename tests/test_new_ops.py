@@ -5601,3 +5601,54 @@ def test_hubness_audit_matches_python(spark, sf_small):
         for r in QUERIES["emb_hubness_audit"](spark, sf_small).collect()
     }
     assert got == {k: tuple(v) for k, v in hist.items()}
+
+
+def test_time_to_first_purchase_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_seen = {}
+    first_buy = {}
+    for r in ev:
+        d = r.ts.date()
+        if r.user_id not in first_seen or d < first_seen[r.user_id]:
+            first_seen[r.user_id] = d
+        if r.event_type == "purchase" and (
+            r.user_id not in first_buy or d < first_buy[r.user_id]
+        ):
+            first_buy[r.user_id] = d
+    gaps = sorted(
+        (first_buy[u] - first_seen[u]).days for u in first_buy
+    )
+    n = len(gaps)
+    row = QUERIES["olap_time_to_first_purchase"](spark, sf_small).collect()[0]
+    assert (row.n_converting_users, row.n_users) == (n, len(first_seen))
+    assert (row.min_days, row.max_days) == (gaps[0], gaps[-1])
+    assert row.med2_days == gaps[(n - 1) // 2] + gaps[n // 2]
+
+
+def test_birthday_collisions_match_python(spark, sf_small):
+    import hashlib
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_small, "documents").select("doc_id").collect()]
+    buckets = Counter(
+        int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) for i in ids
+    )
+    n = len(ids)
+    pairs2 = sum(v * (v - 1) for v in buckets.values())
+    row = QUERIES["stats_birthday_collision_check"](spark, sf_small).collect()[0]
+    assert (row.n_items, row.occupied, row.max_bucket) == (
+        n, len(buckets), max(buckets.values())
+    )
+    assert row.observed_pairs == pairs2 // 2
+    assert abs(row.expected_pairs - n * (n - 1) / 512) < 1e-5
+    assert abs(row.collision_ratio - pairs2 * 256 / (n * (n - 1))) < 1e-9
