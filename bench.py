@@ -249,6 +249,9 @@ CATALOG_BENCH = [
     "emb_hubness_audit",
     "olap_time_to_first_purchase",
     "stats_birthday_collision_check",
+    "stats_mann_kendall",
+    "graph_degree_h_index",
+    "multimodal_wav_dc_offset",
 ]
 
 

@@ -2649,3 +2649,35 @@ def wav_clipping_stats(
         ),
         with_quarantine,
     )
+
+
+def wav_offset_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """DC-offset moments from the REAL WAV decode: per clip the exact
+    int64 sum of deviations from the format midpoint (128 for 8-bit,
+    0 for 16-bit). The caller derives the milli-unit mean by integer
+    division, so nothing float crosses the Arrow boundary. Same
+    quarantine discipline as the silence/clipping kernels."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+        sm = np.frombuffer(d["samples"], dtype=dt).astype(np.int64)
+        mid = 128 if d["bits"] == 8 else 0
+        return {
+            "n_frames": d["n_frames"],
+            "offset_sum": int((sm - mid).sum()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, offset_sum long",
+        ),
+        with_quarantine,
+    )

@@ -9035,6 +9035,9 @@ _DRIVER_WINDOW = [
     "emb_hubness_audit",
     "olap_time_to_first_purchase",
     "stats_birthday_collision_check",
+    "stats_mann_kendall",
+    "graph_degree_h_index",
+    "multimodal_wav_dc_offset",
 ]
 
 
@@ -23335,6 +23338,246 @@ def stats_birthday_collision_check(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n_items").cast("double") * (F.col("n_items") - 1)),
             12,
         ).alias("collision_ratio"),
+    )
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events
+      WHERE event_type = 'click'
+        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+      GROUP BY 1
+    ),
+    n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    s_ AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY x HAVING count(*) > 1)
+    )
+    SELECT s_.s, n_.n,
+           CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tie_term
+             AS BIGINT) AS var18,
+           round(CASE
+             WHEN s_.s > 0 THEN (s_.s - 1)
+               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
+                       - ties.tie_term) / 18.0)
+             WHEN s_.s < 0 THEN (s_.s + 1)
+               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
+                       - ties.tie_term) / 18.0)
+             ELSE 0.0 END, 12) AS z_stat,
+           abs(CASE
+             WHEN s_.s > 0 THEN (s_.s - 1)
+               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
+                       - ties.tie_term) / 18.0)
+             WHEN s_.s < 0 THEN (s_.s + 1)
+               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
+                       - ties.tie_term) / 18.0)
+             ELSE 0.0 END) > 1.96 AS trend_05
+    FROM s_ CROSS JOIN n_ CROSS JOIN ties
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """MANN–KENDALL trend test on the click daily series: S =
+    Σᵢ<ⱼ sign(xⱼ−xᵢ) with the tie-corrected variance — the
+    distribution-free monotone-trend test (pairs with
+    stats_record_days' record census and ts_theil_sen_trend's slope:
+    MK is the significance, Theil–Sen the magnitude). The pairwise
+    sign sum runs over the 30-day grid self-join (435 pairs — tiny
+    by construction); S and 18·Var(S) are EXACT BIGINTs; the
+    continuity-corrected z is one mirrored double, round 12."""
+    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        e.select(day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    daily = daily.localCheckpoint(eager=False)  # consumed 3×
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s_ = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n_ = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    m = s_.crossJoin(F.broadcast(n_)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    sd = F.sqrt(var18 / 18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return m.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("n").cast("long").alias("n"),
+        var18.cast("long").alias("var18"),
+        F.round(z, 12).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("trend_05"),
+    )
+
+
+@query(
+    "graph_degree_h_index",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS s FROM edges UNION ALL SELECT dst FROM edges),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY s),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d DESC, s ASC) AS rk
+      FROM deg
+    ),
+    h AS (
+      SELECT CAST(max(CASE WHEN d >= rk THEN rk ELSE 0 END) AS BIGINT)
+               AS h_index
+      FROM ranked
+    )
+    SELECT h.h_index,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg, h
+             WHERE d >= h.h_index) AS n_at_h
+    FROM h
+    """,
+)
+def graph_degree_h_index(spark: SparkSession, sf: str) -> DataFrame:
+    """DEGREE H-INDEX of the co-occurrence graph: the largest h with
+    ≥ h vertices of degree ≥ h — a one-number upper bound on the
+    graph's degeneracy (every k-core needs k vertices of degree ≥ k,
+    so core numbers can't exceed it) and therefore a cheap
+    feasibility probe before paying for the iterative k-core peel
+    (graph_kcore_membership). One degree aggregate + one descending
+    rank over the degree table; all integers. The rank window is a
+    single ordered pass over |V| degree rows — at extreme scale the
+    same h resolves by binary search over degree-histogram
+    cumulative counts (graph_degree_ccdf's table) with no per-node
+    sort; the census columns (n_nodes, max_degree, n_at_h) are plain
+    aggregates."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    deg = gr.degrees(e)
+    deg = deg.localCheckpoint(eager=False)  # consumed 3×
+    wrk = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
+    ranked = deg.select(
+        "deg", F.row_number().over(wrk).alias("rk")
+    )
+    h = ranked.agg(
+        F.max(
+            F.when(F.col("deg") >= F.col("rk"), F.col("rk")).otherwise(0)
+        ).alias("h_index")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+    )
+    out = h.crossJoin(F.broadcast(stats))
+    n_at_h = (
+        deg.crossJoin(F.broadcast(h))
+        .filter(F.col("deg") >= F.col("h_index"))
+        .agg(F.count(F.lit(1)).alias("n_at_h"))
+    )
+    return out.crossJoin(F.broadcast(n_at_h)).select(
+        F.col("h_index").cast("long").alias("h_index"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+        F.col("n_at_h").cast("long").alias("n_at_h"),
+    )
+
+
+@query(
+    "multimodal_wav_dc_offset",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf,
+             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
+      FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, nf, {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < nf
+    )
+    SELECT media_id, CAST(min(nf) AS INT) AS n_frames,
+           CAST(sum(v - 128) AS BIGINT) AS offset_sum,
+           CAST((sum(v - 128) * 1000) // min(nf) AS BIGINT)
+             AS dc_offset_milli,
+           abs(CAST(sum(v - 128) AS DOUBLE) / min(nf)) > 8
+             AS offset_flagged
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_wav_dc_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """DC-OFFSET audit over the REAL WAV decode: the mean deviation
+    of 8-bit samples from the 128 midpoint — a non-zero DC bias
+    means a miswired ADC or a broken decode, and it silently
+    corrupts every RMS/silence feature downstream (this is the
+    check that validates wav_rms_windows' midpoint assumption).
+    Exact integer Σ(v−128) per clip; the mean reports as
+    milli-units by INTEGER division; the flag uses the mirrored
+    double mean at a ±8-unit gate. Rides the same keystream oracle
+    as the silence/clipping audits."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    st = mm.wav_offset_stats(media)
+    return st.select(
+        "media_id",
+        "n_frames",
+        "offset_sum",
+        F.expr("(offset_sum * 1000) div n_frames").alias(
+            "dc_offset_milli"
+        ),
+        (
+            F.abs(
+                F.col("offset_sum").cast("double") / F.col("n_frames")
+            )
+            > 8
+        ).alias("offset_flagged"),
     )
 
 

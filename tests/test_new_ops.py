@@ -5652,3 +5652,88 @@ def test_birthday_collisions_match_python(spark, sf_small):
     assert row.observed_pairs == pairs2 // 2
     assert abs(row.expected_pairs - n * (n - 1) / 512) < 1e-5
     assert abs(row.collision_ratio - pairs2 * 256 / (n * (n - 1))) < 1e-9
+
+
+def test_mann_kendall_matches_python(spark, sf_small):
+    import datetime
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29 and r.event_type == "click":
+            cnt[d] += 1
+    days = sorted(cnt)
+    xs = [cnt[d] for d in days]
+    n = len(xs)
+    S = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    sd = math.sqrt(var18 / 18.0)
+    z = (S - 1) / sd if S > 0 else (S + 1) / sd if S < 0 else 0.0
+    row = QUERIES["stats_mann_kendall"](spark, sf_small).collect()[0]
+    assert (row.s, row.n, row.var18) == (S, n, var18)
+    assert abs(row.z_stat - z) < 1e-9
+    assert row.trend_05 == (abs(z) > 1.96)
+
+
+def test_degree_h_index_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = _py_cooccur_edges(spark, sf_small)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    ds = sorted(deg.values(), reverse=True)
+    h = max(
+        (rk for rk, d in enumerate(ds, start=1) if d >= rk), default=0
+    )
+    row = QUERIES["graph_degree_h_index"](spark, sf_small).collect()[0]
+    assert row.h_index == h
+    assert row.n_nodes == len(deg)
+    assert row.max_degree == max(deg.values())
+    assert row.n_at_h == sum(1 for d in deg.values() if d >= h)
+
+
+def test_wav_dc_offset_matches_python(spark, sf_small):
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_small, "documents").select("doc_id").collect()]
+    got = {
+        r.media_id: (r.n_frames, r.offset_sum, r.dc_offset_milli,
+                     r.offset_flagged)
+        for r in QUERIES["multimodal_wav_dc_offset"](spark, sf_small).collect()
+    }
+    for mid in ids[:100]:
+        nf = mid % 96 + 32
+        ks = b"".join(
+            hashlib.md5(f"{mid}:wav:{b}".encode()).digest()
+            for b in range((nf + 15) // 16)
+        )[:nf]
+        osum = sum(v - 128 for v in ks)
+        # Spark/DuckDB integer div truncates toward zero; python floors
+        q, r_ = divmod(osum * 1000, nf)
+        trunc = q if r_ == 0 or osum >= 0 else q + 1
+        assert got[mid][0] == nf
+        assert got[mid][1] == osum, mid
+        assert got[mid][2] == trunc, mid
+        assert got[mid][3] == (abs(osum / nf) > 8)
