@@ -23581,4 +23581,130 @@ def multimodal_wav_dc_offset(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(CAST(ts AS DATE)) AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT CAST(w AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hit) AS BIGINT) AS k
+      FROM base GROUP BY w
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(k) AS BIGINT) AS kk,
+             CAST(sum(k * w) AS BIGINT) AS skw,
+             CAST(sum(n * w) AS BIGINT) AS snw,
+             CAST(sum(n * w * w) AS BIGINT) AS snww
+      FROM g
+    )
+    SELECT nn AS n_trials, kk AS n_hits,
+           CAST(nn * skw - kk * snw AS BIGINT) AS trend_num,
+           round(CAST(nn * skw - kk * snw AS DOUBLE)
+                 / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
+                        * (CAST(nn AS DOUBLE) * snww - CAST(snw AS DOUBLE)
+                           * snw) / nn),
+                 12) AS z_stat,
+           abs(CAST(nn * skw - kk * snw AS DOUBLE)
+               / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
+                      * (CAST(nn AS DOUBLE) * snww - CAST(snw AS DOUBLE)
+                         * snw) / nn)) > 1.96 AS trend_05
+    FROM m
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
+    """COCHRAN–ARMITAGE trend-in-proportions test: does the purchase
+    share (among click∪purchase events) rise or fall MONOTONICALLY
+    across the ordered day-of-week groups? — the right test when the
+    χ² independence check (stats_chi2_type_dow) would waste power
+    ignoring the ordering. Scores = the dow index itself; the trend
+    numerator N·Σkw − K·Σnw is an EXACT BIGINT and the variance
+    assembles from exact Σn, Σnw, Σnw² in one mirrored expression,
+    round 12. Dow convention pinned (DuckDB 0-6 ≡ Spark dayofweek−1,
+    both applied explicitly). One conditional aggregate."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (F.dayofweek(F.col("ts").cast("date")) - 1).cast("long")
+    g = e.select(
+        w.alias("w"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("hit"),
+    ).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("k")
+    )
+    m = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("k").alias("kk"),
+        F.sum(F.col("k") * F.col("w")).alias("skw"),
+        F.sum(F.col("n") * F.col("w")).alias("snw"),
+        F.sum(F.col("n") * F.col("w") * F.col("w")).alias("snww"),
+    )
+    num = F.col("nn") * F.col("skw") - F.col("kk") * F.col("snw")
+    den = F.sqrt(
+        F.col("kk").cast("double")
+        * (F.col("nn") - F.col("kk"))
+        * (
+            F.col("nn").cast("double") * F.col("snww")
+            - F.col("snw").cast("double") * F.col("snw")
+        )
+        / F.col("nn")
+    )
+    z = num.cast("double") / den
+    return m.select(
+        F.col("nn").cast("long").alias("n_trials"),
+        F.col("kk").cast("long").alias("n_hits"),
+        num.cast("long").alias("trend_num"),
+        F.round(z, 12).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("trend_05"),
+    )
+
+
+@query(
+    "emb_pair_distance_by_label",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.label = b.label AS same_label,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) // 10000 AS BIGINT)
+               AS d2_bucket
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    )
+    SELECT same_label, d2_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY same_label, d2_bucket
+    """,
+)
+def emb_pair_distance_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    """LABEL-CONDITIONED distance histogram: exact d² (bucketed by
+    10⁴ on the ×256 grid) of sample-anchor pairs, split same-label
+    vs cross-label — the two curves whose overlap IS the metric-
+    space quality picture (fully separated = easy kNN; the known
+    heavy overlap here explains the triplet-violation rate and the
+    ~36% centroid accuracy in one chart). Integer bucketing on the
+    broadcast-sample pair stream; one map-combinable groupBy."""
+    pairs = _sample_pairs(spark, sf)
+    return pairs.groupBy(
+        (F.col("qlab") == F.col("nlab")).alias("same_label"),
+        F.expr("d2 div 10000").alias("d2_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 _rotate_window(_DRIVER_WINDOW)
