@@ -1,8 +1,28 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Prints ONE compact JSON line: {"metric": "headline_queries_total",
+"value": total_sec, "unit": "sec", "queries": {slowest-10 only}, "sf":
+..., "n_run": ..., "n_fail": ..., "rotating_total": ...} and writes the
+FULL per-query map to BENCH_DETAIL.json next to this file. Two records
+died before this split (round 7: the one-line JSON with 143 timings
+outgrew the driver's 2000-char capture; round 8: 207 fresh-JVM
+subprocesses outran the driver's wall clock, rc 124), so the driver-
+facing line is now bounded in BOTH dimensions:
+
+* BOUNDED LIST — ``HEADLINE_BENCH`` is a FIXED ~60-entry set (the
+  SURVEY §2 anchors, every family's heaviest measured op, and every
+  query that ever benched >1 s at sf0.1) that runs every round and is
+  the round-over-round comparator; ``ROTATING_BENCH`` cycles ~10 of
+  the remaining catalog entries per round (hand-rotated each round,
+  exactly like ``_DRIVER_WINDOW`` rotates correctness slots), so the
+  long tail still gets periodic driver-recorded numbers without
+  unbounded wall clock. ``SPARK_GRAFT_BENCH_FULL=1`` sweeps the whole
+  catalog locally. Estimated driver wall: ~60×15 s fast + heavy-query
+  run time ≈ 20 min, within budget with margin.
+* BOUNDED LINE — the printed line carries the totals plus only the 10
+  slowest headline timings (always < 2000 chars); BENCH_DETAIL.json
+  holds every per-query number for humans and the judge.
 
 Methodology (VERDICT_r4 "What's wrong"): each query runs in its OWN
 subprocess — a fresh JVM, fresh code cache, fresh heap — because the
@@ -38,9 +58,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Catalog queries benched as-is.
+# Every catalog query benchable as-is (the full local-sweep list and the
+# source pool for ROTATING_BENCH). The driver run does NOT iterate this —
+# see HEADLINE_BENCH / ROTATING_BENCH below.
 CATALOG_BENCH = [
     "flagship_top_reported",
+    "s4_json_serialize",
+    "f4_equality_lookup",
+    "j5_fanout_join",
     "olap_q1_pricing_summary",
     "star_upsert_fact",
     "a2_unique_key_dedup",
@@ -254,6 +279,88 @@ CATALOG_BENCH = [
     "multimodal_wav_dc_offset",
 ]
 
+# ---------------------------------------------------------------------------
+# The driver-run set (VERDICT_r8 item 1). HEADLINE_BENCH is FIXED — the
+# stable round-over-round comparator: SURVEY §2 anchors, the special-
+# builder scale paths below, every family's heaviest measured op, and
+# everything that ever benched >1 s at sf0.1 (r5/r6/r7 records). Do not
+# grow it casually; new queries earn driver numbers through
+# ROTATING_BENCH instead.
+# ---------------------------------------------------------------------------
+HEADLINE_BENCH = [
+    # §2 anchors / star pipeline
+    "flagship_top_reported",
+    "olap_q1_pricing_summary",
+    "star_upsert_fact",
+    "a2_unique_key_dedup",
+    "j4_nullsafe_fk_join",
+    "f1_f2_ts_bounds",
+    "s4_json_serialize",
+    "f4_equality_lookup",
+    "j5_fanout_join",
+    # dedup family (heaviest per r5-r7 records)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_containment_pairs",
+    "dedup_exact_substring",
+    "dedup_substring_trim",
+    "dedup_semantic_semdedup",
+    # text family
+    "text_stats",
+    "text_bpe_train_merges",
+    "topk_heavy_tokens",
+    "text_bm25_topk",
+    "text_boilerplate_removal",
+    "text_intradoc_dedup",
+    "text_bigram_lm_score",
+    "text_perplexity_buckets",
+    "text_pmi_cooccurrence",
+    "text_burrows_delta",
+    "text_word_burstiness",
+    # similarity / embeddings
+    "sim_ivfpq_topk",
+    "emb_knn_outlier_census",
+    "emb_knn_label_accuracy",
+    "emb_pair_distance_histogram",
+    "emb_hard_negative_mining",
+    # multimodal decode paths
+    "multimodal_png_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
+    # joins / OLAP / MV
+    "join_interval_overlap",
+    "mv_incremental_update",
+    # graph family
+    "graph_triangle_count",
+    "graph_adamic_adar",
+    "graph_clustering_global",
+    "graph_closeness_topk",
+    "graph_hits_scores",
+    "graph_butterfly_support",
+    "graph_preferential_attachment",
+    # stats / curation heavies
+    "stats_permutation_test",
+    "stats_levene_brownforsythe",
+    "curation_coreset_kcenter",
+    "curation_epoch_shuffle",
+]
+
+# Round-9 rotating slots: hand-rotated each round (same discipline as
+# plans/catalog._DRIVER_WINDOW) over CATALOG_BENCH entries not in
+# HEADLINE_BENCH — heaviest-looking round-8 additions first.
+ROTATING_BENCH = [
+    "ts_dtw_pairs",
+    "stats_kruskal_wallis",
+    "graph_k_truss",
+    "graph_rich_club",
+    "emb_binary_hamming_topk",
+    "graph_modularity_labelprop",
+    "emb_silhouette_sample",
+    "join_scd2_pointintime",
+    "curation_pii_scrub_census",
+    "text_js_divergence_sources",
+]
+
 
 def _catalog_thunk(name: str) -> Callable[[SparkSession], DataFrame]:
     def build(spark: SparkSession) -> DataFrame:
@@ -398,8 +505,10 @@ def run_one(name: str) -> float:
     the min of runs 3+ (the min over 5 steady samples; two identical
     5-run benches still disagreed >10% on 17/37 queries, so the extra
     samples buy the stability the round-over-round comparison needs),
-    with a 60 s cumulative cap so multi-second queries stop at ~3
-    runs-worth of evidence instead of padding the wall clock."""
+    with a 25 s cumulative cap so multi-second queries stop at ~3-5
+    runs-worth of evidence instead of padding the wall clock (60 s
+    through round 8; tightened alongside the bounded-list split so the
+    driver sweep stays well inside its wall budget)."""
     from report_worker_spark.plans.tables import load
     from report_worker_spark.session import get_spark
 
@@ -414,14 +523,29 @@ def run_one(name: str) -> float:
         t0 = time.perf_counter()
         materialize(build(spark))
         times.append(time.perf_counter() - t0)
-        if i >= 2 and sum(times) > 60:
+        if i >= 2 and sum(times) > 25:
             break
     warm = times[2:] if len(times) > 3 else times[1:]
     return round(min(warm), 3)
 
 
+def _bench_names() -> tuple[list[str], set[str]]:
+    """(names to run, the headline subset). Special builders are always
+    headline — they are the scale paths the comparator was built on."""
+    builders = bench_builders()
+    special = [n for n in builders if n not in CATALOG_BENCH]
+    headline = list(dict.fromkeys(HEADLINE_BENCH + special))
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        names = headline + [n for n in builders if n not in headline]
+    else:
+        names = headline + [n for n in ROTATING_BENCH if n not in headline]
+    missing = [n for n in names if n not in builders]
+    assert not missing, f"bench names without builders: {missing}"
+    return names, set(headline)
+
+
 def main() -> None:
-    names = list(bench_builders())
+    names, headline = _bench_names()
     timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
         for name in names:
@@ -429,15 +553,23 @@ def main() -> None:
     else:
         env = dict(os.environ)
         for name in names:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", name],
-                capture_output=True,
-                text=True,
-                env=env,
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one", name],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    timeout=180,
+                )
+                line = (
+                    proc.stdout.strip().splitlines()[-1]
+                    if proc.stdout.strip()
+                    else ""
+                )
                 timings[name] = json.loads(line)["sec"]
+            except subprocess.TimeoutExpired:
+                print(f"bench: {name} TIMED OUT at 180 s", file=sys.stderr)
+                timings[name] = None
             except (json.JSONDecodeError, KeyError):
                 print(
                     f"bench: {name} FAILED rc={proc.returncode}\n"
@@ -446,17 +578,50 @@ def main() -> None:
                 )
                 timings[name] = None
 
-    ok = {k: v for k, v in timings.items() if v is not None}
-    total = round(sum(ok.values()), 3)
+    head_ok = {k: v for k, v in timings.items() if k in headline and v is not None}
+    rot_ok = {
+        k: v for k, v in timings.items() if k not in headline and v is not None
+    }
+    n_fail = sum(1 for v in timings.values() if v is None)
+    total = round(sum(head_ok.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "headline": {k: timings[k] for k in timings if k in headline},
+                "rotating": {k: timings[k] for k in timings if k not in headline},
+                "rotating_total": round(sum(rot_ok.values()), 3),
+                "n_run": len(head_ok) + len(rot_ok),
+                "n_fail": n_fail,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(head_ok.items(), key=lambda kv: -kv[1])[:10]
+    )
+    # The driver captures a bounded tail of stdout: keep this line small
+    # (totals + slowest-10), full per-query map in BENCH_DETAIL.json.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": float(sf),
+                "n_run": len(head_ok) + len(rot_ok),
+                "n_fail": n_fail,
+                "rotating_total": round(sum(rot_ok.values()), 3),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
