@@ -277,6 +277,10 @@ CATALOG_BENCH = [
     "stats_mann_kendall",
     "graph_degree_h_index",
     "multimodal_wav_dc_offset",
+    # round-9 additions
+    "stats_bh_fdr",
+    "stats_wilcoxon_signed_rank",
+    "stats_page_hinkley",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8988,6 +8988,10 @@ _DRIVER_WINDOW = [
     "stats_mann_kendall",
     "graph_degree_h_index",
     "multimodal_wav_dc_offset",
+    # round-9 additions (hash-paired):
+    "stats_bh_fdr",
+    "stats_wilcoxon_signed_rank",
+    "stats_page_hinkley",
 ]
 
 
@@ -23655,6 +23659,365 @@ def emb_pair_distance_by_label(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("qlab") == F.col("nlab")).alias("same_label"),
         F.expr("d2 div 10000").alias("d2_bucket"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ===========================================================================
+# Coverage round 9: multiple-testing control, paired nonparametrics,
+# sequential drift detection
+# ===========================================================================
+
+
+@query(
+    "stats_bh_fdr",
+    oracle="""
+    WITH ords AS (
+      SELECT c.c_nationkey AS nation,
+             o.o_orderdate < DATE '1994-07-01' AS h1,
+             o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= DATE '1994-01-01'
+        AND o.o_orderdate < DATE '1995-01-01'
+    ),
+    per AS (
+      SELECT nation,
+             CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN NOT h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS x2
+      FROM ords GROUP BY nation
+      HAVING sum(CASE WHEN h1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) > 0
+    ),
+    zed AS (
+      SELECT nation, n1, x1, n2, x2,
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z
+      FROM per
+    ),
+    xt AS (
+      SELECT nation, n1 + n2 AS n_orders, z,
+             abs(z) / 1.4142135623730951 AS x,
+             1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS t
+      FROM zed
+    ),
+    pv AS (
+      SELECT nation, n_orders, round(z, 9) AS z_stat,
+             round((0.254829592 * t
+                    - 0.284496736 * (t * t)
+                    + 1.421413741 * (t * t * t)
+                    - 1.453152027 * (t * t * t * t)
+                    + 1.061405429 * (t * t * t * t * t))
+                   * exp(-(x * x)), 12) AS p_value
+      FROM xt
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, nation)
+                  AS BIGINT) AS p_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    kmax AS (
+      SELECT coalesce(max(CASE WHEN p_value <= p_rank * 0.10 / m
+                                THEN p_rank END), 0) AS k
+      FROM ranked
+    )
+    SELECT nation, n_orders, z_stat, p_value, p_rank,
+           round(p_rank * 0.10 / m, 12) AS bh_threshold,
+           p_rank <= (SELECT k FROM kmax) AS rejected
+    FROM ranked
+    """,
+)
+def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG FDR control over a 25-hypothesis family: per
+    customer nation, a two-proportion z-test of high-priority order
+    share, 1994H1 vs 1994H2, then the step-up procedure at q=0.10
+    (reject ranks 1..k for the largest k with p₍ₖ₎ ≤ k·q/m) — the
+    standard guard when a pipeline fires one test per segment and
+    reports "significant" slices. Counts are exact BIGINTs; z is one
+    mirrored double; the two-sided p uses the Abramowitz–Stegun
+    7.1.26 erfc polynomial (|err| < 1.5e-7, mirrored term-for-term in
+    the oracle, round 12) so both engines compute the identical
+    defined statistic. The family is nation-bounded (25 rows), so the
+    rank window and the step-up max are driver-trivial at any corpus
+    scale; the per-nation counts are one map-combinable groupBy."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    ords = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")).alias(
+                "h1"
+            ),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
+        )
+    )
+    per = (
+        ords.groupBy("nation")
+        .agg(
+            F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("h1") & F.col("hi"), 1).otherwise(0)).alias(
+                "x1"
+            ),
+            F.sum(F.when(~F.col("h1"), 1).otherwise(0)).alias("n2"),
+            F.sum(
+                F.when(~F.col("h1") & F.col("hi"), 1).otherwise(0)
+            ).alias("x2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (
+        F.col("x1").cast("double") / F.col("n1")
+        - F.col("x2").cast("double") / F.col("n2")
+    ) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    zed = per.select("nation", (F.col("n1") + F.col("n2")).alias("n_orders"), z.alias("z"))
+    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    erfc = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t * t)
+        + F.lit(1.421413741) * (t * t * t)
+        - F.lit(1.453152027) * (t * t * t * t)
+        + F.lit(1.061405429) * (t * t * t * t * t)
+    ) * F.exp(-(x * x))
+    pv = zed.select(
+        "nation",
+        "n_orders",
+        F.round(F.col("z"), 9).alias("z_stat"),
+        F.round(erfc, 12).alias("p_value"),
+    )
+    w = Window.orderBy("p_value", "nation")
+    ranked = pv.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("long").alias("m"),
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # consumed twice
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value")
+                    <= F.col("p_rank") * F.lit(0.10) / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "nation",
+            "n_orders",
+            "z_stat",
+            "p_value",
+            "p_rank",
+            F.round(F.col("p_rank") * F.lit(0.10) / F.col("m"), 12).alias(
+                "bh_threshold"
+            ),
+            (F.col("p_rank") <= F.col("k")).alias("rejected"),
+        )
+    )
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    paired AS (
+      SELECT g1.day, g1.n - g2.n AS d
+      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
+      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
+        AND g1.n <> g2.n
+    ),
+    rk AS (
+      SELECT d,
+             CAST(2 * rank() OVER (ORDER BY abs(d))
+                  + count(*) OVER (PARTITION BY abs(d)) - 1 AS BIGINT)
+               AS two_r,
+             CAST(count(*) OVER (PARTITION BY abs(d)) AS BIGINT) AS t
+      FROM paired
+    ),
+    agg_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN d > 0 THEN two_r ELSE 0 END) AS BIGINT)
+               AS two_w_plus
+      FROM rk
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_term
+      FROM (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t
+            FROM paired GROUP BY abs(d))
+      WHERE t > 1
+    )
+    SELECT n, two_w_plus, tie_term,
+           round((two_w_plus / 2.0 - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - tie_term / 48.0), 12) AS z_stat
+    FROM agg_ CROSS JOIN ties
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK paired test — clicks vs views paired by
+    day over the dense 30-day grid: zero differences dropped, |d|
+    ranked with midranks, W⁺ = Σ ranks of positive d, tie-corrected
+    normal approximation. The midranks ride the doubled-rank device
+    (2r = 2·rank + t − 1, exact BIGINT — same integer trick as
+    stats_mann_whitney_u), so W⁺ is carried as 2W⁺ exactly and the
+    only double is the final mirrored z (round 12). The series is
+    30 points by construction; at corpus scale the grid aggregation
+    is the usual map-combinable daily rollup."""
+    g = _daily_grid(spark, sf)
+    clicks = g.filter(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("nc")
+    )
+    views = g.filter(F.col("event_type") == "view").select(
+        "day", F.col("n").alias("nv")
+    )
+    paired = (
+        clicks.join(views, "day")
+        .select((F.col("nc") - F.col("nv")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    paired = paired.localCheckpoint(eager=False)  # consumed twice
+    rk = paired.select(
+        "d",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy(F.abs(F.col("d"))))
+            + F.count(F.lit(1)).over(Window.partitionBy(F.abs(F.col("d"))))
+            - F.lit(1)
+        ).cast("long").alias("two_r"),
+    )
+    agg_ = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("two_r")).otherwise(0))
+        .cast("long")
+        .alias("two_w_plus"),
+    )
+    ties = (
+        paired.groupBy(F.abs(F.col("d")).alias("ad"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0).cast("long"),
+            ).alias("tie_term")
+        )
+    )
+    m = agg_.crossJoin(F.broadcast(ties))
+    z = (
+        F.col("two_w_plus") / F.lit(2.0)
+        - F.col("n") * (F.col("n") + 1) / F.lit(4.0)
+    ) / F.sqrt(
+        F.col("n") * (F.col("n") + F.lit(1.0)) * (2 * F.col("n") + 1)
+        / F.lit(24.0)
+        - F.col("tie_term") / F.lit(48.0)
+    )
+    return m.select(
+        "n", "two_w_plus", "tie_term", F.round(z, 12).alias("z_stat")
+    )
+
+
+@query(
+    "stats_page_hinkley",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    cum AS (
+      SELECT event_type, day, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS s,
+             CAST(day + 1 AS BIGINT) AS k
+      FROM grid
+    ),
+    dev AS (
+      SELECT event_type, day,
+             sum(n - CAST(s AS DOUBLE) / k)
+               OVER (PARTITION BY event_type ORDER BY day) AS m_t
+      FROM cum
+    ),
+    ph AS (
+      SELECT event_type, day, m_t,
+             max(m_t) OVER (PARTITION BY event_type ORDER BY day) - m_t
+               AS ph_t
+      FROM dev
+    ),
+    best AS (
+      SELECT event_type, max(ph_t) AS ph_max FROM ph GROUP BY event_type
+    )
+    SELECT p.event_type, round(b.ph_max, 9) AS ph_max,
+           CAST(min(p.day) AS INT) AS argmax_day
+    FROM ph p JOIN best b
+      ON p.event_type = b.event_type AND p.ph_t = b.ph_max
+    GROUP BY p.event_type, b.ph_max
+    """,
+)
+def stats_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    """PAGE–HINKLEY sequential drift detector (δ=0) replayed over each
+    event stream's dense 30-day grid: mₜ = Σᵢ≤ₜ(xᵢ − x̄ᵢ) with x̄ᵢ the
+    running mean, PHₜ = max(mₛ)ₛ≤ₜ − mₜ; reports each stream's peak
+    downward-drift score and the day it fired. Running means are exact
+    S/k IEEE divisions off a cumulative BIGINT sum; the mₜ fold is a
+    sequential cumulative window in day order (identical accumulation
+    order on both engines — the sorted-fold device), rounded only at
+    the end. Per-key state is one cumulative window over a bounded
+    series; at corpus scale this is the standard streaming-drift
+    replay shape (per-key ordered scan, no global sort)."""
+    g = _daily_grid(spark, sf)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wcum).cast("long").alias("s"),
+        (F.col("day") + 1).cast("long").alias("k"),
+    )
+    dev = cum.select(
+        "event_type",
+        "day",
+        F.sum(
+            F.col("n") - F.col("s").cast("double") / F.col("k")
+        ).over(wcum).alias("m_t"),
+    )
+    ph = dev.select(
+        "event_type",
+        "day",
+        (F.max("m_t").over(wcum) - F.col("m_t")).alias("ph_t"),
+    )
+    ph = ph.localCheckpoint(eager=False)  # consumed twice
+    best = ph.groupBy("event_type").agg(F.max("ph_t").alias("ph_max"))
+    return (
+        ph.join(F.broadcast(best), "event_type")
+        .filter(F.col("ph_t") == F.col("ph_max"))
+        .groupBy("event_type", "ph_max")
+        .agg(F.min("day").cast("int").alias("argmax_day"))
+        .select(
+            "event_type",
+            F.round("ph_max", 9).alias("ph_max"),
+            "argmax_day",
+        )
+    )
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -5737,3 +5737,147 @@ def test_wav_dc_offset_matches_python(spark, sf_small):
         assert got[mid][1] == osum, mid
         assert got[mid][2] == trunc, mid
         assert got[mid][3] == (abs(osum / nf) > 8)
+
+
+def test_bh_fdr_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    cnat = {
+        r.c_custkey: r.c_nationkey
+        for r in load(spark, sf_small, "customer").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n1, x1, n2, x2
+    for r in o:
+        d = r.o_orderdate
+        if not (d.year == 1994):
+            continue
+        nat = cnat[r.o_custkey]
+        hi = r.o_orderpriority in ("1-URGENT", "2-HIGH")
+        if (d.month, d.day) < (7, 1):
+            agg[nat][0] += 1
+            agg[nat][1] += hi
+        else:
+            agg[nat][2] += 1
+            agg[nat][3] += hi
+    pvals = {}
+    for nat, (n1, x1, n2, x2) in agg.items():
+        if n1 == 0 or n2 == 0:
+            continue
+        pooled = (x1 + x2) / (n1 + n2)
+        z = (x1 / n1 - x2 / n2) / math.sqrt(
+            pooled * (1 - pooled) * (1 / n1 + 1 / n2)
+        )
+        x = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        p = (
+            0.254829592 * t
+            - 0.284496736 * t * t
+            + 1.421413741 * t**3
+            - 1.453152027 * t**4
+            + 1.061405429 * t**5
+        ) * math.exp(-x * x)
+        pvals[nat] = (round(p, 12), z, n1 + n2)
+    m = len(pvals)
+    order = sorted(pvals, key=lambda nat: (pvals[nat][0], nat))
+    k = max(
+        (i for i, nat in enumerate(order, 1)
+         if pvals[nat][0] <= i * 0.10 / m),
+        default=0,
+    )
+    got = {
+        r.nation: r
+        for r in QUERIES["stats_bh_fdr"](spark, sf_small).collect()
+    }
+    assert set(got) == set(pvals)
+    for i, nat in enumerate(order, 1):
+        r = got[nat]
+        assert r.p_rank == i
+        assert abs(r.p_value - pvals[nat][0]) < 1e-12
+        assert abs(r.z_stat - pvals[nat][1]) < 1e-8
+        assert r.n_orders == pvals[nat][2]
+        assert r.rejected == (i <= k)
+
+
+def _py_daily_grid(spark, sf):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ev = load(spark, sf, "events").select("ts", "event_type").collect()
+    cnt = defaultdict(int)
+    types = set()
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            cnt[(r.event_type, d)] += 1
+            types.add(r.event_type)
+    return {
+        t: [cnt.get((t, d), 0) for d in range(30)] for t in sorted(types)
+    }
+
+
+def test_wilcoxon_signed_rank_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    ds = [
+        c - v
+        for c, v in zip(grid["click"], grid["view"])
+        if c != v
+    ]
+    n = len(ds)
+    absd = sorted(abs(d) for d in ds)
+    two_w = 0
+    tie = 0
+    from collections import Counter
+
+    groups = Counter(absd)
+    for d in ds:
+        if d > 0:
+            less = sum(1 for a in absd if a < abs(d))
+            t = groups[abs(d)]
+            two_w += 2 * less + t + 1
+    tie = sum(t**3 - t for t in groups.values() if t > 1)
+    z = (two_w / 2.0 - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1.0) * (2 * n + 1) / 24.0 - tie / 48.0
+    )
+    row = QUERIES["stats_wilcoxon_signed_rank"](spark, sf_small).collect()[0]
+    assert (row.n, row.two_w_plus, row.tie_term) == (n, two_w, tie)
+    assert abs(row.z_stat - z) < 1e-9
+
+
+def test_page_hinkley_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    want = {}
+    for t, xs in grid.items():
+        s = 0
+        m_t = 0.0
+        seen = []
+        for day, x in enumerate(xs):
+            s += x
+            m_t += x - s / (day + 1)
+            seen.append(m_t)
+            ph = max(seen) - m_t
+            if t not in want or ph > want[t][0] + 1e-15:
+                want[t] = (ph, day)
+    got = {
+        r.event_type: (r.ph_max, r.argmax_day)
+        for r in QUERIES["stats_page_hinkley"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want)
+    for t, (ph, day) in want.items():
+        assert abs(got[t][0] - ph) < 1e-8, t
+        assert got[t][1] == day, t
