@@ -281,6 +281,9 @@ CATALOG_BENCH = [
     "stats_bh_fdr",
     "stats_wilcoxon_signed_rank",
     "stats_page_hinkley",
+    "olap_rfm_segmentation",
+    "olap_retention_triangle",
+    "audit_psi_drift",
 ]
 
 # ---------------------------------------------------------------------------

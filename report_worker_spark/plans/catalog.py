@@ -8992,6 +8992,9 @@ _DRIVER_WINDOW = [
     "stats_bh_fdr",
     "stats_wilcoxon_signed_rank",
     "stats_page_hinkley",
+    "olap_rfm_segmentation",
+    "olap_retention_triangle",
+    "audit_psi_drift",
 ]
 
 
@@ -24016,6 +24019,259 @@ def stats_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             F.round("ph_max", 9).alias("ph_max"),
             "argmax_day",
+        )
+    )
+
+
+@query(
+    "olap_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS cust,
+             date_diff('day', max(o_orderdate), DATE '1998-08-02')
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days, cust) AS INT)
+               AS r_quintile,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, cust) AS INT)
+               AS f_quintile,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, cust)
+               AS INT) AS m_quintile
+      FROM rfm
+    )
+    SELECT r_quintile, f_quintile, m_quintile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(min(cust) AS BIGINT) AS sample_cust
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def olap_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value cube: per
+    customer, Recency (days from last order to the corpus horizon),
+    Frequency (order count), Monetary (lifetime cents, exact BIGINT),
+    each cut into quintiles with a full (metric, custkey) tiebreak so
+    ntile is deterministic on both engines, then the 5×5×5 segment
+    census. At scale the per-customer rollup is one map-combinable
+    groupBy; the three ntiles are rank windows over the (much smaller)
+    customer aggregate, and the final census is category-bounded
+    (≤125 rows)."""
+    o = load(spark, sf, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "cust"))
+        .cast("int")
+        .alias("r_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "cust"))
+        .cast("int")
+        .alias("f_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "cust"))
+        .cast("int")
+        .alias("m_quintile"),
+    )
+    return scored.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("cust").cast("long").alias("sample_cust"),
+    )
+
+
+@query(
+    "olap_retention_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey AS cust,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    cohorts AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM firsts
+      WHERE cohort >= DATE '1994-01-01' AND cohort < DATE '1995-01-01'
+      GROUP BY cohort
+    ),
+    activity AS (
+      SELECT DISTINCT f.cohort, f.cust,
+             date_diff('month', f.cohort,
+                       date_trunc('month', o.o_orderdate)) AS age_months
+      FROM firsts f JOIN orders o ON o.o_custkey = f.cust
+      WHERE f.cohort >= DATE '1994-01-01'
+        AND f.cohort < DATE '1995-01-01'
+        AND date_diff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate))
+            BETWEEN 0 AND 12
+    )
+    SELECT CAST(a.cohort AS DATE) AS cohort_month,
+           CAST(a.age_months AS INT) AS age_months,
+           CAST(count(*) AS BIGINT) AS n_active,
+           c.n_cohort,
+           CAST(count(*) * 1000 // c.n_cohort AS BIGINT)
+             AS retention_milli
+    FROM activity a JOIN cohorts c ON a.cohort = c.cohort
+    GROUP BY a.cohort, a.age_months, c.n_cohort
+    """,
+)
+def olap_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT RETENTION TRIANGLE for the 1994 acquisition cohorts:
+    customers grouped by first-order month, then for month-ages 0..12
+    the share of each cohort that ordered again (distinct customers,
+    exact milli-rate via integer DIV — no float ratios to drift).
+    The first-order collapse and the distinct (cohort, cust, age)
+    activity set are both shuffle-on-customer aggregations; ages are
+    capped so the output is cohort-bounded (≤ 13×12 rows)."""
+    o = load(spark, sf, "orders")
+    o = o.localCheckpoint(eager=False)  # scanned twice (firsts + joins)
+    firsts = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort")
+    ).filter(
+        (F.col("cohort") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("cohort") < F.lit("1995-01-01").cast("date"))
+    )
+    firsts = firsts.localCheckpoint(eager=False)  # consumed twice
+    cohorts = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    age = F.months_between(
+        F.trunc(F.col("o_orderdate"), "month"), F.col("cohort")
+    ).cast("int")
+    activity = (
+        firsts.join(o, firsts.cust == o.o_custkey)
+        .select("cohort", "cust", age.alias("age_months"))
+        .filter((F.col("age_months") >= 0) & (F.col("age_months") <= 12))
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "age_months")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(cohorts), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            "age_months",
+            "n_active",
+            "n_cohort",
+            F.expr("n_active * 1000 div n_cohort")
+            .cast("long")
+            .alias("retention_milli"),
+        )
+    )
+
+
+@query(
+    "audit_psi_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+               AS first_half
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+    ),
+    dims AS (
+      SELECT 'event_type' AS dimension, event_type AS category,
+             first_half FROM ev
+      UNION ALL
+      SELECT 'hour_of_day', lpad(CAST(hr AS VARCHAR), 2, '0'),
+             first_half FROM ev
+    ),
+    cnt AS (
+      SELECT dimension, category,
+             CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_second
+      FROM dims GROUP BY dimension, category
+    ),
+    tot AS (
+      SELECT dimension,
+             CAST(sum(n_first) AS BIGINT) AS t1,
+             CAST(sum(n_second) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cnt GROUP BY dimension
+    )
+    SELECT c.dimension, c.category, c.n_first, c.n_second,
+           round((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k)
+                  - CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))
+                 * ln((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k))
+                      / (CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))),
+                 12) AS psi_term
+    FROM cnt c JOIN tot t ON c.dimension = t.dimension
+    """,
+)
+def audit_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift audit — days 0-14 vs days
+    15-29, per category of two dimensions (event_type, hour-of-day):
+    each row carries the exact first/second counts and its Laplace-
+    smoothed PSI term (pᵢ−qᵢ)·ln(pᵢ/qᵢ) (add-one smoothing keeps
+    empty categories finite; terms stay per-category so no cross-
+    category float summation order exists to drift — the reader sums,
+    or gates on any term > 0.2/k). Counts are one map-combinable
+    groupBy; category totals are a category-bounded second pass."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    ev = e.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        (day < 15).alias("first_half"),
+    ).filter((day >= 0) & (day <= 29))
+    dims = ev.select(
+        F.lit("event_type").alias("dimension"),
+        F.col("event_type").alias("category"),
+        "first_half",
+    ).unionAll(
+        ev.select(
+            F.lit("hour_of_day").alias("dimension"),
+            F.lpad(F.col("hr").cast("string"), 2, "0").alias("category"),
+            "first_half",
+        )
+    )
+    cnt = dims.groupBy("dimension", "category").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_second"),
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
+    tot = cnt.groupBy("dimension").agg(
+        F.sum("n_first").cast("long").alias("t1"),
+        F.sum("n_second").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + F.col("k"))
+    q = (F.col("n_second") + 1).cast("double") / (
+        F.col("t2") + F.col("k")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "dimension")
+        .select(
+            "dimension",
+            "category",
+            "n_first",
+            "n_second",
+            F.round((p - q) * F.log(p / q), 12).alias("psi_term"),
         )
     )
 

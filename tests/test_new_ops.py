@@ -5881,3 +5881,141 @@ def test_page_hinkley_matches_python(spark, sf_small):
     for t, (ph, day) in want.items():
         assert abs(got[t][0] - ph) < 1e-8, t
         assert got[t][1] == day, t
+
+
+def test_rfm_segmentation_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    horizon = datetime.date(1998, 8, 2)
+    agg = defaultdict(lambda: [None, 0, 0])  # last, freq, cents
+    for r in load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        a = agg[r.o_custkey]
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        a[0] = od if a[0] is None else max(a[0], od)
+        a[1] += 1
+        a[2] += round(r.o_totalprice * 100)
+
+    def ntile5(keys):
+        n = len(keys)
+        base, extra = divmod(n, 5)
+        out = {}
+        i = 0
+        for q in range(1, 6):
+            size = base + (1 if q <= extra else 0)
+            for k in keys[i : i + size]:
+                out[k] = q
+            i += size
+        return out
+
+    custs = sorted(agg)
+    rq = ntile5(
+        sorted(custs, key=lambda c: ((horizon - agg[c][0]).days, c))
+    )
+    fq = ntile5(sorted(custs, key=lambda c: (-agg[c][1], c)))
+    mq = ntile5(sorted(custs, key=lambda c: (-agg[c][2], c)))
+    want = defaultdict(lambda: [0, 0, None])
+    for c in custs:
+        k = (rq[c], fq[c], mq[c])
+        want[k][0] += 1
+        want[k][1] += agg[c][2]
+        want[k][2] = c if want[k][2] is None else min(want[k][2], c)
+    got = {
+        (r.r_quintile, r.f_quintile, r.m_quintile): (
+            r.n_customers,
+            r.segment_cents,
+            r.sample_cust,
+        )
+        for r in QUERIES["olap_rfm_segmentation"](spark, sf_small).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_retention_triangle_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    orders = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    first = {}
+    for r in orders:
+        m = (r.o_orderdate.year, r.o_orderdate.month)
+        if r.o_custkey not in first or m < first[r.o_custkey]:
+            first[r.o_custkey] = m
+    cohort_n = defaultdict(int)
+    for c, m in first.items():
+        if m[0] == 1994:
+            cohort_n[m] += 1
+    active = set()
+    for r in orders:
+        m0 = first[r.o_custkey]
+        if m0[0] != 1994:
+            continue
+        age = (r.o_orderdate.year - m0[0]) * 12 + r.o_orderdate.month - m0[1]
+        if 0 <= age <= 12:
+            active.add((m0, r.o_custkey, age))
+    want = defaultdict(int)
+    for m0, _, age in active:
+        want[(m0, age)] += 1
+    got = {
+        ((r.cohort_month.year, r.cohort_month.month), r.age_months): (
+            r.n_active,
+            r.n_cohort,
+            r.retention_milli,
+        )
+        for r in QUERIES["olap_retention_triangle"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == cohort_n[k[0]]
+        assert got[k][2] == n * 1000 // cohort_n[k[0]]
+
+
+def test_psi_drift_matches_python(spark, sf_small):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    cnt = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "events").select("ts", "event_type").collect():
+        d = (r.ts.date() - epoch).days
+        if not (0 <= d <= 29):
+            continue
+        half = 0 if d < 15 else 1
+        cnt[("event_type", r.event_type)][half] += 1
+        cnt[("hour_of_day", f"{r.ts.hour:02d}")][half] += 1
+    tots = defaultdict(lambda: [0, 0, 0])
+    for (dim, _), (a, b) in cnt.items():
+        t = tots[dim]
+        t[0] += a
+        t[1] += b
+        t[2] += 1
+    got = {
+        (r.dimension, r.category): (r.n_first, r.n_second, r.psi_term)
+        for r in QUERIES["audit_psi_drift"](spark, sf_small).collect()
+    }
+    assert set(got) == set(cnt)
+    for key, (a, b) in cnt.items():
+        t1, t2, k = tots[key[0]]
+        p = (a + 1) / (t1 + k)
+        q = (b + 1) / (t2 + k)
+        term = (p - q) * math.log(p / q)
+        assert got[key][0] == a and got[key][1] == b
+        assert abs(got[key][2] - term) < 1e-10, key
