@@ -284,6 +284,9 @@ CATALOG_BENCH = [
     "olap_rfm_segmentation",
     "olap_retention_triangle",
     "audit_psi_drift",
+    "text_flesch_reading_ease",
+    "text_yule_k",
+    "text_mattr_sliding",
 ]
 
 # ---------------------------------------------------------------------------

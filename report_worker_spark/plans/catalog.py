@@ -8995,6 +8995,9 @@ _DRIVER_WINDOW = [
     "olap_rfm_segmentation",
     "olap_retention_triangle",
     "audit_psi_drift",
+    "text_flesch_reading_ease",
+    "text_yule_k",
+    "text_mattr_sliding",
 ]
 
 
@@ -24273,6 +24276,186 @@ def audit_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
             "n_second",
             F.round((p - q) * F.log(p / q), 12).alias("psi_term"),
         )
+    )
+
+
+@query(
+    "text_flesch_reading_ease",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+             AS BIGINT) AS n_sentences,
+           round(206.835
+                 - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
+                 - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                                       '[aeiouy]+'))
+                                AS DOUBLE)
+                           / len(string_split(text, ' '))), 9) AS fre
+    FROM documents
+    """,
+)
+def text_flesch_reading_ease(spark: SparkSession, sf: str) -> DataFrame:
+    """FLESCH READING EASE per document — 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words) with the standard vowel-group
+    syllable heuristic (`[aeiouy]+` runs, backreference-free so both
+    regex engines agree) and a ≥1 sentence floor for unpunctuated
+    text. Counts are exact BIGINTs; the score is two mirrored IEEE
+    divisions folded in the same order both sides, round 9. Pure
+    column expressions — whole-stage-codegen row-local work, no
+    shuffle at any scale."""
+    d = load(spark, sf, "documents")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_syll = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
+    ).cast("long")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        F.round(fre, 9).alias("fre"),
+    )
+
+
+@query(
+    "text_yule_k",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    types AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ),
+    per AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM types GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, sum_c2,
+           round(10000.0 * (sum_c2 - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 9) AS yule_k
+    FROM per
+    """,
+)
+def text_yule_k(spark: SparkSession, sf: str) -> DataFrame:
+    """YULE'S CHARACTERISTIC K per source — 10⁴·(Σc² − N)/N² over the
+    type frequency spectrum: the length-robust vocabulary-richness
+    constant (higher = more repetitive), the classic companion to
+    hapax ratio and Simpson diversity for corpus-mix fingerprinting.
+    Both moments are exact BIGINTs off one token groupBy; K is a
+    single mirrored double, round 9. The token count table is the
+    same map-combinable shape as the tf-idf/vocab passes — linear
+    scan, one shuffle on (source, word)."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    types = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = types.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    k = (
+        F.lit(10000.0)
+        * (F.col("sum_c2") - F.col("n_tokens"))
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "sum_c2",
+        F.round(k, 9).alias("yule_k"),
+    )
+
+
+@query(
+    "text_mattr_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    eligible AS (SELECT * FROM toks WHERE n >= 10),
+    win AS (
+      SELECT doc_id, n,
+             CAST(len(list_distinct(t[(s.i + 1):(s.i + 10)]))
+               AS BIGINT) AS d
+      FROM eligible, unnest(range(0, n - 9)) AS s(i)
+    ),
+    agg_ AS (
+      SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(d) AS BIGINT) AS sum_distinct
+      FROM win GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_windows, sum_distinct,
+           round(CAST(sum_distinct AS DOUBLE) / (n_windows * 10), 12)
+             AS mattr
+    FROM agg_
+    """,
+)
+def text_mattr_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio, window 10: the
+    length-invariant lexical-diversity measure (plain TTR collapses
+    as documents grow; averaging distinct-counts over every 10-token
+    window removes the length artifact). The window distinct-counts
+    are computed entirely with JVM higher-order array functions
+    (transform + slice + array_distinct — no explode of the window
+    fan-out, no Python), summed per document as exact BIGINTs; MATTR
+    is one mirrored division. Row-local per document, so it scales as
+    a pure map pass."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("n", F.size("t").cast("long"))
+    eligible = toks.filter(F.col("n") >= 10)
+    dsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n") - 10).cast("int")),
+            lambda s: F.size(
+                F.array_distinct(F.slice(F.col("t"), s + 1, 10))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    agg_ = eligible.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("n") - 9).alias("n_windows"),
+        dsum.alias("sum_distinct"),
+    )
+    return agg_.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "sum_distinct",
+        F.round(
+            F.col("sum_distinct").cast("double")
+            / (F.col("n_windows") * 10),
+            12,
+        ).alias("mattr"),
     )
 
 

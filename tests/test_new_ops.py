@@ -6019,3 +6019,77 @@ def test_psi_drift_matches_python(spark, sf_small):
         term = (p - q) * math.log(p / q)
         assert got[key][0] == a and got[key][1] == b
         assert abs(got[key][2] - term) < 1e-10, key
+
+
+def test_flesch_reading_ease_matches_python(spark, sf_small):
+    import re
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_syllables, r.n_sentences, r.fre)
+        for r in QUERIES["text_flesch_reading_ease"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        w = len(text.split(" "))
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        s = max(len(re.findall(r"[.!?]", text)), 1)
+        fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        assert got[did][0] == w and got[did][1] == syl
+        assert got[did][2] == s
+        assert abs(got[did][3] - fre) < 1e-6, did
+
+
+def test_yule_k_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = defaultdict(Counter)
+    for r in load(spark, sf_small, "documents").collect():
+        per[r.source].update(r.text.split(" "))
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.sum_c2, r.yule_k)
+        for r in QUERIES["text_yule_k"](spark, sf_small).collect()
+    }
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        c2 = sum(c * c for c in cnt.values())
+        k = 10000.0 * (c2 - n) / (n * n)
+        assert got[src][:3] == (n, len(cnt), c2)
+        assert abs(got[src][3] - k) < 1e-8
+
+
+def test_mattr_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.sum_distinct, r.mattr)
+        for r in QUERIES["text_mattr_sliding"](spark, sf_small).collect()
+    }
+    want_ids = {d for d, t in docs.items() if len(t) >= 10}
+    assert set(got) == want_ids
+    for did in want_ids:
+        t = docs[did]
+        n = len(t)
+        wins = [len(set(t[s : s + 10])) for s in range(n - 9)]
+        sd = sum(wins)
+        assert got[did][0] == n
+        assert got[did][1] == n - 9
+        assert got[did][2] == sd, did
+        assert abs(got[did][3] - sd / ((n - 9) * 10)) < 1e-12
