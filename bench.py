@@ -287,6 +287,9 @@ CATALOG_BENCH = [
     "text_flesch_reading_ease",
     "text_yule_k",
     "text_mattr_sliding",
+    "graph_degree_gini",
+    "graph_harmonic_2hop",
+    "graph_avg_neighbor_degree",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8998,6 +8998,9 @@ _DRIVER_WINDOW = [
     "text_flesch_reading_ease",
     "text_yule_k",
     "text_mattr_sliding",
+    "graph_degree_gini",
+    "graph_harmonic_2hop",
+    "graph_avg_neighbor_degree",
 ]
 
 
@@ -24456,6 +24459,219 @@ def text_mattr_sliding(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n_windows") * 10),
             12,
         ).alias("mattr"),
+    )
+
+
+@query(
+    "graph_degree_gini",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    ends AS (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY n),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS m FROM deg GROUP BY d
+    ),
+    blocks AS (
+      SELECT d, m,
+             CAST(coalesce(sum(m) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM hist
+    ),
+    agg_ AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n_nodes,
+             CAST(sum(d * m) AS BIGINT) AS sum_deg,
+             CAST(sum(d * (m * prefix + m * (m + 1) // 2)) AS BIGINT)
+               AS rank_weighted
+      FROM blocks
+    )
+    SELECT n_nodes, sum_deg, rank_weighted,
+           round(2.0 * rank_weighted
+                   / (CAST(n_nodes AS DOUBLE) * sum_deg)
+                 - (n_nodes + 1.0) / n_nodes, 12) AS gini
+    FROM agg_
+    """,
+)
+def graph_degree_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """GINI COEFFICIENT of the degree distribution — the single-number
+    inequality summary behind the CCDF/rich-club plots (0 = regular
+    graph, →1 = hub-dominated): G = 2·Σᵢ i·dᵢ/(n·Σd) − (n+1)/n over
+    ascending-sorted degrees. The rank-weighted sum is computed WITHOUT
+    a global row sort via the counting-sort device: degrees are
+    histogram-bounded, and a tie block of m nodes at degree d starting
+    after `prefix` smaller nodes contributes d·(m·prefix + m(m+1)/2)
+    regardless of intra-block order — so the only window runs over the
+    degree histogram (domain-bounded), everything else is exact-BIGINT
+    map-combinable aggregation."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    deg = gr.degrees(e).select(F.col("deg").cast("long").alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wpre = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = hist.select(
+        "d",
+        "m",
+        F.coalesce(F.sum("m").over(wpre), F.lit(0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    agg_ = blocks.agg(
+        F.sum("m").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * F.col("m")).cast("long").alias("sum_deg"),
+        F.sum(
+            F.col("d")
+            * (
+                F.col("m") * F.col("prefix")
+                + F.expr("m * (m + 1) div 2")
+            )
+        )
+        .cast("long")
+        .alias("rank_weighted"),
+    )
+    gini = F.lit(2.0) * F.col("rank_weighted") / (
+        F.col("n_nodes").cast("double") * F.col("sum_deg")
+    ) - (F.col("n_nodes") + F.lit(1.0)) / F.col("n_nodes")
+    return agg_.select(
+        "n_nodes",
+        "sum_deg",
+        "rank_weighted",
+        F.round(gini, 12).alias("gini"),
+    )
+
+
+@query(
+    "graph_harmonic_2hop",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    two AS (
+      SELECT DISTINCT x.a AS node, y.b AS nb
+      FROM adj x JOIN adj y ON x.b = y.a
+      WHERE y.b <> x.a
+    ),
+    d1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n1
+           FROM adj GROUP BY a),
+    d2 AS (
+      SELECT t.node, CAST(count(*) AS BIGINT) AS n2
+      FROM two t
+      WHERE NOT EXISTS (SELECT 1 FROM adj
+                        WHERE adj.a = t.node AND adj.b = t.nb)
+      GROUP BY t.node
+    )
+    SELECT d1.node, d1.n1, CAST(coalesce(d2.n2, 0) AS BIGINT) AS n2,
+           CAST(6 * d1.n1 + 3 * coalesce(d2.n2, 0) AS BIGINT)
+             AS harmonic_sixths
+    FROM d1 LEFT JOIN d2 ON d1.node = d2.node
+    """,
+)
+def graph_harmonic_2hop(spark: SparkSession, sf: str) -> DataFrame:
+    """2-HOP TRUNCATED HARMONIC CENTRALITY: per node, n₁ + n₂/2 where
+    n₁ = neighbors and n₂ = nodes at exactly distance 2 — the
+    locality-bounded centrality that (unlike closeness) needs no
+    all-pairs BFS. Carried as exact integer SIXTHS (6n₁ + 3n₂) so no
+    float leaves either engine. The 2-hop set is one adjacency
+    self-join + distinct + direct-edge anti-join — the
+    common-neighbors shape, O(Σ deg²) candidate pairs; at corpus
+    scale the standard cap is degree-bounding the hub side first
+    (same remedy the triangle/butterfly counts pin in
+    test_scale_plans)."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    adj = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # consumed 4×
+    x = adj.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    y = adj.select(F.col("src").alias("mid"), F.col("dst").alias("nb"))
+    two = (
+        x.join(y, "mid")
+        .filter(F.col("nb") != F.col("node"))
+        .select("node", "nb")
+        .distinct()
+    )
+    d1 = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    direct = adj.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    )
+    d2 = (
+        two.join(direct, ["node", "nb"], "left_anti")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    return (
+        d1.join(d2, "node", "left")
+        .select(
+            "node",
+            "n1",
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+            (
+                F.lit(6) * F.col("n1")
+                + F.lit(3) * F.coalesce("n2", F.lit(0))
+            )
+            .cast("long")
+            .alias("harmonic_sixths"),
+        )
+    )
+
+
+@query(
+    "graph_avg_neighbor_degree",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY a)
+    SELECT da.d AS degree_class,
+           CAST(count(DISTINCT adj.a) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_edge_ends,
+           CAST(sum(db.d) AS BIGINT) AS sum_neighbor_deg,
+           round(CAST(sum(db.d) AS DOUBLE) / count(*), 12)
+             AS knn_k
+    FROM adj
+    JOIN deg da ON adj.a = da.node
+    JOIN deg db ON adj.b = db.node
+    GROUP BY da.d
+    """,
+)
+def graph_avg_neighbor_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """AVERAGE NEIGHBOR DEGREE curve knn(k) — for each degree class
+    k, the mean degree of the neighbors of degree-k nodes: the full
+    assortativity PROFILE (rising = assortative core, falling =
+    disassortative hub-periphery) that the single
+    graph_degree_assortativity coefficient summarizes. One degree
+    table joined onto both edge endpoints, grouped by the source's
+    degree class — exact BIGINT sums, one mirrored division per
+    class; degree-histogram-bounded output."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    adj = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # feeds deg + the join
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    deg = deg.localCheckpoint(eager=False)  # joined twice
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
+    return (
+        adj.withColumnRenamed("src", "a")
+        .withColumnRenamed("dst", "b")
+        .join(da, "a")
+        .join(db, "b")
+        .groupBy(F.col("dda").alias("degree_class"))
+        .agg(
+            F.countDistinct("a").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+            F.sum("ddb").cast("long").alias("sum_neighbor_deg"),
+            F.round(
+                F.sum("ddb").cast("double") / F.count(F.lit(1)), 12
+            ).alias("knn_k"),
+        )
     )
 
 

@@ -6093,3 +6093,85 @@ def test_mattr_matches_python(spark, sf_small):
         assert got[did][1] == n - 9
         assert got[did][2] == sd, did
         assert abs(got[did][3] - sd / ((n - 9) * 10)) < 1e-12
+
+
+def test_degree_gini_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    deg = Counter()
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        deg[a] += 1
+        deg[b] += 1
+    ds = sorted(deg.values())
+    n = len(ds)
+    rw = sum(i * d for i, d in enumerate(ds, 1))
+    gini = 2.0 * rw / (n * sum(ds)) - (n + 1.0) / n
+    row = QUERIES["graph_degree_gini"](spark, sf_small).collect()[0]
+    assert (row.n_nodes, row.sum_deg, row.rank_weighted) == (
+        n,
+        sum(ds),
+        rw,
+    )
+    assert abs(row.gini - gini) < 1e-10
+
+
+def test_harmonic_2hop_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    nbr = defaultdict(set)
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        nbr[a].add(b)
+        nbr[b].add(a)
+    got = {
+        r.node: (r.n1, r.n2, r.harmonic_sixths)
+        for r in QUERIES["graph_harmonic_2hop"](spark, sf_small).collect()
+    }
+    assert set(got) == set(nbr)
+    for u, ns in nbr.items():
+        two = set()
+        for v in ns:
+            two |= nbr[v]
+        two -= ns
+        two.discard(u)
+        assert got[u] == (
+            len(ns),
+            len(two),
+            6 * len(ns) + 3 * len(two),
+        ), u
+
+
+def test_avg_neighbor_degree_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    nbr = defaultdict(list)
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        nbr[a].append(b)
+        nbr[b].append(a)
+    deg = {u: len(v) for u, v in nbr.items()}
+    per = defaultdict(lambda: [set(), 0, 0])
+    for u, ns in nbr.items():
+        k = deg[u]
+        per[k][0].add(u)
+        per[k][1] += len(ns)
+        per[k][2] += sum(deg[v] for v in ns)
+    got = {
+        r.degree_class: (
+            r.n_nodes,
+            r.n_edge_ends,
+            r.sum_neighbor_deg,
+            r.knn_k,
+        )
+        for r in QUERIES["graph_avg_neighbor_degree"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for k, (nodes, ends, snd) in per.items():
+        assert got[k][:3] == (len(nodes), ends, snd)
+        assert abs(got[k][3] - snd / ends) < 1e-10
