@@ -290,6 +290,9 @@ CATALOG_BENCH = [
     "graph_degree_gini",
     "graph_harmonic_2hop",
     "graph_avg_neighbor_degree",
+    "ts_goertzel_weekly_power",
+    "ts_spc_western_electric",
+    "stats_tost_equivalence",
 ]
 
 # ---------------------------------------------------------------------------

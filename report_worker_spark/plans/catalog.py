@@ -19,6 +19,7 @@ Oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -9001,6 +9002,9 @@ _DRIVER_WINDOW = [
     "graph_degree_gini",
     "graph_harmonic_2hop",
     "graph_avg_neighbor_degree",
+    "ts_goertzel_weekly_power",
+    "ts_spc_western_electric",
+    "stats_tost_equivalence",
 ]
 
 
@@ -24672,6 +24676,293 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum("ddb").cast("double") / F.count(F.lit(1)), 12
             ).alias("knn_k"),
         )
+    )
+
+
+# Literal 30-entry cos/sin tables for the period-7 Goertzel bin: both
+# engines consume the SAME python-computed constants, so no cross-engine
+# libm cos/sin ulp difference can enter the fold.
+_G7_COS = [math.cos(2.0 * math.pi * t / 7.0) for t in range(30)]
+_G7_SIN = [math.sin(2.0 * math.pi * t / 7.0) for t in range(30)]
+_G7_COS_SQL = "[" + ", ".join(repr(v) for v in _G7_COS) + "]"
+_G7_SIN_SQL = "[" + ", ".join(repr(v) for v in _G7_SIN) + "]"
+
+
+@query(
+    "ts_goertzel_weekly_power",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    series AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, total,
+           round(sqrt(
+             list_dot_product(xs, {_G7_COS_SQL})
+               * list_dot_product(xs, {_G7_COS_SQL})
+             + list_dot_product(xs, {_G7_SIN_SQL})
+               * list_dot_product(xs, {_G7_SIN_SQL})
+           ) / total, 9) AS weekly_amplitude_ratio
+    FROM series
+    """,
+)
+def ts_goertzel_weekly_power(spark: SparkSession, sf: str) -> DataFrame:
+    """SINGLE-BIN DFT at the weekly period (Goertzel bin k=N/7) per
+    event stream: amplitude of the period-7 component over the dense
+    30-day grid, normalized by the stream total (a unit-free
+    seasonality-strength score that complements ts_seasonal_strength's
+    variance decomposition). The cos/sin tables are python-computed
+    LITERALS injected into both engines, and the weighted sums are
+    sequential left-to-right folds (F.aggregate ≡ list_dot_product,
+    the pinned device), so no libm trig or summation-order divergence
+    exists. One ordered collect per stream over the bounded grid."""
+    g = _daily_grid(spark, sf)
+    series = g.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day").alias("day"),
+                    F.col("n").cast("double").alias("x"),
+                )
+            )
+        ).alias("pairs"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    xs = F.transform(F.col("pairs"), lambda p: p["x"])
+    cos_arr = F.array(*[F.lit(v) for v in _G7_COS])
+    sin_arr = F.array(*[F.lit(v) for v in _G7_SIN])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    amp = F.sqrt(
+        dot(xs, cos_arr) * dot(xs, cos_arr)
+        + dot(xs, sin_arr) * dot(xs, sin_arr)
+    ) / F.col("total")
+    return series.select(
+        "event_type",
+        "total",
+        F.round(amp, 9).alias("weekly_amplitude_ratio"),
+    )
+
+
+@query(
+    "ts_spc_western_electric",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    stats AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM grid GROUP BY event_type
+    ),
+    z AS (
+      SELECT g.event_type, g.day, g.n,
+             CAST(s AS DOUBLE) / cnt AS mu,
+             sqrt((s2 - CAST(s AS DOUBLE) * s / cnt) / cnt) AS sigma
+      FROM grid g JOIN stats USING (event_type)
+    ),
+    flags AS (
+      SELECT event_type, day, n,
+             CASE WHEN n > mu + 3 * sigma OR n < mu - 3 * sigma
+                  THEN 1 ELSE 0 END AS beyond3,
+             CASE WHEN n > mu + 2 * sigma THEN 1 ELSE 0 END AS up2,
+             CASE WHEN n < mu - 2 * sigma THEN 1 ELSE 0 END AS dn2,
+             CASE WHEN n > mu + sigma THEN 1 ELSE 0 END AS up1,
+             CASE WHEN n < mu - sigma THEN 1 ELSE 0 END AS dn1,
+             CASE WHEN n > mu THEN 1 ELSE 0 END AS up0,
+             CASE WHEN n < mu THEN 1 ELSE 0 END AS dn0
+      FROM z
+    ),
+    rules AS (
+      SELECT event_type, day, n,
+             beyond3 = 1 AS rule1,
+             sum(up2) OVER w3 >= 2 OR sum(dn2) OVER w3 >= 2 AS rule2,
+             sum(up1) OVER w5 >= 4 OR sum(dn1) OVER w5 >= 4 AS rule3,
+             sum(up0) OVER w8 = 8 OR sum(dn0) OVER w8 = 8 AS rule4
+      FROM flags
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w5 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS INT) AS day, n,
+           rule1, rule2, rule3, rule4
+    FROM rules
+    WHERE rule1 OR rule2 OR rule3 OR rule4
+    """,
+)
+def ts_spc_western_electric(spark: SparkSession, sf: str) -> DataFrame:
+    """WESTERN ELECTRIC control-chart rules over each event stream's
+    daily series (μ, σ from the series itself, population form off
+    exact BIGINT moments): R1 point beyond 3σ; R2 ≥2-of-3 beyond 2σ
+    same side; R3 ≥4-of-5 beyond 1σ same side; R4 8 consecutive same
+    side — emitting only violating days. Zone indicators are integer
+    flags (both engines derive them from identically-computed
+    doubles), the of-N counts are bounded ROWS windows per key — the
+    streaming SPC shape: per-key ordered scan, no global state."""
+    g = _daily_grid(spark, sf)
+    stats = g.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    z = g.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("s").cast("double") / F.col("cnt")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("s2")
+                - F.col("s").cast("double") * F.col("s") / F.col("cnt")
+            )
+            / F.col("cnt")
+        ).alias("sigma"),
+    )
+    up = lambda k: F.when(  # noqa: E731
+        F.col("n") > F.col("mu") + k * F.col("sigma"), 1
+    ).otherwise(0)
+    dn = lambda k: F.when(  # noqa: E731
+        F.col("n") < F.col("mu") - k * F.col("sigma"), 1
+    ).otherwise(0)
+    flags = z.select(
+        "event_type",
+        "day",
+        "n",
+        (up(3) + dn(3)).alias("beyond3"),
+        up(2).alias("up2"),
+        dn(2).alias("dn2"),
+        up(1).alias("up1"),
+        dn(1).alias("dn1"),
+        F.when(F.col("n") > F.col("mu"), 1).otherwise(0).alias("up0"),
+        F.when(F.col("n") < F.col("mu"), 1).otherwise(0).alias("dn0"),
+    )
+
+    def win(k):
+        return (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-(k - 1), 0)
+        )
+
+    rules = flags.select(
+        "event_type",
+        F.col("day").cast("int").alias("day"),
+        "n",
+        (F.col("beyond3") == 1).alias("rule1"),
+        (
+            (F.sum("up2").over(win(3)) >= 2)
+            | (F.sum("dn2").over(win(3)) >= 2)
+        ).alias("rule2"),
+        (
+            (F.sum("up1").over(win(5)) >= 4)
+            | (F.sum("dn1").over(win(5)) >= 4)
+        ).alias("rule3"),
+        (
+            (F.sum("up0").over(win(8)) == 8)
+            | (F.sum("dn0").over(win(8)) == 8)
+        ).alias("rule4"),
+    )
+    return rules.filter(
+        F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")
+    )
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    halves AS (
+      SELECT event_type, day < 15 AS h1, n FROM grid
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN h1 THEN n ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN h1 THEN n * n ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(sum(CASE WHEN NOT h1 THEN n ELSE 0 END) AS BIGINT)
+               AS s2,
+             CAST(sum(CASE WHEN NOT h1 THEN n * n ELSE 0 END) AS BIGINT)
+               AS q2
+      FROM halves GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / 15 AS m1, CAST(s2 AS DOUBLE) / 15 AS m2,
+             (q1 - CAST(s1 AS DOUBLE) * s1 / 15) / 14 AS v1,
+             (q2 - CAST(s2 AS DOUBLE) * s2 / 15) / 14 AS v2,
+             0.1 * ((CAST(s1 AS DOUBLE) + s2) / 30) AS margin
+      FROM per
+    )
+    SELECT event_type, round(m1, 9) AS mean_h1, round(m2, 9) AS mean_h2,
+           round(margin, 9) AS margin,
+           round((m1 - m2 + margin) / sqrt(v1 / 15 + v2 / 15), 12)
+             AS t_lower,
+           round((m1 - m2 - margin) / sqrt(v1 / 15 + v2 / 15), 12)
+             AS t_upper,
+           (m1 - m2 + margin) / sqrt(v1 / 15 + v2 / 15) > 1.645
+             AND (m1 - m2 - margin) / sqrt(v1 / 15 + v2 / 15) < -1.645
+             AS equivalent
+    FROM m
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """TOST EQUIVALENCE test (two one-sided Welch t's) — is each
+    stream's daily level in the second half EQUIVALENT to the first
+    half within a ±10%-of-mean margin? The question A/B "no change"
+    claims actually need (absence of significance ≠ equivalence).
+    Moments are exact BIGINTs; means/variances/margin are mirrored
+    single divisions; both one-sided t's use the z critical value
+    1.645 (dfs here ≈ 28, documented approximation — the decision
+    boundary, not the statistic, absorbs it). Map-combinable moments,
+    category-bounded output."""
+    g = _daily_grid(spark, sf)
+    per = g.groupBy("event_type").agg(
+        F.sum(F.when(F.col("day") < 15, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("day") < 15, F.col("n") * F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("day") >= 15, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("day") >= 15, F.col("n") * F.col("n")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / 15
+    m2 = F.col("s2").cast("double") / 15
+    v1 = (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / 15) / 14
+    v2 = (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / 15) / 14
+    margin = F.lit(0.1) * ((F.col("s1").cast("double") + F.col("s2")) / 30)
+    se = F.sqrt(v1 / 15 + v2 / 15)
+    t_lo = (m1 - m2 + margin) / se
+    t_hi = (m1 - m2 - margin) / se
+    return per.select(
+        "event_type",
+        F.round(m1, 9).alias("mean_h1"),
+        F.round(m2, 9).alias("mean_h2"),
+        F.round(margin, 9).alias("margin"),
+        F.round(t_lo, 12).alias("t_lower"),
+        F.round(t_hi, 12).alias("t_upper"),
+        ((t_lo > 1.645) & (t_hi < -1.645)).alias("equivalent"),
     )
 
 

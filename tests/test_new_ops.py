@@ -6175,3 +6175,100 @@ def test_avg_neighbor_degree_matches_python(spark, sf_small):
     for k, (nodes, ends, snd) in per.items():
         assert got[k][:3] == (len(nodes), ends, snd)
         assert abs(got[k][3] - snd / ends) < 1e-10
+
+
+def test_goertzel_weekly_power_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    got = {
+        r.event_type: (r.total, r.weekly_amplitude_ratio)
+        for r in QUERIES["ts_goertzel_weekly_power"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(grid)
+    for t, xs in grid.items():
+        c = sum(
+            x * math.cos(2 * math.pi * i / 7) for i, x in enumerate(xs)
+        )
+        s = sum(
+            x * math.sin(2 * math.pi * i / 7) for i, x in enumerate(xs)
+        )
+        total = sum(xs)
+        amp = math.sqrt(c * c + s * s) / total
+        assert got[t][0] == total
+        assert abs(got[t][1] - amp) < 1e-6, t
+
+
+def test_spc_western_electric_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    want = {}
+    for t, xs in grid.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = math.sqrt(sum(x * x for x in xs) / n - mu * mu)
+        up = lambda k, x: x > mu + k * sigma
+        dn = lambda k, x: x < mu - k * sigma
+        for d, x in enumerate(xs):
+            w3 = xs[max(0, d - 2) : d + 1]
+            w5 = xs[max(0, d - 4) : d + 1]
+            w8 = xs[max(0, d - 7) : d + 1]
+            r1 = up(3, x) or dn(3, x)
+            r2 = (
+                sum(up(2, v) for v in w3) >= 2
+                or sum(dn(2, v) for v in w3) >= 2
+            )
+            r3 = (
+                sum(up(1, v) for v in w5) >= 4
+                or sum(dn(1, v) for v in w5) >= 4
+            )
+            r4 = (
+                sum(v > mu for v in w8) == 8
+                or sum(v < mu for v in w8) == 8
+            )
+            if r1 or r2 or r3 or r4:
+                want[(t, d)] = (x, r1, r2, r3, r4)
+    got = {
+        (r.event_type, r.day): (r.n, r.rule1, r.rule2, r.rule3, r.rule4)
+        for r in QUERIES["ts_spc_western_electric"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tost_equivalence_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    got = {
+        r.event_type: r
+        for r in QUERIES["stats_tost_equivalence"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(grid)
+    for t, xs in grid.items():
+        a, b = xs[:15], xs[15:]
+        m1, m2 = sum(a) / 15, sum(b) / 15
+        v1 = (sum(x * x for x in a) - sum(a) ** 2 / 15) / 14
+        v2 = (sum(x * x for x in b) - sum(b) ** 2 / 15) / 14
+        margin = 0.1 * (sum(xs) / 30)
+        se = math.sqrt(v1 / 15 + v2 / 15)
+        t_lo = (m1 - m2 + margin) / se
+        t_hi = (m1 - m2 - margin) / se
+        r = got[t]
+        assert abs(r.mean_h1 - m1) < 1e-8
+        assert abs(r.mean_h2 - m2) < 1e-8
+        assert abs(r.t_lower - t_lo) < 1e-8
+        assert abs(r.t_upper - t_hi) < 1e-8
+        assert r.equivalent == (t_lo > 1.645 and t_hi < -1.645)
