@@ -293,6 +293,9 @@ CATALOG_BENCH = [
     "ts_goertzel_weekly_power",
     "ts_spc_western_electric",
     "stats_tost_equivalence",
+    "emb_same_label_auc",
+    "emb_nn_margin_audit",
+    "emb_cosine_anisotropy_hist",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9005,6 +9005,9 @@ _DRIVER_WINDOW = [
     "ts_goertzel_weekly_power",
     "ts_spc_western_electric",
     "stats_tost_equivalence",
+    "emb_same_label_auc",
+    "emb_nn_margin_audit",
+    "emb_cosine_anisotropy_hist",
 ]
 
 
@@ -24963,6 +24966,255 @@ def stats_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
         F.round(t_lo, 12).alias("t_lower"),
         F.round(t_hi, 12).alias("t_upper"),
         ((t_lo > 1.645) & (t_hi < -1.645)).alias("equivalent"),
+    )
+
+
+_EMB_SAMPLE_PAIRS_SQL = """
+    q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    )
+"""
+
+
+@query(
+    "emb_same_label_auc",
+    oracle=f"""
+    WITH {_EMB_SAMPLE_PAIRS_SQL},
+    hist AS (
+      SELECT d2,
+             CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT)
+               AS ns,
+             CAST(sum(CASE WHEN qlab <> nlab THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd
+      FROM pairs GROUP BY d2
+    ),
+    cum AS (
+      SELECT ns, nd,
+             CAST(coalesce(sum(nd) OVER (ORDER BY d2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nd_less
+      FROM hist
+    ),
+    agg_ AS (
+      SELECT CAST(sum(ns) AS BIGINT) AS n_same,
+             CAST(sum(nd) AS BIGINT) AS n_diff,
+             CAST(sum(ns * (2 * nd_less + nd)) AS BIGINT) AS two_u
+      FROM cum
+    )
+    SELECT n_same, n_diff, two_u,
+           round(1.0 - CAST(two_u AS DOUBLE) / (2.0 * n_same * n_diff),
+                 12) AS same_label_auc
+    FROM agg_
+    """,
+)
+def emb_same_label_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """LABEL-SEPARABILITY AUC of the metric space: the probability
+    that a random same-label pair is CLOSER than a random cross-label
+    pair (ties half-weighted) — exactly the Mann–Whitney U/ROC-AUC of
+    the distance as a same-label classifier (0.5 = labels invisible
+    to the metric; this corpus's weak clusters land just above). U is
+    computed on the exact-int64 d² pair stream with the counting
+    device (per-distinct-d2 histogram + one cumulative window), so
+    2U is an exact BIGINT — no rank floats, no global row sort, and
+    at 100 TB the histogram window shards by d² range exactly like
+    stats_quantile_normalize."""
+    pairs = _sample_pairs(spark, sf)
+    hist = pairs.groupBy("d2").agg(
+        F.sum(F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0))
+        .cast("long")
+        .alias("ns"),
+        F.sum(F.when(F.col("qlab") != F.col("nlab"), 1).otherwise(0))
+        .cast("long")
+        .alias("nd"),
+    )
+    wless = Window.orderBy("d2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "ns",
+        "nd",
+        F.coalesce(F.sum("nd").over(wless), F.lit(0))
+        .cast("long")
+        .alias("nd_less"),
+    )
+    agg_ = cum.agg(
+        F.sum("ns").cast("long").alias("n_same"),
+        F.sum("nd").cast("long").alias("n_diff"),
+        F.sum(
+            F.col("ns") * (2 * F.col("nd_less") + F.col("nd"))
+        )
+        .cast("long")
+        .alias("two_u"),
+    )
+    auc = F.lit(1.0) - F.col("two_u").cast("double") / (
+        F.lit(2.0) * F.col("n_same") * F.col("n_diff")
+    )
+    return agg_.select(
+        "n_same",
+        "n_diff",
+        "two_u",
+        F.round(auc, 12).alias("same_label_auc"),
+    )
+
+
+@query(
+    "emb_nn_margin_audit",
+    oracle=f"""
+    WITH {_EMB_SAMPLE_PAIRS_SQL},
+    mins AS (
+      SELECT qid, qlab,
+             CAST(min(CASE WHEN qlab = nlab THEN d2 END) AS BIGINT)
+               AS min_same_d2,
+             CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS BIGINT)
+               AS min_other_d2
+      FROM pairs GROUP BY qid, qlab
+    )
+    SELECT qid AS vec_id, qlab AS label, min_same_d2, min_other_d2,
+           min_other_d2 < min_same_d2 AS nn_violation
+    FROM mins
+    WHERE min_same_d2 IS NOT NULL AND min_other_d2 IS NOT NULL
+    """,
+)
+def emb_nn_margin_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """1-NN MARGIN AUDIT per sampled anchor: exact distance to the
+    nearest SAME-label vector vs the nearest OTHER-label vector; a
+    violation (other closer than same) is precisely a leave-one-out
+    1-NN classification error — the pointwise complement to
+    emb_knn_label_accuracy's aggregate rate, naming WHICH anchors sit
+    on the wrong side of their class boundary (retrieval-hard
+    examples = hard-negative candidates). Two conditional MINs over
+    the exact-int64 broadcast pair stream — fully map-combinable."""
+    pairs = _sample_pairs(spark, sf)
+    mins = pairs.groupBy("qid", "qlab").agg(
+        F.min(
+            F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
+        ).alias("min_same_d2"),
+        F.min(
+            F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
+        ).alias("min_other_d2"),
+    )
+    return (
+        mins.filter(
+            F.col("min_same_d2").isNotNull()
+            & F.col("min_other_d2").isNotNull()
+        )
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlab").alias("label"),
+            "min_same_d2",
+            "min_other_d2",
+            (F.col("min_other_d2") < F.col("min_same_d2")).alias(
+                "nn_violation"
+            ),
+        )
+    )
+
+
+@query(
+    "emb_cosine_anisotropy_hist",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    dots AS (
+      SELECT CAST(list_sum([a.qv[i + 1] * b.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS dab,
+             CAST(list_sum([a.qv[i + 1] * a.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS daa,
+             CAST(list_sum([b.qv[i + 1] * b.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS dbb
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    milli AS (
+      SELECT CAST(floor(1000.0 * dab
+               / sqrt(CAST(daa AS DOUBLE) * dbb)) AS BIGINT)
+               AS cos_milli
+      FROM dots
+    )
+    SELECT CAST(floor(CAST(cos_milli AS DOUBLE) / 100) AS BIGINT)
+             AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cos_milli) AS BIGINT) AS sum_cos_milli
+    FROM milli GROUP BY 1
+    """,
+)
+def emb_cosine_anisotropy_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """ANISOTROPY HISTOGRAM — the distribution of pairwise cosines
+    between the 100-anchor sample and the corpus (Ethayarajh 2019's
+    embedding-cone diagnostic: a healthy isotropic space centers near
+    0; a collapsed one piles up near 1, which silently breaks cosine
+    thresholds and SemDeDup radii). All three dot products are exact
+    int64 on the ×256 grid; the cosine is one mirrored double whose
+    FLOOR to milli-units re-enters integer space, so the histogram
+    and its milli-sum are exact. Map-combinable groupBy over the
+    broadcast pair stream; bucket domain is fixed (−10..9)."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    base = emb.select("vec_id", qz.alias("qv"))
+    sample = (
+        base.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(100)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qa"))
+    )
+    dab = F.expr(
+        "aggregate(zip_with(qa, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    daa = F.expr(
+        "aggregate(transform(qa, x -> x * x),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    dbb = F.expr(
+        "aggregate(transform(qv, x -> x * x),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    dots = (
+        base.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
+        .select(dab.alias("dab"), daa.alias("daa"), dbb.alias("dbb"))
+    )
+    cos_milli = F.floor(
+        F.lit(1000.0)
+        * F.col("dab")
+        / F.sqrt(F.col("daa").cast("double") * F.col("dbb"))
+    ).cast("long")
+    return (
+        dots.select(cos_milli.alias("cos_milli"))
+        .groupBy(
+            F.floor(F.col("cos_milli").cast("double") / 100)
+            .cast("long")
+            .alias("cos_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cos_milli").cast("long").alias("sum_cos_milli"),
+        )
     )
 
 

@@ -6272,3 +6272,110 @@ def test_tost_equivalence_matches_python(spark, sf_small):
         assert abs(r.t_lower - t_lo) < 1e-8
         assert abs(r.t_upper - t_hi) < 1e-8
         assert r.equivalent == (t_lo > 1.645 and t_hi < -1.645)
+
+
+def _py_sample_pairs(spark, sf, k=100):
+    import hashlib
+
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf, "embeddings").collect()
+    base = {
+        r.vec_id: (
+            r.label,
+            [round(float(x) * 256) for x in r.embedding],
+        )
+        for r in rows
+    }
+    sample = sorted(
+        base,
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )[:k]
+    out = []
+    for q in sample:
+        qlab, qa = base[q]
+        for n, (nlab, nv) in base.items():
+            if n == q:
+                continue
+            d2 = sum((a - b) * (a - b) for a, b in zip(qa, nv))
+            out.append((q, qlab, n, nlab, d2))
+    return base, sample, out
+
+
+def test_same_label_auc_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    _, _, pairs = _py_sample_pairs(spark, sf_small)
+    same = sorted(d for _, ql, _, nl, d in pairs if ql == nl)
+    diff = sorted(d for _, ql, _, nl, d in pairs if ql != nl)
+    import bisect
+
+    two_u = 0
+    for d in same:
+        lo = bisect.bisect_left(diff, d)
+        hi = bisect.bisect_right(diff, d)
+        two_u += 2 * lo + (hi - lo)
+    auc = 1.0 - two_u / (2.0 * len(same) * len(diff))
+    row = QUERIES["emb_same_label_auc"](spark, sf_small).collect()[0]
+    assert (row.n_same, row.n_diff, row.two_u) == (
+        len(same),
+        len(diff),
+        two_u,
+    )
+    assert abs(row.same_label_auc - auc) < 1e-12
+
+
+def test_nn_margin_audit_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    _, _, pairs = _py_sample_pairs(spark, sf_small)
+    mins = defaultdict(lambda: [None, None])
+    for q, ql, _, nl, d in pairs:
+        m = mins[(q, ql)]
+        i = 0 if ql == nl else 1
+        m[i] = d if m[i] is None else min(m[i], d)
+    want = {
+        k: (m[0], m[1], m[1] < m[0])
+        for k, m in mins.items()
+        if m[0] is not None and m[1] is not None
+    }
+    got = {
+        (r.vec_id, r.label): (
+            r.min_same_d2,
+            r.min_other_d2,
+            r.nn_violation,
+        )
+        for r in QUERIES["emb_nn_margin_audit"](spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_cosine_anisotropy_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    base, sample, _ = _py_sample_pairs(spark, sf_small)
+    want = defaultdict(lambda: [0, 0])
+    for q in sample:
+        qa = base[q][1]
+        daa = sum(x * x for x in qa)
+        for n, (_, nv) in base.items():
+            if n == q:
+                continue
+            dab = sum(a * b for a, b in zip(qa, nv))
+            dbb = sum(x * x for x in nv)
+            cm = math.floor(1000.0 * dab / math.sqrt(daa * dbb))
+            b = math.floor(cm / 100)
+            want[b][0] += 1
+            want[b][1] += cm
+    got = {
+        r.cos_bucket: (r.n_pairs, r.sum_cos_milli)
+        for r in QUERIES["emb_cosine_anisotropy_hist"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
