@@ -296,6 +296,9 @@ CATALOG_BENCH = [
     "emb_same_label_auc",
     "emb_nn_margin_audit",
     "emb_cosine_anisotropy_hist",
+    "join_asof_tolerance",
+    "olap_session_conversion_by_depth",
+    "stats_cvm_test",
 ]
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ def asof_join(
     right_time: str,
     right_payload: list[str],
     direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the matching right row within the
     same ``on`` key —
@@ -28,6 +29,11 @@ def asof_join(
     - ``forward``: earliest right with ``right_time >= left_time``;
     - ``nearest``: whichever of the two is closer in |Δt| (ties →
       backward, the pandas ``merge_asof`` convention).
+
+    ``tolerance`` (same unit as the time columns) nulls the carried
+    payload when the matched row is farther than ``tolerance`` from
+    the left row — the pandas ``merge_asof(tolerance=...)`` contract:
+    the row survives, the match does not.
 
     Implementation: tag + union + one partitioned window with a
     last/first-non-null carry — ONE shuffle on (key), no range cross
@@ -97,9 +103,15 @@ def asof_join(
     )
 
     if direction == "backward":
-        pick = {c: F.col(f"_b_{c}") for c in right_payload}
+        ok = F.lit(True)
+        if tolerance is not None:
+            ok = F.col("_t") - F.col("_b__t") <= F.lit(tolerance)
+        pick = {c: F.when(ok, F.col(f"_b_{c}")) for c in right_payload}
     elif direction == "forward":
-        pick = {c: F.col(f"_f_{c}") for c in right_payload}
+        ok = F.lit(True)
+        if tolerance is not None:
+            ok = F.col("_f__t") - F.col("_t") <= F.lit(tolerance)
+        pick = {c: F.when(ok, F.col(f"_f_{c}")) for c in right_payload}
     else:
         back_dt = F.col("_t") - F.col("_b__t")
         fwd_dt = F.col("_f__t") - F.col("_t")
@@ -110,6 +122,11 @@ def asof_join(
             c: F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
             for c in right_payload
         }
+        if tolerance is not None:
+            within = F.when(use_back, back_dt).otherwise(fwd_dt) <= F.lit(
+                tolerance
+            )
+            pick = {c: F.when(within, e) for c, e in pick.items()}
     return carried.select(
         F.col(on),
         *[F.col(c) for c in left.columns if c != on],

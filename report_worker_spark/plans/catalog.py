@@ -9008,6 +9008,9 @@ _DRIVER_WINDOW = [
     "emb_same_label_auc",
     "emb_nn_margin_audit",
     "emb_cosine_anisotropy_hist",
+    "join_asof_tolerance",
+    "olap_session_conversion_by_depth",
+    "stats_cvm_test",
 ]
 
 
@@ -25215,6 +25218,228 @@ def emb_cosine_anisotropy_hist(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum("cos_milli").cast("long").alias("sum_cos_milli"),
         )
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, e.ts
+      FROM events e ASOF LEFT JOIN orders_d o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN epoch_us(ts) - epoch_us(CAST(o_orderdate AS
+                    TIMESTAMP)) <= 604800000000
+                THEN o_orderkey END AS o_orderkey_7d
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """TOLERANCE-BOUNDED as-of join (pandas merge_asof(tolerance=...)
+    semantics): latest order at or before each event, but only if it
+    landed within the last 7 days — matches farther back are nulled,
+    the event row survives. The staleness bound every online
+    feature-store lookup needs (a price from last year must NOT join
+    onto today's event). Same single-shuffle union+window carry as
+    join_asof (operators.asof_join) — the bound is one comparison on
+    the carried match time, adding zero shuffles."""
+    from ..operators import asof_join
+
+    e = load(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id"),
+        _usec(F.col("ts")).alias("_ts_us"),
+    )
+    o = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "_od_us"
+            ),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="_ts_us",
+        right_time="_od_us",
+        right_payload=["o_orderkey"],
+        tolerance=7 * 24 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("o_orderkey_7d")
+    )
+
+
+@query(
+    "olap_session_conversion_by_depth",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY user_id, sess
+    ),
+    bucketed AS (
+      SELECT CASE WHEN n_events = 1 THEN '1'
+                  WHEN n_events = 2 THEN '2'
+                  WHEN n_events <= 5 THEN '3-5'
+                  ELSE '6+' END AS depth_bucket,
+             converted
+      FROM per
+    )
+    SELECT depth_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converting,
+           CAST(sum(converted) * 1000 // count(*) AS BIGINT)
+             AS conversion_milli
+    FROM bucketed GROUP BY depth_bucket
+    """,
+)
+def olap_session_conversion_by_depth(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """SESSION-DEPTH CONVERSION curve: sessionize each user's events
+    with the native 30-minute session window (the same state-store
+    operator the streaming path uses), flag sessions containing a
+    purchase, and report conversion per depth bucket (1 / 2 / 3-5 /
+    6+ events) — the do-longer-sessions-convert question. Conversion
+    is an exact integer milli-rate (DIV), the session rollup is the
+    proven gaps-and-islands shape, and the bucket census is
+    category-bounded."""
+    e = load(spark, sf, "events")
+    per = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucketed = per.select(
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") == 2, "2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .otherwise("6+")
+        .alias("depth_bucket"),
+        "converted",
+    )
+    return bucketed.groupBy("depth_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.expr("sum(converted) * 1000 div count(*)")
+        .cast("long")
+        .alias("conversion_milli"),
+    )
+
+
+@query(
+    "stats_cvm_test",
+    oracle="""
+    WITH vals AS (
+      SELECT value, event_type = 'click' AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT is_a,
+             CAST(rank() OVER (ORDER BY value) AS BIGINT) AS r,
+             CAST(row_number() OVER (PARTITION BY is_a ORDER BY value)
+               AS BIGINT) AS i
+      FROM vals
+    ),
+    per AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS m,
+             CAST(sum(CASE WHEN is_a THEN (r - i) * (r - i) ELSE 0 END)
+               AS BIGINT) AS da,
+             CAST(sum(CASE WHEN NOT is_a THEN (r - i) * (r - i)
+                      ELSE 0 END) AS BIGINT) AS db
+      FROM ranked
+    )
+    SELECT n, m, CAST(n * da + m * db AS BIGINT) AS u_stat,
+           round(CAST(n * da + m * db AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * m * (n + m))
+                 - (4.0 * n * m - 1) / (6.0 * (n + m)), 12) AS t_stat
+    FROM per
+    """,
+)
+def stats_cvm_test(spark: SparkSession, sf: str) -> DataFrame:
+    """CRAMÉR–VON MISES two-sample test (click vs view value
+    distributions) in the Anderson rank formulation: U = n·Σ(rᵢ−i)² +
+    m·Σ(sⱼ−j)², T = U/(nm(n+m)) − (4nm−1)/(6(n+m)) — the
+    whole-distribution companion to the KS test (T weights the body,
+    KS the worst point; both belong in a drift gate). Ranks use
+    min-rank on ties and the within-group index is a row_number whose
+    tie assignment provably cancels in the squared sum, so U is an
+    exact BIGINT on both engines. The only global structure is the
+    combined rank — at corpus scale it shards by value range exactly
+    like stats_quantile_normalize."""
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = e.select(
+        "value", (F.col("event_type") == "click").alias("is_a")
+    )
+    ranked = vals.select(
+        "is_a",
+        F.rank().over(Window.orderBy("value")).cast("long").alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("is_a").orderBy("value"))
+        .cast("long")
+        .alias("i"),
+    )
+    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    per = ranked.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.sum(F.when(F.col("is_a"), d2).otherwise(0))
+        .cast("long")
+        .alias("da"),
+        F.sum(F.when(~F.col("is_a"), d2).otherwise(0))
+        .cast("long")
+        .alias("db"),
+    )
+    u = F.col("n") * F.col("da") + F.col("m") * F.col("db")
+    t = u.cast("double") / (
+        F.col("n").cast("double") * F.col("m") * (F.col("n") + F.col("m"))
+    ) - (F.lit(4.0) * F.col("n") * F.col("m") - 1) / (
+        F.lit(6.0) * (F.col("n") + F.col("m"))
+    )
+    return per.select(
+        "n",
+        "m",
+        u.cast("long").alias("u_stat"),
+        F.round(t, 12).alias("t_stat"),
     )
 
 

@@ -52,3 +52,47 @@ def test_asof_forward_matches_pandas(spark):
 
 def test_asof_nearest_matches_pandas(spark):
     assert _spark_result(spark, "nearest") == _pandas_result("nearest")
+
+
+def _spark_tol(spark, direction, tol):
+    l = spark.createDataFrame(LEFT, ["k", "lt"])
+    r = spark.createDataFrame(RIGHT, ["k", "rt", "v"])
+    out = asof_join(
+        l, r, on="k", left_time="lt", right_time="rt",
+        right_payload=["v"], direction=direction, tolerance=tol,
+    )
+    return {(row.k, row.lt): row.v for row in out.collect()}
+
+
+def _pandas_tol(direction, tol):
+    l = pd.DataFrame(LEFT, columns=["k", "lt"]).sort_values("lt")
+    r = pd.DataFrame(RIGHT, columns=["k", "rt", "v"]).sort_values("rt")
+    m = pd.merge_asof(
+        l, r, left_on="lt", right_on="rt", by="k",
+        direction=direction, tolerance=tol,
+    )
+    return {
+        (row.k, row.lt): (None if pd.isna(row.v) else int(row.v))
+        for row in m.itertuples()
+    }
+
+
+def test_asof_tolerance_backward_matches_pandas(spark):
+    for tol in (5, 10, 100):
+        assert _spark_tol(spark, "backward", tol) == _pandas_tol(
+            "backward", tol
+        ), tol
+
+
+def test_asof_tolerance_forward_matches_pandas(spark):
+    for tol in (5, 10, 100):
+        assert _spark_tol(spark, "forward", tol) == _pandas_tol(
+            "forward", tol
+        ), tol
+
+
+def test_asof_tolerance_nearest_matches_pandas(spark):
+    for tol in (5, 10, 100):
+        assert _spark_tol(spark, "nearest", tol) == _pandas_tol(
+            "nearest", tol
+        ), tol

@@ -6379,3 +6379,77 @@ def test_cosine_anisotropy_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_session_conversion_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    by_user = defaultdict(list)
+    for r in load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    per = []
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        cur = None
+        for ts, _, et in evs:
+            if cur is None or (ts - cur[0]).total_seconds() >= 1800:
+                if cur is not None:
+                    per.append(cur[1:])
+                cur = [ts, 0, 0]
+            cur[0] = ts
+            cur[1] += 1
+            cur[2] = max(cur[2], et == "purchase")
+        if cur is not None:
+            per.append(cur[1:])
+    want = defaultdict(lambda: [0, 0])
+    for n, conv in per:
+        b = "1" if n == 1 else "2" if n == 2 else "3-5" if n <= 5 else "6+"
+        want[b][0] += 1
+        want[b][1] += conv
+    got = {
+        r.depth_bucket: (r.n_sessions, r.n_converting, r.conversion_milli)
+        for r in QUERIES["olap_session_conversion_by_depth"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for b, (ns, nc) in want.items():
+        assert got[b] == (ns, nc, nc * 1000 // ns), b
+
+
+def test_cvm_test_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    a, b = [], []
+    for r in load(spark, sf_small, "events").select(
+        "event_type", "value"
+    ).collect():
+        if r.event_type == "click":
+            a.append(r.value)
+        elif r.event_type == "view":
+            b.append(r.value)
+    n, m = len(a), len(b)
+    combined = sorted(
+        [(v, 0) for v in a] + [(v, 1) for v in b], key=lambda p: p[0]
+    )
+    # min-rank on ties
+    ranks = {}
+    for idx, (v, _) in enumerate(combined, 1):
+        ranks.setdefault(v, idx)
+    da = sum(
+        (ranks[v] - i) ** 2 for i, v in enumerate(sorted(a), 1)
+    )
+    db = sum(
+        (ranks[v] - j) ** 2 for j, v in enumerate(sorted(b), 1)
+    )
+    u = n * da + m * db
+    t = u / (n * m * (n + m)) - (4.0 * n * m - 1) / (6.0 * (n + m))
+    row = QUERIES["stats_cvm_test"](spark, sf_small).collect()[0]
+    assert (row.n, row.m, row.u_stat) == (n, m, u)
+    assert abs(row.t_stat - t) < 1e-9
