@@ -1086,3 +1086,55 @@ def test_round8_qrs_batch_plan_shapes(spark, sf_oracle):
     cs = plan_of(QUERIES["s4_csv_roundtrip"](spark, sf_oracle), "simple")
     assert "Exchange" not in cs
     assert "EvalPython" not in cs
+
+
+def test_round9_batch_plan_shapes(spark, sf_oracle):
+    """Round-9 additions: the plan properties their docstrings claim."""
+    # BH-FDR: the k-max scalar broadcasts (the customer-dim broadcast
+    # sits behind the localCheckpoint cut, covered by j1's pin)
+    bh = plan_of(QUERIES["stats_bh_fdr"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in bh
+    assert "EvalPython" not in bh
+
+    # PSI: category totals broadcast back onto the category counts
+    psi = plan_of(QUERIES["audit_psi_drift"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in psi
+    assert "EvalPython" not in psi
+
+    # retention triangle: cohort sizes broadcast, never shuffled
+    rt = plan_of(QUERIES["olap_retention_triangle"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in rt
+    assert "EvalPython" not in rt
+
+    # MATTR: row-local higher-order funcs — no shuffle, no Python
+    ma = plan_of(QUERIES["text_mattr_sliding"](spark, sf_oracle), "simple")
+    assert "Exchange" not in ma
+    assert "EvalPython" not in ma
+
+    # Flesch: pure projection — no shuffle
+    fr = plan_of(
+        QUERIES["text_flesch_reading_ease"](spark, sf_oracle), "simple"
+    )
+    assert "Exchange" not in fr
+    assert "EvalPython" not in fr
+
+    # SPC rules: per-key windows only — no Python, stats broadcast
+    spc = plan_of(QUERIES["ts_spc_western_electric"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in spc
+    assert "EvalPython" not in spc
+
+    # anchor-pair ops: the 100-vector sample side must broadcast
+    for q in (
+        "emb_same_label_auc",
+        "emb_nn_margin_audit",
+        "emb_cosine_anisotropy_hist",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, q
+        assert "EvalPython" not in p, q
+
+    # tolerance as-of: same single-shuffle union+window as join_asof —
+    # exactly one exchange on the join key feeding the window sort
+    asof = plan_of(QUERIES["join_asof_tolerance"](spark, sf_oracle))
+    assert "EvalPython" not in asof
+    assert "CartesianProduct" not in asof
