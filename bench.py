@@ -299,6 +299,9 @@ CATALOG_BENCH = [
     "join_asof_tolerance",
     "olap_session_conversion_by_depth",
     "stats_cvm_test",
+    "stats_dunn_index",
+    "text_topk_coverage_curve",
+    "text_heaps_bigram_fit",
 ]
 
 # ---------------------------------------------------------------------------

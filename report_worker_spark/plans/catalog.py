@@ -9011,6 +9011,9 @@ _DRIVER_WINDOW = [
     "join_asof_tolerance",
     "olap_session_conversion_by_depth",
     "stats_cvm_test",
+    "stats_dunn_index",
+    "text_topk_coverage_curve",
+    "text_heaps_bigram_fit",
 ]
 
 
@@ -25440,6 +25443,285 @@ def stats_cvm_test(spark: SparkSession, sf: str) -> DataFrame:
         "m",
         u.cast("long").alias("u_stat"),
         F.round(t, 12).alias("t_stat"),
+    )
+
+
+@query(
+    "stats_dunn_index",
+    oracle=f"""
+    WITH {_EMB_SAMPLE_PAIRS_SQL}
+    SELECT CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS BIGINT)
+             AS min_cross_d2,
+           CAST(max(CASE WHEN qlab = nlab THEN d2 END) AS BIGINT)
+             AS max_same_d2,
+           round(CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS DOUBLE)
+                 / max(CASE WHEN qlab = nlab THEN d2 END), 12)
+             AS dunn_sq
+    FROM pairs
+    """,
+)
+def stats_dunn_index(spark: SparkSession, sf: str) -> DataFrame:
+    """DUNN INDEX (squared form) over the anchored pair sample: the
+    minimum cross-label distance² over the maximum same-label
+    distance² — the worst-case separation/compactness ratio that
+    complements emb_davies_bouldin_sq's average-case score (Dunn ≪ 1
+    here, consistent with the known weak clusters). Two conditional
+    extreme aggregates over the exact-int64 broadcast pair stream —
+    fully map-combinable, one mirrored division."""
+    pairs = _sample_pairs(spark, sf)
+    return pairs.agg(
+        F.min(
+            F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
+        ).alias("min_cross_d2"),
+        F.max(
+            F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
+        ).alias("max_same_d2"),
+        F.round(
+            F.min(
+                F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
+            ).cast("double")
+            / F.max(
+                F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
+            ),
+            12,
+        ).alias("dunn_sq"),
+    )
+
+
+@query(
+    "text_topk_coverage_curve",
+    oracle="""
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM wc),
+    ranked AS (
+      SELECT freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
+               AS rnk,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM wc
+    ),
+    ks AS (SELECT unnest([1, 2, 5, 10, 20, 50, 100, 500]) AS k)
+    SELECT k,
+           CAST(max(rnk) AS BIGINT) AS n_types_used,
+           CAST(max(cum) AS BIGINT) AS cum_tokens,
+           CAST(max(cum) * 1000 // (SELECT n_total FROM tot) AS BIGINT)
+             AS coverage_milli
+    FROM ks JOIN ranked ON ranked.rnk <= ks.k
+    GROUP BY k
+    """,
+)
+def text_topk_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """TOP-K TOKEN COVERAGE curve: what share of the corpus token mass
+    the k most frequent types cover, at k ∈ {1,2,5,10,20,50,100,500}
+    — the vocabulary-sizing curve behind tokenizer budgets and
+    stopword cutoffs (BPE sizing reads exactly this shape). Counts are
+    one map-combinable groupBy; only the ranked vocabulary (types,
+    not tokens) sees the cumulative window; coverage is an exact
+    integer milli-share. Checkpoints clamp to the vocabulary size, so
+    the output is k-bounded."""
+    d = load(spark, sf, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wc = wc.localCheckpoint(eager=False)  # ranked + total
+    tot = wc.agg(F.sum("freq").cast("long").alias("n_total"))
+    wrank = Window.orderBy(F.col("freq").desc(), F.col("w"))
+    ranked = wc.select(
+        F.row_number().over(wrank).cast("long").alias("rnk"),
+        F.sum("freq")
+        .over(wrank.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in (1, 2, 5, 10, 20, 50, 100, 500)], ["k"]
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked.rnk <= ks.k)
+        .groupBy("k")
+        .agg(
+            F.max("rnk").cast("long").alias("n_types_used"),
+            F.max("cum").cast("long").alias("cum_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_types_used",
+            "cum_tokens",
+            F.expr("cum_tokens * 1000 div n_total")
+            .cast("long")
+            .alias("coverage_milli"),
+        )
+    )
+
+
+@query(
+    "text_heaps_bigram_fit",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(row_number() OVER (ORDER BY
+               md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS p
+      FROM documents
+    ),
+    ntok AS (
+      SELECT p, CAST(len(t) AS BIGINT) AS nt,
+             CAST(count(*) OVER () AS BIGINT) AS n_docs
+      FROM docs
+    ),
+    cum AS (
+      SELECT p, n_docs,
+             CAST(sum(nt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_n
+      FROM ntok
+    ),
+    grams AS (
+      SELECT p, unnest(list_distinct(
+               [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]))
+               AS g
+      FROM docs WHERE len(t) >= 2
+    ),
+    firsts AS (SELECT g, CAST(min(p) AS BIGINT) AS fp FROM grams
+               GROUP BY g),
+    cps AS (
+      SELECT DISTINCT (n_docs * u.k + 9) // 10 AS cp
+      FROM cum, unnest(range(1, 11)) AS u(k)
+    ),
+    pts AS (
+      SELECT c.cp,
+             (SELECT cum_n FROM cum WHERE p = c.cp) AS big_n,
+             (SELECT CAST(count(*) AS BIGINT) FROM firsts
+              WHERE fp <= c.cp) AS v
+      FROM cps c
+    ),
+    xy AS (
+      SELECT round(ln(CAST(big_n AS DOUBLE)), 12) AS x,
+             round(ln(CAST(v AS DOUBLE)), 12) AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
+             list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
+             list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sxy,
+             list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sxx
+      FROM xy
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+             AS heaps_beta,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 9) AS heaps_lnk
+    FROM s
+    """,
+)
+def text_heaps_bigram_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """HEAPS'-LAW fit V(N) = K·N^β over BIGRAM types: vocabulary-growth
+    checkpoints at corpus deciles (documents in md5(doc_id) order — a
+    deterministic shuffle of arrival order), log-log OLS via the same
+    pre-rounded sorted-fold device as text_zipf_fit. β far below the
+    one seen on held-out text flags vocabulary saturation (template
+    floods); the K/β pair also forecasts unique-type storage for
+    tokenizer and dedup-index sizing. First-occurrence positions are
+    one groupBy(min); checkpoint lookups are 10-row broadcasts."""
+    d = load(spark, sf, "documents")
+    worder = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    docs = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+        F.row_number().over(worder).cast("long").alias("p"),
+    )
+    docs = docs.localCheckpoint(eager=False)  # cum + grams
+    cum = docs.select(
+        "p",
+        F.sum(F.size("t").cast("long"))
+        .over(
+            Window.orderBy("p").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum_n"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # n_docs + checkpoint join
+    n_docs = cum.agg(F.max("p").alias("n_docs"))
+    grams = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "p",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat(element_at(t, i), ' ',"
+                        " element_at(t, i + 1)))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    firsts = grams.groupBy("g").agg(F.min("p").cast("long").alias("fp"))
+    cps = (
+        n_docs.crossJoin(
+            F.broadcast(
+                spark.range(1, 11).select(F.col("id").alias("k"))
+            )
+        )
+        .select(
+            F.expr("(n_docs * k + 9) div 10").cast("long").alias("cp")
+        )
+        .distinct()
+    )
+    cps = cps.localCheckpoint(eager=False)  # two joins
+    pts = (
+        cps.join(cum, cps.cp == cum.p)
+        .select("cp", F.col("cum_n").alias("big_n"))
+        .join(
+            firsts.join(F.broadcast(cps), firsts.fp <= cps.cp)
+            .groupBy("cp")
+            .agg(F.count(F.lit(1)).cast("long").alias("v")),
+            "cp",
+        )
+    )
+    xy = pts.select(
+        F.round(F.log(F.col("big_n").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 12).alias("y"),
+    )
+
+    def fold(col: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n",
+        F.round(slope, 9).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 9
+        ).alias("heaps_lnk"),
     )
 
 

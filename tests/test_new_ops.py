@@ -6453,3 +6453,85 @@ def test_cvm_test_matches_python(spark, sf_small):
     row = QUERIES["stats_cvm_test"](spark, sf_small).collect()[0]
     assert (row.n, row.m, row.u_stat) == (n, m, u)
     assert abs(row.t_stat - t) < 1e-9
+
+
+def test_dunn_index_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    _, _, pairs = _py_sample_pairs(spark, sf_small)
+    same = [d for _, ql, _, nl, d in pairs if ql == nl]
+    cross = [d for _, ql, _, nl, d in pairs if ql != nl]
+    row = QUERIES["stats_dunn_index"](spark, sf_small).collect()[0]
+    assert row.min_cross_d2 == min(cross)
+    assert row.max_same_d2 == max(same)
+    assert abs(row.dunn_sq - min(cross) / max(same)) < 1e-12
+
+
+def test_topk_coverage_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    cnt = Counter()
+    for r in load(spark, sf_small, "documents").collect():
+        cnt.update(w for w in r.text.split(" ") if w)
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r.k: (r.n_types_used, r.cum_tokens, r.coverage_milli)
+        for r in QUERIES["text_topk_coverage_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    for k in (1, 2, 5, 10, 20, 50, 100, 500):
+        used = min(k, len(ranked))
+        cum = sum(c for _, c in ranked[:used])
+        assert got[k] == (used, cum, cum * 1000 // total), k
+
+
+def test_heaps_bigram_fit_matches_python(spark, sf_small):
+    import hashlib
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    order = sorted(
+        docs,
+        key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+    )
+    n_docs = len(order)
+    cps = sorted({(n_docs * k + 9) // 10 for k in range(1, 11)})
+    seen = set()
+    firsts = {}
+    cum_n = 0
+    cums = {}
+    for p, did in enumerate(order, 1):
+        t = docs[did]
+        cum_n += len(t)
+        cums[p] = cum_n
+        for i in range(len(t) - 1):
+            g = t[i] + " " + t[i + 1]
+            if g not in seen:
+                seen.add(g)
+                firsts[g] = p
+    xs, ys = [], []
+    for cp in cps:
+        v = sum(1 for fp in firsts.values() if fp <= cp)
+        xs.append(round(math.log(cums[cp]), 12))
+        ys.append(round(math.log(v), 12))
+    n = len(xs)
+    sx, sy = sum(sorted(xs)), sum(sorted(ys))
+    sxy = sum(sorted(x * y for x, y in zip(xs, ys)))
+    sxx = sum(sorted(x * x for x in xs))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    row = QUERIES["text_heaps_bigram_fit"](spark, sf_small).collect()[0]
+    assert row.n == n
+    assert abs(row.heaps_beta - beta) < 1e-8
+    assert abs(row.heaps_lnk - lnk) < 1e-8
