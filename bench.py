@@ -302,6 +302,9 @@ CATALOG_BENCH = [
     "stats_dunn_index",
     "text_topk_coverage_curve",
     "text_heaps_bigram_fit",
+    "multimodal_png_quadrant_stats",
+    "ts_rolling_distinct_users",
+    "olap_open_order_aging",
 ]
 
 # ---------------------------------------------------------------------------

@@ -543,6 +543,49 @@ def png_pixel_stats(
     )
 
 
+def _png_quadrant_row(content: bytes) -> dict:
+    import numpy as np
+
+    d = decode_png_pixels(content)
+    w, h, c = d["width"], d["height"], d["channels"]
+    px = (
+        np.frombuffer(d["pixels"], dtype=np.uint8)
+        .reshape(h, w, c)
+        .astype(np.int64)
+    )
+    hs, ws = h // 2, w // 2
+    return {
+        "width": w,
+        "height": h,
+        "q_tl": int(px[:hs, :ws].sum()),
+        "q_tr": int(px[:hs, ws:].sum()),
+        "q_bl": int(px[hs:, :ws].sum()),
+        "q_br": int(px[hs:, ws:].sum()),
+    }
+
+
+def png_quadrant_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """POSITION-AWARE pixel sums from REAL decode: all-channel byte
+    sums per image quadrant (split at h//2 / w//2, middle row/col to
+    the bottom/right). Strictly stronger evidence than channel sums:
+    a decode that transposed rows, mis-ordered filter reconstruction,
+    or shifted scanlines would still pass global channel sums but
+    shifts mass between quadrants and mismatches here. Same
+    quarantined Arrow kernel, no shuffle."""
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            _png_quadrant_row,
+            "width int, height int, "
+            "q_tl long, q_tr long, q_bl long, q_br long",
+        ),
+        with_quarantine,
+    )
+
+
 def resize_png(
     media: DataFrame, out_w: int, out_h: int,
     with_quarantine: bool = False,

@@ -9014,6 +9014,9 @@ _DRIVER_WINDOW = [
     "stats_dunn_index",
     "text_topk_coverage_curve",
     "text_heaps_bigram_fit",
+    "multimodal_png_quadrant_stats",
+    "ts_rolling_distinct_users",
+    "olap_open_order_aging",
 ]
 
 
@@ -25722,6 +25725,167 @@ def text_heaps_bigram_fit(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 9
         ).alias("heaps_lnk"),
+    )
+
+
+@query(
+    "multimodal_png_quadrant_stats",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    blocks AS (
+      SELECT media_id, w, h, w*h*3 AS n,
+             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
+      FROM img
+    ),
+    bytes AS (
+      SELECT media_id, w, h, n, b,
+             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))
+               AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, w, h,
+             ((b*16 + j) // 3) // w AS row_,
+             ((b*16 + j) // 3) % w AS col_,
+             {_PNG_KS_BYTE} AS v
+      FROM bytes WHERE b*16 + j < n
+    )
+    SELECT media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(CASE WHEN row_ < h // 2 AND col_ < w // 2
+                         THEN v ELSE 0 END) AS BIGINT) AS q_tl,
+           CAST(sum(CASE WHEN row_ < h // 2 AND col_ >= w // 2
+                         THEN v ELSE 0 END) AS BIGINT) AS q_tr,
+           CAST(sum(CASE WHEN row_ >= h // 2 AND col_ < w // 2
+                         THEN v ELSE 0 END) AS BIGINT) AS q_bl,
+           CAST(sum(CASE WHEN row_ >= h // 2 AND col_ >= w // 2
+                         THEN v ELSE 0 END) AS BIGINT) AS q_br
+    FROM vals GROUP BY media_id
+    """,
+)
+def multimodal_png_quadrant_stats(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """SPATIAL pixel profile from REAL PNG decode: all-channel byte
+    sums per quadrant. This is the position-sensitive upgrade of
+    multimodal_png_pixel_stats — a decoder that transposed rows,
+    reconstructed filters in the wrong order, or shifted scanlines
+    would pass global channel sums yet move mass between quadrants
+    and mismatch the keystream oracle here (the oracle recomputes
+    each byte's (row, col) arithmetically). Quarantined Arrow
+    mapInPandas kernel, no shuffle."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id")
+    return mm.png_quadrant_stats(media)
+
+
+@query(
+    "ts_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+    ),
+    fan AS (
+      SELECT user_id, day + o.off AS target_day
+      FROM ud, unnest(range(0, 7)) AS o(off)
+      WHERE day + o.off <= 29
+    )
+    SELECT CAST(target_day AS INT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+    FROM fan GROUP BY target_day
+    """,
+)
+def ts_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT 7-DAY ROLLING DISTINCT USERS (trailing WAU per day) —
+    the metric a windowed SUM cannot produce because distinct does
+    not decompose over sliding windows. The scalable exact shape:
+    dedup to (user, day) first (one map-combinable distinct), then
+    fan each user-day out to the ≤7 window endpoints it supports and
+    count distinct per target day — shuffle volume is 7×|user-days|,
+    independent of raw event volume, and beats re-scanning 7 days of
+    events per day by the events/user-day ratio. (The approximate
+    companion at extreme scale is agg_hll_mergeable's sketch-union
+    over daily HLLs.)"""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    ud = (
+        e.select("user_id", day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .distinct()
+    )
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "target_day"
+            ),
+        )
+        .filter(F.col("target_day") <= 29)
+    )
+    return (
+        fan.groupBy(F.col("target_day").cast("int").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("dau_7d"))
+    )
+
+
+@query(
+    "olap_open_order_aging",
+    oracle="""
+    WITH open_ AS (
+      SELECT o_orderkey, o_totalprice,
+             date_diff('day', o_orderdate, DATE '1998-08-02') AS age_days
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days < 365 THEN '0-1y'
+                WHEN age_days < 730 THEN '1-2y'
+                WHEN age_days < 1460 THEN '2-4y'
+                ELSE '4y+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS open_cents,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM open_ GROUP BY 1
+    """,
+)
+def olap_open_order_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """OPEN-ORDER AGING report — the accounts-receivable staple: every
+    still-open order bucketed by age at the corpus horizon, with exact
+    open value in cents. One filtered map-combinable groupBy over a
+    fixed 4-bucket domain; the filter and the two scanned columns push
+    down to the parquet scan."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")
+    )
+    open_ = o.select(
+        age.alias("age_days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("age_days") < 365, "0-1y")
+        .when(F.col("age_days") < 730, "1-2y")
+        .when(F.col("age_days") < 1460, "2-4y")
+        .otherwise("4y+")
+    )
+    return open_.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("open_cents"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
     )
 
 

@@ -6535,3 +6535,102 @@ def test_heaps_bigram_fit_matches_python(spark, sf_small):
     assert row.n == n
     assert abs(row.heaps_beta - beta) < 1e-8
     assert abs(row.heaps_lnk - lnk) < 1e-8
+
+
+def test_png_quadrant_stats_matches_python(spark, sf_small):
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+        if r.doc_id % 2 == 0
+    ]
+    got = {
+        r.media_id: (r.width, r.height, r.q_tl, r.q_tr, r.q_bl, r.q_br)
+        for r in QUERIES["multimodal_png_quadrant_stats"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids[:50]:
+        w, h = mid % 31 + 2, mid % 23 + 2
+        n = w * h * 3
+        ks = b"".join(
+            hashlib.md5(f"{mid}:{b}".encode()).digest()
+            for b in range((n + 15) // 16)
+        )[:n]
+        q = [0, 0, 0, 0]
+        for gi, v in enumerate(ks):
+            pi = gi // 3
+            r_, c_ = pi // w, pi % w
+            idx = (0 if r_ < h // 2 else 2) + (0 if c_ < w // 2 else 1)
+            q[idx] += v
+        assert got[mid] == (w, h, q[0], q[1], q[2], q[3]), mid
+
+
+def test_rolling_distinct_users_matches_python(spark, sf_small):
+    import datetime
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ud = set()
+    for r in load(spark, sf_small, "events").select("user_id", "ts").collect():
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            ud.add((r.user_id, d))
+    got = {
+        r.day: r.dau_7d
+        for r in QUERIES["ts_rolling_distinct_users"](
+            spark, sf_small
+        ).collect()
+    }
+    for day in range(30):
+        users = {u for u, d in ud if day - 6 <= d <= day}
+        if users:
+            assert got[day] == len(users), day
+
+
+def test_open_order_aging_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    horizon = datetime.date(1998, 8, 2)
+    want = defaultdict(lambda: [0, 0, None, None])
+    for r in load(spark, sf_small, "orders").collect():
+        if r.o_orderstatus != "O":
+            continue
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        age = (horizon - od).days
+        b = (
+            "0-1y" if age < 365
+            else "1-2y" if age < 730
+            else "2-4y" if age < 1460
+            else "4y+"
+        )
+        w = want[b]
+        w[0] += 1
+        w[1] += round(r.o_totalprice * 100)
+        w[2] = age if w[2] is None else min(w[2], age)
+        w[3] = age if w[3] is None else max(w[3], age)
+    got = {
+        r.age_bucket: (
+            r.n_orders,
+            r.open_cents,
+            r.min_age_days,
+            r.max_age_days,
+        )
+        for r in QUERIES["olap_open_order_aging"](spark, sf_small).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
