@@ -305,6 +305,9 @@ CATALOG_BENCH = [
     "multimodal_png_quadrant_stats",
     "ts_rolling_distinct_users",
     "olap_open_order_aging",
+    "stats_chatterjee_xi",
+    "audit_join_fanout_forecast",
+    "ts_max_drawdown",
 ]
 
 # ---------------------------------------------------------------------------

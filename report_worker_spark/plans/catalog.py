@@ -9017,6 +9017,9 @@ _DRIVER_WINDOW = [
     "multimodal_png_quadrant_stats",
     "ts_rolling_distinct_users",
     "olap_open_order_aging",
+    "stats_chatterjee_xi",
+    "audit_join_fanout_forecast",
+    "ts_max_drawdown",
 ]
 
 
@@ -25886,6 +25889,233 @@ def olap_open_order_aging(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").cast("long").alias("open_cents"),
         F.min("age_days").cast("long").alias("min_age_days"),
         F.max("age_days").cast("long").alias("max_age_days"),
+    )
+
+
+@query(
+    "stats_chatterjee_xi",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    paired AS (
+      SELECT g1.day, g1.n AS x, g2.n AS y
+      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
+      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
+    ),
+    rk AS (
+      SELECT day, x,
+             CAST(rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r
+      FROM paired
+    ),
+    diffs AS (
+      SELECT abs(r - lag(r) OVER (ORDER BY x, day)) AS ad
+      FROM rk
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n,
+           CAST(sum(ad) AS BIGINT) AS sum_abs_dr,
+           round(1.0 - 3.0 * sum(ad)
+                 / (CAST(count(*) + 1 AS DOUBLE) * (count(*) + 1) - 1),
+                 12) AS xi
+    FROM diffs WHERE ad IS NOT NULL
+    """,
+)
+def stats_chatterjee_xi(spark: SparkSession, sf: str) -> DataFrame:
+    """CHATTERJEE'S ξ rank correlation (2020) between the daily click
+    and view series — the modern dependence coefficient that, unlike
+    Pearson/Spearman, detects NON-MONOTONE functional dependence
+    (ξ→1 iff y is a measurable function of x, ξ≈0 iff independent):
+    sort by x, take ranks rᵢ = #{yⱼ ≤ yᵢ}, ξ = 1 − 3Σ|rᵢ₊₁−rᵢ|/(n²−1).
+    Ranks and the lag-difference sum are exact BIGINTs (x ties broken
+    by day, so the sort order is total on both engines); ξ is one
+    mirrored division. Per-key ordered-scan shape, same class as the
+    SPC/PH detectors."""
+    g = _daily_grid(spark, sf)
+    clicks = g.filter(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("x")
+    )
+    views = g.filter(F.col("event_type") == "view").select(
+        "day", F.col("n").alias("y")
+    )
+    paired = clicks.join(views, "day")
+    rk = paired.select(
+        "day",
+        "x",
+        (
+            F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    diffs = rk.select(
+        F.abs(
+            F.col("r") - F.lag("r").over(Window.orderBy("x", "day"))
+        ).alias("ad")
+    ).filter(F.col("ad").isNotNull())
+    n = F.count(F.lit(1)) + 1
+    return diffs.agg(
+        n.cast("long").alias("n"),
+        F.sum("ad").cast("long").alias("sum_abs_dr"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(3.0)
+            * F.sum("ad")
+            / (n.cast("double") * n - 1),
+            12,
+        ).alias("xi"),
+    )
+
+
+@query(
+    "audit_join_fanout_forecast",
+    oracle="""
+    WITH lc AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+      FROM orders GROUP BY o_orderkey
+    ),
+    rc AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT coalesce(lc.k, rc.k) AS k,
+             coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr
+      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+    )
+    SELECT CAST(sum(nl) AS BIGINT) AS left_rows,
+           CAST(sum(nr) AS BIGINT) AS right_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(nl * nr) AS BIGINT) AS forecast_join_rows,
+           CAST(max(nl * nr) AS BIGINT) AS worst_key_rows,
+           CAST(min(CASE WHEN nl * nr = (SELECT max(nl * nr) FROM m)
+                         THEN k END) AS BIGINT) AS worst_key
+    FROM m
+    """,
+)
+def audit_join_fanout_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN FAN-OUT FORECAST — predict |A ⋈ B| BEFORE running the
+    join: Σₖ nₗ(k)·nᵣ(k) over the key histogram, plus the worst key
+    (the skew culprit a salting pass must target). At 100 TB this is
+    the pre-flight check that catches the accidental many-to-many
+    (a duplicated dim key turning a 1:N join into N:M) while it is
+    still two cheap map-combinable key counts instead of an exploded
+    shuffle — the planning twin of join_salted_skew's remedy and
+    stats_key_skew's histogram."""
+    o = load(spark, sf, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    li = load(spark, sf, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    m = (
+        o.join(li, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # agg + worst-key lookup
+    agg_ = m.agg(
+        F.sum("nl").cast("long").alias("left_rows"),
+        F.sum("nr").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("nl") * F.col("nr"))
+        .cast("long")
+        .alias("forecast_join_rows"),
+        F.max(F.col("nl") * F.col("nr")).cast("long").alias("worst_key_rows"),
+    )
+    worst = (
+        m.select("k", (F.col("nl") * F.col("nr")).alias("p"))
+        .join(
+            F.broadcast(agg_.select(F.col("worst_key_rows").alias("p"))),
+            "p",
+        )
+        .agg(F.min("k").cast("long").alias("worst_key"))
+    )
+    return agg_.crossJoin(F.broadcast(worst))
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'
+      GROUP BY o_orderdate
+    ),
+    cum AS (
+      SELECT day,
+             CAST(sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT day, c,
+             CAST(max(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - c AS BIGINT) AS drawdown
+      FROM cum
+    ),
+    best AS (SELECT CAST(max(drawdown) AS BIGINT) AS max_dd FROM dd)
+    SELECT b.max_dd AS max_drawdown_cents,
+           CAST(min(d.day) AS DATE) AS trough_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM dd d CROSS JOIN best b
+    WHERE d.drawdown = b.max_dd
+    GROUP BY b.max_dd
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of 1995 cumulative daily revenue — the
+    largest peak-to-trough drop (here of net daily deltas vs the
+    running record; on a strictly increasing revenue series the
+    interesting signal is how long the slowest stretch is, so the
+    statistic is computed on exact CENTS and reported with its trough
+    day). Running max minus running sum, both exact-BIGINT cumulative
+    windows in day order — the per-key ordered-scan shape shared by
+    the SPC/PH family (here one global series; per-entity variants
+    partition the same windows)."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "day", F.sum("rev").over(wcum).cast("long").alias("c")
+    )
+    dd = cum.select(
+        "day",
+        (F.max("c").over(wcum) - F.col("c"))
+        .cast("long")
+        .alias("drawdown"),
+    )
+    dd = dd.localCheckpoint(eager=False)  # consumed twice
+    best = dd.agg(F.max("drawdown").cast("long").alias("max_dd"))
+    return (
+        dd.crossJoin(F.broadcast(best))
+        .filter(F.col("drawdown") == F.col("max_dd"))
+        .groupBy("max_dd")
+        .agg(
+            F.min("day").alias("trough_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select(
+            F.col("max_dd").alias("max_drawdown_cents"),
+            "trough_day",
+            "n_days",
+        )
     )
 
 

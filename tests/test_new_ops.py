@@ -6634,3 +6634,82 @@ def test_open_order_aging_matches_python(spark, sf_small):
         for r in QUERIES["olap_open_order_aging"](spark, sf_small).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_chatterjee_xi_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    xs, ys = grid["click"], grid["view"]
+    days = list(range(30))
+    order = sorted(days, key=lambda d: (xs[d], d))
+    ranks = {d: sum(1 for e in days if ys[e] <= ys[d]) for d in days}
+    sad = sum(
+        abs(ranks[order[i + 1]] - ranks[order[i]])
+        for i in range(len(order) - 1)
+    )
+    n = len(days)
+    xi = 1.0 - 3.0 * sad / (n * n - 1)
+    row = QUERIES["stats_chatterjee_xi"](spark, sf_small).collect()[0]
+    assert (row.n, row.sum_abs_dr) == (n, sad)
+    assert abs(row.xi - xi) < 1e-12
+
+
+def test_join_fanout_forecast_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    nl = Counter(
+        r.o_orderkey
+        for r in load(spark, sf_small, "orders").select("o_orderkey").collect()
+    )
+    nr = Counter(
+        r.l_orderkey
+        for r in load(spark, sf_small, "lineitem").select("l_orderkey").collect()
+    )
+    keys = set(nl) | set(nr)
+    prods = {k: nl.get(k, 0) * nr.get(k, 0) for k in keys}
+    worst = max(prods.values())
+    row = QUERIES["audit_join_fanout_forecast"](spark, sf_small).collect()[0]
+    assert row.left_rows == sum(nl.values())
+    assert row.right_rows == sum(nr.values())
+    assert row.n_keys == len(keys)
+    assert row.forecast_join_rows == sum(prods.values())
+    assert row.worst_key_rows == worst
+    assert row.worst_key == min(k for k, p in prods.items() if p == worst)
+
+
+def test_max_drawdown_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    daily = defaultdict(int)
+    for r in load(spark, sf_small, "orders").collect():
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        if od.year == 1995:
+            daily[od] += round(r.o_totalprice * 100)
+    c = 0
+    peak = None
+    dds = []
+    for day in sorted(daily):
+        c += daily[day]
+        peak = c if peak is None else max(peak, c)
+        dds.append((day, peak - c))
+    mx = max(d for _, d in dds)
+    trough = min(day for day, d in dds if d == mx)
+    n = sum(1 for _, d in dds if d == mx)
+    row = QUERIES["ts_max_drawdown"](spark, sf_small).collect()[0]
+    assert row.max_drawdown_cents == mx
+    td = row.trough_day
+    td = td.date() if hasattr(td, "date") and not isinstance(td, datetime.date) else td
+    assert str(td)[:10] == str(trough)
+    assert row.n_days == n
