@@ -308,6 +308,9 @@ CATALOG_BENCH = [
     "stats_chatterjee_xi",
     "audit_join_fanout_forecast",
     "ts_max_drawdown",
+    "curation_pack_straddle_audit",
+    "olap_price_volume_bridge",
+    "dedup_prefix_clusters",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9020,6 +9020,9 @@ _DRIVER_WINDOW = [
     "stats_chatterjee_xi",
     "audit_join_fanout_forecast",
     "ts_max_drawdown",
+    "curation_pack_straddle_audit",
+    "olap_price_volume_bridge",
+    "dedup_prefix_clusters",
 ]
 
 
@@ -26115,6 +26118,209 @@ def ts_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
             F.col("max_dd").alias("max_drawdown_cents"),
             "trough_day",
             "n_days",
+        )
+    )
+
+
+@query(
+    "curation_pack_straddle_audit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - n_tokens AS tokens_before
+      FROM t
+    ), placed AS (
+      SELECT doc_id, n_tokens,
+             tokens_before // 2048 AS pack_id,
+             tokens_before % 2048 AS pack_offset
+      FROM c
+    )
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs_starting,
+           CAST(sum(CASE WHEN pack_offset + n_tokens > 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           CAST(sum(CASE WHEN pack_offset + n_tokens > 2048
+                         THEN pack_offset + n_tokens - 2048
+                         ELSE 0 END) AS BIGINT) AS straddle_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_starting
+    FROM placed GROUP BY pack_id
+    """,
+)
+def curation_pack_straddle_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """PACK-BOUNDARY STRADDLE audit for concat-then-chunk packing
+    (curation_pack_sequences' layout): per 2048-token pack, how many
+    documents start in it, how many run past its boundary, and how
+    much token mass crosses — exactly the contamination a cross-
+    document attention mask (or boundary-resetting position ids) must
+    handle, and the quantity that decides whether best-fit packing is
+    worth its shuffle. Same exact prefix-sum math as the packer (two-
+    pass per-shard offsets at scale), one extra map-combinable
+    groupBy."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = t.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "n_tokens",
+        F.expr("tokens_before div 2048").alias("pack_id"),
+        (F.col("tokens_before") % 2048).alias("pack_offset"),
+    )
+    over = F.col("pack_offset") + F.col("n_tokens") - 2048
+    return placed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_starting"),
+        F.sum(F.when(over > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling"),
+        F.sum(F.when(over > 0, over).otherwise(0))
+        .cast("long")
+        .alias("straddle_tokens"),
+        F.sum("n_tokens").cast("long").alias("tokens_starting"),
+    )
+
+
+@query(
+    "olap_price_volume_bridge",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_brand AS brand,
+             CAST(extract(year FROM l.l_shipdate) AS INT) AS y,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1994-01-01'
+        AND l.l_shipdate < DATE '1996-01-01'
+      GROUP BY p.p_brand, 2
+    ),
+    pivot_ AS (
+      SELECT brand,
+             CAST(max(CASE WHEN y = 1994 THEN qty END) AS BIGINT) AS q0,
+             CAST(max(CASE WHEN y = 1994 THEN rev_cents END) AS BIGINT)
+               AS r0,
+             CAST(max(CASE WHEN y = 1995 THEN qty END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN y = 1995 THEN rev_cents END) AS BIGINT)
+               AS r1
+      FROM yr GROUP BY brand
+      HAVING max(CASE WHEN y = 1994 THEN qty END) IS NOT NULL
+         AND max(CASE WHEN y = 1995 THEN qty END) IS NOT NULL
+    )
+    SELECT brand, q0, q1, r0, r1,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0), 6)
+             AS volume_effect_cents,
+           round(q1 * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0),
+                 6) AS price_effect_cents
+    FROM pivot_
+    """,
+)
+def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """PRICE-VOLUME BRIDGE — decompose each brand's 1994→1995 revenue
+    change into a volume effect (Δq at the old average price) and a
+    price effect (new volume × Δ average price); the two effects sum
+    to Δrevenue exactly by construction (laspeyres-volume /
+    current-weight-price split). Quantities and cents are exact
+    BIGINTs; average prices are mirrored single divisions, effects
+    rounded at 6 (cents scale). One fact-side groupBy with the part
+    dim broadcast — the canonical star-join rollup shape."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    yr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("int").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    piv = (
+        yr.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("y") == 1994, F.col("qty"))).alias("q0"),
+            F.max(
+                F.when(F.col("y") == 1994, F.col("rev_cents"))
+            ).alias("r0"),
+            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q1"),
+            F.max(
+                F.when(F.col("y") == 1995, F.col("rev_cents"))
+            ).alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    return piv.select(
+        "brand",
+        F.col("q0").cast("long").alias("q0"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("r0").cast("long").alias("r0"),
+        F.col("r1").cast("long").alias("r1"),
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.round((F.col("q1") - F.col("q0")) * p0, 6).alias(
+            "volume_effect_cents"
+        ),
+        F.round(F.col("q1") * (p1 - p0), 6).alias("price_effect_cents"),
+    )
+
+
+@query(
+    "dedup_prefix_clusters",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents
+    ),
+    cl AS (
+      SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM pre GROUP BY prefix HAVING count(*) > 1
+    )
+    SELECT md5(prefix) AS prefix_key, n_docs, canonical_id
+    FROM cl
+    """,
+)
+def dedup_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFIX-COLLISION clusters: documents sharing their first 64
+    characters — the cheapest near-dup precursor (one substring hash
+    groupBy, no shingles, no signatures) that catches templated
+    openings, mirror headers, and re-posts before the MinHash pass
+    spends real money; emitted with a min-id canonical like
+    dedup_exact. Fully map-combinable; the key is the md5 of the
+    prefix so wide prefixes never travel through the shuffle at
+    scale."""
+    d = load(spark, sf, "documents")
+    pre = d.select(
+        "doc_id", F.substring(F.col("text"), 1, 64).alias("prefix")
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5(F.col("prefix").cast("binary")).alias("prefix_key"),
+            "n_docs",
+            "canonical_id",
         )
     )
 

@@ -6713,3 +6713,107 @@ def test_max_drawdown_matches_python(spark, sf_small):
     td = td.date() if hasattr(td, "date") and not isinstance(td, datetime.date) else td
     assert str(td)[:10] == str(trough)
     assert row.n_days == n
+
+
+def test_pack_straddle_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    toks = {
+        r.doc_id: len(r.text.split())
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    before = 0
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for did in sorted(toks):
+        n = toks[did]
+        pid, off = before // 2048, before % 2048
+        w = want[pid]
+        w[0] += 1
+        if off + n > 2048:
+            w[1] += 1
+            w[2] += off + n - 2048
+        w[3] += n
+        before += n
+    got = {
+        r.pack_id: (
+            r.n_docs_starting,
+            r.n_straddling,
+            r.straddle_tokens,
+            r.tokens_starting,
+        )
+        for r in QUERIES["curation_pack_straddle_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_price_volume_bridge_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_small, "part").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # q0 r0 q1 r1
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    ).collect():
+        sd = (
+            r.l_shipdate.date()
+            if isinstance(r.l_shipdate, datetime.datetime)
+            else r.l_shipdate
+        )
+        if sd.year not in (1994, 1995):
+            continue
+        a = agg[brand[r.l_partkey]]
+        o = 0 if sd.year == 1994 else 2
+        a[o] += int(r.l_quantity)
+        a[o + 1] += round(r.l_extendedprice * 100)
+    got = {
+        r.brand: r
+        for r in QUERIES["olap_price_volume_bridge"](
+            spark, sf_small
+        ).collect()
+    }
+    want = {b: a for b, a in agg.items() if a[0] and a[2]}
+    assert set(got) == set(want)
+    for b, (q0, r0, q1, r1) in want.items():
+        g = got[b]
+        assert (g.q0, g.r0, g.q1, g.r1) == (q0, r0, q1, r1)
+        assert g.delta_cents == r1 - r0
+        ve = (q1 - q0) * (r0 / q0)
+        pe = q1 * (r1 / q1 - r0 / q0)
+        assert abs(g.volume_effect_cents - ve) < 1e-4
+        assert abs(g.price_effect_cents - pe) < 1e-4
+        # the two effects reconstruct the delta
+        assert abs((ve + pe) - (r1 - r0)) < 1e-4
+
+
+def test_prefix_clusters_matches_python(spark, sf_small):
+    import hashlib
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    groups = defaultdict(list)
+    for r in load(spark, sf_small, "documents").collect():
+        groups[r.text[:64]].append(r.doc_id)
+    want = {
+        hashlib.md5(p.encode()).hexdigest(): (len(ids), min(ids))
+        for p, ids in groups.items()
+        if len(ids) > 1
+    }
+    got = {
+        r.prefix_key: (r.n_docs, r.canonical_id)
+        for r in QUERIES["dedup_prefix_clusters"](spark, sf_small).collect()
+    }
+    assert got == want
