@@ -311,6 +311,9 @@ CATALOG_BENCH = [
     "curation_pack_straddle_audit",
     "olap_price_volume_bridge",
     "dedup_prefix_clusters",
+    "stats_kendall_w",
+    "graph_fof_recommendations",
+    "olap_xyz_classification",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9023,6 +9023,9 @@ _DRIVER_WINDOW = [
     "curation_pack_straddle_audit",
     "olap_price_volume_bridge",
     "dedup_prefix_clusters",
+    "stats_kendall_w",
+    "graph_fof_recommendations",
+    "olap_xyz_classification",
 ]
 
 
@@ -26322,6 +26325,250 @@ def dedup_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
             "n_docs",
             "canonical_id",
         )
+    )
+
+
+@query(
+    "stats_kendall_w",
+    oracle=f"""
+    WITH {_DAILY_GRID_SQL},
+    rk AS (
+      SELECT event_type, day,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+                  + count(*) OVER (PARTITION BY event_type, n) - 1
+               AS BIGINT) AS two_r
+      FROM grid
+    ),
+    sums AS (
+      SELECT day, CAST(sum(two_r) AS BIGINT) AS d FROM rk GROUP BY day
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tt
+      FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+            FROM grid GROUP BY event_type, n)
+      WHERE t > 1
+    ),
+    m_ AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS m,
+             CAST(count(DISTINCT day) AS BIGINT) AS n
+      FROM grid
+    )
+    SELECT m_.m, m_.n,
+           CAST(3 * (m_.n * (SELECT sum(d * d) FROM sums)
+                     - (SELECT sum(d) FROM sums)
+                       * (SELECT sum(d) FROM sums)) AS BIGINT) AS w_num,
+           CAST(m_.n * (m_.m * m_.m * (m_.n * m_.n * m_.n - m_.n)
+                        - m_.m * ties.tt) AS BIGINT) AS w_den,
+           round(CAST(3 * (m_.n * (SELECT sum(d * d) FROM sums)
+                           - (SELECT sum(d) FROM sums)
+                             * (SELECT sum(d) FROM sums)) AS DOUBLE)
+                 / (m_.n * (m_.m * m_.m * (m_.n * m_.n * m_.n - m_.n)
+                            - m_.m * ties.tt)), 12) AS kendall_w
+    FROM m_ CROSS JOIN ties
+    """,
+)
+def stats_kendall_w(spark: SparkSession, sf: str) -> DataFrame:
+    """KENDALL'S W — concordance of the five event streams' day
+    rankings (do all streams agree which days were big?): each stream
+    midranks the 30 days (doubled-rank device, exact BIGINT), W =
+    12·S/(m²(n³−n) − m·ΣT) with the tie correction, carried as one
+    exact integer numerator/denominator pair (3(nΣD²−(ΣD)²) over
+    n(m²(n³−n)−mT) in doubled units — algebraically identical) plus a
+    mirrored rounded ratio. W→1 = one shared daily rhythm, W→0 =
+    independent rhythms; the multi-rater extension of the pairwise
+    Spearman family and the effect size behind stats_friedman_test.
+    Per-stream rank windows over the bounded grid, one groupBy."""
+    g = _daily_grid(spark, sf)
+    rk = g.select(
+        "day",
+        (
+            F.lit(2)
+            * F.rank().over(
+                Window.partitionBy("event_type").orderBy("n")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "n")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("two_r"),
+    )
+    sums = rk.groupBy("day").agg(
+        F.sum("two_r").cast("long").alias("d")
+    )
+    s2 = sums.agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum("d").cast("long").alias("sd"),
+    )
+    ties = (
+        g.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("tt")
+        )
+    )
+    m_ = g.agg(
+        F.countDistinct("event_type").cast("long").alias("m"),
+        F.countDistinct("day").cast("long").alias("n"),
+    )
+    j = (
+        m_.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(s2))
+    )
+    num = 3 * (
+        F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    )
+    den = F.col("n") * (
+        F.col("m")
+        * F.col("m")
+        * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        - F.col("m") * F.col("tt")
+    )
+    return j.select(
+        "m",
+        "n",
+        num.cast("long").alias("w_num"),
+        den.cast("long").alias("w_den"),
+        F.round(num.cast("double") / den, 12).alias("kendall_w"),
+    )
+
+
+@query(
+    "graph_fof_recommendations",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    adj AS (SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    cand AS (
+      SELECT x.a AS node, y.b AS rec,
+             CAST(count(*) AS BIGINT) AS common
+      FROM adj x JOIN adj y ON x.b = y.a
+      WHERE y.b <> x.a
+        AND NOT EXISTS (SELECT 1 FROM adj
+                        WHERE adj.a = x.a AND adj.b = y.b)
+      GROUP BY x.a, y.b
+    ),
+    ranked AS (
+      SELECT node, rec, common,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY common DESC, rec) AS rk
+      FROM cand
+    )
+    SELECT node, rec, common, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def graph_fof_recommendations(spark: SparkSession, sf: str) -> DataFrame:
+    """FRIEND-OF-FRIEND link recommendations: for every node, the
+    top-3 non-neighbors ranked by common-neighbor count (full
+    (count desc, id) tiebreak) — the production form of the
+    common-neighbors link predictor (graph_common_neighbors scores
+    pairs; this turns the scores into per-node recommendation lists
+    with the direct-edge anti-join applied). Candidate generation is
+    the 2-hop self-join (degree-bound the hub side at scale, same
+    remedy as the triangle path); the per-node top-3 is a bounded
+    rank window."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    adj = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # 3 consumers
+    x = adj.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    y = adj.select(F.col("src").alias("mid"), F.col("dst").alias("rec"))
+    direct = adj.select(
+        F.col("src").alias("node"), F.col("dst").alias("rec")
+    )
+    cand = (
+        x.join(y, "mid")
+        .filter(F.col("rec") != F.col("node"))
+        .join(direct, ["node", "rec"], "left_anti")
+        .groupBy("node", "rec")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    wr = Window.partitionBy("node").orderBy(
+        F.col("common").desc(), F.col("rec")
+    )
+    return (
+        cand.select(
+            "node",
+            "rec",
+            "common",
+            F.row_number().over(wr).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "olap_xyz_classification",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey AS part,
+             date_trunc('month', l_shipdate) AS mth,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1994-01-01'
+        AND l_shipdate < DATE '1995-01-01'
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT part,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(qty) AS BIGINT) AS s,
+             CAST(sum(qty * qty) AS BIGINT) AS s2
+      FROM monthly GROUP BY part
+    ),
+    cls AS (
+      SELECT part,
+             CASE WHEN n_months < 12 THEN 'Z'
+                  WHEN 144 * (12 * s2 - s * s) <= 36 * s * s THEN 'X'
+                  WHEN 144 * (12 * s2 - s * s) <= 144 * s * s THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM per
+    )
+    SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls GROUP BY xyz
+    """,
+)
+def olap_xyz_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """XYZ DEMAND-VARIABILITY classification — the companion axis to
+    olap_abc_classification's value ranking: parts whose 1994 monthly
+    demand is steady (X: CV ≤ 0.5), variable (Y: CV ≤ 1), or erratic/
+    intermittent (Z: CV > 1 or any zero-demand month). The CV
+    threshold test is carried ENTIRELY in integers — CV² ≤ c² ⟺
+    n²·(nΣq²−S²)/n ≤ c²·S² rearranged to 144(12·s2−s²) vs 36s²/144s²
+    for n=12 — so no sqrt or float compare exists to drift. One fact
+    groupBy to months, one to parts, category-bounded output."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.trunc("l_shipdate", "month").alias("mth"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    per = monthly.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("qty").cast("long").alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
+    )
+    var144 = 144 * (12 * F.col("s2") - F.col("s") * F.col("s"))
+    cls = per.select(
+        F.when(F.col("n_months") < 12, "Z")
+        .when(var144 <= 36 * F.col("s") * F.col("s"), "X")
+        .when(var144 <= 144 * F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz")
+    )
+    return cls.groupBy("xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
     )
 
 

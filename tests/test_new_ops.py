@@ -6817,3 +6817,95 @@ def test_prefix_clusters_matches_python(spark, sf_small):
         for r in QUERIES["dedup_prefix_clusters"](spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_kendall_w_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    m, n = len(grid), 30
+    two_r = {}
+    tt = 0
+    for t, xs in grid.items():
+        cnt = Counter(xs)
+        tt += sum(c**3 - c for c in cnt.values() if c > 1)
+        for d in range(n):
+            less = sum(1 for v in xs if v < xs[d])
+            two_r[(t, d)] = 2 * less + cnt[xs[d]] + 1
+    D = [sum(two_r[(t, d)] for t in grid) for d in range(n)]
+    num = 3 * (n * sum(x * x for x in D) - sum(D) ** 2)
+    den = n * (m * m * (n**3 - n) - m * tt)
+    row = QUERIES["stats_kendall_w"](spark, sf_small).collect()[0]
+    assert (row.m, row.n, row.w_num, row.w_den) == (m, n, num, den)
+    assert abs(row.kendall_w - num / den) < 1e-12
+
+
+def test_fof_recommendations_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    nbr = defaultdict(set)
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        nbr[a].add(b)
+        nbr[b].add(a)
+    want = {}
+    for u, ns in nbr.items():
+        common = Counter()
+        for v in ns:
+            for w in nbr[v]:
+                if w != u and w not in ns:
+                    common[w] += 1
+        top = sorted(common.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (rec, c) in enumerate(top, 1):
+            want[(u, rec)] = (c, rk)
+    got = {
+        (r.node, r.rec): (r.common, r.rk)
+        for r in QUERIES["graph_fof_recommendations"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == want
+
+
+def test_xyz_classification_matches_python(spark, sf_small):
+    import datetime
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    monthly = defaultdict(int)
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect():
+        sd = (
+            r.l_shipdate.date()
+            if isinstance(r.l_shipdate, datetime.datetime)
+            else r.l_shipdate
+        )
+        if sd.year == 1994:
+            monthly[(r.l_partkey, sd.month)] += int(r.l_quantity)
+    per = defaultdict(list)
+    for (part, _), q in monthly.items():
+        per[part].append(q)
+    want = Counter()
+    for part, qs in per.items():
+        if len(qs) < 12:
+            want["Z"] += 1
+            continue
+        s, s2 = sum(qs), sum(q * q for q in qs)
+        v144 = 144 * (12 * s2 - s * s)
+        if v144 <= 36 * s * s:
+            want["X"] += 1
+        elif v144 <= 144 * s * s:
+            want["Y"] += 1
+        else:
+            want["Z"] += 1
+    got = {
+        r.xyz: r.n_parts
+        for r in QUERIES["olap_xyz_classification"](spark, sf_small).collect()
+    }
+    assert got == dict(want)
