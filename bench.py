@@ -314,6 +314,9 @@ CATALOG_BENCH = [
     "stats_kendall_w",
     "graph_fof_recommendations",
     "olap_xyz_classification",
+    "multimodal_wav_goertzel_bins",
+    "curation_dedup_quality_confusion",
+    "graph_triangle_participation",
 ]
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ Design (the 100 TB shape):
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache as _lru_cache
 from typing import Callable, Iterator
 
@@ -2689,6 +2690,79 @@ def wav_clipping_stats(
             row,
             "n_frames int, clipped_frames long, "
             "longest_clip_run long, peak_dev long",
+        ),
+        with_quarantine,
+    )
+
+
+# Quantized 32-point trig tables for the Goertzel bins (k = 1, 2, 4, 8):
+# round(cos/sin(2πkn/32) · 2^13) as EXACT integers, shared verbatim by
+# the Arrow kernel and the SQL oracle — so the weighted sums are exact
+# int64 arithmetic (map-combinable, order-free) and no libm trig or
+# float summation order can diverge. Scale 2^13 keeps C²+S² below 2^53
+# for 32 samples of |v−128| ≤ 128, so the final sqrt sees an exactly-
+# representable double on both engines.
+GOERTZEL_BINS = (1, 2, 4, 8)
+_G32_SCALE = 8192
+G32_COS_Q = {
+    k: [
+        round(math.cos(2.0 * math.pi * k * n / 32.0) * _G32_SCALE)
+        for n in range(32)
+    ]
+    for k in GOERTZEL_BINS
+}
+G32_SIN_Q = {
+    k: [
+        round(math.sin(2.0 * math.pi * k * n / 32.0) * _G32_SCALE)
+        for n in range(32)
+    ]
+    for k in GOERTZEL_BINS
+}
+# max possible amplitude in quantized units: 128·32·2^13
+_G32_AMP_MAX = 128 * 32 * _G32_SCALE
+
+
+def wav_goertzel_bins(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """SPECTRAL BIN AMPLITUDES from the REAL WAV decode: single-bin
+    DFT (Goertzel) at k = 1, 2, 4, 8 over each clip's first 32
+    samples, centered at the 8-bit midpoint. The trig tables are the
+    module-level QUANTIZED integers above, so the per-bin C/S sums
+    are exact int64 and the only float is the final normalized
+    amplitude sqrt((C²+S²))/amp_max. Same quarantine discipline as
+    the other WAV kernels."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        if d["bits"] != 8:
+            raise ValueError("goertzel audit expects 8-bit PCM")
+        sm = (
+            np.frombuffer(d["samples"][:32], dtype=np.uint8).astype(
+                np.int64
+            )
+            - 128
+        )
+        if sm.shape[0] < 32:
+            raise ValueError("clip shorter than the 32-sample window")
+        out: dict = {"n_frames": d["n_frames"]}
+        for k in GOERTZEL_BINS:
+            c = int((sm * np.asarray(G32_COS_Q[k], dtype=np.int64)).sum())
+            s = int((sm * np.asarray(G32_SIN_Q[k], dtype=np.int64)).sum())
+            out[f"amp_k{k}"] = round(
+                math.sqrt(float(c * c + s * s)) / _G32_AMP_MAX, 9
+            )
+        return out
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, amp_k1 double, amp_k2 double, "
+            "amp_k4 double, amp_k8 double",
         ),
         with_quarantine,
     )

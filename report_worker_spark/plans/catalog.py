@@ -9026,6 +9026,9 @@ _DRIVER_WINDOW = [
     "stats_kendall_w",
     "graph_fof_recommendations",
     "olap_xyz_classification",
+    "multimodal_wav_goertzel_bins",
+    "curation_dedup_quality_confusion",
+    "graph_triangle_participation",
 ]
 
 
@@ -26569,6 +26572,227 @@ def olap_xyz_classification(spark: SparkSession, sf: str) -> DataFrame:
     )
     return cls.groupBy("xyz").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+from ..functions import multimodal as mm_mod  # noqa: E402
+
+
+def _g32_sql(table: dict[int, list[int]], k: int) -> str:
+    return "[" + ", ".join(str(v) for v in table[k]) + "]"
+
+
+@query(
+    "multimodal_wav_goertzel_bins",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, nf, unnest(range(0, 2)) AS b FROM clip
+    ),
+    bytes AS (
+      SELECT media_id, nf, b,
+             md5(CAST(media_id AS VARCHAR) || ':wav:'
+                 || CAST(b AS VARCHAR)) AS hx,
+             unnest(range(0, 16)) AS j
+      FROM blocks
+    ),
+    vals AS (
+      SELECT media_id, nf, b*16 + j AS gi,
+             CAST({_PNG_KS_BYTE} AS BIGINT) - 128 AS v
+      FROM bytes WHERE b*16 + j < 32
+    ),
+    sums AS (
+      SELECT media_id, CAST(min(nf) AS INT) AS n_frames,
+             {", ".join(
+                 f"CAST(sum(v * ({_g32_sql(mm_mod.G32_COS_Q, k)})[gi + 1]) AS BIGINT) AS c{k}, "
+                 f"CAST(sum(v * ({_g32_sql(mm_mod.G32_SIN_Q, k)})[gi + 1]) AS BIGINT) AS s{k}"
+                 for k in (1, 2, 4, 8)
+             )}
+      FROM vals GROUP BY media_id
+    )
+    SELECT media_id, n_frames,
+           {", ".join(
+               f"round(sqrt(CAST(c{k} * c{k} + s{k} * s{k} AS DOUBLE))"
+               f" / 33554432.0, 9) AS amp_k{k}"
+               for k in (1, 2, 4, 8)
+           )}
+    FROM sums
+    """,
+)
+def multimodal_wav_goertzel_bins(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """GOERTZEL SPECTRAL BINS over the REAL WAV decode: single-bin DFT
+    amplitudes at k = 1, 2, 4, 8 cycles per 32-sample window, per
+    clip — the audio twin of ts_goertzel_weekly_power and the feature
+    behind tone/hum detection (a mains-hum audit is this with k
+    pinned to 50/60 Hz). The trig tables are QUANTIZED integers
+    (×2¹³) shared verbatim by the Arrow kernel and this oracle, so
+    the weighted sums are exact int64 — order-free, map-combinable —
+    and the only float is the final normalized amplitude (round 9).
+    Rides the same md5-keystream reconstruction as every WAV
+    oracle."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    media = mm.synthetic_wav_media(docs, "doc_id")
+    return mm.wav_goertzel_bins(media)
+
+
+@query(
+    "curation_dedup_quality_confusion",
+    oracle="""
+    WITH flagged AS (
+      SELECT doc_id, n_chars >= 300 AS high_quality,
+             count(*) OVER (PARTITION BY text) > 1 AS is_dup
+      FROM documents
+    ),
+    cells AS (
+      SELECT high_quality, is_dup, CAST(count(*) AS BIGINT) AS n_docs
+      FROM flagged GROUP BY high_quality, is_dup
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(CASE WHEN high_quality AND is_dup
+                                    THEN n_docs END), 0) AS BIGINT) AS a,
+             CAST(coalesce(sum(CASE WHEN high_quality AND NOT is_dup
+                                    THEN n_docs END), 0) AS BIGINT) AS b,
+             CAST(coalesce(sum(CASE WHEN NOT high_quality AND is_dup
+                                    THEN n_docs END), 0) AS BIGINT) AS c,
+             CAST(coalesce(sum(CASE WHEN NOT high_quality AND NOT is_dup
+                                    THEN n_docs END), 0) AS BIGINT) AS d
+      FROM cells
+    )
+    SELECT a AS hi_dup, b AS hi_unique, c AS lo_dup, d AS lo_unique,
+           round(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))),
+                 9) AS log_odds_ratio
+    FROM tot
+    """,
+)
+def curation_dedup_quality_confusion(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """DEDUP × QUALITY confusion — does deduplication disproportionately
+    remove GOOD documents? The 2×2 census of (high-quality: n_chars ≥
+    300) × (exact-dup member) with the Haldane–Anscombe (+0.5) log
+    odds ratio: strongly negative = duplication concentrates in the
+    low-quality tail (safe to dedup hard), positive = the dedup pass
+    is eating curated content (the classic template-site trap). The
+    dup flag is one window over the text hash partition; cells are a
+    4-cell census; ln of the corrected ratio is the only float
+    (round 9)."""
+    d = load(spark, sf, "documents")
+    flagged = d.select(
+        (F.col("n_chars") >= 300).alias("high_quality"),
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1
+        ).alias("is_dup"),
+    )
+    cells = flagged.groupBy("high_quality", "is_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = cells.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(cond, F.col("n_docs"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(name)
+            for name, cond in [
+                ("a", F.col("high_quality") & F.col("is_dup")),
+                ("b", F.col("high_quality") & ~F.col("is_dup")),
+                ("c", ~F.col("high_quality") & F.col("is_dup")),
+                ("d", ~F.col("high_quality") & ~F.col("is_dup")),
+            ]
+        ]
+    )
+    lor = F.log(
+        ((F.col("a") + 0.5) * (F.col("d") + 0.5))
+        / ((F.col("b") + 0.5) * (F.col("c") + 0.5))
+    )
+    return tot.select(
+        F.col("a").alias("hi_dup"),
+        F.col("b").alias("hi_unique"),
+        F.col("c").alias("lo_dup"),
+        F.col("d").alias("lo_unique"),
+        F.round(lor, 9).alias("log_odds_ratio"),
+    )
+
+
+@query(
+    "graph_triangle_participation",
+    oracle=f"""
+    WITH {_COOCCUR_EDGES_SQL},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    per AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+      FROM corners GROUP BY node
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    full_ AS (
+      SELECT n.node, CAST(coalesce(p.tri_count, 0) AS BIGINT)
+               AS tri_count
+      FROM nodes n LEFT JOIN per p ON n.node = p.node
+    )
+    SELECT tri_count, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM full_ GROUP BY tri_count
+    """,
+)
+def graph_triangle_participation(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """TRIANGLE PARTICIPATION histogram: how many nodes sit in 0, 1,
+    2, … triangles — the local-cohesion distribution behind the
+    single global triangle count (a high zero-bucket with a fat tail
+    = hub-and-spoke; uniform participation = community lattice; also
+    the support histogram k-truss peeling consumes). Triangles
+    enumerate once through the ordered (a<b<c) edge join — the same
+    degree-bounded join shape as graph_triangle_count — then three
+    corner projections, one groupBy, and a zero-fill against the
+    node set."""
+    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    e = e.localCheckpoint(eager=False)  # 3 join legs + node set
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("tri_count")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(per, "node", "left")
+        .select(
+            F.coalesce("tri_count", F.lit(0))
+            .cast("long")
+            .alias("tri_count")
+        )
+        .groupBy("tri_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
 
 

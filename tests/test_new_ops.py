@@ -6909,3 +6909,104 @@ def test_xyz_classification_matches_python(spark, sf_small):
         for r in QUERIES["olap_xyz_classification"](spark, sf_small).collect()
     }
     assert got == dict(want)
+
+
+def test_wav_goertzel_matches_python(spark, sf_small):
+    import hashlib
+    import math
+
+    from report_worker_spark.functions.multimodal import (
+        G32_COS_Q,
+        G32_SIN_Q,
+        GOERTZEL_BINS,
+    )
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    ]
+    got = {
+        r.media_id: (r.n_frames, r.amp_k1, r.amp_k2, r.amp_k4, r.amp_k8)
+        for r in QUERIES["multimodal_wav_goertzel_bins"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids[:50]:
+        nf = mid % 96 + 32
+        ks = b"".join(
+            hashlib.md5(f"{mid}:wav:{b}".encode()).digest()
+            for b in range(2)
+        )[:32]
+        sm = [v - 128 for v in ks]
+        assert got[mid][0] == nf
+        for i, k in enumerate(GOERTZEL_BINS):
+            c = sum(v * w for v, w in zip(sm, G32_COS_Q[k]))
+            s = sum(v * w for v, w in zip(sm, G32_SIN_Q[k]))
+            amp = math.sqrt(c * c + s * s) / (128 * 32 * 8192)
+            assert abs(got[mid][1 + i] - amp) < 1e-9, (mid, k)
+
+
+def test_dedup_quality_confusion_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "documents").select(
+        "text", "n_chars"
+    ).collect()
+    tc = Counter(r.text for r in rows)
+    a = b = c = d = 0
+    for r in rows:
+        hi, dup = r.n_chars >= 300, tc[r.text] > 1
+        if hi and dup:
+            a += 1
+        elif hi:
+            b += 1
+        elif dup:
+            c += 1
+        else:
+            d += 1
+    lor = math.log(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+    row = QUERIES["curation_dedup_quality_confusion"](
+        spark, sf_small
+    ).collect()[0]
+    assert (row.hi_dup, row.hi_unique, row.lo_dup, row.lo_unique) == (
+        a,
+        b,
+        c,
+        d,
+    )
+    assert abs(row.log_odds_ratio - lor) < 1e-8
+
+
+def test_triangle_participation_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = set()
+    nbr = defaultdict(set)
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        edges.add((a, b))
+        nbr[a].add(b)
+        nbr[b].add(a)
+    per = Counter()
+    for a, b in edges:
+        for c in nbr[a] & nbr[b]:
+            if c > b:
+                per[a] += 1
+                per[b] += 1
+                per[c] += 1
+    hist = Counter(per.get(n, 0) for n in nbr)
+    got = {
+        r.tri_count: r.n_nodes
+        for r in QUERIES["graph_triangle_participation"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(hist)
