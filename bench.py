@@ -317,6 +317,9 @@ CATALOG_BENCH = [
     "multimodal_wav_goertzel_bins",
     "curation_dedup_quality_confusion",
     "graph_triangle_participation",
+    "s3_csv_malformed_rate",
+    "stats_eb_shrinkage",
+    "olap_dau_wau_stickiness",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7010,3 +7010,109 @@ def test_triangle_participation_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == dict(hist)
+
+
+def test_csv_malformed_rate_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in load(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).collect():
+        bad = r.event_id % 7 == 0
+        a = agg[r.event_type]
+        a[0] += 1
+        if bad:
+            a[1] += 1
+        else:
+            a[2] += round(r.value * 100)
+    got = {
+        r.event_type: (
+            r.n_msgs,
+            r.n_malformed,
+            r.recovered_cents,
+            r.malformed_rate,
+        )
+        for r in QUERIES["s3_csv_malformed_rate"](spark, sf_small).collect()
+    }
+    assert set(got) == set(agg)
+    for t, (n, m, cents) in agg.items():
+        assert got[t][:3] == (n, m, cents), t
+        assert abs(got[t][3] - m / n) < 1e-12
+
+
+def test_eb_shrinkage_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_small, "part").collect()
+    }
+    per = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    ).collect():
+        a = per[brand[r.l_partkey]]
+        a[0] += 1
+        a[1] += r.l_returnflag == "R"
+    ps = {b: k / n for b, (n, k) in per.items()}
+    nb = len(ps)
+    m1 = sum(sorted(ps.values())) / nb
+    sp = sum(sorted(ps.values()))
+    sp2 = sum(sorted(p * p for p in ps.values()))
+    v = (sp2 - sp * sp / nb) / nb
+    ab_sum = m1 * (1.0 - m1) / v - 1.0
+    got = {
+        r.brand: r
+        for r in QUERIES["stats_eb_shrinkage"](spark, sf_small).collect()
+    }
+    assert set(got) == set(per)
+    for b, (n, k) in per.items():
+        g = got[b]
+        assert (g.n_items, g.n_returns, g.raw_milli) == (
+            n,
+            k,
+            k * 1000 // n,
+        )
+        assert abs(
+            g.shrunk_rate - (k + m1 * ab_sum) / (n + ab_sum)
+        ) < 1e-7, b
+
+
+def test_dau_wau_stickiness_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    epoch = datetime.date(2024, 1, 1)
+    ud = set()
+    for r in load(spark, sf_small, "events").select("user_id", "ts").collect():
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            ud.add((r.user_id, d))
+    by_day = defaultdict(set)
+    for u, d in ud:
+        by_day[d].add(u)
+    got = {
+        r.day: (r.dau, r.wau, r.stickiness_milli)
+        for r in QUERIES["olap_dau_wau_stickiness"](
+            spark, sf_small
+        ).collect()
+    }
+    for day in range(30):
+        dau = len(by_day.get(day, set()))
+        wau = len(
+            set().union(
+                *(by_day.get(d, set()) for d in range(day - 6, day + 1))
+            )
+        )
+        if dau:
+            assert got[day] == (dau, wau, dau * 1000 // wau), day
