@@ -320,6 +320,9 @@ CATALOG_BENCH = [
     "s3_csv_malformed_rate",
     "stats_eb_shrinkage",
     "olap_dau_wau_stickiness",
+    "curation_soft_dedup_weights",
+    "olap_part_adoption_curve",
+    "audit_sequence_inversions",
 ]
 
 # ---------------------------------------------------------------------------

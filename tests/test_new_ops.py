@@ -7116,3 +7116,101 @@ def test_dau_wau_stickiness_matches_python(spark, sf_small):
         )
         if dau:
             assert got[day] == (dau, wau, dau * 1000 // wau), day
+
+
+def test_soft_dedup_weights_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    tc = Counter(r.text for r in rows)
+    want = defaultdict(lambda: [0, 0, 0, None])
+    for r in rows:
+        c = tc[r.text]
+        w = want[r.source]
+        w[0] += 1
+        if c > 1:
+            w[1] += 1
+            w[3] = r.doc_id if w[3] is None else min(w[3], r.doc_id)
+        w[2] += 1000 // c
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_dup_members,
+            r.effective_milli,
+            r.sample_dup_doc,
+        )
+        for r in QUERIES["curation_soft_dedup_weights"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_part_adoption_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    firsts = {}
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate"
+    ).collect():
+        sd = (
+            r.l_shipdate.date()
+            if isinstance(r.l_shipdate, datetime.datetime)
+            else r.l_shipdate
+        )
+        m = (sd.year, sd.month)
+        if r.l_partkey not in firsts or m < firsts[r.l_partkey]:
+            firsts[r.l_partkey] = m
+    n_parts = load(spark, sf_small, "part").count()
+    monthly = defaultdict(int)
+    for m in firsts.values():
+        monthly[m] += 1
+    got = {
+        r.month: (r.n_new, r.cum_adopted, r.coverage_milli)
+        for r in QUERIES["olap_part_adoption_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    cum = 0
+    for m in sorted(monthly):
+        cum += monthly[m]
+        key = f"{m[0]:04d}-{m[1]:02d}"
+        assert got[key] == (monthly[m], cum, cum * 1000 // n_parts), m
+
+
+def test_sequence_inversions_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    by_user = defaultdict(list)
+    for r in load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect():
+        by_user[r.user_id].append((r.ts, r.event_id))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        steps = len(evs) - 1
+        inv = sum(
+            1 for i in range(1, len(evs)) if evs[i][1] < evs[i - 1][1]
+        )
+        if inv > 0:
+            want[u] = (steps, inv, inv * 1000 // steps)
+    got = {
+        r.user_id: (r.n_steps, r.n_inversions, r.inversion_milli)
+        for r in QUERIES["audit_sequence_inversions"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == want
