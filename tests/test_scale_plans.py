@@ -1138,3 +1138,49 @@ def test_round9_batch_plan_shapes(spark, sf_oracle):
     asof = plan_of(QUERIES["join_asof_tolerance"](spark, sf_oracle))
     assert "EvalPython" not in asof
     assert "CartesianProduct" not in asof
+
+
+def test_round9_late_batch_plan_shapes(spark, sf_oracle):
+    """Batches G-O: the plan properties their docstrings claim."""
+    # EB shrinkage: part dim + scalar moments both broadcast
+    eb = plan_of(QUERIES["stats_eb_shrinkage"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in eb or "BroadcastHashJoin" in eb
+    assert "EvalPython" not in eb
+
+    # fan-out forecast: two key histograms, no row-level join of the
+    # base tables, no python
+    ff = plan_of(QUERIES["audit_join_fanout_forecast"](spark, sf_oracle))
+    assert "CartesianProduct" not in ff
+    assert "EvalPython" not in ff
+
+    # rolling distinct users / stickiness: bounded explode, no
+    # cartesian, no python
+    for q in ("ts_rolling_distinct_users", "olap_dau_wau_stickiness"):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "CartesianProduct" not in p, q
+        assert "EvalPython" not in p, q
+        assert "Generate explode" in p, q  # the fan-out is the design
+
+    # prefix clusters / soft dedup / CSV audit: single-pass shapes,
+    # no joins, no python
+    for q in (
+        "dedup_prefix_clusters",
+        "s3_csv_malformed_rate",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle), "simple")
+        assert "Join" not in p, q
+        assert "EvalPython" not in p, q
+
+    # FoF / triangle participation: equi-joins only (2-hop shape),
+    # never a cartesian
+    for q in ("graph_fof_recommendations", "graph_triangle_participation"):
+        p = plan_of(QUERIES[q](spark, sf_oracle))
+        assert "CartesianProduct" not in p, q
+        assert "EvalPython" not in p, q
+
+    # WAV Goertzel: the Arrow kernel is the point — MapInPandas
+    # present, and NO shuffle before it (decode is map-side)
+    wg = plan_of(
+        QUERIES["multimodal_wav_goertzel_bins"](spark, sf_oracle), "simple"
+    )
+    assert "MapInPandas" in wg
