@@ -2751,8 +2751,11 @@ def wav_goertzel_bins(
         for k in GOERTZEL_BINS:
             c = int((sm * np.asarray(G32_COS_Q[k], dtype=np.int64)).sum())
             s = int((sm * np.asarray(G32_SIN_Q[k], dtype=np.int64)).sum())
-            out[f"amp_k{k}"] = round(
-                math.sqrt(float(c * c + s * s)) / _G32_AMP_MAX, 9
+            # raw double; the caller rounds JVM-side (python round()
+            # banker-rounds — an sf0.1 clip landed exactly on 9/1024
+            # and split the engines in the 9th decimal)
+            out[f"amp_k{k}"] = (
+                math.sqrt(float(c * c + s * s)) / _G32_AMP_MAX
             )
         return out
 
