@@ -323,6 +323,9 @@ CATALOG_BENCH = [
     "curation_soft_dedup_weights",
     "olap_part_adoption_curve",
     "audit_sequence_inversions",
+    "stats_hodges_lehmann",
+    "graph_edge_embeddedness",
+    "ts_turning_points_test",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7214,3 +7214,66 @@ def test_sequence_inversions_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == want
+
+
+def test_hodges_lehmann_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    diffs = sorted(
+        a - b for a in grid["click"] for b in grid["view"]
+    )
+    n = len(diffs)
+    lo = diffs[(n + 1) // 2 - 1]
+    hi = diffs[n // 2]
+    row = QUERIES["stats_hodges_lehmann"](spark, sf_small).collect()[0]
+    assert row.n_pairs == n
+    assert row.two_hl == lo + hi
+    assert abs(row.hl_shift - (lo + hi) / 2.0) < 1e-9
+
+
+def test_edge_embeddedness_matches_python(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    edges = set()
+    nbr = defaultdict(set)
+    for a, b in _py_cooccur_edges(spark, sf_small):
+        edges.add((a, b))
+        nbr[a].add(b)
+        nbr[b].add(a)
+    hist = Counter(len(nbr[a] & nbr[b]) for a, b in edges)
+    got = {
+        r.embeddedness: r.n_edges
+        for r in QUERIES["graph_edge_embeddedness"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(hist)
+
+
+def test_turning_points_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    got = {
+        r.event_type: (r.n_days, r.t, r.z_stat, r.nonrandom_05)
+        for r in QUERIES["ts_turning_points_test"](
+            spark, sf_small
+        ).collect()
+    }
+    for t, xs in grid.items():
+        n = len(xs)
+        tp = sum(
+            1
+            for i in range(1, n - 1)
+            if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+            or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+        )
+        z = (tp - 2.0 * (n - 2) / 3) / math.sqrt((16.0 * n - 29) / 90)
+        assert got[t][0] == n and got[t][1] == tp
+        assert abs(got[t][2] - z) < 1e-9
+        assert got[t][3] == (abs(z) > 1.96)
