@@ -326,6 +326,9 @@ CATALOG_BENCH = [
     "stats_hodges_lehmann",
     "graph_edge_embeddedness",
     "ts_turning_points_test",
+    "graph_brand_assortativity",
+    "emb_centroid_mrr",
+    "stats_matthews_corr",
 ]
 
 # ---------------------------------------------------------------------------

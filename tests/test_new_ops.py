@@ -7277,3 +7277,95 @@ def test_turning_points_matches_python(spark, sf_small):
         assert got[t][0] == n and got[t][1] == tp
         assert abs(got[t][2] - z) < 1e-9
         assert got[t][3] == (abs(z) > 1.96)
+
+
+def test_brand_assortativity_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_small, "part").collect()
+    }
+    edges = _py_cooccur_edges(spark, sf_small)
+    m = len(edges)
+    trace = sum(1 for a, b in edges if brand[a] == brand[b])
+    ends = Counter()
+    for a, b in edges:
+        ends[brand[a]] += 1
+        ends[brand[b]] += 1
+    ssq = sum(k * k for k in ends.values())
+    num, den = 4 * m * trace - ssq, 4 * m * m - ssq
+    row = QUERIES["graph_brand_assortativity"](spark, sf_small).collect()[0]
+    assert (row.m, row.trace_cnt, row.sum_ends_sq) == (m, trace, ssq)
+    assert (row.r_num, row.r_den) == (num, den)
+    assert abs(row.assortativity - num / den) < 1e-12
+
+
+def test_centroid_mrr_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    base = {
+        r.vec_id: (r.label, [round(float(x) * 256) for x in r.embedding])
+        for r in rows
+    }
+    sums = defaultdict(lambda: [0] * 64)
+    counts = defaultdict(int)
+    for lab, v in base.values():
+        counts[lab] += 1
+        for i, x in enumerate(v):
+            sums[lab][i] += x
+    want = defaultdict(lambda: [0, 0])
+    for vid, (lab, v) in base.items():
+        scores = {
+            cl: sum(a * b for a, b in zip(v, sums[cl])) / counts[cl]
+            for cl in sums
+        }
+        order = sorted(scores, key=lambda cl: (-scores[cl], cl))
+        r = order.index(lab) + 1
+        w = want[lab]
+        w[0] += 1
+        w[1] += 2520 // r
+    got = {
+        r.label: (r.n_vecs, r.sum_recip_2520, r.mrr)
+        for r in QUERIES["emb_centroid_mrr"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want)
+    for lab, (n, s) in want.items():
+        assert got[lab][:2] == (n, s), lab
+        assert abs(got[lab][2] - s / (2520.0 * n)) < 1e-9
+
+
+def test_matthews_corr_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    a = b = c = d = 0
+    for r in load(spark, sf_small, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect():
+        hi = r.o_totalprice >= 150000
+        ur = r.o_orderpriority == "1-URGENT"
+        if hi and ur:
+            a += 1
+        elif hi:
+            b += 1
+        elif ur:
+            c += 1
+        else:
+            d += 1
+    num = a * d - b * c
+    den = math.sqrt(
+        ((a + b) * (a + c)) * ((b + d) * (c + d))
+    )
+    row = QUERIES["stats_matthews_corr"](spark, sf_small).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.mcc_num) == (a, b, c, d, num)
+    assert abs(row.mcc - num / den) < 1e-10
