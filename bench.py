@@ -329,6 +329,9 @@ CATALOG_BENCH = [
     "graph_brand_assortativity",
     "emb_centroid_mrr",
     "stats_matthews_corr",
+    "ts_rolling_median_band",
+    "stats_poisson_etest_daily",
+    "audit_partition_checksums",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7369,3 +7369,102 @@ def test_matthews_corr_matches_python(spark, sf_small):
     row = QUERIES["stats_matthews_corr"](spark, sf_small).collect()[0]
     assert (row.a, row.b, row.c, row.d, row.mcc_num) == (a, b, c, d, num)
     assert abs(row.mcc - num / den) < 1e-10
+
+
+def test_rolling_median_band_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    daily = defaultdict(int)
+    for r in load(spark, sf_small, "orders").collect():
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        if datetime.date(1995, 3, 1) <= od < datetime.date(1995, 6, 1):
+            daily[od] += round(r.o_totalprice * 100)
+    days = sorted(daily)
+    got = {}
+    for r in QUERIES["ts_rolling_median_band"](spark, sf_small).collect():
+        d = r.day
+        d = d.date() if hasattr(d, "date") and not isinstance(d, datetime.date) else d
+        got[str(d)[:10]] = (
+            r.rev,
+            r.n_win,
+            r.two_median,
+            r.win_max,
+            r.above_band,
+        )
+    for i, d in enumerate(days):
+        w = sorted(daily[x] for x in days[max(0, i - 6) : i + 1])
+        n = len(w)
+        two_med = w[(n + 1) // 2 - 1] + w[n // 2]
+        assert got[str(d)] == (
+            daily[d],
+            n,
+            two_med,
+            w[-1],
+            2 * daily[d] > two_med,
+        ), d
+
+
+def test_poisson_etest_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    got = {
+        r.day: (r.k1, r.k2, r.z_stat, r.flagged_3sigma)
+        for r in QUERIES["stats_poisson_etest_daily"](
+            spark, sf_small
+        ).collect()
+    }
+    for d in range(30):
+        k1, k2 = grid["click"][d], grid["error"][d]
+        if k1 + k2 == 0:
+            assert d not in got
+            continue
+        z = (k1 - k2) / math.sqrt(k1 + k2)
+        assert got[d][:2] == (k1, k2)
+        assert abs(got[d][2] - z) < 1e-9
+        assert got[d][3] == (abs(z) > 3.0)
+
+
+def test_partition_checksums_matches_python(spark, sf_small):
+    import datetime
+    import hashlib
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    want = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "orders").collect():
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        if od.year != 1995:
+            continue
+        key = f"{od.year:04d}-{od.month:02d}"
+        h = int(
+            hashlib.md5(
+                f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        want[key][0] += 1
+        want[key][1] += h
+    got = {
+        r.month: (r.n_rows, r.checksum)
+        for r in QUERIES["audit_partition_checksums"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
