@@ -332,6 +332,9 @@ CATALOG_BENCH = [
     "ts_rolling_median_band",
     "stats_poisson_etest_daily",
     "audit_partition_checksums",
+    "dedup_threshold_yield_curve",
+    "stats_gamma_fit_moments",
+    "olap_customer_order_regularity",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7468,3 +7468,109 @@ def test_partition_checksums_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_threshold_yield_curve_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    shingles = {}
+    for r in load(spark, sf_small, "documents").collect():
+        t = r.text.strip().split()
+        if len(t) >= 3:
+            shingles[r.doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
+    ids = sorted(shingles)
+    hist = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            if not inter:
+                continue
+            j = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+            if j >= 0.5:
+                hist[math.floor(j * 10)] += 1
+    got = {
+        r.jaccard_decile: r.n_pairs
+        for r in QUERIES["dedup_threshold_yield_curve"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(hist)
+
+
+def test_gamma_fit_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in load(spark, sf_small, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        c = round(r.o_totalprice * 100)
+        a = per[r.o_orderpriority]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    got = {
+        r.priority: r
+        for r in QUERIES["stats_gamma_fit_moments"](spark, sf_small).collect()
+    }
+    assert set(got) == set(per)
+    for pr, (n, s, s2) in per.items():
+        m = s / n
+        v = (s2 - s * s / n) / n
+        g = got[pr]
+        assert g.n == n
+        assert abs(g.mean_dollars - m / 100) < 1e-4
+        assert abs(g.gamma_shape_k - m * m / v) < 1e-6
+        assert abs(g.gamma_scale_dollars - v / m / 100) < 1e-4
+
+
+def test_order_regularity_matches_python(spark, sf_small):
+    import datetime
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    by_cust = defaultdict(list)
+    for r in load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect():
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        by_cust[r.o_custkey].append((od, r.o_orderkey))
+    want = Counter()
+    for _, orders in by_cust.items():
+        orders.sort()
+        gaps = [
+            (orders[i][0] - orders[i - 1][0]).days
+            for i in range(1, len(orders))
+        ]
+        if len(gaps) < 3 or sum(gaps) == 0:
+            continue
+        n, s, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        disp = n * s2 - s * s
+        if 4 * disp <= s * s:
+            want["steady"] += 1
+        elif disp <= s * s:
+            want["variable"] += 1
+        else:
+            want["erratic"] += 1
+    got = {
+        r.regularity: r.n_customers
+        for r in QUERIES["olap_customer_order_regularity"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == dict(want)
