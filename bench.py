@@ -335,6 +335,9 @@ CATALOG_BENCH = [
     "dedup_threshold_yield_curve",
     "stats_gamma_fit_moments",
     "olap_customer_order_regularity",
+    "multimodal_gif_index_histogram",
+    "stats_youden_threshold_sweep",
+    "curation_sample_size_planner",
 ]
 
 # ---------------------------------------------------------------------------

@@ -2291,6 +2291,46 @@ def gif_pixel_stats(
     )
 
 
+def _gif_index_row(content: bytes) -> dict:
+    from collections import Counter
+
+    d = decode_gif_pixels(content)
+    cnt = Counter(d["indices"])
+    mode_count = max(cnt.values())
+    mode_idx = min(i for i, c in cnt.items() if c == mode_count)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_pixels": d["width"] * d["height"],
+        "n_distinct_idx": len(cnt),
+        "mode_idx": int(mode_idx),
+        "mode_count": int(mode_count),
+    }
+
+
+def gif_index_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Palette-INDEX statistics from the REAL GIF decode (pre-palette:
+    this slices the LZW output itself): per image the distinct index
+    count and the modal index with its frequency — the palette-
+    utilization profile (1-2 distinct indices = flat fills/logos;
+    saturating all 16 = dithered photographic content). Verifies a
+    different decode surface than the RGB channel sums: an LZW bug
+    that permuted indices under a symmetric palette could slip past
+    summed RGB but shifts the mode here. Same quarantine contract."""
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:6] in GIF_SIGS,
+            _gif_index_row,
+            "width int, height int, n_pixels long, "
+            "n_distinct_idx int, mode_idx int, mode_count long",
+        ),
+        with_quarantine,
+    )
+
+
 # ---------------------------------------------------------------------------
 # BMP (Windows DIB, 24bpp uncompressed) — the simplest real raster
 # container: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows,

@@ -7574,3 +7574,106 @@ def test_order_regularity_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == dict(want)
+
+
+def test_gif_index_histogram_matches_python(spark, sf_small):
+    import hashlib
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    ]
+    got = {
+        r.media_id: (
+            r.width,
+            r.height,
+            r.n_pixels,
+            r.n_distinct_idx,
+            r.mode_idx,
+            r.mode_count,
+        )
+        for r in QUERIES["multimodal_gif_index_histogram"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids[:50]:
+        w, h = mid % 13 + 4, mid % 11 + 4
+        n = w * h
+        idxs = []
+        for i in range(n):
+            hx = hashlib.md5(f"{mid}:gifpix:{i // 16}".encode()).hexdigest()
+            idxs.append(int(hx[2 * (i % 16) + 1], 16))
+        cnt = Counter(idxs)
+        mc = max(cnt.values())
+        mi = min(i for i, c in cnt.items() if c == mc)
+        assert got[mid] == (w, h, n, len(cnt), mi, mc), mid
+
+
+def test_youden_sweep_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    got = {
+        r.threshold: (r.tp, r.fp, r.fn, r.tn, r.youden_j_milli)
+        for r in QUERIES["stats_youden_threshold_sweep"](
+            spark, sf_small
+        ).collect()
+    }
+    for t in range(50000, 450001, 50000):
+        tp = fp = fn = tn = 0
+        for r in rows:
+            hi = r.o_totalprice >= t
+            ur = r.o_orderpriority == "1-URGENT"
+            if hi and ur:
+                tp += 1
+            elif hi:
+                fp += 1
+            elif ur:
+                fn += 1
+            else:
+                tn += 1
+        j = tp * 1000 // (tp + fn) - fp * 1000 // (fp + tn)
+        assert got[t] == (tp, fp, fn, tn, j), t
+
+
+def test_sample_size_planner_matches_python(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rows = load(spark, sf_small, "documents").select(
+        "source", "text"
+    ).collect()
+    tc = Counter(r.text for r in rows)
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        a = per[r.source]
+        a[0] += 1
+        a[1] += tc[r.text] > 1
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_dups,
+            r.dup_milli,
+            r.n_required,
+            r.sample_sufficient,
+        )
+        for r in QUERIES["curation_sample_size_planner"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, (n, d) in per.items():
+        p = d / n
+        req = math.ceil(9604.0 * p * (1.0 - p))
+        assert got[s] == (n, d, d * 1000 // n, req, n >= req), s
