@@ -338,6 +338,9 @@ CATALOG_BENCH = [
     "multimodal_gif_index_histogram",
     "stats_youden_threshold_sweep",
     "curation_sample_size_planner",
+    "dedup_winnowing_fingerprints",
+    "olap_mix_residual_heatmap",
+    "stats_gtest_independence",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7677,3 +7677,85 @@ def test_sample_size_planner_matches_python(spark, sf_small):
         p = d / n
         req = math.ceil(9604.0 * p * (1.0 - p))
         assert got[s] == (n, d, d * 1000 // n, req, n >= req), s
+
+
+def test_winnowing_matches_python(spark, sf_small):
+    import hashlib
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_fingerprints, r.n_distinct_fp, r.min_fp)
+        for r in QUERIES["dedup_winnowing_fingerprints"](
+            spark, sf_small
+        ).collect()
+    }
+    for did, t in docs.items():
+        if len(t) < 3:
+            assert did not in got
+            continue
+        hs = [
+            hashlib.md5(" ".join(t[i : i + 3]).encode()).hexdigest()
+            for i in range(len(t) - 2)
+        ]
+        if len(hs) < 4:
+            assert did not in got
+            continue
+        sel = set()
+        for i in range(len(hs) - 3):
+            win = hs[i : i + 4]
+            m = min(win)
+            # rightmost minimum
+            pos = i + 4 - win[::-1].index(m)
+            sel.add((pos, m))
+        fps = [fp for _, fp in sel]
+        assert got[did] == (len(sel), len(set(fps)), min(fps)), did
+
+
+def test_mix_residual_heatmap_matches_python(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    pri = {
+        r.o_orderkey: r.o_orderpriority
+        for r in load(spark, sf_small, "orders").collect()
+    }
+    cells = Counter()
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    ).collect():
+        cells[(r.l_returnflag, pri[r.l_orderkey])] += 1
+    rows = defaultdict(int)
+    colsum = defaultdict(int)
+    total = sum(cells.values())
+    for (rf, p), c in cells.items():
+        rows[rf] += c
+        colsum[p] += c
+    got = {
+        (r.returnflag, r.priority): (r.observed, r.expected, r.pearson_residual)
+        for r in QUERIES["olap_mix_residual_heatmap"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(got) == set(cells)
+    gsum = 0.0
+    for (rf, p), c in cells.items():
+        e = rows[rf] * colsum[p] / total
+        res = (c - e) / math.sqrt(e)
+        assert got[(rf, p)][0] == c
+        assert abs(got[(rf, p)][1] - e) < 1e-4
+        assert abs(got[(rf, p)][2] - res) < 1e-7
+        gsum += c * math.log(c * total / (rows[rf] * colsum[p]))
+    grow = QUERIES["stats_gtest_independence"](spark, sf_small).collect()[0]
+    assert grow.n_rows_cat == len(rows)
+    assert grow.n_cols_cat == len(colsum)
+    assert grow.dof == (len(rows) - 1) * (len(colsum) - 1)
+    assert abs(grow.g_stat - 2.0 * gsum) < 1e-4
