@@ -7513,7 +7513,10 @@ def test_gamma_fit_matches_python(spark, sf_small):
     for r in load(spark, sf_small, "orders").select(
         "o_orderpriority", "o_totalprice"
     ).collect():
-        c = round(r.o_totalprice * 100)
+        c = round(r.o_totalprice)
+        # python round() banker-rounds; Spark/DuckDB round half-up
+        if abs(r.o_totalprice - int(r.o_totalprice) - 0.5) < 1e-9:
+            c = int(r.o_totalprice) + 1
         a = per[r.o_orderpriority]
         a[0] += 1
         a[1] += c
@@ -7528,9 +7531,9 @@ def test_gamma_fit_matches_python(spark, sf_small):
         v = (s2 - s * s / n) / n
         g = got[pr]
         assert g.n == n
-        assert abs(g.mean_dollars - m / 100) < 1e-4
+        assert abs(g.mean_dollars - m) < 1e-4
         assert abs(g.gamma_shape_k - m * m / v) < 1e-6
-        assert abs(g.gamma_scale_dollars - v / m / 100) < 1e-4
+        assert abs(g.gamma_scale_dollars - v / m) < 1e-4
 
 
 def test_order_regularity_matches_python(spark, sf_small):
