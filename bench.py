@@ -341,6 +341,9 @@ CATALOG_BENCH = [
     "dedup_winnowing_fingerprints",
     "olap_mix_residual_heatmap",
     "stats_gtest_independence",
+    "olap_abc_xyz_matrix",
+    "stats_cooks_distance",
+    "olap_supplier_diversification",
 ]
 
 # ---------------------------------------------------------------------------

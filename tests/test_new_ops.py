@@ -7762,3 +7762,113 @@ def test_mix_residual_heatmap_matches_python(spark, sf_small):
     assert grow.n_cols_cat == len(colsum)
     assert grow.dof == (len(rows) - 1) * (len(colsum) - 1)
     assert abs(grow.g_stat - 2.0 * gsum) < 1e-4
+
+
+def test_abc_xyz_matrix_matches_python(spark, sf_small):
+    import datetime
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rev = defaultdict(int)
+    monthly = defaultdict(int)
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_shipdate", "l_quantity"
+    ).collect():
+        rev[r.l_partkey] += round(r.l_extendedprice * 100)
+        sd = (
+            r.l_shipdate.date()
+            if isinstance(r.l_shipdate, datetime.datetime)
+            else r.l_shipdate
+        )
+        if sd.year == 1994:
+            monthly[(r.l_partkey, sd.month)] += int(r.l_quantity)
+    tot = sum(rev.values())
+    abc = {}
+    cum = 0
+    for pk in sorted(rev, key=lambda k: (-rev[k], k)):
+        cum += rev[pk]
+        abc[pk] = "A" if cum * 5 <= tot * 4 else "B" if cum * 20 <= tot * 19 else "C"
+    qs = defaultdict(list)
+    for (pk, _), q in monthly.items():
+        qs[pk].append(q)
+    xyz = {}
+    for pk, lst in qs.items():
+        if len(lst) < 12:
+            xyz[pk] = "Z"
+            continue
+        s, s2 = sum(lst), sum(q * q for q in lst)
+        d = 12 * s2 - s * s
+        xyz[pk] = "X" if 4 * d <= s * s else "Y" if d <= s * s else "Z"
+    want = Counter((abc[pk], xyz.get(pk, "Z")) for pk in abc)
+    got = {
+        (r.abc, r.xyz): r.n_parts
+        for r in QUERIES["olap_abc_xyz_matrix"](spark, sf_small).collect()
+    }
+    assert got == dict(want)
+
+
+def test_cooks_distance_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    ys = grid["click"]
+    xs = list(range(30))
+    days = [d for d in xs if True]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rs, hs = {}, {}
+    for x in xs:
+        pred = sy / n + b1 * (x - sx / n)
+        rs[x] = ys[x] - pred
+        hs[x] = 1.0 / n + n * (x - sx / n) ** 2 / (n * sxx - sx * sx)
+    sse = sum(sorted(round(r * r, 9) for r in rs.values()))
+    got = {
+        r.day: (r.residual, r.leverage, r.cooks_d, r.influential)
+        for r in QUERIES["stats_cooks_distance"](spark, sf_small).collect()
+    }
+    for x in xs:
+        d = (
+            rs[x] ** 2
+            * hs[x]
+            / ((1 - hs[x]) ** 2)
+            / (2.0 * sse / (n - 2))
+        )
+        assert abs(got[x][0] - rs[x]) < 1e-6
+        assert abs(got[x][1] - hs[x]) < 1e-10
+        assert abs(got[x][2] - d) < 1e-6
+        assert got[x][3] == (d > 4.0 / n)
+
+
+def test_supplier_diversification_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = defaultdict(lambda: [set(), 0])
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    ).collect():
+        a = per[r.l_partkey]
+        a[0].add(r.l_suppkey)
+        a[1] += round(r.l_extendedprice * 100)
+    want = defaultdict(lambda: [0, 0, None])
+    for _, (sups, rev) in per.items():
+        b = "single" if len(sups) == 1 else "dual" if len(sups) == 2 else "multi"
+        w = want[b]
+        w[0] += 1
+        w[1] += rev
+        if len(sups) == 1:
+            w[2] = rev if w[2] is None else max(w[2], rev)
+    got = {
+        r.sourcing: (r.n_parts, r.revenue_cents, r.max_single_part_cents)
+        for r in QUERIES["olap_supplier_diversification"](
+            spark, sf_small
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
