@@ -1184,3 +1184,43 @@ def test_round9_late_batch_plan_shapes(spark, sf_oracle):
         QUERIES["multimodal_wav_goertzel_bins"](spark, sf_oracle), "simple"
     )
     assert "MapInPandas" in wg
+
+
+def test_round9_final_batch_plan_shapes(spark, sf_oracle):
+    """Batches P-V: the plan properties their docstrings claim."""
+    # scalar/dim broadcasts
+    for q in (
+        "stats_hodges_lehmann",
+        "stats_cooks_distance",
+        "emb_centroid_mrr",
+        "graph_brand_assortativity",
+        "stats_youden_threshold_sweep",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle))
+        assert (
+            "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        ), q
+        assert "EvalPython" not in p, q
+
+    # single-pass / windowed shapes: no joins of base tables beyond
+    # the stated ones, never a cartesian, never python
+    for q in (
+        "dedup_winnowing_fingerprints",
+        "olap_mix_residual_heatmap",
+        "stats_gtest_independence",
+        "olap_abc_xyz_matrix",
+        "olap_supplier_diversification",
+        "ts_rolling_median_band",
+        "olap_customer_order_regularity",
+        "audit_partition_checksums",
+    ):
+        p = plan_of(QUERIES[q](spark, sf_oracle))
+        assert "CartesianProduct" not in p, q
+        assert "EvalPython" not in p, q
+
+    # GIF index histogram: the Arrow kernel is the point
+    gi = plan_of(
+        QUERIES["multimodal_gif_index_histogram"](spark, sf_oracle),
+        "simple",
+    )
+    assert "MapInPandas" in gi
