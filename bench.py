@@ -344,6 +344,9 @@ CATALOG_BENCH = [
     "olap_abc_xyz_matrix",
     "stats_cooks_distance",
     "olap_supplier_diversification",
+    "ts_permutation_entropy",
+    "stats_cochran_q",
+    "text_rbo_vocab_overlap",
 ]
 
 # ---------------------------------------------------------------------------

@@ -7872,3 +7872,106 @@ def test_supplier_diversification_matches_python(spark, sf_small):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_permutation_entropy_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    got = {
+        r.event_type: (r.n_windows, r.n_patterns, r.perm_entropy_norm)
+        for r in QUERIES["ts_permutation_entropy"](
+            spark, sf_small
+        ).collect()
+    }
+    for t, xs in grid.items():
+        pats = Counter()
+        for i in range(len(xs) - 2):
+            a, b, c = xs[i], xs[i + 1], xs[i + 2]
+            if a <= b <= c:
+                p = "012"
+            elif a <= c < b:
+                p = "021"
+            elif b < a <= c:
+                p = "102"
+            elif c < a <= b:
+                p = "120"
+            elif b <= c < a:
+                p = "201"
+            else:
+                p = "210"
+            pats[p] += 1
+        n = sum(pats.values())
+        ent = sum(
+            sorted(
+                round(-(c / n) * math.log(c / n), 12)
+                for c in pats.values()
+            )
+        ) / math.log(6.0)
+        assert got[t][0] == n and got[t][1] == len(pats)
+        assert abs(got[t][2] - ent) < 1e-8, t
+
+
+def test_cochran_q_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    flags = {}
+    for t, xs in grid.items():
+        w = sorted(xs)
+        two_med = w[14] + w[15]
+        flags[t] = [1 if 2 * x > two_med else 0 for x in xs]
+    types = sorted(flags)
+    k = len(types)
+    cj = [sum(flags[t]) for t in types]
+    ri = [sum(flags[t][d] for t in types) for d in range(30)]
+    sr, srr = sum(ri), sum(r * r for r in ri)
+    scc = sum(c * c for c in cj)
+    qn = k * (k - 1) * scc - (k - 1) * sr * sr
+    qd = k * sr - srr
+    row = QUERIES["stats_cochran_q"](spark, sf_small).collect()[0]
+    assert (row.k, row.total_successes, row.q_num, row.q_den) == (
+        k,
+        sr,
+        qn,
+        qd,
+    )
+    assert abs(row.cochran_q - qn / qd) < 1e-9
+
+
+def test_rbo_vocab_overlap_matches_python(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    cnt = {"src0": Counter(), "src1": Counter()}
+    for r in load(spark, sf_small, "documents").collect():
+        if r.source in cnt:
+            cnt[r.source].update(w for w in r.text.split(" ") if w)
+    tops = {
+        s: [
+            w
+            for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:50]
+        for s, c in cnt.items()
+    }
+    ra = {w: i + 1 for i, w in enumerate(tops["src0"])}
+    rb = {w: i + 1 for i, w in enumerate(tops["src1"])}
+    shared = {
+        w: max(ra[w], rb[w]) for w in set(ra) & set(rb)
+    }
+    p = 0.9
+    terms = []
+    ov50 = 0
+    for d in range(1, 51):
+        ov = sum(1 for m in shared.values() if m <= d)
+        ov50 = max(ov50, ov)
+        terms.append(ov * ((1 - p) * p ** (d - 1) / d))
+    rbo = sum(sorted(terms))
+    row = QUERIES["text_rbo_vocab_overlap"](spark, sf_small).collect()[0]
+    assert row.overlap_at_50 == ov50
+    assert abs(row.rbo_ub - rbo) < 1e-8
