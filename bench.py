@@ -347,6 +347,9 @@ CATALOG_BENCH = [
     "ts_permutation_entropy",
     "stats_cochran_q",
     "text_rbo_vocab_overlap",
+    "stats_lin_ccc",
+    "olap_price_decile_migration",
+    "emb_exact_dup_vectors",
 ]
 
 # ---------------------------------------------------------------------------

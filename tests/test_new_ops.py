@@ -7975,3 +7975,93 @@ def test_rbo_vocab_overlap_matches_python(spark, sf_small):
     row = QUERIES["text_rbo_vocab_overlap"](spark, sf_small).collect()[0]
     assert row.overlap_at_50 == ov50
     assert abs(row.rbo_ub - rbo) < 1e-8
+
+
+def test_lin_ccc_matches_python(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    xs, ys = grid["click"], grid["view"]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = 2 * (n * sxy - sx * sy)
+    den = (n * sxx - sx * sx) + (n * syy - sy * sy) + (sx - sy) ** 2
+    row = QUERIES["stats_lin_ccc"](spark, sf_small).collect()[0]
+    assert (row.n, row.ccc_num, row.ccc_den) == (n, num, den)
+    assert abs(row.lin_ccc - num / den) < 1e-12
+
+
+def test_price_decile_migration_matches_python(spark, sf_small):
+    import datetime
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    rev = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    ).collect():
+        sd = (
+            r.l_shipdate.date()
+            if isinstance(r.l_shipdate, datetime.datetime)
+            else r.l_shipdate
+        )
+        if sd.year == 1994:
+            rev[r.l_partkey][0] += round(r.l_extendedprice * 100)
+        elif sd.year == 1995:
+            rev[r.l_partkey][1] += round(r.l_extendedprice * 100)
+    both = {k: v for k, v in rev.items() if v[0] and v[1]}
+
+    def ntile10(keys):
+        n = len(keys)
+        base, extra = divmod(n, 10)
+        out = {}
+        i = 0
+        for q in range(1, 11):
+            size = base + (1 if q <= extra else 0)
+            for k in keys[i : i + size]:
+                out[k] = q
+            i += size
+        return out
+
+    d94 = ntile10(sorted(both, key=lambda k: (-both[k][0], k)))
+    d95 = ntile10(sorted(both, key=lambda k: (-both[k][1], k)))
+    want = Counter((d94[k], d95[k]) for k in both)
+    got = {
+        (r.d94, r.d95): (r.n_parts, r.shift)
+        for r in QUERIES["olap_price_decile_migration"](
+            spark, sf_small
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    for (a, b), (_, shift) in got.items():
+        assert shift == b - a
+
+
+def test_exact_dup_vectors_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    groups = defaultdict(list)
+    for r in load(spark, sf_small, "embeddings").collect():
+        key = tuple(round(float(x) * 256) for x in r.embedding)
+        groups[key].append((r.vec_id, r.label))
+    clusters = [v for v in groups.values() if len(v) > 1]
+    row = QUERIES["emb_exact_dup_vectors"](spark, sf_small).collect()[0]
+    assert row.n_clusters == len(clusters)
+    assert row.n_dup_vectors == sum(len(c) for c in clusters)
+    assert row.n_label_conflicts == sum(
+        1 for c in clusters if len({lab for _, lab in c}) > 1
+    )
+    if clusters:
+        assert row.sample_canonical == min(
+            min(v for v, _ in c) for c in clusters
+        )
+    else:
+        assert row.sample_canonical is None
