@@ -350,6 +350,8 @@ CATALOG_BENCH = [
     "stats_lin_ccc",
     "olap_price_decile_migration",
     "emb_exact_dup_vectors",
+    "stats_sign_test",
+    "olap_aov_quarterly",
 ]
 
 # ---------------------------------------------------------------------------

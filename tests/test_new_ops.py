@@ -8065,3 +8065,62 @@ def test_exact_dup_vectors_matches_python(spark, sf_small):
         )
     else:
         assert row.sample_canonical is None
+
+
+def test_sign_test_matches_python(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    grid = _py_daily_grid(spark, sf_small)
+    np_ = sum(
+        1 for c, v in zip(grid["click"], grid["view"]) if c > v
+    )
+    nn = sum(
+        1 for c, v in zip(grid["click"], grid["view"]) if c < v
+    )
+    corr = (
+        np_ - nn - 1 if np_ > nn else np_ - nn + 1 if np_ < nn else 0
+    )
+    z = corr / math.sqrt(np_ + nn)
+    row = QUERIES["stats_sign_test"](spark, sf_small).collect()[0]
+    assert (row.n_pos, row.n_neg) == (np_, nn)
+    assert abs(row.z_stat - z) < 1e-12
+    assert row.significant_05 == (abs(z) > 1.96)
+
+
+def test_aov_quarterly_matches_python(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    per = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_small, "orders").collect():
+        od = (
+            r.o_orderdate.date()
+            if isinstance(r.o_orderdate, datetime.datetime)
+            else r.o_orderdate
+        )
+        if od.year in (1994, 1995):
+            key = (od.year, (od.month + 2) // 3)
+            per[key][0] += 1
+            per[key][1] += round(r.o_totalprice * 100)
+    got = {
+        (r.yr, r.qtr): (
+            r.n_orders,
+            r.rev_cents,
+            r.aov_cents,
+            r.qoq_delta_milli,
+        )
+        for r in QUERIES["olap_aov_quarterly"](spark, sf_small).collect()
+    }
+    assert set(got) == set(per)
+    prev = None
+    for key in sorted(per):
+        n, rev = per[key]
+        aov = rev // n
+        delta = 0 if prev is None else aov * 1000 // prev - 1000
+        assert got[key] == (n, rev, aov, delta), key
+        prev = aov
