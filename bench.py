@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -629,13 +630,31 @@ def main() -> None:
         env = dict(os.environ)
         for name in names:
             try:
-                proc = subprocess.run(
+                # start_new_session puts the child in its own process
+                # group so a timeout can killpg the WHOLE tree — the
+                # Spark JVM is a grandchild, and killing only the
+                # direct Python child leaves an orphan JVM stealing
+                # cores from later bench runs (ADVICE r9).
+                with subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__), "--one", name],
-                    capture_output=True,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
                     text=True,
                     env=env,
-                    timeout=180,
-                )
+                    start_new_session=True,
+                ) as popen:
+                    try:
+                        out, err = popen.communicate(timeout=180)
+                    except subprocess.TimeoutExpired:
+                        try:
+                            os.killpg(popen.pid, signal.SIGKILL)
+                        except (ProcessLookupError, PermissionError):
+                            popen.kill()
+                        popen.communicate()
+                        raise
+                    proc = subprocess.CompletedProcess(
+                        popen.args, popen.returncode, out, err
+                    )
                 line = (
                     proc.stdout.strip().splitlines()[-1]
                     if proc.stdout.strip()

@@ -74,10 +74,29 @@ def brute_topk_matmul(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k via per-partition BLAS matmul against a
-    broadcast candidate matrix (Arrow in/out, no per-row Python)."""
+    broadcast candidate matrix (Arrow in/out, no per-row Python).
+
+    This is the documented mid-tier: the candidate matrix is collected
+    to the driver and broadcast, so it only fits corpora whose vectors
+    fit in driver + executor memory (~1e6 × 64 dims ≈ 0.5 GiB).
+    ``max_rows`` enforces that contract — above it, raises and points
+    callers at :func:`blocked_topk_matmul`, which tiles both sides and
+    never materializes the corpus on the driver. Same guard pattern as
+    ``operators.masked_position_pairs``.
+    """
     spark = df.sparkSession
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute_topk_matmul broadcasts the whole corpus to every "
+            f"executor and is bounded at max_rows={max_rows} rows "
+            f"(got >{max_rows}); use blocked_topk_matmul for larger "
+            f"corpora — it tiles candidates into n_blocks broadcast "
+            f"slices and keeps per-task memory bounded"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

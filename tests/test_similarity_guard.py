@@ -279,3 +279,16 @@ def test_semdedup_cache_registry_releases(spark):
     # cap=None takes the unguarded path: nothing persisted
     sim.semdedup(df, threshold=0.99, n_planes=2, dim=8, cell_cap=None).count()
     assert sim.release_semdedup_caches() == 0
+
+
+def test_brute_topk_matmul_size_guard(spark):
+    """VERDICT r9 #3: the brute (driver-broadcast) tier must refuse a
+    corpus above its documented row bound instead of toPandas()-ing it,
+    and the error must point at blocked_topk_matmul."""
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="blocked_topk_matmul"):
+        sim.brute_topk_matmul(df, k=3, max_rows=10)
+    # at or under the bound the plan still builds and runs
+    out = sim.brute_topk_matmul(df, k=3, max_rows=20)
+    assert out.count() == 60
