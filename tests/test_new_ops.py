@@ -8124,3 +8124,51 @@ def test_aov_quarterly_matches_python(spark, sf_small):
         delta = 0 if prev is None else aov * 1000 // prev - 1000
         assert got[key] == (n, rev, aov, delta), key
         prev = aov
+
+
+def test_dtw_distance_banded_kernel():
+    """VERDICT r9 #6: the anti-diagonal-vectorized DP must equal the
+    naive nested-loop DP exactly (band=None), a wide band must not
+    change the answer, a tight band must only increase it, and an
+    infeasible band must raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from report_worker_spark.functions.timeseries import dtw_distance
+
+    def naive(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        cost = np.abs(a[:, None] - b[None, :])
+        dp = np.zeros_like(cost)
+        dp[0, 0] = cost[0, 0]
+        dp[0, 1:] = np.cumsum(cost[0, 1:]) + cost[0, 0]
+        dp[1:, 0] = np.cumsum(cost[1:, 0]) + cost[0, 0]
+        for i in range(1, len(a)):
+            for j in range(1, len(b)):
+                dp[i, j] = cost[i, j] + min(
+                    dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                )
+        return int(dp[-1, -1])
+
+    rng = np.random.default_rng(7)
+    for n, m in [(1, 1), (1, 5), (5, 1), (2, 2), (30, 30), (17, 23)]:
+        a = rng.integers(0, 500, n).tolist()
+        b = rng.integers(0, 500, m).tolist()
+        full = dtw_distance(a, b, band=None)
+        assert full == naive(a, b), (n, m)
+        # a band covering the whole grid is the unconstrained DP
+        assert dtw_distance(a, b, band=n + m) == full, (n, m)
+        # tighter bands restrict paths: distance non-decreasing as the
+        # band shrinks, never below the unconstrained optimum
+        prev = None
+        for band in range(n + m, abs(n - m) - 1, -1):
+            d = dtw_distance(a, b, band=band)
+            assert d >= full
+            assert prev is None or d >= prev, (n, m, band)
+            prev = d
+    # phase-shifted ramps: a diagonal band still finds the alignment
+    a = list(range(20))
+    b = [0, 0] + list(range(18))
+    assert dtw_distance(a, b, band=3) == dtw_distance(a, b, band=None)
+    with _pt.raises(ValueError, match="band"):
+        dtw_distance([1, 2, 3, 4, 5], [1], band=2)
