@@ -421,20 +421,21 @@ HEADLINE_BENCH = [
     "curation_epoch_shuffle",
 ]
 
-# Round-9 rotating slots: hand-rotated each round (same discipline as
+# Round-10 rotating slots: hand-rotated each round (same discipline as
 # plans/catalog._DRIVER_WINDOW) over CATALOG_BENCH entries not in
-# HEADLINE_BENCH — heaviest-looking round-8 additions first.
+# HEADLINE_BENCH — the next 10 never-benched in CATALOG_BENCH order
+# (union of BENCH_r01..r09 + BENCH_DETAIL has 220 never-benched left).
 ROTATING_BENCH = [
-    "ts_dtw_pairs",
-    "stats_kruskal_wallis",
-    "graph_k_truss",
-    "graph_rich_club",
-    "emb_binary_hamming_topk",
-    "graph_modularity_labelprop",
-    "emb_silhouette_sample",
-    "join_scd2_pointintime",
-    "curation_pii_scrub_census",
-    "text_js_divergence_sources",
+    "join_salted_skew",
+    "stats_exact_median_twopass",
+    "stats_mad_robust",
+    "multimodal_image_ahash",
+    "dedup_fuzzy_clusters",
+    "curation_span_corruption",
+    "text_rake_keywords",
+    "text_zipf_fit",
+    "agg_countmin_sketch",
+    "audit_bloom_membership",
 ]
 
 
