@@ -516,6 +516,194 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # Round-10 batch (VERDICT_r9 item 2): the round-9 heavy family —
+    # winnowing fingerprints, the dedup threshold yield curve, the
+    # rolling-distinct day fan-out, banded DTW on long series, the
+    # revenue-decile migration, and the WAV Goertzel kernel.
+    # ------------------------------------------------------------------
+    import pandas as pd
+
+    from report_worker_spark.functions.timeseries import dtw_distance
+
+    # winnowing: per-doc higher-order array exprs (transform/slice/
+    # array_min — no window explode), one (pos, fp) distinct + groupBy;
+    # linear in token volume like the substring family
+    wtoks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    whs = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> md5(concat(element_at(t, i), ' ',"
+        " element_at(t, i + 1), ' ', element_at(t, i + 2))))"
+    )
+    wgrams = wtoks.select("doc_id", whs.alias("hs")).filter(
+        F.size("hs") >= 4
+    )
+    wpicks = F.expr(
+        "transform(sequence(0, size(hs) - 4), i -> struct("
+        " cast(i + 4 - array_position(reverse(slice(hs, i + 1, 4)),"
+        "   array_min(slice(hs, i + 1, 4))) as bigint) as pos,"
+        " array_min(slice(hs, i + 1, 4)) as fp))"
+    )
+    wsel = (
+        wgrams.select("doc_id", F.explode(wpicks).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+        .distinct()
+    )
+    timings["dedup_winnowing_fingerprints"] = timed(
+        wsel.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+    # threshold yield curve: the PPJoin pair stream at the LOWEST
+    # bucketed threshold (0.5) + one decile-histogram groupBy — the
+    # pair volume itself is the near-dup density of the corpus (each
+    # replica family is K mutual near-dups, so pairs grow ~K²/2 BY
+    # CONSTRUCTION here; the op's own overhead tracks the pair stream)
+    timings["dedup_threshold_yield_curve"] = timed(
+        dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=500 * K)
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # rolling distinct users: K× events with DISJOINT per-replica user
+    # spaces; shuffle volume is 7×|user-days| regardless of raw event
+    # volume — the day fan-out device at scale
+    ev = load(spark, SF_DIR, "events")
+    ereps = spark.range(K).select(F.col("id").cast("int").alias("rep"))
+    ev_day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    ud_k = (
+        ev.select("user_id", ev_day.alias("day"))
+        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
+        .crossJoin(F.broadcast(ereps))
+        .select(
+            (
+                F.col("user_id")
+                + F.col("rep").cast("long") * F.lit(100_000_000)
+            ).alias("user_id"),
+            "day",
+        )
+        .distinct()
+    )
+    fan_k = ud_k.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+            "target_day"
+        ),
+    ).filter(F.col("target_day") <= 29)
+    timings["ts_rolling_distinct_users"] = timed(
+        fan_k.groupBy("target_day").agg(
+            F.countDistinct("user_id").alias("dau_7d")
+        )
+    )
+    # banded DTW on LONG series: replica r appends 30 more days, so the
+    # per-pair series length is L = 30·K; with the Sakoe-Chiba band the
+    # kernel is O(L·band) — growth should track L, never L²
+    gridl = (
+        ev.select("event_type", ev_day.alias("d"))
+        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
+        .crossJoin(F.broadcast(ereps))
+        .select(
+            "event_type", (F.col("d") + F.col("rep") * 30).alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lseries = gridl.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("series")
+    )
+    lseries = lseries.localCheckpoint(eager=False)
+    la = lseries.select(
+        F.col("event_type").alias("type_a"), F.col("series").alias("sa")
+    )
+    lb = lseries.select(
+        F.col("event_type").alias("type_b"), F.col("series").alias("sb")
+    )
+    lpairs = la.crossJoin(lb).filter(F.col("type_a") < F.col("type_b"))
+
+    def dtw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "type_a": ta,
+                    "type_b": tb,
+                    "dtw": dtw_distance(sa, sb, band=16),
+                }
+                for ta, tb, sa, sb in zip(
+                    pdf["type_a"], pdf["type_b"], pdf["sa"], pdf["sb"]
+                )
+            ]
+        )
+
+    timings["ts_dtw_banded_long"] = timed(
+        lpairs.groupBy("type_a", "type_b").applyInPandas(
+            dtw_kernel, schema="type_a string, type_b string, dtw long"
+        )
+    )
+    # decile migration: K× lineitem with DISJOINT per-replica partkeys;
+    # the two ntile windows are global sorts over the PART-level yearly
+    # rollup (not raw lineitem) — measure that reduced-cardinality sort
+    lreps = spark.range(K).select(F.col("id").cast("int").alias("rep"))
+    li_k = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .crossJoin(F.broadcast(lreps))
+        .select(
+            (
+                F.col("l_partkey")
+                + F.col("rep").cast("long") * F.lit(1_000_000_000)
+            ).alias("l_partkey"),
+            "l_shipdate",
+            "l_extendedprice",
+        )
+    )
+    yearly_k = li_k.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("y")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev"
+        )
+    )
+    ya = yearly_k.filter(F.col("y") == 1994).select(
+        "l_partkey", F.col("rev").alias("r94")
+    )
+    yb = yearly_k.filter(F.col("y") == 1995).select(
+        "l_partkey", F.col("rev").alias("r95")
+    )
+    yboth = ya.join(yb, "l_partkey")
+    yranked = yboth.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("r94").desc(), F.col("l_partkey")))
+        .alias("d94"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("r95").desc(), F.col("l_partkey")))
+        .alias("d95"),
+    )
+    timings["olap_price_decile_migration"] = timed(
+        yranked.groupBy("d94", "d95").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # WAV Goertzel bins: per-clip integer-trig Arrow kernel over the
+    # real decode — embarrassingly parallel like silence_runs
+    timings["multimodal_wav_goertzel_bins"] = timed(
+        mm.wav_goertzel_bins(
+            mm.synthetic_wav_media(docs.select("doc_id"), "doc_id")
+        )
+    )
+
+    # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
     # LSH near-dup components → substring trim → benchmark
