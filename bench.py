@@ -353,6 +353,10 @@ CATALOG_BENCH = [
     "emb_exact_dup_vectors",
     "stats_sign_test",
     "olap_aov_quarterly",
+    # round-10 additions
+    "stats_mood_median_test",
+    "stats_cronbach_alpha",
+    "stats_icc_oneway",
 ]
 
 # ---------------------------------------------------------------------------

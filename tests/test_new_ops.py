@@ -8172,3 +8172,104 @@ def test_dtw_distance_banded_kernel():
     assert dtw_distance(a, b, band=3) == dtw_distance(a, b, band=None)
     with _pt.raises(ValueError, match="band"):
         dtw_distance([1, 2, 3, 4, 5], [1], band=2)
+
+
+def test_mood_median_test_replica(spark, sf_small):
+    """Python replay: exact upper-median convention (smallest u with
+    2·cum >= N+1), 2×k contingency, chi2 terms."""
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("event_type", "value").collect()
+    us = sorted(int(round_half_up(r.value)) for r in ev)
+    n = len(us)
+    cnt = Counter(us)
+    cum, med = 0, None
+    for u in sorted(cnt):
+        cum += cnt[u]
+        if 2 * cum >= n + 1:
+            med = u
+            break
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        u = int(round_half_up(r.value))
+        per[r.event_type][0] += 1
+        per[r.event_type][1] += int(u > med)
+    a_tot = sum(v[1] for v in per.values())
+    rows = {r.event_type: r for r in QUERIES["stats_mood_median_test"](spark, sf_small).collect()}
+    assert set(rows) == set(per)
+    for t, (n_i, n_above) in per.items():
+        r = rows[t]
+        assert (r.n_i, r.n_above, r.n_below) == (n_i, n_above, n_i - n_above)
+        ea = n_i * a_tot / n
+        eb = n_i * (n - a_tot) / n
+        want = (n_above - ea) ** 2 / ea + ((n_i - n_above) - eb) ** 2 / eb
+        assert abs(r.chi2_term - want) < 1e-6
+
+
+def round_half_up(x: float) -> float:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_cronbach_alpha_replica(spark, sf_small):
+    """Python replay over the dense user × type count matrix."""
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("user_id", "event_type").collect()
+    cells = Counter((r.user_id, r.event_type) for r in ev)
+    users = sorted({r.user_id for r in ev})
+    types = sorted({r.event_type for r in ev})
+    n, k = len(users), len(types)
+    mat = {u: {t: cells.get((u, t), 0) for t in types} for u in users}
+    ivars = []
+    for t in types:
+        xs = [mat[u][t] for u in users]
+        m = sum(xs) / n
+        ivars.append(sum(x * x for x in xs) / n - m * m)
+    tots = [sum(mat[u].values()) for u in users]
+    mt = sum(tots) / n
+    tvar = sum(x * x for x in tots) / n - mt * mt
+    alpha = (k / (k - 1)) * (1 - sum(ivars) / tvar)
+    r = QUERIES["stats_cronbach_alpha"](spark, sf_small).collect()[0]
+    assert (r.n_users, r.k_items) == (n, k)
+    assert abs(r.sum_item_var - sum(ivars)) < 1e-6
+    assert abs(r.total_var - tvar) < 1e-6
+    assert abs(r.alpha - alpha) < 1e-6
+
+
+def test_icc_oneway_replica(spark, sf_small):
+    """Python replay of the unbalanced one-way ANOVA ICC(1,1)."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select("o_custkey", "o_totalprice").collect()
+    c = load(spark, sf_small, "customer").select("c_custkey", "c_nationkey").collect()
+    nat = {r.c_custkey: r.c_nationkey for r in c}
+    groups = defaultdict(list)
+    for r in o:
+        groups[nat[r.o_custkey]].append(int(round_half_up(r.o_totalprice)))
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    sy = sum(sum(v) for v in groups.values())
+    ssq = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    s2_tot = sum(x * x for v in groups.values() for x in v)
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    msb = (ssq - sy * sy / nn) / (k - 1)
+    msw = (s2_tot - ssq) / (nn - k)
+    n0 = (nn - sn2 / nn) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    r = QUERIES["stats_icc_oneway"](spark, sf_small).collect()[0]
+    assert (r.n_groups, r.n_total) == (k, nn)
+    assert abs(r.n0 - n0) < 1e-4
+    assert abs(r.msb - msb) < max(1e-3, abs(msb) * 1e-9)
+    assert abs(r.msw - msw) < max(1e-3, abs(msw) * 1e-9)
+    assert abs(r.icc1 - icc) < 1e-6
