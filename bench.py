@@ -357,6 +357,9 @@ CATALOG_BENCH = [
     "stats_mood_median_test",
     "stats_cronbach_alpha",
     "stats_icc_oneway",
+    "stats_holm_bonferroni",
+    "stats_durbin_watson",
+    "stats_bartlett_test",
 ]
 
 # ---------------------------------------------------------------------------

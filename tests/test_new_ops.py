@@ -8273,3 +8273,96 @@ def test_icc_oneway_replica(spark, sf_small):
     assert abs(r.msb - msb) < max(1e-3, abs(msb) * 1e-9)
     assert abs(r.msw - msw) < max(1e-3, abs(msw) * 1e-9)
     assert abs(r.icc1 - icc) < 1e-6
+
+
+def test_holm_bonferroni_replica(spark, sf_small):
+    """Step-down invariants: rejected set is a prefix of the p-rank
+    order, thresholds are alpha/(m-rank+1), and rejection stops at the
+    first rank whose p exceeds its threshold. Cross-checked against
+    the BH twin's shared z/p columns."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["stats_holm_bonferroni"](spark, sf_small).collect(),
+        key=lambda r: r.p_rank,
+    )
+    m = len(rows)
+    ok = True
+    for r in rows:
+        thr = 0.05 / (m - r.p_rank + 1)
+        assert abs(r.holm_threshold - thr) < 1e-12
+        ok = ok and (r.p_value <= thr)
+        assert r.rejected == ok
+    bh = {r.nation: r for r in QUERIES["stats_bh_fdr"](spark, sf_small).collect()}
+    for r in rows:
+        assert bh[r.nation].p_value == r.p_value
+        assert bh[r.nation].z_stat == r.z_stat
+
+
+def test_durbin_watson_replica(spark, sf_small):
+    """Python OLS + DW replay on the same daily series."""
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts", "value").collect()
+    epoch = datetime.date(2024, 1, 1)
+    daily = defaultdict(int)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            daily[d] += int(round_half_up(r.value))
+    xs = sorted(daily)
+    ys = [daily[x] for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [y - a - b * x for x, y in zip(xs, ys)]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(
+        v * v for v in e
+    )
+    r = QUERIES["stats_durbin_watson"](spark, sf_small).collect()[0]
+    assert r.n_days == n
+    assert abs(r.dw - dw) < 1e-6
+    assert abs(r.rho1_approx - (1 - dw / 2)) < 1e-6
+
+
+def test_bartlett_replica(spark, sf_small):
+    """Python replay of Bartlett's T with the C correction."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups = defaultdict(list)
+    for r in o:
+        groups[r.o_orderpriority].append(int(round_half_up(r.o_totalprice)))
+    groups = {g: v for g, v in groups.items() if len(v) > 1}
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    variances = {}
+    for g, v in groups.items():
+        m = sum(v) / len(v)
+        variances[g] = sum((x - m) ** 2 for x in v) / (len(v) - 1)
+    sp2 = sum((len(v) - 1) * variances[g] for g, v in groups.items()) / (
+        nn - k
+    )
+    t_num = (nn - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(variances[g]) for g, v in groups.items()
+    )
+    c = 1 + (
+        sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (nn - k)
+    ) / (3 * (k - 1))
+    r = QUERIES["stats_bartlett_test"](spark, sf_small).collect()[0]
+    assert (r.n_groups, r.n_total) == (k, nn)
+    assert abs(r.pooled_var - sp2) < max(1e-2, sp2 * 1e-8)
+    assert abs(r.bartlett_stat - t_num / c) < 1e-5
