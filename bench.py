@@ -360,6 +360,9 @@ CATALOG_BENCH = [
     "stats_holm_bonferroni",
     "stats_durbin_watson",
     "stats_bartlett_test",
+    "ts_variance_ratio_test",
+    "ts_sample_entropy",
+    "ts_madogram_fractal",
 ]
 
 # ---------------------------------------------------------------------------

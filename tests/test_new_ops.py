@@ -8366,3 +8366,78 @@ def test_bartlett_replica(spark, sf_small):
     assert (r.n_groups, r.n_total) == (k, nn)
     assert abs(r.pooled_var - sp2) < max(1e-2, sp2 * 1e-8)
     assert abs(r.bartlett_stat - t_num / c) < 1e-5
+
+
+def _daily_series(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts", "value").collect()
+    epoch = datetime.date(2024, 1, 1)
+    daily = defaultdict(int)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            daily[d] += int(round_half_up(r.value))
+    xs = sorted(daily)
+    return xs, [daily[x] for x in xs]
+
+
+def test_variance_ratio_replica(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    xs, ys = _daily_series(spark, sf_small)
+    n1 = len(xs) - 1
+    mu = (ys[-1] - ys[0]) / n1
+    d1 = [ys[i] - ys[i - 1] for i in range(1, len(ys))]
+    d5 = [ys[i] - ys[i - 5] for i in range(5, len(ys))]
+    ss1 = sum((d - mu) ** 2 for d in d1)
+    ss5 = sum((d - 5 * mu) ** 2 for d in d5)
+    vr = (ss5 / (5 * len(d5))) / (ss1 / len(d1))
+    r = QUERIES["ts_variance_ratio_test"](spark, sf_small).collect()[0]
+    assert (r.n_diffs, r.n_qdiffs, r.q) == (len(d1), len(d5), 5)
+    assert abs(r.vr - vr) < 1e-6
+
+
+def test_sample_entropy_replica(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    xs, ys = _daily_series(spark, sf_small)
+    n = len(ys)
+    m = sum(ys) / n
+    var = sum(y * y for y in ys) / n - m * m
+    rtol = max(1, int(math.floor(0.2 * math.sqrt(var))))
+    tpl = [(ys[i], ys[i + 1], ys[i + 2]) for i in range(n - 2)]
+    bb = aa = 0
+    for i in range(len(tpl)):
+        for j in range(i + 1, len(tpl)):
+            a, b = tpl[i], tpl[j]
+            if abs(a[0] - b[0]) <= rtol and abs(a[1] - b[1]) <= rtol:
+                bb += 1
+                if abs(a[2] - b[2]) <= rtol:
+                    aa += 1
+    r = QUERIES["ts_sample_entropy"](spark, sf_small).collect()[0]
+    assert (r.r_tol, r.b_count, r.a_count) == (rtol, bb, aa)
+    if aa and bb:
+        assert abs(r.sampen - (-math.log(aa / bb))) < 1e-6
+
+
+def test_madogram_replica(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    xs, ys = _daily_series(spark, sf_small)
+    a1 = [abs(ys[i] - ys[i - 1]) for i in range(1, len(ys))]
+    a2 = [abs(ys[i] - ys[i - 2]) for i in range(2, len(ys))]
+    v1 = sum(a1) / (2 * len(a1))
+    v2 = sum(a2) / (2 * len(a2))
+    d = 2 - (math.log(v2) - math.log(v1)) / (2 * math.log(2))
+    r = QUERIES["ts_madogram_fractal"](spark, sf_small).collect()[0]
+    assert (r.n_lag1, r.n_lag2) == (len(a1), len(a2))
+    assert abs(r.v1 - v1) < 1e-5 and abs(r.v2 - v2) < 1e-5
+    assert abs(r.fractal_d - d) < 1e-6
