@@ -363,6 +363,9 @@ CATALOG_BENCH = [
     "ts_variance_ratio_test",
     "ts_sample_entropy",
     "ts_madogram_fractal",
+    "ts_recurrence_rate",
+    "olap_bcg_matrix",
+    "olap_order_value_log_histogram",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8441,3 +8441,77 @@ def test_madogram_replica(spark, sf_small):
     assert (r.n_lag1, r.n_lag2) == (len(a1), len(a2))
     assert abs(r.v1 - v1) < 1e-5 and abs(r.v2 - v2) < 1e-5
     assert abs(r.fractal_d - d) < 1e-6
+
+
+def test_recurrence_rate_replica(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+
+    xs, ys = _daily_series(spark, sf_small)
+    n = len(ys)
+    eps = max(1, (max(ys) - min(ys)) // 10)
+    rec = diag = tot = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            tot += 1
+            if abs(ys[i] - ys[j]) <= eps:
+                rec += 1
+                nxt = (
+                    i + 1 < n and j + 1 < n
+                    and abs(ys[i + 1] - ys[j + 1]) <= eps
+                )
+                prv = i > 0 and j > 0 and abs(ys[i - 1] - ys[j - 1]) <= eps
+                diag += int(nxt or prv)
+    r = QUERIES["ts_recurrence_rate"](spark, sf_small).collect()[0]
+    assert (r.n_points, r.eps, r.n_pairs) == (n, eps, tot)
+    assert (r.n_recurrent, r.n_diagonal) == (rec, diag)
+    assert abs(r.rr - rec / tot) < 1e-9
+    if rec:
+        assert abs(r.det - diag / rec) < 1e-9
+
+
+def test_bcg_matrix_replica(spark, sf_small):
+    """Quadrants: strict > median cuts on integer r95 and milli
+    growth; exactly the four labels partition the brand set."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["olap_bcg_matrix"](spark, sf_small).collect()
+    r95s = sorted((r.rev_y2_cents, r.brand) for r in rows)
+    gs = sorted((r.growth_milli, r.brand) for r in rows)
+    m = len(rows)
+    med_r = r95s[(m + 1) // 2 - 1][0]
+    med_g = gs[(m + 1) // 2 - 1][0]
+    tot = sum(r.rev_y2_cents for r in rows)
+    for r in rows:
+        hi_s, hi_g = r.rev_y2_cents > med_r, r.growth_milli > med_g
+        want = (
+            "star" if hi_s and hi_g
+            else "cash_cow" if hi_s
+            else "question_mark" if hi_g
+            else "dog"
+        )
+        assert r.quadrant == want, r
+        assert abs(r.share_y2 - r.rev_y2_cents / tot) < 1e-9
+        d = (r.rev_y2_cents - r.rev_y1_cents) * 1000
+        assert r.growth_milli == int(d / r.rev_y1_cents)  # trunc toward 0
+
+
+def test_log_histogram_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select("o_totalprice").collect()
+    buckets = defaultdict(list)
+    for r in o:
+        d = max(1, int(round_half_up(r.o_totalprice)))
+        buckets[d.bit_length()].append(d)
+    rows = {r.log2_bucket: r for r in QUERIES[
+        "olap_order_value_log_histogram"](spark, sf_small).collect()}
+    assert set(rows) == set(buckets)
+    for k, v in buckets.items():
+        r = rows[k]
+        assert (r.n_orders, r.sum_dollars) == (len(v), sum(v))
+        assert (r.min_dollars, r.max_dollars) == (min(v), max(v))
+        assert r.bucket_low_dollars == 2 ** (k - 1)
+        assert all(2 ** (k - 1) <= d < 2**k for d in v)
