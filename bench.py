@@ -366,6 +366,9 @@ CATALOG_BENCH = [
     "ts_recurrence_rate",
     "olap_bcg_matrix",
     "olap_order_value_log_histogram",
+    "text_richness_panel",
+    "text_char_entropy_by_source",
+    "text_gunning_fog",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8515,3 +8515,71 @@ def test_log_histogram_replica(spark, sf_small):
         assert (r.min_dollars, r.max_dollars) == (min(v), max(v))
         assert r.bucket_low_dollars == 2 ** (k - 1)
         assert all(2 ** (k - 1) <= d < 2**k for d in v)
+
+
+def test_richness_panel_replica(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    freq = defaultdict(Counter)
+    for r in docs:
+        freq[r.source].update(r.text.split(" "))
+    rows = {r.source: r for r in QUERIES["text_richness_panel"](spark, sf_small).collect()}
+    assert set(rows) == set(freq)
+    for s, c in freq.items():
+        n, v = sum(c.values()), len(c)
+        v1 = sum(1 for x in c.values() if x == 1)
+        v2 = sum(1 for x in c.values() if x == 2)
+        r = rows[s]
+        assert (r.n_tokens, r.n_types, r.n_hapax, r.n_dis) == (n, v, v1, v2)
+        assert abs(r.guiraud_r - v / math.sqrt(n)) < 1e-6
+        assert abs(r.herdan_c - math.log(v) / math.log(n)) < 1e-6
+        if v1 < v:
+            assert abs(r.honore_r - 100 * math.log(n) / (1 - v1 / v)) < 1e-4
+        else:
+            assert r.honore_r is None
+        assert abs(r.sichel_s - v2 / v) < 1e-9
+
+
+def test_char_entropy_replica(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    freq = defaultdict(Counter)
+    for r in docs:
+        freq[r.source].update(r.text)
+    rows = {r.source: r for r in QUERIES["text_char_entropy_by_source"](spark, sf_small).collect()}
+    for s, c in freq.items():
+        n = sum(c.values())
+        ent = -sum((x / n) * math.log(x / n) for x in c.values())
+        r = rows[s]
+        assert (r.n_chars, r.n_distinct_chars) == (n, len(c))
+        assert abs(r.char_entropy_nats - ent) < 1e-6
+
+
+def test_gunning_fog_replica(spark, sf_small):
+    import re
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    rows = {r.doc_id: r for r in QUERIES["text_gunning_fog"](spark, sf_small).collect()}
+    for d in docs:
+        ws = d.text.split(" ")
+        sents = max(len(re.findall(r"[.!?]", d.text)), 1)
+        comp = sum(
+            1 for w in ws if len(re.findall(r"[aeiouy]+", w.lower())) >= 3
+        )
+        r = rows[d.doc_id]
+        assert (r.n_words, r.n_sentences, r.n_complex) == (len(ws), sents, comp)
+        fog = 0.4 * (len(ws) / sents + 100 * comp / len(ws))
+        assert abs(r.fog_index - fog) < 1e-6
