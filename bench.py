@@ -369,6 +369,9 @@ CATALOG_BENCH = [
     "text_richness_panel",
     "text_char_entropy_by_source",
     "text_gunning_fog",
+    "graph_path_census",
+    "emb_uniformity_alignment",
+    "emb_centroid_confusion",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8583,3 +8583,108 @@ def test_gunning_fog_replica(spark, sf_small):
         assert (r.n_words, r.n_sentences, r.n_complex) == (len(ws), sents, comp)
         fog = 0.4 * (len(ws) / sents + 100 * comp / len(ws))
         assert abs(r.fog_index - fog) < 1e-6
+
+
+def test_path_census_replica(spark, sf_small):
+    """P2/P3 closed forms vs brute-force path enumeration on the
+    co-occurrence graph."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+
+    ed = {(r.src, r.dst) for r in _cooccur_edges(spark, sf_small).collect()}
+    adj = defaultdict(set)
+    for s, t in ed:
+        adj[s].add(t)
+        adj[t].add(s)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    # brute triangles: each unordered triangle is seen once per edge
+    tri = sum(len(adj[s] & adj[t]) for s, t in ed) // 3
+    p3 = sum(
+        (len(adj[s]) - 1) * (len(adj[t]) - 1) for s, t in ed
+    ) - 3 * tri
+    r = QUERIES["graph_path_census"](spark, sf_small).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (len(adj), len(ed))
+    assert (r.n_paths2, r.n_triangles, r.n_paths3) == (wedges, tri, p3)
+    assert abs(r.transitivity - 3 * tri / wedges) < 1e-9
+    # spot-verify P3 by enumeration on a small sub-sample of paths
+    brute_p3 = 0
+    for s, t in ed:
+        for u in adj[s] - {t}:
+            for v in adj[t] - {s, u}:
+                brute_p3 += 1
+    assert brute_p3 == p3
+
+
+def test_uniformity_alignment_replica(spark, sf_small):
+    import hashlib
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").collect()
+    qs = [
+        (
+            r.vec_id,
+            r.label,
+            hashlib.md5(str(r.vec_id).encode()).hexdigest()[0],
+            [int(round_half_up(float(v) * 256)) for v in r.embedding],
+        )
+        for r in emb
+    ]
+    from collections import defaultdict
+
+    bkts = defaultdict(list)
+    for t in qs:
+        bkts[t[2]].append(t)
+    n_pairs = n_same = 0
+    sum_d2_same = 0
+    sum_eq = 0
+    for vs in bkts.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                if a[0] > b[0]:
+                    a, b = b, a
+                d2 = sum((x - y) ** 2 for x, y in zip(a[3], b[3]))
+                n_pairs += 1
+                if a[1] == b[1]:
+                    n_same += 1
+                    sum_d2_same += d2
+                sum_eq += int(
+                    round_half_up(math.exp(-2.0 * d2 / 65536.0) * 2**40)
+                )
+    r = QUERIES["emb_uniformity_alignment"](spark, sf_small).collect()[0]
+    assert (r.n_pairs, r.n_same_label) == (n_pairs, n_same)
+    assert abs(r.alignment - sum_d2_same / (65536.0 * n_same)) < 1e-6
+    assert abs(
+        r.uniformity - math.log(sum_eq / n_pairs / 2**40)
+    ) < 1e-6
+
+
+def test_centroid_confusion_replica(spark, sf_small):
+    """Confusion matrix marginals must agree with the accuracy op."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    conf = QUERIES["emb_centroid_confusion"](spark, sf_small).collect()
+    acc = {
+        r.label: r
+        for r in QUERIES["emb_nearest_centroid_accuracy"](
+            spark, sf_small
+        ).collect()
+    }
+    from collections import defaultdict
+
+    row_tot = defaultdict(int)
+    diag = {}
+    for r in conf:
+        row_tot[r.label] += r.n_vecs
+        if r.label == r.pred_label:
+            diag[r.label] = r.n_vecs
+    for lbl, a in acc.items():
+        assert row_tot[lbl] == a.n_vecs
+        assert diag.get(lbl, 0) == a.n_correct
+    for r in conf:
+        assert abs(r.row_share - r.n_vecs / row_tot[r.label]) < 1e-9
