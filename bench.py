@@ -372,6 +372,9 @@ CATALOG_BENCH = [
     "graph_path_census",
     "emb_uniformity_alignment",
     "emb_centroid_confusion",
+    "dedup_minhash_estimate_audit",
+    "dedup_band_scurve_audit",
+    "audit_timestamp_granularity",
 ]
 
 # ---------------------------------------------------------------------------

@@ -8688,3 +8688,129 @@ def test_centroid_confusion_replica(spark, sf_small):
         assert diag.get(lbl, 0) == a.n_correct
     for r in conf:
         assert abs(r.row_share - r.n_vecs / row_tot[r.label]) < 1e-9
+
+
+def _py_md5_minhash(docs, n_hashes=16):
+    import hashlib
+
+    def h12(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    per = {}
+    for doc_id, text in docs:
+        if doc_id % 101 != 0:
+            continue
+        t = text.strip().split()
+        if len(t) < 3:
+            continue
+        shingles = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+        hs = {h12(s) for s in shingles}
+        sig = [
+            min(h12(f"{i}:{s}") for s in shingles)
+            for i in range(n_hashes)
+        ]
+        per[doc_id] = (hs, sig)
+    return per
+
+
+def test_minhash_estimate_audit_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    per = _py_md5_minhash(docs)
+    ids = sorted(per)
+    agg = defaultdict(lambda: [0, 0, 0.0])  # n, sum_matches, sum_abs_err
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ha, sa = per[ids[i]]
+            hb, sb = per[ids[j]]
+            inter = len(ha & hb)
+            uni = len(ha | hb)
+            matches = sum(1 for x, y in zip(sa, sb) if x == y)
+            dec = (10 * inter) // uni
+            agg[dec][0] += 1
+            agg[dec][1] += matches
+            agg[dec][2] += abs(matches * uni - 16 * inter) / (16 * uni)
+    rows = {r.jaccard_decile: r for r in QUERIES[
+        "dedup_minhash_estimate_audit"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    for dec, (n, sm, se) in agg.items():
+        r = rows[dec]
+        assert (r.n_pairs, r.sum_matches) == (n, sm)
+        assert abs(r.mean_estimate - sm / (16 * n)) < 1e-9
+        assert abs(r.mean_abs_err - se / n) < 1e-6
+
+
+def test_band_scurve_audit_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    per = _py_md5_minhash(docs)
+    ids = sorted(per)
+    agg = defaultdict(lambda: [0, 0, 0.0])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ha, sa = per[ids[i]]
+            hb, sb = per[ids[j]]
+            inter, uni = len(ha & hb), len(ha | hb)
+            dec = (10 * inter) // uni
+            coll = any(
+                all(sa[b * 4 + k] == sb[b * 4 + k] for k in range(4))
+                for b in range(4)
+            )
+            s = inter / uni
+            theory = 1 - (1 - s**4) ** 4
+            agg[dec][0] += 1
+            agg[dec][1] += int(coll)
+            agg[dec][2] += theory
+    rows = {r.jaccard_decile: r for r in QUERIES[
+        "dedup_band_scurve_audit"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    for dec, (n, nc, st) in agg.items():
+        r = rows[dec]
+        assert (r.n_pairs, r.n_collided) == (n, nc)
+        assert abs(r.empirical_rate - nc / n) < 1e-9
+        assert abs(r.mean_theory_p - st / n) < 1e-6
+
+
+def test_timestamp_granularity_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("event_type", "ts").collect()
+    agg = defaultdict(lambda: [0, 0, 0, set()])
+    for r in ev:
+        t = r.ts
+        usec = t.microsecond
+        a = agg[r.event_type]
+        a[0] += 1
+        a[1] += int(usec == 0)
+        a[2] += int(usec == 0 and t.second == 0)
+        a[3].add(t.replace(microsecond=0))
+    rows = {r.event_type: r for r in QUERIES[
+        "audit_timestamp_granularity"](spark, sf_small).collect()}
+    for et, (n, ws, wm, secs) in agg.items():
+        r = rows[et]
+        assert (r.n_events, r.n_whole_second, r.n_whole_minute) == (n, ws, wm)
+        assert r.n_distinct_seconds == len(secs)
+        assert r.truncation_suspect == (ws * 100 > n)
