@@ -375,6 +375,9 @@ CATALOG_BENCH = [
     "dedup_minhash_estimate_audit",
     "dedup_band_scurve_audit",
     "audit_timestamp_granularity",
+    "multimodal_wav_peak_bin",
+    "multimodal_wav_spectral_entropy",
+    "olap_order_backlog_timeline",
 ]
 
 # ---------------------------------------------------------------------------

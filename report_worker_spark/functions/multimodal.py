@@ -2811,6 +2811,47 @@ def wav_goertzel_bins(
     )
 
 
+def wav_goertzel_powers(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """INTEGER Goertzel bin powers p_k = C_k² + S_k² over each clip's
+    first 32 samples (same quantized trig tables and decode path as
+    :func:`wav_goertzel_bins`) — the EXACT-BIGINT form downstream
+    integer audits (peak bin, spectral entropy) build on without ever
+    touching a float in the kernel."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_wav_samples(content)
+        if d["bits"] != 8:
+            raise ValueError("goertzel audit expects 8-bit PCM")
+        sm = (
+            np.frombuffer(d["samples"][:32], dtype=np.uint8).astype(
+                np.int64
+            )
+            - 128
+        )
+        if sm.shape[0] < 32:
+            raise ValueError("clip shorter than the 32-sample window")
+        out: dict = {"n_frames": d["n_frames"]}
+        for k in GOERTZEL_BINS:
+            c = int((sm * np.asarray(G32_COS_Q[k], dtype=np.int64)).sum())
+            s = int((sm * np.asarray(G32_SIN_Q[k], dtype=np.int64)).sum())
+            out[f"p_k{k}"] = c * c + s * s
+        return out
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:4] == b"RIFF",
+            row,
+            "n_frames int, p_k1 long, p_k2 long, p_k4 long, p_k8 long",
+        ),
+        with_quarantine,
+    )
+
+
 def wav_offset_stats(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:

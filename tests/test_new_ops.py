@@ -8814,3 +8814,94 @@ def test_timestamp_granularity_replica(spark, sf_small):
         assert (r.n_events, r.n_whole_second, r.n_whole_minute) == (n, ws, wm)
         assert r.n_distinct_seconds == len(secs)
         assert r.truncation_suspect == (ws * 100 > n)
+
+
+def test_wav_peak_bin_replica(spark, sf_small):
+    """Peak bin/share consistent with the amp-producing goertzel op:
+    peak_k must be the argmax of amp_k (smallest-k ties) and share in
+    (0, 1]."""
+    from report_worker_spark.plans.catalog import QUERIES
+
+    amps = {
+        r.media_id: r
+        for r in QUERIES["multimodal_wav_goertzel_bins"](
+            spark, sf_small
+        ).collect()
+    }
+    rows = QUERIES["multimodal_wav_peak_bin"](spark, sf_small).collect()
+    assert len(rows) == len(amps)
+    for r in rows:
+        a = amps[r.media_id]
+        best = max(
+            (getattr(a, f"amp_k{k}"), -k) for k in (1, 2, 4, 8)
+        )
+        assert r.peak_k == -best[1]
+        assert 0 < r.peak_share <= 1
+        # p = (amp * AMP_MAX)^2, so share from amps must match closely
+        ps = {k: getattr(a, f"amp_k{k}") ** 2 for k in (1, 2, 4, 8)}
+        want = ps[r.peak_k] / sum(ps.values())
+        assert abs(r.peak_share - want) < 1e-4
+
+
+def test_wav_spectral_entropy_replica(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    amps = {
+        r.media_id: r
+        for r in QUERIES["multimodal_wav_goertzel_bins"](
+            spark, sf_small
+        ).collect()
+    }
+    rows = QUERIES["multimodal_wav_spectral_entropy"](
+        spark, sf_small
+    ).collect()
+    for r in rows:
+        a = amps[r.media_id]
+        ps = [getattr(a, f"amp_k{k}") ** 2 for k in (1, 2, 4, 8)]
+        tot = sum(ps)
+        if tot == 0:
+            assert r.spectral_entropy_norm is None
+            continue
+        h = -sum(
+            (p / tot) * math.log(p / tot) for p in ps if p > 0
+        ) / math.log(4)
+        assert abs(r.spectral_entropy_norm - h) < 1e-4
+        assert -1e-9 <= r.spectral_entropy_norm <= 1 + 1e-9
+
+
+def test_backlog_timeline_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    ).collect()
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    last = defaultdict(lambda: None)
+    for r in li:
+        k = r.l_orderkey
+        if last[k] is None or r.l_shipdate > last[k]:
+            last[k] = r.l_shipdate
+    placed = defaultdict(int)
+    done = defaultdict(int)
+    for r in o:
+        placed[r.o_orderdate.strftime("%Y-%m")] += 1
+        if r.o_orderstatus == "F" and last[r.o_orderkey] is not None:
+            done[last[r.o_orderkey].strftime("%Y-%m")] += 1
+    months = sorted(set(placed) | set(done))
+    rows = {r.month: r for r in QUERIES["olap_order_backlog_timeline"](
+        spark, sf_small).collect()}
+    assert set(rows) == set(months)
+    run = 0
+    for m in months:
+        run += placed[m] - done[m]
+        r = rows[m]
+        assert (r.n_placed, r.n_completed, r.open_backlog) == (
+            placed[m], done[m], run
+        )
