@@ -378,6 +378,9 @@ CATALOG_BENCH = [
     "multimodal_wav_peak_bin",
     "multimodal_wav_spectral_entropy",
     "olap_order_backlog_timeline",
+    "stats_fleiss_kappa",
+    "stats_tukey_hsd",
+    "stats_log_rank_test",
 ]
 
 # ---------------------------------------------------------------------------

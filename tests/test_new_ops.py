@@ -8905,3 +8905,121 @@ def test_backlog_timeline_replica(spark, sf_small):
         assert (r.n_placed, r.n_completed, r.open_backlog) == (
             placed[m], done[m], run
         )
+
+
+def test_fleiss_kappa_replica(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts", "event_type").collect()
+    epoch = datetime.date(2024, 1, 1)
+    cell = defaultdict(int)
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            cell[(d, r.event_type)] += 1
+    days = sorted({d for d, _ in cell})
+    n_i = {d: sum(v for (dd, _), v in cell.items() if dd == d) for d in days}
+    days = [d for d in days if n_i[d] > 1]
+    p_is = []
+    for d in days:
+        s2 = sum(v * v for (dd, _), v in cell.items() if dd == d)
+        p_is.append((s2 - n_i[d]) / (n_i[d] * (n_i[d] - 1)))
+    n_tot = sum(n_i[d] for d in days)
+    cats = defaultdict(int)
+    for (d, t), v in cell.items():
+        if d in set(days):
+            cats[t] += v
+    p_bar = sum(p_is) / len(days)
+    p_e = sum((v / n_tot) ** 2 for v in cats.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    r = QUERIES["stats_fleiss_kappa"](spark, sf_small).collect()[0]
+    assert (r.n_subjects, r.n_ratings) == (len(days), n_tot)
+    assert abs(r.p_bar - p_bar) < 1e-6
+    assert abs(r.p_e - p_e) < 1e-6
+    assert abs(r.fleiss_kappa - kappa) < 1e-6
+
+
+def test_tukey_hsd_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups = defaultdict(list)
+    for r in o:
+        groups[r.o_orderpriority].append(int(round_half_up(r.o_totalprice)))
+    nn = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v)
+        for v in groups.values()
+    )
+    msw = ssw / (nn - k)
+    rows = {(r.group_a, r.group_b): r for r in QUERIES[
+        "stats_tukey_hsd"](spark, sf_small).collect()}
+    gs = sorted(groups)
+    assert len(rows) == k * (k - 1) // 2
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            a, b = gs[i], gs[j]
+            r = rows[(a, b)]
+            diff = sum(groups[a]) / len(groups[a]) - sum(groups[b]) / len(
+                groups[b]
+            )
+            q = diff / math.sqrt(
+                msw / 2 * (1 / len(groups[a]) + 1 / len(groups[b]))
+            )
+            assert abs(r.mean_diff - diff) < 1e-4
+            assert abs(r.q_stat - q) < 1e-6
+
+
+def test_log_rank_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    c = {r.c_custkey: r.c_mktsegment for r in load(
+        spark, sf_small, "customer").select("c_custkey", "c_mktsegment").collect()}
+    by_cust = defaultdict(list)
+    for r in o:
+        by_cust[r.o_custkey].append(r.o_orderdate)
+    horizon = max(r.o_orderdate for r in o)
+    subj = []
+    for cust, dts in by_cust.items():
+        dts.sort()
+        first = dts[0]
+        later = [d for d in dts if d > first]
+        if later:
+            subj.append((c[cust] == "BUILDING", 1, (later[0] - first).days))
+        else:
+            subj.append((c[cust] == "BUILDING", 0, (horizon - first).days))
+    times = sorted({t for _, e, t in subj if e})
+    soe = sv = 0.0
+    for et in times:
+        at_risk = [s for s in subj if s[2] >= et]
+        n_t = len(at_risk)
+        n1_t = sum(1 for s in at_risk if s[0])
+        d_t = sum(1 for s in subj if s[1] and s[2] == et)
+        d1_t = sum(1 for s in subj if s[0] and s[1] and s[2] == et)
+        soe += d1_t - d_t * n1_t / n_t
+        if n_t > 1:
+            sv += (
+                d_t * n1_t / n_t * (1 - n1_t / n_t) * (n_t - d_t) / (n_t - 1)
+            )
+    r = QUERIES["stats_log_rank_test"](spark, sf_small).collect()[0]
+    assert r.n_event_times == len(times)
+    assert abs(r.observed_minus_expected - soe) < 1e-4
+    assert abs(r.variance_sum - sv) < 1e-4
+    assert abs(r.log_rank_chi2 - soe * soe / sv) < 1e-6
