@@ -381,6 +381,9 @@ CATALOG_BENCH = [
     "stats_fleiss_kappa",
     "stats_tukey_hsd",
     "stats_log_rank_test",
+    "win_forward_fill_gaps",
+    "win_range_interval_sum",
+    "agg_weighted_percentile",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9023,3 +9023,92 @@ def test_log_rank_replica(spark, sf_small):
     assert abs(r.observed_minus_expected - soe) < 1e-4
     assert abs(r.variance_sum - sv) < 1e-4
     assert abs(r.log_rank_chi2 - soe * soe / sv) < 1e-6
+
+
+def test_forward_fill_replica(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    epoch = datetime.date(2024, 1, 1)
+    daily = defaultdict(int)
+    types = set()
+    for r in ev:
+        d = (r.ts.date() - epoch).days
+        if 0 <= d <= 29:
+            daily[(r.event_type, d)] += int(round_half_up(r.value * 100))
+            types.add(r.event_type)
+    rows = {(r.event_type, r.day): r for r in QUERIES[
+        "win_forward_fill_gaps"](spark, sf_small).collect()}
+    assert len(rows) == 30 * len(types)
+    for t in types:
+        last = 0
+        for d in range(30):
+            r = rows[(t, d)]
+            if (t, d) in daily:
+                last = daily[(t, d)]
+                assert not r.was_filled
+            else:
+                assert r.was_filled
+            assert r.cents_filled == last
+
+
+def test_range_interval_sum_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").filter(
+        "event_type = 'purchase'"
+    ).select("user_id", "ts", "value").collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append(
+            (int(r.ts.timestamp()), int(round_half_up(r.value * 100)))
+        )
+    rows = QUERIES["win_range_interval_sum"](spark, sf_small).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r.user_id].append(r)
+    for uid, evs in per.items():
+        for r in got[uid]:
+            win = [c for (e, c) in evs if r.epoch_s - 3600 <= e <= r.epoch_s]
+            assert r.n_1h == len(win)
+            assert r.sum_1h_cents == sum(win)
+
+
+def test_weighted_percentile_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    per = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        per[r.l_returnflag][
+            int(round_half_up(r.l_extendedprice * 100))
+        ] += int(r.l_quantity)
+    rows = {r.returnflag: r for r in QUERIES[
+        "agg_weighted_percentile"](spark, sf_small).collect()}
+    for flag, wmap in per.items():
+        tw = sum(wmap.values())
+        r = rows[flag]
+        assert r.total_qty == tw
+        for qn, col in ((1, "wp25_cents"), (2, "wp50_cents"), (3, "wp75_cents")):
+            cw = 0
+            want = None
+            for p in sorted(wmap):
+                cw += wmap[p]
+                if 4 * cw >= qn * tw if qn != 2 else 2 * cw >= tw:
+                    want = p
+                    break
+            assert getattr(r, col) == want, (flag, col)
