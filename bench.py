@@ -384,6 +384,9 @@ CATALOG_BENCH = [
     "win_forward_fill_gaps",
     "win_range_interval_sum",
     "agg_weighted_percentile",
+    "curation_token_budget_audit",
+    "sim_cosine_threshold_census",
+    "dedup_cross_source_clusters",
 ]
 
 # ---------------------------------------------------------------------------

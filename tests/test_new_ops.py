@@ -9112,3 +9112,95 @@ def test_weighted_percentile_replica(spark, sf_small):
                     want = p
                     break
             assert getattr(r, col) == want, (flag, col)
+
+
+def test_token_budget_audit_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        n = len(r.text.strip().split())
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += int(n > 64)
+        a[2] += n
+        a[3] += min(n, 64)
+        a[4] += max(n - 64, 0)
+    rows = {r.source: r for r in QUERIES[
+        "curation_token_budget_audit"](spark, sf_small).collect()}
+    for s, (nd, nob, tt, tk, tl) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_over_budget, r.tokens_total) == (nd, nob, tt)
+        assert (r.tokens_kept, r.tokens_lost) == (tk, tl)
+        assert abs(r.loss_share - tl / tt) < 1e-9
+
+
+def test_cosine_threshold_census_replica(spark, sf_small):
+    import hashlib
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").collect()
+    from collections import defaultdict
+
+    bkts = defaultdict(list)
+    for r in emb:
+        q = [int(round_half_up(float(v) * 256)) for v in r.embedding]
+        bkts[hashlib.md5(str(r.vec_id).encode()).hexdigest()[0]].append(
+            (r.vec_id, q, sum(x * x for x in q))
+        )
+    thr = [(1, 4), (9, 25), (49, 100), (16, 25), (81, 100)]
+    counts = {t: [0, 0] for t in thr}
+    for vs in bkts.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                ab = sum(x * y for x, y in zip(a[1], b[1]))
+                for num, den in thr:
+                    counts[(num, den)][0] += 1
+                    if ab > 0 and den * ab * ab >= num * a[2] * b[2]:
+                        counts[(num, den)][1] += 1
+    rows = {round(math.sqrt(n / d), 9): (n, d) for n, d in thr}
+    got = {r.threshold: r for r in QUERIES[
+        "sim_cosine_threshold_census"](spark, sf_small).collect()}
+    assert set(got) == set(rows)
+    for t, (num, den) in rows.items():
+        r = got[t]
+        n_pairs, n_above = counts[(num, den)]
+        assert (r.n_pairs, r.n_above) == (n_pairs, n_above)
+        assert abs(r.share_above - n_above / n_pairs) < 1e-9
+
+
+def test_cross_source_clusters_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    cl = defaultdict(list)
+    for r in docs:
+        cl[r.text].append(r)
+    sizes = defaultdict(lambda: [0, 0, []])
+    for v in cl.values():
+        if len(v) < 2:
+            continue
+        a = sizes[len(v)]
+        a[0] += 1
+        a[1] += int(len({x.source for x in v}) > 1)
+        a[2].append(min(x.doc_id for x in v))
+    rows = {r.cluster_size: r for r in QUERIES[
+        "dedup_cross_source_clusters"](spark, sf_small).collect()}
+    assert set(rows) == set(sizes)
+    for sz, (nc, ncs, mins) in sizes.items():
+        r = rows[sz]
+        assert (r.n_clusters, r.n_cross_source) == (nc, ncs)
+        assert r.sample_canonical == min(mins)
