@@ -387,6 +387,9 @@ CATALOG_BENCH = [
     "curation_token_budget_audit",
     "sim_cosine_threshold_census",
     "dedup_cross_source_clusters",
+    "stats_two_way_anova",
+    "stats_powerlaw_ks_fit",
+    "audit_monotonic_id_gaps",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9204,3 +9204,89 @@ def test_cross_source_clusters_replica(spark, sf_small):
         r = rows[sz]
         assert (r.n_clusters, r.n_cross_source) == (nc, ncs)
         assert r.sample_canonical == min(mins)
+
+
+def test_two_way_anova_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).collect()
+    o = {r.o_orderkey: r.o_orderpriority for r in load(
+        spark, sf_small, "orders").select("o_orderkey", "o_orderpriority").collect()}
+    cells = defaultdict(list)
+    for r in li:
+        cells[(o[r.l_orderkey], r.l_returnflag)].append(
+            int(round_half_up(r.l_extendedprice))
+        )
+    allv = [x for v in cells.values() for x in v]
+    nn, st = len(allv), sum(allv)
+    s2t = sum(x * x for x in allv)
+    corr = st * st / nn
+
+    def sq(groups):
+        return sum(sum(v) ** 2 / len(v) for v in groups.values())
+
+    a_g = defaultdict(list)
+    b_g = defaultdict(list)
+    for (a, b), v in cells.items():
+        a_g[a].extend(v)
+        b_g[b].extend(v)
+    sqc, sqa, sqb = sq(cells), sq(a_g), sq(b_g)
+    ka, kb = len(a_g), len(b_g)
+    ss_a, ss_b = sqa - corr, sqb - corr
+    ss_ab = sqc - sqa - sqb + corr
+    ss_e = s2t - sqc
+    mse = ss_e / (nn - ka * kb)
+    r = QUERIES["stats_two_way_anova"](spark, sf_small).collect()[0]
+    assert (r.k_a, r.k_b, r.n_total) == (ka, kb, nn)
+    for got, want in [
+        (r.ss_a, ss_a), (r.ss_b, ss_b), (r.ss_ab, ss_ab), (r.ss_error, ss_e)
+    ]:
+        assert abs(got - want) < max(5, abs(want) * 1e-9)
+    assert abs(r.f_a - ss_a / (ka - 1) / mse) < 1e-5
+    assert abs(r.f_b - ss_b / (kb - 1) / mse) < 1e-5
+    assert abs(r.f_ab - ss_ab / ((ka - 1) * (kb - 1)) / mse) < 1e-5
+
+
+def test_powerlaw_ks_replica(spark, sf_small):
+    import math
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select("o_totalprice").collect()
+    tail = sorted(
+        int(round_half_up(r.o_totalprice))
+        for r in o
+        if round_half_up(r.o_totalprice) >= 200000
+    )
+    n = len(tail)
+    alpha = 1 + n / sum(math.log(x / 200000) for x in tail)
+    d = max(
+        abs((i + 1) / n - (1 - (x / 200000) ** (1 - alpha)))
+        for i, x in enumerate(tail)
+    )
+    r = QUERIES["stats_powerlaw_ks_fit"](spark, sf_small).collect()[0]
+    assert (r.n_tail, r.xmin_dollars) == (n, 200000)
+    assert abs(r.alpha_hat - alpha) < 1e-6
+    assert abs(r.ks_d - d) < 1e-6
+
+
+def test_id_gaps_replica(spark, sf_small):
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ids = [r.event_id for r in load(spark, sf_small, "events")
+           .select("event_id").collect()]
+    ds = sorted(set(ids))
+    gaps = [b - a for a, b in zip(ds, ds[1:])]
+    r = QUERIES["audit_monotonic_id_gaps"](spark, sf_small).collect()[0]
+    assert (r.n_rows, r.n_distinct) == (len(ids), len(ds))
+    assert r.n_duplicate_rows == len(ids) - len(ds)
+    assert (r.id_min, r.id_max) == (ds[0], ds[-1])
+    assert r.n_missing_ids == ds[-1] - ds[0] + 1 - len(ds)
+    assert r.max_gap == (max(gaps) if gaps else 0)
