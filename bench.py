@@ -393,6 +393,9 @@ CATALOG_BENCH = [
     "olap_rfm_migration",
     "stats_cuped_variance_reduction",
     "ts_markov_entropy_rate",
+    "olap_brand_weekly_corr_pairs",
+    "olap_nation_assortment_jaccard",
+    "curation_shard_balance_audit",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9378,3 +9378,119 @@ def test_markov_entropy_rate_replica(spark, sf_small):
     assert (r.n_transitions, r.n_states) == (nn, len(rowsum))
     assert abs(r.entropy_rate_nats - h) < 1e-6
     assert abs(r.perplexity - math.exp(h)) < 1e-6
+
+
+def test_brand_weekly_corr_replica(spark, sf_small):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    ).collect()
+    pb = {r.p_partkey: r.p_brand for r in load(
+        spark, sf_small, "part").select("p_partkey", "p_brand").collect()}
+    start = datetime.date(1997, 1, 1)
+    weekly = defaultdict(int)
+    brands = set()
+    for r in li:
+        d = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        if datetime.date(1997, 1, 1) <= d < datetime.date(1998, 1, 1):
+            wk = (d - start).days // 7
+            b = pb[r.l_partkey]
+            weekly[(b, wk)] += int(round_half_up(r.l_extendedprice))
+            brands.add(b)
+    series = {
+        b: [weekly.get((b, w), 0) for w in range(52)] for b in brands
+    }
+
+    def corr(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        num = sum(a * b for a, b in zip(x, y)) - sx * sy / n
+        den = math.sqrt(
+            (sum(a * a for a in x) - sx * sx / n)
+            * (sum(b * b for b in y) - sy * sy / n)
+        )
+        return num / den
+
+    all_pairs = sorted(
+        (corr(series[a], series[b]), a, b)
+        for a in brands
+        for b in brands
+        if a < b
+    )
+    rows = QUERIES["olap_brand_weekly_corr_pairs"](spark, sf_small).collect()
+    assert len(rows) == min(20, len(all_pairs))
+    got = {(r.brand_a, r.brand_b): r.weekly_corr for r in rows}
+    for cval, a, b in all_pairs[: len(rows)]:
+        assert (a, b) in got
+        assert abs(got[(a, b)] - cval) < 1e-6
+
+
+def test_nation_assortment_jaccard_replica(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    ).collect()
+    o = {r.o_orderkey: r.o_custkey for r in load(
+        spark, sf_small, "orders").select("o_orderkey", "o_custkey").collect()}
+    c = {r.c_custkey: r.c_nationkey for r in load(
+        spark, sf_small, "customer").select("c_custkey", "c_nationkey").collect()}
+    sets = defaultdict(set)
+    for r in li:
+        d = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        if datetime.date(1997, 1, 1) <= d < datetime.date(1998, 1, 1):
+            sets[c[o[r.l_orderkey]]].add(r.l_partkey)
+    rows = {(r.nation_a, r.nation_b): r for r in QUERIES[
+        "olap_nation_assortment_jaccard"](spark, sf_small).collect()}
+    ns = sorted(sets)
+    for i in range(len(ns)):
+        for j in range(i + 1, len(ns)):
+            a, b = ns[i], ns[j]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            assert (r.n_parts_a, r.n_parts_b, r.n_common) == (
+                len(sets[a]), len(sets[b]), inter
+            )
+            uni = len(sets[a] | sets[b])
+            assert abs(r.assortment_jaccard - inter / uni) < 1e-9
+
+
+def test_shard_balance_replica(spark, sf_small):
+    import hashlib
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in docs:
+        s = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[0], 16)
+        per[s][0] += 1
+        per[s][1] += len(r.text)
+    td = sum(v[0] for v in per.values())
+    tb = sum(v[1] for v in per.values())
+    k = len(per)
+    mx = max(v[0] for v in per.values())
+    rows = {r.shard: r for r in QUERIES[
+        "curation_shard_balance_audit"](spark, sf_small).collect()}
+    assert set(rows) == set(per)
+    for s, (nd, nb) in per.items():
+        r = rows[s]
+        assert (r.n_docs, r.bytes) == (nd, nb)
+        assert r.doc_balance_milli == nd * k * 1000 // td
+        assert r.byte_balance_milli == nb * k * 1000 // tb
+        assert r.worst_doc_balance_milli == mx * k * 1000 // td
