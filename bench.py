@@ -396,6 +396,9 @@ CATALOG_BENCH = [
     "olap_brand_weekly_corr_pairs",
     "olap_nation_assortment_jaccard",
     "curation_shard_balance_audit",
+    "ts_burstiness_coefficient",
+    "stats_ratio_metric_delta_ci",
+    "curation_dedup_savings_forecast",
 ]
 
 # ---------------------------------------------------------------------------

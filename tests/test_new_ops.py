@@ -9494,3 +9494,93 @@ def test_shard_balance_replica(spark, sf_small):
         assert r.doc_balance_milli == nd * k * 1000 // td
         assert r.byte_balance_milli == nb * k * 1000 // tb
         assert r.worst_doc_balance_milli == mx * k * 1000 // td
+
+
+def test_burstiness_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "ts", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.event_type].append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id)
+        )
+    rows = {r.event_type: r for r in QUERIES[
+        "ts_burstiness_coefficient"](spark, sf_small).collect()}
+    for t, es in per.items():
+        es.sort()
+        gaps = [b[0] - a[0] for a, b in zip(es, es[1:])]
+        n = len(gaps)
+        mu = sum(gaps) / n
+        sd = math.sqrt(max(sum(g * g for g in gaps) / n - mu * mu, 0))
+        r = rows[t]
+        assert r.n_gaps == n
+        assert abs(r.mean_gap_s - mu / 1e6) < 1e-4
+        assert abs(r.sd_gap_s - sd / 1e6) < 1e-3
+        assert abs(r.burstiness_b - (sd - mu) / (sd + mu)) < 1e-6
+
+
+def test_ratio_delta_ci_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in o:
+        per[r.o_custkey][0] += int(round_half_up(r.o_totalprice))
+        per[r.o_custkey][1] += 1
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    n = len(xs)
+    ratio = sum(xs) / sum(ys)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    vy = sum((y - my) ** 2 for y in ys) / (n - 1)
+    cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    se = math.sqrt((vx - 2 * ratio * cxy + ratio**2 * vy) / n) / my
+    r = QUERIES["stats_ratio_metric_delta_ci"](spark, sf_small).collect()[0]
+    assert r.n_customers == n
+    assert abs(r.revenue_per_order - ratio) < 1e-6
+    assert abs(r.delta_se - se) < 1e-6
+    z = 1.959963984540054
+    assert abs(r.ci_lo - (ratio - z * se)) < 1e-4
+    assert abs(r.ci_hi - (ratio + z * se)) < 1e-4
+
+
+def test_dedup_savings_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    cl = defaultdict(int)
+    length = {}
+    for r in docs:
+        cl[(r.source, r.text)] += 1
+        length[(r.source, r.text)] = len(r.text)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (s, t), n in cl.items():
+        a = agg[s]
+        a[0] += n
+        a[1] += n - 1
+        a[2] += (n - 1) * length[(s, t)]
+    rows = {r.source: r for r in QUERIES[
+        "curation_dedup_savings_forecast"](spark, sf_small).collect()}
+    for s, (nd, rm, br) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.dup_docs_removable, r.bytes_removable) == (
+            nd, rm, br
+        )
+        assert abs(r.doc_savings_share - rm / nd) < 1e-9
