@@ -399,6 +399,9 @@ CATALOG_BENCH = [
     "ts_burstiness_coefficient",
     "stats_ratio_metric_delta_ci",
     "curation_dedup_savings_forecast",
+    "multimodal_image_lr_symmetry",
+    "olap_weekday_hour_heatmap",
+    "audit_order_total_reconciliation",
 ]
 
 # ---------------------------------------------------------------------------

@@ -2638,6 +2638,47 @@ def png_dhash(
     )
 
 
+def png_lr_symmetry(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Left-right mirror asymmetry on the SAME 9×8 nearest-neighbor
+    brightness grid as :func:`png_dhash`: Σ|s[y,x] − s[y,8−x]| over
+    the four mirrored column pairs (center column unpaired), plus the
+    grid brightness total — both exact int64, so the normalized
+    asymmetry ratio can be assembled as an integer milli downstream.
+    Low values flag synthetic/centered imagery; photographs skew
+    high."""
+
+    def row(content: bytes) -> dict:
+        import numpy as np
+
+        d = decode_png_pixels(content)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+        c, w, h = d["channels"], d["width"], d["height"]
+        img = px.reshape(h, w, c)
+        g = img[:, :, :3].sum(axis=2) if c >= 3 else img[:, :, 0]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        s = g[np.ix_(ys, xs)]  # (8, 9)
+        asym = int(np.abs(s[:, :4] - s[:, 8:4:-1]).sum())
+        return {
+            "width": w,
+            "height": h,
+            "asym_sum": asym,
+            "grid_brightness": int(s.sum()),
+        }
+
+    return _ok_only(
+        _quarantined_decode(
+            media,
+            lambda c: c[:8] == PNG_SIG,
+            row,
+            "width int, height int, asym_sum long, grid_brightness long",
+        ),
+        with_quarantine,
+    )
+
+
 def png_colorfulness_stats(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:

@@ -9584,3 +9584,112 @@ def test_dedup_savings_replica(spark, sf_small):
             nd, rm, br
         )
         assert abs(r.doc_savings_share - rm / nd) < 1e-9
+
+
+def test_lr_symmetry_replica(spark, sf_small):
+    """Kernel-level replay: decode the synthetic PNGs in python and
+    recompute the 9x8 grid asymmetry."""
+    import numpy as np
+
+    from report_worker_spark.functions import multimodal as mm
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    media = mm.synthetic_image_media(docs, "doc_id").collect()
+    rows = {r.media_id: r for r in QUERIES[
+        "multimodal_image_lr_symmetry"](spark, sf_small).collect()}
+    # synthetic_image_media emits PNG content for even ids only (odd
+    # ids carry other media types and are quarantined by the kernel)
+    media = [m for m in media if m.media_id in rows]
+    assert len(rows) == len(media)
+    for m in media[:50]:
+        d = mm.decode_png_pixels(bytes(m.content))
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+        c, w, h = d["channels"], d["width"], d["height"]
+        img = px.reshape(h, w, c)
+        g = img[:, :, :3].sum(axis=2) if c >= 3 else img[:, :, 0]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        s = g[np.ix_(ys, xs)]
+        asym = int(np.abs(s[:, :4] - s[:, 8:4:-1]).sum())
+        r = rows[m.media_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.asym_sum == asym
+        assert r.grid_brightness == int(s.sum())
+        assert r.asymmetry_milli == asym * 1000 // int(s.sum())
+
+
+def test_weekday_hour_heatmap_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts", "value").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for r in ev:
+        # python weekday(): Mon=0; Spark dayofweek: Sun=1
+        dow = (r.ts.weekday() + 1) % 7 + 1
+        a = cells[(dow, r.ts.hour)]
+        a[0] += 1
+        a[1] += int(round_half_up(r.value * 100))
+    rows = {(r.dow, r.hr): r for r in QUERIES[
+        "olap_weekday_hour_heatmap"](spark, sf_small).collect()}
+    assert set(rows) == set(cells)
+    dow_tot = defaultdict(int)
+    for (d, _), (n, _) in cells.items():
+        dow_tot[d] += n
+    for (d, h), (n, cents) in cells.items():
+        r = rows[(d, h)]
+        assert (r.n_events, r.cents) == (n, cents)
+        assert abs(r.dow_share - n / dow_tot[d]) < 1e-9
+    for d in dow_tot:
+        peaks = [r for r in rows.values() if r.dow == d and r.is_peak_hour]
+        assert len(peaks) == 1
+        best = max(
+            (cells[(d, h)][0], -h) for (dd, h) in cells if dd == d
+        )
+        assert (peaks[0].n_events, -peaks[0].hr) == best
+
+
+def test_order_reconciliation_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    o = load(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    rec = defaultdict(int)
+    for r in li:
+        rec[r.l_orderkey] += int(
+            round_half_up(
+                r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax) * 100
+            )
+        )
+    agg = defaultdict(lambda: [0, 0])
+    for r in o:
+        if r.o_orderkey not in rec:
+            continue
+        stated = int(round_half_up(r.o_totalprice * 100))
+        diff = abs(stated - rec[r.o_orderkey])
+        if diff == 0:
+            b = "exact"
+        elif diff * 1000 <= stated:
+            b = "within_1pm"
+        elif diff * 100 <= stated:
+            b = "within_1pct"
+        else:
+            b = "gross"
+        agg[b][0] += 1
+        agg[b][1] = max(agg[b][1], diff)
+    rows = {r.bucket: r for r in QUERIES[
+        "audit_order_total_reconciliation"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    for b, (n, mx) in agg.items():
+        assert (rows[b].n_orders, rows[b].max_diff_cents) == (n, mx)
