@@ -402,6 +402,9 @@ CATALOG_BENCH = [
     "multimodal_image_lr_symmetry",
     "olap_weekday_hour_heatmap",
     "audit_order_total_reconciliation",
+    "text_tfidf_source_signatures",
+    "emb_norm_eta_squared",
+    "olap_price_endings_profile",
 ]
 
 # ---------------------------------------------------------------------------

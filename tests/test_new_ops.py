@@ -9693,3 +9693,83 @@ def test_order_reconciliation_replica(spark, sf_small):
     assert set(rows) == set(agg)
     for b, (n, mx) in agg.items():
         assert (rows[b].n_orders, rows[b].max_diff_cents) == (n, mx)
+
+
+def test_tfidf_signatures_replica(spark, sf_small):
+    import math
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    tf = defaultdict(Counter)
+    for r in docs:
+        tf[r.source].update(r.text.split(" "))
+    df = Counter()
+    for s in tf:
+        df.update(set(tf[s]))
+    n = len(tf)
+    rows = defaultdict(dict)
+    for r in QUERIES["text_tfidf_source_signatures"](spark, sf_small).collect():
+        rows[r.source][r.rk] = r
+    for s, cnts in tf.items():
+        scored = sorted(
+            (
+                -(c * math.log((n + 1) / (df[w] + 1))),
+                w,
+            )
+            for w, c in cnts.items()
+        )[:5]
+        assert set(rows[s]) == {1, 2, 3, 4, 5}
+        for rk, (neg, w) in enumerate(scored, 1):
+            r = rows[s][rk]
+            assert r.term == w
+            assert abs(r.tfidf - (-neg)) < 1e-6
+            assert (r.tf, r.df) == (cnts[w], df[w])
+
+
+def test_norm_eta_squared_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    emb = load(spark, sf_small, "embeddings").collect()
+    per = defaultdict(list)
+    for r in emb:
+        q = [int(round_half_up(float(v) * 256)) for v in r.embedding]
+        per[r.label].append(sum(x * x for x in q))
+    allv = [x for v in per.values() for x in v]
+    nn, st = len(allv), sum(allv)
+    corr = st * st / nn
+    ssq = sum(sum(v) ** 2 / len(v) for v in per.values())
+    s2t = sum(x * x for x in allv)
+    eta = (ssq - corr) / (s2t - corr)
+    r = QUERIES["emb_norm_eta_squared"](spark, sf_small).collect()[0]
+    assert (r.n_labels, r.n_vecs) == (len(per), nn)
+    assert abs(r.eta_squared - eta) < 1e-6
+
+
+def test_price_endings_replica(spark, sf_small):
+    from collections import Counter
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    o = load(spark, sf_small, "orders").select("o_totalprice").collect()
+    cnt = Counter(
+        int(round_half_up(r.o_totalprice * 100)) % 100 for r in o
+    )
+    t, k = sum(cnt.values()), len(cnt)
+    rows = {r.ending: r for r in QUERIES[
+        "olap_price_endings_profile"](spark, sf_small).collect()}
+    assert set(rows) == set(cnt)
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, (e, n) in enumerate(order, 1):
+        r = rows[e]
+        assert r.n == n
+        assert r.popularity_rank == rank
+        assert abs(r.share - n / t) < 1e-9
+        exp = t / k
+        assert abs(r.chi2_term - (n - exp) ** 2 / exp) < 1e-6
