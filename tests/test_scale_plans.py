@@ -1224,3 +1224,81 @@ def test_round9_final_batch_plan_shapes(spark, sf_oracle):
         "simple",
     )
     assert "MapInPandas" in gi
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: the physical properties the new ops' scale
+# stories claim.
+# ---------------------------------------------------------------------------
+
+
+def test_bcg_matrix_broadcasts_part_dim(spark, sf_oracle):
+    """The brand rollup joins lineitem to the part dim via broadcast —
+    a SortMergeJoin here would shuffle the fact on partkey for a
+    25-brand dimension. The rollup itself is localCheckpointed (it
+    feeds three consumers), so assert on the PRE-checkpoint plan; the
+    final plan must still be free of sort-merge/cartesian shapes."""
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_oracle, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = load(spark, sf_oracle, "part").select("p_partkey", "p_brand")
+    pre = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).groupBy(
+        "p_brand"
+    ).count()
+    pre_plan = plan_of(pre)
+    assert "BroadcastHashJoin" in pre_plan
+    assert "SortMergeJoin" not in pre_plan
+    plan = plan_of(QUERIES["olap_bcg_matrix"](spark, sf_oracle))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_backlog_timeline_pushes_status_filter(spark, sf_oracle):
+    """The completed-orders branch filters o_orderstatus = 'F' at the
+    parquet scan, not after the join."""
+    plan = plan_of(QUERIES["olap_order_backlog_timeline"](spark, sf_oracle))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_weighted_percentile_window_rides_rollup(spark, sf_oracle):
+    """The cumulative-weight window must consume the (flag, price)
+    rollup, not raw lineitem: exactly one pre-window shuffle on
+    returnflag after the price-grain aggregate."""
+    plan = plan_of(QUERIES["agg_weighted_percentile"](spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2  # partial + final rollup
+    assert "Window" in plan
+
+
+def test_range_interval_sum_single_user_shuffle(spark, sf_oracle):
+    """The RANGE frame partitions by user_id once; the event_type
+    filter reaches the scan."""
+    plan = plan_of(QUERIES["win_range_interval_sum"](spark, sf_oracle))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "Window" in plan
+
+
+def test_minhash_audit_stays_jvm_side(spark, sf_oracle):
+    """The md5-minhash signature build is pure column expressions —
+    no Python eval anywhere in the pair plan."""
+    plan = plan_of(QUERIES["dedup_minhash_estimate_audit"](spark, sf_oracle))
+    assert "EvalPython" not in plan
+    assert "mapinpandas" not in plan.lower()
+
+
+def test_cosine_census_threshold_fanout_broadcasts(spark, sf_oracle):
+    """The 5-row threshold table fans out via broadcast, and the pair
+    generation is the bucket equi-join (a hash join on bkt), never a
+    cartesian of the corpus."""
+    plan = plan_of(QUERIES["sim_cosine_threshold_census"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row VALUES fan-out
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_two_way_anova_map_side_partials(spark, sf_oracle):
+    plan = plan_of(QUERIES["stats_two_way_anova"](spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
