@@ -405,6 +405,9 @@ CATALOG_BENCH = [
     "text_tfidf_source_signatures",
     "emb_norm_eta_squared",
     "olap_price_endings_profile",
+    "sessionize_entry_exit_matrix",
+    "olap_discount_response_curve",
+    "audit_value_outlier_days",
 ]
 
 # ---------------------------------------------------------------------------

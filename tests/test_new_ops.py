@@ -9773,3 +9773,101 @@ def test_price_endings_replica(spark, sf_small):
         assert abs(r.share - n / t) < 1e-9
         exp = t / k
         assert abs(r.chi2_term - (n - exp) ** 2 / exp) < 1e-6
+
+
+def test_entry_exit_matrix_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id, r.event_type)
+        )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for seq in per.values():
+        seq.sort()
+        sessions = []
+        for e in seq:
+            if not sessions or e[0] - sessions[-1][-1][0] > 1_800_000_000:
+                sessions.append([e])
+            else:
+                sessions[-1].append(e)
+        for s in sessions:
+            a = agg[(s[0][2], s[-1][2])]
+            a[0] += 1
+            a[1] += len(s)
+            a[2] += int(len(s) == 1)
+    rows = {(r.entry_type, r.exit_type): r for r in QUERIES[
+        "sessionize_entry_exit_matrix"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    for k, (ns, ne, nb) in agg.items():
+        r = rows[k]
+        assert (r.n_sessions, r.n_events, r.n_bounces) == (ns, ne, nb)
+
+
+def test_discount_response_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        d = int(round_half_up(r.l_discount * 100))
+        a = agg[d]
+        a[0] += 1
+        a[1] += int(r.l_quantity)
+        a[2] += int(round_half_up(r.l_extendedprice))
+    rows = {r.discount_pct: r for r in QUERIES[
+        "olap_discount_response_curve"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    prev = None
+    for d in sorted(agg):
+        n, q, rev = agg[d]
+        r = rows[d]
+        assert (r.n_lines, r.total_qty, r.revenue_dollars) == (n, q, rev)
+        mean = q / n
+        assert abs(r.mean_qty - mean) < 1e-9
+        if prev is None:
+            assert r.monotonicity_violation is None
+        else:
+            assert r.monotonicity_violation == (mean < prev)
+        prev = mean
+
+
+def test_outlier_days_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("ts", "value").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        a = daily[r.ts.date()]
+        a[0] += 1
+        a[1] += int(round_half_up(r.value * 100))
+    nd = len(daily)
+    sn = sum(v[0] for v in daily.values())
+    sn2 = sum(v[0] ** 2 for v in daily.values())
+    mu = sn / nd
+    var = sn2 / nd - mu * mu
+    rows = {r.day: r for r in QUERIES[
+        "audit_value_outlier_days"](spark, sf_small).collect()}
+    for d, (n, cents) in daily.items():
+        r = rows[d.strftime("%Y-%m-%d")]
+        assert (r.n_events, r.cents) == (n, cents)
+        assert abs(r.volume_z - (n - mu) / math.sqrt(var)) < 1e-6
+        assert r.is_3sigma_outlier == (
+            (n * nd - sn) ** 2 > 9 * (sn2 * nd - sn * sn)
+        )
