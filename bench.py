@@ -19,7 +19,8 @@ facing line is now bounded in BOTH dimensions:
   long tail still gets periodic driver-recorded numbers without
   unbounded wall clock. ``SPARK_GRAFT_BENCH_FULL=1`` sweeps the whole
   catalog locally. Estimated driver wall: ~60×15 s fast + heavy-query
-  run time ≈ 20 min, within budget with margin.
+  run time ≈ 25–35 min depending on host load (matches the README's
+  methodology note), within budget with margin.
 * BOUNDED LINE — the printed line carries the totals plus only the 10
   slowest headline timings (always < 2000 chars); BENCH_DETAIL.json
   holds every per-query number for humans and the judge.
