@@ -409,6 +409,9 @@ CATALOG_BENCH = [
     "sessionize_entry_exit_matrix",
     "olap_discount_response_curve",
     "audit_value_outlier_days",
+    "emb_centroid_multiclass_mcc",
+    "curation_padding_waste_curve",
+    "audit_exact_duplicate_events",
 ]
 
 # ---------------------------------------------------------------------------

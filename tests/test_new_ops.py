@@ -9871,3 +9871,84 @@ def test_outlier_days_replica(spark, sf_small):
         assert r.is_3sigma_outlier == (
             (n * nd - sn) ** 2 > 9 * (sn2 * nd - sn * sn)
         )
+
+
+def test_multiclass_mcc_replica(spark, sf_small):
+    """R_K from the confusion-matrix op's cells must equal the MCC
+    op's output."""
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+
+    conf = QUERIES["emb_centroid_confusion"](spark, sf_small).collect()
+    s = sum(r.n_vecs for r in conf)
+    c = sum(r.n_vecs for r in conf if r.label == r.pred_label)
+    t = defaultdict(int)
+    p = defaultdict(int)
+    for r in conf:
+        t[r.label] += r.n_vecs
+        p[r.pred_label] += r.n_vecs
+    pt = sum(t[k] * p.get(k, 0) for k in t)
+    pp = sum(v * v for v in p.values())
+    tt = sum(v * v for v in t.values())
+    rk = (c * s - pt) / math.sqrt((s * s - pp) * (s * s - tt))
+    r = QUERIES["emb_centroid_multiclass_mcc"](spark, sf_small).collect()[0]
+    assert (r.n_vecs, r.n_correct) == (s, c)
+    assert abs(r.accuracy - c / s) < 1e-9
+    assert abs(r.multiclass_mcc - rk) < 1e-6
+
+
+def test_padding_waste_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        n = len(r.text.strip().split())
+        for b in (32, 64, 128):
+            k = (b, r.source)
+            seqs = -(-n // b)
+            agg[k][0] += seqs
+            agg[k][1] += n
+            agg[k][2] += seqs * b - n
+    rows = {(r.budget, r.source): r for r in QUERIES[
+        "curation_padding_waste_curve"](spark, sf_small).collect()}
+    assert set(rows) == set(agg)
+    for k, (ns, rt, pt) in agg.items():
+        r = rows[k]
+        assert (r.n_sequences, r.real_tokens, r.pad_tokens) == (ns, rt, pt)
+        assert abs(r.waste_share - pt / (rt + pt)) < 1e-9
+
+
+def test_duplicate_events_replica(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select(
+        "event_type", "user_id", "ts", "value"
+    ).collect()
+    groups = Counter(
+        (r.event_type, r.user_id, r.ts, int(round_half_up(r.value * 100)))
+        for r in ev
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for (t, *_), m in groups.items():
+        a = agg[t]
+        a[0] += m
+        if m > 1:
+            a[1] += m
+            a[2] += m - 1
+        a[3] = max(a[3], m)
+    rows = {r.event_type: r for r in QUERIES[
+        "audit_exact_duplicate_events"](spark, sf_small).collect()}
+    for t, (n, nd, nr, mx) in agg.items():
+        r = rows[t]
+        assert (r.n_events, r.n_in_dup_groups, r.n_redundant) == (n, nd, nr)
+        assert r.max_multiplicity == mx
+        assert abs(r.redundancy_share - nr / n) < 1e-9
