@@ -412,6 +412,9 @@ CATALOG_BENCH = [
     "emb_centroid_multiclass_mcc",
     "curation_padding_waste_curve",
     "audit_exact_duplicate_events",
+    "stats_ols_slope_by_quarter",
+    "olap_user_accumulation_curve",
+    "text_word_length_histogram",
 ]
 
 # ---------------------------------------------------------------------------

@@ -9952,3 +9952,91 @@ def test_duplicate_events_replica(spark, sf_small):
         assert (r.n_events, r.n_in_dup_groups, r.n_redundant) == (n, nd, nr)
         assert r.max_multiplicity == mx
         assert abs(r.redundancy_share - nr / n) < 1e-9
+
+
+def test_ols_slope_quarters_replica(spark, sf_small):
+    import datetime
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    ).collect()
+    start = datetime.date(1997, 1, 1)
+    daily = defaultdict(int)
+    for r in li:
+        d = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        if datetime.date(1997, 1, 1) <= d < datetime.date(1998, 1, 1):
+            daily[(d.month - 1) // 3 + 1, (d - start).days] += int(
+                round_half_up(r.l_extendedprice * 100)
+            )
+    rows = {r.quarter: r for r in QUERIES[
+        "stats_ols_slope_by_quarter"](spark, sf_small).collect()}
+    for qn in {q for q, _ in daily}:
+        pts = [(x, y) for (q, x), y in daily.items() if q == qn]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        r = rows[f"1997-Q{qn}"]
+        assert r.n_days == n
+        assert r.slope_num == n * sxy - sx * sy
+        assert r.slope_den == n * sxx - sx * sx
+        assert abs(r.slope_cents_per_day - r.slope_num / r.slope_den) < 1e-6
+
+
+def test_user_accumulation_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    ev = load(spark, sf_small, "events").select("user_id", "ts").collect()
+    first = {}
+    per_day = defaultdict(int)
+    for r in ev:
+        d = r.ts.date()
+        per_day[d] += 1
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    new_by_day = defaultdict(int)
+    for d in first.values():
+        new_by_day[d] += 1
+    rows = {r.day: r for r in QUERIES[
+        "olap_user_accumulation_curve"](spark, sf_small).collect()}
+    cu = ce = 0
+    seen_users = set()
+    for d in sorted(per_day):
+        cu += new_by_day.get(d, 0)
+        ce += per_day[d]
+        r = rows[d.strftime("%Y-%m-%d")]
+        assert (r.n_events, r.n_new_users) == (per_day[d], new_by_day.get(d, 0))
+        assert (r.cumulative_users, r.cumulative_events) == (cu, ce)
+        seen_users |= {u for u, fd in first.items() if fd <= d}
+        assert cu == len(seen_users)  # decomposition really is exact
+
+
+def test_word_length_histogram_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    cells = defaultdict(int)
+    for r in docs:
+        for w in r.text.split(" "):
+            cells[(r.source, min(len(w), 15))] += 1
+    rows = {(r.source, r.word_len): r for r in QUERIES[
+        "text_word_length_histogram"](spark, sf_small).collect()}
+    assert set(rows) == set(cells)
+    tot = defaultdict(int)
+    for (s, _), n in cells.items():
+        tot[s] += n
+    for k, n in cells.items():
+        r = rows[k]
+        assert r.n_words == n
+        assert abs(r.share - n / tot[k[0]]) < 1e-9
