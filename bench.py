@@ -415,6 +415,9 @@ CATALOG_BENCH = [
     "stats_ols_slope_by_quarter",
     "olap_user_accumulation_curve",
     "text_word_length_histogram",
+    "olap_price_index_laspeyres_paasche",
+    "graph_clustering_by_degree",
+    "curation_source_mix_entropy",
 ]
 
 # ---------------------------------------------------------------------------

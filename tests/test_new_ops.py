@@ -10040,3 +10040,93 @@ def test_word_length_histogram_replica(spark, sf_small):
         r = rows[k]
         assert r.n_words == n
         assert abs(r.share - n / tot[k[0]]) < 1e-9
+
+
+def test_price_index_replica(spark, sf_small):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    li = load(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in li:
+        d = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        if datetime.date(1996, 1, 1) <= d < datetime.date(1998, 1, 1):
+            yr = 0 if d < datetime.date(1997, 1, 1) else 1
+            a = per[(r.l_partkey, yr)]
+            a[0] += int(round_half_up(r.l_extendedprice * 100))
+            a[1] += int(r.l_quantity)
+    parts = {p for (p, y) in per if y == 0} & {p for (p, y) in per if y == 1}
+    parts = {
+        p for p in parts if per[(p, 0)][1] > 0 and per[(p, 1)][1] > 0
+    }
+    s00 = sum(per[(p, 0)][0] for p in parts)
+    s11 = sum(per[(p, 1)][0] for p in parts)
+    s10 = sum(
+        per[(p, 1)][0] * per[(p, 0)][1] / per[(p, 1)][1] for p in parts
+    )
+    s01 = sum(
+        per[(p, 0)][0] * per[(p, 1)][1] / per[(p, 0)][1] for p in parts
+    )
+    r = QUERIES["olap_price_index_laspeyres_paasche"](spark, sf_small).collect()[0]
+    assert r.n_parts == len(parts)
+    assert (r.base_rev_cents, r.cur_rev_cents) == (s00, s11)
+    assert abs(r.laspeyres_index - s10 / s00) < 1e-6
+    assert abs(r.paasche_index - s11 / s01) < 1e-6
+    assert abs(r.fisher_index - math.sqrt((s10 / s00) * (s11 / s01))) < 1e-6
+
+
+def test_clustering_by_degree_replica(spark, sf_small):
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES, _cooccur_edges
+
+    ed = {(r.src, r.dst) for r in _cooccur_edges(spark, sf_small).collect()}
+    adj = defaultdict(set)
+    for s, t in ed:
+        adj[s].add(t)
+        adj[t].add(s)
+    buckets = defaultdict(list)
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for u in nb for v in nb if u != v and v in adj[u])
+        buckets[d.bit_length()].append(t / (d * (d - 1)))
+    rows = {r.deg_bucket: r for r in QUERIES[
+        "graph_clustering_by_degree"](spark, sf_small).collect()}
+    assert set(rows) == set(buckets)
+    for b, cs in buckets.items():
+        r = rows[b]
+        assert r.n_nodes == len(cs)
+        assert r.bucket_low_degree == 2 ** (b - 1)
+        assert abs(r.mean_local_clustering - sum(cs) / len(cs)) < 1e-6
+
+
+def test_source_mix_entropy_replica(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans.tables import load
+
+    docs = load(spark, sf_small, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in docs:
+        agg[r.source][0] += 1
+        agg[r.source][1] += len(r.text)
+    td = sum(v[0] for v in agg.values())
+    tb = sum(v[1] for v in agg.values())
+    hd = -sum((v[0] / td) * math.log(v[0] / td) for v in agg.values())
+    hb = -sum((v[1] / tb) * math.log(v[1] / tb) for v in agg.values())
+    r = QUERIES["curation_source_mix_entropy"](spark, sf_small).collect()[0]
+    assert r.n_sources == len(agg)
+    assert abs(r.doc_mix_entropy_nats - hd) < 1e-6
+    assert abs(r.effective_sources_docs - math.exp(hd)) < 1e-5
+    assert abs(r.byte_mix_entropy_nats - hb) < 1e-6
+    assert abs(r.effective_sources_bytes - math.exp(hb)) < 1e-5
