@@ -420,6 +420,35 @@ CATALOG_BENCH = [
     "curation_source_mix_entropy",
 ]
 
+# Auto-heal pool drift (round 11): every catalog query is benchable via
+# the generic thunk, so any name registered in plans.QUERIES but absent
+# from the literal list above joins the pool automatically — the list had
+# silently drifted 171 names behind the 518-query catalog by r10. The six
+# catalog names with dedicated special builders stay out: bench_builders()
+# adds them explicitly and _bench_names() promotes every special builder
+# into the FIXED 59-entry headline, so letting them into CATALOG_BENCH
+# would demote them and break the round-over-round comparator.
+_SPECIAL_BUILDER_CATALOG_NAMES = frozenset(
+    {
+        "tfidf_top_terms",
+        "join_asof",
+        "join_bigbig_revenue",
+        "sim_lsh_topk",
+        "sim_ivf_topk",
+        "sim_lsh_near_dup",
+    }
+)
+
+
+def _heal_catalog_bench() -> None:
+    from report_worker_spark.plans import QUERIES
+
+    have = set(CATALOG_BENCH) | _SPECIAL_BUILDER_CATALOG_NAMES
+    CATALOG_BENCH.extend(n for n in QUERIES if n not in have)
+
+
+_heal_catalog_bench()
+
 # ---------------------------------------------------------------------------
 # The driver-run set (VERDICT_r8 item 1). HEADLINE_BENCH is FIXED — the
 # stable round-over-round comparator: SURVEY §2 anchors, the special-
@@ -486,21 +515,69 @@ HEADLINE_BENCH = [
     "curation_epoch_shuffle",
 ]
 
-# Round-10 rotating slots: hand-rotated each round (same discipline as
-# plans/catalog._DRIVER_WINDOW) over CATALOG_BENCH entries not in
-# HEADLINE_BENCH — the next 10 never-benched in CATALOG_BENCH order
-# (union of BENCH_r01..r09 + BENCH_DETAIL has 220 never-benched left).
+# Round-11 rotating slots (VERDICT_r10 item 2, tripled from 10): the 53
+# family-deficit closers — for every query family (name prefix) with
+# fewer than min(3, family size) members in the benched union
+# (BENCH_r01..r10 + BENCH_DETAIL + the r10 headline/rotating sets), the
+# first never-benched members in catalog order up to that floor. After
+# BENCH_r11 every catalog family has >= min(3, size) benched members;
+# later rounds rotate over the ~395 remaining never-benched in catalog
+# order. Hand-rotated each round, same discipline as
+# plans/catalog._DRIVER_WINDOW.
 ROTATING_BENCH = [
-    "join_salted_skew",
-    "stats_exact_median_twopass",
-    "stats_mad_robust",
-    "multimodal_image_ahash",
-    "dedup_fuzzy_clusters",
-    "curation_span_corruption",
-    "text_rake_keywords",
-    "text_zipf_fit",
-    "agg_countmin_sketch",
-    "audit_bloom_membership",
+    "a1_distinct",
+    "a4_lookup_hit_miss",
+    "agg_weighted_percentile",
+    "agg_rollup",
+    "audit_psi_drift",
+    "audit_join_fanout_forecast",
+    "cdc_apply_log",
+    "cohort_retention",
+    "cust_rfm_segments",
+    "drift_psi_bins",
+    "f3_null_guard",
+    "funnel_3step_1day",
+    "gaps_islands_user_days",
+    "grouped_median_pandas",
+    "j_semi_exists",
+    "j1_dim_lookup",
+    "j2_get_or_insert_delta",
+    "j3_anti_join",
+    "j3_anti_join_reference_bug",
+    "join_asof_tolerance",
+    "json_props_extract",
+    "json_variant_extract",
+    "p1_flatten_struct",
+    "p10_version_dispatch",
+    "p11_epoch_ms_reencode",
+    "p2_p3_project_rename",
+    "p4_normalize_ts",
+    "p5_epoch_to_ts",
+    "p6_p7_bool_roundtrip",
+    "p8_clamp_equipment",
+    "p9_sanitize_name",
+    "reshape_unpivot",
+    "s3_csv_malformed_rate",
+    "s3_json_extract",
+    "s3_json_malformed_rate",
+    "s4_fixed_width_roundtrip",
+    "s4_csv_roundtrip",
+    "scalar_subquery_above_avg",
+    "scd2_dim_history",
+    "seq_top_paths",
+    "sessionize_entry_exit_matrix",
+    "sessionize_gap30m",
+    "setop_users",
+    "sim_cosine_threshold_census",
+    "sim_cosine_topk",
+    "star_region_rollup",
+    "ts_diff_in_diff",
+    "ts_haar_energy",
+    "win_forward_fill_gaps",
+    "win_range_interval_sum",
+    "win_topk_per_group",
+    "wire_pipeline_staging",
+    "zorder_cluster_key",
 ]
 
 

@@ -51,11 +51,31 @@ def brute_topk_expr(
     k: int = 5,
 ) -> DataFrame:
     """Exact all-pairs cosine top-k neighbors (self-similarity excluded),
-    deterministic tiebreak by neighbor id."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    deterministic tiebreak by neighbor id.
+
+    Three plan-shape wins over the naive form, all bit-identical (r11):
+    the two norms are computed once per ROW before the join (n folds,
+    not 3n² per-pair folds); the streamed side is ``spread`` so the n²
+    pair loop parallelizes (a small parquet corpus arrives as ONE split
+    → one task owns every pair); the per-pair dot stays a single
+    ``dot_fold`` — one zip_with/aggregate pass over the arrays, which
+    measures ~7× FASTER per pair than a flat unrolled element_at chain
+    (2.3 s vs 16.5 s per 4M pairs on 32 cores; element_at pays per-call
+    bounds/null dispatch, the fold streams the array once)."""
+    a = spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = a.withColumn("n_a", l2_norm(F.col("v_a")))
+    b = b.withColumn("n_b", l2_norm(F.col("v_b")))
     pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
-    pairs = pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+    pairs = pairs.withColumn(
+        "cos",
+        dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+    )
+    # Drop the vectors BEFORE the ranking shuffle: the window repartitions
+    # all n² pair rows by id_a, and carrying two 64-float arrays through
+    # that exchange is ~20× the bytes of (id, id, cos) — measured 16 s vs
+    # 3 s at sf0.1.
+    pairs = pairs.select("id_a", "id_b", "cos")
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -616,12 +636,16 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
     Exact (cross join) — the oracle-comparable baseline; swap in
-    ``lsh_topk`` candidates at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    ``lsh_topk`` candidates at scale. Same per-row norms + spread
+    streamed side + single per-pair fold as ``brute_topk_expr``."""
+    a = spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = a.withColumn("n_a", l2_norm(F.col("v_a")))
+    b = b.withColumn("n_b", l2_norm(F.col("v_b")))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("cos").alias("cosine"))
     )
