@@ -108,8 +108,10 @@ def brute_topk_matmul(
     ``operators.masked_position_pairs``.
     """
     spark = df.sparkSession
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    # Enforce the guard on the collect itself (limit max_rows+1) instead
+    # of a separate count() job — one source scan, not two.
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"brute_topk_matmul broadcasts the whole corpus to every "
             f"executor and is bounded at max_rows={max_rows} rows "
@@ -117,7 +119,6 @@ def brute_topk_matmul(
             f"corpora — it tiles candidates into n_blocks broadcast "
             f"slices and keeps per-task memory bounded"
         )
-    pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

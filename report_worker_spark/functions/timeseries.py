@@ -108,7 +108,10 @@ def dtw_distance(va, vb, band: int | None = None) -> int:
             "monotone alignment path fits inside the band"
         )
     big = np.int64(1) << 60
-    cost = np.abs(va[:, None] - vb[None, :])
+    # Saturate per-cell costs at the sentinel so `cost + big` can never
+    # wrap int64 (2·big = 2^61 << 2^63); distances therefore saturate
+    # at `big` for pathological input magnitudes instead of wrapping.
+    cost = np.minimum(np.abs(va[:, None] - vb[None, :]), big)
     dp = np.full((n, m), big, dtype=np.int64)
     dp[0, 0] = cost[0, 0]
     for d in range(1, n + m - 1):
@@ -129,5 +132,8 @@ def dtw_distance(va, vb, band: int | None = None) -> int:
         best[k] = np.minimum(best[k], dp[i[k], j[k] - 1])
         k = (i > 0) & (j > 0)
         best[k] = np.minimum(best[k], dp[i[k] - 1, j[k] - 1])
-        dp[i, j] = cost[i, j] + np.minimum(best, big)
+        # Clamp after the update so unreachable (sentinel) cells stay
+        # exactly `big` instead of accumulating cost along band-edge
+        # chains and eventually wrapping int64.
+        dp[i, j] = np.minimum(cost[i, j] + np.minimum(best, big), big)
     return int(dp[n - 1, m - 1])

@@ -615,6 +615,19 @@ def main() -> None:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Dense 0..30·K-1 day spine per event type (fill 0): series built
+    # from observed (type, day) cells alone can differ in length by more
+    # than the band whenever a type skips >band/K days, which would make
+    # dtw_distance raise inside the kernel and fail the whole timing.
+    etypes = gridl.select("event_type").distinct()
+    spine = etypes.crossJoin(
+        F.broadcast(
+            spark.range(30 * K).select(F.col("id").cast("int").alias("day"))
+        )
+    )
+    gridl = spine.join(gridl, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
     lseries = gridl.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "n"))),
