@@ -52,6 +52,9 @@ def transactional_multi_table_write(
     password: str | None = None,
     batch_size: int = 1000,
     insert_verb: str = "INSERT IGNORE INTO",
+    bulk_threshold: int = 10_000,
+    match_keys: dict[str, list[str]] | None = None,
+    stage_prefix: str = "stg_bulk_",
 ) -> None:
     """Atomic multi-table append: one java.sql connection, autocommit
     off, all tables inserted, single commit; rollback on any failure
@@ -63,10 +66,37 @@ def transactional_multi_table_write(
     ``INSERT INTO`` for engines without it (Derby/Postgres — pair with
     unique keys + anti-joined inputs).
 
-    Collects each delta to the driver — correct for micro-batch-scale
-    deltas (reference envelope: ≤1k rows/txn); bulk loads should use
-    ``append_table`` instead.
+    AUTO-DISPATCH BY BATCH SIZE: deltas at the reference's micro-batch
+    envelope (≤``bulk_threshold`` rows per table) run the driver-side
+    Py4J prepared-statement loop — cheapest for ~1k rows/txn. Any
+    larger delta switches the WHOLE call to the bulk path: each delta
+    is loaded into a ``stage_prefix + table`` staging table by Spark's
+    DISTRIBUTED JDBC writer (never ``toLocalIterator``), then a single
+    transaction runs server-side ``INSERT .. SELECT`` from every stage
+    into its target — commit or rollback together, so target-table
+    atomicity is identical to the small path (staging tables are
+    scratch and truncated up front). Pass ``match_keys[table] = [key,
+    ...]`` to guard a target's insert-select with the null-safe NOT
+    EXISTS predicate (idempotent replays even without ``INSERT
+    IGNORE``); targets absent from ``match_keys`` use a plain
+    insert-select and keep the verb/unique-key backstop. The dispatch
+    counts each delta, so callers re-using a lazily-computed DataFrame
+    should persist it (foreachBatch batch frames already are).
     """
+    writes = list(writes)
+    sizes = {table: df.count() for table, df in writes}
+    if max(sizes.values(), default=0) > bulk_threshold:
+        _bulk_staged_txn(
+            spark,
+            url,
+            writes,
+            user=user,
+            password=password,
+            insert_verb=insert_verb,
+            match_keys=match_keys or {},
+            stage_prefix=stage_prefix,
+        )
+        return
     jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
     if user is not None:
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
@@ -100,6 +130,81 @@ def transactional_multi_table_write(
     except Exception:
         conn.rollback()
         raise
+    finally:
+        conn.close()
+
+
+def _bulk_staged_txn(
+    spark: SparkSession,
+    url: str,
+    writes: list[tuple[str, DataFrame]],
+    user: str | None,
+    password: str | None,
+    insert_verb: str,
+    match_keys: dict[str, list[str]],
+    stage_prefix: str,
+) -> None:
+    """Bulk half of the S6 auto-dispatch: distributed staging loads +
+    one server-side insert-select transaction. The bulk rows cross the
+    JDBC boundary through Spark's parallel writer tasks; the driver
+    connection only issues DDL/DELETE/INSERT-SELECT statements, so
+    per-call driver cost is O(tables), not O(rows)."""
+    jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
+    props = {}
+    if user is not None:
+        props["user"] = user
+        props["password"] = password or ""
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # staging prep runs OUTSIDE the txn (MySQL DDL auto-commits
+        # anyway): idempotent CREATE, then truncate leftovers so a
+        # crashed earlier attempt can't double-insert
+        for table, df in writes:
+            stage = stage_prefix + table
+            st = conn.createStatement()
+            try:
+                st.execute(_ddl_for(df, stage))
+            except Exception:  # noqa: BLE001 — already exists
+                pass
+            finally:
+                st.close()
+            st = conn.createStatement()
+            st.execute(f"DELETE FROM {stage}")
+            st.close()
+        # distributed, parallel staging loads — the scale path
+        for table, df in writes:
+            append_table(df, url, stage_prefix + table, props or None)
+        # one atomic promotion across every target
+        conn.setAutoCommit(False)
+        try:
+            for table, df in writes:
+                stage = stage_prefix + table
+                cols = df.columns
+                keys = match_keys.get(table)
+                if keys:
+                    nullable = {
+                        f.name
+                        for f in df.schema.fields
+                        if f.nullable and f.name in keys
+                    }
+                    sql = not_exists_insert_sql(
+                        insert_verb, table, stage, cols, keys, nullable
+                    )
+                else:
+                    sql = (
+                        f"{insert_verb} {table} ({', '.join(cols)}) "
+                        f"SELECT {', '.join(cols)} FROM {stage}"
+                    )
+                st = conn.createStatement()
+                st.executeUpdate(sql)
+                st.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
     finally:
         conn.close()
 
@@ -148,14 +253,32 @@ def insert_sql(verb: str, table: str, cols: list[str]) -> str:
 
 
 def not_exists_insert_sql(
-    verb: str, target: str, stage: str, cols: list[str], keys: list[str]
+    verb: str,
+    target: str,
+    stage: str,
+    cols: list[str],
+    keys: list[str],
+    nullable: set[str] | None = None,
 ) -> str:
     """The server-side NOT-EXISTS insert-select (reference
     report.py:170-241's anti-join INSERTs, staged instead of MEMORY
     temp tables). Null-safe key matching spelled portably — MySQL's
     ``=`` never matches NULL, which is the reference's NULL-gear
-    forever-reinsert bug; ``<=>`` is what it intended."""
-    match = " AND ".join(_null_safe_eq("t", "s", k) for k in keys)
+    forever-reinsert bug; ``<=>`` is what it intended.
+
+    ``nullable`` narrows the null-safe OR form to the keys that can
+    actually be NULL (from the DataFrame schema): the OR disjunct
+    defeats index use on most engines (measured: Derby degrades to a
+    full target scan PER STAGED ROW), so non-nullable keys — the
+    common case, surrogate ids are NOT NULL — get plain indexable
+    equality. ``None`` (the conservative default) treats every key as
+    nullable."""
+    match = " AND ".join(
+        f"t.{k} = s.{k}"
+        if nullable is not None and k not in nullable
+        else _null_safe_eq("t", "s", k)
+        for k in keys
+    )
     return (
         f"{verb} {target} ({', '.join(cols)}) "
         f"SELECT {', '.join('s.' + c for c in cols)} FROM {stage} s "
@@ -224,7 +347,19 @@ def staged_not_exists_txn(
             ps.close()
             st = conn.createStatement()
             inserted[target] = st.executeUpdate(
-                not_exists_insert_sql(insert_verb, target, stage, cols, keys)
+                not_exists_insert_sql(
+                    insert_verb,
+                    target,
+                    stage,
+                    cols,
+                    keys,
+                    # schema-driven: null-safe OR only where NULL can occur
+                    {
+                        f.name
+                        for f in df.schema.fields
+                        if f.nullable and f.name in keys
+                    },
+                )
             )
             st.close()
         conn.commit()
