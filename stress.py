@@ -717,6 +717,179 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # Round-11 additions (VERDICT_r10 item 4): the round-10 heavy
+    # family at ~sf1 — quarterly OLS slopes, user accumulation curve,
+    # price indices, clustering-by-degree, duplicate-event census.
+    # ------------------------------------------------------------------
+    # quarterly OLS: K× lineitem rows into a ~365-row day rollup — the
+    # scan + map-side partial agg is the whole cost, slopes are free
+    li97 = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_shipdate", "l_extendedprice")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .crossJoin(F.broadcast(ereps))
+    )
+    daily97 = li97.groupBy(
+        F.trunc(F.col("l_shipdate").cast("date"), "quarter").alias("q"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1997-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "y"
+        )
+    )
+    sq = daily97.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    timings["stats_ols_slope_by_quarter"] = timed(
+        sq.select(
+            "q",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "num"
+            ),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "den"
+            ),
+        )
+    )
+    # accumulation curve: DISJOINT per-replica user spaces → the
+    # user-grain min() grows ×K; the day rollup stays 30 rows
+    evu_k = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).crossJoin(F.broadcast(ereps)).select(
+        (
+            F.col("user_id") + F.col("rep").cast("long") * F.lit(100_000_000)
+        ).alias("user_id"),
+        "d",
+    )
+    firsts_k = evu_k.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    per_day_k = firsts_k.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    wacc = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    timings["olap_user_accumulation_curve"] = timed(
+        per_day_k.select(
+            "first_day", F.sum("n_new").over(wacc).alias("cum_users")
+        )
+    )
+    # price indices: DISJOINT per-replica partkeys → part-grain groupBy
+    # and the part self-join both grow ×K
+    lireps = spark.range(K).select(F.col("id").cast("int").alias("rep"))
+    li_px = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .crossJoin(F.broadcast(lireps))
+        .select(
+            (
+                F.col("l_partkey")
+                + F.col("rep").cast("long") * F.lit(1_000_000_000)
+            ).alias("part"),
+            F.when(
+                F.col("l_shipdate") < F.lit("1997-01-01").cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("yr"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    per_px = li_px.groupBy("part", "yr").agg(
+        F.sum("cents").alias("rev"), F.sum("qty").alias("qty")
+    )
+    a_px = per_px.filter((F.col("yr") == 0) & (F.col("qty") > 0)).select(
+        "part", F.col("rev").alias("r0"), F.col("qty").alias("q0")
+    )
+    b_px = per_px.filter((F.col("yr") == 1) & (F.col("qty") > 0)).select(
+        "part", F.col("rev").alias("r1"), F.col("qty").alias("q1")
+    )
+    both_px = a_px.join(b_px, "part")
+    timings["olap_price_index_laspeyres_paasche"] = timed(
+        both_px.agg(
+            F.sum("r0").alias("sum_p0q0"),
+            F.sum("r1").alias("sum_p1q1"),
+            F.sum(F.col("r1") * F.col("q0") / F.col("q1")).alias("sum_p1q0"),
+            F.sum(F.col("r0") * F.col("q1") / F.col("q0")).alias("sum_p0q1"),
+        )
+    )
+    # clustering-by-degree: the directed triple join over the upscaled
+    # co-occurrence graph — the triangle census is the cost; the
+    # bucket rollup is a ~12-row afterthought
+    und_cd = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg_cd = gr.degrees(edges).filter(F.col("deg") >= 2)
+    tri_cd = (
+        und_cd.select(F.col("src").alias("node"), F.col("dst").alias("m1"))
+        .join(
+            und_cd.select(
+                F.col("src").alias("m1"), F.col("dst").alias("m2")
+            ),
+            "m1",
+        )
+        .join(
+            und_cd.select(
+                F.col("src").alias("m2"), F.col("dst").alias("node")
+            ),
+            ["m2", "node"],
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t2"))
+    )
+    loc_cd = deg_cd.join(tri_cd, "node", "left").select(
+        F.length(
+            F.conv(F.col("deg").cast("string"), 10, 2)
+        ).alias("deg_bucket"),
+        (
+            F.coalesce("t2", F.lit(0)).cast("double")
+            / (F.col("deg").cast("double") * (F.col("deg") - 1))
+        ).alias("c_i"),
+    )
+    timings["graph_clustering_by_degree"] = timed(
+        loc_cd.groupBy("deg_bucket").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.avg("c_i").alias("mean_c"),
+        )
+    )
+    # duplicate-event census: content-grain groupBy over K× events —
+    # replicas share (type, user, ts, cents) so multiplicity is ≥K by
+    # construction, exercising the dup-heavy branch
+    ev_dup = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).crossJoin(F.broadcast(ereps)).drop("rep")
+    g_dup = ev_dup.groupBy("event_type", "user_id", "ts", "cents").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+    timings["audit_exact_duplicate_events"] = timed(
+        g_dup.groupBy("event_type").agg(
+            F.sum("mult").alias("n_events"),
+            F.sum(
+                F.when(F.col("mult") > 1, F.col("mult") - 1).otherwise(0)
+            ).alias("n_redundant"),
+            F.max("mult").alias("max_multiplicity"),
+        )
+    )
+
+    # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
     # LSH near-dup components → substring trim → benchmark

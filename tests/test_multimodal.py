@@ -487,3 +487,62 @@ def test_wav_rms_windows_numpy_reference(spark):
             assert got[mid][w] == (
                 len(seg), int(seg.sum()), int((seg * seg).sum())
             )
+
+
+def test_mp4_frame_demux_roundtrip():
+    """Writer → demuxer round-trip: every frame's payload equals its
+    keystream, timestamps follow the constant stts delta, and the
+    header-only walker still parses the frame-bearing container."""
+    for mid in (0, 3, 12345, 89999):
+        dur = mid % 90000 + 1000
+        n, delta, sizes = mm.mp4_frame_plan(dur)
+        b = mm.mp4_bytes_with_frames(dur, mid % 640 + 16, mid % 480 + 16, mid)
+        d = mm.demux_mp4_frames(b)
+        assert d["timescale"] == 1000 and d["n_frames"] == n
+        for i, (idx, ts, payload) in enumerate(d["frames"]):
+            assert idx == i and ts == i * delta
+            assert payload == mm.keystream(f"{mid}:f{i}", sizes[i])
+        hdr = mm.parse_mp4_header(b)
+        assert hdr["duration_ms"] == dur
+        assert hdr["width"] == mid % 640 + 16
+
+
+def test_mp4_frame_demux_poison_is_loud():
+    b = mm.mp4_bytes_with_frames(50_000, 64, 48, 9)
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(b[:-5])  # truncated mdat
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(b"\x00\x00\x00\x08ftyp")  # no moov
+    # drop stco: corrupt the box type tag so the table goes missing
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(b.replace(b"stco", b"xxco"))
+
+
+def test_mp4_frame_stats_quarantine_and_sampling(spark):
+    """One poison container yields ONE err row (never a task failure);
+    every_ms keeps only the first frame per bucket."""
+    good = mm.mp4_bytes_with_frames(50_000, 64, 48, 1)  # 7 frames
+    bad = good[:-5]
+    media = spark.createDataFrame(
+        [(1, good), (2, bad)], "media_id long, content binary"
+    )
+    q = {
+        r.media_id: r
+        for r in mm.mp4_frame_stats(media, with_quarantine=True)
+        .filter("NOT ok")
+        .collect()
+    }
+    assert set(q) == {2} and q[2].err
+    ok = mm.mp4_frame_stats(media).collect()
+    assert sorted(r.frame_idx for r in ok) == list(range(7))
+    n, delta, sizes = mm.mp4_frame_plan(50_000)
+    by_idx = {r.frame_idx: r for r in ok}
+    for i in range(n):
+        assert by_idx[i].ts_ms == i * delta
+        assert by_idx[i].n_bytes == sizes[i]
+        assert by_idx[i].byte_sum == sum(mm.keystream(f"1:f{i}", sizes[i]))
+    # sampling: bucket width 2·delta keeps every other frame
+    sampled = mm.mp4_frame_stats(media, every_ms=2 * delta).collect()
+    assert sorted(r.frame_idx for r in sampled) == [
+        i for i in range(n) if i % 2 == 0
+    ]
