@@ -1302,3 +1302,15 @@ def test_two_way_anova_map_side_partials(spark, sf_oracle):
     plan = plan_of(QUERIES["stats_two_way_anova"](spark, sf_oracle))
     assert plan.count("HashAggregate") >= 2
     assert "SortAggregate" not in plan
+
+
+def test_frame_extract_plan_shape(spark, sf_oracle):
+    """The frame pipeline is two chained Arrow kernels (generate →
+    demux) with at most the spread round-robin between them — no
+    shuffle, no row-at-a-time Python."""
+    plan = plan_of(
+        QUERIES["multimodal_frame_extract"](spark, sf_oracle), "simple"
+    )
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("Exchange") <= 1  # spread round-robin only
+    assert "BatchEvalPython" not in plan
