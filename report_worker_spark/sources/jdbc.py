@@ -143,12 +143,13 @@ def _bulk_staged_txn(
     insert_verb: str,
     match_keys: dict[str, list[str]],
     stage_prefix: str,
-) -> None:
+) -> dict[str, int]:
     """Bulk half of the S6 auto-dispatch: distributed staging loads +
     one server-side insert-select transaction. The bulk rows cross the
     JDBC boundary through Spark's parallel writer tasks; the driver
     connection only issues DDL/DELETE/INSERT-SELECT statements, so
-    per-call driver cost is O(tables), not O(rows)."""
+    per-call driver cost is O(tables), not O(rows). Returns per-target
+    inserted-row counts (``executeUpdate``)."""
     jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
     props = {}
     if user is not None:
@@ -158,6 +159,7 @@ def _bulk_staged_txn(
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
     else:
         conn = jvm.java.sql.DriverManager.getConnection(url)
+    inserted: dict[str, int] = {}
     try:
         # staging prep runs OUTSIDE the txn (MySQL DDL auto-commits
         # anyway): idempotent CREATE, then truncate leftovers so a
@@ -199,7 +201,7 @@ def _bulk_staged_txn(
                         f"SELECT {', '.join(cols)} FROM {stage}"
                     )
                 st = conn.createStatement()
-                st.executeUpdate(sql)
+                inserted[table] = st.executeUpdate(sql)
                 st.close()
             conn.commit()
         except Exception:
@@ -207,6 +209,7 @@ def _bulk_staged_txn(
             raise
     finally:
         conn.close()
+    return inserted
 
 
 _SQL_TYPES = {
@@ -295,6 +298,7 @@ def staged_not_exists_txn(
     batch_size: int = 1000,
     insert_verb: str = "INSERT IGNORE INTO",
     stage_prefix: str = "stg_",
+    bulk_threshold: int = 10_000,
 ) -> dict[str, int]:
     """The reference's server-side txn shape (reference
     src/app/controllers/report.py:84-311): upload each small delta into a
@@ -308,7 +312,23 @@ def staged_not_exists_txn(
 
     Scale: only the per-batch delta (reference envelope ≤1k rows) crosses
     the JDBC boundary; target dim/fact size is irrelevant to batch cost.
+    Deltas above ``bulk_threshold`` rows auto-dispatch to the
+    distributed staged-promotion path (same NOT-EXISTS guard, staging
+    loaded by Spark's parallel JDBC writer instead of the driver's
+    prepared-statement loop) — same contract, O(tables) driver cost.
     """
+    stages = list(stages)
+    if any(df.count() > bulk_threshold for _t, df, _k in stages):
+        return _bulk_staged_txn(
+            spark,
+            url,
+            [(t, df) for t, df, _k in stages],
+            user=user,
+            password=password,
+            insert_verb=insert_verb,
+            match_keys={t: k for t, _df, k in stages},
+            stage_prefix=stage_prefix,
+        )
     jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
     if user is not None:
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
@@ -316,7 +336,6 @@ def staged_not_exists_txn(
         conn = jvm.java.sql.DriverManager.getConnection(url)
     inserted: dict[str, int] = {}
     try:
-        stages = list(stages)
         # staging DDL is idempotent and outside the txn (MySQL DDL
         # auto-commits; Derby doesn't mind either way)
         for target, df, _keys in stages:

@@ -479,3 +479,34 @@ def test_ansi_fallback_verb_identical_outcomes_on_derby(spark, derby_url):
         (r[0], r[1]) for r in back.collect()
     )
     assert rows == [(1, 10), (2, None)]
+
+
+def test_staged_txn_bulk_dispatch_and_counts(spark, derby_url, monkeypatch):
+    """staged_not_exists_txn has the same auto-dispatch: a 50k delta
+    loads staging through Spark's distributed writer (never the driver
+    row loop), the NOT-EXISTS promotion returns real inserted counts,
+    and a replay inserts zero."""
+    from pyspark.sql import DataFrame
+
+    _exec(
+        spark,
+        derby_url,
+        "CREATE TABLE big_dim (id BIGINT NOT NULL PRIMARY KEY, v INTEGER)",
+    )
+    df = spark.range(50_000).select(
+        "id", (F.col("id") % 5).cast("int").alias("v")
+    )
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("bulk path must not collect via the driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
+    got = j.staged_not_exists_txn(
+        spark, derby_url, [("big_dim", df, ["id"])], insert_verb="INSERT INTO"
+    )
+    assert got == {"big_dim": 50_000}
+    replay = j.staged_not_exists_txn(
+        spark, derby_url, [("big_dim", df, ["id"])], insert_verb="INSERT INTO"
+    )
+    assert replay == {"big_dim": 0}
+    assert _count(spark, derby_url, "big_dim") == 50_000
