@@ -546,3 +546,34 @@ def test_mp4_frame_stats_quarantine_and_sampling(spark):
     assert sorted(r.frame_idx for r in sampled) == [
         i for i in range(n) if i % 2 == 0
     ]
+
+
+def test_mp4_frame_stats_under_structured_streaming(spark, tmp_path):
+    """The demux kernel is a stateless mapInPandas, so it must run
+    unchanged on a streaming source (multimodal ingestion at 100 TB is
+    a stream of binary blobs): file-source stream → mp4_frame_stats →
+    availableNow, results identical to the batch run."""
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_mp4_frame_media(ids, "doc_id")
+    src = str(tmp_path / "media_src")
+    media.write.parquet(src)
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    out = mm.mp4_frame_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("frame_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM frame_stream").collect())
+    )
+    expect = sorted(
+        map(
+            tuple,
+            mm.mp4_frame_stats(spark.read.parquet(src)).collect(),
+        )
+    )
+    assert got == expect and len(got) > 0
