@@ -266,3 +266,38 @@ def test_pareto_dominance_law(spark, pts):
         if not any(c2 > c and d2 > d for _, c2, d2 in rows)
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dur=st.integers(min_value=1000, max_value=90999),
+    width=st.integers(min_value=16, max_value=655),
+    height=st.integers(min_value=16, max_value=495),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    cut=st.integers(min_value=1, max_value=200),
+)
+def test_mp4_demux_roundtrip_law(dur, width, height, seed, cut):
+    """Laws of the ISO-BMFF writer/demuxer pair over its whole input
+    space: (1) demux inverts the writer — frame count, timestamps, and
+    payload bytes all match the deterministic plan; (2) the header
+    walker agrees on duration/dims; (3) ANY truncation of the stream
+    raises ValueError (never silently returns wrong frames) — the
+    poison path is loud by construction."""
+    from report_worker_spark.functions import multimodal as mm
+
+    b = mm.mp4_bytes_with_frames(dur, width, height, seed)
+    n, delta, sizes = mm.mp4_frame_plan(dur)
+    d = mm.demux_mp4_frames(b)
+    assert d["n_frames"] == n
+    for i, (idx, ts, payload) in enumerate(d["frames"]):
+        assert idx == i and ts == i * delta and len(payload) == sizes[i]
+        assert payload == mm.keystream(f"{seed}:f{i}", sizes[i])
+    hdr = mm.parse_mp4_header(b)
+    assert hdr["duration_ms"] == dur
+    assert (hdr["width"], hdr["height"]) == (width, height)
+    try:
+        mm.demux_mp4_frames(b[: len(b) - min(cut, len(b) - 1)])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("truncated stream demuxed without error")
