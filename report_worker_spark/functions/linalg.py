@@ -129,6 +129,99 @@ def pca_project(
     )
 
 
+def whitening_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, eps: float = 1e-6
+) -> tuple[np.ndarray, np.ndarray]:
+    """ZCA whitening transform from the same one-pass moment partials
+    as PCA: W = V diag((lam + eps)^-1/2) V^T (symmetric, so whitened
+    vectors stay maximally close to the originals — the variant
+    retrieval/semantic-dedup preprocessing wants). eps regularizes
+    near-null directions; the d x d eigh runs on the driver like
+    pca_components. Returns (mean, W[dim, dim])."""
+    parts = _moment_partials(df, vec_col, dim)
+    if not parts:
+        raise ValueError("empty input")
+    n = sum(r.n for r in parts)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in parts:  # deterministic partition-index order
+        s += np.asarray(r.s)
+        g += np.asarray(r.g).reshape(dim, dim)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)) @ vecs.T
+    return mu, w
+
+
+def whiten_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """(id, whitened[dim]) — centered ZCA projection, broadcast matmul
+    in one Arrow pass (same shape as pca_project)."""
+    mu, w = whitening_matrix(df, vec_col, dim=dim, eps=eps)
+    bc = df.sparkSession.sparkContext.broadcast((mu, w))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m_mu, m_w = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            white = (m - m_mu) @ m_w  # symmetric W: W.T == W
+            yield pd.DataFrame(
+                {"vec_id": pb[id_col].to_numpy(), "white": list(white)}
+            )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(project, schema="vec_id long, white array<double>")
+    )
+
+
+def mahalanobis_distances(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """(id, [extra...], maha2) — squared Mahalanobis distance to the
+    corpus mean under the eps-regularized covariance, computed as
+    ||W(v - mu)||^2 with the ZCA matrix (numerically identical to
+    (v-mu)^T (cov + eps I)^-1 (v-mu) restricted to the eigenbasis).
+    The multivariate outlier score the per-dim z-score census cannot
+    see (it misses correlated-but-individually-normal vectors).
+    One Arrow pass, broadcast d x d, no shuffle."""
+    mu, w = whitening_matrix(df, vec_col, dim=dim, eps=eps)
+    bc = df.sparkSession.sparkContext.broadcast((mu, w))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m_mu, m_w = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            white = (m - m_mu) @ m_w
+            yield pd.DataFrame(
+                {
+                    "vec_id": pb[id_col].to_numpy(),
+                    "maha2": (white * white).sum(axis=1),
+                }
+            )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, schema="vec_id long, maha2 double")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -103,3 +103,43 @@ def test_kmeans_objective_nonincreasing(spark):
         if prev is not None:
             assert obj <= prev + 1e-9
         prev = obj
+
+
+def test_whitening_and_mahalanobis_match_numpy(spark):
+    """Laws of the ZCA/Mahalanobis pair: (1) W matches the numpy
+    eigen-reconstruction; (2) the whitened sample covariance is ~I
+    (up to the eps regularizer); (3) the distributed maha² equals the
+    direct (v−μ)ᵀ(Σ+εI)⁻¹(v−μ) computed with numpy.linalg.inv; (4)
+    repeated runs are deterministic."""
+    from report_worker_spark.functions.linalg import (
+        mahalanobis_distances,
+        whiten_project,
+        whitening_matrix,
+    )
+
+    df, ids, m = _local(spark)
+    eps = 1e-6
+    mu, w = whitening_matrix(df, dim=64, eps=eps)
+    cov = np.cov(m, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    want_w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0) + eps)) @ vecs.T
+    assert np.allclose(w, want_w, atol=1e-8)
+    assert np.allclose(w, w.T, atol=1e-12)  # ZCA is symmetric
+
+    white = {r.vec_id: np.asarray(r.white) for r in
+             whiten_project(df, dim=64, eps=eps).collect()}
+    wm = np.stack([white[v] for v in ids])
+    wc = np.cov(wm, rowvar=False)
+    # identity up to eps-shrinkage of the true eigenvalues
+    assert np.allclose(wc, np.eye(64), atol=1e-3)
+
+    inv = np.linalg.inv(cov + eps * np.eye(64))
+    cen = m - m.mean(axis=0)
+    want_d = np.einsum("ij,jk,ik->i", cen, inv, cen)
+    got1 = {r.vec_id: r.maha2 for r in
+            mahalanobis_distances(df, dim=64, eps=eps).collect()}
+    got2 = {r.vec_id: r.maha2 for r in
+            mahalanobis_distances(df, dim=64, eps=eps).collect()}
+    assert got1 == got2  # deterministic
+    got = np.array([got1[v] for v in ids])
+    assert np.allclose(got, want_d, rtol=1e-6, atol=1e-6)
