@@ -1314,3 +1314,17 @@ def test_frame_extract_plan_shape(spark, sf_oracle):
     assert plan.count("MapInPandas") == 2
     assert plan.count("Exchange") <= 1  # spread round-robin only
     assert "BatchEvalPython" not in plan
+
+
+def test_nb_classifier_plan_shape(spark, sf_oracle):
+    """The trained-NB pipeline is pure JVM relational algebra: the
+    class grid and scalar attachments ride broadcast joins (3 one-row/
+    5-row BNL fan-outs + hash joins), never a cartesian or a sort-merge
+    join, and no Python anywhere."""
+    plan = plan_of(
+        QUERIES["text_nb_lang_classifier"](spark, sf_oracle), "simple"
+    )
+    assert plan.count("CartesianProduct") == 0
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
