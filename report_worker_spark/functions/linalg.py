@@ -110,6 +110,7 @@ def pca_project(
     components, broadcast matmul in one Arrow pass."""
     mu, comps, _ = pca_components(df, vec_col, dim=dim, q=q)
     bc = df.sparkSession.sparkContext.broadcast((mu, comps.T))  # (dim, q)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m_mu, m_w = bc.value
@@ -119,13 +120,13 @@ def pca_project(
             m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
             p = (m - m_mu) @ m_w
             yield pd.DataFrame(
-                {"vec_id": pb[id_col].to_numpy(), "proj": list(p)}
+                {id_col: pb[id_col].to_numpy(), "proj": list(p)}
             )
 
     return (
         spread(df)
         .select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(project, schema="vec_id long, proj array<double>")
+        .mapInPandas(project, schema=f"{id_col} {id_type}, proj array<double>")
     )
 
 
@@ -165,6 +166,7 @@ def whiten_project(
     in one Arrow pass (same shape as pca_project)."""
     mu, w = whitening_matrix(df, vec_col, dim=dim, eps=eps)
     bc = df.sparkSession.sparkContext.broadcast((mu, w))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m_mu, m_w = bc.value
@@ -174,13 +176,13 @@ def whiten_project(
             m = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
             white = (m - m_mu) @ m_w  # symmetric W: W.T == W
             yield pd.DataFrame(
-                {"vec_id": pb[id_col].to_numpy(), "white": list(white)}
+                {id_col: pb[id_col].to_numpy(), "white": list(white)}
             )
 
     return (
         spread(df)
         .select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(project, schema="vec_id long, white array<double>")
+        .mapInPandas(project, schema=f"{id_col} {id_type}, white array<double>")
     )
 
 
@@ -200,6 +202,7 @@ def mahalanobis_distances(
     One Arrow pass, broadcast d x d, no shuffle."""
     mu, w = whitening_matrix(df, vec_col, dim=dim, eps=eps)
     bc = df.sparkSession.sparkContext.broadcast((mu, w))
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m_mu, m_w = bc.value
@@ -210,7 +213,7 @@ def mahalanobis_distances(
             white = (m - m_mu) @ m_w
             yield pd.DataFrame(
                 {
-                    "vec_id": pb[id_col].to_numpy(),
+                    id_col: pb[id_col].to_numpy(),
                     "maha2": (white * white).sum(axis=1),
                 }
             )
@@ -218,7 +221,7 @@ def mahalanobis_distances(
     return (
         spread(df)
         .select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(score, schema="vec_id long, maha2 double")
+        .mapInPandas(score, schema=f"{id_col} {id_type}, maha2 double")
     )
 
 

@@ -108,6 +108,12 @@ def dtw_distance(va, vb, band: int | None = None) -> int:
             "monotone alignment path fits inside the band"
         )
     big = np.int64(1) << 60
+    # The raw difference va-vb is int64 arithmetic and wraps (not
+    # saturates) when |va|+|vb| >= 2^63, so bound the inputs up front:
+    # with |v| < 2^62 on both sides the difference is exact.
+    lim = np.int64(1) << 62
+    if (n and np.abs(va).max() >= lim) or (m and np.abs(vb).max() >= lim):
+        raise ValueError("dtw_distance requires |values| < 2**62 (int64-exact costs)")
     # Saturate per-cell costs at the sentinel so `cost + big` can never
     # wrap int64 (2·big = 2^61 << 2^63); distances therefore saturate
     # at `big` for pathological input magnitudes instead of wrapping.

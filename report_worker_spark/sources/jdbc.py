@@ -76,16 +76,32 @@ def transactional_multi_table_write(
     into its target — commit or rollback together, so target-table
     atomicity is identical to the small path (staging tables are
     scratch and truncated up front). Pass ``match_keys[table] = [key,
-    ...]`` to guard a target's insert-select with the null-safe NOT
-    EXISTS predicate (idempotent replays even without ``INSERT
-    IGNORE``); targets absent from ``match_keys`` use a plain
-    insert-select and keep the verb/unique-key backstop. The dispatch
-    counts each delta, so callers re-using a lazily-computed DataFrame
-    should persist it (foreachBatch batch frames already are).
+    ...]`` to guard a target's insert with the null-safe NOT EXISTS
+    predicate (idempotent replays even without ``INSERT IGNORE``);
+    the guard is honored on BOTH paths — small keyed deltas stage
+    through the driver loop and promote via the same NOT-EXISTS
+    insert-select, so replay semantics never depend on batch size.
+    Targets absent from ``match_keys`` use plain inserts and keep the
+    verb/unique-key backstop. The dispatch probes each delta with a
+    ``limit(bulk_threshold+1).count()`` (bounded, not a full count),
+    so callers re-using a lazily-computed DataFrame should persist it
+    (foreachBatch batch frames already are).
+
+    Duplicate target tables in one call are rejected (they would share
+    a staging table and double-promote). Staging tables are named
+    ``stage_prefix + table`` per PROCESS, not per call: concurrent
+    transactions against the same database with the same
+    ``stage_prefix`` corrupt each other's staging — this sink is
+    single-writer by design (one streaming query per target star, the
+    reference's consumer-group shape); give concurrent writers
+    distinct ``stage_prefix`` values.
     """
     writes = list(writes)
-    sizes = {table: df.count() for table, df in writes}
-    if max(sizes.values(), default=0) > bulk_threshold:
+    _reject_duplicate_targets(t for t, _ in writes)
+    match_keys = match_keys or {}
+    if any(
+        df.limit(bulk_threshold + 1).count() > bulk_threshold for _t, df in writes
+    ):
         _bulk_staged_txn(
             spark,
             url,
@@ -93,7 +109,7 @@ def transactional_multi_table_write(
             user=user,
             password=password,
             insert_verb=insert_verb,
-            match_keys=match_keys or {},
+            match_keys=match_keys,
             stage_prefix=stage_prefix,
         )
         return
@@ -103,35 +119,114 @@ def transactional_multi_table_write(
     else:
         conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        # staging DDL for keyed targets runs OUTSIDE the txn (MySQL DDL
+        # auto-commits anyway); idempotent via the narrowed exists-check
+        for table, df in writes:
+            if table in match_keys:
+                _ensure_stage(conn, df, stage_prefix + table)
         conn.setAutoCommit(False)
         for table, df in writes:
-            cols = df.columns
-            placeholders = ", ".join(["?"] * len(cols))
-            sql = (
-                f"{insert_verb} {table} ({', '.join(cols)}) "
-                f"VALUES ({placeholders})"
-            )
-            ps = conn.prepareStatement(sql)
-            n = 0
-            for row in df.toLocalIterator():
-                for i, c in enumerate(cols, start=1):
-                    v = row[c]
-                    if v is None:
-                        ps.setObject(i, None)
-                    else:
-                        ps.setObject(i, v)
-                ps.addBatch()
-                n += 1
-                if n % batch_size == 0:
-                    ps.executeBatch()
-            ps.executeBatch()
-            ps.close()
+            keys = match_keys.get(table)
+            if keys:
+                # same NOT-EXISTS promotion as the bulk path — replay
+                # idempotency is size-independent (ADVICE r11)
+                stage = stage_prefix + table
+                st = conn.createStatement()
+                st.execute(f"DELETE FROM {stage}")
+                st.close()
+                _driver_batch_insert(conn, df, "INSERT INTO", stage, batch_size)
+                nullable = {
+                    f.name
+                    for f in df.schema.fields
+                    if f.nullable and f.name in keys
+                }
+                st = conn.createStatement()
+                st.executeUpdate(
+                    not_exists_insert_sql(
+                        insert_verb, table, stage, df.columns, keys, nullable
+                    )
+                )
+                st.close()
+            else:
+                _driver_batch_insert(conn, df, insert_verb, table, batch_size)
         conn.commit()
     except Exception:
         conn.rollback()
         raise
     finally:
         conn.close()
+
+
+def _reject_duplicate_targets(names: Iterable[str]) -> None:
+    names = list(names)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"duplicate target tables in one transaction: {dupes} — "
+            "union the deltas before the call (duplicates would share a "
+            "staging table and double-promote)"
+        )
+
+
+def _driver_batch_insert(
+    conn, df: DataFrame, verb: str, table: str, batch_size: int
+) -> None:
+    """The small-delta prepared-statement loop (reference envelope
+    ~1k rows/txn): rows cross on the driver connection in
+    ``batch_size`` JDBC batches."""
+    cols = df.columns
+    ps = conn.prepareStatement(insert_sql(verb, table, cols))
+    n = 0
+    for row in df.toLocalIterator():
+        for i, c in enumerate(cols, start=1):
+            ps.setObject(i, row[c])
+        ps.addBatch()
+        n += 1
+        if n % batch_size == 0:
+            ps.executeBatch()
+    ps.executeBatch()
+    ps.close()
+
+
+# SQLStates meaning "table already exists": Derby X0Y32, ANSI/ODBC 42S01
+# (MySQL maps ER_TABLE_EXISTS_ERROR=1050 to it), DB2/Postgres 42710/42P07.
+_TABLE_EXISTS_STATES = {"X0Y32", "42S01", "42710", "42P07"}
+
+
+def _is_table_exists(exc: Exception) -> bool:
+    """True iff the Py4J JDBC error is specifically 'table already
+    exists' — the ONLY failure the idempotent staging DDL may swallow."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            if je.getSQLState() in _TABLE_EXISTS_STATES:
+                return True
+        except Exception:  # noqa: BLE001 — not an SQLException
+            pass
+        try:
+            if je.getErrorCode() == 1050:  # MySQL ER_TABLE_EXISTS_ERROR
+                return True
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            je = je.getCause()
+        except Exception:  # noqa: BLE001
+            break
+    return "already exists" in str(exc).lower()
+
+
+def _ensure_stage(conn, df: DataFrame, stage: str) -> None:
+    """Idempotent staging-table CREATE: swallows only the
+    table-already-exists SQLState; any other DDL failure (permissions,
+    bad identifier, connection loss) propagates."""
+    st = conn.createStatement()
+    try:
+        st.execute(_ddl_for(df, stage))
+    except Exception as exc:  # noqa: BLE001 — narrowed below
+        if not _is_table_exists(exc):
+            raise
+    finally:
+        st.close()
 
 
 def _bulk_staged_txn(
@@ -149,7 +244,13 @@ def _bulk_staged_txn(
     JDBC boundary through Spark's parallel writer tasks; the driver
     connection only issues DDL/DELETE/INSERT-SELECT statements, so
     per-call driver cost is O(tables), not O(rows). Returns per-target
-    inserted-row counts (``executeUpdate``)."""
+    inserted-row counts (``executeUpdate``).
+
+    SINGLE-WRITER per ``stage_prefix``: staging tables are fixed-name
+    scratch (truncated at call start), so two concurrent transactions
+    sharing a prefix corrupt each other's staging — concurrent writers
+    must use distinct prefixes (see transactional_multi_table_write)."""
+    _reject_duplicate_targets(t for t, _ in writes)
     jvm = spark._jvm  # noqa: SLF001 — raw JDBC is the documented escape hatch
     props = {}
     if user is not None:
@@ -166,13 +267,7 @@ def _bulk_staged_txn(
         # crashed earlier attempt can't double-insert
         for table, df in writes:
             stage = stage_prefix + table
-            st = conn.createStatement()
-            try:
-                st.execute(_ddl_for(df, stage))
-            except Exception:  # noqa: BLE001 — already exists
-                pass
-            finally:
-                st.close()
+            _ensure_stage(conn, df, stage)
             st = conn.createStatement()
             st.execute(f"DELETE FROM {stage}")
             st.close()
@@ -318,7 +413,11 @@ def staged_not_exists_txn(
     prepared-statement loop) — same contract, O(tables) driver cost.
     """
     stages = list(stages)
-    if any(df.count() > bulk_threshold for _t, df, _k in stages):
+    _reject_duplicate_targets(t for t, _df, _k in stages)
+    if any(
+        df.limit(bulk_threshold + 1).count() > bulk_threshold
+        for _t, df, _k in stages
+    ):
         return _bulk_staged_txn(
             spark,
             url,
@@ -339,13 +438,7 @@ def staged_not_exists_txn(
         # staging DDL is idempotent and outside the txn (MySQL DDL
         # auto-commits; Derby doesn't mind either way)
         for target, df, _keys in stages:
-            st = conn.createStatement()
-            try:
-                st.execute(_ddl_for(df, stage_prefix + target))
-            except Exception:  # noqa: BLE001 — already exists
-                pass
-            finally:
-                st.close()
+            _ensure_stage(conn, df, stage_prefix + target)
         conn.setAutoCommit(False)
         for target, df, keys in stages:
             stage = stage_prefix + target
@@ -353,17 +446,7 @@ def staged_not_exists_txn(
             st.execute(f"DELETE FROM {stage}")
             st.close()
             cols = df.columns
-            ps = conn.prepareStatement(insert_sql("INSERT INTO", stage, cols))
-            n = 0
-            for row in df.toLocalIterator():
-                for i, c in enumerate(cols, start=1):
-                    ps.setObject(i, row[c])
-                ps.addBatch()
-                n += 1
-                if n % batch_size == 0:
-                    ps.executeBatch()
-            ps.executeBatch()
-            ps.close()
+            _driver_batch_insert(conn, df, "INSERT INTO", stage, batch_size)
             st = conn.createStatement()
             inserted[target] = st.executeUpdate(
                 not_exists_insert_sql(

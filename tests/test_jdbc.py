@@ -510,3 +510,62 @@ def test_staged_txn_bulk_dispatch_and_counts(spark, derby_url, monkeypatch):
     )
     assert replay == {"big_dim": 0}
     assert _count(spark, derby_url, "big_dim") == 50_000
+
+
+def test_small_delta_honors_match_keys(spark, derby_url):
+    """ADVICE r11 (medium): match_keys must be honored below the bulk
+    threshold too — replaying a small delta with insert_verb='INSERT
+    INTO' and no DB unique key stays idempotent, identical to the bulk
+    path's semantics."""
+    _exec(spark, derby_url, "CREATE TABLE sm_dim (id BIGINT NOT NULL, v INTEGER)")
+    df = spark.range(200).select("id", (F.col("id") % 7).cast("int").alias("v"))
+    for _ in range(2):  # replay the same batch
+        j.transactional_multi_table_write(
+            spark,
+            derby_url,
+            [("sm_dim", df)],
+            insert_verb="INSERT INTO",
+            match_keys={"sm_dim": ["id"]},
+        )
+    assert _count(spark, derby_url, "sm_dim") == 200
+
+
+def test_small_path_without_match_keys_still_plain_inserts(spark, derby_url):
+    """Targets absent from match_keys keep the plain-insert semantics
+    (replay duplicates are the unique-key backstop's job)."""
+    _exec(spark, derby_url, "CREATE TABLE sm_plain (id BIGINT NOT NULL)")
+    df = spark.range(50).select("id")
+    for _ in range(2):
+        j.transactional_multi_table_write(
+            spark, derby_url, [("sm_plain", df)], insert_verb="INSERT INTO"
+        )
+    assert _count(spark, derby_url, "sm_plain") == 100
+
+
+def test_duplicate_target_tables_rejected(spark, derby_url):
+    """Duplicate table names in one call would share a staging table
+    and double-promote — rejected up front on every entry point."""
+    df = spark.range(3).select("id")
+    with pytest.raises(ValueError, match="duplicate target tables"):
+        j.transactional_multi_table_write(
+            spark, derby_url, [("t", df), ("t", df)]
+        )
+    with pytest.raises(ValueError, match="duplicate target tables"):
+        j.staged_not_exists_txn(
+            spark, derby_url, [("t", df, ["id"]), ("t", df, ["id"])]
+        )
+
+
+def test_ensure_stage_propagates_non_exists_ddl_errors(spark, derby_url):
+    """The idempotent staging CREATE swallows ONLY table-already-exists;
+    a genuinely broken DDL statement (invalid identifier) propagates."""
+    df = spark.range(3).select("id")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        j._ensure_stage(conn, df, "ok_stage")
+        j._ensure_stage(conn, df, "ok_stage")  # second call: swallowed exists
+        with pytest.raises(Exception):
+            j._ensure_stage(conn, df, 'bad"name')
+    finally:
+        conn.close()

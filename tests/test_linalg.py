@@ -143,3 +143,21 @@ def test_whitening_and_mahalanobis_match_numpy(spark):
     assert got1 == got2  # deterministic
     got = np.array([got1[v] for v in ids])
     assert np.allclose(got, want_d, rtol=1e-6, atol=1e-6)
+
+
+def test_projectors_honor_custom_id_col(spark):
+    """ADVICE r11: pca_project / whiten_project / mahalanobis_distances
+    must name the id output column after id_col, not hardcoded vec_id."""
+    from report_worker_spark.functions import linalg
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(12)],
+        "doc_id long, embedding array<double>",
+    )
+    p = linalg.pca_project(df, id_col="doc_id", vec_col="embedding", dim=3, q=2)
+    assert p.columns == ["doc_id", "proj"]
+    w = linalg.whiten_project(df, id_col="doc_id", vec_col="embedding", dim=3)
+    assert w.columns == ["doc_id", "white"]
+    m = linalg.mahalanobis_distances(df, id_col="doc_id", vec_col="embedding", dim=3)
+    assert m.columns == ["doc_id", "maha2"]
+    assert m.count() == 12

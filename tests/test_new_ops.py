@@ -10130,3 +10130,19 @@ def test_source_mix_entropy_replica(spark, sf_small):
     assert abs(r.effective_sources_docs - math.exp(hd)) < 1e-5
     assert abs(r.byte_mix_entropy_nats - hb) < 1e-6
     assert abs(r.effective_sources_bytes - math.exp(hb)) < 1e-5
+
+
+def test_dtw_distance_rejects_wrap_prone_magnitudes():
+    """ADVICE r11: raw int64 differences wrap (not saturate) when
+    |va|+|vb| >= 2^63; inputs are bounded to |v| < 2^62 up front so
+    every computed cost is int64-exact."""
+    import pytest
+
+    from report_worker_spark.functions.timeseries import dtw_distance
+
+    ok = dtw_distance([2**61, 0], [-(2**61), 1])
+    assert ok >= 0  # saturated, never negative/wrapped
+    with pytest.raises(ValueError, match="2\\*\\*62"):
+        dtw_distance([2**62], [0])
+    with pytest.raises(ValueError, match="2\\*\\*62"):
+        dtw_distance([0], [-(2**62)])
