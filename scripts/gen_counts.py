@@ -75,5 +75,10 @@ def rewrite(check_only: bool = False) -> bool:
 
 if __name__ == "__main__":
     in_sync = rewrite(check_only="--check" in sys.argv)
-    if "--check" in sys.argv and not in_sync:
+    # VALIDATION.json (the per-query validation ledger) regenerates
+    # alongside the counts — same derive-don't-type rule.
+    import gen_validation
+
+    ledger_in_sync = gen_validation.rewrite(check_only="--check" in sys.argv)
+    if "--check" in sys.argv and not (in_sync and ledger_in_sync):
         raise SystemExit("doc counts drifted — run scripts/gen_counts.py")
