@@ -890,6 +890,166 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # Round-12 additions (VERDICT_r11 item 5): the round-11 family at
+    # ~sf1 — the NB classifier scoring join (docs × 5 classes, the
+    # watch item: fan-out must stay 5× token volume, never quadratic),
+    # its margin-quintile reliability window, ZCA whitening +
+    # Mahalanobis, the MP4 frame-demux Arrow kernel (the other watch
+    # item), the jackknife ratio SE rollup, and the Herfindahl
+    # concentration rollup at K× customer grain.
+    # ------------------------------------------------------------------
+    from report_worker_spark.functions import linalg as la
+
+    ntok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    nm = ntok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    ncnt = ntok.groupBy(F.col("lang").alias("clang"), "w").agg(
+        F.count(F.lit(1)).alias("n_wl")
+    )
+    ntot = ncnt.groupBy("clang").agg(F.sum("n_wl").alias("n_l"))
+    nv = ntok.agg(F.countDistinct("w").alias("vocab"))
+    nnl = docs.groupBy(F.col("lang").alias("clang")).agg(
+        F.count(F.lit(1)).alias("n_docs_l")
+    )
+    ngrid = nm.crossJoin(F.broadcast(nnl.select("clang")))
+    nterm = (
+        ngrid.join(ncnt, ["clang", "w"], "left")
+        .join(F.broadcast(ntot), "clang")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            "lang",
+            "clang",
+            (
+                F.col("m")
+                * F.log(
+                    (F.coalesce("n_wl", F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + F.col("vocab"))
+                )
+            ).alias("t"),
+        )
+    )
+    nscores = nterm.groupBy("doc_id", "lang", "clang").agg(
+        F.sum("t").alias("s")
+    )
+    w_nb = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("clang").asc()
+    )
+    npred = nscores.withColumn("rk", F.row_number().over(w_nb))
+    timings["text_nb_score_join"] = timed(
+        npred.filter(F.col("rk") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("clang") == F.col("lang"), 1).otherwise(0)
+            ).alias("ok"),
+        )
+    )
+    # margin reliability: rank-1 minus rank-2 score per doc, then the
+    # exact quintile bucketing (global ordered ntile — the shape to
+    # watch for single-partition sort cost at corpus scale)
+    na_m = npred.filter(F.col("rk") == 1).select(
+        "doc_id", F.col("s").alias("s1")
+    )
+    nb_m = npred.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("s").alias("s2")
+    )
+    nmarg = na_m.join(nb_m, "doc_id").select(
+        "doc_id", (F.col("s1") - F.col("s2")).alias("margin")
+    )
+    w_q = Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
+    timings["text_nb_margin_ntile"] = timed(
+        nmarg.withColumn("q", F.ntile(5).over(w_q))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # ZCA whitening + full-covariance Mahalanobis: two Arrow data
+    # passes (d×d moment partials, then broadcast-matmul scoring);
+    # driver work is the 64×64 eigh only
+    timings["emb_zca_mahalanobis"] = timed_build(
+        lambda: la.mahalanobis_distances(emb, dim=64)
+    )
+    # MP4 frame demux: encode spec-valid ISO-BMFF with a full sample
+    # table, then demux every frame back — per-item Arrow kernel,
+    # embarrassingly parallel; K× items, zero shuffle
+    timings["multimodal_frame_demux"] = timed(
+        mm.mp4_frame_stats(
+            mm.synthetic_mp4_frame_media(docs.select("doc_id"), "doc_id")
+        )
+    )
+    # jackknife ratio SE: K× orders into the 25-nation group table —
+    # the groupBy + dim joins are the whole cost, the delete-one fold
+    # is a 25-row afterthought
+    o_jk = (
+        load(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(ereps))
+    )
+    c_jk = load(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    n_jk = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    timings["stats_jackknife_ratio_se"] = timed(
+        o_jk.join(c_jk, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_jk), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("c_i"),
+            F.count(F.lit(1)).alias("n_i"),
+        )
+    )
+    # Herfindahl: DISJOINT per-replica custkeys → the customer-grain
+    # pre-aggregation grows ×K; nation/region rollup stays 25 rows
+    o_h = (
+        load(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(ereps))
+        .select(
+            (
+                F.col("o_custkey")
+                + F.col("rep").cast("long") * F.lit(100_000_000)
+            ).alias("ck"),
+            "o_totalprice",
+        )
+    )
+    per_cust_h = o_h.groupBy("ck").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    n_h = load(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r_h = load(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    rev_h = (
+        per_cust_h.withColumn("c_custkey", F.col("ck") % F.lit(100_000_000))
+        .join(c_jk, "c_custkey")
+        .join(F.broadcast(n_h), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r_h), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot_h = rev_h.groupBy("region").agg(F.sum("cents").alias("t"))
+    timings["olap_herfindahl_rollup"] = timed(
+        rev_h.join(F.broadcast(tot_h), "region")
+        .select(
+            "region",
+            (
+                (F.col("cents").cast("double") / F.col("t"))
+                * (F.col("cents").cast("double") / F.col("t"))
+            ).alias("s2"),
+        )
+        .groupBy("region")
+        .agg(F.sum("s2").alias("hhi"))
+    )
+
+    # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
     # LSH near-dup components → substring trim → benchmark
