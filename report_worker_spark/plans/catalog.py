@@ -17,36445 +17,22 @@ Oracle-parity rules used throughout:
 - deterministic top-k: row_number with a full tiebreak.
 """
 
+
 from __future__ import annotations
 
-import math
-from collections.abc import Callable
+from ._qshared import *  # noqa: F401,F403
+from .q_relational import *  # noqa: F401,F403
+from .q_olap import *  # noqa: F401,F403
+from .q_text import *  # noqa: F401,F403
+from .q_dedup import *  # noqa: F401,F403
+from .q_embeddings import *  # noqa: F401,F403
+from .q_multimodal import *  # noqa: F401,F403
+from .q_timeseries import *  # noqa: F401,F403
+from .q_curation import *  # noqa: F401,F403
+from .q_stats import *  # noqa: F401,F403
+from .q_graph import *  # noqa: F401,F403
+from .q_audit import *  # noqa: F401,F403
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from .. import star, transforms
-from ..functions import bpe
-from ..functions import dedup as dd
-from ..functions import graph as gr
-from ..functions import similarity as sim
-from ..functions import text as tx
-from ..schemas import EQUIPMENT_SLOTS, TS_LOWER_BOUND, TS_UPPER_BOUND
-from .tables import load
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
-
-
-# ---------------------------------------------------------------------------
-# Synthetic wire-format columns over `events`
-#
-# events.ts is a clean 2024 timestamp; the reference's wire format is an
-# epoch that may be in ms and may be out of the [2020-01-01, 2025-01-01)
-# keep-window (reference src/main.py:127-137). We derive a deterministic
-# "raw wire epoch" from events so the normalize/bounds operators have
-# something real to do, identically on both engines:
-#   epoch  = floor(epoch_seconds(ts))
-#   +2y    when event_id % 7 == 0   (pushes out of bounds)
-#   ×1000  when event_id % 3 == 0   (ms encoding)
-# ---------------------------------------------------------------------------
-
-_RAW_TS_SQL = (
-    "(CAST(floor(epoch(ts)) AS BIGINT) "
-    "+ CASE WHEN event_id % 7 = 0 THEN 63072000 ELSE 0 END) "
-    "* CASE WHEN event_id % 3 = 0 THEN 1000 ELSE 1 END"
-)
-
-
-def _usec(c) -> F.Column:
-    """NTZ-safe epoch microseconds. The driver parquet may annotate
-    ``ts`` naive (TIMESTAMP_NTZ — pyarrow writes no tz), and Spark 4's
-    ``unix_micros`` is NTZ-strict. Session tz is pinned UTC, so the
-    NTZ→LTZ cast is exactly the wall-clock mapping DuckDB's ``epoch()``
-    applies to the same naive value."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.unix_micros(col.cast("timestamp"))
-
-
-def _raw_ts_col() -> F.Column:
-    epoch = F.unix_timestamp(F.col("ts")).cast("long")
-    shifted = epoch + F.when(F.col("event_id") % 7 == 0, F.lit(63072000)).otherwise(
-        F.lit(0)
-    )
-    return shifted * F.when(F.col("event_id") % 3 == 0, F.lit(1000)).otherwise(
-        F.lit(1)
-    )
-
-
-# --- P9: name sanitization ---------------------------------------------------
-
-
-@query(
-    "p9_sanitize_name",
-    oracle="""
-    SELECT c_custkey,
-           trim(regexp_replace(lower(c_name), '[_-]', ' ', 'g')) AS clean_name
-    FROM customer
-    """,
-)
-def p9_sanitize_name(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/app/controllers/player.py:23-24."""
-    c = load(spark, sf, "customer")
-    return c.select(
-        "c_custkey", transforms.sanitize_name("c_name").alias("clean_name")
-    )
-
-
-# --- P4: ms→s normalization --------------------------------------------------
-
-
-@query(
-    "p4_normalize_ts",
-    oracle=f"""
-    SELECT event_id,
-           raw_ts,
-           CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
-                ELSE raw_ts END AS ts_sec
-    FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
-    """,
-)
-def p4_normalize_ts(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/main.py:127-129."""
-    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
-    return e.select(
-        "event_id", "raw_ts", transforms.normalize_ts("raw_ts").alias("ts_sec")
-    )
-
-
-# --- F1+F2: event-time bounds ------------------------------------------------
-
-
-@query(
-    "f1_f2_ts_bounds",
-    oracle=f"""
-    WITH norm AS (
-      SELECT event_id,
-             CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
-                  ELSE raw_ts END AS ts_sec
-      FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
-    )
-    SELECT event_id, ts_sec FROM norm
-    WHERE ts_sec >= {TS_LOWER_BOUND} AND ts_sec <= {TS_UPPER_BOUND}
-    """,
-)
-def f1_f2_ts_bounds(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/main.py:131-137 — the entire late/early-data policy."""
-    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
-    e = e.select("event_id", transforms.normalize_ts("raw_ts").alias("ts_sec"))
-    return transforms.bounds_filter(e, "ts_sec")
-
-
-# --- P5: epoch→timestamp (UTC) ----------------------------------------------
-
-
-@query(
-    "p5_epoch_to_ts",
-    oracle=f"""
-    WITH norm AS (
-      SELECT event_id,
-             CASE WHEN raw_ts > 10000000000 THEN CAST(raw_ts / 1000 AS BIGINT)
-                  ELSE raw_ts END AS ts_sec
-      FROM (SELECT event_id, {_RAW_TS_SQL} AS raw_ts FROM events)
-    )
-    SELECT event_id,
-           strftime(make_timestamp(ts_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_utc
-    FROM norm
-    """,
-)
-def p5_epoch_to_ts(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/main.py:139-141, pinned to UTC (SURVEY §7 hard part 4)."""
-    e = load(spark, sf, "events").withColumn("raw_ts", _raw_ts_col())
-    e = e.select("event_id", transforms.normalize_ts("raw_ts").alias("ts_sec"))
-    return e.select(
-        "event_id",
-        F.date_format(
-            transforms.epoch_to_timestamp("ts_sec"), "yyyy-MM-dd HH:mm:ss"
-        ).alias("ts_utc"),
-    )
-
-
-# --- P8: equipment clamp -----------------------------------------------------
-
-
-@query(
-    "p8_clamp_equipment",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN equip_raw > 32767 THEN 0 ELSE equip_raw END AS equip_weapon_id,
-           equip_raw > 32767 AS item_bug
-    FROM (SELECT l_orderkey, l_linenumber,
-                 CAST(l_partkey % 40000 AS INT) AS equip_raw
-          FROM lineitem)
-    """,
-)
-def p8_clamp_equipment(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/main.py:143-152 — ids over SMALLINT range → 0 + flag."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_partkey") % 40000).cast("int").alias("equip_weapon_id"),
-    )
-    out = transforms.clamp_equipment(li, slots=["equip_weapon_id"])
-    return out.select("l_orderkey", "l_linenumber", "equip_weapon_id", "item_bug")
-
-
-# --- S3/P1: JSON field extraction (wire parse analog) ------------------------
-
-
-@query(
-    "s3_json_extract",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events
-    """,
-)
-def s3_json_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """from_json/get_json_object replaces pydantic parse (SURVEY §1.3)."""
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-    )
-
-
-# --- P10: version dispatch ---------------------------------------------------
-
-
-@query(
-    "p10_version_dispatch",
-    oracle="""
-    SELECT event_id, 'v1.0.0' AS version, user_id * 2 AS resolved_id
-    FROM events WHERE event_id % 2 = 0
-    UNION ALL
-    SELECT event_id, 'v2.0.0' AS version, user_id AS resolved_id
-    FROM events WHERE event_id % 2 = 1
-    """,
-)
-def p10_version_dispatch(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference src/main.py:198-209: route on version, transform per
-    branch, re-merge (unionByName)."""
-    e = load(spark, sf, "events").withColumn(
-        "version",
-        F.when(F.col("event_id") % 2 == 0, F.lit("v1.0.0")).otherwise(
-            F.lit("v2.0.0")
-        ),
-    )
-    v1 = e.filter(F.col("version") == "v1.0.0").select(
-        "event_id", "version", (F.col("user_id") * 2).alias("resolved_id")
-    )
-    v2 = e.filter(F.col("version") == "v2.0.0").select(
-        "event_id", "version", F.col("user_id").alias("resolved_id")
-    )
-    return v1.unionByName(v2)
-
-
-# --- J1: dim lookup join (stream-static broadcast) ---------------------------
-
-
-@query(
-    "j1_dim_lookup",
-    oracle="""
-    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    """,
-)
-def j1_dim_lookup(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference per-row name→id lookup + LRU cache collapsed into one
-    broadcast left join (src/app/controllers/player.py:29-52)."""
-    e = load(spark, sf, "events")
-    c = load(spark, sf, "customer")
-    return e.join(
-        F.broadcast(c), e.user_id == c.c_custkey, "left"
-    ).select("event_id", "user_id", "c_name", "c_mktsegment")
-
-
-# --- F3: null-guard on resolved ids ------------------------------------------
-
-
-@query(
-    "f3_null_guard",
-    oracle="""
-    SELECT e.event_id, c.c_custkey AS resolved_id
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    WHERE c.c_custkey IS NOT NULL
-    """,
-)
-def f3_null_guard(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference Reporter/ReportedDoesNotExist skip (src/main.py:110-117)."""
-    e = load(spark, sf, "events")
-    c = load(spark, sf, "customer")
-    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left").select(
-        "event_id", F.col("c_custkey").alias("resolved_id")
-    )
-    return transforms.require_not_null(joined, ["resolved_id"])
-
-
-# --- J2: get-or-insert (new-name delta with deterministic ids) ---------------
-
-
-@query(
-    "j2_get_or_insert_delta",
-    oracle="""
-    WITH missing AS (
-      SELECT DISTINCT e.user_id AS name
-      FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
-      WHERE s.s_suppkey IS NULL
-    )
-    SELECT name, dense_rank() OVER (ORDER BY name ASC NULLS FIRST) AS id
-    FROM missing
-    """,
-)
-def j2_get_or_insert_delta(spark: SparkSession, sf: str) -> DataFrame:
-    """Write-half of get-or-insert (reference player.py:54-58): the
-    anti-joined new-key delta with deterministic (rank-mode) ids."""
-    e = load(spark, sf, "events").select(F.col("user_id").alias("name"))
-    dim = load(spark, sf, "supplier").select(
-        F.col("s_suppkey").alias("name"), F.col("s_suppkey").alias("id")
-    )
-    _, new_rows = star.get_or_insert_dim(e, dim, key_mode="rank")
-    return new_rows
-
-
-# --- J3: NOT EXISTS anti-join ------------------------------------------------
-
-
-@query(
-    "j3_anti_join",
-    oracle="""
-    SELECT DISTINCT e.user_id
-    FROM events e
-    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
-    """,
-)
-def j3_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference report.py:170-241 insert guards."""
-    e = load(spark, sf, "events").select("user_id")
-    s = load(spark, sf, "supplier")
-    return star.dedup(
-        star.anti_join_new(
-            e, s.select(F.col("s_suppkey").alias("user_id")), ["user_id"],
-        ),
-        ["user_id"],
-    )
-
-
-# --- A1: multi-column DISTINCT ----------------------------------------------
-
-
-@query(
-    "a1_distinct",
-    oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus,
-           nullif(l_linenumber % 3, 0) AS g1
-    FROM lineitem
-    """,
-)
-def a1_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """DISTINCT incl. NULL keys — dropDuplicates is null-safe like
-    DISTINCT (reference report.py:174,199-209,231)."""
-    li = load(spark, sf, "lineitem").select(
-        "l_returnflag",
-        "l_linestatus",
-        F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("g1"),
-    )
-    return star.dedup(li, ["l_returnflag", "l_linestatus", "g1"])
-
-
-# --- A2: unique-key idempotent dedup (INSERT IGNORE semantics) ---------------
-
-
-@query(
-    "a2_unique_key_dedup",
-    oracle="""
-    SELECT user_id, event_type, min(event_id) AS first_event_id,
-           count(*) AS n_dups
-    FROM events GROUP BY user_id, event_type
-    """,
-)
-def a2_unique_key_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """INSERT IGNORE on a unique key keeps one row per key; stated
-    deterministically as min-id per key (reference 01_tables.sql:79-84)."""
-    e = load(spark, sf, "events")
-    return e.groupBy("user_id", "event_type").agg(
-        F.min("event_id").alias("first_event_id"),
-        F.count(F.lit(1)).alias("n_dups"),
-    )
-
-
-# --- J4: null-safe multi-col surrogate-key join ------------------------------
-
-
-@query(
-    "j4_nullsafe_fk_join",
-    oracle="""
-    WITH base AS (
-      SELECT l_orderkey, l_linenumber,
-             nullif(l_partkey % 3, 0) AS g1,
-             nullif(l_suppkey % 4, 0) AS g2
-      FROM lineitem
-    ), dim AS (
-      SELECT g1, g2,
-             dense_rank() OVER (ORDER BY g1 ASC NULLS FIRST, g2 ASC NULLS FIRST) AS gear_id
-      FROM (SELECT DISTINCT g1, g2 FROM base)
-    )
-    SELECT d.gear_id, b.g1, b.g2, count(*) AS n_rows
-    FROM base b JOIN dim d
-      ON b.g1 IS NOT DISTINCT FROM d.g1 AND b.g2 IS NOT DISTINCT FROM d.g2
-    GROUP BY d.gear_id, b.g1, b.g2
-    """,
-)
-def j4_nullsafe_fk_join(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference's FK-resolve join done with *intended* NULL
-    semantics (`<=>`): MySQL `=` silently drops NULL-gear rows
-    (reference report.py:256-283; SURVEY §2 J4)."""
-    li = load(spark, sf, "lineitem")
-    base = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.nullif(F.col("l_partkey") % 3, F.lit(0)).alias("g1"),
-        F.nullif(F.col("l_suppkey") % 4, F.lit(0)).alias("g2"),
-    )
-    dim = star.build_dim(base, ["g1", "g2"], "gear_id", key_mode="rank")
-    resolved = star.resolve_fk(base, dim, ["g1", "g2"], "gear_id")
-    return resolved.groupBy("gear_id", "g1", "g2").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-
-
-# --- Full star upsert (the reference's 7-statement transaction) --------------
-
-_STAR_STAGING_SQL = """
-      SELECT event_id,
-             user_id AS reporting_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS reported_id,
-             event_type = 'error' AS manual_detect,
-             CAST(10000 + CAST(floor(value) AS BIGINT) % 50 AS INT) AS region_id,
-             CAST(CAST(floor(value * 100) AS BIGINT) % 5000 AS INT) AS x_coord,
-             CAST((event_id * 7) % 5000 AS INT) AS y_coord,
-             CAST(event_id % 4 AS INT) AS z_coord,
-             nullif(CAST(event_id % 11 AS INT), 0) AS equip_head_id,
-             nullif(CAST(user_id % 7 AS INT), 0) AS equip_weapon_id
-      FROM events
-"""
-
-
-def _star_staging(spark: SparkSession, sf: str) -> DataFrame:
-    """Map `events` into the staging-report shape (FIXTURES.md §5)."""
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.col("user_id").alias("reporting_id"),
-        F.get_json_object("props", "$.k").cast("long").alias("reported_id"),
-        (F.col("event_type") == "error").alias("manual_detect"),
-        (F.lit(10000) + F.floor("value").cast("long") % 50)
-        .cast("int")
-        .alias("region_id"),
-        (F.floor(F.col("value") * 100).cast("long") % 5000)
-        .cast("int")
-        .alias("x_coord"),
-        ((F.col("event_id") * 7) % 5000).cast("int").alias("y_coord"),
-        (F.col("event_id") % 4).cast("int").alias("z_coord"),
-        F.nullif((F.col("event_id") % 11).cast("int"), F.lit(0)).alias(
-            "equip_head_id"
-        ),
-        F.nullif((F.col("user_id") % 7).cast("int"), F.lit(0)).alias(
-            "equip_weapon_id"
-        ),
-    )
-
-
-@query(
-    "star_upsert_fact",
-    oracle=f"""
-    WITH staging AS ({_STAR_STAGING_SQL}),
-    sight AS (
-      SELECT reporting_id, reported_id, manual_detect,
-             dense_rank() OVER (ORDER BY reporting_id ASC NULLS FIRST,
-                                reported_id ASC NULLS FIRST,
-                                manual_detect ASC NULLS FIRST) AS sighting_id
-      FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM staging)
-    ),
-    gear AS (
-      SELECT equip_head_id, equip_weapon_id,
-             dense_rank() OVER (ORDER BY equip_head_id ASC NULLS FIRST,
-                                equip_weapon_id ASC NULLS FIRST) AS gear_id
-      FROM (SELECT DISTINCT equip_head_id, equip_weapon_id FROM staging)
-    ),
-    loc AS (
-      SELECT region_id, x_coord, y_coord, z_coord,
-             dense_rank() OVER (ORDER BY region_id ASC NULLS FIRST,
-                                x_coord ASC NULLS FIRST,
-                                y_coord ASC NULLS FIRST,
-                                z_coord ASC NULLS FIRST) AS location_id
-      FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM staging)
-    )
-    SELECT DISTINCT s.sighting_id, l.location_id, g.gear_id, st.region_id
-    FROM staging st
-    JOIN sight s ON st.reporting_id IS NOT DISTINCT FROM s.reporting_id
-               AND st.reported_id IS NOT DISTINCT FROM s.reported_id
-               AND st.manual_detect IS NOT DISTINCT FROM s.manual_detect
-    JOIN gear g ON st.equip_head_id IS NOT DISTINCT FROM g.equip_head_id
-              AND st.equip_weapon_id IS NOT DISTINCT FROM g.equip_weapon_id
-    JOIN loc l ON st.region_id IS NOT DISTINCT FROM l.region_id
-             AND st.x_coord IS NOT DISTINCT FROM l.x_coord
-             AND st.y_coord IS NOT DISTINCT FROM l.y_coord
-             AND st.z_coord IS NOT DISTINCT FROM l.z_coord
-    """,
-)
-def star_upsert_fact(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference's whole per-batch MySQL transaction as set algebra
-    (report.py:84-311): DISTINCT dims + null-safe FK resolve + fact-PK
-    dedup. Rank-mode surrogate keys for oracle parity; the streaming
-    deployment uses hash mode (star.py)."""
-    # cache: the staging frame feeds three dim builds + the fact join —
-    # without it the events scan + JSON extraction runs four times
-    staging = _star_staging(spark, sf).cache()
-    sight = star.build_dim(
-        staging, ["reporting_id", "reported_id", "manual_detect"], "sighting_id",
-        key_mode="rank",
-    )
-    gear = star.build_dim(
-        staging, ["equip_head_id", "equip_weapon_id"], "gear_id", key_mode="rank"
-    )
-    loc = star.build_dim(
-        staging, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id",
-        key_mode="rank",
-    )
-    fact = star.resolve_fk(
-        staging, sight, ["reporting_id", "reported_id", "manual_detect"],
-        "sighting_id",
-    )
-    fact = star.resolve_fk(fact, gear, ["equip_head_id", "equip_weapon_id"], "gear_id")
-    fact = star.resolve_fk(
-        fact, loc, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id"
-    )
-    return star.dedup(
-        fact.select("sighting_id", "location_id", "gear_id", "region_id"),
-        ["sighting_id", "location_id", "gear_id", "region_id"],
-    )
-
-
-# --- Flagship: top-reported entities (entry) ---------------------------------
-
-
-@query(
-    "flagship_top_reported",
-    oracle="""
-    WITH agg AS (
-      SELECT e.user_id, max(c.c_name) AS name, count(*) AS n_reports
-      FROM events e JOIN customer c ON e.user_id = c.c_custkey
-      GROUP BY e.user_id
-    )
-    SELECT user_id, name, n_reports FROM (
-      SELECT user_id, name, n_reports,
-             row_number() OVER (ORDER BY n_reports DESC, user_id ASC) AS rn
-      FROM agg
-    ) WHERE rn <= 25
-    """,
-)
-def flagship_top_reported(spark: SparkSession, sf: str) -> DataFrame:
-    """Most-reported entities: dim join + agg + deterministic top-k —
-    the reference's read-side raison d'être (SURVEY §7 minimum slice)."""
-    e = load(spark, sf, "events")
-    c = load(spark, sf, "customer")
-    # Aggregate FIRST on the narrow key (pure-numeric buffer → hash
-    # aggregate with map-side partials), then broadcast-join the names:
-    # joining before aggregating puts max(string) in the agg buffer and
-    # demotes the whole stage to SortAggregate (seen in .explain), and
-    # shuffles wide rows instead of (key, count) pairs.
-    agg = (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_reports"))
-        .join(F.broadcast(c), F.col("user_id") == c.c_custkey)
-        .select("user_id", F.col("c_name").alias("name"), "n_reports")
-    )
-    w = Window.orderBy(F.col("n_reports").desc(), F.col("user_id").asc())
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
-        .select("user_id", "name", "n_reports")
-    )
-
-
-# --- OLAP baseline (TPC-H Q1 shape) — bench headline -------------------------
-
-
-@query(
-    "olap_q1_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
-           count(*) AS count_order,
-           min(l_shipdate) AS min_shipdate
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def olap_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    """Classic scan→filter→agg: exercises pushdown + partial aggregation
-    (extension surface; the reference itself has no GROUP BY)."""
-    li = load(spark, sf, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.min("l_shipdate").alias("min_shipdate"),
-        )
-    )
-
-
-# --- Text analysis -----------------------------------------------------------
-
-
-@query(
-    "text_stats",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS n_chars_calc,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
-               t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
-             AS n_stopwords,
-           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-               t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
-             AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
-             AS stopword_ratio
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return tx.with_text_stats(d).select(
-        "doc_id", "n_chars_calc", "n_tokens", "n_stopwords", "stopword_ratio"
-    )
-
-
-@query(
-    "text_token_count",
-    oracle="""
-    SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-    FROM documents
-    """,
-)
-def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return d.select("doc_id", tx.token_count("text").alias("n_tokens"))
-
-
-@query(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return d.select("doc_id", tx.md5_fingerprint("text").alias("fp"))
-
-
-# --- Dedup family ------------------------------------------------------------
-
-
-@query(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-)
-def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return dd.exact_dedup_groups(d)
-
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (
-      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
-    FROM inter
-    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-
-
-@query(
-    "dedup_minhash_lsh",
-    # the oracle is brute-force exact Jaccard: LSH-then-verify must
-    # reproduce it exactly (banding recall ≈ 0.9998/pair at j = 0.8)
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (
-      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
-    FROM inter
-    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-then-verify (the production fuzzy-dedup shape): MinHash
-    banding for candidates, exact n-gram Jaccard for admission — so the
-    full pipeline is checkable against a brute-force all-pairs oracle
-    (VERDICT r1 #5: approximate-dedup correctness must not be
-    rows-only)."""
-    d = load(spark, sf, "documents")
-    return dd.minhash_lsh_verified_pairs(
-        d, n=3, num_hashes=64, bands=16, threshold=0.8
-    )
-
-
-def _simhash_md5_oracle(max_hamming: int = 3) -> str:
-    """Brute-force ANSI-SQL twin of dedup.simhash_md5_pairs: same md5
-    hex-digit bit derivation, all-pairs Hamming scan (the Spark side's
-    pigeonhole blocking provably finds the identical pair set)."""
-    sums = ",\n        ".join(
-        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
-        f"{i // 4 + 1}, 1)) - 1 >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
-        for i in range(64)
-    )
-    lo = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
-    hi = " + ".join(
-        f"(CASE WHEN s{32 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
-    )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-      FROM documents
-    ), hs AS (
-      SELECT doc_id, md5(tok) AS h FROM toks
-    ), sums AS (
-      SELECT doc_id,
-        {sums}
-      FROM hs GROUP BY doc_id
-    ), sh AS (
-      SELECT doc_id,
-        CAST({hi} AS BIGINT) AS hi,
-        CAST({lo} AS BIGINT) AS lo
-      FROM sums
-    )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-                  AS BIGINT) AS hamming
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ) WHERE hamming <= {max_hamming}
-    """
-
-
-@query("dedup_simhash", oracle=_simhash_md5_oracle(3))
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs with structurally exact recall: 4×16-bit
-    pigeonhole blocking (any pair at Hamming ≤ 3 shares a chunk), exact
-    Hamming post-filter; bits derive from md5 so a brute-force SQL
-    oracle reproduces the result bit-for-bit. The xxhash64 variant
-    (dd.simhash_pairs) stays the marginally-faster scale default and is
-    covered by pytest equivalence."""
-    d = load(spark, sf, "documents")
-    return dd.simhash_md5_pairs(d, max_hamming=3)
-
-
-# --- Similarity search -------------------------------------------------------
-
-
-@query(
-    "sim_cosine_topk",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cos
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-)
-def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return sim.brute_topk_expr(e, k=5)
-
-
-@query(
-    "sim_cosine_near_dup",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-          >= 0.99
-    """,
-)
-def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return sim.cosine_near_dup_pairs(e, threshold=0.99)
-
-
-def _augmented_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """Embeddings ∪ deterministically perturbed clones of every 10th
-    vector (±0.2% per-component wobble). Both engines can express the
-    augmentation exactly, which plants known near-dup pairs (cosine
-    ≈ 0.999999) in otherwise near-orthogonal synthetic data — the
-    ground truth an approximate near-dup query can be graded against."""
-    e = load(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    clones = e.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x
-            * (
-                F.lit(1.0)
-                + ((i % 5) - 2).cast("double") / F.lit(1000.0)
-            ),
-        ).alias("embedding"),
-    )
-    return e.unionByName(clones)
-
-
-_AUG_SQL = """
-    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    clones AS (
-      SELECT vec_id + 1000000 AS vec_id,
-             [v[i] * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0)
-              for i in range(1, len(v) + 1)] AS v
-      FROM base WHERE vec_id % 10 = 0
-    ),
-    e AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
-"""
-
-
-@query(
-    "sim_lsh_near_dup",
-    # brute-force all-pairs oracle over the same augmented table: the
-    # LSH+verify side must find the identical pair set
-    oracle=f"""
-    WITH {_AUG_SQL}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-             AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-          >= 0.99
-    """,
-)
-def sim_lsh_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN on its honest turf (VERDICT r1 #3): hyperplane LSH recall is
-    effectively 1 for cosine ≥ 0.99 pairs ((1-0.69)^12 ≈ 8e-7 miss per
-    pair) — so LSH-bucket candidates + exact verification reproduce the
-    brute-force oracle on data with planted near-dup clones. Contrast
-    sim_lsh_recall_at_k, which measures (and documents) the much lower
-    recall on top-k over near-orthogonal vectors."""
-    return sim.lsh_near_dup_pairs(
-        _augmented_embeddings(spark, sf), threshold=0.99, n_planes=8, n_tables=12
-    )
-
-
-@query(
-    "sim_ivf_topk_full_probe",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cos
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-)
-def sim_ivf_topk_full_probe(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF machinery verified end-to-end: probing ALL cells makes the
-    candidate set exhaustive by construction, so cell assignment +
-    probe routing + exact re-rank must reproduce the brute-force top-k
-    oracle bit-for-bit. n_probe < n_centroids is then purely the
-    documented recall/cost knob (measured by sim_lsh_recall_at_k's IVF
-    twin in tests)."""
-    e = load(spark, sf, "embeddings")
-    return sim.ivf_topk(e, k=5, n_centroids=32, n_probe=32)
-
-
-@query(
-    "sim_blocked_topk_matmul",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cos
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-)
-def sim_blocked_topk_matmul(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT top-k at scale without a driver round-trip: Q×B BLAS tiles
-    via cogroup (data shuffled is n·(B+Q) rows, never n²), partial
-    top-m per tile, exact sequential-fold re-rank so the result is
-    bit-identical to the brute-force oracle. This supersedes the
-    driver-collect matmul (≤10⁶-vector mid-tier) as the exact-search
-    scale path."""
-    e = load(spark, sf, "embeddings")
-    return sim.blocked_topk_matmul(e, k=5, n_blocks=4, n_query_groups=4)
-
-
-_LSHR_PLANES = sim.md5_planes(n_tables=6, n_planes=6, dim=64, tag="lshr")
-
-
-def _lshr_bucket_sql(t: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN list_dot_product(v, "
-        f"[{', '.join(repr(x) for x in _LSHR_PLANES[t][p])}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(6)
-    )
-
-
-_LSHR_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (
-  SELECT vec_id, v,
-         {", ".join(f"{_lshr_bucket_sql(t)} AS b{t}" for t in range(6))}
-  FROM e
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         list_dot_product(a.v, c.v)
-           / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(c.v, c.v))) AS cos
-  FROM e a JOIN e c ON a.vec_id <> c.vec_id
-),
-exact AS (
-  SELECT id_a, id_b
-  FROM (SELECT id_a, id_b,
-               row_number() OVER (PARTITION BY id_a
-                                  ORDER BY cos DESC, id_b ASC) AS rn
-        FROM pairs)
-  WHERE rn <= 5
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-  FROM b a JOIN b c ON a.vec_id <> c.vec_id
-   AND ({" OR ".join(f"a.b{t} = c.b{t}" for t in range(6))})
-),
-lsh AS (
-  SELECT id_a, id_b
-  FROM (SELECT cand.id_a, cand.id_b,
-               row_number() OVER (PARTITION BY cand.id_a
-                                  ORDER BY p.cos DESC, cand.id_b ASC) AS rn
-        FROM cand JOIN pairs p ON p.id_a = cand.id_a AND p.id_b = cand.id_b)
-  WHERE rn <= 5
-)
-SELECT 5 AS k,
-       (SELECT count(*) FROM exact) AS n_exact,
-       (SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b)) AS n_hits,
-       CAST(floor((SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b))
-                  * 10000.0 / (SELECT count(*) FROM exact))
-            AS BIGINT) AS recall_bps
-"""
-
-
-@query("sim_lsh_recall_at_k", oracle=_LSHR_ORACLE)
-def sim_lsh_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
-    """Driver-visible recall@5 of the approximate LSH top-k against the
-    exact top-k (both computed here). On these near-orthogonal synthetic
-    embeddings hyperplane LSH recalls only a fraction of true top-k
-    neighbors — this query makes that number a recorded artifact instead
-    of a hidden property.
-
-    Oracle-paired since round 5: planes are md5-keystream (JVM-fold
-    bucket signs — see lsh_topk(md5_plane_tag=)), so DuckDB recomputes
-    BOTH the exact and the approximate top-k and the recall itself is
-    hash-verified, not merely measured. Floor-pinned in
-    tests/test_similarity_guard.py (measured 2452 bps at sf0.01)."""
-    e = load(spark, sf, "embeddings")
-    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
-    lsh = sim.lsh_topk(
-        e, k=5, n_planes=6, n_tables=6, dim=64, md5_plane_tag="lshr"
-    ).select("vec_id", "neighbor_id")
-    hits = exact.join(lsh, on=["vec_id", "neighbor_id"])
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .select(
-            F.lit(5).alias("k"),
-            "n_exact",
-            "n_hits",
-            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
-                "recall_bps"
-            ),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-
-
-def flagship(spark: SparkSession, sf: str) -> DataFrame:
-    return flagship_top_reported(spark, sf)
-
-
-# ===========================================================================
-# Coverage round 2: remaining §2 ops + analytics extensions
-# ===========================================================================
-
-# --- P1: struct flatten ------------------------------------------------------
-
-
-@query(
-    "p1_flatten_struct",
-    oracle="""
-    SELECT event_id, user_id AS uid, event_type AS etype
-    FROM events
-    """,
-)
-def p1_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
-    """Build a nested struct then flatten it back (reference
-    src/main.py:166-174 equipment.* promotion)."""
-    e = load(spark, sf, "events").select(
-        "event_id",
-        F.struct(
-            F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
-        ).alias("nested"),
-    )
-    return transforms.flatten_struct(e, "nested")
-
-
-# --- P2/P3: projection + rename ---------------------------------------------
-
-
-@query(
-    "p2_p3_project_rename",
-    oracle="""
-    SELECT event_id AS report_id, user_id AS reporting_id,
-           value AS score, ts AS reported_at
-    FROM events
-    """,
-)
-def p2_p3_project_rename(spark: SparkSession, sf: str) -> DataFrame:
-    """Column-subset projection + wire→staging re-keying (reference
-    report.py:52-82, 119-167)."""
-    e = load(spark, sf, "events")
-    return e.select(
-        F.col("event_id").alias("report_id"),
-        F.col("user_id").alias("reporting_id"),
-        F.col("value").alias("score"),
-        F.col("ts").alias("reported_at"),
-    )
-
-
-# --- P6/P7: int→bool and bool/None→int defaults ------------------------------
-
-
-@query(
-    "p6_p7_bool_roundtrip",
-    oracle="""
-    SELECT event_id,
-           CAST(flag_int AS BOOLEAN) AS manual_detect,
-           coalesce(CAST(CAST(flag_int AS BOOLEAN) AS INT), 0) AS manual_detect_wire,
-           coalesce(CAST(null_flag AS INT), 0) AS null_flag_wire
-    FROM (SELECT event_id,
-                 CAST(event_id % 2 AS INT) AS flag_int,
-                 CAST(NULL AS BOOLEAN) AS null_flag
-          FROM events)
-    """,
-)
-def p6_p7_bool_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """Wire 0/1 → boolean → back to int with None→0 (reference
-    src/main.py:162-164; views/report.py:188-204)."""
-    e = load(spark, sf, "events").select(
-        "event_id",
-        (F.col("event_id") % 2).cast("int").alias("flag_int"),
-        F.lit(None).cast("boolean").alias("null_flag"),
-    )
-    e = transforms.int_to_bool(e.withColumnRenamed("flag_int", "manual_detect"),
-                               ["manual_detect"])
-    return e.select(
-        "event_id",
-        "manual_detect",
-        transforms.bool_to_int_default0("manual_detect").alias("manual_detect_wire"),
-        transforms.bool_to_int_default0("null_flag").alias("null_flag_wire"),
-    )
-
-
-# --- P11: timestamp → epoch ms re-encode -------------------------------------
-
-
-@query(
-    "p11_epoch_ms_reencode",
-    oracle="""
-    SELECT event_id,
-           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms
-    FROM events
-    """,
-)
-def p11_epoch_ms_reencode(spark: SparkSession, sf: str) -> DataFrame:
-    """DLQ re-encode path (reference views/report.py:188)."""
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id", transforms.timestamp_to_epoch_ms("ts").alias("ts_ms")
-    )
-
-
-# --- S4: JSON serialization --------------------------------------------------
-
-
-@query(
-    "s4_json_serialize",
-    oracle="""
-    SELECT event_id,
-           to_json(struct_pack(event_id := event_id,
-                               user_id := user_id,
-                               event_type := event_type)) AS payload
-    FROM events
-    """,
-)
-def s4_json_serialize(spark: SparkSession, sf: str) -> DataFrame:
-    """Kafka DLQ serialization (reference src/main.py:83,93). Null-field
-    emission pinned on both engines (Spark ignoreNullFields=false)."""
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.to_json(
-            F.struct("event_id", "user_id", "event_type"),
-            {"ignoreNullFields": "false"},
-        ).alias("payload"),
-    )
-
-
-# --- F4: conjunctive equality lookup -----------------------------------------
-
-
-@query(
-    "f4_equality_lookup",
-    oracle="""
-    SELECT event_id, user_id, event_type, value
-    FROM events
-    WHERE user_id = 42 AND event_type = 'click'
-    """,
-)
-def f4_equality_lookup(spark: SparkSession, sf: str) -> DataFrame:
-    """Point-lookup predicate shape (reference player.py:32,
-    report.py:29-35) — pushdown-friendly conjunctive equality."""
-    e = load(spark, sf, "events")
-    return e.filter(
-        (F.col("user_id") == 42) & (F.col("event_type") == "click")
-    ).select("event_id", "user_id", "event_type", "value")
-
-
-# --- J5: sighting-subset fan-out join ---------------------------------------
-
-
-@query(
-    "j5_fanout_join",
-    oracle="""
-    WITH sight AS (
-      SELECT DISTINCT user_id, event_type,
-             event_type = 'error' AS manual
-      FROM events
-    )
-    SELECT e.event_id, s.event_type AS sight_type, s.manual
-    FROM events e JOIN sight s ON e.user_id = s.user_id
-                              AND e.event_type = s.event_type
-    """,
-)
-def j5_fanout_join(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference fact-join uses a SUBSET of the sighting unique key
-    and can fan out (report.py:266-268 vs 01_tables.sql:102) —
-    reproduced deliberately; dropDuplicates downstream collapses it."""
-    e = load(spark, sf, "events")
-    sight = e.select(
-        "user_id", "event_type", (F.col("event_type") == "error").alias("manual")
-    ).dropDuplicates(["user_id", "event_type", "manual"])
-    return e.join(sight, on=["user_id", "event_type"]).select(
-        "event_id",
-        F.col("event_type").alias("sight_type"),
-        "manual",
-    )
-
-
-# --- A4: hit/miss counters (observe) ----------------------------------------
-
-
-@query(
-    "a4_lookup_hit_miss",
-    oracle="""
-    SELECT count(*) FILTER (WHERE c.c_custkey IS NOT NULL) AS hits,
-           count(*) FILTER (WHERE c.c_custkey IS NULL) AS misses
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    """,
-)
-def a4_lookup_hit_miss(spark: SparkSession, sf: str) -> DataFrame:
-    """The LRU cache's hit/miss telemetry (reference _cache.py:13-23)
-    as one aggregate over the set-based lookup."""
-    e = load(spark, sf, "events")
-    c = load(spark, sf, "customer")
-    j = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
-    return j.agg(
-        F.count(F.when(F.col("c_custkey").isNotNull(), 1)).alias("hits"),
-        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("misses"),
-    )
-
-
-# --- Analytics extensions: windows / sessions / grouping sets ----------------
-
-
-@query(
-    "win_topk_per_group",
-    oracle="""
-    SELECT event_type, rn, event_id, value
-    FROM (SELECT event_type, event_id, value,
-                 row_number() OVER (PARTITION BY event_type
-                                    ORDER BY value DESC, event_id ASC) AS rn
-          FROM events)
-    WHERE rn <= 3
-    """,
-)
-def win_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k per group — partitioned window, deterministic tiebreak."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), F.col("event_id").asc()
-    )
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("event_type", "rn", "event_id", "value")
-    )
-
-
-@query(
-    "win_running_sum",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT))
-                OVER (PARTITION BY user_id
-                      ORDER BY ts ASC, event_id ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS running_cents
-    FROM events
-    """,
-)
-def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
-    """Running aggregate per key. Summed in integer cents: windowed
-    float sums associate differently across engines (DuckDB segment
-    trees vs Spark running state), so only exact arithmetic is
-    oracle-comparable."""
-    e = load(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-    return e.select(
-        "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
-    )
-
-
-@query(
-    "sessionize_gap30m",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                         OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC)
-                       > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts ASC, event_id ASC) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), sess AS (
-      SELECT user_id, event_id,
-             CAST(sum(new_session)
-                  OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS session_idx
-      FROM gaps
-    )
-    SELECT user_id, session_idx, count(*) AS n_events
-    FROM sess GROUP BY user_id, session_idx
-    """,
-)
-def sessionize_gap30m(spark: SparkSession, sf: str) -> DataFrame:
-    """Sessionization: 30-min-gap sessions via lag + running sum — the
-    batch analog of streaming session_window."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag("ts").over(w)
-    # microsecond precision on both sides: second-truncated gaps would
-    # disagree with the oracle's full-precision interval comparison
-    new_sess = F.when(
-        prev.isNull()
-        | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000),
-        1,
-    ).otherwise(0)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = e.withColumn("new_session", new_sess).withColumn(
-        "session_idx", F.sum("new_session").over(wsum)
-    )
-    return sess.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-
-
-@query(
-    "agg_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) AS g_flag,
-           grouping(l_linestatus) AS g_status,
-           sum(l_quantity) AS sum_qty,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Hierarchical totals (ROLLUP + GROUPING markers)."""
-    li = load(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("long").alias("g_flag"),
-        F.grouping("l_linestatus").cast("long").alias("g_status"),
-        F.sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@query(
-    "agg_pivot",
-    oracle="""
-    SELECT l_returnflag,
-           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o,
-           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
-    """Pivot on a closed category set == conditional aggregation."""
-    li = load(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias(
-            "qty_o"
-        ),
-        F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
-            "qty_f"
-        ),
-    )
-
-
-@query(
-    "text_langid",
-    oracle="""
-    WITH hits AS (
-      SELECT doc_id,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS h_en,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS h_de,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS h_es,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS h_zh
-      FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
-                WHEN h_de >= greatest(h_es, h_fr, h_zh, 1) THEN 'de'
-                WHEN h_es >= greatest(h_fr, h_zh, 1) THEN 'es'
-                WHEN h_fr >= greatest(h_zh, 1) THEN 'fr'
-                WHEN h_zh >= 1 THEN 'zh'
-                ELSE 'und' END AS lang_pred
-    FROM hits
-    """,
-)
-def text_langid(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-hit arg-max language ID with deterministic priority."""
-    d = load(spark, sf, "documents")
-    return tx.lang_id(d).select("doc_id", "lang_pred")
-
-
-# --- Multimodal: binary columns + Arrow kernels, oracle-paired --------------
-#
-# The synthetic media bytes are an md5-keystream expansion of ``text``
-# (functions/multimodal.py:53), so DuckDB can regenerate the SAME hex
-# stream (md5 ‖ md5(·||'2') ‖ md5(·||'3')) and recompute the byte stats
-# arithmetically from hex pairs — the Python kernel's outputs get a real
-# value-level oracle. Content hashes (sha1) and byte entropy stay
-# pytest-covered: DuckDB has no blob hashing, and entropy's float fold
-# order is kernel-defined.
-
-_MEDIA_HEX = "md5(text) || md5(text || '2') || md5(text || '3')"
-
-
-@query(
-    "multimodal_features",
-    oracle=f"""
-    WITH m AS (
-      SELECT doc_id AS media_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                             ELSE 'video' END AS kind,
-             {_MEDIA_HEX} AS content_hex
-      FROM documents
-    )
-    SELECT media_id, kind,
-           CAST(octet_length(unhex(content_hex)) AS INT) AS n_bytes,
-           CAST(list_sum(list_transform(range(1, 49), i ->
-             (strpos('0123456789abcdef', substr(content_hex, 2*i-1, 1)) - 1) * 16
-             + (strpos('0123456789abcdef', substr(content_hex, 2*i, 1)) - 1)
-           )) AS DOUBLE) / 48.0 AS byte_mean,
-           content_hex
-    FROM m
-    """,
-)
-def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary media columns → Arrow-batched feature extraction with the
-    deterministic fake codec (real pixel codecs are env-stubbed;
-    plumbing — schema, batching, partitioning — is the real thing).
-    ``n_bytes``/``byte_mean`` come out of the Python kernel,
-    ``content_hex`` is the JVM-side byte round-trip; DuckDB recomputes
-    all three from the md5 keystream."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents")
-    media = mm.synthetic_media(docs, "doc_id", "text")
-    feats = mm.extract_features(media, decoder=mm.fake_decoder)
-    return feats.join(
-        media.select("media_id", F.lower(F.hex("content")).alias("content_hex")),
-        on="media_id",
-    ).select("media_id", "kind", "n_bytes", "byte_mean", "content_hex")
-
-
-@query(
-    "multimodal_decode_headers",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-           CAST(doc_id % 31 + 2 AS INT) AS width,
-           CAST(doc_id % 23 + 2 AS INT) AS height,
-           CAST(8 AS INT) AS bit_depth,
-           CAST(3 AS INT) AS channels,
-           true AS dims_ok
-    FROM documents
-    """,
-)
-def multimodal_decode_headers(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL image decode (VERDICT r1 #7): spec-valid PNG bytes (zlib
-    IDAT, CRC-checked layout) and header-complete JPEGs are generated
-    per row, then dimensions/bit-depth/channels are parsed back from the
-    actual bytes — features change iff the bytes change. The oracle
-    reconstructs the generator's intent independently, so a decode (or
-    encode) regression mismatches; `dims_ok` additionally cross-checks
-    parsed-vs-intended dims row by row inside Spark. Byte-level stats
-    (sha1, n_bytes over zlib output) are pytest-covered — DuckDB can't
-    express zlib. Pixel-level codecs stay env-stubbed; container
-    parsing is genuinely real."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    feats = mm.extract_image_features(media)
-    return feats.join(media.select("media_id", "meta_w", "meta_h"), on="media_id").select(
-        "media_id",
-        "format",
-        "width",
-        "height",
-        "bit_depth",
-        "channels",
-        ((F.col("width") == F.col("meta_w")) & (F.col("height") == F.col("meta_h"))).alias(
-            "dims_ok"
-        ),
-    )
-
-
-@query(
-    "multimodal_frame_plan",
-    oracle="""
-    SELECT doc_id AS media_id,
-           unnest(generate_series(0, doc_id % 90000 + 999, 10000)) AS frame_ts_ms
-    FROM documents
-    WHERE doc_id % 3 = 2
-    """,
-)
-def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
-    """Video frame-sample expansion plan (JVM-side sequence+explode);
-    the oracle regenerates the frame grid from the synthetic duration
-    formula (duration_ms = id % 90000 + 1000, one frame per 10 s)."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents")
-    media = mm.synthetic_media(docs, "doc_id", "text")
-    return mm.frame_sample_plan(media, every_ms=10_000)
-
-
-# Pixel-level PNG decode is REAL (round 5): the synthetic PNG pixel
-# content is an md5 keystream (md5('id:0')||md5('id:1')||…), so after
-# the Spark side decodes ACTUAL bytes (chunk walk → zlib inflate →
-# per-row unfilter across all five PNG filter types), DuckDB
-# regenerates the expected sample stream arithmetically from hex pairs
-# and the integer channel sums must agree exactly. A decoder bug in any
-# filter path shifts the sums and mismatches.
-
-_PNG_KS_BYTE = (
-    "(strpos('0123456789abcdef', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(hx, CAST(2*j+2 AS INT), 1)) - 1)"
-)
-
-
-@query(
-    "multimodal_png_pixel_stats",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    blocks AS (
-      SELECT media_id, w, h, w*h*3 AS n,
-             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
-      FROM img
-    ),
-    bytes AS (
-      SELECT media_id, w, h, n, b,
-             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, w, h, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < n
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
-           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
-           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
-           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_png_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL pixel-level decode, driver-verified: generate spec-valid
-    PNGs (pixels = md5 keystream, rows filtered through None/Sub/Up/
-    Average/Paeth), decode the actual bytes back to samples, and emit
-    exact integer channel sums. Odd-id rows (legacy header-only JPEGs)
-    are skipped by the kernel; real JPEG pixel decode is verified by
-    multimodal_jpeg_pixel_stats over scan-bearing streams."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    return mm.png_pixel_stats(media)
-
-
-# JPEG pixel decode is REAL (round 5): grayscale baseline JPEGs whose
-# content is CONSTANT within each 8×8 block (values = md5 keystream)
-# have only a DC coefficient, so with quant=1 the full encode → entropy
-# decode → IDCT path is bit-exact and DuckDB can regenerate the decoded
-# sample sums arithmetically: sum_y = 64 · Σ block values. Any bug in
-# the Huffman tables, DC prediction, byte stuffing, zigzag, or IDCT
-# scaling shifts the sums and mismatches.
-
-
-@query(
-    "multimodal_jpeg_pixel_stats",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id,
-             (doc_id % 4 + 1) * 8 AS w,
-             (doc_id % 3 + 1) * 8 AS h,
-             (doc_id % 4 + 1) * (doc_id % 3 + 1) AS nb
-      FROM documents
-    ),
-    bytes AS (
-      SELECT media_id, w, h,
-             md5(CAST(media_id AS VARCHAR) || ':jpg:0') AS hx,
-             unnest(range(0, nb)) AS j
-      FROM img
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
-           CAST(64 * sum({_PNG_KS_BYTE}) AS BIGINT) AS sum_y
-    FROM bytes GROUP BY media_id
-    """,
-)
-def multimodal_jpeg_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL JPEG entropy decode, driver-verified: encode block-constant
-    grayscale JPEGs through the spec-valid baseline encoder, decode the
-    actual bytes (Huffman → dequant → inverse zigzag → IDCT), emit the
-    exact integer sample sum. Non-block-constant content round-trips
-    within ±2/sample (float DCT) — pinned by tests/test_jpeg_codec.py,
-    honestly not oracle-able."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_jpeg_media(docs, "doc_id")
-    return mm.jpeg_pixel_stats(media)
-
-
-@query(
-    "multimodal_mp4_headers",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(doc_id % 90000 + 1000 AS INT) AS duration_ms,
-           CAST(doc_id % 640 + 16 AS INT) AS width,
-           CAST(doc_id % 480 + 16 AS INT) AS height
-    FROM documents
-    """,
-)
-def multimodal_mp4_headers(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL ISO-BMFF container parse, driver-verified: write spec-valid
-    MP4 streams (ftyp + moov[mvhd + trak[tkhd]]), walk the actual
-    boxes back to duration (mvhd timescale math) and 16.16 fixed-point
-    dims (tkhd), and hash-match the intent formulas. Frame/pixel
-    decode honestly needs ffmpeg and stays stubbed; the container walk
-    is real and failure-loud."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_mp4_media(docs, "doc_id")
-    return mm.mp4_header_stats(media)
-
-
-# WAV PCM decode is REAL and lossless, so decoded samples equal the
-# generator keystream exactly — same oracle treatment as PNG/JPEG.
-
-
-@query(
-    "multimodal_wav_sample_stats",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < nf
-    )
-    SELECT media_id,
-           CAST(any_value(nf) AS INT) AS n_frames,
-           CAST(16000 AS INT) AS sample_rate,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(max(v) AS INT) AS max_amp
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_wav_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL audio decode, driver-verified: encode mono 8-bit PCM WAVs
-    (samples = md5 keystream), walk the RIFF chunks back to raw
-    frames, emit exact integer amplitude stats. PCM is lossless, so
-    DuckDB regenerates the expected samples arithmetically — a chunk
-    walk, fmt-validation, or alignment bug shifts the sums."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    return mm.wav_sample_stats(media)
-
-
-@query(
-    "multimodal_resize_pixels",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    grid AS (
-      SELECT media_id, w, h, unnest(range(0, 192)) AS p
-      FROM img
-    ),
-    mapped AS (
-      SELECT media_id,
-             ((((p // 24) * h) // 8) * w + ((((p % 24) // 3) * w) // 8)) * 3
-               + (p % 3) AS gi
-      FROM grid
-    ),
-    bytes AS (
-      SELECT media_id, gi, gi // 16 AS b, CAST(gi % 16 AS BIGINT) AS j,
-             md5(CAST(media_id AS VARCHAR) || ':'
-                 || CAST(gi // 16 AS VARCHAR)) AS hx
-      FROM mapped
-    ),
-    vals AS (SELECT media_id, gi, {_PNG_KS_BYTE} AS v FROM bytes)
-    SELECT media_id,
-           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-           CAST(64 AS BIGINT) AS n_pixels,
-           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
-           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
-           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end decode → nearest-neighbor resize → re-encode →
-    re-decode, driver-verified: the oracle computes, for every output
-    pixel of the 8×8 resize, the source keystream byte it must sample
-    (src = floor(dst·src_dim/8)) and the exact channel sums. Any error
-    in either codec direction or the resize mapping mismatches."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    return mm.png_pixel_stats(mm.resize_png(media, 8, 8))
-
-
-@query("sim_lsh_topk")
-def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH buckets + in-bucket exact
-    re-rank — the 100 TB path (equi-join on buckets, never n²)."""
-    e = load(spark, sf, "embeddings")
-    return sim.lsh_topk(e, k=5, n_planes=6, n_tables=6, seed=42, dim=64)
-
-
-# ===========================================================================
-# Coverage round 3: composite joins (as-of, range), set ops, big joins
-# ===========================================================================
-
-
-@query(
-    "join_asof",
-    oracle="""
-    WITH orders_d AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    )
-    SELECT e.event_id, e.user_id, o.o_orderkey
-    FROM events e ASOF LEFT JOIN orders_d o
-      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-    """,
-)
-def join_asof(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join (Spark has no native one): latest order at or before
-    each event, per user — union + single partitioned window
-    carry-forward (operators.asof_join), one shuffle. Right side is
-    pre-deduped per (key, time) so the match is deterministic on both
-    engines (native ASOF tie-breaks are unspecified)."""
-    from ..operators import asof_join
-
-    e = load(spark, sf, "events").select(
-        "event_id",
-        F.col("user_id"),
-        _usec(F.col("ts")).alias("_ts_us"),
-    )
-    o = (
-        load(spark, sf, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
-            "o_orderkey",
-        )
-    )
-    out = asof_join(
-        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
-        right_payload=["o_orderkey"],
-    )
-    return out.select("event_id", "user_id", "o_orderkey")
-
-
-@query(
-    "join_range_bucket",
-    oracle="""
-    WITH ranges AS (
-      SELECT n_nationkey AS range_id,
-             CAST(n_nationkey * 4 AS DOUBLE) AS lo,
-             CAST(n_nationkey * 4 + 3 AS DOUBLE) AS hi
-      FROM nation
-    )
-    SELECT e.event_id, r.range_id, e.value
-    FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
-    """,
-)
-def join_range_bucket(spark: SparkSession, sf: str) -> DataFrame:
-    """Range (theta) join via bucketization → equi-join + re-check
-    (operators.range_join_buckets): fan-out = range_width/bucket_width
-    instead of |left|×|ranges|."""
-    from ..operators import range_join_buckets
-
-    e = load(spark, sf, "events").select("event_id", "value")
-    r = load(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("range_id"),
-        (F.col("n_nationkey") * 4).cast("double").alias("lo"),
-        (F.col("n_nationkey") * 4 + 3).cast("double").alias("hi"),
-    )
-    out = range_join_buckets(e, r, "value", "lo", "hi", bucket_width=4)
-    return out.select("event_id", "range_id", "value")
-
-
-@query(
-    "setop_users",
-    oracle="""
-    SELECT 'both' AS op, user_id FROM
-      (SELECT user_id FROM events WHERE event_type = 'click'
-       INTERSECT
-       SELECT user_id FROM events WHERE event_type = 'error')
-    UNION ALL
-    SELECT 'click_only' AS op, user_id FROM
-      (SELECT user_id FROM events WHERE event_type = 'click'
-       EXCEPT
-       SELECT user_id FROM events WHERE event_type = 'error')
-    """,
-)
-def setop_users(spark: SparkSession, sf: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION ALL set algebra."""
-    e = load(spark, sf, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id")
-    errors = e.filter(F.col("event_type") == "error").select("user_id")
-    both = clicks.intersect(errors).select(F.lit("both").alias("op"), "user_id")
-    # subtract == EXCEPT (distinct) — exceptAll's bag semantics would
-    # only remove one occurrence per matching key
-    only = clicks.subtract(errors).select(
-        F.lit("click_only").alias("op"), "user_id"
-    )
-    return both.unionAll(only)
-
-
-@query(
-    "join_bigbig_revenue",
-    oracle="""
-    SELECT o.o_orderpriority,
-           count(*) AS n_items,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             AS revenue_cents
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """,
-)
-def join_bigbig_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Fact-fact equi-join + aggregate: the shuffle-join representative
-    (both sides scale with the data; Catalyst/AQE picks SMJ or
-    broadcast by measured size). Integer-cents sum for oracle parity."""
-    li = load(spark, sf, "lineitem")
-    o = load(spark, sf, "orders")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(cents).alias("revenue_cents"),
-        )
-    )
-
-
-@query(
-    "agg_count_distinct",
-    oracle="""
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact distinct aggregation (expand+two-phase in Spark)."""
-    e = load(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query("agg_approx_distinct")  # HLL sketch: engine-specific, rows-only check
-def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counts; deterministic per engine, not across engines."""
-    e = load(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
-    )
-
-
-# ===========================================================================
-# Coverage round 4: wire pipeline in the gate, quality score, salted agg
-# ===========================================================================
-
-
-def _wire_h(tag: str) -> str:
-    """DuckDB twin of sources.synthetic._h: uint32 md5-keystream draw."""
-    return (
-        "CAST(concat('0x', substr(md5('42:" + tag + ":' || "
-        "CAST(msg_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-    )
-
-
-_WIRE_SLOT_DRAWS = ",\n    ".join(
-    f"CASE WHEN {_wire_h('eqnull' + s)} % 10 < 3 THEN NULL "
-    f"ELSE CAST({_wire_h('eq' + s)} % 40001 AS INTEGER) END AS {s}"
-    for s in EQUIPMENT_SLOTS
-)
-_WIRE_SLOT_CLAMPS = ",\n  ".join(
-    f"CASE WHEN {s} > 32767 THEN 0 ELSE {s} END AS {s}" for s in EQUIPMENT_SLOTS
-)
-_WIRE_ITEM_BUG = " OR ".join(
-    f"COALESCE({s} > 32767, false)" for s in EQUIPMENT_SLOTS
-)
-
-_WIRE_ORACLE = f"""
-WITH draws AS (
-  SELECT msg_id,
-    ({_wire_h('v1')} % 2 = 0) AS is_v1,
-    {_wire_h('rep')} % 300 AS reporter_n,
-    {_wire_h('red')} % 300 AS reported_n,
-    838857600 + {_wire_h('ts')} % 1307059200 AS ts_s,
-    ({_wire_h('ms')} % 4 = 0) AS ts_in_ms,
-    CAST(10000 + {_wire_h('region')} % 501 AS INTEGER) AS region_id,
-    CAST({_wire_h('x')} % 5001 AS INTEGER) AS x_coord,
-    CAST({_wire_h('y')} % 5001 AS INTEGER) AS y_coord,
-    CAST({_wire_h('z')} % 4 AS INTEGER) AS z_coord,
-    CAST({_wire_h('md')} % 2 AS INTEGER) AS manual_detect,
-    CAST({_wire_h('mw')} % 2 AS INTEGER) AS on_members_world,
-    CAST({_wire_h('pw')} % 2 AS INTEGER) AS on_pvp_world,
-    CAST(300 + {_wire_h('wn')} % 201 AS INTEGER) AS world_number,
-    {_WIRE_SLOT_DRAWS}
-  FROM (SELECT CAST(r.range AS BIGINT) AS msg_id FROM range(0, 20000) r)
-),
-dim AS (
-  SELECT DISTINCT 'player' || CAST(c_custkey % 300 AS VARCHAR) AS name,
-         CAST(c_custkey % 300 AS BIGINT) AS id
-  FROM customer
-),
-keyed AS (
-  SELECT d.*, r1.id AS rep_id, r2.id AS red_id
-  FROM draws d
-  JOIN dim r1 ON r1.name = 'player' || CAST(d.reporter_n AS VARCHAR)
-  JOIN dim r2 ON r2.name = 'player' || CAST(d.reported_n AS VARCHAR)
-  WHERE d.is_v1
-  UNION ALL
-  SELECT d.*, CAST(d.reporter_n AS BIGINT), CAST(d.reported_n AS BIGINT)
-  FROM draws d WHERE NOT d.is_v1
-),
-norm AS (
-  SELECT *,
-    CASE WHEN raw_ts > 10000000000
-         THEN CAST(floor(raw_ts / 1000) AS BIGINT)
-         ELSE raw_ts END AS ts
-  FROM (SELECT k.*,
-               CASE WHEN ts_in_ms THEN ts_s * 1000 ELSE ts_s END AS raw_ts
-        FROM keyed k)
-)
-SELECT
-  red_id AS reported_id,
-  rep_id AS reporting_id,
-  region_id, x_coord, y_coord, z_coord,
-  strftime(make_timestamp(ts * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_utc,
-  CAST(manual_detect AS BOOLEAN) AS manual_detect,
-  on_members_world,
-  CAST(on_pvp_world AS BOOLEAN) AS on_pvp_world,
-  world_number,
-  {_WIRE_SLOT_CLAMPS},
-  CAST(0 AS BIGINT) AS equip_ge_value,
-  ({_WIRE_ITEM_BUG}) AS item_bug
-FROM norm
-WHERE ts BETWEEN 1577883600 AND 1735736400
-"""
-
-
-@query("wire_pipeline_staging", oracle=_WIRE_ORACLE)
-def wire_pipeline_staging(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference's ENTIRE ingest transform chain (parse → version
-    dispatch → v1 get-or-insert resolve → normalize → bounds → clamp →
-    flatten) over a synthetic corpus — the streaming code path run as a
-    batch (identical function, SURVEY §3).
-
-    Oracle-ified in round 5 (VERDICT_r4 item 3): the corpus is the
-    md5-keystream wiregen (sources/synthetic.generate_reports_hashed),
-    deterministic in (seed, msg_id) alone — every draw is integer
-    modular arithmetic on a uint32 md5 prefix, so DuckDB reproduces the
-    corpus AND the full chain (dispatch, dim resolve, ms→s normalize
-    with the truncating cast, bounds, SMALLINT clamp + item_bug flag,
-    bool casts) bit-for-bit. The final timestamp is compared as a UTC
-    string on both sides (p5's proven pattern) to keep the hash
-    engine-portable.
-
-    Oracle validity domain (found by the r6 all-sf parity sweep): the
-    SQL twin models the v1 resolve as a dim JOIN, which equals the
-    engine's get-or-INSERT only while the seeded dim covers the
-    generator's full 300-name space — true at every driver gate sf
-    (customer ≥ 300 rows, i.e. sf ≥ 0.002). Below that, inserted ids
-    are xxhash64 surrogates (deliberately not SQL-reproducible — the
-    same reason the hash-mode id paths elsewhere are rows-only), so
-    the twin diverges BY DESIGN rather than silently: at sf0.001 the
-    oracle under-counts (1388 vs 2187) instead of fabricating ids."""
-    from ..sources import kafka as ksrc
-    from ..sources.synthetic import generate_report_json_hashed
-    from ..streaming.pipeline import wire_to_staging
-
-    # localCheckpoint truncates lineage at the 20k-row JSON corpus
-    # (2 string cols, ~8 MB): the md5 draws are DETERMINISTIC, so
-    # without a barrier CollapseProject inlines the whole 32-draw
-    # generator into every downstream column reference and Catalyst's
-    # constraint propagation blows the driver heap. The rand() version
-    # never hit this only because non-deterministic projections don't
-    # collapse. Bounded by construction (n=20k).
-    raw = generate_report_json_hashed(spark, n=20_000, seed=42).localCheckpoint()
-    parsed = ksrc.parse_wire(raw)
-    msgs = ksrc.valid_messages(parsed)
-    players = load(spark, sf, "customer").select(
-        F.concat(F.lit("player"), (F.col("c_custkey") % 300)).alias("name"),
-        (F.col("c_custkey") % 300).alias("id"),
-    ).dropDuplicates(["name"])
-    out = wire_to_staging(msgs, players)
-    return out.withColumn(
-        "ts_utc", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss")
-    ).drop("timestamp")
-
-
-@query(
-    "text_quality",
-    oracle="""
-    WITH stats AS (
-      SELECT doc_id,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                 t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
-               AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
-               AS stopword_ratio,
-             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-               AS DOUBLE) / length(text) AS punct_ratio,
-             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
-      FROM documents
-    )
-    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_token_len,
-           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12
-                   THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
-    FROM stats
-    """,
-)
-def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher-flavored composite quality score (length, stopword,
-    punctuation, token-shape gates)."""
-    d = load(spark, sf, "documents")
-    out = tx.quality_score(tx.with_text_stats(d))
-    return out.select(
-        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
-        "avg_token_len", "quality_score",
-    )
-
-
-@query(
-    "text_bpe_token_count",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
-             AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Sub-word-ish token counts: word runs + individual symbols via
-    match extraction (RE2-portable — the earlier lookaround split was
-    Java-regex-only and forced a rows-only check; outputs verified
-    identical)."""
-    d = load(spark, sf, "documents")
-    return d.select(
-        "doc_id", tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
-    )
-
-
-@query(
-    "agg_salted_twophase",
-    oracle="""
-    SELECT user_id, count(*) AS n_events
-    FROM events GROUP BY user_id
-    """,
-)
-def agg_salted_twophase(spark: SparkSession, sf: str) -> DataFrame:
-    """Skew-resistant aggregation: salt the key, partial-aggregate on
-    (key, salt), then final-aggregate on key. Result ≡ plain GROUP BY
-    (the oracle); the shape bounds any one reducer's load to ~1/16 of
-    the hottest key — the manual analog of AQE skew handling, usable
-    where AQE can't see the skew (e.g. pre-agg before a stateful op)."""
-    e = load(spark, sf, "events")
-    salted = e.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
-    partial = salted.groupBy("user_id", "_salt").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    return partial.groupBy("user_id").agg(F.sum("_n").alias("n_events"))
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-    WITH tf AS (
-      SELECT doc_id, g AS term, count(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS g
-            FROM documents)
-      GROUP BY doc_id, g
-    ), df AS (
-      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-    ), n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
-      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-    )
-    SELECT doc_id, rn AS rank, term, score
-    FROM (SELECT doc_id, term, score,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score DESC, term ASC) AS rn
-          FROM scored)
-    WHERE rn <= 3
-    """,
-)
-def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-3 characteristic terms per document by tf×(N/df) — linear
-    idf instead of log: tf·N is exact integer arithmetic and /df one
-    IEEE division (bit-reproducible; ln() differs by ULPs across
-    libms). Shape: one explode + two hash aggs + broadcast df join;
-    N stays in the plan as a broadcast 1-row aggregate (a driver-side
-    .count() would serialize an extra job before the real one)."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    terms = d.select(
-        "doc_id", F.explode(tx.tokens("text")).alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
-                "score"
-            ),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "rank", "term", "score")
-    )
-
-
-@query(
-    "j3_anti_join_reference_bug",
-    oracle="""
-    WITH batch AS (
-      SELECT l_orderkey, l_linenumber,
-             nullif(l_partkey % 5, 0) AS g1
-      FROM lineitem WHERE l_orderkey % 10 = 0
-    ), existing AS (
-      SELECT DISTINCT l_orderkey, nullif(l_partkey % 5, 0) AS g1
-      FROM lineitem WHERE l_orderkey % 20 = 0
-    )
-    SELECT b.l_orderkey, b.l_linenumber, b.g1
-    FROM batch b
-    WHERE NOT EXISTS (SELECT 1 FROM existing e
-                      WHERE e.l_orderkey = b.l_orderkey AND e.g1 = b.g1)
-    """,
-)
-def j3_anti_join_reference_bug(spark: SparkSession, sf: str) -> DataFrame:
-    """The reference's ACTUAL anti-join semantics (MySQL `=`, NOT the
-    intended ones): NULL keys never match, so NULL-gear rows re-insert
-    forever (reference report.py:170-241; SURVEY §2 J4 trap). Kept
-    bug-compatible behind null_safe=False and oracle-verified, so the
-    divergence between intended and actual is itself tested."""
-    li = load(spark, sf, "lineitem")
-    batch = li.filter(F.col("l_orderkey") % 10 == 0).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("g1"),
-    )
-    existing = (
-        li.filter(F.col("l_orderkey") % 20 == 0)
-        .select(
-            "l_orderkey", F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("g1")
-        )
-        .dropDuplicates(["l_orderkey", "g1"])
-    )
-    return star.anti_join_new(
-        batch, existing, ["l_orderkey", "g1"], null_safe=False
-    )
-
-
-@query(
-    "grouped_median_pandas",
-    oracle="""
-    SELECT event_type,
-           CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
-                AS BIGINT) AS median_cents,
-           count(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
-def grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
-    """Custom per-group operator via applyInPandas (grouped-map Arrow
-    path): exact discrete median per group in pandas. Demonstrates the
-    (b) escape hatch of SURVEY §7 — used only when built-ins can't
-    express the op; integer cents keep it oracle-comparable.
-
-    quantile_disc(0.5) = the value at ceil(n/2) in sorted order (lower
-    middle for even n), reproduced exactly in the kernel."""
-    import pandas as pd
-
-    e = load(spark, sf, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-    )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf["cents"].sort_values().reset_index(drop=True)
-        n = len(s)
-        med = int(s.iloc[(n - 1) // 2]) if n else None
-        return pd.DataFrame(
-            [
-                {
-                    "event_type": pdf["event_type"].iloc[0],
-                    "median_cents": med,
-                    "n": n,
-                }
-            ]
-        )
-
-    return e.groupBy("event_type").applyInPandas(
-        kernel, schema="event_type string, median_cents long, n long"
-    )
-
-
-@query("sim_ivf_topk")
-def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: k-means cells + n_probe search + exact re-rank — the
-    second approximate-index strategy next to hyperplane LSH."""
-    e = load(spark, sf, "embeddings")
-    return sim.ivf_topk(e, k=5, n_centroids=16, n_probe=4)
-
-
-@query(
-    "j_semi_exists",
-    oracle="""
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM events e
-                  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
-    """,
-)
-def j_semi_exists(spark: SparkSession, sf: str) -> DataFrame:
-    """EXISTS == left-semi join (the positive twin of the J3 anti-join)."""
-    c = load(spark, sf, "customer")
-    e = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
-    return c.join(
-        e.select(F.col("user_id").alias("c_custkey")), on="c_custkey",
-        how="left_semi",
-    ).select("c_custkey", "c_name")
-
-
-@query(
-    "reshape_unpivot",
-    oracle="""
-    SELECT event_id, kind, CAST(val AS DOUBLE) AS val
-    FROM (SELECT event_id, value AS raw_value,
-                 CAST(user_id AS DOUBLE) AS uid_as_val
-          FROM events)
-    UNPIVOT (val FOR kind IN (raw_value, uid_as_val))
-    """,
-)
-def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
-    """Wide→long unpivot (melt)."""
-    e = load(spark, sf, "events").select(
-        "event_id",
-        F.col("value").alias("raw_value"),
-        F.col("user_id").cast("double").alias("uid_as_val"),
-    )
-    return e.unpivot(
-        ids=["event_id"], values=["raw_value", "uid_as_val"],
-        variableColumnName="kind", valueColumnName="val",
-    )
-
-
-@query(
-    "agg_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) AS g_flag,
-           grouping(l_linestatus) AS g_status,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE grouping sets with grouping markers."""
-    li = load(spark, sf, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("long").alias("g_flag"),
-        F.grouping("l_linestatus").cast("long").alias("g_status"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@query(
-    "scd2_dim_history",
-    oracle="""
-    WITH cur AS (
-      SELECT c_custkey AS k, c_mktsegment AS seg,
-             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
-             CAST(NULL AS TIMESTAMP) AS valid_to,
-             TRUE AS is_current
-      FROM customer
-    ), upd AS (
-      SELECT DISTINCT e.user_id AS k, 'FLAGGED' AS seg,
-             TIMESTAMP '2024-02-01 00:00:00' AS eff
-      FROM events e JOIN customer c ON e.user_id = c.c_custkey
-      WHERE e.event_type = 'error'
-    ), to_apply AS (
-      SELECT u.k, u.seg, u.eff
-      FROM upd u LEFT JOIN cur c ON u.k = c.k
-      WHERE c.k IS NULL OR NOT (u.seg IS NOT DISTINCT FROM c.seg)
-    )
-    SELECT c.k, c.seg, c.valid_from, a.eff AS valid_to, FALSE AS is_current
-    FROM cur c JOIN to_apply a ON c.k = a.k
-    UNION ALL
-    SELECT c.k, c.seg, c.valid_from, c.valid_to, c.is_current
-    FROM cur c WHERE NOT EXISTS (SELECT 1 FROM to_apply a WHERE a.k = c.k)
-    UNION ALL
-    SELECT k, seg, eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
-           TRUE AS is_current
-    FROM to_apply
-    """,
-)
-def scd2_dim_history(spark: SparkSession, sf: str) -> DataFrame:
-    """SCD2 dimension versioning without MERGE INTO (operators.scd2_merge):
-    users with an 'error' event get a FLAGGED segment version; the open
-    customer version closes at the effective timestamp."""
-    from ..operators import scd2_merge
-
-    c = load(spark, sf, "customer")
-    cur = c.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("seg"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    e = load(spark, sf, "events")
-    upd = (
-        e.filter(F.col("event_type") == "error")
-        .join(c, e.user_id == c.c_custkey)
-        .select(
-            F.col("user_id").alias("k"),
-            F.lit("FLAGGED").alias("seg"),
-            F.lit("2024-02-01 00:00:00").cast("timestamp").alias("eff"),
-        )
-        .dropDuplicates(["k"])
-    )
-    return scd2_merge(cur, upd, key="k", attrs=["seg"], effective_col="eff")
-
-
-@query(
-    "dedup_canonical_docs",
-    # the iterative label-propagation result is reproducible in ANSI SQL
-    # with a recursive CTE: min reachable id == connected component
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                     for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ), rec AS (
-      WITH RECURSIVE reach(node, comp) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
-      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
-    ), drop_ids AS (SELECT node AS doc_id FROM rec WHERE node <> comp)
-    SELECT d.doc_id, d.source, d.n_chars FROM documents d
-    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
-    """,
-)
-def dedup_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """END-TO-END fuzzy dedup: jaccard candidate pairs → connected
-    components (label propagation, localCheckpoint per round) → keep one
-    canonical (min-id) doc per cluster. The oracle reproduces the
-    fixpoint with a recursive CTE, so the distributed iteration is
-    hash-checked, not just row-counted."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    return dd.dedup_canonical(d, pairs).select("doc_id", "source", "n_chars")
-
-
-@query(
-    "text_pii_redact",
-    oracle="""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               text || ' contact: user' || doc_id ||
-               '@example.com +1-555-000-' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
-               '[A-Za-z0-9._%+e-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
-    FROM documents
-    """,
-)
-def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
-    """PII scrubbing for training data: email + phone redaction with
-    RE2-compatible patterns (portable to the oracle — no lookarounds).
-    Synthetic PII is appended deterministically so the op has real work."""
-    d = load(spark, sf, "documents")
-    with_pii = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact: user"), F.col("doc_id").cast("string"),
-            F.lit("@example.com +1-555-000-"),
-            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
-        ).alias("t"),
-    )
-    email = r"[A-Za-z0-9._%+e-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
-    return with_pii.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
-        ).alias("redacted"),
-    )
-
-
-@query(
-    "ts_daily_profile",
-    oracle="""
-    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
-    daily AS (
-      SELECT user_id AS key,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS c
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    )
-    SELECT k.key, CAST(r.range AS INT) AS day, CAST(coalesce(d.c, 0) AS BIGINT) AS cents
-    FROM keys k CROSS JOIN range(0, 30) r
-    LEFT JOIN daily d ON d.key = k.key AND d.day = r.range
-    """,
-)
-def ts_daily_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """Dense per-user daily activity profile (resample + zero gap-fill)
-    in integer cents — the time-series grid under similarity search."""
-    from ..functions.timeseries import daily_profile
-
-    e = load(spark, sf, "events")
-    return daily_profile(e, "user_id", "ts", "value", "2024-01-01", 30)
-
-
-@query(
-    "ts_topk_similar_users",
-    oracle="""
-    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
-    daily AS (
-      SELECT user_id AS key,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS c
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    dense AS (
-      SELECT k.key, CAST(r.range AS INT) AS day, CAST(coalesce(d.c, 0) AS BIGINT) AS cents
-      FROM keys k CROSS JOIN range(0, 30) r
-      LEFT JOIN daily d ON d.key = k.key AND d.day = r.range
-    ),
-    pairs AS (
-      SELECT a.key AS key_a, b.key AS key_b,
-             CAST(sum((a.cents - b.cents) * (a.cents - b.cents)) AS BIGINT) AS dist2
-      FROM dense a JOIN dense b ON a.day = b.day AND a.key <> b.key
-      GROUP BY a.key, b.key
-    )
-    SELECT key_a AS key, rn AS rank, key_b AS neighbor_key, dist2
-    FROM (SELECT key_a, key_b, dist2,
-                 row_number() OVER (PARTITION BY key_a
-                                    ORDER BY dist2 ASC, key_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 3
-    """,
-)
-def ts_topk_similar_users(spark: SparkSession, sf: str) -> DataFrame:
-    """Time-series similarity search: top-3 most similar users by exact
-    integer squared-euclidean distance between daily activity profiles."""
-    from ..functions.timeseries import daily_profile, topk_similar_series
-
-    e = load(spark, sf, "events")
-    prof = daily_profile(e, "user_id", "ts", "value", "2024-01-01", 30)
-    return topk_similar_series(prof, k=3)
-
-
-@query(
-    "star_region_rollup",
-    oracle=f"""
-    WITH staging AS ({_STAR_STAGING_SQL}),
-    sight AS (
-      SELECT reporting_id, reported_id, manual_detect,
-             dense_rank() OVER (ORDER BY reporting_id ASC NULLS FIRST,
-                                reported_id ASC NULLS FIRST,
-                                manual_detect ASC NULLS FIRST) AS sighting_id
-      FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM staging)
-    ),
-    loc AS (
-      SELECT region_id, x_coord, y_coord, z_coord,
-             dense_rank() OVER (ORDER BY region_id ASC NULLS FIRST,
-                                x_coord ASC NULLS FIRST,
-                                y_coord ASC NULLS FIRST,
-                                z_coord ASC NULLS FIRST) AS location_id
-      FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM staging)
-    ),
-    fact AS (
-      SELECT DISTINCT s.sighting_id, l.location_id, st.region_id, s.manual_detect
-      FROM staging st
-      JOIN sight s ON st.reporting_id IS NOT DISTINCT FROM s.reporting_id
-                 AND st.reported_id IS NOT DISTINCT FROM s.reported_id
-                 AND st.manual_detect IS NOT DISTINCT FROM s.manual_detect
-      JOIN loc l ON st.region_id IS NOT DISTINCT FROM l.region_id
-               AND st.x_coord IS NOT DISTINCT FROM l.x_coord
-               AND st.y_coord IS NOT DISTINCT FROM l.y_coord
-               AND st.z_coord IS NOT DISTINCT FROM l.z_coord
-    )
-    SELECT region_id,
-           count(*) AS n_facts,
-           count(DISTINCT sighting_id) AS n_sightings,
-           count(*) FILTER (WHERE manual_detect) AS n_manual
-    FROM fact GROUP BY region_id
-    """,
-)
-def star_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Read-side of the star: per-region activity rollup over the
-    upserted fact (dims resolved, PK-distinct) — the kind of analytical
-    question the reference's downstream consumers ask of the schema."""
-    staging = _star_staging(spark, sf).cache()
-    sight = star.build_dim(
-        staging, ["reporting_id", "reported_id", "manual_detect"], "sighting_id",
-        key_mode="rank",
-    )
-    loc = star.build_dim(
-        staging, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id",
-        key_mode="rank",
-    )
-    fact = star.resolve_fk(
-        staging, sight, ["reporting_id", "reported_id", "manual_detect"],
-        "sighting_id",
-    )
-    fact = star.resolve_fk(
-        fact, loc, ["region_id", "x_coord", "y_coord", "z_coord"], "location_id"
-    )
-    fact = star.dedup(
-        fact.select("sighting_id", "location_id", "region_id", "manual_detect"),
-        ["sighting_id", "location_id", "region_id", "manual_detect"],
-    )
-    return fact.groupBy("region_id").agg(
-        F.count(F.lit(1)).alias("n_facts"),
-        F.countDistinct("sighting_id").alias("n_sightings"),
-        F.count(F.when(F.col("manual_detect"), 1)).alias("n_manual"),
-    )
-
-
-@query(
-    "text_top_bigrams",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), bg AS (
-      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
-      FROM toks WHERE len(t) >= 2
-    ), counts AS (
-      SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
-      FROM bg GROUP BY bigram
-    )
-    SELECT bigram, n, n_docs FROM (
-      SELECT bigram, n, n_docs,
-             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rn
-      FROM counts
-    ) WHERE rn <= 50
-    """,
-)
-def text_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus-wide collocation extraction: top-50 word bigrams by
-    occurrence (with document frequency) — deterministic tiebreak."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = tx.tokens("text")
-    sz = F.size(toks)
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, sz - F.lit(1)), F.slice(toks, 2, sz - F.lit(1))
-    )
-    grams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.when(sz >= 2, grams).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
-    )
-    counts = bg.groupBy("bigram").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .select("bigram", "n", "n_docs")
-    )
-
-
-@query(
-    "curation_split",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN b < 80 THEN 'train'
-                WHEN b < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id,
-                 CAST(CAST(concat('0x', substr(md5(concat('split1',
-                      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
-          FROM documents)
-    """,
-)
-def curation_split(spark: SparkSession, sf: str) -> DataFrame:
-    """Stable train/val/test assignment by content-hash bucket —
-    partitioning-independent (sample()/randomSplit() are not) and
-    stable under appends: a doc keeps its split forever."""
-    from ..functions.curation import train_val_test_split
-
-    d = load(spark, sf, "documents")
-    return train_val_test_split(d, "doc_id").select("doc_id", "split")
-
-
-@query(
-    "curation_sample",
-    oracle="""
-    SELECT doc_id, n_chars
-    FROM (SELECT doc_id, n_chars,
-                 CAST(CAST(concat('0x', substr(md5(concat('s1',
-                      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
-          FROM documents)
-    WHERE b < 10
-    """,
-)
-def curation_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic ~10% sample by content hash."""
-    from ..functions.curation import deterministic_sample
-
-    d = load(spark, sf, "documents")
-    return deterministic_sample(d, "doc_id", 10).select("doc_id", "n_chars")
-
-
-@query("agg_hll_mergeable")  # DataSketches HLL: engine-specific, rows-only
-def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (DataSketches HLL, Spark 3.5+):
-    per-day sketches built once, then unioned per event_type — the
-    re-aggregation property exact distinct counts lack (a day's sketch
-    is computed once and rolls up into week/month/any grouping without
-    rescanning raw data; the pattern for streaming state and cubes)."""
-    e = load(spark, sf, "events")
-    daily = (
-        e.withColumn("day", F.to_date("ts"))
-        .groupBy("event_type", "day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-    )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-    )
-
-
-@query(
-    "win_lag_delta",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(round(value * 100) AS BIGINT)
-             - lag(CAST(round(value * 100) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-             AS delta_cents
-    FROM events
-    """,
-)
-def win_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-key change detection via lag (integer cents for parity)."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    cents = F.round(F.col("value") * 100).cast("long")
-    return e.select(
-        "event_id", "user_id", (cents - F.lag(cents).over(w)).alias("delta_cents")
-    )
-
-
-@query(
-    "win_ntile_quartiles",
-    oracle="""
-    SELECT event_id,
-           ntile(4) OVER (ORDER BY CAST(round(value * 100) AS BIGINT) ASC,
-                          event_id ASC) AS quartile
-    FROM events
-    """,
-)
-def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Quartile bucketing with a fully deterministic order."""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    w = Window.orderBy(cents.asc(), F.col("event_id").asc())
-    return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
-
-
-@query(
-    "scalar_subquery_above_avg",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(round(value * 100) AS BIGINT) AS cents
-    FROM events
-    WHERE CAST(round(value * 100) AS BIGINT) >
-          (SELECT avg(CAST(round(value * 100) AS BIGINT)) FROM events)
-    """,
-)
-def scalar_subquery_above_avg(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar-subquery predicate (rows above the global mean) via
-    spark.sql — integer cents so the avg comparison is identical."""
-    e = load(spark, sf, "events")
-    e.createOrReplaceTempView("_events_ssq")
-    return spark.sql(
-        """
-        SELECT event_id, user_id,
-               CAST(round(value * 100) AS BIGINT) AS cents
-        FROM _events_ssq
-        WHERE CAST(round(value * 100) AS BIGINT) >
-              (SELECT avg(CAST(round(value * 100) AS BIGINT)) FROM _events_ssq)
-        """
-    )
-
-
-@query(
-    "curation_rebalance",
-    oracle="""
-    SELECT doc_id, source
-    FROM (SELECT doc_id, source,
-                 row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY CAST(CAST(concat('0x', substr(md5(concat('mix1',
-                            CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100
-                            AS INT) ASC,
-                            doc_id ASC) AS rn
-          FROM documents)
-    WHERE rn <= 15
-    """,
-)
-def curation_rebalance(spark: SparkSession, sf: str) -> DataFrame:
-    """Data-mix rebalancing: cap each source at N docs, chosen by a
-    stable hash order (not arrival order) — rerunning after appends
-    keeps earlier selections whenever their buckets still rank first."""
-    from ..functions.curation import hash_bucket
-
-    d = load(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy(
-        hash_bucket("doc_id", "mix1").asc(), F.col("doc_id").asc()
-    )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 15)
-        .select("doc_id", "source")
-    )
-
-
-@query(
-    "stats_moments",
-    oracle="""
-    WITH m AS (
-      SELECT event_type,
-             count(*) AS n,
-             CAST(sum(cents) AS BIGINT) AS sum_cents,
-             CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
-      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events)
-      GROUP BY event_type
-    )
-    SELECT event_type, n, sum_cents, sumsq_cents,
-           CAST(sum_cents AS DOUBLE) / n AS mean_cents,
-           CAST(sumsq_cents AS DOUBLE) / n
-             - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n)
-             AS var_cents
-    FROM m
-    """,
-)
-def stats_moments(spark: SparkSession, sf: str) -> DataFrame:
-    """Distribution moments with EXACT integer accumulation (Σx, Σx² in
-    cents) and identically-derived float mean/variance — the
-    cross-engine-safe way to do numeric profiling (native avg/stddev
-    accumulate floats in engine-specific orders)."""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    m = e.select("event_type", cents.alias("c")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sum_cents"),
-        F.sum(F.col("c") * F.col("c")).alias("sumsq_cents"),
-    )
-    mean = F.col("sum_cents").cast("double") / F.col("n")
-    return m.select(
-        "event_type", "n", "sum_cents", "sumsq_cents",
-        mean.alias("mean_cents"),
-        (F.col("sumsq_cents").cast("double") / F.col("n") - mean * mean).alias(
-            "var_cents"
-        ),
-    )
-
-
-# --- Benchmark decontamination (LLM-pipeline core op) ------------------------
-
-
-@query(
-    "curation_decontaminate",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), grams AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
-                            t[i+6] || ' ' || t[i+7]
-                            for i in range(1, len(t) - 6)]) AS g
-      FROM toks WHERE len(t) >= 8
-    ), ex AS (
-      SELECT doc_id, unnest(g) AS gram FROM grams
-    ), bench AS (
-      SELECT DISTINCT gram FROM ex WHERE doc_id % 17 = 0
-    )
-    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_bench_grams
-    FROM ex e JOIN bench b ON e.gram = b.gram
-    WHERE e.doc_id % 17 <> 0
-    GROUP BY e.doc_id
-    """,
-)
-def curation_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination: training docs sharing any 8-token
-    gram with the held-out 'benchmark' slice (here: doc_id % 17 = 0 —
-    the standard n-gram-overlap decontamination used for LLM training
-    sets). Shape at 100 TB: the benchmark gram set is small and
-    broadcast; training grams stream through an equi-join — no shuffle
-    of the corpus, no cross join. Returns per-doc distinct contaminated
-    gram counts (docs with zero hits are clean and absent)."""
-    from ..functions.dedup import word_shingles
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    grams = d.select(
-        "doc_id", F.explode(word_shingles("text", 8)).alias("gram")
-    )
-    bench = (
-        grams.filter(F.col("doc_id") % 17 == 0).select("gram").dropDuplicates()
-    )
-    train = grams.filter(F.col("doc_id") % 17 != 0)
-    return (
-        train.join(F.broadcast(bench), on="gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bench_grams"))
-    )
-
-
-# --- OLAP breadth: multi-join aggregates over the TPC-H-ish tables -----------
-
-
-@query(
-    "olap_q3_shipping_priority",
-    oracle="""
-    SELECT l.l_orderkey,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
-             AS revenue_c4,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-06-01'
-      AND l.l_shipdate > TIMESTAMP '1998-06-01'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue_c4 DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
-def olap_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape (shipping priority): selective dim filter →
-    fact-fact join → top-10 by aggregated revenue. Money math in exact
-    integer cents ×(100−disc_cents) so the sum is order-independent and
-    bit-identical cross-engine (float Σ(price·(1−disc)) is neither).
-    Plan shape at scale: filters push to scans, customer is the small
-    build side, orders⋈lineitem shuffles on orderkey once."""
-    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
-    )
-    li = load(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
-    )
-    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue_c4"))
-        .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-@query(
-    "olap_q5_local_supplier_volume",
-    oracle="""
-    SELECT n.n_name,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
-             AS revenue_c4
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                   AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    ORDER BY revenue_c4 DESC, n_name ASC
-    """,
-)
-def olap_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape (local supplier volume): six-table join where the
-    region/nation dims prune early and broadcast, the customer-nation =
-    supplier-nation predicate rides the supplier join, and only the
-    orders⋈lineitem step is a real shuffle. Integer-cents money math as
-    in Q3."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem")
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            s,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue_c4"))
-        .orderBy(F.col("revenue_c4").desc(), F.col("n_name").asc())
-    )
-
-
-# --- Embedding maintenance, funnel, vocab, end-to-end curation ---------------
-
-
-@query(
-    "emb_quantize_int8",
-    oracle="""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    s AS (SELECT vec_id, v,
-                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-          FROM b)
-    SELECT vec_id, scale, u.idx, u.q
-    FROM (SELECT vec_id, scale,
-                 unnest([{'idx': i - 1,
-                          'q': CAST(floor(v[i] / scale + 0.5) AS INTEGER)}
-                         for i in range(1, len(v) + 1)]) AS u
-          FROM s)
-    """,
-)
-def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
-    """Symmetric int8 quantization of embeddings (scale = absmax/127) —
-    the storage/serving compression step of an embedding pipeline, all
-    JVM-side higher-order expressions. Long format (vec_id, idx, q) so
-    the cross-engine compare stays scalar-typed. floor(x/s + 0.5)
-    instead of round(): engines disagree on round-half ties, floor is
-    unambiguous."""
-    e = load(spark, sf, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = e.select(
-        "vec_id",
-        v.alias("v"),
-        (absmax / F.lit(127.0)).alias("scale"),
-    ).select(
-        "vec_id",
-        "scale",
-        F.posexplode(
-            F.transform(
-                F.col("v"),
-                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
-            )
-        ).alias("idx", "q"),
-    )
-    return q.select("vec_id", "scale", "idx", "q")
-
-
-@query(
-    "funnel_3step_1day",
-    oracle="""
-    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
-               WHERE event_type = 'view' GROUP BY user_id),
-    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-          JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click' AND e.ts > v.t1
-            AND e.ts <= v.t1 + INTERVAL 1 DAY
-          GROUP BY e.user_id),
-    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-          JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase' AND e.ts > c.t2
-            AND e.ts <= c.t2 + INTERVAL 1 DAY
-          GROUP BY e.user_id)
-    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
-           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
-    """,
-)
-def funnel_3step_1day(spark: SparkSession, sf: str) -> DataFrame:
-    """Ordered conversion funnel (view → click ≤1d → purchase ≤1d):
-    per-stage first-event times via joins back to the event stream —
-    each stage is one groupBy + one equi-join on user_id, so the whole
-    funnel co-partitions on the user key (a single shuffle family at
-    scale, no windows over the full stream)."""
-    e = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    day = F.expr("INTERVAL 1 DAY")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, on="user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, on="user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
-    )
-
-
-@query(
-    "text_vocab_coverage",
-    oracle="""
-    WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
-    ), freq AS (
-      SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t
-    ), ranked AS (
-      SELECT t, n,
-             row_number() OVER (ORDER BY n DESC, t ASC) AS rnk,
-             CAST(sum(n) OVER (ORDER BY n DESC, t ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_n,
-             CAST((SELECT sum(n) FROM freq) AS BIGINT) AS total_n
-      FROM freq
-    )
-    SELECT t AS token, n, rnk AS rank,
-           CAST(cum_n AS DOUBLE) / total_n AS cum_share
-    FROM ranked WHERE rnk <= 100
-    """,
-)
-def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
-    """Zipf check for tokenizer/vocab planning: top-100 tokens with
-    cumulative corpus coverage. Counts and cumulative sums stay exact
-    BIGINT (window over ordered longs); only the final share is one
-    IEEE division — bit-reproducible cross-engine."""
-    d = load(spark, sf, "documents")
-    freq = (
-        d.select(F.explode(tx.tokens("text")).alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
-    total = freq.agg(F.sum("n").alias("total_n"))
-    return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "cum_n",
-            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .filter(F.col("rank") <= 100)
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col("t").alias("token"),
-            "n",
-            "rank",
-            (F.col("cum_n").cast("double") / F.col("total_n")).alias("cum_share"),
-        )
-    )
-
-
-@query(
-    "curation_pipeline_e2e",
-    oracle="""
-    WITH kept AS (
-      SELECT doc_id, text, n_chars FROM documents
-      WHERE n_chars >= 200
-        AND len(string_split_regex(trim(text), '\\s+')) >= 30
-    ), dedup AS (
-      SELECT min(doc_id) AS doc_id, max(n_chars) AS n_chars
-      FROM kept GROUP BY md5(text)
-    ), split AS (
-      SELECT doc_id, n_chars,
-             CASE WHEN b < 80 THEN 'train'
-                  WHEN b < 90 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (SELECT doc_id, n_chars,
-                   CAST(CAST(concat('0x', substr(md5(concat('split1',
-                        CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT)
-                     AS b
-            FROM dedup)
-    )
-    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM split GROUP BY split
-    """,
-)
-def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
-    """The end-to-end curation story in one plan: quality gate (length +
-    token floor) → exact dedup (md5 groups, min-id canonical) → stable
-    content-hash split assignment → per-split accounting. Every stage is
-    a hash aggregate or a stateless projection — the whole pipeline is
-    two shuffles (dedup groupBy, final groupBy) regardless of corpus
-    size."""
-    from ..functions.curation import train_val_test_split
-
-    d = load(spark, sf, "documents")
-    kept = d.filter(
-        (F.col("n_chars") >= 200) & (F.size(tx.tokens("text")) >= 30)
-    )
-    dedup = kept.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id"), F.max("n_chars").alias("n_chars")
-    )
-    split = train_val_test_split(dedup, "doc_id").select(
-        "doc_id", "n_chars", "split"
-    )
-    return split.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-@query(
-    "agg_grouped_percentiles",
-    oracle="""
-    SELECT event_type,
-           quantile_cont(c, 0.5) AS p50,
-           quantile_cont(c, 0.9) AS p90,
-           quantile_cont(c, 0.99) AS p99
-    FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
-    GROUP BY event_type
-    """,
-)
-def agg_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT grouped percentiles over integer cents: Spark percentile()
-    and DuckDB quantile_cont() share the linear-interpolation order
-    statistic, verified bit-identical. (approx_percentile is the
-    at-scale alternative; exact percentile shuffles each group's values
-    — fine for bounded group counts, and the oracle-checkable form.)"""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    return (
-        e.select("event_type", cents.alias("c"))
-        .groupBy("event_type")
-        .agg(
-            F.expr("percentile(c, 0.5D)").alias("p50"),
-            F.expr("percentile(c, 0.9D)").alias("p90"),
-            F.expr("percentile(c, 0.99D)").alias("p99"),
-        )
-    )
-
-
-@query(
-    "cohort_retention",
-    oracle="""
-    WITH first AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort
-      FROM events GROUP BY user_id
-    ), act AS (
-      SELECT DISTINCT e.user_id, f.cohort,
-             CAST(datediff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT)
-               AS week_n
-      FROM events e JOIN f1rst f ON e.user_id = f.user_id
-    )
-    SELECT cohort, week_n, CAST(count(*) AS BIGINT) AS n_active
-    FROM act GROUP BY cohort, week_n
-    """.replace("f1rst", "first"),
-)
-def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-seen week, active
-    user counts per subsequent week. Both engines truncate to week
-    starts, so the week offset is an exact integer (day diff / 7).
-    Scale shape: one groupBy for cohorts (broadcastable), a distinct on
-    (user, week) — the event stream is touched twice, shuffled on
-    user_id both times."""
-    e = load(spark, sf, "events").select("user_id", "ts")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    act = (
-        e.join(first, on="user_id")
-        .select(
-            "user_id",
-            "cohort",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
-            )
-            .cast("long")
-            .alias("week_n"),
-        )
-        .dropDuplicates(["user_id", "cohort", "week_n"])
-    )
-    return act.groupBy("cohort", "week_n").agg(
-        F.count(F.lit(1)).alias("n_active")
-    )
-
-
-@query(
-    "json_props_extract",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
-    FROM events
-    """,
-)
-def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """Semi-structured payload handling: typed extraction from a JSON
-    string column (the events side-channel). get_json_object stays in
-    codegen; at scale prefer from_json to a struct once if many keys
-    are read (single parse instead of N)."""
-    e = load(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return e.select(
-        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
-    )
-
-
-@query(
-    "dedup_keep_latest",
-    oracle="""
-    SELECT user_id, event_id, ts FROM (
-      SELECT user_id, event_id, ts,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
-def dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
-    """CDC-style compaction: one surviving row per key, latest by
-    (ts, event_id) — the keep-latest half of upsert semantics (the
-    reference's INSERT IGNORE is keep-first; both ship). Single window
-    over the key partition, no join."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts")
-    )
-
-
-@query(
-    "agg_incremental_merge",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
-      FROM events GROUP BY event_type, date_trunc('day', ts)
-    )
-    SELECT event_type, date_trunc('week', day) AS week,
-           CAST(sum(n) AS BIGINT) AS n,
-           CAST(sum(sum_c) AS BIGINT) AS sum_c
-    FROM daily GROUP BY event_type, date_trunc('week', day)
-    """,
-)
-def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
-    """Materialized-view maintenance shape: daily partial aggregates
-    merged upward into weekly rollups — counts and integer-cent sums
-    are re-aggregable (mergeable), so incremental refresh never touches
-    raw events twice. The same two-level plan is how a 100 TB pipeline
-    keeps hot rollups: partial aggs land per partition-day, merges read
-    only partials."""
-    e = load(spark, sf, "events")
-    daily = (
-        e.select(
-            "event_type",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
-    )
-    return (
-        daily.groupBy(
-            "event_type", F.date_trunc("week", F.col("day")).alias("week")
-        )
-        .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c"))
-    )
-
-
-def _zorder_oracle() -> str:
-    """CTE-chain twin of util.zorder_key_2d (nesting the spread inline
-    would duplicate the base expression 2^5 times)."""
-    steps = [  # decimal: DuckDB's parser has no 0x integer literals
-        (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
-        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
-        (1, 0x5555555555555555),
-    ]
-    ctes = ["s0 AS (SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS xa,"
-            " CAST(event_id % 1024 AS BIGINT) AS xb FROM events)"]
-    for n, (sh, m) in enumerate(steps, start=1):
-        ctes.append(
-            f"s{n} AS (SELECT event_id, ((xa | (xa << {sh})) & {m}) AS xa,"
-            f" ((xb | (xb << {sh})) & {m}) AS xb FROM s{n - 1})"
-        )
-    return (
-        "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT event_id, (xa | (xb << 1)) AS zkey FROM s{len(steps)}"
-    )
-
-
-@query("zorder_cluster_key", oracle=_zorder_oracle())
-def zorder_cluster_key(spark: SparkSession, sf: str) -> DataFrame:
-    """Z-order (Morton) clustering key over two dimensions — sort/write
-    by zkey and BOTH columns stay locally dense per file/row-group, so
-    min/max pruning works for range predicates on either dimension
-    (what OPTIMIZE ZORDER does in lakehouse engines; here it pairs with
-    util.compact_parquet(sort_by=[zkey]))."""
-    from ..util import zorder_key_2d
-
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        zorder_key_2d(F.col("user_id") % 1024, F.col("event_id") % 1024).alias(
-            "zkey"
-        ),
-    )
-
-
-@query(
-    "curation_stratified_sample",
-    oracle="""
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             CAST(CAST(concat('0x', substr(md5(concat('strat1',
-                  CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 AS INT) AS b
-      FROM documents)
-    WHERE (source = 'web' AND b < 5)
-       OR (source = 'books' AND b < 50)
-       OR (source NOT IN ('web', 'books') AND b < 20)
-    """,
-)
-def curation_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Stratified sampling with per-source rates (down-weight crawl,
-    keep books) — deterministic content-hash buckets, NOT sampleBy():
-    Bernoulli sampling is partitioning-dependent, so a re-read with
-    different parallelism would change the sample. One projection + one
-    filter; no shuffle."""
-    from ..functions.curation import hash_bucket
-
-    d = load(spark, sf, "documents")
-    b = hash_bucket("doc_id", "strat1")
-    rate = (
-        F.when(F.col("source") == "web", F.lit(5))
-        .when(F.col("source") == "books", F.lit(50))
-        .otherwise(F.lit(20))
-    )
-    return d.filter(b < rate).select("doc_id", "source")
-
-
-@query(
-    "stats_key_skew",
-    oracle="""
-    WITH f AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
-    ), t AS (
-      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(max(n) AS BIGINT) AS max_n,
-             CAST(count(*) AS BIGINT) AS n_keys
-      FROM f
-    )
-    SELECT n_keys, total, max_n,
-           CAST(max_n AS DOUBLE) * n_keys / total AS skew_factor
-    FROM t
-    """,
-)
-def stats_key_skew(spark: SparkSession, sf: str) -> DataFrame:
-    """Shuffle-planning diagnostic: hottest-key share vs uniform
-    (skew_factor = max·keys/total; 1.0 = perfectly uniform). The number
-    that decides between a plain shuffle, AQE skew-join, and manual
-    salting (agg_salted_twophase) before a 100 TB job runs."""
-    e = load(spark, sf, "events")
-    f = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    t = f.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").alias("total"),
-        F.max("n").alias("max_n"),
-    )
-    return t.select(
-        "n_keys", "total", "max_n",
-        (F.col("max_n").cast("double") * F.col("n_keys") / F.col("total")).alias(
-            "skew_factor"
-        ),
-    )
-
-
-@query(
-    "curation_pack_sequences",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tokens
-      FROM documents
-    ), c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               - n_tokens AS tokens_before
-      FROM t
-    )
-    SELECT doc_id, n_tokens,
-           CAST(floor(tokens_before / 2048) AS BIGINT) AS pack_id,
-           tokens_before % 2048 AS pack_offset
-    FROM c
-    """,
-)
-def curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    """Training-sequence packing (concat-then-chunk): documents in
-    stable id order, each assigned the 2048-token pack where its first
-    token lands (the standard LLM pretraining packing approximation).
-    Exact integer running sums; the global ordered window is the
-    test-scale form — at 100 TB the same math runs per shard with
-    per-shard token offsets aggregated once (two-pass prefix sum)."""
-    d = load(spark, sf, "documents")
-    t = d.select("doc_id", tx.token_count("text").cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn(
-        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
-    return c.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(F.col("tokens_before") / 2048).alias("pack_id"),
-        (F.col("tokens_before") % 2048).alias("pack_offset"),
-    )
-
-
-@query(
-    "text_repetition",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), grams AS (
-      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
-           unnest(range(1, len(t) - 1)) AS r(i)
-    ), per AS (
-      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n FROM grams
-      GROUP BY doc_id, g
-    )
-    SELECT doc_id,
-           CAST(sum(n) AS BIGINT) AS n_grams,
-           CAST(max(n) AS BIGINT) AS max_gram,
-           CAST(max(n) AS DOUBLE) / sum(n) AS repetition_ratio
-    FROM per GROUP BY doc_id
-    """,
-)
-def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    """Degenerate-repetition signal (the '3-gram repetition ratio'
-    quality filter for LLM corpora): share of a doc's 3-grams taken by
-    its single most repeated 3-gram. All-occurrence grams (not
-    distinct), exact integer counts, one IEEE division."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = tx.tokens("text")
-    sz = F.size(toks)
-    zipped = F.arrays_zip(
-        *[F.slice(toks, i + 1, sz - F.lit(2)) for i in range(3)]
-    )
-    grams = F.when(
-        sz >= 3,
-        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
-    )
-    per = (
-        d.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return per.groupBy("doc_id").agg(
-        F.sum("n").alias("n_grams"),
-        F.max("n").alias("max_gram"),
-        (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
-    )
-
-
-@query(
-    "ts_rolling_7d",
-    oracle="""
-    WITH daily AS (
-      SELECT user_id,
-             CAST(datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
-                  AS BIGINT) AS day_n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY user_id, date_trunc('day', ts)
-    )
-    SELECT user_id, day_n,
-           CAST(sum(c) OVER w AS BIGINT) AS sum_7d_cents,
-           CAST(sum(n) OVER w AS BIGINT) AS n_7d,
-           CAST(sum(c) OVER w AS DOUBLE) / sum(n) OVER w AS avg_7d_cents
-    FROM daily
-    WINDOW w AS (PARTITION BY user_id ORDER BY day_n
-                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-    """,
-)
-def ts_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling 7-day per-user statistics: daily pre-aggregation (the
-    shuffle) then an integer RANGE frame over day numbers — the frame
-    sees calendar gaps, unlike ROWS. Sums stay exact BIGINT cents; the
-    average is one IEEE division. At scale the daily rollup is the
-    stored table (see agg_incremental_merge) and the window runs over
-    ~365 rows per user-year, not raw events."""
-    e = load(spark, sf, "events")
-    daily = (
-        e.select(
-            "user_id",
-            F.datediff(
-                F.date_trunc("day", F.col("ts")),
-                F.lit("2024-01-01").cast("timestamp"),
-            )
-            .cast("long")
-            .alias("day_n"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .groupBy("user_id", "day_n")
-        .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("n"))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day_n")
-        .rangeBetween(-6, 0)
-    )
-    return daily.select(
-        "user_id",
-        "day_n",
-        F.sum("c").over(w).alias("sum_7d_cents"),
-        F.sum("n").over(w).alias("n_7d"),
-        (F.sum("c").over(w).cast("double") / F.sum("n").over(w)).alias(
-            "avg_7d_cents"
-        ),
-    )
-
-
-@query(
-    "ts_anomaly_zscore",
-    oracle="""
-    WITH daily AS (
-      SELECT user_id,
-             CAST(datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
-                  AS BIGINT) AS day_n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-      FROM events GROUP BY user_id, date_trunc('day', ts)
-    ), m AS (
-      SELECT user_id,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(c) AS BIGINT) AS s,
-             CAST(sum(c * c) AS BIGINT) AS ss
-      FROM daily GROUP BY user_id
-    )
-    SELECT d.user_id, d.day_n, d.c,
-           (CAST(d.c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
-             / sqrt(CAST(m.ss AS DOUBLE) / m.n
-                    - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n))
-             AS z
-    FROM daily d JOIN m ON d.user_id = m.user_id
-    WHERE abs((CAST(d.c AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
-             / sqrt(CAST(m.ss AS DOUBLE) / m.n
-                    - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)))
-          > 2.0
-    """,
-)
-def ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-user anomalous days (|z| > 2 vs the user's own daily
-    distribution). Moments accumulate as exact BIGINT (Σc, Σc²); mean,
-    variance, sqrt and the z itself are the identical float expression
-    on both engines, so even the flagged boundary cases agree
-    bit-for-bit. Shape: daily rollup → per-user moment agg (broadcast)
-    → flag — no window over raw events."""
-    e = load(spark, sf, "events")
-    daily = (
-        e.select(
-            "user_id",
-            F.datediff(
-                F.date_trunc("day", F.col("ts")),
-                F.lit("2024-01-01").cast("timestamp"),
-            )
-            .cast("long")
-            .alias("day_n"),
-            F.round(F.col("value") * 100).cast("long").alias("c0"),
-        )
-        .groupBy("user_id", "day_n")
-        .agg(F.sum("c0").alias("c"))
-    )
-    m = daily.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    var = F.col("ss").cast("double") / F.col("n") - mean * mean
-    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
-    return (
-        daily.join(F.broadcast(m), on="user_id")
-        .select("user_id", "day_n", "c", z.alias("z"))
-        .filter(F.abs(F.col("z")) > 2.0)
-    )
-
-
-@query(
-    "curation_chunk_overlap",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
-             len(string_split_regex(trim(text), '\\s+')) AS n
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST((gs.start - 1) // 24 AS BIGINT) AS chunk_idx,
-           CAST(gs.start AS BIGINT) AS chunk_start,
-           CAST(len(list_slice(t.t, gs.start, gs.start + 31)) AS BIGINT)
-             AS chunk_tokens,
-           md5(array_to_string(list_slice(t.t, gs.start, gs.start + 31), ' '))
-             AS chunk_hash
-    FROM t, unnest(range(1, greatest(t.n, 1) + 1, 24)) AS gs(start)
-    """,
-)
-def curation_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding-window chunking for LLM context building: 32-token
-    chunks every 24 tokens (8-token overlap), one content-hash per
-    chunk. split → sequence → explode → slice, all JVM, no shuffle."""
-    from ..functions import curation as cu
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    return cu.chunk_with_overlap(d, window=32, stride=24)
-
-
-@query(
-    "text_gopher_quality",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
-             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS no_ws
-      FROM documents
-    ), f AS (
-      SELECT doc_id,
-             CAST(len(t) AS BIGINT) AS n_tokens,
-             CAST(no_ws AS DOUBLE) / len(t) AS avg_token_len,
-             CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
-                  AS DOUBLE) / len(t) AS alpha_ratio,
-             CAST(len(list_filter(t, x -> list_contains(
-                  ['the','a','an','of','and','to','in','is','it','that'],
-                  lower(x)))) AS BIGINT) AS stop_hits
-      FROM t
-    )
-    SELECT doc_id, n_tokens, avg_token_len, alpha_ratio, stop_hits,
-           n_tokens >= 50 AND n_tokens <= 100000 AS flag_len,
-           avg_token_len >= 3.0 AND avg_token_len <= 10.0 AS flag_avg_len,
-           alpha_ratio > 0.8 AS flag_alpha,
-           stop_hits >= 2 AS flag_stop,
-           (n_tokens >= 50 AND n_tokens <= 100000)
-             AND (avg_token_len >= 3.0 AND avg_token_len <= 10.0)
-             AND alpha_ratio > 0.8 AND stop_hits >= 2 AS gopher_pass
-    FROM f
-    """,
-)
-def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher rule-set quality filter (length, mean token length,
-    alpha-word ratio, stopword floor) with per-rule flags."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    return tx.gopher_flags(d).select(
-        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio", "stop_hits",
-        "flag_len", "flag_avg_len", "flag_alpha", "flag_stop", "gopher_pass",
-    )
-
-
-@query(
-    "join_fuzzy_levenshtein",
-    oracle="""
-    WITH a AS (SELECT c_custkey, c_name, c_custkey % 40 AS blk FROM customer)
-    SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
-           x.c_name AS name_a, y.c_name AS name_b,
-           CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
-    FROM a x JOIN a y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
-    WHERE levenshtein(x.c_name, y.c_name) <= 1
-    """,
-)
-def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
-    """Blocked fuzzy self-match on customer names (edit distance ≤ 1
-    within a blocking key) — the record-linkage primitive behind fuzzy
-    dedup of entity names. Reference sanitizes names for exact-match
-    joins (src/app/controllers/player.py:23-24); this is the
-    approximate generalization."""
-    from ..operators import blocked_levenshtein_pairs
-
-    c = load(spark, sf, "customer").withColumn(
-        "blk", F.col("c_custkey") % 40
-    )
-    return blocked_levenshtein_pairs(
-        c, id_col="c_custkey", name_col="c_name", block_col="blk", max_dist=1
-    ).select(
-        F.col("id_a"), F.col("id_b"),
-        F.col("name_a"), F.col("name_b"), F.col("dist"),
-    )
-
-
-@query(
-    "olap_q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-def olap_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q4 shape: existential semi-join with an inequality on the
-    correlated row, then a tiny aggregate. Catalyst plans the EXISTS as
-    a left-semi hash join on l_orderkey (the inequality stays a join
-    residual) — one shuffle each side, no correlated per-row subquery
-    execution anywhere."""
-    o = load(spark, sf, "orders")
-    l = load(spark, sf, "lineitem")
-    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
-        F.col("l.l_shipdate")
-        > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        o.alias("o")
-        .join(l.alias("l"), cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@query(
-    "olap_q18_large_orders",
-    oracle="""
-    WITH big AS (
-      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-               AS sum_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS BIGINT)) > 120
-    )
-    SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
-    FROM big b
-    JOIN orders o ON b.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    """,
-)
-def olap_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q18 shape (large-volume orders): pre-aggregate the fact to
-    its join key FIRST (map-side-combinable sum + HAVING shrinks the
-    fact by ~orders-per-key before any join), then two dim joins that
-    AQE turns into broadcasts at these sizes. Quantities are integral
-    in the data — summed as BIGINT, so the HAVING boundary is exact."""
-    l = load(spark, sf, "lineitem")
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 120)
-    )
-    return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
-    )
-
-
-@query(
-    "ts_transition_matrix",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
-    )
-    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
-    FROM o WHERE prev_type IS NOT NULL
-    GROUP BY prev_type, event_type
-    """,
-)
-def ts_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """First-order event-transition counts (the Markov-chain input for
-    sequence modeling / funnel discovery): one window pass per user in
-    (ts, event_id) order, then a tiny (type × type) aggregate. The
-    shuffle is on user_id; the agg output is |types|² rows regardless
-    of input size."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    return (
-        o.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "ts_inter_arrival",
-    oracle="""
-    WITH o AS (
-      SELECT event_type,
-             CAST(floor(epoch(ts)) AS BIGINT)
-               - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
-      FROM events
-    )
-    SELECT event_type,
-           CAST(count(gap_s) AS BIGINT) AS n_gaps,
-           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
-           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
-           CAST(sum(gap_s) AS DOUBLE) / count(gap_s) AS avg_gap_s
-    FROM o WHERE gap_s IS NOT NULL
-    GROUP BY event_type
-    """,
-)
-def ts_inter_arrival(spark: SparkSession, sf: str) -> DataFrame:
-    """Inter-event gap statistics per event type: per-user lag over
-    integer epoch seconds (exact BIGINT gaps), aggregated with exact
-    sums; the mean is the only float op. Window shuffle on user_id,
-    then a |types|-row aggregate."""
-    e = load(spark, sf, "events")
-    epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = e.select(
-        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
-    )
-    return (
-        o.filter(F.col("gap_s").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count("gap_s").alias("n_gaps"),
-            F.sum("gap_s").alias("sum_gap_s"),
-            F.max("gap_s").alias("max_gap_s"),
-            (F.sum("gap_s").cast("double") / F.count("gap_s")).alias(
-                "avg_gap_s"
-            ),
-        )
-    )
-
-
-@query(
-    "win_percent_rank",
-    oracle="""
-    SELECT c_custkey, c_mktsegment, c_acctbal,
-           percent_rank() OVER w AS pr,
-           cume_dist() OVER w AS cd,
-           CAST(rank() OVER w AS BIGINT) AS rnk
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
-    """,
-)
-def win_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """Relative-standing window functions (percent_rank, cume_dist,
-    rank) — both engines use the ANSI definitions, and percent_rank's
-    (rank-1)/(n-1) divides identical integers, so ties and boundaries
-    agree bit-for-bit."""
-    c = load(spark, sf, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.rank().over(w).cast("long").alias("rnk"),
-    )
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                            (l_returnflag), ())
-    """,
-)
-def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (the general form of cube/rollup):
-    Catalyst expands the sets into one Expand + single hash aggregate —
-    one shuffle regardless of how many sets. Exact integer measures."""
-    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gsets")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM lineitem_gsets
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-        """
-    )
-
-
-@query(
-    "stats_histogram",
-    oracle="""
-    SELECT event_type,
-           CAST(floor(value / 5.0) AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(value) AS DOUBLE) AS bin_min,
-           CAST(max(value) AS DOUBLE) AS bin_max
-    FROM events
-    GROUP BY event_type, floor(value / 5.0)
-    """,
-)
-def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixed-width histogram per event type (the distribution profile
-    behind data-quality dashboards and drift checks): bin assignment is
-    a pure projection, so the whole histogram is ONE map-side-combinable
-    aggregate — output is |types| × |bins| rows regardless of input
-    size. min/max per bin are order-independent, so floats stay exact."""
-    e = load(spark, sf, "events")
-    return (
-        e.withColumn("bin", F.floor(F.col("value") / 5.0).cast("long"))
-        .groupBy("event_type", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("bin_min"),
-            F.max("value").alias("bin_max"),
-        )
-    )
-
-
-@query(
-    "agg_mode_per_group",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY user_id, event_type
-    ), r AS (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                ORDER BY n DESC, event_type) AS rn
-      FROM c
-    )
-    SELECT user_id, event_type AS mode_type, n AS mode_n
-    FROM r WHERE rn = 1
-    """,
-)
-def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group mode (most frequent value) with a deterministic
-    lexicographic tiebreak. Two-level shape: count aggregate first
-    (map-side combinable, the only pass over raw data), then the
-    argmax window runs over |users| × |types| pre-aggregated rows —
-    never over raw events."""
-    e = load(spark, sf, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("n").desc(), F.col("event_type")
-    )
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_type").alias("mode_type"),
-            F.col("n").alias("mode_n"),
-        )
-    )
-
-
-@query(
-    "curation_kfold",
-    oracle="""
-    SELECT doc_id,
-           CAST(CAST('0x' || substr(md5('kfold1' || CAST(doc_id AS VARCHAR)),
-                1, 4) AS INTEGER) % 5 AS BIGINT) AS fold
-    FROM documents
-    """,
-)
-def curation_kfold(spark: SparkSession, sf: str) -> DataFrame:
-    """K-fold cross-validation assignment (k=5) from the same
-    content-hash bucketing as train/val/test splits: partitioning-
-    independent, stable under appends, reproducible on any engine with
-    md5 — no shuffle, no RNG state."""
-    from ..functions.curation import hash_bucket
-
-    d = load(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        (hash_bucket("doc_id", salt="kfold1", buckets=5))
-        .cast("long")
-        .alias("fold"),
-    )
-
-
-@query(
-    "drift_psi_bins",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(n_chars // 50 AS BIGINT) AS bin,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
-      FROM documents GROUP BY n_chars // 50
-    ), t AS (
-      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
-             CAST(count(*) AS BIGINT) AS nbins
-      FROM c
-    )
-    SELECT bin, n_a, n_b,
-           round(((n_a + 0.5) / (ta + 0.5 * nbins)
-                  - (n_b + 0.5) / (tb + 0.5 * nbins))
-             * ln(((n_a + 0.5) / (ta + 0.5 * nbins))
-                  / ((n_b + 0.5) / (tb + 0.5 * nbins))), 12) AS psi_contrib
-    FROM c, t
-    """,
-)
-def drift_psi_bins(spark: SparkSession, sf: str) -> DataFrame:
-    """Population Stability Index between even- and odd-id documents
-    over 50-char length bins — the drift admission gate for new
-    training data. Per-bin contributions (exact counts + one float
-    expression each); total PSI is the caller's sum."""
-    from ..functions import drift
-
-    d = load(spark, sf, "documents")
-    return drift.psi_bins(
-        d,
-        bin_col=F.expr("CAST(n_chars DIV 50 AS BIGINT)"),
-        group_col=F.col("doc_id") % 2,
-    )
-
-
-@query(
-    "drift_ks_2sample",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(n_chars AS BIGINT) AS x,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS a,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS b
-      FROM documents GROUP BY n_chars
-    ), cum AS (
-      SELECT CAST(sum(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS BIGINT) AS ca,
-             CAST(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS BIGINT) AS cb
-      FROM c
-    ), t AS (
-      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c
-    )
-    SELECT CAST(max(ta) AS BIGINT) AS n_a,
-           CAST(max(tb) AS BIGINT) AS n_b,
-           max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))
-             AS ks_stat
-    FROM cum, t
-    """,
-)
-def drift_ks_2sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact two-sample KS statistic on document lengths (even- vs
-    odd-id docs): ECDF deltas over the distinct-value domain, max is
-    order-independent so the float is exact."""
-    from ..functions import drift
-
-    d = load(spark, sf, "documents")
-    return drift.ks_2sample(
-        d, value_col=F.col("n_chars").cast("long"), group_col=F.col("doc_id") % 2
-    )
-
-
-@query(
-    "curation_mix_weights",
-    oracle="""
-    WITH c AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
-      FROM documents GROUP BY source
-    ), t AS (
-      SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
-    )
-    SELECT source, n_docs, n_chars_total,
-           round(pow(CAST(n_docs AS DOUBLE) / total, 0.7), 12) AS w_raw
-    FROM c, t
-    """,
-)
-def curation_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """Temperature-based data-mix weights (the multilingual/LLM
-    up-sampling rule w ∝ p^α, α=0.7): exact per-source counts, one
-    pow() per source. Raw (unnormalized) weights are emitted because
-    the normalizing sum is a float accumulation; pow is rounded to 12
-    decimals (transcendental, like ln in drift_psi_bins). Output is
-    |sources| rows from one combinable aggregate."""
-    d = load(spark, sf, "documents")
-    c = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_chars_total"),
-    )
-    t = c.agg(F.sum("n_docs").alias("total"))
-    return c.crossJoin(F.broadcast(t)).select(
-        "source",
-        "n_docs",
-        "n_chars_total",
-        F.round(
-            F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.7), 12
-        ).alias("w_raw"),
-    )
-
-
-@query(
-    "curation_length_batches",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tokens
-      FROM documents
-    ), b AS (
-      SELECT doc_id, n_tokens,
-             CAST(n_tokens // 16 AS BIGINT) AS len_bucket,
-             row_number() OVER (PARTITION BY n_tokens // 16
-                                ORDER BY doc_id) AS rn
-      FROM t
-    )
-    SELECT doc_id, n_tokens, len_bucket,
-           CAST((rn - 1) // 8 AS BIGINT) AS batch_in_bucket
-    FROM b
-    """,
-)
-def curation_length_batches(spark: SparkSession, sf: str) -> DataFrame:
-    """Length-bucketed batch assignment (pad-efficient batching: docs
-    of similar token length train together, minimizing padding waste):
-    bucket by n_tokens DIV 16, then deterministic 8-doc batches within
-    each bucket by stable id order. The window runs per bucket — at
-    scale each bucket is an independent partition, and the id-ordered
-    row_number is the only coordination."""
-    d = load(spark, sf, "documents")
-    t = d.select(
-        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
-    )
-    b = t.withColumn(
-        "len_bucket", F.expr("CAST(n_tokens DIV 16 AS BIGINT)")
-    )
-    w = Window.partitionBy("len_bucket").orderBy("doc_id")
-    return b.withColumn("rn", F.row_number().over(w)).select(
-        "doc_id",
-        "n_tokens",
-        "len_bucket",
-        F.expr("CAST((rn - 1) DIV 8 AS BIGINT)").alias("batch_in_bucket"),
-    )
-
-
-# --- OLAP breadth: TPC-H Q6/Q14/Q19/Q17/Q22 shapes ---------------------------
-#
-# Same integer-cents discipline as Q1/Q3/Q5: money enters the aggregate
-# as BIGINT cents (×cents for discount products → 1e-4-dollar units,
-# suffix _c4), so every sum is order-independent and bit-identical
-# cross-engine. Ratios divide two exact BIGINTs in double at the end.
-
-_REV_C4_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT) "
-    "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
-)
-
-
-def _rev_c4() -> F.Column:
-    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    )
-
-
-@query(
-    "olap_q6_forecast_revenue",
-    oracle="""
-    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-             AS revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1998-01-01'
-      AND l_discount >= 0.05 AND l_discount <= 0.07
-      AND l_quantity < 24
-    """,
-)
-def olap_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q6 shape (forecast revenue change): the purest
-    scan-dominated query — every predicate pushes to the parquet scan
-    (date/discount/quantity are all min-max-prunable), and the agg is a
-    single map-side-combinable partial. At 100 TB this is the query
-    where pushdown either happens or you read the whole fact; the plan
-    test asserts PushedFilters carries all three."""
-    li = load(spark, sf, "lineitem")
-    disc_rev = F.round(F.col("l_extendedprice") * 100).cast(
-        "long"
-    ) * F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(disc_rev).alias("revenue_c4"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "olap_q14_promo_revenue",
-    oracle=f"""
-    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL}
-                         ELSE 0 END) AS BIGINT) AS promo_c4,
-           CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_c4,
-           100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL}
-                                 ELSE 0 END) AS DOUBLE)
-                 / CAST(sum({_REV_C4_SQL}) AS DOUBLE) AS promo_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
-      AND l.l_shipdate < TIMESTAMP '1997-10-01'
-    """,
-)
-def olap_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14 shape (promotion effect): one selective month of the
-    fact joined to the part dim, conditional sum ratio. The dim is
-    broadcast (no fact shuffle at any scale); the ratio divides two
-    exact BIGINT cents-sums in double, so it is bit-reproducible."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    p = load(spark, sf, "part")
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _rev_c4()).otherwise(F.lit(0))
-    ).alias("promo_c4")
-    total = F.sum(_rev_c4()).alias("total_c4")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(promo, total)
-        .select(
-            "promo_c4",
-            "total_c4",
-            (
-                F.lit(100.0)
-                * F.col("promo_c4").cast("double")
-                / F.col("total_c4").cast("double")
-            ).alias("promo_pct"),
-        )
-    )
-
-
-@query(
-    "olap_q19_disjunctive_pushdown",
-    oracle=f"""
-    SELECT CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
-    """,
-)
-def olap_q19_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
-    three conjunctive brackets OR-ed across both join sides. Catalyst
-    factors the single-side conjuncts out of the OR — the part scan
-    keeps only rows matching SOME bracket's (brand, size) and lineitem
-    only rows in SOME quantity range — then the residual OR rides the
-    broadcast hash join. The plan test asserts both scans carry pushed
-    Or filters rather than filtering after the join."""
-    li = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part")
-    br = (
-        (F.col("p_brand") == "Brand#12")
-        & F.col("p_size").between(1, 5)
-        & F.col("l_quantity").between(1, 11)
-    ) | (
-        (F.col("p_brand") == "Brand#23")
-        & F.col("p_size").between(1, 10)
-        & F.col("l_quantity").between(10, 20)
-    ) | (
-        (F.col("p_brand") == "Brand#34")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(20, 30)
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .filter(br)
-        .agg(
-            F.sum(_rev_c4()).alias("revenue_c4"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "olap_q17_small_qty_orders",
-    oracle="""
-    WITH pa AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
-               AS avg_qty
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS total_price_c,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN pa ON pa.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#23'
-      AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pa.avg_qty
-    """,
-)
-def olap_q17_small_qty_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
-    AVG subquery decorrelates into a per-partkey pre-aggregate joined
-    back to the fact. Quantities are integral, so sum-as-BIGINT /
-    count is an exact double and the 0.2× threshold is deterministic.
-    At scale both sides shuffle once on l_partkey; the brand filter
-    broadcasts."""
-    li = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("long")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
-        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
-        .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
-                "total_price_c"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "olap_q22_dormant_customers",
-    oracle="""
-    WITH pos AS (
-      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-               / count(*) AS avg_bal_c
-      FROM customer WHERE c_acctbal > 0.0
-    )
-    SELECT c.c_nationkey,
-           CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
-             AS totacctbal_c
-    FROM customer c, pos
-    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > pos.avg_bal_c
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-    GROUP BY c.c_nationkey
-    """,
-)
-def olap_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q22 shape (global sales opportunity): rich-but-dormant
-    customers — balance above the global positive-balance average
-    (scalar subquery → one-row broadcast) and no orders since the
-    cutoff (anti-join on a pre-filtered orders side; the filter pushes
-    to the scan). Balances compare in exact integer cents against a
-    double average of exact cent sums. The anti-join shuffles on
-    custkey; at 100× the scalar pre-agg is still one row."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
-    pos = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (F.sum(bal_c).cast("double") / F.count(F.lit(1))).alias(
-                "avg_bal_c"
-            )
-        )
-    )
-    return (
-        c.withColumn("bal_c", bal_c)
-        .crossJoin(F.broadcast(pos))
-        .filter(F.col("bal_c") > F.col("avg_bal_c"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal_c").alias("totacctbal_c"),
-        )
-    )
-
-
-@query(
-    "curation_weighted_sample",
-    oracle="""
-    SELECT doc_id, n_chars
-    FROM documents
-    WHERE CAST(concat('0x', substr(md5(concat('w1',
-            CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) * 2048
-          < CAST(n_chars AS BIGINT) * 65536
-    """,
-)
-def curation_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Length-proportional document sampling: keep with probability
-    min(1, n_chars/2048) decided by pure integer arithmetic on a
-    16-bit md5 hash — deterministic, partitioning-independent, and a
-    plain filter (no shuffle, pushes after the scan). The weighted
-    counterpart of `curation_sample`'s uniform bucketing."""
-    from ..functions.curation import length_weighted_sample
-
-    d = load(spark, sf, "documents")
-    return length_weighted_sample(d).select("doc_id", "n_chars")
-
-
-@query(
-    "join_interval_overlap",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                         OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC)
-                       > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts ASC, event_id ASC) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), tagged AS (
-      SELECT user_id, ts,
-             CAST(sum(new_session)
-                  OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS session_idx
-      FROM gaps
-    ), sess AS (
-      SELECT user_id, session_idx,
-             CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
-             CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
-      FROM tagged GROUP BY user_id, session_idx
-    )
-    SELECT a.user_id AS user_a, a.session_idx AS sess_a,
-           b.user_id AS user_b, b.session_idx AS sess_b,
-           CAST(least(a.end_s, b.end_s)
-                - greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_s
-    FROM sess a JOIN sess b
-      ON a.user_id < b.user_id
-     AND a.start_s <= b.end_s AND b.start_s <= a.end_s
-    """,
-)
-def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """Interval-overlap join (concurrent-session detection): sessions
-    from the 30-min-gap sessionizer become [start_s, end_s] intervals;
-    pairs of intervals from DIFFERENT users that overlap in time are
-    reported with their overlap length.
-
-    The oracle states the O(n²) theta-join; this side runs the plan
-    that survives scale: each interval explodes into the hour buckets
-    it covers (fan-out = session length in hours, bounded), candidate
-    pairs come from an EQUI-join on the bucket, exact overlap filters
-    false positives, and the cross-bucket duplicates collapse with one
-    distinct. No nested-loop join anywhere."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull()
-        | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000),
-        1,
-    ).otherwise(0)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = (
-        e.withColumn("new_session", new_sess)
-        .withColumn("session_idx", F.sum("new_session").over(wsum))
-        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
-        .agg(
-            F.floor(F.min(_usec("ts")) / 1_000_000)
-            .cast("long")
-            .alias("start_s"),
-            F.floor(F.max(_usec("ts")) / 1_000_000)
-            .cast("long")
-            .alias("end_s"),
-        )
-    )
-    bucketed = sess.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.expr("start_s DIV 3600"), F.expr("end_s DIV 3600")
-            )
-        ),
-    )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.start_s") <= F.col("b.end_s"))
-            & (F.col("b.start_s") <= F.col("a.end_s")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("a.session_idx").alias("sess_a"),
-            F.col("b.user_id").alias("user_b"),
-            F.col("b.session_idx").alias("sess_b"),
-            (
-                F.least(F.col("a.end_s"), F.col("b.end_s"))
-                - F.greatest(F.col("a.start_s"), F.col("b.start_s"))
-            ).alias("overlap_s"),
-        )
-        .distinct()
-    )
-    return pairs
-
-
-@query(
-    "text_ngram_novelty",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), grams AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
-                            t[i+6] || ' ' || t[i+7]
-                            for i in range(1, len(t) - 6)]) AS g
-      FROM toks WHERE len(t) >= 8
-    ), ex AS (
-      SELECT doc_id, unnest(g) AS gram FROM grams
-    ), firstd AS (
-      SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY gram
-    )
-    SELECT e.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS novel_grams,
-           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
-                AS DOUBLE) / count(*) AS novelty
-    FROM ex e JOIN firstd f ON e.gram = f.gram
-    GROUP BY e.doc_id
-    """,
-)
-def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus-order n-gram novelty (the curation signal behind 'is this
-    document new information or a remix'): per doc, the share of its
-    distinct 8-grams whose global first occurrence (min doc_id) is this
-    very doc. Inverted-index shape — one shuffle of (gram, doc_id)
-    pairs to find per-gram first owners, one equi-join back, one
-    per-doc agg. Novelty divides two exact BIGINTs in double."""
-    from ..functions.dedup import word_shingles
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    ex = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
-    )
-    firstd = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        ex.join(firstd, on="gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("novel_grams"),
-            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
-        )
-    )
-
-
-@query(
-    "cust_rfm_segments",
-    oracle="""
-    WITH m AS (
-      SELECT c.c_custkey, c.c_nationkey,
-             CAST(date_diff('day', max(o.o_orderdate),
-                            TIMESTAMP '2002-01-01') AS BIGINT) AS r_days,
-             CAST(count(*) AS BIGINT) AS freq,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS monetary_c
-      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_custkey, c.c_nationkey
-    )
-    SELECT c_custkey, c_nationkey, r_days, freq, monetary_c,
-           CAST(ntile(4) OVER (PARTITION BY c_nationkey
-                               ORDER BY r_days ASC, c_custkey ASC)
-                AS BIGINT) AS r_q,
-           CAST(ntile(4) OVER (PARTITION BY c_nationkey
-                               ORDER BY freq DESC, c_custkey ASC)
-                AS BIGINT) AS f_q,
-           CAST(ntile(4) OVER (PARTITION BY c_nationkey
-                               ORDER BY monetary_c DESC, c_custkey ASC)
-                AS BIGINT) AS m_q
-    FROM m
-    """,
-)
-def cust_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
-    """RFM segmentation (recency / frequency / monetary quartiles), the
-    classic customer-analytics operator. Metrics are exact integers
-    (days, counts, cents); quartiles are ntile(4) PER NATION with a
-    full custkey tiebreak — deterministic, and the windows parallelize
-    across nations instead of forcing one global sort partition (the
-    scale trap of ungrouped ntile)."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    m = (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_nationkey")
-        .agg(
-            F.datediff(
-                F.lit("2002-01-01").cast("timestamp"),
-                F.max("o_orderdate"),
-            )
-            .cast("long")
-            .alias("r_days"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "monetary_c"
-            ),
-        )
-    )
-    wr = Window.partitionBy("c_nationkey").orderBy(
-        F.col("r_days").asc(), F.col("c_custkey").asc()
-    )
-    wf = Window.partitionBy("c_nationkey").orderBy(
-        F.col("freq").desc(), F.col("c_custkey").asc()
-    )
-    wm = Window.partitionBy("c_nationkey").orderBy(
-        F.col("monetary_c").desc(), F.col("c_custkey").asc()
-    )
-    return m.select(
-        "c_custkey",
-        "c_nationkey",
-        "r_days",
-        "freq",
-        "monetary_c",
-        F.ntile(4).over(wr).cast("long").alias("r_q"),
-        F.ntile(4).over(wf).cast("long").alias("f_q"),
-        F.ntile(4).over(wm).cast("long").alias("m_q"),
-    )
-
-
-@query(
-    "olap_q7_volume_shipping",
-    oracle="""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem l
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-)
-def olap_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q7 shape (volume shipping): revenue flowing between two
-    named nations in both directions, by ship year. The two nation
-    lookups and supplier/customer dims broadcast; only the
-    lineitem-orders join shuffles (on orderkey), and the symmetric
-    nation disjunction is applied after the broadcast joins, where it
-    costs nothing. Revenue in exact c4 integers."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    n1 = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    both = (
-        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
-    ) | (
-        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(both)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(
-            F.sum(_rev_c4()).alias("revenue_c4"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "olap_q9_nation_part_profit",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS revenue_c4
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    GROUP BY nation, l_year
-    """,
-)
-def olap_q9_nation_part_profit(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q9 shape (product-line profit by nation and year), reshaped
-    for the reduced schema: the testdata has no partsupp/ps_supplycost,
-    so profit degrades to discounted revenue — the plan shape (LIKE
-    filter on part, star joins out to supplier nation, group by
-    nation x year) is the point. The part filter broadcasts AND prunes:
-    ~13% of parts survive, so the fact join drops rows before the agg
-    shuffle."""
-    li = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
-    )
-
-
-@query(
-    "olap_q10_returned_items",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS revenue_c4
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-         AND o.o_orderdate < TIMESTAMP '1997-07-01'
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    GROUP BY c.c_custkey, c.c_name, nation, acctbal_c
-    ORDER BY revenue_c4 DESC, c.c_custkey ASC
-    LIMIT 20
-    """,
-)
-def olap_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
-    revenue lost to returns in a half-year window. The returnflag and
-    date filters push to the scans; customer/nation broadcast; the
-    global top-20 is orderBy+limit, which Spark executes as
-    TakeOrderedAndProject (per-partition top-20 then a 20-row driver
-    merge — no global sort shuffle, the only top-k plan that survives
-    100 TB). Exact-cents revenue with a custkey tiebreak makes the
-    selected SET deterministic."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = load(spark, sf, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(
-            "c_custkey",
-            "c_name",
-            F.col("n_name").alias("nation"),
-            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
-        )
-        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
-        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "olap_q12_ship_delay_priority",
-    oracle="""
-    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
-                  THEN 'lt30'
-                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 60
-                  THEN 'lt60'
-                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
-                  THEN 'lt90'
-                ELSE 'ge90' END AS delay_bucket,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY delay_bucket
-    """,
-)
-def olap_q12_ship_delay_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q12 shape (shipping-mode priority analysis), reshaped: the
-    testdata has no l_shipmode/commitdate/receiptdate, so the grouping
-    dimension becomes the order-to-ship delay bucket and the
-    high/low-priority conditional counts are kept verbatim. One
-    fact-fact join on orderkey (both sides pre-filtered), one 4-group
-    agg. Day arithmetic on UTC-midnight timestamps is exact."""
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-    bucket = (
-        F.when(dd < 30, "lt30")
-        .when(dd < 60, "lt60")
-        .when(dd < 90, "lt90")
-        .otherwise("ge90")
-    )
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(bucket.alias("delay_bucket"))
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
-        )
-    )
-
-
-@query(
-    "olap_q13_cust_order_distribution",
-    oracle="""
-    WITH co AS (
-      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c
-      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-           AND o.o_orderpriority <> '5-LOW'
-      GROUP BY c.c_custkey
-    )
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-    FROM co GROUP BY c_count
-    """,
-)
-def olap_q13_cust_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
-    join so zero-order customers survive with c_count=0, with the
-    exclusion predicate INSIDE the join condition (moving it to WHERE
-    would silently drop the nulls — the classic outer-join bug the
-    reference's NOT-EXISTS family guards against). Two cascaded aggs;
-    the second input is one row per customer, so the distribution agg
-    is tiny."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    co = (
-        c.join(
-            o,
-            (o.o_custkey == c.c_custkey)
-            & (o.o_orderpriority != "5-LOW"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@query(
-    "olap_q15_top_supplier",
-    oracle="""
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS total_revenue_c4
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
-    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_revenue_c4 = (SELECT max(total_revenue_c4) FROM rev)
-    """,
-)
-def olap_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
-    then the supplier(s) achieving the maximum — the tie-INCLUSIVE
-    formulation (all maximal suppliers, not an arbitrary one), which is
-    only deterministic because revenue is an exact c4 integer; a float
-    sum here could make the equality test partition-order-dependent.
-    The scalar max broadcasts as a one-row cross join."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    s = load(spark, sf, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(_rev_c4()).alias("total_revenue_c4")
-    )
-    mx = rev.agg(F.max("total_revenue_c4").alias("max_rev"))
-    return (
-        s.join(rev, s.s_suppkey == rev.l_suppkey)
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue_c4") == F.col("max_rev"))
-        .select("s_suppkey", "s_name", "total_revenue_c4")
-    )
-
-
-@query(
-    "olap_q16_supplier_cnt",
-    oracle="""
-    SELECT p.p_brand, p.p_type, p.p_size,
-           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#45'
-      AND NOT EXISTS (SELECT 1 FROM supplier s
-                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
-    GROUP BY p.p_brand, p.p_type, p.p_size
-    """,
-)
-def olap_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q16 shape (parts/supplier relationship), reshaped: with no
-    partsupp the supplier-per-part-spec census runs over lineitem, and
-    the 'customer complaints' exclusion becomes negative-balance
-    suppliers. The excluded-supplier set is tiny -> broadcast ANTI
-    join before the distinct-count agg; count(DISTINCT) shuffles once
-    on the (brand, type, size) grid."""
-    li = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").filter(F.col("p_brand") != "Brand#45")
-    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
-    return (
-        li.join(
-            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
-        )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-    )
-
-
-@query(
-    "olap_q20_dominant_suppliers",
-    oracle="""
-    WITH sq AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1998-01-01'
-      GROUP BY l_partkey, l_suppkey
-    ), pt AS (
-      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
-      FROM sq GROUP BY l_partkey
-    )
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-         AND n.n_name = 'NATION_5'
-    WHERE EXISTS (
-      SELECT 1 FROM sq
-      JOIN pt ON pt.l_partkey = sq.l_partkey
-      JOIN part p ON p.p_partkey = sq.l_partkey AND p.p_name LIKE 'red %'
-      WHERE sq.l_suppkey = s.s_suppkey AND sq.supp_qty * 4 > pt.part_qty
-    )
-    """,
-)
-def olap_q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q20 shape (potential part promotion), reshaped: with no
-    partsupp availqty, a supplier 'dominates' a red part when it
-    shipped more than a quarter of that part's total 1997 quantity. Two
-    stacked integer aggs on the pre-filtered fact, a broadcast part
-    filter, then a LEFT SEMI join into the nation-filtered supplier
-    dim — the EXISTS decorrelates to a semi-join on suppkey, so
-    supplier rows never duplicate. All-quantity integer math keeps the
-    x2 > total comparison exact."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    p = load(spark, sf, "part").filter(F.col("p_name").like("red %"))
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
-    sq = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
-    )
-    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum("supp_qty").alias("part_qty")
-    )
-    dominant = (
-        sq.join(pt, sq.l_partkey == F.col("pt_partkey"))
-        .join(F.broadcast(p), sq.l_partkey == p.p_partkey)
-        .filter(F.col("supp_qty") * 4 > F.col("part_qty"))
-        .select("l_suppkey")
-    )
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
-        .select("s_suppkey", "s_name")
-    )
-
-
-@query(
-    "olap_q21_waiting_suppliers",
-    oracle="""
-    WITH li AS (
-      SELECT l.l_orderkey, l.l_suppkey,
-             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-           AND o.o_orderstatus = 'F'
-    )
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM li l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-         AND n.n_name = 'NATION_2'
-    WHERE l1.late
-      AND EXISTS (SELECT 1 FROM li l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM li l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.late)
-    GROUP BY s.s_name
-    """,
-)
-def olap_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting), reshaped:
-    lateness is shipping >60 days after the order date (no
-    receipt/commit dates in the testdata). The EXISTS/NOT-EXISTS pair
-    decorrelates into ONE order-level aggregate — n_supps =
-    countDistinct(suppkey), n_late_supps = countDistinct(suppkey when
-    late) — joined back to the late rows: EXISTS(other supplier) is
-    n_supps >= 2, NOT EXISTS(other late supplier) is n_late_supps = 1
-    given this row is late. One extra agg replaces two correlated
-    fact self-joins; both formulations must and do agree (the oracle
-    keeps the EXISTS form)."""
-    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    li = (
-        load(spark, sf, "lineitem")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-            ).alias("late"),
-        )
-    )
-    stats = li.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supps"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
-    )
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
-    return (
-        li.filter(F.col("late"))
-        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
-        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-@query(
-    "olap_q8_market_share",
-    oracle="""
-    WITH flows AS (
-      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4,
-             n2.n_name AS supp_nation
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
-    )
-    SELECT o_year,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN rev_c4
-                         ELSE 0 END) AS BIGINT) AS nation_rev_c4,
-           CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN rev_c4
-                         ELSE 0 END) AS DOUBLE)
-             / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
-    FROM flows GROUP BY o_year
-    """,
-)
-def olap_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q8 shape (national market share): NATION_9's share of
-    supplier revenue into ASIA-region customers, by order year. The
-    conditional-sum-over-sum idiom computes the share in one agg pass
-    (no self-join); numerator and denominator are exact c4 integers, so
-    the final double division is a single bit-reproducible op. All five
-    dims broadcast; the one shuffle is lineitem-orders on orderkey."""
-    li = load(spark, sf, "lineitem")
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    n1 = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
-    )
-    n2 = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    nat = F.when(F.col("supp_nation") == "NATION_9", F.col("rev_c4")).otherwise(
-        F.lit(0)
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            _rev_c4().alias("rev_c4"),
-            "supp_nation",
-        )
-        .groupBy("o_year")
-        .agg(
-            F.sum(nat).alias("nation_rev_c4"),
-            F.sum("rev_c4").alias("total_rev_c4"),
-            (
-                F.sum(nat).cast("double") / F.sum("rev_c4").cast("double")
-            ).alias("mkt_share"),
-        )
-    )
-
-
-@query(
-    "win_cumulative_distinct",
-    oracle="""
-    WITH firsts AS (
-      SELECT event_type, user_id, min(ts) AS first_ts
-      FROM events GROUP BY event_type, user_id
-    ), daily AS (
-      SELECT event_type, date_trunc('day', first_ts) AS day,
-             CAST(count(*) AS BIGINT) AS new_users
-      FROM firsts GROUP BY event_type, day
-    )
-    SELECT event_type, day, new_users,
-           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS cum_distinct_users
-    FROM daily
-    """,
-)
-def win_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """Running COUNT(DISTINCT) — the growth-curve query (cumulative
-    unique users per event type by day). A windowed count-distinct is
-    not directly computable at scale; the standard decomposition is
-    first-occurrence extraction (one agg on (type, user)), daily
-    new-user counts (second agg), then a plain running SUM window —
-    distinctness is resolved BEFORE the window, so state never exceeds
-    one row per (type, day). The window partitions by event_type and
-    parallelizes across types."""
-    e = load(spark, sf, "events")
-    firsts = e.groupBy("event_type", "user_id").agg(
-        F.min("ts").alias("first_ts")
-    )
-    daily = firsts.groupBy(
-        "event_type", F.date_trunc("day", F.col("first_ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("new_users"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("day").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return daily.select(
-        "event_type",
-        "day",
-        "new_users",
-        F.sum("new_users").over(w).alias("cum_distinct_users"),
-    )
-
-
-@query(
-    "text_source_overlap",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ), grams AS (
-      SELECT source,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
-                            t[i+6] || ' ' || t[i+7]
-                            for i in range(1, len(t) - 6)]) AS g
-      FROM toks WHERE len(t) >= 8
-    ), sg AS (
-      SELECT DISTINCT source, unnest(g) AS gram FROM grams
-    ), sizes AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sg
-      GROUP BY source
-    ), inter AS (
-      SELECT a.source AS src_a, b.source AS src_b,
-             CAST(count(*) AS BIGINT) AS n_common
-      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
-      GROUP BY src_a, src_b
-    )
-    SELECT i.src_a, i.src_b, i.n_common,
-           sa.n_grams AS grams_a, sb.n_grams AS grams_b,
-           CAST(i.n_common AS DOUBLE)
-             / CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE)
-             AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.source = i.src_a
-    JOIN sizes sb ON sb.source = i.src_b
-    """,
-)
-def text_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-source contamination matrix: 8-gram Jaccard overlap
-    between every pair of corpus sources — the dataset-level view of
-    `curation_decontaminate` (which checks documents against a single
-    eval set). Inverted-index shape: distinct (source, gram) pairs
-    shuffle once; the pair join is per-gram with source<source
-    dedup, so a gram shared by k sources yields k(k-1)/2 counted
-    pairs, never a cross join of documents. Set sizes join back
-    broadcast (one row per source). Jaccard divides exact BIGINTs."""
-    from ..functions.dedup import word_shingles
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    sg = d.select(
-        "source",
-        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
-    ).distinct()
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sg.alias("a")
-    b = sg.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("source").alias("sa_src"), F.col("n_grams").alias("grams_a")
-    )
-    sb = sizes.select(
-        F.col("source").alias("sb_src"), F.col("n_grams").alias("grams_b")
-    )
-    return (
-        inter.join(F.broadcast(sa), F.col("src_a") == F.col("sa_src"))
-        .join(F.broadcast(sb), F.col("src_b") == F.col("sb_src"))
-        .select(
-            "src_a",
-            "src_b",
-            "n_common",
-            "grams_a",
-            "grams_b",
-            (
-                F.col("n_common").cast("double")
-                / (
-                    F.col("grams_a") + F.col("grams_b") - F.col("n_common")
-                ).cast("double")
-            ).alias("jaccard"),
-        )
-    )
-
-
-# ===========================================================================
-# Coverage round 3: graph analytics over co-occurrence edges, containment
-# dedup, reduced-schema TPC-H Q2/Q11, gaps-and-islands, incremental dedup,
-# IVF recall
-# ===========================================================================
-
-# Part co-occurrence graph: two parts are adjacent when some 1997 order
-# shipped both. ~1.7k nodes / ~2.5k edges at sf0.01 — sparse, with real
-# triangle structure. The Spark side builds it with one self-equi-join
-# on orderkey (never all-pairs across orders).
-
-_COOCCUR_EDGES_SQL = """
-    li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-01-01'
-    ),
-    edges AS (
-      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    )
-"""
-
-
-def _cooccur_edges(spark: SparkSession, sf: str) -> DataFrame:
-    li = (
-        load(spark, sf, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
-    return (
-        a.join(b, on="_o")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-
-
-@query(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL}
-    SELECT
-      (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT dst FROM edges))
-        AS n_nodes,
-      (SELECT count(*) FROM edges) AS n_edges,
-      (SELECT count(*) FROM edges e1
-         JOIN edges e2 ON e2.src = e1.dst
-         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
-    """,
-)
-def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Degree-oriented wedge counting (graph.py) vs the oracle's naive
-    a<b<c triple join — different physical strategy, same count. The
-    orientation bounds wedge fan-out by the arboricity, which is what
-    survives a power-law degree distribution at 100 TB; the oracle's
-    e1⋈e2 join explodes on hot vertices."""
-    return gr.triangle_count(gr.undirected_edges(_cooccur_edges(spark, sf)))
-
-
-@query(
-    "graph_degree_topk",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    d AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
-    deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src)
-    SELECT node, deg, rank FROM (
-      SELECT node, deg,
-             ROW_NUMBER() OVER (ORDER BY deg DESC, node ASC) AS rank
-      FROM deg)
-    WHERE rank <= 20
-    """,
-)
-def graph_degree_topk(spark: SparkSession, sf: str) -> DataFrame:
-    deg = gr.degrees(gr.undirected_edges(_cooccur_edges(spark, sf)))
-    w = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
-    return (
-        deg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("node", "deg", "rank")
-    )
-
-
-def _pagerank_oracle(iters: int, edges_sql: str | None = None) -> str:
-    edges_sql = edges_sql or _COOCCUR_EDGES_SQL
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(
-            f"""
-    pr{i} AS (
-      SELECT d.dst AS node,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-             + CAST(0.85 AS DOUBLE) * list_reduce(
-                 list_sort(list(p.pr / deg.outdeg)), (x, y) -> x + y) AS pr
-      FROM d
-      JOIN pr{i - 1} p ON d.src = p.node
-      JOIN deg ON deg.node = d.src
-      CROSS JOIN nn
-      GROUP BY d.dst, nn.n
-    )"""
-        )
-    return f"""
-    WITH {edges_sql},
-    d AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
-    deg AS (SELECT src AS node, count(*) AS outdeg FROM d GROUP BY src),
-    nn AS (SELECT count(*) AS n FROM deg),
-    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg CROSS JOIN nn),
-    {",".join(steps)}
-    SELECT node, pr, rank FROM (
-      SELECT node, pr,
-             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rank
-      FROM pr{iters})
-    WHERE rank <= 20
-    """
-
-
-@query("graph_pagerank_top20", oracle=_pagerank_oracle(3))
-def graph_pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
-    """3-iteration PageRank, deterministic mode: per-node contributions
-    are folded smallest-first (array_sort + sequential aggregate), so
-    pr is bit-identical to the oracle's list_sort + list_reduce fold —
-    the float-discipline pattern this catalog uses everywhere. The
-    scale mode (deterministic=False) swaps the fold for a map-side
-    combinable SUM."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    pr = gr.pagerank(e, iterations=3, damping=0.85, deterministic=True)
-    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (
-        pr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("node", "pr", "rank")
-    )
-
-
-def _kcore_oracle(k: int, iters: int) -> str:
-    # unrolled peeling fixpoint (same MATERIALIZED discipline as the
-    # BPE oracle: e{i} is referenced by dg{i+1} and e{i+1}, so inlined
-    # CTEs would re-evaluate exponentially)
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(f"""
-    dg{i} AS (
-      SELECT node, count(*) AS deg
-      FROM (SELECT src AS node FROM e{i - 1}
-            UNION ALL SELECT dst AS node FROM e{i - 1})
-      GROUP BY node
-    ),
-    kp{i} AS MATERIALIZED (SELECT node FROM dg{i} WHERE deg >= {k}),
-    e{i} AS MATERIALIZED (
-      SELECT e.src, e.dst
-      FROM e{i - 1} e
-      JOIN kp{i} a ON e.src = a.node
-      JOIN kp{i} b ON e.dst = b.node
-    )""")
-    return f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    e0 AS MATERIALIZED (SELECT src, dst FROM edges),
-    {",".join(steps)},
-    dgf AS (
-      SELECT node, count(*) AS deg
-      FROM (SELECT src AS node FROM e{iters}
-            UNION ALL SELECT dst AS node FROM e{iters})
-      GROUP BY node
-    )
-    SELECT node, CAST(deg AS BIGINT) AS core_deg
-    FROM dgf WHERE deg >= {k}
-    """
-
-
-@query("graph_kcore_membership", oracle=_kcore_oracle(3, 16))
-def graph_kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
-    """3-core of the part co-occurrence graph (node, degree within the
-    core): peeling fixpoint, 16 fixed rounds (convergence within the
-    budget is pytest-asserted — an extra round is a no-op). The oracle
-    replays the peel unrolled, so every intermediate frontier is
-    hash-checked through the final membership."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    return gr.kcore(e, k=3, max_iterations=16)
-
-
-@query(
-    "olap_q2_min_cost_supplier",
-    oracle="""
-    WITH cost AS (
-      SELECT l_partkey, l_suppkey,
-             min(l_extendedprice / l_quantity) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey
-    ), eligible AS (
-      SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name
-      FROM cost c
-      JOIN supplier s ON s.s_suppkey = c.l_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'ASIA'
-    ), ranked AS (
-      SELECT p.p_partkey, p.p_name, e.l_suppkey AS s_suppkey, e.s_name,
-             e.unit_cost,
-             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
-                                ORDER BY e.unit_cost ASC, e.l_suppkey ASC) AS rn
-      FROM eligible e JOIN part p ON p.p_partkey = e.l_partkey
-      WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
-    )
-    SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
-    FROM ranked WHERE rn = 1
-    """,
-)
-def olap_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q2 shape (min-cost supplier) on the reduced schema: with
-    no partsupp, unit cost is min(l_extendedprice/l_quantity) observed
-    per (part, supplier). The correlated MIN subquery decorrelates into
-    a per-part window rank; region/nation/supplier/part dims all
-    broadcast, so the only shuffles are the cost aggregation and the
-    final per-part window. min() over doubles is order-independent —
-    bit-stable under any partitioning."""
-    li = load(spark, sf, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    sdim = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name")
-    )
-    p = load(spark, sf, "part").filter(
-        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
-    )
-    w = Window.partitionBy("p_partkey").orderBy(
-        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
-    )
-    return (
-        cost.join(F.broadcast(sdim), cost.l_suppkey == sdim.s_suppkey)
-        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
-    )
-
-
-@query(
-    "olap_q11_important_parts",
-    oracle="""
-    WITH nsupp AS (
-      SELECT s_suppkey FROM supplier s
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name IN ('NATION_3', 'NATION_7')
-    ), pq AS (
-      SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty
-      FROM lineitem JOIN nsupp ON l_suppkey = s_suppkey
-      GROUP BY l_partkey
-    ), tot AS (SELECT CAST(SUM(part_qty) AS BIGINT) AS total_qty FROM pq)
-    SELECT l_partkey, part_qty FROM pq CROSS JOIN tot
-    WHERE part_qty * 1000 > total_qty
-    """,
-)
-def olap_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q11 shape (important stock) on the reduced schema: parts
-    whose shipped-quantity share from two nations' suppliers exceeds
-    0.1% of that group's total. The HAVING-vs-global-scalar compare is
-    a broadcast of ONE row (the grand total re-aggregated from the
-    per-part partials — no second scan), and the share test is integer
-    cross-multiplication: exact, no float thresholds."""
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation").filter(
-        F.col("n_name").isin("NATION_3", "NATION_7")
-    )
-    nsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
-        "s_suppkey"
-    )
-    li = load(spark, sf, "lineitem")
-    pq = (
-        li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("part_qty"))
-    )
-    tot = pq.agg(F.sum("part_qty").alias("total_qty"))
-    return (
-        pq.join(F.broadcast(tot))
-        .filter(F.col("part_qty") * 1000 > F.col("total_qty"))
-        .select("l_partkey", "part_qty")
-    )
-
-
-@query(
-    "gaps_islands_user_days",
-    oracle="""
-    WITH days AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-    ), rn AS (
-      SELECT user_id, d,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
-      FROM days
-    ), isl AS (
-      SELECT user_id, d, (d - DATE '1970-01-01') - rn AS grp FROM rn
-    )
-    SELECT user_id, CAST(min(d) AS VARCHAR) AS start_day,
-           CAST(max(d) AS VARCHAR) AS end_day,
-           count(*) AS n_days
-    FROM isl GROUP BY user_id, grp
-    """,
-)
-def gaps_islands_user_days(spark: SparkSession, sf: str) -> DataFrame:
-    """Gaps-and-islands: maximal runs of consecutive active days per
-    user. The classic row_number-minus-day-index trick — a run of
-    consecutive days shares (day_index − rank), so islands fall out of
-    one window plus one aggregate. Both shuffles hash on user_id;
-    all-integer island keys."""
-    days = (
-        load(spark, sf, "events")
-        .select("user_id", F.col("ts").cast("date").alias("d"))
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("d")
-    isl = days.withColumn(
-        "grp",
-        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-        - F.row_number().over(w),
-    )
-    return isl.groupBy("user_id", "grp").agg(
-        F.min("d").cast("string").alias("start_day"),
-        F.max("d").cast("string").alias("end_day"),
-        F.count(F.lit(1)).alias("n_days"),
-    ).select("user_id", "start_day", "end_day", "n_days")
-
-
-_NGRAM3_SQL = """
-    toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (
-      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-"""
-
-
-@query(
-    "dedup_containment_pairs",
-    oracle=f"""
-    WITH {_NGRAM3_SQL}
-    SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)
-             AS overlap
-    FROM inter
-    WHERE CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= 0.9
-    """,
-)
-def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Overlap-coefficient (containment) near-dup pairs — catches
-    excerpt/boilerplate-wrapped subsets that Jaccard misses. Prefix
-    filter on the smaller doc of each pair; exact array_intersect
-    verification (dedup.ngram_overlap_pairs)."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_overlap_pairs(d, n=3, threshold=0.9)
-    return pairs.select(
-        "id_a", "id_b", F.col("n_common").cast("long").alias("n_common"), "overlap"
-    )
-
-
-@query(
-    "dedup_incremental_batch",
-    oracle=f"""
-    WITH {_NGRAM3_SQL},
-    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-    base  AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-    exd AS (
-      SELECT b.doc_id, min(s.doc_id) AS exact_dup_of
-      FROM batch b JOIN base s ON md5(b.text) = md5(s.text)
-      GROUP BY b.doc_id
-    ),
-    near AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ),
-    nd AS (
-      SELECT doc_id, min(other) AS near_dup_of FROM (
-        SELECT id_a AS doc_id, id_b AS other FROM near
-        WHERE id_a % 10 = 0 AND id_b % 10 <> 0
-        UNION ALL
-        SELECT id_b AS doc_id, id_a AS other FROM near
-        WHERE id_b % 10 = 0 AND id_a % 10 <> 0
-      ) GROUP BY doc_id
-    )
-    SELECT b.doc_id,
-           COALESCE(e.exact_dup_of, -1) AS exact_dup_of,
-           COALESCE(n.near_dup_of, -1) AS near_dup_of
-    FROM batch b
-    LEFT JOIN exd e ON e.doc_id = b.doc_id
-    LEFT JOIN nd n ON n.doc_id = b.doc_id
-    """,
-)
-def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental-ingest dedup: every 10th doc is the 'new batch', the
-    rest the standing corpus. Each batch doc resolves its earliest
-    exact duplicate (md5 equi-join — only 16-byte digests shuffle, not
-    text) and its earliest 3-gram-Jaccard≥0.8 near-duplicate in the
-    corpus. At 100 TB the corpus side of both joins is the pre-built
-    index you keep between ingests; nothing here rescans the corpus
-    text."""
-    d = load(spark, sf, "documents")
-    batch = d.filter(F.col("doc_id") % 10 == 0)
-    base = d.filter(F.col("doc_id") % 10 != 0)
-    bh = batch.select("doc_id", F.md5("text").alias("_h"))
-    sh = base.select(F.col("doc_id").alias("_sid"), F.md5("text").alias("_h"))
-    exd = (
-        bh.join(sh, on="_h")
-        .groupBy("doc_id")
-        .agg(F.min("_sid").alias("exact_dup_of"))
-    )
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    c1 = pairs.filter(
-        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0)
-    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("other"))
-    c2 = pairs.filter(
-        (F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)
-    ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
-    nd = c1.unionAll(c2).groupBy("doc_id").agg(
-        F.min("other").alias("near_dup_of")
-    )
-    return (
-        batch.select("doc_id")
-        .join(exd, on="doc_id", how="left")
-        .join(nd, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce("exact_dup_of", F.lit(-1)).alias("exact_dup_of"),
-            F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
-        )
-    )
-
-
-_IVFR_CENT = sim.md5_centroids(n_centroids=32, dim=64, tag="ivfr")
-
-_IVFR_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sims AS (
-  SELECT vec_id, unnest(range(0, 32)) AS j,
-         unnest([{", ".join(
-             f"list_dot_product(v, [{', '.join(repr(x) for x in c)}])"
-             for c in _IVFR_CENT
-         )}]) AS s
-  FROM e
-),
-probes AS (
-  SELECT vec_id, j,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY s DESC, j ASC) AS rn
-  FROM sims
-),
-cells AS (SELECT vec_id, j AS cell FROM probes WHERE rn = 1),
-cand AS (
-  SELECT p.vec_id AS id_a, c.vec_id AS id_b
-  FROM probes p JOIN cells c ON c.cell = p.j AND c.vec_id <> p.vec_id
-  WHERE p.rn <= 4
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-),
-exact AS (
-  SELECT id_a, id_b
-  FROM (SELECT id_a, id_b,
-               row_number() OVER (PARTITION BY id_a
-                                  ORDER BY cos DESC, id_b ASC) AS rn
-        FROM pairs)
-  WHERE rn <= 5
-),
-ivf AS (
-  SELECT id_a, id_b
-  FROM (SELECT cand.id_a, cand.id_b,
-               row_number() OVER (PARTITION BY cand.id_a
-                                  ORDER BY p.cos DESC, cand.id_b ASC) AS rn
-        FROM cand JOIN pairs p
-          ON p.id_a = cand.id_a AND p.id_b = cand.id_b)
-  WHERE rn <= 5
-)
-SELECT 5 AS k,
-       (SELECT count(*) FROM exact) AS n_exact,
-       (SELECT count(*) FROM exact JOIN ivf USING (id_a, id_b)) AS n_hits,
-       CAST(floor((SELECT count(*) FROM exact JOIN ivf USING (id_a, id_b))
-                  * 10000.0 / (SELECT count(*) FROM exact))
-            AS BIGINT) AS recall_bps
-"""
-
-
-@query("sim_ivf_recall_at_k", oracle=_IVFR_ORACLE)
-def sim_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
-    """Driver-visible recall@5 of IVF (n_probe=4 of 32 cells) against
-    the exact top-k — the IVF twin of sim_lsh_recall_at_k, so the
-    probe-count/recall tradeoff is a recorded artifact.
-
-    Oracle-paired since round 6 (VERDICT_r5 item 6): the coarse
-    quantizer is md5-keystream unit centroids (``md5_centroids``)
-    whose normalized double literals are embedded in the SQL twin, and
-    per-query cell ORDER under cosine equals raw dot(v, c_j) order
-    (unit centroids, positive per-query norm), so DuckDB replays cell
-    assignment, probe routing, AND both top-k's — the recall number
-    itself is hash-verified. Trained-k-means production recall stays
-    floor-pinned in tests/test_similarity_guard.py."""
-    e = load(spark, sf, "embeddings")
-    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
-    ivf = sim.ivf_topk(
-        e, k=5, n_centroids=32, n_probe=4, md5_centroid_tag="ivfr", dim=64
-    ).select("vec_id", "neighbor_id")
-    hits = exact.join(ivf, on=["vec_id", "neighbor_id"])
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .select(
-            F.lit(5).alias("k"),
-            "n_exact",
-            "n_hits",
-            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
-                "recall_bps"
-            ),
-        )
-    )
-
-
-@query(
-    "ts_session_window_agg",
-    oracle="""
-    WITH o AS (
-      -- session_window is [ts, ts+gap): a gap of EXACTLY 30 min starts
-      -- a new session, hence >= on exact integer microseconds
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-      SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sess
-      FROM o
-    )
-    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
-           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s
-    FROM s GROUP BY user_id, sess
-    """,
-)
-def ts_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Native ``F.session_window`` (30 min gap) aggregation — the same
-    semantics the manual sessionize_gap30m builds from lag + running
-    sum, but expressed with Spark's built-in session window, which is
-    what the STREAMING path uses (state-store backed, watermark-aware).
-    This catalog twin proves the native operator against the classic
-    gaps-and-islands SQL formulation.
-
-    Output keys on (user, session min/max event time) — the window's
-    own [start, end) adds the gap padding, so we aggregate the event
-    timestamps instead: engine-neutral."""
-    e = load(spark, sf, "events")
-    return (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.floor(_usec(F.min("ts")) / 1_000_000).cast("long").alias("start_s"),
-            F.floor(_usec(F.max("ts")) / 1_000_000).cast("long").alias("last_s"),
-        )
-        .select("user_id", "n_events", "start_s", "last_s")
-    )
-
-
-@query(
-    "win_first_last_nth",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           first_value(o_orderkey) OVER w AS first_ok,
-           last_value(o_orderkey)
-             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             AS last_ok,
-           nth_value(o_orderkey, 2) OVER w AS second_ok
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def win_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
-    """first/last/nth_value over an explicit full-partition frame — the
-    frame matters: the SQL-default RANGE..CURRENT ROW makes last_value
-    a running value, a classic silent-wrong-answer; both engines get
-    the explicit unbounded frame."""
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    o = load(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.first("o_orderkey").over(w).alias("first_ok"),
-        F.last("o_orderkey").over(w).alias("last_ok"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
-    )
-
-
-@query(
-    "topk_heavy_tokens",
-    oracle="""
-    WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS key
-      FROM documents
-    ), freq AS (
-      SELECT key, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY key
-    )
-    SELECT key, n, rank FROM (
-      SELECT key, n,
-             row_number() OVER (ORDER BY n DESC, key ASC) AS rank
-      FROM freq)
-    WHERE rank <= 20
-    """,
-)
-def topk_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact top-20 corpus tokens via the Misra–Gries sketch-pruned
-    two-pass path (functions/topk.py): per-partition capacity-m
-    summaries shuffle instead of every distinct token, then only the
-    merged candidates recount exactly. The oracle is the naive
-    full-shuffle top-k — the sketch path must be bit-identical on this
-    Zipfian distribution (the guarantee holds when the true 20th count
-    clears the N/(m+1)-per-truncation undercount bound)."""
-    from ..functions import topk as tk
-
-    d = load(spark, sf, "documents").select(
-        F.explode(tx.tokens("text")).alias("tok")
-    )
-    return tk.sketch_pruned_topk(d, "tok", k=20, m=512)
-
-
-@query(
-    "join_asof_forward",
-    oracle="""
-    WITH orders_d AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    )
-    SELECT e.event_id, e.user_id, o.o_orderkey
-    FROM events e ASOF LEFT JOIN orders_d o
-      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-    """,
-)
-def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
-    """Forward as-of: earliest order at or after each event — the
-    union + single-window formulation of join_asof with the frame
-    flipped to (currentRow, unboundedFollowing)."""
-    from ..operators import asof_join
-
-    e = load(spark, sf, "events").select(
-        "event_id", F.col("user_id"), _usec(F.col("ts")).alias("_ts_us")
-    )
-    o = (
-        load(spark, sf, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
-            "o_orderkey",
-        )
-    )
-    out = asof_join(
-        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
-        right_payload=["o_orderkey"], direction="forward",
-    )
-    return out.select("event_id", "user_id", "o_orderkey")
-
-
-@query(
-    "join_asof_nearest",
-    oracle="""
-    WITH orders_d AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    ), b AS (
-      SELECT e.event_id, e.user_id, e.ts,
-             o.o_orderkey AS b_ok, o.o_orderdate AS b_t
-      FROM events e ASOF LEFT JOIN orders_d o
-        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-    ), f AS (
-      SELECT e.event_id, o.o_orderkey AS f_ok, o.o_orderdate AS f_t
-      FROM events e ASOF LEFT JOIN orders_d o
-        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-    )
-    SELECT b.event_id, b.user_id,
-           CASE WHEN f.f_t IS NULL
-                  OR (b.b_t IS NOT NULL
-                      AND epoch_us(b.ts) - epoch_us(b.b_t)
-                          <= epoch_us(f.f_t) - epoch_us(b.ts))
-                THEN b.b_ok ELSE f.f_ok END AS o_orderkey
-    FROM b JOIN f USING (event_id)
-    """,
-)
-def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
-    """Nearest as-of (ties -> backward, the pandas merge_asof
-    convention): both directional carries run over the SAME key
-    exchange (two ordered passes, one shuffle) and the closer match
-    wins on exact integer-microsecond deltas."""
-    from ..operators import asof_join
-
-    e = load(spark, sf, "events").select(
-        "event_id", F.col("user_id"), _usec(F.col("ts")).alias("_ts_us")
-    )
-    o = (
-        load(spark, sf, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_od_us"),
-            "o_orderkey",
-        )
-    )
-    out = asof_join(
-        e, o, on="user_id", left_time="_ts_us", right_time="_od_us",
-        right_payload=["o_orderkey"], direction="nearest",
-    )
-    return out.select("event_id", "user_id", "o_orderkey")
-
-
-@query(
-    "curation_winsorize",
-    oracle="""
-    WITH cents AS (
-      SELECT event_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS c
-      FROM events
-    ), bounds AS (
-      SELECT event_type,
-             quantile_cont(c, 0.05) AS lo,
-             quantile_cont(c, 0.95) AS hi
-      FROM cents GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type, e.c,
-           least(greatest(CAST(e.c AS DOUBLE), b.lo), b.hi) AS c_winsorized,
-           (CAST(e.c AS DOUBLE) < b.lo OR CAST(e.c AS DOUBLE) > b.hi)
-             AS clipped
-    FROM cents e JOIN bounds b ON e.event_type = b.event_type
-    """,
-)
-def curation_winsorize(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group winsorization (outlier clipping at exact p05/p95) —
-    the feature-cleaning step before training-metadata aggregation. Two
-    shuffles: the exact grouped percentile (integer cents, the proven
-    bit-identical quantile_cont twin) and the clip itself is a
-    broadcast join of |groups| rows back onto the stream. The clipped
-    value stays DOUBLE: least/greatest SELECT one of two bit-identical
-    doubles, so parity is exact (a BIGINT re-cast would diverge —
-    Spark truncates, DuckDB rounds)."""
-    cents = load(spark, sf, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
-    bounds = cents.groupBy("event_type").agg(
-        F.percentile("c", F.lit(0.05)).alias("lo"),
-        F.percentile("c", F.lit(0.95)).alias("hi"),
-    )
-    cd = F.col("c").cast("double")
-    return (
-        cents.join(F.broadcast(bounds), on="event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "c",
-            F.least(F.greatest(cd, F.col("lo")), F.col("hi")).alias(
-                "c_winsorized"
-            ),
-            ((cd < F.col("lo")) | (cd > F.col("hi"))).alias("clipped"),
-        )
-    )
-
-
-@query(
-    "cdc_apply_log",
-    oracle="""
-    WITH log AS (
-      SELECT event_id, user_id AS pk, ts,
-             CAST(round(value * 100) AS BIGINT) AS val_cents,
-             CASE WHEN event_id % 11 = 0 THEN 'D'
-                  WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
-      FROM events
-    ), latest AS (
-      SELECT pk, ts, event_id, op, val_cents,
-             row_number() OVER (PARTITION BY pk
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM log
-    )
-    SELECT pk, val_cents, ts AS updated_ts, event_id AS last_event
-    FROM latest WHERE rn = 1 AND op <> 'D'
-    """,
-)
-def cdc_apply_log(spark: SparkSession, sf: str) -> DataFrame:
-    """CDC log application (the Delta/Hudi merge semantics, engine-
-    free): an insert/update/delete op-log collapses to the current
-    snapshot — latest op per key wins (event-time order, id tiebreak),
-    and a terminal delete removes the key entirely. One window shuffle
-    on the key; at 100 TB the same plan applies a day's log partition
-    onto a snapshot via keep-latest over the union. The op column is
-    derived deterministically from the events table so both engines see
-    the identical log."""
-    log = load(spark, sf, "events").select(
-        "event_id",
-        F.col("user_id").alias("pk"),
-        "ts",
-        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
-        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
-        .when(F.col("event_id") % 3 == 0, F.lit("U"))
-        .otherwise(F.lit("I"))
-        .alias("op"),
-    )
-    w = Window.partitionBy("pk").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            "pk",
-            "val_cents",
-            F.col("ts").alias("updated_ts"),
-            F.col("event_id").alias("last_event"),
-        )
-    )
-
-
-@query(
-    "sim_lsh_topk_exhaustive",
-    # identical oracle to sim_cosine_topk: 0 hyperplanes = one bucket =
-    # exhaustive search through the LSH machinery
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cos
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-)
-def sim_lsh_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
-    """The LSH top-k code path probed exhaustively (n_planes=0 → every
-    vector lands in one bucket): grouped-BLAS partial top-m + exact
-    sequential-fold re-rank must then be bit-identical to the brute
-    force oracle — the LSH twin of sim_ivf_topk_full_probe, upgrading
-    the LSH pipeline from rows-only to hash-verified (its approximate
-    configurations differ from this only by bucket assignment)."""
-    e = load(spark, sf, "embeddings")
-    return sim.lsh_topk(e, k=5, n_planes=0, n_tables=1, dim=64)
-
-
-@query("emb_pca_project")
-def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed PCA (functions/linalg.py): (n, Σv, Σvvᵀ) accumulate
-    per partition in one Arrow pass (one tiny row per task — no
-    shuffle), the d×d eigendecomposition runs on the driver, and the
-    centered projection onto the top-8 components is a broadcast
-    matmul. No SQL oracle — eigendecomposition is not SQL-expressible
-    and cross-partition float sums are not bit-portable across engines;
-    correctness is pinned by tests/test_linalg.py against numpy on the
-    collected data. Output: (vec_id, pc1..pc8) as SCALAR doubles
-    rounded to 6 decimals — the driver canonicalizer hashes scalar
-    cells only (an array<double> column crashed it in round 7), and
-    round(6) absorbs sub-ulp partial-sum jitter while still pinning
-    the projection values."""
-    from ..functions import linalg as la
-
-    e = load(spark, sf, "embeddings")
-    p = la.pca_project(e, dim=64, q=8)
-    return p.select(
-        "vec_id",
-        *[F.round(F.col("proj")[i], 6).alias(f"pc{i + 1}") for i in range(8)],
-    )
-
-
-@query(
-    "json_variant_extract",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
-    FROM events
-    """,
-)
-def json_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """Spark 4 VariantType path for semi-structured payloads:
-    parse_json ONCE into the binary variant encoding, then typed
-    try_variant_get extractions — the modern alternative to N
-    get_json_object re-parses when many keys are read, with open
-    schema (unknown keys -> NULL, not error). The oracle is plain
-    json_extract: variant is an encoding, not a semantics change."""
-    e = load(spark, sf, "events")
-    v = e.select("event_id", F.parse_json("props").alias("_v"))
-    return v.select(
-        "event_id",
-        F.try_variant_get("_v", "$.k", "long").alias("k"),
-        F.try_variant_get("_v", "$.missing", "long").alias("missing"),
-    )
-
-
-@query(
-    "stats_entropy_per_user",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY user_id, event_type
-    ), t AS (
-      SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id
-    ), p AS (
-      SELECT c.user_id, c.event_type,
-             CAST(c.n AS DOUBLE) / t.tot AS prob
-      FROM c JOIN t USING (user_id)
-    )
-    SELECT user_id,
-           round(-list_reduce(list_sort(list(prob * ln(prob))), (x, y) -> x + y),
-                 12) AS entropy_nats
-    FROM p GROUP BY user_id
-    """,
-)
-def stats_entropy_per_user(spark: SparkSession, sf: str) -> DataFrame:
-    """Shannon entropy of each user's event-type distribution — the
-    label-diversity metric a curation pipeline uses to spot degenerate
-    sources. Float discipline: the sum folds smallest-first (array_sort
-    + sequential aggregate ≡
-    list_sort + list_reduce). ln() itself is the one op the platforms
-    round differently (java.lang.Math.log vs libm, each ≤1 ulp), so the
-    result rounds to 12 decimals on both sides — the same rationale as
-    drift.psi_contrib."""
-    e = load(spark, sf, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
-    p = c.join(t, on="user_id").select(
-        "user_id",
-        (F.col("n").cast("double") / F.col("tot")).alias("prob"),
-    )
-    term = F.col("prob") * F.log(F.col("prob"))
-    return (
-        p.select("user_id", term.alias("_t"))
-        .groupBy("user_id")
-        .agg(
-            F.round(
-                -F.aggregate(
-                    F.array_sort(F.collect_list("_t")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                12,
-            ).alias("entropy_nats")
-        )
-    )
-
-
-@query(
-    "stats_chi2_type_dow",
-    oracle="""
-    WITH o AS (
-      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-             CAST(count(*) AS BIGINT) AS obs
-      FROM events GROUP BY event_type, dayofweek(ts)
-    ), m AS (
-      SELECT o.*,
-             CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
-             CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
-             CAST(sum(obs) OVER () AS BIGINT) AS grand
-      FROM o
-    ), terms AS (
-      SELECT event_type, dow,
-             (CAST(obs AS DOUBLE)
-              - CAST(row_tot AS DOUBLE) * col_tot / grand)
-             * (CAST(obs AS DOUBLE)
-                - CAST(row_tot AS DOUBLE) * col_tot / grand)
-             / (CAST(row_tot AS DOUBLE) * col_tot / grand) AS term
-      FROM m
-    )
-    SELECT list_reduce(list_sort(list(term)), (x, y) -> x + y) AS chi2,
-           CAST(count(*) AS BIGINT) AS n_cells
-    FROM terms
-    """,
-)
-def stats_chi2_type_dow(spark: SparkSession, sf: str) -> DataFrame:
-    """Chi-square independence statistic for event_type × day-of-week —
-    the seasonality/independence check over a contingency table that
-    never leaves the cluster: exact integer margins via three window
-    sums over the |types|×7 cell table, one float term per cell
-    (identical expression tree both engines), smallest-first fold.
-    Day numbering differs (Spark Sunday=1, DuckDB Sunday=0 — the
-    oracle shifts by +1); the statistic is relabeling-invariant but the
-    labels align for anyone extending the output."""
-    e = load(spark, sf, "events")
-    o = e.groupBy(
-        "event_type", F.dayofweek("ts").cast("long").alias("dow")
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    wr = Window.partitionBy("event_type")
-    wc = Window.partitionBy("dow")
-    wg = Window.partitionBy()
-    m = o.select(
-        "event_type",
-        "dow",
-        "obs",
-        F.sum("obs").over(wr).alias("row_tot"),
-        F.sum("obs").over(wc).alias("col_tot"),
-        F.sum("obs").over(wg).alias("grand"),
-    )
-    exp = (
-        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
-    )
-    term = (F.col("obs").cast("double") - exp) * (
-        F.col("obs").cast("double") - exp
-    ) / exp
-    return (
-        m.select(term.alias("_t"))
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("_t")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("chi2"),
-            F.count(F.lit(1)).alias("n_cells"),
-        )
-    )
-
-
-@query(
-    "seq_top_paths",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-      SELECT user_id, ts, event_id, event_type,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess
-      FROM o
-    ), paths AS (
-      SELECT user_id, sess,
-             string_agg(event_type, '>' ORDER BY ts, event_id) FILTER (rn <= 3)
-               AS path
-      FROM (SELECT user_id, sess, ts, event_id, event_type,
-                   row_number() OVER (PARTITION BY user_id, sess
-                                      ORDER BY ts, event_id) AS rn
-            FROM s)
-      GROUP BY user_id, sess
-    )
-    SELECT path, n, rank FROM (
-      SELECT path, CAST(count(*) AS BIGINT) AS n,
-             row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
-      FROM paths GROUP BY path)
-    WHERE rank <= 10
-    """,
-)
-def seq_top_paths(spark: SparkSession, sf: str) -> DataFrame:
-    """Sequence mining lite: the 10 most common session-opening
-    event-type paths (first 3 events of each 30-min-gap session).
-    Sessionize → per-session ordered prefix (sort_array over
-    (ts, event_id, type) structs — array-local, no extra shuffle) →
-    count paths. The heavy lift stays in two keyed shuffles; the
-    prefix slice bounds per-session state at 3 regardless of session
-    length."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull() | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000), 1
-    ).otherwise(0)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = e.withColumn("new_session", new_sess).withColumn(
-        "sess", F.sum("new_session").over(wsum)
-    )
-    paths = (
-        s.groupBy("user_id", "sess")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
-                ),
-                1,
-                3,
-            ).alias("_p3")
-        )
-        .select(
-            F.array_join(
-                F.transform(F.col("_p3"), lambda x: x["event_type"]), ">"
-            ).alias("path")
-        )
-    )
-    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
-    return (
-        paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("path", "n", "rank")
-    )
-
-
-@query(
-    "ts_decayed_engagement",
-    oracle="""
-    WITH w AS (
-      SELECT user_id,
-             CAST(round(value * 100) AS BIGINT) AS cents,
-             least(CAST(floor((DATE '2025-01-01' - CAST(ts AS DATE)) / 7)
-                        AS BIGINT), 62) AS age_weeks
-      FROM events
-    )
-    SELECT user_id,
-           list_reduce(
-             list_sort(list(cents / CAST(1 << age_weeks AS DOUBLE))),
-             (x, y) -> x + y) AS decayed_cents,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM w GROUP BY user_id
-    """,
-)
-def ts_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
-    """Time-decayed engagement score: Σ value · 2^(−age_weeks) per
-    user — recency weighting for user/doc quality features. The decay
-    weight is a negative power of TWO (integer shift + one division),
-    which is EXACTLY representable in binary float on both engines —
-    no exp()/pow() transcendental, whose last-ulp rounding differs per
-    platform. Terms fold smallest-first, so the score is
-    bit-reproducible with no rounding fudge. Age capped at 62 weeks of
-    shift (beyond that the weight underflows the long shift, and the
-    contribution is below one ulp anyway)."""
-    e = load(spark, sf, "events")
-    age_weeks = F.least(
-        F.floor(
-            F.datediff(F.lit("2025-01-01").cast("date"), F.col("ts").cast("date"))
-            / 7
-        ).cast("long"),
-        F.lit(62),
-    )
-    w = e.select(
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        age_weeks.alias("age_weeks"),
-    ).select(
-        "user_id",
-        # pyspark's F.shiftleft needs a literal bit count; the SQL form
-        # takes a column
-        F.expr(
-            "cents / CAST(shiftleft(1L, CAST(age_weeks AS INT)) AS DOUBLE)"
-        ).alias("_t"),
-    )
-    return w.groupBy("user_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("_t")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("decayed_cents"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query("emb_kmeans_cells")
-def emb_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed full-data Lloyd's k-means (functions/linalg.py):
-    per iteration one Arrow pass emits per-partition per-cell
-    (n, Σv) partials — ≤ partitions·k tiny rows to the driver, k×d
-    centroids broadcast back; no shuffle in the loop. This is the
-    IVF-training upgrade path when a bounded sample stops being
-    representative. Output: per-cell population + summed distance,
-    integer-exact population counts; rows-only (the iterative float
-    trajectory is not SQL-expressible), deterministic at a fixed
-    partitioning."""
-    from ..functions import linalg as la
-
-    e = load(spark, sf, "embeddings")
-    cent = la.kmeans_fit(e, dim=64, k=16, iterations=3)
-    a = la.kmeans_assign(e, cent)
-    return (
-        a.groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list("dist2")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                9,
-            ).alias("sum_dist2"),
-        )
-        .select("cell", "n_members", "sum_dist2")
-    )
-
-
-@query(
-    "text_bm25_topk",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-      FROM documents
-    ), dl AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
-    ), stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS tot_len
-      FROM dl
-    ), tf AS (
-      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
-      WHERE t IN ('join', 'filter', 'scan') GROUP BY doc_id, t
-    ), idf AS (
-      SELECT t, ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
-                   / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
-      FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t)
-      CROSS JOIN stats s
-    ), contrib AS (
-      SELECT tf.doc_id,
-             idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-             / (tf.tf + CAST(1.2 AS DOUBLE)
-                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                   + CAST(0.75 AS DOUBLE) * dl.dl
-                     / (CAST(s.tot_len AS DOUBLE) / s.n_docs))) AS c
-      FROM tf JOIN idf USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
-    )
-    SELECT doc_id, score, rank FROM (
-      SELECT doc_id,
-             round(list_reduce(list_sort(list(c)), (x, y) -> x + y), 12)
-               AS score,
-             row_number() OVER (
-               ORDER BY round(list_reduce(list_sort(list(c)), (x, y) -> x + y), 12) DESC,
-                        doc_id ASC) AS rank
-      FROM contrib GROUP BY doc_id)
-    WHERE rank <= 20
-    """,
-)
-def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term
-    query — the keyword-search ranking a corpus pipeline runs from an
-    inverted index, never a cross join: term filter → per-(doc, term)
-    tf → broadcast idf/avgdl scalars → per-doc sorted fold of ≤|q|
-    contributions. Exact integer tf/df/dl; each contribution is one
-    identical float expression tree; ln() ULP skew absorbed by the
-    12-decimal round (ranking happens on the rounded score with a
-    doc_id tiebreak, so order is engine-stable)."""
-    terms = ["join", "filter", "scan"]
-    toks = load(spark, sf, "documents").select(
-        "doc_id", F.explode(tx.tokens("text")).alias("t")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
-    )
-    tf = (
-        toks.filter(F.col("t").isin(terms))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = (
-        tf.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "t",
-            F.log(
-                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ).alias("idf"),
-        )
-    )
-    avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
-    contrib = (
-        tf.join(F.broadcast(idf), on="t")
-        .join(dl, on="doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * (F.col("tf") * (F.lit(1.2) + F.lit(1.0)))
-                / (
-                    F.col("tf")
-                    + F.lit(1.2)
-                    * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl)
-                )
-            ).alias("c"),
-        )
-    )
-    score = F.round(
-        F.aggregate(
-            F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, x: a + x
-        ),
-        12,
-    )
-    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        contrib.groupBy("doc_id")
-        .agg(score.alias("score"))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "score", "rank")
-    )
-
-
-@query(
-    "curation_contrastive_triplets",
-    oracle=f"""
-    WITH {_NGRAM3_SQL},
-    pairs AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ),
-    pos AS (
-      SELECT anchor, min(other) AS positive_id FROM (
-        SELECT id_a AS anchor, id_b AS other FROM pairs
-        UNION ALL
-        SELECT id_b AS anchor, id_a AS other FROM pairs
-      ) GROUP BY anchor
-    ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
-    SELECT anchor AS anchor_id, positive_id,
-           CASE
-             WHEN cand <> anchor AND cand <> positive_id THEN cand
-             WHEN (cand + 1) % n_docs <> anchor
-                  AND (cand + 1) % n_docs <> positive_id
-               THEN (cand + 1) % n_docs
-             ELSE (cand + 2) % n_docs
-           END AS negative_id
-    FROM (SELECT p.*, n.n_docs,
-                 (p.anchor * 7919 + 13) % n.n_docs AS cand
-          FROM pos p CROSS JOIN n)
-    """,
-)
-def curation_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
-    """(anchor, positive, negative) triplet mining for contrastive
-    training: positives are verified 3-gram-Jaccard≥0.8 near-dups
-    (earliest partner — deterministic), negatives are a fixed affine
-    hash of the anchor id over the corpus ring, skipping forward past
-    collisions with the anchor/positive (three consecutive candidates
-    cannot all collide with two ids). The pair mining reuses the
-    prefix-filtered inverted index; the negative draw is O(1) per
-    anchor — no sampling shuffle, reproducible across runs and
-    engines."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    pos = (
-        pairs.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("other"))
-        .unionAll(
-            pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("other"))
-        )
-        .groupBy("anchor")
-        .agg(F.min("other").alias("positive_id"))
-    )
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    cand = (F.col("anchor") * 7919 + 13) % F.col("n_docs")
-    c1 = (cand + 1) % F.col("n_docs")
-    c2 = (cand + 2) % F.col("n_docs")
-    neg = (
-        F.when((cand != F.col("anchor")) & (cand != F.col("positive_id")), cand)
-        .when((c1 != F.col("anchor")) & (c1 != F.col("positive_id")), c1)
-        .otherwise(c2)
-    )
-    return (
-        pos.crossJoin(F.broadcast(n))
-        .select(
-            F.col("anchor").alias("anchor_id"),
-            "positive_id",
-            neg.alias("negative_id"),
-        )
-    )
-
-
-@query(
-    "sim_crossset_topk",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE vec_id % 10 = 0
-    ), c AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE vec_id % 10 <> 0
-    ), pairs AS (
-      SELECT q.vec_id AS id_q, c.vec_id AS id_c,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v))
-                  * sqrt(list_dot_product(c.v, c.v))) AS cos
-      FROM q CROSS JOIN c
-    )
-    SELECT id_q AS vec_id, rn AS rank, id_c AS neighbor_id, cos AS cosine
-    FROM (SELECT id_q, id_c, cos,
-                 row_number() OVER (PARTITION BY id_q
-                                    ORDER BY cos DESC, id_c ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 3
-    """,
-)
-def sim_crossset_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-set retrieval (the serving shape): every 10th vector is
-    the query batch, the rest the corpus. The broadcast-queries +
-    one-corpus-pass + exact-re-rank path (similarity.crossset_topk)
-    must be bit-identical to the O(|Q|·|C|) oracle."""
-    e = load(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") % 10 == 0)
-    c = e.filter(F.col("vec_id") % 10 != 0)
-    return sim.crossset_topk(q, c, k=3)
-
-
-@query(
-    "curation_reservoir_k",
-    oracle="""
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rk'),
-                                         doc_id) AS rn
-      FROM documents)
-    WHERE rn <= 20
-    """,
-)
-def curation_reservoir_k(spark: SparkSession, sf: str) -> DataFrame:
-    """Exactly-k-per-group sampling (min(k, n) docs per source) — the
-    deterministic equivalent of a per-group reservoir: rank by a
-    content-independent md5 of the id (uniform, reproducible on any
-    partitioning/engine) and keep the first 20. One keyed window
-    shuffle; the rate-based samplers (curation_sample/stratified) can't
-    promise exact group sizes, this can."""
-    d = load(spark, sf, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rk")))
-    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("doc_id", "source")
-    )
-
-
-@query(
-    "olap_nation_revenue_share",
-    oracle="""
-    WITH rev AS (
-      SELECT n.n_regionkey AS region, n.n_name AS nation,
-             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY n.n_regionkey, n.n_name
-    )
-    SELECT region, nation, cents,
-           CAST(cents AS DOUBLE)
-             / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
-             AS region_share
-    FROM rev
-    """,
-)
-def olap_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
-    """Ratio-to-report: each nation's share of its region's revenue —
-    one aggregation (integer cents, exact), one window sum over the
-    tiny rollup (|nations| rows — the window runs post-aggregation,
-    never over the fact), one exact double division."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation").select(
-        F.col("n_nationkey"), F.col("n_regionkey").alias("region"),
-        F.col("n_name").alias("nation"),
-    )
-    rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("region", "nation")
-        .agg(F.sum("cents").alias("cents"))
-    )
-    w = Window.partitionBy("region")
-    return rev.select(
-        "region",
-        "nation",
-        "cents",
-        (
-            F.col("cents").cast("double")
-            / F.sum("cents").over(w).cast("double")
-        ).alias("region_share"),
-    )
-
-
-@query(
-    "dedup_cluster_size_histogram",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                     for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ), rec AS (
-      WITH RECURSIVE reach(node, comp) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
-      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
-    ), sizes AS (
-      SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM rec GROUP BY comp
-    )
-    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-    FROM sizes GROUP BY cluster_size
-    """,
-)
-def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup cluster-size distribution — the dedup-audit artifact
-    (how much of the corpus is 2-plexes vs big boilerplate families).
-    Connected components over the verified jaccard pairs, then two tiny
-    aggregations; singleton docs are (correctly) absent: a cluster
-    needs an edge."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    comp = dd.connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters")
-    )
-
-
-@query(
-    "stats_covar_corr",
-    oracle="""
-    WITH m AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
-             CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)
-                      * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx,
-             CAST(sum(CAST(hour(ts) AS BIGINT)
-                      * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS syy
-      FROM events GROUP BY event_type
-    )
-    SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-             AS covar_pop,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-             AS corr
-    FROM m
-    """,
-)
-def stats_covar_corr(spark: SparkSession, sf: str) -> DataFrame:
-    """Population covariance and Pearson correlation of (value cents,
-    hour-of-day) per event type — computed from EXACT integer moments
-    (n, Σx, Σy, Σxy, Σx², Σy²) so the only float ops are the final
-    divisions/sqrts on identical integers. The built-in covar_pop/corr
-    use streaming merge formulas whose float accumulation order is
-    partition-dependent — fine numerically, but not bit-reproducible
-    across engines; the moment decomposition is, and it is exactly the
-    map-side-combinable shape a 100 TB aggregation wants (six longs per
-    group). Overflow bound: |cents| ≤ 10^5, n ≤ 10^12 rows/group fits
-    int64 for Σx²."""
-    e = load(spark, sf, "events")
-    x = F.round(F.col("value") * 100).cast("long")
-    y = F.hour("ts").cast("long")
-    m = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    return m.select(
-        "event_type",
-        "n",
-        (num / (F.col("n").cast("double") * F.col("n"))).alias("covar_pop"),
-        (
-            num
-            / (
-                F.sqrt(
-                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                        "double"
-                    )
-                )
-                * F.sqrt(
-                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                        "double"
-                    )
-                )
-            )
-        ).alias("corr"),
-    )
-
-
-@query(
-    "dedup_rate_by_source",
-    oracle=f"""
-    WITH {_NGRAM3_SQL},
-    pairs AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ),
-    dup_docs AS (
-      SELECT DISTINCT doc_id FROM (
-        SELECT id_a AS doc_id FROM pairs
-        UNION ALL SELECT id_b FROM pairs)
-    )
-    SELECT d.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
-           CAST(count(dd.doc_id) AS DOUBLE) / count(*) AS dup_rate
-    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
-    GROUP BY d.source
-    """,
-)
-def dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    """Duplication audit per source — the first chart in any corpus
-    report: how much of each feed is near-duplicated (3-gram
-    Jaccard≥0.8, either side of a verified pair). Exact integer counts,
-    one final division."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    dup = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
-    return (
-        d.select("doc_id", "source")
-        .join(F.broadcast(dup), on="doc_id", how="left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count("_dup").alias("n_dup_docs"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_dup_docs",
-            (
-                F.col("n_dup_docs").cast("double") / F.col("n_docs")
-            ).alias("dup_rate"),
-        )
-    )
-
-
-@query(
-    "olap_rolling_3mo_revenue",
-    oracle="""
-    WITH m AS (
-      SELECT n.n_name AS nation,
-             date_trunc('month', o.o_orderdate) AS month,
-             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
-    )
-    SELECT nation, strftime(month, '%Y-%m') AS month, cents,
-           CAST(SUM(cents) OVER (PARTITION BY nation ORDER BY month
-                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS cents_3mo
-    FROM m
-    """,
-)
-def olap_rolling_3mo_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Monthly revenue per nation with a 3-month moving total — the
-    rollup-then-window shape: the window runs over the |nations|×
-    |months| aggregate, never the fact; integer cents keep the moving
-    sum exact. (ROWS not RANGE: months are contiguous in this data;
-    ts_rolling_7d shows the calendar-aware RANGE variant.)"""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
-    )
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    m = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("nation", "month")
-        .agg(F.sum("cents").alias("cents"))
-    )
-    w = (
-        Window.partitionBy("nation")
-        .orderBy("month")
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return m.select(
-        "nation",
-        F.date_format("month", "yyyy-MM").alias("month"),
-        "cents",
-        F.sum("cents").over(w).alias("cents_3mo"),
-    )
-
-
-@query(
-    "ts_autocorr_lag1",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY CAST(ts AS DATE)
-    ), lagged AS (
-      SELECT n AS x, lead(n) OVER (ORDER BY d) AS y FROM daily
-    ), m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-      FROM lagged WHERE y IS NOT NULL
-    )
-    SELECT n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
-    FROM m
-    """,
-)
-def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
-    """Lag-1 autocorrelation of the daily event-count series — the
-    seasonality smoke test. Daily counts are exact integers, the
-    (x, next-x) pairing is one ordered window over |days| rows, and the
-    correlation comes from the same exact-integer-moment decomposition
-    as stats_covar_corr: float ops only at the very end, on identical
-    integers."""
-    e = load(spark, sf, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.orderBy("d")
-    lagged = daily.select(
-        F.col("n").alias("x"), F.lead("n").over(w).alias("y")
-    ).filter(F.col("y").isNotNull())
-    m = lagged.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    return m.select(
-        "n",
-        (
-            num
-            / (
-                F.sqrt(
-                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-                )
-                * F.sqrt(
-                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-                )
-            )
-        ).alias("autocorr_lag1"),
-    )
-
-
-@query(
-    "graph_adamic_adar",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (
-      SELECT src AS n, dst AS x FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    deg AS (
-      SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
-    ),
-    wadj AS (
-      SELECT adj.n, adj.x, 1.0 / ln(CAST(deg.d AS DOUBLE)) AS w
-      FROM adj JOIN deg USING (n)
-    ),
-    cand AS (
-      SELECT l.x AS a, r.x AS b,
-             CAST(count(*) AS BIGINT) AS n_common,
-             round(list_reduce(list_sort(list(l.w)), (x, y) -> x + y), 12)
-               AS aa_score
-      FROM wadj l JOIN wadj r ON l.n = r.n AND l.x < r.x
-      GROUP BY l.x, r.x
-      HAVING count(*) >= 2
-    ),
-    nonadj AS (
-      SELECT c.* FROM cand c
-      WHERE NOT EXISTS (
-        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
-      )
-    )
-    SELECT CAST(row_number() OVER (ORDER BY aa_score DESC, a, b) AS INT)
-             AS rank,
-           a, b, n_common, aa_score
-    FROM nonadj
-    ORDER BY aa_score DESC, a, b
-    LIMIT 20
-    """,
-)
-def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
-    """Adamic-Adar link prediction over the co-purchase graph: top-20
-    non-adjacent part pairs weighting rare shared neighbors above hubs
-    (graph.py:adamic_adar — degree join ahead of the apex wedge join,
-    sorted float fold, 12-decimal ln discipline)."""
-    return gr.adamic_adar(
-        gr.undirected_edges(_cooccur_edges(spark, sf)), k=20, min_common=2
-    )
-
-
-@query(
-    "multimodal_wav_zero_crossings",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, b*16 + j AS gi, {_PNG_KS_BYTE} - 128 AS c
-      FROM bytes WHERE b*16 + j < nf
-    ),
-    lagged AS (
-      SELECT media_id, nf, c,
-             lag(c) OVER (PARTITION BY media_id ORDER BY gi) AS pc
-      FROM vals
-    )
-    SELECT media_id,
-           CAST(any_value(nf) AS INT) AS n_frames,
-           CAST(sum(CASE WHEN pc * c < 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS zero_crossings,
-           CAST(sum(c * c) AS BIGINT) AS energy
-    FROM lagged GROUP BY media_id
-    """,
-)
-def multimodal_wav_zero_crossings(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio-curation signal features through the REAL PCM decode path:
-    per-clip zero-crossing count and exact integer energy of the
-    DC-centered samples (multimodal.py:wav_signal_features). PCM is
-    lossless, so DuckDB regenerates the sample keystream and replays
-    the strict sign-flip count with a lag window — a decoder alignment
-    bug shifts both features."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    return mm.wav_signal_features(media)
-
-
-@query(
-    "stats_benford_first_digit",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM orders
-    ),
-    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
-    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
-    SELECT digit, n,
-           CAST(n AS DOUBLE) / tot AS observed_share,
-           round(log10(1.0 + 1.0 / digit), 12) AS benford_expected
-    FROM c, t
-    """,
-)
-def stats_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
-    """Benford's-law first-digit audit of order totals — the classic
-    fabricated-data / unit-mixing smell test for an ingested fact
-    column. The digit comes from the integer-cents string (double→int
-    cents is the engine-identical device used by mv_incremental), so
-    binning is exact; the expected share log10(1+1/d) is the only
-    float and rounds at 12 decimals. One 9-group map-combinable
-    aggregate + a scalar total — free at any scale."""
-    o = load(spark, sf, "orders")
-    c = (
-        o.select(
-            F.substring(
-                F.round(F.col("o_totalprice") * 100)
-                .cast("long")
-                .cast("string"),
-                1,
-                1,
-            )
-            .cast("long")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    t = c.agg(F.sum("n").alias("tot"))
-    return c.crossJoin(F.broadcast(t)).select(
-        "digit",
-        "n",
-        (F.col("n").cast("double") / F.col("tot")).alias("observed_share"),
-        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 12).alias(
-            "benford_expected"
-        ),
-    )
-
-
-@query(
-    "olap_pareto_frontier",
-    oracle="""
-    WITH o AS (
-      SELECT o_orderkey, o_totalprice, o_orderdate,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bkt
-      FROM orders
-    ),
-    b AS (SELECT bkt, max(o_orderdate) AS bd FROM o GROUP BY bkt),
-    hi AS (
-      SELECT bkt,
-             max(bd) OVER (ORDER BY bkt DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS rm_hi
-      FROM b
-    ),
-    w AS (
-      SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, hi.rm_hi,
-             max(o.o_orderdate) OVER (
-               PARTITION BY o.bkt ORDER BY o.cents DESC
-               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm_in
-      FROM o JOIN hi USING (bkt)
-    )
-    SELECT o_orderkey, o_totalprice, o_orderdate
-    FROM w
-    WHERE greatest(COALESCE(rm_hi, TIMESTAMP '1000-01-01'),
-                   COALESCE(rm_in, TIMESTAMP '1000-01-01')) <= o_orderdate
-    """,
-)
-def olap_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
-    """Skyline / Pareto frontier of orders on (total price ↑, order
-    date ↑): an order survives iff no other order strictly beats it on
-    BOTH dims. The naive skyline is an O(n²) self-join; this is the
-    two-level bucket decomposition that stays distributed:
-
-    - per-$1000-bucket max date (map-combinable groupBy, |buckets|
-      rows — dim-sized);
-    - strictly-higher-BUCKET running max over that tiny table (the
-      only single-partition window, |buckets| rows);
-    - strictly-higher-price-IN-bucket max via a per-bucket RANGE
-      window on exact integer cents (distributed across buckets —
-      TPC-H prices are ~uniform, no hot bucket);
-    - dominated ⇔ either bound exceeds the row's own date.
-
-    Window frames use RANGE … 1 PRECEDING on DESC cents, which both
-    engines read as "strictly greater value" (verified semantics);
-    prices compare as exact cents, so the frontier set is
-    engine-identical."""
-    o = load(spark, sf, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    o = o.withColumn("bkt", F.expr("cents DIV 100000"))
-    b = o.groupBy("bkt").agg(F.max("o_orderdate").alias("bd"))
-    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    hi = b.select("bkt", F.max("bd").over(wb).alias("rm_hi"))
-    wi = (
-        Window.partitionBy("bkt")
-        .orderBy(F.col("cents").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    sentinel = F.lit("1000-01-01").cast("timestamp")
-    w = o.join(F.broadcast(hi), on="bkt").select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.greatest(
-            F.coalesce(F.col("rm_hi"), sentinel),
-            F.coalesce(F.max("o_orderdate").over(wi), sentinel),
-        ).alias("_rm"),
-    )
-    return w.filter(F.col("_rm") <= F.col("o_orderdate")).drop("_rm")
-
-
-@query(
-    "curation_token_budget_sample",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tokens,
-             md5(CAST(doc_id AS VARCHAR)) AS r
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY r, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS cum_tokens
-      FROM d
-    )
-    SELECT doc_id, n_tokens, cum_tokens
-    FROM c WHERE cum_tokens - n_tokens < 10000
-    """,
-)
-def curation_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Token-budget sampling: the first ~10k tokens of the corpus in
-    deterministic md5 order (curation.py:token_budget_sample). The
-    oracle computes the global prefix sum as ONE ordered window — the
-    thing the Spark side must equal while never materializing a
-    corpus-wide single-partition sort (hex-prefix shards + in-shard
-    windows + a 256-row offset table). Hash-parity certifies the
-    distributed prefix-sum decomposition is exactly the sequential
-    semantics."""
-    from ..functions import curation as cu
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents")).select(
-        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
-    )
-    return cu.token_budget_sample(d, budget=10_000)
-
-
-@query(
-    "ts_seasonal_decompose",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d,
-             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY CAST(ts AS DATE), dayofweek(ts)
-    ),
-    seas AS (
-      SELECT dow, CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-      FROM daily GROUP BY dow
-    )
-    SELECT CAST(daily.d AS VARCHAR) AS d, daily.dow, daily.c,
-           CAST(seas.s AS DOUBLE) / seas.n AS dow_mean,
-           daily.c - CAST(seas.s AS DOUBLE) / seas.n AS residual
-    FROM daily JOIN seas USING (dow)
-    """,
-)
-def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
-    """Seasonal decomposition of the daily event-count series into a
-    day-of-week component and a residual (the STL-lite every traffic
-    anomaly dashboard runs before flagging). Exact discipline: daily
-    counts and per-dow sums are integers; the seasonal mean is one
-    integer÷integer double and the residual one subtraction — both
-    engines evaluate the identical pair of float ops. Two
-    map-combinable groupBys and a 7-row broadcast join."""
-    e = load(spark, sf, "events")
-    daily = e.groupBy(
-        F.col("ts").cast("date").alias("d"),
-        F.dayofweek("ts").cast("long").alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    seas = daily.groupBy("dow").agg(
-        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    return daily.join(F.broadcast(seas), on="dow").select(
-        F.date_format("d", "yyyy-MM-dd").alias("d"),
-        "dow",
-        "c",
-        mean.alias("dow_mean"),
-        (F.col("c") - mean).alias("residual"),
-    )
-
-
-@query(
-    "dedup_fuzzy_clusters",
-    oracle="""
-    WITH master AS (
-      SELECT c_custkey * 2 AS rec_id, c_name AS name FROM customer
-    ),
-    hb AS (
-      SELECT c_custkey, c_name,
-             CAST(concat('0x', substr(md5(concat('typo',
-                  CAST(c_custkey AS VARCHAR))), 1, 4)) AS BIGINT) AS h
-      FROM customer
-    ),
-    batch AS (
-      SELECT c_custkey * 2 + 1 AS rec_id,
-             substr(c_name, 1, CAST(len(c_name) - (h % 9) - 1 AS INT))
-             || chr(CAST(97 + ((h // 16) % 26) AS INT))
-             || substr(c_name, CAST(len(c_name) - (h % 9) + 1 AS INT))
-               AS name
-      FROM hb
-    ),
-    u AS (SELECT * FROM master UNION ALL SELECT * FROM batch),
-    keyed AS (
-      SELECT rec_id, name, i,
-             substr(name, 1, i - 1) || substr(name, i + 1) AS mkey
-      FROM u, unnest(range(1, greatest(len(name), 1) + 1)) AS t(i)
-    ),
-    pairs AS (
-      SELECT DISTINCT x.rec_id AS id_a, y.rec_id AS id_b,
-             levenshtein(x.name, y.name) AS dist
-      FROM keyed x JOIN keyed y
-        ON x.i = y.i AND x.mkey = y.mkey AND x.rec_id < y.rec_id
-      WHERE (x.rec_id + y.rec_id) % 2 = 1
-        AND levenshtein(x.name, y.name) <= 1
-    ),
-    link AS (
-      SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS batch_id,
-             CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS master_id,
-             dist
-      FROM pairs
-    ),
-    ranked AS (
-      SELECT batch_id, master_id, dist,
-             row_number() OVER (PARTITION BY batch_id
-                                ORDER BY dist, master_id) AS rn,
-             CAST(count(*) OVER (PARTITION BY batch_id) AS BIGINT)
-               AS n_candidates
-      FROM link
-    )
-    SELECT b.rec_id,
-           COALESCE(r.master_id, b.rec_id) AS canonical_key,
-           r.master_id IS NOT NULL AS in_cluster,
-           COALESCE(r.n_candidates, 0) AS n_candidates
-    FROM batch b LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
-      ON r.batch_id = b.rec_id
-    """,
-)
-def dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """END-TO-END fuzzy record linkage in its real-world shape: link
-    an incoming BATCH file (the customer master with one deterministic
-    md5-keystream corruption per record — one digit garbled into a
-    letter, the OCR/scan-error shape, position and letter both
-    DuckDB-replayable integer arithmetic) back against the MASTER
-    file. Candidate pairs come from NAME-KEYED blocking
-    (masked_position_pairs — one key per character position, the
-    Hamming-1 pigeonhole, provably complete for one-substitution
-    typos, unlike an id-residue demo key), are restricted to
-    cross-source (master, batch) pairs as record linkage does, and
-    each batch record is assigned to its BEST master match
-    (min distance, then min id — a deterministic arg-min window,
-    never a transitive fixpoint: dense code spaces make distance-1
-    graphs percolate, so clustering by connected components is the
-    wrong operator here; CC canonicalization is certified separately
-    by dedup_canonical_docs). ``canonical_key`` is the matched
-    master (or self if unmatched) and ``n_candidates`` surfaces the
-    ambiguity fan the blocking found — the number a linkage QA
-    dashboard actually watches."""
-    from ..operators import masked_position_pairs
-
-    c = load(spark, sf, "customer")
-    master = c.select(
-        (F.col("c_custkey") * 2).alias("rec_id"),
-        F.col("c_name").alias("name"),
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("typo"), F.col("c_custkey").cast("string"))),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("long")
-    batch = (
-        c.withColumn("_h", h)
-        .withColumn(
-            "_pos", (F.length("c_name") - F.col("_h") % 9).cast("int")
-        )
-        .select(
-            (F.col("c_custkey") * 2 + 1).alias("rec_id"),
-            F.expr(
-                "concat(substring(c_name, 1, _pos - 1), "
-                "char(97 + (_h DIV 16) % 26), "
-                "substring(c_name, _pos + 1))"
-            ).alias("name"),
-        )
-    )
-    u = master.unionByName(batch)
-    pairs = masked_position_pairs(
-        u, id_col="rec_id", name_col="name", max_dist=1
-    ).filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
-    odd = F.col("id_a") % 2 == 1
-    link = pairs.select(
-        F.when(odd, F.col("id_a")).otherwise(F.col("id_b")).alias("batch_id"),
-        F.when(odd, F.col("id_b")).otherwise(F.col("id_a")).alias("master_id"),
-        "dist",
-    )
-    w = Window.partitionBy("batch_id").orderBy("dist", "master_id")
-    wc = Window.partitionBy("batch_id")
-    best = (
-        link.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rn") == 1)
-    )
-    return batch.join(
-        best, batch["rec_id"] == best["batch_id"], "left"
-    ).select(
-        "rec_id",
-        F.coalesce("master_id", "rec_id").alias("canonical_key"),
-        F.col("master_id").isNotNull().alias("in_cluster"),
-        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-    )
-
-
-@query(
-    "stats_gini_by_nation",
-    oracle="""
-    WITH rev AS (
-      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                             AS BIGINT) AS cents
-      FROM orders GROUP BY o_custkey
-    ),
-    cust AS (
-      SELECT c.c_custkey, c.c_nationkey, COALESCE(rev.cents, 0) AS cents
-      FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
-    ),
-    ranked AS (
-      SELECT c_nationkey, cents,
-             CAST(row_number() OVER (PARTITION BY c_nationkey
-                                     ORDER BY cents, c_custkey) AS BIGINT) AS i
-      FROM cust
-    ),
-    m AS (
-      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(i * cents) AS BIGINT) AS siw
-      FROM ranked GROUP BY c_nationkey
-    )
-    SELECT c_nationkey, n,
-           CAST(2 * siw AS DOUBLE) / (n * s)
-             - CAST(n + 1 AS DOUBLE) / n AS gini
-    FROM m WHERE s > 0
-    """,
-)
-def stats_gini_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Gini coefficient of customer revenue per nation — the
-    concentration audit a pipeline runs to spot sources where a few
-    keys carry all the volume (the skew early-warning for the salted
-    paths). Exact discipline: revenue in integer cents, the rank-sum
-    Σi·xᵢ in exact integers (tie order is irrelevant to the sum —
-    permuting equal values across ranks changes nothing), and the
-    final Gini exactly two float ops evaluated identically on both
-    engines. Rank rides a window PARTITIONED by nation — distributed
-    across groups, never a global sort."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "cents"
-        )
-    )
-    cust = c.join(rev, c["c_custkey"] == rev["o_custkey"], "left").select(
-        "c_custkey",
-        "c_nationkey",
-        F.coalesce("cents", F.lit(0)).alias("cents"),
-    )
-    wi = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
-    ranked = cust.select(
-        "c_nationkey",
-        "cents",
-        F.row_number().over(wi).cast("long").alias("i"),
-    )
-    m = ranked.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("i") * F.col("cents")).alias("siw"),
-    )
-    return m.filter(F.col("s") > 0).select(
-        "c_nationkey",
-        "n",
-        (
-            (2 * F.col("siw")).cast("double") / (F.col("n") * F.col("s"))
-            - (F.col("n") + 1).cast("double") / F.col("n")
-        ).alias("gini"),
-    )
-
-
-@query(
-    "curation_dp_noisy_counts",
-    oracle="""
-    WITH c AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY source
-    ),
-    u AS (
-      SELECT source, n,
-             (CAST(CAST(('0x' || substr(md5('dp:' || source), 1, 8))
-                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 - 0.5
-               AS uu
-      FROM c
-    )
-    SELECT source, n,
-           round(CAST(n AS DOUBLE)
-                 + (-sign(uu) * ln(1.0 - 2.0 * abs(uu))), 12) AS noisy_n
-    FROM u
-    """,
-)
-def curation_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism, b=1 —
-    the ε=1 / sensitivity-1 setting for per-group COUNT): the shape a
-    pipeline uses to publish per-source corpus stats without exposing
-    any single document's membership. The "randomness" is the
-    deterministic md5-uniform device (seeded per key, (u+0.5)/2³² −
-    0.5 ∈ (−0.5, 0.5), so the inverse-CDF ln never sees 0) — in
-    production the seed column would be a secret salt; here
-    determinism is what makes the mechanism hash-verifiable
-    cross-engine. ln rounds at 12 decimals (entropy discipline);
-    everything else is exact. One map-combinable groupBy."""
-    c = load(spark, sf, "documents").groupBy("source").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    u32 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
-    noise = -F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
-    return c.select(
-        "source",
-        "n",
-        F.round(F.col("n").cast("double") + noise, 12).alias("noisy_n"),
-    )
-
-
-@query(
-    "text_rake_keywords",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id, lower(t[CAST(gs.pos AS INT)]) AS w,
-             CAST(gs.pos AS BIGINT) AS pos
-      FROM d, unnest(range(1, len(t) + 1)) AS gs(pos)
-    ),
-    flagged AS (
-      SELECT doc_id, w, pos,
-             CASE WHEN w IN ('the','a','an','of','and','to','in','is',
-                             'it','that') THEN 1 ELSE 0 END AS stop
-      FROM toks
-    ),
-    seg AS (
-      SELECT doc_id, w, pos, stop,
-             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
-      FROM flagged
-    ),
-    members AS (SELECT doc_id, phrase_id, w, pos FROM seg WHERE stop = 0),
-    plen AS (
-      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words
-      FROM members GROUP BY doc_id, phrase_id
-    ),
-    wstat AS (
-      SELECT m.w, CAST(count(*) AS BIGINT) AS freq,
-             CAST(sum(p.n_words) AS BIGINT) AS deg
-      FROM members m JOIN plen p USING (doc_id, phrase_id)
-      GROUP BY m.w
-    ),
-    scored AS (
-      SELECT m.doc_id, m.phrase_id,
-             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
-             round(list_reduce(list_sort(
-               list(CAST(s.deg AS DOUBLE) / s.freq)), (x, y) -> x + y), 6)
-               AS score
-      FROM members m JOIN wstat s ON s.w = m.w
-      GROUP BY m.doc_id, m.phrase_id
-    ),
-    agg AS (
-      SELECT phrase, score, CAST(count(*) AS BIGINT) AS n_occur
-      FROM scored GROUP BY phrase, score
-    )
-    SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS INT)
-             AS rank,
-           phrase, score, n_occur
-    FROM agg
-    ORDER BY score DESC, phrase
-    LIMIT 50
-    """,
-)
-def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
-    """RAKE keyword extraction (Rose et al. 2010): stopwords cut each
-    document into candidate phrases; every word scores deg/freq over
-    the phrase co-occurrence graph; a phrase scores the sum of its
-    member word scores. Top-50 corpus phrases.
-
-    Scale shape: segmentation is a doc-partitioned running sum (rides
-    the posexplode, no corpus-wide shuffle); word stats are one
-    map-combinable groupBy over phrase members; the phrase score is a
-    sorted float fold (deg/freq is one exact-int division per word,
-    but the SUM order must match the oracle) rounded at 6 decimals —
-    scores reach ~10³, and rounding at 12 would ask round() to operate
-    at 10¹⁵ where DuckDB's multiply-round-divide loses the last digit
-    vs Spark's exact decimal rounding (the entropy queries can afford
-    12 only because their magnitudes are ~1);
-    the global top-50 is orderBy+limit — only 50 rows ever sort on one
-    node. Word scores are corpus-global, so equal phrase TEXT implies
-    equal score and the (phrase, score) rollup is well-defined."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).cast("long").alias("pos"),
-        F.lower("w").alias("w"),
-    )
-    stoplist = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
-    flagged = toks.withColumn(
-        "stop", F.when(F.col("w").isin(stoplist), 1).otherwise(0)
-    )
-    wseg = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    members = flagged.withColumn(
-        "phrase_id", F.sum("stop").over(wseg)
-    ).filter(F.col("stop") == 0)
-    plen = members.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).alias("n_words")
-    )
-    wstat = (
-        members.join(plen, on=["doc_id", "phrase_id"])
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.sum("n_words").alias("deg"),
-        )
-    )
-    scored = (
-        members.join(wstat, on="w")
-        .withColumn("wscore", F.col("deg").cast("double") / F.col("freq"))
-        .groupBy("doc_id", "phrase_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-            ).alias("phrase"),
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list("wscore")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
-    agg = scored.groupBy("phrase", "score").agg(
-        F.count(F.lit(1)).alias("n_occur")
-    )
-    top = agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(50)
-    w = Window.orderBy(F.col("score").desc(), F.col("phrase"))
-    return top.select(
-        F.row_number().over(w).alias("rank"), "phrase", "score", "n_occur"
-    )
-
-
-@query(
-    "graph_jaccard_neighbors",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (
-      SELECT src AS n, dst AS x FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    deg AS (
-      SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x
-    ),
-    cand AS (
-      SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS n_common
-      FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
-      GROUP BY l.x, r.x
-      HAVING count(*) >= 2
-    ),
-    nonadj AS (
-      SELECT c.* FROM cand c
-      WHERE NOT EXISTS (
-        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
-      )
-    ),
-    scored AS (
-      SELECT n.a, n.b, n.n_common,
-             da.d + db.d - n.n_common AS n_union
-      FROM nonadj n
-      JOIN deg da ON da.v = n.a
-      JOIN deg db ON db.v = n.b
-    )
-    SELECT CAST(row_number() OVER (
-             ORDER BY n_common * 1000000 // n_union DESC, a, b) AS INT)
-             AS rank,
-           a, b, n_common, n_union,
-           CAST(n_common * 1000000 // n_union AS BIGINT) AS jaccard_ppm
-    FROM scored
-    ORDER BY jaccard_ppm DESC, a, b
-    LIMIT 20
-    """,
-)
-def graph_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
-    """Neighborhood-Jaccard link prediction: |Γa∩Γb| / |Γa∪Γb| for
-    non-adjacent pairs, ranked ENTIRELY in integer arithmetic — the
-    similarity is kept as parts-per-million via integer division
-    (n_common·10⁶ div n_union), so unlike the Adamic-Adar ln fold
-    there is no float discipline at all; ranking ties break on (a, b).
-    Same apex wedge join as common_neighbors plus two dim-sized degree
-    joins."""
-    edges = gr.undirected_edges(_cooccur_edges(spark, sf))
-    adj = edges.select(
-        F.col("src").alias("n"), F.col("dst").alias("x")
-    ).unionAll(edges.select(F.col("dst").alias("n"), F.col("src").alias("x")))
-    deg = adj.groupBy(F.col("x").alias("v")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    left = adj.select("n", F.col("x").alias("a"))
-    right = adj.select(
-        (F.col("n") + F.lit(0)).alias("n"), F.coalesce(F.col("x")).alias("b")
-    )
-    cand = (
-        left.join(right, on="n")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-        .join(
-            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-            on=["a", "b"],
-            how="left_anti",
-        )
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    scored = (
-        cand.join(da, on="a")
-        .join(db, on="b")
-        .select(
-            "a",
-            "b",
-            "n_common",
-            (F.col("da") + F.col("db") - F.col("n_common")).alias("n_union"),
-        )
-        .withColumn(
-            "jaccard_ppm",
-            F.expr("n_common * 1000000 DIV n_union").cast("long"),
-        )
-    )
-    top = scored.orderBy(
-        F.col("jaccard_ppm").desc(), F.col("a").asc(), F.col("b").asc()
-    ).limit(20)
-    w = Window.orderBy(F.col("jaccard_ppm").desc(), F.col("a"), F.col("b"))
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        "a",
-        "b",
-        "n_common",
-        "n_union",
-        "jaccard_ppm",
-    )
-
-
-@query(
-    "agg_countmin_sketch",
-    oracle="""
-    WITH rows_ AS (
-      SELECT user_id, gs.h AS h,
-             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
-                                      || CAST(user_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 256 AS bucket
-      FROM events, unnest(range(0, 4)) AS gs(h)
-    ),
-    sketch AS (
-      SELECT h, bucket, CAST(count(*) AS BIGINT) AS cnt
-      FROM rows_ GROUP BY h, bucket
-    ),
-    truth AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
-      FROM events GROUP BY user_id
-    ),
-    top AS (
-      SELECT user_id, true_cnt FROM truth
-      ORDER BY true_cnt DESC, user_id LIMIT 20
-    ),
-    probes AS (
-      SELECT t.user_id, t.true_cnt, gs.h AS h,
-             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
-                                      || CAST(t.user_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 256 AS bucket
-      FROM top t, unnest(range(0, 4)) AS gs(h)
-    )
-    SELECT p.user_id, p.true_cnt,
-           CAST(min(s.cnt) AS BIGINT) AS cms_estimate
-    FROM probes p JOIN sketch s ON s.h = p.h AND s.bucket = p.bucket
-    GROUP BY p.user_id, p.true_cnt
-    """,
-)
-def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
-    """Count-Min sketch (Cormode & Muthukrishnan 2005) built
-    END-TO-END in the engine: depth 4 × width 256, hash rows from the
-    md5 device, the sketch itself one map-combinable groupBy (so it
-    merges across partitions/batches for free — the property HLL gets
-    from engine internals, here held in plain rows), and the point
-    query min-over-rows for the 20 heaviest keys next to their true
-    counts. Everything is integer arithmetic on a deterministic hash,
-    so unlike `agg_approx_distinct` the APPROXIMATE structure is fully
-    hash-verifiable cross-engine; the CMS overestimate guarantee
-    (estimate ≥ truth) is pinned by test."""
-    e = load(spark, sf, "events").select("user_id")
-    hcols = [
-        F.struct(
-            F.lit(i).alias("h"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"{i}:"),
-                                F.col("user_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 256
-            ).alias("bucket"),
-        )
-        for i in range(4)
-    ]
-    rows = e.select(
-        "user_id", F.explode(F.array(*hcols)).alias("hb")
-    ).select("user_id", F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
-    sketch = rows.groupBy("h", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
-    top = truth.orderBy(
-        F.col("true_cnt").desc(), F.col("user_id").asc()
-    ).limit(20)
-    probes = top.select(
-        "user_id", "true_cnt", F.explode(F.array(*hcols)).alias("hb")
-    ).select("user_id", "true_cnt", F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
-    return (
-        probes.join(F.broadcast(sketch), on=["h", "bucket"])
-        .groupBy("user_id", "true_cnt")
-        .agg(F.min("cnt").alias("cms_estimate"))
-    )
-
-
-@query(
-    "audit_bloom_membership",
-    oracle="""
-    WITH seen AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE ts < TIMESTAMP '2024-01-16'
-    ),
-    probes AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE ts >= TIMESTAMP '2024-01-16'
-    ),
-    bloom AS (
-      SELECT DISTINCT
-             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
-                                      || CAST(user_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 1024 AS bucket
-      FROM seen, unnest(range(0, 4)) AS gs(h)
-    ),
-    hits AS (
-      SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_hit
-      FROM (SELECT user_id,
-                   CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
-                              || CAST(user_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % 1024 AS bucket
-            FROM probes, unnest(range(0, 4)) AS gs(h)) p
-      JOIN bloom b ON b.bucket = p.bucket
-      GROUP BY p.user_id
-    )
-    SELECT p.user_id,
-           COALESCE(h.n_hit, 0) = 4 AS claimed,
-           s.user_id IS NOT NULL AS truly_seen
-    FROM probes p
-    LEFT JOIN hits h ON h.user_id = p.user_id
-    LEFT JOIN seen s ON s.user_id = p.user_id
-    """,
-)
-def audit_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
-    """Bloom-filter membership audit: build a 1024-bit / 4-hash Bloom
-    set over first-half users (the filter is just DISTINCT bucket
-    rows — a set small enough to broadcast, mergeable by UNION), probe
-    every second-half user, and emit claimed vs truth so the false-
-    positive rate is measurable. This is the pre-filter a 100 TB
-    pipeline ships to the scan side before an expensive membership
-    join (the runtime bloom-join pin in test_scale_plans is the
-    engine-internal version; this one is portable state you can
-    persist between runs). md5 device hashing keeps the approximate
-    structure itself hash-verifiable; no-false-negative is pinned by
-    test."""
-    e = load(spark, sf, "events")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    seen = e.filter(F.col("ts") < cut).select("user_id").distinct()
-    probes = e.filter(F.col("ts") >= cut).select("user_id").distinct()
-
-    def buckets(df: DataFrame) -> DataFrame:
-        hcols = [
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"{i}:"),
-                                F.col("user_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 1024
-            )
-            for i in range(4)
-        ]
-        return df.select(
-            "user_id", F.explode(F.array(*hcols)).alias("bucket")
-        )
-
-    bloom = buckets(seen).select("bucket").distinct()
-    hits = (
-        buckets(probes)
-        .join(F.broadcast(bloom), on="bucket")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        probes.join(hits, on="user_id", how="left")
-        .join(
-            seen.withColumn("_seen", F.lit(True)), on="user_id", how="left"
-        )
-        .select(
-            "user_id",
-            (F.coalesce("n_hit", F.lit(0)) == 4).alias("claimed"),
-            F.coalesce("_seen", F.lit(False)).alias("truly_seen"),
-        )
-    )
-
-
-@query(
-    "multimodal_image_ahash",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    grid AS (
-      SELECT media_id, w, h, unnest(range(0, 192)) AS p
-      FROM img
-    ),
-    mapped AS (
-      SELECT media_id, w, h, CAST(p // 3 AS BIGINT) AS px,
-             ((((p // 24) * h) // 8) * w + ((((p % 24) // 3) * w) // 8)) * 3
-               + (p % 3) AS gi
-      FROM grid
-    ),
-    bytes AS (
-      SELECT media_id, w, h, px, CAST(gi % 16 AS BIGINT) AS j,
-             md5(CAST(media_id AS VARCHAR) || ':'
-                 || CAST(gi // 16 AS VARCHAR)) AS hx
-      FROM mapped
-    ),
-    g3 AS (
-      SELECT media_id, any_value(w) AS w, any_value(h) AS h, px,
-             CAST(sum({_PNG_KS_BYTE}) AS BIGINT) AS v
-      FROM bytes GROUP BY media_id, px
-    ),
-    tot AS (
-      SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM g3
-      GROUP BY media_id
-    ),
-    bits AS (
-      SELECT g3.media_id, g3.w, g3.h, g3.px,
-             CASE WHEN g3.v * 64 > t.total THEN 1 ELSE 0 END AS bit
-      FROM g3 JOIN tot t ON t.media_id = g3.media_id
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(sum(CASE WHEN px >= 32 THEN
-                 bit * (CAST(1 AS BIGINT) << CAST(px - 32 AS INT))
-                 ELSE 0 END) AS BIGINT) AS ahash_hi,
-           CAST(sum(CASE WHEN px < 32 THEN
-                 bit * (CAST(1 AS BIGINT) << CAST(px AS INT))
-                 ELSE 0 END) AS BIGINT) AS ahash_lo
-    FROM bits GROUP BY media_id
-    """,
-)
-def multimodal_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
-    """Perceptual average-hash through the REAL decode path
-    (multimodal.py:png_ahash): the image near-dup fingerprint, exact
-    because "above average" is the integer comparison sample·64 >
-    total. The oracle recomputes, for each of the 64 grid cells, the
-    exact source keystream bytes the nearest-neighbor sample must
-    read (the resize_pixels mapping), the brightness sums, and both
-    hash halves — a decoder, mapping, or threshold bug flips bits."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    return mm.png_ahash(media)
-
-
-@query(
-    "curation_span_corruption",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id, t[CAST(gs.pos AS INT)] AS w,
-             CAST(gs.pos AS BIGINT) AS pos,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                        || CAST(gs.pos AS VARCHAR) || ':mask'), 1, 8))
-                  AS BIGINT) % 100 < 15 AS masked
-      FROM d, unnest(range(1, len(t) + 1)) AS gs(pos)
-    ),
-    runs AS (
-      SELECT doc_id, w, pos,
-             pos - row_number() OVER (PARTITION BY doc_id, masked
-                                      ORDER BY pos) AS grp
-      FROM toks WHERE masked
-    ),
-    spans AS (
-      SELECT doc_id, grp, min(pos) AS span_start,
-             CAST(row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY min(pos)) - 1 AS BIGINT) AS k
-      FROM runs GROUP BY doc_id, grp
-    ),
-    pieces AS (
-      SELECT t.doc_id, t.pos,
-             CASE WHEN NOT t.masked THEN t.w
-                  WHEN t.pos = s.span_start
-                    THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '>'
-                  ELSE NULL END AS piece,
-             CASE WHEN t.masked THEN
-               CASE WHEN t.pos = s.span_start
-                 THEN '<extra_id_' || CAST(s.k AS VARCHAR) || '> ' || t.w
-                 ELSE t.w END
-             ELSE NULL END AS tgt
-      FROM toks t
-      LEFT JOIN runs r ON r.doc_id = t.doc_id AND r.pos = t.pos
-      LEFT JOIN spans s ON s.doc_id = r.doc_id AND s.grp = r.grp
-    )
-    SELECT doc_id,
-           CAST(count(tgt) AS BIGINT) AS n_masked,
-           COALESCE(string_agg(piece, ' ' ORDER BY pos), '') AS corrupted,
-           COALESCE(string_agg(tgt, ' ' ORDER BY pos), '') AS target
-    FROM pieces GROUP BY doc_id
-    """,
-)
-def curation_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
-    """T5-style span corruption (Raffel et al. 2020): ~15% of token
-    positions mask deterministically (md5 device per (doc, pos));
-    consecutive masked runs collapse to one ``<extra_id_k>`` sentinel
-    in the corrupted input, and the target lists each sentinel with
-    its hidden tokens — the (input, target) pair a denoising LM
-    pretrains on. Implementation (and the one-corpus-shuffle scale
-    story) lives in functions/curation.span_corrupt, shared with the
-    stress battery."""
-    from ..functions.curation import span_corrupt
-    from ..util import spread
-
-    return span_corrupt(spread(load(spark, sf, "documents")))
-
-
-@query(
-    "stats_ab_test_proportions",
-    oracle="""
-    WITH assign AS (
-      SELECT user_id,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
-                                  1, 8)) AS BIGINT) % 2 AS variant,
-             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
-                                 ELSE 0 END)
-                       > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                  THEN 1 ELSE 0 END AS BIGINT) AS converted
-      FROM events GROUP BY user_id
-    ),
-    arms AS (
-      SELECT variant, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(converted) AS BIGINT) AS conv
-      FROM assign GROUP BY variant
-    ),
-    w AS (
-      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
-             max(CASE WHEN variant = 0 THEN conv END) AS c0,
-             max(CASE WHEN variant = 1 THEN n END) AS n1,
-             max(CASE WHEN variant = 1 THEN conv END) AS c1
-      FROM arms
-    )
-    SELECT n0, c0, n1, c1,
-           CAST(c0 AS DOUBLE) / n0 AS p0,
-           CAST(c1 AS DOUBLE) / n1 AS p1,
-           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
-                ELSE round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
-                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 12) END AS z_score
-    FROM w
-    """,
-)
-def stats_ab_test_proportions(spark: SparkSession, sf: str) -> DataFrame:
-    """Two-proportion z-test on a deterministic 50/50 user split (md5
-    device as the bucketing hash an experiment platform would use) —
-    the A/B readout every event pipeline serves. Per-user conversion
-    collapses first (one map-combinable groupBy — users, not events,
-    enter the test), arms pivot to one row, and the z statistic is a
-    handful of float ops on exact integers, rounded at 12 (sqrt ULP).
-    The null split should land |z| ≈ 0-2 — an excursion flags a broken
-    bucketing hash."""
-    e = load(spark, sf, "events")
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    n_purch = F.sum(
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-    )
-    n_view = F.sum(
-        F.when(F.col("event_type") == "view", 1).otherwise(0)
-    )
-    assign = e.groupBy("user_id").agg(
-        F.when(n_purch > n_view, 1).otherwise(0).cast("long").alias(
-            "converted"
-        ),
-    ).withColumn("variant", u32 % 2)
-    arms = assign.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
-    )
-    w = arms.agg(
-        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
-        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
-        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
-    )
-    p0 = F.col("c0").cast("double") / F.col("n0")
-    p1 = F.col("c1").cast("double") / F.col("n1")
-    pp = (F.col("c0") + F.col("c1")).cast("double") / (
-        F.col("n0") + F.col("n1")
-    )
-    z = (p0 - p1) / F.sqrt(
-        pp
-        * (F.lit(1.0) - pp)
-        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
-    )
-    degenerate = (
-        (F.col("c0") + F.col("c1") == 0)
-        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1"))
-    )
-    return w.select(
-        "n0", "c0", "n1", "c1",
-        p0.alias("p0"), p1.alias("p1"),
-        F.when(degenerate, F.lit(None).cast("double"))
-        .otherwise(F.round(z, 12))
-        .alias("z_score"),
-    )
-
-
-@query(
-    "ts_burst_episodes",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY CAST(ts AS DATE)
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
-      FROM daily
-    ),
-    burst AS (
-      SELECT d, c FROM daily, m WHERE 20 * c * n > 21 * s
-    ),
-    isl AS (
-      SELECT d, c,
-             date_diff('day', DATE '2024-01-01', d)
-               - row_number() OVER (ORDER BY d) AS grp
-      FROM burst
-    )
-    SELECT CAST(min(d) AS VARCHAR) AS episode_start,
-           CAST(max(d) AS VARCHAR) AS episode_end,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(max(c) AS BIGINT) AS peak,
-           CAST(sum(c) AS BIGINT) AS total_events
-    FROM isl GROUP BY grp
-    """,
-)
-def ts_burst_episodes(spark: SparkSession, sf: str) -> DataFrame:
-    """Burst detection on the daily event series: a day bursts when
-    its count exceeds 1.05× the global daily mean (the driver series
-    is near-uniform; a real deployment tunes the ratio) — kept as the
-    INTEGER cross-multiplication 20·c·n > 21·Σc, so the threshold never
-    touches a float — and consecutive burst days merge into episodes
-    via gaps-and-islands. The incident-window detector behind every
-    alerting dashboard. The only unpartitioned window orders the
-    (small, filtered) burst-day set — |days|-bounded like every daily
-    rollup here."""
-    e = load(spark, sf, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    m = daily.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
-    )
-    burst = daily.crossJoin(F.broadcast(m)).filter(
-        20 * F.col("c") * F.col("n") > 21 * F.col("s")
-    )
-    wb = Window.orderBy("d")
-    isl = burst.withColumn(
-        "grp",
-        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
-        - F.row_number().over(wb),
-    )
-    return isl.groupBy("grp").agg(
-        F.min("d").cast("string").alias("episode_start"),
-        F.max("d").cast("string").alias("episode_end"),
-        F.count(F.lit(1)).alias("n_days"),
-        F.max("c").alias("peak"),
-        F.sum("c").alias("total_events"),
-    ).drop("grp")
-
-
-@query(
-    "stats_exact_median_twopass",
-    oracle="""
-    WITH v AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
-    FROM v
-    """,
-)
-def stats_exact_median_twopass(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT global median (lower median, k = (n−1)//2 zero-indexed)
-    of the fact's price column WITHOUT a global sort — the selection
-    device that survives 100 TB:
-
-    - pass 1: integer-cents histogram on $100 buckets (map-combinable
-      groupBy, dim-sized) collected to the driver (|buckets| rows,
-      bounded by the price domain / bucket width, NOT by n). n, k, and
-      the target bucket all derive from that one table — no separate
-      count() scan;
-    - pass 2: re-scan ONLY that bucket's rows (pushdown-friendly
-      range filter) and take the (k − preceding)-th smallest with
-      orderBy+limit — a sort over one bucket's population, never the
-      table.
-
-    NOTE: like every driver-selection query (see _select_kth), this
-    executes Spark jobs at DataFrame-construction time — `explain`
-    on it runs the selection passes before printing a plan.
-
-    The oracle does the naive quantile; hash parity proves the
-    decomposition selects the identical element."""
-    li = load(spark, sf, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    )
-    hist = sorted(
-        (r["bkt"], r["cnt"])
-        for r in li.withColumn("bkt", F.expr("cents DIV 10000"))
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    n_total = sum(c for _, c in hist)
-    if n_total == 0:
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n"),
-            F.lit(None).cast("long").alias("median_cents"),
-        )
-    k = (n_total - 1) // 2  # zero-indexed lower median
-    before = 0
-    for bkt, cnt in hist:
-        if before + cnt > k:
-            break
-        before += cnt
-    in_bucket = li.filter(F.expr("cents DIV 10000") == bkt)
-    median = (
-        in_bucket.orderBy("cents")
-        .limit(int(k - before) + 1)
-        .agg(F.max("cents").alias("median_cents"))
-    )
-    return median.select(
-        F.lit(n_total).cast("long").alias("n"), "median_cents"
-    )
-
-
-def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int | None:
-    """The two-pass selection device behind stats_exact_median_twopass,
-    as a reusable scalar: the (n−1)//2-th smallest of an integer column
-    with a bucket histogram + one-bucket re-scan. Driver work = the
-    bucket table (bounded by the value domain / bucket width, not n).
-    Two jobs total (histogram collect + one-bucket re-scan); n derives
-    from Σ cnt, so there is no separate count() scan. Returns None on
-    empty input. NOTE: executes Spark jobs when called — callers build
-    DataFrames eagerly (see cmd_explain)."""
-    hist = sorted(
-        (r["_bkt"], r["_cnt"])
-        for r in values.withColumn(
-            "_bkt", F.expr(f"{col} DIV {bucket_width}")
-        )
-        .groupBy("_bkt")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect()
-    )
-    n = sum(c for _, c in hist)
-    if n == 0:
-        return None
-    k = (n - 1) // 2
-    before = 0
-    for bkt, cnt in hist:
-        if before + cnt > k:
-            break
-        before += cnt
-    row = (
-        values.filter(F.expr(f"{col} DIV {bucket_width}") == bkt)
-        .orderBy(col)
-        .limit(int(k - before) + 1)
-        .agg(F.max(col).alias("v"))
-        .collect()[0]
-    )
-    return int(row["v"])
-
-
-@query(
-    "stats_mad_robust",
-    oracle="""
-    WITH v AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem
-    ),
-    m AS (SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med FROM v)
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           (SELECT med FROM m) AS median_cents,
-           CAST(quantile_disc(abs(cents - (SELECT med FROM m)), 0.5)
-                AS BIGINT) AS mad_cents
-    FROM v
-    """,
-)
-def stats_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
-    """Median absolute deviation — the outlier-immune dispersion a
-    quality gate trusts where stddev saturates on one bad row: two
-    applications of the two-pass selection device (_select_kth), each
-    a histogram groupBy + a one-bucket re-scan, all integer cents.
-    No global sort at either step; driver traffic is two scalars."""
-    li = load(spark, sf, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    )
-    med = _select_kth(li, "cents", 10000)
-    if med is None:  # empty input: match the oracle's (0, NULL, NULL)
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n"),
-            F.lit(None).cast("long").alias("median_cents"),
-            F.lit(None).cast("long").alias("mad_cents"),
-        )
-    dev = li.select(
-        F.abs(F.col("cents") - F.lit(med)).alias("cents")
-    )
-    mad = _select_kth(dev, "cents", 10000)
-    return li.agg(F.count(F.lit(1)).alias("n")).select(
-        "n",
-        F.lit(med).cast("long").alias("median_cents"),
-        F.lit(mad).cast("long").alias("mad_cents"),
-    )
-
-
-@query(
-    "join_salted_skew",
-    oracle="""
-    SELECT o.o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS revenue_cents
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """,
-)
-def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
-    """The MANUAL skew-join remedy, executed and oracle-certified as a
-    pure rewrite: the fact side salts its join key (deterministic
-    pmod(xxhash64(l_orderkey, l_linenumber), 8) — hash-based so all 8
-    salt values are live whatever the linenumber distribution), the
-    build side replicates 8× with every salt, and the join runs on
-    (key, salt) — so a pathological hot key's rows spread across all
-    8 reducers instead of one. AQE's skew split
-    (pinned in test_scale_plans) handles post-shuffle skew
-    adaptively; THIS is the pre-planned version a pipeline reaches for
-    when the hot key is known ahead of time (the agg twin is
-    agg_salted_twophase). The oracle is the PLAIN join — hash parity
-    proves salting changes the distribution, never the answer. The 8×
-    build replication is the price; use only on genuinely skewed
-    joins."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    ).withColumn(
-        "_salt",
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast(
-            "int"
-        ),
-    )
-    o = (
-        load(spark, sf, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .withColumn("_rep", F.col("_rep").cast("int"))
-    )
-    joined = li.hint("shuffle_hash").join(
-        o,
-        (li["l_orderkey"] == o["o_orderkey"])
-        & (li["_salt"] == o["_rep"]),
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("cents").alias("revenue_cents"),
-    )
-
-
-@query(
-    "text_zipf_fit",
-    oracle="""
-    WITH wc AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM documents)
-      WHERE w <> '' GROUP BY w
-    ),
-    top AS (
-      SELECT w, freq,
-             CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
-               AS rnk
-      FROM wc ORDER BY freq DESC, w LIMIT 1000
-    ),
-    xy AS (
-      SELECT round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
-             round(ln(CAST(freq AS DOUBLE)), 12) AS y
-      FROM top
-    ),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
-             list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
-             list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sxy,
-             list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sxx
-      FROM xy
-    )
-    SELECT n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
-             AS zipf_intercept
-    FROM s
-    """,
-)
-def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
-    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
-    ln(freq) on ln(rank) over the top-1000 vocabulary — the corpus
-    health check (natural text ≈ −1; a slope collapsing toward 0
-    flags template/boilerplate floods, steeper than −1.5 flags
-    degenerate repetition).
-
-    Scale shape: word counts are one map-combinable groupBy; only the
-    TOP-1000 rows (orderBy+limit — k rows, never the vocabulary) see
-    the rank window; the regression is four sorted float folds over
-    1000 terms with the ln inputs pre-rounded at 12 (so the folds sum
-    identical doubles on both engines) and the slope/intercept rounded
-    at 9."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    wc = (
-        d.select(F.explode(tx.tokens("text")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    top = wc.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(1000)
-    wr = Window.orderBy(F.col("freq").desc(), F.col("w"))
-    xy = top.select(
-        F.round(F.log(F.row_number().over(wr).cast("double")), 12).alias(
-            "x"
-        ),
-        F.round(F.log(F.col("freq").cast("double")), 12).alias("y"),
-    )
-
-    def fold(col: F.Column) -> F.Column:
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        fold(F.col("x")).alias("sx"),
-        fold(F.col("y")).alias("sy"),
-        fold(F.col("x") * F.col("y")).alias("sxy"),
-        fold(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        "n",
-        F.round(slope, 9).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
-            "zipf_intercept"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Driver verification-window rotation.
-#
-# The driver's per-round CORRECTNESS sweep covers the first 50 entries of
-# ``queries()`` in dict-insertion order. Registration order above is
-# thematic (SURVEY §2 sections), so left alone the same ~50 queries would
-# be re-verified every round while the rest of the catalog only ever sees
-# the local pytest mirror (tests/test_oracle_parity.py — same compare, same
-# sf). To convert "locally green" into driver-recorded rows across rounds,
-# we rotate a priority window each round: queries that have never had a
-# driver row go first, plus a few §2 anchors as cross-round canaries.
-# Rounds 1-11 cumulatively covered 404 unique queries, all green on
-# their latest check (VALIDATION.json is the machine-readable ledger:
-# scripts/gen_validation.py derives per-query last-driver-round /
-# last-bench-round from the committed CORRECTNESS/BENCH artifacts).
-# Each round promotes the next ~47 never-driver-checked queries in
-# commit order; at 123 remaining the backlog clears in ~3 rounds.
-# ---------------------------------------------------------------------------
-
-_DRIVER_WINDOW = [
-    # canaries — §2 anchors re-verified every round (12-for-12 target)
-    "j4_nullsafe_fk_join",
-    "star_upsert_fact",
-    "a2_unique_key_dedup",
-    # ------------------------------------------------------------------
-    # round-12 window (VERDICT_r11 item 1): the next 47 of the 123
-    # never-driver-checked queries in commit order — the remaining
-    # round-9 additions (ts_rolling_distinct_users ..
-    # emb_exact_dup_vectors). All are hash-paired and local-parity
-    # green at sf0.01 (test_oracle_parity) and sf0.001
-    # (test_smoke_all_queries). The 47 round-11-verified queries
-    # rotate out (driver rows in CORRECTNESS_r11). Rows-only residues
-    # stay parked OUT of the window — each already has its honest
-    # `no_oracle` row on record; target is 50/50 hash-green. The
-    # ledger behind this list is VALIDATION.json
-    # (scripts/gen_validation.py — last_driver_round == null). The two
-    # r12 rows-tier-residue twins (VERDICT_r11 item 6) take the first
-    # two slots; the two rotation entries they displace
-    # (olap_price_decile_migration, emb_exact_dup_vectors) lead the
-    # r13 staging below.
-    "agg_hll_merge_algebra",
-    "emb_kmeans_onestep_cells",
-    "ts_rolling_distinct_users",
-    "olap_open_order_aging",
-    "stats_chatterjee_xi",
-    "audit_join_fanout_forecast",
-    "ts_max_drawdown",
-    "curation_pack_straddle_audit",
-    "olap_price_volume_bridge",
-    "dedup_prefix_clusters",
-    "stats_kendall_w",
-    "graph_fof_recommendations",
-    "olap_xyz_classification",
-    "multimodal_wav_goertzel_bins",
-    "curation_dedup_quality_confusion",
-    "graph_triangle_participation",
-    "s3_csv_malformed_rate",
-    "stats_eb_shrinkage",
-    "olap_dau_wau_stickiness",
-    "curation_soft_dedup_weights",
-    "olap_part_adoption_curve",
-    "audit_sequence_inversions",
-    "stats_hodges_lehmann",
-    "graph_edge_embeddedness",
-    "ts_turning_points_test",
-    "graph_brand_assortativity",
-    "emb_centroid_mrr",
-    "stats_matthews_corr",
-    "ts_rolling_median_band",
-    "stats_poisson_etest_daily",
-    "audit_partition_checksums",
-    "dedup_threshold_yield_curve",
-    "stats_gamma_fit_moments",
-    "olap_customer_order_regularity",
-    "multimodal_gif_index_histogram",
-    "stats_youden_threshold_sweep",
-    "curation_sample_size_planner",
-    "dedup_winnowing_fingerprints",
-    "olap_mix_residual_heatmap",
-    "stats_gtest_independence",
-    "olap_abc_xyz_matrix",
-    "stats_cooks_distance",
-    "olap_supplier_diversification",
-    "ts_permutation_entropy",
-    "stats_cochran_q",
-    "text_rbo_vocab_overlap",
-    "stats_lin_ccc",
-    # ------------------------------------------------------------------
-    # positions 51+: round-13+ staging — the last 2 round-9 additions,
-    # the 63 round-10 additions, then the 10 hash-paired round-11
-    # additions, all in commit order. Rows-only residues
-    # (emb_zca_mahalanobis) are NOT staged (see the window comment
-    # above).
-    "olap_price_decile_migration",
-    "emb_exact_dup_vectors",
-    "stats_sign_test",
-    "olap_aov_quarterly",
-    "stats_mood_median_test",
-    "stats_cronbach_alpha",
-    "stats_icc_oneway",
-    "stats_holm_bonferroni",
-    "stats_durbin_watson",
-    "stats_bartlett_test",
-    "ts_variance_ratio_test",
-    "ts_sample_entropy",
-    "ts_madogram_fractal",
-    "ts_recurrence_rate",
-    "olap_bcg_matrix",
-    "olap_order_value_log_histogram",
-    "text_richness_panel",
-    "text_char_entropy_by_source",
-    "text_gunning_fog",
-    "graph_path_census",
-    "emb_uniformity_alignment",
-    "emb_centroid_confusion",
-    "dedup_minhash_estimate_audit",
-    "dedup_band_scurve_audit",
-    "audit_timestamp_granularity",
-    "multimodal_wav_peak_bin",
-    "multimodal_wav_spectral_entropy",
-    "olap_order_backlog_timeline",
-    "stats_fleiss_kappa",
-    "stats_tukey_hsd",
-    "stats_log_rank_test",
-    "win_forward_fill_gaps",
-    "win_range_interval_sum",
-    "agg_weighted_percentile",
-    "curation_token_budget_audit",
-    "sim_cosine_threshold_census",
-    "dedup_cross_source_clusters",
-    "stats_two_way_anova",
-    "stats_powerlaw_ks_fit",
-    "audit_monotonic_id_gaps",
-    "olap_rfm_migration",
-    "stats_cuped_variance_reduction",
-    "ts_markov_entropy_rate",
-    "olap_brand_weekly_corr_pairs",
-    "olap_nation_assortment_jaccard",
-    "curation_shard_balance_audit",
-    "ts_burstiness_coefficient",
-    "stats_ratio_metric_delta_ci",
-    "curation_dedup_savings_forecast",
-    "multimodal_image_lr_symmetry",
-    "olap_weekday_hour_heatmap",
-    "audit_order_total_reconciliation",
-    "text_tfidf_source_signatures",
-    "emb_norm_eta_squared",
-    "olap_price_endings_profile",
-    "sessionize_entry_exit_matrix",
-    "olap_discount_response_curve",
-    "audit_value_outlier_days",
-    "emb_centroid_multiclass_mcc",
-    "curation_padding_waste_curve",
-    "audit_exact_duplicate_events",
-    "stats_ols_slope_by_quarter",
-    "olap_user_accumulation_curve",
-    "text_word_length_histogram",
-    "olap_price_index_laspeyres_paasche",
-    "graph_clustering_by_degree",
-    "curation_source_mix_entropy",
-    "stats_cochran_armitage",
-    "emb_pair_distance_by_label",
-    "multimodal_frame_extract",
-    "multimodal_frame_sampling_census",
-    "olap_herfindahl_nation_revenue",
-    "emb_diag_mahalanobis_census",
-    "text_nb_lang_classifier",
-    "stats_jackknife_ratio_se",
-    "text_nb_per_class_f1",
-    "text_nb_margin_reliability",
-]
-
-
-def _rotate_window(priority: list[str]) -> None:
-    """Reorder QUERIES in place (preserves dict identity for importers)."""
-    missing = [n for n in priority if n not in QUERIES]
-    assert not missing, f"window names not in catalog: {missing}"
-    head = [(n, QUERIES[n]) for n in priority]
-    pset = set(priority)
-    tail = [(n, fn) for n, fn in QUERIES.items() if n not in pset]
-    QUERIES.clear()
-    QUERIES.update(head + tail)
-
-
-
-# ===========================================================================
-# Coverage round 4: segment-level corpus cleaning (CCNet-style)
-# ===========================================================================
-
-
-@query(
-    "text_boilerplate_removal",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    segs AS (
-      SELECT doc_id, i AS seg_idx,
-             array_to_string(t[(i*3+1):(i*3+3)], ' ') AS segment
-      FROM toks,
-           unnest(range(0, greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1)))
-             AS u(i)
-    ),
-    hot AS (
-      SELECT segment FROM (SELECT DISTINCT segment, doc_id FROM segs)
-      GROUP BY segment HAVING count(*) > 5
-    ),
-    kept AS (
-      SELECT s.* FROM segs s
-      WHERE s.segment NOT IN (SELECT segment FROM hot)
-    ),
-    tot AS (
-      SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
-    ),
-    reb AS (
-      SELECT doc_id, count(*) AS kept_n,
-             string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text
-      FROM kept GROUP BY doc_id
-    )
-    SELECT t.doc_id, t.n_segments,
-           t.n_segments - COALESCE(r.kept_n, 0) AS n_removed,
-           COALESCE(r.clean_text, '') AS clean_text
-    FROM tot t LEFT JOIN reb r USING (doc_id)
-    """,
-)
-def text_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet-style cross-document boilerplate removal: 3-token segments
-    occurring in >5 distinct docs are dropped, the rest reassembled in
-    order. The boilerplate dictionary broadcast + ordered rebuild is
-    the pattern the newline-structured web-corpus version uses
-    verbatim (segments would be lines)."""
-    d = load(spark, sf, "documents")
-    return tx.remove_boilerplate(
-        d, "doc_id", "text", seg_tokens=3, max_doc_freq=5
-    )
-
-
-@query(
-    "text_intradoc_dedup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    segs AS (
-      SELECT doc_id, i AS seg_idx,
-             array_to_string(t[(i*3+1):(i*3+3)], ' ') AS segment
-      FROM toks,
-           unnest(range(0, greatest(CAST(ceil(len(t)/3.0) AS BIGINT), 1)))
-             AS u(i)
-    ),
-    first_occ AS (
-      SELECT doc_id, seg_idx, segment,
-             row_number() OVER (PARTITION BY doc_id, segment
-                                ORDER BY seg_idx) AS rn
-      FROM segs
-    )
-    SELECT s.doc_id,
-           count(*) AS n_segments,
-           count(*) - k.kept_n AS n_intra_dups,
-           k.dedup_text
-    FROM segs s
-    JOIN (
-      SELECT doc_id, count(*) AS kept_n,
-             string_agg(segment, ' ' ORDER BY seg_idx) AS dedup_text
-      FROM first_occ WHERE rn = 1 GROUP BY doc_id
-    ) k USING (doc_id)
-    GROUP BY s.doc_id, k.kept_n, k.dedup_text
-    """,
-)
-def text_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Within-document repetition removal (templating-loop cleanup):
-    keep each distinct 3-token segment's first occurrence in order."""
-    d = load(spark, sf, "documents")
-    return tx.dedup_intradoc_segments(d, "doc_id", "text", seg_tokens=3)
-
-
-_COMPONENTS_CTE = """
-    toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                     for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ), rec AS (
-      WITH RECURSIVE reach(node, comp) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
-      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
-    )
-"""
-
-
-@query(
-    "curation_leakage_safe_split",
-    oracle=f"""
-    WITH {_COMPONENTS_CTE},
-    keyed AS (
-      SELECT d.doc_id, COALESCE(r.comp, d.doc_id) AS cluster_key
-      FROM documents d LEFT JOIN rec r ON r.node = d.doc_id
-    )
-    SELECT doc_id, cluster_key,
-           CASE WHEN b < 80 THEN 'train'
-                WHEN b < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id, cluster_key,
-                 CAST(CAST(concat('0x', substr(md5(concat('split1',
-                      CAST(cluster_key AS VARCHAR))), 1, 4)) AS BIGINT)
-                      % 100 AS INT) AS b
-          FROM keyed)
-    """,
-)
-def curation_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
-    """Train/val/test split WITHOUT near-dup leakage: hash the CLUSTER
-    representative (connected component of jaccard>=0.8 pairs), not the
-    doc id, so every member of a near-dup cluster lands on the same
-    side — the eval-contamination failure mode of naive per-doc splits.
-    One extra join over curation_split; the component labels come from
-    the same label-propagation used by dedup_canonical_docs."""
-    from ..functions.curation import train_val_test_split
-
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    comps = dd.connected_components(pairs)
-    keyed = d.select("doc_id").join(
-        comps.select(F.col("node").alias("doc_id"), "component"),
-        on="doc_id",
-        how="left",
-    ).select(
-        "doc_id",
-        F.coalesce("component", "doc_id").alias("cluster_key"),
-    )
-    return train_val_test_split(keyed, "cluster_key").select(
-        "doc_id", "cluster_key", "split"
-    )
-
-
-@query(
-    "dedup_keep_best_quality",
-    oracle=f"""
-    WITH {_COMPONENTS_CTE},
-    keyed AS (
-      SELECT d.doc_id, d.source, d.n_chars,
-             COALESCE(r.comp, d.doc_id) AS cluster_key
-      FROM documents d LEFT JOIN rec r ON r.node = d.doc_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY cluster_key
-                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
-      FROM keyed
-    )
-    SELECT doc_id, source, n_chars FROM ranked WHERE rn = 1
-    """,
-)
-def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality-aware canonicalization: within each near-dup cluster
-    keep the HIGHEST-QUALITY member (longest doc, id tiebreak) instead
-    of the arbitrary min-id — what a curation pipeline actually wants
-    when near-dups differ in truncation/extraction quality."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    comps = dd.connected_components(pairs)
-    keyed = d.join(
-        comps.select(F.col("node").alias("doc_id"), "component"),
-        on="doc_id",
-        how="left",
-    ).withColumn("cluster_key", F.coalesce("component", "doc_id"))
-    w = Window.partitionBy("cluster_key").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "n_chars")
-    )
-
-
-# ===========================================================================
-# Exact-substring dedup (Lee et al. 2022) — duplicated token spans
-# ===========================================================================
-
-_SUBSTR_WINS_CTE = """
-    toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    wins AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS win
-      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-8)) AS i) g
-      WHERE len(t) >= 8
-    ),
-    dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
-    marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
-    flagged AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(max(pos) OVER (
-                      PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    -9) + 8
-                  THEN 1 ELSE 0 END AS brk
-      FROM marked
-    ),
-    grps AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS g
-      FROM flagged
-    ),
-    spans AS (
-      SELECT doc_id,
-             CAST(min(pos) AS BIGINT) AS span_start,
-             CAST(max(pos) + 7 AS BIGINT) AS span_end,
-             CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
-      FROM grps GROUP BY doc_id, g
-    )
-"""
-
-
-@query(
-    "dedup_exact_substring",
-    oracle=f"""
-    WITH {_SUBSTR_WINS_CTE}
-    SELECT doc_id, span_start, span_end, span_tokens FROM spans
-    """,
-)
-def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
-    """Maximal duplicated token spans (length ≥ 8 words, ≥ 2 global
-    occurrences) per document — the exact-substring dedup of Lee et
-    al. 2022, expressed as hash-window groupBy + equi-join +
-    gaps-and-islands (see functions/dedup.py:duplicate_spans for the
-    100 TB shuffle story). The oracle re-derives the same spans from
-    the window STRINGS (no hashing) — a hash collision would show up
-    as a span mismatch, so the parity row also certifies the 64-bit
-    hashes are collision-free on this corpus."""
-    d = load(spark, sf, "documents")
-    return dd.duplicate_spans(d, k=8, min_count=2)
-
-
-@query(
-    "dedup_substring_stats",
-    oracle=f"""
-    WITH {_SUBSTR_WINS_CTE},
-    per_doc AS (
-      SELECT doc_id, sum(span_tokens) AS dup FROM spans GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
-             AS n_tokens,
-           CAST(COALESCE(p.dup, 0) AS BIGINT) AS dup_tokens,
-           CAST(COALESCE(p.dup, 0) AS DOUBLE)
-             / len(string_split_regex(trim(d.text), '\\s+')) AS dup_ratio
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    """,
-)
-def dedup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document duplicated-token budget (every doc, zero-filled):
-    the audit that sizes how much a substring-level trim would remove.
-    Maximal spans are disjoint, so the sum never double-counts."""
-    d = load(spark, sf, "documents")
-    return dd.substring_dup_stats(d, k=8, min_count=2)
-
-
-@query(
-    "dedup_substring_trim",
-    oracle=f"""
-    WITH {_SUBSTR_WINS_CTE},
-    keyed AS (
-      SELECT s.doc_id, s.span_start, s.span_end,
-             array_to_string(
-               t.t[s.span_start+1:s.span_end+1], ' ') AS spantxt
-      FROM spans s JOIN toks t USING (doc_id)
-    ),
-    ranked AS (
-      SELECT doc_id, span_start, span_end,
-             row_number() OVER (PARTITION BY spantxt
-                                ORDER BY doc_id, span_start) AS rn
-      FROM keyed
-    ),
-    cut AS (
-      SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1
-    ),
-    pos AS (
-      SELECT doc_id, p, t[p] AS tok
-      FROM toks,
-           LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) g
-    ),
-    kept AS (
-      SELECT p.doc_id, p.p, p.tok
-      FROM pos p
-      WHERE NOT EXISTS (
-        SELECT 1 FROM cut c
-        WHERE c.doc_id = p.doc_id
-          AND p.p BETWEEN c.span_start + 1 AND c.span_end + 1
-      )
-    ),
-    agged AS (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS trimmed,
-             CAST(count(*) AS BIGINT) AS kept_tokens
-      FROM kept GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(a.trimmed, '') AS text,
-           COALESCE(a.kept_tokens, 0) AS kept_tokens,
-           CAST(len(string_split_regex(trim(d.text), '\\s+'))
-                AS BIGINT) - COALESCE(a.kept_tokens, 0)
-             AS removed_tokens
-    FROM documents d LEFT JOIN agged a USING (doc_id)
-    """,
-)
-def dedup_substring_trim(spark: SparkSession, sf: str) -> DataFrame:
-    """Trimmed corpus: keep the first occurrence of every duplicated
-    span (keyed by span TEXT, ordered by (doc_id, span_start)), delete
-    the token ranges of later occurrences, reassemble. The third step
-    of the Lee et al. 2022 pipeline (see
-    functions/dedup.py:substring_trim for the shuffle story). The
-    oracle keys spans by their literal text while Spark keys by
-    xxhash64(text), so the parity row also certifies the span keys are
-    collision-free on this corpus."""
-    d = load(spark, sf, "documents")
-    return dd.substring_trim(d, k=8, min_count=2)
-
-
-# ===========================================================================
-# BPE tokenizer training (Sennrich et al. 2016) — oracle-paired via an
-# UNROLLED SQL twin: each merge iteration is three generated CTEs (pair
-# counts → argmax → replace), so DuckDB replays the exact training loop
-# including the deterministic (count DESC, lhs, rhs) tie-break. The
-# wrapped-symbol representation (" l  o  w ") makes one engine-native
-# replace() apply a merge at every site with no overlap hazard — see
-# functions/bpe.py for the 100 TB story (one corpus pass, then
-# vocab-sized iterations).
-# ===========================================================================
-
-_BPE_N_MERGES = 10
-
-_BPE_BASE_CTE = """
-    w1 AS MATERIALIZED (
-      SELECT CAST(count(*) AS BIGINT) AS freq,
-             ' ' || array_to_string(
-               list_transform(generate_series(1, length(w)),
-                              i -> substring(w, i, 1)), '  ') || ' ' AS r
-      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM documents)
-      WHERE length(w) > 0
-      GROUP BY w
-    )"""
-
-
-def _bpe_iter_ctes(n: int) -> str:
-    out = []
-    for i in range(1, n + 1):
-        # AS MATERIALIZED is load-bearing: without it DuckDB inlines
-        # every CTE reference, and since w{{i+1}} references w{{i}}
-        # twice (directly and via b{{i}}) the expansion is 2^n copies
-        # of the base scan — measured 55 s vs <2 s at sf0.01, n=10.
-        out.append(f"""
-    p{i} AS (
-      SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-      FROM (SELECT freq, string_split(trim(r), '  ') AS s
-            FROM w{i} WHERE len(string_split(trim(r), '  ')) >= 2),
-           LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS j) g
-      GROUP BY a, b
-    ),
-    b{i} AS MATERIALIZED (
-      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-    ),
-    m{i} AS (
-      SELECT {i} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,
-             cnt AS pair_count
-      FROM b{i}
-    ),
-    w{i + 1} AS MATERIALIZED (
-      SELECT freq,
-             replace(w.r, ' '||b.a||'  '||b.b||' ',
-                     ' '||b.a||b.b||' ') AS r
-      FROM w{i} w, b{i} b
-    )""")
-    return ",".join(out)
-
-
-def _bpe_merges_oracle(n: int) -> str:
-    union = "\n      UNION ALL ".join(
-        f"SELECT * FROM m{i}" for i in range(1, n + 1)
-    )
-    return f"""
-    WITH {_BPE_BASE_CTE},{_bpe_iter_ctes(n)}
-    SELECT merge_rank, lhs, rhs, merged, pair_count
-    FROM ({union})
-    """
-
-
-def _bpe_segment_oracle(n: int) -> str:
-    # nested replace chain applying merges 1..n in rank order to one
-    # wrapped word (b1..bn are cross-joined single-row tables)
-    expr = (
-        "' ' || array_to_string(list_transform("
-        "generate_series(1, length(w)), i -> substring(w, i, 1)),"
-        " '  ') || ' '"
-    )
-    for i in range(1, n + 1):
-        expr = (
-            f"replace({expr}, ' '||b{i}.a||'  '||b{i}.b||' ',"
-            f" ' '||b{i}.a||b{i}.b||' ')"
-        )
-    tables = ", ".join(f"b{i}" for i in range(1, n + 1))
-    return f"""
-    WITH {_BPE_BASE_CTE},{_bpe_iter_ctes(n)}
-    SELECT d.doc_id,
-           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
-             AS n_words,
-           CAST(list_sum(list_transform(
-             string_split_regex(trim(d.text), '\\s+'),
-             w -> len(string_split(trim({expr}), '  ')))) AS BIGINT)
-             AS n_bpe_tokens
-    FROM documents d, {tables}
-    """
-
-
-@query("text_bpe_train_merges", oracle=_bpe_merges_oracle(_BPE_N_MERGES))
-def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
-    """First 10 BPE merges learned from the documents corpus
-    (merge_rank, lhs, rhs, merged, pair_count). The oracle replays the
-    training loop unrolled in SQL, so every iteration's argmax and
-    every replace are hash-checked — a distributed tokenizer trainer
-    whose training TRACE is verified, not just its output counts."""
-    d = load(spark, sf, "documents")
-    return bpe.bpe_merges(d, n_merges=_BPE_N_MERGES)
-
-
-@query("text_bpe_segment_counts", oracle=_bpe_segment_oracle(_BPE_N_MERGES))
-def text_bpe_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Apply the 10 learned merges to the corpus: per-doc whitespace
-    word count vs BPE token count (the compression the tokenizer buys
-    at this merge budget). Merges fold into one chained JVM replace
-    per word — a single corpus map, zero joins."""
-    d = load(spark, sf, "documents")
-    m = bpe.bpe_merges(d, n_merges=_BPE_N_MERGES)
-    return bpe.bpe_segment(d, m)
-
-
-@query(
-    "text_bigram_lm_score",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    trans AS (
-      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
-      WHERE len(t) >= 2
-    ),
-    c2 AS (
-      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
-      FROM trans GROUP BY w1, w2
-    ),
-    c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
-    v AS (
-      SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
-      FROM (SELECT unnest(t) AS w FROM toks)
-    ),
-    scored AS (
-      SELECT tr.doc_id,
-             ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vs)) AS lp
-      FROM trans tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_transitions,
-           round(-list_reduce(list_sort(list(lp)), (x, y) -> x + y)
-                 / count(*), 9) AS cross_entropy_nats
-    FROM scored GROUP BY doc_id
-    """,
-)
-def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document cross-entropy under a corpus-trained add-α word-
-    bigram LM — the relational twin of the KenLM-perplexity quality
-    filter CCNet-style pipelines run (low score = fluent/common text,
-    high = gibberish or boilerplate-stitched). Training IS the query:
-    bigram counts and context counts are two map-side-combinable
-    groupBys over one (w1, w2) explode; scoring is two equi-joins back
-    (w1 hot keys → AQE skew-split territory, no broadcast of the model
-    needed at any corpus size) plus one broadcast scalar (vocab size).
-    P(w2|w1) = (C(w1,w2)+0.5) / (C(w1)+0.5·V) with C(w1) the context
-    count (row sum of the bigram table), so the model is
-    self-consistent and every transition scores against mass that
-    sums to 1. Float discipline: the ln argument is bit-identical on
-    both engines (integer+0.5 arithmetic, one division); ln itself
-    differs ≤1 ulp (Math.log vs libm), so per-doc terms fold
-    smallest-first and the mean rounds to 9 decimals (tighter than
-    the entropy query's 12 because ~100 ln terms of magnitude ~10
-    accumulate more ulp drift than entropy's ≤2-nat sums)."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select("doc_id", tx.tokens("text").alias("_t"))
-    sz = F.size("_t")
-    zipped = F.arrays_zip(
-        F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
-    )
-    trans = (
-        toks.filter(sz >= 2)
-        .select("doc_id", F.explode(zipped).alias("_p"))
-        .select(
-            "doc_id",
-            F.col("_p.0").alias("w1"),
-            F.col("_p.1").alias("w2"),
-        )
-    )
-    c2 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    v = toks.select(F.explode("_t").alias("w")).agg(
-        F.count_distinct("w").alias("vs")
-    )
-    lp = F.log(
-        (F.col("n2") + F.lit(0.5))
-        / (F.col("n1") + F.lit(0.5) * F.col("vs"))
-    )
-    scored = (
-        trans.join(c2, on=["w1", "w2"])
-        .join(c1, on="w1")
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", lp.alias("_lp"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_transitions"),
-        F.round(
-            -F.aggregate(
-                F.array_sort(F.collect_list("_lp")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("cross_entropy_nats"),
-    )
-
-
-@query(
-    "curation_dsir_weights",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    uni AS (SELECT doc_id, unnest(t) AS feat FROM toks),
-    big AS (
-      SELECT doc_id, t[i] || ' ' || t[i+1] AS feat
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
-      WHERE len(t) >= 2
-    ),
-    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
-    fb AS (
-      SELECT doc_id,
-             CAST(CAST(concat('0x', substr(md5(feat), 1, 4)) AS BIGINT)
-                  % 256 AS BIGINT) AS b
-      FROM feats
-    ),
-    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-    cp AS (
-      SELECT b, CAST(count(*) AS BIGINT) AS n
-      FROM fb JOIN tgt USING (doc_id) GROUP BY b
-    ),
-    cq AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY b),
-    tp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb JOIN tgt USING (doc_id)),
-    tq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb),
-    scored AS (
-      SELECT fb.doc_id,
-             ln(((COALESCE(cp.n, 0) + 0.5) * (tq.n + 0.5 * 256)) /
-                ((cq.n + 0.5) * (tp.n + 0.5 * 256))) AS lp
-      FROM fb LEFT JOIN cp USING (b) JOIN cq USING (b), tp, tq
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_feats,
-           round(list_reduce(list_sort(list(lp)), (x, y) -> x + y)
-                 / count(*), 9) AS dsir_logratio
-    FROM scored GROUP BY doc_id
-    """,
-)
-def curation_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every raw
-    document by how target-like its hashed n-gram features are —
-    mean log p_target(feat)/p_raw(feat) over the doc's unigrams +
-    bigrams, features hashed into 256 md5 buckets (md5 so the SQL twin
-    reproduces the bucketing bit-for-bit; a deployment would swap in
-    xxhash64). Target here = the English slice of the corpus.
-
-    Scale shape: ONE pass over the feature explode fits the whole
-    model — the target membership is a flag carried on each feature
-    row (no semi-join against a target id list), so np/nq are a single
-    map-side-combinable groupBy and the tp/tq totals are whole-frame
-    window sums over the fitted 256-row model (never a second corpus
-    scan; the naive cp/cq/tp/tq-as-separate-aggregates formulation
-    re-reads the corpus 6×). Scoring broadcasts the 256-row model back
-    over the same explode — 2 corpus passes total, no join by feature
-    string anywhere. Float discipline: the ln argument is one division
-    of exactly-representable products (counts ≤ 2⁵³ stay exact with
-    the +0.5/+128 smoothing terms), ln differs ≤1 ulp across engines,
-    so terms fold smallest-first and the mean rounds to 9 decimals
-    (same rationale as text_bigram_lm_score)."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("_tgt"),
-        tx.tokens("text").alias("_t"),
-    )
-    sz = F.size("_t")
-    uni = toks.select("doc_id", "_tgt", F.explode("_t").alias("feat"))
-    big = (
-        toks.filter(sz >= 2)
-        .select(
-            "doc_id",
-            "_tgt",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
-                )
-            ).alias("_p"),
-        )
-        .select(
-            "doc_id",
-            "_tgt",
-            F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("feat"),
-        )
-    )
-    feats = uni.unionByName(big)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("feat")), 1, 4), 16, 10)
-        .cast("long")
-        % 256
-    )
-    fb = feats.select("doc_id", "_tgt", bucket.alias("b"))
-    fitted = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("nq"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("np"),
-    )
-    wall = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    model = fitted.withColumn("tq", F.sum("nq").over(wall)).withColumn(
-        "tp", F.sum("np").over(wall)
-    )
-    lp = F.log(
-        ((F.col("np") + F.lit(0.5)) * (F.col("tq") + F.lit(0.5) * 256))
-        / ((F.col("nq") + F.lit(0.5)) * (F.col("tp") + F.lit(0.5) * 256))
-    )
-    scored = fb.join(F.broadcast(model.select("b", lp.alias("_lp"))), on="b")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_feats"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("_lp")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("dsir_logratio"),
-    )
-
-
-# ===========================================================================
-# Coverage round 5: semantic dedup (SemDeDup)
-# ===========================================================================
-
-_SD_PLANES = sim.semdedup_planes(n_planes=4, dim=64, tag="sd")
-_SD_CELL_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
-    f"THEN {1 << p} ELSE 0 END)"
-    for p, plane in enumerate(_SD_PLANES)
-)
-
-
-@query(
-    "dedup_semantic_semdedup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cells AS (
-      SELECT vec_id, v, CAST({_SD_CELL_SQL} AS INT) AS cell FROM e
-    ),
-    drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    )
-    SELECT vec_id, cell FROM cells
-    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-    """,
-)
-def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): embedding-space cells + in-cell
-    cosine near-identity, keep-min-id per ε-group. Cells come from six
-    md5-keystream hyperplanes whose double literals are embedded in
-    BOTH plans, and the in-cell cosine is the sequential fold that
-    matches list_dot_product bit-for-bit — so the survivor set is
-    engine-exact. Scale: cell assignment is a JVM projection; the only
-    shuffle is the per-cell equi-join (planes scale with corpus size
-    like k-means cluster count in the paper).
-
-    Fixture tuning: the synthetic embeddings are near-orthogonal (max
-    pairwise cosine ≈ 0.51), so the paper's τ≈0.95 would drop nothing;
-    τ=0.4 with 16 cells exercises the drop path (12 of 500 dropped at
-    sf0.01). A production run keeps τ high."""
-    e = load(spark, sf, "embeddings")
-    return sim.semdedup(e, threshold=0.4, n_planes=4, dim=64)
-
-
-@query(
-    "sim_ivfpq_topk_exhaustive",
-    # identical oracle to sim_lsh_topk_exhaustive: full probe + uncapped
-    # ADC candidates = every vector is a candidate, and the exact-fold
-    # re-rank makes the output independent of the PQ approximation
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-               AS cos
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-)
-def sim_ivfpq_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ (Jégou et al. 2011) probed exhaustively: n_probe =
-    n_centroids and no ADC candidate cap means every vector survives to
-    the exact sequential-fold re-rank, so the full encode → cell scan →
-    ADC → re-rank machinery must be bit-identical to brute force — the
-    PQ member of the exhaustive-admission family (LSH and IVF twins
-    already driver-verified). Approximate configurations differ only in
-    which candidates the ADC code scan keeps."""
-    e = load(spark, sf, "embeddings")
-    return sim.ivfpq_topk(e, k=5, n_centroids=8, n_probe=8)
-
-
-@query("sim_ivfpq_topk")  # approximate by nature: rows-only check
-def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ in its production configuration (8 of 32 cells probed,
-    per-cell ADC candidate cap): the memory tier — candidates are
-    scanned as n_sub-byte codes against a per-query lookup table, raw
-    vectors touched only for the O(k) survivors. Recall vs exact is
-    measured (≈0.68 on the near-orthogonal fixture across seeds —
-    n_probe raised 4→8 in r7 per VERDICT_r6 item 6 at identical
-    wall-clock, the coarse probe being the whole loss: the ADC
-    approximation costs nothing here) and floor-pinned ≥0.45 over 3
-    seeds in tests/test_similarity_guard.py."""
-    e = load(spark, sf, "embeddings")
-    return sim.ivfpq_topk(
-        e, k=5, n_centroids=32, n_probe=8, candidates_per_cell=32
-    )
-
-
-_LSHQ_PLANES = sim.md5_planes(n_tables=4, n_planes=6, dim=64, tag="lshq")
-
-
-def _lshq_bucket_sql(t: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN list_dot_product(v, "
-        f"[{', '.join(repr(x) for x in _LSHQ_PLANES[t][p])}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(6)
-    )
-
-
-@query(
-    "sim_lsh_topk_md5planes",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (
-      SELECT vec_id, v,
-             {_lshq_bucket_sql(0)} AS b0,
-             {_lshq_bucket_sql(1)} AS b1,
-             {_lshq_bucket_sql(2)} AS b2,
-             {_lshq_bucket_sql(3)} AS b3
-      FROM e
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-      FROM b a JOIN b c ON a.vec_id <> c.vec_id
-       AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
-    ),
-    scored AS (
-      SELECT id_a, id_b,
-             list_dot_product(a.v, c.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(c.v, c.v))) AS cos
-      FROM cand
-      JOIN b a ON a.vec_id = cand.id_a
-      JOIN b c ON c.vec_id = cand.id_b
-    )
-    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
-    FROM (SELECT id_a, id_b, cos,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY cos DESC, id_b ASC) AS rn
-          FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def sim_lsh_topk_md5planes(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate LSH top-k, ORACLE-PAIRED in its approximate
-    configuration (not just the exhaustive 0-plane degenerate): planes
-    come from the md5 keystream and bucket signs from JVM sequential
-    folds, so DuckDB reproduces the bucketing bit-for-bit and the twin
-    computes the same union-of-tables candidate set + exact top-5.
-    This closes the 'approx-by-nature = rows-only' gap for LSH: the
-    approximation itself is now hash-verified, not merely measured.
-    The Gaussian-plane variant (sim_lsh_topk) stays the bench headliner
-    — BLAS bucket assignment is faster at production table×plane
-    counts; admission semantics are identical."""
-    e = load(spark, sf, "embeddings")
-    return sim.lsh_topk(
-        e, k=5, n_planes=6, n_tables=4, dim=64, md5_plane_tag="lshq"
-    )
-
-
-_CDC_CHUNK_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-pos AS (
-  SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks
-),
-flg AS (
-  -- greatest() keeps the slice valid on the p<2 rows the outer CASE
-  -- discards (DuckDB evaluates vectorized branches eagerly; an invalid
-  -- slice made concat('0x', NULL)='0x' and the CAST threw)
-  SELECT doc_id, p, t[CAST(p+1 AS INT)] AS tok,
-         CASE WHEN p >= 2 AND
-              CAST(concat('0x', substr(md5(array_to_string(
-                     t[CAST(greatest(p-1, 1) AS INT):CAST(p+1 AS INT)], ' ')),
-                   1, 8)) AS BIGINT) % 16 = 0
-         THEN 1 ELSE 0 END AS f
-  FROM pos
-),
-cidx AS (
-  SELECT doc_id, p, tok,
-         CAST(COALESCE(sum(f) OVER (
-                PARTITION BY doc_id ORDER BY p
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS chunk_idx
-  FROM flg
-),
-chunks AS (
-  SELECT doc_id, chunk_idx,
-         CAST(min(p) AS INT) AS chunk_start,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
-  FROM cidx GROUP BY doc_id, chunk_idx
-)
-"""
-
-
-@query(
-    "text_cdc_chunks",
-    oracle=_CDC_CHUNK_SQL + "SELECT * FROM chunks",
-)
-def text_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """Content-defined chunking (LBFS/Venti rolling boundary): token
-    position p ends a chunk iff the md5-derived hash of the k=3-token
-    window ending at p is ≡ 0 mod 16 — boundaries follow CONTENT, so an
-    edit perturbs only nearby chunks and identical slabs shared across
-    documents re-chunk identically once boundaries re-synchronize.
-    Fully oracle-paired: every boundary decision is the engine-portable
-    md5 device. See functions/text.cdc_chunks for the scale shape (JVM
-    flag projection + one doc-partitioned window + one groupBy; no
-    corpus-wide shuffle)."""
-    d = load(spark, sf, "documents")
-    return tx.cdc_chunks(d, k=3, modulus=16)
-
-
-@query(
-    "dedup_cdc_chunk_ratio",
-    oracle=_CDC_CHUNK_SQL + """
-    SELECT d.source,
-           CAST(count(*) AS BIGINT) AS total_chunks,
-           CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS distinct_chunks,
-           CAST(count(*) - count(DISTINCT c.chunk_hash) AS BIGINT)
-             AS dup_chunks
-    FROM chunks c JOIN documents d USING (doc_id)
-    GROUP BY d.source
-    """,
-)
-def dedup_cdc_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    """Storage-dedup audit over CDC chunks: per source feed, how many
-    chunk bodies are byte-identical to another chunk (the quantity a
-    content-addressed store would deduplicate). One corpus groupBy over
-    (source, chunk_hash) — the only cross-doc shuffle in the CDC
-    family."""
-    d = load(spark, sf, "documents")
-    chunks = tx.cdc_chunks(d, k=3, modulus=16)
-    joined = chunks.join(d.select("doc_id", "source"), on="doc_id")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("total_chunks"),
-        F.countDistinct("chunk_hash").alias("distinct_chunks"),
-        (F.count(F.lit(1)) - F.countDistinct("chunk_hash")).alias(
-            "dup_chunks"
-        ),
-    )
-
-
-# ===========================================================================
-# Coverage round 6: incremental-view maintenance, link prediction,
-# changepoint detection
-# ===========================================================================
-
-
-@query(
-    "mv_incremental_update",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, user_id,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    ),
-    base AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s
-      FROM e WHERE event_id % 5 <> 0 GROUP BY user_id
-    ),
-    delta AS (
-      SELECT user_id,
-             CAST(sum(CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END)
-                  AS BIGINT) AS dn,
-             CAST(sum((CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END)
-                      * cents) AS BIGINT) AS ds
-      FROM e WHERE event_id % 5 = 0 GROUP BY user_id
-    )
-    SELECT user_id,
-           COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n_events,
-           COALESCE(b.s, 0) + COALESCE(d.ds, 0) AS sum_cents
-    FROM base b FULL OUTER JOIN delta d USING (user_id)
-    WHERE COALESCE(b.n, 0) + COALESCE(d.dn, 0) > 0
-    """,
-)
-def mv_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental materialized-view maintenance (the Flink retract-
-    stream / DBSP delta algebra): a per-user (count, sum) MV built
-    from yesterday's facts is brought current by merging ONLY the
-    day's signed delta log (insert = +1, retract = −1), never
-    rescanning the base facts. Groups whose maintained count reaches
-    zero leave the view. The op split is derived deterministically
-    from event_id so both engines see the identical base/log.
-
-    Scale: the base MV is read as pre-aggregated state (|users| rows,
-    not |facts|); the delta aggregation is one map-combinable groupBy
-    over the day partition; the merge is a key full-outer join between
-    two aggregate-sized sides. At 100 TB this is the difference
-    between touching a day and touching a decade."""
-    e = load(spark, sf, "events").select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    base = (
-        e.filter(F.col("event_id") % 5 != 0)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
-        )
-    )
-    sign = F.when(F.col("event_id") % 10 == 0, F.lit(-1)).otherwise(
-        F.lit(1)
-    )
-    delta = (
-        e.filter(F.col("event_id") % 5 == 0)
-        .groupBy("user_id")
-        .agg(
-            F.sum(sign).alias("dn"),
-            F.sum(sign * F.col("cents")).alias("ds"),
-        )
-    )
-    merged = base.join(delta, on="user_id", how="full").select(
-        "user_id",
-        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
-            "n_events"
-        ),
-        (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias(
-            "sum_cents"
-        ),
-    )
-    return merged.filter(F.col("n_events") > 0)
-
-
-@query(
-    "graph_common_neighbors",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (
-      SELECT src AS n, dst AS x FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    cand AS (
-      SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS n_common
-      FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
-      GROUP BY l.x, r.x
-      HAVING count(*) >= 2
-    ),
-    nonadj AS (
-      SELECT c.* FROM cand c
-      WHERE NOT EXISTS (
-        SELECT 1 FROM edges e WHERE e.src = c.a AND e.dst = c.b
-      )
-    )
-    SELECT CAST(row_number() OVER (ORDER BY n_common DESC, a, b) AS INT)
-             AS rank,
-           a, b, n_common
-    FROM nonadj
-    ORDER BY n_common DESC, a, b
-    LIMIT 20
-    """,
-)
-def graph_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
-    """Link prediction over the co-purchase graph: top-20 non-adjacent
-    part pairs by common-neighbor count (graph.py:common_neighbors —
-    apex-keyed wedge join, anti-join of existing edges, integer counts
-    so the ranking is engine-exact)."""
-    return gr.common_neighbors(
-        gr.undirected_edges(_cooccur_edges(spark, sf)), k=20, min_common=2
-    )
-
-
-@query(
-    "ts_cusum_changepoint",
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS d,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY user_id, CAST(ts AS DATE)
-    ),
-    cum AS (
-      SELECT user_id, d, c,
-             CAST(row_number() OVER w AS BIGINT) AS i,
-             CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
-             CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
-             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nd
-      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
-    ),
-    dev AS (
-      SELECT user_id, d, nd, tot,
-             abs(nd * s - i * tot) AS dv,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY abs(nd * s - i * tot) DESC, d ASC)
-               AS rn
-      FROM cum
-    )
-    SELECT user_id, CAST(nd AS BIGINT) AS n_days,
-           CAST(tot AS BIGINT) AS total_events,
-           CAST(dv AS BIGINT) AS cusum_peak_scaled,
-           strftime(d, '%Y-%m-%d') AS peak_day
-    FROM dev WHERE rn = 1
-    """,
-)
-def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
-    """CUSUM changepoint detection per user: the day where the
-    cumulative event count deviates most from the user's uniform-rate
-    line. The deviation is kept as the INTEGER n·S_i − i·total
-    (scaling |D_i| by n_days avoids any float division), so peak value
-    and argmax day are exact on both engines; ties break to the
-    earliest day. Two window passes over the per-user daily rollup —
-    the shuffle is the daily groupBy, everything after rides that
-    partitioning."""
-    e = load(spark, sf, "events")
-    daily = e.groupBy(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    wo = Window.partitionBy("user_id").orderBy("d")
-    wu = Window.partitionBy("user_id")
-    cum = daily.select(
-        "user_id",
-        "d",
-        F.row_number().over(wo).cast("long").alias("i"),
-        F.sum("c")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("s"),
-        F.sum("c").over(wu).alias("tot"),
-        F.count(F.lit(1)).over(wu).alias("nd"),
-    )
-    dev = cum.select(
-        "user_id",
-        "d",
-        "nd",
-        "tot",
-        F.abs(F.col("nd") * F.col("s") - F.col("i") * F.col("tot")).alias(
-            "dv"
-        ),
-    )
-    wr = Window.partitionBy("user_id").orderBy(
-        F.col("dv").desc(), F.col("d").asc()
-    )
-    return (
-        dev.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("nd").alias("n_days"),
-            F.col("tot").alias("total_events"),
-            F.col("dv").alias("cusum_peak_scaled"),
-            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
-        )
-    )
-
-
-_BIGRAM_CE_CTES = """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    trans AS (
-      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
-      WHERE len(t) >= 2
-    ),
-    c2 AS (
-      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
-      FROM trans GROUP BY w1, w2
-    ),
-    c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
-    v AS (
-      SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
-      FROM (SELECT unnest(t) AS w FROM toks)
-    ),
-    scored AS (
-      SELECT tr.doc_id,
-             ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vs)) AS lp
-      FROM trans tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-    ),
-    ce AS (
-      SELECT doc_id,
-             round(-list_reduce(list_sort(list(lp)), (x, y) -> x + y)
-                   / count(*), 9) AS ce
-      FROM scored GROUP BY doc_id
-    )
-"""
-
-
-@query(
-    "text_perplexity_buckets",
-    oracle=_BIGRAM_CE_CTES
-    + """
-    SELECT c.doc_id, d.lang,
-           c.ce AS cross_entropy_nats,
-           CASE ntile(3) OVER (PARTITION BY d.lang
-                               ORDER BY c.ce, c.doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS bucket
-    FROM ce c JOIN documents d USING (doc_id)
-    """,
-)
-def text_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet's perplexity bucketing (Wenzek et al. 2020): per language,
-    split documents into head/middle/tail tertiles of their LM
-    cross-entropy — the standard quality gate that keeps 'head',
-    samples 'middle', and drops 'tail'. The LM is the corpus-trained
-    add-α bigram model of text_bigram_lm_score; the 9-decimal-rounded
-    entropy makes the ntile ordering (entropy, doc_id) engine-exact.
-    One extra per-language window over the per-doc score table —
-    |docs| rows, not corpus tokens."""
-    ce = text_bigram_lm_score(spark, sf).select(
-        "doc_id", F.col("cross_entropy_nats")
-    )
-    d = load(spark, sf, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("cross_entropy_nats").asc(), F.col("doc_id").asc()
-    )
-    nt = F.ntile(3).over(w)
-    return ce.join(d, on="doc_id").select(
-        "doc_id",
-        "lang",
-        "cross_entropy_nats",
-        F.when(nt == 1, F.lit("head"))
-        .when(nt == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
-    )
-
-
-@query(
-    "curation_epoch_shuffle",
-    oracle="""
-    WITH keyed AS (
-      SELECT e.epoch, d.doc_id,
-             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
-               AS k
-      FROM documents d
-      CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) e
-    ),
-    sharded AS (
-      SELECT epoch, doc_id, k,
-             CAST(ascii(substr(k, 1, 1)) % 8 AS INT) AS shard
-      FROM keyed
-    )
-    SELECT CAST(epoch AS INT) AS epoch, shard,
-           CAST(row_number() OVER (PARTITION BY epoch, shard
-                                   ORDER BY k, doc_id) AS BIGINT) AS pos,
-           doc_id
-    FROM sharded
-    """,
-)
-def curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic per-epoch training shuffle: every epoch gets an
-    independent pseudo-random document order, derived from content
-    (md5 of doc_id:epoch) so it is reproducible across runs, cluster
-    layouts, and engines — no RNG state, no global sort. Order lives
-    WITHIN shards (epoch, shard, pos): shards are the data-loader's
-    parallel read unit, so the only windows are per-(epoch, shard) —
-    a global row_number would serialize the corpus through one
-    partition at 100 TB, exactly the trap this shape avoids."""
-    d = load(spark, sf, "documents").select("doc_id")
-    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
-    keyed = d.crossJoin(F.broadcast(epochs)).select(
-        "epoch",
-        "doc_id",
-        F.md5(
-            F.concat_ws(":", F.col("doc_id").cast("string"),
-                        F.col("epoch").cast("string"))
-        ).alias("k"),
-    )
-    sharded = keyed.withColumn(
-        "shard", (F.ascii(F.substring("k", 1, 1)) % 8).cast("int")
-    )
-    w = Window.partitionBy("epoch", "shard").orderBy(
-        F.col("k").asc(), F.col("doc_id").asc()
-    )
-    return sharded.select(
-        "epoch",
-        "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
-        "doc_id",
-    )
-
-
-@query(
-    "audit_table_checksum",
-    oracle="""
-    WITH rows_ AS (
-      SELECT CAST(('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
-             ), 1, 8)) AS BIGINT) AS h
-      FROM orders
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS checksum
-    FROM rows_
-    """,
-)
-def audit_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
-    """Order-insensitive cross-engine table checksum — the migration
-    validation primitive: hash a canonical per-row rendering (md5,
-    first 8 hex digits as an integer) and SUM, so any engine/layout
-    that holds the same rows produces the same (n_rows, checksum)
-    regardless of partitioning or scan order. One map-combinable
-    aggregate; columns limited to exactly-renderable types (integers,
-    strings) because float/timestamp formatting is engine-specific —
-    a production harness canonicalizes those explicitly first."""
-    o = load(spark, sf, "orders")
-    row = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-    )
-    h = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
-    return o.select(h.alias("_h")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("_h").alias("checksum"),
-    )
-
-
-@query(
-    "audit_snapshot_diff",
-    oracle="""
-    WITH old_ AS (
-      SELECT o_orderkey AS k,
-             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus) AS v
-      FROM orders WHERE o_orderkey % 7 <> 0
-    ),
-    new_ AS (
-      SELECT o_orderkey AS k,
-             md5(CAST(o_custkey AS VARCHAR) || '|' ||
-                 CASE WHEN o_orderkey % 3 = 0 THEN 'X'
-                      ELSE o_orderstatus END) AS v
-      FROM orders WHERE o_orderkey % 5 <> 0
-    ),
-    j AS (
-      SELECT COALESCE(o.k, n.k) AS k,
-             CASE WHEN o.k IS NULL THEN 'added'
-                  WHEN n.k IS NULL THEN 'removed'
-                  WHEN o.v <> n.v THEN 'changed'
-                  ELSE 'unchanged' END AS change_type
-      FROM old_ o FULL OUTER JOIN new_ n ON o.k = n.k
-    )
-    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(min(k) AS BIGINT) AS min_key,
-           CAST(max(k) AS BIGINT) AS max_key
-    FROM j GROUP BY change_type
-    """,
-)
-def audit_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
-    """Snapshot reconciliation between two table versions (the
-    data-ops diff behind CDC validation and backfill audits): one key
-    full-outer join comparing per-row value hashes classifies every
-    key as added / removed / changed / unchanged, aggregated with key
-    ranges for triage. The two versions are derived deterministically
-    from orders so both engines diff identical snapshots. Scale: the
-    join shuffles only (key, 32-byte value hash) pairs — row payloads
-    never move — and the classification aggregate is map-combinable."""
-    o = load(spark, sf, "orders")
-    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.md5(
-            F.concat_ws(
-                "|", F.col("o_custkey").cast("string"),
-                F.col("o_orderstatus"),
-            )
-        ).alias("v_old"),
-    )
-    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.md5(
-            F.concat_ws(
-                "|", F.col("o_custkey").cast("string"),
-                F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
-                    F.col("o_orderstatus")
-                ),
-            )
-        ).alias("v_new"),
-    )
-    j = old.join(new, on="k", how="full").select(
-        "k",
-        F.when(F.col("v_old").isNull(), F.lit("added"))
-        .when(F.col("v_new").isNull(), F.lit("removed"))
-        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias("change_type"),
-    )
-    return j.groupBy("change_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("k").alias("min_key"),
-        F.max("k").alias("max_key"),
-    )
-
-
-# Applied last so the priority list may reference ANY registered query.
-@query(
-    "audit_media_quarantine_rate",
-    oracle="""
-    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM documents),
-    png AS (
-      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
-      WHERE CAST(('0x' || substr(md5('poison' ||
-              CAST(doc_id * 2 AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
-    ),
-    aud AS (
-      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
-      WHERE CAST(('0x' || substr(md5('poison' ||
-              CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
-    ),
-    vid AS (
-      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
-      WHERE CAST(('0x' || substr(md5('poison' ||
-              CAST(doc_id * 2 + 1 AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
-    )
-    SELECT 'png' AS kind, n.n_items, png.q AS n_quarantined,
-           CAST(png.q AS DOUBLE) / n.n_items AS quarantine_rate
-    FROM n, png
-    UNION ALL
-    SELECT 'audio', n.n_items, aud.q,
-           CAST(aud.q AS DOUBLE) / n.n_items FROM n, aud
-    UNION ALL
-    SELECT 'video', n.n_items, vid.q,
-           CAST(vid.q AS DOUBLE) / n.n_items FROM n, vid
-    """,
-)
-def audit_media_quarantine_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """Quarantine telemetry as a first-class audit (VERDICT_r6 item
-    7): inject deterministic md5-keystream corruption into all three
-    real media families (poison_inject — truncation that keeps the
-    container signature but guarantees the body parse raises), run
-    the REAL quarantined decodes, and report the per-kind quarantine
-    rate a pipeline would alert on. Because poisoned == quarantined
-    by construction and the injection rule is pure integer md5
-    arithmetic, DuckDB replays the expected rates exactly — the
-    driver hash row certifies that the per-item quarantine path
-    catches precisely the corrupted items, none more, none fewer.
-    Media ids are decorrelated per kind (2·id, id, 2·id+1) so the
-    three rates are independent draws."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    png_m = mm.synthetic_image_media(
-        docs.select((F.col("doc_id") * 2).alias("doc_id")), "doc_id"
-    )
-    wav_m = mm.synthetic_wav_media(docs, "doc_id")
-    mp4_m = mm.synthetic_mp4_media(
-        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id")), "doc_id"
-    )
-    parts = []
-    for kind, decoded in [
-        ("png", mm.png_pixel_stats(mm.poison_inject(png_m), True)),
-        ("audio", mm.wav_sample_stats(mm.poison_inject(wav_m), True)),
-        ("video", mm.mp4_header_stats(mm.poison_inject(mp4_m), True)),
-    ]:
-        parts.append(
-            decoded.agg(
-                F.count(F.lit(1)).alias("n_items"),
-                F.sum((~F.col("ok")).cast("long")).alias("n_quarantined"),
-            ).select(
-                F.lit(kind).alias("kind"),
-                "n_items",
-                "n_quarantined",
-                (
-                    F.col("n_quarantined").cast("double")
-                    / F.col("n_items")
-                ).alias("quarantine_rate"),
-            )
-        )
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
-
-
-@query(
-    "multimodal_jpeg420_pixel_stats",
-    oracle="""
-    WITH img AS (
-      SELECT doc_id AS media_id,
-             doc_id % 3 + 1 AS mbx, doc_id % 2 + 1 AS mby
-      FROM documents
-    ),
-    mcus AS (
-      SELECT media_id, mbx, mby, unnest(range(0, mbx * mby)) AS mi
-      FROM img
-    ),
-    ycc AS (
-      SELECT media_id, mbx, mby, mi,
-             CAST((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi) // 16 AS VARCHAR)), CAST(2*((3*mi) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi) // 16 AS VARCHAR)), CAST(2*((3*mi) % 16) + 2 AS INT), 1)) - 1) AS DOUBLE) AS yv,
-             CAST(4 + ((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+1) // 16 AS VARCHAR)), CAST(2*((3*mi+1) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+1) // 16 AS VARCHAR)), CAST(2*((3*mi+1) % 16) + 2 AS INT), 1)) - 1)) % 248 AS DOUBLE) AS cbv,
-             CAST((strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+2) // 16 AS VARCHAR)), CAST(2*((3*mi+2) % 16) + 1 AS INT), 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(media_id AS VARCHAR) || ':jpg420:' || CAST((3*mi+2) // 16 AS VARCHAR)), CAST(2*((3*mi+2) % 16) + 2 AS INT), 1)) - 1) AS DOUBLE) AS crv
-      FROM mcus
-    ),
-    px AS (
-      SELECT media_id, mbx, mby,
-             LEAST(GREATEST(round(yv + 1.402*(crv - 128.0), 0), 0), 255)
-               AS r,
-             LEAST(GREATEST(round(yv - 0.344136286*(cbv - 128.0)
-                                  - 0.714136286*(crv - 128.0), 0), 0), 255)
-               AS g,
-             LEAST(GREATEST(round(yv + 1.772*(cbv - 128.0), 0), 0), 255)
-               AS b
-      FROM ycc
-    )
-    SELECT media_id,
-           CAST(any_value(mbx) * 16 AS INT) AS width,
-           CAST(any_value(mby) * 16 AS INT) AS height,
-           CAST(any_value(mbx) * any_value(mby) * 256 AS BIGINT)
-             AS n_pixels,
-           CAST(sum(CAST(r AS BIGINT)) * 256 AS BIGINT) AS sum_r,
-           CAST(sum(CAST(g AS BIGINT)) * 256 AS BIGINT) AS sum_g,
-           CAST(sum(CAST(b AS BIGINT)) * 256 AS BIGINT) AS sum_b
-    FROM px GROUP BY media_id
-    """,
-)
-def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL 4:2:0 chroma-subsampled JPEG decode, driver-verified
-    (VERDICT_r6 item 5 — 4:2:0 is the dominant real-world layout, so
-    decoding it makes the quarantine path the exception): MCU-constant
-    color JPEGs (YCbCr = md5 keystream, quant=1 DC-only → bit-exact
-    round trip), decoded through the full interleaved-MCU entropy
-    walk + chroma replication upsampling + YCbCr→RGB reconstruction,
-    emitting exact integer channel sums. The oracle regenerates the
-    keystream and replays the reconstruction arithmetic per MCU — the
-    fixture's Cb domain dodges the two exact float64 half-ties of the
-    1.772 constant so SQL round and numpy rint agree everywhere
-    (jpeg420_bytes docstring). Progressive streams still quarantine
-    (tests/test_jpeg_codec.py)."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_jpeg420_media(docs, "doc_id")
-    return mm.jpeg_rgb_pixel_stats(media)
-
-
-# ===========================================================================
-# Coverage round 7 (late batch): KMV set-operation sketch, Bloom
-# semi-join reduction, Welch t-test, exponential-smoothing forecast,
-# hashed linear quality scorer, GIF decode.
-# ===========================================================================
-
-# 12 hex chars of md5 = 48-bit hash: < 2^53 so BIGINT→DOUBLE casts are
-# exact on both engines, and '0x'||substr CAST replays F.conv exactly.
-_KMV_SPACE = 281474976710656.0  # 2^48
-
-
-def _h48(col: F.Column) -> F.Column:
-    """48-bit md5 device hash of a string column (cross-engine)."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-
-
-@query(
-    "agg_kmv_set_ops",
-    oracle="""
-    WITH a AS (
-      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
-                            1, 12)) AS BIGINT) AS h
-      FROM lineitem WHERE l_returnflag = 'R'
-    ),
-    b AS (
-      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
-                            1, 12)) AS BIGINT) AS h
-      FROM lineitem WHERE l_linestatus = 'O'
-    ),
-    u AS (SELECT h FROM a UNION SELECT h FROM b),
-    ska AS (SELECT h FROM a ORDER BY h LIMIT 128),
-    skb AS (SELECT h FROM b ORDER BY h LIMIT 128),
-    sku AS (SELECT h FROM u ORDER BY h LIMIT 128),
-    ea AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
-    eb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b),
-    eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union FROM u),
-    ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection
-           FROM a JOIN b USING (h)),
-    sa AS (SELECT CAST(count(*) AS BIGINT) AS ka, max(h) AS va FROM ska),
-    sb AS (SELECT CAST(count(*) AS BIGINT) AS kb, max(h) AS vb FROM skb),
-    su AS (SELECT CAST(count(*) AS BIGINT) AS ku, max(h) AS vu FROM sku),
-    bo AS (SELECT CAST(count(*) AS BIGINT) AS cnt_both
-           FROM sku JOIN a USING (h) JOIN b USING (h))
-    SELECT exact_a, exact_b, exact_union, exact_intersection,
-           CASE WHEN ka < 128 THEN CAST(ka AS DOUBLE)
-                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(va AS DOUBLE)
-           END AS est_a,
-           CASE WHEN kb < 128 THEN CAST(kb AS DOUBLE)
-                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vb AS DOUBLE)
-           END AS est_b,
-           CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
-                ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vu AS DOUBLE)
-           END AS est_union,
-           CAST(cnt_both AS DOUBLE) / CAST(ku AS DOUBLE)
-             * (CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
-                     ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(vu AS DOUBLE)
-                END) AS est_intersection
-    FROM ea, eb, eu, ei, sa, sb, su, bo
-    """,
-)
-def agg_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    """KMV (k-minimum-values) sketch with SET OPERATIONS — the piece
-    the sketch family (HLL, Count-Min, Bloom) was missing: distinct
-    cardinality of two sets PLUS their union and intersection from
-    bounded state, the query a dedup planner asks before scheduling a
-    cross-corpus join ("how much overlap do these two crawls have?").
-    Each sketch is the k=128 smallest 48-bit md5 hashes of the set's
-    distinct keys; ``orderBy(h).limit(k)`` compiles to
-    TakeOrderedAndProject — per-partition partial top-k merged once,
-    the exact mergeable-partials shape a 100 TB KMV union uses (ship
-    the 128-row sketches, never the sets). Estimators: n<k → exact;
-    else (k-1)·2^48 / v_k; intersection via the inclusion ratio of
-    the union sketch (Beyer et al., SIGMOD'07). Everything below the
-    two final float divisions is integer md5 arithmetic, so DuckDB
-    replays the sketch bit-for-bit; accuracy (±1/√k) is pinned by
-    unit test, exact ground truth rides in the same row."""
-    li = load(spark, sf, "lineitem")
-    k = 128
-
-    def hashes(pred) -> DataFrame:
-        return (
-            li.filter(pred)
-            .select(_h48(F.col("l_orderkey").cast("string")).alias("h"))
-            .distinct()
-        )
-
-    a = hashes(F.col("l_returnflag") == "R")
-    b = hashes(F.col("l_linestatus") == "O")
-    u = a.union(b).distinct()
-    ska, skb, sku = (d.orderBy("h").limit(k) for d in (a, b, u))
-
-    ea = a.agg(F.count(F.lit(1)).alias("exact_a"))
-    eb = b.agg(F.count(F.lit(1)).alias("exact_b"))
-    eu = u.agg(F.count(F.lit(1)).alias("exact_union"))
-    ei = a.join(b, on="h").agg(
-        F.count(F.lit(1)).alias("exact_intersection")
-    )
-    sa = ska.agg(F.count(F.lit(1)).alias("ka"), F.max("h").alias("va"))
-    sb = skb.agg(F.count(F.lit(1)).alias("kb"), F.max("h").alias("vb"))
-    su = sku.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("vu"))
-    bo = (
-        sku.join(a, on="h")
-        .join(b, on="h")
-        .agg(F.count(F.lit(1)).alias("cnt_both"))
-    )
-
-    def est(kc: str, vc: str) -> F.Column:
-        return F.when(
-            F.col(kc) < k, F.col(kc).cast("double")
-        ).otherwise(
-            F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
-            / F.col(vc).cast("double")
-        )
-
-    row = ea
-    for d in (eb, eu, ei, sa, sb, su, bo):
-        row = row.crossJoin(d)
-    return row.select(
-        "exact_a",
-        "exact_b",
-        "exact_union",
-        "exact_intersection",
-        est("ka", "va").alias("est_a"),
-        est("kb", "vb").alias("est_b"),
-        est("ku", "vu").alias("est_union"),
-        (
-            F.col("cnt_both").cast("double") / F.col("ku").cast("double")
-            * est("ku", "vu")
-        ).alias("est_intersection"),
-    )
-
-
-@query(
-    "join_bloom_prefilter",
-    oracle="""
-    SELECT o.o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                AS BIGINT) AS revenue_cents
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY o.o_orderpriority
-    """,
-)
-def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
-    """Bloom SEMI-JOIN REDUCTION, the third member of the manual
-    skew/shuffle-remedy family (salted agg, salted join, now bloom):
-    before shuffling the fact for a selective dim join, ship the dim
-    keys' Bloom filter to the scan side and drop non-members early.
-    Unlike audit_bloom_membership (the filter as inspectable rows),
-    this one packs the 2^17-bit / 3-hash filter into 2048 longs built
-    DISTRIBUTED (explode → distinct bit → groupBy word → bit_or),
-    assembled into one array row and broadcast — membership is then a
-    pure column expression (shift/mask on element_at), no explode and
-    no extra shuffle on the fact. The final join is pinned sort-merge
-    to model a dim too big to broadcast: the bloom cuts the fact's
-    shuffle volume to ~matching rows + ~0.03% false positives (fp
-    bound pinned by unit test). No false negatives by construction,
-    so the PLAIN-join oracle hash-certifies result invariance, same
-    device as join_salted_skew. Spark's runtime bloom pushdown
-    (test_scale_plans pin) is the engine-internal version; this is
-    the portable, persistable one."""
-    from ..operators import bloom_prefilter
-
-    cust = (
-        load(spark, sf, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = load(spark, sf, "orders").select(
-        "o_custkey",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    pref = bloom_prefilter(orders, "o_custkey", cust)
-    return (
-        pref.hint("merge")
-        .join(cust, pref["o_custkey"] == cust["c_custkey"])
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("cents").alias("revenue_cents"),
-        )
-    )
-
-
-@query(
-    "stats_welch_ttest",
-    oracle="""
-    WITH v AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ),
-    a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
-                 CAST(sum(cents) AS BIGINT) AS s_a,
-                 CAST(sum(cents * cents) AS BIGINT) AS q_a
-          FROM v WHERE event_type = 'click'),
-    b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
-                 CAST(sum(cents) AS BIGINT) AS s_b,
-                 CAST(sum(cents * cents) AS BIGINT) AS q_b
-          FROM v WHERE event_type = 'purchase'),
-    m AS (
-      SELECT n_a, n_b,
-             CAST(s_a AS DOUBLE) / n_a AS mean_a,
-             CAST(s_b AS DOUBLE) / n_b AS mean_b,
-             (CAST(q_a AS DOUBLE)
-               - CAST(n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)
-                 * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) AS var_a,
-             (CAST(q_b AS DOUBLE)
-               - CAST(n_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)
-                 * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) AS var_b
-      FROM a, b
-    ),
-    w AS (
-      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
-             var_a / n_a + var_b / n_b AS se2
-      FROM m
-    )
-    SELECT n_a, n_b,
-           round(mean_a, 12) AS mean_a, round(mean_b, 12) AS mean_b,
-           round((mean_a - mean_b) / sqrt(se2), 12) AS t_stat,
-           round(se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                 + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 12)
-             AS df_welch,
-           abs((mean_a - mean_b) / sqrt(se2)) > 1.96 AS significant_05
-    FROM w
-    """,
-)
-def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
-    """Welch's unequal-variance t-test for a DIFFERENCE OF MEANS —
-    the metric-experiment companion to stats_ab_test_proportions
-    (which tests rates): click vs purchase event values. Accumulation
-    is exact integer cents (Σx, Σx² as BIGINT — native stddev would
-    fold floats in engine order), then mean/variance/t/Welch-
-    Satterthwaite df derive through float expressions mirrored
-    token-for-token in the oracle, rounded at 12. One pass over the
-    filtered fact (two partial aggs), a two-row reduce — nothing here
-    grows with data size except the scan."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-
-    def side(t: str, sfx: str) -> DataFrame:
-        return (
-            e.filter(F.col("event_type") == t)
-            .select(cents.alias("c"))
-            .agg(
-                F.count(F.lit(1)).alias(f"n_{sfx}"),
-                F.sum("c").alias(f"s_{sfx}"),
-                F.sum(F.col("c") * F.col("c")).alias(f"q_{sfx}"),
-            )
-        )
-
-    m = side("click", "a").crossJoin(side("purchase", "b"))
-    mean_a = F.col("s_a").cast("double") / F.col("n_a")
-    mean_b = F.col("s_b").cast("double") / F.col("n_b")
-    var_a = (
-        F.col("q_a").cast("double")
-        - F.col("n_a").cast("double") * mean_a * mean_a
-    ) / (F.col("n_a") - 1)
-    var_b = (
-        F.col("q_b").cast("double")
-        - F.col("n_b").cast("double") * mean_b * mean_b
-    ) / (F.col("n_b") - 1)
-    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
-    t_raw = (mean_a - mean_b) / F.sqrt(se2)
-    df_w = (
-        se2
-        * se2
-        / (
-            (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
-            / (F.col("n_a") - 1)
-            + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
-            / (F.col("n_b") - 1)
-        )
-    )
-    return m.select(
-        "n_a",
-        "n_b",
-        F.round(mean_a, 12).alias("mean_a"),
-        F.round(mean_b, 12).alias("mean_b"),
-        F.round(t_raw, 12).alias("t_stat"),
-        F.round(df_w, 12).alias("df_welch"),
-        (F.abs(t_raw) > 1.96).alias("significant_05"),
-    )
-
-
-@query(
-    "ts_exp_smoothing",
-    oracle="""
-    WITH RECURSIVE types AS (SELECT DISTINCT event_type FROM events),
-    daily AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT t.event_type, CAST(r.range AS INT) AS day,
-             CAST(coalesce(d.n, 0) AS BIGINT) AS n
-      FROM types t CROSS JOIN range(0, 30) r
-      LEFT JOIN daily d
-        ON d.event_type = t.event_type AND d.day = r.range
-    ),
-    rec AS (
-      SELECT event_type, day, n, CAST(n AS DOUBLE) AS s
-      FROM grid WHERE day = 0
-      UNION ALL
-      SELECT g.event_type, g.day, g.n,
-             (r.s + CAST(g.n AS DOUBLE)) / CAST(2 AS DOUBLE) AS s
-      FROM grid g JOIN rec r
-        ON g.event_type = r.event_type AND g.day = r.day + 1
-    )
-    SELECT event_type, day, n AS n_events, s AS smoothed FROM rec
-    """,
-)
-def ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
-    """Exponential smoothing (simple ES, the one-parameter forecast a
-    capacity dashboard runs on daily volumes) with α = 1/2 — chosen so
-    every update (s + x) / 2 is an EXACT binary-fraction operation and
-    the sequential F.aggregate fold is bit-identical to the oracle's
-    recursive CTE, no rounding games. Per event_type: dense zero-filled
-    30-day grid (one groupBy + a tiny types×30 broadcast grid), then
-    ONE bounded collect_list per series folded in day order — state is
-    O(days) per group, never corpus-sized; the smoothed level of the
-    last day is the next-day forecast. The recursion is linear per
-    series (day k joins day k+1), so the oracle is safely bounded
-    (memory: reach-CTE quadratic blowup only hits component
-    enumeration, not chains)."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select("event_type", day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    types = daily.select("event_type").distinct()
-    grid = (
-        types.crossJoin(
-            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
-        )
-        .join(daily, on=["event_type", "day"], how="left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
-    arr = grid.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
-    )
-    folded = arr.select(
-        "event_type",
-        F.expr(
-            """
-            aggregate(
-              xs,
-              named_struct(
-                'arr',
-                cast(array() as array<struct<day:int,n:bigint,s:double>>),
-                's', cast(0 as double), 'first', true),
-              (acc, x) -> named_struct(
-                'arr', array_append(acc.arr, named_struct(
-                  'day', x.day, 'n', x.n,
-                  's', CASE WHEN acc.first THEN cast(x.n as double)
-                            ELSE (acc.s + cast(x.n as double))
-                                 / cast(2 as double) END)),
-                's', CASE WHEN acc.first THEN cast(x.n as double)
-                          ELSE (acc.s + cast(x.n as double))
-                               / cast(2 as double) END,
-                'first', false),
-              acc -> acc.arr)
-            """
-        ).alias("sm"),
-    )
-    return folded.select(
-        "event_type", F.explode("sm").alias("r")
-    ).select(
-        "event_type",
-        F.col("r.day").alias("day"),
-        F.col("r.n").alias("n_events"),
-        F.col("r.s").alias("smoothed"),
-    )
-
-
-@query(
-    "text_hashed_linear_score",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    feat AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 262144
-               AS bucket
-      FROM toks WHERE w <> ''
-    ),
-    scored AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
-                   1, 8)) AS BIGINT) % 2001 - 1000 AS wgt
-      FROM feat
-    ),
-    agg AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(wgt) AS BIGINT) AS raw_score
-      FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, raw_score,
-           CAST(raw_score AS DOUBLE)
-             / (CAST(1000 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
-             AS norm_score,
-           CAST(raw_score AS DOUBLE)
-             / (CAST(1000 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 0
-             AS keep
-    FROM agg
-    """,
-)
-def text_hashed_linear_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Hashed-feature LINEAR CLASSIFIER INFERENCE — the fastText /
-    logistic-quality-filter serving shape (CCNet, DCLM quality
-    gates): token → 2^18 hash bucket → fixed weight, document score =
-    mean bucket weight, keep = sign. The weight table is IMPLICIT
-    (weight derived from the bucket id by md5 arithmetic — a stand-in
-    for broadcasting a trained coefficient vector), so inference is
-    explode → two md5 hashes → one groupBy per doc: no model join, no
-    UDF, whole-stage codegen end to end, and the exact shape scales
-    to 100 TB (a real trained model swaps the md5 weight expr for a
-    broadcast 2^18-entry map lookup). Integer accumulation throughout;
-    the single final division is mirrored in the oracle."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
-        % 262144
-    )
-    wgt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2001
-        - 1000
-    )
-    agg = toks.select("doc_id", wgt.alias("wgt")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("wgt").alias("raw_score"),
-    )
-    norm = F.col("raw_score").cast("double") / (
-        F.lit(1000).cast("double") * F.col("n_tokens").cast("double")
-    )
-    return agg.select(
-        "doc_id",
-        "n_tokens",
-        "raw_score",
-        norm.alias("norm_score"),
-        (norm > 0).alias("keep"),
-    )
-
-
-@query(
-    "multimodal_gif_pixel_stats",
-    oracle="""
-    WITH img AS (
-      SELECT doc_id AS media_id,
-             doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT media_id, w, h,
-             (strpos('0123456789abcdef',
-                substr(md5(CAST(media_id AS VARCHAR) || ':gifpix:' ||
-                           CAST(u.i // 16 AS VARCHAR)),
-                       CAST(2 * (u.i % 16) + 2 AS INT), 1)) - 1) AS idx
-      FROM img, unnest(range(0, w * h)) AS u(i)
-    ),
-    cnt AS (
-      SELECT media_id, idx, CAST(count(*) AS BIGINT) AS c
-      FROM px GROUP BY media_id, idx
-    ),
-    pal AS (
-      SELECT i.media_id, CAST(p.range AS INT) AS idx,
-             ((strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range) % 16) + 1 AS INT), 1)) - 1)
-               * 16
-              + (strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range) % 16) + 2 AS INT), 1)) - 1))
-               AS r,
-             ((strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range + 1) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range + 1) % 16) + 1 AS INT), 1)) - 1)
-               * 16
-              + (strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range + 1) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range + 1) % 16) + 2 AS INT), 1)) - 1))
-               AS g,
-             ((strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range + 2) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range + 2) % 16) + 1 AS INT), 1)) - 1)
-               * 16
-              + (strpos('0123456789abcdef',
-                 substr(md5(CAST(i.media_id AS VARCHAR) || ':gifpal:' ||
-                            CAST((3 * p.range + 2) // 16 AS VARCHAR)),
-                        CAST(2 * ((3 * p.range + 2) % 16) + 2 AS INT), 1)) - 1))
-               AS b
-      FROM img i, range(0, 16) p
-    )
-    SELECT c.media_id,
-           CAST(any_value(i.w) AS INT) AS width,
-           CAST(any_value(i.h) AS INT) AS height,
-           CAST(any_value(i.w) * any_value(i.h) AS BIGINT) AS n_pixels,
-           CAST(sum(c.c * p.r) AS BIGINT) AS sum_r,
-           CAST(sum(c.c * p.g) AS BIGINT) AS sum_g,
-           CAST(sum(c.c * p.b) AS BIGINT) AS sum_b
-    FROM cnt c
-    JOIN pal p ON p.media_id = c.media_id AND p.idx = c.idx
-    JOIN img i ON i.media_id = c.media_id
-    GROUP BY c.media_id
-    """,
-)
-def multimodal_gif_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL GIF decode, the fifth real codec (PNG, JPEG baseline,
-    JPEG 4:2:0, WAV, MP4 → now GIF89a/LZW): 16-color palette GIFs
-    whose palette and index stream are md5 keystream, decoded through
-    the full container walk — screen descriptor, global color table,
-    sub-block reassembly, variable-width LZW (the dictionary-reset
-    path is unit-tested on >4096-code images) — then palette-mapped
-    to exact integer channel sums. The oracle replays the keystream:
-    pixel index = low nibble of stream byte (one hex digit), palette
-    byte = full hex pair, channel sum = Σ count(idx)·palette[idx].
-    Interlaced/local-color-table/truncated streams quarantine
-    (tests/test_multimodal.py)."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_gif_media(docs, "doc_id")
-    return mm.gif_pixel_stats(media)
-
-
-# Poisson(1) CDF thresholds on the 16-bit md5 space:
-# t_k = floor(CDF(k) * 65536); weight = first k with u < t_k, else 8.
-_POIS_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535]
-
-
-def _pois_case_sql(u_expr: str) -> str:
-    arms = " ".join(
-        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
-    )
-    return f"CASE {arms} ELSE 8 END"
-
-
-@query(
-    "stats_poisson_bootstrap_ci",
-    oracle=f"""
-    WITH v AS (
-      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase'
-    ),
-    rep AS (
-      SELECT CAST(b.range AS INT) AS b, cents,
-             CAST(('0x' || substr(md5('boot:' || CAST(b.range AS VARCHAR)
-                   || ':' || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
-               AS u
-      FROM v, range(0, 64) b
-    ),
-    w AS (SELECT b, cents, {_pois_case_sql("u")} AS w FROM rep),
-    rm AS (
-      SELECT b, CAST(sum(w * cents) AS BIGINT) AS swx,
-             CAST(sum(w) AS BIGINT) AS sw
-      FROM w GROUP BY b
-    ),
-    means AS (
-      SELECT b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM rm
-    ),
-    ranked AS (
-      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
-    ),
-    base AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(cents) AS BIGINT) AS s
-      FROM v
-    )
-    SELECT n_rows,
-           CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS point_mean,
-           (SELECT m FROM ranked WHERE rn = 2) AS ci_lo,
-           (SELECT m FROM ranked WHERE rn = 63) AS ci_hi,
-           CAST(64 AS BIGINT) AS n_replicas
-    FROM base
-    """,
-)
-def stats_poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
-    """POISSON BOOTSTRAP confidence interval for a mean — the
-    bootstrap that actually runs at 100 TB (Chamandy et al., Google
-    2012): instead of resampling n rows with replacement (a shuffle
-    per replica), every row draws an independent Poisson(1) weight
-    per replica, so all 64 replicas ride ONE pass over the fact and
-    one groupBy(replica). The weight device is an md5 16-bit draw cut
-    by precomputed integer CDF thresholds — deterministic, so replica
-    means are exact integer ratios and DuckDB replays the whole
-    resampling plan. CI = replica means ranked 2 and 63 of 64
-    (2.5%/97.5%, id tiebreak). Fanout is a flat 64× explode — bounded
-    and embarrassingly parallel, no driver participation."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    v = e.select(
-        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
-    )
-    rep = v.select(
-        "event_id",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-    ).withColumn("b", F.col("b").cast("int"))
-    u = (
-        "cast(conv(substring(md5(concat('boot:', cast(b as string), ':', "
-        "cast(event_id as string))), 1, 4), 16, 10) as bigint)"
-    )
-    w = rep.withColumn("w", F.expr(_pois_case_sql(f"({u})")))
-    rm = w.groupBy("b").agg(
-        F.sum(F.col("w") * F.col("cents")).alias("swx"),
-        F.sum("w").alias("sw"),
-    )
-    means = rm.select(
-        "b", (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m")
-    )
-    ranked = means.select(
-        "m",
-        F.row_number()
-        .over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
-        .alias("rn"),
-    )
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == 63).select(F.col("m").alias("ci_hi"))
-    base = v.agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("s")
-    )
-    return (
-        base.crossJoin(lo)
-        .crossJoin(hi)
-        .select(
-            "n_rows",
-            (
-                F.col("s").cast("double") / F.col("n_rows").cast("double")
-            ).alias("point_mean"),
-            "ci_lo",
-            "ci_hi",
-            F.lit(64).cast("long").alias("n_replicas"),
-        )
-    )
-
-
-@query(
-    "agg_hdr_quantile_sketch",
-    oracle="""
-    WITH v AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-      FROM lineitem
-    ),
-    bk AS (
-      SELECT CASE WHEN c < 16 THEN c
-                  ELSE (length(printf('%b', c)) - 1) * 16
-                       + ((c >> (length(printf('%b', c)) - 5)) & 15)
-             END AS id
-      FROM v
-    ),
-    hist AS (SELECT id, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY id),
-    cum AS (
-      SELECT id, cnt,
-             CAST(sum(cnt) OVER (ORDER BY id) AS BIGINT) AS cum
-      FROM hist
-    ),
-    lbv AS (
-      SELECT id, cum,
-             CASE WHEN id < 16 THEN id
-                  ELSE (16 + (id % 16)) << CAST(id // 16 - 4 AS INT)
-             END AS lb
-      FROM cum
-    ),
-    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
-    SELECT n,
-           CAST((SELECT count(*) FROM hist) AS BIGINT) AS n_buckets,
-           (SELECT min(lb) FROM lbv
-            WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)) AS p50_est,
-           (SELECT min(lb) FROM lbv
-            WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)) AS p90_est,
-           (SELECT min(lb) FROM lbv
-            WHERE cum >= CAST(ceil(0.99 * n) AS BIGINT)) AS p99_est
-    FROM tot
-    """,
-)
-def agg_hdr_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
-    """LOG-LINEAR QUANTILE SKETCH (the HdrHistogram / DDSketch
-    shape): bucket = (floor(log2 x) octave, next 4 mantissa bits), so
-    relative error ≤ 1/16 by construction, the bucket id is pure
-    integer bit arithmetic, and the sketch is just a groupBy(id)
-    count — mergeable across partitions/batches in plain rows exactly
-    like the Count-Min rows (`agg_countmin_sketch`), completing the
-    sketch family's quantile corner (vs `stats_exact_median_twopass`,
-    which buys exactness with a second pass). Quantile read-off =
-    cumulative walk over ≤~330 bucket rows (a bounded single-partition
-    window, like the CMS point-query tail); estimates are bucket lower
-    bounds, pinned within 1/16 relative error of the exact percentile
-    by unit test. floor(log2) is length(bin(x))-1 on both engines —
-    no float logs anywhere."""
-    li = load(spark, sf, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
-    )
-    bid = F.expr(
-        "CASE WHEN c < 16 THEN c"
-        " ELSE (length(bin(c)) - 1) * 16"
-        " + (shiftright(c, length(bin(c)) - 5) & 15) END"
-    )
-    hist = li.select(bid.alias("id")).groupBy("id").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    cum = hist.select(
-        "id",
-        "cnt",
-        F.sum("cnt").over(
-            Window.orderBy("id").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ).alias("cum"),
-        F.expr(
-            "CASE WHEN id < 16 THEN id"
-            " ELSE shiftleft(cast(16 + id % 16 as bigint),"
-            " cast(id div 16 - 4 as int)) END"
-        ).alias("lb"),
-    )
-    tot = hist.agg(
-        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_buckets")
-    )
-    q = cum.crossJoin(F.broadcast(tot))
-
-    def est(p: float) -> F.Column:
-        tgt = F.ceil(F.lit(p) * F.col("n")).cast("long")
-        return F.min(F.when(F.col("cum") >= tgt, F.col("lb")))
-
-    return q.groupBy("n", "n_buckets").agg(
-        est(0.5).alias("p50_est"),
-        est(0.9).alias("p90_est"),
-        est(0.99).alias("p99_est"),
-    )
-
-
-def _mmr_oracle() -> str:
-    """Unrolled 5-step greedy MMR in SQL (generated: each step is the
-    same anti-join + max-redundancy + argmax block over the previous
-    pick set)."""
-    steps = []
-    picks = "s1"
-    for t in range(2, 6):
-        steps.append(f"""
-    r{t} AS (
-      SELECT c.query_id, c.vec_id, c.qsim, max(p.sim) AS red
-      FROM cand c
-      JOIN pairs p ON p.query_id = c.query_id AND p.id_a = c.vec_id
-      JOIN {picks} s ON s.query_id = p.query_id AND s.vec_id = p.id_b
-      LEFT JOIN {picks} dup
-        ON dup.query_id = c.query_id AND dup.vec_id = c.vec_id
-      WHERE dup.vec_id IS NULL
-      GROUP BY c.query_id, c.vec_id, c.qsim
-    ),
-    c{t} AS (
-      SELECT query_id, vec_id, qsim, red, CAST({t} AS INT) AS rank
-      FROM r{t}
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY qsim - red DESC, vec_id) = 1
-    ),
-    s{t} AS (SELECT * FROM {picks} UNION ALL SELECT * FROM c{t})""")
-        picks = f"s{t}"
-    return f"""
-    WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    qry AS (SELECT vec_id AS query_id, qv AS query_vec
-            FROM q WHERE vec_id < 4),
-    scored AS (
-      SELECT r.query_id, e.vec_id,
-             CAST(list_dot_product(CAST(r.query_vec AS DOUBLE[]),
-                                   CAST(e.qv AS DOUBLE[])) AS BIGINT)
-               AS qsim,
-             e.qv
-      FROM qry r JOIN q e ON e.vec_id <> r.query_id
-    ),
-    cand AS (
-      SELECT query_id, vec_id, qsim, qv
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY qsim DESC, vec_id) <= 20
-    ),
-    pairs AS (
-      SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                   CAST(b.qv AS DOUBLE[])) AS BIGINT)
-               AS sim
-      FROM cand a JOIN cand b
-        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
-    ),
-    s1 AS (
-      SELECT query_id, vec_id, qsim, CAST(0 AS BIGINT) AS red,
-             CAST(1 AS INT) AS rank
-      FROM cand
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY qsim DESC, vec_id) = 1
-    ),{",".join(steps)}
-    SELECT query_id, rank, vec_id, qsim, red AS redundancy FROM s5
-    """
-
-
-@query("sim_mmr_rerank", oracle=_mmr_oracle())
-def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
-    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
-    1998) — the diversified top-k a curation pipeline uses when plain
-    nearest-neighbor sampling returns 5 near-duplicates. Thin wrapper
-    over `similarity.mmr_rerank` (integer greedy trajectory over
-    round(x·256) quantized vectors — see its docstring for the shape
-    and checkpoint-barrier story); the generated unrolled-CTE oracle
-    replays every step verbatim."""
-    return sim.mmr_rerank(load(spark, sf, "embeddings"))
-
-
-_WORD_EDGES_SQL = """
-    tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    edges AS MATERIALIZED (
-      SELECT DISTINCT least(t[i], t[i+1]) AS src,
-                      greatest(t[i], t[i+1]) AS dst
-      FROM tok, unnest(range(1, len(t))) AS u(i)
-      WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]
-    )
-"""
-
-
-@query(
-    "text_textrank_keywords",
-    oracle=_pagerank_oracle(3, edges_sql=_WORD_EDGES_SQL),
-)
-def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
-    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
-    graph-centrality alternative to RAKE (`text_rake_keywords`):
-    corpus-wide word graph from ADJACENT-token co-occurrence (window
-    2, undirected, distinct), then the SAME deterministic 3-iteration
-    PageRank device as graph_pagerank_top20 (smallest-first sorted
-    folds → bit-identical to the oracle's list_sort + list_reduce),
-    top-20 words. One lead() window per doc builds the edges — no
-    self-join on the token table; graph size is vocabulary-bounded,
-    not corpus-bounded, so the PR iterations run on a small edge
-    set whatever the input size."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "pos", "w"
-        ),
-    )
-    wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    pairs = toks.withColumn("wn", wn).filter(
-        F.col("wn").isNotNull()
-        & (F.col("w") != "")
-        & (F.col("wn") != "")
-        & (F.col("w") != F.col("wn"))
-    )
-    edges = pairs.select(
-        F.least("w", "wn").alias("src"), F.greatest("w", "wn").alias("dst")
-    ).distinct()
-    pr = gr.pagerank(
-        gr.undirected_edges(edges),
-        iterations=3,
-        damping=0.85,
-        deterministic=True,
-    )
-    w20 = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (
-        pr.withColumn("rank", F.row_number().over(w20).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("node", "pr", "rank")
-    )
-
-
-@query(
-    "olap_basket_lift",
-    oracle="""
-    WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    nord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-             FROM li),
-    sup AS (
-      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_sup
-      FROM li GROUP BY l_partkey
-    ),
-    co AS (
-      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
-             CAST(count(*) AS BIGINT) AS n_co
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY a.l_partkey, b.l_partkey
-    ),
-    scored AS (
-      SELECT co.p_a, co.p_b, co.n_co, sa.n_sup AS n_a, sb.n_sup AS n_b,
-             CAST(co.n_co AS DOUBLE) * CAST(nord.n_orders AS DOUBLE)
-               / (CAST(sa.n_sup AS DOUBLE) * CAST(sb.n_sup AS DOUBLE))
-               AS lift
-      FROM co
-      JOIN sup sa ON sa.l_partkey = co.p_a
-      JOIN sup sb ON sb.l_partkey = co.p_b
-      CROSS JOIN nord
-    )
-    SELECT p_a, p_b, n_co, n_a, n_b, lift, rank FROM (
-      SELECT *, CAST(row_number() OVER
-               (ORDER BY n_co DESC, p_a, p_b) AS BIGINT) AS rank
-      FROM scored)
-    WHERE rank <= 20
-    """,
-)
-def olap_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
-    """Market-basket co-purchase mining with LIFT — the co-occurrence
-    statistic the raw co-occur edge set (graph family's
-    _cooccur_edges) doesn't expose: for the 20 most co-ordered part
-    pairs, lift = P(a,b) / (P(a)·P(b)) as the single mirrored float
-    expression over exact integer supports. Pair generation is the
-    per-order self-join (fan-out bounded by lines-per-order ≤ 7, so
-    ≤ 21 pairs per order — linear in the fact, never quadratic in
-    parts); supports broadcast back onto the pair aggregate."""
-    li = (
-        load(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    nord = li.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_sup"))
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b")
-    )
-    co = (
-        a.join(b, on="ok")
-        .filter(F.col("p_a") < F.col("p_b"))
-        .groupBy("p_a", "p_b")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-    )
-    scored = (
-        co.join(
-            F.broadcast(
-                sup.select(
-                    F.col("l_partkey").alias("p_a"),
-                    F.col("n_sup").alias("n_a"),
-                )
-            ),
-            on="p_a",
-        )
-        .join(
-            F.broadcast(
-                sup.select(
-                    F.col("l_partkey").alias("p_b"),
-                    F.col("n_sup").alias("n_b"),
-                )
-            ),
-            on="p_b",
-        )
-        .crossJoin(F.broadcast(nord))
-        .select(
-            "p_a",
-            "p_b",
-            "n_co",
-            "n_a",
-            "n_b",
-            (
-                F.col("n_co").cast("double")
-                * F.col("n_orders").cast("double")
-                / (
-                    F.col("n_a").cast("double")
-                    * F.col("n_b").cast("double")
-                )
-            ).alias("lift"),
-        )
-    )
-    w = Window.orderBy(
-        F.col("n_co").desc(), F.col("p_a").asc(), F.col("p_b").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("p_a", "p_b", "n_co", "n_a", "n_b", "lift", "rank")
-    )
-
-
-@query(
-    "ts_holt_trend",
-    oracle="""
-    WITH RECURSIVE types AS (SELECT DISTINCT event_type FROM events),
-    daily AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT t.event_type, CAST(r.range AS INT) AS day,
-             CAST(coalesce(d.n, 0) AS BIGINT) AS n
-      FROM types t CROSS JOIN range(0, 30) r
-      LEFT JOIN daily d
-        ON d.event_type = t.event_type AND d.day = r.range
-    ),
-    rec AS (
-      SELECT event_type, day, n, CAST(n AS DOUBLE) AS l,
-             CAST(0 AS DOUBLE) AS b
-      FROM grid WHERE day = 0
-      UNION ALL
-      SELECT event_type, day, n, ln AS l,
-             ((ln - l_prev) + b_prev) / CAST(2 AS DOUBLE) AS b
-      FROM (
-        SELECT g.event_type, g.day, g.n, r.l AS l_prev, r.b AS b_prev,
-               (CAST(g.n AS DOUBLE) + r.l + r.b) / CAST(2 AS DOUBLE) AS ln
-        FROM grid g JOIN rec r
-          ON g.event_type = r.event_type AND g.day = r.day + 1
-      )
-    )
-    SELECT event_type, day, n AS n_events, l AS level, b AS trend,
-           l + CAST(7 AS DOUBLE) * b AS forecast_7d
-    FROM rec
-    """,
-)
-def ts_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
-    """Holt's LINEAR-TREND smoothing — the trend-aware sibling of
-    ts_exp_smoothing (simple ES lags any ramp; Holt tracks it):
-    level l = (x + l' + b')/2, trend b = ((l − l') + b')/2, both with
-    α = β = 1/2 so every update is an exact binary-fraction op and
-    the fold is BIT-identical to the oracle's recursive CTE with no
-    rounding. Same dense 30-day grid and bounded per-series
-    collect_list fold; forecast_7d = l + 7b rides along per day, so
-    the last row is the capacity projection a dashboard plots."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select("event_type", day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    types = daily.select("event_type").distinct()
-    grid = (
-        types.crossJoin(
-            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
-        )
-        .join(daily, on=["event_type", "day"], how="left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
-    arr = grid.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
-    )
-    lnew = (
-        "(CASE WHEN acc.first THEN cast(x.n as double)"
-        " ELSE (cast(x.n as double) + acc.l + acc.b)"
-        " / cast(2 as double) END)"
-    )
-    bnew = (
-        "(CASE WHEN acc.first THEN cast(0 as double)"
-        f" ELSE (({lnew} - acc.l) + acc.b) / cast(2 as double) END)"
-    )
-    folded = arr.select(
-        "event_type",
-        F.expr(
-            f"""
-            aggregate(
-              xs,
-              named_struct(
-                'arr',
-                cast(array() as
-                  array<struct<day:int,n:bigint,l:double,b:double>>),
-                'l', cast(0 as double), 'b', cast(0 as double),
-                'first', true),
-              (acc, x) -> named_struct(
-                'arr', array_append(acc.arr, named_struct(
-                  'day', x.day, 'n', x.n, 'l', {lnew}, 'b', {bnew})),
-                'l', {lnew}, 'b', {bnew}, 'first', false),
-              acc -> acc.arr)
-            """
-        ).alias("sm"),
-    )
-    return folded.select(
-        "event_type", F.explode("sm").alias("r")
-    ).select(
-        "event_type",
-        F.col("r.day").alias("day"),
-        F.col("r.n").alias("n_events"),
-        F.col("r.l").alias("level"),
-        F.col("r.b").alias("trend"),
-        (
-            F.col("r.l") + F.lit(7).cast("double") * F.col("r.b")
-        ).alias("forecast_7d"),
-    )
-
-
-@query(
-    "audit_data_contract",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_all,
-             CAST(count(*) FILTER (value > 100) AS BIGINT) AS v_le100,
-             CAST(count(*) FILTER (value < 0) AS BIGINT) AS v_neg,
-             CAST(count(*) FILTER (event_type NOT IN
-               ('click','view','purchase','signup','error')
-               OR event_type IS NULL) AS BIGINT) AS v_enum,
-             CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS v_null,
-             CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
-             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
-               AS n_purch,
-             CAST(count(*) FILTER (event_type = 'purchase' AND value < 1)
-               AS BIGINT) AS v_purch
-      FROM events
-    )
-    SELECT rule, n_checked, n_violations,
-           CAST(n_violations AS DOUBLE) / n_checked AS violation_rate
-    FROM (
-      SELECT 'value_le_100' AS rule, n_all AS n_checked,
-             v_le100 AS n_violations FROM s
-      UNION ALL SELECT 'value_nonnegative', n_all, v_neg FROM s
-      UNION ALL SELECT 'event_type_enum', n_all, v_enum FROM s
-      UNION ALL SELECT 'user_id_not_null', n_all, v_null FROM s
-      UNION ALL SELECT 'event_id_unique', n_all, v_dup FROM s
-      UNION ALL SELECT 'purchase_value_ge_1', n_purch, v_purch FROM s
-    )
-    """,
-)
-def audit_data_contract(spark: SparkSession, sf: str) -> DataFrame:
-    """DATA-CONTRACT VALIDATION (the Great-Expectations /
-    dbt-test shape): a rule table — range, domain-enum, not-null,
-    uniqueness, and a scoped conditional rule — evaluated in ONE scan
-    via conditional aggregation, then unpivoted to (rule, n_checked,
-    n_violations, rate) rows a freshness dashboard ingests. This is
-    the audit a pipeline runs before promoting a batch; at 100 TB it
-    stays one map-combinable pass however many rules ride along
-    (adding a rule adds a column, not a scan)."""
-    e = load(spark, sf, "events")
-    cnt = F.count(F.lit(1))
-    s = e.agg(
-        cnt.alias("n_all"),
-        F.sum((F.col("value") > 100).cast("long")).alias("v_le100"),
-        F.sum((F.col("value") < 0).cast("long")).alias("v_neg"),
-        F.sum(
-            (
-                ~F.col("event_type").isin(
-                    "click", "view", "purchase", "signup", "error"
-                )
-                | F.col("event_type").isNull()
-            ).cast("long")
-        ).alias("v_enum"),
-        F.sum(F.col("user_id").isNull().cast("long")).alias("v_null"),
-        (cnt - F.countDistinct("event_id")).alias("v_dup"),
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
-            "n_purch"
-        ),
-        F.sum(
-            (
-                (F.col("event_type") == "purchase") & (F.col("value") < 1)
-            ).cast("long")
-        ).alias("v_purch"),
-    )
-    rules = s.select(
-        F.expr(
-            """
-            stack(6,
-              'value_le_100', n_all, v_le100,
-              'value_nonnegative', n_all, v_neg,
-              'event_type_enum', n_all, v_enum,
-              'user_id_not_null', n_all, v_null,
-              'event_id_unique', n_all, v_dup,
-              'purchase_value_ge_1', n_purch, v_purch)
-              AS (rule, n_checked, n_violations)
-            """
-        )
-    )
-    return rules.select(
-        "rule",
-        "n_checked",
-        "n_violations",
-        (
-            F.col("n_violations").cast("double") / F.col("n_checked")
-        ).alias("violation_rate"),
-    )
-
-
-@query(
-    "emb_matryoshka_recall",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    qry AS (SELECT vec_id AS query_id, qv AS query_vec
-            FROM q WHERE vec_id < 8),
-    dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
-    scored AS (
-      SELECT dims.d, r.query_id, e.vec_id,
-             CAST(list_dot_product(
-               CAST(r.query_vec[1:dims.d] AS DOUBLE[]),
-               CAST(e.qv[1:dims.d] AS DOUBLE[])) AS BIGINT) AS s
-      FROM qry r JOIN q e ON e.vec_id <> r.query_id
-      CROSS JOIN dims
-    ),
-    topk AS (
-      SELECT d, query_id, vec_id
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY d, query_id
-                ORDER BY s DESC, vec_id) <= 10
-    ),
-    hits AS (
-      SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
-      FROM topk t
-      JOIN topk f ON f.d = 64 AND f.query_id = t.query_id
-                 AND f.vec_id = t.vec_id
-      GROUP BY t.d
-    ),
-    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qry)
-    SELECT CAST(dims.d AS INT) AS dim,
-           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(nq.n_q * 10 AS BIGINT) AS n_possible,
-           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (nq.n_q * 10)
-             AS recall_at_10
-    FROM dims CROSS JOIN nq
-    LEFT JOIN hits h ON h.d = dims.d
-    """,
-)
-def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """MATRYOSHKA TRUNCATION EVALUATION — the question a 100 TB
-    vector-store operator actually asks before cutting storage 8×:
-    how much recall@10 survives truncating embeddings to their first
-    d dims (MRL-style prefix truncation, d ∈ {8,16,32,64})? Exact
-    top-10 per (dim, query) via integer dot products over
-    round(x·256)-quantized prefixes (slice is free — no re-embedding),
-    compared against the full-dim baseline (d=64 recall ≡ 1.0 by
-    construction — the built-in sanity row). One corpus scan serves
-    all four dims (the dim axis is an explode over the same scored
-    pair), and everything downstream of the top-10 window is
-    query-count-sized. Integer arithmetic end to end; DuckDB replays
-    the sliced dots exactly."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", qz.alias("qv"))
-    qry = q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
-    )
-    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
-    scored = (
-        q.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(dims))
-        .select(
-            "d",
-            "query_id",
-            "vec_id",
-            F.expr(
-                "aggregate(zip_with(slice(query_vec, 1, d),"
-                " slice(qv, 1, d), (x, y) -> x * y),"
-                " cast(0 as bigint), (a, x) -> a + x)"
-            ).alias("s"),
-        )
-    )
-    w = Window.partitionBy("d", "query_id").orderBy(
-        F.col("s").desc(), F.col("vec_id").asc()
-    )
-    topk = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("d", "query_id", "vec_id")
-        .localCheckpoint(eager=False)  # referenced twice below
-    )
-    full = topk.filter(F.col("d") == 64).select(
-        "query_id", F.col("vec_id").alias("f_id")
-    )
-    hits = (
-        topk.join(F.broadcast(full), on="query_id")
-        .filter(F.col("vec_id") == F.col("f_id"))
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    nq = qry.agg(F.count(F.lit(1)).alias("n_q"))
-    # total over the dims grid: a dim with zero hits (or a zero-hit
-    # query) must still report, with the full n_queries*10 denominator
-    return (
-        dims.crossJoin(F.broadcast(nq))
-        .join(hits, on="d", how="left")
-        .select(
-            F.col("d").cast("int").alias("dim"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (F.col("n_q") * 10).cast("long").alias("n_possible"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / (F.col("n_q") * 10)
-            ).alias("recall_at_10"),
-        )
-    )
-
-
-@query(
-    "sim_label_ndcg",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    qry AS (SELECT vec_id AS query_id, label AS q_label, qv AS query_vec
-            FROM q WHERE vec_id < 8),
-    scored AS (
-      SELECT r.query_id, r.q_label, e.vec_id, e.label,
-             CAST(list_dot_product(CAST(r.query_vec AS DOUBLE[]),
-                                   CAST(e.qv AS DOUBLE[])) AS BIGINT) AS s
-      FROM qry r JOIN q e ON e.vec_id <> r.query_id
-    ),
-    ranked AS (
-      SELECT query_id, q_label, label,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY s DESC, vec_id) AS rn
-      FROM scored
-    ),
-    contrib AS (
-      SELECT query_id, q_label,
-             CASE WHEN label = q_label THEN 1 ELSE 0 END
-               * (CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END) AS c
-      FROM ranked WHERE rn <= 10
-    ),
-    dcg AS (
-      SELECT query_id, q_label,
-             list_reduce(list_sort(list(c)), (a, b) -> a + b) AS dcg
-      FROM contrib GROUP BY query_id, q_label
-    ),
-    rel AS (
-      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-      FROM scored WHERE label = q_label GROUP BY query_id
-    )
-    SELECT d.query_id, d.q_label AS label,
-           CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel, d.dcg,
-           d.dcg / (CASE least(coalesce(r.n_rel, 0), 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END)
-             AS ndcg_at_10
-    FROM dcg d LEFT JOIN rel r ON r.query_id = d.query_id
-    """,
-)
-def sim_label_ndcg(spark: SparkSession, sf: str) -> DataFrame:
-    """NDCG@10 RETRIEVAL EVALUATION — the quality score a vector-store
-    rollout gates on (pairs with emb_matryoshka_recall: that one asks
-    "is truncation safe", this one "is the ranking any good"):
-    top-10 by exact quantized integer dot per query, binary relevance
-    = label match, DCG with the standard 1/log2(r+1) gains baked in
-    as full-precision double literals (both engines parse the same
-    repr → the same float64), IDCG from the capped relevant count via
-    a literal cumulative-gain CASE. The only float folds are
-    value-sorted (array_sort + sequential add ≡ list_sort +
-    list_reduce), so NDCG is bit-identical cross-engine. One corpus
-    scan, query-count-sized everything after the top-10 window."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    qry = q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("qv").alias("query_vec"),
-    )
-    scored = q.join(
-        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "q_label",
-        "vec_id",
-        "label",
-        F.expr(
-            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
-            " cast(0 as bigint), (a, x) -> a + x)"
-        ).alias("s"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("vec_id").asc()
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    contrib = ranked.filter(F.col("rn") <= 10).select(
-        "query_id",
-        "q_label",
-        (
-            F.when(F.col("label") == F.col("q_label"), 1)
-            .otherwise(0)
-            .cast("double")
-            * F.expr("CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END")
-        ).alias("c"),
-    )
-    dcg = contrib.groupBy("query_id", "q_label").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(c)),"
-            " cast(0 as double), (a, b) -> a + b)"
-        ).alias("dcg")
-    )
-    rel = (
-        scored.filter(F.col("label") == F.col("q_label"))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_rel_raw"))
-    )
-    out = dcg.join(rel, on="query_id", how="left").withColumn(
-        "n_rel", F.coalesce("n_rel_raw", F.lit(0)).cast("long")
-    )
-    idcg = F.expr("CASE least(n_rel, 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END")
-    return out.select(
-        "query_id",
-        F.col("q_label").alias("label"),
-        "n_rel",
-        "dcg",
-        (F.col("dcg") / idcg).alias("ndcg_at_10"),
-    )
-
-
-@query(
-    "ts_theil_sen_trend",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    pairs AS (
-      SELECT CAST(b.n - a.n AS BIGINT) AS num,
-             CAST(b.day - a.day AS BIGINT) AS den
-      FROM daily a JOIN daily b ON a.day < b.day
-    ),
-    ranked AS (
-      SELECT num, den,
-             row_number() OVER (ORDER BY
-               CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den)
-               AS rn,
-             count(*) OVER () AS n_pairs
-      FROM pairs
-    )
-    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
-           CAST(n_pairs AS BIGINT) AS n_pairs,
-           num AS slope_num, den AS slope_den,
-           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_per_day
-    FROM ranked WHERE rn = (n_pairs + 1) // 2
-    """,
-)
-def ts_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
-    """THEIL–SEN robust trend — the slope estimator that shrugs off
-    the outlier days that wreck OLS (breakdown point ~29%): the
-    median of all pairwise slopes (n_j − n_i)/(day_j − day_i) over
-    the daily event series. Slopes stay exact integer RATIONALS until
-    the final mirrored division; the median pick orders by (value,
-    num, den) so ties between equal rationals resolve identically on
-    both engines. Pair count is days², but the series is the
-    AGGREGATED daily table — 30 rows here, 365 at a year — so the
-    quadratic lives on dimension-sized data, never the fact; the fact
-    contributes one groupBy(day)."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    a = daily.select(
-        F.col("day").alias("da"), F.col("n").alias("na")
-    )
-    b = daily.select(
-        F.col("day").alias("db"), F.col("n").alias("nb")
-    )
-    pairs = (
-        a.join(b, F.col("da") < F.col("db"))
-        .select(
-            (F.col("nb") - F.col("na")).cast("long").alias("num"),
-            (F.col("db") - F.col("da")).cast("long").alias("den"),
-        )
-    )
-    wv = Window.orderBy(
-        F.col("num").cast("double") / F.col("den").cast("double"),
-        F.col("num").asc(),
-        F.col("den").asc(),
-    )
-    ranked = pairs.select(
-        "num",
-        "den",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_pairs"),
-    )
-    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
-    med = ranked.filter(
-        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
-    )
-    return med.crossJoin(F.broadcast(nd)).select(
-        F.col("n_days").cast("long"),
-        F.col("n_pairs").cast("long"),
-        F.col("num").alias("slope_num"),
-        F.col("den").alias("slope_den"),
-        (
-            F.col("num").cast("double") / F.col("den").cast("double")
-        ).alias("slope_per_day"),
-    )
-
-
-# ===========================================================================
-# Coverage round 7 (late batch 2): graph traversal + nonparametric stats
-# ===========================================================================
-
-
-def _bfs_oracle(max_hops: int) -> str:
-    """Unrolled k-round BFS twin: d{h} = the distinct neighbors of
-    d{h-1} not yet in any earlier layer. Each layer is a plain
-    equi-join + NOT IN — the SQL mirror of the frontier expansion."""
-    parts = [
-        f"WITH {_COOCCUR_EDGES_SQL},",
-        "adj AS (SELECT src AS a, dst AS b FROM edges"
-        " UNION ALL SELECT dst, src FROM edges),",
-        "d0 AS (SELECT DISTINCT a AS node FROM adj WHERE a % 97 = 0),",
-        "v0 AS (SELECT node FROM d0)",
-    ]
-    for h in range(1, max_hops + 1):
-        parts.append(
-            f", d{h} AS (SELECT DISTINCT b AS node FROM adj"
-            f" JOIN d{h - 1} s ON adj.a = s.node"
-            f" WHERE b NOT IN (SELECT node FROM v{h - 1}))"
-        )
-        parts.append(
-            f", v{h} AS (SELECT node FROM v{h - 1}"
-            f" UNION ALL SELECT node FROM d{h})"
-        )
-    layers = " UNION ALL ".join(
-        f"SELECT node, CAST({h} AS INT) AS dist FROM d{h}"
-        for h in range(max_hops + 1)
-    )
-    return "\n".join(parts) + "\n" + layers
-
-
-@query("graph_bfs_khop", oracle=_bfs_oracle(4))
-def graph_bfs_khop(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-source BFS over the part co-occurrence graph: minimum hop
-    distance from the seed set (partkeys ≡ 0 mod 97) within 4 hops.
-    The reference has no graph traversal; this is the training-data
-    lineage/reachability primitive (e.g. crawl-frontier expansion,
-    contamination reach) in Pregel frontier form — per round one
-    frontier⋈adjacency equi-join plus one visited anti-join, cost
-    proportional to the frontier's out-edges, not the graph. The
-    oracle replays the same rounds as unrolled SQL layers."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    nodes = gr.degrees(e).select("node")
-    seeds = nodes.filter(F.col("node") % 97 == 0)
-    return gr.bfs_khop(e, seeds, max_hops=4)
-
-
-def _labelprop_oracle(rounds: int) -> str:
-    parts = [
-        f"WITH {_COOCCUR_EDGES_SQL},",
-        "adj AS (SELECT src AS a, dst AS b FROM edges"
-        " UNION ALL SELECT dst, src FROM edges),",
-        "nodes AS (SELECT DISTINCT a AS node FROM adj),",
-        "l0 AS (SELECT node, node AS lbl FROM nodes)",
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f", l{r} AS (SELECT node, min(lbl) AS lbl FROM ("
-            f"SELECT node, lbl FROM l{r - 1}"
-            f" UNION ALL SELECT adj.a AS node, p.lbl FROM adj"
-            f" JOIN l{r - 1} p ON adj.b = p.node) GROUP BY node)"
-        )
-    return "\n".join(parts) + f"\nSELECT node, lbl FROM l{rounds}"
-
-
-@query("graph_label_propagation", oracle=_labelprop_oracle(3))
-def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
-    """Synchronous min-label propagation (3 rounds) over the part
-    co-occurrence graph — the deterministic proto-community detector
-    (Raghavan et al. 2007, min-tiebreak variant): each round every
-    node adopts min(own, neighbors) label. Min is order-independent,
-    so the result is bit-stable across partitionings — unlike
-    classic argmax-frequency LPA whose tie-breaks are run-dependent.
-    Per round ONE groupBy(node) with map-side-combining MIN; the
-    oracle replays the rounds as unrolled SQL."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    return gr.label_propagation(e, rounds=3)
-
-
-@query(
-    "stats_mann_whitney_u",
-    oracle="""
-    WITH ab AS (
-      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
-      FROM events WHERE event_type IN ('click', 'view')
-    ),
-    byval AS (
-      SELECT value, count(*) AS cnt, sum(ia) AS cnt_a
-      FROM ab GROUP BY value
-    ),
-    ranked AS (
-      SELECT cnt, cnt_a,
-             coalesce(sum(cnt) OVER (ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_less
-      FROM byval
-    ),
-    agg AS (
-      SELECT sum(cnt_a * (2 * cum_less + cnt + 1)) AS r2a,
-             sum(cnt_a) AS na, sum(cnt - cnt_a) AS nb,
-             sum(cnt * cnt * cnt - cnt) AS tie_t
-      FROM ranked
-    )
-    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           CAST(r2a - na * (na + 1) AS BIGINT) AS u_a_x2,
-           CAST(tie_t AS BIGINT) AS tie_term,
-           round(
-             (CAST(r2a - na * (na + 1) AS DOUBLE) / 2E0
-               - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2E0)
-             / sqrt(
-                 CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12E0
-                 * (CAST(na + nb + 1 AS DOUBLE)
-                    - CAST(tie_t AS DOUBLE)
-                      / (CAST(na + nb AS DOUBLE)
-                         * CAST(na + nb - 1 AS DOUBLE)))),
-             12) AS z_score
-    FROM agg
-    """,
-)
-def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
-    """MANN–WHITNEY U rank-sum test (tie-corrected, no continuity
-    correction): does `value` differ in distribution between clicks
-    and views? The nonparametric sibling of stats_welch_ttest — the
-    A/B test you reach for when the metric is heavy-tailed. Average
-    ranks are kept EXACT as doubled integers (2·rank = 2·cum_less +
-    t + 1), so U×2, the tie term Σ(t³−t), and every aggregate are
-    integer-exact; only the final z touches floats, with the tie-
-    corrected variance and round(12) on both engines. One groupBy
-    (distinct values) + one window cumsum — rank computation never
-    shuffles the raw fact twice."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    byval = (
-        e.select(
-            "value",
-            F.when(F.col("event_type") == "click", 1)
-            .otherwise(0)
-            .alias("ia"),
-        )
-        .groupBy("value")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum("ia").alias("cnt_a")
-        )
-    )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = byval.select(
-        "cnt",
-        "cnt_a",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
-    )
-    agg = ranked.agg(
-        F.sum(
-            F.col("cnt_a") * (2 * F.col("cum_less") + F.col("cnt") + 1)
-        ).alias("r2a"),
-        F.sum("cnt_a").alias("na"),
-        F.sum(F.col("cnt") - F.col("cnt_a")).alias("nb"),
-        F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).alias("tie_t"),
-    )
-    na, nb = F.col("na"), F.col("nb")
-    d = lambda c: c.cast("double")  # noqa: E731
-    u2 = F.col("r2a") - na * (na + 1)
-    var = (
-        d(na) * d(nb) / F.lit(12.0)
-        * (
-            d(na + nb + 1)
-            - d(F.col("tie_t")) / (d(na + nb) * d(na + nb - 1))
-        )
-    )
-    return agg.select(
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        u2.cast("long").alias("u_a_x2"),
-        F.col("tie_t").cast("long").alias("tie_term"),
-        F.round(
-            (d(u2) / F.lit(2.0) - d(na) * d(nb) / F.lit(2.0))
-            / F.sqrt(var),
-            12,
-        ).alias("z_score"),
-    )
-
-
-# Synthetic crawl URLs over `documents`: scheme / host-case / tracking
-# params / fragment / trailing slash all vary deterministically with
-# doc_id, while the canonical identity is (host mod 20, path mod 25,
-# id mod 10) — so doc_ids congruent mod 100 collapse to one canonical
-# URL and the dedup ratio is certifiable on both engines.
-
-_URL_SQL = """
-    CASE WHEN doc_id % 13 = 0 THEN 'http://' ELSE 'https://' END
-    || CASE WHEN doc_id % 2 = 0
-            THEN 'WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
-            ELSE 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.com' END
-    || '/articles/item-' || CAST(doc_id % 25 AS VARCHAR)
-    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
-    || '?id=' || CAST(doc_id % 10 AS VARCHAR)
-    || CASE WHEN doc_id % 3 = 0
-            THEN '&utm_source=feed&utm_campaign=c'
-                 || CAST(doc_id % 11 AS VARCHAR)
-            ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-            THEN '&fbclid=x' || CAST(doc_id % 23 AS VARCHAR)
-            ELSE '' END
-    || CASE WHEN doc_id % 4 = 0
-            THEN '#section-' || CAST(doc_id % 4 AS VARCHAR)
-            ELSE '' END
-"""
-
-
-def _url_col() -> F.Column:
-    i = F.col("doc_id")
-    s = lambda e: e.cast("string")  # noqa: E731
-    return F.concat(
-        F.when(i % 13 == 0, F.lit("http://")).otherwise(F.lit("https://")),
-        F.when(
-            i % 2 == 0,
-            F.concat(F.lit("WWW.Site"), s(i % 20), F.lit(".COM")),
-        ).otherwise(F.concat(F.lit("www.site"), s(i % 20), F.lit(".com"))),
-        F.lit("/articles/item-"),
-        s(i % 25),
-        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?id="),
-        s(i % 10),
-        F.when(
-            i % 3 == 0,
-            F.concat(F.lit("&utm_source=feed&utm_campaign=c"), s(i % 11)),
-        ).otherwise(F.lit("")),
-        F.when(
-            i % 7 == 0, F.concat(F.lit("&fbclid=x"), s(i % 23))
-        ).otherwise(F.lit("")),
-        F.when(
-            i % 4 == 0, F.concat(F.lit("#section-"), s(i % 4))
-        ).otherwise(F.lit("")),
-    )
-
-
-@query(
-    "dedup_url_canonicalize",
-    oracle=f"""
-    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-    s1 AS (
-      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c1 FROM u
-    ),
-    s2 AS (
-      SELECT doc_id, url,
-             lower(regexp_extract(c1, '^[a-zA-Z]+://[^/]+'))
-               || substr(c1,
-                    length(regexp_extract(c1, '^[a-zA-Z]+://[^/]+')) + 1)
-               AS c2
-      FROM s1
-    ),
-    s3 AS (
-      SELECT doc_id, url,
-             regexp_replace(
-               regexp_replace(
-                 c2, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-               '^http://', 'https://') AS c4
-      FROM s2
-    ),
-    s4 AS (
-      SELECT doc_id, url,
-             CASE WHEN contains(c4, '&') AND NOT contains(c4, '?')
-                  THEN split_part(c4, '&', 1) || '?'
-                       || substr(c4, length(split_part(c4, '&', 1)) + 2)
-                  ELSE c4 END AS c5
-      FROM s3
-    ),
-    c AS (
-      SELECT doc_id, url, regexp_replace(c5, '/$', '') AS canonical_url
-      FROM s4
-    )
-    SELECT canonical_url,
-           count(*) AS n_variants,
-           count(DISTINCT url) AS n_distinct_raw,
-           min(doc_id) AS canonical_doc
-    FROM c GROUP BY canonical_url
-    """,
-)
-def dedup_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
-    """CRAWL-URL canonicalization dedup — the pass that runs before any
-    content dedup in a web pipeline (scheme/case/tracking-param/
-    fragment/slash variants of the same resource collapse to one key).
-    Pure JVM column expressions (dedup.canonicalize_url) + one hash
-    groupBy on the canonical key: at 100 TB this is a map-side
-    transform feeding an ordinary aggregate — no joins, no explode,
-    nothing data-dependent. The oracle replays the same regex chain
-    (backreference-free by design, since Spark and DuckDB disagree on
-    backref syntax)."""
-    docs = load(spark, sf, "documents").select("doc_id")
-    u = docs.select("doc_id", _url_col().alias("url"))
-    c = u.select(
-        "doc_id", "url", dd.canonicalize_url("url").alias("canonical_url")
-    )
-    return c.groupBy("canonical_url").agg(
-        F.count(F.lit(1)).alias("n_variants"),
-        F.countDistinct("url").alias("n_distinct_raw"),
-        F.min("doc_id").alias("canonical_doc"),
-    )
-
-
-@query(
-    "stats_ols_daily_trend",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '1997-01-01', CAST(l_shipdate AS DATE))
-               AS x,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS y
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-01-01'
-      GROUP BY 1
-    ),
-    s AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx
-      FROM daily
-    )
-    SELECT CAST(n AS BIGINT) AS n_days,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
-           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE))
-               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-             AS intercept_cents
-    FROM s
-    """,
-)
-def stats_ols_daily_trend(spark: SparkSession, sf: str) -> DataFrame:
-    """Closed-form OLS of daily revenue (integer cents) on the day
-    index — the parametric trend twin of ts_theil_sen_trend. The
-    normal-equation sums (Σx, Σy, Σxy, Σx²) stay EXACT BIGINTs, so the
-    slope is an exact integer rational; slope and intercept touch
-    floats only in the final mirrored expressions. Σy² (hence R²) is
-    deliberately NOT computed: daily-cents squared overflows the
-    int64 exact window at real scale, and a float fallback would be
-    summation-order-dependent — the honest-float discipline says emit
-    what both engines can agree on bit-for-bit. Fact contributes one
-    groupBy(day); the quadratic-free sums ride a 365-row table."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    daily = li.groupBy(
-        F.datediff(
-            F.col("l_shipdate").cast("date"),
-            F.lit("1997-01-01").cast("date"),
-        ).alias("x")
-    ).agg(F.sum(cents).alias("y"))
-    s = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    num = n * F.col("sxy") - sx * sy
-    den = n * F.col("sxx") - sx * sx
-    d = lambda c: c.cast("double")  # noqa: E731
-    slope = d(num) / d(den)
-    return s.select(
-        n.cast("long").alias("n_days"),
-        num.cast("long").alias("slope_num"),
-        den.cast("long").alias("slope_den"),
-        slope.alias("slope_cents_per_day"),
-        (d(sy) / d(n) - slope * (d(sx) / d(n))).alias("intercept_cents"),
-    )
-
-
-@query(
-    "audit_freshness_slo",
-    oracle="""
-    WITH m AS (
-      SELECT event_type, count(*) AS n_events,
-             max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch_s
-      FROM events GROUP BY event_type
-    ),
-    g AS (SELECT max(max_epoch_s) AS gmx FROM m)
-    SELECT event_type, n_events, max_epoch_s,
-           gmx - max_epoch_s AS lag_s,
-           (gmx - max_epoch_s) > 7200 AS slo_breach
-    FROM m, g
-    """,
-)
-def audit_freshness_slo(spark: SparkSession, sf: str) -> DataFrame:
-    """Pipeline freshness SLO audit — per-stream staleness against the
-    corpus watermark (the first dashboard any ingestion owner builds:
-    'which source stopped flowing?'). One groupBy over the fact, then
-    the global watermark joins back as a broadcast one-row crossJoin —
-    the whole audit is a single shuffle regardless of corpus size.
-    Integer epoch seconds end to end; 7200 s is the pinned SLO."""
-    e = load(spark, sf, "events")
-    epoch_s = F.floor(_usec("ts") / F.lit(1_000_000)).cast("long")
-    m = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max(epoch_s).alias("max_epoch_s"),
-    )
-    g = m.agg(F.max("max_epoch_s").alias("gmx"))
-    return m.crossJoin(F.broadcast(g)).select(
-        "event_type",
-        "n_events",
-        "max_epoch_s",
-        (F.col("gmx") - F.col("max_epoch_s")).alias("lag_s"),
-        ((F.col("gmx") - F.col("max_epoch_s")) > 7200).alias("slo_breach"),
-    )
-
-
-@query(
-    "text_kl_source_divergence",
-    oracle="""
-    WITH tok AS (
-      SELECT source, g AS term
-      FROM (SELECT source,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS g
-            FROM documents)
-    ),
-    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
-          FROM tok GROUP BY source, term),
-    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
-           FROM c GROUP BY source),
-    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
-           FROM c GROUP BY term),
-    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
-    contrib AS (
-      SELECT c.source,
-             (CAST(c.n AS DOUBLE) / ts.tot_s)
-               * ln(CAST(c.n * nt.tot AS DOUBLE)
-                    / CAST(ts.tot_s * cw.n_w AS DOUBLE)) AS t
-      FROM c
-      JOIN ts USING (source)
-      JOIN cw USING (term)
-      CROSS JOIN nt
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_terms,
-           round(list_reduce(list_sort(list(t)), (x, y) -> x + y), 12)
-             AS kl_nats
-    FROM contrib GROUP BY source
-    """,
-)
-def text_kl_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
-    """KL(source ‖ corpus) over unigram distributions — the
-    domain-shift detector a data-mixing pipeline runs per source
-    (high KL = niche vocabulary; near-zero = indistinguishable from
-    the mix). Each term's contribution is p·ln(p/q) with the ratio as
-    ONE division of exact integer products (n·tot)/(tot_s·n_w), then
-    the per-source sum folds smallest-first and rounds to 12 (the
-    entropy/PSI ln discipline). Shape: one explode + three hash aggs
-    + a vocab-keyed join — every aggregate map-side combines; nothing
-    is quadratic in corpus size."""
-    d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
-    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
-    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
-    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
-    nt = c.agg(F.sum("n").alias("tot"))
-    contrib = (
-        c.join(ts_, on="source")
-        .join(cw, on="term")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "source",
-            (
-                (F.col("n").cast("double") / F.col("tot_s"))
-                * F.log(
-                    (F.col("n") * F.col("tot")).cast("double")
-                    / (F.col("tot_s") * F.col("n_w")).cast("double")
-                )
-            ).alias("t"),
-        )
-    )
-    return contrib.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            12,
-        ).alias("kl_nats"),
-    )
-
-
-@query(
-    "olap_attribution_last_touch",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents,
-             last_value(CASE WHEN event_type <> 'purchase'
-                             THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS touch
-      FROM events
-    )
-    SELECT coalesce(touch, 'direct') AS touch_type,
-           CAST(count(*) AS BIGINT) AS n_conversions,
-           CAST(sum(cents) AS BIGINT) AS attributed_cents
-    FROM seq WHERE event_type = 'purchase'
-    GROUP BY coalesce(touch, 'direct')
-    """,
-)
-def olap_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
-    """LAST-TOUCH revenue attribution — credit each purchase to the
-    most recent preceding non-purchase event in the user's stream
-    (the default model of every marketing-analytics stack). One
-    window pass per user (ordered by ts with event_id tiebreak — a
-    total order, so the 'last touch' is well-defined on both
-    engines), then a hash aggregate on the touch channel. Integer
-    cents; purchases with no prior touch credit 'direct'. At 100 TB
-    this is the sessionization shape: partition-by-user windows
-    shuffle once on user_id, never globally."""
-    e = load(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
-        ignorenulls=True,
-    ).over(w)
-    seq = e.select(
-        "user_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        touch.alias("touch"),
-    )
-    return (
-        seq.filter(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_conversions"),
-            F.sum("cents").alias("attributed_cents"),
-        )
-    )
-
-
-# Signed Johnson–Lindenstrauss projection: the ±1 matrix is derived
-# from md5(d:j) first-hex-digit parity — a string-membership test both
-# engines evaluate identically (no base conversion, no decimal
-# literals). Fold order over d is the canonical left-to-right dim walk
-# (F.aggregate ≡ list_dot_product, the repo's verified equivalence).
-
-_JL_SIGNS_SPARK = (
-    "transform(sequence(0, 63), d -> CASE WHEN substr(md5(concat("
-    "cast(d AS string), ':', cast(j AS string))), 1, 1) IN "
-    "('0','2','4','6','8','a','c','e') THEN CAST(1 AS DOUBLE) "
-    "ELSE CAST(-1 AS DOUBLE) END)"
-)
-
-_JL_SIGNS_DUCK = (
-    "list_transform(range(0, 64), d -> CASE WHEN substr(md5("
-    "d || ':' || j), 1, 1) IN "
-    "('0','2','4','6','8','a','c','e') THEN CAST(1 AS DOUBLE) "
-    "ELSE CAST(-1 AS DOUBLE) END)"
-)
-
-
-@query(
-    "emb_random_projection",
-    oracle=f"""
-    WITH dims AS (SELECT unnest(range(0, 16)) AS j),
-    proj AS (
-      SELECT e.vec_id, d.j,
-             list_dot_product(e.embedding, {_JL_SIGNS_DUCK}) AS proj
-      FROM embeddings e CROSS JOIN dims d
-    )
-    SELECT vec_id, CAST(j AS INT) AS j, proj FROM proj
-    """,
-)
-def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
-    """Signed JOHNSON–LINDENSTRAUSS random projection 64→16 dims — the
-    dimensionality-reduction front end for sketched similarity (norms
-    preserved within 1±ε; Achlioptas 2003 shows ±1 entries suffice).
-    The projection matrix never materializes anywhere: each ±1 entry
-    is md5(d:j) parity computed INSIDE the engine, so at 100 TB the
-    operator is a pure map — one corpus scan, zero joins, zero
-    broadcast state, and any executor can recompute any matrix entry.
-    Dots are the verified left-to-right dim fold (bit-identical to
-    DuckDB's list_dot_product); float32→float64 widening is exact."""
-    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    # the ±1 matrix depends only on (d, j): evaluate the 1024 md5s ONCE
-    # on the broadcast 16-row dims table, not once per embedding row
-    dims = spark.range(16).select(
-        F.col("id").cast("int").alias("j"),
-        F.expr(_JL_SIGNS_SPARK).alias("signs"),
-    )
-    return (
-        emb.crossJoin(F.broadcast(dims))
-        .select(
-            "vec_id",
-            "j",
-            sim.dot_fold(F.col("embedding"), F.col("signs")).alias("proj"),
-        )
-    )
-
-
-@query(
-    "multimodal_bmp_pixel_stats",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 29 + 2 AS w, doc_id % 19 + 2 AS h
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, w, h, w*h*3 AS n,
-             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
-      FROM img
-    ),
-    bytes AS (
-      SELECT media_id, w, h, n, b,
-             md5(CAST(media_id AS VARCHAR) || ':bmp:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, w, h, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < n
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
-           CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
-           CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
-           CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_bmp_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL BMP decode, driver-verified: encode 24bpp bottom-up BGR
-    padded-row DIBs (pixels = md5 keystream), decode the actual bytes
-    back to a top-down RGB buffer, emit exact integer channel sums.
-    Any bug in the row flip, BGR swap, or 4-byte padding walk shifts
-    the sums and mismatches. Fifth real raster/audio codec alongside
-    PNG/JPEG/GIF/WAV — same quarantine contract, same Arrow
-    mapInPandas one-pass shape."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_bmp_media(docs, "doc_id")
-    return mm.bmp_pixel_stats(media)
-
-
-@query(
-    "multimodal_wav_rms_windows",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < nf
-    )
-    SELECT media_id,
-           CAST(gi // 64 AS INT) AS win_id,
-           CAST(count(*) AS INT) AS n_in_win,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(sum(v * v) AS BIGINT) AS sum_sq
-    FROM vals GROUP BY media_id, gi // 64
-    """,
-)
-def multimodal_wav_rms_windows(spark: SparkSession, sf: str) -> DataFrame:
-    """Windowed audio energy over the REAL WAV decode: 64-frame
-    windows, each with exact integer Σamp and Σamp² — the loudness
-    contour / silence detector of an audio curation pass (rms =
-    sqrt(sum_sq/n) derivable downstream without floats crossing the
-    engine boundary). The window cut happens INSIDE the per-clip
-    Arrow kernel (numpy slicing), so the operator stays one scan with
-    no shuffle; the explode only unpacks the per-clip window arrays."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    return mm.wav_rms_windows(media, window=64)
-
-
-# Shared dense-grid SQL for the daily backtest/symbolization twins —
-# the zero-filled types×30 grid from ts_exp_smoothing, reused verbatim.
-
-_DAILY_GRID_SQL = """
-    types AS (SELECT DISTINCT event_type FROM events),
-    daily AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT t.event_type, CAST(r.range AS INT) AS day,
-             CAST(coalesce(d.n, 0) AS BIGINT) AS n
-      FROM types t CROSS JOIN range(0, 30) r
-      LEFT JOIN daily d
-        ON d.event_type = t.event_type AND d.day = r.range
-    )
-"""
-
-
-def _daily_grid(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select("event_type", day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    types = daily.select("event_type").distinct()
-    return (
-        types.crossJoin(
-            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
-        )
-        .join(daily, on=["event_type", "day"], how="left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
-
-
-@query(
-    "ts_backtest_naive_models",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    lagged AS (
-      SELECT event_type, day, n,
-             lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
-             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
-      FROM grid
-    )
-    SELECT event_type, 'naive_1' AS model,
-           CAST(count(f1) AS BIGINT) AS n_eval,
-           CAST(sum(abs(n - f1)) AS BIGINT) AS sum_abs_err,
-           CAST(sum(abs(n - f1)) AS DOUBLE) / count(f1) AS mae
-    FROM lagged WHERE f1 IS NOT NULL GROUP BY event_type
-    UNION ALL
-    SELECT event_type, 'seasonal_7' AS model,
-           CAST(count(f7) AS BIGINT) AS n_eval,
-           CAST(sum(abs(n - f7)) AS BIGINT) AS sum_abs_err,
-           CAST(sum(abs(n - f7)) AS DOUBLE) / count(f7) AS mae
-    FROM lagged WHERE f7 IS NOT NULL GROUP BY event_type
-    """,
-)
-def ts_backtest_naive_models(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-origin BACKTEST of the two baseline forecasters every
-    real model must beat (naive-1 'tomorrow = today' and seasonal-7
-    'next Monday = last Monday'): per stream, the mean absolute error
-    of each over the dense 30-day grid. One window pass computes both
-    lags; errors stay exact integers, MAE is one mirrored division.
-    This is the guardrail query of a forecasting pipeline — if the
-    fancy model's MAE isn't under these two numbers it ships nothing.
-    Window partitions by stream — shuffles once, never globally."""
-    grid = _daily_grid(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = grid.select(
-        "event_type",
-        "n",
-        F.lag("n", 1).over(w).alias("f1"),
-        F.lag("n", 7).over(w).alias("f7"),
-    )
-
-    def model(col: str, name: str) -> DataFrame:
-        v = lagged.filter(F.col(col).isNotNull())
-        err = F.abs(F.col("n") - F.col(col))
-        return v.groupBy("event_type").agg(
-            F.lit(name).alias("model"),
-            F.count(F.lit(1)).alias("n_eval"),
-            F.sum(err).alias("sum_abs_err"),
-            (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
-        ).select(
-            "event_type", "model", "n_eval", "sum_abs_err", "mae"
-        )
-
-    return model("f1", "naive_1").unionAll(model("f7", "seasonal_7"))
-
-
-@query(
-    "graph_degree_assortativity",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        SELECT src AS node FROM edges
-        UNION ALL SELECT dst FROM edges
-      ) GROUP BY node
-    ),
-    ends AS (
-      SELECT da.d AS x, db.d AS y
-      FROM edges e JOIN deg da ON e.src = da.node
-                   JOIN deg db ON e.dst = db.node
-      UNION ALL
-      SELECT db.d, da.d
-      FROM edges e JOIN deg da ON e.src = da.node
-                   JOIN deg db ON e.dst = db.node
-    ),
-    s AS (
-      SELECT count(*) AS m2, sum(x) AS sx, sum(x*x) AS sxx,
-             sum(x*y) AS sxy
-      FROM ends
-    )
-    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
-           round(CAST(m2 * sxy - sx * sx AS DOUBLE)
-                 / CAST(m2 * sxx - sx * sx AS DOUBLE), 12)
-             AS assortativity
-    FROM s
-    """,
-)
-def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
-    """Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
-    correlation of degrees across edge endpoints — positive means hubs
-    attach to hubs (social nets), negative means hub-and-spoke
-    (technological nets). Both orientations of every edge enter, so
-    the x/y marginals coincide and r reduces to (MΣxy−(Σx)²)/
-    (MΣx²−(Σx)²) in EXACT integers; one float division + round 12 at
-    the end. Shape: two broadcast-able degree joins + one map-side-
-    combining aggregate — the graph-level summary costs one pass over
-    the edge list."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    deg = gr.degrees(e).select("node", F.col("deg").cast("long").alias("d"))
-    j = (
-        e.join(deg.withColumnRenamed("node", "src"), on="src")
-        .withColumnRenamed("d", "dx")
-        .join(deg.withColumnRenamed("node", "dst"), on="dst")
-        .withColumnRenamed("d", "dy")
-    )
-    ends = j.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
-        j.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
-    )
-    s = ends.agg(
-        F.count(F.lit(1)).alias("m2"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    m2, sx = F.col("m2"), F.col("sx")
-    return s.select(
-        (m2 / 2).cast("long").alias("n_edges"),
-        F.round(
-            (m2 * F.col("sxy") - sx * sx).cast("double")
-            / (m2 * F.col("sxx") - sx * sx).cast("double"),
-            12,
-        ).alias("assortativity"),
-    )
-
-
-@query(
-    "ts_sax_quartile_symbols",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    q AS (
-      SELECT event_type, day,
-             ntile(4) OVER (PARTITION BY event_type ORDER BY n, day)
-               AS bucket
-      FROM grid
-    ),
-    sym AS (
-      SELECT event_type, day,
-             CASE bucket WHEN 1 THEN 'a' WHEN 2 THEN 'b'
-                         WHEN 3 THEN 'c' ELSE 'd' END AS s
-      FROM q
-    )
-    SELECT event_type,
-           string_agg(s, '' ORDER BY day) AS sax_word,
-           CAST(sum(CASE WHEN s = 'd' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_peak_days
-    FROM sym GROUP BY event_type
-    """,
-)
-def ts_sax_quartile_symbols(spark: SparkSession, sf: str) -> DataFrame:
-    """SAX-style SYMBOLIC series (Lin et al. 2003, with empirical
-    quartile breakpoints instead of Gaussian ones — rank-based, hence
-    integer-exact and twin-able where z-score breakpoints would hit
-    float ties): each stream's 30-day volume curve becomes a 30-char
-    a–d word, the form regex/motif mining and cheap whole-series
-    comparison run on. ntile over a (n, day) TOTAL order makes bucket
-    assignment deterministic on both engines. Per-stream windows +
-    one groupBy; the word is bounded by the grid length, never the
-    corpus."""
-    grid = _daily_grid(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("n", "day")
-    sym = grid.select(
-        "event_type",
-        "day",
-        F.when(F.ntile(4).over(w) == 1, "a")
-        .when(F.ntile(4).over(w) == 2, "b")
-        .when(F.ntile(4).over(w) == 3, "c")
-        .otherwise("d")
-        .alias("s"),
-    )
-    return sym.groupBy("event_type").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("day", "s"))),
-                lambda x: x["s"],
-            ),
-            "",
-        ).alias("sax_word"),
-        F.sum(F.when(F.col("s") == "d", 1).otherwise(0))
-        .cast("long")
-        .alias("n_peak_days"),
-    )
-
-
-@query(
-    "stats_quantile_normalize",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, source, n_chars,
-             row_number() OVER (ORDER BY n_chars, doc_id) AS prank,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars, doc_id) AS r_s,
-             count(*) OVER (PARTITION BY source) AS n_s,
-             count(*) OVER () AS n
-      FROM documents
-    )
-    SELECT a.doc_id, a.source, a.n_chars,
-           b.n_chars AS norm_chars
-    FROM (SELECT doc_id, source, n_chars,
-                 (r_s * n + n_s - 1) // n_s AS idx
-          FROM d) a
-    JOIN (SELECT prank, n_chars FROM d) b ON b.prank = a.idx
-    """,
-)
-def stats_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
-    """QUANTILE NORMALIZATION across sources (the batch-effect
-    correction of bioinformatics, applied to doc-length distributions):
-    each document's length maps to the POOLED value at the same rank
-    fraction, so after the pass every source has an identical length
-    distribution. The pooled rank is EXACT and computed WITHOUT a
-    global sort: values range-shard on n_chars DIV 64 (shard order ==
-    value order by construction), ranks ride per-shard windows, and a
-    bounded shard-count offset table (the only unpartitioned window)
-    lifts them to global ranks — the same scan-chunk decomposition as
-    curation.token_budget_sample. Everything is integer; the oracle
-    replays with a plain global row_number. Target index is
-    ceil(r_s·N/n_s) via integer DIV on both engines (memory: Spark /
-    is double division — F.floor/DIV mirrors DuckDB //)."""
-    docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
-    shard = (F.col("n_chars") / 64).cast("long").alias("_shard")
-    d = docs.select("doc_id", "source", "n_chars", shard)
-    win_in = Window.partitionBy("_shard").orderBy("n_chars", "doc_id")
-    cnt = d.groupBy("_shard").agg(F.count(F.lit(1)).alias("_cnt"))
-    woff = Window.orderBy("_shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off = cnt.select(
-        "_shard",
-        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
-    )
-    ranked = (
-        d.join(F.broadcast(off), on="_shard")
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            (F.col("_off") + F.row_number().over(win_in)).alias("prank"),
-        )
-    )
-    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    n_s = Window.partitionBy("source")
-    n_tot = ranked.agg(F.count(F.lit(1)).alias("n"))
-    src_ranked = (
-        ranked.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.row_number().over(ws).alias("r_s"),
-            F.count(F.lit(1)).over(n_s).alias("n_s"),
-        )
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.floor(
-                (F.col("r_s") * F.col("n") + F.col("n_s") - 1)
-                / F.col("n_s")
-            ).alias("idx"),
-        )
-    )
-    pooled = ranked.select("prank", F.col("n_chars").alias("norm_chars"))
-    return src_ranked.join(
-        pooled, src_ranked.idx == pooled.prank
-    ).select("doc_id", "source", "n_chars", "norm_chars")
-
-
-@query(
-    "emb_nearest_centroid_accuracy",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    ex AS (
-      SELECT vec_id, label, CAST(r.range AS INT) AS d,
-             qv[r.range + 1] AS v
-      FROM q CROSS JOIN range(0, 64) r
-    ),
-    cent AS (
-      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
-             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
-      FROM ex GROUP BY label, d
-    ),
-    scored AS (
-      SELECT e.vec_id, e.label, c.clabel,
-             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
-      FROM ex e JOIN cent c ON e.d = c.d
-      GROUP BY e.vec_id, e.label, c.clabel
-    ),
-    pred AS (
-      SELECT vec_id, label, clabel AS pred_label
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                ORDER BY s DESC, clabel) = 1
-    )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_correct,
-           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*) AS accuracy
-    FROM pred GROUP BY label
-    """,
-)
-def emb_nearest_centroid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
-    """NEAREST-CENTROID probe — the cheapest embedding-quality eval
-    that needs no trained head (Rocchio classification): per label,
-    the mean quantized vector; each vector is assigned the label of
-    its highest-scoring centroid (dot/n_l — exact integer dot, ONE
-    mirrored division since every term is < 2^53) and per-label
-    accuracy comes out. Spark side keeps centroids as a 10-row
-    BROADCAST array table and scores with the in-array integer fold —
-    one corpus scan, no N×N anything; the oracle replays via an
-    explode-join, a different physical strategy with the same
-    numbers. Training set = full corpus (standard resubstitution
-    nearest-centroid; documented, mirrored)."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    ex = q.select(
-        "vec_id", "label", F.posexplode("qv").alias("d", "v")
-    )
-    cent = (
-        ex.groupBy(F.col("label").alias("clabel"), "d")
-        .agg(
-            F.sum("v").alias("csum"),
-            F.countDistinct("vec_id").alias("n_l"),
-        )
-    )
-    carr = cent.groupBy("clabel").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "csum"))),
-            lambda x: x["csum"],
-        ).alias("cvec"),
-        F.max("n_l").alias("n_l"),
-    )
-    scored = q.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        (
-            F.expr(
-                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
-                " cast(0 as bigint), (a, x) -> a + x)"
-            ).cast("double")
-            / F.col("n_l")
-        ).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("clabel").asc()
-    )
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("clabel").alias("pred_label"))
-    )
-    hit = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
-    return pred.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum(hit).cast("long").alias("n_correct"),
-        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
-    )
-
-
-@query(
-    "curation_shard_manifest",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-             md5(CAST(doc_id AS VARCHAR)) AS r
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_chars, r,
-             sum(n_chars) OVER (ORDER BY r, doc_id) AS cum
-      FROM d
-    ),
-    s AS (
-      SELECT doc_id, n_chars, r,
-             (cum - n_chars) // 50000 AS out_shard
-      FROM c
-    )
-    SELECT CAST(out_shard AS BIGINT) AS out_shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
-           arg_min(doc_id, r) AS first_id,
-           arg_max(doc_id, r) AS last_id
-    FROM s GROUP BY out_shard
-    """,
-)
-def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic OUTPUT-SHARD manifest for a packed training run:
-    docs line up in md5 hash order, shard k owns token positions
-    [k·50000, (k+1)·50000) by each doc's starting offset — boundaries
-    never split a doc, every engine and partitioning reproduces the
-    same layout, and the per-shard (n_docs, n_tokens, first, last)
-    rows are what a resumable writer fences uploads with. The global
-    prefix sum is the sharded two-phase device (per-range windows +
-    bounded offset table) from curation.token_budget_sample — no
-    corpus-wide ordered window; the oracle replays with one (its
-    scale, not ours)."""
-    from ..functions import curation as cu
-
-    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
-    return cu.shard_manifest(
-        docs, 50_000, id_col="doc_id", weight_col="n_chars"
-    )
-
-
-@query(
-    "stats_spearman_corr",
-    oracle="""
-    WITH rows_ AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS q,
-             CAST(round(l_extendedprice * (1 - l_discount) * 100)
-               AS BIGINT) AS c
-      FROM lineitem
-    ),
-    qv AS (
-      SELECT q, count(*) AS cnt,
-             coalesce(sum(count(*)) OVER (ORDER BY q
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum
-      FROM rows_ GROUP BY q
-    ),
-    cv AS (
-      SELECT c, count(*) AS cnt,
-             coalesce(sum(count(*)) OVER (ORDER BY c
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum
-      FROM rows_ GROUP BY c
-    ),
-    rr AS (
-      SELECT 2 * qv.cum + qv.cnt + 1 AS x,
-             2 * cv.cum + cv.cnt + 1 AS y
-      FROM rows_ JOIN qv USING (q) JOIN cv USING (c)
-    ),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x*x) AS BIGINT) AS sxx,
-             CAST(sum(y*y) AS BIGINT) AS syy,
-             CAST(sum(x*y) AS BIGINT) AS sxy
-      FROM rr
-    )
-    SELECT n,
-           round(
-             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-             12) AS spearman_rho
-    FROM s
-    """,
-)
-def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
-    """SPEARMAN rank correlation of gross line price vs net revenue —
-    the monotone-association sibling of stats_covar_corr, robust to
-    the heavy price tail (the discount injects rank noise, so ρ < 1
-    and the tie machinery is exercised on both variables).
-    Tie-averaged ranks stay EXACT as doubled integers
-    (2r = 2·cum_less + t + 1, the Mann-Whitney device) so every sum
-    (Σx, Σx², Σxy over 2r ≤ 2n) is an exact BIGINT; the
-    Pearson-on-ranks formula then runs in double on deterministic
-    int64→double conversions (IEEE round-to-nearest, identical on
-    both engines) and rounds to 12. The rank tables are
-    DISTINCT-VALUE-sized, not corpus-sized — at 100 TB the cents
-    tables would range-shard like stats_quantile_normalize; here
-    both windows ride bounded value tables."""
-    li = load(spark, sf, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("q"),
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-        )
-        .cast("long")
-        .alias("c"),
-    )
-
-    def ranks(col: str):
-        byv = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return byv.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).alias(f"r_{col}"),
-        )
-
-    rr = (
-        li.join(ranks("q"), on="q")
-        .join(ranks("c"), on="c")
-        .select(F.col("r_q").alias("x"), F.col("r_c").alias("y"))
-    )
-    s = rr.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    num = d("n") * d("sxy") - d("sx") * d("sy")
-    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
-        d("n") * d("syy") - d("sy") * d("sy")
-    )
-    return s.select(
-        F.col("n").cast("long").alias("n"),
-        F.round(num / den, 12).alias("spearman_rho"),
-    )
-
-
-@query(
-    "audit_column_profile",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(count(o_custkey) AS BIGINT) AS nn_cust,
-             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
-             CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
-             CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
-             CAST(count(o_totalprice) AS BIGINT) AS nn_price,
-             CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS nd_price,
-             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS VARCHAR) AS mn_price,
-             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS VARCHAR) AS mx_price,
-             CAST(count(o_orderpriority) AS BIGINT) AS nn_prio,
-             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
-             CAST(min(o_orderpriority) AS VARCHAR) AS mn_prio,
-             CAST(max(o_orderpriority) AS VARCHAR) AS mx_prio,
-             CAST(count(o_orderdate) AS BIGINT) AS nn_date,
-             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
-             CAST(date_diff('day', DATE '1992-01-01',
-               CAST(min(o_orderdate) AS DATE)) AS VARCHAR) AS mn_date,
-             CAST(date_diff('day', DATE '1992-01-01',
-               CAST(max(o_orderdate) AS DATE)) AS VARCHAR) AS mx_date
-      FROM orders
-    )
-    SELECT col, n, n_nonnull, n_distinct, min_repr, max_repr FROM (
-      SELECT 'o_custkey' AS col, n, nn_cust AS n_nonnull,
-             nd_cust AS n_distinct, mn_cust AS min_repr,
-             mx_cust AS max_repr FROM s
-      UNION ALL
-      SELECT 'o_totalprice_cents', n, nn_price, nd_price, mn_price,
-             mx_price FROM s
-      UNION ALL
-      SELECT 'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio
-      FROM s
-      UNION ALL
-      SELECT 'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date
-      FROM s
-    )
-    """,
-)
-def audit_column_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE-SCAN column profiling (the dbt-docs / Deequ profile pass):
-    per column — row count, non-null count, exact distinct count, and
-    min/max — unpivoted to a (col, stats…) table. All stats compute
-    in a single aggregate over one scan (Spark plans the multi-
-    distinct via Expand — still one pass of the fact); adding a
-    column adds expressions, not passes. Cross-engine repr
-    discipline: doubles profile as integer CENTS and dates as day
-    offsets, because float→string and date→string formatting differ
-    between engines while BIGINT→string never does."""
-    o = load(spark, sf, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    day = F.datediff(
-        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
-    )
-    s = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("o_custkey").alias("nn_cust"),
-        F.countDistinct("o_custkey").alias("nd_cust"),
-        F.min("o_custkey").cast("string").alias("mn_cust"),
-        F.max("o_custkey").cast("string").alias("mx_cust"),
-        F.count("o_totalprice").alias("nn_price"),
-        F.countDistinct(cents).alias("nd_price"),
-        F.min(cents).cast("string").alias("mn_price"),
-        F.max(cents).cast("string").alias("mx_price"),
-        F.count("o_orderpriority").alias("nn_prio"),
-        F.countDistinct("o_orderpriority").alias("nd_prio"),
-        F.min("o_orderpriority").cast("string").alias("mn_prio"),
-        F.max("o_orderpriority").cast("string").alias("mx_prio"),
-        F.count("o_orderdate").alias("nn_date"),
-        F.countDistinct("o_orderdate").alias("nd_date"),
-        F.min(day).cast("string").alias("mn_date"),
-        F.max(day).cast("string").alias("mx_date"),
-    )
-    return s.select(
-        F.expr(
-            """
-            stack(4,
-              'o_custkey', n, nn_cust, nd_cust, mn_cust, mx_cust,
-              'o_totalprice_cents', n, nn_price, nd_price, mn_price,
-                mx_price,
-              'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio,
-              'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date)
-            AS (col, n, n_nonnull, n_distinct, min_repr, max_repr)
-            """
-        )
-    )
-
-
-@query(
-    "s3_json_malformed_rate",
-    oracle="""
-    WITH w AS (
-      SELECT event_type,
-             CASE WHEN event_id % 7 = 0
-                  THEN substr(props, 1, length(props) - 2)
-                  ELSE props END AS payload
-      FROM events
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_msgs,
-           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
-             AS BIGINT) AS n_malformed,
-           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
-             AS DOUBLE) / count(*) AS malformed_rate
-    FROM w GROUP BY event_type
-    """,
-)
-def s3_json_malformed_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """Wire-format QUARANTINE-RATE audit for the JSON deserialize path
-    (S3's DLQ telemetry twin): deterministically truncate 1-in-7
-    payloads to simulate the torn messages a real topic carries, then
-    count per stream how many fail JSON validation
-    (``try_parse_json IS NULL`` ≡ DuckDB ``json_valid``). This is the
-    dashboard number the reference's poison-message loop never had —
-    rate > 0 pages before the consumer stalls. Pure column
-    expressions + one aggregate; at scale the validity flag rides the
-    ingest scan for free."""
-    e = load(spark, sf, "events")
-    payload = F.when(
-        F.col("event_id") % 7 == 0,
-        F.expr("substr(props, 1, length(props) - 2)"),
-    ).otherwise(F.col("props"))
-    bad = F.when(
-        F.expr("try_parse_json(payload) IS NULL"), 1
-    ).otherwise(0)
-    return (
-        e.select("event_type", payload.alias("payload"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_msgs"),
-            F.sum(bad).cast("long").alias("n_malformed"),
-            (F.sum(bad).cast("double") / F.count(F.lit(1))).alias(
-                "malformed_rate"
-            ),
-        )
-    )
-
-
-def _ppr_oracle(iters: int) -> str:
-    """Unrolled personalized-PageRank twin: teleport mass returns to
-    the seed set; contributions fold smallest-first; missing
-    contributions coalesce to 0 so unreached nodes carry exact 0.0."""
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(
-            f"""
-    c{i} AS (
-      SELECT d.dst AS node,
-             list_reduce(list_sort(list(p.pr / deg.outdeg)),
-                         (x, y) -> x + y) AS s
-      FROM d
-      JOIN r{i - 1} p ON d.src = p.node
-      JOIN deg ON deg.node = d.src
-      GROUP BY d.dst
-    ),
-    r{i} AS (
-      SELECT b.node,
-             b.base + CAST(0.85 AS DOUBLE) * coalesce(c{i}.s,
-               CAST(0 AS DOUBLE)) AS pr
-      FROM b LEFT JOIN c{i} ON c{i}.node = b.node
-    )"""
-        )
-    return f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    d AS (SELECT src, dst FROM edges
-          UNION ALL SELECT dst AS src, src AS dst FROM edges),
-    deg AS (SELECT src AS node, count(*) AS outdeg FROM d GROUP BY src),
-    seeds AS (SELECT DISTINCT src AS node FROM d WHERE src % 97 = 0),
-    ns AS (SELECT count(*) AS n FROM seeds),
-    b AS (
-      SELECT deg.node,
-             CASE WHEN seeds.node IS NOT NULL
-                  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns.n
-                  ELSE CAST(0 AS DOUBLE) END AS base,
-             CASE WHEN seeds.node IS NOT NULL
-                  THEN CAST(1.0 AS DOUBLE) / ns.n
-                  ELSE CAST(0 AS DOUBLE) END AS p0
-      FROM deg LEFT JOIN seeds ON seeds.node = deg.node CROSS JOIN ns
-    ),
-    r0 AS (SELECT node, p0 AS pr FROM b),
-    {",".join(steps)}
-    SELECT node, pr, rank FROM (
-      SELECT node, pr,
-             ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rank
-      FROM r{iters})
-    WHERE rank <= 20
-    """
-
-
-@query("graph_personalized_pagerank", oracle=_ppr_oracle(3))
-def graph_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """PERSONALIZED PageRank top-20 from the mod-97 seed set — random
-    walk with restart, the 'related items' / local-community
-    primitive the global PageRank can't answer (its scores are
-    query-independent). Deterministic fold mode for the oracle; the
-    scale mode swaps in map-side-combinable SUM. Per round one
-    contribution shuffle + a left join back to the node table (so
-    unreached nodes carry exact 0.0 on both engines)."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    seeds = gr.degrees(e).select("node").filter(F.col("node") % 97 == 0)
-    pr = gr.personalized_pagerank(
-        e, seeds, iterations=3, damping=0.85, deterministic=True
-    )
-    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (
-        pr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("node", "pr", "rank")
-    )
-
-
-@query(
-    "join_ip_prefix_lpm",
-    oracle="""
-    WITH ips AS (
-      SELECT DISTINCT user_id,
-             (user_id * 2654435761) % 4294967296 AS ip32
-      FROM events
-    ),
-    routes AS (
-      SELECT (n_nationkey * 10) % 256 AS pfx, 8 AS plen,
-             n_name AS route FROM nation
-      UNION ALL
-      SELECT ((n_nationkey * 10) % 256) * 256 + n_nationkey, 16,
-             n_name || '-metro' FROM nation
-    ),
-    cand AS (
-      SELECT i.user_id, i.ip32, r.plen, r.route
-      FROM ips i JOIN routes r
-        ON r.plen = 8 AND (i.ip32 >> 24) = r.pfx
-      UNION ALL
-      SELECT i.user_id, i.ip32, r.plen, r.route
-      FROM ips i JOIN routes r
-        ON r.plen = 16 AND (i.ip32 >> 16) = r.pfx
-    )
-    SELECT user_id, ip32, CAST(plen AS INT) AS prefix_len, route
-    FROM cand
-    QUALIFY row_number() OVER (PARTITION BY user_id
-              ORDER BY plen DESC, route) = 1
-    """,
-)
-def join_ip_prefix_lpm(spark: SparkSession, sf: str) -> DataFrame:
-    """LONGEST-PREFIX-MATCH join — the IP-to-CIDR routing/geo lookup
-    vanilla SQL can only express as a BETWEEN range join (which plans
-    as a nested loop and dies at scale). The scalable form: expand
-    each address into its ALLOWED prefix lengths (one shifted key per
-    length — here /8 and /16, nested so LPM genuinely disambiguates),
-    EQUI-join each against the broadcast route table, keep the
-    longest match per key via one window. At 100 TB this is
-    len(plens) broadcast hash joins over one scan — no range
-    predicate anywhere. Addresses derive from user_id by a Knuth
-    multiplicative hash both engines replay."""
-    ips = (
-        load(spark, sf, "events")
-        .select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            ((F.col("user_id") * 2654435761) % 4294967296).alias("ip32"),
-        )
-    )
-    n = load(spark, sf, "nation")
-    routes8 = n.select(
-        ((F.col("n_nationkey") * 10) % 256).alias("pfx"),
-        F.lit(8).alias("plen"),
-        F.col("n_name").alias("route"),
-    )
-    routes16 = n.select(
-        (((F.col("n_nationkey") * 10) % 256) * 256 + F.col("n_nationkey")).alias(
-            "pfx"
-        ),
-        F.lit(16).alias("plen"),
-        F.concat(F.col("n_name"), F.lit("-metro")).alias("route"),
-    )
-    c8 = ips.join(
-        F.broadcast(routes8),
-        F.shiftright("ip32", 24) == F.col("pfx"),
-    ).select("user_id", "ip32", "plen", "route")
-    c16 = ips.join(
-        F.broadcast(routes16),
-        F.shiftright("ip32", 16) == F.col("pfx"),
-    ).select("user_id", "ip32", "plen", "route")
-    cand = c8.unionAll(c16)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("plen").desc(), F.col("route").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ip32",
-            F.col("plen").cast("int").alias("prefix_len"),
-            "route",
-        )
-    )
-
-
-@query(
-    "stats_cramers_v",
-    oracle="""
-    WITH o AS (
-      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-             CAST(count(*) AS BIGINT) AS obs
-      FROM events GROUP BY event_type, dayofweek(ts)
-    ), m AS (
-      SELECT o.*,
-             CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
-               AS row_tot,
-             CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
-             CAST(sum(obs) OVER () AS BIGINT) AS grand
-      FROM o
-    ), terms AS (
-      SELECT (CAST(obs AS DOUBLE)
-              - CAST(row_tot AS DOUBLE) * col_tot / grand)
-             * (CAST(obs AS DOUBLE)
-                - CAST(row_tot AS DOUBLE) * col_tot / grand)
-             / (CAST(row_tot AS DOUBLE) * col_tot / grand) AS term,
-             grand
-      FROM m
-    ), dims AS (
-      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
-             CAST(count(DISTINCT dayofweek(ts)) AS BIGINT) AS c,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-    )
-    SELECT dims.r AS n_rows, dims.c AS n_cols, dims.n AS n_obs,
-           sqrt(list_reduce(list_sort(list(term)), (x, y) -> x + y)
-                / (dims.n * least(dims.r - 1, dims.c - 1)))
-             AS cramers_v
-    FROM terms CROSS JOIN dims
-    GROUP BY dims.r, dims.c, dims.n
-    """,
-)
-def stats_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
-    """CRAMÉR'S V — the [0,1] effect size the chi² statistic lacks
-    (chi² grows with n, V answers 'how strong is the association?'):
-    V = √(χ²/(n·min(r−1,c−1))) over the event_type × day-of-week
-    contingency table. Reuses the chi² float discipline verbatim
-    (integer margins via window sums on the cell table, one mirrored
-    term per cell, smallest-first fold); the dims ride a one-row
-    broadcast. Same single-shuffle shape as stats_chi2_type_dow."""
-    e = load(spark, sf, "events")
-    o = e.groupBy(
-        "event_type", F.dayofweek("ts").cast("long").alias("dow")
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    wr = Window.partitionBy("event_type")
-    wc = Window.partitionBy("dow")
-    wg = Window.partitionBy()
-    m = o.select(
-        "obs",
-        F.sum("obs").over(wr).alias("row_tot"),
-        F.sum("obs").over(wc).alias("col_tot"),
-        F.sum("obs").over(wg).alias("grand"),
-    )
-    exp = (
-        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
-    )
-    term = (F.col("obs").cast("double") - exp) * (
-        F.col("obs").cast("double") - exp
-    ) / exp
-    dims = e.agg(
-        F.countDistinct("event_type").alias("r"),
-        F.countDistinct(F.dayofweek("ts")).alias("c"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    chi2 = m.select(term.alias("_t")).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("_t")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("chi2")
-    )
-    return chi2.crossJoin(F.broadcast(dims)).select(
-        F.col("r").cast("long").alias("n_rows"),
-        F.col("c").cast("long").alias("n_cols"),
-        F.col("n").cast("long").alias("n_obs"),
-        F.sqrt(
-            F.col("chi2")
-            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
-        ).alias("cramers_v"),
-    )
-
-
-@query(
-    "stats_kendall_tau_daily",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    pairs AS (
-      SELECT a.event_type,
-             CASE WHEN b.n > a.n THEN 1 ELSE 0 END AS conc,
-             CASE WHEN b.n < a.n THEN 1 ELSE 0 END AS disc
-      FROM grid a JOIN grid b
-        ON a.event_type = b.event_type AND a.day < b.day
-    ),
-    cd AS (
-      SELECT event_type, CAST(sum(conc) AS BIGINT) AS c,
-             CAST(sum(disc) AS BIGINT) AS d,
-             CAST(count(*) AS BIGINT) AS n0
-      FROM pairs GROUP BY event_type
-    ),
-    ties AS (
-      SELECT event_type,
-             CAST(sum(t * (t - 1) / 2) AS BIGINT) AS tn
-      FROM (SELECT event_type, n, count(*) AS t
-            FROM grid GROUP BY event_type, n)
-      GROUP BY event_type
-    )
-    SELECT cd.event_type, c AS n_concordant, d AS n_discordant,
-           tn AS tie_pairs,
-           round(CAST(c - d AS DOUBLE)
-                 / sqrt(CAST(n0 - tn AS DOUBLE) * CAST(n0 AS DOUBLE)),
-                 12) AS kendall_tau_b
-    FROM cd JOIN ties ON cd.event_type = ties.event_type
-    """,
-)
-def stats_kendall_tau_daily(spark: SparkSession, sf: str) -> DataFrame:
-    """KENDALL τ-b monotone-trend test per stream — the third rank
-    statistic beside Spearman (pairwise concordance is what Mann-
-    Kendall trend detection runs on). Day ties are impossible on the
-    dense grid, so τ-b = (C−D)/√((n₀−t_n)·n₀) with the count tie
-    term t_n = Σt(t−1)/2; every count is an exact BIGINT, one
-    mirrored float expression + round 12 at the end. The quadratic
-    pair join lives on the 30-row-per-stream DAILY table (435 pairs),
-    never the fact — the Theil-Sen scale argument verbatim."""
-    grid = _daily_grid(spark, sf)
-    a = grid.select(
-        "event_type", F.col("day").alias("da"), F.col("n").alias("na")
-    )
-    b = grid.select(
-        "event_type", F.col("day").alias("db"), F.col("n").alias("nb")
-    )
-    pairs = a.join(b, on="event_type").filter(F.col("da") < F.col("db"))
-    cd = pairs.groupBy("event_type").agg(
-        F.sum(
-            F.when(F.col("nb") > F.col("na"), 1).otherwise(0)
-        ).alias("c"),
-        F.sum(
-            F.when(F.col("nb") < F.col("na"), 1).otherwise(0)
-        ).alias("d"),
-        F.count(F.lit(1)).alias("n0"),
-    )
-    ties = (
-        grid.groupBy("event_type", "n")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.col("t") * (F.col("t") - 1) / 2)
-            .cast("long")
-            .alias("tn")
-        )
-    )
-    j = cd.join(ties, on="event_type")
-    return j.select(
-        "event_type",
-        F.col("c").cast("long").alias("n_concordant"),
-        F.col("d").cast("long").alias("n_discordant"),
-        F.col("tn").alias("tie_pairs"),
-        F.round(
-            (F.col("c") - F.col("d")).cast("double")
-            / F.sqrt(
-                (F.col("n0") - F.col("tn")).cast("double")
-                * F.col("n0").cast("double")
-            ),
-            12,
-        ).alias("kendall_tau_b"),
-    )
-
-
-@query(
-    "curation_temperature_weights",
-    oracle="""
-    WITH s AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source
-    ),
-    w AS (
-      SELECT source, n_docs,
-             sqrt(CAST(n_docs AS DOUBLE)) AS wt
-      FROM s
-    ),
-    z AS (
-      SELECT list_reduce(list_sort(list(wt)), (x, y) -> x + y) AS tot,
-             CAST(sum(n_docs) AS BIGINT) AS n_total
-      FROM w
-    )
-    SELECT w.source, w.n_docs,
-           round(w.wt / z.tot, 12) AS sample_prob,
-           round(w.wt / z.tot * z.n_total, 12) AS expected_docs
-    FROM w CROSS JOIN z
-    """,
-)
-def curation_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """TEMPERATURE-SCALED mixture weights at T = 2 (the mT5/Pile
-    upsampling rule p_s ∝ n_s^(1/T)): small sources gain share,
-    giants lose it, and the exponent 1/2 is exactly sqrt — an IEEE
-    correctly-rounded op, so no pow() cross-engine drift. The
-    normalizer folds smallest-first over the 20-row source table and
-    both outputs round to 12 (the ln/sqrt discipline). One groupBy
-    over the corpus; everything after is dim-sized."""
-    d = load(spark, sf, "documents")
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = s.select(
-        "source",
-        "n_docs",
-        F.sqrt(F.col("n_docs").cast("double")).alias("wt"),
-    )
-    z = w.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("wt")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("tot"),
-        F.sum("n_docs").alias("n_total"),
-    )
-    return w.crossJoin(F.broadcast(z)).select(
-        "source",
-        "n_docs",
-        F.round(F.col("wt") / F.col("tot"), 12).alias("sample_prob"),
-        F.round(
-            F.col("wt") / F.col("tot") * F.col("n_total"), 12
-        ).alias("expected_docs"),
-    )
-
-
-@query(
-    "multimodal_wav_silence_runs",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < nf
-    ),
-    quiet AS (
-      SELECT media_id, gi,
-             gi - row_number() OVER (PARTITION BY media_id
-                                     ORDER BY gi) AS island
-      FROM vals WHERE abs(v - 128) < 48
-    ),
-    runs AS (
-      SELECT media_id, CAST(count(*) AS BIGINT) AS run_len
-      FROM quiet GROUP BY media_id, island
-    )
-    SELECT c.media_id,
-           CAST(c.nf AS INT) AS n_frames,
-           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS quiet_frames,
-           CAST(coalesce(sum(CASE WHEN r.run_len >= 8 THEN 1 ELSE 0 END),
-                         0) AS BIGINT) AS n_silence_segments,
-           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_run
-    FROM clip c LEFT JOIN runs r ON r.media_id = c.media_id
-    GROUP BY c.media_id, c.nf
-    """,
-)
-def multimodal_wav_silence_runs(spark: SparkSession, sf: str) -> DataFrame:
-    """SILENCE SEGMENTATION over the REAL WAV decode — the
-    voice-activity / trim pass of an audio curation pipeline: frames
-    within ±48 of the 8-bit midpoint are quiet; maximal quiet runs of
-    ≥ 8 frames count as silence segments; per clip emit quiet-frame
-    total, segment count, and longest run. The run-length scan
-    happens INSIDE the per-clip numpy kernel (one corpus pass, no
-    shuffle); the oracle rebuilds the same runs with the SQL
-    gaps-and-islands device over the regenerated keystream — a
-    codec bug, an off-by-one in the run boundaries, or a threshold
-    slip all mismatch."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    return mm.wav_silence_runs(media, threshold=48, min_run=8)
-
-
-@query(
-    "ts_autocorr_multi_lag",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1
-    ),
-    lags AS (SELECT unnest(range(1, 8)) AS lag),
-    pairs AS (
-      SELECT l.lag, a.n AS x, b.n AS y
-      FROM lags l
-      JOIN daily a ON true
-      JOIN daily b ON b.d = a.d + l.lag
-    ),
-    m AS (
-      SELECT lag, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-      FROM pairs GROUP BY lag
-    )
-    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
-    FROM m
-    """,
-)
-def ts_autocorr_multi_lag(spark: SparkSession, sf: str) -> DataFrame:
-    """The AUTOCORRELATION FUNCTION at lags 1–7 — the correlogram
-    that separates day-over-day momentum from weekly seasonality
-    (lag-7 spiking above its neighbors is the weekly signature; the
-    single-lag twin ts_autocorr_lag1 can't see that). Pairing is a
-    dim-table self-join on the day INDEX against a broadcast 7-row
-    lag table; per-lag moments are exact integers, floats only in
-    the final mirrored expression. Fact contributes one groupBy(day);
-    everything after is |days|·7-sized."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = e.groupBy(day.alias("d")).agg(F.count(F.lit(1)).alias("n"))
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    a = daily.select(F.col("d").alias("da"), F.col("n").alias("x"))
-    b = daily.select(F.col("d").alias("db"), F.col("n").alias("y"))
-    pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("db") == F.col("da") + F.col("lag"))
-    )
-    m = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ).cast("double")
-    return m.select(
-        "lag",
-        F.col("n").alias("n_pairs"),
-        (
-            num
-            / (
-                F.sqrt(
-                    (
-                        F.col("n") * F.col("sxx")
-                        - F.col("sx") * F.col("sx")
-                    ).cast("double")
-                )
-                * F.sqrt(
-                    (
-                        F.col("n") * F.col("syy")
-                        - F.col("sy") * F.col("sy")
-                    ).cast("double")
-                )
-            )
-        ).alias("acf"),
-    )
-
-
-@query(
-    "audit_pk_fk_orphans",
-    oracle="""
-    SELECT relation, n_child, n_orphans,
-           CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
-    FROM (
-      SELECT 'lineitem->orders' AS relation,
-             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
-             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-              WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                WHERE o.o_orderkey = l.l_orderkey))
-               AS n_orphans
-      UNION ALL
-      SELECT 'orders->customer',
-             (SELECT CAST(count(*) AS BIGINT) FROM orders),
-             (SELECT CAST(count(*) AS BIGINT) FROM orders o
-              WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = o.o_custkey))
-      UNION ALL
-      SELECT 'customer->nation',
-             (SELECT CAST(count(*) AS BIGINT) FROM customer),
-             (SELECT CAST(count(*) AS BIGINT) FROM customer c
-              WHERE NOT EXISTS (SELECT 1 FROM nation n
-                                WHERE n.n_nationkey = c.c_nationkey))
-    )
-    """,
-)
-def audit_pk_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
-    """REFERENTIAL-INTEGRITY audit — orphan counts for every FK edge
-    of the star (the dbt `relationships` test, run as one report):
-    children whose parent key resolves to nothing. Each edge is one
-    LEFT ANTI join aggregated to a count — hash joins all the way
-    (the parent side broadcast when dim-sized), so the audit costs
-    one scan per edge and zero at the parent beyond the join build.
-    A rate > 0 on lineitem→orders is the 'partial ingest' page."""
-
-    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame,
-             pk: str) -> DataFrame:
-        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
-        orphans = (
-            child.join(
-                parent.select(F.col(pk).alias(ck)).distinct(),
-                on=ck,
-                how="left_anti",
-            ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        return (
-            n_child.crossJoin(orphans)
-            .select(
-                F.lit(name).alias("relation"),
-                "n_child",
-                "n_orphans",
-                (
-                    F.col("n_orphans").cast("double") / F.col("n_child")
-                ).alias("orphan_rate"),
-            )
-        )
-
-    li = load(spark, sf, "lineitem").select("l_orderkey")
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    n = load(spark, sf, "nation")
-    return (
-        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
-        .unionAll(
-            edge(
-                "orders->customer",
-                o.select("o_custkey"),
-                "o_custkey",
-                c,
-                "c_custkey",
-            )
-        )
-        .unionAll(
-            edge(
-                "customer->nation",
-                c.select("c_nationkey"),
-                "c_nationkey",
-                n,
-                "n_nationkey",
-            )
-        )
-    )
-
-
-@query(
-    "graph_clustering_global",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
-      ) GROUP BY node
-    ),
-    tri AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_triangles
-      FROM edges e1
-      JOIN edges e2 ON e2.src = e1.dst
-      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
-    ),
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
-      FROM deg
-    )
-    SELECT agg.n_nodes,
-           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-           tri.n_triangles, agg.n_wedges,
-           CAST(3 * tri.n_triangles AS DOUBLE) / agg.n_wedges
-             AS transitivity
-    FROM agg CROSS JOIN tri
-    """,
-)
-def graph_clustering_global(spark: SparkSession, sf: str) -> DataFrame:
-    """GLOBAL CLUSTERING COEFFICIENT (transitivity = 3·triangles /
-    wedges) — the one-number 'is this graph clique-ish or tree-ish'
-    summary (Watts-Strogatz). Triangles come from the degree-oriented
-    wedge counter (arboricity-bounded fan-out — the count that
-    survives power-law degrees); wedges are a pure degree aggregate
-    Σd(d−1)/2. Everything integer until one mirrored division. The
-    oracle counts triangles with the naive a<b<c triple join —
-    different physical strategy, same numbers."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    tri = gr.triangle_count(e).select("n_nodes", "n_edges", "n_triangles")
-    deg = gr.degrees(e)
-    wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges")
-    )
-    return tri.crossJoin(F.broadcast(wedges)).select(
-        "n_nodes",
-        "n_edges",
-        "n_triangles",
-        "n_wedges",
-        (
-            (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")
-        ).alias("transitivity"),
-    )
-
-
-@query(
-    "multimodal_image_dhash",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    grid AS (
-      SELECT media_id, w, h, unnest(range(0, 216)) AS p
-      FROM img
-    ),
-    mapped AS (
-      SELECT media_id, w, h, CAST(p // 3 AS BIGINT) AS s,
-             (((((p // 3) // 9) * h) // 8) * w
-               + ((((p // 3) % 9) * w) // 9)) * 3 + (p % 3) AS gi
-      FROM grid
-    ),
-    bytes AS (
-      SELECT media_id, w, h, s, CAST(gi % 16 AS BIGINT) AS j,
-             md5(CAST(media_id AS VARCHAR) || ':'
-                 || CAST(gi // 16 AS VARCHAR)) AS hx
-      FROM mapped
-    ),
-    g3 AS (
-      SELECT media_id, any_value(w) AS w, any_value(h) AS h, s,
-             CAST(s % 9 AS BIGINT) AS x, CAST(s // 9 AS BIGINT) AS y,
-             CAST(sum({_PNG_KS_BYTE}) AS BIGINT) AS v
-      FROM bytes GROUP BY media_id, s
-    ),
-    bits AS (
-      SELECT a.media_id, a.w, a.h, a.y * 8 + a.x AS pb,
-             CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
-      FROM g3 a JOIN g3 n
-        ON n.media_id = a.media_id AND n.y = a.y AND n.x = a.x + 1
-      WHERE a.x < 8
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(sum(CASE WHEN pb >= 32 THEN
-                 bit * (CAST(1 AS BIGINT) << CAST(pb - 32 AS INT))
-                 ELSE 0 END) AS BIGINT) AS dhash_hi,
-           CAST(sum(CASE WHEN pb < 32 THEN
-                 bit * (CAST(1 AS BIGINT) << CAST(pb AS INT))
-                 ELSE 0 END) AS BIGINT) AS dhash_lo
-    FROM bits GROUP BY media_id
-    """,
-)
-def multimodal_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Perceptual DIFFERENCE-hash through the REAL decode path
-    (multimodal.py:png_dhash) — the gradient fingerprint that
-    survives global brightness shifts where aHash flips wholesale.
-    9×8 nearest-neighbor brightness grid, bit = right neighbor
-    strictly brighter: pure integer comparisons, no threshold. The
-    oracle recomputes every sampled keystream byte via the resize
-    floor mapping and replays the neighbor comparisons — a decoder,
-    mapping, or bit-order bug flips bits."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    return mm.png_dhash(media)
-
-
-@query(
-    "stats_anova_oneway",
-    oracle="""
-    WITH g AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS sx,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS sxx
-      FROM events GROUP BY event_type
-    ),
-    tot AS (
-      SELECT CAST(sum(n_g) AS BIGINT) AS n,
-             CAST(sum(sx) AS BIGINT) AS sx_all,
-             CAST(count(*) AS BIGINT) AS k
-      FROM g
-    ),
-    terms AS (
-      SELECT CAST(g.sx AS DOUBLE) * g.sx / g.n_g AS bterm,
-             CAST(g.sxx AS DOUBLE)
-               - CAST(g.sx AS DOUBLE) * g.sx / g.n_g AS wterm
-      FROM g
-    ),
-    ss AS (
-      SELECT
-        list_reduce(list_sort(list(bterm)), (x, y) -> x + y) AS sum_b,
-        list_reduce(list_sort(list(wterm)), (x, y) -> x + y) AS ssw
-      FROM terms
-    )
-    SELECT tot.k AS n_groups, tot.n AS n_obs,
-           round(ss.sum_b
-                 - CAST(tot.sx_all AS DOUBLE) * tot.sx_all / tot.n,
-                 6) AS ss_between,
-           round(ss.ssw, 6) AS ss_within,
-           round(
-             ((ss.sum_b
-               - CAST(tot.sx_all AS DOUBLE) * tot.sx_all / tot.n)
-              / (tot.k - 1))
-             / (ss.ssw / (tot.n - tot.k)), 12) AS f_stat
-    FROM ss CROSS JOIN tot
-    """,
-)
-def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE-WAY ANOVA F statistic for value-cents across event types —
-    the k-group generalization that completes the classical-test
-    family (Welch t, z, U, χ², KS live elsewhere in this catalog).
-    Per-group Σx/Σx²/n are exact BIGINTs on integer cents; the
-    between/within decomposition runs in double with the per-group
-    terms folded smallest-first (each term has ONE division —
-    mirrored), and SS outputs round to 6 (absolute cents² scale)
-    with F to 12. One groupBy over the fact; everything after is
-    k-sized."""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.sum(cents).alias("sx"),
-        F.sum(cents * cents).alias("sxx"),
-    )
-    tot = g.agg(
-        F.sum("n_g").alias("n"),
-        F.sum("sx").alias("sx_all"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    terms = g.select(
-        (F.col("sx").cast("double") * F.col("sx") / F.col("n_g")).alias(
-            "bterm"
-        ),
-        (
-            F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx") / F.col("n_g")
-        ).alias("wterm"),
-    )
-    fold = lambda c: F.aggregate(  # noqa: E731
-        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
-    )
-    ss = terms.agg(
-        fold("bterm").alias("sum_b"), fold("wterm").alias("ssw")
-    )
-    j = ss.crossJoin(F.broadcast(tot))
-    ssb = (
-        F.col("sum_b")
-        - F.col("sx_all").cast("double") * F.col("sx_all") / F.col("n")
-    )
-    return j.select(
-        F.col("k").cast("long").alias("n_groups"),
-        F.col("n").cast("long").alias("n_obs"),
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(F.col("ssw"), 6).alias("ss_within"),
-        F.round(
-            (ssb / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n") - F.col("k"))),
-            12,
-        ).alias("f_stat"),
-    )
-
-
-@query(
-    "emb_knn_label_accuracy",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    qry AS (SELECT * FROM q WHERE vec_id % 16 = 0),
-    scored AS (
-      SELECT r.vec_id AS query_id, r.label AS true_label,
-             e.vec_id, e.label,
-             CAST(list_dot_product(
-               CAST(r.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[]))
-               AS BIGINT) AS s
-      FROM qry r JOIN q e ON e.vec_id <> r.vec_id
-    ),
-    topk AS (
-      SELECT query_id, true_label, label
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY s DESC, vec_id) <= 5
-    ),
-    votes AS (
-      SELECT query_id, true_label, label,
-             CAST(count(*) AS BIGINT) AS v
-      FROM topk GROUP BY query_id, true_label, label
-    ),
-    pred AS (
-      SELECT query_id, true_label, label AS pred_label
-      FROM votes
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY v DESC, label) = 1
-    )
-    SELECT true_label AS label,
-           CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_correct,
-           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*) AS accuracy
-    FROM pred GROUP BY true_label
-    """,
-)
-def emb_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
-    """k-NN LABEL PROBE (k=5, majority vote, smallest-label
-    tiebreak) — the second standard no-training embedding eval
-    beside emb_nearest_centroid_accuracy; together they bracket the
-    linear-probe number. Exact top-5 by integer dot over quantized
-    vectors on a 1-in-16 query sample (the eval shape — at 100 TB
-    this is exactly sim_crossset_topk's broadcast-queries one-pass
-    corpus scan, then everything downstream is query-count-sized).
-    Deterministic end to end: integer dots, full tiebreaks, integer
-    votes."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    qry = q.filter(F.col("vec_id") % 16 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("qv").alias("query_vec"),
-    )
-    scored = q.join(
-        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "true_label",
-        "vec_id",
-        "label",
-        F.expr(
-            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
-            " cast(0 as bigint), (a, x) -> a + x)"
-        ).alias("s"),
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("vec_id").asc()
-    )
-    topk = (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "true_label", "label")
-    )
-    votes = topk.groupBy("query_id", "true_label", "label").agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    wv = Window.partitionBy("query_id").orderBy(
-        F.col("v").desc(), F.col("label").asc()
-    )
-    pred = (
-        votes.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id", "true_label", F.col("label").alias("pred_label")
-        )
-    )
-    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
-    return pred.groupBy(F.col("true_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.sum(hit).cast("long").alias("n_correct"),
-        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
-    )
-
-
-@query(
-    "olap_abc_classification",
-    oracle="""
-    WITH p AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM lineitem GROUP BY l_partkey
-    ),
-    c AS (
-      SELECT l_partkey, rev,
-             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
-             sum(rev) OVER () AS tot
-      FROM p
-    ),
-    cls AS (
-      SELECT l_partkey, rev,
-             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
-                  WHEN cum * 20 <= tot * 19 THEN 'B'
-                  ELSE 'C' END AS abc
-      FROM c
-    )
-    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(sum(rev) AS BIGINT) AS revenue_cents,
-           CAST(sum(rev) AS DOUBLE)
-             / (SELECT CAST(sum(rev) AS DOUBLE) FROM p) AS revenue_share
-    FROM cls GROUP BY abc
-    """,
-)
-def olap_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
-    """ABC / PARETO INVENTORY CLASSIFICATION — the 80/15/5 revenue
-    segmentation every supply-chain dashboard opens with: parts
-    ranked by revenue, class A while cumulative share ≤ 80%, B to
-    95%, C after. The thresholds are INTEGER cross-multiplications
-    (cum·5 ≤ tot·4) so class boundaries can't float-drift. The
-    ranked window runs on the PART-LEVEL aggregate (dim-sized — the
-    fact contributes one groupBy); at 100 TB the part dim would
-    range-shard like stats_quantile_normalize, documented trade."""
-    li = load(spark, sf, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    p = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev"))
-    wc = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = p.select(
-        "l_partkey",
-        "rev",
-        F.sum("rev").over(wc).alias("cum"),
-        F.sum("rev").over(wt).alias("tot"),
-    )
-    cls = c.select(
-        "rev",
-        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
-        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
-        .otherwise("C")
-        .alias("abc"),
-        "tot",
-    )
-    return cls.groupBy("abc", "tot").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.sum("rev").alias("revenue_cents"),
-    ).select(
-        "abc",
-        "n_parts",
-        "revenue_cents",
-        (
-            F.col("revenue_cents").cast("double")
-            / F.col("tot").cast("double")
-        ).alias("revenue_share"),
-    )
-
-
-@query(
-    "s4_fixed_width_roundtrip",
-    oracle="""
-    WITH w AS (
-      SELECT event_id,
-             lpad(upper(to_hex(user_id)), 16, '0')
-             || lpad(upper(to_hex(CAST(floor(epoch(ts)) AS BIGINT))),
-                     16, '0')
-             || lpad(upper(to_hex(CAST(round(value * 100) AS BIGINT))),
-                     16, '0') AS wire_hex,
-             user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    )
-    SELECT event_id, wire_hex,
-           (CAST('0x' || substr(wire_hex, 1, 16) AS BIGINT) = user_id
-            AND CAST('0x' || substr(wire_hex, 17, 16) AS BIGINT) = epoch_s
-            AND CAST('0x' || substr(wire_hex, 33, 16) AS BIGINT) = cents)
-             AS roundtrip_ok
-    FROM w
-    """,
-)
-def s4_fixed_width_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """FIXED-WIDTH BINARY wire format (S4's sibling for the
-    non-JSON legacy feeds every ingest eventually meets): each event
-    packs into three big-endian u64 hex fields (id, epoch, cents),
-    then the SAME query decodes the frame back and asserts field
-    equality — an encode/decode asymmetry shows up as
-    roundtrip_ok=false rows on either engine. Pure JVM hex/conv
-    column expressions, zero UDFs; at scale this is a free ride on
-    the ingest scan. (Spark `hex`/`conv(16,10)` ≡ DuckDB
-    `to_hex` / '0x'-cast — the established keystream idiom.)"""
-    e = load(spark, sf, "events")
-    epoch_s = F.floor(_usec("ts") / F.lit(1_000_000)).cast("long")
-    cents = F.round(F.col("value") * 100).cast("long")
-    fld = lambda c: F.lpad(F.hex(c), 16, "0")  # noqa: E731
-    w = e.select(
-        "event_id",
-        F.concat(
-            fld(F.col("user_id")), fld(epoch_s), fld(cents)
-        ).alias("wire_hex"),
-        F.col("user_id").alias("uid"),
-        epoch_s.alias("es"),
-        cents.alias("cc"),
-    )
-    dec = lambda pos: F.conv(  # noqa: E731
-        F.substring("wire_hex", pos, 16), 16, 10
-    ).cast("long")
-    return w.select(
-        "event_id",
-        "wire_hex",
-        (
-            (dec(1) == F.col("uid"))
-            & (dec(17) == F.col("es"))
-            & (dec(33) == F.col("cc"))
-        ).alias("roundtrip_ok"),
-    )
-
-
-@query(
-    "ts_weighted_moving_avg",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL}
-    SELECT g.event_type, g.day, g.n,
-           CAST(sum(h.n * (7 - (g.day - h.day))) AS BIGINT) AS wsum,
-           CAST(sum(7 - (g.day - h.day)) AS BIGINT) AS wtot,
-           CAST(sum(h.n * (7 - (g.day - h.day))) AS DOUBLE)
-             / sum(7 - (g.day - h.day)) AS wma7
-    FROM grid g JOIN grid h
-      ON h.event_type = g.event_type
-     AND h.day BETWEEN g.day - 6 AND g.day
-    GROUP BY g.event_type, g.day, g.n
-    """,
-)
-def ts_weighted_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
-    """Linearly-WEIGHTED 7-day moving average (WMA — the lag-reduced
-    smoother chartists use where the plain MA trails turns): weight
-    7 for today down to 1 for six days back, truncated at the series
-    start (early days average over the shorter prefix, weights
-    renormalized — wtot rides along as the exact integer
-    denominator). Implemented as a windowed integer dot product via
-    the bounded 7-row frame; numerator and denominator stay exact
-    BIGINTs, ONE mirrored division at the end. Per-stream windows on
-    the dense grid — one shuffle on event_type."""
-    grid = _daily_grid(spark, sf)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-6, 0)
-    )
-    # weight for a row k days back is 7-k; with rowsBetween the
-    # offset isn't addressable directly, so express the dot product
-    # as Σ n·(7-(day_cur-day_row)) via two running sums over the
-    # SAME frame: Σ n·(7-day_cur+day_row) =
-    # (7-day_cur)·Σn + Σ(n·day_row)
-    sn = F.sum("n").over(w)
-    snd = F.sum(F.col("n") * F.col("day")).over(w)
-    cnt = F.count(F.lit(1)).over(w)
-    sd = F.sum("day").over(w)
-    wsum = (F.lit(7) - F.col("day")) * sn + snd
-    wtot = (F.lit(7) - F.col("day")) * cnt + sd
-    return grid.select(
-        "event_type",
-        "day",
-        "n",
-        wsum.cast("long").alias("wsum"),
-        wtot.cast("long").alias("wtot"),
-        (wsum.cast("double") / wtot.cast("double")).alias("wma7"),
-    )
-
-
-@query(
-    "olap_new_vs_returning",
-    oracle="""
-    WITH firsts AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-      FROM events GROUP BY user_id
-    ),
-    tagged AS (
-      SELECT CAST(e.ts AS DATE) AS day,
-             CASE WHEN CAST(e.ts AS DATE) = f.first_day
-                  THEN e.user_id END AS new_user,
-             e.user_id
-      FROM events e JOIN firsts f ON f.user_id = e.user_id
-    )
-    SELECT date_diff('day', DATE '2024-01-01', day) AS day,
-           CAST(count(DISTINCT new_user) AS BIGINT) AS new_users,
-           CAST(count(DISTINCT user_id)
-                - count(DISTINCT new_user) AS BIGINT) AS returning_users
-    FROM tagged GROUP BY day
-    """,
-)
-def olap_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
-    """NEW vs RETURNING daily active users — the first split of every
-    product-analytics dashboard: a user is 'new' on the calendar day
-    of their first-ever event and 'returning' on any later active
-    day. One groupBy(user) for first-touch dates (broadcast-able —
-    user dim), one join back, one distinct-count aggregate per day.
-    No window over the fact; the first-touch table is the only
-    state, which is exactly the incremental shape (yesterday's
-    first-touch table + today's partition) a daily job wants."""
-    e = load(spark, sf, "events")
-    day = F.col("ts").cast("date")
-    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
-    tagged = e.join(firsts, on="user_id").select(
-        F.datediff(day, F.lit("2024-01-01").cast("date")).alias("day"),
-        F.when(day == F.col("first_day"), F.col("user_id")).alias(
-            "new_user"
-        ),
-        "user_id",
-    )
-    return tagged.groupBy("day").agg(
-        F.countDistinct("new_user").alias("new_users"),
-        (
-            F.countDistinct("user_id") - F.countDistinct("new_user")
-        ).alias("returning_users"),
-    )
-
-
-@query(
-    "curation_class_balance_downsample",
-    oracle="""
-    WITH tgt AS (
-      SELECT min(cnt) AS target FROM (
-        SELECT count(*) AS cnt FROM embeddings GROUP BY label
-      )
-    ),
-    ranked AS (
-      SELECT vec_id, label,
-             row_number() OVER (PARTITION BY label
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-      FROM embeddings
-    )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
-    FROM ranked CROSS JOIN tgt
-    WHERE rn <= tgt.target
-    GROUP BY label
-    """,
-)
-def curation_class_balance_downsample(spark: SparkSession, sf: str) -> DataFrame:
-    """CLASS-BALANCED DOWNSAMPLING — cap every label at the minority
-    class size, keeping each label's first-k in deterministic md5
-    hash order (so the kept set is reproducible across engines,
-    partitionings, and reruns — the content-hash sampling discipline
-    of curation_sample). Per-label windows shuffle once on label;
-    the target is a one-row broadcast. Emits the per-label census +
-    an id-sum checksum so the driver hash pins WHICH rows were kept,
-    not just how many."""
-    emb = load(spark, sf, "embeddings").select("vec_id", "label")
-    tgt = (
-        emb.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(F.min("cnt").alias("target"))
-    )
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
-    ranked = emb.select(
-        "vec_id", "label", F.row_number().over(w).alias("rn")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(tgt))
-        .filter(F.col("rn") <= F.col("target"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("vec_id").alias("kept_id_sum"),
-        )
-    )
-
-
-@query(
-    "olap_lorenz_deciles",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             o_orderkey
-      FROM orders
-    ),
-    ranked AS (
-      SELECT cents,
-             row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
-             count(*) OVER () AS n,
-             sum(cents) OVER (ORDER BY cents, o_orderkey) AS cum,
-             sum(cents) OVER () AS tot
-      FROM c
-    )
-    SELECT CAST((rn * 10 - 1) // n + 1 AS BIGINT) AS decile,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(max(cum) AS BIGINT) AS cum_cents,
-           CAST(max(cum) AS DOUBLE) / max(tot) AS cum_share
-    FROM ranked GROUP BY (rn * 10 - 1) // n + 1
-    """,
-)
-def olap_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
-    """LORENZ CURVE at decile resolution — the concentration chart
-    behind stats_gini_by_nation's single number: orders sorted by
-    value, cumulative revenue share at each population decile
-    ('the bottom 50% of orders carry 18% of revenue'). Decile
-    assignment is the INTEGER expression (rn·10−1) DIV n + 1 —
-    deterministic, no percent_rank floats at bucket edges. The
-    ranked window runs on order-level cents (at 100 TB this would
-    range-shard like stats_quantile_normalize; documented). Fact
-    passes once."""
-    o = load(spark, sf, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = o.select(cents.alias("cents"), "o_orderkey")
-    wr = Window.orderBy("cents", "o_orderkey")
-    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = c.select(
-        "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wcum).alias("cum"),
-        F.sum("cents").over(wall).alias("tot"),
-    )
-    decile = (
-        F.floor((F.col("rn") * 10 - 1) / F.col("n")) + 1
-    ).cast("long")
-    return ranked.groupBy(decile.alias("decile")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.max("cum").alias("cum_cents"),
-        (
-            F.max("cum").cast("double") / F.max("tot").cast("double")
-        ).alias("cum_share"),
-    )
-
-
-@query(
-    "stats_wilson_ci",
-    oracle="""
-    WITH s AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
-               AS BIGINT) AS k
-      FROM events GROUP BY event_type
-    ),
-    c AS (
-      SELECT event_type, n, k,
-             CAST(196 AS DOUBLE) / 100 AS z,
-             CAST(k AS DOUBLE) / n AS p
-      FROM s
-    )
-    SELECT event_type, n, k,
-           round(p, 12) AS p_hat,
-           round((p + z*z/(2*n)
-                  - z * sqrt((p*(1-p) + z*z/(4*n)) / n))
-                 / (1 + z*z/n), 12) AS wilson_lo,
-           round((p + z*z/(2*n)
-                  + z * sqrt((p*(1-p) + z*z/(4*n)) / n))
-                 / (1 + z*z/n), 12) AS wilson_hi
-    FROM c
-    """,
-)
-def stats_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
-    """WILSON SCORE interval — the 95% confidence interval for a
-    proportion (here: share of high-value events per stream), the CI
-    that stays inside [0,1] and behaves at small n where the naive
-    Wald interval collapses — the number a metrics page should print
-    next to every rate. z = 1.96 enters as CAST(196)/100 on BOTH
-    engines (the decimal-literal trap); counts are exact, the
-    formula is one mirrored float expression per bound, round 12.
-    One groupBy over the fact."""
-    e = load(spark, sf, "events")
-    s = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("k"),
-    )
-    z = F.lit(196.0) / 100
-    p = F.col("k").cast("double") / F.col("n")
-    denom = 1 + z * z / F.col("n")
-    center = p + z * z / (2 * F.col("n"))
-    half = z * F.sqrt(
-        (p * (1 - p) + z * z / (4 * F.col("n"))) / F.col("n")
-    )
-    return s.select(
-        "event_type",
-        "n",
-        F.col("k").cast("long").alias("k"),
-        F.round(p, 12).alias("p_hat"),
-        F.round((center - half) / denom, 12).alias("wilson_lo"),
-        F.round((center + half) / denom, 12).alias("wilson_hi"),
-    )
-
-
-@query(
-    "graph_preferential_attachment",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
-      ) GROUP BY node
-    ),
-    topdeg AS (
-      SELECT node, d FROM deg
-      QUALIFY row_number() OVER (ORDER BY d DESC, node) <= 32
-    ),
-    cand AS (
-      SELECT a.node AS a, b.node AS b, a.d * b.d AS pa_score
-      FROM topdeg a JOIN topdeg b ON a.node < b.node
-    ),
-    nonadj AS (
-      SELECT c.a, c.b, c.pa_score
-      FROM cand c
-      LEFT JOIN edges e ON e.src = c.a AND e.dst = c.b
-      WHERE e.src IS NULL
-    )
-    SELECT CAST(row_number() OVER (ORDER BY pa_score DESC, a, b)
-           AS BIGINT) AS rank, a, b, pa_score
-    FROM nonadj
-    QUALIFY row_number() OVER (ORDER BY pa_score DESC, a, b) <= 20
-    """,
-)
-def graph_preferential_attachment(spark: SparkSession, sf: str) -> DataFrame:
-    """PREFERENTIAL-ATTACHMENT link prediction (deg(u)·deg(v) — the
-    Barabási-Albert growth score) — fourth member of the
-    link-prediction family beside common-neighbors, Adamic-Adar and
-    Jaccard. Unlike those, PA needs NO shared-neighbor evidence, so
-    the candidate space is all non-edges; the scalable cut is the
-    top-32 degree nodes (hub pairs dominate the score by
-    construction), 496 bounded pairs, anti-join out existing edges,
-    top-20 with full tiebreaks. Degree table + one bounded self-join
-    — the fan-out never touches the fact."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    deg = gr.degrees(e).select(
-        "node", F.col("deg").cast("long").alias("d")
-    )
-    wtop = Window.orderBy(F.col("d").desc(), F.col("node"))
-    top = (
-        deg.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 32)
-        .select("node", "d")
-    )
-    a = top.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    b = top.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    cand = a.join(b, F.col("a") < F.col("b")).select(
-        "a", "b", (F.col("da") * F.col("db")).alias("pa_score")
-    )
-    nonadj = cand.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        on=["a", "b"],
-        how="left_anti",
-    )
-    w = Window.orderBy(F.col("pa_score").desc(), F.col("a"), F.col("b"))
-    return (
-        nonadj.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "a", "b", "pa_score")
-    )
-
-
-@query(
-    "emb_dim_collapse_audit",
-    oracle="""
-    WITH ex AS (
-      SELECT CAST(r.range AS INT) AS dim,
-             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
-               AS BIGINT) AS q
-      FROM embeddings CROSS JOIN range(0, 64) r
-    ),
-    s AS (
-      SELECT dim, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(q) AS BIGINT) AS sq,
-             CAST(sum(q * q) AS BIGINT) AS sqq
-      FROM ex GROUP BY dim
-    )
-    SELECT dim, n,
-           round(CAST(sq AS DOUBLE) / n, 12) AS mean_q,
-           round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
-                 / n, 12) AS var_q,
-           ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / n)
-             < CAST(1 AS DOUBLE) AS collapsed
-    FROM s
-    """,
-)
-def emb_dim_collapse_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """DIMENSION-COLLAPSE audit — per-dimension mean and variance of
-    the quantized embeddings (a dim whose variance ≈ 0 carries no
-    information: dead units from training pathologies or botched
-    normalization; the check an embedding pipeline runs before
-    paying for an index build). Σq/Σq² are exact BIGINTs per dim;
-    mean/variance are mirrored float expressions rounded 12; the
-    collapse flag compares variance against 1 quantization step².
-    One posexplode + one 64-group aggregate — a single corpus pass."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    ex = emb.select(F.posexplode(qz).alias("dim", "q"))
-    s = ex.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
-    )
-    var = (
-        F.col("sqq").cast("double")
-        - F.col("sq").cast("double") * F.col("sq") / F.col("n")
-    ) / F.col("n")
-    return s.select(
-        "dim",
-        "n",
-        F.round(F.col("sq").cast("double") / F.col("n"), 12).alias(
-            "mean_q"
-        ),
-        F.round(var, 12).alias("var_q"),
-        (var < F.lit(1.0)).alias("collapsed"),
-    )
-
-
-@query(
-    "stats_runs_test",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    diffs AS (
-      SELECT d, n - lag(n) OVER (ORDER BY d) AS diff
-      FROM daily
-    ),
-    signs AS (
-      SELECT d, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
-      FROM diffs WHERE diff IS NOT NULL AND diff <> 0
-    ),
-    runs AS (
-      SELECT up,
-             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
-                       OR lag(up) OVER (ORDER BY d) <> up
-                  THEN 1 ELSE 0 END AS new_run
-      FROM signs
-    ),
-    s AS (
-      SELECT CAST(sum(new_run) AS BIGINT) AS r,
-             CAST(sum(up) AS BIGINT) AS n1,
-             CAST(count(*) - sum(up) AS BIGINT) AS n2
-      FROM runs
-    )
-    SELECT r AS n_runs, n1 AS n_up, n2 AS n_down,
-           round(
-             (CAST(r AS DOUBLE)
-              - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
-             / sqrt(CAST(2 AS DOUBLE) * n1 * n2
-                    * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
-                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                       * (n1 + n2 - 1))), 12) AS z_score
-    FROM s
-    """,
-)
-def stats_runs_test(spark: SparkSession, sf: str) -> DataFrame:
-    """WALD–WOLFOWITZ RUNS TEST on the daily volume's up/down
-    sequence — 'is the series random, trending, or oscillating?'
-    (too few runs = momentum, too many = mean reversion). Zero
-    diffs drop (the standard treatment — deterministic, mirrored);
-    the run count is one lag-comparison window, n1/n2/R are exact
-    integers, and the normal approximation is a single mirrored
-    float expression rounded 12. Day-dim-sized end to end after one
-    fact groupBy."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("d"))
-        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    wd = Window.orderBy("d")
-    diffs = daily.select(
-        "d", (F.col("n") - F.lag("n").over(wd)).alias("diff")
-    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
-    signs = diffs.select(
-        "d", F.when(F.col("diff") > 0, 1).otherwise(0).alias("up")
-    )
-    runs = signs.select(
-        "up",
-        F.when(
-            F.lag("up").over(wd).isNull()
-            | (F.lag("up").over(wd) != F.col("up")),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_run"),
-    )
-    s = runs.agg(
-        F.sum("new_run").alias("r"),
-        F.sum("up").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
-    )
-    d = lambda c: c.cast("double")  # noqa: E731
-    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
-    mu = F.lit(2.0) * d(n1) * d(n2) / d(n1 + n2) + 1
-    var = (
-        F.lit(2.0)
-        * d(n1)
-        * d(n2)
-        * (F.lit(2.0) * d(n1) * d(n2) - d(n1) - d(n2))
-        / (d(n1 + n2) * d(n1 + n2) * d(n1 + n2 - 1))
-    )
-    return s.select(
-        r.cast("long").alias("n_runs"),
-        n1.cast("long").alias("n_up"),
-        n2.cast("long").alias("n_down"),
-        F.round((d(r) - mu) / F.sqrt(var), 12).alias("z_score"),
-    )
-
-
-@query(
-    "stats_histogram2d_dow_value",
-    oracle="""
-    WITH b AS (
-      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-             CAST(round(value * 100) AS BIGINT) // 5000 AS vbucket
-      FROM events
-    ),
-    cells AS (
-      SELECT dow, vbucket, CAST(count(*) AS BIGINT) AS n
-      FROM b GROUP BY dow, vbucket
-    )
-    SELECT dow, vbucket, n,
-           CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY dow) AS row_share
-    FROM cells
-    """,
-)
-def stats_histogram2d_dow_value(spark: SparkSession, sf: str) -> DataFrame:
-    """2-D HISTOGRAM (day-of-week × value bucket) — the heatmap
-    primitive behind every 'when do the big orders land?' dashboard
-    panel. Buckets are integer DIV on cents (memory: mirrored as
-    DuckDB `//`); one hash aggregate builds the cells, a dim-sized
-    window adds within-row shares. The dow+1 shift aligns Spark's
-    Sunday=1 with DuckDB's Sunday=0 (the stats_chi2_type_dow
-    convention)."""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    b = e.select(
-        F.dayofweek("ts").cast("long").alias("dow"),
-        F.floor(cents / 5000).cast("long").alias("vbucket"),
-    )
-    cells = b.groupBy("dow", "vbucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    wr = Window.partitionBy("dow")
-    return cells.select(
-        "dow",
-        "vbucket",
-        "n",
-        (F.col("n").cast("double") / F.sum("n").over(wr)).alias(
-            "row_share"
-        ),
-    )
-
-
-@query(
-    "emb_pair_distance_histogram",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id,
-             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, bkt, qv,
-             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
-                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
-      FROM q
-    ),
-    pairs AS (
-      SELECT a.nn + b.nn
-             - 2 * CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                         CAST(b.qv AS DOUBLE[]))
-                    AS BIGINT) AS d2
-      FROM norms a JOIN norms b
-        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-    )
-    SELECT d2 // 10000 AS dist_bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs
-    FROM pairs GROUP BY d2 // 10000
-    """,
-)
-def emb_pair_distance_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """PAIRWISE-DISTANCE HISTOGRAM over an md5-bucketed pair sample —
-    the second embedding-health audit beside emb_dim_collapse_audit
-    (a healthy space is unimodal; a spike at 0 means duplicate
-    vectors, heavy left mass means collapse). Pairs come from WITHIN
-    16 content-hash buckets — a deterministic ~1/16 sample of all
-    pairs with NO global enumeration: the bucket equi-join is the
-    same cell-join shape as semdedup, so the pair budget is
-    Σ bucket² and scales by adding hash characters. d² =
-    |a|²+|b|²−2a·b stays an exact BIGINT end to end; the histogram
-    key is integer DIV."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select(
-        "vec_id",
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
-            "bkt"
-        ),
-        qz.alias("qv"),
-    )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    norms = q.select(
-        "vec_id", "bkt", "qv", dot("qv", "qv").alias("nn")
-    )
-    a = norms.select(
-        F.col("vec_id").alias("ida"),
-        "bkt",
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("idb"),
-        "bkt",
-        F.col("qv").alias("qb"),
-        F.col("nn").alias("nb"),
-    )
-    pairs = a.join(b, on="bkt").filter(F.col("ida") < F.col("idb")).select(
-        (
-            F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
-        ).alias("d2")
-    )
-    return pairs.groupBy(
-        F.floor(F.col("d2") / 10000).cast("long").alias("dist_bucket")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
-
-
-@query(
-    "text_bigram_entropy_rate",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, g AS w, pos
-      FROM (SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS g,
-                   generate_subscripts(
-                     string_split_regex(trim(text), '\\s+'), 1) AS pos
-            FROM documents)
-    ),
-    big AS (
-      SELECT a.w AS w1, b.w AS w2
-      FROM tok a JOIN tok b
-        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-    ),
-    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
-            FROM big GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
-           FROM c12 GROUP BY w1),
-    nt AS (SELECT CAST(sum(n12) AS BIGINT) AS n FROM c12),
-    terms AS (
-      SELECT (CAST(c12.n12 AS DOUBLE) / nt.n)
-               * ln(CAST(c1.n1 AS DOUBLE) / c12.n12) AS t
-      FROM c12 JOIN c1 USING (w1) CROSS JOIN nt
-    )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c12) AS n_bigrams,
-           (SELECT n FROM nt) AS n_tokens,
-           round(list_reduce(list_sort(list(t)), (x, y) -> x + y), 12)
-             AS cond_entropy_nats
-    FROM terms
-    """,
-)
-def text_bigram_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """BIGRAM CONDITIONAL ENTROPY H(w₂|w₁) — the corpus
-    predictability number (low = templated/boilerplate-heavy text,
-    high = diverse prose; the information-theoretic cousin of
-    text_repetition). H = Σ p(w₁w₂)·ln(n₁/n₁₂) with the ratio ONE
-    division of exact integers; the global sum folds smallest-first
-    and rounds to 12 (the entropy discipline). Shape: one lead
-    window per doc for bigrams, two hash aggregates, a vocab-keyed
-    join — nothing quadratic."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
-    )
-    wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    big = toks.select("w", wn.alias("w2")).filter(F.col("w2").isNotNull())
-    c12 = big.groupBy(
-        F.col("w").alias("w1"), "w2"
-    ).agg(F.count(F.lit(1)).alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    nt = c12.agg(F.sum("n12").alias("n"))
-    terms = (
-        c12.join(c1, on="w1")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            (
-                (F.col("n12").cast("double") / F.col("n"))
-                * F.log(F.col("n1").cast("double") / F.col("n12"))
-            ).alias("t"),
-            F.col("n"),
-        )
-    )
-    return terms.agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.max("n").alias("n_tokens"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            12,
-        ).alias("cond_entropy_nats"),
-    )
-
-
-@query(
-    "olap_seasonality_index",
-    oracle="""
-    WITH m AS (
-      SELECT CAST(month(l_shipdate) AS BIGINT) AS mon,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-01-01'
-      GROUP BY month(l_shipdate)
-    ),
-    t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM m)
-    SELECT m.mon, m.rev AS revenue_cents,
-           CAST(m.rev AS DOUBLE) * 12 / t.tot AS seasonality_index
-    FROM m CROSS JOIN t
-    """,
-)
-def olap_seasonality_index(spark: SparkSession, sf: str) -> DataFrame:
-    """MONTHLY SEASONALITY INDEX — each month's revenue against the
-    uniform 1/12 share (index 1.1 = 'this month runs 10% hot'), the
-    retail planner's first seasonal decomposition. Integer cents,
-    one groupBy(month) over the filtered fact, one-row broadcast
-    total, index = rev·12/tot in ONE mirrored float expression. The
-    shipdate bounds push down to the parquet scan."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    m = li.groupBy(
-        F.month("l_shipdate").cast("long").alias("mon")
-    ).agg(F.sum(cents).alias("rev"))
-    t = m.agg(F.sum("rev").alias("tot"))
-    return m.crossJoin(F.broadcast(t)).select(
-        "mon",
-        F.col("rev").alias("revenue_cents"),
-        (
-            F.col("rev").cast("double") * 12 / F.col("tot").cast("double")
-        ).alias("seasonality_index"),
-    )
-
-
-@query(
-    "stats_iqr_outlier_census",
-    oracle="""
-    WITH c AS (
-      SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    ),
-    byval AS (
-      SELECT event_type, cents, count(*) AS cnt,
-             coalesce(sum(count(*)) OVER (PARTITION BY event_type
-               ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_less,
-             sum(count(*)) OVER (PARTITION BY event_type) AS n
-      FROM c GROUP BY event_type, cents
-    ),
-    q AS (
-      SELECT event_type,
-             max(CASE WHEN cum_less < (n + 3) // 4
-                       AND (n + 3) // 4 <= cum_less + cnt
-                      THEN cents END) AS q1,
-             max(CASE WHEN cum_less < (3 * n + 3) // 4
-                       AND (3 * n + 3) // 4 <= cum_less + cnt
-                      THEN cents END) AS q3,
-             max(n) AS n
-      FROM byval GROUP BY event_type
-    )
-    SELECT c.event_type,
-           CAST(max(q.n) AS BIGINT) AS n,
-           CAST(max(q.q1) AS BIGINT) AS q1_cents,
-           CAST(max(q.q3) AS BIGINT) AS q3_cents,
-           CAST(sum(CASE WHEN 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
-                           OR 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM c JOIN q ON q.event_type = c.event_type
-    GROUP BY c.event_type
-    """,
-)
-def stats_iqr_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
-    """TUKEY-FENCE OUTLIER CENSUS per stream — the boxplot rule
-    (outside Q1−1.5·IQR / Q3+1.5·IQR) counted exactly: quartiles are
-    the values at ranks ⌈n/4⌉ and ⌈3n/4⌉ picked off the per-group
-    DISTINCT-VALUE cumulative table (no percentile_approx, no
-    interpolation — rank selection, the exact-median discipline),
-    and the fences are INTEGER cross-multiplications (2c > 2q3 +
-    3·IQR ⟺ c > q3 + 1.5·IQR) so no float ever decides membership.
-    One value-table window + one fact pass with a broadcast-able
-    5-row quartile join."""
-    e = load(spark, sf, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    c = e.select("event_type", cents.alias("cents"))
-    byval = c.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = byval.select(
-        "event_type",
-        "cents",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_less"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    r1 = F.floor((F.col("n") + 3) / 4)
-    r3 = F.floor((3 * F.col("n") + 3) / 4)
-    q = ranked.groupBy("event_type").agg(
-        F.max(
-            F.when(
-                (F.col("cum_less") < r1)
-                & (r1 <= F.col("cum_less") + F.col("cnt")),
-                F.col("cents"),
-            )
-        ).alias("q1"),
-        F.max(
-            F.when(
-                (F.col("cum_less") < r3)
-                & (r3 <= F.col("cum_less") + F.col("cnt")),
-                F.col("cents"),
-            )
-        ).alias("q3"),
-        F.max("n").alias("n"),
-    )
-    iqr3 = 3 * (F.col("q3") - F.col("q1"))
-    out = (2 * F.col("cents") > 2 * F.col("q3") + iqr3) | (
-        2 * F.col("cents") < 2 * F.col("q1") - iqr3
-    )
-    return (
-        c.join(F.broadcast(q), on="event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            F.max("q1").cast("long").alias("q1_cents"),
-            F.max("q3").cast("long").alias("q3_cents"),
-            F.sum(F.when(out, 1).otherwise(0))
-            .cast("long")
-            .alias("n_outliers"),
-        )
-    )
-
-
-@query(
-    "audit_langid_confusion",
-    oracle="""
-    WITH hits AS (
-      SELECT doc_id, lang,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS h_en,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS h_de,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS h_es,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr,
-        len(list_filter(string_split_regex(trim(text), '\\s+'),
-            t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS h_zh
-      FROM documents
-    ),
-    pred AS (
-      SELECT lang,
-             CASE WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
-                  WHEN h_de >= greatest(h_es, h_fr, h_zh, 1) THEN 'de'
-                  WHEN h_es >= greatest(h_fr, h_zh, 1) THEN 'es'
-                  WHEN h_fr >= greatest(h_zh, 1) THEN 'fr'
-                  WHEN h_zh >= 1 THEN 'zh'
-                  ELSE 'und' END AS lang_pred
-      FROM hits
-    )
-    SELECT lang, lang_pred,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) AS DOUBLE)
-             / sum(count(*)) OVER (PARTITION BY lang) AS row_share
-    FROM pred GROUP BY lang, lang_pred
-    """,
-)
-def audit_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
-    """LANG-ID CONFUSION MATRIX — the classifier audit that turns
-    text_langid from a prediction into a measured instrument:
-    declared label × predicted label counts with within-row shares
-    (the diagonal is per-language recall; off-diagonal mass says
-    which languages the stopword heuristic confuses — the go/no-go
-    before gating a corpus on it). One aggregate over the langid
-    projection + a language-dim-sized share window."""
-    d = load(spark, sf, "documents")
-    pred = tx.lang_id(d).select("lang", "lang_pred")
-    cells = pred.groupBy("lang", "lang_pred").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    wr = Window.partitionBy("lang")
-    return cells.select(
-        "lang",
-        "lang_pred",
-        "n_docs",
-        (
-            F.col("n_docs").cast("double") / F.sum("n_docs").over(wr)
-        ).alias("row_share"),
-    )
-
-
-@query(
-    "olap_reactivated_users",
-    oracle="""
-    WITH active AS (
-      SELECT DISTINCT user_id,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
-      FROM events
-    ),
-    gaps AS (
-      SELECT user_id, day,
-             day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
-               AS gap
-      FROM active
-    )
-    SELECT day,
-           CAST(count(*) AS BIGINT) AS active_users,
-           CAST(sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT)
-             AS reactivated_users
-    FROM gaps GROUP BY day
-    """,
-)
-def olap_reactivated_users(spark: SparkSession, sf: str) -> DataFrame:
-    """REACTIVATED USERS per day — the third panel of the growth
-    dashboard after new/returning (olap_new_vs_returning): a user
-    reactivates on an active day that follows a gap of more than 7
-    inactive days (the resurrection metric churn models calibrate
-    on). One distinct-active-days projection, one lag window per
-    user, one aggregate — shuffles once on user_id then once on
-    day."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    active = e.select("user_id", day.alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    gaps = active.select(
-        "day", (F.col("day") - F.lag("day").over(w)).alias("gap")
-    )
-    return gaps.groupBy("day").agg(
-        F.count(F.lit(1)).alias("active_users"),
-        F.sum(F.when(F.col("gap") > 7, 1).otherwise(0))
-        .cast("long")
-        .alias("reactivated_users"),
-    )
-
-
-# Directed purchase graph for HITS: customer --buys-from--> supplier,
-# one distinct edge per (custkey, suppkey) pair in the 1997 order year.
-_BUY_EDGES_SQL = """
-    e AS MATERIALIZED (
-      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
-    )
-"""
-
-
-def _buy_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct customer→supplier purchase edges, 1997 order year —
-    the directed bipartite graph shared by HITS and butterfly
-    counting (the Spark twin of _BUY_EDGES_SQL)."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf, "lineitem")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            F.col("l_suppkey").alias("dst"),
-        )
-        .distinct()
-    )
-
-
-@query(
-    "graph_hits_scores",
-    oracle=f"""
-    WITH {_BUY_EDGES_SQL},
-    h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM e),
-    a1 AS MATERIALIZED (
-      SELECT e.dst AS node, sum(h0.h) AS a
-      FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst
-    ),
-    h1 AS MATERIALIZED (
-      SELECT e.src AS node, sum(a1.a) AS h
-      FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
-    ),
-    a2 AS MATERIALIZED (
-      SELECT e.dst AS node, sum(h1.h) AS a
-      FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
-    ),
-    h2 AS MATERIALIZED (
-      SELECT e.src AS node, sum(a2.a) AS h
-      FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
-    ),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
-    SELECT n.node,
-           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
-           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
-    FROM nodes n
-    LEFT JOIN h2 ON n.node = h2.node
-    LEFT JOIN a2 ON n.node = a2.node
-    """,
-)
-def graph_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
-    """HITS hubs/authorities on the directed customer→supplier
-    purchase graph (1997 orders): hub customers buy from many
-    well-sourced suppliers, authority suppliers are bought from by
-    many well-connected customers. Unnormalized with an all-ones
-    start, so both score vectors stay EXACT BIGINT path counts
-    (functions/graph.py:hits) — no float fold discipline anywhere.
-    Two rounds, each half-round one equi-join + integer map-side
-    combinable SUM; the oracle replays the alternation unrolled."""
-    return gr.hits(_buy_edges(spark, sf), rounds=2)
-
-
-@query(
-    "olap_survival_kaplan_meier",
-    oracle="""
-    WITH u AS (
-      SELECT user_id,
-             min(epoch_us(ts - TIMESTAMP '2024-01-01') // 1000000) AS t0,
-             min(CASE WHEN event_type = 'purchase'
-                      THEN epoch_us(ts - TIMESTAMP '2024-01-01') // 1000000
-                 END) AS tp
-      FROM events GROUP BY user_id
-    ),
-    subj AS (
-      SELECT CASE WHEN tp IS NOT NULL
-                       AND (tp - t0) // 3600 <= 72
-                  THEN (tp - t0) // 3600 ELSE 72 END AS t,
-             CASE WHEN tp IS NOT NULL
-                       AND (tp - t0) // 3600 <= 72
-                  THEN 1 ELSE 0 END AS ev
-      FROM u
-    ),
-    per_t AS (
-      SELECT t, CAST(sum(ev) AS BIGINT) AS converted,
-             CAST(sum(1 - ev) AS BIGINT) AS censored
-      FROM subj GROUP BY t
-    ),
-    risk AS (
-      SELECT t, converted, censored,
-             sum(converted + censored) OVER (
-               ORDER BY t
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-             ) AS n_at_risk
-      FROM per_t
-    )
-    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, converted, censored,
-           round(exp(sum(
-             CASE WHEN converted < n_at_risk
-                  THEN ln(1.0 - CAST(converted AS DOUBLE) / n_at_risk)
-                  ELSE CAST('-infinity' AS DOUBLE) END
-           ) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 12) AS survival
-    FROM risk
-    """,
-)
-def olap_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
-    """KAPLAN-MEIER time-to-conversion curve: hours from a user's
-    first event to their first PURCHASE, right-censored at the 72-hour
-    observation horizon (the administrative-censoring design growth
-    teams use for fixed-window conversion). S(t) = Pi_{ti<=t}
-    (1 - di/ni); di (conversions at hour ti) and ni (at-risk, a
-    reverse cumulative window) stay EXACT integers - hour buckets are
-    BIGINT floor-divisions of whole seconds since the corpus epoch
-    (tz-free interval arithmetic, never engine date_diff boundary
-    semantics). Only the final product touches floats, as exp of an
-    ORDERED cumulative sum of ln terms (identical sequential order on
-    both engines, round 12); d = n at the tail maps to exact 0. One
-    groupBy per user + one per hour + two windows - the fact shuffles
-    once."""
-    e = load(spark, sf, "events")
-    mu = (
-        F.col("ts") - F.lit("2024-01-01").cast("timestamp_ntz")
-    ).cast("long")  # whole seconds since the corpus epoch, tz-free
-    u = e.groupBy("user_id").agg(
-        F.min(mu).alias("t0"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", mu)
-        ).alias("tp"),
-    )
-    hours = F.expr("(tp - t0) DIV 3600")
-    conv = F.col("tp").isNotNull() & (hours <= 72)
-    subj = u.select(
-        F.when(conv, hours).otherwise(F.lit(72)).alias("t"),
-        F.when(conv, 1).otherwise(0).alias("ev"),
-    )
-    per_t = subj.groupBy("t").agg(
-        F.sum("ev").cast("long").alias("converted"),
-        F.sum(1 - F.col("ev")).cast("long").alias("censored"),
-    )
-    w_rev = Window.orderBy("t").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    risk = per_t.withColumn(
-        "n_at_risk",
-        F.sum(F.col("converted") + F.col("censored")).over(w_rev),
-    )
-    w_cum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ln_term = F.when(
-        F.col("converted") < F.col("n_at_risk"),
-        F.log(
-            F.lit(1.0)
-            - F.col("converted").cast("double") / F.col("n_at_risk")
-        ),
-    ).otherwise(F.lit(float("-inf")))
-    return risk.select(
-        "t",
-        F.col("n_at_risk").cast("long").alias("n_at_risk"),
-        "converted",
-        "censored",
-        F.round(F.exp(F.sum(ln_term).over(w_cum)), 12).alias("survival"),
-    )
-
-
-@query(
-    "stats_kruskal_wallis",
-    oracle="""
-    WITH byval AS (
-      SELECT value, event_type, count(*) AS cnt
-      FROM events GROUP BY value, event_type
-    ),
-    tot AS (
-      SELECT value, sum(cnt) AS t FROM byval GROUP BY value
-    ),
-    ranked AS (
-      SELECT value, t,
-             coalesce(sum(t) OVER (
-               ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS cum_less
-      FROM tot
-    ),
-    per_g AS (
-      SELECT b.event_type,
-             CAST(sum(b.cnt) AS BIGINT) AS n_g,
-             CAST(sum(b.cnt * (2 * r.cum_less + r.t + 1)) AS BIGINT)
-               AS rank_sum_x2
-      FROM byval b JOIN ranked r ON b.value = r.value
-      GROUP BY b.event_type
-    ),
-    gstats AS (
-      SELECT CAST(sum(n_g) AS BIGINT) AS n,
-             list_reduce(
-               list_sort(list(
-                 CAST(rank_sum_x2 AS DOUBLE) * CAST(rank_sum_x2 AS DOUBLE)
-                 / (4.0 * n_g)
-               )),
-               (x, y) -> x + y
-             ) AS sum_r2_over_n,
-             (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM tot) AS tie_t
-      FROM per_g
-    )
-    SELECT p.event_type, p.n_g, p.rank_sum_x2,
-           round(12.0 / (CAST(g.n AS DOUBLE) * (g.n + 1))
-                 * g.sum_r2_over_n - 3.0 * (g.n + 1), 12) AS h_stat,
-           round((12.0 / (CAST(g.n AS DOUBLE) * (g.n + 1))
-                  * g.sum_r2_over_n - 3.0 * (g.n + 1))
-                 / (1.0 - CAST(g.tie_t AS DOUBLE)
-                          / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n)),
-                 12) AS h_tie_corrected
-    FROM per_g p CROSS JOIN gstats g
-    """,
-)
-def stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
-    """KRUSKAL–WALLIS H test: does `value` differ in distribution
-    across the 5 event types? The k-group extension of
-    stats_mann_whitney_u, built on the same doubled-rank device
-    (2·rank = 2·cum_less + t + 1 keeps average ranks integer-exact
-    under ties). Per-group doubled rank sums R2_g and the tie term
-    Σ(t³−t) are BIGINT; H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) folds the
-    5 per-group float terms smallest-first (array_sort + aggregate ↔
-    list_sort + list_reduce), tie-corrected by 1 − Σ(t³−t)/(N³−N),
-    round 12. One distinct-value groupBy + one window cumsum — the
-    raw fact shuffles once."""
-    e = load(spark, sf, "events")
-    byval = e.groupBy("value", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    tot = byval.groupBy("value").agg(F.sum("cnt").alias("t"))
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = tot.select(
-        "value",
-        "t",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_less"),
-    )
-    per_g = (
-        byval.join(ranked, on="value")
-        .groupBy("event_type")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_g"),
-            F.sum(
-                F.col("cnt")
-                * (2 * F.col("cum_less") + F.col("t") + 1)
-            )
-            .cast("long")
-            .alias("rank_sum_x2"),
-        )
-    )
-    tie = tot.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
-        .alias("tie_t")
-    )
-    glob = per_g.agg(
-        F.sum("n_g").cast("long").alias("n"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.col("rank_sum_x2").cast("double")
-                    * F.col("rank_sum_x2").cast("double")
-                    / (F.lit(4.0) * F.col("n_g"))
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("sum_r2_over_n"),
-    ).crossJoin(F.broadcast(tie))
-    n_d = F.col("n").cast("double")
-    h = (
-        F.lit(12.0) / (n_d * (F.col("n") + 1)) * F.col("sum_r2_over_n")
-        - F.lit(3.0) * (F.col("n") + 1)
-    )
-    corr = F.lit(1.0) - F.col("tie_t").cast("double") / (
-        n_d * F.col("n") * F.col("n") - F.col("n")
-    )
-    return per_g.crossJoin(F.broadcast(glob)).select(
-        "event_type",
-        "n_g",
-        "rank_sum_x2",
-        F.round(h, 12).alias("h_stat"),
-        F.round(h / corr, 12).alias("h_tie_corrected"),
-    )
-
-
-@query(
-    "emb_binary_hamming_topk",
-    oracle="""
-    WITH codes AS (
-      SELECT vec_id,
-             CAST(list_sum([CASE WHEN embedding[i + 1] > 0
-                                 THEN (1::BIGINT << i) ELSE 0 END
-                            for i in range(0, 32)]) AS BIGINT) AS lo,
-             CAST(list_sum([CASE WHEN embedding[i + 33] > 0
-                                 THEN (1::BIGINT << i) ELSE 0 END
-                            for i in range(0, 32)]) AS BIGINT) AS hi
-      FROM embeddings
-    ),
-    q AS (SELECT * FROM codes WHERE vec_id % 25 = 0),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(bit_count(xor(q.lo, c.lo))
-                  + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
-      FROM q JOIN codes c ON q.vec_id <> c.vec_id
-    )
-    SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
-    FROM (
-      SELECT *, row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY hamming ASC, neighbor_id ASC) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-)
-def emb_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """BINARY-CODE ANN: sign-binarize each 64-dim embedding into two
-    32-bit halves packed in BIGINTs (bit i = dim i > 0), then top-5
-    neighbors per query (vec_id % 25) by HAMMING distance — XOR +
-    popcount, the compressed-domain similarity used when float
-    vectors are too wide to scan (Charikar hyperplane LSH with the
-    coordinate planes). Codes are 8 bytes/vector, so the candidate
-    scan reads 32× less than float32; everything is integer-exact,
-    no float discipline at all. Queries broadcast against the corpus
-    (one pass, same shape as sim_crossset_topk); at 100 TB the codes
-    would be bucketed by multi-index substrings instead of scanned."""
-    from ..util import spread
-
-    emb = spread(load(spark, sf, "embeddings"))
-
-    def half(off: int):
-        return F.expr(
-            f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc"
-            f" + IF(element_at(embedding, i + {off}) > 0,"
-            f" shiftleft(1L, i), 0L))"
-        )
-
-    codes = emb.select(
-        "vec_id", half(1).alias("lo"), half(33).alias("hi")
-    )
-    codes = codes.localCheckpoint(eager=False)  # consumed twice
-    q = codes.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("lo").alias("qlo"),
-        F.col("hi").alias("qhi"),
-    )
-    scored = F.broadcast(q).crossJoin(codes).filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    ham = (
-        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
-        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
-    ).cast("long")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            ham.alias("hamming"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
-
-
-@query(
-    "text_pmi_cooccurrence",
-    oracle="""
-    WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    vocab AS (
-      SELECT w, df FROM (
-        SELECT w, count(*) AS df,
-               row_number() OVER (ORDER BY count(*) DESC, w ASC) AS r
-        FROM toks GROUP BY w
-      ) WHERE r <= 100
-    ),
-    ft AS (
-      SELECT t.doc_id, t.w, v.df FROM toks t JOIN vocab v USING (w)
-    ),
-    pairs AS (
-      SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
-             count(*) AS c12
-      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
-      GROUP BY 1, 2, 3, 4
-    ),
-    n AS (SELECT count(*) AS nd FROM documents)
-    SELECT w1, w2,
-           CAST(c12 AS BIGINT) AS c12,
-           CAST(df1 AS BIGINT) AS df1,
-           CAST(df2 AS BIGINT) AS df2,
-           round(ln(CAST(c12 * nd AS DOUBLE)
-                    / (CAST(df1 AS DOUBLE) * df2)), 12) AS pmi
-    FROM pairs CROSS JOIN n WHERE c12 >= 5
-    """,
-)
-def text_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
-    """POINTWISE MUTUAL INFORMATION of word pairs at document level —
-    the collocation/topic-association signal (Church & Hanks 1990):
-    pmi(w1,w2) = ln(N·c12 / (df1·df2)) over documents as contexts.
-    The pair fan-out is BOUNDED BY THE VOCABULARY, not the corpus:
-    tokens first filter through the top-100-df vocab (broadcast), so
-    the per-doc self-join touches ≤100 tokens/doc regardless of
-    document length — the max_df/top-k capping discipline the dedup
-    family uses. Support floor c12 ≥ 5; the PMI ratio is one integer
-    quotient inside a single ln, round 12."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(tx.tokens("text")).alias("w")
-    ).distinct()
-    wv = Window.orderBy(F.col("df").desc(), F.col("w").asc())
-    vocab = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= 100)
-        .drop("r")
-    )
-    ft = toks.join(F.broadcast(vocab), on="w")
-    a = ft.select(
-        "doc_id", F.col("w").alias("w1"), F.col("df").alias("df1")
-    )
-    b = ft.select(
-        "doc_id", F.col("w").alias("w2"), F.col("df").alias("df2")
-    )
-    pairs = (
-        a.join(b, on="doc_id")
-        .filter(F.col("w1") < F.col("w2"))
-        .groupBy("w1", "w2", "df1", "df2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= 5)
-    )
-    nd = d.agg(F.count(F.lit(1)).alias("nd"))
-    return pairs.crossJoin(F.broadcast(nd)).select(
-        "w1",
-        "w2",
-        F.col("c12").cast("long").alias("c12"),
-        F.col("df1").cast("long").alias("df1"),
-        F.col("df2").cast("long").alias("df2"),
-        F.round(
-            F.log(
-                (F.col("c12") * F.col("nd")).cast("double")
-                / (F.col("df1").cast("double") * F.col("df2"))
-            ),
-            12,
-        ).alias("pmi"),
-    )
-
-
-@query(
-    "ts_bollinger_bands",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY 1
-    ),
-    win AS (
-      SELECT day, cents,
-             sum(cents) OVER w AS s,
-             sum(cents * cents) OVER w AS ss,
-             count(*) OVER w AS nw
-      FROM daily
-      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-    )
-    SELECT day, cents,
-           round(CAST(s AS DOUBLE) / 7, 6) AS mid,
-           round(CAST(s AS DOUBLE) / 7
-                 + 2 * sqrt(CAST(7 * ss - s * s AS DOUBLE) / 49),
-                 6) AS upper,
-           round(CAST(s AS DOUBLE) / 7
-                 - 2 * sqrt(CAST(7 * ss - s * s AS DOUBLE) / 49),
-                 6) AS lower,
-           CAST(CASE WHEN 7 * cents - s > 0
-                      AND (7 * cents - s) * (7 * cents - s)
-                          > 4 * (7 * ss - s * s)
-                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_above,
-           CAST(CASE WHEN 7 * cents - s < 0
-                      AND (7 * cents - s) * (7 * cents - s)
-                          > 4 * (7 * ss - s * s)
-                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_below
-    FROM win WHERE nw = 7
-    """,
-)
-def ts_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
-    """BOLLINGER BANDS on daily revenue: 7-day rolling mean ± 2σ with
-    EXACT integer breakout flags — (7x−S)² > 4(7·SS−S²) is the
-    band-cross test cross-multiplied into BIGINT cents, so the flag
-    never depends on float rounding; mid/upper/lower are display
-    floats derived from the same integer sums (round 6 — at cents
-    magnitude the 12th decimal is past double spacing, so engines
-    can't agree there and shouldn't be asked to). Rows with
-    a full 7-day window only. One day-grain aggregate + one ordered
-    window; at larger SF the Σx² cents ladder should move to DECIMAL
-    before ~sf10 (2⁶³ headroom documented in stats_moments)."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-    daily = e.select(day.alias("day"), cents.alias("c")).groupBy(
-        "day"
-    ).agg(F.sum("c").alias("cents"))
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    win = daily.select(
-        "day",
-        "cents",
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
-        F.count(F.lit(1)).over(w).alias("nw"),
-    ).filter(F.col("nw") == 7)
-    s_d = F.col("s").cast("double")
-    # 7·SS − S² stays an EXACT BIGINT; one int→double conversion
-    # (deterministic IEEE) feeds the only float ladder
-    disc = (7 * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-    sigma = F.sqrt(disc / F.lit(49.0))
-    dev = 7 * F.col("cents") - F.col("s")
-    brk = dev * dev > 4 * (7 * F.col("ss") - F.col("s") * F.col("s"))
-    return win.select(
-        "day",
-        "cents",
-        F.round(s_d / 7, 6).alias("mid"),
-        F.round(s_d / 7 + 2 * sigma, 6).alias("upper"),
-        F.round(s_d / 7 - 2 * sigma, 6).alias("lower"),
-        F.when((dev > 0) & brk, 1).otherwise(0).cast("long").alias(
-            "breakout_above"
-        ),
-        F.when((dev < 0) & brk, 1).otherwise(0).cast("long").alias(
-            "breakout_below"
-        ),
-    )
-
-
-def _dtw_oracle() -> str:
-    # DTW by anti-diagonals, unrolled: cells on diagonal d = i + j
-    # depend on diagonals d-1 (left/up) and d-2 (diagonal step), so
-    # each dg{d} is one filtered scan of the MATERIALIZED cost table
-    # plus three small equi-joins — the same unrolled-fixpoint oracle
-    # discipline as _kcore_oracle/_pagerank_oracle.
-    big = 1 << 60
-    steps = []
-    for d in range(1, 59):
-        dd_join = (
-            f"""
-      LEFT JOIN dg{d - 2} dd ON dd.ta = c.ta AND dd.tb = c.tb
-        AND dd.i = c.i - 1 AND dd.j = c.j - 1"""
-            if d >= 2
-            else ""
-        )
-        dd_term = f"coalesce(dd.val, {big})" if d >= 2 else str(big)
-        steps.append(f"""
-    dg{d} AS MATERIALIZED (
-      SELECT c.ta, c.tb, c.i, c.j,
-             c.cost + least(coalesce(h.val, {big}),
-                            coalesce(v.val, {big}),
-                            {dd_term}) AS val
-      FROM costs c
-      LEFT JOIN dg{d - 1} h ON h.ta = c.ta AND h.tb = c.tb
-        AND h.i = c.i - 1 AND h.j = c.j
-      LEFT JOIN dg{d - 1} v ON v.ta = c.ta AND v.tb = c.tb
-        AND v.i = c.i AND v.j = c.j - 1{dd_join}
-      WHERE c.i + c.j = {d}
-    )""")
-    return f"""
-    WITH {_DAILY_GRID_SQL},
-    pairs AS (
-      SELECT a.event_type AS ta, b.event_type AS tb
-      FROM types a JOIN types b ON a.event_type < b.event_type
-    ),
-    costs AS MATERIALIZED (
-      SELECT p.ta, p.tb, ga.day AS i, gb.day AS j,
-             abs(ga.n - gb.n) AS cost
-      FROM pairs p
-      JOIN grid ga ON ga.event_type = p.ta
-      JOIN grid gb ON gb.event_type = p.tb
-    ),
-    dg0 AS (SELECT ta, tb, i, j, cost AS val
-            FROM costs WHERE i = 0 AND j = 0),
-    {",".join(steps)}
-    SELECT ta AS type_a, tb AS type_b, CAST(val AS BIGINT) AS dtw
-    FROM dg58 WHERE i = 29 AND j = 29
-    """
-
-
-@query("ts_dtw_pairs", oracle=_dtw_oracle())
-def ts_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """DYNAMIC TIME WARPING distance between the 5 event types' daily
-    activity profiles (all 10 pairs) — the elastic-alignment series
-    similarity clustering/retrieval uses when shapes shift in phase.
-    Counts are integers, cost |a−b| is integer, so the whole DP and
-    the final distance are EXACT BIGINTs. Spark-first custom-operator
-    shape: DataFrame ops build the dense 30-day grids and pair table;
-    the O(L²) per-pair DP — inexpressible as relational algebra —
-    runs inside ONE Arrow-batched grouped kernel (applyInPandas),
-    pairs partitioned across executors, O(L) rows in, one row out.
-    The kernel is ``timeseries.dtw_distance`` — anti-diagonal-
-    vectorized numpy, no per-cell Python (VERDICT r9 #6) — and takes
-    a Sakoe-Chiba ``band`` that bounds the warp and cuts work to
-    O(L·band) for long series at 100 TB (band=None here: 30-day
-    grids need no constraint, and the oracle replays the full DP
-    unrolled along anti-diagonals, 58 staged CTEs)."""
-    import pandas as pd
-
-    from report_worker_spark.functions.timeseries import dtw_distance
-
-    grid = _daily_grid(spark, sf)
-    series = grid.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("day", "n"))),
-            lambda s: s["n"],
-        ).alias("series")
-    )
-    series = series.localCheckpoint(eager=False)  # consumed twice
-    a = series.select(
-        F.col("event_type").alias("type_a"), F.col("series").alias("sa")
-    )
-    b = series.select(
-        F.col("event_type").alias("type_b"), F.col("series").alias("sb")
-    )
-    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = [
-            {
-                "type_a": ta,
-                "type_b": tb,
-                "dtw": dtw_distance(sa, sb, band=None),
-            }
-            for ta, tb, sa, sb in zip(
-                pdf["type_a"], pdf["type_b"], pdf["sa"], pdf["sb"]
-            )
-        ]
-        return pd.DataFrame(out)
-
-    return pairs.groupBy("type_a", "type_b").applyInPandas(
-        kernel, schema="type_a string, type_b string, dtw long"
-    )
-
-
-@query(
-    "stats_jarque_bera",
-    oracle="""
-    WITH m AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             sum(u) AS s1, sum(u * u) AS s2,
-             sum(u * u * u) AS s3, sum(u * u * u * u) AS s4
-      FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS u
-            FROM events)
-      GROUP BY event_type
-    ),
-    c AS (
-      SELECT event_type, n,
-             CAST(s1 AS DOUBLE) / n AS mu,
-             CAST(s2 AS DOUBLE) / n AS r2,
-             CAST(s3 AS DOUBLE) / n AS r3,
-             CAST(s4 AS DOUBLE) / n AS r4
-      FROM m
-    )
-    SELECT event_type, n,
-           round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
-                 / pow(r2 - mu * mu, 1.5), 12) AS skewness,
-           round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
-                  - 3 * mu * mu * mu * mu)
-                 / pow(r2 - mu * mu, 2.0), 12) AS kurtosis,
-           round(n / 6.0 * (
-             pow((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
-                 / pow(r2 - mu * mu, 1.5), 2.0)
-             + pow((r4 - 4 * mu * r3 + 6 * mu * mu * r2
-                    - 3 * mu * mu * mu * mu)
-                   / pow(r2 - mu * mu, 2.0) - 3, 2.0) / 4), 12) AS jb_stat
-    FROM c
-    """,
-)
-def stats_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
-    """JARQUE-BERA normality test per event type: JB = n/6·(g₁² +
-    (g₂−3)²/4) from sample skewness g₁ and kurtosis g₂. The four
-    power sums Σu..Σu⁴ accumulate EXACTLY in BIGINT over integer
-    units u = round(value) (u ≤ ~600 keeps Σu⁴ under 2⁶³ through
-    ~sf10 — the moments ladder discipline of stats_moments); the
-    central-moment formulas are then identical double expressions on
-    both engines, round 12. One map-combinable groupBy, no second
-    pass — the two-pass 'subtract the mean first' variant is only
-    needed when the raw magnitudes dwarf the spread, which cents-
-    scale metrics don't."""
-    e = load(spark, sf, "events")
-    u = F.round(F.col("value")).cast("long")
-    m = e.select("event_type", u.alias("u")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("u").alias("s1"),
-        F.sum(F.col("u") * F.col("u")).alias("s2"),
-        F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
-        F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias(
-            "s4"
-        ),
-    )
-    n = F.col("n")
-    mu = F.col("s1").cast("double") / n
-    r2 = F.col("s2").cast("double") / n
-    r3 = F.col("s3").cast("double") / n
-    r4 = F.col("s4").cast("double") / n
-    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / F.pow(
-        r2 - mu * mu, F.lit(1.5)
-    )
-    kurt = (
-        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
-    ) / F.pow(r2 - mu * mu, F.lit(2.0))
-    jb = n / F.lit(6.0) * (
-        F.pow(skew, F.lit(2.0))
-        + F.pow(kurt - 3, F.lit(2.0)) / F.lit(4)
-    )
-    return m.select(
-        "event_type",
-        n.cast("long").alias("n"),
-        F.round(skew, 12).alias("skewness"),
-        F.round(kurt, 12).alias("kurtosis"),
-        F.round(jb, 12).alias("jb_stat"),
-    )
-
-
-@query(
-    "graph_butterfly_support",
-    oracle=f"""
-    WITH {_BUY_EDGES_SQL},
-    wedges AS (
-      SELECT a.dst AS s1, b.dst AS s2, count(*) AS support
-      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
-      GROUP BY 1, 2
-    ),
-    total AS (
-      SELECT CAST(coalesce(sum(support * (support - 1) / 2), 0)
-                  AS BIGINT) AS butterflies
-      FROM wedges WHERE support >= 2
-    )
-    SELECT s1, s2, CAST(support AS BIGINT) AS support,
-           CAST(rank AS BIGINT) AS rank, t.butterflies
-    FROM (
-      SELECT s1, s2, support,
-             row_number() OVER (
-               ORDER BY support DESC, s1 ASC, s2 ASC) AS rank
-      FROM wedges
-    ) CROSS JOIN total t
-    WHERE rank <= 20
-    """,
-)
-def graph_butterfly_support(spark: SparkSession, sf: str) -> DataFrame:
-    """BUTTERFLY (2×2 biclique) structure of the bipartite purchase
-    graph: top-20 supplier pairs by co-purchase support plus the
-    global butterfly count Σ C(support, 2) — the bipartite analogue
-    of triangle counting (Wang et al., 'Butterfly Counting in
-    Bipartite Networks'). Wedges pivot on the CUSTOMER side, whose
-    Σdeg² is ~8× smaller than the supplier side here (the same
-    degree-orientation economics as graph_triangle_count): one
-    self-equi-join on src + one integer groupBy. Exact integers end
-    to end."""
-    e = _buy_edges(spark, sf)
-    a = e.select("src", F.col("dst").alias("s1"))
-    b = e.select("src", F.col("dst").alias("s2"))
-    wedges = (
-        a.join(b, on="src")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
-    wedges = wedges.localCheckpoint(eager=False)  # consumed twice
-    total = wedges.filter(F.col("support") >= 2).agg(
-        F.coalesce(
-            F.sum(F.col("support") * (F.col("support") - 1) / 2), F.lit(0)
-        )
-        .cast("long")
-        .alias("butterflies")
-    )
-    # top-20 tail as orderBy().limit() → TakeOrderedAndProject; the rank
-    # window then runs over 20 rows, not a 1-partition sort of all wedges
-    top = wedges.orderBy(
-        F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc()
-    ).limit(20)
-    w = Window.orderBy(
-        F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc()
-    )
-    return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "s1",
-            "s2",
-            F.col("support").cast("long").alias("support"),
-            "rank",
-            "butterflies",
-        )
-    )
-
-
-@query(
-    "stats_permutation_test",
-    oracle="""
-    WITH base AS (
-      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
-             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
-      FROM events WHERE event_type IN ('click', 'view')
-    ),
-    obs AS (
-      SELECT sum(ia) AS na, sum(1 - ia) AS nb,
-             sum(CASE WHEN ia = 1 THEN c END) AS sa,
-             sum(CASE WHEN ia = 0 THEN c END) AS sb
-      FROM base
-    ),
-    reps AS (
-      SELECT k.range AS k,
-             sum(CASE WHEN substr(md5(b.event_id || ':' || k.range),
-                             1, 1) IN ('0','1','2','3','4','5','6','7')
-                      THEN 1 ELSE 0 END) AS nra,
-             sum(CASE WHEN substr(md5(b.event_id || ':' || k.range),
-                             1, 1) IN ('0','1','2','3','4','5','6','7')
-                      THEN b.c END) AS sra,
-             count(*) AS n, sum(b.c) AS st
-      FROM base b CROSS JOIN range(1, 65) k
-      GROUP BY k.range
-    ),
-    scored AS (
-      SELECT r.k,
-             CAST(r.nra AS BIGINT) AS n_a_k,
-             round(CAST(r.sra AS DOUBLE) / r.nra
-                   - CAST(r.st - r.sra AS DOUBLE) / (r.n - r.nra),
-                   6) AS diff_k,
-             CAST(CASE WHEN abs(CAST(r.sra AS DOUBLE) / r.nra
-                                - CAST(r.st - r.sra AS DOUBLE)
-                                  / (r.n - r.nra))
-                            >= abs(CAST(o.sa AS DOUBLE) / o.na
-                                   - CAST(o.sb AS DOUBLE) / o.nb)
-                       THEN 1 ELSE 0 END AS BIGINT) AS extreme,
-             round(CAST(o.sa AS DOUBLE) / o.na
-                   - CAST(o.sb AS DOUBLE) / o.nb, 6) AS obs_diff
-      FROM reps r CROSS JOIN obs o
-    )
-    SELECT k, n_a_k, diff_k, extreme, obs_diff,
-           round((1.0 + (SELECT sum(extreme) FROM scored)) / 65.0, 12)
-             AS p_value
-    FROM scored
-    """,
-)
-def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
-    """RANDOMIZATION TEST for the click-vs-view mean-cents difference:
-    64 deterministic label reassignments (row → group A iff
-    md5(event_id:k) starts 0-7, the repo's keystream device), p =
-    (1 + #extreme)/(K+1). Every replica mean comes from EXACT BIGINT
-    cent sums; the extreme comparison is between identically-derived
-    doubles, so the flag is engine-stable. Scale shape: the K
-    replicas are ONE explode + map-combinable groupBy(k) — 64 partial
-    cells per input split, no per-replica pass over the fact, the
-    same economics as curation_dp_noisy_counts. Output is the full
-    64-row replica table (diff, extreme flag) plus the shared
-    observed diff and p-value."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    base = e.select(
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
-            "ia"
-        ),
-    )
-    obs = base.agg(
-        F.sum("ia").alias("na"),
-        F.sum(1 - F.col("ia")).alias("nb"),
-        F.sum(F.when(F.col("ia") == 1, F.col("c"))).alias("sa"),
-        F.sum(F.when(F.col("ia") == 0, F.col("c"))).alias("sb"),
-    )
-    rep = base.select(
-        "event_id",
-        "c",
-        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("k"),
-    )
-    flag = F.substring(
-        F.md5(F.concat_ws(":", F.col("event_id"), F.col("k"))), 1, 1
-    ).isin(*"01234567")
-    reps = rep.groupBy("k").agg(
-        F.sum(F.when(flag, 1).otherwise(0)).alias("nra"),
-        F.sum(F.when(flag, F.col("c"))).alias("sra"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("st"),
-    )
-    diff_k = F.col("sra").cast("double") / F.col("nra") - (
-        F.col("st") - F.col("sra")
-    ).cast("double") / (F.col("n") - F.col("nra"))
-    obs_diff = F.col("sa").cast("double") / F.col("na") - F.col(
-        "sb"
-    ).cast("double") / F.col("nb")
-    scored = reps.crossJoin(F.broadcast(obs)).select(
-        "k",
-        F.col("nra").cast("long").alias("n_a_k"),
-        F.round(diff_k, 6).alias("diff_k"),
-        (F.abs(diff_k) >= F.abs(obs_diff))
-        .cast("long")
-        .alias("extreme"),
-        F.round(obs_diff, 6).alias("obs_diff"),
-    )
-    scored = scored.localCheckpoint(eager=False)  # consumed twice
-    tot = scored.agg(
-        F.round((1 + F.sum("extreme")) / F.lit(65.0), 12).alias(
-            "p_value"
-        )
-    )
-    return scored.crossJoin(F.broadcast(tot))
-
-
-@query(
-    "emb_knn_outlier_census",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, qv,
-             CAST(list_sum([x * x for x in qv]) AS BIGINT) AS nn
-      FROM q
-    ),
-    qset AS (
-      SELECT vec_id, qv, nn FROM norms
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid,
-             a.nn + b.nn
-             - 2 * CAST(list_sum(
-                 [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
-               AS BIGINT) AS d2
-      FROM qset a JOIN norms b ON a.vec_id <> b.vec_id
-    ),
-    top5 AS (
-      SELECT qid, sum(d2) AS sum_d2_top5
-      FROM (
-        SELECT qid, d2,
-               row_number() OVER (
-                 PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rn
-        FROM pairs
-      ) WHERE rn <= 5 GROUP BY qid
-    )
-    SELECT qid AS vec_id, CAST(sum_d2_top5 AS BIGINT) AS sum_d2_top5,
-           CAST(rank AS BIGINT) AS rank
-    FROM (
-      SELECT qid, sum_d2_top5,
-             row_number() OVER (
-               ORDER BY sum_d2_top5 DESC, qid ASC) AS rank
-      FROM top5
-    ) WHERE rank <= 30
-    """,
-)
-def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
-    """kNN-DISTANCE OUTLIER census (Ramaswamy et al. 2000): the 30
-    most isolated vectors of a FIXED-SIZE audit sample (the 200
-    smallest md5(vec_id) keys — TakeOrdered, O(K) regardless of
-    corpus size; VERDICT r7 #3 replaced a corpus-proportional 1/5
-    broadcast), scored by the SUM of squared distances to their 5
-    nearest neighbors over the FULL corpus. Delegates to
-    similarity.knn_outlier_census: ×256 integer quantization keeps
-    every d² an exact int64, one Arrow pass emits per-batch top-5
-    partials (global top-5 ⊆ per-batch union), the shuffle carries
-    ≤ K·5·partitions rows — never K·N pairs — and the census tail is
-    orderBy().limit(30) → TakeOrdered."""
-    emb = load(spark, sf, "embeddings")
-    return sim.knn_outlier_census(
-        emb, k=5, sample_k=200, top=30, quant=256
-    ).select(
-        "vec_id",
-        F.col("sum_d2_topk").alias("sum_d2_top5"),
-        "rank",
-    )
-
-
-@query(
-    "ts_peak_detection",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    nb AS (
-      SELECT event_type, day, n,
-             greatest(
-               lag(n, 1) OVER w, lag(n, 2) OVER w, lag(n, 3) OVER w,
-               lead(n, 1) OVER w, lead(n, 2) OVER w, lead(n, 3) OVER w
-             ) AS shoulder_max
-      FROM grid
-      WINDOW w AS (PARTITION BY event_type ORDER BY day)
-    )
-    SELECT event_type, day, n, CAST(shoulder_max AS BIGINT)
-             AS shoulder_max,
-           CAST(n - shoulder_max AS BIGINT) AS rise
-    FROM nb
-    WHERE day BETWEEN 3 AND 26 AND n > shoulder_max
-    """,
-)
-def ts_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
-    """PEAK DETECTION on the per-type daily grids: a day is a peak
-    iff it strictly exceeds every neighbor within ±3 days (the
-    scipy.signal find_peaks(distance=3) semantics); rise = height
-    above the tallest shoulder. Dense-grid lag/lead windows keep
-    everything integer — no floats anywhere. One window per type
-    partition over the 30-day grid; the grid itself is one
-    map-combinable day-grain aggregate of the fact."""
-    grid = _daily_grid(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("day")
-    shoulder = F.greatest(
-        *[F.lag("n", i).over(w) for i in (1, 2, 3)],
-        *[F.lead("n", i).over(w) for i in (1, 2, 3)],
-    )
-    nb = grid.select(
-        "event_type", "day", "n", shoulder.alias("shoulder_max")
-    )
-    return nb.filter(
-        (F.col("day") >= 3)
-        & (F.col("day") <= 26)
-        & (F.col("n") > F.col("shoulder_max"))
-    ).select(
-        "event_type",
-        "day",
-        "n",
-        F.col("shoulder_max").cast("long").alias("shoulder_max"),
-        (F.col("n") - F.col("shoulder_max")).cast("long").alias("rise"),
-    )
-
-
-@query(
-    "stats_levene_brownforsythe",
-    oracle="""
-    WITH cents AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-      FROM events
-    ),
-    cum AS (
-      SELECT event_type, c, count(*) AS cnt,
-             sum(count(*)) OVER (
-               PARTITION BY event_type ORDER BY c
-               ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(count(*)) OVER (PARTITION BY event_type) AS n
-      FROM cents GROUP BY event_type, c
-    ),
-    med AS (
-      SELECT event_type,
-             min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
-      FROM cum GROUP BY event_type
-    ),
-    z AS (
-      SELECT x.event_type, abs(x.c - m.med) AS z, m.med
-      FROM cents x JOIN med m USING (event_type)
-    ),
-    g AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_g,
-             CAST(any_value(med) AS BIGINT) AS median_cents,
-             sum(z) AS zs, sum(z * z) AS zs2
-      FROM z GROUP BY event_type
-    ),
-    tot AS (
-      SELECT CAST(sum(n_g) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(zs) AS DOUBLE) / sum(n_g) AS zbar
-      FROM g
-    ),
-    parts AS (
-      SELECT
-        list_reduce(list_sort(list(
-          n_g * (CAST(zs AS DOUBLE) / n_g - t.zbar)
-              * (CAST(zs AS DOUBLE) / n_g - t.zbar))),
-          (x, y) -> x + y) AS num,
-        list_reduce(list_sort(list(
-          CAST(zs2 AS DOUBLE)
-          - CAST(zs AS DOUBLE) * zs / n_g)),
-          (x, y) -> x + y) AS den,
-        any_value(t.n) AS n, any_value(t.k) AS k
-      FROM g CROSS JOIN tot t
-    )
-    SELECT g.event_type, g.n_g, g.median_cents,
-           round(CAST(g.zs AS DOUBLE) / g.n_g, 6) AS mean_absdev_cents,
-           round((p.num / (p.k - 1)) / (p.den / (p.n - p.k)), 12)
-             AS f_stat
-    FROM g CROSS JOIN parts p
-    """,
-)
-def stats_levene_brownforsythe(spark: SparkSession, sf: str) -> DataFrame:
-    """BROWN-FORSYTHE test for equal spread across event types (the
-    robust Levene variant: ANOVA on z = |x − group MEDIAN|, the
-    variance-homogeneity gate run before trusting a pooled ANOVA).
-    Group medians are EXACT discrete order statistics off the
-    per-group distinct-value cumulative table (the stats_iqr device,
-    never percentile_approx); z, Σz, Σz² stay BIGINT cents; the 5
-    per-group numerator/denominator terms fold smallest-first; F
-    rounds at 12. Two fact passes (median, then deviations) with one
-    broadcast median join — the unavoidable two-pass shape of
-    median-centered statistics."""
-    e = load(spark, sf, "events")
-    cents = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
-    )
-    cents = cents.localCheckpoint(eager=False)  # consumed twice
-    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy("event_type")
-    cum = cents.groupBy("event_type", "c").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).select(
-        "event_type",
-        "c",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    med = cum.groupBy("event_type").agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("c")
-            )
-        ).alias("med")
-    )
-    z = cents.join(F.broadcast(med), on="event_type").select(
-        "event_type", F.abs(F.col("c") - F.col("med")).alias("z"), "med"
-    )
-    g = z.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.first("med").alias("median_cents"),
-        F.sum("z").alias("zs"),
-        F.sum(F.col("z") * F.col("z")).alias("zs2"),
-    )
-    g = g.localCheckpoint(eager=False)  # consumed thrice
-    tot = g.agg(
-        F.sum("n_g").alias("n"),
-        F.count(F.lit(1)).alias("k"),
-        (F.sum("zs").cast("double") / F.sum("n_g")).alias("zbar"),
-    )
-    zj = F.col("zs").cast("double") / F.col("n_g")
-    parts = g.crossJoin(F.broadcast(tot)).agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.col("n_g") * (zj - F.col("zbar")) * (zj - F.col("zbar"))
-                )
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("num"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.col("zs2").cast("double")
-                    - F.col("zs").cast("double") * F.col("zs") / F.col("n_g")
-                )
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("den"),
-        F.first("n").alias("n"),
-        F.first("k").alias("k"),
-    )
-    f_stat = (F.col("num") / (F.col("k") - 1)) / (
-        F.col("den") / (F.col("n") - F.col("k"))
-    )
-    return g.crossJoin(F.broadcast(parts)).select(
-        "event_type",
-        F.col("n_g").cast("long").alias("n_g"),
-        F.col("median_cents").cast("long").alias("median_cents"),
-        F.round(F.col("zs").cast("double") / F.col("n_g"), 6).alias(
-            "mean_absdev_cents"
-        ),
-        F.round(f_stat, 12).alias("f_stat"),
-    )
-
-
-@query(
-    "olap_wow_growth_decomposition",
-    oracle="""
-    WITH weekly AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-               AS week,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY 1, 2
-    ),
-    lag1 AS (
-      SELECT event_type, week, cents,
-             lag(cents) OVER (
-               PARTITION BY event_type ORDER BY week) AS prev_cents
-      FROM weekly
-    ),
-    lagged AS (
-      SELECT *, sum(prev_cents) OVER (PARTITION BY week) AS prev_total
-      FROM lag1
-    )
-    SELECT event_type, week, cents,
-           CAST(prev_cents AS BIGINT) AS prev_cents,
-           round((cents - prev_cents) * 100.0
-                 / nullif(prev_cents, 0), 6) AS wow_pct,
-           round((cents - prev_cents) * 100.0
-                 / nullif(prev_total, 0), 6) AS contribution_pct
-    FROM lagged WHERE prev_cents IS NOT NULL
-    """,
-)
-def olap_wow_growth_decomposition(spark: SparkSession, sf: str) -> DataFrame:
-    """WEEK-OVER-WEEK growth with CONTRIBUTION decomposition: each
-    event type's WoW percentage plus its contribution to the total
-    week's growth (Δtype / prev_week_total — the additive
-    decomposition growth reviews use to attribute a topline move to
-    segments; contributions sum to the topline WoW). Week 4 is the
-    partial 2-day tail of the 30-day window, reported as-is. Integer
-    cents throughout; two stacked windows (lag per type, then a
-    week-partition total over the lags) — one day-grain aggregate of
-    the fact, no joins."""
-    e = load(spark, sf, "events")
-    week = (
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        / 7
-    ).cast("int")
-    cents = F.round(F.col("value") * 100).cast("long")
-    weekly = e.select(
-        "event_type", week.alias("week"), cents.alias("c")
-    ).groupBy("event_type", "week").agg(F.sum("c").alias("cents"))
-    wl = Window.partitionBy("event_type").orderBy("week")
-    ww = Window.partitionBy("week")
-    lagged = weekly.select(
-        "event_type",
-        "week",
-        "cents",
-        F.lag("cents").over(wl).alias("prev_cents"),
-    ).withColumn("prev_total", F.sum("prev_cents").over(ww))
-    d = F.col("cents") - F.col("prev_cents")
-    return lagged.filter(F.col("prev_cents").isNotNull()).select(
-        "event_type",
-        "week",
-        "cents",
-        "prev_cents",
-        F.round(
-            d * 100.0 / F.nullif(F.col("prev_cents"), F.lit(0)), 6
-        ).alias("wow_pct"),
-        F.round(
-            d * 100.0 / F.nullif(F.col("prev_total"), F.lit(0)), 6
-        ).alias("contribution_pct"),
-    )
-
-
-@query(
-    "multimodal_image_entropy",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    blocks AS (
-      SELECT media_id, w, h, w*h*3 AS n,
-             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
-      FROM img
-    ),
-    bytes AS (
-      SELECT media_id, w, h, n, b,
-             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, b*16 + j AS gi, {{ks}} AS v
-      FROM bytes WHERE b*16 + j < n
-    ),
-    hist AS (
-      SELECT media_id, v, count(*) AS c
-      FROM vals WHERE gi % 3 = 0 GROUP BY 1, 2
-    )
-    SELECT media_id,
-           CAST(sum(c) AS BIGINT) AS n_pixels,
-           CAST(count(*) AS BIGINT) AS distinct_values,
-           round(ln(CAST(sum(c) AS DOUBLE))
-                 - list_reduce(list_sort(list(c * ln(CAST(c AS DOUBLE)))),
-                               (x, y) -> x + y) / sum(c),
-                 12) AS entropy
-    FROM hist GROUP BY media_id
-    """.replace("{ks}", _PNG_KS_BYTE),
-)
-def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    """SHANNON ENTROPY of each image's R-channel byte distribution —
-    the exposure/information audit (a flat histogram approaches
-    ln 256 ≈ 5.545 nats; near-0 means blank or collapsed frames)
-    riding the REAL PNG decode. The kernel ships ONE 256-bin integer
-    histogram row per image (multimodal.py:png_r_histogram), so
-    entropy math stays JVM-side: H = ln(n) − Σc·ln(c)/n with the
-    ≤256 terms folded smallest-first, round 12. Decode is
-    Arrow-batched with per-item quarantine; no shuffle before the
-    final (tiny) projection."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    h = mm.png_r_histogram(media)
-    nz = F.expr("filter(hist, c -> c > 0)")
-    term_sum = F.expr(
-        "aggregate(array_sort(transform(filter(hist, c -> c > 0),"
-        " c -> c * ln(c))), cast(0.0 as double), (a, x) -> a + x)"
-    )
-    n_d = F.col("n_pixels").cast("double")
-    return h.select(
-        "media_id",
-        "n_pixels",
-        F.size(nz).cast("long").alias("distinct_values"),
-        F.round(F.log(n_d) - term_sum / n_d, 12).alias("entropy"),
-    )
-
-
-def _harmonic_oracle(hops: int) -> str:
-    # per-seed BFS unrolled: each round joins the (seed, node) frontier
-    # to the adjacency list and anti-joins the visited set — the
-    # bfs_khop discipline with a seed tag carried through
-    steps = []
-    for h in range(1, hops + 1):
-        steps.append(f"""
-    f{h} AS MATERIALIZED (
-      SELECT DISTINCT v.seed, d.dst AS node
-      FROM f{h - 1} v JOIN d ON d.src = v.node
-      WHERE NOT EXISTS (SELECT 1 FROM vis{h - 1} x
-                        WHERE x.seed = v.seed AND x.node = d.dst)
-    ),
-    vis{h} AS MATERIALIZED (
-      SELECT seed, node, dist FROM vis{h - 1}
-      UNION ALL SELECT seed, node, {h} FROM f{h}
-    )""")
-    return f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    d AS MATERIALIZED (
-      SELECT src, dst FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src),
-    seeds AS (
-      SELECT node AS seed FROM (
-        SELECT node, row_number() OVER (
-                 ORDER BY deg DESC, node ASC) AS r
-        FROM deg
-      ) WHERE r <= 8
-    ),
-    f0 AS (SELECT seed, seed AS node FROM seeds),
-    vis0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
-    {",".join(steps)}
-    SELECT seed AS node,
-           CAST(count(*) - 1 AS BIGINT) AS reached,
-           round(list_reduce(
-             list_sort(list(CASE WHEN dist > 0
-                                 THEN 1.0 / dist ELSE 0.0 END)),
-             (x, y) -> x + y), 12) AS harmonic
-    FROM vis{hops} GROUP BY seed
-    """
-
-
-@query("graph_closeness_topk", oracle=_harmonic_oracle(4))
-def graph_closeness_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """HARMONIC CLOSENESS centrality (Σ 1/d over reached nodes —
-    well-defined on disconnected graphs, unlike classic closeness)
-    for the 8 highest-degree vertices of the part co-occurrence
-    graph, truncated at 4 hops. Per-seed BFS rides the bfs_khop
-    frontier discipline with a seed tag: each round is ONE equi-join
-    of the (seed, node) frontier against the adjacency list + one
-    anti-join against the visited set, frontiers localCheckpoint'ed.
-    Distances are integers; the ≤ O(V) reciprocal terms fold
-    smallest-first per seed, round 12."""
-    d = gr.undirected_edges(_cooccur_edges(spark, sf))
-    adj = d.select("src", "dst").unionAll(
-        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = adj.localCheckpoint(eager=False)  # consumed every round
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # seed pick as orderBy().limit() → TakeOrderedAndProject, not a
-    # single-partition row_number window over the degree aggregate
-    seeds = (
-        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
-        .limit(8)
-        .select(F.col("src").alias("seed"))
-    )
-    visited = seeds.select(
-        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
-    ).localCheckpoint(eager=False)
-    frontier = visited.select("seed", "node")
-    for h in range(1, 5):
-        nxt = (
-            adj.join(
-                frontier.withColumnRenamed("node", "src"), on="src"
-            )
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-            .join(
-                visited.select("seed", "node"),
-                on=["seed", "node"],
-                how="left_anti",
-            )
-            .select("seed", "node", F.lit(h).alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("seed", "node")
-    recip = F.when(
-        F.col("dist") > 0, F.lit(1.0) / F.col("dist")
-    ).otherwise(F.lit(0.0))
-    return visited.groupBy(F.col("seed").alias("node")).agg(
-        (F.count(F.lit(1)) - 1).cast("long").alias("reached"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(recip)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            12,
-        ).alias("harmonic"),
-    )
-
-
-@query(
-    "stats_trimmed_mean",
-    oracle="""
-    WITH cents AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-      FROM events
-    ),
-    cum AS (
-      SELECT event_type, c, count(*) AS cnt,
-             sum(count(*)) OVER (
-               PARTITION BY event_type ORDER BY c
-               ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(count(*)) OVER (PARTITION BY event_type) AS n
-      FROM cents GROUP BY event_type, c
-    ),
-    kept AS (
-      SELECT event_type, n, n // 10 AS k,
-             greatest(0, least(cum, n - n // 10)
-                         - greatest(cum - cnt, n // 10)) AS keep_cnt,
-             c
-      FROM cum
-    )
-    SELECT event_type,
-           CAST(any_value(n) AS BIGINT) AS n,
-           CAST(any_value(k) AS BIGINT) AS k_trimmed,
-           CAST(sum(keep_cnt * c) AS BIGINT) AS trimmed_sum_cents,
-           round(CAST(sum(keep_cnt * c) AS DOUBLE)
-                 / (any_value(n) - 2 * any_value(k)), 6)
-             AS trimmed_mean_cents
-    FROM kept GROUP BY event_type
-    """,
-)
-def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
-    """10% TRIMMED MEAN per event type — the robust location estimate
-    between mean and median — computed EXACTLY from the per-group
-    distinct-value cumulative table: each value's kept multiplicity
-    is the integer interval overlap of its rank span [cum−cnt+1, cum]
-    with [k+1, n−k] (k = ⌊n/10⌋), so the trimmed sum is one BIGINT
-    aggregate — no sort of the raw fact, no percentile_approx, same
-    one-window shape as stats_iqr_outlier_census. The mean divides
-    two exact integers, round 6."""
-    e = load(spark, sf, "events")
-    cents = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
-    )
-    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy("event_type")
-    cum = cents.groupBy("event_type", "c").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).select(
-        "event_type",
-        "c",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    k = F.expr("n DIV 10")
-    keep = F.greatest(
-        F.lit(0),
-        F.least(F.col("cum"), F.col("n") - k)
-        - F.greatest(F.col("cum") - F.col("cnt"), k),
-    )
-    kept = cum.select(
-        "event_type", "n", k.alias("k"), keep.alias("keep_cnt"), "c"
-    )
-    return kept.groupBy("event_type").agg(
-        F.first("n").cast("long").alias("n"),
-        F.first("k").cast("long").alias("k_trimmed"),
-        F.sum(F.col("keep_cnt") * F.col("c"))
-        .cast("long")
-        .alias("trimmed_sum_cents"),
-        F.round(
-            F.sum(F.col("keep_cnt") * F.col("c")).cast("double")
-            / (F.first("n") - 2 * F.first("k")),
-            6,
-        ).alias("trimmed_mean_cents"),
-    )
-
-
-@query(
-    "join_scd2_pointintime",
-    oracle="""
-    WITH flagged AS (
-      SELECT DISTINCT e.user_id AS k
-      FROM events e JOIN customer c ON e.user_id = c.c_custkey
-      WHERE e.event_type = 'error'
-        AND e.ts < TIMESTAMP '2024-01-15'
-    ),
-    dim AS (
-      SELECT c_custkey AS k, c_mktsegment AS seg,
-             TIMESTAMP '2024-01-01' AS valid_from,
-             CASE WHEN f.k IS NOT NULL
-                  THEN TIMESTAMP '2024-01-15'
-                  ELSE TIMESTAMP '2099-01-01' END AS valid_to
-      FROM customer LEFT JOIN flagged f ON c_custkey = f.k
-      UNION ALL
-      SELECT k, 'FLAGGED', TIMESTAMP '2024-01-15',
-             TIMESTAMP '2099-01-01'
-      FROM flagged
-    ),
-    fact AS (
-      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase'
-    )
-    SELECT d.seg,
-           date_diff('day', DATE '2024-01-01', CAST(f.ts AS DATE)) // 7
-             AS week,
-           CAST(count(*) AS BIGINT) AS purchases,
-           CAST(sum(f.cents) AS BIGINT) AS cents
-    FROM fact f
-    JOIN dim d ON f.user_id = d.k
-      AND f.ts >= d.valid_from AND f.ts < d.valid_to
-    GROUP BY 1, 2
-    """,
-)
-def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
-    """POINT-IN-TIME (as-of validity) join against an SCD2 dimension —
-    the warehouse resolution step after scd2_dim_history writes
-    versions: every purchase resolves to the segment version VALID AT
-    ITS EVENT TIME (users with a pre-Jan-15 error event flip to a
-    FLAGGED version effective Jan 15), then revenue rolls up by
-    resolved segment × week. The join is an EQUI-join on the surrogate
-    key with the validity range as a post-join filter — version
-    fan-out per key is ≤2, so there is no interval cross-join and the
-    plan survives any key cardinality; at 100 TB the dim side
-    broadcasts (or buckets with the fact on k). Integer cents."""
-    e = load(spark, sf, "events")
-    c = load(spark, sf, "customer")
-    eff = F.lit("2024-01-15").cast("timestamp")
-    far = F.lit("2099-01-01").cast("timestamp")
-    flagged = (
-        e.filter(
-            (F.col("event_type") == "error") & (F.col("ts") < eff)
-        )
-        .join(c, e.user_id == c.c_custkey)
-        .select(F.col("user_id").alias("k"))
-        .distinct()
-    )
-    flagged = flagged.localCheckpoint(eager=False)  # consumed twice
-    base = c.join(
-        flagged.withColumn("_f", F.lit(1)),
-        c.c_custkey == flagged.k,
-        "left",
-    ).select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("seg"),
-        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
-        F.when(F.col("_f").isNotNull(), eff).otherwise(far).alias(
-            "valid_to"
-        ),
-    )
-    flip = flagged.select(
-        "k",
-        F.lit("FLAGGED").alias("seg"),
-        eff.alias("valid_from"),
-        far.alias("valid_to"),
-    )
-    dim = base.unionAll(flip)
-    fact = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    week = (
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        / 7
-    ).cast("long")
-    joined = fact.join(
-        F.broadcast(dim),
-        (fact.user_id == dim.k)
-        & (fact.ts >= dim.valid_from)
-        & (fact.ts < dim.valid_to),
-    )
-    return joined.groupBy("seg", week.alias("week")).agg(
-        F.count(F.lit(1)).cast("long").alias("purchases"),
-        F.sum("cents").cast("long").alias("cents"),
-    )
-
-
-@query(
-    "ts_binary_segmentation",
-    oracle="""
-    WITH types AS (SELECT DISTINCT event_type FROM events),
-    daily AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    grid AS (
-      SELECT t.event_type, CAST(r.range AS INT) AS day,
-             CAST(coalesce(d.c, 0) AS BIGINT) AS c
-      FROM types t CROSS JOIN range(0, 30) r
-      LEFT JOIN daily d
-        ON d.event_type = t.event_type AND d.day = r.range
-    ),
-    pre AS (
-      SELECT event_type, day, c,
-             sum(c) OVER w AS sl, sum(c * c) OVER w AS ssl,
-             sum(c) OVER p AS st, sum(c * c) OVER p AS sst
-      FROM grid
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS UNBOUNDED PRECEDING),
-             p AS (PARTITION BY event_type)
-    ),
-    cand AS (
-      SELECT event_type, day + 1 AS s,
-             (ssl - CAST(sl AS DOUBLE) * sl / (day + 1))
-             + ((sst - ssl)
-                - CAST(st - sl AS DOUBLE) * (st - sl) / (29 - day))
-               AS sse_split,
-             sst - CAST(st AS DOUBLE) * st / 30 AS sse_total,
-             CAST(sl AS DOUBLE) / (day + 1) AS left_mean,
-             CAST(st - sl AS DOUBLE) / (29 - day) AS right_mean
-      FROM pre WHERE day BETWEEN 0 AND 28
-    )
-    SELECT event_type, CAST(s AS BIGINT) AS best_split_day,
-           round(left_mean, 4) AS left_mean_cents,
-           round(right_mean, 4) AS right_mean_cents,
-           round((1.0 - sse_split / sse_total) * 100, 9)
-             AS var_reduction_pct
-    FROM (
-      SELECT *, row_number() OVER (
-               PARTITION BY event_type
-               ORDER BY sse_split ASC, s ASC) AS rn
-      FROM cand
-    ) WHERE rn = 1
-    """,
-)
-def ts_binary_segmentation(spark: SparkSession, sf: str) -> DataFrame:
-    """CHANGEPOINT by binary segmentation (first split of the CART /
-    PELT family): per event type, the day s splitting the 30-day
-    cents series into two segments with MINIMUM pooled SSE, reported
-    with segment means and the variance-reduction share. Both SSE
-    terms derive from EXACT BIGINT prefix sums (Σc, Σc² cumulative
-    windows) through identical double formulas, so the argmin and
-    tie-break (smallest s) are engine-stable; only ratio/mean outputs
-    round (means at 4 — cents magnitude; reduction share at 9). One
-    day-grain aggregate + one cumulative window + a 29-candidate
-    argmin — the fact shuffles once, candidates never leave the
-    day-grain table."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-    daily = (
-        e.select("event_type", day.alias("day"), cents.alias("c"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("event_type", "day")
-        .agg(F.sum("c").alias("c"))
-    )
-    types = daily.select("event_type").distinct()
-    grid = (
-        types.crossJoin(
-            spark.range(0, 30).select(F.col("id").cast("int").alias("day"))
-        )
-        .join(daily, on=["event_type", "day"], how="left")
-        .select(
-            "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
-        )
-    )
-    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy("event_type")
-    pre = grid.select(
-        "event_type",
-        "day",
-        F.sum("c").over(wcum).alias("sl"),
-        F.sum(F.col("c") * F.col("c")).over(wcum).alias("ssl"),
-        F.sum("c").over(wall).alias("st"),
-        F.sum(F.col("c") * F.col("c")).over(wall).alias("sst"),
-    ).filter(F.col("day") <= 28)
-    nl = (F.col("day") + 1).cast("double")
-    nr = (F.lit(29) - F.col("day")).cast("double")
-    sl_d = F.col("sl").cast("double")
-    sr_d = (F.col("st") - F.col("sl")).cast("double")
-    sse_split = (
-        F.col("ssl") - sl_d * F.col("sl") / nl
-    ) + ((F.col("sst") - F.col("ssl")) - sr_d * (F.col("st") - F.col("sl")) / nr)
-    sse_total = F.col("sst") - F.col("st").cast("double") * F.col("st") / 30
-    cand = pre.select(
-        "event_type",
-        (F.col("day") + 1).cast("long").alias("s"),
-        sse_split.alias("sse_split"),
-        sse_total.alias("sse_total"),
-        (sl_d / nl).alias("left_mean"),
-        (sr_d / nr).alias("right_mean"),
-    )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("sse_split").asc(), F.col("s").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("s").alias("best_split_day"),
-            F.round("left_mean", 4).alias("left_mean_cents"),
-            F.round("right_mean", 4).alias("right_mean_cents"),
-            F.round(
-                (F.lit(1.0) - F.col("sse_split") / F.col("sse_total"))
-                * 100,
-                9,
-            ).alias("var_reduction_pct"),
-        )
-    )
-
-
-@query(
-    "text_burrows_delta",
-    oracle="""
-    WITH toks AS (
-      SELECT d.source,
-             unnest(string_split_regex(trim(d.text), '\\s+')) AS w
-      FROM documents d
-    ),
-    cnt AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS c
-      FROM toks GROUP BY 1, 2
-    ),
-    stot AS (
-      SELECT source, CAST(sum(c) AS BIGINT) AS tok FROM cnt GROUP BY 1
-    ),
-    top AS (
-      SELECT w FROM (
-        SELECT w, row_number() OVER (
-                 ORDER BY sum(c) DESC, w ASC) AS r
-        FROM cnt GROUP BY w
-      ) WHERE r <= 30
-    ),
-    dense AS (
-      SELECT s.source, t.w,
-             1000.0 * coalesce(c.c, 0) / s.tok AS f
-      FROM stot s CROSS JOIN top t
-      LEFT JOIN cnt c ON c.source = s.source AND c.w = t.w
-    ),
-    mu AS (
-      SELECT w,
-             list_reduce(list_sort(list(f)), (x, y) -> x + y)
-               / count(*) AS mu
-      FROM dense GROUP BY w
-    ),
-    sig AS (
-      SELECT d.w,
-             sqrt(list_reduce(
-               list_sort(list((d.f - m.mu) * (d.f - m.mu))),
-               (x, y) -> x + y) / count(*)) AS sig
-      FROM dense d JOIN mu m ON d.w = m.w GROUP BY d.w
-    ),
-    z AS (
-      SELECT d.source, d.w, (d.f - m.mu) / s.sig AS z
-      FROM dense d
-      JOIN mu m ON d.w = m.w
-      JOIN sig s ON d.w = s.w
-    )
-    SELECT a.source AS source_a, b.source AS source_b,
-           round(list_reduce(list_sort(list(abs(a.z - b.z))),
-                             (x, y) -> x + y) / 30, 9) AS delta
-    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
-    GROUP BY 1, 2
-    """,
-)
-def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
-    """BURROWS' DELTA stylometric distance between every pair of the
-    20 sources (Burrows 2002): z-score each source's per-mille rate
-    of the 30 highest-frequency words against the across-source
-    mean/σ, then delta = mean |z₁ − z₂| — the authorship/provenance
-    fingerprint. Counts stay BIGINT; every float reduction (μ per
-    word, σ per word, the 30-term pair sum) folds smallest-first,
-    round 9. The pair join is keyed on the 30-word vocab, so the
-    fan-out is sources²·30 — vocabulary-bounded like
-    text_pmi_cooccurrence, independent of corpus size."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select("source", F.explode(tx.tokens("text")).alias("w"))
-    cnt = toks.groupBy("source", "w").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cnt = cnt.localCheckpoint(eager=False)  # feeds totals, top, dense
-    stot = cnt.groupBy("source").agg(F.sum("c").alias("tok"))
-    wv = Window.orderBy(F.col("tc").desc(), F.col("w").asc())
-    top = (
-        cnt.groupBy("w")
-        .agg(F.sum("c").alias("tc"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= 30)
-        .select("w")
-    )
-    dense = (
-        stot.crossJoin(F.broadcast(top))
-        .join(cnt, on=["source", "w"], how="left")
-        .select(
-            "source",
-            "w",
-            (
-                F.lit(1000.0) * F.coalesce(F.col("c"), F.lit(0))
-                / F.col("tok")
-            ).alias("f"),
-        )
-    )
-    dense = dense.localCheckpoint(eager=False)  # consumed thrice
-    fold = lambda col: F.aggregate(  # noqa: E731
-        F.array_sort(F.collect_list(col)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    mu = dense.groupBy("w").agg(
-        (fold(F.col("f")) / F.count(F.lit(1))).alias("mu")
-    )
-    sig = (
-        dense.join(F.broadcast(mu), on="w")
-        .groupBy("w")
-        .agg(
-            F.sqrt(
-                fold(
-                    (F.col("f") - F.col("mu"))
-                    * (F.col("f") - F.col("mu"))
-                )
-                / F.count(F.lit(1))
-            ).alias("sig")
-        )
-    )
-    z = (
-        dense.join(F.broadcast(mu), on="w")
-        .join(F.broadcast(sig), on="w")
-        .select(
-            "source",
-            "w",
-            ((F.col("f") - F.col("mu")) / F.col("sig")).alias("z"),
-        )
-    )
-    z = z.localCheckpoint(eager=False)  # both sides of the pair join
-    a = z.select(
-        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
-    )
-    b = z.select(
-        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
-    )
-    return (
-        a.join(b, on="w")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.round(
-                fold(F.abs(F.col("za") - F.col("zb"))) / 30, 9
-            ).alias("delta")
-        )
-    )
-
-
-@query(
-    "emb_hard_negative_mining",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             CAST(list_sum(
-               [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
-             AS BIGINT) AS dot
-      FROM q a JOIN q b
-        ON a.vec_id % 25 = 0 AND a.label <> b.label
-    )
-    SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
-    FROM (
-      SELECT *, row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY dot DESC, neighbor_id ASC) AS rank
-      FROM pairs
-    ) WHERE rank <= 5
-    """,
-)
-def emb_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
-    """HARD-NEGATIVE MINING for contrastive training: for each anchor
-    (vec_id % 25), the 5 most-similar vectors with a DIFFERENT label
-    — the negatives that actually teach the margin (Schroff et al.
-    2015, FaceNet). Similarity is the raw dot product on the ×256
-    quantization grid, EXACT BIGINT end to end (the
-    emb_knn_outlier_census device), so ranking is engine-stable.
-    Anchors broadcast against one corpus scan with the label
-    inequality as a join predicate; at 100 TB the anchor side shards
-    and each shard still makes one pass."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qa, qv, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    base = emb.select("vec_id", "label", qz.alias("qv"))
-    base = base.localCheckpoint(eager=False)  # consumed twice
-    q = base.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("qv").alias("qa"),
-    )
-    pairs = F.broadcast(q).crossJoin(base).filter(
-        F.col("qlabel") != F.col("label")
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dot.alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
-
-
-@query(
-    "stats_ks_uniformity",
-    oracle="""
-    WITH sec AS (
-      SELECT event_type,
-             epoch_us(ts - CAST(CAST(ts AS DATE) AS TIMESTAMP))
-               // 1000000 AS s
-      FROM events
-    ),
-    cum AS (
-      SELECT event_type, s, count(*) AS cnt,
-             sum(count(*)) OVER (
-               PARTITION BY event_type ORDER BY s
-               ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(count(*)) OVER (PARTITION BY event_type) AS n
-      FROM sec GROUP BY event_type, s
-    )
-    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
-           round(max(CAST(cum AS DOUBLE) / n
-                     - CAST(s AS DOUBLE) / 86400), 12) AS d_plus,
-           round(max(CAST(s AS DOUBLE) / 86400
-                     - CAST(cum - cnt AS DOUBLE) / n), 12) AS d_minus,
-           round(sqrt(CAST(any_value(n) AS DOUBLE))
-                 * greatest(
-                     max(CAST(cum AS DOUBLE) / n
-                         - CAST(s AS DOUBLE) / 86400),
-                     max(CAST(s AS DOUBLE) / 86400
-                         - CAST(cum - cnt AS DOUBLE) / n)),
-                 12) AS sqrt_n_d
-    FROM cum GROUP BY event_type
-    """,
-)
-def stats_ks_uniformity(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE-SAMPLE KOLMOGOROV-SMIRNOV test of time-of-day uniformity
-    per event type: D⁺/D⁻ between the empirical CDF of second-of-day
-    and the uniform CDF t/86400 — the diurnal-pattern detector (√n·D
-    ≳ 1.63 rejects at α=0.01). Tie-correct via the distinct-value
-    cumulative table: each distinct second contributes cum/n − t/T
-    and t/T − (cum−cnt)/n, every operand an exact integer before ONE
-    identical double expression, so the max is engine-stable. Seconds
-    come from tz-free interval arithmetic (the KM device). One
-    distinct-value groupBy + one window — the fact shuffles once."""
-    e = load(spark, sf, "events")
-    sec = F.expr(
-        "CAST(ts - CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS LONG)"
-    )
-    cum = (
-        e.select("event_type", sec.alias("s"))
-        .groupBy("event_type", "s")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wcum = Window.partitionBy("event_type").orderBy("s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy("event_type")
-    t = cum.select(
-        "event_type",
-        "s",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    dp = F.col("cum").cast("double") / F.col("n") - F.col("s").cast(
-        "double"
-    ) / F.lit(86400)
-    dm = F.col("s").cast("double") / F.lit(86400) - (
-        F.col("cum") - F.col("cnt")
-    ).cast("double") / F.col("n")
-    return t.groupBy("event_type").agg(
-        F.first("n").cast("long").alias("n"),
-        F.round(F.max(dp), 12).alias("d_plus"),
-        F.round(F.max(dm), 12).alias("d_minus"),
-        F.round(
-            F.sqrt(F.first("n").cast("double"))
-            * F.greatest(F.max(dp), F.max(dm)),
-            12,
-        ).alias("sqrt_n_d"),
-    )
-
-
-@query(
-    "ts_seasonal_strength",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1
-    ),
-    tr AS (
-      SELECT d, c,
-             sum(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
-                          AND 3 FOLLOWING) AS s7,
-             count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
-                            AND 3 FOLLOWING) AS n7
-      FROM daily
-    ),
-    dt AS (
-      SELECT d, d % 7 AS dow, c,
-             CAST(s7 AS DOUBLE) / 7 AS trend,
-             c - CAST(s7 AS DOUBLE) / 7 AS detr
-      FROM tr WHERE n7 = 7
-    ),
-    seas AS (
-      SELECT dow,
-             list_reduce(list_sort(list(detr)), (x, y) -> x + y)
-               / count(*) AS s_dow
-      FROM dt GROUP BY dow
-    ),
-    rem AS (
-      SELECT dt.d, dt.dow, dt.c, dt.trend, dt.detr, s.s_dow,
-             dt.detr - s.s_dow AS r
-      FROM dt JOIN seas s ON dt.dow = s.dow
-    ),
-    mom AS (
-      SELECT
-        count(*) AS n,
-        list_reduce(list_sort(list(r)), (x, y) -> x + y) AS sr,
-        list_reduce(list_sort(list(r * r)), (x, y) -> x + y) AS srr,
-        list_reduce(list_sort(list(trend + r)), (x, y) -> x + y) AS st,
-        list_reduce(list_sort(list((trend + r) * (trend + r))),
-                    (x, y) -> x + y) AS stt,
-        list_reduce(list_sort(list(s_dow + r)), (x, y) -> x + y) AS ss,
-        list_reduce(list_sort(list((s_dow + r) * (s_dow + r))),
-                    (x, y) -> x + y) AS sss
-      FROM rem
-    )
-    SELECT s.dow, round(s.s_dow, 9) AS s_dow,
-           CAST(m.n AS BIGINT) AS n_days,
-           round(greatest(0.0, 1.0 - (m.srr / m.n - (m.sr / m.n) * (m.sr / m.n))
-                 / (m.stt / m.n - (m.st / m.n) * (m.st / m.n))), 12)
-             AS f_trend,
-           round(greatest(0.0, 1.0 - (m.srr / m.n - (m.sr / m.n) * (m.sr / m.n))
-                 / (m.sss / m.n - (m.ss / m.n) * (m.ss / m.n))), 12)
-             AS f_seasonal
-    FROM seas s CROSS JOIN mom m
-    """,
-)
-def ts_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
-    """TREND and SEASONAL STRENGTH (Hyndman FPP: Fₜ = max(0, 1 −
-    Var(R)/Var(T+R)), Fₛ = max(0, 1 − Var(R)/Var(S+R))) from a full
-    classical decomposition of the daily count series: T = centered
-    7-day moving average (exact BIGINT window sum / 7), S = day-of-
-    week means of the detrended series, R the remainder. Every float
-    reduction — the 7 per-dow means, all four moment sums — folds
-    smallest-first, round 12 on the strengths. Output is the 7-row
-    seasonal profile with the shared strengths. One day-grain
-    aggregate + one centered window + a 7-row broadcast join."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = e.groupBy(day.alias("d")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w7 = Window.orderBy("d").rowsBetween(-3, 3)
-    tr = daily.select(
-        "d",
-        "c",
-        F.sum("c").over(w7).alias("s7"),
-        F.count(F.lit(1)).over(w7).alias("n7"),
-    ).filter(F.col("n7") == 7)
-    dt = tr.select(
-        "d",
-        (F.col("d") % 7).alias("dow"),
-        "c",
-        (F.col("s7").cast("double") / 7).alias("trend"),
-        (F.col("c") - F.col("s7").cast("double") / 7).alias("detr"),
-    )
-    dt = dt.localCheckpoint(eager=False)  # consumed twice
-    fold = lambda col: F.aggregate(  # noqa: E731
-        F.array_sort(F.collect_list(col)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    seas = dt.groupBy("dow").agg(
-        (fold(F.col("detr")) / F.count(F.lit(1))).alias("s_dow")
-    )
-    seas = seas.localCheckpoint(eager=False)  # consumed twice
-    rem = dt.join(F.broadcast(seas), on="dow").select(
-        "dow",
-        "trend",
-        "s_dow",
-        (F.col("detr") - F.col("s_dow")).alias("r"),
-    )
-    tpr = F.col("trend") + F.col("r")
-    spr = F.col("s_dow") + F.col("r")
-    mom = rem.agg(
-        F.count(F.lit(1)).alias("n"),
-        fold(F.col("r")).alias("sr"),
-        fold(F.col("r") * F.col("r")).alias("srr"),
-        fold(tpr).alias("st"),
-        fold(tpr * tpr).alias("stt"),
-        fold(spr).alias("ss"),
-        fold(spr * spr).alias("sss"),
-    )
-    n = F.col("n").cast("double")
-    var_r = F.col("srr") / n - (F.col("sr") / n) * (F.col("sr") / n)
-    var_t = F.col("stt") / n - (F.col("st") / n) * (F.col("st") / n)
-    var_s = F.col("sss") / n - (F.col("ss") / n) * (F.col("ss") / n)
-    return seas.crossJoin(F.broadcast(mom)).select(
-        F.col("dow").cast("long").alias("dow"),
-        F.round("s_dow", 9).alias("s_dow"),
-        F.col("n").cast("long").alias("n_days"),
-        F.round(
-            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_t), 12
-        ).alias("f_trend"),
-        F.round(
-            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_s), 12
-        ).alias("f_seasonal"),
-    )
-
-
-@query(
-    "stats_mde_power",
-    oracle="""
-    WITH m AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             sum(c) AS s1, sum(c * c) AS s2
-      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-            FROM events)
-      GROUP BY event_type
-    )
-    SELECT event_type, n,
-           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_cents,
-           round(sqrt(CAST(s2 AS DOUBLE) / n
-                      - (CAST(s1 AS DOUBLE) / n)
-                        * (CAST(s1 AS DOUBLE) / n)), 6) AS sigma_cents,
-           round(CAST(2.8016 AS DOUBLE)
-                 * sqrt(CAST(s2 AS DOUBLE) / n
-                        - (CAST(s1 AS DOUBLE) / n)
-                          * (CAST(s1 AS DOUBLE) / n))
-                 * sqrt(CAST(2 AS DOUBLE) / (n // 2)), 6) AS mde_cents,
-           round(CAST(2.8016 AS DOUBLE)
-                 * sqrt(CAST(s2 AS DOUBLE) / n
-                        - (CAST(s1 AS DOUBLE) / n)
-                          * (CAST(s1 AS DOUBLE) / n))
-                 * sqrt(CAST(2 AS DOUBLE) / (n // 2))
-                 / (CAST(s1 AS DOUBLE) / n) * 100, 6) AS mde_rel_pct
-    FROM m
-    """,
-)
-def stats_mde_power(spark: SparkSession, sf: str) -> DataFrame:
-    """MINIMUM DETECTABLE EFFECT calculator per event type — the
-    experiment-sizing table product teams consult before launching an
-    A/B test: mde = (z_{α/2} + z_β)·σ·√(2/m) at α=0.05, power=0.80
-    (z constants pinned as literals: 1.96, 0.8416), arms m = n∕2 of
-    the observed volume. σ comes from EXACT BIGINT cent sums through
-    the stats_moments formula; absolute and relative MDE round at 6.
-    One map-combinable groupBy — nothing else."""
-    e = load(spark, sf, "events")
-    c = F.round(F.col("value") * 100).cast("long")
-    m = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    n = F.col("n")
-    mean = F.col("s1").cast("double") / n
-    sigma = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
-    mde = (
-        F.lit(2.8016)  # 1.96 + 0.8416 pinned as one literal
-        * sigma
-        * F.sqrt(F.lit(2.0) / F.expr("n DIV 2"))
-    )
-    return m.select(
-        "event_type",
-        n.cast("long").alias("n"),
-        F.round(mean, 6).alias("mean_cents"),
-        F.round(sigma, 6).alias("sigma_cents"),
-        F.round(mde, 6).alias("mde_cents"),
-        F.round(mde / mean * 100, 6).alias("mde_rel_pct"),
-    )
-
-
-def _kcenter_oracle(k: int) -> str:
-    # farthest-first traversal unrolled: step i picks the argmax of the
-    # running min-d² table (ORDER BY d DESC, vec_id ASC LIMIT 1 — the
-    # deterministic tie-break), then folds it into the distance table
-    steps = []
-    for i in range(1, k):
-        steps.append(f"""
-    c{i} AS MATERIALIZED (
-      SELECT d.vec_id, d.d AS picked_d2
-      FROM d{i - 1} d ORDER BY d.d DESC, d.vec_id ASC LIMIT 1
-    ),
-    d{i} AS MATERIALIZED (
-      SELECT d.vec_id,
-             least(d.d, q.nn + cq.nn
-                   - 2 * CAST(list_sum([q.qv[j + 1] * cq.qv[j + 1]
-                                        for j in range(0, 64)])
-                         AS BIGINT)) AS d
-      FROM d{i - 1} d
-      JOIN codes q ON q.vec_id = d.vec_id
-      CROSS JOIN (SELECT c.vec_id, co.qv, co.nn
-                  FROM c{i} c JOIN codes co ON co.vec_id = c.vec_id) cq
-    )""")
-    picks = " UNION ALL ".join(
-        [
-            "SELECT 1 AS sel_order, (SELECT min(vec_id) FROM codes)"
-            " AS vec_id, CAST(0 AS BIGINT) AS d2_when_picked"
-        ]
-        + [
-            f"SELECT {i + 1}, vec_id, picked_d2 FROM c{i}"
-            for i in range(1, k)
-        ]
-    )
-    return f"""
-    WITH codes AS MATERIALIZED (
-      SELECT vec_id,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv,
-             CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-                            * CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-                            for x in embedding]) AS BIGINT) AS nn
-      FROM embeddings
-    ),
-    c0 AS (SELECT min(vec_id) AS vec_id FROM codes),
-    d0 AS MATERIALIZED (
-      SELECT q.vec_id,
-             q.nn + cq.nn
-             - 2 * CAST(list_sum([q.qv[j + 1] * cq.qv[j + 1]
-                                  for j in range(0, 64)]) AS BIGINT) AS d
-      FROM codes q
-      CROSS JOIN (SELECT co.qv, co.nn FROM c0 c
-                  JOIN codes co ON co.vec_id = c.vec_id) cq
-    ),
-    {",".join(steps)}
-    SELECT CAST(sel_order AS BIGINT) AS sel_order, vec_id,
-           d2_when_picked
-    FROM ({picks})
-    """
-
-
-@query("curation_coreset_kcenter", oracle=_kcenter_oracle(8))
-def curation_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
-    """CORESET selection by k-CENTER farthest-first traversal (Gonzalez
-    1985, the 2-approximation): start at the smallest vec_id, then 7×
-    pick the point FARTHEST from the chosen set — the diversity-
-    maximizing subset used to seed curriculum/dedup-aware sampling.
-    d² on the ×256 integer grid keeps every distance and argmax
-    EXACT; ties break to the smaller id. Each round is one broadcast
-    of the single new center + one linear min-fold over the corpus
-    (running min-d² table, localCheckpoint per round) and one
-    TakeOrdered(1) — no driver collect of vectors, no all-pairs; at
-    100 TB rounds stay one scan each, k bounds the loop."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    codes = emb.select("vec_id", qz.alias("qv")).select(
-        "vec_id",
-        "qv",
-        F.expr(
-            "aggregate(zip_with(qv, qv, (p, r) -> p * r),"
-            " cast(0 as bigint), (a, p) -> a + p)"
-        ).alias("nn"),
-    )
-    codes = codes.localCheckpoint(eager=False)  # consumed every round
-    first = codes.orderBy(F.col("vec_id").asc()).limit(1)
-    d2_new = (
-        F.col("nn")
-        + F.col("cnn")
-        - 2
-        * F.expr(
-            "aggregate(zip_with(qv, cqv, (p, r) -> p * r),"
-            " cast(0 as bigint), (a, p) -> a + p)"
-        )
-    )
-    dists = codes.crossJoin(
-        F.broadcast(
-            first.select(
-                F.col("qv").alias("cqv"), F.col("nn").alias("cnn")
-            )
-        )
-    ).select("vec_id", "qv", "nn", d2_new.alias("d"))
-    dists = dists.localCheckpoint(eager=False)
-    picks = [
-        first.select(
-            F.lit(1).cast("long").alias("sel_order"),
-            "vec_id",
-            F.lit(0).cast("long").alias("d2_when_picked"),
-        )
-    ]
-    for i in range(2, 9):
-        top = dists.orderBy(
-            F.col("d").desc(), F.col("vec_id").asc()
-        ).limit(1)
-        top = top.localCheckpoint(eager=False)  # pick + dist update
-        picks.append(
-            top.select(
-                F.lit(i).cast("long").alias("sel_order"),
-                "vec_id",
-                F.col("d").alias("d2_when_picked"),
-            )
-        )
-        dists = dists.crossJoin(
-            F.broadcast(
-                top.select(
-                    F.col("qv").alias("cqv"), F.col("nn").alias("cnn")
-                )
-            )
-        ).select(
-            "vec_id",
-            "qv",
-            "nn",
-            F.least(F.col("d"), d2_new).alias("d"),
-        )
-        dists = dists.localCheckpoint(eager=False)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-@query(
-    "ts_overdispersion_index",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    g AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-             sum(c) AS s1, sum(c * c) AS s2
-      FROM daily GROUP BY event_type
-    )
-    SELECT event_type, n_days, CAST(s1 AS BIGINT) AS total,
-           round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
-           round((CAST(s2 AS DOUBLE) / n_days
-                  - (CAST(s1 AS DOUBLE) / n_days)
-                    * (CAST(s1 AS DOUBLE) / n_days))
-                 / (CAST(s1 AS DOUBLE) / n_days), 9)
-             AS dispersion_index,
-           round((n_days - 1)
-                 * (CAST(s2 AS DOUBLE) / n_days
-                    - (CAST(s1 AS DOUBLE) / n_days)
-                      * (CAST(s1 AS DOUBLE) / n_days))
-                 / (CAST(s1 AS DOUBLE) / n_days), 9) AS chi2_stat
-    FROM g
-    """,
-)
-def ts_overdispersion_index(spark: SparkSession, sf: str) -> DataFrame:
-    """POISSON OVERDISPERSION of daily arrivals per event type: the
-    variance-to-mean dispersion index (1 under Poisson, >1 = bursty)
-    plus the (n−1)·D chi² dispersion statistic (df = n−1) — the test
-    run before trusting a Poisson traffic model. Daily counts and
-    both power sums are EXACT BIGINTs; mean/variance/D are the one
-    identical double formula, rounds 6/9. One day-grain aggregate +
-    one per-type aggregate, both map-combinable."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select("event_type", day.alias("d"))
-        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
-        .groupBy("event_type", "d")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    g = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    nd = F.col("n_days").cast("double")
-    mean = F.col("s1").cast("double") / F.col("n_days")
-    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
-    return g.select(
-        "event_type",
-        F.col("n_days").cast("long").alias("n_days"),
-        F.col("s1").cast("long").alias("total"),
-        F.round(mean, 6).alias("mean_daily"),
-        F.round(var / mean, 9).alias("dispersion_index"),
-        F.round((F.col("n_days") - 1) * var / mean, 9).alias(
-            "chi2_stat"
-        ),
-    )
-
-
-@query(
-    "text_word_burstiness",
-    oracle="""
-    WITH toks AS (
-      SELECT d.doc_id % 30 AS day,
-             unnest(string_split_regex(trim(d.text), '\\s+')) AS w
-      FROM documents d
-    ),
-    cnt AS (
-      SELECT w, day, CAST(count(*) AS BIGINT) AS c
-      FROM toks GROUP BY 1, 2
-    ),
-    top AS (
-      SELECT w, total FROM (
-        SELECT w, CAST(sum(c) AS BIGINT) AS total,
-               row_number() OVER (ORDER BY sum(c) DESC, w ASC) AS r
-        FROM cnt GROUP BY w
-      ) WHERE r <= 20
-    ),
-    g AS (
-      SELECT t.w, t.total,
-             sum(c.c * c.c) AS s2,
-             min(CASE WHEN c.c = pk.peak THEN c.day END) AS peak_day,
-             any_value(pk.peak) AS peak
-      FROM top t
-      JOIN cnt c ON c.w = t.w
-      JOIN (SELECT w, max(c) AS peak FROM cnt GROUP BY w) pk
-        ON pk.w = t.w
-      GROUP BY t.w, t.total
-    )
-    SELECT w, total,
-           CAST(peak AS BIGINT) AS peak_count,
-           CAST(peak_day AS BIGINT) AS peak_day,
-           round((CAST(s2 AS DOUBLE) / 30
-                  - (CAST(total AS DOUBLE) / 30)
-                    * (CAST(total AS DOUBLE) / 30))
-                 / (CAST(total AS DOUBLE) / 30), 9) AS fano_factor,
-           round(CAST(peak AS DOUBLE) / total * 100, 6) AS peak_share_pct
-    FROM g
-    """,
-)
-def text_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
-    """WORD BURSTINESS for the 20 highest-frequency words: Fano factor
-    (var/mean of per-day counts over the 30-bucket grid — 1 ≈
-    Poissonian usage, ≫1 = bursty topic words) plus the peak bucket
-    and its share; doc_id % 30 stands in for the publication day the
-    corpus lacks. Counts and Σc² are EXACT BIGINTs — absent
-    (word, day) cells contribute 0 to both sums, so the sparse count
-    table IS the dense one for var/mean and no grid join is needed.
-    Vocabulary-bounded: the top-20 broadcast filter caps everything
-    downstream."""
-    from ..util import spread
-
-    d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        (F.col("doc_id") % 30).alias("day"),
-        F.explode(tx.tokens("text")).alias("w"),
-    )
-    cnt = toks.groupBy("w", "day").agg(F.count(F.lit(1)).alias("c"))
-    cnt = cnt.localCheckpoint(eager=False)  # top + stats consumers
-    wv = Window.orderBy(F.col("total").desc(), F.col("w").asc())
-    top = (
-        cnt.groupBy("w")
-        .agg(F.sum("c").alias("total"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= 20)
-        .drop("r")
-    )
-    pk = cnt.groupBy("w").agg(F.max("c").alias("peak"))
-    g = (
-        cnt.join(F.broadcast(top), on="w")
-        .join(F.broadcast(pk), on="w")
-        .groupBy("w", "total")
-        .agg(
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
-            F.min(
-                F.when(F.col("c") == F.col("peak"), F.col("day"))
-            ).alias("peak_day"),
-            F.first("peak").alias("peak"),
-        )
-    )
-    mean = F.col("total").cast("double") / 30
-    return g.select(
-        "w",
-        F.col("total").cast("long").alias("total"),
-        F.col("peak").cast("long").alias("peak_count"),
-        F.col("peak_day").cast("long").alias("peak_day"),
-        F.round(
-            (F.col("s2").cast("double") / 30 - mean * mean) / mean, 9
-        ).alias("fano_factor"),
-        F.round(
-            F.col("peak").cast("double") / F.col("total") * 100, 6
-        ).alias("peak_share_pct"),
-    )
-
-
-# ===========================================================================
-# Coverage round 8: effect sizes, outlier tests, vocabulary health
-# ===========================================================================
-
-
-@query(
-    "stats_cohens_d",
-    oracle="""
-    WITH v AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type IN ('view', 'signup')
-    ),
-    a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
-                 CAST(sum(cents) AS BIGINT) AS s_a,
-                 CAST(sum(cents * cents) AS BIGINT) AS q_a
-          FROM v WHERE event_type = 'view'),
-    b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
-                 CAST(sum(cents) AS BIGINT) AS s_b,
-                 CAST(sum(cents * cents) AS BIGINT) AS q_b
-          FROM v WHERE event_type = 'signup'),
-    m AS (
-      SELECT n_a, n_b,
-             CAST(s_a AS DOUBLE) / n_a AS mean_a,
-             CAST(s_b AS DOUBLE) / n_b AS mean_b,
-             (CAST(q_a AS DOUBLE)
-               - CAST(n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)
-                 * (CAST(s_a AS DOUBLE) / n_a)) AS ss_a,
-             (CAST(q_b AS DOUBLE)
-               - CAST(n_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)
-                 * (CAST(s_b AS DOUBLE) / n_b)) AS ss_b
-      FROM a, b
-    ),
-    d AS (
-      SELECT n_a, n_b, mean_a, mean_b,
-             (mean_a - mean_b)
-               / sqrt((ss_a + ss_b) / (n_a + n_b - 2)) AS cohens_d
-      FROM m
-    )
-    SELECT n_a, n_b,
-           round(mean_a, 12) AS mean_a, round(mean_b, 12) AS mean_b,
-           round(cohens_d, 12) AS cohens_d,
-           round(cohens_d
-                 * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 12) AS hedges_g,
-           abs(cohens_d) >= 0.2 AS at_least_small
-    FROM d
-    """,
-)
-def stats_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
-    """COHEN'S d pooled-SD effect size (with the Hedges' g small-
-    sample correction) for view vs signup event values — the
-    magnitude companion to stats_welch_ttest's significance (a
-    p-value says "not noise"; d says "big enough to matter", the
-    number an experiment review actually reads). Same float
-    discipline: exact BIGINT Σx/Σx² partials per group, then the
-    mean/pooled-variance/d/g chain in doubles mirrored token-for-
-    token, round 12. Two map-combinable partial aggs + a 1×1 cross —
-    only the scan scales."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("view", "signup")
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-
-    def side(t: str, sfx: str) -> DataFrame:
-        return (
-            e.filter(F.col("event_type") == t)
-            .select(cents.alias("c"))
-            .agg(
-                F.count(F.lit(1)).alias(f"n_{sfx}"),
-                F.sum("c").alias(f"s_{sfx}"),
-                F.sum(F.col("c") * F.col("c")).alias(f"q_{sfx}"),
-            )
-        )
-
-    m = side("view", "a").crossJoin(side("signup", "b"))
-    mean_a = F.col("s_a").cast("double") / F.col("n_a")
-    mean_b = F.col("s_b").cast("double") / F.col("n_b")
-    ss_a = (
-        F.col("q_a").cast("double")
-        - F.col("n_a").cast("double") * mean_a * mean_a
-    )
-    ss_b = (
-        F.col("q_b").cast("double")
-        - F.col("n_b").cast("double") * mean_b * mean_b
-    )
-    d = (mean_a - mean_b) / F.sqrt(
-        (ss_a + ss_b) / (F.col("n_a") + F.col("n_b") - 2)
-    )
-    return m.select(
-        "n_a",
-        "n_b",
-        F.round(mean_a, 12).alias("mean_a"),
-        F.round(mean_b, 12).alias("mean_b"),
-        F.round(d, 12).alias("cohens_d"),
-        F.round(
-            d * (1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)), 12
-        ).alias("hedges_g"),
-        (F.abs(d) >= 0.2).alias("at_least_small"),
-    )
-
-
-@query(
-    "stats_grubbs_max",
-    oracle="""
-    WITH v AS (
-      SELECT event_type, event_id,
-             CAST(round(value * 100) AS BIGINT) AS c
-      FROM events
-    ),
-    m AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(c) AS BIGINT) AS s,
-             CAST(sum(c * c) AS BIGINT) AS q
-      FROM v GROUP BY event_type
-    ),
-    dev AS (
-      SELECT v.event_type, v.event_id,
-             abs(m.n * v.c - m.s) AS nd,
-             m.n, m.s, m.q
-      FROM v JOIN m USING (event_type)
-    ),
-    mx AS (
-      SELECT event_type, n, s, q,
-             CAST(max(nd) AS BIGINT) AS max_nd,
-             CAST(min(CASE WHEN nd = mxnd THEN event_id END) AS BIGINT)
-               AS argmax_event
-      FROM (SELECT *, max(nd) OVER (PARTITION BY event_type) AS mxnd
-            FROM dev)
-      GROUP BY event_type, n, s, q
-    )
-    SELECT event_type, n,
-           round(CAST(max_nd AS DOUBLE) / n
-                 / sqrt((CAST(q AS DOUBLE)
-                         - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n)
-                           * (CAST(s AS DOUBLE) / n)) / (n - 1)),
-                 12) AS g_stat,
-           argmax_event
-    FROM mx
-    """,
-)
-def stats_grubbs_max(spark: SparkSession, sf: str) -> DataFrame:
-    """GRUBBS' maximum-deviation statistic per event type: G =
-    max|x−x̄| / s, the classic single-outlier screen run before any
-    mean-based metric is trusted. Exactness device: max|x−x̄| =
-    max|n·x − Σx| / n, so the argmax and the numerator are EXACT
-    BIGINT (ties broken by min event_id) — only the final divide by
-    n·s happens in mirrored doubles, round 12. Two passes over the
-    fact (moment agg, then deviation max via a type-keyed window on
-    the second scan) — both map-combinable shapes."""
-    e = load(spark, sf, "events")
-    v = e.select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
-    m = v.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"),
-    )
-    dev = v.join(F.broadcast(m), on="event_type").select(
-        "event_type",
-        "event_id",
-        F.abs(F.col("n") * F.col("c") - F.col("s")).alias("nd"),
-        "n",
-        "s",
-        "q",
-    )
-    mx = dev.groupBy("event_type", "n", "s", "q").agg(
-        F.max("nd").alias("max_nd"),
-        F.min_by(
-            F.struct(F.col("event_id")), F.struct(-F.col("nd"), F.col("event_id"))
-        ).getField("event_id").alias("argmax_event"),
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    sd = F.sqrt(
-        (
-            F.col("q").cast("double")
-            - F.col("n").cast("double") * mean * mean
-        )
-        / (F.col("n") - 1)
-    )
-    return mx.select(
-        "event_type",
-        "n",
-        F.round(
-            F.col("max_nd").cast("double") / F.col("n") / sd, 12
-        ).alias("g_stat"),
-        F.col("argmax_event").cast("long").alias("argmax_event"),
-    )
-
-
-@query(
-    "text_hapax_ratio",
-    oracle="""
-    WITH toks AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    wc AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS c
-      FROM toks GROUP BY source, w
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS vocab,
-           CAST(sum(c) AS BIGINT) AS tokens,
-           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS hapax,
-           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 12) AS hapax_vocab_ratio,
-           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / sum(c), 12) AS hapax_token_share
-    FROM wc GROUP BY source
-    """,
-)
-def text_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    """HAPAX-LEGOMENA census per source: vocabulary size, token
-    count, words occurring exactly once, and the two classic
-    vocabulary-health ratios (hapax/vocab tracks productive
-    vocabulary; hapax/tokens spikes on OCR noise and mojibake — a
-    cheap corpus-quality tripwire next to text_zipf_fit). One
-    explode + two stacked map-combinable groupBys; ratios are
-    integer-over-integer in mirrored doubles, round 12."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
-    )
-    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    one = F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))
-    g = wc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("vocab"),
-        F.sum("c").alias("tokens"),
-        F.sum(one).alias("hapax"),
-    )
-    return g.select(
-        "source",
-        F.col("vocab").cast("long").alias("vocab"),
-        F.col("tokens").cast("long").alias("tokens"),
-        F.col("hapax").cast("long").alias("hapax"),
-        F.round(
-            F.col("hapax").cast("double") / F.col("vocab"), 12
-        ).alias("hapax_vocab_ratio"),
-        F.round(
-            F.col("hapax").cast("double") / F.col("tokens"), 12
-        ).alias("hapax_token_share"),
-    )
-
-
-@query(
-    "ts_lead_lag_xcorr",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    x AS (SELECT day, n FROM grid WHERE event_type = 'click'),
-    y AS (SELECT day, n FROM grid WHERE event_type = 'purchase'),
-    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
-    pairs AS (
-      SELECT l.lag, x.n AS xn, y.n AS yn
-      FROM lags l
-      JOIN x ON TRUE
-      JOIN y ON y.day = x.day + l.lag
-    ),
-    agg AS (
-      SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(xn) AS BIGINT) AS sx,
-             CAST(sum(yn) AS BIGINT) AS sy,
-             CAST(sum(xn * yn) AS BIGINT) AS sxy,
-             CAST(sum(xn * xn) AS BIGINT) AS sxx,
-             CAST(sum(yn * yn) AS BIGINT) AS syy
-      FROM pairs GROUP BY lag
-    )
-    SELECT lag, n_days,
-           CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
-           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
-                        * CAST(n_days * syy - sy * sy AS DOUBLE)),
-                 12) AS xcorr
-    FROM agg
-    """,
-)
-def ts_lead_lag_xcorr(spark: SparkSession, sf: str) -> DataFrame:
-    """LEAD-LAG CROSS-CORRELATION between the click and purchase
-    daily series at lags −7..+7 — the "does x lead y, and by how
-    many days?" question behind attribution and campaign-echo
-    analysis. Dense-grid device: both series are zero-filled 30-day
-    grids, the 15-row lag table broadcasts, and the shifted
-    alignment is an equi-join on day+lag; per-lag Σx/Σy/Σxy/Σx²/Σy²
-    are EXACT BIGINT (counts), so the correlation numerator is
-    integer and only the final normalize runs in mirrored doubles,
-    round 12. At scale the grid is tiny (types × days) — the cost is
-    the one daily aggregation every ts_* query shares."""
-    g = _daily_grid(spark, sf)
-    x = g.filter(F.col("event_type") == "click").select(
-        F.col("day").alias("xd"), F.col("n").alias("xn")
-    )
-    y = g.filter(F.col("event_type") == "purchase").select(
-        F.col("day").alias("yd"), F.col("n").alias("yn")
-    )
-    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
-    pairs = (
-        x.crossJoin(F.broadcast(lags))
-        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
-    )
-    agg = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("xn").alias("sx"),
-        F.sum("yn").alias("sy"),
-        F.sum(F.col("xn") * F.col("yn")).alias("sxy"),
-        F.sum(F.col("xn") * F.col("xn")).alias("sxx"),
-        F.sum(F.col("yn") * F.col("yn")).alias("syy"),
-    )
-    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (
-            F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
-        ).cast("double")
-        * (
-            F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
-        ).cast("double")
-    )
-    return agg.select(
-        "lag",
-        "n_days",
-        num.cast("long").alias("cov_num"),
-        F.round(num.cast("double") / den, 12).alias("xcorr"),
-    )
-
-
-@query(
-    "ts_hurst_rs",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    x AS (SELECT day, n FROM grid WHERE event_type = 'click'),
-    ws AS (SELECT CAST(unnest([5, 10, 15]) AS BIGINT) AS w),
-    chunked AS (
-      SELECT w.w, x.day // w.w AS chunk, x.day % w.w + 1 AS k, x.n
-      FROM ws w JOIN x ON TRUE
-    ),
-    cum AS (
-      SELECT w, chunk, k, n,
-             CAST(sum(n) OVER (PARTITION BY w, chunk ORDER BY k) AS BIGINT)
-               AS cum_k,
-             CAST(sum(n) OVER (PARTITION BY w, chunk) AS BIGINT) AS s,
-             CAST(sum(n * n) OVER (PARTITION BY w, chunk) AS BIGINT) AS q
-      FROM chunked
-    ),
-    perchunk AS (
-      SELECT w, chunk,
-             CAST(max(w * cum_k - k * s) - min(w * cum_k - k * s)
-               AS BIGINT) AS rw,
-             CAST(min(w * q - s * s) AS BIGINT) AS disc
-      FROM cum GROUP BY w, chunk
-    ),
-    rs AS (
-      SELECT w, chunk,
-             CAST(rw AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)) AS rs_val
-      FROM perchunk WHERE disc > 0
-    ),
-    perw AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS n_chunks,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(rs_val))), (a, v) -> a + v)
-               / count(*) AS rs_mean
-      FROM rs GROUP BY w
-    ),
-    pts AS (SELECT w, n_chunks, rs_mean, ln(CAST(w AS DOUBLE)) AS lx,
-                   ln(rs_mean) AS ly
-            FROM perw),
-    fit AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n3,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx))), (a, v) -> a + v) AS slx,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(ly))), (a, v) -> a + v) AS sly,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx * ly))), (a, v) -> a + v) AS slxy,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx * lx))), (a, v) -> a + v) AS slxx
-      FROM pts
-    )
-    SELECT p.w, p.n_chunks, round(p.rs_mean, 12) AS rs_mean,
-           round((f.n3 * f.slxy - f.slx * f.sly)
-                 / (f.n3 * f.slxx - f.slx * f.slx), 12) AS hurst
-    FROM pts p CROSS JOIN fit f
-    """,
-)
-def ts_hurst_rs(spark: SparkSession, sf: str) -> DataFrame:
-    """HURST EXPONENT by rescaled-range (R/S) analysis of the click
-    daily series — long-range-dependence detection (H≈0.5 random
-    walk, H>0.5 persistent/trending, H<0.5 mean-reverting), the
-    classic self-similarity audit for traffic series. Exactness
-    device: within each size-w chunk the cumulative deviation scaled
-    by w is integer (w·Z_k = w·cum_k − k·S), so R·w and the variance
-    discriminant w·q − s² are EXACT BIGINT and R/S =
-    Rw/sqrt(wq−s²) touches floats only at the final divide. Chunk
-    means and the ln-ln OLS slope use the sorted-fold discipline
-    (array_sort + sequential aggregate ≡ DuckDB list_reduce ∘
-    list_sort) so cross-engine float sums are bit-identical. One
-    windowed pass per (w, chunk) over the tiny grid."""
-    g = _daily_grid(spark, sf)
-    x = g.filter(F.col("event_type") == "click").select("day", "n")
-    ws = spark.range(3).select(
-        (F.col("id") * 5 + 5).alias("w")
-    ).filter(F.col("w") != 0)  # 5, 10, 15
-    ch = x.crossJoin(F.broadcast(ws)).select(
-        "w",
-        (F.col("day") / F.col("w")).cast("long").alias("chunk"),
-        (F.col("day") % F.col("w") + 1).alias("k"),
-        "n",
-    )
-    wcum = (
-        Window.partitionBy("w", "chunk")
-        .orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("w", "chunk")
-    cum = ch.select(
-        "w",
-        "chunk",
-        "k",
-        "n",
-        F.sum("n").over(wcum).alias("cum_k"),
-        F.sum("n").over(wall).alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(wall).alias("q"),
-    )
-    z = F.col("w") * F.col("cum_k") - F.col("k") * F.col("s")
-    perchunk = cum.groupBy("w", "chunk").agg(
-        (F.max(z) - F.min(z)).alias("rw"),
-        F.min(F.col("w") * F.col("q") - F.col("s") * F.col("s")).alias(
-            "disc"
-        ),
-    )
-    rs = perchunk.filter(F.col("disc") > 0).select(
-        "w",
-        (
-            F.col("rw").cast("double") / F.sqrt(F.col("disc").cast("double"))
-        ).alias("rs_val"),
-    )
-
-    def fold_mean(c: str) -> F.Column:
-        return F.aggregate(
-            F.array_sort(F.collect_list(c)),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-
-    perw = rs.groupBy("w").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        (fold_mean("rs_val") / F.count(F.lit(1))).alias("rs_mean"),
-    )
-    pts = perw.select(
-        "w",
-        "n_chunks",
-        "rs_mean",
-        F.log(F.col("w").cast("double")).alias("lx"),
-        F.log("rs_mean").alias("ly"),
-    )
-    fit = pts.select(
-        "lx", "ly", (F.col("lx") * F.col("ly")).alias("lxy"),
-        (F.col("lx") * F.col("lx")).alias("lxx"),
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("n3"),
-        fold_mean("lx").alias("slx"),
-        fold_mean("ly").alias("sly"),
-        fold_mean("lxy").alias("slxy"),
-        fold_mean("lxx").alias("slxx"),
-    )
-    hurst = (
-        F.col("n3") * F.col("slxy") - F.col("slx") * F.col("sly")
-    ) / (F.col("n3") * F.col("slxx") - F.col("slx") * F.col("slx"))
-    return (
-        pts.crossJoin(F.broadcast(fit))
-        .select(
-            "w",
-            "n_chunks",
-            F.round("rs_mean", 12).alias("rs_mean"),
-            F.round(hurst, 12).alias("hurst"),
-        )
-    )
-
-
-@query(
-    "olap_median_order_gap",
-    oracle="""
-    WITH seq AS (
-      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
-             lag(CAST(o_orderdate AS DATE)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
-      FROM orders
-    ),
-    gaps AS (
-      SELECT o_custkey,
-             CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap
-      FROM seq WHERE prev_d IS NOT NULL
-    ),
-    arr AS (
-      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
-             list_sort(list(gap)) AS a
-      FROM gaps GROUP BY o_custkey
-    )
-    SELECT o_custkey, n_gaps,
-           CAST(a[CAST((n_gaps + 1) // 2 AS INT)]
-                + a[CAST(n_gaps // 2 + 1 AS INT)] AS BIGINT)
-             AS med2_gap_days,
-           CAST(a[1] AS BIGINT) AS min_gap,
-           CAST(a[CAST(n_gaps AS INT)] AS BIGINT) AS max_gap
-    FROM arr
-    """,
-)
-def olap_median_order_gap(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT MEDIAN INTER-ORDER GAP per customer — the re-purchase
-    cadence metric behind churn models. Gaps come from one lag
-    window per customer (date order, orderkey tiebreak); the median
-    is reported as med2 = lower-middle + upper-middle of the sorted
-    gap array, an EXACT BIGINT that sidesteps engine-specific
-    interpolation (med2/2 is the usual median). Per-customer arrays
-    are order-count-bounded (tiny), so collect_list here is a
-    grouped small-array device, not a corpus collect; the whole op
-    is one window + one groupBy."""
-    o = load(spark, sf, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("d"),
-    )
-    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
-    gaps = (
-        o.withColumn("prev_d", F.lag("d").over(wseq))
-        .filter(F.col("prev_d").isNotNull())
-        .select(
-            "o_custkey",
-            F.datediff("d", "prev_d").cast("long").alias("gap"),
-        )
-    )
-    arr = gaps.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.array_sort(F.collect_list("gap")).alias("a"),
-    )
-    lo = F.element_at("a", ((F.col("n_gaps") + 1) / 2).cast("int"))
-    hi = F.element_at("a", (F.col("n_gaps") / 2 + 1).cast("int"))
-    return arr.select(
-        "o_custkey",
-        "n_gaps",
-        (lo + hi).cast("long").alias("med2_gap_days"),
-        F.element_at("a", 1).cast("long").alias("min_gap"),
-        F.element_at("a", F.col("n_gaps").cast("int"))
-        .cast("long")
-        .alias("max_gap"),
-    )
-
-
-@query(
-    "graph_k_truss",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj1 AS (
-      SELECT src AS s, dst AS t FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    sup1 AS (
-      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
-      FROM edges e
-      JOIN adj1 a ON a.s = e.src
-      JOIN adj1 b ON b.s = e.dst AND b.t = a.t
-      GROUP BY e.src, e.dst
-    ),
-    e1 AS (SELECT src, dst FROM sup1 WHERE sup >= 2),
-    adj2 AS (
-      SELECT src AS s, dst AS t FROM e1
-      UNION ALL SELECT dst, src FROM e1
-    ),
-    sup2 AS (
-      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
-      FROM e1 e
-      JOIN adj2 a ON a.s = e.src
-      JOIN adj2 b ON b.s = e.dst AND b.t = a.t
-      GROUP BY e.src, e.dst
-    ),
-    e2 AS (SELECT src, dst FROM sup2 WHERE sup >= 2),
-    adj3 AS (
-      SELECT src AS s, dst AS t FROM e2
-      UNION ALL SELECT dst, src FROM e2
-    ),
-    sup3 AS (
-      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
-      FROM e2 e
-      JOIN adj3 a ON a.s = e.src
-      JOIN adj3 b ON b.s = e.dst AND b.t = a.t
-      GROUP BY e.src, e.dst
-    ),
-    e3 AS (SELECT src, dst FROM sup3 WHERE sup >= 2)
-    SELECT sup, CAST(count(*) AS BIGINT) AS n_edges
-    FROM sup3 WHERE sup >= 2 GROUP BY sup
-    """,
-)
-def graph_k_truss(spark: SparkSession, sf: str) -> DataFrame:
-    """4-TRUSS PEELING census on the part co-occurrence graph: 3
-    rounds of "recompute per-edge triangle support, drop edges in
-    < k−2 = 2 triangles", then a histogram of the surviving support
-    values — the cohesive-subgraph screen that is stricter than
-    k-core (truss edges sit in many triangles, cores only need
-    degree). Support per round is TWO node-keyed equi-joins of the
-    edge list against the adjacency list + one groupBy (wedge budget
-    Σ deg², the triangle-count economics — no all-pairs); each round
-    localCheckpoints so the unrolled plan stays linear. Fixed round
-    count (fixpoint not asserted; round-3 support is reported), the
-    same discipline as the unrolled BFS/label-prop oracles."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)
-    sup = None
-    for _ in range(3):
-        adj = e.select(
-            F.col("src").alias("s"), F.col("dst").alias("t")
-        ).unionAll(
-            e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
-        )
-        a = adj.select(F.col("s").alias("src"), F.col("t").alias("w"))
-        b = adj.select(F.col("s").alias("dst"), F.col("t").alias("w"))
-        sup = (
-            e.join(a, on="src")
-            .join(b, on=["dst", "w"])
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("sup"))
-        )
-        e = (
-            sup.filter(F.col("sup") >= 2)
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
-    return (
-        sup.filter(F.col("sup") >= 2)
-        .groupBy("sup")
-        .agg(F.count(F.lit(1)).alias("n_edges"))
-        .select(F.col("sup").cast("long").alias("sup"), "n_edges")
-    )
-
-
-@query(
-    "graph_rich_club",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (
-      SELECT src AS s, dst AS t FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
-            FROM adj GROUP BY s),
-    ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
-    nk AS (
-      SELECT k.k, CAST(count(*) AS BIGINT) AS n_k
-      FROM ks k JOIN deg d ON d.deg > k.k GROUP BY k.k
-    ),
-    ek AS (
-      SELECT k.k, CAST(count(*) AS BIGINT) AS e_k
-      FROM ks k
-      JOIN edges e ON TRUE
-      JOIN deg ds ON ds.node = e.src
-      JOIN deg dd ON dd.node = e.dst
-      WHERE ds.deg > k.k AND dd.deg > k.k
-      GROUP BY k.k
-    )
-    SELECT n.k, n.n_k, coalesce(e.e_k, 0) AS e_k,
-           round(CAST(2 * coalesce(e.e_k, 0) AS DOUBLE)
-                 / (n.n_k * (n.n_k - 1)), 12) AS phi
-    FROM nk n LEFT JOIN ek e ON e.k = n.k
-    WHERE n.n_k >= 2
-    """,
-)
-def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
-    """RICH-CLUB COEFFICIENT φ(k) = 2·E_k / (N_k(N_k−1)) for degree
-    thresholds k ∈ {2,4,8,16,32} — do high-degree parts
-    preferentially co-occur with each other? (The hub-interconnect
-    audit behind assortativity.) One degree pass; the threshold
-    table (5 rows) broadcasts against nodes and against the
-    degree-annotated edge list, so everything is counts — φ is the
-    only float, round 12. Thresholds with fewer than 2 qualifying
-    nodes are dropped (φ undefined)."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)  # consumed twice
-    deg = gr.degrees(e)
-    ks = spark.range(5).select(
-        F.expr("cast(shiftleft(2, cast(id as int)) as bigint)").alias("k")
-    )  # 2, 4, 8, 16, 32
-    nk = (
-        deg.crossJoin(F.broadcast(ks))
-        .filter(F.col("deg") > F.col("k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_k"))
-    )
-    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sd"))
-    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dg"))
-    ek = (
-        e.join(ds, on="src")
-        .join(dd, on="dst")
-        .crossJoin(F.broadcast(ks))
-        .filter((F.col("sd") > F.col("k")) & (F.col("dg") > F.col("k")))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("e_k"))
-    )
-    out = nk.join(ek, on="k", how="left").filter(F.col("n_k") >= 2)
-    ekc = F.coalesce(F.col("e_k"), F.lit(0))
-    return out.select(
-        F.col("k").cast("long").alias("k"),
-        "n_k",
-        ekc.cast("long").alias("e_k"),
-        F.round(
-            (2 * ekc).cast("double")
-            / (F.col("n_k") * (F.col("n_k") - 1)),
-            12,
-        ).alias("phi"),
-    )
-
-
-@query(
-    "emb_centroid_shift_drift",
-    oracle="""
-    WITH ex AS (
-      SELECT label, vec_id % 2 AS half, CAST(r.range AS INT) AS dim,
-             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
-               AS BIGINT) AS q
-      FROM embeddings CROSS JOIN range(0, 64) r
-    ),
-    halves AS (
-      SELECT label, dim,
-             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n0,
-             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n1,
-             CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT)
-               AS s0,
-             CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT)
-               AS s1
-      FROM ex GROUP BY label, dim
-    ),
-    d AS (
-      SELECT label, dim, n0, n1,
-             n1 * s0 - n0 * s1 AS dv,
-             abs(n1 * s0 - n0 * s1) AS adv
-      FROM halves
-    ),
-    mx AS (
-      SELECT label,
-             CAST(min(CASE WHEN adv = mxa THEN dim END) AS BIGINT)
-               AS max_dim
-      FROM (SELECT *, max(adv) OVER (PARTITION BY label) AS mxa FROM d)
-      GROUP BY label
-    ),
-    agg AS (
-      SELECT label, min(n0) AS n0, min(n1) AS n1,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)))),
-               (a, v) -> a + v) AS ssd
-      FROM d GROUP BY label
-    )
-    SELECT a.label, CAST(a.n0 AS BIGINT) AS n0,
-           CAST(a.n1 AS BIGINT) AS n1,
-           round(sqrt(a.ssd) / (a.n0 * a.n1), 12) AS drift_l2,
-           m.max_dim
-    FROM agg a JOIN mx m USING (label)
-    """,
-)
-def emb_centroid_shift_drift(spark: SparkSession, sf: str) -> DataFrame:
-    """EMBEDDING-DRIFT audit: per label, the L2 distance between the
-    centroid of even vec_ids and the centroid of odd vec_ids (the
-    deterministic stand-in for "last batch vs this batch" — the
-    check that catches a silently retrained or re-normalized encoder
-    before it poisons an index). Exactness: on the ×256 grid the
-    per-dim cross-multiplied difference d = n1·Σ₀ − n0·Σ₁ is an
-    EXACT BIGINT (no rational means), so the argmax drift dimension
-    is exact; Σd² folds smallest-first in doubles (d < 2⁵³ squares
-    exactly) and only the final sqrt-divide is float, round 12. One
-    posexplode pass + a 64-row-per-label reduce."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    ex = emb.select(
-        "label",
-        (F.col("vec_id") % 2).alias("half"),
-        F.posexplode(qz).alias("dim", "q"),
-    )
-    halves = ex.groupBy("label", "dim").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias(
-            "s0"
-        ),
-        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias(
-            "s1"
-        ),
-    )
-    dv = F.col("n1") * F.col("s0") - F.col("n0") * F.col("s1")
-    d = halves.select(
-        "label", "dim", "n0", "n1", dv.alias("dv"), F.abs(dv).alias("adv")
-    )
-    agg = d.groupBy("label").agg(
-        F.min("n0").alias("n0"),
-        F.min("n1").alias("n1"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.col("dv").cast("double") * F.col("dv").cast("double")
-                )
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ).alias("ssd"),
-        F.min_by(
-            F.struct(F.col("dim")), F.struct(-F.col("adv"), F.col("dim"))
-        ).getField("dim").cast("long").alias("max_dim"),
-    )
-    return agg.select(
-        "label",
-        F.col("n0").cast("long").alias("n0"),
-        F.col("n1").cast("long").alias("n1"),
-        F.round(
-            F.sqrt("ssd") / (F.col("n0") * F.col("n1")), 12
-        ).alias("drift_l2"),
-        "max_dim",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-8 embedding audits sharing one device: a FIXED 100-id md5 sample
-# broadcast against one corpus scan, with every pair distance an exact
-# int64 on the ×256 grid (the knn-census discipline) — range search,
-# triplet-margin violations, and a silhouette audit all reduce to
-# map-combinable integer MIN/SUM/COUNT aggregates over that pair stream.
-# ---------------------------------------------------------------------------
-
-
-def _sample_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """(qid, qlab, nid, nlab, d2): the 100 smallest-md5(vec_id) sample
-    vectors against the full corpus, d2 exact int64. The sample side is
-    TakeOrdered + broadcast (O(100) whatever the corpus); the pair
-    stream never shuffles — each downstream op aggregates it map-side."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    base = emb.select("vec_id", "label", qz.alias("qv"))
-    sample = (
-        base.orderBy(
-            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
-        )
-        .limit(100)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("qlab"),
-            F.col("qv").alias("qa"),
-        )
-    )
-    d2 = F.expr(
-        "aggregate(zip_with(qa, qv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    return (
-        base.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "qlab",
-            F.col("vec_id").alias("nid"),
-            F.col("label").alias("nlab"),
-            d2.alias("d2"),
-        )
-    )
-
-
-@query(
-    "sim_range_search_radius",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, a.label AS qlab,
-             b.vec_id AS nid, b.label AS nlab,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    )
-    SELECT qid AS vec_id,
-           CAST(sum(CASE WHEN d2 <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_r100k,
-           CAST(sum(CASE WHEN d2 <= 120000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_r120k,
-           CAST(sum(CASE WHEN d2 <= 140000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_r140k,
-           CAST(min(d2) AS BIGINT) AS min_d2
-    FROM pairs GROUP BY qid
-    """,
-)
-def sim_range_search_radius(spark: SparkSession, sf: str) -> DataFrame:
-    """RANGE SEARCH (the fixed-radius dual of top-k ANN): for each of
-    the 100 sampled query vectors, how many corpus neighbors sit
-    within d² ≤ {100k, 120k, 140k} on the ×256 grid, plus the exact
-    nearest distance — the density probe behind dedup-radius tuning
-    (pick the radius where counts explode) and epsilon-ball
-    retrieval. Pure conditional COUNTs and a MIN over the exact
-    integer pair stream — fully map-combinable, no window, no
-    Python. At 100 TB the same counts run per IVF cell with a
-    radius-intersection check instead of brute force."""
-    pairs = _sample_pairs(spark, sf)
-    return pairs.groupBy(F.col("qid").alias("vec_id")).agg(
-        F.sum(F.when(F.col("d2") <= 100_000, 1).otherwise(0))
-        .cast("long")
-        .alias("n_r100k"),
-        F.sum(F.when(F.col("d2") <= 120_000, 1).otherwise(0))
-        .cast("long")
-        .alias("n_r120k"),
-        F.sum(F.when(F.col("d2") <= 140_000, 1).otherwise(0))
-        .cast("long")
-        .alias("n_r140k"),
-        F.min("d2").cast("long").alias("min_d2"),
-    )
-
-
-@query(
-    "emb_triplet_violation_rate",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, a.label AS qlab,
-             b.vec_id AS nid, b.label AS nlab,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    ),
-    per AS (
-      SELECT qid, qlab,
-             min(CASE WHEN nlab = qlab THEN d2 END) AS dpos,
-             min(CASE WHEN nlab <> qlab THEN d2 END) AS dneg
-      FROM pairs GROUP BY qid, qlab
-    )
-    SELECT qlab AS label,
-           CAST(count(*) AS BIGINT) AS n_anchors,
-           CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violations,
-           round(CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END)
-                   AS DOUBLE) / count(*), 12) AS violation_rate
-    FROM per WHERE dpos IS NOT NULL AND dneg IS NOT NULL
-    GROUP BY qlab
-    """,
-)
-def emb_triplet_violation_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """TRIPLET-MARGIN violation rate: for each sampled anchor, is its
-    nearest same-label vector FARTHER than its nearest other-label
-    vector (margin 0)? The metric-learning health check — a high
-    rate means the space does not separate the labels it claims to
-    encode (cf. the ~36% nearest-centroid accuracy this corpus is
-    known to have). dpos/dneg are exact integer MINs over the pair
-    stream (map-combinable); the violation flag is an integer
-    comparison; only the per-label rate is float, round 12."""
-    pairs = _sample_pairs(spark, sf)
-    per = pairs.groupBy("qid", "qlab").agg(
-        F.min(F.when(F.col("nlab") == F.col("qlab"), F.col("d2"))).alias(
-            "dpos"
-        ),
-        F.min(F.when(F.col("nlab") != F.col("qlab"), F.col("d2"))).alias(
-            "dneg"
-        ),
-    )
-    viol = F.when(F.col("dpos") >= F.col("dneg"), 1).otherwise(0)
-    return (
-        per.filter(
-            F.col("dpos").isNotNull() & F.col("dneg").isNotNull()
-        )
-        .groupBy(F.col("qlab").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n_anchors"),
-            F.sum(viol).cast("long").alias("n_violations"),
-            F.round(
-                F.sum(viol).cast("double") / F.count(F.lit(1)), 12
-            ).alias("violation_rate"),
-        )
-    )
-
-
-@query(
-    "emb_silhouette_sample",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, a.label AS qlab,
-             b.vec_id AS nid, b.label AS nlab,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    ),
-    bylab AS (
-      SELECT qid, qlab, nlab,
-             CAST(sum(d2) AS BIGINT) AS sd2,
-             CAST(count(*) AS BIGINT) AS n
-      FROM pairs GROUP BY qid, qlab, nlab
-    ),
-    scored AS (
-      SELECT qid, qlab, nlab, sd2, n,
-             CAST(sd2 AS DOUBLE) / n AS mean_d2
-      FROM bylab
-    ),
-    a AS (SELECT qid, qlab, sd2, n, mean_d2 AS a2
-          FROM scored WHERE nlab = qlab),
-    b AS (
-      SELECT qid, nlab AS nn_label, sd2, n, mean_d2 AS b2
-      FROM (SELECT qid, nlab, sd2, n, mean_d2,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY mean_d2 ASC, nlab ASC)
-                     AS rn
-            FROM scored WHERE nlab <> qlab)
-      WHERE rn = 1
-    )
-    SELECT a.qid AS vec_id, a.qlab AS label,
-           CAST(a.sd2 * 1000 // a.n AS BIGINT) AS a2_milli,
-           CAST(b.sd2 * 1000 // b.n AS BIGINT) AS b2_milli,
-           b.nn_label,
-           round((b.b2 - a.a2) / greatest(a.a2, b.b2), 12)
-             AS silhouette
-    FROM a JOIN b USING (qid)
-    """,
-)
-def emb_silhouette_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """SILHOUETTE audit (on squared distances — the d²-silhouette
-    variant, which keeps every accumulation an exact integer) for
-    the 100-anchor sample: a = mean d² to the anchor's own label,
-    b = the smallest mean d² to any other label, s = (b−a)/max(a,b).
-    Per-(anchor, label) Σd²/counts are exact BIGINT map-combinable
-    aggregates; means divide once in IEEE doubles (bit-identical
-    across engines) for the comparison and the score, while the
-    REPORTED means are exact scaled integers (Σd²·1000 DIV n — a
-    high-precision round of a 10⁵-magnitude double is engine-
-    specific, so the output never does that); the nearest cluster
-    resolves by (mean, label) rank and s (O(1) magnitude) rounds at
-    12. One pair-stream pass + a 10-row-per-anchor reduce."""
-    pairs = _sample_pairs(spark, sf)
-    bylab = pairs.groupBy("qid", "qlab", "nlab").agg(
-        F.sum("d2").alias("sd2"), F.count(F.lit(1)).alias("n")
-    )
-    scored = bylab.select(
-        "qid",
-        "qlab",
-        "nlab",
-        "sd2",
-        "n",
-        (F.col("sd2").cast("double") / F.col("n")).alias("mean_d2"),
-    )
-    a = scored.filter(F.col("nlab") == F.col("qlab")).select(
-        "qid",
-        "qlab",
-        F.col("mean_d2").alias("a2"),
-        F.expr("(sd2 * 1000) div n").alias("a2_milli"),
-    )
-    wb = Window.partitionBy("qid").orderBy(
-        F.col("mean_d2").asc(), F.col("nlab").asc()
-    )
-    b = (
-        scored.filter(F.col("nlab") != F.col("qlab"))
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-        .select(
-            "qid",
-            F.col("nlab").alias("nn_label"),
-            F.col("mean_d2").alias("b2"),
-            F.expr("(sd2 * 1000) div n").alias("b2_milli"),
-        )
-    )
-    # both sides are O(sample)=100-row aggregates; broadcast b so the
-    # final stitch never sort-merges
-    return a.join(F.broadcast(b), on="qid").select(
-        F.col("qid").alias("vec_id"),
-        F.col("qlab").alias("label"),
-        F.col("a2_milli").cast("long").alias("a2_milli"),
-        F.col("b2_milli").cast("long").alias("b2_milli"),
-        "nn_label",
-        F.round(
-            (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"), 12
-        ).alias("silhouette"),
-    )
-
-
-@query(
-    "multimodal_wav_clipping_rate",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < nf
-    ),
-    clipped AS (
-      SELECT media_id, gi,
-             gi - row_number() OVER (PARTITION BY media_id
-                                     ORDER BY gi) AS island
-      FROM vals WHERE v <= 2 OR v >= 253
-    ),
-    runs AS (
-      SELECT media_id, CAST(count(*) AS BIGINT) AS run_len
-      FROM clipped GROUP BY media_id, island
-    ),
-    peaks AS (
-      SELECT media_id, CAST(max(abs(v - 128)) AS BIGINT) AS peak_dev
-      FROM vals GROUP BY media_id
-    )
-    SELECT c.media_id, CAST(c.nf AS INT) AS n_frames,
-           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS clipped_frames,
-           CAST(coalesce(max(r.run_len), 0) AS BIGINT)
-             AS longest_clip_run,
-           CAST(any_value(p.peak_dev) AS BIGINT) AS peak_dev,
-           CAST(coalesce(sum(r.run_len), 0) * 1000000 // c.nf AS BIGINT)
-             AS clip_ppm
-    FROM clip c
-    JOIN peaks p ON p.media_id = c.media_id
-    LEFT JOIN runs r ON r.media_id = c.media_id
-    GROUP BY c.media_id, c.nf
-    """,
-)
-def multimodal_wav_clipping_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """CLIPPING-RATE audit over the REAL WAV decode (margin 3: 8-bit
-    frames at ≤2 or ≥253 count as rail-pinned) — the saturation
-    check an audio ingest gates on before amplitude features mean
-    anything. Per clip: clipped frames, longest clipped run, exact
-    peak deviation, and the rate as ppm by INTEGER division (no
-    float crosses the engine boundary). Run lengths come from the
-    same vectorized boundary scan as the silence kernel; the oracle
-    replays the keystream with the gaps-and-islands device."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    st = mm.wav_clipping_stats(media, margin=3)
-    return st.select(
-        "media_id",
-        "n_frames",
-        "clipped_frames",
-        "longest_clip_run",
-        "peak_dev",
-        F.expr("clipped_frames * 1000000 div n_frames").alias(
-            "clip_ppm"
-        ),
-    )
-
-
-@query(
-    "multimodal_image_colorfulness",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    blocks AS (
-      SELECT media_id, w, h, w*h*3 AS n,
-             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
-      FROM img
-    ),
-    bytes AS (
-      SELECT media_id, w, h, n, b,
-             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, b*16 + j AS gi, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < n
-    ),
-    px AS (
-      SELECT media_id, gi // 3 AS pi,
-             CAST(sum(CASE WHEN gi % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
-               AS r,
-             CAST(sum(CASE WHEN gi % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
-               AS g,
-             CAST(sum(CASE WHEN gi % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
-               AS bl
-      FROM vals GROUP BY media_id, gi // 3
-    ),
-    sums AS (
-      SELECT media_id, CAST(count(*) AS BIGINT) AS n_pixels,
-             CAST(sum(r - g) AS BIGINT) AS sum_rg,
-             CAST(sum((r - g) * (r - g)) AS BIGINT) AS sum_rg2,
-             CAST(sum(r + g - 2*bl) AS BIGINT) AS sum_yb2x,
-             CAST(sum((r + g - 2*bl) * (r + g - 2*bl)) AS BIGINT)
-               AS sum_yb2x_sq
-      FROM px GROUP BY media_id
-    )
-    SELECT media_id, n_pixels, sum_rg, sum_rg2, sum_yb2x, sum_yb2x_sq,
-           round(sqrt(
-               (CAST(sum_rg2 AS DOUBLE) / n_pixels
-                - (CAST(sum_rg AS DOUBLE) / n_pixels)
-                  * (CAST(sum_rg AS DOUBLE) / n_pixels))
-               + (CAST(sum_yb2x_sq AS DOUBLE) / n_pixels
-                  - (CAST(sum_yb2x AS DOUBLE) / n_pixels)
-                    * (CAST(sum_yb2x AS DOUBLE) / n_pixels)) / 4)
-             + 0.3 * sqrt(
-               (CAST(sum_rg AS DOUBLE) / n_pixels)
-                 * (CAST(sum_rg AS DOUBLE) / n_pixels)
-               + (CAST(sum_yb2x AS DOUBLE) / (2 * n_pixels))
-                 * (CAST(sum_yb2x AS DOUBLE) / (2 * n_pixels))),
-             6) AS colorfulness
-    FROM sums
-    """,
-)
-def multimodal_image_colorfulness(spark: SparkSession, sf: str) -> DataFrame:
-    """HASLER–SÜSSTRUNK COLORFULNESS from the REAL PNG decode — the
-    "is this a screenshot / scanned text / natural photo" heuristic
-    image curation stacks rank by. The Arrow kernel emits only EXACT
-    int64 opponent-channel moments (Σ(r−g), Σ(r−g)², Σ(r+g−2b),
-    Σ(r+g−2b)² — the yb axis ×2 to stay integer); the float metric
-    C = sqrt(σ²_rg+σ²_yb) + 0.3·sqrt(μ²_rg+μ²_yb) assembles
-    JVM-side from those sums in a mirrored expression, round 6 (a
-    ~10²-magnitude value keeps a wide engine-round safety margin).
-    One decode pass, no shuffle."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    st = mm.png_colorfulness_stats(media)
-    np_ = F.col("n_pixels").cast("double")
-    mrg = F.col("sum_rg").cast("double") / np_
-    myb2 = F.col("sum_yb2x").cast("double") / np_
-    var_rg = F.col("sum_rg2").cast("double") / np_ - mrg * mrg
-    var_yb = (
-        F.col("sum_yb2x_sq").cast("double") / np_ - myb2 * myb2
-    ) / 4
-    mu_yb = F.col("sum_yb2x").cast("double") / (2 * np_)
-    return st.select(
-        "media_id",
-        "n_pixels",
-        "sum_rg",
-        "sum_rg2",
-        "sum_yb2x",
-        "sum_yb2x_sq",
-        F.round(
-            F.sqrt(var_rg + var_yb)
-            + 0.3 * F.sqrt(mrg * mrg + mu_yb * mu_yb),
-            6,
-        ).alias("colorfulness"),
-    )
-
-
-@query(
-    "curation_stratified_quota",
-    oracle="""
-    WITH strata AS (
-      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_stratum
-      FROM documents GROUP BY source, lang
-    ),
-    tot AS (SELECT CAST(sum(n_stratum) AS BIGINT) AS n FROM strata),
-    alloc AS (
-      SELECT s.source, s.lang, s.n_stratum,
-             CAST(500 * s.n_stratum // t.n AS BIGINT) AS base_q,
-             CAST(500 * s.n_stratum % t.n AS BIGINT) AS rem
-      FROM strata s CROSS JOIN tot t
-    ),
-    leftover AS (
-      SELECT CAST(500 - sum(base_q) AS BIGINT) AS l FROM alloc
-    ),
-    ranked AS (
-      SELECT a.*,
-             row_number() OVER (ORDER BY a.rem DESC, a.source, a.lang)
-               AS rk,
-             l.l
-      FROM alloc a CROSS JOIN leftover l
-    ),
-    quota AS (
-      SELECT source, lang, n_stratum,
-             CAST(base_q + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT)
-               AS quota
-      FROM ranked
-    ),
-    kept AS (
-      SELECT d.source, d.lang, d.doc_id
-      FROM (SELECT source, lang, doc_id,
-                   row_number() OVER (
-                     PARTITION BY source, lang
-                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-            FROM documents) d
-      JOIN quota q ON q.source = d.source AND q.lang = d.lang
-      WHERE d.rn <= q.quota
-    )
-    SELECT q.source, q.lang, q.n_stratum, q.quota,
-           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
-    FROM quota q
-    LEFT JOIN kept k ON k.source = q.source AND k.lang = q.lang
-    GROUP BY q.source, q.lang, q.n_stratum, q.quota
-    """,
-)
-def curation_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
-    """PROPORTIONAL STRATIFIED SAMPLING with exact largest-remainder
-    (Hamilton) allocation: a 500-doc budget split across
-    (source, lang) strata so that Σquota = 500 EXACTLY — base
-    quota = ⌊B·n_s/N⌋ (integer division), the ⌈⌉ leftovers go to the
-    largest remainders (source/lang tiebreak). Each stratum then
-    keeps its first-quota docs in md5 hash order (the content-hash
-    determinism discipline), pinned by an id-sum checksum so the
-    driver hash fixes WHICH rows were kept. Everything is integer
-    arithmetic; the strata table is tiny (sources × langs), so its
-    ranking window is O(strata), and the per-stratum keep is one
-    window keyed on the stratum."""
-    d = load(spark, sf, "documents").select("doc_id", "source", "lang")
-    strata = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_stratum")
-    )
-    tot = strata.agg(F.sum("n_stratum").alias("n"))
-    alloc = strata.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "lang",
-        "n_stratum",
-        F.expr("500 * n_stratum div n").alias("base_q"),
-        (F.lit(500) * F.col("n_stratum") % F.col("n")).alias("rem"),
-    )
-    leftover = alloc.agg((500 - F.sum("base_q")).alias("l"))
-    wrk = Window.orderBy(F.col("rem").desc(), "source", "lang")
-    quota = (
-        alloc.crossJoin(F.broadcast(leftover))
-        .withColumn("rk", F.row_number().over(wrk))  # O(strata) rows
-        .select(
-            "source",
-            "lang",
-            "n_stratum",
-            (
-                F.col("base_q")
-                + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("quota"),
-        )
-    )
-    wk = Window.partitionBy("source", "lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
-    kept = (
-        d.withColumn("rn", F.row_number().over(wk))
-        .join(quota, on=["source", "lang"])
-        .filter(F.col("rn") <= F.col("quota"))
-        .groupBy("source", "lang")
-        .agg(F.sum("doc_id").alias("kept_id_sum"))
-    )
-    return (
-        quota.join(kept, on=["source", "lang"], how="left")
-        .select(
-            "source",
-            "lang",
-            "n_stratum",
-            "quota",
-            F.coalesce("kept_id_sum", F.lit(0))
-            .cast("long")
-            .alias("kept_id_sum"),
-        )
-    )
-
-
-@query(
-    "text_js_divergence_sources",
-    oracle="""
-    WITH tok AS (
-      SELECT source,
-             unnest(string_split_regex(trim(text), '\\s+')) AS term
-      FROM documents
-    ),
-    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
-          FROM tok GROUP BY source, term),
-    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
-           FROM c GROUP BY source),
-    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
-           FROM c GROUP BY term),
-    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
-    contrib AS (
-      SELECT c.source,
-             (CAST(c.n AS DOUBLE) / ts.tot_s)
-               * ln(CAST(2 * c.n * nt.tot AS DOUBLE)
-                    / CAST(c.n * nt.tot + cw.n_w * ts.tot_s AS DOUBLE))
-               AS tp,
-             (CAST(cw.n_w AS DOUBLE) / nt.tot)
-               * ln(CAST(2 * cw.n_w * ts.tot_s AS DOUBLE)
-                    / CAST(c.n * nt.tot + cw.n_w * ts.tot_s AS DOUBLE))
-               AS tq,
-             CAST(cw.n_w AS DOUBLE) / nt.tot AS qmass
-      FROM c
-      JOIN ts USING (source)
-      JOIN cw USING (term)
-      CROSS JOIN nt
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_terms,
-           round(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_sort(list(tp))), (x, y) -> x + y)
-                 + 0.5 * (list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_sort(list(tq))), (x, y) -> x + y)
-                   + ln(2) * (1 - list_reduce(
-                       list_prepend(CAST(0 AS DOUBLE),
-                         list_sort(list(qmass))), (x, y) -> x + y))),
-                 12) AS js_nats
-    FROM contrib GROUP BY source
-    """,
-)
-def text_js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
-    """JENSEN–SHANNON divergence between each source's unigram
-    distribution and the corpus mix — the SYMMETRIC, bounded
-    (≤ ln 2) sibling of text_kl_source_divergence, preferred for
-    data-mixing dashboards because it never blows up on
-    source-exclusive words. Sparse-join device: only terms PRESENT
-    in the source are joined; the corpus-side tail over absent terms
-    collapses to ln2·(1 − Σ_present q) exactly, so no dense
-    source×vocab product exists. Each ln ratio is ONE division of
-    exact integer products; the three per-source sums fold
-    smallest-first (sorted-fold ≡ DuckDB list_reduce∘list_sort),
-    round 12."""
-    d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
-    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
-    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
-    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
-    nt = c.agg(F.sum("n").alias("tot"))
-    den = (
-        F.col("n") * F.col("tot") + F.col("n_w") * F.col("tot_s")
-    ).cast("double")
-    contrib = (
-        c.join(ts_, on="source")
-        .join(cw, on="term")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "source",
-            (
-                (F.col("n").cast("double") / F.col("tot_s"))
-                * F.log(
-                    (2 * F.col("n") * F.col("tot")).cast("double") / den
-                )
-            ).alias("tp"),
-            (
-                (F.col("n_w").cast("double") / F.col("tot"))
-                * F.log(
-                    (2 * F.col("n_w") * F.col("tot_s")).cast("double")
-                    / den
-                )
-            ).alias("tq"),
-            (F.col("n_w").cast("double") / F.col("tot")).alias("qmass"),
-        )
-    )
-
-    def fold(col: str) -> F.Column:
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-
-    import math
-
-    return contrib.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.round(
-            0.5 * fold("tp")
-            + 0.5
-            * (fold("tq") + math.log(2) * (1 - fold("qmass"))),
-            12,
-        ).alias("js_nats"),
-    )
-
-
-@query(
-    "graph_modularity_labelprop",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-adj AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
-nodes AS (SELECT DISTINCT a AS node FROM adj),
-l0 AS (SELECT node, node AS lbl FROM nodes)
-, l1 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l0 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l0 p ON adj.b = p.node) GROUP BY node)
-, l2 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l1 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l1 p ON adj.b = p.node) GROUP BY node)
-, l3 AS (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM l2 UNION ALL SELECT adj.a AS node, p.lbl FROM adj JOIN l2 p ON adj.b = p.node) GROUP BY node),
-    comm AS (SELECT node, lbl FROM l3),
-    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
-    intra AS (
-      SELECT CAST(count(*) AS BIGINT) AS ie
-      FROM edges e
-      JOIN comm a ON a.node = e.src
-      JOIN comm b ON b.node = e.dst
-      WHERE a.lbl = b.lbl
-    ),
-    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
-            FROM adj GROUP BY a),
-    dc AS (
-      SELECT c.lbl, CAST(sum(d.d) AS BIGINT) AS dsum
-      FROM comm c JOIN deg d USING (node) GROUP BY c.lbl
-    ),
-    summ AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_communities,
-             CAST(sum(dsum * dsum) AS BIGINT) AS sum_d2
-      FROM dc
-    )
-    SELECT s.n_communities, m.m AS n_edges, i.ie AS intra_edges,
-           s.sum_d2,
-           round(CAST(i.ie AS DOUBLE) / m.m
-                 - CAST(s.sum_d2 AS DOUBLE) / (4 * m.m * m.m), 12)
-             AS modularity
-    FROM summ s CROSS JOIN mm m CROSS JOIN intra i
-    """,
-)
-def graph_modularity_labelprop(spark: SparkSession, sf: str) -> DataFrame:
-    """NEWMAN MODULARITY of the min-label-propagation communities
-    (3 rounds, the graph_label_propagation partition): Q = Σ_c
-    [e_c/m − (d_c/2m)²] — the "did the community detector find real
-    structure?" score (Q≈0: random; Q>0.3: strong). Every input is
-    an exact integer (intra-edge count via two label joins, Σd_c²
-    from one degree aggregate), so Q is two divisions of exact
-    integers in a mirrored double expression, round 12. Cost on top
-    of propagation: two node-keyed joins + two aggregates."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)  # edges consumed 3×
-    comm = gr.label_propagation(e, rounds=3)
-    comm = comm.localCheckpoint(eager=False)  # consumed 3×
-    m = e.agg(F.count(F.lit(1)).alias("m"))
-    ca = comm.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
-    cb = comm.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
-    intra = (
-        e.join(ca, on="src")
-        .join(cb, on="dst")
-        .filter(F.col("la") == F.col("lb"))
-        .agg(F.count(F.lit(1)).alias("ie"))
-    )
-    deg = gr.degrees(e)
-    dc = comm.join(deg, on="node").groupBy("lbl").agg(
-        F.sum("deg").alias("dsum")
-    )
-    summ = dc.agg(
-        F.count(F.lit(1)).alias("n_communities"),
-        F.sum(F.col("dsum") * F.col("dsum")).alias("sum_d2"),
-    )
-    out = (
-        summ.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(intra))
-    )
-    return out.select(
-        "n_communities",
-        F.col("m").alias("n_edges"),
-        F.col("ie").alias("intra_edges"),
-        "sum_d2",
-        F.round(
-            F.col("ie").cast("double") / F.col("m")
-            - F.col("sum_d2").cast("double")
-            / (4 * F.col("m") * F.col("m")),
-            12,
-        ).alias("modularity"),
-    )
-
-
-@query(
-    "graph_local_bridges",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS s, dst AS t FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d
-            FROM adj GROUP BY s),
-    supported AS (
-      SELECT DISTINCT e.src, e.dst
-      FROM edges e
-      JOIN adj a ON a.s = e.src
-      JOIN adj b ON b.s = e.dst AND b.t = a.t
-    ),
-    bridges AS (
-      SELECT e.src, e.dst
-      FROM edges e
-      LEFT JOIN supported s ON s.src = e.src AND s.dst = e.dst
-      WHERE s.src IS NULL
-    ),
-    counts AS (
-      SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-             (SELECT CAST(count(*) AS BIGINT) FROM bridges) AS n_bridges
-    ),
-    top AS (
-      SELECT b.src, b.dst, ds.d * dd.d AS deg_product,
-             row_number() OVER (ORDER BY ds.d * dd.d DESC, b.src, b.dst)
-               AS rank
-      FROM bridges b
-      JOIN deg ds ON ds.node = b.src
-      JOIN deg dd ON dd.node = b.dst
-    )
-    SELECT t.rank, t.src, t.dst, CAST(t.deg_product AS BIGINT)
-             AS deg_product,
-           c.n_edges, c.n_bridges,
-           round(CAST(c.n_bridges AS DOUBLE) / c.n_edges, 12)
-             AS bridge_share
-    FROM top t CROSS JOIN counts c
-    WHERE t.rank <= 20
-    """,
-)
-def graph_local_bridges(spark: SparkSession, sf: str) -> DataFrame:
-    """LOCAL BRIDGES (Easley–Kleinberg): edges whose endpoints share
-    NO common neighbor — the weak-tie shortcuts whose removal
-    lengthens paths, and exactly the span>2 edges a triangle-based
-    spam filter cannot vouch for. Computed as an anti-join of the
-    edge list against the wedge-closure support set (the k-truss
-    round-1 machinery); the top-20 by endpoint degree product ranks
-    the highest-traffic shortcuts (TakeOrdered tail). Counts are
-    exact; only the bridge share is float, round 12."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)  # consumed 4×
-    adj = e.select(F.col("src").alias("s"), F.col("dst").alias("t")).unionAll(
-        e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
-    )
-    adj = adj.localCheckpoint(eager=False)
-    a = adj.select(F.col("s").alias("src"), F.col("t").alias("w"))
-    b = adj.select(F.col("s").alias("dst"), F.col("t").alias("w"))
-    supported = (
-        e.join(a, on="src").join(b, on=["dst", "w"]).select("src", "dst")
-        .distinct()
-    )
-    bridges = e.join(supported, on=["src", "dst"], how="left_anti")
-    bridges = bridges.localCheckpoint(eager=False)  # consumed twice
-    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    ds = deg.select(F.col("s").alias("src"), F.col("d").alias("sd"))
-    dd = deg.select(F.col("s").alias("dst"), F.col("d").alias("dg"))
-    counts = (
-        e.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(
-            F.broadcast(bridges.agg(F.count(F.lit(1)).alias("n_bridges")))
-        )
-    )
-    scored = (
-        bridges.join(ds, on="src")
-        .join(dd, on="dst")
-        .select("src", "dst", (F.col("sd") * F.col("dg")).alias("deg_product"))
-    )
-    top = scored.orderBy(
-        F.col("deg_product").desc(), "src", "dst"
-    ).limit(20)
-    wr = Window.orderBy(F.col("deg_product").desc(), "src", "dst")
-    return (
-        top.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .crossJoin(F.broadcast(counts))
-        .select(
-            "rank",
-            "src",
-            "dst",
-            F.col("deg_product").cast("long").alias("deg_product"),
-            "n_edges",
-            "n_bridges",
-            F.round(
-                F.col("n_bridges").cast("double") / F.col("n_edges"), 12
-            ).alias("bridge_share"),
-        )
-    )
-
-
-@query(
-    "stats_friedman_test",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    byval AS (
-      SELECT day, n, CAST(count(*) AS BIGINT) AS cnt
-      FROM grid GROUP BY day, n
-    ),
-    ranked AS (
-      SELECT day, n, cnt,
-             coalesce(sum(cnt) OVER (
-               PARTITION BY day ORDER BY n
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cless
-      FROM byval
-    ),
-    r2 AS (
-      SELECT g.event_type, 2 * r.cless + r.cnt + 1 AS tr
-      FROM grid g JOIN ranked r ON r.day = g.day AND r.n = g.n
-    ),
-    sums AS (
-      SELECT event_type, CAST(sum(tr) AS BIGINT) AS r2_sum
-      FROM r2 GROUP BY event_type
-    ),
-    meta AS (
-      SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(r2_sum * r2_sum) AS BIGINT) AS ss
-      FROM sums
-    )
-    SELECT s.event_type, s.r2_sum, m.k,
-           CAST(30 AS BIGINT) AS n_blocks,
-           round(3.0 * m.ss / (30 * m.k * (m.k + 1))
-                 - 3.0 * 30 * (m.k + 1), 12) AS chi2_f
-    FROM sums s CROSS JOIN meta m
-    """,
-)
-def stats_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
-    """FRIEDMAN rank test across event types blocked by day (30-day
-    dense grid): do the types keep the same daily ordering, or does
-    at least one systematically out-rank? The repeated-measures
-    nonparametric ANOVA. Doubled-rank device (2r = 2·cum_less + t +
-    1, the Mann-Whitney/Spearman discipline) keeps average ranks
-    under ties EXACT integers; Σ(2R_j)² is BIGINT and the χ²_F
-    statistic (uncorrected for ties) is one mirrored double
-    expression, round 12. Per-block ranks come from a (day)-keyed
-    window over the tiny grid — no global sort."""
-    g = _daily_grid(spark, sf)
-    byval = g.groupBy("day", "n").agg(F.count(F.lit(1)).alias("cnt"))
-    wday = (
-        Window.partitionBy("day")
-        .orderBy("n")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = byval.withColumn(
-        "cless", F.coalesce(F.sum("cnt").over(wday), F.lit(0))
-    )
-    r2 = g.join(ranked, on=["day", "n"]).select(
-        "event_type",
-        (2 * F.col("cless") + F.col("cnt") + 1).alias("tr"),
-    )
-    sums = r2.groupBy("event_type").agg(F.sum("tr").alias("r2_sum"))
-    meta = sums.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("r2_sum") * F.col("r2_sum")).alias("ss"),
-    )
-    return sums.crossJoin(F.broadcast(meta)).select(
-        "event_type",
-        "r2_sum",
-        "k",
-        F.lit(30).cast("long").alias("n_blocks"),
-        F.round(
-            3.0 * F.col("ss") / (30 * F.col("k") * (F.col("k") + 1))
-            - 3.0 * 30 * (F.col("k") + 1),
-            12,
-        ).alias("chi2_f"),
-    )
-
-
-@query(
-    "join_nearest_event",
-    oracle="""
-    WITH tagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS knd
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ),
-    seq AS (
-      SELECT user_id, ts, event_id, knd,
-             last_value(CASE WHEN knd = 0 THEN ts END IGNORE NULLS)
-               OVER w_back AS prev_ts,
-             last_value(CASE WHEN knd = 0 THEN event_id END IGNORE NULLS)
-               OVER w_back AS prev_id,
-             first_value(CASE WHEN knd = 0 THEN ts END IGNORE NULLS)
-               OVER w_fwd AS next_ts,
-             first_value(CASE WHEN knd = 0 THEN event_id END IGNORE NULLS)
-               OVER w_fwd AS next_id
-      FROM tagged
-      WINDOW
-        w_back AS (PARTITION BY user_id ORDER BY ts, knd, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        w_fwd AS (PARTITION BY user_id ORDER BY ts, knd, event_id
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    ),
-    chosen AS (
-      SELECT user_id, event_id, ts,
-             CASE
-               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
-               WHEN next_ts IS NULL THEN prev_id
-               WHEN prev_ts IS NULL THEN next_id
-               WHEN date_diff('microsecond', prev_ts, ts)
-                    <= date_diff('microsecond', ts, next_ts) THEN prev_id
-               ELSE next_id
-             END AS click_id,
-             CASE
-               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
-               WHEN next_ts IS NULL
-                 THEN date_diff('microsecond', prev_ts, ts)
-               WHEN prev_ts IS NULL
-                 THEN date_diff('microsecond', ts, next_ts)
-               WHEN date_diff('microsecond', prev_ts, ts)
-                    <= date_diff('microsecond', ts, next_ts)
-                 THEN date_diff('microsecond', prev_ts, ts)
-               ELSE date_diff('microsecond', ts, next_ts)
-             END AS delta_us
-      FROM seq WHERE knd = 1
-    )
-    SELECT user_id, event_id AS purchase_id,
-           CAST(click_id AS BIGINT) AS click_id,
-           CAST(delta_us AS BIGINT) AS delta_us,
-           CAST(delta_us // 1000000 AS BIGINT) AS delta_s
-    FROM chosen
-    """,
-)
-def join_nearest_event(spark: SparkSession, sf: str) -> DataFrame:
-    """BIDIRECTIONAL NEAREST (as-of either direction) join: each
-    purchase matched to the user's temporally CLOSEST click —
-    backward ties beat forward (the attribution convention), clicks
-    at the same timestamp sort before purchases so a same-second
-    click is a 0-delta backward match. Implemented WITHOUT a range
-    join: one union-tag sort per user (two frames over the same
-    window — running last non-null backward, first non-null
-    forward), so the cost is the sessionization shape — one shuffle
-    on user_id, no self-join, no inequality join. Deltas are exact
-    integer seconds."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    tagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "click", 0).otherwise(1).alias(
-            "knd"
-        ),
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "knd", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "knd", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    click_ts = F.when(F.col("knd") == 0, F.col("ts"))
-    click_id = F.when(F.col("knd") == 0, F.col("event_id"))
-    seq = tagged.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "knd",
-        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
-        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
-        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
-        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
-    ).filter(F.col("knd") == 1)
-    back = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
-    fwd = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
-    chosen_id = (
-        F.when(
-            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
-            F.lit(None),
-        )
-        .when(F.col("next_ts").isNull(), F.col("prev_id"))
-        .when(F.col("prev_ts").isNull(), F.col("next_id"))
-        .when(back <= fwd, F.col("prev_id"))
-        .otherwise(F.col("next_id"))
-    )
-    chosen_d = (
-        F.when(
-            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
-            F.lit(None),
-        )
-        .when(F.col("next_ts").isNull(), back)
-        .when(F.col("prev_ts").isNull(), fwd)
-        .when(back <= fwd, back)
-        .otherwise(fwd)
-    )
-    return seq.select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        chosen_id.cast("long").alias("click_id"),
-        chosen_d.cast("long").alias("delta_us"),
-    ).withColumn("delta_s", F.expr("delta_us div 1000000"))
-
-
-@query(
-    "stats_capture_recapture",
-    oracle="""
-    WITH marked AS (
-      SELECT md5(text) AS h,
-             max(CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)),
-                                   1, 1) IN ('0','1','2','3','4','5','6','7')
-                      THEN 1 ELSE 0 END) AS in1,
-             max(CASE WHEN substr(md5('s2:' || CAST(doc_id AS VARCHAR)),
-                                   1, 1) IN ('0','1','2','3','4','5','6','7')
-                      THEN 1 ELSE 0 END) AS in2
-      FROM documents GROUP BY md5(text)
-    ),
-    c AS (
-      SELECT CAST(sum(in1) AS BIGINT) AS n1,
-             CAST(sum(in2) AS BIGINT) AS n2,
-             CAST(sum(in1 * in2) AS BIGINT) AS m,
-             CAST(count(*) AS BIGINT) AS true_distinct
-      FROM marked
-    )
-    SELECT n1, n2, m, true_distinct,
-           round(CAST(n1 AS DOUBLE) * n2 / m, 12) AS lincoln_petersen,
-           round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 12)
-             AS chapman,
-           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1)
-                 / true_distinct - 1, 12) AS chapman_rel_err
-    FROM c
-    """,
-)
-def stats_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
-    """CAPTURE–RECAPTURE (Lincoln–Petersen + Chapman) estimate of the
-    corpus's DISTINCT-TEXT count from two ~50% md5-marked samples —
-    the "how big is the dedup problem really?" estimator run when
-    counting every duplicate is too expensive: catch n1 distinct
-    texts in sample 1, n2 in sample 2, m in both → N̂ ≈ n1·n2/m.
-    Identity = md5(text) (content, not id); sample membership =
-    one hex digit of a salted id hash (≡ top bit, engine-portable).
-    One content-hash groupBy + a one-row reduce; estimates are
-    mirrored doubles over exact counts, with the relative error vs
-    the true distinct count reported for the audit."""
-    d = load(spark, sf, "documents")
-    in1 = F.substring(
-        F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))), 1, 1
-    ).isin(*"01234567")
-    in2 = F.substring(
-        F.md5(F.concat(F.lit("s2:"), F.col("doc_id").cast("string"))), 1, 1
-    ).isin(*"01234567")
-    marked = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.max(in1.cast("int")).alias("in1"),
-        F.max(in2.cast("int")).alias("in2"),
-    )
-    c = marked.agg(
-        F.sum("in1").alias("n1"),
-        F.sum("in2").alias("n2"),
-        F.sum(F.col("in1") * F.col("in2")).alias("m"),
-        F.count(F.lit(1)).alias("true_distinct"),
-    )
-    lp = F.col("n1").cast("double") * F.col("n2") / F.col("m")
-    ch = (
-        (F.col("n1") + 1).cast("double")
-        * (F.col("n2") + 1)
-        / (F.col("m") + 1)
-        - 1
-    )
-    return c.select(
-        "n1",
-        "n2",
-        "m",
-        "true_distinct",
-        F.round(lp, 12).alias("lincoln_petersen"),
-        F.round(ch, 12).alias("chapman"),
-        F.round(ch / F.col("true_distinct") - 1, 12).alias(
-            "chapman_rel_err"
-        ),
-    )
-
-
-@query(
-    "olap_brand_weekend_lift",
-    oracle="""
-    WITH li AS (
-      SELECT p.p_brand,
-             CASE WHEN dayofweek(CAST(l.l_shipdate AS DATE)) IN (0, 6)
-                  THEN 1 ELSE 0 END AS wknd,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    ),
-    g AS (
-      SELECT p_brand,
-             CAST(sum(CASE WHEN wknd = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_wknd,
-             CAST(sum(CASE WHEN wknd = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_wkdy,
-             CAST(sum(CASE WHEN wknd = 1 THEN cents ELSE 0 END) AS BIGINT)
-               AS cents_wknd,
-             CAST(sum(CASE WHEN wknd = 0 THEN cents ELSE 0 END) AS BIGINT)
-               AS cents_wkdy
-      FROM li GROUP BY p_brand
-    )
-    SELECT p_brand, n_wknd, n_wkdy, cents_wknd, cents_wkdy,
-           round((CAST(cents_wknd AS DOUBLE) / 2)
-                 / (CAST(cents_wkdy AS DOUBLE) / 5), 12)
-             AS daily_rate_lift
-    FROM g
-    WHERE n_wknd > 0 AND n_wkdy > 0
-    """,
-)
-def olap_brand_weekend_lift(spark: SparkSession, sf: str) -> DataFrame:
-    """WEEKEND-vs-WEEKDAY revenue lift per brand: daily-rate ratio
-    (weekend cents / 2 days) over (weekday cents / 5 days) — the
-    day-mix normalization that raw weekend shares get wrong. Brand
-    dim broadcasts into the fact scan; everything is exact integer
-    cents until the single lift division, round 12. Day-of-week
-    convention pinned on BOTH engines (Spark dayofweek: 1=Sun..7;
-    DuckDB: 0=Sun..6) — the classic cross-engine off-by-one."""
-    li = load(spark, sf, "lineitem").select(
-        "l_partkey",
-        "l_shipdate",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    dow = F.dayofweek(F.col("l_shipdate").cast("date"))  # 1=Sun..7=Sat
-    wknd = F.when(dow.isin(1, 7), 1).otherwise(0)
-    g = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("p_brand", wknd.alias("wknd"), "cents")
-        .groupBy("p_brand")
-        .agg(
-            F.sum("wknd").cast("long").alias("n_wknd"),
-            F.sum(1 - F.col("wknd")).cast("long").alias("n_wkdy"),
-            F.sum(F.when(F.col("wknd") == 1, F.col("cents")).otherwise(0))
-            .cast("long")
-            .alias("cents_wknd"),
-            F.sum(F.when(F.col("wknd") == 0, F.col("cents")).otherwise(0))
-            .cast("long")
-            .alias("cents_wkdy"),
-        )
-    )
-    return g.filter((F.col("n_wknd") > 0) & (F.col("n_wkdy") > 0)).select(
-        "p_brand",
-        "n_wknd",
-        "n_wkdy",
-        "cents_wknd",
-        "cents_wkdy",
-        F.round(
-            (F.col("cents_wknd").cast("double") / 2)
-            / (F.col("cents_wkdy").cast("double") / 5),
-            12,
-        ).alias("daily_rate_lift"),
-    )
-
-
-@query(
-    "stats_cohens_kappa",
-    oracle="""
-    WITH flags AS (
-      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
-             CASE WHEN len(list_filter(
-                    string_split_regex(trim(text), '\\s+'),
-                    t -> t IN ('the','a','an','of','and','to','in','is',
-                               'it','that'))) >= 3
-                  THEN 1 ELSE 0 END AS rb
-      FROM documents
-    ),
-    c AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(ra * rb) AS BIGINT) AS n11,
-             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
-             CAST(sum(ra) AS BIGINT) AS a1,
-             CAST(sum(rb) AS BIGINT) AS b1
-      FROM flags
-    )
-    SELECT n, n11, n00, a1, b1,
-           CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
-             AS BIGINT) AS kappa_num,
-           CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS BIGINT)
-             AS kappa_den,
-           round(CAST(n * (n11 + n00)
-                      - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
-                 / (n * n - (a1 * b1 + (n - a1) * (n - b1))), 12)
-             AS kappa
-    FROM c
-    """,
-)
-def stats_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
-    """COHEN'S KAPPA agreement between two real quality raters — the
-    length gate (n_chars ≥ 250) and the English-stopword gate (≥ 3
-    function-word hits) — the "do my quality signals measure the
-    same thing?" audit a filter-stack review runs before composing
-    gates. Cross-multiplied exactness: κ = (N·agree − chance) /
-    (N² − chance) where chance = a₁b₁ + a₀b₀, so BOTH numerator and
-    denominator are exact BIGINTs; the float κ is one division,
-    round 12. One scan, one map-combinable aggregate."""
-    from ..functions.text import STOPWORDS, stopword_hits, tokens
-
-    d = load(spark, sf, "documents")
-    ra = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
-    rb = F.when(
-        stopword_hits(tokens("text"), STOPWORDS["en"]) >= 3, 1
-    ).otherwise(0)
-    c = d.select(ra.alias("ra"), rb.alias("rb")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("ra") * F.col("rb")).alias("n11"),
-        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("n00"),
-        F.sum("ra").alias("a1"),
-        F.sum("rb").alias("b1"),
-    )
-    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
-        F.col("n") - F.col("b1")
-    )
-    num = F.col("n") * (F.col("n11") + F.col("n00")) - chance
-    den = F.col("n") * F.col("n") - chance
-    return c.select(
-        "n",
-        "n11",
-        "n00",
-        "a1",
-        "b1",
-        num.cast("long").alias("kappa_num"),
-        den.cast("long").alias("kappa_den"),
-        F.round(num.cast("double") / den, 12).alias("kappa"),
-    )
-
-
-@query(
-    "text_simpson_diversity",
-    oracle="""
-    WITH toks AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    wc AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS n
-      FROM toks GROUP BY source, w
-    ),
-    g AS (
-      SELECT source, CAST(sum(n) AS BIGINT) AS tokens,
-             CAST(count(*) AS BIGINT) AS vocab,
-             CAST(sum(n * (n - 1)) AS BIGINT) AS coincide
-      FROM wc GROUP BY source
-    )
-    SELECT source, tokens, vocab, coincide,
-           round(1 - CAST(coincide AS DOUBLE)
-                     / (tokens * (tokens - 1)), 12)
-             AS simpson_diversity
-    FROM g
-    """,
-)
-def text_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
-    """SIMPSON DIVERSITY per source: 1 − Σn_w(n_w−1)/(N(N−1)) — the
-    probability two random tokens differ, the repetition-robust
-    companion to Shannon entropy (entropy rewards long tails;
-    Simpson punishes a single dominant token — template spam shows
-    up here first). The coincidence count Σn(n−1) is an EXACT
-    BIGINT, so the index is one division, round 12. One explode +
-    two stacked map-combinable groupBys (the hapax shape)."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
-    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
-    g = wc.groupBy("source").agg(
-        F.sum("n").alias("tokens"),
-        F.count(F.lit(1)).alias("vocab"),
-        F.sum(F.col("n") * (F.col("n") - 1)).alias("coincide"),
-    )
-    return g.select(
-        "source",
-        F.col("tokens").cast("long").alias("tokens"),
-        F.col("vocab").cast("long").alias("vocab"),
-        F.col("coincide").cast("long").alias("coincide"),
-        F.round(
-            1
-            - F.col("coincide").cast("double")
-            / (F.col("tokens") * (F.col("tokens") - 1)),
-            12,
-        ).alias("simpson_diversity"),
-    )
-
-
-@query(
-    "stats_hill_tail_estimator",
-    oracle="""
-    WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
-           FROM toks GROUP BY w),
-    top AS (
-      SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rn
-      FROM wc ORDER BY f DESC, w ASC LIMIT 21
-    ),
-    thr AS (SELECT f AS f_thr FROM top WHERE rn = 21),
-    logs AS (
-      SELECT ln(CAST(t.f AS DOUBLE) / c.f_thr) AS lr
-      FROM top t CROSS JOIN thr c WHERE t.rn <= 20
-    )
-    SELECT CAST(20 AS BIGINT) AS k,
-           (SELECT CAST(f_thr AS BIGINT) FROM thr) AS f_threshold,
-           round(20.0 / list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_sort(list(lr))), (a, v) -> a + v), 12)
-             AS hill_alpha
-    FROM logs
-    """,
-)
-def stats_hill_tail_estimator(spark: SparkSession, sf: str) -> DataFrame:
-    """HILL ESTIMATOR of the word-frequency power-law tail index:
-    α̂ = k / Σᵢ ln(f₍ᵢ₎/f₍ₖ₊₁₎) over the top-k=20 order statistics
-    (the synthetic corpus draws from a ~31-word pool, so k
-    scales to the tail that exists) —
-    the principled tail-heaviness measure next to text_zipf_fit's
-    rank-regression slope (Hill uses only the tail it claims to
-    model; the regression is biased by the body). The top-101 pick
-    is orderBy().limit() → TakeOrdered; each ratio is one division
-    of exact integer frequencies; the 100 ln terms fold
-    smallest-first (sorted-fold discipline), round 12."""
-    d = load(spark, sf, "documents")
-    toks = d.select(F.explode(tx.tokens("text")).alias("w"))
-    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    top = (
-        wc.orderBy(F.col("f").desc(), F.col("w").asc())
-        .limit(21)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("f").desc(), F.col("w").asc())
-            ),
-        )
-    )
-    top = top.localCheckpoint(eager=False)  # consumed twice (21 rows)
-    thr = top.filter(F.col("rn") == 21).select(
-        F.col("f").alias("f_thr")
-    )
-    logs = (
-        top.filter(F.col("rn") <= 20)
-        .crossJoin(F.broadcast(thr))
-        .select(
-            F.log(F.col("f").cast("double") / F.col("f_thr")).alias("lr"),
-            "f_thr",
-        )
-    )
-    return logs.groupBy("f_thr").agg(
-        F.lit(20).cast("long").alias("k"),
-        F.round(
-            20.0
-            / F.aggregate(
-                F.array_sort(F.collect_list("lr")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ),
-            12,
-        ).alias("hill_alpha"),
-    ).select(
-        "k",
-        F.col("f_thr").cast("long").alias("f_threshold"),
-        "hill_alpha",
-    )
-
-
-@query(
-    "olap_ship_delay_by_priority",
-    oracle="""
-    WITH d AS (
-      SELECT o.o_orderpriority,
-             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
-                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
-               AS delay
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ),
-    byval AS (
-      SELECT o_orderpriority, delay, CAST(count(*) AS BIGINT) AS cnt
-      FROM d GROUP BY o_orderpriority, delay
-    ),
-    ranked AS (
-      SELECT o_orderpriority, delay, cnt,
-             coalesce(sum(cnt) OVER (
-               PARTITION BY o_orderpriority ORDER BY delay
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cless,
-             sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
-      FROM byval
-    )
-    SELECT o_orderpriority,
-           CAST(min(n) AS BIGINT) AS n_lines,
-           CAST(min(delay) AS BIGINT) AS min_delay,
-           CAST(max(delay) AS BIGINT) AS max_delay,
-           CAST(min(CASE WHEN cless < (n + 1) // 2
-                          AND cless + cnt >= (n + 1) // 2
-                         THEN delay END)
-                + min(CASE WHEN cless < n // 2 + 1
-                            AND cless + cnt >= n // 2 + 1
-                           THEN delay END) AS BIGINT) AS med2_delay,
-           CAST(min(CASE WHEN cless < (n * 9 + 9) // 10
-                          AND cless + cnt >= (n * 9 + 9) // 10
-                         THEN delay END) AS BIGINT) AS p90_delay
-    FROM ranked GROUP BY o_orderpriority
-    """,
-)
-def olap_ship_delay_by_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """ORDER-TO-SHIP DELAY profile per order priority — the SLA
-    question ("does URGENT actually ship faster?") over the
-    BIG-BIG join shape: lineitem ⋈ orders on orderkey (both fact-
-    sized — the shuffle-join economics the TPC-H suite prices), then
-    an exact value-distribution profile per priority using the
-    count-table rank device: med2 (lower+upper middle, no
-    interpolation) and the ceil-rank p90 come from cumulative counts
-    over the (priority, delay) count table — never a per-row global
-    sort. All integers end-to-end."""
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "o_orderpriority",
-        F.datediff(
-            F.col("l_shipdate").cast("date"),
-            F.col("o_orderdate").cast("date"),
-        )
-        .cast("long")
-        .alias("delay"),
-    )
-    byval = d.groupBy("o_orderpriority", "delay").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wr = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("delay")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wall = Window.partitionBy("o_orderpriority")
-    ranked = byval.select(
-        "o_orderpriority",
-        "delay",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    lo_r = ((F.col("n") + 1) / 2).cast("long")
-    hi_r = (F.col("n") / 2 + 1).cast("long")
-    p90_r = ((F.col("n") * 9 + 9) / 10).cast("long")
-    pick = lambda r: F.min(  # noqa: E731
-        F.when(
-            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
-            F.col("delay"),
-        )
-    )
-    return ranked.groupBy("o_orderpriority").agg(
-        F.min("n").cast("long").alias("n_lines"),
-        F.min("delay").cast("long").alias("min_delay"),
-        F.max("delay").cast("long").alias("max_delay"),
-        (pick(lo_r) + pick(hi_r)).cast("long").alias("med2_delay"),
-        pick(p90_r).cast("long").alias("p90_delay"),
-    )
-
-
-@query(
-    "stats_odds_ratio_ci",
-    oracle="""
-    WITH u AS (
-      SELECT user_id, CAST(ts AS DATE) AS d,
-             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-               AS clicked,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS bought
-      FROM events GROUP BY user_id, CAST(ts AS DATE)
-    ),
-    c AS (
-      SELECT CAST(sum(clicked * bought) AS BIGINT) AS a,
-             CAST(sum(clicked * (1 - bought)) AS BIGINT) AS b,
-             CAST(sum((1 - clicked) * bought) AS BIGINT) AS c,
-             CAST(sum((1 - clicked) * (1 - bought)) AS BIGINT) AS d
-      FROM u
-    )
-    SELECT a, b, c, d,
-           round(CAST(a * d AS DOUBLE) / (b * c), 12) AS odds_ratio,
-           round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
-                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 12)
-             AS ci_low,
-           round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
-                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 12)
-             AS ci_high,
-           ln(CAST(a * d AS DOUBLE) / (b * c))
-             - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d) > 0
-             AS significant_05
-    FROM c
-    """,
-)
-def stats_odds_ratio_ci(spark: SparkSession, sf: str) -> DataFrame:
-    """ODDS RATIO with the Woolf 95% CI for "on days a user clicked,
-    did they also purchase?" — the user-day 2×2 contingency analysis
-    behind every conversion-funnel claim (the ratio version of
-    stats_ab_test_proportions' difference test; user-day, not user,
-    because this corpus's 15 heavy users all do everything
-    eventually — the finer unit is where the variation lives). One
-    user-day collapse (two MAX flags), one 4-cell exact-count
-    reduce; OR = ad/bc is a single division of exact BIGINTs and the
-    CI is the mirrored ln±1.96·sqrt(Σ1/cell) expression, round
-    12."""
-    e = load(spark, sf, "events")
-    u = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
-        F.max(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        ).alias("clicked"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("bought"),
-    )
-    c = u.agg(
-        F.sum(F.col("clicked") * F.col("bought")).alias("a"),
-        F.sum(F.col("clicked") * (1 - F.col("bought"))).alias("b"),
-        F.sum((1 - F.col("clicked")) * F.col("bought")).alias("c"),
-        F.sum((1 - F.col("clicked")) * (1 - F.col("bought"))).alias("d"),
-    )
-    or_ = (F.col("a") * F.col("d")).cast("double") / (
-        F.col("b") * F.col("c")
-    )
-    se = F.sqrt(
-        1.0 / F.col("a")
-        + 1.0 / F.col("b")
-        + 1.0 / F.col("c")
-        + 1.0 / F.col("d")
-    )
-    return c.select(
-        F.col("a").cast("long").alias("a"),
-        F.col("b").cast("long").alias("b"),
-        F.col("c").cast("long").alias("c"),
-        F.col("d").cast("long").alias("d"),
-        F.round(or_, 12).alias("odds_ratio"),
-        F.round(F.exp(F.log(or_) - 1.96 * se), 12).alias("ci_low"),
-        F.round(F.exp(F.log(or_) + 1.96 * se), 12).alias("ci_high"),
-        (F.log(or_) - 1.96 * se > 0).alias("significant_05"),
-    )
-
-
-@query(
-    "dedup_yield_curve",
-    oracle="""
-    WITH pos AS (
-      SELECT doc_id, md5(text) AS h,
-             row_number() OVER (
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-             count(*) OVER () AS n
-      FROM documents
-    ),
-    firsts AS (
-      SELECT h, CAST(min(rn) AS BIGINT) AS first_rn,
-             CAST(min(n) AS BIGINT) AS n
-      FROM pos GROUP BY h
-    ),
-    deciles AS (
-      SELECT CAST((first_rn - 1) * 10 // n AS BIGINT) AS decile,
-             CAST(count(*) AS BIGINT) AS new_distinct
-      FROM firsts GROUP BY 1
-    ),
-    docs_per AS (
-      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
-             CAST(count(*) AS BIGINT) AS docs
-      FROM pos GROUP BY 1
-    )
-    SELECT d.decile, p.docs, coalesce(d2.new_distinct, 0) AS new_distinct,
-           round(CAST(coalesce(d2.new_distinct, 0) AS DOUBLE) / p.docs,
-                 12) AS novelty_rate
-    FROM (SELECT DISTINCT decile FROM docs_per) d
-    JOIN docs_per p USING (decile)
-    LEFT JOIN deciles d2 USING (decile)
-    """,
-)
-def dedup_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """DEDUP YIELD CURVE: process docs in deterministic md5 order and
-    report, per decile of the stream, how many NEW distinct texts
-    appear — the marginal-novelty curve that answers "is collecting
-    more of this source still buying new data?" (flat tail = stop
-    paying). Device: one global md5 rank (at 100 TB this becomes the
-    value-range sharded rank of stats_quantile_normalize — no
-    semantic change), a content-hash groupBy for each text's FIRST
-    position, and two decile histograms. Counts exact; only the
-    novelty rate divides, round 12."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    wpos = Window.orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
-    pos = d.select(
-        F.md5(F.col("text").cast("binary")).alias("h"),
-        F.row_number().over(wpos).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    firsts = pos.groupBy("h").agg(
-        F.min("rn").alias("first_rn"), F.min("n").alias("n")
-    )
-    deciles = firsts.groupBy(
-        F.expr("(first_rn - 1) * 10 div n").alias("decile")
-    ).agg(F.count(F.lit(1)).alias("new_distinct"))
-    docs_per = pos.groupBy(
-        F.expr("(rn - 1) * 10 div n").alias("decile")
-    ).agg(F.count(F.lit(1)).alias("docs"))
-    return (
-        docs_per.join(deciles, on="decile", how="left")
-        .select(
-            "decile",
-            "docs",
-            F.coalesce("new_distinct", F.lit(0))
-            .cast("long")
-            .alias("new_distinct"),
-            F.round(
-                F.coalesce("new_distinct", F.lit(0)).cast("double")
-                / F.col("docs"),
-                12,
-            ).alias("novelty_rate"),
-        )
-    )
-
-
-@query(
-    "emb_norm_profile",
-    oracle="""
-    WITH q AS (
-      SELECT label,
-             CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-                            * CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-                            for x in embedding]) AS BIGINT) AS nn
-      FROM embeddings
-    ),
-    byval AS (
-      SELECT label, nn, CAST(count(*) AS BIGINT) AS cnt
-      FROM q GROUP BY label, nn
-    ),
-    ranked AS (
-      SELECT label, nn, cnt,
-             coalesce(sum(cnt) OVER (
-               PARTITION BY label ORDER BY nn
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cless,
-             sum(cnt) OVER (PARTITION BY label) AS n
-      FROM byval
-    )
-    SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
-           CAST(min(nn) AS BIGINT) AS min_nn,
-           CAST(max(nn) AS BIGINT) AS max_nn,
-           CAST(min(CASE WHEN cless < (n + 1) // 2
-                          AND cless + cnt >= (n + 1) // 2 THEN nn END)
-                + min(CASE WHEN cless < n // 2 + 1
-                            AND cless + cnt >= n // 2 + 1 THEN nn END)
-             AS BIGINT) AS med2_nn,
-           CAST(min(CASE WHEN cless < (n + 3) // 4
-                          AND cless + cnt >= (n + 3) // 4 THEN nn END)
-             AS BIGINT) AS q1_nn,
-           CAST(min(CASE WHEN cless < (n * 3 + 3) // 4
-                          AND cless + cnt >= (n * 3 + 3) // 4 THEN nn END)
-             AS BIGINT) AS q3_nn
-    FROM ranked GROUP BY label
-    """,
-)
-def emb_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """SQUARED-NORM DISTRIBUTION per label on the ×256 integer grid —
-    the normalization audit run before any cosine/IP index build
-    (un-normalized stragglers and near-zero vectors both poison dot-
-    product ANN; a label whose norm IQR is wide was embedded
-    differently). Exact integer norms feed the count-table rank
-    device (cumulative counts over (label, nn) — never a per-row
-    sort): min/q1/med2/q3/max all EXACT, med2 = lower+upper middle
-    with no interpolation. One zip-fold scan + two windows over the
-    count table."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("label", qz.alias("qv")).select(
-        "label",
-        F.expr(
-            "aggregate(zip_with(qv, qv, (x, y) -> x * y),"
-            " cast(0 as bigint), (a, p) -> a + p)"
-        ).alias("nn"),
-    )
-    byval = q.groupBy("label", "nn").agg(F.count(F.lit(1)).alias("cnt"))
-    wr = (
-        Window.partitionBy("label")
-        .orderBy("nn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wall = Window.partitionBy("label")
-    ranked = byval.select(
-        "label",
-        "nn",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    pick = lambda r: F.min(  # noqa: E731
-        F.when(
-            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
-            F.col("nn"),
-        )
-    )
-    lo = ((F.col("n") + 1) / 2).cast("long")
-    hi = (F.col("n") / 2 + 1).cast("long")
-    q1 = ((F.col("n") + 3) / 4).cast("long")
-    q3 = ((F.col("n") * 3 + 3) / 4).cast("long")
-    return ranked.groupBy("label").agg(
-        F.min("n").cast("long").alias("n_vecs"),
-        F.min("nn").cast("long").alias("min_nn"),
-        F.max("nn").cast("long").alias("max_nn"),
-        (pick(lo) + pick(hi)).cast("long").alias("med2_nn"),
-        pick(q1).cast("long").alias("q1_nn"),
-        pick(q3).cast("long").alias("q3_nn"),
-    )
-
-
-@query(
-    "curation_dup_rate_by_source",
-    oracle="""
-    WITH h AS (
-      SELECT source, md5(text) AS th FROM documents
-    ),
-    per AS (
-      SELECT source, th, CAST(count(*) AS BIGINT) AS n
-      FROM h GROUP BY source, th
-    )
-    SELECT source,
-           CAST(sum(n) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_distinct,
-           CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
-           round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 12)
-             AS dup_share
-    FROM per GROUP BY source
-    """,
-)
-def curation_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT-DUPLICATE RATE per source — the per-provider scorecard a
-    data-acquisition review reads before renewing a crawl contract
-    (a source shipping 40% redundant bytes is priced accordingly).
-    Content identity = md5(text); redundancy = docs − distinct
-    within the source. One content-hash groupBy + one source
-    rollup — both map-combinable; the share is one division, round
-    12. The within-source variant of dedup_exact's corpus census."""
-    d = load(spark, sf, "documents")
-    per = d.groupBy(
-        "source", F.md5(F.col("text").cast("binary")).alias("th")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return per.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_redundant"),
-        F.round(
-            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"),
-            12,
-        ).alias("dup_share"),
-    )
-
-
-@query(
-    "ts_missing_data_audit",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    zero AS (
-      SELECT event_type, day,
-             day - row_number() OVER (PARTITION BY event_type
-                                      ORDER BY day) AS island
-      FROM grid WHERE n = 0
-    ),
-    runs AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
-      FROM zero GROUP BY event_type, island
-    )
-    SELECT t.event_type,
-           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS zero_days,
-           CAST(coalesce(count(r.run_len), 0) AS BIGINT) AS n_gaps,
-           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_gap,
-           round(CAST(coalesce(sum(r.run_len), 0) AS DOUBLE) / 30, 12)
-             AS missing_share
-    FROM types t LEFT JOIN runs r ON r.event_type = t.event_type
-    GROUP BY t.event_type
-    """,
-)
-def ts_missing_data_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """MISSING-DATA audit on the per-type daily grids: zero-event
-    days, maximal zero runs (gaps-and-islands on the DENSE grid —
-    absence is only visible after zero-filling), and the longest
-    outage — the ingestion-health check every ts_* metric should be
-    gated on (a 'seasonality' with a 5-day hole is an outage, not a
-    pattern). Integers end to end; share divides by the fixed
-    30-day horizon."""
-    g = _daily_grid(spark, sf)
-    types = g.select("event_type").distinct()
-    wz = Window.partitionBy("event_type").orderBy("day")
-    zero = g.filter(F.col("n") == 0).select(
-        "event_type",
-        (F.col("day") - F.row_number().over(wz)).alias("island"),
-    )
-    runs = zero.groupBy("event_type", "island").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    agg = runs.groupBy("event_type").agg(
-        F.sum("run_len").alias("zero_days"),
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.max("run_len").alias("longest_gap"),
-    )
-    return (
-        types.join(agg, on="event_type", how="left")
-        .select(
-            "event_type",
-            F.coalesce("zero_days", F.lit(0)).cast("long").alias(
-                "zero_days"
-            ),
-            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
-            F.coalesce("longest_gap", F.lit(0)).cast("long").alias(
-                "longest_gap"
-            ),
-            F.round(
-                F.coalesce("zero_days", F.lit(0)).cast("double") / 30, 12
-            ).alias("missing_share"),
-        )
-    )
-
-
-@query(
-    "agg_linear_counting",
-    oracle="""
-    WITH b AS (
-      SELECT DISTINCT
-             CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
-                  * 256
-                  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
-                    * 16
-                  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
-               AS BIGINT) AS bucket
-      FROM documents
-    ),
-    c AS (
-      SELECT CAST(count(*) AS BIGINT) AS occupied,
-             CAST(4096 AS BIGINT) AS m
-      FROM b
-    ),
-    t AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
-            AS true_distinct FROM documents)
-    SELECT c.occupied, c.m, t.true_distinct,
-           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied)), 6)
-             AS lc_estimate,
-           round(c.m * ln(CAST(c.m AS DOUBLE) / (c.m - c.occupied))
-                 / t.true_distinct - 1, 12) AS rel_err
-    FROM c CROSS JOIN t
-    """,
-)
-def agg_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
-    """LINEAR COUNTING distinct estimate (Whang et al. 1990): hash
-    each text into m=4096 buckets, count occupied buckets z, and
-    estimate n̂ = m·ln(m/(m−z)) — the small-cardinality sketch that
-    beats HLL below ~m distinct values, and the HASH-VERIFIABLE
-    member of the sketch family (occupancy is deterministic, so
-    unlike agg_hll_mergeable this one carries a full value oracle).
-    Bucket = first 3 md5 hex digits (engine-portable integer
-    arithmetic); the occupancy census is one DISTINCT + COUNT —
-    map-combinable; the estimator (10³-magnitude — round 6, inside the
-    engine-round safety envelope) and its relative error vs the
-    exact distinct count are mirrored doubles."""
-    d = load(spark, sf, "documents")
-    hx = F.md5(F.col("text").cast("binary"))
-
-    def digit(i: int) -> F.Column:
-        return F.expr(
-            "instr('0123456789abcdef',"
-            f" substr(md5(cast(text as binary)), {i}, 1)) - 1"
-        )
-
-    bucket = (digit(1) * 256 + digit(2) * 16 + digit(3)).cast("long")
-    occ = d.select(bucket.alias("bucket")).distinct().agg(
-        F.count(F.lit(1)).alias("occupied")
-    )
-    tr = d.agg(F.countDistinct(hx).alias("true_distinct"))
-    c = occ.crossJoin(F.broadcast(tr)).select(
-        "occupied",
-        F.lit(4096).cast("long").alias("m"),
-        "true_distinct",
-    )
-    est = F.col("m") * F.log(
-        F.col("m").cast("double") / (F.col("m") - F.col("occupied"))
-    )
-    return c.select(
-        "occupied",
-        "m",
-        "true_distinct",
-        F.round(est, 6).alias("lc_estimate"),
-        F.round(est / F.col("true_distinct") - 1, 12).alias("rel_err"),
-    )
-
-
-@query(
-    "stats_sprt_ab_monitor",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS BIGINT) AS k,
-             CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    llr AS (
-      SELECT day, k, n,
-             sum(k * ln(0.35 / 0.30)
-                 + (n - k) * ln(0.65 / 0.70)) OVER (
-               ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_llr
-      FROM daily
-    )
-    SELECT day, k, n, round(cum_llr, 6) AS cum_llr,
-           CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
-                WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
-                ELSE 'continue' END AS decision
-    FROM llr
-    """,
-)
-def stats_sprt_ab_monitor(spark: SparkSession, sf: str) -> DataFrame:
-    """WALD SPRT sequential monitor: the cumulative log-likelihood
-    ratio of the daily purchase share among click∪purchase events,
-    testing H₀: p=0.30 vs H₁: p=0.35 with α=β=0.05 boundaries
-    ±ln 19 — the "can we stop the experiment early?" dashboard that
-    a fixed-horizon test (stats_ab_test_proportions) cannot answer
-    without peeking penalties. Daily (k, n) are exact integer
-    counts; each day adds k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) — constants'
-    logs — and the cumulative sum runs in DAY ORDER (a sequential
-    window fold, identical on both engines), round 6 (the LLR grows
-    with volume — high-precision rounds of large doubles are
-    engine-specific)."""
-    import math
-
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("day"), "event_type")
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day")
-        .agg(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("k"),
-            F.sum(
-                F.when(
-                    F.col("event_type").isin("purchase", "click"), 1
-                ).otherwise(0)
-            ).alias("n"),
-        )
-    )
-    wcum = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )  # 30-row aggregate — the tiny-window exception
-    term = F.col("k") * F.log(F.lit(0.35) / F.lit(0.30)) + (
-        F.col("n") - F.col("k")
-    ) * F.log(F.lit(0.65) / F.lit(0.70))
-    llr = daily.withColumn("cum_llr", F.sum(term).over(wcum))
-    bound = math.log(19.0)
-    return llr.select(
-        "day",
-        F.col("k").cast("long").alias("k"),
-        F.col("n").cast("long").alias("n"),
-        F.round("cum_llr", 6).alias("cum_llr"),
-        F.when(F.col("cum_llr") >= bound, "accept_h1")
-        .when(F.col("cum_llr") <= -bound, "accept_h0")
-        .otherwise("continue")
-        .alias("decision"),
-    )
-
-
-@query(
-    "curation_mixing_anneal",
-    oracle="""
-    WITH s AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source
-    ),
-    epochs AS (SELECT CAST(range AS BIGINT) AS epoch FROM range(0, 5)),
-    p AS (
-      SELECT e.epoch, s.source, s.n_docs,
-             pow(CAST(s.n_docs AS DOUBLE), 1.0 - 0.125 * e.epoch) AS w
-      FROM s CROSS JOIN epochs e
-    ),
-    z AS (
-      SELECT epoch,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(w))), (a, v) -> a + v) AS zsum
-      FROM p GROUP BY epoch
-    )
-    SELECT p.epoch, p.source, p.n_docs,
-           round(p.w / z.zsum, 12) AS mix_weight
-    FROM p JOIN z USING (epoch)
-    """,
-)
-def curation_mixing_anneal(spark: SparkSession, sf: str) -> DataFrame:
-    """ANNEALED DATA-MIXING schedule: per training epoch e∈0..4 the
-    per-source sampling weight w_s ∝ n_s^α(e) with α annealing
-    1 → 0.5 — the standard "start proportional, end square-root
-    rebalanced" curriculum that keeps big sources from drowning the
-    mix late in training. Counts are exact; the pow/normalize chain
-    is mirrored doubles with the per-epoch normalizer folded
-    smallest-first (sorted-fold), round 12. The source table is tiny
-    — the one corpus-sized cost is the count scan."""
-    d = load(spark, sf, "documents")
-    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    epochs = spark.range(5).select(F.col("id").alias("epoch"))
-    p = src.crossJoin(F.broadcast(epochs)).select(
-        "epoch",
-        "source",
-        "n_docs",
-        F.pow(
-            F.col("n_docs").cast("double"),
-            1.0 - 0.125 * F.col("epoch"),
-        ).alias("w"),
-    )
-    z = p.groupBy("epoch").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("w")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ).alias("zsum")
-    )
-    return p.join(F.broadcast(z), on="epoch").select(
-        "epoch",
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.round(F.col("w") / F.col("zsum"), 12).alias("mix_weight"),
-    )
-
-
-@query(
-    "olap_customer_hhi",
-    oracle="""
-    WITH rev AS (
-      SELECT c.c_nationkey, o.o_custkey,
-             CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
-               AS dollars
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_nationkey, o.o_custkey
-    ),
-    g AS (
-      SELECT c_nationkey,
-             CAST(count(*) AS BIGINT) AS n_customers,
-             CAST(sum(dollars) AS BIGINT) AS total_dollars,
-             CAST(sum(dollars * dollars) AS BIGINT) AS sum_sq
-      FROM rev GROUP BY c_nationkey
-    )
-    SELECT c_nationkey, n_customers, total_dollars,
-           round(CAST(sum_sq AS DOUBLE)
-                 / (CAST(total_dollars AS DOUBLE)
-                    * CAST(total_dollars AS DOUBLE)), 12) AS hhi,
-           round((CAST(sum_sq AS DOUBLE)
-                  / (CAST(total_dollars AS DOUBLE)
-                     * CAST(total_dollars AS DOUBLE))
-                  - 1.0 / n_customers)
-                 / (1 - 1.0 / n_customers), 12) AS hhi_normalized
-    FROM g WHERE n_customers > 1
-    """,
-)
-def olap_customer_hhi(spark: SparkSession, sf: str) -> DataFrame:
-    """HERFINDAHL–HIRSCHMAN concentration of order revenue across
-    customers, per nation: HHI = Σ shareᵢ² = Σdᵢ²/(Σdᵢ)² — the
-    antitrust-style "is this market a few whales?" number that
-    complements the Gini/Lorenz family (HHI weights the head, Gini
-    the whole curve). Whole-dollar revenue keeps Σd² inside int64
-    at any realistic scale (cents² would overflow); both HHI and
-    its 1/n-floor-normalized variant are mirrored doubles over
-    exact integers, round 12. Customer dim broadcasts; two stacked
-    map-combinable aggregates."""
-    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey", "o_custkey")
-        .agg(
-            F.sum(F.round("o_totalprice").cast("long")).alias("dollars")
-        )
-    )
-    g = rev.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("dollars").alias("total_dollars"),
-        F.sum(F.col("dollars") * F.col("dollars")).alias("sum_sq"),
-    )
-    hhi = F.col("sum_sq").cast("double") / (
-        F.col("total_dollars").cast("double")
-        * F.col("total_dollars").cast("double")
-    )
-    return g.filter(F.col("n_customers") > 1).select(
-        "c_nationkey",
-        "n_customers",
-        F.col("total_dollars").cast("long").alias("total_dollars"),
-        F.round(hhi, 12).alias("hhi"),
-        F.round(
-            (hhi - 1.0 / F.col("n_customers"))
-            / (1 - 1.0 / F.col("n_customers")),
-            12,
-        ).alias("hhi_normalized"),
-    )
-
-
-@query(
-    "olap_return_rate_by_brand",
-    oracle="""
-    WITH li AS (
-      SELECT p.p_brand,
-             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    ),
-    g AS (
-      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
-             CAST(sum(ret) AS BIGINT) AS n_returns
-      FROM li GROUP BY p_brand
-    ),
-    w AS (
-      SELECT p_brand, n_lines, n_returns,
-             CAST(n_returns AS DOUBLE) / n_lines AS p,
-             1.96 * 1.96 AS z2
-      FROM g
-    )
-    SELECT p_brand, n_lines, n_returns,
-           round(p, 12) AS return_rate,
-           round((p + z2 / (2 * n_lines)
-                  - 1.96 * sqrt(p * (1 - p) / n_lines
-                                + z2 / (4.0 * n_lines * n_lines)))
-                 / (1 + z2 / n_lines), 12) AS wilson_low,
-           round((p + z2 / (2 * n_lines)
-                  + 1.96 * sqrt(p * (1 - p) / n_lines
-                                + z2 / (4.0 * n_lines * n_lines)))
-                 / (1 + z2 / n_lines), 12) AS wilson_high
-    FROM w
-    """,
-)
-def olap_return_rate_by_brand(spark: SparkSession, sf: str) -> DataFrame:
-    """RETURN RATE per brand with the Wilson 95% interval — the
-    supplier-quality scorecard that never ranks a 3-line brand above
-    a 3000-line one on a lucky streak (the Wilson lower bound is the
-    honest sort key; a raw rate is not). Counts are exact; the
-    rate and interval are the mirrored Wilson expression over them,
-    round 12. Brand dim broadcasts into the fact scan; one
-    map-combinable aggregate."""
-    li = load(spark, sf, "lineitem").select("l_partkey", "l_returnflag")
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    g = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("n_returns"),
-        )
-    )
-    pr = F.col("n_returns").cast("double") / F.col("n_lines")
-    z2 = 1.96 * 1.96
-    n = F.col("n_lines")
-    half = 1.96 * F.sqrt(
-        pr * (1 - pr) / n + z2 / (4.0 * n * n)
-    )
-    return g.select(
-        "p_brand",
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("n_returns").cast("long").alias("n_returns"),
-        F.round(pr, 12).alias("return_rate"),
-        F.round((pr + z2 / (2 * n) - half) / (1 + z2 / n), 12).alias(
-            "wilson_low"
-        ),
-        F.round((pr + z2 / (2 * n) + half) / (1 + z2 / n), 12).alias(
-            "wilson_high"
-        ),
-    )
-
-
-@query(
-    "text_log_odds_terms",
-    oracle="""
-    WITH tok AS (
-      SELECT source,
-             unnest(string_split_regex(trim(text), '\\s+')) AS term
-      FROM documents
-    ),
-    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
-          FROM tok GROUP BY source, term),
-    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s
-           FROM c GROUP BY source),
-    cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_w
-           FROM c GROUP BY term),
-    nt AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
-                  CAST(count(DISTINCT term) AS BIGINT) AS vocab
-           FROM c),
-    scored AS (
-      SELECT c.source, c.term, c.n,
-             ln(CAST(2 * c.n + 1 AS DOUBLE)
-                / (2 * (ts.tot_s - c.n) + nt.vocab))
-             - ln(CAST(2 * (cw.n_w - c.n) + 1 AS DOUBLE)
-                  / (2 * (nt.tot - ts.tot_s - (cw.n_w - c.n))
-                     + nt.vocab)) AS log_odds
-      FROM c
-      JOIN ts USING (source)
-      JOIN cw USING (term)
-      CROSS JOIN nt
-    )
-    SELECT source, rnk, term, n, round(log_odds, 12) AS log_odds
-    FROM (
-      SELECT source, term, n, log_odds,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY log_odds DESC, term ASC) AS rnk
-      FROM scored
-    )
-    WHERE rnk <= 3
-    """,
-)
-def text_log_odds_terms(spark: SparkSession, sf: str) -> DataFrame:
-    """SIGNATURE TERMS per source by smoothed LOG-ODDS (the Monroe
-    et al. "fightin' words" device with a flat +½ prior): which
-    words does this source use disproportionately vs the REST of
-    the corpus? — the per-provider fingerprint a mixing dashboard
-    shows next to KL/JS scalars. Each score is
-    ln((2n+1)/(2(rest_in)+V)) − ln((2n_out+1)/(2(rest_out)+V)) with
-    every argument an exact integer (halves cleared by doubling),
-    so the only float step is two ln calls and a subtract, round 12.
-    Top-3 per source via a source-keyed rank window (groups are
-    sources — the window is distributed on them)."""
-    d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
-    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
-    ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
-    cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
-    nt = c.agg(
-        F.sum("n").alias("tot"),
-        F.countDistinct("term").alias("vocab"),
-    )
-    n_out = F.col("n_w") - F.col("n")
-    scored = (
-        c.join(ts_, on="source")
-        .join(cw, on="term")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "source",
-            "term",
-            "n",
-            (
-                F.log(
-                    (2 * F.col("n") + 1).cast("double")
-                    / (2 * (F.col("tot_s") - F.col("n")) + F.col("vocab"))
-                )
-                - F.log(
-                    (2 * n_out + 1).cast("double")
-                    / (
-                        2
-                        * (
-                            F.col("tot")
-                            - F.col("tot_s")
-                            - n_out
-                        )
-                        + F.col("vocab")
-                    )
-                )
-            ).alias("log_odds"),
-        )
-    )
-    wr = Window.partitionBy("source").orderBy(
-        F.col("log_odds").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 3)
-        .select("source", "rnk", "term", "n",
-                F.round("log_odds", 12).alias("log_odds"))
-    )
-
-
-@query(
-    "stats_negbin_fit",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    m AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(n) AS BIGINT) AS s,
-             CAST(sum(n * n) AS BIGINT) AS q
-      FROM grid GROUP BY event_type
-    ),
-    f AS (
-      SELECT event_type, n_days, s, q,
-             CAST(s AS DOUBLE) / n_days AS mean,
-             (CAST(q AS DOUBLE)
-              - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1) AS var
-      FROM m
-    )
-    SELECT event_type, n_days,
-           round(mean, 12) AS mean,
-           round(var, 12) AS variance,
-           CASE WHEN var > mean
-                THEN round(mean * mean / (var - mean), 12) END AS nb_r,
-           CASE WHEN var > mean
-                THEN round(mean / var, 12) END AS nb_p,
-           var > mean AS overdispersed
-    FROM f
-    """,
-)
-def stats_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
-    """NEGATIVE-BINOMIAL method-of-moments fit per event type on the
-    dense daily grids: r = m²/(v−m), p = m/v — the parametric
-    companion to ts_overdispersion_index (the index says "not
-    Poisson"; the NB fit says what to use instead — the dispersion
-    parameter every anomaly threshold and forecast interval needs).
-    Exact BIGINT Σn/Σn² per type; mean/var/r/p mirrored doubles,
-    round 12; types with v ≤ m honestly report NULL (NB undefined)
-    instead of a garbage negative r."""
-    g = _daily_grid(spark, sf)
-    m = g.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("n").alias("s"),
-        F.sum(F.col("n") * F.col("n")).alias("q"),
-    )
-    mean = F.col("s").cast("double") / F.col("n_days")
-    var = (
-        F.col("q").cast("double")
-        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
-    ) / (F.col("n_days") - 1)
-    return m.select(
-        "event_type",
-        F.col("n_days").cast("long").alias("n_days"),
-        F.round(mean, 12).alias("mean"),
-        F.round(var, 12).alias("variance"),
-        F.when(var > mean, F.round(mean * mean / (var - mean), 12)).alias(
-            "nb_r"
-        ),
-        F.when(var > mean, F.round(mean / var, 12)).alias("nb_p"),
-        (var > mean).alias("overdispersed"),
-    )
-
-
-@query(
-    "emb_intrinsic_dim_twonn",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, a.label AS qlab,
-             b.vec_id AS nid, b.label AS nlab,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    ),
-    d1 AS (
-      SELECT qid, CAST(min(d2) AS BIGINT) AS r1
-      FROM pairs GROUP BY qid
-    ),
-    d2nd AS (
-      SELECT p.qid, CAST(min(p.d2) AS BIGINT) AS r2
-      FROM pairs p JOIN d1 ON d1.qid = p.qid
-      WHERE p.d2 > d1.r1
-      GROUP BY p.qid
-    ),
-    terms AS (
-      SELECT d1.qid,
-             0.5 * ln(CAST(d2nd.r2 AS DOUBLE) / d1.r1) AS mu
-      FROM d1 JOIN d2nd ON d2nd.qid = d1.qid
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
-           round(count(*) / list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_sort(list(mu))), (a, v) -> a + v), 12)
-             AS intrinsic_dim
-    FROM terms
-    """,
-)
-def emb_intrinsic_dim_twonn(spark: SparkSession, sf: str) -> DataFrame:
-    """TwoNN INTRINSIC DIMENSION (Facco et al. 2017): d̂ = n / Σ ln(
-    r₂/r₁) over the first/second-neighbor distance ratios of the
-    100-anchor sample — the "how many dimensions does this manifold
-    REALLY use?" estimate that tells you whether 64-d embeddings are
-    index-able at 8 (cf. emb_matryoshka_recall / emb_dim_collapse,
-    which ask narrower versions). Squared distances cancel into the
-    ratio (ln√(d₂²/d₁²) = ½ln(d₂²/d₁²)), so every ln argument is a
-    ratio of EXACT int64s; r₂ is the smallest distance strictly
-    above r₁ (value-level, tie-safe); terms fold smallest-first,
-    round 12. Two map-combinable MIN passes over the broadcast-
-    sample pair stream."""
-    pairs = _sample_pairs(spark, sf)
-    pairs = pairs.localCheckpoint(eager=False)  # consumed twice
-    d1 = pairs.groupBy("qid").agg(F.min("d2").alias("r1"))
-    d2nd = (
-        pairs.join(F.broadcast(d1), on="qid")
-        .filter(F.col("d2") > F.col("r1"))
-        .groupBy("qid")
-        .agg(F.min("d2").alias("r2"))
-    )
-    terms = d1.join(F.broadcast(d2nd), on="qid").select(
-        (
-            0.5
-            * F.log(F.col("r2").cast("double") / F.col("r1"))
-        ).alias("mu")
-    )
-    return terms.agg(
-        F.count(F.lit(1)).alias("n_anchors"),
-        F.round(
-            F.count(F.lit(1))
-            / F.aggregate(
-                F.array_sort(F.collect_list("mu")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ),
-            12,
-        ).alias("intrinsic_dim"),
-    ).select(
-        F.col("n_anchors").cast("long").alias("n_anchors"),
-        "intrinsic_dim",
-    )
-
-
-@query(
-    "stats_markov_transitions",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
-      FROM events
-    ),
-    c AS (
-      SELECT prev AS from_type, event_type AS to_type,
-             CAST(count(*) AS BIGINT) AS n
-      FROM seq WHERE prev IS NOT NULL
-      GROUP BY prev, event_type
-    ),
-    tot AS (
-      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
-      FROM c GROUP BY from_type
-    )
-    SELECT c.from_type, c.to_type, c.n, t.row_total,
-           round(CAST(c.n AS DOUBLE) / t.row_total, 12) AS p
-    FROM c JOIN tot t USING (from_type)
-    """,
-)
-def stats_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
-    """FIRST-ORDER MARKOV transition matrix over each user's event
-    stream (ts order, event_id tiebreak): P(next=j | current=i) —
-    the behavioral fingerprint behind session simulators, anomaly
-    detectors ("error→error loops"), and next-action models. One
-    lag window per user (the sessionization shuffle), one pair
-    count, one row-normalize; counts exact, probabilities one
-    division, round 12. The 5×5 output is tiny however large the
-    stream."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev")
-    ).filter(F.col("prev").isNotNull())
-    c = seq.groupBy(
-        F.col("prev").alias("from_type"),
-        F.col("event_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
-    return c.join(F.broadcast(tot), on="from_type").select(
-        "from_type",
-        "to_type",
-        F.col("n").cast("long").alias("n"),
-        F.col("row_total").cast("long").alias("row_total"),
-        F.round(
-            F.col("n").cast("double") / F.col("row_total"), 12
-        ).alias("p"),
-    )
-
-
-@query(
-    "graph_degree_ccdf",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS s FROM edges UNION ALL SELECT dst FROM edges),
-    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY s),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-    buckets AS (
-      SELECT CAST(floor(ln(CAST(d AS DOUBLE)) / ln(2.0)) AS BIGINT)
-               AS log2_bucket,
-             CAST(count(*) AS BIGINT) AS n_in_bucket
-      FROM deg GROUP BY 1
-    ),
-    cum AS (
-      SELECT log2_bucket, n_in_bucket,
-             sum(n_in_bucket) OVER (
-               ORDER BY log2_bucket DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS n_at_least
-      FROM buckets
-    )
-    SELECT c.log2_bucket, c.n_in_bucket,
-           CAST(c.n_at_least AS BIGINT) AS n_at_least,
-           round(CAST(c.n_at_least AS DOUBLE) / t.n_nodes, 12) AS ccdf
-    FROM cum c CROSS JOIN tot t
-    """,
-)
-def graph_degree_ccdf(spark: SparkSession, sf: str) -> DataFrame:
-    """LOG-BINNED DEGREE CCDF of the co-occurrence graph: per
-    power-of-two degree bucket, how many nodes sit AT OR ABOVE it —
-    the straight-line-on-log-log plot that diagnoses a power-law
-    tail (and therefore whether skew remedies like salting are
-    needed at all; pairs with stats_hill_tail_estimator, which fits
-    the word-frequency tail the same way). Bucket = ⌊log₂ d⌋; the
-    descending cumulative runs over the ≤~40-bucket table (tiny
-    window by construction); counts exact, CCDF one division,
-    round 12."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    deg = gr.degrees(e)
-    tot = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    buckets = deg.groupBy(
-        F.floor(F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0)))
-        .cast("long")
-        .alias("log2_bucket")
-    ).agg(F.count(F.lit(1)).alias("n_in_bucket"))
-    wcum = Window.orderBy(F.col("log2_bucket").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )  # ≤ ~40 buckets — the tiny-window exception
-    cum = buckets.withColumn(
-        "n_at_least", F.sum("n_in_bucket").over(wcum)
-    )
-    return cum.crossJoin(F.broadcast(tot)).select(
-        "log2_bucket",
-        "n_in_bucket",
-        F.col("n_at_least").cast("long").alias("n_at_least"),
-        F.round(
-            F.col("n_at_least").cast("double") / F.col("n_nodes"), 12
-        ).alias("ccdf"),
-    )
-
-
-@query(
-    "curation_pii_scrub_census",
-    oracle="""
-    WITH seeded AS (
-      SELECT doc_id, source,
-             CASE
-               WHEN doc_id % 7 = 0 THEN
-                 text || ' contact user' || CAST(doc_id AS VARCHAR)
-                      || '@example.com now'
-               WHEN doc_id % 11 = 0 THEN
-                 text || ' call 555-' || CAST(1000 + doc_id % 9000
-                                              AS VARCHAR) || ' today'
-               ELSE text
-             END AS text
-      FROM documents
-    ),
-    scrubbed AS (
-      SELECT doc_id, source,
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-               '555-[0-9]{4}', '<PHONE>', 'g') AS clean,
-             len(regexp_extract_all(text,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS n_emails,
-             len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones
-      FROM seeded
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
-             AS BIGINT) AS docs_with_pii,
-           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
-           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
-           CAST(sum(CASE WHEN contains(clean, '@') THEN 1 ELSE 0 END)
-             AS BIGINT) AS residual_at_signs,
-           CAST(sum(len(md5(clean))) AS BIGINT) AS clean_md5_len_sum
-    FROM scrubbed GROUP BY source
-    """,
-)
-def curation_pii_scrub_census(spark: SparkSession, sf: str) -> DataFrame:
-    """PII SCRUB + census — the redaction pass every training-data
-    pipeline legally needs: emails and (seeded) phone patterns are
-    replaced by tags, and the per-source report counts documents
-    touched, redactions by kind, and RESIDUALS (any '@' left after
-    scrubbing is a pattern-escape bug — must be 0). The fixture
-    injects deterministic PII (doc_id-derived addresses on id%7,
-    phone stubs on id%11) so both engines see identical positives;
-    the md5-length checksum of the scrubbed text pins that the
-    replacement text itself matches byte-for-byte. Pure JVM regex
-    column expressions (backreference-free by the cross-engine
-    rule), one scan, one aggregate."""
-    d = load(spark, sf, "documents").select("doc_id", "source", "text")
-    seeded = d.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" call 555-"),
-                (1000 + F.col("doc_id") % 9000).cast("string"),
-                F.lit(" today"),
-            ),
-        )
-        .otherwise(F.col("text")),
-    )
-    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
-    phone_re = "555-[0-9]{4}"
-    scrubbed = seeded.select(
-        "source",
-        F.regexp_replace(
-            F.regexp_replace("text", email_re, "<EMAIL>"),
-            phone_re,
-            "<PHONE>",
-        ).alias("clean"),
-        F.size(
-            F.expr(f"regexp_extract_all(text, '{email_re}', 0)")
-        ).alias("n_emails"),
-        F.size(
-            F.expr(f"regexp_extract_all(text, '{phone_re}', 0)")
-        ).alias("n_phones"),
-    )
-    return scrubbed.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(
-                0
-            )
-        )
-        .cast("long")
-        .alias("docs_with_pii"),
-        F.sum("n_emails").cast("long").alias("emails_redacted"),
-        F.sum("n_phones").cast("long").alias("phones_redacted"),
-        F.sum(
-            F.when(F.col("clean").contains("@"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("residual_at_signs"),
-        F.sum(F.length(F.md5(F.col("clean").cast("binary"))))
-        .cast("long")
-        .alias("clean_md5_len_sum"),
-    )
-
-
-@query(
-    "curation_funnel_report",
-    oracle="""
-    WITH s0 AS (SELECT doc_id, text, n_chars FROM documents),
-    s1 AS (SELECT * FROM s0 WHERE n_chars >= 100),
-    s2 AS (
-      SELECT * FROM s1
-      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
-                t -> t IN ('the','a','an','of','and','to','in','is',
-                           'it','that'))) >= 1
-    ),
-    s3 AS (
-      SELECT min(doc_id) AS doc_id
-      FROM s2 GROUP BY md5(text)
-    ),
-    counts AS (
-      SELECT 0 AS stage, 'raw' AS name,
-             (SELECT CAST(count(*) AS BIGINT) FROM s0) AS docs
-      UNION ALL
-      SELECT 1, 'length_gate',
-             (SELECT CAST(count(*) AS BIGINT) FROM s1)
-      UNION ALL
-      SELECT 2, 'stopword_gate',
-             (SELECT CAST(count(*) AS BIGINT) FROM s2)
-      UNION ALL
-      SELECT 3, 'exact_dedup',
-             (SELECT CAST(count(*) AS BIGINT) FROM s3)
-    )
-    SELECT CAST(stage AS BIGINT) AS stage, name, docs,
-           CAST(docs - lead(docs) OVER (ORDER BY stage) AS BIGINT)
-             AS removed_next,
-           round(CAST(docs AS DOUBLE)
-                 / first_value(docs) OVER (ORDER BY stage), 12)
-             AS survival_rate
-    FROM counts
-    """,
-)
-def curation_funnel_report(spark: SparkSession, sf: str) -> DataFrame:
-    """CURATION FUNNEL report — the one-page artifact a data run
-    ships: raw → length gate (n_chars ≥ 100) → stopword gate (≥ 1
-    English function word) → exact dedup (min-id canonical), with
-    per-stage survivors, removals, and survival rate. Each stage is
-    the REAL operator the catalog exposes individually (quality
-    gates, content-hash dedup); this query composes them and pins
-    the composition end-to-end. All counts exact; the 4-row funnel
-    window is constant-sized."""
-    from ..functions.text import STOPWORDS, stopword_hits, tokens
-
-    d = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
-    d = d.localCheckpoint(eager=False)  # 3 stage counts share the scan
-    s1 = d.filter(F.col("n_chars") >= 100)
-    s2 = s1.filter(stopword_hits(tokens("text"), STOPWORDS["en"]) >= 1)
-    s3 = s2.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    rows = [
-        (0, "raw", d),
-        (1, "length_gate", s1),
-        (2, "stopword_gate", s2),
-        (3, "exact_dedup", s3),
-    ]
-    counts = None
-    for stage, name, df in rows:
-        c = df.agg(F.count(F.lit(1)).alias("docs")).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("name"),
-            F.col("docs").cast("long").alias("docs"),
-        )
-        counts = c if counts is None else counts.unionByName(c)
-    wlead = Window.orderBy("stage")  # 4 rows — constant-sized window
-    return counts.select(
-        "stage",
-        "name",
-        "docs",
-        (F.col("docs") - F.lead("docs").over(wlead))
-        .cast("long")
-        .alias("removed_next"),
-        F.round(
-            F.col("docs").cast("double")
-            / F.first("docs").over(
-                wlead.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-            12,
-        ).alias("survival_rate"),
-    )
-
-
-@query(
-    "olap_order_linecount_profile",
-    oracle="""
-    WITH per AS (
-      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
-      FROM lineitem GROUP BY l_orderkey
-    )
-    SELECT n_lines,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(count(*)) OVER (ORDER BY n_lines
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS cum_orders,
-           round(CAST(count(*) AS DOUBLE)
-                 / sum(count(*)) OVER (), 12) AS share
-    FROM per GROUP BY n_lines
-    """,
-)
-def olap_order_linecount_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """ORDER-SIZE histogram: the distribution of line counts per
-    order with cumulative counts and shares — the fan-out profile
-    that sizes every orderkey-keyed shuffle (a J5-style fan-out
-    join's cost is exactly this histogram's tail). One groupBy on
-    the fact + one histogram aggregate; the cumulative window runs
-    over the ≤7-row histogram (TPC-H orders carry 1-7 lines)."""
-    li = load(spark, sf, "lineitem").select("l_orderkey")
-    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
-    hist = per.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
-    wcum = Window.orderBy("n_lines").rowsBetween(
-        Window.unboundedPreceding, 0
-    )  # histogram-sized window (≤7 rows)
-    wall = Window.partitionBy()
-    return hist.select(
-        F.col("n_lines").cast("long").alias("n_lines"),
-        "n_orders",
-        F.sum("n_orders").over(wcum).cast("long").alias("cum_orders"),
-        F.round(
-            F.col("n_orders").cast("double")
-            / F.sum("n_orders").over(wall),
-            12,
-        ).alias("share"),
-    )
-
-
-@query(
-    "ts_diff_in_diff",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    cells AS (
-      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS treated,
-             CASE WHEN day >= 15 THEN 1 ELSE 0 END AS post,
-             CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(n) AS BIGINT) AS s
-      FROM grid WHERE event_type IN ('click', 'view')
-      GROUP BY 1, 2
-    ),
-    m AS (
-      SELECT
-        min(CASE WHEN treated = 1 AND post = 0
-                 THEN CAST(s AS DOUBLE) / n_days END) AS t_pre,
-        min(CASE WHEN treated = 1 AND post = 1
-                 THEN CAST(s AS DOUBLE) / n_days END) AS t_post,
-        min(CASE WHEN treated = 0 AND post = 0
-                 THEN CAST(s AS DOUBLE) / n_days END) AS c_pre,
-        min(CASE WHEN treated = 0 AND post = 1
-                 THEN CAST(s AS DOUBLE) / n_days END) AS c_post
-      FROM cells
-    )
-    SELECT round(t_pre, 12) AS treated_pre_mean,
-           round(t_post, 12) AS treated_post_mean,
-           round(c_pre, 12) AS control_pre_mean,
-           round(c_post, 12) AS control_post_mean,
-           round((t_post - t_pre) - (c_post - c_pre), 12) + 0.0
-             AS did_estimate,
-           round((t_post - t_pre), 12) + 0.0 AS naive_estimate
-    FROM m
-    """,
-)
-def ts_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
-    """DIFFERENCE-IN-DIFFERENCES on the daily grids: clicks as the
-    "treated" series, views as the control, intervention pinned at
-    day 15 — DiD = (T̄post − T̄pre) − (C̄post − C̄pre), the causal
-    estimate that survives a level shift both series share (reported
-    next to the naive before/after delta it corrects). The four
-    cell means are exact-integer sums over the dense grid divided
-    once in IEEE doubles; the estimate is their mirrored
-    combination, round 12. One grid aggregate — constant output."""
-    g = _daily_grid(spark, sf)
-    cells = (
-        g.filter(F.col("event_type").isin("click", "view"))
-        .groupBy(
-            F.when(F.col("event_type") == "click", 1)
-            .otherwise(0)
-            .alias("treated"),
-            F.when(F.col("day") >= 15, 1).otherwise(0).alias("post"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.sum("n").alias("s"),
-        )
-    )
-    mean = F.col("s").cast("double") / F.col("n_days")
-    pick = lambda t, p: F.min(  # noqa: E731
-        F.when((F.col("treated") == t) & (F.col("post") == p), mean)
-    )
-    m = cells.agg(
-        pick(1, 0).alias("t_pre"),
-        pick(1, 1).alias("t_post"),
-        pick(0, 0).alias("c_pre"),
-        pick(0, 1).alias("c_post"),
-    )
-    return m.select(
-        F.round("t_pre", 12).alias("treated_pre_mean"),
-        F.round("t_post", 12).alias("treated_post_mean"),
-        F.round("c_pre", 12).alias("control_pre_mean"),
-        F.round("c_post", 12).alias("control_post_mean"),
-        (
-            F.round(
-                (F.col("t_post") - F.col("t_pre"))
-                - (F.col("c_post") - F.col("c_pre")),
-                12,
-            )
-            + 0.0  # +0.0 collapses IEEE −0.0 (engines disagree)
-        ).alias("did_estimate"),
-        (F.round(F.col("t_post") - F.col("t_pre"), 12) + 0.0).alias(
-            "naive_estimate"
-        ),
-    )
-
-
-@query(
-    "text_oov_rate",
-    oracle="""
-    WITH tok AS (
-      SELECT source,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS f
-           FROM tok GROUP BY w),
-    vocab AS (
-      SELECT w FROM cw ORDER BY f DESC, w ASC LIMIT 20
-    ),
-    marked AS (
-      SELECT t.source, t.w,
-             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
-      FROM tok t LEFT JOIN vocab v ON v.w = t.w
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS tokens,
-           CAST(sum(oov) AS BIGINT) AS oov_tokens,
-           round(CAST(sum(oov) AS DOUBLE) / count(*), 12) AS oov_rate
-    FROM marked GROUP BY source
-    """,
-)
-def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """OUT-OF-VOCABULARY rate per source against the corpus's top-20
-    token vocabulary — the tokenizer-budget question ("how much of
-    each source does a K-entry vocab actually cover?") that decides
-    vocab size before a BPE train (bpe.py) is even run. Vocabulary =
-    TakeOrdered top-20 by frequency (broadcast); OOV marking is one
-    broadcast left join over the token stream; counts exact, rate
-    one division, round 12."""
-    d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("w"))
-    tok = tok.localCheckpoint(eager=False)  # counted + marked
-    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    vocab = (
-        cw.orderBy(F.col("f").desc(), F.col("w").asc())
-        .limit(20)
-        .select("w", F.lit(1).alias("in_vocab"))
-    )
-    marked = tok.join(F.broadcast(vocab), on="w", how="left")
-    return marked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("tokens"),
-        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("oov_tokens"),
-        F.round(
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            .cast("double")
-            / F.count(F.lit(1)),
-            12,
-        ).alias("oov_rate"),
-    )
-
-
-@query(
-    "stats_mcnemar_test",
-    oracle="""
-    WITH flags AS (
-      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
-             CASE WHEN len(list_filter(
-                    string_split_regex(trim(text), '\\s+'),
-                    t -> t IN ('the','a','an','of','and','to','in','is',
-                               'it','that'))) >= 3
-                  THEN 1 ELSE 0 END AS rb
-      FROM documents
-    ),
-    c AS (
-      SELECT CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
-             CAST(sum((1 - ra) * rb) AS BIGINT) AS c
-      FROM flags
-    )
-    SELECT b, c,
-           CAST((b - c) * (b - c) AS BIGINT) AS chi2_num,
-           CAST(b + c AS BIGINT) AS chi2_den,
-           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 12)
-             AS mcnemar_chi2,
-           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
-                 / (b + c), 12) AS mcnemar_chi2_cc,
-           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841
-             AS significant_05
-    FROM c
-    """,
-)
-def stats_mcnemar_test(spark: SparkSession, sf: str) -> DataFrame:
-    """McNEMAR'S paired test on the two quality raters of
-    stats_cohens_kappa (length gate vs stopword gate): does one gate
-    systematically fire where the other doesn't? Only the DISCORDANT
-    cells matter — χ² = (b−c)²/(b+c) (plus the continuity-corrected
-    variant) — which is why this pairs with kappa: kappa says "how
-    much agreement", McNemar says "is the DISagreement biased one
-    way". Numerator and denominator are exact BIGINTs; the two χ²
-    forms are mirrored doubles, round 12; significance compares
-    against the χ²₁ 95% critical value 3.841."""
-    from ..functions.text import STOPWORDS, stopword_hits, tokens
-
-    d = load(spark, sf, "documents")
-    ra = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
-    rb = F.when(
-        stopword_hits(tokens("text"), STOPWORDS["en"]) >= 3, 1
-    ).otherwise(0)
-    c = d.select(ra.alias("ra"), rb.alias("rb")).agg(
-        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("b"),
-        F.sum((1 - F.col("ra")) * F.col("rb")).alias("c"),
-    )
-    diff2 = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
-    chi2 = diff2.cast("double") / (F.col("b") + F.col("c"))
-    cc = (F.abs(F.col("b") - F.col("c")) - 1)
-    return c.select(
-        F.col("b").cast("long").alias("b"),
-        F.col("c").cast("long").alias("c"),
-        diff2.cast("long").alias("chi2_num"),
-        (F.col("b") + F.col("c")).cast("long").alias("chi2_den"),
-        F.round(chi2, 12).alias("mcnemar_chi2"),
-        F.round(
-            (cc * cc).cast("double") / (F.col("b") + F.col("c")), 12
-        ).alias("mcnemar_chi2_cc"),
-        (chi2 > 3.841).alias("significant_05"),
-    )
-
-
-@query(
-    "olap_cohort_ltv_curve",
-    oracle="""
-    WITH first AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort
-      FROM events GROUP BY user_id
-    ),
-    purch AS (
-      SELECT f.cohort,
-             CAST(datediff('week', f.cohort, date_trunc('week', e.ts))
-               AS BIGINT) AS week_n,
-             CAST(round(e.value * 100) AS BIGINT) AS cents
-      FROM events e JOIN first f ON e.user_id = f.user_id
-      WHERE e.event_type = 'purchase'
-    ),
-    size_ AS (
-      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
-      FROM first GROUP BY cohort
-    ),
-    weekly AS (
-      SELECT cohort, week_n,
-             CAST(sum(cents) AS BIGINT) AS week_cents
-      FROM purch GROUP BY cohort, week_n
-    )
-    SELECT w.cohort, w.week_n, s.cohort_users, w.week_cents,
-           CAST(sum(w.week_cents) OVER (
-             PARTITION BY w.cohort ORDER BY w.week_n
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS cum_cents,
-           round(CAST(sum(w.week_cents) OVER (
-                   PARTITION BY w.cohort ORDER BY w.week_n
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE) / (100.0 * s.cohort_users), 12)
-             AS ltv_per_user
-    FROM weekly w JOIN size_ s USING (cohort)
-    """,
-)
-def olap_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """COHORT LTV CURVE — cumulative purchase revenue per first-seen-
-    week cohort, by weeks-since-acquisition, normalized per cohort
-    user: the payback-period chart next to cohort_retention's
-    activity matrix (retention says users came back; LTV says what
-    that was worth). Integer cents throughout; the cumulative window
-    is per-cohort over ≤ a-handful-of-weeks rows; cohort sizes
-    broadcast. Same two-touch shuffle shape as cohort_retention."""
-    e = load(spark, sf, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    first = first.localCheckpoint(eager=False)  # consumed twice
-    purch = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(first, on="user_id")
-        .select(
-            "cohort",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")), F.col("cohort")
-                )
-                / 7
-            )
-            .cast("long")
-            .alias("week_n"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-    )
-    size_ = first.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("cohort_users")
-    )
-    weekly = purch.groupBy("cohort", "week_n").agg(
-        F.sum("cents").alias("week_cents")
-    )
-    wcum = (
-        Window.partitionBy("cohort")
-        .orderBy("week_n")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        weekly.join(F.broadcast(size_), on="cohort")
-        .select(
-            "cohort",
-            "week_n",
-            "cohort_users",
-            F.col("week_cents").cast("long").alias("week_cents"),
-            F.sum("week_cents").over(wcum).cast("long").alias("cum_cents"),
-            F.round(
-                F.sum("week_cents").over(wcum).cast("double")
-                / (100.0 * F.col("cohort_users")),
-                12,
-            ).alias("ltv_per_user"),
-        )
-    )
-
-
-@query(
-    "graph_ego_density_top",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS s, dst AS t FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d
-            FROM adj GROUP BY s),
-    hubs AS (
-      SELECT node, d FROM deg ORDER BY d DESC, node ASC LIMIT 5
-    ),
-    ego AS (
-      SELECT h.node AS hub, h.d, a.t AS nbr
-      FROM hubs h JOIN adj a ON a.s = h.node
-    ),
-    closed AS (
-      SELECT e1.hub, CAST(count(*) AS BIGINT) AS intra2
-      FROM ego e1
-      JOIN ego e2 ON e2.hub = e1.hub
-      JOIN adj a ON a.s = e1.nbr AND a.t = e2.nbr
-      GROUP BY e1.hub
-    )
-    SELECT h.node AS hub, h.d AS degree,
-           CAST(coalesce(c.intra2, 0) // 2 AS BIGINT) AS intra_edges,
-           round(CAST(coalesce(c.intra2, 0) AS DOUBLE)
-                 / (h.d * (h.d - 1)), 12) AS ego_density
-    FROM hubs h LEFT JOIN closed c ON c.hub = h.node
-    """,
-)
-def graph_ego_density_top(spark: SparkSession, sf: str) -> DataFrame:
-    """EGO-NETWORK DENSITY of the 5 highest-degree hubs: what share
-    of the possible edges AMONG a hub's neighbors exist — the local
-    clustering coefficient of exactly the vertices where
-    graph_clustering_global's average hides the story (dense ego =
-    tight community around the hub; sparse = a pure broker). Hubs
-    pick by TakeOrdered; intra-neighborhood edges count by closing
-    neighbor pairs against the adjacency (each edge seen twice —
-    exact halving); density = intra2 / d(d−1), round 12. Wedge
-    budget is Σ_hub d² over FIVE hubs — bounded."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)
-    adj = e.select(F.col("src").alias("s"), F.col("dst").alias("t")).unionAll(
-        e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
-    )
-    adj = adj.localCheckpoint(eager=False)  # consumed 3x
-    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    hubs = (
-        deg.orderBy(F.col("d").desc(), F.col("s").asc())
-        .limit(5)
-        .select(F.col("s").alias("hub"), "d")
-    )
-    ego = hubs.join(
-        adj.select(F.col("s").alias("hub"), F.col("t").alias("nbr")),
-        on="hub",
-    )
-    e1 = ego.select("hub", F.col("nbr").alias("n1"))
-    e2 = ego.select("hub", F.col("nbr").alias("n2"))
-    closed = (
-        e1.join(e2, on="hub")
-        .join(
-            adj.select(F.col("s").alias("n1"), F.col("t").alias("n2")),
-            on=["n1", "n2"],
-        )
-        .groupBy("hub")
-        .agg(F.count(F.lit(1)).alias("intra2"))
-    )
-    return (
-        hubs.join(closed, on="hub", how="left")
-        .select(
-            "hub",
-            F.col("d").cast("long").alias("degree"),
-            F.expr("coalesce(intra2, 0) div 2").alias("intra_edges"),
-            F.round(
-                F.coalesce("intra2", F.lit(0)).cast("double")
-                / (F.col("d") * (F.col("d") - 1)),
-                12,
-            ).alias("ego_density"),
-        )
-    )
-
-
-@query(
-    "dedup_shingle_df_profile",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
-               AS shingle
-      FROM toks
-    ),
-    df AS (
-      SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
-      FROM sh GROUP BY shingle
-    ),
-    buckets AS (
-      SELECT CAST(floor(ln(CAST(doc_freq AS DOUBLE)) / ln(2.0)) AS BIGINT)
-               AS log2_bucket,
-             CAST(count(*) AS BIGINT) AS n_shingles,
-             CAST(sum(doc_freq) AS BIGINT) AS postings
-      FROM df GROUP BY 1
-    ),
-    tot AS (SELECT CAST(sum(postings) AS BIGINT) AS total_postings
-            FROM buckets)
-    SELECT b.log2_bucket, b.n_shingles, b.postings,
-           round(CAST(b.postings AS DOUBLE) / t.total_postings, 12)
-             AS postings_share
-    FROM buckets b CROSS JOIN tot t
-    """,
-)
-def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """SHINGLE DOCUMENT-FREQUENCY profile: 3-word shingles bucketed
-    by ⌊log₂ df⌋, with per-bucket shingle counts and posting mass —
-    the measurement that JUSTIFIES the max_df cap in the prefix-
-    filtered Jaccard join (dedup_ngram_jaccard_capped): the top
-    bucket's postings share is exactly the inverted-index mass a
-    hot-shingle cap deletes, and the n-gram join's worst case is
-    Σ df² over this histogram. One distinct-(doc,shingle) groupBy +
-    the log-bucket census; counts exact, share one division,
-    round 12."""
-    d = load(spark, sf, "documents")
-    ws = tx.tokens("text")
-    sh = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
-                )
-            ).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id", "shingle"])
-    )
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-    buckets = df.groupBy(
-        F.floor(
-            F.log(F.col("doc_freq").cast("double")) / F.log(F.lit(2.0))
-        )
-        .cast("long")
-        .alias("log2_bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum("doc_freq").alias("postings"),
-    )
-    tot = buckets.agg(F.sum("postings").alias("total_postings"))
-    return buckets.crossJoin(F.broadcast(tot)).select(
-        "log2_bucket",
-        "n_shingles",
-        F.col("postings").cast("long").alias("postings"),
-        F.round(
-            F.col("postings").cast("double") / F.col("total_postings"),
-            12,
-        ).alias("postings_share"),
-    )
-
-
-@query(
-    "stats_gumbel_block_maxima",
-    oracle="""
-    WITH hourly AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             date_part('hour', ts) AS hr,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE event_type = 'click'
-        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1, 2
-    ),
-    mx AS (
-      SELECT day, CAST(max(n) AS BIGINT) AS block_max
-      FROM hourly GROUP BY day
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
-             CAST(sum(block_max) AS BIGINT) AS s,
-             CAST(sum(block_max * block_max) AS BIGINT) AS q,
-             CAST(max(block_max) AS BIGINT) AS overall_max
-      FROM mx
-    )
-    SELECT n_blocks, overall_max,
-           round(CAST(s AS DOUBLE) / n_blocks, 12) AS mean_max,
-           round(sqrt((CAST(q AS DOUBLE)
-                       - CAST(s AS DOUBLE) * s / n_blocks)
-                      / (n_blocks - 1)) * sqrt(6.0) / pi(), 12)
-             AS gumbel_beta,
-           round(CAST(s AS DOUBLE) / n_blocks
-                 - 0.5772156649015329
-                   * (sqrt((CAST(q AS DOUBLE)
-                            - CAST(s AS DOUBLE) * s / n_blocks)
-                           / (n_blocks - 1)) * sqrt(6.0) / pi()), 12)
-             AS gumbel_mu
-    FROM m
-    """,
-)
-def stats_gumbel_block_maxima(spark: SparkSession, sf: str) -> DataFrame:
-    """GUMBEL (EV-I) fit to the DAILY MAXIMA of hourly click counts by
-    method of moments — β = s·√6/π, μ = x̄ − γβ — the extreme-value
-    threshold behind "what hourly burst should the autoscaler expect
-    once a month?" (Tukey/IQR fences describe the body; EVT
-    describes the record). Block maxima come from one (day, hour)
-    aggregate + a per-day MAX — exact integers; the two-parameter
-    fit is a mirrored double expression, round 12 (π and the
-    Euler-Mascheroni constant are literals on both engines)."""
-    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    hourly = (
-        e.select(day.alias("day"), F.hour("ts").alias("hr"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day", "hr")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    mx = hourly.groupBy("day").agg(F.max("n").alias("block_max"))
-    m = mx.agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum("block_max").alias("s"),
-        F.sum(F.col("block_max") * F.col("block_max")).alias("q"),
-        F.max("block_max").alias("overall_max"),
-    )
-    import math
-
-    mean = F.col("s").cast("double") / F.col("n_blocks")
-    sd = F.sqrt(
-        (
-            F.col("q").cast("double")
-            - F.col("s").cast("double") * F.col("s") / F.col("n_blocks")
-        )
-        / (F.col("n_blocks") - 1)
-    )
-    beta = sd * math.sqrt(6.0) / math.pi
-    return m.select(
-        F.col("n_blocks").cast("long").alias("n_blocks"),
-        F.col("overall_max").cast("long").alias("overall_max"),
-        F.round(mean, 12).alias("mean_max"),
-        F.round(beta, 12).alias("gumbel_beta"),
-        F.round(mean - 0.5772156649015329 * beta, 12).alias("gumbel_mu"),
-    )
-
-
-@query(
-    "stats_theil_index",
-    oracle="""
-    WITH rev AS (
-      SELECT c.c_nationkey, o.o_custkey,
-             CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
-               AS d
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_nationkey, o.o_custkey
-    ),
-    tot AS (
-      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(d) AS BIGINT) AS x
-      FROM rev GROUP BY c_nationkey
-    ),
-    terms AS (
-      SELECT r.c_nationkey,
-             (CAST(r.d AS DOUBLE) / t.x)
-               * ln(CAST(r.d * t.n AS DOUBLE) / t.x) AS term
-      FROM rev r JOIN tot t USING (c_nationkey)
-      WHERE r.d > 0
-    )
-    SELECT c_nationkey,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_sort(list(term))), (a, v) -> a + v), 12)
-             AS theil_t
-    FROM terms GROUP BY c_nationkey
-    """,
-)
-def stats_theil_index(spark: SparkSession, sf: str) -> DataFrame:
-    """THEIL T inequality index of customer revenue per nation:
-    T = Σ (xᵢ/X)·ln(xᵢ·n/X) — the entropy-family inequality measure
-    that DECOMPOSES (within-group + between-group terms add up),
-    which Gini cannot do; the third lens beside olap_customer_hhi
-    (head-weighted) and the Gini family (curve-weighted). Each ln
-    argument is one division of exact integer products; per-nation
-    terms fold smallest-first (sorted-fold discipline), round 12."""
-    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey", "o_custkey")
-        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("d"))
-    )
-    tot = rev.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("d").alias("x")
-    )
-    terms = (
-        rev.join(F.broadcast(tot), on="c_nationkey")
-        .filter(F.col("d") > 0)
-        .select(
-            "c_nationkey",
-            (
-                (F.col("d").cast("double") / F.col("x"))
-                * F.log((F.col("d") * F.col("n")).cast("double") / F.col("x"))
-            ).alias("term"),
-        )
-    )
-    return terms.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("term")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ),
-            12,
-        ).alias("theil_t"),
-    )
-
-
-@query(
-    "ts_haar_energy",
-    oracle=f"""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events
-      WHERE event_type = 'click'
-        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    lv0 AS (
-      SELECT CAST(r.range AS BIGINT) AS idx,
-             CAST(coalesce(d.n, 0) AS BIGINT) AS v
-      FROM range(0, 32) r LEFT JOIN daily d ON d.day = r.range
-    ),
-    lv1 AS (
-      SELECT idx // 2 AS idx,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS v,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS d
-      FROM lv0 GROUP BY idx // 2
-    ),
-    en1 AS (
-      SELECT CAST(1 AS BIGINT) AS level,
-             CAST(sum(d * d) AS BIGINT) AS energy,
-             CAST(count(*) AS BIGINT) AS n_coeffs
-      FROM lv1
-    ),
-    lv2 AS (
-      SELECT idx // 2 AS idx,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS v,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS d
-      FROM lv1 GROUP BY idx // 2
-    ),
-    en2 AS (
-      SELECT CAST(2 AS BIGINT) AS level,
-             CAST(sum(d * d) AS BIGINT) AS energy,
-             CAST(count(*) AS BIGINT) AS n_coeffs
-      FROM lv2
-    ),
-    lv3 AS (
-      SELECT idx // 2 AS idx,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS v,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS d
-      FROM lv2 GROUP BY idx // 2
-    ),
-    en3 AS (
-      SELECT CAST(3 AS BIGINT) AS level,
-             CAST(sum(d * d) AS BIGINT) AS energy,
-             CAST(count(*) AS BIGINT) AS n_coeffs
-      FROM lv3
-    ),
-    lv4 AS (
-      SELECT idx // 2 AS idx,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS v,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS d
-      FROM lv3 GROUP BY idx // 2
-    ),
-    en4 AS (
-      SELECT CAST(4 AS BIGINT) AS level,
-             CAST(sum(d * d) AS BIGINT) AS energy,
-             CAST(count(*) AS BIGINT) AS n_coeffs
-      FROM lv4
-    ),
-    lv5 AS (
-      SELECT idx // 2 AS idx,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  + sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS v,
-             CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END)
-                  - sum(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS d
-      FROM lv4 GROUP BY idx // 2
-    ),
-    en5 AS (
-      SELECT CAST(5 AS BIGINT) AS level,
-             CAST(sum(d * d) AS BIGINT) AS energy,
-             CAST(count(*) AS BIGINT) AS n_coeffs
-      FROM lv5
-    )
-    SELECT * FROM en1
-    UNION ALL SELECT * FROM en2
-    UNION ALL SELECT * FROM en3
-    UNION ALL SELECT * FROM en4
-    UNION ALL SELECT * FROM en5
-    """,
-)
-def ts_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
-    """HAAR WAVELET energy spectrum of the click daily series
-    (zero-padded 30→32): per level ℓ the sum of squared unnormalized
-    detail coefficients (pairwise differences) — level 1 captures
-    day-to-day jitter, level 3 ≈ weekly structure, level 5 the
-    month-halves trend; the multi-resolution alternative to
-    seasonal-strength/ACF that needs NO trigonometry, so the whole
-    transform is EXACT int64 (sums/differences/squares of counts).
-    Five groupBy(idx DIV 2) rounds over a ≤32-row frame; the oracle
-    unrolls the same five levels as CTEs."""
-    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    grid = (
-        spark.range(0, 32)
-        .select(F.col("id").alias("idx"))
-        .join(daily.withColumnRenamed("day", "idx"), on="idx", how="left")
-        .select("idx", F.coalesce("n", F.lit(0)).alias("v"))
-    )
-    lvl = grid
-    outs = []
-    for level in range(1, 6):
-        nxt = lvl.groupBy(F.expr("idx div 2").alias("idx")).agg(
-            (
-                F.sum(F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(0))
-                + F.sum(
-                    F.when(F.col("idx") % 2 == 1, F.col("v")).otherwise(0)
-                )
-            ).alias("v"),
-            (
-                F.sum(F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(0))
-                - F.sum(
-                    F.when(F.col("idx") % 2 == 1, F.col("v")).otherwise(0)
-                )
-            ).alias("d"),
-        )
-        nxt = nxt.localCheckpoint(eager=False)  # consumed twice
-        outs.append(
-            nxt.agg(
-                F.lit(level).cast("long").alias("level"),
-                F.sum(F.col("d") * F.col("d"))
-                .cast("long")
-                .alias("energy"),
-                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
-            ).select("level", "energy", "n_coeffs")
-        )
-        lvl = nxt.select("idx", "v")
-    res = outs[0]
-    for o_ in outs[1:]:
-        res = res.unionByName(o_)
-    return res
-
-
-@query(
-    "emb_davies_bouldin_sq",
-    oracle="""
-    WITH ex AS (
-      SELECT label, CAST(r.range AS INT) AS dim,
-             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
-               AS BIGINT) AS q
-      FROM embeddings CROSS JOIN range(0, 64) r
-    ),
-    perdim AS (
-      SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd,
-             CAST(sum(q * q) AS BIGINT) AS qd,
-             CAST(count(*) AS BIGINT) AS n
-      FROM ex GROUP BY label, dim
-    ),
-    perlab AS (
-      SELECT label, min(n) AS n,
-             CAST(sum(qd) AS BIGINT) AS qtot,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
-               list((CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)))),
-               (a, v) -> a + v) AS mu2
-      FROM perdim GROUP BY label
-    ),
-    scatter AS (
-      SELECT label, n,
-             CAST(qtot AS DOUBLE) / n - mu2 AS s2
-      FROM perlab
-    ),
-    cd AS (
-      SELECT a.label AS la, b.label AS lb,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
-               list((CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE)
-                     * CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE))
-                    / (CAST(a2.n AS DOUBLE) * a2.n * b2.n * b2.n)))),
-               (x, y) -> x + y) AS d2
-      FROM perlab a JOIN perlab b ON a.label < b.label
-      JOIN perdim a2 ON a2.label = a.label
-      JOIN perdim b2 ON b2.label = b.label AND b2.dim = a2.dim
-      GROUP BY a.label, b.label
-    ),
-    ratios AS (
-      SELECT la AS label, lb AS other,
-             (sa.s2 + sb.s2) / c.d2 AS ratio
-      FROM cd c
-      JOIN scatter sa ON sa.label = c.la
-      JOIN scatter sb ON sb.label = c.lb
-      UNION ALL
-      SELECT lb, la, (sa.s2 + sb.s2) / c.d2
-      FROM cd c
-      JOIN scatter sa ON sa.label = c.la
-      JOIN scatter sb ON sb.label = c.lb
-    ),
-    perlabel AS (
-      SELECT label, max(ratio) AS r_i,
-             CAST(min(CASE WHEN ratio = mr THEN other END) AS BIGINT)
-               AS worst_neighbor
-      FROM (SELECT *, max(ratio) OVER (PARTITION BY label) AS mr
-            FROM ratios)
-      GROUP BY label
-    )
-    SELECT label, worst_neighbor, round(r_i, 12) AS db_ratio
-    FROM perlabel
-    """,
-)
-def emb_davies_bouldin_sq(spark: SparkSession, sf: str) -> DataFrame:
-    """DAVIES–BOULDIN cluster-separation audit (squared-distance
-    variant — every quantity derives from EXACT integer sums):
-    per label the worst (s²ᵢ+s²ⱼ)/d²ᵢⱼ ratio against any other
-    label, where s²ᵢ = mean squared distance to the label centroid
-    (= Σ‖x‖²/n − ‖μ‖²) and d²ᵢⱼ uses the cross-multiplied
-    centroid-difference device of emb_centroid_shift_drift — so the
-    only floats are deterministic IEEE divisions of exact integers,
-    folded smallest-first. High ratio = the label's nearest
-    confusable cluster (reported) — the "which classes will kNN
-    mix up?" table that explains the ~36% nearest-centroid accuracy
-    this corpus is known for. One posexplode aggregate + 10×10
-    label-pair algebra on a 640-row table."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    ex = emb.select("label", F.posexplode(qz).alias("dim", "q"))
-    perdim = ex.groupBy("label", "dim").agg(
-        F.sum("q").alias("sd"),
-        F.sum(F.col("q") * F.col("q")).alias("qd"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    perdim = perdim.localCheckpoint(eager=False)  # consumed 3×
-    mu_term = (F.col("sd").cast("double") / F.col("n")) * (
-        F.col("sd").cast("double") / F.col("n")
-    )
-    perlab = perdim.groupBy("label").agg(
-        F.min("n").alias("n"),
-        F.sum("qd").alias("qtot"),
-        F.aggregate(
-            F.array_sort(F.collect_list(mu_term)),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ).alias("mu2"),
-    )
-    scatter = perlab.select(
-        "label",
-        "n",
-        (F.col("qtot").cast("double") / F.col("n") - F.col("mu2")).alias(
-            "s2"
-        ),
-    )
-    scatter = scatter.localCheckpoint(eager=False)  # consumed twice
-    a2 = perdim.select(
-        F.col("label").alias("la"),
-        "dim",
-        F.col("sd").alias("sa"),
-        F.col("n").alias("na"),
-    )
-    b2 = perdim.select(
-        F.col("label").alias("lb"),
-        "dim",
-        F.col("sd").alias("sb"),
-        F.col("n").alias("nb"),
-    )
-    diff = (F.col("nb") * F.col("sa") - F.col("na") * F.col("sb")).cast(
-        "double"
-    )
-    cd = (
-        a2.join(b2, on="dim")
-        .filter(F.col("la") < F.col("lb"))
-        .select(
-            "la",
-            "lb",
-            (
-                diff
-                * diff
-                / (
-                    F.col("na").cast("double")
-                    * F.col("na")
-                    * F.col("nb")
-                    * F.col("nb")
-                )
-            ).alias("t"),
-        )
-        .groupBy("la", "lb")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ).alias("d2")
-        )
-    )
-    sa = scatter.select(F.col("label").alias("la"), F.col("s2").alias("s2a"))
-    sb = scatter.select(F.col("label").alias("lb"), F.col("s2").alias("s2b"))
-    paired = cd.join(F.broadcast(sa), on="la").join(
-        F.broadcast(sb), on="lb"
-    )
-    ratios = paired.select(
-        F.col("la").alias("label"),
-        F.col("lb").alias("other"),
-        ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
-    ).unionByName(
-        paired.select(
-            F.col("lb").alias("label"),
-            F.col("la").alias("other"),
-            ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
-        )
-    )
-    perlabel = ratios.groupBy("label").agg(
-        F.max("ratio").alias("r_i"),
-        F.min_by(
-            F.struct(F.col("other")),
-            F.struct(-F.col("ratio"), F.col("other")),
-        )
-        .getField("other")
-        .cast("long")
-        .alias("worst_neighbor"),
-    )
-    return perlabel.select(
-        "label", "worst_neighbor", F.round("r_i", 12).alias("db_ratio")
-    )
-
-
-@query(
-    "stats_record_days",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    rec AS (
-      SELECT event_type, day, n,
-             CASE WHEN day = 0 OR n > max(n) OVER (
-                    PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS is_record
-      FROM grid
-    ),
-    h AS (
-      SELECT CAST(3.9949871309203906 AS DOUBLE) AS harmonic  -- H_30, pinned literal
-    )
-    SELECT event_type,
-           CAST(sum(is_record) AS BIGINT) AS n_records,
-           round(h.harmonic, 12) AS expected_records,
-           round(CAST(sum(is_record) AS DOUBLE) / h.harmonic, 12)
-             AS record_excess
-    FROM rec CROSS JOIN h
-    GROUP BY event_type, h.harmonic
-    """,
-)
-def stats_record_days(spark: SparkSession, sf: str) -> DataFrame:
-    """RECORD-DAY census: how many days set a new all-time daily-count
-    high per event type, vs the H₃₀ ≈ 3.99 records an EXCHANGEABLE
-    (trend-free) series would produce — the distribution-free trend
-    detector from record theory (excess ≫ 1 = growth; ≪ 1 = decay
-    or early spike). Records come from one running-max window per
-    type on the dense grid; the harmonic expectation H_30 is a
-    PINNED double literal identical in both programs (an aggregate
-    over range() would depend on engine fold order). Counts exact;
-    two rounded floats."""
-    g = _daily_grid(spark, sf)
-    wprev = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rec = g.select(
-        "event_type",
-        F.when(
-            (F.col("day") == 0)
-            | (F.col("n") > F.max("n").over(wprev)),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_record"),
-    )
-    # H_30 as the same ascending fold the oracle runs
-    harmonic = float(sum(1.0 / (i + 1) for i in range(30)))
-    return rec.groupBy("event_type").agg(
-        F.sum("is_record").cast("long").alias("n_records"),
-        F.round(F.lit(harmonic), 12).alias("expected_records"),
-        F.round(
-            F.sum("is_record").cast("double") / F.lit(harmonic), 12
-        ).alias("record_excess"),
-    )
-
-
-@query(
-    "olap_price_qty_elasticity",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS cents,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
-             CAST(count(*) AS BIGINT) AS n
-      FROM lineitem GROUP BY l_partkey
-    ),
-    pts AS (
-      SELECT ln(CAST(cents AS DOUBLE) / qty) AS lx,
-             ln(CAST(qty AS DOUBLE) / n) AS ly
-      FROM per WHERE qty > 0 AND cents > 0
-    ),
-    m AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx))), (a, v) -> a + v) AS sx,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(ly))), (a, v) -> a + v) AS sy,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx * ly))), (a, v) -> a + v) AS sxy,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_sort(list(lx * lx))), (a, v) -> a + v) AS sxx
-      FROM pts
-    )
-    SELECT CAST(n AS BIGINT) AS n_parts,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12)
-             AS elasticity,
-           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                 * (sx / n), 12) AS intercept
-    FROM m
-    """,
-)
-def olap_price_qty_elasticity(spark: SparkSession, sf: str) -> DataFrame:
-    """LOG-LOG PRICE ELASTICITY across parts: OLS of ln(avg quantity
-    per line) on ln(avg unit price), one point per part — the "does
-    demand fall when price rises?" cross-sectional read (the slope
-    IS the elasticity in a log-log model). Per-part sums are exact
-    BIGINTs; each ln argument is ONE division of exact integers;
-    the four OLS moments fold smallest-first (the Hurst/ts_ols
-    discipline) and the slope/intercept are mirrored doubles,
-    round 12. One fact groupBy + a one-row reduce."""
-    li = load(spark, sf, "lineitem").select(
-        "l_partkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    per = li.groupBy("l_partkey").agg(
-        F.sum("cents").alias("cents"),
-        F.sum("qty").alias("qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    pts = per.filter((F.col("qty") > 0) & (F.col("cents") > 0)).select(
-        F.log(F.col("cents").cast("double") / F.col("qty")).alias("lx"),
-        F.log(F.col("qty").cast("double") / F.col("n")).alias("ly"),
-    )
-
-    def fold(c):
-        return F.aggregate(
-            F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, v: a + v
-        )
-
-    m = pts.select(
-        "lx", "ly", (F.col("lx") * F.col("ly")).alias("lxy"),
-        (F.col("lx") * F.col("lx")).alias("lxx"),
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        fold("lx").alias("sx"),
-        fold("ly").alias("sy"),
-        fold("lxy").alias("sxy"),
-        fold("lxx").alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return m.select(
-        F.col("n").cast("long").alias("n_parts"),
-        F.round(slope, 12).alias("elasticity"),
-        F.round(
-            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")),
-            12,
-        ).alias("intercept"),
-    )
-
-
-@query(
-    "s4_csv_roundtrip",
-    oracle="""
-    SELECT c_custkey,
-           c_name AS name_rt,
-           c_mktsegment AS seg_rt,
-           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_rt,
-           TRUE AS roundtrip_ok
-    FROM customer
-    """,
-)
-def s4_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """CSV SERIALIZE → PARSE roundtrip on the customer dim — the S4
-    serialization contract for the second wire format (fixed-width
-    and JSON have their own roundtrip queries): to_csv writes each
-    row with quoting enabled, from_csv parses it back against the
-    declared schema, and the query RETURNS THE PARSED FIELDS — the
-    oracle recomputes them from the base table, so any quoting,
-    escaping, or type-coercion asymmetry between the two paths
-    mismatches (names contain '#' and commas would be quoted; the
-    balance rides through as a string-ified double re-cast to exact
-    cents). Pure JVM expressions; one scan."""
-    c = load(spark, sf, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
-    )
-    csv = c.select(
-        "c_custkey",
-        F.to_csv(
-            F.struct("c_name", "c_mktsegment", "c_acctbal")
-        ).alias("line"),
-    )
-    schema = "c_name string, c_mktsegment string, c_acctbal double"
-    parsed = csv.select(
-        "c_custkey",
-        F.from_csv("line", schema).alias("p"),
-        "line",
-    )
-    return parsed.select(
-        "c_custkey",
-        F.col("p.c_name").alias("name_rt"),
-        F.col("p.c_mktsegment").alias("seg_rt"),
-        F.round(F.col("p.c_acctbal") * 100)
-        .cast("long")
-        .alias("bal_cents_rt"),
-        (
-            F.col("p.c_name").isNotNull()
-            & F.col("p.c_mktsegment").isNotNull()
-        ).alias("roundtrip_ok"),
-    )
-
-
-@query(
-    "stats_ljung_box",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events
-      WHERE event_type = 'click'
-        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    base AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS s
-      FROM daily
-    ),
-    lags AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 8)),
-    ck AS (
-      SELECT l.k,
-             CAST(sum((b.n * a.x - b.s) * (b.n * c.x - b.s)) AS BIGINT)
-               AS chat
-      FROM lags l
-      CROSS JOIN base b
-      JOIN daily a ON TRUE
-      JOIN daily c ON c.day = a.day + l.k
-      GROUP BY l.k
-    ),
-    c0 AS (
-      SELECT CAST(sum((b.n * d.x - b.s) * (b.n * d.x - b.s)) AS BIGINT)
-               AS c0
-      FROM daily d CROSS JOIN base b
-    ),
-    terms AS (
-      SELECT ck.k,
-             (CAST(ck.chat AS DOUBLE) / c0.c0)
-               * (CAST(ck.chat AS DOUBLE) / c0.c0)
-               / (b.n - ck.k) AS t,
-             b.n
-      FROM ck CROSS JOIN c0 CROSS JOIN base b
-    )
-    SELECT CAST(min(n) AS BIGINT) AS n_days,
-           CAST(7 AS BIGINT) AS n_lags,
-           round(min(n) * (min(n) + 2)
-                 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_sort(list(t))), (a, v) -> a + v), 12)
-             AS ljung_box_q,
-           min(n) * (min(n) + 2)
-             * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list_sort(list(t))), (a, v) -> a + v) > 14.067
-             AS reject_white_noise_05
-    FROM terms
-    """,
-)
-def stats_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
-    """LJUNG–BOX portmanteau test on the click daily series: Q =
-    n(n+2)·Σₖ r²ₖ/(n−k) over lags 1..7 — "is there ANY
-    autocorrelation structure at all?", the single gate to run
-    before trusting white-noise assumptions (and the honest
-    pre-check for ts_autocorr_multi_lag's per-lag reads). Exactness
-    device: the n²-scaled autocovariance ĉₖ = Σ(n·xₜ−S)(n·xₜ₊ₖ−S)
-    is an EXACT BIGINT (the n² factors cancel in rₖ = ĉₖ/ĉ₀), so
-    each r²ₖ is a ratio of exact integers; the 7 terms fold
-    smallest-first, round 12; the 5% χ²₇ critical value 14.067 is a
-    pinned literal."""
-    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed 3×
-    base = daily.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
-    )
-    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
-    c = daily.select(F.col("day").alias("dc"), F.col("x").alias("xc"))
-    lags = spark.range(1, 8).select(F.col("id").alias("k"))
-    ck = (
-        a.crossJoin(F.broadcast(lags))
-        .join(c, F.col("dc") == F.col("da") + F.col("k"))
-        .crossJoin(F.broadcast(base))
-        .groupBy("k")
-        .agg(
-            F.sum(
-                (F.col("n") * F.col("xa") - F.col("s"))
-                * (F.col("n") * F.col("xc") - F.col("s"))
-            ).alias("chat")
-        )
-    )
-    c0 = (
-        daily.crossJoin(F.broadcast(base))
-        .agg(
-            F.sum(
-                (F.col("n") * F.col("x") - F.col("s"))
-                * (F.col("n") * F.col("x") - F.col("s"))
-            ).alias("c0")
-        )
-    )
-    terms = (
-        ck.crossJoin(F.broadcast(c0))
-        .crossJoin(F.broadcast(base))
-        .select(
-            "n",
-            (
-                (F.col("chat").cast("double") / F.col("c0"))
-                * (F.col("chat").cast("double") / F.col("c0"))
-                / (F.col("n") - F.col("k"))
-            ).alias("t"),
-        )
-    )
-    q = F.min("n") * (F.min("n") + 2) * F.aggregate(
-        F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a_, v: a_ + v
-    )
-    return terms.agg(
-        F.min("n").cast("long").alias("n_days"),
-        F.lit(7).cast("long").alias("n_lags"),
-        F.round(q, 12).alias("ljung_box_q"),
-        (q > 14.067).alias("reject_white_noise_05"),
-    )
-
-
-@query(
-    "emb_hubness_audit",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    ),
-    top5 AS (
-      SELECT qid, nid
-      FROM (SELECT qid, nid,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY d2 ASC, nid ASC) AS rn
-            FROM pairs)
-      WHERE rn <= 5
-    ),
-    occ AS (
-      SELECT nid, CAST(count(*) AS BIGINT) AS k_occurrence
-      FROM top5 GROUP BY nid
-    )
-    SELECT k_occurrence,
-           CAST(count(*) AS BIGINT) AS n_points,
-           CAST(min(nid) AS BIGINT) AS example_id
-    FROM occ GROUP BY k_occurrence
-    """,
-)
-def emb_hubness_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """HUBNESS audit (Radovanović et al. 2010): the k-occurrence
-    distribution — how many times each corpus point appears in the
-    sampled queries' exact top-5 lists — THE high-dimensional ANN
-    pathology check (hubs soak up neighbor lists and poison kNN
-    labels and recall; its skew grows with intrinsic dimension, cf.
-    emb_intrinsic_dim_twonn). Pair distances are exact int64 on the
-    ×256 grid; per-query top-5 ranks over the fixed-100-anchor
-    broadcast-sample pair stream (the silhouette-family shape:
-    window keyed on the bounded anchor set); the output is the
-    occurrence histogram with an example id per bucket."""
-    pairs = _sample_pairs(spark, sf)
-    wk = Window.partitionBy("qid").orderBy(
-        F.col("d2").asc(), F.col("nid").asc()
-    )
-    top5 = (
-        pairs.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "nid")
-    )
-    occ = top5.groupBy("nid").agg(
-        F.count(F.lit(1)).alias("k_occurrence")
-    )
-    return occ.groupBy("k_occurrence").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.min("nid").cast("long").alias("example_id"),
-    )
-
-
-@query(
-    "olap_time_to_first_purchase",
-    oracle="""
-    WITH per AS (
-      SELECT user_id,
-             CAST(min(CAST(ts AS DATE)) AS DATE) AS first_seen,
-             CAST(min(CASE WHEN event_type = 'purchase'
-                           THEN CAST(ts AS DATE) END) AS DATE)
-               AS first_purchase
-      FROM events GROUP BY user_id
-    ),
-    gaps AS (
-      SELECT user_id,
-             CAST(date_diff('day', first_seen, first_purchase) AS BIGINT)
-               AS days_to_purchase
-      FROM per WHERE first_purchase IS NOT NULL
-    ),
-    byval AS (
-      SELECT days_to_purchase, CAST(count(*) AS BIGINT) AS cnt
-      FROM gaps GROUP BY days_to_purchase
-    ),
-    ranked AS (
-      SELECT days_to_purchase, cnt,
-             coalesce(sum(cnt) OVER (ORDER BY days_to_purchase
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cless,
-             sum(cnt) OVER () AS n
-      FROM byval
-    )
-    SELECT CAST(min(n) AS BIGINT) AS n_converting_users,
-           CAST((SELECT count(*) FROM per) AS BIGINT) AS n_users,
-           CAST(min(days_to_purchase) AS BIGINT) AS min_days,
-           CAST(max(days_to_purchase) AS BIGINT) AS max_days,
-           CAST(min(CASE WHEN cless < (n + 1) // 2
-                          AND cless + cnt >= (n + 1) // 2
-                         THEN days_to_purchase END)
-                + min(CASE WHEN cless < n // 2 + 1
-                            AND cless + cnt >= n // 2 + 1
-                           THEN days_to_purchase END) AS BIGINT)
-             AS med2_days
-    FROM ranked
-    """,
-)
-def olap_time_to_first_purchase(spark: SparkSession, sf: str) -> DataFrame:
-    """TIME-TO-FIRST-PURCHASE: days from a user's first event of any
-    kind to their first purchase — the activation-latency metric
-    between the funnel (did they convert?) and the LTV curve (what
-    was it worth?). One user-level min-aggregate (two conditional
-    MINs — no window, no join), then the exact med2 via the
-    count-table rank device over the tiny gap histogram. All
-    integer days."""
-    e = load(spark, sf, "events")
-    per = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_seen"),
-        F.min(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.col("ts").cast("date"),
-            )
-        ).alias("first_purchase"),
-    )
-    per = per.localCheckpoint(eager=False)  # consumed twice
-    gaps = per.filter(F.col("first_purchase").isNotNull()).select(
-        F.datediff("first_purchase", "first_seen")
-        .cast("long")
-        .alias("days_to_purchase")
-    )
-    byval = gaps.groupBy("days_to_purchase").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wr = Window.orderBy("days_to_purchase").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # gap-histogram-sized window (≤ ~30 rows)
-    wall = Window.partitionBy()
-    ranked = byval.select(
-        "days_to_purchase",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    lo = ((F.col("n") + 1) / 2).cast("long")
-    hi = (F.col("n") / 2 + 1).cast("long")
-    pick = lambda r: F.min(  # noqa: E731
-        F.when(
-            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
-            F.col("days_to_purchase"),
-        )
-    )
-    n_users = per.agg(F.count(F.lit(1)).alias("n_users"))
-    return (
-        ranked.agg(
-            F.min("n").cast("long").alias("n_converting_users"),
-            F.min("days_to_purchase").cast("long").alias("min_days"),
-            F.max("days_to_purchase").cast("long").alias("max_days"),
-            (pick(lo) + pick(hi)).cast("long").alias("med2_days"),
-        )
-        .crossJoin(F.broadcast(n_users))
-        .select(
-            "n_converting_users",
-            F.col("n_users").cast("long").alias("n_users"),
-            "min_days",
-            "max_days",
-            "med2_days",
-        )
-    )
-
-
-@query(
-    "stats_birthday_collision_check",
-    oracle="""
-    WITH b AS (
-      SELECT CAST((strpos('0123456789abcdef',
-                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-                  * 16
-                  + (strpos('0123456789abcdef',
-                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-               AS BIGINT) AS bucket
-      FROM documents
-    ),
-    per AS (
-      SELECT bucket, CAST(count(*) AS BIGINT) AS n
-      FROM b GROUP BY bucket
-    ),
-    m AS (
-      SELECT CAST(sum(n) AS BIGINT) AS n_items,
-             CAST(count(*) AS BIGINT) AS occupied,
-             CAST(sum(n * (n - 1)) AS BIGINT) AS pairs2,
-             CAST(max(n) AS BIGINT) AS max_bucket
-      FROM per
-    )
-    SELECT n_items, occupied, max_bucket,
-           CAST(pairs2 // 2 AS BIGINT) AS observed_pairs,
-           round(CAST(n_items AS DOUBLE) * (n_items - 1) / (2 * 256),
-                 6) AS expected_pairs,
-           round(CAST(pairs2 AS DOUBLE) * 256
-                 / (CAST(n_items AS DOUBLE) * (n_items - 1)), 12)
-             AS collision_ratio
-    FROM m
-    """,
-)
-def stats_birthday_collision_check(spark: SparkSession, sf: str) -> DataFrame:
-    """BIRTHDAY-BOUND hash-quality check: pairs of doc_ids landing in
-    the same 8-bit md5 bucket, observed vs the n(n−1)/2m expectation
-    — the partitioning-health probe behind every hash-keyed shuffle
-    and salting decision in this repo (a ratio ≫ 1 means the hash or
-    the key distribution is broken and hot partitions follow).
-    Collision pairs Σn(n−1)/2 and the max-bucket load are exact
-    integers; the expectation (10³-magnitude) rounds at 6 and the
-    O(1) ratio at 12. One bucket groupBy + a one-row reduce."""
-    d = load(spark, sf, "documents").select("doc_id")
-
-    def digit(i: int) -> F.Column:
-        return F.expr(
-            "instr('0123456789abcdef',"
-            f" substr(md5(cast(doc_id as string)), {i}, 1)) - 1"
-        )
-
-    per = d.groupBy(
-        (digit(1) * 16 + digit(2)).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    m = per.agg(
-        F.sum("n").alias("n_items"),
-        F.count(F.lit(1)).alias("occupied"),
-        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs2"),
-        F.max("n").alias("max_bucket"),
-    )
-    return m.select(
-        F.col("n_items").cast("long").alias("n_items"),
-        F.col("occupied").cast("long").alias("occupied"),
-        F.col("max_bucket").cast("long").alias("max_bucket"),
-        F.expr("pairs2 div 2").alias("observed_pairs"),
-        F.round(
-            F.col("n_items").cast("double")
-            * (F.col("n_items") - 1)
-            / (2 * 256),
-            6,
-        ).alias("expected_pairs"),
-        F.round(
-            F.col("pairs2").cast("double")
-            * 256
-            / (F.col("n_items").cast("double") * (F.col("n_items") - 1)),
-            12,
-        ).alias("collision_ratio"),
-    )
-
-
-@query(
-    "stats_mann_kendall",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events
-      WHERE event_type = 'click'
-        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-    s_ AS (
-      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
-                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
-               AS s
-      FROM daily a JOIN daily b ON b.day > a.day
-    ),
-    ties AS (
-      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
-               AS tie_term
-      FROM (SELECT CAST(count(*) AS BIGINT) AS t
-            FROM daily GROUP BY x HAVING count(*) > 1)
-    )
-    SELECT s_.s, n_.n,
-           CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tie_term
-             AS BIGINT) AS var18,
-           round(CASE
-             WHEN s_.s > 0 THEN (s_.s - 1)
-               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
-                       - ties.tie_term) / 18.0)
-             WHEN s_.s < 0 THEN (s_.s + 1)
-               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
-                       - ties.tie_term) / 18.0)
-             ELSE 0.0 END, 12) AS z_stat,
-           abs(CASE
-             WHEN s_.s > 0 THEN (s_.s - 1)
-               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
-                       - ties.tie_term) / 18.0)
-             WHEN s_.s < 0 THEN (s_.s + 1)
-               / sqrt((n_.n * (n_.n - 1) * (2 * n_.n + 5)
-                       - ties.tie_term) / 18.0)
-             ELSE 0.0 END) > 1.96 AS trend_05
-    FROM s_ CROSS JOIN n_ CROSS JOIN ties
-    """,
-)
-def stats_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
-    """MANN–KENDALL trend test on the click daily series: S =
-    Σᵢ<ⱼ sign(xⱼ−xᵢ) with the tie-corrected variance — the
-    distribution-free monotone-trend test (pairs with
-    stats_record_days' record census and ts_theil_sen_trend's slope:
-    MK is the significance, Theil–Sen the magnitude). The pairwise
-    sign sum runs over the 30-day grid self-join (435 pairs — tiny
-    by construction); S and 18·Var(S) are EXACT BIGINTs; the
-    continuity-corrected z is one mirrored double, round 12."""
-    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed 3×
-    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
-    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
-    s_ = (
-        a.join(b, F.col("db") > F.col("da"))
-        .agg(
-            F.sum(
-                F.when(F.col("xb") > F.col("xa"), 1)
-                .when(F.col("xb") < F.col("xa"), -1)
-                .otherwise(0)
-            ).alias("s")
-        )
-    )
-    n_ = daily.agg(F.count(F.lit(1)).alias("n"))
-    ties = (
-        daily.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .filter(F.col("t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
-                F.lit(0),
-            ).alias("tie_term")
-        )
-    )
-    m = s_.crossJoin(F.broadcast(n_)).crossJoin(F.broadcast(ties))
-    var18 = (
-        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-        - F.col("tie_term")
-    )
-    sd = F.sqrt(var18 / 18.0)
-    z = (
-        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
-        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
-        .otherwise(F.lit(0.0))
-    )
-    return m.select(
-        F.col("s").cast("long").alias("s"),
-        F.col("n").cast("long").alias("n"),
-        var18.cast("long").alias("var18"),
-        F.round(z, 12).alias("z_stat"),
-        (F.abs(z) > 1.96).alias("trend_05"),
-    )
-
-
-@query(
-    "graph_degree_h_index",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS s FROM edges UNION ALL SELECT dst FROM edges),
-    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY s),
-    ranked AS (
-      SELECT d, row_number() OVER (ORDER BY d DESC, s ASC) AS rk
-      FROM deg
-    ),
-    h AS (
-      SELECT CAST(max(CASE WHEN d >= rk THEN rk ELSE 0 END) AS BIGINT)
-               AS h_index
-      FROM ranked
-    )
-    SELECT h.h_index,
-           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-           (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
-           (SELECT CAST(count(*) AS BIGINT) FROM deg, h
-             WHERE d >= h.h_index) AS n_at_h
-    FROM h
-    """,
-)
-def graph_degree_h_index(spark: SparkSession, sf: str) -> DataFrame:
-    """DEGREE H-INDEX of the co-occurrence graph: the largest h with
-    ≥ h vertices of degree ≥ h — a one-number upper bound on the
-    graph's degeneracy (every k-core needs k vertices of degree ≥ k,
-    so core numbers can't exceed it) and therefore a cheap
-    feasibility probe before paying for the iterative k-core peel
-    (graph_kcore_membership). One degree aggregate + one descending
-    rank over the degree table; all integers. The rank window is a
-    single ordered pass over |V| degree rows — at extreme scale the
-    same h resolves by binary search over degree-histogram
-    cumulative counts (graph_degree_ccdf's table) with no per-node
-    sort; the census columns (n_nodes, max_degree, n_at_h) are plain
-    aggregates."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    deg = gr.degrees(e)
-    deg = deg.localCheckpoint(eager=False)  # consumed 3×
-    wrk = Window.orderBy(F.col("deg").desc(), F.col("node").asc())
-    ranked = deg.select(
-        "deg", F.row_number().over(wrk).alias("rk")
-    )
-    h = ranked.agg(
-        F.max(
-            F.when(F.col("deg") >= F.col("rk"), F.col("rk")).otherwise(0)
-        ).alias("h_index")
-    )
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.max("deg").alias("max_degree"),
-    )
-    out = h.crossJoin(F.broadcast(stats))
-    n_at_h = (
-        deg.crossJoin(F.broadcast(h))
-        .filter(F.col("deg") >= F.col("h_index"))
-        .agg(F.count(F.lit(1)).alias("n_at_h"))
-    )
-    return out.crossJoin(F.broadcast(n_at_h)).select(
-        F.col("h_index").cast("long").alias("h_index"),
-        F.col("n_nodes").cast("long").alias("n_nodes"),
-        F.col("max_degree").cast("long").alias("max_degree"),
-        F.col("n_at_h").cast("long").alias("n_at_h"),
-    )
-
-
-@query(
-    "multimodal_wav_dc_offset",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf,
-             unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS b
-      FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < nf
-    )
-    SELECT media_id, CAST(min(nf) AS INT) AS n_frames,
-           CAST(sum(v - 128) AS BIGINT) AS offset_sum,
-           CAST((sum(v - 128) * 1000) // min(nf) AS BIGINT)
-             AS dc_offset_milli,
-           abs(CAST(sum(v - 128) AS DOUBLE) / min(nf)) > 8
-             AS offset_flagged
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_wav_dc_offset(spark: SparkSession, sf: str) -> DataFrame:
-    """DC-OFFSET audit over the REAL WAV decode: the mean deviation
-    of 8-bit samples from the 128 midpoint — a non-zero DC bias
-    means a miswired ADC or a broken decode, and it silently
-    corrupts every RMS/silence feature downstream (this is the
-    check that validates wav_rms_windows' midpoint assumption).
-    Exact integer Σ(v−128) per clip; the mean reports as
-    milli-units by INTEGER division; the flag uses the mirrored
-    double mean at a ±8-unit gate. Rides the same keystream oracle
-    as the silence/clipping audits."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    st = mm.wav_offset_stats(media)
-    return st.select(
-        "media_id",
-        "n_frames",
-        "offset_sum",
-        F.expr("(offset_sum * 1000) div n_frames").alias(
-            "dc_offset_milli"
-        ),
-        (
-            F.abs(
-                F.col("offset_sum").cast("double") / F.col("n_frames")
-            )
-            > 8
-        ).alias("offset_flagged"),
-    )
-
-
-@query(
-    "stats_cochran_armitage",
-    oracle="""
-    WITH base AS (
-      SELECT dayofweek(CAST(ts AS DATE)) AS w,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
-      FROM events WHERE event_type IN ('purchase', 'click')
-    ),
-    g AS (
-      SELECT CAST(w AS BIGINT) AS w,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(hit) AS BIGINT) AS k
-      FROM base GROUP BY w
-    ),
-    m AS (
-      SELECT CAST(sum(n) AS BIGINT) AS nn,
-             CAST(sum(k) AS BIGINT) AS kk,
-             CAST(sum(k * w) AS BIGINT) AS skw,
-             CAST(sum(n * w) AS BIGINT) AS snw,
-             CAST(sum(n * w * w) AS BIGINT) AS snww
-      FROM g
-    )
-    SELECT nn AS n_trials, kk AS n_hits,
-           CAST(nn * skw - kk * snw AS BIGINT) AS trend_num,
-           round(CAST(nn * skw - kk * snw AS DOUBLE)
-                 / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
-                        * (CAST(nn AS DOUBLE) * snww - CAST(snw AS DOUBLE)
-                           * snw) / nn),
-                 12) AS z_stat,
-           abs(CAST(nn * skw - kk * snw AS DOUBLE)
-               / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
-                      * (CAST(nn AS DOUBLE) * snww - CAST(snw AS DOUBLE)
-                         * snw) / nn)) > 1.96 AS trend_05
-    FROM m
-    """,
-)
-def stats_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
-    """COCHRAN–ARMITAGE trend-in-proportions test: does the purchase
-    share (among click∪purchase events) rise or fall MONOTONICALLY
-    across the ordered day-of-week groups? — the right test when the
-    χ² independence check (stats_chi2_type_dow) would waste power
-    ignoring the ordering. Scores = the dow index itself; the trend
-    numerator N·Σkw − K·Σnw is an EXACT BIGINT and the variance
-    assembles from exact Σn, Σnw, Σnw² in one mirrored expression,
-    round 12. Dow convention pinned (DuckDB 0-6 ≡ Spark dayofweek−1,
-    both applied explicitly). One conditional aggregate."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("purchase", "click")
-    )
-    w = (F.dayofweek(F.col("ts").cast("date")) - 1).cast("long")
-    g = e.select(
-        w.alias("w"),
-        F.when(F.col("event_type") == "purchase", 1)
-        .otherwise(0)
-        .alias("hit"),
-    ).groupBy("w").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("k")
-    )
-    m = g.agg(
-        F.sum("n").alias("nn"),
-        F.sum("k").alias("kk"),
-        F.sum(F.col("k") * F.col("w")).alias("skw"),
-        F.sum(F.col("n") * F.col("w")).alias("snw"),
-        F.sum(F.col("n") * F.col("w") * F.col("w")).alias("snww"),
-    )
-    num = F.col("nn") * F.col("skw") - F.col("kk") * F.col("snw")
-    den = F.sqrt(
-        F.col("kk").cast("double")
-        * (F.col("nn") - F.col("kk"))
-        * (
-            F.col("nn").cast("double") * F.col("snww")
-            - F.col("snw").cast("double") * F.col("snw")
-        )
-        / F.col("nn")
-    )
-    z = num.cast("double") / den
-    return m.select(
-        F.col("nn").cast("long").alias("n_trials"),
-        F.col("kk").cast("long").alias("n_hits"),
-        num.cast("long").alias("trend_num"),
-        F.round(z, 12).alias("z_stat"),
-        (F.abs(z) > 1.96).alias("trend_05"),
-    )
-
-
-@query(
-    "emb_pair_distance_by_label",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.label = b.label AS same_label,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) // 10000 AS BIGINT)
-               AS d2_bucket
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    )
-    SELECT same_label, d2_bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs
-    FROM pairs GROUP BY same_label, d2_bucket
-    """,
-)
-def emb_pair_distance_by_label(spark: SparkSession, sf: str) -> DataFrame:
-    """LABEL-CONDITIONED distance histogram: exact d² (bucketed by
-    10⁴ on the ×256 grid) of sample-anchor pairs, split same-label
-    vs cross-label — the two curves whose overlap IS the metric-
-    space quality picture (fully separated = easy kNN; the known
-    heavy overlap here explains the triplet-violation rate and the
-    ~36% centroid accuracy in one chart). Integer bucketing on the
-    broadcast-sample pair stream; one map-combinable groupBy."""
-    pairs = _sample_pairs(spark, sf)
-    return pairs.groupBy(
-        (F.col("qlab") == F.col("nlab")).alias("same_label"),
-        F.expr("d2 div 10000").alias("d2_bucket"),
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
-
-
-# ===========================================================================
-# Coverage round 9: multiple-testing control, paired nonparametrics,
-# sequential drift detection
-# ===========================================================================
-
-
-@query(
-    "stats_bh_fdr",
-    oracle="""
-    WITH ords AS (
-      SELECT c.c_nationkey AS nation,
-             o.o_orderdate < DATE '1994-07-01' AS h1,
-             o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      WHERE o.o_orderdate >= DATE '1994-01-01'
-        AND o.o_orderdate < DATE '1995-01-01'
-    ),
-    per AS (
-      SELECT nation,
-             CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS x1,
-             CAST(sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-             CAST(sum(CASE WHEN NOT h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS x2
-      FROM ords GROUP BY nation
-      HAVING sum(CASE WHEN h1 THEN 1 ELSE 0 END) > 0
-         AND sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) > 0
-         -- degenerate pooled rates (ADVICE r9): all-hi or no-hi
-         -- nations give pooled ∈ {0,1} → z = 0/0 = NaN
-         AND sum(CASE WHEN hi THEN 1 ELSE 0 END) > 0
-         AND sum(CASE WHEN hi THEN 1 ELSE 0 END) < count(*)
-    ),
-    zed AS (
-      SELECT nation, n1, x1, n2, x2,
-             (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
-             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)) AS z
-      FROM per
-    ),
-    xt AS (
-      SELECT nation, n1 + n2 AS n_orders, z,
-             abs(z) / 1.4142135623730951 AS x,
-             1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS t
-      FROM zed
-    ),
-    pv AS (
-      SELECT nation, n_orders, round(z, 9) AS z_stat,
-             round((0.254829592 * t
-                    - 0.284496736 * (t * t)
-                    + 1.421413741 * (t * t * t)
-                    - 1.453152027 * (t * t * t * t)
-                    + 1.061405429 * (t * t * t * t * t))
-                   * exp(-(x * x)), 12) AS p_value
-      FROM xt
-    ),
-    ranked AS (
-      SELECT *, CAST(row_number() OVER (ORDER BY p_value, nation)
-                  AS BIGINT) AS p_rank,
-             CAST(count(*) OVER () AS BIGINT) AS m
-      FROM pv
-    ),
-    kmax AS (
-      SELECT coalesce(max(CASE WHEN p_value <= p_rank * 0.10 / m
-                                THEN p_rank END), 0) AS k
-      FROM ranked
-    )
-    SELECT nation, n_orders, z_stat, p_value, p_rank,
-           round(p_rank * 0.10 / m, 12) AS bh_threshold,
-           p_rank <= (SELECT k FROM kmax) AS rejected
-    FROM ranked
-    """,
-)
-def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
-    """BENJAMINI–HOCHBERG FDR control over a 25-hypothesis family: per
-    customer nation, a two-proportion z-test of high-priority order
-    share, 1994H1 vs 1994H2, then the step-up procedure at q=0.10
-    (reject ranks 1..k for the largest k with p₍ₖ₎ ≤ k·q/m) — the
-    standard guard when a pipeline fires one test per segment and
-    reports "significant" slices. Counts are exact BIGINTs; z is one
-    mirrored double; the two-sided p uses the Abramowitz–Stegun
-    7.1.26 erfc polynomial (|err| < 1.5e-7, mirrored term-for-term in
-    the oracle, round 12) so both engines compute the identical
-    defined statistic. The family is nation-bounded (25 rows), so the
-    rank window and the step-up max are driver-trivial at any corpus
-    scale; the per-nation counts are one map-combinable groupBy."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    ords = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
-        )
-        .select(
-            F.col("c_nationkey").alias("nation"),
-            (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")).alias(
-                "h1"
-            ),
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
-        )
-    )
-    per = (
-        ords.groupBy("nation")
-        .agg(
-            F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
-            F.sum(F.when(F.col("h1") & F.col("hi"), 1).otherwise(0)).alias(
-                "x1"
-            ),
-            F.sum(F.when(~F.col("h1"), 1).otherwise(0)).alias("n2"),
-            F.sum(
-                F.when(~F.col("h1") & F.col("hi"), 1).otherwise(0)
-            ).alias("x2"),
-        )
-        .filter(
-            (F.col("n1") > 0)
-            & (F.col("n2") > 0)
-            # degenerate pooled rates (ADVICE r9): a nation whose 1994
-            # orders are all (or none) high-priority has pooled ∈ {0,1},
-            # a zero variance denominator, and z = 0/0 = NaN that would
-            # flow into the rank window — exclude it, mirrored in the
-            # oracle's HAVING.
-            & (F.col("x1") + F.col("x2") > 0)
-            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2"))
-        )
-    )
-    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
-        F.col("n1") + F.col("n2")
-    )
-    z = (
-        F.col("x1").cast("double") / F.col("n1")
-        - F.col("x2").cast("double") / F.col("n2")
-    ) / F.sqrt(
-        pooled * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
-    )
-    zed = per.select("nation", (F.col("n1") + F.col("n2")).alias("n_orders"), z.alias("z"))
-    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    erfc = (
-        F.lit(0.254829592) * t
-        - F.lit(0.284496736) * (t * t)
-        + F.lit(1.421413741) * (t * t * t)
-        - F.lit(1.453152027) * (t * t * t * t)
-        + F.lit(1.061405429) * (t * t * t * t * t)
-    ) * F.exp(-(x * x))
-    pv = zed.select(
-        "nation",
-        "n_orders",
-        F.round(F.col("z"), 9).alias("z_stat"),
-        F.round(erfc, 12).alias("p_value"),
-    )
-    w = Window.orderBy("p_value", "nation")
-    ranked = pv.select(
-        "*",
-        F.row_number().over(w).cast("long").alias("p_rank"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).cast("long").alias("m"),
-    )
-    ranked = ranked.localCheckpoint(eager=False)  # consumed twice
-    kmax = ranked.agg(
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("p_value")
-                    <= F.col("p_rank") * F.lit(0.10) / F.col("m"),
-                    F.col("p_rank"),
-                )
-            ),
-            F.lit(0).cast("long"),
-        ).alias("k")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(kmax))
-        .select(
-            "nation",
-            "n_orders",
-            "z_stat",
-            "p_value",
-            "p_rank",
-            F.round(F.col("p_rank") * F.lit(0.10) / F.col("m"), 12).alias(
-                "bh_threshold"
-            ),
-            (F.col("p_rank") <= F.col("k")).alias("rejected"),
-        )
-    )
-
-
-@query(
-    "stats_wilcoxon_signed_rank",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    paired AS (
-      SELECT g1.day, g1.n - g2.n AS d
-      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
-      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
-        AND g1.n <> g2.n
-    ),
-    rk AS (
-      SELECT d,
-             CAST(2 * rank() OVER (ORDER BY abs(d))
-                  + count(*) OVER (PARTITION BY abs(d)) - 1 AS BIGINT)
-               AS two_r,
-             CAST(count(*) OVER (PARTITION BY abs(d)) AS BIGINT) AS t
-      FROM paired
-    ),
-    agg_ AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN d > 0 THEN two_r ELSE 0 END) AS BIGINT)
-               AS two_w_plus
-      FROM rk
-    ),
-    ties AS (
-      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_term
-      FROM (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t
-            FROM paired GROUP BY abs(d))
-      WHERE t > 1
-    )
-    SELECT n, two_w_plus, tie_term,
-           round((two_w_plus / 2.0 - n * (n + 1) / 4.0)
-                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
-                        - tie_term / 48.0), 12) AS z_stat
-    FROM agg_ CROSS JOIN ties
-    """,
-)
-def stats_wilcoxon_signed_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """WILCOXON SIGNED-RANK paired test — clicks vs views paired by
-    day over the dense 30-day grid: zero differences dropped, |d|
-    ranked with midranks, W⁺ = Σ ranks of positive d, tie-corrected
-    normal approximation. The midranks ride the doubled-rank device
-    (2r = 2·rank + t − 1, exact BIGINT — same integer trick as
-    stats_mann_whitney_u), so W⁺ is carried as 2W⁺ exactly and the
-    only double is the final mirrored z (round 12). The series is
-    30 points by construction; at corpus scale the grid aggregation
-    is the usual map-combinable daily rollup."""
-    g = _daily_grid(spark, sf)
-    clicks = g.filter(F.col("event_type") == "click").select(
-        "day", F.col("n").alias("nc")
-    )
-    views = g.filter(F.col("event_type") == "view").select(
-        "day", F.col("n").alias("nv")
-    )
-    paired = (
-        clicks.join(views, "day")
-        .select((F.col("nc") - F.col("nv")).alias("d"))
-        .filter(F.col("d") != 0)
-    )
-    paired = paired.localCheckpoint(eager=False)  # consumed twice
-    rk = paired.select(
-        "d",
-        (
-            F.lit(2) * F.rank().over(Window.orderBy(F.abs(F.col("d"))))
-            + F.count(F.lit(1)).over(Window.partitionBy(F.abs(F.col("d"))))
-            - F.lit(1)
-        ).cast("long").alias("two_r"),
-    )
-    agg_ = rk.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("d") > 0, F.col("two_r")).otherwise(0))
-        .cast("long")
-        .alias("two_w_plus"),
-    )
-    ties = (
-        paired.groupBy(F.abs(F.col("d")).alias("ad"))
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .filter(F.col("t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
-                F.lit(0).cast("long"),
-            ).alias("tie_term")
-        )
-    )
-    m = agg_.crossJoin(F.broadcast(ties))
-    z = (
-        F.col("two_w_plus") / F.lit(2.0)
-        - F.col("n") * (F.col("n") + 1) / F.lit(4.0)
-    ) / F.sqrt(
-        F.col("n") * (F.col("n") + F.lit(1.0)) * (2 * F.col("n") + 1)
-        / F.lit(24.0)
-        - F.col("tie_term") / F.lit(48.0)
-    )
-    return m.select(
-        "n", "two_w_plus", "tie_term", F.round(z, 12).alias("z_stat")
-    )
-
-
-@query(
-    "stats_page_hinkley",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    cum AS (
-      SELECT event_type, day, n,
-             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
-               AS BIGINT) AS s,
-             CAST(day + 1 AS BIGINT) AS k
-      FROM grid
-    ),
-    dev AS (
-      SELECT event_type, day,
-             sum(n - CAST(s AS DOUBLE) / k)
-               OVER (PARTITION BY event_type ORDER BY day) AS m_t
-      FROM cum
-    ),
-    ph AS (
-      SELECT event_type, day, m_t,
-             max(m_t) OVER (PARTITION BY event_type ORDER BY day) - m_t
-               AS ph_t
-      FROM dev
-    ),
-    best AS (
-      SELECT event_type, max(ph_t) AS ph_max FROM ph GROUP BY event_type
-    )
-    SELECT p.event_type, round(b.ph_max, 9) AS ph_max,
-           CAST(min(p.day) AS INT) AS argmax_day
-    FROM ph p JOIN best b
-      ON p.event_type = b.event_type AND p.ph_t = b.ph_max
-    GROUP BY p.event_type, b.ph_max
-    """,
-)
-def stats_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
-    """PAGE–HINKLEY sequential drift detector (δ=0) replayed over each
-    event stream's dense 30-day grid: mₜ = Σᵢ≤ₜ(xᵢ − x̄ᵢ) with x̄ᵢ the
-    running mean, PHₜ = max(mₛ)ₛ≤ₜ − mₜ; reports each stream's peak
-    downward-drift score and the day it fired. Running means are exact
-    S/k IEEE divisions off a cumulative BIGINT sum; the mₜ fold is a
-    sequential cumulative window in day order (identical accumulation
-    order on both engines — the sorted-fold device), rounded only at
-    the end. Per-key state is one cumulative window over a bounded
-    series; at corpus scale this is the standard streaming-drift
-    replay shape (per-key ordered scan, no global sort)."""
-    g = _daily_grid(spark, sf)
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = g.select(
-        "event_type",
-        "day",
-        "n",
-        F.sum("n").over(wcum).cast("long").alias("s"),
-        (F.col("day") + 1).cast("long").alias("k"),
-    )
-    dev = cum.select(
-        "event_type",
-        "day",
-        F.sum(
-            F.col("n") - F.col("s").cast("double") / F.col("k")
-        ).over(wcum).alias("m_t"),
-    )
-    ph = dev.select(
-        "event_type",
-        "day",
-        (F.max("m_t").over(wcum) - F.col("m_t")).alias("ph_t"),
-    )
-    ph = ph.localCheckpoint(eager=False)  # consumed twice
-    best = ph.groupBy("event_type").agg(F.max("ph_t").alias("ph_max"))
-    return (
-        ph.join(F.broadcast(best), "event_type")
-        .filter(F.col("ph_t") == F.col("ph_max"))
-        .groupBy("event_type", "ph_max")
-        .agg(F.min("day").cast("int").alias("argmax_day"))
-        .select(
-            "event_type",
-            F.round("ph_max", 9).alias("ph_max"),
-            "argmax_day",
-        )
-    )
-
-
-@query(
-    "olap_rfm_segmentation",
-    oracle="""
-    WITH rfm AS (
-      SELECT o_custkey AS cust,
-             date_diff('day', max(o_orderdate), DATE '1998-08-02')
-               AS recency_days,
-             CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS monetary_cents
-      FROM orders GROUP BY o_custkey
-    ),
-    scored AS (
-      SELECT *,
-             CAST(ntile(5) OVER (ORDER BY recency_days, cust) AS INT)
-               AS r_quintile,
-             CAST(ntile(5) OVER (ORDER BY frequency DESC, cust) AS INT)
-               AS f_quintile,
-             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, cust)
-               AS INT) AS m_quintile
-      FROM rfm
-    )
-    SELECT r_quintile, f_quintile, m_quintile,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
-           CAST(min(cust) AS BIGINT) AS sample_cust
-    FROM scored GROUP BY 1, 2, 3
-    """,
-)
-def olap_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
-    """RFM SEGMENTATION — the classic customer-value cube: per
-    customer, Recency (days from last order to the corpus horizon),
-    Frequency (order count), Monetary (lifetime cents, exact BIGINT),
-    each cut into quintiles with a full (metric, custkey) tiebreak so
-    ntile is deterministic on both engines, then the 5×5×5 segment
-    census. At scale the per-customer rollup is one map-combinable
-    groupBy; the three ntiles are rank windows over the (much smaller)
-    customer aggregate, and the final census is category-bounded
-    (≤125 rows)."""
-    o = load(spark, sf, "orders")
-    rfm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.datediff(
-            F.lit("1998-08-02").cast("date"), F.max("o_orderdate")
-        ).alias("recency_days"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("monetary_cents"),
-    )
-    scored = rfm.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "cust"))
-        .cast("int")
-        .alias("r_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "cust"))
-        .cast("int")
-        .alias("f_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), "cust"))
-        .cast("int")
-        .alias("m_quintile"),
-    )
-    return scored.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("monetary_cents").cast("long").alias("segment_cents"),
-        F.min("cust").cast("long").alias("sample_cust"),
-    )
-
-
-@query(
-    "olap_retention_triangle",
-    oracle="""
-    WITH firsts AS (
-      SELECT o_custkey AS cust,
-             date_trunc('month', min(o_orderdate)) AS cohort
-      FROM orders GROUP BY o_custkey
-    ),
-    cohorts AS (
-      SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
-      FROM firsts
-      WHERE cohort >= DATE '1994-01-01' AND cohort < DATE '1995-01-01'
-      GROUP BY cohort
-    ),
-    activity AS (
-      SELECT DISTINCT f.cohort, f.cust,
-             date_diff('month', f.cohort,
-                       date_trunc('month', o.o_orderdate)) AS age_months
-      FROM firsts f JOIN orders o ON o.o_custkey = f.cust
-      WHERE f.cohort >= DATE '1994-01-01'
-        AND f.cohort < DATE '1995-01-01'
-        AND date_diff('month', f.cohort,
-                      date_trunc('month', o.o_orderdate))
-            BETWEEN 0 AND 12
-    )
-    SELECT CAST(a.cohort AS DATE) AS cohort_month,
-           CAST(a.age_months AS INT) AS age_months,
-           CAST(count(*) AS BIGINT) AS n_active,
-           c.n_cohort,
-           CAST(count(*) * 1000 // c.n_cohort AS BIGINT)
-             AS retention_milli
-    FROM activity a JOIN cohorts c ON a.cohort = c.cohort
-    GROUP BY a.cohort, a.age_months, c.n_cohort
-    """,
-)
-def olap_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
-    """COHORT RETENTION TRIANGLE for the 1994 acquisition cohorts:
-    customers grouped by first-order month, then for month-ages 0..12
-    the share of each cohort that ordered again (distinct customers,
-    exact milli-rate via integer DIV — no float ratios to drift).
-    The first-order collapse and the distinct (cohort, cust, age)
-    activity set are both shuffle-on-customer aggregations; ages are
-    capped so the output is cohort-bounded (≤ 13×12 rows)."""
-    o = load(spark, sf, "orders")
-    o = o.localCheckpoint(eager=False)  # scanned twice (firsts + joins)
-    firsts = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.trunc(F.min("o_orderdate"), "month").alias("cohort")
-    ).filter(
-        (F.col("cohort") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("cohort") < F.lit("1995-01-01").cast("date"))
-    )
-    firsts = firsts.localCheckpoint(eager=False)  # consumed twice
-    cohorts = firsts.groupBy("cohort").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cohort")
-    )
-    age = F.months_between(
-        F.trunc(F.col("o_orderdate"), "month"), F.col("cohort")
-    ).cast("int")
-    activity = (
-        firsts.join(o, firsts.cust == o.o_custkey)
-        .select("cohort", "cust", age.alias("age_months"))
-        .filter((F.col("age_months") >= 0) & (F.col("age_months") <= 12))
-        .distinct()
-    )
-    return (
-        activity.groupBy("cohort", "age_months")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-        .join(F.broadcast(cohorts), "cohort")
-        .select(
-            F.col("cohort").alias("cohort_month"),
-            "age_months",
-            "n_active",
-            "n_cohort",
-            F.expr("n_active * 1000 div n_cohort")
-            .cast("long")
-            .alias("retention_milli"),
-        )
-    )
-
-
-@query(
-    "audit_psi_drift",
-    oracle="""
-    WITH ev AS (
-      SELECT event_type,
-             CAST(extract(hour FROM ts) AS INT) AS hr,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
-               AS first_half
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-    ),
-    dims AS (
-      SELECT 'event_type' AS dimension, event_type AS category,
-             first_half FROM ev
-      UNION ALL
-      SELECT 'hour_of_day', lpad(CAST(hr AS VARCHAR), 2, '0'),
-             first_half FROM ev
-    ),
-    cnt AS (
-      SELECT dimension, category,
-             CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_first,
-             CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_second
-      FROM dims GROUP BY dimension, category
-    ),
-    tot AS (
-      SELECT dimension,
-             CAST(sum(n_first) AS BIGINT) AS t1,
-             CAST(sum(n_second) AS BIGINT) AS t2,
-             CAST(count(*) AS BIGINT) AS k
-      FROM cnt GROUP BY dimension
-    )
-    SELECT c.dimension, c.category, c.n_first, c.n_second,
-           round((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k)
-                  - CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))
-                 * ln((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k))
-                      / (CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))),
-                 12) AS psi_term
-    FROM cnt c JOIN tot t ON c.dimension = t.dimension
-    """,
-)
-def audit_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
-    """POPULATION STABILITY INDEX drift audit — days 0-14 vs days
-    15-29, per category of two dimensions (event_type, hour-of-day):
-    each row carries the exact first/second counts and its Laplace-
-    smoothed PSI term (pᵢ−qᵢ)·ln(pᵢ/qᵢ) (add-one smoothing keeps
-    empty categories finite; terms stay per-category so no cross-
-    category float summation order exists to drift — the reader sums,
-    or gates on any term > 0.2/k). Counts are one map-combinable
-    groupBy; category totals are a category-bounded second pass."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    ev = e.select(
-        "event_type",
-        F.hour("ts").cast("int").alias("hr"),
-        (day < 15).alias("first_half"),
-    ).filter((day >= 0) & (day <= 29))
-    dims = ev.select(
-        F.lit("event_type").alias("dimension"),
-        F.col("event_type").alias("category"),
-        "first_half",
-    ).unionAll(
-        ev.select(
-            F.lit("hour_of_day").alias("dimension"),
-            F.lpad(F.col("hr").cast("string"), 2, "0").alias("category"),
-            "first_half",
-        )
-    )
-    cnt = dims.groupBy("dimension", "category").agg(
-        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_first"),
-        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_second"),
-    )
-    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
-    tot = cnt.groupBy("dimension").agg(
-        F.sum("n_first").cast("long").alias("t1"),
-        F.sum("n_second").cast("long").alias("t2"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + F.col("k"))
-    q = (F.col("n_second") + 1).cast("double") / (
-        F.col("t2") + F.col("k")
-    )
-    return (
-        cnt.join(F.broadcast(tot), "dimension")
-        .select(
-            "dimension",
-            "category",
-            "n_first",
-            "n_second",
-            F.round((p - q) * F.log(p / q), 12).alias("psi_term"),
-        )
-    )
-
-
-@query(
-    "text_flesch_reading_ease",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-             AS BIGINT) AS n_syllables,
-           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
-             AS BIGINT) AS n_sentences,
-           round(206.835
-                 - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                    / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
-                 - 84.6 * (CAST(len(regexp_extract_all(lower(text),
-                                                       '[aeiouy]+'))
-                                AS DOUBLE)
-                           / len(string_split(text, ' '))), 9) AS fre
-    FROM documents
-    """,
-)
-def text_flesch_reading_ease(spark: SparkSession, sf: str) -> DataFrame:
-    """FLESCH READING EASE per document — 206.835 − 1.015·(words/
-    sentences) − 84.6·(syllables/words) with the standard vowel-group
-    syllable heuristic (`[aeiouy]+` runs, backreference-free so both
-    regex engines agree) and a ≥1 sentence floor for unpunctuated
-    text. Counts are exact BIGINTs; the score is two mirrored IEEE
-    divisions folded in the same order both sides, round 9. Pure
-    column expressions — whole-stage-codegen row-local work, no
-    shuffle at any scale."""
-    d = load(spark, sf, "documents")
-    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
-    n_syll = F.regexp_count(
-        F.lower(F.col("text")), F.lit("[aeiouy]+")
-    ).cast("long")
-    n_sent = F.greatest(
-        F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
-    ).cast("long")
-    fre = (
-        F.lit(206.835)
-        - F.lit(1.015) * (n_words.cast("double") / n_sent)
-        - F.lit(84.6) * (n_syll.cast("double") / n_words)
-    )
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_syll.alias("n_syllables"),
-        n_sent.alias("n_sentences"),
-        F.round(fre, 9).alias("fre"),
-    )
-
-
-@query(
-    "text_yule_k",
-    oracle="""
-    WITH tok AS (
-      SELECT source, unnest(string_split(text, ' ')) AS w
-      FROM documents
-    ),
-    types AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS c
-      FROM tok GROUP BY source, w
-    ),
-    per AS (
-      SELECT source,
-             CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_types,
-             CAST(sum(c * c) AS BIGINT) AS sum_c2
-      FROM types GROUP BY source
-    )
-    SELECT source, n_tokens, n_types, sum_c2,
-           round(10000.0 * (sum_c2 - n_tokens)
-                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 9) AS yule_k
-    FROM per
-    """,
-)
-def text_yule_k(spark: SparkSession, sf: str) -> DataFrame:
-    """YULE'S CHARACTERISTIC K per source — 10⁴·(Σc² − N)/N² over the
-    type frequency spectrum: the length-robust vocabulary-richness
-    constant (higher = more repetitive), the classic companion to
-    hapax ratio and Simpson diversity for corpus-mix fingerprinting.
-    Both moments are exact BIGINTs off one token groupBy; K is a
-    single mirrored double, round 9. The token count table is the
-    same map-combinable shape as the tf-idf/vocab passes — linear
-    scan, one shuffle on (source, word)."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    types = tok.groupBy("source", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    per = types.groupBy("source").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
-    )
-    k = (
-        F.lit(10000.0)
-        * (F.col("sum_c2") - F.col("n_tokens"))
-        / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
-    )
-    return per.select(
-        "source",
-        "n_tokens",
-        "n_types",
-        "sum_c2",
-        F.round(k, 9).alias("yule_k"),
-    )
-
-
-@query(
-    "text_mattr_sliding",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-      FROM documents
-    ),
-    eligible AS (SELECT * FROM toks WHERE n >= 10),
-    win AS (
-      SELECT doc_id, n,
-             CAST(len(list_distinct(t[(s.i + 1):(s.i + 10)]))
-               AS BIGINT) AS d
-      FROM eligible, unnest(range(0, n - 9)) AS s(i)
-    ),
-    agg_ AS (
-      SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_windows,
-             CAST(sum(d) AS BIGINT) AS sum_distinct
-      FROM win GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, n_windows, sum_distinct,
-           round(CAST(sum_distinct AS DOUBLE) / (n_windows * 10), 12)
-             AS mattr
-    FROM agg_
-    """,
-)
-def text_mattr_sliding(spark: SparkSession, sf: str) -> DataFrame:
-    """MATTR — moving-average type-token ratio, window 10: the
-    length-invariant lexical-diversity measure (plain TTR collapses
-    as documents grow; averaging distinct-counts over every 10-token
-    window removes the length artifact). The window distinct-counts
-    are computed entirely with JVM higher-order array functions
-    (transform + slice + array_distinct — no explode of the window
-    fan-out, no Python), summed per document as exact BIGINTs; MATTR
-    is one mirrored division. Row-local per document, so it scales as
-    a pure map pass."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
-    ).withColumn("n", F.size("t").cast("long"))
-    eligible = toks.filter(F.col("n") >= 10)
-    dsum = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), (F.col("n") - 10).cast("int")),
-            lambda s: F.size(
-                F.array_distinct(F.slice(F.col("t"), s + 1, 10))
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    agg_ = eligible.select(
-        "doc_id",
-        F.col("n").alias("n_tokens"),
-        (F.col("n") - 9).alias("n_windows"),
-        dsum.alias("sum_distinct"),
-    )
-    return agg_.select(
-        "doc_id",
-        "n_tokens",
-        "n_windows",
-        "sum_distinct",
-        F.round(
-            F.col("sum_distinct").cast("double")
-            / (F.col("n_windows") * 10),
-            12,
-        ).alias("mattr"),
-    )
-
-
-@query(
-    "graph_degree_gini",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    ends AS (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges),
-    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY n),
-    hist AS (
-      SELECT d, CAST(count(*) AS BIGINT) AS m FROM deg GROUP BY d
-    ),
-    blocks AS (
-      SELECT d, m,
-             CAST(coalesce(sum(m) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS prefix
-      FROM hist
-    ),
-    agg_ AS (
-      SELECT CAST(sum(m) AS BIGINT) AS n_nodes,
-             CAST(sum(d * m) AS BIGINT) AS sum_deg,
-             CAST(sum(d * (m * prefix + m * (m + 1) // 2)) AS BIGINT)
-               AS rank_weighted
-      FROM blocks
-    )
-    SELECT n_nodes, sum_deg, rank_weighted,
-           round(2.0 * rank_weighted
-                   / (CAST(n_nodes AS DOUBLE) * sum_deg)
-                 - (n_nodes + 1.0) / n_nodes, 12) AS gini
-    FROM agg_
-    """,
-)
-def graph_degree_gini(spark: SparkSession, sf: str) -> DataFrame:
-    """GINI COEFFICIENT of the degree distribution — the single-number
-    inequality summary behind the CCDF/rich-club plots (0 = regular
-    graph, →1 = hub-dominated): G = 2·Σᵢ i·dᵢ/(n·Σd) − (n+1)/n over
-    ascending-sorted degrees. The rank-weighted sum is computed WITHOUT
-    a global row sort via the counting-sort device: degrees are
-    histogram-bounded, and a tie block of m nodes at degree d starting
-    after `prefix` smaller nodes contributes d·(m·prefix + m(m+1)/2)
-    regardless of intra-block order — so the only window runs over the
-    degree histogram (domain-bounded), everything else is exact-BIGINT
-    map-combinable aggregation."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    deg = gr.degrees(e).select(F.col("deg").cast("long").alias("d"))
-    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("m"))
-    wpre = (
-        Window.orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    blocks = hist.select(
-        "d",
-        "m",
-        F.coalesce(F.sum("m").over(wpre), F.lit(0))
-        .cast("long")
-        .alias("prefix"),
-    )
-    agg_ = blocks.agg(
-        F.sum("m").cast("long").alias("n_nodes"),
-        F.sum(F.col("d") * F.col("m")).cast("long").alias("sum_deg"),
-        F.sum(
-            F.col("d")
-            * (
-                F.col("m") * F.col("prefix")
-                + F.expr("m * (m + 1) div 2")
-            )
-        )
-        .cast("long")
-        .alias("rank_weighted"),
-    )
-    gini = F.lit(2.0) * F.col("rank_weighted") / (
-        F.col("n_nodes").cast("double") * F.col("sum_deg")
-    ) - (F.col("n_nodes") + F.lit(1.0)) / F.col("n_nodes")
-    return agg_.select(
-        "n_nodes",
-        "sum_deg",
-        "rank_weighted",
-        F.round(gini, 12).alias("gini"),
-    )
-
-
-@query(
-    "graph_harmonic_2hop",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS a, dst AS b FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    two AS (
-      SELECT DISTINCT x.a AS node, y.b AS nb
-      FROM adj x JOIN adj y ON x.b = y.a
-      WHERE y.b <> x.a
-    ),
-    d1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n1
-           FROM adj GROUP BY a),
-    d2 AS (
-      SELECT t.node, CAST(count(*) AS BIGINT) AS n2
-      FROM two t
-      WHERE NOT EXISTS (SELECT 1 FROM adj
-                        WHERE adj.a = t.node AND adj.b = t.nb)
-      GROUP BY t.node
-    )
-    SELECT d1.node, d1.n1, CAST(coalesce(d2.n2, 0) AS BIGINT) AS n2,
-           CAST(6 * d1.n1 + 3 * coalesce(d2.n2, 0) AS BIGINT)
-             AS harmonic_sixths
-    FROM d1 LEFT JOIN d2 ON d1.node = d2.node
-    """,
-)
-def graph_harmonic_2hop(spark: SparkSession, sf: str) -> DataFrame:
-    """2-HOP TRUNCATED HARMONIC CENTRALITY: per node, n₁ + n₂/2 where
-    n₁ = neighbors and n₂ = nodes at exactly distance 2 — the
-    locality-bounded centrality that (unlike closeness) needs no
-    all-pairs BFS. Carried as exact integer SIXTHS (6n₁ + 3n₂) so no
-    float leaves either engine. The 2-hop set is one adjacency
-    self-join + distinct + direct-edge anti-join — the
-    common-neighbors shape, O(Σ deg²) candidate pairs; at corpus
-    scale the standard cap is degree-bounding the hub side first
-    (same remedy the triangle/butterfly counts pin in
-    test_scale_plans)."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    adj = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = adj.localCheckpoint(eager=False)  # consumed 4×
-    x = adj.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
-    y = adj.select(F.col("src").alias("mid"), F.col("dst").alias("nb"))
-    two = (
-        x.join(y, "mid")
-        .filter(F.col("nb") != F.col("node"))
-        .select("node", "nb")
-        .distinct()
-    )
-    d1 = adj.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("n1")
-    )
-    direct = adj.select(
-        F.col("src").alias("node"), F.col("dst").alias("nb")
-    )
-    d2 = (
-        two.join(direct, ["node", "nb"], "left_anti")
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
-    )
-    return (
-        d1.join(d2, "node", "left")
-        .select(
-            "node",
-            "n1",
-            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
-            (
-                F.lit(6) * F.col("n1")
-                + F.lit(3) * F.coalesce("n2", F.lit(0))
-            )
-            .cast("long")
-            .alias("harmonic_sixths"),
-        )
-    )
-
-
-@query(
-    "graph_avg_neighbor_degree",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS a, dst AS b FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
-            FROM adj GROUP BY a)
-    SELECT da.d AS degree_class,
-           CAST(count(DISTINCT adj.a) AS BIGINT) AS n_nodes,
-           CAST(count(*) AS BIGINT) AS n_edge_ends,
-           CAST(sum(db.d) AS BIGINT) AS sum_neighbor_deg,
-           round(CAST(sum(db.d) AS DOUBLE) / count(*), 12)
-             AS knn_k
-    FROM adj
-    JOIN deg da ON adj.a = da.node
-    JOIN deg db ON adj.b = db.node
-    GROUP BY da.d
-    """,
-)
-def graph_avg_neighbor_degree(spark: SparkSession, sf: str) -> DataFrame:
-    """AVERAGE NEIGHBOR DEGREE curve knn(k) — for each degree class
-    k, the mean degree of the neighbors of degree-k nodes: the full
-    assortativity PROFILE (rising = assortative core, falling =
-    disassortative hub-periphery) that the single
-    graph_degree_assortativity coefficient summarizes. One degree
-    table joined onto both edge endpoints, grouped by the source's
-    degree class — exact BIGINT sums, one mirrored division per
-    class; degree-histogram-bounded output."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    adj = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = adj.localCheckpoint(eager=False)  # feeds deg + the join
-    deg = adj.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    deg = deg.localCheckpoint(eager=False)  # joined twice
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
-    return (
-        adj.withColumnRenamed("src", "a")
-        .withColumnRenamed("dst", "b")
-        .join(da, "a")
-        .join(db, "b")
-        .groupBy(F.col("dda").alias("degree_class"))
-        .agg(
-            F.countDistinct("a").cast("long").alias("n_nodes"),
-            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
-            F.sum("ddb").cast("long").alias("sum_neighbor_deg"),
-            F.round(
-                F.sum("ddb").cast("double") / F.count(F.lit(1)), 12
-            ).alias("knn_k"),
-        )
-    )
-
-
-# Literal 30-entry cos/sin tables for the period-7 Goertzel bin: both
-# engines consume the SAME python-computed constants, so no cross-engine
-# libm cos/sin ulp difference can enter the fold.
-_G7_COS = [math.cos(2.0 * math.pi * t / 7.0) for t in range(30)]
-_G7_SIN = [math.sin(2.0 * math.pi * t / 7.0) for t in range(30)]
-_G7_COS_SQL = "[" + ", ".join(repr(v) for v in _G7_COS) + "]"
-_G7_SIN_SQL = "[" + ", ".join(repr(v) for v in _G7_SIN) + "]"
-
-
-@query(
-    "ts_goertzel_weekly_power",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    series AS (
-      SELECT event_type,
-             list(CAST(n AS DOUBLE) ORDER BY day) AS xs,
-             CAST(sum(n) AS BIGINT) AS total
-      FROM grid GROUP BY event_type
-    )
-    SELECT event_type, total,
-           round(sqrt(
-             list_dot_product(xs, {_G7_COS_SQL})
-               * list_dot_product(xs, {_G7_COS_SQL})
-             + list_dot_product(xs, {_G7_SIN_SQL})
-               * list_dot_product(xs, {_G7_SIN_SQL})
-           ) / total, 9) AS weekly_amplitude_ratio
-    FROM series
-    """,
-)
-def ts_goertzel_weekly_power(spark: SparkSession, sf: str) -> DataFrame:
-    """SINGLE-BIN DFT at the weekly period (Goertzel bin k=N/7) per
-    event stream: amplitude of the period-7 component over the dense
-    30-day grid, normalized by the stream total (a unit-free
-    seasonality-strength score that complements ts_seasonal_strength's
-    variance decomposition). The cos/sin tables are python-computed
-    LITERALS injected into both engines, and the weighted sums are
-    sequential left-to-right folds (F.aggregate ≡ list_dot_product,
-    the pinned device), so no libm trig or summation-order divergence
-    exists. One ordered collect per stream over the bounded grid."""
-    g = _daily_grid(spark, sf)
-    series = g.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("day").alias("day"),
-                    F.col("n").cast("double").alias("x"),
-                )
-            )
-        ).alias("pairs"),
-        F.sum("n").cast("long").alias("total"),
-    )
-    xs = F.transform(F.col("pairs"), lambda p: p["x"])
-    cos_arr = F.array(*[F.lit(v) for v in _G7_COS])
-    sin_arr = F.array(*[F.lit(v) for v in _G7_SIN])
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    amp = F.sqrt(
-        dot(xs, cos_arr) * dot(xs, cos_arr)
-        + dot(xs, sin_arr) * dot(xs, sin_arr)
-    ) / F.col("total")
-    return series.select(
-        "event_type",
-        "total",
-        F.round(amp, 9).alias("weekly_amplitude_ratio"),
-    )
-
-
-@query(
-    "ts_spc_western_electric",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    stats AS (
-      SELECT event_type,
-             CAST(sum(n) AS BIGINT) AS s,
-             CAST(sum(n * n) AS BIGINT) AS s2,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM grid GROUP BY event_type
-    ),
-    z AS (
-      SELECT g.event_type, g.day, g.n,
-             CAST(s AS DOUBLE) / cnt AS mu,
-             sqrt((s2 - CAST(s AS DOUBLE) * s / cnt) / cnt) AS sigma
-      FROM grid g JOIN stats USING (event_type)
-    ),
-    flags AS (
-      SELECT event_type, day, n,
-             CASE WHEN n > mu + 3 * sigma OR n < mu - 3 * sigma
-                  THEN 1 ELSE 0 END AS beyond3,
-             CASE WHEN n > mu + 2 * sigma THEN 1 ELSE 0 END AS up2,
-             CASE WHEN n < mu - 2 * sigma THEN 1 ELSE 0 END AS dn2,
-             CASE WHEN n > mu + sigma THEN 1 ELSE 0 END AS up1,
-             CASE WHEN n < mu - sigma THEN 1 ELSE 0 END AS dn1,
-             CASE WHEN n > mu THEN 1 ELSE 0 END AS up0,
-             CASE WHEN n < mu THEN 1 ELSE 0 END AS dn0
-      FROM z
-    ),
-    rules AS (
-      SELECT event_type, day, n,
-             beyond3 = 1 AS rule1,
-             sum(up2) OVER w3 >= 2 OR sum(dn2) OVER w3 >= 2 AS rule2,
-             sum(up1) OVER w5 >= 4 OR sum(dn1) OVER w5 >= 4 AS rule3,
-             sum(up0) OVER w8 = 8 OR sum(dn0) OVER w8 = 8 AS rule4
-      FROM flags
-      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-             w5 AS (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-             w8 AS (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_type, CAST(day AS INT) AS day, n,
-           rule1, rule2, rule3, rule4
-    FROM rules
-    WHERE rule1 OR rule2 OR rule3 OR rule4
-    """,
-)
-def ts_spc_western_electric(spark: SparkSession, sf: str) -> DataFrame:
-    """WESTERN ELECTRIC control-chart rules over each event stream's
-    daily series (μ, σ from the series itself, population form off
-    exact BIGINT moments): R1 point beyond 3σ; R2 ≥2-of-3 beyond 2σ
-    same side; R3 ≥4-of-5 beyond 1σ same side; R4 8 consecutive same
-    side — emitting only violating days. Zone indicators are integer
-    flags (both engines derive them from identically-computed
-    doubles), the of-N counts are bounded ROWS windows per key — the
-    streaming SPC shape: per-key ordered scan, no global state."""
-    g = _daily_grid(spark, sf)
-    stats = g.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-    )
-    z = g.join(F.broadcast(stats), "event_type").select(
-        "event_type",
-        "day",
-        "n",
-        (F.col("s").cast("double") / F.col("cnt")).alias("mu"),
-        F.sqrt(
-            (
-                F.col("s2")
-                - F.col("s").cast("double") * F.col("s") / F.col("cnt")
-            )
-            / F.col("cnt")
-        ).alias("sigma"),
-    )
-    up = lambda k: F.when(  # noqa: E731
-        F.col("n") > F.col("mu") + k * F.col("sigma"), 1
-    ).otherwise(0)
-    dn = lambda k: F.when(  # noqa: E731
-        F.col("n") < F.col("mu") - k * F.col("sigma"), 1
-    ).otherwise(0)
-    flags = z.select(
-        "event_type",
-        "day",
-        "n",
-        (up(3) + dn(3)).alias("beyond3"),
-        up(2).alias("up2"),
-        dn(2).alias("dn2"),
-        up(1).alias("up1"),
-        dn(1).alias("dn1"),
-        F.when(F.col("n") > F.col("mu"), 1).otherwise(0).alias("up0"),
-        F.when(F.col("n") < F.col("mu"), 1).otherwise(0).alias("dn0"),
-    )
-
-    def win(k):
-        return (
-            Window.partitionBy("event_type")
-            .orderBy("day")
-            .rowsBetween(-(k - 1), 0)
-        )
-
-    rules = flags.select(
-        "event_type",
-        F.col("day").cast("int").alias("day"),
-        "n",
-        (F.col("beyond3") == 1).alias("rule1"),
-        (
-            (F.sum("up2").over(win(3)) >= 2)
-            | (F.sum("dn2").over(win(3)) >= 2)
-        ).alias("rule2"),
-        (
-            (F.sum("up1").over(win(5)) >= 4)
-            | (F.sum("dn1").over(win(5)) >= 4)
-        ).alias("rule3"),
-        (
-            (F.sum("up0").over(win(8)) == 8)
-            | (F.sum("dn0").over(win(8)) == 8)
-        ).alias("rule4"),
-    )
-    return rules.filter(
-        F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")
-    )
-
-
-@query(
-    "stats_tost_equivalence",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    halves AS (
-      SELECT event_type, day < 15 AS h1, n FROM grid
-    ),
-    per AS (
-      SELECT event_type,
-             CAST(sum(CASE WHEN h1 THEN n ELSE 0 END) AS BIGINT) AS s1,
-             CAST(sum(CASE WHEN h1 THEN n * n ELSE 0 END) AS BIGINT)
-               AS q1,
-             CAST(sum(CASE WHEN NOT h1 THEN n ELSE 0 END) AS BIGINT)
-               AS s2,
-             CAST(sum(CASE WHEN NOT h1 THEN n * n ELSE 0 END) AS BIGINT)
-               AS q2
-      FROM halves GROUP BY event_type
-    ),
-    m AS (
-      SELECT event_type,
-             CAST(s1 AS DOUBLE) / 15 AS m1, CAST(s2 AS DOUBLE) / 15 AS m2,
-             (q1 - CAST(s1 AS DOUBLE) * s1 / 15) / 14 AS v1,
-             (q2 - CAST(s2 AS DOUBLE) * s2 / 15) / 14 AS v2,
-             0.1 * ((CAST(s1 AS DOUBLE) + s2) / 30) AS margin
-      FROM per
-    )
-    SELECT event_type, round(m1, 9) AS mean_h1, round(m2, 9) AS mean_h2,
-           round(margin, 9) AS margin,
-           round((m1 - m2 + margin) / sqrt(v1 / 15 + v2 / 15), 12)
-             AS t_lower,
-           round((m1 - m2 - margin) / sqrt(v1 / 15 + v2 / 15), 12)
-             AS t_upper,
-           (m1 - m2 + margin) / sqrt(v1 / 15 + v2 / 15) > 1.645
-             AND (m1 - m2 - margin) / sqrt(v1 / 15 + v2 / 15) < -1.645
-             AS equivalent
-    FROM m
-    """,
-)
-def stats_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
-    """TOST EQUIVALENCE test (two one-sided Welch t's) — is each
-    stream's daily level in the second half EQUIVALENT to the first
-    half within a ±10%-of-mean margin? The question A/B "no change"
-    claims actually need (absence of significance ≠ equivalence).
-    Moments are exact BIGINTs; means/variances/margin are mirrored
-    single divisions; both one-sided t's use the z critical value
-    1.645 (dfs here ≈ 28, documented approximation — the decision
-    boundary, not the statistic, absorbs it). Map-combinable moments,
-    category-bounded output."""
-    g = _daily_grid(spark, sf)
-    per = g.groupBy("event_type").agg(
-        F.sum(F.when(F.col("day") < 15, F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        F.sum(
-            F.when(F.col("day") < 15, F.col("n") * F.col("n")).otherwise(0)
-        )
-        .cast("long")
-        .alias("q1"),
-        F.sum(F.when(F.col("day") >= 15, F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("s2"),
-        F.sum(
-            F.when(
-                F.col("day") >= 15, F.col("n") * F.col("n")
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("q2"),
-    )
-    m1 = F.col("s1").cast("double") / 15
-    m2 = F.col("s2").cast("double") / 15
-    v1 = (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / 15) / 14
-    v2 = (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / 15) / 14
-    margin = F.lit(0.1) * ((F.col("s1").cast("double") + F.col("s2")) / 30)
-    se = F.sqrt(v1 / 15 + v2 / 15)
-    t_lo = (m1 - m2 + margin) / se
-    t_hi = (m1 - m2 - margin) / se
-    return per.select(
-        "event_type",
-        F.round(m1, 9).alias("mean_h1"),
-        F.round(m2, 9).alias("mean_h2"),
-        F.round(margin, 9).alias("margin"),
-        F.round(t_lo, 12).alias("t_lower"),
-        F.round(t_hi, 12).alias("t_upper"),
-        ((t_lo > 1.645) & (t_hi < -1.645)).alias("equivalent"),
-    )
-
-
-_EMB_SAMPLE_PAIRS_SQL = """
-    q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, label, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    pairs AS (
-      SELECT a.vec_id AS qid, a.label AS qlab,
-             b.vec_id AS nid, b.label AS nlab,
-             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
-                            * (a.qv[i + 1] - b.qv[i + 1])
-                            for i in range(0, 64)]) AS BIGINT) AS d2
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    )
-"""
-
-
-@query(
-    "emb_same_label_auc",
-    oracle=f"""
-    WITH {_EMB_SAMPLE_PAIRS_SQL},
-    hist AS (
-      SELECT d2,
-             CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT)
-               AS ns,
-             CAST(sum(CASE WHEN qlab <> nlab THEN 1 ELSE 0 END)
-               AS BIGINT) AS nd
-      FROM pairs GROUP BY d2
-    ),
-    cum AS (
-      SELECT ns, nd,
-             CAST(coalesce(sum(nd) OVER (ORDER BY d2
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS nd_less
-      FROM hist
-    ),
-    agg_ AS (
-      SELECT CAST(sum(ns) AS BIGINT) AS n_same,
-             CAST(sum(nd) AS BIGINT) AS n_diff,
-             CAST(sum(ns * (2 * nd_less + nd)) AS BIGINT) AS two_u
-      FROM cum
-    )
-    SELECT n_same, n_diff, two_u,
-           round(1.0 - CAST(two_u AS DOUBLE) / (2.0 * n_same * n_diff),
-                 12) AS same_label_auc
-    FROM agg_
-    """,
-)
-def emb_same_label_auc(spark: SparkSession, sf: str) -> DataFrame:
-    """LABEL-SEPARABILITY AUC of the metric space: the probability
-    that a random same-label pair is CLOSER than a random cross-label
-    pair (ties half-weighted) — exactly the Mann–Whitney U/ROC-AUC of
-    the distance as a same-label classifier (0.5 = labels invisible
-    to the metric; this corpus's weak clusters land just above). U is
-    computed on the exact-int64 d² pair stream with the counting
-    device (per-distinct-d2 histogram + one cumulative window), so
-    2U is an exact BIGINT — no rank floats, no global row sort, and
-    at 100 TB the histogram window shards by d² range exactly like
-    stats_quantile_normalize."""
-    pairs = _sample_pairs(spark, sf)
-    hist = pairs.groupBy("d2").agg(
-        F.sum(F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0))
-        .cast("long")
-        .alias("ns"),
-        F.sum(F.when(F.col("qlab") != F.col("nlab"), 1).otherwise(0))
-        .cast("long")
-        .alias("nd"),
-    )
-    wless = Window.orderBy("d2").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.select(
-        "ns",
-        "nd",
-        F.coalesce(F.sum("nd").over(wless), F.lit(0))
-        .cast("long")
-        .alias("nd_less"),
-    )
-    agg_ = cum.agg(
-        F.sum("ns").cast("long").alias("n_same"),
-        F.sum("nd").cast("long").alias("n_diff"),
-        F.sum(
-            F.col("ns") * (2 * F.col("nd_less") + F.col("nd"))
-        )
-        .cast("long")
-        .alias("two_u"),
-    )
-    auc = F.lit(1.0) - F.col("two_u").cast("double") / (
-        F.lit(2.0) * F.col("n_same") * F.col("n_diff")
-    )
-    return agg_.select(
-        "n_same",
-        "n_diff",
-        "two_u",
-        F.round(auc, 12).alias("same_label_auc"),
-    )
-
-
-@query(
-    "emb_nn_margin_audit",
-    oracle=f"""
-    WITH {_EMB_SAMPLE_PAIRS_SQL},
-    mins AS (
-      SELECT qid, qlab,
-             CAST(min(CASE WHEN qlab = nlab THEN d2 END) AS BIGINT)
-               AS min_same_d2,
-             CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS BIGINT)
-               AS min_other_d2
-      FROM pairs GROUP BY qid, qlab
-    )
-    SELECT qid AS vec_id, qlab AS label, min_same_d2, min_other_d2,
-           min_other_d2 < min_same_d2 AS nn_violation
-    FROM mins
-    WHERE min_same_d2 IS NOT NULL AND min_other_d2 IS NOT NULL
-    """,
-)
-def emb_nn_margin_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """1-NN MARGIN AUDIT per sampled anchor: exact distance to the
-    nearest SAME-label vector vs the nearest OTHER-label vector; a
-    violation (other closer than same) is precisely a leave-one-out
-    1-NN classification error — the pointwise complement to
-    emb_knn_label_accuracy's aggregate rate, naming WHICH anchors sit
-    on the wrong side of their class boundary (retrieval-hard
-    examples = hard-negative candidates). Two conditional MINs over
-    the exact-int64 broadcast pair stream — fully map-combinable."""
-    pairs = _sample_pairs(spark, sf)
-    mins = pairs.groupBy("qid", "qlab").agg(
-        F.min(
-            F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
-        ).alias("min_same_d2"),
-        F.min(
-            F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
-        ).alias("min_other_d2"),
-    )
-    return (
-        mins.filter(
-            F.col("min_same_d2").isNotNull()
-            & F.col("min_other_d2").isNotNull()
-        )
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("qlab").alias("label"),
-            "min_same_d2",
-            "min_other_d2",
-            (F.col("min_other_d2") < F.col("min_same_d2")).alias(
-                "nn_violation"
-            ),
-        )
-    )
-
-
-@query(
-    "emb_cosine_anisotropy_hist",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-              for x in embedding] AS qv
-      FROM embeddings
-    ),
-    qs AS (
-      SELECT vec_id, qv FROM q
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
-    dots AS (
-      SELECT CAST(list_sum([a.qv[i + 1] * b.qv[i + 1]
-                            for i in range(0, 64)]) AS BIGINT) AS dab,
-             CAST(list_sum([a.qv[i + 1] * a.qv[i + 1]
-                            for i in range(0, 64)]) AS BIGINT) AS daa,
-             CAST(list_sum([b.qv[i + 1] * b.qv[i + 1]
-                            for i in range(0, 64)]) AS BIGINT) AS dbb
-      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
-    ),
-    milli AS (
-      SELECT CAST(floor(1000.0 * dab
-               / sqrt(CAST(daa AS DOUBLE) * dbb)) AS BIGINT)
-               AS cos_milli
-      FROM dots
-    )
-    SELECT CAST(floor(CAST(cos_milli AS DOUBLE) / 100) AS BIGINT)
-             AS cos_bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(cos_milli) AS BIGINT) AS sum_cos_milli
-    FROM milli GROUP BY 1
-    """,
-)
-def emb_cosine_anisotropy_hist(spark: SparkSession, sf: str) -> DataFrame:
-    """ANISOTROPY HISTOGRAM — the distribution of pairwise cosines
-    between the 100-anchor sample and the corpus (Ethayarajh 2019's
-    embedding-cone diagnostic: a healthy isotropic space centers near
-    0; a collapsed one piles up near 1, which silently breaks cosine
-    thresholds and SemDeDup radii). All three dot products are exact
-    int64 on the ×256 grid; the cosine is one mirrored double whose
-    FLOOR to milli-units re-enters integer space, so the histogram
-    and its milli-sum are exact. Map-combinable groupBy over the
-    broadcast pair stream; bucket domain is fixed (−10..9)."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    base = emb.select("vec_id", qz.alias("qv"))
-    sample = (
-        base.orderBy(
-            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
-        )
-        .limit(100)
-        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qa"))
-    )
-    dab = F.expr(
-        "aggregate(zip_with(qa, qv, (x, y) -> x * y),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    daa = F.expr(
-        "aggregate(transform(qa, x -> x * x),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    dbb = F.expr(
-        "aggregate(transform(qv, x -> x * x),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    dots = (
-        base.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
-        .select(dab.alias("dab"), daa.alias("daa"), dbb.alias("dbb"))
-    )
-    cos_milli = F.floor(
-        F.lit(1000.0)
-        * F.col("dab")
-        / F.sqrt(F.col("daa").cast("double") * F.col("dbb"))
-    ).cast("long")
-    return (
-        dots.select(cos_milli.alias("cos_milli"))
-        .groupBy(
-            F.floor(F.col("cos_milli").cast("double") / 100)
-            .cast("long")
-            .alias("cos_bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("cos_milli").cast("long").alias("sum_cos_milli"),
-        )
-    )
-
-
-@query(
-    "join_asof_tolerance",
-    oracle="""
-    WITH orders_d AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
-    ),
-    matched AS (
-      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, e.ts
-      FROM events e ASOF LEFT JOIN orders_d o
-        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-    )
-    SELECT event_id, user_id,
-           CASE WHEN epoch_us(ts) - epoch_us(CAST(o_orderdate AS
-                    TIMESTAMP)) <= 604800000000
-                THEN o_orderkey END AS o_orderkey_7d
-    FROM matched
-    """,
-)
-def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
-    """TOLERANCE-BOUNDED as-of join (pandas merge_asof(tolerance=...)
-    semantics): latest order at or before each event, but only if it
-    landed within the last 7 days — matches farther back are nulled,
-    the event row survives. The staleness bound every online
-    feature-store lookup needs (a price from last year must NOT join
-    onto today's event). Same single-shuffle union+window carry as
-    join_asof (operators.asof_join) — the bound is one comparison on
-    the carried match time, adding zero shuffles."""
-    from ..operators import asof_join
-
-    e = load(spark, sf, "events").select(
-        "event_id",
-        F.col("user_id"),
-        _usec(F.col("ts")).alias("_ts_us"),
-    )
-    o = (
-        load(spark, sf, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "_od_us"
-            ),
-            "o_orderkey",
-        )
-    )
-    out = asof_join(
-        e,
-        o,
-        on="user_id",
-        left_time="_ts_us",
-        right_time="_od_us",
-        right_payload=["o_orderkey"],
-        tolerance=7 * 24 * 3600 * 1_000_000,
-    )
-    return out.select(
-        "event_id", "user_id", F.col("o_orderkey").alias("o_orderkey_7d")
-    )
-
-
-@query(
-    "olap_session_conversion_by_depth",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, ts, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                       >= 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    s AS (
-      SELECT user_id, event_type,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sess
-      FROM o
-    ),
-    per AS (
-      SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
-      FROM s GROUP BY user_id, sess
-    ),
-    bucketed AS (
-      SELECT CASE WHEN n_events = 1 THEN '1'
-                  WHEN n_events = 2 THEN '2'
-                  WHEN n_events <= 5 THEN '3-5'
-                  ELSE '6+' END AS depth_bucket,
-             converted
-      FROM per
-    )
-    SELECT depth_bucket,
-           CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(converted) AS BIGINT) AS n_converting,
-           CAST(sum(converted) * 1000 // count(*) AS BIGINT)
-             AS conversion_milli
-    FROM bucketed GROUP BY depth_bucket
-    """,
-)
-def olap_session_conversion_by_depth(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SESSION-DEPTH CONVERSION curve: sessionize each user's events
-    with the native 30-minute session window (the same state-store
-    operator the streaming path uses), flag sessions containing a
-    purchase, and report conversion per depth bucket (1 / 2 / 3-5 /
-    6+ events) — the do-longer-sessions-convert question. Conversion
-    is an exact integer milli-rate (DIV), the session rollup is the
-    proven gaps-and-islands shape, and the bucket census is
-    category-bounded."""
-    e = load(spark, sf, "events")
-    per = e.groupBy(
-        "user_id", F.session_window("ts", "30 minutes")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted"),
-    )
-    bucketed = per.select(
-        F.when(F.col("n_events") == 1, "1")
-        .when(F.col("n_events") == 2, "2")
-        .when(F.col("n_events") <= 5, "3-5")
-        .otherwise("6+")
-        .alias("depth_bucket"),
-        "converted",
-    )
-    return bucketed.groupBy("depth_bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum("converted").cast("long").alias("n_converting"),
-        F.expr("sum(converted) * 1000 div count(*)")
-        .cast("long")
-        .alias("conversion_milli"),
-    )
-
-
-@query(
-    "stats_cvm_test",
-    oracle="""
-    WITH vals AS (
-      SELECT value, event_type = 'click' AS is_a
-      FROM events WHERE event_type IN ('click', 'view')
-    ),
-    ranked AS (
-      SELECT is_a,
-             CAST(rank() OVER (ORDER BY value) AS BIGINT) AS r,
-             CAST(row_number() OVER (PARTITION BY is_a ORDER BY value)
-               AS BIGINT) AS i
-      FROM vals
-    ),
-    per AS (
-      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
-               AS m,
-             CAST(sum(CASE WHEN is_a THEN (r - i) * (r - i) ELSE 0 END)
-               AS BIGINT) AS da,
-             CAST(sum(CASE WHEN NOT is_a THEN (r - i) * (r - i)
-                      ELSE 0 END) AS BIGINT) AS db
-      FROM ranked
-    )
-    SELECT n, m, CAST(n * da + m * db AS BIGINT) AS u_stat,
-           round(CAST(n * da + m * db AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * m * (n + m))
-                 - (4.0 * n * m - 1) / (6.0 * (n + m)), 12) AS t_stat
-    FROM per
-    """,
-)
-def stats_cvm_test(spark: SparkSession, sf: str) -> DataFrame:
-    """CRAMÉR–VON MISES two-sample test (click vs view value
-    distributions) in the Anderson rank formulation: U = n·Σ(rᵢ−i)² +
-    m·Σ(sⱼ−j)², T = U/(nm(n+m)) − (4nm−1)/(6(n+m)) — the
-    whole-distribution companion to the KS test (T weights the body,
-    KS the worst point; both belong in a drift gate). Ranks use
-    min-rank on ties and the within-group index is a row_number whose
-    tie assignment provably cancels in the squared sum, so U is an
-    exact BIGINT on both engines. The only global structure is the
-    combined rank — at corpus scale it shards by value range exactly
-    like stats_quantile_normalize."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    vals = e.select(
-        "value", (F.col("event_type") == "click").alias("is_a")
-    )
-    ranked = vals.select(
-        "is_a",
-        F.rank().over(Window.orderBy("value")).cast("long").alias("r"),
-        F.row_number()
-        .over(Window.partitionBy("is_a").orderBy("value"))
-        .cast("long")
-        .alias("i"),
-    )
-    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
-    per = ranked.agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
-        .cast("long")
-        .alias("n"),
-        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
-        .cast("long")
-        .alias("m"),
-        F.sum(F.when(F.col("is_a"), d2).otherwise(0))
-        .cast("long")
-        .alias("da"),
-        F.sum(F.when(~F.col("is_a"), d2).otherwise(0))
-        .cast("long")
-        .alias("db"),
-    )
-    u = F.col("n") * F.col("da") + F.col("m") * F.col("db")
-    t = u.cast("double") / (
-        F.col("n").cast("double") * F.col("m") * (F.col("n") + F.col("m"))
-    ) - (F.lit(4.0) * F.col("n") * F.col("m") - 1) / (
-        F.lit(6.0) * (F.col("n") + F.col("m"))
-    )
-    return per.select(
-        "n",
-        "m",
-        u.cast("long").alias("u_stat"),
-        F.round(t, 12).alias("t_stat"),
-    )
-
-
-@query(
-    "stats_dunn_index",
-    oracle=f"""
-    WITH {_EMB_SAMPLE_PAIRS_SQL}
-    SELECT CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS BIGINT)
-             AS min_cross_d2,
-           CAST(max(CASE WHEN qlab = nlab THEN d2 END) AS BIGINT)
-             AS max_same_d2,
-           round(CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS DOUBLE)
-                 / max(CASE WHEN qlab = nlab THEN d2 END), 12)
-             AS dunn_sq
-    FROM pairs
-    """,
-)
-def stats_dunn_index(spark: SparkSession, sf: str) -> DataFrame:
-    """DUNN INDEX (squared form) over the anchored pair sample: the
-    minimum cross-label distance² over the maximum same-label
-    distance² — the worst-case separation/compactness ratio that
-    complements emb_davies_bouldin_sq's average-case score (Dunn ≪ 1
-    here, consistent with the known weak clusters). Two conditional
-    extreme aggregates over the exact-int64 broadcast pair stream —
-    fully map-combinable, one mirrored division."""
-    pairs = _sample_pairs(spark, sf)
-    return pairs.agg(
-        F.min(
-            F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
-        ).alias("min_cross_d2"),
-        F.max(
-            F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
-        ).alias("max_same_d2"),
-        F.round(
-            F.min(
-                F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
-            ).cast("double")
-            / F.max(
-                F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
-            ),
-            12,
-        ).alias("dunn_sq"),
-    )
-
-
-@query(
-    "text_topk_coverage_curve",
-    oracle="""
-    WITH wc AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> '' GROUP BY w
-    ),
-    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM wc),
-    ranked AS (
-      SELECT freq,
-             CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
-               AS rnk,
-             CAST(sum(freq) OVER (ORDER BY freq DESC, w
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      FROM wc
-    ),
-    ks AS (SELECT unnest([1, 2, 5, 10, 20, 50, 100, 500]) AS k)
-    SELECT k,
-           CAST(max(rnk) AS BIGINT) AS n_types_used,
-           CAST(max(cum) AS BIGINT) AS cum_tokens,
-           CAST(max(cum) * 1000 // (SELECT n_total FROM tot) AS BIGINT)
-             AS coverage_milli
-    FROM ks JOIN ranked ON ranked.rnk <= ks.k
-    GROUP BY k
-    """,
-)
-def text_topk_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """TOP-K TOKEN COVERAGE curve: what share of the corpus token mass
-    the k most frequent types cover, at k ∈ {1,2,5,10,20,50,100,500}
-    — the vocabulary-sizing curve behind tokenizer budgets and
-    stopword cutoffs (BPE sizing reads exactly this shape). Counts are
-    one map-combinable groupBy; only the ranked vocabulary (types,
-    not tokens) sees the cumulative window; coverage is an exact
-    integer milli-share. Checkpoints clamp to the vocabulary size, so
-    the output is k-bounded."""
-    d = load(spark, sf, "documents")
-    wc = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    wc = wc.localCheckpoint(eager=False)  # ranked + total
-    tot = wc.agg(F.sum("freq").cast("long").alias("n_total"))
-    wrank = Window.orderBy(F.col("freq").desc(), F.col("w"))
-    ranked = wc.select(
-        F.row_number().over(wrank).cast("long").alias("rnk"),
-        F.sum("freq")
-        .over(wrank.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("cum"),
-    )
-    ks = spark.createDataFrame(
-        [(k,) for k in (1, 2, 5, 10, 20, 50, 100, 500)], ["k"]
-    )
-    return (
-        F.broadcast(ks)
-        .join(ranked, ranked.rnk <= ks.k)
-        .groupBy("k")
-        .agg(
-            F.max("rnk").cast("long").alias("n_types_used"),
-            F.max("cum").cast("long").alias("cum_tokens"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "k",
-            "n_types_used",
-            "cum_tokens",
-            F.expr("cum_tokens * 1000 div n_total")
-            .cast("long")
-            .alias("coverage_milli"),
-        )
-    )
-
-
-@query(
-    "text_heaps_bigram_fit",
-    oracle="""
-    WITH docs AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             CAST(row_number() OVER (ORDER BY
-               md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS p
-      FROM documents
-    ),
-    ntok AS (
-      SELECT p, CAST(len(t) AS BIGINT) AS nt,
-             CAST(count(*) OVER () AS BIGINT) AS n_docs
-      FROM docs
-    ),
-    cum AS (
-      SELECT p, n_docs,
-             CAST(sum(nt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
-               AS BIGINT) AS cum_n
-      FROM ntok
-    ),
-    grams AS (
-      SELECT p, unnest(list_distinct(
-               [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]))
-               AS g
-      FROM docs WHERE len(t) >= 2
-    ),
-    firsts AS (SELECT g, CAST(min(p) AS BIGINT) AS fp FROM grams
-               GROUP BY g),
-    cps AS (
-      SELECT DISTINCT (n_docs * u.k + 9) // 10 AS cp
-      FROM cum, unnest(range(1, 11)) AS u(k)
-    ),
-    pts AS (
-      SELECT c.cp,
-             (SELECT cum_n FROM cum WHERE p = c.cp) AS big_n,
-             (SELECT CAST(count(*) AS BIGINT) FROM firsts
-              WHERE fp <= c.cp) AS v
-      FROM cps c
-    ),
-    xy AS (
-      SELECT round(ln(CAST(big_n AS DOUBLE)), 12) AS x,
-             round(ln(CAST(v AS DOUBLE)), 12) AS y
-      FROM pts
-    ),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
-             list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
-             list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sxy,
-             list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sxx
-      FROM xy
-    )
-    SELECT n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
-             AS heaps_beta,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                 / n, 9) AS heaps_lnk
-    FROM s
-    """,
-)
-def text_heaps_bigram_fit(spark: SparkSession, sf: str) -> DataFrame:
-    """HEAPS'-LAW fit V(N) = K·N^β over BIGRAM types: vocabulary-growth
-    checkpoints at corpus deciles (documents in md5(doc_id) order — a
-    deterministic shuffle of arrival order), log-log OLS via the same
-    pre-rounded sorted-fold device as text_zipf_fit. β far below the
-    one seen on held-out text flags vocabulary saturation (template
-    floods); the K/β pair also forecasts unique-type storage for
-    tokenizer and dedup-index sizing. First-occurrence positions are
-    one groupBy(min); checkpoint lookups are 10-row broadcasts."""
-    d = load(spark, sf, "documents")
-    worder = Window.orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
-    )
-    docs = d.select(
-        "doc_id",
-        F.split(F.col("text"), " ").alias("t"),
-        F.row_number().over(worder).cast("long").alias("p"),
-    )
-    docs = docs.localCheckpoint(eager=False)  # cum + grams
-    cum = docs.select(
-        "p",
-        F.sum(F.size("t").cast("long"))
-        .over(
-            Window.orderBy("p").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .cast("long")
-        .alias("cum_n"),
-    )
-    cum = cum.localCheckpoint(eager=False)  # n_docs + checkpoint join
-    n_docs = cum.agg(F.max("p").alias("n_docs"))
-    grams = (
-        docs.filter(F.size("t") >= 2)
-        .select(
-            "p",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1),"
-                        " i -> concat(element_at(t, i), ' ',"
-                        " element_at(t, i + 1)))"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
-    firsts = grams.groupBy("g").agg(F.min("p").cast("long").alias("fp"))
-    cps = (
-        n_docs.crossJoin(
-            F.broadcast(
-                spark.range(1, 11).select(F.col("id").alias("k"))
-            )
-        )
-        .select(
-            F.expr("(n_docs * k + 9) div 10").cast("long").alias("cp")
-        )
-        .distinct()
-    )
-    cps = cps.localCheckpoint(eager=False)  # two joins
-    pts = (
-        cps.join(cum, cps.cp == cum.p)
-        .select("cp", F.col("cum_n").alias("big_n"))
-        .join(
-            firsts.join(F.broadcast(cps), firsts.fp <= cps.cp)
-            .groupBy("cp")
-            .agg(F.count(F.lit(1)).cast("long").alias("v")),
-            "cp",
-        )
-    )
-    xy = pts.select(
-        F.round(F.log(F.col("big_n").cast("double")), 12).alias("x"),
-        F.round(F.log(F.col("v").cast("double")), 12).alias("y"),
-    )
-
-    def fold(col: F.Column) -> F.Column:
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    s = xy.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        fold(F.col("x")).alias("sx"),
-        fold(F.col("y")).alias("sy"),
-        fold(F.col("x") * F.col("y")).alias("sxy"),
-        fold(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        "n",
-        F.round(slope, 9).alias("heaps_beta"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 9
-        ).alias("heaps_lnk"),
-    )
-
-
-@query(
-    "multimodal_png_quadrant_stats",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    blocks AS (
-      SELECT media_id, w, h, w*h*3 AS n,
-             unnest(range(0, CAST(ceil(w*h*3 / 16.0) AS BIGINT))) AS b
-      FROM img
-    ),
-    bytes AS (
-      SELECT media_id, w, h, n, b,
-             md5(CAST(media_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))
-               AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, w, h,
-             ((b*16 + j) // 3) // w AS row_,
-             ((b*16 + j) // 3) % w AS col_,
-             {_PNG_KS_BYTE} AS v
-      FROM bytes WHERE b*16 + j < n
-    )
-    SELECT media_id,
-           CAST(any_value(w) AS INT) AS width,
-           CAST(any_value(h) AS INT) AS height,
-           CAST(sum(CASE WHEN row_ < h // 2 AND col_ < w // 2
-                         THEN v ELSE 0 END) AS BIGINT) AS q_tl,
-           CAST(sum(CASE WHEN row_ < h // 2 AND col_ >= w // 2
-                         THEN v ELSE 0 END) AS BIGINT) AS q_tr,
-           CAST(sum(CASE WHEN row_ >= h // 2 AND col_ < w // 2
-                         THEN v ELSE 0 END) AS BIGINT) AS q_bl,
-           CAST(sum(CASE WHEN row_ >= h // 2 AND col_ >= w // 2
-                         THEN v ELSE 0 END) AS BIGINT) AS q_br
-    FROM vals GROUP BY media_id
-    """,
-)
-def multimodal_png_quadrant_stats(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SPATIAL pixel profile from REAL PNG decode: all-channel byte
-    sums per quadrant. This is the position-sensitive upgrade of
-    multimodal_png_pixel_stats — a decoder that transposed rows,
-    reconstructed filters in the wrong order, or shifted scanlines
-    would pass global channel sums yet move mass between quadrants
-    and mismatch the keystream oracle here (the oracle recomputes
-    each byte's (row, col) arithmetically). Quarantined Arrow
-    mapInPandas kernel, no shuffle."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    return mm.png_quadrant_stats(media)
-
-
-@query(
-    "ts_rolling_distinct_users",
-    oracle="""
-    WITH ud AS (
-      SELECT DISTINCT user_id,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-    ),
-    fan AS (
-      SELECT user_id, day + o.off AS target_day
-      FROM ud, unnest(range(0, 7)) AS o(off)
-      WHERE day + o.off <= 29
-    )
-    SELECT CAST(target_day AS INT) AS day,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
-    FROM fan GROUP BY target_day
-    """,
-)
-def ts_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT 7-DAY ROLLING DISTINCT USERS (trailing WAU per day) —
-    the metric a windowed SUM cannot produce because distinct does
-    not decompose over sliding windows. The scalable exact shape:
-    dedup to (user, day) first (one map-combinable distinct), then
-    fan each user-day out to the ≤7 window endpoints it supports and
-    count distinct per target day — shuffle volume is 7×|user-days|,
-    independent of raw event volume, and beats re-scanning 7 days of
-    events per day by the events/user-day ratio. (The approximate
-    companion at extreme scale is agg_hll_mergeable's sketch-union
-    over daily HLLs.)"""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    ud = (
-        e.select("user_id", day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .distinct()
-    )
-    fan = (
-        ud.select(
-            "user_id",
-            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
-                "target_day"
-            ),
-        )
-        .filter(F.col("target_day") <= 29)
-    )
-    return (
-        fan.groupBy(F.col("target_day").cast("int").alias("day"))
-        .agg(F.countDistinct("user_id").cast("long").alias("dau_7d"))
-    )
-
-
-@query(
-    "olap_open_order_aging",
-    oracle="""
-    WITH open_ AS (
-      SELECT o_orderkey, o_totalprice,
-             date_diff('day', o_orderdate, DATE '1998-08-02') AS age_days
-      FROM orders WHERE o_orderstatus = 'O'
-    )
-    SELECT CASE WHEN age_days < 365 THEN '0-1y'
-                WHEN age_days < 730 THEN '1-2y'
-                WHEN age_days < 1460 THEN '2-4y'
-                ELSE '4y+' END AS age_bucket,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS open_cents,
-           CAST(min(age_days) AS BIGINT) AS min_age_days,
-           CAST(max(age_days) AS BIGINT) AS max_age_days
-    FROM open_ GROUP BY 1
-    """,
-)
-def olap_open_order_aging(spark: SparkSession, sf: str) -> DataFrame:
-    """OPEN-ORDER AGING report — the accounts-receivable staple: every
-    still-open order bucketed by age at the corpus horizon, with exact
-    open value in cents. One filtered map-combinable groupBy over a
-    fixed 4-bucket domain; the filter and the two scanned columns push
-    down to the parquet scan."""
-    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
-    age = F.datediff(
-        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")
-    )
-    open_ = o.select(
-        age.alias("age_days"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    bucket = (
-        F.when(F.col("age_days") < 365, "0-1y")
-        .when(F.col("age_days") < 730, "1-2y")
-        .when(F.col("age_days") < 1460, "2-4y")
-        .otherwise("4y+")
-    )
-    return open_.groupBy(bucket.alias("age_bucket")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("open_cents"),
-        F.min("age_days").cast("long").alias("min_age_days"),
-        F.max("age_days").cast("long").alias("max_age_days"),
-    )
-
-
-@query(
-    "stats_chatterjee_xi",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    paired AS (
-      SELECT g1.day, g1.n AS x, g2.n AS y
-      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
-      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
-    ),
-    rk AS (
-      SELECT day, x,
-             CAST(rank() OVER (ORDER BY y)
-                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r
-      FROM paired
-    ),
-    diffs AS (
-      SELECT abs(r - lag(r) OVER (ORDER BY x, day)) AS ad
-      FROM rk
-    )
-    SELECT CAST(count(*) + 1 AS BIGINT) AS n,
-           CAST(sum(ad) AS BIGINT) AS sum_abs_dr,
-           round(1.0 - 3.0 * sum(ad)
-                 / (CAST(count(*) + 1 AS DOUBLE) * (count(*) + 1) - 1),
-                 12) AS xi
-    FROM diffs WHERE ad IS NOT NULL
-    """,
-)
-def stats_chatterjee_xi(spark: SparkSession, sf: str) -> DataFrame:
-    """CHATTERJEE'S ξ rank correlation (2020) between the daily click
-    and view series — the modern dependence coefficient that, unlike
-    Pearson/Spearman, detects NON-MONOTONE functional dependence
-    (ξ→1 iff y is a measurable function of x, ξ≈0 iff independent):
-    sort by x, take ranks rᵢ = #{yⱼ ≤ yᵢ}, ξ = 1 − 3Σ|rᵢ₊₁−rᵢ|/(n²−1).
-    Ranks and the lag-difference sum are exact BIGINTs (x ties broken
-    by day, so the sort order is total on both engines); ξ is one
-    mirrored division. Per-key ordered-scan shape, same class as the
-    SPC/PH detectors."""
-    g = _daily_grid(spark, sf)
-    clicks = g.filter(F.col("event_type") == "click").select(
-        "day", F.col("n").alias("x")
-    )
-    views = g.filter(F.col("event_type") == "view").select(
-        "day", F.col("n").alias("y")
-    )
-    paired = clicks.join(views, "day")
-    rk = paired.select(
-        "day",
-        "x",
-        (
-            F.rank().over(Window.orderBy("y"))
-            + F.count(F.lit(1)).over(Window.partitionBy("y"))
-            - 1
-        )
-        .cast("long")
-        .alias("r"),
-    )
-    diffs = rk.select(
-        F.abs(
-            F.col("r") - F.lag("r").over(Window.orderBy("x", "day"))
-        ).alias("ad")
-    ).filter(F.col("ad").isNotNull())
-    n = F.count(F.lit(1)) + 1
-    return diffs.agg(
-        n.cast("long").alias("n"),
-        F.sum("ad").cast("long").alias("sum_abs_dr"),
-        F.round(
-            F.lit(1.0)
-            - F.lit(3.0)
-            * F.sum("ad")
-            / (n.cast("double") * n - 1),
-            12,
-        ).alias("xi"),
-    )
-
-
-@query(
-    "audit_join_fanout_forecast",
-    oracle="""
-    WITH lc AS (
-      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
-      FROM orders GROUP BY o_orderkey
-    ),
-    rc AS (
-      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
-      FROM lineitem GROUP BY l_orderkey
-    ),
-    m AS (
-      SELECT coalesce(lc.k, rc.k) AS k,
-             coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr
-      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
-    )
-    SELECT CAST(sum(nl) AS BIGINT) AS left_rows,
-           CAST(sum(nr) AS BIGINT) AS right_rows,
-           CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(nl * nr) AS BIGINT) AS forecast_join_rows,
-           CAST(max(nl * nr) AS BIGINT) AS worst_key_rows,
-           CAST(min(CASE WHEN nl * nr = (SELECT max(nl * nr) FROM m)
-                         THEN k END) AS BIGINT) AS worst_key
-    FROM m
-    """,
-)
-def audit_join_fanout_forecast(spark: SparkSession, sf: str) -> DataFrame:
-    """JOIN FAN-OUT FORECAST — predict |A ⋈ B| BEFORE running the
-    join: Σₖ nₗ(k)·nᵣ(k) over the key histogram, plus the worst key
-    (the skew culprit a salting pass must target). At 100 TB this is
-    the pre-flight check that catches the accidental many-to-many
-    (a duplicated dim key turning a 1:N join into N:M) while it is
-    still two cheap map-combinable key counts instead of an exploded
-    shuffle — the planning twin of join_salted_skew's remedy and
-    stats_key_skew's histogram."""
-    o = load(spark, sf, "orders").groupBy(
-        F.col("o_orderkey").alias("k")
-    ).agg(F.count(F.lit(1)).cast("long").alias("nl"))
-    li = load(spark, sf, "lineitem").groupBy(
-        F.col("l_orderkey").alias("k")
-    ).agg(F.count(F.lit(1)).cast("long").alias("nr"))
-    m = (
-        o.join(li, "k", "full_outer")
-        .select(
-            "k",
-            F.coalesce("nl", F.lit(0)).alias("nl"),
-            F.coalesce("nr", F.lit(0)).alias("nr"),
-        )
-    )
-    m = m.localCheckpoint(eager=False)  # agg + worst-key lookup
-    agg_ = m.agg(
-        F.sum("nl").cast("long").alias("left_rows"),
-        F.sum("nr").cast("long").alias("right_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum(F.col("nl") * F.col("nr"))
-        .cast("long")
-        .alias("forecast_join_rows"),
-        F.max(F.col("nl") * F.col("nr")).cast("long").alias("worst_key_rows"),
-    )
-    worst = (
-        m.select("k", (F.col("nl") * F.col("nr")).alias("p"))
-        .join(
-            F.broadcast(agg_.select(F.col("worst_key_rows").alias("p"))),
-            "p",
-        )
-        .agg(F.min("k").cast("long").alias("worst_key"))
-    )
-    return agg_.crossJoin(F.broadcast(worst))
-
-
-@query(
-    "ts_max_drawdown",
-    oracle="""
-    WITH daily AS (
-      SELECT o_orderdate AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM orders
-      WHERE o_orderdate >= DATE '1995-01-01'
-        AND o_orderdate < DATE '1996-01-01'
-      GROUP BY o_orderdate
-    ),
-    cum AS (
-      SELECT day,
-             CAST(sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-               AS BIGINT) AS c
-      FROM daily
-    ),
-    dd AS (
-      SELECT day, c,
-             CAST(max(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-               - c AS BIGINT) AS drawdown
-      FROM cum
-    ),
-    best AS (SELECT CAST(max(drawdown) AS BIGINT) AS max_dd FROM dd)
-    SELECT b.max_dd AS max_drawdown_cents,
-           CAST(min(d.day) AS DATE) AS trough_day,
-           CAST(count(*) AS BIGINT) AS n_days
-    FROM dd d CROSS JOIN best b
-    WHERE d.drawdown = b.max_dd
-    GROUP BY b.max_dd
-    """,
-)
-def ts_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
-    """MAXIMUM DRAWDOWN of 1995 cumulative daily revenue — the
-    largest peak-to-trough drop (here of net daily deltas vs the
-    running record; on a strictly increasing revenue series the
-    interesting signal is how long the slowest stretch is, so the
-    statistic is computed on exact CENTS and reported with its trough
-    day). Running max minus running sum, both exact-BIGINT cumulative
-    windows in day order — the per-key ordered-scan shape shared by
-    the SPC/PH family (here one global series; per-entity variants
-    partition the same windows)."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-    )
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev")
-    )
-    wcum = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = daily.select(
-        "day", F.sum("rev").over(wcum).cast("long").alias("c")
-    )
-    dd = cum.select(
-        "day",
-        (F.max("c").over(wcum) - F.col("c"))
-        .cast("long")
-        .alias("drawdown"),
-    )
-    dd = dd.localCheckpoint(eager=False)  # consumed twice
-    best = dd.agg(F.max("drawdown").cast("long").alias("max_dd"))
-    return (
-        dd.crossJoin(F.broadcast(best))
-        .filter(F.col("drawdown") == F.col("max_dd"))
-        .groupBy("max_dd")
-        .agg(
-            F.min("day").alias("trough_day"),
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-        )
-        .select(
-            F.col("max_dd").alias("max_drawdown_cents"),
-            "trough_day",
-            "n_days",
-        )
-    )
-
-
-@query(
-    "curation_pack_straddle_audit",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tokens
-      FROM documents
-    ), c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) - n_tokens AS tokens_before
-      FROM t
-    ), placed AS (
-      SELECT doc_id, n_tokens,
-             tokens_before // 2048 AS pack_id,
-             tokens_before % 2048 AS pack_offset
-      FROM c
-    )
-    SELECT pack_id,
-           CAST(count(*) AS BIGINT) AS n_docs_starting,
-           CAST(sum(CASE WHEN pack_offset + n_tokens > 2048
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
-           CAST(sum(CASE WHEN pack_offset + n_tokens > 2048
-                         THEN pack_offset + n_tokens - 2048
-                         ELSE 0 END) AS BIGINT) AS straddle_tokens,
-           CAST(sum(n_tokens) AS BIGINT) AS tokens_starting
-    FROM placed GROUP BY pack_id
-    """,
-)
-def curation_pack_straddle_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """PACK-BOUNDARY STRADDLE audit for concat-then-chunk packing
-    (curation_pack_sequences' layout): per 2048-token pack, how many
-    documents start in it, how many run past its boundary, and how
-    much token mass crosses — exactly the contamination a cross-
-    document attention mask (or boundary-resetting position ids) must
-    handle, and the quantity that decides whether best-fit packing is
-    worth its shuffle. Same exact prefix-sum math as the packer (two-
-    pass per-shard offsets at scale), one extra map-combinable
-    groupBy."""
-    d = load(spark, sf, "documents")
-    t = d.select(
-        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
-    )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    placed = t.withColumn(
-        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    ).select(
-        "n_tokens",
-        F.expr("tokens_before div 2048").alias("pack_id"),
-        (F.col("tokens_before") % 2048).alias("pack_offset"),
-    )
-    over = F.col("pack_offset") + F.col("n_tokens") - 2048
-    return placed.groupBy("pack_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_starting"),
-        F.sum(F.when(over > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_straddling"),
-        F.sum(F.when(over > 0, over).otherwise(0))
-        .cast("long")
-        .alias("straddle_tokens"),
-        F.sum("n_tokens").cast("long").alias("tokens_starting"),
-    )
-
-
-@query(
-    "olap_price_volume_bridge",
-    oracle="""
-    WITH yr AS (
-      SELECT p.p_brand AS brand,
-             CAST(extract(year FROM l.l_shipdate) AS INT) AS y,
-             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
-             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev_cents
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE l.l_shipdate >= DATE '1994-01-01'
-        AND l.l_shipdate < DATE '1996-01-01'
-      GROUP BY p.p_brand, 2
-    ),
-    pivot_ AS (
-      SELECT brand,
-             CAST(max(CASE WHEN y = 1994 THEN qty END) AS BIGINT) AS q0,
-             CAST(max(CASE WHEN y = 1994 THEN rev_cents END) AS BIGINT)
-               AS r0,
-             CAST(max(CASE WHEN y = 1995 THEN qty END) AS BIGINT) AS q1,
-             CAST(max(CASE WHEN y = 1995 THEN rev_cents END) AS BIGINT)
-               AS r1
-      FROM yr GROUP BY brand
-      HAVING max(CASE WHEN y = 1994 THEN qty END) IS NOT NULL
-         AND max(CASE WHEN y = 1995 THEN qty END) IS NOT NULL
-    )
-    SELECT brand, q0, q1, r0, r1,
-           CAST(r1 - r0 AS BIGINT) AS delta_cents,
-           round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0), 6)
-             AS volume_effect_cents,
-           round(q1 * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0),
-                 6) AS price_effect_cents
-    FROM pivot_
-    """,
-)
-def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
-    """PRICE-VOLUME BRIDGE — decompose each brand's 1994→1995 revenue
-    change into a volume effect (Δq at the old average price) and a
-    price effect (new volume × Δ average price); the two effects sum
-    to Δrevenue exactly by construction (laspeyres-volume /
-    current-weight-price split). Quantities and cents are exact
-    BIGINTs; average prices are mirrored single divisions, effects
-    rounded at 6 (cents scale). One fact-side groupBy with the part
-    dim broadcast — the canonical star-join rollup shape."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
-    )
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    yr = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.year("l_shipdate").cast("int").alias("y"),
-        )
-        .agg(
-            F.sum(F.col("l_quantity").cast("long"))
-            .cast("long")
-            .alias("qty"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-            .cast("long")
-            .alias("rev_cents"),
-        )
-    )
-    piv = (
-        yr.groupBy("brand")
-        .agg(
-            F.max(F.when(F.col("y") == 1994, F.col("qty"))).alias("q0"),
-            F.max(
-                F.when(F.col("y") == 1994, F.col("rev_cents"))
-            ).alias("r0"),
-            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q1"),
-            F.max(
-                F.when(F.col("y") == 1995, F.col("rev_cents"))
-            ).alias("r1"),
-        )
-        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
-    )
-    p0 = F.col("r0").cast("double") / F.col("q0")
-    p1 = F.col("r1").cast("double") / F.col("q1")
-    return piv.select(
-        "brand",
-        F.col("q0").cast("long").alias("q0"),
-        F.col("q1").cast("long").alias("q1"),
-        F.col("r0").cast("long").alias("r0"),
-        F.col("r1").cast("long").alias("r1"),
-        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
-        F.round((F.col("q1") - F.col("q0")) * p0, 6).alias(
-            "volume_effect_cents"
-        ),
-        F.round(F.col("q1") * (p1 - p0), 6).alias("price_effect_cents"),
-    )
-
-
-@query(
-    "dedup_prefix_clusters",
-    oracle="""
-    WITH pre AS (
-      SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents
-    ),
-    cl AS (
-      SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(min(doc_id) AS BIGINT) AS canonical_id
-      FROM pre GROUP BY prefix HAVING count(*) > 1
-    )
-    SELECT md5(prefix) AS prefix_key, n_docs, canonical_id
-    FROM cl
-    """,
-)
-def dedup_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """PREFIX-COLLISION clusters: documents sharing their first 64
-    characters — the cheapest near-dup precursor (one substring hash
-    groupBy, no shingles, no signatures) that catches templated
-    openings, mirror headers, and re-posts before the MinHash pass
-    spends real money; emitted with a min-id canonical like
-    dedup_exact. Fully map-combinable; the key is the md5 of the
-    prefix so wide prefixes never travel through the shuffle at
-    scale."""
-    d = load(spark, sf, "documents")
-    pre = d.select(
-        "doc_id", F.substring(F.col("text"), 1, 64).alias("prefix")
-    )
-    return (
-        pre.groupBy("prefix")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("canonical_id"),
-        )
-        .filter(F.col("n_docs") > 1)
-        .select(
-            F.md5(F.col("prefix").cast("binary")).alias("prefix_key"),
-            "n_docs",
-            "canonical_id",
-        )
-    )
-
-
-@query(
-    "stats_kendall_w",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    rk AS (
-      SELECT event_type, day,
-             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY n)
-                  + count(*) OVER (PARTITION BY event_type, n) - 1
-               AS BIGINT) AS two_r
-      FROM grid
-    ),
-    sums AS (
-      SELECT day, CAST(sum(two_r) AS BIGINT) AS d FROM rk GROUP BY day
-    ),
-    ties AS (
-      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tt
-      FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
-            FROM grid GROUP BY event_type, n)
-      WHERE t > 1
-    ),
-    m_ AS (
-      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS m,
-             CAST(count(DISTINCT day) AS BIGINT) AS n
-      FROM grid
-    )
-    SELECT m_.m, m_.n,
-           CAST(3 * (m_.n * (SELECT sum(d * d) FROM sums)
-                     - (SELECT sum(d) FROM sums)
-                       * (SELECT sum(d) FROM sums)) AS BIGINT) AS w_num,
-           CAST(m_.n * (m_.m * m_.m * (m_.n * m_.n * m_.n - m_.n)
-                        - m_.m * ties.tt) AS BIGINT) AS w_den,
-           round(CAST(3 * (m_.n * (SELECT sum(d * d) FROM sums)
-                           - (SELECT sum(d) FROM sums)
-                             * (SELECT sum(d) FROM sums)) AS DOUBLE)
-                 / (m_.n * (m_.m * m_.m * (m_.n * m_.n * m_.n - m_.n)
-                            - m_.m * ties.tt)), 12) AS kendall_w
-    FROM m_ CROSS JOIN ties
-    """,
-)
-def stats_kendall_w(spark: SparkSession, sf: str) -> DataFrame:
-    """KENDALL'S W — concordance of the five event streams' day
-    rankings (do all streams agree which days were big?): each stream
-    midranks the 30 days (doubled-rank device, exact BIGINT), W =
-    12·S/(m²(n³−n) − m·ΣT) with the tie correction, carried as one
-    exact integer numerator/denominator pair (3(nΣD²−(ΣD)²) over
-    n(m²(n³−n)−mT) in doubled units — algebraically identical) plus a
-    mirrored rounded ratio. W→1 = one shared daily rhythm, W→0 =
-    independent rhythms; the multi-rater extension of the pairwise
-    Spearman family and the effect size behind stats_friedman_test.
-    Per-stream rank windows over the bounded grid, one groupBy."""
-    g = _daily_grid(spark, sf)
-    rk = g.select(
-        "day",
-        (
-            F.lit(2)
-            * F.rank().over(
-                Window.partitionBy("event_type").orderBy("n")
-            )
-            + F.count(F.lit(1)).over(
-                Window.partitionBy("event_type", "n")
-            )
-            - 1
-        )
-        .cast("long")
-        .alias("two_r"),
-    )
-    sums = rk.groupBy("day").agg(
-        F.sum("two_r").cast("long").alias("d")
-    )
-    s2 = sums.agg(
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
-        F.sum("d").cast("long").alias("sd"),
-    )
-    ties = (
-        g.groupBy("event_type", "n")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .filter(F.col("t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
-                ),
-                F.lit(0).cast("long"),
-            ).alias("tt")
-        )
-    )
-    m_ = g.agg(
-        F.countDistinct("event_type").cast("long").alias("m"),
-        F.countDistinct("day").cast("long").alias("n"),
-    )
-    j = (
-        m_.crossJoin(F.broadcast(ties))
-        .crossJoin(F.broadcast(s2))
-    )
-    num = 3 * (
-        F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
-    )
-    den = F.col("n") * (
-        F.col("m")
-        * F.col("m")
-        * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
-        - F.col("m") * F.col("tt")
-    )
-    return j.select(
-        "m",
-        "n",
-        num.cast("long").alias("w_num"),
-        den.cast("long").alias("w_den"),
-        F.round(num.cast("double") / den, 12).alias("kendall_w"),
-    )
-
-
-@query(
-    "graph_fof_recommendations",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS a, dst AS b FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    cand AS (
-      SELECT x.a AS node, y.b AS rec,
-             CAST(count(*) AS BIGINT) AS common
-      FROM adj x JOIN adj y ON x.b = y.a
-      WHERE y.b <> x.a
-        AND NOT EXISTS (SELECT 1 FROM adj
-                        WHERE adj.a = x.a AND adj.b = y.b)
-      GROUP BY x.a, y.b
-    ),
-    ranked AS (
-      SELECT node, rec, common,
-             row_number() OVER (PARTITION BY node
-                                ORDER BY common DESC, rec) AS rk
-      FROM cand
-    )
-    SELECT node, rec, common, CAST(rk AS INT) AS rk
-    FROM ranked WHERE rk <= 3
-    """,
-)
-def graph_fof_recommendations(spark: SparkSession, sf: str) -> DataFrame:
-    """FRIEND-OF-FRIEND link recommendations: for every node, the
-    top-3 non-neighbors ranked by common-neighbor count (full
-    (count desc, id) tiebreak) — the production form of the
-    common-neighbors link predictor (graph_common_neighbors scores
-    pairs; this turns the scores into per-node recommendation lists
-    with the direct-edge anti-join applied). Candidate generation is
-    the 2-hop self-join (degree-bound the hub side at scale, same
-    remedy as the triangle path); the per-node top-3 is a bounded
-    rank window."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    adj = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = adj.localCheckpoint(eager=False)  # 3 consumers
-    x = adj.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
-    y = adj.select(F.col("src").alias("mid"), F.col("dst").alias("rec"))
-    direct = adj.select(
-        F.col("src").alias("node"), F.col("dst").alias("rec")
-    )
-    cand = (
-        x.join(y, "mid")
-        .filter(F.col("rec") != F.col("node"))
-        .join(direct, ["node", "rec"], "left_anti")
-        .groupBy("node", "rec")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-    )
-    wr = Window.partitionBy("node").orderBy(
-        F.col("common").desc(), F.col("rec")
-    )
-    return (
-        cand.select(
-            "node",
-            "rec",
-            "common",
-            F.row_number().over(wr).cast("int").alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
-    )
-
-
-@query(
-    "olap_xyz_classification",
-    oracle="""
-    WITH monthly AS (
-      SELECT l_partkey AS part,
-             date_trunc('month', l_shipdate) AS mth,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1995-01-01'
-      GROUP BY 1, 2
-    ),
-    per AS (
-      SELECT part,
-             CAST(count(*) AS BIGINT) AS n_months,
-             CAST(sum(qty) AS BIGINT) AS s,
-             CAST(sum(qty * qty) AS BIGINT) AS s2
-      FROM monthly GROUP BY part
-    ),
-    cls AS (
-      SELECT part,
-             CASE WHEN n_months < 12 THEN 'Z'
-                  WHEN 144 * (12 * s2 - s * s) <= 36 * s * s THEN 'X'
-                  WHEN 144 * (12 * s2 - s * s) <= 144 * s * s THEN 'Y'
-                  ELSE 'Z' END AS xyz
-      FROM per
-    )
-    SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts
-    FROM cls GROUP BY xyz
-    """,
-)
-def olap_xyz_classification(spark: SparkSession, sf: str) -> DataFrame:
-    """XYZ DEMAND-VARIABILITY classification — the companion axis to
-    olap_abc_classification's value ranking: parts whose 1994 monthly
-    demand is steady (X: CV ≤ 0.5), variable (Y: CV ≤ 1), or erratic/
-    intermittent (Z: CV > 1 or any zero-demand month). The CV
-    threshold test is carried ENTIRELY in integers — CV² ≤ c² ⟺
-    n²·(nΣq²−S²)/n ≤ c²·S² rearranged to 144(12·s2−s²) vs 36s²/144s²
-    for n=12 — so no sqrt or float compare exists to drift. One fact
-    groupBy to months, one to parts, category-bounded output."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
-    )
-    monthly = li.groupBy(
-        F.col("l_partkey").alias("part"),
-        F.trunc("l_shipdate", "month").alias("mth"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
-    per = monthly.groupBy("part").agg(
-        F.count(F.lit(1)).cast("long").alias("n_months"),
-        F.sum("qty").cast("long").alias("s"),
-        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
-    )
-    var144 = 144 * (12 * F.col("s2") - F.col("s") * F.col("s"))
-    cls = per.select(
-        F.when(F.col("n_months") < 12, "Z")
-        .when(var144 <= 36 * F.col("s") * F.col("s"), "X")
-        .when(var144 <= 144 * F.col("s") * F.col("s"), "Y")
-        .otherwise("Z")
-        .alias("xyz")
-    )
-    return cls.groupBy("xyz").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts")
-    )
-
-
-from ..functions import multimodal as mm_mod  # noqa: E402
-
-
-def _g32_sql(table: dict[int, list[int]], k: int) -> str:
-    return "[" + ", ".join(str(v) for v in table[k]) + "]"
-
-
-@query(
-    "multimodal_wav_goertzel_bins",
-    oracle=f"""
-    WITH clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf, unnest(range(0, 2)) AS b FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, b*16 + j AS gi,
-             CAST({_PNG_KS_BYTE} AS BIGINT) - 128 AS v
-      FROM bytes WHERE b*16 + j < 32
-    ),
-    sums AS (
-      SELECT media_id, CAST(min(nf) AS INT) AS n_frames,
-             {", ".join(
-                 f"CAST(sum(v * ({_g32_sql(mm_mod.G32_COS_Q, k)})[gi + 1]) AS BIGINT) AS c{k}, "
-                 f"CAST(sum(v * ({_g32_sql(mm_mod.G32_SIN_Q, k)})[gi + 1]) AS BIGINT) AS s{k}"
-                 for k in (1, 2, 4, 8)
-             )}
-      FROM vals GROUP BY media_id
-    )
-    SELECT media_id, n_frames,
-           {", ".join(
-               f"round(sqrt(CAST(c{k} * c{k} + s{k} * s{k} AS DOUBLE))"
-               f" / 33554432.0, 9) AS amp_k{k}"
-               for k in (1, 2, 4, 8)
-           )}
-    FROM sums
-    """,
-)
-def multimodal_wav_goertzel_bins(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """GOERTZEL SPECTRAL BINS over the REAL WAV decode: single-bin DFT
-    amplitudes at k = 1, 2, 4, 8 cycles per 32-sample window, per
-    clip — the audio twin of ts_goertzel_weekly_power and the feature
-    behind tone/hum detection (a mains-hum audit is this with k
-    pinned to 50/60 Hz). The trig tables are QUANTIZED integers
-    (×2¹³) shared verbatim by the Arrow kernel and this oracle, so
-    the weighted sums are exact int64 — order-free, map-combinable —
-    and the only float is the final normalized amplitude (round 9).
-    Rides the same md5-keystream reconstruction as every WAV
-    oracle."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_wav_media(docs, "doc_id")
-    st = mm.wav_goertzel_bins(media)
-    # round JVM-side: Spark round ≡ DuckDB round (half-up) — python
-    # round() in the kernel banker-rounds and split an exact 9/1024
-    # amplitude at sf0.1
-    return st.select(
-        "media_id",
-        "n_frames",
-        *[F.round(f"amp_k{k}", 9).alias(f"amp_k{k}") for k in (1, 2, 4, 8)],
-    )
-
-
-@query(
-    "curation_dedup_quality_confusion",
-    oracle="""
-    WITH flagged AS (
-      SELECT doc_id, n_chars >= 300 AS high_quality,
-             count(*) OVER (PARTITION BY text) > 1 AS is_dup
-      FROM documents
-    ),
-    cells AS (
-      SELECT high_quality, is_dup, CAST(count(*) AS BIGINT) AS n_docs
-      FROM flagged GROUP BY high_quality, is_dup
-    ),
-    tot AS (
-      SELECT CAST(coalesce(sum(CASE WHEN high_quality AND is_dup
-                                    THEN n_docs END), 0) AS BIGINT) AS a,
-             CAST(coalesce(sum(CASE WHEN high_quality AND NOT is_dup
-                                    THEN n_docs END), 0) AS BIGINT) AS b,
-             CAST(coalesce(sum(CASE WHEN NOT high_quality AND is_dup
-                                    THEN n_docs END), 0) AS BIGINT) AS c,
-             CAST(coalesce(sum(CASE WHEN NOT high_quality AND NOT is_dup
-                                    THEN n_docs END), 0) AS BIGINT) AS d
-      FROM cells
-    )
-    SELECT a AS hi_dup, b AS hi_unique, c AS lo_dup, d AS lo_unique,
-           round(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))),
-                 9) AS log_odds_ratio
-    FROM tot
-    """,
-)
-def curation_dedup_quality_confusion(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """DEDUP × QUALITY confusion — does deduplication disproportionately
-    remove GOOD documents? The 2×2 census of (high-quality: n_chars ≥
-    300) × (exact-dup member) with the Haldane–Anscombe (+0.5) log
-    odds ratio: strongly negative = duplication concentrates in the
-    low-quality tail (safe to dedup hard), positive = the dedup pass
-    is eating curated content (the classic template-site trap). The
-    dup flag is one window over the text hash partition; cells are a
-    4-cell census; ln of the corrected ratio is the only float
-    (round 9)."""
-    d = load(spark, sf, "documents")
-    flagged = d.select(
-        (F.col("n_chars") >= 300).alias("high_quality"),
-        (
-            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1
-        ).alias("is_dup"),
-    )
-    cells = flagged.groupBy("high_quality", "is_dup").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    tot = cells.agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(cond, F.col("n_docs"))), F.lit(0)
-            )
-            .cast("long")
-            .alias(name)
-            for name, cond in [
-                ("a", F.col("high_quality") & F.col("is_dup")),
-                ("b", F.col("high_quality") & ~F.col("is_dup")),
-                ("c", ~F.col("high_quality") & F.col("is_dup")),
-                ("d", ~F.col("high_quality") & ~F.col("is_dup")),
-            ]
-        ]
-    )
-    lor = F.log(
-        ((F.col("a") + 0.5) * (F.col("d") + 0.5))
-        / ((F.col("b") + 0.5) * (F.col("c") + 0.5))
-    )
-    return tot.select(
-        F.col("a").alias("hi_dup"),
-        F.col("b").alias("hi_unique"),
-        F.col("c").alias("lo_dup"),
-        F.col("d").alias("lo_unique"),
-        F.round(lor, 9).alias("log_odds_ratio"),
-    )
-
-
-@query(
-    "graph_triangle_participation",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    tri AS (
-      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-      FROM edges e1
-      JOIN edges e2 ON e2.src = e1.dst
-      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
-    ),
-    corners AS (
-      SELECT a AS node FROM tri
-      UNION ALL SELECT b FROM tri
-      UNION ALL SELECT c FROM tri
-    ),
-    per AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS tri_count
-      FROM corners GROUP BY node
-    ),
-    nodes AS (
-      SELECT DISTINCT src AS node FROM edges
-      UNION SELECT DISTINCT dst FROM edges
-    ),
-    full_ AS (
-      SELECT n.node, CAST(coalesce(p.tri_count, 0) AS BIGINT)
-               AS tri_count
-      FROM nodes n LEFT JOIN per p ON n.node = p.node
-    )
-    SELECT tri_count, CAST(count(*) AS BIGINT) AS n_nodes
-    FROM full_ GROUP BY tri_count
-    """,
-)
-def graph_triangle_participation(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """TRIANGLE PARTICIPATION histogram: how many nodes sit in 0, 1,
-    2, … triangles — the local-cohesion distribution behind the
-    single global triangle count (a high zero-bucket with a fat tail
-    = hub-and-spoke; uniform participation = community lattice; also
-    the support histogram k-truss peeling consumes). Triangles
-    enumerate once through the ordered (a<b<c) edge join — the same
-    degree-bounded join shape as graph_triangle_count — then three
-    corner projections, one groupBy, and a zero-fill against the
-    node set."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)  # 3 join legs + node set
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    per = corners.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("tri_count")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    return (
-        nodes.join(per, "node", "left")
-        .select(
-            F.coalesce("tri_count", F.lit(0))
-            .cast("long")
-            .alias("tri_count")
-        )
-        .groupBy("tri_count")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    )
-
-
-@query(
-    "s3_csv_malformed_rate",
-    oracle="""
-    WITH lines AS (
-      SELECT event_type,
-             CAST(event_id AS VARCHAR) || ',' ||
-             CAST(user_id AS VARCHAR) || ',' || event_type ||
-             (CASE WHEN event_id % 7 = 0 THEN ';' ELSE ',' END) ||
-             CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
-               AS line
-      FROM events
-    ),
-    parsed AS (
-      SELECT event_type, line,
-             len(string_split(line, ',')) = 4 AS ok,
-             string_split(line, ',') AS f
-      FROM lines
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_msgs,
-           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_malformed,
-           CAST(sum(CASE WHEN ok THEN CAST(f[4] AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS recovered_cents,
-           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS DOUBLE)
-             / count(*) AS malformed_rate
-    FROM parsed GROUP BY event_type
-    """,
-)
-def s3_csv_malformed_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """CSV ingest QUARANTINE-RATE audit — the delimiter-format twin of
-    s3_json_malformed_rate: serialize each event to a 4-field CSV
-    line, deterministically corrupt 1-in-7 (the last delimiter
-    becomes ';' — the classic wrong-dialect tear), then parse back:
-    field-count mismatches quarantine, intact lines recover their
-    exact integer cents. The value travels as integer cents so the
-    wire string is byte-identical on both engines (double→string
-    formatting is not). Pure column expressions + one aggregate —
-    the validity flag rides the ingest scan for free, and the DLQ
-    routing is the same `.filter(~ok)` split the JSON path uses."""
-    e = load(spark, sf, "events")
-    line = F.concat(
-        F.col("event_id").cast("string"),
-        F.lit(","),
-        F.col("user_id").cast("string"),
-        F.lit(","),
-        F.col("event_type"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(";")).otherwise(
-            F.lit(",")
-        ),
-        F.round(F.col("value") * 100).cast("long").cast("string"),
-    )
-    parsed = e.select(
-        "event_type",
-        F.split(line, ",").alias("f"),
-    ).select(
-        "event_type",
-        "f",
-        (F.size("f") == 4).alias("ok"),
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_msgs"),
-        F.sum(F.when(F.col("ok"), 0).otherwise(1))
-        .cast("long")
-        .alias("n_malformed"),
-        F.sum(
-            F.when(
-                F.col("ok"), F.element_at("f", 4).cast("long")
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("recovered_cents"),
-        (
-            F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("malformed_rate"),
-    )
-
-
-@query(
-    "stats_eb_shrinkage",
-    oracle="""
-    WITH per AS (
-      SELECT p.p_brand AS brand,
-             CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_returns
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      GROUP BY p.p_brand
-    ),
-    moments AS (
-      SELECT CAST(count(*) AS BIGINT) AS nb,
-             list_reduce(list_sort(list(
-               CAST(n_returns AS DOUBLE) / n_items)), (a, b) -> a + b)
-               AS sp,
-             list_reduce(list_sort(list(
-               (CAST(n_returns AS DOUBLE) / n_items)
-               * (CAST(n_returns AS DOUBLE) / n_items))),
-               (a, b) -> a + b) AS sp2
-      FROM per
-    ),
-    ab AS (
-      SELECT nb, sp / nb AS m1,
-             (sp2 - sp * sp / nb) / nb AS v,
-             ((sp / nb) * (1.0 - sp / nb)
-              / ((sp2 - sp * sp / nb) / nb) - 1.0) AS ab_sum
-      FROM moments
-    )
-    SELECT per.brand, per.n_items, per.n_returns,
-           CAST(per.n_returns * 1000 // per.n_items AS BIGINT)
-             AS raw_milli,
-           round((per.n_returns + ab.m1 * ab.ab_sum)
-                 / (per.n_items + ab.ab_sum), 9) AS shrunk_rate
-    FROM per CROSS JOIN ab
-    """,
-)
-def stats_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
-    """EMPIRICAL-BAYES SHRINKAGE of per-brand return rates
-    (beta-binomial, method of moments): small brands get pulled
-    toward the global mean in proportion to their evidence — the
-    standard fix for 'brand with 3 items and 1 return tops the
-    leaderboard'. Per-brand counts are exact BIGINTs; the cross-brand
-    moments fold SORTED (25 values) so both engines sum identical
-    doubles; α+β and each shrunk rate are mirrored single-expression
-    doubles, round 9. One broadcast star join + a brand-bounded
-    scalar cross join."""
-    li = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    per = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_returns"),
-        )
-    )
-    per = per.localCheckpoint(eager=False)  # moments + output
-    pr = F.col("n_returns").cast("double") / F.col("n_items")
-
-    def fold(col: F.Column) -> F.Column:
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    moments = per.agg(
-        F.count(F.lit(1)).cast("long").alias("nb"),
-        fold(pr).alias("sp"),
-        fold(pr * pr).alias("sp2"),
-    )
-    m1 = F.col("sp") / F.col("nb")
-    v = (F.col("sp2") - F.col("sp") * F.col("sp") / F.col("nb")) / F.col(
-        "nb"
-    )
-    ab = moments.select(
-        m1.alias("m1"),
-        (m1 * (F.lit(1.0) - m1) / v - F.lit(1.0)).alias("ab_sum"),
-    )
-    return per.crossJoin(F.broadcast(ab)).select(
-        "brand",
-        "n_items",
-        "n_returns",
-        F.expr("n_returns * 1000 div n_items")
-        .cast("long")
-        .alias("raw_milli"),
-        F.round(
-            (F.col("n_returns") + F.col("m1") * F.col("ab_sum"))
-            / (F.col("n_items") + F.col("ab_sum")),
-            9,
-        ).alias("shrunk_rate"),
-    )
-
-
-@query(
-    "olap_dau_wau_stickiness",
-    oracle="""
-    WITH ud AS (
-      SELECT DISTINCT user_id,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
-      FROM events
-      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-    ),
-    dau AS (
-      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
-    ),
-    fan AS (
-      SELECT user_id, day + o.off AS target_day
-      FROM ud, unnest(range(0, 7)) AS o(off)
-      WHERE day + o.off <= 29
-    ),
-    wau AS (
-      SELECT target_day AS day,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-      FROM fan GROUP BY target_day
-    )
-    SELECT CAST(d.day AS INT) AS day, d.dau, w.wau,
-           CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_milli
-    FROM dau d JOIN wau w ON d.day = w.day
-    """,
-)
-def olap_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
-    """DAU/WAU STICKINESS — the engagement ratio product teams track
-    daily (≈1000‰ = users come every day; ≈143‰ = once a week):
-    exact daily actives over the exact 7-day rolling actives from
-    ts_rolling_distinct_users' fan-out device, reported as an
-    integer milli-ratio. Both distincts shuffle user-days (not raw
-    events); the ratio is pure integer DIV."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    ud = (
-        e.select("user_id", day.alias("day"))
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .distinct()
-    )
-    ud = ud.localCheckpoint(eager=False)  # dau + fan
-    dau = ud.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("dau")
-    )
-    wau = (
-        ud.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("day"), F.col("day") + 6)
-            ).alias("target_day"),
-        )
-        .filter(F.col("target_day") <= 29)
-        .groupBy(F.col("target_day").alias("day"))
-        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
-    )
-    return dau.join(wau, "day").select(
-        F.col("day").cast("int").alias("day"),
-        "dau",
-        "wau",
-        F.expr("dau * 1000 div wau").cast("long").alias(
-            "stickiness_milli"
-        ),
-    )
-
-
-@query(
-    "curation_soft_dedup_weights",
-    oracle="""
-    WITH sized AS (
-      SELECT doc_id, source,
-             CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
-               AS cluster_size
-      FROM documents
-    ),
-    weighted AS (
-      SELECT doc_id, source, cluster_size,
-             CAST(1000 // cluster_size AS BIGINT) AS weight_milli
-      FROM sized
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_dup_members,
-           CAST(sum(weight_milli) AS BIGINT) AS effective_milli,
-           CAST(min(CASE WHEN cluster_size > 1 THEN doc_id END)
-             AS BIGINT) AS sample_dup_doc
-    FROM weighted GROUP BY source
-    """,
-)
-def curation_soft_dedup_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """SOFT DEDUPLICATION weights — instead of dropping duplicates,
-    downweight each copy by 1/cluster_size (the per-example loss
-    weight or sampling probability that keeps one effective copy of
-    every text while preserving corpus shape; the gentler alternative
-    to keep-one dedup when duplication correlates with quality).
-    Weights are integer milli-units (1000 DIV c, exact), summed per
-    source into the EFFECTIVE corpus size a token-budget planner
-    consumes. One window over the text-hash partition + one
-    groupBy."""
-    d = load(spark, sf, "documents")
-    sized = d.select(
-        "doc_id",
-        "source",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("text"))
-        .cast("long")
-        .alias("cluster_size"),
-    )
-    weighted = sized.select(
-        "doc_id",
-        "source",
-        "cluster_size",
-        F.expr("1000 div cluster_size").cast("long").alias("weight_milli"),
-    )
-    return weighted.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup_members"),
-        F.sum("weight_milli").cast("long").alias("effective_milli"),
-        F.min(
-            F.when(F.col("cluster_size") > 1, F.col("doc_id"))
-        )
-        .cast("long")
-        .alias("sample_dup_doc"),
-    )
-
-
-@query(
-    "olap_part_adoption_curve",
-    oracle="""
-    WITH firsts AS (
-      SELECT l_partkey, date_trunc('month', min(l_shipdate)) AS m0
-      FROM lineitem GROUP BY l_partkey
-    ),
-    monthly AS (
-      SELECT m0, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY m0
-    ),
-    catalog_n AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part)
-    SELECT strftime(m0, '%Y-%m') AS month,
-           n_new,
-           CAST(sum(n_new) OVER (ORDER BY m0 ROWS UNBOUNDED PRECEDING)
-             AS BIGINT) AS cum_adopted,
-           CAST(sum(n_new) OVER (ORDER BY m0 ROWS UNBOUNDED PRECEDING)
-                * 1000 // (SELECT n_parts FROM catalog_n) AS BIGINT)
-             AS coverage_milli
-    FROM monthly
-    """,
-)
-def olap_part_adoption_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """PART ADOPTION curve: per month, how many catalog parts shipped
-    for the FIRST time, cumulatively, and what share of the full part
-    catalog has ever sold (integer milli-share) — the assortment-
-    activation funnel merchandising reads against the catalog-growth
-    budget. First-sale collapse is one map-combinable MIN per part;
-    the cumulative window runs over the bounded month domain."""
-    li = load(spark, sf, "lineitem")
-    firsts = li.groupBy("l_partkey").agg(
-        F.trunc(F.min("l_shipdate"), "month").alias("m0")
-    )
-    monthly = firsts.groupBy("m0").agg(
-        F.count(F.lit(1)).cast("long").alias("n_new")
-    )
-    n_parts = load(spark, sf, "part").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts")
-    )
-    wcum = Window.orderBy("m0").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return (
-        monthly.select(
-            F.date_format("m0", "yyyy-MM").alias("month"),
-            "n_new",
-            F.sum("n_new").over(wcum).cast("long").alias("cum_adopted"),
-        )
-        .crossJoin(F.broadcast(n_parts))
-        .select(
-            "month",
-            "n_new",
-            "cum_adopted",
-            F.expr("cum_adopted * 1000 div n_parts")
-            .cast("long")
-            .alias("coverage_milli"),
-        )
-    )
-
-
-@query(
-    "audit_sequence_inversions",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_id,
-             lag(event_id) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_id
-      FROM events
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_steps,
-           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_inversions,
-           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
-                * 1000 // count(*) AS BIGINT) AS inversion_milli
-    FROM seq WHERE prev_id IS NOT NULL
-    GROUP BY user_id
-    HAVING sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END) > 0
-    """,
-)
-def audit_sequence_inversions(spark: SparkSession, sf: str) -> DataFrame:
-    """EVENT-SEQUENCE INTEGRITY audit: per user, consecutive
-    (event-time-ordered) steps where the event id goes BACKWARD —
-    id/time inversions mean clock skew, replays, or an out-of-order
-    producer, and they silently corrupt every sessionization and
-    attribution op downstream. Reports only offending users (with
-    exact inversion counts and milli-rates), so the output is the
-    worklist, not the corpus. One per-key ordered window — the
-    streaming-integrity check shape."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "user_id",
-        "event_id",
-        F.lag("event_id").over(w).alias("prev_id"),
-    ).filter(F.col("prev_id").isNotNull())
-    inv = F.when(F.col("event_id") < F.col("prev_id"), 1).otherwise(0)
-    return (
-        seq.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_steps"),
-            F.sum(inv).cast("long").alias("n_inversions"),
-        )
-        .filter(F.col("n_inversions") > 0)
-        .select(
-            "user_id",
-            "n_steps",
-            "n_inversions",
-            F.expr("n_inversions * 1000 div n_steps")
-            .cast("long")
-            .alias("inversion_milli"),
-        )
-    )
-
-
-@query(
-    "stats_hodges_lehmann",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    a AS (SELECT n AS x FROM grid WHERE event_type = 'click'),
-    b AS (SELECT n AS y FROM grid WHERE event_type = 'view'),
-    diffs AS (
-      SELECT a.x - b.y AS d, CAST(count(*) AS BIGINT) AS w
-      FROM a CROSS JOIN b GROUP BY a.x - b.y
-    ),
-    cum AS (
-      SELECT d, w,
-             CAST(sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-               AS BIGINT) AS c
-      FROM diffs
-    ),
-    tot AS (SELECT CAST(sum(w) AS BIGINT) AS n_pairs FROM diffs),
-    med AS (
-      SELECT (SELECT min(d) FROM cum, tot
-              WHERE c >= (n_pairs + 1) // 2) AS d_lo,
-             (SELECT min(d) FROM cum, tot
-              WHERE c >= n_pairs // 2 + 1) AS d_hi
-    )
-    SELECT tot.n_pairs,
-           CAST(med.d_lo + med.d_hi AS BIGINT) AS two_hl,
-           round((med.d_lo + med.d_hi) / 2.0, 6) AS hl_shift
-    FROM tot CROSS JOIN med
-    """,
-)
-def stats_hodges_lehmann(spark: SparkSession, sf: str) -> DataFrame:
-    """HODGES–LEHMANN location-shift estimator between the click and
-    view daily series: the median of all 900 pairwise differences —
-    the robust effect-size companion to stats_mann_whitney_u (U says
-    WHETHER the levels differ; HL says BY HOW MUCH, immune to
-    outliers where the mean difference is not). Differences collapse
-    to a weighted value histogram first (30×30 pairs → ≤900 distinct
-    values), the two central order statistics come off one cumulative
-    window, and the estimator is carried as an exact integer doubled
-    median. Same exact-median-over-histogram device as
-    stats_exact_median_twopass."""
-    g = _daily_grid(spark, sf)
-    a = g.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("x")
-    )
-    b = g.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("y")
-    )
-    diffs = (
-        a.crossJoin(F.broadcast(b))
-        .groupBy((F.col("x") - F.col("y")).alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    diffs = diffs.localCheckpoint(eager=False)  # cum + total
-    wcum = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = diffs.select(
-        "d", F.sum("w").over(wcum).cast("long").alias("c")
-    )
-    cum = cum.localCheckpoint(eager=False)  # two lookups
-    tot = diffs.agg(F.sum("w").cast("long").alias("n_pairs"))
-    lo = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("c") >= F.expr("(n_pairs + 1) div 2"))
-        .agg(F.min("d").alias("d_lo"))
-    )
-    hi = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("c") >= F.expr("n_pairs div 2 + 1"))
-        .agg(F.min("d").alias("d_hi"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "n_pairs",
-            (F.col("d_lo") + F.col("d_hi")).cast("long").alias("two_hl"),
-            F.round((F.col("d_lo") + F.col("d_hi")) / 2.0, 6).alias(
-                "hl_shift"
-            ),
-        )
-    )
-
-
-@query(
-    "graph_edge_embeddedness",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    adj AS (SELECT src AS a, dst AS b FROM edges
-            UNION ALL SELECT dst, src FROM edges),
-    emb AS (
-      SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS common
-      FROM edges e
-      JOIN adj x ON x.a = e.src
-      JOIN adj y ON y.a = e.dst AND y.b = x.b
-      GROUP BY e.src, e.dst
-    ),
-    full_ AS (
-      SELECT e.src, e.dst, CAST(coalesce(m.common, 0) AS BIGINT)
-               AS embeddedness
-      FROM edges e LEFT JOIN emb m
-        ON e.src = m.src AND e.dst = m.dst
-    )
-    SELECT embeddedness, CAST(count(*) AS BIGINT) AS n_edges
-    FROM full_ GROUP BY embeddedness
-    """,
-)
-def graph_edge_embeddedness(spark: SparkSession, sf: str) -> DataFrame:
-    """EDGE EMBEDDEDNESS histogram — per edge, how many common
-    neighbors its endpoints share (Granovetter's strong-tie measure:
-    embeddedness 0 = a LOCAL BRIDGE carrying novel information, high
-    = redundant intra-community tie). The distribution separates
-    community-dense graphs from tree-like ones and prices how much
-    triangle-based dedup/trust logic will find. Per-edge common
-    neighbors is the triangle join restricted to existing edges, with
-    a zero-fill left join so bridges are counted — the same
-    degree-bounded 2-hop shape as the triangle family."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    e = e.localCheckpoint(eager=False)  # join legs + zero-fill
-    adj = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    x = adj.select(F.col("src").alias("a"), F.col("dst").alias("w1"))
-    y = adj.select(F.col("src").alias("b"), F.col("dst").alias("w2"))
-    emb = (
-        e.join(x, e.src == x.a)
-        .join(y, (e.dst == y.b) & (F.col("w1") == F.col("w2")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-    )
-    return (
-        e.join(emb, ["src", "dst"], "left")
-        .select(
-            F.coalesce("common", F.lit(0))
-            .cast("long")
-            .alias("embeddedness")
-        )
-        .groupBy("embeddedness")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    )
-
-
-@query(
-    "ts_turning_points_test",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    ctx AS (
-      SELECT event_type, day, n,
-             lag(n) OVER w AS p, lead(n) OVER w AS q
-      FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)
-    ),
-    tp AS (
-      SELECT event_type,
-             CAST(sum(CASE WHEN (n > p AND n > q) OR (n < p AND n < q)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS t,
-             CAST(count(*) + 2 AS BIGINT) AS n_days
-      FROM ctx WHERE p IS NOT NULL AND q IS NOT NULL
-      GROUP BY event_type
-    )
-    SELECT event_type, n_days, t,
-           round((t - 2.0 * (n_days - 2) / 3)
-                 / sqrt((16.0 * n_days - 29) / 90), 12) AS z_stat,
-           abs((t - 2.0 * (n_days - 2) / 3)
-               / sqrt((16.0 * n_days - 29) / 90)) > 1.96 AS nonrandom_05
-    FROM tp
-    """,
-)
-def ts_turning_points_test(spark: SparkSession, sf: str) -> DataFrame:
-    """TURNING-POINTS randomness test per event stream: count strict
-    local extrema in the daily series; under i.i.d. randomness
-    E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so the z-score flags
-    both over-smooth (trending/autocorrelated, T low) and over-jagged
-    (alternating/oscillating, T high) series — the cheapest
-    structure-vs-noise gate, complementing stats_runs_test (levels)
-    and stats_ljung_box (correlogram). Ties produce no turning point
-    by the strict-inequality definition (deterministic both engines).
-    One lag/lead window per key, exact integer T."""
-    g = _daily_grid(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("day")
-    ctx = g.select(
-        "event_type",
-        "n",
-        F.lag("n").over(w).alias("p"),
-        F.lead("n").over(w).alias("q"),
-    ).filter(F.col("p").isNotNull() & F.col("q").isNotNull())
-    tp = ctx.groupBy("event_type").agg(
-        F.sum(
-            F.when(
-                ((F.col("n") > F.col("p")) & (F.col("n") > F.col("q")))
-                | ((F.col("n") < F.col("p")) & (F.col("n") < F.col("q"))),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("t"),
-        (F.count(F.lit(1)) + 2).cast("long").alias("n_days"),
-    )
-    z = (
-        F.col("t") - F.lit(2.0) * (F.col("n_days") - 2) / 3
-    ) / F.sqrt((F.lit(16.0) * F.col("n_days") - 29) / 90)
-    return tp.select(
-        "event_type",
-        "n_days",
-        "t",
-        F.round(z, 12).alias("z_stat"),
-        (F.abs(z) > 1.96).alias("nonrandom_05"),
-    )
-
-
-@query(
-    "graph_brand_assortativity",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    lbl AS (SELECT p_partkey AS node, p_brand AS brand FROM part),
-    le AS (
-      SELECT ba.brand AS brand_a, bb.brand AS brand_b
-      FROM edges e
-      JOIN lbl ba ON e.src = ba.node
-      JOIN lbl bb ON e.dst = bb.node
-    ),
-    m_ AS (
-      SELECT CAST(count(*) AS BIGINT) AS m,
-             CAST(sum(CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END)
-               AS BIGINT) AS trace_cnt
-      FROM le
-    ),
-    ends AS (
-      SELECT brand, CAST(count(*) AS BIGINT) AS k FROM (
-        SELECT brand_a AS brand FROM le
-        UNION ALL SELECT brand_b FROM le
-      ) GROUP BY brand
-    ),
-    sq AS (SELECT CAST(sum(k * k) AS BIGINT) AS sum_ends_sq FROM ends)
-    SELECT m_.m, m_.trace_cnt, sq.sum_ends_sq,
-           CAST(4 * m_.m * m_.trace_cnt - sq.sum_ends_sq AS BIGINT)
-             AS r_num,
-           CAST(4 * m_.m * m_.m - sq.sum_ends_sq AS BIGINT) AS r_den,
-           round(CAST(4 * m_.m * m_.trace_cnt - sq.sum_ends_sq
-                   AS DOUBLE)
-                 / (4 * m_.m * m_.m - sq.sum_ends_sq), 12)
-             AS assortativity
-    FROM m_ CROSS JOIN sq
-    """,
-)
-def graph_brand_assortativity(spark: SparkSession, sf: str) -> DataFrame:
-    """CATEGORICAL (attribute) ASSORTATIVITY of the co-occurrence
-    graph by part brand — Newman's mixing coefficient r = (tr(e) −
-    Σaᵢ²)/(1 − Σaᵢ²): do parts co-occur within brands (+) or across
-    them (−)? The degree-assortativity op answers the structural
-    question; this answers the METADATA one (the homophily check
-    behind 'should brand be a blocking key'). Carried as an exact
-    integer numerator/denominator pair (4m·trace − Σends² over 4m² −
-    Σends²; algebraically identical) plus one mirrored ratio. Brand
-    labels broadcast onto both endpoints, two map-combinable
-    aggregates."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    lbl = load(spark, sf, "part").select(
-        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
-    )
-    le = (
-        e.join(
-            F.broadcast(lbl.withColumnRenamed("brand", "brand_a")),
-            e.src == F.col("node"),
-        )
-        .drop("node")
-        .join(
-            F.broadcast(lbl.withColumnRenamed("brand", "brand_b")),
-            e.dst == F.col("node"),
-        )
-        .select("brand_a", "brand_b")
-    )
-    le = le.localCheckpoint(eager=False)  # m + ends
-    m_ = le.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum(
-            F.when(F.col("brand_a") == F.col("brand_b"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("trace_cnt"),
-    )
-    ends = (
-        le.select(F.col("brand_a").alias("brand"))
-        .unionAll(le.select(F.col("brand_b").alias("brand")))
-        .groupBy("brand")
-        .agg(F.count(F.lit(1)).cast("long").alias("k"))
-    )
-    sq = ends.agg(
-        F.sum(F.col("k") * F.col("k")).cast("long").alias("sum_ends_sq")
-    )
-    j = m_.crossJoin(F.broadcast(sq))
-    num = 4 * F.col("m") * F.col("trace_cnt") - F.col("sum_ends_sq")
-    den = 4 * F.col("m") * F.col("m") - F.col("sum_ends_sq")
-    return j.select(
-        "m",
-        "trace_cnt",
-        "sum_ends_sq",
-        num.cast("long").alias("r_num"),
-        den.cast("long").alias("r_den"),
-        F.round(num.cast("double") / den, 12).alias("assortativity"),
-    )
-
-
-@query(
-    "emb_centroid_mrr",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    ex AS (
-      SELECT vec_id, label, CAST(r.range AS INT) AS d,
-             qv[r.range + 1] AS v
-      FROM q CROSS JOIN range(0, 64) r
-    ),
-    cent AS (
-      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
-             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
-      FROM ex GROUP BY label, d
-    ),
-    scored AS (
-      SELECT e.vec_id, e.label, c.clabel,
-             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
-      FROM ex e JOIN cent c ON e.d = c.d
-      GROUP BY e.vec_id, e.label, c.clabel
-    ),
-    ranked AS (
-      SELECT vec_id, label, clabel,
-             CAST(row_number() OVER (PARTITION BY vec_id
-               ORDER BY s DESC, clabel) AS BIGINT) AS r
-      FROM scored
-    ),
-    own AS (
-      SELECT vec_id, label, r FROM ranked WHERE clabel = label
-    )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(2520 // r) AS BIGINT) AS sum_recip_2520,
-           round(CAST(sum(2520 // r) AS DOUBLE) / (2520.0 * count(*)),
-                 9) AS mrr
-    FROM own GROUP BY label
-    """,
-)
-def emb_centroid_mrr(spark: SparkSession, sf: str) -> DataFrame:
-    """MEAN RECIPROCAL RANK of each vector's OWN-label centroid among
-    all 10 label centroids — the graded retrieval metric behind
-    emb_nearest_centroid_accuracy's top-1 (accuracy says how often
-    the right centroid wins; MRR says how far down it sits when it
-    loses). Reciprocal ranks are carried as exact integers in
-    2520ths (lcm(1..10), so 2520/r is exact for every possible
-    rank); centroid scores reuse the broadcast integer-dot device.
-    One corpus scan, 10 candidates per vector, label-bounded
-    output."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    ex = q.select(
-        "vec_id", "label", F.posexplode("qv").alias("d", "v")
-    )
-    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
-        F.sum("v").alias("csum"),
-        F.countDistinct("vec_id").alias("n_l"),
-    )
-    carr = cent.groupBy("clabel").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "csum"))),
-            lambda x: x["csum"],
-        ).alias("cvec"),
-        F.max("n_l").alias("n_l"),
-    )
-    scored = q.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        (
-            F.expr(
-                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
-                " cast(0 as bigint), (a, x) -> a + x)"
-            ).cast("double")
-            / F.col("n_l")
-        ).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("clabel").asc()
-    )
-    own = (
-        scored.withColumn("r", F.row_number().over(w).cast("long"))
-        .filter(F.col("clabel") == F.col("label"))
-    )
-    return own.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum(F.expr("2520 div r")).cast("long").alias("sum_recip_2520"),
-        F.round(
-            F.sum(F.expr("2520 div r")).cast("double")
-            / (F.lit(2520.0) * F.count(F.lit(1))),
-            9,
-        ).alias("mrr"),
-    )
-
-
-@query(
-    "stats_matthews_corr",
-    oracle="""
-    WITH flags AS (
-      SELECT o_totalprice >= 150000 AS hi_value,
-             o_orderpriority = '1-URGENT' AS urgent
-      FROM orders
-    ),
-    cells AS (
-      SELECT CAST(sum(CASE WHEN hi_value AND urgent THEN 1 ELSE 0 END)
-               AS BIGINT) AS a,
-             CAST(sum(CASE WHEN hi_value AND NOT urgent THEN 1 ELSE 0
-               END) AS BIGINT) AS b,
-             CAST(sum(CASE WHEN NOT hi_value AND urgent THEN 1 ELSE 0
-               END) AS BIGINT) AS c,
-             CAST(sum(CASE WHEN NOT hi_value AND NOT urgent THEN 1
-               ELSE 0 END) AS BIGINT) AS d
-      FROM flags
-    )
-    SELECT a, b, c, d,
-           CAST(a * d - b * c AS BIGINT) AS mcc_num,
-           round((a * d - b * c)
-                 / sqrt((CAST(a + b AS DOUBLE) * (a + c))
-                        * (CAST(b + d AS DOUBLE) * (c + d))), 12)
-             AS mcc
-    FROM cells
-    """,
-)
-def stats_matthews_corr(spark: SparkSession, sf: str) -> DataFrame:
-    """MATTHEWS CORRELATION between two binary order flags (high-value
-    ≥ $150k × urgent priority) — the balanced 2×2 association score
-    ML evals prefer over accuracy/F1 (it only rewards doing well on
-    BOTH classes; ±1 = perfect (anti-)association, 0 = independence).
-    Cells are exact BIGINTs; the numerator ad−bc stays integer; the
-    denominator's four marginals multiply in a mirrored fixed
-    grouping ((a+b)(a+c))·((b+d)(c+d)) as doubles to dodge int64
-    overflow at corpus scale. One map-combinable aggregate."""
-    o = load(spark, sf, "orders")
-    flags = o.select(
-        (F.col("o_totalprice") >= 150000).alias("hi_value"),
-        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
-    )
-    cells = flags.agg(
-        *[
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(n)
-            for n, cond in [
-                ("a", F.col("hi_value") & F.col("urgent")),
-                ("b", F.col("hi_value") & ~F.col("urgent")),
-                ("c", ~F.col("hi_value") & F.col("urgent")),
-                ("d", ~F.col("hi_value") & ~F.col("urgent")),
-            ]
-        ]
-    )
-    num = F.col("a") * F.col("d") - F.col("b") * F.col("c")
-    den = F.sqrt(
-        (
-            (F.col("a") + F.col("b")).cast("double")
-            * (F.col("a") + F.col("c"))
-        )
-        * (
-            (F.col("b") + F.col("d")).cast("double")
-            * (F.col("c") + F.col("d"))
-        )
-    )
-    return cells.select(
-        "a",
-        "b",
-        "c",
-        "d",
-        num.cast("long").alias("mcc_num"),
-        F.round(num / den, 12).alias("mcc"),
-    )
-
-
-@query(
-    "ts_rolling_median_band",
-    oracle="""
-    WITH daily AS (
-      SELECT o_orderdate AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM orders
-      WHERE o_orderdate >= DATE '1995-03-01'
-        AND o_orderdate < DATE '1995-06-01'
-      GROUP BY o_orderdate
-    ),
-    win AS (
-      SELECT day, rev,
-             list_sort(list(rev) OVER (ORDER BY day
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
-      FROM daily
-    )
-    SELECT day, rev,
-           CAST(len(w) AS INT) AS n_win,
-           CAST(w[(len(w) + 1) // 2] + w[len(w) // 2 + 1] AS BIGINT)
-             AS two_median,
-           CAST(w[len(w)] AS BIGINT) AS win_max,
-           2 * rev > w[(len(w) + 1) // 2] + w[len(w) // 2 + 1]
-             AS above_band
-    FROM win
-    """,
-)
-def ts_rolling_median_band(spark: SparkSession, sf: str) -> DataFrame:
-    """ROLLING MEDIAN BAND (7-day window) over exact daily revenue
-    cents — the robust alternative to Bollinger's mean±σ band when a
-    single whale order shouldn't move the center line. Each window is
-    ≤7 values, so the median is an exact in-array sort (the doubled-
-    median integer carried as the sum of the two central order
-    statistics); the above-band flag cross-multiplies instead of
-    dividing so the comparison stays pure integer. Per-key ordered
-    windows, no global state."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1995-06-01").cast("date"))
-    )
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev")
-    )
-    w7 = Window.orderBy("day").rowsBetween(-6, 0)
-    win = daily.select(
-        "day",
-        "rev",
-        F.array_sort(F.collect_list("rev").over(w7)).alias("w"),
-    )
-    n = F.size("w")
-    med_lo = F.element_at(
-        "w", F.expr("cast((size(w) + 1) div 2 as int)")
-    )
-    med_hi = F.element_at(
-        "w", F.expr("cast(size(w) div 2 + 1 as int)")
-    )
-    return win.select(
-        "day",
-        "rev",
-        n.cast("int").alias("n_win"),
-        (med_lo + med_hi).cast("long").alias("two_median"),
-        F.element_at("w", n).cast("long").alias("win_max"),
-        (F.lit(2) * F.col("rev") > med_lo + med_hi).alias("above_band"),
-    )
-
-
-@query(
-    "stats_poisson_etest_daily",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    paired AS (
-      SELECT g1.day, g1.n AS k1, g2.n AS k2
-      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
-      WHERE g1.event_type = 'click' AND g2.event_type = 'error'
-    )
-    SELECT CAST(day AS INT) AS day, k1, k2,
-           round((k1 - k2) / sqrt(CAST(k1 + k2 AS DOUBLE)), 12)
-             AS z_stat,
-           abs((k1 - k2) / sqrt(CAST(k1 + k2 AS DOUBLE))) > 3.0
-             AS flagged_3sigma
-    FROM paired WHERE k1 + k2 > 0
-    """,
-)
-def stats_poisson_etest_daily(spark: SparkSession, sf: str) -> DataFrame:
-    """PER-DAY POISSON two-rate test (conditional/e-test normal form):
-    are today's clicks and errors consistent with equal underlying
-    rates? z = (k₁−k₂)/√(k₁+k₂) — the exact variance-stabilized form
-    for count pairs, flagged at 3σ; the daily error-budget monitor
-    that needs no history (contrast stats_page_hinkley, which needs
-    the whole series). Counts exact, one mirrored division per day,
-    grid-bounded output."""
-    g = _daily_grid(spark, sf)
-    clicks = g.filter(F.col("event_type") == "click").select(
-        "day", F.col("n").alias("k1")
-    )
-    errors = g.filter(F.col("event_type") == "error").select(
-        "day", F.col("n").alias("k2")
-    )
-    paired = clicks.join(errors, "day").filter(
-        F.col("k1") + F.col("k2") > 0
-    )
-    z = (F.col("k1") - F.col("k2")) / F.sqrt(
-        (F.col("k1") + F.col("k2")).cast("double")
-    )
-    return paired.select(
-        F.col("day").cast("int").alias("day"),
-        "k1",
-        "k2",
-        F.round(z, 12).alias("z_stat"),
-        (F.abs(z) > 3.0).alias("flagged_3sigma"),
-    )
-
-
-@query(
-    "audit_partition_checksums",
-    oracle="""
-    WITH rows_ AS (
-      SELECT date_trunc('month', o_orderdate) AS mth,
-             CAST(('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
-             ), 1, 8)) AS BIGINT) AS h
-      FROM orders
-      WHERE o_orderdate >= DATE '1995-01-01'
-        AND o_orderdate < DATE '1996-01-01'
-    )
-    SELECT strftime(mth, '%Y-%m') AS month,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS checksum
-    FROM rows_ GROUP BY mth
-    """,
-)
-def audit_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
-    """PER-PARTITION table checksums (1995, monthly) — the incremental
-    twin of audit_table_checksum: when a replica diverges, the global
-    checksum says THAT, the per-partition map says WHERE, so the
-    re-sync copies one month instead of the table. Same canonical-
-    rendering md5-prefix SUM device (order- and layout-insensitive);
-    one map-combinable groupBy keyed by the partition column every
-    warehouse table already has."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-    )
-    row = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-    )
-    h = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
-    return (
-        o.select(
-            F.date_format(
-                F.trunc("o_orderdate", "month"), "yyyy-MM"
-            ).alias("month"),
-            h.alias("_h"),
-        )
-        .groupBy("month")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("_h").cast("long").alias("checksum"),
-        )
-    )
-
-
-@query(
-    "dedup_threshold_yield_curve",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            for i in range(1, len(t) - 1)]) AS s
-      FROM toks WHERE len(t) >= 3
-    ), ex AS (
-      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    j AS (
-      SELECT CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common)
-               AS jaccard
-      FROM inter
-      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.5
-    )
-    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jaccard_decile,
-           CAST(count(*) AS BIGINT) AS n_pairs
-    FROM j GROUP BY 1
-    """,
-)
-def dedup_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """DEDUP THRESHOLD YIELD curve: how many near-dup pairs each
-    Jaccard decile holds from 0.5 up — the tuning chart for picking
-    the dedup threshold (drop it from 0.8 to 0.7 and THIS is how
-    many more pairs you'd merge; a fat 0.5-0.6 band warns of
-    template families a strict threshold leaves behind). Runs the
-    same PPJoin prefix-filtered pair generation as dedup_ngram_jaccard
-    at the LOWEST bucketed threshold, then histograms exact-division
-    Jaccards by floor-decile — one extra map-combinable groupBy on
-    top of the proven pair stream."""
-    d = load(spark, sf, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.5)
-    return (
-        pairs.select(
-            F.floor(F.col("jaccard") * 10)
-            .cast("long")
-            .alias("jaccard_decile")
-        )
-        .groupBy("jaccard_decile")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
-
-
-@query(
-    "stats_gamma_fit_moments",
-    oracle="""
-    WITH per AS (
-      SELECT o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT))
-               AS BIGINT) AS s,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
-                      * CAST(round(o_totalprice) AS BIGINT))
-               AS BIGINT) AS s2
-      FROM orders GROUP BY o_orderpriority
-    )
-    SELECT priority, n,
-           round(CAST(s AS DOUBLE) / n, 6) AS mean_dollars,
-           round(((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-                 / ((s2 - CAST(s AS DOUBLE) * s / n) / n), 9)
-             AS gamma_shape_k,
-           round(((s2 - CAST(s AS DOUBLE) * s / n) / n)
-                 / (CAST(s AS DOUBLE) / n), 6)
-             AS gamma_scale_dollars
-    FROM per
-    """,
-)
-def stats_gamma_fit_moments(spark: SparkSession, sf: str) -> DataFrame:
-    """GAMMA FIT (method of moments) of order values per priority
-    class: k = m²/σ², θ = σ²/m — the standard positive-skew model
-    for monetary distributions (k ≈ 1 exponential-like heavy churn;
-    k ≫ 1 near-normal), feeding CLV simulation and anomaly gates
-    that a normal fit would mis-tail. Moments are exact BIGINTs in
-    DOLLAR units — the round-9 sf0.1 sweep caught Σ(cents²)
-    overflowing int64 (5.5e7² × 30k rows > 2⁶³); dollar-rounded
-    values keep the second moment exact with ~10⁴× headroom (shard
-    the moment sums beyond that). k and θ are mirrored expressions
-    off the same two divisions, round 9/6. One map-combinable groupBy
-    over a 5-class domain."""
-    o = load(spark, sf, "orders")
-    dollars = F.round(F.col("o_totalprice")).cast("long")
-    per = o.select(
-        F.col("o_orderpriority").alias("priority"),
-        dollars.alias("c"),
-    ).groupBy("priority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("c").cast("long").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
-    )
-    m = F.col("s").cast("double") / F.col("n")
-    v = (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.col("n")
-    return per.select(
-        "priority",
-        "n",
-        F.round(m, 6).alias("mean_dollars"),
-        F.round((m * m) / v, 9).alias("gamma_shape_k"),
-        F.round(v / m, 6).alias("gamma_scale_dollars"),
-    )
-
-
-@query(
-    "olap_customer_order_regularity",
-    oracle="""
-    WITH seq AS (
-      SELECT o_custkey AS cust,
-             date_diff('day',
-               lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey),
-               o_orderdate) AS gap
-      FROM orders
-    ),
-    per AS (
-      SELECT cust, CAST(count(*) AS BIGINT) AS n_gaps,
-             CAST(sum(gap) AS BIGINT) AS s,
-             CAST(sum(gap * gap) AS BIGINT) AS s2
-      FROM seq WHERE gap IS NOT NULL
-      GROUP BY cust HAVING count(*) >= 3 AND sum(gap) > 0
-    ),
-    cls AS (
-      SELECT cust,
-             CASE WHEN 4 * (n_gaps * s2 - s * s) <= s * s THEN 'steady'
-                  WHEN n_gaps * s2 - s * s <= s * s THEN 'variable'
-                  ELSE 'erratic' END AS regularity
-      FROM per
-    )
-    SELECT regularity, CAST(count(*) AS BIGINT) AS n_customers
-    FROM cls GROUP BY regularity
-    """,
-)
-def olap_customer_order_regularity(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CUSTOMER ORDER-CADENCE regularity — the customer-side twin of
-    olap_xyz_classification: inter-order gap CV per customer (≥3
-    gaps), classed steady (CV ≤ 0.5) / variable (≤ 1) / erratic,
-    with the CV thresholds rearranged into pure integer comparisons
-    (n·Σg²−S² vs multiples of S²) so no sqrt or float compare
-    exists. Steady customers are the replenishment base subscription
-    offers target; erratic ones price churn models. One per-key lag
-    window + two map-combinable groupBys."""
-    o = load(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    seq = o.select(
-        F.col("o_custkey").alias("cust"),
-        F.datediff(
-            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
-        ).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
-    per = (
-        seq.groupBy("cust")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gaps"),
-            F.sum("gap").cast("long").alias("s"),
-            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
-        )
-        .filter((F.col("n_gaps") >= 3) & (F.col("s") > 0))
-    )
-    disp = F.col("n_gaps") * F.col("s2") - F.col("s") * F.col("s")
-    cls = per.select(
-        F.when(4 * disp <= F.col("s") * F.col("s"), "steady")
-        .when(disp <= F.col("s") * F.col("s"), "variable")
-        .otherwise("erratic")
-        .alias("regularity")
-    )
-    return cls.groupBy("regularity").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers")
-    )
-
-
-@query(
-    "multimodal_gif_index_histogram",
-    oracle="""
-    WITH img AS (
-      SELECT doc_id AS media_id,
-             doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT media_id, w, h,
-             (strpos('0123456789abcdef',
-                substr(md5(CAST(media_id AS VARCHAR) || ':gifpix:' ||
-                           CAST(u.i // 16 AS VARCHAR)),
-                       CAST(2 * (u.i % 16) + 2 AS INT), 1)) - 1) AS idx
-      FROM img, unnest(range(0, w * h)) AS u(i)
-    ),
-    cnt AS (
-      SELECT media_id, CAST(min(w) AS INT) AS width,
-             CAST(min(h) AS INT) AS height, idx,
-             CAST(count(*) AS BIGINT) AS c
-      FROM px GROUP BY media_id, idx
-    ),
-    best AS (
-      SELECT media_id, CAST(max(c) AS BIGINT) AS mode_count FROM cnt
-      GROUP BY media_id
-    )
-    SELECT c.media_id, c.width, c.height,
-           CAST(c.width * c.height AS BIGINT) AS n_pixels,
-           CAST(count(*) AS INT) AS n_distinct_idx,
-           CAST(min(CASE WHEN c.c = b.mode_count THEN c.idx END)
-             AS INT) AS mode_idx,
-           b.mode_count
-    FROM cnt c JOIN best b ON c.media_id = b.media_id
-    GROUP BY c.media_id, c.width, c.height, b.mode_count
-    """,
-)
-def multimodal_gif_index_histogram(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """PALETTE-INDEX profile off the REAL GIF decode — this audits the
-    LZW output BEFORE the palette lookup: per image, the distinct
-    index count and the modal index (min-id tiebreak) with its
-    frequency. A decoder bug that permuted indices under a symmetric
-    palette would slip past the summed-RGB check
-    (multimodal_gif_pixel_stats) but moves the mode here, so the two
-    queries bracket the decode from both sides. The oracle replays
-    the low-nibble keystream arithmetic; the kernel counts the actual
-    decoded index stream."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_gif_media(docs, "doc_id")
-    return mm.gif_index_stats(media)
-
-
-@query(
-    "stats_youden_threshold_sweep",
-    oracle="""
-    WITH thr AS (
-      SELECT unnest([50000, 100000, 150000, 200000, 250000,
-                     300000, 350000, 400000, 450000]) AS t
-    ),
-    cells AS (
-      SELECT thr.t,
-             CAST(sum(CASE WHEN o_totalprice >= thr.t
-                            AND o_orderpriority = '1-URGENT'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-             CAST(sum(CASE WHEN o_totalprice >= thr.t
-                            AND o_orderpriority <> '1-URGENT'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-             CAST(sum(CASE WHEN o_totalprice < thr.t
-                            AND o_orderpriority = '1-URGENT'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-             CAST(sum(CASE WHEN o_totalprice < thr.t
-                            AND o_orderpriority <> '1-URGENT'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
-      FROM orders CROSS JOIN thr GROUP BY thr.t
-    )
-    SELECT CAST(t AS BIGINT) AS threshold, tp, fp, fn, tn,
-           CAST(tp * 1000 // (tp + fn) AS BIGINT) AS tpr_milli,
-           CAST(fp * 1000 // (fp + tn) AS BIGINT) AS fpr_milli,
-           CAST(tp * 1000 // (tp + fn) - fp * 1000 // (fp + tn)
-             AS BIGINT) AS youden_j_milli
-    FROM cells
-    """,
-)
-def stats_youden_threshold_sweep(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """YOUDEN'S J THRESHOLD SWEEP — the operating-point chart for a
-    one-feature classifier (does order value predict urgency?): at 9
-    candidate thresholds, the exact confusion cells plus TPR/FPR/J as
-    integer milli-rates; argmax J is the optimal cutoff, a flat curve
-    near 0 says the feature carries no signal (the expected verdict
-    on this synthetic pairing — the op validates the machinery, the
-    shape is the finding). One broadcast threshold fan-out over a
-    single fact scan, 9-row output."""
-    o = load(spark, sf, "orders").select("o_totalprice", "o_orderpriority")
-    thr = spark.createDataFrame(
-        [(t,) for t in range(50000, 450001, 50000)], ["t"]
-    )
-    cells = (
-        o.crossJoin(F.broadcast(thr))
-        .groupBy("t")
-        .agg(
-            *[
-                F.sum(F.when(cond, 1).otherwise(0))
-                .cast("long")
-                .alias(name)
-                for name, cond in [
-                    (
-                        "tp",
-                        (F.col("o_totalprice") >= F.col("t"))
-                        & (F.col("o_orderpriority") == "1-URGENT"),
-                    ),
-                    (
-                        "fp",
-                        (F.col("o_totalprice") >= F.col("t"))
-                        & (F.col("o_orderpriority") != "1-URGENT"),
-                    ),
-                    (
-                        "fn",
-                        (F.col("o_totalprice") < F.col("t"))
-                        & (F.col("o_orderpriority") == "1-URGENT"),
-                    ),
-                    (
-                        "tn",
-                        (F.col("o_totalprice") < F.col("t"))
-                        & (F.col("o_orderpriority") != "1-URGENT"),
-                    ),
-                ]
-            ]
-        )
-    )
-    return cells.select(
-        F.col("t").cast("long").alias("threshold"),
-        "tp",
-        "fp",
-        "fn",
-        "tn",
-        F.expr("tp * 1000 div (tp + fn)").cast("long").alias("tpr_milli"),
-        F.expr("fp * 1000 div (fp + tn)").cast("long").alias("fpr_milli"),
-        F.expr("tp * 1000 div (tp + fn) - fp * 1000 div (fp + tn)")
-        .cast("long")
-        .alias("youden_j_milli"),
-    )
-
-
-@query(
-    "curation_sample_size_planner",
-    oracle="""
-    WITH flagged AS (
-      SELECT source,
-             count(*) OVER (PARTITION BY text) > 1 AS is_dup
-      FROM documents
-    ),
-    per AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dups
-      FROM flagged GROUP BY source
-    )
-    SELECT source, n_docs, n_dups,
-           CAST(n_dups * 1000 // n_docs AS BIGINT) AS dup_milli,
-           CAST(ceil(9604.0 * (CAST(n_dups AS DOUBLE) / n_docs)
-                     * (1.0 - CAST(n_dups AS DOUBLE) / n_docs))
-             AS BIGINT) AS n_required,
-           n_docs >= CAST(ceil(9604.0 * (CAST(n_dups AS DOUBLE) / n_docs)
-                               * (1.0 - CAST(n_dups AS DOUBLE) / n_docs))
-                       AS BIGINT) AS sample_sufficient
-    FROM per
-    """,
-)
-def curation_sample_size_planner(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SAMPLE-SIZE PLANNER for per-source QA audits: given each
-    source's observed dup rate p, the sample size needed to estimate
-    it within ±2% at 95% confidence — n = z²p(1−p)/w² with z²=3.8416,
-    w=0.02 (constants documented; the planner shape, not the
-    constants, is the op) — and whether the source's own volume
-    already suffices. p is one exact division; n_required is a
-    mirrored ceil. The audit-budgeting step every human-review loop
-    runs before sampling."""
-    d = load(spark, sf, "documents")
-    flagged = d.select(
-        "source",
-        (
-            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1
-        ).alias("is_dup"),
-    )
-    per = flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dups"),
-    )
-    p = F.col("n_dups").cast("double") / F.col("n_docs")
-    n_req = F.ceil(F.lit(9604.0) * p * (F.lit(1.0) - p)).cast("long")
-    return per.select(
-        "source",
-        "n_docs",
-        "n_dups",
-        F.expr("n_dups * 1000 div n_docs").cast("long").alias("dup_milli"),
-        n_req.alias("n_required"),
-        (F.col("n_docs") >= n_req).alias("sample_sufficient"),
-    )
-
-
-@query(
-    "dedup_winnowing_fingerprints",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id,
-             [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-              for i in range(1, len(t) - 1)] AS hs
-      FROM toks WHERE len(t) >= 3
-    ),
-    eligible AS (SELECT * FROM grams WHERE len(hs) >= 4),
-    wins AS (
-      SELECT doc_id, s.i AS w0,
-             hs[(s.i + 1):(s.i + 4)] AS win
-      FROM eligible, unnest(range(0, len(hs) - 3)) AS s(i)
-    ),
-    picks AS (
-      SELECT doc_id, w0,
-             CAST(w0 + len(win) - list_position(list_reverse(win),
-               list_aggregate(win, 'min')) AS BIGINT) AS pos,
-             list_aggregate(win, 'min') AS fp
-      FROM wins
-    ),
-    sel AS (SELECT DISTINCT doc_id, pos, fp FROM picks)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_fingerprints,
-           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
-           min(fp) AS min_fp
-    FROM sel GROUP BY doc_id
-    """,
-)
-def dedup_winnowing_fingerprints(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """WINNOWING fingerprint selection (Schleimer et al. 2003 — the
-    MOSS algorithm): hash every 3-gram, slide a window of 4 hashes,
-    keep each window's minimum (RIGHTMOST minimum on ties, the
-    paper's robust-winnowing rule), dedup selected (position, hash)
-    pairs. Guarantees every shared run of ≥ 6 tokens contributes at
-    least one shared fingerprint while storing ~2/(w+1) of the
-    hashes — the storage-bounded alternative to the full exact-
-    substring index (dedup_exact_substring). Pure higher-order array
-    expressions per document (transform/slice/array_min — no explode
-    of the window fan-out); the per-doc census here is the index-
-    build profile, and a fingerprint equi-join yields the candidate
-    pairs exactly like the substring family."""
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    hs = F.expr(
-        "transform(sequence(1, size(t) - 2),"
-        " i -> md5(concat(element_at(t, i), ' ',"
-        " element_at(t, i + 1), ' ', element_at(t, i + 2))))"
-    )
-    grams = toks.select("doc_id", hs.alias("hs")).filter(
-        F.size("hs") >= 4
-    )
-    # per window i (0-based): min hash; rightmost tie via reversed
-    # list_position (both engines 1-based)
-    picks = F.expr(
-        "transform(sequence(0, size(hs) - 4), i -> struct("
-        " cast(i + 4 - array_position(reverse(slice(hs, i + 1, 4)),"
-        "   array_min(slice(hs, i + 1, 4))) as bigint) as pos,"
-        " array_min(slice(hs, i + 1, 4)) as fp))"
-    )
-    sel = (
-        grams.select("doc_id", F.explode(picks).alias("p"))
-        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
-        .distinct()
-    )
-    return sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
-        F.min("fp").alias("min_fp"),
-    )
-
-
-@query(
-    "olap_mix_residual_heatmap",
-    oracle="""
-    WITH cells AS (
-      SELECT l.l_returnflag AS returnflag, o.o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS observed
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2
-    ),
-    margins AS (
-      SELECT returnflag, priority, observed,
-             CAST(sum(observed) OVER (PARTITION BY returnflag) AS BIGINT)
-               AS row_n,
-             CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT)
-               AS col_n,
-             CAST(sum(observed) OVER () AS BIGINT) AS total_n
-      FROM cells
-    )
-    SELECT returnflag, priority, observed,
-           round(CAST(row_n AS DOUBLE) * col_n / total_n, 6)
-             AS expected,
-           round((observed - CAST(row_n AS DOUBLE) * col_n / total_n)
-                 / sqrt(CAST(row_n AS DOUBLE) * col_n / total_n), 9)
-             AS pearson_residual
-    FROM margins
-    """,
-)
-def olap_mix_residual_heatmap(spark: SparkSession, sf: str) -> DataFrame:
-    """MIX RESIDUAL HEATMAP — the returnflag × priority contingency
-    table with Pearson standardized residuals (obs−exp)/√exp: the
-    cell-level WHERE behind an omnibus χ²/Cramér's V (which cells
-    drive the association, |residual| > 2 ≈ significant). Margins
-    come from three windows over the category-bounded cell table —
-    the fact join shuffles once on orderkey, everything after is
-    7×5-bounded. Expected counts and residuals are mirrored
-    single-expression doubles, round 6/9."""
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_returnflag")
-    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
-    cells = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("l_returnflag").alias("returnflag"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
-    )
-    margins = cells.select(
-        "*",
-        F.sum("observed")
-        .over(Window.partitionBy("returnflag"))
-        .cast("long")
-        .alias("row_n"),
-        F.sum("observed")
-        .over(Window.partitionBy("priority"))
-        .cast("long")
-        .alias("col_n"),
-        F.sum("observed")
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("total_n"),
-    )
-    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("total_n")
-    return margins.select(
-        "returnflag",
-        "priority",
-        "observed",
-        F.round(exp, 6).alias("expected"),
-        F.round((F.col("observed") - exp) / F.sqrt(exp), 9).alias(
-            "pearson_residual"
-        ),
-    )
-
-
-@query(
-    "stats_gtest_independence",
-    oracle="""
-    WITH cells AS (
-      SELECT l.l_returnflag AS returnflag, o.o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS observed
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2
-    ),
-    margins AS (
-      SELECT observed,
-             CAST(sum(observed) OVER (PARTITION BY returnflag) AS BIGINT)
-               AS row_n,
-             CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT)
-               AS col_n,
-             CAST(sum(observed) OVER () AS BIGINT) AS total_n,
-             CAST(count(DISTINCT returnflag) OVER () AS BIGINT) AS nr,
-             CAST(count(DISTINCT priority) OVER () AS BIGINT) AS nc
-      FROM cells
-    ),
-    terms AS (
-      SELECT round(observed * ln(CAST(observed AS DOUBLE) * total_n
-                     / (CAST(row_n AS DOUBLE) * col_n)), 9) AS term,
-             nr, nc
-      FROM margins WHERE observed > 0
-    )
-    SELECT CAST(max(nr) AS BIGINT) AS n_rows_cat,
-           CAST(max(nc) AS BIGINT) AS n_cols_cat,
-           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
-           round(2.0 * list_reduce(list_sort(list(term)),
-                                   (a, b) -> a + b), 6) AS g_stat
-    FROM terms
-    """,
-)
-def stats_gtest_independence(spark: SparkSession, sf: str) -> DataFrame:
-    """G-TEST of independence (likelihood-ratio χ²) on the returnflag ×
-    priority table: G = 2Σ O·ln(O·N/(R·C)) — the additive-under-
-    partitioning alternative to Pearson's χ² (G decomposes exactly
-    across sub-tables, which is why log-linear modeling uses it; it
-    also pairs with the per-cell residual heatmap). Each cell term is
-    pre-rounded at 9 and the ≤35 terms fold SORTED, so both engines
-    sum identical doubles — the zipf-fit device on a contingency
-    table. dof ships alongside for the χ² lookup."""
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_returnflag")
-    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
-    cells = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("l_returnflag").alias("returnflag"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
-    )
-    margins = cells.select(
-        "observed",
-        F.sum("observed")
-        .over(Window.partitionBy("returnflag"))
-        .cast("long")
-        .alias("row_n"),
-        F.sum("observed")
-        .over(Window.partitionBy("priority"))
-        .cast("long")
-        .alias("col_n"),
-        F.sum("observed")
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("total_n"),
-        F.size(F.collect_set("returnflag").over(Window.partitionBy()))
-        .cast("long")
-        .alias("nr"),
-        F.size(F.collect_set("priority").over(Window.partitionBy()))
-        .cast("long")
-        .alias("nc"),
-    )
-    term = F.round(
-        F.col("observed")
-        * F.log(
-            F.col("observed").cast("double")
-            * F.col("total_n")
-            / (F.col("row_n").cast("double") * F.col("col_n"))
-        ),
-        9,
-    )
-    terms = margins.filter(F.col("observed") > 0).select(
-        term.alias("term"), "nr", "nc"
-    )
-    return terms.agg(
-        F.max("nr").cast("long").alias("n_rows_cat"),
-        F.max("nc").cast("long").alias("n_cols_cat"),
-        ((F.max("nr") - 1) * (F.max("nc") - 1))
-        .cast("long")
-        .alias("dof"),
-        F.round(
-            F.lit(2.0)
-            * F.aggregate(
-                F.array_sort(F.collect_list("term")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).alias("g_stat"),
-    )
-
-
-@query(
-    "olap_abc_xyz_matrix",
-    oracle="""
-    WITH p AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM lineitem GROUP BY l_partkey
-    ),
-    abc AS (
-      SELECT l_partkey,
-             CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey) * 5
-                       <= sum(rev) OVER () * 4 THEN 'A'
-                  WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey) * 20
-                       <= sum(rev) OVER () * 19 THEN 'B'
-                  ELSE 'C' END AS abc
-      FROM p
-    ),
-    monthly AS (
-      SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1995-01-01'
-      GROUP BY 1, 2
-    ),
-    xyz AS (
-      SELECT l_partkey,
-             CASE WHEN count(*) < 12 THEN 'Z'
-                  WHEN 4 * (12 * sum(qty * qty) - sum(qty) * sum(qty))
-                       <= sum(qty) * sum(qty) THEN 'X'
-                  WHEN 12 * sum(qty * qty) - sum(qty) * sum(qty)
-                       <= sum(qty) * sum(qty) THEN 'Y'
-                  ELSE 'Z' END AS xyz
-      FROM monthly GROUP BY l_partkey
-    )
-    SELECT a.abc, coalesce(x.xyz, 'Z') AS xyz,
-           CAST(count(*) AS BIGINT) AS n_parts
-    FROM abc a LEFT JOIN xyz x ON a.l_partkey = x.l_partkey
-    GROUP BY a.abc, coalesce(x.xyz, 'Z')
-    """,
-)
-def olap_abc_xyz_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """ABC × XYZ PLANNING MATRIX — the 9-cell grid inventory policy
-    actually reads (AX = automate replenishment; CZ = kill or
-    make-to-order): value classes from olap_abc_classification's
-    integer cross-multiplied Pareto cut joined against
-    olap_xyz_classification's integer-CV variability classes (parts
-    with no 1994 demand default to Z — never-moving value). Both
-    classifiers keep their pure-integer thresholds; the join is
-    part-dim-sized; output is 9-bounded."""
-    li = load(spark, sf, "lineitem")
-    li = li.localCheckpoint(eager=False)  # feeds both classifiers
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    p = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev"))
-    wc = Window.orderBy(
-        F.col("rev").desc(), F.col("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    abc = p.select(
-        "l_partkey",
-        F.when(
-            F.sum("rev").over(wc) * 5 <= F.sum("rev").over(wt) * 4, "A"
-        )
-        .when(
-            F.sum("rev").over(wc) * 20 <= F.sum("rev").over(wt) * 19,
-            "B",
-        )
-        .otherwise("C")
-        .alias("abc"),
-    )
-    monthly = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
-        )
-        .groupBy("l_partkey", F.trunc("l_shipdate", "month").alias("mth"))
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
-    )
-    per = monthly.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("nm"),
-        F.sum("qty").alias("s"),
-        F.sum(F.col("qty") * F.col("qty")).alias("s2"),
-    )
-    disp = 12 * F.col("s2") - F.col("s") * F.col("s")
-    xyz = per.select(
-        "l_partkey",
-        F.when(F.col("nm") < 12, "Z")
-        .when(4 * disp <= F.col("s") * F.col("s"), "X")
-        .when(disp <= F.col("s") * F.col("s"), "Y")
-        .otherwise("Z")
-        .alias("xyz"),
-    )
-    return (
-        abc.join(xyz, "l_partkey", "left")
-        .select("abc", F.coalesce("xyz", F.lit("Z")).alias("xyz"))
-        .groupBy("abc", "xyz")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-    )
-
-
-@query(
-    "stats_cooks_distance",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(count(*) AS BIGINT) AS y
-      FROM events
-      WHERE event_type = 'click'
-        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 29
-      GROUP BY 1
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM daily
-    ),
-    fit AS (
-      SELECT n, sx, sy,
-             (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
-               AS b1,
-             CAST(n * sxx - sx * sx AS BIGINT) AS n_sxx_dev
-      FROM m
-    ),
-    resid AS (
-      SELECT d.x, d.y,
-             d.y - (CAST(f.sy AS DOUBLE) / f.n
-                    + f.b1 * (d.x - CAST(f.sx AS DOUBLE) / f.n)) AS r,
-             1.0 / f.n + CAST(f.n AS DOUBLE)
-               * (d.x - CAST(f.sx AS DOUBLE) / f.n)
-               * (d.x - CAST(f.sx AS DOUBLE) / f.n) / f.n_sxx_dev AS h,
-             f.n
-      FROM daily d CROSS JOIN fit f
-    ),
-    sse AS (
-      SELECT list_reduce(list_sort(list(round(r * r, 9))),
-                         (a, b) -> a + b) AS sse, max(n) AS n
-      FROM resid
-    )
-    SELECT CAST(resid.x AS INT) AS day, resid.y,
-           round(resid.r, 9) AS residual,
-           round(resid.h, 12) AS leverage,
-           round((resid.r * resid.r) * resid.h
-                 / ((1.0 - resid.h) * (1.0 - resid.h))
-                 / (2.0 * sse.sse / (sse.n - 2)), 9) AS cooks_d,
-           (resid.r * resid.r) * resid.h
-             / ((1.0 - resid.h) * (1.0 - resid.h))
-             / (2.0 * sse.sse / (sse.n - 2))
-             > 4.0 / sse.n AS influential
-    FROM resid CROSS JOIN sse
-    """,
-)
-def stats_cooks_distance(spark: SparkSession, sf: str) -> DataFrame:
-    """COOK'S DISTANCE for the daily click OLS trend — which single
-    days, if dropped, would move the fitted line (the influence
-    diagnostic that separates 'trend' from 'one launch-day spike
-    pretending to be a trend'; flag at the standard D > 4/n). Slope,
-    residuals, and leverages derive from exact integer sums in
-    mirrored closed form; SSE folds SORTED over per-day r²
-    pre-rounded at 9 (the zipf-fit device), so both engines divide
-    identical doubles. Grid-bounded output with the 4/n flag."""
-    e = load(spark, sf, "events").filter(F.col("event_type") == "click")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(day.alias("x"))
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # fit + resid
-    m = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    )
-    fit = m.select(
-        "n",
-        "sx",
-        "sy",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            .cast("double")
-        ).alias("b1"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
-        .alias("n_sxx_dev"),
-    )
-    resid = daily.crossJoin(F.broadcast(fit)).select(
-        "x",
-        "y",
-        (
-            F.col("y")
-            - (
-                F.col("sy").cast("double") / F.col("n")
-                + F.col("b1")
-                * (F.col("x") - F.col("sx").cast("double") / F.col("n"))
-            )
-        ).alias("r"),
-        (
-            F.lit(1.0) / F.col("n")
-            + F.col("n").cast("double")
-            * (F.col("x") - F.col("sx").cast("double") / F.col("n"))
-            * (F.col("x") - F.col("sx").cast("double") / F.col("n"))
-            / F.col("n_sxx_dev")
-        ).alias("h"),
-        "n",
-    )
-    resid = resid.localCheckpoint(eager=False)  # sse + output
-    sse = resid.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.round(F.col("r") * F.col("r"), 9))),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ).alias("sse"),
-        F.max("n").alias("nn"),
-    )
-    j = resid.crossJoin(F.broadcast(sse))
-    d = (
-        (F.col("r") * F.col("r"))
-        * F.col("h")
-        / ((F.lit(1.0) - F.col("h")) * (F.lit(1.0) - F.col("h")))
-        / (F.lit(2.0) * F.col("sse") / (F.col("nn") - 2))
-    )
-    return j.select(
-        F.col("x").cast("int").alias("day"),
-        "y",
-        F.round("r", 9).alias("residual"),
-        F.round("h", 12).alias("leverage"),
-        F.round(d, 9).alias("cooks_d"),
-        (d > F.lit(4.0) / F.col("nn")).alias("influential"),
-    )
-
-
-@query(
-    "olap_supplier_diversification",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey,
-             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev_cents
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT CASE WHEN n_suppliers = 1 THEN 'single'
-                WHEN n_suppliers = 2 THEN 'dual'
-                ELSE 'multi' END AS sourcing,
-           CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
-           CAST(max(CASE WHEN n_suppliers = 1 THEN rev_cents END)
-             AS BIGINT) AS max_single_part_cents
-    FROM per GROUP BY 1
-    """,
-)
-def olap_supplier_diversification(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SUPPLIER DIVERSIFICATION risk census: parts bucketed by how
-    many distinct suppliers actually shipped them (single-sourced =
-    the supply-chain single point of failure; the revenue riding it
-    is the exposure number procurement escalates). One distinct-count
-    groupBy on the fact + a 3-bucket census with the worst
-    single-sourced part's revenue called out. Exact cents
-    throughout."""
-    li = load(spark, sf, "lineitem")
-    per = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev_cents"),
-    )
-    bucket = (
-        F.when(F.col("n_suppliers") == 1, "single")
-        .when(F.col("n_suppliers") == 2, "dual")
-        .otherwise("multi")
-    )
-    return per.groupBy(bucket.alias("sourcing")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("rev_cents").cast("long").alias("revenue_cents"),
-        F.max(
-            F.when(F.col("n_suppliers") == 1, F.col("rev_cents"))
-        )
-        .cast("long")
-        .alias("max_single_part_cents"),
-    )
-
-
-@query(
-    "ts_permutation_entropy",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    ctx AS (
-      SELECT event_type, day, n,
-             lead(n, 1) OVER w AS n1, lead(n, 2) OVER w AS n2
-      FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)
-    ),
-    pat AS (
-      SELECT event_type,
-             CASE
-               WHEN n <= n1 AND n1 <= n2 THEN '012'
-               WHEN n <= n2 AND n2 < n1 THEN '021'
-               WHEN n1 < n AND n <= n2 THEN '102'
-               WHEN n2 < n AND n <= n1 THEN '120'
-               WHEN n1 <= n2 AND n2 < n THEN '201'
-               ELSE '210' END AS pattern
-      FROM ctx WHERE n1 IS NOT NULL AND n2 IS NOT NULL
-    ),
-    cnt AS (
-      SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS c
-      FROM pat GROUP BY event_type, pattern
-    ),
-    tot AS (
-      SELECT event_type, CAST(sum(c) AS BIGINT) AS t FROM cnt
-      GROUP BY event_type
-    ),
-    terms AS (
-      SELECT c.event_type, t.t,
-             round(-(CAST(c.c AS DOUBLE) / t.t)
-                   * ln(CAST(c.c AS DOUBLE) / t.t), 12) AS term
-      FROM cnt c JOIN tot t ON c.event_type = t.event_type
-    )
-    SELECT event_type, CAST(max(t) AS BIGINT) AS n_windows,
-           CAST(count(*) AS INT) AS n_patterns,
-           round(list_reduce(list_sort(list(term)), (a, b) -> a + b)
-                 / ln(6.0), 9) AS perm_entropy_norm
-    FROM terms GROUP BY event_type
-    """,
-)
-def ts_permutation_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    """PERMUTATION ENTROPY (Bandt–Pompe 2002, order 3) per event
-    stream: classify every consecutive day-triple by its ordinal
-    pattern (6 possibilities, ties broken toward ascending — the
-    standard ≤ convention), then the Shannon entropy of the pattern
-    distribution normalized by ln 6 — the model-free complexity
-    score (≈1 white noise, ≪1 deterministic structure) that
-    complements the turning-points test with a full ordinal
-    profile. Pattern counts are exact; the ≤6 entropy terms are
-    pre-rounded and fold sorted (the zipf device). One lead/lead
-    window per key, category-bounded everything."""
-    g = _daily_grid(spark, sf)
-    w = Window.partitionBy("event_type").orderBy("day")
-    ctx = g.select(
-        "event_type",
-        "n",
-        F.lead("n", 1).over(w).alias("n1"),
-        F.lead("n", 2).over(w).alias("n2"),
-    ).filter(F.col("n1").isNotNull() & F.col("n2").isNotNull())
-    pattern = (
-        F.when((F.col("n") <= F.col("n1")) & (F.col("n1") <= F.col("n2")), "012")
-        .when((F.col("n") <= F.col("n2")) & (F.col("n2") < F.col("n1")), "021")
-        .when((F.col("n1") < F.col("n")) & (F.col("n") <= F.col("n2")), "102")
-        .when((F.col("n2") < F.col("n")) & (F.col("n") <= F.col("n1")), "120")
-        .when((F.col("n1") <= F.col("n2")) & (F.col("n2") < F.col("n")), "201")
-        .otherwise("210")
-    )
-    cnt = (
-        ctx.select("event_type", pattern.alias("pattern"))
-        .groupBy("event_type", "pattern")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    cnt = cnt.localCheckpoint(eager=False)  # tot + terms
-    tot = cnt.groupBy("event_type").agg(
-        F.sum("c").cast("long").alias("t")
-    )
-    terms = cnt.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "t",
-        F.round(
-            -(F.col("c").cast("double") / F.col("t"))
-            * F.log(F.col("c").cast("double") / F.col("t")),
-            12,
-        ).alias("term"),
-    )
-    return terms.groupBy("event_type").agg(
-        F.max("t").cast("long").alias("n_windows"),
-        F.count(F.lit(1)).cast("int").alias("n_patterns"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("term")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            / F.log(F.lit(6.0)),
-            9,
-        ).alias("perm_entropy_norm"),
-    )
-
-
-@query(
-    "stats_cochran_q",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    med AS (
-      SELECT event_type,
-             CAST((list_sort(list(n))[15] + list_sort(list(n))[16])
-               AS BIGINT) AS two_med
-      FROM grid GROUP BY event_type
-    ),
-    flags AS (
-      SELECT g.day, g.event_type,
-             CASE WHEN 2 * g.n > m.two_med THEN 1 ELSE 0 END AS x
-      FROM grid g JOIN med m ON g.event_type = m.event_type
-    ),
-    rows_ AS (
-      SELECT day, CAST(sum(x) AS BIGINT) AS ri FROM flags GROUP BY day
-    ),
-    cols_ AS (
-      SELECT event_type, CAST(sum(x) AS BIGINT) AS cj FROM flags
-      GROUP BY event_type
-    ),
-    k_ AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cols_),
-    parts AS (
-      SELECT (SELECT k FROM k_) AS k,
-             (SELECT CAST(sum(cj * cj) AS BIGINT) FROM cols_) AS scc,
-             (SELECT CAST(sum(ri) AS BIGINT) FROM rows_) AS sr,
-             (SELECT CAST(sum(ri * ri) AS BIGINT) FROM rows_) AS srr
-    )
-    SELECT k, sr AS total_successes,
-           CAST(k * (k - 1) * scc - (k - 1) * sr * sr AS BIGINT)
-             AS q_num,
-           CAST(k * sr - srr AS BIGINT) AS q_den,
-           round(CAST(k * (k - 1) * scc - (k - 1) * sr * sr AS DOUBLE)
-                 / (k * sr - srr), 9) AS cochran_q
-    FROM parts
-    """,
-)
-def stats_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
-    """COCHRAN'S Q — do the five event streams' 'above own median'
-    daily indicators share one success rate? The k-treatment
-    extension of McNemar for matched binary outcomes (here: days are
-    the blocks, streams the treatments): Q = (k−1)(kΣCⱼ²−(ΣCⱼ)²)/
-    (kΣRᵢ−ΣRᵢ²) ~ χ²ₖ₋₁. Each stream's median comes off an exact
-    30-value in-array sort (doubled-median device) so the binary
-    matrix is exact; Q is carried as an integer numerator/denominator
-    pair plus one mirrored ratio. Grid-bounded throughout."""
-    g = _daily_grid(spark, sf)
-    med = g.groupBy("event_type").agg(
-        F.expr(
-            "cast(sort_array(collect_list(n))[14]"
-            " + sort_array(collect_list(n))[15] as bigint)"
-        ).alias("two_med")
-    )
-    flags = g.join(F.broadcast(med), "event_type").select(
-        "day",
-        "event_type",
-        F.when(2 * F.col("n") > F.col("two_med"), 1)
-        .otherwise(0)
-        .alias("x"),
-    )
-    flags = flags.localCheckpoint(eager=False)  # rows + cols
-    rows_ = flags.groupBy("day").agg(F.sum("x").cast("long").alias("ri"))
-    cols_ = flags.groupBy("event_type").agg(
-        F.sum("x").cast("long").alias("cj")
-    )
-    parts = (
-        cols_.agg(
-            F.count(F.lit(1)).cast("long").alias("k"),
-            F.sum(F.col("cj") * F.col("cj")).cast("long").alias("scc"),
-        )
-        .crossJoin(
-            F.broadcast(
-                rows_.agg(
-                    F.sum("ri").cast("long").alias("sr"),
-                    F.sum(F.col("ri") * F.col("ri"))
-                    .cast("long")
-                    .alias("srr"),
-                )
-            )
-        )
-    )
-    qnum = (
-        F.col("k") * (F.col("k") - 1) * F.col("scc")
-        - (F.col("k") - 1) * F.col("sr") * F.col("sr")
-    )
-    qden = F.col("k") * F.col("sr") - F.col("srr")
-    return parts.select(
-        "k",
-        F.col("sr").alias("total_successes"),
-        qnum.cast("long").alias("q_num"),
-        qden.cast("long").alias("q_den"),
-        F.round(qnum.cast("double") / qden, 9).alias("cochran_q"),
-    )
-
-
-# Rank-biased overlap weights for depths 1..50 at persistence p=0.9:
-# (1-p)·p^(d-1)/d as python literals shared by both engines.
-_RBO_P = 0.9
-_RBO_D = 50
-_RBO_W = [
-    (1.0 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(1, _RBO_D + 1)
-]
-_RBO_W_SQL = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
-
-
-@query(
-    "text_rbo_vocab_overlap",
-    oracle=f"""
-    WITH wc AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
-            FROM documents)
-      WHERE w <> '' GROUP BY source, w
-    ),
-    ranked AS (
-      SELECT source, w,
-             CAST(row_number() OVER (PARTITION BY source
-               ORDER BY freq DESC, w) AS BIGINT) AS rnk
-      FROM wc
-    ),
-    pair AS (
-      SELECT a.w, a.rnk AS ra, b.rnk AS rb
-      FROM (SELECT * FROM ranked WHERE source = 'src0'
-            AND rnk <= {_RBO_D}) a
-      JOIN (SELECT * FROM ranked WHERE source = 'src1'
-            AND rnk <= {_RBO_D}) b ON a.w = b.w
-    ),
-    depths AS (
-      SELECT d.d,
-             CAST((SELECT count(*) FROM pair
-                   WHERE greatest(ra, rb) <= d.d) AS BIGINT) AS overlap
-      FROM unnest(range(1, {_RBO_D + 1})) AS d(d)
-    )
-    SELECT CAST(max(overlap) AS BIGINT) AS overlap_at_50,
-           round(list_reduce(list_sort(list(
-                   overlap * ({_RBO_W_SQL})[d])), (a, b) -> a + b), 9)
-             AS rbo_ub
-    FROM depths
-    """,
-)
-def text_rbo_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """RANK-BIASED OVERLAP (Webber et al. 2010, p=0.9, truncated at
-    depth 50) between two sources' frequency-ranked vocabularies —
-    the top-weighted list-similarity measure for comparing rankings
-    that plain Jaccard treats as flat sets (two sources can share
-    90% of vocabulary yet order it completely differently). Overlap
-    counts at each depth are exact integers; the geometric weights
-    (1−p)·p^(d−1)/d are python literals injected into BOTH engines
-    and the 50 weighted terms fold sorted — the Goertzel-table
-    discipline applied to IR weighting. Full (freq, word) tiebreaks
-    make both rankings total."""
-    d = load(spark, sf, "documents")
-    wc = (
-        d.select(
-            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    wr = Window.partitionBy("source").orderBy(
-        F.col("freq").desc(), F.col("w")
-    )
-    ranked = wc.select(
-        "source", "w", F.row_number().over(wr).cast("long").alias("rnk")
-    ).filter(F.col("rnk") <= _RBO_D)
-    a = ranked.filter(F.col("source") == "src0").select(
-        "w", F.col("rnk").alias("ra")
-    )
-    b = ranked.filter(F.col("source") == "src1").select(
-        "w", F.col("rnk").alias("rb")
-    )
-    pair = a.join(b, "w").select(
-        F.greatest("ra", "rb").alias("rmax")
-    )
-    depths = (
-        F.broadcast(
-            spark.range(1, _RBO_D + 1).select(
-                F.col("id").cast("long").alias("d")
-            )
-        )
-        .join(pair, F.col("rmax") <= F.col("d"), "left")
-        .groupBy("d")
-        .agg(F.count("rmax").cast("long").alias("overlap"))
-    )
-    warr = F.array(*[F.lit(w) for w in _RBO_W])
-    weighted = depths.select(
-        "overlap",
-        (
-            F.col("overlap")
-            * F.element_at(warr, F.col("d").cast("int"))
-        ).alias("term"),
-    )
-    return weighted.agg(
-        F.max("overlap").cast("long").alias("overlap_at_50"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("term")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        ).alias("rbo_ub"),
-    )
-
-
-@query(
-    "stats_lin_ccc",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    paired AS (
-      SELECT g1.n AS x, g2.n AS y
-      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
-      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM paired
-    )
-    SELECT n,
-           CAST(2 * (n * sxy - sx * sy) AS BIGINT) AS ccc_num,
-           CAST(n * sxx - sx * sx + n * syy - sy * sy
-                + (sx - sy) * (sx - sy) AS BIGINT) AS ccc_den,
-           round(CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
-                 / (n * sxx - sx * sx + n * syy - sy * sy
-                    + (sx - sy) * (sx - sy)), 12) AS lin_ccc
-    FROM m
-    """,
-)
-def stats_lin_ccc(spark: SparkSession, sf: str) -> DataFrame:
-    """LIN'S CONCORDANCE correlation between the click and view daily
-    series — the AGREEMENT coefficient (Pearson r measures linear
-    association; CCC additionally penalizes scale and location bias,
-    so it is the right score for 'does replica B reproduce metric A'
-    checks, not just 'do they co-move'). Multiplying the standard
-    form through by n² makes BOTH numerator and denominator exact
-    BIGINTs — 2(nΣxy−ΣxΣy) over (nΣx²−(Σx)²)+(nΣy²−(Σy)²)+(Σx−Σy)²
-    — with one mirrored ratio. One map-combinable moment pass."""
-    g = _daily_grid(spark, sf)
-    paired = (
-        g.filter(F.col("event_type") == "click")
-        .select("day", F.col("n").alias("x"))
-        .join(
-            g.filter(F.col("event_type") == "view").select(
-                "day", F.col("n").alias("y")
-            ),
-            "day",
-        )
-    )
-    m = paired.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    num = 2 * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    den = (
-        F.col("n") * F.col("sxx")
-        - F.col("sx") * F.col("sx")
-        + F.col("n") * F.col("syy")
-        - F.col("sy") * F.col("sy")
-        + (F.col("sx") - F.col("sy")) * (F.col("sx") - F.col("sy"))
-    )
-    return m.select(
-        "n",
-        num.cast("long").alias("ccc_num"),
-        den.cast("long").alias("ccc_den"),
-        F.round(num.cast("double") / den, 12).alias("lin_ccc"),
-    )
-
-
-@query(
-    "olap_price_decile_migration",
-    oracle="""
-    WITH yearly AS (
-      SELECT l_partkey,
-             CAST(extract(year FROM l_shipdate) AS INT) AS y,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1996-01-01'
-      GROUP BY 1, 2
-    ),
-    both_ AS (
-      SELECT a.l_partkey, a.rev AS r94, b.rev AS r95
-      FROM (SELECT * FROM yearly WHERE y = 1994) a
-      JOIN (SELECT * FROM yearly WHERE y = 1995) b
-        ON a.l_partkey = b.l_partkey
-    ),
-    ranked AS (
-      SELECT l_partkey,
-             CAST(ntile(10) OVER (ORDER BY r94 DESC, l_partkey)
-               AS INT) AS d94,
-             CAST(ntile(10) OVER (ORDER BY r95 DESC, l_partkey)
-               AS INT) AS d95
-      FROM both_
-    )
-    SELECT d94, d95, CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(d95 - d94 AS INT) AS shift
-    FROM ranked GROUP BY d94, d95
-    """,
-)
-def olap_price_decile_migration(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """REVENUE-DECILE MIGRATION matrix: where did each part's 1994
-    revenue decile move in 1995? The mobility picture behind the
-    static ABC cut — a heavy diagonal means stable assortment
-    economics, off-diagonal mass names the risers/decliners a buyer
-    re-ranks (the markov-transition device applied to ranked value).
-    Deterministic deciles via full (rev desc, partkey) tiebreaks on
-    parts active in BOTH years; the census is 10×10-bounded."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
-    )
-    yearly = li.groupBy(
-        "l_partkey", F.year("l_shipdate").cast("int").alias("y")
-    ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev")
-    )
-    a = yearly.filter(F.col("y") == 1994).select(
-        "l_partkey", F.col("rev").alias("r94")
-    )
-    b = yearly.filter(F.col("y") == 1995).select(
-        "l_partkey", F.col("rev").alias("r95")
-    )
-    both_ = a.join(b, "l_partkey")
-    ranked = both_.select(
-        F.ntile(10)
-        .over(Window.orderBy(F.col("r94").desc(), F.col("l_partkey")))
-        .cast("int")
-        .alias("d94"),
-        F.ntile(10)
-        .over(Window.orderBy(F.col("r95").desc(), F.col("l_partkey")))
-        .cast("int")
-        .alias("d95"),
-    )
-    return ranked.groupBy("d94", "d95").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-    ).select(
-        "d94",
-        "d95",
-        "n_parts",
-        (F.col("d95") - F.col("d94")).cast("int").alias("shift"),
-    )
-
-
-@query(
-    "emb_exact_dup_vectors",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             md5(array_to_string(
-               [CAST(CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
-                     AS VARCHAR) for x in embedding], ',')) AS vh
-      FROM embeddings
-    ),
-    clusters AS (
-      SELECT vh, CAST(count(*) AS BIGINT) AS n_vecs,
-             CAST(min(vec_id) AS BIGINT) AS canonical_id,
-             CAST(count(DISTINCT label) AS BIGINT) AS n_labels
-      FROM q GROUP BY vh HAVING count(*) > 1
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(coalesce(sum(n_vecs), 0) AS BIGINT) AS n_dup_vectors,
-           CAST(coalesce(sum(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END),
-             0) AS BIGINT) AS n_label_conflicts,
-           CAST(min(canonical_id) AS BIGINT) AS sample_canonical
-    FROM clusters
-    """,
-)
-def emb_exact_dup_vectors(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT-DUPLICATE VECTOR census on the ×256 quantized grid — the
-    embedding-side dedup failure detector: identical vectors mean the
-    upstream text dedup missed copies (or the encoder collapsed
-    distinct inputs), and clusters spanning MULTIPLE labels are
-    direct training-label conflicts. Vector hash = md5 of the
-    canonical integer rendering, one groupBy — the dedup_exact shape
-    lifted to the embedding table, reporting cluster/membership/
-    conflict counts with a min-id sample."""
-    emb = load(spark, sf, "embeddings")
-    vh = F.md5(
-        F.expr(
-            "cast(array_join(transform(embedding,"
-            " v -> cast(cast(round(cast(v as double) * 256) as bigint)"
-            " as string)), ',') as binary)"
-        )
-    )
-    q = emb.select("vec_id", "label", vh.alias("vh"))
-    clusters = (
-        q.groupBy("vh")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.min("vec_id").cast("long").alias("canonical_id"),
-            F.countDistinct("label").cast("long").alias("n_labels"),
-        )
-        .filter(F.col("n_vecs") > 1)
-    )
-    return clusters.agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.coalesce(F.sum("n_vecs"), F.lit(0))
-        .cast("long")
-        .alias("n_dup_vectors"),
-        F.coalesce(
-            F.sum(F.when(F.col("n_labels") > 1, 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_label_conflicts"),
-        F.min("canonical_id").cast("long").alias("sample_canonical"),
-    )
-
-
-@query(
-    "stats_sign_test",
-    oracle=f"""
-    WITH {_DAILY_GRID_SQL},
-    paired AS (
-      SELECT g1.n AS x, g2.n AS y
-      FROM grid g1 JOIN grid g2 ON g1.day = g2.day
-      WHERE g1.event_type = 'click' AND g2.event_type = 'view'
-        AND g1.n <> g2.n
-    ),
-    m AS (
-      SELECT CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_pos,
-             CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_neg
-      FROM paired
-    )
-    SELECT n_pos, n_neg,
-           round((CASE WHEN n_pos > n_neg THEN n_pos - n_neg - 1
-                       WHEN n_pos < n_neg THEN n_pos - n_neg + 1
-                       ELSE 0 END)
-                 / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 12) AS z_stat,
-           abs((CASE WHEN n_pos > n_neg THEN n_pos - n_neg - 1
-                     WHEN n_pos < n_neg THEN n_pos - n_neg + 1
-                     ELSE 0 END)
-               / sqrt(CAST(n_pos + n_neg AS DOUBLE))) > 1.96
-             AS significant_05
-    FROM m
-    """,
-)
-def stats_sign_test(spark: SparkSession, sf: str) -> DataFrame:
-    """PAIRED SIGN TEST (clicks vs views by day): the assumption-free
-    floor of the paired-test ladder — it uses only the SIGN of each
-    day's difference (Wilcoxon adds magnitudes, the t-test adds
-    normality), so it is the test that still holds when everything
-    else's assumptions fail. Ties drop; z uses the continuity-
-    corrected normal approximation of Binomial(n, ½). Exact counts,
-    one mirrored z, grid-bounded."""
-    g = _daily_grid(spark, sf)
-    paired = (
-        g.filter(F.col("event_type") == "click")
-        .select("day", F.col("n").alias("x"))
-        .join(
-            g.filter(F.col("event_type") == "view").select(
-                "day", F.col("n").alias("y")
-            ),
-            "day",
-        )
-        .filter(F.col("x") != F.col("y"))
-    )
-    m = paired.agg(
-        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_pos"),
-        F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_neg"),
-    )
-    corrected = (
-        F.when(
-            F.col("n_pos") > F.col("n_neg"),
-            F.col("n_pos") - F.col("n_neg") - 1,
-        )
-        .when(
-            F.col("n_pos") < F.col("n_neg"),
-            F.col("n_pos") - F.col("n_neg") + 1,
-        )
-        .otherwise(F.lit(0))
-    )
-    z = corrected / F.sqrt(
-        (F.col("n_pos") + F.col("n_neg")).cast("double")
-    )
-    return m.select(
-        "n_pos",
-        "n_neg",
-        F.round(z, 12).alias("z_stat"),
-        (F.abs(z) > 1.96).alias("significant_05"),
-    )
-
-
-@query(
-    "olap_aov_quarterly",
-    oracle="""
-    WITH q AS (
-      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
-             CAST((extract(month FROM o_orderdate) + 2) // 3 AS INT)
-               AS qtr,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders
-      WHERE o_orderdate >= DATE '1994-01-01'
-        AND o_orderdate < DATE '1996-01-01'
-    ),
-    per AS (
-      SELECT yr, qtr, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS rev_cents
-      FROM q GROUP BY yr, qtr
-    )
-    SELECT yr, qtr, n_orders, rev_cents,
-           CAST(rev_cents // n_orders AS BIGINT) AS aov_cents,
-           CAST(coalesce(
-             (rev_cents // n_orders) * 1000
-               // lag(rev_cents // n_orders)
-                  OVER (ORDER BY yr, qtr) - 1000, 0) AS BIGINT)
-             AS qoq_delta_milli
-    FROM per
-    """,
-)
-def olap_aov_quarterly(spark: SparkSession, sf: str) -> DataFrame:
-    """QUARTERLY AVERAGE ORDER VALUE with quarter-over-quarter delta —
-    the first line of every revenue review: exact integer AOV (cents
-    DIV orders) and the QoQ change in integer milli-units off one lag
-    window over the 8-quarter series (first quarter anchors at 0).
-    One map-combinable groupBy; everything after is bounded."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-    )
-    per = o.groupBy(
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.quarter("o_orderdate").cast("int").alias("qtr"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("rev_cents"),
-    )
-    aov = F.expr("rev_cents div n_orders")
-    w = Window.orderBy("yr", "qtr")
-    return per.select(
-        "yr",
-        "qtr",
-        "n_orders",
-        "rev_cents",
-        aov.cast("long").alias("aov_cents"),
-        F.coalesce(
-            F.expr(
-                "(rev_cents div n_orders) * 1000"
-                " div lag(rev_cents div n_orders)"
-                " over (order by yr, qtr) - 1000"
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("qoq_delta_milli"),
-    )
-
-
-# ===========================================================================
-# Coverage round 10: reliability / agreement statistics, spectral and
-# recurrence time-series devices, vocabulary-richness panels, and the
-# approximation-quality audits for the sketch/dedup stacks.
-# ===========================================================================
-
-
-@query(
-    "stats_mood_median_test",
-    oracle="""
-    WITH vals AS (
-      SELECT event_type, CAST(round(value) AS BIGINT) AS u FROM events
-    ),
-    hist AS (
-      SELECT u, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY u
-    ),
-    cum AS (
-      SELECT u, CAST(sum(c) OVER (ORDER BY u) AS BIGINT) AS cum
-      FROM hist
-    ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
-    med AS (
-      SELECT CAST(min(u) AS BIGINT) AS med FROM cum, n
-      WHERE 2 * cum >= n + 1
-    ),
-    per AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_i,
-             CAST(sum(CASE WHEN u > med THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_above
-      FROM vals, med GROUP BY event_type, med
-    ),
-    marg AS (
-      SELECT CAST(sum(n_i) AS BIGINT) AS nn,
-             CAST(sum(n_above) AS BIGINT) AS a_tot
-      FROM per
-    )
-    SELECT event_type, n_i, n_above, n_i - n_above AS n_below,
-           round(CAST(n_i AS DOUBLE) * a_tot / nn, 6) AS expected_above,
-           round(
-             (n_above - CAST(n_i AS DOUBLE) * a_tot / nn)
-               * (n_above - CAST(n_i AS DOUBLE) * a_tot / nn)
-               / (CAST(n_i AS DOUBLE) * a_tot / nn)
-             + ((n_i - n_above) - CAST(n_i AS DOUBLE) * (nn - a_tot) / nn)
-               * ((n_i - n_above) - CAST(n_i AS DOUBLE) * (nn - a_tot) / nn)
-               / (CAST(n_i AS DOUBLE) * (nn - a_tot) / nn), 9)
-             AS chi2_term
-    FROM per, marg
-    """,
-)
-def stats_mood_median_test(spark: SparkSession, sf: str) -> DataFrame:
-    """MOOD'S MEDIAN TEST across the 5 event types: does any stream's
-    value distribution sit above/below the others' shared center? The
-    grand median is EXACT — smallest integer unit u with 2·cum(u) ≥
-    N+1 off the value histogram's cumulative (the counting-sort
-    device, no global sort of raw rows) — and the 2×k contingency of
-    above/≤ counts is pure BIGINTs; each type's χ² contribution is
-    one mirrored double, round 9 (sum the k terms against a χ²ₖ₋₁
-    table). The median-test is the assumption-free fallback when
-    Kruskal-Wallis' shape-equality premise fails. One histogram
-    groupBy + one per-type groupBy; the histogram is value-domain-
-    bounded, so the cumulative window is driver-trivial at any
-    corpus size."""
-    e = load(spark, sf, "events")
-    u = F.round(F.col("value")).cast("long")
-    vals = e.select("event_type", u.alias("u"))
-    hist = vals.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("u").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select("u", F.sum("c").over(wcum).alias("cum"))
-    n = vals.agg(F.count(F.lit(1)).alias("n"))
-    med = (
-        cum.crossJoin(F.broadcast(n))
-        .filter(2 * F.col("cum") >= F.col("n") + 1)
-        .agg(F.min("u").alias("med"))
-    )
-    per = (
-        vals.crossJoin(F.broadcast(med))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_i"),
-            F.sum(F.when(F.col("u") > F.col("med"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_above"),
-        )
-    )
-    marg = per.agg(
-        F.sum("n_i").cast("long").alias("nn"),
-        F.sum("n_above").cast("long").alias("a_tot"),
-    )
-    ea = F.col("n_i").cast("double") * F.col("a_tot") / F.col("nn")
-    eb = (
-        F.col("n_i").cast("double")
-        * (F.col("nn") - F.col("a_tot"))
-        / F.col("nn")
-    )
-    oa = F.col("n_above")
-    ob = F.col("n_i") - F.col("n_above")
-    return per.crossJoin(F.broadcast(marg)).select(
-        "event_type",
-        "n_i",
-        "n_above",
-        ob.cast("long").alias("n_below"),
-        F.round(ea, 6).alias("expected_above"),
-        F.round(
-            (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb, 9
-        ).alias("chi2_term"),
-    )
-
-
-@query(
-    "stats_cronbach_alpha",
-    oracle="""
-    WITH cell AS (
-      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY user_id, event_type
-    ),
-    n AS (
-      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
-    ),
-    item AS (
-      SELECT event_type,
-             CAST(sum(x) AS BIGINT) AS s1,
-             CAST(sum(x * x) AS BIGINT) AS s2
-      FROM cell GROUP BY event_type
-    ),
-    ivar AS (
-      SELECT round(CAST(s2 AS DOUBLE) / n
-                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                   9) AS v
-      FROM item, n
-    ),
-    tots AS (
-      SELECT user_id, CAST(sum(x) AS BIGINT) AS t FROM cell
-      GROUP BY user_id
-    ),
-    tvar AS (
-      SELECT CAST(count(*) AS BIGINT) AS k_items_chk,
-             list_reduce(list_sort(list(v)), (a, b) -> a + b) AS sum_iv
-      FROM ivar
-    ),
-    tv AS (
-      SELECT CAST(sum(t) AS BIGINT) AS st,
-             CAST(sum(t * t) AS BIGINT) AS st2
-      FROM tots
-    )
-    SELECT n.n AS n_users, tvar.k_items_chk AS k_items,
-           round(tvar.sum_iv, 9) AS sum_item_var,
-           round(CAST(tv.st2 AS DOUBLE) / n.n
-                 - (CAST(tv.st AS DOUBLE) / n.n)
-                   * (CAST(tv.st AS DOUBLE) / n.n), 9) AS total_var,
-           round((CAST(tvar.k_items_chk AS DOUBLE)
-                  / (tvar.k_items_chk - 1))
-                 * (1.0 - tvar.sum_iv
-                    / (CAST(tv.st2 AS DOUBLE) / n.n
-                       - (CAST(tv.st AS DOUBLE) / n.n)
-                         * (CAST(tv.st AS DOUBLE) / n.n))), 9) AS alpha
-    FROM n, tvar, tv
-    """,
-)
-def stats_cronbach_alpha(spark: SparkSession, sf: str) -> DataFrame:
-    """CRONBACH'S ALPHA over the user × event-type activity matrix —
-    items are the 5 event streams, the 'score' is each user's event
-    count per stream (absent cells are exact zeros, handled WITHOUT
-    materializing the dense grid: population variance from ΣX and ΣX²
-    over present cells divided by the full user count N). Alpha =
-    k/(k−1)·(1 − Σσᵢ²/σ_T²) answers 'do the streams move together
-    per user' — the internal-consistency gate before averaging them
-    into one engagement score. All moments are EXACT BIGINTs; the 5
-    item variances fold SORTED pre-rounded at 9 (the g-test device);
-    alpha is one mirrored double. Two map-combinable groupBys, no
-    user×item grid shuffle."""
-    e = load(spark, sf, "events")
-    cell = e.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    cell = cell.localCheckpoint(eager=False)  # consumed twice
-    n = e.agg(F.countDistinct("user_id").alias("n"))
-    item = cell.groupBy("event_type").agg(
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
-    )
-    ivar = item.crossJoin(F.broadcast(n)).select(
-        F.round(
-            F.col("s2").cast("double") / F.col("n")
-            - (F.col("s1").cast("double") / F.col("n"))
-            * (F.col("s1").cast("double") / F.col("n")),
-            9,
-        ).alias("v")
-    )
-    tvar = ivar.agg(
-        F.count(F.lit(1)).cast("long").alias("k_items_chk"),
-        F.aggregate(
-            F.array_sort(F.collect_list("v")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("sum_iv"),
-    )
-    tots = cell.groupBy("user_id").agg(F.sum("x").alias("t"))
-    tv = tots.agg(
-        F.sum("t").alias("st"),
-        F.sum(F.col("t") * F.col("t")).alias("st2"),
-    )
-    joined = (
-        n.crossJoin(F.broadcast(tvar)).crossJoin(F.broadcast(tv))
-    )
-    total_var = (
-        F.col("st2").cast("double") / F.col("n")
-        - (F.col("st").cast("double") / F.col("n"))
-        * (F.col("st").cast("double") / F.col("n"))
-    )
-    k_d = F.col("k_items_chk").cast("double")
-    return joined.select(
-        F.col("n").cast("long").alias("n_users"),
-        F.col("k_items_chk").alias("k_items"),
-        F.round(F.col("sum_iv"), 9).alias("sum_item_var"),
-        F.round(total_var, 9).alias("total_var"),
-        F.round(
-            (k_d / (F.col("k_items_chk") - 1))
-            * (F.lit(1.0) - F.col("sum_iv") / total_var),
-            9,
-        ).alias("alpha"),
-    )
-
-
-@query(
-    "stats_icc_oneway",
-    oracle="""
-    WITH y AS (
-      SELECT c.c_nationkey AS nation,
-             CAST(round(o.o_totalprice) AS BIGINT) AS y
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ),
-    per AS (
-      SELECT nation,
-             CAST(count(*) AS BIGINT) AS n_i,
-             CAST(sum(y) AS BIGINT) AS s_i,
-             CAST(sum(y * y) AS BIGINT) AS s2_i
-      FROM y GROUP BY nation
-    ),
-    terms AS (
-      SELECT n_i, s2_i,
-             round(CAST(s_i AS DOUBLE) * s_i / n_i, 0) AS sq_over_n
-      FROM per
-    ),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(n_i) AS BIGINT) AS nn,
-             CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
-             CAST(sum(s2_i) AS BIGINT) AS s2_tot,
-             list_reduce(list_sort(list(sq_over_n)), (a, b) -> a + b)
-               AS ssq
-      FROM terms
-    ),
-    sytab AS (SELECT CAST(sum(y) AS BIGINT) AS sy FROM y),
-    g AS (
-      SELECT k, nn, s2_tot, ssq, sy,
-             CAST(nn - CAST(sn2 AS DOUBLE) / nn AS DOUBLE) / (k - 1)
-               AS n0
-      FROM tot, sytab
-    )
-    SELECT k AS n_groups, nn AS n_total,
-           round(n0, 6) AS n0,
-           round((ssq - CAST(sy AS DOUBLE) * sy / nn) / (k - 1), 0)
-             AS msb,
-           round((s2_tot - ssq) / (nn - k), 0) AS msw,
-           round(((ssq - CAST(sy AS DOUBLE) * sy / nn) / (k - 1)
-                  - (s2_tot - ssq) / (nn - k))
-                 / ((ssq - CAST(sy AS DOUBLE) * sy / nn) / (k - 1)
-                    + (n0 - 1) * ((s2_tot - ssq) / (nn - k))), 9)
-             AS icc1
-    FROM g
-    """,
-)
-def stats_icc_oneway(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE-WAY RANDOM-EFFECTS ICC(1,1) of order value clustered by
-    customer nation — how much of order-value variance is BETWEEN
-    nations (the design-effect input: ICC > 0 inflates the variance
-    of nation-clustered samples and every A/B test randomized by
-    geography pays it). Unbalanced-ANOVA mean squares from EXACT
-    BIGINT dollar moments (the gamma-fit overflow discipline); the
-    per-group Sᵢ²/nᵢ terms are pre-rounded at 6 and folded SORTED
-    since Sᵢ² itself would overflow int64 past ~sf1; n₀ is the
-    standard unbalanced group-size correction. One map-combinable
-    groupBy over 25 nations + a broadcast customer join."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    y = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            F.col("c_nationkey").alias("nation"),
-            F.round(F.col("o_totalprice")).cast("long").alias("y"),
-        )
-    )
-    y = y.localCheckpoint(eager=False)  # consumed twice
-    per = y.groupBy("nation").agg(
-        F.count(F.lit(1)).alias("n_i"),
-        F.sum("y").alias("s_i"),
-        F.sum(F.col("y") * F.col("y")).alias("s2_i"),
-    )
-    terms = per.select(
-        "n_i",
-        "s2_i",
-        # round to the INTEGER grid: at ~1e14 magnitude any decimal
-        # rounding is below double spacing and the two engines pick
-        # different nearest doubles; integers are exact to 2^53
-        F.round(
-            F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i"), 0
-        ).alias("sq_over_n"),
-    )
-    tot = terms.agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("n_i").cast("long").alias("nn"),
-        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sn2"),
-        F.sum("s2_i").cast("long").alias("s2_tot"),
-        F.aggregate(
-            F.array_sort(F.collect_list("sq_over_n")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("ssq"),
-    )
-    sy = y.agg(F.sum("y").alias("sy"))
-    g = tot.crossJoin(F.broadcast(sy))
-    n0 = (
-        F.col("nn") - F.col("sn2").cast("double") / F.col("nn")
-    ) / (F.col("k") - 1)
-    msb = (
-        F.col("ssq") - F.col("sy").cast("double") * F.col("sy") / F.col("nn")
-    ) / (F.col("k") - 1)
-    msw = (F.col("s2_tot") - F.col("ssq")) / (F.col("nn") - F.col("k"))
-    return g.select(
-        F.col("k").alias("n_groups"),
-        F.col("nn").alias("n_total"),
-        F.round(n0, 6).alias("n0"),
-        # integer grid (see sq_over_n): mean squares sit at ~1e10
-        F.round(msb, 0).alias("msb"),
-        F.round(msw, 0).alias("msw"),
-        F.round((msb - msw) / (msb + (n0 - 1) * msw), 9).alias("icc1"),
-    )
-
-
-@query(
-    "stats_holm_bonferroni",
-    oracle="""
-    WITH ords AS (
-      SELECT c.c_nationkey AS nation,
-             o.o_orderdate < DATE '1994-07-01' AS h1,
-             o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      WHERE o.o_orderdate >= DATE '1994-01-01'
-        AND o.o_orderdate < DATE '1995-01-01'
-    ),
-    per AS (
-      SELECT nation,
-             CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS x1,
-             CAST(sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-             CAST(sum(CASE WHEN NOT h1 AND hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS x2
-      FROM ords GROUP BY nation
-      HAVING sum(CASE WHEN h1 THEN 1 ELSE 0 END) > 0
-         AND sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) > 0
-         AND sum(CASE WHEN hi THEN 1 ELSE 0 END) > 0
-         AND sum(CASE WHEN hi THEN 1 ELSE 0 END) < count(*)
-    ),
-    zed AS (
-      SELECT nation, n1 + n2 AS n_orders,
-             (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
-             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)) AS z
-      FROM per
-    ),
-    xt AS (
-      SELECT nation, n_orders, z,
-             abs(z) / 1.4142135623730951 AS x,
-             1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS t
-      FROM zed
-    ),
-    pv AS (
-      SELECT nation, n_orders, round(z, 9) AS z_stat,
-             round((0.254829592 * t
-                    - 0.284496736 * (t * t)
-                    + 1.421413741 * (t * t * t)
-                    - 1.453152027 * (t * t * t * t)
-                    + 1.061405429 * (t * t * t * t * t))
-                   * exp(-(x * x)), 12) AS p_value
-      FROM xt
-    ),
-    ranked AS (
-      SELECT *, CAST(row_number() OVER (ORDER BY p_value, nation)
-                  AS BIGINT) AS p_rank,
-             CAST(count(*) OVER () AS BIGINT) AS m
-      FROM pv
-    ),
-    flags AS (
-      SELECT *, round(0.05 / (m - p_rank + 1), 12) AS holm_threshold,
-             CASE WHEN p_value <= 0.05 / (m - p_rank + 1)
-                  THEN 1 ELSE 0 END AS ok
-      FROM ranked
-    )
-    SELECT nation, n_orders, z_stat, p_value, p_rank, holm_threshold,
-           CAST(min(ok) OVER (ORDER BY p_rank
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             = 1 AS rejected
-    FROM flags
-    """,
-)
-def stats_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
-    """HOLM–BONFERRONI step-down over the same 25-hypothesis family as
-    stats_bh_fdr (per-nation two-proportion z, 1994H1 vs H2): reject
-    ranks 1..K where EVERY j ≤ K has p₍ⱼ₎ ≤ α/(m−j+1) — the FWER
-    complement to BH's FDR (uniformly more powerful than plain
-    Bonferroni, no independence assumption). The stop-at-first-
-    failure scan is a running MIN of the per-rank indicator over the
-    rank window — no iteration. Same exact-BIGINT counts, mirrored
-    erfc polynomial, and degenerate-pooled-rate guard as the BH twin;
-    the family is nation-bounded so the window is driver-trivial."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    ords = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
-        )
-        .select(
-            F.col("c_nationkey").alias("nation"),
-            (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")).alias(
-                "h1"
-            ),
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
-        )
-    )
-    per = (
-        ords.groupBy("nation")
-        .agg(
-            F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
-            F.sum(F.when(F.col("h1") & F.col("hi"), 1).otherwise(0)).alias(
-                "x1"
-            ),
-            F.sum(F.when(~F.col("h1"), 1).otherwise(0)).alias("n2"),
-            F.sum(
-                F.when(~F.col("h1") & F.col("hi"), 1).otherwise(0)
-            ).alias("x2"),
-        )
-        .filter(
-            (F.col("n1") > 0)
-            & (F.col("n2") > 0)
-            & (F.col("x1") + F.col("x2") > 0)
-            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2"))
-        )
-    )
-    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
-        F.col("n1") + F.col("n2")
-    )
-    z = (
-        F.col("x1").cast("double") / F.col("n1")
-        - F.col("x2").cast("double") / F.col("n2")
-    ) / F.sqrt(
-        pooled * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
-    )
-    zed = per.select(
-        "nation",
-        (F.col("n1") + F.col("n2")).cast("long").alias("n_orders"),
-        z.alias("z"),
-    )
-    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    erfc = (
-        F.lit(0.254829592) * t
-        - F.lit(0.284496736) * (t * t)
-        + F.lit(1.421413741) * (t * t * t)
-        - F.lit(1.453152027) * (t * t * t * t)
-        + F.lit(1.061405429) * (t * t * t * t * t)
-    ) * F.exp(-(x * x))
-    pv = zed.select(
-        "nation",
-        "n_orders",
-        F.round(F.col("z"), 9).alias("z_stat"),
-        F.round(erfc, 12).alias("p_value"),
-    )
-    w = Window.orderBy("p_value", "nation")
-    ranked = pv.select(
-        "*",
-        F.row_number().over(w).cast("long").alias("p_rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
-    )
-    thr = F.lit(0.05) / (F.col("m") - F.col("p_rank") + 1)
-    flags = ranked.select(
-        "*",
-        F.round(thr, 12).alias("holm_threshold"),
-        F.when(F.col("p_value") <= thr, 1).otherwise(0).alias("ok"),
-    )
-    wrun = Window.orderBy("p_rank").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return flags.select(
-        "nation",
-        "n_orders",
-        "z_stat",
-        "p_value",
-        "p_rank",
-        "holm_threshold",
-        (F.min("ok").over(wrun) == 1).alias("rejected"),
-    )
-
-
-@query(
-    "stats_durbin_watson",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1
-    ),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM daily
-    ),
-    resid AS (
-      SELECT d.x,
-             CAST(s.n * (s.n * s.sxx - s.sx * s.sx) AS DOUBLE)
-               * CAST(d.y AS DOUBLE)
-             - (CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
-                  * CAST(s.sy AS DOUBLE)
-                - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
-                  * CAST(s.sx AS DOUBLE))
-             - CAST(s.n * (s.n * s.sxy - s.sx * s.sy) AS DOUBLE)
-               * CAST(d.x AS DOUBLE) AS e
-      FROM daily d, s
-    ),
-    diffs AS (
-      SELECT e * e AS e2,
-             CASE WHEN lag(e) OVER (ORDER BY x) IS NULL THEN NULL
-                  ELSE (e - lag(e) OVER (ORDER BY x))
-                       * (e - lag(e) OVER (ORDER BY x)) END AS d2
-      FROM resid
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_days,
-           round(list_reduce(list_sort(list(d2) FILTER (d2 IS NOT NULL)),
-                             (a, b) -> a + b)
-                 / list_reduce(list_sort(list(e2)), (a, b) -> a + b), 9)
-             AS dw,
-           round(1.0
-                 - list_reduce(list_sort(list(d2) FILTER (d2 IS NOT NULL)),
-                               (a, b) -> a + b)
-                   / list_reduce(list_sort(list(e2)), (a, b) -> a + b)
-                   / 2.0, 9) AS rho1_approx
-    FROM diffs
-    """,
-)
-def stats_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
-    """DURBIN–WATSON autocorrelation test on the daily-value OLS trend
-    residuals — the 'are my regression errors independent' gate that
-    decides whether the OLS trend's standard errors can be believed
-    (DW ≈ 2 independent, → 0 positive serial correlation). The
-    residuals use the n·den-scaled closed form (n·den·e_t = n·den·y_t
-    − (den·Σy − num·Σx) − n·num·t — the ols_daily_trend rational-slope
-    device carried one step further) with exact-int64 factors but
-    DOUBLE triple products (the products would wrap int64 beyond the
-    documented sf range while DuckDB errors — asymmetric; both engines
-    run the identical IEEE expression); Σe² and Σ(Δe)² fold SORTED so
-    both engines sum identical IEEE values, and the den² scale
-    cancels in the ratio. DW and the ρ₁ ≈ 1 − DW/2 companion are
-    mirrored doubles, round 9. One day-grain groupBy + a 30-row
-    window."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            day.alias("x"), F.round(F.col("value")).cast("long").alias("u")
-        )
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.sum("u").alias("y"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    s = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    # The n·den / den / num / n·num FACTORS stay exact int64 (bounded by
-    # ~26100·max|Σy|, safe), but the triple products n·den·y and n·num·x
-    # would wrap int64 beyond the documented sf range while DuckDB errors
-    # on BIGINT overflow — an asymmetric parity break. Cast each factor
-    # to double BEFORE the product, mirrored operation-for-operation in
-    # the oracle, so both engines run the identical IEEE expression.
-    resid = daily.crossJoin(F.broadcast(s)).select(
-        "x",
-        (
-            (F.col("n") * den).cast("double") * F.col("y").cast("double")
-            - (
-                den.cast("double") * F.col("sy").cast("double")
-                - num.cast("double") * F.col("sx").cast("double")
-            )
-            - (F.col("n") * num).cast("double") * F.col("x").cast("double")
-        ).alias("e"),
-    )
-    wlag = Window.orderBy("x")
-    diffs = resid.select(
-        (F.col("e") * F.col("e")).alias("e2"),
-        F.when(
-            F.lag("e").over(wlag).isNull(), F.lit(None).cast("double")
-        )
-        .otherwise(
-            (F.col("e") - F.lag("e").over(wlag))
-            * (F.col("e") - F.lag("e").over(wlag))
-        )
-        .alias("d2"),
-    )
-    sum_d2 = F.aggregate(
-        F.array_sort(
-            F.filter(F.collect_list("d2"), lambda v: v.isNotNull())
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    sum_e2 = F.aggregate(
-        F.array_sort(F.collect_list("e2")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return diffs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.round(sum_d2 / sum_e2, 9).alias("dw"),
-        F.round(F.lit(1.0) - sum_d2 / sum_e2 / F.lit(2.0), 9).alias(
-            "rho1_approx"
-        ),
-    )
-
-
-@query(
-    "stats_bartlett_test",
-    oracle="""
-    WITH per AS (
-      SELECT o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS n_i,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
-                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
-               AS s2
-      FROM orders GROUP BY o_orderpriority
-      HAVING count(*) > 1
-    ),
-    v AS (
-      SELECT priority, n_i,
-             round((s2 - CAST(s AS DOUBLE) * s / n_i) / (n_i - 1), 6)
-               AS var_i
-      FROM per
-    ),
-    terms AS (
-      SELECT n_i, var_i,
-             round((n_i - 1) * var_i, 6) AS w_var,
-             round((n_i - 1) * ln(var_i), 9) AS w_ln,
-             round(1.0 / (n_i - 1), 12) AS inv_df
-      FROM v
-    ),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(n_i) AS BIGINT) AS nn,
-             list_reduce(list_sort(list(w_var)), (a, b) -> a + b) AS sw,
-             list_reduce(list_sort(list(w_ln)), (a, b) -> a + b) AS sl,
-             list_reduce(list_sort(list(inv_df)), (a, b) -> a + b) AS si
-      FROM terms
-    )
-    SELECT k AS n_groups, nn AS n_total,
-           round(sw / (nn - k), 3) AS pooled_var,
-           round(((nn - k) * ln(sw / (nn - k)) - sl)
-                 / (1.0 + (si - 1.0 / (nn - k)) / (3.0 * (k - 1))), 9)
-             AS bartlett_stat
-    FROM tot
-    """,
-)
-def stats_bartlett_test(spark: SparkSession, sf: str) -> DataFrame:
-    """BARTLETT'S TEST of variance homogeneity across the 5 order
-    priorities — the parametric (normality-assuming) complement to the
-    robust Levene/Brown-Forsythe already in the catalog: T = ((N−k)·
-    ln S²ₚ − Σ(nᵢ−1)·ln Sᵢ²)/C with the standard C correction. Group
-    moments are EXACT BIGINT dollars (gamma-fit overflow discipline;
-    (Σy)² runs as a mirrored double since it exceeds int64 past
-    ~sf0.1); the per-group variance, (nᵢ−1)·ln Sᵢ², and 1/(nᵢ−1)
-    terms are pre-rounded and folded SORTED, so both engines assemble
-    T from identical doubles, round 9 (χ²ₖ₋₁ reference). One
-    map-combinable groupBy over a 5-class domain."""
-    o = load(spark, sf, "orders")
-    yy = F.round(F.col("o_totalprice")).cast("long")
-    per = (
-        o.select(F.col("o_orderpriority").alias("priority"), yy.alias("y"))
-        .groupBy("priority")
-        .agg(
-            F.count(F.lit(1)).alias("n_i"),
-            F.sum("y").alias("s"),
-            F.sum(F.col("y") * F.col("y")).alias("s2"),
-        )
-        .filter(F.col("n_i") > 1)
-    )
-    var_i = F.round(
-        (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n_i"))
-        / (F.col("n_i") - 1),
-        6,
-    )
-    v = per.select("priority", "n_i", var_i.alias("var_i"))
-    terms = v.select(
-        "n_i",
-        F.round((F.col("n_i") - 1) * F.col("var_i"), 6).alias("w_var"),
-        F.round((F.col("n_i") - 1) * F.log(F.col("var_i")), 9).alias(
-            "w_ln"
-        ),
-        F.round(F.lit(1.0) / (F.col("n_i") - 1), 12).alias("inv_df"),
-    )
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    tot = terms.agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("n_i").cast("long").alias("nn"),
-        fold("w_var").alias("sw"),
-        fold("w_ln").alias("sl"),
-        fold("inv_df").alias("si"),
-    )
-    dfree = F.col("nn") - F.col("k")
-    return tot.select(
-        F.col("k").alias("n_groups"),
-        F.col("nn").alias("n_total"),
-        F.round(F.col("sw") / dfree, 3).alias("pooled_var"),
-        F.round(
-            (
-                dfree * F.log(F.col("sw") / dfree)
-                - F.col("sl")
-            )
-            / (
-                F.lit(1.0)
-                + (F.col("si") - F.lit(1.0) / dfree)
-                / (F.lit(3.0) * (F.col("k") - 1))
-            ),
-            9,
-        ).alias("bartlett_stat"),
-    )
-
-
-@query(
-    "ts_variance_ratio_test",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1
-    ),
-    lags AS (
-      SELECT x, y,
-             lag(y, 1) OVER (ORDER BY x) AS y1,
-             lag(y, 5) OVER (ORDER BY x) AS y5
-      FROM daily
-    ),
-    ends AS (
-      SELECT CAST(max(CASE WHEN rn_a = 1 THEN y END)
-                  - max(CASE WHEN rn_d = 1 THEN y END) AS BIGINT) AS dy,
-             CAST(count(*) - 1 AS BIGINT) AS n1
-      FROM (SELECT y,
-                   row_number() OVER (ORDER BY x DESC) AS rn_a,
-                   row_number() OVER (ORDER BY x ASC) AS rn_d
-            FROM daily)
-    ),
-    d1 AS (
-      SELECT CAST(count(*) AS BIGINT) AS cnt1,
-             CAST(sum((e.n1 * (l.y - l.y1) - e.dy)
-                      * (e.n1 * (l.y - l.y1) - e.dy)) AS BIGINT) AS ss1
-      FROM lags l, ends e WHERE l.y1 IS NOT NULL
-    ),
-    d5 AS (
-      SELECT CAST(count(*) AS BIGINT) AS cnt5,
-             CAST(sum((e.n1 * (l.y - l.y5) - 5 * e.dy)
-                      * (e.n1 * (l.y - l.y5) - 5 * e.dy)) AS BIGINT) AS ss5
-      FROM lags l, ends e WHERE l.y5 IS NOT NULL
-    )
-    SELECT d1.cnt1 AS n_diffs, d5.cnt5 AS n_qdiffs,
-           CAST(5 AS BIGINT) AS q,
-           round((CAST(d5.ss5 AS DOUBLE) / (5.0 * d5.cnt5))
-                 / (CAST(d1.ss1 AS DOUBLE) / d1.cnt1), 9) AS vr
-    FROM d1, d5
-    """,
-)
-def ts_variance_ratio_test(spark: SparkSession, sf: str) -> DataFrame:
-    """LO–MACKINLAY VARIANCE RATIO VR(q=5) on the daily value series —
-    the random-walk test: under i.i.d. increments the variance of
-    5-day changes is 5× the 1-day variance (VR ≈ 1; VR > 1 momentum,
-    VR < 1 mean reversion). Deviations are EXACT BIGINTs via the
-    n₁-scaled form (n₁·Δ₁ − (y₂₉−y₀) and n₁·Δ₅ − 5·(y₂₉−y₀), the
-    drift μ̂ cleared of division); the n₁² scale cancels in the
-    ratio, which is the single mirrored double, round 9. Σ(scaled)²
-    stays under 2⁶³ through ~sf1 on value units (document: move to
-    DECIMAL beyond). One day-grain groupBy + two lag windows over 30
-    rows."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            day.alias("x"), F.round(F.col("value")).cast("long").alias("u")
-        )
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.sum("u").alias("y"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed thrice
-    wl = Window.orderBy("x")
-    lags = daily.select(
-        "x",
-        "y",
-        F.lag("y", 1).over(wl).alias("y1"),
-        F.lag("y", 5).over(wl).alias("y5"),
-    )
-    ends = daily.agg(
-        (
-            F.max(F.struct("x", "y"))["y"] - F.min(F.struct("x", "y"))["y"]
-        ).alias("dy"),
-        (F.count(F.lit(1)) - 1).alias("n1"),
-    )
-    lg = lags.crossJoin(F.broadcast(ends))
-    dev1 = F.col("n1") * (F.col("y") - F.col("y1")) - F.col("dy")
-    dev5 = F.col("n1") * (F.col("y") - F.col("y5")) - 5 * F.col("dy")
-    d1 = lg.filter(F.col("y1").isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt1"),
-        F.sum(dev1 * dev1).alias("ss1"),
-    )
-    d5 = lg.filter(F.col("y5").isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt5"),
-        F.sum(dev5 * dev5).alias("ss5"),
-    )
-    return d1.crossJoin(F.broadcast(d5)).select(
-        F.col("cnt1").alias("n_diffs"),
-        F.col("cnt5").alias("n_qdiffs"),
-        F.lit(5).cast("long").alias("q"),
-        F.round(
-            (F.col("ss5").cast("double") / (F.lit(5.0) * F.col("cnt5")))
-            / (F.col("ss1").cast("double") / F.col("cnt1")),
-            9,
-        ).alias("vr"),
-    )
-
-
-@query(
-    "ts_sample_entropy",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1
-    ),
-    mom AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS s2
-      FROM daily
-    ),
-    tol AS (
-      SELECT greatest(1, CAST(floor(0.2 * sqrt(
-               CAST(s2 AS DOUBLE) / n
-               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
-             AS BIGINT)) AS r
-      FROM mom
-    ),
-    tpl AS (
-      SELECT x, y,
-             lead(y, 1) OVER (ORDER BY x) AS y1,
-             lead(y, 2) OVER (ORDER BY x) AS y2
-      FROM daily
-    ),
-    pairs AS (
-      SELECT CASE WHEN abs(a.y - b.y) <= t.r
-                   AND abs(a.y1 - b.y1) <= t.r THEN 1 ELSE 0 END AS m2,
-             CASE WHEN abs(a.y - b.y) <= t.r
-                   AND abs(a.y1 - b.y1) <= t.r
-                   AND abs(a.y2 - b.y2) <= t.r THEN 1 ELSE 0 END AS m3
-      FROM tpl a JOIN tpl b ON a.x < b.x, tol t
-      WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
-    )
-    SELECT (SELECT r FROM tol) AS r_tol,
-           CAST(sum(m2) AS BIGINT) AS b_count,
-           CAST(sum(m3) AS BIGINT) AS a_count,
-           CASE WHEN sum(m3) > 0 AND sum(m2) > 0
-                THEN round(-ln(CAST(sum(m3) AS DOUBLE) / sum(m2)), 9)
-           END AS sampen
-    FROM pairs
-    """,
-)
-def ts_sample_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    """SAMPLE ENTROPY SampEn(m=2, r=0.2σ) of the daily value series —
-    the regularity measure behind physiological/load-pattern anomaly
-    work: low SampEn = repetitive templates (predictable days), high
-    = irregular. The tolerance is an INTEGER (⌊0.2σ⌋ floored from the
-    same mirrored double both engines compute, min 1), so every
-    template comparison is an exact integer test and A/B are exact
-    BIGINT pair counts; the single −ln(A/B) is the only float, round
-    9. The template self-join is 28×27/2 pairs — bounded by the
-    series length, never the corpus; at longer L the same join caps
-    with a Theiler window. One day groupBy + two leads."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            day.alias("x"), F.round(F.col("value")).cast("long").alias("u")
-        )
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.sum("u").alias("y"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    mom = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("s"),
-        F.sum(F.col("y") * F.col("y")).alias("s2"),
-    )
-    var = (
-        F.col("s2").cast("double") / F.col("n")
-        - (F.col("s").cast("double") / F.col("n"))
-        * (F.col("s").cast("double") / F.col("n"))
-    )
-    tol = mom.select(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(F.lit(0.2) * F.sqrt(var)).cast("long"),
-        ).alias("r")
-    )
-    wl = Window.orderBy("x")
-    tpl = daily.select(
-        "x",
-        "y",
-        F.lead("y", 1).over(wl).alias("y1"),
-        F.lead("y", 2).over(wl).alias("y2"),
-    ).filter(F.col("y2").isNotNull())
-    a = tpl.select(
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        F.col("y1").alias("ya1"),
-        F.col("y2").alias("ya2"),
-    )
-    b = tpl.select(
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("y1").alias("yb1"),
-        F.col("y2").alias("yb2"),
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("xa") < F.col("xb"))
-        .crossJoin(F.broadcast(tol))
-        .select(
-            F.when(
-                (F.abs(F.col("ya") - F.col("yb")) <= F.col("r"))
-                & (F.abs(F.col("ya1") - F.col("yb1")) <= F.col("r")),
-                1,
-            )
-            .otherwise(0)
-            .alias("m2"),
-            F.when(
-                (F.abs(F.col("ya") - F.col("yb")) <= F.col("r"))
-                & (F.abs(F.col("ya1") - F.col("yb1")) <= F.col("r"))
-                & (F.abs(F.col("ya2") - F.col("yb2")) <= F.col("r")),
-                1,
-            )
-            .otherwise(0)
-            .alias("m3"),
-            F.col("r"),
-        )
-    )
-    return pairs.agg(
-        F.max("r").alias("r_tol"),
-        F.sum("m2").cast("long").alias("b_count"),
-        F.sum("m3").cast("long").alias("a_count"),
-        F.when(
-            (F.sum("m3") > 0) & (F.sum("m2") > 0),
-            F.round(
-                -F.log(
-                    F.sum("m3").cast("double") / F.sum("m2")
-                ),
-                9,
-            ),
-        ).alias("sampen"),
-    )
-
-
-@query(
-    "ts_madogram_fractal",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1
-    ),
-    lags AS (
-      SELECT y,
-             lag(y, 1) OVER (ORDER BY x) AS y1,
-             lag(y, 2) OVER (ORDER BY x) AS y2
-      FROM daily
-    ),
-    v AS (
-      SELECT CAST(sum(CASE WHEN y1 IS NOT NULL
-                           THEN abs(y - y1) END) AS BIGINT) AS sa1,
-             CAST(sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS c1,
-             CAST(sum(CASE WHEN y2 IS NOT NULL
-                           THEN abs(y - y2) END) AS BIGINT) AS sa2,
-             CAST(sum(CASE WHEN y2 IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS c2
-      FROM lags
-    )
-    SELECT c1 AS n_lag1, c2 AS n_lag2,
-           round(CAST(sa1 AS DOUBLE) / (2.0 * c1), 6) AS v1,
-           round(CAST(sa2 AS DOUBLE) / (2.0 * c2), 6) AS v2,
-           round(2.0 - (ln(CAST(sa2 AS DOUBLE) / (2.0 * c2))
-                        - ln(CAST(sa1 AS DOUBLE) / (2.0 * c1)))
-                       / (2.0 * ln(2.0)), 9) AS fractal_d
-    FROM v
-    """,
-)
-def ts_madogram_fractal(spark: SparkSession, sf: str) -> DataFrame:
-    """MADOGRAM FRACTAL DIMENSION of the daily value series — the
-    Gneiting–Ševčíková–Percival roughness estimator D̂ = 2 − (ln V(2)
-    − ln V(1))/(2 ln 2) from first-order variograms V(h) = ½·mean
-    |y_{t+h} − y_t| (D → 1 smooth trend, D → 2 white noise): the
-    robust, moment-light cousin of the Hurst R/S already in the
-    catalog. The two |Δ| sums are EXACT BIGINTs; V(1), V(2), and D̂
-    are mirrored single-expression doubles (two lns on exact
-    rationals), round 6/9. One day groupBy + one 30-row window."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            day.alias("x"), F.round(F.col("value")).cast("long").alias("u")
-        )
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.sum("u").alias("y"))
-    )
-    wl = Window.orderBy("x")
-    lags = daily.select(
-        "y",
-        F.lag("y", 1).over(wl).alias("y1"),
-        F.lag("y", 2).over(wl).alias("y2"),
-    )
-    v = lags.agg(
-        F.sum(
-            F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1")))
-        ).alias("sa1"),
-        F.sum(F.when(F.col("y1").isNotNull(), 1).otherwise(0)).alias("c1"),
-        F.sum(
-            F.when(F.col("y2").isNotNull(), F.abs(F.col("y") - F.col("y2")))
-        ).alias("sa2"),
-        F.sum(F.when(F.col("y2").isNotNull(), 1).otherwise(0)).alias("c2"),
-    )
-    v1 = F.col("sa1").cast("double") / (F.lit(2.0) * F.col("c1"))
-    v2 = F.col("sa2").cast("double") / (F.lit(2.0) * F.col("c2"))
-    return v.select(
-        F.col("c1").cast("long").alias("n_lag1"),
-        F.col("c2").cast("long").alias("n_lag2"),
-        F.round(v1, 6).alias("v1"),
-        F.round(v2, 6).alias("v2"),
-        F.round(
-            F.lit(2.0) - (F.log(v2) - F.log(v1)) / (F.lit(2.0) * F.log(F.lit(2.0))),
-            9,
-        ).alias("fractal_d"),
-    )
-
-
-@query(
-    "ts_recurrence_rate",
-    oracle="""
-    WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1
-    ),
-    eps AS (
-      SELECT greatest(1, (max(y) - min(y)) // 10) AS e,
-             CAST(count(*) AS BIGINT) AS n
-      FROM daily
-    ),
-    nb AS (
-      SELECT x, y,
-             lead(y) OVER (ORDER BY x) AS yn,
-             lag(y) OVER (ORDER BY x) AS yp
-      FROM daily
-    ),
-    pairs AS (
-      SELECT CASE WHEN abs(a.y - b.y) <= e.e THEN 1 ELSE 0 END AS rec,
-             CASE WHEN abs(a.y - b.y) <= e.e
-                   AND ((a.yn IS NOT NULL AND b.yn IS NOT NULL
-                         AND abs(a.yn - b.yn) <= e.e)
-                        OR (a.yp IS NOT NULL AND b.yp IS NOT NULL
-                            AND abs(a.yp - b.yp) <= e.e))
-                  THEN 1 ELSE 0 END AS diag
-      FROM nb a JOIN nb b ON a.x < b.x, eps e
-    )
-    SELECT (SELECT n FROM eps) AS n_points,
-           (SELECT e FROM eps) AS eps,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(rec) AS BIGINT) AS n_recurrent,
-           round(CAST(sum(rec) AS DOUBLE) / count(*), 9) AS rr,
-           CAST(sum(diag) AS BIGINT) AS n_diagonal,
-           CASE WHEN sum(rec) > 0
-                THEN round(CAST(sum(diag) AS DOUBLE) / sum(rec), 9)
-           END AS det
-    FROM pairs
-    """,
-)
-def ts_recurrence_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """RECURRENCE QUANTIFICATION of the daily value series: recurrence
-    rate RR (fraction of day pairs within ε = max(1, range/10) of each
-    other) and determinism DET (fraction of recurrent pairs extending
-    along a diagonal — i.e. the NEXT or PREVIOUS days also recur),
-    the two headline RQA measures separating deterministic rhythms
-    from noise. ε is an exact INTEGER off the integer range, every
-    pair test is an integer comparison, and all censuses are BIGINTs;
-    RR/DET are single mirrored divisions, round 9. The pair join is
-    L²-bounded by the 30-day grid (never the corpus); longer windows
-    tile the recurrence plot block-diagonally."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            day.alias("x"), F.round(F.col("value")).cast("long").alias("u")
-        )
-        .filter((F.col("x") >= 0) & (F.col("x") <= 29))
-        .groupBy("x")
-        .agg(F.sum("u").alias("y"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    eps = daily.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor((F.max("y") - F.min("y")) / 10).cast("long"),
-        ).alias("e"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    wl = Window.orderBy("x")
-    nb = daily.select(
-        "x",
-        "y",
-        F.lead("y").over(wl).alias("yn"),
-        F.lag("y").over(wl).alias("yp"),
-    )
-    a = nb.select(
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        F.col("yn").alias("yna"),
-        F.col("yp").alias("ypa"),
-    )
-    b = nb.select(
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("yn").alias("ynb"),
-        F.col("yp").alias("ypb"),
-    )
-    rec = F.abs(F.col("ya") - F.col("yb")) <= F.col("e")
-    diag_n = (
-        F.col("yna").isNotNull()
-        & F.col("ynb").isNotNull()
-        & (F.abs(F.col("yna") - F.col("ynb")) <= F.col("e"))
-    )
-    diag_p = (
-        F.col("ypa").isNotNull()
-        & F.col("ypb").isNotNull()
-        & (F.abs(F.col("ypa") - F.col("ypb")) <= F.col("e"))
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("xa") < F.col("xb"))
-        .crossJoin(F.broadcast(eps))
-        .select(
-            F.when(rec, 1).otherwise(0).alias("rec"),
-            F.when(rec & (diag_n | diag_p), 1).otherwise(0).alias("diag"),
-            "e",
-            "n",
-        )
-    )
-    return pairs.agg(
-        F.max("n").alias("n_points"),
-        F.max("e").alias("eps"),
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("rec").cast("long").alias("n_recurrent"),
-        F.round(F.sum("rec").cast("double") / F.count(F.lit(1)), 9).alias(
-            "rr"
-        ),
-        F.sum("diag").cast("long").alias("n_diagonal"),
-        F.when(
-            F.sum("rec") > 0,
-            F.round(F.sum("diag").cast("double") / F.sum("rec"), 9),
-        ).alias("det"),
-    )
-
-
-@query(
-    "olap_bcg_matrix",
-    oracle="""
-    WITH rev AS (
-      SELECT p.p_brand AS brand,
-             CAST(sum(CASE WHEN l.l_shipdate >= DATE '1996-01-01'
-                            AND l.l_shipdate < DATE '1997-01-01'
-                           THEN CAST(round(l.l_extendedprice * 100)
-                                     AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS r_y1,
-             CAST(sum(CASE WHEN l.l_shipdate >= DATE '1997-01-01'
-                            AND l.l_shipdate < DATE '1998-01-01'
-                           THEN CAST(round(l.l_extendedprice * 100)
-                                     AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS r_y2
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE l.l_shipdate >= DATE '1996-01-01'
-        AND l.l_shipdate < DATE '1998-01-01'
-      GROUP BY 1
-      HAVING sum(CASE WHEN l.l_shipdate >= DATE '1996-01-01'
-                       AND l.l_shipdate < DATE '1997-01-01'
-                      THEN 1 ELSE 0 END) > 0
-    ),
-    g AS (
-      SELECT brand, r_y1, r_y2,
-             (r_y2 - r_y1) * 1000 // r_y1 AS growth_milli
-      FROM rev
-    ),
-    meds AS (
-      SELECT
-        (SELECT min(r_y2) FROM (
-           SELECT r_y2, row_number() OVER (ORDER BY r_y2, brand) AS rk,
-                  count(*) OVER () AS m FROM g)
-         WHERE 2 * rk >= m + 1) AS med_share,
-        (SELECT min(growth_milli) FROM (
-           SELECT growth_milli,
-                  row_number() OVER (ORDER BY growth_milli, brand) AS rk,
-                  count(*) OVER () AS m FROM g)
-         WHERE 2 * rk >= m + 1) AS med_growth
-    ),
-    tot AS (SELECT CAST(sum(r_y2) AS BIGINT) AS t95 FROM g)
-    SELECT g.brand, g.r_y1 AS rev_y1_cents, g.r_y2 AS rev_y2_cents,
-           round(CAST(g.r_y2 AS DOUBLE) / t.t95, 9) AS share_y2,
-           CAST(g.growth_milli AS BIGINT) AS growth_milli,
-           CASE WHEN g.r_y2 > m.med_share AND g.growth_milli > m.med_growth
-                THEN 'star'
-                WHEN g.r_y2 > m.med_share THEN 'cash_cow'
-                WHEN g.growth_milli > m.med_growth THEN 'question_mark'
-                ELSE 'dog' END AS quadrant
-    FROM g, meds m, tot t
-    """,
-)
-def olap_bcg_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """BCG GROWTH–SHARE MATRIX over part brands: 1997 revenue share vs
-    1996→1997 growth (the testdata shipdate span is 1995–2001), each brand classified star / cash-cow /
-    question-mark / dog against the EXACT MEDIAN brand on both axes
-    (share compares as raw integer r_y2 cents — same denominator, so
-    the median-share cut is an integer compare; growth is exact
-    integer milli via floor-div, mirrored `//` ≡ F.floor). The
-    portfolio chart every assortment review starts from. One fact
-    groupBy over ~25 brands + rank windows on the brand-bounded
-    table; share_y2 is the single display double, round 9."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
-    )
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    in_y1 = F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
-    rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.sum(F.when(in_y1, cents).otherwise(0)).alias("r_y1"),
-            F.sum(F.when(~in_y1, cents).otherwise(0)).alias("r_y2"),
-            F.sum(F.when(in_y1, 1).otherwise(0)).alias("n_y1"),
-        )
-        .filter(F.col("n_y1") > 0)
-        .drop("n_y1")
-    )
-    g = rev.select(
-        "brand",
-        "r_y1",
-        "r_y2",
-        # DuckDB integer `//` truncates toward zero on negatives (NOT
-        # floor) — Spark `div` has the same semantics; F.floor would be
-        # off by one milli on every shrinking brand
-        F.expr("(r_y2 - r_y1) * 1000 div r_y1")
-        .cast("long")
-        .alias("growth_milli"),
-    )
-    g = g.localCheckpoint(eager=False)  # consumed by medians + output
-
-    def med(col: str):
-        w = Window.orderBy(col, "brand")
-        ranked = g.select(
-            col,
-            F.row_number().over(w).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
-        )
-        return ranked.filter(2 * F.col("rk") >= F.col("m") + 1).agg(
-            F.min(col).alias(f"med_{col}")
-        )
-
-    meds = med("r_y2").crossJoin(F.broadcast(med("growth_milli")))
-    tot = g.agg(F.sum("r_y2").alias("t95"))
-    out = g.crossJoin(F.broadcast(meds)).crossJoin(F.broadcast(tot))
-    quadrant = (
-        F.when(
-            (F.col("r_y2") > F.col("med_r_y2"))
-            & (F.col("growth_milli") > F.col("med_growth_milli")),
-            "star",
-        )
-        .when(F.col("r_y2") > F.col("med_r_y2"), "cash_cow")
-        .when(
-            F.col("growth_milli") > F.col("med_growth_milli"),
-            "question_mark",
-        )
-        .otherwise("dog")
-    )
-    return out.select(
-        "brand",
-        F.col("r_y1").alias("rev_y1_cents"),
-        F.col("r_y2").alias("rev_y2_cents"),
-        F.round(F.col("r_y2").cast("double") / F.col("t95"), 9).alias(
-            "share_y2"
-        ),
-        "growth_milli",
-        quadrant.alias("quadrant"),
-    )
-
-
-@query(
-    "olap_order_value_log_histogram",
-    oracle="""
-    WITH d AS (
-      SELECT greatest(CAST(round(o_totalprice) AS BIGINT), 1) AS dollars
-      FROM orders
-    ),
-    b AS (
-      SELECT length(bin(dollars)) AS bucket, dollars FROM d
-    )
-    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
-           CAST(power(2, bucket - 1) AS BIGINT) AS bucket_low_dollars,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(dollars) AS BIGINT) AS sum_dollars,
-           CAST(min(dollars) AS BIGINT) AS min_dollars,
-           CAST(max(dollars) AS BIGINT) AS max_dollars
-    FROM b GROUP BY bucket
-    """,
-)
-def olap_order_value_log_histogram(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """LOG₂ ORDER-VALUE HISTOGRAM — the heavy-tail profile chart
-    (doubling buckets) behind pricing-tier and fraud-threshold
-    reviews. The bucket is the BINARY DIGIT COUNT of the dollar
-    value (length of the minimal base-2 rendering — Spark `conv` ≡
-    DuckDB `bin`, verified identical), so bucket edges are EXACT at
-    powers of two with no floor(log2(x)) boundary ULP risk — the
-    integer device the float log would get wrong exactly at the
-    edges. One map-combinable groupBy over a ~20-bucket domain."""
-    o = load(spark, sf, "orders")
-    dollars = F.greatest(
-        F.round(F.col("o_totalprice")).cast("long"), F.lit(1).cast("long")
-    )
-    b = o.select(
-        dollars.alias("dollars"),
-        F.length(F.conv(dollars.cast("string"), 10, 2)).alias("bucket"),
-    )
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("dollars").alias("sum_dollars"),
-        F.min("dollars").alias("min_dollars"),
-        F.max("dollars").alias("max_dollars"),
-    ).select(
-        F.col("bucket").cast("long").alias("log2_bucket"),
-        F.pow(F.lit(2), F.col("bucket") - 1).cast("long").alias(
-            "bucket_low_dollars"
-        ),
-        "n_orders",
-        "sum_dollars",
-        "min_dollars",
-        "max_dollars",
-    )
-
-
-@query(
-    "text_richness_panel",
-    oracle="""
-    WITH tok AS (
-      SELECT source, unnest(string_split(text, ' ')) AS w
-      FROM documents
-    ),
-    types AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS c
-      FROM tok GROUP BY source, w
-    ),
-    per AS (
-      SELECT source,
-             CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_types,
-             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hapax,
-             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dis
-      FROM types GROUP BY source
-    )
-    SELECT source, n_tokens, n_types, n_hapax, n_dis,
-           round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 9) AS guiraud_r,
-           round(ln(CAST(n_types AS DOUBLE))
-                 / ln(CAST(n_tokens AS DOUBLE)), 9) AS herdan_c,
-           CASE WHEN n_hapax < n_types
-                THEN round(100.0 * ln(CAST(n_tokens AS DOUBLE))
-                           / (1.0 - CAST(n_hapax AS DOUBLE) / n_types), 9)
-           END AS honore_r,
-           round(CAST(n_dis AS DOUBLE) / n_types, 9) AS sichel_s
-    FROM per
-    """,
-)
-def text_richness_panel(spark: SparkSession, sf: str) -> DataFrame:
-    """VOCABULARY-RICHNESS PANEL per source — the four classic
-    length-corrected lexical diversity constants side by side:
-    Guiraud's R = V/√N, Herdan's C = lnV/lnN, Honoré's R = 100·lnN/
-    (1 − V₁/V) (hapax-sensitive; NULL when every type is a hapax),
-    and Sichel's S = V₂/V (dislegomena share). Together with the
-    Yule's K / MATTR / hapax ops already in the catalog this closes
-    the stylometric fingerprint family — the per-source mix audit
-    for 'did this source's vocabulary collapse after dedup'. All
-    spectrum counts are exact BIGINTs off ONE token groupBy; each
-    constant is a single mirrored double expression, round 9."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    types = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    per = types.groupBy("source").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hapax"),
-        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
-        .cast("long")
-        .alias("n_dis"),
-    )
-    nt = F.col("n_tokens").cast("double")
-    nv = F.col("n_types").cast("double")
-    return per.select(
-        "source",
-        "n_tokens",
-        "n_types",
-        "n_hapax",
-        "n_dis",
-        F.round(nv / F.sqrt(nt), 9).alias("guiraud_r"),
-        F.round(F.log(nv) / F.log(nt), 9).alias("herdan_c"),
-        F.when(
-            F.col("n_hapax") < F.col("n_types"),
-            F.round(
-                F.lit(100.0)
-                * F.log(nt)
-                / (F.lit(1.0) - F.col("n_hapax").cast("double") / nv),
-                9,
-            ),
-        ).alias("honore_r"),
-        F.round(F.col("n_dis").cast("double") / nv, 9).alias("sichel_s"),
-    )
-
-
-@query(
-    "text_char_entropy_by_source",
-    oracle="""
-    WITH chars AS (
-      SELECT source, substr(text, CAST(i AS INT), 1) AS ch
-      FROM documents,
-           unnest(range(1, length(text) + 1)) AS s(i)
-    ),
-    cnt AS (
-      SELECT source, ch, CAST(count(*) AS BIGINT) AS c
-      FROM chars GROUP BY source, ch
-    ),
-    tot AS (
-      SELECT source, CAST(sum(c) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS n_distinct_chars
-      FROM cnt GROUP BY source
-    ),
-    terms AS (
-      SELECT cnt.source,
-             round((CAST(c AS DOUBLE) / n)
-                   * ln(CAST(c AS DOUBLE) / n), 12) AS term
-      FROM cnt JOIN tot ON cnt.source = tot.source
-    )
-    SELECT t.source, tot.n AS n_chars, tot.n_distinct_chars,
-           round(-list_reduce(list_sort(list(t.term)), (a, b) -> a + b), 9)
-             AS char_entropy_nats
-    FROM terms t JOIN tot ON t.source = tot.source
-    GROUP BY t.source, tot.n, tot.n_distinct_chars
-    """,
-)
-def text_char_entropy_by_source(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CHARACTER-UNIGRAM ENTROPY per source — the encoding-level mix
-    fingerprint (mojibake, base64 blobs, and template boilerplate all
-    shift it) complementing the word-level bigram entropy rate. The
-    per-character explode is expressed identically on both engines
-    (substr over a 1..len index — Spark `sequence`/`posexplode` ≡
-    DuckDB `unnest(range(...))`); character counts are exact BIGINTs
-    over a ~30-symbol domain, and the −Σp·ln p terms are pre-rounded
-    at 12 and folded SORTED (the KL-divergence device), round 9. Two
-    map-combinable groupBys; the explode fan-out is linear in corpus
-    bytes."""
-    d = load(spark, sf, "documents")
-    chars = d.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1))"
-            )
-        ).alias("ch"),
-    )
-    cnt = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
-    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
-    tot = cnt.groupBy("source").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-    )
-    p = F.col("c").cast("double") / F.col("n")
-    terms = cnt.join(tot, "source").select(
-        "source", "n", "n_distinct_chars",
-        F.round(p * F.log(p), 12).alias("term"),
-    )
-    return terms.groupBy("source", "n", "n_distinct_chars").agg(
-        F.round(
-            -F.aggregate(
-                F.array_sort(F.collect_list("term")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        ).alias("char_entropy_nats")
-    ).select(
-        "source",
-        F.col("n").alias("n_chars"),
-        "n_distinct_chars",
-        "char_entropy_nats",
-    )
-
-
-@query(
-    "text_gunning_fog",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws,
-             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sents
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, sents,
-             CAST(len(ws) AS BIGINT) AS n_words,
-             CAST(len(list_filter(
-               [len(regexp_extract_all(lower(x), '[aeiouy]+'))
-                for x in ws],
-               s -> s >= 3)) AS BIGINT) AS n_complex
-      FROM w
-    )
-    SELECT doc_id, n_words, CAST(sents AS BIGINT) AS n_sentences,
-           n_complex,
-           round(0.4 * (CAST(n_words AS DOUBLE) / sents
-                        + 100.0 * n_complex / n_words), 9) AS fog_index
-    FROM c
-    """,
-)
-def text_gunning_fog(spark: SparkSession, sf: str) -> DataFrame:
-    """GUNNING FOG INDEX per document — 0.4·(words/sentences +
-    100·complex/words) with 'complex' = ≥3 vowel-group syllables
-    (the same backreference-free `[aeiouy]+` heuristic as the Flesch
-    op, applied per word through a higher-order array expression —
-    no explode). The second of the two canonical readability scores;
-    disagreement between Fog and Flesch flags syllable-heuristic-
-    sensitive documents worth a human look. Counts exact BIGINTs,
-    the index one mirrored double (round 9); pure row-local
-    whole-stage-codegen work, no shuffle."""
-    d = load(spark, sf, "documents")
-    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
-    n_sent = F.greatest(
-        F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
-    ).cast("long")
-    n_complex = F.expr(
-        "cast(size(filter(transform(split(text, ' '),"
-        " x -> regexp_count(lower(x), '[aeiouy]+')),"
-        " s -> s >= 3)) as bigint)"
-    )
-    fog = F.lit(0.4) * (
-        n_words.cast("double") / n_sent
-        + F.lit(100.0) * n_complex / n_words
-    )
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_complex.alias("n_complex"),
-        F.round(fog, 9).alias("fog_index"),
-    )
-
-
-@query(
-    "graph_path_census",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
-      ) GROUP BY node
-    ),
-    tri AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_triangles
-      FROM edges e1
-      JOIN edges e2 ON e2.src = e1.dst
-      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
-    ),
-    wed AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
-      FROM deg
-    ),
-    ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
-    pth AS (
-      SELECT CAST(sum((da.d - 1) * (db.d - 1)) AS BIGINT) AS raw_p3
-      FROM edges e
-      JOIN deg da ON da.node = e.src
-      JOIN deg db ON db.node = e.dst
-    )
-    SELECT wed.n_nodes, ecnt.n_edges, wed.n_wedges AS n_paths2,
-           tri.n_triangles,
-           pth.raw_p3 - 3 * tri.n_triangles AS n_paths3,
-           round(CAST(3 * tri.n_triangles AS DOUBLE) / wed.n_wedges, 9)
-             AS transitivity
-    FROM wed, ecnt, tri, pth
-    """,
-)
-def graph_path_census(spark: SparkSession, sf: str) -> DataFrame:
-    """GRAPHLET PATH CENSUS — exact counts of 2-paths (wedges,
-    Σd(d−1)/2), 3-paths (Σ_{(u,v)∈E}(dᵤ−1)(dᵥ−1) − 3·triangles, the
-    closed-form that needs NO 4-node enumeration), and triangles,
-    plus transitivity: the cheapest graphlet signature used for
-    graph-similarity fingerprinting and null-model comparison. All
-    counts are pure degree/edge aggregates + the degree-oriented
-    triangle counter — one degree join on the edge list, no path
-    materialization, so the census scales with E, not with the path
-    counts themselves (which grow superlinearly)."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    tri = gr.triangle_count(e).select(
-        "n_nodes", "n_edges", "n_triangles"
-    )
-    deg = gr.degrees(e)
-    wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges")
-    )
-    half = e.filter(F.col("src") < F.col("dst"))
-    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("db"))
-    p3 = (
-        half.join(da, "src")
-        .join(db, "dst")
-        .agg(
-            F.sum((F.col("da") - 1) * (F.col("db") - 1)).alias("raw_p3")
-        )
-    )
-    return (
-        tri.crossJoin(F.broadcast(wedges))
-        .crossJoin(F.broadcast(p3))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.col("n_wedges").alias("n_paths2"),
-            "n_triangles",
-            (F.col("raw_p3") - 3 * F.col("n_triangles"))
-            .cast("long")
-            .alias("n_paths3"),
-            F.round(
-                (3 * F.col("n_triangles")).cast("double")
-                / F.col("n_wedges"),
-                9,
-            ).alias("transitivity"),
-        )
-    )
-
-
-@query(
-    "emb_uniformity_alignment",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, label, bkt, qv,
-             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
-                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
-      FROM q
-    ),
-    pairs AS (
-      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
-             a.nn + b.nn
-             - 2 * CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                         CAST(b.qv AS DOUBLE[]))
-                    AS BIGINT) AS d2
-      FROM norms a JOIN norms b
-        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-    ),
-    ex AS (
-      SELECT same, d2,
-             CAST(round(exp(-2.0 * d2 / 65536.0) * 1099511627776.0)
-               AS BIGINT) AS eq
-      FROM pairs
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(same) AS BIGINT) AS n_same_label,
-           round(CAST(sum(CASE WHEN same = 1 THEN d2 END) AS DOUBLE)
-                 / (65536.0 * sum(same)), 9) AS alignment,
-           round(ln(CAST(sum(eq) AS DOUBLE) / count(*)
-                    / 1099511627776.0), 9) AS uniformity
-    FROM ex
-    """,
-)
-def emb_uniformity_alignment(spark: SparkSession, sf: str) -> DataFrame:
-    """ALIGNMENT & UNIFORMITY (Wang & Isola 2020) — the two-number
-    contrastive-embedding health check: alignment = mean squared
-    distance between SAME-LABEL pairs (small = semantically close
-    points embed together), uniformity = ln E[exp(−2‖a−b‖²)] over all
-    pairs (near 0 = collapsed, very negative = well spread). Pairs
-    ride the md5-bucket 1/16 sample (the pair-histogram device); d²
-    is the exact BIGINT ×256-grid form; each pair's exp term is
-    rounded onto a 2⁴⁰ integer grid from the SAME mirrored double, so
-    Σexp is an exact BIGINT sum — order-free — and only the final ln
-    is float, round 9. One bucket equi-join; budget Σ bucket²."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select(
-        "vec_id",
-        "label",
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
-            "bkt"
-        ),
-        qz.alias("qv"),
-    )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    norms = q.select(
-        "vec_id", "label", "bkt", "qv", dot("qv", "qv").alias("nn")
-    )
-    a = norms.select(
-        F.col("vec_id").alias("ida"),
-        F.col("label").alias("la"),
-        "bkt",
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("idb"),
-        F.col("label").alias("lb"),
-        "bkt",
-        F.col("qv").alias("qb"),
-        F.col("nn").alias("nb"),
-    )
-    d2 = F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
-    pairs = (
-        a.join(b, on="bkt")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
-            F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias(
-                "same"
-            ),
-            d2.alias("d2"),
-        )
-    )
-    grid = F.lit(1099511627776.0)  # 2^40
-    ex = pairs.select(
-        "same",
-        "d2",
-        F.round(
-            F.exp(F.lit(-2.0) * F.col("d2") / F.lit(65536.0)) * grid
-        )
-        .cast("long")
-        .alias("eq"),
-    )
-    return ex.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("same").cast("long").alias("n_same_label"),
-        F.round(
-            F.sum(F.when(F.col("same") == 1, F.col("d2"))).cast("double")
-            / (F.lit(65536.0) * F.sum("same")),
-            9,
-        ).alias("alignment"),
-        F.round(
-            F.log(
-                F.sum("eq").cast("double") / F.count(F.lit(1)) / grid
-            ),
-            9,
-        ).alias("uniformity"),
-    )
-
-
-@query(
-    "emb_centroid_confusion",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    ex AS (
-      SELECT vec_id, label, CAST(r.range AS INT) AS d,
-             qv[r.range + 1] AS v
-      FROM q CROSS JOIN range(0, 64) r
-    ),
-    cent AS (
-      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
-             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
-      FROM ex GROUP BY label, d
-    ),
-    scored AS (
-      SELECT e.vec_id, e.label, c.clabel,
-             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
-      FROM ex e JOIN cent c ON e.d = c.d
-      GROUP BY e.vec_id, e.label, c.clabel
-    ),
-    pred AS (
-      SELECT vec_id, label, clabel AS pred_label
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                ORDER BY s DESC, clabel) = 1
-    ),
-    cells AS (
-      SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
-      FROM pred GROUP BY label, pred_label
-    )
-    SELECT label, pred_label, n_vecs,
-           round(CAST(n_vecs AS DOUBLE)
-                 / sum(n_vecs) OVER (PARTITION BY label), 9) AS row_share
-    FROM cells
-    """,
-)
-def emb_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
-    """NEAREST-CENTROID CONFUSION MATRIX — which labels the Rocchio
-    probe mixes up (the actionable detail behind emb_nearest_centroid_
-    accuracy's single number: systematic off-diagonal mass between two
-    labels = merge candidates or labeling noise). Same verified
-    device: 10-row broadcast centroid table, exact integer dot / one
-    mirrored division, deterministic argmax tiebreak; the matrix is
-    label²-bounded with within-row shares from a dim-sized window."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    ex = q.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
-    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
-        F.sum("v").alias("csum"),
-        F.countDistinct("vec_id").alias("n_l"),
-    )
-    carr = cent.groupBy("clabel").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "csum"))),
-            lambda x: x["csum"],
-        ).alias("cvec"),
-        F.max("n_l").alias("n_l"),
-    )
-    scored = q.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        (
-            F.expr(
-                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
-                " cast(0 as bigint), (a, x) -> a + x)"
-            ).cast("double")
-            / F.col("n_l")
-        ).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("clabel").asc()
-    )
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("clabel").alias("pred_label"))
-    )
-    cells = pred.groupBy("label", "pred_label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs")
-    )
-    wr = Window.partitionBy("label")
-    return cells.select(
-        "label",
-        "pred_label",
-        "n_vecs",
-        F.round(
-            F.col("n_vecs").cast("double") / F.sum("n_vecs").over(wr), 9
-        ).alias("row_share"),
-    )
-
-
-def _md5_minhash_pairs_sql(n_hashes: int = 16) -> str:
-    """Shared oracle CTE block: md5-permutation MinHash signatures +
-    exact shingle-hash Jaccard over the doc_id % 101 == 0 pair sample.
-    Yields a `pairs` relation with (matches, n_bands_hit, inter, uni)
-    — all exact BIGINTs (4 bands × n/4 rows)."""
-    mh_aggs = ",\n             ".join(
-        f"min(CAST(concat('0x', substr(md5('{i}:' || sh), 1, 12))"
-        f" AS BIGINT)) AS mh{i}"
-        for i in range(n_hashes)
-    )
-    match_sum = " + ".join(
-        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
-        for i in range(n_hashes)
-    )
-    rows = n_hashes // 4
-    bands = []
-    for bnd in range(4):
-        conj = " AND ".join(
-            f"a.mh{bnd * rows + i} = b.mh{bnd * rows + i}"
-            for i in range(rows)
-        )
-        bands.append(f"(CASE WHEN {conj} THEN 1 ELSE 0 END)")
-    band_sum = " + ".join(bands)
-    return f"""
-    samp AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents WHERE doc_id % 101 = 0
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                     for i in range(1, len(t) - 1)]) AS sh
-      FROM samp WHERE len(t) >= 3
-    ),
-    shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
-    hashes AS (
-      SELECT doc_id, sh,
-             CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT) AS h
-      FROM shd
-    ),
-    per AS (
-      SELECT doc_id,
-             list_sort(list(DISTINCT h)) AS hs,
-             CAST(count(DISTINCT h) AS BIGINT) AS sz,
-             {mh_aggs}
-      FROM hashes GROUP BY doc_id
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST({match_sum} AS BIGINT) AS matches,
-             CAST({band_sum} AS BIGINT) AS n_bands_hit,
-             CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
-             a.sz + b.sz - len(list_intersect(a.hs, b.hs)) AS uni
-      FROM per a JOIN per b ON a.doc_id < b.doc_id
-    )"""
-
-
-def _md5_minhash_pairs(spark: SparkSession, sf: str, n_hashes: int = 16):
-    """Spark twin of :func:`_md5_minhash_pairs_sql`: returns the pair
-    frame with per-permutation signature columns mh{i}_a/mh{i}_b plus
-    (matches, inter, uni). The sample is fixed (doc_id % 101), so the
-    all-pairs join is sample²-bounded — never corpus-scale; at 100 TB
-    this audit runs on the same kind of fixed audit sample as
-    emb_knn_outlier_census."""
-    d = load(spark, sf, "documents").filter(F.col("doc_id") % 101 == 0)
-    toks = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> concat(element_at(t, i), ' ',"
-                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
-            )
-        ).alias("sh"),
-    ).distinct()
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 12), 16, 10).cast("long")
-    hashes = sh.select("doc_id", "sh", h.alias("h"))
-    mh_aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    per = hashes.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("h")).alias("hs"),
-        F.countDistinct("h").alias("sz"),
-        *mh_aggs,
-    )
-    a = per.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("hs_a"),
-        F.col("sz").alias("sz_a"),
-        *[F.col(f"mh{i}").alias(f"mh{i}_a") for i in range(n_hashes)],
-    )
-    b = per.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hs_b"),
-        F.col("sz").alias("sz_b"),
-        *[F.col(f"mh{i}").alias(f"mh{i}_b") for i in range(n_hashes)],
-    )
-    matches = None
-    for i in range(n_hashes):
-        t = F.when(F.col(f"mh{i}_a") == F.col(f"mh{i}_b"), 1).otherwise(0)
-        matches = t if matches is None else matches + t
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("matches", matches.cast("long"))
-        .withColumn("inter", inter)
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - inter)
-    )
-
-
-@query(
-    "dedup_minhash_estimate_audit",
-    oracle=f"""
-    WITH {_md5_minhash_pairs_sql(16)},
-    scored AS (
-      SELECT (10 * inter) // uni AS jaccard_decile, matches, inter, uni,
-             round(abs(CAST(matches AS DOUBLE) * uni - 16.0 * inter)
-                   / (16.0 * uni), 12) AS abs_err
-      FROM pairs
-    )
-    SELECT CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(matches) AS BIGINT) AS sum_matches,
-           round(CAST(sum(matches) AS DOUBLE) / (16.0 * count(*)), 9)
-             AS mean_estimate,
-           round(list_reduce(list_sort(list(abs_err)), (x, y) -> x + y)
-                 / count(*), 9) AS mean_abs_err
-    FROM scored GROUP BY jaccard_decile
-    """,
-)
-def dedup_minhash_estimate_audit(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """MINHASH ESTIMATOR CALIBRATION — does the signature's match
-    fraction actually track exact Jaccard, per true-Jaccard decile?
-    The quality audit behind every LSH threshold choice: a 16-hash
-    estimate has σ ≈ √(s(1−s)/16) ≈ 0.12, and THIS op measures the
-    realized MAE on data instead of trusting the formula. Signatures
-    are md5-permutation MinHash (mirrorable — the scale path's
-    xxhash64 signatures are statistically identical but not ANSI-SQL
-    computable); exact Jaccard comes from 12-hex shingle-hash set
-    intersection; the decile key is integer (10·I)//U. Pairs ride the
-    fixed doc_id % 101 audit sample (sample²-bounded, never corpus-
-    scale). Match counts exact BIGINTs; MAE terms pre-rounded
-    sorted-fold, round 9."""
-    pairs = _md5_minhash_pairs(spark, sf, 16)
-    abs_err = F.round(
-        F.abs(
-            F.col("matches").cast("double") * F.col("uni")
-            - F.lit(16.0) * F.col("inter")
-        )
-        / (F.lit(16.0) * F.col("uni")),
-        12,
-    )
-    scored = pairs.select(
-        F.expr("(10 * inter) div uni").cast("long").alias(
-            "jaccard_decile"
-        ),
-        "matches",
-        abs_err.alias("abs_err"),
-    )
-    return scored.groupBy("jaccard_decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("matches").cast("long").alias("sum_matches"),
-        F.round(
-            F.sum("matches").cast("double")
-            / (F.lit(16.0) * F.count(F.lit(1))),
-            9,
-        ).alias("mean_estimate"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("abs_err")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mean_abs_err"),
-    )
-
-
-@query(
-    "dedup_band_scurve_audit",
-    oracle=f"""
-    WITH {_md5_minhash_pairs_sql(16)},
-    scored AS (
-      SELECT (10 * inter) // uni AS jaccard_decile,
-             CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END
-               AS collided,
-             round(1.0
-                   - (1.0 - (CAST(inter AS DOUBLE) / uni)
-                            * (CAST(inter AS DOUBLE) / uni)
-                            * (CAST(inter AS DOUBLE) / uni)
-                            * (CAST(inter AS DOUBLE) / uni))
-                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni))
-                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni))
-                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)
-                              * (CAST(inter AS DOUBLE) / uni)), 12)
-               AS theory_p
-      FROM pairs
-    )
-    SELECT CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(collided) AS BIGINT) AS n_collided,
-           round(CAST(sum(collided) AS DOUBLE) / count(*), 9)
-             AS empirical_rate,
-           round(list_reduce(list_sort(list(theory_p)), (x, y) -> x + y)
-                 / count(*), 9) AS mean_theory_p
-    FROM scored GROUP BY jaccard_decile
-    """,
-)
-def dedup_band_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH BAND S-CURVE, THEORY vs MEASURED — the banding guarantee
-    1−(1−s⁴)⁴ (16 hashes as 4 bands × 4 rows) evaluated at each
-    sampled pair's exact Jaccard, against the EMPIRICAL band-collision
-    rate of the same md5-minhash signatures, per decile. A divergence
-    means the permutation family is misbehaving (exactly the
-    linear-combination-family recall collapse documented in
-    dedup.minhash_signatures — this op is the dashboard that would
-    have caught it). Powers are explicit multiplication chains (never
-    pow() — cross-engine ULP); collision flags are exact integer
-    equality tests; theory terms pre-rounded sorted-fold, round 9."""
-    pairs = _md5_minhash_pairs(spark, sf, 16)
-    band_hit = None
-    for bnd in range(4):
-        conj = None
-        for i in range(4):
-            eq = F.col(f"mh{bnd * 4 + i}_a") == F.col(f"mh{bnd * 4 + i}_b")
-            conj = eq if conj is None else (conj & eq)
-        t = F.when(conj, 1).otherwise(0)
-        band_hit = t if band_hit is None else band_hit + t
-    s = F.col("inter").cast("double") / F.col("uni")
-    s4 = s * s * s * s
-    one_m = F.lit(1.0) - s4
-    theory = F.round(
-        F.lit(1.0) - one_m * one_m * one_m * one_m, 12
-    )
-    scored = pairs.select(
-        F.expr("(10 * inter) div uni").cast("long").alias(
-            "jaccard_decile"
-        ),
-        F.when(band_hit > 0, 1).otherwise(0).alias("collided"),
-        theory.alias("theory_p"),
-    )
-    return scored.groupBy("jaccard_decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("collided").cast("long").alias("n_collided"),
-        F.round(
-            F.sum("collided").cast("double") / F.count(F.lit(1)), 9
-        ).alias("empirical_rate"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("theory_p")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mean_theory_p"),
-    )
-
-
-@query(
-    "audit_timestamp_granularity",
-    oracle="""
-    WITH g AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CASE WHEN date_part('microsecond', ts) % 1000000
-                                = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_whole_second,
-             CAST(sum(CASE WHEN date_part('second', ts) = 0
-                            AND date_part('microsecond', ts) % 1000000
-                                = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_whole_minute,
-             CAST(count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))
-               AS BIGINT) AS n_distinct_seconds
-      FROM events GROUP BY event_type
-    )
-    SELECT event_type, n_events, n_whole_second, n_whole_minute,
-           n_distinct_seconds,
-           round(CAST(n_whole_second AS DOUBLE) / n_events, 9)
-             AS whole_second_share,
-           n_whole_second * 100 > n_events AS truncation_suspect
-    FROM g
-    """,
-)
-def audit_timestamp_granularity(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """TIMESTAMP-GRANULARITY AUDIT per stream — the feed-quality check
-    that catches upstream truncation (a source that suddenly emits
-    whole-second or whole-minute timestamps broke its clock or its
-    serializer; dedup and as-of joins silently degrade). Counts
-    events on exact sub-second / second / minute boundaries plus the
-    distinct-second cardinality, all exact BIGINTs off one groupBy;
-    the 1% whole-second share flag is an integer cross-multiplication
-    (no float threshold). Fully pushdown-friendly single scan."""
-    e = load(spark, sf, "events")
-    usec = _usec("ts")
-    whole_s = (usec % 1_000_000 == 0).cast("int")
-    whole_m = ((usec % 60_000_000) == 0).cast("int")
-    g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(whole_s).cast("long").alias("n_whole_second"),
-        F.sum(whole_m).cast("long").alias("n_whole_minute"),
-        F.countDistinct(F.floor(usec / 1_000_000).cast("long"))
-        .cast("long")
-        .alias("n_distinct_seconds"),
-    )
-    return g.select(
-        "event_type",
-        "n_events",
-        "n_whole_second",
-        "n_whole_minute",
-        "n_distinct_seconds",
-        F.round(
-            F.col("n_whole_second").cast("double") / F.col("n_events"), 9
-        ).alias("whole_second_share"),
-        (F.col("n_whole_second") * 100 > F.col("n_events")).alias(
-            "truncation_suspect"
-        ),
-    )
-
-
-_G32_POWERS_SQL = f"""
-    clip AS (
-      SELECT doc_id AS media_id, doc_id % 96 + 32 AS nf
-      FROM documents
-    ),
-    blocks AS (
-      SELECT media_id, nf, unnest(range(0, 2)) AS b FROM clip
-    ),
-    bytes AS (
-      SELECT media_id, nf, b,
-             md5(CAST(media_id AS VARCHAR) || ':wav:'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM blocks
-    ),
-    vals AS (
-      SELECT media_id, nf, b*16 + j AS gi,
-             CAST({{ks_byte}} AS BIGINT) - 128 AS v
-      FROM bytes WHERE b*16 + j < 32
-    ),
-    sums AS (
-      SELECT media_id, CAST(min(nf) AS INT) AS n_frames,
-             {", ".join(
-                 f"CAST(sum(v * ({{cos{k}}})[gi + 1]) AS BIGINT) AS c{k}, "
-                 f"CAST(sum(v * ({{sin{k}}})[gi + 1]) AS BIGINT) AS s{k}"
-                 for k in (1, 2, 4, 8)
-             )}
-      FROM vals GROUP BY media_id
-    ),
-    powers AS (
-      SELECT media_id, n_frames,
-             {", ".join(
-                 f"c{k} * c{k} + s{k} * s{k} AS p{k}" for k in (1, 2, 4, 8)
-             )}
-      FROM sums
-    )"""
-
-
-def _g32_powers_sql() -> str:
-    return _G32_POWERS_SQL.format(
-        ks_byte=_PNG_KS_BYTE,
-        **{f"cos{k}": _g32_sql(mm_mod.G32_COS_Q, k) for k in (1, 2, 4, 8)},
-        **{f"sin{k}": _g32_sql(mm_mod.G32_SIN_Q, k) for k in (1, 2, 4, 8)},
-    )
-
-
-@query(
-    "multimodal_wav_peak_bin",
-    oracle=f"""
-    WITH {_g32_powers_sql()}
-    SELECT media_id, n_frames,
-           CAST(CASE WHEN p1 >= p2 AND p1 >= p4 AND p1 >= p8 THEN 1
-                     WHEN p2 >= p4 AND p2 >= p8 THEN 2
-                     WHEN p4 >= p8 THEN 4
-                     ELSE 8 END AS BIGINT) AS peak_k,
-           CASE WHEN p1 + p2 + p4 + p8 > 0
-                THEN round(CAST(greatest(p1, p2, p4, p8) AS DOUBLE)
-                           / (p1 + p2 + p4 + p8), 9)
-           END AS peak_share
-    FROM powers
-    """,
-)
-def multimodal_wav_peak_bin(spark: SparkSession, sf: str) -> DataFrame:
-    """DOMINANT SPECTRAL BIN per clip — argmax of the four EXACT
-    integer Goertzel powers (smallest-k tiebreak, pure integer
-    compares) plus its power share: the tone/hum classifier output a
-    media-quality gate thresholds on ('clip is a near-pure k=2
-    tone'). Rides the new wav_goertzel_powers kernel, whose C/S
-    weighted sums never leave int64 — the only float is the display
-    share, round 9."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    st = mm.wav_goertzel_powers(mm.synthetic_wav_media(docs, "doc_id"))
-    p1, p2, p4, p8 = (F.col(f"p_k{k}") for k in (1, 2, 4, 8))
-    tot = p1 + p2 + p4 + p8
-    peak_k = (
-        F.when((p1 >= p2) & (p1 >= p4) & (p1 >= p8), 1)
-        .when((p2 >= p4) & (p2 >= p8), 2)
-        .when(p4 >= p8, 4)
-        .otherwise(8)
-    )
-    return st.select(
-        "media_id",
-        "n_frames",
-        peak_k.cast("long").alias("peak_k"),
-        F.when(
-            tot > 0,
-            F.round(F.greatest(p1, p2, p4, p8).cast("double") / tot, 9),
-        ).alias("peak_share"),
-    )
-
-
-@query(
-    "multimodal_wav_spectral_entropy",
-    oracle=f"""
-    WITH {_g32_powers_sql()},
-    tot AS (
-      SELECT media_id, n_frames, p1, p2, p4, p8,
-             p1 + p2 + p4 + p8 AS pt
-      FROM powers
-    )
-    SELECT media_id, n_frames, CAST(pt AS BIGINT) AS total_power,
-           CASE WHEN pt > 0 THEN round(
-             -({" + ".join(
-                 f"(CASE WHEN p{k} > 0 THEN (CAST(p{k} AS DOUBLE) / pt)"
-                 f" * ln(CAST(p{k} AS DOUBLE) / pt) ELSE 0.0 END)"
-                 for k in (1, 2, 4, 8)
-             )}) / ln(4.0), 9)
-           END AS spectral_entropy_norm
-    FROM tot
-    """,
-)
-def multimodal_wav_spectral_entropy(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """NORMALIZED SPECTRAL ENTROPY per clip over the four Goertzel bin
-    powers — 0 = pure tone (all power in one bin), 1 = flat spectrum:
-    the audio 'is this signal or noise' one-number gate, computed
-    WITHOUT an FFT from the same exact-int64 powers as the peak-bin
-    op. The four −q·ln q terms combine in ONE mirrored expression
-    tree (fixed left-to-right order, no data-dependent fold), round
-    9; silent clips (zero total power) yield NULL."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    st = mm.wav_goertzel_powers(mm.synthetic_wav_media(docs, "doc_id"))
-    p = {k: F.col(f"p_k{k}") for k in (1, 2, 4, 8)}
-    tot = p[1] + p[2] + p[4] + p[8]
-    term = None
-    for k in (1, 2, 4, 8):
-        q = p[k].cast("double") / F.col("pt")
-        t = F.when(p[k] > 0, q * F.log(q)).otherwise(F.lit(0.0))
-        term = t if term is None else term + t
-    return st.withColumn("pt", tot).select(
-        "media_id",
-        "n_frames",
-        F.col("pt").cast("long").alias("total_power"),
-        F.when(
-            F.col("pt") > 0,
-            F.round(-term / F.log(F.lit(4.0)), 9),
-        ).alias("spectral_entropy_norm"),
-    )
-
-
-@query(
-    "olap_order_backlog_timeline",
-    oracle="""
-    WITH placed AS (
-      SELECT date_trunc('month', o_orderdate) AS mth,
-             CAST(count(*) AS BIGINT) AS n_placed
-      FROM orders GROUP BY 1
-    ),
-    shipped AS (
-      SELECT date_trunc('month', last_ship) AS mth,
-             CAST(count(*) AS BIGINT) AS n_completed
-      FROM (
-        SELECT o.o_orderkey, max(l.l_shipdate) AS last_ship
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_orderstatus = 'F'
-        GROUP BY o.o_orderkey
-      ) GROUP BY 1
-    ),
-    months AS (
-      SELECT mth FROM placed UNION SELECT mth FROM shipped
-    ),
-    tl AS (
-      SELECT m.mth,
-             coalesce(p.n_placed, 0) AS n_placed,
-             coalesce(s.n_completed, 0) AS n_completed
-      FROM months m
-      LEFT JOIN placed p ON p.mth = m.mth
-      LEFT JOIN shipped s ON s.mth = m.mth
-    )
-    SELECT strftime(mth, '%Y-%m') AS month, n_placed, n_completed,
-           CAST(sum(n_placed) OVER (ORDER BY mth)
-                - sum(n_completed) OVER (ORDER BY mth) AS BIGINT)
-             AS open_backlog
-    FROM tl
-    """,
-)
-def olap_order_backlog_timeline(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """ORDER BACKLOG BURNDOWN — monthly orders placed vs orders
-    COMPLETED (status F, completion month = the month of the order's
-    last line shipment) and the running open backlog, the operations
-    chart behind every fulfillment-capacity review. Completion needs
-    one orderkey-grain max over the fact; the timeline is a
-    month-bounded full-outer month spine with two cumulative windows
-    — all exact integers end to end. Orders never finished (status O/P)
-    accumulate in the backlog by construction."""
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    placed = o.groupBy(
-        F.trunc("o_orderdate", "month").alias("mth")
-    ).agg(F.count(F.lit(1)).alias("n_placed"))
-    last_ship = (
-        o.filter(F.col("o_orderstatus") == "F")
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey")
-        .agg(F.max("l_shipdate").alias("last_ship"))
-    )
-    shipped = last_ship.groupBy(
-        F.trunc("last_ship", "month").alias("mth")
-    ).agg(F.count(F.lit(1)).alias("n_completed"))
-    months = placed.select("mth").union(shipped.select("mth")).distinct()
-    tl = (
-        months.join(placed, "mth", "left")
-        .join(shipped, "mth", "left")
-        .select(
-            "mth",
-            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
-            F.coalesce("n_completed", F.lit(0)).alias("n_completed"),
-        )
-    )
-    wc = Window.orderBy("mth").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return tl.select(
-        F.date_format("mth", "yyyy-MM").alias("month"),
-        F.col("n_placed").cast("long").alias("n_placed"),
-        F.col("n_completed").cast("long").alias("n_completed"),
-        (F.sum("n_placed").over(wc) - F.sum("n_completed").over(wc))
-        .cast("long")
-        .alias("open_backlog"),
-    )
-
-
-@query(
-    "stats_fleiss_kappa",
-    oracle="""
-    WITH cell AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-             event_type, CAST(count(*) AS BIGINT) AS n_ij
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1, 2
-    ),
-    subj AS (
-      SELECT d, CAST(sum(n_ij) AS BIGINT) AS n_i,
-             CAST(sum(n_ij * n_ij) AS BIGINT) AS s2_i
-      FROM cell GROUP BY d HAVING sum(n_ij) > 1
-    ),
-    pi AS (
-      SELECT d, n_i,
-             round(CAST(s2_i - n_i AS DOUBLE)
-                   / (CAST(n_i AS DOUBLE) * (n_i - 1)), 12) AS p_i
-      FROM subj
-    ),
-    pbar AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_subjects,
-             list_reduce(list_sort(list(p_i)), (a, b) -> a + b) AS sp,
-             CAST(sum(n_i) AS BIGINT) AS n_tot
-      FROM pi
-    ),
-    cat AS (
-      SELECT c.event_type, CAST(sum(c.n_ij) AS BIGINT) AS n_j
-      FROM cell c JOIN subj s ON c.d = s.d
-      GROUP BY c.event_type
-    ),
-    pe AS (
-      SELECT list_reduce(list_sort(list(
-               round((CAST(n_j AS DOUBLE) / b.n_tot)
-                     * (CAST(n_j AS DOUBLE) / b.n_tot), 12))),
-             (a, c) -> a + c) AS p_e
-      FROM cat, pbar b GROUP BY b.n_tot
-    )
-    SELECT b.n_subjects, b.n_tot AS n_ratings,
-           round(b.sp / b.n_subjects, 9) AS p_bar,
-           round(pe.p_e, 9) AS p_e,
-           round((b.sp / b.n_subjects - pe.p_e) / (1.0 - pe.p_e), 9)
-             AS fleiss_kappa
-    FROM pbar b, pe
-    """,
-)
-def stats_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
-    """FLEISS' KAPPA over the day × event-type table — chance-corrected
-    agreement treating each day as a subject and each event as one
-    'rating' of that day into one of the k streams (the varying-nᵢ
-    generalization: Pᵢ = (Σnᵢⱼ² − nᵢ)/(nᵢ(nᵢ−1))): κ near 0 means
-    days are interchangeable traffic mixes, κ → 1 means single-stream
-    days — a drift/segmentation prescreen. Cell counts exact BIGINTs;
-    the 30 per-day Pᵢ and k category-share terms are pre-rounded at
-    12 and folded SORTED; κ is one mirrored double, round 9. Two
-    bounded groupBys."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    cell = (
-        e.select(day.alias("d"), "event_type")
-        .filter((F.col("d") >= 0) & (F.col("d") <= 29))
-        .groupBy("d", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_ij"))
-    )
-    cell = cell.localCheckpoint(eager=False)  # consumed twice
-    subj = (
-        cell.groupBy("d")
-        .agg(
-            F.sum("n_ij").alias("n_i"),
-            F.sum(F.col("n_ij") * F.col("n_ij")).alias("s2_i"),
-        )
-        .filter(F.col("n_i") > 1)
-    )
-    subj = subj.localCheckpoint(eager=False)  # consumed twice
-    pi = subj.select(
-        "d",
-        "n_i",
-        F.round(
-            (F.col("s2_i") - F.col("n_i")).cast("double")
-            / (F.col("n_i").cast("double") * (F.col("n_i") - 1)),
-            12,
-        ).alias("p_i"),
-    )
-    pbar = pi.agg(
-        F.count(F.lit(1)).cast("long").alias("n_subjects"),
-        F.aggregate(
-            F.array_sort(F.collect_list("p_i")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("sp"),
-        F.sum("n_i").cast("long").alias("n_tot"),
-    )
-    cat = (
-        cell.join(subj.select("d"), "d")
-        .groupBy("event_type")
-        .agg(F.sum("n_ij").alias("n_j"))
-    )
-    pe = (
-        cat.crossJoin(F.broadcast(pbar.select("n_tot")))
-        .select(
-            F.round(
-                (F.col("n_j").cast("double") / F.col("n_tot"))
-                * (F.col("n_j").cast("double") / F.col("n_tot")),
-                12,
-            ).alias("t")
-        )
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("p_e")
-        )
-    )
-    j = pbar.crossJoin(F.broadcast(pe))
-    p_bar = F.col("sp") / F.col("n_subjects")
-    return j.select(
-        "n_subjects",
-        F.col("n_tot").alias("n_ratings"),
-        F.round(p_bar, 9).alias("p_bar"),
-        F.round(F.col("p_e"), 9).alias("p_e"),
-        F.round(
-            (p_bar - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")), 9
-        ).alias("fleiss_kappa"),
-    )
-
-
-@query(
-    "stats_tukey_hsd",
-    oracle="""
-    WITH y AS (
-      SELECT o_orderpriority AS grp,
-             CAST(round(o_totalprice) AS BIGINT) AS y
-      FROM orders
-    ),
-    per AS (
-      SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
-             CAST(sum(y) AS BIGINT) AS s,
-             CAST(sum(y * y) AS BIGINT) AS s2
-      FROM y GROUP BY grp
-    ),
-    msw AS (
-      SELECT CAST(sum(n_i) AS BIGINT) AS nn,
-             CAST(count(*) AS BIGINT) AS k,
-             list_reduce(list_sort(list(
-               round(s2 - CAST(s AS DOUBLE) * s / n_i, 0))),
-               (a, b) -> a + b) AS ssw
-      FROM per
-    )
-    SELECT a.grp AS group_a, b.grp AS group_b, a.n_i AS n_a, b.n_i AS n_b,
-           round(CAST(a.s AS DOUBLE) / a.n_i
-                 - CAST(b.s AS DOUBLE) / b.n_i, 6) AS mean_diff,
-           round((CAST(a.s AS DOUBLE) / a.n_i
-                  - CAST(b.s AS DOUBLE) / b.n_i)
-                 / sqrt((m.ssw / (m.nn - m.k)) / 2.0
-                        * (1.0 / a.n_i + 1.0 / b.n_i)), 9) AS q_stat
-    FROM per a JOIN per b ON a.grp < b.grp, msw m
-    """,
-)
-def stats_tukey_hsd(spark: SparkSession, sf: str) -> DataFrame:
-    """TUKEY HSD pairwise q statistics across the 5 order priorities —
-    the post-hoc step after stats_anova_oneway rejects: which specific
-    priority pairs differ in mean order value (|q| against the
-    studentized-range table at k=5). Uses the Tukey–Kramer unequal-n
-    form q = Δmean/√(MSW/2·(1/nₐ+1/n_b)). Dollar moments exact
-    BIGINTs (the gamma/ICC discipline); per-group SSW terms integer-
-    grid pre-rounded then folded SORTED; the 10 pair rows come from a
-    category-bounded self-join. Display doubles at round 6/9."""
-    o = load(spark, sf, "orders")
-    y = o.select(
-        F.col("o_orderpriority").alias("grp"),
-        F.round(F.col("o_totalprice")).cast("long").alias("y"),
-    )
-    per = y.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_i"),
-        F.sum("y").alias("s"),
-        F.sum(F.col("y") * F.col("y")).alias("s2"),
-    )
-    per = per.localCheckpoint(eager=False)  # consumed thrice
-    ssw_term = F.round(
-        F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n_i"),
-        0,
-    )
-    msw = per.select(
-        "n_i", ssw_term.alias("t")
-    ).agg(
-        F.sum("n_i").cast("long").alias("nn"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.aggregate(
-            F.array_sort(F.collect_list("t")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("ssw"),
-    )
-    a = per.select(
-        F.col("grp").alias("group_a"),
-        F.col("n_i").alias("n_a"),
-        F.col("s").alias("s_a"),
-    )
-    b = per.select(
-        F.col("grp").alias("group_b"),
-        F.col("n_i").alias("n_b"),
-        F.col("s").alias("s_b"),
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("group_a") < F.col("group_b"))
-        .crossJoin(F.broadcast(msw))
-    )
-    diff = (
-        F.col("s_a").cast("double") / F.col("n_a")
-        - F.col("s_b").cast("double") / F.col("n_b")
-    )
-    q = diff / F.sqrt(
-        (F.col("ssw") / (F.col("nn") - F.col("k")))
-        / F.lit(2.0)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
-    return pairs.select(
-        "group_a",
-        "group_b",
-        "n_a",
-        "n_b",
-        F.round(diff, 6).alias("mean_diff"),
-        F.round(q, 9).alias("q_stat"),
-    )
-
-
-@query(
-    "stats_log_rank_test",
-    oracle="""
-    WITH firsts AS (
-      SELECT o_custkey AS cust,
-             min(o_orderdate) AS first_dt
-      FROM orders GROUP BY o_custkey
-    ),
-    seconds AS (
-      SELECT o.o_custkey AS cust, min(o.o_orderdate) AS second_dt
-      FROM orders o JOIN firsts f ON o.o_custkey = f.cust
-      WHERE o.o_orderdate > f.first_dt
-      GROUP BY o.o_custkey
-    ),
-    horizon AS (SELECT max(o_orderdate) AS h FROM orders),
-    subj AS (
-      SELECT f.cust,
-             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
-               AS grp1,
-             CASE WHEN s.second_dt IS NOT NULL THEN 1 ELSE 0 END
-               AS event,
-             CASE WHEN s.second_dt IS NOT NULL
-                  THEN datediff('day', f.first_dt, s.second_dt)
-                  ELSE datediff('day', f.first_dt, hz.h) END AS t
-      FROM firsts f
-      JOIN customer c ON c.c_custkey = f.cust
-      LEFT JOIN seconds s ON s.cust = f.cust
-      CROSS JOIN horizon hz
-    ),
-    times AS (
-      SELECT t AS et, CAST(sum(event) AS BIGINT) AS d_t,
-             CAST(sum(CASE WHEN grp1 = 1 THEN event ELSE 0 END)
-               AS BIGINT) AS d1_t
-      FROM subj GROUP BY t HAVING sum(event) > 0
-    ),
-    risk AS (
-      SELECT tm.et, tm.d_t, tm.d1_t,
-             CAST(count(*) AS BIGINT) AS n_t,
-             CAST(sum(s.grp1) AS BIGINT) AS n1_t
-      FROM times tm JOIN subj s ON s.t >= tm.et
-      GROUP BY tm.et, tm.d_t, tm.d1_t
-    ),
-    terms AS (
-      SELECT round(d1_t - CAST(d_t AS DOUBLE) * n1_t / n_t, 12) AS oe,
-             CASE WHEN n_t > 1 THEN round(
-               CAST(d_t AS DOUBLE) * n1_t / n_t
-               * (1.0 - CAST(n1_t AS DOUBLE) / n_t)
-               * (n_t - d_t) / (n_t - 1), 12) ELSE 0.0 END AS v
-      FROM risk
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_event_times,
-           round(list_reduce(list_sort(list(oe)), (a, b) -> a + b), 6)
-             AS observed_minus_expected,
-           round(list_reduce(list_sort(list(v)), (a, b) -> a + b), 6)
-             AS variance_sum,
-           round(list_reduce(list_sort(list(oe)), (a, b) -> a + b)
-                 * list_reduce(list_sort(list(oe)), (a, b) -> a + b)
-                 / list_reduce(list_sort(list(v)), (a, b) -> a + b), 9)
-             AS log_rank_chi2
-    FROM terms
-    """,
-)
-def stats_log_rank_test(spark: SparkSession, sf: str) -> DataFrame:
-    """LOG-RANK TEST — do BUILDING-segment customers reorder faster?
-    Duration = days from first to second order (censored at the
-    corpus horizon), the two-group survival comparison completing the
-    Kaplan–Meier op: χ² = (Σ(O₁ₜ−E₁ₜ))²/ΣVₜ over the distinct event
-    times with the standard hypergeometric variance. Risk sets come
-    from a time-join on the day-bounded event-time table (never a
-    per-subject window); O−E and V terms are pre-rounded at 12 and
-    folded SORTED, so both engines assemble the χ² from identical
-    doubles, round 9."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer")
-    firsts = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.min("o_orderdate").alias("first_dt")
-    )
-    seconds = (
-        o.join(
-            firsts, o.o_custkey == firsts.cust
-        )
-        .filter(F.col("o_orderdate") > F.col("first_dt"))
-        .groupBy("cust")
-        .agg(F.min("o_orderdate").alias("second_dt"))
-    )
-    horizon = o.agg(F.max("o_orderdate").alias("h"))
-    subj = (
-        firsts.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
-            firsts.cust == F.col("c_custkey"),
-        )
-        .join(seconds, "cust", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            "cust",
-            F.when(F.col("c_mktsegment") == "BUILDING", 1)
-            .otherwise(0)
-            .alias("grp1"),
-            F.when(F.col("second_dt").isNotNull(), 1)
-            .otherwise(0)
-            .alias("event"),
-            F.when(
-                F.col("second_dt").isNotNull(),
-                F.datediff("second_dt", "first_dt"),
-            )
-            .otherwise(F.datediff("h", "first_dt"))
-            .alias("t"),
-        )
-    )
-    subj = subj.localCheckpoint(eager=False)  # consumed twice
-    times = (
-        subj.groupBy(F.col("t").alias("et"))
-        .agg(
-            F.sum("event").alias("d_t"),
-            F.sum(
-                F.when(F.col("grp1") == 1, F.col("event")).otherwise(0)
-            ).alias("d1_t"),
-        )
-        .filter(F.col("d_t") > 0)
-    )
-    risk = (
-        times.join(subj, subj.t >= times.et)
-        .groupBy("et", "d_t", "d1_t")
-        .agg(
-            F.count(F.lit(1)).alias("n_t"),
-            F.sum("grp1").alias("n1_t"),
-        )
-    )
-    oe = F.round(
-        F.col("d1_t")
-        - F.col("d_t").cast("double") * F.col("n1_t") / F.col("n_t"),
-        12,
-    )
-    v = F.when(
-        F.col("n_t") > 1,
-        F.round(
-            F.col("d_t").cast("double")
-            * F.col("n1_t")
-            / F.col("n_t")
-            * (F.lit(1.0) - F.col("n1_t").cast("double") / F.col("n_t"))
-            * (F.col("n_t") - F.col("d_t"))
-            / (F.col("n_t") - 1),
-            12,
-        ),
-    ).otherwise(F.lit(0.0))
-    terms = risk.select(oe.alias("oe"), v.alias("v"))
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return terms.agg(
-        F.count(F.lit(1)).cast("long").alias("n_event_times"),
-        F.round(fold("oe"), 6).alias("observed_minus_expected"),
-        F.round(fold("v"), 6).alias("variance_sum"),
-        F.round(fold("oe") * fold("oe") / fold("v"), 9).alias(
-            "log_rank_chi2"
-        ),
-    )
-
-
-@query(
-    "win_forward_fill_gaps",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type,
-             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events
-      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-        AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 29
-      GROUP BY 1, 2
-    ),
-    types AS (SELECT DISTINCT event_type FROM daily),
-    spine AS (
-      SELECT t.event_type, CAST(s.i AS BIGINT) AS day
-      FROM types t, unnest(range(0, 30)) AS s(i)
-    ),
-    joined AS (
-      SELECT s.event_type, s.day, d.cents
-      FROM spine s LEFT JOIN daily d
-        ON d.event_type = s.event_type AND d.day = s.day
-    )
-    SELECT event_type, day,
-           coalesce(last_value(cents IGNORE NULLS) OVER (
-             PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-             AS cents_filled,
-           cents IS NULL AS was_filled
-    FROM joined
-    """,
-)
-def win_forward_fill_gaps(spark: SparkSession, sf: str) -> DataFrame:
-    """FORWARD-FILL (LOCF) over a dense day spine — the gap-repair
-    primitive every downstream window op assumes: build the full
-    type × 30-day grid, left-join the observed daily totals, carry
-    the last observation forward (zero before the first), and FLAG
-    the filled rows so consumers can weight them down. Spark
-    `F.last(ignorenulls)` ≡ DuckDB `last_value IGNORE NULLS` (the
-    proven device); integer cents end to end. The spine is a
-    broadcast dimension fan-out — dense-grid size = types × days, not
-    events — and the fill window partitions by type, so the plan is
-    one shuffle at any corpus size."""
-    e = load(spark, sf, "events")
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    daily = (
-        e.select(
-            "event_type",
-            day.alias("day"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .filter((F.col("day") >= 0) & (F.col("day") <= 29))
-        .groupBy("event_type", "day")
-        .agg(F.sum("c").alias("cents"))
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    types = daily.select("event_type").distinct()
-    spine = types.crossJoin(
-        F.broadcast(
-            spark.range(30).select(F.col("id").cast("long").alias("day"))
-        )
-    )
-    joined = spine.join(daily, ["event_type", "day"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        "event_type",
-        "day",
-        F.coalesce(
-            F.last("cents", ignorenulls=True).over(w), F.lit(0)
-        ).alias("cents_filled"),
-        F.col("cents").isNull().alias("was_filled"),
-    )
-
-
-@query(
-    "win_range_interval_sum",
-    oracle="""
-    WITH p AS (
-      SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase'
-    )
-    SELECT user_id, epoch_s, cents,
-           CAST(sum(cents) OVER (
-             PARTITION BY user_id ORDER BY epoch_s
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS sum_1h_cents,
-           CAST(count(*) OVER (
-             PARTITION BY user_id ORDER BY epoch_s
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS n_1h
-    FROM p
-    """,
-)
-def win_range_interval_sum(spark: SparkSession, sf: str) -> DataFrame:
-    """TRUE RANGE WINDOW (time-interval frame): per purchase event,
-    the exact trailing-1-hour spend and count for its user — RANGE
-    BETWEEN 3600 PRECEDING on integer epoch seconds, NOT a row-count
-    frame (rows-frames silently break on bursty streams; this is the
-    velocity feature real fraud rules use). Spark `rangeBetween` ≡
-    ANSI RANGE on both engines over exact integers. One shuffle on
-    user_id; within-partition the frame is a sliding pointer — linear
-    per user regardless of burst size."""
-    e = load(spark, sf, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    p = e.select(
-        "user_id",
-        F.floor(_usec("ts") / 1_000_000).cast("long").alias("epoch_s"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("epoch_s")
-        .rangeBetween(-3600, 0)
-    )
-    return p.select(
-        "user_id",
-        "epoch_s",
-        "cents",
-        F.sum("cents").over(w).cast("long").alias("sum_1h_cents"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
-    )
-
-
-@query(
-    "agg_weighted_percentile",
-    oracle="""
-    WITH pr AS (
-      SELECT l_returnflag AS returnflag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-             CAST(l_quantity AS BIGINT) AS qty
-      FROM lineitem
-    ),
-    grouped AS (
-      SELECT returnflag, price_cents, CAST(sum(qty) AS BIGINT) AS w
-      FROM pr GROUP BY returnflag, price_cents
-    ),
-    cum AS (
-      SELECT returnflag, price_cents, w,
-             CAST(sum(w) OVER (PARTITION BY returnflag
-               ORDER BY price_cents) AS BIGINT) AS cw,
-             CAST(sum(w) OVER (PARTITION BY returnflag) AS BIGINT) AS tw
-      FROM grouped
-    )
-    SELECT returnflag, CAST(max(tw) AS BIGINT) AS total_qty,
-           CAST(min(CASE WHEN 4 * cw >= tw THEN price_cents END)
-             AS BIGINT) AS wp25_cents,
-           CAST(min(CASE WHEN 2 * cw >= tw THEN price_cents END)
-             AS BIGINT) AS wp50_cents,
-           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN price_cents END)
-             AS BIGINT) AS wp75_cents
-    FROM cum GROUP BY returnflag
-    """,
-)
-def agg_weighted_percentile(spark: SparkSession, sf: str) -> DataFrame:
-    """QUANTITY-WEIGHTED PRICE PERCENTILES per return flag — 'half the
-    UNITS ship at or below this price', which is NOT the row median
-    (the metric behind volume-weighted pricing reviews). Exact by
-    construction: group to the (flag, price) grain, one cumulative-
-    weight window per flag, and the q-th weighted percentile is the
-    smallest price with q·total ≤ cum·denominator — pure integer
-    cross-multiplications, no interpolation, no float. The cumulative
-    window rides the price-grain rollup (bounded by distinct prices),
-    not raw lineitem."""
-    li = load(spark, sf, "lineitem")
-    pr = li.select(
-        F.col("l_returnflag").alias("returnflag"),
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("price_cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    grouped = pr.groupBy("returnflag", "price_cents").agg(
-        F.sum("qty").alias("w")
-    )
-    wc = Window.partitionBy("returnflag").orderBy("price_cents")
-    cum = grouped.select(
-        "returnflag",
-        "price_cents",
-        F.sum("w").over(
-            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cw"),
-        F.sum("w").over(Window.partitionBy("returnflag")).alias("tw"),
-    )
-    return cum.groupBy("returnflag").agg(
-        F.max("tw").cast("long").alias("total_qty"),
-        F.min(
-            F.when(4 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
-        )
-        .cast("long")
-        .alias("wp25_cents"),
-        F.min(
-            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
-        )
-        .cast("long")
-        .alias("wp50_cents"),
-        F.min(
-            F.when(
-                4 * F.col("cw") >= 3 * F.col("tw"), F.col("price_cents")
-            )
-        )
-        .cast("long")
-        .alias("wp75_cents"),
-    )
-
-
-@query(
-    "curation_token_budget_audit",
-    oracle="""
-    WITH d AS (
-      SELECT source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tok
-      FROM documents
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_over_budget,
-           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
-           CAST(sum(least(n_tok, 64)) AS BIGINT) AS tokens_kept,
-           CAST(sum(greatest(n_tok - 64, 0)) AS BIGINT) AS tokens_lost,
-           round(CAST(sum(greatest(n_tok - 64, 0)) AS DOUBLE)
-                 / sum(n_tok), 9) AS loss_share
-    FROM d GROUP BY source
-    """,
-)
-def curation_token_budget_audit(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """TOKEN-BUDGET TRUNCATION AUDIT per source — before packing
-    sequences at a 64-token context budget, how much text would a
-    hard truncate throw away and from where? (A source losing 30% of
-    its tokens to truncation needs chunking, not clipping — this is
-    the decision input for curation_pack_sequences vs
-    curation_chunk_overlap.) Whitespace token counts and min/max
-    clips are exact BIGINTs in one map-combinable groupBy; loss share
-    is the single display double, round 9. Pure scan + aggregate,
-    pushdown-friendly."""
-    d = load(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    b = d.select("source", n_tok.alias("n_tok"))
-    return b.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0))
-        .cast("long")
-        .alias("n_over_budget"),
-        F.sum("n_tok").cast("long").alias("tokens_total"),
-        F.sum(F.least(F.col("n_tok"), F.lit(64).cast("long")))
-        .cast("long")
-        .alias("tokens_kept"),
-        F.sum(
-            F.greatest(F.col("n_tok") - 64, F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("tokens_lost"),
-        F.round(
-            F.sum(
-                F.greatest(F.col("n_tok") - 64, F.lit(0).cast("long"))
-            ).cast("double")
-            / F.sum("n_tok"),
-            9,
-        ).alias("loss_share"),
-    )
-
-
-@query(
-    "sim_cosine_threshold_census",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id,
-             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, bkt, qv,
-             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
-                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
-      FROM q
-    ),
-    pairs AS (
-      SELECT CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                   CAST(b.qv AS DOUBLE[])) AS BIGINT)
-               AS ab,
-             a.nn AS na, b.nn AS nb
-      FROM norms a JOIN norms b
-        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-    ),
-    thr AS (
-      SELECT t.num, t.den
-      FROM (VALUES (1, 4), (9, 25), (49, 100), (16, 25), (81, 100))
-           AS t(num, den)
-    )
-    SELECT round(sqrt(CAST(num AS DOUBLE) / den), 9) AS threshold,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN ab > 0 AND den * ab * ab >= num * na * nb
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-           round(CAST(sum(CASE WHEN ab > 0
-                                AND den * ab * ab >= num * na * nb
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 9) AS share_above
-    FROM pairs, thr GROUP BY num, den
-    """,
-)
-def sim_cosine_threshold_census(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """COSINE-THRESHOLD PAIR CENSUS — how many sampled pairs clear
-    cos ≥ {{0.5, 0.6, 0.7, 0.8, 0.9}}: the yield curve that picks a
-    semantic-dedup threshold BEFORE running the dedup (semdedup's
-    tuning chart, the embedding twin of dedup_threshold_yield_curve).
-    Every comparison is EXACT INTEGER arithmetic: cos ≥ t ⟺ a·b > 0 ∧
-    den·(a·b)² ≥ num·|a|²|b|² with the thresholds chosen to have
-    exact rational squares — no sqrt, no float compare anywhere.
-    Pairs ride the md5-bucket 1/16 sample; the 5-threshold fan-out is
-    a broadcast VALUES join."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select(
-        "vec_id",
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
-            "bkt"
-        ),
-        qz.alias("qv"),
-    )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    norms = q.select("vec_id", "bkt", "qv", dot("qv", "qv").alias("nn"))
-    a = norms.select(
-        F.col("vec_id").alias("ida"),
-        "bkt",
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("idb"),
-        "bkt",
-        F.col("qv").alias("qb"),
-        F.col("nn").alias("nb"),
-    )
-    pairs = (
-        a.join(b, on="bkt")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(dot("qa", "qb").alias("ab"), "na", "nb")
-    )
-    thr = spark.createDataFrame(
-        [(1, 4), (9, 25), (49, 100), (16, 25), (81, 100)], "num int, den int"
-    )
-    j = pairs.crossJoin(F.broadcast(thr))
-    above = (F.col("ab") > 0) & (
-        F.col("den") * F.col("ab") * F.col("ab")
-        >= F.col("num") * F.col("na") * F.col("nb")
-    )
-    return j.groupBy("num", "den").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias(
-            "n_above"
-        ),
-        F.round(
-            F.sum(F.when(above, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("share_above"),
-    ).select(
-        F.round(
-            F.sqrt(F.col("num").cast("double") / F.col("den")), 9
-        ).alias("threshold"),
-        "n_pairs",
-        "n_above",
-        "share_above",
-    )
-
-
-@query(
-    "dedup_cross_source_clusters",
-    oracle="""
-    WITH cl AS (
-      SELECT md5(text) AS th,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-             CAST(min(doc_id) AS BIGINT) AS canonical_doc
-      FROM documents GROUP BY md5(text)
-      HAVING count(*) > 1
-    )
-    SELECT n_docs AS cluster_size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_cross_source,
-           round(CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 9) AS cross_source_share,
-           CAST(min(canonical_doc) AS BIGINT) AS sample_canonical
-    FROM cl GROUP BY n_docs
-    """,
-)
-def dedup_cross_source_clusters(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CROSS-SOURCE DUPLICATE CLUSTERS — of the exact-dup clusters at
-    each size, how many span MULTIPLE sources? Within-source dups are
-    usually crawler artifacts (safe to collapse); cross-source dups
-    are syndicated/boilerplate content whose 'source diversity' is
-    illusory — exactly the clusters that inflate mixing weights if
-    counted per source (feeds curation_dup_rate_by_source and the
-    mix_weights ops). One md5-groupBy + one size-bounded rollup, all
-    exact BIGINTs."""
-    d = load(spark, sf, "documents")
-    cl = (
-        d.groupBy(F.md5("text").alias("th"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("source").alias("n_sources"),
-            F.min("doc_id").alias("canonical_doc"),
-        )
-        .filter(F.col("n_docs") > 1)
-    )
-    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_cross_source"),
-        F.round(
-            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("cross_source_share"),
-        F.min("canonical_doc").cast("long").alias("sample_canonical"),
-    )
-
-
-@query(
-    "stats_two_way_anova",
-    oracle="""
-    WITH y AS (
-      SELECT o.o_orderpriority AS a, l.l_returnflag AS b,
-             CAST(round(l.l_extendedprice) AS BIGINT) AS y
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ),
-    cells AS (
-      SELECT a, b, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS s2
-      FROM y GROUP BY a, b
-    ),
-    tot AS (
-      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS st,
-             CAST(sum(s2) AS BIGINT) AS s2t,
-             CAST(count(DISTINCT a) AS BIGINT) AS ka,
-             CAST(count(DISTINCT b) AS BIGINT) AS kb
-      FROM cells
-    ),
-    sqs AS (
-      SELECT
-        (SELECT list_reduce(list_sort(list(
-           round(CAST(s AS DOUBLE) * s / n, 0))), (x, z) -> x + z)
-         FROM cells) AS sq_cells,
-        (SELECT list_reduce(list_sort(list(
-           round(CAST(s AS DOUBLE) * s / n, 0))), (x, z) -> x + z)
-         FROM (SELECT a, CAST(sum(n) AS BIGINT) AS n,
-                      CAST(sum(s) AS BIGINT) AS s
-               FROM cells GROUP BY a)) AS sq_a,
-        (SELECT list_reduce(list_sort(list(
-           round(CAST(s AS DOUBLE) * s / n, 0))), (x, z) -> x + z)
-         FROM (SELECT b, CAST(sum(n) AS BIGINT) AS n,
-                      CAST(sum(s) AS BIGINT) AS s
-               FROM cells GROUP BY b)) AS sq_b
-    )
-    SELECT t.ka AS k_a, t.kb AS k_b, t.nn AS n_total,
-           round(q.sq_a - CAST(t.st AS DOUBLE) * t.st / t.nn, 0) AS ss_a,
-           round(q.sq_b - CAST(t.st AS DOUBLE) * t.st / t.nn, 0) AS ss_b,
-           round(q.sq_cells - q.sq_a - q.sq_b
-                 + CAST(t.st AS DOUBLE) * t.st / t.nn, 0) AS ss_ab,
-           round(t.s2t - q.sq_cells, 0) AS ss_error,
-           round((q.sq_a - CAST(t.st AS DOUBLE) * t.st / t.nn)
-                 / (t.ka - 1)
-                 / ((t.s2t - q.sq_cells) / (t.nn - t.ka * t.kb)), 9)
-             AS f_a,
-           round((q.sq_b - CAST(t.st AS DOUBLE) * t.st / t.nn)
-                 / (t.kb - 1)
-                 / ((t.s2t - q.sq_cells) / (t.nn - t.ka * t.kb)), 9)
-             AS f_b,
-           round((q.sq_cells - q.sq_a - q.sq_b
-                  + CAST(t.st AS DOUBLE) * t.st / t.nn)
-                 / ((t.ka - 1) * (t.kb - 1))
-                 / ((t.s2t - q.sq_cells) / (t.nn - t.ka * t.kb)), 9)
-             AS f_ab
-    FROM tot t, sqs q
-    """,
-)
-def stats_two_way_anova(spark: SparkSession, sf: str) -> DataFrame:
-    """TWO-WAY ANOVA (priority × return flag on line revenue) with the
-    unadjusted cell-means decomposition: SS_A, SS_B, SS_AB = SS_cells
-    − SS_A − SS_B, SSE = SST − SS_cells, and the three F ratios — the
-    'does the return-behavior effect DEPEND on priority' interaction
-    test one-way ANOVA can't ask. (Unbalanced data makes this the
-    Type-I-style sequential decomposition; documented, mirrored.)
-    Cell moments are EXACT BIGINT dollars; every Σs²/n family is
-    integer-grid pre-rounded and folded SORTED (the ICC device,
-    three folds: cells, A margins, B margins); F's are mirrored
-    doubles, round 9. One fact-join groupBy to a 15-cell table."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
-    )
-    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
-    y = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_orderpriority").alias("a"),
-        F.col("l_returnflag").alias("b"),
-        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
-    )
-    cells = y.groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("s"),
-        F.sum(F.col("y") * F.col("y")).alias("s2"),
-    )
-    cells = cells.localCheckpoint(eager=False)  # 4 consumers
-
-    def sqfold(df, keys):
-        g = df.groupBy(*keys).agg(
-            F.sum("n").alias("n"), F.sum("s").alias("s")
-        ) if keys else df
-        term = F.round(
-            F.col("s").cast("double") * F.col("s") / F.col("n"), 0
-        )
-        return g.select(term.alias("t")).agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("sq")
-        )
-
-    tot = cells.agg(
-        F.sum("n").cast("long").alias("nn"),
-        F.sum("s").cast("long").alias("st"),
-        F.sum("s2").cast("long").alias("s2t"),
-        F.countDistinct("a").cast("long").alias("ka"),
-        F.countDistinct("b").cast("long").alias("kb"),
-    )
-    sq_cells = sqfold(cells, []).select(F.col("sq").alias("sq_cells"))
-    sq_a = sqfold(cells, ["a"]).select(F.col("sq").alias("sq_a"))
-    sq_b = sqfold(cells, ["b"]).select(F.col("sq").alias("sq_b"))
-    j = (
-        tot.crossJoin(F.broadcast(sq_cells))
-        .crossJoin(F.broadcast(sq_a))
-        .crossJoin(F.broadcast(sq_b))
-    )
-    corr = F.col("st").cast("double") * F.col("st") / F.col("nn")
-    ss_a = F.col("sq_a") - corr
-    ss_b = F.col("sq_b") - corr
-    ss_ab = F.col("sq_cells") - F.col("sq_a") - F.col("sq_b") + corr
-    ss_e = F.col("s2t") - F.col("sq_cells")
-    df_e = F.col("nn") - F.col("ka") * F.col("kb")
-    mse = ss_e / df_e
-    return j.select(
-        F.col("ka").alias("k_a"),
-        F.col("kb").alias("k_b"),
-        F.col("nn").alias("n_total"),
-        F.round(ss_a, 0).alias("ss_a"),
-        F.round(ss_b, 0).alias("ss_b"),
-        F.round(ss_ab, 0).alias("ss_ab"),
-        F.round(ss_e, 0).alias("ss_error"),
-        F.round(ss_a / (F.col("ka") - 1) / mse, 9).alias("f_a"),
-        F.round(ss_b / (F.col("kb") - 1) / mse, 9).alias("f_b"),
-        F.round(
-            ss_ab / ((F.col("ka") - 1) * (F.col("kb") - 1)) / mse, 9
-        ).alias("f_ab"),
-    )
-
-
-@query(
-    "stats_powerlaw_ks_fit",
-    oracle="""
-    WITH tail AS (
-      SELECT CAST(round(o_totalprice) AS BIGINT) AS x
-      FROM orders WHERE round(o_totalprice) >= 200000
-    ),
-    alpha AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             1.0 + count(*) / list_reduce(list_sort(list(
-               round(ln(CAST(x AS DOUBLE) / 200000.0), 12))),
-               (a, b) -> a + b) AS a_hat
-      FROM tail
-    ),
-    ranked AS (
-      SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rk
-      FROM tail
-    ),
-    ks AS (
-      SELECT max(abs(CAST(rk AS DOUBLE) / al.n
-                     - (1.0 - exp((1.0 - al.a_hat)
-                                  * ln(CAST(x AS DOUBLE) / 200000.0)))))
-               AS d
-      FROM ranked, alpha al
-    )
-    SELECT al.n AS n_tail, CAST(200000 AS BIGINT) AS xmin_dollars,
-           round(al.a_hat, 9) AS alpha_hat,
-           round(ks.d, 9) AS ks_d
-    FROM alpha al, ks
-    """,
-)
-def stats_powerlaw_ks_fit(spark: SparkSession, sf: str) -> DataFrame:
-    """POWER-LAW TAIL FIT + KS GOODNESS — the Clauset-Shalizi-Newman
-    workflow's core: Hill/MLE exponent α̂ = 1 + n/Σln(x/xmin) over the
-    order-value tail (xmin pinned at $200k), then the KS distance
-    between the empirical tail CDF and the fitted CDF 1 −
-    (x/xmin)^(1−α̂) — the 'is this really a power law' one-number
-    check behind every heavy-tail claim. ln terms pre-rounded and
-    folded SORTED; the fitted CDF uses exp((1−α̂)·ln r), the SAME
-    expression tree both engines, and the KS max is order-free. The
-    rank window runs over the tail only (tails are small by
-    definition; range-shard it past ~10⁸ tail rows)."""
-    o = load(spark, sf, "orders")
-    x = F.round(F.col("o_totalprice")).cast("long")
-    tail = o.select(x.alias("x")).filter(F.col("x") >= 200000)
-    tail = tail.localCheckpoint(eager=False)  # consumed twice
-    lnterm = F.round(
-        F.log(F.col("x").cast("double") / F.lit(200000.0)), 12
-    )
-    alpha = tail.select(lnterm.alias("t")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        (
-            F.lit(1.0)
-            + F.count(F.lit(1))
-            / F.aggregate(
-                F.array_sort(F.collect_list("t")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ).alias("a_hat"),
-    )
-    ranked = tail.select(
-        "x", F.row_number().over(Window.orderBy("x")).cast("long").alias("rk")
-    )
-    j = ranked.crossJoin(F.broadcast(alpha))
-    theo = F.lit(1.0) - F.exp(
-        (F.lit(1.0) - F.col("a_hat"))
-        * F.log(F.col("x").cast("double") / F.lit(200000.0))
-    )
-    ks = j.agg(
-        F.max(
-            F.abs(F.col("rk").cast("double") / F.col("n") - theo)
-        ).alias("d")
-    )
-    return alpha.crossJoin(F.broadcast(ks)).select(
-        F.col("n").alias("n_tail"),
-        F.lit(200000).cast("long").alias("xmin_dollars"),
-        F.round(F.col("a_hat"), 9).alias("alpha_hat"),
-        F.round(F.col("d"), 9).alias("ks_d"),
-    )
-
-
-@query(
-    "audit_monotonic_id_gaps",
-    oracle="""
-    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
-    lagged AS (
-      SELECT id, id - lag(id) OVER (ORDER BY id) AS gap
-      FROM ids
-    ),
-    g AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
-             CAST(min(id) AS BIGINT) AS id_min,
-             CAST(max(id) AS BIGINT) AS id_max,
-             CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
-      FROM lagged
-    ),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
-    SELECT t.n_rows, g.n_distinct,
-           t.n_rows - g.n_distinct AS n_duplicate_rows,
-           g.id_min, g.id_max,
-           g.id_max - g.id_min + 1 - g.n_distinct AS n_missing_ids,
-           g.max_gap
-    FROM g, t
-    """,
-)
-def audit_monotonic_id_gaps(spark: SparkSession, sf: str) -> DataFrame:
-    """ID-CONTINUITY AUDIT on the event stream — duplicate event_ids
-    (at-least-once ingestion leaking through dedup), missing ids
-    (dropped batches), and the largest gap (where the outage was):
-    the first three questions after any pipeline incident. Distinct
-    count, span arithmetic, and the lag-window max-gap are all exact
-    integers; the global id-order window runs at id grain (range-
-    shard by id prefix at 10⁹+ ids — the quantile_normalize
-    device)."""
-    e = load(spark, sf, "events")
-    ids = e.select(F.col("event_id").alias("id")).distinct()
-    lagged = ids.select(
-        "id", (F.col("id") - F.lag("id").over(Window.orderBy("id"))).alias(
-            "gap"
-        )
-    )
-    g = lagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.min("id").alias("id_min"),
-        F.max("id").alias("id_max"),
-        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
-    )
-    t = e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    return g.crossJoin(F.broadcast(t)).select(
-        "n_rows",
-        "n_distinct",
-        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicate_rows"),
-        "id_min",
-        "id_max",
-        (F.col("id_max") - F.col("id_min") + 1 - F.col("n_distinct")).alias(
-            "n_missing_ids"
-        ),
-        "max_gap",
-    )
-
-
-@query(
-    "olap_rfm_migration",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey AS cust,
-             CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1996
-                  ELSE 1997 END AS yr,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
-               AS m,
-             max(o_orderdate) AS last_dt
-      FROM orders
-      WHERE o_orderdate >= DATE '1996-01-01'
-        AND o_orderdate < DATE '1998-01-01'
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT cust, yr,
-             ntile(4) OVER (PARTITION BY yr
-               ORDER BY last_dt DESC, cust) AS r_q,
-             ntile(4) OVER (PARTITION BY yr
-               ORDER BY m DESC, cust) AS m_q
-      FROM per
-    ),
-    seg AS (
-      SELECT cust, yr,
-             'R' || CAST(r_q AS VARCHAR) || 'M' || CAST(m_q AS VARCHAR)
-               AS seg
-      FROM scored
-    )
-    SELECT a.seg AS seg_1996, b.seg AS seg_1997,
-           CAST(count(*) AS BIGINT) AS n_customers
-    FROM seg a JOIN seg b ON a.cust = b.cust
-    WHERE a.yr = 1996 AND b.yr = 1997
-    GROUP BY a.seg, b.seg
-    """,
-)
-def olap_rfm_migration(spark: SparkSession, sf: str) -> DataFrame:
-    """RFM SEGMENT MIGRATION 1996 → 1997 — which recency×monetary
-    quartile each repeat customer moved to (the retention team's
-    'who decayed out of R1M1' matrix; olap_rfm_segmentation gives the
-    static cut, THIS gives the dynamics, the markov-transition device
-    on customer value segments). Deterministic quartiles via full
-    (metric desc, custkey) tiebreaks, per-year windows over the
-    customer-grain rollup (the decile-migration scale shape: the
-    global sort rides customers, not orders — range-shard past ~10⁸
-    customers). Output is 16×16-bounded."""
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
-    )
-    per = o.groupBy(
-        F.col("o_custkey").alias("cust"),
-        F.when(
-            F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), 1996
-        )
-        .otherwise(1997)
-        .alias("yr"),
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("m"),
-        F.max("o_orderdate").alias("last_dt"),
-    )
-    wr = Window.partitionBy("yr").orderBy(
-        F.col("last_dt").desc(), F.col("cust")
-    )
-    wm = Window.partitionBy("yr").orderBy(F.col("m").desc(), F.col("cust"))
-    seg = per.select(
-        "cust",
-        "yr",
-        F.concat(
-            F.lit("R"),
-            F.ntile(4).over(wr).cast("string"),
-            F.lit("M"),
-            F.ntile(4).over(wm).cast("string"),
-        ).alias("seg"),
-    )
-    a = seg.filter(F.col("yr") == 1996).select(
-        "cust", F.col("seg").alias("seg_1996")
-    )
-    b = seg.filter(F.col("yr") == 1997).select(
-        "cust", F.col("seg").alias("seg_1997")
-    )
-    return (
-        a.join(b, "cust")
-        .groupBy("seg_1996", "seg_1997")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-    )
-
-
-@query(
-    "stats_cuped_variance_reduction",
-    oracle="""
-    WITH pre AS (
-      SELECT o_custkey AS cust,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
-               AS x
-      FROM orders
-      WHERE o_orderdate >= DATE '1996-01-01'
-        AND o_orderdate < DATE '1997-01-01'
-      GROUP BY 1
-    ),
-    post AS (
-      SELECT o_custkey AS cust,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
-               AS y
-      FROM orders
-      WHERE o_orderdate >= DATE '1997-01-01'
-        AND o_orderdate < DATE '1998-01-01'
-      GROUP BY 1
-    ),
-    j AS (
-      SELECT p.cust, p.x, coalesce(q.y, 0) AS y
-      FROM pre p LEFT JOIN post q ON q.cust = p.cust
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM j
-    )
-    SELECT n AS n_customers,
-           round((sxy - CAST(sx AS DOUBLE) * sy / n)
-                 / (sxx - CAST(sx AS DOUBLE) * sx / n), 9) AS theta,
-           round(((sxy - CAST(sx AS DOUBLE) * sy / n)
-                  * (sxy - CAST(sx AS DOUBLE) * sy / n))
-                 / ((sxx - CAST(sx AS DOUBLE) * sx / n)
-                    * (syy - CAST(sy AS DOUBLE) * sy / n)), 9)
-             AS rho_squared,
-           round(100.0 * ((sxy - CAST(sx AS DOUBLE) * sy / n)
-                          * (sxy - CAST(sx AS DOUBLE) * sy / n))
-                 / ((sxx - CAST(sx AS DOUBLE) * sx / n)
-                    * (syy - CAST(sy AS DOUBLE) * sy / n)), 6)
-             AS variance_reduction_pct
-    FROM m
-    """,
-)
-def stats_cuped_variance_reduction(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CUPED PRE-REGISTRATION — how much A/B variance would the
-    pre-period covariate remove? θ = cov(pre, post)/var(pre) is the
-    adjustment coefficient and ρ² the guaranteed variance reduction
-    (Deng et al. 2013) — the number that decides whether an
-    experiment needs 4 weeks or 1. Pre = 1996 customer revenue, post
-    = 1997 (absent post = exact 0, kept — churned customers are
-    signal). All five moments are EXACT BIGINT dollars in one
-    customer-grain groupBy; θ and ρ² are mirrored single-expression
-    doubles, round 9/6."""
-    o = load(spark, sf, "orders")
-    dollars = F.round(F.col("o_totalprice")).cast("long")
-    pre = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
-        )
-        .groupBy(F.col("o_custkey").alias("cust"))
-        .agg(F.sum(dollars).alias("x"))
-    )
-    post = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
-        )
-        .groupBy(F.col("o_custkey").alias("cust"))
-        .agg(F.sum(dollars).alias("y"))
-    )
-    j = pre.join(post, "cust", "left").select(
-        "x", F.coalesce("y", F.lit(0)).alias("y")
-    )
-    m = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    cov = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col(
-        "n"
-    )
-    vx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col(
-        "n"
-    )
-    vy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col(
-        "n"
-    )
-    return m.select(
-        F.col("n").alias("n_customers"),
-        F.round(cov / vx, 9).alias("theta"),
-        F.round(cov * cov / (vx * vy), 9).alias("rho_squared"),
-        F.round(F.lit(100.0) * cov * cov / (vx * vy), 6).alias(
-            "variance_reduction_pct"
-        ),
-    )
-
-
-@query(
-    "ts_markov_entropy_rate",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type, ts, event_id,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS nxt
-      FROM events
-    ),
-    trans AS (
-      SELECT event_type AS cur, nxt,
-             CAST(count(*) AS BIGINT) AS n_ij
-      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
-    ),
-    rows_ AS (
-      SELECT cur, CAST(sum(n_ij) AS BIGINT) AS n_i FROM trans GROUP BY cur
-    ),
-    tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS nn FROM trans),
-    terms AS (
-      SELECT round((CAST(t.n_ij AS DOUBLE) / x.nn)
-                   * ln(CAST(t.n_ij AS DOUBLE) / r.n_i), 12) AS term
-      FROM trans t JOIN rows_ r ON t.cur = r.cur, tot x
-    )
-    SELECT (SELECT nn FROM tot) AS n_transitions,
-           (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_states,
-           round(-list_reduce(list_sort(list(term)), (a, b) -> a + b), 9)
-             AS entropy_rate_nats,
-           round(exp(-list_reduce(list_sort(list(term)),
-                                  (a, b) -> a + b)), 9)
-             AS perplexity
-    FROM terms
-    """,
-)
-def ts_markov_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
-    """MARKOV ENTROPY RATE of per-user event sequences — the
-    conditional next-event entropy H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ·) over
-    the empirical transition matrix, with its perplexity e^H: 'how
-    predictable is the next user action given the current one' — the
-    one-number summary on top of stats_markov_transitions, and the
-    baseline any sequence model must beat. Transition counts are
-    exact BIGINTs off one per-user lead window; the ≤k² weighted
-    log terms pre-round at 12 and fold SORTED, round 9."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lead("event_type").over(w).alias("nxt")
-    ).filter(F.col("nxt").isNotNull())
-    trans = seq.groupBy(
-        F.col("event_type").alias("cur"), "nxt"
-    ).agg(F.count(F.lit(1)).alias("n_ij"))
-    trans = trans.localCheckpoint(eager=False)  # consumed thrice
-    rows_ = trans.groupBy("cur").agg(F.sum("n_ij").alias("n_i"))
-    tot = trans.agg(F.sum("n_ij").cast("long").alias("nn"))
-    nst = rows_.agg(F.count(F.lit(1)).cast("long").alias("n_states"))
-    terms = (
-        trans.join(rows_, "cur")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.round(
-                (F.col("n_ij").cast("double") / F.col("nn"))
-                * F.log(F.col("n_ij").cast("double") / F.col("n_i")),
-                12,
-            ).alias("term")
-        )
-    )
-    h = -F.aggregate(
-        F.array_sort(F.collect_list("term")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    agg = terms.agg(
-        F.round(h, 9).alias("entropy_rate_nats"),
-        F.round(F.exp(h), 9).alias("perplexity"),
-    )
-    return (
-        tot.crossJoin(F.broadcast(nst))
-        .crossJoin(F.broadcast(agg))
-        .select(
-            F.col("nn").alias("n_transitions"),
-            "n_states",
-            "entropy_rate_nats",
-            "perplexity",
-        )
-    )
-
-
-@query(
-    "olap_brand_weekly_corr_pairs",
-    oracle="""
-    WITH weekly AS (
-      SELECT p.p_brand AS brand,
-             datediff('day', DATE '1997-01-01',
-                      CAST(l.l_shipdate AS DATE)) // 7 AS wk,
-             CAST(sum(CAST(round(l.l_extendedprice) AS BIGINT))
-               AS BIGINT) AS rev
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE l.l_shipdate >= DATE '1997-01-01'
-        AND l.l_shipdate < DATE '1998-01-01'
-      GROUP BY 1, 2
-    ),
-    spine AS (
-      SELECT b.brand, CAST(s.i AS BIGINT) AS wk
-      FROM (SELECT DISTINCT brand FROM weekly) b,
-           unnest(range(0, 52)) AS s(i)
-    ),
-    dense AS (
-      SELECT s.brand, s.wk, coalesce(w.rev, 0) AS rev
-      FROM spine s LEFT JOIN weekly w
-        ON w.brand = s.brand AND w.wk = s.wk
-      WHERE s.wk < 52
-    ),
-    pairs AS (
-      SELECT a.brand AS brand_a, b.brand AS brand_b,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(a.rev) AS BIGINT) AS sx,
-             CAST(sum(b.rev) AS BIGINT) AS sy,
-             CAST(sum(a.rev * b.rev) AS BIGINT) AS sxy,
-             CAST(sum(a.rev * a.rev) AS BIGINT) AS sxx,
-             CAST(sum(b.rev * b.rev) AS BIGINT) AS syy
-      FROM dense a JOIN dense b
-        ON a.wk = b.wk AND a.brand < b.brand
-      GROUP BY 1, 2
-    )
-    SELECT brand_a, brand_b,
-           round((sxy - CAST(sx AS DOUBLE) * sy / n)
-                 / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n)
-                        * (syy - CAST(sy AS DOUBLE) * sy / n)), 9)
-             AS weekly_corr
-    FROM pairs
-    QUALIFY row_number() OVER (
-      ORDER BY (sxy - CAST(sx AS DOUBLE) * sy / n)
-               / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n)
-                      * (syy - CAST(sy AS DOUBLE) * sy / n)),
-               brand_a, brand_b) <= 20
-    """,
-)
-def olap_brand_weekly_corr_pairs(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """BRAND CANNIBALIZATION SCREEN — the 20 most NEGATIVELY
-    correlated brand pairs on dense 1997 weekly revenue (zero-filled
-    weeks included: absence is signal). Persistent negative weekly
-    correlation between two brands is the classic substitution
-    fingerprint a category manager investigates. All Pearson moments
-    are EXACT BIGINT dollars over the week-grain pair join (brand² ×
-    52 rows — brand-bounded, never fact-scale); the correlation is a
-    mirrored single expression, round 9, with full tiebreaks on the
-    bottom-20 cut."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
-    )
-    p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    wk = F.expr(
-        "datediff(cast(l_shipdate as date), date'1997-01-01') div 7"
-    )
-    weekly = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"), wk.alias("wk"))
-        .agg(
-            F.sum(F.round(F.col("l_extendedprice")).cast("long")).alias(
-                "rev"
-            )
-        )
-    )
-    weekly = weekly.localCheckpoint(eager=False)  # consumed twice
-    spine = (
-        weekly.select("brand")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                spark.range(52).select(F.col("id").alias("wk"))
-            )
-        )
-    )
-    dense = spine.join(weekly, ["brand", "wk"], "left").select(
-        "brand", "wk", F.coalesce("rev", F.lit(0)).alias("rev")
-    )
-    a = dense.select(
-        F.col("brand").alias("brand_a"), "wk", F.col("rev").alias("ra")
-    )
-    b = dense.select(
-        F.col("brand").alias("brand_b"), "wk", F.col("rev").alias("rb")
-    )
-    pairs = (
-        a.join(b, "wk")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("ra").alias("sx"),
-            F.sum("rb").alias("sy"),
-            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
-            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
-            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
-        )
-    )
-    corr = (
-        F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
-    ) / F.sqrt(
-        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
-        * (
-            F.col("syy")
-            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
-        )
-    )
-    w = Window.orderBy(corr.asc(), F.col("brand_a"), F.col("brand_b"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select(
-            "brand_a", "brand_b", F.round(corr, 9).alias("weekly_corr")
-        )
-    )
-
-
-@query(
-    "olap_nation_assortment_jaccard",
-    oracle="""
-    WITH bought AS (
-      SELECT DISTINCT c.c_nationkey AS nation, l.l_partkey AS part
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      WHERE l.l_shipdate >= DATE '1997-01-01'
-        AND l.l_shipdate < DATE '1998-01-01'
-    ),
-    sizes AS (
-      SELECT nation, CAST(count(*) AS BIGINT) AS sz
-      FROM bought GROUP BY nation
-    ),
-    inter AS (
-      SELECT a.nation AS nation_a, b.nation AS nation_b,
-             CAST(count(*) AS BIGINT) AS inter
-      FROM bought a JOIN bought b
-        ON a.part = b.part AND a.nation < b.nation
-      GROUP BY 1, 2
-    )
-    SELECT i.nation_a, i.nation_b, sa.sz AS n_parts_a, sb.sz AS n_parts_b,
-           i.inter AS n_common,
-           round(CAST(i.inter AS DOUBLE)
-                 / (sa.sz + sb.sz - i.inter), 9) AS assortment_jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.nation = i.nation_a
-    JOIN sizes sb ON sb.nation = i.nation_b
-    """,
-)
-def olap_nation_assortment_jaccard(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """NATION ASSORTMENT OVERLAP — Jaccard similarity of the part sets
-    each customer nation bought in 1997: the market-similarity matrix
-    behind 'can we reuse this nation's pricing/forecast model there'.
-    The pair generation is an EQUI-JOIN on part (the inverted-index
-    shape — pair work is Σ per-part nation-count², never nations ×
-    facts); sets are distinct-deduped first; Jaccard is one mirrored
-    division off exact BIGINT set sizes, round 9. Output is
-    nation²-bounded."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
-    ).select("l_orderkey", "l_partkey")
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    bought = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            F.col("c_nationkey").alias("nation"),
-            F.col("l_partkey").alias("part"),
-        )
-        .distinct()
-    )
-    bought = bought.localCheckpoint(eager=False)  # consumed twice
-    sizes = bought.groupBy("nation").agg(F.count(F.lit(1)).alias("sz"))
-    a = bought.select(F.col("nation").alias("nation_a"), "part")
-    b = bought.select(F.col("nation").alias("nation_b"), "part")
-    inter = (
-        a.join(b, "part")
-        .filter(F.col("nation_a") < F.col("nation_b"))
-        .groupBy("nation_a", "nation_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(
-        F.col("nation").alias("nation_a"), F.col("sz").alias("n_parts_a")
-    )
-    sb = sizes.select(
-        F.col("nation").alias("nation_b"), F.col("sz").alias("n_parts_b")
-    )
-    return (
-        inter.join(F.broadcast(sa), "nation_a")
-        .join(F.broadcast(sb), "nation_b")
-        .select(
-            "nation_a",
-            "nation_b",
-            "n_parts_a",
-            "n_parts_b",
-            F.col("inter").cast("long").alias("n_common"),
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_parts_a") + F.col("n_parts_b") - F.col("inter")),
-                9,
-            ).alias("assortment_jaccard"),
-        )
-    )
-
-
-@query(
-    "curation_shard_balance_audit",
-    oracle="""
-    WITH sh AS (
-      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-               AS BIGINT) AS shard,
-             length(text) AS n_bytes
-      FROM documents
-    ),
-    per AS (
-      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_bytes) AS BIGINT) AS bytes
-      FROM sh GROUP BY shard
-    ),
-    tot AS (
-      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
-             CAST(sum(bytes) AS BIGINT) AS tb,
-             CAST(count(*) AS BIGINT) AS k,
-             CAST(max(n_docs) AS BIGINT) AS mx,
-             CAST(max(bytes) AS BIGINT) AS mxb
-      FROM per
-    )
-    SELECT p.shard, p.n_docs, p.bytes,
-           p.n_docs * t.k * 1000 // t.td AS doc_balance_milli,
-           p.bytes * t.k * 1000 // t.tb AS byte_balance_milli,
-           t.mx * t.k * 1000 // t.td AS worst_doc_balance_milli
-    FROM per p, tot t
-    """,
-)
-def curation_shard_balance_audit(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SHARD BALANCE AUDIT — per md5-shard document and byte load vs
-    the uniform ideal (1000 milli = perfectly balanced; the worst
-    shard's ratio is THE number that bounds straggler tail latency in
-    every downstream fan-out). Hash sharding is the partition
-    strategy this whole engine leans on, so the audit that proves the
-    shards actually balance is first-class. Integer milli ratios via
-    cross-multiplied floor-div (DuckDB // ≡ Spark div on positives);
-    one groupBy over the 16-shard domain."""
-    d = load(spark, sf, "documents")
-    shard = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("long")
-    per = d.select(
-        shard.alias("shard"), F.length("text").alias("n_bytes")
-    ).groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_bytes").alias("bytes"),
-    )
-    per = per.localCheckpoint(eager=False)  # consumed twice
-    tot = per.agg(
-        F.sum("n_docs").alias("td"),
-        F.sum("bytes").alias("tb"),
-        F.count(F.lit(1)).alias("k"),
-        F.max("n_docs").alias("mx"),
-    )
-    j = per.crossJoin(F.broadcast(tot))
-    return j.select(
-        "shard",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("bytes").cast("long").alias("bytes"),
-        F.expr("n_docs * k * 1000 div td").cast("long").alias(
-            "doc_balance_milli"
-        ),
-        F.expr("bytes * k * 1000 div tb").cast("long").alias(
-            "byte_balance_milli"
-        ),
-        F.expr("mx * k * 1000 div td").cast("long").alias(
-            "worst_doc_balance_milli"
-        ),
-    )
-
-
-@query(
-    "ts_burstiness_coefficient",
-    oracle="""
-    WITH seq AS (
-      SELECT event_type,
-             CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS us,
-             event_id
-      FROM events
-    ),
-    gaps AS (
-      SELECT event_type,
-             us - lag(us) OVER (PARTITION BY event_type
-                                ORDER BY us, event_id) AS g
-      FROM seq
-    ),
-    m AS (
-      SELECT event_type, CAST(count(g) AS BIGINT) AS n,
-             CAST(sum(g) AS BIGINT) AS s,
-             CAST(sum(CAST(g AS DOUBLE) * g) AS DOUBLE) AS s2
-      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
-    )
-    SELECT event_type, n AS n_gaps,
-           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean_gap_s,
-           round(sqrt(greatest(s2 / n
-                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
-                 0.0)) / 1000000.0, 6) AS sd_gap_s,
-           round((sqrt(greatest(s2 / n
-                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
-                  0.0)) - CAST(s AS DOUBLE) / n)
-                 / (sqrt(greatest(s2 / n
-                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
-                    0.0)) + CAST(s AS DOUBLE) / n), 9) AS burstiness_b
-    FROM m
-    """,
-)
-def ts_burstiness_coefficient(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """GOH–BARABÁSI BURSTINESS B = (σ−μ)/(σ+μ) of inter-arrival times
-    per stream — the scale-free '-1 = metronome, 0 = Poisson, →1 =
-    bursty' coefficient that tells an autoscaler whether mean-rate
-    provisioning is safe (ts_burst_episodes finds WHERE the bursts
-    are; this says HOW bursty the stream is as one number). Gaps are
-    exact integer microseconds off one per-stream lag window; Σg² is
-    a mirrored double ladder (µs² exceeds int64 — documented honest
-    float; identical per-row expressions feed order-free SUM of
-    per-row products... both engines compute sum(double) — guarded by
-    round 6/9 at the σ ≈ hours magnitude where ULP is far below the
-    rounding grid)."""
-    e = load(spark, sf, "events")
-    us = _usec("ts")
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    seq = e.select("event_type", us.alias("us"), "event_id")
-    gaps = seq.select(
-        "event_type", (F.col("us") - F.lag("us").over(w)).alias("g")
-    ).filter(F.col("g").isNotNull())
-    m = gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("g").alias("s"),
-        F.sum(F.col("g").cast("double") * F.col("g")).alias("s2"),
-    )
-    mu = F.col("s").cast("double") / F.col("n")
-    sd = F.sqrt(
-        F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(0.0))
-    )
-    return m.select(
-        "event_type",
-        F.col("n").alias("n_gaps"),
-        F.round(mu / F.lit(1_000_000.0), 6).alias("mean_gap_s"),
-        F.round(sd / F.lit(1_000_000.0), 6).alias("sd_gap_s"),
-        F.round((sd - mu) / (sd + mu), 9).alias("burstiness_b"),
-    )
-
-
-@query(
-    "stats_ratio_metric_delta_ci",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey AS cust,
-             CAST(count(*) AS BIGINT) AS y,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
-               AS x
-      FROM orders GROUP BY o_custkey
-    ),
-    m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM per
-    ),
-    r AS (
-      SELECT n, sx, sy,
-             CAST(sx AS DOUBLE) / sy AS ratio,
-             (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
-             (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
-             (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
-             CAST(sy AS DOUBLE) / n AS ybar
-      FROM m
-    )
-    SELECT n AS n_customers, round(ratio, 9) AS revenue_per_order,
-           round(sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy)
-                      / n) / ybar, 9) AS delta_se,
-           round(ratio - 1.959963984540054
-                 * sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy)
-                        / n) / ybar, 6) AS ci_lo,
-           round(ratio + 1.959963984540054
-                 * sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy)
-                        / n) / ybar, 6) AS ci_hi
-    FROM r
-    """,
-)
-def stats_ratio_metric_delta_ci(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """DELTA-METHOD CI FOR A RATIO METRIC — revenue-per-order with
-    customer-level clustering: the ratio of sums Σx/Σy is NOT a mean
-    of per-customer ratios, and its variance needs the delta method
-    Var ≈ (σx² − 2R·σxy + R²·σy²)/(n·ȳ²) (Deng et al.) — the standard
-    fix for every per-session/per-order metric randomized per user.
-    Customer-grain moments are exact BIGINT dollars/counts; SE and
-    the 95% CI are mirrored expression ladders (z = 1.959963… as a
-    shared literal), round 9/6. One customer groupBy."""
-    o = load(spark, sf, "orders")
-    per = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.count(F.lit(1)).alias("y"),
-        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x"),
-    )
-    m = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    n = F.col("n")
-    ratio = F.col("sx").cast("double") / F.col("sy")
-    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n) / (
-        n - 1
-    )
-    vy = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n) / (
-        n - 1
-    )
-    cxy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n) / (
-        n - 1
-    )
-    ybar = F.col("sy").cast("double") / n
-    se = F.sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy) / n) / ybar
-    z = F.lit(1.959963984540054)
-    return m.select(
-        n.alias("n_customers"),
-        F.round(ratio, 9).alias("revenue_per_order"),
-        F.round(se, 9).alias("delta_se"),
-        F.round(ratio - z * se, 6).alias("ci_lo"),
-        F.round(ratio + z * se, 6).alias("ci_hi"),
-    )
-
-
-@query(
-    "curation_dedup_savings_forecast",
-    oracle="""
-    WITH cl AS (
-      SELECT source, md5(text) AS th,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(count(*) - 1 AS BIGINT) AS removable,
-             CAST((count(*) - 1) * any_value(length(text)) AS BIGINT)
-               AS bytes_removable
-      FROM documents GROUP BY source, md5(text)
-    )
-    SELECT source,
-           CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           CAST(sum(removable) AS BIGINT) AS dup_docs_removable,
-           CAST(sum(bytes_removable) AS BIGINT) AS bytes_removable,
-           round(CAST(sum(removable) AS DOUBLE) / sum(n_docs), 9)
-             AS doc_savings_share
-    FROM cl GROUP BY source
-    """,
-)
-def curation_dedup_savings_forecast(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """DEDUP SAVINGS FORECAST per source — documents and bytes an
-    exact within-source dedup would remove (keep-one-per-cluster),
-    BEFORE running the dedup: the capacity-planning number that
-    decides whether the dedup pass pays for itself on a given source.
-    Identical texts have identical lengths, so cluster bytes are
-    (size−1)·len exactly; one md5 groupBy then one source rollup, all
-    exact BIGINTs, pushdown-friendly."""
-    d = load(spark, sf, "documents")
-    cl = d.groupBy("source", F.md5("text").alias("th")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.count(F.lit(1)) - 1).alias("removable"),
-        ((F.count(F.lit(1)) - 1) * F.max(F.length("text"))).alias(
-            "bytes_removable"
-        ),
-    )
-    return cl.groupBy("source").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("removable").cast("long").alias("dup_docs_removable"),
-        F.sum("bytes_removable").cast("long").alias("bytes_removable"),
-        F.round(
-            F.sum("removable").cast("double") / F.sum("n_docs"), 9
-        ).alias("doc_savings_share"),
-    )
-
-
-@query(
-    "multimodal_image_lr_symmetry",
-    oracle=f"""
-    WITH img AS (
-      SELECT doc_id AS media_id, doc_id % 31 + 2 AS w, doc_id % 23 + 2 AS h
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    grid AS (
-      SELECT media_id, w, h, unnest(range(0, 216)) AS p
-      FROM img
-    ),
-    mapped AS (
-      SELECT media_id, w, h, CAST(p // 3 AS BIGINT) AS s,
-             (((((p // 3) // 9) * h) // 8) * w
-               + ((((p // 3) % 9) * w) // 9)) * 3 + (p % 3) AS gi
-      FROM grid
-    ),
-    bytes AS (
-      SELECT media_id, w, h, s, CAST(gi % 16 AS BIGINT) AS j,
-             md5(CAST(media_id AS VARCHAR) || ':'
-                 || CAST(gi // 16 AS VARCHAR)) AS hx
-      FROM mapped
-    ),
-    g3 AS (
-      SELECT media_id, any_value(w) AS w, any_value(h) AS h, s,
-             CAST(s % 9 AS BIGINT) AS x, CAST(s // 9 AS BIGINT) AS y,
-             CAST(sum({_PNG_KS_BYTE}) AS BIGINT) AS v
-      FROM bytes GROUP BY media_id, s
-    ),
-    pairs AS (
-      SELECT a.media_id, a.w, a.h,
-             abs(a.v - m.v) AS ad
-      FROM g3 a JOIN g3 m
-        ON m.media_id = a.media_id AND m.y = a.y AND m.x = 8 - a.x
-      WHERE a.x < 4
-    ),
-    tot AS (
-      SELECT media_id, CAST(sum(v) AS BIGINT) AS gb FROM g3
-      GROUP BY media_id
-    )
-    SELECT p.media_id,
-           CAST(any_value(p.w) AS INT) AS width,
-           CAST(any_value(p.h) AS INT) AS height,
-           CAST(sum(p.ad) AS BIGINT) AS asym_sum,
-           CAST(any_value(t.gb) AS BIGINT) AS grid_brightness,
-           CAST(sum(p.ad) * 1000 // any_value(t.gb) AS BIGINT)
-             AS asymmetry_milli
-    FROM pairs p JOIN tot t ON t.media_id = p.media_id
-    GROUP BY p.media_id
-    """,
-)
-def multimodal_image_lr_symmetry(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """LEFT-RIGHT MIRROR ASYMMETRY through the REAL decode path
-    (multimodal.py:png_lr_symmetry) — Σ|s[y,x] − s[y,8−x]| over the
-    dhash op's 9×8 brightness grid, normalized to an integer milli
-    ratio: the cheap 'is this synthetic/centered or natural' image
-    prior, and a position-AWARE decode check complementing the
-    quadrant-stats op (a column-order bug in the resize mapping moves
-    this number; global stats never see it). The oracle replays the
-    keystream grid and the mirrored-column joins; everything is exact
-    int64 (grid brightness > 0 by construction — keystream bytes)."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_image_media(docs, "doc_id")
-    st = mm.png_lr_symmetry(media)
-    return st.select(
-        "media_id",
-        "width",
-        "height",
-        "asym_sum",
-        "grid_brightness",
-        F.expr("asym_sum * 1000 div grid_brightness")
-        .cast("long")
-        .alias("asymmetry_milli"),
-    )
-
-
-@query(
-    "olap_weekday_hour_heatmap",
-    oracle="""
-    WITH cells AS (
-      SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hr,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY 1, 2
-    )
-    SELECT CAST(dow AS BIGINT) AS dow, hr, n_events, cents,
-           round(CAST(n_events AS DOUBLE)
-                 / sum(n_events) OVER (PARTITION BY dow), 9)
-             AS dow_share,
-           CAST(row_number() OVER (PARTITION BY dow
-             ORDER BY n_events DESC, hr) AS BIGINT) = 1 AS is_peak_hour
-    FROM cells
-    """,
-)
-def olap_weekday_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
-    """WEEKDAY × HOUR TRAFFIC HEATMAP with per-weekday shares and the
-    peak-hour flag — the capacity-planning panel every on-call
-    dashboard opens with (the value-bucket histogram2d's temporal
-    twin). One map-combinable groupBy over a 7×24-bounded domain, a
-    dim-sized share window, and a deterministic peak pick with full
-    tiebreaks; counts and cents exact BIGINTs. The dow+1 shift aligns
-    Spark's Sunday=1 with DuckDB's Sunday=0 (the chi2_type_dow
-    convention)."""
-    e = load(spark, sf, "events")
-    cells = e.groupBy(
-        F.dayofweek("ts").cast("long").alias("dow"),
-        F.hour("ts").cast("long").alias("hr"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-    )
-    wd = Window.partitionBy("dow")
-    wp = Window.partitionBy("dow").orderBy(
-        F.col("n_events").desc(), F.col("hr")
-    )
-    return cells.select(
-        "dow",
-        "hr",
-        "n_events",
-        "cents",
-        F.round(
-            F.col("n_events").cast("double") / F.sum("n_events").over(wd),
-            9,
-        ).alias("dow_share"),
-        (F.row_number().over(wp) == 1).alias("is_peak_hour"),
-    )
-
-
-@query(
-    "audit_order_total_reconciliation",
-    oracle="""
-    WITH lines AS (
-      SELECT l_orderkey,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                 * (1 + l_tax) * 100) AS BIGINT))
-               AS BIGINT) AS recomputed_cents
-      FROM lineitem GROUP BY l_orderkey
-    ),
-    j AS (
-      SELECT o.o_orderkey,
-             CAST(round(o.o_totalprice * 100) AS BIGINT) AS stated_cents,
-             l.recomputed_cents,
-             abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
-                 - l.recomputed_cents) AS diff_cents
-      FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
-    ),
-    b AS (
-      SELECT CASE WHEN diff_cents = 0 THEN 'exact'
-                  WHEN diff_cents * 1000 <= stated_cents THEN 'within_1pm'
-                  WHEN diff_cents * 100 <= stated_cents THEN 'within_1pct'
-                  ELSE 'gross' END AS bucket,
-             diff_cents
-      FROM j
-    )
-    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
-    FROM b GROUP BY bucket
-    """,
-)
-def audit_order_total_reconciliation(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """ORDER-TOTAL RECONCILIATION — does o_totalprice equal the sum of
-    its lines' extendedprice·(1−discount)·(1+tax)? The referential
-    VALUE audit (pk_fk_orphans checks keys; this checks money), with
-    mismatches bucketed by integer cross-multiplied relative error
-    (exact / ≤1‰ / ≤1% / gross) — no float thresholds. Per-line cents
-    are one mirrored rounding of the identical expression; the
-    orderkey rollup is the fact's natural grain."""
-    li = load(spark, sf, "lineitem")
-    o = load(spark, sf, "orders")
-    line_cents = F.round(
-        F.col("l_extendedprice")
-        * (1 - F.col("l_discount"))
-        * (1 + F.col("l_tax"))
-        * 100
-    ).cast("long")
-    lines = li.groupBy("l_orderkey").agg(
-        F.sum(line_cents).alias("recomputed_cents")
-    )
-    j = o.join(lines, o.o_orderkey == lines.l_orderkey).select(
-        F.round(F.col("o_totalprice") * 100)
-        .cast("long")
-        .alias("stated_cents"),
-        "recomputed_cents",
-    ).withColumn(
-        "diff_cents",
-        F.abs(F.col("stated_cents") - F.col("recomputed_cents")),
-    )
-    bucket = (
-        F.when(F.col("diff_cents") == 0, "exact")
-        .when(
-            F.col("diff_cents") * 1000 <= F.col("stated_cents"),
-            "within_1pm",
-        )
-        .when(
-            F.col("diff_cents") * 100 <= F.col("stated_cents"),
-            "within_1pct",
-        )
-        .otherwise("gross")
-    )
-    return j.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.max("diff_cents").cast("long").alias("max_diff_cents"),
-    )
-
-
-@query(
-    "text_tfidf_source_signatures",
-    oracle="""
-    WITH tok AS (
-      SELECT source, unnest(string_split(text, ' ')) AS w
-      FROM documents
-    ),
-    tf AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY source, w
-    ),
-    df AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
-    ),
-    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n FROM tf),
-    scored AS (
-      SELECT t.source, t.w, t.tf, d.df,
-             round(t.tf * ln((ns.n + 1.0) / (d.df + 1.0)), 9) AS tfidf
-      FROM tf t JOIN df d ON d.w = t.w, ns
-    )
-    SELECT source, w AS term, tf, df,
-           tfidf,
-           CAST(row_number() OVER (PARTITION BY source
-             ORDER BY tfidf DESC, w) AS BIGINT) AS rk
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY source
-              ORDER BY tfidf DESC, w) <= 5
-    """,
-)
-def text_tfidf_source_signatures(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """TF-IDF SOURCE SIGNATURES — each source's 5 most
-    source-distinctive terms under smoothed idf ln((N+1)/(df+1)) with
-    sources as the 'documents': the at-a-glance corpus-mix label
-    (what IS src7 about?) and the drift anchor a weekly diff watches.
-    Counts exact BIGINTs off one token groupBy; tf·idf is one
-    mirrored expression (round 9) feeding a full-tiebreak top-5
-    window over the source-bounded score table. The df side is
-    vocabulary-bounded — the same inverted-index economics as the
-    tf-idf/BM25 ops."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.localCheckpoint(eager=False)  # consumed thrice
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ns = tf.agg(F.countDistinct("source").alias("n"))
-    scored = (
-        tf.join(df, "w")
-        .crossJoin(F.broadcast(ns))
-        .select(
-            "source",
-            "w",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf")
-                * F.log(
-                    (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
-                ),
-                9,
-            ).alias("tfidf"),
-        )
-    )
-    wr = Window.partitionBy("source").orderBy(
-        F.col("tfidf").desc(), F.col("w")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .select("source", F.col("w").alias("term"), "tf", "df", "tfidf", "rk")
-    )
-
-
-@query(
-    "emb_norm_eta_squared",
-    oracle="""
-    WITH q AS (
-      SELECT label,
-             CAST(list_dot_product(
-               CAST(list_transform(embedding,
-                 v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT))
-                 AS DOUBLE[]),
-               CAST(list_transform(embedding,
-                 v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT))
-                 AS DOUBLE[])) AS BIGINT) AS n2
-      FROM embeddings
-    ),
-    per AS (
-      SELECT label, CAST(count(*) AS BIGINT) AS n_l,
-             CAST(sum(n2) AS BIGINT) AS s,
-             CAST(sum(CAST(n2 AS DOUBLE) * n2) AS DOUBLE) AS s2
-      FROM q GROUP BY label
-    ),
-    terms AS (
-      SELECT label, n_l, s, s2,
-             round(CAST(s AS DOUBLE) * s / n_l, 0) AS sq_over_n
-      FROM per
-    ),
-    tot AS (
-      SELECT CAST(sum(n_l) AS BIGINT) AS nn,
-             CAST(sum(s) AS BIGINT) AS st,
-             CAST(count(*) AS BIGINT) AS k,
-             list_reduce(list_sort(list(s2)), (a, b) -> a + b) AS s2t,
-             list_reduce(list_sort(list(sq_over_n)), (a, b) -> a + b)
-               AS ssq
-      FROM terms
-    )
-    SELECT k AS n_labels, nn AS n_vecs,
-           round((ssq - CAST(st AS DOUBLE) * st / nn)
-                 / (s2t - CAST(st AS DOUBLE) * st / nn), 9)
-             AS eta_squared
-    FROM tot
-    """,
-)
-def emb_norm_eta_squared(spark: SparkSession, sf: str) -> DataFrame:
-    """NORM–LABEL η² — what share of squared-norm variance the label
-    explains (SSB/SST over quantized ‖v‖²): embeddings whose NORM
-    predicts the class leak label signal through magnitude alone, a
-    known contrastive-training artifact that breaks cosine-vs-dot
-    interchangeability (complements emb_norm_profile's per-label
-    means with the one-number effect size). Norms are exact integer
-    dot products on the ×256 grid; per-label Σ(‖v‖²)² runs as a
-    mirrored double ladder folded SORTED (norm⁴ exceeds int64), and
-    the Σs²/n terms use the integer-grid pre-round. One groupBy over
-    10 labels."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    n2 = F.expr(
-        "aggregate(zip_with("
-        "transform(embedding, v -> cast(round(cast(v as double) * 256)"
-        " as bigint)),"
-        "transform(embedding, v -> cast(round(cast(v as double) * 256)"
-        " as bigint)),"
-        " (p, r) -> p * r), cast(0 as bigint), (a, p) -> a + p)"
-    )
-    q = emb.select("label", n2.alias("n2"))
-    per = q.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_l"),
-        F.sum("n2").alias("s"),
-        F.sum(F.col("n2").cast("double") * F.col("n2")).alias("s2"),
-    )
-    terms = per.select(
-        "n_l",
-        "s",
-        "s2",
-        F.round(
-            F.col("s").cast("double") * F.col("s") / F.col("n_l"), 0
-        ).alias("sq_over_n"),
-    )
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    tot = terms.agg(
-        F.sum("n_l").cast("long").alias("nn"),
-        F.sum("s").cast("long").alias("st"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        fold("s2").alias("s2t"),
-        fold("sq_over_n").alias("ssq"),
-    )
-    corr = F.col("st").cast("double") * F.col("st") / F.col("nn")
-    return tot.select(
-        F.col("k").alias("n_labels"),
-        F.col("nn").alias("n_vecs"),
-        F.round(
-            (F.col("ssq") - corr) / (F.col("s2t") - corr), 9
-        ).alias("eta_squared"),
-    )
-
-
-@query(
-    "olap_price_endings_profile",
-    oracle="""
-    WITH e AS (
-      SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending
-      FROM orders
-    ),
-    cnt AS (
-      SELECT ending, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY ending
-    ),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
-                   CAST(count(*) AS BIGINT) AS k FROM cnt)
-    SELECT c.ending, c.n,
-           round(CAST(c.n AS DOUBLE) / t.t, 9) AS share,
-           round((c.n - CAST(t.t AS DOUBLE) / t.k)
-                 * (c.n - CAST(t.t AS DOUBLE) / t.k)
-                 / (CAST(t.t AS DOUBLE) / t.k), 9) AS chi2_term,
-           CAST(row_number() OVER (ORDER BY c.n DESC, c.ending)
-             AS BIGINT) AS popularity_rank
-    FROM cnt c, tot t
-    """,
-)
-def olap_price_endings_profile(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """PRICE-ENDING PROFILE — the cents-digit histogram of order
-    totals with per-ending χ² terms against uniform and a popularity
-    rank: psychological-pricing (.99) and rounding-artifact detection
-    (synthetic/generated money values are uniform; human-set prices
-    never are — sum the terms against χ²₉₉ to test). One
-    map-combinable groupBy over a 100-value domain; everything
-    integer until the mirrored display doubles."""
-    o = load(spark, sf, "orders")
-    ending = (
-        F.round(F.col("o_totalprice") * 100).cast("long") % 100
-    ).alias("ending")
-    cnt = o.select(ending).groupBy("ending").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
-    tot = cnt.agg(
-        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
-    )
-    j = cnt.crossJoin(F.broadcast(tot))
-    exp = F.col("t").cast("double") / F.col("k")
-    wr = Window.orderBy(F.col("n").desc(), F.col("ending"))
-    return j.select(
-        "ending",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("n").cast("double") / F.col("t"), 9).alias("share"),
-        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9).alias(
-            "chi2_term"
-        ),
-        F.row_number().over(wr).cast("long").alias("popularity_rank"),
-    )
-
-
-@query(
-    "sessionize_entry_exit_matrix",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                         OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC)
-                       > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts ASC, event_id ASC) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), sess AS (
-      SELECT user_id, ts, event_id, event_type,
-             CAST(sum(new_session)
-                  OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS session_idx
-      FROM gaps
-    ), keyed AS (
-      SELECT user_id, session_idx, event_type,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
-      FROM sess
-    ), ends AS (
-      SELECT user_id, session_idx,
-             min_by(event_type, ord_key) AS entry_type,
-             max_by(event_type, ord_key) AS exit_type,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM keyed GROUP BY user_id, session_idx
-    )
-    SELECT entry_type, exit_type,
-           CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(n_events) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_bounces
-    FROM ends GROUP BY entry_type, exit_type
-    """,
-)
-def sessionize_entry_exit_matrix(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SESSION ENTRY × EXIT MATRIX — which event type opens each
-    30-min session and which closes it, with bounce counts
-    (single-event sessions): the landing/abandonment panel
-    sessionize_gap30m's size histogram can't show ('sessions that
-    START with an error and END with an error are crashes, not
-    visits'). Same lag + running-sum session device, then one
-    min_by/max_by per session keyed on a zero-padded
-    (epoch_us, event_id) string — deterministic ends, k²-bounded
-    output."""
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull() | ((_usec(F.col("ts")) - _usec(prev)) > 1800000000),
-        1,
-    ).otherwise(0)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = e.withColumn(
-        "session_idx", F.sum(new_sess).over(wsum)
-    )
-    # DuckDB min_by has no struct-key overload — a zero-padded
-    # (epoch_us, event_id) string key orders identically on both
-    ord_key = F.concat(
-        F.lpad(_usec(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-    ends = sess.withColumn("ord_key", ord_key).groupBy(
-        "user_id", "session_idx"
-    ).agg(
-        F.min_by("event_type", F.col("ord_key")).alias("entry_type"),
-        F.max_by("event_type", F.col("ord_key")).alias("exit_type"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    return ends.groupBy("entry_type", "exit_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_bounces"),
-    )
-
-
-@query(
-    "olap_discount_response_curve",
-    oracle="""
-    WITH b AS (
-      SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
-             CAST(l_quantity AS BIGINT) AS qty,
-             CAST(round(l_extendedprice) AS BIGINT) AS price
-      FROM lineitem
-    ),
-    per AS (
-      SELECT discount_pct,
-             CAST(count(*) AS BIGINT) AS n_lines,
-             CAST(sum(qty) AS BIGINT) AS total_qty,
-             CAST(sum(price) AS BIGINT) AS revenue_dollars
-      FROM b GROUP BY discount_pct
-    )
-    SELECT discount_pct, n_lines, total_qty, revenue_dollars,
-           round(CAST(total_qty AS DOUBLE) / n_lines, 9) AS mean_qty,
-           CASE WHEN lag(CAST(total_qty AS DOUBLE) / n_lines)
-                       OVER (ORDER BY discount_pct) IS NULL THEN NULL
-                ELSE CAST(total_qty AS DOUBLE) / n_lines
-                     < lag(CAST(total_qty AS DOUBLE) / n_lines)
-                       OVER (ORDER BY discount_pct)
-           END AS monotonicity_violation
-    FROM per
-    """,
-)
-def olap_discount_response_curve(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """DISCOUNT RESPONSE CURVE — mean line quantity at each discount
-    level with per-step monotonicity flags: deeper discounts should
-    move MORE units, and a violation step is either a pricing-data
-    bug or a segment mix-shift worth a look (the stair-step
-    diagnostic behind the elasticity op's single coefficient). One
-    map-combinable groupBy over the 11-level discount domain; means
-    are single mirrored divisions; the flag compares the same two
-    doubles both engines computed, via one lag window."""
-    li = load(spark, sf, "lineitem")
-    b = li.select(
-        F.round(F.col("l_discount") * 100).cast("long").alias(
-            "discount_pct"
-        ),
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.round(F.col("l_extendedprice")).cast("long").alias("price"),
-    )
-    per = b.groupBy("discount_pct").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("qty").alias("total_qty"),
-        F.sum("price").alias("revenue_dollars"),
-    )
-    mean_qty = F.col("total_qty").cast("double") / F.col("n_lines")
-    wl = Window.orderBy("discount_pct")
-    prev_mean = F.lag(mean_qty).over(wl)
-    return per.select(
-        "discount_pct",
-        "n_lines",
-        "total_qty",
-        "revenue_dollars",
-        F.round(mean_qty, 9).alias("mean_qty"),
-        F.when(prev_mean.isNull(), F.lit(None).cast("boolean"))
-        .otherwise(mean_qty < prev_mean)
-        .alias("monotonicity_violation"),
-    )
-
-
-@query(
-    "audit_value_outlier_days",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY 1
-    ),
-    mom AS (
-      SELECT CAST(count(*) AS BIGINT) AS nd,
-             CAST(sum(n) AS BIGINT) AS sn,
-             CAST(sum(n * n) AS BIGINT) AS sn2
-      FROM daily
-    )
-    SELECT strftime(d.d, '%Y-%m-%d') AS day,
-           d.n AS n_events, d.cents,
-           round((d.n - CAST(m.sn AS DOUBLE) / m.nd)
-                 / sqrt(CAST(m.sn2 AS DOUBLE) / m.nd
-                        - (CAST(m.sn AS DOUBLE) / m.nd)
-                          * (CAST(m.sn AS DOUBLE) / m.nd)), 9) AS volume_z,
-           (d.n * m.nd - m.sn) * (d.n * m.nd - m.sn)
-             > 9 * (m.sn2 * m.nd - m.sn * m.sn)
-             AS is_3sigma_outlier
-    FROM daily d, mom m
-    """,
-)
-def audit_value_outlier_days(spark: SparkSession, sf: str) -> DataFrame:
-    """DAILY-VOLUME OUTLIER AUDIT — each day's event count z-scored
-    against the corpus of days, with an EXACT 3σ flag: the first
-    anomaly sweep an ingestion owner runs after a backfill ('which
-    days are double-loaded?'). The flag is the z² > 9 test
-    cross-multiplied into the raw moment form (n·n_d − ΣN)² >
-    9·(ΣN²·n_d − (ΣN)²) — entirely EXACT BIGINTs with NO sqrt or
-    float compare (the Bollinger breakout device at day grain); the display
-    z is round 9. One day groupBy + a one-row broadcast."""
-    e = load(spark, sf, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    mom = daily.agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("n").alias("sn"),
-        F.sum(F.col("n") * F.col("n")).alias("sn2"),
-    )
-    j = daily.crossJoin(F.broadcast(mom))
-    mu = F.col("sn").cast("double") / F.col("nd")
-    var = F.col("sn2").cast("double") / F.col("nd") - mu * mu
-    dev = F.col("n") - mu
-    # EXACT integer 3-sigma test: (n*nd - sn)^2 > 9*(sn2*nd - sn^2)
-    idev = F.col("n") * F.col("nd") - F.col("sn")
-    flag = idev * idev > 9 * (
-        F.col("sn2") * F.col("nd") - F.col("sn") * F.col("sn")
-    )
-    return j.select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.col("n").cast("long").alias("n_events"),
-        "cents",
-        F.round(dev / F.sqrt(var), 9).alias("volume_z"),
-        flag.alias("is_3sigma_outlier"),
-    )
-
-
-@query(
-    "emb_centroid_multiclass_mcc",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    ex AS (
-      SELECT vec_id, label, CAST(r.range AS INT) AS d,
-             qv[r.range + 1] AS v
-      FROM q CROSS JOIN range(0, 64) r
-    ),
-    cent AS (
-      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
-             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
-      FROM ex GROUP BY label, d
-    ),
-    scored AS (
-      SELECT e.vec_id, e.label, c.clabel,
-             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
-      FROM ex e JOIN cent c ON e.d = c.d
-      GROUP BY e.vec_id, e.label, c.clabel
-    ),
-    pred AS (
-      SELECT vec_id, label, clabel AS pred_label
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                ORDER BY s DESC, clabel) = 1
-    ),
-    marg AS (
-      SELECT CAST(count(*) AS BIGINT) AS s,
-             CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END)
-               AS BIGINT) AS c
-      FROM pred
-    ),
-    tcnt AS (
-      SELECT label, CAST(count(*) AS BIGINT) AS t FROM pred
-      GROUP BY label
-    ),
-    pcnt AS (
-      SELECT pred_label, CAST(count(*) AS BIGINT) AS p FROM pred
-      GROUP BY pred_label
-    ),
-    dots AS (
-      SELECT
-        (SELECT CAST(sum(tc.t * pc.p) AS BIGINT)
-         FROM tcnt tc JOIN pcnt pc ON pc.pred_label = tc.label) AS pt,
-        (SELECT CAST(sum(p * p) AS BIGINT) FROM pcnt) AS pp,
-        (SELECT CAST(sum(t * t) AS BIGINT) FROM tcnt) AS tt
-    )
-    SELECT m.s AS n_vecs, m.c AS n_correct,
-           round(CAST(m.c AS DOUBLE) / m.s, 9) AS accuracy,
-           round((CAST(m.c AS DOUBLE) * m.s - d.pt)
-                 / sqrt((CAST(m.s AS DOUBLE) * m.s - d.pp)
-                        * (CAST(m.s AS DOUBLE) * m.s - d.tt)), 9)
-             AS multiclass_mcc
-    FROM marg m, dots d
-    """,
-)
-def emb_centroid_multiclass_mcc(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """MULTICLASS MCC (Gorodkin's R_K) of the nearest-centroid probe —
-    the chance-corrected one-number score that accuracy inflates on
-    imbalanced labels: R_K = (c·s − Σₖpₖtₖ)/√((s²−Σp²)(s²−Σt²)) from
-    the same verified Rocchio predictions as the confusion-matrix op.
-    Every margin product is an exact BIGINT (label counts ≤ corpus);
-    R_K is one mirrored expression with a single sqrt, round 9."""
-    emb = load(spark, sf, "embeddings")
-    qz = F.expr(
-        "transform(embedding,"
-        " v -> cast(round(cast(v as double) * 256) as bigint))"
-    )
-    q = emb.select("vec_id", "label", qz.alias("qv"))
-    ex = q.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
-    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
-        F.sum("v").alias("csum"),
-        F.countDistinct("vec_id").alias("n_l"),
-    )
-    carr = cent.groupBy("clabel").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "csum"))),
-            lambda x: x["csum"],
-        ).alias("cvec"),
-        F.max("n_l").alias("n_l"),
-    )
-    scored = q.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        (
-            F.expr(
-                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
-                " cast(0 as bigint), (a, x) -> a + x)"
-            ).cast("double")
-            / F.col("n_l")
-        ).alias("s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("clabel").asc()
-    )
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("clabel").alias("pred_label"))
-    )
-    pred = pred.localCheckpoint(eager=False)  # 3 consumers
-    marg = pred.agg(
-        F.count(F.lit(1)).cast("long").alias("s"),
-        F.sum(
-            F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("c"),
-    )
-    tcnt = pred.groupBy("label").agg(F.count(F.lit(1)).alias("t"))
-    pcnt = pred.groupBy(F.col("pred_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("p")
-    )
-    pt = (
-        tcnt.join(pcnt, "label")
-        .agg(F.sum(F.col("t") * F.col("p")).alias("pt"))
-    )
-    pp = pcnt.agg(F.sum(F.col("p") * F.col("p")).alias("pp"))
-    tt = tcnt.agg(F.sum(F.col("t") * F.col("t")).alias("tt"))
-    j = (
-        marg.crossJoin(F.broadcast(pt))
-        .crossJoin(F.broadcast(pp))
-        .crossJoin(F.broadcast(tt))
-    )
-    s_d = F.col("s").cast("double")
-    return j.select(
-        F.col("s").alias("n_vecs"),
-        F.col("c").alias("n_correct"),
-        F.round(F.col("c").cast("double") / F.col("s"), 9).alias(
-            "accuracy"
-        ),
-        F.round(
-            (F.col("c").cast("double") * F.col("s") - F.col("pt"))
-            / F.sqrt(
-                (s_d * F.col("s") - F.col("pp"))
-                * (s_d * F.col("s") - F.col("tt"))
-            ),
-            9,
-        ).alias("multiclass_mcc"),
-    )
-
-
-@query(
-    "curation_padding_waste_curve",
-    oracle="""
-    WITH d AS (
-      SELECT source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-               AS n_tok
-      FROM documents
-    ),
-    budgets AS (SELECT unnest([32, 64, 128]) AS budget),
-    w AS (
-      SELECT b.budget, d.source, d.n_tok,
-             CAST((d.n_tok + b.budget - 1) // b.budget AS BIGINT)
-               AS n_seqs,
-             CAST((d.n_tok + b.budget - 1) // b.budget * b.budget
-                  - d.n_tok AS BIGINT) AS pad_tokens
-      FROM d, budgets b
-    )
-    SELECT CAST(budget AS BIGINT) AS budget, source,
-           CAST(sum(n_seqs) AS BIGINT) AS n_sequences,
-           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
-           CAST(sum(pad_tokens) AS BIGINT) AS pad_tokens,
-           round(CAST(sum(pad_tokens) AS DOUBLE)
-                 / (sum(n_tok) + sum(pad_tokens)), 9) AS waste_share
-    FROM w GROUP BY budget, source
-    """,
-)
-def curation_padding_waste_curve(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """PADDING-WASTE CURVE — if each document is chunked to fixed
-    sequences of {32, 64, 128} tokens and the tail padded, what share
-    of the compute is padding, per source and budget? The chart that
-    justifies sequence PACKING (curation_pack_sequences): waste at
-    the chosen budget IS the training-throughput loss. Ceil-div and
-    pad counts are exact integers (DuckDB `//` ≡ Spark `div` on
-    positives); the budget fan-out is a 3-row broadcast."""
-    d = load(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    docs = d.select("source", n_tok.alias("n_tok"))
-    budgets = spark.createDataFrame([(32,), (64,), (128,)], "budget int")
-    w = docs.crossJoin(F.broadcast(budgets)).select(
-        "budget",
-        "source",
-        "n_tok",
-        F.expr("(n_tok + budget - 1) div budget").alias("n_seqs"),
-        F.expr(
-            "(n_tok + budget - 1) div budget * budget - n_tok"
-        ).alias("pad_tokens"),
-    )
-    return w.groupBy("budget", "source").agg(
-        F.sum("n_seqs").cast("long").alias("n_sequences"),
-        F.sum("n_tok").cast("long").alias("real_tokens"),
-        F.sum("pad_tokens").cast("long").alias("pad_tokens"),
-        F.round(
-            F.sum("pad_tokens").cast("double")
-            / (F.sum("n_tok") + F.sum("pad_tokens")),
-            9,
-        ).alias("waste_share"),
-    ).select(
-        F.col("budget").cast("long").alias("budget"),
-        "source",
-        "n_sequences",
-        "real_tokens",
-        "pad_tokens",
-        "waste_share",
-    )
-
-
-@query(
-    "audit_exact_duplicate_events",
-    oracle="""
-    WITH g AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS mult
-      FROM events
-      GROUP BY event_type, user_id, ts, CAST(round(value * 100) AS BIGINT)
-    )
-    SELECT event_type,
-           CAST(sum(mult) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN mult > 1 THEN mult ELSE 0 END) AS BIGINT)
-             AS n_in_dup_groups,
-           CAST(sum(CASE WHEN mult > 1 THEN mult - 1 ELSE 0 END)
-             AS BIGINT) AS n_redundant,
-           CAST(max(mult) AS BIGINT) AS max_multiplicity,
-           round(CAST(sum(CASE WHEN mult > 1 THEN mult - 1 ELSE 0 END)
-                      AS DOUBLE) / sum(mult), 9) AS redundancy_share
-    FROM g GROUP BY event_type
-    """,
-)
-def audit_exact_duplicate_events(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """EXACT-DUPLICATE EVENT CENSUS — events identical on (type, user,
-    timestamp, cent value) regardless of event_id: the CONTENT-level
-    at-least-once leak detector complementing audit_monotonic_id_gaps'
-    id-level dupes (a replayed producer mints fresh ids; only the
-    content census sees it). One groupBy at the content grain, one
-    per-type rollup — all exact BIGINTs, map-combinable."""
-    e = load(spark, sf, "events")
-    g = e.groupBy(
-        "event_type",
-        "user_id",
-        "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).agg(F.count(F.lit(1)).alias("mult"))
-    dup = F.when(F.col("mult") > 1, F.col("mult")).otherwise(0)
-    red = F.when(F.col("mult") > 1, F.col("mult") - 1).otherwise(0)
-    return g.groupBy("event_type").agg(
-        F.sum("mult").cast("long").alias("n_events"),
-        F.sum(dup).cast("long").alias("n_in_dup_groups"),
-        F.sum(red).cast("long").alias("n_redundant"),
-        F.max("mult").cast("long").alias("max_multiplicity"),
-        F.round(
-            F.sum(red).cast("double") / F.sum("mult"), 9
-        ).alias("redundancy_share"),
-    )
-
-
-@query(
-    "stats_ols_slope_by_quarter",
-    oracle="""
-    WITH daily AS (
-      SELECT date_trunc('quarter', CAST(l_shipdate AS DATE)) AS q,
-             datediff('day', DATE '1997-01-01', CAST(l_shipdate AS DATE))
-               AS x,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS y
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-01-01'
-      GROUP BY 1, 2
-    ),
-    s AS (
-      SELECT strftime(q, '%Y-Q') || CAST((month(q) + 2) // 3 AS VARCHAR)
-               AS quarter,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM daily GROUP BY q
-    )
-    SELECT quarter, n AS n_days,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx), 9) AS slope_cents_per_day
-    FROM s
-    """,
-)
-def stats_ols_slope_by_quarter(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """QUARTERLY OLS SLOPE STABILITY — the 1997 daily-revenue trend
-    refit per quarter: four slopes whose sign flips or magnitude
-    jumps tell you the single full-year trend (stats_ols_daily_trend)
-    is averaging over regimes — the cheapest structural-stability
-    check before anyone extrapolates it. Same exact-BIGINT normal
-    equations per quarter (the rational slope_num/slope_den ships so
-    downstream comparisons stay float-free); one day groupBy + a
-    4-row rollup."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    daily = li.groupBy(
-        F.trunc(F.col("l_shipdate").cast("date"), "quarter").alias("q"),
-        F.datediff(
-            F.col("l_shipdate").cast("date"),
-            F.lit("1997-01-01").cast("date"),
-        ).alias("x"),
-    ).agg(F.sum(cents).alias("y"))
-    quarter = F.concat(
-        F.date_format("q", "yyyy"),
-        F.lit("-Q"),
-        ((F.month("q") + 2) / 3).cast("int").cast("string"),
-    )
-    s = daily.groupBy(quarter.alias("quarter")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return s.select(
-        "quarter",
-        F.col("n").alias("n_days"),
-        num.cast("long").alias("slope_num"),
-        den.cast("long").alias("slope_den"),
-        F.round(num.cast("double") / den, 9).alias(
-            "slope_cents_per_day"
-        ),
-    )
-
-
-@query(
-    "olap_user_accumulation_curve",
-    oracle="""
-    WITH firsts AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-      FROM events GROUP BY user_id
-    ),
-    per_day AS (
-      SELECT first_day, CAST(count(*) AS BIGINT) AS n_new
-      FROM firsts GROUP BY first_day
-    ),
-    ev_day AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1
-    )
-    SELECT strftime(e.d, '%Y-%m-%d') AS day, e.n_events,
-           CAST(coalesce(p.n_new, 0) AS BIGINT) AS n_new_users,
-           CAST(sum(coalesce(p.n_new, 0)) OVER (ORDER BY e.d) AS BIGINT)
-             AS cumulative_users,
-           CAST(sum(e.n_events) OVER (ORDER BY e.d) AS BIGINT)
-             AS cumulative_events
-    FROM ev_day e LEFT JOIN per_day p ON p.first_day = e.d
-    """,
-)
-def olap_user_accumulation_curve(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """USER ACCUMULATION CURVE — cumulative distinct users vs
-    cumulative events by day (the species-accumulation / 'is our
-    audience still growing or are we resampling the same users'
-    chart, and the denominator sanity for every DAU metric). The
-    exact cumulative-distinct needs NO running set: distinct-by-day-d
-    = count of users whose FIRST day ≤ d, so one user-grain min, one
-    day rollup, and a day-bounded cumulative window — the same
-    decomposition trick as the rolling-distinct fan-out, here for the
-    unbounded-window case."""
-    e = load(spark, sf, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_day")
-    )
-    per_day = firsts.groupBy("first_day").agg(
-        F.count(F.lit(1)).alias("n_new")
-    )
-    ev_day = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    j = ev_day.join(
-        per_day, ev_day.d == per_day.first_day, "left"
-    ).select(
-        "d",
-        "n_events",
-        F.coalesce("n_new", F.lit(0)).alias("n_new_users"),
-    )
-    wc = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return j.select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("n_new_users").cast("long").alias("n_new_users"),
-        F.sum("n_new_users").over(wc).cast("long").alias(
-            "cumulative_users"
-        ),
-        F.sum("n_events").over(wc).cast("long").alias(
-            "cumulative_events"
-        ),
-    )
-
-
-@query(
-    "text_word_length_histogram",
-    oracle="""
-    WITH w AS (
-      SELECT source, length(unnest(string_split(text, ' '))) AS wl
-      FROM documents
-    ),
-    cells AS (
-      SELECT source, CAST(least(wl, 15) AS BIGINT) AS word_len,
-             CAST(count(*) AS BIGINT) AS n_words
-      FROM w GROUP BY source, least(wl, 15)
-    )
-    SELECT source, word_len, n_words,
-           round(CAST(n_words AS DOUBLE)
-                 / sum(n_words) OVER (PARTITION BY source), 9) AS share
-    FROM cells
-    """,
-)
-def text_word_length_histogram(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """WORD-LENGTH HISTOGRAM per source (capped at 15+) — the cheapest
-    tokenizer-health fingerprint: a source whose length mass shifts
-    is emitting concatenated/unsplit tokens (or a different language)
-    long before quality scores move; per-source shares make the
-    sources comparable. One explode + map-combinable groupBy over a
-    15-bucket domain, a dim-sized share window."""
-    d = load(spark, sf, "documents")
-    w = d.select(
-        "source",
-        F.explode(F.split(F.col("text"), " ")).alias("tok"),
-    ).select(
-        "source",
-        F.least(F.length("tok"), F.lit(15)).cast("long").alias(
-            "word_len"
-        ),
-    )
-    cells = w.groupBy("source", "word_len").agg(
-        F.count(F.lit(1)).alias("n_words")
-    )
-    ws = Window.partitionBy("source")
-    return cells.select(
-        "source",
-        "word_len",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.round(
-            F.col("n_words").cast("double") / F.sum("n_words").over(ws),
-            9,
-        ).alias("share"),
-    )
-
-
-@query(
-    "olap_price_index_laspeyres_paasche",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey AS part,
-             CASE WHEN l_shipdate < DATE '1997-01-01' THEN 0 ELSE 1 END
-               AS yr,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS rev_cents,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01'
-        AND l_shipdate < DATE '1998-01-01'
-      GROUP BY 1, 2
-    ),
-    both_ AS (
-      SELECT a.part,
-             a.rev_cents AS r0, a.qty AS q0,
-             b.rev_cents AS r1, b.qty AS q1
-      FROM per a JOIN per b ON a.part = b.part
-      WHERE a.yr = 0 AND b.yr = 1 AND a.qty > 0 AND b.qty > 0
-    ),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_parts,
-             CAST(sum(r0) AS BIGINT) AS sum_p0q0,
-             CAST(sum(r1) AS BIGINT) AS sum_p1q1,
-             list_reduce(list_sort(list(
-               round(CAST(r1 AS DOUBLE) * q0 / q1, 6))),
-               (x, y) -> x + y) AS sum_p1q0,
-             list_reduce(list_sort(list(
-               round(CAST(r0 AS DOUBLE) * q1 / q0, 6))),
-               (x, y) -> x + y) AS sum_p0q1
-      FROM both_
-    )
-    SELECT n_parts, sum_p0q0 AS base_rev_cents, sum_p1q1 AS cur_rev_cents,
-           round(sum_p1q0 / sum_p0q0, 9) AS laspeyres_index,
-           round(CAST(sum_p1q1 AS DOUBLE) / sum_p0q1, 9) AS paasche_index,
-           round(sqrt((sum_p1q0 / sum_p0q0)
-                      * (CAST(sum_p1q1 AS DOUBLE) / sum_p0q1)), 9)
-             AS fisher_index
-    FROM s
-    """,
-)
-def olap_price_index_laspeyres_paasche(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """LASPEYRES / PAASCHE / FISHER PRICE INDICES 1996 → 1997 over the
-    parts traded in both years — 'did prices move, holding the basket
-    fixed' (Laspeyres: base-year quantities; Paasche: current-year;
-    Fisher: their geometric mean) — the inflation decomposition
-    behind every revenue-bridge review. Per-part unit prices are kept
-    as exact rational rev/qty pairs; the cross terms p₁q₀ = r₁·q₀/q₁
-    are single mirrored doubles pre-rounded at 6 and folded SORTED;
-    the indices are mirrored expression ladders, round 9. One fact
-    groupBy + a part-grain self-join."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
-    )
-    per = li.groupBy(
-        F.col("l_partkey").alias("part"),
-        F.when(
-            F.col("l_shipdate") < F.lit("1997-01-01").cast("date"), 0
-        )
-        .otherwise(1)
-        .alias("yr"),
-    ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
-            "rev_cents"
-        ),
-        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
-    )
-    a = per.filter((F.col("yr") == 0) & (F.col("qty") > 0)).select(
-        "part", F.col("rev_cents").alias("r0"), F.col("qty").alias("q0")
-    )
-    b = per.filter((F.col("yr") == 1) & (F.col("qty") > 0)).select(
-        "part", F.col("rev_cents").alias("r1"), F.col("qty").alias("q1")
-    )
-    both_ = a.join(b, "part")
-    p1q0 = F.round(
-        F.col("r1").cast("double") * F.col("q0") / F.col("q1"), 6
-    )
-    p0q1 = F.round(
-        F.col("r0").cast("double") * F.col("q1") / F.col("q0"), 6
-    )
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    s = both_.select(
-        "r0", "r1", p1q0.alias("t10"), p0q1.alias("t01")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("r0").cast("long").alias("sum_p0q0"),
-        F.sum("r1").cast("long").alias("sum_p1q1"),
-        fold("t10").alias("sum_p1q0"),
-        fold("t01").alias("sum_p0q1"),
-    )
-    lasp = F.col("sum_p1q0") / F.col("sum_p0q0")
-    paas = F.col("sum_p1q1").cast("double") / F.col("sum_p0q1")
-    return s.select(
-        "n_parts",
-        F.col("sum_p0q0").alias("base_rev_cents"),
-        F.col("sum_p1q1").alias("cur_rev_cents"),
-        F.round(lasp, 9).alias("laspeyres_index"),
-        F.round(paas, 9).alias("paasche_index"),
-        F.round(F.sqrt(lasp * paas), 9).alias("fisher_index"),
-    )
-
-
-@query(
-    "graph_clustering_by_degree",
-    oracle=f"""
-    WITH {_COOCCUR_EDGES_SQL},
-    und AS (
-      SELECT src, dst FROM edges
-      UNION ALL SELECT dst, src FROM edges
-    ),
-    deg AS (
-      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
-      FROM und GROUP BY src
-    ),
-    tri AS (
-      SELECT a.src AS node, CAST(count(*) AS BIGINT) AS t2
-      FROM und a JOIN und b ON b.src = a.dst
-      JOIN und c ON c.src = b.dst AND c.dst = a.src
-      GROUP BY a.src
-    ),
-    loc AS (
-      SELECT d.node, d.d,
-             length(bin(d.d)) AS deg_bucket,
-             coalesce(t.t2, 0) AS t2
-      FROM deg d LEFT JOIN tri t ON t.node = d.node
-      WHERE d.d >= 2
-    ),
-    terms AS (
-      SELECT deg_bucket,
-             round(CAST(t2 AS DOUBLE) / (CAST(d AS DOUBLE) * (d - 1)),
-                   12) AS c_i
-      FROM loc
-    )
-    SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
-           CAST(power(2, deg_bucket - 1) AS BIGINT) AS bucket_low_degree,
-           CAST(count(*) AS BIGINT) AS n_nodes,
-           round(list_reduce(list_sort(list(c_i)), (x, y) -> x + y)
-                 / count(*), 9) AS mean_local_clustering
-    FROM terms GROUP BY deg_bucket
-    """,
-)
-def graph_clustering_by_degree(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CLUSTERING-BY-DEGREE PROFILE c(k) — mean local clustering
-    coefficient per log₂ degree bucket: a falling c(k) ∝ 1/k is the
-    hierarchical-modularity fingerprint (Ravasz–Barabási), flat c(k)
-    says the graph is degree-mixed — the structural readout the
-    global transitivity number averages away. Per-node triangle
-    participation comes from the directed triple join (each triangle
-    counted 2× per member node — t₂/(d(d−1)) IS the local
-    coefficient); buckets use the exact binary-digit device; the
-    per-node cᵢ terms pre-round at 12 and fold SORTED per bucket,
-    round 9."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
-    # canonical (src < dst) pairs — symmetrize for the directed
-    # triple join (the oracle's UNION ALL twin)
-    und = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = gr.degrees(e).filter(F.col("deg") >= 2)
-    a = und.select(F.col("src").alias("node"), F.col("dst").alias("m1"))
-    b = und.select(F.col("src").alias("m1"), F.col("dst").alias("m2"))
-    c = und.select(F.col("src").alias("m2"), F.col("dst").alias("node"))
-    tri = (
-        a.join(b, "m1")
-        .join(c, ["m2", "node"])
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("t2"))
-    )
-    loc = deg.join(tri, deg.node == tri.node, "left").select(
-        deg.node,
-        F.col("deg").alias("d"),
-        F.length(F.conv(F.col("deg").cast("string"), 10, 2)).alias(
-            "deg_bucket"
-        ),
-        F.coalesce("t2", F.lit(0)).alias("t2"),
-    )
-    c_i = F.round(
-        F.col("t2").cast("double")
-        / (F.col("d").cast("double") * (F.col("d") - 1)),
-        12,
-    )
-    terms = loc.select("deg_bucket", c_i.alias("c_i"))
-    return terms.groupBy("deg_bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list("c_i")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mean_local_clustering"),
-    ).select(
-        F.col("deg_bucket").cast("long").alias("deg_bucket"),
-        F.pow(F.lit(2), F.col("deg_bucket") - 1)
-        .cast("long")
-        .alias("bucket_low_degree"),
-        "n_nodes",
-        "mean_local_clustering",
-    )
-
-
-@query(
-    "curation_source_mix_entropy",
-    oracle="""
-    WITH cnt AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(length(text)) AS BIGINT) AS n_bytes
-      FROM documents GROUP BY source
-    ),
-    tot AS (
-      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
-             CAST(sum(n_bytes) AS BIGINT) AS tb,
-             CAST(count(*) AS BIGINT) AS k
-      FROM cnt
-    ),
-    terms AS (
-      SELECT round((CAST(n_docs AS DOUBLE) / t.td)
-                   * ln(CAST(n_docs AS DOUBLE) / t.td), 12) AS hd,
-             round((CAST(n_bytes AS DOUBLE) / t.tb)
-                   * ln(CAST(n_bytes AS DOUBLE) / t.tb), 12) AS hb
-      FROM cnt, tot t
-    )
-    SELECT (SELECT k FROM tot) AS n_sources,
-           round(-list_reduce(list_sort(list(hd)), (x, y) -> x + y), 9)
-             AS doc_mix_entropy_nats,
-           round(exp(-list_reduce(list_sort(list(hd)), (x, y) -> x + y)),
-                 9) AS effective_sources_docs,
-           round(-list_reduce(list_sort(list(hb)), (x, y) -> x + y), 9)
-             AS byte_mix_entropy_nats,
-           round(exp(-list_reduce(list_sort(list(hb)), (x, y) -> x + y)),
-                 9) AS effective_sources_bytes
-    FROM terms
-    """,
-)
-def curation_source_mix_entropy(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """SOURCE-MIX ENTROPY — Shannon entropy of the corpus's source
-    distribution (docs AND bytes) with its exp(H) 'effective source
-    count': THE one-number diversity health metric a mixing-weights
-    change is judged by (20 sources at effective 3.2 means the mix is
-    really three sources wearing twenty hats). Counts exact BIGINTs;
-    the −p·ln p terms pre-round at 12 and fold SORTED (the KL
-    device), round 9. One groupBy over the source domain."""
-    d = load(spark, sf, "documents")
-    cnt = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).alias("n_bytes"),
-    )
-    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
-    tot = cnt.agg(
-        F.sum("n_docs").alias("td"),
-        F.sum("n_bytes").alias("tb"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    j = cnt.crossJoin(F.broadcast(tot))
-    pd_ = F.col("n_docs").cast("double") / F.col("td")
-    pb = F.col("n_bytes").cast("double") / F.col("tb")
-    terms = j.select(
-        "k",
-        F.round(pd_ * F.log(pd_), 12).alias("hd"),
-        F.round(pb * F.log(pb), 12).alias("hb"),
-    )
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return terms.agg(
-        F.max("k").alias("n_sources"),
-        F.round(-fold("hd"), 9).alias("doc_mix_entropy_nats"),
-        F.round(F.exp(-fold("hd")), 9).alias("effective_sources_docs"),
-        F.round(-fold("hb"), 9).alias("byte_mix_entropy_nats"),
-        F.round(F.exp(-fold("hb")), 9).alias("effective_sources_bytes"),
-    )
-
-
-# ===========================================================================
-# Coverage round 11: real video frame extraction (demuxed sample table)
-# ===========================================================================
-
-
-@query(
-    "multimodal_frame_extract",
-    oracle=f"""
-    WITH vid AS (
-      SELECT doc_id AS media_id, doc_id % 90000 + 1000 AS dur
-      FROM documents
-    ),
-    plan AS (
-      SELECT media_id, dur, dur // 10000 + 2 AS n FROM vid
-    ),
-    fx AS (
-      SELECT media_id,
-             CAST(fi AS INT) AS frame_idx,
-             CAST(fi * (dur // n) AS BIGINT) AS ts_ms,
-             CAST(16 + (fi % 5) * 8 AS INT) AS n_bytes
-      FROM (SELECT media_id, dur, n, unnest(range(0, n)) AS fi FROM plan)
-    ),
-    bytes AS (
-      SELECT media_id, frame_idx, ts_ms, n_bytes, b,
-             md5(CAST(media_id AS VARCHAR) || ':f'
-                 || CAST(frame_idx AS VARCHAR) || ':'
-                 || CAST(b AS VARCHAR)) AS hx,
-             unnest(range(0, 16)) AS j
-      FROM (SELECT media_id, frame_idx, ts_ms, n_bytes,
-                   unnest(range(0, CAST(ceil(n_bytes / 16.0) AS BIGINT)))
-                     AS b
-            FROM fx)
-    )
-    SELECT media_id, frame_idx, ts_ms, n_bytes,
-           CAST(sum(CASE WHEN b*16 + j < n_bytes
-                         THEN {_PNG_KS_BYTE} ELSE 0 END) AS BIGINT)
-             AS byte_sum
-    FROM bytes
-    GROUP BY media_id, frame_idx, ts_ms, n_bytes
-    """,
-)
-def multimodal_frame_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL video frame extraction, driver-verified (VERDICT r10 item
-    8 — the last plan-only multimodal gap): generate spec-valid
-    ISO-BMFF streams whose trak carries a full sample table (stsd +
-    stts + stsc + stsz + stco) and an mdat of md5-keystream frame
-    payloads, then DEMUX them back — sizes from stsz, absolute chunk
-    origin from stco, timestamps from stts/mdhd — and emit one row per
-    extracted frame with its exact int64 payload byte sum, which
-    DuckDB regenerates arithmetically. Any bug in the box layout, the
-    two-pass stco offset, the stsc chunk mapping, or the timescale
-    math shifts ts_ms/byte_sum and mismatches. Codec decode of the
-    payloads stays behind the ffmpeg ``decoder=`` seam
-    (multimodal.unimplemented_decoder). Arrow-batched mapInPandas both
-    ways, no shuffle, no driver involvement."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_mp4_frame_media(docs, "doc_id")
-    return mm.mp4_frame_stats(media)
-
-
-@query(
-    "multimodal_frame_sampling_census",
-    oracle="""
-    WITH vid AS (
-      SELECT doc_id AS media_id, doc_id % 90000 + 1000 AS dur
-      FROM documents
-    ),
-    plan AS (
-      SELECT media_id, dur, dur // 10000 + 2 AS n FROM vid
-    ),
-    fx AS (
-      SELECT media_id, fi, CAST(fi * (dur // n) AS BIGINT) AS ts_ms
-      FROM (SELECT media_id, dur, n, unnest(range(0, n)) AS fi FROM plan)
-    ),
-    kept AS (
-      SELECT media_id, fi, ts_ms,
-             row_number() OVER (
-               PARTITION BY media_id, ts_ms // 5000 ORDER BY fi
-             ) AS rn
-      FROM fx
-    )
-    SELECT media_id,
-           CAST(count(*) AS BIGINT) AS n_frames,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           CAST(max(CASE WHEN rn = 1 THEN ts_ms END) AS BIGINT)
-             AS last_kept_ts_ms
-    FROM kept GROUP BY media_id
-    """,
-)
-def multimodal_frame_sampling_census(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """FRAME-SAMPLING YIELD CENSUS — per video, how many frames the
-    every_ms=5000 sampling rule keeps out of the demuxed total (the
-    'what does this sampling rate actually cost me' audit run before
-    committing a frame budget at 100 TB). Both legs run the REAL
-    demux (``mp4_frame_stats``); the oracle replays the
-    first-frame-per-bucket rule with a window rank over the
-    deterministic frame plan. Two Arrow kernel passes + two tiny
-    media-grain groupBys."""
-    from ..functions import multimodal as mm
-
-    docs = load(spark, sf, "documents").select("doc_id")
-    media = mm.synthetic_mp4_frame_media(docs, "doc_id")
-    media = media.localCheckpoint(eager=False)  # consumed twice
-    allf = mm.mp4_frame_stats(media).groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_frames")
-    )
-    kept = (
-        mm.mp4_frame_stats(media, every_ms=5000)
-        .groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            F.max("ts_ms").alias("last_kept_ts_ms"),
-        )
-    )
-    return allf.join(kept, "media_id")
-
-
-@query(
-    "olap_herfindahl_nation_revenue",
-    oracle="""
-    WITH per_cust AS (
-      SELECT o_custkey,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS cents
-      FROM orders GROUP BY o_custkey
-    ),
-    rev AS (
-      SELECT r.r_name AS region, n.n_name AS nation,
-             CAST(sum(pc.cents) AS BIGINT) AS cents
-      FROM per_cust pc
-      JOIN customer c ON pc.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      GROUP BY 1, 2
-    ),
-    tot AS (
-      SELECT region, CAST(sum(cents) AS BIGINT) AS t,
-             CAST(count(*) AS BIGINT) AS k
-      FROM rev GROUP BY region
-    ),
-    terms AS (
-      SELECT rev.region, k,
-             round((CAST(cents AS DOUBLE) / t)
-                   * (CAST(cents AS DOUBLE) / t), 12) AS s2
-      FROM rev JOIN tot USING (region)
-    )
-    SELECT region,
-           max(k) AS n_nations,
-           round(list_reduce(list_sort(list(s2)), (a, b) -> a + b), 9)
-             AS hhi,
-           round(1.0 / list_reduce(list_sort(list(s2)), (a, b) -> a + b),
-                 9) AS effective_nations
-    FROM terms GROUP BY region
-    """,
-)
-def olap_herfindahl_nation_revenue(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """HERFINDAHL–HIRSCHMAN INDEX of revenue concentration across
-    nations within each region — the one-number 'is this market five
-    players or one player wearing five flags' readout that sits next
-    to the Gini/Lorenz pair in every concentration review, plus its
-    1/HHI effective-nation count. Revenue folds customer-grain first
-    (orders groupBy custkey — map-combinable, then a custkey-aligned
-    join instead of dragging raw orders through the dim chain);
-    nation/region broadcast; the squared shares pre-round at 12 and
-    fold SORTED per region, round 9."""
-    o = load(spark, sf, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "cents"
-        )
-    )
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation").select(
-        "n_nationkey", "n_regionkey", "n_name"
-    )
-    r = load(spark, sf, "region").select("r_regionkey", "r_name")
-    rev = (
-        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-        )
-        .agg(F.sum("cents").alias("cents"))
-    )
-    tot = rev.groupBy("region").agg(
-        F.sum("cents").alias("t"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    share = F.col("cents").cast("double") / F.col("t")
-    terms = rev.join(F.broadcast(tot), "region").select(
-        "region", "k", F.round(share * share, 12).alias("s2")
-    )
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("s2")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return terms.groupBy("region").agg(
-        F.max("k").alias("n_nations"),
-        F.round(fold, 9).alias("hhi"),
-        F.round(F.lit(1.0) / fold, 9).alias("effective_nations"),
-    )
-
-
-@query(
-    "emb_diag_mahalanobis_census",
-    oracle="""
-    WITH x AS (
-      SELECT vec_id, label,
-             generate_subscripts(embedding, 1) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    stats AS (
-      SELECT d, CAST(count(*) AS BIGINT) AS n,
-             list_reduce(list_sort(list(v)), (a, b) -> a + b) AS sv,
-             list_reduce(list_sort(list(v * v)), (a, b) -> a + b) AS sv2
-      FROM x GROUP BY d
-    ),
-    st AS (
-      SELECT d, round(sv / n, 12) AS mu,
-             round((sv2 - sv * sv / n) / (n - 1), 12) AS var
-      FROM stats
-    ),
-    terms AS (
-      SELECT x.vec_id, x.label,
-             round((x.v - st.mu) * (x.v - st.mu) / st.var, 12) AS t
-      FROM x JOIN st USING (d)
-    ),
-    per_vec AS (
-      SELECT vec_id, label,
-             round(list_reduce(list_sort(list(t)), (a, b) -> a + b), 9)
-               AS maha2
-      FROM terms GROUP BY vec_id, label
-    )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           round(max(maha2), 9) AS max_maha2,
-           CAST(sum(CASE WHEN maha2 > 96.0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_outliers
-    FROM per_vec GROUP BY label
-    """,
-)
-def emb_diag_mahalanobis_census(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """DIAGONAL-MAHALANOBIS OUTLIER CENSUS — squared distance to the
-    corpus mean under the per-dim variance (the exactly-mirrorable
-    half of Mahalanobis; the full-covariance variant, which also sees
-    correlated-but-individually-normal outliers, is the rows-tier
-    twin ``emb_zca_mahalanobis`` whose d×d eigh has no SQL
-    expression). Per-dim mean/variance fold SORTED (the oracle-parity
-    device — at real scale plain map-side sums replace the folds, as
-    documented across the catalog); per-row terms pre-round at 12,
-    per-vector fold sorted, round 9; the census counts vectors past
-    the chi²₆₄ ≈ 96 right tail per label. One explode + a 64-row
-    broadcast join, no driver involvement."""
-    e = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
-    x = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("d", "v")
-    ).select(
-        "vec_id", "label", "d", F.col("v").cast("double").alias("v")
-    )
-
-    def fold(col):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    stats = (
-        x.select("d", "v", (F.col("v") * F.col("v")).alias("v2"))
-        .groupBy("d")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            fold("v").alias("sv"),
-            fold("v2").alias("sv2"),
-        )
-        .select(
-            "d",
-            F.round(F.col("sv") / F.col("n"), 12).alias("mu"),
-            F.round(
-                (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
-                / (F.col("n") - 1),
-                12,
-            ).alias("var"),
-        )
-    )
-    terms = x.join(F.broadcast(stats), "d").select(
-        "vec_id",
-        "label",
-        F.round(
-            (F.col("v") - F.col("mu"))
-            * (F.col("v") - F.col("mu"))
-            / F.col("var"),
-            12,
-        ).alias("t"),
-    )
-    per_vec = terms.groupBy("vec_id", "label").agg(
-        F.round(fold("t"), 9).alias("maha2")
-    )
-    return per_vec.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(F.max("maha2"), 9).alias("max_maha2"),
-        F.sum(
-            F.when(F.col("maha2") > 96.0, 1).otherwise(0)
-        ).cast("long").alias("n_outliers"),
-    )
-
-
-@query("emb_zca_mahalanobis")
-def emb_zca_mahalanobis(spark: SparkSession, sf: str) -> DataFrame:
-    """FULL-COVARIANCE Mahalanobis outlier scores via ZCA whitening
-    (functions/linalg.py): the same one-pass (n, Σv, Σvvᵀ) moment
-    partials as PCA, a d×d driver eigh building
-    W = V diag((λ+ε)^-1/2) Vᵀ, then maha² = ‖W(v−μ)‖² as a broadcast
-    matmul — the multivariate outlier score the diagonal census
-    (hash-tier twin ``emb_diag_mahalanobis_census``) cannot see. No
-    SQL oracle — eigendecomposition is not SQL-expressible;
-    correctness is pinned by tests/test_linalg.py against
-    numpy.linalg.inv on the collected data, and the whitened
-    covariance ≈ I law. Scalar doubles rounded 6 (driver
-    canonicalizer hashes scalar cells; round absorbs sub-ulp
-    partial-sum jitter)."""
-    from ..functions import linalg as la
-
-    e = load(spark, sf, "embeddings")
-    m = la.mahalanobis_distances(e, dim=64)
-    return m.join(e.select("vec_id", "label"), "vec_id").select(
-        "vec_id", "label", F.round("maha2", 6).alias("maha2")
-    )
-
-
-@query(
-    "text_nb_lang_classifier",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, lang,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS m
-      FROM tok GROUP BY doc_id, lang, w
-    ),
-    cnt AS (
-      SELECT lang AS clang, w, CAST(count(*) AS BIGINT) AS n_wl
-      FROM tok GROUP BY lang, w
-    ),
-    tot AS (
-      SELECT clang, CAST(sum(n_wl) AS BIGINT) AS n_l FROM cnt GROUP BY clang
-    ),
-    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tok),
-    nl AS (
-      SELECT lang AS clang, CAST(count(*) AS BIGINT) AS n_docs_l
-      FROM documents GROUP BY lang
-    ),
-    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    terms AS (
-      SELECT m.doc_id, m.lang, nl.clang,
-             round(m.m * round(ln(CAST(coalesce(cnt.n_wl, 0) + 1 AS DOUBLE)
-                                   / (tot.n_l + v.vocab)), 12), 12) AS t
-      FROM m
-      CROSS JOIN nl
-      LEFT JOIN cnt ON cnt.clang = nl.clang AND cnt.w = m.w
-      JOIN tot ON tot.clang = nl.clang
-      CROSS JOIN v
-    ),
-    scores AS (
-      SELECT terms.doc_id, terms.lang, terms.clang,
-             round(round(ln(CAST(nl.n_docs_l AS DOUBLE) / nt.n_docs), 12)
-                   + list_reduce(list_sort(list(t)), (a, b) -> a + b),
-                   9) AS score
-      FROM terms
-      JOIN nl ON nl.clang = terms.clang
-      CROSS JOIN nt
-      GROUP BY terms.doc_id, terms.lang, terms.clang, nl.n_docs_l,
-               nt.n_docs
-    ),
-    pred AS (
-      SELECT doc_id, lang, clang,
-             row_number() OVER (
-               PARTITION BY doc_id ORDER BY score DESC, clang ASC
-             ) AS rk
-      FROM scores
-    )
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN clang = lang THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_correct,
-           round(CAST(sum(CASE WHEN clang = lang THEN 1 ELSE 0 END)
-                   AS DOUBLE) / count(*), 9) AS accuracy
-    FROM pred WHERE rk = 1 GROUP BY lang
-    """,
-)
-def text_nb_lang_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    """TRAINED MULTINOMIAL NAIVE BAYES language classifier — train on
-    the whole corpus (Laplace-smoothed token likelihoods + doc priors,
-    all exact BIGINT counts), score every document against every
-    class, and report per-language train accuracy: the fastText-style
-    quality/language gate of a curation pipeline expressed as pure
-    relational algebra, with the ENTIRE training loop inside the
-    engine (no driver state — counts are two groupBys, scoring is a
-    blocked join against the 5-row class table). Mirrored floats via
-    the established ladder: ln terms pre-round at 12, per-(doc,class)
-    fold SORTED, score round 9, argmax with the (score DESC, class
-    ASC) total tiebreak. At 100 TB the token-class count table
-    partitions by token and the doc-term join is the same
-    shuffle-on-w equi-join the PMI/TF-IDF family already runs."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
-    m = tok.groupBy("doc_id", "lang", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    cnt = tok.groupBy(F.col("lang").alias("clang"), "w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_wl")
-    )
-    tot = cnt.groupBy("clang").agg(F.sum("n_wl").alias("n_l"))
-    v = tok.agg(F.countDistinct("w").cast("long").alias("vocab"))
-    nl = d.groupBy(F.col("lang").alias("clang")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_l")
-    )
-    nt = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    grid = m.crossJoin(F.broadcast(nl.select("clang")))
-    j = (
-        grid.join(cnt, ["clang", "w"], "left")
-        .join(F.broadcast(tot), "clang")
-        .crossJoin(F.broadcast(v))
-    )
-    loglik = F.round(
-        F.log(
-            (F.coalesce(F.col("n_wl"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_l") + F.col("vocab"))
-        ),
-        12,
-    )
-    terms = j.select(
-        "doc_id", "lang", "clang", F.round(F.col("m") * loglik, 12).alias("t")
-    )
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("t")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    prior = F.round(
-        F.log(F.col("n_docs_l").cast("double") / F.col("n_docs")), 12
-    )
-    scores = (
-        terms.groupBy("doc_id", "lang", "clang")
-        .agg(fold.alias("s"))
-        .join(F.broadcast(nl), "clang")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id", "lang", "clang",
-            F.round(prior + F.col("s"), 9).alias("score"),
-        )
-    )
-    w_pred = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("clang").asc()
-    )
-    pred = scores.withColumn("rk", F.row_number().over(w_pred)).filter(
-        F.col("rk") == 1
-    )
-    hit = F.when(F.col("clang") == F.col("lang"), 1).otherwise(0)
-    return pred.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(hit).cast("long").alias("n_correct"),
-        F.round(
-            F.sum(hit).cast("double") / F.count(F.lit(1)), 9
-        ).alias("accuracy"),
-    )
-
-
-@query(
-    "stats_jackknife_ratio_se",
-    oracle="""
-    WITH g AS (
-      SELECT n.n_name AS nation,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS c_i,
-             CAST(count(*) AS BIGINT) AS n_i
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      GROUP BY 1
-    ),
-    tot AS (
-      SELECT CAST(sum(c_i) AS BIGINT) AS tc, CAST(sum(n_i) AS BIGINT) AS tn,
-             CAST(count(*) AS BIGINT) AS k
-      FROM g
-    ),
-    loo AS (
-      SELECT k, tc, tn,
-             round(CAST(tc - c_i AS DOUBLE) / (tn - n_i), 6) AS theta_i
-      FROM g CROSS JOIN tot
-    ),
-    bar AS (
-      SELECT k, tc, tn,
-             round(list_reduce(list_sort(list(theta_i)), (a, b) -> a + b)
-                   / k, 6) AS theta_bar,
-             list_sort(list(theta_i)) AS thetas
-      FROM loo GROUP BY k, tc, tn
-    )
-    SELECT k AS n_groups,
-           round(CAST(tc AS DOUBLE) / tn, 4) AS theta_hat,
-           round((k - 1) * (theta_bar - CAST(tc AS DOUBLE) / tn), 6)
-             AS jack_bias,
-           round(sqrt((k - 1.0) / k
-                 * list_reduce(
-                     list_sort(
-                       list_transform(
-                         thetas,
-                         t -> (t - theta_bar) * (t - theta_bar)
-                       )
-                     ),
-                     (a, b) -> a + b)), 6) AS jack_se
-    FROM bar
-    """,
-)
-def stats_jackknife_ratio_se(spark: SparkSession, sf: str) -> DataFrame:
-    """DELETE-ONE-GROUP JACKKNIFE standard error for the mean
-    order-value RATIO estimator, groups = customer nations — the
-    assumption-free uncertainty number for a ratio whose analytic SE
-    (delta method, already in the catalog) leans on independence the
-    nation clustering violates; the jackknife bias term comes free.
-    NO resampling loop: each leave-one-out replicate is a closed form
-    over the exact per-group BIGINT sums ((T_c−c_i)/(T_n−n_i)), so
-    the whole estimator is one groupBy + a 25-row fold. θ_i/θ̄ round
-    at 6 (≤15 significant digits at the 1e7 ratio magnitude — decimal
-    rounding beyond double resolution is engine-divergent), the raw
-    squared deviations fold SORTED unrounded (bit-identical inputs),
-    outputs round 4/6 inside resolution."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    g = (
-        o.select("o_custkey", F.round(F.col("o_totalprice") * 100)
-                 .cast("long").alias("cents"))
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.sum("cents").alias("c_i"),
-            F.count(F.lit(1)).cast("long").alias("n_i"),
-        )
-    )
-    tot = g.agg(
-        F.sum("c_i").alias("tc"),
-        F.sum("n_i").alias("tn"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    loo = g.crossJoin(F.broadcast(tot)).select(
-        "k", "tc", "tn",
-        F.round(
-            (F.col("tc") - F.col("c_i")).cast("double")
-            / (F.col("tn") - F.col("n_i")),
-            6,
-        ).alias("theta_i"),
-    )
-
-    def fold(col):
-        return F.aggregate(
-            F.array_sort(F.collect_list(col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bar = loo.groupBy("k", "tc", "tn").agg(
-        F.round(fold("theta_i") / F.col("k"), 6).alias("theta_bar"),
-        F.array_sort(F.collect_list("theta_i")).alias("thetas"),
-    )
-    # NO rounding on the squared deviations: their ~1e10 magnitude puts
-    # 12-decimal rounding beyond double resolution, where the two
-    # engines' decimal-round implementations pick different ulps
-    # (observed at sf0.1). The inputs (theta_i, theta_bar) are already
-    # identical rounded-6 doubles, so the raw square and sorted fold
-    # are bit-identical by construction.
-    dev2 = F.transform(
-        F.col("thetas"),
-        lambda t: (t - F.col("theta_bar")) * (t - F.col("theta_bar")),
-    )
-    theta_hat = F.col("tc").cast("double") / F.col("tn")
-    return bar.select(
-        F.col("k").alias("n_groups"),
-        F.round(theta_hat, 4).alias("theta_hat"),
-        F.round(
-            (F.col("k") - 1) * (F.col("theta_bar") - theta_hat), 6
-        ).alias("jack_bias"),
-        F.round(
-            F.sqrt(
-                (F.col("k") - 1.0)
-                / F.col("k")
-                * F.aggregate(
-                    F.array_sort(dev2),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            6,
-        ).alias("jack_se"),
-    )
-
-
-@query(
-    "text_nb_per_class_f1",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, lang,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS m
-      FROM tok GROUP BY doc_id, lang, w
-    ),
-    cnt AS (
-      SELECT lang AS clang, w, CAST(count(*) AS BIGINT) AS n_wl
-      FROM tok GROUP BY lang, w
-    ),
-    tot AS (
-      SELECT clang, CAST(sum(n_wl) AS BIGINT) AS n_l FROM cnt GROUP BY clang
-    ),
-    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tok),
-    nl AS (
-      SELECT lang AS clang, CAST(count(*) AS BIGINT) AS n_docs_l
-      FROM documents GROUP BY lang
-    ),
-    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    terms AS (
-      SELECT m.doc_id, m.lang, nl.clang,
-             round(m.m * round(ln(CAST(coalesce(cnt.n_wl, 0) + 1 AS DOUBLE)
-                                   / (tot.n_l + v.vocab)), 12), 12) AS t
-      FROM m
-      CROSS JOIN nl
-      LEFT JOIN cnt ON cnt.clang = nl.clang AND cnt.w = m.w
-      JOIN tot ON tot.clang = nl.clang
-      CROSS JOIN v
-    ),
-    scores AS (
-      SELECT terms.doc_id, terms.lang, terms.clang,
-             round(round(ln(CAST(nl.n_docs_l AS DOUBLE) / nt.n_docs), 12)
-                   + list_reduce(list_sort(list(t)), (a, b) -> a + b),
-                   9) AS score
-      FROM terms
-      JOIN nl ON nl.clang = terms.clang
-      CROSS JOIN nt
-      GROUP BY terms.doc_id, terms.lang, terms.clang, nl.n_docs_l,
-               nt.n_docs
-    ),
-    pred AS (
-      SELECT doc_id, lang, clang AS pred_lang
-      FROM (SELECT doc_id, lang, clang,
-                   row_number() OVER (
-                     PARTITION BY doc_id ORDER BY score DESC, clang ASC
-                   ) AS rk
-            FROM scores)
-      WHERE rk = 1
-    ),
-    per AS (
-      SELECT nl.clang AS lang,
-             (SELECT CAST(count(*) AS BIGINT) FROM pred p
-              WHERE p.lang = nl.clang AND p.pred_lang = nl.clang) AS tp,
-             (SELECT CAST(count(*) AS BIGINT) FROM pred p
-              WHERE p.lang = nl.clang) AS support,
-             (SELECT CAST(count(*) AS BIGINT) FROM pred p
-              WHERE p.pred_lang = nl.clang) AS predicted
-      FROM nl
-    )
-    SELECT lang, support, predicted, tp,
-           round(CASE WHEN predicted = 0 THEN 0.0
-                      ELSE CAST(tp AS DOUBLE) / predicted END, 9)
-             AS precision_,
-           round(CAST(tp AS DOUBLE) / support, 9) AS recall_,
-           round(CASE WHEN tp = 0 THEN 0.0
-                      ELSE 2.0 * tp / (predicted + support) END, 9)
-             AS f1
-    FROM per
-    """,
-)
-def text_nb_per_class_f1(spark: SparkSession, sf: str) -> DataFrame:
-    """PER-CLASS PRECISION / RECALL / F1 for the engine-trained NB
-    language classifier — the evaluation half of
-    ``text_nb_lang_classifier`` (train accuracy alone hides the
-    minority-class collapse that per-class F1 exposes; here the en
-    prior dominates and the small langs pay for it, exactly the
-    readout a curation gate needs before trusting the lang filter).
-    Same fully-relational train+score pipeline, then tp/support/
-    predicted as exact BIGINTs and the P/R/F1 ladder as single
-    mirrored divisions (F1 = 2·tp/(pred+sup) — the harmonic identity
-    that avoids a P·R/(P+R) float chain), round 9."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
-    m = tok.groupBy("doc_id", "lang", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    cnt = tok.groupBy(F.col("lang").alias("clang"), "w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_wl")
-    )
-    tot = cnt.groupBy("clang").agg(F.sum("n_wl").alias("n_l"))
-    v = tok.agg(F.countDistinct("w").cast("long").alias("vocab"))
-    nl = d.groupBy(F.col("lang").alias("clang")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_l")
-    )
-    nt = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    grid = m.crossJoin(F.broadcast(nl.select("clang")))
-    j = (
-        grid.join(cnt, ["clang", "w"], "left")
-        .join(F.broadcast(tot), "clang")
-        .crossJoin(F.broadcast(v))
-    )
-    loglik = F.round(
-        F.log(
-            (F.coalesce(F.col("n_wl"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_l") + F.col("vocab"))
-        ),
-        12,
-    )
-    terms = j.select(
-        "doc_id", "lang", "clang", F.round(F.col("m") * loglik, 12).alias("t")
-    )
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("t")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    prior = F.round(
-        F.log(F.col("n_docs_l").cast("double") / F.col("n_docs")), 12
-    )
-    scores = (
-        terms.groupBy("doc_id", "lang", "clang")
-        .agg(fold.alias("s"))
-        .join(F.broadcast(nl), "clang")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id", "lang", "clang",
-            F.round(prior + F.col("s"), 9).alias("score"),
-        )
-    )
-    w_pred = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("clang").asc()
-    )
-    pred = (
-        scores.withColumn("rk", F.row_number().over(w_pred))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "lang", F.col("clang").alias("pred_lang"))
-    )
-    pred = pred.localCheckpoint(eager=False)  # consumed three ways
-    sup = pred.groupBy(F.col("lang")).agg(
-        F.count(F.lit(1)).cast("long").alias("support")
-    )
-    prd = pred.groupBy(F.col("pred_lang").alias("lang")).agg(
-        F.count(F.lit(1)).cast("long").alias("predicted")
-    )
-    tp = (
-        pred.filter(F.col("lang") == F.col("pred_lang"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
-    )
-    per = (
-        nl.select(F.col("clang").alias("lang"))
-        .join(sup, "lang", "left")
-        .join(prd, "lang", "left")
-        .join(tp, "lang", "left")
-        .select(
-            "lang",
-            F.coalesce("support", F.lit(0)).alias("support"),
-            F.coalesce("predicted", F.lit(0)).alias("predicted"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-        )
-    )
-    return per.select(
-        "lang", "support", "predicted", "tp",
-        F.round(
-            F.when(F.col("predicted") == 0, F.lit(0.0)).otherwise(
-                F.col("tp").cast("double") / F.col("predicted")
-            ),
-            9,
-        ).alias("precision_"),
-        F.round(F.col("tp").cast("double") / F.col("support"), 9).alias(
-            "recall_"
-        ),
-        F.round(
-            F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
-                2.0 * F.col("tp") / (F.col("predicted") + F.col("support"))
-            ),
-            9,
-        ).alias("f1"),
-    )
-
-
-@query(
-    "text_nb_margin_reliability",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, lang,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS m
-      FROM tok GROUP BY doc_id, lang, w
-    ),
-    cnt AS (
-      SELECT lang AS clang, w, CAST(count(*) AS BIGINT) AS n_wl
-      FROM tok GROUP BY lang, w
-    ),
-    tot AS (
-      SELECT clang, CAST(sum(n_wl) AS BIGINT) AS n_l FROM cnt GROUP BY clang
-    ),
-    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tok),
-    nl AS (
-      SELECT lang AS clang, CAST(count(*) AS BIGINT) AS n_docs_l
-      FROM documents GROUP BY lang
-    ),
-    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-    terms AS (
-      SELECT m.doc_id, m.lang, nl.clang,
-             round(m.m * round(ln(CAST(coalesce(cnt.n_wl, 0) + 1 AS DOUBLE)
-                                   / (tot.n_l + v.vocab)), 12), 12) AS t
-      FROM m
-      CROSS JOIN nl
-      LEFT JOIN cnt ON cnt.clang = nl.clang AND cnt.w = m.w
-      JOIN tot ON tot.clang = nl.clang
-      CROSS JOIN v
-    ),
-    scores AS (
-      SELECT terms.doc_id, terms.lang, terms.clang,
-             round(round(ln(CAST(nl.n_docs_l AS DOUBLE) / nt.n_docs), 12)
-                   + list_reduce(list_sort(list(t)), (a, b) -> a + b),
-                   9) AS score
-      FROM terms
-      JOIN nl ON nl.clang = terms.clang
-      CROSS JOIN nt
-      GROUP BY terms.doc_id, terms.lang, terms.clang, nl.n_docs_l,
-               nt.n_docs
-    ),
-    ranked AS (
-      SELECT doc_id, lang, clang, score,
-             row_number() OVER (
-               PARTITION BY doc_id ORDER BY score DESC, clang ASC
-             ) AS rk
-      FROM scores
-    ),
-    docs AS (
-      SELECT a.doc_id,
-             CASE WHEN a.clang = a.lang THEN 1 ELSE 0 END AS hit,
-             round(a.score - b.score, 9) AS margin
-      FROM ranked a JOIN ranked b
-        ON b.doc_id = a.doc_id AND a.rk = 1 AND b.rk = 2
-    ),
-    buck AS (
-      SELECT hit, margin,
-             ntile(5) OVER (ORDER BY margin ASC, doc_id ASC) AS q
-      FROM docs
-    )
-    SELECT q AS margin_quintile,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(min(margin), 9) AS min_margin,
-           round(max(margin), 9) AS max_margin,
-           round(CAST(sum(hit) AS DOUBLE) / count(*), 9) AS accuracy
-    FROM buck GROUP BY q
-    """,
-)
-def text_nb_margin_reliability(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """CONFIDENCE CALIBRATION of the engine-trained NB classifier via
-    score MARGINS — accuracy per quintile of the top1−top2 log-score
-    gap: a rising curve says the margin is a usable confidence signal
-    (keep high-margin docs, route low-margin ones to a stronger
-    model — the cascade-routing decision every lang/quality gate
-    makes); a flat curve says thresholding on it is theater. The
-    margin is a DIFFERENCE of two already-mirrored rounded-9 scores —
-    no softmax, so no cross-engine exp() hazard — and quintiles use
-    the (margin, doc_id) total order. Same relational train+score
-    pipeline; the extra cost is one self-join on the rank pair.
-
-    Scale boundary (STRESS.md r12, exp 0.52 at K=10): the exact
-    quintile bucketing is a GLOBAL ordered ntile — one task sorts all
-    per-doc margin rows. Fine through ~10⁷ docs; past that, swap in
-    the sharded two-phase prefix-sum device
-    (curation.token_budget_sample's hex-shard → in-shard window →
-    offset-table composition) for the same exact quintiles without a
-    single-partition sort."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
-    m = tok.groupBy("doc_id", "lang", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    cnt = tok.groupBy(F.col("lang").alias("clang"), "w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_wl")
-    )
-    tot = cnt.groupBy("clang").agg(F.sum("n_wl").alias("n_l"))
-    v = tok.agg(F.countDistinct("w").cast("long").alias("vocab"))
-    nl = d.groupBy(F.col("lang").alias("clang")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_l")
-    )
-    nt = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    grid = m.crossJoin(F.broadcast(nl.select("clang")))
-    j = (
-        grid.join(cnt, ["clang", "w"], "left")
-        .join(F.broadcast(tot), "clang")
-        .crossJoin(F.broadcast(v))
-    )
-    loglik = F.round(
-        F.log(
-            (F.coalesce(F.col("n_wl"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_l") + F.col("vocab"))
-        ),
-        12,
-    )
-    terms = j.select(
-        "doc_id", "lang", "clang", F.round(F.col("m") * loglik, 12).alias("t")
-    )
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("t")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    prior = F.round(
-        F.log(F.col("n_docs_l").cast("double") / F.col("n_docs")), 12
-    )
-    scores = (
-        terms.groupBy("doc_id", "lang", "clang")
-        .agg(fold.alias("s"))
-        .join(F.broadcast(nl), "clang")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id", "lang", "clang",
-            F.round(prior + F.col("s"), 9).alias("score"),
-        )
-    )
-    w_pred = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("clang").asc()
-    )
-    ranked = scores.withColumn("rk", F.row_number().over(w_pred))
-    ranked = ranked.localCheckpoint(eager=False)  # consumed twice
-    a = ranked.filter(F.col("rk") == 1).select(
-        "doc_id",
-        F.when(F.col("clang") == F.col("lang"), 1).otherwise(0).alias("hit"),
-        F.col("score").alias("s1"),
-    )
-    b = ranked.filter(F.col("rk") == 2).select(
-        "doc_id", F.col("score").alias("s2")
-    )
-    docs = a.join(b, "doc_id").select(
-        "doc_id", "hit", F.round(F.col("s1") - F.col("s2"), 9).alias("margin")
-    )
-    wq = Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
-    buck = docs.withColumn("q", F.ntile(5).over(wq))
-    return buck.groupBy(F.col("q").alias("margin_quintile")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.min("margin"), 9).alias("min_margin"),
-        F.round(F.max("margin"), 9).alias("max_margin"),
-        F.round(
-            F.sum("hit").cast("double") / F.count(F.lit(1)), 9
-        ).alias("accuracy"),
-    )
-
-
-# ===========================================================================
-# Coverage round 12: oracle-paired twins for the legacy rows-tier
-# residue (VERDICT_r11 item 6) — pin the HLL merge ALGEBRA and one
-# Lloyd's assignment round in fully hash-verifiable form.
-# ===========================================================================
-
-
-@query(
-    "agg_hll_merge_algebra",
-    oracle="""
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-           TRUE AS merge_associative,
-           TRUE AS direct_eq_merged
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_hll_merge_algebra(spark: SparkSession, sf: str) -> DataFrame:
-    """The hash-tier twin of `agg_hll_mergeable`: pins the sketch MERGE
-    ALGEBRA itself. At lgConfigK=16 the DataSketches HLL sketch is
-    measured exact through ≥6000 distinct values (sf0.1's largest
-    event_type domain is 1500), so (a) the merged per-day estimate must
-    EQUAL the exact distinct count DuckDB computes, (b) day→month→total
-    two-level union must equal one-level union (merge associativity —
-    the property that makes a day's sketch roll up into any
-    week/month/cube grouping without rescanning raw data), and (c) a
-    direct whole-group sketch must equal the merged one. All three
-    laws are value-checked by the oracle; the production-sized
-    `agg_hll_mergeable` (default lgK, estimate regime) stays the
-    honest rows-tier scale path."""
-    e = load(spark, sf, "events").withColumn("day", F.col("ts").cast("date"))
-    daily = e.groupBy("event_type", "day").agg(
-        F.hll_sketch_agg("user_id", F.lit(16)).alias("sk")
-    )
-    daily = daily.localCheckpoint(eager=False)  # consumed twice
-    merged = daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
-        F.count(F.lit(1)).alias("n_days"),
-    )
-    two_level = (
-        daily.withColumn("mon", F.trunc("day", "month"))
-        .groupBy("event_type", "mon")
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_2level"))
-    )
-    direct = e.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(16))).alias(
-            "est_direct"
-        )
-    )
-    return (
-        merged.join(two_level, "event_type")
-        .join(direct, "event_type")
-        .select(
-            "event_type",
-            F.col("est_merged").cast("long").alias("n_users"),
-            F.col("n_days").cast("long").alias("n_days"),
-            (F.col("est_merged") == F.col("est_2level")).alias(
-                "merge_associative"
-            ),
-            (F.col("est_direct") == F.col("est_merged")).alias(
-                "direct_eq_merged"
-            ),
-        )
-    )
-
-
-_KMC_CENTROIDS = sim.md5_centroids(16, 64, tag="kmc")
-
-_KMC_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (
-  {" UNION ALL ".join(
-      f"SELECT {j} AS cell, "
-      f"[{', '.join(repr(x) for x in _KMC_CENTROIDS[j])}]::DOUBLE[] AS cv"
-      for j in range(16)
-  )}
-),
-scored AS (
-  SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS dot
-  FROM e CROSS JOIN c
-),
-win AS (
-  SELECT vec_id, cell, dot,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dot DESC, cell ASC) AS rn
-  FROM scored
-)
-SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(CAST(round(dot * 1000000.0) AS BIGINT)) AS BIGINT)
-         AS sum_dot_micros
-FROM win WHERE rn = 1 GROUP BY cell
-"""
-
-
-@query("emb_kmeans_onestep_cells", oracle=_KMC_ORACLE)
-def emb_kmeans_onestep_cells(spark: SparkSession, sf: str) -> DataFrame:
-    """The hash-tier twin of `emb_kmeans_cells`: ONE Lloyd's assignment
-    round over deterministic md5-keystream centroids, cell populations
-    value-checked against a DuckDB re-implementation (the
-    `sim_ivf_topk_full_probe` device applied to k-means). Centroids
-    are UNIT-NORM, so argmin ||v−c||² == argmax v·c (||c||²=1 and
-    ||v||² is constant per row) — assignment reduces to the verified
-    sequential-fold dot product, bit-identical across engines; ties
-    break to the smallest cell id. Per-cell dot mass is summed as
-    integer micros (order-independent). The trained-trajectory
-    `emb_kmeans_cells` stays the honest rows-tier production path;
-    this twin pins the assignment+population machinery it shares.
-    Scale: 16 broadcast centroid rows, one fan-out scan, one
-    map-combinable max per vector — no shuffle carries vectors."""
-    e = load(spark, sf, "embeddings")
-    cdf = spark.createDataFrame(
-        [(j, _KMC_CENTROIDS[j]) for j in range(16)],
-        "cell int, cv array<double>",
-    )
-    scored = e.crossJoin(F.broadcast(cdf)).select(
-        "vec_id",
-        "cell",
-        sim.dot_fold(F.col("embedding"), F.col("cv")).alias("dot"),
-    )
-    # max(struct) keeps the winning (dot, inv_cell, dot_micros) per
-    # vector with a map-side-combinable aggregate — no per-vector
-    # window shuffle; inv_cell makes struct order break dot ties
-    # toward the SMALLEST cell id.
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.col("dot").alias("dot"),
-                (F.lit(15) - F.col("cell")).alias("inv_cell"),
-            )
-        ).alias("w")
-    )
-    return (
-        best.select(
-            (F.lit(15) - F.col("w.inv_cell")).alias("cell"),
-            F.round(F.col("w.dot") * 1000000.0).cast("long").alias("micros"),
-        )
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum("micros").cast("long").alias("sum_dot_micros"),
-        )
-    )
 
 
 _rotate_window(_DRIVER_WINDOW)

@@ -1,0 +1,1300 @@
+"""Catalog family: data-quality and reconciliation audits.
+
+Mechanically split from the monolithic plans/catalog.py (round
+12); query definition order within the family is the original
+file order, and all shared helpers come from ``_qshared``.
+"""
+
+from __future__ import annotations
+
+from ._qshared import *  # noqa: F401,F403
+
+
+
+
+@query(
+    "audit_bloom_membership",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    bloom AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM seen, unnest(range(0, 4)) AS gs(h)
+    ),
+    hits AS (
+      SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM (SELECT user_id,
+                   CAST(('0x' || substr(md5(CAST(gs.h AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1024 AS bucket
+            FROM probes, unnest(range(0, 4)) AS gs(h)) p
+      JOIN bloom b ON b.bucket = p.bucket
+      GROUP BY p.user_id
+    )
+    SELECT p.user_id,
+           COALESCE(h.n_hit, 0) = 4 AS claimed,
+           s.user_id IS NOT NULL AS truly_seen
+    FROM probes p
+    LEFT JOIN hits h ON h.user_id = p.user_id
+    LEFT JOIN seen s ON s.user_id = p.user_id
+    """,
+)
+def audit_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 1024-bit / 4-hash Bloom
+    set over first-half users (the filter is just DISTINCT bucket
+    rows — a set small enough to broadcast, mergeable by UNION), probe
+    every second-half user, and emit claimed vs truth so the false-
+    positive rate is measurable. This is the pre-filter a 100 TB
+    pipeline ships to the scan side before an expensive membership
+    join (the runtime bloom-join pin in test_scale_plans is the
+    engine-internal version; this one is portable state you can
+    persist between runs). md5 device hashing keeps the approximate
+    structure itself hash-verifiable; no-false-negative is pinned by
+    test."""
+    e = load(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    seen = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    probes = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+
+    def buckets(df: DataFrame) -> DataFrame:
+        hcols = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1024
+            )
+            for i in range(4)
+        ]
+        return df.select(
+            "user_id", F.explode(F.array(*hcols)).alias("bucket")
+        )
+
+    bloom = buckets(seen).select("bucket").distinct()
+    hits = (
+        buckets(probes)
+        .join(F.broadcast(bloom), on="bucket")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        probes.join(hits, on="user_id", how="left")
+        .join(
+            seen.withColumn("_seen", F.lit(True)), on="user_id", how="left"
+        )
+        .select(
+            "user_id",
+            (F.coalesce("n_hit", F.lit(0)) == 4).alias("claimed"),
+            F.coalesce("_seen", F.lit(False)).alias("truly_seen"),
+        )
+    )
+
+
+
+
+@query(
+    "audit_table_checksum",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+             ), 1, 8)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM rows_
+    """,
+)
+def audit_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive cross-engine table checksum — the migration
+    validation primitive: hash a canonical per-row rendering (md5,
+    first 8 hex digits as an integer) and SUM, so any engine/layout
+    that holds the same rows produces the same (n_rows, checksum)
+    regardless of partitioning or scan order. One map-combinable
+    aggregate; columns limited to exactly-renderable types (integers,
+    strings) because float/timestamp formatting is engine-specific —
+    a production harness canonicalizes those explicitly first."""
+    o = load(spark, sf, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+    return o.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_h").alias("checksum"),
+    )
+
+
+
+
+@query(
+    "audit_snapshot_diff",
+    oracle="""
+    WITH old_ AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus) AS v
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_ AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                      ELSE o_orderstatus END) AS v
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.v <> n.v THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_ o FULL OUTER JOIN new_ n ON o.k = n.k
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM j GROUP BY change_type
+    """,
+)
+def audit_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation between two table versions (the
+    data-ops diff behind CDC validation and backfill audits): one key
+    full-outer join comparing per-row value hashes classifies every
+    key as added / removed / changed / unchanged, aggregated with key
+    ranges for triage. The two versions are derived deterministically
+    from orders so both engines diff identical snapshots. Scale: the
+    join shuffles only (key, 32-byte value hash) pairs — row payloads
+    never move — and the classification aggregate is map-combinable."""
+    o = load(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        ).alias("v_old"),
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"),
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+            )
+        ).alias("v_new"),
+    )
+    j = old.join(new, on="k", how="full").select(
+        "k",
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+
+
+# Applied last so the priority list may reference ANY registered query.
+@query(
+    "audit_media_quarantine_rate",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM documents),
+    png AS (
+      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
+      WHERE CAST(('0x' || substr(md5('poison' ||
+              CAST(doc_id * 2 AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
+    ),
+    aud AS (
+      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
+      WHERE CAST(('0x' || substr(md5('poison' ||
+              CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
+    ),
+    vid AS (
+      SELECT CAST(count(*) AS BIGINT) AS q FROM documents
+      WHERE CAST(('0x' || substr(md5('poison' ||
+              CAST(doc_id * 2 + 1 AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
+    )
+    SELECT 'png' AS kind, n.n_items, png.q AS n_quarantined,
+           CAST(png.q AS DOUBLE) / n.n_items AS quarantine_rate
+    FROM n, png
+    UNION ALL
+    SELECT 'audio', n.n_items, aud.q,
+           CAST(aud.q AS DOUBLE) / n.n_items FROM n, aud
+    UNION ALL
+    SELECT 'video', n.n_items, vid.q,
+           CAST(vid.q AS DOUBLE) / n.n_items FROM n, vid
+    """,
+)
+def audit_media_quarantine_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Quarantine telemetry as a first-class audit (VERDICT_r6 item
+    7): inject deterministic md5-keystream corruption into all three
+    real media families (poison_inject — truncation that keeps the
+    container signature but guarantees the body parse raises), run
+    the REAL quarantined decodes, and report the per-kind quarantine
+    rate a pipeline would alert on. Because poisoned == quarantined
+    by construction and the injection rule is pure integer md5
+    arithmetic, DuckDB replays the expected rates exactly — the
+    driver hash row certifies that the per-item quarantine path
+    catches precisely the corrupted items, none more, none fewer.
+    Media ids are decorrelated per kind (2·id, id, 2·id+1) so the
+    three rates are independent draws."""
+    from ..functions import multimodal as mm
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    png_m = mm.synthetic_image_media(
+        docs.select((F.col("doc_id") * 2).alias("doc_id")), "doc_id"
+    )
+    wav_m = mm.synthetic_wav_media(docs, "doc_id")
+    mp4_m = mm.synthetic_mp4_media(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id")), "doc_id"
+    )
+    parts = []
+    for kind, decoded in [
+        ("png", mm.png_pixel_stats(mm.poison_inject(png_m), True)),
+        ("audio", mm.wav_sample_stats(mm.poison_inject(wav_m), True)),
+        ("video", mm.mp4_header_stats(mm.poison_inject(mp4_m), True)),
+    ]:
+        parts.append(
+            decoded.agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum((~F.col("ok")).cast("long")).alias("n_quarantined"),
+            ).select(
+                F.lit(kind).alias("kind"),
+                "n_items",
+                "n_quarantined",
+                (
+                    F.col("n_quarantined").cast("double")
+                    / F.col("n_items")
+                ).alias("quarantine_rate"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+
+
+@query(
+    "audit_data_contract",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(count(*) FILTER (value > 100) AS BIGINT) AS v_le100,
+             CAST(count(*) FILTER (value < 0) AS BIGINT) AS v_neg,
+             CAST(count(*) FILTER (event_type NOT IN
+               ('click','view','purchase','signup','error')
+               OR event_type IS NULL) AS BIGINT) AS v_enum,
+             CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS v_null,
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purch,
+             CAST(count(*) FILTER (event_type = 'purchase' AND value < 1)
+               AS BIGINT) AS v_purch
+      FROM events
+    )
+    SELECT rule, n_checked, n_violations,
+           CAST(n_violations AS DOUBLE) / n_checked AS violation_rate
+    FROM (
+      SELECT 'value_le_100' AS rule, n_all AS n_checked,
+             v_le100 AS n_violations FROM s
+      UNION ALL SELECT 'value_nonnegative', n_all, v_neg FROM s
+      UNION ALL SELECT 'event_type_enum', n_all, v_enum FROM s
+      UNION ALL SELECT 'user_id_not_null', n_all, v_null FROM s
+      UNION ALL SELECT 'event_id_unique', n_all, v_dup FROM s
+      UNION ALL SELECT 'purchase_value_ge_1', n_purch, v_purch FROM s
+    )
+    """,
+)
+def audit_data_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-CONTRACT VALIDATION (the Great-Expectations /
+    dbt-test shape): a rule table — range, domain-enum, not-null,
+    uniqueness, and a scoped conditional rule — evaluated in ONE scan
+    via conditional aggregation, then unpivoted to (rule, n_checked,
+    n_violations, rate) rows a freshness dashboard ingests. This is
+    the audit a pipeline runs before promoting a batch; at 100 TB it
+    stays one map-combinable pass however many rules ride along
+    (adding a rule adds a column, not a scan)."""
+    e = load(spark, sf, "events")
+    cnt = F.count(F.lit(1))
+    s = e.agg(
+        cnt.alias("n_all"),
+        F.sum((F.col("value") > 100).cast("long")).alias("v_le100"),
+        F.sum((F.col("value") < 0).cast("long")).alias("v_neg"),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+                | F.col("event_type").isNull()
+            ).cast("long")
+        ).alias("v_enum"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("v_null"),
+        (cnt - F.countDistinct("event_id")).alias("v_dup"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purch"
+        ),
+        F.sum(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") < 1)
+            ).cast("long")
+        ).alias("v_purch"),
+    )
+    rules = s.select(
+        F.expr(
+            """
+            stack(6,
+              'value_le_100', n_all, v_le100,
+              'value_nonnegative', n_all, v_neg,
+              'event_type_enum', n_all, v_enum,
+              'user_id_not_null', n_all, v_null,
+              'event_id_unique', n_all, v_dup,
+              'purchase_value_ge_1', n_purch, v_purch)
+              AS (rule, n_checked, n_violations)
+            """
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (
+            F.col("n_violations").cast("double") / F.col("n_checked")
+        ).alias("violation_rate"),
+    )
+
+
+
+
+@query(
+    "audit_freshness_slo",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n_events,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_epoch_s
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(max_epoch_s) AS gmx FROM m)
+    SELECT event_type, n_events, max_epoch_s,
+           gmx - max_epoch_s AS lag_s,
+           (gmx - max_epoch_s) > 7200 AS slo_breach
+    FROM m, g
+    """,
+)
+def audit_freshness_slo(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline freshness SLO audit — per-stream staleness against the
+    corpus watermark (the first dashboard any ingestion owner builds:
+    'which source stopped flowing?'). One groupBy over the fact, then
+    the global watermark joins back as a broadcast one-row crossJoin —
+    the whole audit is a single shuffle regardless of corpus size.
+    Integer epoch seconds end to end; 7200 s is the pinned SLO."""
+    e = load(spark, sf, "events")
+    epoch_s = F.floor(_usec("ts") / F.lit(1_000_000)).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(epoch_s).alias("max_epoch_s"),
+    )
+    g = m.agg(F.max("max_epoch_s").alias("gmx"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "max_epoch_s",
+        (F.col("gmx") - F.col("max_epoch_s")).alias("lag_s"),
+        ((F.col("gmx") - F.col("max_epoch_s")) > 7200).alias("slo_breach"),
+    )
+
+
+
+
+@query(
+    "audit_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+             CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+             CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS nd_price,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS VARCHAR) AS mn_price,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS VARCHAR) AS mx_price,
+             CAST(count(o_orderpriority) AS BIGINT) AS nn_prio,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+             CAST(min(o_orderpriority) AS VARCHAR) AS mn_prio,
+             CAST(max(o_orderpriority) AS VARCHAR) AS mx_prio,
+             CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(min(o_orderdate) AS DATE)) AS VARCHAR) AS mn_date,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(max(o_orderdate) AS DATE)) AS VARCHAR) AS mx_date
+      FROM orders
+    )
+    SELECT col, n, n_nonnull, n_distinct, min_repr, max_repr FROM (
+      SELECT 'o_custkey' AS col, n, nn_cust AS n_nonnull,
+             nd_cust AS n_distinct, mn_cust AS min_repr,
+             mx_cust AS max_repr FROM s
+      UNION ALL
+      SELECT 'o_totalprice_cents', n, nn_price, nd_price, mn_price,
+             mx_price FROM s
+      UNION ALL
+      SELECT 'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio
+      FROM s
+      UNION ALL
+      SELECT 'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date
+      FROM s
+    )
+    """,
+)
+def audit_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-SCAN column profiling (the dbt-docs / Deequ profile pass):
+    per column — row count, non-null count, exact distinct count, and
+    min/max — unpivoted to a (col, stats…) table. All stats compute
+    in a single aggregate over one scan (Spark plans the multi-
+    distinct via Expand — still one pass of the fact); adding a
+    column adds expressions, not passes. Cross-engine repr
+    discipline: doubles profile as integer CENTS and dates as day
+    offsets, because float→string and date→string formatting differ
+    between engines while BIGINT→string never does."""
+    o = load(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct(cents).alias("nd_price"),
+        F.min(cents).cast("string").alias("mn_price"),
+        F.max(cents).cast("string").alias("mx_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("mn_prio"),
+        F.max("o_orderpriority").cast("string").alias("mx_prio"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min(day).cast("string").alias("mn_date"),
+        F.max(day).cast("string").alias("mx_date"),
+    )
+    return s.select(
+        F.expr(
+            """
+            stack(4,
+              'o_custkey', n, nn_cust, nd_cust, mn_cust, mx_cust,
+              'o_totalprice_cents', n, nn_price, nd_price, mn_price,
+                mx_price,
+              'o_orderpriority', n, nn_prio, nd_prio, mn_prio, mx_prio,
+              'o_orderdate_day', n, nn_date, nd_date, mn_date, mx_date)
+            AS (col, n, n_nonnull, n_distinct, min_repr, max_repr)
+            """
+        )
+    )
+
+
+
+
+@query(
+    "audit_pk_fk_orphans",
+    oracle="""
+    SELECT relation, n_child, n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
+    FROM (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer->nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    )
+    """,
+)
+def audit_pk_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit — orphan counts for every FK edge
+    of the star (the dbt `relationships` test, run as one report):
+    children whose parent key resolves to nothing. Each edge is one
+    LEFT ANTI join aggregated to a count — hash joins all the way
+    (the parent side broadcast when dim-sized), so the audit costs
+    one scan per edge and zero at the parent beyond the join build.
+    A rate > 0 on lineitem→orders is the 'partial ingest' page."""
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame,
+             pk: str) -> DataFrame:
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            child.join(
+                parent.select(F.col(pk).alias(ck)).distinct(),
+                on=ck,
+                how="left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double") / F.col("n_child")
+                ).alias("orphan_rate"),
+            )
+        )
+
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(
+            edge(
+                "orders->customer",
+                o.select("o_custkey"),
+                "o_custkey",
+                c,
+                "c_custkey",
+            )
+        )
+        .unionAll(
+            edge(
+                "customer->nation",
+                c.select("c_nationkey"),
+                "c_nationkey",
+                n,
+                "n_nationkey",
+            )
+        )
+    )
+
+
+
+
+@query(
+    "audit_langid_confusion",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS h_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS h_de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS h_es,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS h_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
+                  WHEN h_de >= greatest(h_es, h_fr, h_zh, 1) THEN 'de'
+                  WHEN h_es >= greatest(h_fr, h_zh, 1) THEN 'es'
+                  WHEN h_fr >= greatest(h_zh, 1) THEN 'fr'
+                  WHEN h_zh >= 1 THEN 'zh'
+                  ELSE 'und' END AS lang_pred
+      FROM hits
+    )
+    SELECT lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang) AS row_share
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def audit_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """LANG-ID CONFUSION MATRIX — the classifier audit that turns
+    text_langid from a prediction into a measured instrument:
+    declared label × predicted label counts with within-row shares
+    (the diagonal is per-language recall; off-diagonal mass says
+    which languages the stopword heuristic confuses — the go/no-go
+    before gating a corpus on it). One aggregate over the langid
+    projection + a language-dim-sized share window."""
+    d = load(spark, sf, "documents")
+    pred = tx.lang_id(d).select("lang", "lang_pred")
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wr = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wr)
+        ).alias("row_share"),
+    )
+
+
+
+
+@query(
+    "audit_psi_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+               AS first_half
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 29
+    ),
+    dims AS (
+      SELECT 'event_type' AS dimension, event_type AS category,
+             first_half FROM ev
+      UNION ALL
+      SELECT 'hour_of_day', lpad(CAST(hr AS VARCHAR), 2, '0'),
+             first_half FROM ev
+    ),
+    cnt AS (
+      SELECT dimension, category,
+             CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_second
+      FROM dims GROUP BY dimension, category
+    ),
+    tot AS (
+      SELECT dimension,
+             CAST(sum(n_first) AS BIGINT) AS t1,
+             CAST(sum(n_second) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cnt GROUP BY dimension
+    )
+    SELECT c.dimension, c.category, c.n_first, c.n_second,
+           round((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k)
+                  - CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))
+                 * ln((CAST(c.n_first + 1 AS DOUBLE) / (t.t1 + t.k))
+                      / (CAST(c.n_second + 1 AS DOUBLE) / (t.t2 + t.k))),
+                 12) AS psi_term
+    FROM cnt c JOIN tot t ON c.dimension = t.dimension
+    """,
+)
+def audit_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift audit — days 0-14 vs days
+    15-29, per category of two dimensions (event_type, hour-of-day):
+    each row carries the exact first/second counts and its Laplace-
+    smoothed PSI term (pᵢ−qᵢ)·ln(pᵢ/qᵢ) (add-one smoothing keeps
+    empty categories finite; terms stay per-category so no cross-
+    category float summation order exists to drift — the reader sums,
+    or gates on any term > 0.2/k). Counts are one map-combinable
+    groupBy; category totals are a category-bounded second pass."""
+    e = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    ev = e.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        (day < 15).alias("first_half"),
+    ).filter((day >= 0) & (day <= 29))
+    dims = ev.select(
+        F.lit("event_type").alias("dimension"),
+        F.col("event_type").alias("category"),
+        "first_half",
+    ).unionAll(
+        ev.select(
+            F.lit("hour_of_day").alias("dimension"),
+            F.lpad(F.col("hr").cast("string"), 2, "0").alias("category"),
+            "first_half",
+        )
+    )
+    cnt = dims.groupBy("dimension", "category").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_second"),
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # consumed twice
+    tot = cnt.groupBy("dimension").agg(
+        F.sum("n_first").cast("long").alias("t1"),
+        F.sum("n_second").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + F.col("k"))
+    q = (F.col("n_second") + 1).cast("double") / (
+        F.col("t2") + F.col("k")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "dimension")
+        .select(
+            "dimension",
+            "category",
+            "n_first",
+            "n_second",
+            F.round((p - q) * F.log(p / q), 12).alias("psi_term"),
+        )
+    )
+
+
+
+
+@query(
+    "audit_join_fanout_forecast",
+    oracle="""
+    WITH lc AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+      FROM orders GROUP BY o_orderkey
+    ),
+    rc AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT coalesce(lc.k, rc.k) AS k,
+             coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr
+      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+    )
+    SELECT CAST(sum(nl) AS BIGINT) AS left_rows,
+           CAST(sum(nr) AS BIGINT) AS right_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(nl * nr) AS BIGINT) AS forecast_join_rows,
+           CAST(max(nl * nr) AS BIGINT) AS worst_key_rows,
+           CAST(min(CASE WHEN nl * nr = (SELECT max(nl * nr) FROM m)
+                         THEN k END) AS BIGINT) AS worst_key
+    FROM m
+    """,
+)
+def audit_join_fanout_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN FAN-OUT FORECAST — predict |A ⋈ B| BEFORE running the
+    join: Σₖ nₗ(k)·nᵣ(k) over the key histogram, plus the worst key
+    (the skew culprit a salting pass must target). At 100 TB this is
+    the pre-flight check that catches the accidental many-to-many
+    (a duplicated dim key turning a 1:N join into N:M) while it is
+    still two cheap map-combinable key counts instead of an exploded
+    shuffle — the planning twin of join_salted_skew's remedy and
+    stats_key_skew's histogram."""
+    o = load(spark, sf, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    li = load(spark, sf, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    m = (
+        o.join(li, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # agg + worst-key lookup
+    agg_ = m.agg(
+        F.sum("nl").cast("long").alias("left_rows"),
+        F.sum("nr").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("nl") * F.col("nr"))
+        .cast("long")
+        .alias("forecast_join_rows"),
+        F.max(F.col("nl") * F.col("nr")).cast("long").alias("worst_key_rows"),
+    )
+    worst = (
+        m.select("k", (F.col("nl") * F.col("nr")).alias("p"))
+        .join(
+            F.broadcast(agg_.select(F.col("worst_key_rows").alias("p"))),
+            "p",
+        )
+        .agg(F.min("k").cast("long").alias("worst_key"))
+    )
+    return agg_.crossJoin(F.broadcast(worst))
+
+
+
+
+@query(
+    "audit_sequence_inversions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_id
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inversions,
+           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS inversion_milli
+    FROM seq WHERE prev_id IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END) > 0
+    """,
+)
+def audit_sequence_inversions(spark: SparkSession, sf: str) -> DataFrame:
+    """EVENT-SEQUENCE INTEGRITY audit: per user, consecutive
+    (event-time-ordered) steps where the event id goes BACKWARD —
+    id/time inversions mean clock skew, replays, or an out-of-order
+    producer, and they silently corrupt every sessionization and
+    attribution op downstream. Reports only offending users (with
+    exact inversion counts and milli-rates), so the output is the
+    worklist, not the corpus. One per-key ordered window — the
+    streaming-integrity check shape."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    ).filter(F.col("prev_id").isNotNull())
+    inv = F.when(F.col("event_id") < F.col("prev_id"), 1).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum(inv).cast("long").alias("n_inversions"),
+        )
+        .filter(F.col("n_inversions") > 0)
+        .select(
+            "user_id",
+            "n_steps",
+            "n_inversions",
+            F.expr("n_inversions * 1000 div n_steps")
+            .cast("long")
+            .alias("inversion_milli"),
+        )
+    )
+
+
+
+
+@query(
+    "audit_partition_checksums",
+    oracle="""
+    WITH rows_ AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+             ), 1, 8)) AS BIGINT) AS h
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'
+    )
+    SELECT strftime(mth, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM rows_ GROUP BY mth
+    """,
+)
+def audit_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-PARTITION table checksums (1995, monthly) — the incremental
+    twin of audit_table_checksum: when a replica diverges, the global
+    checksum says THAT, the per-partition map says WHERE, so the
+    re-sync copies one month instead of the table. Same canonical-
+    rendering md5-prefix SUM device (order- and layout-insensitive);
+    one map-combinable groupBy keyed by the partition column every
+    warehouse table already has."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+    return (
+        o.select(
+            F.date_format(
+                F.trunc("o_orderdate", "month"), "yyyy-MM"
+            ).alias("month"),
+            h.alias("_h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_h").cast("long").alias("checksum"),
+        )
+    )
+
+
+
+
+@query(
+    "audit_timestamp_granularity",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN date_part('microsecond', ts) % 1000000
+                                = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_second,
+             CAST(sum(CASE WHEN date_part('second', ts) = 0
+                            AND date_part('microsecond', ts) % 1000000
+                                = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_minute,
+             CAST(count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))
+               AS BIGINT) AS n_distinct_seconds
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_whole_second, n_whole_minute,
+           n_distinct_seconds,
+           round(CAST(n_whole_second AS DOUBLE) / n_events, 9)
+             AS whole_second_share,
+           n_whole_second * 100 > n_events AS truncation_suspect
+    FROM g
+    """,
+)
+def audit_timestamp_granularity(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """TIMESTAMP-GRANULARITY AUDIT per stream — the feed-quality check
+    that catches upstream truncation (a source that suddenly emits
+    whole-second or whole-minute timestamps broke its clock or its
+    serializer; dedup and as-of joins silently degrade). Counts
+    events on exact sub-second / second / minute boundaries plus the
+    distinct-second cardinality, all exact BIGINTs off one groupBy;
+    the 1% whole-second share flag is an integer cross-multiplication
+    (no float threshold). Fully pushdown-friendly single scan."""
+    e = load(spark, sf, "events")
+    usec = _usec("ts")
+    whole_s = (usec % 1_000_000 == 0).cast("int")
+    whole_m = ((usec % 60_000_000) == 0).cast("int")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(whole_s).cast("long").alias("n_whole_second"),
+        F.sum(whole_m).cast("long").alias("n_whole_minute"),
+        F.countDistinct(F.floor(usec / 1_000_000).cast("long"))
+        .cast("long")
+        .alias("n_distinct_seconds"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_whole_second",
+        "n_whole_minute",
+        "n_distinct_seconds",
+        F.round(
+            F.col("n_whole_second").cast("double") / F.col("n_events"), 9
+        ).alias("whole_second_share"),
+        (F.col("n_whole_second") * 100 > F.col("n_events")).alias(
+            "truncation_suspect"
+        ),
+    )
+
+
+
+
+@query(
+    "audit_monotonic_id_gaps",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+    lagged AS (
+      SELECT id, id - lag(id) OVER (ORDER BY id) AS gap
+      FROM ids
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(min(id) AS BIGINT) AS id_min,
+             CAST(max(id) AS BIGINT) AS id_max,
+             CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+      FROM lagged
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT t.n_rows, g.n_distinct,
+           t.n_rows - g.n_distinct AS n_duplicate_rows,
+           g.id_min, g.id_max,
+           g.id_max - g.id_min + 1 - g.n_distinct AS n_missing_ids,
+           g.max_gap
+    FROM g, t
+    """,
+)
+def audit_monotonic_id_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """ID-CONTINUITY AUDIT on the event stream — duplicate event_ids
+    (at-least-once ingestion leaking through dedup), missing ids
+    (dropped batches), and the largest gap (where the outage was):
+    the first three questions after any pipeline incident. Distinct
+    count, span arithmetic, and the lag-window max-gap are all exact
+    integers; the global id-order window runs at id grain (range-
+    shard by id prefix at 10⁹+ ids — the quantile_normalize
+    device)."""
+    e = load(spark, sf, "events")
+    ids = e.select(F.col("event_id").alias("id")).distinct()
+    lagged = ids.select(
+        "id", (F.col("id") - F.lag("id").over(Window.orderBy("id"))).alias(
+            "gap"
+        )
+    )
+    g = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )
+    t = e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicate_rows"),
+        "id_min",
+        "id_max",
+        (F.col("id_max") - F.col("id_min") + 1 - F.col("n_distinct")).alias(
+            "n_missing_ids"
+        ),
+        "max_gap",
+    )
+
+
+
+
+@query(
+    "audit_order_total_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+               AS BIGINT) AS recomputed_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS stated_cents,
+             l.recomputed_cents,
+             abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 - l.recomputed_cents) AS diff_cents
+      FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+                  WHEN diff_cents * 1000 <= stated_cents THEN 'within_1pm'
+                  WHEN diff_cents * 100 <= stated_cents THEN 'within_1pct'
+                  ELSE 'gross' END AS bucket,
+             diff_cents
+      FROM j
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def audit_order_total_reconciliation(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """ORDER-TOTAL RECONCILIATION — does o_totalprice equal the sum of
+    its lines' extendedprice·(1−discount)·(1+tax)? The referential
+    VALUE audit (pk_fk_orphans checks keys; this checks money), with
+    mismatches bucketed by integer cross-multiplied relative error
+    (exact / ≤1‰ / ≤1% / gross) — no float thresholds. Per-line cents
+    are one mirrored rounding of the identical expression; the
+    orderkey rollup is the fact's natural grain."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("recomputed_cents")
+    )
+    j = o.join(lines, o.o_orderkey == lines.l_orderkey).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("stated_cents"),
+        "recomputed_cents",
+    ).withColumn(
+        "diff_cents",
+        F.abs(F.col("stated_cents") - F.col("recomputed_cents")),
+    )
+    bucket = (
+        F.when(F.col("diff_cents") == 0, "exact")
+        .when(
+            F.col("diff_cents") * 1000 <= F.col("stated_cents"),
+            "within_1pm",
+        )
+        .when(
+            F.col("diff_cents") * 100 <= F.col("stated_cents"),
+            "within_1pct",
+        )
+        .otherwise("gross")
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("diff_cents").cast("long").alias("max_diff_cents"),
+    )
+
+
+
+
+@query(
+    "audit_value_outlier_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS sn2
+      FROM daily
+    )
+    SELECT strftime(d.d, '%Y-%m-%d') AS day,
+           d.n AS n_events, d.cents,
+           round((d.n - CAST(m.sn AS DOUBLE) / m.nd)
+                 / sqrt(CAST(m.sn2 AS DOUBLE) / m.nd
+                        - (CAST(m.sn AS DOUBLE) / m.nd)
+                          * (CAST(m.sn AS DOUBLE) / m.nd)), 9) AS volume_z,
+           (d.n * m.nd - m.sn) * (d.n * m.nd - m.sn)
+             > 9 * (m.sn2 * m.nd - m.sn * m.sn)
+             AS is_3sigma_outlier
+    FROM daily d, mom m
+    """,
+)
+def audit_value_outlier_days(spark: SparkSession, sf: str) -> DataFrame:
+    """DAILY-VOLUME OUTLIER AUDIT — each day's event count z-scored
+    against the corpus of days, with an EXACT 3σ flag: the first
+    anomaly sweep an ingestion owner runs after a backfill ('which
+    days are double-loaded?'). The flag is the z² > 9 test
+    cross-multiplied into the raw moment form (n·n_d − ΣN)² >
+    9·(ΣN²·n_d − (ΣN)²) — entirely EXACT BIGINTs with NO sqrt or
+    float compare (the Bollinger breakout device at day grain); the display
+    z is round 9. One day groupBy + a one-row broadcast."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    daily = daily.localCheckpoint(eager=False)  # consumed twice
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    mu = F.col("sn").cast("double") / F.col("nd")
+    var = F.col("sn2").cast("double") / F.col("nd") - mu * mu
+    dev = F.col("n") - mu
+    # EXACT integer 3-sigma test: (n*nd - sn)^2 > 9*(sn2*nd - sn^2)
+    idev = F.col("n") * F.col("nd") - F.col("sn")
+    flag = idev * idev > 9 * (
+        F.col("sn2") * F.col("nd") - F.col("sn") * F.col("sn")
+    )
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        "cents",
+        F.round(dev / F.sqrt(var), 9).alias("volume_z"),
+        flag.alias("is_3sigma_outlier"),
+    )
+
+
+
+
+@query(
+    "audit_exact_duplicate_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS mult
+      FROM events
+      GROUP BY event_type, user_id, ts, CAST(round(value * 100) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(sum(mult) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN mult > 1 THEN mult ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN mult > 1 THEN mult - 1 ELSE 0 END)
+             AS BIGINT) AS n_redundant,
+           CAST(max(mult) AS BIGINT) AS max_multiplicity,
+           round(CAST(sum(CASE WHEN mult > 1 THEN mult - 1 ELSE 0 END)
+                      AS DOUBLE) / sum(mult), 9) AS redundancy_share
+    FROM g GROUP BY event_type
+    """,
+)
+def audit_exact_duplicate_events(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """EXACT-DUPLICATE EVENT CENSUS — events identical on (type, user,
+    timestamp, cent value) regardless of event_id: the CONTENT-level
+    at-least-once leak detector complementing audit_monotonic_id_gaps'
+    id-level dupes (a replayed producer mints fresh ids; only the
+    content census sees it). One groupBy at the content grain, one
+    per-type rollup — all exact BIGINTs, map-combinable."""
+    e = load(spark, sf, "events")
+    g = e.groupBy(
+        "event_type",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("mult"))
+    dup = F.when(F.col("mult") > 1, F.col("mult")).otherwise(0)
+    red = F.when(F.col("mult") > 1, F.col("mult") - 1).otherwise(0)
+    return g.groupBy("event_type").agg(
+        F.sum("mult").cast("long").alias("n_events"),
+        F.sum(dup).cast("long").alias("n_in_dup_groups"),
+        F.sum(red).cast("long").alias("n_redundant"),
+        F.max("mult").cast("long").alias("max_multiplicity"),
+        F.round(
+            F.sum(red).cast("double") / F.sum("mult"), 9
+        ).alias("redundancy_share"),
+    )
+
+
+__all__ = sorted(n for n in dir() if not n.startswith("__"))

@@ -1,0 +1,1391 @@
+"""Catalog family: exact and fuzzy deduplication families.
+
+Mechanically split from the monolithic plans/catalog.py (round
+12); query definition order within the family is the original
+file order, and all shared helpers come from ``_qshared``.
+"""
+
+from __future__ import annotations
+
+from ._qshared import *  # noqa: F401,F403
+
+
+
+
+# --- Dedup family ------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.exact_dedup_groups(d)
+
+
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+
+
+
+
+@query(
+    "dedup_minhash_lsh",
+    # the oracle is brute-force exact Jaccard: LSH-then-verify must
+    # reproduce it exactly (banding recall ≈ 0.9998/pair at j = 0.8)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-then-verify (the production fuzzy-dedup shape): MinHash
+    banding for candidates, exact n-gram Jaccard for admission — so the
+    full pipeline is checkable against a brute-force all-pairs oracle
+    (VERDICT r1 #5: approximate-dedup correctness must not be
+    rows-only)."""
+    d = load(spark, sf, "documents")
+    return dd.minhash_lsh_verified_pairs(
+        d, n=3, num_hashes=64, bands=16, threshold=0.8
+    )
+
+
+
+
+@query("dedup_simhash", oracle=_simhash_md5_oracle(3))
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs with structurally exact recall: 4×16-bit
+    pigeonhole blocking (any pair at Hamming ≤ 3 shares a chunk), exact
+    Hamming post-filter; bits derive from md5 so a brute-force SQL
+    oracle reproduces the result bit-for-bit. The xxhash64 variant
+    (dd.simhash_pairs) stays the marginally-faster scale default and is
+    covered by pytest equivalence."""
+    d = load(spark, sf, "documents")
+    return dd.simhash_md5_pairs(d, max_hamming=3)
+
+
+
+
+@query(
+    "dedup_canonical_docs",
+    # the iterative label-propagation result is reproducible in ANSI SQL
+    # with a recursive CTE: min reachable id == connected component
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), drop_ids AS (SELECT node AS doc_id FROM rec WHERE node <> comp)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END fuzzy dedup: jaccard candidate pairs → connected
+    components (label propagation, localCheckpoint per round) → keep one
+    canonical (min-id) doc per cluster. The oracle reproduces the
+    fixpoint with a recursive CTE, so the distributed iteration is
+    hash-checked, not just row-counted."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return dd.dedup_canonical(d, pairs).select("doc_id", "source", "n_chars")
+
+
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style compaction: one surviving row per key, latest by
+    (ts, event_id) — the keep-latest half of upsert semantics (the
+    reference's INSERT IGNORE is keep-first; both ship). Single window
+    over the key partition, no join."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_NGRAM3_SQL}
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)
+             AS overlap
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs — catches
+    excerpt/boilerplate-wrapped subsets that Jaccard misses. Prefix
+    filter on the smaller doc of each pair; exact array_intersect
+    verification (dedup.ngram_overlap_pairs)."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_overlap_pairs(d, n=3, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.col("n_common").cast("long").alias("n_common"), "overlap"
+    )
+
+
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_NGRAM3_SQL},
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    base  AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    exd AS (
+      SELECT b.doc_id, min(s.doc_id) AS exact_dup_of
+      FROM batch b JOIN base s ON md5(b.text) = md5(s.text)
+      GROUP BY b.doc_id
+    ),
+    near AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    nd AS (
+      SELECT doc_id, min(other) AS near_dup_of FROM (
+        SELECT id_a AS doc_id, id_b AS other FROM near
+        WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS other FROM near
+        WHERE id_b % 10 = 0 AND id_a % 10 <> 0
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(e.exact_dup_of, -1) AS exact_dup_of,
+           COALESCE(n.near_dup_of, -1) AS near_dup_of
+    FROM batch b
+    LEFT JOIN exd e ON e.doc_id = b.doc_id
+    LEFT JOIN nd n ON n.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup: every 10th doc is the 'new batch', the
+    rest the standing corpus. Each batch doc resolves its earliest
+    exact duplicate (md5 equi-join — only 16-byte digests shuffle, not
+    text) and its earliest 3-gram-Jaccard≥0.8 near-duplicate in the
+    corpus. At 100 TB the corpus side of both joins is the pre-built
+    index you keep between ingests; nothing here rescans the corpus
+    text."""
+    d = load(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    bh = batch.select("doc_id", F.md5("text").alias("_h"))
+    sh = base.select(F.col("doc_id").alias("_sid"), F.md5("text").alias("_h"))
+    exd = (
+        bh.join(sh, on="_h")
+        .groupBy("doc_id")
+        .agg(F.min("_sid").alias("exact_dup_of"))
+    )
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    c1 = pairs.filter(
+        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0)
+    ).select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("other"))
+    c2 = pairs.filter(
+        (F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)
+    ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
+    nd = c1.unionAll(c2).groupBy("doc_id").agg(
+        F.min("other").alias("near_dup_of")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exd, on="doc_id", how="left")
+        .join(nd, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup_of", F.lit(-1)).alias("exact_dup_of"),
+            F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+        )
+    )
+
+
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), rec AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+      ) SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM rec GROUP BY comp
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup-audit artifact
+    (how much of the corpus is 2-plexes vs big boilerplate families).
+    Connected components over the verified jaccard pairs, then two tiny
+    aggregations; singleton docs are (correctly) absent: a cluster
+    needs an edge."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comp = dd.connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH {_NGRAM3_SQL},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           CAST(count(dd.doc_id) AS DOUBLE) / count(*) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication audit per source — the first chart in any corpus
+    report: how much of each feed is near-duplicated (3-gram
+    Jaccard≥0.8, either side of a verified pair). Exact integer counts,
+    one final division."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(dup), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+
+
+@query(
+    "dedup_fuzzy_clusters",
+    oracle="""
+    WITH master AS (
+      SELECT c_custkey * 2 AS rec_id, c_name AS name FROM customer
+    ),
+    hb AS (
+      SELECT c_custkey, c_name,
+             CAST(concat('0x', substr(md5(concat('typo',
+                  CAST(c_custkey AS VARCHAR))), 1, 4)) AS BIGINT) AS h
+      FROM customer
+    ),
+    batch AS (
+      SELECT c_custkey * 2 + 1 AS rec_id,
+             substr(c_name, 1, CAST(len(c_name) - (h % 9) - 1 AS INT))
+             || chr(CAST(97 + ((h // 16) % 26) AS INT))
+             || substr(c_name, CAST(len(c_name) - (h % 9) + 1 AS INT))
+               AS name
+      FROM hb
+    ),
+    u AS (SELECT * FROM master UNION ALL SELECT * FROM batch),
+    keyed AS (
+      SELECT rec_id, name, i,
+             substr(name, 1, i - 1) || substr(name, i + 1) AS mkey
+      FROM u, unnest(range(1, greatest(len(name), 1) + 1)) AS t(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.rec_id AS id_a, y.rec_id AS id_b,
+             levenshtein(x.name, y.name) AS dist
+      FROM keyed x JOIN keyed y
+        ON x.i = y.i AND x.mkey = y.mkey AND x.rec_id < y.rec_id
+      WHERE (x.rec_id + y.rec_id) % 2 = 1
+        AND levenshtein(x.name, y.name) <= 1
+    ),
+    link AS (
+      SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS batch_id,
+             CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS master_id,
+             dist
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT batch_id, master_id, dist,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY dist, master_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY batch_id) AS BIGINT)
+               AS n_candidates
+      FROM link
+    )
+    SELECT b.rec_id,
+           COALESCE(r.master_id, b.rec_id) AS canonical_key,
+           r.master_id IS NOT NULL AS in_cluster,
+           COALESCE(r.n_candidates, 0) AS n_candidates
+    FROM batch b LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.batch_id = b.rec_id
+    """,
+)
+def dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END fuzzy record linkage in its real-world shape: link
+    an incoming BATCH file (the customer master with one deterministic
+    md5-keystream corruption per record — one digit garbled into a
+    letter, the OCR/scan-error shape, position and letter both
+    DuckDB-replayable integer arithmetic) back against the MASTER
+    file. Candidate pairs come from NAME-KEYED blocking
+    (masked_position_pairs — one key per character position, the
+    Hamming-1 pigeonhole, provably complete for one-substitution
+    typos, unlike an id-residue demo key), are restricted to
+    cross-source (master, batch) pairs as record linkage does, and
+    each batch record is assigned to its BEST master match
+    (min distance, then min id — a deterministic arg-min window,
+    never a transitive fixpoint: dense code spaces make distance-1
+    graphs percolate, so clustering by connected components is the
+    wrong operator here; CC canonicalization is certified separately
+    by dedup_canonical_docs). ``canonical_key`` is the matched
+    master (or self if unmatched) and ``n_candidates`` surfaces the
+    ambiguity fan the blocking found — the number a linkage QA
+    dashboard actually watches."""
+    from ..operators import masked_position_pairs
+
+    c = load(spark, sf, "customer")
+    master = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("typo"), F.col("c_custkey").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    batch = (
+        c.withColumn("_h", h)
+        .withColumn(
+            "_pos", (F.length("c_name") - F.col("_h") % 9).cast("int")
+        )
+        .select(
+            (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+            F.expr(
+                "concat(substring(c_name, 1, _pos - 1), "
+                "char(97 + (_h DIV 16) % 26), "
+                "substring(c_name, _pos + 1))"
+            ).alias("name"),
+        )
+    )
+    u = master.unionByName(batch)
+    pairs = masked_position_pairs(
+        u, id_col="rec_id", name_col="name", max_dist=1
+    ).filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    odd = F.col("id_a") % 2 == 1
+    link = pairs.select(
+        F.when(odd, F.col("id_a")).otherwise(F.col("id_b")).alias("batch_id"),
+        F.when(odd, F.col("id_b")).otherwise(F.col("id_a")).alias("master_id"),
+        "dist",
+    )
+    w = Window.partitionBy("batch_id").orderBy("dist", "master_id")
+    wc = Window.partitionBy("batch_id")
+    best = (
+        link.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+    )
+    return batch.join(
+        best, batch["rec_id"] == best["batch_id"], "left"
+    ).select(
+        "rec_id",
+        F.coalesce("master_id", "rec_id").alias("canonical_key"),
+        F.col("master_id").isNotNull().alias("in_cluster"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+    )
+
+
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH {_COMPONENTS_CTE},
+    keyed AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(r.comp, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN rec r ON r.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_key
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonicalization: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (longest doc, id tiebreak) instead
+    of the arbitrary min-id — what a curation pipeline actually wants
+    when near-dups differ in truncation/extraction quality."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comps = dd.connected_components(pairs)
+    keyed = d.join(
+        comps.select(F.col("node").alias("doc_id"), "component"),
+        on="doc_id",
+        how="left",
+    ).withColumn("cluster_key", F.coalesce("component", "doc_id"))
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated token spans (length ≥ 8 words, ≥ 2 global
+    occurrences) per document — the exact-substring dedup of Lee et
+    al. 2022, expressed as hash-window groupBy + equi-join +
+    gaps-and-islands (see functions/dedup.py:duplicate_spans for the
+    100 TB shuffle story). The oracle re-derives the same spans from
+    the window STRINGS (no hashing) — a hash collision would show up
+    as a span mismatch, so the parity row also certifies the 64-bit
+    hashes are collision-free on this corpus."""
+    d = load(spark, sf, "documents")
+    return dd.duplicate_spans(d, k=8, min_count=2)
+
+
+
+
+@query(
+    "dedup_substring_stats",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE},
+    per_doc AS (
+      SELECT doc_id, sum(span_tokens) AS dup FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(COALESCE(p.dup, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(p.dup, 0) AS DOUBLE)
+             / len(string_split_regex(trim(d.text), '\\s+')) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-token budget (every doc, zero-filled):
+    the audit that sizes how much a substring-level trim would remove.
+    Maximal spans are disjoint, so the sum never double-counts."""
+    d = load(spark, sf, "documents")
+    return dd.substring_dup_stats(d, k=8, min_count=2)
+
+
+
+
+@query(
+    "dedup_substring_trim",
+    oracle=f"""
+    WITH {_SUBSTR_WINS_CTE},
+    keyed AS (
+      SELECT s.doc_id, s.span_start, s.span_end,
+             array_to_string(
+               t.t[s.span_start+1:s.span_end+1], ' ') AS spantxt
+      FROM spans s JOIN toks t USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, span_start, span_end,
+             row_number() OVER (PARTITION BY spantxt
+                                ORDER BY doc_id, span_start) AS rn
+      FROM keyed
+    ),
+    cut AS (
+      SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1
+    ),
+    pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) g
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cut c
+        WHERE c.doc_id = p.doc_id
+          AND p.p BETWEEN c.span_start + 1 AND c.span_end + 1
+      )
+    ),
+    agged AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS trimmed,
+             CAST(count(*) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.trimmed, '') AS text,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                AS BIGINT) - COALESCE(a.kept_tokens, 0)
+             AS removed_tokens
+    FROM documents d LEFT JOIN agged a USING (doc_id)
+    """,
+)
+def dedup_substring_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Trimmed corpus: keep the first occurrence of every duplicated
+    span (keyed by span TEXT, ordered by (doc_id, span_start)), delete
+    the token ranges of later occurrences, reassemble. The third step
+    of the Lee et al. 2022 pipeline (see
+    functions/dedup.py:substring_trim for the shuffle story). The
+    oracle keys spans by their literal text while Spark keys by
+    xxhash64(text), so the parity row also certifies the span keys are
+    collision-free on this corpus."""
+    d = load(spark, sf, "documents")
+    return dd.substring_trim(d, k=8, min_count=2)
+
+
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v, CAST({_SD_CELL_SQL} AS INT) AS cell FROM e
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    )
+    SELECT vec_id, cell FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space cells + in-cell
+    cosine near-identity, keep-min-id per ε-group. Cells come from six
+    md5-keystream hyperplanes whose double literals are embedded in
+    BOTH plans, and the in-cell cosine is the sequential fold that
+    matches list_dot_product bit-for-bit — so the survivor set is
+    engine-exact. Scale: cell assignment is a JVM projection; the only
+    shuffle is the per-cell equi-join (planes scale with corpus size
+    like k-means cluster count in the paper).
+
+    Fixture tuning: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so the paper's τ≈0.95 would drop nothing;
+    τ=0.4 with 16 cells exercises the drop path (12 of 500 dropped at
+    sf0.01). A production run keeps τ high."""
+    e = load(spark, sf, "embeddings")
+    return sim.semdedup(e, threshold=0.4, n_planes=4, dim=64)
+
+
+
+
+@query(
+    "dedup_cdc_chunk_ratio",
+    oracle=_CDC_CHUNK_SQL + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS distinct_chunks,
+           CAST(count(*) - count(DISTINCT c.chunk_hash) AS BIGINT)
+             AS dup_chunks
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_cdc_chunk_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage-dedup audit over CDC chunks: per source feed, how many
+    chunk bodies are byte-identical to another chunk (the quantity a
+    content-addressed store would deduplicate). One corpus groupBy over
+    (source, chunk_hash) — the only cross-doc shuffle in the CDC
+    family."""
+    d = load(spark, sf, "documents")
+    chunks = tx.cdc_chunks(d, k=3, modulus=16)
+    joined = chunks.join(d.select("doc_id", "source"), on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk_hash").alias("distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("chunk_hash")).alias(
+            "dup_chunks"
+        ),
+    )
+
+
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    s1 AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c1 FROM u
+    ),
+    s2 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(c1, '^[a-zA-Z]+://[^/]+'))
+               || substr(c1,
+                    length(regexp_extract(c1, '^[a-zA-Z]+://[^/]+')) + 1)
+               AS c2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 c2, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+               '^http://', 'https://') AS c4
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id, url,
+             CASE WHEN contains(c4, '&') AND NOT contains(c4, '?')
+                  THEN split_part(c4, '&', 1) || '?'
+                       || substr(c4, length(split_part(c4, '&', 1)) + 2)
+                  ELSE c4 END AS c5
+      FROM s3
+    ),
+    c AS (
+      SELECT doc_id, url, regexp_replace(c5, '/$', '') AS canonical_url
+      FROM s4
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_distinct_raw,
+           min(doc_id) AS canonical_doc
+    FROM c GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """CRAWL-URL canonicalization dedup — the pass that runs before any
+    content dedup in a web pipeline (scheme/case/tracking-param/
+    fragment/slash variants of the same resource collapse to one key).
+    Pure JVM column expressions (dedup.canonicalize_url) + one hash
+    groupBy on the canonical key: at 100 TB this is a map-side
+    transform feeding an ordinary aggregate — no joins, no explode,
+    nothing data-dependent. The oracle replays the same regex chain
+    (backreference-free by design, since Spark and DuckDB disagree on
+    backref syntax)."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    u = docs.select("doc_id", _url_col().alias("url"))
+    c = u.select(
+        "doc_id", "url", dd.canonicalize_url("url").alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+
+
+@query(
+    "dedup_yield_curve",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    firsts AS (
+      SELECT h, CAST(min(rn) AS BIGINT) AS first_rn,
+             CAST(min(n) AS BIGINT) AS n
+      FROM pos GROUP BY h
+    ),
+    deciles AS (
+      SELECT CAST((first_rn - 1) * 10 // n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS new_distinct
+      FROM firsts GROUP BY 1
+    ),
+    docs_per AS (
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS docs
+      FROM pos GROUP BY 1
+    )
+    SELECT d.decile, p.docs, coalesce(d2.new_distinct, 0) AS new_distinct,
+           round(CAST(coalesce(d2.new_distinct, 0) AS DOUBLE) / p.docs,
+                 12) AS novelty_rate
+    FROM (SELECT DISTINCT decile FROM docs_per) d
+    JOIN docs_per p USING (decile)
+    LEFT JOIN deciles d2 USING (decile)
+    """,
+)
+def dedup_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP YIELD CURVE: process docs in deterministic md5 order and
+    report, per decile of the stream, how many NEW distinct texts
+    appear — the marginal-novelty curve that answers "is collecting
+    more of this source still buying new data?" (flat tail = stop
+    paying). Device: one global md5 rank (at 100 TB this becomes the
+    value-range sharded rank of stats_quantile_normalize — no
+    semantic change), a content-hash groupBy for each text's FIRST
+    position, and two decile histograms. Counts exact; only the
+    novelty rate divides, round 12."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    wpos = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    pos = d.select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.row_number().over(wpos).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    firsts = pos.groupBy("h").agg(
+        F.min("rn").alias("first_rn"), F.min("n").alias("n")
+    )
+    deciles = firsts.groupBy(
+        F.expr("(first_rn - 1) * 10 div n").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_distinct"))
+    docs_per = pos.groupBy(
+        F.expr("(rn - 1) * 10 div n").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        docs_per.join(deciles, on="decile", how="left")
+        .select(
+            "decile",
+            "docs",
+            F.coalesce("new_distinct", F.lit(0))
+            .cast("long")
+            .alias("new_distinct"),
+            F.round(
+                F.coalesce("new_distinct", F.lit(0)).cast("double")
+                / F.col("docs"),
+                12,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+               AS shingle
+      FROM toks
+    ),
+    df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM sh GROUP BY shingle
+    ),
+    buckets AS (
+      SELECT CAST(floor(ln(CAST(doc_freq AS DOUBLE)) / ln(2.0)) AS BIGINT)
+               AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(doc_freq) AS BIGINT) AS postings
+      FROM df GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(postings) AS BIGINT) AS total_postings
+            FROM buckets)
+    SELECT b.log2_bucket, b.n_shingles, b.postings,
+           round(CAST(b.postings AS DOUBLE) / t.total_postings, 12)
+             AS postings_share
+    FROM buckets b CROSS JOIN tot t
+    """,
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """SHINGLE DOCUMENT-FREQUENCY profile: 3-word shingles bucketed
+    by ⌊log₂ df⌋, with per-bucket shingle counts and posting mass —
+    the measurement that JUSTIFIES the max_df cap in the prefix-
+    filtered Jaccard join (dedup_ngram_jaccard_capped): the top
+    bucket's postings share is exactly the inverted-index mass a
+    hot-shingle cap deletes, and the n-gram join's worst case is
+    Σ df² over this histogram. One distinct-(doc,shingle) groupBy +
+    the log-bucket census; counts exact, share one division,
+    round 12."""
+    d = load(spark, sf, "documents")
+    ws = tx.tokens("text")
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                )
+            ).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    buckets = df.groupBy(
+        F.floor(
+            F.log(F.col("doc_freq").cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("long")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("doc_freq").alias("postings"),
+    )
+    tot = buckets.agg(F.sum("postings").alias("total_postings"))
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "log2_bucket",
+        "n_shingles",
+        F.col("postings").cast("long").alias("postings"),
+        F.round(
+            F.col("postings").cast("double") / F.col("total_postings"),
+            12,
+        ).alias("postings_share"),
+    )
+
+
+
+
+@query(
+    "dedup_prefix_clusters",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents
+    ),
+    cl AS (
+      SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM pre GROUP BY prefix HAVING count(*) > 1
+    )
+    SELECT md5(prefix) AS prefix_key, n_docs, canonical_id
+    FROM cl
+    """,
+)
+def dedup_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFIX-COLLISION clusters: documents sharing their first 64
+    characters — the cheapest near-dup precursor (one substring hash
+    groupBy, no shingles, no signatures) that catches templated
+    openings, mirror headers, and re-posts before the MinHash pass
+    spends real money; emitted with a min-id canonical like
+    dedup_exact. Fully map-combinable; the key is the md5 of the
+    prefix so wide prefixes never travel through the shuffle at
+    scale."""
+    d = load(spark, sf, "documents")
+    pre = d.select(
+        "doc_id", F.substring(F.col("text"), 1, 64).alias("prefix")
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5(F.col("prefix").cast("binary")).alias("prefix_key"),
+            "n_docs",
+            "canonical_id",
+        )
+    )
+
+
+
+
+@query(
+    "dedup_threshold_yield_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(a.sz) AS sz_a, max(b.sz) AS sz_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+      SELECT CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common)
+               AS jaccard
+      FROM inter
+      WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= 0.5
+    )
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+)
+def dedup_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP THRESHOLD YIELD curve: how many near-dup pairs each
+    Jaccard decile holds from 0.5 up — the tuning chart for picking
+    the dedup threshold (drop it from 0.8 to 0.7 and THIS is how
+    many more pairs you'd merge; a fat 0.5-0.6 band warns of
+    template families a strict threshold leaves behind). Runs the
+    same PPJoin prefix-filtered pair generation as dedup_ngram_jaccard
+    at the LOWEST bucketed threshold, then histograms exact-division
+    Jaccards by floor-decile — one extra map-combinable groupBy on
+    top of the proven pair stream."""
+    d = load(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10)
+            .cast("long")
+            .alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              for i in range(1, len(t) - 1)] AS hs
+      FROM toks WHERE len(t) >= 3
+    ),
+    eligible AS (SELECT * FROM grams WHERE len(hs) >= 4),
+    wins AS (
+      SELECT doc_id, s.i AS w0,
+             hs[(s.i + 1):(s.i + 4)] AS win
+      FROM eligible, unnest(range(0, len(hs) - 3)) AS s(i)
+    ),
+    picks AS (
+      SELECT doc_id, w0,
+             CAST(w0 + len(win) - list_position(list_reverse(win),
+               list_aggregate(win, 'min')) AS BIGINT) AS pos,
+             list_aggregate(win, 'min') AS fp
+      FROM wins
+    ),
+    sel AS (SELECT DISTINCT doc_id, pos, fp FROM picks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           min(fp) AS min_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def dedup_winnowing_fingerprints(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer et al. 2003 — the
+    MOSS algorithm): hash every 3-gram, slide a window of 4 hashes,
+    keep each window's minimum (RIGHTMOST minimum on ties, the
+    paper's robust-winnowing rule), dedup selected (position, hash)
+    pairs. Guarantees every shared run of ≥ 6 tokens contributes at
+    least one shared fingerprint while storing ~2/(w+1) of the
+    hashes — the storage-bounded alternative to the full exact-
+    substring index (dedup_exact_substring). Pure higher-order array
+    expressions per document (transform/slice/array_min — no explode
+    of the window fan-out); the per-doc census here is the index-
+    build profile, and a fingerprint equi-join yields the candidate
+    pairs exactly like the substring family."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    hs = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> md5(concat(element_at(t, i), ' ',"
+        " element_at(t, i + 1), ' ', element_at(t, i + 2))))"
+    )
+    grams = toks.select("doc_id", hs.alias("hs")).filter(
+        F.size("hs") >= 4
+    )
+    # per window i (0-based): min hash; rightmost tie via reversed
+    # list_position (both engines 1-based)
+    picks = F.expr(
+        "transform(sequence(0, size(hs) - 4), i -> struct("
+        " cast(i + 4 - array_position(reverse(slice(hs, i + 1, 4)),"
+        "   array_min(slice(hs, i + 1, 4))) as bigint) as pos,"
+        " array_min(slice(hs, i + 1, 4)) as fp))"
+    )
+    sel = (
+        grams.select("doc_id", F.explode(picks).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_md5_minhash_pairs_sql(16)},
+    scored AS (
+      SELECT (10 * inter) // uni AS jaccard_decile, matches, inter, uni,
+             round(abs(CAST(matches AS DOUBLE) * uni - 16.0 * inter)
+                   / (16.0 * uni), 12) AS abs_err
+      FROM pairs
+    )
+    SELECT CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(matches) AS BIGINT) AS sum_matches,
+           round(CAST(sum(matches) AS DOUBLE) / (16.0 * count(*)), 9)
+             AS mean_estimate,
+           round(list_reduce(list_sort(list(abs_err)), (x, y) -> x + y)
+                 / count(*), 9) AS mean_abs_err
+    FROM scored GROUP BY jaccard_decile
+    """,
+)
+def dedup_minhash_estimate_audit(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — does the signature's match
+    fraction actually track exact Jaccard, per true-Jaccard decile?
+    The quality audit behind every LSH threshold choice: a 16-hash
+    estimate has σ ≈ √(s(1−s)/16) ≈ 0.12, and THIS op measures the
+    realized MAE on data instead of trusting the formula. Signatures
+    are md5-permutation MinHash (mirrorable — the scale path's
+    xxhash64 signatures are statistically identical but not ANSI-SQL
+    computable); exact Jaccard comes from 12-hex shingle-hash set
+    intersection; the decile key is integer (10·I)//U. Pairs ride the
+    fixed doc_id % 101 audit sample (sample²-bounded, never corpus-
+    scale). Match counts exact BIGINTs; MAE terms pre-rounded
+    sorted-fold, round 9."""
+    pairs = _md5_minhash_pairs(spark, sf, 16)
+    abs_err = F.round(
+        F.abs(
+            F.col("matches").cast("double") * F.col("uni")
+            - F.lit(16.0) * F.col("inter")
+        )
+        / (F.lit(16.0) * F.col("uni")),
+        12,
+    )
+    scored = pairs.select(
+        F.expr("(10 * inter) div uni").cast("long").alias(
+            "jaccard_decile"
+        ),
+        "matches",
+        abs_err.alias("abs_err"),
+    )
+    return scored.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("matches").cast("long").alias("sum_matches"),
+        F.round(
+            F.sum("matches").cast("double")
+            / (F.lit(16.0) * F.count(F.lit(1))),
+            9,
+        ).alias("mean_estimate"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("abs_err")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_abs_err"),
+    )
+
+
+
+
+@query(
+    "dedup_band_scurve_audit",
+    oracle=f"""
+    WITH {_md5_minhash_pairs_sql(16)},
+    scored AS (
+      SELECT (10 * inter) // uni AS jaccard_decile,
+             CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END
+               AS collided,
+             round(1.0
+                   - (1.0 - (CAST(inter AS DOUBLE) / uni)
+                            * (CAST(inter AS DOUBLE) / uni)
+                            * (CAST(inter AS DOUBLE) / uni)
+                            * (CAST(inter AS DOUBLE) / uni))
+                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni))
+                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni))
+                     * (1.0 - (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)
+                              * (CAST(inter AS DOUBLE) / uni)), 12)
+               AS theory_p
+      FROM pairs
+    )
+    SELECT CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(collided) AS BIGINT) AS n_collided,
+           round(CAST(sum(collided) AS DOUBLE) / count(*), 9)
+             AS empirical_rate,
+           round(list_reduce(list_sort(list(theory_p)), (x, y) -> x + y)
+                 / count(*), 9) AS mean_theory_p
+    FROM scored GROUP BY jaccard_decile
+    """,
+)
+def dedup_band_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH BAND S-CURVE, THEORY vs MEASURED — the banding guarantee
+    1−(1−s⁴)⁴ (16 hashes as 4 bands × 4 rows) evaluated at each
+    sampled pair's exact Jaccard, against the EMPIRICAL band-collision
+    rate of the same md5-minhash signatures, per decile. A divergence
+    means the permutation family is misbehaving (exactly the
+    linear-combination-family recall collapse documented in
+    dedup.minhash_signatures — this op is the dashboard that would
+    have caught it). Powers are explicit multiplication chains (never
+    pow() — cross-engine ULP); collision flags are exact integer
+    equality tests; theory terms pre-rounded sorted-fold, round 9."""
+    pairs = _md5_minhash_pairs(spark, sf, 16)
+    band_hit = None
+    for bnd in range(4):
+        conj = None
+        for i in range(4):
+            eq = F.col(f"mh{bnd * 4 + i}_a") == F.col(f"mh{bnd * 4 + i}_b")
+            conj = eq if conj is None else (conj & eq)
+        t = F.when(conj, 1).otherwise(0)
+        band_hit = t if band_hit is None else band_hit + t
+    s = F.col("inter").cast("double") / F.col("uni")
+    s4 = s * s * s * s
+    one_m = F.lit(1.0) - s4
+    theory = F.round(
+        F.lit(1.0) - one_m * one_m * one_m * one_m, 12
+    )
+    scored = pairs.select(
+        F.expr("(10 * inter) div uni").cast("long").alias(
+            "jaccard_decile"
+        ),
+        F.when(band_hit > 0, 1).otherwise(0).alias("collided"),
+        theory.alias("theory_p"),
+    )
+    return scored.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("collided").cast("long").alias("n_collided"),
+        F.round(
+            F.sum("collided").cast("double") / F.count(F.lit(1)), 9
+        ).alias("empirical_rate"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("theory_p")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_theory_p"),
+    )
+
+
+
+
+@query(
+    "dedup_cross_source_clusters",
+    oracle="""
+    WITH cl AS (
+      SELECT md5(text) AS th,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(min(doc_id) AS BIGINT) AS canonical_doc
+      FROM documents GROUP BY md5(text)
+      HAVING count(*) > 1
+    )
+    SELECT n_docs AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_source,
+           round(CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 9) AS cross_source_share,
+           CAST(min(canonical_doc) AS BIGINT) AS sample_canonical
+    FROM cl GROUP BY n_docs
+    """,
+)
+def dedup_cross_source_clusters(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """CROSS-SOURCE DUPLICATE CLUSTERS — of the exact-dup clusters at
+    each size, how many span MULTIPLE sources? Within-source dups are
+    usually crawler artifacts (safe to collapse); cross-source dups
+    are syndicated/boilerplate content whose 'source diversity' is
+    illusory — exactly the clusters that inflate mixing weights if
+    counted per source (feeds curation_dup_rate_by_source and the
+    mix_weights ops). One md5-groupBy + one size-bounded rollup, all
+    exact BIGINTs."""
+    d = load(spark, sf, "documents")
+    cl = (
+        d.groupBy(F.md5("text").alias("th"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.round(
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("cross_source_share"),
+        F.min("canonical_doc").cast("long").alias("sample_canonical"),
+    )
+
+
+__all__ = sorted(n for n in dir() if not n.startswith("__"))

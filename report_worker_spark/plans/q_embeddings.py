@@ -1,0 +1,3440 @@
+"""Catalog family: embedding-space health checks and similarity search.
+
+Mechanically split from the monolithic plans/catalog.py (round
+12); query definition order within the family is the original
+file order, and all shared helpers come from ``_qshared``.
+"""
+
+from __future__ import annotations
+
+from ._qshared import *  # noqa: F401,F403
+
+
+
+
+# --- Similarity search -------------------------------------------------------
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return sim.brute_topk_expr(e, k=5)
+
+
+
+
+@query(
+    "sim_cosine_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+    """,
+)
+def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return sim.cosine_near_dup_pairs(e, threshold=0.99)
+
+
+
+
+@query(
+    "sim_lsh_near_dup",
+    # brute-force all-pairs oracle over the same augmented table: the
+    # LSH+verify side must find the identical pair set
+    oracle=f"""
+    WITH {_AUG_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.99
+    """,
+)
+def sim_lsh_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN on its honest turf (VERDICT r1 #3): hyperplane LSH recall is
+    effectively 1 for cosine ≥ 0.99 pairs ((1-0.69)^12 ≈ 8e-7 miss per
+    pair) — so LSH-bucket candidates + exact verification reproduce the
+    brute-force oracle on data with planted near-dup clones. Contrast
+    sim_lsh_recall_at_k, which measures (and documents) the much lower
+    recall on top-k over near-orthogonal vectors."""
+    return sim.lsh_near_dup_pairs(
+        _augmented_embeddings(spark, sf), threshold=0.99, n_planes=8, n_tables=12
+    )
+
+
+
+
+@query(
+    "sim_ivf_topk_full_probe",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_ivf_topk_full_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF machinery verified end-to-end: probing ALL cells makes the
+    candidate set exhaustive by construction, so cell assignment +
+    probe routing + exact re-rank must reproduce the brute-force top-k
+    oracle bit-for-bit. n_probe < n_centroids is then purely the
+    documented recall/cost knob (measured by sim_lsh_recall_at_k's IVF
+    twin in tests)."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivf_topk(e, k=5, n_centroids=32, n_probe=32)
+
+
+
+
+@query(
+    "sim_blocked_topk_matmul",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_blocked_topk_matmul(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-k at scale without a driver round-trip: Q×B BLAS tiles
+    via cogroup (data shuffled is n·(B+Q) rows, never n²), partial
+    top-m per tile, exact sequential-fold re-rank so the result is
+    bit-identical to the brute-force oracle. This supersedes the
+    driver-collect matmul (≤10⁶-vector mid-tier) as the exact-search
+    scale path."""
+    e = load(spark, sf, "embeddings")
+    return sim.blocked_topk_matmul(e, k=5, n_blocks=4, n_query_groups=4)
+
+
+
+
+@query("sim_lsh_recall_at_k", oracle=_LSHR_ORACLE)
+def sim_lsh_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible recall@5 of the approximate LSH top-k against the
+    exact top-k (both computed here). On these near-orthogonal synthetic
+    embeddings hyperplane LSH recalls only a fraction of true top-k
+    neighbors — this query makes that number a recorded artifact instead
+    of a hidden property.
+
+    Oracle-paired since round 5: planes are md5-keystream (JVM-fold
+    bucket signs — see lsh_topk(md5_plane_tag=)), so DuckDB recomputes
+    BOTH the exact and the approximate top-k and the recall itself is
+    hash-verified, not merely measured. Floor-pinned in
+    tests/test_similarity_guard.py (measured 2452 bps at sf0.01)."""
+    e = load(spark, sf, "embeddings")
+    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
+    lsh = sim.lsh_topk(
+        e, k=5, n_planes=6, n_tables=6, dim=64, md5_plane_tag="lshr"
+    ).select("vec_id", "neighbor_id")
+    hits = exact.join(lsh, on=["vec_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(5).alias("k"),
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
+                "recall_bps"
+            ),
+        )
+    )
+
+
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets + in-bucket exact
+    re-rank — the 100 TB path (equi-join on buckets, never n²)."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(e, k=5, n_planes=6, n_tables=6, seed=42, dim=64)
+
+
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe search + exact re-rank — the
+    second approximate-index strategy next to hyperplane LSH."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivf_topk(e, k=5, n_centroids=16, n_probe=4)
+
+
+
+
+# --- Embedding maintenance, funnel, vocab, end-to-end curation ---------------
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM b)
+    SELECT vec_id, scale, u.idx, u.q
+    FROM (SELECT vec_id, scale,
+                 unnest([{'idx': i - 1,
+                          'q': CAST(floor(v[i] / scale + 0.5) AS INTEGER)}
+                         for i in range(1, len(v) + 1)]) AS u
+          FROM s)
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (scale = absmax/127) —
+    the storage/serving compression step of an embedding pipeline, all
+    JVM-side higher-order expressions. Long format (vec_id, idx, q) so
+    the cross-engine compare stays scalar-typed. floor(x/s + 0.5)
+    instead of round(): engines disagree on round-half ties, floor is
+    unambiguous."""
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = e.select(
+        "vec_id",
+        v.alias("v"),
+        (absmax / F.lit(127.0)).alias("scale"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+            )
+        ).alias("idx", "q"),
+    )
+    return q.select("vec_id", "scale", "idx", "q")
+
+
+
+
+@query("sim_ivf_recall_at_k", oracle=_IVFR_ORACLE)
+def sim_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible recall@5 of IVF (n_probe=4 of 32 cells) against
+    the exact top-k — the IVF twin of sim_lsh_recall_at_k, so the
+    probe-count/recall tradeoff is a recorded artifact.
+
+    Oracle-paired since round 6 (VERDICT_r5 item 6): the coarse
+    quantizer is md5-keystream unit centroids (``md5_centroids``)
+    whose normalized double literals are embedded in the SQL twin, and
+    per-query cell ORDER under cosine equals raw dot(v, c_j) order
+    (unit centroids, positive per-query norm), so DuckDB replays cell
+    assignment, probe routing, AND both top-k's — the recall number
+    itself is hash-verified. Trained-k-means production recall stays
+    floor-pinned in tests/test_similarity_guard.py."""
+    e = load(spark, sf, "embeddings")
+    exact = sim.brute_topk_expr(e, k=5).select("vec_id", "neighbor_id")
+    ivf = sim.ivf_topk(
+        e, k=5, n_centroids=32, n_probe=4, md5_centroid_tag="ivfr", dim=64
+    ).select("vec_id", "neighbor_id")
+    hits = exact.join(ivf, on=["vec_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(5).alias("k"),
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") * 10000 / F.col("n_exact")).cast("long").alias(
+                "recall_bps"
+            ),
+        )
+    )
+
+
+
+
+@query(
+    "sim_lsh_topk_exhaustive",
+    # identical oracle to sim_cosine_topk: 0 hyperplanes = one bucket =
+    # exhaustive search through the LSH machinery
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_lsh_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
+    """The LSH top-k code path probed exhaustively (n_planes=0 → every
+    vector lands in one bucket): grouped-BLAS partial top-m + exact
+    sequential-fold re-rank must then be bit-identical to the brute
+    force oracle — the LSH twin of sim_ivf_topk_full_probe, upgrading
+    the LSH pipeline from rows-only to hash-verified (its approximate
+    configurations differ from this only by bucket assignment)."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(e, k=5, n_planes=0, n_tables=1, dim=64)
+
+
+
+
+@query("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA (functions/linalg.py): (n, Σv, Σvvᵀ) accumulate
+    per partition in one Arrow pass (one tiny row per task — no
+    shuffle), the d×d eigendecomposition runs on the driver, and the
+    centered projection onto the top-8 components is a broadcast
+    matmul. No SQL oracle — eigendecomposition is not SQL-expressible
+    and cross-partition float sums are not bit-portable across engines;
+    correctness is pinned by tests/test_linalg.py against numpy on the
+    collected data. Output: (vec_id, pc1..pc8) as SCALAR doubles
+    rounded to 6 decimals — the driver canonicalizer hashes scalar
+    cells only (an array<double> column crashed it in round 7), and
+    round(6) absorbs sub-ulp partial-sum jitter while still pinning
+    the projection values."""
+    from ..functions import linalg as la
+
+    e = load(spark, sf, "embeddings")
+    p = la.pca_project(e, dim=64, q=8)
+    return p.select(
+        "vec_id",
+        *[F.round(F.col("proj")[i], 6).alias(f"pc{i + 1}") for i in range(8)],
+    )
+
+
+
+
+@query("emb_kmeans_cells")
+def emb_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed full-data Lloyd's k-means (functions/linalg.py):
+    per iteration one Arrow pass emits per-partition per-cell
+    (n, Σv) partials — ≤ partitions·k tiny rows to the driver, k×d
+    centroids broadcast back; no shuffle in the loop. This is the
+    IVF-training upgrade path when a bounded sample stops being
+    representative. Output: per-cell population + summed distance,
+    integer-exact population counts; rows-only (the iterative float
+    trajectory is not SQL-expressible), deterministic at a fixed
+    partitioning."""
+    from ..functions import linalg as la
+
+    e = load(spark, sf, "embeddings")
+    cent = la.kmeans_fit(e, dim=64, k=16, iterations=3)
+    a = la.kmeans_assign(e, cent)
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dist2")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("sum_dist2"),
+        )
+        .select("cell", "n_members", "sum_dist2")
+    )
+
+
+
+
+@query(
+    "sim_crossset_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 10 = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 10 <> 0
+    ), pairs AS (
+      SELECT q.vec_id AS id_q, c.vec_id AS id_c,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q CROSS JOIN c
+    )
+    SELECT id_q AS vec_id, rn AS rank, id_c AS neighbor_id, cos AS cosine
+    FROM (SELECT id_q, id_c, cos,
+                 row_number() OVER (PARTITION BY id_q
+                                    ORDER BY cos DESC, id_c ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def sim_crossset_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-set retrieval (the serving shape): every 10th vector is
+    the query batch, the rest the corpus. The broadcast-queries +
+    one-corpus-pass + exact-re-rank path (similarity.crossset_topk)
+    must be bit-identical to the O(|Q|·|C|) oracle."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    c = e.filter(F.col("vec_id") % 10 != 0)
+    return sim.crossset_topk(q, c, k=3)
+
+
+
+
+@query(
+    "sim_ivfpq_topk_exhaustive",
+    # identical oracle to sim_lsh_topk_exhaustive: full probe + uncapped
+    # ADC candidates = every vector is a candidate, and the exact-fold
+    # re-rank makes the output independent of the PQ approximation
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def sim_ivfpq_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011) probed exhaustively: n_probe =
+    n_centroids and no ADC candidate cap means every vector survives to
+    the exact sequential-fold re-rank, so the full encode → cell scan →
+    ADC → re-rank machinery must be bit-identical to brute force — the
+    PQ member of the exhaustive-admission family (LSH and IVF twins
+    already driver-verified). Approximate configurations differ only in
+    which candidates the ADC code scan keeps."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivfpq_topk(e, k=5, n_centroids=8, n_probe=8)
+
+
+
+
+@query("sim_ivfpq_topk")  # approximate by nature: rows-only check
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ in its production configuration (8 of 32 cells probed,
+    per-cell ADC candidate cap): the memory tier — candidates are
+    scanned as n_sub-byte codes against a per-query lookup table, raw
+    vectors touched only for the O(k) survivors. Recall vs exact is
+    measured (≈0.68 on the near-orthogonal fixture across seeds —
+    n_probe raised 4→8 in r7 per VERDICT_r6 item 6 at identical
+    wall-clock, the coarse probe being the whole loss: the ADC
+    approximation costs nothing here) and floor-pinned ≥0.45 over 3
+    seeds in tests/test_similarity_guard.py."""
+    e = load(spark, sf, "embeddings")
+    return sim.ivfpq_topk(
+        e, k=5, n_centroids=32, n_probe=8, candidates_per_cell=32
+    )
+
+
+
+
+@query(
+    "sim_lsh_topk_md5planes",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             {_lshq_bucket_sql(0)} AS b0,
+             {_lshq_bucket_sql(1)} AS b1,
+             {_lshq_bucket_sql(2)} AS b2,
+             {_lshq_bucket_sql(3)} AS b3
+      FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id
+       AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM cand
+      JOIN b a ON a.vec_id = cand.id_a
+      JOIN b c ON c.vec_id = cand.id_b
+    )
+    SELECT id_a AS vec_id, rn AS rank, id_b AS neighbor_id, cos AS cosine
+    FROM (SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_lsh_topk_md5planes(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate LSH top-k, ORACLE-PAIRED in its approximate
+    configuration (not just the exhaustive 0-plane degenerate): planes
+    come from the md5 keystream and bucket signs from JVM sequential
+    folds, so DuckDB reproduces the bucketing bit-for-bit and the twin
+    computes the same union-of-tables candidate set + exact top-5.
+    This closes the 'approx-by-nature = rows-only' gap for LSH: the
+    approximation itself is now hash-verified, not merely measured.
+    The Gaussian-plane variant (sim_lsh_topk) stays the bench headliner
+    — BLAS bucket assignment is faster at production table×plane
+    counts; admission semantics are identical."""
+    e = load(spark, sf, "embeddings")
+    return sim.lsh_topk(
+        e, k=5, n_planes=6, n_tables=4, dim=64, md5_plane_tag="lshq"
+    )
+
+
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) — the diversified top-k a curation pipeline uses when plain
+    nearest-neighbor sampling returns 5 near-duplicates. Thin wrapper
+    over `similarity.mmr_rerank` (integer greedy trajectory over
+    round(x·256) quantized vectors — see its docstring for the shape
+    and checkpoint-barrier story); the generated unrolled-CTE oracle
+    replays every step verbatim."""
+    return sim.mmr_rerank(load(spark, sf, "embeddings"))
+
+
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT vec_id AS query_id, qv AS query_vec
+            FROM q WHERE vec_id < 8),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    scored AS (
+      SELECT dims.d, r.query_id, e.vec_id,
+             CAST(list_dot_product(
+               CAST(r.query_vec[1:dims.d] AS DOUBLE[]),
+               CAST(e.qv[1:dims.d] AS DOUBLE[])) AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.query_id
+      CROSS JOIN dims
+    ),
+    topk AS (
+      SELECT d, query_id, vec_id
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY d, query_id
+                ORDER BY s DESC, vec_id) <= 10
+    ),
+    hits AS (
+      SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
+      FROM topk t
+      JOIN topk f ON f.d = 64 AND f.query_id = t.query_id
+                 AND f.vec_id = t.vec_id
+      GROUP BY t.d
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qry)
+    SELECT CAST(dims.d AS INT) AS dim,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(nq.n_q * 10 AS BIGINT) AS n_possible,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (nq.n_q * 10)
+             AS recall_at_10
+    FROM dims CROSS JOIN nq
+    LEFT JOIN hits h ON h.d = dims.d
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION EVALUATION — the question a 100 TB
+    vector-store operator actually asks before cutting storage 8×:
+    how much recall@10 survives truncating embeddings to their first
+    d dims (MRL-style prefix truncation, d ∈ {8,16,32,64})? Exact
+    top-10 per (dim, query) via integer dot products over
+    round(x·256)-quantized prefixes (slice is free — no re-embedding),
+    compared against the full-dim baseline (d=64 recall ≡ 1.0 by
+    construction — the built-in sanity row). One corpus scan serves
+    all four dims (the dim axis is an explode over the same scored
+    pair), and everything downstream of the top-10 window is
+    query-count-sized. Integer arithmetic end to end; DuckDB replays
+    the sliced dots exactly."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
+    scored = (
+        q.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(slice(query_vec, 1, d),"
+                " slice(qv, 1, d), (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("d", "query_id", "vec_id")
+        .localCheckpoint(eager=False)  # referenced twice below
+    )
+    full = topk.filter(F.col("d") == 64).select(
+        "query_id", F.col("vec_id").alias("f_id")
+    )
+    hits = (
+        topk.join(F.broadcast(full), on="query_id")
+        .filter(F.col("vec_id") == F.col("f_id"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nq = qry.agg(F.count(F.lit(1)).alias("n_q"))
+    # total over the dims grid: a dim with zero hits (or a zero-hit
+    # query) must still report, with the full n_queries*10 denominator
+    return (
+        dims.crossJoin(F.broadcast(nq))
+        .join(hits, on="d", how="left")
+        .select(
+            F.col("d").cast("int").alias("dim"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.col("n_q") * 10).cast("long").alias("n_possible"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / (F.col("n_q") * 10)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+
+
+@query(
+    "sim_label_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT vec_id AS query_id, label AS q_label, qv AS query_vec
+            FROM q WHERE vec_id < 8),
+    scored AS (
+      SELECT r.query_id, r.q_label, e.vec_id, e.label,
+             CAST(list_dot_product(CAST(r.query_vec AS DOUBLE[]),
+                                   CAST(e.qv AS DOUBLE[])) AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.query_id
+    ),
+    ranked AS (
+      SELECT query_id, q_label, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, vec_id) AS rn
+      FROM scored
+    ),
+    contrib AS (
+      SELECT query_id, q_label,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END
+               * (CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END) AS c
+      FROM ranked WHERE rn <= 10
+    ),
+    dcg AS (
+      SELECT query_id, q_label,
+             list_reduce(list_sort(list(c)), (a, b) -> a + b) AS dcg
+      FROM contrib GROUP BY query_id, q_label
+    ),
+    rel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM scored WHERE label = q_label GROUP BY query_id
+    )
+    SELECT d.query_id, d.q_label AS label,
+           CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel, d.dcg,
+           d.dcg / (CASE least(coalesce(r.n_rel, 0), 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END)
+             AS ndcg_at_10
+    FROM dcg d LEFT JOIN rel r ON r.query_id = d.query_id
+    """,
+)
+def sim_label_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 RETRIEVAL EVALUATION — the quality score a vector-store
+    rollout gates on (pairs with emb_matryoshka_recall: that one asks
+    "is truncation safe", this one "is the ranking any good"):
+    top-10 by exact quantized integer dot per query, binary relevance
+    = label match, DCG with the standard 1/log2(r+1) gains baked in
+    as full-precision double literals (both engines parse the same
+    repr → the same float64), IDCG from the capped relevant count via
+    a literal cumulative-gain CASE. The only float folds are
+    value-sorted (array_sort + sequential add ≡ list_sort +
+    list_reduce), so NDCG is bit-identical cross-engine. One corpus
+    scan, query-count-sized everything after the top-10 window."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("query_vec"),
+    )
+    scored = q.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    contrib = ranked.filter(F.col("rn") <= 10).select(
+        "query_id",
+        "q_label",
+        (
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .cast("double")
+            * F.expr("CASE rn WHEN 1 THEN 1.0E0 WHEN 2 THEN 0.6309297535714575E0 WHEN 3 THEN 0.5E0 WHEN 4 THEN 0.43067655807339306E0 WHEN 5 THEN 0.38685280723454163E0 WHEN 6 THEN 0.3562071871080222E0 WHEN 7 THEN 0.3333333333333333E0 WHEN 8 THEN 0.31546487678572877E0 WHEN 9 THEN 0.3010299956639812E0 WHEN 10 THEN 0.2890648263178879E0 END")
+        ).alias("c"),
+    )
+    dcg = contrib.groupBy("query_id", "q_label").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(c)),"
+            " cast(0 as double), (a, b) -> a + b)"
+        ).alias("dcg")
+    )
+    rel = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_raw"))
+    )
+    out = dcg.join(rel, on="query_id", how="left").withColumn(
+        "n_rel", F.coalesce("n_rel_raw", F.lit(0)).cast("long")
+    )
+    idcg = F.expr("CASE least(n_rel, 10) WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN 1.0E0 WHEN 2 THEN 1.6309297535714575E0 WHEN 3 THEN 2.1309297535714578E0 WHEN 4 THEN 2.5616063116448506E0 WHEN 5 THEN 2.9484591188793923E0 WHEN 6 THEN 3.3046663059874146E0 WHEN 7 THEN 3.637999639320748E0 WHEN 8 THEN 3.953464516106477E0 WHEN 9 THEN 4.254494511770458E0 WHEN 10 THEN 4.543559338088346E0 END")
+    return out.select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "n_rel",
+        "dcg",
+        (F.col("dcg") / idcg).alias("ndcg_at_10"),
+    )
+
+
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(0, 16)) AS j),
+    proj AS (
+      SELECT e.vec_id, d.j,
+             list_dot_product(e.embedding, {_JL_SIGNS_DUCK}) AS proj
+      FROM embeddings e CROSS JOIN dims d
+    )
+    SELECT vec_id, CAST(j AS INT) AS j, proj FROM proj
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed JOHNSON–LINDENSTRAUSS random projection 64→16 dims — the
+    dimensionality-reduction front end for sketched similarity (norms
+    preserved within 1±ε; Achlioptas 2003 shows ±1 entries suffice).
+    The projection matrix never materializes anywhere: each ±1 entry
+    is md5(d:j) parity computed INSIDE the engine, so at 100 TB the
+    operator is a pure map — one corpus scan, zero joins, zero
+    broadcast state, and any executor can recompute any matrix entry.
+    Dots are the verified left-to-right dim fold (bit-identical to
+    DuckDB's list_dot_product); float32→float64 widening is exact."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # the ±1 matrix depends only on (d, j): evaluate the 1024 md5s ONCE
+    # on the broadcast 16-row dims table, not once per embedding row
+    dims = spark.range(16).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(_JL_SIGNS_SPARK).alias("signs"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "j",
+            sim.dot_fold(F.col("embedding"), F.col("signs")).alias("proj"),
+        )
+    )
+
+
+
+
+@query(
+    "emb_nearest_centroid_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(r.range AS INT) AS d,
+             qv[r.range + 1] AS v
+      FROM q CROSS JOIN range(0, 64) r
+    ),
+    cent AS (
+      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+      FROM ex GROUP BY label, d
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
+      FROM ex e JOIN cent c ON e.d = c.d
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, clabel) = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS accuracy
+    FROM pred GROUP BY label
+    """,
+)
+def emb_nearest_centroid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST-CENTROID probe — the cheapest embedding-quality eval
+    that needs no trained head (Rocchio classification): per label,
+    the mean quantized vector; each vector is assigned the label of
+    its highest-scoring centroid (dot/n_l — exact integer dot, ONE
+    mirrored division since every term is < 2^53) and per-label
+    accuracy comes out. Spark side keeps centroids as a 10-row
+    BROADCAST array table and scores with the in-array integer fold —
+    one corpus scan, no N×N anything; the oracle replays via an
+    explode-join, a different physical strategy with the same
+    numbers. Training set = full corpus (standard resubstitution
+    nearest-centroid; documented, mirrored)."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("d", "v")
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "d")
+        .agg(
+            F.sum("v").alias("csum"),
+            F.countDistinct("vec_id").alias("n_l"),
+        )
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "csum"))),
+            lambda x: x["csum"],
+        ).alias("cvec"),
+        F.max("n_l").alias("n_l"),
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).cast("double")
+            / F.col("n_l")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred_label"))
+    )
+    hit = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+
+
+@query(
+    "emb_knn_label_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qry AS (SELECT * FROM q WHERE vec_id % 16 = 0),
+    scored AS (
+      SELECT r.vec_id AS query_id, r.label AS true_label,
+             e.vec_id, e.label,
+             CAST(list_dot_product(
+               CAST(r.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[]))
+               AS BIGINT) AS s
+      FROM qry r JOIN q e ON e.vec_id <> r.vec_id
+    ),
+    topk AS (
+      SELECT query_id, true_label, label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, vec_id) <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(count(*) AS BIGINT) AS v
+      FROM topk GROUP BY query_id, true_label, label
+    ),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label
+      FROM votes
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY v DESC, label) = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def emb_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN LABEL PROBE (k=5, majority vote, smallest-label
+    tiebreak) — the second standard no-training embedding eval
+    beside emb_nearest_centroid_accuracy; together they bracket the
+    linear-probe number. Exact top-5 by integer dot over quantized
+    vectors on a 1-in-16 query sample (the eval shape — at 100 TB
+    this is exactly sim_crossset_topk's broadcast-queries one-pass
+    corpus scan, then everything downstream is query-count-sized).
+    Deterministic end to end: integer dots, full tiebreaks, integer
+    votes."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    qry = q.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("query_vec"),
+    )
+    scored = q.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("s"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "true_label", "label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "true_label", F.col("label").alias("pred_label")
+        )
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+
+
+@query(
+    "emb_dim_collapse_audit",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS sqq
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(sq AS DOUBLE) / n, 12) AS mean_q,
+           round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                 / n, 12) AS var_q,
+           ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / n)
+             < CAST(1 AS DOUBLE) AS collapsed
+    FROM s
+    """,
+)
+def emb_dim_collapse_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """DIMENSION-COLLAPSE audit — per-dimension mean and variance of
+    the quantized embeddings (a dim whose variance ≈ 0 carries no
+    information: dead units from training pathologies or botched
+    normalization; the check an embedding pipeline runs before
+    paying for an index build). Σq/Σq² are exact BIGINTs per dim;
+    mean/variance are mirrored float expressions rounded 12; the
+    collapse flag compares variance against 1 quantization step².
+    One posexplode + one 64-group aggregate — a single corpus pass."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select(F.posexplode(qz).alias("dim", "q"))
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    var = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / F.col("n")
+    ) / F.col("n")
+    return s.select(
+        "dim",
+        "n",
+        F.round(F.col("sq").cast("double") / F.col("n"), 12).alias(
+            "mean_q"
+        ),
+        F.round(var, 12).alias("var_q"),
+        (var < F.lit(1.0)).alias("collapsed"),
+    )
+
+
+
+
+@query(
+    "emb_pair_distance_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, bkt, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.nn + b.nn
+             - 2 * CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                         CAST(b.qv AS DOUBLE[]))
+                    AS BIGINT) AS d2
+      FROM norms a JOIN norms b
+        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT d2 // 10000 AS dist_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY d2 // 10000
+    """,
+)
+def emb_pair_distance_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """PAIRWISE-DISTANCE HISTOGRAM over an md5-bucketed pair sample —
+    the second embedding-health audit beside emb_dim_collapse_audit
+    (a healthy space is unimodal; a spike at 0 means duplicate
+    vectors, heavy left mass means collapse). Pairs come from WITHIN
+    16 content-hash buckets — a deterministic ~1/16 sample of all
+    pairs with NO global enumeration: the bucket equi-join is the
+    same cell-join shape as semdedup, so the pair budget is
+    Σ bucket² and scales by adding hash characters. d² =
+    |a|²+|b|²−2a·b stays an exact BIGINT end to end; the histogram
+    key is integer DIV."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
+            "bkt"
+        ),
+        qz.alias("qv"),
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    norms = q.select(
+        "vec_id", "bkt", "qv", dot("qv", "qv").alias("nn")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("ida"),
+        "bkt",
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("idb"),
+        "bkt",
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = a.join(b, on="bkt").filter(F.col("ida") < F.col("idb")).select(
+        (
+            F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
+        ).alias("d2")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("d2") / 10000).cast("long").alias("dist_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+
+
+@query(
+    "emb_binary_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                                 THEN (1::BIGINT << i) ELSE 0 END
+                            for i in range(0, 32)]) AS BIGINT) AS lo,
+             CAST(list_sum([CASE WHEN embedding[i + 33] > 0
+                                 THEN (1::BIGINT << i) ELSE 0 END
+                            for i in range(0, 32)]) AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo))
+                  + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BINARY-CODE ANN: sign-binarize each 64-dim embedding into two
+    32-bit halves packed in BIGINTs (bit i = dim i > 0), then top-5
+    neighbors per query (vec_id % 25) by HAMMING distance — XOR +
+    popcount, the compressed-domain similarity used when float
+    vectors are too wide to scan (Charikar hyperplane LSH with the
+    coordinate planes). Codes are 8 bytes/vector, so the candidate
+    scan reads 32× less than float32; everything is integer-exact,
+    no float discipline at all. Queries broadcast against the corpus
+    (one pass, same shape as sim_crossset_topk); at 100 TB the codes
+    would be bucketed by multi-index substrings instead of scanned."""
+    from ..util import spread
+
+    emb = spread(load(spark, sf, "embeddings"))
+
+    def half(off: int):
+        return F.expr(
+            f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc"
+            f" + IF(element_at(embedding, i + {off}) > 0,"
+            f" shiftleft(1L, i), 0L))"
+        )
+
+    codes = emb.select(
+        "vec_id", half(1).alias("lo"), half(33).alias("hi")
+    )
+    codes = codes.localCheckpoint(eager=False)  # consumed twice
+    q = codes.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = F.broadcast(q).crossJoin(codes).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    ham = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+
+
+@query(
+    "emb_knn_outlier_census",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, qv,
+             CAST(list_sum([x * x for x in qv]) AS BIGINT) AS nn
+      FROM q
+    ),
+    qset AS (
+      SELECT vec_id, qv, nn FROM norms
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             a.nn + b.nn
+             - 2 * CAST(list_sum(
+                 [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
+               AS BIGINT) AS d2
+      FROM qset a JOIN norms b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+      SELECT qid, sum(d2) AS sum_d2_top5
+      FROM (
+        SELECT qid, d2,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= 5 GROUP BY qid
+    )
+    SELECT qid AS vec_id, CAST(sum_d2_top5 AS BIGINT) AS sum_d2_top5,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, sum_d2_top5,
+             row_number() OVER (
+               ORDER BY sum_d2_top5 DESC, qid ASC) AS rank
+      FROM top5
+    ) WHERE rank <= 30
+    """,
+)
+def emb_knn_outlier_census(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN-DISTANCE OUTLIER census (Ramaswamy et al. 2000): the 30
+    most isolated vectors of a FIXED-SIZE audit sample (the 200
+    smallest md5(vec_id) keys — TakeOrdered, O(K) regardless of
+    corpus size; VERDICT r7 #3 replaced a corpus-proportional 1/5
+    broadcast), scored by the SUM of squared distances to their 5
+    nearest neighbors over the FULL corpus. Delegates to
+    similarity.knn_outlier_census: ×256 integer quantization keeps
+    every d² an exact int64, one Arrow pass emits per-batch top-5
+    partials (global top-5 ⊆ per-batch union), the shuffle carries
+    ≤ K·5·partitions rows — never K·N pairs — and the census tail is
+    orderBy().limit(30) → TakeOrdered."""
+    emb = load(spark, sf, "embeddings")
+    return sim.knn_outlier_census(
+        emb, k=5, sample_k=200, top=30, quant=256
+    ).select(
+        "vec_id",
+        F.col("sum_d2_topk").alias("sum_d2_top5"),
+        "rank",
+    )
+
+
+
+
+@query(
+    "emb_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(
+               [a.qv[i + 1] * b.qv[i + 1] for i in range(0, 64)])
+             AS BIGINT) AS dot
+      FROM q a JOIN q b
+        ON a.vec_id % 25 = 0 AND a.label <> b.label
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def emb_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each anchor
+    (vec_id % 25), the 5 most-similar vectors with a DIFFERENT label
+    — the negatives that actually teach the margin (Schroff et al.
+    2015, FaceNet). Similarity is the raw dot product on the ×256
+    quantization grid, EXACT BIGINT end to end (the
+    emb_knn_outlier_census device), so ranking is engine-stable.
+    Anchors broadcast against one corpus scan with the label
+    inequality as a join predicate; at 100 TB the anchor side shards
+    and each shard still makes one pass."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, qv, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    base = emb.select("vec_id", "label", qz.alias("qv"))
+    base = base.localCheckpoint(eager=False)  # consumed twice
+    q = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qa"),
+    )
+    pairs = F.broadcast(q).crossJoin(base).filter(
+        F.col("qlabel") != F.col("label")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+
+
+@query(
+    "emb_centroid_shift_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    halves AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT)
+               AS s0,
+             CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS s1
+      FROM ex GROUP BY label, dim
+    ),
+    d AS (
+      SELECT label, dim, n0, n1,
+             n1 * s0 - n0 * s1 AS dv,
+             abs(n1 * s0 - n0 * s1) AS adv
+      FROM halves
+    ),
+    mx AS (
+      SELECT label,
+             CAST(min(CASE WHEN adv = mxa THEN dim END) AS BIGINT)
+               AS max_dim
+      FROM (SELECT *, max(adv) OVER (PARTITION BY label) AS mxa FROM d)
+      GROUP BY label
+    ),
+    agg AS (
+      SELECT label, min(n0) AS n0, min(n1) AS n1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(CAST(dv AS DOUBLE) * CAST(dv AS DOUBLE)))),
+               (a, v) -> a + v) AS ssd
+      FROM d GROUP BY label
+    )
+    SELECT a.label, CAST(a.n0 AS BIGINT) AS n0,
+           CAST(a.n1 AS BIGINT) AS n1,
+           round(sqrt(a.ssd) / (a.n0 * a.n1), 12) AS drift_l2,
+           m.max_dim
+    FROM agg a JOIN mx m USING (label)
+    """,
+)
+def emb_centroid_shift_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-DRIFT audit: per label, the L2 distance between the
+    centroid of even vec_ids and the centroid of odd vec_ids (the
+    deterministic stand-in for "last batch vs this batch" — the
+    check that catches a silently retrained or re-normalized encoder
+    before it poisons an index). Exactness: on the ×256 grid the
+    per-dim cross-multiplied difference d = n1·Σ₀ − n0·Σ₁ is an
+    EXACT BIGINT (no rational means), so the argmax drift dimension
+    is exact; Σd² folds smallest-first in doubles (d < 2⁵³ squares
+    exactly) and only the final sqrt-divide is float, round 12. One
+    posexplode pass + a 64-row-per-label reduce."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(qz).alias("dim", "q"),
+    )
+    halves = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias(
+            "s1"
+        ),
+    )
+    dv = F.col("n1") * F.col("s0") - F.col("n0") * F.col("s1")
+    d = halves.select(
+        "label", "dim", "n0", "n1", dv.alias("dv"), F.abs(dv).alias("adv")
+    )
+    agg = d.groupBy("label").agg(
+        F.min("n0").alias("n0"),
+        F.min("n1").alias("n1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.col("dv").cast("double") * F.col("dv").cast("double")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("ssd"),
+        F.min_by(
+            F.struct(F.col("dim")), F.struct(-F.col("adv"), F.col("dim"))
+        ).getField("dim").cast("long").alias("max_dim"),
+    )
+    return agg.select(
+        "label",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(
+            F.sqrt("ssd") / (F.col("n0") * F.col("n1")), 12
+        ).alias("drift_l2"),
+        "max_dim",
+    )
+
+
+
+
+@query(
+    "sim_range_search_radius",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid AS vec_id,
+           CAST(sum(CASE WHEN d2 <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r100k,
+           CAST(sum(CASE WHEN d2 <= 120000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r120k,
+           CAST(sum(CASE WHEN d2 <= 140000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r140k,
+           CAST(min(d2) AS BIGINT) AS min_d2
+    FROM pairs GROUP BY qid
+    """,
+)
+def sim_range_search_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE SEARCH (the fixed-radius dual of top-k ANN): for each of
+    the 100 sampled query vectors, how many corpus neighbors sit
+    within d² ≤ {100k, 120k, 140k} on the ×256 grid, plus the exact
+    nearest distance — the density probe behind dedup-radius tuning
+    (pick the radius where counts explode) and epsilon-ball
+    retrieval. Pure conditional COUNTs and a MIN over the exact
+    integer pair stream — fully map-combinable, no window, no
+    Python. At 100 TB the same counts run per IVF cell with a
+    radius-intersection check instead of brute force."""
+    pairs = _sample_pairs(spark, sf)
+    return pairs.groupBy(F.col("qid").alias("vec_id")).agg(
+        F.sum(F.when(F.col("d2") <= 100_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r100k"),
+        F.sum(F.when(F.col("d2") <= 120_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r120k"),
+        F.sum(F.when(F.col("d2") <= 140_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_r140k"),
+        F.min("d2").cast("long").alias("min_d2"),
+    )
+
+
+
+
+@query(
+    "emb_triplet_violation_rate",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    per AS (
+      SELECT qid, qlab,
+             min(CASE WHEN nlab = qlab THEN d2 END) AS dpos,
+             min(CASE WHEN nlab <> qlab THEN d2 END) AS dneg
+      FROM pairs GROUP BY qid, qlab
+    )
+    SELECT qlab AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           round(CAST(sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 12) AS violation_rate
+    FROM per WHERE dpos IS NOT NULL AND dneg IS NOT NULL
+    GROUP BY qlab
+    """,
+)
+def emb_triplet_violation_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """TRIPLET-MARGIN violation rate: for each sampled anchor, is its
+    nearest same-label vector FARTHER than its nearest other-label
+    vector (margin 0)? The metric-learning health check — a high
+    rate means the space does not separate the labels it claims to
+    encode (cf. the ~36% nearest-centroid accuracy this corpus is
+    known to have). dpos/dneg are exact integer MINs over the pair
+    stream (map-combinable); the violation flag is an integer
+    comparison; only the per-label rate is float, round 12."""
+    pairs = _sample_pairs(spark, sf)
+    per = pairs.groupBy("qid", "qlab").agg(
+        F.min(F.when(F.col("nlab") == F.col("qlab"), F.col("d2"))).alias(
+            "dpos"
+        ),
+        F.min(F.when(F.col("nlab") != F.col("qlab"), F.col("d2"))).alias(
+            "dneg"
+        ),
+    )
+    viol = F.when(F.col("dpos") >= F.col("dneg"), 1).otherwise(0)
+    return (
+        per.filter(
+            F.col("dpos").isNotNull() & F.col("dneg").isNotNull()
+        )
+        .groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(viol).cast("long").alias("n_violations"),
+            F.round(
+                F.sum(viol).cast("double") / F.count(F.lit(1)), 12
+            ).alias("violation_rate"),
+        )
+    )
+
+
+
+
+@query(
+    "emb_silhouette_sample",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    bylab AS (
+      SELECT qid, qlab, nlab,
+             CAST(sum(d2) AS BIGINT) AS sd2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY qid, qlab, nlab
+    ),
+    scored AS (
+      SELECT qid, qlab, nlab, sd2, n,
+             CAST(sd2 AS DOUBLE) / n AS mean_d2
+      FROM bylab
+    ),
+    a AS (SELECT qid, qlab, sd2, n, mean_d2 AS a2
+          FROM scored WHERE nlab = qlab),
+    b AS (
+      SELECT qid, nlab AS nn_label, sd2, n, mean_d2 AS b2
+      FROM (SELECT qid, nlab, sd2, n, mean_d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY mean_d2 ASC, nlab ASC)
+                     AS rn
+            FROM scored WHERE nlab <> qlab)
+      WHERE rn = 1
+    )
+    SELECT a.qid AS vec_id, a.qlab AS label,
+           CAST(a.sd2 * 1000 // a.n AS BIGINT) AS a2_milli,
+           CAST(b.sd2 * 1000 // b.n AS BIGINT) AS b2_milli,
+           b.nn_label,
+           round((b.b2 - a.a2) / greatest(a.a2, b.b2), 12)
+             AS silhouette
+    FROM a JOIN b USING (qid)
+    """,
+)
+def emb_silhouette_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SILHOUETTE audit (on squared distances — the d²-silhouette
+    variant, which keeps every accumulation an exact integer) for
+    the 100-anchor sample: a = mean d² to the anchor's own label,
+    b = the smallest mean d² to any other label, s = (b−a)/max(a,b).
+    Per-(anchor, label) Σd²/counts are exact BIGINT map-combinable
+    aggregates; means divide once in IEEE doubles (bit-identical
+    across engines) for the comparison and the score, while the
+    REPORTED means are exact scaled integers (Σd²·1000 DIV n — a
+    high-precision round of a 10⁵-magnitude double is engine-
+    specific, so the output never does that); the nearest cluster
+    resolves by (mean, label) rank and s (O(1) magnitude) rounds at
+    12. One pair-stream pass + a 10-row-per-anchor reduce."""
+    pairs = _sample_pairs(spark, sf)
+    bylab = pairs.groupBy("qid", "qlab", "nlab").agg(
+        F.sum("d2").alias("sd2"), F.count(F.lit(1)).alias("n")
+    )
+    scored = bylab.select(
+        "qid",
+        "qlab",
+        "nlab",
+        "sd2",
+        "n",
+        (F.col("sd2").cast("double") / F.col("n")).alias("mean_d2"),
+    )
+    a = scored.filter(F.col("nlab") == F.col("qlab")).select(
+        "qid",
+        "qlab",
+        F.col("mean_d2").alias("a2"),
+        F.expr("(sd2 * 1000) div n").alias("a2_milli"),
+    )
+    wb = Window.partitionBy("qid").orderBy(
+        F.col("mean_d2").asc(), F.col("nlab").asc()
+    )
+    b = (
+        scored.filter(F.col("nlab") != F.col("qlab"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("nlab").alias("nn_label"),
+            F.col("mean_d2").alias("b2"),
+            F.expr("(sd2 * 1000) div n").alias("b2_milli"),
+        )
+    )
+    # both sides are O(sample)=100-row aggregates; broadcast b so the
+    # final stitch never sort-merges
+    return a.join(F.broadcast(b), on="qid").select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlab").alias("label"),
+        F.col("a2_milli").cast("long").alias("a2_milli"),
+        F.col("b2_milli").cast("long").alias("b2_milli"),
+        "nn_label",
+        F.round(
+            (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"), 12
+        ).alias("silhouette"),
+    )
+
+
+
+
+@query(
+    "emb_norm_profile",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                            for x in embedding]) AS BIGINT) AS nn
+      FROM embeddings
+    ),
+    byval AS (
+      SELECT label, nn, CAST(count(*) AS BIGINT) AS cnt
+      FROM q GROUP BY label, nn
+    ),
+    ranked AS (
+      SELECT label, nn, cnt,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY label ORDER BY nn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cless,
+             sum(cnt) OVER (PARTITION BY label) AS n
+      FROM byval
+    )
+    SELECT label, CAST(min(n) AS BIGINT) AS n_vecs,
+           CAST(min(nn) AS BIGINT) AS min_nn,
+           CAST(max(nn) AS BIGINT) AS max_nn,
+           CAST(min(CASE WHEN cless < (n + 1) // 2
+                          AND cless + cnt >= (n + 1) // 2 THEN nn END)
+                + min(CASE WHEN cless < n // 2 + 1
+                            AND cless + cnt >= n // 2 + 1 THEN nn END)
+             AS BIGINT) AS med2_nn,
+           CAST(min(CASE WHEN cless < (n + 3) // 4
+                          AND cless + cnt >= (n + 3) // 4 THEN nn END)
+             AS BIGINT) AS q1_nn,
+           CAST(min(CASE WHEN cless < (n * 3 + 3) // 4
+                          AND cless + cnt >= (n * 3 + 3) // 4 THEN nn END)
+             AS BIGINT) AS q3_nn
+    FROM ranked GROUP BY label
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """SQUARED-NORM DISTRIBUTION per label on the ×256 integer grid —
+    the normalization audit run before any cosine/IP index build
+    (un-normalized stragglers and near-zero vectors both poison dot-
+    product ANN; a label whose norm IQR is wide was embedded
+    differently). Exact integer norms feed the count-table rank
+    device (cumulative counts over (label, nn) — never a per-row
+    sort): min/q1/med2/q3/max all EXACT, med2 = lower+upper middle
+    with no interpolation. One zip-fold scan + two windows over the
+    count table."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("label", qz.alias("qv")).select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+            " cast(0 as bigint), (a, p) -> a + p)"
+        ).alias("nn"),
+    )
+    byval = q.groupBy("label", "nn").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = (
+        Window.partitionBy("label")
+        .orderBy("nn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("label")
+    ranked = byval.select(
+        "label",
+        "nn",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cless"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pick = lambda r: F.min(  # noqa: E731
+        F.when(
+            (F.col("cless") < r) & (F.col("cless") + F.col("cnt") >= r),
+            F.col("nn"),
+        )
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2 + 1).cast("long")
+    q1 = ((F.col("n") + 3) / 4).cast("long")
+    q3 = ((F.col("n") * 3 + 3) / 4).cast("long")
+    return ranked.groupBy("label").agg(
+        F.min("n").cast("long").alias("n_vecs"),
+        F.min("nn").cast("long").alias("min_nn"),
+        F.max("nn").cast("long").alias("max_nn"),
+        (pick(lo) + pick(hi)).cast("long").alias("med2_nn"),
+        pick(q1).cast("long").alias("q1_nn"),
+        pick(q3).cast("long").alias("q3_nn"),
+    )
+
+
+
+
+@query(
+    "emb_intrinsic_dim_twonn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlab,
+             b.vec_id AS nid, b.label AS nlab,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    d1 AS (
+      SELECT qid, CAST(min(d2) AS BIGINT) AS r1
+      FROM pairs GROUP BY qid
+    ),
+    d2nd AS (
+      SELECT p.qid, CAST(min(p.d2) AS BIGINT) AS r2
+      FROM pairs p JOIN d1 ON d1.qid = p.qid
+      WHERE p.d2 > d1.r1
+      GROUP BY p.qid
+    ),
+    terms AS (
+      SELECT d1.qid,
+             0.5 * ln(CAST(d2nd.r2 AS DOUBLE) / d1.r1) AS mu
+      FROM d1 JOIN d2nd ON d2nd.qid = d1.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           round(count(*) / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(mu))), (a, v) -> a + v), 12)
+             AS intrinsic_dim
+    FROM terms
+    """,
+)
+def emb_intrinsic_dim_twonn(spark: SparkSession, sf: str) -> DataFrame:
+    """TwoNN INTRINSIC DIMENSION (Facco et al. 2017): d̂ = n / Σ ln(
+    r₂/r₁) over the first/second-neighbor distance ratios of the
+    100-anchor sample — the "how many dimensions does this manifold
+    REALLY use?" estimate that tells you whether 64-d embeddings are
+    index-able at 8 (cf. emb_matryoshka_recall / emb_dim_collapse,
+    which ask narrower versions). Squared distances cancel into the
+    ratio (ln√(d₂²/d₁²) = ½ln(d₂²/d₁²)), so every ln argument is a
+    ratio of EXACT int64s; r₂ is the smallest distance strictly
+    above r₁ (value-level, tie-safe); terms fold smallest-first,
+    round 12. Two map-combinable MIN passes over the broadcast-
+    sample pair stream."""
+    pairs = _sample_pairs(spark, sf)
+    pairs = pairs.localCheckpoint(eager=False)  # consumed twice
+    d1 = pairs.groupBy("qid").agg(F.min("d2").alias("r1"))
+    d2nd = (
+        pairs.join(F.broadcast(d1), on="qid")
+        .filter(F.col("d2") > F.col("r1"))
+        .groupBy("qid")
+        .agg(F.min("d2").alias("r2"))
+    )
+    terms = d1.join(F.broadcast(d2nd), on="qid").select(
+        (
+            0.5
+            * F.log(F.col("r2").cast("double") / F.col("r1"))
+        ).alias("mu")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.round(
+            F.count(F.lit(1))
+            / F.aggregate(
+                F.array_sort(F.collect_list("mu")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            12,
+        ).alias("intrinsic_dim"),
+    ).select(
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        "intrinsic_dim",
+    )
+
+
+
+
+@query(
+    "emb_davies_bouldin_sq",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 256)
+               AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    perdim AS (
+      SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd,
+             CAST(sum(q * q) AS BIGINT) AS qd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    perlab AS (
+      SELECT label, min(n) AS n,
+             CAST(sum(qd) AS BIGINT) AS qtot,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
+               list((CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)))),
+               (a, v) -> a + v) AS mu2
+      FROM perdim GROUP BY label
+    ),
+    scatter AS (
+      SELECT label, n,
+             CAST(qtot AS DOUBLE) / n - mu2 AS s2
+      FROM perlab
+    ),
+    cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(
+               list((CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE)
+                     * CAST(b2.n * a2.sd - a2.n * b2.sd AS DOUBLE))
+                    / (CAST(a2.n AS DOUBLE) * a2.n * b2.n * b2.n)))),
+               (x, y) -> x + y) AS d2
+      FROM perlab a JOIN perlab b ON a.label < b.label
+      JOIN perdim a2 ON a2.label = a.label
+      JOIN perdim b2 ON b2.label = b.label AND b2.dim = a2.dim
+      GROUP BY a.label, b.label
+    ),
+    ratios AS (
+      SELECT la AS label, lb AS other,
+             (sa.s2 + sb.s2) / c.d2 AS ratio
+      FROM cd c
+      JOIN scatter sa ON sa.label = c.la
+      JOIN scatter sb ON sb.label = c.lb
+      UNION ALL
+      SELECT lb, la, (sa.s2 + sb.s2) / c.d2
+      FROM cd c
+      JOIN scatter sa ON sa.label = c.la
+      JOIN scatter sb ON sb.label = c.lb
+    ),
+    perlabel AS (
+      SELECT label, max(ratio) AS r_i,
+             CAST(min(CASE WHEN ratio = mr THEN other END) AS BIGINT)
+               AS worst_neighbor
+      FROM (SELECT *, max(ratio) OVER (PARTITION BY label) AS mr
+            FROM ratios)
+      GROUP BY label
+    )
+    SELECT label, worst_neighbor, round(r_i, 12) AS db_ratio
+    FROM perlabel
+    """,
+)
+def emb_davies_bouldin_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """DAVIES–BOULDIN cluster-separation audit (squared-distance
+    variant — every quantity derives from EXACT integer sums):
+    per label the worst (s²ᵢ+s²ⱼ)/d²ᵢⱼ ratio against any other
+    label, where s²ᵢ = mean squared distance to the label centroid
+    (= Σ‖x‖²/n − ‖μ‖²) and d²ᵢⱼ uses the cross-multiplied
+    centroid-difference device of emb_centroid_shift_drift — so the
+    only floats are deterministic IEEE divisions of exact integers,
+    folded smallest-first. High ratio = the label's nearest
+    confusable cluster (reported) — the "which classes will kNN
+    mix up?" table that explains the ~36% nearest-centroid accuracy
+    this corpus is known for. One posexplode aggregate + 10×10
+    label-pair algebra on a 640-row table."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    ex = emb.select("label", F.posexplode(qz).alias("dim", "q"))
+    perdim = ex.groupBy("label", "dim").agg(
+        F.sum("q").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("qd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    perdim = perdim.localCheckpoint(eager=False)  # consumed 3×
+    mu_term = (F.col("sd").cast("double") / F.col("n")) * (
+        F.col("sd").cast("double") / F.col("n")
+    )
+    perlab = perdim.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.sum("qd").alias("qtot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(mu_term)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("mu2"),
+    )
+    scatter = perlab.select(
+        "label",
+        "n",
+        (F.col("qtot").cast("double") / F.col("n") - F.col("mu2")).alias(
+            "s2"
+        ),
+    )
+    scatter = scatter.localCheckpoint(eager=False)  # consumed twice
+    a2 = perdim.select(
+        F.col("label").alias("la"),
+        "dim",
+        F.col("sd").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b2 = perdim.select(
+        F.col("label").alias("lb"),
+        "dim",
+        F.col("sd").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    diff = (F.col("nb") * F.col("sa") - F.col("na") * F.col("sb")).cast(
+        "double"
+    )
+    cd = (
+        a2.join(b2, on="dim")
+        .filter(F.col("la") < F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            (
+                diff
+                * diff
+                / (
+                    F.col("na").cast("double")
+                    * F.col("na")
+                    * F.col("nb")
+                    * F.col("nb")
+                )
+            ).alias("t"),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("t")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d2")
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la"), F.col("s2").alias("s2a"))
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s2").alias("s2b"))
+    paired = cd.join(F.broadcast(sa), on="la").join(
+        F.broadcast(sb), on="lb"
+    )
+    ratios = paired.select(
+        F.col("la").alias("label"),
+        F.col("lb").alias("other"),
+        ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
+    ).unionByName(
+        paired.select(
+            F.col("lb").alias("label"),
+            F.col("la").alias("other"),
+            ((F.col("s2a") + F.col("s2b")) / F.col("d2")).alias("ratio"),
+        )
+    )
+    perlabel = ratios.groupBy("label").agg(
+        F.max("ratio").alias("r_i"),
+        F.min_by(
+            F.struct(F.col("other")),
+            F.struct(-F.col("ratio"), F.col("other")),
+        )
+        .getField("other")
+        .cast("long")
+        .alias("worst_neighbor"),
+    )
+    return perlabel.select(
+        "label", "worst_neighbor", F.round("r_i", 12).alias("db_ratio")
+    )
+
+
+
+
+@query(
+    "emb_hubness_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) AS BIGINT) AS d2
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+      SELECT qid, nid
+      FROM (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2 ASC, nid ASC) AS rn
+            FROM pairs)
+      WHERE rn <= 5
+    ),
+    occ AS (
+      SELECT nid, CAST(count(*) AS BIGINT) AS k_occurrence
+      FROM top5 GROUP BY nid
+    )
+    SELECT k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(nid) AS BIGINT) AS example_id
+    FROM occ GROUP BY k_occurrence
+    """,
+)
+def emb_hubness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """HUBNESS audit (Radovanović et al. 2010): the k-occurrence
+    distribution — how many times each corpus point appears in the
+    sampled queries' exact top-5 lists — THE high-dimensional ANN
+    pathology check (hubs soak up neighbor lists and poison kNN
+    labels and recall; its skew grows with intrinsic dimension, cf.
+    emb_intrinsic_dim_twonn). Pair distances are exact int64 on the
+    ×256 grid; per-query top-5 ranks over the fixed-100-anchor
+    broadcast-sample pair stream (the silhouette-family shape:
+    window keyed on the bounded anchor set); the output is the
+    occurrence histogram with an example id per bucket."""
+    pairs = _sample_pairs(spark, sf)
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    top5 = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid")
+    )
+    occ = top5.groupBy("nid").agg(
+        F.count(F.lit(1)).alias("k_occurrence")
+    )
+    return occ.groupBy("k_occurrence").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("nid").cast("long").alias("example_id"),
+    )
+
+
+
+
+@query(
+    "emb_pair_distance_by_label",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    pairs AS (
+      SELECT a.label = b.label AS same_label,
+             CAST(list_sum([(a.qv[i + 1] - b.qv[i + 1])
+                            * (a.qv[i + 1] - b.qv[i + 1])
+                            for i in range(0, 64)]) // 10000 AS BIGINT)
+               AS d2_bucket
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    )
+    SELECT same_label, d2_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY same_label, d2_bucket
+    """,
+)
+def emb_pair_distance_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    """LABEL-CONDITIONED distance histogram: exact d² (bucketed by
+    10⁴ on the ×256 grid) of sample-anchor pairs, split same-label
+    vs cross-label — the two curves whose overlap IS the metric-
+    space quality picture (fully separated = easy kNN; the known
+    heavy overlap here explains the triplet-violation rate and the
+    ~36% centroid accuracy in one chart). Integer bucketing on the
+    broadcast-sample pair stream; one map-combinable groupBy."""
+    pairs = _sample_pairs(spark, sf)
+    return pairs.groupBy(
+        (F.col("qlab") == F.col("nlab")).alias("same_label"),
+        F.expr("d2 div 10000").alias("d2_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+
+
+@query(
+    "emb_same_label_auc",
+    oracle=f"""
+    WITH {_EMB_SAMPLE_PAIRS_SQL},
+    hist AS (
+      SELECT d2,
+             CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT)
+               AS ns,
+             CAST(sum(CASE WHEN qlab <> nlab THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd
+      FROM pairs GROUP BY d2
+    ),
+    cum AS (
+      SELECT ns, nd,
+             CAST(coalesce(sum(nd) OVER (ORDER BY d2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nd_less
+      FROM hist
+    ),
+    agg_ AS (
+      SELECT CAST(sum(ns) AS BIGINT) AS n_same,
+             CAST(sum(nd) AS BIGINT) AS n_diff,
+             CAST(sum(ns * (2 * nd_less + nd)) AS BIGINT) AS two_u
+      FROM cum
+    )
+    SELECT n_same, n_diff, two_u,
+           round(1.0 - CAST(two_u AS DOUBLE) / (2.0 * n_same * n_diff),
+                 12) AS same_label_auc
+    FROM agg_
+    """,
+)
+def emb_same_label_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """LABEL-SEPARABILITY AUC of the metric space: the probability
+    that a random same-label pair is CLOSER than a random cross-label
+    pair (ties half-weighted) — exactly the Mann–Whitney U/ROC-AUC of
+    the distance as a same-label classifier (0.5 = labels invisible
+    to the metric; this corpus's weak clusters land just above). U is
+    computed on the exact-int64 d² pair stream with the counting
+    device (per-distinct-d2 histogram + one cumulative window), so
+    2U is an exact BIGINT — no rank floats, no global row sort, and
+    at 100 TB the histogram window shards by d² range exactly like
+    stats_quantile_normalize."""
+    pairs = _sample_pairs(spark, sf)
+    hist = pairs.groupBy("d2").agg(
+        F.sum(F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0))
+        .cast("long")
+        .alias("ns"),
+        F.sum(F.when(F.col("qlab") != F.col("nlab"), 1).otherwise(0))
+        .cast("long")
+        .alias("nd"),
+    )
+    wless = Window.orderBy("d2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "ns",
+        "nd",
+        F.coalesce(F.sum("nd").over(wless), F.lit(0))
+        .cast("long")
+        .alias("nd_less"),
+    )
+    agg_ = cum.agg(
+        F.sum("ns").cast("long").alias("n_same"),
+        F.sum("nd").cast("long").alias("n_diff"),
+        F.sum(
+            F.col("ns") * (2 * F.col("nd_less") + F.col("nd"))
+        )
+        .cast("long")
+        .alias("two_u"),
+    )
+    auc = F.lit(1.0) - F.col("two_u").cast("double") / (
+        F.lit(2.0) * F.col("n_same") * F.col("n_diff")
+    )
+    return agg_.select(
+        "n_same",
+        "n_diff",
+        "two_u",
+        F.round(auc, 12).alias("same_label_auc"),
+    )
+
+
+
+
+@query(
+    "emb_nn_margin_audit",
+    oracle=f"""
+    WITH {_EMB_SAMPLE_PAIRS_SQL},
+    mins AS (
+      SELECT qid, qlab,
+             CAST(min(CASE WHEN qlab = nlab THEN d2 END) AS BIGINT)
+               AS min_same_d2,
+             CAST(min(CASE WHEN qlab <> nlab THEN d2 END) AS BIGINT)
+               AS min_other_d2
+      FROM pairs GROUP BY qid, qlab
+    )
+    SELECT qid AS vec_id, qlab AS label, min_same_d2, min_other_d2,
+           min_other_d2 < min_same_d2 AS nn_violation
+    FROM mins
+    WHERE min_same_d2 IS NOT NULL AND min_other_d2 IS NOT NULL
+    """,
+)
+def emb_nn_margin_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """1-NN MARGIN AUDIT per sampled anchor: exact distance to the
+    nearest SAME-label vector vs the nearest OTHER-label vector; a
+    violation (other closer than same) is precisely a leave-one-out
+    1-NN classification error — the pointwise complement to
+    emb_knn_label_accuracy's aggregate rate, naming WHICH anchors sit
+    on the wrong side of their class boundary (retrieval-hard
+    examples = hard-negative candidates). Two conditional MINs over
+    the exact-int64 broadcast pair stream — fully map-combinable."""
+    pairs = _sample_pairs(spark, sf)
+    mins = pairs.groupBy("qid", "qlab").agg(
+        F.min(
+            F.when(F.col("qlab") == F.col("nlab"), F.col("d2"))
+        ).alias("min_same_d2"),
+        F.min(
+            F.when(F.col("qlab") != F.col("nlab"), F.col("d2"))
+        ).alias("min_other_d2"),
+    )
+    return (
+        mins.filter(
+            F.col("min_same_d2").isNotNull()
+            & F.col("min_other_d2").isNotNull()
+        )
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlab").alias("label"),
+            "min_same_d2",
+            "min_other_d2",
+            (F.col("min_other_d2") < F.col("min_same_d2")).alias(
+                "nn_violation"
+            ),
+        )
+    )
+
+
+
+
+@query(
+    "emb_cosine_anisotropy_hist",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, qv FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    dots AS (
+      SELECT CAST(list_sum([a.qv[i + 1] * b.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS dab,
+             CAST(list_sum([a.qv[i + 1] * a.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS daa,
+             CAST(list_sum([b.qv[i + 1] * b.qv[i + 1]
+                            for i in range(0, 64)]) AS BIGINT) AS dbb
+      FROM qs a JOIN q b ON a.vec_id <> b.vec_id
+    ),
+    milli AS (
+      SELECT CAST(floor(1000.0 * dab
+               / sqrt(CAST(daa AS DOUBLE) * dbb)) AS BIGINT)
+               AS cos_milli
+      FROM dots
+    )
+    SELECT CAST(floor(CAST(cos_milli AS DOUBLE) / 100) AS BIGINT)
+             AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cos_milli) AS BIGINT) AS sum_cos_milli
+    FROM milli GROUP BY 1
+    """,
+)
+def emb_cosine_anisotropy_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """ANISOTROPY HISTOGRAM — the distribution of pairwise cosines
+    between the 100-anchor sample and the corpus (Ethayarajh 2019's
+    embedding-cone diagnostic: a healthy isotropic space centers near
+    0; a collapsed one piles up near 1, which silently breaks cosine
+    thresholds and SemDeDup radii). All three dot products are exact
+    int64 on the ×256 grid; the cosine is one mirrored double whose
+    FLOOR to milli-units re-enters integer space, so the histogram
+    and its milli-sum are exact. Map-combinable groupBy over the
+    broadcast pair stream; bucket domain is fixed (−10..9)."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    base = emb.select("vec_id", qz.alias("qv"))
+    sample = (
+        base.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(100)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qa"))
+    )
+    dab = F.expr(
+        "aggregate(zip_with(qa, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    daa = F.expr(
+        "aggregate(transform(qa, x -> x * x),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    dbb = F.expr(
+        "aggregate(transform(qv, x -> x * x),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    dots = (
+        base.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
+        .select(dab.alias("dab"), daa.alias("daa"), dbb.alias("dbb"))
+    )
+    cos_milli = F.floor(
+        F.lit(1000.0)
+        * F.col("dab")
+        / F.sqrt(F.col("daa").cast("double") * F.col("dbb"))
+    ).cast("long")
+    return (
+        dots.select(cos_milli.alias("cos_milli"))
+        .groupBy(
+            F.floor(F.col("cos_milli").cast("double") / 100)
+            .cast("long")
+            .alias("cos_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cos_milli").cast("long").alias("sum_cos_milli"),
+        )
+    )
+
+
+
+
+@query(
+    "emb_centroid_mrr",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(r.range AS INT) AS d,
+             qv[r.range + 1] AS v
+      FROM q CROSS JOIN range(0, 64) r
+    ),
+    cent AS (
+      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+      FROM ex GROUP BY label, d
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
+      FROM ex e JOIN cent c ON e.d = c.d
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    ranked AS (
+      SELECT vec_id, label, clabel,
+             CAST(row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, clabel) AS BIGINT) AS r
+      FROM scored
+    ),
+    own AS (
+      SELECT vec_id, label, r FROM ranked WHERE clabel = label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(2520 // r) AS BIGINT) AS sum_recip_2520,
+           round(CAST(sum(2520 // r) AS DOUBLE) / (2520.0 * count(*)),
+                 9) AS mrr
+    FROM own GROUP BY label
+    """,
+)
+def emb_centroid_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK of each vector's OWN-label centroid among
+    all 10 label centroids — the graded retrieval metric behind
+    emb_nearest_centroid_accuracy's top-1 (accuracy says how often
+    the right centroid wins; MRR says how far down it sits when it
+    loses). Reciprocal ranks are carried as exact integers in
+    2520ths (lcm(1..10), so 2520/r is exact for every possible
+    rank); centroid scores reuse the broadcast integer-dot device.
+    One corpus scan, 10 candidates per vector, label-bounded
+    output."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("d", "v")
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.sum("v").alias("csum"),
+        F.countDistinct("vec_id").alias("n_l"),
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "csum"))),
+            lambda x: x["csum"],
+        ).alias("cvec"),
+        F.max("n_l").alias("n_l"),
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).cast("double")
+            / F.col("n_l")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("clabel").asc()
+    )
+    own = (
+        scored.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("clabel") == F.col("label"))
+    )
+    return own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.expr("2520 div r")).cast("long").alias("sum_recip_2520"),
+        F.round(
+            F.sum(F.expr("2520 div r")).cast("double")
+            / (F.lit(2520.0) * F.count(F.lit(1))),
+            9,
+        ).alias("mrr"),
+    )
+
+
+
+
+@query(
+    "emb_exact_dup_vectors",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             md5(array_to_string(
+               [CAST(CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)
+                     AS VARCHAR) for x in embedding], ',')) AS vh
+      FROM embeddings
+    ),
+    clusters AS (
+      SELECT vh, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(min(vec_id) AS BIGINT) AS canonical_id,
+             CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+      FROM q GROUP BY vh HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(coalesce(sum(n_vecs), 0) AS BIGINT) AS n_dup_vectors,
+           CAST(coalesce(sum(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS n_label_conflicts,
+           CAST(min(canonical_id) AS BIGINT) AS sample_canonical
+    FROM clusters
+    """,
+)
+def emb_exact_dup_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-DUPLICATE VECTOR census on the ×256 quantized grid — the
+    embedding-side dedup failure detector: identical vectors mean the
+    upstream text dedup missed copies (or the encoder collapsed
+    distinct inputs), and clusters spanning MULTIPLE labels are
+    direct training-label conflicts. Vector hash = md5 of the
+    canonical integer rendering, one groupBy — the dedup_exact shape
+    lifted to the embedding table, reporting cluster/membership/
+    conflict counts with a min-id sample."""
+    emb = load(spark, sf, "embeddings")
+    vh = F.md5(
+        F.expr(
+            "cast(array_join(transform(embedding,"
+            " v -> cast(cast(round(cast(v as double) * 256) as bigint)"
+            " as string)), ',') as binary)"
+        )
+    )
+    q = emb.select("vec_id", "label", vh.alias("vh"))
+    clusters = (
+        q.groupBy("vh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("canonical_id"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+        .filter(F.col("n_vecs") > 1)
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.sum("n_vecs"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_vectors"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_labels") > 1, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_label_conflicts"),
+        F.min("canonical_id").cast("long").alias("sample_canonical"),
+    )
+
+
+
+
+@query(
+    "emb_uniformity_alignment",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, bkt, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same,
+             a.nn + b.nn
+             - 2 * CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                         CAST(b.qv AS DOUBLE[]))
+                    AS BIGINT) AS d2
+      FROM norms a JOIN norms b
+        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    ex AS (
+      SELECT same, d2,
+             CAST(round(exp(-2.0 * d2 / 65536.0) * 1099511627776.0)
+               AS BIGINT) AS eq
+      FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same_label,
+           round(CAST(sum(CASE WHEN same = 1 THEN d2 END) AS DOUBLE)
+                 / (65536.0 * sum(same)), 9) AS alignment,
+           round(ln(CAST(sum(eq) AS DOUBLE) / count(*)
+                    / 1099511627776.0), 9) AS uniformity
+    FROM ex
+    """,
+)
+def emb_uniformity_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """ALIGNMENT & UNIFORMITY (Wang & Isola 2020) — the two-number
+    contrastive-embedding health check: alignment = mean squared
+    distance between SAME-LABEL pairs (small = semantically close
+    points embed together), uniformity = ln E[exp(−2‖a−b‖²)] over all
+    pairs (near 0 = collapsed, very negative = well spread). Pairs
+    ride the md5-bucket 1/16 sample (the pair-histogram device); d²
+    is the exact BIGINT ×256-grid form; each pair's exp term is
+    rounded onto a 2⁴⁰ integer grid from the SAME mirrored double, so
+    Σexp is an exact BIGINT sum — order-free — and only the final ln
+    is float, round 9. One bucket equi-join; budget Σ bucket²."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
+            "bkt"
+        ),
+        qz.alias("qv"),
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    norms = q.select(
+        "vec_id", "label", "bkt", "qv", dot("qv", "qv").alias("nn")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        "bkt",
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        "bkt",
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    )
+    d2 = F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
+    pairs = (
+        a.join(b, on="bkt")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias(
+                "same"
+            ),
+            d2.alias("d2"),
+        )
+    )
+    grid = F.lit(1099511627776.0)  # 2^40
+    ex = pairs.select(
+        "same",
+        "d2",
+        F.round(
+            F.exp(F.lit(-2.0) * F.col("d2") / F.lit(65536.0)) * grid
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("same").cast("long").alias("n_same_label"),
+        F.round(
+            F.sum(F.when(F.col("same") == 1, F.col("d2"))).cast("double")
+            / (F.lit(65536.0) * F.sum("same")),
+            9,
+        ).alias("alignment"),
+        F.round(
+            F.log(
+                F.sum("eq").cast("double") / F.count(F.lit(1)) / grid
+            ),
+            9,
+        ).alias("uniformity"),
+    )
+
+
+
+
+@query(
+    "emb_centroid_confusion",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(r.range AS INT) AS d,
+             qv[r.range + 1] AS v
+      FROM q CROSS JOIN range(0, 64) r
+    ),
+    cent AS (
+      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+      FROM ex GROUP BY label, d
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
+      FROM ex e JOIN cent c ON e.d = c.d
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, clabel) = 1
+    ),
+    cells AS (
+      SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM pred GROUP BY label, pred_label
+    )
+    SELECT label, pred_label, n_vecs,
+           round(CAST(n_vecs AS DOUBLE)
+                 / sum(n_vecs) OVER (PARTITION BY label), 9) AS row_share
+    FROM cells
+    """,
+)
+def emb_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST-CENTROID CONFUSION MATRIX — which labels the Rocchio
+    probe mixes up (the actionable detail behind emb_nearest_centroid_
+    accuracy's single number: systematic off-diagonal mass between two
+    labels = merge candidates or labeling noise). Same verified
+    device: 10-row broadcast centroid table, exact integer dot / one
+    mirrored division, deterministic argmax tiebreak; the matrix is
+    label²-bounded with within-row shares from a dim-sized window."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    ex = q.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.sum("v").alias("csum"),
+        F.countDistinct("vec_id").alias("n_l"),
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "csum"))),
+            lambda x: x["csum"],
+        ).alias("cvec"),
+        F.max("n_l").alias("n_l"),
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).cast("double")
+            / F.col("n_l")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred_label"))
+    )
+    cells = pred.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    wr = Window.partitionBy("label")
+    return cells.select(
+        "label",
+        "pred_label",
+        "n_vecs",
+        F.round(
+            F.col("n_vecs").cast("double") / F.sum("n_vecs").over(wr), 9
+        ).alias("row_share"),
+    )
+
+
+
+
+@query(
+    "sim_cosine_threshold_census",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, bkt, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                   CAST(b.qv AS DOUBLE[])) AS BIGINT)
+               AS ab,
+             a.nn AS na, b.nn AS nb
+      FROM norms a JOIN norms b
+        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    thr AS (
+      SELECT t.num, t.den
+      FROM (VALUES (1, 4), (9, 25), (49, 100), (16, 25), (81, 100))
+           AS t(num, den)
+    )
+    SELECT round(sqrt(CAST(num AS DOUBLE) / den), 9) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN ab > 0 AND den * ab * ab >= num * na * nb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(CAST(sum(CASE WHEN ab > 0
+                                AND den * ab * ab >= num * na * nb
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS share_above
+    FROM pairs, thr GROUP BY num, den
+    """,
+)
+def sim_cosine_threshold_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """COSINE-THRESHOLD PAIR CENSUS — how many sampled pairs clear
+    cos ≥ {{0.5, 0.6, 0.7, 0.8, 0.9}}: the yield curve that picks a
+    semantic-dedup threshold BEFORE running the dedup (semdedup's
+    tuning chart, the embedding twin of dedup_threshold_yield_curve).
+    Every comparison is EXACT INTEGER arithmetic: cos ≥ t ⟺ a·b > 0 ∧
+    den·(a·b)² ≥ num·|a|²|b|² with the thresholds chosen to have
+    exact rational squares — no sqrt, no float compare anywhere.
+    Pairs ride the md5-bucket 1/16 sample; the 5-threshold fan-out is
+    a broadcast VALUES join."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias(
+            "bkt"
+        ),
+        qz.alias("qv"),
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
+        " cast(0 as bigint), (a, p) -> a + p)"
+    )
+    norms = q.select("vec_id", "bkt", "qv", dot("qv", "qv").alias("nn"))
+    a = norms.select(
+        F.col("vec_id").alias("ida"),
+        "bkt",
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("idb"),
+        "bkt",
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, on="bkt")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(dot("qa", "qb").alias("ab"), "na", "nb")
+    )
+    thr = spark.createDataFrame(
+        [(1, 4), (9, 25), (49, 100), (16, 25), (81, 100)], "num int, den int"
+    )
+    j = pairs.crossJoin(F.broadcast(thr))
+    above = (F.col("ab") > 0) & (
+        F.col("den") * F.col("ab") * F.col("ab")
+        >= F.col("num") * F.col("na") * F.col("nb")
+    )
+    return j.groupBy("num", "den").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias(
+            "n_above"
+        ),
+        F.round(
+            F.sum(F.when(above, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("share_above"),
+    ).select(
+        F.round(
+            F.sqrt(F.col("num").cast("double") / F.col("den")), 9
+        ).alias("threshold"),
+        "n_pairs",
+        "n_above",
+        "share_above",
+    )
+
+
+
+
+@query(
+    "emb_norm_eta_squared",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(list_dot_product(
+               CAST(list_transform(embedding,
+                 v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT))
+                 AS DOUBLE[]),
+               CAST(list_transform(embedding,
+                 v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT))
+                 AS DOUBLE[])) AS BIGINT) AS n2
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_l,
+             CAST(sum(n2) AS BIGINT) AS s,
+             CAST(sum(CAST(n2 AS DOUBLE) * n2) AS DOUBLE) AS s2
+      FROM q GROUP BY label
+    ),
+    terms AS (
+      SELECT label, n_l, s, s2,
+             round(CAST(s AS DOUBLE) * s / n_l, 0) AS sq_over_n
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(n_l) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_sort(list(s2)), (a, b) -> a + b) AS s2t,
+             list_reduce(list_sort(list(sq_over_n)), (a, b) -> a + b)
+               AS ssq
+      FROM terms
+    )
+    SELECT k AS n_labels, nn AS n_vecs,
+           round((ssq - CAST(st AS DOUBLE) * st / nn)
+                 / (s2t - CAST(st AS DOUBLE) * st / nn), 9)
+             AS eta_squared
+    FROM tot
+    """,
+)
+def emb_norm_eta_squared(spark: SparkSession, sf: str) -> DataFrame:
+    """NORM–LABEL η² — what share of squared-norm variance the label
+    explains (SSB/SST over quantized ‖v‖²): embeddings whose NORM
+    predicts the class leak label signal through magnitude alone, a
+    known contrastive-training artifact that breaks cosine-vs-dot
+    interchangeability (complements emb_norm_profile's per-label
+    means with the one-number effect size). Norms are exact integer
+    dot products on the ×256 grid; per-label Σ(‖v‖²)² runs as a
+    mirrored double ladder folded SORTED (norm⁴ exceeds int64), and
+    the Σs²/n terms use the integer-grid pre-round. One groupBy over
+    10 labels."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    n2 = F.expr(
+        "aggregate(zip_with("
+        "transform(embedding, v -> cast(round(cast(v as double) * 256)"
+        " as bigint)),"
+        "transform(embedding, v -> cast(round(cast(v as double) * 256)"
+        " as bigint)),"
+        " (p, r) -> p * r), cast(0 as bigint), (a, p) -> a + p)"
+    )
+    q = emb.select("label", n2.alias("n2"))
+    per = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum("n2").alias("s"),
+        F.sum(F.col("n2").cast("double") * F.col("n2")).alias("s2"),
+    )
+    terms = per.select(
+        "n_l",
+        "s",
+        "s2",
+        F.round(
+            F.col("s").cast("double") * F.col("s") / F.col("n_l"), 0
+        ).alias("sq_over_n"),
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    tot = terms.agg(
+        F.sum("n_l").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        fold("s2").alias("s2t"),
+        fold("sq_over_n").alias("ssq"),
+    )
+    corr = F.col("st").cast("double") * F.col("st") / F.col("nn")
+    return tot.select(
+        F.col("k").alias("n_labels"),
+        F.col("nn").alias("n_vecs"),
+        F.round(
+            (F.col("ssq") - corr) / (F.col("s2t") - corr), 9
+        ).alias("eta_squared"),
+    )
+
+
+
+
+@query(
+    "emb_centroid_multiclass_mcc",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(r.range AS INT) AS d,
+             qv[r.range + 1] AS v
+      FROM q CROSS JOIN range(0, 64) r
+    ),
+    cent AS (
+      SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS csum,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+      FROM ex GROUP BY label, d
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(e.v * c.csum) AS DOUBLE) / any_value(c.n_l) AS s
+      FROM ex e JOIN cent c ON e.d = c.d
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, clabel) = 1
+    ),
+    marg AS (
+      SELECT CAST(count(*) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+      FROM pred
+    ),
+    tcnt AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS t FROM pred
+      GROUP BY label
+    ),
+    pcnt AS (
+      SELECT pred_label, CAST(count(*) AS BIGINT) AS p FROM pred
+      GROUP BY pred_label
+    ),
+    dots AS (
+      SELECT
+        (SELECT CAST(sum(tc.t * pc.p) AS BIGINT)
+         FROM tcnt tc JOIN pcnt pc ON pc.pred_label = tc.label) AS pt,
+        (SELECT CAST(sum(p * p) AS BIGINT) FROM pcnt) AS pp,
+        (SELECT CAST(sum(t * t) AS BIGINT) FROM tcnt) AS tt
+    )
+    SELECT m.s AS n_vecs, m.c AS n_correct,
+           round(CAST(m.c AS DOUBLE) / m.s, 9) AS accuracy,
+           round((CAST(m.c AS DOUBLE) * m.s - d.pt)
+                 / sqrt((CAST(m.s AS DOUBLE) * m.s - d.pp)
+                        * (CAST(m.s AS DOUBLE) * m.s - d.tt)), 9)
+             AS multiclass_mcc
+    FROM marg m, dots d
+    """,
+)
+def emb_centroid_multiclass_mcc(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """MULTICLASS MCC (Gorodkin's R_K) of the nearest-centroid probe —
+    the chance-corrected one-number score that accuracy inflates on
+    imbalanced labels: R_K = (c·s − Σₖpₖtₖ)/√((s²−Σp²)(s²−Σt²)) from
+    the same verified Rocchio predictions as the confusion-matrix op.
+    Every margin product is an exact BIGINT (label counts ≤ corpus);
+    R_K is one mirrored expression with a single sqrt, round 9."""
+    emb = load(spark, sf, "embeddings")
+    qz = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 256) as bigint))"
+    )
+    q = emb.select("vec_id", "label", qz.alias("qv"))
+    ex = q.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.sum("v").alias("csum"),
+        F.countDistinct("vec_id").alias("n_l"),
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "csum"))),
+            lambda x: x["csum"],
+        ).alias("cvec"),
+        F.max("n_l").alias("n_l"),
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+            ).cast("double")
+            / F.col("n_l")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred_label"))
+    )
+    pred = pred.localCheckpoint(eager=False)  # 3 consumers
+    marg = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    tcnt = pred.groupBy("label").agg(F.count(F.lit(1)).alias("t"))
+    pcnt = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("p")
+    )
+    pt = (
+        tcnt.join(pcnt, "label")
+        .agg(F.sum(F.col("t") * F.col("p")).alias("pt"))
+    )
+    pp = pcnt.agg(F.sum(F.col("p") * F.col("p")).alias("pp"))
+    tt = tcnt.agg(F.sum(F.col("t") * F.col("t")).alias("tt"))
+    j = (
+        marg.crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(pp))
+        .crossJoin(F.broadcast(tt))
+    )
+    s_d = F.col("s").cast("double")
+    return j.select(
+        F.col("s").alias("n_vecs"),
+        F.col("c").alias("n_correct"),
+        F.round(F.col("c").cast("double") / F.col("s"), 9).alias(
+            "accuracy"
+        ),
+        F.round(
+            (F.col("c").cast("double") * F.col("s") - F.col("pt"))
+            / F.sqrt(
+                (s_d * F.col("s") - F.col("pp"))
+                * (s_d * F.col("s") - F.col("tt"))
+            ),
+            9,
+        ).alias("multiclass_mcc"),
+    )
+
+
+
+
+@query(
+    "emb_diag_mahalanobis_census",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_sort(list(v)), (a, b) -> a + b) AS sv,
+             list_reduce(list_sort(list(v * v)), (a, b) -> a + b) AS sv2
+      FROM x GROUP BY d
+    ),
+    st AS (
+      SELECT d, round(sv / n, 12) AS mu,
+             round((sv2 - sv * sv / n) / (n - 1), 12) AS var
+      FROM stats
+    ),
+    terms AS (
+      SELECT x.vec_id, x.label,
+             round((x.v - st.mu) * (x.v - st.mu) / st.var, 12) AS t
+      FROM x JOIN st USING (d)
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             round(list_reduce(list_sort(list(t)), (a, b) -> a + b), 9)
+               AS maha2
+      FROM terms GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(max(maha2), 9) AS max_maha2,
+           CAST(sum(CASE WHEN maha2 > 96.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM per_vec GROUP BY label
+    """,
+)
+def emb_diag_mahalanobis_census(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """DIAGONAL-MAHALANOBIS OUTLIER CENSUS — squared distance to the
+    corpus mean under the per-dim variance (the exactly-mirrorable
+    half of Mahalanobis; the full-covariance variant, which also sees
+    correlated-but-individually-normal outliers, is the rows-tier
+    twin ``emb_zca_mahalanobis`` whose d×d eigh has no SQL
+    expression). Per-dim mean/variance fold SORTED (the oracle-parity
+    device — at real scale plain map-side sums replace the folds, as
+    documented across the catalog); per-row terms pre-round at 12,
+    per-vector fold sorted, round 9; the census counts vectors past
+    the chi²₆₄ ≈ 96 right tail per label. One explode + a 64-row
+    broadcast join, no driver involvement."""
+    e = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id", "label", "d", F.col("v").cast("double").alias("v")
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    stats = (
+        x.select("d", "v", (F.col("v") * F.col("v")).alias("v2"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            fold("v").alias("sv"),
+            fold("v2").alias("sv2"),
+        )
+        .select(
+            "d",
+            F.round(F.col("sv") / F.col("n"), 12).alias("mu"),
+            F.round(
+                (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1),
+                12,
+            ).alias("var"),
+        )
+    )
+    terms = x.join(F.broadcast(stats), "d").select(
+        "vec_id",
+        "label",
+        F.round(
+            (F.col("v") - F.col("mu"))
+            * (F.col("v") - F.col("mu"))
+            / F.col("var"),
+            12,
+        ).alias("t"),
+    )
+    per_vec = terms.groupBy("vec_id", "label").agg(
+        F.round(fold("t"), 9).alias("maha2")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.max("maha2"), 9).alias("max_maha2"),
+        F.sum(
+            F.when(F.col("maha2") > 96.0, 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+
+
+@query("emb_zca_mahalanobis")
+def emb_zca_mahalanobis(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL-COVARIANCE Mahalanobis outlier scores via ZCA whitening
+    (functions/linalg.py): the same one-pass (n, Σv, Σvvᵀ) moment
+    partials as PCA, a d×d driver eigh building
+    W = V diag((λ+ε)^-1/2) Vᵀ, then maha² = ‖W(v−μ)‖² as a broadcast
+    matmul — the multivariate outlier score the diagonal census
+    (hash-tier twin ``emb_diag_mahalanobis_census``) cannot see. No
+    SQL oracle — eigendecomposition is not SQL-expressible;
+    correctness is pinned by tests/test_linalg.py against
+    numpy.linalg.inv on the collected data, and the whitened
+    covariance ≈ I law. Scalar doubles rounded 6 (driver
+    canonicalizer hashes scalar cells; round absorbs sub-ulp
+    partial-sum jitter)."""
+    from ..functions import linalg as la
+
+    e = load(spark, sf, "embeddings")
+    m = la.mahalanobis_distances(e, dim=64)
+    return m.join(e.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", F.round("maha2", 6).alias("maha2")
+    )
+
+
+
+
+@query("emb_kmeans_onestep_cells", oracle=_KMC_ORACLE)
+def emb_kmeans_onestep_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """The hash-tier twin of `emb_kmeans_cells`: ONE Lloyd's assignment
+    round over deterministic md5-keystream centroids, cell populations
+    value-checked against a DuckDB re-implementation (the
+    `sim_ivf_topk_full_probe` device applied to k-means). Centroids
+    are UNIT-NORM, so argmin ||v−c||² == argmax v·c (||c||²=1 and
+    ||v||² is constant per row) — assignment reduces to the verified
+    sequential-fold dot product, bit-identical across engines; ties
+    break to the smallest cell id. Per-cell dot mass is summed as
+    integer micros (order-independent). The trained-trajectory
+    `emb_kmeans_cells` stays the honest rows-tier production path;
+    this twin pins the assignment+population machinery it shares.
+    Scale: 16 broadcast centroid rows, one fan-out scan, one
+    map-combinable max per vector — no shuffle carries vectors."""
+    e = load(spark, sf, "embeddings")
+    cdf = spark.createDataFrame(
+        [(j, _KMC_CENTROIDS[j]) for j in range(16)],
+        "cell int, cv array<double>",
+    )
+    scored = e.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cell",
+        sim.dot_fold(F.col("embedding"), F.col("cv")).alias("dot"),
+    )
+    # max(struct) keeps the winning (dot, inv_cell, dot_micros) per
+    # vector with a map-side-combinable aggregate — no per-vector
+    # window shuffle; inv_cell makes struct order break dot ties
+    # toward the SMALLEST cell id.
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("dot").alias("dot"),
+                (F.lit(15) - F.col("cell")).alias("inv_cell"),
+            )
+        ).alias("w")
+    )
+    return (
+        best.select(
+            (F.lit(15) - F.col("w.inv_cell")).alias("cell"),
+            F.round(F.col("w.dot") * 1000000.0).cast("long").alias("micros"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("micros").cast("long").alias("sum_dot_micros"),
+        )
+    )
+
+
+__all__ = sorted(n for n in dir() if not n.startswith("__"))
