@@ -3504,13 +3504,12 @@ def text_nb_margin_reliability(
     the (margin, doc_id) total order. Same relational train+score
     pipeline; the extra cost is one self-join on the rank pair.
 
-    Scale boundary (STRESS.md r12, exp 0.52 at K=10): the exact
-    quintile bucketing is a GLOBAL ordered ntile — one task sorts all
-    per-doc margin rows. Fine through ~10⁷ docs; past that, swap in
-    the sharded two-phase prefix-sum device
-    (curation.token_budget_sample's hex-shard → in-shard window →
-    offset-table composition) for the same exact quintiles without a
-    single-partition sort."""
+    Scale note (STRESS.md r12): the quintile bucketing originally ran
+    a GLOBAL ordered ntile (one task sorts every margin row — exp 0.52
+    at K=10, the family's steepest); it now uses
+    functions.ranks.ranked_ntile — range-sharded local ranks + an
+    offset table — which is bit-identical to SQL NTILE (the oracle is
+    unchanged) with no single-partition row sort."""
     d = load(spark, sf, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
@@ -3577,8 +3576,11 @@ def text_nb_margin_reliability(
     docs = a.join(b, "doc_id").select(
         "doc_id", "hit", F.round(F.col("s1") - F.col("s2"), 9).alias("margin")
     )
-    wq = Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
-    buck = docs.withColumn("q", F.ntile(5).over(wq))
+    from ..functions.ranks import ranked_ntile
+
+    buck = ranked_ntile(
+        docs, [F.col("margin").asc(), F.col("doc_id").asc()], 5, out_col="q"
+    )
     return buck.groupBy(F.col("q").alias("margin_quintile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.min("margin"), 9).alias("min_margin"),

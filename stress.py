@@ -952,8 +952,11 @@ def main() -> None:
         )
     )
     # margin reliability: rank-1 minus rank-2 score per doc, then the
-    # exact quintile bucketing (global ordered ntile — the shape to
-    # watch for single-partition sort cost at corpus scale)
+    # exact quintile bucketing via the shipped range-sharded ntile
+    # (functions.ranks.ranked_ntile — replaced the global ordered
+    # ntile whose single-task sort was the r12 watch item)
+    from report_worker_spark.functions.ranks import ranked_ntile
+
     na_m = npred.filter(F.col("rk") == 1).select(
         "doc_id", F.col("s").alias("s1")
     )
@@ -963,9 +966,11 @@ def main() -> None:
     nmarg = na_m.join(nb_m, "doc_id").select(
         "doc_id", (F.col("s1") - F.col("s2")).alias("margin")
     )
-    w_q = Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
-    timings["text_nb_margin_ntile"] = timed(
-        nmarg.withColumn("q", F.ntile(5).over(w_q))
+    timings["text_nb_margin_ntile"] = timed_build(
+        lambda: ranked_ntile(
+            nmarg, [F.col("margin").asc(), F.col("doc_id").asc()], 5,
+            out_col="q",
+        )
         .groupBy("q")
         .agg(F.count(F.lit(1)).alias("n"))
     )

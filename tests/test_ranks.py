@@ -1,0 +1,55 @@
+"""ranked_ntile: the range-sharded exact NTILE must equal F.ntile over
+a global window for every (n, k) shape — including n < k, n % k != 0,
+duplicate order values (with tiebreak), and any shard count."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from report_worker_spark.functions.ranks import ranked_ntile
+
+
+@pytest.mark.parametrize(
+    ("n", "k", "parts"),
+    [(1, 5, 4), (3, 5, 4), (5, 5, 2), (17, 5, 4), (100, 5, 8),
+     (101, 7, 8), (1000, 4, 16)],
+)
+def test_ranked_ntile_matches_window_ntile(spark, n, k, parts):
+    df = spark.range(n).select(
+        F.col("id"),
+        # duplicate-heavy sort key to exercise ties + the id tiebreak
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r.id, r.q)
+        for r in df.withColumn("q", F.ntile(k).over(w)).collect()
+    }
+    got = {
+        (r.id, r.q)
+        for r in ranked_ntile(
+            df, [F.col("v").asc(), F.col("id").asc()], k,
+            out_col="q", n_partitions=parts,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranked_ntile_no_global_row_sort(spark):
+    """The corpus-sized side must rank inside shard-partitioned windows
+    (the range repartition itself is pinned behind localCheckpoint, so
+    the visible plan starts at the checkpointed RDD); the only
+    SinglePartition exchange allowed is the n_partitions-row shard
+    count/offset table on the broadcast side."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    out = ranked_ntile(
+        df, [F.col("v").asc(), F.col("id").asc()], 5, n_partitions=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    # the row-level window is partitioned by _shard, never global
+    assert "windowspecdefinition(_shard" in low
+    assert low.count("singlepartition") <= 1
