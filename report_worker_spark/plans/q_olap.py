@@ -1814,24 +1814,43 @@ def olap_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
     value, cumulative revenue share at each population decile
     ('the bottom 50% of orders carry 18% of revenue'). Decile
     assignment is the INTEGER expression (rn·10−1) DIV n + 1 —
-    deterministic, no percent_rank floats at bucket edges. The
-    ranked window runs on order-level cents (at 100 TB this would
-    range-shard like stats_quantile_normalize; documented). Fact
-    passes once."""
+    deterministic, no percent_rank floats at bucket edges. The rank
+    AND the revenue prefix sum both run sharded (r12; previously a
+    documented would-shard): orders shard on cents DIV 2²⁰ — shard
+    order == value order by construction, no sampling — local windows
+    rank and prefix-sum within each shard, and the bounded shard
+    table (counts + sums) lifts both to global values, exactly the
+    stats_quantile_normalize device extended with a sum offset. Fact
+    passes once; no corpus-sized single-partition window."""
     o = load(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = o.select(cents.alias("cents"), "o_orderkey")
-    wr = Window.orderBy("cents", "o_orderkey")
-    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
+    d = o.select(cents.alias("cents"), "o_orderkey").withColumn(
+        "_shard", (F.col("cents") / F.lit(1 << 20)).cast("long")
+    )
+    sh = d.groupBy("_shard").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("cents").alias("_s")
+    )
+    woff = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall_sh = Window.orderBy("_shard").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = c.select(
+    off = sh.select(
+        "_shard",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_roff"),
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias("_soff"),
+        F.sum("_c").over(wall_sh).alias("n"),
+        F.sum("_s").over(wall_sh).alias("tot"),
+    )
+    win_in = Window.partitionBy("_shard").orderBy("cents", "o_orderkey")
+    wcum_in = win_in.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = d.join(F.broadcast(off), "_shard").select(
         "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wcum).alias("cum"),
-        F.sum("cents").over(wall).alias("tot"),
+        (F.col("_roff") + F.row_number().over(win_in)).alias("rn"),
+        "n",
+        (F.col("_soff") + F.sum("cents").over(wcum_in)).alias("cum"),
+        "tot",
     )
     decile = (
         F.floor((F.col("rn") * 10 - 1) / F.col("n")) + 1

@@ -1529,11 +1529,20 @@ def win_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Quartile bucketing with a fully deterministic order."""
+    """Quartile bucketing with a fully deterministic order. Since r12
+    the event-grain NTILE runs through functions.ranks.ranked_ntile
+    (range-sharded local ranks + a bounded offset table) — bit-equal
+    to the SQL NTILE the oracle runs, without the single-partition
+    sort a bare global window would cost at corpus scale."""
+    from ..functions.ranks import ranked_ntile
+
     e = load(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    w = Window.orderBy(cents.asc(), F.col("event_id").asc())
-    return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
+    d = e.select("event_id", cents.alias("_cents"))
+    return ranked_ntile(
+        d, [F.col("_cents").asc(), F.col("event_id").asc()], 4,
+        out_col="quartile",
+    ).select("event_id", "quartile")
 
 
 
