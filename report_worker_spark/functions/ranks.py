@@ -39,7 +39,26 @@ def ranked_ntile(
     is ascending; wrap a column in a descending proxy (e.g. negate)
     for DESC semantics. Size ``n_partitions`` so each shard's local
     sort fits an executor (n_rows / n_partitions rows per task).
+
+    Fault-tolerance trade-off: ``localCheckpoint`` pins the SAMPLED
+    range boundaries (both passes must see identical shard
+    assignment), but its blocks are executor-local and unreplicated —
+    on a long-running cluster, losing an executor between the two
+    passes fails the query instead of recomputing. For jobs where
+    that matters, ``df.persist(StorageLevel.DISK_ONLY)`` + a count
+    before calling is the replicated-lineage alternative, or derive a
+    deterministic value-based shard key and skip sampling entirely
+    (the olap_lorenz_deciles device).
     """
+    reserved = {"_shard", "_lrn", "_off", "_n", "_rn"}
+    clash = sorted(reserved & set(df.columns)) + (
+        [out_col] if out_col in reserved else []
+    )
+    if clash:
+        raise ValueError(
+            f"ranked_ntile reserves column names {sorted(reserved)}; "
+            f"rename conflicting columns {clash} before calling"
+        )
     d = df.repartitionByRange(n_partitions, *order_cols)
     d = d.withColumn("_shard", F.spark_partition_id())
     # consumed twice (shard counts + local ranks) — pin the sampled

@@ -107,8 +107,22 @@ def _bench_rows() -> dict[str, dict]:
             text=True,
             check=True,
         ).stdout
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        log = ""
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        # Most of the bench ledger lives only in BENCH_DETAIL.json's git
+        # history; silently degrading here would rewrite VALIDATION.json
+        # (and the README/COVERAGE phrases) with a drastically
+        # understated benched count. Abort loudly instead.
+        raise SystemExit(
+            f"gen_validation: git history unavailable ({exc}) — the bench "
+            "ledger requires the full repo history (not a shallow clone "
+            "or exported tree); refusing to emit an understated ledger"
+        )
+    if not log.strip():
+        raise SystemExit(
+            "gen_validation: git log returned no BENCH_DETAIL.json commits "
+            "— shallow or truncated history; refusing to emit an "
+            "understated ledger"
+        )
     for line in log.splitlines():
         if "\t" not in line:
             continue
@@ -197,20 +211,7 @@ def _rewrite_docs(summary: dict, check_only: bool) -> bool:
     clean = True
     for path in (ROOT / "README.md", ROOT / "COVERAGE.md"):
         text = orig = path.read_text()
-
-        def repl(m: re.Match) -> str:
-            # preserve the file's own line-wrapping by reflowing on the
-            # same whitespace runs the existing phrase used
-            ws = re.findall(r"\s+", m.group(0))
-            parts = phrase.split("\n")
-            if len(ws) >= len(parts) - 1:
-                out = parts[0]
-                for i, p in enumerate(parts[1:]):
-                    out += "\n" + p
-                return out
-            return phrase
-
-        text, n = pat.subn(repl, text)
+        text, n = pat.subn(lambda _m: phrase, text)
         if n != 1:
             raise SystemExit(
                 f"{path.name}: validation-ledger phrase matched {n} times "

@@ -53,3 +53,12 @@ def test_ranked_ntile_no_global_row_sort(spark):
     # the row-level window is partitioned by _shard, never global
     assert "windowspecdefinition(_shard" in low
     assert low.count("singlepartition") <= 1
+
+
+def test_ranked_ntile_rejects_reserved_columns(spark):
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("_n"))
+    with pytest.raises(ValueError, match="reserves column names"):
+        ranked_ntile(df, [F.col("id").asc()], 3)
+    df2 = spark.range(5).select("id")
+    with pytest.raises(ValueError, match="reserves column names"):
+        ranked_ntile(df2, [F.col("id").asc()], 3, out_col="_rn")
