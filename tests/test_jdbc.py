@@ -569,3 +569,33 @@ def test_ensure_stage_propagates_non_exists_ddl_errors(spark, derby_url):
             j._ensure_stage(conn, df, 'bad"name')
     finally:
         conn.close()
+
+
+def test_mixed_keyed_unkeyed_txn_is_atomic(spark, derby_url):
+    """One small txn with a NOT-EXISTS-guarded table AND a plain-insert
+    table: a failure on the second target rolls back BOTH (the keyed
+    staging promotion must not commit early), and a successful retry
+    replays the keyed half idempotently."""
+    _exec(spark, derby_url, "CREATE TABLE mx_dim (id BIGINT NOT NULL)")
+    dim = spark.range(30).select("id")
+    bad = spark.range(3).select(F.col("id").alias("nope"))
+    with pytest.raises(Exception):
+        j.transactional_multi_table_write(
+            spark,
+            derby_url,
+            [("mx_dim", dim), ("mx_missing_table", bad)],
+            insert_verb="INSERT INTO",
+            match_keys={"mx_dim": ["id"]},
+        )
+    assert _count(spark, derby_url, "mx_dim") == 0  # rolled back
+    _exec(spark, derby_url, "CREATE TABLE mx_plain (id BIGINT NOT NULL)")
+    for _ in range(2):  # replay: keyed half stays idempotent
+        j.transactional_multi_table_write(
+            spark,
+            derby_url,
+            [("mx_dim", dim), ("mx_plain", dim)],
+            insert_verb="INSERT INTO",
+            match_keys={"mx_dim": ["id"]},
+        )
+    assert _count(spark, derby_url, "mx_dim") == 30
+    assert _count(spark, derby_url, "mx_plain") == 60  # plain appends
