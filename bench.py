@@ -13,17 +13,43 @@ facing line is now bounded in BOTH dimensions:
 * BOUNDED LIST — ``HEADLINE_BENCH`` is a FIXED ~60-entry set (the
   SURVEY §2 anchors, every family's heaviest measured op, and every
   query that ever benched >1 s at sf0.1) that runs every round and is
-  the round-over-round comparator; ``ROTATING_BENCH`` cycles ~10 of
+  the round-over-round comparator; ``ROTATING_BENCH`` cycles ≤25 of
   the remaining catalog entries per round (hand-rotated each round,
   exactly like ``_DRIVER_WINDOW`` rotates correctness slots), so the
   long tail still gets periodic driver-recorded numbers without
   unbounded wall clock. ``SPARK_GRAFT_BENCH_FULL=1`` sweeps the whole
-  catalog locally. Estimated driver wall: ~60×15 s fast + heavy-query
-  run time ≈ 25–35 min depending on host load (matches the README's
-  methodology note), within budget with margin.
+  catalog locally (fresh-JVM); ``SPARK_GRAFT_BENCH_SHARED=1`` sweeps
+  the whole catalog in ONE shared session and writes
+  BENCH_SHARED.json — a cheaper timing tier for the long tail
+  (numbers carry the documented neighbor noise and are labelled
+  "shared-session" in VALIDATION.json; driver slots stay reserved
+  for the fresh-JVM headline set).
 * BOUNDED LINE — the printed line carries the totals plus only the 10
   slowest headline timings (always < 2000 chars); BENCH_DETAIL.json
   holds every per-query number for humans and the judge.
+* BOUNDED WALL (round 13 — VERDICT_r12 item 1; the r12 driver run hit
+  rc 124 with ZERO captured output after the min-of-two-JVM insurance
+  stacked on a heavy 53-slot rotation): three defenses, so a timeout
+  can never again lose everything:
+  - GLOBAL BUDGET — ``SPARK_GRAFT_BENCH_BUDGET_SEC`` (default 1800 s):
+    before each subprocess launch, if elapsed + a p95 estimate of one
+    more launch would exceed the budget, the remaining names are
+    SKIPPED (recorded in BENCH_DETAIL.json "skipped"), never started.
+    1800 s is derived from committed evidence, not hope: r11's 112
+    fresh-JVM launches (~16-20 s wall each + measured run time)
+    completed at rc 0, so the driver's wall clock exceeds ~40 min;
+    30 min of launches therefore always finishes, and fits the 59
+    headline launches (~22 min) plus a rerun/rotating remainder.
+  - INCREMENTAL EMISSION — BENCH_DETAIL.json is atomically rewritten
+    after EVERY query, and a SIGTERM/SIGINT handler prints the
+    driver-facing one-line JSON with whatever completed (marked
+    "partial": true) before exiting — a partial record beats rc 124
+    with nothing.
+  - SPEND ORDER — headline first (the comparator), then min-of-two-JVM
+    reruns for sub-2 s entries ONLY from leftover budget (both raw
+    samples persisted in BENCH_DETAIL.json "samples" so min-of-two
+    rounds stay comparable to single-sample rounds — ADVICE r12),
+    rotating slots last.
 
 Methodology (VERDICT_r4 "What's wrong"): each query runs in its OWN
 subprocess — a fresh JVM, fresh code cache, fresh heap — because the
@@ -515,12 +541,13 @@ HEADLINE_BENCH = [
     "curation_epoch_shuffle",
 ]
 
-# Round-12 rotating slots (VERDICT_r11 item 4): the next 53
-# never-benched queries in CATALOG_BENCH commit order (the ledger
+# Round-13 rotating slots (VERDICT_r12 item 1c): capped at 25 — the
+# r12 driver run timed out, so none of r12's 53 picks got a driver
+# number; these are the FIRST 25 of that list, re-queued (the ledger
 # behind "never benched" is VALIDATION.json — last_bench_round ==
-# null). The r11 family-deficit closers rotate out with their driver
-# rows in BENCH_r11/BENCH_DETAIL. Hand-rotated each round, same
-# discipline as plans/catalog._DRIVER_WINDOW.
+# null; the remainder re-queue next round). Hand-rotated each round,
+# same discipline as plans/_qshared._DRIVER_WINDOW. The long tail gets
+# shared-session timings every round via SPARK_GRAFT_BENCH_SHARED=1.
 ROTATING_BENCH = [
     "audit_table_checksum",
     "audit_snapshot_diff",
@@ -547,34 +574,6 @@ ROTATING_BENCH = [
     "graph_bfs_khop",
     "graph_label_propagation",
     "stats_mann_whitney_u",
-    "dedup_url_canonicalize",
-    "stats_ols_daily_trend",
-    "audit_freshness_slo",
-    "text_kl_source_divergence",
-    "olap_attribution_last_touch",
-    "emb_random_projection",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_rms_windows",
-    "ts_backtest_naive_models",
-    "graph_degree_assortativity",
-    "ts_sax_quartile_symbols",
-    "stats_quantile_normalize",
-    "emb_nearest_centroid_accuracy",
-    "curation_shard_manifest",
-    "stats_spearman_corr",
-    "audit_column_profile",
-    "join_ip_prefix_lpm",
-    "stats_cramers_v",
-    "stats_kendall_tau_daily",
-    "curation_temperature_weights",
-    "multimodal_wav_silence_runs",
-    "ts_autocorr_multi_lag",
-    "audit_pk_fk_orphans",
-    "multimodal_image_dhash",
-    "stats_anova_oneway",
-    "olap_abc_classification",
-    "ts_weighted_moving_avg",
-    "olap_new_vs_returning",
 ]
 
 
@@ -760,9 +759,15 @@ def _bench_names() -> tuple[list[str], set[str]]:
     return names, set(headline)
 
 
+# The currently-running bench child (its own process group), so the
+# SIGTERM handler can kill the whole JVM tree before emitting.
+_ACTIVE_POPEN: subprocess.Popen | None = None
+
+
 def _run_subprocess(name: str, env: dict[str, str]) -> float | None:
     """One fresh-JVM measurement of ``name`` (see run_one for what the
     subprocess itself measures)."""
+    global _ACTIVE_POPEN
     try:
         # start_new_session puts the child in its own process
         # group so a timeout can killpg the WHOLE tree — the
@@ -777,6 +782,7 @@ def _run_subprocess(name: str, env: dict[str, str]) -> float | None:
             env=env,
             start_new_session=True,
         ) as popen:
+            _ACTIVE_POPEN = popen
             try:
                 out, err = popen.communicate(timeout=180)
             except subprocess.TimeoutExpired:
@@ -786,6 +792,8 @@ def _run_subprocess(name: str, env: dict[str, str]) -> float | None:
                     popen.kill()
                 popen.communicate()
                 raise
+            finally:
+                _ACTIVE_POPEN = None
             proc = subprocess.CompletedProcess(
                 popen.args, popen.returncode, out, err
             )
@@ -805,6 +813,254 @@ def _run_subprocess(name: str, env: dict[str, str]) -> float | None:
             file=sys.stderr,
         )
         return None
+
+
+class _Budget:
+    """Global wall-clock budget for the subprocess sweep (VERDICT_r12
+    item 1a). ``allows()`` is checked before EVERY launch: elapsed plus
+    a p95 estimate of one more subprocess wall must fit, else the name
+    is skipped (never started — a half-run subprocess is pure waste).
+    The estimate is learned from this run's own completed walls; before
+    3 samples a conservative 60 s floor covers a cold JVM + warmup."""
+
+    FLOOR_SEC = 60.0
+
+    def __init__(self) -> None:
+        self.t0 = time.monotonic()
+        self.total = float(
+            os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800")
+        )
+        self.walls: list[float] = []
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+    def estimate(self) -> float:
+        if len(self.walls) >= 3:
+            ordered = sorted(self.walls)
+            p95 = ordered[min(len(ordered) - 1, int(0.95 * len(ordered)))]
+            return max(p95, 30.0)
+        return self.FLOOR_SEC
+
+    def allows(self) -> bool:
+        return self.elapsed() + self.estimate() <= self.total
+
+    def timed(self, fn, *a):
+        t0 = time.monotonic()
+        out = fn(*a)
+        self.walls.append(time.monotonic() - t0)
+        return out
+
+
+def _detail_payload(
+    timings: dict[str, float | None],
+    headline: set[str],
+    samples: dict[str, list[float]],
+    skipped: list[str],
+    partial: bool,
+) -> dict:
+    head_ok = {
+        k: v for k, v in timings.items() if k in headline and v is not None
+    }
+    rot_ok = {
+        k: v for k, v in timings.items() if k not in headline and v is not None
+    }
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(head_ok.values()), 3),
+        "unit": "sec",
+        "sf": float(sf),
+        "headline": {k: timings[k] for k in timings if k in headline},
+        "rotating": {k: timings[k] for k in timings if k not in headline},
+        "rotating_total": round(sum(rot_ok.values()), 3),
+        "n_run": len(head_ok) + len(rot_ok),
+        "n_fail": sum(1 for v in timings.values() if v is None),
+        # raw fresh-JVM samples for every min-of-two entry (ADVICE r12:
+        # min-of-two biases fast queries low vs single-sample rounds —
+        # persist both so comparisons can account for the policy)
+        "samples": samples,
+        # names never launched because the global budget ran out
+        "skipped": skipped,
+        "partial": partial,
+    }
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _driver_line(detail: dict) -> str:
+    head = detail["headline"]
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in head.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    # The driver captures a bounded tail of stdout: keep this line small
+    # (totals + slowest-10), full per-query map in BENCH_DETAIL.json.
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": slowest,
+            "sf": detail["sf"],
+            "n_run": detail["n_run"],
+            "n_fail": detail["n_fail"],
+            "rotating_total": detail["rotating_total"],
+            "n_skipped": len(detail["skipped"]),
+            "partial": detail["partial"],
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+
+
+def _detail_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+
+
+def run_shared_sweep() -> None:
+    """SPARK_GRAFT_BENCH_SHARED=1: time EVERY catalog query in one
+    shared session (warmup discarded, min of 2 timed runs) and write
+    BENCH_SHARED.json. This is the cheap long-tail tier (VERDICT_r12
+    item 6): numbers carry the documented shared-session neighbor
+    noise — they rank queries and catch order-of-magnitude
+    regressions, they are NOT the round-over-round comparator. The
+    file is incremental + atomic so an interrupt keeps what finished."""
+    from report_worker_spark.plans.tables import load
+    from report_worker_spark.session import get_spark
+
+    spark = get_spark("rws-bench-shared")
+    load(spark, SF_DIR, "lineitem").count()
+    builders = bench_builders()
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SHARED.json"
+    )
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    queries: dict[str, float | None] = {}
+    for i, (name, build) in enumerate(builders.items()):
+        try:
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(build(spark))
+                runs.append(time.perf_counter() - t0)
+                if sum(runs) > 12:
+                    break
+            # drop the first (cold codegen-cache) run when we have spares
+            queries[name] = round(min(runs[1:] if len(runs) > 1 else runs), 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            print(f"shared-bench: {name} FAILED: {exc!r}", file=sys.stderr)
+            queries[name] = None
+        if i % 20 == 19:
+            _atomic_write_json(
+                path, {"mode": "shared-session", "sf": float(sf), "queries": queries}
+            )
+    _atomic_write_json(
+        path, {"mode": "shared-session", "sf": float(sf), "queries": queries}
+    )
+    ok = [v for v in queries.values() if v is not None]
+    print(
+        json.dumps(
+            {
+                "metric": "shared_session_total",
+                "value": round(sum(ok), 3),
+                "unit": "sec",
+                "n_run": len(ok),
+                "n_fail": len(queries) - len(ok),
+                "detail": "BENCH_SHARED.json",
+            }
+        )
+    )
+
+
+def main() -> None:
+    names, headline = _bench_names()
+    timings: dict[str, float | None] = {}
+    samples: dict[str, list[float]] = {}
+    skipped: list[str] = []
+
+    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        for name in names:
+            timings[name] = run_one(name)
+        detail = _detail_payload(timings, headline, samples, skipped, False)
+        _atomic_write_json(_detail_path(), detail)
+        print(_driver_line(detail), flush=True)
+        return
+
+    def emit(partial: bool) -> dict:
+        detail = _detail_payload(timings, headline, samples, skipped, partial)
+        _atomic_write_json(_detail_path(), detail)
+        return detail
+
+    def on_signal(signum, frame):  # noqa: ARG001
+        # VERDICT_r12 item 1b: the driver's timeout must never again
+        # capture nothing. Kill the in-flight JVM tree, persist the
+        # detail file, print the one-line JSON with what completed.
+        popen = _ACTIVE_POPEN
+        if popen is not None:
+            try:
+                os.killpg(popen.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                popen.kill()
+        print(_driver_line(emit(partial=True)), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    env = dict(os.environ)
+    prior = _prior_bench_secs()
+    budget = _Budget()
+
+    # Pass 1 — headline, the round-over-round comparator, before
+    # anything optional spends budget.
+    head_names = [n for n in names if n in headline]
+    rot_names = [n for n in names if n not in headline]
+    for name in head_names:
+        if not budget.allows():
+            skipped.append(name)
+            continue
+        t = budget.timed(_run_subprocess, name, env)
+        timings[name] = t
+        if t is not None:
+            samples[name] = [t]
+        emit(partial=True)
+
+    # Pass 2 — min-of-two-JVM reruns for sub-2 s headline entries, only
+    # from leftover budget (cold-JVM insurance; see _RERUN_UNDER_SEC).
+    for name in head_names:
+        t = timings.get(name)
+        if t is None or name in skipped:
+            continue
+        fast_record = prior.get(name, t)
+        if min(t, fast_record) >= _RERUN_UNDER_SEC:
+            continue
+        if not budget.allows():
+            break
+        t2 = budget.timed(_run_subprocess, name, env)
+        if t2 is not None:
+            samples[name].append(t2)
+            timings[name] = round(min(t, t2), 3)
+        emit(partial=True)
+
+    # Pass 3 — rotating long-tail slots, last and capped.
+    for name in rot_names:
+        if not budget.allows():
+            skipped.append(name)
+            continue
+        timings[name] = budget.timed(_run_subprocess, name, env)
+        emit(partial=True)
+
+    print(_driver_line(emit(partial=False)), flush=True)
 
 
 # Below this, one fresh-JVM sample is noise-dominated: r11's two
@@ -841,79 +1097,10 @@ def _prior_bench_secs() -> dict[str, float]:
     }
 
 
-def main() -> None:
-    names, headline = _bench_names()
-    timings: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
-        for name in names:
-            timings[name] = run_one(name)
-    else:
-        env = dict(os.environ)
-        prior = _prior_bench_secs()
-        for name in names:
-            t = _run_subprocess(name, env)
-            fast_record = prior.get(name, t if t is not None else 1e9)
-            if (
-                t is not None
-                and name in headline
-                and min(t, fast_record) < _RERUN_UNDER_SEC
-            ):
-                t2 = _run_subprocess(name, env)
-                if t2 is not None:
-                    t = round(min(t, t2), 3)
-            timings[name] = t
-
-    head_ok = {k: v for k, v in timings.items() if k in headline and v is not None}
-    rot_ok = {
-        k: v for k, v in timings.items() if k not in headline and v is not None
-    }
-    n_fail = sum(1 for v in timings.values() if v is None)
-    total = round(sum(head_ok.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "headline": {k: timings[k] for k in timings if k in headline},
-                "rotating": {k: timings[k] for k in timings if k not in headline},
-                "rotating_total": round(sum(rot_ok.values()), 3),
-                "n_run": len(head_ok) + len(rot_ok),
-                "n_fail": n_fail,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-    slowest = dict(
-        sorted(head_ok.items(), key=lambda kv: -kv[1])[:10]
-    )
-    # The driver captures a bounded tail of stdout: keep this line small
-    # (totals + slowest-10), full per-query map in BENCH_DETAIL.json.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": float(sf),
-                "n_run": len(head_ok) + len(rot_ok),
-                "n_fail": n_fail,
-                "rotating_total": round(sum(rot_ok.values()), 3),
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
-
-
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--one":
         print(json.dumps({"query": sys.argv[2], "sec": run_one(sys.argv[2])}))
+    elif os.environ.get("SPARK_GRAFT_BENCH_SHARED"):
+        run_shared_sweep()
     else:
         main()

@@ -50,6 +50,10 @@ def ranked_ntile(
     deterministic value-based shard key and skip sampling entirely
     (the olap_lorenz_deciles device).
     """
+    if n_buckets < 1:
+        # the closed form divides/mods by n_buckets; under non-ANSI
+        # Spark, 0 would yield silent NULL buckets instead of an error
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     reserved = {"_shard", "_lrn", "_off", "_n", "_rn"}
     clash = sorted(reserved & set(df.columns)) + (
         [out_col] if out_col in reserved else []

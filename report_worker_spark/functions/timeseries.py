@@ -111,8 +111,13 @@ def dtw_distance(va, vb, band: int | None = None) -> int:
     # The raw difference va-vb is int64 arithmetic and wraps (not
     # saturates) when |va|+|vb| >= 2^63, so bound the inputs up front:
     # with |v| < 2^62 on both sides the difference is exact.
+    # Bound via min/max directly, NOT np.abs: np.abs(int64 min) wraps
+    # back to int64 min (negative), so an input of exactly -2**63 would
+    # slip through an abs-based guard (ADVICE r12).
     lim = np.int64(1) << 62
-    if (n and np.abs(va).max() >= lim) or (m and np.abs(vb).max() >= lim):
+    if (n and (va.min() <= -lim or va.max() >= lim)) or (
+        m and (vb.min() <= -lim or vb.max() >= lim)
+    ):
         raise ValueError("dtw_distance requires |values| < 2**62 (int64-exact costs)")
     # Saturate per-cell costs at the sentinel so `cost + big` can never
     # wrap int64 (2·big = 2^61 << 2^63); distances therefore saturate

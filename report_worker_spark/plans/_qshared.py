@@ -717,79 +717,39 @@ def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int | None:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # canaries — §2 anchors re-verified every round (12-for-12 target)
+    # canaries — §2 anchors re-verified every round (13-for-13 target)
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
     # ------------------------------------------------------------------
-    # round-12 window (VERDICT_r11 item 1): the next 47 of the 123
-    # never-driver-checked queries in commit order — the remaining
-    # round-9 additions (ts_rolling_distinct_users ..
-    # emb_exact_dup_vectors). All are hash-paired and local-parity
-    # green at sf0.01 (test_oracle_parity) and sf0.001
-    # (test_smoke_all_queries). The 47 round-11-verified queries
-    # rotate out (driver rows in CORRECTNESS_r11). Rows-only residues
-    # stay parked OUT of the window — each already has its honest
-    # `no_oracle` row on record; target is 50/50 hash-green. The
-    # ledger behind this list is VALIDATION.json
-    # (scripts/gen_validation.py — last_driver_round == null). The two
-    # r12 rows-tier-residue twins (VERDICT_r11 item 6) take the first
-    # two slots; the two rotation entries they displace
-    # (olap_price_decile_migration, emb_exact_dup_vectors) lead the
-    # r13 staging below.
-    "agg_hll_merge_algebra",
-    "emb_kmeans_onestep_cells",
-    "ts_rolling_distinct_users",
-    "olap_open_order_aging",
-    "stats_chatterjee_xi",
-    "audit_join_fanout_forecast",
-    "ts_max_drawdown",
-    "curation_pack_straddle_audit",
-    "olap_price_volume_bridge",
-    "dedup_prefix_clusters",
-    "stats_kendall_w",
-    "graph_fof_recommendations",
+    # round-13 window: first, the four queries VERDICT_r12 found
+    # VACUOUS (green rows that proved only the schema — 0 rows at
+    # every SF). All four were de-vacuated this round (date windows
+    # moved onto the fixture's 1995+ span; the inversion audit gained
+    # a deterministic seeded fault injection) and need a NON-vacuous
+    # driver row; their r12 rows don't count as evidence.
     "olap_xyz_classification",
-    "multimodal_wav_goertzel_bins",
-    "curation_dedup_quality_confusion",
-    "graph_triangle_participation",
-    "s3_csv_malformed_rate",
-    "stats_eb_shrinkage",
-    "olap_dau_wau_stickiness",
-    "curation_soft_dedup_weights",
-    "olap_part_adoption_curve",
-    "audit_sequence_inversions",
-    "stats_hodges_lehmann",
-    "graph_edge_embeddedness",
-    "ts_turning_points_test",
-    "graph_brand_assortativity",
-    "emb_centroid_mrr",
-    "stats_matthews_corr",
-    "ts_rolling_median_band",
-    "stats_poisson_etest_daily",
-    "audit_partition_checksums",
-    "dedup_threshold_yield_curve",
-    "stats_gamma_fit_moments",
-    "olap_customer_order_regularity",
-    "multimodal_gif_index_histogram",
-    "stats_youden_threshold_sweep",
-    "curation_sample_size_planner",
-    "dedup_winnowing_fingerprints",
-    "olap_mix_residual_heatmap",
-    "stats_gtest_independence",
+    "olap_price_volume_bridge",
     "olap_abc_xyz_matrix",
-    "stats_cooks_distance",
-    "olap_supplier_diversification",
-    "ts_permutation_entropy",
-    "stats_cochran_q",
-    "text_rbo_vocab_overlap",
-    "stats_lin_ccc",
+    "audit_sequence_inversions",
+    # ... and the four MORE the round-13 full-catalog 0-row audit
+    # found beyond the judge's list (same class, all fixed this round:
+    # 1994 windows predating the fixture span, a detector with no
+    # in-control violations, a near-dup query over a corpus with no
+    # near-dups). Their old driver rows are stale/vacuous; they need
+    # fresh non-vacuous evidence before the backlog continues burning.
+    "stats_bh_fdr",
+    "olap_retention_triangle",
+    "ts_spc_western_electric",
+    "sim_cosine_near_dup",
     # ------------------------------------------------------------------
-    # positions 51+: round-13+ staging — the last 2 round-9 additions,
-    # the 63 round-10 additions, then the 10 hash-paired round-11
-    # additions, all in commit order. Rows-only residues
-    # (emb_zca_mahalanobis) are NOT staged (see the window comment
-    # above).
+    # then the next 39 of the 77 hash-paired never-driver-checked
+    # queries in commit order (VALIDATION.json: last_driver_round ==
+    # null; the rows-tier residue emb_zca_mahalanobis stays parked —
+    # it has its honest `no_oracle` row on record). All are
+    # local-parity green at sf0.01 (test_oracle_parity) and smoke-
+    # green at sf0.001 (test_smoke_all_queries). The 47 r12-verified
+    # queries rotate out with their rows in CORRECTNESS_r12.
     "olap_price_decile_migration",
     "emb_exact_dup_vectors",
     "stats_sign_test",
@@ -829,6 +789,10 @@ _DRIVER_WINDOW = [
     "dedup_cross_source_clusters",
     "stats_two_way_anova",
     "stats_powerlaw_ks_fit",
+    # ------------------------------------------------------------------
+    # positions 51+: round-14 staging — the remaining 38 hash-paired
+    # never-checked entries, in commit order; one more round burns most of
+    # the backlog.
     "audit_monotonic_id_gaps",
     "olap_rfm_migration",
     "stats_cuped_variance_reduction",

@@ -43,8 +43,13 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "sim_cosine_near_dup",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    # over the AUGMENTED table (planted near-dup clones): the raw
+    # synthetic embeddings are near-orthogonal, so cosine ≥ 0.99 finds
+    # ZERO pairs at every SF — a vacuous hash match (the r12-judge
+    # failure class). The clone augmentation is deterministic and
+    # engine-portable, so the exact pair set is ground truth.
+    oracle=f"""
+    WITH {_AUG_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -56,8 +61,9 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def sim_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return sim.cosine_near_dup_pairs(e, threshold=0.99)
+    return sim.cosine_near_dup_pairs(
+        _augmented_embeddings(spark, sf), threshold=0.99
+    )
 
 
 

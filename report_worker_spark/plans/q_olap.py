@@ -2956,7 +2956,7 @@ def olap_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     cohorts AS (
       SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
       FROM firsts
-      WHERE cohort >= DATE '1994-01-01' AND cohort < DATE '1995-01-01'
+      WHERE cohort >= DATE '1995-01-01' AND cohort < DATE '1996-01-01'
       GROUP BY cohort
     ),
     activity AS (
@@ -2964,13 +2964,13 @@ def olap_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
              date_diff('month', f.cohort,
                        date_trunc('month', o.o_orderdate)) AS age_months
       FROM firsts f JOIN orders o ON o.o_custkey = f.cust
-      WHERE f.cohort >= DATE '1994-01-01'
-        AND f.cohort < DATE '1995-01-01'
+      WHERE f.cohort >= DATE '1995-01-01'
+        AND f.cohort < DATE '1996-01-01'
         AND date_diff('month', f.cohort,
                       date_trunc('month', o.o_orderdate))
             BETWEEN 0 AND 12
     )
-    SELECT CAST(a.cohort AS DATE) AS cohort_month,
+    SELECT strftime(a.cohort, '%Y-%m') AS cohort_month,
            CAST(a.age_months AS INT) AS age_months,
            CAST(count(*) AS BIGINT) AS n_active,
            c.n_cohort,
@@ -2981,7 +2981,9 @@ def olap_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def olap_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
-    """COHORT RETENTION TRIANGLE for the 1994 acquisition cohorts:
+    """COHORT RETENTION TRIANGLE for the 1995 acquisition cohorts
+    (round 13: retargeted from 1994, which predates the fixture's
+    orders span 1995-01-01.. — the triangle was EMPTY at every SF):
     customers grouped by first-order month, then for month-ages 0..12
     the share of each cohort that ordered again (distinct customers,
     exact milli-rate via integer DIV — no float ratios to drift).
@@ -2993,8 +2995,8 @@ def olap_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
     firsts = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.trunc(F.min("o_orderdate"), "month").alias("cohort")
     ).filter(
-        (F.col("cohort") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("cohort") < F.lit("1995-01-01").cast("date"))
+        (F.col("cohort") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("cohort") < F.lit("1996-01-01").cast("date"))
     )
     firsts = firsts.localCheckpoint(eager=False)  # consumed twice
     cohorts = firsts.groupBy("cohort").agg(
@@ -3014,7 +3016,7 @@ def olap_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         .join(F.broadcast(cohorts), "cohort")
         .select(
-            F.col("cohort").alias("cohort_month"),
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
             "age_months",
             "n_active",
             "n_cohort",
@@ -3165,21 +3167,21 @@ def olap_open_order_aging(spark: SparkSession, sf: str) -> DataFrame:
              CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
                AS BIGINT) AS rev_cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE l.l_shipdate >= DATE '1994-01-01'
-        AND l.l_shipdate < DATE '1996-01-01'
+      WHERE l.l_shipdate >= DATE '1995-01-01'
+        AND l.l_shipdate < DATE '1997-01-01'
       GROUP BY p.p_brand, 2
     ),
     pivot_ AS (
       SELECT brand,
-             CAST(max(CASE WHEN y = 1994 THEN qty END) AS BIGINT) AS q0,
-             CAST(max(CASE WHEN y = 1994 THEN rev_cents END) AS BIGINT)
-               AS r0,
-             CAST(max(CASE WHEN y = 1995 THEN qty END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN y = 1995 THEN qty END) AS BIGINT) AS q0,
              CAST(max(CASE WHEN y = 1995 THEN rev_cents END) AS BIGINT)
+               AS r0,
+             CAST(max(CASE WHEN y = 1996 THEN qty END) AS BIGINT) AS q1,
+             CAST(max(CASE WHEN y = 1996 THEN rev_cents END) AS BIGINT)
                AS r1
       FROM yr GROUP BY brand
-      HAVING max(CASE WHEN y = 1994 THEN qty END) IS NOT NULL
-         AND max(CASE WHEN y = 1995 THEN qty END) IS NOT NULL
+      HAVING max(CASE WHEN y = 1995 THEN qty END) IS NOT NULL
+         AND max(CASE WHEN y = 1996 THEN qty END) IS NOT NULL
     )
     SELECT brand, q0, q1, r0, r1,
            CAST(r1 - r0 AS BIGINT) AS delta_cents,
@@ -3191,17 +3193,20 @@ def olap_open_order_aging(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
-    """PRICE-VOLUME BRIDGE — decompose each brand's 1994→1995 revenue
+    """PRICE-VOLUME BRIDGE — decompose each brand's 1995→1996 revenue
     change into a volume effect (Δq at the old average price) and a
     price effect (new volume × Δ average price); the two effects sum
     to Δrevenue exactly by construction (laspeyres-volume /
     current-weight-price split). Quantities and cents are exact
     BIGINTs; average prices are mirrored single divisions, effects
     rounded at 6 (cents scale). One fact-side groupBy with the part
-    dim broadcast — the canonical star-join rollup shape."""
+    dim broadcast — the canonical star-join rollup shape. (Round 13:
+    the bridge moved from 1994→1995 to 1995→1996 — the fixture's
+    lineitem starts 1995-01-02, so the 1994 leg was empty and the
+    HAVING filtered every brand out; all 25 brands now survive.)"""
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     p = load(spark, sf, "part").select("p_partkey", "p_brand")
     yr = (
@@ -3222,13 +3227,13 @@ def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
     piv = (
         yr.groupBy("brand")
         .agg(
-            F.max(F.when(F.col("y") == 1994, F.col("qty"))).alias("q0"),
-            F.max(
-                F.when(F.col("y") == 1994, F.col("rev_cents"))
-            ).alias("r0"),
-            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q0"),
             F.max(
                 F.when(F.col("y") == 1995, F.col("rev_cents"))
+            ).alias("r0"),
+            F.max(F.when(F.col("y") == 1996, F.col("qty"))).alias("q1"),
+            F.max(
+                F.when(F.col("y") == 1996, F.col("rev_cents"))
             ).alias("r1"),
         )
         .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
@@ -3259,22 +3264,20 @@ def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
              date_trunc('month', l_shipdate) AS mth,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1995-01-01'
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
       GROUP BY 1, 2
     ),
     per AS (
       SELECT part,
-             CAST(count(*) AS BIGINT) AS n_months,
              CAST(sum(qty) AS BIGINT) AS s,
              CAST(sum(qty * qty) AS BIGINT) AS s2
       FROM monthly GROUP BY part
     ),
     cls AS (
       SELECT part,
-             CASE WHEN n_months < 12 THEN 'Z'
-                  WHEN 144 * (12 * s2 - s * s) <= 36 * s * s THEN 'X'
-                  WHEN 144 * (12 * s2 - s * s) <= 144 * s * s THEN 'Y'
+             CASE WHEN 4 * (12 * s2 - s * s) <= s * s THEN 'X'
+                  WHEN (12 * s2 - s * s) <= s * s THEN 'Y'
                   ELSE 'Z' END AS xyz
       FROM per
     )
@@ -3284,31 +3287,38 @@ def olap_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
 )
 def olap_xyz_classification(spark: SparkSession, sf: str) -> DataFrame:
     """XYZ DEMAND-VARIABILITY classification — the companion axis to
-    olap_abc_classification's value ranking: parts whose 1994 monthly
+    olap_abc_classification's value ranking: parts whose 1996 monthly
     demand is steady (X: CV ≤ 0.5), variable (Y: CV ≤ 1), or erratic/
-    intermittent (Z: CV > 1 or any zero-demand month). The CV
-    threshold test is carried ENTIRELY in integers — CV² ≤ c² ⟺
-    n²·(nΣq²−S²)/n ≤ c²·S² rearranged to 144(12·s2−s²) vs 36s²/144s²
-    for n=12 — so no sqrt or float compare exists to drift. One fact
-    groupBy to months, one to parts, category-bounded output."""
+    intermittent (Z: CV > 1). Months with no demand count as ZERO
+    demand in the CV (the textbook XYZ treatment — intermittency IS
+    variability), which also means the per-part sums need only the
+    observed months: over n=12 months, var·144 = 12·S2 − S² with
+    S/S2 summed over shipped months (zero months add nothing). The
+    CV threshold test is carried ENTIRELY in integers — CV² ≤ c² ⟺
+    (12·s2 − s²) ≤ c²·s², i.e. 4·disp ≤ s² for X, disp ≤ s² for Y —
+    so no sqrt or float compare exists to drift. (Round 13: the
+    window moved 1994→1996 — the fixture's lineitem starts 1995-01-02,
+    so the 1994 version scanned zero rows — and the any-missing-month
+    →Z shortcut was replaced by the zero-inclusive CV, which on this
+    fixture's monthly density is the difference between every part
+    degenerating to Z and the X/Y branches actually firing.) One
+    fact groupBy to months, one to parts, category-bounded output."""
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     monthly = li.groupBy(
         F.col("l_partkey").alias("part"),
         F.trunc("l_shipdate", "month").alias("mth"),
     ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
     per = monthly.groupBy("part").agg(
-        F.count(F.lit(1)).cast("long").alias("n_months"),
         F.sum("qty").cast("long").alias("s"),
         F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
     )
-    var144 = 144 * (12 * F.col("s2") - F.col("s") * F.col("s"))
+    disp = 12 * F.col("s2") - F.col("s") * F.col("s")
     cls = per.select(
-        F.when(F.col("n_months") < 12, "Z")
-        .when(var144 <= 36 * F.col("s") * F.col("s"), "X")
-        .when(var144 <= 144 * F.col("s") * F.col("s"), "Y")
+        F.when(4 * disp <= F.col("s") * F.col("s"), "X")
+        .when(disp <= F.col("s") * F.col("s"), "Y")
         .otherwise("Z")
         .alias("xyz")
     )
@@ -3621,14 +3631,13 @@ def olap_mix_residual_heatmap(spark: SparkSession, sf: str) -> DataFrame:
       SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1995-01-01'
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
       GROUP BY 1, 2
     ),
     xyz AS (
       SELECT l_partkey,
-             CASE WHEN count(*) < 12 THEN 'Z'
-                  WHEN 4 * (12 * sum(qty * qty) - sum(qty) * sum(qty))
+             CASE WHEN 4 * (12 * sum(qty * qty) - sum(qty) * sum(qty))
                        <= sum(qty) * sum(qty) THEN 'X'
                   WHEN 12 * sum(qty * qty) - sum(qty) * sum(qty)
                        <= sum(qty) * sum(qty) THEN 'Y'
@@ -3647,9 +3656,12 @@ def olap_abc_xyz_matrix(spark: SparkSession, sf: str) -> DataFrame:
     make-to-order): value classes from olap_abc_classification's
     integer cross-multiplied Pareto cut joined against
     olap_xyz_classification's integer-CV variability classes (parts
-    with no 1994 demand default to Z — never-moving value). Both
-    classifiers keep their pure-integer thresholds; the join is
-    part-dim-sized; output is 9-bounded."""
+    with no 1996 demand default to Z — never-moving value; months
+    with no demand count as zero demand in the CV, matching the
+    round-13 retarget of olap_xyz_classification — the 1994 window
+    was empty on this fixture, degenerating the matrix to 3 all-Z
+    rows). Both classifiers keep their pure-integer thresholds; the
+    join is part-dim-sized; output is 9-bounded."""
     li = load(spark, sf, "lineitem")
     li = li.localCheckpoint(eager=False)  # feeds both classifiers
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -3674,22 +3686,20 @@ def olap_abc_xyz_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
     monthly = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
         )
         .groupBy("l_partkey", F.trunc("l_shipdate", "month").alias("mth"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
     )
     per = monthly.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("nm"),
         F.sum("qty").alias("s"),
         F.sum(F.col("qty") * F.col("qty")).alias("s2"),
     )
     disp = 12 * F.col("s2") - F.col("s") * F.col("s")
     xyz = per.select(
         "l_partkey",
-        F.when(F.col("nm") < 12, "Z")
-        .when(4 * disp <= F.col("s") * F.col("s"), "X")
+        F.when(4 * disp <= F.col("s") * F.col("s"), "X")
         .when(disp <= F.col("s") * F.col("s"), "Y")
         .otherwise("Z")
         .alias("xyz"),
@@ -3768,42 +3778,46 @@ def olap_supplier_diversification(
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                AS BIGINT) AS rev
       FROM lineitem
-      WHERE l_shipdate >= DATE '1994-01-01'
-        AND l_shipdate < DATE '1996-01-01'
+      WHERE l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1997-01-01'
       GROUP BY 1, 2
     ),
     both_ AS (
-      SELECT a.l_partkey, a.rev AS r94, b.rev AS r95
-      FROM (SELECT * FROM yearly WHERE y = 1994) a
-      JOIN (SELECT * FROM yearly WHERE y = 1995) b
+      SELECT a.l_partkey, a.rev AS r_from, b.rev AS r_to
+      FROM (SELECT * FROM yearly WHERE y = 1995) a
+      JOIN (SELECT * FROM yearly WHERE y = 1996) b
         ON a.l_partkey = b.l_partkey
     ),
     ranked AS (
       SELECT l_partkey,
-             CAST(ntile(10) OVER (ORDER BY r94 DESC, l_partkey)
-               AS INT) AS d94,
-             CAST(ntile(10) OVER (ORDER BY r95 DESC, l_partkey)
-               AS INT) AS d95
+             CAST(ntile(10) OVER (ORDER BY r_from DESC, l_partkey)
+               AS INT) AS d_from,
+             CAST(ntile(10) OVER (ORDER BY r_to DESC, l_partkey)
+               AS INT) AS d_to
       FROM both_
     )
-    SELECT d94, d95, CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(d95 - d94 AS INT) AS shift
-    FROM ranked GROUP BY d94, d95
+    SELECT d_from, d_to, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(d_to - d_from AS INT) AS shift
+    FROM ranked GROUP BY d_from, d_to
     """,
 )
 def olap_price_decile_migration(
     spark: SparkSession, sf: str
 ) -> DataFrame:
-    """REVENUE-DECILE MIGRATION matrix: where did each part's 1994
-    revenue decile move in 1995? The mobility picture behind the
+    """REVENUE-DECILE MIGRATION matrix: where did each part's 1995
+    revenue decile move in 1996? The mobility picture behind the
     static ABC cut — a heavy diagonal means stable assortment
     economics, off-diagonal mass names the risers/decliners a buyer
     re-ranks (the markov-transition device applied to ranked value).
     Deterministic deciles via full (rev desc, partkey) tiebreaks on
-    parts active in BOTH years; the census is 10×10-bounded."""
+    parts active in BOTH years; the census is 10×10-bounded.
+    (Round 13: retargeted from 1994→1995 — the fixture's lineitem
+    starts 1995-01-02, so the 1994 leg was empty and the join
+    produced zero rows at every SF — and the deciles renamed
+    d_from/d_to to match.)"""
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     yearly = li.groupBy(
         "l_partkey", F.year("l_shipdate").cast("int").alias("y")
@@ -3812,30 +3826,30 @@ def olap_price_decile_migration(
         .cast("long")
         .alias("rev")
     )
-    a = yearly.filter(F.col("y") == 1994).select(
-        "l_partkey", F.col("rev").alias("r94")
+    a = yearly.filter(F.col("y") == 1995).select(
+        "l_partkey", F.col("rev").alias("r_from")
     )
-    b = yearly.filter(F.col("y") == 1995).select(
-        "l_partkey", F.col("rev").alias("r95")
+    b = yearly.filter(F.col("y") == 1996).select(
+        "l_partkey", F.col("rev").alias("r_to")
     )
     both_ = a.join(b, "l_partkey")
     ranked = both_.select(
         F.ntile(10)
-        .over(Window.orderBy(F.col("r94").desc(), F.col("l_partkey")))
+        .over(Window.orderBy(F.col("r_from").desc(), F.col("l_partkey")))
         .cast("int")
-        .alias("d94"),
+        .alias("d_from"),
         F.ntile(10)
-        .over(Window.orderBy(F.col("r95").desc(), F.col("l_partkey")))
+        .over(Window.orderBy(F.col("r_to").desc(), F.col("l_partkey")))
         .cast("int")
-        .alias("d95"),
+        .alias("d_to"),
     )
-    return ranked.groupBy("d94", "d95").agg(
+    return ranked.groupBy("d_from", "d_to").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
     ).select(
-        "d94",
-        "d95",
+        "d_from",
+        "d_to",
         "n_parts",
-        (F.col("d95") - F.col("d94")).cast("int").alias("shift"),
+        (F.col("d_to") - F.col("d_from")).cast("int").alias("shift"),
     )
 
 

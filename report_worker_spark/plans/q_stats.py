@@ -4050,11 +4050,11 @@ def stats_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH ords AS (
       SELECT c.c_nationkey AS nation,
-             o.o_orderdate < DATE '1994-07-01' AS h1,
+             o.o_orderdate < DATE '1995-07-01' AS h1,
              o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      WHERE o.o_orderdate >= DATE '1994-01-01'
-        AND o.o_orderdate < DATE '1995-01-01'
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1996-01-01'
     ),
     per AS (
       SELECT nation,
@@ -4116,7 +4116,9 @@ def stats_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
 def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
     """BENJAMINI–HOCHBERG FDR control over a 25-hypothesis family: per
     customer nation, a two-proportion z-test of high-priority order
-    share, 1994H1 vs 1994H2, then the step-up procedure at q=0.10
+    share, 1995H1 vs 1995H2, then the step-up procedure at q=0.10
+    (round 13: retargeted from 1994, which predates the fixture's
+    orders span 1995-01-01.. — the family was EMPTY at every SF)
     (reject ranks 1..k for the largest k with p₍ₖ₎ ≤ k·q/m) — the
     standard guard when a pipeline fires one test per segment and
     reports "significant" slices. Counts are exact BIGINTs; z is one
@@ -4131,12 +4133,12 @@ def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
     ords = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
         )
         .select(
             F.col("c_nationkey").alias("nation"),
-            (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")).alias(
+            (F.col("o_orderdate") < F.lit("1995-07-01").cast("date")).alias(
                 "h1"
             ),
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
@@ -4157,7 +4159,7 @@ def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
         .filter(
             (F.col("n1") > 0)
             & (F.col("n2") > 0)
-            # degenerate pooled rates (ADVICE r9): a nation whose 1994
+            # degenerate pooled rates (ADVICE r9): a nation whose 1995
             # orders are all (or none) high-priority has pooled ∈ {0,1},
             # a zero variance denominator, and z = 0/0 = NaN that would
             # flow into the rank window — exclude it, mirrored in the
@@ -6151,11 +6153,11 @@ def stats_icc_oneway(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH ords AS (
       SELECT c.c_nationkey AS nation,
-             o.o_orderdate < DATE '1994-07-01' AS h1,
+             o.o_orderdate < DATE '1995-07-01' AS h1,
              o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      WHERE o.o_orderdate >= DATE '1994-01-01'
-        AND o.o_orderdate < DATE '1995-01-01'
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1996-01-01'
     ),
     per AS (
       SELECT nation,
@@ -6216,7 +6218,7 @@ def stats_icc_oneway(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stats_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
     """HOLM–BONFERRONI step-down over the same 25-hypothesis family as
-    stats_bh_fdr (per-nation two-proportion z, 1994H1 vs H2): reject
+    stats_bh_fdr (per-nation two-proportion z, 1995H1 vs H2): reject
     ranks 1..K where EVERY j ≤ K has p₍ⱼ₎ ≤ α/(m−j+1) — the FWER
     complement to BH's FDR (uniformly more powerful than plain
     Bonferroni, no independence assumption). The stop-at-first-
@@ -6229,12 +6231,12 @@ def stats_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
     ords = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
         )
         .select(
             F.col("c_nationkey").alias("nation"),
-            (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")).alias(
+            (F.col("o_orderdate") < F.lit("1995-07-01").cast("date")).alias(
                 "h1"
             ),
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),

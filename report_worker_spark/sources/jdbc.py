@@ -195,7 +195,17 @@ _TABLE_EXISTS_STATES = {"X0Y32", "42S01", "42710", "42P07"}
 
 def _is_table_exists(exc: Exception) -> bool:
     """True iff the Py4J JDBC error is specifically 'table already
-    exists' — the ONLY failure the idempotent staging DDL may swallow."""
+    exists' — the ONLY failure the idempotent staging DDL may swallow.
+
+    Classification is SQLState/vendor-code ONLY (ADVICE r12): a prior
+    substring fallback on 'already exists' re-widened the swallow the
+    SQLState narrowing exists to prevent — 'index already exists',
+    'schema already exists', or any error message *quoting* that
+    phrase would have been misread as benign staging DDL. Every
+    supported driver reports a state or code for this condition
+    (Derby X0Y32; ANSI/ODBC 42S01; MySQL code 1050; DB2/Postgres
+    42710/42P07), so a driver that surfaces neither gets the safe
+    behavior: the DDL error propagates."""
     je = getattr(exc, "java_exception", None)
     while je is not None:
         try:
@@ -212,7 +222,7 @@ def _is_table_exists(exc: Exception) -> bool:
             je = je.getCause()
         except Exception:  # noqa: BLE001
             break
-    return "already exists" in str(exc).lower()
+    return False
 
 
 def _ensure_stage(conn, df: DataFrame, stage: str) -> None:

@@ -160,11 +160,29 @@ def _bench_rows() -> dict[str, dict]:
     return out
 
 
+def _shared_rows() -> dict[str, float]:
+    """name -> shared-session seconds from BENCH_SHARED.json (the cheap
+    long-tail timing tier bench.py writes under
+    SPARK_GRAFT_BENCH_SHARED=1 — VERDICT_r12 item 6). Numbers carry
+    shared-session neighbor noise; they are a coverage tier, never the
+    round-over-round comparator."""
+    path = ROOT / "BENCH_SHARED.json"
+    if not path.exists():
+        return {}
+    data = json.loads(path.read_text())
+    return {
+        name: round(float(sec), 3)
+        for name, sec in (data.get("queries") or {}).items()
+        if isinstance(sec, (int, float))
+    }
+
+
 def build() -> dict:
     from report_worker_spark.plans.catalog import ORACLE, QUERIES
 
     driver = _driver_rows()
     bench = _bench_rows()
+    shared = _shared_rows()
     queries: dict[str, dict] = {}
     for name in QUERIES:
         row = {
@@ -173,6 +191,7 @@ def build() -> dict:
             "last_driver_result": None,
             "last_bench_round": None,
             "last_bench_sec": None,
+            "shared_session_sec": shared.get(name),
         }
         row.update(driver.get(name, {}))
         row.update(bench.get(name, {}))
@@ -193,6 +212,15 @@ def build() -> dict:
         ),
         "benched": sum(1 for r in rows if r["last_bench_round"] is not None),
         "never_benched": sum(1 for r in rows if r["last_bench_round"] is None),
+        "shared_timed": sum(
+            1 for r in rows if r["shared_session_sec"] is not None
+        ),
+        "never_timed_any_tier": sum(
+            1
+            for r in rows
+            if r["last_bench_round"] is None
+            and r["shared_session_sec"] is None
+        ),
     }
     return {"summary": summary, "queries": queries}
 

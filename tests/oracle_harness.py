@@ -52,6 +52,18 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     problems: list[str] = []
     n_s, c_s, r_s = canon(sp.astype(object).where(sp.notna(), None))
     n_o, c_o, r_o = canon(oc.astype(object).where(oc.notna(), None))
+    if n_s == 0 and n_o == 0:
+        # VERDICT_r12: a hash match on an ALWAYS-EMPTY result proves
+        # only the schema — the judge found 4 such vacuous greens, and
+        # the round-13 full-catalog audit found 2 more. Every catalog
+        # query must exercise its computation on this fixture; a query
+        # whose interesting branch can't fire needs a retargeted window
+        # or a deterministic fault injection (see audit_sequence_
+        # inversions / ts_spc_western_electric for the pattern).
+        problems.append(
+            "VACUOUS: both sides returned 0 rows — the hash match "
+            "proves nothing about the computation"
+        )
     if c_s != c_o:
         problems.append(f"columns differ: spark={c_s} oracle={c_o}")
         return problems

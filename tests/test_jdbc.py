@@ -599,3 +599,36 @@ def test_mixed_keyed_unkeyed_txn_is_atomic(spark, derby_url):
         )
     assert _count(spark, derby_url, "mx_dim") == 30
     assert _count(spark, derby_url, "mx_plain") == 60  # plain appends
+
+
+def test_table_exists_classifier_ignores_message_text():
+    """ADVICE r12: classification is SQLState/vendor-code ONLY — an
+    exception whose MESSAGE merely contains 'already exists' (an index
+    DDL failure, or an error quoting the phrase) must propagate, not
+    be swallowed as benign staging DDL."""
+    assert not j._is_table_exists(Exception("index 'X' already exists"))
+    assert not j._is_table_exists(
+        Exception("schema already exists: cannot create")
+    )
+
+    class _FakeSQLException:
+        def __init__(self, state):
+            self._state = state
+
+        def getSQLState(self):
+            return self._state
+
+        def getErrorCode(self):
+            return 0
+
+        def getCause(self):
+            return None
+
+    class _FakePy4JError(Exception):
+        def __init__(self, state):
+            super().__init__("wrapped")
+            self.java_exception = _FakeSQLException(state)
+
+    assert j._is_table_exists(_FakePy4JError("X0Y32"))  # Derby
+    assert j._is_table_exists(_FakePy4JError("42S01"))  # ANSI/MySQL
+    assert not j._is_table_exists(_FakePy4JError("42X05"))  # not-exists

@@ -10146,3 +10146,9 @@ def test_dtw_distance_rejects_wrap_prone_magnitudes():
         dtw_distance([2**62], [0])
     with pytest.raises(ValueError, match="2\\*\\*62"):
         dtw_distance([0], [-(2**62)])
+    # ADVICE r12: np.abs(int64 min) wraps NEGATIVE, so an abs-based
+    # guard let exactly -2**63 through; the min/max guard must not
+    with pytest.raises(ValueError, match="2\\*\\*62"):
+        dtw_distance([-(2**63)], [0])
+    with pytest.raises(ValueError, match="2\\*\\*62"):
+        dtw_distance([0], [-(2**63)])

@@ -62,3 +62,13 @@ def test_ranked_ntile_rejects_reserved_columns(spark):
     df2 = spark.range(5).select("id")
     with pytest.raises(ValueError, match="reserves column names"):
         ranked_ntile(df2, [F.col("id").asc()], 3, out_col="_rn")
+
+
+def test_ranked_ntile_rejects_nonpositive_buckets(spark):
+    """ADVICE r12: the closed form divides/mods by n_buckets — with 0
+    it would yield silent NULL buckets under non-ANSI Spark."""
+    df = spark.range(5).select("id")
+    with pytest.raises(ValueError, match="n_buckets"):
+        ranked_ntile(df, [F.col("id").asc()], 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        ranked_ntile(df, [F.col("id").asc()], -2)
