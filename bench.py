@@ -945,6 +945,23 @@ def run_shared_sweep() -> None:
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     queries: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SHARED") == "resume":
+        # top-up mode: keep existing timings, run only missing names
+        # (queries added after a sweep started, or failed entries)
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == float(sf):
+                queries.update(
+                    {
+                        k: v
+                        for k, v in (prev.get("queries") or {}).items()
+                        if v is not None and k in builders
+                    }
+                )
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        builders = {k: v for k, v in builders.items() if k not in queries}
     for i, (name, build) in enumerate(builders.items()):
         try:
             runs = []

@@ -108,3 +108,58 @@ def ranked_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "_shard", "_lrn", "_off", "_n", "_rn"
     )
+
+
+def ranked_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    weight_col: str,
+    out_col: str = "prefix_sum",
+    n_partitions: int = 64,
+) -> DataFrame:
+    """``df`` + ``out_col`` = SUM(weight_col) OVER (ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING) — the exact INCLUSIVE global running sum,
+    without a single-partition global sort (subtract ``weight_col`` for
+    the exclusive form).
+
+    Same two-phase decomposition as ``ranked_ntile``: range-repartition
+    on the order key, cumulative-sum locally per shard, then add
+    per-shard weight totals from a bounded (n_partitions-row) offset
+    table. ``order_cols`` must be a total order; ``weight_col`` must be
+    integral (long) for exactness — float weights would make the result
+    depend on summation order. Same localCheckpoint fault-tolerance
+    trade-off as ranked_ntile (see its docstring)."""
+    reserved = {"_shard", "_lps", "_off", "_t"}
+    clash = sorted(reserved & set(df.columns)) + (
+        [out_col] if out_col in reserved else []
+    )
+    if clash:
+        raise ValueError(
+            f"ranked_prefix_sum reserves column names {sorted(reserved)}; "
+            f"rename conflicting columns {clash} before calling"
+        )
+    d = df.repartitionByRange(n_partitions, *order_cols)
+    d = d.withColumn("_shard", F.spark_partition_id())
+    # consumed twice (shard totals + local prefix) — pin the sampled
+    # range boundaries so both passes see identical shard assignment
+    d = d.localCheckpoint(eager=False)
+    tot = d.groupBy("_shard").agg(F.sum(weight_col).alias("_t"))
+    # the offset table is n_partitions rows — a bounded global window
+    w_off = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_shard",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_lps", F.sum(weight_col).over(w_local))
+        .join(F.broadcast(off), "_shard")
+        .withColumn(out_col, F.col("_off") + F.col("_lps"))
+        .drop("_shard", "_lps", "_off")
+    )

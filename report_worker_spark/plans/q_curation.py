@@ -257,14 +257,17 @@ def curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Training-sequence packing (concat-then-chunk): documents in
     stable id order, each assigned the 2048-token pack where its first
     token lands (the standard LLM pretraining packing approximation).
-    Exact integer running sums; the global ordered window is the
-    test-scale form — at 100 TB the same math runs per shard with
-    per-shard token offsets aggregated once (two-pass prefix sum)."""
+    Exact integer running sums, computed DISTRIBUTED (round 13): the
+    corpus-grain prefix sum rides functions.ranks.ranked_prefix_sum —
+    range-repartition on doc_id, per-shard local cumsum, a bounded
+    shard-offset table — bit-identical to the SQL global window with
+    no single-task sort at any scale."""
+    from ..functions.ranks import ranked_prefix_sum
+
     d = load(spark, sf, "documents")
     t = d.select("doc_id", tx.token_count("text").cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn(
-        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    c = ranked_prefix_sum(t, ["doc_id"], "n_tokens", out_col="_ps").withColumn(
+        "tokens_before", F.col("_ps") - F.col("n_tokens")
     )
     return c.select(
         "doc_id",
@@ -1693,16 +1696,20 @@ def curation_pack_straddle_audit(spark: SparkSession, sf: str) -> DataFrame:
     much token mass crosses — exactly the contamination a cross-
     document attention mask (or boundary-resetting position ids) must
     handle, and the quantity that decides whether best-fit packing is
-    worth its shuffle. Same exact prefix-sum math as the packer (two-
-    pass per-shard offsets at scale), one extra map-combinable
-    groupBy."""
+    worth its shuffle. Same exact prefix-sum math as the packer, and
+    (round 13) the same DISTRIBUTED device: ranked_prefix_sum's
+    range-sharded two-pass cumsum replaces the corpus-grain global
+    window, then one extra map-combinable groupBy."""
+    from ..functions.ranks import ranked_prefix_sum
+
     d = load(spark, sf, "documents")
     t = d.select(
         "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    placed = t.withColumn(
-        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = ranked_prefix_sum(
+        t, ["doc_id"], "n_tokens", out_col="_ps"
+    ).withColumn(
+        "tokens_before", F.col("_ps") - F.col("n_tokens")
     ).select(
         "n_tokens",
         F.expr("tokens_before div 2048").alias("pack_id"),

@@ -1038,10 +1038,43 @@ def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 @query("agg_approx_distinct")  # HLL sketch: engine-specific, rows-only check
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counts; deterministic per engine, not across engines."""
+    distinct counts; deterministic per engine, not across engines.
+    Hash-tier twin: agg_approx_distinct_bounded_exact (below) pins the
+    SAME estimator in its provably-exact sparse regime."""
     e = load(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@query(
+    "agg_approx_distinct_bounded_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id % 512) AS BIGINT) AS n_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_distinct_bounded_exact(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Hash-tier twin of `agg_approx_distinct` (VERDICT_r12 item 8,
+    same device as agg_hll_merge_algebra): Spark's HyperLogLog++ at
+    rsd=0.02 stores small cardinalities in a SPARSE encoding that is
+    exact — measured exact through 512 distinct values and first
+    deviating near ~700 on this build — so over a domain bounded to
+    512 by construction (user_id % 512) the approximate count must
+    EQUAL DuckDB's exact COUNT(DISTINCT) at EVERY scale factor: the
+    bound is in the expression, not the data, so sf1/sf100 can't
+    outgrow it. The hash match therefore value-pins the estimator's
+    exact regime cross-engine, while `agg_approx_distinct` itself
+    (unbounded domain, estimate regime) stays the honest rows-tier
+    scale path."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct(F.col("user_id") % 512, rsd=0.02)
+        .cast("long")
+        .alias("n_buckets")
     )
 
 

@@ -72,3 +72,45 @@ def test_ranked_ntile_rejects_nonpositive_buckets(spark):
         ranked_ntile(df, [F.col("id").asc()], 0)
     with pytest.raises(ValueError, match="n_buckets"):
         ranked_ntile(df, [F.col("id").asc()], -2)
+
+
+from report_worker_spark.functions.ranks import ranked_prefix_sum  # noqa: E402
+
+
+@pytest.mark.parametrize(("n", "parts"), [(1, 4), (17, 4), (100, 8), (1000, 16)])
+def test_ranked_prefix_sum_matches_window(spark, n, parts):
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 7) % 23 + 1).cast("long").alias("wt")
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.id, r.ps)
+        for r in df.withColumn("ps", F.sum("wt").over(w)).collect()
+    }
+    got = {
+        (r.id, r.ps)
+        for r in ranked_prefix_sum(
+            df, ["id"], "wt", out_col="ps", n_partitions=parts
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ranked_prefix_sum_no_global_row_sort(spark):
+    """Same plan pin as ranked_ntile: the corpus-sized cumsum runs in
+    shard-partitioned windows; the only SinglePartition exchange is the
+    bounded shard-offset table."""
+    df = spark.range(1000).select(
+        F.col("id"), F.lit(3).cast("long").alias("wt")
+    )
+    out = ranked_prefix_sum(df, ["id"], "wt", n_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "windowspecdefinition(_shard" in low
+    assert low.count("singlepartition") <= 1
+
+
+def test_ranked_prefix_sum_rejects_reserved_columns(spark):
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("_t"))
+    with pytest.raises(ValueError, match="reserves column names"):
+        ranked_prefix_sum(df, ["id"], "id")
