@@ -170,6 +170,227 @@ def run_composed_curation(spark, docs_k: DataFrame) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_r13_additions(spark, docs, emb, edges, ev, ereps) -> dict:
+    """Round-13 stress entries (VERDICT_r12 item 7): the round-12
+    catalog additions at ~sf1. Callable standalone (STRESS_FAMILY=r13)
+    for targeted K=2 / K=10 exponent runs without the full suite."""
+    timings: dict[str, float] = {}
+
+    def timed(df: DataFrame) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def timed_build(build) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    # ------------------------------------------------------------------
+    # Round-13 additions (VERDICT_r12 item 7): the round-12 family at
+    # ~sf1 — friend-of-friend recommendations (THE watch item: the
+    # 2-hop candidate expansion grows with degree skew, so its exponent
+    # must stay ~linear on disjoint-replica growth), edge embeddedness
+    # (the triangle join restricted to edges), HLL sketch merge algebra
+    # (K× events with K× distinct users — sketch build + two-level
+    # union), one Lloyd assignment round over K× vectors against 16
+    # broadcast centroids, the NOW-SHARDED pack-straddle prefix sum
+    # (ranked_prefix_sum replaced the global window this round), and
+    # the price-volume bridge over K× lineitem.
+    # ------------------------------------------------------------------
+    # FoF: reuse the K-replica co-occurrence graph (disjoint replicas:
+    # candidates and triangles scale exactly ×K)
+    adj_f = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj_f = adj_f.localCheckpoint(eager=False)
+    x_f = adj_f.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    y_f = adj_f.select(F.col("src").alias("mid"), F.col("dst").alias("rec"))
+    direct_f = adj_f.select(
+        F.col("src").alias("node"), F.col("dst").alias("rec")
+    )
+    cand_f = (
+        x_f.join(y_f, "mid")
+        .filter(F.col("rec") != F.col("node"))
+        .join(direct_f, ["node", "rec"], "left_anti")
+        .groupBy("node", "rec")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    w_fof = Window.partitionBy("node").orderBy(
+        F.col("common").desc(), F.col("rec")
+    )
+    timings["graph_fof_recommendations"] = timed(
+        cand_f.withColumn("rk", F.row_number().over(w_fof)).filter(
+            F.col("rk") <= 3
+        )
+    )
+    # edge embeddedness: per-edge common-neighbor count + zero-fill
+    x_e = adj_f.select(F.col("src").alias("a"), F.col("dst").alias("w1"))
+    y_e = adj_f.select(F.col("src").alias("b"), F.col("dst").alias("w2"))
+    emb_e = (
+        edges.join(x_e, edges.src == x_e.a)
+        .join(y_e, (edges.dst == y_e.b) & (F.col("w1") == F.col("w2")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    timings["graph_edge_embeddedness"] = timed(
+        edges.join(emb_e, ["src", "dst"], "left")
+        .select(F.coalesce("common", F.lit(0)).alias("embeddedness"))
+        .groupBy("embeddedness")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    # HLL merge algebra: K× events with DISJOINT per-replica user ids
+    # (distinct cardinality grows ×K — the sketch actually fills);
+    # daily lgK=16 sketches, then direct one-level vs day→month→total
+    # two-level unions, both materialized
+    ev_h = (
+        ev.select("event_type", "ts", "user_id")
+        .crossJoin(F.broadcast(ereps))
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            (
+                F.col("user_id")
+                + F.col("rep").cast("long") * F.lit(1_000_000_000)
+            ).alias("uid"),
+        )
+    )
+    daily_h = ev_h.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("uid", F.lit(16)).alias("sk")
+    )
+    daily_h = daily_h.localCheckpoint(eager=False)
+    merged_h = daily_h.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    two_h = (
+        daily_h.withColumn("mon", F.trunc("day", "month"))
+        .groupBy("event_type", "mon")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est2"))
+    )
+    timings["agg_hll_merge_algebra"] = timed_build(
+        lambda: merged_h.join(two_h, "event_type")
+    )
+    # k-means one-step: K× vectors against 16 broadcast unit centroids
+    # — one fan-out scan, map-combinable max per vector, 16-row rollup
+    from report_worker_spark.plans.q_embeddings import _KMC_CENTROIDS
+
+    cdf_k = spark.createDataFrame(
+        [(j, _KMC_CENTROIDS[j]) for j in range(16)],
+        "cell int, cv array<double>",
+    )
+    scored_k = emb.crossJoin(F.broadcast(cdf_k)).select(
+        "vec_id",
+        "cell",
+        sim.dot_fold(
+            F.col("embedding").cast("array<double>"), F.col("cv")
+        ).alias("dot"),
+    )
+    best_k = scored_k.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("dot").alias("dot"),
+                (F.lit(15) - F.col("cell")).alias("inv_cell"),
+            )
+        ).alias("w")
+    )
+    timings["emb_kmeans_onestep_cells"] = timed(
+        best_k.select(
+            (F.lit(15) - F.col("w.inv_cell")).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    # pack-straddle audit over K× docs through the r13 sharded prefix
+    # sum (the single-task global sort is gone; growth must be scan-
+    # bound)
+    from report_worker_spark.functions.ranks import ranked_prefix_sum
+
+    t_ps = docs.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    placed_ps = ranked_prefix_sum(
+        t_ps, ["doc_id"], "n_tokens", out_col="_ps"
+    ).select(
+        "n_tokens",
+        F.expr("(_ps - n_tokens) div 2048").alias("pack_id"),
+        ((F.col("_ps") - F.col("n_tokens")) % 2048).alias("pack_offset"),
+    )
+    over_ps = F.col("pack_offset") + F.col("n_tokens") - 2048
+    timings["curation_pack_straddle_audit"] = timed_build(
+        lambda: placed_ps.groupBy("pack_id").agg(
+            F.count(F.lit(1)).alias("n_docs_starting"),
+            F.sum(F.when(over_ps > 0, over_ps).otherwise(0)).alias(
+                "straddle_tokens"
+            ),
+        )
+    )
+    # price-volume bridge: K× lineitem (disjoint partkeys per replica
+    # → the brand×year rollup grows ×K on the fact side, the part dim
+    # broadcast stays dim-sized)
+    li_pv = (
+        load(spark, SF_DIR, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+        .crossJoin(F.broadcast(ereps))
+    )
+    p_pv = load(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    yr_pv = (
+        li_pv.join(F.broadcast(p_pv), li_pv.l_partkey == p_pv.p_partkey)
+        .groupBy(
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("rep")).alias(
+                "brand"
+            ),
+            F.year("l_shipdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev"),
+        )
+    )
+    timings["olap_price_volume_bridge"] = timed(
+        yr_pv.groupBy("brand").agg(
+            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("y") == 1996, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1995, F.col("rev"))).alias("r0"),
+            F.max(F.when(F.col("y") == 1996, F.col("rev"))).alias("r1"),
+        )
+    )
+
+    return timings
+
+
+def main_r13() -> None:
+    spark = get_spark("rws-stress-r13")
+    docs = upscale_documents(spark, K)
+    emb = upscale_embeddings(spark, K)
+    edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
+    ev = load(spark, SF_DIR, "events")
+    ereps = spark.range(K).select(F.col("id").cast("int").alias("rep"))
+    timings = run_r13_additions(spark, docs, emb, edges, ev, ereps)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_r13",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": timings,
+                "k": K,
+            }
+        )
+    )
+
+
 def main() -> None:
     spark = get_spark("rws-stress")
     docs = upscale_documents(spark, K)
@@ -1054,6 +1275,8 @@ def main() -> None:
         .agg(F.sum("s2").alias("hhi"))
     )
 
+    timings.update(run_r13_additions(spark, docs, emb, edges, ev, ereps))
+
     # ------------------------------------------------------------------
     # Composed curation deployment (VERDICT_r5 item 7): the end-to-end
     # path a training-data run executes — quality gate → exact dedup →
@@ -1100,4 +1323,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STRESS_FAMILY") == "r13":
+        main_r13()
+    else:
+        main()
