@@ -3864,8 +3864,8 @@ def olap_price_decile_migration(
                AS qtr,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
-      WHERE o_orderdate >= DATE '1994-01-01'
-        AND o_orderdate < DATE '1996-01-01'
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1997-01-01'
     ),
     per AS (
       SELECT yr, qtr, CAST(count(*) AS BIGINT) AS n_orders,
@@ -3887,10 +3887,13 @@ def olap_aov_quarterly(spark: SparkSession, sf: str) -> DataFrame:
     the first line of every revenue review: exact integer AOV (cents
     DIV orders) and the QoQ change in integer milli-units off one lag
     window over the 8-quarter series (first quarter anchors at 0).
-    One map-combinable groupBy; everything after is bounded."""
+    One map-combinable groupBy; everything after is bounded. (Round
+    13: window moved 1994-96 → 1995-97 — orders start 1995-01-01, so
+    the old window's first four quarters were empty and the "8-quarter
+    series" was really 4.)"""
     o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     per = o.groupBy(
         F.year("o_orderdate").cast("int").alias("yr"),

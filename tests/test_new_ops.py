@@ -5756,7 +5756,7 @@ def test_bh_fdr_matches_python(spark, sf_small):
     agg = defaultdict(lambda: [0, 0, 0, 0])  # n1, x1, n2, x2
     for r in o:
         d = r.o_orderdate
-        if not (d.year == 1994):
+        if not (d.year == 1995):
             continue
         nat = cnat[r.o_custkey]
         hi = r.o_orderpriority in ("1-URGENT", "2-HIGH")
@@ -5956,12 +5956,12 @@ def test_retention_triangle_matches_python(spark, sf_small):
             first[r.o_custkey] = m
     cohort_n = defaultdict(int)
     for c, m in first.items():
-        if m[0] == 1994:
+        if m[0] == 1995:
             cohort_n[m] += 1
     active = set()
     for r in orders:
         m0 = first[r.o_custkey]
-        if m0[0] != 1994:
+        if m0[0] != 1995:
             continue
         age = (r.o_orderdate.year - m0[0]) * 12 + r.o_orderdate.month - m0[1]
         if 0 <= age <= 12:
@@ -5970,7 +5970,7 @@ def test_retention_triangle_matches_python(spark, sf_small):
     for m0, _, age in active:
         want[(m0, age)] += 1
     got = {
-        ((r.cohort_month.year, r.cohort_month.month), r.age_months): (
+        ((int(r.cohort_month[:4]), int(r.cohort_month[5:7])), r.age_months): (
             r.n_active,
             r.n_cohort,
             r.retention_milli,
@@ -6216,10 +6216,16 @@ def test_spc_western_electric_matches_python(spark, sf_small):
         sigma = math.sqrt(sum(x * x for x in xs) / n - mu * mu)
         up = lambda k, x: x > mu + k * sigma
         dn = lambda k, x: x < mu - k * sigma
-        for d, x in enumerate(xs):
-            w3 = xs[max(0, d - 2) : d + 1]
-            w5 = xs[max(0, d - 4) : d + 1]
-            w8 = xs[max(0, d - 7) : d + 1]
+        # r13: mu/sigma from the unfaulted baseline, rules on the
+        # deterministically faulted monitored stream (see the query)
+        ms = [
+            x * 4 if d % 11 == 7 else x // 4 if d % 13 == 9 else x
+            for d, x in enumerate(xs)
+        ]
+        for d, x in enumerate(ms):
+            w3 = ms[max(0, d - 2) : d + 1]
+            w5 = ms[max(0, d - 4) : d + 1]
+            w8 = ms[max(0, d - 7) : d + 1]
             r1 = up(3, x) or dn(3, x)
             r2 = (
                 sum(up(2, v) for v in w3) >= 2
@@ -6771,10 +6777,10 @@ def test_price_volume_bridge_matches_python(spark, sf_small):
             if isinstance(r.l_shipdate, datetime.datetime)
             else r.l_shipdate
         )
-        if sd.year not in (1994, 1995):
+        if sd.year not in (1995, 1996):
             continue
         a = agg[brand[r.l_partkey]]
-        o = 0 if sd.year == 1994 else 2
+        o = 0 if sd.year == 1995 else 2
         a[o] += int(r.l_quantity)
         a[o + 1] += round(r.l_extendedprice * 100)
     got = {
@@ -6886,21 +6892,20 @@ def test_xyz_classification_matches_python(spark, sf_small):
             if isinstance(r.l_shipdate, datetime.datetime)
             else r.l_shipdate
         )
-        if sd.year == 1994:
+        if sd.year == 1996:
             monthly[(r.l_partkey, sd.month)] += int(r.l_quantity)
     per = defaultdict(list)
     for (part, _), q in monthly.items():
         per[part].append(q)
     want = Counter()
     for part, qs in per.items():
-        if len(qs) < 12:
-            want["Z"] += 1
-            continue
+        # r13: zero-demand months count as zeros in the CV (they add
+        # nothing to s/s2 but n stays 12) — no all-months-required gate
         s, s2 = sum(qs), sum(q * q for q in qs)
-        v144 = 144 * (12 * s2 - s * s)
-        if v144 <= 36 * s * s:
+        disp = 12 * s2 - s * s
+        if 4 * disp <= s * s:
             want["X"] += 1
-        elif v144 <= 144 * s * s:
+        elif disp <= s * s:
             want["Y"] += 1
         else:
             want["Z"] += 1
@@ -7193,17 +7198,25 @@ def test_sequence_inversions_matches_python(spark, sf_small):
     from report_worker_spark.plans.catalog import QUERIES
     from report_worker_spark.plans.tables import load
 
+    import hashlib
+
+    def seq_id(eid):
+        # r13 fault injection: md5-seeded ~3% of events report a
+        # stale sequence id (see the query's docstring)
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:2], 16)
+        return eid - 997 if h < 8 else eid
+
     by_user = defaultdict(list)
     for r in load(spark, sf_small, "events").select(
         "user_id", "ts", "event_id"
     ).collect():
-        by_user[r.user_id].append((r.ts, r.event_id))
+        by_user[r.user_id].append((r.ts, r.event_id, seq_id(r.event_id)))
     want = {}
     for u, evs in by_user.items():
-        evs.sort()
+        evs.sort(key=lambda e: (e[0], e[1]))
         steps = len(evs) - 1
         inv = sum(
-            1 for i in range(1, len(evs)) if evs[i][1] < evs[i - 1][1]
+            1 for i in range(1, len(evs)) if evs[i][2] < evs[i - 1][2]
         )
         if inv > 0:
             want[u] = (steps, inv, inv * 1000 // steps)
@@ -7782,7 +7795,7 @@ def test_abc_xyz_matrix_matches_python(spark, sf_small):
             if isinstance(r.l_shipdate, datetime.datetime)
             else r.l_shipdate
         )
-        if sd.year == 1994:
+        if sd.year == 1996:
             monthly[(r.l_partkey, sd.month)] += int(r.l_quantity)
     tot = sum(rev.values())
     abc = {}
@@ -7795,9 +7808,7 @@ def test_abc_xyz_matrix_matches_python(spark, sf_small):
         qs[pk].append(q)
     xyz = {}
     for pk, lst in qs.items():
-        if len(lst) < 12:
-            xyz[pk] = "Z"
-            continue
+        # r13: zero-inclusive CV, same as the standalone classifier
         s, s2 = sum(lst), sum(q * q for q in lst)
         d = 12 * s2 - s * s
         xyz[pk] = "X" if 4 * d <= s * s else "Y" if d <= s * s else "Z"
@@ -8010,9 +8021,9 @@ def test_price_decile_migration_matches_python(spark, sf_small):
             if isinstance(r.l_shipdate, datetime.datetime)
             else r.l_shipdate
         )
-        if sd.year == 1994:
+        if sd.year == 1995:
             rev[r.l_partkey][0] += round(r.l_extendedprice * 100)
-        elif sd.year == 1995:
+        elif sd.year == 1996:
             rev[r.l_partkey][1] += round(r.l_extendedprice * 100)
     both = {k: v for k, v in rev.items() if v[0] and v[1]}
 
@@ -8028,11 +8039,11 @@ def test_price_decile_migration_matches_python(spark, sf_small):
             i += size
         return out
 
-    d94 = ntile10(sorted(both, key=lambda k: (-both[k][0], k)))
-    d95 = ntile10(sorted(both, key=lambda k: (-both[k][1], k)))
-    want = Counter((d94[k], d95[k]) for k in both)
+    d_from = ntile10(sorted(both, key=lambda k: (-both[k][0], k)))
+    d_to = ntile10(sorted(both, key=lambda k: (-both[k][1], k)))
+    want = Counter((d_from[k], d_to[k]) for k in both)
     got = {
-        (r.d94, r.d95): (r.n_parts, r.shift)
+        (r.d_from, r.d_to): (r.n_parts, r.shift)
         for r in QUERIES["olap_price_decile_migration"](
             spark, sf_small
         ).collect()
@@ -8103,7 +8114,7 @@ def test_aov_quarterly_matches_python(spark, sf_small):
             if isinstance(r.o_orderdate, datetime.datetime)
             else r.o_orderdate
         )
-        if od.year in (1994, 1995):
+        if od.year in (1995, 1996):
             key = (od.year, (od.month + 2) // 3)
             per[key][0] += 1
             per[key][1] += round(r.o_totalprice * 100)
@@ -9183,20 +9194,32 @@ def test_cross_source_clusters_replica(spark, sf_small):
     from report_worker_spark.plans.catalog import QUERIES
     from report_worker_spark.plans.tables import load
 
-    docs = load(spark, sf_small, "documents").select(
-        "doc_id", "source", "text"
-    ).collect()
+    import hashlib
+
+    docs = [
+        (r.doc_id, r.source, r.text)
+        for r in load(spark, sf_small, "documents").select(
+            "doc_id", "source", "text"
+        ).collect()
+    ]
+    # r13 fault injection: md5-seeded ~5% of documents gain a
+    # 'syndicated' replica with a shifted id (see the query)
+    docs += [
+        (did + 10_000_000, "syndicated", text)
+        for did, _, text in docs
+        if int(hashlib.md5(str(did).encode()).hexdigest()[:2], 16) < 13
+    ]
     cl = defaultdict(list)
-    for r in docs:
-        cl[r.text].append(r)
+    for did, srcname, text in docs:
+        cl[text].append((did, srcname))
     sizes = defaultdict(lambda: [0, 0, []])
     for v in cl.values():
         if len(v) < 2:
             continue
         a = sizes[len(v)]
         a[0] += 1
-        a[1] += int(len({x.source for x in v}) > 1)
-        a[2].append(min(x.doc_id for x in v))
+        a[1] += int(len({s for _, s in v}) > 1)
+        a[2].append(min(d for d, _ in v))
     rows = {r.cluster_size: r for r in QUERIES[
         "dedup_cross_source_clusters"](spark, sf_small).collect()}
     assert set(rows) == set(sizes)
