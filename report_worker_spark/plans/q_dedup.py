@@ -1128,10 +1128,17 @@ def dedup_winnowing_fingerprints(
     least one shared fingerprint while storing ~2/(w+1) of the
     hashes — the storage-bounded alternative to the full exact-
     substring index (dedup_exact_substring). Pure higher-order array
-    expressions per document (transform/slice/array_min — no explode
-    of the window fan-out); the per-doc census here is the index-
-    build profile, and a fingerprint equi-join yields the candidate
-    pairs exactly like the substring family."""
+    expressions per document — the window fan-out rides ONE
+    arrays_zip of 4 shifted slices (the _window_hashes device,
+    replacing a form that re-sliced each window three times and paid
+    a reverse + array_position per window), and the whole census is
+    ZERO-shuffle (see the inline note). Wall time is dominated by
+    the engine-portable md5 over the 3-grams — the price of an
+    oracle whose fingerprint VALUES match cross-engine; a deployment
+    free of that constraint would swap in xxhash64 and keep the
+    identical plan. The per-doc census here is the index-build
+    profile, and a fingerprint equi-join yields the candidate pairs
+    exactly like the substring family."""
     d = load(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -1144,23 +1151,51 @@ def dedup_winnowing_fingerprints(
     grams = toks.select("doc_id", hs.alias("hs")).filter(
         F.size("hs") >= 4
     )
-    # per window i (0-based): min hash; rightmost tie via reversed
-    # list_position (both engines 1-based)
+    # per window (0-based): zip the 4 shifted slices so each window's
+    # hashes are materialized once; fp = least of the 4, rightmost tie
+    # by comparing from the window's end (the paper's robust rule)
     picks = F.expr(
-        "transform(sequence(0, size(hs) - 4), i -> struct("
-        " cast(i + 4 - array_position(reverse(slice(hs, i + 1, 4)),"
-        "   array_min(slice(hs, i + 1, 4))) as bigint) as pos,"
-        " array_min(slice(hs, i + 1, 4)) as fp))"
+        "transform("
+        " transform("
+        "  arrays_zip(slice(hs, 1, size(hs) - 3),"
+        "             slice(hs, 2, size(hs) - 3),"
+        "             slice(hs, 3, size(hs) - 3),"
+        "             slice(hs, 4, size(hs) - 3)),"
+        "  s -> struct(s['0'] as a, s['1'] as b, s['2'] as c,"
+        "              s['3'] as d,"
+        "              least(s['0'], s['1'], s['2'], s['3']) as fp)),"
+        " (s, i) -> struct("
+        "  cast(i + (case when s.d = s.fp then 3"
+        "                 when s.c = s.fp then 2"
+        "                 when s.b = s.fp then 1"
+        "                 else 0 end) as bigint) as pos,"
+        "  s.fp as fp))"
     )
-    sel = (
-        grams.select("doc_id", F.explode(picks).alias("p"))
-        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
-        .distinct()
-    )
-    return sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
-        F.min("fp").alias("min_fp"),
+    # the (pos, fp) dedup is PER DOCUMENT by construction (doc_id is
+    # in the key), so it needs no shuffle at all: array_distinct on
+    # the per-doc picks array replaces the old explode → corpus-wide
+    # DISTINCT → groupBy(countDistinct) chain (two wide shuffles of
+    # one row per 3-gram window) with a zero-shuffle map — identical
+    # output. Local wall barely moves (8.6 → 8.5 s at sf0.1: 7.2 s of
+    # it is the engine-portable md5 over ~5M grams, the oracle-parity
+    # cost, and the census stages were ~1.3 s), but at cluster scale
+    # this removes the plan's ONLY wide shuffles — one row per window
+    # twice over — leaving a pure scan-map. Per-doc arrays are
+    # bounded by document length, the same envelope every
+    # higher-order-array op in this family already rides.
+    # two-step projection on purpose: authoring the census as one
+    # select would inline the md5+zip `picks` expression into all
+    # three output columns (3× the hashing work — measured); binding
+    # it to an attribute first leaves only cheap array ops in the
+    # final projection (CollapseProject keeps non-cheap multi-
+    # referenced producers separate).
+    selected = grams.select("doc_id", F.array_distinct(picks).alias("_sel"))
+    fps = F.transform(F.col("_sel"), lambda s: s.fp)
+    return selected.select(
+        "doc_id",
+        F.size("_sel").cast("long").alias("n_fingerprints"),
+        F.size(F.array_distinct(fps)).cast("long").alias("n_distinct_fp"),
+        F.array_min(fps).alias("min_fp"),
     )
 
 
