@@ -197,6 +197,17 @@ def ngram_jaccard_pairs(
     cand = (
         a.join(b, on="_s")
         .filter(F.col("id_a") < F.col("id_b"))
+        # AllPairs LENGTH filter (exact, published with the prefix
+        # bound): J ≥ t forces t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|),
+        # so size-mismatched collisions are pruned BEFORE the
+        # dedup + verify joins ever see them. The epsilon keeps the
+        # float product from pruning a boundary-exact pair (same
+        # guard as the prefix-length ceil above). Cheapest right at
+        # the collision stream: scalar compare, no extra shuffle.
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
+        )
         .select("id_a", "sz_a", "id_b", "sz_b")
         .dropDuplicates(["id_a", "id_b"])
     )
