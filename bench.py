@@ -975,7 +975,11 @@ def run_shared_sweep() -> None:
                 t0 = time.perf_counter()
                 materialize(build(spark))
                 runs.append(time.perf_counter() - t0)
-                if sum(runs) > 12:
+                # never stop before a second run: a >12 s FIRST run is
+                # exactly where the cold codegen-cache penalty is
+                # largest, and recording it would skew the slowest
+                # entries the tier ranks (review finding r13)
+                if len(runs) >= 2 and sum(runs) > 12:
                     break
             # drop the first (cold codegen-cache) run when we have spares
             queries[name] = round(min(runs[1:] if len(runs) > 1 else runs), 3)
@@ -1025,14 +1029,19 @@ def main() -> None:
 
     def on_signal(signum, frame):  # noqa: ARG001
         # VERDICT_r12 item 1b: the driver's timeout must never again
-        # capture nothing. Kill the in-flight JVM tree, persist the
-        # detail file, print the one-line JSON with what completed.
+        # capture nothing. Kill the in-flight JVM tree, account every
+        # planned-but-unreached name as skipped (so n_run + n_fail +
+        # n_skipped still covers the full plan — review finding r13),
+        # persist the detail file, print the one-line JSON with what
+        # completed.
         popen = _ACTIVE_POPEN
         if popen is not None:
             try:
                 os.killpg(popen.pid, signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 popen.kill()
+        seen = set(timings) | set(skipped)
+        skipped.extend(n for n in names if n not in seen)
         print(_driver_line(emit(partial=True)), flush=True)
         os._exit(0)
 

@@ -1039,8 +1039,8 @@ def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distinct counts; deterministic per engine, not across engines.
-    Hash-tier twin: agg_approx_distinct_bounded_exact (below) pins the
-    SAME estimator in its provably-exact sparse regime."""
+    Hash-tier twin: agg_approx_distinct_error_bound (below) pins the
+    SAME estimator against exact counts within its advertised rsd."""
     e = load(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
@@ -1048,33 +1048,45 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "agg_approx_distinct_bounded_exact",
+    "agg_approx_distinct_error_bound",
     oracle="""
     SELECT event_type,
-           CAST(count(DISTINCT user_id % 512) AS BIGINT) AS n_buckets
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS est_within_3rsd
     FROM events GROUP BY event_type
     """,
 )
-def agg_approx_distinct_bounded_exact(
+def agg_approx_distinct_error_bound(
     spark: SparkSession, sf: str
 ) -> DataFrame:
-    """Hash-tier twin of `agg_approx_distinct` (VERDICT_r12 item 8,
-    same device as agg_hll_merge_algebra): Spark's HyperLogLog++ at
-    rsd=0.02 stores small cardinalities in a SPARSE encoding that is
-    exact — measured exact through 512 distinct values and first
-    deviating near ~700 on this build — so over a domain bounded to
-    512 by construction (user_id % 512) the approximate count must
-    EQUAL DuckDB's exact COUNT(DISTINCT) at EVERY scale factor: the
-    bound is in the expression, not the data, so sf1/sf100 can't
-    outgrow it. The hash match therefore value-pins the estimator's
-    exact regime cross-engine, while `agg_approx_distinct` itself
-    (unbounded domain, estimate regime) stays the honest rows-tier
-    scale path."""
+    """Hash-tier twin of `agg_approx_distinct` (VERDICT_r12 item 8):
+    runs the SAME HyperLogLog++ estimator (rsd=0.02) side by side with
+    the exact distinct count and hash-pins (a) the exact counts
+    cross-engine and (b) that the estimate lands within 3·rsd of
+    exact for every group — the estimator's advertised accuracy
+    contract, which is the property a deployment actually relies on.
+
+    Deliberately NOT an exactness pin: a first r13 version bounded the
+    domain (user_id % 512) and claimed the estimate must EQUAL exact
+    there, but Spark's HLL++ has no sparse-exact regime — a ~300-value
+    subset of a 512 domain estimates 303 on this build (review
+    finding, reproduced) — the fixture's prefix-shaped residue sets
+    just happened to round exactly. Estimates themselves stay OUT of
+    the hashed output (engine-specific); what's hashed is exact counts
+    plus the tolerance verdict, both engine-portable at any scale
+    factor."""
     e = load(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct(F.col("user_id") % 512, rsd=0.02)
-        .cast("long")
-        .alias("n_buckets")
+    per = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_est"),
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+    )
+    err = F.abs(F.col("_est") - F.col("n_users_exact")).cast("double")
+    return per.select(
+        "event_type",
+        "n_users_exact",
+        (err <= 3 * 0.02 * F.col("n_users_exact")).alias(
+            "est_within_3rsd"
+        ),
     )
 
 

@@ -170,6 +170,16 @@ def _shared_rows() -> dict[str, float]:
     if not path.exists():
         return {}
     data = json.loads(path.read_text())
+    if data.get("sf") != 0.1:
+        # the shared tier is DOCUMENTED as sf0.1; silently ingesting a
+        # sweep run at another scale factor would record timing
+        # coverage that doesn't exist at the documented tier
+        print(
+            f"gen_validation: ignoring BENCH_SHARED.json at sf="
+            f"{data.get('sf')!r} (shared tier is sf0.1)",
+            file=sys.stderr,
+        )
+        return {}
     return {
         name: round(float(sec), 3)
         for name, sec in (data.get("queries") or {}).items()

@@ -746,9 +746,13 @@ def main() -> None:
 
     from report_worker_spark.functions.timeseries import dtw_distance
 
-    # winnowing: per-doc higher-order array exprs (transform/slice/
-    # array_min — no window explode), one (pos, fp) distinct + groupBy;
-    # linear in token volume like the substring family
+    # winnowing: the r13 ZERO-SHUFFLE census, mirroring the catalog
+    # query's CURRENT plan (the stress replica previously timed the
+    # pre-r13 explode → corpus-wide DISTINCT → countDistinct form;
+    # review finding): one arrays_zip of 4 shifted slices, scalar
+    # rightmost-argmin, per-doc array_distinct — no exchange at all.
+    # Wall is md5-bound (the engine-portable fingerprint cost);
+    # per-doc arrays bounded by document length.
     wtoks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)
@@ -761,21 +765,32 @@ def main() -> None:
         F.size("hs") >= 4
     )
     wpicks = F.expr(
-        "transform(sequence(0, size(hs) - 4), i -> struct("
-        " cast(i + 4 - array_position(reverse(slice(hs, i + 1, 4)),"
-        "   array_min(slice(hs, i + 1, 4))) as bigint) as pos,"
-        " array_min(slice(hs, i + 1, 4)) as fp))"
+        "transform("
+        " transform("
+        "  arrays_zip(slice(hs, 1, size(hs) - 3),"
+        "             slice(hs, 2, size(hs) - 3),"
+        "             slice(hs, 3, size(hs) - 3),"
+        "             slice(hs, 4, size(hs) - 3)),"
+        "  s -> struct(s['0'] as a, s['1'] as b, s['2'] as c,"
+        "              s['3'] as d,"
+        "              least(s['0'], s['1'], s['2'], s['3']) as fp)),"
+        " (s, i) -> struct("
+        "  cast(i + (case when s.d = s.fp then 3"
+        "                 when s.c = s.fp then 2"
+        "                 when s.b = s.fp then 1"
+        "                 else 0 end) as bigint) as pos,"
+        "  s.fp as fp))"
     )
-    wsel = (
-        wgrams.select("doc_id", F.explode(wpicks).alias("p"))
-        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
-        .distinct()
-    )
+    wsel = wgrams.select("doc_id", F.array_distinct(wpicks).alias("_sel"))
+    wfps = F.transform(F.col("_sel"), lambda s: s.fp)
     timings["dedup_winnowing_fingerprints"] = timed(
-        wsel.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.countDistinct("fp").alias("n_distinct_fp"),
-            F.min("fp").alias("min_fp"),
+        wsel.select(
+            "doc_id",
+            F.size("_sel").cast("long").alias("n_fingerprints"),
+            F.size(F.array_distinct(wfps)).cast("long").alias(
+                "n_distinct_fp"
+            ),
+            F.array_min(wfps).alias("min_fp"),
         )
     )
     # threshold yield curve: the PPJoin pair stream at the LOWEST

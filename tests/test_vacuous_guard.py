@@ -81,7 +81,8 @@ def test_spc_rules_fire_on_injected_faults(spark, sf_oracle):
     # both fault polarities must be caught: the ×4 up-spikes sit on
     # days ≡ 7 (mod 11), the ÷4 down-spikes on days ≡ 9 (mod 13)
     days = {r["day"] for r in rows if r["rule1"]}
-    assert any(d % 11 == 7 for d in days)
+    assert any(d % 11 == 7 for d in days), "up-spike days unflagged"
+    assert any(d % 13 == 9 for d in days), "down-spike days unflagged"
 
 
 def test_cosine_near_dup_finds_planted_clones(spark, sf_oracle):
