@@ -242,6 +242,104 @@ def stream_dedup(
     )
 
 
+def stream_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_band_matches: int = 4,
+    watermark: str = "1 hour",
+    agg_window: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup — MinHash-LSH over a document
+    stream with watermark-bounded state: the streaming counterpart of
+    ``functions.dedup.minhash_lsh_pairs``, for pipelines that must
+    reject syndicated/boilerplate copies at INGEST time instead of in
+    a nightly batch.
+
+    Per-document MinHash signatures are pure per-row expressions (the
+    batch path's explode + groupBy(min) would be an unbounded streaming
+    aggregation; here each permutation is
+    ``array_min(transform(shingle_hashes, b -> xxhash64(i, b)))`` —
+    same statistically-independent re-hash family, zero state), banded
+    exactly like the batch op. Each document then posts one row per
+    band into ``dropDuplicatesWithinWatermark`` keyed on
+    (band, bucket): the FIRST document to post a bucket within the
+    watermark owns it; later documents lose that band. A document is
+    emitted as kept iff FEWER than ``min_band_matches`` of its bands
+    were already owned — band-majority evidence, the streaming stand-in
+    for the batch path's exact-Jaccard verification (which would need
+    the earlier doc's shingles, i.e. unbounded state). With 64/16
+    banding, P(single band match) = j⁴: a true near-dup at j ≥ 0.8
+    matches ≈ 6.6 of 16 bands in expectation while an unrelated doc
+    matches ~0 (64-bit buckets), so the default threshold 4 separates
+    cleanly; tune it toward 1 for recall or 8+ for precision.
+
+    Returns the DEDUPED stream: (window, ``id_col``,
+    n_bands_retained) for every kept document, emitted in append mode
+    once the watermark closes its window; a suppressed document is
+    simply ABSENT (a fully-cloned doc loses all 16 buckets and never
+    reaches the count — emitting a kept=false row for it would
+    require unbounded did-I-see-this-doc state).
+
+    In-batch tie behavior: when a near-dup cohort lands in ONE
+    microbatch, each bucket keeps exactly one (arbitrary) owner, so
+    ownership can SPLIT across the cohort and every member may fail
+    the majority test — the conservative outcome (a family collapses
+    to ≤1 survivor, possibly 0 within a single batch). Pipelines that
+    must keep exactly one representative per family run the batch
+    `dedup_canonical` over the kept stream's compaction instead. Two chained stateful
+    operators (dedup → windowed count), the multi-stateful-operator
+    shape Structured Streaming supports from Spark 3.5. State is
+    O(buckets per watermark) + O(docs per window): both
+    watermark-evicted, nothing grows with stream lifetime. 100 TB
+    shape: the only shuffle is by (band, bucket) — ``bands`` rows per
+    doc, no pair materialization, no driver state."""
+    from ..functions.dedup import word_shingles
+
+    rows = num_hashes // bands
+    base = F.transform(
+        word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+    )
+    d = ensure_event_time(docs, ts_col).select(
+        F.col(id_col), F.col(ts_col), base.alias("_b")
+    )
+    mh = [
+        F.array_min(
+            F.transform("_b", lambda b, i=i: F.xxhash64(F.lit(i), b))
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = d.select(id_col, ts_col, *mh)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"_mh{bi * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    posted = sig.select(
+        id_col, ts_col, F.explode(F.array(*band_cols)).alias("_p")
+    ).select(
+        id_col, ts_col, F.col("_p.band").alias("band"),
+        F.col("_p.bucket").alias("bucket"),
+    )
+    owned = posted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bucket"]
+    )
+    counted = owned.groupBy(
+        F.window(ts_col, agg_window).alias("window"), F.col(id_col)
+    ).agg(F.count(F.lit(1)).cast("int").alias("n_bands_retained"))
+    return counted.filter(
+        F.col("n_bands_retained") > F.lit(bands - min_band_matches)
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

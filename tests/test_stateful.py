@@ -344,3 +344,93 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert len(expect) > 0
     assert got == expect
+
+
+def test_stream_near_dedup_drops_clones_keeps_distinct(spark, tmp_path):
+    """Streaming MinHash-LSH near-dedup (r13): documents arriving
+    AFTER an identical/near-identical doc lose their LSH band buckets
+    and are SUPPRESSED from the deduped output; originals and genuinely
+    distinct docs keep (nearly) all bands and pass through. Exact
+    clones are used for the drop assertion so the verdict is
+    deterministic (J=1 → every band stolen). Batches are forced file-at-a-time so arrival order is
+    original → clone, and two far-future sentinel files advance the
+    append-mode watermark past the corpus windows so the chained
+    windowed count actually emits."""
+    import time as _time
+
+    from report_worker_spark.streaming.stateful import stream_near_dedup
+
+    src = str(tmp_path / "near_src")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def _mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu"
+    ).split()
+
+    import hashlib
+
+    def text(seed):
+        # md5-seeded word choice per position: distinct seeds give
+        # near-disjoint shingle SETS (a first draft used cyclic shifts
+        # of one word ring — every doc had the IDENTICAL 26-gram set
+        # and the whole corpus was one giant near-dup family)
+        return " ".join(
+            words[
+                int(
+                    hashlib.md5(f"{seed}-{j}".encode()).hexdigest()[:4],
+                    16,
+                )
+                % len(words)
+            ]
+            for j in range(30)
+        )
+
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-01-01 00:10:00"
+    import datetime
+
+    ts0 = datetime.datetime.fromisoformat(t0)
+    ts1 = datetime.datetime.fromisoformat(t1)
+    originals = [(i, ts0, text(i)) for i in range(20)]
+    clones = [(100 + i, ts1, text(i)) for i in range(8)]  # exact dups
+    fresh = [(200 + i, ts1, text(1000 + 7 * i)) for i in range(8)]
+    sent1 = [(901, ts0 + datetime.timedelta(days=40), "sentinel one")]
+    sent2 = [(902, ts0 + datetime.timedelta(days=80), "sentinel two")]
+
+    for batch in (originals, clones + fresh, sent1, sent2):
+        _mk(batch).write.mode("append").parquet(src)
+        _time.sleep(1.2)  # distinct mod-times → deterministic order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_near_dedup(
+        stream, watermark="7 days", agg_window="1 day"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r.n_bands_retained
+        for r in spark.sql(
+            "SELECT doc_id, n_bands_retained FROM near_dedup_out"
+        ).collect()
+    }
+    for i in range(20):  # originals own every bucket and are kept
+        assert got.get(i) == 16, (i, got.get(i))
+    for i in range(8):  # exact clones lose every band → suppressed
+        assert (100 + i) not in got, (100 + i, got.get(100 + i))
+    for i in range(8):  # distinct late arrivals keep their buckets
+        assert got.get(200 + i, 0) >= 13, (200 + i, got.get(200 + i))
