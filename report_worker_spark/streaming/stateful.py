@@ -313,13 +313,25 @@ def stream_near_dedup(
         ).alias(f"_mh{i}")
         for i in range(num_hashes)
     ]
-    sig = d.select(id_col, ts_col, *mh)
+    sig = d.select(id_col, ts_col, F.size("_b").alias("_nsh"), *mh)
+    # Shingle-less docs (< n words) have NULL minhashes; without the
+    # guard every such doc would hash to the SAME (band, bucket)
+    # constants and all short docs after the first would be silently
+    # suppressed. The batch path (minhash_lsh_pairs) never pairs
+    # shingle-less docs, so the streaming semantics must keep them:
+    # salt their buckets with the doc id so each short doc owns its
+    # own private buckets and always passes the band-majority test.
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col(f"_mh{bi * rows + r}") for r in range(rows)]
-            ).alias("bucket"),
+            F.when(
+                F.col("_nsh") > 0,
+                F.xxhash64(
+                    *[F.col(f"_mh{bi * rows + r}") for r in range(rows)]
+                ),
+            )
+            .otherwise(F.xxhash64(F.lit(-1 - bi), F.col(id_col)))
+            .alias("bucket"),
         )
         for bi in range(bands)
     ]

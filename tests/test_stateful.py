@@ -399,10 +399,16 @@ def test_stream_near_dedup_drops_clones_keeps_distinct(spark, tmp_path):
     originals = [(i, ts0, text(i)) for i in range(20)]
     clones = [(100 + i, ts1, text(i)) for i in range(8)]  # exact dups
     fresh = [(200 + i, ts1, text(1000 + 7 * i)) for i in range(8)]
+    # shingle-less docs (< n words): the LSH math yields NULL
+    # signatures for these; pre-r14 they all collided on constant
+    # buckets and every short doc after the first was dropped. They
+    # must ALL be kept (batch semantics: no shingles → never paired).
+    shorts = [(300, ts0, "tiny doc"), (301, ts1, "two words"),
+              (302, ts1, "tiny doc")]
     sent1 = [(901, ts0 + datetime.timedelta(days=40), "sentinel one")]
     sent2 = [(902, ts0 + datetime.timedelta(days=80), "sentinel two")]
 
-    for batch in (originals, clones + fresh, sent1, sent2):
+    for batch in (originals, clones + fresh + shorts, sent1, sent2):
         _mk(batch).write.mode("append").parquet(src)
         _time.sleep(1.2)  # distinct mod-times → deterministic order
 
@@ -434,3 +440,7 @@ def test_stream_near_dedup_drops_clones_keeps_distinct(spark, tmp_path):
         assert (100 + i) not in got, (100 + i, got.get(100 + i))
     for i in range(8):  # distinct late arrivals keep their buckets
         assert got.get(200 + i, 0) >= 13, (200 + i, got.get(200 + i))
+    for i in (300, 301, 302):  # shingle-less docs always kept —
+        # even textually identical shorts (300 vs 302): with no
+        # shingles there is no LSH evidence, so none is suppressed
+        assert got.get(i) == 16, (i, got.get(i))
