@@ -1457,4 +1457,146 @@ def dedup_cross_source_clusters(
     )
 
 
+def _band_majority_oracle(
+    num_hashes: int = 16, bands: int = 4, min_band_matches: int = 2
+) -> str:
+    rows = num_hashes // bands
+    mh_aggs = ",\n             ".join(
+        f"min(CAST(concat('0x', substr(md5('{i}:' || sh), 1, 12))"
+        f" AS BIGINT)) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat("
+        + ", ':', ".join(f"mh{bi * rows + r}" for r in range(rows))
+        + ") AS bucket FROM per"
+        for bi in range(bands)
+    )
+    keep = bands - min_band_matches
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    per AS (
+      SELECT doc_id,
+             {mh_aggs}
+      FROM shd GROUP BY doc_id
+    ),
+    bandrows AS (
+      {band_rows}
+    ),
+    owned AS (
+      SELECT doc_id, band,
+             min(doc_id) OVER (PARTITION BY band, bucket) AS owner
+      FROM bandrows
+    ),
+    cnt AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE owner = doc_id) AS n_owned
+      FROM owned GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.n_owned, {bands}) AS INT) AS n_bands_owned,
+           coalesce(c.n_owned, {bands}) > {keep} AS kept
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+@query("dedup_stream_band_majority", oracle=_band_majority_oracle())
+def dedup_stream_band_majority(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch ORACLE TWIN of the streaming near-dedup verdict math
+    (streaming/stateful.py ``stream_near_dedup``): per-doc MinHash
+    signatures → banded buckets → first-arrival bucket ownership →
+    band-majority keep/suppress. The streaming op posts each doc's
+    bands into ``dropDuplicatesWithinWatermark`` where the FIRST
+    arrival owns the (band, bucket) key; here arrival order is doc_id
+    (documents carry no event time) and ownership is ``min(doc_id)``
+    over the same key — the identical verdict function, hash-checked
+    against DuckDB instead of pytest-only (VERDICT r13 item 5). The
+    md5 permutation family stands in for the streaming op's xxhash64
+    (not expressible in ANSI SQL); banding math, bucket keying, the
+    shingle-less-doc bypass (no shingles → doc owns all its bands and
+    is always kept — the ADVICE r13 short-doc fix), and the
+    band-majority threshold are identical.
+
+    100 TB shape: one groupBy(doc_id) for signatures, one window over
+    (band, bucket) for ownership (equi-shuffle, bands rows/doc), one
+    groupBy(doc_id) for the count — no pair materialization."""
+    num_hashes, bands, min_band_matches = 16, 4, 2
+    rows = num_hashes // bands
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    mh_aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    per = sh.groupBy("doc_id").agg(*mh_aggs)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{bi * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    bandrows = per.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_p")
+    ).select("doc_id", "_p.band", "_p.bucket")
+    w = Window.partitionBy("band", "bucket")
+    cnt = (
+        bandrows.withColumn("owner", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_owned")
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_owned"), F.lit(bands))
+            .cast("int")
+            .alias("n_bands_owned"),
+            (
+                F.coalesce(F.col("n_owned"), F.lit(bands))
+                > F.lit(bands - min_band_matches)
+            ).alias("kept"),
+        )
+    )
+
+
 __all__ = sorted(n for n in dir() if not n.startswith("__"))
