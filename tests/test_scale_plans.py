@@ -1328,3 +1328,14 @@ def test_nb_classifier_plan_shape(spark, sf_oracle):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_topk_similar_users_no_all_pairs_day_join(spark, sf_oracle):
+    """VERDICT r13 item 2: the old formulation self-joined profiles on
+    `day` alone — every user paired with every other user on each grid
+    day (O(U²·D) shuffle tuples). The blocked rework must generate
+    candidates via the (tbl, bkt) LSH equi-join and never join on the
+    bare day key."""
+    plan = plan_of(QUERIES["ts_topk_similar_users"](spark, sf_oracle))
+    assert "Left keys [1]: [day" not in plan  # the U²·D shape
+    assert "tbl" in plan and "bkt" in plan  # LSH candidate equi-join
