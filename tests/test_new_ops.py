@@ -10175,3 +10175,76 @@ def test_dtw_distance_rejects_wrap_prone_magnitudes():
         dtw_distance([-(2**63)], [0])
     with pytest.raises(ValueError, match="2\\*\\*62"):
         dtw_distance([0], [-(2**63)])
+
+
+def _within1(a: str, b: str) -> bool:
+    """Exact edit-distance-<=1 predicate (O(n) two-pointer)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = used = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            if used:
+                return False
+            used = 1
+            j += 1
+    return True
+
+
+def test_deletion_neighborhood_complete_vs_brute_force(spark, sf_oracle):
+    """VERDICT r13 item 3 acceptance: brute-force equality at sf0.01 —
+    the deletion-neighborhood blocking must find EVERY edit-distance-<=1
+    pair (the old mod-40 key missed cross-block pairs by construction).
+    Runs on the catalog query's %4 customer sample plus a synthetic set
+    exercising the insertion/deletion paths TPC-H's fixed-width names
+    never hit."""
+    from report_worker_spark.operators import deletion_neighborhood_pairs
+
+    c = (
+        spark.read.parquet(f"{sf_oracle}/customer.parquet")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_name")
+    )
+    names = c.collect()
+    want = {
+        (x.c_custkey, y.c_custkey)
+        for x in names
+        for y in names
+        if x.c_custkey < y.c_custkey and _within1(x.c_name, y.c_name)
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in deletion_neighborhood_pairs(
+            c, "c_custkey", "c_name"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous on the fixture
+
+    syn = [
+        (1, "kitten"), (2, "kitte"), (3, "kittens"), (4, "mitten"),
+        (5, "sitting"), (6, "kit"), (7, ""), (8, "a"), (9, "b"),
+        (10, "ab"), (11, "kitten"),
+    ]
+    sdf = spark.createDataFrame(syn, ["id", "name"])
+    got_s = {
+        (r.id_a, r.id_b)
+        for r in deletion_neighborhood_pairs(sdf, "id", "name").collect()
+    }
+    want_s = {
+        (i, j)
+        for i, a in syn
+        for j, b in syn
+        if i < j and _within1(a, b)
+    }
+    assert got_s == want_s
