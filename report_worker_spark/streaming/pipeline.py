@@ -34,9 +34,17 @@ def resolve_v1_names(v1: DataFrame, players: DataFrame) -> DataFrame:
     v1 = v1.withColumn("_reporter_clean", transforms.sanitize_name("reporter"))
     v1 = v1.withColumn("_reported_clean", transforms.sanitize_name("reported"))
 
+    # distinct() BEFORE get-or-insert: the raw name column is
+    # batch-sized (2 names × every message) while the distinct name
+    # set is dim-sized. Resolving the pre-deduped set means the
+    # get-or-insert's anti-join, id assignment, and resolve join all
+    # run on dim-sized input — one batch-sized shuffle here instead of
+    # three (internal dedup + batch-sized resolve join + the
+    # dropDuplicates that used to re-shuffle the resolve output).
     both = (
         v1.select(F.col("_reporter_clean").alias("name"))
         .unionByName(v1.select(F.col("_reported_clean").alias("name")))
+        .distinct()
     )
     resolved_names, _new = star.get_or_insert_dim(both, players)
     lookup = resolved_names.dropDuplicates(["name"]).select("name", "id")
