@@ -1052,7 +1052,7 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-           TRUE AS est_within_3rsd
+           TRUE AS est_within_bound
     FROM events GROUP BY event_type
     """,
 )
@@ -1062,9 +1062,13 @@ def agg_approx_distinct_error_bound(
     """Hash-tier twin of `agg_approx_distinct` (VERDICT_r12 item 8):
     runs the SAME HyperLogLog++ estimator (rsd=0.02) side by side with
     the exact distinct count and hash-pins (a) the exact counts
-    cross-engine and (b) that the estimate lands within 3·rsd of
-    exact for every group — the estimator's advertised accuracy
-    contract, which is the property a deployment actually relies on.
+    cross-engine and (b) that the estimate lands within 5·rsd of
+    exact plus a small absolute floor for every group. The 3·rsd
+    bound a first draft used is only ~99.7% per group under the HLL++
+    error model — a legitimate estimator outlier on ANY group would
+    flip the hashed boolean with no actual bug (ADVICE r13); 5·rsd + 8
+    keeps the contract meaningful (a broken estimator still trips it)
+    while making a fixture-driven false alarm essentially impossible.
 
     Deliberately NOT an exactness pin: a first r13 version bounded the
     domain (user_id % 512) and claimed the estimate must EQUAL exact
@@ -1084,8 +1088,8 @@ def agg_approx_distinct_error_bound(
     return per.select(
         "event_type",
         "n_users_exact",
-        (err <= 3 * 0.02 * F.col("n_users_exact")).alias(
-            "est_within_3rsd"
+        (err <= 5 * 0.02 * F.col("n_users_exact") + 8).alias(
+            "est_within_bound"
         ),
     )
 
