@@ -39,6 +39,49 @@ def exact_dedup_groups(
     )
 
 
+def cross_source_cluster_profile(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CROSS-SOURCE DUPLICATE CLUSTERS — of the exact-dup clusters at
+    each size, how many span MULTIPLE sources? Within-source dups are
+    usually crawler artifacts (safe to collapse); cross-source dups
+    are syndicated/boilerplate content whose 'source diversity' is
+    illusory — exactly the clusters that inflate mixing weights if
+    counted per source. One md5-groupBy + one size-bounded rollup,
+    all exact BIGINTs.
+
+    CLEAN detector (no fixture fault injection — ADVICE r13: the
+    harness-only syndication injection lives in plans/_qshared
+    `_syndicated_documents`, composed explicitly by the catalog
+    entry)."""
+    cl = (
+        corpus.groupBy(F.md5(text_col).alias("th"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(source_col).alias("n_sources"),
+            F.min(id_col).alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.round(
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("cross_source_share"),
+        F.min("canonical_doc").cast("long").alias("sample_canonical"),
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep exactly one (min-id) row per distinct text."""
     keep = exact_dedup_groups(df, id_col, text_col).select(

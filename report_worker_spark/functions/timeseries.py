@@ -177,6 +177,70 @@ def topk_similar_series_blocked(
     )
 
 
+def western_electric_violations(
+    z: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """WESTERN ELECTRIC control-chart rules over per-key daily series:
+    R1 point beyond 3σ; R2 ≥2-of-3 beyond 2σ same side; R3 ≥4-of-5
+    beyond 1σ same side; R4 8 consecutive same side — emitting only
+    violating days. Input frame: (key_col, day, n, mu, sigma) where
+    (mu, sigma) are the control limits (typically population moments
+    of the in-control baseline). Zone indicators are integer flags,
+    the of-N counts are bounded ROWS windows per key — the streaming
+    SPC shape: per-key ordered scan, no global state.
+
+    CLEAN detector (no fixture fault injection — ADVICE r13: the
+    harness-only spike injection lives in plans/_qshared
+    `_inject_spc_spikes`, composed explicitly by the catalog entry)."""
+    up = lambda k: F.when(  # noqa: E731
+        F.col("n") > F.col("mu") + k * F.col("sigma"), 1
+    ).otherwise(0)
+    dn = lambda k: F.when(  # noqa: E731
+        F.col("n") < F.col("mu") - k * F.col("sigma"), 1
+    ).otherwise(0)
+    flags = z.select(
+        key_col,
+        "day",
+        "n",
+        (up(3) + dn(3)).alias("beyond3"),
+        up(2).alias("up2"),
+        dn(2).alias("dn2"),
+        up(1).alias("up1"),
+        dn(1).alias("dn1"),
+        F.when(F.col("n") > F.col("mu"), 1).otherwise(0).alias("up0"),
+        F.when(F.col("n") < F.col("mu"), 1).otherwise(0).alias("dn0"),
+    )
+
+    def win(k):
+        return (
+            Window.partitionBy(key_col)
+            .orderBy("day")
+            .rowsBetween(-(k - 1), 0)
+        )
+
+    rules = flags.select(
+        key_col,
+        F.col("day").cast("int").alias("day"),
+        "n",
+        (F.col("beyond3") == 1).alias("rule1"),
+        (
+            (F.sum("up2").over(win(3)) >= 2)
+            | (F.sum("dn2").over(win(3)) >= 2)
+        ).alias("rule2"),
+        (
+            (F.sum("up1").over(win(5)) >= 4)
+            | (F.sum("dn1").over(win(5)) >= 4)
+        ).alias("rule3"),
+        (
+            (F.sum("up0").over(win(8)) == 8)
+            | (F.sum("dn0").over(win(8)) == 8)
+        ).alias("rule4"),
+    )
+    return rules.filter(
+        F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")
+    )
+
+
 def dtw_distance(va, vb, band: int | None = None) -> int:
     """Exact integer DTW distance between two int series, DP vectorized
     along anti-diagonals (no per-cell Python — VERDICT r9 #6), with an

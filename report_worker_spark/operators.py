@@ -274,6 +274,50 @@ def blocked_levenshtein_pairs(
     )
 
 
+def sequence_inversions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """EVENT-SEQUENCE INTEGRITY detector: per key, count consecutive
+    (event-time-ordered) steps where the producer's sequence id goes
+    BACKWARD — id/time inversions mean clock skew, replays, or an
+    out-of-order producer, and they silently corrupt every
+    sessionization and attribution op downstream. Returns only
+    offending keys with (n_steps, n_inversions, inversion_milli) —
+    the worklist, not the corpus.
+
+    This is the CLEAN detector (no fixture fault injection — ADVICE
+    r13: harness-only augmentation lives in plans/_qshared
+    `_events_with_stale_seq`, which the catalog entry composes
+    explicitly). One per-key ordered window — the streaming-integrity
+    check shape; scale is a single shuffle on ``key_col``."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = df.select(
+        key_col,
+        seq_col,
+        F.lag(seq_col).over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNotNull())
+    inv = F.when(F.col(seq_col) < F.col("_prev"), 1).otherwise(0)
+    return (
+        seq.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum(inv).cast("long").alias("n_inversions"),
+        )
+        .filter(F.col("n_inversions") > 0)
+        .select(
+            key_col,
+            "n_steps",
+            "n_inversions",
+            F.expr("n_inversions * 1000 div n_steps")
+            .cast("long")
+            .alias("inversion_milli"),
+        )
+    )
+
+
 def deletion_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

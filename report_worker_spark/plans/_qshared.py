@@ -214,6 +214,103 @@ _AUG_SQL = """
 
 
 
+# ---------------------------------------------------------------------------
+# Deterministic fault-injection fixtures (ADVICE r13): the catalog's
+# integrity DETECTORS (sequence inversions, SPC rules, cross-source
+# cluster audit, cosine near-dup) need provably non-empty input at
+# every SF, but the injection must NOT live inside the detector query
+# bodies — anyone reusing those as real audits would count synthetic
+# faults as findings. These helpers are the explicit augmentation
+# layer (the `_augmented_embeddings` pattern): a catalog entry
+# composes `detector(inject(fixture))`; the detector functions stay
+# clean for non-harness use.
+# ---------------------------------------------------------------------------
+
+
+def _events_with_stale_seq(spark: SparkSession, sf: str) -> DataFrame:
+    """Events + an injected `seq_id`: a seeded ~3% of events (first
+    md5 byte of the event id < 8 — engine-portable, no RNG) report a
+    stale sequence id (event_id − 997), simulating a replaying
+    producer. Twin SQL: :data:`_STALE_SEQ_SQL`."""
+    e = load(spark, sf, "events")
+    stale = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(stale, F.col("event_id") - 997)
+        .otherwise(F.col("event_id"))
+        .alias("seq_id"),
+    )
+
+
+_STALE_SEQ_SQL = """
+    faulted AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(('0x' || substr(
+                    md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) < 8
+                  THEN event_id - 997 ELSE event_id END AS seq_id
+      FROM events
+    )"""
+
+
+def _inject_spc_spikes(df: DataFrame) -> DataFrame:
+    """Seeded synthetic SPC excursions on a (day, n) daily series:
+    ×4 up-spikes on days ≡ 7 mod 11, ÷4 down-spikes on days ≡ 9
+    mod 13 — the monitored stream carries the faults while control
+    limits come from the unfaulted baseline. Twin SQL: the CASE in
+    q_timeseries's `ts_spc_western_electric` oracle."""
+    faulted = (
+        F.when(F.col("day") % 11 == 7, F.col("n") * 4)
+        .when(F.col("day") % 13 == 9, F.expr("n div 4"))
+        .otherwise(F.col("n"))
+    )
+    return df.withColumn("n", faulted)
+
+
+def _syndicated_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents ∪ deterministic syndication clones: a seeded ~5% of
+    documents (first md5 byte of the doc id < 13) are replicated
+    under a 'syndicated' source with shifted ids — the cross-source
+    duplicate population the cluster audit exists to find (the
+    documents fixture has ZERO exact-dup texts at sf0.01).
+    Twin SQL: :data:`_SYNDICATED_SQL`."""
+    d = load(spark, sf, "documents")
+    synd = d.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        < 13
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit("syndicated").alias("source"),
+        "text",
+    )
+    return d.select("doc_id", "source", "text").unionByName(synd)
+
+
+_SYNDICATED_SQL = """
+    synd AS (
+      SELECT doc_id + 10000000 AS doc_id, 'syndicated' AS source, text
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                 AS INT) < 13
+    ),
+    corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id, source, text FROM synd
+    )"""
+
+
 _LSHR_PLANES = sim.md5_planes(n_tables=6, n_planes=6, dim=64, tag="lshr")
 
 

@@ -861,14 +861,8 @@ def audit_join_fanout_forecast(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "audit_sequence_inversions",
-    oracle="""
-    WITH faulted AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN CAST(('0x' || substr(
-                    md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) < 8
-                  THEN event_id - 997 ELSE event_id END AS seq_id
-      FROM events
-    ),
+    oracle=f"""
+    WITH {_STALE_SEQ_SQL},
     seq AS (
       SELECT user_id, seq_id,
              lag(seq_id) OVER (PARTITION BY user_id
@@ -903,49 +897,17 @@ def audit_sequence_inversions(spark: SparkSession, sf: str) -> DataFrame:
     a replaying producer, and the audit must recover exactly those
     users and counts. The oracle applies the identical injection, so
     the hash match now proves the window + inversion logic, not the
-    schema. Reports only offending users (with exact inversion
-    counts and milli-rates), so the output is the worklist, not the
-    corpus. One per-key ordered window — the streaming-integrity
-    check shape."""
-    e = load(spark, sf, "events")
-    stale = (
-        F.conv(
-            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
-            16,
-            10,
-        ).cast("int")
-        < 8
-    )
-    faulted = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(stale, F.col("event_id") - 997)
-        .otherwise(F.col("event_id"))
-        .alias("seq_id"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = faulted.select(
-        "user_id",
-        "seq_id",
-        F.lag("seq_id").over(w).alias("prev_id"),
-    ).filter(F.col("prev_id").isNotNull())
-    inv = F.when(F.col("seq_id") < F.col("prev_id"), 1).otherwise(0)
-    return (
-        seq.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_steps"),
-            F.sum(inv).cast("long").alias("n_inversions"),
-        )
-        .filter(F.col("n_inversions") > 0)
-        .select(
-            "user_id",
-            "n_steps",
-            "n_inversions",
-            F.expr("n_inversions * 1000 div n_steps")
-            .cast("long")
-            .alias("inversion_milli"),
-        )
+    schema. Composition is explicit (ADVICE r13): the fault injection
+    lives in the fixture layer (`_events_with_stale_seq`), the
+    detector (`operators.sequence_inversions`) is clean for real
+    audits."""
+    from ..operators import sequence_inversions
+
+    return sequence_inversions(
+        _events_with_stale_seq(spark, sf),
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        seq_col="seq_id",
     )
 
 

@@ -1417,43 +1417,12 @@ def dedup_cross_source_clusters(
     simulating the content-syndication duplicates this audit exists to
     find; the oracle applies the identical injection, so the hash
     match proves the clustering + cross-source logic on provably
-    non-empty input at every SF."""
-    d = load(spark, sf, "documents")
-    synd = d.filter(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
-            16,
-            10,
-        ).cast("int")
-        < 13
-    ).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.lit("syndicated").alias("source"),
-        "text",
-    )
-    corpus = d.select("doc_id", "source", "text").unionByName(synd)
-    cl = (
-        corpus.groupBy(F.md5("text").alias("th"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("source").alias("n_sources"),
-            F.min("doc_id").alias("canonical_doc"),
-        )
-        .filter(F.col("n_docs") > 1)
-    )
-    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_cross_source"),
-        F.round(
-            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
-            9,
-        ).alias("cross_source_share"),
-        F.min("canonical_doc").cast("long").alias("sample_canonical"),
+    non-empty input at every SF. Composition is explicit (ADVICE
+    r13): the syndication injection lives in the fixture layer
+    (`_syndicated_documents`), the detector
+    (`dd.cross_source_cluster_profile`) is clean for real audits."""
+    return dd.cross_source_cluster_profile(
+        _syndicated_documents(spark, sf)
     )
 
 

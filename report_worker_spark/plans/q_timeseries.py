@@ -2582,22 +2582,25 @@ def ts_spc_western_electric(spark: SparkSession, sf: str) -> DataFrame:
     stream carries seeded synthetic faults (×4 up-spikes on days
     ≡ 7 mod 11, ÷4 down-spikes on days ≡ 9 mod 13), and the rules
     must flag exactly those excursions. The oracle injects
-    identically, so the hash match proves the zone logic fires."""
+    identically, so the hash match proves the zone logic fires.
+    Composition is explicit (ADVICE r13): the spike injection lives
+    in the fixture layer (`_inject_spc_spikes`), the detector
+    (`functions.timeseries.western_electric_violations`) is clean
+    for real monitoring."""
+    from ..functions.timeseries import western_electric_violations
+
     g = _daily_grid(spark, sf)
     stats = g.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("s"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
-    faulted = (
-        F.when(F.col("day") % 11 == 7, F.col("n") * 4)
-        .when(F.col("day") % 13 == 9, F.expr("n div 4"))
-        .otherwise(F.col("n"))
-    )
-    z = g.join(F.broadcast(stats), "event_type").select(
+    z = _inject_spc_spikes(
+        g.join(F.broadcast(stats), "event_type")
+    ).select(
         "event_type",
         "day",
-        faulted.alias("n"),
+        "n",
         (F.col("s").cast("double") / F.col("cnt")).alias("mu"),
         F.sqrt(
             (
@@ -2607,53 +2610,7 @@ def ts_spc_western_electric(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("cnt")
         ).alias("sigma"),
     )
-    up = lambda k: F.when(  # noqa: E731
-        F.col("n") > F.col("mu") + k * F.col("sigma"), 1
-    ).otherwise(0)
-    dn = lambda k: F.when(  # noqa: E731
-        F.col("n") < F.col("mu") - k * F.col("sigma"), 1
-    ).otherwise(0)
-    flags = z.select(
-        "event_type",
-        "day",
-        "n",
-        (up(3) + dn(3)).alias("beyond3"),
-        up(2).alias("up2"),
-        dn(2).alias("dn2"),
-        up(1).alias("up1"),
-        dn(1).alias("dn1"),
-        F.when(F.col("n") > F.col("mu"), 1).otherwise(0).alias("up0"),
-        F.when(F.col("n") < F.col("mu"), 1).otherwise(0).alias("dn0"),
-    )
-
-    def win(k):
-        return (
-            Window.partitionBy("event_type")
-            .orderBy("day")
-            .rowsBetween(-(k - 1), 0)
-        )
-
-    rules = flags.select(
-        "event_type",
-        F.col("day").cast("int").alias("day"),
-        "n",
-        (F.col("beyond3") == 1).alias("rule1"),
-        (
-            (F.sum("up2").over(win(3)) >= 2)
-            | (F.sum("dn2").over(win(3)) >= 2)
-        ).alias("rule2"),
-        (
-            (F.sum("up1").over(win(5)) >= 4)
-            | (F.sum("dn1").over(win(5)) >= 4)
-        ).alias("rule3"),
-        (
-            (F.sum("up0").over(win(8)) == 8)
-            | (F.sum("dn0").over(win(8)) == 8)
-        ).alias("rule4"),
-    )
-    return rules.filter(
-        F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")
-    )
+    return western_electric_violations(z, key_col="event_type")
 
 
 
