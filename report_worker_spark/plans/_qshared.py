@@ -805,91 +805,26 @@ def _select_kth(values: DataFrame, col: str, bucket_width: int) -> int | None:
 # sf). To convert "locally green" into driver-recorded rows across rounds,
 # we rotate a priority window each round: queries that have never had a
 # driver row go first, plus a few §2 anchors as cross-round canaries.
-# Rounds 1-11 cumulatively covered 404 unique queries, all green on
+# Rounds 1-13 cumulatively covered 490 unique queries, all green on
 # their latest check (VALIDATION.json is the machine-readable ledger:
 # scripts/gen_validation.py derives per-query last-driver-round /
 # last-bench-round from the committed CORRECTNESS/BENCH artifacts).
-# Each round promotes the next ~47 never-driver-checked queries in
-# commit order; at 123 remaining the backlog clears in ~3 rounds.
+# Round 14 promotes the FINAL 40 never-driver-checked queries; the
+# backlog is retired after this window runs.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # canaries — §2 anchors re-verified every round (13-for-13 target)
+    # canaries — §2 anchors re-verified every round (14-for-14 target)
     "j4_nullsafe_fk_join",
     "star_upsert_fact",
     "a2_unique_key_dedup",
     # ------------------------------------------------------------------
-    # round-13 window: first, the four queries VERDICT_r12 found
-    # VACUOUS (green rows that proved only the schema — 0 rows at
-    # every SF). All four were de-vacuated this round (date windows
-    # moved onto the fixture's 1995+ span; the inversion audit gained
-    # a deterministic seeded fault injection) and need a NON-vacuous
-    # driver row; their r12 rows don't count as evidence.
-    "olap_xyz_classification",
-    "olap_price_volume_bridge",
-    "olap_abc_xyz_matrix",
-    "audit_sequence_inversions",
-    # ... and the four MORE the round-13 full-catalog 0-row audit
-    # found beyond the judge's list (same class, all fixed this round:
-    # 1994 windows predating the fixture span, a detector with no
-    # in-control violations, a near-dup query over a corpus with no
-    # near-dups). Their old driver rows are stale/vacuous; they need
-    # fresh non-vacuous evidence before the backlog continues burning.
-    "stats_bh_fdr",
-    "olap_retention_triangle",
-    "ts_spc_western_electric",
-    "sim_cosine_near_dup",
-    # ------------------------------------------------------------------
-    # then the next 39 of the 77 hash-paired never-driver-checked
-    # queries in commit order (VALIDATION.json: last_driver_round ==
-    # null; the rows-tier residue emb_zca_mahalanobis stays parked —
-    # it has its honest `no_oracle` row on record). All are
-    # local-parity green at sf0.01 (test_oracle_parity) and smoke-
-    # green at sf0.001 (test_smoke_all_queries). The 47 r12-verified
-    # queries rotate out with their rows in CORRECTNESS_r12.
-    "olap_price_decile_migration",
-    "emb_exact_dup_vectors",
-    "stats_sign_test",
-    "olap_aov_quarterly",
-    "stats_mood_median_test",
-    "stats_cronbach_alpha",
-    "stats_icc_oneway",
-    "stats_holm_bonferroni",
-    "stats_durbin_watson",
-    "stats_bartlett_test",
-    "ts_variance_ratio_test",
-    "ts_sample_entropy",
-    "ts_madogram_fractal",
-    "ts_recurrence_rate",
-    "olap_bcg_matrix",
-    "olap_order_value_log_histogram",
-    "text_richness_panel",
-    "text_char_entropy_by_source",
-    "text_gunning_fog",
-    "graph_path_census",
-    "emb_uniformity_alignment",
-    "emb_centroid_confusion",
-    "dedup_minhash_estimate_audit",
-    "dedup_band_scurve_audit",
-    "audit_timestamp_granularity",
-    "multimodal_wav_peak_bin",
-    "multimodal_wav_spectral_entropy",
-    "olap_order_backlog_timeline",
-    "stats_fleiss_kappa",
-    "stats_tukey_hsd",
-    "stats_log_rank_test",
-    "win_forward_fill_gaps",
-    "win_range_interval_sum",
-    "agg_weighted_percentile",
-    "curation_token_budget_audit",
-    "sim_cosine_threshold_census",
-    "dedup_cross_source_clusters",
-    "stats_two_way_anova",
-    "stats_powerlaw_ks_fit",
-    # ------------------------------------------------------------------
-    # positions 51+: round-14 staging — the remaining 38 hash-paired
-    # never-checked entries, in commit order; one more round burns most of
-    # the backlog.
+    # round-14 window: the FINAL 40 never-driver-checked queries
+    # (VALIDATION.json last_driver_round == null after r13), in the
+    # same commit order the r13 staging block used. 39 are hash-tier;
+    # emb_zca_mahalanobis is the lone rows-tier residue and takes its
+    # weaker rows-only row now rather than staying parked forever.
+    # After this round the never-driver-checked backlog is zero.
     "audit_monotonic_id_gaps",
     "olap_rfm_migration",
     "stats_cuped_variance_reduction",
@@ -928,6 +863,22 @@ _DRIVER_WINDOW = [
     "stats_jackknife_ratio_se",
     "text_nb_per_class_f1",
     "text_nb_margin_reliability",
+    "agg_approx_distinct_error_bound",
+    "emb_zca_mahalanobis",
+    # ------------------------------------------------------------------
+    # re-checks: queries whose BODIES changed since their last driver
+    # row (post-r13 commits 919bb3b..390fccf): the de-quadratic
+    # sign-LSH ts_topk_similar_users, the deletion-neighborhood
+    # join_fuzzy_levenshtein, the de-shuffled v1 resolve pipeline,
+    # the streaming near-dedup batch twin, and the three detectors
+    # whose fault injection moved into explicit fixture helpers.
+    "ts_topk_similar_users",
+    "join_fuzzy_levenshtein",
+    "wire_pipeline_staging",
+    "dedup_stream_band_majority",
+    "audit_sequence_inversions",
+    "ts_spc_western_electric",
+    "sim_cosine_near_dup",
 ]
 
 
