@@ -2958,18 +2958,32 @@ def mp4_frame_plan(duration_ms: int) -> tuple[int, int, list[int]]:
 
 
 def mp4_bytes_with_frames(
-    duration_ms: int, width: int, height: int, seed: int
+    duration_ms: int,
+    width: int,
+    height: int,
+    seed: int,
+    frames: list[bytes] | None = None,
 ) -> bytes:
     """Spec-valid ISO-BMFF with a REAL sample table: ftyp + moov[mvhd +
     trak[tkhd + mdia[mdhd + hdlr + minf[vmhd + dinf + stbl[stsd + stts
     + stsc + stsz + stco]]]]] + mdat. stco carries the absolute offset
     of the first (single) chunk, resolved by the standard two-pass
     build (stco is fixed-width, so moov's length is offset-invariant).
-    Frame i's payload is ``keystream(f"{seed}:f{i}", size_i)``."""
+    Frame i's payload is ``keystream(f"{seed}:f{i}", size_i)`` by
+    default; pass ``frames`` to carry real codec payloads (MJPEG-style
+    — see synthetic_mjpeg_media), sized into stsz as-is."""
     import struct
 
     n, delta, sizes = mp4_frame_plan(duration_ms)
-    frames = [keystream(f"{seed}:f{i}", s) for i, s in enumerate(sizes)]
+    if frames is None:
+        frames = [keystream(f"{seed}:f{i}", s) for i, s in enumerate(sizes)]
+    else:
+        if len(frames) != n:
+            raise ValueError(
+                f"frame count {len(frames)} != plan n {n} for "
+                f"duration {duration_ms}"
+            )
+        sizes = [len(f) for f in frames]
     mdat_payload = b"".join(frames)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -3267,3 +3281,261 @@ def mp4_frame_stats(
         ),
     )
     return _ok_only(q, with_quarantine)
+
+
+# --- MJPEG-style frame decode: real container + real per-frame codec --------
+#
+# The r13 verdict's remaining decoder-seam debt: video frame PAYLOADS
+# were opaque keystream bytes (byte sums only). With block-constant
+# baseline JPEG payloads the whole chain is real — ISO-BMFF demux
+# (stsz/stco/stsc/stts) → per-frame JPEG entropy decode (Huffman,
+# dequant, IDCT) — and still SQL-oracle-able, because DC-only quant=1
+# blocks round-trip bit-exactly (the multimodal_jpeg_pixel_stats
+# precedent, per frame). Only non-JPEG video codecs (h264…) remain
+# behind the ffmpeg ``decoder=`` seam.
+
+
+def mjpeg_frame_dims(media_id: int, frame_idx: int) -> tuple[int, int]:
+    """Per-frame dims for the MJPEG fixture: 8/16 px wide × 8/16/24 px
+    tall, varying WITHIN each video (seeded by media_id + frame_idx) so
+    a frame-order bug can't hide behind constant dims."""
+    return (
+        ((media_id + frame_idx) % 2 + 1) * 8,
+        ((media_id + frame_idx) % 3 + 1) * 8,
+    )
+
+
+def synthetic_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of REAL motion-JPEG videos: the ISO-BMFF sample
+    table (mp4_frame_plan: n = dur//10000 + 2 frames) carries actual
+    baseline-JPEG payloads, block-constant per 8×8 (values = md5
+    keystream of ``{id}:f{i}``), duration_ms = id % 90000 + 1000."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for mid in pb["media_id"]:
+                mid = int(mid)
+                dur = mid % 90000 + 1000
+                n, _delta, _sizes = mp4_frame_plan(dur)
+                frames = []
+                for fi in range(n):
+                    w, h = mjpeg_frame_dims(mid, fi)
+                    frames.append(jpeg_const_bytes(w, h, f"{mid}:f{fi}"))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "video",
+                        "content": mp4_bytes_with_frames(
+                            dur, 16, 16, mid, frames=frames
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return src.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+
+
+def mjpeg_frame_pixel_stats(
+    media: DataFrame, with_quarantine: bool = False
+) -> DataFrame:
+    """Demux + DECODE each video frame: one row per frame with its
+    presentation time and the exact int64 decoded-luma sum (real
+    Huffman → dequant → IDCT per payload, decode_jpeg_pixels). Poison
+    containers and poison frames both quarantine as err rows instead
+    of failing the task — per-FRAME granularity, so one bad frame
+    doesn't lose its siblings."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "ts_ms", "width", "height",
+            "sum_y", "ok", "err",
+        ]
+        for pb in batches:
+            rows = []
+            for mid, content in zip(pb["media_id"], pb["content"]):
+                content = bytes(content or b"")
+                if content[4:8] != b"ftyp":
+                    continue
+                mid = int(mid)
+                try:
+                    frames = demux_mp4_frames(content)["frames"]
+                except Exception as ex:
+                    rows.append(
+                        {
+                            "media_id": mid, "frame_idx": None,
+                            "ts_ms": None, "width": None, "height": None,
+                            "sum_y": None, "ok": False,
+                            "err": f"{type(ex).__name__}: {ex}"[:256],
+                        }
+                    )
+                    continue
+                for idx, ts, payload in frames:
+                    try:
+                        d = decode_jpeg_pixels(payload)
+                        px = np.frombuffer(d["pixels"], dtype=np.uint8)
+                        rows.append(
+                            {
+                                "media_id": mid, "frame_idx": idx,
+                                "ts_ms": ts, "width": d["width"],
+                                "height": d["height"],
+                                "sum_y": int(
+                                    px[:: d["channels"]].sum(dtype=np.int64)
+                                ),
+                                "ok": True, "err": None,
+                            }
+                        )
+                    except Exception as ex:
+                        rows.append(
+                            {
+                                "media_id": mid, "frame_idx": idx,
+                                "ts_ms": ts, "width": None, "height": None,
+                                "sum_y": None, "ok": False,
+                                "err": f"{type(ex).__name__}: {ex}"[:256],
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    q = media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, frame_idx int, ts_ms long, width int, "
+            "height int, sum_y long, ok boolean, err string"
+        ),
+    )
+    return _ok_only(q, with_quarantine)
+
+
+# --- Unified real-codec media features ---------------------------------------
+
+
+def synthetic_real_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Mixed-kind media table with REAL bytes for every row (the
+    successor to the 48-byte-keystream ``synthetic_media``): id % 3
+    picks the kind — 0 → PNG image (pixels = keystream, dims
+    id%31+2 × id%23+2), 1 → mono 8-bit PCM WAV (id%96+32 frames),
+    2 → frame-bearing ISO-BMFF video (duration id%90000+1000)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for mid in pb["media_id"]:
+                mid = int(mid)
+                k = mid % 3
+                if k == 0:
+                    kind = "image"
+                    body = png_bytes(mid % 31 + 2, mid % 23 + 2, mid)
+                elif k == 1:
+                    kind = "audio"
+                    body = wav_bytes(mid % 96 + 32, 16000, mid)
+                else:
+                    kind = "video"
+                    body = mp4_bytes_with_frames(
+                        mid % 90000 + 1000, mid % 640 + 16,
+                        mid % 480 + 16, mid,
+                    )
+                rows.append(
+                    {"media_id": mid, "kind": kind, "content": body}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return src.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+
+
+def real_media_features(
+    media: DataFrame,
+    video_frame_decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Kind-dispatched feature extraction with REAL codecs (VERDICT_r13
+    item 7 — the fake_decoder seam shrunk to video-payload pixel decode
+    only): image → full PNG pixel decode, audio → RIFF/PCM sample
+    decode, video → real ISO-BMFF demux (``video_frame_decoder``
+    optionally decodes each payload, e.g. decode_jpeg_pixels for MJPEG;
+    None sums the payload bytes and leaves codec decode behind the
+    seam). One Arrow pass, no shuffle; per-item quarantine.
+
+    Output: ``n_units`` = pixels / PCM frames / container frames,
+    ``val_sum`` = exact int64 sum of decoded samples (image: all
+    channels; audio: amplitudes; video: frame-payload bytes or decoded
+    luma when a frame decoder is given) — integer results a SQL oracle
+    regenerates from the generator keystream."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "n_units", "val_sum", "ok", "err"]
+        for pb in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pb["media_id"], pb["kind"], pb["content"]
+            ):
+                mid, kind = int(mid), str(kind)
+                content = bytes(content or b"")
+                try:
+                    if kind == "image":
+                        d = decode_png_pixels(content)
+                        px = np.frombuffer(d["pixels"], dtype=np.uint8)
+                        n_units = d["width"] * d["height"]
+                        val_sum = int(px.sum(dtype=np.int64))
+                    elif kind == "audio":
+                        d = decode_wav_samples(content)
+                        dt = (
+                            np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+                        )
+                        sm = np.frombuffer(d["samples"], dtype=dt)
+                        n_units = d["n_frames"]
+                        val_sum = int(sm.astype(np.int64).sum())
+                    elif kind == "video":
+                        frames = demux_mp4_frames(content)["frames"]
+                        n_units = len(frames)
+                        if video_frame_decoder is None:
+                            val_sum = sum(
+                                sum(payload) for _i, _t, payload in frames
+                            )
+                        else:
+                            val_sum = 0
+                            for _i, _t, payload in frames:
+                                d = video_frame_decoder(payload)
+                                px = np.frombuffer(
+                                    d["pixels"], dtype=np.uint8
+                                )
+                                val_sum += int(
+                                    px[:: d["channels"]].sum(dtype=np.int64)
+                                )
+                    else:
+                        raise ValueError(f"unknown media kind {kind!r}")
+                    rows.append(
+                        {
+                            "media_id": mid, "kind": kind,
+                            "n_units": n_units, "val_sum": val_sum,
+                            "ok": True, "err": None,
+                        }
+                    )
+                except Exception as ex:
+                    rows.append(
+                        {
+                            "media_id": mid, "kind": kind, "n_units": None,
+                            "val_sum": None, "ok": False,
+                            "err": f"{type(ex).__name__}: {ex}"[:256],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    q = media.select("media_id", "kind", "content").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, kind string, n_units long, val_sum long, "
+            "ok boolean, err string"
+        ),
+    )
+    return _ok_only(q, with_quarantine=False)

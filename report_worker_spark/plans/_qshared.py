@@ -867,18 +867,21 @@ _DRIVER_WINDOW = [
     "emb_zca_mahalanobis",
     # ------------------------------------------------------------------
     # re-checks: queries whose BODIES changed since their last driver
-    # row (post-r13 commits 919bb3b..390fccf): the de-quadratic
-    # sign-LSH ts_topk_similar_users, the deletion-neighborhood
-    # join_fuzzy_levenshtein, the de-shuffled v1 resolve pipeline,
-    # the streaming near-dedup batch twin, and the three detectors
-    # whose fault injection moved into explicit fixture helpers.
+    # row — the de-quadratic sign-LSH ts_topk_similar_users, the
+    # deletion-neighborhood join_fuzzy_levenshtein, the de-shuffled
+    # v1 resolve pipeline, the streaming near-dedup batch twin,
+    # audit_sequence_inversions (canary for the fixture-helper
+    # extraction; its siblings ts_spc_western_electric /
+    # sim_cosine_near_dup stay pytest-mirrored this round), the
+    # real-codec rewrite of multimodal_features, and the new MJPEG
+    # demux+decode query.
     "ts_topk_similar_users",
     "join_fuzzy_levenshtein",
     "wire_pipeline_staging",
     "dedup_stream_band_majority",
     "audit_sequence_inversions",
-    "ts_spc_western_electric",
-    "sim_cosine_near_dup",
+    "multimodal_features",
+    "multimodal_mjpeg_frame_decode",
 ]
 
 

@@ -577,3 +577,104 @@ def test_mp4_frame_stats_under_structured_streaming(spark, tmp_path):
         )
     )
     assert got == expect and len(got) > 0
+
+
+def test_mjpeg_frame_decode_matches_encoders(spark):
+    """Demux + per-frame JPEG entropy decode reproduces the generator's
+    block values exactly: sum_y = 64 · Σ keystream block bytes, dims
+    from the per-frame formula, timestamps from the sample table."""
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_mjpeg_media(ids, "doc_id")
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in mm.mjpeg_frame_pixel_stats(media).collect()
+    }
+    assert rows
+    for mid in range(12):
+        dur = mid % 90000 + 1000
+        n, delta, _ = mm.mp4_frame_plan(dur)
+        for fi in range(n):
+            r = rows[(mid, fi)]
+            w, h = mm.mjpeg_frame_dims(mid, fi)
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["ts_ms"] == fi * delta
+            blocks = mm.keystream(f"{mid}:f{fi}:jpg", (w // 8) * (h // 8))
+            assert r["sum_y"] == 64 * sum(blocks)
+
+
+def test_mjpeg_poison_frame_quarantines_per_frame(spark):
+    """One corrupt frame payload inside a container must quarantine
+    THAT frame only — siblings still decode, and the container-level
+    demux row count is unchanged."""
+    import pandas as pd
+
+    dur = 25_000  # 4 frames
+    n, _delta, _sizes = mm.mp4_frame_plan(dur)
+    frames = [
+        mm.jpeg_const_bytes(*mm.mjpeg_frame_dims(7, fi), f"7:f{fi}")
+        for fi in range(n)
+    ]
+    frames[2] = frames[2][:10] + b"\x00garbage"  # truncated scan
+    content = mm.mp4_bytes_with_frames(dur, 16, 16, 7, frames=frames)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "kind": ["video"], "content": [content]})
+    )
+    got = mm.mjpeg_frame_pixel_stats(media, with_quarantine=True).collect()
+    assert len(got) == n
+    by_idx = {r["frame_idx"]: r for r in got}
+    assert not by_idx[2]["ok"] and by_idx[2]["err"]
+    for fi in (0, 1, 3):
+        assert by_idx[fi]["ok"] and by_idx[fi]["sum_y"] is not None
+
+
+def test_mp4_frames_param_must_match_plan():
+    with pytest.raises(ValueError, match="frame count"):
+        mm.mp4_bytes_with_frames(25_000, 16, 16, 1, frames=[b"x"])
+
+
+def test_real_media_features_all_kinds_decode(spark):
+    """The unified kind-dispatch decodes every row with the REAL codec
+    for its kind, and val_sum equals the generator keystream sums."""
+    ids = spark.range(9).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_real_media(ids, "doc_id")
+    got = {r["media_id"]: r for r in mm.real_media_features(media).collect()}
+    assert len(got) == 9
+    for mid in range(9):
+        r = got[mid]
+        if mid % 3 == 0:
+            w, h = mid % 31 + 2, mid % 23 + 2
+            assert r["kind"] == "image" and r["n_units"] == w * h
+            assert r["val_sum"] == sum(mm.keystream(str(mid), w * h * 3))
+        elif mid % 3 == 1:
+            nf = mid % 96 + 32
+            assert r["kind"] == "audio" and r["n_units"] == nf
+            assert r["val_sum"] == sum(mm.keystream(f"{mid}:wav", nf))
+        else:
+            dur = mid % 90000 + 1000
+            n, _d, sizes = mm.mp4_frame_plan(dur)
+            assert r["kind"] == "video" and r["n_units"] == n
+            assert r["val_sum"] == sum(
+                sum(mm.keystream(f"{mid}:f{i}", s))
+                for i, s in enumerate(sizes)
+            )
+
+
+def test_real_media_features_mjpeg_decoder_closes_seam(spark):
+    """Passing decode_jpeg_pixels as the video frame decoder runs the
+    real codec over each demuxed payload — val_sum becomes decoded
+    luma, matching the per-frame MJPEG stats exactly."""
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_mjpeg_media(ids, "doc_id")
+    uni = {
+        r["media_id"]: r["val_sum"]
+        for r in mm.real_media_features(
+            media, video_frame_decoder=mm.decode_jpeg_pixels
+        ).collect()
+    }
+    per_frame = (
+        mm.mjpeg_frame_pixel_stats(media)
+        .groupBy("media_id")
+        .agg(F.sum("sum_y").alias("s"))
+        .collect()
+    )
+    assert uni == {r["media_id"]: r["s"] for r in per_frame} and len(uni) == 6
