@@ -122,6 +122,11 @@ class WireGenStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        # max_rows >= 0 bounds the stream (the offset stops advancing
+        # at max_rows, so no further micro-batches fire) — lets tests
+        # compare a kill-and-resume run against a one-shot run over the
+        # exact same message range. Default -1 = unbounded.
+        self.max_rows = int(options.get("max_rows", -1))
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
@@ -129,6 +134,8 @@ class WireGenStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["idx"]
         hi = lo + self.rows_per_batch
+        if self.max_rows >= 0:
+            hi = min(hi, max(lo, self.max_rows))
         return (
             iter([(i, wire_message(self.seed, i)) for i in range(lo, hi)]),
             {"idx": hi},
