@@ -1155,6 +1155,92 @@ def canonicalize_url(url) -> F.Column:
     return F.regexp_replace(c5, "/$", "")
 
 
+def band_majority_verdict(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_band_matches: int = 2,
+) -> DataFrame:
+    """Batch analog of the streaming near-dedup verdict
+    (streaming/stateful.stream_near_dedup): per-doc MinHash signature
+    (md5 permutation family) -> banded buckets -> first-arrival
+    ownership (min(doc_id) over each (band, bucket)) -> band-majority
+    keep/suppress. Shingle-less docs own all their bands and are
+    always kept (the ADVICE r13 short-doc bypass).
+
+    100 TB shape: one groupBy(doc_id) for signatures, one equi-shuffle
+    window over (band, bucket) with ``bands`` rows per doc, one
+    groupBy(doc_id) for the count -- no pair materialization.
+    Returns (doc_id, n_bands_owned, kept)."""
+    rows = num_hashes // bands
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    mh_aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    per = sh.groupBy("doc_id").agg(*mh_aggs)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{bi * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    bandrows = per.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_p")
+    ).select("doc_id", "_p.band", "_p.bucket")
+    w = Window.partitionBy("band", "bucket")
+    cnt = (
+        bandrows.withColumn("owner", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_owned")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_owned"), F.lit(bands))
+            .cast("int")
+            .alias("n_bands_owned"),
+            (
+                F.coalesce(F.col("n_owned"), F.lit(bands))
+                > F.lit(bands - min_band_matches)
+            ).alias("kept"),
+        )
+    )
+
+
 import sys as _sys
 
 from ..util import pickle_by_value as _pbv

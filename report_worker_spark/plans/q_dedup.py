@@ -1496,75 +1496,14 @@ def dedup_stream_band_majority(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB shape: one groupBy(doc_id) for signatures, one window over
     (band, bucket) for ownership (equi-shuffle, bands rows/doc), one
-    groupBy(doc_id) for the count — no pair materialization."""
-    num_hashes, bands, min_band_matches = 16, 4, 2
-    rows = num_hashes // bands
-    d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> concat(element_at(t, i), ' ',"
-                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
-            )
-        ).alias("sh"),
-    ).distinct()
-    mh_aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    per = sh.groupBy("doc_id").agg(*mh_aggs)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"mh{bi * rows + r}").cast("string")
-                    for r in range(rows)
-                ],
-            ).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    bandrows = per.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("_p")
-    ).select("doc_id", "_p.band", "_p.bucket")
-    w = Window.partitionBy("band", "bucket")
-    cnt = (
-        bandrows.withColumn("owner", F.min("doc_id").over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_owned")
-        )
-    )
-    return (
-        d.select("doc_id")
-        .join(cnt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_owned"), F.lit(bands))
-            .cast("int")
-            .alias("n_bands_owned"),
-            (
-                F.coalesce(F.col("n_owned"), F.lit(bands))
-                > F.lit(bands - min_band_matches)
-            ).alias("kept"),
-        )
+    groupBy(doc_id) for the count — no pair materialization. The
+    verdict core lives in dd.band_majority_verdict (shared with the
+    sf1 stress harness)."""
+    return dd.band_majority_verdict(
+        load(spark, sf, "documents"),
+        num_hashes=16,
+        bands=4,
+        min_band_matches=2,
     )
 
 

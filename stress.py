@@ -1337,8 +1337,66 @@ def main() -> None:
     )
 
 
+
+
+def run_r14_additions(spark, docs_k, edges) -> dict:
+    """Round-14 stress entries (VERDICT_r13 item 8): the round-13
+    catalog additions at ~sf1 — the streaming near-dedup BATCH ANALOG
+    (band-majority verdict: signature groupBy + (band,bucket) window +
+    verdict groupBy, no pair materialization), the AllPairs
+    length-filtered jaccard pair stream at the t=0.9 boundary (the
+    r13-added filter prunes hardest where pair lengths sit at the
+    threshold ratio — replicas are near-dups of replica 0, exactly
+    that shape), and a targeted fresh-JVM personalized-PageRank SUM
+    (previously only measured inside the full shared-session sweep).
+    Callable standalone (STRESS_FAMILY=r14) for K=2 / K=10 exponents.
+    """
+    timings: dict[str, float] = {}
+
+    def timed(df: DataFrame) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    timings["dedup_stream_band_majority_batch"] = timed(
+        dd.band_majority_verdict(docs_k)
+    )
+    timings["dedup_jaccard_allpairs_t09"] = timed(
+        dd.ngram_jaccard_pairs(docs_k, n=3, threshold=0.9, max_df=500)
+    )
+    seeds = gr.degrees(edges).select("node").filter(F.col("node") % 97 == 0)
+    timings["graph_ppr_sum"] = timed(
+        gr.personalized_pagerank(
+            edges, seeds, iterations=3, deterministic=False
+        )
+    )
+    return timings
+
+
+def main_r14() -> None:
+    spark = get_spark("rws-stress-r14")
+    docs_k = upscale_documents(spark, K)
+    edges = gr.undirected_edges(upscale_cooccur_edges(spark, K))
+    timings = run_r14_additions(spark, docs_k, edges)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_r14",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": timings,
+                "k": K,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if os.environ.get("STRESS_FAMILY") == "r13":
         main_r13()
+    elif os.environ.get("STRESS_FAMILY") == "r14":
+        main_r14()
     else:
         main()
