@@ -41,11 +41,14 @@ def resolve_v1_names(v1: DataFrame, players: DataFrame) -> DataFrame:
     # run on dim-sized input — one batch-sized shuffle here instead of
     # three (internal dedup + batch-sized resolve join + the
     # dropDuplicates that used to re-shuffle the resolve output).
-    both = (
-        v1.select(F.col("_reporter_clean").alias("name"))
-        .unionByName(v1.select(F.col("_reported_clean").alias("name")))
-        .distinct()
-    )
+    # explode(array(...)) instead of union-of-two-selects: the union
+    # form evaluated the whole upstream (JSON parse included) TWICE —
+    # one scan emitting both names halves the parse work per batch.
+    both = v1.select(
+        F.explode(
+            F.array("_reporter_clean", "_reported_clean")
+        ).alias("name")
+    ).distinct()
     resolved_names, _new = star.get_or_insert_dim(both, players)
     lookup = resolved_names.dropDuplicates(["name"]).select("name", "id")
 
