@@ -3361,10 +3361,15 @@ def mjpeg_frame_pixel_stats(
             rows = []
             for mid, content in zip(pb["media_id"], pb["content"]):
                 content = bytes(content or b"")
-                if content[4:8] != b"ftyp":
-                    continue
                 mid = int(mid)
                 try:
+                    # a non-ftyp leading box is a POISON container here
+                    # (an MJPEG table is all ISO-BMFF by contract), so it
+                    # quarantines rather than silently vanishing — unlike
+                    # mp4_frame_stats, which skips foreign kinds in
+                    # mixed-media tables
+                    if content[4:8] != b"ftyp":
+                        raise ValueError("not an ISO-BMFF stream")
                     frames = demux_mp4_frames(content)["frames"]
                 except Exception as ex:
                     rows.append(
@@ -3456,6 +3461,7 @@ def synthetic_real_media(df: DataFrame, id_col: str) -> DataFrame:
 def real_media_features(
     media: DataFrame,
     video_frame_decoder: Callable[[bytes], dict] | None = None,
+    with_quarantine: bool = False,
 ) -> DataFrame:
     """Kind-dispatched feature extraction with REAL codecs (VERDICT_r13
     item 7 — the fake_decoder seam shrunk to video-payload pixel decode
@@ -3538,4 +3544,4 @@ def real_media_features(
             "ok boolean, err string"
         ),
     )
-    return _ok_only(q, with_quarantine=False)
+    return _ok_only(q, with_quarantine)

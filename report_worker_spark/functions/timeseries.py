@@ -88,6 +88,7 @@ def topk_similar_series_blocked(
     n_tables: int = 6,
     n_planes: int = 6,
     tag: str = "tsprof",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Sub-quadratic top-k profile similarity: sign-LSH candidate
     blocking → exact integer dist² verify within candidates — the same
@@ -106,7 +107,19 @@ def topk_similar_series_blocked(
     bucket return fewer than k rows — the documented approximation,
     mirrored exactly by the oracle. At 100 TB: candidate generation is
     an equi-join on (table, bucket) — never a cross join — and
-    plane count scales with log(U) to hold bucket density."""
+    plane count scales with log(U) to hold bucket density.
+
+    ``max_bucket`` bounds the degenerate-bucket blowup (e.g. every
+    inactive key has the all-zero profile and lands in ONE bucket of
+    EVERY table — an O(m²) self-join family the plane count can't
+    split): each member joins only to the bucket's first
+    ``max_bucket`` members by key order, so pairs per bucket are
+    m·C, never m². Results are IDENTICAL to the uncapped join
+    whenever every bucket fits (and for all-tied buckets regardless,
+    since the rank tiebreak already prefers the smallest neighbor
+    keys); only a >C bucket whose true neighbor sorts after position
+    C degrades — the same deterministic, oracle-mirrorable cap
+    discipline as ``dedup.ngram_jaccard_pairs(max_df=...)``."""
     from .similarity import dot_fold, md5_planes
 
     vec = (
@@ -138,10 +151,16 @@ def topk_similar_series_blocked(
     ).select(
         "key", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bkt").alias("bkt")
     )
+    wb = Window.partitionBy("tbl", "bkt").orderBy("key")
+    head = (
+        assigned.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= max_bucket)
+        .drop("_r")
+    )
     cand = (
         assigned.alias("a")
         .join(
-            assigned.alias("b"),
+            head.alias("b"),
             on=["tbl", "bkt"],
         )
         .filter(F.col("a.key") != F.col("b.key"))

@@ -382,19 +382,6 @@ SELECT 5 AS k,
 
 # --- Multimodal: binary columns + Arrow kernels, oracle-paired --------------
 #
-# The synthetic media bytes are an md5-keystream expansion of ``text``
-# (functions/multimodal.py:53), so DuckDB can regenerate the SAME hex
-# stream (md5 ‖ md5(·||'2') ‖ md5(·||'3')) and recompute the byte stats
-# arithmetically from hex pairs — the Python kernel's outputs get a real
-# value-level oracle. Content hashes (sha1) and byte entropy stay
-# pytest-covered: DuckDB has no blob hashing, and entropy's float fold
-# order is kernel-defined.
-
-_MEDIA_HEX = "md5(text) || md5(text || '2') || md5(text || '3')"
-
-
-
-
 # Pixel-level PNG decode is REAL (round 5): the synthetic PNG pixel
 # content is an md5 keystream (md5('id:0')||md5('id:1')||…), so after
 # the Spark side decodes ACTUAL bytes (chunk walk → zlib inflate →

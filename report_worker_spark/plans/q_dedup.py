@@ -1367,16 +1367,8 @@ def dedup_band_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_cross_source_clusters",
-    oracle="""
-    WITH corpus AS (
-      SELECT doc_id, source, text FROM documents
-      UNION ALL
-      SELECT doc_id + 10000000 AS doc_id,
-             'syndicated' AS source, text
-      FROM documents
-      WHERE CAST(('0x' || substr(
-              md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 13
-    ),
+    oracle=f"""
+    WITH {_SYNDICATED_SQL},
     cl AS (
       SELECT md5(text) AS th,
              CAST(count(*) AS BIGINT) AS n_docs,

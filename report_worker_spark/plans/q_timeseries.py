@@ -76,10 +76,16 @@ _TSPROF_ORACLE = f"""
           for t in range(6)
       )}
     ),
+    ranked AS (
+      SELECT key, tbl, bkt,
+             row_number() OVER (PARTITION BY tbl, bkt ORDER BY key) AS r
+      FROM assigned
+    ),
     cand AS (
       SELECT DISTINCT a.key AS key_a, b.key AS key_b
-      FROM assigned a JOIN assigned b
+      FROM assigned a JOIN ranked b
         ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.key <> b.key
+       AND b.r <= 256
     ),
     pairs AS (
       SELECT c.key_a, c.key_b,

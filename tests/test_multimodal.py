@@ -678,3 +678,36 @@ def test_real_media_features_mjpeg_decoder_closes_seam(spark):
         .collect()
     )
     assert uni == {r["media_id"]: r["s"] for r in per_frame} and len(uni) == 6
+
+
+def test_mjpeg_non_bmff_container_quarantines_not_vanishes(spark):
+    """A container whose leading box isn't ftyp is POISON for an MJPEG
+    table (code-review r14): it must surface as an err row, never
+    silently disappear from both streams."""
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["video", "video"],
+                "content": [
+                    b"\x00\x00\x00\x08junk",
+                    mm.mp4_bytes_with_frames(25_000, 16, 16, 2),
+                ],
+            }
+        )
+    )
+    got = {
+        r["media_id"]: r
+        for r in mm.mjpeg_frame_pixel_stats(media, with_quarantine=True)
+        .groupBy("media_id")
+        .agg(
+            F.max(F.col("ok").cast("int")).alias("any_ok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got[1]["any_ok"] == 0 and got[1]["n"] == 1  # err row, present
+    # valid container: frames demux (payloads aren't JPEG -> per-frame err)
+    assert got[2]["n"] > 1

@@ -1339,3 +1339,41 @@ def test_topk_similar_users_no_all_pairs_day_join(spark, sf_oracle):
     plan = plan_of(QUERIES["ts_topk_similar_users"](spark, sf_oracle))
     assert "Left keys [1]: [day" not in plan  # the U²·D shape
     assert "tbl" in plan and "bkt" in plan  # LSH candidate equi-join
+
+
+def test_topk_blocked_bucket_cap_bounds_degenerate_family(spark):
+    """A mass-identical profile family (here: all-zero vectors, which
+    land in ONE bucket of EVERY table) must not regrow the O(m²)
+    self-join: with max_bucket=C each member joins only the bucket's
+    first C members by key order. For all-tied buckets the capped
+    result EQUALS the exact brute force (the rank tiebreak already
+    prefers the smallest neighbor keys); candidate volume is m·C."""
+    from pyspark.sql import functions as F
+
+    from report_worker_spark.functions.timeseries import (
+        topk_similar_series,
+        topk_similar_series_blocked,
+    )
+
+    n, cap = 40, 5
+    grid = spark.range(n).selectExpr("id AS key").crossJoin(
+        spark.range(30).selectExpr("CAST(id AS INT) AS day")
+    )
+    profiles = grid.select("key", "day", F.lit(0).cast("long").alias("cents"))
+
+    capped = topk_similar_series_blocked(
+        profiles, k=3, n_days=30, max_bucket=cap
+    )
+    exact = topk_similar_series(profiles, k=3)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    # the candidate stream itself is bounded: every key has at most
+    # cap ranked neighbors available, so no key emits more than cap
+    # result rows even at k > cap
+    wide = topk_similar_series_blocked(
+        profiles, k=n, n_days=30, max_bucket=cap
+    )
+    per_key = wide.groupBy("key").count().agg(F.max("count")).first()[0]
+    assert per_key <= cap
