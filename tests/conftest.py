@@ -8,6 +8,22 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def await_finished(q, budget=600):
+    """Block until an availableNow streaming query terminates; FAIL
+    loudly if it is still running after ``budget`` seconds.
+
+    ``q.awaitTermination(t)`` returns False (not raises) on timeout, so
+    a bare call lets an overloaded run fall through to the assertions
+    with PARTIAL output — under full-suite CPU contention a 180 s
+    silent wait made test_stream_near_dedup_drops_clones_keeps_distinct
+    flake exactly that way. The budget only matters under pathological
+    load; solo these queries finish in seconds.
+    """
+    assert q.awaitTermination(budget), (
+        f"streaming query {q.name!r} still active after {budget}s"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("rws-tests", shuffle_partitions=8)

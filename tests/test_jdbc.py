@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from report_worker_spark.sources import jdbc as j
+from tests.conftest import await_finished
 
 
 @pytest.fixture()
@@ -374,7 +375,7 @@ def test_streaming_to_jdbc_star_sink_e2e(spark, derby_url, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_finished(q)
 
     run_pass()
     n1 = _count(spark, derby_url, "report")

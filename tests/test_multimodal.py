@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from report_worker_spark.functions import multimodal as mm
 from report_worker_spark.plans.tables import load
+from tests.conftest import await_finished
 
 
 @pytest.fixture(scope="module")
@@ -566,7 +567,7 @@ def test_mp4_frame_stats_under_structured_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = sorted(
         map(tuple, spark.sql("SELECT * FROM frame_stream").collect())
     )

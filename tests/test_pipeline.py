@@ -21,6 +21,7 @@ from report_worker_spark.streaming.pipeline import (
     StarUpsertSink,
     wire_to_staging,
 )
+from tests.conftest import await_finished
 
 N_MSG = 5000
 
@@ -115,7 +116,7 @@ def test_streaming_file_source_to_star(spark, players, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
 
     fact = spark.read.parquet(f"{out}/fact")
     sight = spark.read.parquet(f"{out}/sighting")

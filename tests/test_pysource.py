@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from report_worker_spark.sources import kafka as ksrc
 from report_worker_spark.sources.pysource import register, wire_message
+from tests.conftest import await_finished
 
 
 def test_batch_read_is_deterministic_and_partition_parallel(spark):
@@ -40,7 +41,7 @@ def test_stream_resume_no_dups_no_gaps(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_finished(q)
 
     run_once()
     n1 = spark.read.parquet(out).count()

@@ -11,6 +11,7 @@ from report_worker_spark.streaming.stateful import (
     session_windows,
     windowed_counts,
 )
+from tests.conftest import await_finished
 
 
 def _stream_events(spark, tmp_path, n=2000):
@@ -32,7 +33,7 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = spark.sql(
         "SELECT * FROM win_counts ORDER BY window_start, event_type"
     ).collect()
@@ -63,7 +64,7 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = spark.sql("SELECT * FROM sess_win").collect()
     expect = session_windows(batch, gap="30 minutes", watermark="2 hours").collect()
     assert len(got) > 0
@@ -117,7 +118,7 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = {
         r.user_id: (r.n, r.sum_cents, r.max_cents)
         for r in spark.sql("SELECT * FROM tws_stats").collect()
@@ -174,7 +175,7 @@ def test_running_error_ratio_state_across_batches(spark, tmp_path):
         .start()
     )
     rec = ProgressRecorder()
-    q.awaitTermination(180)
+    await_finished(q)
     rec.record(q)
 
     res = spark.sql(
@@ -225,7 +226,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = spark.sql("SELECT user_id, event_type FROM dedup_out")
     assert got.count() == got.dropDuplicates(["user_id", "event_type"]).count()
     expect = e.select("user_id", "event_type").distinct().count()
@@ -278,7 +279,7 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
         window="6 hours",
         watermark="12 hours",
     )
-    q.awaitTermination(120)
+    await_finished(q)
 
     views = [
         r.viewName
@@ -332,7 +333,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     got = sorted(
         map(tuple, spark.sql("SELECT * FROM ssj").collect())
     )
@@ -427,7 +428,7 @@ def test_stream_near_dedup_drops_clones_keeps_distinct(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     got = {
         r.doc_id: r.n_bands_retained
         for r in spark.sql(
