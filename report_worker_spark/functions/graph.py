@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint for an input consumed by several branches
+    (or every round of an iterative loop). Edge lists here are usually
+    themselves join-derived (e.g. the lineitem co-occurrence self-join),
+    so without a pin each branch re-executes that whole derivation —
+    measured 2-6 full re-derivations per graph query at sf0.1 (r14).
+    RDD blocks are shared across all consuming stages of a job, and the
+    truncated lineage also keeps iterative plans (and their AQE
+    re-optimization time) from growing per round."""
+    return df.localCheckpoint(eager=False)
+
+
 def undirected_edges(pairs: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     """Canonicalize an edge list: distinct undirected edges (src < dst),
     self-loops dropped."""
@@ -78,7 +90,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     rank(v) < rank(w)), then close them against the oriented edge set
     (equi-join on (v, w)). Each triangle is counted exactly once.
     """
-    o = _oriented(edges)
+    edges = _pin(edges)  # feeds orientation, degrees, closure, counts
+    o = _pin(_oriented(edges))  # wedge sides + closure probe
     lhs = o.select(
         F.col("u").alias("_a"), F.col("v").alias("_v"),
         F.col("dv").alias("_dv"),
@@ -119,10 +132,15 @@ def pagerank(
     engines — the oracle-parity mode. The default SUM mode is the
     scale mode: partial aggregation map-side, no per-node value lists.
     """
-    d = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    d = _pin(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # attach outdeg to the edge list ONCE, outside the loop: every
+    # round then joins pr only, instead of re-joining deg per round
+    dd = _pin(d.join(deg, on="src"))
     # node count rides along as a broadcast one-row crossJoin — the
     # whole plan stays lazy (no eager .count() job at construction)
     nn = deg.agg(F.count(F.lit(1)).alias("_n"))
@@ -135,8 +153,7 @@ def pagerank(
     )
     for _ in range(iterations):
         contrib = (
-            d.join(pr, d.src == pr.node)
-            .join(deg, on="src")
+            dd.join(pr, dd.src == pr.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("outdeg")).alias("c"),
@@ -216,8 +233,11 @@ def common_neighbors(
     Existing edges are removed with a key anti-join, the pair count is
     one map-combinable groupBy, and the global top-k is orderBy+limit
     (k rows to the driver-side sort, never the candidate set)."""
-    adj = edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
-        edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    edges = _pin(edges)  # adjacency (×2) + existing-edge anti-join
+    adj = _pin(
+        edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
+            edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+        )
     )
     left = adj.select("n", F.col("x").alias("a"))
     # fresh attribute ids (no-op exprs) — self-join disambiguation
@@ -261,14 +281,25 @@ def adamic_adar(
     round differently (≤1 ulp each), so the score rounds to 12
     decimals — the entropy/PSI discipline. Apex degree ≥ 2 by
     construction (it has two distinct neighbors), so ln(d) > 0."""
-    adj = edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
-        edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    edges = _pin(edges)  # adjacency (×2) + existing-edge anti-join
+    adj = _pin(
+        edges.select(F.col("src").alias("n"), F.col("dst").alias("x")).unionAll(
+            edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+        )
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    wadj = adj.join(deg, on="n").select(
-        "n", "x", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w")
-    )
-    left = wadj.select("n", F.col("x").alias("a"), "w")
+    # pin (n, x, d) and derive w behind a d>=2 guard: the pin barrier
+    # stops the optimizer from deferring the projection past the a<b
+    # wedge filter, so an unguarded 1/ln(d) would now be EVALUATED for
+    # degree-1 apexes too and trip ANSI divide-by-zero (ln(1)=0).
+    # Degree-1 apex rows never survive the a<b filter (their only
+    # wedge is (x, x)), so the guard's NULL arm is unreachable in the
+    # output and every surviving w is bit-identical to before.
+    wadj = _pin(adj.join(deg, on="n").select("n", "x", "d"))
+    wexpr = F.when(
+        F.col("d") >= 2, F.lit(1.0) / F.log(F.col("d").cast("double"))
+    ).alias("w")
+    left = wadj.select("n", F.col("x").alias("a"), wexpr)
     # fresh attribute ids (no-op exprs) — self-join disambiguation
     right = wadj.select(
         (F.col("n") + F.lit(0)).alias("n"), F.coalesce(F.col("x")).alias("b")
@@ -396,10 +427,15 @@ def personalized_pagerank(
     contribution aggregate; ``deterministic=True`` folds each node's
     contributions smallest-first for bit-reproducibility (the oracle
     mode), default SUM is the map-side-combinable scale mode."""
-    d = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    d = _pin(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # attach outdeg to the edge list ONCE (the per-round deg join moved
+    # out of the loop, same as pagerank)
+    dd = _pin(d.join(deg, on="src"))
     nodes = deg.select(F.col("src").alias("node"))
     s = seeds.select(F.col(seeds.columns[0]).alias("node")).join(
         nodes, on="node"
@@ -430,8 +466,7 @@ def personalized_pagerank(
     pr = base_tbl.select("node", F.col("p0").alias("pr"))
     for _ in range(iterations):
         contrib = (
-            d.join(pr, d.src == pr.node)
-            .join(deg, on="src")
+            dd.join(pr, dd.src == pr.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("outdeg")).alias("c"),

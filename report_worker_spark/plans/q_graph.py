@@ -453,7 +453,11 @@ def graph_clustering_global(spark: SparkSession, sf: str) -> DataFrame:
     Σd(d−1)/2. Everything integer until one mirrored division. The
     oracle counts triangles with the naive a<b<c triple join —
     different physical strategy, same numbers."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    # one pin: the triangle counter and the wedge aggregate otherwise
+    # each re-derive the whole lineitem co-occurrence self-join
+    e = gr.undirected_edges(_cooccur_edges(spark, sf)).localCheckpoint(
+        eager=False
+    )
     tri = gr.triangle_count(e).select("n_nodes", "n_edges", "n_triangles")
     deg = gr.degrees(e)
     wedges = deg.agg(
@@ -513,7 +517,10 @@ def graph_preferential_attachment(spark: SparkSession, sf: str) -> DataFrame:
     construction), 496 bounded pairs, anti-join out existing edges,
     top-20 with full tiebreaks. Degree table + one bounded self-join
     — the fan-out never touches the fact."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    # pinned: degrees + the existing-edge anti-join both consume e
+    e = gr.undirected_edges(_cooccur_edges(spark, sf)).localCheckpoint(
+        eager=False
+    )
     deg = gr.degrees(e).select(
         "node", F.col("deg").cast("long").alias("d")
     )
@@ -1857,7 +1864,11 @@ def graph_path_census(spark: SparkSession, sf: str) -> DataFrame:
     triangle counter — one degree join on the edge list, no path
     materialization, so the census scales with E, not with the path
     counts themselves (which grow superlinearly)."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    # pinned: triangle counter, degree census and the 3-path edge
+    # aggregate all consume e
+    e = gr.undirected_edges(_cooccur_edges(spark, sf)).localCheckpoint(
+        eager=False
+    )
     tri = gr.triangle_count(e).select(
         "n_nodes", "n_edges", "n_triangles"
     )
