@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..util import spread
+from ..util import explode_strict, spread
 from .text import tokens
 
 
@@ -43,8 +43,7 @@ def bpe_word_freqs(
     """One corpus pass → ``(w, freq)`` word-frequency table (the only
     corpus-sized shuffle in BPE training; map-side combinable)."""
     return (
-        spread(df)
-        .select(F.explode(tokens(text_col)).alias("w"))
+        explode_strict(spread(df), tokens(text_col), "w")
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -106,7 +105,7 @@ def bpe_merges(
     for rank in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("r")), "  ")
         counts = (
-            cur.select("freq", F.explode(_adjacent_pairs(syms)).alias("p"))
+            explode_strict(cur, _adjacent_pairs(syms), "p", keep=("freq",))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )

@@ -50,12 +50,13 @@ def chunk_with_overlap(
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    t = df.select(
-        F.col(id_col),
-        toks.alias("_toks"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-        ).alias("chunk_start"),
+    from ..util import explode_strict
+
+    t = explode_strict(
+        df,
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        "chunk_start",
+        keep=(F.col(id_col), toks.alias("_toks")),
     )
     chunk = F.slice(F.col("_toks"), F.col("chunk_start"), window)
     return t.select(
@@ -206,8 +207,10 @@ def span_corrupt(d: DataFrame, mask_pct: int = 15) -> DataFrame:
 
     from .text import tokens as _tokens
 
-    toks = d.select(
-        "doc_id", F.posexplode(_tokens("text")).alias("pos", "w")
+    from ..util import posexplode_strict
+
+    toks = posexplode_strict(
+        d, _tokens("text"), "pos", "w", keep=("doc_id",)
     ).select(
         "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w"
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import spread
+from ..util import explode_strict, posexplode_strict, spread
 from .text import tokens
 
 
@@ -146,7 +146,7 @@ def _shingle_table(
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).withColumn("_sz", F.size("_sh"))
-    ex = sh.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    ex = explode_strict(sh, "_sh", "_s", keep=("_id", "_sz"))
     if hashed:
         ex = ex.select("_id", "_sz", F.xxhash64("_s").alias("_s"))
     if max_df is not None or with_df:
@@ -539,8 +539,8 @@ def simhash(
     """64-bit SimHash per document, fully JVM-side: explode tokens,
     per-bit ±1 sums (map-side combinable), sign → bit, assemble."""
     df = spread(df)
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ex = explode_strict(
+        df, tokens(text_col), "_t", keep=(F.col(id_col).alias("_id"),)
     ).withColumn("_h", F.xxhash64("_t"))
     sums = ex.groupBy("_id").agg(
         *[
@@ -627,8 +627,8 @@ def simhash_md5(
     this variant exists to make the algorithm cross-engine checkable.
     """
     df = spread(df)
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ex = explode_strict(
+        df, tokens(text_col), "_t", keep=(F.col(id_col).alias("_id"),)
     ).select("_id", F.md5("_t").alias("_h"))
     # 16 hex-digit values (4 bits each), materialized once per token
     ex = ex.select(
@@ -924,9 +924,7 @@ def _grouped_dup_windows(
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
         .select("_id", _window_hashes(F.col("_t"), k).alias("_wh"))
     )
-    wins = base.select(
-        "_id", F.posexplode("_wh").alias("pos", "_h")
-    )
+    wins = posexplode_strict(base, "_wh", "pos", "_h", keep=("_id",))
     dup = (
         wins.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1176,15 +1174,15 @@ def band_majority_verdict(
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> concat(element_at(t, i), ' ',"
-                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
-            )
-        ).alias("sh"),
+    sh = explode_strict(
+        toks,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat(element_at(t, i), ' ',"
+            " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+        ),
+        "sh",
+        keep=("doc_id",),
     ).distinct()
     mh_aggs = [
         F.min(

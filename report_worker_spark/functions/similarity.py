@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import spread
+from ..util import spread, spread_hash
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -216,8 +216,9 @@ def blocked_topk_matmul(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
 
     cand = (
-        q_rep.groupBy("qg", "blk")
-        .cogroup(c_rep.groupBy("qg", "blk"))
+        spread_hash(q_rep, "qg", "blk")
+        .groupBy("qg", "blk")
+        .cogroup(spread_hash(c_rep, "qg", "blk").groupBy("qg", "blk"))
         .applyInPandas(tile, schema="id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -413,7 +414,9 @@ def lsh_topk(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    tagged = assigned.join(vecs.select("_id", "_v"), on="_id")
+    tagged = spread_hash(
+        assigned.join(vecs.select("_id", "_v"), on="_id"), "tbl", "bkt"
+    )
     m = 2 * k + 8  # partial-top margin absorbing BLAS-vs-fold ULP ties
 
     def bucket_topm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -789,8 +792,9 @@ def ivf_topk(
     # each data vector lives in exactly ONE cell, so (id_a, id_b) pairs
     # are already unique across tiles — no dedup shuffle needed
     cand = (
-        query_side.groupBy("cell")
-        .cogroup(data_side.groupBy("cell"))
+        spread_hash(query_side, "cell")
+        .groupBy("cell")
+        .cogroup(spread_hash(data_side, "cell").groupBy("cell"))
         .applyInPandas(tile, schema="id_a long, id_b long")
     )
     vecs = df.select(
@@ -1290,8 +1294,9 @@ def ivfpq_topk(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
 
     cand = (
-        query_side.groupBy("cell")
-        .cogroup(data_side.groupBy("cell"))
+        spread_hash(query_side, "cell")
+        .groupBy("cell")
+        .cogroup(spread_hash(data_side, "cell").groupBy("cell"))
         .applyInPandas(tile, schema="id_a long, id_b long")
     )
     vecs = df.select(

@@ -187,7 +187,7 @@ def segment_table(
     """(id, seg_idx, segment): fixed-width token segments, JVM-side
     (split + transform + posexplode — no shuffle beyond the local
     spread, no Python)."""
-    from ..util import spread
+    from ..util import posexplode_strict, spread
 
     df = spread(df)
     toks = F.split(F.col(text_col), " ")
@@ -198,8 +198,8 @@ def segment_table(
             F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
         ),
     )
-    return df.select(
-        F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment")
+    return posexplode_strict(
+        df, segs, "seg_idx", "segment", keep=(F.col(id_col),)
     )
 
 
@@ -364,11 +364,14 @@ def cdc_chunks(
             ),
         ),
     )
-    toks = base.select(
-        "_id",
-        F.posexplode(
-            F.arrays_zip(F.col("_t").alias("tok"), flags.alias("f"))
-        ).alias("pos", "z"),
+    from ..util import posexplode_strict
+
+    toks = posexplode_strict(
+        base,
+        F.arrays_zip(F.col("_t").alias("tok"), flags.alias("f")),
+        "pos",
+        "z",
+        keep=("_id",),
     ).select(
         "_id", "pos", F.col("z.tok").alias("tok"), F.col("z.f").alias("f")
     )

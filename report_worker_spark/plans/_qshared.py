@@ -18,6 +18,7 @@ from ..functions import graph as gr
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..schemas import EQUIPMENT_SLOTS, TS_LOWER_BOUND, TS_UPPER_BOUND
+from ..util import explode_strict, posexplode_strict
 from .tables import load
 from ..functions import multimodal as mm_mod  # noqa: E402
 

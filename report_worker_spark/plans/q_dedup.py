@@ -945,19 +945,15 @@ def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
     round 12."""
     d = load(spark, sf, "documents")
     ws = tx.tokens("text")
-    sh = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
-                )
-            ).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    sh = explode_strict(
+        d.select("doc_id", ws.alias("ws")),
+        F.expr(
+            "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+            " i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+        ),
+        "shingle",
+        keep=("doc_id",),
+    ).dropDuplicates(["doc_id", "shingle"])
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     buckets = df.groupBy(
         F.floor(

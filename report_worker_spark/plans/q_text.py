@@ -235,11 +235,11 @@ def text_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         F.slice(toks, 1, sz - F.lit(1)), F.slice(toks, 2, sz - F.lit(1))
     )
     grams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.when(sz >= 2, grams).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+    bg = explode_strict(
+        d,
+        F.when(sz >= 2, grams).otherwise(F.array().cast("array<string>")),
+        "bigram",
+        keep=("doc_id",),
     )
     counts = bg.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("n"),
@@ -283,7 +283,7 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     IEEE division — bit-reproducible cross-engine."""
     d = load(spark, sf, "documents")
     freq = (
-        d.select(F.explode(tx.tokens("text")).alias("t"))
+        explode_strict(d, tx.tokens("text"), "t")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -346,7 +346,7 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
     )
     per = (
-        d.select("doc_id", F.explode(grams).alias("g"))
+        explode_strict(d, grams, "g", keep=("doc_id",))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -440,9 +440,11 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    ex = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
+    ex = explode_strict(
+        d,
+        F.array_distinct(word_shingles("text", 8)),
+        "gram",
+        keep=("doc_id",),
     )
     firstd = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
@@ -508,9 +510,11 @@ def text_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    sg = d.select(
-        "source",
-        F.explode(F.array_distinct(word_shingles("text", 8))).alias("gram"),
+    sg = explode_strict(
+        d,
+        F.array_distinct(word_shingles("text", 8)),
+        "gram",
+        keep=("source",),
     ).distinct()
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.alias("a")
@@ -603,8 +607,11 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     12-decimal round (ranking happens on the rounded score with a
     doc_id tiebreak, so order is engine-stable)."""
     terms = ["join", "filter", "scan"]
-    toks = load(spark, sf, "documents").select(
-        "doc_id", F.explode(tx.tokens("text")).alias("t")
+    toks = explode_strict(
+        load(spark, sf, "documents"),
+        tx.tokens("text"),
+        "t",
+        keep=("doc_id",),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -740,8 +747,8 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
+    toks = posexplode_strict(
+        d, tx.tokens("text"), "pos", "w", keep=("doc_id",)
     ).select(
         "doc_id",
         (F.col("pos") + 1).cast("long").alias("pos"),
@@ -856,7 +863,7 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 
     d = spread(load(spark, sf, "documents"))
     wc = (
-        d.select(F.explode(tx.tokens("text")).alias("w"))
+        explode_strict(d, tx.tokens("text"), "w")
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1079,18 +1086,16 @@ def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     zipped = F.arrays_zip(
         F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
     )
-    trans = (
-        toks.filter(sz >= 2)
-        .select("doc_id", F.explode(zipped).alias("_p"))
-        .select(
-            "doc_id",
-            F.col("_p.0").alias("w1"),
-            F.col("_p.1").alias("w2"),
-        )
+    trans = explode_strict(
+        toks.filter(sz >= 2), zipped, "_p", keep=("doc_id",)
+    ).select(
+        "doc_id",
+        F.col("_p.0").alias("w1"),
+        F.col("_p.1").alias("w2"),
     )
     c2 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    v = toks.select(F.explode("_t").alias("w")).agg(
+    v = explode_strict(toks, "_t", "w").agg(
         F.count_distinct("w").alias("vs")
     )
     lp = F.log(
@@ -1229,9 +1234,11 @@ def text_hashed_linear_score(spark: SparkSession, sf: str) -> DataFrame:
     broadcast 2^18-entry map lookup). Integer accumulation throughout;
     the single final division is mirrored in the oracle."""
     d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    toks = explode_strict(
+        d,
+        F.split(F.trim(F.col("text")), r"\s+"),
+        "w",
+        keep=("doc_id",),
     ).filter(F.col("w") != "")
     bucket = (
         F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
@@ -1282,11 +1289,12 @@ def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
     not corpus-bounded, so the PR iterations run on a small edge
     set whatever the input size."""
     d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "pos", "w"
-        ),
+    toks = posexplode_strict(
+        d,
+        F.split(F.trim(F.col("text")), r"\s+"),
+        "pos",
+        "w",
+        keep=("doc_id",),
     )
     wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
     pairs = toks.withColumn("wn", wn).filter(
@@ -1358,7 +1366,7 @@ def text_kl_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     + a vocab-keyed join — every aggregate map-side combines; nothing
     is quadratic in corpus size."""
     d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    tok = explode_strict(d, tx.tokens("text"), "term", keep=("source",))
     c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
     ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
     cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
@@ -1436,8 +1444,8 @@ def text_bigram_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
     window per doc for bigrams, two hash aggregates, a vocab-keyed
     join — nothing quadratic."""
     d = load(spark, sf, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "w")
+    toks = posexplode_strict(
+        d, tx.tokens("text"), "pos", "w", keep=("doc_id",)
     )
     wn = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
     big = toks.select("w", wn.alias("w2")).filter(F.col("w2").isNotNull())
@@ -1520,8 +1528,8 @@ def text_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(tx.tokens("text")).alias("w")
+    toks = explode_strict(
+        d, tx.tokens("text"), "w", keep=("doc_id",)
     ).distinct()
     wv = Window.orderBy(F.col("df").desc(), F.col("w").asc())
     vocab = (
@@ -1631,7 +1639,9 @@ def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    toks = d.select("source", F.explode(tx.tokens("text")).alias("w"))
+    toks = explode_strict(
+        d, tx.tokens("text"), "w", keep=("source",)
+    )
     cnt = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1763,9 +1773,11 @@ def text_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
-    toks = d.select(
-        (F.col("doc_id") % 30).alias("day"),
-        F.explode(tx.tokens("text")).alias("w"),
+    toks = explode_strict(
+        d,
+        tx.tokens("text"),
+        "w",
+        keep=((F.col("doc_id") % 30).alias("day"),),
     )
     cnt = toks.groupBy("w", "day").agg(F.count(F.lit(1)).alias("c"))
     cnt = cnt.localCheckpoint(eager=False)  # top + stats consumers
@@ -1839,9 +1851,8 @@ def text_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
     explode + two stacked map-combinable groupBys; ratios are
     integer-over-integer in mirrored doubles, round 12."""
     d = load(spark, sf, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    toks = explode_strict(
+        d, F.split(F.trim("text"), r"\s+"), "w", keep=("source",)
     )
     wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     one = F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))
@@ -1923,7 +1934,7 @@ def text_js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
     smallest-first (sorted-fold ≡ DuckDB list_reduce∘list_sort),
     round 12."""
     d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    tok = explode_strict(d, tx.tokens("text"), "term", keep=("source",))
     c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
     ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
     cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
@@ -2009,8 +2020,8 @@ def text_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT, so the index is one division, round 12. One explode +
     two stacked map-combinable groupBys (the hapax shape)."""
     d = load(spark, sf, "documents")
-    toks = d.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    toks = explode_strict(
+        d, F.split(F.trim("text"), r"\s+"), "w", keep=("source",)
     )
     wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
     g = wc.groupBy("source").agg(
@@ -2085,7 +2096,7 @@ def text_log_odds_terms(spark: SparkSession, sf: str) -> DataFrame:
     Top-3 per source via a source-keyed rank window (groups are
     sources — the window is distributed on them)."""
     d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("term"))
+    tok = explode_strict(d, tx.tokens("text"), "term", keep=("source",))
     c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
     ts_ = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
     cw = c.groupBy("term").agg(F.sum("n").alias("n_w"))
@@ -2169,7 +2180,9 @@ def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     broadcast left join over the token stream; counts exact, rate
     one division, round 12."""
     d = load(spark, sf, "documents")
-    tok = d.select("source", F.explode(tx.tokens("text")).alias("w"))
+    tok = explode_strict(
+        d, tx.tokens("text"), "w", keep=("source",)
+    )
     tok = tok.localCheckpoint(eager=False)  # counted + marked
     cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
     vocab = (
@@ -2280,8 +2293,8 @@ def text_yule_k(spark: SparkSession, sf: str) -> DataFrame:
     same map-combinable shape as the tf-idf/vocab passes — linear
     scan, one shuffle on (source, word)."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.col("text"), " "), "w", keep=("source",)
     )
     types = tok.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -2418,7 +2431,9 @@ def text_topk_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     the output is k-bounded."""
     d = load(spark, sf, "documents")
     wc = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+explode_strict(
+        d, F.split(F.col("text"), " "), "w"
+    )
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -2550,20 +2565,17 @@ def text_heaps_bigram_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
     cum = cum.localCheckpoint(eager=False)  # n_docs + checkpoint join
     n_docs = cum.agg(F.max("p").alias("n_docs"))
-    grams = (
-        docs.filter(F.size("t") >= 2)
-        .select(
-            "p",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1),"
-                        " i -> concat(element_at(t, i), ' ',"
-                        " element_at(t, i + 1)))"
-                    )
-                )
-            ).alias("g"),
-        )
+    grams = explode_strict(
+        docs.filter(F.size("t") >= 2),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1)))"
+            )
+        ),
+        "g",
+        keep=("p",),
     )
     firsts = grams.groupBy("g").agg(F.min("p").cast("long").alias("fp"))
     cps = (
@@ -2669,9 +2681,9 @@ def text_rbo_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     make both rankings total."""
     d = load(spark, sf, "documents")
     wc = (
-        d.select(
-            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-        )
+explode_strict(
+        d, F.split(F.col("text"), " "), "w", keep=("source",)
+    )
         .filter(F.col("w") != "")
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -2769,8 +2781,8 @@ def text_richness_panel(spark: SparkSession, sf: str) -> DataFrame:
     spectrum counts are exact BIGINTs off ONE token groupBy; each
     constant is a single mirrored double expression, round 9."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.col("text"), " "), "w", keep=("source",)
     )
     types = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     per = types.groupBy("source").agg(
@@ -2852,14 +2864,14 @@ def text_char_entropy_by_source(
     map-combinable groupBys; the explode fan-out is linear in corpus
     bytes."""
     d = load(spark, sf, "documents")
-    chars = d.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1))"
-            )
-        ).alias("ch"),
+    chars = explode_strict(
+        d,
+        F.expr(
+            "transform(sequence(1, length(text)),"
+            " i -> substring(text, i, 1))"
+        ),
+        "ch",
+        keep=("source",),
     )
     cnt = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
     cnt = cnt.localCheckpoint(eager=False)  # consumed twice
@@ -2992,8 +3004,8 @@ def text_tfidf_source_signatures(
     vocabulary-bounded — the same inverted-index economics as the
     tf-idf/BM25 ops."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.col("text"), " "), "w", keep=("source",)
     )
     tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.localCheckpoint(eager=False)  # consumed thrice
@@ -3056,9 +3068,8 @@ def text_word_length_histogram(
     sources comparable. One explode + map-combinable groupBy over a
     15-bucket domain, a dim-sized share window."""
     d = load(spark, sf, "documents")
-    w = d.select(
-        "source",
-        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    w = explode_strict(
+        d, F.split(F.col("text"), " "), "tok", keep=("source",)
     ).select(
         "source",
         F.least(F.length("tok"), F.lit(15)).cast("long").alias(
@@ -3159,8 +3170,8 @@ def text_nb_lang_classifier(spark: SparkSession, sf: str) -> DataFrame:
     partitions by token and the doc-term join is the same
     shuffle-on-w equi-join the PMI/TF-IDF family already runs."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.trim("text"), r"\s+"), "w", keep=("doc_id", "lang",)
     )
     m = tok.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("m")
@@ -3314,8 +3325,8 @@ def text_nb_per_class_f1(spark: SparkSession, sf: str) -> DataFrame:
     mirrored divisions (F1 = 2·tp/(pred+sup) — the harmonic identity
     that avoids a P·R/(P+R) float chain), round 9."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.trim("text"), r"\s+"), "w", keep=("doc_id", "lang",)
     )
     m = tok.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("m")
@@ -3511,8 +3522,8 @@ def text_nb_margin_reliability(
     offset table — which is bit-identical to SQL NTILE (the oracle is
     unchanged) with no single-partition row sort."""
     d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    tok = explode_strict(
+        d, F.split(F.trim("text"), r"\s+"), "w", keep=("doc_id", "lang",)
     )
     m = tok.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("m")
