@@ -1564,3 +1564,148 @@ def knn_outlier_census(
         F.col("sum_d2_topk").cast("long").alias("sum_d2_topk"),
         "rank",
     )
+
+
+def int_dot_topk_broadcast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    carry: tuple[str, ...] = (),
+    exclude_self: bool = False,
+    exclude_same_label: bool = False,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact top-``k`` per query by INTEGER dot product (desc, then
+    corpus id asc) with a broadcast query side — the Arrow twin of the
+    broadcast-nested-loop + per-pair ``zip_with``/``aggregate`` plan
+    shape, minus its per-pair JVM lambda interpretation (guide §4.2:
+    one integer Gram tile per Arrow batch instead of |Q|·N 64-step
+    folds).
+
+    ``queries`` must have (q_id, qv) [+ qlabel when
+    ``exclude_same_label``]; ``corpus`` must have (c_id, qv)
+    [+ label] plus any ``carry`` columns to keep on the result rows.
+    Vectors are int64 grids (pre-quantized), so every score is an
+    exact int64 — the per-batch top-k union provably contains the
+    global top-k, and the final window re-rank over
+    ≤ |Q|·k·partitions partial rows reproduces the all-pairs ranking
+    bit-for-bit. The query side broadcasts (the documented
+    broadcast-sized tier, same cap and failure mode as
+    ``crossset_topk``); the corpus makes ONE Arrow pass, never a
+    |Q|·N shuffle.
+
+    Returns (q_id, c_id, s, rank, *carry) with rank 1..k per q_id.
+    """
+    spark = queries.sparkSession
+    qcols = ["q_id", "qv"] + (["qlabel"] if exclude_same_label else [])
+    qpd = queries.select(*qcols).limit(max_queries + 1).toPandas()
+    if not len(qpd):
+        raise ValueError("int_dot_topk_broadcast: empty query set")
+    if len(qpd) > max_queries:
+        raise ValueError(
+            "int_dot_topk_broadcast: query set exceeds the broadcast "
+            f"tier cap ({max_queries} rows); shard the query side"
+        )
+    qids = qpd["q_id"].to_numpy().astype(np.int64)
+    qmat = np.stack(qpd["qv"].to_numpy()).astype(np.int64)
+    qlab = (
+        qpd["qlabel"].to_numpy().astype(np.int64)
+        if exclude_same_label
+        else None
+    )
+    bc = spark.sparkContext.broadcast((qids, qmat, qlab))
+    sent = -(np.int64(1) << 62)  # far below any real |s| ≤ quant²·dim
+
+    def batch_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m_qids, m_qmat, m_qlab = bc.value
+        for pb in batches:
+            if not len(pb):
+                continue
+            cids = pb["c_id"].to_numpy().astype(np.int64)
+            # sort batch rows by c_id so a STABLE argsort on -s alone
+            # yields (s desc, c_id asc) order (the census device)
+            order = np.argsort(cids)
+            cids = cids[order]
+            m = np.stack(pb["qv"].to_numpy())[order].astype(np.int64)
+            s = m_qmat @ m.T  # exact int64 Gram tile
+            if m_qlab is not None:
+                lab = pb["label"].to_numpy().astype(np.int64)[order]
+                s[m_qlab[:, None] == lab[None, :]] = sent
+            else:
+                s[m_qids[:, None] == cids[None, :]] = sent
+            t = min(k, s.shape[1])
+            idx = np.argsort(-s, axis=1, kind="stable")[:, :t]
+            picked = np.take_along_axis(s, idx, axis=1)
+            keep = (picked != sent).ravel()
+            out = {
+                "q_id": np.repeat(m_qids, t)[keep],
+                "c_id": cids[idx.ravel()][keep],
+                "s": picked.ravel()[keep],
+            }
+            for c in carry:
+                out[c] = pb[c].to_numpy()[order][idx.ravel()][keep]
+            yield pd.DataFrame(out)
+
+    ccols = ["c_id", "qv"] + (["label"] if exclude_same_label else [])
+    ccols += [c for c in carry if c not in ccols]
+    carry_schema = "".join(
+        f", {c} {dict(corpus.dtypes)[c]}" for c in carry
+    )
+    partials = (
+        spread(corpus.select(*ccols))
+        .mapInPandas(
+            batch_topk, schema=f"q_id long, c_id long, s long{carry_schema}"
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("s").desc(), F.col("c_id").asc()
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .withColumn("rank", F.col("rn").cast("long"))
+        .drop("rn")
+    )
+
+
+def int_pairdist_hist_bucketed(
+    df: DataFrame,
+    bucket_col: str = "bkt",
+    div: int = 10_000,
+) -> DataFrame:
+    """Histogram of within-bucket pairwise SQUARED DISTANCES on an
+    int64 grid: for every unordered pair (i < j by id) sharing
+    ``bucket_col``, count d² // ``div`` occurrences.
+
+    The Arrow twin of the bucket self-join + per-pair
+    ``zip_with``/``aggregate`` shape: each bucket group computes ONE
+    integer Gram matrix and its upper triangle, emits per-group
+    (dist_bucket, n) partial counts, and a map-combinable final sum
+    reproduces the join's histogram exactly (d² and the floor-div are
+    integer arithmetic; summing partial counts per key is
+    order-independent). The shuffle carries histogram partials, never
+    pair rows — the pair budget Σ bucket² is paid as per-group flops.
+
+    ``df`` must have (vec_id, ``bucket_col``, qv) with qv an int64
+    grid. Returns (dist_bucket, n_pairs).
+    """
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        nn = (m * m).sum(axis=1)
+        d2 = nn[:, None] + nn[None, :] - 2 * (m @ m.T)  # exact int64
+        iu = np.triu_indices(len(m), k=1)  # unordered pairs once
+        vals, cnt = np.unique(d2[iu] // div, return_counts=True)
+        return pd.DataFrame(
+            {"dist_bucket": vals, "n_pairs": cnt.astype(np.int64)}
+        )
+
+    partials = (
+        spread_hash(df, bucket_col)
+        .groupBy(bucket_col)
+        .applyInPandas(hist, schema="dist_bucket long, n_pairs long")
+    )
+    return partials.groupBy("dist_bucket").agg(
+        F.sum("n_pairs").alias("n_pairs")
+    )

@@ -1003,26 +1003,23 @@ def emb_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("qv").alias("query_vec"),
     )
-    scored = q.join(
-        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "true_label",
-        "vec_id",
-        "label",
-        F.expr(
-            "aggregate(zip_with(query_vec, qv, (x, y) -> x * y),"
-            " cast(0 as bigint), (a, x) -> a + x)"
-        ).alias("s"),
+    # Exact top-5 via one Arrow pass (integer Gram tiles) instead of
+    # the broadcast-nested-loop + per-pair zip_with fold — identical
+    # ranking (int64 dots, (s desc, vec_id asc) total order); the
+    # query side broadcasts exactly as before (guide §4.2).
+    cand = sim.int_dot_topk_broadcast(
+        qry.select(
+            F.col("query_id").alias("q_id"), F.col("query_vec").alias("qv")
+        ),
+        q.select(F.col("vec_id").alias("c_id"), "label", "qv"),
+        k=5,
+        carry=("label",),
+        exclude_self=True,
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("vec_id").asc()
-    )
-    topk = (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "true_label", "label")
-    )
+    topk = cand.join(
+        F.broadcast(qry.select("query_id", "true_label")),
+        cand["q_id"] == F.col("query_id"),
+    ).select("query_id", "true_label", "label")
     votes = topk.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("v")
     )
@@ -1159,33 +1156,12 @@ def emb_pair_distance_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ),
         qz.alias("qv"),
     )
-    dot = lambda x, y: F.expr(  # noqa: E731
-        f"aggregate(zip_with({x}, {y}, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
-    norms = q.select(
-        "vec_id", "bkt", "qv", dot("qv", "qv").alias("nn")
-    )
-    a = norms.select(
-        F.col("vec_id").alias("ida"),
-        "bkt",
-        F.col("qv").alias("qa"),
-        F.col("nn").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("idb"),
-        "bkt",
-        F.col("qv").alias("qb"),
-        F.col("nn").alias("nb"),
-    )
-    pairs = a.join(b, on="bkt").filter(F.col("ida") < F.col("idb")).select(
-        (
-            F.col("na") + F.col("nb") - 2 * dot("qa", "qb")
-        ).alias("d2")
-    )
-    return pairs.groupBy(
-        F.floor(F.col("d2") / 10000).cast("long").alias("dist_bucket")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    # Same Σ bucket² pair budget, but each bucket computes ONE integer
+    # Gram matrix in Arrow and ships histogram partials instead of
+    # materializing pair rows with per-pair zip_with folds (guide
+    # §4.2/§2.3); d² and the floor-div stay exact int64, and summing
+    # per-bucket partial counts reproduces the join's histogram.
+    return sim.int_pairdist_hist_bucketed(q, "bkt", div=10_000)
 
 
 
@@ -1383,31 +1359,27 @@ def emb_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         "transform(embedding,"
         " v -> cast(round(cast(v as double) * 256) as bigint))"
     )
-    dot = F.expr(
-        "aggregate(zip_with(qa, qv, (p, r) -> p * r),"
-        " cast(0 as bigint), (a, p) -> a + p)"
-    )
     base = emb.select("vec_id", "label", qz.alias("qv"))
-    base = base.localCheckpoint(eager=False)  # consumed twice
-    q = base.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("qv").alias("qa"),
+    # Anchors still broadcast against one corpus scan, but the scan is
+    # one Arrow pass computing integer Gram tiles with the
+    # label-inequality mask applied in the tile — no per-pair JVM
+    # zip_with folds, identical int64 dots and (dot desc, id asc)
+    # ranking (guide §4.2).
+    res = sim.int_dot_topk_broadcast(
+        base.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            "qv",
+            F.col("label").alias("qlabel"),
+        ),
+        base.select(F.col("vec_id").alias("c_id"), "label", "qv"),
+        k=5,
+        exclude_same_label=True,
     )
-    pairs = F.broadcast(q).crossJoin(base).filter(
-        F.col("qlabel") != F.col("label")
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dot.alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rank") <= 5)
+    return res.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        F.col("s").alias("dot"),
+        "rank",
     )
 
 
