@@ -803,6 +803,20 @@ def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _wav_stats_row(content: bytes) -> dict:
+    import numpy as np
+
+    d = decode_wav_samples(content)
+    dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
+    sm = np.frombuffer(d["samples"], dtype=dt)
+    return {
+        "n_frames": d["n_frames"],
+        "sample_rate": d["sample_rate"],
+        "sum_amp": int(sm.astype(np.int64).sum()),
+        "max_amp": int(sm.max()) if len(sm) else 0,
+    }
+
+
 def wav_sample_stats(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:
@@ -811,24 +825,11 @@ def wav_sample_stats(
     skipped — schema-stable, honest scope; corrupt/compressed WAVs are
     quarantined per item (``_quarantined_decode``)."""
 
-    def row(content: bytes) -> dict:
-        import numpy as np
-
-        d = decode_wav_samples(content)
-        dt = np.uint8 if d["bits"] == 8 else np.dtype("<i2")
-        sm = np.frombuffer(d["samples"], dtype=dt)
-        return {
-            "n_frames": d["n_frames"],
-            "sample_rate": d["sample_rate"],
-            "sum_amp": int(sm.astype(np.int64).sum()),
-            "max_amp": int(sm.max()) if len(sm) else 0,
-        }
-
     return _ok_only(
         _quarantined_decode(
             media,
             lambda c: c[:4] == b"RIFF",
-            row,
+            _wav_stats_row,
             "n_frames int, sample_rate int, sum_amp long, max_amp int",
         ),
         with_quarantine,
@@ -1124,25 +1125,26 @@ def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _mp4_stats_row(content: bytes) -> dict:
+    d = parse_mp4_header(content)
+    return {
+        "duration_ms": d["duration_ms"],
+        "width": d["width"],
+        "height": d["height"],
+    }
+
+
 def mp4_header_stats(
     media: DataFrame, with_quarantine: bool = False
 ) -> DataFrame:
     """Duration/dims from the REAL box walk. Non-MP4 rows skipped;
     malformed boxes are quarantined per item."""
 
-    def row(content: bytes) -> dict:
-        d = parse_mp4_header(content)
-        return {
-            "duration_ms": d["duration_ms"],
-            "width": d["width"],
-            "height": d["height"],
-        }
-
     return _ok_only(
         _quarantined_decode(
             media,
             lambda c: c[4:8] == b"ftyp",
-            row,
+            _mp4_stats_row,
             "duration_ms int, width int, height int",
         ),
         with_quarantine,
@@ -1968,6 +1970,122 @@ def poison_inject(
         F.when(
             h16 < F.lit(threshold), F.expr("substring(content, 1, 12)")
         ).otherwise(F.col("content")),
+    )
+
+
+# (kind → container signature check) and (kind → full stats decode)
+# used by the fused quarantine audit below. SAME predicates and row
+# decoders as the standalone png_pixel_stats / wav_sample_stats /
+# mp4_header_stats paths — the audit must certify the production
+# decode, so it runs the production decode.
+_AUDIT_SIGS: dict[str, Callable[[bytes], bool]] = {
+    "png": lambda c: c[:8] == PNG_SIG,
+    "audio": lambda c: c[:4] == b"RIFF",
+    "video": lambda c: c[4:8] == b"ftyp",
+}
+_AUDIT_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "png": lambda c: _png_stats_row(c),
+    "audio": lambda c: _wav_stats_row(c),
+    "video": lambda c: _mp4_stats_row(c),
+}
+
+
+def media_quarantine_rates(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused three-kind quarantine-rate audit.
+
+    Semantically identical to running poison_inject + the quarantined
+    decode per kind (png_pixel_stats / wav_sample_stats /
+    mp4_header_stats over synthetic_image_media / synthetic_wav_media /
+    synthetic_mp4_media with the 2·id / id / 2·id+1 key decorrelation)
+    and aggregating ok-counts — the per-item generators, poison rule,
+    signature checks, decoders and try/except quarantine are the SAME
+    functions. Fused because the audit only consumes (kind, ok): one
+    scan + one Python pass + one aggregation replaces three
+    independent gen→decode→agg branches (guide §4 — collapse the
+    JVM↔Python boundary and ship only the columns the kernel needs)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    trip = ids.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("png").alias("kind"),
+                    (F.col("doc_id") * 2).alias("media_id"),
+                ),
+                F.struct(
+                    F.lit("audio").alias("kind"),
+                    F.col("doc_id").alias("media_id"),
+                ),
+                F.struct(
+                    F.lit("video").alias("kind"),
+                    (F.col("doc_id") * 2 + 1).alias("media_id"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.kind", "m.media_id")
+
+    # ONE kernel: gen → poison → quarantined decode. Chaining three
+    # plan nodes instead would run TWO Python runners per task (worker
+    # spawn is the dominant cost of small Python stages — measured
+    # 1.2-10.8 s/run for an IDENTITY 2-chain mapInPandas at sf0.1) and
+    # round-trip the full media bytes through Arrow twice; fused, only
+    # (kind, media_id) goes in and (kind, ok) comes out. The poison
+    # draw uses the same md5 arithmetic as poison_inject (pinned equal
+    # by test_poison_python_twin).
+    def gen_poison_decode(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415 — worker-side import
+
+        for pb in batches:
+            rows = []
+            for kind, mid in zip(pb["kind"], pb["media_id"]):
+                mid = int(mid)
+                if kind == "png":
+                    w, h = mid % 31 + 2, mid % 23 + 2
+                    body = (
+                        png_bytes(w, h, mid)
+                        if mid % 2 == 0
+                        else jpeg_bytes(w, h, mid)
+                    )
+                elif kind == "audio":
+                    body = wav_bytes(mid % 96 + 32, 16000, mid)
+                else:
+                    body = mp4_bytes(
+                        mid % 90000 + 1000,
+                        mid % 640 + 16,
+                        mid % 480 + 16,
+                        mid,
+                    )
+                draw = int(
+                    hashlib.md5(f"poison{mid}".encode()).hexdigest()[:4],
+                    16,
+                )
+                if draw < 6554:
+                    body = body[:12]
+                if not _AUDIT_SIGS[kind](body):
+                    continue
+                try:
+                    _AUDIT_DECODERS[kind](body)
+                    rows.append({"kind": kind, "ok": True})
+                except Exception:  # poison must not kill the task
+                    rows.append({"kind": kind, "ok": False})
+            yield pd.DataFrame(rows, columns=["kind", "ok"])
+
+    q = spread(trip).mapInPandas(
+        gen_poison_decode, schema="kind string, ok boolean"
+    )
+    return q.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_quarantined"),
+    ).select(
+        "kind",
+        "n_items",
+        "n_quarantined",
+        (
+            F.col("n_quarantined").cast("double") / F.col("n_items")
+        ).alias("quarantine_rate"),
     )
 
 

@@ -274,38 +274,12 @@ def audit_media_quarantine_rate(spark: SparkSession, sf: str) -> DataFrame:
     three rates are independent draws."""
     from ..functions import multimodal as mm
 
+    # r14: fused — one gen pass + one dispatching quarantined decode
+    # pass over the (kind, media_id) union replaces three independent
+    # gen→decode→agg branches; same codecs, poison rule and per-item
+    # quarantine (mm.media_quarantine_rates), identical output.
     docs = load(spark, sf, "documents").select("doc_id")
-    png_m = mm.synthetic_image_media(
-        docs.select((F.col("doc_id") * 2).alias("doc_id")), "doc_id"
-    )
-    wav_m = mm.synthetic_wav_media(docs, "doc_id")
-    mp4_m = mm.synthetic_mp4_media(
-        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id")), "doc_id"
-    )
-    parts = []
-    for kind, decoded in [
-        ("png", mm.png_pixel_stats(mm.poison_inject(png_m), True)),
-        ("audio", mm.wav_sample_stats(mm.poison_inject(wav_m), True)),
-        ("video", mm.mp4_header_stats(mm.poison_inject(mp4_m), True)),
-    ]:
-        parts.append(
-            decoded.agg(
-                F.count(F.lit(1)).alias("n_items"),
-                F.sum((~F.col("ok")).cast("long")).alias("n_quarantined"),
-            ).select(
-                F.lit(kind).alias("kind"),
-                "n_items",
-                "n_quarantined",
-                (
-                    F.col("n_quarantined").cast("double")
-                    / F.col("n_items")
-                ).alias("quarantine_rate"),
-            )
-        )
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
+    return mm.media_quarantine_rates(docs)
 
 
 

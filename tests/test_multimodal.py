@@ -712,3 +712,58 @@ def test_mjpeg_non_bmff_container_quarantines_not_vanishes(spark):
     assert got[1]["any_ok"] == 0 and got[1]["n"] == 1  # err row, present
     # valid container: frames demux (payloads aren't JPEG -> per-frame err)
     assert got[2]["n"] > 1
+
+
+def test_media_quarantine_rates_fused_matches_unfused(spark):
+    """r14: media_quarantine_rates fuses gen→poison→decode into one
+    kernel. Pin it row-for-row against the UNFUSED composition it
+    replaced (poison_inject + the three standalone quarantined
+    decodes over the same 2·id / id / 2·id+1 media tables)."""
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+
+    fused = {
+        r["kind"]: (r["n_items"], r["n_quarantined"], r["quarantine_rate"])
+        for r in mm.media_quarantine_rates(docs).collect()
+    }
+
+    png_m = mm.synthetic_image_media(
+        docs.select((F.col("doc_id") * 2).alias("doc_id")), "doc_id"
+    )
+    wav_m = mm.synthetic_wav_media(docs, "doc_id")
+    mp4_m = mm.synthetic_mp4_media(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id")), "doc_id"
+    )
+    for kind, decoded in [
+        ("png", mm.png_pixel_stats(mm.poison_inject(png_m), True)),
+        ("audio", mm.wav_sample_stats(mm.poison_inject(wav_m), True)),
+        ("video", mm.mp4_header_stats(mm.poison_inject(mp4_m), True)),
+    ]:
+        rows = decoded.collect()
+        n = len(rows)
+        q = sum(0 if r["ok"] else 1 for r in rows)
+        assert fused[kind] == (n, q, q / n), kind
+    # the fixture must actually exercise the quarantine path
+    assert sum(v[1] for v in fused.values()) > 0
+
+
+def test_poison_python_twin(spark):
+    """The fused kernel computes the poison draw with hashlib; pin it
+    against poison_inject's JVM md5 expression on the same ids."""
+    import hashlib
+
+    ids = list(range(0, 400))
+    media = spark.createDataFrame(
+        [(i, b"x" * 20) for i in ids], "media_id long, content binary"
+    )
+    jvm_poisoned = {
+        r["media_id"]
+        for r in mm.poison_inject(media).collect()
+        if len(r["content"]) == 12
+    }
+    py_poisoned = {
+        i
+        for i in ids
+        if int(hashlib.md5(f"poison{i}".encode()).hexdigest()[:4], 16)
+        < 6554
+    }
+    assert jvm_poisoned == py_poisoned and py_poisoned
