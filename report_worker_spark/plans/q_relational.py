@@ -2705,31 +2705,46 @@ def agg_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     k = 128
 
-    def hashes(pred) -> DataFrame:
-        return (
-            li.filter(pred)
-            .select(_h48(F.col("l_orderkey").cast("string")).alias("h"))
-            .distinct()
+    # r14 restructure (identical output via set identities): ONE
+    # membership table u = distinct h with (in_a, in_b) flags replaces
+    # the separate a/b/u distincts — |a| = Σin_a, |a∩b| = Σ(in_a·in_b)
+    # (= the old a⋈b count, both sides were distinct), and the union
+    # sketch carries its own flags so cnt_both is a flag sum over its
+    # 128 rows instead of two joins. The query ran as ~20 SERIAL tiny
+    # stages (8 crossJoin branches, each its own materialization
+    # wave); this shape is one distinct shuffle + 4 single-row
+    # branches. The per-partition-top-k sketch (TakeOrderedAndProject,
+    # the mergeable-partials shape) is unchanged.
+    def tagged(pred, fa: int, fb: int) -> DataFrame:
+        return li.filter(pred).select(
+            _h48(F.col("l_orderkey").cast("string")).alias("h"),
+            F.lit(fa).alias("in_a"),
+            F.lit(fb).alias("in_b"),
         )
 
-    a = hashes(F.col("l_returnflag") == "R")
-    b = hashes(F.col("l_linestatus") == "O")
-    u = a.union(b).distinct()
-    ska, skb, sku = (d.orderBy("h").limit(k) for d in (a, b, u))
-
-    ea = a.agg(F.count(F.lit(1)).alias("exact_a"))
-    eb = b.agg(F.count(F.lit(1)).alias("exact_b"))
-    eu = u.agg(F.count(F.lit(1)).alias("exact_union"))
-    ei = a.join(b, on="h").agg(
-        F.count(F.lit(1)).alias("exact_intersection")
+    memb = (
+        tagged(F.col("l_returnflag") == "R", 1, 0)
+        .unionByName(tagged(F.col("l_linestatus") == "O", 0, 1))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .localCheckpoint(eager=False)  # 4 consumers below
     )
+
+    counts = memb.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
+    )
+    ska = memb.filter(F.col("in_a") == 1).orderBy("h").limit(k)
+    skb = memb.filter(F.col("in_b") == 1).orderBy("h").limit(k)
+    sku = memb.orderBy("h").limit(k)
     sa = ska.agg(F.count(F.lit(1)).alias("ka"), F.max("h").alias("va"))
     sb = skb.agg(F.count(F.lit(1)).alias("kb"), F.max("h").alias("vb"))
-    su = sku.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("vu"))
-    bo = (
-        sku.join(a, on="h")
-        .join(b, on="h")
-        .agg(F.count(F.lit(1)).alias("cnt_both"))
+    su = sku.agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.max("h").alias("vu"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("cnt_both"),
     )
 
     def est(kc: str, vc: str) -> F.Column:
@@ -2740,8 +2755,8 @@ def agg_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
             / F.col(vc).cast("double")
         )
 
-    row = ea
-    for d in (eb, eu, ei, sa, sb, su, bo):
+    row = counts
+    for d in (sa, sb, su):
         row = row.crossJoin(d)
     return row.select(
         "exact_a",

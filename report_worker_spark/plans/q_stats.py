@@ -2110,15 +2110,23 @@ def stats_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
     same economics as curation_dp_noisy_counts. Output is the full
     64-row replica table (diff, extreme flag) plus the shared
     observed diff and p-value."""
+    from ..util import spread
+
     e = load(spark, sf, "events").filter(
         F.col("event_type").isin("click", "view")
     )
-    base = e.select(
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
-            "ia"
-        ),
+    # spread BEFORE the ×64 explode: the events parquet arrives as one
+    # split, which would serialize the 64·N md5 draws into a single
+    # task (r14 — measured single-task stage dominating the query);
+    # integer-sum aggregation is partitioning-independent.
+    base = spread(
+        e.select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
     )
     obs = base.agg(
         F.sum("ia").alias("na"),

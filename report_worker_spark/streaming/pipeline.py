@@ -76,6 +76,14 @@ def wire_to_staging(msgs: DataFrame, players: DataFrame | None = None) -> DataFr
     declarative plan: version dispatch, v1 resolve / v2 passthrough,
     union, ms→s, bounds, clamp, flatten, bool casts.
     """
+    # Pin the parsed messages before fanning out: the v1 branch, the
+    # v2 branch, and the v1 name-resolution subtree each re-derive
+    # ``msgs`` otherwise (measured 6 full re-parses of the 100k-row
+    # from_json chain in one wire-bench plan, r14). Batch only —
+    # foreachBatch hands this function batch DataFrames, so the
+    # streaming path is unaffected.
+    if not msgs.isStreaming:
+        msgs = msgs.localCheckpoint(eager=False)
     v1, v2 = transforms.version_dispatch(msgs)
 
     if players is not None:
