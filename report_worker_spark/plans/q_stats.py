@@ -819,11 +819,20 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     resampling plan. CI = replica means ranked 2 and 63 of 64
     (2.5%/97.5%, id tiebreak). Fanout is a flat 64× explode — bounded
     and embarrassingly parallel, no driver participation."""
+    from ..util import spread
+
     e = load(spark, sf, "events").filter(
         F.col("event_type") == "purchase"
     )
-    v = e.select(
-        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    # spread BEFORE the ×64 explode: the events parquet arrives as one
+    # split, which would serialize the 64·N md5 draws into a single
+    # task (r14 — same fix as stats_permutation_test); integer-sum
+    # aggregation is partitioning-independent.
+    v = spread(
+        e.select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     rep = v.select(
         "event_id",
@@ -848,14 +857,19 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         .over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
         .alias("rn"),
     )
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == 63).select(F.col("m").alias("ci_hi"))
+    # ONE pass over the ranked replica means for both CI endpoints: the
+    # separate rn==2 / rn==63 filters each re-ran the whole ×64
+    # explode + md5 + groupBy subtree (two Generate branches in the r14
+    # before-plan); a conditional aggregate folds them into one row.
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 63, F.col("m"))).alias("ci_hi"),
+    )
     base = v.agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("s")
     )
     return (
-        base.crossJoin(lo)
-        .crossJoin(hi)
+        base.crossJoin(F.broadcast(ci))
         .select(
             "n_rows",
             (

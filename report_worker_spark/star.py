@@ -148,19 +148,38 @@ def upsert_star(
             loc = anti_join_new(loc_full, existing["location"], LOCATION_KEYS)
 
     fact = batch
-    # J4: chained null-safe equi-joins resolving the three surrogate FKs
-    # against the FULL dims (the anti-joined deltas would drop facts
-    # whose keys already exist; reusing the frames avoids rebuilding
-    # each distinct-aggregation a second time).
-    fact = resolve_fk(
-        fact, sight_full, SIGHTING_KEYS, "sighting_id", broadcast=broadcast_dims
-    )
-    fact = resolve_fk(
-        fact, gear_full, GEAR_KEYS, "gear_id", broadcast=broadcast_dims
-    )
-    fact = resolve_fk(
-        fact, loc_full, LOCATION_KEYS, "location_id", broadcast=broadcast_dims
-    )
+    if key_mode == "hash":
+        # Hash surrogate ids are pure row-local functions of the natural
+        # key, and the full dims above are DISTINCT projections of this
+        # very batch — so the three null-safe FK-resolve joins are
+        # identity lookups: every fact row matches exactly one dim row,
+        # and the attached id equals xxhash64 over the fact's own key
+        # columns (null-safe-equal tuples hash identically). Compute the
+        # ids directly instead of shuffling the fact three times through
+        # join exchanges (guide §2.4 — remove shuffles outright). Rank
+        # mode cannot shortcut: dense_rank ids exist only on the dim.
+        for keys, id_col in (
+            (SIGHTING_KEYS, "sighting_id"),
+            (GEAR_KEYS, "gear_id"),
+            (LOCATION_KEYS, "location_id"),
+        ):
+            fact = fact.withColumn(id_col, surrogate_key(keys, "hash"))
+    else:
+        # J4: chained null-safe equi-joins resolving the three surrogate
+        # FKs against the FULL dims (the anti-joined deltas would drop
+        # facts whose keys already exist; reusing the frames avoids
+        # rebuilding each distinct-aggregation a second time).
+        fact = resolve_fk(
+            fact, sight_full, SIGHTING_KEYS, "sighting_id",
+            broadcast=broadcast_dims,
+        )
+        fact = resolve_fk(
+            fact, gear_full, GEAR_KEYS, "gear_id", broadcast=broadcast_dims
+        )
+        fact = resolve_fk(
+            fact, loc_full, LOCATION_KEYS, "location_id",
+            broadcast=broadcast_dims,
+        )
     # fact PK is (sighting_id, location_id, region_id) (01_tables.sql:139);
     # INSERT IGNORE ⇒ keep one row per PK.
     fact = fact.dropDuplicates(["sighting_id", "location_id", "region_id"])

@@ -371,6 +371,35 @@ def test_star_upsert_hot_reported_id_aqe_skew_split(spark):
         )
         got = len(fact.collect())
         plan = fact._jdf.queryExecution().executedPlan().toString()
+
+        # r14: hash mode computes the surrogate ids row-locally (the
+        # dims are distinct projections of the same batch, so the
+        # null-safe resolve joins were identity lookups) — the fact
+        # path must carry NO join at all now; its only exchange is the
+        # fact-PK dedup, whose hot key is absorbed by partial
+        # aggregation, not skew-join splitting.
+        assert "Join" not in plan, plan[:2000]
+
+        # The join + AQE-skew machinery still backs rank mode and
+        # direct resolve_fk callers (the backfill shape where a dim is
+        # NOT derived from the batch): exercise it on the same hot key.
+        dim = star.build_dim(
+            batch,
+            ["reporting_id", "reported_id", "manual_detect"],
+            "sighting_id",
+            key_mode="hash",
+        )
+        resolved = star.resolve_fk(
+            batch,
+            dim,
+            ["reporting_id", "reported_id", "manual_detect"],
+            "sighting_id",
+            broadcast=False,
+        ).select("event_id", "sighting_id")
+        # collect() (not count()) so THIS Dataset's queryExecution runs
+        # and its AQE plan finalizes — count() spawns a separate one
+        n_resolved = len(resolved.collect())
+        jplan = resolved._jdf.queryExecution().executedPlan().toString()
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
@@ -388,10 +417,12 @@ def test_star_upsert_hot_reported_id_aqe_skew_split(spark):
         .count()
     )
     assert got == expect
-    # the hot key actually took the skew path: AQE split at least one
-    # SMJ partition
-    assert "skew=true" in plan, plan[:2000]
-    assert "SortMergeJoin" in plan
+    # the resolve join preserves every fact row (dim is a distinct
+    # projection of the batch) and the hot key actually took the skew
+    # path: AQE split at least one SMJ partition
+    assert n_resolved == n
+    assert "skew=true" in jplan, jplan[:2000]
+    assert "SortMergeJoin" in jplan
 
 
 def test_semdedup_is_cell_equijoin_no_python(spark, sf_oracle):
