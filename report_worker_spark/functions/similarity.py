@@ -222,6 +222,12 @@ def blocked_topk_matmul(
         .applyInPandas(tile, schema="id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # pin the exact-re-rank stage's width: the dedup exchange is
+    # byte-coalesced by AQE (id pairs are tiny), which would run the
+    # per-pair fold below in 1-2 tasks (r14: measured 38 s JVM CPU in a
+    # 2-task stage on the lsh_topk twin); hashing on id_a also serves
+    # the final window's clustering, so no exchange is added
+    cand = spread_hash(cand, "id_a")
     vecs = src.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -516,6 +522,11 @@ def lsh_topk(
         )
         cand = cand.unionByName(hot_cand)
     cand = cand.dropDuplicates(["id_a", "id_b"])
+    # pin the exact-re-rank stage's width (see blocked_topk_matmul): the
+    # dedup exchange byte-coalesces to 1-2 tasks, serializing the
+    # per-pair fold below; hash on id_a doubles as the final window's
+    # distribution, so this replaces that exchange rather than adding one
+    cand = spread_hash(cand, "id_a")
     # attach vectors + norms AFTER dedup: only O(n·tables·k) id pairs
     # ever carry vector payload; norm computed once per side, cosine is
     # one fold + a divide (cosine() would fold the arrays 3× per pair)
@@ -605,6 +616,11 @@ def lsh_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # pin the exact-verify stage's width (see blocked_topk_matmul): the
+    # dedup exchange byte-coalesces to 1-2 tasks and the per-pair fold
+    # below serializes; one extra tiny exchange of id pairs buys a
+    # full-width verify
+    cand = spread_hash(cand, "id_a")
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -928,14 +944,30 @@ def crossset_topk(
         .mapInPandas(part_topk, schema="q_id long, c_id long")
         .dropDuplicates(["q_id", "c_id"])
     )
+    # pin the exact-re-rank stage's width (see blocked_topk_matmul);
+    # hashing on q_id doubles as the final window's distribution
+    cand = spread_hash(cand, "q_id")
+    # norms once per SIDE row instead of three folds per pair —
+    # l2_norm is the same deterministic sequential fold wherever it is
+    # evaluated, so cos is bit-identical
     qv = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"))
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         cand.join(F.broadcast(qv), on="q_id")
         .join(cv, on="c_id")
-        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cos",
+            dot_fold(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
