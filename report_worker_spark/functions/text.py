@@ -221,7 +221,15 @@ def remove_boilerplate(
     to the corpus (boilerplate is by definition few distinct strings)
     so the removal anti-join broadcasts. Reassembly groups by doc —
     partition-pruned if the corpus is already bucketed by id."""
-    segs = segment_table(df, id_col, text_col, seg_tokens)
+    # lazy pin: the segment table feeds THREE branches (the df
+    # aggregate, the anti-join, per-doc totals) — without it each
+    # branch re-runs the split + transform + slice segmentation over
+    # the corpus, and the tripled codegen surface alone measurably
+    # degrades long-lived JVMs (r14: runs in one session went
+    # 4.4 → 12 → 20 s)
+    segs = segment_table(df, id_col, text_col, seg_tokens).localCheckpoint(
+        eager=False
+    )
     hot = (
         segs.select("segment", id_col)
         .distinct()
@@ -268,7 +276,11 @@ def dedup_intradoc_segments(
     n_intra_dups, dedup_text). One shuffle (by id for the window +
     reassembly — the window partitions by (id, segment) which the id
     shuffle already co-locates)."""
-    segs = segment_table(df, id_col, text_col, seg_tokens)
+    # lazy pin: consumed by the window branch AND the per-doc totals —
+    # see remove_boilerplate
+    segs = segment_table(df, id_col, text_col, seg_tokens).localCheckpoint(
+        eager=False
+    )
     w = Window.partitionBy(id_col, "segment").orderBy("seg_idx")
     first = segs.withColumn("_rn", F.row_number().over(w))
     kept = first.filter(F.col("_rn") == 1)
