@@ -765,7 +765,13 @@ def ivf_topk(
     cells = spread(df.select(id_col, vec_col)).mapInPandas(
         assign_cells, schema=f"{id_col} long, cell int, probes array<int>"
     )
-    tagged = df.select(id_col, vec_col).join(cells, on=id_col)
+    # lazy pin: tagged feeds BOTH cogroup sides — without it the Python
+    # assign pass and the id join run twice (r14)
+    tagged = (
+        df.select(id_col, vec_col)
+        .join(cells, on=id_col)
+        .localCheckpoint(eager=False)
+    )
 
     data_side = tagged.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
@@ -1272,6 +1278,9 @@ def ivfpq_topk(
         encode,
         schema=f"{id_col} long, cell int, probes array<int>, codes array<int>",
     )
+    # lazy pin: enc feeds the codes side AND the query-probe join —
+    # without it the Python encode pass runs twice (r14)
+    enc = enc.localCheckpoint(eager=False)
 
     data_side = enc.select(
         F.col(id_col).alias("_id"), "cell", F.col("codes").alias("_codes")

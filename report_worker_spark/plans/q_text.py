@@ -1081,17 +1081,26 @@ def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     from ..util import spread
 
     d = spread(load(spark, sf, "documents"))
+    # lazy pin on trans (narrow: id + two words): it feeds the count
+    # aggregation AND the scoring join, which otherwise re-run
+    # tokenize + arrays_zip + explode over the corpus (r14: the
+    # duplicated subtrees were the two hottest stages of this query's
+    # profile). toks stays unpinned — materializing the full token
+    # arrays cost more than the one re-tokenize the vocab count pays
+    # (measured +0.3 s on the perplexity wrapper).
     toks = d.select("doc_id", tx.tokens("text").alias("_t"))
     sz = F.size("_t")
     zipped = F.arrays_zip(
         F.slice("_t", 1, sz - 1), F.slice("_t", 2, sz - 1)
     )
-    trans = explode_strict(
-        toks.filter(sz >= 2), zipped, "_p", keep=("doc_id",)
-    ).select(
-        "doc_id",
-        F.col("_p.0").alias("w1"),
-        F.col("_p.1").alias("w2"),
+    trans = (
+        explode_strict(toks.filter(sz >= 2), zipped, "_p", keep=("doc_id",))
+        .select(
+            "doc_id",
+            F.col("_p.0").alias("w1"),
+            F.col("_p.1").alias("w2"),
+        )
+        .localCheckpoint(eager=False)
     )
     c2 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
