@@ -10248,3 +10248,43 @@ def test_deletion_neighborhood_complete_vs_brute_force(spark, sf_oracle):
         if i < j and _within1(a, b)
     }
     assert got_s == want_s
+
+
+def test_poisson_bootstrap_ci_zero_purchases_matches_oracle(
+    spark, tmp_path
+):
+    """Zero-input behavior pin (ADVICE r14): with no purchase events the
+    r14 conditional-aggregate form emits ONE row with n_rows=0 and NULL
+    point_mean/ci_lo/ci_hi — exactly what the DuckDB oracle's scalar
+    subqueries produce — where the pre-r14 rn==2/rn==63 filter form
+    produced zero rows. Build a purchase-free events fixture and assert
+    Spark and the oracle agree on it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from report_worker_spark.plans.catalog import QUERIES
+    from report_worker_spark.plans._qshared import ORACLE
+    from report_worker_spark.plans.tables import TABLES
+    from tests.oracle_harness import canon, run_oracle
+
+    src = "/root/testdata/sf0.001"
+    fix = tmp_path / "sf_zero_purchase"
+    fix.mkdir()
+    for t in TABLES:
+        if t == "events":
+            tbl = pq.read_table(f"{src}/events.parquet")
+            mask = [v != "purchase" for v in tbl["event_type"].to_pylist()]
+            pq.write_table(tbl.filter(mask), fix / "events.parquet")
+        else:
+            shutil.copy(f"{src}/{t}.parquet", fix / f"{t}.parquet")
+
+    sp = QUERIES["stats_poisson_bootstrap_ci"](spark, str(fix)).toPandas()
+    oc = run_oracle(ORACLE["stats_poisson_bootstrap_ci"], str(fix))
+    assert len(sp) == 1
+    row = sp.iloc[0]
+    assert row["n_rows"] == 0
+    assert row[["point_mean", "ci_lo", "ci_hi"]].isna().all()
+    assert canon(sp.astype(object).where(sp.notna(), None)) == canon(
+        oc.astype(object).where(oc.notna(), None)
+    )

@@ -377,8 +377,17 @@ def test_star_upsert_hot_reported_id_aqe_skew_split(spark):
         # null-safe resolve joins were identity lookups) — the fact
         # path must carry NO join at all now; its only exchange is the
         # fact-PK dedup, whose hot key is absorbed by partial
-        # aggregation, not skew-join splitting.
-        assert "Join" not in plan, plan[:2000]
+        # aggregation, not skew-join splitting. Match concrete join
+        # node names, not the bare "Join" substring (ADVICE r14: a
+        # reused-exchange annotation containing the word would trip it).
+        _JOIN_NODES = (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+        assert not any(j in plan for j in _JOIN_NODES), plan[:2000]
 
         # The join + AQE-skew machinery still backs rank mode and
         # direct resolve_fk callers (the backfill shape where a dim is

@@ -19,6 +19,11 @@ from report_worker_spark.sources.pysource import register
 from report_worker_spark.streaming import pipeline as pl
 from report_worker_spark.streaming.stateful import ProgressRecorder
 
+# Soak tier (VERDICT_r14 item 2): multi-minute streaming restarts —
+# skipped unless SPARK_GRAFT_FULL_TESTS=1 so the driver's bounded
+# pytest window completes; the builder's full run sets the flag.
+pytestmark = pytest.mark.soak
+
 ROWS_PER_BATCH = 200
 PHASE1_EPOCHS = 8
 TOTAL_EPOCHS = 20
