@@ -756,6 +756,14 @@ def run_one(name: str) -> float:
         # excluded run-1 blew it and skipped the rotating tier).
         if i >= 2 and sum(times[1:]) > 18:
             break
+        # VERDICT_r14 item 1: sub-2 s queries stop at 5 runs (warm-up +
+        # 4 evidence runs; the reported min still sees 3 steady
+        # samples, times[2:]). The r14 sweep spent 7 runs on every
+        # fast query and the whole rotating tier was skipped when the
+        # global budget ran out; this cuts ~30% off a fast query's
+        # launch wall without changing the metric (min of runs 3+).
+        if i >= 4 and max(times[1:]) < 2.0:
+            break
     warm = times[2:] if len(times) > 3 else times[1:]
     return round(min(warm), 3)
 
@@ -909,16 +917,55 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def _prior_line_names() -> list[str]:
+    """Query names on the latest committed round's driver line
+    (``BENCH_r<N>.json`` → parsed.queries). The PERF comparator diffs
+    the two lines' ``queries`` maps, so a name present last round but
+    absent now reads as "dropped_from_bench" even when the query simply
+    got faster and fell out of the top-10 (VERDICT_r14 item 8: four
+    phantom drops). Entries may be ADDED to the line, never removed —
+    so carry those names forward with their current timings."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, found = -1, []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best:
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            names = list(parsed.get("queries") or {})
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if names:
+            best, found = int(m.group(1)), names
+    return found
+
+
 def _driver_line(detail: dict) -> str:
     head = detail["headline"]
-    slowest = dict(
-        sorted(
-            ((k, v) for k, v in head.items() if v is not None),
-            key=lambda kv: -kv[1],
-        )[:10]
+    ranked = sorted(
+        ((k, v) for k, v in head.items() if v is not None),
+        key=lambda kv: -kv[1],
     )
+    slowest = dict(ranked[:10])
+    # Carry prior-line names that ran this round but fell out of the
+    # top-10, so the round-over-round comparator never sees a phantom
+    # drop; cap the union at 22 entries (slowest first) to keep the
+    # line well under the driver's 2000-char capture.
+    prior = [n for n in _prior_line_names() if head.get(n) is not None]
+    for name, sec in ranked:
+        if len(slowest) >= 22:
+            break
+        if name in prior:
+            slowest.setdefault(name, sec)
+    churn = sorted(n for n in prior if n not in dict(ranked[:10]))
     # The driver captures a bounded tail of stdout: keep this line small
-    # (totals + slowest-10), full per-query map in BENCH_DETAIL.json.
+    # (totals + slowest-10 + carried prior names), full per-query map in
+    # BENCH_DETAIL.json.
     return json.dumps(
         {
             "metric": "headline_queries_total",
@@ -931,6 +978,9 @@ def _driver_line(detail: dict) -> str:
             "rotating_total": detail["rotating_total"],
             "n_skipped": len(detail["skipped"]),
             "partial": detail["partial"],
+            # names benched this round that left the top-10 (they got
+            # FASTER, or new entries displaced them) — not drops
+            "top10_churn": churn[:12],
             "detail": "BENCH_DETAIL.json",
         }
     )
@@ -939,6 +989,19 @@ def _driver_line(detail: dict) -> str:
 def _detail_path() -> str:
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+
+
+def _detail_path_per_cpu() -> str:
+    """Per-invocation detail twin (VERDICT_r14 item 6/8): the driver
+    runs the sweep at two core counts back-to-back and the second
+    (8-core) run used to overwrite the 32-core detail file. Keep a
+    ``BENCH_DETAIL_c<cpus>.json`` copy per core count so both survive;
+    BENCH_DETAIL.json stays the driver-facing latest (contract)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL_c{cpus}.json",
     )
 
 
@@ -1030,12 +1093,14 @@ def main() -> None:
             timings[name] = run_one(name)
         detail = _detail_payload(timings, headline, samples, skipped, False)
         _atomic_write_json(_detail_path(), detail)
+        _atomic_write_json(_detail_path_per_cpu(), detail)
         print(_driver_line(detail), flush=True)
         return
 
     def emit(partial: bool) -> dict:
         detail = _detail_payload(timings, headline, samples, skipped, partial)
         _atomic_write_json(_detail_path(), detail)
+        _atomic_write_json(_detail_path_per_cpu(), detail)
         return detail
 
     def on_signal(signum, frame):  # noqa: ARG001
@@ -1063,17 +1128,31 @@ def main() -> None:
     prior = _prior_bench_secs()
     budget = _Budget()
 
-    # Pass 1 — headline, the round-over-round comparator, before
-    # anything optional spends budget.
+    # Pass 1 — headline with rotating slots INTERLEAVED proportionally
+    # (VERDICT_r14 item 1: the r14 run exhausted the global budget on
+    # the headline pass alone and skipped the entire 25-name rotating
+    # tier, including three of that round's own optimization targets;
+    # interleaving makes budget exhaustion degrade both tiers
+    # proportionally instead of zeroing the tail).
     head_names = [n for n in names if n in headline]
     rot_names = [n for n in names if n not in headline]
-    for name in head_names:
+    order: list[str] = []
+    ri = 0
+    for i, name in enumerate(head_names, 1):
+        order.append(name)
+        while ri < len(rot_names) and (
+            ri + 1 <= len(rot_names) * i / len(head_names)
+        ):
+            order.append(rot_names[ri])
+            ri += 1
+    order.extend(rot_names[ri:])
+    for name in order:
         if not budget.allows():
             skipped.append(name)
             continue
         t = budget.timed(_run_subprocess, name, env)
         timings[name] = t
-        if t is not None:
+        if t is not None and name in headline:
             samples[name] = [t]
         emit(partial=True)
 
@@ -1105,14 +1184,7 @@ def main() -> None:
             timings[name] = round(min(t, t2), 3)
         emit(partial=True)
 
-    # Pass 3 — rotating long-tail slots, last and capped.
-    for name in rot_names:
-        if not budget.allows():
-            skipped.append(name)
-            continue
-        timings[name] = budget.timed(_run_subprocess, name, env)
-        emit(partial=True)
-
+    # (Rotating slots run inside pass 1 — interleaved above.)
     print(_driver_line(emit(partial=False)), flush=True)
 
 

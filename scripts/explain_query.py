@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for bench queries into plans/r14/.
+"""Capture `.explain("formatted")` for bench queries into plans/r15/.
 
 Usage: python scripts/explain_query.py <suffix> <name> [<name> ...]
        python scripts/explain_query.py before dedup_minhash_lsh sim_lsh_topk
 
-Writes plans/r14/<name>_<suffix>.txt for each query, using the same
+Writes plans/r15/<name>_<suffix>.txt for each query, using the same
 session/builders as bench.py so the captured plan is the benched plan.
 One shared session (explain is plan-only, no execution — neighbor noise
 does not apply).
@@ -30,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("rws-explain")
