@@ -40,6 +40,89 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
 
 
+def fold_cos_pairs_arrow(pairs: DataFrame, out: str = "cos") -> DataFrame:
+    """Exact per-pair cosine for candidate pairs carrying
+    (id_a, id_b, v_a, v_b, n_a, n_b) — the Arrow replay of
+    ``dot_fold(v_a, v_b) / (n_a * n_b)`` (r15; guide §4.2).
+
+    BIT-IDENTICAL to the expression form: the kernel walks the
+    dimensions left-to-right with one float64 multiply then one float64
+    add per step (``acc = acc + va[:, d] * vb[:, d]``) — element for
+    element the same IEEE-754 operation sequence the interpreted
+    ``aggregate(zip_with(...))`` fold performs per pair, vectorized
+    ACROSS pairs, so a batch costs d numpy ufunc calls instead of
+    |pairs|·d interpreted lambda evaluations. numpy's ``multiply`` and
+    ``add`` ufuncs round separately (no FMA contraction), float32 →
+    float64 widening is exact in both engines, and the final divide
+    matches the expression's dot/(n_a·n_b) shape. Bit-parity is pinned
+    by tests/test_similarity_guard.py.
+    """
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not len(pb):
+                continue
+            va = np.stack(pb["v_a"].to_numpy()).astype(np.float64)
+            vb = np.stack(pb["v_b"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pb), dtype=np.float64)
+            for d in range(va.shape[1]):
+                acc = acc + va[:, d] * vb[:, d]
+            cos = acc / (pb["n_a"].to_numpy() * pb["n_b"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "id_a": pb["id_a"].to_numpy(),
+                    "id_b": pb["id_b"].to_numpy(),
+                    out: cos,
+                }
+            )
+
+    return pairs.select(
+        "id_a", "id_b", "v_a", "v_b", "n_a", "n_b"
+    ).mapInPandas(score, schema=f"id_a long, id_b long, {out} double")
+
+
+def _exact_rerank_topk(
+    cand: DataFrame, vecs: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail of the ANN paths (lsh_topk /
+    ivf_topk / ivfpq_topk / blocked_topk_matmul): attach vectors +
+    norms to the candidate id pairs, score with
+    :func:`fold_cos_pairs_arrow`, keep top-k per query. ``vecs`` must
+    be (_id, _v, _n). The per-pair interpreted fold this replaces was
+    the paths' per-task hotspot at sf0.1 (~0.3-0.5 M candidate pairs ×
+    64 interpreted lambda steps)."""
+    scored = fold_cos_pairs_arrow(
+        cand.join(
+            vecs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("v_a"),
+                F.col("_n").alias("n_a"),
+            ),
+            on="id_a",
+        ).join(
+            vecs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("v_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            on="id_b",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rn").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -67,15 +150,13 @@ def brute_topk_expr(
     a = a.withColumn("n_a", l2_norm(F.col("v_a")))
     b = b.withColumn("n_b", l2_norm(F.col("v_b")))
     pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
-    pairs = pairs.withColumn(
-        "cos",
-        dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-    )
-    # Drop the vectors BEFORE the ranking shuffle: the window repartitions
-    # all n² pair rows by id_a, and carrying two 64-float arrays through
-    # that exchange is ~20× the bytes of (id, id, cos) — measured 16 s vs
-    # 3 s at sf0.1.
-    pairs = pairs.select("id_a", "id_b", "cos")
+    # Arrow fold-replay (r15): bit-identical to the dot_fold expression,
+    # d ufunc calls per batch instead of n²·d interpreted lambda steps.
+    # It also drops the vectors BEFORE the ranking shuffle: the window
+    # repartitions all n² pair rows by id_a, and carrying two 64-float
+    # arrays through that exchange is ~20× the bytes of (id, id, cos) —
+    # measured 16 s vs 3 s at sf0.1.
+    pairs = fold_cos_pairs_arrow(pairs)
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -233,33 +314,7 @@ def blocked_topk_matmul(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    cand = (
-        cand.join(
-            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-                        F.col("_n").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-                        F.col("_n").alias("n_b")),
-            on="id_b",
-        )
-        .withColumn(
-            "cos",
-            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("id_a").alias(id_col),
-            F.col("rn").alias("rank"),
-            F.col("id_b").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
-        )
-    )
+    return _exact_rerank_topk(cand, vecs, k, id_col)
 
 
 def md5_planes(
@@ -529,34 +584,8 @@ def lsh_topk(
     cand = spread_hash(cand, "id_a")
     # attach vectors + norms AFTER dedup: only O(n·tables·k) id pairs
     # ever carry vector payload; norm computed once per side, cosine is
-    # one fold + a divide (cosine() would fold the arrays 3× per pair)
-    cand = (
-        cand.join(
-            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-                        F.col("_n").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-                        F.col("_n").alias("n_b")),
-            on="id_b",
-        )
-        .withColumn(
-            "cos",
-            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("id_a").alias(id_col),
-            F.col("rn").alias("rank"),
-            F.col("id_b").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
-        )
-    )
+    # one Arrow fold-replay + a divide (cosine() would fold 3× per pair)
+    return _exact_rerank_topk(cand, vecs, k, id_col)
 
 
 def lsh_near_dup_pairs(
@@ -639,10 +668,7 @@ def lsh_near_dup_pairs(
         )
     )
     return (
-        cand.withColumn(
-            "cosine",
-            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
+        fold_cos_pairs_arrow(cand, out="cosine")
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -663,11 +689,11 @@ def cosine_near_dup_pairs(
     a = a.withColumn("n_a", l2_norm(F.col("v_a")))
     b = b.withColumn("n_b", l2_norm(F.col("v_b")))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    # Arrow fold-replay (r15): bit-identical to the dot_fold expression
     return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= F.lit(threshold))
-        .select("id_a", "id_b", F.col("cos").alias("cosine"))
+        fold_cos_pairs_arrow(pairs, out="cosine")
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -824,33 +850,7 @@ def ivf_topk(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    cand = (
-        cand.join(
-            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-                        F.col("_n").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-                        F.col("_n").alias("n_b")),
-            on="id_b",
-        )
-        .withColumn(
-            "cos",
-            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("id_a").alias(id_col),
-            F.col("rn").alias("rank"),
-            F.col("id_b").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
-        )
-    )
+    return _exact_rerank_topk(cand, vecs, k, id_col)
 
 
 import sys as _sys
@@ -966,23 +966,28 @@ def crossset_topk(
         F.col(vec_col).alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
     )
-    scored = (
+    scored = fold_cos_pairs_arrow(
         cand.join(F.broadcast(qv), on="q_id")
         .join(cv, on="c_id")
-        .withColumn(
-            "cos",
-            dot_fold(F.col("_qv"), F.col("_cv"))
-            / (F.col("_qn") * F.col("_cn")),
+        .select(
+            F.col("q_id").alias("id_a"),
+            F.col("c_id").alias("id_b"),
+            F.col("_qv").alias("v_a"),
+            F.col("_cv").alias("v_b"),
+            F.col("_qn").alias("n_a"),
+            F.col("_cn").alias("n_b"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
-            F.col("q_id").alias(id_col),
+            F.col("id_a").alias(id_col),
             F.col("rn").alias("rank"),
-            F.col("c_id").alias("neighbor_id"),
+            F.col("id_b").alias("neighbor_id"),
             F.col("cos").alias("cosine"),
         )
     )
@@ -1345,33 +1350,7 @@ def ivfpq_topk(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    cand = (
-        cand.join(
-            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-                        F.col("_n").alias("n_a")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-                        F.col("_n").alias("n_b")),
-            on="id_b",
-        )
-        .withColumn(
-            "cos",
-            dot_fold(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("id_a").alias(id_col),
-            F.col("rn").alias("rank"),
-            F.col("id_b").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
-        )
-    )
+    return _exact_rerank_topk(cand, vecs, k, id_col)
 
 
 def mmr_rerank(

@@ -292,3 +292,74 @@ def test_brute_topk_matmul_size_guard(spark):
     # at or under the bound the plan still builds and runs
     out = sim.brute_topk_matmul(df, k=3, max_rows=20)
     assert out.count() == 60
+
+
+def test_fold_cos_arrow_bit_identical_to_expression(spark):
+    """r15 pin: fold_cos_pairs_arrow must reproduce the interpreted
+    dot_fold(v_a, v_b)/(n_a·n_b) expression BIT-FOR-BIT — same
+    left-to-right float64 multiply/add sequence per pair — on
+    adversarial float32 inputs (tiny/huge magnitudes, sign flips,
+    catastrophic cancellation, zero norms)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    vecs = []
+    for i in range(40):
+        v = rng.standard_normal(dim) * (10.0 ** rng.integers(-18, 18, dim))
+        if i % 5 == 0:
+            v[::2] = -v[::2]  # cancellation patterns
+        # (no zero vectors: under ANSI mode the EXPRESSION form throws
+        # DIVIDE_BY_ZERO on a zero norm, so production inputs never
+        # carry them; the kernel would yield inf/nan there instead)
+        vecs.append((i, [float(np.float32(x)) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        sim.l2_norm(F.col("embedding")).alias("n_a"),
+    )
+    b = df.select(
+        (F.col("vec_id") + 1000).alias("id_b"),
+        F.col("embedding").alias("v_b"),
+        sim.l2_norm(F.col("embedding")).alias("n_b"),
+    )
+    pairs = a.crossJoin(b)
+    expr = {
+        (r.id_a, r.id_b): r.cos
+        for r in pairs.withColumn(
+            "cos",
+            sim.dot_fold(F.col("v_a"), F.col("v_b"))
+            / (F.col("n_a") * F.col("n_b")),
+        )
+        .select("id_a", "id_b", "cos")
+        .collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cos
+        for r in sim.fold_cos_pairs_arrow(pairs).collect()
+    }
+    assert set(expr) == set(arrow) and len(expr) == 1600
+
+    def bits(x):
+        return struct.pack("<d", x) if x is not None else None
+
+    diffs = [
+        k
+        for k in expr
+        if not (
+            expr[k] is None
+            and arrow[k] is None
+            or (
+                expr[k] is not None
+                and arrow[k] is not None
+                and (
+                    bits(expr[k]) == bits(arrow[k])
+                    or (math.isnan(expr[k]) and math.isnan(arrow[k]))
+                )
+            )
+        )
+    ]
+    assert not diffs, diffs[:5]
