@@ -630,6 +630,11 @@ def graph_butterfly_support(spark: SparkSession, sf: str) -> DataFrame:
     self-equi-join on src + one integer groupBy. Exact integers end
     to end."""
     e = _buy_edges(spark, sf)
+    # pin the join-derived edge list: BOTH sides of the wedge self-join
+    # consume it, and without the pin each side re-runs the
+    # orders⋈lineitem derivation + distinct (r15, same device as the
+    # r14 graph pins)
+    e = e.localCheckpoint(eager=False)
     a = e.select("src", F.col("dst").alias("s1"))
     b = e.select("src", F.col("dst").alias("s2"))
     wedges = (
@@ -712,7 +717,10 @@ def graph_closeness_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("seed", "node", F.lit(h).alias("dist"))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        # visited is a UNION of already-pinned frontiers — consuming it
+        # re-reads their blocks, so pinning the union again only paid 4
+        # extra full materializations of the growing visited set (r15)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("seed", "node")
     recip = F.when(
         F.col("dist") > 0, F.lit(1.0) / F.col("dist")

@@ -1967,6 +1967,10 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
+    # pin: BOTH sides of the bucket self-join consume this frame, and
+    # without the pin each side re-runs the sessionize window +
+    # group-by + explode derivation (r15, the graph-family pin device)
+    bucketed = bucketed.localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

@@ -2256,9 +2256,18 @@ def stats_levene_brownforsythe(spark: SparkSession, sf: str) -> DataFrame:
     rounds at 12. Two fact passes (median, then deviations) with one
     broadcast median join — the unavoidable two-pass shape of
     median-centered statistics."""
+    from ..util import spread
+
     e = load(spark, sf, "events")
-    cents = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    # spread BEFORE the pin: the events parquet arrives as one split, so
+    # the pinned cents table — and with it the whole z/deviation pass,
+    # whose groupBy partial aggregation is map-side — ran single-task
+    # (r15; same single-split fix as stats_permutation_test)
+    cents = spread(
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
     )
     cents = cents.localCheckpoint(eager=False)  # consumed twice
     wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(

@@ -1656,12 +1656,15 @@ def text_burrows_delta(spark: SparkSession, sf: str) -> DataFrame:
     )
     cnt = cnt.localCheckpoint(eager=False)  # feeds totals, top, dense
     stot = cnt.groupBy("source").agg(F.sum("c").alias("tok"))
-    wv = Window.orderBy(F.col("tc").desc(), F.col("w").asc())
+    # top-30 vocabulary as orderBy().limit() → TakeOrderedAndProject:
+    # the row_number window form was a single-partition sort of the
+    # WHOLE vocabulary (r15; same device as graph_butterfly_support's
+    # top-20 tail). Same (tc desc, w asc) total order, same 30 rows.
     top = (
         cnt.groupBy("w")
         .agg(F.sum("c").alias("tc"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= 30)
+        .orderBy(F.col("tc").desc(), F.col("w").asc())
+        .limit(30)
         .select("w")
     )
     dense = (
