@@ -1160,9 +1160,23 @@ def curation_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     d² on the ×256 integer grid keeps every distance and argmax
     EXACT; ties break to the smaller id. Each round is one broadcast
     of the single new center + one linear min-fold over the corpus
-    (running min-d² table, localCheckpoint per round) and one
-    TakeOrdered(1) — no driver collect of vectors, no all-pairs; at
-    100 TB rounds stay one scan each, k bounds the loop."""
+    and one TakeOrdered(1) — no driver collect of vectors, no
+    all-pairs; k bounds the loop.
+
+    r15 restructure: the running min-d² table is a LINEAGE CHAIN of
+    ``least`` folds over the ONE pinned codes table instead of a
+    localCheckpoint per round — round i recomputes i cheap folds from
+    in-memory blocks, which beats materializing 7 intermediate copies
+    of the (vec_id, qv, nn, d) table (A/B at sf0.1: 2.34 s vs 2.90 s
+    steady shared-session; cold JVM 3.38 vs 6.72). k = 8 bounds the
+    re-derivation at 28 block re-reads; for k ≫ 8 re-introduce a
+    checkpoint every few rounds. The VERDICT_r14-suggested Arrow
+    kernel for the fold was built, measured SLOWER fresh-JVM (3.5-3.8
+    vs 2.0-2.2 baseline: 8 sequential Python stages pay worker
+    fan-out/spawn each round, while the fold is only 2 000×64 ints
+    per round locally), and rejected on that evidence — at this SF
+    the query is round-orchestration bound, not fold bound (see
+    OPTIMIZATION_r15.md §3)."""
     emb = load(spark, sf, "embeddings")
     qz = F.expr(
         "transform(embedding,"
@@ -1194,7 +1208,6 @@ def curation_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     ).select("vec_id", "qv", "nn", d2_new.alias("d"))
-    dists = dists.localCheckpoint(eager=False)
     picks = [
         first.select(
             F.lit(1).cast("long").alias("sel_order"),
@@ -1226,7 +1239,6 @@ def curation_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             "nn",
             F.least(F.col("d"), d2_new).alias("d"),
         )
-        dists = dists.localCheckpoint(eager=False)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionAll(p)
