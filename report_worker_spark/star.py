@@ -64,12 +64,17 @@ def anti_join_new(
 def surrogate_key(keys: list[str], mode: str = "hash") -> Column:
     """Deterministic surrogate id over a natural key (see module docstring).
 
-    The ``rank`` Column is a GLOBAL window — a single-partition sort of
-    its input. Internal callers with distinct-on-key input (build_dim,
-    get_or_insert_dim) route through :func:`rank_ids` instead, which
-    produces the identical ids with a range-bucketed distributed plan;
-    this Column form remains for expression-context callers and is
-    test-scale only.
+    CONTRACT: ``rank`` mode's dense_rank is a GLOBAL window — a
+    single-partition sort of the (distinct) key set. It exists solely
+    as the ANSI-SQL/oracle-parity twin and is test-scale only; the
+    production path is ``hash`` mode, whose plan is row-local and
+    join-free (pinned by tests/test_star.py::
+    test_hash_mode_plan_has_no_window_or_join). A distributed
+    replacement (range-bucketed row_number + bucket prefix-sum
+    offsets) was built and measured in r15: it reproduces the ids
+    exactly but costs 2.2-2.8x at sf0.1 (checkpoint materialization or
+    a second derivation pass per dim vs one small in-memory sort), so
+    it was reverted on that evidence — see OPTIMIZATION_r15.md §7.
     """
     if mode == "hash":
         # Map NULL key parts to a sentinel so (NULL) and ('') differ is
@@ -82,59 +87,13 @@ def surrogate_key(keys: list[str], mode: str = "hash") -> Column:
     raise ValueError(f"unknown surrogate key mode: {mode}")
 
 
-def rank_ids(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    """``dense_rank() OVER (ORDER BY keys)`` for a frame DISTINCT on
-    ``keys`` — without the single-partition global sort (VERDICT_r14
-    item 7).
-
-    On distinct rows dense_rank equals row_number, and row_number over
-    a total order decomposes: range-partition by the key order, rank
-    within each partition, then add the count of rows in earlier
-    partitions. Every stage is distributed — the widest window runs
-    per range-bucket, and the offset table is one row per bucket
-    (bounded by the cluster's parallelism, never by data), combined
-    with a triangular self-join instead of another global window.
-    Identical values to the window form on every input that is
-    distinct on ``keys`` (asserted by tests/test_star.py), because the
-    rank of a row is exactly |rows before it| + 1 under either plan.
-    """
-    sc = df.sparkSession.sparkContext
-    order = [F.col(k).asc_nulls_first() for k in keys]
-    local = (
-        df.repartitionByRange(sc.defaultParallelism, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lrank",
-            F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
-        )
-    )
-    local = local.localCheckpoint(eager=False)  # feeds counts + final ids
-    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_cnt"))
-    prior = counts.select(
-        F.col("_pid").alias("_p2"), F.col("_cnt").alias("_c2")
-    )
-    offsets = (
-        counts.join(prior, F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-    )
-    return (
-        local.join(F.broadcast(offsets), on="_pid")
-        .withColumn(id_col, (F.col("_lrank") + F.col("_off")).cast("long"))
-        .drop("_pid", "_lrank", "_off")
-    )
-
-
 def build_dim(
     batch: DataFrame, keys: list[str], id_col: str, key_mode: str = "hash"
 ) -> DataFrame:
     """DISTINCT natural keys + surrogate id — one dim table's batch delta."""
-    distinct = dedup(batch.select(*keys), keys)
-    if key_mode == "rank":
-        # distinct-on-keys input: rank_ids reproduces the dense_rank
-        # ids without the global single-partition window sort
-        return rank_ids(distinct, keys, id_col)
-    return distinct.withColumn(id_col, surrogate_key(keys, key_mode))
+    return dedup(batch.select(*keys), keys).withColumn(
+        id_col, surrogate_key(keys, key_mode)
+    )
 
 
 def resolve_fk(
@@ -261,15 +220,7 @@ def get_or_insert_dim(
     """
     names = dedup(batch_names.select(name_col), [name_col])
     missing = names.join(dim.select(name_col), on=name_col, how="left_anti")
-    if key_mode == "rank":
-        # missing is distinct on name (deduped then anti-joined):
-        # rank_ids == the dense_rank window, minus its global sort
-        new_rows = missing.select(name_col)
-        new_rows = rank_ids(new_rows, [name_col], id_col)
-    else:
-        new_rows = missing.withColumn(
-            id_col, surrogate_key([name_col], key_mode)
-        )
+    new_rows = missing.withColumn(id_col, surrogate_key([name_col], key_mode))
     full = dim.select(name_col, id_col).unionByName(new_rows)
     # no broadcast hint: the dim side is unbounded (millions of players
     # at scale) — AQE broadcasts it when it measures small and falls

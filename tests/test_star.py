@@ -68,61 +68,24 @@ def test_get_or_insert_dim(spark):
     assert resolved.filter(F.col("id").isNull()).count() == 0
 
 
-def test_rank_ids_matches_global_dense_rank_window(spark):
-    """rank_ids (range-bucketed row_number + prefix offsets, r15) must
-    reproduce dense_rank() OVER (ORDER BY keys) exactly on distinct-on-
-    key input — including NULL key parts (nulls first) and multi-column
-    keys — while its plan carries no global single-partition window."""
-    from pyspark.sql import Window
+def test_hash_mode_plan_has_no_window_or_join(spark):
+    """The production (hash-mode) upsert plan must stay row-local for
+    the fact: no Window node (the global dense_rank sort is the rank
+    oracle twin's, test-scale only by contract — star.py surrogate_key)
+    and no join nodes resolving FKs (r14: ids computed from the fact's
+    own key columns). Concrete node names, not bare substrings."""
+    from report_worker_spark.schemas import STG_REPORT_SCHEMA
 
-    rows = [
-        (None, None),
-        (None, 5),
-        (1, None),
-        (1, 2),
-        (1, 7),
-        (3, 0),
-        (3, 1),
-        (8, None),
-        (8, 4),
-        (9, 9),
-    ]
-    df = spark.createDataFrame(rows, "k1 int, k2 int").repartition(7)
-    got = {
-        ((r.k1, r.k2), r.sid)
-        for r in star.rank_ids(df, ["k1", "k2"], "sid").collect()
-    }
-    w = Window.orderBy(
-        F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
+    stg = spark.createDataFrame(
+        spark.sparkContext.emptyRDD(), STG_REPORT_SCHEMA
     )
-    want = {
-        ((r.k1, r.k2), r.sid)
-        for r in df.withColumn(
-            "sid", F.dense_rank().over(w).cast("long")
-        ).collect()
-    }
-    assert got == want
-    # the whole point: no global (empty-partition-spec) window sort
-    plan = star.rank_ids(df, ["k1", "k2"], "sid")._jdf.queryExecution()
-    optimized = plan.optimizedPlan().toString()
-    assert "windowspecdefinition(k1" not in optimized.replace(" ", "").lower()
-
-
-def test_build_dim_rank_mode_ids_unchanged(spark):
-    """build_dim(key_mode='rank') after the r15 rank_ids rewrite must
-    assign the same ids as the dense_rank window form it replaced."""
-    batch = spark.createDataFrame(
-        [(2, None), (2, 5), (None, 5), (2, None), (7, 1)],
-        "a int, b int",
-    )
-    out = {
-        ((r.a, r.b), r.did)
-        for r in star.build_dim(batch, ["a", "b"], "did", key_mode="rank")
-        .collect()
-    }
-    assert out == {
-        ((None, 5), 1),
-        ((2, None), 2),
-        ((2, 5), 3),
-        ((7, 1), 4),
-    }
+    out = star.upsert_star(stg, key_mode="hash")
+    plan = out["fact"]._jdf.queryExecution().executedPlan().toString()
+    for node in (
+        "Window",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert f"{node}" not in plan, node
