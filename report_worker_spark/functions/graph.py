@@ -347,13 +347,18 @@ def bfs_khop(
     (Pregel without the framework): each round is ONE equi-join of the
     current frontier against the adjacency list plus one anti-join
     against the visited set, so round cost is O(frontier out-edges),
-    never O(graph). The frontier is ``localCheckpoint(eager=False)``'ed
-    per round: ``visited`` feeds two consumers next round (anti-join +
-    final union), so an uncut lineage doubles per hop. A fixed hop
-    budget keeps the op deterministic and lets an unrolled SQL twin
-    replay it round by round."""
-    adj = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    never O(graph). Each round's NEW frontier is
+    ``localCheckpoint(eager=False)``'ed; ``visited`` itself is a plain
+    union of those pinned frontiers — re-pinning the union would pay
+    one extra materialization of the growing set per hop for blocks
+    that are already resident (r15, the closeness lesson). ``adj`` is
+    pinned once: edge lists here are join-derived and every round
+    consumes them. A fixed hop budget keeps the op deterministic and
+    lets an unrolled SQL twin replay it round by round."""
+    adj = _pin(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
@@ -368,7 +373,7 @@ def bfs_khop(
             .select("node", F.lit(h).alias("dist"))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited.select("node", F.col("dist").cast("int").alias("dist"))
 
@@ -386,9 +391,13 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     (node, distinct label) not per edge. Synchronous + min makes the
     result order-independent, hence bit-stable across partitionings and
     replayable by an unrolled SQL twin. Per-round lazy localCheckpoint
-    keeps the iterated plan linear."""
-    adj = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    keeps the iterated plan linear; ``adj`` is pinned once because the
+    join-derived edge list is consumed by every round (r15, the
+    closeness-query device)."""
+    adj = _pin(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
     lab = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(

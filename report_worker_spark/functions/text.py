@@ -238,30 +238,31 @@ def remove_boilerplate(
         .filter(F.col("_df") > max_doc_freq)
         .select("segment")
     )
-    kept = segs.join(F.broadcast(hot), on="segment", how="left_anti")
-    totals = segs.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_segments")
+    # r15: flag-and-fuse — one broadcast LEFT join marks hot segments,
+    # then ONE groupBy(doc) computes totals, removed count and the
+    # ordered rebuild together (collect_list skips the NULL structs the
+    # `when` leaves on hot rows). Replaces two separate aggregation
+    # passes over `segs` joined back on doc (guide §2.4: the totals
+    # aggregate, the rebuilt aggregate and its broadcast exchange all
+    # collapse into the one pass); a doc whose segments are all hot
+    # yields _kept rows = [] → clean_text '' exactly like the old
+    # left-join + coalesce.
+    flagged = segs.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        on="segment",
+        how="left",
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_kept"),
+    kept_seg = F.when(F.col("_hot").isNull(), F.struct("seg_idx", "segment"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.count("_hot").cast("long").alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                F.array_sort(F.collect_list(kept_seg)),
                 lambda s: s.segment,
             ),
             " ",
         ).alias("clean_text"),
-    )
-    return (
-        totals.join(rebuilt, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_segments",
-            (F.col("n_segments") - F.coalesce("_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
     )
 
 
@@ -276,31 +277,28 @@ def dedup_intradoc_segments(
     n_intra_dups, dedup_text). One shuffle (by id for the window +
     reassembly — the window partitions by (id, segment) which the id
     shuffle already co-locates)."""
-    # lazy pin: consumed by the window branch AND the per-doc totals —
-    # see remove_boilerplate
-    segs = segment_table(df, id_col, text_col, seg_tokens).localCheckpoint(
-        eager=False
-    )
+    # r15 fuse: the window output feeds ONE groupBy(doc) that computes
+    # totals, the first-occurrence count and the ordered rebuild
+    # together (collect_list skips the NULL structs `when` leaves on
+    # repeat rows) — previously two aggregation passes over the segment
+    # table joined back on doc (guide §2.4). With a single consumer the
+    # segment-table pin is pure overhead and is dropped.
+    segs = segment_table(df, id_col, text_col, seg_tokens)
     w = Window.partitionBy(id_col, "segment").orderBy("seg_idx")
     first = segs.withColumn("_rn", F.row_number().over(w))
-    kept = first.filter(F.col("_rn") == 1)
+    first_seg = F.when(F.col("_rn") == 1, F.struct("seg_idx", "segment"))
     return (
-        segs.groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_segments"))
-        .join(
-            kept.groupBy(id_col).agg(
-                F.count(F.lit(1)).cast("long").alias("_kept"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seg_idx", "segment"))
-                        ),
-                        lambda s: s.segment,
-                    ),
-                    " ",
-                ).alias("dedup_text"),
-            ),
-            on=id_col,
+        first.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.count(first_seg).cast("long").alias("_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(first_seg)),
+                    lambda s: s.segment,
+                ),
+                " ",
+            ).alias("dedup_text"),
         )
         .select(
             id_col,

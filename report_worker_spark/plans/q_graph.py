@@ -297,7 +297,11 @@ def graph_bfs_khop(spark: SparkSession, sf: str) -> DataFrame:
     frontier⋈adjacency equi-join plus one visited anti-join, cost
     proportional to the frontier's out-edges, not the graph. The
     oracle replays the same rounds as unrolled SQL layers."""
-    e = gr.undirected_edges(_cooccur_edges(spark, sf))
+    # pin: the join-derived edge list feeds BOTH the seed pick
+    # (degrees) and the BFS adjacency (r15 multi-consumer pin)
+    e = gr.undirected_edges(_cooccur_edges(spark, sf)).localCheckpoint(
+        eager=False
+    )
     nodes = gr.degrees(e).select("node")
     seeds = nodes.filter(F.col("node") % 97 == 0)
     return gr.bfs_khop(e, seeds, max_hops=4)

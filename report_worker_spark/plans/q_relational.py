@@ -1973,13 +1973,26 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     bucketed = bucketed.localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    # r15: anchor each pair to its FIRST shared bucket instead of
+    # collapsing cross-bucket duplicates with a distinct (guide §2.4 —
+    # the distinct was a full exchange + aggregate over the pair set,
+    # the query's largest intermediate). A qualifying pair overlaps in
+    # the bucket range [greatest(starts) DIV 3600, least(ends) DIV
+    # 3600] (floor-div is monotone, so max/DIV commute and overlap in
+    # seconds implies a shared bucket); filtering on the range's first
+    # element emits each pair exactly once — the same set of rows the
+    # distinct produced, with zero dedup shuffle.
     pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.user_id") < F.col("b.user_id"))
             & (F.col("a.start_s") <= F.col("b.end_s"))
-            & (F.col("b.start_s") <= F.col("a.end_s")),
+            & (F.col("b.start_s") <= F.col("a.end_s"))
+            & (
+                F.col("a.bucket")
+                == F.expr("greatest(a.start_s, b.start_s) DIV 3600")
+            ),
         )
         .select(
             F.col("a.user_id").alias("user_a"),
@@ -1991,7 +2004,6 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
                 - F.greatest(F.col("a.start_s"), F.col("b.start_s"))
             ).alias("overlap_s"),
         )
-        .distinct()
     )
     return pairs
 
